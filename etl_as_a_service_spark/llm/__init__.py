@@ -1,0 +1,25 @@
+"""LLM training-data pipeline operators (SURVEY.md §2.B ⊕ rows):
+deduplication, similarity search, text analysis plumbing, multimodal
+columns. These are first-class engine operators, designed for the
+100 TB path: inverted-index joins and LSH bucketing instead of pairwise
+comparison, hash fingerprints instead of full-text shuffle keys."""
+
+from etl_as_a_service_spark.llm.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    simhash,
+    ngram_jaccard_pairs,
+)
+from etl_as_a_service_spark.llm.similarity import (
+    brute_force_topk,
+    lsh_similarity_join,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_near_duplicates",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "brute_force_topk",
+    "lsh_similarity_join",
+]

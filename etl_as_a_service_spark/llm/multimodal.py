@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The decode step is STUBBED (image/audio codec libraries are not
+available in this environment): ``decode_image_stub`` produces a
+deterministic fake decode so the Spark-side plumbing — schema,
+partitioning, Arrow batch shape, mapInPandas signature — is real and
+testable. Swap ``_decode_bytes`` for a real codec (PIL/torchaudio/...)
+in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical multimodal row schema: opaque payload + typed metadata.
+BLOB_SCHEMA = StructType(
+    [
+        StructField("blob_id", LongType()),
+        StructField("modality", StringType()),  # image | audio | video
+        StructField("mime", StringType()),
+        StructField("content", BinaryType()),
+        StructField("meta_width", IntegerType()),
+        StructField("meta_height", IntegerType()),
+        StructField("meta_duration_ms", IntegerType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("blob_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Blob ingestion via the built-in binaryFile source (path, length,
+    modificationTime, content) — the Spark-native version of the
+    reference's accept-any-file upload (reference app/templates/
+    upload.html:7, accept="*/*")."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+
+
+def _decode_bytes(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic fake 'decode + feature extraction'.
+
+    STUB — a real implementation decodes the image/audio and runs a
+    feature extractor. This fake derives a stable dim-length float
+    vector from the byte content so tests have something exact to
+    assert. Raises on None to mirror real decoder behavior.
+    """
+    if payload is None:
+        raise NotImplementedError("real decoder required for NULL-content rows")
+    acc = [0] * dim
+    for i, byt in enumerate(payload):
+        acc[i % dim] = (acc[i % dim] * 31 + byt) % 997
+    return [float(v) / 997.0 for v in acc]
+
+
+def decode_blobs(df: DataFrame, dim: int = 8) -> DataFrame:
+    """Arrow-batched decode via mapInPandas: one Python worker per
+    partition, pandas batches in/out — the only sane shape for
+    per-row binary decode at scale (row-at-a-time UDFs would be 10-100x
+    slower). Partitioning of the input is preserved."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "blob_id": pdf["blob_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["content"].map(
+                        lambda b: 0 if b is None else len(b)
+                    ),
+                    "feature": pdf["content"].map(lambda b: _decode_bytes(b, dim)),
+                }
+            )
+
+    return df.mapInPandas(decode, DECODED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: computes frame timestamps from
+    metadata engine-side (no UDF); the per-frame decode would plug into
+    decode_blobs. Returns one row per (blob_id, frame_ts_ms)."""
+    return (
+        df.filter(F.col("modality") == "video")
+        .select(
+            "blob_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("meta_duration_ms") - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )

@@ -1,0 +1,104 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+- ``brute_force_topk``: exact cosine top-k. The query side is broadcast
+  (small by construction); the corpus streams through map tasks and each
+  task keeps only k candidates per query before the shuffle
+  (WindowGroupLimit), so the exchange is O(queries * k).
+- ``lsh_similarity_join`` / ``lsh_topk``: the scale path — bucketed
+  random projection LSH from pyspark.ml; candidates come from bucket
+  joins, not the cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.functions.vectors import cosine_similarity
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k neighbors in ``corpus`` for each row of
+    ``queries``. Returns (query_id, neighbor_id, cosine, rn).
+
+    The cross join broadcasts the query side — at 100 TB the corpus side
+    stays partition-parallel and is scanned once.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    if not include_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def _to_ml_vector(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return df.withColumn(
+        out_col, array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    )
+
+
+def lsh_similarity_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    distance_threshold: float = 5.0,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+) -> DataFrame:
+    """Approximate similarity join via BucketedRandomProjectionLSH
+    (Euclidean). Returns (query_id, neighbor_id, dist). The LSH model is
+    deterministic for a fixed seed. Candidate volume is controlled by
+    bucket_length / num_hash_tables — tune so buckets stay bounded."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    c = _to_ml_vector(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), vec_col, "__v"
+    )
+    q = _to_ml_vector(
+        queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col, "__v"
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__v",
+        outputCol="__h",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(c)
+    joined = model.approxSimilarityJoin(
+        q, c, distance_threshold, distCol="dist"
+    )
+    return joined.select(
+        F.col("datasetA.query_id").alias("query_id"),
+        F.col("datasetB.neighbor_id").alias("neighbor_id"),
+        F.round("dist", 6).alias("dist"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))

@@ -1,0 +1,20 @@
+"""Composite relational operators not natively provided by Spark.
+
+Each operator here is a pure DataFrame-to-DataFrame composition: one
+logical plan in, one logical plan out, so Catalyst still optimizes across
+the boundary (pushdown, pruning, AQE). No collect(), no RDDs.
+"""
+
+from etl_as_a_service_spark.operators.relational import (
+    asof_join,
+    top_k_per_group,
+    dedup_keep_first,
+    pivot_counts,
+)
+
+__all__ = [
+    "asof_join",
+    "top_k_per_group",
+    "dedup_keep_first",
+    "pivot_counts",
+]

@@ -1,0 +1,151 @@
+"""Composite relational operators (as-of join, per-group top-k, dedup).
+
+These fill the gaps in SURVEY.md §2.B that Spark has no single primitive
+for. All are single-shuffle DataFrame compositions that scale: the as-of
+join is the union+window rewrite (one shuffle on the join key, no nested
+loop), per-group top-k is a rank-filter (partial top-k happens map-side
+via WindowGroupLimit in Spark 3.5+/4.x).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    allow_exact_match: bool = True,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """As-of join: attach to each left row the latest right row with
+    ``right_ts <= left_ts`` (direction='backward') sharing the join key.
+
+    Implementation (scale-first): union the two inputs with a side marker,
+    compute ``last(value, ignorenulls=True)`` over a window partitioned by
+    the key and ordered by (ts, side, tie_break), then keep left rows.
+    This is ONE shuffle on the join key — no range-join explosion, no
+    BroadcastNestedLoopJoin — and it spills via Tungsten's external sort,
+    so it holds at 100 TB as long as a single key's history fits a
+    partition (salt the key upstream if not).
+
+    With ``allow_exact_match`` right rows at ts == left_ts sort before the
+    left row and are therefore visible to it. Ties in (ts) among right
+    rows resolve to the greatest ``tie_break`` value (deterministic).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unsupported direction: {direction}")
+    keys = [on] if isinstance(on, str) else list(on)
+
+    lcols = [c for c in left.columns]
+    # right side: keys + ts + values, with every left column nulled out
+    side_right = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0 if direction == "backward" else 1).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in keys
+        ],
+        F.lit(False).alias("__is_left"),
+        (
+            F.col(tie_break).cast("long")
+            if tie_break
+            else F.monotonically_increasing_id()
+        ).alias("__tie"),
+    )
+    side_left = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1 if direction == "backward" else 0).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        *[F.col(c) for c in lcols if c not in keys],
+        F.lit(True).alias("__is_left"),
+        F.lit(0).cast("long").alias("__tie"),
+    )
+    if not allow_exact_match:
+        # flip side ordering so same-ts right rows are NOT visible
+        side_right = side_right.withColumn(
+            "__side", F.lit(1 if direction == "backward" else 0)
+        )
+        side_left = side_left.withColumn(
+            "__side", F.lit(0 if direction == "backward" else 1)
+        )
+
+    unioned = side_right.unionByName(side_left)
+    order = (
+        [F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc()]
+        if direction == "backward"
+        else [F.col("__ts").desc(), F.col("__side").asc(), F.col("__tie").desc()]
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in value_cols
+        ],
+    )
+    result = filled.filter(F.col("__is_left")).select(
+        *keys,
+        F.col("__ts").alias(left_ts),
+        *[c for c in lcols if c not in keys and c != left_ts],
+        *[F.col(f"__m_{c}").alias(f"{c}_asof") for c in value_cols],
+    )
+    return result
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Per-group top-k via row_number rank-filter.
+
+    Spark plans ``row_number <= k`` as WindowGroupLimit: each map task
+    keeps only k rows per group before the shuffle, so the exchange moves
+    O(groups*k) rows, not the full input. ``order_cols`` must be a total
+    order within a group for determinism (add a key tie-break).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def dedup_keep_first(
+    df: DataFrame, key_cols: list[str], order_cols: list[Column]
+) -> DataFrame:
+    """Deterministic dedup: keep exactly one row per key, chosen by
+    ``order_cols`` (unlike ``dropDuplicates`` whose survivor is
+    arbitrary under shuffle). Plans as WindowGroupLimit (map-side partial
+    dedup) — scales the same way as top_k_per_group."""
+    return top_k_per_group(df, key_cols, order_cols, 1, "__rn").drop("__rn")
+
+
+def pivot_counts(
+    df: DataFrame, group_col: str, pivot_col: str, values: list[str]
+) -> DataFrame:
+    """Pivot with an explicit value list (never pivot without one at
+    scale: the implicit distinct-scan is an extra job over the full
+    input). Missing combinations are 0, not null, to match SQL
+    conditional-aggregation semantics."""
+    out = df.groupBy(group_col).pivot(pivot_col, values).count()
+    for v in values:
+        out = out.withColumn(v, F.coalesce(F.col(v), F.lit(0)))
+    return out

@@ -1,0 +1,11 @@
+"""DuckDB differential-test harness (local mirror of the driver's t2
+gate)."""
+
+from etl_as_a_service_spark.oracle.compare import (
+    duckdb_connection,
+    run_oracle,
+    canonicalize,
+    compare_frames,
+)
+
+__all__ = ["duckdb_connection", "run_oracle", "canonicalize", "compare_frames"]

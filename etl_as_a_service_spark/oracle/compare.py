@@ -1,0 +1,103 @@
+"""Differential testing against DuckDB (the sqllogictest-style corpus
+the reference lacks, SURVEY.md §5).
+
+Canonicalization mirrors FIXTURES.md rules: sort columns by name, sort
+rows by all columns, normalize timestamps to UTC-naive microseconds,
+stringify with fixed float formatting, then compare cell-by-cell.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+
+from etl_as_a_service_spark.catalog import TABLES
+
+
+def duckdb_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+def run_oracle(con, sql: str) -> pd.DataFrame:
+    return con.execute(sql).df()
+
+
+def _cell_repr(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # floats were already round()ed query-side; this formatting only
+        # collapses representation noise (e.g. 0.30000000000000004)
+        return f"{v:.6f}".rstrip("0").rstrip(".")
+    if isinstance(v, pd.Timestamp):
+        # date-valued cells: one engine may hand back datetime.date, the
+        # other midnight datetime64 — render both as the bare date (a
+        # symmetric transform, so real timestamp columns still compare)
+        if v.tzinfo is None and v == v.normalize():
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, (list, tuple)) or v.__class__.__name__ == "ndarray":
+        return "[" + ",".join(_cell_repr(x) for x in v) + "]"
+    return str(v)
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.copy()
+    # normalize dtypes cross-engine
+    for c in out.columns:
+        s = out[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            out[c] = s.dt.floor("us")
+        elif pd.api.types.is_float_dtype(s):
+            out[c] = s.astype("float64")
+        elif pd.api.types.is_bool_dtype(s):
+            out[c] = s.astype("boolean")
+        elif pd.api.types.is_integer_dtype(s):
+            out[c] = s.astype("Int64")
+        elif s.dtype == object:
+            out[c] = s.map(
+                lambda v: v.isoformat() if isinstance(v, pd.Timestamp) else v
+            )
+    out = out[sorted(out.columns)]
+    rendered = out.map(_cell_repr) if hasattr(out, "map") else out.applymap(_cell_repr)
+    rendered = rendered.sort_values(by=list(rendered.columns)).reset_index(drop=True)
+    return rendered
+
+
+def compare_frames(
+    spark_df: pd.DataFrame, oracle_df: pd.DataFrame
+) -> tuple[bool, str]:
+    """Returns (match, diff_description)."""
+    if sorted(spark_df.columns) != sorted(oracle_df.columns):
+        return False, (
+            f"column mismatch: spark={sorted(spark_df.columns)} "
+            f"oracle={sorted(oracle_df.columns)}"
+        )
+    if len(spark_df) != len(oracle_df):
+        return False, f"row count: spark={len(spark_df)} oracle={len(oracle_df)}"
+    a = canonicalize(spark_df)
+    b = canonicalize(oracle_df)
+    if a.equals(b):
+        return True, ""
+    neq = (a != b)
+    bad_cols = [c for c in a.columns if neq[c].any()]
+    samples = []
+    for c in bad_cols[:3]:
+        idx = neq[c].idxmax()
+        samples.append(f"{c}[row {idx}]: spark={a[c][idx]!r} oracle={b[c][idx]!r}")
+    return False, f"value mismatch in {bad_cols}; e.g. {'; '.join(samples)}"

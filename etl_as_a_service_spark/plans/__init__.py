@@ -1,0 +1,16 @@
+"""Pipeline specs and the spec -> DataFrame compiler (Spark-native
+re-expression of the reference's upload/trigger/poll control plane)."""
+
+from etl_as_a_service_spark.plans.pipeline import (
+    PipelineError,
+    PipelineRunner,
+    compile_pipeline,
+    extract_pipeline_name,
+)
+
+__all__ = [
+    "PipelineError",
+    "PipelineRunner",
+    "compile_pipeline",
+    "extract_pipeline_name",
+]

@@ -1,0 +1,294 @@
+"""Declarative pipeline specs compiled to DataFrame plans + run registry.
+
+This is the Spark-native restatement of the reference control plane:
+
+- reference: user uploads a Python DAG file; the app AST-parses it for
+  ``dag_id`` (app/utils/airflow_client.py:78-90), POSTs it to Airflow
+  (airflow_client.py:33-74), triggers a run, then polls
+  ``dags/{id}/dagRuns`` and mirrors the state into the ``File`` row
+  (app/routes.py:66-146, app/models.py:19-25).
+- here: a pipeline is *data* (a dict/JSON spec), validated and compiled
+  straight to a Catalyst logical plan — no AST surgery, no remote
+  orchestrator. Run state lives in the run registry with the lifecycle
+  {submitted -> running -> success|failed} (the intended semantics of
+  the reference's uploaded/processing/<airflow-state>/waiting strings,
+  without its lowercase-collision bugs, routes.py:141-145).
+
+Spec shape::
+
+    {"name": "my_pipeline",
+     "source": {"table": "lineitem"} | {"format": "parquet", "path": ...,
+                "options": {...}, "schema": "a INT, b STRING"},
+     "steps": [{"op": "filter", "predicate": "l_quantity > 10"},
+               {"op": "select", "columns": ["l_orderkey", ...]},
+               {"op": "with_column", "name": "x", "expr": "a + b"},
+               {"op": "join", "right": <spec>, "on": [...], "how": "inner",
+                "broadcast": true},
+               {"op": "group_by", "keys": [...],
+                "aggs": {"out": "sum(l_quantity)"}},
+               {"op": "order_by", "columns": ["x desc", "y"]},
+               {"op": "dedup", "keys": [...]},
+               {"op": "limit", "n": 10},
+               {"op": "union", "right": <spec>},
+               {"op": "sql", "query": "SELECT ... FROM __self__"}],
+     "sink": {"format": "parquet", "path": ..., "mode": "overwrite",
+              "partition_by": ["dt"]}}
+
+Expressions are SQL strings (compiled by Catalyst via ``F.expr``), so
+the whole spec stays serializable — pipelines are storable rows, exactly
+like the reference's ``File`` records, but typed and validated.
+"""
+
+from __future__ import annotations
+
+import itertools
+import threading
+import time
+import traceback
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class PipelineError(ValueError):
+    """Invalid pipeline spec (the analog of the reference rejecting a DAG
+    file it cannot extract a dag_id from, app/routes.py:88-90)."""
+
+
+_ALLOWED_OPS = {
+    "filter",
+    "select",
+    "with_column",
+    "rename",
+    "drop",
+    "join",
+    "group_by",
+    "order_by",
+    "dedup",
+    "distinct",
+    "limit",
+    "offset",
+    "union",
+    "sql",
+    "repartition",
+}
+
+
+def extract_pipeline_name(spec: dict[str, Any]) -> str:
+    """Analog of extract_dag_id (airflow_client.py:78-90): pull the
+    pipeline id out of the artifact — trivially, because specs are data,
+    not Python source."""
+    name = spec.get("name")
+    if not name or not isinstance(name, str):
+        raise PipelineError("pipeline spec missing 'name'")
+    return name
+
+
+def _compile_source(spark: SparkSession, source: dict[str, Any]) -> DataFrame:
+    if "table" in source:
+        return spark.table(source["table"])
+    fmt = source.get("format", "parquet")
+    reader = spark.read.format(fmt)
+    if "schema" in source:
+        reader = reader.schema(source["schema"])
+    for k, v in source.get("options", {}).items():
+        reader = reader.option(k, str(v))
+    path = source.get("path")
+    if not path:
+        raise PipelineError("source needs 'table' or 'path'")
+    return reader.load(path)
+
+
+def _order_cols(columns: list[str]):
+    out = []
+    for c in columns:
+        parts = c.split()
+        col = F.col(parts[0])
+        spec = " ".join(p.lower() for p in parts[1:])
+        if "desc" in spec:
+            col = col.desc_nulls_last() if "nulls last" in spec else col.desc()
+        elif "nulls first" in spec:
+            col = col.asc_nulls_first()
+        else:
+            col = col.asc()
+        out.append(col)
+    return out
+
+
+def _apply_step(spark: SparkSession, df: DataFrame, step: dict[str, Any]) -> DataFrame:
+    op = step.get("op")
+    if op not in _ALLOWED_OPS:
+        raise PipelineError(f"unknown op: {op!r} (allowed: {sorted(_ALLOWED_OPS)})")
+    if op == "filter":
+        return df.filter(F.expr(step["predicate"]))
+    if op == "select":
+        return df.selectExpr(*step["columns"])
+    if op == "with_column":
+        return df.withColumn(step["name"], F.expr(step["expr"]))
+    if op == "rename":
+        return df.withColumnsRenamed(step["mapping"])
+    if op == "drop":
+        return df.drop(*step["columns"])
+    if op == "join":
+        right = compile_pipeline(spark, step["right"], _as_subplan=True)
+        if step.get("broadcast"):
+            right = F.broadcast(right)
+        on = step.get("on")
+        cond = F.expr(step["condition"]) if "condition" in step else on
+        return df.join(right, cond, step.get("how", "inner"))
+    if op == "group_by":
+        aggs = [F.expr(e).alias(name) for name, e in step["aggs"].items()]
+        return df.groupBy(*step.get("keys", [])).agg(*aggs)
+    if op == "order_by":
+        return df.orderBy(*_order_cols(step["columns"]))
+    if op == "dedup":
+        return df.dropDuplicates(step["keys"])
+    if op == "distinct":
+        return df.distinct()
+    if op == "limit":
+        return df.limit(int(step["n"]))
+    if op == "offset":
+        return df.offset(int(step["n"]))
+    if op == "union":
+        right = compile_pipeline(spark, step["right"], _as_subplan=True)
+        return df.unionByName(right, allowMissingColumns=step.get("allow_missing", False))
+    if op == "sql":
+        df.createOrReplaceTempView("__self__")
+        return spark.sql(step["query"])
+    if op == "repartition":
+        cols = step.get("columns")
+        n = step.get("n")
+        if cols and n:
+            return df.repartition(int(n), *cols)
+        if cols:
+            return df.repartition(*cols)
+        return df.repartition(int(n))
+    raise AssertionError(op)
+
+
+def compile_pipeline(
+    spark: SparkSession, spec: dict[str, Any], _as_subplan: bool = False
+) -> DataFrame:
+    """Compile a spec to a (lazy) DataFrame — IR chain: spec dict ->
+    Catalyst unresolved plan -> optimized plan -> physical plan, all
+    owned by Spark (SURVEY.md §3 'Spark-native restatement')."""
+    if not _as_subplan:
+        extract_pipeline_name(spec)
+    if "source" not in spec:
+        raise PipelineError("pipeline spec missing 'source'")
+    df = _compile_source(spark, spec["source"])
+    for step in spec.get("steps", []):
+        df = _apply_step(spark, df, step)
+    return df
+
+
+@dataclass
+class PipelineRun:
+    """Run-registry row — typed analog of the reference's File state row
+    (app/models.py:19-25)."""
+
+    run_id: str
+    name: str
+    status: str  # submitted | running | success | failed
+    submitted_at: float
+    finished_at: float | None = None
+    error: str | None = None
+    output_path: str | None = None
+    n_output_rows: int | None = None
+
+
+class PipelineRunner:
+    """Submit/poll/list — the §2.A trigger/status/results surface.
+
+    ``run`` executes synchronously; ``submit`` runs on a daemon thread so
+    ``get_status`` can be polled mid-flight (the analog of the
+    reference's Airflow dagRun polling, app/routes.py:137-146).
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._runs: dict[str, PipelineRun] = {}
+        self._lock = threading.Lock()
+
+    # -- trigger (EP1) ----------------------------------------------------
+    def run(self, spec: dict[str, Any]) -> PipelineRun:
+        run = self._register(spec)
+        self._execute(run, spec)
+        return run
+
+    def submit(self, spec: dict[str, Any]) -> str:
+        run = self._register(spec)
+        t = threading.Thread(target=self._execute, args=(run, spec), daemon=True)
+        t.start()
+        return run.run_id
+
+    def _register(self, spec: dict[str, Any]) -> PipelineRun:
+        name = extract_pipeline_name(spec)
+        run = PipelineRun(
+            run_id=uuid.uuid4().hex[:12],
+            name=name,
+            status="submitted",
+            submitted_at=time.time(),
+        )
+        with self._lock:
+            self._runs[run.run_id] = run
+        return run
+
+    def _execute(self, run: PipelineRun, spec: dict[str, Any]) -> None:
+        run.status = "running"
+        try:
+            df = compile_pipeline(self.spark, spec)
+            sink = spec.get("sink")
+            if sink:
+                writer = df.write.format(sink.get("format", "parquet")).mode(
+                    sink.get("mode", "error")
+                )
+                if sink.get("partition_by"):
+                    writer = writer.partitionBy(*sink["partition_by"])
+                for k, v in sink.get("options", {}).items():
+                    writer = writer.option(k, str(v))
+                writer.save(sink["path"])
+                run.output_path = sink["path"]
+            else:
+                # no sink: count() forces execution (cheap action; the
+                # plan's aggregates still run distributed)
+                run.n_output_rows = df.count()
+            run.status = "success"
+        except Exception:
+            run.status = "failed"
+            run.error = traceback.format_exc(limit=5)
+        finally:
+            run.finished_at = time.time()
+
+    # -- poll (EP2) -------------------------------------------------------
+    def get_status(self, run_id: str) -> str:
+        run = self._runs.get(run_id)
+        if run is None:
+            return "unknown"
+        return run.status
+
+    # -- browse (EP3) -----------------------------------------------------
+    def list_runs(self, name: str | None = None) -> list[PipelineRun]:
+        with self._lock:
+            runs = list(self._runs.values())
+        if name is not None:
+            runs = [r for r in runs if r.name == name]
+        return sorted(runs, key=lambda r: r.submitted_at)
+
+    def runs_df(self) -> DataFrame:
+        """The registry as a DataFrame — queryable like any table (the
+        reference's File table scan, app/routes.py:140)."""
+        rows = [
+            (r.run_id, r.name, r.status, float(r.submitted_at),
+             float(r.finished_at) if r.finished_at else None,
+             r.output_path, r.n_output_rows)
+            for r in self.list_runs()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "run_id string, name string, status string, submitted_at double, "
+            "finished_at double, output_path string, n_output_rows long",
+        )

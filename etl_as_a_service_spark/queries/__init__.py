@@ -1,0 +1,57 @@
+"""Declared query manifest — the testable face of SURVEY.md §2.B.
+
+Every implemented operator gets a named query here; queries tagged with an
+``oracle`` SQL string are differential-tested against DuckDB on the same
+parquet tables (the t2 gate). Queries without oracle SQL (approx/ML/
+non-SQL-expressible ops) get rows-only checks plus dedicated pytest
+coverage.
+
+Cross-engine determinism rules (FIXTURES.md "canonicalization"):
+- every query output is totally ordered or order-insensitive;
+- float aggregates are round()ed in BOTH engines; large price sums to 2
+  decimals (double ulp at 1e9 is ~2.4e-7 — rounding at 6 would sit on the
+  noise floor), small ones to 6;
+- integer aggregates are cast to the same width on both sides (DuckDB
+  SUM(BIGINT)->HUGEINT, year()->BIGINT, ceil(double)->double, while Spark
+  returns BIGINT/INT/BIGINT respectively);
+- column names are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...]
+    doc: str
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Register a (spark, sf_dir) -> DataFrame query, optionally with
+    DuckDB oracle SQL over the pre-registered table views."""
+
+    def deco(fn):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = QueryDef(name, fn, oracle, tuple(tags), fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+# Populate the registry (import order = manifest order).
+from etl_as_a_service_spark.queries import relational  # noqa: E402,F401
+from etl_as_a_service_spark.queries import scalar_funcs  # noqa: E402,F401
+from etl_as_a_service_spark.queries import windows  # noqa: E402,F401
+from etl_as_a_service_spark.queries import llm  # noqa: E402,F401

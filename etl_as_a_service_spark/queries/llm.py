@@ -1,0 +1,307 @@
+"""LLM-pipeline declared queries (⊕ rows of SURVEY.md §2.B):
+dedup, text analysis, fingerprinting, language ID, similarity search.
+
+Queries with oracle SQL are in the t2 hash gate; MinHash/SimHash/LSH use
+Spark-specific hashing (xxhash64, ml.feature) and get rows-only driver
+checks plus recall assertions in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.catalog import load_tables
+from etl_as_a_service_spark.functions.text import (
+    STOPWORDS,
+    lang_id_heuristic,
+    token_count,
+    tokenize,
+)
+from etl_as_a_service_spark.llm.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from etl_as_a_service_spark.llm.similarity import brute_force_topk, lsh_similarity_join
+from etl_as_a_service_spark.queries import query
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+# --------------------------------------------------------------------------
+# q40 — exact deduplication (hash group-by; survivor = min id)
+# --------------------------------------------------------------------------
+@query(
+    "q40_exact_dedup_groups",
+    oracle="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY keep_id
+    """,
+    tags=("dedup", "llm"),
+)
+def q40_exact_dedup_groups(spark, sf_dir):
+    """Dedup groups keyed on content hash; at scale the engine operator
+    (llm.dedup.exact_dedup) shuffles the 8-byte fingerprint, not text —
+    the oracle states the same grouping with md5."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("__h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .drop("__h")
+        .orderBy("keep_id")
+    )
+
+
+@query(
+    "q41_exact_dedup_survivors",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "llm", "operator"),
+)
+def q41_exact_dedup_survivors(spark, sf_dir):
+    """The engine-side exact_dedup operator (fingerprint + semi join),
+    checked against the plain SQL statement of its semantics."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        exact_dedup(docs, "text", "doc_id", normalize=False)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q42 — text statistics (token counting, length stats, stopword ratio)
+# --------------------------------------------------------------------------
+@query(
+    "q42_text_stats_by_lang",
+    oracle=f"""
+    SELECT lang,
+           count(*)                                        AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           round(avg(len(string_split(text, ' '))), 6)     AS avg_tokens,
+           round(avg(n_chars), 6)                          AS avg_chars,
+           round(avg(len(list_filter(string_split(lower(text), ' '),
+                 t -> list_contains({list(STOPWORDS)}, t)))
+                 / len(string_split(text, ' '))), 6)       AS avg_stopword_ratio
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("text", "llm"),
+)
+def q42_text_stats_by_lang(spark, sf_dir):
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n_tok = token_count(F.col("text"))
+    stop_ratio = (
+        F.size(
+            F.filter(
+                F.transform(toks, lambda t: F.lower(t)),
+                lambda t: t.isin(*STOPWORDS),
+            )
+        ).cast("double")
+        / F.size(toks)
+    )
+    return (
+        docs.select("lang", "n_chars", n_tok.alias("__nt"), stop_ratio.alias("__sr"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("total_tokens"),
+            F.round(F.avg("__nt"), 6).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.avg("__sr"), 6).alias("avg_stopword_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q43 — document fingerprinting (portable md5 flavor)
+# --------------------------------------------------------------------------
+@query(
+    "q43_doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           substring(md5(lower(trim(text))), 1, 16) AS fp,
+           CAST(length(text) AS BIGINT)             AS text_len
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+    tags=("fingerprint", "llm"),
+)
+def q43_doc_fingerprints(spark, sf_dir):
+    """Portable 64-bit-equivalent fingerprint (md5 prefix). The engine's
+    fast path is xxhash64 (functions.text.fingerprint) — Spark-specific,
+    so unit-tested rather than oracle-matched."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.substring(F.md5(F.lower(F.trim(F.col("text")))), 1, 16).alias("fp"),
+            F.length("text").cast("long").alias("text_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q44 — language-ID heuristic vs labeled lang
+# --------------------------------------------------------------------------
+@query(
+    "q44_lang_id_agreement",
+    oracle="""
+    SELECT lang,
+           CASE WHEN regexp_matches(text, '[一-鿿]')        THEN 'zh'
+                WHEN regexp_matches(text, '[ñ¿¡]')          THEN 'es'
+                WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
+                WHEN regexp_matches(text, '[äöß]')          THEN 'de'
+                ELSE 'en' END                               AS lang_pred,
+           count(*) AS n
+    FROM documents
+    GROUP BY lang, lang_pred
+    ORDER BY lang, lang_pred
+    """,
+    tags=("text", "lang_id", "llm"),
+)
+def q44_lang_id_agreement(spark, sf_dir):
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id_heuristic(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+# --------------------------------------------------------------------------
+# q45 — brute-force cosine top-k (exact ANN baseline)
+# --------------------------------------------------------------------------
+@query(
+    "q45_cosine_topk",
+    oracle="""
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(
+                 list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY round(list_cosine_similarity(
+                                    list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                                    list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 6) DESC,
+                                c.vec_id) AS rn
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+    )
+    WHERE rn <= 3
+    ORDER BY query_id, rn
+    """,
+    tags=("similarity", "ann", "llm"),
+)
+def q45_cosine_topk(spark, sf_dir):
+    """Exact top-3 cosine neighbors for 5 query vectors. Engine path:
+    broadcast queries x streamed corpus + WindowGroupLimit top-k."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return (
+        brute_force_topk(
+            corpus=emb,
+            queries=emb.filter(F.col("vec_id") < 5),
+            id_col="vec_id",
+            vec_col="embedding",
+            k=3,
+        )
+        .orderBy("query_id", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# q46 — n-gram Jaccard near-dup pairs (inverted-index join)
+# --------------------------------------------------------------------------
+@query(
+    "q46_ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, w1 || ' ' || w2 || ' ' || w3 AS sh
+      FROM (
+        SELECT doc_id,
+               toks[i]     AS w1,
+               toks[i + 1] AS w2,
+               toks[i + 2] AS w3
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             UNNEST(range(1, len(toks) - 1)) AS t(i)
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.2
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "jaccard", "llm", "operator"),
+)
+def q46_ngram_jaccard_pairs(spark, sf_dir):
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (Spark-specific hashing / ML — no portable SQL)
+# --------------------------------------------------------------------------
+@query("q47_minhash_near_dup_groups", oracle=None, tags=("dedup", "minhash", "llm"))
+def q47_minhash_near_dup_groups(spark, sf_dir):
+    """MinHash+LSH near-dup clusters (xxhash64 signatures — engine
+    specific; recall is asserted in tests against q46's exact Jaccard)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    groups = minhash_near_duplicates(
+        docs, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.4
+    )
+    return (
+        groups.groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > 1)
+        .orderBy("group_id")
+    )
+
+
+@query("q48_simhash_fingerprints", oracle=None, tags=("dedup", "simhash", "llm"))
+def q48_simhash_fingerprints(spark, sf_dir):
+    (docs,) = _t(spark, sf_dir, "documents")
+    return simhash(docs, "text", "doc_id").orderBy("doc_id")
+
+
+@query("q49_lsh_ann_join", oracle=None, tags=("similarity", "lsh", "llm"))
+def q49_lsh_ann_join(spark, sf_dir):
+    """Approximate similarity join (BucketedRandomProjectionLSH) — the
+    100 TB ANN path; recall vs q45's exact top-k is asserted in tests."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return lsh_similarity_join(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 5),
+        distance_threshold=12.0,
+        bucket_length=4.0,
+        num_hash_tables=4,
+    ).orderBy("query_id", "neighbor_id")

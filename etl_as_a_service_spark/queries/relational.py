@@ -1,0 +1,511 @@
+"""Relational-core declared queries (SURVEY.md §2.B: scans, filter,
+joins, aggregation, set ops, grouping sets, non-equi join, pivot).
+
+Each query is the Spark-first expression of one operator family; the
+paired DuckDB oracle SQL is in the registry. Reference capability being
+re-expressed: "arbitrary transformations on uploaded data"
+(reference app/routes.py:96, airflow_client.py:33-74).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.catalog import load_tables
+from etl_as_a_service_spark.operators.relational import pivot_counts
+from etl_as_a_service_spark.queries import query
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+# --------------------------------------------------------------------------
+# q01 — scan + filter + group-by aggregation + sort (TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(avg(l_quantity), 6)                                    AS avg_qty,
+           round(avg(l_extendedprice), 6)                               AS avg_price,
+           round(avg(l_discount), 6)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("scan", "filter", "groupby", "agg", "sort"),
+)
+def q01_pricing_summary(spark, sf_dir):
+    """Filter pushes to the parquet scan; partial+final HashAggregate."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-12-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — equi-join + agg + deterministic top-k
+# --------------------------------------------------------------------------
+@query(
+    "q02_top_parts_by_revenue",
+    oracle="""
+    SELECT p_partkey, p_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_partkey, p_name
+    ORDER BY revenue DESC, p_partkey
+    LIMIT 10
+    """,
+    tags=("join", "groupby", "topk"),
+)
+def q02_top_parts_by_revenue(spark, sf_dir):
+    """part is a dimension -> broadcast join; top-k plans as
+    TakeOrderedAndProject (no global sort)."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — multi-way broadcast join chain (star-schema rollup)
+# --------------------------------------------------------------------------
+@query(
+    "q03_revenue_by_region_nation",
+    oracle="""
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+    tags=("join", "broadcast", "groupby"),
+)
+def q03_revenue_by_region_nation(spark, sf_dir):
+    """All three dims broadcast: the fact table never shuffles for the
+    join, only for the final aggregation."""
+    li, sup, nat, reg = _t(spark, sf_dir, "lineitem", "supplier", "nation", "region")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q04/q05 — left semi / left anti (EXISTS / NOT EXISTS)
+# --------------------------------------------------------------------------
+@query(
+    "q04_customers_with_fulfilled_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    ORDER BY c_custkey
+    """,
+    tags=("join", "semi"),
+)
+def q04_customers_with_fulfilled_orders(spark, sf_dir):
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        cust.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            cust.c_custkey == orders.o_custkey,
+            "left_semi",
+        )
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q05_customers_without_big_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    ORDER BY c_custkey
+    """,
+    tags=("join", "anti"),
+)
+def q05_customers_without_big_orders(spark, sf_dir):
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        cust.join(
+            orders.filter(F.col("o_totalprice") > 300000),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — set operations: INTERSECT / EXCEPT / UNION ALL
+# --------------------------------------------------------------------------
+@query(
+    "q06_nation_set_ops",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'both' AS op, nk FROM
+        (SELECT c_nationkey AS nk FROM customer
+         INTERSECT
+         SELECT s_nationkey AS nk FROM supplier)
+      UNION ALL
+      SELECT 'cust_only' AS op, nk FROM
+        (SELECT c_nationkey AS nk FROM customer
+         EXCEPT
+         SELECT s_nationkey AS nk FROM supplier)
+    )
+    ORDER BY op, nk
+    """,
+    tags=("setops",),
+)
+def q06_nation_set_ops(spark, sf_dir):
+    cust, sup = _t(spark, sf_dir, "customer", "supplier")
+    c_nk = cust.select(F.col("c_nationkey").alias("nk"))
+    s_nk = sup.select(F.col("s_nationkey").alias("nk"))
+    both = c_nk.intersect(s_nk).select(F.lit("both").alias("op"), "nk")
+    cust_only = c_nk.subtract(s_nk).select(F.lit("cust_only").alias("op"), "nk")
+    return both.unionByName(cust_only).orderBy("op", "nk")
+
+
+# --------------------------------------------------------------------------
+# q07/q08 — ROLLUP / CUBE with grouping id
+# --------------------------------------------------------------------------
+@query(
+    "q07_rollup_returns",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+           count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("rollup", "groupby"),
+)
+def q07_rollup_returns(spark, sf_dir):
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "qty")
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q08_cube_order_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("cube", "groupby"),
+)
+def q08_cube_order_status(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q09 — CASE WHEN / IN / BETWEEN predicates
+# --------------------------------------------------------------------------
+@query(
+    "q09_order_price_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END                          AS bucket,
+           o_orderpriority IN ('1-URGENT', '2-HIGH')      AS urgent,
+           count(*)                                       AS n,
+           round(sum(o_totalprice), 2)                    AS total,
+           round(avg(o_totalprice), 6)                    AS avg_price
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '2000-12-31'
+    GROUP BY bucket, urgent
+    ORDER BY bucket, urgent
+    """,
+    tags=("case", "predicates", "groupby"),
+)
+def q09_order_price_buckets(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.filter(
+            F.col("o_orderdate").between(
+                F.to_timestamp(F.lit("1995-01-01")),
+                F.to_timestamp(F.lit("2000-12-31")),
+            )
+        )
+        .groupBy(
+            bucket.alias("bucket"),
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("urgent"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+        .orderBy("bucket", "urgent")
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — non-equi (range) join against a tiny inline dimension
+# --------------------------------------------------------------------------
+@query(
+    "q10_quantity_band_join",
+    oracle="""
+    SELECT band, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    JOIN (VALUES (1.0, 11.0, 'low'), (11.0, 26.0, 'mid'), (26.0, 51.0, 'high'))
+         AS b(lo, hi, band)
+      ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band
+    ORDER BY band
+    """,
+    tags=("join", "range", "theta"),
+)
+def q10_quantity_band_join(spark, sf_dir):
+    """Theta join: executes as BroadcastNestedLoopJoin, which is fine
+    exactly because the build side is 3 rows; never do this with a big
+    build side."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [(1.0, 11.0, "low"), (11.0, 26.0, "mid"), (26.0, 51.0, "high")],
+        "lo double, hi double, band string",
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .orderBy("band")
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — DISTINCT
+# --------------------------------------------------------------------------
+@query(
+    "q11_distinct_flag_status",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus
+    FROM lineitem ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("distinct",),
+)
+def q11_distinct_flag_status(spark, sf_dir):
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q12 — NULL ordering + OFFSET/LIMIT pagination
+# --------------------------------------------------------------------------
+@query(
+    "q12_null_order_pagination",
+    oracle="""
+    SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st
+    FROM orders
+    ORDER BY st ASC NULLS FIRST, o_orderkey
+    LIMIT 20 OFFSET 5
+    """,
+    tags=("sort", "nulls", "limit", "offset"),
+)
+def q12_null_order_pagination(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("st")
+        )
+        .orderBy(F.col("st").asc_nulls_first(), F.col("o_orderkey"))
+        .offset(5)
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — HAVING
+# --------------------------------------------------------------------------
+@query(
+    "q13_big_customers_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12 AND sum(o_totalprice) > 1000000
+    ORDER BY o_custkey
+    """,
+    tags=("groupby", "having"),
+)
+def q13_big_customers_having(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("__spent"),
+        )
+        .filter((F.col("n_orders") >= 12) & (F.col("__spent") > 1000000))
+        .select("o_custkey", "n_orders", F.round("__spent", 2).alias("spent"))
+        .orderBy("o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 — pivot (explicit value list)
+# --------------------------------------------------------------------------
+@query(
+    "q14_event_type_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("pivot", "groupby"),
+)
+def q14_event_type_pivot(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    values = ["click", "error", "purchase", "signup", "view"]
+    return pivot_counts(events, "user_id", "event_type", values).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# q15 — COUNT(DISTINCT)
+# --------------------------------------------------------------------------
+@query(
+    "q15_distinct_users_per_type",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*)                AS n_events,
+           round(sum(value), 2)    AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("groupby", "count_distinct"),
+)
+def q15_distinct_users_per_type(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — GROUPING SETS via the SQL entry point
+# --------------------------------------------------------------------------
+_Q16_SQL = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM {table}
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@query(
+    "q16_grouping_sets",
+    oracle=_Q16_SQL.format(table="lineitem"),
+    tags=("grouping_sets", "sql"),
+)
+def q16_grouping_sets(spark, sf_dir):
+    """SQL entry point: same engine, textual plan declaration."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(_Q16_SQL.format(table="lineitem"))

@@ -1,0 +1,373 @@
+"""Scalar-function surface queries (SURVEY.md §2.B: string, date/time,
+math, conditional/null, hash, JSON, array/higher-order, explode).
+
+Every expression is a built-in ``pyspark.sql.functions`` call — JVM-side,
+inside whole-stage codegen. Cross-engine type notes are inline (DuckDB
+widens many results to BIGINT/HUGEINT/DOUBLE where Spark stays INT/BIGINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.catalog import load_tables
+from etl_as_a_service_spark.queries import query
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+# --------------------------------------------------------------------------
+# q20 — string functions
+# --------------------------------------------------------------------------
+@query(
+    "q20_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                                   AS up,
+           lower(p_brand)                                  AS lo,
+           CAST(length(p_name) AS INTEGER)                 AS len,
+           substring(p_name, 1, 5)                         AS pre5,
+           concat_ws('|', p_brand, p_type)                 AS brand_type,
+           replace(p_type, ' ', '_')                       AS type_u,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')           AS size4,
+           regexp_extract(p_name, '^([a-z]+)', 1)          AS first_word,
+           CAST(length(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+           split_part(p_type, ' ', 1)                      AS type_head,
+           reverse(p_brand)                                AS brand_rev,
+           repeat('ab', 3)                                 AS rep,
+           CAST(instr(p_name, 'a') AS INTEGER)             AS a_pos,
+           CAST(levenshtein(p_brand, 'Brand#11') AS INTEGER) AS lev,
+           translate(p_brand, '#', '-')                    AS brand_t,
+           trim(concat('  ', p_brand, '  '))               AS trimmed,
+           p_name LIKE '%a%'                               AS has_a,
+           starts_with(p_type, 'S')                        AS s_type
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("string",),
+)
+def q20_string_functions(spark, sf_dir):
+    (part,) = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.length("p_name").alias("len"),
+        F.substring("p_name", 1, 5).alias("pre5"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_u"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.instr(F.col("p_name"), "a").alias("a_pos"),
+        F.levenshtein("p_brand", F.lit("Brand#11")).alias("lev"),
+        F.translate("p_brand", "#", "-").alias("brand_t"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("trimmed"),
+        F.col("p_name").like("%a%").alias("has_a"),
+        F.col("p_type").startswith("S").alias("s_type"),
+    ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# q21 — date/time functions
+# --------------------------------------------------------------------------
+@query(
+    "q21_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE)                            AS od,
+           CAST(year(o_orderdate) AS INTEGER)                   AS y,
+           CAST(month(o_orderdate) AS INTEGER)                  AS m,
+           CAST(day(o_orderdate) AS INTEGER)                    AS d,
+           CAST(quarter(o_orderdate) AS INTEGER)                AS q,
+           CAST(isodow(o_orderdate) - 1 AS INTEGER)             AS wd,
+           date_trunc('month', o_orderdate)                     AS month_start,
+           CAST(o_orderdate AS DATE) + 30                       AS plus30,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+           last_day(CAST(o_orderdate AS DATE))                  AS month_end,
+           strftime(o_orderdate, '%Y-%m')                       AS ym,
+           CAST(epoch(o_orderdate) AS BIGINT)                   AS epoch_s
+    FROM orders
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+    tags=("date",),
+)
+def q21_date_functions(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    return (
+        orders.filter(F.col("o_orderkey") <= 500)
+        .select(
+            "o_orderkey",
+            od.alias("od"),
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.dayofmonth("o_orderdate").alias("d"),
+            F.quarter("o_orderdate").alias("q"),
+            F.weekday("o_orderdate").alias("wd"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            F.date_add(od, 30).alias("plus30"),
+            F.datediff(od, F.lit("1995-01-01").cast("date")).alias("days_since"),
+            F.last_day(od).alias("month_end"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q22 — math functions
+# --------------------------------------------------------------------------
+@query(
+    "q22_math_functions",
+    oracle="""
+    SELECT s_suppkey,
+           abs(s_acctbal)                                   AS ab,
+           round(s_acctbal, 1)                              AS r1,
+           CAST(ceil(s_acctbal) AS BIGINT)                  AS ce,
+           CAST(floor(s_acctbal) AS BIGINT)                 AS fl,
+           round(sqrt(abs(s_acctbal)), 6)                   AS sq,
+           round(pow(s_nationkey, 2), 6)                    AS p2,
+           round(exp(s_nationkey / 10.0), 6)                AS ex,
+           round(ln(abs(s_acctbal) + 1), 6)                 AS lnv,
+           round(log10(abs(s_acctbal) + 1), 6)              AS lg10,
+           CAST(sign(s_acctbal) AS DOUBLE)                  AS sg,
+           greatest(s_acctbal, 1000.0)                      AS gr,
+           least(s_acctbal, 1000.0)                         AS le,
+           CAST(((s_suppkey % 7) + 7) % 7 AS BIGINT)        AS pm
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    tags=("math",),
+)
+def q22_math_functions(spark, sf_dir):
+    (sup,) = _t(spark, sf_dir, "supplier")
+    return sup.select(
+        "s_suppkey",
+        F.abs("s_acctbal").alias("ab"),
+        F.round("s_acctbal", 1).alias("r1"),
+        F.ceil("s_acctbal").alias("ce"),
+        F.floor("s_acctbal").alias("fl"),
+        F.round(F.sqrt(F.abs("s_acctbal")), 6).alias("sq"),
+        F.round(F.pow("s_nationkey", F.lit(2)), 6).alias("p2"),
+        F.round(F.exp(F.col("s_nationkey") / 10.0), 6).alias("ex"),
+        F.round(F.log(F.abs("s_acctbal") + 1), 6).alias("lnv"),
+        F.round(F.log10(F.abs("s_acctbal") + 1), 6).alias("lg10"),
+        F.signum("s_acctbal").alias("sg"),
+        F.greatest("s_acctbal", F.lit(1000.0)).alias("gr"),
+        F.least("s_acctbal", F.lit(1000.0)).alias("le"),
+        F.pmod(F.col("s_suppkey"), F.lit(7)).cast("long").alias("pm"),
+    ).orderBy("s_suppkey")
+
+
+# --------------------------------------------------------------------------
+# q23 — conditional / null handling
+# --------------------------------------------------------------------------
+@query(
+    "q23_conditional_nulls",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'P')                              AS st_null,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING')         AS st_filled,
+           CASE WHEN nullif(o_orderstatus, 'P') IS NULL
+                THEN 'was_null' ELSE 'had_value' END               AS nvl2_like,
+           nullif(o_orderstatus, 'P') IS NULL                      AS is_n,
+           nullif(o_orderstatus, 'P') IS NOT NULL                  AS is_nn,
+           o_orderstatus IS NOT DISTINCT FROM 'P'                  AS eq_ns
+    FROM orders
+    WHERE o_orderkey <= 300
+    ORDER BY o_orderkey
+    """,
+    tags=("conditional", "nulls"),
+)
+def q23_conditional_nulls(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    st_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return (
+        orders.filter(F.col("o_orderkey") <= 300)
+        .select(
+            "o_orderkey",
+            st_null.alias("st_null"),
+            F.coalesce(st_null, F.lit("PENDING")).alias("st_filled"),
+            F.nvl2(st_null, F.lit("had_value"), F.lit("was_null")).alias("nvl2_like"),
+            st_null.isNull().alias("is_n"),
+            st_null.isNotNull().alias("is_nn"),
+            F.col("o_orderstatus").eqNullSafe(F.lit("P")).alias("eq_ns"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q24 — hash functions
+# --------------------------------------------------------------------------
+@query(
+    "q24_hash_functions",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name)            AS h_md5,
+           sha256(p_name)         AS h_sha256
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("hash",),
+)
+def q24_hash_functions(spark, sf_dir):
+    """md5/sha2 are the portable subset; xxhash64/crc32/hash are
+    Spark-specific and covered by unit tests instead."""
+    (part,) = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.md5("p_name").alias("h_md5"),
+        F.sha2("p_name", 256).alias("h_sha256"),
+    ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# q25 — JSON extraction over events.props
+# --------------------------------------------------------------------------
+@query(
+    "q25_json_extraction",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+                                                                 AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
+                                                                 AS avg_k,
+           count(*)                                              AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("json", "groupby"),
+)
+def q25_json_extraction(spark, sf_dir):
+    """Both JSON entry points: path extraction (get_json_object) and
+    schema-full parsing (from_json) — they must agree, so the parsed
+    struct feeds the aggregate."""
+    (events,) = _t(spark, sf_dir, "events")
+    k_path = F.get_json_object("props", "$.k").cast("int")
+    k_struct = F.from_json("props", "k INT").getField("k")
+    return (
+        events.select("event_type", k_path.alias("k1"), k_struct.alias("k2"))
+        .withColumn("k", F.when(F.col("k1") == F.col("k2"), F.col("k1")))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q26 — array + higher-order functions over embeddings
+# --------------------------------------------------------------------------
+@query(
+    "q26_array_functions",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER)                       AS dim,
+           embedding[1]                                          AS first_el,
+           CAST(embedding[2] AS DOUBLE) * 2                      AS second_x2,
+           round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                'sum'), 6)                       AS el_sum,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           list_contains(list_transform(embedding, x -> x > 0), true) AS any_pos
+    FROM embeddings
+    WHERE vec_id < 50
+    ORDER BY vec_id
+    """,
+    tags=("array", "higher_order"),
+)
+def q26_array_functions(spark, sf_dir):
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return (
+        emb.filter(F.col("vec_id") < 50)
+        .select(
+            "vec_id",
+            F.size(e).alias("dim"),
+            F.element_at(e, 1).alias("first_el"),
+            (F.element_at(e, 2).cast("double") * 2).alias("second_x2"),
+            F.round(
+                F.aggregate(
+                    F.transform(e, lambda x: x.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("el_sum"),
+            F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+            F.exists(e, lambda x: x > 0).alias("any_pos"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q27 — explode / unnest (UDTF-shape) + word count
+# --------------------------------------------------------------------------
+@query(
+    "q27_explode_word_count",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+    tags=("explode", "groupby", "topk"),
+)
+def q27_explode_word_count(spark, sf_dir):
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q28 — struct/map construction round-trip (projected back to scalars)
+# --------------------------------------------------------------------------
+@query(
+    "q28_struct_map_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name AS name_out, n_regionkey AS region_out
+    FROM nation ORDER BY n_nationkey
+    """,
+    tags=("struct", "map"),
+)
+def q28_struct_map_roundtrip(spark, sf_dir):
+    """Builds a struct and a map from columns, then extracts the fields
+    back out — the oracle checks the round-trip is the identity. Complex
+    values themselves are covered in pytest (cross-engine hashing of
+    nested types is representation-sensitive)."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    packed = nation.select(
+        "n_nationkey",
+        F.struct(F.col("n_name").alias("name"), F.col("n_regionkey").alias("rk")).alias(
+            "s"
+        ),
+        F.create_map(F.lit("rk"), F.col("n_regionkey")).alias("m"),
+    )
+    return packed.select(
+        "n_nationkey",
+        F.col("s").getField("name").alias("name_out"),
+        F.element_at(F.col("m"), F.lit("rk")).alias("region_out"),
+    ).orderBy("n_nationkey")

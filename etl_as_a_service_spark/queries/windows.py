@@ -1,0 +1,267 @@
+"""Window-function queries (SURVEY.md §2.B: ranking, lag/lead,
+first/last, frame aggregates, per-group top-k, as-of join).
+
+Scale note: ``row_number() <= k`` filters plan as WindowGroupLimit in
+Spark 4 — map-side partial top-k before the shuffle. The as-of join is
+the single-shuffle union+window composition from operators/relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.catalog import load_tables
+from etl_as_a_service_spark.operators.relational import asof_join, top_k_per_group
+from etl_as_a_service_spark.queries import query
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+# --------------------------------------------------------------------------
+# q30 — ranking family
+# --------------------------------------------------------------------------
+@query(
+    "q30_order_ranks",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(row_number() OVER w AS INTEGER)  AS rn,
+           CAST(rank()       OVER w AS INTEGER)  AS rk,
+           CAST(dense_rank() OVER w AS INTEGER)  AS drk,
+           round(percent_rank() OVER w, 6)       AS prk,
+           round(cume_dist()    OVER w, 6)       AS cd,
+           CAST(ntile(4) OVER w AS INTEGER)      AS nt
+    FROM orders
+    WHERE o_custkey < 30
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, rn
+    """,
+    tags=("window", "rank"),
+)
+def q30_order_ranks(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.filter(F.col("o_custkey") < 30)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+            F.round(F.percent_rank().over(w), 6).alias("prk"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.ntile(4).over(w).alias("nt"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# q31 — lag / lead
+# --------------------------------------------------------------------------
+@query(
+    "q31_event_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value)  OVER w                     AS prev_value,
+           lead(value) OVER w                     AS next_value,
+           lag(value, 2, -1.0) OVER w             AS prev2_or_default,
+           round(value - coalesce(lag(value) OVER w, value), 6) AS delta
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "lag", "lead"),
+)
+def q31_event_lag_lead(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.filter(F.col("user_id") < 20)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            F.lag("value", 2, -1.0).over(w).alias("prev2_or_default"),
+            F.round(
+                F.col("value") - F.coalesce(F.lag("value").over(w), F.col("value")), 6
+            ).alias("delta"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q32 — aggregates over ROWS / RANGE frames
+# --------------------------------------------------------------------------
+@query(
+    "q32_frame_aggregates",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)  AS running_sum,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)          AS ma3,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY value
+                 RANGE BETWEEN 50 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_cnt
+    FROM events
+    WHERE user_id < 10
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "frames"),
+)
+def q32_frame_aggregates(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_ma = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    w_range = (
+        Window.partitionBy("user_id").orderBy("value").rangeBetween(-50, Window.currentRow)
+    )
+    return (
+        events.filter(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w_rows), 6).alias("running_sum"),
+            F.round(F.avg("value").over(w_ma), 6).alias("ma3"),
+            F.count(F.lit(1)).over(w_range).alias("near_cnt"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q33 — first/last over window (ignorenulls)
+# --------------------------------------------------------------------------
+@query(
+    "q33_first_last_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w                    AS first_price,
+           last_value(o_totalprice)  OVER w                    AS latest_price,
+           first_value(nullif(o_orderstatus, 'P') IGNORE NULLS) OVER w AS first_final_status
+    FROM orders
+    WHERE o_custkey < 20
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "first_last"),
+)
+def q33_first_last_window(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.filter(F.col("o_custkey") < 20)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w).alias("latest_price"),
+            F.first(F.nullif(F.col("o_orderstatus"), F.lit("P")), ignorenulls=True)
+            .over(w)
+            .alias("first_final_status"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q34 — per-group top-k (composite operator)
+# --------------------------------------------------------------------------
+@query(
+    "q34_top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    tags=("window", "topk", "operator"),
+)
+def q34_top3_orders_per_customer(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        top_k_per_group(
+            orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+            ["o_custkey"],
+            [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+            k=3,
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# q35 — as-of join (composite operator, no native Spark primitive)
+# --------------------------------------------------------------------------
+@query(
+    "q35_asof_last_purchase",
+    oracle="""
+    SELECT user_id, ts, event_id, value_asof, ts_asof
+    FROM (
+      SELECT e.user_id, e.ts, e.event_id,
+             p.value AS value_asof, p.ts AS ts_asof,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY p.ts DESC, p.event_id DESC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON e.user_id = p.user_id AND p.ts <= e.ts
+    )
+    WHERE rn = 1
+    ORDER BY user_id, event_id
+    """,
+    tags=("asof", "operator"),
+)
+def q35_asof_last_purchase(spark, sf_dir):
+    """For every 'error' event: the latest 'purchase' by the same user at
+    or before the error. The oracle states the semantics with a (quadratic)
+    correlated window; the engine runs the O(n log n) single-shuffle
+    union+window composition."""
+    (events,) = _t(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        errors,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value", "ts"],
+        direction="backward",
+        allow_exact_match=True,
+        tie_break="event_id",
+    )
+    return out.select("user_id", "ts", "event_id", "value_asof", "ts_asof").orderBy(
+        "user_id", "event_id"
+    )

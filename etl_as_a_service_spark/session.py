@@ -1,0 +1,76 @@
+"""SparkSession factory with engine-wide configuration.
+
+Scale notes (the engine targets ~100 TB on a multi-executor cluster; tests
+run on local[N]):
+
+- AQE is on: runtime partition coalescing, skew-join splitting, and
+  dynamic join-strategy switching replace hand-tuned shuffle sizing.
+- ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound; AQE
+  coalesces down using ``advisoryPartitionSizeInBytes`` (128 MB), which is
+  the number that actually matters at scale.
+- Session timezone is pinned to UTC so results are cluster-independent and
+  match the DuckDB oracle.
+- ANSI mode stays at the Spark 4 default (on) to align error/cast
+  semantics with ANSI SQL engines.
+- Arrow is enabled for any pandas interchange (Pandas UDFs, toPandas).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Engine defaults applied to every session. Values chosen to be safe on a
+#: large cluster, not just local mode.
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    # Keep event timestamps comparable across engines.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # Parquet TIMESTAMP(NANOS) (events.ts) has no Spark type; read the
+    # raw int64 and let the catalog convert to microseconds (the same
+    # truncation DuckDB applies on its ns->us cast).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def _default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return f"local[{cpus}]"
+
+
+def build_session(
+    app_name: str = "etl-as-a-service-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with engine defaults.
+
+    On a real cluster ``master`` comes from spark-submit; locally we default
+    to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or _default_master())
+    for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    # Pre-AQE shuffle parallelism: on local[N] match core count; on a
+    # cluster this should be ~2-3x total cores (AQE coalesces the rest).
+    n = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = builder.config("spark.sql.shuffle.partitions", str(n))
+    if driver_memory:
+        builder = builder.config("spark.driver.memory", driver_memory)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,23 @@
+"""Source/sink surface (SURVEY.md §2.B scans/sources/sinks)."""
+
+from etl_as_a_service_spark.sources.readers import (
+    read_csv,
+    read_json,
+    read_parquet,
+    read_orc,
+    read_text,
+    read_binary,
+    read_jdbc,
+    write_table,
+)
+
+__all__ = [
+    "read_csv",
+    "read_json",
+    "read_parquet",
+    "read_orc",
+    "read_text",
+    "read_binary",
+    "read_jdbc",
+    "write_table",
+]

@@ -1,0 +1,121 @@
+"""Typed readers/writers over lake paths — the engine's ingestion
+surface (reference analog: accept-any-file upload to a MinIO bucket,
+app/routes.py:108-125, app/utils/minio_client.py).
+
+All readers return lazy DataFrames; schemas are either supplied (the
+scale path — inference costs an extra pass over the data) or inferred
+for interactive use. S3/MinIO works through the same API via ``s3a://``
+paths + Hadoop S3A configs; tests use local paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Canonical columnar format: predicate pushdown, column pruning,
+    partition pruning all apply."""
+    return spark.read.options(**options).parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    infer_schema: bool | None = None,
+    sep: str = ",",
+    null_value: str | None = None,
+    **options,
+) -> DataFrame:
+    """CSV — the reference UI's canonical upload type
+    (app/templates/dashboard.html:11). Pass ``schema`` in production;
+    ``infer_schema`` triggers an extra scan."""
+    reader = spark.read.option("header", header).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema is None or infer_schema:
+        reader = reader.option("inferSchema", True)
+    if null_value is not None:
+        reader = reader.option("nullValue", null_value)
+    return reader.options(**options).csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: str | None = None, multiline: bool = False,
+    **options,
+) -> DataFrame:
+    reader = spark.read.option("multiLine", multiline)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    return spark.read.options(**options).orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole_text: bool = False) -> DataFrame:
+    return spark.read.option("wholetext", whole_text).text(path)
+
+
+def read_binary(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Opaque blobs (path, modificationTime, length, content) — the
+    'any file type' ingest (reference upload.html:7)."""
+    return spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **options,
+) -> DataFrame:
+    """JDBC scan (reference metadata DB analog, app/config.py:16). For
+    big tables pass partition_column/bounds so the read parallelizes;
+    an unpartitioned JDBC read is a single-task bottleneck."""
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return reader.options(**options).load()
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
+    compression: str | None = None,
+    **options,
+) -> None:
+    """Result sink (reference analog: results written to the bucket,
+    minio_client.py:29-44). ``partition_by`` low-cardinality columns
+    only; ``bucket_by`` pre-shuffles for downstream co-located joins."""
+    writer = df.write.format(fmt).mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, str(v))
+    if bucket_by:
+        n, cols = bucket_by
+        writer.bucketBy(n, *cols).sortBy(*cols).option("path", path).saveAsTable(
+            f"bucketed_{abs(hash(path)) % 10**8}"
+        )
+    else:
+        writer.save(path)

@@ -1,0 +1,21 @@
+"""Structured Streaming surface (SURVEY.md §2.B streaming rows)."""
+
+from etl_as_a_service_spark.streaming.ops import (
+    file_stream,
+    rate_stream,
+    tumbling_window_agg,
+    sliding_window_agg,
+    session_window_agg,
+    streaming_dedup,
+    run_available_now,
+)
+
+__all__ = [
+    "file_stream",
+    "rate_stream",
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
+    "streaming_dedup",
+    "run_available_now",
+]

@@ -1,0 +1,142 @@
+"""Streaming operators: file-source ingest, watermarked window
+aggregations, streaming dedup, deterministic test execution.
+
+This is the 'continuous ETL' face of the service: the reference's
+upload-then-trigger loop (app/routes.py:66-135) becomes
+``readStream`` on the upload directory -> transformations ->
+``writeStream``; run status comes from StreamingQuery.status (the
+analog of the dagRun poll, app/utils/airflow_client.py:19-31).
+
+All aggregations here are watermark-bounded so state stores stay finite
+at 100 TB/day: an unwatermarked streaming agg grows state forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Continuous ingest of files landing in a directory (the streaming
+    version of the reference's upload bucket). Schema is mandatory —
+    streaming sources cannot infer."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.format(fmt).load(path)
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    watermark: str,
+    group_cols: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Tumbling-window aggregation with late-data watermark. Output
+    flattens window.start/end so sinks and tests see plain columns."""
+    aggs = aggs or [F.count(F.lit(1)).alias("n")]
+    out = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), *(group_cols or []))
+        .agg(*aggs)
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[c for c in out.columns if c != "window"],
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    slide: str,
+    watermark: str,
+    group_cols: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    aggs = aggs or [F.count(F.lit(1)).alias("n")]
+    out = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide), *(group_cols or []))
+        .agg(*aggs)
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[c for c in out.columns if c != "window"],
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    group_cols: list[str],
+    watermark: str | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Session windows (gap-based). Works identically on batch
+    DataFrames — batch mode is how the semantics are oracle-tested."""
+    aggs = aggs or [F.count(F.lit(1)).alias("n")]
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    out = src.groupBy(F.session_window(ts_col, gap), *group_cols).agg(*aggs)
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *[c for c in out.columns if c != "session_window"],
+    )
+
+
+def streaming_dedup(
+    df: DataFrame, keys: list[str], ts_col: str | None = None, watermark: str | None = None
+) -> DataFrame:
+    """Streaming dedup; with a watermark the state store evicts old keys
+    (dropDuplicatesWithinWatermark), without one state grows unbounded —
+    only allowed in tests."""
+    if watermark and ts_col:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Execute a streaming plan to completion over all currently
+    available input (trigger availableNow) into a memory sink and return
+    the result as a batch DataFrame — deterministic, so streaming
+    operators get exact-match tests (SURVEY.md §5.4).
+
+    For windowed aggregations use output_mode='complete' in tests (append
+    mode withholds windows the watermark hasn't closed yet)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    spark = stream_df.sparkSession
+    return spark.table(query_name)

@@ -1,0 +1,33 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_as_a_service_spark.session import build_session
+from etl_as_a_service_spark.oracle.compare import duckdb_connection
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_T2 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = build_session(
+        app_name="etl-spark-tests",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        shuffle_partitions=8,
+        driver_memory="6g",
+    )
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def oracle_con():
+    con = duckdb_connection(SF_T2)
+    yield con
+    con.close()

@@ -1,0 +1,30 @@
+"""Differential test: every declared query with oracle SQL must match
+DuckDB on sf0.01 — the local mirror of the driver's t2 gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_as_a_service_spark.oracle.compare import compare_frames, run_oracle
+from etl_as_a_service_spark.queries import QUERIES
+from tests.conftest import SF_T2
+
+ORACLE_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle)
+ROWS_ONLY_QUERIES = sorted(n for n, q in QUERIES.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, oracle_con, name):
+    qd = QUERIES[name]
+    spark_pdf = qd.fn(spark, SF_T2).toPandas()
+    oracle_pdf = run_oracle(oracle_con, qd.oracle)
+    ok, diff = compare_frames(spark_pdf, oracle_pdf)
+    assert ok, f"{name}: {diff}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(spark, name):
+    qd = QUERIES[name]
+    df = qd.fn(spark, SF_T2)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

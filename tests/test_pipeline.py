@@ -1,0 +1,118 @@
+"""Pipeline spec compiler + runner (Spark-native §2.A control-plane
+parity: submit -> trigger -> poll -> list, reference app/routes.py:66-175)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from etl_as_a_service_spark.plans.pipeline import (
+    PipelineError,
+    PipelineRunner,
+    compile_pipeline,
+    extract_pipeline_name,
+)
+from tests.conftest import SF_SMOKE
+
+
+def lineitem_spec(**overrides):
+    spec = {
+        "name": "lineitem_rollup",
+        "source": {"format": "parquet", "path": f"{SF_SMOKE}/lineitem.parquet"},
+        "steps": [
+            {"op": "filter", "predicate": "l_quantity > 10"},
+            {
+                "op": "group_by",
+                "keys": ["l_returnflag"],
+                "aggs": {"n": "count(*)", "qty": "round(sum(l_quantity), 2)"},
+            },
+            {"op": "order_by", "columns": ["l_returnflag"]},
+        ],
+    }
+    spec.update(overrides)
+    return spec
+
+
+def test_extract_name_requires_name():
+    with pytest.raises(PipelineError):
+        extract_pipeline_name({"source": {}})
+    assert extract_pipeline_name({"name": "x"}) == "x"
+
+
+def test_compile_and_execute(spark):
+    df = compile_pipeline(spark, lineitem_spec())
+    rows = {r["l_returnflag"]: r["n"] for r in df.collect()}
+    assert set(rows) == {"A", "N", "R"}
+    assert all(n > 0 for n in rows.values())
+
+
+def test_join_and_sql_steps(spark):
+    spec = {
+        "name": "joined",
+        "source": {"format": "parquet", "path": f"{SF_SMOKE}/lineitem.parquet"},
+        "steps": [
+            {
+                "op": "join",
+                "right": {
+                    "source": {"format": "parquet", "path": f"{SF_SMOKE}/part.parquet"},
+                    "steps": [{"op": "select", "columns": ["p_partkey", "p_brand"]}],
+                },
+                "condition": "l_partkey = p_partkey",
+                "broadcast": True,
+            },
+            {
+                "op": "sql",
+                "query": "SELECT p_brand, count(*) AS n FROM __self__ GROUP BY p_brand",
+            },
+        ],
+    }
+    df = compile_pipeline(spark, spec)
+    assert df.count() > 0
+    assert set(df.columns) == {"p_brand", "n"}
+
+
+def test_unknown_op_rejected(spark):
+    spec = lineitem_spec(steps=[{"op": "exec_python", "code": "import os"}])
+    with pytest.raises(PipelineError, match="unknown op"):
+        compile_pipeline(spark, spec)
+
+
+def test_runner_lifecycle_success(spark, tmp_path):
+    runner = PipelineRunner(spark)
+    spec = lineitem_spec(
+        sink={"format": "parquet", "path": str(tmp_path / "out"), "mode": "overwrite"}
+    )
+    run = runner.run(spec)
+    assert run.status == "success"
+    assert run.output_path == str(tmp_path / "out")
+    back = spark.read.parquet(run.output_path)
+    assert back.count() == 3
+    assert runner.get_status(run.run_id) == "success"
+
+
+def test_runner_failure_recorded(spark):
+    runner = PipelineRunner(spark)
+    run = runner.run(lineitem_spec(steps=[{"op": "filter", "predicate": "no_col > 1"}]))
+    assert run.status == "failed"
+    assert run.error and "no_col" in run.error
+
+
+def test_async_submit_and_poll(spark):
+    runner = PipelineRunner(spark)
+    run_id = runner.submit(lineitem_spec())
+    deadline = time.time() + 60
+    while runner.get_status(run_id) in ("submitted", "running"):
+        assert time.time() < deadline, "pipeline did not finish"
+        time.sleep(0.2)
+    assert runner.get_status(run_id) == "success"
+    assert runner.get_status("nonexistent") == "unknown"
+
+
+def test_runs_df_queryable(spark):
+    runner = PipelineRunner(spark)
+    runner.run(lineitem_spec())
+    runner.run(lineitem_spec(name="other"))
+    df = runner.runs_df()
+    assert df.filter("status = 'success'").count() == 2
+    assert {r["name"] for r in df.collect()} == {"lineitem_rollup", "other"}

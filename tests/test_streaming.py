@@ -1,0 +1,168 @@
+"""Structured Streaming operators, tested deterministically with
+availableNow + memory sink and compared against the equivalent batch
+query on the same events data (SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.catalog import load_tables
+from etl_as_a_service_spark.streaming.ops import (
+    file_stream,
+    run_available_now,
+    session_window_agg,
+    sliding_window_agg,
+    streaming_dedup,
+    tumbling_window_agg,
+)
+from tests.conftest import SF_SMOKE
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """Replay events as a 4-chunk file stream (FIXTURES.md recipe)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    events = load_tables(spark, SF_SMOKE, ("events",))["events"]
+    events.withColumn(
+        "chunk", F.ntile(4).over(__import__("pyspark").sql.Window.orderBy("ts"))
+    ).write.partitionBy("chunk").mode("overwrite").parquet(out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load_tables(spark, SF_SMOKE, ("events",))["events"]
+
+
+def _stream(spark, events_stream_dir):
+    return file_stream(
+        spark, events_stream_dir + "/chunk=*", EVENTS_SCHEMA, max_files_per_trigger=1
+    )
+
+
+def test_tumbling_window_matches_batch(spark, events_stream_dir, batch_events):
+    stream = _stream(spark, events_stream_dir)
+    agg = tumbling_window_agg(
+        stream,
+        "ts",
+        "1 hour",
+        watermark="10 minutes",
+        group_cols=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total")],
+    )
+    got = run_available_now(agg, "tumbling_test", output_mode="complete").toPandas()
+
+    expected = (
+        batch_events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+        .toPandas()
+    )
+    key = ["window_start", "window_end", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)[expected.columns]
+    expected = expected.sort_values(key).reset_index(drop=True)
+    assert got.equals(expected), "streaming availableNow != batch equivalent"
+
+
+def test_sliding_window_counts(spark, events_stream_dir, batch_events):
+    stream = _stream(spark, events_stream_dir)
+    agg = sliding_window_agg(
+        stream, "ts", "2 hours", "1 hour", watermark="10 minutes"
+    )
+    got = run_available_now(agg, "sliding_test", output_mode="complete")
+    # every event lands in exactly 2 sliding windows
+    assert got.agg(F.sum("n")).first()[0] == 2 * batch_events.count()
+
+
+def test_session_window_batch_semantics(spark, batch_events):
+    """session_window in batch mode: sessions = gaps-and-islands with a
+    30-minute gap; cross-checked against an explicit window-function
+    computation of session starts."""
+    sess = session_window_agg(
+        batch_events, "ts", "30 minutes", group_cols=["user_id"]
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    manual = (
+        batch_events.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_ts").isNull()
+                | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 1800)
+            ).cast("int"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"))
+    )
+    got = sess.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
+    joined = got.alias("g").join(manual.alias("m"), "user_id")
+    mismatches = joined.filter(F.col("g.n_sessions") != F.col("m.n_sessions")).count()
+    assert mismatches == 0
+
+
+def test_streaming_dedup_within_watermark(spark, events_stream_dir, batch_events):
+    stream = _stream(spark, events_stream_dir)
+    deduped = streaming_dedup(
+        stream.withColumn("user_bucket", F.col("user_id") % 10),
+        keys=["user_bucket"],
+        ts_col="ts",
+        watermark="1 day",
+    )
+    got = run_available_now(deduped, "dedup_test")
+    n = got.select("user_bucket").distinct().count()
+    assert got.count() == n == 10
+
+
+def test_stream_static_join(spark, events_stream_dir, batch_events):
+    stream = _stream(spark, events_stream_dir)
+    user_dim = batch_events.select("user_id").distinct().withColumn(
+        "user_tag", F.concat(F.lit("u"), F.col("user_id"))
+    )
+    joined = stream.join(user_dim, "user_id").select("event_id", "user_tag")
+    got = run_available_now(joined, "ss_join_test")
+    assert got.count() == batch_events.count()
+    assert got.filter(F.col("user_tag").isNull()).count() == 0
+
+
+def test_late_data_dropped_past_watermark(spark, tmp_path):
+    """Watermark semantics: a file arriving with events older than the
+    watermark (set by a much newer earlier batch) is dropped from the
+    windowed aggregation."""
+    d = str(tmp_path / "late")
+    os.makedirs(d)
+    on_time = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")],
+        "id long, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    late = spark.createDataFrame(
+        [(3, "2024-01-01 08:00:00")], "id long, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    on_time.select("id", "ts").write.parquet(d + "/f=1")
+    late.select("id", "ts").write.parquet(d + "/f=2")
+
+    stream = file_stream(spark, d + "/f=*", "id long, ts timestamp",
+                         max_files_per_trigger=1)
+    agg = tumbling_window_agg(stream, "ts", "1 hour", watermark="30 minutes")
+    got = run_available_now(agg, "late_test", output_mode="append").toPandas()
+    # the 08:00 event is behind the 12:00-derived watermark -> dropped;
+    # append mode emits only watermark-closed windows (the 10:00 one)
+    starts = set(got["window_start"].dt.hour)
+    assert 8 not in starts
+    assert 10 in starts
