@@ -150,27 +150,42 @@ def minhash_near_duplicates(
         .distinct()
     )
 
-    # connected components: propagate min id along edges until fixpoint
-    edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    labels = sig.select(F.col("__id").alias("node"), F.col("__id").alias("label"))
+    # connected components: propagate min id along edges until fixpoint.
+    # Each iteration is ONE key-partitioned join; localCheckpoint truncates
+    # the lineage so the plan stays O(1) per iteration instead of growing
+    # into an O(iterations)-deep tree (which Catalyst re-optimizes from
+    # scratch every action — a real scale bug, not a style point).
+    edges = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = sig.select(
+        F.col("__id").alias("node"), F.col("__id").alias("label")
+    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         neighbor_min = (
-            edges.join(labels, edges.b == labels.node)
-            .groupBy("a")
+            edges.join(labels, edges.a == labels.node)
+            .groupBy("b")
             .agg(F.min("label").alias("nmin"))
         )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            labels.join(neighbor_min, labels.node == neighbor_min.b, "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
+            .localCheckpoint(eager=True)
         )
-        # bounded iterations: at sf-test scale chains are short; a real
-        # run would check convergence with a count of changed labels
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
         labels = new_labels
+        if changed == 0:
+            break
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("group_id"))
 
 
@@ -221,40 +236,77 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
+    """EXACT n-gram Jaccard pairs >= threshold, at scale.
 
-    Inverted-index join: explode distinct shingles, self-join on shingle
-    (the index), count common shingles per pair, then
-    |A∩B| / (|A| + |B| - |A∩B|). Shuffles O(total shingles + candidate
-    pairs) — never materializes the full pair matrix. Hot shingles should
-    be stop-listed upstream at 100 TB (df-capped index).
+    Naive inverted-index joins are O(sum_s f(s)^2) over shingle
+    frequencies — quadratic on hot shingles. This uses PPJoin-style
+    df-ordered prefix filtering, which is a pure optimization (identical
+    output): a pair with J(A,B) >= t must share at least one shingle
+    among each side's |A| - ceil(t*|A|) + 1 *rarest* shingles (since
+    |A∩B| >= t*|A∪B| >= t*|A|). Candidates therefore come only from
+    low-frequency prefix shingles; verification computes the exact
+    Jaccard via array_intersect on the full (distinct, hashed) shingle
+    sets. Shingle sets travel as arrays of 64-bit hashes, not strings.
     """
     sh = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+        F.explode(
+            F.array_distinct(
+                F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+            )
+        ).alias("sh"),
     )
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+
+    if prefix_filter:
+        # document frequency per shingle (one map-side-combined shuffle);
+        # the df-annotated shingles then collapse back to ONE row per doc
+        # sorted by (df, hash) — prefix selection is pure array math, no
+        # window shuffle. AQE turns the dfreq join into a broadcast when
+        # the vocabulary is small; at 100 TB it stays a shuffle join.
+        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("dfq"))
+        ranked = (
+            sh.join(dfreq, "sh")
+            .groupBy("__id")
+            .agg(F.array_sort(F.collect_list(F.struct("dfq", "sh"))).alias("rk"))
+        )
+        prefix_len = (
+            F.size("rk") - F.ceil(F.lit(threshold) * F.size("rk")) + 1
+        ).cast("int")
+        full = ranked.select(
+            "__id",
+            F.sort_array(F.transform("rk", lambda r: r.getField("sh"))).alias("shs"),
+            F.transform(F.slice("rk", F.lit(1), prefix_len), lambda r: r.getField("sh")).alias(
+                "pfx"
+            ),
+        )
+        index = full.select("__id", F.explode("pfx").alias("sh"))
+        full = full.drop("pfx")
+    else:
+        full = sh.groupBy("__id").agg(F.sort_array(F.collect_list("sh")).alias("shs"))
+        index = sh
+
+    a = index.alias("a")
+    b = index.alias("b")
+    candidates = (
+        a.join(
+            b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.__id") < F.col("b.__id"))
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("__id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("__id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    fa = full.select(F.col("__id").alias("id_a"), F.col("shs").alias("sa"))
+    fb = full.select(F.col("__id").alias("id_b"), F.col("shs").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union_sz = F.size("sa") + F.size("sb") - inter
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        candidates.join(fa, "id_a")
+        .join(fb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-                6,
-            ).alias("jaccard"),
+            F.round(inter / union_sz.cast("double"), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -54,4 +54,5 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 from etl_as_a_service_spark.queries import relational  # noqa: E402,F401
 from etl_as_a_service_spark.queries import scalar_funcs  # noqa: E402,F401
 from etl_as_a_service_spark.queries import windows  # noqa: E402,F401
+from etl_as_a_service_spark.queries import stats  # noqa: E402,F401
 from etl_as_a_service_spark.queries import llm  # noqa: E402,F401

@@ -255,7 +255,7 @@ def q45_cosine_topk(spark, sf_dir):
     FROM common
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.2
+    WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
     ORDER BY id_a, id_b
     """,
     tags=("dedup", "jaccard", "llm", "operator"),
@@ -263,7 +263,7 @@ def q45_cosine_topk(spark, sf_dir):
 def q46_ngram_jaccard_pairs(spark, sf_dir):
     (docs,) = _t(spark, sf_dir, "documents")
     return (
-        ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+        ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
         .orderBy("id_a", "id_b")
     )
 

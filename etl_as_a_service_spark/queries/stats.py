@@ -1,0 +1,295 @@
+"""Statistical aggregates, exact percentiles, multiset set-ops,
+union-by-name, min_by/max_by, deterministic collect_list, and batch
+session windows (SURVEY.md §2.B aggregation + streaming rows).
+
+Cross-engine notes: skewness/kurtosis are excluded from the oracle gate
+(Spark uses population moments, DuckDB bias-corrected sample moments —
+legitimately different definitions); approx_count_distinct/
+percentile_approx are sketch-based and verified by error-bound tests in
+pytest instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.catalog import load_tables
+from etl_as_a_service_spark.queries import query
+from etl_as_a_service_spark.streaming.ops import session_window_agg
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+# --------------------------------------------------------------------------
+# q17 — stddev/variance/corr/covar
+# --------------------------------------------------------------------------
+@query(
+    "q17_stat_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4)               AS sd_samp,
+           round(stddev_pop(l_extendedprice), 4)                AS sd_pop,
+           round(sqrt(var_samp(l_extendedprice)), 4)            AS sd_from_var,
+           round(corr(l_quantity, l_extendedprice), 6)          AS corr_qp,
+           round(covar_samp(l_quantity, l_discount), 6)         AS cov_qd,
+           round(covar_pop(l_quantity, l_discount), 6)          AS cov_qd_pop
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def q17_stat_aggregates(spark, sf_dir):
+    """Distributed moment merges (Welford-style) are float-sensitive, so
+    outputs are std-scale (round 4) or bounded (corr, round 6) — never
+    raw variances at 1e9 magnitude."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_samp"),
+            F.round(F.stddev_pop("l_extendedprice"), 4).alias("sd_pop"),
+            F.round(F.sqrt(F.var_samp("l_extendedprice")), 4).alias("sd_from_var"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qd"),
+            F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("cov_qd_pop"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — exact percentiles / median
+# --------------------------------------------------------------------------
+@query(
+    "q18_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(median(o_totalprice), 4)                        AS med,
+           round(quantile_cont(o_totalprice, 0.25), 4)           AS p25,
+           round(quantile_cont(o_totalprice, 0.90), 4)           AS p90,
+           round(min(o_totalprice), 4)                           AS lo,
+           round(max(o_totalprice), 4)                           AS hi
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "percentile"),
+)
+def q18_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (F.percentile == quantile_cont);
+    the sketch variant (percentile_approx) is error-bound-tested in
+    pytest, not hash-matched."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.median("o_totalprice"), 4).alias("med"),
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("o_totalprice", F.lit(0.90)), 4).alias("p90"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — deterministic collect_list/min_by/max_by
+# --------------------------------------------------------------------------
+@query(
+    "q19_collect_and_argminmax",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list(o_orderkey))          AS order_keys,
+           max_by(o_orderkey, o_totalprice)     AS priciest_order,
+           min_by(o_orderkey, o_totalprice)     AS cheapest_order,
+           count(*)                             AS n
+    FROM orders
+    WHERE o_custkey < 25
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    tags=("agg", "collect", "argminmax"),
+)
+def q19_collect_and_argminmax(spark, sf_dir):
+    """collect_list is shuffle-order-nondeterministic -> always wrap in
+    sort_array before exposing (SURVEY.md §7 'order sensitivity');
+    min_by/max_by replace nondeterministic first/last."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_custkey") < 25)
+        .groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q29 — session windows (batch semantics, oracle = gaps-and-islands)
+# --------------------------------------------------------------------------
+@query(
+    "q29_session_windows_batch",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                       AS session_start,
+           max(ts) + INTERVAL 30 MINUTE  AS session_end,
+           count(*)                      AS n_events
+    FROM numbered
+    WHERE user_id < 40
+    GROUP BY user_id, sess_id
+    ORDER BY user_id, session_start
+    """,
+    tags=("session_window", "streaming"),
+)
+def q29_session_windows_batch(spark, sf_dir):
+    """Spark's session_window (gap-merge) vs the classic SQL
+    gaps-and-islands formulation — same sessions, same [start, last+gap)
+    bounds. Streaming parity is covered in tests/test_streaming.py."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        session_window_agg(
+            events.filter(F.col("user_id") < 40),
+            "ts",
+            "30 minutes",
+            group_cols=["user_id"],
+            aggs=[F.count(F.lit(1)).alias("n_events")],
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# q36 — INTERSECT ALL / EXCEPT ALL (multiset semantics)
+# --------------------------------------------------------------------------
+@query(
+    "q36_multiset_ops",
+    oracle="""
+    SELECT 'i_all' AS op, pk, count(*) AS n FROM (
+      SELECT l_partkey AS pk FROM lineitem WHERE l_quantity < 5
+      INTERSECT ALL
+      SELECT l_partkey AS pk FROM lineitem WHERE l_discount > 0.05
+    ) GROUP BY pk
+    UNION ALL
+    SELECT 'e_all' AS op, pk, count(*) AS n FROM (
+      SELECT l_partkey AS pk FROM lineitem WHERE l_quantity < 5
+      EXCEPT ALL
+      SELECT l_partkey AS pk FROM lineitem WHERE l_discount > 0.05
+    ) GROUP BY pk
+    ORDER BY op, pk
+    """,
+    tags=("setops", "multiset"),
+)
+def q36_multiset_ops(spark, sf_dir):
+    (li,) = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") < 5).select(F.col("l_partkey").alias("pk"))
+    b = li.filter(F.col("l_discount") > 0.05).select(F.col("l_partkey").alias("pk"))
+    i_all = (
+        a.intersectAll(b)
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("i_all").alias("op"), "pk", "n")
+    )
+    e_all = (
+        a.exceptAll(b)
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("e_all").alias("op"), "pk", "n")
+    )
+    return i_all.unionByName(e_all).orderBy("op", "pk")
+
+
+# --------------------------------------------------------------------------
+# q37 — UNION BY NAME with missing columns
+# --------------------------------------------------------------------------
+@query(
+    "q37_union_by_name",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal,
+             'customer' AS src FROM customer
+      UNION ALL BY NAME
+      SELECT s_suppkey AS id, s_acctbal AS bal, 'supplier' AS src FROM supplier
+    )
+    ORDER BY src, id
+    """,
+    tags=("setops", "union_by_name"),
+)
+def q37_union_by_name(spark, sf_dir):
+    cust, sup = _t(spark, sf_dir, "customer", "supplier")
+    c = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("customer").alias("src"),
+    )
+    s = sup.select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_acctbal").alias("bal"),
+        F.lit("supplier").alias("src"),
+    )
+    return c.unionByName(s, allowMissingColumns=True).orderBy("src", "id")
+
+
+# --------------------------------------------------------------------------
+# q38 — approx_count_distinct (sketch; rows-only + error-bound pytest)
+# --------------------------------------------------------------------------
+@query("q38_approx_count_distinct", oracle=None, tags=("agg", "approx"))
+def q38_approx_count_distinct(spark, sf_dir):
+    """HLL++ sketch — nondeterministic across engines by design; the
+    ±rsd error bound vs exact count_distinct is asserted in pytest."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# q39 — scalar subquery + correlated EXISTS via SQL entry point
+# --------------------------------------------------------------------------
+_Q39_SQL = """
+    SELECT n_name,
+           (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey)
+             AS n_customers
+    FROM nation
+    WHERE EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+    ORDER BY n_name
+"""
+
+
+@query("q39_correlated_subqueries", oracle=_Q39_SQL, tags=("subquery", "sql"))
+def q39_correlated_subqueries(spark, sf_dir):
+    """Correlated scalar subquery + EXISTS — Catalyst decorrelates both
+    into joins (RewriteCorrelatedScalarSubquery), SURVEY.md §4."""
+    tables = load_tables(spark, sf_dir, ("nation", "customer", "supplier"))
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(_Q39_SQL)

@@ -7,6 +7,8 @@ from etl_as_a_service_spark.streaming.ops import (
     sliding_window_agg,
     session_window_agg,
     streaming_dedup,
+    stream_stream_interval_join,
+    stateful_running_totals,
     run_available_now,
 )
 
@@ -17,5 +19,7 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "streaming_dedup",
+    "stream_stream_interval_join",
+    "stateful_running_totals",
     "run_available_now",
 ]

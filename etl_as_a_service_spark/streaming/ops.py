@@ -117,6 +117,66 @@ def streaming_dedup(
     return df.dropDuplicates(keys)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    left_watermark: str,
+    right_watermark: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join bounded by an event-time interval:
+    right_ts in [left_ts - lower, left_ts + upper]. Both sides carry
+    watermarks so the join state is evictable — unbounded stream-stream
+    joins are disallowed by construction at scale."""
+    from pyspark.sql import functions as F
+
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] >= F.expr(f"{left_ts} - interval {lower}"))
+        & (rw[right_ts] <= F.expr(f"{left_ts} + interval {upper}"))
+    )
+    # keep a single unambiguous join-key column (the left one)
+    return lw.join(rw, cond, how).drop(rw[on])
+
+
+def stateful_running_totals(
+    df: DataFrame, key_col: str, value_col: str, ts_col: str, watermark: str
+) -> DataFrame:
+    """Custom stateful per-group operator via applyInPandasWithState:
+    maintains a running (count, total) per key across micro-batches and
+    emits the updated totals each batch. The state is two floats per key
+    — the 100 TB-safe shape for arbitrary user aggregation logic."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType="key long, n long, total double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,

@@ -1,0 +1,173 @@
+"""Spark-specific function families with no portable DuckDB twin:
+xxhash64/crc32/hash, soundex/initcap, date builders (make_date,
+add_months, months_between, next_day, from_unixtime), map functions,
+higher-order forall/zip_with, and the engine's vector/text column
+functions. Verified by self-consistency and known-value assertions."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
+from etl_as_a_service_spark.functions.text import lang_id_heuristic
+
+
+def one_row(spark, expr_map):
+    df = spark.range(1).select(
+        *[e.alias(k) for k, e in expr_map.items()]
+    )
+    return df.first().asDict()
+
+
+def test_spark_hash_functions(spark):
+    r = one_row(
+        spark,
+        {
+            "xx": F.xxhash64(F.lit("hello")),
+            "xx2": F.xxhash64(F.lit("hello")),
+            "xx3": F.xxhash64(F.lit("hello!")),
+            "crc": F.crc32(F.lit("hello").cast("binary")),
+            "h": F.hash(F.lit("hello"), F.lit(42)),
+        },
+    )
+    assert r["xx"] == r["xx2"] != r["xx3"]
+    assert r["crc"] == 907060870  # published CRC32 of "hello"
+    assert isinstance(r["h"], int)
+
+
+def test_string_extras(spark):
+    r = one_row(
+        spark,
+        {
+            "sx": F.soundex(F.lit("Robert")),
+            "sx2": F.soundex(F.lit("Rupert")),
+            "ic": F.initcap(F.lit("hello world")),
+            "fmt": F.format_string("%s-%03d", F.lit("x"), F.lit(7)),
+            "si": F.substring_index(F.lit("a.b.c"), ".", 2),
+            "loc": F.locate("b", F.lit("abcabc"), 3),
+        },
+    )
+    assert r["sx"] == r["sx2"] == "R163"
+    assert r["ic"] == "Hello World"
+    assert r["fmt"] == "x-007"
+    assert r["si"] == "a.b"
+    assert r["loc"] == 5
+
+
+def test_date_builders(spark):
+    r = one_row(
+        spark,
+        {
+            "md": F.make_date(F.lit(2024), F.lit(2), F.lit(29)),
+            "am": F.add_months(F.lit("2024-01-31").cast("date"), 1),
+            "mb": F.months_between(
+                F.lit("2024-03-15").cast("date"), F.lit("2024-01-15").cast("date")
+            ),
+            "nd": F.next_day(F.lit("2024-01-01").cast("date"), "Mon"),
+            "fu": F.from_unixtime(F.lit(0)),
+            "tr": F.trunc(F.lit("2024-06-17").cast("date"), "MM"),
+        },
+    )
+    assert str(r["md"]) == "2024-02-29"
+    assert str(r["am"]) == "2024-02-29"
+    assert r["mb"] == 2.0
+    assert str(r["nd"]) == "2024-01-08"
+    assert r["fu"] == "1970-01-01 00:00:00"  # UTC session
+    assert str(r["tr"]) == "2024-06-01"
+
+
+def test_map_functions(spark):
+    df = spark.range(1).select(
+        F.create_map(
+            F.lit("a"), F.lit(1), F.lit("b"), F.lit(2)
+        ).alias("m")
+    )
+    r = df.select(
+        F.map_keys("m").alias("ks"),
+        F.map_values("m").alias("vs"),
+        F.map_concat("m", F.create_map(F.lit("c"), F.lit(3))).alias("mc"),
+        F.element_at("m", F.lit("b")).alias("b"),
+        F.map_contains_key("m", F.lit("a")).alias("has_a"),
+    ).first()
+    assert sorted(r["ks"]) == ["a", "b"]
+    assert sorted(r["vs"]) == [1, 2]
+    assert r["mc"]["c"] == 3 and len(r["mc"]) == 3
+    assert r["b"] == 2 and r["has_a"] is True
+    # explode a map into rows
+    exploded = df.select(F.explode("m").alias("k", "v"))
+    assert {(x["k"], x["v"]) for x in exploded.collect()} == {("a", 1), ("b", 2)}
+
+
+def test_higher_order_forall_zipwith_reduce(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [2.0, 2.0, 2.0])], "a array<double>, b array<double>"
+    )
+    r = df.select(
+        F.forall("a", lambda x: x > 0).alias("all_pos"),
+        F.zip_with("a", "b", lambda x, y: x * y).alias("prod"),
+        F.reduce("a", F.lit(0.0), lambda acc, x: acc + x).alias("s"),
+        F.array_sort(
+            F.array(F.lit(3), F.lit(1), F.lit(2))
+        ).alias("sorted"),
+    ).first()
+    assert r["all_pos"] is True
+    assert list(r["prod"]) == [2.0, 4.0, 6.0]
+    assert r["s"] == 6.0
+    assert list(r["sorted"]) == [1, 2, 3]
+
+
+def test_vector_functions_known_values(spark):
+    df = spark.createDataFrame(
+        [([3.0, 4.0], [4.0, 3.0])], "a array<float>, b array<float>"
+    )
+    r = df.select(
+        dot_product(F.col("a"), F.col("b")).alias("dot"),
+        l2_norm(F.col("a")).alias("na"),
+        cosine_similarity(F.col("a"), F.col("b")).alias("cos"),
+        cosine_similarity(F.col("a"), F.col("a")).alias("self_cos"),
+    ).first()
+    assert r["dot"] == 24.0
+    assert r["na"] == 5.0
+    assert abs(r["cos"] - 24.0 / 25.0) < 1e-12
+    assert abs(r["self_cos"] - 1.0) < 1e-12
+
+
+def test_cosine_null_on_zero_vector(spark):
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], "a array<float>, b array<float>")
+    assert (
+        df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).first()["c"]
+        is None
+    )
+
+
+def test_lang_id_known_strings(spark):
+    df = spark.createDataFrame(
+        [("hello plain text", "en"), ("texto en español ¿qué?", "es"),
+         ("château être œuvre", "fr"), ("straße größe", "de"), ("你好世界", "zh")],
+        "text string, expected string",
+    )
+    got = df.select("expected", lang_id_heuristic(F.col("text")).alias("pred"))
+    assert got.filter(F.col("pred") != F.col("expected")).count() == 0
+
+
+def test_try_arithmetic_ansi_safe(spark):
+    """ANSI mode is on (Spark 4 default): div-by-zero errors; try_*
+    variants return NULL — both behaviors are part of the contract."""
+    r = one_row(
+        spark,
+        {
+            "td": F.try_divide(F.lit(1), F.lit(0)),
+            "ta": F.try_add(F.lit(2**62), F.lit(2**62)),
+            "tc": F.try_to_number(F.lit("xyz"), F.lit("999")),
+        },
+    )
+    assert r["td"] is None and r["ta"] is None and r["tc"] is None
+    with pytest.raises(Exception):
+        spark.range(1).select((F.lit(1) / F.lit(0)).alias("x")).collect()

@@ -1,0 +1,68 @@
+"""Multimodal column plumbing: binary ingest, Arrow-batched decode
+(stubbed codec), frame sampling. The decode payload is fake; the Spark
+plumbing (schemas, mapInPandas batch shape, binaryFile source) is real."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.llm.multimodal import (
+    BLOB_SCHEMA,
+    decode_blobs,
+    read_binary_dir,
+    sample_frames,
+    _decode_bytes,
+)
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    rows = [
+        (1, "image", "image/png", b"\x89PNG-fake-bytes-1", 64, 48, None),
+        (2, "image", "image/png", b"\x89PNG-fake-bytes-22", 32, 32, None),
+        (3, "audio", "audio/wav", b"RIFF-fake-audio", None, None, 2500),
+        (4, "video", "video/mp4", b"mp4-fake-video", 640, 480, 3500),
+    ]
+    return spark.createDataFrame(rows, BLOB_SCHEMA).repartition(2)
+
+
+def test_decode_blobs_schema_and_determinism(spark, blobs):
+    out = decode_blobs(blobs, dim=8)
+    assert [f.name for f in out.schema.fields] == [
+        "blob_id", "modality", "n_bytes", "feature",
+    ]
+    rows = {r["blob_id"]: r for r in out.collect()}
+    assert rows[1]["n_bytes"] == len(b"\x89PNG-fake-bytes-1")
+    assert len(rows[1]["feature"]) == 8
+    # deterministic: same bytes -> same features as the local stub
+    assert rows[3]["feature"] == pytest.approx(_decode_bytes(b"RIFF-fake-audio", 8))
+
+
+def test_decode_preserves_partitioning(spark, blobs):
+    assert decode_blobs(blobs).rdd.getNumPartitions() == blobs.rdd.getNumPartitions()
+
+
+def test_sample_frames_engine_side(spark, blobs):
+    frames = sample_frames(blobs, every_ms=1000)
+    got = [(r["blob_id"], r["frame_ts_ms"]) for r in frames.orderBy(
+        "blob_id", "frame_ts_ms").collect()]
+    assert got == [(4, 0), (4, 1000), (4, 2000), (4, 3000)]
+
+
+def test_binary_file_source_roundtrip(spark, tmp_path):
+    d = tmp_path / "uploads"
+    os.makedirs(d)
+    (d / "a.bin").write_bytes(b"hello-blob")
+    (d / "b.bin").write_bytes(b"x" * 100)
+    df = read_binary_dir(spark, str(d), glob="*.bin")
+    rows = {os.path.basename(r["path"]): r for r in df.collect()}
+    assert rows["a.bin"]["content"] == b"hello-blob"
+    assert rows["b.bin"]["length"] == 100
+
+
+def test_decode_stub_raises_on_null_content(spark):
+    with pytest.raises(NotImplementedError):
+        _decode_bytes(None)

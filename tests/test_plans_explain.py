@@ -1,0 +1,93 @@
+"""Physical-plan assertions: the optimizations SURVEY.md §4 says we get
+from Catalyst must actually appear in the plans (pushdown, pruning,
+broadcast, WindowGroupLimit, TakeOrderedAndProject). These guard the
+100 TB story: a regression here is a scale bug even if results match."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.catalog import load_tables
+from etl_as_a_service_spark.operators.relational import top_k_per_group
+from etl_as_a_service_spark.queries import QUERIES
+from tests.conftest import SF_T2
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = load_tables(spark, SF_T2, ("lineitem",))["lineitem"]
+    df = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = formatted(df)
+    assert "PushedFilters" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_column_pruning_reaches_parquet(spark):
+    li = load_tables(spark, SF_T2, ("lineitem",))["lineitem"]
+    df = li.select("l_orderkey", "l_quantity")
+    plan = formatted(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema, "scan reads unprojected columns"
+
+
+def test_dimension_joins_broadcast(spark):
+    df = QUERIES["q03_revenue_by_region_nation"].fn(spark, SF_T2)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "dim join fell back to SMJ"
+
+
+def test_topk_plans_take_ordered(spark):
+    df = QUERIES["q02_top_parts_by_revenue"].fn(spark, SF_T2)
+    assert "TakeOrderedAndProject" in plan_of(df), (
+        "top-k should not global-sort"
+    )
+
+
+def test_per_group_topk_plans_window_group_limit(spark):
+    orders = load_tables(spark, SF_T2, ("orders",))["orders"]
+    df = top_k_per_group(
+        orders, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3
+    )
+    assert "WindowGroupLimit" in plan_of(df), (
+        "rank-filter lost the map-side partial top-k"
+    )
+
+
+def test_semi_join_stays_semi(spark):
+    df = QUERIES["q04_customers_with_fulfilled_orders"].fn(spark, SF_T2)
+    assert "LeftSemi" in plan_of(df)
+
+
+def test_asof_join_is_single_shuffle_no_nlj(spark):
+    df = QUERIES["q35_asof_last_purchase"].fn(spark, SF_T2)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan, "as-of join exploded to NLJ"
+    assert "CartesianProduct" not in plan
+    # the union+window rewrite: exactly one Window over the union
+    assert plan.count("Window") >= 1
+
+
+def test_whole_stage_codegen_active(spark):
+    df = QUERIES["q01_pricing_summary"].fn(spark, SF_T2)
+    df.collect()  # AQE: codegen stages appear only in the finalized plan
+    import re
+
+    # '*(n)' operator prefixes are the WholeStageCodegen stage markers
+    assert re.search(r"\*\(\d+\)", plan_of(df))
+
+
+def test_aqe_enabled_in_engine_session(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

@@ -1,0 +1,102 @@
+"""Source/sink surface: CSV/JSON/ORC/text round-trips, schema-supplied
+vs inferred reads, partitioned writes, and write-mode semantics
+(SURVEY.md §2.B scans/sources/sinks; reference analog: any-type upload +
+result files in the bucket)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.catalog import load_tables
+from etl_as_a_service_spark.sources.readers import (
+    read_csv,
+    read_json,
+    read_orc,
+    read_parquet,
+    read_text,
+    write_table,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def nation(spark):
+    return load_tables(spark, SF_SMOKE, ("nation",))["nation"]
+
+
+def test_csv_roundtrip_with_schema(spark, nation, tmp_path):
+    p = str(tmp_path / "nation_csv")
+    write_table(nation, p, fmt="csv", header=True)
+    back = read_csv(
+        spark, p, schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+    assert back.count() == 25
+    assert dict(back.dtypes) == dict(nation.dtypes)
+    assert back.orderBy("n_nationkey").collect() == nation.orderBy(
+        "n_nationkey"
+    ).collect()
+
+
+def test_csv_infer_schema_and_options(spark, tmp_path):
+    p = str(tmp_path / "weird.csv")
+    with open(p, "w") as f:
+        f.write("a|b|c\n1|x|2.5\n2|NULLTOKEN|3.5\n")
+    df = read_csv(spark, p, sep="|", null_value="NULLTOKEN")
+    assert dict(df.dtypes) == {"a": "int", "b": "string", "c": "double"}
+    assert df.filter(F.col("b").isNull()).count() == 1
+
+
+def test_json_roundtrip_nested(spark, tmp_path):
+    p = str(tmp_path / "nested.json")
+    data = spark.createDataFrame(
+        [(1, {"x": 10, "tags": ["a", "b"]}), (2, {"x": 20, "tags": []})],
+        "id long, payload struct<x:long, tags:array<string>>",
+    )
+    write_table(data, p, fmt="json")
+    back = read_json(spark, p, schema="id long, payload struct<x:long, tags:array<string>>")
+    got = {r["id"]: r["payload"] for r in back.collect()}
+    assert got[1]["x"] == 10 and list(got[1]["tags"]) == ["a", "b"]
+
+
+def test_orc_roundtrip(spark, nation, tmp_path):
+    p = str(tmp_path / "nation_orc")
+    write_table(nation, p, fmt="orc")
+    assert read_orc(spark, p).count() == 25
+
+
+def test_text_read(spark, tmp_path):
+    p = str(tmp_path / "lines.txt")
+    with open(p, "w") as f:
+        f.write("line one\nline two\n")
+    assert read_text(spark, p).count() == 2
+
+
+def test_partitioned_write_enables_pruning(spark, tmp_path):
+    orders = load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+    p = str(tmp_path / "orders_part")
+    write_table(
+        orders.withColumn("status", F.col("o_orderstatus")),
+        p,
+        partition_by=["status"],
+    )
+    assert sorted(
+        d for d in os.listdir(p) if d.startswith("status=")
+    ) == ["status=F", "status=O", "status=P"]
+    pruned = read_parquet(spark, p).filter(F.col("status") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(status" in plan or "status#" in plan
+    assert pruned.count() == orders.filter("o_orderstatus = 'F'").count()
+
+
+def test_write_modes(spark, nation, tmp_path):
+    p = str(tmp_path / "modes")
+    write_table(nation, p, mode="overwrite")
+    write_table(nation, p, mode="append")
+    assert read_parquet(spark, p).count() == 50
+    with pytest.raises(Exception):
+        write_table(nation, p, mode="error")
+    write_table(nation.limit(5), p, mode="overwrite")
+    assert read_parquet(spark, p).count() == 5

@@ -117,17 +117,37 @@ def test_session_window_batch_semantics(spark, batch_events):
     assert mismatches == 0
 
 
-def test_streaming_dedup_within_watermark(spark, events_stream_dir, batch_events):
+def test_streaming_dedup_exact(spark, events_stream_dir):
+    """Plain streaming dropDuplicates: exactly one row per key across
+    the whole stream (unbounded state — test-scale only)."""
     stream = _stream(spark, events_stream_dir)
     deduped = streaming_dedup(
         stream.withColumn("user_bucket", F.col("user_id") % 10),
         keys=["user_bucket"],
-        ts_col="ts",
-        watermark="1 day",
     )
-    got = run_available_now(deduped, "dedup_test")
-    n = got.select("user_bucket").distinct().count()
-    assert got.count() == n == 10
+    got = run_available_now(deduped, "dedup_exact_test")
+    assert got.count() == got.select("user_bucket").distinct().count() == 10
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates arriving within the
+    watermark delay are dropped; the same key recurring after the state
+    evicts may re-emit (bounded-state semantics, not global dedup)."""
+    d = str(tmp_path / "dupstream")
+    os.makedirs(d)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k long, ts_s string"
+    ).select("k", F.to_timestamp("ts_s").alias("ts"))
+    # two duplicates 5 min apart (within 1h watermark) + one fresh key
+    mk([(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:01:00")]).write.parquet(d + "/f=1")
+    mk([(1, "2024-01-01 10:05:00")]).write.parquet(d + "/f=2")
+
+    stream = file_stream(spark, d + "/f=*", "k long, ts timestamp",
+                         max_files_per_trigger=1)
+    deduped = streaming_dedup(stream, keys=["k"], ts_col="ts", watermark="1 hour")
+    got = run_available_now(deduped, "dedup_wm_test")
+    assert got.count() == 2  # the 10:05 duplicate of k=1 was dropped
+    assert {r["k"] for r in got.collect()} == {1, 2}
 
 
 def test_stream_static_join(spark, events_stream_dir, batch_events):

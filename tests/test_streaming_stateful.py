@@ -1,0 +1,85 @@
+"""Stream-stream interval join and custom stateful per-group processing
+(applyInPandasWithState) — the 'arbitrary user logic over streams' face
+of the service."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.streaming.ops import (
+    file_stream,
+    run_available_now,
+    stateful_running_totals,
+    stream_stream_interval_join,
+)
+
+
+@pytest.fixture()
+def two_streams(spark, tmp_path):
+    """clicks and purchases as file streams with event-time."""
+    mk = lambda rows: spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    mk(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 11:00:00"),
+         (2, "2024-01-01 10:30:00")]
+    ).write.parquet(cdir)
+    mk(
+        [(1, "2024-01-01 10:20:00"), (2, "2024-01-01 12:30:00")]
+    ).write.parquet(pdir)
+    clicks = file_stream(spark, cdir, "user_id long, ts timestamp").withColumnRenamed(
+        "ts", "click_ts"
+    )
+    purchases = file_stream(spark, pdir, "user_id long, ts timestamp").withColumnRenamed(
+        "ts", "purchase_ts"
+    )
+    return clicks, purchases
+
+
+def test_stream_stream_interval_join(spark, two_streams):
+    clicks, purchases = two_streams
+    joined = stream_stream_interval_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        lower="0 minutes",
+        upper="30 minutes",
+        left_watermark="1 hour",
+        right_watermark="1 hour",
+    ).select("user_id", "click_ts", "purchase_ts")
+    got = {
+        (r["user_id"], str(r["click_ts"]), str(r["purchase_ts"]))
+        for r in run_available_now(joined, "ssj_test").collect()
+    }
+    # user 1: purchase 10:20 within [10:00, 10:30] of the 10:00 click only;
+    # user 2: purchase 12:30 is outside [10:30, 11:00] -> no match
+    assert got == {(1, "2024-01-01 10:00:00", "2024-01-01 10:20:00")}
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    d = str(tmp_path / "vals")
+    os.makedirs(d)
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v double, ts_s string").select(
+        "k", "v", F.to_timestamp("ts_s").alias("ts")
+    )
+    mk([(1, 10.0, "2024-01-01 10:00:00"), (2, 5.0, "2024-01-01 10:01:00")]).write.parquet(
+        d + "/f=1"
+    )
+    mk([(1, 7.0, "2024-01-01 10:10:00")]).write.parquet(d + "/f=2")
+
+    stream = file_stream(
+        spark, d + "/f=*", "k long, v double, ts timestamp", max_files_per_trigger=1
+    )
+    totals = stateful_running_totals(stream, "k", "v", "ts", "1 hour")
+    got = run_available_now(totals, "stateful_test", output_mode="update").toPandas()
+    # state accumulates across micro-batches: the last emit per key has
+    # the full running total
+    last = got.groupby("key").last()
+    assert last.loc[1, "total"] == 17.0 and last.loc[1, "n"] == 2
+    assert last.loc[2, "total"] == 5.0 and last.loc[2, "n"] == 1

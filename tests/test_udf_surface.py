@@ -1,0 +1,132 @@
+"""UDF/UDAF/UDTF surface (SURVEY.md §2.B): the typed, sandboxed analog
+of the reference's 'arbitrary user Python' (app/routes.py:81-107).
+Covers scalar UDF, pandas_udf (scalar + grouped-agg), applyInPandas,
+mapInPandas, and a Python UDTF."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType
+
+from etl_as_a_service_spark.catalog import load_tables
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+
+
+def test_scalar_python_udf(spark, orders):
+    @F.udf(returnType=LongType())
+    def bucket(price):
+        return int(price // 100000)
+
+    got = (
+        orders.select(bucket("o_totalprice").alias("b"))
+        .groupBy("b")
+        .count()
+        .orderBy("b")
+        .collect()
+    )
+    expected = (
+        orders.select(F.floor(F.col("o_totalprice") / 100000).alias("b"))
+        .groupBy("b")
+        .count()
+        .orderBy("b")
+        .collect()
+    )
+    assert [(r["b"], r["count"]) for r in got] == [
+        (r["b"], r["count"]) for r in expected
+    ]
+
+
+def test_pandas_udf_scalar(spark, orders):
+    @F.pandas_udf(DoubleType())
+    def with_tax(price: pd.Series) -> pd.Series:
+        return price * 1.1
+
+    got = orders.select(
+        F.round(F.sum(with_tax("o_totalprice")), 2).alias("s")
+    ).first()["s"]
+    expected = orders.select(
+        F.round(F.sum(F.col("o_totalprice") * 1.1), 2).alias("s")
+    ).first()["s"]
+    assert abs(got - expected) < 1e-6
+
+
+def test_pandas_udf_grouped_agg(spark, orders):
+    @F.pandas_udf(DoubleType())
+    def price_range(price: pd.Series) -> float:
+        return float(price.max() - price.min())
+
+    got = {
+        r["o_orderstatus"]: r["rng"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.round(price_range("o_totalprice"), 4).alias("rng"))
+        .collect()
+    }
+    expected = {
+        r["o_orderstatus"]: r["rng"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.max("o_totalprice") - F.min("o_totalprice"), 4).alias("rng")
+        )
+        .collect()
+    }
+    assert got == expected
+
+
+def test_apply_in_pandas_grouped_map(spark, orders):
+    def top2(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.nlargest(2, "o_totalprice")[["o_custkey", "o_orderkey"]]
+
+    got = (
+        orders.groupBy("o_custkey")
+        .applyInPandas(top2, "o_custkey long, o_orderkey long")
+        .groupBy("o_custkey")
+        .count()
+    )
+    assert got.filter(F.col("count") > 2).count() == 0
+    assert got.count() == orders.select("o_custkey").distinct().count()
+
+
+def test_map_in_pandas(spark, orders):
+    def add_flag(batches):
+        for pdf in batches:
+            pdf = pdf[["o_orderkey", "o_totalprice"]].copy()
+            pdf["is_big"] = pdf["o_totalprice"] > 200000
+            yield pdf
+
+    out = orders.mapInPandas(
+        add_flag, "o_orderkey long, o_totalprice double, is_big boolean"
+    )
+    assert out.count() == orders.count()
+    assert (
+        out.filter("is_big").count()
+        == orders.filter("o_totalprice > 200000").count()
+    )
+
+
+def test_python_udtf(spark):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="x bigint, squared bigint")
+    class Squares:
+        def eval(self, start: int, end: int):
+            for i in range(start, end + 1):
+                yield i, i * i
+
+    Squares_registered = spark.udtf.register("squares_udtf", Squares)
+    rows = spark.sql("SELECT * FROM squares_udtf(1, 4)").collect()
+    assert [(r["x"], r["squared"]) for r in rows] == [
+        (1, 1), (2, 4), (3, 9), (4, 16)
+    ]
+
+
+def test_arrow_enabled_for_pandas_exchange(spark):
+    assert (
+        spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    )
