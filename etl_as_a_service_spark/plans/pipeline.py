@@ -192,6 +192,7 @@ class PipelineRun:
 
     run_id: str
     name: str
+    user: str
     status: str  # submitted | running | success | failed
     submitted_at: float
     finished_at: float | None = None
@@ -214,22 +215,23 @@ class PipelineRunner:
         self._lock = threading.Lock()
 
     # -- trigger (EP1) ----------------------------------------------------
-    def run(self, spec: dict[str, Any]) -> PipelineRun:
-        run = self._register(spec)
+    def run(self, spec: dict[str, Any], user: str = "anonymous") -> PipelineRun:
+        run = self._register(spec, user)
         self._execute(run, spec)
         return run
 
-    def submit(self, spec: dict[str, Any]) -> str:
-        run = self._register(spec)
+    def submit(self, spec: dict[str, Any], user: str = "anonymous") -> str:
+        run = self._register(spec, user)
         t = threading.Thread(target=self._execute, args=(run, spec), daemon=True)
         t.start()
         return run.run_id
 
-    def _register(self, spec: dict[str, Any]) -> PipelineRun:
+    def _register(self, spec: dict[str, Any], user: str) -> PipelineRun:
         name = extract_pipeline_name(spec)
         run = PipelineRun(
             run_id=uuid.uuid4().hex[:12],
             name=name,
+            user=user,
             status="submitted",
             submitted_at=time.time(),
         )
@@ -271,24 +273,33 @@ class PipelineRunner:
         return run.status
 
     # -- browse (EP3) -----------------------------------------------------
-    def list_runs(self, name: str | None = None) -> list[PipelineRun]:
+    def list_runs(
+        self, name: str | None = None, user: str | None = None
+    ) -> list[PipelineRun]:
+        """Per-user filtering is ON by default when a user is given —
+        the reference *intended* tenant isolation but shipped it
+        commented out (minio_client.py:52, routes.py:166-168); we
+        implement the intended semantics."""
         with self._lock:
             runs = list(self._runs.values())
         if name is not None:
             runs = [r for r in runs if r.name == name]
+        if user is not None:
+            runs = [r for r in runs if r.user == user]
         return sorted(runs, key=lambda r: r.submitted_at)
 
     def runs_df(self) -> DataFrame:
         """The registry as a DataFrame — queryable like any table (the
         reference's File table scan, app/routes.py:140)."""
         rows = [
-            (r.run_id, r.name, r.status, float(r.submitted_at),
+            (r.run_id, r.name, r.user, r.status, float(r.submitted_at),
              float(r.finished_at) if r.finished_at else None,
              r.output_path, r.n_output_rows)
             for r in self.list_runs()
         ]
         return self.spark.createDataFrame(
             rows,
-            "run_id string, name string, status string, submitted_at double, "
-            "finished_at double, output_path string, n_output_rows long",
+            "run_id string, name string, user string, status string, "
+            "submitted_at double, finished_at double, output_path string, "
+            "n_output_rows long",
         )

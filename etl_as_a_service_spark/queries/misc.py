@@ -1,0 +1,132 @@
+"""Remaining portable operator families: posexplode (ordinality),
+interval arithmetic + date builders, try_cast (ANSI-safe casts),
+ILIKE/RLIKE pattern matching (SURVEY.md §2.B scalar/predicate rows)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.catalog import load_tables
+from etl_as_a_service_spark.queries import query
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+@query(
+    "q50_posexplode_tokens",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS word
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id < 20),
+         UNNEST(range(1, len(toks) + 1)) AS t(i)
+    ORDER BY doc_id, pos
+    """,
+    tags=("explode", "posexplode"),
+)
+def q50_posexplode_tokens(spark, sf_dir):
+    """posexplode = UDTF-shaped lateral view with element ordinality."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") < 20)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+@query(
+    "q51_interval_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 1 MONTH                    AS plus_month,
+           o_orderdate + INTERVAL 90 DAY                     AS plus_90d,
+           o_orderdate - INTERVAL 36 HOUR                    AS minus_36h,
+           make_date(CAST(year(o_orderdate) AS INTEGER),
+                     CAST(month(o_orderdate) AS INTEGER), 1) AS month_floor,
+           make_timestamp(2024, 2, 29, 1, 2, 3.0)            AS fixed_ts
+    FROM orders
+    WHERE o_orderkey <= 400
+    ORDER BY o_orderkey
+    """,
+    tags=("date", "interval"),
+)
+def q51_interval_arithmetic(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") <= 400)
+        .select(
+            "o_orderkey",
+            F.expr("o_orderdate + INTERVAL 1 MONTH").alias("plus_month"),
+            F.expr("o_orderdate + INTERVAL 90 DAYS").alias("plus_90d"),
+            F.expr("o_orderdate - INTERVAL 36 HOURS").alias("minus_36h"),
+            F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1)).alias(
+                "month_floor"
+            ),
+            F.make_timestamp(
+                F.lit(2024), F.lit(2), F.lit(29), F.lit(1), F.lit(2), F.lit(3.0)
+            ).alias("fixed_ts"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q52_try_cast",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           TRY_CAST(event_type AS INTEGER)                        AS bad_int,
+           TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE)             AS roundtrip,
+           CAST(floor(value) AS BIGINT)                           AS v_int
+    FROM events
+    WHERE event_id < 200
+    ORDER BY event_id
+    """,
+    tags=("cast", "ansi"),
+)
+def q52_try_cast(spark, sf_dir):
+    """ANSI mode makes bad casts errors; try_cast is the NULL-on-failure
+    escape hatch — same contract as DuckDB's TRY_CAST. Note: DuckDB
+    CAST(double AS INT) rounds half-even while Spark truncates, so v_int
+    goes through floor() where both engines agree."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
+            F.col("event_type").try_cast("int").alias("bad_int"),
+            F.col("value").cast("string").try_cast("double").alias("roundtrip"),
+            F.floor("value").alias("v_int"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q53_ilike_rlike",
+    oracle="""
+    SELECT p_partkey, p_name,
+           p_brand ILIKE 'brand#1%'                  AS b1,
+           regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS two_words,
+           p_type LIKE '%STEEL%'                     AS steel,
+           contains(p_name, 'or')                    AS has_or,
+           ends_with(p_brand, '3')                   AS b_end3
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("like", "rlike", "predicates"),
+)
+def q53_ilike_rlike(spark, sf_dir):
+    (part,) = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        "p_name",
+        F.col("p_brand").ilike("brand#1%").alias("b1"),
+        F.col("p_name").rlike("^[a-z]+ [a-z]+$").alias("two_words"),
+        F.col("p_type").like("%STEEL%").alias("steel"),
+        F.col("p_name").contains("or").alias("has_or"),
+        F.col("p_brand").endswith("3").alias("b_end3"),
+    ).orderBy("p_partkey")

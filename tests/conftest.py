@@ -21,6 +21,11 @@ def spark():
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
         shuffle_partitions=8,
         driver_memory="6g",
+        extra_conf={
+            # keep managed-table state (bucketing tests) out of the repo
+            "spark.sql.warehouse.dir": "/tmp/etl-spark-test-warehouse",
+            "spark.driver.extraJavaOptions": "-Dderby.system.home=/tmp/etl-spark-derby",
+        },
     )
     yield spark
     spark.stop()

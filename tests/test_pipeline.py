@@ -116,3 +116,15 @@ def test_runs_df_queryable(spark):
     df = runner.runs_df()
     assert df.filter("status = 'success'").count() == 2
     assert {r["name"] for r in df.collect()} == {"lineitem_rollup", "other"}
+
+
+def test_tenant_isolation(spark):
+    """Per-user listing — the reference intended this but shipped it
+    commented out (minio_client.py:52, routes.py:166-168)."""
+    runner = PipelineRunner(spark)
+    runner.run(lineitem_spec(), user="alice")
+    runner.run(lineitem_spec(name="bob_job"), user="bob")
+    assert [r.name for r in runner.list_runs(user="alice")] == ["lineitem_rollup"]
+    assert [r.name for r in runner.list_runs(user="bob")] == ["bob_job"]
+    assert len(runner.list_runs()) == 2
+    assert {r["user"] for r in runner.runs_df().collect()} == {"alice", "bob"}

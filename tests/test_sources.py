@@ -100,3 +100,33 @@ def test_write_modes(spark, nation, tmp_path):
         write_table(nation, p, mode="error")
     write_table(nation.limit(5), p, mode="overwrite")
     assert read_parquet(spark, p).count() == 5
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketed tables co-locate join keys at write time: the sort-merge
+    join then needs NO exchange on either side — the core trick for
+    repeated big-big joins at 100 TB."""
+    from tests.conftest import SF_SMOKE
+    orders = load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+    customer = load_tables(spark, SF_SMOKE, ("customer",))["customer"]
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    (orders.write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("b_orders"))
+    (customer.write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("b_customer"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        assert j.count() == orders.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
