@@ -30,8 +30,11 @@ HEADLINE = [
     "q07_rollup_returns",
     "q14_event_type_pivot",
     "q15_distinct_users_per_type",
+    "q17_stat_aggregates",
+    "q18_percentiles",
     "q25_json_extraction",
     "q27_explode_word_count",
+    "q29_session_windows_batch",
     "q30_order_ranks",
     "q32_frame_aggregates",
     "q35_asof_last_purchase",

@@ -13,6 +13,8 @@ from etl_as_a_service_spark.llm.dedup import (
 from etl_as_a_service_spark.llm.similarity import (
     brute_force_topk,
     lsh_similarity_join,
+    ivf_topk,
+    embedding_near_duplicates,
 )
 
 __all__ = [
@@ -22,4 +24,6 @@ __all__ = [
     "ngram_jaccard_pairs",
     "brute_force_topk",
     "lsh_similarity_join",
+    "ivf_topk",
+    "embedding_near_duplicates",
 ]

@@ -33,20 +33,52 @@ def exact_dedup(
     return df.join(keep, on=id_col, how="left_semi")
 
 
-def shingles(text_col, n: int = 3):
-    """Word n-gram shingles as an array column (pure Catalyst: no UDF).
+def shingles_from_tokens(toks, n: int = 3):
+    """Word n-gram shingles from an ALREADY-MATERIALIZED tokens column.
 
-    tokens t[0..m-1] -> [concat(t[i..i+n-1]) for i in 0..m-n]."""
-    toks = tokenize(text_col)
+    tokens t[0..m-1] -> [concat(t[i..i+n-1]) for i in 0..m-n].
+
+    Implementation: zip n shifted slices of the token array and concat
+    each struct — the token expression is evaluated n times per ROW, not
+    n times per ELEMENT. (The naive per-element ``element_at(tokens, i)``
+    form re-derives the tokens expression per access under projection
+    collapsing — measured O(tokens^2): 8s for a 5000-doc scan that runs
+    in <1s this way.)"""
+    L = F.size(toks) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, L) for j in range(n)])
     return F.when(
         F.size(toks) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-            ),
+            zipped,
+            lambda s: F.concat_ws(" ", *[s.getField(str(j)) for j in range(n)]),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def shingles(text_col, n: int = 3):
+    """Shingles straight from a text column — convenience for small
+    inputs/tests; hot paths must materialize tokens first (see
+    shingles_from_tokens)."""
+    return shingles_from_tokens(tokenize(text_col), n)
+
+
+def hashed_shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3):
+    """(id, exploded distinct 64-bit shingle hash) — the shared first
+    stage of the dedup operators, with tokens materialized once."""
+    return (
+        df.select(F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__toks"))
+        .select(
+            "__id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        shingles_from_tokens(F.col("__toks"), n),
+                        lambda s: F.xxhash64(s),
+                    )
+                )
+            ).alias("sh"),
+        )
+    )
 
 
 def minhash_signature(shingle_col, num_hashes: int = 32):
@@ -91,9 +123,12 @@ def minhash_near_duplicates(
     rows_per_band = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("__id"),
-        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias(
-            "__sig"
-        ),
+        tokenize(F.col(text_col)).alias("__toks"),
+    ).select(
+        "__id",
+        minhash_signature(
+            shingles_from_tokens(F.col("__toks"), shingle_n), num_hashes
+        ).alias("__sig"),
     )
     banded = sig.select(
         "__id",
@@ -250,14 +285,7 @@ def ngram_jaccard_pairs(
     Jaccard via array_intersect on the full (distinct, hashed) shingle
     sets. Shingle sets travel as arrays of 64-bit hashes, not strings.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.array_distinct(
-                F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
-            )
-        ).alias("sh"),
-    )
+    sh = hashed_shingle_sets(df, text_col, id_col, n)
 
     if prefix_filter:
         # document frequency per shingle (one map-side-combined shuffle);

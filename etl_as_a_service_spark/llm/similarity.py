@@ -65,6 +65,126 @@ def _to_ml_vector(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: KMeans partitions the corpus into cells; each query
+    probes only its ``n_probe`` nearest cells and ranks candidates by
+    exact cosine. Returns (query_id, neighbor_id, cosine, rn).
+
+    Scale shape: the corpus is scanned once for assignment (cell id is
+    persisted in practice); a query then touches n_probe/n_cells of the
+    data. Centroids are tiny (n_cells rows) and broadcast everywhere.
+    Recall degrades only at cell borders — raise n_probe to trade speed
+    for recall.
+    """
+    from pyspark.ml.clustering import KMeans
+
+    c = _to_ml_vector(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), vec_col, "__v"
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell"
+    ).fit(c)
+    assigned = model.transform(c).select(
+        "neighbor_id", F.col(vec_col).alias("__cvec"), "__cell"
+    )
+
+    centroids = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    # squared L2 distance query->centroid, rank, keep n_probe cells
+    d2 = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("__qvec"), lambda x: x.cast("double")),
+            F.col("centroid"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("__d2"), F.col("cell"))
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("query_id", "__qvec", "cell", d2.alias("__d2"))
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "__qvec", F.col("cell").alias("__cell"))
+    )
+    scored = probed.join(assigned, "__cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.95,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH on L2-NORMALIZED
+    vectors: for unit vectors, ||a-b||^2 = 2 - 2*cos(a,b), so a cosine
+    threshold t maps exactly to a Euclidean radius sqrt(2-2t). Candidate
+    pairs come from hash buckets, never the cross product; the reported
+    cosine is exact. Returns (id_a, id_b, cosine) with id_a < id_b."""
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v * v,
+        )
+    )
+    unit = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__orig"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("__unit"),
+    ).filter(norm > 0)
+    v = _to_ml_vector(unit, "__unit", "__v")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__v",
+        outputCol="__h",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(v)
+    radius = math.sqrt(max(2.0 - 2.0 * cosine_threshold, 1e-12))
+    joined = model.approxSimilarityJoin(v, v, radius, distCol="__d")
+    pairs = joined.filter(
+        F.col("datasetA.__id") < F.col("datasetB.__id")
+    ).select(
+        F.col("datasetA.__id").alias("id_a"),
+        F.col("datasetB.__id").alias("id_b"),
+        F.round(
+            cosine_similarity(F.col("datasetA.__orig"), F.col("datasetB.__orig")), 6
+        ).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= cosine_threshold)
+
+
 def lsh_similarity_join(
     corpus: DataFrame,
     queries: DataFrame,

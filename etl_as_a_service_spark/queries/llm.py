@@ -23,7 +23,12 @@ from etl_as_a_service_spark.llm.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from etl_as_a_service_spark.llm.similarity import brute_force_topk, lsh_similarity_join
+from etl_as_a_service_spark.llm.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    ivf_topk,
+    lsh_similarity_join,
+)
 from etl_as_a_service_spark.queries import query
 
 
@@ -305,3 +310,29 @@ def q49_lsh_ann_join(spark, sf_dir):
         bucket_length=4.0,
         num_hash_tables=4,
     ).orderBy("query_id", "neighbor_id")
+
+
+@query("q54_ivf_ann_topk", oracle=None, tags=("similarity", "ivf", "llm"))
+def q54_ivf_ann_topk(spark, sf_dir):
+    """IVF (KMeans-cell) approximate top-k — the partition-pruned ANN
+    path; recall vs q45's exact top-k is asserted in tests."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        k=3,
+        n_cells=8,
+        n_probe=3,
+    ).orderBy("query_id", "rn")
+
+
+@query("q55_embedding_near_dups", oracle=None, tags=("dedup", "embedding", "llm"))
+def q55_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (LSH on unit vectors).
+    Threshold 0.45 sits in the top tail of this corpus's cosine
+    distribution (max pairwise ~0.55) so the check is non-vacuous; real
+    dedup runs use ~0.95."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        emb, cosine_threshold=0.45, bucket_length=1.0
+    ).orderBy("id_a", "id_b")

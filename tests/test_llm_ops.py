@@ -149,3 +149,39 @@ def test_quality_score_and_token_count_bounds(spark, docs):
         .distinct()
         .count()
     )
+
+
+def test_ivf_recall_against_brute_force(spark, emb):
+    """IVF with n_probe=3/8 cells must recover most exact top-3
+    neighbors; with n_probe = n_cells it must be EXACT (all cells
+    probed)."""
+    from etl_as_a_service_spark.llm.similarity import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, k=3).select("query_id", "neighbor_id")
+    approx = ivf_topk(emb, queries, k=3, n_cells=8, n_probe=3).select(
+        "query_id", "neighbor_id"
+    )
+    hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    assert hit / 60 >= 0.6, f"IVF recall {hit}/60"
+
+    full = ivf_topk(emb, queries, k=3, n_cells=8, n_probe=8).select(
+        "query_id", "neighbor_id"
+    )
+    assert exact.join(full, ["query_id", "neighbor_id"], "left_semi").count() == 60
+
+
+def test_embedding_near_dups_finds_planted_pair(spark, emb):
+    """Plant an exact duplicate vector under a new id: the pair must be
+    found at cosine ~1; and every reported pair must satisfy the
+    threshold (no false positives below it)."""
+    from etl_as_a_service_spark.llm.similarity import embedding_near_duplicates
+
+    dup = emb.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    withdup = emb.unionByName(dup)
+    pairs = embedding_near_duplicates(withdup, cosine_threshold=0.95)
+    rows = pairs.collect()
+    assert any(r["id_a"] == 7 and r["id_b"] == 100007 for r in rows), rows
+    assert all(r["cosine"] >= 0.95 for r in rows)
