@@ -11,10 +11,12 @@ from etl_as_a_service_spark.operators.relational import (
     dedup_keep_first,
     pivot_counts,
 )
+from etl_as_a_service_spark.operators.skew import salted_join
 
 __all__ = [
     "asof_join",
     "top_k_per_group",
     "dedup_keep_first",
     "pivot_counts",
+    "salted_join",
 ]

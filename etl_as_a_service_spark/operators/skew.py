@@ -1,0 +1,42 @@
+"""Skew-mitigation join: explicit key salting.
+
+AQE's skew-join splitting (on by default, session.py) handles most skew
+at runtime; explicit salting is the deterministic fallback for joins
+where one side has pathological hot keys AND the other side is small
+enough to replicate ``salt_buckets`` times — e.g. joining a 100 TB event
+log (1% of users = 50% of rows) against a user dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Equi-join where ``skewed`` has hot keys: each skewed row gets a
+    random salt in [0, salt_buckets); ``other`` is replicated once per
+    salt value. The shuffle then spreads each hot key over
+    ``salt_buckets`` reducers instead of one.
+
+    Result is exactly the plain join (salt columns are internal).
+    Replication multiplies the other side's shuffle volume by
+    ``salt_buckets`` — only use when `other` is small-ish or the skew is
+    the bottleneck.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_l = skewed.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salted_r = other.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    out = salted_l.join(salted_r, keys + ["__salt"], how)
+    return out.drop("__salt")

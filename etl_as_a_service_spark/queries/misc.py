@@ -130,3 +130,44 @@ def q53_ilike_rlike(spark, sf_dir):
         F.col("p_name").contains("or").alias("has_or"),
         F.col("p_brand").endswith("3").alias("b_end3"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "q56_array_ops",
+    oracle="""
+    SELECT n_nationkey,
+           list_sort(list_distinct(list_concat([n_nationkey, n_regionkey, 7],
+                                               [n_regionkey, 99])))          AS u,
+           CAST(coalesce(list_position([n_nationkey, n_regionkey, 7],
+                                       n_regionkey), 0) AS BIGINT)           AS pos_r,
+           array_to_string([n_nationkey, n_regionkey, 7], ',')               AS joined,
+           CAST(len(flatten([[n_nationkey], [n_regionkey, 7]])) AS INTEGER)  AS flat_len,
+           range(1, 6)                                                       AS seq5,
+           [n_nationkey, n_regionkey] = [n_nationkey, n_regionkey]           AS eq_arr
+    FROM nation ORDER BY n_nationkey
+    """,
+    tags=("array",),
+)
+def q56_array_ops(spark, sf_dir):
+    """array_union/position/join/flatten/sequence — the remaining array
+    builtins with portable DuckDB twins."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    a = F.array(F.col("n_nationkey"), F.col("n_regionkey"), F.lit(7))
+    b = F.array(F.col("n_regionkey"), F.lit(99))
+    return nation.select(
+        "n_nationkey",
+        F.sort_array(F.array_union(a, b)).alias("u"),
+        F.array_position(a, F.col("n_regionkey")).alias("pos_r"),
+        F.array_join(F.transform(a, lambda x: x.cast("string")), ",").alias("joined"),
+        F.size(
+            F.flatten(
+                F.array(
+                    F.array(F.col("n_nationkey")),
+                    F.array(F.col("n_regionkey"), F.lit(7)),
+                )
+            )
+        ).alias("flat_len"),
+        F.sequence(F.lit(1), F.lit(5)).alias("seq5"),
+        (F.array(F.col("n_nationkey"), F.col("n_regionkey"))
+         == F.array(F.col("n_nationkey"), F.col("n_regionkey"))).alias("eq_arr"),
+    ).orderBy("n_nationkey")
