@@ -171,3 +171,52 @@ def q56_array_ops(spark, sf_dir):
         (F.array(F.col("n_nationkey"), F.col("n_regionkey"))
          == F.array(F.col("n_nationkey"), F.col("n_regionkey"))).alias("eq_arr"),
     ).orderBy("n_nationkey")
+
+
+@query(
+    "q57_csv_scan_parity",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty,
+           CAST(min(l_shipdate) AS DATE) AS first_ship
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("scan", "csv"),
+)
+def q57_csv_scan_parity(spark, sf_dir):
+    """CSV scan with explicit schema (the reference UI's canonical
+    upload type, dashboard.html:11): lineitem is round-tripped through
+    CSV and the aggregate must match the parquet-based oracle exactly —
+    proving header/timestamp/schema handling lose nothing."""
+    import hashlib
+    import os
+    import tempfile
+
+    from etl_as_a_service_spark.sources.readers import read_csv, write_table
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    sub = li.filter(F.col("l_quantity") >= 30).select(
+        "l_returnflag", "l_quantity", "l_shipdate"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"etl_spark_csv_{tag}")
+    # NOTE: Spark 4's CSV writer emits its ISO default pattern regardless
+    # of timestampFormat (observed: option honored on read, ignored on
+    # write) — rely on the symmetric defaults instead of forcing one.
+    write_table(sub, path, fmt="csv", header=True)
+    back = read_csv(
+        spark,
+        path,
+        schema="l_returnflag string, l_quantity double, l_shipdate timestamp",
+    )
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.to_date(F.min("l_shipdate")).alias("first_ship"),
+        )
+        .orderBy("l_returnflag")
+    )

