@@ -43,8 +43,9 @@ def q50_posexplode_tokens(spark, sf_dir):
            o_orderdate + INTERVAL 1 MONTH                    AS plus_month,
            o_orderdate + INTERVAL 90 DAY                     AS plus_90d,
            o_orderdate - INTERVAL 36 HOUR                    AS minus_36h,
-           make_date(CAST(year(o_orderdate) AS INTEGER),
-                     CAST(month(o_orderdate) AS INTEGER), 1) AS month_floor,
+           strftime(make_date(CAST(year(o_orderdate) AS INTEGER),
+                              CAST(month(o_orderdate) AS INTEGER), 1),
+                    '%Y-%m-%d')                              AS month_floor,
            make_timestamp(2024, 2, 29, 1, 2, 3.0)            AS fixed_ts
     FROM orders
     WHERE o_orderkey <= 400
@@ -61,9 +62,10 @@ def q51_interval_arithmetic(spark, sf_dir):
             F.expr("o_orderdate + INTERVAL 1 MONTH").alias("plus_month"),
             F.expr("o_orderdate + INTERVAL 90 DAYS").alias("plus_90d"),
             F.expr("o_orderdate - INTERVAL 36 HOURS").alias("minus_36h"),
-            F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1)).alias(
-                "month_floor"
-            ),
+            F.date_format(
+                F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1)),
+                "yyyy-MM-dd",
+            ).alias("month_floor"),
             F.make_timestamp(
                 F.lit(2024), F.lit(2), F.lit(29), F.lit(1), F.lit(2), F.lit(3.0)
             ).alias("fixed_ts"),
@@ -136,13 +138,14 @@ def q53_ilike_rlike(spark, sf_dir):
     "q56_array_ops",
     oracle="""
     SELECT n_nationkey,
-           list_sort(list_distinct(list_concat([n_nationkey, n_regionkey, 7],
-                                               [n_regionkey, 99])))          AS u,
+           array_to_string(list_sort(list_distinct(
+               list_concat([n_nationkey, n_regionkey, 7],
+                           [n_regionkey, 99]))), ',')                        AS u,
            CAST(coalesce(list_position([n_nationkey, n_regionkey, 7],
                                        n_regionkey), 0) AS BIGINT)           AS pos_r,
            array_to_string([n_nationkey, n_regionkey, 7], ',')               AS joined,
            CAST(len(flatten([[n_nationkey], [n_regionkey, 7]])) AS INTEGER)  AS flat_len,
-           range(1, 6)                                                       AS seq5,
+           array_to_string(range(1, 6), ',')                                 AS seq5,
            [n_nationkey, n_regionkey] = [n_nationkey, n_regionkey]           AS eq_arr
     FROM nation ORDER BY n_nationkey
     """,
@@ -156,7 +159,10 @@ def q56_array_ops(spark, sf_dir):
     b = F.array(F.col("n_regionkey"), F.lit(99))
     return nation.select(
         "n_nationkey",
-        F.sort_array(F.array_union(a, b)).alias("u"),
+        F.array_join(
+            F.transform(F.sort_array(F.array_union(a, b)), lambda x: x.cast("string")),
+            ",",
+        ).alias("u"),
         F.array_position(a, F.col("n_regionkey")).alias("pos_r"),
         F.array_join(F.transform(a, lambda x: x.cast("string")), ",").alias("joined"),
         F.size(
@@ -167,7 +173,9 @@ def q56_array_ops(spark, sf_dir):
                 )
             )
         ).alias("flat_len"),
-        F.sequence(F.lit(1), F.lit(5)).alias("seq5"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit(5)), lambda x: x.cast("string")), ","
+        ).alias("seq5"),
         (F.array(F.col("n_nationkey"), F.col("n_regionkey"))
          == F.array(F.col("n_nationkey"), F.col("n_regionkey"))).alias("eq_arr"),
     ).orderBy("n_nationkey")
@@ -177,7 +185,7 @@ def q56_array_ops(spark, sf_dir):
     "q57_csv_scan_parity",
     oracle="""
     SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty,
-           CAST(min(l_shipdate) AS DATE) AS first_ship
+           strftime(CAST(min(l_shipdate) AS DATE), '%Y-%m-%d') AS first_ship
     FROM lineitem
     WHERE l_quantity >= 30
     GROUP BY l_returnflag
@@ -216,7 +224,7 @@ def q57_csv_scan_parity(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("l_quantity"), 2).alias("qty"),
-            F.to_date(F.min("l_shipdate")).alias("first_ship"),
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
         )
         .orderBy("l_returnflag")
     )

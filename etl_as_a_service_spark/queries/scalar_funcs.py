@@ -81,17 +81,17 @@ def q20_string_functions(spark, sf_dir):
     "q21_date_functions",
     oracle="""
     SELECT o_orderkey,
-           CAST(o_orderdate AS DATE)                            AS od,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')      AS od,
            CAST(year(o_orderdate) AS INTEGER)                   AS y,
            CAST(month(o_orderdate) AS INTEGER)                  AS m,
            CAST(day(o_orderdate) AS INTEGER)                    AS d,
            CAST(quarter(o_orderdate) AS INTEGER)                AS q,
            CAST(isodow(o_orderdate) - 1 AS INTEGER)             AS wd,
            date_trunc('month', o_orderdate)                     AS month_start,
-           CAST(o_orderdate AS DATE) + 30                       AS plus30,
+           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
            CAST(date_diff('day', DATE '1995-01-01',
                           CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
-           last_day(CAST(o_orderdate AS DATE))                  AS month_end,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
            strftime(o_orderdate, '%Y-%m')                       AS ym,
            CAST(epoch(o_orderdate) AS BIGINT)                   AS epoch_s
     FROM orders
@@ -107,16 +107,16 @@ def q21_date_functions(spark, sf_dir):
         orders.filter(F.col("o_orderkey") <= 500)
         .select(
             "o_orderkey",
-            od.alias("od"),
+            F.date_format(od, "yyyy-MM-dd").alias("od"),
             F.year("o_orderdate").alias("y"),
             F.month("o_orderdate").alias("m"),
             F.dayofmonth("o_orderdate").alias("d"),
             F.quarter("o_orderdate").alias("q"),
             F.weekday("o_orderdate").alias("wd"),
             F.date_trunc("month", "o_orderdate").alias("month_start"),
-            F.date_add(od, 30).alias("plus30"),
+            F.date_format(F.date_add(od, 30), "yyyy-MM-dd").alias("plus30"),
             F.datediff(od, F.lit("1995-01-01").cast("date")).alias("days_since"),
-            F.last_day(od).alias("month_end"),
+            F.date_format(F.last_day(od), "yyyy-MM-dd").alias("month_end"),
             F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
             F.unix_timestamp("o_orderdate").alias("epoch_s"),
         )

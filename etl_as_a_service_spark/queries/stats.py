@@ -104,7 +104,7 @@ def q18_percentiles(spark, sf_dir):
     "q19_collect_and_argminmax",
     oracle="""
     SELECT o_custkey,
-           list_sort(list(o_orderkey))          AS order_keys,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
            max_by(o_orderkey, o_totalprice)     AS priciest_order,
            min_by(o_orderkey, o_totalprice)     AS cheapest_order,
            count(*)                             AS n
@@ -124,7 +124,13 @@ def q19_collect_and_argminmax(spark, sf_dir):
         orders.filter(F.col("o_custkey") < 25)
         .groupBy("o_custkey")
         .agg(
-            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("order_keys"),
             F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
             F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
             F.count(F.lit(1)).alias("n"),
