@@ -74,6 +74,11 @@ _ALLOWED_OPS = {
     "union",
     "sql",
     "repartition",
+    "window",
+    "explode",
+    "pivot",
+    "asof_join",
+    "exact_dedup",
 }
 
 
@@ -118,46 +123,53 @@ def _order_cols(columns: list[str]):
     return out
 
 
+def _req(step: dict[str, Any], field: str):
+    """Required spec field with a spec-level error (not a raw KeyError)."""
+    if field not in step:
+        raise PipelineError(f"op {step.get('op')!r} requires field {field!r}")
+    return step[field]
+
+
 def _apply_step(spark: SparkSession, df: DataFrame, step: dict[str, Any]) -> DataFrame:
     op = step.get("op")
     if op not in _ALLOWED_OPS:
         raise PipelineError(f"unknown op: {op!r} (allowed: {sorted(_ALLOWED_OPS)})")
     if op == "filter":
-        return df.filter(F.expr(step["predicate"]))
+        return df.filter(F.expr(_req(step, "predicate")))
     if op == "select":
-        return df.selectExpr(*step["columns"])
+        return df.selectExpr(*_req(step, "columns"))
     if op == "with_column":
-        return df.withColumn(step["name"], F.expr(step["expr"]))
+        return df.withColumn(_req(step, "name"), F.expr(_req(step, "expr")))
     if op == "rename":
-        return df.withColumnsRenamed(step["mapping"])
+        return df.withColumnsRenamed(_req(step, "mapping"))
     if op == "drop":
-        return df.drop(*step["columns"])
+        return df.drop(*_req(step, "columns"))
     if op == "join":
-        right = compile_pipeline(spark, step["right"], _as_subplan=True)
+        right = compile_pipeline(spark, _req(step, "right"), _as_subplan=True)
         if step.get("broadcast"):
             right = F.broadcast(right)
         on = step.get("on")
         cond = F.expr(step["condition"]) if "condition" in step else on
         return df.join(right, cond, step.get("how", "inner"))
     if op == "group_by":
-        aggs = [F.expr(e).alias(name) for name, e in step["aggs"].items()]
+        aggs = [F.expr(e).alias(name) for name, e in _req(step, "aggs").items()]
         return df.groupBy(*step.get("keys", [])).agg(*aggs)
     if op == "order_by":
-        return df.orderBy(*_order_cols(step["columns"]))
+        return df.orderBy(*_order_cols(_req(step, "columns")))
     if op == "dedup":
-        return df.dropDuplicates(step["keys"])
+        return df.dropDuplicates(_req(step, "keys"))
     if op == "distinct":
         return df.distinct()
     if op == "limit":
-        return df.limit(int(step["n"]))
+        return df.limit(int(_req(step, "n")))
     if op == "offset":
-        return df.offset(int(step["n"]))
+        return df.offset(int(_req(step, "n")))
     if op == "union":
-        right = compile_pipeline(spark, step["right"], _as_subplan=True)
+        right = compile_pipeline(spark, _req(step, "right"), _as_subplan=True)
         return df.unionByName(right, allowMissingColumns=step.get("allow_missing", False))
     if op == "sql":
         df.createOrReplaceTempView("__self__")
-        return spark.sql(step["query"])
+        return spark.sql(_req(step, "query"))
     if op == "repartition":
         cols = step.get("columns")
         n = step.get("n")
@@ -166,6 +178,56 @@ def _apply_step(spark: SparkSession, df: DataFrame, step: dict[str, Any]) -> Dat
         if cols:
             return df.repartition(*cols)
         return df.repartition(int(n))
+    if op == "window":
+        # {"op":"window","partition_by":[...],"order_by":[...],
+        #  "columns":{"rn":"row_number()","prev":"lag(x)"}}
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*step.get("partition_by", [])).orderBy(
+            *_order_cols(_req(step, "order_by"))
+        )
+        out = df
+        for name, expr in _req(step, "columns").items():
+            out = out.withColumn(name, F.expr(expr).over(w))
+        return out
+    if op == "explode":
+        # {"op":"explode","column":"xs","as":"x","outer":false}
+        fn = F.explode_outer if step.get("outer") else F.explode
+        return df.withColumn(step.get("as", step["column"]), fn(_req(step, "column")))
+    if op == "pivot":
+        # {"op":"pivot","group_by":"k","pivot":"c","values":[...],
+        #  "agg":"count(*)"} — explicit value list required (scale rule)
+        if not step.get("values"):
+            raise PipelineError("pivot requires an explicit 'values' list")
+        return (
+            df.groupBy(_req(step, "group_by"))
+            .pivot(_req(step, "pivot"), step["values"])
+            .agg(F.expr(step.get("agg", "count(*)")))
+        )
+    if op == "asof_join":
+        from etl_as_a_service_spark.operators.relational import asof_join
+
+        right = compile_pipeline(spark, _req(step, "right"), _as_subplan=True)
+        return asof_join(
+            df,
+            right,
+            on=_req(step, "on"),
+            left_ts=_req(step, "left_ts"),
+            right_ts=step.get("right_ts", step["left_ts"]),
+            value_cols=_req(step, "value_cols"),
+            direction=step.get("direction", "backward"),
+            allow_exact_match=step.get("allow_exact_match", True),
+            tie_break=step.get("tie_break"),
+        )
+    if op == "exact_dedup":
+        from etl_as_a_service_spark.llm.dedup import exact_dedup
+
+        return exact_dedup(
+            df,
+            text_col=_req(step, "text_col"),
+            id_col=_req(step, "id_col"),
+            normalize=step.get("normalize", True),
+        )
     raise AssertionError(op)
 
 

@@ -336,3 +336,96 @@ def q55_embedding_near_dups(spark, sf_dir):
     return embedding_near_duplicates(
         emb, cosine_threshold=0.45, bucket_length=1.0
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "q58_text_cleaning",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g'))        AS clean,
+           regexp_replace(
+             regexp_replace(
+               text || ' contact: user' || doc_id ||
+               '@example.com see http://x.io/p/' || doc_id,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^ ]+', '<URL>', 'g')                         AS redacted
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+    tags=("text", "cleaning", "llm"),
+)
+def q58_text_cleaning(spark, sf_dir):
+    """Text normalization + PII-pattern redaction (emails/URLs planted
+    per-row so the check is non-vacuous). Spark regexp_replace is global
+    by default; DuckDB needs the 'g' flag — the portable subset."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com see http://x.io/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        docs.filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("clean"),
+            F.regexp_replace(
+                F.regexp_replace(
+                    dirty,
+                    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                    "<EMAIL>",
+                ),
+                r"https?://[^ ]+",
+                "<URL>",
+            ).alias("redacted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q59_curation_pipeline",
+    oracle="""
+    WITH survivors AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    ),
+    curated AS (
+      SELECT d.doc_id, d.source, len(string_split(d.text, ' ')) AS n_tokens
+      FROM documents d
+      JOIN survivors s ON d.doc_id = s.doc_id
+      WHERE d.lang IN ('en', 'de')
+        AND len(string_split(d.text, ' ')) >= 30
+    )
+    SELECT source,
+           count(*)                 AS n_docs,
+           round(avg(n_tokens), 6)  AS avg_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM curated
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("pipeline", "curation", "llm"),
+)
+def q59_curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation: exact dedup -> language filter
+    -> length/quality filter -> per-source stats. Composes the engine
+    operators the way a real 100 TB curation job would."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    curated = (
+        exact_dedup(docs, "text", "doc_id", normalize=False)
+        .filter(F.col("lang").isin("en", "de"))
+        .withColumn("n_tokens", token_count(F.col("text")))
+        .filter(F.col("n_tokens") >= 30)
+    )
+    return (
+        curated.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )

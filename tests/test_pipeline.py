@@ -128,3 +128,88 @@ def test_tenant_isolation(spark):
     assert [r.name for r in runner.list_runs(user="bob")] == ["bob_job"]
     assert len(runner.list_runs()) == 2
     assert {r["user"] for r in runner.runs_df().collect()} == {"alice", "bob"}
+
+
+def test_window_explode_pivot_steps(spark):
+    spec = {
+        "name": "windowed",
+        "source": {"format": "parquet", "path": f"{SF_SMOKE}/orders.parquet"},
+        "steps": [
+            {
+                "op": "window",
+                "partition_by": ["o_custkey"],
+                "order_by": ["o_totalprice desc", "o_orderkey"],
+                "columns": {"rn": "row_number()", "top_price": "first(o_totalprice)"},
+            },
+            {"op": "filter", "predicate": "rn <= 2"},
+        ],
+    }
+    df = compile_pipeline(spark, spec)
+    assert df.groupBy("o_custkey").count().filter("count > 2").count() == 0
+
+    pivot_spec = {
+        "name": "pivoted",
+        "source": {"format": "parquet", "path": f"{SF_SMOKE}/orders.parquet"},
+        "steps": [
+            {
+                "op": "pivot",
+                "group_by": "o_custkey",
+                "pivot": "o_orderstatus",
+                "values": ["F", "O", "P"],
+                "agg": "count(*)",
+            }
+        ],
+    }
+    pdf = compile_pipeline(spark, pivot_spec)
+    assert set(pdf.columns) == {"o_custkey", "F", "O", "P"}
+
+    with pytest.raises(PipelineError, match="explicit 'values'"):
+        compile_pipeline(
+            spark,
+            {
+                "name": "bad",
+                "source": {"format": "parquet", "path": f"{SF_SMOKE}/orders.parquet"},
+                "steps": [
+                    {"op": "pivot", "group_by": "o_custkey", "pivot": "o_orderstatus",
+                     "agg": "count(*)"}
+                ],
+            },
+        )
+
+
+def test_asof_and_dedup_steps(spark):
+    spec = {
+        "name": "asof_pipeline",
+        "source": {"format": "parquet", "path": f"{SF_SMOKE}/events.parquet"},
+        "steps": [
+            {"op": "with_column", "name": "ts",
+             "expr": "timestamp_micros(ts div 1000)"},
+            {"op": "filter", "predicate": "event_type = 'error'"},
+            {"op": "select", "columns": ["user_id", "ts", "event_id"]},
+            {
+                "op": "asof_join",
+                "right": {
+                    "source": {"format": "parquet", "path": f"{SF_SMOKE}/events.parquet"},
+                    "steps": [
+                        {"op": "with_column", "name": "ts",
+                         "expr": "timestamp_micros(ts div 1000)"},
+                        {"op": "filter", "predicate": "event_type = 'purchase'"},
+                        {"op": "select", "columns": ["user_id", "ts", "value"]},
+                    ],
+                },
+                "on": "user_id",
+                "left_ts": "ts",
+                "value_cols": ["value"],
+            },
+        ],
+    }
+    df = compile_pipeline(spark, spec)
+    assert "value_asof" in df.columns and df.count() > 0
+
+    dedup_spec = {
+        "name": "dedup_docs",
+        "source": {"format": "parquet", "path": f"{SF_SMOKE}/documents.parquet"},
+        "steps": [{"op": "exact_dedup", "text_col": "text", "id_col": "doc_id"}],
+    }
+    dd = compile_pipeline(spark, dedup_spec)
+    assert dd.count() == dd.select("text").distinct().count()

@@ -91,3 +91,39 @@ def test_whole_stage_codegen_active(spark):
 def test_aqe_enabled_in_engine_session(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew handling: with thresholds lowered, a join where one key
+    holds ~all rows gets its hot partition split (skew=true in the final
+    SMJ). This is the runtime answer to data skew at 100 TB."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8KB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # hot key only on the PROBE side (unique keys on the build side),
+        # so the output stays ~|left| while the key-0 partition is huge
+        left = spark.range(1_000_000).select(
+            F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1_000).select(
+            F.col("id").alias("k"), F.col("id").alias("w")
+        )
+        j = left.join(right, "k")
+        # execute THIS queryExecution (collect()/count() build new ones,
+        # leaving this plan isFinalPlan=false)
+        assert j._jdf.queryExecution().toRdd().count() == 500_500
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not mark the skewed join"
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
