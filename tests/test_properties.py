@@ -1,0 +1,92 @@
+"""Property-based invariants (SURVEY.md §5.5) with hypothesis:
+relational algebra laws that must hold for ANY input — filter
+contraction, union cardinality, semi-join bounds, dedup idempotence,
+as-of join totality. Examples are capped: each example runs real Spark
+jobs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.llm.dedup import exact_dedup
+from etl_as_a_service_spark.operators.relational import asof_join, dedup_keep_first
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),      # key
+        st.integers(min_value=-100, max_value=100), # value
+        st.integers(min_value=0, max_value=50),     # ts
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+CFG = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v int, ts int") if rows else (
+        spark.createDataFrame([], "k int, v int, ts int")
+    )
+
+
+@given(rows=ROWS)
+@CFG
+def test_filter_contracts_and_partitions(spark, rows):
+    df = _df(spark, rows)
+    pos = df.filter(F.col("v") > 0)
+    neg = df.filter(~(F.col("v") > 0))
+    assert pos.count() <= df.count()
+    assert pos.count() + neg.count() == df.count()  # predicate partition
+
+
+@given(rows=ROWS, rows2=ROWS)
+@CFG
+def test_union_and_semi_join_cardinality(spark, rows, rows2):
+    a, b = _df(spark, rows), _df(spark, rows2)
+    assert a.union(b).count() == a.count() + b.count()
+    semi = a.join(b.select("k").distinct(), "k", "left_semi")
+    anti = a.join(b.select("k").distinct(), "k", "left_anti")
+    assert semi.count() + anti.count() == a.count()
+
+
+@given(rows=ROWS)
+@CFG
+def test_dedup_idempotent_and_minimal(spark, rows):
+    df = _df(spark, rows)
+    d1 = dedup_keep_first(df, ["k"], [F.col("v").asc(), F.col("ts").asc()])
+    assert d1.count() == df.select("k").distinct().count()
+    d2 = dedup_keep_first(d1, ["k"], [F.col("v").asc(), F.col("ts").asc()])
+    assert sorted(map(tuple, d1.collect())) == sorted(map(tuple, d2.collect()))
+
+
+@given(rows=ROWS, rows2=ROWS)
+@CFG
+def test_asof_join_total_and_bounded(spark, rows, rows2):
+    """Every left row survives exactly once; matched values come only
+    from right rows at or before the left ts (backward direction)."""
+    left = _df(spark, rows).withColumn("lid", F.monotonically_increasing_id())
+    right = _df(spark, rows2)
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_cols=["v"], tie_break="v",
+    )
+    assert out.count() == left.count()
+    # matched value must exist in right with right.ts <= left.ts, same k
+    bad = (
+        out.filter(F.col("v_asof").isNotNull())
+        .alias("o")
+        .join(
+            right.alias("r"),
+            (F.col("o.k") == F.col("r.k"))
+            & (F.col("o.v_asof") == F.col("r.v"))
+            & (F.col("r.ts") <= F.col("o.ts")),
+            "left_anti",
+        )
+    )
+    assert bad.count() == 0

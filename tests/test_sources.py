@@ -130,3 +130,35 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """Real JDBC source/sink (reference metadata-DB analog,
+    app/config.py:16) against the embedded Derby engine that ships on
+    Spark's classpath — including a partitioned parallel read, the shape
+    that matters at scale (an unpartitioned JDBC read is a single task)."""
+    from etl_as_a_service_spark.sources.readers import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/jdbcdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    orders = load_tables(spark, SF_SMOKE, ("orders",))["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    (orders.write.format("jdbc").option("url", url).option("dbtable", "orders_t")
+        .option("driver", driver).mode("overwrite").save())
+
+    plain = read_jdbc(spark, url, "orders_t", driver=driver)
+    assert plain.count() == orders.count()
+    assert plain.rdd.getNumPartitions() == 1  # the single-task trap
+
+    lo, hi = 1, orders.count()
+    parts = read_jdbc(
+        spark, url, "orders_t",
+        partition_column="o_orderkey", lower_bound=lo, upper_bound=hi,
+        num_partitions=4, driver=driver,
+    )
+    assert parts.rdd.getNumPartitions() == 4
+    assert parts.count() == orders.count()
+    got = parts.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).first()["s"]
+    want = orders.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).first()["s"]
+    assert got == want
