@@ -105,6 +105,7 @@ def minhash_near_duplicates(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     max_iter: int = 10,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate grouping.
 
@@ -155,6 +156,18 @@ def minhash_near_duplicates(
             )
         ).alias("__band"),
     ).select("__id", "__sig", "__band.band", "__band.bhash")
+
+    if max_bucket_size is not None:
+        # hot-bucket cap (SURVEY §7 "LSH dedup at scale"): a degenerate
+        # band value shared by k docs yields k^2 candidate pairs; buckets
+        # past the cap are dropped (bounded work, tiny recall cost —
+        # docs that similar share many OTHER buckets too)
+        w_b = Window.partitionBy("band", "bhash")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(w_b))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
 
     left = banded.alias("l")
     right = banded.alias("r")

@@ -96,6 +96,20 @@ def _compile_source(spark: SparkSession, source: dict[str, Any]) -> DataFrame:
     if "table" in source:
         return spark.table(source["table"])
     fmt = source.get("format", "parquet")
+    if source.get("streaming"):
+        # continuous ingest: the streaming face of the reference's
+        # upload loop (SURVEY §3 EP1). Schema is mandatory — streaming
+        # file sources cannot infer.
+        if "schema" not in source and fmt not in ("rate", "kafka"):
+            raise PipelineError("streaming source requires 'schema'")
+        sreader = spark.readStream.format(fmt)
+        if "schema" in source:
+            sreader = sreader.schema(source["schema"])
+        for k, v in source.get("options", {}).items():
+            sreader = sreader.option(k, str(v))
+        if fmt == "rate":
+            return sreader.load()
+        return sreader.load(source.get("path"))
     reader = spark.read.format(fmt)
     if "schema" in source:
         reader = reader.schema(source["schema"])
@@ -255,12 +269,13 @@ class PipelineRun:
     run_id: str
     name: str
     user: str
-    status: str  # submitted | running | success | failed
+    status: str  # submitted | running | success | failed | stopped
     submitted_at: float
     finished_at: float | None = None
     error: str | None = None
     output_path: str | None = None
     n_output_rows: int | None = None
+    stream_query: Any = None  # live StreamingQuery handle (continuous runs)
 
 
 class PipelineRunner:
@@ -306,6 +321,9 @@ class PipelineRunner:
         try:
             df = compile_pipeline(self.spark, spec)
             sink = spec.get("sink")
+            if df.isStreaming:
+                self._execute_streaming(run, df, sink or {})
+                return
             if sink:
                 writer = df.write.format(sink.get("format", "parquet")).mode(
                     sink.get("mode", "error")
@@ -325,14 +343,73 @@ class PipelineRunner:
             run.status = "failed"
             run.error = traceback.format_exc(limit=5)
         finally:
+            # continuous streaming runs are still live here — their
+            # finished_at is stamped by get_status/stop_run instead
+            if run.status not in ("running",):
+                run.finished_at = time.time()
+
+    def _execute_streaming(
+        self, run: PipelineRun, df: DataFrame, sink: dict[str, Any]
+    ) -> None:
+        """Streaming runs: writeStream with mandatory checkpoint; run
+        state comes from the live StreamingQuery (the exact analog of
+        the reference's Airflow dagRun poll, airflow_client.py:19-31 —
+        SURVEY §3 EP2 'Spark-native')."""
+        if "path" not in sink:
+            raise PipelineError("streaming pipeline requires a sink with 'path'")
+        writer = (
+            df.writeStream.format(sink.get("format", "parquet"))
+            .outputMode(sink.get("output_mode", "append"))
+            .option(
+                "checkpointLocation",
+                sink.get("checkpoint", sink["path"] + "/_checkpoint"),
+            )
+        )
+        for k, v in sink.get("options", {}).items():
+            writer = writer.option(k, str(v))
+        if sink.get("trigger") == "available_now":
+            writer = writer.trigger(availableNow=True)
+        elif sink.get("trigger"):
+            writer = writer.trigger(processingTime=sink["trigger"])
+        query = writer.start(sink["path"])
+        run.output_path = sink["path"]
+        run.stream_query = query
+        if sink.get("trigger") == "available_now":
+            query.awaitTermination(int(sink.get("timeout_sec", 300)))
+            run.status = "success" if query.exception() is None else "failed"
+            if query.exception() is not None:
+                run.error = str(query.exception())
             run.finished_at = time.time()
+        # continuous triggers: status stays 'running'; poll via get_status
 
     # -- poll (EP2) -------------------------------------------------------
     def get_status(self, run_id: str) -> str:
         run = self._runs.get(run_id)
         if run is None:
             return "unknown"
+        q = run.stream_query
+        if q is not None and run.status == "running":
+            if q.isActive:
+                return "running"
+            run.status = "failed" if q.exception() is not None else "success"
+            run.finished_at = run.finished_at or time.time()
         return run.status
+
+    def stream_progress(self, run_id: str) -> dict[str, Any] | None:
+        """Last progress of a streaming run (StreamingQuery.lastProgress)."""
+        run = self._runs.get(run_id)
+        if run is None or run.stream_query is None:
+            return None
+        return run.stream_query.lastProgress
+
+    def stop_run(self, run_id: str) -> bool:
+        run = self._runs.get(run_id)
+        if run is None or run.stream_query is None or not run.stream_query.isActive:
+            return False
+        run.stream_query.stop()
+        run.status = "stopped"
+        run.finished_at = time.time()
+        return True
 
     # -- browse (EP3) -----------------------------------------------------
     def list_runs(

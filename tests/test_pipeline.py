@@ -213,3 +213,69 @@ def test_asof_and_dedup_steps(spark):
     }
     dd = compile_pipeline(spark, dedup_spec)
     assert dd.count() == dd.select("text").distinct().count()
+
+
+def test_streaming_pipeline_available_now(spark, tmp_path):
+    """End-to-end streaming pipeline through the spec language: file
+    stream -> filter -> windowed count -> parquet sink, availableNow."""
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    src = str(tmp_path / "stream_src")
+    events.limit(200).write.parquet(src)
+    out = str(tmp_path / "stream_out")
+    spec = {
+        "name": "stream_counts",
+        "source": {
+            "streaming": True,
+            "format": "parquet",
+            "path": src,
+            "schema": "event_id long, ts long, user_id long, "
+                      "event_type string, value double, props string",
+        },
+        "steps": [
+            {"op": "with_column", "name": "ts",
+             "expr": "timestamp_micros(ts div 1000)"},
+            {"op": "filter", "predicate": "event_type <> 'error'"},
+        ],
+        "sink": {"format": "parquet", "path": out,
+                 "trigger": "available_now"},
+    }
+    runner = PipelineRunner(spark)
+    run = runner.run(spec)
+    assert run.status == "success", run.error
+    back = spark.read.parquet(out)
+    assert back.count() == events.limit(200).filter("event_type <> 'error'").count()
+
+
+def test_streaming_pipeline_continuous_poll_and_stop(spark, tmp_path):
+    """Continuous trigger: run stays 'running', exposes lastProgress,
+    stops on request — the reference's trigger/poll/stop lifecycle
+    (routes.py:137-146) against a live StreamingQuery."""
+    src = str(tmp_path / "cont_src")
+    spark.range(10).selectExpr("id", "current_timestamp() AS ts").write.parquet(src)
+    out = str(tmp_path / "cont_out")
+    spec = {
+        "name": "continuous",
+        "source": {"streaming": True, "format": "parquet", "path": src,
+                   "schema": "id long, ts timestamp"},
+        "steps": [],
+        "sink": {"format": "parquet", "path": out, "trigger": "2 seconds"},
+    }
+    runner = PipelineRunner(spark)
+    run = runner.run(spec)
+    assert runner.get_status(run.run_id) == "running"
+    deadline = time.time() + 60
+    while not (runner.stream_progress(run.run_id) or {}).get("batchId") is not None:
+        assert time.time() < deadline
+        time.sleep(0.5)
+    assert runner.stop_run(run.run_id)
+    assert runner.get_status(run.run_id) == "stopped"
+    assert not runner.stop_run(run.run_id)  # idempotent-ish: already stopped
+
+
+def test_streaming_source_requires_schema(spark):
+    with pytest.raises(PipelineError, match="schema"):
+        compile_pipeline(
+            spark,
+            {"name": "x",
+             "source": {"streaming": True, "format": "parquet", "path": "/tmp/x"}},
+        )
