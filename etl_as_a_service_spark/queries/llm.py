@@ -429,3 +429,34 @@ def q59_curation_pipeline(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query("q61_multimodal_decode", oracle=None, tags=("multimodal", "llm"))
+def q61_multimodal_decode(spark, sf_dir):
+    """Multimodal pipeline plumbing as a driver-visible entry: documents
+    are cast to opaque binary payloads (deterministic stand-ins for
+    image/audio bytes), pushed through the Arrow-batched decode stub
+    (mapInPandas), and aggregated per modality. The codec is fake; the
+    schema, batching, and partition behavior are the real engine path."""
+    from etl_as_a_service_spark.llm.multimodal import BLOB_SCHEMA, decode_blobs
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    blobs = docs.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("blob_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("modality"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit(None).cast("int").alias("meta_width"),
+        F.lit(None).cast("int").alias("meta_height"),
+        (F.length("text") * 10).cast("int").alias("meta_duration_ms"),
+    )
+    decoded = decode_blobs(blobs, dim=8)
+    return (
+        decoded.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
+        )
+        .orderBy("modality")
+    )

@@ -228,3 +228,33 @@ def q57_csv_scan_parity(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q60_string_extras",
+    oracle="""
+    SELECT p_partkey,
+           left(p_name, 4)                                         AS l4,
+           right(p_name, 4)                                        AS r4,
+           CAST(ascii(p_brand) AS INTEGER)                         AS first_code,
+           chr(65 + (p_size % 26))                                 AS size_letter,
+           CAST(strpos(p_name, ' ') AS INTEGER)                    AS sp_pos,
+           array_to_string(regexp_extract_all(p_brand, '([0-9]+)'), ',') AS brand_nums
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("string",),
+)
+def q60_string_extras(spark, sf_dir):
+    (part,) = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.left(F.col("p_name"), F.lit(4)).alias("l4"),
+        F.right(F.col("p_name"), F.lit(4)).alias("r4"),
+        F.ascii("p_brand").alias("first_code"),
+        F.char(F.lit(65) + (F.col("p_size") % 26)).alias("size_letter"),
+        F.instr(F.col("p_name"), " ").alias("sp_pos"),
+        F.array_join(F.regexp_extract_all("p_brand", F.lit("([0-9]+)")), ",").alias(
+            "brand_nums"
+        ),
+    ).orderBy("p_partkey")
