@@ -41,6 +41,9 @@ HEADLINE = [
     "q40_exact_dedup_groups",
     "q42_text_stats_by_lang",
     "q45_cosine_topk",
+    "q62_shipping_priority",
+    "q63_local_supplier_volume",
+    "q65_returned_item_customers",
     "q46_ngram_jaccard_pairs",
 ]
 

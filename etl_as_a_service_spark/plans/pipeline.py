@@ -41,12 +41,11 @@ like the reference's ``File`` records, but typed and validated.
 
 from __future__ import annotations
 
-import itertools
 import threading
 import time
 import traceback
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession

@@ -56,4 +56,5 @@ from etl_as_a_service_spark.queries import scalar_funcs  # noqa: E402,F401
 from etl_as_a_service_spark.queries import windows  # noqa: E402,F401
 from etl_as_a_service_spark.queries import stats  # noqa: E402,F401
 from etl_as_a_service_spark.queries import misc  # noqa: E402,F401
+from etl_as_a_service_spark.queries import tpch_shapes  # noqa: E402,F401
 from etl_as_a_service_spark.queries import llm  # noqa: E402,F401

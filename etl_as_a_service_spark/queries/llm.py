@@ -438,7 +438,7 @@ def q61_multimodal_decode(spark, sf_dir):
     image/audio bytes), pushed through the Arrow-batched decode stub
     (mapInPandas), and aggregated per modality. The codec is fake; the
     schema, batching, and partition behavior are the real engine path."""
-    from etl_as_a_service_spark.llm.multimodal import BLOB_SCHEMA, decode_blobs
+    from etl_as_a_service_spark.llm.multimodal import decode_blobs
 
     (docs,) = _t(spark, sf_dir, "documents")
     blobs = docs.filter(F.col("doc_id") < 100).select(

@@ -1,0 +1,234 @@
+"""Classic TPC-H-shaped analytical queries adapted to the driver's
+synthetic star schema (FIXTURES.md) — multi-join + complex-predicate
+workloads: shipping priority (Q3), local supplier volume (Q5), nation
+volume pairs (Q7), returned-item customer ranking (Q10), OR-of-ANDs
+predicate pushdown (Q19)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.catalog import load_tables
+from etl_as_a_service_spark.queries import query
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+def _rev():
+    # built lazily: Column construction needs an active SparkContext,
+    # and this module imports before any session exists
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "q62_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')   AS orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("tpch", "join", "topk"),
+)
+def q62_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join, anti-correlated date predicates,
+    revenue top-k (TakeOrderedAndProject)."""
+    cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15")))
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15")))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q63_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("tpch", "join"),
+)
+def q63_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join with the 'local supplier' equality
+    (c_nationkey = s_nationkey) crossing the join tree; dims broadcast."""
+    cust, orders, li, sup, nat, reg = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .filter(cust.c_nationkey == sup.s_nationkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "q64_nation_volume_pairs",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("tpch", "join", "self_join"),
+)
+def q64_nation_volume_pairs(spark, sf_dir):
+    """TPC-H Q7 shape: nation self-join (two roles of the same dim) with
+    a symmetric OR pair predicate."""
+    sup, li, orders, cust, nat = _t(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    n1 = nat.alias("n1")
+    n2 = nat.alias("n2")
+    joined = (
+        sup.join(li, sup.s_suppkey == li.l_suppkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(n1), sup.s_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2.n_nationkey"))
+        .filter(
+            ((F.col("n1.n_name") == "NATION_3") & (F.col("n2.n_name") == "NATION_7"))
+            | ((F.col("n1.n_name") == "NATION_7") & (F.col("n2.n_name") == "NATION_3"))
+        )
+    )
+    return (
+        joined.select(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("l_year"),
+            _rev().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q65_returned_item_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch", "join", "topk"),
+)
+def q65_returned_item_customers(spark, sf_dir):
+    """TPC-H Q10 shape: customers ranked by returned-item revenue."""
+    cust, orders, li, nat = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q66_or_of_ands_predicates",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 5 AND l_quantity <= 25)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 15 AND l_quantity <= 35)
+       OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 25 AND l_quantity <= 45)
+    """,
+    tags=("tpch", "predicates"),
+)
+def q66_or_of_ands_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive ranges across both
+    join sides — Catalyst splits the common l_quantity bounds below the
+    join while keeping the per-brand conjuncts above it."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(5, 25))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(15, 35))
+        | ((F.col("p_brand") == "Brand#33") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(25, 45))
+    )
+    return (
+        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(_rev()), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -176,6 +176,18 @@ def test_late_data_dropped_past_watermark(spark, tmp_path):
     ).withColumn("ts", F.to_timestamp("ts_s"))
     on_time.select("id", "ts").write.parquet(d + "/f=1")
     late.select("id", "ts").write.parquet(d + "/f=2")
+    # the file source orders micro-batches by modification time: pin the
+    # late file strictly AFTER the on-time one, or under load both get
+    # the same mtime and the 'late' batch can run first (no watermark
+    # yet -> nothing is dropped -> flaky)
+    import time as _time
+
+    now = _time.time()
+    for sub, offset in (("/f=1", 0), ("/f=2", 60)):
+        for root, _, files in os.walk(d + sub):
+            for f in files:
+                p = os.path.join(root, f)
+                os.utime(p, (now + offset, now + offset))
 
     stream = file_stream(spark, d + "/f=*", "id long, ts timestamp",
                          max_files_per_trigger=1)
