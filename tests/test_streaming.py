@@ -162,39 +162,41 @@ def test_stream_static_join(spark, events_stream_dir, batch_events):
 
 
 def test_late_data_dropped_past_watermark(spark, tmp_path):
-    """Watermark semantics: a file arriving with events older than the
-    watermark (set by a much newer earlier batch) is dropped from the
-    windowed aggregation."""
-    d = str(tmp_path / "late")
-    os.makedirs(d)
-    on_time = spark.createDataFrame(
-        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")],
-        "id long, ts_s string",
-    ).withColumn("ts", F.to_timestamp("ts_s"))
-    late = spark.createDataFrame(
-        [(3, "2024-01-01 08:00:00")], "id long, ts_s string"
-    ).withColumn("ts", F.to_timestamp("ts_s"))
-    on_time.select("id", "ts").write.parquet(d + "/f=1")
-    late.select("id", "ts").write.parquet(d + "/f=2")
-    # the file source orders micro-batches by modification time: pin the
-    # late file strictly AFTER the on-time one, or under load both get
-    # the same mtime and the 'late' batch can run first (no watermark
-    # yet -> nothing is dropped -> flaky)
-    import time as _time
+    """Watermark semantics, deterministically: two checkpointed
+    availableNow runs over the same sink. Run 1 ingests on-time events
+    (10:00, 12:00) and commits watermark 11:30 to the checkpoint; run 2
+    restarts from it and ingests an 08:00 event — behind the recovered
+    watermark, so it is dropped. (A single availableNow pass may batch
+    all files together with the initial epoch watermark — nothing would
+    be late; the checkpoint restart pins the ordering.)"""
+    watch = str(tmp_path / "watch")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(watch)
 
-    now = _time.time()
-    for sub, offset in (("/f=1", 0), ("/f=2", 60)):
-        for root, _, files in os.walk(d + sub):
-            for f in files:
-                p = os.path.join(root, f)
-                os.utime(p, (now + offset, now + offset))
+    def run_batch():
+        stream = file_stream(spark, watch, "id long, ts timestamp")
+        agg = tumbling_window_agg(stream, "ts", "1 hour", watermark="30 minutes")
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start(out)
+        )
+        q.awaitTermination(120)
 
-    stream = file_stream(spark, d + "/f=*", "id long, ts timestamp",
-                         max_files_per_trigger=1)
-    agg = tumbling_window_agg(stream, "ts", "1 hour", watermark="30 minutes")
-    got = run_available_now(agg, "late_test", output_mode="append").toPandas()
-    # the 08:00 event is behind the 12:00-derived watermark -> dropped;
-    # append mode emits only watermark-closed windows (the 10:00 one)
+    mk = lambda rows: spark.createDataFrame(rows, "id long, ts_s string").select(
+        "id", F.to_timestamp("ts_s").alias("ts")
+    )
+    mk([(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")]).coalesce(
+        1
+    ).write.mode("append").parquet(watch)
+    run_batch()
+    mk([(3, "2024-01-01 08:00:00")]).coalesce(1).write.mode("append").parquet(watch)
+    run_batch()
+
+    got = spark.read.parquet(out).toPandas()
     starts = set(got["window_start"].dt.hour)
-    assert 8 not in starts
-    assert 10 in starts
+    assert 8 not in starts, f"late 08:00 row survived the watermark: {starts}"
+    assert 10 in starts, f"finalized 10:00 window missing: {starts}"
