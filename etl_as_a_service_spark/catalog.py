@@ -75,3 +75,26 @@ def list_tables(spark: SparkSession) -> list[str]:
     (``minio_client.py:50-62``), but typed: names come from the Spark
     catalog rather than object keys."""
     return sorted(t.name for t in spark.catalog.listTables())
+
+
+def list_outputs(path: str) -> list[dict]:
+    """List result files under an output path with name/size/mtime —
+    the Spark-native analog of the reference's bucket listing
+    (minio_client.py:55-62 projects exactly these three fields)."""
+    import os
+
+    out = []
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue  # skip _SUCCESS/checkpoint/hidden marker files
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            out.append(
+                {
+                    "name": os.path.relpath(p, path),
+                    "size": st.st_size,
+                    "last_modified": st.st_mtime,
+                }
+            )
+    return sorted(out, key=lambda r: r["name"])

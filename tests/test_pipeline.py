@@ -279,3 +279,16 @@ def test_streaming_source_requires_schema(spark):
             {"name": "x",
              "source": {"streaming": True, "format": "parquet", "path": "/tmp/x"}},
         )
+
+
+def test_list_outputs_projects_name_size_mtime(spark, tmp_path):
+    from etl_as_a_service_spark.catalog import list_outputs
+
+    runner = PipelineRunner(spark)
+    out = str(tmp_path / "listing")
+    runner.run(lineitem_spec(sink={"format": "parquet", "path": out,
+                                   "mode": "overwrite"}))
+    files = list_outputs(out)
+    assert files and all(f["name"].endswith(".parquet") for f in files)
+    assert all(f["size"] > 0 and f["last_modified"] > 0 for f in files)
+    assert not any(f["name"].startswith("_") for f in files)
