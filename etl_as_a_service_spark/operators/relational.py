@@ -44,11 +44,16 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
 
     lcols = [c for c in left.columns]
+    # side ordering controls equal-ts visibility and is direction-
+    # INDEPENDENT: the scan order (ts asc for backward, desc for forward)
+    # already encodes the direction. Inclusive: right rows sort before
+    # left at equal ts (visible); exclusive: after (invisible).
+    right_side, left_side = (0, 1) if allow_exact_match else (1, 0)
     # right side: keys + ts + values, with every left column nulled out
     side_right = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
-        F.lit(0 if direction == "backward" else 1).alias("__side"),
+        F.lit(right_side).alias("__side"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -65,21 +70,12 @@ def asof_join(
     side_left = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("__ts"),
-        F.lit(1 if direction == "backward" else 0).alias("__side"),
+        F.lit(left_side).alias("__side"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
         *[F.col(c) for c in lcols if c not in keys],
         F.lit(True).alias("__is_left"),
         F.lit(0).cast("long").alias("__tie"),
     )
-    if not allow_exact_match:
-        # flip side ordering so same-ts right rows are NOT visible
-        side_right = side_right.withColumn(
-            "__side", F.lit(1 if direction == "backward" else 0)
-        )
-        side_left = side_left.withColumn(
-            "__side", F.lit(0 if direction == "backward" else 1)
-        )
-
     unioned = side_right.unionByName(side_left)
     order = (
         [F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc()]

@@ -57,3 +57,36 @@ def test_foreach_batch_sink(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 20
     assert got.select("batch").distinct().count() >= 2  # one per file trigger
+
+
+def test_asof_join_forward_and_exclusive(spark):
+    from etl_as_a_service_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "q1"), (1, 20, "q2")], "k long, ts long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 10, 200.0), (1, 25, 300.0)], "k long, ts long, v double"
+    )
+
+    def got(direction, exact):
+        out = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["v"], direction=direction,
+            allow_exact_match=exact, tie_break="v",
+        )
+        return {r["tag"]: r["v_asof"] for r in out.collect()}
+
+    # backward inclusive: ts=10 sees the 10 match; ts=20 sees 10
+    assert got("backward", True) == {"q1": 200.0, "q2": 200.0}
+    # backward exclusive: ts=10 must NOT see the equal-ts row
+    assert got("backward", False) == {"q1": 100.0, "q2": 200.0}
+    # forward inclusive: nearest at-or-after
+    assert got("forward", True) == {"q1": 200.0, "q2": 300.0}
+    # forward exclusive: strictly after
+    assert got("forward", False) == {"q1": 300.0, "q2": 300.0}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                  value_cols=["v"], direction="sideways")
