@@ -258,3 +258,38 @@ def q60_string_extras(spark, sf_dir):
             "brand_nums"
         ),
     ).orderBy("p_partkey")
+
+
+@query(
+    "q67_time_parts",
+    oracle="""
+    SELECT event_id,
+           CAST(hour(ts) AS INTEGER)       AS h,
+           CAST(minute(ts) AS INTEGER)     AS mi,
+           CAST(second(ts) AS INTEGER)     AS s,
+           CAST(dayofyear(ts) AS INTEGER)  AS doy,
+           CAST(weekofyear(ts) AS INTEGER) AS woy,
+           date_trunc('hour', ts)          AS hour_start
+    FROM events
+    WHERE event_id < 300
+    ORDER BY event_id
+    """,
+    tags=("date", "time"),
+)
+def q67_time_parts(spark, sf_dir):
+    """Sub-day time-part extraction over microsecond-precision event
+    timestamps (hour/minute/second/dayofyear/ISO week)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_id") < 300)
+        .select(
+            "event_id",
+            F.hour("ts").alias("h"),
+            F.minute("ts").alias("mi"),
+            F.second("ts").alias("s"),
+            F.dayofyear("ts").alias("doy"),
+            F.weekofyear("ts").alias("woy"),
+            F.date_trunc("hour", "ts").alias("hour_start"),
+        )
+        .orderBy("event_id")
+    )

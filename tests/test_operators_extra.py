@@ -90,3 +90,16 @@ def test_asof_join_forward_and_exclusive(spark):
     with _pytest.raises(ValueError, match="direction"):
         asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
                   value_cols=["v"], direction="sideways")
+
+
+def test_null_join_keys_never_match(spark):
+    """SQL equi-join semantics: NULL keys match nothing (inner drops
+    them, left keeps them unmatched) — while eqNullSafe treats NULL=NULL
+    as a match. Both behaviors are part of the declared surface."""
+    left = spark.createDataFrame([(1, "a"), (None, "b")], "k long, s string")
+    right = spark.createDataFrame([(1, "x"), (None, "y")], "k long, t string")
+    assert left.join(right, left.k == right.k).count() == 1
+    lj = left.join(right, left.k == right.k, "left")
+    assert lj.count() == 2
+    assert lj.filter(left.k.isNull()).select(right.t).first()["t"] is None
+    assert left.join(right, left.k.eqNullSafe(right.k)).count() == 2

@@ -200,3 +200,27 @@ def test_late_data_dropped_past_watermark(spark, tmp_path):
     starts = set(got["window_start"].dt.hour)
     assert 8 not in starts, f"late 08:00 row survived the watermark: {starts}"
     assert 10 in starts, f"finalized 10:00 window missing: {starts}"
+
+
+def test_streaming_session_window_matches_batch(spark, events_stream_dir, batch_events):
+    """Session windows in STREAMING mode (availableNow + complete) must
+    equal the batch session_window over the same events."""
+    from etl_as_a_service_spark.streaming.ops import session_window_agg
+
+    stream = _stream(spark, events_stream_dir)
+    got = run_available_now(
+        session_window_agg(
+            stream.filter(F.col("user_id") < 15),
+            "ts", "30 minutes", group_cols=["user_id"], watermark="1 hour",
+        ),
+        "sess_stream_test",
+        output_mode="complete",
+    ).toPandas()
+    expected = session_window_agg(
+        batch_events.filter(F.col("user_id") < 15),
+        "ts", "30 minutes", group_cols=["user_id"],
+    ).toPandas()
+    key = ["user_id", "session_start"]
+    got = got.sort_values(key).reset_index(drop=True)[expected.columns]
+    expected = expected.sort_values(key).reset_index(drop=True)
+    assert got.equals(expected)
