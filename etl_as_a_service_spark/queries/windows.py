@@ -265,3 +265,33 @@ def q35_asof_last_purchase(spark, sf_dir):
     return out.select("user_id", "ts", "event_id", "value_asof", "ts_asof").orderBy(
         "user_id", "event_id"
     )
+
+
+_Q68_SQL = """
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT)         AS n_1h,
+           round(sum(value) OVER w, 6)             AS sum_1h,
+           round(avg(value) OVER w, 6)             AS avg_1h
+    FROM {table}
+    WHERE user_id < 25
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+"""
+
+
+@query(
+    "q68_interval_range_frames",
+    oracle=_Q68_SQL.format(table="events"),
+    tags=("window", "frames", "interval"),
+)
+def q68_interval_range_frames(spark, sf_dir):
+    """Event-time RANGE frames with INTERVAL bounds (trailing 1-hour
+    per-user aggregates) — the sliding-aggregate idiom for time-series
+    without windowizing into buckets. Expressed via the SQL entry point
+    (the DataFrame API's rangeBetween takes only numeric offsets)."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    events.createOrReplaceTempView("events")
+    return spark.sql(_Q68_SQL.format(table="events"))
