@@ -34,6 +34,14 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: per-(session, sf_dir, table) DataFrame cache: a DataFrame is just a
+#: plan, so reuse skips repeated file listing + footer reads (~100 ms
+#: per table per query — the catalog metadata caching every real engine
+#: does). Keyed by applicationId so a restarted session never reuses
+#: plans bound to a dead JVM.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
 ) -> dict[str, DataFrame]:
@@ -45,8 +53,16 @@ def load_tables(
     # Engine canonicalization (FIXTURES.md rule 1): timestamps are UTC
     # everywhere, independent of who built the session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    app_id = spark.sparkContext.applicationId
     out = {}
+    remaining = []
     for name in names or TABLES:
+        cached = _DF_CACHE.get((app_id, sf_dir, name))
+        if cached is not None:
+            out[name] = cached
+        else:
+            remaining.append(name)
+    for name in remaining:
         if name == "events":
             # events.ts is parquet TIMESTAMP(NANOS), which Spark has no
             # type for — read the raw int64 and truncate to microseconds
@@ -58,6 +74,7 @@ def load_tables(
         df = spark.read.parquet(table_path(sf_dir, name))
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _DF_CACHE[(app_id, sf_dir, name)] = df
         out[name] = df
     return out
 
