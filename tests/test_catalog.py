@@ -1,0 +1,45 @@
+"""Catalog: table loading, view registration, listing, and the
+per-(session, sf_dir) DataFrame cache."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.catalog import (
+    TABLES,
+    list_tables,
+    load_tables,
+    register_views,
+)
+from tests.conftest import SF_SMOKE, SF_T2
+
+
+def test_load_tables_all_and_subset(spark):
+    subset = load_tables(spark, SF_SMOKE, ("region", "nation"))
+    assert set(subset) == {"region", "nation"}
+    assert subset["region"].count() == 5
+    full = load_tables(spark, SF_SMOKE)
+    assert set(full) == set(TABLES)
+
+
+def test_cache_identity_and_isolation(spark):
+    a = load_tables(spark, SF_SMOKE, ("lineitem",))["lineitem"]
+    b = load_tables(spark, SF_SMOKE, ("lineitem",))["lineitem"]
+    c = load_tables(spark, SF_T2, ("lineitem",))["lineitem"]
+    assert a is b, "same (session, sf, table) must reuse the plan"
+    assert a is not c, "different sf_dir must get a distinct plan"
+    assert a.count() != c.count(), "cached plans must read their own SF"
+
+
+def test_events_ts_is_usable_timestamp(spark):
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"]
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    row = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    assert row["lo"].year == 2024 and row["hi"].year == 2024
+
+
+def test_register_views_and_listing(spark):
+    register_views(spark, SF_SMOKE, ("region", "nation"))
+    names = list_tables(spark)
+    assert "region" in names and "nation" in names
+    assert spark.sql("SELECT count(*) AS n FROM region").first()["n"] == 5
