@@ -293,3 +293,25 @@ def q67_time_parts(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+_Q69_SQL = """
+    SELECT c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) AS t
+    WHERE c_custkey < 60
+    ORDER BY c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+@query("q69_lateral_topk", oracle=_Q69_SQL, tags=("lateral", "subquery", "sql"))
+def q69_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (the
+    SQL spelling of per-group top-k). Catalyst decorrelates it into a
+    rank-filtered join — same physical shape as operators.top_k_per_group."""
+    from etl_as_a_service_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_Q69_SQL)
