@@ -315,3 +315,22 @@ def q69_lateral_topk(spark, sf_dir):
 
     register_views(spark, sf_dir, ("customer", "orders"))
     return spark.sql(_Q69_SQL)
+
+
+_Q70_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@query("q70_group_by_all", oracle=_Q70_SQL, tags=("groupby", "sql", "sugar"))
+def q70_group_by_all(spark, sf_dir):
+    """GROUP BY ALL / ORDER BY ALL — the modern SQL sugar both engines
+    share (grouping keys inferred from the non-aggregate projection)."""
+    from etl_as_a_service_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_Q70_SQL)
