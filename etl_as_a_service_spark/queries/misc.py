@@ -334,3 +334,79 @@ def q70_group_by_all(spark, sf_dir):
 
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_Q70_SQL)
+
+
+@query(
+    "q71_nth_value_listagg",
+    oracle="""
+    SELECT o_custkey,
+           CAST(max(CASE WHEN pr = 2 THEN o_orderkey END) AS BIGINT)
+             AS second_priciest,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS status_seq
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS pr
+          FROM orders WHERE o_custkey < 20)
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    tags=("window", "nth_value", "listagg"),
+)
+def q71_nth_value_listagg(spark, sf_dir):
+    """nth_value over a full-partition frame + ordered string
+    aggregation (Spark listagg WITHIN GROUP == DuckDB string_agg with
+    ORDER BY — which DuckDB only supports as a grouping aggregate, so
+    the oracle states nth_value as a rank-2 CASE)."""
+    from etl_as_a_service_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_custkey,
+               any_value(second_priciest) AS second_priciest,
+               listagg(o_orderstatus, ',')
+                   WITHIN GROUP (ORDER BY o_orderkey) AS status_seq
+        FROM (
+          SELECT o_custkey, o_orderkey, o_orderstatus,
+                 nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS second_priciest
+          FROM orders WHERE o_custkey < 20)
+        GROUP BY o_custkey
+        ORDER BY o_custkey
+    """)
+
+
+@query(
+    "q72_bit_operations",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT)        AS low_byte,
+           CAST(o_orderkey | 4096 AS BIGINT)       AS with_flag,
+           CAST(xor(o_orderkey, 1023) AS BIGINT)   AS xored,
+           CAST(o_orderkey << 2 AS BIGINT)         AS shl2,
+           CAST(o_orderkey >> 3 AS BIGINT)         AS shr3,
+           CAST(bit_count(o_orderkey) AS INTEGER)  AS popcount
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+    tags=("bitops",),
+)
+def q72_bit_operations(spark, sf_dir):
+    """Bitwise AND/OR/XOR/shifts/popcount (hash bucketing, bitmap and
+    flag-field manipulation are everyday ops in feature pipelines)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return (
+        orders.filter(k < 500)
+        .select(
+            "o_orderkey",
+            k.bitwiseAND(F.lit(255)).alias("low_byte"),
+            k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+            k.bitwiseXOR(F.lit(1023)).alias("xored"),
+            F.call_function("shiftleft", k, F.lit(2)).cast("long").alias("shl2"),
+            F.call_function("shiftright", k, F.lit(3)).cast("long").alias("shr3"),
+            F.bit_count(k).alias("popcount"),
+        )
+        .orderBy("o_orderkey")
+    )
