@@ -410,3 +410,71 @@ def q72_bit_operations(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "q73_binning_histogram",
+    oracle="""
+    SELECT bucket, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+    FROM (SELECT CASE WHEN o_totalprice < 0 THEN 0
+                      WHEN o_totalprice >= 500000 THEN 11
+                      ELSE CAST(floor(o_totalprice / 50000) AS INTEGER) + 1 END
+                   AS bucket,
+                 o_totalprice
+          FROM orders)
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("binning", "histogram"),
+)
+def q73_binning_histogram(spark, sf_dir):
+    """Equi-width histogram via width_bucket (DuckDB 1.0 lacks it — the
+    oracle states the same binning with clamped floor math)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.width_bucket(
+                F.col("o_totalprice"), F.lit(0.0), F.lit(500000.0), F.lit(10)
+            ).cast("int").alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q74_date_part_week_trunc",
+    oracle="""
+    SELECT CAST(date_part('month', o_orderdate) AS INTEGER) AS m,
+           strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+           count(*) AS n
+    FROM orders
+    WHERE o_orderkey < 2000
+    GROUP BY m, week_start
+    ORDER BY week_start, m
+    """,
+    tags=("date", "date_part"),
+)
+def q74_date_part_week_trunc(spark, sf_dir):
+    """Generic date_part extraction + ISO week truncation (both engines
+    start weeks on Monday; DuckDB yields DATE and Spark TIMESTAMP, so
+    the week start is rendered as a string)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") < 2000)
+        .groupBy(
+            F.date_part(F.lit("month"), F.col("o_orderdate")).cast("int").alias("m"),
+            F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias(
+                "week_start"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("week_start", "m")
+    )
