@@ -11,8 +11,13 @@ from etl_as_a_service_spark.llm.dedup import (
     ngram_jaccard_pairs,
 )
 from etl_as_a_service_spark.llm.similarity import (
+    IvfIndex,
     brute_force_topk,
     lsh_similarity_join,
+    ivf_build,
+    ivf_load,
+    ivf_query,
+    ivf_save,
     ivf_topk,
     embedding_near_duplicates,
 )
@@ -24,6 +29,11 @@ __all__ = [
     "ngram_jaccard_pairs",
     "brute_force_topk",
     "lsh_similarity_join",
+    "IvfIndex",
+    "ivf_build",
+    "ivf_load",
+    "ivf_query",
+    "ivf_save",
     "ivf_topk",
     "embedding_near_duplicates",
 ]

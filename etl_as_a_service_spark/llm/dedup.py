@@ -1,7 +1,8 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
 Scale design:
-- exact dedup shuffles an 8-byte fingerprint, never the document text;
+- exact dedup shuffles a 16-byte (128-bit) fingerprint, never the
+  document text;
 - near-dup candidates come from inverted-index / LSH band joins
   (O(candidates)), never an all-pairs cross join;
 - duplicate-group resolution is min-id propagation with a bounded number
@@ -11,10 +12,13 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
-from etl_as_a_service_spark.functions.text import fingerprint, tokenize
+from etl_as_a_service_spark.functions.text import fingerprint128, tokenize
 
 
 def exact_dedup(
@@ -22,12 +26,15 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep one row (min id) per distinct (normalized) text.
 
-    The shuffle key is a 64-bit fingerprint, so the exchange moves ids +
-    hashes only; the survivor row is re-joined by id. At 100 TB this is
-    one hash-agg shuffle + one broadcast-able-or-shuffled semi join.
+    The shuffle key is a 128-bit fingerprint (two independently seeded
+    xxhash64s), so the exchange moves ids + 16-byte hashes only — never
+    the text — and birthday collisions stay negligible at multi-billion-
+    doc scale (a single 64-bit key would silently merge distinct docs:
+    ~50% collision odds at ~5B). At 100 TB this is one hash-agg shuffle
+    + one broadcast-able-or-shuffled semi join.
     """
     fp = df.select(
-        F.col(id_col), fingerprint(F.col(text_col), normalize).alias("__fp")
+        F.col(id_col), fingerprint128(F.col(text_col), normalize).alias("__fp")
     )
     keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col)).drop("__fp")
     return df.join(keep, on=id_col, how="left_semi")
@@ -62,9 +69,38 @@ def shingles(text_col, n: int = 3):
     return shingles_from_tokens(tokenize(text_col), n)
 
 
+#: Fibonacci multiplier for rolling hash combines (uint64 wraparound)
+_ROLL_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _shingle_hashes_np(text: str | None, n: int) -> "np.ndarray":
+    """Distinct 64-bit word-n-gram shingle hashes of one document:
+    per-token siphash via pd.util.hash_array (vectorized C, fixed key =>
+    deterministic across runs/executors), combined over each n-window
+    with a rolling multiplier. Documents shorter than n collapse to one
+    whole-text shingle — same convention as shingles_from_tokens."""
+    toks = text.split() if text else []
+    th = pd.util.hash_array(
+        np.array(toks if toks else [""], dtype=object)
+    ).astype(np.uint64)
+    if len(toks) >= n:
+        m = len(th) - n + 1
+        sh = th[:m].copy()
+        for j in range(1, n):
+            sh = sh * _ROLL_MULT + th[j : m + j]
+    else:
+        sh = th[:1].copy()
+        for j in range(1, len(th)):
+            sh = sh * _ROLL_MULT + th[j : j + 1]
+    return np.unique(sh)
+
+
 def hashed_shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3):
     """(id, exploded distinct 64-bit shingle hash) — the shared first
-    stage of the dedup operators, with tokens materialized once."""
+    stage of the exact-Jaccard path, with tokens materialized once.
+    Stays JVM-side: measured FASTER than a pandas kernel here (the
+    kernel pays per-doc Python/Arrow overhead, while this expression is
+    one pass and its output feeds straight into JVM shuffles)."""
     return (
         df.select(F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__toks"))
         .select(
@@ -81,19 +117,60 @@ def hashed_shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3):
     )
 
 
-def minhash_signature(shingle_col, num_hashes: int = 32):
-    """MinHash signature as array<bigint>: for each of ``num_hashes``
-    seeded hash functions, the min over shingle hashes. Pure expression —
-    xxhash64(seed-prefixed shingle) per hash slot."""
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(num_hashes)),
-        lambda seed: F.array_min(
-            F.transform(
-                shingle_col,
-                lambda s: F.xxhash64(F.concat(seed.cast("string"), F.lit("§"), s)),
-            )
-        ),
-    )
+def minhash_signature_kernel(num_hashes: int = 32, seed: int = 42):
+    """Pandas-UDF factory: MinHash signature (array<bigint>) from a
+    column of DISTINCT 64-bit shingle hashes. Each slot i applies the
+    multiply-shift universal hash a_i * s + b_i over uint64 wraparound
+    and takes the min — one numpy broadcast per document instead of
+    num_hashes x n_shingles interpreted lambda evals (Spark HOFs are
+    CodegenFallback; the expression form was ~2s of the q47 runtime at
+    500 docs). Coefficients are RandomState(seed)-deterministic."""
+    rs = np.random.RandomState(seed)
+    a = (rs.randint(1, 2**62, size=num_hashes, dtype=np.int64).astype(np.uint64) * 2 + 1)
+    b = rs.randint(0, 2**62, size=num_hashes, dtype=np.int64).astype(np.uint64)
+
+    @F.pandas_udf("array<bigint>")
+    def _mh(shingle_hashes: pd.Series) -> pd.Series:
+        out = []
+        for sh in shingle_hashes:
+            s = np.asarray(sh, dtype=np.int64).astype(np.uint64)
+            v = s[None, :] * a[:, None] + b[:, None]  # uint64 wraparound
+            out.append(v.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return _mh
+
+
+def minhash_band_kernel(
+    num_hashes: int, bands: int, shingle_n: int = 3, seed: int = 42
+):
+    """Pandas-UDF factory: text -> MinHash signature AND banded LSH
+    hashes in ONE Arrow pass — struct<sig: array<bigint>, bands:
+    array<bigint>>. Band j's hash combines its rows_per_band signature
+    slots with a Fibonacci-multiplier chain (uint64 wraparound). Fusing
+    shingling + signatures + banding into one kernel means one Python
+    stage and one codegen'd projection for the whole front half of the
+    LSH pipeline."""
+    rows_per_band = num_hashes // bands
+    rs = np.random.RandomState(seed)
+    a = (rs.randint(1, 2**62, size=num_hashes, dtype=np.int64).astype(np.uint64) * 2 + 1)
+    b = rs.randint(0, 2**62, size=num_hashes, dtype=np.int64).astype(np.uint64)
+
+    @F.pandas_udf("sig array<bigint>, bands array<bigint>")
+    def _mhb(texts: pd.Series) -> pd.DataFrame:
+        sigs, bnds = [], []
+        for t in texts:
+            s = _shingle_hashes_np(t, shingle_n)
+            v = (s[None, :] * a[:, None] + b[:, None]).min(axis=1)
+            sigs.append(v.astype(np.int64))
+            w = v.reshape(bands, rows_per_band)
+            h = np.full(bands, np.uint64(1469598103934665603), dtype=np.uint64)
+            for j in range(rows_per_band):
+                h = h * _ROLL_MULT + w[:, j]
+            bnds.append(h.astype(np.int64))
+        return pd.DataFrame({"sig": sigs, "bands": bnds})
+
+    return _mhb
 
 
 def minhash_near_duplicates(
@@ -109,8 +186,9 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """MinHash + LSH near-duplicate grouping.
 
-    Pipeline (each step one shuffle, all JVM-side):
-      1. shingle -> minhash signature (array<bigint>, length num_hashes)
+    Pipeline (each step one shuffle):
+      1. shingle hashes (JVM) -> minhash signature + band hashes in ONE
+         Arrow-batched numpy kernel (array<bigint>, length num_hashes)
       2. band the signature (bands x rows_per_band), hash each band
       3. self-join on (band_idx, band_hash) -> candidate pairs
       4. verify candidates with exact signature-overlap estimate of
@@ -121,53 +199,35 @@ def minhash_near_duplicates(
     Returns (id_col, group_id) where group_id = min id of the duplicate
     cluster (singletons map to themselves).
     """
-    rows_per_band = num_hashes // bands
+    mhb = minhash_band_kernel(num_hashes, bands, shingle_n)
     sig = df.select(
         F.col(id_col).alias("__id"),
-        tokenize(F.col(text_col)).alias("__toks"),
-    ).select(
-        "__id",
-        minhash_signature(
-            shingles_from_tokens(F.col("__toks"), shingle_n), num_hashes
-        ).alias("__sig"),
+        mhb(F.col(text_col)).alias("__mh"),
     )
     banded = sig.select(
         "__id",
-        "__sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    F.col("__sig"),
-                                    (b * rows_per_band + 1).cast("int"),
-                                    rows_per_band,
-                                ),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bhash"),
-                ),
-            )
-        ).alias("__band"),
-    ).select("__id", "__sig", "__band.band", "__band.bhash")
+        F.col("__mh.sig").alias("__sig"),
+        F.posexplode("__mh.bands").alias("band", "bhash"),
+    )
 
+    # banded feeds both self-join sides (and the cap agg): materialize
+    # once instead of recomputing the signature expression per consumer.
+    banded = banded.localCheckpoint(eager=False)
     if max_bucket_size is not None:
         # hot-bucket cap (SURVEY §7 "LSH dedup at scale"): a degenerate
         # band value shared by k docs yields k^2 candidate pairs; buckets
         # past the cap are dropped (bounded work, tiny recall cost —
-        # docs that similar share many OTHER buckets too)
-        w_b = Window.partitionBy("band", "bhash")
-        banded = (
-            banded.withColumn("__bsz", F.count(F.lit(1)).over(w_b))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
+        # docs that similar share many OTHER buckets too). Stated as an
+        # agg + broadcast anti-join: the agg shuffles only (band, bhash)
+        # map-side-combined, where a window would shuffle the full
+        # signature rows.
+        big = (
+            banded.groupBy("band", "bhash")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("band", "bhash")
         )
+        banded = banded.join(F.broadcast(big), ["band", "bhash"], "left_anti")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -209,12 +269,19 @@ def minhash_near_duplicates(
     labels = sig.select(
         F.col("__id").alias("node"), F.col("__id").alias("label")
     ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.a == labels.node)
             .groupBy("b")
             .agg(F.min("label").alias("nmin"))
         )
+        # convergence check without an extra job: labels only ever
+        # DECREASE (min-propagation), so the label sum is strictly
+        # monotone and "no label changed" == "sum unchanged". The sum
+        # rides the checkpoint action as an Observation instead of being
+        # its own scan.
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.b, "left")
             .select(
@@ -223,17 +290,14 @@ def minhash_near_duplicates(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
+            .observe(obs, F.sum("label").alias("s"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = obs.get["s"]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("group_id"))
 
 
@@ -298,6 +362,11 @@ def ngram_jaccard_pairs(
     Jaccard via array_intersect on the full (distinct, hashed) shingle
     sets. Shingle sets travel as arrays of 64-bit hashes, not strings.
     """
+    # NOTE: the exploded shingle set feeds two consumers (document-
+    # frequency agg + the per-doc rank/collect), but both shuffle on
+    # `sh`, so Spark's ReuseExchange materializes the scan once — an
+    # explicit localCheckpoint here measured SLOWER (it blocks exchange
+    # reuse and pays its own write).
     sh = hashed_shingle_sets(df, text_col, id_col, n)
 
     if prefix_filter:

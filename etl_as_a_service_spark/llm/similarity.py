@@ -12,10 +12,15 @@ Two tiers:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_as_a_service_spark.functions.vectors import cosine_similarity
+from etl_as_a_service_spark.functions.vectors import (
+    cosine_similarity,
+    srp_buckets_kernel,
+)
 
 
 def brute_force_topk(
@@ -65,42 +70,124 @@ def _to_ml_vector(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     )
 
 
-def ivf_topk(
+@dataclass
+class IvfIndex:
+    """A built IVF index: tiny centroid table (broadcast at query time)
+    plus the cell-assigned corpus. Build once, query many times —
+    ``ivf_save``/``ivf_load`` persist it as parquet partitioned by cell,
+    so probing n_probe cells prunes parquet partitions at the scan."""
+
+    centroids: DataFrame  # (cell int, centroid array<double>)
+    assigned: DataFrame  # (neighbor_id, __cvec, __cell int)
+    n_cells: int
+
+
+def ivf_build(
     corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 3,
+) -> IvfIndex:
+    """Fit IVF cells over the corpus ONCE and assign every vector to its
+    cell. This is the expensive step (one corpus scan per Lloyd
+    iteration) — keep the returned index and reuse it across queries;
+    ``ivf_query`` touches only the broadcast centroids plus the probed
+    cells, never refits.
+
+    The k-means loop is DataFrame-native (no MLlib): init picks
+    ``n_cells`` seed vectors by deterministic hash order; each Lloyd
+    iteration assigns cells with the Arrow-batched nearest-centroid
+    kernel (one numpy matmul per batch — HOF expressions would be
+    interpreted per element) and recomputes means with posexplode +
+    groupBy(cell, dim) — that shuffle carries only map-side-combined
+    per-(cell, dim) partial sums, so an iteration costs one corpus scan
+    regardless of scale. Only the n_cells x dim centroid matrix ever
+    reaches the driver."""
+    from etl_as_a_service_spark.functions.vectors import nearest_cell_kernel
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+
+    init_rows = (
+        c.select(
+            "__cvec",
+            F.xxhash64(F.col("neighbor_id").cast("string"), F.lit(seed)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["__cvec"]] for r in init_rows]
+
+    for _ in range(max_iter):
+        stats = (
+            c.select(
+                nearest_cell_kernel(centroids)(F.col("__cvec")).alias("cell"),
+                F.posexplode("__cvec").alias("dim", "val"),
+            )
+            .groupBy("cell", "dim")
+            .agg(F.sum(F.col("val").cast("double")).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_centroids = [list(ctr) for ctr in centroids]  # empty cells keep old
+        for row in stats:
+            new_centroids[row["cell"]][row["dim"]] = row["s"] / row["n"]
+        if new_centroids == centroids:
+            break
+        centroids = new_centroids
+
+    assigned = c.select(
+        "neighbor_id",
+        "__cvec",
+        nearest_cell_kernel(centroids)(F.col("__cvec")).alias("__cell"),
+    )
+    centroids_df = corpus.sparkSession.createDataFrame(
+        [(i, ctr) for i, ctr in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    return IvfIndex(centroids=centroids_df, assigned=assigned, n_cells=n_cells)
+
+
+def ivf_save(index: IvfIndex, path: str) -> None:
+    """Persist the index: cells as parquet PARTITIONED BY cell id (so a
+    probe reads only n_probe directories), centroids alongside."""
+    index.assigned.withColumn("cell", F.col("__cell")).write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(path + "/cells")
+    index.centroids.write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivf_load(spark, path: str) -> IvfIndex:
+    centroids = spark.read.parquet(path + "/centroids")
+    assigned = (
+        spark.read.parquet(path + "/cells")
+        .withColumn("__cell", F.col("cell").cast("int"))
+        .drop("cell")
+    )
+    return IvfIndex(
+        centroids=centroids, assigned=assigned, n_cells=centroids.count()
+    )
+
+
+def ivf_query(
+    index: IvfIndex,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_cells: int = 16,
     n_probe: int = 4,
-    seed: int = 42,
 ) -> DataFrame:
-    """IVF-style ANN: KMeans partitions the corpus into cells; each query
-    probes only its ``n_probe`` nearest cells and ranks candidates by
-    exact cosine. Returns (query_id, neighbor_id, cosine, rn).
+    """ANN top-k against a built index: rank cells by query->centroid
+    distance (broadcast — centroids are n_cells rows), probe the nearest
+    ``n_probe`` cells, exact-cosine rank the candidates. Returns
+    (query_id, neighbor_id, cosine, rn). No KMeans fit happens here.
 
-    Scale shape: the corpus is scanned once for assignment (cell id is
-    persisted in practice); a query then touches n_probe/n_cells of the
-    data. Centroids are tiny (n_cells rows) and broadcast everywhere.
     Recall degrades only at cell borders — raise n_probe to trade speed
-    for recall.
-    """
-    from pyspark.ml.clustering import KMeans
-
-    c = _to_ml_vector(
-        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), vec_col, "__v"
-    )
-    model = KMeans(
-        k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell"
-    ).fit(c)
-    assigned = model.transform(c).select(
-        "neighbor_id", F.col(vec_col).alias("__cvec"), "__cell"
-    )
-
-    centroids = corpus.sparkSession.createDataFrame(
-        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
-        "cell int, centroid array<double>",
-    )
+    for recall; n_probe == n_cells is exact."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
     # squared L2 distance query->centroid, rank, keep n_probe cells
     d2 = F.aggregate(
@@ -114,13 +201,13 @@ def ivf_topk(
     )
     probe_w = Window.partitionBy("query_id").orderBy(F.col("__d2"), F.col("cell"))
     probed = (
-        q.crossJoin(F.broadcast(centroids))
+        q.crossJoin(F.broadcast(index.centroids))
         .select("query_id", "__qvec", "cell", d2.alias("__d2"))
         .withColumn("__pr", F.row_number().over(probe_w))
         .filter(F.col("__pr") <= n_probe)
         .select("query_id", "__qvec", F.col("cell").alias("__cell"))
     )
-    scored = probed.join(assigned, "__cell").filter(
+    scored = probed.join(index.assigned, "__cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
         "query_id",
@@ -133,23 +220,54 @@ def ivf_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    index: IvfIndex | None = None,
+) -> DataFrame:
+    """One-shot convenience: ``ivf_build`` + ``ivf_query``. Pass a
+    prebuilt ``index`` to skip the fit (or call build/query directly —
+    the reusable-index API is the real shape at scale)."""
+    if index is None:
+        index = ivf_build(corpus, id_col, vec_col, n_cells=n_cells, seed=seed)
+    return ivf_query(index, queries, id_col, vec_col, k=k, n_probe=n_probe)
+
+
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cosine_threshold: float = 0.95,
-    bucket_length: float = 0.5,
-    num_hash_tables: int = 6,
+    num_tables: int = 8,
+    bits_per_table: int = 10,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH on L2-NORMALIZED
-    vectors: for unit vectors, ||a-b||^2 = 2 - 2*cos(a,b), so a cosine
-    threshold t maps exactly to a Euclidean radius sqrt(2-2t). Candidate
-    pairs come from hash buckets, never the cross product; the reported
-    cosine is exact. Returns (id_a, id_b, cosine) with id_a < id_b."""
-    import math
+    """Embedding-cosine near-duplicate pairs via signed-random-projection
+    (hyperplane) LSH on L2-normalized vectors.
 
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    Candidate pairs come from bucket self-joins — two vectors are
+    candidates iff they agree on all ``bits_per_table`` hyperplane signs
+    in at least one of ``num_tables`` tables (P[same bit] =
+    1 - theta/pi, so a 0.95-cosine pair survives a 10-bit table with
+    p~0.34 and >=1 of 8 tables with p~0.97). Every candidate is then
+    verified with the EXACT cosine, so false positives are impossible;
+    recall is the only approximation. The projection matmul runs in the
+    Arrow-batched SRP kernel (deterministic seeded planes — no fitted
+    model); candidate generation and verification are Catalyst: one
+    shuffle on (table, bucket) + one distinct. Returns
+    (id_a, id_b, cosine) with id_a < id_b.
 
+    ``max_bucket_size`` caps degenerate hot buckets (k docs -> k^2
+    pairs): oversized buckets are dropped, costing recall only for
+    vectors that still collide in another, smaller table."""
     norm = F.sqrt(
         F.aggregate(
             F.transform(F.col(vec_col), lambda x: x.cast("double")),
@@ -159,30 +277,53 @@ def embedding_near_duplicates(
     )
     unit = df.select(
         F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__orig"),
         F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("__unit"),
     ).filter(norm > 0)
-    v = _to_ml_vector(unit, "__unit", "__v")
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="__v",
-        outputCol="__h",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
-        seed=42,
+    # Materialize (id, unit, table, bucket) once: the rows feed three
+    # consumers (bucket-size agg + both self-join sides) and recomputing
+    # the projection per consumer would triple the dominant cost.
+    # localCheckpoint also truncates the lineage, as in the
+    # connected-components loop (dedup.py).
+    srp = srp_buckets_kernel(num_tables, bits_per_table)
+    buckets = (
+        unit.select("__id", "__unit", srp(F.col("__unit")).alias("__bks"))
+        .select("__id", "__unit", F.posexplode("__bks").alias("t", "bk"))
+        .localCheckpoint(eager=False)
     )
-    model = lsh.fit(v)
-    radius = math.sqrt(max(2.0 - 2.0 * cosine_threshold, 1e-12))
-    joined = model.approxSimilarityJoin(v, v, radius, distCol="__d")
-    pairs = joined.filter(
-        F.col("datasetA.__id") < F.col("datasetB.__id")
-    ).select(
-        F.col("datasetA.__id").alias("id_a"),
-        F.col("datasetB.__id").alias("id_b"),
-        F.round(
-            cosine_similarity(F.col("datasetA.__orig"), F.col("datasetB.__orig")), 6
-        ).alias("cosine"),
+    if max_bucket_size is not None:
+        # hot-bucket cap as agg + broadcast anti-join: a window over
+        # (t, bk) would shuffle the full vector rows; the aggregate
+        # shuffles only (t, bk) pairs map-side-combined, and the
+        # oversized-bucket list is tiny -> broadcast.
+        big = (
+            buckets.groupBy("t", "bk")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("t", "bk")
+        )
+        buckets = buckets.join(F.broadcast(big), ["t", "bk"], "left_anti")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.__unit"), F.col("b.__unit"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
-    return pairs.filter(F.col("cosine") >= cosine_threshold)
+    return (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(dot, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
+        .distinct()
+    )
 
 
 def lsh_similarity_join(

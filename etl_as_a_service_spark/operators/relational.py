@@ -37,7 +37,11 @@ def asof_join(
 
     With ``allow_exact_match`` right rows at ts == left_ts sort before the
     left row and are therefore visible to it. Ties in (ts) among right
-    rows resolve to the greatest ``tie_break`` value (deterministic).
+    rows resolve to the greatest ``tie_break`` value in BOTH directions
+    (deterministic). When ``tie_break`` is None the tie key defaults to
+    ``xxhash64`` over all right columns — an arbitrary but DETERMINISTIC
+    total order, so repartitioning the inputs cannot change the survivor
+    (``monotonically_increasing_id`` would; see test_properties.py).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unsupported direction: {direction}")
@@ -64,7 +68,7 @@ def asof_join(
         (
             F.col(tie_break).cast("long")
             if tie_break
-            else F.monotonically_increasing_id()
+            else F.xxhash64(*[F.col(c) for c in right.columns])
         ).alias("__tie"),
     )
     side_left = left.select(
@@ -77,10 +81,14 @@ def asof_join(
         F.lit(0).cast("long").alias("__tie"),
     )
     unioned = side_right.unionByName(side_left)
+    # __tie is ASC in both directions: last() takes the final row of the
+    # frame, so ascending tie order makes the greatest tie_break win for
+    # backward AND forward (a desc tie here would silently flip the rule
+    # to smallest-wins in the forward path).
     order = (
         [F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc()]
         if direction == "backward"
-        else [F.col("__ts").desc(), F.col("__side").asc(), F.col("__tie").desc()]
+        else [F.col("__ts").desc(), F.col("__side").asc(), F.col("__tie").asc()]
     )
     w = (
         Window.partitionBy(*keys)

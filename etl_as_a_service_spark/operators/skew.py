@@ -29,7 +29,20 @@ def salted_join(
     Replication multiplies the other side's shuffle volume by
     ``salt_buckets`` — only use when `other` is small-ish or the skew is
     the bottleneck.
+
+    Only join types that never *preserve* unmatched ``other`` rows are
+    allowed: for right/full outer the replicated side would emit every
+    unmatched ``other`` row once per salt bucket (x``salt_buckets``
+    duplicates). Swap the inputs (skew the preserved side) or dedup
+    downstream if you need an outer join.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only, not {how!r}: "
+            f"unmatched rows of the replicated side would appear "
+            f"{salt_buckets} times"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salted_l = skewed.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")

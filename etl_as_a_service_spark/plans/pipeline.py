@@ -181,8 +181,18 @@ def _apply_step(spark: SparkSession, df: DataFrame, step: dict[str, Any]) -> Dat
         right = compile_pipeline(spark, _req(step, "right"), _as_subplan=True)
         return df.unionByName(right, allowMissingColumns=step.get("allow_missing", False))
     if op == "sql":
-        df.createOrReplaceTempView("__self__")
-        return spark.sql(_req(step, "query"))
+        # A fixed view name ("__self__") would be clobbered by concurrent
+        # submit() threads sharing the SparkSession — two in-flight runs
+        # could silently read each other's upstream DataFrame. Register a
+        # unique per-step view, substitute it into the query text, and
+        # drop it after analysis (spark.sql resolves the view reference
+        # eagerly, so the returned DataFrame no longer needs the view).
+        view = f"__self_{uuid.uuid4().hex}"
+        df.createOrReplaceTempView(view)
+        try:
+            return spark.sql(_req(step, "query").replace("__self__", view))
+        finally:
+            spark.catalog.dropTempView(view)
     if op == "repartition":
         cols = step.get("columns")
         n = step.get("n")
@@ -277,18 +287,69 @@ class PipelineRun:
     stream_query: Any = None  # live StreamingQuery handle (continuous runs)
 
 
+#: parquet schema of the durable run registry (one row per state change;
+#: the latest ``updated_at`` row per run_id is the current state)
+_REGISTRY_SCHEMA = (
+    "run_id string, name string, user string, status string, "
+    "submitted_at double, finished_at double, output_path string, "
+    "n_output_rows long, error string, updated_at double"
+)
+
+
 class PipelineRunner:
     """Submit/poll/list — the §2.A trigger/status/results surface.
 
     ``run`` executes synchronously; ``submit`` runs on a daemon thread so
     ``get_status`` can be polled mid-flight (the analog of the
     reference's Airflow dagRun polling, app/routes.py:137-146).
+
+    With ``registry_path`` set, every run-state transition is appended to
+    a parquet registry, so run history SURVIVES process restarts — the
+    durability the reference gets from its MySQL ``File`` table
+    (app/models.py:19-25, written at app/routes.py:127-130). Appends are
+    immutable state-change rows (parquet has no update-in-place); readers
+    take the latest ``updated_at`` row per run_id, which also preserves
+    an audit trail the reference lacks. Concurrent daemon-thread appends
+    are safe: each append writes its own file.
     """
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, registry_path: str | None = None):
         self.spark = spark
+        self.registry_path = registry_path
         self._runs: dict[str, PipelineRun] = {}
         self._lock = threading.Lock()
+
+    # -- durable registry -------------------------------------------------
+    def _persist(self, run: PipelineRun) -> None:
+        if not self.registry_path:
+            return
+        row = (
+            run.run_id, run.name, run.user, run.status,
+            float(run.submitted_at),
+            float(run.finished_at) if run.finished_at else None,
+            run.output_path, run.n_output_rows, run.error, time.time(),
+        )
+        (
+            self.spark.createDataFrame([row], _REGISTRY_SCHEMA)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(self.registry_path)
+        )
+
+    def persisted_runs_df(self) -> DataFrame | None:
+        """Current state per run from the durable registry (latest
+        state-change row per run_id), or None if no registry/rows."""
+        if not self.registry_path:
+            return None
+        try:
+            raw = self.spark.read.parquet(self.registry_path)
+        except Exception:
+            return None  # registry not written yet
+        from etl_as_a_service_spark.operators.relational import dedup_keep_first
+
+        return dedup_keep_first(
+            raw, ["run_id"], [F.col("updated_at").desc()]
+        )
 
     # -- trigger (EP1) ----------------------------------------------------
     def run(self, spec: dict[str, Any], user: str = "anonymous") -> PipelineRun:
@@ -313,6 +374,7 @@ class PipelineRunner:
         )
         with self._lock:
             self._runs[run.run_id] = run
+        self._persist(run)
         return run
 
     def _execute(self, run: PipelineRun, spec: dict[str, Any]) -> None:
@@ -345,7 +407,8 @@ class PipelineRunner:
             # continuous streaming runs are still live here — their
             # finished_at is stamped by get_status/stop_run instead
             if run.status not in ("running",):
-                run.finished_at = time.time()
+                run.finished_at = run.finished_at or time.time()
+                self._persist(run)
 
     def _execute_streaming(
         self, run: PipelineRun, df: DataFrame, sink: dict[str, Any]
@@ -374,10 +437,21 @@ class PipelineRunner:
         run.output_path = sink["path"]
         run.stream_query = query
         if sink.get("trigger") == "available_now":
-            query.awaitTermination(int(sink.get("timeout_sec", 300)))
-            run.status = "success" if query.exception() is None else "failed"
-            if query.exception() is not None:
+            timeout = int(sink.get("timeout_sec", 300))
+            finished = query.awaitTermination(timeout)
+            if not finished:
+                # awaitTermination returned on TIMEOUT: the query is still
+                # active and exception() is None — without this check the
+                # run would be stamped 'success' while data is still being
+                # written. Stop it and fail the run instead.
+                query.stop()
+                run.status = "failed"
+                run.error = f"availableNow run exceeded timeout_sec={timeout}"
+            elif query.exception() is not None:
+                run.status = "failed"
                 run.error = str(query.exception())
+            else:
+                run.status = "success"
             run.finished_at = time.time()
         # continuous triggers: status stays 'running'; poll via get_status
 
@@ -392,6 +466,7 @@ class PipelineRunner:
                 return "running"
             run.status = "failed" if q.exception() is not None else "success"
             run.finished_at = run.finished_at or time.time()
+            self._persist(run)
         return run.status
 
     def stream_progress(self, run_id: str) -> dict[str, Any] | None:
@@ -408,6 +483,7 @@ class PipelineRunner:
         run.stream_query.stop()
         run.status = "stopped"
         run.finished_at = time.time()
+        self._persist(run)
         return True
 
     # -- browse (EP3) -----------------------------------------------------
@@ -417,9 +493,29 @@ class PipelineRunner:
         """Per-user filtering is ON by default when a user is given —
         the reference *intended* tenant isolation but shipped it
         commented out (minio_client.py:52, routes.py:166-168); we
-        implement the intended semantics."""
+        implement the intended semantics.
+
+        Includes durable-registry runs from PRIOR processes (in-memory
+        state wins for run_ids this instance owns — it is at least as
+        fresh, and it carries the live stream_query handle)."""
         with self._lock:
             runs = list(self._runs.values())
+        seen = {r.run_id for r in runs}
+        persisted = self.persisted_runs_df()
+        if persisted is not None:
+            for row in persisted.collect():
+                if row["run_id"] in seen:
+                    continue
+                runs.append(
+                    PipelineRun(
+                        run_id=row["run_id"], name=row["name"],
+                        user=row["user"], status=row["status"],
+                        submitted_at=row["submitted_at"],
+                        finished_at=row["finished_at"],
+                        error=row["error"], output_path=row["output_path"],
+                        n_output_rows=row["n_output_rows"],
+                    )
+                )
         if name is not None:
             runs = [r for r in runs if r.name == name]
         if user is not None:

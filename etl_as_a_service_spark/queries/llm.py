@@ -314,27 +314,45 @@ def q49_lsh_ann_join(spark, sf_dir):
 
 @query("q54_ivf_ann_topk", oracle=None, tags=("similarity", "ivf", "llm"))
 def q54_ivf_ann_topk(spark, sf_dir):
-    """IVF (KMeans-cell) approximate top-k — the partition-pruned ANN
-    path; recall vs q45's exact top-k is asserted in tests."""
+    """IVF approximate top-k via the build/query split: ivf_build fits
+    cells once (the persistable index step); ivf_query broadcasts only
+    the centroids and probes 3/8 cells. Recall vs q45's exact top-k is
+    asserted in tests."""
+    from etl_as_a_service_spark.llm.similarity import ivf_build, ivf_query
+
     (emb,) = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        corpus=emb,
-        queries=emb.filter(F.col("vec_id") < 10),
-        k=3,
-        n_cells=8,
-        n_probe=3,
+    index = ivf_build(emb, n_cells=8, max_iter=1)
+    return ivf_query(
+        index, emb.filter(F.col("vec_id") < 10), k=3, n_probe=3
     ).orderBy("query_id", "rn")
 
 
 @query("q55_embedding_near_dups", oracle=None, tags=("dedup", "embedding", "llm"))
 def q55_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (LSH on unit vectors).
-    Threshold 0.45 sits in the top tail of this corpus's cosine
-    distribution (max pairwise ~0.55) so the check is non-vacuous; real
-    dedup runs use ~0.95."""
+    """Embedding-cosine near-dup detection in its real regime: 25
+    deterministic near-copies (±0.3% per-dim perturbation, cosine
+    ~0.99999) are planted under vec_id+10000; the SRP-LSH operator must
+    recover exactly those 25 pairs at threshold 0.95 (the corpus's max
+    organic pairwise cosine is ~0.55, so output = the planted pairs —
+    deterministic and non-vacuous)."""
     (emb,) = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding")
+    planted = base.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x
+            * (
+                F.lit(1.0)
+                + (F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(7)) - 3).cast(
+                    "double"
+                )
+                * 0.001
+            ),
+        ).alias("embedding"),
+    )
     return embedding_near_duplicates(
-        emb, cosine_threshold=0.45, bucket_length=1.0
+        base.unionByName(planted), cosine_threshold=0.95
     ).orderBy("id_a", "id_b")
 
 

@@ -263,16 +263,39 @@ def q37_union_by_name(spark, sf_dir):
 # --------------------------------------------------------------------------
 # q38 — approx_count_distinct (sketch; rows-only + error-bound pytest)
 # --------------------------------------------------------------------------
-@query("q38_approx_count_distinct", oracle=None, tags=("agg", "approx"))
+@query(
+    "q38_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           true AS approx_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
 def q38_approx_count_distinct(spark, sf_dir):
-    """HLL++ sketch — nondeterministic across engines by design; the
-    ±rsd error bound vs exact count_distinct is asserted in pytest."""
+    """HLL++ sketch values are engine-specific, so the oracle check is
+    TOLERANCE-EXPRESSED: the engine emits the exact distinct count plus a
+    boolean 'approx within 5% of exact' (HLL rsd=0.02 => ~2.5 sigma);
+    the oracle states the exact count and literal true. The hash gate
+    then verifies the sketch's error bound without comparing sketch
+    internals. Tighter ±rsd assertions live in pytest."""
     (li,) = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("__approx"),
             F.count_distinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("__approx") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("approx_within_5pct"),
         )
         .orderBy("l_returnflag")
     )
@@ -299,3 +322,47 @@ def q39_correlated_subqueries(spark, sf_dir):
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return spark.sql(_Q39_SQL)
+
+
+# --------------------------------------------------------------------------
+# q75 — skewness/kurtosis with cross-engine definition conversion
+# --------------------------------------------------------------------------
+@query(
+    "q75_skew_kurtosis",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)                AS n,
+           round(skewness(l_extendedprice), 5)    AS skew_sample,
+           round(kurtosis(l_extendedprice), 5)    AS kurt_sample
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def q75_skew_kurtosis(spark, sf_dir):
+    """Skewness/kurtosis, oracle-checked ACROSS definitions: Spark's
+    skewness/kurtosis are population moments (g1 = m3/m2^1.5, g2 =
+    m4/m2^2 - 3) while DuckDB's are bias-corrected sample statistics
+    (G1 = g1*sqrt(n(n-1))/(n-2), G2 = ((n+1)g2 + 6)(n-1)/((n-2)(n-3))).
+    The engine converts g->G with exact closed forms, so the hash gate
+    verifies the MOMENTS themselves, not a lucky rounding."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1)).cast("double")
+    g1 = F.skewness("l_extendedprice")
+    g2 = F.kurtosis("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (g1 * F.sqrt(n * (n - 1)) / (n - 2)).alias("__G1"),
+            (((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))).alias("__G2"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.round("__G1", 5).alias("skew_sample"),
+            F.round("__G2", 5).alias("kurt_sample"),
+        )
+        .orderBy("l_returnflag")
+    )

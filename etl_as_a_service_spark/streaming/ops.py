@@ -197,6 +197,11 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # timeout, not completion — the memory table would be partial
+        q.stop()
+        raise TimeoutError(
+            f"availableNow query {query_name!r} did not finish in {timeout_sec}s"
+        )
     spark = stream_df.sparkSession
     return spark.table(query_name)

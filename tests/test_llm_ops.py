@@ -5,6 +5,7 @@ and property-style invariants for dedup."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_as_a_service_spark.catalog import load_tables
@@ -28,6 +29,49 @@ def docs(spark):
 @pytest.fixture(scope="module")
 def emb(spark):
     return load_tables(spark, SF_SMOKE, ("embeddings",))["embeddings"]
+
+
+def test_fingerprint128_survives_narrow_hash_collision(spark):
+    """Distinct texts that collide in a truncated hash must NOT merge
+    under the 128-bit fingerprint. We find a genuine collision pair in an
+    8-bit truncation of xxhash64 (the small-scale model of 64-bit
+    birthday collisions at ~5B docs), then assert fingerprint128 keeps
+    them apart and exact_dedup retains both rows."""
+    from etl_as_a_service_spark.functions.text import fingerprint128
+
+    cand = spark.range(600).select(
+        F.concat(F.lit("doc-"), F.col("id").cast("string")).alias("text"),
+        F.pmod(F.xxhash64(F.concat(F.lit("doc-"), F.col("id").cast("string"))), F.lit(256)).alias("h8"),
+    )
+    w = Window.partitionBy("h8").orderBy("text")
+    pair = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("h8")))
+        .filter(F.col("n") >= 2)
+        .limit(2)
+        .collect()
+    )
+    assert len(pair) == 2 and pair[0]["text"] != pair[1]["text"]
+    df = spark.createDataFrame(
+        [(1, pair[0]["text"]), (2, pair[1]["text"])], "doc_id int, text string"
+    )
+    fps = df.select(fingerprint128(F.col("text")).alias("fp")).distinct().count()
+    assert fps == 2, "128-bit fingerprints collided on distinct texts"
+    assert exact_dedup(df, "text", "doc_id").count() == 2
+
+
+def test_fingerprint128_collision_free_at_50k(spark):
+    """50k distinct texts -> 50k distinct 128-bit fingerprints, and the
+    two hash components are independent (not copies of each other)."""
+    from etl_as_a_service_spark.functions.text import fingerprint128
+
+    df = spark.range(50_000).select(
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("text")
+    )
+    fp = df.select(fingerprint128(F.col("text")).alias("fp"))
+    assert fp.distinct().count() == 50_000
+    assert fp.filter(F.col("fp.h0") == F.col("fp.h1")).count() == 0
 
 
 def test_exact_dedup_idempotent_and_conservative(spark, docs):
@@ -154,21 +198,50 @@ def test_quality_score_and_token_count_bounds(spark, docs):
 def test_ivf_recall_against_brute_force(spark, emb):
     """IVF with n_probe=3/8 cells must recover most exact top-3
     neighbors; with n_probe = n_cells it must be EXACT (all cells
-    probed)."""
-    from etl_as_a_service_spark.llm.similarity import ivf_topk
+    probed). One ivf_build serves both queries — no refit."""
+    from etl_as_a_service_spark.llm.similarity import ivf_build, ivf_query
 
     queries = emb.filter(F.col("vec_id") < 20)
     exact = brute_force_topk(emb, queries, k=3).select("query_id", "neighbor_id")
-    approx = ivf_topk(emb, queries, k=3, n_cells=8, n_probe=3).select(
+    index = ivf_build(emb, n_cells=8)
+    approx = ivf_query(index, queries, k=3, n_probe=3).select(
         "query_id", "neighbor_id"
     )
     hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
     assert hit / 60 >= 0.6, f"IVF recall {hit}/60"
 
-    full = ivf_topk(emb, queries, k=3, n_cells=8, n_probe=8).select(
+    full = ivf_query(index, queries, k=3, n_probe=8).select(
         "query_id", "neighbor_id"
     )
     assert exact.join(full, ["query_id", "neighbor_id"], "left_semi").count() == 60
+
+
+def test_ivf_build_query_split_no_refit(spark, emb, monkeypatch, tmp_path):
+    """ivf_query must never trigger a fit: two queries against one built
+    index (including one loaded back from parquet) refit zero times."""
+    from etl_as_a_service_spark.llm import similarity as sim
+
+    index = sim.ivf_build(emb, n_cells=8)
+    path = str(tmp_path / "ivf_index")
+    sim.ivf_save(index, path)
+
+    def _boom(*a, **k):
+        raise AssertionError("ivf_query triggered a rebuild")
+
+    from etl_as_a_service_spark.functions import vectors
+
+    monkeypatch.setattr(sim, "ivf_build", _boom)
+    monkeypatch.setattr(vectors, "nearest_cell_kernel", _boom)
+    q1 = sim.ivf_query(index, emb.filter(F.col("vec_id") < 5), k=3, n_probe=3)
+    q2 = sim.ivf_query(index, emb.filter(F.col("vec_id") >= 495), k=3, n_probe=3)
+    assert q1.count() > 0 and q2.count() > 0
+
+    loaded = sim.ivf_load(spark, path)
+    q3 = sim.ivf_query(loaded, emb.filter(F.col("vec_id") < 5), k=3, n_probe=3)
+    assert q3.count() == q1.count()
+    # persisted layout: cells parquet is partitioned by cell id, so an
+    # n_probe query prunes to n_probe directories at the scan
+    assert (tmp_path / "ivf_index" / "cells" / "cell=0").exists()
 
 
 def test_embedding_near_dups_finds_planted_pair(spark, emb):

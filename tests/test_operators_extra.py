@@ -92,6 +92,54 @@ def test_asof_join_forward_and_exclusive(spark):
                   value_cols=["v"], direction="sideways")
 
 
+def test_asof_join_equal_ts_tie_greatest_both_directions(spark):
+    """Docstring contract: equal-ts right rows resolve to the GREATEST
+    tie_break in backward AND forward direction (the forward path once
+    ordered ties desc, silently picking the smallest)."""
+    from etl_as_a_service_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, 10, "q")], "k long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 1, 100.0), (1, 10, 2, 200.0), (1, 10, 3, 300.0)],
+        "k long, ts long, tb long, v double",
+    )
+    for direction in ("backward", "forward"):
+        out = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["v"], direction=direction, tie_break="tb",
+        )
+        assert out.collect()[0]["v_asof"] == 300.0, direction
+
+
+def test_asof_join_default_tie_break_partition_invariant(spark):
+    """With tie_break omitted, the survivor among equal-ts right rows
+    must be DETERMINISTIC: identical output no matter how the inputs are
+    partitioned (a monotonically_increasing_id tie key would flip with
+    partition layout)."""
+    from etl_as_a_service_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(k, ts, f"t{k}_{ts}") for k in (1, 2) for ts in (10, 20, 30)],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(k, ts, float(v)) for k in (1, 2) for ts in (10, 20) for v in (1, 2, 3)],
+        "k long, ts long, v double",
+    )
+
+    def run(nl, nr):
+        out = asof_join(
+            left.repartition(nl), right.repartition(nr),
+            on="k", left_ts="ts", right_ts="ts", value_cols=["v"],
+        )
+        return sorted(
+            (r["k"], r["ts"], r["v_asof"]) for r in out.collect()
+        )
+
+    base = run(1, 1)
+    assert base == run(7, 3) == run(2, 13)
+
+
 def test_null_join_keys_never_match(spark):
     """SQL equi-join semantics: NULL keys match nothing (inner drops
     them, left keeps them unmatched) — while eqNullSafe treats NULL=NULL

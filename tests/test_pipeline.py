@@ -292,3 +292,53 @@ def test_list_outputs_projects_name_size_mtime(spark, tmp_path):
     assert files and all(f["name"].endswith(".parquet") for f in files)
     assert all(f["size"] > 0 and f["last_modified"] > 0 for f in files)
     assert not any(f["name"].startswith("_") for f in files)
+
+
+def test_durable_registry_survives_runner_restart(spark, tmp_path):
+    """Run history must outlive the runner instance (the reference
+    persists File rows in MySQL; here the registry is parquet). A brand
+    new runner on the same registry path lists the prior runs, with
+    tenant isolation still enforced, and failures keep their error."""
+    registry = str(tmp_path / "runs_registry")
+    r1 = PipelineRunner(spark, registry_path=registry)
+    ok = r1.run(lineitem_spec(), user="alice")
+    assert ok.status == "success"
+    bad = r1.run(
+        {
+            "name": "broken",
+            "source": {"format": "parquet", "path": f"{SF_SMOKE}/lineitem.parquet"},
+            "steps": [{"op": "filter", "predicate": "no_such_col > 1"}],
+        },
+        user="bob",
+    )
+    assert bad.status == "failed"
+
+    # simulate a restart: a fresh runner with empty in-memory state
+    r2 = PipelineRunner(spark, registry_path=registry)
+    all_runs = r2.list_runs()
+    assert {r.run_id for r in all_runs} == {ok.run_id, bad.run_id}
+    by_id = {r.run_id: r for r in all_runs}
+    assert by_id[ok.run_id].status == "success"
+    assert by_id[ok.run_id].n_output_rows == ok.n_output_rows
+    assert bad.error and "no_such_col" in by_id[bad.run_id].error
+
+    # tenant isolation on the restarted instance
+    assert {r.run_id for r in r2.list_runs(user="alice")} == {ok.run_id}
+    assert {r.run_id for r in r2.list_runs(user="bob")} == {bad.run_id}
+
+    # the registry keeps an audit trail: >= 2 state rows per run
+    raw = spark.read.parquet(registry)
+    assert raw.filter(raw.run_id == ok.run_id).count() >= 2
+
+    # runs_df reflects the merged view and is queryable
+    assert r2.runs_df().filter("status = 'success'").count() == 1
+
+
+def test_registry_in_memory_state_wins_for_own_runs(spark, tmp_path):
+    """For runs owned by THIS instance, the live in-memory state (e.g.
+    a streaming handle) must not be shadowed by older persisted rows."""
+    registry = str(tmp_path / "runs_registry2")
+    r = PipelineRunner(spark, registry_path=registry)
+    run = r.run(lineitem_spec(), user="alice")
+    listed = [x for x in r.list_runs() if x.run_id == run.run_id]
+    assert len(listed) == 1 and listed[0] is run
