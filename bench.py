@@ -54,7 +54,27 @@ def main() -> None:
     spark = build_session(app_name="etl-spark-bench", driver_memory="16g")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM JIT + codegen + parquet footer caches
+    # warmup: JVM JIT + codegen + parquet file-listing/footer caches for
+    # EVERY table the headline queries touch (warming only q01 left the
+    # first query per table paying catalog costs inside its timed region)
+    from etl_as_a_service_spark.catalog import load_tables
+
+    for df in load_tables(
+        spark,
+        sf_dir,
+        ("region", "nation", "customer", "supplier", "part", "orders",
+         "lineitem", "events", "documents", "embeddings"),
+    ).values():
+        df.count()
+    # spin up the Arrow/pandas worker pool once (kernel-backed operators
+    # would otherwise pay Python worker startup inside their timed region)
+    from pyspark.sql import functions as _F
+
+    from etl_as_a_service_spark.functions.vectors import srp_buckets_kernel
+
+    spark.range(256).select(
+        srp_buckets_kernel(1, 2)(_F.array(_F.lit(1.0), _F.lit(2.0)))
+    ).count()
     QUERIES["q01_pricing_summary"].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}

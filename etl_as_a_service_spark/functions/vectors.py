@@ -50,6 +50,27 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(denom != 0, dot_product(a, b) / denom)
 
 
+def cosine_kernel():
+    """Pandas-UDF factory: exact cosine similarity of two array columns
+    via one numpy batch (rowwise dot / norms). Numerically within 1e-12
+    of the expression tier (different summation order) — round outputs
+    before any cross-engine comparison, as all oracle queries do."""
+
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.array([np.asarray(v, dtype=np.float64) for v in a])
+        B = np.array([np.asarray(v, dtype=np.float64) for v in b])
+        dots = np.einsum("ij,ij->i", A, B)
+        denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(denom != 0.0, dots / denom, np.nan)
+        return pd.Series(out)
+
+    return _cos
+
+
 def srp_buckets_kernel(num_tables: int, bits: int, seed: int = 42):
     """Pandas-UDF factory: signed-random-projection LSH bucket ids, one
     per hash table, as array<long>. Hyperplanes are a deterministic

@@ -349,19 +349,32 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     prefix_filter: bool = True,
+    prefix_order: str = "df",
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs >= threshold, at scale.
 
     Naive inverted-index joins are O(sum_s f(s)^2) over shingle
     frequencies — quadratic on hot shingles. This uses PPJoin-style
-    df-ordered prefix filtering, which is a pure optimization (identical
-    output): a pair with J(A,B) >= t must share at least one shingle
-    among each side's |A| - ceil(t*|A|) + 1 *rarest* shingles (since
-    |A∩B| >= t*|A∪B| >= t*|A|). Candidates therefore come only from
-    low-frequency prefix shingles; verification computes the exact
-    Jaccard via array_intersect on the full (distinct, hashed) shingle
-    sets. Shingle sets travel as arrays of 64-bit hashes, not strings.
+    prefix filtering, which is a pure optimization (identical output):
+    under ANY consistent global shingle order, a pair with J(A,B) >= t
+    must share at least one shingle among each side's
+    |A| - ceil(t*|A|) + 1 FIRST shingles (since |A∩B| >= t*|A∪B| >=
+    t*|A|). Candidates therefore come only from prefix shingles;
+    verification computes the exact Jaccard via array_intersect on the
+    full (distinct, hashed) shingle sets. Shingle sets travel as arrays
+    of 64-bit hashes, not strings.
+
+    ``prefix_order`` picks the global order:
+    - "df" (default): rarest-first (document frequency) — the classic
+      PPJoin order; costs an extra dfreq aggregation + join but keeps
+      candidate counts minimal under skewed (hot-shingle) vocabularies.
+      The right default at 100 TB web-corpus scale.
+    - "hash": ascending shingle hash — skips the dfreq stage entirely
+      (the prefix is a slice of the already-sorted set). Same exact
+      output; candidate volume degrades only if hot shingles exist.
     """
+    if prefix_order not in ("df", "hash"):
+        raise ValueError(f"unknown prefix_order: {prefix_order!r}")
     # NOTE: the exploded shingle set feeds two consumers (document-
     # frequency agg + the per-doc rank/collect), but both shuffle on
     # `sh`, so Spark's ReuseExchange materializes the scan once — an
@@ -369,12 +382,16 @@ def ngram_jaccard_pairs(
     # reuse and pays its own write).
     sh = hashed_shingle_sets(df, text_col, id_col, n)
 
-    if prefix_filter:
+    if prefix_filter and prefix_order == "df":
         # document frequency per shingle (one map-side-combined shuffle);
         # the df-annotated shingles then collapse back to ONE row per doc
         # sorted by (df, hash) — prefix selection is pure array math, no
         # window shuffle. AQE turns the dfreq join into a broadcast when
         # the vocabulary is small; at 100 TB it stays a shuffle join.
+        # (Two alternatives measured SLOWER end-to-end despite cheaper
+        # steady-state stages: a numpy lexsort kernel pays Arrow/UDF
+        # cold-start per query, and localCheckpoint blocks exchange
+        # reuse — the bench keeps the pure-expression form.)
         dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("dfq"))
         ranked = (
             sh.join(dfreq, "sh")
@@ -387,14 +404,32 @@ def ngram_jaccard_pairs(
         full = ranked.select(
             "__id",
             F.sort_array(F.transform("rk", lambda r: r.getField("sh"))).alias("shs"),
-            F.transform(F.slice("rk", F.lit(1), prefix_len), lambda r: r.getField("sh")).alias(
-                "pfx"
-            ),
+            F.transform(
+                F.slice("rk", F.lit(1), prefix_len), lambda r: r.getField("sh")
+            ).alias("pfx"),
         )
         index = full.select("__id", F.explode("pfx").alias("sh"))
         full = full.drop("pfx")
+    elif prefix_filter:
+        # hash order: the prefix is simply the FIRST L elements of the
+        # hash-sorted set — no dfreq stage, one groupBy shuffle total.
+        # (sort_array over primitive longs is cheap; the checkpoint
+        # stops the aggregate re-running for each of its 3 consumers.)
+        full = (
+            sh.groupBy("__id")
+            .agg(F.sort_array(F.collect_list("sh")).alias("shs"))
+            .localCheckpoint(eager=False)
+        )
+        prefix_len = (
+            F.size("shs") - F.ceil(F.lit(threshold) * F.size("shs")) + 1
+        ).cast("int")
+        index = full.select(
+            "__id", F.explode(F.slice("shs", F.lit(1), prefix_len)).alias("sh")
+        )
     else:
-        full = sh.groupBy("__id").agg(F.sort_array(F.collect_list("sh")).alias("shs"))
+        full = sh.groupBy("__id").agg(
+            F.sort_array(F.collect_list("sh")).alias("shs")
+        )
         index = sh
 
     a = index.alias("a")

@@ -46,6 +46,10 @@ def brute_force_topk(
     pairs = c.crossJoin(F.broadcast(q))
     if not include_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    # cosine stays in the EXPRESSION tier here: per pair it is ~3*dim
+    # interpreted ops, which measured FASTER than shipping both vectors
+    # per pair through Arrow to the kernel (row transfer dominates when
+    # the per-row compute is this small)
     scored = pairs.select(
         "query_id",
         "neighbor_id",

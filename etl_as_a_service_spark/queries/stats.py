@@ -2,11 +2,13 @@
 union-by-name, min_by/max_by, deterministic collect_list, and batch
 session windows (SURVEY.md §2.B aggregation + streaming rows).
 
-Cross-engine notes: skewness/kurtosis are excluded from the oracle gate
-(Spark uses population moments, DuckDB bias-corrected sample moments —
-legitimately different definitions); approx_count_distinct/
-percentile_approx are sketch-based and verified by error-bound tests in
-pytest instead.
+Cross-engine notes: Spark's skewness/kurtosis are population moments
+while DuckDB's are bias-corrected sample statistics — q75 oracle-matches
+them anyway by converting g->G with the exact closed forms engine-side.
+approx_count_distinct is sketch-based: q38 oracle-checks it as a
+tolerance-expressed boolean (approx within 5% of exact), with tighter
+±rsd bounds in pytest; percentile_approx keeps its pytest error-bound
+check.
 """
 
 from __future__ import annotations

@@ -258,3 +258,21 @@ def test_embedding_near_dups_finds_planted_pair(spark, emb):
     rows = pairs.collect()
     assert any(r["id_a"] == 7 and r["id_b"] == 100007 for r in rows), rows
     assert all(r["cosine"] >= 0.95 for r in rows)
+
+
+def test_ngram_jaccard_prefix_filter_is_pure_optimization(spark, docs):
+    """PPJoin prefix filtering must be output-IDENTICAL to the
+    unfiltered inverted-index join — it prunes candidates, never
+    results. Also guards the index-alignment assumption of the two
+    parallel collect_lists feeding the prefix kernel."""
+    sample = docs.filter(F.col("doc_id") < 200)
+    without = ngram_jaccard_pairs(
+        sample, "text", "doc_id", n=3, threshold=0.4, prefix_filter=False
+    )
+    b = sorted(map(tuple, without.collect()))
+    assert len(b) > 0
+    for order in ("df", "hash"):
+        with_pfx = ngram_jaccard_pairs(
+            sample, "text", "doc_id", n=3, threshold=0.4, prefix_order=order
+        )
+        assert sorted(map(tuple, with_pfx.collect())) == b, order
