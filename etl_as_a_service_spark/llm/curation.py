@@ -1,0 +1,164 @@
+"""Training-data curation operators: deterministic splits, sequence
+packing, class rebalancing, data-quality checks.
+
+These are the pipeline steps between "deduped corpus" and "training
+shards" (reference scope: user pipelines over uploaded data,
+app/routes.py:66-135 — restated as first-class engine operators). All
+are pure DataFrame compositions:
+
+- splits/rebalancing key on a cryptographic-hash ordering, so they are
+  REPRODUCIBLE across runs, partitionings, and engines (seeded `rand()`
+  is stable only within one engine/partitioning);
+- packing is per-shard, so no global sort/single-partition window
+  bottleneck at 100 TB;
+- quality checks are one pass of conditional aggregates, not one job
+  per rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_hex8(col: Column, salt: str) -> Column:
+    """First 8 hex chars of md5(salt || value) — an 8-hex-digit string
+    that compares lexicographically like a uniform 32-bit number, in any
+    engine with md5 (portable, unlike xxhash64)."""
+    return F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8)
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Assign every row a split label (train/val/test by default) from
+    the hash of its id — the canonical held-out-split construction for
+    training corpora. Properties a `rand()` split lacks: stable under
+    re-partitioning and re-runs, portable across engines, and a row's
+    assignment never changes when OTHER rows are added or removed.
+
+    ``weights`` are fractions summing to 1; cut points are expressed as
+    hex-string thresholds so the comparison is a plain string compare
+    (md5 hex is lowercase in every engine). Adds a ``split`` column.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    h = _hash_hex8(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cut = format(int(acc * 16**8), "08x")
+        expr = (
+            F.when(h < cut, name) if expr is None else expr.when(h < cut, name)
+        )
+    expr = (
+        expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
+    )
+    return df.withColumn("split", expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    token_budget: int,
+    n_shards: int = 16,
+    salt: str = "pack-v1",
+    shard_col: Column | None = None,
+) -> DataFrame:
+    """Contiguous sequence packing: order documents deterministically
+    within ``n_shards`` hash shards and cut bins every ``token_budget``
+    cumulative tokens. Adds (shard, bin, tokens_before) columns; a
+    (shard, bin) group is one packed training sequence.
+
+    Scale shape: ONE shuffle (the per-shard window sort) — packing is
+    per-shard by construction, so there is no global-order single
+    partition; shards grow with the cluster, not the corpus. Greedy
+    first-fit is inherently sequential — contiguous cutting is the
+    distributed-friendly standard and overshoots each bin by at most one
+    document (callers that must hard-cap truncate the straddling doc).
+
+    ``shard_col`` overrides the default xxhash64 shard id (e.g. an
+    md5-hex-digit shard for engine-portable reproducibility).
+    """
+    shard = (
+        shard_col
+        if shard_col is not None
+        else F.pmod(
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(salt)),
+            F.lit(n_shards),
+        )
+    )
+    order = _hash_hex8(F.col(id_col), salt)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(order, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("shard", shard)
+    out = out.withColumn(
+        "tokens_before",
+        F.sum(F.col(token_col)).over(w) - F.col(token_col),
+    )
+    return out.withColumn(
+        "bin", F.floor(F.col("tokens_before") / F.lit(token_budget))
+    )
+
+
+def rebalance_classes(
+    df: DataFrame,
+    class_col: str,
+    id_col: str,
+    cap_per_class: int,
+    salt: str = "rebalance-v1",
+) -> DataFrame:
+    """Downsample over-represented classes to ``cap_per_class`` rows,
+    keeping the hash-order-first rows per class — deterministic,
+    partition-invariant, and incremental-friendly (a surviving row only
+    drops out if strictly-lower-hash rows are added to its class).
+    Plans as WindowGroupLimit: each map task keeps <= cap rows per class
+    before the shuffle."""
+    w = Window.partitionBy(class_col).orderBy(
+        _hash_hex8(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap_per_class)
+        .drop("__rn")
+    )
+
+
+def quality_report(
+    df: DataFrame, checks: dict[str, Column]
+) -> DataFrame:
+    """Data-quality summary: one row per named check with its violation
+    count and the total row count — ONE aggregation pass over the input
+    (conditional sums), not a job per rule. ``checks`` maps check name
+    -> boolean Column that is true for VIOLATING rows."""
+    if not checks:
+        raise ValueError("quality_report requires at least one check")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"__v_{name}")
+            for name, cond in checks.items()
+        ],
+    )
+    stacked = agg.select(
+        F.expr(
+            "stack({n}, {args}) AS (chk, violations)".format(
+                n=len(checks),
+                args=", ".join(
+                    f"'{name}', __v_{name}" for name in checks
+                ),
+            )
+        ),
+        F.col("__n").alias("n_rows"),
+    )
+    return stacked.select("chk", "violations", "n_rows")

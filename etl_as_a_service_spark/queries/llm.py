@@ -478,3 +478,173 @@ def q61_multimodal_decode(spark, sf_dir):
         )
         .orderBy("modality")
     )
+
+
+# --------------------------------------------------------------------------
+# q76-q79 — training-data curation operators (llm/curation.py)
+# --------------------------------------------------------------------------
+@query(
+    "q76_deterministic_split",
+    oracle="""
+    WITH s AS (
+      SELECT lang, len(string_split(text, ' ')) AS nt,
+             CASE WHEN substring(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'e6666666' THEN 'train'
+                  WHEN substring(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'f3333333' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens
+    FROM s GROUP BY split, lang ORDER BY split, lang
+    """,
+    tags=("curation", "split", "llm"),
+)
+def q76_deterministic_split(spark, sf_dir):
+    """Hash-keyed train/val/test split (llm.curation.deterministic_split):
+    reproducible across runs, partitionings, AND engines — the oracle
+    recomputes the same md5-threshold assignment and must agree on every
+    per-(split, lang) count."""
+    from etl_as_a_service_spark.llm.curation import deterministic_split
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        deterministic_split(docs, "doc_id")
+        .select(
+            "split", "lang", token_count(F.col("text")).cast("long").alias("__nt")
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@query(
+    "q77_data_quality_report",
+    oracle="""
+    WITH a AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v_null_orderkey,
+             sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)    AS v_nonpositive_qty,
+             sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+                                                                 AS v_discount_range,
+             sum(CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 1 ELSE 0 END)
+                                                                 AS v_tax_range
+      FROM lineitem
+    )
+    SELECT chk, CAST(violations AS BIGINT) AS violations, CAST(n AS BIGINT) AS n_rows
+    FROM (
+      SELECT 'discount_range' AS chk, v_discount_range AS violations, n FROM a
+      UNION ALL SELECT 'nonpositive_qty', v_nonpositive_qty, n FROM a
+      UNION ALL SELECT 'null_orderkey', v_null_orderkey, n FROM a
+      UNION ALL SELECT 'tax_range', v_tax_range, n FROM a
+    ) ORDER BY chk
+    """,
+    tags=("curation", "quality", "llm"),
+)
+def q77_data_quality_report(spark, sf_dir):
+    """Declarative data-quality gate (llm.curation.quality_report): all
+    rules evaluate in ONE conditional-aggregate pass — the shape a 100 TB
+    validation job needs (never one scan per rule)."""
+    from etl_as_a_service_spark.llm.curation import quality_report
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    checks = {
+        "discount_range": (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+        "nonpositive_qty": F.col("l_quantity") <= 0,
+        "null_orderkey": F.col("l_orderkey").isNull(),
+        "tax_range": (F.col("l_tax") < 0) | (F.col("l_tax") > 0.08),
+    }
+    return quality_report(li, checks).orderBy("chk")
+
+
+@query(
+    "q78_sequence_packing",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS nt,
+             substring(md5('pack-v1' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             substring(md5('pack-v1' || CAST(doc_id AS VARCHAR)), 1, 8) AS ord
+      FROM documents
+    ),
+    c AS (
+      SELECT shard, doc_id, nt,
+             sum(nt) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                           ROWS UNBOUNDED PRECEDING) - nt AS tokens_before
+      FROM d
+    )
+    SELECT shard, CAST(floor(tokens_before / 2048.0) AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY shard, bin ORDER BY shard, bin
+    """,
+    tags=("curation", "packing", "llm"),
+)
+def q78_sequence_packing(spark, sf_dir):
+    """Context-window packing (llm.curation.pack_sequences): documents
+    are hash-sharded, ordered deterministically, and cut into
+    ~2048-token bins with one per-shard window — no global sort. The
+    oracle reproduces shard/order/cumsum exactly (md5-hex shard for
+    engine portability)."""
+    from etl_as_a_service_spark.llm.curation import pack_sequences
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("nt")
+    )
+    packed = pack_sequences(
+        with_tokens,
+        id_col="doc_id",
+        token_col="nt",
+        token_budget=2048,
+        shard_col=F.substring(
+            F.md5(F.concat(F.lit("pack-v1"), F.col("doc_id").cast("string"))), 1, 1
+        ),
+    )
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("bin_tokens"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+@query(
+    "q79_class_rebalance",
+    oracle="""
+    WITH r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substring(md5('rebalance-v1' || CAST(doc_id AS VARCHAR)), 1, 8),
+                        doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM r WHERE rn <= 80 GROUP BY lang ORDER BY lang
+    """,
+    tags=("curation", "rebalance", "llm"),
+)
+def q79_class_rebalance(spark, sf_dir):
+    """Class rebalancing (llm.curation.rebalance_classes): cap each
+    language at 80 docs, keeping hash-order-first rows — deterministic
+    sampling that plans as WindowGroupLimit (map-side partial top-k).
+    The id_sum checksum proves BOTH engines kept the same rows, not just
+    the same counts."""
+    from etl_as_a_service_spark.llm.curation import rebalance_classes
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        rebalance_classes(docs, "lang", "doc_id", cap_per_class=80)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )

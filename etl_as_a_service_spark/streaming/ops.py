@@ -41,6 +41,75 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
     )
 
 
+class KafkaConnectorMissing(RuntimeError):
+    """The spark-sql-kafka connector jar is not on the classpath (it
+    ships separately from Spark). Launch with
+    ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark ver>``
+    to enable; this container has no broker/jar, so Kafka coverage is a
+    construction-level gate (COVERAGE.md)."""
+
+
+def kafka_source(
+    spark: SparkSession,
+    brokers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    value_schema: str | None = None,
+    options: dict | None = None,
+) -> DataFrame:
+    """Kafka readStream plan: subscribes to ``topics``, casts key/value
+    to strings, and (optionally) parses the value as JSON against
+    ``value_schema``. The returned DataFrame carries the standard
+    (key, value, topic, partition, offset, timestamp) columns, so
+    downstream operators are identical to the file-source path.
+
+    Raises KafkaConnectorMissing when the connector jar is absent —
+    config validation still runs, so specs referencing Kafka fail fast
+    with an actionable message instead of a ClassNotFound at start()."""
+    if not brokers or not topics:
+        raise ValueError("kafka_source requires brokers and topics")
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, str(v))
+    try:
+        raw = reader.load()
+    except Exception as e:  # DATA_SOURCE_NOT_FOUND / ClassNotFound
+        raise KafkaConnectorMissing(str(e)) from e
+    out = raw.selectExpr(
+        "CAST(key AS STRING) AS key",
+        "CAST(value AS STRING) AS value",
+        "topic", "partition", "offset", "timestamp",
+    )
+    if value_schema is not None:
+        out = out.withColumn("parsed", F.from_json("value", value_schema))
+    return out
+
+
+def kafka_sink(
+    df: DataFrame,
+    brokers: str,
+    topic: str,
+    checkpoint: str,
+    value_expr: str = "to_json(struct(*)) AS value",
+):
+    """Kafka writeStream plan: rows serialize via ``value_expr`` (JSON of
+    the full row by default). Returns the configured DataStreamWriter —
+    call .start() where a broker exists. The projection is validated
+    eagerly, so schema errors surface before deployment."""
+    payload = df.selectExpr(value_expr)
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
 def tumbling_window_agg(
     df: DataFrame,
     ts_col: str,

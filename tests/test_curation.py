@@ -1,0 +1,114 @@
+"""Training-data curation operators (llm/curation.py): determinism,
+partition invariance, packing-budget and rebalance-cap properties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.catalog import load_tables
+from etl_as_a_service_spark.llm.curation import (
+    deterministic_split,
+    pack_sequences,
+    quality_report,
+    rebalance_classes,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_tables(spark, SF_SMOKE, ("documents",))["documents"]
+
+
+def test_split_partition_invariant_and_sized(spark, docs):
+    """The same row gets the same split no matter the partitioning, and
+    observed fractions are within loose tolerance of the weights."""
+    a = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(docs, "doc_id").select("doc_id", "split").collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(docs.repartition(13), "doc_id")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+    n = len(a)
+    train = sum(1 for s in a.values() if s == "train")
+    assert 0.8 <= train / n <= 0.97  # 90% +- sampling noise at 500 docs
+
+
+def test_split_stable_under_row_additions(spark, docs):
+    """A row's split must not change when OTHER rows are added — the
+    property that makes held-out sets safe under corpus growth."""
+    subset = docs.filter(F.col("doc_id") < 100)
+    full = deterministic_split(docs, "doc_id")
+    small = deterministic_split(subset, "doc_id")
+    j = small.alias("s").join(
+        full.alias("f"), F.col("s.doc_id") == F.col("f.doc_id")
+    )
+    assert j.filter(F.col("s.split") != F.col("f.split")).count() == 0
+
+
+def test_split_rejects_bad_weights(spark, docs):
+    with pytest.raises(ValueError, match="sum to 1"):
+        deterministic_split(docs, "doc_id", weights={"a": 0.5, "b": 0.4})
+
+
+def test_pack_sequences_budget_property(spark, docs):
+    """Every bin's token total stays under budget + one document (the
+    contiguous-cut guarantee), bins are contiguous per shard, and no
+    documents are lost."""
+    with_tokens = docs.select(
+        "doc_id", F.size(F.split("text", r"\s+")).cast("long").alias("nt")
+    )
+    packed = pack_sequences(
+        with_tokens, id_col="doc_id", token_col="nt", token_budget=1000,
+        n_shards=4,
+    )
+    assert packed.count() == with_tokens.count()
+    bins = packed.groupBy("shard", "bin").agg(
+        F.sum("nt").alias("tot"), F.max("nt").alias("mx")
+    )
+    # contiguous cut: tot < budget + the straddling doc's size
+    assert bins.filter(F.col("tot") >= 1000 + F.col("mx")).count() == 0
+    # bins within a shard are dense 0..max
+    per_shard = bins.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_bins"), F.max("bin").alias("max_bin")
+    )
+    assert per_shard.filter(F.col("n_bins") != F.col("max_bin") + 1).count() == 0
+
+
+def test_rebalance_caps_and_is_deterministic(spark, docs):
+    out = rebalance_classes(docs, "lang", "doc_id", cap_per_class=50)
+    counts = out.groupBy("lang").count()
+    assert counts.filter(F.col("count") > 50).count() == 0
+    ids1 = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in rebalance_classes(
+            docs.repartition(7), "lang", "doc_id", cap_per_class=50
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert ids1 == ids2
+
+
+def test_quality_report_single_pass_counts(spark, docs):
+    rep = quality_report(
+        docs,
+        {
+            "empty_text": F.length("text") == 0,
+            "neg_chars": F.col("n_chars") < 0,
+            "impossible": F.lit(False),
+        },
+    )
+    rows = {r["chk"]: r for r in rep.collect()}
+    assert set(rows) == {"empty_text", "neg_chars", "impossible"}
+    assert rows["impossible"]["violations"] == 0
+    assert all(r["n_rows"] == docs.count() for r in rows.values())
+    with pytest.raises(ValueError, match="at least one"):
+        quality_report(docs, {})
