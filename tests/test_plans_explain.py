@@ -127,3 +127,38 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_rebalance_classes_plans_window_group_limit(spark):
+    """Class rebalancing must plan as WindowGroupLimit (map-side partial
+    top-k per class) — at corpus scale the exchange then moves at most
+    cap rows per class per task, not the full input."""
+    from etl_as_a_service_spark.llm.curation import rebalance_classes
+
+    docs = load_tables(spark, SF_T2, ("documents",))["documents"]
+    df = rebalance_classes(docs, "lang", "doc_id", cap_per_class=10)
+    assert "WindowGroupLimit" in plan_of(df)
+
+
+def test_ivf_loaded_index_partition_prunes(spark, tmp_path):
+    """A persisted IVF index is parquet PARTITIONED BY cell; probing
+    n_probe cells must prune to those partitions at the scan (the
+    'query touches n_probe/n_cells of the data' contract)."""
+    from etl_as_a_service_spark.llm.similarity import (
+        ivf_build,
+        ivf_load,
+        ivf_save,
+    )
+
+    emb = load_tables(spark, SF_T2, ("embeddings",))["embeddings"]
+    index = ivf_build(emb, n_cells=8)
+    path = str(tmp_path / "ivf_idx")
+    ivf_save(index, path)
+    loaded = ivf_load(spark, path)
+
+    probed = loaded.assigned.filter(F.col("__cell").isin(2, 5))
+    plan = formatted(probed)
+    part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in part_filters, f"no partition pruning: {part_filters}"
+    # and the pruned scan reads only the probed directories
+    assert probed.select("__cell").distinct().count() <= 2
