@@ -478,3 +478,51 @@ def q74_date_part_week_trunc(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("week_start", "m")
     )
+
+
+# --------------------------------------------------------------------------
+# q80 — VARIANT semi-structured type (Spark 4)
+# --------------------------------------------------------------------------
+@query(
+    "q80_variant_json",
+    oracle="""
+    SELECT event_type,
+           count(*)                          AS n,
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT)                   AS sum_k,
+           CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS INTEGER)                  AS max_k,
+           'OBJECT<k: BIGINT>'               AS variant_schema
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("variant", "json", "spark4"),
+)
+def q80_variant_json(spark, sf_dir):
+    """Spark 4 VARIANT type over semi-structured props: parse_json ->
+    open-schema binary encoding, typed access via try_variant_get (no
+    up-front schema, unlike from_json), schema_of_variant for discovery.
+    The oracle states the same extraction with DuckDB's JSON functions —
+    and pins the discovered schema as a literal."""
+    tables = load_tables(spark, sf_dir, ("events",))
+    ev = tables["events"]
+    v = ev.select(
+        "event_type",
+        F.parse_json("props").alias("__v"),
+    )
+    return (
+        v.select(
+            "event_type",
+            F.try_variant_get("__v", "$.k", "int").alias("__k"),
+            F.schema_of_variant("__v").alias("__sch"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__k").alias("sum_k"),
+            F.max("__k").alias("max_k"),
+            F.max("__sch").alias("variant_schema"),
+        )
+        .orderBy("event_type")
+    )

@@ -56,6 +56,34 @@ def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
     return spark.read.options(**options).orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """XML via Spark 4's built-in xml source (spark-xml was external
+    before 4.0). ``row_tag`` names the repeated record element; without
+    an explicit ``schema`` the reader infers types with an extra scan —
+    pass one in production, exactly like CSV/JSON."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row",
+              root_tag: str = "rows", mode: str = "overwrite") -> None:
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode(mode)
+        .save(path)
+    )
+
+
 def read_text(spark: SparkSession, path: str, whole_text: bool = False) -> DataFrame:
     return spark.read.option("wholetext", whole_text).text(path)
 

@@ -162,3 +162,21 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     got = parts.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).first()["s"]
     want = orders.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).first()["s"]
     assert got == want
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """Spark 4 native XML: write nation out as XML, read it back with an
+    explicit rowTag + schema, and get identical rows (the any-format
+    ingest face of the reference's upload endpoint)."""
+    from etl_as_a_service_spark.sources.readers import read_xml, write_xml
+
+    nation = load_tables(spark, SF_SMOKE, ("nation",))["nation"]
+    out = str(tmp_path / "nation_xml")
+    write_xml(nation.select("n_nationkey", "n_name"), out, row_tag="nation")
+    back = read_xml(
+        spark, out, row_tag="nation",
+        schema="n_nationkey bigint, n_name string",
+    )
+    a = sorted(map(tuple, nation.select("n_nationkey", "n_name").collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
