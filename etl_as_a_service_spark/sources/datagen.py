@@ -1,0 +1,73 @@
+"""Custom Python Data Source (Spark 4 `pyspark.sql.datasource` API):
+a deterministic synthetic document generator.
+
+This is the extension face of the reference's "ingest anything" upload
+endpoint (app/routes.py:66-135): where the reference accepts arbitrary
+files, the engine accepts arbitrary SOURCES — a user can plug a Python
+`DataSource` (REST pagination, proprietary framing, generators) and it
+participates in normal planning: partitions() drives parallelism, each
+partition reads independently on an executor, downstream operators are
+ordinary Catalyst.
+
+`synthetic_docs` generates a seeded corpus (doc_id, text, lang) for
+load tests and demos — same (seed, rows, partitions) => same rows, on
+any cluster layout.
+
+Usage::
+
+    from etl_as_a_service_spark.sources.datagen import register_synthetic_docs
+    register_synthetic_docs(spark)
+    df = (spark.read.format("synthetic_docs")
+          .option("rows", 10_000).option("partitions", 8).load())
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_LANGS = ("en", "de", "fr", "es", "zh")
+
+
+class SyntheticDocsDataSource(DataSource):
+    """Batch data source `synthetic_docs` with options rows / partitions
+    / seed / words_per_doc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return "doc_id bigint, text string, lang string"
+
+    def reader(self, schema) -> "SyntheticDocsReader":
+        return SyntheticDocsReader(self.options)
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.n_partitions = int(options.get("partitions", 4))
+        self.seed = int(options.get("seed", 42))
+        self.words_per_doc = int(options.get("words_per_doc", 24))
+
+    def partitions(self):
+        # one InputPartition per requested split: Spark schedules each as
+        # an independent task — parallelism is declared, not inferred
+        return [InputPartition(i) for i in range(self.n_partitions)]
+
+    def read(self, partition):
+        i = partition.value
+        lo = self.rows * i // self.n_partitions
+        hi = self.rows * (i + 1) // self.n_partitions
+        # per-(seed, partition) RNG: rows are reproducible regardless of
+        # which executor runs which partition
+        rng = random.Random(self.seed * 1_000_003 + i)
+        for d in range(lo, hi):
+            words = [f"w{rng.randint(0, 999)}" for _ in range(self.words_per_doc)]
+            yield (d, " ".join(words), _LANGS[d % len(_LANGS)])
+
+
+def register_synthetic_docs(spark) -> None:
+    spark.dataSource.register(SyntheticDocsDataSource)

@@ -180,3 +180,32 @@ def test_xml_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, nation.select("n_nationkey", "n_name").collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_python_datasource_synthetic_docs(spark):
+    """Spark 4 Python Data Source API: the custom `synthetic_docs`
+    source declares its own partitions (parallelism), yields
+    deterministic rows per (seed, partition), and composes with normal
+    Catalyst operators downstream."""
+    from etl_as_a_service_spark.sources.datagen import register_synthetic_docs
+
+    register_synthetic_docs(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 500).option("partitions", 5).option("seed", 7)
+        .load()
+    )
+    assert df.columns == ["doc_id", "text", "lang"]
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 500
+    # deterministic: a second read yields identical rows
+    df2 = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 500).option("partitions", 5).option("seed", 7)
+        .load()
+    )
+    assert df.exceptAll(df2).count() == 0 and df2.exceptAll(df).count() == 0
+    # composes with engine operators (groupBy over the generated corpus)
+    by_lang = df.groupBy("lang").count().collect()
+    assert {r["lang"] for r in by_lang} == {"en", "de", "fr", "es", "zh"}
+    assert all(r["count"] == 100 for r in by_lang)
