@@ -78,6 +78,9 @@ _ALLOWED_OPS = {
     "pivot",
     "asof_join",
     "exact_dedup",
+    "split",
+    "rebalance",
+    "observe",
 }
 
 
@@ -143,7 +146,12 @@ def _req(step: dict[str, Any], field: str):
     return step[field]
 
 
-def _apply_step(spark: SparkSession, df: DataFrame, step: dict[str, Any]) -> DataFrame:
+def _apply_step(
+    spark: SparkSession,
+    df: DataFrame,
+    step: dict[str, Any],
+    observations: list | None = None,
+) -> DataFrame:
     op = step.get("op")
     if op not in _ALLOWED_OPS:
         raise PipelineError(f"unknown op: {op!r} (allowed: {sorted(_ALLOWED_OPS)})")
@@ -251,22 +259,71 @@ def _apply_step(spark: SparkSession, df: DataFrame, step: dict[str, Any]) -> Dat
             id_col=_req(step, "id_col"),
             normalize=step.get("normalize", True),
         )
+    if op == "split":
+        # {"op":"split","id_col":"doc_id",
+        #  "weights":{"train":0.9,"val":0.05,"test":0.05},
+        #  "keep": "train"}  — keep filters to one split if given
+        from etl_as_a_service_spark.llm.curation import deterministic_split
+
+        out = deterministic_split(
+            df,
+            id_col=_req(step, "id_col"),
+            weights=step.get("weights"),
+            salt=step.get("salt", "split-v1"),
+        )
+        if step.get("keep"):
+            out = out.filter(F.col("split") == step["keep"])
+        return out
+    if op == "rebalance":
+        # {"op":"rebalance","class_col":"lang","id_col":"doc_id","cap":100}
+        from etl_as_a_service_spark.llm.curation import rebalance_classes
+
+        return rebalance_classes(
+            df,
+            class_col=_req(step, "class_col"),
+            id_col=_req(step, "id_col"),
+            cap_per_class=int(_req(step, "cap")),
+            salt=step.get("salt", "rebalance-v1"),
+        )
+    if op == "observe":
+        # {"op":"observe","name":"m","metrics":{"n":"count(*)",
+        #  "bad":"sum(case when x<0 then 1 else 0 end)"}} — named metrics
+        # ride the run's action (df.observe, zero extra jobs) and land in
+        # run.metrics after execution. Spark forbids DISTINCT aggregates
+        # in observed metrics — use approx_count_distinct.
+        metrics = [
+            F.expr(e).alias(name) for name, e in _req(step, "metrics").items()
+        ]
+        mname = step.get("name", "pipeline_metrics")
+        if observations is not None:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            observations.append((mname, obs))
+            return df.observe(obs, *metrics)
+        return df.observe(mname, *metrics)
     raise AssertionError(op)
 
 
 def compile_pipeline(
-    spark: SparkSession, spec: dict[str, Any], _as_subplan: bool = False
+    spark: SparkSession,
+    spec: dict[str, Any],
+    _as_subplan: bool = False,
+    observations: list | None = None,
 ) -> DataFrame:
     """Compile a spec to a (lazy) DataFrame — IR chain: spec dict ->
     Catalyst unresolved plan -> optimized plan -> physical plan, all
-    owned by Spark (SURVEY.md §3 'Spark-native restatement')."""
+    owned by Spark (SURVEY.md §3 'Spark-native restatement').
+
+    ``observations``: pass a list to collect (name, Observation) pairs
+    from ``observe`` steps; the runner reads them after the action."""
     if not _as_subplan:
         extract_pipeline_name(spec)
     if "source" not in spec:
         raise PipelineError("pipeline spec missing 'source'")
     df = _compile_source(spark, spec["source"])
     for step in spec.get("steps", []):
-        df = _apply_step(spark, df, step)
+        df = _apply_step(spark, df, step, observations)
     return df
 
 
@@ -285,6 +342,7 @@ class PipelineRun:
     output_path: str | None = None
     n_output_rows: int | None = None
     stream_query: Any = None  # live StreamingQuery handle (continuous runs)
+    metrics: dict[str, Any] | None = None  # observed metrics (observe op)
 
 
 #: parquet schema of the durable run registry (one row per state change;
@@ -380,7 +438,8 @@ class PipelineRunner:
     def _execute(self, run: PipelineRun, spec: dict[str, Any]) -> None:
         run.status = "running"
         try:
-            df = compile_pipeline(self.spark, spec)
+            observations: list = []
+            df = compile_pipeline(self.spark, spec, observations=observations)
             sink = spec.get("sink")
             if df.isStreaming:
                 self._execute_streaming(run, df, sink or {})
@@ -399,6 +458,12 @@ class PipelineRunner:
                 # no sink: count() forces execution (cheap action; the
                 # plan's aggregates still run distributed)
                 run.n_output_rows = df.count()
+            if observations:
+                # Observation.get blocks until the observed action above
+                # completed; metrics cost zero extra jobs
+                run.metrics = {
+                    name: dict(obs.get) for name, obs in observations
+                }
             run.status = "success"
         except Exception:
             run.status = "failed"

@@ -342,3 +342,32 @@ def test_registry_in_memory_state_wins_for_own_runs(spark, tmp_path):
     run = r.run(lineitem_spec(), user="alice")
     listed = [x for x in r.list_runs() if x.run_id == run.run_id]
     assert len(listed) == 1 and listed[0] is run
+
+
+def test_curation_and_observe_steps(spark):
+    """The curation ops and zero-extra-job metrics are first-class spec
+    steps: split -> keep train -> rebalance -> observe, metrics land on
+    the run after execution."""
+    spec = {
+        "name": "curated_corpus",
+        "source": {"format": "parquet", "path": f"{SF_SMOKE}/documents.parquet"},
+        "steps": [
+            {"op": "split", "id_col": "doc_id", "keep": "train"},
+            {"op": "rebalance", "class_col": "lang", "id_col": "doc_id",
+             "cap": 40},
+            {"op": "observe", "name": "corpus_metrics",
+             "metrics": {"n": "count(*)",
+                         "langs": "approx_count_distinct(lang)",
+                         "empty": "sum(case when length(text)=0 then 1 else 0 end)"}},
+        ],
+    }
+    runner = PipelineRunner(spark)
+    run = runner.run(spec, user="alice")
+    assert run.status == "success", run.error
+    m = run.metrics["corpus_metrics"]
+    assert m["n"] == run.n_output_rows and m["n"] > 0
+    assert m["langs"] == 5 and m["empty"] == 0
+    # cap respected end-to-end
+    df = compile_pipeline(spark, {k: v for k, v in spec.items() if k != "name"}
+                          | {"name": "x"})
+    assert df.groupBy("lang").count().filter("count > 40").count() == 0
