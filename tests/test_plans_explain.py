@@ -162,3 +162,43 @@ def test_ivf_loaded_index_partition_prunes(spark, tmp_path):
     assert "cell" in part_filters, f"no partition pruning: {part_filters}"
     # and the pruned scan reads only the probed directories
     assert probed.select("__cell").distinct().count() <= 2
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Bucketing is THE pre-shuffle for repeated big-big joins: two
+    tables bucketed by the join key on the same bucket count must join
+    with NO Exchange below the join (each task zips matching buckets).
+    At 100 TB this turns every repeated fact-fact join from a full
+    shuffle into a local merge. Broadcast is disabled to simulate the
+    big-big case the feature exists for."""
+    orders = load_tables(spark, SF_T2, ("orders",))["orders"]
+    li = load_tables(spark, SF_T2, ("lineitem",))["lineitem"]
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+         .sortBy("o_orderkey").saveAsTable("orders_b"))
+        (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+         .sortBy("l_orderkey").saveAsTable("lineitem_b"))
+        j = (
+            spark.table("orders_b")
+            .join(
+                spark.table("lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        # finalize THIS queryExecution under AQE
+        assert j._jdf.queryExecution().toRdd().count() > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # the join reads the bucketed layout directly: no hash exchange
+        # on either join key anywhere in the plan
+        assert "hashpartitioning(o_orderkey" not in plan
+        assert "hashpartitioning(l_orderkey" not in plan
+        assert "SelectedBucketsCount" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
