@@ -83,3 +83,54 @@ def test_stateful_running_totals(spark, tmp_path):
     last = got.groupby("key").last()
     assert last.loc[1, "total"] == 17.0 and last.loc[1, "n"] == 2
     assert last.loc[2, "total"] == 5.0 and last.loc[2, "n"] == 1
+
+def test_stream_stream_interval_join_left_outer(spark, tmp_path):
+    """LEFT OUTER stream-stream join: an unmatched left row is emitted
+    with null right columns once the GLOBAL watermark (min of both
+    sides' watermarks) passes the end of its join interval. Rows whose
+    interval is still open at end-of-stream are correctly HELD, never
+    emitted — availableNow does not flush unexpired state. The late
+    sentinel click exists to push the left watermark far enough that the
+    earlier unmatched clicks expire."""
+    mk = lambda rows: spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    cdir, pdir = str(tmp_path / "clicks_o"), str(tmp_path / "purch_o")
+    mk(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 11:00:00"),
+         (2, "2024-01-01 10:30:00"),
+         (9, "2024-01-01 13:00:00")]   # watermark sentinel
+    ).write.parquet(cdir)
+    mk(
+        [(1, "2024-01-01 10:20:00"), (2, "2024-01-01 12:30:00")]
+    ).write.parquet(pdir)
+    clicks = file_stream(spark, cdir, "user_id long, ts timestamp").withColumnRenamed(
+        "ts", "click_ts"
+    )
+    purchases = file_stream(spark, pdir, "user_id long, ts timestamp").withColumnRenamed(
+        "ts", "purchase_ts"
+    )
+    joined = stream_stream_interval_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        lower="0 minutes",
+        upper="30 minutes",
+        left_watermark="1 second",
+        right_watermark="1 second",
+        how="left_outer",
+    ).select("user_id", "click_ts", "purchase_ts")
+    got = {
+        (r["user_id"], str(r["click_ts"]), str(r["purchase_ts"]))
+        for r in run_available_now(joined, "ssj_outer_test").collect()
+    }
+    # global watermark ends at min(13:00, 12:30) - 1s -> intervals ending
+    # before ~12:29:59 are finalized; the 13:00 sentinel's own interval
+    # (ends 13:30) stays open, so it is held, not emitted
+    assert got == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:20:00"),
+        (1, "2024-01-01 11:00:00", "None"),   # no purchase in window
+        (2, "2024-01-01 10:30:00", "None"),   # 12:30 outside window
+    }
