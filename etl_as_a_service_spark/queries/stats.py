@@ -368,3 +368,45 @@ def q75_skew_kurtosis(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# q81 — tumbling event-time windows (batch semantics, oracle = time_bucket)
+# --------------------------------------------------------------------------
+@query(
+    "q81_tumbling_windows_batch",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           count(*)                     AS n_events,
+           round(sum(value), 4)         AS total_value
+    FROM events
+    WHERE user_id < 60
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+    tags=("window_agg", "streaming", "time"),
+)
+def q81_tumbling_windows_batch(spark, sf_dir):
+    """Tumbling 1-hour event-time windows via F.window — the exact
+    aggregation the streaming path runs (streaming/ops.py
+    tumbling_window_agg), checked in batch against DuckDB time_bucket.
+    window.start == time_bucket for epoch-aligned hourly buckets, so the
+    semantics (not just counts) are pinned cross-engine."""
+    tables = load_tables(spark, sf_dir, ("events",))
+    ev = tables["events"]
+    return (
+        ev.filter(F.col("user_id") < 60)
+        .groupBy(F.window("ts", "1 hour").alias("__w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("__w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
