@@ -142,6 +142,43 @@ def dedup_keep_first(
     return top_k_per_group(df, key_cols, order_cols, 1, "__rn").drop("__rn")
 
 
+def resample_fill(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    bucket: str = "hour",
+    step: str = "interval 1 hour",
+    aggs: list[Column] | None = None,
+    fill: dict | None = None,
+) -> DataFrame:
+    """Time-series resample with gap filling: bucket event times, then
+    LEFT-join the per-(key, bucket) aggregates onto the dense
+    keys x buckets grid so empty buckets appear with fill values —
+    the missing-interval half of a resample that a plain groupBy drops.
+
+    Scale shape: the grid is (distinct keys) x (bucket range) — tiny
+    relative to the events — and is built from a one-row min/max
+    aggregate broadcast + sequence/explode, never a driver-side loop.
+    The only full-data shuffle is the groupBy the query needs anyway.
+    """
+    aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
+    fill = fill or {"n_events": 0}
+    bucketed = df.withColumn("__b", F.date_trunc(bucket, F.col(ts_col)))
+    bounds = bucketed.agg(
+        F.min("__b").alias("__b0"), F.max("__b").alias("__b1")
+    )
+    buckets = bounds.select(
+        F.explode(F.sequence("__b0", "__b1", F.expr(step))).alias("__b")
+    )
+    keys = bucketed.select(*key_cols).distinct()
+    grid = keys.crossJoin(F.broadcast(buckets))
+    counts = bucketed.groupBy(*key_cols, "__b").agg(*aggs)
+    out = grid.join(counts, [*key_cols, "__b"], "left")
+    for name, v in fill.items():
+        out = out.withColumn(name, F.coalesce(F.col(name), F.lit(v)))
+    return out.withColumnRenamed("__b", "bucket_start")
+
+
 def pivot_counts(
     df: DataFrame, group_col: str, pivot_col: str, values: list[str]
 ) -> DataFrame:

@@ -410,3 +410,56 @@ def q81_tumbling_windows_batch(spark, sf_dir):
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q83 — time-series resample with gap filling (dense hourly grid)
+# --------------------------------------------------------------------------
+@query(
+    "q83_resample_gap_fill",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, min(ts)) AS h0,
+             time_bucket(INTERVAL 1 HOUR, max(ts)) AS h1
+      FROM events WHERE user_id < 5
+    ),
+    hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+    u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 5),
+    c AS (
+      SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS h,
+             count(*) AS n, round(sum(value), 4) AS v
+      FROM events WHERE user_id < 5 GROUP BY user_id, h
+    )
+    SELECT u.user_id, hours.h AS bucket_start,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_events,
+           coalesce(c.v, 0.0)               AS total_value
+    FROM u CROSS JOIN hours
+    LEFT JOIN c ON c.user_id = u.user_id AND c.h = hours.h
+    ORDER BY u.user_id, bucket_start
+    """,
+    tags=("timeseries", "resample", "window_agg"),
+)
+def q83_resample_gap_fill(spark, sf_dir):
+    """Resample + gap-fill (operators.relational.resample_fill): hourly
+    per-user event counts over the DENSE hour grid — empty hours emit
+    zeros instead of vanishing (what a plain groupBy cannot do). The
+    grid comes from a broadcast one-row min/max + sequence, never a
+    driver loop; DuckDB's generate_series states the same semantics."""
+    from etl_as_a_service_spark.operators.relational import resample_fill
+
+    (events,) = _t(spark, sf_dir, "events")
+    ev = events.filter(F.col("user_id") < 5)
+    return (
+        resample_fill(
+            ev,
+            ts_col="ts",
+            key_cols=["user_id"],
+            aggs=[
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            ],
+            fill={"n_events": 0, "total_value": 0.0},
+        )
+        .select("user_id", "bucket_start", "n_events", "total_value")
+        .orderBy("user_id", "bucket_start")
+    )

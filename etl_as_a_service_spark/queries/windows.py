@@ -295,3 +295,52 @@ def q68_interval_range_frames(spark, sf_dir):
     events = load_tables(spark, sf_dir, ("events",))["events"]
     events.createOrReplaceTempView("events")
     return spark.sql(_Q68_SQL.format(table="events"))
+
+
+# --------------------------------------------------------------------------
+# q82 — as-of join, FORWARD direction (next purchase after an error)
+# --------------------------------------------------------------------------
+@query(
+    "q82_asof_forward_next_purchase",
+    oracle="""
+    SELECT user_id, ts, event_id, value_asof, ts_asof
+    FROM (
+      SELECT e.user_id, e.ts, e.event_id,
+             p.value AS value_asof, p.ts AS ts_asof,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY p.ts ASC, p.event_id DESC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON e.user_id = p.user_id AND p.ts >= e.ts
+    )
+    WHERE rn = 1
+    ORDER BY user_id, event_id
+    """,
+    tags=("asof", "operator"),
+)
+def q82_asof_forward_next_purchase(spark, sf_dir):
+    """FORWARD as-of: for every 'error' event, the EARLIEST 'purchase' by
+    the same user at or after it (equal-ts ties -> greatest event_id,
+    matching the operator's tie rule in both directions). Oracle-covers
+    the forward ordering path specifically."""
+    (events,) = _t(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        errors,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value", "ts"],
+        direction="forward",
+        allow_exact_match=True,
+        tie_break="event_id",
+    )
+    return out.select("user_id", "ts", "event_id", "value_asof", "ts_asof").orderBy(
+        "user_id", "event_id"
+    )
