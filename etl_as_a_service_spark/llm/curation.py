@@ -111,6 +111,48 @@ def pack_sequences(
     )
 
 
+def pack_sequences_split(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    token_budget: int,
+    n_shards: int = 16,
+    salt: str = "pack-v1",
+    shard_col: Column | None = None,
+) -> DataFrame:
+    """HARD-CAPPED sequence packing: like ``pack_sequences`` but a
+    document straddling a bin boundary is SPLIT across bins, so every
+    bin holds exactly ``token_budget`` tokens (except the final bin per
+    shard). Emits one row per (document, bin) segment with
+    (shard, bin, seg_offset, seg_tokens): seg_offset is the token offset
+    INSIDE the document where the segment starts — exactly what a
+    tokenizer needs to slice the text. Pure arithmetic on the running
+    token count + one bounded explode (a doc spans
+    ceil(len/budget)+1 bins at most); no extra shuffle beyond
+    ``pack_sequences``'s per-shard window."""
+    packed = pack_sequences(
+        df, id_col, token_col, token_budget, n_shards, salt, shard_col
+    )
+    b = F.lit(token_budget)
+    first_bin = F.floor(F.col("tokens_before") / b)
+    last_bin = F.floor(
+        (F.col("tokens_before") + F.col(token_col) - 1) / b
+    )
+    seg = packed.select(
+        "*", F.explode(F.sequence(first_bin, last_bin)).alias("seg_bin")
+    )
+    seg_start = F.greatest(F.col("seg_bin") * b, F.col("tokens_before"))
+    seg_end = F.least(
+        (F.col("seg_bin") + 1) * b, F.col("tokens_before") + F.col(token_col)
+    )
+    return (
+        seg.withColumn("seg_offset", seg_start - F.col("tokens_before"))
+        .withColumn("seg_tokens", seg_end - seg_start)
+        .drop("bin")
+        .withColumnRenamed("seg_bin", "bin")
+    )
+
+
 def rebalance_classes(
     df: DataFrame,
     class_col: str,

@@ -648,3 +648,69 @@ def q79_class_rebalance(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q84_sequence_packing_split",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS nt,
+             substring(md5('pack-v1' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             substring(md5('pack-v1' || CAST(doc_id AS VARCHAR)), 1, 8) AS ord
+      FROM documents
+    ),
+    c AS (
+      SELECT shard, doc_id, nt,
+             sum(nt) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                           ROWS UNBOUNDED PRECEDING) - nt AS before
+      FROM d
+    ),
+    seg AS (
+      SELECT shard, doc_id, nt, before, t.bin,
+             greatest(t.bin * 2048, before)            AS seg_start,
+             least((t.bin + 1) * 2048, before + nt)    AS seg_end
+      FROM c, UNNEST(generate_series(CAST(floor(before / 2048.0) AS BIGINT),
+                                     CAST(floor((before + nt - 1) / 2048.0) AS BIGINT)))
+           AS t(bin)
+    )
+    SELECT shard, bin,
+           count(*)                                   AS n_segments,
+           CAST(sum(seg_end - seg_start) AS BIGINT)   AS bin_tokens,
+           CAST(max(CASE WHEN seg_start > before THEN 1 ELSE 0 END) AS INTEGER)
+                                                      AS has_split_doc
+    FROM seg GROUP BY shard, bin ORDER BY shard, bin
+    """,
+    tags=("curation", "packing", "llm"),
+)
+def q84_sequence_packing_split(spark, sf_dir):
+    """Hard-capped packing (llm.curation.pack_sequences_split): bins are
+    EXACTLY 2048 tokens (straddling docs split into segments with
+    in-document offsets — what fixed-context training actually consumes).
+    The oracle recomputes the segment arithmetic with generate_series;
+    bin_tokens == 2048 for every non-final bin by construction."""
+    from etl_as_a_service_spark.llm.curation import pack_sequences_split
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("nt")
+    )
+    packed = pack_sequences_split(
+        with_tokens,
+        id_col="doc_id",
+        token_col="nt",
+        token_budget=2048,
+        shard_col=F.substring(
+            F.md5(F.concat(F.lit("pack-v1"), F.col("doc_id").cast("string"))), 1, 1
+        ),
+    )
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("seg_tokens").alias("bin_tokens"),
+            F.max(
+                F.when(F.col("seg_offset") > 0, 1).otherwise(0)
+            ).cast("int").alias("has_split_doc"),
+        )
+        .orderBy("shard", "bin")
+    )

@@ -112,3 +112,33 @@ def test_quality_report_single_pass_counts(spark, docs):
     assert all(r["n_rows"] == docs.count() for r in rows.values())
     with pytest.raises(ValueError, match="at least one"):
         quality_report(docs, {})
+
+
+def test_pack_sequences_split_exact_bins(spark, docs):
+    """Hard-capped packing: every non-final bin per shard holds EXACTLY
+    the budget; segment arithmetic loses no tokens; offsets stay inside
+    their documents."""
+    from etl_as_a_service_spark.llm.curation import pack_sequences_split
+
+    with_tokens = docs.select(
+        "doc_id", F.size(F.split("text", r"\s+")).cast("long").alias("nt")
+    )
+    seg = pack_sequences_split(
+        with_tokens, id_col="doc_id", token_col="nt", token_budget=500,
+        n_shards=4,
+    )
+    # token conservation: segments per doc sum to the doc's tokens
+    per_doc = seg.groupBy("doc_id").agg(
+        F.sum("seg_tokens").alias("s"), F.first("nt").alias("nt")
+    )
+    assert per_doc.filter(F.col("s") != F.col("nt")).count() == 0
+    # every non-final bin is exactly the budget
+    bins = seg.groupBy("shard", "bin").agg(F.sum("seg_tokens").alias("tot"))
+    max_bin = bins.groupBy("shard").agg(F.max("bin").alias("mb"))
+    nonfinal = bins.join(max_bin, "shard").filter(F.col("bin") < F.col("mb"))
+    assert nonfinal.filter(F.col("tot") != 500).count() == 0
+    # offsets in range
+    assert seg.filter(
+        (F.col("seg_offset") < 0)
+        | (F.col("seg_offset") + F.col("seg_tokens") > F.col("nt"))
+    ).count() == 0
