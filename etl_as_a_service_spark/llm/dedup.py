@@ -301,6 +301,49 @@ def minhash_near_duplicates(
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("group_id"))
 
 
+def contamination_check(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Benchmark decontamination: for every TRAIN document, the fraction
+    of its n-gram shingles that appear anywhere in the TEST corpus
+    (n-gram CONTAINMENT — the asymmetric overlap measure used to purge
+    eval-set leakage from training data). Returns
+    (id_col, n_shingles, n_overlap, containment) for train docs with
+    containment >= threshold.
+
+    Scale shape: the test side is small by definition (an eval set), so
+    its distinct shingle hashes broadcast; the train corpus streams
+    through one semi-join + one per-doc aggregation — no train-train
+    pairs, no quadratic term. Shingles travel as 64-bit hashes."""
+    train_sh = hashed_shingle_sets(train, text_col, id_col, n)
+    test_sh = hashed_shingle_sets(test, text_col, id_col, n).select("sh").distinct()
+    overlap = (
+        train_sh.join(F.broadcast(test_sh), "sh", "left_semi")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    sizes = train_sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        sizes.join(overlap, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_shingles",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0))
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash per document — pure Catalyst (no UDF).
 

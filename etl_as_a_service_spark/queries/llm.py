@@ -18,6 +18,7 @@ from etl_as_a_service_spark.functions.text import (
     tokenize,
 )
 from etl_as_a_service_spark.llm.dedup import (
+    contamination_check,
     exact_dedup,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
@@ -714,3 +715,50 @@ def q84_sequence_packing_split(spark, sf_dir):
         )
         .orderBy("shard", "bin")
     )
+
+
+@query(
+    "q85_decontamination",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, w1 || ' ' || w2 || ' ' || w3 AS sh
+      FROM (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             UNNEST(range(1, len(toks) - 1)) AS t(i)
+      )
+    ),
+    test_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id >= 450),
+    train AS (SELECT * FROM sh WHERE doc_id < 450),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id),
+    ov AS (
+      SELECT t.doc_id, count(*) AS n_overlap
+      FROM train t JOIN test_sh x ON t.sh = x.sh
+      GROUP BY t.doc_id
+    )
+    SELECT s.doc_id, s.n_shingles,
+           CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(coalesce(ov.n_overlap, 0) / CAST(s.n_shingles AS DOUBLE), 6)
+             AS containment
+    FROM sizes s LEFT JOIN ov ON ov.doc_id = s.doc_id
+    WHERE coalesce(ov.n_overlap, 0) / CAST(s.n_shingles AS DOUBLE) >= 0.1
+    ORDER BY s.doc_id
+    """,
+    tags=("decontamination", "dedup", "llm", "operator"),
+)
+def q85_decontamination(spark, sf_dir):
+    """Benchmark decontamination (llm.dedup.contamination_check): docs
+    >= 450 play the held-out eval set; every train doc whose 3-gram
+    containment against it reaches 10% is flagged. The test-side shingle
+    set broadcasts; the train corpus streams through one semi-join — the
+    shape that scales to a 100 TB train corpus against a fixed eval
+    suite. (The fixture corpus has planted exact duplicates, so the
+    check is non-vacuous: duplicated docs across the split hit
+    containment 1.0.)"""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return contamination_check(
+        docs.filter(F.col("doc_id") < 450),
+        docs.filter(F.col("doc_id") >= 450),
+        n=3,
+        threshold=0.1,
+    ).orderBy("doc_id")

@@ -276,3 +276,30 @@ def test_ngram_jaccard_prefix_filter_is_pure_optimization(spark, docs):
             sample, "text", "doc_id", n=3, threshold=0.4, prefix_order=order
         )
         assert sorted(map(tuple, with_pfx.collect())) == b, order
+
+
+def test_contamination_check_flags_planted_leak(spark):
+    """A train doc equal to (or containing) a test doc must be flagged
+    at containment ~1.0; unrelated docs stay below threshold."""
+    from etl_as_a_service_spark.llm.dedup import contamination_check
+
+    leak = "the quick brown fox jumps over the lazy dog again and again"
+    train = spark.createDataFrame(
+        [
+            (1, leak),
+            (2, leak + " with an extra training-only suffix of words"),
+            (3, "completely unrelated text about spark catalyst plans"),
+        ],
+        "doc_id int, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, leak), (101, "another held out benchmark prompt entirely")],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r["containment"]
+        for r in contamination_check(train, test, threshold=0.5).collect()
+    }
+    assert out.get(1) == 1.0          # exact leak
+    assert 0.5 <= out.get(2) <= 1.0   # partial leak (superset doc)
+    assert 3 not in out               # clean doc not flagged
