@@ -762,3 +762,59 @@ def q85_decontamination(spark, sf_dir):
         n=3,
         threshold=0.1,
     ).orderBy("doc_id")
+
+
+@query(
+    "q86_label_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label, t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS val
+      FROM embeddings,
+           UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    m AS (
+      SELECT label, dim, CAST(round(avg(val), 6) AS DECIMAL(12, 6)) AS mu
+      FROM e GROUP BY label, dim
+    )
+    SELECT label,
+           (SELECT count(*) FROM embeddings x WHERE x.label = m.label) AS n_vectors,
+           string_agg(CAST(mu AS VARCHAR), ',' ORDER BY dim)           AS centroid
+    FROM m GROUP BY label ORDER BY label
+    """,
+    tags=("vector_agg", "embedding", "llm"),
+)
+def q86_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (class prototypes) via the
+    distributed vector-mean shape: posexplode to (label, dim, val),
+    groupBy(label, dim) mean — the shuffle carries map-side-combined
+    per-(label, dim) partials, one corpus scan at any scale (same shape
+    as the IVF Lloyd step). Centroids render as ordered CSV strings so
+    the array hashes identically cross-engine."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), 6)
+            .cast("decimal(12,6)")
+            .alias("mu")
+        )
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    cent = (
+        per_dim.groupBy("label")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                    lambda s: s.getField("mu").cast("string"),
+                ),
+                ",",
+            ).alias("centroid")
+        )
+    )
+    return (
+        counts.join(cent, "label")
+        .select("label", "n_vectors", "centroid")
+        .orderBy("label")
+    )

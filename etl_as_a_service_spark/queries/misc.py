@@ -526,3 +526,48 @@ def q80_variant_json(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q87 — ANSI-safe try_* arithmetic (Spark 4 error-free variants)
+# --------------------------------------------------------------------------
+@query(
+    "q87_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice / nullif(l_quantity, 0) * 10000) / 10000
+                                                              AS unit_price,
+           floor(l_discount / nullif(l_tax, 0) * 1000000) / 1000000
+                                                              AS disc_per_tax,
+           CAST(NULL AS DOUBLE)                               AS div_by_zero
+    FROM lineitem
+    WHERE l_orderkey < 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("ansi", "arithmetic", "spark4"),
+)
+def q87_try_arithmetic(spark, sf_dir):
+    """Spark 4 runs under ANSI mode where x/0 ERRORS; try_divide gives
+    the SQL-portable NULL-on-error semantics (== DuckDB's x / nullif(y,
+    0)). Quotients go through floor-truncation instead of round() — the
+    engines' round() disagree on exact .5 boundaries (HALF_UP vs
+    half-even), floor never does. The literal 1/0 column proves the
+    whole row never errors."""
+    tables = load_tables(spark, sf_dir, ("lineitem",))
+    li = tables["lineitem"]
+    return (
+        li.filter(F.col("l_orderkey") < 200)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (
+                F.floor(F.try_divide("l_extendedprice", "l_quantity") * 10000)
+                / 10000
+            ).alias("unit_price"),
+            (
+                F.floor(F.try_divide("l_discount", "l_tax") * 1000000) / 1000000
+            ).alias("disc_per_tax"),
+            F.try_divide(F.lit(1.0), F.lit(0.0)).alias("div_by_zero"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
