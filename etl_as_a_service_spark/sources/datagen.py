@@ -25,7 +25,12 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _LANGS = ("en", "de", "fr", "es", "zh")
 
@@ -43,6 +48,9 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema) -> "SyntheticDocsReader":
         return SyntheticDocsReader(self.options)
+
+    def streamReader(self, schema) -> "SyntheticDocsStreamReader":
+        return SyntheticDocsStreamReader(self.options)
 
 
 class SyntheticDocsReader(DataSourceReader):
@@ -65,6 +73,36 @@ class SyntheticDocsReader(DataSourceReader):
         # which executor runs which partition
         rng = random.Random(self.seed * 1_000_003 + i)
         for d in range(lo, hi):
+            words = [f"w{rng.randint(0, 999)}" for _ in range(self.words_per_doc)]
+            yield (d, " ".join(words), _LANGS[d % len(_LANGS)])
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same source: offsets are plain document
+    counters, each microbatch emits ``rows_per_batch`` new docs, and
+    ``readBetweenOffsets`` regenerates any offset range exactly (rows
+    derive from (seed, doc_id) alone) — so checkpoint recovery replays
+    identical data, the property a real exactly-once source needs."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.seed = int(options.get("seed", 42))
+        self.words_per_doc = int(options.get("words_per_doc", 24))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        lo = start["next"]
+        hi = lo + self.rows_per_batch
+        return self._gen(lo, hi), {"next": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return self._gen(start["next"], end["next"])
+
+    def _gen(self, lo, hi):
+        for d in range(lo, hi):
+            rng = random.Random(self.seed * 1_000_003 + d)
             words = [f"w{rng.randint(0, 999)}" for _ in range(self.words_per_doc)]
             yield (d, " ".join(words), _LANGS[d % len(_LANGS)])
 

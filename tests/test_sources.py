@@ -209,3 +209,41 @@ def test_python_datasource_synthetic_docs(spark):
     by_lang = df.groupBy("lang").count().collect()
     assert {r["lang"] for r in by_lang} == {"en", "de", "fr", "es", "zh"}
     assert all(r["count"] == 100 for r in by_lang)
+
+
+def test_python_datasource_streaming(spark):
+    """The custom source's STREAMING face (SimpleDataSourceStreamReader):
+    offset-ranged microbatches, deterministic per (seed, doc_id), dense
+    doc_ids from 0 — replayable offsets are what exactly-once recovery
+    needs."""
+    import time
+
+    from etl_as_a_service_spark.sources.datagen import register_synthetic_docs
+
+    register_synthetic_docs(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("rows_per_batch", 50).option("seed", 11)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("syn_stream")
+        .trigger(processingTime="0 seconds").start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("syn_stream").count() >= 100:
+                break
+            time.sleep(0.5)
+        got = spark.table("syn_stream")
+        n = got.count()
+        assert n >= 100
+        # dense ids from 0 (no gaps, no dupes across microbatches)
+        assert got.select("doc_id").distinct().count() == n
+        assert got.agg(F.min("doc_id")).first()[0] == 0
+        assert {r["lang"] for r in got.select("lang").distinct().collect()} == {
+            "en", "de", "fr", "es", "zh"
+        }
+    finally:
+        q.stop()
