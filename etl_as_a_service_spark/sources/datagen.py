@@ -49,7 +49,11 @@ class SyntheticDocsDataSource(DataSource):
     def reader(self, schema) -> "SyntheticDocsReader":
         return SyntheticDocsReader(self.options)
 
-    def streamReader(self, schema) -> "SyntheticDocsStreamReader":
+    def simpleStreamReader(self, schema) -> "SyntheticDocsStreamReader":
+        # NOTE: a SimpleDataSourceStreamReader must be returned from
+        # simpleStreamReader(), not streamReader() — the latter drives it
+        # through the full DataSourceStreamReader protocol (latestOffset/
+        # partitions/commit) and every microbatch fails.
         return SyntheticDocsStreamReader(self.options)
 
 
@@ -101,10 +105,17 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
         return self._gen(start["next"], end["next"])
 
     def _gen(self, lo, hi):
+        # Must return a COPYABLE iterable, not a generator: Spark's
+        # simple-reader prefetch cache copy.copy()s the iterator when a
+        # later microbatch replans the same offset range, and generators
+        # can't be copied/pickled. Batches are rows_per_batch-bounded so
+        # materializing is cheap by construction.
+        out = []
         for d in range(lo, hi):
             rng = random.Random(self.seed * 1_000_003 + d)
             words = [f"w{rng.randint(0, 999)}" for _ in range(self.words_per_doc)]
-            yield (d, " ".join(words), _LANGS[d % len(_LANGS)])
+            out.append((d, " ".join(words), _LANGS[d % len(_LANGS)]))
+        return out
 
 
 def register_synthetic_docs(spark) -> None:

@@ -236,14 +236,16 @@ def test_python_datasource_streaming(spark):
             if spark.table("syn_stream").count() >= 100:
                 break
             time.sleep(0.5)
-        got = spark.table("syn_stream")
-        n = got.count()
-        assert n >= 100
-        # dense ids from 0 (no gaps, no dupes across microbatches)
-        assert got.select("doc_id").distinct().count() == n
-        assert got.agg(F.min("doc_id")).first()[0] == 0
-        assert {r["lang"] for r in got.select("lang").distinct().collect()} == {
-            "en", "de", "fr", "es", "zh"
-        }
     finally:
+        # stop BEFORE asserting: the memory sink keeps appending while the
+        # query runs, so counts taken at different instants diverge
         q.stop()
+    got = spark.table("syn_stream")
+    n = got.count()
+    assert n >= 100
+    # dense ids from 0 (no gaps, no dupes across microbatches)
+    assert got.select("doc_id").distinct().count() == n
+    assert got.agg(F.min("doc_id")).first()[0] == 0
+    assert {r["lang"] for r in got.select("lang").distinct().collect()} == {
+        "en", "de", "fr", "es", "zh"
+    }
