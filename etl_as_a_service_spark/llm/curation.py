@@ -17,6 +17,8 @@ are pure DataFrame compositions:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -135,8 +137,15 @@ def pack_sequences_split(
     )
     b = F.lit(token_budget)
     first_bin = F.floor(F.col("tokens_before") / b)
-    last_bin = F.floor(
-        (F.col("tokens_before") + F.col(token_col) - 1) / b
+    # Zero-token docs (reachable after cleaning: empty/whitespace-only
+    # text) make last_bin = first_bin - 1, and Spark's sequence(a, b)
+    # generates DESCENDING when a > b — spurious segments, including
+    # bin -1. Clamp, then drop the resulting empty segment below: a doc
+    # with no tokens contributes no packed segments (matches DuckDB's
+    # generate_series, which is empty when start > stop).
+    last_bin = F.greatest(
+        F.floor((F.col("tokens_before") + F.col(token_col) - 1) / b),
+        first_bin,
     )
     seg = packed.select(
         "*", F.explode(F.sequence(first_bin, last_bin)).alias("seg_bin")
@@ -148,6 +157,7 @@ def pack_sequences_split(
     return (
         seg.withColumn("seg_offset", seg_start - F.col("tokens_before"))
         .withColumn("seg_tokens", seg_end - seg_start)
+        .filter(F.col("seg_tokens") > 0)
         .drop("bin")
         .withColumnRenamed("seg_bin", "bin")
     )
@@ -185,6 +195,14 @@ def quality_report(
     -> boolean Column that is true for VIOLATING rows."""
     if not checks:
         raise ValueError("quality_report requires at least one check")
+    # names are interpolated into a stack() expr and into column aliases
+    # — restrict to identifier characters so a quote/space/hyphen can't
+    # break parsing or smuggle SQL into the expr
+    for name in checks:
+        if not re.fullmatch(r"[A-Za-z0-9_]+", name):
+            raise ValueError(
+                f"check name {name!r} must match [A-Za-z0-9_]+"
+            )
     agg = df.agg(
         F.count(F.lit(1)).alias("__n"),
         *[

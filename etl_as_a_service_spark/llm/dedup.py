@@ -95,25 +95,39 @@ def _shingle_hashes_np(text: str | None, n: int) -> "np.ndarray":
     return np.unique(sh)
 
 
-def hashed_shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3):
+def hashed_shingle_sets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    drop_short: bool = False,
+):
     """(id, exploded distinct 64-bit shingle hash) — the shared first
     stage of the exact-Jaccard path, with tokens materialized once.
     Stays JVM-side: measured FASTER than a pandas kernel here (the
     kernel pays per-doc Python/Arrow overhead, while this expression is
-    one pass and its output feeds straight into JVM shuffles)."""
-    return (
-        df.select(F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__toks"))
-        .select(
-            "__id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        shingles_from_tokens(F.col("__toks"), n),
-                        lambda s: F.xxhash64(s),
-                    )
+    one pass and its output feeds straight into JVM shuffles).
+
+    ``drop_short=True`` emits NO shingles for documents with fewer than
+    ``n`` tokens instead of the default whole-text-fallback shingle —
+    the convention contamination checks need (a trivial ''-shingle from
+    an empty doc must not count as overlap, and SQL oracles that build
+    n-grams positionally produce zero shingles for short docs)."""
+    base = df.select(
+        F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__toks")
+    )
+    if drop_short:
+        base = base.filter(F.size(F.col("__toks")) >= n)
+    return base.select(
+        "__id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingles_from_tokens(F.col("__toks"), n),
+                    lambda s: F.xxhash64(s),
                 )
-            ).alias("sh"),
-        )
+            )
+        ).alias("sh"),
     )
 
 
@@ -131,9 +145,17 @@ def minhash_signature_kernel(num_hashes: int = 32, seed: int = 42):
 
     @F.pandas_udf("array<bigint>")
     def _mh(shingle_hashes: pd.Series) -> pd.Series:
+        # empty shingle set (empty document) -> all-sentinel signature
+        # (uint64 max = int64 -1): min over zero elements is undefined,
+        # and the sentinel can never collide with a real multiply-shift
+        # minimum in practice
+        sentinel = np.full(num_hashes, np.uint64(2**64 - 1)).astype(np.int64)
         out = []
         for sh in shingle_hashes:
             s = np.asarray(sh, dtype=np.int64).astype(np.uint64)
+            if s.size == 0:
+                out.append(sentinel)
+                continue
             v = s[None, :] * a[:, None] + b[:, None]  # uint64 wraparound
             out.append(v.min(axis=1).astype(np.int64))
         return pd.Series(out)
@@ -319,9 +341,18 @@ def contamination_check(
     Scale shape: the test side is small by definition (an eval set), so
     its distinct shingle hashes broadcast; the train corpus streams
     through one semi-join + one per-doc aggregation — no train-train
-    pairs, no quadratic term. Shingles travel as 64-bit hashes."""
-    train_sh = hashed_shingle_sets(train, text_col, id_col, n)
-    test_sh = hashed_shingle_sets(test, text_col, id_col, n).select("sh").distinct()
+    pairs, no quadratic term. Shingles travel as 64-bit hashes.
+
+    Documents with fewer than ``n`` tokens are EXCLUDED on both sides
+    (drop_short): the whole-text fallback shingle would let an empty or
+    near-empty doc register as contaminated on a trivial '' match, and
+    positional SQL n-gram oracles produce zero shingles for them."""
+    train_sh = hashed_shingle_sets(train, text_col, id_col, n, drop_short=True)
+    test_sh = (
+        hashed_shingle_sets(test, text_col, id_col, n, drop_short=True)
+        .select("sh")
+        .distinct()
+    )
     overlap = (
         train_sh.join(F.broadcast(test_sh), "sh", "left_semi")
         .groupBy("__id")

@@ -367,8 +367,13 @@ class PipelineRunner:
     (app/models.py:19-25, written at app/routes.py:127-130). Appends are
     immutable state-change rows (parquet has no update-in-place); readers
     take the latest ``updated_at`` row per run_id, which also preserves
-    an audit trail the reference lacks. Concurrent daemon-thread appends
-    are safe: each append writes its own file.
+    an audit trail the reference lacks. Appends are serialized behind the
+    runner's lock: concurrent Spark write jobs appending to one parquet
+    path share the FileOutputCommitter ``_temporary`` staging directory,
+    so unserialized near-simultaneous commits can delete each other's
+    in-flight task output. The write is a single tiny row — holding the
+    lock across it is cheap. ``compact()`` bounds registry growth (one
+    appended file per state change otherwise).
     """
 
     def __init__(self, spark: SparkSession, registry_path: str | None = None):
@@ -387,12 +392,43 @@ class PipelineRunner:
             float(run.finished_at) if run.finished_at else None,
             run.output_path, run.n_output_rows, run.error, time.time(),
         )
-        (
-            self.spark.createDataFrame([row], _REGISTRY_SCHEMA)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(self.registry_path)
-        )
+        with self._lock:
+            (
+                self.spark.createDataFrame([row], _REGISTRY_SCHEMA)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(self.registry_path)
+            )
+
+    def compact(self) -> int:
+        """Rewrite the registry as ONE parquet file holding only the
+        latest state-change row per run, pruning superseded rows — the
+        tiny-files/compaction step every append-log table needs. Returns
+        the number of surviving rows. Holds the runner lock across
+        read-and-rewrite so an in-flight ``_persist`` append can't be
+        dropped; the registry is driver-side run metadata (one row per
+        run), so materializing it on the driver is bounded by design."""
+        if not self.registry_path:
+            return 0
+        with self._lock:
+            try:
+                raw = self.spark.read.parquet(self.registry_path)
+            except Exception:
+                return 0  # registry not written yet
+            from etl_as_a_service_spark.operators.relational import (
+                dedup_keep_first,
+            )
+
+            rows = dedup_keep_first(
+                raw, ["run_id"], [F.col("updated_at").desc()]
+            ).collect()
+            (
+                self.spark.createDataFrame(rows, _REGISTRY_SCHEMA)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(self.registry_path)
+            )
+        return len(rows)
 
     def persisted_runs_df(self) -> DataFrame | None:
         """Current state per run from the durable registry (latest

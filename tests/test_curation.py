@@ -142,3 +142,35 @@ def test_pack_sequences_split_exact_bins(spark, docs):
         (F.col("seg_offset") < 0)
         | (F.col("seg_offset") + F.col("seg_tokens") > F.col("nt"))
     ).count() == 0
+
+
+def test_pack_sequences_split_zero_token_docs(spark):
+    """Zero-token docs (empty text after cleaning) contribute NO
+    segments — without the guard, sequence(first, last) with last <
+    first generated DESCENDING bins including bin -1. Surviving docs
+    still conserve tokens."""
+    from etl_as_a_service_spark.llm.curation import pack_sequences_split
+
+    rows = [(i, 0 if i % 3 == 0 else 40 + i) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, nt long")
+    seg = pack_sequences_split(
+        df, id_col="doc_id", token_col="nt", token_budget=100, n_shards=2
+    )
+    out = seg.collect()
+    assert all(r["bin"] >= 0 for r in out)
+    assert all(r["seg_tokens"] > 0 for r in out)
+    # zero-token docs emit nothing; every positive-token doc is conserved
+    zero_ids = {i for i, nt in rows if nt == 0}
+    assert zero_ids and not zero_ids & {r["doc_id"] for r in out}
+    per_doc = {}
+    for r in out:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["seg_tokens"]
+    assert per_doc == {i: nt for i, nt in rows if nt > 0}
+
+
+def test_quality_report_rejects_unsafe_names(spark, docs):
+    """Check names are interpolated into a stack() expr — anything
+    beyond [A-Za-z0-9_]+ must be rejected, not parsed."""
+    for bad in ("has space", "quo'te", "dash-ed", "a, 1) AS (x, y"):
+        with pytest.raises(ValueError, match="A-Za-z0-9_"):
+            quality_report(docs, {bad: F.lit(True)})

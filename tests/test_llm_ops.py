@@ -303,3 +303,75 @@ def test_contamination_check_flags_planted_leak(spark):
     assert out.get(1) == 1.0          # exact leak
     assert 0.5 <= out.get(2) <= 1.0   # partial leak (superset doc)
     assert 3 not in out               # clean doc not flagged
+
+
+def test_contamination_check_ignores_short_docs(spark):
+    """Docs with fewer than n tokens are excluded on BOTH sides: an
+    empty/near-empty train doc must not be flagged off a trivial
+    whole-text shingle, and a short test doc contributes no shingles."""
+    from etl_as_a_service_spark.llm.dedup import contamination_check
+
+    train = spark.createDataFrame(
+        [(1, ""), (2, "hi"), (3, "one two three four five six seven")],
+        "doc_id int, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, ""), (101, "hi"), (102, "one two three four five six seven")],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r["containment"]
+        for r in contamination_check(train, test, threshold=0.01).collect()
+    }
+    # short/empty docs produce no row at all; the real doc is caught
+    assert set(out) == {3} and out[3] == 1.0
+
+
+def test_kernel_tier_minhash_and_cosine(spark):
+    """Wire the standalone kernel-tier UDFs: minhash_signature_kernel
+    (identical shingle sets => identical signatures; empty set => the
+    all-sentinel signature, no crash) and cosine_kernel (agrees with the
+    expression tier to 1e-9)."""
+    from etl_as_a_service_spark.functions.vectors import (
+        cosine_kernel,
+        cosine_similarity,
+    )
+    from etl_as_a_service_spark.llm.dedup import minhash_signature_kernel
+
+    mh = minhash_signature_kernel(num_hashes=16, seed=7)
+    df = spark.createDataFrame(
+        [
+            (1, [11, 22, 33, 44]),
+            (2, [11, 22, 33, 44]),
+            (3, [55, 66]),
+            (4, []),
+        ],
+        "id int, sh array<bigint>",
+    ).withColumn("sig", mh("sh"))
+    sigs = {r["id"]: tuple(r["sig"]) for r in df.collect()}
+    assert all(len(s) == 16 for s in sigs.values())
+    assert sigs[1] == sigs[2]          # same set, same signature
+    assert sigs[1] != sigs[3]
+    assert sigs[4] == tuple([-1] * 16)  # empty doc -> sentinel, no crash
+
+    cos = cosine_kernel()
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 2.0], [0.5, 1.0, -1.0]),
+            (2, [0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),  # zero norm
+            (3, [1.0, 2.0, 3.0], [1.0, 2.0, 3.0]),
+        ],
+        "id int, a array<double>, b array<double>",
+    )
+    both = emb.select(
+        "id",
+        cos("a", "b").alias("k"),
+        cosine_similarity(F.col("a"), F.col("b")).alias("e"),
+    ).collect()
+    for r in both:
+        if r["e"] is None:
+            import math
+
+            assert r["k"] is None or math.isnan(r["k"])
+        else:
+            assert abs(r["k"] - r["e"]) < 1e-9

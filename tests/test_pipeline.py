@@ -334,6 +334,41 @@ def test_durable_registry_survives_runner_restart(spark, tmp_path):
     assert r2.runs_df().filter("status = 'success'").count() == 1
 
 
+def test_registry_compaction_prunes_superseded_rows(spark, tmp_path):
+    """compact() rewrites the append-log registry to one latest-state
+    snapshot per run in a single file, with persisted_runs_df unchanged
+    — the tiny-files bound an append-per-transition log needs."""
+    import glob
+
+    registry = str(tmp_path / "runs_registry")
+    r = PipelineRunner(spark, registry_path=registry)
+    runs = [r.run(lineitem_spec(), user="alice") for _ in range(3)]
+    before = {
+        row["run_id"]: (row["status"], row["n_output_rows"])
+        for row in r.persisted_runs_df().collect()
+    }
+    raw_before = spark.read.parquet(registry).count()
+    assert raw_before >= 2 * len(runs)  # audit trail: >=2 rows per run
+
+    survivors = r.compact()
+    assert survivors == len(runs)
+    after = {
+        row["run_id"]: (row["status"], row["n_output_rows"])
+        for row in r.persisted_runs_df().collect()
+    }
+    assert after == before
+    assert spark.read.parquet(registry).count() == len(runs)
+    files = [
+        f for f in glob.glob(f"{registry}/*.parquet")
+        if not f.rsplit("/", 1)[-1].startswith("_")
+    ]
+    assert len(files) == 1  # coalesced snapshot
+
+    # a fresh runner on the compacted registry still sees every run
+    r2 = PipelineRunner(spark, registry_path=registry)
+    assert {x.run_id for x in r2.list_runs()} == {x.run_id for x in runs}
+
+
 def test_registry_in_memory_state_wins_for_own_runs(spark, tmp_path):
     """For runs owned by THIS instance, the live in-memory state (e.g.
     a streaming handle) must not be shadowed by older persisted rows."""
