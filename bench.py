@@ -47,6 +47,15 @@ HEADLINE = [
     "q46_ngram_jaccard_pairs",
 ]
 
+#: round-3 additions: the curation/streaming-batch surface was absent
+#: from the original 21-query headline. Timed and reported as a SEPARATE
+#: subtotal so `value` stays comparable across rounds.
+HEADLINE_CURATION = [
+    "q81_tumbling_windows_batch",
+    "q84_sequence_packing_split",
+    "q85_decontamination",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,7 +87,7 @@ def main() -> None:
     QUERIES["q01_pricing_summary"].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + HEADLINE_CURATION:
         if name not in QUERIES:
             continue
         t0 = time.perf_counter()
@@ -86,13 +95,22 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    core = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
+    curation = round(
+        sum(timings[n] for n in HEADLINE_CURATION if n in timings), 3
+    )
     print(
         json.dumps(
             {
+                # `value` = the original 21-query set, comparable with
+                # BENCH_r01/r02; the round-3 curation additions are the
+                # separate subtotal_curation (total_all = both).
                 "metric": "headline_queries_total_sec",
-                "value": total,
+                "value": core,
                 "unit": "sec",
+                "subtotal_core": core,
+                "subtotal_curation": curation,
+                "total_all": round(core + curation, 3),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -352,23 +352,26 @@ def contamination_check(
         hashed_shingle_sets(test, text_col, id_col, n, drop_short=True)
         .select("sh")
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    overlap = (
-        train_sh.join(F.broadcast(test_sh), "sh", "left_semi")
-        .groupBy("__id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    sizes = train_sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # ONE pass: broadcast-left-join the test-shingle flag onto the train
+    # stream, then a single per-doc aggregate computes both the shingle
+    # count and the overlap count — the train lineage (scan + tokenize +
+    # shingle) executes exactly once, vs twice in the separate
+    # sizes/overlap formulation (a left-semi join plus a second groupBy).
     return (
-        sizes.join(overlap, "__id", "left")
+        train_sh.join(F.broadcast(test_sh), "sh", "left")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_overlap"),
+        )
         .select(
             F.col("__id").alias(id_col),
             "n_shingles",
-            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            "n_overlap",
             F.round(
-                F.coalesce(F.col("n_overlap"), F.lit(0))
-                / F.col("n_shingles").cast("double"),
-                6,
+                F.col("n_overlap") / F.col("n_shingles").cast("double"), 6
             ).alias("containment"),
         )
         .filter(F.col("containment") >= threshold)
@@ -416,6 +419,26 @@ def hamming_distance(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
+#: one-slot registry of the live persisted intermediate (see
+#: ngram_jaccard_pairs materialize): bounds cache growth to a single
+#: relation per process no matter how many times the operator runs
+_MATERIALIZED: list[DataFrame] = []
+
+
+def _swap_materialized(df: DataFrame) -> DataFrame:
+    """persist() df and unpersist the previous operator intermediate.
+    Unpersisting a relation a concurrent query still holds is safe in
+    Spark (blocks are dropped lazily; consumers recompute)."""
+    while _MATERIALIZED:
+        try:
+            _MATERIALIZED.pop().unpersist(False)
+        except Exception:
+            pass  # session already stopped
+    out = df.persist()
+    _MATERIALIZED.append(out)
+    return out
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -424,6 +447,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     prefix_filter: bool = True,
     prefix_order: str = "df",
+    materialize: bool = True,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs >= threshold, at scale.
 
@@ -446,6 +470,18 @@ def ngram_jaccard_pairs(
     - "hash": ascending shingle hash — skips the dfreq stage entirely
       (the prefix is a slice of the already-sorted set). Same exact
       output; candidate volume degrades only if hot shingles exist.
+
+    ``materialize=True`` (default) persists the per-doc (sorted set,
+    prefix) relation: it feeds THREE consumers (candidate index + both
+    verification sides), and the rank aggregate above the reused
+    exchange otherwise re-executes per consumer — measured 1.8x
+    end-to-end (4.4s -> 2.0s at sf0.1; localCheckpoint measured slower:
+    it blocks exchange reuse and pays an eager write). The persisted
+    relation is one row per doc of 64-bit hashes — smaller than the
+    input text; MEMORY_AND_DISK spills rather than OOMs at scale. At
+    most one materialization is kept alive per process (older ones are
+    unpersisted on the next call); pass False to keep the plan fully
+    lazy.
     """
     if prefix_order not in ("df", "hash"):
         raise ValueError(f"unknown prefix_order: {prefix_order!r}")
@@ -482,18 +518,18 @@ def ngram_jaccard_pairs(
                 F.slice("rk", F.lit(1), prefix_len), lambda r: r.getField("sh")
             ).alias("pfx"),
         )
+        if materialize:
+            full = _swap_materialized(full)
         index = full.select("__id", F.explode("pfx").alias("sh"))
         full = full.drop("pfx")
     elif prefix_filter:
         # hash order: the prefix is simply the FIRST L elements of the
         # hash-sorted set — no dfreq stage, one groupBy shuffle total.
-        # (sort_array over primitive longs is cheap; the checkpoint
-        # stops the aggregate re-running for each of its 3 consumers.)
-        full = (
-            sh.groupBy("__id")
-            .agg(F.sort_array(F.collect_list("sh")).alias("shs"))
-            .localCheckpoint(eager=False)
+        full = sh.groupBy("__id").agg(
+            F.sort_array(F.collect_list("sh")).alias("shs")
         )
+        if materialize:
+            full = _swap_materialized(full)
         prefix_len = (
             F.size("shs") - F.ceil(F.lit(threshold) * F.size("shs")) + 1
         ).cast("int")
