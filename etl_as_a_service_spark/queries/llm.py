@@ -452,22 +452,59 @@ def q59_curation_pipeline(spark, sf_dir):
 
 @query("q61_multimodal_decode", oracle=None, tags=("multimodal", "llm"))
 def q61_multimodal_decode(spark, sf_dir):
-    """Multimodal pipeline plumbing as a driver-visible entry: documents
-    are cast to opaque binary payloads (deterministic stand-ins for
-    image/audio bytes), pushed through the Arrow-batched decode stub
-    (mapInPandas), and aggregated per modality. The codec is fake; the
-    schema, batching, and partition behavior are the real engine path."""
-    from etl_as_a_service_spark.llm.multimodal import decode_blobs
+    """Multimodal decode on REAL formats end-to-end: every document is
+    rendered executor-side into genuine bytes (even doc_id -> binary
+    PGM P5 image whose raster is the text bytes; odd -> 16-bit PCM WAV
+    whose samples derive from the text), then decoded BACK through the
+    real stdlib/numpy codecs (wave module / netpbm header parse) behind
+    the same Arrow mapInPandas seam, and aggregated per modality over
+    content-derived features (image mean intensity, audio RMS). Encode
+    and decode are both distributed; nothing touches the driver."""
+    import math
+
+    from etl_as_a_service_spark.llm.multimodal import (
+        BLOB_SCHEMA,
+        decode_blobs,
+        encode_pgm_bytes,
+        encode_wav_bytes,
+    )
 
     (docs,) = _t(spark, sf_dir, "documents")
-    blobs = docs.filter(F.col("doc_id") < 100).select(
-        F.col("doc_id").alias("blob_id"),
-        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("modality"),
-        F.lit("application/octet-stream").alias("mime"),
-        F.encode("text", "UTF-8").alias("content"),
-        F.lit(None).cast("int").alias("meta_width"),
-        F.lit(None).cast("int").alias("meta_height"),
-        (F.length("text") * 10).cast("int").alias("meta_duration_ms"),
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if doc_id % 2 == 0:
+                    w = 16
+                    h = max(1, math.ceil(len(data) / w))
+                    img = np.zeros(w * h, dtype=np.uint8)
+                    img[: len(data)] = data
+                    rows.append(
+                        (doc_id, "image", "image/x-portable-graymap",
+                         encode_pgm_bytes(img.reshape(h, w)), w, h, None)
+                    )
+                else:
+                    samples = (data.astype(np.float64) - 128.0) / 128.0
+                    rows.append(
+                        (doc_id, "audio", "audio/wav",
+                         encode_wav_bytes(samples, rate=8000), None, None,
+                         int(len(data) * 1000 / 8000))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["blob_id", "modality", "mime", "content",
+                         "meta_width", "meta_height", "meta_duration_ms"],
+            )
+
+    blobs = (
+        docs.filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+        .mapInPandas(encode, BLOB_SCHEMA)
     )
     decoded = decode_blobs(blobs, dim=8)
     return (
@@ -475,7 +512,10 @@ def q61_multimodal_decode(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_blobs"),
             F.sum("n_bytes").alias("total_bytes"),
-            F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
+            # feature[4] = image mean intensity / audio mean |amplitude|
+            F.round(F.avg(F.element_at("feature", 4)), 6).alias("avg_level"),
+            # feature[5] = image std / audio RMS — content-derived
+            F.round(F.avg(F.element_at("feature", 5)), 6).alias("avg_spread"),
         )
         .orderBy("modality")
     )
