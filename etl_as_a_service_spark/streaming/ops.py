@@ -46,7 +46,74 @@ class KafkaConnectorMissing(RuntimeError):
     ships separately from Spark). Launch with
     ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark ver>``
     to enable; this container has no broker/jar, so Kafka coverage is a
-    construction-level gate (COVERAGE.md)."""
+    construction-level gate (COVERAGE.md). The option-assembly and
+    validation layer below is fully contract-tested without a broker."""
+
+
+def kafka_source_options(
+    brokers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    options: dict | None = None,
+) -> dict[str, str]:
+    """Validated option map for a Kafka readStream — the testable
+    contract layer (asserted without a broker or connector jar).
+
+    Validation mirrors what the connector would reject at runtime, but
+    fails at PLAN time: non-empty host:port broker list, non-empty
+    topics, startingOffsets one of earliest/latest or a per-partition
+    JSON object. Caller ``options`` may add connector tunables but not
+    silently override the reserved keys."""
+    if not brokers or not topics:
+        raise ValueError("kafka_source requires brokers and topics")
+    for hostport in brokers.split(","):
+        host, sep, port = hostport.strip().partition(":")
+        if not host or not sep or not port.isdigit():
+            raise ValueError(
+                f"broker {hostport!r} is not host:port (got brokers={brokers!r})"
+            )
+    if not all(t.strip() for t in topics.split(",")):
+        raise ValueError(f"empty topic name in {topics!r}")
+    if starting_offsets not in ("earliest", "latest") and not (
+        starting_offsets.lstrip().startswith("{")
+    ):
+        raise ValueError(
+            "startingOffsets must be earliest|latest or a JSON offset map, "
+            f"got {starting_offsets!r}"
+        )
+    out = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+    }
+    for k, v in (options or {}).items():
+        if k in out:
+            raise ValueError(f"option {k!r} is reserved (set via parameters)")
+        out[k] = str(v)
+    return out
+
+
+def kafka_sink_options(brokers: str, topic: str, checkpoint: str) -> dict[str, str]:
+    """Validated option map for a Kafka writeStream (see
+    kafka_source_options). A checkpoint location is REQUIRED: the sink
+    is exactly-once only relative to a durable offset log."""
+    if not brokers or not topic:
+        raise ValueError("kafka_sink requires brokers and a topic")
+    if "," in topic:
+        raise ValueError(f"kafka_sink writes to ONE topic, got {topic!r}")
+    if not checkpoint:
+        raise ValueError("kafka_sink requires a checkpointLocation")
+    for hostport in brokers.split(","):
+        host, sep, port = hostport.strip().partition(":")
+        if not host or not sep or not port.isdigit():
+            raise ValueError(
+                f"broker {hostport!r} is not host:port (got brokers={brokers!r})"
+            )
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
 
 
 def kafka_source(
@@ -64,18 +131,14 @@ def kafka_source(
     downstream operators are identical to the file-source path.
 
     Raises KafkaConnectorMissing when the connector jar is absent —
-    config validation still runs, so specs referencing Kafka fail fast
-    with an actionable message instead of a ClassNotFound at start()."""
-    if not brokers or not topics:
-        raise ValueError("kafka_source requires brokers and topics")
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topics)
-        .option("startingOffsets", starting_offsets)
-    )
-    for k, v in (options or {}).items():
-        reader = reader.option(k, str(v))
+    config validation (kafka_source_options) still runs, so specs
+    referencing Kafka fail fast with an actionable message instead of a
+    ClassNotFound at start()."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        brokers, topics, starting_offsets, options
+    ).items():
+        reader = reader.option(k, v)
     try:
         raw = reader.load()
     except Exception as e:  # DATA_SOURCE_NOT_FOUND / ClassNotFound
@@ -102,12 +165,10 @@ def kafka_sink(
     call .start() where a broker exists. The projection is validated
     eagerly, so schema errors surface before deployment."""
     payload = df.selectExpr(value_expr)
-    return (
-        payload.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
-    )
+    writer = payload.writeStream.format("kafka")
+    for k, v in kafka_sink_options(brokers, topic, checkpoint).items():
+        writer = writer.option(k, v)
+    return writer
 
 
 def tumbling_window_agg(

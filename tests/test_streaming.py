@@ -265,3 +265,56 @@ def test_kafka_sink_projection_validates_eagerly(spark):
     with pytest.raises(Exception):
         kafka_sink(stream, "localhost:9092", "t", "/tmp/ckpt_kafka",
                    value_expr="no_such_column AS value")
+
+
+def test_kafka_option_contract(spark):
+    """The option-assembly layer is the broker-free contract: exact
+    reserved keys, pass-through tunables, and plan-time rejection of the
+    configs the connector would only reject at runtime. (No pure-python
+    Kafka broker is installable in this env — pip is unavailable — so
+    the construction gate is permanent here; see COVERAGE.md.)"""
+    import pytest
+
+    from etl_as_a_service_spark.streaming.ops import (
+        kafka_sink_options,
+        kafka_source_options,
+    )
+
+    opts = kafka_source_options(
+        "b1:9092,b2:9093", "events,clicks",
+        starting_offsets="latest",
+        options={"maxOffsetsPerTrigger": 5000, "kafka.group.id": "g1"},
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9093",
+        "subscribe": "events,clicks",
+        "startingOffsets": "latest",
+        "maxOffsetsPerTrigger": "5000",
+        "kafka.group.id": "g1",
+    }
+    # per-partition JSON offsets pass through
+    j = kafka_source_options(
+        "b:9092", "t", starting_offsets='{"t": {"0": 23}}'
+    )
+    assert j["startingOffsets"] == '{"t": {"0": 23}}'
+
+    with pytest.raises(ValueError, match="host:port"):
+        kafka_source_options("not-a-hostport", "t")
+    with pytest.raises(ValueError, match="host:port"):
+        kafka_source_options("host:", "t")
+    with pytest.raises(ValueError, match="empty topic"):
+        kafka_source_options("b:9092", "a,,b")
+    with pytest.raises(ValueError, match="startingOffsets"):
+        kafka_source_options("b:9092", "t", starting_offsets="bogus")
+    with pytest.raises(ValueError, match="reserved"):
+        kafka_source_options("b:9092", "t", options={"subscribe": "other"})
+
+    assert kafka_sink_options("b:9092", "out", "/ckpt") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "out",
+        "checkpointLocation": "/ckpt",
+    }
+    with pytest.raises(ValueError, match="ONE topic"):
+        kafka_sink_options("b:9092", "a,b", "/ckpt")
+    with pytest.raises(ValueError, match="checkpointLocation"):
+        kafka_sink_options("b:9092", "t", "")
