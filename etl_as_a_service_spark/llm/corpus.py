@@ -1,0 +1,228 @@
+"""Corpus-level statistics and weighting operators for training-data
+curation: TF-IDF term weighting, intra-document repetition scoring,
+deterministic stratified sampling, and filter-funnel observability.
+
+These complete the curation surface (llm/curation.py) with the
+corpus-wide statistics a C4/Gopher-style pipeline needs (reference
+scope: arbitrary user transformations over uploaded data,
+app/routes.py:66-135 — restated as first-class engine operators). All
+are pure DataFrame compositions:
+
+- TF-IDF is two map-side-combined aggregations plus one broadcast of
+  corpus-level scalars — no driver-side vocabulary;
+- repetition scoring is per-row array math (zero shuffles);
+- stratified sampling keys on md5-hex thresholds, so it is
+  reproducible across runs, partitionings, and engines, and a row's
+  fate never changes when other rows are added (same construction as
+  llm.curation.deterministic_split);
+- the filter funnel evaluates EVERY stage in one conditional-aggregate
+  pass, not one job per rule.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.functions.text import tokenize
+from etl_as_a_service_spark.llm.curation import _hash_hex8
+
+
+def term_frequencies(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term, tf): whitespace-token counts per document — the
+    exploded long form every corpus statistic starts from. One shuffle
+    (the per-(doc, term) count), map-side combined."""
+    return (
+        df.select(F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__t"))
+        .select("__id", F.explode("__t").alias("term"))
+        .groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF:
+    ``tf * (ln((N + 1) / (df + 1)) + 1)`` (sklearn-style smoothing, so
+    corpus-wide terms still get positive weight). Returns
+    (id, term, tf, dfreq, tfidf, rank).
+
+    Scale shape: term frequencies shuffle once on (doc, term); document
+    frequencies aggregate FROM that result (ReuseExchange — the
+    tokenize/explode runs once); the corpus size N is a 1-row aggregate
+    broadcast into the scoring projection, not a driver round-trip. The
+    per-doc top-k plans as WindowGroupLimit: each map task keeps <= k
+    rows per doc before the shuffle. Ties break on term for
+    determinism."""
+    tf = term_frequencies(df, text_col, id_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("__n")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__n") + 1) / (F.col("dfreq") + 1)) + 1),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__id").alias(id_col), "term", "tf", "dfreq", "tfidf", "rank"
+        )
+    )
+
+
+def repetition_ratio(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2
+) -> DataFrame:
+    """Intra-document repetition score — the Gopher/C4 "repetitious
+    text" quality signal: the fraction of a document's word n-grams
+    that are duplicates of an earlier n-gram in the SAME document
+    (1 - distinct/total). 0 = no repetition; 1 - 1/total = one n-gram
+    repeated throughout. Documents shorter than ``n`` tokens score 0
+    (no n-grams to repeat).
+
+    Pure per-row array math — tokenize once, build n-grams as zipped
+    shifted slices, compare sizes. Zero shuffles, fully parallel, no
+    state; the cheapest possible quality dimension at 100 TB."""
+    toks = tokenize(F.col(text_col))
+    base = df.select(F.col(id_col).alias(id_col), toks.alias("__t"))
+    L = F.size("__t") - (n - 1)
+    grams = F.arrays_zip(
+        *[F.slice("__t", j + 1, L) for j in range(n)]
+    )
+    joined = F.transform(
+        grams,
+        lambda s: F.concat_ws(" ", *[s.getField(str(j)) for j in range(n)]),
+    )
+    total = F.size(joined)
+    distinct = F.size(F.array_distinct(joined))
+    return base.select(
+        id_col,
+        F.when(F.size("__t") >= n, total).otherwise(0).alias("n_ngrams"),
+        F.round(
+            F.when(
+                (F.size("__t") >= n) & (total > 0),
+                1.0 - distinct / total.cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("repetition"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    class_col: str,
+    id_col: str,
+    fractions: dict[str, float] | float,
+    salt: str = "stratified-v1",
+) -> DataFrame:
+    """Deterministic per-class sampling: keep a row iff the md5 hash of
+    its id falls under its class's fraction threshold. Unlike
+    ``DataFrame.sampleBy`` (seeded but partitioning-dependent), this is
+    stable under re-partitioning and re-runs, portable across engines,
+    and a row's fate never changes when OTHER rows are added or removed
+    — the property an auditable training-mix recipe needs.
+
+    ``fractions``: either one float for every class or a per-class
+    mapping; classes absent from the mapping are kept whole
+    (fraction 1.0). Thresholds are 8-hex-digit string cuts, exactly as
+    llm.curation.deterministic_split."""
+
+    def cut(frac: float) -> str:
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction must be in [0, 1], got {frac}")
+        if frac >= 1.0:
+            # int(1.0 * 16**8) formats to NINE hex digits, which string-
+            # compares BELOW most 8-digit hashes ('f...' > '1...') and
+            # would drop nearly everything; 'g' sorts after every hex
+            # string, so `hash < 'g'` keeps all rows
+            return "g"
+        return format(int(frac * 16**8), "08x")
+
+    h = _hash_hex8(F.col(id_col), salt)
+    if isinstance(fractions, dict):
+        expr: Column | None = None
+        for cls, frac in fractions.items():
+            cond = F.col(class_col) == F.lit(cls)
+            expr = (
+                F.when(cond, h < cut(frac))
+                if expr is None
+                else expr.when(cond, h < cut(frac))
+            )
+        keep_col = (
+            expr.otherwise(F.lit(True)) if expr is not None else F.lit(True)
+        )
+    else:
+        keep_col = h < cut(float(fractions))
+    return df.filter(keep_col)
+
+
+def filter_funnel(
+    df: DataFrame, rules: list[tuple[str, Column]]
+) -> DataFrame:
+    """Curation-funnel observability: for an ORDERED list of
+    (name, keep-predicate) rules, report how many rows survive each
+    cumulative prefix of rules — the per-stage attrition table every
+    C4-style cleaning pipeline publishes. Returns
+    (stage, rule, survivors, dropped_here) with stage 0 = raw input.
+
+    ONE aggregation pass: survivors of stage i is a conditional sum of
+    the AND of predicates 1..i — not one job (or one filter+count) per
+    rule. Rule names are validated like quality_report's."""
+    if not rules:
+        raise ValueError("filter_funnel requires at least one rule")
+    for name, _ in rules:
+        if not re.fullmatch(r"[A-Za-z0-9_]+", name):
+            raise ValueError(f"rule name {name!r} must match [A-Za-z0-9_]+")
+    aggs = [F.count(F.lit(1)).alias("__s0")]
+    running: Column | None = None
+    for i, (_, cond) in enumerate(rules, start=1):
+        running = cond if running is None else (running & cond)
+        aggs.append(
+            F.sum(F.when(running, 1).otherwise(0)).alias(f"__s{i}")
+        )
+    agg = df.agg(*aggs)
+    names = ["input"] + [name for name, _ in rules]
+    stacked = agg.select(
+        F.expr(
+            "stack({n}, {args}) AS (stage, rule, survivors)".format(
+                n=len(names),
+                args=", ".join(
+                    f"{i}, '{nm}', __s{i}" for i, nm in enumerate(names)
+                ),
+            )
+        ),
+        *[F.col(f"__s{i}").alias(f"__p{i}") for i in range(len(names))],
+    )
+    # survivors of the previous stage (stage 0's "previous" is itself,
+    # so its dropped_here is 0)
+    prev = F.coalesce(
+        *[
+            F.when(F.col("stage") == i, F.col(f"__p{max(i - 1, 0)}"))
+            for i in range(len(names))
+        ]
+    )
+    return stacked.select(
+        "stage",
+        "rule",
+        "survivors",
+        (prev - F.col("survivors")).cast("long").alias("dropped_here"),
+    )

@@ -55,7 +55,10 @@ def deterministic_split(
     names = list(weights)
     for name in names[:-1]:
         acc += weights[name]
-        cut = format(int(acc * 16**8), "08x")
+        # a cumulative cut of 1.0 would format to NINE hex digits, which
+        # string-compares below most 8-digit hashes; 'g' sorts after
+        # every hex string (degenerate zero-weight-tail case)
+        cut = "g" if acc >= 1.0 else format(int(acc * 16**8), "08x")
         expr = (
             F.when(h < cut, name) if expr is None else expr.when(h < cut, name)
         )

@@ -858,3 +858,172 @@ def q86_label_centroids(spark, sf_dir):
         .select("label", "n_vectors", "centroid")
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# q88-q91 — corpus statistics / weighting operators (llm/corpus.py)
+# --------------------------------------------------------------------------
+@query(
+    "q88_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, t.term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents) AS t(doc_id, term)
+      GROUP BY doc_id, t.term
+    ),
+    dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.dfreq,
+             round(tf.tf * (ln((nd + 1) / (dfreq.dfreq + 1)) + 1), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, dfreq, tfidf, rank
+    FROM ranked WHERE rank <= 3 AND doc_id < 100
+    ORDER BY doc_id, rank
+    """,
+    tags=("tfidf", "corpus", "llm", "operator"),
+)
+def q88_tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (llm.corpus.tfidf_top_terms): term frequencies shuffle once, document
+    frequencies reuse that exchange, corpus size broadcasts as a 1-row
+    aggregate, and the per-doc top-k plans as WindowGroupLimit. Ranking
+    uses the ROUNDED score (+ term tie-break) so both engines rank on
+    identical values."""
+    from etl_as_a_service_spark.llm.corpus import tfidf_top_terms
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        tfidf_top_terms(docs, "text", "doc_id", k=3)
+        .filter(F.col("doc_id") < 100)
+        .orderBy("doc_id", "rank")
+    )
+
+
+@query(
+    "q89_repetition_scores",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END AS total,
+             CASE WHEN len(toks) >= 2 THEN (
+               SELECT count(DISTINCT toks[u.i] || ' ' || toks[u.i + 1])
+               FROM UNNEST(range(1, len(toks))) AS u(i)
+             ) ELSE 0 END AS dist
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    SELECT doc_id,
+           CAST(total AS BIGINT) AS n_ngrams,
+           round(CASE WHEN total > 0
+                      THEN 1.0 - dist / CAST(total AS DOUBLE)
+                      ELSE 0.0 END, 6) AS repetition
+    FROM g WHERE total = 0 OR 1.0 - dist / CAST(total AS DOUBLE) >= 0.2
+    ORDER BY doc_id
+    """,
+    tags=("quality", "repetition", "corpus", "llm", "operator"),
+)
+def q89_repetition_scores(spark, sf_dir):
+    """Intra-document repetition (llm.corpus.repetition_ratio, the
+    Gopher/C4 'repetitious text' signal): fraction of word bigrams that
+    duplicate an earlier bigram in the same doc. Flags docs >= 0.2.
+    Zero shuffles — per-row array math only."""
+    from etl_as_a_service_spark.llm.corpus import repetition_ratio
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    r = repetition_ratio(docs, "text", "doc_id", n=2)
+    return (
+        r.select(
+            "doc_id", F.col("n_ngrams").cast("long").alias("n_ngrams"), "repetition"
+        )
+        .filter((F.col("n_ngrams") == 0) | (F.col("repetition") >= 0.2))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q90_stratified_sample",
+    oracle="""
+    WITH kept AS (
+      SELECT * FROM documents
+      WHERE CASE
+        WHEN lang = 'es' THEN
+          substring(md5('mix-v1' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+        WHEN lang = 'zh' THEN
+          substring(md5('mix-v1' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        ELSE TRUE END
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)    AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+    tags=("sampling", "curation", "corpus", "llm", "operator"),
+)
+def q90_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (llm.corpus.stratified_sample):
+    downweight 'es' to 50% and 'zh' to 25% by md5-threshold cut — the
+    auditable training-mix construction (partition-invariant, stable
+    under corpus growth, engine-portable; seeded sampleBy is none of
+    these). Identity-summed per class so the oracle checks WHICH rows
+    survive, not just how many."""
+    from etl_as_a_service_spark.llm.corpus import stratified_sample
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "lang", "doc_id", {"es": 0.5, "zh": 0.25}, salt="mix-v1"
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q91_filter_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS s0,
+             sum(CASE WHEN len(text) >= 200 THEN 1 ELSE 0 END) AS s1,
+             sum(CASE WHEN len(text) >= 200 AND lang IN ('es', 'zh')
+                      THEN 1 ELSE 0 END) AS s2,
+             sum(CASE WHEN len(text) >= 200 AND lang IN ('es', 'zh')
+                           AND source <> 'src0'
+                      THEN 1 ELSE 0 END) AS s3
+      FROM documents
+    )
+    SELECT 0 AS stage, 'input' AS rule, s0 AS survivors,
+           CAST(0 AS BIGINT) AS dropped_here FROM s
+    UNION ALL SELECT 1, 'min_len', s1, s0 - s1 FROM s
+    UNION ALL SELECT 2, 'lang_ok', s2, s1 - s2 FROM s
+    UNION ALL SELECT 3, 'source_ok', s3, s2 - s3 FROM s
+    ORDER BY stage
+    """,
+    tags=("funnel", "quality", "corpus", "llm", "operator"),
+)
+def q91_filter_funnel(spark, sf_dir):
+    """Curation-funnel report (llm.corpus.filter_funnel): survivors and
+    per-stage attrition for an ordered rule chain (length -> language ->
+    source), computed in ONE conditional-aggregate pass over the corpus
+    — the C4-style pipeline observability table."""
+    from etl_as_a_service_spark.llm.corpus import filter_funnel
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return filter_funnel(
+        docs,
+        [
+            ("min_len", F.length("text") >= 200),
+            ("lang_ok", F.col("lang").isin("es", "zh")),
+            ("source_ok", F.col("source") != "src0"),
+        ],
+    ).orderBy("stage")

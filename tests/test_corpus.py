@@ -1,0 +1,147 @@
+"""Corpus statistics/weighting operators (llm/corpus.py): TF-IDF
+ranking, repetition scoring, stratified sampling determinism, funnel
+single-pass correctness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.catalog import load_tables
+from etl_as_a_service_spark.llm.corpus import (
+    filter_funnel,
+    repetition_ratio,
+    stratified_sample,
+    tfidf_top_terms,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_tables(spark, SF_SMOKE, ("documents",))["documents"]
+
+
+def test_tfidf_ranks_rare_terms_over_common(spark):
+    """A term unique to one doc must outscore a term present in every
+    doc; ranks are dense 1..k with the rounded-score tie-break."""
+    rows = [
+        (1, "common zebra common common"),
+        (2, "common common yak common"),
+        (3, "common common common xylo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = tfidf_top_terms(df, "text", "doc_id", k=2)
+    got = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+    # smoothed scores: 'common' tf=3, df=3 -> 3*(ln(4/4)+1) = 3.0;
+    # unique term tf=1, df=1 -> ln(2)+1 ~= 1.693 — common ranks first,
+    # the unique term second, and PER-TERM idf ordering is visible in
+    # the per-unit weight (tfidf/tf)
+    for d, uniq in [(1, "zebra"), (2, "yak"), (3, "xylo")]:
+        assert got[(d, 1)]["term"] == "common"
+        assert got[(d, 2)]["term"] == uniq
+        per_unit_common = got[(d, 1)]["tfidf"] / got[(d, 1)]["tf"]
+        per_unit_uniq = got[(d, 2)]["tfidf"] / got[(d, 2)]["tf"]
+        assert per_unit_uniq > per_unit_common  # rarer => higher idf
+    assert all(r["tfidf"] > 0 for r in got.values())
+
+
+def test_tfidf_plans_window_group_limit(spark, docs):
+    """The per-doc top-k must plan as WindowGroupLimit (map-side k-cap
+    before the shuffle), not filter-after-full-window."""
+    plan = tfidf_top_terms(docs, "text", "doc_id", k=3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_repetition_ratio_extremes(spark):
+    rows = [
+        (1, "a b a b a b"),        # bigrams: ab ba ab ba ab -> 2 distinct / 5
+        (2, "v w x y z"),          # all bigrams distinct -> 0
+        (3, "solo"),               # < n tokens -> 0, n_ngrams 0
+        (4, ""),                   # empty -> 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in repetition_ratio(df, "text", "doc_id", 2).collect()}
+    assert out[1]["n_ngrams"] == 5
+    assert out[1]["repetition"] == pytest.approx(1 - 2 / 5)
+    assert out[2]["repetition"] == 0.0
+    assert out[3]["n_ngrams"] == 0 and out[3]["repetition"] == 0.0
+    assert out[4]["repetition"] == 0.0
+
+
+def test_stratified_sample_deterministic_and_partition_invariant(spark, docs):
+    frac = {"es": 0.5, "zh": 0.25}
+    a = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs, "lang", "doc_id", frac).select(
+            "doc_id").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(13), "lang", "doc_id", frac
+        ).select("doc_id").collect()
+    )
+    assert a == b
+    # unlisted classes are kept whole; listed classes shrink roughly as asked
+    n = docs.groupBy("lang").count().collect()
+    totals = {r["lang"]: r["count"] for r in n}
+    kept = stratified_sample(docs, "lang", "doc_id", frac)
+    kept_counts = {
+        r["lang"]: r["count"] for r in kept.groupBy("lang").count().collect()
+    }
+    for lang, total in totals.items():
+        if lang not in frac:
+            assert kept_counts.get(lang, 0) == total
+    if "es" in totals and totals["es"] >= 20:
+        assert 0.25 <= kept_counts.get("es", 0) / totals["es"] <= 0.75
+    # a flat float fraction applies to every class
+    flat = stratified_sample(docs, "lang", "doc_id", 1.0)
+    assert flat.count() == docs.count()
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(docs, "lang", "doc_id", 1.5)
+
+
+def test_stratified_sample_stable_under_row_additions(spark, docs):
+    """A row's fate never changes when other rows are added — the
+    auditable-mix property."""
+    frac = {"es": 0.5}
+    small = stratified_sample(
+        docs.filter(F.col("doc_id") < 100), "lang", "doc_id", frac
+    )
+    full = stratified_sample(docs, "lang", "doc_id", frac)
+    small_ids = {r["doc_id"] for r in small.select("doc_id").collect()}
+    full_ids = {
+        r["doc_id"]
+        for r in full.filter(F.col("doc_id") < 100).select("doc_id").collect()
+    }
+    assert small_ids == full_ids
+
+
+def test_filter_funnel_matches_sequential_filters(spark, docs):
+    rules = [
+        ("min_len", F.length("text") >= 200),
+        ("lang_ok", F.col("lang").isin("es", "zh")),
+        ("source_ok", F.col("source") != "src0"),
+    ]
+    out = {r["stage"]: r for r in filter_funnel(docs, rules).collect()}
+    # stage 0 = raw input, dropped 0
+    assert out[0]["rule"] == "input"
+    assert out[0]["survivors"] == docs.count()
+    assert out[0]["dropped_here"] == 0
+    # each stage equals the sequentially-filtered count
+    running = docs
+    for i, (name, cond) in enumerate(rules, start=1):
+        running = running.filter(cond)
+        assert out[i]["rule"] == name
+        assert out[i]["survivors"] == running.count()
+        assert out[i]["dropped_here"] == out[i - 1]["survivors"] - out[i]["survivors"]
+    # single-pass: exactly one Aggregate in the plan
+    plan = filter_funnel(docs, rules)._jdf.queryExecution().optimizedPlan(
+    ).toString()
+    assert plan.count("Aggregate") == 1
+    with pytest.raises(ValueError, match="at least one"):
+        filter_funnel(docs, [])
+    with pytest.raises(ValueError, match="A-Za-z0-9_"):
+        filter_funnel(docs, [("bad name", F.lit(True))])
