@@ -175,6 +175,94 @@ def stratified_sample(
     return df.filter(keep_col)
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    chunk_size: int,
+    stride: int | None = None,
+) -> DataFrame:
+    """Overlapping sliding-window chunking — the RAG/embedding-prep
+    operator: split each document into chunks of ``chunk_size`` tokens
+    every ``stride`` tokens (stride < chunk_size => overlap). Emits one
+    row per (document, chunk) with (chunk_idx, chunk_start, chunk_tokens);
+    the final chunk is the remainder (possibly short), and every token
+    belongs to at least one chunk. Zero-token docs emit nothing.
+
+    Pure per-row arithmetic: a bounded sequence + explode, no shuffle,
+    no state — chunking 100 TB is exactly a map."""
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    stride = chunk_size if stride is None else stride
+    if not 0 < stride <= chunk_size:
+        raise ValueError(
+            f"stride must be in (0, chunk_size], got {stride}"
+        )
+    nt = F.col(token_col)
+    # last chunk start: the SMALLEST stride multiple whose chunk reaches
+    # the document end (start + chunk_size >= nt) — later starts would
+    # produce chunks fully contained in the previous one (pure
+    # duplicates, poison for a RAG index)
+    last_start = (
+        F.ceil(F.greatest(nt - chunk_size, F.lit(0)) / F.lit(stride))
+        * stride
+    )
+    seg = df.filter(nt > 0).select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0), last_start, F.lit(stride))
+        ).alias("chunk_start"),
+    )
+    return (
+        seg.withColumn(
+            "chunk_idx", (F.col("chunk_start") / stride).cast("long")
+        )
+        .withColumn(
+            "chunk_tokens",
+            F.least(F.lit(chunk_size), nt - F.col("chunk_start")),
+        )
+    )
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str, n: int = 1, k: int = 100
+) -> DataFrame:
+    """Corpus-wide top-k n-grams with occurrence counts — the
+    vocabulary-statistics pass tokenizer training starts from. Returns
+    (ngram, occurrences, rank), rank dense over (count desc, ngram asc)
+    for determinism.
+
+    Scale shape: one explode + one map-side-combined count shuffle; the
+    global top-k is a TakeOrderedAndProject over the aggregated counts
+    (never the raw token stream)."""
+    toks = tokenize(F.col(text_col))
+    if n == 1:
+        grams = toks
+    else:
+        L = F.size(toks) - (n - 1)
+        zipped = F.arrays_zip(*[F.slice(toks, j + 1, L) for j in range(n)])
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                zipped,
+                lambda s: F.concat_ws(
+                    " ", *[s.getField(str(j)) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array())
+    counts = (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+    )
+    # top-k FIRST via orderBy+limit (plans as TakeOrderedAndProject —
+    # per-partition heaps, never a single-task global sort of the whole
+    # vocabulary); the rank window then runs over only k rows
+    topk = counts.orderBy(F.col("occurrences").desc(), F.col("ngram")).limit(k)
+    w = Window.orderBy(F.col("occurrences").desc(), F.col("ngram"))
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
 def filter_funnel(
     df: DataFrame, rules: list[tuple[str, Column]]
 ) -> DataFrame:

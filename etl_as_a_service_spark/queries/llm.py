@@ -1027,3 +1027,82 @@ def q91_filter_funnel(spark, sf_dir):
             ("source_ok", F.col("source") != "src0"),
         ],
     ).orderBy("stage")
+
+
+@query(
+    "q92_document_chunking",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS nt FROM documents
+    ),
+    c AS (
+      SELECT doc_id, nt, t.cs AS chunk_start,
+             CAST(t.cs / 48 AS BIGINT) AS chunk_idx,
+             least(64, nt - t.cs) AS chunk_tokens
+      FROM d, UNNEST(generate_series(
+               0, CAST(ceil(greatest(nt - 64, 0) / 48.0) AS BIGINT) * 48, 48))
+           AS t(cs)
+      WHERE nt > 0
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(chunk_start AS BIGINT)  AS chunk_start,
+           CAST(chunk_tokens AS BIGINT) AS chunk_tokens
+    FROM c WHERE doc_id < 100
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("chunking", "rag", "corpus", "llm", "operator"),
+)
+def q92_document_chunking(spark, sf_dir):
+    """Overlapping sliding-window chunking (llm.corpus.chunk_documents):
+    64-token chunks every 48 tokens (16-token overlap) — the RAG/
+    embedding-prep segmentation. Pure per-row arithmetic (bounded
+    sequence + explode), zero shuffles; the oracle recomputes the chunk
+    grid with generate_series."""
+    from etl_as_a_service_spark.functions.text import token_count
+    from etl_as_a_service_spark.llm.corpus import chunk_documents
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("nt")
+    )
+    return (
+        chunk_documents(with_tokens, "doc_id", "nt", chunk_size=64, stride=48)
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
+    "q93_top_bigrams",
+    oracle="""
+    WITH g AS (
+      SELECT toks[u.i] || ' ' || toks[u.i + 1] AS ngram
+      FROM (SELECT string_split(text, ' ') AS toks FROM documents),
+           UNNEST(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    counts AS (SELECT ngram, count(*) AS occurrences FROM g GROUP BY ngram)
+    SELECT ngram, occurrences,
+           CAST(row_number() OVER (ORDER BY occurrences DESC, ngram)
+                AS INTEGER) AS rank
+    FROM counts
+    ORDER BY occurrences DESC, ngram LIMIT 25
+    """,
+    tags=("vocabulary", "ngrams", "corpus", "llm", "operator"),
+)
+def q93_top_bigrams(spark, sf_dir):
+    """Corpus-wide top-25 bigrams (llm.corpus.top_ngrams) — the
+    vocabulary-statistics pass tokenizer training starts from. One
+    explode + one map-side-combined count; the global top-k plans as
+    TakeOrderedAndProject (per-partition heaps), never a single-task
+    sort of the vocabulary."""
+    from etl_as_a_service_spark.llm.corpus import top_ngrams
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return top_ngrams(docs, "text", n=2, k=25).orderBy("rank")

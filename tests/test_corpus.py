@@ -9,10 +9,12 @@ from pyspark.sql import functions as F
 
 from etl_as_a_service_spark.catalog import load_tables
 from etl_as_a_service_spark.llm.corpus import (
+    chunk_documents,
     filter_funnel,
     repetition_ratio,
     stratified_sample,
     tfidf_top_terms,
+    top_ngrams,
 )
 from tests.conftest import SF_SMOKE
 
@@ -117,6 +119,56 @@ def test_stratified_sample_stable_under_row_additions(spark, docs):
         for r in full.filter(F.col("doc_id") < 100).select("doc_id").collect()
     }
     assert small_ids == full_ids
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Chunk grid properties: every token covered, overlap = size -
+    stride for interior chunks, final chunk is the remainder, dense
+    chunk_idx, zero-token docs emit nothing."""
+    rows = [(1, 100), (2, 64), (3, 65), (4, 1), (5, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, nt long")
+    out = chunk_documents(df, "doc_id", "nt", chunk_size=64, stride=48)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_start"], r["chunk_tokens"])
+        )
+    assert 5 not in got  # zero-token doc emits nothing
+    assert got[1] == [(0, 0, 64), (1, 48, 52)]   # 100 tokens
+    assert got[2] == [(0, 0, 64)]                # exact fit: ONE chunk
+    assert got[3] == [(0, 0, 64), (1, 48, 17)]   # one token past a chunk
+    assert got[4] == [(0, 0, 1)]                 # tiny doc, short chunk
+    # full coverage: the last chunk reaches the end of every doc, and no
+    # chunk is fully contained in its predecessor (no redundant tails)
+    for doc_id, chunks in got.items():
+        nt = dict(rows)[doc_id]
+        last = max(chunks)
+        assert last[1] + last[2] == nt
+        for (i1, s1, t1), (i2, s2, t2) in zip(chunks, chunks[1:]):
+            assert s2 + t2 > s1 + t1  # each chunk extends coverage
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, "doc_id", "nt", chunk_size=64, stride=65)
+    with pytest.raises(ValueError, match="chunk_size"):
+        chunk_documents(df, "doc_id", "nt", chunk_size=0)
+
+
+def test_top_ngrams_counts_and_plan(spark):
+    rows = [(1, "a b a b c"), (2, "a b x"), (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["ngram"]: (r["occurrences"], r["rank"]) for r in top_ngrams(
+        df, "text", n=2, k=10).collect()}
+    # 'a b' occurs twice in doc 1 + once in doc 2
+    assert out["a b"] == (3, 1)
+    assert out["b a"][0] == 1
+    assert "solo" not in out  # < n tokens contributes nothing
+    # unigrams mode
+    uni = {r["ngram"]: r["occurrences"] for r in top_ngrams(
+        df, "text", n=1, k=10).collect()}
+    assert uni["a"] == 3 and uni["solo"] == 1
+    # distributed top-k: TakeOrderedAndProject, not a global sort+window
+    plan = top_ngrams(df, "text", n=2, k=10)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_filter_funnel_matches_sequential_filters(spark, docs):
