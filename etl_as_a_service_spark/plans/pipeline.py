@@ -81,6 +81,9 @@ _ALLOWED_OPS = {
     "split",
     "rebalance",
     "observe",
+    "stratified_sample",
+    "chunk",
+    "repetition_score",
 }
 
 
@@ -284,6 +287,41 @@ def _apply_step(
             id_col=_req(step, "id_col"),
             cap_per_class=int(_req(step, "cap")),
             salt=step.get("salt", "rebalance-v1"),
+        )
+    if op == "stratified_sample":
+        # {"op":"stratified_sample","class_col":"lang","id_col":"doc_id",
+        #  "fractions":{"en":0.5} | 0.25}
+        from etl_as_a_service_spark.llm.corpus import stratified_sample
+
+        return stratified_sample(
+            df,
+            class_col=_req(step, "class_col"),
+            id_col=_req(step, "id_col"),
+            fractions=_req(step, "fractions"),
+            salt=step.get("salt", "stratified-v1"),
+        )
+    if op == "chunk":
+        # {"op":"chunk","id_col":"doc_id","token_col":"nt",
+        #  "chunk_size":512,"stride":384}
+        from etl_as_a_service_spark.llm.corpus import chunk_documents
+
+        return chunk_documents(
+            df,
+            id_col=_req(step, "id_col"),
+            token_col=_req(step, "token_col"),
+            chunk_size=int(_req(step, "chunk_size")),
+            stride=int(step["stride"]) if step.get("stride") else None,
+        )
+    if op == "repetition_score":
+        # {"op":"repetition_score","text_col":"text","id_col":"doc_id",
+        #  "n":2} — (id, n_ngrams, repetition) quality dimension
+        from etl_as_a_service_spark.llm.corpus import repetition_ratio
+
+        return repetition_ratio(
+            df,
+            text_col=_req(step, "text_col"),
+            id_col=_req(step, "id_col"),
+            n=int(step.get("n", 2)),
         )
     if op == "observe":
         # {"op":"observe","name":"m","metrics":{"n":"count(*)",

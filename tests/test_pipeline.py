@@ -406,3 +406,45 @@ def test_curation_and_observe_steps(spark):
     df = compile_pipeline(spark, {k: v for k, v in spec.items() if k != "name"}
                           | {"name": "x"})
     assert df.groupBy("lang").count().filter("count > 40").count() == 0
+
+
+def test_corpus_ops_as_pipeline_steps(spark):
+    """Round-3 corpus ops compose in a spec: stratified_sample ->
+    repetition_score, and a separate chunking pipeline (token count via
+    with_column -> chunk). Results match the operators called directly."""
+    from etl_as_a_service_spark.llm.corpus import stratified_sample
+
+    spec = {
+        "name": "mixed_corpus",
+        "source": {"format": "parquet", "path": f"{SF_SMOKE}/documents.parquet"},
+        "steps": [
+            {"op": "stratified_sample", "class_col": "lang",
+             "id_col": "doc_id", "fractions": {"es": 0.5, "zh": 0.25}},
+            {"op": "repetition_score", "text_col": "text",
+             "id_col": "doc_id", "n": 2},
+        ],
+    }
+    run = PipelineRunner(spark).run(spec, user="alice")
+    assert run.status == "success", run.error
+    df = compile_pipeline(spark, dict(spec))
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    expect = stratified_sample(
+        docs, "lang", "doc_id", {"es": 0.5, "zh": 0.25}
+    ).count()
+    assert df.count() == expect  # one score row per surviving doc
+    assert set(df.columns) == {"doc_id", "n_ngrams", "repetition"}
+
+    chunk_spec = {
+        "name": "chunked_corpus",
+        "source": {"format": "parquet", "path": f"{SF_SMOKE}/documents.parquet"},
+        "steps": [
+            {"op": "with_column", "name": "nt",
+             "expr": "size(split(text, '\\\\s+'))"},
+            {"op": "chunk", "id_col": "doc_id", "token_col": "nt",
+             "chunk_size": 32, "stride": 24},
+        ],
+    }
+    cdf = compile_pipeline(spark, chunk_spec)
+    assert {"chunk_idx", "chunk_start", "chunk_tokens"} <= set(cdf.columns)
+    assert cdf.count() > docs.count()  # docs split into multiple chunks
+    assert cdf.filter("chunk_tokens > 32 OR chunk_tokens <= 0").count() == 0
