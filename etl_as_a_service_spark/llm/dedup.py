@@ -378,6 +378,105 @@ def contamination_check(
     )
 
 
+def contaminated_spans(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Span-level decontamination: WHERE the leakage sits, not just how
+    much. For every train document, the maximal contiguous token spans
+    whose n-grams all appear in the test corpus — the spans an
+    eval-leak scrubber would excise (GPT-3-style n-gram collision
+    removal works on spans, not whole docs). Returns
+    (id, span_start, span_end, n_ngrams): token indices, 0-based
+    inclusive; span_end covers the last token of the last matching
+    n-gram.
+
+    Shape: positional train shingles (posexplode — position rides the
+    shuffle as one int) semi-join the broadcast test-shingle set; the
+    hit positions then merge into maximal runs with the classic
+    gaps-and-islands construction (pos - row_number is constant within
+    a run) — one window + one aggregate, both partitioned by doc."""
+    toks = tokenize(F.col(text_col))
+    tr = train.select(
+        F.col(id_col).alias("__id"), toks.alias("__t")
+    ).filter(F.size("__t") >= n)
+    pos_sh = tr.select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                shingles_from_tokens(F.col("__t"), n), lambda s: F.xxhash64(s)
+            )
+        ).alias("pos", "sh"),
+    )
+    test_sh = (
+        hashed_shingle_sets(test, text_col, id_col, n, drop_short=True)
+        .select("sh")
+        .distinct()
+    )
+    hits = pos_sh.join(F.broadcast(test_sh), "sh", "left_semi")
+    w = Window.partitionBy("__id").orderBy("pos")
+    islands = hits.withColumn(
+        "__grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("__id", "__grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (n - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_ngrams"),
+        )
+        .select(
+            F.col("__id").alias(id_col), "span_start", "span_end", "n_ngrams"
+        )
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Dedup an INCOMING batch against an already-ingested corpus, then
+    within itself — the steady-state shape of a continuously-fed
+    training corpus (the full-corpus re-dedup is O(corpus) per batch;
+    this is O(batch + registry-probe)).
+
+    ``seen`` is either the raw prior corpus (same text/id columns — its
+    fingerprints are computed on the fly) or a persisted fingerprint
+    registry: a DataFrame with a ``__fp`` column, as produced by
+    ``corpus_fingerprints`` (at 100 TB you store THAT, 16 bytes a doc,
+    not the text). New-batch survivors are rows whose fingerprint is
+    absent from ``seen`` (left-anti join, broadcast-able when the batch
+    dwarfs the registry partition) with min-id-per-fingerprint applied
+    within the batch."""
+    seen_fp = (
+        seen.select("__fp")
+        if "__fp" in seen.columns
+        else seen.select(fingerprint128(F.col(text_col), normalize).alias("__fp"))
+    ).distinct()
+    fp = batch.select(
+        F.col(id_col), fingerprint128(F.col(text_col), normalize).alias("__fp")
+    )
+    fresh = fp.join(seen_fp, "__fp", "left_anti")
+    keep = fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col)).drop("__fp")
+    return batch.join(keep, on=id_col, how="left_semi")
+
+
+def corpus_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, normalize: bool = True
+) -> DataFrame:
+    """(id, __fp) — the persistable registry side of incremental_dedup:
+    16 bytes per document, written once per ingested batch."""
+    return df.select(
+        F.col(id_col), fingerprint128(F.col(text_col), normalize).alias("__fp")
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash per document — pure Catalyst (no UDF).
 

@@ -1106,3 +1106,98 @@ def q93_top_bigrams(spark, sf_dir):
 
     (docs,) = _t(spark, sf_dir, "documents")
     return top_ngrams(docs, "text", n=2, k=25).orderBy("rank")
+
+
+@query(
+    "q94_contaminated_spans",
+    oracle="""
+    WITH tr AS (
+      SELECT doc_id, u.i - 1 AS pos,
+             toks[u.i] || ' ' || toks[u.i + 1] || ' ' || toks[u.i + 2] AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id < 450),
+           UNNEST(range(1, len(toks) - 1)) AS u(i)
+    ),
+    te AS (
+      SELECT DISTINCT toks[u.i] || ' ' || toks[u.i + 1] || ' ' || toks[u.i + 2] AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id >= 450),
+           UNNEST(range(1, len(toks) - 1)) AS u(i)
+    ),
+    hits AS (SELECT doc_id, pos FROM tr WHERE sh IN (SELECT sh FROM te)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM hits
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT)     AS span_start,
+           CAST(max(pos) + 2 AS BIGINT) AS span_end,
+           count(*)                     AS n_ngrams
+    FROM isl GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start
+    """,
+    tags=("decontamination", "spans", "dedup", "llm", "operator"),
+)
+def q94_contaminated_spans(spark, sf_dir):
+    """Span-level decontamination (llm.dedup.contaminated_spans): the
+    maximal contiguous token spans of each train doc whose 3-grams all
+    appear in the held-out set — what a leak scrubber excises. Positional
+    shingles semi-join the broadcast test set; hit positions merge into
+    runs via gaps-and-islands (pos - row_number), one window + one
+    aggregate. Positions are hash-free, so both engines agree exactly."""
+    from etl_as_a_service_spark.llm.dedup import contaminated_spans
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return contaminated_spans(
+        docs.filter(F.col("doc_id") < 450),
+        docs.filter(F.col("doc_id") >= 450),
+        n=3,
+    ).orderBy("doc_id", "span_start")
+
+
+@query(
+    "q95_incremental_dedup",
+    oracle="""
+    WITH seen AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 400
+    ),
+    batch AS (SELECT * FROM documents WHERE doc_id >= 400),
+    fresh AS (
+      SELECT * FROM batch WHERE md5(text) NOT IN (SELECT fp FROM seen)
+    ),
+    kept AS (
+      SELECT * FROM fresh
+      WHERE doc_id IN (SELECT min(doc_id) FROM fresh GROUP BY md5(text))
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)    AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+    tags=("dedup", "incremental", "llm", "operator"),
+)
+def q95_incremental_dedup(spark, sf_dir):
+    """Incremental corpus dedup (llm.dedup.incremental_dedup): docs >=
+    400 arrive as a new batch and dedup against the already-ingested
+    corpus (< 400) via a fingerprint anti-join, then within themselves —
+    O(batch) per ingest instead of O(corpus) re-dedup. The oracle uses
+    md5 identity; the engine shuffles its 128-bit xxhash fingerprint —
+    surviving doc_ids are identical barring collisions, and the id-sum
+    checksum proves both engines kept the same rows."""
+    from etl_as_a_service_spark.llm.dedup import incremental_dedup
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    kept = incremental_dedup(
+        docs.filter(F.col("doc_id") >= 400),
+        docs.filter(F.col("doc_id") < 400),
+        normalize=False,
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )

@@ -327,6 +327,81 @@ def test_contamination_check_ignores_short_docs(spark):
     assert set(out) == {3} and out[3] == 1.0
 
 
+def test_contaminated_spans_finds_planted_span(spark):
+    """A train doc embedding a test doc verbatim yields ONE maximal span
+    covering exactly the planted region; a clean doc yields nothing;
+    two separated leaks yield two islands."""
+    from etl_as_a_service_spark.llm.dedup import contaminated_spans
+
+    leak = "alpha bravo charlie delta echo"          # 5 tokens
+    train = spark.createDataFrame(
+        [
+            # tokens 0-2 clean, 3-7 = leak, 8-10 clean
+            (1, "one two three " + leak + " eight nine ten"),
+            (2, "totally clean text about nothing relevant here"),
+            # two leaks separated by a clean gap: tokens 0-4 and 8-12
+            (3, leak + " gap1 gap2 gap3 " + leak),
+        ],
+        "doc_id int, text string",
+    )
+    test = spark.createDataFrame([(100, leak)], "doc_id int, text string")
+    out = {}
+    for r in contaminated_spans(train, test, n=3).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_ngrams"])
+        )
+    # doc 1: 3-grams at positions 3,4,5 -> span tokens 3..7, 3 ngrams
+    assert out[1] == [(3, 7, 3)]
+    assert 2 not in out
+    assert sorted(out[3]) == [(0, 4, 3), (8, 12, 3)]
+
+
+def test_incremental_dedup_matches_full_dedup(spark):
+    """Batch-vs-registry dedup must agree with deduping the union:
+    survivors of (seen + incremental batch) == exact_dedup(all). Also
+    accepts a persisted fingerprint registry in place of raw docs."""
+    from etl_as_a_service_spark.llm.dedup import (
+        corpus_fingerprints,
+        exact_dedup,
+        incremental_dedup,
+    )
+
+    all_docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc"), (2, "dd ee ff"), (3, "aa bb cc"),  # seen
+            (10, "aa bb cc"),   # dup of seen -> dropped
+            (11, "gg hh ii"),   # fresh
+            (12, "gg hh ii"),   # dup within batch -> min id 11 kept
+            (13, "dd ee ff"),   # dup of seen -> dropped
+        ],
+        "doc_id int, text string",
+    )
+    seen = all_docs.filter(F.col("doc_id") < 10)
+    batch = all_docs.filter(F.col("doc_id") >= 10)
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(batch, seen).select("doc_id").collect()
+    )
+    assert kept == [11]
+    # union equivalence: seen-survivors + batch-survivors == dedup(all)
+    full = sorted(
+        r["doc_id"]
+        for r in exact_dedup(all_docs, "text", "doc_id").select("doc_id").collect()
+    )
+    seen_kept = sorted(
+        r["doc_id"]
+        for r in exact_dedup(seen, "text", "doc_id").select("doc_id").collect()
+    )
+    assert sorted(seen_kept + kept) == full
+    # fingerprint-registry form behaves identically
+    reg = corpus_fingerprints(seen, "text", "doc_id")
+    kept2 = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(batch, reg).select("doc_id").collect()
+    )
+    assert kept2 == kept
+
+
 def test_kernel_tier_minhash_and_cosine(spark):
     """Wire the standalone kernel-tier UDFs: minhash_signature_kernel
     (identical shingle sets => identical signatures; empty set => the
