@@ -571,3 +571,123 @@ def q87_try_arithmetic(spark, sf_dir):
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+# --------------------------------------------------------------------------
+# q96 — time-ordered conversion funnel over the event stream
+# --------------------------------------------------------------------------
+@query(
+    "q96_event_conversion_funnel",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS ts1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS ts2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.ts1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS ts3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.ts2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'view' AS step, count(*) AS users FROM t1
+    UNION ALL SELECT 2, 'click_after_view', count(*) FROM t2
+    UNION ALL SELECT 3, 'purchase_after_click', count(*) FROM t3
+    ORDER BY stage
+    """,
+    tags=("funnel", "events", "sequential"),
+)
+def q96_event_conversion_funnel(spark, sf_dir):
+    """TIME-ORDERED conversion funnel (view -> click -> purchase): a
+    user advances a stage only with an event strictly AFTER their
+    previous stage's first event — the sequential-pattern analytics the
+    doc-level filter funnel (q91) doesn't cover. Three chained
+    (aggregate -> join) rounds keyed on user_id; each stage's threshold
+    rides the shuffle as one timestamp per user."""
+    tables = load_tables(spark, sf_dir, ("events",))
+    ev = tables["events"]
+
+    def first_after(prev, etype, prev_ts, out_ts):
+        joined = ev.filter(F.col("event_type") == etype).join(
+            prev, "user_id"
+        )
+        return (
+            joined.filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    t2 = first_after(t1, "click", "ts1", "ts2")
+    t3 = first_after(t2, "purchase", "ts2", "ts3")
+    rows = [
+        (1, "view", t1),
+        (2, "click_after_view", t2),
+        (3, "purchase_after_click", t3),
+    ]
+    out = None
+    for stage, step, df in rows:
+        one = df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(stage).alias("stage"), F.lit(step).alias("step"), "users"
+        )
+        out = one if out is None else out.unionAll(one)
+    return out.orderBy("stage")
+
+
+# --------------------------------------------------------------------------
+# q97 — percentile-band outlier trim (broadcast scalar thresholds)
+# --------------------------------------------------------------------------
+@query(
+    "q97_percentile_trim",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents
+    ),
+    kept AS (
+      SELECT d.* FROM documents d, b
+      WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)    AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+    tags=("quality", "percentile", "outlier", "curation"),
+)
+def q97_percentile_trim(spark, sf_dir):
+    """Percentile-band outlier trim — drop docs outside the corpus's
+    [p5, p95] length band (the distribution-aware version of a fixed
+    length cut). The band is a 1-row exact-percentile aggregate
+    (F.percentile == quantile_cont) BROADCAST into the filter — no
+    second scan parameterized from the driver, no collect. Id-sum
+    checksum pins identical surviving rows across engines."""
+    tables = load_tables(spark, sf_dir, ("documents",))
+    docs = tables["documents"]
+    band = docs.agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    kept = docs.crossJoin(F.broadcast(band)).filter(
+        (F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi"))
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
