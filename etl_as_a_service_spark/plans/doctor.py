@@ -1,0 +1,115 @@
+"""Plan doctor: lint a DataFrame's physical plan for patterns that are
+fine at test scale and catastrophic at 100 TB.
+
+The checks encode this engine's scale rules (SURVEY §2.B scale note):
+no cartesian/large-NLJ joins, no row-at-a-time Python in hot paths, no
+global sorts without a limit, no single-partition windows. `lint_plan`
+returns structured findings so pipelines can gate on them (e.g. refuse
+to deploy a spec whose compiled plan has a CRITICAL finding);
+`assert_scalable` raises.
+
+Heuristics read the EXECUTED plan string — the same source of truth the
+plan-shape tests assert on — so they see what will actually run (after
+AQE static planning, join strategy selection, codegen fallback)."""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+CRITICAL = "critical"
+WARNING = "warning"
+
+
+@dataclass(frozen=True)
+class Finding:
+    code: str
+    severity: str
+    message: str
+
+
+#: (code, severity, plan-pattern, message). Patterns are regexes over the
+#: physical plan text.
+_CHECKS: list[tuple[str, str, str, str]] = [
+    (
+        "cartesian_product",
+        CRITICAL,
+        r"CartesianProduct",
+        "CartesianProduct: an unconditioned large x large cross join "
+        "multiplies row counts; broadcast the small side or add an "
+        "equi-condition",
+    ),
+    (
+        "nested_loop_join",
+        WARNING,
+        r"BroadcastNestedLoopJoin",
+        "BroadcastNestedLoopJoin: a non-equi join re-scans the broadcast "
+        "side per row; fine for a small broadcast side, a scale-killer "
+        "otherwise — consider a range/band rewrite (bucketed join keys)",
+    ),
+    (
+        "python_row_udf",
+        CRITICAL,
+        r"BatchEvalPython",
+        "BatchEvalPython: row-at-a-time Python UDF in the plan (pickled "
+        "per row); use Arrow-batched pandas_udf / mapInPandas "
+        "(ArrowEvalPython) instead — measured 10-100x",
+    ),
+    (
+        "global_sort",
+        WARNING,
+        r"rangepartitioning",
+        "range-partitioned Exchange (global sort): every row moves "
+        "through a range shuffle; for top-k use orderBy+limit "
+        "(TakeOrderedAndProject), or sortWithinPartitions for per-file "
+        "ordering",
+    ),
+    (
+        "single_partition_exchange",
+        WARNING,
+        r"Exchange SinglePartition",
+        "Exchange SinglePartition: the whole dataset funnels through one "
+        "task (global window/aggregate without keys?); partition by a "
+        "key or pre-aggregate",
+    ),
+]
+
+#: a Window whose partition spec is empty: `Window [...], [col ASC ...]`
+#: (no partition list between the projection and the ordering)
+_GLOBAL_WINDOW = re.compile(r"Window \[[^\]]*\], \[[^\]]*(ASC|DESC)")
+
+
+def lint_plan(df: DataFrame) -> list[Finding]:
+    """Inspect df's physical plan; return scale findings (possibly
+    empty). Sorted critical-first, then by code."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    found = []
+    for code, severity, pattern, message in _CHECKS:
+        if re.search(pattern, plan):
+            found.append(Finding(code, severity, message))
+    if _GLOBAL_WINDOW.search(plan):
+        # Window operators print as `Window [fns], [part spec], [order]`;
+        # when the partition spec slot holds the ORDER expressions the
+        # window is global (single task)
+        found.append(
+            Finding(
+                "global_window",
+                CRITICAL,
+                "Window without PARTITION BY: the whole input sorts into "
+                "ONE task; partition by a key, or bound the input first "
+                "(e.g. top-k via orderBy+limit, then the window)",
+            )
+        )
+    sev_rank = {CRITICAL: 0, WARNING: 1}
+    return sorted(found, key=lambda f: (sev_rank[f.severity], f.code))
+
+
+def assert_scalable(df: DataFrame, allow: set[str] | frozenset[str] = frozenset()) -> None:
+    """Raise ValueError when the plan has findings not in ``allow`` —
+    the deploy-time gate form of lint_plan."""
+    findings = [f for f in lint_plan(df) if f.code not in allow]
+    if findings:
+        lines = "\n".join(f"- [{f.severity}] {f.code}: {f.message}" for f in findings)
+        raise ValueError(f"plan has scale findings:\n{lines}")

@@ -514,6 +514,30 @@ class PipelineRunner:
         try:
             observations: list = []
             df = compile_pipeline(self.spark, spec, observations=observations)
+            lint_mode = spec.get("plan_lint")  # None | "warn" | "strict"
+            if lint_mode and not df.isStreaming:
+                from etl_as_a_service_spark.plans.doctor import (
+                    CRITICAL,
+                    lint_plan,
+                )
+
+                findings = lint_plan(df)
+                if findings:
+                    run.metrics = dict(run.metrics or {})
+                    run.metrics["plan_findings"] = [
+                        {"code": f.code, "severity": f.severity}
+                        for f in findings
+                    ]
+                if lint_mode == "strict" and any(
+                    f.severity == CRITICAL for f in findings
+                ):
+                    raise PipelineError(
+                        "plan_lint=strict: compiled plan has critical "
+                        "scale findings: "
+                        + ", ".join(
+                            f.code for f in findings if f.severity == CRITICAL
+                        )
+                    )
             sink = spec.get("sink")
             if df.isStreaming:
                 self._execute_streaming(run, df, sink or {})

@@ -1,0 +1,141 @@
+"""Plan doctor (plans/doctor.py): each scale anti-pattern is detected
+on a real physical plan, sanctioned shapes stay clean, and the deploy
+gate raises."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.plans.doctor import (
+    CRITICAL,
+    assert_scalable,
+    lint_plan,
+)
+
+
+def codes(df):
+    return {f.code for f in lint_plan(df)}
+
+
+@pytest.fixture()
+def nums(spark):
+    return spark.range(100).withColumnRenamed("id", "x")
+
+
+def test_detects_cartesian_product(spark, nums):
+    b = spark.range(50).withColumnRenamed("id", "y")
+    cross = nums.hint("shuffle_replicate_nl").crossJoin(b)
+    assert "cartesian_product" in codes(cross)
+
+
+def test_detects_nested_loop_join(spark, nums):
+    b = spark.range(10).withColumnRenamed("id", "y")
+    assert "nested_loop_join" in codes(nums.join(b, F.col("x") > F.col("y")))
+
+
+def test_detects_row_at_a_time_python_udf(spark, nums):
+    slow = F.udf(lambda v: v + 1, "long")
+    assert "python_row_udf" in codes(nums.select(slow("x")))
+    # the Arrow tier is sanctioned
+
+    @F.pandas_udf("long")
+    def fast(s: pd.Series) -> pd.Series:
+        return s + 1
+
+    assert "python_row_udf" not in codes(nums.select(fast("x")))
+
+
+def test_detects_global_sort_but_not_topk(spark, nums):
+    # real sort needs unordered input (a Range scan is already ordered
+    # and the optimizer elides the sort)
+    agg = nums.groupBy((F.col("x") % 7).alias("k")).agg(
+        F.sum("x").alias("s")
+    )
+    assert "global_sort" in codes(agg.orderBy("s"))
+    # orderBy+limit plans as TakeOrderedAndProject — sanctioned top-k
+    assert "global_sort" not in codes(agg.orderBy("s").limit(5))
+
+
+def test_detects_global_window_and_single_partition(spark, nums):
+    w = Window.orderBy("x")
+    got = codes(nums.withColumn("rn", F.row_number().over(w)))
+    assert "global_window" in got
+    assert "single_partition_exchange" in got
+    # keyed window is clean
+    wk = Window.partitionBy((F.col("x") % 5).alias("k")).orderBy("x")
+    keyed = nums.withColumn("rn", F.row_number().over(wk))
+    assert "global_window" not in codes(keyed)
+    assert "single_partition_exchange" not in codes(keyed)
+
+
+def test_clean_plans_have_no_findings(spark, nums):
+    b = spark.range(50).select(
+        F.col("id").alias("x"), (F.col("id") % 3).alias("grp")
+    )
+    df = (
+        nums.join(F.broadcast(b), "x")
+        .groupBy("grp")
+        .agg(F.sum("x").alias("s"))
+        .orderBy("s")
+        .limit(10)
+    )
+    assert lint_plan(df) == []
+
+
+def test_assert_scalable_gates_and_allows(spark, nums):
+    w = Window.orderBy("x")
+    bad = nums.withColumn("rn", F.row_number().over(w))
+    with pytest.raises(ValueError, match="global_window"):
+        assert_scalable(bad)
+    # explicit allow-list passes
+    assert_scalable(
+        bad, allow={"global_window", "single_partition_exchange"}
+    )
+    # critical findings sort first
+    findings = lint_plan(bad)
+    assert findings[0].severity == CRITICAL
+
+
+def test_pipeline_plan_lint_gate(spark):
+    """plan_lint in a spec: 'strict' refuses to run a plan with critical
+    findings; 'warn' runs it and records the findings on the run."""
+    from etl_as_a_service_spark.plans.pipeline import PipelineRunner
+    from tests.conftest import SF_SMOKE
+
+    bad_spec = {
+        "name": "unscalable",
+        "plan_lint": "strict",
+        "source": {"format": "parquet", "path": f"{SF_SMOKE}/documents.parquet"},
+        "steps": [
+            # a global window: whole corpus through one task
+            {"op": "window", "partition_by": [], "order_by": ["doc_id"],
+             "columns": {"rn": "row_number()"}},
+        ],
+    }
+    runner = PipelineRunner(spark)
+    run = runner.run(bad_spec, user="alice")
+    assert run.status == "failed"
+    assert "global_window" in (run.error or "")
+
+    warn = dict(bad_spec) | {"name": "tolerated", "plan_lint": "warn"}
+    run2 = runner.run(warn, user="alice")
+    assert run2.status == "success", run2.error
+    found = {f["code"] for f in run2.metrics["plan_findings"]}
+    assert "global_window" in found
+
+
+def test_engine_queries_are_doctor_clean(spark):
+    """The engine's own flagship operators pass their own lint: the q01
+    aggregation and the exact-dedup plan produce zero findings (q02's
+    top-k is TakeOrderedAndProject, also clean)."""
+    from etl_as_a_service_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    q01 = QUERIES["q01_pricing_summary"].fn(spark, SF_SMOKE)
+    # q01 ends in a global orderBy (tiny 6-row result) — allowed
+    assert {f.code for f in lint_plan(q01)} <= {"global_sort"}
+    q02 = QUERIES["q02_top_parts_by_revenue"].fn(spark, SF_SMOKE)
+    assert lint_plan(q02) == []
