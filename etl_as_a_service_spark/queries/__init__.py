@@ -88,16 +88,17 @@ _ROTATE_FRONT = [
     "q71_nth_value_listagg", "q72_bit_operations",
     "q73_binning_histogram", "q74_date_part_week_trunc",
     "q80_variant_json", "q87_try_arithmetic",
-    # representatives of already-driver-green families (17 slots)
+    # round-3 additions (never had a chance at a driver row)
+    "q88_tfidf_top_terms", "q89_repetition_scores",
+    "q90_stratified_sample", "q91_filter_funnel",
+    "q92_document_chunking", "q93_top_bigrams",
+    "q94_contaminated_spans", "q95_incremental_dedup",
+    "q96_event_conversion_funnel", "q97_percentile_trim",
+    # representatives of already-driver-green families (7 slots)
     "q01_pricing_summary", "q02_top_parts_by_revenue",
-    "q07_rollup_returns", "q14_event_type_pivot",
-    "q18_percentiles", "q26_array_functions",
-    "q30_order_ranks", "q32_frame_aggregates",
-    "q35_asof_last_purchase", "q39_correlated_subqueries",
-    "q51_interval_arithmetic", "q52_try_cast",
-    "q57_csv_scan_parity", "q68_interval_range_frames",
-    "q70_group_by_all", "q81_tumbling_windows_batch",
-    "q83_resample_gap_fill",
+    "q14_event_type_pivot", "q30_order_ranks",
+    "q35_asof_last_purchase", "q57_csv_scan_parity",
+    "q81_tumbling_windows_batch",
 ]
 
 
