@@ -378,6 +378,95 @@ def contamination_check(
     )
 
 
+def minhash_band_registry(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, __sig, band, bhash) — the persistable LSH index side of
+    incremental near-dup detection: one row per (doc, band), carrying
+    the doc's full MinHash signature for verification. Write this per
+    ingested batch (bands x ~(8 + num_hashes*8/bands) bytes per doc —
+    no text) and probe new batches against it with
+    ``incremental_near_duplicates``. The (num_hashes, bands, shingle_n,
+    seed) tuple is part of the registry's identity: probes MUST use the
+    same values or band hashes are incomparable."""
+    mhb = minhash_band_kernel(num_hashes, bands, shingle_n, seed)
+    sig = df.select(
+        F.col(id_col).alias("__id"), mhb(F.col(text_col)).alias("__mh")
+    )
+    return sig.select(
+        "__id",
+        F.col("__mh.sig").alias("__sig"),
+        F.posexplode("__mh.bands").alias("band", "bhash"),
+    )
+
+
+def incremental_near_duplicates(
+    batch: DataFrame,
+    registry: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Near-dup pairs between an INCOMING batch and an already-ingested
+    corpus, via its persisted band registry — the fuzzy sibling of
+    ``incremental_dedup`` (which only catches exact matches). Returns
+    (batch_id, seen_id, est_jaccard) for pairs whose signature-overlap
+    Jaccard estimate reaches the threshold.
+
+    Shape: batch docs go through ONE Arrow kernel (shingle -> signature
+    -> bands); candidates come from the (band, bhash) equi-join against
+    the registry — O(batch x collisions), never batch x corpus; hot
+    registry buckets past ``max_bucket_size`` are dropped (bounded work,
+    tiny recall cost). Per-batch cost is independent of corpus size
+    except through bucket collision rates."""
+    probe = minhash_band_registry(
+        batch, text_col, id_col, num_hashes, bands, shingle_n, seed
+    ).localCheckpoint(eager=False)
+    reg = registry
+    if max_bucket_size is not None:
+        big = (
+            reg.groupBy("band", "bhash")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("band", "bhash")
+        )
+        reg = reg.join(F.broadcast(big), ["band", "bhash"], "left_anti")
+    pairs = (
+        probe.alias("b")
+        .join(reg.alias("s"), ["band", "bhash"])
+        .select(
+            F.col("b.__id").alias("batch_id"),
+            F.col("s.__id").alias("seen_id"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("b.__sig"), F.col("s.__sig"),
+                            lambda x, y: x == y,
+                        ),
+                        lambda eq: eq,
+                    )
+                ).cast("double")
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .distinct()
+    )
+    return pairs
+
+
 def contaminated_spans(
     train: DataFrame,
     test: DataFrame,

@@ -1201,3 +1201,37 @@ def q95_incremental_dedup(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q98_incremental_near_dups",
+    oracle=None,
+    tags=("dedup", "minhash", "incremental", "llm", "operator"),
+)
+def q98_incremental_near_dups(spark, sf_dir):
+    """Incremental NEAR-dup detection (llm.dedup.incremental_near_
+    duplicates): docs >= 400 arrive as a batch and probe the band
+    registry of the already-ingested corpus (< 400) — the fuzzy sibling
+    of q95's exact fingerprint anti-join. xxhash/siphash signatures are
+    engine-specific (rows-only); pair recall against exact Jaccard is
+    asserted in pytest. Returns per-batch-doc match counts."""
+    from etl_as_a_service_spark.llm.dedup import (
+        incremental_near_duplicates,
+        minhash_band_registry,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    registry = minhash_band_registry(seen, "text", "doc_id")
+    pairs = incremental_near_duplicates(
+        batch, registry, jaccard_threshold=0.5
+    )
+    return (
+        pairs.groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.round(F.max("est_jaccard"), 6).alias("best_est"),
+        )
+        .orderBy("batch_id")
+    )

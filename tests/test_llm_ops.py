@@ -402,6 +402,47 @@ def test_incremental_dedup_matches_full_dedup(spark):
     assert kept2 == kept
 
 
+def test_incremental_near_dups_recall_and_registry_identity(spark, docs):
+    """Batch-vs-registry near-dup must recover the cross-partition pairs
+    the batch-mode operator finds: compare against exact n-gram Jaccard
+    pairs straddling the seen/batch split (recall >= 0.9), and an
+    identical re-ingested doc must match its registry twin at est 1.0."""
+    from etl_as_a_service_spark.llm.dedup import (
+        incremental_near_duplicates,
+        minhash_band_registry,
+        ngram_jaccard_pairs,
+    )
+
+    seen = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    registry = minhash_band_registry(seen, "text", "doc_id")
+    got = {
+        (r["seen_id"], r["batch_id"])
+        for r in incremental_near_duplicates(
+            batch, registry, jaccard_threshold=0.4
+        ).collect()
+    }
+    # ground truth: exact Jaccard >= 0.5 pairs that straddle the split
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+        .filter((F.col("id_a") < 400) & (F.col("id_b") >= 400))
+        .collect()
+    }
+    assert exact, "fixture must contain cross-split near-dups"
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"recall {recall} over {len(exact)} true pairs"
+    # exact re-ingest: identical text => identical signature => est 1.0
+    twin = spark.createDataFrame(
+        [(9000, r["text"]) for r in seen.limit(1).collect()],
+        "doc_id long, text string",
+    )
+    hit = incremental_near_duplicates(
+        twin, registry, jaccard_threshold=0.99
+    ).collect()
+    assert any(r["est_jaccard"] == 1.0 for r in hit)
+
+
 def test_kernel_tier_minhash_and_cosine(spark):
     """Wire the standalone kernel-tier UDFs: minhash_signature_kernel
     (identical shingle sets => identical signatures; empty set => the
