@@ -691,3 +691,109 @@ def q97_percentile_trim(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q99 — EWMA smoothing per entity (bounded-window weighted dot product)
+# --------------------------------------------------------------------------
+@query(
+    "q99_ewma_per_user",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, ts, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id,
+           round(list_dot_product(
+                   vals,
+                   list_transform(generate_series(1, len(vals)),
+                                  j -> pow(0.9, len(vals) - j)))
+                 / list_sum(list_transform(generate_series(1, len(vals)),
+                                  j -> pow(0.9, len(vals) - j))), 6) AS ewma
+    FROM w WHERE user_id < 20
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "ewma", "feature", "timeseries"),
+)
+def q99_ewma_per_user(spark, sf_dir):
+    """Exponentially-weighted moving average of purchase values per
+    user — the feature-engineering smoother (decay 0.9 over the last 20
+    events). Formulated SCALE-SAFELY: the frame's values collect in
+    window order and reduce with an explicit weight vector (normalized
+    dot product) — no r^(-row_number) term, whose magnitude explodes on
+    long histories. One window shuffle; the reduce is per-row array
+    math over <= 20 elements."""
+    from pyspark.sql import Window
+
+    tables = load_tables(spark, sf_dir, ("events",))
+    ev = tables["events"].filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    vals = F.collect_list("value").over(w)
+    out = ev.select("user_id", "event_id", vals.alias("vals"))
+    n = F.size("vals")
+    weights = F.transform(
+        F.sequence(F.lit(1), n), lambda j: F.pow(F.lit(0.9), (n - j).cast("double"))
+    )
+    wsum = F.aggregate(
+        F.zip_with(F.col("vals"), weights, lambda v, wt: v * wt),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wnorm = F.aggregate(weights, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        out.filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(wsum / wnorm, 6).alias("ewma"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q100 — SCD2 validity intervals from an event stream
+# --------------------------------------------------------------------------
+@query(
+    "q100_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WHERE user_id < 10
+    ORDER BY user_id, valid_from, state
+    """,
+    tags=("scd2", "etl", "window", "intervals"),
+)
+def q100_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) build from an event stream:
+    each user's events become half-open validity intervals
+    [valid_from, valid_to) via lead() over (ts, event_id) — the
+    event-sourced dimension-table construction at the heart of
+    warehouse ETL. The open interval (valid_to NULL) marks the current
+    state. One window shuffle keyed on the entity."""
+    from pyspark.sql import Window
+
+    tables = load_tables(spark, sf_dir, ("events",))
+    ev = tables["events"].filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "state")
+    )
