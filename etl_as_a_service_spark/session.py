@@ -41,6 +41,16 @@ ENGINE_CONF: dict[str, str] = {
     # truncation DuckDB applies on its ns->us cast).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
+    # Long-lived sessions running MANY distinct queries exhaust the
+    # JVM's reserved code cache (each WholeStageCodegen plan JIT-compiles
+    # new classes); once full, the JIT stops compiling and identical
+    # work runs INTERPRETED — measured 4x-20x degradation on query ~21
+    # of a bench session (q46: 35s -> 8s with the larger cache). Applies
+    # at JVM launch, so it must be set before the first session.
+    "spark.driver.extraJavaOptions":
+        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+    "spark.executor.extraJavaOptions":
+        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
 }
 
 
