@@ -101,3 +101,27 @@ def fingerprint128(text: Column, normalize: bool = True) -> Column:
     return F.struct(
         F.xxhash64(t, F.lit(0)).alias("h0"), F.xxhash64(t, F.lit(1)).alias("h1")
     )
+
+
+#: PII detector regexes (JVM regexp_count — one scan per pattern per
+#: row, zero Python). Deliberately high-recall / moderate-precision:
+#: a scan REPORT wants to over-flag for human triage; the redaction
+#: operator (queries q58) is the removal side.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?\d[\d\s().-]{7,}\d",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "card": r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b",
+}
+
+
+def pii_counts(text: Column) -> Column:
+    """struct of per-type PII match counts for one text column — one
+    codegen'd projection, no UDF."""
+    return F.struct(
+        *[
+            F.regexp_count(text, F.lit(pat)).alias(name)
+            for name, pat in PII_PATTERNS.items()
+        ]
+    )

@@ -190,3 +190,93 @@ def pivot_counts(
     for v in values:
         out = out.withColumn(v, F.coalesce(F.col(v), F.lit(0)))
     return out
+
+
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_lo: str,
+    right_hi: str,
+    band_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Scale path for a range join: ``left.c BETWEEN right.lo AND
+    right.hi`` planned as an EQUI-join. A naive range join becomes
+    BroadcastNestedLoopJoin (per-row rescans of the broadcast side —
+    the exact pattern plans/doctor.py flags); this rewrite buckets the
+    number line into ``band_width``-wide bands, joins on band id
+    (hash-partitioned equi-join, shuffles scale out), and re-verifies
+    the exact predicate. A right interval spanning k bands emits k
+    band rows (bounded explode: choose band_width >= the typical
+    interval width so k stays small).
+
+    Exact same result set as the theta join, at any scale."""
+    if band_width <= 0:
+        raise ValueError(f"band_width must be positive, got {band_width}")
+    lband = (F.col(left_col) / band_width).cast("long")
+    l_ = left.withColumn("__band", lband)
+    r_ = right.withColumn(
+        "__band",
+        F.explode(
+            F.sequence(
+                (F.col(right_lo) / band_width).cast("long"),
+                (F.col(right_hi) / band_width).cast("long"),
+            )
+        ),
+    )
+    out = l_.join(
+        r_,
+        (l_["__band"] == r_["__band"])
+        & (F.col(left_col) >= F.col(right_lo))
+        & (F.col(left_col) <= F.col(right_hi)),
+        how,
+    )
+    return out.drop("__band")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+    block_prefix: int = 2,
+) -> DataFrame:
+    """Entity-resolution join: match rows whose string keys are within
+    ``max_distance`` Levenshtein edits. The all-pairs form is a
+    cartesian product; this blocks on (lowercased ``block_prefix``
+    letters, soundex code) — a candidate pair must agree on EITHER
+    block — then verifies the exact distance on candidates only. A
+    classic blocking/verification split: recall is bounded by the
+    blocking choice (documented), work is O(candidates).
+
+    Adds a ``__dist`` column with the edit distance."""
+    def blocks(df: DataFrame, col: str, side: str) -> DataFrame:
+        c = F.lower(F.trim(F.col(col)))
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    F.concat(F.lit("p:"), F.substring(c, 1, block_prefix)),
+                    F.concat(F.lit("s:"), F.soundex(c)),
+                )
+            ).alias(f"__blk_{side}"),
+        )
+
+    lb = blocks(left, left_col, "l")
+    rb = blocks(right, right_col, "r")
+    pairs = lb.join(
+        rb, F.col("__blk_l") == F.col("__blk_r")
+    ).drop("__blk_l", "__blk_r")
+    dist = F.levenshtein(
+        F.lower(F.trim(F.col(left_col))), F.lower(F.trim(F.col(right_col)))
+    )
+    return (
+        pairs.withColumn("__dist", dist)
+        .filter(F.col("__dist") <= max_distance)
+        # a pair that agrees on BOTH blocks surfaces twice — collapse
+        # exact full-row duplicates only (distinct rows sharing a key
+        # string survive)
+        .dropDuplicates()
+    )

@@ -797,3 +797,162 @@ def q100_scd2_intervals(spark, sf_dir):
         )
         .orderBy("user_id", "valid_from", "state")
     )
+
+
+# --------------------------------------------------------------------------
+# q101 — entity-resolution fuzzy join (blocking + verification)
+# --------------------------------------------------------------------------
+@query(
+    "q101_fuzzy_nation_match",
+    oracle="""
+    WITH q(query_name) AS (VALUES ('FRANSE'), ('GERMAMY'), ('BRAZILL'),
+                                  ('INDEA'), ('JAPAM'), ('ATLANTIS')),
+    m AS (
+      SELECT q.query_name, n.n_name,
+             levenshtein(lower(q.query_name), lower(n.n_name)) AS dist
+      FROM q, nation n
+      WHERE levenshtein(lower(q.query_name), lower(n.n_name)) <= 2
+    )
+    SELECT query_name, n_name, CAST(dist AS INTEGER) AS dist
+    FROM m ORDER BY query_name, n_name
+    """,
+    tags=("fuzzy", "entity_resolution", "join"),
+)
+def q101_fuzzy_nation_match(spark, sf_dir):
+    """Entity resolution (operators.relational.fuzzy_join): misspelled
+    lookup names match nations within 2 edits via blocking (shared
+    2-letter prefix OR soundex) + exact Levenshtein verification —
+    O(candidates), never all-pairs. The oracle computes the all-pairs
+    ground truth: equality holds because interior-edit typos never
+    leave both blocks (the documented recall bound of this blocking
+    choice)."""
+    from etl_as_a_service_spark.operators.relational import fuzzy_join
+
+    tables = load_tables(spark, sf_dir, ("nation",))
+    nation = tables["nation"]
+    queries = spark.createDataFrame(
+        [("FRANSE",), ("GERMAMY",), ("BRAZILL",),
+         ("INDEA",), ("JAPAM",), ("ATLANTIS",)],
+        "query_name string",
+    )
+    out = fuzzy_join(queries, nation, "query_name", "n_name", max_distance=2)
+    return (
+        out.select(
+            "query_name", "n_name", F.col("__dist").cast("int").alias("dist")
+        )
+        .orderBy("query_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q102 — PII scan report (one conditional-aggregate pass)
+# --------------------------------------------------------------------------
+@query(
+    "q102_pii_scan_report",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             text || CASE
+               WHEN doc_id % 10 = 0 THEN ' contact bob@example.com now'
+               WHEN doc_id % 10 = 1 THEN ' see https://example.com/x?y=1'
+               WHEN doc_id % 10 = 2 THEN ' call +1 (415) 555-0132 today'
+               WHEN doc_id % 10 = 3 THEN ' host 192.168.1.250 down'
+               WHEN doc_id % 10 = 4 THEN ' pay 4111 1111 1111 1111 ok'
+               ELSE '' END AS text
+      FROM documents
+    )
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT) AS email,
+           CAST(sum(len(regexp_extract_all(text,
+             'https?://[^\\s]+'))) AS BIGINT)                               AS url,
+           CAST(sum(len(regexp_extract_all(text,
+             '\\+?\\d[\\d\\s().-]{7,}\\d'))) AS BIGINT)                     AS phone,
+           CAST(sum(len(regexp_extract_all(text,
+             '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))) AS BIGINT)               AS ipv4,
+           CAST(sum(len(regexp_extract_all(text,
+             '\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{4}\\b'))) AS BIGINT)  AS card
+    FROM d GROUP BY source ORDER BY source
+    """,
+    tags=("pii", "quality", "scan", "text"),
+)
+def q102_pii_scan_report(spark, sf_dir):
+    """PII scan report (functions.text.pii_counts): per-source match
+    counts for five detector regexes in ONE codegen'd pass (planted
+    deterministic PII — the fixture corpus is clean word soup). The
+    REPORT side of q58's redaction: over-flag for triage, zero Python."""
+    from etl_as_a_service_spark.functions.text import PII_PATTERNS, pii_counts
+
+    tables = load_tables(spark, sf_dir, ("documents",))
+    docs = tables["documents"]
+    planted = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 10 == 0, " contact bob@example.com now")
+        .when(F.col("doc_id") % 10 == 1, " see https://example.com/x?y=1")
+        .when(F.col("doc_id") % 10 == 2, " call +1 (415) 555-0132 today")
+        .when(F.col("doc_id") % 10 == 3, " host 192.168.1.250 down")
+        .when(F.col("doc_id") % 10 == 4, " pay 4111 1111 1111 1111 ok")
+        .otherwise(""),
+    )
+    scanned = docs.select("source", pii_counts(planted).alias("__pii"))
+    return (
+        scanned.groupBy("source")
+        .agg(
+            *[
+                F.sum(F.col(f"__pii.{name}")).cast("long").alias(name)
+                for name in PII_PATTERNS
+            ]
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q103 — banded range join (range predicate as an equi-join)
+# --------------------------------------------------------------------------
+@query(
+    "q103_banded_range_join",
+    oracle="""
+    WITH promos(promo, lo, hi) AS (VALUES
+      ('budget',   900.0,  25000.0),
+      ('mid',    20000.0, 120000.0),
+      ('premium',100000.0, 260000.0),
+      ('whale',  250000.0, 600000.0)
+    )
+    SELECT promo,
+           count(*)                                  AS n_orders,
+           round(sum(o_totalprice), 2)               AS revenue
+    FROM orders JOIN promos
+      ON o_totalprice >= lo AND o_totalprice <= hi
+    GROUP BY promo ORDER BY promo
+    """,
+    tags=("range_join", "banding", "join", "scale"),
+)
+def q103_banded_range_join(spark, sf_dir):
+    """Range join at scale (operators.relational.banded_range_join):
+    orders fall into overlapping price promos via BETWEEN — naively a
+    BroadcastNestedLoopJoin (the pattern plans/doctor.py flags); the
+    operator buckets the price line into fixed bands and plans an
+    EQUI-join on band id + exact re-verification, the shuffle-scalable
+    form. Identical result to the theta join (the oracle computes the
+    naive form)."""
+    from etl_as_a_service_spark.operators.relational import banded_range_join
+
+    tables = load_tables(spark, sf_dir, ("orders",))
+    orders = tables["orders"]
+    promos = spark.createDataFrame(
+        [("budget", 900.0, 25000.0), ("mid", 20000.0, 120000.0),
+         ("premium", 100000.0, 260000.0), ("whale", 250000.0, 600000.0)],
+        "promo string, lo double, hi double",
+    )
+    joined = banded_range_join(
+        orders, promos, "o_totalprice", "lo", "hi", band_width=50_000
+    )
+    return (
+        joined.groupBy("promo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("promo")
+    )

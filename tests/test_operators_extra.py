@@ -151,3 +151,69 @@ def test_null_join_keys_never_match(spark):
     assert lj.count() == 2
     assert lj.filter(left.k.isNull()).select(right.t).first()["t"] is None
     assert left.join(right, left.k.eqNullSafe(right.k)).count() == 2
+
+
+def test_banded_range_join_equals_theta_join(spark):
+    """The banded rewrite is a pure optimization: identical pairs to the
+    naive theta join (overlapping intervals, boundary values, intervals
+    spanning multiple bands), and the plan is an equi-join — no
+    BroadcastNestedLoopJoin."""
+    from etl_as_a_service_spark.operators.relational import banded_range_join
+
+    points = spark.range(0, 1000).select(F.col("id").cast("double").alias("x"))
+    ivals = spark.createDataFrame(
+        [("a", 0.0, 99.0), ("b", 50.0, 449.0), ("c", 449.0, 450.0),
+         ("d", 998.0, 2000.0)],
+        "tag string, lo double, hi double",
+    )
+    banded = banded_range_join(points, ivals, "x", "lo", "hi", band_width=100)
+    naive = points.join(
+        ivals, (F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi"))
+    )
+    got = sorted((r["x"], r["tag"]) for r in banded.collect())
+    want = sorted((r["x"], r["tag"]) for r in naive.collect())
+    assert got == want and len(got) > 0
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoopJoin" not in plan
+    import pytest
+
+    with pytest.raises(ValueError, match="band_width"):
+        banded_range_join(points, ivals, "x", "lo", "hi", band_width=0)
+
+
+def test_fuzzy_join_blocking_and_verification(spark):
+    """Typos within the blocking reach match with their edit distance;
+    sub-threshold pairs and out-of-block strings don't; identical keys
+    on distinct rows both survive the duplicate collapse."""
+    from etl_as_a_service_spark.operators.relational import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "FRANSE"), (2, "ATLANTIS"), (3, "GERMANY"), (4, "GERMANY")],
+        "lid int, q string",
+    )
+    right = spark.createDataFrame(
+        [(10, "FRANCE"), (11, "GERMANY"), (12, "JAPAN")],
+        "rid int, name string",
+    )
+    out = fuzzy_join(left, right, "q", "name", max_distance=2)
+    rows = {(r["lid"], r["rid"]): r["__dist"] for r in out.collect()}
+    assert rows[(1, 10)] == 1          # FRANSE ~ FRANCE
+    assert rows[(3, 11)] == 0 and rows[(4, 11)] == 0  # both exact rows kept
+    assert not any(lid == 2 for lid, _ in rows)       # ATLANTIS matches nothing
+    assert not any(rid == 12 for _, rid in rows)      # JAPAN unmatched
+
+
+def test_pii_counts_unit(spark):
+    from etl_as_a_service_spark.functions.text import pii_counts
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co and c.d@e.org, see https://x.io/p, "
+             "call +1 (415) 555-0132, host 10.0.0.1, pay 4111-1111-1111-1111")],
+        "id int, text string",
+    )
+    r = df.select(pii_counts(F.col("text")).alias("p")).first()["p"]
+    assert r["email"] == 2
+    assert r["url"] == 1
+    assert r["phone"] >= 1
+    assert r["ipv4"] == 1
+    assert r["card"] == 1
