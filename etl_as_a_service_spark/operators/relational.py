@@ -280,3 +280,92 @@ def fuzzy_join(
         # string survive)
         .dropDuplicates()
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Warehouse MERGE (upsert) semantics as a pure DataFrame op: rows
+    from ``updates`` replace same-key rows in ``target``; unmatched
+    update rows insert; unmatched target rows survive. Equivalent to
+    ``MERGE INTO t USING u ON keys WHEN MATCHED THEN UPDATE SET * WHEN
+    NOT MATCHED THEN INSERT *``.
+
+    One full-outer join on the keys (broadcast when updates are small);
+    columns resolve via COALESCE(update, target) — both sides must
+    share the schema. Write the result as the new snapshot (parquet has
+    no update-in-place; at scale, partition the sink so unchanged
+    partitions can be retained via dynamic partition overwrite)."""
+    cols = target.columns
+    if updates.columns != cols:
+        raise ValueError(
+            f"schema mismatch: target {cols} vs updates {updates.columns}"
+        )
+    t = target.alias("t")
+    u = updates.alias("u")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"u.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = t.join(u, cond, "full_outer")
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+            for c in cols
+        ]
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change-data-capture between two snapshots sharing a schema:
+    one row per changed key with change_type insert | delete | update
+    (update = key present in both but any non-key column differs —
+    compared null-safely via a struct equality, so NULL transitions
+    count as changes). Unchanged keys are absent from the output.
+
+    One full-outer join on the keys; the non-key comparison is a single
+    struct <=> struct check, not N column predicates."""
+    cols = old.columns
+    if new.columns != cols:
+        raise ValueError(
+            f"schema mismatch: old {cols} vs new {new.columns}"
+        )
+    val_cols = [c for c in cols if c not in key_cols]
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+    in_old = F.col(f"o.{key_cols[0]}").isNotNull()
+    in_new = F.col(f"n.{key_cols[0]}").isNotNull()
+    same_vals = (
+        F.struct(*[F.col(f"o.{c}") for c in val_cols]).eqNullSafe(
+            F.struct(*[F.col(f"n.{c}") for c in val_cols])
+        )
+        if val_cols
+        else F.lit(True)
+    )
+    change = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(~same_vals, F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k)
+                for k in key_cols
+            ],
+            "change_type",
+        )
+    )

@@ -956,3 +956,137 @@ def q103_banded_range_join(spark, sf_dir):
         )
         .orderBy("promo")
     )
+
+
+# --------------------------------------------------------------------------
+# q105 — MERGE-style upsert; q106 — snapshot CDC diff
+# --------------------------------------------------------------------------
+@query(
+    "q105_merge_upsert",
+    oracle="""
+    WITH target AS (SELECT * FROM orders WHERE o_orderkey < 20000),
+    updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 100 AS o_totalprice, o_orderdate,
+             o_orderpriority
+      FROM orders WHERE o_orderkey BETWEEN 10000 AND 30000
+    ),
+    merged AS (
+      SELECT coalesce(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+             coalesce(u.o_totalprice, t.o_totalprice) AS o_totalprice,
+             CASE WHEN u.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+                  THEN 'updated'
+                  WHEN t.o_orderkey IS NULL THEN 'inserted'
+                  ELSE 'kept' END AS src
+      FROM target t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
+    )
+    SELECT src,
+           CAST(count(*) AS BIGINT)      AS n_rows,
+           round(sum(o_totalprice), 2)   AS total
+    FROM merged GROUP BY src ORDER BY src
+    """,
+    tags=("merge", "upsert", "etl"),
+)
+def q105_merge_upsert(spark, sf_dir):
+    """Warehouse MERGE semantics (operators.relational.merge_upsert):
+    updates replace matched target rows, unmatched updates insert,
+    unmatched target rows survive — one full-outer join + per-column
+    COALESCE, the snapshot-rewrite form of MERGE INTO. Classified
+    per-row for the oracle checksum."""
+    from etl_as_a_service_spark.operators.relational import merge_upsert
+
+    tables = load_tables(spark, sf_dir, ("orders",))
+    orders = tables["orders"]
+    target = orders.filter(F.col("o_orderkey") < 20000)
+    updates = orders.filter(
+        F.col("o_orderkey").between(10000, 30000)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 100)
+    merged = merge_upsert(target, updates, ["o_orderkey"])
+    # classify rows for the checksum (same shape the oracle states)
+    t_keys = target.select("o_orderkey").withColumn("__t", F.lit(1))
+    u_keys = updates.select("o_orderkey").withColumn("__u", F.lit(1))
+    classified = (
+        merged.join(t_keys, "o_orderkey", "left")
+        .join(u_keys, "o_orderkey", "left")
+        .withColumn(
+            "src",
+            F.when(
+                F.col("__u").isNotNull() & F.col("__t").isNotNull(), "updated"
+            )
+            .when(F.col("__t").isNull(), "inserted")
+            .otherwise("kept"),
+        )
+    )
+    return (
+        classified.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("src")
+    )
+
+
+@query(
+    "q106_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                 FROM orders WHERE o_orderkey < 25000),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN round(o_totalprice + 50, 2) ELSE o_totalprice END
+               AS o_totalprice
+      FROM orders WHERE o_orderkey >= 5000
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(min(o_orderkey) AS BIGINT) AS first_key,
+           CAST(max(o_orderkey) AS BIGINT) AS last_key
+    FROM (
+      SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  THEN 'update' END AS change_type
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    WHERE change_type IS NOT NULL
+    GROUP BY change_type ORDER BY change_type
+    """,
+    tags=("cdc", "diff", "etl"),
+)
+def q106_snapshot_diff(spark, sf_dir):
+    """Change-data-capture between snapshots (operators.relational.
+    snapshot_diff): inserts / deletes / updates from one full-outer
+    join, non-key changes detected with a single null-safe struct
+    comparison. The synthetic 'new' snapshot drops keys < 5000, adds
+    keys >= 25000, and perturbs every 7th price."""
+    from etl_as_a_service_spark.operators.relational import snapshot_diff
+
+    tables = load_tables(spark, sf_dir, ("orders",))
+    orders = tables["orders"]
+    old = orders.select("o_orderkey", "o_orderstatus", "o_totalprice").filter(
+        F.col("o_orderkey") < 25000
+    )
+    new = (
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") >= 5000)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                F.round(F.col("o_totalprice") + 50, 2),
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    return (
+        snapshot_diff(old, new, ["o_orderkey"])
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("o_orderkey").cast("long").alias("first_key"),
+            F.max("o_orderkey").cast("long").alias("last_key"),
+        )
+        .orderBy("change_type")
+    )

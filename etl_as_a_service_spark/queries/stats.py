@@ -463,3 +463,87 @@ def q83_resample_gap_fill(spark, sf_dir):
         .select("user_id", "bucket_start", "n_events", "total_value")
         .orderBy("user_id", "bucket_start")
     )
+
+
+# --------------------------------------------------------------------------
+# q104 — mergeable sketch rollup (HLL + KLL, tolerance-expressed)
+# --------------------------------------------------------------------------
+@query(
+    "q104_sketch_rollup",
+    oracle="""
+    WITH per AS (
+      SELECT o_orderpriority,
+             count(DISTINCT o_custkey)  AS exact_customers,
+             median(o_totalprice)       AS exact_median
+      FROM orders GROUP BY o_orderpriority
+    ),
+    tot AS (SELECT count(DISTINCT o_custkey) AS g FROM orders)
+    SELECT o_orderpriority,
+           CAST(exact_customers AS BIGINT) AS exact_customers,
+           TRUE  AS hll_ok,
+           TRUE  AS kll_ok,
+           CAST((SELECT g FROM tot) AS BIGINT) AS exact_global,
+           TRUE  AS union_ok
+    FROM per ORDER BY o_orderpriority
+    """,
+    tags=("sketch", "hll", "kll", "approx", "rollup"),
+)
+def q104_sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup — the store-sketches-not-rescans pattern:
+    per-priority Datasketches HLL sketches of customers estimate the
+    distinct count (tolerance-expressed vs exact, like q38), a KLL
+    sketch estimates the median, and hll_union_agg merges the
+    per-priority sketches into the GLOBAL distinct estimate WITHOUT
+    touching the raw data again — at 100 TB you persist the 1 KB
+    sketches per partition and answer any rollup from them. Sketch
+    internals are engine-specific, so the oracle pins exact values and
+    the tolerance booleans (both engines emit TRUE iff estimates land
+    inside the documented error bounds)."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    per = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.hll_sketch_agg("o_custkey").alias("__hll"),
+        F.kll_sketch_agg_double("o_totalprice").alias("__kll"),
+        F.median("o_totalprice").alias("__exact_median"),
+    )
+    est = per.select(
+        "o_orderpriority",
+        "exact_customers",
+        (
+            F.abs(
+                F.hll_sketch_estimate("__hll") - F.col("exact_customers")
+            )
+            <= F.greatest(
+                F.lit(2.0), F.col("exact_customers") * 0.05
+            )
+        ).alias("hll_ok"),
+        (
+            F.abs(
+                F.kll_sketch_get_quantile_double("__kll", F.lit(0.5))
+                - F.col("__exact_median")
+            )
+            <= F.abs(F.col("__exact_median")) * 0.05
+        ).alias("kll_ok"),
+        F.col("__hll"),
+    )
+    glob = per.agg(
+        F.hll_union_agg("__hll").alias("__g"),
+    ).crossJoin(
+        orders.agg(F.countDistinct("o_custkey").alias("exact_global"))
+    ).select(
+        "exact_global",
+        (
+            F.abs(F.hll_sketch_estimate("__g") - F.col("exact_global"))
+            <= F.greatest(F.lit(2.0), F.col("exact_global") * 0.05)
+        ).alias("union_ok"),
+    )
+    return (
+        est.crossJoin(F.broadcast(glob))
+        .select(
+            "o_orderpriority", "exact_customers", "hll_ok", "kll_ok",
+            "exact_global", "union_ok",
+        )
+        .orderBy("o_orderpriority")
+    )

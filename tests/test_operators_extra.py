@@ -217,3 +217,39 @@ def test_pii_counts_unit(spark):
     assert r["phone"] >= 1
     assert r["ipv4"] == 1
     assert r["card"] == 1
+
+
+def test_merge_upsert_semantics(spark):
+    from etl_as_a_service_spark.operators.relational import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, s string, v double",
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 22.0), (4, "d", 40.0)], "k int, s string, v double"
+    )
+    got = {r["k"]: (r["s"], r["v"]) for r in merge_upsert(
+        target, updates, ["k"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 22.0),
+                   3: ("c", 30.0), 4: ("d", 40.0)}
+    import pytest
+
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(target, updates.drop("v"), ["k"])
+
+
+def test_snapshot_diff_classification(spark):
+    from etl_as_a_service_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k int, s string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "now-set"), (4, None), (5, "e")], "k int, s string"
+    )
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(
+        old, new, ["k"]).collect()}
+    # unchanged key 2 absent; NULL transitions in BOTH directions are
+    # updates (null-safe struct compare); 1 deleted; 5 inserted
+    assert got == {1: "delete", 3: "update", 4: "update", 5: "insert"}
