@@ -253,3 +253,33 @@ def test_snapshot_diff_classification(spark):
     # unchanged key 2 absent; NULL transitions in BOTH directions are
     # updates (null-safe struct compare); 1 deleted; 5 inserted
     assert got == {1: "delete", 3: "update", 4: "update", 5: "insert"}
+
+
+def test_merge_diff_algebra(spark):
+    """Algebraic consistency of the CDC pair: diffing a target against
+    its own merge result classifies exactly the update keys (matched)
+    and insert keys (unmatched) — and merging twice is idempotent."""
+    from etl_as_a_service_spark.operators.relational import (
+        merge_upsert,
+        snapshot_diff,
+    )
+
+    target = spark.range(0, 200).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 10).cast("double").alias("v"),
+    )
+    updates = spark.range(150, 250).select(
+        F.col("id").cast("int").alias("k"),
+        F.lit(99.0).alias("v"),
+    )
+    merged = merge_upsert(target, updates, ["k"])
+    d = {r["k"]: r["change_type"] for r in snapshot_diff(
+        target, merged, ["k"]).collect()}
+    # keys 150-199 updated (v -> 99 unless already 9? no: v was id%10,
+    # never 99), keys 200-249 inserted, keys < 150 unchanged (absent)
+    assert all(d[k] == "update" for k in range(150, 200))
+    assert all(d[k] == "insert" for k in range(200, 250))
+    assert set(d) == set(range(150, 250))
+    # idempotence: merging the same updates again changes nothing
+    merged2 = merge_upsert(merged, updates, ["k"])
+    assert snapshot_diff(merged, merged2, ["k"]).count() == 0
