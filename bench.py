@@ -84,6 +84,16 @@ def main() -> None:
     spark.range(256).select(
         srp_buckets_kernel(1, 2)(_F.array(_F.lit(1.0), _F.lit(2.0)))
     ).count()
+    # warm the higher-order-function lambda machinery: the FIRST
+    # construction of transform/arrays_zip/struct-getField expressions
+    # pays one-time JVM init (~2s measured) — keep it out of the first
+    # HOF-heavy query's timed region
+    from etl_as_a_service_spark.llm.dedup import hashed_shingle_sets
+
+    hashed_shingle_sets(
+        spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string"),
+        "text", "doc_id", 3,
+    ).count()
     QUERIES["q01_pricing_summary"].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}

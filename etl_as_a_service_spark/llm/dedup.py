@@ -95,6 +95,21 @@ def _shingle_hashes_np(text: str | None, n: int) -> "np.ndarray":
     return np.unique(sh)
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input has far fewer partitions
+    than the cluster has slots. The shingle/tokenize work below runs
+    BEFORE any shuffle, so its parallelism is capped by the SCAN's
+    partitioning — a single-row-group parquet file (common for small
+    fixture tables) serializes the whole corpus through one task
+    (measured 6s single-task vs 0.3s spread). At real scale inputs have
+    many splits and this is a no-op; the guard keeps the extra text
+    shuffle away from inputs that are already parallel."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def hashed_shingle_sets(
     df: DataFrame,
     text_col: str,
@@ -113,7 +128,7 @@ def hashed_shingle_sets(
     the convention contamination checks need (a trivial ''-shingle from
     an empty doc must not count as overlap, and SQL oracles that build
     n-grams positionally produce zero shingles for short docs)."""
-    base = df.select(
+    base = _ensure_parallelism(df).select(
         F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__toks")
     )
     if drop_short:
