@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from etl_as_a_service_spark.functions.text import tokenize
 from etl_as_a_service_spark.llm.curation import _hash_hex8
+from etl_as_a_service_spark.operators.partitioning import ensure_parallelism
 
 
 def term_frequencies(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -35,7 +36,8 @@ def term_frequencies(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     exploded long form every corpus statistic starts from. One shuffle
     (the per-(doc, term) count), map-side combined."""
     return (
-        df.select(F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__t"))
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__t"))
         .select("__id", F.explode("__t").alias("term"))
         .groupBy("__id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -103,7 +105,9 @@ def repetition_ratio(
     shifted slices, compare sizes. Zero shuffles, fully parallel, no
     state; the cheapest possible quality dimension at 100 TB."""
     toks = tokenize(F.col(text_col))
-    base = df.select(F.col(id_col).alias(id_col), toks.alias("__t"))
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias(id_col), toks.alias("__t")
+    )
     L = F.size("__t") - (n - 1)
     grams = F.arrays_zip(
         *[F.slice("__t", j + 1, L) for j in range(n)]
@@ -251,7 +255,8 @@ def top_ngrams(
             ),
         ).otherwise(F.array())
     counts = (
-        df.select(F.explode(grams).alias("ngram"))
+        ensure_parallelism(df)
+        .select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("occurrences"))
     )

@@ -19,6 +19,9 @@ from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from etl_as_a_service_spark.functions.text import fingerprint128, tokenize
+from etl_as_a_service_spark.operators.partitioning import (
+    ensure_parallelism as _ensure_parallelism,
+)
 
 
 def exact_dedup(
@@ -93,21 +96,6 @@ def _shingle_hashes_np(text: str | None, n: int) -> "np.ndarray":
         for j in range(1, len(th)):
             sh = sh * _ROLL_MULT + th[j : j + 1]
     return np.unique(sh)
-
-
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Round-robin repartition when the input has far fewer partitions
-    than the cluster has slots. The shingle/tokenize work below runs
-    BEFORE any shuffle, so its parallelism is capped by the SCAN's
-    partitioning — a single-row-group parquet file (common for small
-    fixture tables) serializes the whole corpus through one task
-    (measured 6s single-task vs 0.3s spread). At real scale inputs have
-    many splits and this is a no-op; the guard keeps the extra text
-    shuffle away from inputs that are already parallel."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
-    return df
 
 
 def hashed_shingle_sets(
@@ -237,7 +225,7 @@ def minhash_near_duplicates(
     cluster (singletons map to themselves).
     """
     mhb = minhash_band_kernel(num_hashes, bands, shingle_n)
-    sig = df.select(
+    sig = _ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         mhb(F.col(text_col)).alias("__mh"),
     )
@@ -411,7 +399,7 @@ def minhash_band_registry(
     seed) tuple is part of the registry's identity: probes MUST use the
     same values or band hashes are incomparable."""
     mhb = minhash_band_kernel(num_hashes, bands, shingle_n, seed)
-    sig = df.select(
+    sig = _ensure_parallelism(df).select(
         F.col(id_col).alias("__id"), mhb(F.col(text_col)).alias("__mh")
     )
     return sig.select(
@@ -613,7 +601,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
         F.lit(0).cast("long"),
         lambda acc, v: acc.bitwiseOR(v),
     )
-    return df.select(F.col(id_col), sim.alias("simhash"))
+    return _ensure_parallelism(df).select(F.col(id_col), sim.alias("simhash"))
 
 
 def hamming_distance(a, b):

@@ -1,0 +1,22 @@
+"""Partitioning guards shared by CPU-heavy map-side operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input has far fewer partitions
+    than the cluster has slots.
+
+    Tokenize/shingle/kernel projections run BEFORE any shuffle, so
+    their parallelism is capped by the SCAN's partitioning — and a
+    single-row-group parquet file (common for small fixture tables)
+    serializes the whole corpus through one task (measured 6s
+    single-task vs 0.3s spread at sf0.1). At real scale inputs have
+    many splits and this is a no-op; the guard keeps the extra
+    full-width shuffle away from inputs that are already parallel."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
