@@ -72,8 +72,18 @@ def load_tables(
             # may hand us their own SparkSession.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if name == "events":
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            elif ts_type == "timestamp_ntz":
+                # Parquet written with isAdjustedToUTC=false reads as NTZ
+                # under Spark 4's inferTimestampNTZ default. With the
+                # session tz pinned to UTC above, the NTZ->LTZ cast is
+                # value-preserving and matches DuckDB's naive TIMESTAMP.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         _DF_CACHE[(app_id, sf_dir, name)] = df
         out[name] = df
     return out

@@ -183,7 +183,7 @@ def test_asof_and_dedup_steps(spark):
         "source": {"format": "parquet", "path": f"{SF_SMOKE}/events.parquet"},
         "steps": [
             {"op": "with_column", "name": "ts",
-             "expr": "timestamp_micros(ts div 1000)"},
+             "expr": "cast(ts as timestamp)"},
             {"op": "filter", "predicate": "event_type = 'error'"},
             {"op": "select", "columns": ["user_id", "ts", "event_id"]},
             {
@@ -192,7 +192,7 @@ def test_asof_and_dedup_steps(spark):
                     "source": {"format": "parquet", "path": f"{SF_SMOKE}/events.parquet"},
                     "steps": [
                         {"op": "with_column", "name": "ts",
-                         "expr": "timestamp_micros(ts div 1000)"},
+                         "expr": "cast(ts as timestamp)"},
                         {"op": "filter", "predicate": "event_type = 'purchase'"},
                         {"op": "select", "columns": ["user_id", "ts", "value"]},
                     ],
