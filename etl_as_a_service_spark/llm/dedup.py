@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Observation, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_as_a_service_spark.functions.text import fingerprint128, tokenize
@@ -283,47 +283,21 @@ def minhash_near_duplicates(
         .distinct()
     )
 
-    # connected components: propagate min id along edges until fixpoint.
-    # Each iteration is ONE key-partitioned join; localCheckpoint truncates
-    # the lineage so the plan stays O(1) per iteration instead of growing
-    # into an O(iterations)-deep tree (which Catalyst re-optimizes from
-    # scratch every action — a real scale bug, not a style point).
-    edges = pairs.union(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
-    labels = sig.select(
-        F.col("__id").alias("node"), F.col("__id").alias("label")
-    ).localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.a == labels.node)
-            .groupBy("b")
-            .agg(F.min("label").alias("nmin"))
-        )
-        # convergence check without an extra job: labels only ever
-        # DECREASE (min-propagation), so the label sum is strictly
-        # monotone and "no label changed" == "sum unchanged". The sum
-        # rides the checkpoint action as an Observation instead of being
-        # its own scan.
-        obs = Observation()
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.b, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
-            .observe(obs, F.sum("label").alias("s"))
-            .localCheckpoint(eager=True)
-        )
-        new_sum = obs.get["s"]
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("group_id"))
+    # connected components by iterative min-id propagation — the shared
+    # graph operator (operators/graph.py) handles lineage truncation and
+    # Observation-based convergence.
+    from etl_as_a_service_spark.operators.graph import connected_components
+
+    labels = connected_components(
+        pairs,
+        "a",
+        "b",
+        nodes=sig.select(F.col("__id").alias("node")),
+        max_iter=max_iter,
+    )
+    return labels.select(
+        F.col("node").alias(id_col), F.col("component").alias("group_id")
+    )
 
 
 def contamination_check(

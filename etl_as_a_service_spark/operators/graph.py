@@ -1,0 +1,83 @@
+"""Iterative graph operators on edge DataFrames.
+
+The reference has no graph engine; these exist because large-scale data
+curation needs one graph primitive constantly: collapsing a pairwise
+similarity relation (near-duplicate pairs, entity-resolution matches)
+into disjoint clusters. Spark-first shape: the iteration is a bounded
+sequence of key-partitioned joins with lineage truncation, never a
+driver-side traversal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    nodes: DataFrame | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Returns ``(node, component)`` where ``component`` is the minimum
+    node id in the component — a deterministic, engine-portable cluster
+    id (the same convention an ANSI-SQL recursive CTE produces, so the
+    result is differential-testable against DuckDB).
+
+    ``nodes`` optionally supplies the full vertex set (one column named
+    ``node``); vertices absent from ``edges`` then appear as singleton
+    components. Without it, only endpoint vertices are labeled.
+
+    Scale shape (SURVEY §7 "LSH dedup at scale"):
+    - every iteration is ONE key-partitioned join + map-side-combined
+      min aggregate — no driver-side adjacency, no collect of edges;
+    - ``localCheckpoint`` truncates lineage each round so the plan stays
+      O(1)-deep instead of growing into an O(iterations) tree that
+      Catalyst re-optimizes from scratch on every action;
+    - convergence rides the checkpoint action as an Observation (labels
+      only ever decrease, so "sum unchanged" == fixpoint) — no extra
+      job per round;
+    - rounds needed = graph diameter in the worst case; near-dup
+      clusters are shallow (diameter <= 3-4 in practice), and the
+      ``max_iter`` bound caps the worst case.
+    """
+    sym = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+    sym = sym.localCheckpoint(eager=True)
+
+    if nodes is None:
+        nodes = sym.select(F.col("s").alias("node")).distinct()
+    labels = nodes.select(
+        F.col("node"), F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.s == labels.node)
+            .groupBy("d")
+            .agg(F.min("label").alias("nmin"))
+        )
+        obs = Observation()
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.d, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .observe(obs, F.sum("label").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = obs.get["s"]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select("node", F.col("label").alias("component"))

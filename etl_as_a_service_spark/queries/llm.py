@@ -8,6 +8,7 @@ checks plus recall assertions in pytest.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_as_a_service_spark.catalog import load_tables
@@ -1234,4 +1235,74 @@ def q98_incremental_near_dups(spark, sf_dir):
             F.round(F.max("est_jaccard"), 6).alias("best_est"),
         )
         .orderBy("batch_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q107 — near-duplicate clusters via connected components (graph operator)
+# --------------------------------------------------------------------------
+@query(
+    "q107_near_dup_components",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, w1 || ' ' || w2 || ' ' || w3 AS sh
+      FROM (
+        SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             UNNEST(range(1, len(toks) - 1)) AS t(i)
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+    ),
+    comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node)
+    SELECT doc_id, component,
+           count(*) OVER (PARTITION BY component) AS csize
+    FROM comp ORDER BY doc_id
+    """,
+    tags=("dedup", "graph", "llm", "operator"),
+)
+def q107_near_dup_components(spark, sf_dir):
+    """Near-duplicate CLUSTERS: exact n-gram Jaccard pairs (>= 0.4)
+    collapsed into disjoint groups by the connected-components operator
+    (operators/graph.py — bounded min-label-propagation joins, lineage
+    truncated per round, Observation-based convergence). The oracle
+    re-derives the same clusters with an ANSI recursive CTE, so the
+    iterative Spark loop is hash-checked end-to-end — the grouping
+    machinery MinHash dedup (q47) relies on, validated on the exact
+    edge set. Output: (doc_id, component = min doc_id in cluster,
+    csize) for every document that has at least one near-duplicate."""
+    from etl_as_a_service_spark.llm.dedup import ngram_jaccard_pairs
+    from etl_as_a_service_spark.operators.graph import connected_components
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.4)
+    comp = connected_components(edges, "id_a", "id_b")
+    w = Window.partitionBy("component")
+    return (
+        comp.select(
+            F.col("node").alias("doc_id"),
+            "component",
+            F.count(F.lit(1)).over(w).alias("csize"),
+        )
+        .orderBy("doc_id")
     )

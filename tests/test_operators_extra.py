@@ -283,3 +283,35 @@ def test_merge_diff_algebra(spark):
     # idempotence: merging the same updates again changes nothing
     merged2 = merge_upsert(merged, updates, ["k"])
     assert snapshot_diff(merged, merged2, ["k"]).count() == 0
+
+
+def test_connected_components_known_graph(spark):
+    from etl_as_a_service_spark.operators.graph import connected_components
+
+    # two chains and one isolated edge: {1-2-3-4}, {10-11}, {20-21-22}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "a long, b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_singletons_and_diameter(spark):
+    from etl_as_a_service_spark.operators.graph import connected_components
+
+    # a path of length 12 exercises multi-round propagation (diameter >
+    # one join round); explicit nodes add singleton vertices 100, 101
+    path = [(i, i + 1) for i in range(12)]
+    edges = spark.createDataFrame(path, "a long, b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(13)] + [(100,), (101,)], "node long"
+    )
+    out = connected_components(edges, "a", "b", nodes=nodes).collect()
+    got = {r["node"]: r["component"] for r in out}
+    assert all(got[i] == 0 for i in range(13))
+    assert got[100] == 100 and got[101] == 101
