@@ -225,3 +225,42 @@ def quality_report(
         F.col("__n").alias("n_rows"),
     )
     return stacked.select("chk", "violations", "n_rows")
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-Res): each row gets key = ln(u) / w where u is a seeded
+    uniform derived from the row id and w its positive weight; the k
+    largest keys are an exact weighted sample without replacement.
+    The corpus-mixing primitive (sample documents proportional to
+    quality score / length / source weight) with the same guarantees as
+    deterministic_split: repartition-stable, re-run-stable, portable
+    across engines (md5-derived uniform, not rand()), and a row's
+    inclusion only changes when rows with larger keys enter the corpus.
+
+    Scale shape: one pass to compute keys (pure expressions), then a
+    global top-k which Spark plans as TakeOrderedAndProject — per
+    partition a k-sized heap, then a k-sized merge on the driver; no
+    global sort, no full shuffle. Adds a ``skey`` column (the sampling
+    key) so callers can audit inclusion probability.
+
+    Rows with non-positive or null weight are excluded (zero-weight
+    rows must never be sampled, and ln(u)/0 is undefined).
+    """
+    # u in (0, 1]: 8 hex chars -> 32-bit int, +1 to avoid ln(0)
+    u = (
+        F.conv(_hash_hex8(F.col(id_col), salt), 16, 10).cast("bigint") + 1
+    ) / F.lit(float(16**8))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("skey", key)
+        .orderBy(F.col("skey").desc(), F.col(id_col))
+        .limit(k)
+    )

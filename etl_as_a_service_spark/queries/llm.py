@@ -1306,3 +1306,36 @@ def q107_near_dup_components(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q108 — deterministic weighted sampling (corpus mixing)
+# --------------------------------------------------------------------------
+@query(
+    "q108_weighted_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           round(ln((('0x' || substr(md5('wsample-v1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                    / 4294967296.0) / n_chars, 6) AS skey
+    FROM documents
+    WHERE n_chars IS NOT NULL AND n_chars > 0
+    ORDER BY ln((('0x' || substr(md5('wsample-v1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                / 4294967296.0) / n_chars DESC, doc_id
+    LIMIT 25
+    """,
+    tags=("curation", "sampling", "llm", "operator"),
+)
+def q108_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sample without replacement (llm.curation.
+    weighted_sample — Efraimidis-Spirakis A-Res with an md5-seeded
+    uniform): 25 documents sampled proportional to length. Plans as one
+    key-computation pass + TakeOrderedAndProject (k-sized heaps, no
+    global sort); the md5 construction makes the draw repartition- and
+    re-run-stable and lets DuckDB reproduce it bit-for-bit."""
+    from etl_as_a_service_spark.llm.curation import weighted_sample
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, "doc_id", "n_chars", 25)
+    return out.select(
+        "doc_id", "lang", "n_chars", F.round("skey", 6).alias("skey")
+    )

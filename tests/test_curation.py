@@ -174,3 +174,29 @@ def test_quality_report_rejects_unsafe_names(spark, docs):
     for bad in ("has space", "quo'te", "dash-ed", "a, 1) AS (x, y"):
         with pytest.raises(ValueError, match="A-Za-z0-9_"):
             quality_report(docs, {bad: F.lit(True)})
+
+
+def test_weighted_sample_deterministic_and_weighted(spark):
+    from etl_as_a_service_spark.llm.curation import weighted_sample
+
+    rows = [(i, 1.0 if i < 500 else 100.0) for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    a = weighted_sample(df, "id", "w", 50).collect()
+    b = weighted_sample(df.repartition(13), "id", "w", 50).collect()
+    # repartition- and re-run-stable: identical rows in identical order
+    assert [r["id"] for r in a] == [r["id"] for r in b]
+    assert len(a) == 50
+    # heavy rows (w=100, 1/6 of the corpus) must dominate the sample
+    heavy = sum(1 for r in a if r["id"] >= 500)
+    assert heavy > 35, f"expected heavy rows to dominate, got {heavy}/50"
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from etl_as_a_service_spark.llm.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, None), (4, 5.0), (5, 1.0)],
+        "id long, w double",
+    )
+    got = {r["id"] for r in weighted_sample(df, "id", "w", 10).collect()}
+    assert got == {4, 5}
