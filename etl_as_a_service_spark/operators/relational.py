@@ -162,7 +162,8 @@ def resample_fill(
     The only full-data shuffle is the groupBy the query needs anyway.
     """
     aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
-    fill = fill or {"n_events": 0}
+    # `fill={}` means "leave gaps as NULL" — only None selects the default
+    fill = {"n_events": 0} if fill is None else fill
     bucketed = df.withColumn("__b", F.date_trunc(bucket, F.col(ts_col)))
     bounds = bucketed.agg(
         F.min("__b").alias("__b0"), F.max("__b").alias("__b1")
@@ -369,3 +370,51 @@ def snapshot_diff(
             "change_type",
         )
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear interpolation of NULL gaps in a per-key time series: each
+    null value becomes prev + (next - prev) * elapsed-fraction between
+    its nearest non-null neighbors. Rows before the first (or after the
+    last) observation stay null — compose with a fill policy if edges
+    must be imputed. The time-series half that resample_fill's constant
+    fill can't express.
+
+    Scale shape: two frame-bounded window passes over ONE
+    (keys, ts) sort — Spark evaluates all four last/first(ignorenulls)
+    expressions in a single Window physical operator, so the cost is
+    one shuffle on the series key and one in-partition sort, same as
+    any per-key window aggregate. No joins, no self-union.
+    """
+    out_col = out_col or value_col
+    v, ts = F.col(value_col), F.col(ts_col)
+    w_back = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pv = F.last(v, ignorenulls=True).over(w_back)
+    pt = F.last(F.when(v.isNotNull(), ts), ignorenulls=True).over(w_back)
+    nv = F.first(v, ignorenulls=True).over(w_fwd)
+    nt = F.first(F.when(v.isNotNull(), ts), ignorenulls=True).over(w_fwd)
+    frac = (
+        (F.unix_timestamp(ts) - F.unix_timestamp(pt)).cast("double")
+        / (F.unix_timestamp(nt) - F.unix_timestamp(pt)).cast("double")
+    )
+    interp = (
+        F.when(v.isNotNull(), v.cast("double"))
+        .when(pv.isNotNull() & nv.isNotNull(), pv + (nv - pv) * frac)
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return df.withColumn(out_col, interp)

@@ -1090,3 +1090,100 @@ def q106_snapshot_diff(spark, sf_dir):
         )
         .orderBy("change_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q109 — time-series linear interpolation over resampled gaps
+# --------------------------------------------------------------------------
+@query(
+    "q109_linear_interpolation",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, avg(value) AS v
+      FROM events
+      WHERE event_type = 'purchase' AND user_id < 40
+        AND ts < TIMESTAMP '2024-01-15'
+      GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+    grid AS (
+      SELECT u.user_id, g.h
+      FROM (SELECT DISTINCT user_id FROM ev) u,
+           (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM bounds) g
+    ),
+    j AS (
+      SELECT grid.user_id, grid.h, ev.v
+      FROM grid LEFT JOIN ev ON ev.user_id = grid.user_id AND ev.h = grid.h
+    ),
+    w AS (
+      SELECT user_id, h, v,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j
+    )
+    SELECT user_id, h AS bucket_start,
+           -- +1e-9 midpoint nudge: interpolated values can land exactly on
+           -- 6-decimal rounding midpoints (4-decimal inputs x power-of-two
+           -- hour fractions); the nudge makes the half-up decision
+           -- identical in both engines regardless of last-ulp noise
+           round(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * (epoch(h) - epoch(pt)) / (epoch(nt) - epoch(pt))
+           END + 1e-9, 6) AS v_interp
+    FROM w
+    ORDER BY user_id, bucket_start
+    """,
+    tags=("timeseries", "window", "operator"),
+)
+def q109_linear_interpolation(spark, sf_dir):
+    """Per-user hourly purchase series with NULL gaps linearly
+    interpolated between nearest observations (operators.relational.
+    interpolate_linear over a resample_fill grid). One shuffle for the
+    grid join, one (user, hour) window sort evaluating all four
+    neighbor expressions in a single Window operator; edge buckets
+    before the first / after the last observation stay null by
+    contract."""
+    from etl_as_a_service_spark.operators.relational import (
+        interpolate_linear,
+        resample_fill,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    ev = events.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("user_id") < 40)
+        & (F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+    )
+    grid = resample_fill(
+        ev,
+        "ts",
+        ["user_id"],
+        bucket="hour",
+        step="interval 1 hour",
+        aggs=[F.avg("value").alias("v")],
+        fill={},
+    )
+    out = interpolate_linear(
+        grid, "bucket_start", ["user_id"], "v", out_col="v_interp"
+    )
+    return (
+        out.select(
+            "user_id",
+            "bucket_start",
+            # same +1e-9 midpoint nudge as the oracle (see its comment)
+            F.round(F.col("v_interp") + F.lit(1e-9), 6).alias("v_interp"),
+        )
+        .orderBy("user_id", "bucket_start")
+    )

@@ -315,3 +315,41 @@ def test_connected_components_singletons_and_diameter(spark):
     got = {r["node"]: r["component"] for r in out}
     assert all(got[i] == 0 for i in range(13))
     assert got[100] == 100 and got[101] == 101
+
+
+def test_interpolate_linear_known_series(spark):
+    from etl_as_a_service_spark.operators.relational import interpolate_linear
+
+    rows = [
+        ("a", "2024-01-01 00:00:00", None),   # before first obs -> null
+        ("a", "2024-01-01 01:00:00", 10.0),
+        ("a", "2024-01-01 02:00:00", None),   # -> 20
+        ("a", "2024-01-01 03:00:00", None),   # -> 30
+        ("a", "2024-01-01 04:00:00", 40.0),
+        ("a", "2024-01-01 05:00:00", None),   # after last obs -> null
+        ("b", "2024-01-01 00:00:00", 7.0),    # other key untouched
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = {
+        (r["k"], r["ts"].hour): r["v"]
+        for r in interpolate_linear(df, "ts", ["k"], "v").collect()
+    }
+    assert out[("a", 0)] is None and out[("a", 5)] is None
+    assert out[("a", 2)] == 20.0 and out[("a", 3)] == 30.0
+    assert out[("a", 1)] == 10.0 and out[("a", 4)] == 40.0
+    assert out[("b", 0)] == 7.0
+
+
+def test_resample_fill_empty_fill_keeps_nulls(spark):
+    from etl_as_a_service_spark.operators.relational import resample_fill
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00", 1.0), ("a", "2024-01-01 02:20:00", 3.0)],
+        "k string, ts string, v double",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = resample_fill(
+        df, "ts", ["k"], aggs=[F.avg("v").alias("v")], fill={}
+    ).orderBy("bucket_start").collect()
+    assert [r["v"] for r in out] == [1.0, None, 3.0]
