@@ -319,3 +319,71 @@ def filter_funnel(
         "survivors",
         (prev - F.col("survivors")).cast("long").alias("dropped_here"),
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval: score every document against a bag of
+    query terms and return the top-k. Uses the Lucene-style
+    non-negative idf ``ln(1 + (N - df + 0.5) / (df + 0.5))`` and the
+    standard saturation/length normalization
+    ``tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))``.
+
+    Scale shape: term frequencies shuffle once on (doc, term); document
+    lengths aggregate FROM that result (ReuseExchange); the query-term
+    filter cuts the scored relation to |terms| postings lists BEFORE
+    any join; per-term document frequencies and the corpus-wide
+    (N, avgdl) are 1-row/tiny aggregates broadcast into the scoring
+    projection. The final top-k plans as TakeOrderedAndProject. No
+    full-corpus join anywhere: documents containing no query term are
+    never scored.
+
+    Returns (id, score, n_terms_hit) ordered by score desc, id.
+    """
+    if not query_terms:
+        raise ValueError("bm25_search requires at least one query term")
+    tf = term_frequencies(df, text_col, id_col)
+    doclen = tf.groupBy("__id").agg(F.sum("tf").alias("dl"))
+    corpus = doclen.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("dl").alias("__avgdl")
+    )
+    hits = tf.filter(F.col("term").isin(*query_terms))
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(doclen, "__id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "__id",
+            (
+                F.log(
+                    1
+                    + (F.col("__n") - F.col("dfq") + 0.5)
+                    / (F.col("dfq") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1 - b + b * F.col("dl") / F.col("__avgdl"))
+                )
+            ).alias("__s"),
+        )
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.round(F.sum("__s"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .select(F.col("__id").alias(id_col), "score", "n_terms_hit")
+        .orderBy(F.col("score").desc(), id_col)
+        .limit(k)
+    )

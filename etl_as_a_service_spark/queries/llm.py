@@ -1339,3 +1339,52 @@ def q108_weighted_sample(spark, sf_dir):
     return out.select(
         "doc_id", "lang", "n_chars", F.round("skey", 6).alias("skey")
     )
+
+
+# --------------------------------------------------------------------------
+# q110 — BM25 ranked retrieval (inverted-index search)
+# --------------------------------------------------------------------------
+@query(
+    "q110_bm25_search",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, t.term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents) AS t(doc_id, term)
+      GROUP BY doc_id, t.term
+    ),
+    doclen AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    corpus AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM doclen),
+    hits AS (SELECT * FROM tf WHERE term IN ('vector', 'broadcast', 'shuffle')),
+    dfreq AS (SELECT term, count(*) AS dfq FROM hits GROUP BY term),
+    scored AS (
+      SELECT hits.doc_id,
+             ln(1 + (nd - dfq + 0.5) / (dfq + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+      FROM hits
+      JOIN dfreq USING (term)
+      JOIN doclen USING (doc_id)
+      CROSS JOIN corpus
+    )
+    SELECT doc_id, round(sum(s), 6) AS score, count(*) AS n_terms_hit
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY round(sum(s), 6) DESC, doc_id
+    LIMIT 10
+    """,
+    tags=("search", "bm25", "corpus", "llm", "operator"),
+)
+def q110_bm25_search(spark, sf_dir):
+    """BM25 top-10 for the query {vector, broadcast, shuffle}
+    (llm.corpus.bm25_search, k1=1.2 b=0.75, Lucene non-negative idf).
+    The query-term filter reduces the corpus to 3 postings lists before
+    any join; dfreq and (N, avgdl) broadcast as tiny aggregates; top-k
+    plans as TakeOrderedAndProject. Ranking uses the ROUNDED score (+
+    doc_id tie-break) so both engines rank on identical values."""
+    from etl_as_a_service_spark.llm.corpus import bm25_search
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return bm25_search(
+        docs, "text", "doc_id", ["vector", "broadcast", "shuffle"], k=10
+    )

@@ -202,3 +202,16 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bm25_plan_topk_and_broadcasts(spark):
+    """BM25 must plan the final top-k as TakeOrderedAndProject (no global
+    sort) and broadcast the tiny dfreq/corpus aggregates."""
+    from etl_as_a_service_spark.llm.corpus import bm25_search
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = bm25_search(docs, "text", "doc_id", ["vector", "shuffle"], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
