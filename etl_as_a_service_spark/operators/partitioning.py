@@ -1,8 +1,9 @@
-"""Partitioning guards shared by CPU-heavy map-side operators."""
+"""Partitioning guards and data-layout operators (z-order)."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -20,3 +21,73 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df
+
+
+def _spread_bits_16(x):
+    """Spread the low 16 bits of x so bit i lands at position 2i
+    (classic magic-mask interleave step, 4 shift/mask rounds — pure JVM
+    integer ops inside whole-stage codegen)."""
+    x = x.bitwiseAND(F.lit(0xFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def morton_index(c1, c2):
+    """Z-order (Morton) index: bit-interleave the low 16 bits of two
+    integer columns into one 32-bit locality-preserving key. Sorting by
+    it clusters rows that are close in BOTH dimensions, so min/max file
+    statistics become tight on both columns at once — the multi-column
+    file-skipping layout (Delta/Iceberg OPTIMIZE ZORDER) that a plain
+    sort can only give one column. Engine-portable bit math (same
+    shifts/masks run in any SQL engine)."""
+    return F.shiftleft(_spread_bits_16(c1), 1).bitwiseOR(_spread_bits_16(c2))
+
+
+def zorder_sort(
+    df: DataFrame, col1: str, col2: str, partitions: int | None = None
+) -> DataFrame:
+    """Range-partition + sort the frame by the Morton index of
+    (col1, col2) — the write-side layout operator: each output file then
+    covers a compact z-range, i.e. a tight rectangle in (col1, col2)
+    space, so a reader's min/max pruning skips files for predicates on
+    EITHER column. repartitionByRange samples the z distribution (one
+    extra lightweight job) so output files are even-sized under skew.
+
+    Each dimension is min/max-normalized to the full 16-bit width
+    before interleaving (a 1-row aggregate broadcast, no extra
+    shuffle): a narrow or offset value range would otherwise leave its
+    high bits constant and the interleave would degenerate into a
+    single-column sort — the same reason production z-order
+    implementations rank/normalize before building the curve."""
+    bounds = df.agg(
+        F.min(col1).alias("__lo1"),
+        F.max(col1).alias("__hi1"),
+        F.min(col2).alias("__lo2"),
+        F.max(col2).alias("__hi2"),
+    )
+
+    def norm(c, lo, hi):
+        span = F.greatest(F.col(hi) - F.col(lo), F.lit(1)).cast("double")
+        return (
+            ((F.col(c) - F.col(lo)).cast("double") * 65535.0 / span)
+            .cast("long")
+        )
+
+    out = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__z",
+            morton_index(
+                norm(col1, "__lo1", "__hi1"), norm(col2, "__lo2", "__hi2")
+            ),
+        )
+        .drop("__lo1", "__hi1", "__lo2", "__hi2")
+    )
+    if partitions:
+        out = out.repartitionByRange(partitions, "__z")
+    else:
+        out = out.repartitionByRange("__z")
+    return out.sortWithinPartitions("__z").drop("__z")

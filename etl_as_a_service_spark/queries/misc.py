@@ -1187,3 +1187,56 @@ def q109_linear_interpolation(spark, sf_dir):
         )
         .orderBy("user_id", "bucket_start")
     )
+
+
+# --------------------------------------------------------------------------
+# q111 — Z-order (Morton) locality cells
+# --------------------------------------------------------------------------
+def _spread16_sql(x: str) -> str:
+    """SQL text of the 16-bit magic-mask bit spread (matches
+    operators.partitioning._spread_bits_16 step for step)."""
+    s = f"({x} & 65535)"
+    for shift, mask in ((8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765)):
+        s = f"(({s} | ({s} << {shift})) & {mask})"
+    return s
+
+
+@query(
+    "q111_zorder_cells",
+    oracle=f"""
+    WITH z AS (
+      SELECT (({_spread16_sql('l_partkey')} << 1) | {_spread16_sql('l_suppkey')})
+             AS zval, l_quantity
+      FROM lineitem
+    )
+    SELECT zval >> 8 AS zcell,
+           count(*) AS n_rows,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+    FROM z
+    GROUP BY zval >> 8
+    ORDER BY zcell
+    """,
+    tags=("layout", "zorder", "operator"),
+)
+def q111_zorder_cells(spark, sf_dir):
+    """Morton (Z-order) index cells over (l_partkey, l_suppkey)
+    (operators.partitioning.morton_index — 4 shift/mask rounds per
+    dimension, pure whole-stage-codegen integer math). Rows per 16x16
+    locality tile + quantity sums; the same index drives zorder_sort,
+    the write-side layout operator whose per-file min/max tightening is
+    asserted in pytest. Oracle repeats the identical bit math in SQL."""
+    from etl_as_a_service_spark.operators.partitioning import morton_index
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            morton_index(F.col("l_partkey"), F.col("l_suppkey")).alias("__z"),
+            "l_quantity",
+        )
+        .groupBy(F.shiftrightunsigned("__z", 8).alias("zcell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+        )
+        .orderBy("zcell")
+    )

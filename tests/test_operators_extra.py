@@ -353,3 +353,49 @@ def test_resample_fill_empty_fill_keeps_nulls(spark):
         df, "ts", ["k"], aggs=[F.avg("v").alias("v")], fill={}
     ).orderBy("bucket_start").collect()
     assert [r["v"] for r in out] == [1.0, None, 3.0]
+
+
+def test_zorder_sort_tightens_file_statistics(spark, tmp_path):
+    """The point of the z-order layout: after zorder_sort, each parquet
+    file covers a tight rectangle in (c1, c2) space, so min/max pruning
+    skips most files for a point predicate on EITHER column. Verified
+    against the actual parquet footer statistics."""
+    import pyarrow.parquet as pq
+    from etl_as_a_service_spark.operators.partitioning import zorder_sort
+    from tests.conftest import SF_SMOKE
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    plain, zed = str(tmp_path / "plain"), str(tmp_path / "zed")
+    li.repartition(8).write.parquet(plain)
+    zorder_sort(li, "l_partkey", "l_suppkey", partitions=8).write.parquet(zed)
+
+    def avg_covering_files(path, col, probes):
+        import glob, os
+        ranges = []
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            lo = min(md.row_group(g).column(idx).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max
+                     for g in range(md.num_row_groups))
+            ranges.append((lo, hi))
+        hits = [sum(1 for lo, hi in ranges if lo <= p <= hi) for p in probes]
+        return sum(hits) / len(hits), len(ranges)
+
+    lo, hi = li.agg(F.min("l_partkey"), F.max("l_partkey")).first()
+    probes = list(range(int(lo), int(hi) + 1, max(1, (int(hi) - int(lo)) // 17)))
+    for col in ("l_partkey", "l_suppkey"):
+        if col == "l_suppkey":
+            lo, hi = li.agg(F.min(col), F.max(col)).first()
+            probes = list(range(int(lo), int(hi) + 1,
+                                max(1, (int(hi) - int(lo)) // 17)))
+        plain_avg, n_plain = avg_covering_files(plain, col, probes)
+        zed_avg, n_zed = avg_covering_files(zed, col, probes)
+        # round-robin files all cover ~the full range (no skipping);
+        # z-ordered files must each cover a fraction of it on BOTH axes
+        assert n_plain >= 4 and n_zed >= 4
+        assert plain_avg > 0.9 * n_plain, (col, plain_avg, n_plain)
+        assert zed_avg < 0.7 * n_zed, (col, zed_avg, n_zed)
