@@ -547,3 +547,64 @@ def q104_sketch_rollup(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# q112 — robust outlier detection (median absolute deviation)
+# --------------------------------------------------------------------------
+@query(
+    "q112_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*) AS n_events,
+           round(max(d.med), 6) AS med,
+           round(max(m.mad), 6) AS mad,
+           CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+    tags=("stats", "robust", "outlier"),
+)
+def q112_mad_outliers(spark, sf_dir):
+    """Robust per-group outlier detection: median absolute deviation
+    with the 1.4826 normal-consistency factor (|v - med| > 3 sigma_MAD).
+    Immune to the outliers themselves, unlike stddev-based z-scores.
+    Shape: two exact-median aggregates over the SAME group key (the
+    per-group medians are tiny and broadcast back onto the events), one
+    final conditional aggregate — three shuffles on event_type total,
+    no window over the full data."""
+    (events,) = _t(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
