@@ -59,6 +59,12 @@ class PipelineError(ValueError):
 
 _ALLOWED_OPS = {
     "filter",
+    "unpivot",
+    "weighted_sample",
+    "interpolate",
+    "zorder",
+    "bm25",
+    "components",
     "select",
     "with_column",
     "rename",
@@ -322,6 +328,75 @@ def _apply_step(
             text_col=_req(step, "text_col"),
             id_col=_req(step, "id_col"),
             n=int(step.get("n", 2)),
+        )
+    if op == "unpivot":
+        # {"op":"unpivot","ids":["k"],"values":["a","b"],
+        #  "var":"metric","value":"val"} — wide -> long reshape
+        return df.unpivot(
+            _req(step, "ids"),
+            _req(step, "values"),
+            step.get("var", "variable"),
+            step.get("value", "value"),
+        )
+    if op == "weighted_sample":
+        # {"op":"weighted_sample","id_col":"doc_id","weight_col":"w",
+        #  "k":100} — deterministic A-Res sample without replacement
+        from etl_as_a_service_spark.llm.curation import weighted_sample
+
+        return weighted_sample(
+            df,
+            id_col=_req(step, "id_col"),
+            weight_col=_req(step, "weight_col"),
+            k=int(_req(step, "k")),
+            salt=step.get("salt", "wsample-v1"),
+        )
+    if op == "interpolate":
+        # {"op":"interpolate","ts_col":"ts","keys":["k"],
+        #  "value_col":"v","out_col":"v"} — linear gap interpolation
+        from etl_as_a_service_spark.operators.relational import (
+            interpolate_linear,
+        )
+
+        return interpolate_linear(
+            df,
+            ts_col=_req(step, "ts_col"),
+            key_cols=_req(step, "keys"),
+            value_col=_req(step, "value_col"),
+            out_col=step.get("out_col"),
+        )
+    if op == "zorder":
+        # {"op":"zorder","cols":["a","b"],"partitions":16} — write-side
+        # Morton layout so downstream files prune on both columns
+        from etl_as_a_service_spark.operators.partitioning import zorder_sort
+
+        c1, c2 = _req(step, "cols")
+        return zorder_sort(
+            df, c1, c2, partitions=step.get("partitions")
+        )
+    if op == "bm25":
+        # {"op":"bm25","text_col":"text","id_col":"doc_id",
+        #  "terms":["a","b"],"k":10} — ranked retrieval
+        from etl_as_a_service_spark.llm.corpus import bm25_search
+
+        return bm25_search(
+            df,
+            text_col=_req(step, "text_col"),
+            id_col=_req(step, "id_col"),
+            query_terms=_req(step, "terms"),
+            k=int(step.get("k", 10)),
+        )
+    if op == "components":
+        # {"op":"components","src":"id_a","dst":"id_b"} — collapse a
+        # pairwise match relation into disjoint cluster labels
+        from etl_as_a_service_spark.operators.graph import (
+            connected_components,
+        )
+
+        return connected_components(
+            df,
+            src=_req(step, "src"),
+            dst=_req(step, "dst"),
+            max_iter=int(step.get("max_iter", 20)),
         )
     if op == "observe":
         # {"op":"observe","name":"m","metrics":{"n":"count(*)",

@@ -1240,3 +1240,45 @@ def q111_zorder_cells(spark, sf_dir):
         )
         .orderBy("zcell")
     )
+
+
+# --------------------------------------------------------------------------
+# q113 — UNPIVOT (wide -> long reshape)
+# --------------------------------------------------------------------------
+@query(
+    "q113_unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             round(sum(o_totalprice), 2)      AS sum_price,
+             round(avg(o_totalprice), 6)      AS avg_price,
+             CAST(count(*) AS DOUBLE)         AS n_orders
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, metric, val
+    FROM wide
+    UNPIVOT (val FOR metric IN (sum_price, avg_price, n_orders))
+    ORDER BY o_orderpriority, metric
+    """,
+    tags=("reshape", "unpivot"),
+)
+def q113_unpivot_metrics(spark, sf_dir):
+    """Wide -> long reshape with the native unpivot operator (Spark 4
+    Unpivot logical node — a zero-shuffle projection-side expansion,
+    never an explode-over-structs workaround). Matches DuckDB's UNPIVOT
+    on the same per-priority order metrics."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return (
+        wide.unpivot(
+            ["o_orderpriority"],
+            ["sum_price", "avg_price", "n_orders"],
+            "metric",
+            "val",
+        )
+        .orderBy("o_orderpriority", "metric")
+    )

@@ -491,3 +491,54 @@ def test_corpus_ops_as_pipeline_steps(spark):
     assert {"chunk_idx", "chunk_start", "chunk_tokens"} <= set(cdf.columns)
     assert cdf.count() > docs.count()  # docs split into multiple chunks
     assert cdf.filter("chunk_tokens > 32 OR chunk_tokens <= 0").count() == 0
+
+
+def test_round3_operator_steps(spark):
+    """The round-3 operators compose through the spec language:
+    unpivot, weighted_sample, components."""
+    wide_spec = {
+        "name": "unpivot_steps",
+        "source": {"format": "parquet", "path": f"{SF_SMOKE}/orders.parquet"},
+        "steps": [
+            {"op": "group_by", "keys": ["o_orderpriority"],
+             "aggs": {"n_orders": "cast(count(*) as double)",
+                      "sum_price": "round(sum(o_totalprice), 2)"}},
+            {"op": "unpivot", "ids": ["o_orderpriority"],
+             "values": ["n_orders", "sum_price"],
+             "var": "metric", "value": "val"},
+        ],
+    }
+    long = compile_pipeline(spark, wide_spec)
+    assert set(long.columns) == {"o_orderpriority", "metric", "val"}
+    n_prio = long.select("o_orderpriority").distinct().count()
+    assert long.count() == 2 * n_prio
+
+    sample_spec = {
+        "name": "wsample_step",
+        "source": {"format": "parquet",
+                   "path": f"{SF_SMOKE}/documents.parquet"},
+        "steps": [{"op": "weighted_sample", "id_col": "doc_id",
+                   "weight_col": "n_chars", "k": 7}],
+    }
+    assert compile_pipeline(spark, sample_spec).count() == 7
+
+    comp_spec = {
+        "name": "components_step",
+        "source": {"format": "parquet",
+                   "path": f"{SF_SMOKE}/nation.parquet"},
+        "steps": [
+            # build a tiny edge list: nations in the same region
+            {"op": "select", "columns": ["n_nationkey", "n_regionkey"]},
+            {"op": "join", "right": {
+                "source": {"format": "parquet",
+                           "path": f"{SF_SMOKE}/nation.parquet"},
+                "steps": [{"op": "select",
+                           "columns": ["n_nationkey AS n2",
+                                       "n_regionkey"]}]},
+             "on": ["n_regionkey"], "how": "inner"},
+            {"op": "components", "src": "n_nationkey", "dst": "n2"},
+        ],
+    }
+    comp = compile_pipeline(spark, comp_spec)
+    # 5 regions -> 5 components over the 25 nations
+    assert comp.select("component").distinct().count() == 5
