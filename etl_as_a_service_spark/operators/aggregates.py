@@ -1,0 +1,107 @@
+"""Incremental aggregate maintenance: mergeable per-key aggregate state.
+
+The materialized-view-maintenance primitive a 100 TB pipeline needs:
+instead of re-scanning the full history per refresh, keep one state row
+per group and fold each new batch in — O(batch + |state|) per refresh.
+Works because every supported aggregate is MERGEABLE (the same algebra
+Spark itself uses for map-side partial aggregation):
+
+- sum, count      -> merge by sum
+- min, max        -> merge by min/max
+- avg             -> carried as (sum, count), finalized as sum/count
+- approx distinct -> carried as an HLL sketch (binary), merged with
+                     hll_union_agg; union-of-parts == sketch-of-whole,
+                     so incremental estimates equal full-recompute
+                     estimates exactly
+
+State schema per spec {name: (fn, col)}: sum/count/min/max -> one
+column ``name``; avg -> ``name__sum`` + ``name__cnt``; approx_distinct
+-> ``name__hll``. ``finalize_state`` renders user-facing values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_FNS = ("sum", "count", "min", "max", "avg", "approx_distinct")
+
+
+def _check_specs(specs: dict[str, tuple[str, str]]) -> None:
+    for name, (fn, _col) in specs.items():
+        if fn not in _FNS:
+            raise ValueError(
+                f"aggregate {name!r}: unsupported fn {fn!r} "
+                f"(mergeable fns: {_FNS})"
+            )
+
+
+def aggregate_state(
+    df: DataFrame, keys: list[str], specs: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """One state row per key group from a (partial) input — the same
+    shape Spark's HashAggregate partial mode produces, lifted to a
+    first-class DataFrame so it can be persisted and refreshed."""
+    _check_specs(specs)
+    aggs = []
+    for name, (fn, col) in specs.items():
+        if fn == "sum":
+            aggs.append(F.sum(col).alias(name))
+        elif fn == "count":
+            aggs.append(F.count(col).alias(name))
+        elif fn == "min":
+            aggs.append(F.min(col).alias(name))
+        elif fn == "max":
+            aggs.append(F.max(col).alias(name))
+        elif fn == "avg":
+            aggs.append(F.sum(col).alias(f"{name}__sum"))
+            aggs.append(F.count(col).alias(f"{name}__cnt"))
+        elif fn == "approx_distinct":
+            aggs.append(F.hll_sketch_agg(col).alias(f"{name}__hll"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_states(
+    a: DataFrame, b: DataFrame, keys: list[str],
+    specs: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Fold two state frames into one: union + one re-aggregate on the
+    merge functions. Groups present in only one side pass through
+    (union semantics). One key-partitioned shuffle; state rows are
+    small, so at scale this is O(|state|), never O(history)."""
+    _check_specs(specs)
+    aggs = []
+    for name, (fn, _col) in specs.items():
+        if fn in ("sum", "count"):
+            aggs.append(F.sum(name).alias(name))
+        elif fn == "min":
+            aggs.append(F.min(name).alias(name))
+        elif fn == "max":
+            aggs.append(F.max(name).alias(name))
+        elif fn == "avg":
+            aggs.append(F.sum(f"{name}__sum").alias(f"{name}__sum"))
+            aggs.append(F.sum(f"{name}__cnt").alias(f"{name}__cnt"))
+        elif fn == "approx_distinct":
+            aggs.append(
+                F.hll_union_agg(f"{name}__hll").alias(f"{name}__hll")
+            )
+    return a.unionByName(b).groupBy(*keys).agg(*aggs)
+
+
+def finalize_state(
+    state: DataFrame, keys: list[str], specs: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """Render user-facing aggregate values from a state frame (pure
+    projection — no shuffle)."""
+    _check_specs(specs)
+    cols = [F.col(k) for k in keys]
+    for name, (fn, _col) in specs.items():
+        if fn in ("sum", "count", "min", "max"):
+            cols.append(F.col(name))
+        elif fn == "avg":
+            cols.append(
+                (F.col(f"{name}__sum") / F.col(f"{name}__cnt")).alias(name)
+            )
+        elif fn == "approx_distinct":
+            cols.append(F.hll_sketch_estimate(f"{name}__hll").alias(name))
+    return state.select(*cols)

@@ -1282,3 +1282,65 @@ def q113_unpivot_metrics(spark, sf_dir):
         )
         .orderBy("o_orderpriority", "metric")
     )
+
+
+# --------------------------------------------------------------------------
+# q114 — incremental aggregate maintenance (mergeable state)
+# --------------------------------------------------------------------------
+@query(
+    "q114_incremental_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(o_totalprice), 2) AS total,
+           count(*)                    AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(avg(o_totalprice), 6) AS mean
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("incremental", "aggregate", "operator"),
+)
+def q114_incremental_aggregates(spark, sf_dir):
+    """Materialized-view maintenance: per-priority aggregates built by
+    folding three month-sliced batches into mergeable state
+    (operators.aggregates — the partial-aggregation algebra lifted to a
+    persistable DataFrame), then finalized. The oracle recomputes from
+    scratch; matching hashes prove refresh-by-merge == full recompute.
+    Each merge is one shuffle over |state| rows, never the history."""
+    from etl_as_a_service_spark.operators.aggregates import (
+        aggregate_state,
+        finalize_state,
+        merge_states,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    keys = ["o_orderpriority"]
+    specs = {
+        "total": ("sum", "o_totalprice"),
+        "n": ("count", "o_totalprice"),
+        "lo": ("min", "o_totalprice"),
+        "hi": ("max", "o_totalprice"),
+        "mean": ("avg", "o_totalprice"),
+    }
+    m = F.month("o_orderdate")
+    batches = [
+        orders.filter(m <= 4),
+        orders.filter((m > 4) & (m <= 8)),
+        orders.filter(m > 8),
+    ]
+    state = aggregate_state(batches[0], keys, specs)
+    for b in batches[1:]:
+        state = merge_states(
+            state, aggregate_state(b, keys, specs), keys, specs
+        )
+    out = finalize_state(state, keys, specs)
+    return out.select(
+        "o_orderpriority",
+        F.round("total", 2).alias("total"),
+        "n",
+        F.round("lo", 2).alias("lo"),
+        F.round("hi", 2).alias("hi"),
+        F.round("mean", 6).alias("mean"),
+    ).orderBy("o_orderpriority")

@@ -399,3 +399,59 @@ def test_zorder_sort_tightens_file_statistics(spark, tmp_path):
         assert n_plain >= 4 and n_zed >= 4
         assert plain_avg > 0.9 * n_plain, (col, plain_avg, n_plain)
         assert zed_avg < 0.7 * n_zed, (col, zed_avg, n_zed)
+
+
+def test_incremental_aggregate_state_equals_full_recompute(spark):
+    """Folding batches into mergeable state must equal aggregating the
+    full union directly — exact for sum/count/min/max/avg, and exact
+    for the HLL estimate too (union-of-sketches == sketch-of-union)."""
+    from etl_as_a_service_spark.operators.aggregates import (
+        aggregate_state,
+        finalize_state,
+        merge_states,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    specs = {
+        "total": ("sum", "value"),
+        "n": ("count", "value"),
+        "lo": ("min", "value"),
+        "hi": ("max", "value"),
+        "mean": ("avg", "value"),
+        "users": ("approx_distinct", "user_id"),
+    }
+    keys = ["event_type"]
+    batches = [
+        ev.filter(F.col("event_id") % 3 == i) for i in range(3)
+    ]
+    state = aggregate_state(batches[0], keys, specs)
+    for b in batches[1:]:
+        state = merge_states(state, aggregate_state(b, keys, specs), keys, specs)
+    inc = {
+        r["event_type"]: r
+        for r in finalize_state(state, keys, specs).collect()
+    }
+    full = {
+        r["event_type"]: r
+        for r in finalize_state(
+            aggregate_state(ev, keys, specs), keys, specs
+        ).collect()
+    }
+    assert set(inc) == set(full)
+    for k in full:
+        assert abs(inc[k]["total"] - full[k]["total"]) < 1e-6
+        assert inc[k]["n"] == full[k]["n"]
+        assert inc[k]["lo"] == full[k]["lo"]
+        assert inc[k]["hi"] == full[k]["hi"]
+        assert abs(inc[k]["mean"] - full[k]["mean"]) < 1e-9
+        assert inc[k]["users"] == full[k]["users"]
+
+
+def test_incremental_aggregate_rejects_unknown_fn(spark):
+    import pytest as _pytest
+    from etl_as_a_service_spark.operators.aggregates import aggregate_state
+
+    df = spark.range(5)
+    with _pytest.raises(ValueError, match="mergeable"):
+        aggregate_state(df, [], {"m": ("median", "id")})
