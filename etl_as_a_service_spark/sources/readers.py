@@ -147,3 +147,59 @@ def write_table(
         )
     else:
         writer.save(path)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> dict:
+    """Small-file compaction: rewrite a table directory so each output
+    file is ~``target_file_bytes``. Streaming sinks and frequent small
+    batch appends accrete thousands of tiny files; at scale every one
+    costs a listing round-trip, a footer read, and a scheduler task —
+    compaction is the standard lakehouse maintenance pass (Delta/
+    Iceberg OPTIMIZE).
+
+    File count = ceil(on-disk bytes / target); the rewrite goes through
+    a temp directory next to the target and swaps in atomically at the
+    directory level (rename), so a concurrent reader sees either the
+    old or the new layout, never a half-written one. Returns
+    {files_before, files_after, bytes}.
+    """
+    import math
+    import os
+    import shutil
+
+    files = []
+    for root, _, names in os.walk(path):
+        files.extend(
+            os.path.join(root, n)
+            for n in names
+            if not n.startswith(("_", "."))
+        )
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    old = path.rstrip("/") + ".__compact_old__"
+    # coalesce, not repartition: compaction must not shuffle the data,
+    # only concatenate partitions on the way out
+    spark.read.format(fmt).load(path).coalesce(n_out).write.format(
+        fmt
+    ).mode("overwrite").save(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = [
+        n
+        for _, _, names in os.walk(path)
+        for n in names
+        if not n.startswith(("_", "."))
+    ]
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "bytes": total,
+    }

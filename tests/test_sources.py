@@ -249,3 +249,23 @@ def test_python_datasource_streaming(spark):
     assert {r["lang"] for r in got.select("lang").distinct().collect()} == {
         "en", "de", "fr", "es", "zh"
     }
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    from etl_as_a_service_spark.sources.readers import compact_files
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "frag")
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    li.repartition(40).write.parquet(out)
+    before = li.count()
+    stats = compact_files(spark, out, target_file_bytes=10**9)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 1
+    back = spark.read.parquet(out)
+    assert back.count() == before
+    # content preserved, not just counts
+    assert (
+        back.agg(F.sum("l_quantity")).first()[0]
+        == li.agg(F.sum("l_quantity")).first()[0]
+    )
