@@ -335,3 +335,64 @@ def run_available_now(
         )
     spark = stream_df.sparkSession
     return spark.table(query_name)
+
+
+def streaming_aggregate_maintenance(
+    stream_df: DataFrame,
+    state_path: str,
+    keys: list[str],
+    specs: dict[str, tuple[str, str]],
+    checkpoint: str,
+    timeout_sec: int = 120,
+):
+    """Continuously maintain a mergeable aggregate state table from a
+    stream (trigger availableNow): each micro-batch is partially
+    aggregated with operators.aggregates.aggregate_state and folded
+    into the parquet state at ``state_path`` with merge_states — the
+    streaming face of incremental materialized-view maintenance.
+
+    Per micro-batch cost is O(batch + |state|): the batch collapses to
+    one row per touched group BEFORE touching the state, and the state
+    rewrite shuffles only state rows. foreachBatch (not a stateful
+    operator) because the state must outlive the query as a queryable,
+    compactable TABLE, not live in the state store.
+    """
+    import os
+
+    from etl_as_a_service_spark.operators.aggregates import (
+        aggregate_state,
+        merge_states,
+    )
+
+    spark = stream_df.sparkSession
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        part = aggregate_state(batch_df, keys, specs)
+        if os.path.exists(state_path):
+            prev = spark.read.parquet(state_path)
+            part = merge_states(prev, part, keys, specs)
+        # write-then-swap: the state table must never be half-written,
+        # and overwrite-in-place would read and clobber the same files
+        tmp = state_path.rstrip("/") + f".__b{batch_id}__"
+        part.write.mode("overwrite").parquet(tmp)
+        old = state_path.rstrip("/") + ".__old__"
+        import shutil
+
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(state_path):
+            os.rename(state_path, old)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"aggregate maintenance did not finish in {timeout_sec}s"
+        )
+    return spark.read.parquet(state_path)

@@ -318,3 +318,53 @@ def test_kafka_option_contract(spark):
         kafka_sink_options("b:9092", "a,b", "/ckpt")
     with pytest.raises(ValueError, match="checkpointLocation"):
         kafka_sink_options("b:9092", "t", "")
+
+
+def test_streaming_aggregate_maintenance_equals_batch(spark, tmp_path):
+    """Folding a stream micro-batch-by-micro-batch into the mergeable
+    state table must equal the one-shot batch aggregate."""
+    from etl_as_a_service_spark.operators.aggregates import (
+        aggregate_state,
+        finalize_state,
+    )
+    from etl_as_a_service_spark.streaming.ops import (
+        streaming_aggregate_maintenance,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    src = str(tmp_path / "src")
+    # several input files => several micro-batches with maxFilesPerTrigger
+    ev.repartition(6).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    keys = ["event_type"]
+    specs = {
+        "total": ("sum", "value"),
+        "n": ("count", "value"),
+        "mean": ("avg", "value"),
+    }
+    state = streaming_aggregate_maintenance(
+        stream,
+        str(tmp_path / "state"),
+        keys,
+        specs,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    inc = {
+        r["event_type"]: r
+        for r in finalize_state(state, keys, specs).collect()
+    }
+    full = {
+        r["event_type"]: r
+        for r in finalize_state(
+            aggregate_state(ev, keys, specs), keys, specs
+        ).collect()
+    }
+    assert set(inc) == set(full)
+    for k in full:
+        assert inc[k]["n"] == full[k]["n"]
+        assert abs(inc[k]["total"] - full[k]["total"]) < 1e-6
+        assert abs(inc[k]["mean"] - full[k]["mean"]) < 1e-9
