@@ -418,3 +418,39 @@ def interpolate_linear(
         .otherwise(F.lit(None).cast("double"))
     )
     return df.withColumn(out_col, interp)
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap: str = "interval 30 minutes",
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign explicit session ids: a new session starts whenever the
+    gap since the key's previous event exceeds ``gap``. Unlike
+    session_window aggregation (which collapses each session to one
+    row), this keeps EVERY event row, labeled — the form feature
+    pipelines need (nth-event-in-session, time-since-session-start).
+
+    Classic two-window composition on ONE (key, ts) sort: lag() marks
+    session starts, a cumulative sum numbers them. Adds
+    ``session_seq`` (per-key session ordinal, 1-based) and
+    ``session_id`` (key-independent deterministic label
+    '<key>#<seq>'). ``tie_cols`` complete the in-key order when
+    timestamps can repeat (determinism under shuffle)."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (tie_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col(ts_col) > prev_ts + F.expr(gap)),
+        1,
+    ).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df.withColumn("session_seq", F.sum(is_new).over(wc))
+    label = F.concat_ws(
+        "#", *[F.col(c).cast("string") for c in key_cols],
+        F.col("session_seq").cast("string"),
+    )
+    return out.withColumn("session_id", label)

@@ -65,6 +65,7 @@ _ALLOWED_OPS = {
     "zorder",
     "bm25",
     "components",
+    "sessionize",
     "select",
     "with_column",
     "rename",
@@ -397,6 +398,18 @@ def _apply_step(
             src=_req(step, "src"),
             dst=_req(step, "dst"),
             max_iter=int(step.get("max_iter", 20)),
+        )
+    if op == "sessionize":
+        # {"op":"sessionize","ts_col":"ts","keys":["user_id"],
+        #  "gap":"interval 30 minutes","tie_cols":["event_id"]}
+        from etl_as_a_service_spark.operators.relational import sessionize
+
+        return sessionize(
+            df,
+            ts_col=_req(step, "ts_col"),
+            key_cols=_req(step, "keys"),
+            gap=step.get("gap", "interval 30 minutes"),
+            tie_cols=step.get("tie_cols"),
         )
     if op == "observe":
         # {"op":"observe","name":"m","metrics":{"n":"count(*)",

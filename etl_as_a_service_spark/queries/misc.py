@@ -1344,3 +1344,102 @@ def q114_incremental_aggregates(spark, sf_dir):
         F.round("hi", 2).alias("hi"),
         F.round("mean", 6).alias("mean"),
     ).orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# q115 — gap-based sessionization (event-level session labels)
+# --------------------------------------------------------------------------
+@query(
+    "q115_sessionize_events",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WHERE user_id < 30
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(sum(is_new) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_seq
+    FROM s
+    ORDER BY user_id, event_id
+    """,
+    tags=("sessionize", "window", "operator"),
+)
+def q115_sessionize_events(spark, sf_dir):
+    """Event-level session labels (operators.relational.sessionize):
+    a new session opens after >1h of per-user inactivity. Keeps every
+    event row (the feature-pipeline form session_window aggregation
+    collapses away); lag() + cumulative sum over ONE (user, ts) sort,
+    (ts, event_id) total order for determinism under shuffle."""
+    from etl_as_a_service_spark.operators.relational import sessionize
+
+    (events,) = _t(spark, sf_dir, "events")
+    out = sessionize(
+        events.filter(F.col("user_id") < 30),
+        "ts",
+        ["user_id"],
+        gap="interval 1 hour",
+        tie_cols=["event_id"],
+    )
+    return (
+        out.select("user_id", "event_id", "session_seq")
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q116 — cohort retention matrix
+# --------------------------------------------------------------------------
+@query(
+    "q116_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INTEGER)
+             AS weeks_since,
+           count(DISTINCT a.user_id) AS active_users
+    FROM activity a JOIN first_seen f USING (user_id)
+    GROUP BY f.cohort_week, weeks_since
+    ORDER BY f.cohort_week, weeks_since
+    """,
+    tags=("analytics", "cohort", "retention"),
+)
+def q116_cohort_retention(spark, sf_dir):
+    """Cohort retention: users cohorted by first-seen week, activity
+    counted as distinct users per (cohort, weeks-since-cohort). Shape:
+    one groupBy for first-seen, one distinct over (user, week) — both
+    shuffle on user_id so the join between them is co-partitioned —
+    then the final small aggregate. No window over the full event
+    stream."""
+    (events,) = _t(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("active_week"),
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("weeks_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
