@@ -45,10 +45,13 @@ def connected_components(
       clusters are shallow (diameter <= 3-4 in practice), and the
       ``max_iter`` bound caps the worst case.
     """
-    sym = edges.select(
+    # materialize the (possibly expensive) edge plan ONCE, then build
+    # the symmetric closure from the checkpointed rows — unioning two
+    # projections of the raw plan would evaluate it twice
+    base = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
-    ).union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-    sym = sym.localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
+    sym = base.union(base.select(F.col("d").alias("s"), F.col("s").alias("d")))
 
     if nodes is None:
         nodes = sym.select(F.col("s").alias("node")).distinct()

@@ -79,6 +79,15 @@ def build_session(
     # cluster this should be ~2-3x total cores (AQE coalesces the rest).
     n = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     builder = builder.config("spark.sql.shuffle.partitions", str(n))
+    resolved_master = master or _default_master()
+    if driver_memory is None and resolved_master.startswith("local"):
+        # In local mode the driver JVM IS the whole engine (all executor
+        # threads share its heap); Spark's 1g default is sized for a
+        # cluster driver that only coordinates. Undersizing it shows up
+        # as GC churn and dead block-manager entries under checkpoint-
+        # heavy iterative operators. On a real cluster spark-submit
+        # provides the value and this default never applies.
+        driver_memory = "8g"
     if driver_memory:
         builder = builder.config("spark.driver.memory", driver_memory)
     for k, v in (extra_conf or {}).items():
