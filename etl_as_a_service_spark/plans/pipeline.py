@@ -631,6 +631,20 @@ class PipelineRunner:
                 self._execute_streaming(run, df, sink or {})
                 return
             if sink:
+                if sink.get("zorder"):
+                    # write-side data layout: {"zorder": ["c1","c2"],
+                    # "zorder_partitions": 16} — each output file then
+                    # covers a tight (c1, c2) rectangle for min/max
+                    # pruning (see operators/partitioning.zorder_sort)
+                    from etl_as_a_service_spark.operators.partitioning import (
+                        zorder_sort,
+                    )
+
+                    zc1, zc2 = sink["zorder"]
+                    df = zorder_sort(
+                        df, zc1, zc2,
+                        partitions=sink.get("zorder_partitions"),
+                    )
                 writer = df.write.format(sink.get("format", "parquet")).mode(
                     sink.get("mode", "error")
                 )

@@ -542,3 +542,37 @@ def test_round3_operator_steps(spark):
     comp = compile_pipeline(spark, comp_spec)
     # 5 regions -> 5 components over the 25 nations
     assert comp.select("component").distinct().count() == 5
+
+
+def test_sink_zorder_layout(spark, tmp_path):
+    """sink.zorder lays the output files on the Morton curve."""
+    runner = PipelineRunner(spark)
+    out = str(tmp_path / "zed")
+    run = runner.run({
+        "name": "zorder_sink",
+        "source": {"format": "parquet",
+                   "path": f"{SF_SMOKE}/lineitem.parquet"},
+        "steps": [{"op": "select",
+                   "columns": ["l_partkey", "l_suppkey", "l_quantity"]}],
+        "sink": {"format": "parquet", "path": out, "mode": "overwrite",
+                 "zorder": ["l_partkey", "l_suppkey"],
+                 "zorder_partitions": 6},
+    })
+    assert run.status == "success", run.error
+    import glob
+    import pyarrow.parquet as pq
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) == 6
+    # each file's l_partkey span must be a fraction of the global span
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("l_partkey")
+        st = [md.row_group(g).column(idx).statistics
+              for g in range(md.num_row_groups)]
+        spans.append(max(s.max for s in st) - min(s.min for s in st))
+    from pyspark.sql import functions as F
+
+    full = spark.read.parquet(out)
+    glo = full.agg(F.max("l_partkey") - F.min("l_partkey")).first()[0]
+    assert sorted(spans)[len(spans) // 2] < 0.6 * glo
