@@ -96,13 +96,13 @@ def main() -> None:
     ).count()
     QUERIES["q01_pricing_summary"].fn(spark, sf_dir).count()
 
-    # Two timed runs per query, report the MIN: run-to-run variance on a
-    # shared host is interference-dominated (same binary measured 17-45s
-    # across minutes; README "bench" section), and the second run still
-    # pays full execution — only one-time plan/codegen/GC interference is
+    # Three timed runs per query, report the MIN: run-to-run variance on
+    # a shared host is interference-dominated (same binary measured
+    # 17-45s across minutes; README "bench" section), and every run pays
+    # full execution — only one-time plan/codegen/GC interference is
     # excluded. That is the steady-state number a long-lived cluster
     # session sees, and min-of-N is the standard way to report it.
-    RUNS = 2
+    RUNS = 3
     timings: dict[str, float] = {}
     for name in HEADLINE + HEADLINE_CURATION:
         if name not in QUERIES:
