@@ -1443,3 +1443,38 @@ def q116_cohort_retention(spark, sf_dir):
         .agg(F.count_distinct("user_id").alias("active_users"))
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+# --------------------------------------------------------------------------
+# q117 — recursive CTE (hierarchical traversal in pure SQL)
+# --------------------------------------------------------------------------
+_Q117_SQL = """
+WITH RECURSIVE tree(n_nationkey, n_name, depth, path) AS (
+  SELECT n_nationkey, n_name, 0, CAST(n_name AS {vtype})
+  FROM nation WHERE n_nationkey = 0
+  UNION ALL
+  SELECT c.n_nationkey, c.n_name, t.depth + 1,
+         t.path || '/' || c.n_name
+  FROM nation c JOIN tree t
+    ON c.n_nationkey <> 0 AND CAST(floor(c.n_nationkey / 2) AS INT) = CAST(t.n_nationkey AS INT)
+)
+SELECT n_nationkey, n_name, depth, path FROM tree ORDER BY n_nationkey
+"""
+
+
+@query(
+    "q117_recursive_hierarchy",
+    oracle=_Q117_SQL.format(vtype="VARCHAR"),
+    tags=("sql", "recursive", "hierarchy"),
+)
+def q117_recursive_hierarchy(spark, sf_dir):
+    """Recursive CTE (Spark 4 WITH RECURSIVE) walking a deterministic
+    hierarchy derived from the nation table (parent = nationkey / 2):
+    per-node depth and materialized root path, end-to-end through
+    spark.sql — the iterative-traversal SQL surface DuckDB runs with
+    the identical statement. Recursion depth = tree height (log n
+    rounds), each round a co-partitioned join."""
+    from etl_as_a_service_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("nation",))
+    return spark.sql(_Q117_SQL.format(vtype="STRING"))
