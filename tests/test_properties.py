@@ -90,3 +90,119 @@ def test_asof_join_total_and_bounded(spark, rows, rows2):
         )
     )
     assert bad.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round-3 operator invariants
+# ---------------------------------------------------------------------------
+
+PAIRS16 = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=65535),
+        st.integers(min_value=0, max_value=65535),
+    ),
+    min_size=1,
+    max_size=12,
+    unique=True,
+)
+
+
+@given(pairs=PAIRS16)
+@CFG
+def test_morton_index_bijective_on_16bit_pairs(spark, pairs):
+    """The Morton interleave must be injective over 16-bit pairs and
+    invertible by de-interleaving its bits."""
+    from etl_as_a_service_spark.operators.partitioning import morton_index
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = df.select("a", "b", morton_index(F.col("a"), F.col("b")).alias("z")).collect()
+    assert len({r["z"] for r in got}) == len(pairs)  # injective
+    for r in got:
+        a = b = 0
+        for i in range(16):
+            a |= ((r["z"] >> (2 * i + 1)) & 1) << i
+            b |= ((r["z"] >> (2 * i)) & 1) << i
+        assert (a, b) == (r["a"], r["b"])
+
+
+WEIGHTED = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),
+        st.floats(min_value=0.1, max_value=100.0,
+                  allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=WEIGHTED)
+@CFG
+def test_weighted_sample_is_prefix_stable(spark, rows):
+    """A-Res invariant: the k-sample is the top-k of a per-row key that
+    depends only on (id, weight) — so sampling k then k+1 from the same
+    corpus must agree on the first k rows (prefix property)."""
+    from etl_as_a_service_spark.llm.curation import weighted_sample
+
+    df = spark.createDataFrame(rows, "id long, w double")
+    k = max(1, len(rows) // 2)
+    small = [r["id"] for r in weighted_sample(df, "id", "w", k).collect()]
+    big = [r["id"] for r in weighted_sample(df, "id", "w", k + 1).collect()]
+    assert big[:k] == small
+
+
+@given(
+    coeff=st.tuples(
+        st.integers(min_value=-5, max_value=5),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    holes=st.sets(st.integers(min_value=1, max_value=18), max_size=12),
+)
+@CFG
+def test_interpolation_recovers_linear_functions(spark, coeff, holes):
+    """Linear interpolation is EXACT on linear signals: knocking out any
+    interior points of v = a*t + b and interpolating must restore them."""
+    from etl_as_a_service_spark.operators.relational import interpolate_linear
+
+    a, b = coeff
+    rows = [
+        ("k", f"2024-01-01 {h:02d}:00:00",
+         None if h in holes else float(a * h + b))
+        for h in range(20)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    got = interpolate_linear(df, "ts", ["k"], "v").collect()
+    for r in got:
+        assert r["v"] is not None
+        assert abs(r["v"] - (a * r["ts"].hour + b)) < 1e-9
+
+
+@given(rows=ROWS)
+@CFG
+def test_merge_states_is_order_insensitive(spark, rows):
+    """Folding state A⊕B must equal B⊕A (commutativity of every merge
+    function) — refreshes may arrive in any order."""
+    from etl_as_a_service_spark.operators.aggregates import (
+        aggregate_state,
+        finalize_state,
+        merge_states,
+    )
+
+    df = _df(spark, rows)
+    a = df.filter(F.col("v") % 2 == 0)
+    b = df.filter(F.col("v") % 2 != 0)
+    specs = {
+        "s": ("sum", "v"),
+        "n": ("count", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+    sa, sb = aggregate_state(a, ["k"], specs), aggregate_state(b, ["k"], specs)
+    ab = finalize_state(merge_states(sa, sb, ["k"], specs), ["k"], specs)
+    ba = finalize_state(merge_states(sb, sa, ["k"], specs), ["k"], specs)
+    fa = {r["k"]: (r["s"], r["n"], r["lo"], r["hi"]) for r in ab.collect()}
+    fb = {r["k"]: (r["s"], r["n"], r["lo"], r["hi"]) for r in ba.collect()}
+    assert fa == fb
