@@ -608,3 +608,40 @@ def q112_mad_outliers(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q118 — miscellaneous aggregate family (mode / count_if / bool_and / any)
+# --------------------------------------------------------------------------
+@query(
+    "q118_misc_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           mode(o_orderstatus)                       AS modal_status,
+           count_if(o_totalprice > 150000)           AS n_big,
+           bool_and(o_totalprice > 0)                AS all_positive,
+           bool_or(o_orderstatus = 'P')              AS any_pending,
+           count(DISTINCT o_orderstatus)             AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("aggregate", "stats"),
+)
+def q118_misc_aggregates(spark, sf_dir):
+    """The remaining aggregate family in one query: mode (most frequent
+    value — deterministic here: status frequencies are far apart per
+    priority), count_if, bool_and/bool_or, distinct count. All JVM
+    hash-aggregate built-ins, one shuffle."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.mode("o_orderstatus").alias("modal_status"),
+            F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+            F.count_distinct("o_orderstatus").alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )
