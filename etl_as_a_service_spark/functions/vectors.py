@@ -113,3 +113,46 @@ def nearest_cell_kernel(centroids: list[list[float]]):
         return pd.Series(np.argmin(d2, axis=1).astype("int32"))
 
     return _nearest
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric int8 quantization of a float vector column: codes =
+    clamp(round(x * 127 / amax), -127, 127) with the per-vector scale
+    kept alongside — struct<codes: array<tinyint>, scale: float>.
+
+    The storage lever for 100 TB embedding tables: 4x smaller than
+    float32 on disk AND on the shuffle wire, with recall loss that the
+    roundtrip-error test bounds at scale/127 per component. Pure
+    codegen'd expressions — no UDF. Rounding is spelled
+    floor(x + 0.5) so the code values are engine-portable (round()
+    half-to-even vs half-away differs across engines).
+
+    Zero vectors quantize to all-zero codes with scale 0 (dequantize
+    restores exact zeros)."""
+    v = _as_double(vec)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    safe = F.when(amax > 0, amax).otherwise(F.lit(1.0))
+    codes = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(x * 127.0 / safe + 0.5)),
+        ).cast("tinyint"),
+    )
+    return F.struct(
+        codes.alias("codes"),
+        (safe / 127.0).cast("float").alias("scale"),
+        (amax == 0).alias("is_zero"),
+    )
+
+
+def dequantize_int8(q: Column) -> Column:
+    """Inverse of quantize_int8: array<float> ~ codes * scale."""
+    return F.when(q.getField("is_zero"), F.transform(
+        q.getField("codes"), lambda c: F.lit(0.0).cast("float")
+    )).otherwise(
+        F.transform(
+            q.getField("codes"),
+            lambda c: (c.cast("double") * q.getField("scale")).cast("float"),
+        )
+    )

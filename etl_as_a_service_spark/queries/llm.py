@@ -1388,3 +1388,48 @@ def q110_bm25_search(spark, sf_dir):
     return bm25_search(
         docs, "text", "doc_id", ["vector", "broadcast", "shuffle"], k=10
     )
+
+
+# --------------------------------------------------------------------------
+# q119 — int8 embedding quantization (storage-path operator)
+# --------------------------------------------------------------------------
+@query(
+    "q119_embedding_quantization",
+    oracle="""
+    SELECT vec_id,
+           list_transform(
+             embedding,
+             x -> CAST(greatest(-127.0, least(127.0,
+                    floor(CAST(x AS DOUBLE) * 127.0 /
+                          CASE WHEN amax > 0 THEN amax ELSE 1.0 END + 0.5)
+                  )) AS INTEGER)
+           ) AS codes,
+           round(CASE WHEN amax > 0 THEN amax ELSE 1.0 END / 127.0, 6)
+             AS scale
+    FROM (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS amax
+      FROM embeddings
+    )
+    ORDER BY vec_id
+    """,
+    tags=("embedding", "quantization", "llm", "operator"),
+)
+def q119_embedding_quantization(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding table
+    (functions.vectors.quantize_int8) — 4x smaller than float32 on disk
+    and on the shuffle wire; the roundtrip error bound (half a code
+    step per component) and cosine preservation are pytest-asserted.
+    Pure codegen'd array expressions; rounding spelled floor(x + 0.5)
+    so the codes are engine-portable (round() half-even vs half-away
+    differs between engines)."""
+    from etl_as_a_service_spark.functions.vectors import quantize_int8
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", quantize_int8(F.col("embedding")).alias("q"))
+    return q.select(
+        "vec_id",
+        F.transform(F.col("q.codes"), lambda c: c.cast("int")).alias("codes"),
+        F.round(F.col("q.scale").cast("double"), 6).alias("scale"),
+    ).orderBy("vec_id")

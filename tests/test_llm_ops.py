@@ -491,3 +491,52 @@ def test_kernel_tier_minhash_and_cosine(spark):
             assert r["k"] is None or math.isnan(r["k"])
         else:
             assert abs(r["k"] - r["e"]) < 1e-9
+
+
+def test_int8_quantization_roundtrip_bound(spark):
+    """Quantize->dequantize error must be bounded by scale/2 * (1/127)
+    per component (half a code step), and cosine similarity of the
+    reconstructed vectors must stay high."""
+    from etl_as_a_service_spark.functions.vectors import (
+        cosine_similarity,
+        dequantize_int8,
+        quantize_int8,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.select(
+        "vec_id",
+        F.col("embedding").alias("orig"),
+        quantize_int8(F.col("embedding")).alias("q"),
+    )
+    r = q.select(
+        "vec_id", "orig",
+        dequantize_int8(F.col("q")).alias("rec"),
+        F.col("q.scale").alias("scale"),
+    )
+    checked = r.select(
+        F.array_max(
+            F.zip_with(
+                "orig", "rec", lambda a, b: F.abs(a.cast("double") - b.cast("double"))
+            )
+        ).alias("max_err"),
+        F.col("scale"),
+        cosine_similarity(F.col("orig"), F.col("rec")).alias("cos"),
+    ).collect()
+    for row in checked:
+        assert row["max_err"] <= row["scale"] * 0.5 + 1e-6, row
+        assert row["cos"] > 0.995, row
+
+
+def test_int8_quantization_zero_vector(spark):
+    from etl_as_a_service_spark.functions.vectors import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame([([0.0, 0.0, 0.0],)], "v array<float>")
+    out = df.select(
+        dequantize_int8(quantize_int8(F.col("v"))).alias("r")
+    ).first()
+    assert list(out["r"]) == [0.0, 0.0, 0.0]
