@@ -66,6 +66,7 @@ _ALLOWED_OPS = {
     "bm25",
     "components",
     "sessionize",
+    "quantize_embeddings",
     "select",
     "with_column",
     "rename",
@@ -398,6 +399,15 @@ def _apply_step(
             src=_req(step, "src"),
             dst=_req(step, "dst"),
             max_iter=int(step.get("max_iter", 20)),
+        )
+    if op == "quantize_embeddings":
+        # {"op":"quantize_embeddings","vec_col":"embedding",
+        #  "out_col":"q"} — int8 codes + scale struct (4x storage cut)
+        from etl_as_a_service_spark.functions.vectors import quantize_int8
+
+        return df.withColumn(
+            step.get("out_col", "q"),
+            quantize_int8(F.col(_req(step, "vec_col"))),
         )
     if op == "sessionize":
         # {"op":"sessionize","ts_col":"ts","keys":["user_id"],

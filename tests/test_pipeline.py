@@ -576,3 +576,20 @@ def test_sink_zorder_layout(spark, tmp_path):
     full = spark.read.parquet(out)
     glo = full.agg(F.max("l_partkey") - F.min("l_partkey")).first()[0]
     assert sorted(spans)[len(spans) // 2] < 0.6 * glo
+
+
+def test_quantize_embeddings_step(spark):
+    spec = {
+        "name": "quantize",
+        "source": {"format": "parquet",
+                   "path": f"{SF_SMOKE}/embeddings.parquet"},
+        "steps": [
+            {"op": "quantize_embeddings", "vec_col": "embedding"},
+            {"op": "select",
+             "columns": ["vec_id", "q.codes AS codes", "q.scale AS scale"]},
+        ],
+    }
+    out = compile_pipeline(spark, spec)
+    row = out.first()
+    assert row["scale"] > 0
+    assert all(-127 <= c <= 127 for c in row["codes"])
