@@ -127,8 +127,8 @@ def quantize_int8(vec: Column) -> Column:
     floor(x + 0.5) so the code values are engine-portable (round()
     half-to-even vs half-away differs across engines).
 
-    Zero vectors quantize to all-zero codes with scale 0 (dequantize
-    restores exact zeros)."""
+    Zero vectors quantize to all-zero codes with scale 0 — dequantize
+    (codes * scale) restores exact zeros with no special case."""
     v = _as_double(vec)
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     safe = F.when(amax > 0, amax).otherwise(F.lit(1.0))
@@ -141,18 +141,13 @@ def quantize_int8(vec: Column) -> Column:
     )
     return F.struct(
         codes.alias("codes"),
-        (safe / 127.0).cast("float").alias("scale"),
-        (amax == 0).alias("is_zero"),
+        (amax / 127.0).cast("float").alias("scale"),
     )
 
 
 def dequantize_int8(q: Column) -> Column:
     """Inverse of quantize_int8: array<float> ~ codes * scale."""
-    return F.when(q.getField("is_zero"), F.transform(
-        q.getField("codes"), lambda c: F.lit(0.0).cast("float")
-    )).otherwise(
-        F.transform(
-            q.getField("codes"),
-            lambda c: (c.cast("double") * q.getField("scale")).cast("float"),
-        )
+    return F.transform(
+        q.getField("codes"),
+        lambda c: (c.cast("double") * q.getField("scale")).cast("float"),
     )

@@ -38,13 +38,21 @@ def connected_components(
     - ``localCheckpoint`` truncates lineage each round so the plan stays
       O(1)-deep instead of growing into an O(iterations) tree that
       Catalyst re-optimizes from scratch on every action;
-    - convergence rides the checkpoint action as an Observation (labels
-      only ever decrease, so "sum unchanged" == fixpoint) — no extra
-      job per round;
+    - convergence rides the checkpoint action as an Observation: the
+      fingerprint sum(xxhash64(label)) changes whenever any label
+      changes (labels only ever decrease), is type-agnostic (string
+      ids hash the same way as numeric ids — a raw sum(label) would be
+      NULL for strings and terminate after one round, silently wrong),
+      and is summed as DECIMAL(38,0) so it can neither overflow under
+      ANSI mode nor wrap silently for full-range 64-bit hashed ids.
+      Collision odds per round are ~2^-64 — negligible;
     - rounds needed = graph diameter in the worst case; near-dup
       clusters are shallow (diameter <= 3-4 in practice), and the
       ``max_iter`` bound caps the worst case.
     """
+
+    def _fingerprint():
+        return F.sum(F.xxhash64("label").cast("decimal(38,0)")).alias("s")
     # materialize the (possibly expensive) edge plan ONCE, then build
     # the symmetric closure from the checkpointed rows — unioning two
     # projections of the raw plan would evaluate it twice
@@ -55,11 +63,15 @@ def connected_components(
 
     if nodes is None:
         nodes = sym.select(F.col("s").alias("node")).distinct()
-    labels = nodes.select(
-        F.col("node"), F.col("node").alias("label")
-    ).localCheckpoint(eager=True)
-
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # the seed fingerprint rides the initial checkpoint's action as an
+    # Observation — no extra aggregation job before the loop
+    obs0 = Observation()
+    labels = (
+        nodes.select(F.col("node"), F.col("node").alias("label"))
+        .observe(obs0, _fingerprint())
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = obs0.get["s"]
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.s == labels.node)
@@ -75,7 +87,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .observe(obs, F.sum("label").alias("s"))
+            .observe(obs, _fingerprint())
             .localCheckpoint(eager=True)
         )
         new_sum = obs.get["s"]

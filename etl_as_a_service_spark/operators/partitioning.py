@@ -70,7 +70,12 @@ def zorder_sort(
     )
 
     def norm(c, lo, hi):
-        span = F.greatest(F.col(hi) - F.col(lo), F.lit(1)).cast("double")
+        # guard ONLY the zero-span (constant column) case — clamping to
+        # a minimum span of 1 would break fractional ranges (a double
+        # column spanning [0, 0.001] would use ~6 of its 16 bits and the
+        # curve would degenerate into a single-column sort)
+        raw = (F.col(hi) - F.col(lo)).cast("double")
+        span = F.when(raw > 0, raw).otherwise(F.lit(1.0))
         return (
             ((F.col(c) - F.col(lo)).cast("double") * 65535.0 / span)
             .cast("long")

@@ -378,6 +378,7 @@ def interpolate_linear(
     key_cols: list[str],
     value_col: str,
     out_col: str | None = None,
+    tie_cols: list[str] | None = None,
 ) -> DataFrame:
     """Linear interpolation of NULL gaps in a per-key time series: each
     null value becomes prev + (next - prev) * elapsed-fraction between
@@ -391,17 +392,21 @@ def interpolate_linear(
     expressions in a single Window physical operator, so the cost is
     one shuffle on the series key and one in-partition sort, same as
     any per-key window aggregate. No joins, no self-union.
+    ``tie_cols`` complete the in-key order when timestamps can repeat
+    (resampled grids are duplicate-free, raw event data is not —
+    without a total order the chosen neighbor is shuffle-dependent).
     """
     out_col = out_col or value_col
     v, ts = F.col(value_col), F.col(ts_col)
+    order = [F.col(ts_col)] + [F.col(c) for c in (tie_cols or [])]
     w_back = (
         Window.partitionBy(*key_cols)
-        .orderBy(ts_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_fwd = (
         Window.partitionBy(*key_cols)
-        .orderBy(ts_col)
+        .orderBy(*order)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     pv = F.last(v, ignorenulls=True).over(w_back)

@@ -1404,8 +1404,7 @@ def q110_bm25_search(spark, sf_dir):
                           CASE WHEN amax > 0 THEN amax ELSE 1.0 END + 0.5)
                   )) AS INTEGER)
            ) AS codes,
-           round(CASE WHEN amax > 0 THEN amax ELSE 1.0 END / 127.0, 6)
-             AS scale
+           round(amax / 127.0, 6) AS scale
     FROM (
       SELECT vec_id, embedding,
              list_max(list_transform(embedding,

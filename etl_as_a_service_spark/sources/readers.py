@@ -162,44 +162,77 @@ def compact_files(
     compaction is the standard lakehouse maintenance pass (Delta/
     Iceberg OPTIMIZE).
 
-    File count = ceil(on-disk bytes / target); the rewrite goes through
-    a temp directory next to the target and swaps in atomically at the
-    directory level (rename), so a concurrent reader sees either the
-    old or the new layout, never a half-written one. Returns
-    {files_before, files_after, bytes}.
+    Hive-partitioned layouts (``col=val`` subdirectories) are preserved:
+    each leaf partition directory is compacted independently, so
+    directory-based partition pruning keeps working after the pass.
+
+    File count per leaf = ceil(leaf bytes / target); each rewrite goes
+    through a temp directory and swaps in by directory rename. The swap
+    is two renames, so a crash between them can leave the leaf absent
+    with its data parked in ``<leaf>.__compact_old__`` — the next
+    compact_files call detects and heals that (rename back) before
+    doing anything else, and the data itself is never at risk.
+    ``coalesce`` (not repartition) does the rewrite: partitions are
+    concatenated on the way out, never shuffled. Returns
+    {files_before, files_after, bytes, leaves}.
     """
     import math
     import os
     import shutil
 
-    files = []
-    for root, _, names in os.walk(path):
-        files.extend(
-            os.path.join(root, n)
-            for n in names
-            if not n.startswith(("_", "."))
-        )
-    total = sum(os.path.getsize(f) for f in files)
-    n_out = max(1, math.ceil(total / target_file_bytes))
-    tmp = path.rstrip("/") + ".__compact_tmp__"
-    old = path.rstrip("/") + ".__compact_old__"
-    # coalesce, not repartition: compaction must not shuffle the data,
-    # only concatenate partitions on the way out
-    spark.read.format(fmt).load(path).coalesce(n_out).write.format(
-        fmt
-    ).mode("overwrite").save(tmp)
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    after = [
-        n
-        for _, _, names in os.walk(path)
-        for n in names
-        if not n.startswith(("_", "."))
-    ]
+    def _recover(leaf: str) -> None:
+        old = leaf.rstrip("/") + ".__compact_old__"
+        if os.path.exists(old) and not os.path.exists(leaf):
+            os.rename(old, leaf)  # heal a crash between the two renames
+
+    def _data_files(d: str, recursive: bool = False) -> list[str]:
+        if recursive:
+            return [
+                os.path.join(r, n)
+                for r, _, names in os.walk(d)
+                for n in names
+                if not n.startswith(("_", "."))
+            ]
+        return [
+            os.path.join(d, n)
+            for n in os.listdir(d)
+            if os.path.isfile(os.path.join(d, n))
+            and not n.startswith(("_", "."))
+        ]
+
+    _recover(path)
+    # leaves = directories that directly hold data files (the table dir
+    # itself for flat layouts; every partition dir for hive layouts)
+    leaves = sorted(
+        {os.path.dirname(f) for f in _data_files(path, recursive=True)}
+    )
+    for leaf in list(leaves):
+        _recover(leaf)
+
+    before = after = total = 0
+    for leaf in leaves:
+        files = _data_files(leaf)
+        leaf_bytes = sum(os.path.getsize(f) for f in files)
+        before += len(files)
+        total += leaf_bytes
+        n_out = max(1, math.ceil(leaf_bytes / target_file_bytes))
+        if len(files) <= n_out:
+            after += len(files)
+            continue  # already at/below target — skip the rewrite
+        tmp = leaf.rstrip("/") + ".__compact_tmp__"
+        old = leaf.rstrip("/") + ".__compact_old__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.read.format(fmt).load(leaf).coalesce(n_out).write.format(
+            fmt
+        ).mode("overwrite").save(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(leaf, old)
+        os.rename(tmp, leaf)
+        shutil.rmtree(old)
+        after += len(_data_files(leaf))
     return {
-        "files_before": len(files),
-        "files_after": len(after),
+        "files_before": before,
+        "files_after": after,
         "bytes": total,
+        "leaves": len(leaves),
     }

@@ -356,6 +356,13 @@ def streaming_aggregate_maintenance(
     rewrite shuffles only state rows. foreachBatch (not a stateful
     operator) because the state must outlive the query as a queryable,
     compactable TABLE, not live in the state store.
+
+    foreachBatch is at-least-once: after a crash between the state swap
+    and the checkpoint commit, Spark REPLAYS the batch. The fold is made
+    idempotent by stamping the folded batch_id into the state directory
+    (``_last_batch`` — underscore-prefixed, invisible to parquet
+    readers) inside the same directory swap, and skipping any batch_id
+    already <= the stamp on replay.
     """
     import os
 
@@ -366,7 +373,16 @@ def streaming_aggregate_maintenance(
 
     spark = stream_df.sparkSession
 
+    def _last_folded() -> int:
+        try:
+            with open(os.path.join(state_path, "_last_batch")) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _last_folded():
+            return  # replayed batch — already merged into the state
         part = aggregate_state(batch_df, keys, specs)
         if os.path.exists(state_path):
             prev = spark.read.parquet(state_path)
@@ -375,6 +391,8 @@ def streaming_aggregate_maintenance(
         # and overwrite-in-place would read and clobber the same files
         tmp = state_path.rstrip("/") + f".__b{batch_id}__"
         part.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_last_batch"), "w") as f:
+            f.write(str(batch_id))
         old = state_path.rstrip("/") + ".__old__"
         import shutil
 

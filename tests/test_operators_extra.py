@@ -455,3 +455,22 @@ def test_incremental_aggregate_rejects_unknown_fn(spark):
     df = spark.range(5)
     with _pytest.raises(ValueError, match="mergeable"):
         aggregate_state(df, [], {"m": ("median", "id")})
+
+
+def test_connected_components_string_ids(spark):
+    """String node ids must propagate through multiple rounds — the
+    convergence fingerprint has to be type-agnostic (a plain sum over a
+    string label column is NULL and would stop after one round)."""
+    from etl_as_a_service_spark.operators.graph import connected_components
+
+    # chain a-b-c-d needs >1 round for d to learn label 'a'
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "u string, v string",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "u", "v").collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "x": "x", "y": "x"}

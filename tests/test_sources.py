@@ -269,3 +269,47 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
         back.agg(F.sum("l_quantity")).first()[0]
         == li.agg(F.sum("l_quantity")).first()[0]
     )
+
+
+def test_compact_files_preserves_partitioned_layout(spark, tmp_path):
+    from etl_as_a_service_spark.sources.readers import compact_files
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "part")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    (orders.repartition(6).write.partitionBy("o_orderpriority")
+     .parquet(out))
+    import glob, os
+    leaf_dirs_before = sorted(
+        d for d in glob.glob(f"{out}/o_orderpriority=*") if os.path.isdir(d)
+    )
+    stats = compact_files(spark, out, target_file_bytes=10**9)
+    leaf_dirs_after = sorted(
+        d for d in glob.glob(f"{out}/o_orderpriority=*") if os.path.isdir(d)
+    )
+    # partition directory structure intact, one file per leaf
+    assert leaf_dirs_after == leaf_dirs_before
+    assert stats["leaves"] == len(leaf_dirs_before)
+    assert stats["files_after"] == len(leaf_dirs_before)
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    assert "o_orderpriority" in back.columns
+    # partition pruning still directory-based
+    one = spark.read.parquet(leaf_dirs_before[0])
+    assert one.count() > 0
+
+
+def test_compact_files_heals_interrupted_swap(spark, tmp_path):
+    from etl_as_a_service_spark.sources.readers import compact_files
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "crash")
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    li.repartition(5).write.parquet(out)
+    n = li.count()
+    import os
+    # simulate a crash between the two renames: table dir moved aside
+    os.rename(out, out + ".__compact_old__")
+    stats = compact_files(spark, out, target_file_bytes=10**9)
+    assert spark.read.parquet(out).count() == n
+    assert stats["files_after"] == 1

@@ -368,3 +368,32 @@ def test_streaming_aggregate_maintenance_equals_batch(spark, tmp_path):
         assert inc[k]["n"] == full[k]["n"]
         assert abs(inc[k]["total"] - full[k]["total"]) < 1e-6
         assert abs(inc[k]["mean"] - full[k]["mean"]) < 1e-9
+
+
+def test_streaming_aggregate_maintenance_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying already-folded batches
+    (here: the whole stream, after losing the checkpoint) must not
+    double-count — the batch stamp in the state directory skips them."""
+    from etl_as_a_service_spark.streaming.ops import (
+        streaming_aggregate_maintenance,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    keys, specs = ["event_type"], {"n": ("count", "value")}
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        return streaming_aggregate_maintenance(
+            stream, str(tmp_path / "state"), keys, specs, checkpoint=ckpt
+        )
+
+    first = {r["event_type"]: r["n"] for r in run(str(tmp_path / "c1")).collect()}
+    # checkpoint lost -> every batch replays against the surviving state
+    replay = {r["event_type"]: r["n"] for r in run(str(tmp_path / "c2")).collect()}
+    assert replay == first
