@@ -387,3 +387,61 @@ def bm25_search(
         .orderBy(F.col("score").desc(), id_col)
         .limit(k)
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document fluency score under an add-one-smoothed bigram
+    language model fit on the corpus itself: mean over a document's
+    bigrams of ln((c(w1,w2) + 1) / (c(w1) + V)), V = unigram vocabulary
+    size. Documents whose transitions are common corpus-wide score
+    high; mangled/boilerplate/shuffled text scores low — the classic
+    cheap quality signal for corpus filtering (a KenLM stand-in that
+    needs no external model).
+
+    Scale shape: one tokenize/posexplode pass feeds both the corpus
+    counts and the per-doc bigram list (ReuseExchange); the bigram-
+    count join shuffles on the bigram key (map-side combined counts,
+    never text — bigrams travel as their two words only); unigram
+    counts join on w1 the same way; V is a 1-row aggregate broadcast.
+    Returns (id, n_bigrams, score).
+    """
+    toks = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(tokenize(F.col(text_col))).alias("pos", "w"),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy("pos")
+    bigrams = (
+        toks.select(
+            "__id",
+            F.col("w").alias("w1"),
+            F.lead("w").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    bigram_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    unigram_counts = toks.groupBy(F.col("w").alias("w1")).agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    vocab = toks.select(
+        F.count_distinct("w").alias("__v")
+    )
+    return (
+        bigrams.join(bigram_counts, ["w1", "w2"])
+        .join(unigram_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(
+                F.log((F.col("cb") + 1) / (F.col("cu") + F.col("__v")))
+            ).alias("score"),
+        )
+        .select(F.col("__id").alias(id_col), "n_bigrams", "score")
+    )

@@ -1432,3 +1432,49 @@ def q119_embedding_quantization(spark, sf_dir):
         F.transform(F.col("q.codes"), lambda c: c.cast("int")).alias("codes"),
         F.round(F.col("q.scale").cast("double"), 6).alias("scale"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# q120 — bigram language-model fluency scores (corpus-fit, add-1 smoothed)
+# --------------------------------------------------------------------------
+@query(
+    "q120_bigram_lm_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, i AS pos, ws[i] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           UNNEST(range(1, len(ws) + 1)) AS t(i)
+    ),
+    bigrams AS (
+      SELECT doc_id, w AS w1,
+             lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks
+    ),
+    bg AS (SELECT * FROM bigrams WHERE w2 IS NOT NULL),
+    bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+    uc AS (SELECT w AS w1, count(*) AS cu FROM toks GROUP BY w),
+    v AS (SELECT count(DISTINCT w) AS vv FROM toks)
+    SELECT bg.doc_id, count(*) AS n_bigrams,
+           round(avg(ln((cb + 1) / CAST(cu + vv AS DOUBLE))), 6) AS score
+    FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+    WHERE bg.doc_id < 200
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """,
+    tags=("lm", "quality", "corpus", "llm", "operator"),
+)
+def q120_bigram_lm_scores(spark, sf_dir):
+    """Per-document fluency under a corpus-fit add-1-smoothed bigram LM
+    (llm.corpus.bigram_lm_scores — the KenLM-style quality signal with
+    no external model): one tokenize/posexplode pass feeds corpus
+    counts AND per-doc bigrams; count joins shuffle on word keys only;
+    vocabulary size broadcasts as a 1-row aggregate."""
+    from etl_as_a_service_spark.llm.corpus import bigram_lm_scores
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    out = bigram_lm_scores(docs, "text", "doc_id")
+    return (
+        out.filter(F.col("doc_id") < 200)
+        .select("doc_id", "n_bigrams", F.round("score", 6).alias("score"))
+        .orderBy("doc_id")
+    )
