@@ -540,3 +540,32 @@ def test_int8_quantization_zero_vector(spark):
         dequantize_int8(quantize_int8(F.col("v"))).alias("r")
     ).first()
     assert list(out["r"]) == [0.0, 0.0, 0.0]
+
+
+def test_quantized_search_recall_vs_exact(spark):
+    """Top-k cosine search over DEQUANTIZED int8 vectors must agree
+    with full-precision search almost everywhere — the end-to-end check
+    that the 4x storage cut does not break retrieval."""
+    from etl_as_a_service_spark.functions.vectors import (
+        dequantize_int8,
+        quantize_int8,
+    )
+    from etl_as_a_service_spark.llm.similarity import brute_force_topk
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=10)
+    deq = emb.select(
+        "vec_id",
+        dequantize_int8(quantize_int8(F.col("embedding"))).alias("embedding"),
+    )
+    dq = queries.select(
+        "vec_id",
+        dequantize_int8(quantize_int8(F.col("embedding"))).alias("embedding"),
+    )
+    approx = brute_force_topk(deq, dq, "vec_id", "embedding", k=10)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, recall
