@@ -289,8 +289,12 @@ def filter_funnel(
     running: Column | None = None
     for i, (_, cond) in enumerate(rules, start=1):
         running = cond if running is None else (running & cond)
+        # coalesce: SUM over zero rows is NULL — an empty input must
+        # report 0 survivors at every stage, not NULL
         aggs.append(
-            F.sum(F.when(running, 1).otherwise(0)).alias(f"__s{i}")
+            F.coalesce(
+                F.sum(F.when(running, 1).otherwise(0)), F.lit(0)
+            ).alias(f"__s{i}")
         )
     agg = df.agg(*aggs)
     names = ["input"] + [name for name, _ in rules]

@@ -16,7 +16,26 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     serializes the whole corpus through one task (measured 6s
     single-task vs 0.3s spread at sf0.1). At real scale inputs have
     many splits and this is a no-op; the guard keeps the extra
-    full-width shuffle away from inputs that are already parallel."""
+    full-width shuffle away from inputs that are already parallel.
+
+    The probe only runs on scan-only plans: under AQE, ``df.rdd``
+    MATERIALIZES every upstream shuffle stage at construction time
+    (AdaptiveSparkPlanExec runs query stages to pick the final plan),
+    and that work would re-run when the returned frame is consumed —
+    double execution of the whole upstream DAG. Plans that already
+    contain a shuffle-producing operator inherit
+    spark.sql.shuffle.partitions-level parallelism anyway, so the
+    guard is skipped there (a scan-only plan has no stages to run and
+    the probe is metadata-cheap)."""
+    import re
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if re.search(
+        r"\b(Join|Aggregate|Window|Sort|Repartition|Deduplicate|"
+        r"Distinct|Generate|GlobalLimit)\b",
+        plan,
+    ):
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)

@@ -212,9 +212,18 @@ def banded_range_join(
     band rows (bounded explode: choose band_width >= the typical
     interval width so k stays small).
 
-    Exact same result set as the theta join, at any scale."""
+    Exact same result set as the theta join, at any scale. Inner join
+    only: an outer variant would null-extend an unmatched interval once
+    PER BAND it spans (k copies) — use the theta join directly when
+    outer semantics are required."""
     if band_width <= 0:
         raise ValueError(f"band_width must be positive, got {band_width}")
+    if how != "inner":
+        raise ValueError(
+            "banded_range_join supports how='inner' only (an outer join "
+            "would emit one null-extended row per band an unmatched "
+            "interval spans); use a plain theta join for outer semantics"
+        )
     lband = (F.col(left_col) / band_width).cast("long")
     l_ = left.withColumn("__band", lband)
     r_ = right.withColumn(
@@ -257,29 +266,32 @@ def fuzzy_join(
         c = F.lower(F.trim(F.col(col)))
         return df.select(
             "*",
-            F.explode(
-                F.array(
-                    F.concat(F.lit("p:"), F.substring(c, 1, block_prefix)),
-                    F.concat(F.lit("s:"), F.soundex(c)),
-                )
-            ).alias(f"__blk_{side}"),
+            F.substring(c, 1, block_prefix).alias(f"__p_{side}"),
+            F.soundex(c).alias(f"__s_{side}"),
         )
 
     lb = blocks(left, left_col, "l")
     rb = blocks(right, right_col, "r")
-    pairs = lb.join(
-        rb, F.col("__blk_l") == F.col("__blk_r")
-    ).drop("__blk_l", "__blk_r")
+    # two equi-joins, disjoint by construction: the soundex join only
+    # emits pairs the prefix join did NOT (prefixes differ). Each
+    # (left-row, right-row) pair therefore surfaces exactly once, and
+    # input row multiplicity is preserved — a trailing dropDuplicates
+    # would collapse genuinely duplicate input rows too.
+    by_prefix = lb.join(rb, F.col("__p_l") == F.col("__p_r"))
+    by_soundex = lb.join(
+        rb,
+        (F.col("__s_l") == F.col("__s_r"))
+        & (F.col("__p_l") != F.col("__p_r")),
+    )
+    pairs = by_prefix.unionByName(by_soundex).drop(
+        "__p_l", "__p_r", "__s_l", "__s_r"
+    )
     dist = F.levenshtein(
         F.lower(F.trim(F.col(left_col))), F.lower(F.trim(F.col(right_col)))
     )
     return (
         pairs.withColumn("__dist", dist)
         .filter(F.col("__dist") <= max_distance)
-        # a pair that agrees on BOTH blocks surfaces twice — collapse
-        # exact full-row duplicates only (distinct rows sharing a key
-        # string survive)
-        .dropDuplicates()
     )
 
 
@@ -295,25 +307,34 @@ def merge_upsert(
     NOT MATCHED THEN INSERT *``.
 
     One full-outer join on the keys (broadcast when updates are small);
-    columns resolve via COALESCE(update, target) — both sides must
-    share the schema. Write the result as the new snapshot (parquet has
-    no update-in-place; at scale, partition the sink so unchanged
-    partitions can be retained via dynamic partition overwrite)."""
+    a matched row takes EVERY column from the update side — including
+    NULLs, exactly like ``UPDATE SET *`` (a per-column COALESCE would
+    silently resurrect the target's old value whenever an update
+    carries NULL). Both sides must share the schema. Write the result
+    as the new snapshot (parquet has no update-in-place; at scale,
+    partition the sink so unchanged partitions can be retained via
+    dynamic partition overwrite)."""
     cols = target.columns
     if updates.columns != cols:
         raise ValueError(
             f"schema mismatch: target {cols} vs updates {updates.columns}"
         )
     t = target.alias("t")
-    u = updates.alias("u")
+    # presence marker instead of key-null checks: update rows whose key
+    # IS NULL are still rows (eqNullSafe matches them), and a value
+    # column can't stand in for row presence
+    u = updates.withColumn("__u_present", F.lit(True)).alias("u")
     cond = None
     for k in key_cols:
         c = F.col(f"t.{k}").eqNullSafe(F.col(f"u.{k}"))
         cond = c if cond is None else (cond & c)
     joined = t.join(u, cond, "full_outer")
+    matched = F.col("u.__u_present").isNotNull()
     return joined.select(
         *[
-            F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+            F.when(matched, F.col(f"u.{c}"))
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
             for c in cols
         ]
     )
@@ -338,15 +359,18 @@ def snapshot_diff(
             f"schema mismatch: old {cols} vs new {new.columns}"
         )
     val_cols = [c for c in cols if c not in key_cols]
-    o = old.alias("o")
-    n = new.alias("n")
+    # presence markers, not key-null checks: the eqNullSafe join is
+    # built precisely so NULL-keyed rows match, and a NULL key must not
+    # read as "row absent"
+    o = old.withColumn("__o_present", F.lit(True)).alias("o")
+    n = new.withColumn("__n_present", F.lit(True)).alias("n")
     cond = None
     for k in key_cols:
         c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
         cond = c if cond is None else (cond & c)
     joined = o.join(n, cond, "full_outer")
-    in_old = F.col(f"o.{key_cols[0]}").isNotNull()
-    in_new = F.col(f"n.{key_cols[0]}").isNotNull()
+    in_old = F.col("o.__o_present").isNotNull()
+    in_new = F.col("n.__n_present").isNotNull()
     same_vals = (
         F.struct(*[F.col(f"o.{c}") for c in val_cols]).eqNullSafe(
             F.struct(*[F.col(f"n.{c}") for c in val_cols])

@@ -77,8 +77,11 @@ _CHECKS: list[tuple[str, str, str, str]] = [
 ]
 
 #: a Window whose partition spec is empty: `Window [...], [col ASC ...]`
-#: (no partition list between the projection and the ordering)
-_GLOBAL_WINDOW = re.compile(r"Window \[[^\]]*\], \[[^\]]*(ASC|DESC)")
+#: (no partition list between the projection and the ordering). The
+#: direction keyword must be a standalone token followed by NULLS —
+#: a partition COLUMN named e.g. PRODUCT_DESC prints as
+#: `PRODUCT_DESC#12` (no surrounding spaces) and must not match.
+_GLOBAL_WINDOW = re.compile(r"Window \[[^\]]*\], \[[^\]]* (ASC|DESC) NULLS")
 
 
 def lint_plan(df: DataFrame) -> list[Finding]:

@@ -318,7 +318,12 @@ def _apply_step(
             id_col=_req(step, "id_col"),
             token_col=_req(step, "token_col"),
             chunk_size=int(_req(step, "chunk_size")),
-            stride=int(step["stride"]) if step.get("stride") else None,
+            # `is not None`, not truthiness: an explicit stride=0 must
+            # reach chunk_documents and raise its documented ValueError,
+            # not silently fall back to the no-overlap default
+            stride=(
+                int(step["stride"]) if step.get("stride") is not None else None
+            ),
         )
     if op == "repetition_score":
         # {"op":"repetition_score","text_col":"text","id_col":"doc_id",
@@ -670,10 +675,13 @@ class PipelineRunner:
                 run.n_output_rows = df.count()
             if observations:
                 # Observation.get blocks until the observed action above
-                # completed; metrics cost zero extra jobs
-                run.metrics = {
-                    name: dict(obs.get) for name, obs in observations
-                }
+                # completed; metrics cost zero extra jobs. MERGE into the
+                # dict — plan_lint already stored plan_findings there,
+                # and an assignment would clobber it
+                run.metrics = dict(run.metrics or {})
+                run.metrics.update(
+                    {name: dict(obs.get) for name, obs in observations}
+                )
             run.status = "success"
         except Exception:
             run.status = "failed"

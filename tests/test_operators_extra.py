@@ -474,3 +474,74 @@ def test_connected_components_string_ids(spark):
     }
     assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
                    "x": "x", "y": "x"}
+
+
+def test_merge_upsert_null_update_overwrites(spark):
+    """MERGE ... UPDATE SET * semantics: a matched update row carrying
+    NULL must overwrite the target value with NULL, not resurrect it."""
+    from etl_as_a_service_spark.operators.relational import merge_upsert
+
+    target = spark.createDataFrame([(1, "active"), (2, "idle")],
+                                   "k int, status string")
+    updates = spark.createDataFrame([(1, None)], "k int, status string")
+    got = {r["k"]: r["status"] for r in
+           merge_upsert(target, updates, ["k"]).collect()}
+    assert got == {1: None, 2: "idle"}
+
+
+def test_snapshot_diff_null_keys(spark):
+    """NULL keys are legitimate key values under the eqNullSafe join:
+    an unchanged NULL-keyed row must NOT appear, a vanished one is a
+    delete, and a value change on it is an update."""
+    from etl_as_a_service_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame([(None, "a"), (1, "x")], "k int, v string")
+    same = spark.createDataFrame([(None, "a"), (1, "x")], "k int, v string")
+    assert snapshot_diff(old, same, ["k"]).count() == 0
+    gone = spark.createDataFrame([(1, "x")], "k int, v string")
+    d = snapshot_diff(old, gone, ["k"]).collect()
+    assert len(d) == 1 and d[0]["change_type"] == "delete" and d[0]["k"] is None
+    changed = spark.createDataFrame([(None, "b"), (1, "x")], "k int, v string")
+    u = snapshot_diff(old, changed, ["k"]).collect()
+    assert len(u) == 1 and u[0]["change_type"] == "update" and u[0]["k"] is None
+
+
+def test_fuzzy_join_preserves_input_multiplicity(spark):
+    """Two identical left rows both match — blocking dedup must not
+    collapse genuinely duplicate input rows."""
+    from etl_as_a_service_spark.operators.relational import fuzzy_join
+
+    left = spark.createDataFrame([("FRANSE",), ("FRANSE",)], "name string")
+    right = spark.createDataFrame([("FRANCE",)], "ref string")
+    out = fuzzy_join(left, right, "name", "ref", max_distance=2)
+    assert out.count() == 2
+
+
+def test_banded_range_join_rejects_outer(spark):
+    import pytest as _pytest
+    from etl_as_a_service_spark.operators.relational import banded_range_join
+
+    pts = spark.createDataFrame([(5,)], "x int")
+    iv = spark.createDataFrame([(0, 250)], "lo int, hi int")
+    with _pytest.raises(ValueError, match="inner"):
+        banded_range_join(pts, iv, "x", "lo", "hi", 100, how="full_outer")
+
+
+def test_plan_doctor_partition_column_named_desc_not_global(spark):
+    """A window PARTITIONED BY a column whose name contains 'DESC' must
+    not be flagged as a global window."""
+    from etl_as_a_service_spark.plans.doctor import lint_plan
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(1, 2.0)], "PRODUCT_DESC long, v double")
+    w = Window.partitionBy("PRODUCT_DESC").orderBy("v")
+    out = df.withColumn("rn", F.row_number().over(w))
+    assert "global_window" not in {f.code for f in lint_plan(out)}
+
+
+def test_filter_funnel_empty_input_reports_zeros(spark):
+    from etl_as_a_service_spark.llm.corpus import filter_funnel
+
+    df = spark.createDataFrame([], "n_chars long")
+    out = filter_funnel(df, [("nonempty", F.col("n_chars") > 0)]).collect()
+    assert all(r["survivors"] == 0 for r in out)
