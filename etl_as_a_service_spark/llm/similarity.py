@@ -156,12 +156,25 @@ def ivf_build(
     return IvfIndex(centroids=centroids_df, assigned=assigned, n_cells=n_cells)
 
 
-def ivf_save(index: IvfIndex, path: str) -> None:
+def ivf_save(index: IvfIndex, path: str, quantize: bool = False) -> None:
     """Persist the index: cells as parquet PARTITIONED BY cell id (so a
-    probe reads only n_probe directories), centroids alongside."""
-    index.assigned.withColumn("cell", F.col("__cell")).write.partitionBy(
-        "cell"
-    ).mode("overwrite").parquet(path + "/cells")
+    probe reads only n_probe directories), centroids alongside.
+
+    ``quantize=True`` stores corpus vectors as int8 codes + per-vector
+    scale (functions.vectors.quantize_int8) — the index shrinks ~4x on
+    disk and on the probe's scan, at the recall cost bounded by the
+    quantized-search tests (top-10 recall >= 0.9). ``ivf_load`` detects
+    the layout and dequantizes lazily, so callers never branch."""
+    assigned = index.assigned.withColumn("cell", F.col("__cell"))
+    if quantize:
+        from etl_as_a_service_spark.functions.vectors import quantize_int8
+
+        assigned = assigned.select(
+            "neighbor_id", quantize_int8(F.col("__cvec")).alias("__q"), "cell"
+        )
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(
+        path + "/cells"
+    )
     index.centroids.write.mode("overwrite").parquet(path + "/centroids")
 
 
@@ -172,6 +185,16 @@ def ivf_load(spark, path: str) -> IvfIndex:
         .withColumn("__cell", F.col("cell").cast("int"))
         .drop("cell")
     )
+    if "__q" in assigned.columns:
+        # quantized layout: reconstruct vectors as a lazy projection —
+        # the 4x-smaller codes are what the probe actually scans
+        from etl_as_a_service_spark.functions.vectors import dequantize_int8
+
+        assigned = assigned.select(
+            "neighbor_id",
+            dequantize_int8(F.col("__q")).alias("__cvec"),
+            "__cell",
+        )
     return IvfIndex(
         centroids=centroids, assigned=assigned, n_cells=centroids.count()
     )

@@ -569,3 +569,38 @@ def test_quantized_search_recall_vs_exact(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.9, recall
+
+
+def test_ivf_quantized_index_recall_and_size(spark, tmp_path):
+    """ivf_save(quantize=True) must shrink the on-disk cells ~4x and
+    keep probe recall close to the full-precision index."""
+    import glob
+    import os
+    from etl_as_a_service_spark.llm.similarity import (
+        ivf_build,
+        ivf_load,
+        ivf_query,
+        ivf_save,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    index = ivf_build(emb, "vec_id", "embedding", n_cells=8)
+    full_p, q_p = str(tmp_path / "full"), str(tmp_path / "quant")
+    ivf_save(index, full_p)
+    ivf_save(index, q_p, quantize=True)
+
+    def dir_bytes(d):
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(f"{d}/cells/**/*.parquet", recursive=True)
+        )
+
+    assert dir_bytes(q_p) < 0.5 * dir_bytes(full_p)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    ref = ivf_query(ivf_load(spark, full_p), queries, k=10, n_probe=8)
+    got = ivf_query(ivf_load(spark, q_p), queries, k=10, n_probe=8)
+    r = {(x["query_id"], x["neighbor_id"]) for x in ref.collect()}
+    g = {(x["query_id"], x["neighbor_id"]) for x in got.collect()}
+    assert len(r & g) / len(r) >= 0.9
