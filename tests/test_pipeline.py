@@ -593,3 +593,22 @@ def test_quantize_embeddings_step(spark):
     row = out.first()
     assert row["scale"] > 0
     assert all(-127 <= c <= 127 for c in row["codes"])
+
+
+def test_sessionize_step(spark):
+    spec = {
+        "name": "sessions",
+        "source": {"format": "parquet", "path": f"{SF_SMOKE}/events.parquet"},
+        "steps": [
+            {"op": "with_column", "name": "ts", "expr": "cast(ts as timestamp)"},
+            {"op": "filter", "predicate": "user_id < 10"},
+            {"op": "sessionize", "ts_col": "ts", "keys": ["user_id"],
+             "gap": "interval 1 hour", "tie_cols": ["event_id"]},
+        ],
+    }
+    out = compile_pipeline(spark, spec)
+    rows = out.select("user_id", "session_seq", "session_id").collect()
+    assert rows and all(r["session_seq"] >= 1 for r in rows)
+    assert all(
+        r["session_id"] == f"{r['user_id']}#{r['session_seq']}" for r in rows
+    )
