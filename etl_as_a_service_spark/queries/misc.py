@@ -1478,3 +1478,62 @@ def q117_recursive_hierarchy(spark, sf_dir):
 
     register_views(spark, sf_dir, ("nation",))
     return spark.sql(_Q117_SQL.format(vtype="STRING"))
+
+
+# --------------------------------------------------------------------------
+# q121 — point-in-time dimension lookup (SCD2 probe == as-of join)
+# --------------------------------------------------------------------------
+@query(
+    "q121_point_in_time_lookup",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, event_type AS state, ts AS vf,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+      FROM events WHERE user_id < 10 AND event_type <> 'error'
+    ),
+    probes AS (
+      SELECT user_id, event_id, ts
+      FROM events WHERE user_id < 10 AND event_type = 'error'
+    )
+    SELECT p.user_id, p.event_id, d.state AS state_asof
+    FROM probes p
+    LEFT JOIN dim d
+      ON d.user_id = p.user_id
+     AND d.vf <= p.ts AND (p.ts < d.vt OR d.vt IS NULL)
+    ORDER BY p.user_id, p.event_id
+    """,
+    tags=("scd2", "asof", "temporal", "operator"),
+)
+def q121_point_in_time_lookup(spark, sf_dir):
+    """The warehouse point-in-time lookup: each error event fetches the
+    user's state valid at that moment. The oracle states it as the
+    textbook SCD2 interval BETWEEN join; the engine plans it as ONE
+    as-of join shuffle (operators.relational.asof_join — no interval
+    table, no range-join explosion), proving the two formulations
+    equivalent, zero-width intervals (duplicate timestamps) included
+    (tie on event_id matches the interval construction's ordering)."""
+    from etl_as_a_service_spark.operators.relational import asof_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    ev = events.filter(F.col("user_id") < 10)
+    dim = ev.filter(F.col("event_type") != "error").select(
+        "user_id", F.col("ts").alias("dts"),
+        F.col("event_type").alias("state"), "event_id",
+    )
+    probes = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        probes,
+        dim,
+        on="user_id",
+        left_ts="ts",
+        right_ts="dts",
+        value_cols=["state"],
+        direction="backward",
+        allow_exact_match=True,
+        tie_break="event_id",
+    )
+    return out.select("user_id", "event_id", "state_asof").orderBy(
+        "user_id", "event_id"
+    )
