@@ -645,3 +645,49 @@ def q118_misc_aggregates(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# q122 — equi-depth histogram (optimizer-statistics construction)
+# --------------------------------------------------------------------------
+@query(
+    "q122_equidepth_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT l_extendedprice AS v,
+             ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                             l_linenumber) AS bucket
+      FROM lineitem
+    )
+    SELECT bucket, count(*) AS n,
+           round(min(v), 2) AS lo, round(max(v), 2) AS hi
+    FROM t GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("histogram", "stats", "optimizer"),
+)
+def q122_equidepth_histogram(spark, sf_dir):
+    """Equi-depth (equal-height) histogram of l_extendedprice — the
+    bucket-boundary statistic CBO engines keep per column (q73's
+    width_bucket is the equi-WIDTH sibling). ntile over a total order
+    ((value, orderkey, linenumber) — deterministic bucket assignment
+    for tied values in both engines); per-bucket count/min/max in one
+    aggregate. Note the window is intentionally global: histogram
+    construction sorts the column once — at scale you sample first or
+    use approx percentiles (q18), both already covered."""
+    from pyspark.sql import Window
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select(
+            F.col("l_extendedprice").alias("v"),
+            F.ntile(10).over(w).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("v"), 2).alias("lo"),
+            F.round(F.max("v"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
