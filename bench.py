@@ -56,6 +56,15 @@ HEADLINE_CURATION = [
     "q85_decontamination",
 ]
 
+#: round-4 additions: the heaviest LLM/advanced operators (connected
+#: components over the exact-Jaccard edge set; BM25 ranking) previously
+#: appeared in no BENCH_r*.json, so regressions there were invisible to
+#: the driver. Separate subtotal keeps `value` comparable across rounds.
+HEADLINE_ADVANCED = [
+    "q107_near_dup_components",
+    "q110_bm25_search",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -104,7 +113,7 @@ def main() -> None:
     # session sees, and min-of-N is the standard way to report it.
     RUNS = 3
     timings: dict[str, float] = {}
-    for name in HEADLINE + HEADLINE_CURATION:
+    for name in HEADLINE + HEADLINE_CURATION + HEADLINE_ADVANCED:
         if name not in QUERIES:
             continue
         best, n = float("inf"), 0
@@ -119,6 +128,9 @@ def main() -> None:
     curation = round(
         sum(timings[n] for n in HEADLINE_CURATION if n in timings), 3
     )
+    advanced = round(
+        sum(timings[n] for n in HEADLINE_ADVANCED if n in timings), 3
+    )
     print(
         json.dumps(
             {
@@ -130,7 +142,8 @@ def main() -> None:
                 "unit": "sec",
                 "subtotal_core": core,
                 "subtotal_curation": curation,
-                "total_all": round(core + curation, 3),
+                "subtotal_advanced": advanced,
+                "total_all": round(core + curation + advanced, 3),
                 "runs_per_query": RUNS,
                 "aggregation": "min",
                 "queries": timings,

@@ -612,7 +612,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     prefix_filter: bool = True,
     prefix_order: str = "df",
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs >= threshold, at scale.
 
@@ -636,17 +636,19 @@ def ngram_jaccard_pairs(
       (the prefix is a slice of the already-sorted set). Same exact
       output; candidate volume degrades only if hot shingles exist.
 
-    ``materialize=True`` (default) persists the per-doc (sorted set,
-    prefix) relation: it feeds THREE consumers (candidate index + both
-    verification sides), and the rank aggregate above the reused
-    exchange otherwise re-executes per consumer — measured 1.8x
-    end-to-end (4.4s -> 2.0s at sf0.1; localCheckpoint measured slower:
-    it blocks exchange reuse and pays an eager write). The persisted
-    relation is one row per doc of 64-bit hashes — smaller than the
-    input text; MEMORY_AND_DISK spills rather than OOMs at scale. At
-    most one materialization is kept alive per process (older ones are
-    unpersisted on the next call); pass False to keep the plan fully
-    lazy.
+    ``materialize=False`` (default) keeps the plan fully lazy: the
+    per-doc (sorted set, prefix) relation feeds three consumers
+    (candidate index + both verification sides), but ReuseExchange
+    already shares the shingle scan across them, and an A/B at the
+    bench config (sf0.1, local[32], min-of-3) measured ``persist()`` a
+    4x PESSIMIZATION — 5.86s with vs 1.34s without, identical output —
+    because the persist pays an eager materialization AND blocks AQE
+    from broadcasting the dfreq join. Pass ``materialize=True`` only
+    when the CALLER will invoke further actions over the same pair set
+    (e.g. iterative clustering on the result); the persisted relation
+    is one row per doc of 64-bit hashes (smaller than the input text),
+    MEMORY_AND_DISK, and at most one materialization is kept alive per
+    process (older ones are unpersisted on the next call).
     """
     if prefix_order not in ("df", "hash"):
         raise ValueError(f"unknown prefix_order: {prefix_order!r}")

@@ -56,13 +56,27 @@ def connected_components(
     # materialize the (possibly expensive) edge plan ONCE, then build
     # the symmetric closure from the checkpointed rows — unioning two
     # projections of the raw plan would evaluate it twice
-    base = edges.select(
-        F.col(src).alias("s"), F.col(dst).alias("d")
-    ).localCheckpoint(eager=True)
+    base = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        # a NULL endpoint would silently vanish through the equality
+        # join below (NULL never equals anything), splitting components
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .localCheckpoint(eager=True)
+    )
     sym = base.union(base.select(F.col("d").alias("s"), F.col("s").alias("d")))
 
+    endpoint_nodes = sym.select(F.col("s").alias("node")).distinct()
     if nodes is None:
-        nodes = sym.select(F.col("s").alias("node")).distinct()
+        nodes = endpoint_nodes
+    else:
+        # a supplied vertex set that OMITS an edge endpoint would drop
+        # every edge through that endpoint (the label join finds no row
+        # for it) and silently split the component — path a-b-c with b
+        # missing came back as {a},{c}. Union the endpoints in so the
+        # caller's frame can only ADD singletons, never lose edges.
+        nodes = (
+            nodes.select(F.col("node")).union(endpoint_nodes).distinct()
+        )
     # the seed fingerprint rides the initial checkpoint's action as an
     # Observation — no extra aggregation job before the loop
     obs0 = Observation()

@@ -79,6 +79,53 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return rendered
 
 
+def driver_strictness_violations(
+    spark_df: pd.DataFrame, oracle_df: pd.DataFrame
+) -> list[str]:
+    """Replica of the DRIVER's stricter canonicalization contract.
+
+    The external correctness driver sorts each pandas frame with
+    ``sort_values`` over ALL raw columns and hashes cell reprs with NO
+    dtype coercion. Two local-green/driver-red failure classes follow
+    (both bit round 3 — q91/q118 via DuckDB HUGEINT->float64 rendering
+    ``100.0`` vs ``100``, q119 via ``TypeError: unhashable type:
+    'list'``):
+
+    1. an integer column on one side vs a float column on the other;
+    2. any list/array/tuple-valued cell (unsortable, unhashable).
+
+    This check runs inside :func:`compare_frames` so the whole oracle
+    manifest is gated on it locally, before the driver ever sees it.
+    """
+    bad: list[str] = []
+    shared = set(spark_df.columns) & set(oracle_df.columns)
+    for c in sorted(shared):
+        a, b = spark_df[c], oracle_df[c]
+        a_int = pd.api.types.is_integer_dtype(a)
+        b_int = pd.api.types.is_integer_dtype(b)
+        a_flt = pd.api.types.is_float_dtype(a)
+        b_flt = pd.api.types.is_float_dtype(b)
+        if (a_int and b_flt) or (a_flt and b_int):
+            bad.append(
+                f"column {c!r}: int-vs-float dtype split "
+                f"(spark={a.dtype}, oracle={b.dtype}) — the driver hashes "
+                f"reprs with no coercion; CAST both sides to the same type"
+            )
+    for side, df in (("spark", spark_df), ("oracle", oracle_df)):
+        for c in df.columns:
+            s = df[c]
+            if s.dtype == object and s.map(
+                lambda v: isinstance(v, (list, tuple))
+                or v.__class__.__name__ == "ndarray"
+            ).any():
+                bad.append(
+                    f"column {c!r} ({side}): list-valued cells — the "
+                    f"driver's sort_values dies on unhashable lists; "
+                    f"render with array_join/array_to_string or explode"
+                )
+    return bad
+
+
 def compare_frames(
     spark_df: pd.DataFrame, oracle_df: pd.DataFrame
 ) -> tuple[bool, str]:
@@ -90,6 +137,9 @@ def compare_frames(
         )
     if len(spark_df) != len(oracle_df):
         return False, f"row count: spark={len(spark_df)} oracle={len(oracle_df)}"
+    strict = driver_strictness_violations(spark_df, oracle_df)
+    if strict:
+        return False, "driver-canonicalizer contract: " + "; ".join(strict)
     a = canonicalize(spark_df)
     b = canonicalize(oracle_df)
     if a.equals(b):

@@ -1003,11 +1003,14 @@ def q90_stratified_sample(spark, sf_dir):
                       THEN 1 ELSE 0 END) AS s3
       FROM documents
     )
-    SELECT 0 AS stage, 'input' AS rule, s0 AS survivors,
+    SELECT 0 AS stage, 'input' AS rule, CAST(s0 AS BIGINT) AS survivors,
            CAST(0 AS BIGINT) AS dropped_here FROM s
-    UNION ALL SELECT 1, 'min_len', s1, s0 - s1 FROM s
-    UNION ALL SELECT 2, 'lang_ok', s2, s1 - s2 FROM s
-    UNION ALL SELECT 3, 'source_ok', s3, s2 - s3 FROM s
+    UNION ALL SELECT 1, 'min_len', CAST(s1 AS BIGINT),
+                     CAST(s0 - s1 AS BIGINT) FROM s
+    UNION ALL SELECT 2, 'lang_ok', CAST(s2 AS BIGINT),
+                     CAST(s1 - s2 AS BIGINT) FROM s
+    UNION ALL SELECT 3, 'source_ok', CAST(s3 AS BIGINT),
+                     CAST(s2 - s3 AS BIGINT) FROM s
     ORDER BY stage
     """,
     tags=("funnel", "quality", "corpus", "llm", "operator"),
@@ -1397,12 +1400,14 @@ def q110_bm25_search(spark, sf_dir):
     "q119_embedding_quantization",
     oracle="""
     SELECT vec_id,
-           list_transform(
-             embedding,
-             x -> CAST(greatest(-127.0, least(127.0,
-                    floor(CAST(x AS DOUBLE) * 127.0 /
-                          CASE WHEN amax > 0 THEN amax ELSE 1.0 END + 0.5)
-                  )) AS INTEGER)
+           array_to_string(
+             list_transform(
+               embedding,
+               x -> CAST(greatest(-127.0, least(127.0,
+                      floor(CAST(x AS DOUBLE) * 127.0 /
+                            CASE WHEN amax > 0 THEN amax ELSE 1.0 END + 0.5)
+                    )) AS INTEGER)
+             ), ','
            ) AS codes,
            round(amax / 127.0, 6) AS scale
     FROM (
@@ -1422,14 +1427,20 @@ def q119_embedding_quantization(spark, sf_dir):
     step per component) and cosine preservation are pytest-asserted.
     Pure codegen'd array expressions; rounding spelled floor(x + 0.5)
     so the codes are engine-portable (round() half-even vs half-away
-    differs between engines)."""
+    differs between engines). The codes array is RENDERED as a
+    comma-joined string: the driver's canonicalizer sorts the pandas
+    frame over all columns and dies on unhashable list cells, so
+    array-valued outputs must be scalarized for the oracle gate (the
+    raw array shape stays available via functions.vectors)."""
     from etl_as_a_service_spark.functions.vectors import quantize_int8
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", quantize_int8(F.col("embedding")).alias("q"))
     return q.select(
         "vec_id",
-        F.transform(F.col("q.codes"), lambda c: c.cast("int")).alias("codes"),
+        F.array_join(
+            F.transform(F.col("q.codes"), lambda c: c.cast("string")), ","
+        ).alias("codes"),
         F.round(F.col("q.scale").cast("double"), 6).alias("scale"),
     ).orderBy("vec_id")
 

@@ -616,32 +616,64 @@ def q112_mad_outliers(spark, sf_dir):
 @query(
     "q118_misc_aggregates",
     oracle="""
-    SELECT o_orderpriority,
-           mode(o_orderstatus)                       AS modal_status,
-           count_if(o_totalprice > 150000)           AS n_big,
-           bool_and(o_totalprice > 0)                AS all_positive,
-           bool_or(o_orderstatus = 'P')              AS any_pending,
-           count(DISTINCT o_orderstatus)             AS n_statuses
-    FROM orders
-    GROUP BY o_orderpriority
+    WITH c AS (
+      SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT o_orderpriority, o_orderstatus AS modal_status
+      FROM (SELECT o_orderpriority, o_orderstatus,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY cnt DESC, o_orderstatus DESC)
+                     AS rn
+            FROM c)
+      WHERE rn = 1
+    ),
+    a AS (
+      SELECT o_orderpriority,
+             CAST(count_if(o_totalprice > 150000) AS BIGINT)  AS n_big,
+             bool_and(o_totalprice > 0)                       AS all_positive,
+             bool_or(o_orderstatus = 'P')                     AS any_pending,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT)    AS n_statuses
+      FROM orders
+      GROUP BY o_orderpriority
+    )
+    SELECT a.o_orderpriority, m.modal_status, a.n_big, a.all_positive,
+           a.any_pending, a.n_statuses
+    FROM a JOIN m USING (o_orderpriority)
     ORDER BY o_orderpriority
     """,
     tags=("aggregate", "stats"),
 )
 def q118_misc_aggregates(spark, sf_dir):
-    """The remaining aggregate family in one query: mode (most frequent
-    value — deterministic here: status frequencies are far apart per
-    priority), count_if, bool_and/bool_or, distinct count. All JVM
-    hash-aggregate built-ins, one shuffle."""
+    """The remaining aggregate family in one query: modal value,
+    count_if, bool_and/bool_or, distinct count. The mode is computed
+    DETERMINISTICALLY as max_by over pre-aggregated counts with a
+    (count, value) tiebreak — F.mode's tie-breaking is engine-internal
+    and DuckDB's differs, so a near-tied testdata regen would flake an
+    F.mode-based oracle. count_if is CAST to BIGINT on the oracle side
+    (DuckDB returns HUGEINT -> pandas float64, which the driver hashes
+    as 2129.0 != 2129). All JVM hash-aggregate built-ins."""
     (orders,) = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    modal = counts.groupBy("o_orderpriority").agg(
+        F.max_by(
+            "o_orderstatus", F.struct(F.col("cnt"), F.col("o_orderstatus"))
+        ).alias("modal_status")
+    )
+    aggs = orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.count_distinct("o_orderstatus").alias("n_statuses"),
+    )
     return (
-        orders.groupBy("o_orderpriority")
-        .agg(
-            F.mode("o_orderstatus").alias("modal_status"),
-            F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
-            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
-            F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
-            F.count_distinct("o_orderstatus").alias("n_statuses"),
+        aggs.join(modal, "o_orderpriority")
+        .select(
+            "o_orderpriority", "modal_status", "n_big", "all_positive",
+            "any_pending", "n_statuses",
         )
         .orderBy("o_orderpriority")
     )

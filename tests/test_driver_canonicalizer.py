@@ -1,0 +1,67 @@
+"""Regression tests for the driver-canonicalizer strictness contract.
+
+The external correctness driver sorts each result frame with pandas
+``sort_values`` over all raw columns and hashes cell reprs with no
+dtype coercion. Round 3 shipped three queries that were green under the
+(laxer) local comparator and red under the driver:
+
+- q91/q118: DuckDB HUGEINT aggregates (``count_if``, ``sum(CASE...)``)
+  arrive as float64 and hash as ``2129.0`` != Spark's ``2129``;
+- q119: an ``array<int>`` column crashes ``sort_values`` with
+  ``TypeError: unhashable type: 'list'``.
+
+`driver_strictness_violations` (now called inside ``compare_frames``)
+must flag both shapes so they can never pass locally again.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from etl_as_a_service_spark.oracle.compare import (
+    compare_frames,
+    driver_strictness_violations,
+)
+
+
+def test_int_vs_float_split_is_flagged():
+    # the q118 shape: Spark int64 count vs DuckDB HUGEINT->float64
+    spark_pdf = pd.DataFrame({"k": ["a", "b"], "n_big": [2129, 7]})
+    oracle_pdf = pd.DataFrame({"k": ["a", "b"], "n_big": [2129.0, 7.0]})
+    ok, diff = compare_frames(spark_pdf, oracle_pdf)
+    assert not ok
+    assert "int-vs-float" in diff
+
+
+def test_list_column_is_flagged_even_when_values_match():
+    # the q119 shape: array<int> column on both sides
+    spark_pdf = pd.DataFrame({"vec_id": [1], "codes": [[1, 2, 3]]})
+    oracle_pdf = pd.DataFrame({"vec_id": [1], "codes": [[1, 2, 3]]})
+    ok, diff = compare_frames(spark_pdf, oracle_pdf)
+    assert not ok
+    assert "list-valued" in diff
+
+
+def test_ndarray_column_is_flagged():
+    # DuckDB hands list columns back as object-dtype numpy arrays
+    pdf = pd.DataFrame({"vec_id": [1], "codes": [np.array([1, 2, 3])]})
+    clean = pd.DataFrame({"vec_id": [1], "codes": ["1,2,3"]})
+    assert driver_strictness_violations(pdf, pdf)
+    assert driver_strictness_violations(clean, pdf)
+    assert not driver_strictness_violations(clean, clean)
+
+
+def test_matching_int_frames_still_pass():
+    a = pd.DataFrame({"k": ["a", "b"], "n": [1, 2]})
+    b = pd.DataFrame({"k": ["b", "a"], "n": [2, 1]})
+    ok, diff = compare_frames(a, b)
+    assert ok, diff
+
+
+def test_int32_vs_int64_is_not_a_split():
+    # width differences are fine — repr(2129) is identical for both;
+    # only int-vs-FLOAT splits change the hashed repr
+    a = pd.DataFrame({"n": pd.array([1, 2], dtype="int32")})
+    b = pd.DataFrame({"n": pd.array([1, 2], dtype="int64")})
+    assert not driver_strictness_violations(a, b)

@@ -317,6 +317,37 @@ def test_connected_components_singletons_and_diameter(spark):
     assert got[100] == 100 and got[101] == 101
 
 
+def test_connected_components_nodes_missing_endpoint(spark):
+    # regression (ADVICE r3): a supplied vertex set omitting an edge
+    # endpoint must not split the component — path a-b-c with b absent
+    # from `nodes` used to come back as {a},{c}
+    from etl_as_a_service_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    nodes = spark.createDataFrame([(1,), (3,), (50,)], "node long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "a", "b", nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 50: 50}
+
+
+def test_connected_components_null_endpoints_dropped(spark):
+    # regression (ADVICE r3): NULL endpoints used to vanish through the
+    # equality join mid-iteration; now the edge is dropped up front and
+    # the non-NULL side still appears (via the endpoint union)
+    from etl_as_a_service_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, None), (None, None)], "a long, b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    assert got == {1: 1, 2: 1}
+
+
 def test_interpolate_linear_known_series(spark):
     from etl_as_a_service_spark.operators.relational import interpolate_linear
 
