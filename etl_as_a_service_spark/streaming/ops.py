@@ -359,10 +359,24 @@ def streaming_aggregate_maintenance(
 
     foreachBatch is at-least-once: after a crash between the state swap
     and the checkpoint commit, Spark REPLAYS the batch. The fold is made
-    idempotent by stamping the folded batch_id into the state directory
-    (``_last_batch`` — underscore-prefixed, invisible to parquet
-    readers) inside the same directory swap, and skipping any batch_id
-    already <= the stamp on replay.
+    idempotent by logging each folded batch as ``(batch_id,
+    content-fingerprint)`` into the state directory (``_folded_log`` —
+    underscore-prefixed, invisible to parquet readers) inside the same
+    directory swap, and skipping a batch on replay only when BOTH
+    match. A bare batch-id stamp cannot distinguish two cases that a
+    checkpoint reset conflates: replaying the SAME data (skip — the
+    idempotence the replay test asserts) vs. restarting with NEW source
+    data whose batch ids also start at 0 (must fold — a stamp-only
+    guard silently dropped those rows). The fingerprint is computed
+    over the already-collapsed partial aggregate (O(touched groups), a
+    tiny action on a localCheckpointed frame), so the disambiguation
+    costs one small job per batch, never a second pass over the batch.
+
+    Crash-healing: the swap is rename(state, old); rename(tmp, state).
+    A crash between the two renames leaves ``state_path`` absent with
+    the ``.__old__`` copy intact; ``_recover()`` (same protocol as
+    compact_files) renames it back at the top of every fold, so no
+    prior aggregate history is ever lost to that window.
     """
     import os
 
@@ -372,18 +386,49 @@ def streaming_aggregate_maintenance(
     )
 
     spark = stream_df.sparkSession
+    #: replays only ever re-deliver recent batches; cap the log so a
+    #: long-lived maintenance job can't grow it unboundedly
+    _LOG_CAP = 10_000
 
-    def _last_folded() -> int:
+    def _recover() -> None:
+        old = state_path.rstrip("/") + ".__old__"
+        if not os.path.exists(state_path) and os.path.exists(old):
+            os.rename(old, state_path)
+
+    def _read_log() -> dict[int, str]:
         try:
-            with open(os.path.join(state_path, "_last_batch")) as f:
-                return int(f.read().strip())
+            out: dict[int, str] = {}
+            with open(os.path.join(state_path, "_folded_log")) as f:
+                for line in f.read().splitlines():
+                    if line:
+                        bid, fp = line.split(",", 1)
+                        out[int(bid)] = fp
+            return out
         except (OSError, ValueError):
-            return -1
+            return {}
+
+    def _fingerprint(part: DataFrame) -> str:
+        row = part.select(
+            F.sum(
+                F.xxhash64(F.to_json(F.struct(*part.columns)))
+                .cast("decimal(38,0)")
+            ).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return f"{row['h']}:{row['n']}"
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _last_folded():
+        _recover()
+        # collapse the batch FIRST (one row per touched group); the
+        # checkpoint pins it so the fingerprint action and the state
+        # merge below share one computation
+        part = aggregate_state(batch_df, keys, specs).localCheckpoint(
+            eager=True
+        )
+        log = _read_log()
+        fp = _fingerprint(part)
+        if log.get(batch_id) == fp:
             return  # replayed batch — already merged into the state
-        part = aggregate_state(batch_df, keys, specs)
         if os.path.exists(state_path):
             prev = spark.read.parquet(state_path)
             part = merge_states(prev, part, keys, specs)
@@ -391,8 +436,14 @@ def streaming_aggregate_maintenance(
         # and overwrite-in-place would read and clobber the same files
         tmp = state_path.rstrip("/") + f".__b{batch_id}__"
         part.write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, "_last_batch"), "w") as f:
-            f.write(str(batch_id))
+        log[batch_id] = fp
+        with open(os.path.join(tmp, "_folded_log"), "w") as f:
+            f.write(
+                "\n".join(
+                    f"{bid},{h}"
+                    for bid, h in sorted(log.items())[-_LOG_CAP:]
+                )
+            )
         old = state_path.rstrip("/") + ".__old__"
         import shutil
 

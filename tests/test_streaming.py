@@ -397,3 +397,84 @@ def test_streaming_aggregate_maintenance_replay_is_idempotent(spark, tmp_path):
     # checkpoint lost -> every batch replays against the surviving state
     replay = {r["event_type"]: r["n"] for r in run(str(tmp_path / "c2")).collect()}
     assert replay == first
+
+
+def test_streaming_aggregate_maintenance_reset_with_new_data_folds(
+    spark, tmp_path
+):
+    """Regression (ADVICE r3): after a checkpoint reset pointing at NEW
+    source data, restarted batch ids also start at 0 — a bare batch-id
+    stamp skipped them and silently dropped the fresh rows. The
+    (batch_id, content-fingerprint) log must fold them instead."""
+    from etl_as_a_service_spark.streaming.ops import (
+        streaming_aggregate_maintenance,
+    )
+
+    keys, specs = ["k"], {"n": ("count", "v")}
+
+    def run(src, ckpt):
+        stream = (
+            spark.readStream.schema("k string, v long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return streaming_aggregate_maintenance(
+            stream, str(tmp_path / "state"), keys, specs, checkpoint=ckpt
+        )
+
+    src1 = str(tmp_path / "src1")
+    spark.createDataFrame([("a", 1)] * 3, "k string, v long").repartition(
+        2
+    ).write.parquet(src1)
+    run(src1, str(tmp_path / "c1"))
+    # NEW data, NEW checkpoint: batch ids restart at 0
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame([("b", 1)] * 4, "k string, v long").repartition(
+        2
+    ).write.parquet(src2)
+    state = run(src2, str(tmp_path / "c2"))
+    got = {r["k"]: r["n"] for r in state.collect()}
+    assert got == {"a": 3, "b": 4}
+
+
+def test_streaming_aggregate_maintenance_heals_rename_crash(spark, tmp_path):
+    """Regression (ADVICE r3): a crash between rename(state, old) and
+    rename(tmp, state) left the state absent — the next run refolded
+    only the replayed batch and silently discarded all prior history.
+    fold() must rename the .__old__ copy back first."""
+    import os
+    import shutil
+
+    from etl_as_a_service_spark.streaming.ops import (
+        streaming_aggregate_maintenance,
+    )
+
+    keys, specs = ["k"], {"n": ("count", "v")}
+    state_path = str(tmp_path / "state")
+
+    def run(src, ckpt):
+        stream = (
+            spark.readStream.schema("k string, v long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return streaming_aggregate_maintenance(
+            stream, state_path, keys, specs, checkpoint=ckpt
+        )
+
+    src1 = str(tmp_path / "src1")
+    spark.createDataFrame([("a", 1)] * 3, "k string, v long").write.parquet(
+        src1
+    )
+    run(src1, str(tmp_path / "c1"))
+    # simulate the crash window: state renamed away, new state not yet in
+    os.rename(state_path, state_path + ".__old__")
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame([("b", 1)] * 2, "k string, v long").write.parquet(
+        src2
+    )
+    state = run(src2, str(tmp_path / "c2"))
+    got = {r["k"]: r["n"] for r in state.collect()}
+    assert got == {"a": 3, "b": 2}
+    assert not os.path.exists(state_path + ".__old__")
+    shutil.rmtree(state_path, ignore_errors=True)
