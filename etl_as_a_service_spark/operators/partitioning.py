@@ -26,15 +26,31 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     contain a shuffle-producing operator inherit
     spark.sql.shuffle.partitions-level parallelism anyway, so the
     guard is skipped there (a scan-only plan has no stages to run and
-    the probe is metadata-cheap)."""
-    import re
+    the probe is metadata-cheap).
 
-    plan = df._jdf.queryExecution().analyzed().toString()
-    if re.search(
-        r"\b(Join|Aggregate|Window|Sort|Repartition|Deduplicate|"
-        r"Distinct|Generate|GlobalLimit)\b",
-        plan,
-    ):
+    Shuffle operators are detected by walking the ANALYZED logical plan
+    tree and comparing node class names — not by regexing the rendered
+    plan string, where an identifier that merely CONTAINS a token like
+    'Join' or 'Sort' (a column named ``sort_key``, a view named
+    ``join_log``) would false-positive, and where rendering formats
+    drift across Spark versions."""
+    _SHUFFLE_NODES = {
+        "Join", "Aggregate", "Window", "Sort", "Repartition",
+        "RepartitionByExpression", "Deduplicate", "DeduplicateWithinWatermark",
+        "Distinct", "Generate", "GlobalLimit", "Intersect", "Except",
+        "CoGroup", "FlatMapGroupsInPandas", "FlatMapGroupsInArrow",
+    }
+
+    def _has_shuffle_node(jnode) -> bool:
+        if jnode.nodeName() in _SHUFFLE_NODES:
+            return True
+        children = jnode.children()
+        for i in range(children.size()):
+            if _has_shuffle_node(children.apply(i)):
+                return True
+        return False
+
+    if _has_shuffle_node(df._jdf.queryExecution().analyzed()):
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):

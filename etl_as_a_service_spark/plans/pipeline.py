@@ -534,12 +534,25 @@ class PipelineRunner:
             run.output_path, run.n_output_rows, run.error, time.time(),
         )
         with self._lock:
+            self._recover_registry()
             (
                 self.spark.createDataFrame([row], _REGISTRY_SCHEMA)
                 .coalesce(1)
                 .write.mode("append")
                 .parquet(self.registry_path)
             )
+
+    def _recover_registry(self) -> None:
+        """Heal a compact() interrupted between its two renames: the
+        registry directory is absent but the ``.__old__`` copy (the
+        full pre-compact log) is intact — rename it back. Same crash
+        protocol as sources.readers.compact_files and the streaming
+        aggregate fold. Callers hold the lock."""
+        import os
+
+        old = self.registry_path.rstrip("/") + ".__old__"
+        if not os.path.exists(self.registry_path) and os.path.exists(old):
+            os.rename(old, self.registry_path)
 
     def compact(self) -> int:
         """Rewrite the registry as ONE parquet file holding only the
@@ -548,10 +561,21 @@ class PipelineRunner:
         the number of surviving rows. Holds the runner lock across
         read-and-rewrite so an in-flight ``_persist`` append can't be
         dropped; the registry is driver-side run metadata (one row per
-        run), so materializing it on the driver is bounded by design."""
+        run), so materializing it on the driver is bounded by design.
+
+        The rewrite goes through a temp directory and swaps in by
+        rename — mode("overwrite") on the live path would DELETE the
+        log before writing the replacement, so a crash inside the write
+        would lose every run row. With the swap, the only loss window
+        is between the two renames, and ``_recover_registry`` (called
+        at the top of every registry operation) heals exactly that."""
+        import os
+        import shutil
+
         if not self.registry_path:
             return 0
         with self._lock:
+            self._recover_registry()
             try:
                 raw = self.spark.read.parquet(self.registry_path)
             except Exception:
@@ -563,12 +587,19 @@ class PipelineRunner:
             rows = dedup_keep_first(
                 raw, ["run_id"], [F.col("updated_at").desc()]
             ).collect()
+            tmp = self.registry_path.rstrip("/") + ".__compact__"
+            old = self.registry_path.rstrip("/") + ".__old__"
+            shutil.rmtree(tmp, ignore_errors=True)
             (
                 self.spark.createDataFrame(rows, _REGISTRY_SCHEMA)
                 .coalesce(1)
                 .write.mode("overwrite")
-                .parquet(self.registry_path)
+                .parquet(tmp)
             )
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(self.registry_path, old)
+            os.rename(tmp, self.registry_path)
+            shutil.rmtree(old, ignore_errors=True)
         return len(rows)
 
     def persisted_runs_df(self) -> DataFrame | None:
@@ -576,6 +607,8 @@ class PipelineRunner:
         state-change row per run_id), or None if no registry/rows."""
         if not self.registry_path:
             return None
+        with self._lock:
+            self._recover_registry()
         try:
             raw = self.spark.read.parquet(self.registry_path)
         except Exception:

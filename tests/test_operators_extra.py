@@ -348,6 +348,34 @@ def test_connected_components_null_endpoints_dropped(spark):
     assert got == {1: 1, 2: 1}
 
 
+def test_ensure_parallelism_detects_shuffles_by_node_not_name(spark):
+    # regression (ADVICE r3): shuffle detection used to regex the
+    # rendered plan string, so a COLUMN named sort_key/join_log
+    # false-positived as a Sort/Join node and skipped the guard
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.operators.partitioning import (
+        ensure_parallelism,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "sort_key long, join_log string")
+    narrow = df.select("sort_key", F.upper("join_log").alias("join_log"))
+    spread = ensure_parallelism(narrow)
+    assert (
+        spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # plans that actually shuffle are returned untouched
+    for shuffling in (
+        df.groupBy("sort_key").count(),
+        df.join(df.select("sort_key"), "sort_key"),
+        df.orderBy("sort_key"),
+        df.repartition(4),
+        df.distinct(),
+    ):
+        assert ensure_parallelism(shuffling) is shuffling
+
+
 def test_interpolate_linear_known_series(spark):
     from etl_as_a_service_spark.operators.relational import interpolate_linear
 

@@ -412,6 +412,47 @@ def test_registry_compaction_prunes_superseded_rows(spark, tmp_path):
     assert {x.run_id for x in r2.list_runs()} == {x.run_id for x in runs}
 
 
+def test_registry_compaction_heals_crash_between_renames(spark, tmp_path):
+    """compact() swaps the rewritten snapshot in by rename(live, old);
+    rename(tmp, live). Kill the process between the two renames — the
+    live path is absent, the full log parked in .__old__ — and every
+    registry operation on a fresh runner must first heal the swap, so
+    no run row is ever lost to the crash window."""
+    import os
+
+    registry = str(tmp_path / "runs_registry_crash")
+    r = PipelineRunner(spark, registry_path=registry)
+    runs = [r.run(lineitem_spec(), user="alice") for _ in range(2)]
+    before = {
+        row["run_id"]: (row["status"], row["n_output_rows"])
+        for row in r.persisted_runs_df().collect()
+    }
+
+    # simulate the kill: live registry renamed away, replacement not in
+    os.rename(registry, registry + ".__old__")
+    assert not os.path.exists(registry)
+
+    r2 = PipelineRunner(spark, registry_path=registry)
+    after = {
+        row["run_id"]: (row["status"], row["n_output_rows"])
+        for row in r2.persisted_runs_df().collect()
+    }
+    assert after == before  # healed: zero run-row loss
+    assert not os.path.exists(registry + ".__old__") or os.path.exists(
+        registry
+    )
+    # compact on the healed registry works and keeps every run
+    assert r2.compact() == len(runs)
+    assert {x.run_id for x in r2.list_runs()} == {x.run_id for x in runs}
+
+    # a _persist append also heals first (new run recorded post-crash)
+    os.rename(registry, registry + ".__old__")
+    r3 = PipelineRunner(spark, registry_path=registry)
+    new_run = r3.run(lineitem_spec(), user="bob")
+    ids = {row["run_id"] for row in r3.persisted_runs_df().collect()}
+    assert ids == {x.run_id for x in runs} | {new_run.run_id}
+
+
 def test_registry_in_memory_state_wins_for_own_runs(spark, tmp_path):
     """For runs owned by THIS instance, the live in-memory state (e.g.
     a streaming handle) must not be shadowed by older persisted rows."""
