@@ -4,9 +4,14 @@ columns. These are first-class engine operators, designed for the
 100 TB path: inverted-index joins and LSH bucketing instead of pairwise
 comparison, hash fingerprints instead of full-text shuffle keys."""
 
+from etl_as_a_service_spark.llm.bpe import (
+    bpe_encode,
+    learn_bpe_merges,
+)
 from etl_as_a_service_spark.llm.dedup import (
     exact_dedup,
     minhash_near_duplicates,
+    near_dedup_keep_best,
     simhash,
     ngram_jaccard_pairs,
 )
@@ -23,8 +28,11 @@ from etl_as_a_service_spark.llm.similarity import (
 )
 
 __all__ = [
+    "bpe_encode",
+    "learn_bpe_merges",
     "exact_dedup",
     "minhash_near_duplicates",
+    "near_dedup_keep_best",
     "simhash",
     "ngram_jaccard_pairs",
     "brute_force_topk",

@@ -1,0 +1,220 @@
+"""Byte-pair-encoding vocabulary induction and encoding at corpus scale.
+
+The training-data counterpart of tokenizer construction (Sennrich et al.
+2016, "Neural Machine Translation of Rare Words with Subword Units" —
+public algorithm): iteratively merge the most frequent adjacent symbol
+pair. The reference system has no tokenizer induction; this exists
+because a 100 TB pretraining pipeline derives its tokenizer FROM the
+corpus it curates.
+
+Scale shape: the corpus is touched ONCE (word-count aggregation, one
+map-side-combined shuffle). Every merge iteration then runs over the
+DISTINCT-WORD table — bounded by vocabulary size, not corpus size, and
+shrinking in row width as merges collapse symbols. Per iteration:
+- pair counting is explode + hash-aggregate (map-side combined);
+- the argmax pair is ONE driver-side row (bounded, like the
+  connected-components convergence scalar);
+- the merge itself is a pure Catalyst array fold (no Python in the
+  loop); ``localCheckpoint`` truncates lineage so the plan stays
+  O(1)-deep across iterations instead of O(num_merges).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: end-of-word marker appended to each word's final symbol (the classic
+#: BPE convention: "low" -> [l, o, w</w>]), so merges never straddle a
+#: word boundary and encoded tokens are word-boundary-aware.
+EOW = "</w>"
+
+
+def _word_symbols(words: DataFrame) -> DataFrame:
+    """(w, wc) -> (wc, syms): split each distinct word into single-char
+    symbols with the end-of-word marker fused onto the last one."""
+    chars = F.filter(F.split("w", ""), lambda c: c != F.lit(""))
+    n = F.size(chars)
+    syms = F.concat(
+        F.slice(chars, F.lit(1), n - 1),
+        F.array(F.concat(F.element_at(chars, -1), F.lit(EOW))),
+    )
+    return words.select("w", "wc", syms.alias("syms"))
+
+
+def _merge_pair(col, a: str, b: str):
+    """Catalyst fold that rewrites every non-overlapping left-to-right
+    occurrence of adjacent (a, b) in a symbol array into the single
+    merged symbol a+b — the BPE merge step, as a pure expression.
+
+    State: (acc = merged output so far, pend = one-symbol lookahead).
+    'aaa' under merge (a,a) correctly yields [aa, a]: after a merge the
+    lookahead resets, so overlapping matches never double-merge."""
+    merged = a + b
+
+    def step(st, s):
+        return (
+            F.when(
+                st.pend.isNull(),
+                F.struct(st.acc.alias("acc"), s.alias("pend")),
+            )
+            .when(
+                (st.pend == F.lit(a)) & (s == F.lit(b)),
+                F.struct(
+                    F.concat(st.acc, F.array(F.lit(merged))).alias("acc"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(st.acc, F.array(st.pend)).alias("acc"),
+                    s.alias("pend"),
+                )
+            )
+        )
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("acc"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+    return F.aggregate(
+        col,
+        init,
+        step,
+        lambda st: F.when(st.pend.isNull(), st.acc).otherwise(
+            F.concat(st.acc, F.array(st.pend))
+        ),
+    )
+
+
+def word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace-tokenized lowercase word counts — the single pass
+    over the corpus; everything downstream is vocabulary-sized."""
+    return (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 30,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Learn up to ``num_merges`` BPE merge rules from a corpus.
+
+    Returns a DataFrame ``(rank, left, right, pair_count)`` — rank is
+    the merge order (0-based), deterministic under the
+    (count DESC, left, right) tie-break on both any-partitioning and
+    any-engine reruns. Stops early when the best remaining pair occurs
+    fewer than ``min_pair_count`` times.
+
+    The merge table itself is driver-materialized — it is the OUTPUT
+    artifact (a tokenizer spec of ``num_merges`` rows), not data.
+    """
+    spark = df.sparkSession
+    syms = _word_symbols(word_counts(df, text_col)).localCheckpoint(
+        eager=True
+    )
+    rules: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        pairs = syms.select(
+            "wc",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", F.lit(1), F.size("syms") - 1),
+                    F.slice("syms", F.lit(2), F.size("syms") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        rules.append((rank, a, b, cnt))
+        syms = syms.select(
+            "w", "wc", _merge_pair(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rules, "rank int, left string, right string, pair_count long"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Encode documents into BPE tokens under a learned merge list.
+
+    Scale shape: the merge loop runs over DISTINCT words (vocabulary-
+    sized, via an Arrow-batched kernel applying the greedy merge order
+    per word), then the token arrays join back to documents on the
+    word — the corpus is never re-tokenized per occurrence. Returns
+    ``(id_col, tokens array<string>)`` with tokens in document order.
+    """
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def encode_word(words: pd.Series) -> pd.Series:
+        def enc(w: str) -> list[str]:
+            if not w:
+                return []
+            syms = list(w[:-1]) + [w[-1] + EOW]
+            while len(syms) > 1:
+                # lowest-rank (earliest-learned) applicable merge first
+                cand = min(
+                    (
+                        (ranks[(syms[i], syms[i + 1])], i)
+                        for i in range(len(syms) - 1)
+                        if (syms[i], syms[i + 1]) in ranks
+                    ),
+                    default=None,
+                )
+                if cand is None:
+                    break
+                _, i = cand
+                syms[i : i + 2] = [syms[i] + syms[i + 1]]
+            return syms
+
+        return words.map(enc)
+
+    positioned = df.select(
+        F.col(id_col), F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("pos", "w")
+    )
+    vocab = positioned.select("w").distinct().select(
+        "w", encode_word("w").alias("wtoks")
+    )
+    return (
+        positioned.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "wtoks"))
+                    ),
+                    lambda s: s.getField("wtoks"),
+                )
+            ).alias("tokens")
+        )
+    )

@@ -622,8 +622,13 @@ def ngram_jaccard_pairs(
     under ANY consistent global shingle order, a pair with J(A,B) >= t
     must share at least one shingle among each side's
     |A| - ceil(t*|A|) + 1 FIRST shingles (since |A∩B| >= t*|A∪B| >=
-    t*|A|). Candidates therefore come only from prefix shingles;
-    verification computes the exact Jaccard via array_intersect on the
+    t*|A|). Candidates therefore come only from prefix shingles, and
+    are further pruned inside the candidate join by PPJoin's length
+    filter (min size >= t * max size) and positional filter (suffix
+    sizes at the shared shingle's positions must still allow the
+    t/(1+t)*(|A|+|B|) overlap) — both exact, both evaluated BEFORE the
+    candidate distinct so hopeless pairs never reach the shuffle.
+    Verification computes the exact Jaccard via array_intersect on the
     full (distinct, hashed) shingle sets. Shingle sets travel as arrays
     of 64-bit hashes, not strings.
 
@@ -687,7 +692,14 @@ def ngram_jaccard_pairs(
         )
         if materialize:
             full = _swap_materialized(full)
-        index = full.select("__id", F.explode("pfx").alias("sh"))
+        # posexplode: p is the shingle's 0-based POSITION in the rank
+        # order (the prefix is the head of that order), sz the set size
+        # — both feed the length/positional candidate filters below
+        index = full.select(
+            "__id",
+            F.size("shs").alias("sz"),
+            F.posexplode("pfx").alias("p", "sh"),
+        )
         full = full.drop("pfx")
     elif prefix_filter:
         # hash order: the prefix is simply the FIRST L elements of the
@@ -701,7 +713,9 @@ def ngram_jaccard_pairs(
             F.size("shs") - F.ceil(F.lit(threshold) * F.size("shs")) + 1
         ).cast("int")
         index = full.select(
-            "__id", F.explode(F.slice("shs", F.lit(1), prefix_len)).alias("sh")
+            "__id",
+            F.size("shs").alias("sz"),
+            F.posexplode(F.slice("shs", F.lit(1), prefix_len)).alias("p", "sh"),
         )
     else:
         full = sh.groupBy("__id").agg(
@@ -711,10 +725,34 @@ def ngram_jaccard_pairs(
 
     a = index.alias("a")
     b = index.alias("b")
-    candidates = (
-        a.join(
-            b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.__id") < F.col("b.__id"))
+    cond = (F.col("a.sh") == F.col("b.sh")) & (
+        F.col("a.__id") < F.col("b.__id")
+    )
+    if prefix_filter:
+        # PPJoin candidate pruning — both filters are EXACT (they can
+        # only drop pairs that provably cannot reach the threshold):
+        # - length filter: J(A,B) <= min/max, so a qualifying pair has
+        #   min(|A|,|B|) >= t * max(|A|,|B|);
+        # - positional filter: at a shared prefix shingle sitting at
+        #   positions (pa, pb) of the SAME global order, the overlap is
+        #   bounded by min(|A|-pa, |B|-pb), while J >= t needs overlap
+        #   >= t/(1+t) * (|A|+|B|). The bound is tight for the FIRST
+        #   shared shingle (nothing common precedes it in either set),
+        #   and the pair survives if ANY of its shared prefix shingles
+        #   passes — so qualifying pairs always survive via their first
+        #   shared shingle, and only hopeless (id_a, id_b) occurrences
+        #   are pruned BEFORE the distinct instead of after it.
+        sa, sb = F.col("a.sz"), F.col("b.sz")
+        cond = cond & (
+            F.least(sa, sb).cast("double")
+            >= F.lit(float(threshold)) * F.greatest(sa, sb)
         )
+        cond = cond & (
+            F.least(sa - F.col("a.p"), sb - F.col("b.p")).cast("double")
+            >= F.lit(threshold / (1.0 + threshold)) * (sa + sb)
+        )
+    candidates = (
+        a.join(b, cond)
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
@@ -731,4 +769,57 @@ def ngram_jaccard_pairs(
             F.round(inter / union_sz.cast("double"), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def near_dedup_keep_best(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    quality_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate removal with CANONICAL SURVIVOR SELECTION: collapse
+    exact n-gram Jaccard clusters (>= ``threshold``) and keep, per
+    cluster, the highest-``quality_col`` document (ties: smallest id —
+    fully deterministic). Documents with no near-duplicate survive as
+    their own singleton cluster.
+
+    The quality-aware complement of ``exact_dedup`` (which keeps the
+    first row per identical fingerprint): near-dup families routinely
+    contain one clean original plus mangled re-crawls, and keeping the
+    BEST member — not an arbitrary one — is the curation decision.
+
+    Scale shape: edges via the PPJoin-filtered pair generator; clusters
+    via bounded min-label propagation (operators/graph.py); survivor
+    choice is a per-cluster top-1 window (WindowGroupLimit — rank
+    computed map-side per key partition, never a global sort). Returns
+    ``(component, id_col, quality_col, group_size)`` for survivors.
+    """
+    from etl_as_a_service_spark.operators.graph import connected_components
+
+    edges = ngram_jaccard_pairs(df, text_col, id_col, n=n, threshold=threshold)
+    comp = connected_components(edges, "id_a", "id_b")
+    labeled = df.join(
+        comp, df[id_col] == comp["node"], "left"
+    ).select(
+        F.coalesce(comp["component"], df[id_col]).alias("component"),
+        df[id_col],
+        df[quality_col],
+    )
+    w = Window.partitionBy("component")
+    rn = F.row_number().over(
+        w.orderBy(F.col(quality_col).desc(), F.col(id_col))
+    )
+    return (
+        labeled.select(
+            "component",
+            id_col,
+            quality_col,
+            rn.alias("__rn"),
+            F.count(F.lit(1)).over(w).alias("group_size"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )

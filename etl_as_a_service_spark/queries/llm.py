@@ -1489,3 +1489,104 @@ def q120_bigram_lm_scores(spark, sf_dir):
         .select("doc_id", "n_bigrams", F.round("score", 6).alias("score"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q130 — BPE merge-rule learning (tokenizer vocabulary induction)
+# --------------------------------------------------------------------------
+@query(
+    "q130_bpe_merges",
+    # no oracle: iterative argmax-merge is not expressible in portable
+    # SQL (each round's pair counts depend on the previous round's
+    # merge); correctness is spec-tested against an independent pure-
+    # Python BPE reference implementation (test_llm_ops.py), rule list
+    # compared rule-for-rule including tie-breaks.
+    tags=("bpe", "tokenizer", "llm", "operator", "iterative"),
+)
+def q130_bpe_merges(spark, sf_dir):
+    """Learn 12 byte-pair-encoding merges from the document corpus
+    (llm.bpe.learn_bpe_merges — Sennrich et al. 2016). The corpus is
+    scanned once into word counts; each merge round runs over the
+    DISTINCT-WORD table (vocabulary-sized, lineage-truncated), with one
+    bounded driver scalar (the argmax pair) per round — the same
+    iterative-operator discipline as connected components. Determinism:
+    (count DESC, left, right) tie-break."""
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.llm.bpe import learn_bpe_merges
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return learn_bpe_merges(
+        docs.filter(F.col("doc_id") < 400), "text", num_merges=12
+    ).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# q131 — near-duplicate removal with canonical survivor selection
+# --------------------------------------------------------------------------
+@query(
+    "q131_near_dedup_keep_best",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, w1 || ' ' || w2 || ' ' || w3 AS sh
+      FROM (
+        SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             UNNEST(range(1, len(toks) - 1)) AS t(i)
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+    ),
+    comp AS (SELECT node AS did, min(r) AS component FROM reach GROUP BY node),
+    lab AS (
+      SELECT coalesce(c.component, d.doc_id) AS component,
+             d.doc_id, d.n_chars
+      FROM documents d LEFT JOIN comp c ON c.did = d.doc_id
+    ),
+    sel AS (
+      SELECT component, doc_id, n_chars,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+               AS group_size
+      FROM lab
+    )
+    SELECT component, doc_id, n_chars, group_size
+    FROM sel WHERE rn = 1 ORDER BY component
+    """,
+    tags=("dedup", "curation", "llm", "operator"),
+)
+def q131_near_dedup_keep_best(spark, sf_dir):
+    """Near-dup removal that keeps the BEST cluster member (longest
+    n_chars, ties to smallest doc_id) instead of an arbitrary one
+    (llm.dedup.near_dedup_keep_best): PPJoin exact-Jaccard edges ->
+    connected components -> per-cluster top-1 window (WindowGroupLimit)
+    — the curation decision near-dup families actually need, since a
+    family is typically one clean original plus mangled re-crawls. The
+    oracle recomputes clusters with a recursive CTE and survivors with
+    the same deterministic ranking."""
+    from etl_as_a_service_spark.llm.dedup import near_dedup_keep_best
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return near_dedup_keep_best(
+        docs, "text", "doc_id", "n_chars", n=3, threshold=0.4
+    ).orderBy("component")

@@ -232,3 +232,327 @@ def q66_or_of_ands_predicates(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-4 additions: the remaining TPC-H shapes expressible on this
+# schema (no partsupp / shipmode / commitdate / phone columns in the
+# driver's synthetic tables; shapes needing those are adapted or out).
+# --------------------------------------------------------------------------
+@query(
+    "q123_market_share",
+    oracle="""
+    WITH sales AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name                          AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region    ON r_regionkey = n1.n_regionkey
+      JOIN supplier  ON s_suppkey = l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+    FROM sales GROUP BY o_year ORDER BY o_year
+    """,
+    tags=("tpch", "join", "share"),
+)
+def q123_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's PROMO-part
+    revenue per year — an 8-way join where every dimension (part,
+    customer, nation x2, region, supplier) broadcasts and the two fact
+    tables (lineitem, orders) shuffle once on the join key. The nation
+    dim joins TWICE in different roles (customer's and supplier's);
+    conditional-sum / sum gives the share without a second pass."""
+    li, part, orders, cust, nation, region, supp = _t(
+        spark, sf_dir,
+        "lineitem", "part", "orders", "customer", "nation", "region",
+        "supplier",
+    )
+    n1 = nation.alias("n1")
+    n2 = nation.alias("n2")
+    sales = (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1.n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("r_regionkey") == F.col("n1.n_regionkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("n2.n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _rev().alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    return (
+        sales.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3",
+                           F.col("volume")).otherwise(F.lit(0.0))
+                ) / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q124_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - p_retailprice * l_quantity * 0.6), 2) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%5%'
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("tpch", "join", "aggregate"),
+)
+def q124_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: per-nation per-year profit over a part-name
+    pattern. The schema has no partsupp, so cost is modeled as 60% of
+    p_retailprice * quantity (the SHAPE is what matters: a fact-to-many
+    -dims join with an expression aggregate and a LIKE filter pushed to
+    the part scan)."""
+    li, part, supp, nation, orders = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders"
+    )
+    profit = _rev() - F.col("p_retailprice") * F.col("l_quantity") * 0.6
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_name").like("%5%"))),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q125_order_count_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("tpch", "outer-join", "histogram"),
+)
+def q125_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: double aggregation — orders per customer
+    (LEFT join keeps zero-order customers as count 0), then customers
+    per order-count. Both aggregates are map-side-combinable; the
+    second one runs over at most |distinct counts| rows."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q126_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    tags=("tpch", "subquery", "aggregate"),
+)
+def q126_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue
+    — the scalar-subquery-against-a-view pattern. Spark-first: rank the
+    tiny per-supplier aggregate with a window over an EMPTY partition
+    spec — safe ONLY because the input is already one row per supplier
+    (bounded by |supplier|), which is exactly when max-rank selection
+    beats a self-join against the max."""
+    from pyspark.sql import Window
+
+    li, supp = _t(spark, sf_dir, "lineitem", "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+    )
+    ranked = revenue.withColumn(
+        "rnk", F.rank().over(Window.orderBy(F.col("total_revenue").desc()))
+    )
+    return (
+        ranked.filter(F.col("rnk") == 1)
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q127_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS pk, 0.5 * avg(l_quantity) AS qbar
+          FROM lineitem GROUP BY l_partkey) t ON t.pk = l_partkey
+    WHERE p_brand = 'Brand#11' AND l_quantity < qbar
+    """,
+    tags=("tpch", "correlated-aggregate"),
+)
+def q127_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: lineitems below half their part's average
+    quantity. The correlated scalar subquery decorrelates into a
+    per-part aggregate joined back to the fact — the aggregate is
+    |part|-sized, so AQE broadcasts it and the fact table is scanned
+    once (a naive correlated rewrite rescans lineitem per row)."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    qbar = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg((F.lit(0.5) * F.avg("l_quantity")).alias("qbar"))
+    )
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_brand") == "Brand#11")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(qbar, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qbar"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q128_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 120
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+           round(o_totalprice, 2) AS totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("tpch", "semi-join", "having"),
+)
+def q128_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: customers whose single orders exceed a total
+    quantity threshold. The HAVING subquery becomes a semi-join from a
+    re-aggregation of the same fact — ReuseExchange shares the lineitem
+    shuffle between the filter aggregate and the final aggregate."""
+    cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 120)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "bk"),
+                F.col("bk") == F.col("l_orderkey"), "left_semi")
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q129_idle_rich_customers",
+    oracle="""
+    WITH cutoff AS (
+      SELECT avg(c_acctbal) AS bar FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n_name AS nation,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey, cutoff
+    WHERE c_acctbal > bar
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY n_name
+    ORDER BY nation
+    """,
+    tags=("tpch", "anti-join", "scalar-subquery"),
+)
+def q129_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape (adapted — no phone column): customers with
+    above-average positive balance and NO orders, per nation. NOT
+    EXISTS plans as a broadcast-able anti-join on the distinct custkey
+    projection of orders; the average is a one-row broadcast cross
+    join, never a per-row rescan."""
+    cust, nation, orders = _t(spark, sf_dir, "customer", "nation", "orders")
+    bar = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("bar")
+    )
+    return (
+        cust.join(F.broadcast(bar))
+        .filter(F.col("c_acctbal") > F.col("bar"))
+        .join(orders.select("o_custkey"),
+              F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(F.broadcast(nation),
+              F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )

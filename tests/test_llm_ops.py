@@ -604,3 +604,100 @@ def test_ivf_quantized_index_recall_and_size(spark, tmp_path):
     r = {(x["query_id"], x["neighbor_id"]) for x in ref.collect()}
     g = {(x["query_id"], x["neighbor_id"]) for x in got.collect()}
     assert len(r & g) / len(r) >= 0.9
+
+
+# -- BPE vocabulary induction (llm/bpe.py) ---------------------------------
+def _reference_bpe(word_counts, num_merges, min_pair_count=2):
+    """Independent driver-side BPE (Sennrich et al. 2016) to spec-check
+    the distributed implementation: greedy most-frequent-pair merges
+    with the same (count desc, left, right) tie-break."""
+    from collections import Counter
+
+    vocab = {
+        tuple(list(w[:-1]) + [w[-1] + "</w>"]): c
+        for w, c in word_counts.items()
+    }
+    out = []
+    for rank in range(num_merges):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_pair_count:
+            break
+        out.append((rank, a, b, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new_vocab[tuple(merged)] = new_vocab.get(tuple(merged), 0) + c
+        vocab = new_vocab
+    return out
+
+
+def test_bpe_merges_match_reference_implementation(spark):
+    from etl_as_a_service_spark.llm.bpe import learn_bpe_merges
+
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "low low": 0}
+    counts.pop("low low")
+    rows = [(w + " ") * c for w, c in counts.items()]
+    df = spark.createDataFrame([(t,) for t in rows], "text string")
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in learn_bpe_merges(df, "text", num_merges=8)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _reference_bpe(counts, 8)
+    assert len(got) > 3  # the classic corpus yields several merges
+
+
+def test_bpe_merges_on_documents_match_reference(spark, docs):
+    """Spec-check on real corpus data: word counts derived the same way
+    both sides, 6 merges compared rule-for-rule."""
+    from etl_as_a_service_spark.llm.bpe import learn_bpe_merges, word_counts
+
+    sample = docs.filter(F.col("doc_id") < 80)
+    wc = {r["w"]: r["wc"] for r in word_counts(sample, "text").collect()}
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in learn_bpe_merges(sample, "text", num_merges=6)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _reference_bpe(wc, 6)
+
+
+def test_bpe_encode_roundtrip_and_vocab_join(spark):
+    from etl_as_a_service_spark.llm.bpe import bpe_encode, learn_bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "newest widest low")],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in learn_bpe_merges(df, "text", num_merges=10, min_pair_count=1)
+        .orderBy("rank")
+        .collect()
+    ]
+    out = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_encode(df, "text", "doc_id", merges).collect()
+    }
+    # tokens reassemble to the original words in order
+    assert "".join(out[1]).replace("</w>", " ").strip() == "low low lower"
+    assert "".join(out[2]).replace("</w>", " ").strip() == "newest widest low"
+    # the fully-merged frequent word collapses to one token
+    assert "low</w>" in out[1]
