@@ -77,30 +77,37 @@ def connected_components(
         nodes = (
             nodes.select(F.col("node")).union(endpoint_nodes).distinct()
         )
+    # seed = round 1 for FREE: initial labels are the node ids, so the
+    # first propagation "min over neighbors' labels" is just min over
+    # neighbor IDS — one aggregate over (self ∪ edge) pairs, no join
+    seeded = (
+        nodes.select(F.col("node"), F.col("node").alias("label"))
+        .union(sym.select(F.col("d").alias("node"), F.col("s").alias("label")))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
     # the seed fingerprint rides the initial checkpoint's action as an
     # Observation — no extra aggregation job before the loop
     obs0 = Observation()
     labels = (
-        nodes.select(F.col("node"), F.col("node").alias("label"))
-        .observe(obs0, _fingerprint())
-        .localCheckpoint(eager=True)
+        seeded.observe(obs0, _fingerprint()).localCheckpoint(eager=True)
     )
     prev_sum = obs0.get["s"]
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.s == labels.node)
-            .groupBy("d")
-            .agg(F.min("label").alias("nmin"))
+        # one round = ONE join (edges x labels) + ONE union-min
+        # aggregate: label'(v) = min(label(v), min over in-neighbors).
+        # The union-min replaces a second (left) join — a per-round
+        # shuffle saved, and nodes with no incoming edge keep their
+        # label through the union leg instead of a coalesce.
+        neighbor_labels = sym.join(labels, sym.s == labels.node).select(
+            F.col("d").alias("node"), F.col("label")
         )
         obs = Observation()
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.d, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
+            labels.select("node", "label")
+            .union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
             .observe(obs, _fingerprint())
             .localCheckpoint(eager=True)
         )
