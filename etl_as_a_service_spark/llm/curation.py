@@ -264,3 +264,39 @@ def weighted_sample(
         .orderBy(F.col("skey").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Train/val/test assignment keyed on the NEAR-DUPLICATE CLUSTER,
+    not the document: every member of a cluster lands in the same
+    split, so a test document can never have a near-duplicate sibling
+    in train — the split-boundary leakage that per-document hashing
+    (deterministic_split) cannot prevent, and that silently inflates
+    eval scores at corpus scale.
+
+    Composition: PPJoin exact-Jaccard edges -> connected components
+    (bounded iterative joins) -> md5-threshold assignment on the
+    cluster id (singletons key on their own id, preserving
+    deterministic_split's stability properties cluster-wise). Adds
+    ``cluster`` and ``split`` columns.
+    """
+    from etl_as_a_service_spark.llm.dedup import ngram_jaccard_pairs
+    from etl_as_a_service_spark.operators.graph import connected_components
+
+    edges = ngram_jaccard_pairs(
+        df, text_col, id_col, n=n, threshold=threshold
+    )
+    comp = connected_components(edges, "id_a", "id_b")
+    labeled = df.join(comp, df[id_col] == comp["node"], "left").select(
+        df["*"],
+        F.coalesce(comp["component"], df[id_col]).alias("cluster"),
+    )
+    return deterministic_split(labeled, "cluster", weights, salt)

@@ -1590,3 +1590,81 @@ def q131_near_dedup_keep_best(spark, sf_dir):
     return near_dedup_keep_best(
         docs, "text", "doc_id", "n_chars", n=3, threshold=0.4
     ).orderBy("component")
+
+
+# --------------------------------------------------------------------------
+# q132 — leakage-safe (cluster-keyed) train/val/test split
+# --------------------------------------------------------------------------
+@query(
+    "q132_leakage_safe_split",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, w1 || ' ' || w2 || ' ' || w3 AS sh
+      FROM (
+        SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             UNNEST(range(1, len(toks) - 1)) AS t(i)
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+    ),
+    comp AS (SELECT node AS did, min(r) AS component FROM reach GROUP BY node),
+    lab AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON c.did = d.doc_id
+    ),
+    assigned AS (
+      SELECT doc_id, cluster,
+             CASE WHEN substring(md5('split-v1' || CAST(cluster AS VARCHAR)), 1, 8)
+                       < 'e6666666' THEN 'train'
+                  WHEN substring(md5('split-v1' || CAST(cluster AS VARCHAR)), 1, 8)
+                       < 'f3333333' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM lab
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT)                 AS n_docs,
+           CAST(count(DISTINCT cluster) AS BIGINT)  AS n_clusters
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+    tags=("curation", "split", "dedup", "llm", "operator"),
+)
+def q132_leakage_safe_split(spark, sf_dir):
+    """Cluster-keyed split (llm.curation.leakage_safe_split): near-dup
+    families assign as a UNIT, so no test doc has a train near-twin —
+    the leakage guarantee a per-doc hash split can't give. The oracle
+    recomputes clusters (recursive CTE) and the identical md5-threshold
+    assignment on the cluster id; the no-straddle invariant itself is
+    pytest-asserted (every cluster maps to exactly one split)."""
+    from etl_as_a_service_spark.llm.curation import leakage_safe_split
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        leakage_safe_split(docs, "text", "doc_id", threshold=0.4)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("cluster").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )

@@ -200,3 +200,32 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     got = {r["id"] for r in weighted_sample(df, "id", "w", 10).collect()}
     assert got == {4, 5}
+
+
+def test_leakage_safe_split_no_cluster_straddles_splits(spark, docs):
+    """The whole point: every near-dup cluster lands in exactly ONE
+    split, and the assignment is stable under repartitioning."""
+    from etl_as_a_service_spark.llm.curation import leakage_safe_split
+
+    sample = docs.filter(F.col("doc_id") < 300)
+    out = leakage_safe_split(sample, "text", "doc_id", threshold=0.4)
+    straddlers = (
+        out.groupBy("cluster")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    # multi-doc clusters exist at this SF (else the test is vacuous)
+    assert (
+        out.groupBy("cluster").count().filter(F.col("count") > 1).count() > 0
+    )
+    # repartition-invariance: same (doc -> split) map
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            sample.repartition(7), "text", "doc_id", threshold=0.4
+        ).collect()
+    }
+    assert a == b
