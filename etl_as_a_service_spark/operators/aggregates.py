@@ -9,14 +9,27 @@ Spark itself uses for map-side partial aggregation):
 - sum, count      -> merge by sum
 - min, max        -> merge by min/max
 - avg             -> carried as (sum, count), finalized as sum/count
+- var, std        -> carried as (sum, sum of squares, count), finalized
+                     with the sample (n-1) formula to match F.variance/
+                     F.stddev (textbook sum-of-squares merge; adequate
+                     for metric-scale magnitudes — a catastrophic-
+                     cancellation-proof Chan/Welford merge would need
+                     pairwise state, not worth it for view maintenance)
+- latest/earliest -> carried as ONE struct (order_col, value); merge is
+                     plain struct max/min (lexicographic), so ties on
+                     the order column break deterministically by value
+                     — the "current value" materialized view
 - approx distinct -> carried as an HLL sketch (binary), merged with
                      hll_union_agg; union-of-parts == sketch-of-whole,
                      so incremental estimates equal full-recompute
                      estimates exactly
 
-State schema per spec {name: (fn, col)}: sum/count/min/max -> one
-column ``name``; avg -> ``name__sum`` + ``name__cnt``; approx_distinct
--> ``name__hll``. ``finalize_state`` renders user-facing values.
+State schema per spec {name: (fn, col)} (latest/earliest take
+``(fn, order_col, value_col)``): sum/count/min/max -> one column
+``name``; avg -> ``name__sum`` + ``name__cnt``; var/std ->
+``name__sum`` + ``name__sum2`` + ``name__cnt``; latest/earliest ->
+``name__arg`` struct; approx_distinct -> ``name__hll``.
+``finalize_state`` renders user-facing values.
 """
 
 from __future__ import annotations
@@ -24,15 +37,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_FNS = ("sum", "count", "min", "max", "avg", "approx_distinct")
+_FNS = (
+    "sum", "count", "min", "max", "avg", "var", "std",
+    "latest", "earliest", "approx_distinct",
+)
 
 
-def _check_specs(specs: dict[str, tuple[str, str]]) -> None:
-    for name, (fn, _col) in specs.items():
+def _check_specs(specs: dict[str, tuple[str, ...]]) -> None:
+    for name, spec in specs.items():
+        fn = spec[0]
         if fn not in _FNS:
             raise ValueError(
                 f"aggregate {name!r}: unsupported fn {fn!r} "
                 f"(mergeable fns: {_FNS})"
+            )
+        want = 3 if fn in ("latest", "earliest") else 2
+        if len(spec) != want:
+            raise ValueError(
+                f"aggregate {name!r}: {fn} spec takes {want - 1} "
+                f"column(s), got {len(spec) - 1}"
             )
 
 
@@ -44,7 +67,8 @@ def aggregate_state(
     first-class DataFrame so it can be persisted and refreshed."""
     _check_specs(specs)
     aggs = []
-    for name, (fn, col) in specs.items():
+    for name, spec in specs.items():
+        fn, col = spec[0], spec[1]
         if fn == "sum":
             aggs.append(F.sum(col).alias(name))
         elif fn == "count":
@@ -56,6 +80,16 @@ def aggregate_state(
         elif fn == "avg":
             aggs.append(F.sum(col).alias(f"{name}__sum"))
             aggs.append(F.count(col).alias(f"{name}__cnt"))
+        elif fn in ("var", "std"):
+            v = F.col(col).cast("double")
+            aggs.append(F.sum(v).alias(f"{name}__sum"))
+            aggs.append(F.sum(v * v).alias(f"{name}__sum2"))
+            aggs.append(F.count(col).alias(f"{name}__cnt"))
+        elif fn in ("latest", "earliest"):
+            ordc, valc = col, spec[2]
+            arg = F.struct(F.col(ordc).alias("o"), F.col(valc).alias("v"))
+            agg = F.max(arg) if fn == "latest" else F.min(arg)
+            aggs.append(agg.alias(f"{name}__arg"))
         elif fn == "approx_distinct":
             aggs.append(F.hll_sketch_agg(col).alias(f"{name}__hll"))
     return df.groupBy(*keys).agg(*aggs)
@@ -71,7 +105,8 @@ def merge_states(
     small, so at scale this is O(|state|), never O(history)."""
     _check_specs(specs)
     aggs = []
-    for name, (fn, _col) in specs.items():
+    for name, spec in specs.items():
+        fn = spec[0]
         if fn in ("sum", "count"):
             aggs.append(F.sum(name).alias(name))
         elif fn == "min":
@@ -81,6 +116,13 @@ def merge_states(
         elif fn == "avg":
             aggs.append(F.sum(f"{name}__sum").alias(f"{name}__sum"))
             aggs.append(F.sum(f"{name}__cnt").alias(f"{name}__cnt"))
+        elif fn in ("var", "std"):
+            aggs.append(F.sum(f"{name}__sum").alias(f"{name}__sum"))
+            aggs.append(F.sum(f"{name}__sum2").alias(f"{name}__sum2"))
+            aggs.append(F.sum(f"{name}__cnt").alias(f"{name}__cnt"))
+        elif fn in ("latest", "earliest"):
+            agg = F.max if fn == "latest" else F.min
+            aggs.append(agg(f"{name}__arg").alias(f"{name}__arg"))
         elif fn == "approx_distinct":
             aggs.append(
                 F.hll_union_agg(f"{name}__hll").alias(f"{name}__hll")
@@ -95,13 +137,21 @@ def finalize_state(
     projection — no shuffle)."""
     _check_specs(specs)
     cols = [F.col(k) for k in keys]
-    for name, (fn, _col) in specs.items():
+    for name, spec in specs.items():
+        fn = spec[0]
         if fn in ("sum", "count", "min", "max"):
             cols.append(F.col(name))
         elif fn == "avg":
             cols.append(
                 (F.col(f"{name}__sum") / F.col(f"{name}__cnt")).alias(name)
             )
+        elif fn in ("var", "std"):
+            n = F.col(f"{name}__cnt")
+            s, s2 = F.col(f"{name}__sum"), F.col(f"{name}__sum2")
+            var = F.when(n > 1, (s2 - s * s / n) / (n - 1))
+            cols.append((var if fn == "var" else F.sqrt(var)).alias(name))
+        elif fn in ("latest", "earliest"):
+            cols.append(F.col(f"{name}__arg").getField("v").alias(name))
         elif fn == "approx_distinct":
             cols.append(F.hll_sketch_estimate(f"{name}__hll").alias(name))
     return state.select(*cols)

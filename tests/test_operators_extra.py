@@ -478,6 +478,10 @@ def test_incremental_aggregate_state_equals_full_recompute(spark):
         "lo": ("min", "value"),
         "hi": ("max", "value"),
         "mean": ("avg", "value"),
+        "sd": ("std", "value"),
+        "vr": ("var", "value"),
+        "last_val": ("latest", "ts", "value"),
+        "first_val": ("earliest", "ts", "value"),
         "users": ("approx_distinct", "user_id"),
     }
     keys = ["event_type"]
@@ -504,7 +508,30 @@ def test_incremental_aggregate_state_equals_full_recompute(spark):
         assert inc[k]["lo"] == full[k]["lo"]
         assert inc[k]["hi"] == full[k]["hi"]
         assert abs(inc[k]["mean"] - full[k]["mean"]) < 1e-9
+        assert abs(inc[k]["sd"] - full[k]["sd"]) < 1e-9
+        assert abs(inc[k]["vr"] - full[k]["vr"]) < 1e-9
+        assert inc[k]["last_val"] == full[k]["last_val"]
+        assert inc[k]["first_val"] == full[k]["first_val"]
         assert inc[k]["users"] == full[k]["users"]
+
+    # the sum-of-squares state matches Spark's own sample stddev/var,
+    # and latest/earliest match max_by/min_by on the full data
+    ref = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.stddev("value").alias("sd"),
+            F.variance("value").alias("vr"),
+            F.max_by("value", F.struct("ts", "value")).alias("last_val"),
+            F.min_by("value", F.struct("ts", "value")).alias("first_val"),
+        )
+        .collect()
+    }
+    for k in full:
+        assert abs(inc[k]["sd"] - ref[k]["sd"]) < 1e-6
+        assert abs(inc[k]["vr"] - ref[k]["vr"]) < 1e-6
+        assert inc[k]["last_val"] == ref[k]["last_val"]
+        assert inc[k]["first_val"] == ref[k]["first_val"]
 
 
 def test_incremental_aggregate_rejects_unknown_fn(spark):
