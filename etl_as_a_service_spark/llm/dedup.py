@@ -808,18 +808,25 @@ def near_dedup_keep_best(
         df[id_col],
         df[quality_col],
     )
-    w = Window.partitionBy("component")
+    # group_size comes from a separate aggregate on the SAME shuffle
+    # key (ReuseExchange shares the exchange; AQE broadcasts the tiny
+    # result back): folding count(*) into the rank window would block
+    # the WindowGroupLimit pushdown — the filter can only swallow a
+    # window that produces nothing but the rank (plan-asserted).
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
     rn = F.row_number().over(
-        w.orderBy(F.col(quality_col).desc(), F.col(id_col))
+        Window.partitionBy("component").orderBy(
+            F.col(quality_col).desc(), F.col(id_col)
+        )
     )
     return (
         labeled.select(
-            "component",
-            id_col,
-            quality_col,
-            rn.alias("__rn"),
-            F.count(F.lit(1)).over(w).alias("group_size"),
+            "component", id_col, quality_col, rn.alias("__rn")
         )
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        .join(sizes, "component")
+        .select("component", id_col, quality_col, "group_size")
     )

@@ -215,3 +215,37 @@ def test_bm25_plan_topk_and_broadcasts(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_q123_market_share_all_dims_broadcast(spark):
+    """The 8-way TPC-H Q8 shape: every dimension (part, customer,
+    nation x2, region, supplier) must broadcast; the only sort-merge
+    exchange allowed is the lineitem-orders fact-fact join."""
+    plan = plan_of(QUERIES["q123_market_share"].fn(spark, SF_T2))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q128_having_subquery_is_semi_join(spark):
+    """TPC-H Q18's HAVING-subquery filter must plan as a (left semi)
+    join against the re-aggregated fact, not a nested loop."""
+    plan = plan_of(QUERIES["q128_large_volume_customers"].fn(spark, SF_T2))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q129_not_exists_is_anti_join(spark):
+    """TPC-H Q22's NOT EXISTS must plan as an anti join; the scalar
+    average enters as a one-row broadcast, never a per-row rescan."""
+    plan = plan_of(QUERIES["q129_idle_rich_customers"].fn(spark, SF_T2))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q131_survivor_selection_plans_window_group_limit(spark):
+    """Keep-best near-dedup's per-cluster top-1 must plan as
+    WindowGroupLimit (rank pushed into the shuffle), not a full sort
+    per partition feeding an unpruned filter."""
+    plan = plan_of(QUERIES["q131_near_dedup_keep_best"].fn(spark, SF_T2))
+    assert "WindowGroupLimit" in plan
