@@ -1537,3 +1537,87 @@ def q121_point_in_time_lookup(spark, sf_dir):
     return out.select("user_id", "event_id", "state_asof").orderBy(
         "user_id", "event_id"
     )
+
+
+# --------------------------------------------------------------------------
+# q133 — current-value view via the mergeable latest/earliest algebra
+# --------------------------------------------------------------------------
+@query(
+    "q133_current_value_view",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, value DESC) AS rn_last,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, value ASC)  AS rn_first
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 6)     AS total_value,
+             round(CASE WHEN count(*) > 1
+                        THEN (sum(value * value)
+                              - sum(value) * sum(value) / count(*))
+                             / (count(*) - 1) END, 6) AS value_var
+      FROM events GROUP BY user_id
+    )
+    SELECT a.user_id, a.n_events, a.total_value, a.value_var,
+           round(l.value, 6) AS last_value,
+           round(f.value, 6) AS first_value
+    FROM agg a
+    JOIN ranked l ON l.user_id = a.user_id AND l.rn_last = 1
+    JOIN ranked f ON f.user_id = a.user_id AND f.rn_first = 1
+    WHERE a.user_id < 100
+    ORDER BY a.user_id
+    """,
+    tags=("incremental", "aggregate", "operator"),
+)
+def q133_current_value_view(spark, sf_dir):
+    """Current-value-per-key materialized view rendered THROUGH the
+    mergeable-state algebra (operators/aggregates.py): the state is
+    built from three disjoint batches and folded with merge_states, so
+    the driver hash-checks not just the answer but the fold path —
+    latest/earliest carried as one (ts, value) struct whose merge is
+    plain struct max/min (deterministic value tie-break), var as the
+    (sum, sum2, count) triple. The oracle recomputes from scratch with
+    rank windows and the textbook sum-of-squares formula: fold ==
+    recompute is the invariant, here enforced cross-engine."""
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.operators.aggregates import (
+        aggregate_state,
+        finalize_state,
+        merge_states,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    keys = ["user_id"]
+    specs = {
+        "n_events": ("count", "value"),
+        "total_value": ("sum", "value"),
+        "value_var": ("var", "value"),
+        "last_value": ("latest", "ts", "value"),
+        "first_value": ("earliest", "ts", "value"),
+    }
+    state = None
+    for i in range(3):
+        part = aggregate_state(
+            ev.filter(F.col("event_id") % 3 == i), keys, specs
+        )
+        state = part if state is None else merge_states(
+            state, part, keys, specs
+        )
+    out = finalize_state(state, keys, specs)
+    return (
+        out.filter(F.col("user_id") < 100)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+            F.round("value_var", 6).alias("value_var"),
+            F.round("last_value", 6).alias("last_value"),
+            F.round("first_value", 6).alias("first_value"),
+        )
+        .orderBy("user_id")
+    )
