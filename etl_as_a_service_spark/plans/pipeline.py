@@ -92,6 +92,8 @@ _ALLOWED_OPS = {
     "stratified_sample",
     "chunk",
     "repetition_score",
+    "near_dedup_keep_best",
+    "leakage_safe_split",
 }
 
 
@@ -335,6 +337,34 @@ def _apply_step(
             text_col=_req(step, "text_col"),
             id_col=_req(step, "id_col"),
             n=int(step.get("n", 2)),
+        )
+    if op == "near_dedup_keep_best":
+        # {"op":"near_dedup_keep_best","text_col":"text","id_col":
+        #  "doc_id","quality_col":"n_chars","threshold":0.5} —
+        # per-cluster best-quality survivor table
+        from etl_as_a_service_spark.llm.dedup import near_dedup_keep_best
+
+        return near_dedup_keep_best(
+            df,
+            text_col=_req(step, "text_col"),
+            id_col=_req(step, "id_col"),
+            quality_col=_req(step, "quality_col"),
+            n=int(step.get("n", 3)),
+            threshold=float(step.get("threshold", 0.5)),
+        )
+    if op == "leakage_safe_split":
+        # {"op":"leakage_safe_split","text_col":"text","id_col":
+        #  "doc_id","weights":{"train":0.9,...}} — cluster-keyed split
+        from etl_as_a_service_spark.llm.curation import leakage_safe_split
+
+        return leakage_safe_split(
+            df,
+            text_col=_req(step, "text_col"),
+            id_col=_req(step, "id_col"),
+            weights=step.get("weights"),
+            salt=step.get("salt", "split-v1"),
+            n=int(step.get("n", 3)),
+            threshold=float(step.get("threshold", 0.5)),
         )
     if op == "unpivot":
         # {"op":"unpivot","ids":["k"],"values":["a","b"],

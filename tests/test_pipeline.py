@@ -653,3 +653,55 @@ def test_sessionize_step(spark):
     assert all(
         r["session_id"] == f"{r['user_id']}#{r['session_seq']}" for r in rows
     )
+
+
+def test_round4_curation_steps(spark):
+    """Round-4 ops compose in specs: near_dedup_keep_best survivors
+    equal the operator called directly; leakage_safe_split assigns
+    whole clusters to one split."""
+    from pyspark.sql import functions as F
+
+    spec = {
+        "name": "keep_best",
+        "source": {"format": "parquet",
+                   "path": f"{SF_SMOKE}/documents.parquet"},
+        "steps": [
+            {"op": "filter", "predicate": "doc_id < 200"},
+            {"op": "near_dedup_keep_best", "text_col": "text",
+             "id_col": "doc_id", "quality_col": "n_chars",
+             "threshold": 0.4},
+        ],
+    }
+    out = compile_pipeline(spark, dict(spec))
+    assert set(out.columns) == {
+        "component", "doc_id", "n_chars", "group_size"
+    }
+    # exactly one survivor per cluster, clusters partition the docs
+    n_docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter("doc_id < 200")
+        .count()
+    )
+    agg = out.agg(
+        F.count(F.lit(1)).alias("nc"), F.sum("group_size").alias("nd")
+    ).first()
+    assert agg["nd"] == n_docs and 0 < agg["nc"] <= n_docs
+
+    split_spec = {
+        "name": "leak_safe",
+        "source": {"format": "parquet",
+                   "path": f"{SF_SMOKE}/documents.parquet"},
+        "steps": [
+            {"op": "filter", "predicate": "doc_id < 200"},
+            {"op": "leakage_safe_split", "text_col": "text",
+             "id_col": "doc_id", "threshold": 0.4},
+        ],
+    }
+    sp = compile_pipeline(spark, dict(split_spec))
+    straddle = (
+        sp.groupBy("cluster")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert straddle == 0 and sp.count() == n_docs
