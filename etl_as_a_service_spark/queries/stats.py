@@ -723,3 +723,45 @@ def q122_equidepth_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# q138 — linear-regression aggregate family (regr_*)
+# --------------------------------------------------------------------------
+@query(
+    "q138_regression_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)
+             AS n_pairs,
+           round(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 6)      AS avgx,
+           round(regr_avgy(l_extendedprice, l_quantity), 6)      AS avgy
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "stats", "regression"),
+)
+def q138_regression_aggregates(spark, sf_dir):
+    """The SQL:2003 linear-regression aggregate family — least-squares
+    slope/intercept/R^2 and the supporting moments, per return flag,
+    all JVM hash-aggregate built-ins in one pass (the same single-
+    shuffle shape as q01). Both engines compute y-on-x with identical
+    NULL-pair elimination semantics."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count(y, x).alias("n_pairs"),
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("icept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.round(F.regr_avgx(y, x), 6).alias("avgx"),
+            F.round(F.regr_avgy(y, x), 6).alias("avgy"),
+        )
+        .orderBy("l_returnflag")
+    )

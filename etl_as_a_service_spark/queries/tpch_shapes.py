@@ -556,3 +556,149 @@ def q129_idle_rich_customers(spark, sf_dir):
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "q134_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("tpch", "exists", "semi-join"),
+)
+def q134_order_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape: orders in a quarter with at least one qualifying
+    lineitem — EXISTS as a left-semi join; the l_quantity predicate
+    pushes to the lineitem scan BELOW the semi join, so the probe side
+    shrinks before the shuffle."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-04-01")))
+        )
+        .join(
+            li.filter(F.col("l_quantity") > 45).select("l_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q135_forecast_revenue_change",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "predicates", "aggregate"),
+)
+def q135_forecast_revenue_change(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + aggregate, no join — every
+    predicate (date range, discount band, quantity cap) must reach the
+    parquet scan as a pushed filter; the classic scan-efficiency probe."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q136_promo_revenue_share",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6)
+             AS promo_share_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY ship_year ORDER BY ship_year
+    """,
+    tags=("tpch", "conditional-aggregate"),
+)
+def q136_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share per ship year — conditional
+    sum over a broadcast part join, both sums in ONE aggregate pass."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    rev = _rev()
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+                )
+                / F.sum(rev),
+                6,
+            ).alias("promo_share_pct")
+        )
+        .orderBy("ship_year")
+    )
+
+
+@query(
+    "q137_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT)
+             AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#11' AND p_size IN (1, 5, 9, 13)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    tags=("tpch", "anti-join", "distinct"),
+)
+def q137_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier counts per (brand, size)
+    excluding a complained-about supplier set — NOT IN as a broadcast
+    anti join (safe here: s_suppkey is non-null by construction, the
+    NULL-semantics trap NOT IN carries). Distinct count shuffles the
+    (brand, size, suppkey) triple once."""
+    li, part, supp = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_brand") != "Brand#11")
+                    & F.col("p_size").isin(1, 5, 9, 13)
+                )
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(bad),
+              F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
