@@ -313,3 +313,121 @@ def test_compact_files_heals_interrupted_swap(spark, tmp_path):
     stats = compact_files(spark, out, target_file_bytes=10**9)
     assert spark.read.parquet(out).count() == n
     assert stats["files_after"] == 1
+
+
+# -- Avro OCF connector (pure-Python subset, sources/avro.py) --------------
+def _hand_built_avro() -> bytes:
+    """A minimal OCF built with raw struct packing, independent of the
+    writer under test: schema {id: long, name: string, score:
+    [null, double]}, codec null, two rows."""
+    import io
+    import json
+    import struct
+
+    def zz(n):
+        return (n << 1) ^ (n >> 63)
+
+    def vl(out, n):
+        n = zz(n) & 0xFFFFFFFFFFFFFFFF
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            out.write(bytes((b | 0x80,) if n else (b,)))
+            if not n:
+                return
+
+    schema = {
+        "type": "record", "name": "row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": ["null", "double"]},
+        ],
+    }
+    out = io.BytesIO()
+    out.write(b"Obj\x01")
+    meta = {"avro.schema": json.dumps(schema).encode(),
+            "avro.codec": b"null"}
+    vl(out, len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        vl(out, len(kb)); out.write(kb)
+        vl(out, len(v)); out.write(v)
+    vl(out, 0)
+    sync = bytes(range(16))
+    out.write(sync)
+    body = io.BytesIO()
+    # row 1: id=7, name="ok", score=union(1)=2.5
+    vl(body, 7)
+    vl(body, 2); body.write(b"ok")
+    vl(body, 1); body.write(struct.pack("<d", 2.5))
+    # row 2: id=-3, name="", score=union(0)=null
+    vl(body, -3)
+    vl(body, 0)
+    vl(body, 0)
+    payload = body.getvalue()
+    vl(out, 2)
+    vl(out, len(payload))
+    out.write(payload)
+    out.write(sync)
+    return out.getvalue()
+
+
+def test_avro_reader_decodes_hand_built_file():
+    from etl_as_a_service_spark.sources.avro import decode_avro_file
+
+    schema, rows = decode_avro_file(_hand_built_avro())
+    assert [f["name"] for f in schema["fields"]] == ["id", "name", "score"]
+    assert rows == [(7, "ok", 2.5), (-3, "", None)]
+
+
+def test_avro_roundtrip_distributed(spark, tmp_path):
+    """write_avro -> read_avro over a multi-partition frame with every
+    supported type, nullable unions, and an array column; both codecs."""
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.sources.avro import read_avro, write_avro
+
+    df = (
+        spark.range(200)
+        .select(
+            F.col("id").cast("long").alias("id"),
+            (F.col("id") % 3 == 0).alias("flag"),
+            F.col("id").cast("int").alias("small"),
+            (F.col("id") * 1.5).cast("double").alias("d"),
+            (F.col("id") * 0.5).cast("float").alias("f"),
+            F.concat(F.lit("name_"), F.col("id")).alias("name"),
+            F.when(F.col("id") % 5 == 0, F.col("id").cast("double"))
+            .alias("maybe"),
+            F.array(F.col("id"), F.col("id") + 1).alias("arr"),
+            F.encode(F.concat(F.lit("b"), F.col("id")), "utf-8")
+            .alias("blob"),
+        )
+        .repartition(4)
+    )
+    for codec in ("deflate", "null"):
+        out_dir = str(tmp_path / f"avro_{codec}")
+        n_files = write_avro(df, out_dir, codec=codec)
+        assert n_files >= 1
+        back = read_avro(spark, out_dir)
+        assert back.schema == df.schema or {
+            f.name for f in back.schema.fields
+        } == {f.name for f in df.schema.fields}
+        a = sorted(map(tuple, df.collect()))
+        b = sorted(map(tuple, back.collect()))
+        assert len(a) == len(b) == 200
+        for ra, rb in zip(a, b):
+            assert ra == rb, (ra, rb)
+
+
+def test_avro_rejects_unsupported_schema(spark):
+    import pytest as _pytest
+
+    from etl_as_a_service_spark.sources.avro import avro_schema_to_spark
+
+    with _pytest.raises(ValueError, match="unsupported"):
+        avro_schema_to_spark(
+            {"type": "record", "name": "r",
+             "fields": [{"name": "m", "type": {"type": "map",
+                                               "values": "long"}}]}
+        )
