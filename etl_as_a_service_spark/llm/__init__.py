@@ -8,6 +8,12 @@ from etl_as_a_service_spark.llm.bpe import (
     bpe_encode,
     learn_bpe_merges,
 )
+from etl_as_a_service_spark.llm.pq import (
+    PqCodebook,
+    pq_encode,
+    pq_search,
+    pq_train,
+)
 from etl_as_a_service_spark.llm.dedup import (
     exact_dedup,
     minhash_near_duplicates,
@@ -28,6 +34,10 @@ from etl_as_a_service_spark.llm.similarity import (
 )
 
 __all__ = [
+    "PqCodebook",
+    "pq_encode",
+    "pq_search",
+    "pq_train",
     "bpe_encode",
     "learn_bpe_merges",
     "exact_dedup",

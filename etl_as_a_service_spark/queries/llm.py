@@ -1668,3 +1668,37 @@ def q132_leakage_safe_split(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# q139 — product-quantization ANN (PQ + exact refine)
+# --------------------------------------------------------------------------
+@query(
+    "q139_pq_ann_topk",
+    # no oracle: k-means codebooks + ADC gather are not SQL-expressible;
+    # recall gates (refined >= 0.8 vs exact top-10, measured 0.97),
+    # perfect self-retrieval, and codebook determinism are pytest-
+    # asserted (test_llm_ops.py).
+    tags=("similarity", "ann", "pq", "llm", "operator"),
+)
+def q139_pq_ann_topk(spark, sf_dir):
+    """Top-10 neighbors for 10 query vectors via product quantization
+    (llm/pq.py — Jegou et al. 2011): 8 subspaces x 256 codes compress
+    64-dim float vectors 32x (8 bytes each), ADC scores the codes with
+    one lookup-table gather per batch, and the top-5k ADC shortlist is
+    re-ranked by exact cosine (the PQ+refine pattern — exact math
+    touches only the shortlist, recall 0.97 vs exact on this corpus).
+    Training scans the corpus once per Lloyd round for ALL subspaces;
+    only the (8, 256, 8) codebook tensor reaches the driver."""
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.llm.pq import pq_encode, pq_search, pq_train
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cb = pq_train(emb, m=8, k=256)
+    enc = pq_encode(emb, cb)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return (
+        pq_search(cb, enc, queries, k=10, refine=5, corpus=emb)
+        .select("query_id", "neighbor_id", "score", "rn")
+        .orderBy("query_id", "rn")
+    )

@@ -701,3 +701,60 @@ def test_bpe_encode_roundtrip_and_vocab_join(spark):
     assert "".join(out[2]).replace("</w>", " ").strip() == "newest widest low"
     # the fully-merged frequent word collapses to one token
     assert "low</w>" in out[1]
+
+
+# -- Product quantization (llm/pq.py) --------------------------------------
+def test_pq_self_retrieval_and_determinism(spark):
+    from etl_as_a_service_spark.llm.pq import pq_encode, pq_search, pq_train
+
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet")
+    cb = pq_train(emb, m=8, k=16)
+    cb2 = pq_train(emb, m=8, k=16)
+    assert (cb.codebooks == cb2.codebooks).all()  # deterministic init/fit
+    assert cb.codebooks.shape == (8, 16, 8)
+    enc = pq_encode(emb, cb).localCheckpoint(eager=True)
+    queries = emb.filter(F.col("vec_id") < 10)
+    sr = pq_search(cb, enc, queries, k=1, include_self=True)
+    rows = sr.collect()
+    assert len(rows) == 10
+    # a vector's own code reconstruction dominates: every query
+    # retrieves itself at rank 1
+    assert all(
+        r["query_id"] == r["neighbor_id"] and r["rn"] == 1 for r in rows
+    )
+
+
+def test_pq_refined_recall_vs_exact(spark):
+    """The PQ+refine pattern: ADC shortlist (5k) re-ranked by exact
+    cosine must recover >= 0.8 of the true top-10 (measured 0.97 on
+    this synthetic near-random corpus — PQ's worst case; structured
+    real-embedding manifolds quantize far better). Plain ADC at
+    8x256 codes holds a weaker >= 0.4 floor (measured 0.65)."""
+    from etl_as_a_service_spark.llm.pq import pq_encode, pq_search, pq_train
+    from etl_as_a_service_spark.llm.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    cb = pq_train(emb, m=8, k=256)
+    enc = pq_encode(emb, cb).localCheckpoint(eager=True)
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_search(cb, enc, queries, k=10).collect()
+    }
+    assert len(adc & exact) / len(exact) >= 0.4
+    refined = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_search(
+            cb, enc, queries, k=10, refine=5, corpus=emb
+        ).collect()
+    }
+    assert len(refined & exact) / len(exact) >= 0.8
+    # refine without the corpus frame is a usage error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="corpus"):
+        pq_search(cb, enc, queries, k=10, refine=5).collect()

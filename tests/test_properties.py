@@ -206,3 +206,56 @@ def test_merge_states_is_order_insensitive(spark, rows):
     fa = {r["k"]: (r["s"], r["n"], r["lo"], r["hi"]) for r in ab.collect()}
     fb = {r["k"]: (r["s"], r["n"], r["lo"], r["hi"]) for r in ba.collect()}
     assert fa == fb
+
+
+# -- Avro OCF binary codec (sources/avro.py), driver-side property ---------
+AVRO_ROW = st.tuples(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.text(max_size=40),  # arbitrary unicode incl. surrogate-free BMP
+    st.one_of(
+        st.none(),
+        st.floats(allow_nan=False, allow_infinity=True, width=64),
+    ),
+    st.booleans(),
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=8
+    ),
+    st.binary(max_size=32),
+)
+
+_AVRO_SCHEMA = {
+    "type": "record", "name": "row",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": ["null", "double"]},
+        {"name": "flag", "type": "boolean"},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "blob", "type": "bytes"},
+    ],
+}
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows=st.lists(AVRO_ROW, max_size=25),
+       codec=st.sampled_from(["null", "deflate"]))
+def test_avro_codec_roundtrip_property(rows, codec):
+    """encode -> decode is identity for every supported value shape:
+    full-range 64-bit varints, unicode strings, nullable doubles
+    (+/-inf included), empty and non-empty arrays, raw bytes, zero
+    rows. Driver-side only — no SparkSession in the hypothesis loop."""
+    from etl_as_a_service_spark.sources.avro import (
+        decode_avro_file,
+        encode_avro_file,
+    )
+
+    blob = encode_avro_file(_AVRO_SCHEMA, rows, codec=codec)
+    schema, back = decode_avro_file(blob)
+    assert schema == _AVRO_SCHEMA
+    assert len(back) == len(rows)
+    for (i, s, f, b, arr, by), (i2, s2, f2, b2, arr2, by2) in zip(
+        rows, back
+    ):
+        assert i == i2 and s == s2 and b == b2 and by == by2
+        assert list(arr) == list(arr2)
+        assert f == f2 or (f is None and f2 is None)
