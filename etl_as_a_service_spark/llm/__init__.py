@@ -10,6 +10,7 @@ from etl_as_a_service_spark.llm.bpe import (
 )
 from etl_as_a_service_spark.llm.pq import (
     PqCodebook,
+    ivf_pq_topk,
     pq_encode,
     pq_search,
     pq_train,
@@ -35,6 +36,7 @@ from etl_as_a_service_spark.llm.similarity import (
 
 __all__ = [
     "PqCodebook",
+    "ivf_pq_topk",
     "pq_encode",
     "pq_search",
     "pq_train",

@@ -270,3 +270,117 @@ def pq_search(
         .withColumn("rn", F.row_number().over(rw))
         .filter(F.col("rn") <= k)
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 256,
+    refine: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF x PQ — the canonical billion-scale ANN composition (FAISS
+    IVFPQ shape, public): IVF cells bound WHICH vectors each query
+    scores (probe n_probe of n_cells — candidate set shrinks
+    n_cells/n_probe-fold), PQ codes bound the BYTES each candidate
+    costs (32x), and the exact-cosine refine pass touches only the
+    final shortlist. Simplification vs FAISS: codes quantize the raw
+    normalized vectors, not per-cell residuals — residual encoding buys
+    recall at identical cost and is the natural next step, but the
+    refine pass already recovers it here (pytest-gated >= 0.8 vs
+    exact on the probed recall path).
+
+    Returns (query_id, neighbor_id, score, rn) like pq_search."""
+    from etl_as_a_service_spark.llm.similarity import ivf_build
+
+    index = ivf_build(
+        corpus, id_col, vec_col, n_cells=n_cells, seed=seed
+    )
+    cb = pq_train(corpus, id_col, vec_col, m=m, k=n_codes, seed=seed)
+    enc = pq_encode(corpus, cb, id_col, vec_col).join(
+        index.assigned.select("neighbor_id", "__cell"), "neighbor_id"
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("__qvec"), lambda x: x.cast("double")),
+            F.col("centroid"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("__d2"), F.col("cell")
+    )
+    probed = (
+        q.crossJoin(F.broadcast(index.centroids))
+        .select("query_id", "__qvec", "cell", d2.alias("__d2"))
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "__qvec", F.col("cell").alias("__cell"))
+    )
+
+    cbt = cb.codebooks
+    mm, dsub = cb.m, cb.dim // cb.m
+
+    @F.pandas_udf("double")
+    def _adc(codes: pd.Series, qvec: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        n = len(codes)
+        C = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in qvec])
+        norms = np.linalg.norm(Q, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        Q = (Q / norms).reshape(n, mm, dsub)
+        lut = np.einsum("nmd,mkd->nmk", Q, cbt)
+        return pd.Series(
+            lut[np.arange(n)[:, None], np.arange(mm)[None, :], C].sum(1)
+        )
+
+    cand = probed.join(enc, "__cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        "__qvec",
+        F.round(_adc(F.col("codes"), F.col("__qvec")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max(k, refine * k))
+    )
+    from etl_as_a_service_spark.functions.vectors import cosine_similarity
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    return (
+        shortlist.drop("rn", "score")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6
+            ).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w.orderBy(
+            F.col("score").desc(), F.col("neighbor_id")
+        )))
+        .filter(F.col("rn") <= k)
+    )

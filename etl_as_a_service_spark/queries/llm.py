@@ -1702,3 +1702,68 @@ def q139_pq_ann_topk(spark, sf_dir):
         .select("query_id", "neighbor_id", "score", "rn")
         .orderBy("query_id", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# q140 — budgeted example assembly (SFT-style prefix-truncated sequences)
+# --------------------------------------------------------------------------
+@query(
+    "q140_budgeted_assembly",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(ceil(value) AS BIGINT) AS tok,
+             sum(CAST(ceil(value) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cum
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(tok) AS BIGINT) AS total_tok,
+           array_to_string(list(event_type ORDER BY ts, event_id), '|')
+             AS seq
+    FROM o WHERE cum <= 300 AND user_id < 60
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("curation", "assembly", "llm", "operator"),
+)
+def q140_budgeted_assembly(spark, sf_dir):
+    """Training-example assembly under a token budget: per user, keep
+    the chronological PREFIX of events whose cumulative token cost fits
+    300, and assemble the kept sequence in order — the truncate-to-
+    context-window step of SFT example construction (the complement of
+    q78's packing, which fills windows; this CUTS to fit one). One
+    key-partitioned cumulative-sum window + one aggregate; the ordered
+    sequence is sort_array(collect_list(struct)) — never a
+    shuffle-order-dependent bare collect_list."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    kept = (
+        ev.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.ceil("value").cast("long").alias("tok"),
+        )
+        .withColumn("cum", F.sum("tok").over(w))
+        .filter((F.col("cum") <= 300) & (F.col("user_id") < 60))
+    )
+    return (
+        kept.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("tok").alias("total_tok"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s.getField("event_type"),
+                ),
+                "|",
+            ).alias("seq"),
+        )
+        .orderBy("user_id")
+    )

@@ -758,3 +758,35 @@ def test_pq_refined_recall_vs_exact(spark):
 
     with _pytest.raises(ValueError, match="corpus"):
         pq_search(cb, enc, queries, k=10, refine=5).collect()
+
+
+def test_ivf_pq_composition_recall(spark):
+    """IVF x PQ: probing 8/16 cells with PQ codes + exact refine must
+    recover >= 0.6 of the exact top-10 (the loss is IVF cell-border
+    truncation — n_probe=n_cells with refine is near-exact by
+    construction, checked too)."""
+    from etl_as_a_service_spark.llm.pq import ivf_pq_topk
+    from etl_as_a_service_spark.llm.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_topk(
+            emb, queries, k=10, n_cells=16, n_probe=8, m=8, n_codes=256,
+            refine=5,
+        ).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.6
+    full_probe = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_topk(
+            emb, queries, k=10, n_cells=8, n_probe=8, m=8, n_codes=256,
+            refine=10,
+        ).collect()
+    }
+    assert len(full_probe & exact) / len(exact) >= 0.9
