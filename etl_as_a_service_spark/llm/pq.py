@@ -47,21 +47,33 @@ class PqCodebook:
     dim: int
 
 
-def _sub_frame(df: DataFrame, id_col: str, vec_col: str, m: int, dsub: int):
-    """(id, sub, subvec) — each L2-normalized vector split into its m
-    subvectors, exploded (one shuffle-free projection)."""
-    norm = F.sqrt(
-        F.aggregate(
-            F.col(vec_col),
-            F.lit(0.0),
-            lambda a, x: a + x.cast("double") * x.cast("double"),
+def _sub_frame(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    dsub: int,
+    normalize: bool = True,
+):
+    """(id, sub, subvec) — each vector split into its m subvectors,
+    exploded (one shuffle-free projection). ``normalize=False`` keeps
+    raw coordinates — required for RESIDUAL vectors, whose magnitude
+    IS the information."""
+    if normalize:
+        norm = F.sqrt(
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double"),
+            )
         )
-    )
-    unit = F.transform(
-        F.col(vec_col),
-        lambda x: x.cast("double")
-        / F.when(norm > 0, norm).otherwise(F.lit(1.0)),
-    )
+        unit = F.transform(
+            F.col(vec_col),
+            lambda x: x.cast("double")
+            / F.when(norm > 0, norm).otherwise(F.lit(1.0)),
+        )
+    else:
+        unit = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     slices = F.array(
         *[F.slice(unit, j * dsub + 1, dsub) for j in range(m)]
     )
@@ -98,6 +110,7 @@ def pq_train(
     k: int = 16,
     seed: int = 42,
     max_iter: int = 4,
+    normalize: bool = True,
 ) -> PqCodebook:
     """Fit the m per-subspace codebooks. One corpus scan per Lloyd
     iteration covering ALL subspaces at once; deterministic hash-order
@@ -106,7 +119,7 @@ def pq_train(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
-    sub = _sub_frame(corpus, id_col, vec_col, m, dsub)
+    sub = _sub_frame(corpus, id_col, vec_col, m, dsub, normalize)
 
     seed_rows = (
         sub.filter(F.col("sub") == 0)
@@ -159,9 +172,10 @@ def pq_encode(
     codebook: PqCodebook,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
     """(id, codes array<int>) — m argmin codes per vector, one kernel
-    pass over L2-normalized vectors."""
+    pass (L2-normalized unless encoding residuals)."""
     cb = codebook.codebooks
     m, dsub = codebook.m, codebook.dim // codebook.m
 
@@ -170,9 +184,11 @@ def pq_encode(
         if len(vec) == 0:
             return pd.Series([], dtype=object)
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
-        norms = np.linalg.norm(V, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        V = (V / norms).reshape(len(vec), m, dsub)
+        if normalize:
+            norms = np.linalg.norm(V, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            V = V / norms
+        V = V.reshape(len(vec), m, dsub)
         codes = np.empty((len(vec), m), dtype=np.int32)
         for s in range(m):
             d = ((V[:, s, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
@@ -283,38 +299,81 @@ def ivf_pq_topk(
     m: int = 8,
     n_codes: int = 256,
     refine: int = 5,
+    residual: bool = False,
     seed: int = 42,
 ) -> DataFrame:
     """IVF x PQ — the canonical billion-scale ANN composition (FAISS
     IVFPQ shape, public): IVF cells bound WHICH vectors each query
     scores (probe n_probe of n_cells — candidate set shrinks
     n_cells/n_probe-fold), PQ codes bound the BYTES each candidate
-    costs (32x), and the exact-cosine refine pass touches only the
-    final shortlist. Simplification vs FAISS: codes quantize the raw
-    normalized vectors, not per-cell residuals — residual encoding buys
-    recall at identical cost and is the natural next step, but the
-    refine pass already recovers it here (pytest-gated >= 0.8 vs
-    exact on the probed recall path).
+    costs (32x), and the exact-cosine refine pass (``refine*k``
+    shortlist; 0 disables) touches only the final shortlist.
+
+    ``residual=True`` is the full FAISS formulation: PQ encodes
+    ``v̂ - centroid(cell)`` instead of ``v̂`` — residuals are smaller
+    than vectors, so the same code budget quantizes finer — and the
+    ADC score adds the per-candidate ``q̂ · centroid`` term back in
+    Catalyst (``q̂·v̂ = q̂·ĉ + q̂·r``). Everything runs on L2-normalized
+    vectors so scores rank by (approximate) cosine either way.
 
     Returns (query_id, neighbor_id, score, rn) like pq_search."""
+    from etl_as_a_service_spark.functions.vectors import cosine_similarity
     from etl_as_a_service_spark.llm.similarity import ivf_build
 
-    index = ivf_build(
-        corpus, id_col, vec_col, n_cells=n_cells, seed=seed
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
     )
-    cb = pq_train(corpus, id_col, vec_col, m=m, k=n_codes, seed=seed)
-    enc = pq_encode(corpus, cb, id_col, vec_col).join(
-        index.assigned.select("neighbor_id", "__cell"), "neighbor_id"
+    unit_vec = F.transform(
+        F.col(vec_col),
+        lambda x: x.cast("double")
+        / F.when(norm > 0, norm).otherwise(F.lit(1.0)),
     )
+    unit = corpus.select(F.col(id_col), unit_vec.alias(vec_col))
+    index = ivf_build(unit, id_col, vec_col, n_cells=n_cells, seed=seed)
+
+    if residual:
+        resid = index.assigned.join(
+            F.broadcast(
+                index.centroids.select(
+                    F.col("cell").alias("__cell"), "centroid"
+                )
+            ),
+            "__cell",
+        ).select(
+            F.col("neighbor_id").alias(id_col),
+            F.zip_with(
+                "__cvec", "centroid", lambda a, b: a - b
+            ).alias(vec_col),
+            "__cell",
+        )
+        cb = pq_train(
+            resid, id_col, vec_col, m=m, k=n_codes, seed=seed,
+            normalize=False,
+        )
+        enc = pq_encode(
+            resid, cb, id_col, vec_col, normalize=False
+        ).join(
+            resid.select(
+                F.col(id_col).alias("neighbor_id"), "__cell"
+            ),
+            "neighbor_id",
+        )
+    else:
+        cb = pq_train(unit, id_col, vec_col, m=m, k=n_codes, seed=seed)
+        enc = pq_encode(unit, cb, id_col, vec_col).join(
+            index.assigned.select("neighbor_id", "__cell"), "neighbor_id"
+        )
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"), unit_vec.alias("__qvec")
     )
     d2 = F.aggregate(
         F.zip_with(
-            F.transform(F.col("__qvec"), lambda x: x.cast("double")),
-            F.col("centroid"),
-            lambda a, b: (a - b) * (a - b),
+            F.col("__qvec"), F.col("centroid"), lambda a, b: (a - b) * (a - b)
         ),
         F.lit(0.0),
         lambda acc, v: acc + v,
@@ -324,10 +383,14 @@ def ivf_pq_topk(
     )
     probed = (
         q.crossJoin(F.broadcast(index.centroids))
-        .select("query_id", "__qvec", "cell", d2.alias("__d2"))
+        .select(
+            "query_id", "__qvec", "cell", "centroid", d2.alias("__d2")
+        )
         .withColumn("__pr", F.row_number().over(probe_w))
         .filter(F.col("__pr") <= n_probe)
-        .select("query_id", "__qvec", F.col("cell").alias("__cell"))
+        .select(
+            "query_id", "__qvec", F.col("cell").alias("__cell"), "centroid"
+        )
     )
 
     cbt = cb.codebooks
@@ -340,9 +403,7 @@ def ivf_pq_topk(
         n = len(codes)
         C = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
         Q = np.stack([np.asarray(v, dtype=np.float64) for v in qvec])
-        norms = np.linalg.norm(Q, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        Q = (Q / norms).reshape(n, mm, dsub)
+        Q = Q.reshape(n, mm, dsub)  # queries arrive already normalized
         lut = np.einsum("nmd,mkd->nmk", Q, cbt)
         return pd.Series(
             lut[np.arange(n)[:, None], np.arange(mm)[None, :], C].sum(1)
@@ -351,26 +412,36 @@ def ivf_pq_topk(
     cand = probed.join(enc, "__cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
+    adc_score = _adc(F.col("codes"), F.col("__qvec"))
+    if residual:
+        # q̂·v̂ = q̂·centroid + q̂·residual — the first term is exact
+        # Catalyst math on the probed cell's centroid
+        qdotc = F.aggregate(
+            F.zip_with("__qvec", "centroid", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        adc_score = adc_score + qdotc
     scored = cand.select(
         "query_id",
         "neighbor_id",
         "__qvec",
-        F.round(_adc(F.col("codes"), F.col("__qvec")), 6).alias("score"),
+        F.round(adc_score, 6).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
-    shortlist = (
+    top = (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= max(k, refine * k))
+        .filter(F.col("rn") <= (max(k, refine * k) if refine else k))
     )
-    from etl_as_a_service_spark.functions.vectors import cosine_similarity
-
-    c = corpus.select(
+    if not refine:
+        return top.drop("__qvec")
+    c = unit.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     )
     return (
-        shortlist.drop("rn", "score")
+        top.drop("rn", "score")
         .join(c, "neighbor_id")
         .select(
             "query_id",
@@ -379,8 +450,6 @@ def ivf_pq_topk(
                 cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6
             ).alias("score"),
         )
-        .withColumn("rn", F.row_number().over(w.orderBy(
-            F.col("score").desc(), F.col("neighbor_id")
-        )))
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )

@@ -790,3 +790,28 @@ def test_ivf_pq_composition_recall(spark):
         ).collect()
     }
     assert len(full_probe & exact) / len(exact) >= 0.9
+
+
+def test_ivf_pq_residual_mode_recall(spark):
+    """residual=True (the full FAISS formulation: PQ over v̂ - centroid,
+    q̂·centroid added back in Catalyst) must hold the same full-probe
+    + refine recall bar. On this synthetic near-random corpus residual
+    and plain ADC tie (cell centroids are weak); on clustered real
+    embeddings residuals quantize finer at the same code budget."""
+    from etl_as_a_service_spark.llm.pq import ivf_pq_topk
+    from etl_as_a_service_spark.llm.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_topk(
+            emb, queries, k=10, n_cells=8, n_probe=8, m=8, n_codes=256,
+            refine=10, residual=True,
+        ).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.9
