@@ -340,9 +340,15 @@ def _encoder_for(node):
 
 
 def encode_avro_file(
-    schema: dict, rows: list[tuple], codec: str = "deflate"
+    schema: dict,
+    rows: list[tuple],
+    codec: str = "deflate",
+    block_rows: int = 5000,
 ) -> bytes:
-    """Encode rows (tuples in field order) as one OCF byte string."""
+    """Encode rows (tuples in field order) as one OCF byte string,
+    chunked into blocks of ``block_rows`` — multiple blocks per file
+    are what make ``read_avro_split``'s intra-file parallelism (and
+    any Hadoop-style split reader) possible."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported Avro codec: {codec!r}")
     sync = bytes(
@@ -364,16 +370,17 @@ def encode_avro_file(
         out.write(v)
     _write_long(out, 0)
     out.write(sync)
-    if rows:
-        encs = [_encoder_for(f["type"]) for f in schema["fields"]]
+    encs = [_encoder_for(f["type"]) for f in schema["fields"]]
+    for i in range(0, len(rows), block_rows):
+        chunk = rows[i : i + block_rows]
         body = io.BytesIO()
-        for row in rows:
+        for row in chunk:
             for enc, v in zip(encs, row):
                 enc(body, v)
         payload = body.getvalue()
         if codec == "deflate":
             payload = zlib.compress(payload)[2:-4]  # raw deflate per spec
-        _write_long(out, len(rows))
+        _write_long(out, len(chunk))
         _write_long(out, len(payload))
         out.write(payload)
         out.write(sync)
@@ -462,3 +469,118 @@ def write_avro(
 
     out = df.mapInPandas(write_part, "file string, n long, host string")
     return out.count()
+
+
+def read_avro_split(
+    spark: SparkSession,
+    path: str,
+    target_split_bytes: int = 32 * 1024 * 1024,
+) -> DataFrame:
+    """Intra-file parallel Avro read — the Hadoop input-split design:
+    the driver cuts each file into byte RANGES from file sizes alone
+    (no data read), and each task seeks to its range start, scans
+    forward to the next 16-byte sync marker, and decodes every block
+    that STARTS inside its range (a block straddling the range end is
+    finished by the task that owns its start — exactly-once without
+    coordination). A 10 GB single Avro file becomes ~320 parallel
+    tasks instead of 1; ``read_avro`` keeps the simpler per-file grain
+    for many-file layouts.
+
+    The header (schema, codec, sync) is parsed once per task from the
+    file head — a few KB seek-read, not a full scan."""
+    import glob as _glob
+
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*.avro")))
+    else:
+        files = [path]
+    if not files:
+        raise ValueError(f"no .avro files under {path}")
+    with open(files[0], "rb") as fh:
+        schema, _codec, _sync, _ = _parse_header(fh.read(64 * 1024))
+    spark_schema = avro_schema_to_spark(schema)
+    cols = [f.name for f in spark_schema.fields]
+    expected = json.dumps(schema, sort_keys=True)
+
+    splits = []
+    for f in files:
+        size = os.path.getsize(f)
+        start = 0
+        while start < size:
+            splits.append((f, start, min(start + target_split_bytes, size)))
+            start += target_split_bytes
+    ranges = spark.createDataFrame(
+        splits, "file string, start long, end long"
+    ).repartition(min(len(splits), 512))
+
+    def decode_range(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for file, start, end in pdf.itertuples(index=False):
+                with open(file, "rb") as fh:
+                    head = fh.read(64 * 1024)
+                    fschema, codec, sync, data_start = _parse_header(head)
+                    if json.dumps(fschema, sort_keys=True) != expected:
+                        raise ValueError(
+                            "Avro schema drift between files in one read"
+                        )
+                    fh.seek(0, 2)
+                    fsize = fh.tell()
+                    # position at the first block whose start is in
+                    # [start, end): the first sync at/after `start`
+                    # (or the header end for the leading range)
+                    if start <= data_start:
+                        pos = data_start
+                    else:
+                        fh.seek(max(start - 16, 0))
+                        window = fh.read(
+                            min(end, fsize) - max(start - 16, 0) + 16 * 1024
+                        )
+                        idx = window.find(sync)
+                        if idx < 0:
+                            continue  # no block starts in this range
+                        pos = max(start - 16, 0) + idx + 16
+                        if pos - 16 < data_start:
+                            pos = data_start
+                    if pos >= fsize:
+                        continue
+                    fh.seek(pos)
+                    # read the range once; the straddling tail block is
+                    # topped up on demand below, so a task reads
+                    # O(range + one block), never to EOF (EOF reads
+                    # would make an N-split file cost O(N^2) bytes)
+                    buf = fh.read(end - pos + 32)
+                    field_decs = [
+                        _decoder_for(fld["type"])
+                        for fld in fschema["fields"]
+                    ]
+                    r = _Reader(buf)
+                    rows: list[tuple] = []
+                    # decode blocks whose START offset is in the range
+                    while (pos + r.pos) < end and r.pos < len(buf):
+                        if len(buf) - r.pos < 20:  # two varints max
+                            buf += fh.read(1 << 20)
+                            r.buf = buf
+                            if r.pos >= len(buf):
+                                break
+                        n_rows = r.long()
+                        n_bytes = r.long()
+                        short = n_bytes + 16 - (len(buf) - r.pos)
+                        if short > 0:
+                            buf += fh.read(short)
+                            r.buf = buf
+                        payload = r.fixed(n_bytes)
+                        if codec == "deflate":
+                            payload = zlib.decompress(payload, -15)
+                        if r.fixed(16) != sync:
+                            raise ValueError(
+                                "Avro block sync mismatch (corrupt file)"
+                            )
+                        br = _Reader(payload)
+                        for _ in range(n_rows):
+                            rows.append(tuple(d(br) for d in field_decs))
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return ranges.mapInPandas(decode_range, spark_schema)

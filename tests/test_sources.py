@@ -431,3 +431,40 @@ def test_avro_rejects_unsupported_schema(spark):
              "fields": [{"name": "m", "type": {"type": "map",
                                                "values": "long"}}]}
         )
+
+
+def test_avro_split_read_exactly_once(spark, tmp_path):
+    """Intra-file split read: one big multi-block file cut into many
+    byte ranges must recover every row exactly once (the straddling-
+    block ownership rule), for range sizes both smaller and larger
+    than a block, at both codecs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.sources.avro import (
+        encode_avro_file,
+        read_avro_split,
+        spark_schema_to_avro,
+    )
+
+    df = spark.range(20_000).select(
+        F.col("id"),
+        F.concat(F.lit("payload_"), F.col("id")).alias("name"),
+        (F.col("id") * 1.5).alias("score"),
+    )
+    schema = spark_schema_to_avro(df.schema)
+    rows = [tuple(r) for r in df.collect()]
+    for codec in ("deflate", "null"):
+        d = tmp_path / f"big_{codec}"
+        os.makedirs(d)
+        blob = encode_avro_file(schema, rows, codec=codec, block_rows=500)
+        (d / "one.avro").write_bytes(blob)
+        fsize = os.path.getsize(d / "one.avro")
+        for target in (fsize // 37, fsize // 3, fsize * 2):
+            back = read_avro_split(
+                spark, str(d), target_split_bytes=max(target, 1024)
+            )
+            got = sorted(tuple(r) for r in back.collect())
+            assert len(got) == 20_000, (codec, target, len(got))
+            assert got == sorted(rows)
