@@ -125,14 +125,26 @@ def _compile_source(spark: SparkSession, source: dict[str, Any]) -> DataFrame:
         if fmt == "rate":
             return sreader.load()
         return sreader.load(source.get("path"))
+    path = source.get("path")
+    if not path:
+        raise PipelineError("source needs 'table' or 'path'")
+    if fmt == "avro":
+        # no spark-avro jar in this environment — route through the
+        # pure-Python OCF reader (sources/avro.py); "split": true uses
+        # the intra-file sync-marker split reader for big single files
+        from etl_as_a_service_spark.sources.avro import (
+            read_avro,
+            read_avro_split,
+        )
+
+        if source.get("split"):
+            return read_avro_split(spark, path)
+        return read_avro(spark, path)
     reader = spark.read.format(fmt)
     if "schema" in source:
         reader = reader.schema(source["schema"])
     for k, v in source.get("options", {}).items():
         reader = reader.option(k, str(v))
-    path = source.get("path")
-    if not path:
-        raise PipelineError("source needs 'table' or 'path'")
     return reader.load(path)
 
 

@@ -705,3 +705,26 @@ def test_round4_curation_steps(spark):
         .count()
     )
     assert straddle == 0 and sp.count() == n_docs
+
+
+def test_avro_source_in_pipeline_spec(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.sources.avro import write_avro
+
+    df = spark.range(50).select(
+        "id", F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+    path = str(tmp_path / "avro_src")
+    write_avro(df, path)
+    spec = {
+        "name": "avro_in",
+        "source": {"format": "avro", "path": path},
+        "steps": [
+            {"op": "filter", "predicate": "id % 2 = 0"},
+            {"op": "group_by", "keys": [],
+             "aggs": {"n": "count(*)", "s": "sum(id)"}},
+        ],
+    }
+    row = compile_pipeline(spark, spec).first()
+    assert row["n"] == 25 and row["s"] == sum(range(0, 50, 2))
