@@ -402,13 +402,13 @@ def q125_order_count_distribution(spark, sf_dir):
 )
 def q126_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue
-    — the scalar-subquery-against-a-view pattern. Spark-first: rank the
-    tiny per-supplier aggregate with a window over an EMPTY partition
-    spec — safe ONLY because the input is already one row per supplier
-    (bounded by |supplier|), which is exactly when max-rank selection
-    beats a self-join against the max."""
-    from pyspark.sql import Window
-
+    — the scalar-subquery-against-a-view pattern. Spark-first: the max
+    is a ONE-ROW aggregate of the (already supplier-sized) revenue
+    view, broadcast back as a cross join — no global-window sort, the
+    same decorrelation the oracle's scalar subquery plans to (the plan
+    doctor flags empty-partition windows as a scale lint, and this
+    shape needs none). ReuseExchange shares the revenue aggregate
+    between the max and the filter."""
     li, supp = _t(spark, sf_dir, "lineitem", "supplier")
     revenue = (
         li.filter(
@@ -418,11 +418,10 @@ def q126_top_supplier(spark, sf_dir):
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
     )
-    ranked = revenue.withColumn(
-        "rnk", F.rank().over(Window.orderBy(F.col("total_revenue").desc()))
-    )
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
     return (
-        ranked.filter(F.col("rnk") == 1)
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
