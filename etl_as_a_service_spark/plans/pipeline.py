@@ -735,14 +735,28 @@ class PipelineRunner:
                         df, zc1, zc2,
                         partitions=sink.get("zorder_partitions"),
                     )
-                writer = df.write.format(sink.get("format", "parquet")).mode(
-                    sink.get("mode", "error")
-                )
-                if sink.get("partition_by"):
-                    writer = writer.partitionBy(*sink["partition_by"])
-                for k, v in sink.get("options", {}).items():
-                    writer = writer.option(k, str(v))
-                writer.save(sink["path"])
+                if sink.get("format") == "avro":
+                    # pure-Python OCF sink (no spark-avro jar in env)
+                    from etl_as_a_service_spark.sources.avro import (
+                        write_avro,
+                    )
+
+                    write_avro(
+                        df,
+                        sink["path"],
+                        codec=sink.get("options", {}).get(
+                            "codec", "deflate"
+                        ),
+                    )
+                else:
+                    writer = df.write.format(
+                        sink.get("format", "parquet")
+                    ).mode(sink.get("mode", "error"))
+                    if sink.get("partition_by"):
+                        writer = writer.partitionBy(*sink["partition_by"])
+                    for k, v in sink.get("options", {}).items():
+                        writer = writer.option(k, str(v))
+                    writer.save(sink["path"])
                 run.output_path = sink["path"]
             else:
                 # no sink: count() forces execution (cheap action; the

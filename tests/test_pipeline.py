@@ -728,3 +728,19 @@ def test_avro_source_in_pipeline_spec(spark, tmp_path):
     }
     row = compile_pipeline(spark, spec).first()
     assert row["n"] == 25 and row["s"] == sum(range(0, 50, 2))
+
+
+def test_avro_sink_roundtrip_through_runner(spark, tmp_path):
+    from etl_as_a_service_spark.sources.avro import read_avro
+
+    out = str(tmp_path / "avro_out")
+    spec = lineitem_spec(
+        sink={"format": "avro", "path": out, "mode": "overwrite"}
+    )
+    run = PipelineRunner(spark).run(spec)
+    assert run.status == "success", run.error
+    back = read_avro(spark, out)
+    rows = {r["l_returnflag"]: r["n"] for r in back.collect()}
+    assert set(rows) == {"A", "N", "R"} and all(
+        n > 0 for n in rows.values()
+    )

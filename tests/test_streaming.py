@@ -345,6 +345,7 @@ def test_streaming_aggregate_maintenance_equals_batch(spark, tmp_path):
         "total": ("sum", "value"),
         "n": ("count", "value"),
         "mean": ("avg", "value"),
+        "last_val": ("latest", "ts", "value"),
     }
     state = streaming_aggregate_maintenance(
         stream,
@@ -368,6 +369,7 @@ def test_streaming_aggregate_maintenance_equals_batch(spark, tmp_path):
         assert inc[k]["n"] == full[k]["n"]
         assert abs(inc[k]["total"] - full[k]["total"]) < 1e-6
         assert abs(inc[k]["mean"] - full[k]["mean"]) < 1e-9
+        assert inc[k]["last_val"] == full[k]["last_val"]
 
 
 def test_streaming_aggregate_maintenance_replay_is_idempotent(spark, tmp_path):
