@@ -12,6 +12,8 @@ from etl_as_a_service_spark.llm.pq import (
     PqCodebook,
     ivf_pq_topk,
     pq_encode,
+    pq_load,
+    pq_save,
     pq_search,
     pq_train,
 )
@@ -38,6 +40,8 @@ __all__ = [
     "PqCodebook",
     "ivf_pq_topk",
     "pq_encode",
+    "pq_load",
+    "pq_save",
     "pq_search",
     "pq_train",
     "bpe_encode",

@@ -453,3 +453,39 @@ def ivf_pq_topk(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
+
+
+def pq_save(
+    codebook: PqCodebook, encoded: DataFrame, path: str
+) -> None:
+    """Persist a PQ index: the codebook tensor as a tiny parquet of
+    (sub, cell, centroid) rows plus the encoded codes table. The codes
+    ARE the index — reloading never touches the original vectors."""
+    spark = encoded.sparkSession
+    rows = [
+        (s, c, [float(x) for x in codebook.codebooks[s, c]])
+        for s in range(codebook.m)
+        for c in range(codebook.k)
+    ]
+    (
+        spark.createDataFrame(
+            rows, "sub int, cell int, centroid array<double>"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "/codebook")
+    )
+    encoded.write.mode("overwrite").parquet(path + "/codes")
+
+
+def pq_load(spark, path: str) -> tuple[PqCodebook, DataFrame]:
+    """Reload a persisted PQ index (codebook tensor + codes table)."""
+    rows = spark.read.parquet(path + "/codebook").collect()
+    m = max(r["sub"] for r in rows) + 1
+    k = max(r["cell"] for r in rows) + 1
+    dsub = len(rows[0]["centroid"])
+    cb = np.zeros((m, k, dsub), dtype=np.float64)
+    for r in rows:
+        cb[r["sub"], r["cell"], :] = np.asarray(r["centroid"])
+    codebook = PqCodebook(codebooks=cb, m=m, k=k, dim=m * dsub)
+    return codebook, spark.read.parquet(path + "/codes")

@@ -815,3 +815,32 @@ def test_ivf_pq_residual_mode_recall(spark):
         ).collect()
     }
     assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_pq_save_load_roundtrip(spark, tmp_path):
+    """A reloaded PQ index must search identically to the in-memory
+    one — codes are the index; original vectors only feed the refine."""
+    from etl_as_a_service_spark.llm.pq import (
+        pq_encode,
+        pq_load,
+        pq_save,
+        pq_search,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet")
+    cb = pq_train(emb, m=8, k=16)
+    enc = pq_encode(emb, cb)
+    path = str(tmp_path / "pq_index")
+    pq_save(cb, enc, path)
+    cb2, enc2 = pq_load(spark, path)
+    assert (cb2.codebooks == cb.codebooks).all()
+    assert (cb2.m, cb2.k, cb2.dim) == (cb.m, cb.k, cb.dim)
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = sorted(
+        map(tuple, pq_search(cb, enc, queries, k=5).collect())
+    )
+    b = sorted(
+        map(tuple, pq_search(cb2, enc2, queries, k=5).collect())
+    )
+    assert a == b
