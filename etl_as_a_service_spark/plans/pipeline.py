@@ -140,6 +140,12 @@ def _compile_source(spark: SparkSession, source: dict[str, Any]) -> DataFrame:
         if source.get("split"):
             return read_avro_split(spark, path)
         return read_avro(spark, path)
+    if fmt == "delta":
+        # pure-Python Delta log replay (sources/delta.py); "version"
+        # time-travels the snapshot
+        from etl_as_a_service_spark.sources.delta import delta_read
+
+        return delta_read(spark, path, version=source.get("version"))
     reader = spark.read.format(fmt)
     if "schema" in source:
         reader = reader.schema(source["schema"])
@@ -747,6 +753,17 @@ class PipelineRunner:
                         codec=sink.get("options", {}).get(
                             "codec", "deflate"
                         ),
+                    )
+                elif sink.get("format") == "delta":
+                    # pure-Python Delta commit (append/overwrite,
+                    # optimistic concurrency)
+                    from etl_as_a_service_spark.sources.delta import (
+                        delta_write,
+                    )
+
+                    delta_write(
+                        df, sink["path"],
+                        mode=sink.get("mode", "append"),
                     )
                 else:
                     writer = df.write.format(

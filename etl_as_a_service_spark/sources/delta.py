@@ -1,0 +1,250 @@
+"""Delta-protocol tables — pure-Python transaction log, no jar.
+
+The delta-spark jar is absent from this environment, so this implements
+the (public, linuxfoundation/delta-io specified) transaction-log
+protocol directly for the unpartitioned-table subset:
+
+- the table is a directory of parquet data files plus
+  ``_delta_log/NNNNNNNNNNNNNNNNNNNN.json`` commits;
+- each commit is newline-delimited JSON actions: ``metaData`` (schema),
+  ``add`` (file), ``remove`` (file), ``commitInfo``;
+- a snapshot is the log replayed in version order: files added and not
+  later removed;
+- commits are ATOMIC and optimistically concurrent: version N commits
+  by creating ``N.json`` with O_EXCL — two writers racing the same
+  version see exactly one winner, and the loser retries at N+1 (the
+  same semantics the real implementation gets from atomic puts).
+
+Supported: append, overwrite, snapshot read, time travel
+(``version=``), history. Not supported (raises, never misreads):
+partitioned tables, checkpoints, deletion vectors, column mapping —
+logs containing those features are rejected at read time.
+
+Scale shape: the LOG is driver-side metadata (one tiny JSON per
+commit — same class as the run registry); the DATA path is ordinary
+distributed parquet: Spark writes part files, the reader hands Spark
+an explicit file list so scans stay parallel, pruned, and
+whole-stage-codegen'd. Time travel costs one log replay, zero data
+movement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_LOG_DIR = "_delta_log"
+_UNSUPPORTED_READER_FEATURES = {
+    "deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint",
+}
+
+
+def _log_path(table: str) -> str:
+    return os.path.join(table, _LOG_DIR)
+
+
+def _version_file(table: str, v: int) -> str:
+    return os.path.join(_log_path(table), f"{v:020d}.json")
+
+
+def _versions(table: str) -> list[int]:
+    d = _log_path(table)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for n in os.listdir(d):
+        if n.endswith(".json") and n[:-5].isdigit():
+            out.append(int(n[:-5]))
+    return sorted(out)
+
+
+def _replay(table: str, version: int | None = None):
+    """Replay the log: returns (schema_json, live_files, last_version).
+
+    ``version`` bounds the replay (time travel); None = latest."""
+    versions = _versions(table)
+    if not versions:
+        raise ValueError(f"not a Delta table (no {_LOG_DIR}): {table}")
+    if version is not None:
+        versions = [v for v in versions if v <= version]
+        if not versions:
+            raise ValueError(
+                f"version {version} predates the table history"
+            )
+    schema_json = None
+    live: dict[str, dict] = {}
+    for v in versions:
+        with open(_version_file(table, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    md = action["metaData"]
+                    if md.get("partitionColumns"):
+                        raise ValueError(
+                            "partitioned Delta tables are not supported "
+                            "by this reader"
+                        )
+                    schema_json = md["schemaString"]
+                elif "protocol" in action:
+                    feats = set(
+                        action["protocol"].get("readerFeatures") or []
+                    )
+                    bad = feats & _UNSUPPORTED_READER_FEATURES
+                    if bad:
+                        raise ValueError(
+                            f"unsupported Delta reader features: {bad}"
+                        )
+                elif "add" in action:
+                    live[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+    if schema_json is None:
+        raise ValueError(f"Delta log has no metaData action: {table}")
+    return schema_json, sorted(live), versions[-1]
+
+
+def delta_read(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot (or time-travel) read: replay the log, then scan the
+    live parquet files with an EXPLICIT file list — the scan stays
+    distributed, pruned, and schema'd from the log's metaData (so an
+    empty snapshot still has the right columns)."""
+    schema_json, files, _v = _replay(table, version)
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    reader = spark.read.schema(schema)
+    if not files:
+        return spark.createDataFrame([], schema)
+    return reader.parquet(*[os.path.join(table, f) for f in files])
+
+
+def delta_write(
+    df: DataFrame, table: str, mode: str = "append"
+) -> int:
+    """Commit ``df`` to the table; returns the committed version.
+
+    Data first, log last: part files land under the table directory
+    with UUID names (invisible to snapshots until committed), then ONE
+    atomic O_EXCL log-file creation publishes them. A racing writer
+    loses the creation and retries against the next version — appends
+    always succeed eventually; an overwrite retries against the new
+    snapshot it must replace."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported mode: {mode!r}")
+    os.makedirs(_log_path(table), exist_ok=True)
+
+    staging = os.path.join(table, f".stage-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    adds = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet") or name.startswith(("_", ".")):
+            continue
+        final = f"part-{uuid.uuid4().hex}.parquet"
+        src = os.path.join(staging, name)
+        os.rename(src, os.path.join(table, final))
+        adds.append(
+            {
+                "path": final,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(table, final)),
+                "modificationTime": int(time.time() * 1000),
+                "dataChange": True,
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    schema_string = df.schema.json()
+    while True:
+        versions = _versions(table)
+        next_v = (versions[-1] + 1) if versions else 0
+        actions: list[dict] = []
+        if next_v == 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": uuid.uuid4().hex,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_string,
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": int(time.time() * 1000),
+                    }
+                }
+            )
+        else:
+            prev_schema, prev_files, _ = _replay(table)
+            if json.loads(prev_schema) != json.loads(schema_string):
+                raise ValueError(
+                    "schema mismatch vs table metaData (no evolution "
+                    "support in this writer)"
+                )
+            if mode == "overwrite":
+                ts = int(time.time() * 1000)
+                actions.extend(
+                    {
+                        "remove": {
+                            "path": f,
+                            "deletionTimestamp": ts,
+                            "dataChange": True,
+                        }
+                    }
+                    for f in prev_files
+                )
+        actions.extend({"add": a} for a in adds)
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": mode.upper(),
+                    "operationParameters": {},
+                }
+            }
+        )
+        try:
+            fd = os.open(
+                _version_file(table, next_v),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            continue  # lost the race — recompute against the new head
+        with os.fdopen(fd, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions))
+        return next_v
+
+
+def delta_history(spark: SparkSession, table: str) -> DataFrame:
+    """(version, timestamp, operation, n_adds, n_removes) per commit."""
+    rows = []
+    for v in _versions(table):
+        ts = None
+        op = None
+        n_add = n_rm = 0
+        with open(_version_file(table, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    ts = action["commitInfo"].get("timestamp")
+                    op = action["commitInfo"].get("operation")
+                elif "add" in action:
+                    n_add += 1
+                elif "remove" in action:
+                    n_rm += 1
+        rows.append((v, ts, op, n_add, n_rm))
+    return spark.createDataFrame(
+        rows,
+        "version long, timestamp long, operation string, "
+        "n_adds long, n_removes long",
+    )

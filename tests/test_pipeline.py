@@ -744,3 +744,27 @@ def test_avro_sink_roundtrip_through_runner(spark, tmp_path):
     assert set(rows) == {"A", "N", "R"} and all(
         n > 0 for n in rows.values()
     )
+
+
+def test_delta_source_and_sink_through_runner(spark, tmp_path):
+    from etl_as_a_service_spark.sources.delta import delta_read
+
+    out = str(tmp_path / "delta_out")
+    spec = lineitem_spec(
+        sink={"format": "delta", "path": out, "mode": "append"}
+    )
+    run = PipelineRunner(spark).run(spec)
+    assert run.status == "success", run.error
+    assert delta_read(spark, out).count() == 3
+
+    # second run appends a new committed version; a delta source spec
+    # can read either snapshot
+    PipelineRunner(spark).run(spec)
+    assert delta_read(spark, out).count() == 6
+    spec2 = {
+        "name": "from_delta",
+        "source": {"format": "delta", "path": out, "version": 0},
+        "steps": [{"op": "group_by", "keys": [],
+                   "aggs": {"n": "count(*)"}}],
+    }
+    assert compile_pipeline(spark, spec2).first()["n"] == 3
