@@ -126,6 +126,14 @@ def delta_read(
     return reader.parquet(*[os.path.join(table, f) for f in files])
 
 
+def _schema_shape(schema_json: str) -> list[tuple[str, str]]:
+    """(name, type) pairs — schema compatibility ignores NULLABILITY,
+    which flips freely through joins (an outer-join MERGE result is
+    nullable even when every row carries a value)."""
+    st = T.StructType.fromJson(json.loads(schema_json))
+    return [(f.name, f.dataType.simpleString()) for f in st.fields]
+
+
 def delta_write(
     df: DataFrame, table: str, mode: str = "append"
 ) -> int:
@@ -184,7 +192,7 @@ def delta_write(
             )
         else:
             prev_schema, prev_files, _ = _replay(table)
-            if json.loads(prev_schema) != json.loads(schema_string):
+            if _schema_shape(prev_schema) != _schema_shape(schema_string):
                 raise ValueError(
                     "schema mismatch vs table metaData (no evolution "
                     "support in this writer)"
@@ -248,3 +256,108 @@ def delta_history(spark: SparkSession, table: str) -> DataFrame:
         "version long, timestamp long, operation string, "
         "n_adds long, n_removes long",
     )
+
+
+def delta_merge(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """MERGE INTO the table (WHEN MATCHED UPDATE SET * / WHEN NOT
+    MATCHED INSERT *): the snapshot joins the updates through
+    operators.relational.merge_upsert (one key join, broadcast when
+    updates are small) and the result commits as one OVERWRITE version
+    — the copy-on-write MERGE every log-structured lakehouse performs,
+    with the old snapshot still reachable by time travel. Returns the
+    committed version."""
+    from etl_as_a_service_spark.operators.relational import merge_upsert
+
+    current = delta_read(spark, table)
+    merged = merge_upsert(current, updates, key_cols)
+    return delta_write(merged, table, mode="overwrite")
+
+
+def delta_optimize(
+    spark: SparkSession,
+    table: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """OPTIMIZE (small-file compaction) as a log commit: rewrite the
+    live files at ~``target_file_bytes`` per file and commit the swap
+    as removes + adds with ``dataChange: false`` — readers of any
+    version see identical rows before and after; streams replaying the
+    log know no data changed. Returns {files_before, files_after,
+    version} (version = -1 when already compact: no commit written)."""
+    import math
+
+    schema_json, files, _v = _replay(table)
+    if not files:
+        return {"files_before": 0, "files_after": 0, "version": -1}
+    total = sum(
+        os.path.getsize(os.path.join(table, f)) for f in files
+    )
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    if len(files) <= n_out:
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "version": -1,
+        }
+    df = delta_read(spark, table)
+    staging = os.path.join(table, f".stage-{uuid.uuid4().hex}")
+    df.coalesce(n_out).write.mode("overwrite").parquet(staging)
+    adds = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet") or name.startswith(("_", ".")):
+            continue
+        final = f"part-{uuid.uuid4().hex}.parquet"
+        os.rename(
+            os.path.join(staging, name), os.path.join(table, final)
+        )
+        adds.append(
+            {
+                "path": final,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(table, final)),
+                "modificationTime": int(time.time() * 1000),
+                "dataChange": False,
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    ts = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "remove": {
+                "path": f, "deletionTimestamp": ts, "dataChange": False,
+            }
+        }
+        for f in files
+    ]
+    actions.extend({"add": a} for a in adds)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "OPTIMIZE",
+                "operationParameters": {},
+            }
+        }
+    )
+    while True:
+        versions = _versions(table)
+        next_v = versions[-1] + 1
+        try:
+            fd = os.open(
+                _version_file(table, next_v),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions))
+        return {
+            "files_before": len(files),
+            "files_after": len(adds),
+            "version": next_v,
+        }

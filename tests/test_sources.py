@@ -555,3 +555,50 @@ def test_delta_rejects_schema_drift_and_non_tables(spark, tmp_path):
         )
     with _pytest.raises(ValueError, match="not a Delta table"):
         delta_read(spark, str(tmp_path / "nope"))
+
+
+def test_delta_merge_and_optimize(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.sources.delta import (
+        delta_merge,
+        delta_optimize,
+        delta_read,
+        delta_write,
+    )
+
+    table = str(tmp_path / "dmerge")
+    base = spark.range(10).select(
+        "id", (F.col("id") * 10).alias("v")
+    )
+    delta_write(base, table)
+    updates = spark.createDataFrame(
+        [(3, -1), (42, 420)], "id long, v long"
+    )
+    v = delta_merge(spark, table, updates, ["id"])
+    snap = {r["id"]: r["v"] for r in delta_read(spark, table).collect()}
+    assert snap[3] == -1 and snap[42] == 420 and snap[7] == 70
+    assert len(snap) == 11
+    # pre-merge snapshot still reachable
+    old = {r["id"]: r["v"] for r in
+           delta_read(spark, table, version=v - 1).collect()}
+    assert old[3] == 30 and 42 not in old
+
+    # fragment the table, then OPTIMIZE: same rows, fewer files, new
+    # version; the pre-optimize version still reads identically
+    for i in range(5):
+        delta_write(
+            spark.range(100 + i, 101 + i).select(
+                "id", (F.col("id") * 10).alias("v")
+            ),
+            table,
+        )
+    before = delta_read(spark, table)
+    n_before = before.count()
+    res = delta_optimize(spark, table, target_file_bytes=1 << 30)
+    assert res["files_after"] < res["files_before"]
+    after = delta_read(spark, table)
+    assert after.count() == n_before
+    assert sorted(map(tuple, after.collect())) == sorted(
+        map(tuple, before.collect())
+    )
