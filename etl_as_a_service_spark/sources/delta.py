@@ -361,3 +361,140 @@ def delta_optimize(
             "files_after": len(adds),
             "version": next_v,
         }
+
+
+def _txn_versions(table: str) -> dict[str, int]:
+    """Replay ``txn`` actions: appId -> highest committed version —
+    the protocol's exactly-once bookkeeping for streaming writers."""
+    out: dict[str, int] = {}
+    for v in _versions(table):
+        with open(_version_file(table, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "txn" in action:
+                    t = action["txn"]
+                    out[t["appId"]] = max(
+                        out.get(t["appId"], -1), int(t["version"])
+                    )
+    return out
+
+
+def delta_stream_sink(
+    stream_df: DataFrame,
+    table: str,
+    checkpoint: str,
+    app_id: str,
+    timeout_sec: int = 120,
+):
+    """EXACTLY-ONCE streaming appends into a Delta table (trigger
+    availableNow): each micro-batch commits its rows together with a
+    ``txn {appId, version: batch_id}`` action, and a replayed batch
+    (foreachBatch is at-least-once after a crash between commit and
+    checkpoint) is skipped when the log already carries its txn row —
+    the idempotence mechanism the Delta protocol specifies for
+    streaming writers, with no side files: the dedup state IS the log.
+
+    Returns the final snapshot DataFrame."""
+    spark = stream_df.sparkSession
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if _txn_versions(table).get(app_id, -1) >= batch_id:
+            return  # replayed batch — its txn is already in the log
+        os.makedirs(_log_path(table), exist_ok=True)
+        staging = os.path.join(table, f".stage-{uuid.uuid4().hex}")
+        batch_df.write.mode("overwrite").parquet(staging)
+        adds = []
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet") or name.startswith(("_", ".")):
+                continue
+            final = f"part-{uuid.uuid4().hex}.parquet"
+            os.rename(
+                os.path.join(staging, name), os.path.join(table, final)
+            )
+            adds.append(
+                {
+                    "path": final,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(table, final)),
+                    "modificationTime": int(time.time() * 1000),
+                    "dataChange": True,
+                }
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        schema_string = batch_df.schema.json()
+        while True:
+            versions = _versions(table)
+            next_v = (versions[-1] + 1) if versions else 0
+            actions: list[dict] = []
+            if next_v == 0:
+                actions.append(
+                    {"protocol": {"minReaderVersion": 1,
+                                  "minWriterVersion": 2}}
+                )
+                actions.append(
+                    {
+                        "metaData": {
+                            "id": uuid.uuid4().hex,
+                            "format": {"provider": "parquet",
+                                       "options": {}},
+                            "schemaString": schema_string,
+                            "partitionColumns": [],
+                            "configuration": {},
+                            "createdTime": int(time.time() * 1000),
+                        }
+                    }
+                )
+            else:
+                prev_schema, _files, _ = _replay(table)
+                if _schema_shape(prev_schema) != _schema_shape(
+                    schema_string
+                ):
+                    raise ValueError("schema mismatch vs table metaData")
+                # the race window: another writer may have committed
+                # this very batch's txn while we staged — re-check
+                if _txn_versions(table).get(app_id, -1) >= batch_id:
+                    for a in adds:
+                        try:
+                            os.remove(os.path.join(table, a["path"]))
+                        except OSError:
+                            pass
+                    return
+            actions.append(
+                {"txn": {"appId": app_id, "version": batch_id,
+                         "lastUpdated": int(time.time() * 1000)}}
+            )
+            actions.extend({"add": a} for a in adds)
+            actions.append(
+                {
+                    "commitInfo": {
+                        "timestamp": int(time.time() * 1000),
+                        "operation": "STREAMING UPDATE",
+                        "operationParameters": {},
+                    }
+                }
+            )
+            try:
+                fd = os.open(
+                    _version_file(table, next_v),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError:
+                continue
+            with os.fdopen(fd, "w") as fh:
+                fh.write("\n".join(json.dumps(a) for a in actions))
+            return
+
+    q = (
+        stream_df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"delta stream sink did not finish in {timeout_sec}s"
+        )
+    return delta_read(spark, table)

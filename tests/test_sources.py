@@ -602,3 +602,41 @@ def test_delta_merge_and_optimize(spark, tmp_path):
     assert sorted(map(tuple, after.collect())) == sorted(
         map(tuple, before.collect())
     )
+
+
+def test_delta_stream_sink_exactly_once(spark, tmp_path):
+    """Streaming appends commit with txn actions; replaying the whole
+    stream after losing the checkpoint must not double a single row —
+    the log itself is the dedup state."""
+    from etl_as_a_service_spark.sources.delta import (
+        delta_history,
+        delta_stream_sink,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    table = str(tmp_path / "dstream")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        return delta_stream_sink(
+            stream, table, checkpoint=ckpt, app_id="app-1"
+        )
+
+    first = run(str(tmp_path / "c1"))
+    n = ev.count()
+    assert first.count() == n
+    # checkpoint lost -> all batches replay with the same batch ids
+    replay = run(str(tmp_path / "c2"))
+    assert replay.count() == n
+    assert replay.select("event_id").distinct().count() == n
+    hist = delta_history(spark, table).collect()
+    assert all(r["operation"] != "OVERWRITE" for r in hist)
