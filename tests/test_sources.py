@@ -640,3 +640,66 @@ def test_delta_stream_sink_exactly_once(spark, tmp_path):
     assert replay.select("event_id").distinct().count() == n
     hist = delta_history(spark, table).collect()
     assert all(r["operation"] != "OVERWRITE" for r in hist)
+
+
+def test_delta_randomized_op_sequences_match_model(spark, tmp_path):
+    """Model-based check: a seeded random sequence of append /
+    overwrite / merge / optimize commits must always read back exactly
+    what a driver-side dict model predicts, at HEAD and at every
+    intermediate version."""
+    import random
+
+    from etl_as_a_service_spark.sources.delta import (
+        delta_merge,
+        delta_optimize,
+        delta_read,
+        delta_write,
+    )
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        table = str(tmp_path / f"dmodel{seed}")
+        model: dict[int, int] = {}
+        snapshots: list[tuple[int, dict[int, int]]] = []
+
+        def mkdf(rows):
+            return spark.createDataFrame(
+                [(k, v) for k, v in rows.items()], "id long, v long"
+            )
+
+        # first commit establishes the schema
+        first = {rng.randrange(100): rng.randrange(1000) for _ in range(5)}
+        model.update(first)
+        v = delta_write(mkdf(first), table)
+        snapshots.append((v, dict(model)))
+        for _ in range(6):
+            op = rng.choice(["append", "overwrite", "merge", "optimize"])
+            rows = {
+                rng.randrange(100): rng.randrange(1000)
+                for _ in range(rng.randrange(1, 6))
+            }
+            if op == "append":
+                # appends must not duplicate model keys (a plain table
+                # has no key semantics) — use fresh ids
+                rows = {k + 1000 + len(model): x for k, x in rows.items()}
+                model.update(rows)
+                v = delta_write(mkdf(rows), table)
+            elif op == "overwrite":
+                model = dict(rows)
+                v = delta_write(mkdf(rows), table, mode="overwrite")
+            elif op == "merge":
+                model.update(rows)
+                v = delta_merge(spark, table, mkdf(rows), ["id"])
+            else:
+                res = delta_optimize(
+                    spark, table, target_file_bytes=1 << 30
+                )
+                v = res["version"] if res["version"] >= 0 else v
+            snapshots.append((v, dict(model)))
+
+        for ver, expect in snapshots:
+            got = {
+                r["id"]: r["v"]
+                for r in delta_read(spark, table, version=ver).collect()
+            }
+            assert got == expect, (seed, ver)
