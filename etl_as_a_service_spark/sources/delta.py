@@ -498,3 +498,56 @@ def delta_stream_sink(
             f"delta stream sink did not finish in {timeout_sec}s"
         )
     return delta_read(spark, table)
+
+
+def delta_vacuum(
+    spark: SparkSession,
+    table: str,
+    retention_hours: float = 168.0,
+    dry_run: bool = False,
+) -> dict:
+    """VACUUM: delete data files that are (a) not referenced by the
+    CURRENT snapshot and (b) older than the retention window — crashed
+    writers' invisible staging output and files superseded by
+    overwrite/OPTIMIZE commits. Also sweeps abandoned ``.stage-*``
+    directories past retention.
+
+    Same tradeoff as the real implementation: vacuuming with a short
+    retention breaks TIME TRAVEL to versions whose files it deletes —
+    the log still replays, but the scan will miss files. The default
+    168 h retention protects a week of history. Returns
+    {candidates, deleted, kept_live}."""
+    _schema, live, _v = _replay(table)
+    live_set = set(live)
+    cutoff = time.time() - retention_hours * 3600.0
+    candidates: list[str] = []
+    for name in os.listdir(table):
+        p = os.path.join(table, name)
+        if name.startswith(".stage-") and os.path.isdir(p):
+            if os.path.getmtime(p) < cutoff:
+                candidates.append(name)
+            continue
+        if (
+            os.path.isfile(p)
+            and name.endswith(".parquet")
+            and name not in live_set
+            and os.path.getmtime(p) < cutoff
+        ):
+            candidates.append(name)
+    deleted = 0
+    if not dry_run:
+        for name in candidates:
+            p = os.path.join(table, name)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                try:
+                    os.remove(p)
+                except OSError:
+                    continue
+            deleted += 1
+    return {
+        "candidates": len(candidates),
+        "deleted": deleted,
+        "kept_live": len(live_set),
+    }

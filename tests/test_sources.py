@@ -703,3 +703,39 @@ def test_delta_randomized_op_sequences_match_model(spark, tmp_path):
                 for r in delta_read(spark, table, version=ver).collect()
             }
             assert got == expect, (seed, ver)
+
+
+def test_delta_vacuum_removes_orphans_keeps_snapshot(spark, tmp_path):
+    import os
+
+    from etl_as_a_service_spark.sources.delta import (
+        delta_read,
+        delta_vacuum,
+        delta_write,
+    )
+
+    table = str(tmp_path / "dvac")
+    delta_write(spark.range(10).select("id"), table)
+    delta_write(
+        spark.range(5).select("id"), table, mode="overwrite"
+    )
+    # crashed-writer simulation: an abandoned staging dir + loose file
+    os.makedirs(os.path.join(table, ".stage-dead"))
+    with open(os.path.join(table, ".stage-dead", "x.parquet"), "wb") as f:
+        f.write(b"junk")
+
+    dry = delta_vacuum(spark, table, retention_hours=0, dry_run=True)
+    assert dry["deleted"] == 0 and dry["candidates"] >= 2
+
+    res = delta_vacuum(spark, table, retention_hours=0)
+    # version-0 files (superseded by overwrite) + staging dir are gone
+    assert res["deleted"] == res["candidates"] >= 2
+    assert not os.path.exists(os.path.join(table, ".stage-dead"))
+    # the current snapshot is untouched
+    assert delta_read(spark, table).count() == 5
+    # disk now holds exactly the live files
+    loose = [
+        n for n in os.listdir(table)
+        if n.endswith(".parquet") and os.path.isfile(os.path.join(table, n))
+    ]
+    assert len(loose) == res["kept_live"]
