@@ -1,8 +1,11 @@
 """Classic TPC-H-shaped analytical queries adapted to the driver's
 synthetic star schema (FIXTURES.md) — multi-join + complex-predicate
-workloads: shipping priority (Q3), local supplier volume (Q5), nation
-volume pairs (Q7), returned-item customer ranking (Q10), OR-of-ANDs
-predicate pushdown (Q19)."""
+workloads. With q141-q145 (Q2/Q11/Q12/Q20/Q21 — partsupp-dependent
+queries derive part-supplier supply costs from lineitem) every one of
+the 22 classic TPC-H query shapes has an oracle-checked counterpart
+here or in relational.py (Q1=q01, Q3=q62, Q5=q63, Q7=q64, Q10=q65,
+Q19=q66, Q8/Q9/Q13/Q15/Q17/Q18/Q22=q123-q129, Q4/Q6/Q14/Q16=q134-q137,
+Q12=q143, Q21=q145, Q2=q141, Q11=q142, Q20=q144)."""
 
 from __future__ import annotations
 
@@ -700,4 +703,320 @@ def q137_supplier_part_counts(spark, sf_dir):
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+@query(
+    "q141_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT s_acctbal, s_name, n_name, p_partkey, supplycost,
+             row_number() OVER (PARTITION BY p_partkey
+                                ORDER BY supplycost, ps_suppkey) AS rn
+      FROM ps
+      JOIN part     ON p_partkey = ps_partkey
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE p_type = 'PROMO' AND p_size <= 25
+    )
+    SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name, p_partkey,
+           round(supplycost, 4) AS supplycost
+    FROM ranked WHERE rn = 1
+    ORDER BY acctbal DESC, p_partkey
+    LIMIT 20
+    """,
+    tags=("tpch", "join", "per-group-topk"),
+)
+def q141_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: the schema has no partsupp table, so
+    part-supplier supply costs are DERIVED as min(unit price) per
+    (l_partkey, l_suppkey) — the same correlated-min semantics): for
+    each qualifying part, the cheapest EUROPE supplier. The correlated
+    'cost = min cost for this part' subquery plans as a per-group
+    top-1 (row_number + rn=1 -> WindowGroupLimit), never a per-part
+    rescan; dims broadcast, the derived partsupp aggregates lineitem
+    once on a 16-byte key pair."""
+    li, sup, nat, reg, part = _t(
+        spark, sf_dir, "lineitem", "supplier", "nation", "region", "part"
+    )
+    from pyspark.sql import Window
+
+    eu_sup = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = (
+        li.join(F.broadcast(eu_sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "supplycost"
+            )
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy("supplycost", "ps_suppkey")
+    return (
+        ps.join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_type") == "PROMO") & (F.col("p_size") <= 25)
+                ).select("p_partkey")
+            ),
+            F.col("p_partkey") == F.col("ps_partkey"),
+        )
+        .join(F.broadcast(eu_sup), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round("supplycost", 4).alias("supplycost"),
+        )
+        .orderBy(F.col("acctbal").desc(), "p_partkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q142_important_part_values",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey,
+             CAST(sum(l_quantity) AS BIGINT) AS qty,
+             CAST(floor(min(l_extendedprice / l_quantity) * 10000 + 0.5)
+                  AS BIGINT) AS cost_i
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    v AS (SELECT l_partkey, CAST(sum(cost_i * qty) AS BIGINT) AS val
+          FROM ps GROUP BY 1)
+    SELECT l_partkey, round(val / 10000.0, 2) AS stock_value
+    FROM v
+    WHERE val > 0.0006 * (SELECT sum(val) FROM v)
+    ORDER BY stock_value DESC, l_partkey
+    """,
+    tags=("tpch", "scalar-subquery", "having"),
+)
+def q142_important_part_values(spark, sf_dir):
+    """TPC-H Q11 shape (adapted partsupp as in q141): parts whose
+    derived stock value in one region exceeds a fraction of the GLOBAL
+    stock value. The global scalar is a one-row aggregate broadcast
+    back over the per-part values (cross join of a 1-row frame), never
+    a per-row rescan. Values are accumulated as exact integers (unit
+    cost in 1e-4 dollars x integer quantity) because a double
+    sum(cost*qty) is accumulation-order-dependent — the engines
+    disagreed at a literal half-cent boundary — while integer sums are
+    associative and land identically on both engines at every SF."""
+    li, sup, nat, reg = _t(spark, sf_dir, "lineitem", "supplier", "nation", "region")
+    asia_sup = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey")
+    )
+    ps = (
+        li.join(F.broadcast(asia_sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("qty"),
+            F.floor(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")) * 10000
+                + 0.5
+            ).alias("cost_i"),
+        )
+    )
+    v = ps.groupBy("l_partkey").agg(
+        F.sum(F.col("cost_i") * F.col("qty")).alias("val")
+    )
+    total = v.agg(F.sum("val").alias("total"))
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("val") > 0.0006 * F.col("total"))
+        .select(
+            "l_partkey",
+            F.round(F.col("val") / 10000.0, 2).alias("stock_value"),
+        )
+        .orderBy(F.col("stock_value").desc(), "l_partkey")
+    )
+
+
+@query(
+    "q143_late_lines_by_class",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND date_diff('day', o_orderdate, l_shipdate) > 365
+    GROUP BY flag
+    ORDER BY flag
+    """,
+    tags=("tpch", "conditional-aggregate"),
+)
+def q143_late_lines_by_class(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: no l_shipmode/l_commitdate columns —
+    the class axis is l_returnflag and 'late' is ship > order + 365
+    days): both priority-class counts in ONE conditional-aggregate
+    pass; the shipdate range pushes to the scan, the lateness
+    predicate sits on the join output."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+            & (F.datediff("l_shipdate", "o_orderdate") > 365)
+        )
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("flag")
+    )
+
+
+@query(
+    "q144_dominant_share_suppliers",
+    oracle="""
+    WITH s AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS q
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+        AND p_name LIKE 'small%'
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT l_partkey, sum(q) AS tot FROM s GROUP BY 1)
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM s JOIN t USING (l_partkey)
+                        WHERE q > 0.5 * tot)
+    ORDER BY s_name
+    """,
+    tags=("tpch", "semi-join", "scalar-subquery"),
+)
+def q144_dominant_share_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: 'availqty > half of shipped quantity'
+    becomes 'supplier shipped more than half of a small-part's 1997
+    volume'): the IN plans as a left-semi join against the
+    qualifying-pair projection; per-part totals co-partition with the
+    pair aggregate on l_partkey (one shuffle reused), quantities are
+    integer-valued doubles so the 0.5*tot comparison is exact on both
+    engines."""
+    li, part, sup, nat = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    pairs = (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        )
+        .join(
+            F.broadcast(
+                part.filter(F.col("p_name").like("small%")).select("p_partkey")
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    totals = pairs.groupBy("l_partkey").agg(F.sum("q").alias("tot"))
+    dominant = (
+        pairs.join(totals, "l_partkey")
+        .filter(F.col("q") > 0.5 * F.col("tot"))
+        .select("l_suppkey")
+    )
+    return (
+        sup.join(dominant, sup.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q145_waiting_order_suppliers",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 100 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 100 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tags=("tpch", "exists", "anti-join"),
+)
+def q145_waiting_order_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (adapted lateness as in q143): suppliers who
+    were the SOLE late supplier on a multi-supplier order. The classic
+    EXISTS / NOT EXISTS double self-join is rewritten as ONE order-level
+    aggregate (distinct suppliers, distinct LATE suppliers) joined back
+    to the late lines — two co-partitioned shuffles on l_orderkey
+    instead of two extra lineitem self-join shuffles; the oracle keeps
+    the textbook correlated form to prove the rewrite's equivalence."""
+    li, orders, sup = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    lo = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .withColumn(
+            "late", F.datediff("l_shipdate", "o_orderdate") > 100
+        )
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    waiting = (
+        lo.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
     )
