@@ -300,3 +300,148 @@ def leakage_safe_split(
         F.coalesce(comp["component"], df[id_col]).alias("cluster"),
     )
     return deterministic_split(labeled, "cluster", weights, salt)
+
+
+def dsir_select(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target: Column,
+    n_buckets: int = 1024,
+    k: int = 100,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    public paper): pick the raw documents that look most like a TARGET
+    distribution, with sampling noise so the selection is a draw from
+    the importance weights rather than a brittle arg-top-k.
+
+    Hashed bag-of-words features: every token maps to one of
+    ``n_buckets`` buckets via the portable md5 hash. Two add-one-
+    smoothed bucket models are fit in one aggregation pass — the
+    target rows (``is_target``) and the full corpus — and each
+    document's importance log-weight is the sum over its tokens of
+    ln(p_target[bucket] / p_raw[bucket]). Gumbel-top-k (key =
+    log-weight - ln(-ln(u)), u a seeded md5 uniform) then draws k
+    documents WITHOUT replacement proportionally to their weights,
+    deterministically across runs, partitionings, and engines.
+
+    Scale shape: one tokenize/explode pass feeds both count models
+    (ReuseExchange); bucket models are ``n_buckets`` rows, joined back
+    to tokens on the int bucket key (broadcast — the model is tiny by
+    construction); per-doc weight is one groupBy(id); the final draw is
+    a global top-k (TakeOrderedAndProject, k-sized heaps). Token text
+    never shuffles — only int bucket ids.
+
+    Returns (id_col, n_tokens, log_weight, gumbel_key) for the k
+    selected documents.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        is_target.alias("__tgt"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        ).alias("w"),
+    )
+    b = toks.select(
+        "__id",
+        "__tgt",
+        (F.conv(_hash_hex8(F.col("w"), salt + "-feat"), 16, 10).cast("bigint")
+         % n_buckets).alias("bkt"),
+    )
+    counts = b.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("tc"),
+    )
+    totals = b.agg(
+        F.count(F.lit(1)).alias("rt"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("tt"),
+    )
+    ratio = (
+        counts.join(F.broadcast(totals))
+        .select(
+            "bkt",
+            (
+                F.log((F.col("tc") + 1) / (F.col("tt") + F.lit(n_buckets)).cast("double"))
+                - F.log((F.col("rc") + 1) / (F.col("rt") + F.lit(n_buckets)).cast("double"))
+            ).alias("lr"),
+        )
+    )
+    docw = (
+        b.join(F.broadcast(ratio), "bkt")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr").alias("log_weight"),
+        )
+    )
+    # u in (0, 1) strictly: +0.5 keeps both endpoints out, so neither
+    # ln(u) nor ln(-ln(u)) can hit an infinity
+    u = (
+        F.conv(_hash_hex8(F.col("__id"), salt + "-sel"), 16, 10).cast("bigint")
+        + 0.5
+    ) / F.lit(float(16**8))
+    return (
+        docw.withColumn(
+            "gumbel_key", F.col("log_weight") - F.log(-F.log(u))
+        )
+        .orderBy(F.col("gumbel_key").desc(), F.col("__id"))
+        .limit(k)
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            "log_weight",
+            "gumbel_key",
+        )
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    budget: int = 1000,
+    salt: str = "tmix-v1",
+) -> DataFrame:
+    """Temperature-based domain rebalancing (the multilingual-training
+    mixture rule, p_d ∝ n_d^alpha): sample each domain at a rate that
+    flattens the domain distribution toward uniform (alpha < 1
+    up-weights small domains), targeting ``budget`` rows in
+    expectation overall.
+
+    rate_d = min(1, budget * n_d^alpha / Σ_e n_e^alpha / n_d); a row is
+    kept iff its seeded md5 uniform < rate_d — deterministic across
+    runs, partitionings, and engines, and a domain's sample only
+    changes when ITS count changes (no cross-domain coupling beyond the
+    normalizer).
+
+    Scale shape: domain counts are one aggregate (|domains| rows,
+    broadcast back); inclusion is a pure per-row expression — no
+    shuffle of the data itself, no per-domain jobs.
+    """
+    counts = df.groupBy(F.col(domain_col)).agg(F.count(F.lit(1)).alias("n_d"))
+    norm = counts.agg(
+        F.sum(F.pow(F.col("n_d"), F.lit(float(alpha)))).alias("z")
+    )
+    rates = (
+        counts.join(F.broadcast(norm))
+        .select(
+            domain_col,
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget))
+                * F.pow(F.col("n_d"), F.lit(float(alpha)))
+                / F.col("z")
+                / F.col("n_d"),
+            ).alias("rate"),
+        )
+    )
+    u = (
+        F.conv(_hash_hex8(F.col(id_col), salt), 16, 10).cast("bigint") + 0.5
+    ) / F.lit(float(16**8))
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(u < F.col("rate"))
+        .drop("rate")
+    )

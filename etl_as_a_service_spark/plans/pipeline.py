@@ -94,6 +94,8 @@ _ALLOWED_OPS = {
     "repetition_score",
     "near_dedup_keep_best",
     "leakage_safe_split",
+    "dsir_select",
+    "temperature_mix",
 }
 
 
@@ -404,6 +406,35 @@ def _apply_step(
             weight_col=_req(step, "weight_col"),
             k=int(_req(step, "k")),
             salt=step.get("salt", "wsample-v1"),
+        )
+    if op == "dsir_select":
+        # {"op":"dsir_select","text_col":"text","id_col":"doc_id",
+        #  "target_filter":"lang = 'en'","k":100} — DSIR importance
+        # resampling toward the target-filter distribution
+        from etl_as_a_service_spark.llm.curation import dsir_select
+
+        return dsir_select(
+            df,
+            text_col=_req(step, "text_col"),
+            id_col=_req(step, "id_col"),
+            is_target=F.expr(_req(step, "target_filter")),
+            n_buckets=int(step.get("n_buckets", 1024)),
+            k=int(_req(step, "k")),
+            salt=step.get("salt", "dsir-v1"),
+        )
+    if op == "temperature_mix":
+        # {"op":"temperature_mix","domain_col":"source",
+        #  "id_col":"doc_id","alpha":0.5,"budget":1000} — p_d ∝ n_d^α
+        # domain-flattening sample
+        from etl_as_a_service_spark.llm.curation import temperature_mix
+
+        return temperature_mix(
+            df,
+            domain_col=_req(step, "domain_col"),
+            id_col=_req(step, "id_col"),
+            alpha=float(step.get("alpha", 0.5)),
+            budget=int(_req(step, "budget")),
+            salt=step.get("salt", "tmix-v1"),
         )
     if op == "interpolate":
         # {"op":"interpolate","ts_col":"ts","keys":["k"],

@@ -1767,3 +1767,124 @@ def q140_budgeted_assembly(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q146 — DSIR importance-resampled data selection (hashed n-gram models)
+# --------------------------------------------------------------------------
+@query(
+    "q146_dsir_selection",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, tgt,
+             ('0x' || substr(md5('dsir-v1-feat' || w), 1, 8))::BIGINT % 1024
+               AS bkt
+      FROM toks
+    ),
+    counts AS (
+      SELECT bkt, count(*) AS rc,
+             CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tc
+      FROM b GROUP BY bkt
+    ),
+    tot AS (
+      SELECT count(*) AS rt,
+             CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tt
+      FROM b
+    ),
+    ratio AS (
+      SELECT bkt,
+             ln((tc + 1) / CAST(tt + 1024 AS DOUBLE))
+               - ln((rc + 1) / CAST(rt + 1024 AS DOUBLE)) AS lr
+      FROM counts CROSS JOIN tot
+    ),
+    docw AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             sum(lr) AS lw
+      FROM b JOIN ratio USING (bkt)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, round(lw, 6) AS log_weight
+    FROM docw
+    ORDER BY lw - ln(-ln((('0x' || substr(md5('dsir-v1-sel' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                         / 4294967296.0)) DESC,
+             doc_id
+    LIMIT 100
+    """,
+    tags=("curation", "dsir", "sampling", "llm", "operator"),
+)
+def q146_dsir_selection(spark, sf_dir):
+    """DSIR data selection (q146): draw the 100 raw documents that
+    best match the English-target distribution under hashed
+    bag-of-words importance weights, via deterministic Gumbel-top-k.
+    The bucket models (1024 rows) broadcast; only int bucket ids
+    shuffle; the draw plans as TakeOrderedAndProject. Weight sums are
+    doubles, so output is rounded at 6 (cross-engine accumulation
+    noise ~1e-12 — far below both the rounding grain and observed
+    inter-key gaps)."""
+    from etl_as_a_service_spark.llm.curation import dsir_select
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dsir_select(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        is_target=F.col("lang") == "en",
+        n_buckets=1024,
+        k=100,
+        salt="dsir-v1",
+    ).select(
+        "doc_id", "n_tokens", F.round("log_weight", 6).alias("log_weight")
+    )
+
+
+# --------------------------------------------------------------------------
+# q147 — temperature-based domain mixture sampling (p_d ∝ n_d^alpha)
+# --------------------------------------------------------------------------
+@query(
+    "q147_temperature_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT source, count(*) AS n_d FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source,
+             least(1.0, 300 * pow(n_d, 0.5)
+                          / (SELECT sum(pow(n_d, 0.5)) FROM counts)
+                          / n_d) AS rate
+      FROM counts
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates USING (source)
+    WHERE (('0x' || substr(md5('tmix-v1' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+          / 4294967296.0 < rate
+    ORDER BY d.doc_id
+    """,
+    tags=("curation", "sampling", "mixture", "llm", "operator"),
+)
+def q147_temperature_mix(spark, sf_dir):
+    """Temperature mixture sampling (q147): flatten the per-source
+    distribution with alpha=0.5 toward a 300-row expected budget.
+    Rates derive from exact integer counts through identical double
+    arithmetic on both engines, so inclusion is bit-deterministic; the
+    data itself never shuffles — rates broadcast onto a per-row filter
+    expression."""
+    from etl_as_a_service_spark.llm.curation import temperature_mix
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        temperature_mix(
+            docs,
+            domain_col="source",
+            id_col="doc_id",
+            alpha=0.5,
+            budget=300,
+            salt="tmix-v1",
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

@@ -229,3 +229,117 @@ def test_leakage_safe_split_no_cluster_straddles_splits(spark, docs):
         ).collect()
     }
     assert a == b
+
+
+def _dsir_corpus(spark):
+    rows = []
+    for i in range(20):  # target-vocabulary docs
+        rows.append((i, "alpha beta gamma delta epsilon zeta " * 4, i < 10))
+    for i in range(20, 40):  # disjoint-vocabulary docs
+        rows.append((i, "zork blarg quux wibble frotz grue " * 4, False))
+    return spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+
+
+def test_dsir_selects_target_like_docs(spark):
+    """Docs sharing the target vocabulary must out-weigh (and crowd out
+    of the selection) docs from a disjoint vocabulary."""
+    from etl_as_a_service_spark.llm.curation import dsir_select
+
+    df = _dsir_corpus(spark)
+    sel = dsir_select(
+        df, "text", "doc_id", F.col("tgt"), n_buckets=256, k=10
+    ).collect()
+    assert len(sel) == 10
+    target_like = sum(1 for r in sel if r["doc_id"] < 20)
+    assert target_like == 10  # weight gap is enormous; Gumbel can't flip it
+    weights = {r["doc_id"]: r["log_weight"] for r in sel}
+    assert all(w > 0 for w in weights.values())
+
+
+def test_dsir_deterministic_and_repartition_invariant(spark):
+    from etl_as_a_service_spark.llm.curation import dsir_select
+
+    df = _dsir_corpus(spark)
+    a = sorted(
+        (r["doc_id"], round(r["log_weight"], 6))
+        for r in dsir_select(df, "text", "doc_id", F.col("tgt"), k=15).collect()
+    )
+    b = sorted(
+        (r["doc_id"], round(r["log_weight"], 6))
+        for r in dsir_select(
+            df.repartition(7), "text", "doc_id", F.col("tgt"), k=15
+        ).collect()
+    )
+    assert a == b
+
+
+def test_temperature_mix_flattens_and_is_deterministic(spark):
+    """alpha=0.5 must retain a LARGER fraction of small domains than of
+    large ones, land near the expected budget, and be stable under
+    repartitioning."""
+    from etl_as_a_service_spark.llm.curation import temperature_mix
+
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(1000 + i, "mid") for i in range(100)]
+        + [(2000 + i, "small") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, "source", "doc_id", alpha=0.5, budget=150)
+    got = {r["doc_id"] for r in out.collect()}
+    got2 = {
+        r["doc_id"]
+        for r in temperature_mix(
+            df.repartition(9), "source", "doc_id", alpha=0.5, budget=150
+        ).collect()
+    }
+    assert got == got2
+    by_dom = {
+        d: sum(1 for i in got if lo <= i < hi)
+        for d, lo, hi in (("big", 0, 400), ("mid", 1000, 1100), ("small", 2000, 2025))
+    }
+    # expected takes: 150 * sqrt(n_d)/35 -> big ~86, mid ~43, small ~21
+    assert 0.6 * 86 <= by_dom["big"] <= 1.4 * 86
+    assert 0.6 * 43 <= by_dom["mid"] <= 1.4 * 43
+    assert 0.6 * 21 <= by_dom["small"] <= 25
+    # retention-rate ordering is the flattening property itself
+    assert by_dom["small"] / 25 > by_dom["mid"] / 100 > by_dom["big"] / 400
+
+
+def test_dsir_and_temperature_mix_pipeline_steps(spark, docs):
+    from etl_as_a_service_spark.plans.pipeline import compile_pipeline
+
+    sel = compile_pipeline(
+        spark,
+        {
+            "name": "dsir_step",
+            "source": {"format": "parquet", "path": f"{SF_SMOKE}/documents.parquet"},
+            "steps": [
+                {
+                    "op": "dsir_select",
+                    "text_col": "text",
+                    "id_col": "doc_id",
+                    "target_filter": "lang = 'en'",
+                    "k": 25,
+                }
+            ],
+        },
+    )
+    assert sel.count() == 25
+    mix = compile_pipeline(
+        spark,
+        {
+            "name": "tmix_step",
+            "source": {"format": "parquet", "path": f"{SF_SMOKE}/documents.parquet"},
+            "steps": [
+                {
+                    "op": "temperature_mix",
+                    "domain_col": "source",
+                    "id_col": "doc_id",
+                    "budget": 100,
+                }
+            ],
+        },
+    )
+    n = mix.count()
+    assert 50 <= n <= 160  # expected 100 +- hash-sampling noise
