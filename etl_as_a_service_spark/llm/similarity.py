@@ -390,3 +390,74 @@ def lsh_similarity_join(
         F.col("datasetB.neighbor_id").alias("neighbor_id"),
         F.round("dist", 6).alias("dist"),
     ).filter(F.col("query_id") != F.col("neighbor_id"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quality_col: str | None = None,
+    cosine_threshold: float = 0.95,
+    num_tables: int = 8,
+    bits_per_table: int = 10,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    public paper): group documents whose EMBEDDINGS are near-identical
+    and keep one representative per group — catches paraphrases,
+    re-renders and template clones that no lexical (n-gram/MinHash)
+    dedup can see.
+
+    Where the paper clusters with k-means and prunes within clusters,
+    the scale-native equivalent here composes three existing bounded
+    operators: SRP-LSH candidate pairs with exact cosine verification
+    (``embedding_near_duplicates`` — no all-pairs, hot buckets capped),
+    connected components over the pair graph (bounded min-label
+    propagation), and per-component survivor selection (top-1 window ->
+    WindowGroupLimit). Survivor = highest ``quality_col`` (ties:
+    smallest id), or smallest id when no quality column is given —
+    fully deterministic either way. Vectors absent from any pair
+    survive as singletons.
+
+    Returns ``(component, <id_col>, group_size)`` — survivors only;
+    anti-join the input on ``id_col`` to get the discard list.
+    """
+    from etl_as_a_service_spark.operators.graph import connected_components
+
+    pairs = embedding_near_duplicates(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        cosine_threshold=cosine_threshold,
+        num_tables=num_tables,
+        bits_per_table=bits_per_table,
+        max_bucket_size=max_bucket_size,
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")),
+        nodes=df.select(F.col(id_col).alias("node")),
+    )
+    quality = (
+        F.col(quality_col).cast("double")
+        if quality_col is not None
+        else F.lit(0.0)
+    )
+    ranked = (
+        df.join(comp, df[id_col] == comp["node"])
+        .withColumn(
+            "__rank",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(
+                    quality.desc(), F.col(id_col).asc()
+                )
+            ),
+        )
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        ranked.filter(F.col("__rank") == 1)
+        .join(sizes, "component")
+        .select("component", id_col, "group_size")
+    )

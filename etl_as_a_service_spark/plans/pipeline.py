@@ -96,6 +96,7 @@ _ALLOWED_OPS = {
     "leakage_safe_split",
     "dsir_select",
     "temperature_mix",
+    "semantic_dedup",
 }
 
 
@@ -435,6 +436,19 @@ def _apply_step(
             alpha=float(step.get("alpha", 0.5)),
             budget=int(_req(step, "budget")),
             salt=step.get("salt", "tmix-v1"),
+        )
+    if op == "semantic_dedup":
+        # {"op":"semantic_dedup","id_col":"vec_id","vec_col":"embedding",
+        #  "threshold":0.95,"quality_col":null} — one survivor per
+        # embedding near-duplicate family (SemDeDup)
+        from etl_as_a_service_spark.llm.similarity import semantic_dedup
+
+        return semantic_dedup(
+            df,
+            id_col=_req(step, "id_col"),
+            vec_col=_req(step, "vec_col"),
+            quality_col=step.get("quality_col"),
+            cosine_threshold=float(step.get("threshold", 0.95)),
         )
     if op == "interpolate":
         # {"op":"interpolate","ts_col":"ts","keys":["k"],

@@ -1888,3 +1888,34 @@ def q147_temperature_mix(spark, sf_dir):
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q148 — semantic (embedding-level) deduplication, SemDeDup-shaped
+# --------------------------------------------------------------------------
+@query(
+    "q148_semantic_dedup",
+    # rows-only: candidate generation runs the seeded SRP projection
+    # kernel (Arrow numpy), which has no SQL twin; exactness of the
+    # survivor rule and family collapse are pytest-asserted with
+    # planted duplicates (test_llm_ops.py::test_semantic_dedup_*)
+    tags=("dedup", "embeddings", "semantic", "llm", "operator"),
+)
+def q148_semantic_dedup(spark, sf_dir):
+    """Semantic dedup (q148): one survivor per embedding-cosine
+    near-duplicate family over the embeddings table (threshold 0.97),
+    singletons included — the SemDeDup curation step. SRP-LSH
+    candidates + exact-cosine verify + bounded-iteration connected
+    components + per-family top-1 (WindowGroupLimit)."""
+    from etl_as_a_service_spark.llm.similarity import semantic_dedup
+
+    (embs,) = _t(spark, sf_dir, "embeddings")
+    return (
+        semantic_dedup(
+            embs,
+            id_col="vec_id",
+            vec_col="embedding",
+            cosine_threshold=0.97,
+        )
+        .orderBy("component")
+    )

@@ -844,3 +844,55 @@ def test_pq_save_load_roundtrip(spark, tmp_path):
         map(tuple, pq_search(cb2, enc2, queries, k=5).collect())
     )
     assert a == b
+
+
+def test_semantic_dedup_collapses_planted_family(spark, emb):
+    """Plant two exact copies of one vector: semantic_dedup must keep
+    exactly ONE survivor for the 3-member family (the min id without a
+    quality column), keep the family's group_size = 3, and leave the
+    total survivor count = n_vectors - n_planted_copies."""
+    from etl_as_a_service_spark.llm.similarity import semantic_dedup
+
+    base = emb.filter(F.col("vec_id") < 100)
+    dups = base.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    ).unionByName(
+        base.filter(F.col("vec_id") == 7).select(
+            (F.col("vec_id") + 200000).alias("vec_id"), "embedding", "label"
+        )
+    )
+    withdups = base.unionByName(dups)
+    total = withdups.count()
+    surv = semantic_dedup(withdups, cosine_threshold=0.99).collect()
+    fam = [r for r in surv if r["component"] == 7]
+    assert len(fam) == 1 and fam[0]["vec_id"] == 7 and fam[0]["group_size"] == 3
+    assert not any(r["vec_id"] in (100007, 200007) for r in surv)
+    # every other vector is either a singleton survivor or in a real
+    # near-dup family with exactly one survivor
+    comps = {r["component"] for r in surv}
+    assert len(surv) == len(comps)  # one survivor per component
+    assert len(surv) <= total - 2
+
+
+def test_semantic_dedup_quality_survivor_and_determinism(spark, emb):
+    """With a quality column the HIGHEST-quality family member
+    survives; the result is stable under repartitioning."""
+    from etl_as_a_service_spark.llm.similarity import semantic_dedup
+
+    base = emb.filter(F.col("vec_id") < 60).withColumn(
+        "q", (F.col("vec_id") % 7).cast("double")
+    )
+    dup = base.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 500).alias("vec_id"), "embedding", "label",
+        F.lit(99.0).alias("q"),
+    )
+    withdup = base.unionByName(dup)
+    surv = semantic_dedup(
+        withdup, quality_col="q", cosine_threshold=0.99
+    ).collect()
+    fam = [r for r in surv if r["component"] == 3]
+    assert len(fam) == 1 and fam[0]["vec_id"] == 503  # quality 99 wins
+    again = semantic_dedup(
+        withdup.repartition(11), quality_col="q", cosine_threshold=0.99
+    ).collect()
+    assert sorted(map(tuple, surv)) == sorted(map(tuple, again))
