@@ -1903,19 +1903,37 @@ def q147_temperature_mix(spark, sf_dir):
 )
 def q148_semantic_dedup(spark, sf_dir):
     """Semantic dedup (q148): one survivor per embedding-cosine
-    near-duplicate family over the embeddings table (threshold 0.97),
-    singletons included — the SemDeDup curation step. SRP-LSH
+    near-duplicate family, singletons included — the SemDeDup curation
+    step. The raw table's max organic pairwise cosine is ~0.55, so 25
+    deterministic near-copies are planted under vec_id+10000 (the q55
+    recipe); the expected output is exactly 500 survivors, each planted
+    family collapsed to its min-id original with group_size 2. SRP-LSH
     candidates + exact-cosine verify + bounded-iteration connected
     components + per-family top-1 (WindowGroupLimit)."""
     from etl_as_a_service_spark.llm.similarity import semantic_dedup
 
-    (embs,) = _t(spark, sf_dir, "embeddings")
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding")
+    planted = base.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x
+            * (
+                F.lit(1.0)
+                + (F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(7)) - 3).cast(
+                    "double"
+                )
+                * 0.001
+            ),
+        ).alias("embedding"),
+    )
     return (
         semantic_dedup(
-            embs,
+            base.unionByName(planted),
             id_col="vec_id",
             vec_col="embedding",
-            cosine_threshold=0.97,
+            cosine_threshold=0.95,
         )
         .orderBy("component")
     )
