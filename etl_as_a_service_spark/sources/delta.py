@@ -2,30 +2,41 @@
 
 The delta-spark jar is absent from this environment, so this implements
 the (public, linuxfoundation/delta-io specified) transaction-log
-protocol directly for the unpartitioned-table subset:
+protocol directly:
 
 - the table is a directory of parquet data files plus
   ``_delta_log/NNNNNNNNNNNNNNNNNNNN.json`` commits;
 - each commit is newline-delimited JSON actions: ``metaData`` (schema),
-  ``add`` (file), ``remove`` (file), ``commitInfo``;
+  ``add`` (file), ``remove`` (file), ``txn``, ``commitInfo``;
 - a snapshot is the log replayed in version order: files added and not
   later removed;
 - commits are ATOMIC and optimistically concurrent: version N commits
   by creating ``N.json`` with O_EXCL — two writers racing the same
   version see exactly one winner, and the loser retries at N+1 (the
-  same semantics the real implementation gets from atomic puts).
+  same semantics the real implementation gets from atomic puts);
+- PARTITIONED tables: Hive-layout data paths (``col=value/part-*``),
+  ``add.partitionValues``, ``metaData.partitionColumns``; reads
+  reconstruct partition columns via Spark's basePath discovery and can
+  prune at the LOG level (skip files whose partitionValues miss the
+  predicate) before Spark ever lists them;
+- CHECKPOINTS: ``N.checkpoint.parquet`` (spec shape: one action per
+  row, struct columns protocol/metaData/txn/add) + ``_last_checkpoint``
+  — replay cost stays O(commits since checkpoint) instead of O(all
+  commits), and ``delta_clean_log`` may then delete the JSON commits a
+  checkpoint covers.
 
 Supported: append, overwrite, snapshot read, time travel
-(``version=``), history. Not supported (raises, never misreads):
-partitioned tables, checkpoints, deletion vectors, column mapping —
-logs containing those features are rejected at read time.
+(``version=``), history, MERGE, OPTIMIZE, VACUUM, exactly-once
+streaming sink, partitioned layout, checkpoints. Not supported
+(raises, never misreads): deletion vectors, column mapping, v2
+checkpoints — logs carrying those reader features are rejected.
 
 Scale shape: the LOG is driver-side metadata (one tiny JSON per
 commit — same class as the run registry); the DATA path is ordinary
 distributed parquet: Spark writes part files, the reader hands Spark
 an explicit file list so scans stay parallel, pruned, and
 whole-stage-codegen'd. Time travel costs one log replay, zero data
-movement.
+movement; a checkpoint bounds that replay.
 """
 
 from __future__ import annotations
@@ -34,12 +45,15 @@ import json
 import os
 import shutil
 import time
+import urllib.parse
 import uuid
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 _LOG_DIR = "_delta_log"
+_LAST_CHECKPOINT = "_last_checkpoint"
 _UNSUPPORTED_READER_FEATURES = {
     "deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint",
 }
@@ -53,6 +67,10 @@ def _version_file(table: str, v: int) -> str:
     return os.path.join(_log_path(table), f"{v:020d}.json")
 
 
+def _checkpoint_file(table: str, v: int) -> str:
+    return os.path.join(_log_path(table), f"{v:020d}.checkpoint.parquet")
+
+
 def _versions(table: str) -> list[int]:
     d = _log_path(table)
     if not os.path.isdir(d):
@@ -64,65 +82,248 @@ def _versions(table: str) -> list[int]:
     return sorted(out)
 
 
-def _replay(table: str, version: int | None = None):
-    """Replay the log: returns (schema_json, live_files, last_version).
+@dataclass
+class _Snapshot:
+    schema_json: str | None = None
+    partition_columns: list[str] = field(default_factory=list)
+    live: dict[str, dict] = field(default_factory=dict)  # path -> add
+    txns: dict[str, int] = field(default_factory=dict)   # appId -> version
+    version: int = -1
 
-    ``version`` bounds the replay (time travel); None = latest."""
+
+def _check_protocol(protocol: dict) -> None:
+    feats = set(protocol.get("readerFeatures") or [])
+    bad = feats & _UNSUPPORTED_READER_FEATURES
+    if bad:
+        raise ValueError(f"unsupported Delta reader features: {bad}")
+
+
+def _apply_action(snap: _Snapshot, action: dict) -> None:
+    if "metaData" in action:
+        md = action["metaData"]
+        snap.schema_json = md["schemaString"]
+        snap.partition_columns = list(md.get("partitionColumns") or [])
+    elif "protocol" in action:
+        _check_protocol(action["protocol"])
+    elif "add" in action:
+        snap.live[action["add"]["path"]] = action["add"]
+    elif "remove" in action:
+        snap.live.pop(action["remove"]["path"], None)
+    elif "txn" in action:
+        t = action["txn"]
+        snap.txns[t["appId"]] = max(
+            snap.txns.get(t["appId"], -1), int(t["version"])
+        )
+
+
+def _last_checkpoint_version(table: str) -> int | None:
+    p = os.path.join(_log_path(table), _LAST_CHECKPOINT)
+    if not os.path.isfile(p):
+        return None
+    try:
+        with open(p) as fh:
+            return int(json.load(fh)["version"])
+    except (OSError, ValueError, KeyError):
+        return None  # corrupt pointer — fall back to full JSON replay
+
+
+def _load_checkpoint(table: str, v: int) -> _Snapshot:
+    """Rebuild snapshot state from ``v.checkpoint.parquet`` (driver-side
+    read — the checkpoint is metadata, a few KB per thousand files)."""
+    import pyarrow.parquet as pq
+
+    snap = _Snapshot(version=v)
+    tbl = pq.read_table(_checkpoint_file(table, v))
+    for row in tbl.to_pylist():
+        if row.get("protocol") is not None:
+            _check_protocol(row["protocol"])
+        elif row.get("metaData") is not None:
+            md = row["metaData"]
+            snap.schema_json = md["schemaString"]
+            snap.partition_columns = list(md.get("partitionColumns") or [])
+        elif row.get("txn") is not None:
+            t = row["txn"]
+            snap.txns[t["appId"]] = int(t["version"])
+        elif row.get("add") is not None:
+            a = dict(row["add"])
+            pv = a.get("partitionValues")
+            if isinstance(pv, list):  # pyarrow map -> list of tuples
+                pv = dict(pv)
+            a["partitionValues"] = pv or {}
+            snap.live[a["path"]] = a
+    return snap
+
+
+def _replay(table: str, version: int | None = None) -> _Snapshot:
+    """Replay the log (checkpoint + JSON tail) to a snapshot.
+
+    ``version`` bounds the replay (time travel); None = latest. Time
+    travel BEHIND the latest checkpoint replays the JSON commits from 0
+    — valid until ``delta_clean_log`` removes them, after which it
+    raises instead of returning a wrong snapshot."""
     versions = _versions(table)
-    if not versions:
+    ckpt_v = _last_checkpoint_version(table)
+    if not versions and ckpt_v is None:
         raise ValueError(f"not a Delta table (no {_LOG_DIR}): {table}")
+
+    snap = _Snapshot()
+    start_after = -1
+    if ckpt_v is not None and (version is None or version >= ckpt_v):
+        snap = _load_checkpoint(table, ckpt_v)
+        start_after = ckpt_v
+    tail = [v for v in versions if v > start_after]
     if version is not None:
-        versions = [v for v in versions if v <= version]
-        if not versions:
+        tail = [v for v in tail if v <= version]
+        if start_after == -1 and not tail:
+            raise ValueError(f"version {version} predates the table history")
+        if start_after == -1 and tail and tail[0] != 0 and min(tail) != 0:
+            # JSON commits below the checkpoint were cleaned away
             raise ValueError(
-                f"version {version} predates the table history"
+                f"cannot time-travel to version {version}: commits below "
+                f"the checkpoint were removed by delta_clean_log"
             )
-    schema_json = None
-    live: dict[str, dict] = {}
-    for v in versions:
+    elif start_after == -1 and versions and versions[0] != 0:
+        raise ValueError(
+            "log is missing early commits and no checkpoint covers them"
+        )
+    for v in tail:
         with open(_version_file(table, v)) as fh:
             for line in fh:
                 if not line.strip():
                     continue
-                action = json.loads(line)
-                if "metaData" in action:
-                    md = action["metaData"]
-                    if md.get("partitionColumns"):
-                        raise ValueError(
-                            "partitioned Delta tables are not supported "
-                            "by this reader"
-                        )
-                    schema_json = md["schemaString"]
-                elif "protocol" in action:
-                    feats = set(
-                        action["protocol"].get("readerFeatures") or []
-                    )
-                    bad = feats & _UNSUPPORTED_READER_FEATURES
-                    if bad:
-                        raise ValueError(
-                            f"unsupported Delta reader features: {bad}"
-                        )
-                elif "add" in action:
-                    live[action["add"]["path"]] = action["add"]
-                elif "remove" in action:
-                    live.pop(action["remove"]["path"], None)
-    if schema_json is None:
+                _apply_action(snap, json.loads(line))
+        snap.version = v
+    if snap.schema_json is None:
         raise ValueError(f"Delta log has no metaData action: {table}")
-    return schema_json, sorted(live), versions[-1]
+    return snap
+
+
+def _partition_values_of(rel_path: str) -> dict[str, str]:
+    """Parse Hive-layout ``col=value`` path segments (Spark URL-encodes
+    special characters in partition values on write)."""
+    out: dict[str, str] = {}
+    for seg in rel_path.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = urllib.parse.unquote(v)
+    return out
+
+
+def _stage_files(
+    df: DataFrame,
+    table: str,
+    partition_cols: list[str],
+    data_change: bool,
+    n_files: int | None = None,
+) -> list[dict]:
+    """Write ``df`` to a hidden staging dir, move the part files into
+    the table (preserving ``col=value`` partition subdirectories), and
+    return their ``add`` actions. Staged files are invisible to every
+    snapshot until a commit publishes them."""
+    staging = os.path.join(table, f".stage-{uuid.uuid4().hex}")
+    writer = df
+    if n_files is not None:
+        writer = (
+            df.repartition(n_files, *partition_cols)
+            if partition_cols
+            else df.coalesce(n_files)
+        )
+    w = writer.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(staging)
+
+    adds: list[dict] = []
+    for root, _dirs, names in os.walk(staging):
+        for name in sorted(names):
+            if not name.endswith(".parquet") or name.startswith(("_", ".")):
+                continue
+            rel_dir = os.path.relpath(root, staging)
+            rel_dir = "" if rel_dir == "." else rel_dir
+            final_rel = os.path.join(
+                rel_dir, f"part-{uuid.uuid4().hex}.parquet"
+            ) if rel_dir else f"part-{uuid.uuid4().hex}.parquet"
+            final_abs = os.path.join(table, final_rel)
+            os.makedirs(os.path.dirname(final_abs), exist_ok=True)
+            os.rename(os.path.join(root, name), final_abs)
+            adds.append(
+                {
+                    "path": final_rel.replace(os.sep, "/"),
+                    "partitionValues": _partition_values_of(final_rel),
+                    "size": os.path.getsize(final_abs),
+                    "modificationTime": int(time.time() * 1000),
+                    "dataChange": data_change,
+                }
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    return adds
+
+
+def _discard_staged(table: str, adds: list[dict]) -> None:
+    for a in adds:
+        try:
+            os.remove(os.path.join(table, a["path"]))
+        except OSError:
+            pass
+
+
+def _commit(table: str, build_actions) -> int:
+    """Optimistic-concurrency commit loop: ``build_actions(next_v)``
+    returns the action list (or None to abort); one atomic O_EXCL file
+    creation publishes it."""
+    while True:
+        versions = _versions(table)
+        ckpt_v = _last_checkpoint_version(table)
+        head = versions[-1] if versions else (ckpt_v if ckpt_v is not None else -1)
+        next_v = head + 1
+        actions = build_actions(next_v)
+        if actions is None:
+            return -1
+        try:
+            fd = os.open(
+                _version_file(table, next_v),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            continue  # lost the race — recompute against the new head
+        with os.fdopen(fd, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions))
+        return next_v
 
 
 def delta_read(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    partition_filters: dict[str, str] | None = None,
 ) -> DataFrame:
     """Snapshot (or time-travel) read: replay the log, then scan the
     live parquet files with an EXPLICIT file list — the scan stays
     distributed, pruned, and schema'd from the log's metaData (so an
-    empty snapshot still has the right columns)."""
-    schema_json, files, _v = _replay(table, version)
-    schema = T.StructType.fromJson(json.loads(schema_json))
-    reader = spark.read.schema(schema)
+    empty snapshot still has the right columns). Partition columns are
+    reconstructed via basePath discovery; ``partition_filters``
+    ({col: value}) prunes at the LOG level, before Spark lists a single
+    skipped file — the metadata-only pruning a 100 TB table needs."""
+    snap = _replay(table, version)
+    schema = T.StructType.fromJson(json.loads(snap.schema_json))
+    files = sorted(snap.live)
+    if partition_filters:
+        unknown = set(partition_filters) - set(snap.partition_columns)
+        if unknown:
+            raise ValueError(
+                f"partition_filters on non-partition columns: {unknown}"
+            )
+        files = [
+            p
+            for p in files
+            if all(
+                snap.live[p].get("partitionValues", {}).get(k) == v
+                for k, v in partition_filters.items()
+            )
+        ]
     if not files:
         return spark.createDataFrame([], schema)
+    reader = spark.read.schema(schema).option("basePath", table)
     return reader.parquet(*[os.path.join(table, f) for f in files])
 
 
@@ -134,65 +335,74 @@ def _schema_shape(schema_json: str) -> list[tuple[str, str]]:
     return [(f.name, f.dataType.simpleString()) for f in st.fields]
 
 
+def _metadata_action(schema_string: str, partition_cols: list[str]) -> dict:
+    return {
+        "metaData": {
+            "id": uuid.uuid4().hex,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": list(partition_cols),
+            "configuration": {},
+            "createdTime": int(time.time() * 1000),
+        }
+    }
+
+
 def delta_write(
-    df: DataFrame, table: str, mode: str = "append"
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    checkpoint_interval: int | None = None,
 ) -> int:
     """Commit ``df`` to the table; returns the committed version.
 
     Data first, log last: part files land under the table directory
-    with UUID names (invisible to snapshots until committed), then ONE
+    with UUID names (under ``col=value/`` subdirectories when
+    partitioned — invisible to snapshots until committed), then ONE
     atomic O_EXCL log-file creation publishes them. A racing writer
     loses the creation and retries against the next version — appends
     always succeed eventually; an overwrite retries against the new
-    snapshot it must replace."""
+    snapshot it must replace.
+
+    ``partition_by`` fixes the partition layout at table creation; on
+    an existing table it must match (or be omitted to inherit) the
+    metaData's partitionColumns — the protocol forbids silent layout
+    changes. ``checkpoint_interval=N`` writes a checkpoint whenever the
+    committed version is a multiple of N (the real writer defaults to
+    every 10 commits)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode!r}")
     os.makedirs(_log_path(table), exist_ok=True)
 
-    staging = os.path.join(table, f".stage-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
-    adds = []
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet") or name.startswith(("_", ".")):
-            continue
-        final = f"part-{uuid.uuid4().hex}.parquet"
-        src = os.path.join(staging, name)
-        os.rename(src, os.path.join(table, final))
-        adds.append(
-            {
-                "path": final,
-                "partitionValues": {},
-                "size": os.path.getsize(os.path.join(table, final)),
-                "modificationTime": int(time.time() * 1000),
-                "dataChange": True,
-            }
-        )
-    shutil.rmtree(staging, ignore_errors=True)
+    exists = bool(_versions(table)) or _last_checkpoint_version(table) is not None
+    if exists:
+        prev = _replay(table)
+        if partition_by is None:
+            partition_by = prev.partition_columns
+        elif list(partition_by) != prev.partition_columns:
+            raise ValueError(
+                f"partition_by {list(partition_by)} != table layout "
+                f"{prev.partition_columns}"
+            )
+    partition_by = list(partition_by or [])
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition columns absent from frame: {missing}")
 
+    adds = _stage_files(df, table, partition_by, data_change=True)
     schema_string = df.schema.json()
-    while True:
-        versions = _versions(table)
-        next_v = (versions[-1] + 1) if versions else 0
+
+    def build(next_v: int):
         actions: list[dict] = []
         if next_v == 0:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
             )
-            actions.append(
-                {
-                    "metaData": {
-                        "id": uuid.uuid4().hex,
-                        "format": {"provider": "parquet", "options": {}},
-                        "schemaString": schema_string,
-                        "partitionColumns": [],
-                        "configuration": {},
-                        "createdTime": int(time.time() * 1000),
-                    }
-                }
-            )
+            actions.append(_metadata_action(schema_string, partition_by))
         else:
-            prev_schema, prev_files, _ = _replay(table)
-            if _schema_shape(prev_schema) != _schema_shape(schema_string):
+            prev = _replay(table)
+            if _schema_shape(prev.schema_json) != _schema_shape(schema_string):
                 raise ValueError(
                     "schema mismatch vs table metaData (no evolution "
                     "support in this writer)"
@@ -207,7 +417,7 @@ def delta_write(
                             "dataChange": True,
                         }
                     }
-                    for f in prev_files
+                    for f in sorted(prev.live)
                 )
         actions.extend({"add": a} for a in adds)
         actions.append(
@@ -219,20 +429,130 @@ def delta_write(
                 }
             }
         )
-        try:
-            fd = os.open(
-                _version_file(table, next_v),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError:
-            continue  # lost the race — recompute against the new head
-        with os.fdopen(fd, "w") as fh:
-            fh.write("\n".join(json.dumps(a) for a in actions))
-        return next_v
+        return actions
+
+    v = _commit(table, build)
+    if checkpoint_interval and v > 0 and v % checkpoint_interval == 0:
+        delta_checkpoint(table)
+    return v
+
+
+def delta_checkpoint(table: str) -> dict:
+    """Write ``V.checkpoint.parquet`` + ``_last_checkpoint`` for the
+    current head version V: the reconciled snapshot (protocol, metaData,
+    per-app txn watermarks, live adds) as one action-per-row parquet in
+    the spec's struct-column shape. Replay afterwards costs the
+    checkpoint load plus only the commits after V; ``delta_clean_log``
+    may then delete the JSON commits the checkpoint covers. Returns
+    {version, actions}."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap = _replay(table)
+    v = snap.version
+    schema = pa.schema(
+        [
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [("minReaderVersion", pa.int32()),
+                     ("minWriterVersion", pa.int32())]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "txn",
+                pa.struct([("appId", pa.string()), ("version", pa.int64())]),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    rows: list[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "schemaString": snap.schema_json,
+                "partitionColumns": snap.partition_columns,
+                "createdTime": int(time.time() * 1000),
+            }
+        },
+    ]
+    rows.extend(
+        {"txn": {"appId": app, "version": tv}}
+        for app, tv in sorted(snap.txns.items())
+    )
+    rows.extend(
+        {
+            "add": {
+                "path": a["path"],
+                "partitionValues": list(
+                    (a.get("partitionValues") or {}).items()
+                ),
+                "size": a.get("size"),
+                "modificationTime": a.get("modificationTime"),
+                "dataChange": False,
+            }
+        }
+        for _p, a in sorted(snap.live.items())
+    )
+    tmp = _checkpoint_file(table, v) + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+    os.rename(tmp, _checkpoint_file(table, v))
+    ptr_tmp = os.path.join(
+        _log_path(table), f".{_LAST_CHECKPOINT}.tmp-{uuid.uuid4().hex}"
+    )
+    with open(ptr_tmp, "w") as fh:
+        json.dump({"version": v, "size": len(rows)}, fh)
+    os.rename(ptr_tmp, os.path.join(_log_path(table), _LAST_CHECKPOINT))
+    return {"version": v, "actions": len(rows)}
+
+
+def delta_clean_log(table: str) -> dict:
+    """Delete JSON commits at or below the last checkpoint version (the
+    checkpoint carries their reconciled state). Time travel to versions
+    BELOW the checkpoint stops working — ``_replay`` detects the gap
+    and raises rather than returning a wrong snapshot. Returns
+    {checkpoint_version, removed}."""
+    ckpt_v = _last_checkpoint_version(table)
+    if ckpt_v is None:
+        return {"checkpoint_version": None, "removed": 0}
+    removed = 0
+    for v in _versions(table):
+        if v <= ckpt_v:
+            try:
+                os.remove(_version_file(table, v))
+                removed += 1
+            except OSError:
+                pass
+    return {"checkpoint_version": ckpt_v, "removed": removed}
 
 
 def delta_history(spark: SparkSession, table: str) -> DataFrame:
-    """(version, timestamp, operation, n_adds, n_removes) per commit."""
+    """(version, timestamp, operation, n_adds, n_removes) per retained
+    JSON commit (commits folded into a checkpoint by delta_clean_log no
+    longer appear individually)."""
     rows = []
     for v in _versions(table):
         ts = None
@@ -269,8 +589,8 @@ def delta_merge(
     operators.relational.merge_upsert (one key join, broadcast when
     updates are small) and the result commits as one OVERWRITE version
     — the copy-on-write MERGE every log-structured lakehouse performs,
-    with the old snapshot still reachable by time travel. Returns the
-    committed version."""
+    with the old snapshot still reachable by time travel. The table's
+    partition layout is preserved. Returns the committed version."""
     from etl_as_a_service_spark.operators.relational import merge_upsert
 
     current = delta_read(spark, table)
@@ -287,98 +607,77 @@ def delta_optimize(
     live files at ~``target_file_bytes`` per file and commit the swap
     as removes + adds with ``dataChange: false`` — readers of any
     version see identical rows before and after; streams replaying the
-    log know no data changed. Returns {files_before, files_after,
-    version} (version = -1 when already compact: no commit written)."""
+    log know no data changed. Partitioned tables compact WITHIN the
+    layout (one distributed write repartitioned on the partition
+    columns — never a per-partition driver loop). Returns
+    {files_before, files_after, version} (version = -1 when already
+    compact: no commit written)."""
     import math
 
-    schema_json, files, _v = _replay(table)
+    snap = _replay(table)
+    files = sorted(snap.live)
     if not files:
         return {"files_before": 0, "files_after": 0, "version": -1}
-    total = sum(
-        os.path.getsize(os.path.join(table, f)) for f in files
-    )
+    total = sum(os.path.getsize(os.path.join(table, f)) for f in files)
     n_out = max(1, math.ceil(total / target_file_bytes))
-    if len(files) <= n_out:
+    n_parts = max(
+        1,
+        len(
+            {
+                tuple(sorted((a.get("partitionValues") or {}).items()))
+                for a in snap.live.values()
+            }
+        ),
+    )
+    if len(files) <= max(n_out, n_parts if snap.partition_columns else 1):
         return {
             "files_before": len(files),
             "files_after": len(files),
             "version": -1,
         }
     df = delta_read(spark, table)
-    staging = os.path.join(table, f".stage-{uuid.uuid4().hex}")
-    df.coalesce(n_out).write.mode("overwrite").parquet(staging)
-    adds = []
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet") or name.startswith(("_", ".")):
-            continue
-        final = f"part-{uuid.uuid4().hex}.parquet"
-        os.rename(
-            os.path.join(staging, name), os.path.join(table, final)
-        )
-        adds.append(
-            {
-                "path": final,
-                "partitionValues": {},
-                "size": os.path.getsize(os.path.join(table, final)),
-                "modificationTime": int(time.time() * 1000),
-                "dataChange": False,
-            }
-        )
-    shutil.rmtree(staging, ignore_errors=True)
-    ts = int(time.time() * 1000)
-    actions: list[dict] = [
-        {
-            "remove": {
-                "path": f, "deletionTimestamp": ts, "dataChange": False,
-            }
-        }
-        for f in files
-    ]
-    actions.extend({"add": a} for a in adds)
-    actions.append(
-        {
-            "commitInfo": {
-                "timestamp": ts,
-                "operation": "OPTIMIZE",
-                "operationParameters": {},
-            }
-        }
+    adds = _stage_files(
+        df,
+        table,
+        snap.partition_columns,
+        data_change=False,
+        n_files=n_out,
     )
-    while True:
-        versions = _versions(table)
-        next_v = versions[-1] + 1
-        try:
-            fd = os.open(
-                _version_file(table, next_v),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError:
-            continue
-        with os.fdopen(fd, "w") as fh:
-            fh.write("\n".join(json.dumps(a) for a in actions))
-        return {
-            "files_before": len(files),
-            "files_after": len(adds),
-            "version": next_v,
-        }
+    ts = int(time.time() * 1000)
+
+    def build(_next_v: int):
+        actions: list[dict] = [
+            {
+                "remove": {
+                    "path": f, "deletionTimestamp": ts, "dataChange": False,
+                }
+            }
+            for f in files
+        ]
+        actions.extend({"add": a} for a in adds)
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": ts,
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {},
+                }
+            }
+        )
+        return actions
+
+    v = _commit(table, build)
+    return {
+        "files_before": len(files),
+        "files_after": len(adds),
+        "version": v,
+    }
 
 
 def _txn_versions(table: str) -> dict[str, int]:
-    """Replay ``txn`` actions: appId -> highest committed version —
+    """appId -> highest committed version (checkpoint + JSON tail) —
     the protocol's exactly-once bookkeeping for streaming writers."""
-    out: dict[str, int] = {}
-    for v in _versions(table):
-        with open(_version_file(table, v)) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "txn" in action:
-                    t = action["txn"]
-                    out[t["appId"]] = max(
-                        out.get(t["appId"], -1), int(t["version"])
-                    )
-    return out
+    return _replay(table).txns
 
 
 def delta_stream_sink(
@@ -394,73 +693,39 @@ def delta_stream_sink(
     (foreachBatch is at-least-once after a crash between commit and
     checkpoint) is skipped when the log already carries its txn row —
     the idempotence mechanism the Delta protocol specifies for
-    streaming writers, with no side files: the dedup state IS the log.
+    streaming writers, with no side files: the dedup state IS the log
+    (and survives log checkpointing — txn watermarks are checkpointed).
 
     Returns the final snapshot DataFrame."""
     spark = stream_df.sparkSession
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if _txn_versions(table).get(app_id, -1) >= batch_id:
+        if (_versions(table) or _last_checkpoint_version(table) is not None) \
+                and _txn_versions(table).get(app_id, -1) >= batch_id:
             return  # replayed batch — its txn is already in the log
         os.makedirs(_log_path(table), exist_ok=True)
-        staging = os.path.join(table, f".stage-{uuid.uuid4().hex}")
-        batch_df.write.mode("overwrite").parquet(staging)
-        adds = []
-        for name in sorted(os.listdir(staging)):
-            if not name.endswith(".parquet") or name.startswith(("_", ".")):
-                continue
-            final = f"part-{uuid.uuid4().hex}.parquet"
-            os.rename(
-                os.path.join(staging, name), os.path.join(table, final)
-            )
-            adds.append(
-                {
-                    "path": final,
-                    "partitionValues": {},
-                    "size": os.path.getsize(os.path.join(table, final)),
-                    "modificationTime": int(time.time() * 1000),
-                    "dataChange": True,
-                }
-            )
-        shutil.rmtree(staging, ignore_errors=True)
+        adds = _stage_files(batch_df, table, [], data_change=True)
         schema_string = batch_df.schema.json()
-        while True:
-            versions = _versions(table)
-            next_v = (versions[-1] + 1) if versions else 0
+
+        def build(next_v: int):
             actions: list[dict] = []
             if next_v == 0:
                 actions.append(
                     {"protocol": {"minReaderVersion": 1,
                                   "minWriterVersion": 2}}
                 )
-                actions.append(
-                    {
-                        "metaData": {
-                            "id": uuid.uuid4().hex,
-                            "format": {"provider": "parquet",
-                                       "options": {}},
-                            "schemaString": schema_string,
-                            "partitionColumns": [],
-                            "configuration": {},
-                            "createdTime": int(time.time() * 1000),
-                        }
-                    }
-                )
+                actions.append(_metadata_action(schema_string, []))
             else:
-                prev_schema, _files, _ = _replay(table)
-                if _schema_shape(prev_schema) != _schema_shape(
+                prev = _replay(table)
+                if _schema_shape(prev.schema_json) != _schema_shape(
                     schema_string
                 ):
                     raise ValueError("schema mismatch vs table metaData")
                 # the race window: another writer may have committed
                 # this very batch's txn while we staged — re-check
-                if _txn_versions(table).get(app_id, -1) >= batch_id:
-                    for a in adds:
-                        try:
-                            os.remove(os.path.join(table, a["path"]))
-                        except OSError:
-                            pass
-                    return
+                if prev.txns.get(app_id, -1) >= batch_id:
+                    _discard_staged(table, adds)
+                    return None
             actions.append(
                 {"txn": {"appId": app_id, "version": batch_id,
                          "lastUpdated": int(time.time() * 1000)}}
@@ -475,16 +740,9 @@ def delta_stream_sink(
                     }
                 }
             )
-            try:
-                fd = os.open(
-                    _version_file(table, next_v),
-                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-                )
-            except FileExistsError:
-                continue
-            with os.fdopen(fd, "w") as fh:
-                fh.write("\n".join(json.dumps(a) for a in actions))
-            return
+            return actions
+
+        _commit(table, build)
 
     q = (
         stream_df.writeStream.foreachBatch(commit_batch)
@@ -509,35 +767,44 @@ def delta_vacuum(
     """VACUUM: delete data files that are (a) not referenced by the
     CURRENT snapshot and (b) older than the retention window — crashed
     writers' invisible staging output and files superseded by
-    overwrite/OPTIMIZE commits. Also sweeps abandoned ``.stage-*``
-    directories past retention.
+    overwrite/OPTIMIZE commits — walking partition subdirectories too.
+    Also sweeps abandoned ``.stage-*`` directories past retention.
 
     Same tradeoff as the real implementation: vacuuming with a short
     retention breaks TIME TRAVEL to versions whose files it deletes —
     the log still replays, but the scan will miss files. The default
     168 h retention protects a week of history. Returns
     {candidates, deleted, kept_live}."""
-    _schema, live, _v = _replay(table)
-    live_set = set(live)
+    snap = _replay(table)
+    live_set = set(snap.live)
     cutoff = time.time() - retention_hours * 3600.0
     candidates: list[str] = []
-    for name in os.listdir(table):
-        p = os.path.join(table, name)
-        if name.startswith(".stage-") and os.path.isdir(p):
-            if os.path.getmtime(p) < cutoff:
-                candidates.append(name)
+    for root, dirs, names in os.walk(table):
+        rel_root = os.path.relpath(root, table)
+        if rel_root == ".":
+            rel_root = ""
+        if _LOG_DIR in root.split(os.sep):
             continue
-        if (
-            os.path.isfile(p)
-            and name.endswith(".parquet")
-            and name not in live_set
-            and os.path.getmtime(p) < cutoff
-        ):
-            candidates.append(name)
+        dirs[:] = [d for d in dirs if d != _LOG_DIR]
+        for d in list(dirs):
+            if d.startswith(".stage-"):
+                p = os.path.join(root, d)
+                if os.path.getmtime(p) < cutoff:
+                    candidates.append(os.path.relpath(p, table))
+                dirs.remove(d)
+        for name in names:
+            rel = os.path.join(rel_root, name) if rel_root else name
+            p = os.path.join(root, name)
+            if (
+                name.endswith(".parquet")
+                and rel.replace(os.sep, "/") not in live_set
+                and os.path.getmtime(p) < cutoff
+            ):
+                candidates.append(rel)
     deleted = 0
     if not dry_run:
-        for name in candidates:
-            p = os.path.join(table, name)
+        for rel in candidates:
+            p = os.path.join(table, rel)
             if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
             else:

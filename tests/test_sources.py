@@ -739,3 +739,200 @@ def test_delta_vacuum_removes_orphans_keeps_snapshot(spark, tmp_path):
         if n.endswith(".parquet") and os.path.isfile(os.path.join(table, n))
     ]
     assert len(loose) == res["kept_live"]
+
+
+def test_delta_partitioned_write_read_prune(spark, tmp_path):
+    """Partitioned layout: Hive-style paths + add.partitionValues;
+    reads reconstruct the partition column, log-level partition_filters
+    scan ONLY the matching files, and appends must inherit (and cannot
+    contradict) the table's layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.sources.delta import (
+        _replay,
+        delta_read,
+        delta_write,
+    )
+
+    table = str(tmp_path / "ptable")
+    df = spark.range(90).select(
+        "id", (F.col("id") % 3).cast("string").alias("bucket")
+    )
+    delta_write(df, table, partition_by=["bucket"])
+    snap = _replay(table)
+    assert snap.partition_columns == ["bucket"]
+    assert all(
+        a["partitionValues"].get("bucket") in {"0", "1", "2"}
+        and a["path"].startswith("bucket=")
+        for a in snap.live.values()
+    )
+    full = delta_read(spark, table)
+    assert full.count() == 90
+    assert dict(full.groupBy("bucket").count().collect()[0].asDict()) is not None
+    one = delta_read(spark, table, partition_filters={"bucket": "1"})
+    assert one.count() == 30
+    assert {r["bucket"] for r in one.select("bucket").distinct().collect()} == {"1"}
+    # log-level pruning: only bucket=1 files were handed to Spark
+    assert all("bucket=1" in f for f in one.inputFiles())
+    # appends inherit the layout; a contradicting layout raises
+    delta_write(
+        spark.range(90, 120).select(
+            "id", (F.col("id") % 3).cast("string").alias("bucket")
+        ),
+        table,
+    )
+    assert delta_read(spark, table).count() == 120
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition_by"):
+        delta_write(df, table, partition_by=[])
+    with _pytest.raises(ValueError, match="non-partition"):
+        delta_read(spark, table, partition_filters={"id": "7"})
+
+
+def test_delta_partitioned_overwrite_optimize_vacuum(spark, tmp_path):
+    """Overwrite and OPTIMIZE preserve the partition layout; vacuum
+    walks partition subdirectories for superseded files."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.sources.delta import (
+        delta_optimize,
+        delta_read,
+        delta_vacuum,
+        delta_write,
+    )
+
+    table = str(tmp_path / "potable")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        "id", (F.col("id") % 2).cast("string").alias("par")
+    )
+    for i in range(4):  # many small files per partition
+        delta_write(mk(i * 10, (i + 1) * 10).repartition(4), table,
+                    partition_by=["par"] if i == 0 else None)
+    before_rows = sorted(map(tuple, delta_read(spark, table).collect()))
+    res = delta_optimize(spark, table)
+    assert res["files_after"] < res["files_before"]
+    after = delta_read(spark, table)
+    assert sorted(map(tuple, after.collect())) == before_rows
+    assert {r["par"] for r in after.select("par").distinct().collect()} == {"0", "1"}
+    # pruned read still works post-optimize
+    assert delta_read(spark, table, partition_filters={"par": "0"}).count() == 20
+    # superseded files inside par=*/ dirs are vacuumable
+    old = _time.time() - 10_000
+    for root, _d, names in __import__("os").walk(table):
+        for n in names:
+            __import__("os").utime(__import__("os").path.join(root, n), (old, old))
+    stats = delta_vacuum(spark, table, retention_hours=1.0)
+    assert stats["deleted"] > 0
+    assert sorted(map(tuple, delta_read(spark, table).collect())) == before_rows
+
+
+def test_delta_checkpoint_clean_log_and_txn_survival(spark, tmp_path):
+    """Checkpoints: replay-from-checkpoint equals full-JSON replay;
+    clean_log removes covered commits while reads and NEW commits keep
+    working; time travel below the checkpoint raises loudly; the
+    stream sink's txn watermark survives checkpoint + clean (a replayed
+    batch is still skipped)."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.sources.delta import (
+        _txn_versions,
+        delta_checkpoint,
+        delta_clean_log,
+        delta_read,
+        delta_stream_sink,
+        delta_write,
+    )
+
+    table = str(tmp_path / "ctable")
+    for i in range(5):
+        delta_write(
+            spark.range(i * 10, (i + 1) * 10).select(
+                "id", F.lit(str(i)).alias("tag")
+            ),
+            table,
+        )
+    full = sorted(map(tuple, delta_read(spark, table).collect()))
+    info = delta_checkpoint(table)
+    assert info["version"] == 4
+    assert os.path.isfile(
+        os.path.join(table, "_delta_log", "_last_checkpoint")
+    )
+    # replay now starts from the checkpoint — results identical
+    assert sorted(map(tuple, delta_read(spark, table).collect())) == full
+    # clean the covered JSON commits: reads + time travel >= ckpt work
+    res = delta_clean_log(table)
+    assert res["removed"] == 5
+    assert sorted(map(tuple, delta_read(spark, table).collect())) == full
+    with _pytest.raises(ValueError, match="time-travel|predates"):
+        delta_read(spark, table, version=2)
+    # new commits continue after the checkpoint version
+    v = delta_write(
+        spark.range(100, 105).select("id", F.lit("x").alias("tag")), table
+    )
+    assert v == 5
+    assert delta_read(spark, table).count() == 55
+    # time travel to the checkpoint version itself still works
+    assert delta_read(spark, table, version=4).count() == 50
+
+    # txn watermarks survive checkpoint + clean: replay a "batch" the
+    # log already carries and assert it is skipped
+    stable = str(tmp_path / "stable")
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck1")
+    spark.range(20).selectExpr("id", "id * 2 AS v").write.parquet(src)
+    stream = spark.readStream.schema("id long, v long").parquet(src)
+    out = delta_stream_sink(stream, stable, ck, app_id="app1")
+    assert out.count() == 20
+    assert _txn_versions(stable) == {"app1": 0}
+    delta_checkpoint(stable)
+    delta_clean_log(stable)
+    assert _txn_versions(stable) == {"app1": 0}  # survived via checkpoint
+    # re-run the same availableNow stream with a FRESH checkpoint dir:
+    # foreachBatch replays batch 0; the txn row must dedupe it
+    stream2 = spark.readStream.schema("id long, v long").parquet(src)
+    out2 = delta_stream_sink(stream2, stable, str(tmp_path / "ck2"), app_id="app1")
+    assert out2.count() == 20  # no duplicate rows
+
+    # checkpoint interval: every 2nd commit checkpoints automatically
+    atable = str(tmp_path / "atable")
+    for i in range(5):
+        delta_write(
+            spark.range(i, i + 1).selectExpr("id"), atable,
+            checkpoint_interval=2,
+        )
+    names = os.listdir(os.path.join(atable, "_delta_log"))
+    assert any(n.endswith(".checkpoint.parquet") for n in names)
+
+
+def test_delta_partitioned_checkpoint_roundtrip(spark, tmp_path):
+    """partitionValues survive the parquet checkpoint (map column) and
+    pruned reads work when the snapshot comes from the checkpoint."""
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.sources.delta import (
+        delta_checkpoint,
+        delta_clean_log,
+        delta_read,
+        delta_write,
+    )
+
+    table = str(tmp_path / "pctable")
+    df = spark.range(40).select(
+        "id", (F.col("id") % 4).cast("string").alias("g")
+    )
+    delta_write(df, table, partition_by=["g"])
+    delta_checkpoint(table)
+    delta_clean_log(table)
+    pruned = delta_read(spark, table, partition_filters={"g": "2"})
+    assert pruned.count() == 10
+    assert all("g=2" in f for f in pruned.inputFiles())
+    assert delta_read(spark, table).count() == 40
