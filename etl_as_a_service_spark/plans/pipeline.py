@@ -149,6 +149,14 @@ def _compile_source(spark: SparkSession, source: dict[str, Any]) -> DataFrame:
         from etl_as_a_service_spark.sources.delta import delta_read
 
         return delta_read(spark, path, version=source.get("version"))
+    if fmt == "iceberg":
+        # pure-Python Iceberg metadata replay (sources/iceberg.py);
+        # "snapshot_id" time-travels the snapshot
+        from etl_as_a_service_spark.sources.iceberg import iceberg_read
+
+        return iceberg_read(
+            spark, path, snapshot_id=source.get("snapshot_id")
+        )
     reader = spark.read.format(fmt)
     if "schema" in source:
         reader = reader.schema(source["schema"])
@@ -809,6 +817,18 @@ class PipelineRunner:
                     delta_write(
                         df, sink["path"],
                         mode=sink.get("mode", "append"),
+                        partition_by=sink.get("partition_by"),
+                    )
+                elif sink.get("format") == "iceberg":
+                    # pure-Python Iceberg snapshot commit
+                    from etl_as_a_service_spark.sources.iceberg import (
+                        iceberg_write,
+                    )
+
+                    iceberg_write(
+                        df, sink["path"],
+                        mode=sink.get("mode", "append"),
+                        partition_by=sink.get("partition_by"),
                     )
                 else:
                     writer = df.write.format(

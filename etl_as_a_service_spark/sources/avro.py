@@ -11,7 +11,11 @@ Supported schema subset (enough for tabular interchange): records of
 ``boolean/int/long/float/double/string/bytes``, nullable unions
 ``["null", T]`` in either order, and arrays of those primitives.
 Logical types decode as their underlying primitive. Anything else
-raises with the offending schema node — no silent misreads.
+raises with the offending schema node — no silent misreads. The RAW
+codec (encode_avro_file/decode_avro_file) additionally handles nested
+records and string-keyed maps — the shapes Iceberg manifest files need
+(sources/iceberg.py); the Spark-facing schema mapping intentionally
+stays tabular-only.
 
 Scale shape: ``read_avro`` lists files through Spark's ``binaryFile``
 source (one row per file, distributed) and decodes each file inside
@@ -232,6 +236,35 @@ def _decoder_for(node):
                     out.append(item(r))
 
         return _array
+    if isinstance(node, dict) and node.get("type") == "record":
+        # nested records decode to dicts — the raw-codec face used by
+        # the Iceberg connector's manifest files; the SPARK-facing
+        # schema mapping (avro_schema_to_spark) intentionally stays
+        # tabular-only
+        names = [f["name"] for f in node["fields"]]
+        decs = [_decoder_for(f["type"]) for f in node["fields"]]
+
+        def _record(r, names=names, decs=decs):
+            return {n: d(r) for n, d in zip(names, decs)}
+
+        return _record
+    if isinstance(node, dict) and node.get("type") == "map":
+        val = _decoder_for(node["values"])
+
+        def _map(r, val=val):
+            out = {}
+            while True:
+                n = r.long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    r.long()  # byte size of the block — unused here
+                for _ in range(n):
+                    k = r.bytes_().decode("utf-8")
+                    out[k] = val(r)
+
+        return _map
     raise ValueError(f"unsupported Avro node: {node!r}")
 
 
@@ -336,6 +369,30 @@ def _encoder_for(node):
             _write_long(o, 0)
 
         return _array
+    if isinstance(node, dict) and node.get("type") == "record":
+        names = [f["name"] for f in node["fields"]]
+        encs = [_encoder_for(f["type"]) for f in node["fields"]]
+
+        def _record(o, v, names=names, encs=encs):
+            for n, enc in zip(names, encs):
+                enc(o, v[n] if isinstance(v, dict) else getattr(v, n))
+
+        return _record
+    if isinstance(node, dict) and node.get("type") == "map":
+        val = _encoder_for(node["values"])
+
+        def _map(o, v, val=val):
+            items = list(v.items())
+            if items:
+                _write_long(o, len(items))
+                for k, x in items:
+                    kb = str(k).encode("utf-8")
+                    _write_long(o, len(kb))
+                    o.write(kb)
+                    val(o, x)
+            _write_long(o, 0)
+
+        return _map
     raise ValueError(f"unsupported Avro node: {node!r}")
 
 

@@ -1,0 +1,571 @@
+"""Iceberg tables — pure-Python metadata layer, no jar.
+
+The iceberg-spark runtime jar is absent from this environment, so this
+implements the (public, iceberg.apache.org/spec specified) table
+format directly, for filesystem tables in the HadoopTables layout:
+
+- ``metadata/vN.metadata.json`` — table metadata: schema, partition
+  spec, snapshot log; ``metadata/version-hint.text`` points at the
+  current version (advisory — readers fall back to the max N present);
+- each snapshot references a MANIFEST LIST (``snap-*.avro``): one
+  record per manifest file with its stats;
+- each MANIFEST (``manifest-*.avro``) holds ``manifest_entry`` records:
+  status (0 existing / 1 added / 2 deleted) + a nested ``data_file``
+  record (path, format, identity-partition values, row count, size);
+- a commit is the atomic O_EXCL creation of the next
+  ``vN.metadata.json`` — two writers racing the same version see
+  exactly one winner and the loser retries against the new head (the
+  optimistic concurrency HadoopTables gets from atomic rename).
+
+The manifest files are real Avro object container files written and
+read by this repo's own pure-Python Avro connector (sources/avro.py —
+nested records and maps were added to its raw codec for exactly this),
+so the whole metadata chain is protocol-shaped, not pickled state.
+
+Supported: append, overwrite, snapshot reads, time travel by
+``snapshot_id``, history, identity-transform partitioning with
+metadata-level partition pruning. Unsupported (raises, never
+misreads): non-identity transforms, format-version >2 features,
+delete files / row-level deletes, schema evolution.
+
+Scale shape: metadata is driver-side (KBs per commit; manifests carry
+per-file stats so planning never lists the filesystem); the DATA path
+is ordinary distributed parquet with an explicit pruned file list +
+basePath partition reconstruction — identical to the Delta reader, so
+scans stay parallel, pruned, and whole-stage-codegen'd.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import time
+import urllib.parse
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from etl_as_a_service_spark.sources.avro import (
+    decode_avro_file,
+    encode_avro_file,
+)
+
+_SPARK_TO_ICEBERG = {
+    T.BooleanType(): "boolean",
+    T.IntegerType(): "int",
+    T.LongType(): "long",
+    T.FloatType(): "float",
+    T.DoubleType(): "double",
+    T.StringType(): "string",
+    T.BinaryType(): "binary",
+    T.DateType(): "date",
+    T.TimestampType(): "timestamptz",
+}
+_ICEBERG_TO_AVRO = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+}
+
+
+def _meta_dir(table: str) -> str:
+    return os.path.join(table, "metadata")
+
+
+def _data_dir(table: str) -> str:
+    return os.path.join(table, "data")
+
+
+def _metadata_file(table: str, v: int) -> str:
+    return os.path.join(_meta_dir(table), f"v{v}.metadata.json")
+
+
+def _versions(table: str) -> list[int]:
+    d = _meta_dir(table)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for n in os.listdir(d):
+        if n.startswith("v") and n.endswith(".metadata.json"):
+            core = n[1 : -len(".metadata.json")]
+            if core.isdigit():
+                out.append(int(core))
+    return sorted(out)
+
+
+def _current_version(table: str) -> int:
+    """version-hint.text when fresh, else the max vN present (the hint
+    is written AFTER the metadata file, so it can lag by one)."""
+    versions = _versions(table)
+    if not versions:
+        raise ValueError(f"not an Iceberg table (no metadata): {table}")
+    hint = os.path.join(_meta_dir(table), "version-hint.text")
+    if os.path.isfile(hint):
+        try:
+            with open(hint) as fh:
+                v = int(fh.read().strip())
+            if v in versions:
+                return max(v, versions[-1])
+        except ValueError:
+            pass
+    return versions[-1]
+
+
+def _load_metadata(table: str, version: int | None = None) -> dict:
+    v = _current_version(table) if version is None else version
+    with open(_metadata_file(table, v)) as fh:
+        md = json.load(fh)
+    if md.get("format-version", 2) > 2:
+        raise ValueError(
+            f"unsupported Iceberg format-version: {md['format-version']}"
+        )
+    md["__version"] = v
+    return md
+
+
+def _iceberg_schema(df_schema: T.StructType) -> dict:
+    fields = []
+    for i, f in enumerate(df_schema.fields, start=1):
+        ice = _SPARK_TO_ICEBERG.get(f.dataType)
+        if ice is None:
+            raise ValueError(
+                f"unsupported Spark type for Iceberg: {f.name}: {f.dataType}"
+            )
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": ice,
+            }
+        )
+    return {"schema-id": 0, "type": "struct", "fields": fields}
+
+
+def _schema_shape(schema: dict) -> list[tuple[str, str]]:
+    return [(f["name"], f["type"]) for f in schema["fields"]]
+
+
+def _spark_schema(schema: dict) -> T.StructType:
+    inv = {v: k for k, v in _SPARK_TO_ICEBERG.items()}
+    return T.StructType(
+        [
+            T.StructField(
+                f["name"], inv[f["type"]], nullable=not f["required"]
+            )
+            for f in schema["fields"]
+        ]
+    )
+
+
+def _partition_avro_schema(md: dict) -> dict:
+    """Avro record type for the identity-partition tuple of the default
+    spec (each value nullable, typed from the source column)."""
+    spec = md["partition-specs"][md["default-spec-id"]]
+    schema = md["schemas"][md["current-schema-id"]]
+    by_id = {f["id"]: f for f in schema["fields"]}
+    fields = []
+    for pf in spec["fields"]:
+        if pf["transform"] != "identity":
+            raise ValueError(
+                f"unsupported partition transform: {pf['transform']}"
+            )
+        src = by_id[pf["source-id"]]
+        avro_t = _ICEBERG_TO_AVRO.get(src["type"])
+        if avro_t is None:
+            raise ValueError(
+                f"unsupported partition column type: {src['type']}"
+            )
+        fields.append({"name": pf["name"], "type": ["null", avro_t]})
+    return {"type": "record", "name": "r102", "fields": fields}
+
+
+def _manifest_entry_schema(md: dict) -> dict:
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "file_sequence_number", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "partition", "type": _partition_avro_schema(md)},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"},
+    ],
+}
+
+
+def _partition_values_of(rel_path: str, types: dict[str, str]) -> dict:
+    out: dict = {}
+    for seg in rel_path.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, _, raw = seg.partition("=")
+            v = urllib.parse.unquote(raw)
+            t = types.get(k, "string")
+            if v == "__HIVE_DEFAULT_PARTITION__":
+                out[k] = None
+            elif t in ("int", "long"):
+                out[k] = int(v)
+            else:
+                out[k] = v
+    return out
+
+
+def _stage_data_files(
+    df: DataFrame, table: str, partition_cols: list[str],
+    col_types: dict[str, str],
+) -> list[dict]:
+    """Write df into data/ (Hive layout when partitioned) and return
+    data_file records (row counts from the parquet footers — metadata
+    only, no data read)."""
+    import pyarrow.parquet as pq
+
+    staging = os.path.join(table, f".stage-{uuid.uuid4().hex}")
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(staging)
+    out: list[dict] = []
+    for root, _dirs, names in os.walk(staging):
+        for name in sorted(names):
+            if not name.endswith(".parquet") or name.startswith(("_", ".")):
+                continue
+            rel_dir = os.path.relpath(root, staging)
+            rel_dir = "" if rel_dir == "." else rel_dir
+            final_rel = os.path.join(
+                "data", rel_dir, f"{uuid.uuid4().hex}.parquet"
+            ) if rel_dir else os.path.join(
+                "data", f"{uuid.uuid4().hex}.parquet"
+            )
+            final_abs = os.path.join(table, final_rel)
+            os.makedirs(os.path.dirname(final_abs), exist_ok=True)
+            os.rename(os.path.join(root, name), final_abs)
+            out.append(
+                {
+                    "content": 0,
+                    "file_path": final_rel.replace(os.sep, "/"),
+                    "file_format": "PARQUET",
+                    "partition": {
+                        c: _partition_values_of(
+                            os.path.join(rel_dir, name), col_types
+                        ).get(c)
+                        for c in partition_cols
+                    },
+                    "record_count": pq.read_metadata(final_abs).num_rows,
+                    "file_size_in_bytes": os.path.getsize(final_abs),
+                }
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
+def _write_manifest(
+    table: str, md: dict, entries: list[tuple], seq: int, snap_id: int
+) -> dict:
+    """Write one manifest avro; return its manifest_file record."""
+    name = f"manifest-{uuid.uuid4().hex}.avro"
+    path = os.path.join(_meta_dir(table), name)
+    buf = encode_avro_file(_manifest_entry_schema(md), entries, codec="deflate")
+    with open(path, "wb") as fh:
+        fh.write(buf)
+    n_added = sum(1 for e in entries if e[0] == 1)
+    n_existing = sum(1 for e in entries if e[0] == 0)
+    rows_added = sum(e[4]["record_count"] for e in entries if e[0] == 1)
+    rows_existing = sum(e[4]["record_count"] for e in entries if e[0] == 0)
+    return {
+        "manifest_path": f"metadata/{name}",
+        "manifest_length": len(buf),
+        "partition_spec_id": md["default-spec-id"],
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": n_added,
+        "existing_files_count": n_existing,
+        "deleted_files_count": 0,
+        "added_rows_count": rows_added,
+        "existing_rows_count": rows_existing,
+        "deleted_rows_count": 0,
+    }
+
+
+def _read_manifest_list(table: str, snapshot: dict) -> list[dict]:
+    p = os.path.join(table, snapshot["manifest-list"])
+    with open(p, "rb") as fh:
+        _schema, rows = decode_avro_file(fh.read())
+    names = [f["name"] for f in _MANIFEST_LIST_SCHEMA["fields"]]
+    return [dict(zip(names, r)) for r in rows]
+
+
+def _read_manifest(table: str, manifest_path: str) -> list[dict]:
+    with open(os.path.join(table, manifest_path), "rb") as fh:
+        schema, rows = decode_avro_file(fh.read())
+    names = [f["name"] for f in schema["fields"]]
+    return [dict(zip(names, r)) for r in rows]
+
+
+def _snapshot_by_id(md: dict, snapshot_id: int | None) -> dict:
+    snaps = md.get("snapshots", [])
+    if snapshot_id is None:
+        cur = md.get("current-snapshot-id")
+        if cur is None or cur == -1:
+            raise ValueError("table has no current snapshot")
+        snapshot_id = cur
+    for s in snaps:
+        if s["snapshot-id"] == snapshot_id:
+            return s
+    raise ValueError(f"snapshot {snapshot_id} not found")
+
+
+def iceberg_read(
+    spark: SparkSession,
+    table: str,
+    snapshot_id: int | None = None,
+    partition_filters: dict | None = None,
+) -> DataFrame:
+    """Snapshot (or time-travel) read: metadata json -> manifest list
+    -> manifests -> live data files, handed to Spark as an explicit
+    list with basePath partition reconstruction. ``partition_filters``
+    ({col: value}) prunes on the manifests' identity-partition values —
+    pure metadata, no filesystem listing."""
+    md = _load_metadata(table)
+    snap = _snapshot_by_id(md, snapshot_id)
+    schema = _spark_schema(md["schemas"][md["current-schema-id"]])
+    spec_fields = {
+        f["name"]
+        for f in md["partition-specs"][md["default-spec-id"]]["fields"]
+    }
+    if partition_filters:
+        unknown = set(partition_filters) - spec_fields
+        if unknown:
+            raise ValueError(
+                f"partition_filters on non-partition columns: {unknown}"
+            )
+    files: list[str] = []
+    for mf in _read_manifest_list(table, snap):
+        for entry in _read_manifest(table, mf["manifest_path"]):
+            if entry["status"] == 2:  # deleted
+                continue
+            dfile = entry["data_file"]
+            if partition_filters and any(
+                dfile["partition"].get(k) != v
+                for k, v in partition_filters.items()
+            ):
+                continue
+            files.append(dfile["file_path"])
+    if not files:
+        return spark.createDataFrame([], schema)
+    reader = spark.read.schema(schema).option(
+        "basePath", _data_dir(table)
+    )
+    return reader.parquet(*[os.path.join(table, f) for f in sorted(files)])
+
+
+def iceberg_write(
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Commit ``df``; returns the new snapshot id.
+
+    Data files first (invisible until committed), then manifest, then
+    manifest list, then ONE atomic O_EXCL creation of the next
+    ``vN.metadata.json`` — the commit point. An append's manifest list
+    carries the previous snapshot's manifests forward (their stats come
+    from the previous list — no re-read); an overwrite's references
+    only the new manifest. ``partition_by`` (identity transforms) is
+    fixed at table creation; later writes must match or omit it."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported mode: {mode!r}")
+    os.makedirs(_meta_dir(table), exist_ok=True)
+
+    exists = bool(_versions(table))
+    prev_md = _load_metadata(table) if exists else None
+    if prev_md is not None:
+        spec_cols = [
+            f["name"]
+            for f in prev_md["partition-specs"][prev_md["default-spec-id"]][
+                "fields"
+            ]
+        ]
+        if partition_by is None:
+            partition_by = spec_cols
+        elif list(partition_by) != spec_cols:
+            raise ValueError(
+                f"partition_by {list(partition_by)} != table spec {spec_cols}"
+            )
+        if _schema_shape(
+            prev_md["schemas"][prev_md["current-schema-id"]]
+        ) != _schema_shape(_iceberg_schema(df.schema)):
+            raise ValueError(
+                "schema mismatch vs table metadata (no evolution support)"
+            )
+    partition_by = list(partition_by or [])
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition columns absent from frame: {missing}")
+
+    schema = _iceberg_schema(df.schema)
+    col_types = {f["name"]: f["type"] for f in schema["fields"]}
+    by_name = {f["name"]: f["id"] for f in schema["fields"]}
+    spec = {
+        "spec-id": 0,
+        "fields": [
+            {
+                "source-id": by_name[c],
+                "field-id": 1000 + i,
+                "name": c,
+                "transform": "identity",
+            }
+            for i, c in enumerate(partition_by)
+        ],
+    }
+    data_files = None  # staged lazily inside the retry loop's first pass
+
+    while True:
+        versions = _versions(table)
+        head = versions[-1] if versions else 0
+        prev_md = _load_metadata(table, head) if versions else None
+        md_for_manifest = prev_md or {
+            "schemas": [schema],
+            "current-schema-id": 0,
+            "partition-specs": [spec],
+            "default-spec-id": 0,
+        }
+        if data_files is None:
+            data_files = _stage_data_files(
+                df, table, partition_by, col_types
+            )
+        snap_id = random.getrandbits(62)
+        seq = (prev_md.get("last-sequence-number", 0) + 1) if prev_md else 1
+        entries = [
+            (1, snap_id, seq, seq, d) for d in data_files
+        ]
+        new_manifest = _write_manifest(
+            table, md_for_manifest, entries, seq, snap_id
+        )
+        manifests = [new_manifest]
+        if mode == "append" and prev_md and prev_md.get("current-snapshot-id") not in (None, -1):
+            prev_snap = _snapshot_by_id(prev_md, None)
+            manifests += _read_manifest_list(table, prev_snap)
+        list_name = f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
+        with open(os.path.join(_meta_dir(table), list_name), "wb") as fh:
+            fh.write(
+                encode_avro_file(
+                    _MANIFEST_LIST_SCHEMA,
+                    [
+                        tuple(m[f["name"]] for f in _MANIFEST_LIST_SCHEMA["fields"])
+                        for m in manifests
+                    ],
+                    codec="deflate",
+                )
+            )
+        snapshot = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": int(time.time() * 1000),
+            "manifest-list": f"metadata/{list_name}",
+            "summary": {"operation": mode},
+            "schema-id": 0,
+        }
+        new_md = {
+            "format-version": 2,
+            "table-uuid": (prev_md or {}).get("table-uuid", uuid.uuid4().hex),
+            "location": table,
+            "last-sequence-number": seq,
+            "last-updated-ms": snapshot["timestamp-ms"],
+            "last-column-id": max(f["id"] for f in schema["fields"]),
+            "schemas": [schema],
+            "current-schema-id": 0,
+            "partition-specs": [spec],
+            "default-spec-id": 0,
+            "last-partition-id": 1000 + max(0, len(partition_by)) - 1
+            if partition_by
+            else 999,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
+            "current-snapshot-id": snap_id,
+            "snapshots": ((prev_md or {}).get("snapshots", []) + [snapshot]),
+        }
+        next_v = head + 1
+        try:
+            fd = os.open(
+                _metadata_file(table, next_v),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            continue  # lost the race — rebuild against the new head
+        with os.fdopen(fd, "w") as fh:
+            json.dump(new_md, fh)
+        hint_tmp = os.path.join(
+            _meta_dir(table), f".hint-{uuid.uuid4().hex}"
+        )
+        with open(hint_tmp, "w") as fh:
+            fh.write(str(next_v))
+        os.rename(
+            hint_tmp, os.path.join(_meta_dir(table), "version-hint.text")
+        )
+        return snap_id
+
+
+def iceberg_history(spark: SparkSession, table: str) -> DataFrame:
+    """(snapshot_id, sequence_number, timestamp_ms, operation,
+    is_current) per snapshot."""
+    md = _load_metadata(table)
+    cur = md.get("current-snapshot-id")
+    rows = [
+        (
+            s["snapshot-id"],
+            s["sequence-number"],
+            s["timestamp-ms"],
+            s.get("summary", {}).get("operation"),
+            s["snapshot-id"] == cur,
+        )
+        for s in md.get("snapshots", [])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, sequence_number long, timestamp_ms long, "
+        "operation string, is_current boolean",
+    )

@@ -768,3 +768,36 @@ def test_delta_source_and_sink_through_runner(spark, tmp_path):
                    "aggs": {"n": "count(*)"}}],
     }
     assert compile_pipeline(spark, spec2).first()["n"] == 3
+
+
+def test_iceberg_source_and_sink_through_runner(spark, tmp_path):
+    from etl_as_a_service_spark.sources.iceberg import (
+        iceberg_history,
+        iceberg_read,
+    )
+
+    out = str(tmp_path / "iceberg_out")
+    spec = lineitem_spec(
+        sink={"format": "iceberg", "path": out, "mode": "append"}
+    )
+    run = PipelineRunner(spark).run(spec)
+    assert run.status == "success", run.error
+    assert iceberg_read(spark, out).count() == 3
+
+    # second run appends a new snapshot; a spec can time-travel to the
+    # first by snapshot id
+    PipelineRunner(spark).run(spec)
+    assert iceberg_read(spark, out).count() == 6
+    first_snap = (
+        iceberg_history(spark, out)
+        .orderBy("sequence_number")
+        .first()["snapshot_id"]
+    )
+    spec2 = {
+        "name": "from_iceberg",
+        "source": {"format": "iceberg", "path": out,
+                   "snapshot_id": first_snap},
+        "steps": [{"op": "group_by", "keys": [],
+                   "aggs": {"n": "count(*)"}}],
+    }
+    assert compile_pipeline(spark, spec2).first()["n"] == 3
