@@ -65,6 +65,14 @@ HEADLINE_ADVANCED = [
     "q110_bm25_search",
 ]
 
+#: round-4-continuation additions: the new curation-sampling and
+#: semantic-dedup operators, again a SEPARATE subtotal so the earlier
+#: subtotals stay comparable round-over-round.
+HEADLINE_SEMANTIC = [
+    "q146_dsir_selection",
+    "q148_semantic_dedup",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -113,7 +121,7 @@ def main() -> None:
     # session sees, and min-of-N is the standard way to report it.
     RUNS = 3
     timings: dict[str, float] = {}
-    for name in HEADLINE + HEADLINE_CURATION + HEADLINE_ADVANCED:
+    for name in HEADLINE + HEADLINE_CURATION + HEADLINE_ADVANCED + HEADLINE_SEMANTIC:
         if name not in QUERIES:
             continue
         best, n = float("inf"), 0
@@ -131,6 +139,9 @@ def main() -> None:
     advanced = round(
         sum(timings[n] for n in HEADLINE_ADVANCED if n in timings), 3
     )
+    semantic = round(
+        sum(timings[n] for n in HEADLINE_SEMANTIC if n in timings), 3
+    )
     print(
         json.dumps(
             {
@@ -143,7 +154,8 @@ def main() -> None:
                 "subtotal_core": core,
                 "subtotal_curation": curation,
                 "subtotal_advanced": advanced,
-                "total_all": round(core + curation + advanced, 3),
+                "subtotal_semantic": semantic,
+                "total_all": round(core + curation + advanced + semantic, 3),
                 "runs_per_query": RUNS,
                 "aggregation": "min",
                 "queries": timings,
