@@ -818,3 +818,74 @@ def delta_vacuum(
         "deleted": deleted,
         "kept_live": len(live_set),
     }
+
+
+def delta_convert(spark: SparkSession, path: str) -> int:
+    """CONVERT TO DELTA: register an existing parquet directory
+    (optionally Hive-partitioned) as version 0 of a Delta table IN
+    PLACE — add actions reference the files where they already live,
+    so a 100 TB layout migrates with zero data movement (the same
+    contract as the real CONVERT TO DELTA). Partition columns and
+    their types come from Spark's partition discovery; fails if the
+    directory is already a Delta table. Returns the committed version
+    (always 0)."""
+    if _versions(path) or _last_checkpoint_version(path) is not None:
+        raise ValueError(f"already a Delta table: {path}")
+    rel_files: list[str] = []
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [
+            d for d in dirs
+            if not d.startswith((".", "_"))
+        ]
+        for name in names:
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                rel_files.append(
+                    os.path.relpath(os.path.join(root, name), path)
+                )
+    if not rel_files:
+        raise ValueError(f"no parquet files under {path}")
+    # schema INCLUDING discovered partition columns, exactly as reads
+    # will see it; partition columns = discovered minus what one data
+    # file physically carries
+    df = spark.read.option("basePath", path).parquet(path)
+    file_cols = set(
+        spark.read.parquet(os.path.join(path, rel_files[0])).columns
+    )
+    partition_cols = [c for c in df.columns if c not in file_cols]
+    schema_string = df.schema.json()
+    os.makedirs(_log_path(path), exist_ok=True)
+    ts = int(time.time() * 1000)
+    actions: list[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _metadata_action(schema_string, partition_cols),
+    ]
+    actions.extend(
+        {
+            "add": {
+                "path": f.replace(os.sep, "/"),
+                "partitionValues": _partition_values_of(f),
+                "size": os.path.getsize(os.path.join(path, f)),
+                "modificationTime": ts,
+                "dataChange": True,
+            }
+        }
+        for f in sorted(rel_files)
+    )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "CONVERT",
+                "operationParameters": {},
+            }
+        }
+    )
+
+    def build(next_v: int):
+        if next_v != 0:
+            raise ValueError(
+                f"{path} gained a Delta log during conversion"
+            )
+        return actions
+
+    return _commit(path, build)

@@ -395,9 +395,10 @@ def iceberg_read(
             files.append(dfile["file_path"])
     if not files:
         return spark.createDataFrame([], schema)
-    reader = spark.read.schema(schema).option(
-        "basePath", _data_dir(table)
-    )
+    # converted tables keep their data in place outside table/data —
+    # the standard write.data.path property records where
+    base = md.get("properties", {}).get("write.data.path", _data_dir(table))
+    reader = spark.read.schema(schema).option("basePath", base)
     return reader.parquet(*[os.path.join(table, f) for f in sorted(files)])
 
 
@@ -569,3 +570,126 @@ def iceberg_history(spark: SparkSession, table: str) -> DataFrame:
         "snapshot_id long, sequence_number long, timestamp_ms long, "
         "operation string, is_current boolean",
     )
+
+
+def iceberg_convert(spark: SparkSession, path: str, table: str) -> int:
+    """Migrate an existing parquet directory (optionally
+    Hive-partitioned) into a NEW Iceberg table whose first snapshot
+    references the files WHERE THEY ALREADY LIVE — zero data movement,
+    the add_files/migrate contract. ``table`` must be a fresh directory
+    (the metadata home); data file paths in the manifests are absolute
+    into ``path``. Partition columns come from Spark's discovery; row
+    counts from the parquet footers (metadata-only). Returns the
+    snapshot id."""
+    import pyarrow.parquet as pq
+
+    if _versions(table):
+        raise ValueError(f"already an Iceberg table: {table}")
+    rel_files: list[str] = []
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for name in names:
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                rel_files.append(
+                    os.path.relpath(os.path.join(root, name), path)
+                )
+    if not rel_files:
+        raise ValueError(f"no parquet files under {path}")
+    df = spark.read.option("basePath", path).parquet(path)
+    file_cols = set(
+        spark.read.parquet(os.path.join(path, rel_files[0])).columns
+    )
+    partition_by = [c for c in df.columns if c not in file_cols]
+    schema = _iceberg_schema(df.schema)
+    col_types = {f["name"]: f["type"] for f in schema["fields"]}
+    by_name = {f["name"]: f["id"] for f in schema["fields"]}
+    spec = {
+        "spec-id": 0,
+        "fields": [
+            {
+                "source-id": by_name[c],
+                "field-id": 1000 + i,
+                "name": c,
+                "transform": "identity",
+            }
+            for i, c in enumerate(partition_by)
+        ],
+    }
+    os.makedirs(_meta_dir(table), exist_ok=True)
+    md_for_manifest = {
+        "schemas": [schema],
+        "current-schema-id": 0,
+        "partition-specs": [spec],
+        "default-spec-id": 0,
+    }
+    snap_id = random.getrandbits(62)
+    data_files = [
+        {
+            "content": 0,
+            "file_path": os.path.abspath(os.path.join(path, f)),
+            "file_format": "PARQUET",
+            "partition": {
+                c: _partition_values_of(f, col_types).get(c)
+                for c in partition_by
+            },
+            "record_count": pq.read_metadata(
+                os.path.join(path, f)
+            ).num_rows,
+            "file_size_in_bytes": os.path.getsize(os.path.join(path, f)),
+        }
+        for f in sorted(rel_files)
+    ]
+    entries = [(1, snap_id, 1, 1, d) for d in data_files]
+    new_manifest = _write_manifest(table, md_for_manifest, entries, 1, snap_id)
+    list_name = f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
+    with open(os.path.join(_meta_dir(table), list_name), "wb") as fh:
+        fh.write(
+            encode_avro_file(
+                _MANIFEST_LIST_SCHEMA,
+                [
+                    tuple(
+                        new_manifest[f["name"]]
+                        for f in _MANIFEST_LIST_SCHEMA["fields"]
+                    )
+                ],
+                codec="deflate",
+            )
+        )
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": 1,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": f"metadata/{list_name}",
+        "summary": {"operation": "append"},
+        "schema-id": 0,
+    }
+    new_md = {
+        "format-version": 2,
+        "table-uuid": uuid.uuid4().hex,
+        "location": table,
+        "properties": {"write.data.path": os.path.abspath(path)},
+        "last-sequence-number": 1,
+        "last-updated-ms": snapshot["timestamp-ms"],
+        "last-column-id": max(f["id"] for f in schema["fields"]),
+        "schemas": [schema],
+        "current-schema-id": 0,
+        "partition-specs": [spec],
+        "default-spec-id": 0,
+        "last-partition-id": 1000 + len(partition_by) - 1
+        if partition_by
+        else 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "current-snapshot-id": snap_id,
+        "snapshots": [snapshot],
+    }
+    fd = os.open(
+        _metadata_file(table, 1), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+    )
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_md, fh)
+    with open(
+        os.path.join(_meta_dir(table), "version-hint.text"), "w"
+    ) as fh:
+        fh.write("1")
+    return snap_id

@@ -1093,3 +1093,89 @@ def test_iceberg_manifests_are_real_avro(spark, tmp_path):
     assert mf["added_files_count"] == len(entries)
     assert all(e["data_file"]["partition"]["par"] in (0, 1) for e in entries)
     assert all(e["status"] == 1 for e in entries)
+
+
+def test_convert_to_delta_in_place(spark, tmp_path):
+    """CONVERT TO DELTA: an existing Hive-partitioned parquet directory
+    becomes version 0 WITHOUT rewriting a single data file (inode
+    mtimes unchanged); reads, partition pruning, and subsequent Delta
+    commits all work on top."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.sources.delta import (
+        delta_convert,
+        delta_read,
+        delta_write,
+    )
+
+    d = str(tmp_path / "plain")
+    # partition column types follow Spark's partition discovery (int
+    # here) — the metaData schema records what reads will actually see
+    src = spark.range(60).select("id", (F.col("id") % 3).alias("g"))
+    src.write.partitionBy("g").parquet(d)
+    mtimes = {}
+    for root, _dirs, names in os.walk(d):
+        for n in names:
+            if n.endswith(".parquet"):
+                p = os.path.join(root, n)
+                mtimes[p] = os.path.getmtime(p)
+    v = delta_convert(spark, d)
+    assert v == 0
+    back = delta_read(spark, d)
+    assert back.count() == 60
+    assert set(back.columns) == {"id", "g"}
+    pruned = delta_read(spark, d, partition_filters={"g": "2"})
+    assert pruned.count() == 20 and all("g=2" in f for f in pruned.inputFiles())
+    for p, t in mtimes.items():
+        assert os.path.getmtime(p) == t  # no rewrite
+    # the converted table is a normal Delta table now
+    delta_write(
+        spark.range(60, 70).select(
+            "id", (F.col("id") % 3).cast("int").alias("g")
+        ),
+        d,
+    )
+    assert delta_read(spark, d).count() == 70
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already a Delta table"):
+        delta_convert(spark, d)
+
+
+def test_convert_to_iceberg_in_place(spark, tmp_path):
+    """Iceberg migrate/add_files: first snapshot references the
+    original files where they live (absolute paths + write.data.path);
+    no data movement, pruning works, history shows one snapshot."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.sources.iceberg import (
+        iceberg_convert,
+        iceberg_history,
+        iceberg_read,
+    )
+
+    d = str(tmp_path / "plain2")
+    spark.range(60).select(
+        "id", (F.col("id") % 3).alias("g")
+    ).write.partitionBy("g").parquet(d)
+    mtimes = {}
+    for root, _dirs, names in os.walk(d):
+        for n in names:
+            if n.endswith(".parquet"):
+                p = os.path.join(root, n)
+                mtimes[p] = os.path.getmtime(p)
+    table = str(tmp_path / "itable2")
+    iceberg_convert(spark, d, table)
+    back = iceberg_read(spark, table)
+    assert back.count() == 60
+    assert set(back.columns) == {"id", "g"}
+    pruned = iceberg_read(spark, table, partition_filters={"g": 1})
+    assert pruned.count() == 20
+    assert all("g=1" in f for f in pruned.inputFiles())
+    for p, t in mtimes.items():
+        assert os.path.getmtime(p) == t
+    assert iceberg_history(spark, table).count() == 1
