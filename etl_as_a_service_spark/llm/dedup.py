@@ -830,3 +830,73 @@ def near_dedup_keep_best(
         .join(sizes, "component")
         .select("component", id_col, quality_col, "group_size")
     )
+
+
+def self_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+) -> DataFrame:
+    """Corpus-level exact-substring duplication (the n-gram-window
+    approximation of suffix-array dedup, Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better", public paper): for
+    every document, the maximal contiguous token spans made of n-grams
+    that ALSO occur earlier in the corpus — the spans a substring
+    deduper would cut while leaving each duplicated passage's FIRST
+    occurrence intact.
+
+    "Earlier" is the deterministic total order (doc id, position):
+    every n-gram occurrence except the (min doc, min pos) one is
+    duplicate-covered. Overlapping covered windows merge into maximal
+    spans via gaps-and-islands. Returns (id, span_start, span_end,
+    n_ngrams): token indices, 0-based inclusive; span_end covers the
+    last token of the last duplicated n-gram.
+
+    Scale shape: positional shingle hashes (posexplode — position
+    rides the shuffle as one int, text never does); per-gram stats are
+    ONE map-side-combined aggregate (count + min-by-struct first
+    occurrence) joined back on the 8-byte hash — no per-gram window,
+    so a hot gram skews one aggregate row, not a partition; island
+    merging is one per-doc window + aggregate."""
+    toks = tokenize(F.col(text_col))
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__t")).filter(
+        F.size("__t") >= n
+    )
+    occ = base.select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                shingles_from_tokens(F.col("__t"), n),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("pos", "sh"),
+    )
+    stats = occ.groupBy("sh").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct("__id", "pos")).alias("__first"),
+    )
+    dup = (
+        occ.join(stats, "sh")
+        .filter(
+            (F.col("__cnt") > 1)
+            & (
+                (F.col("__id") != F.col("__first.__id"))
+                | (F.col("pos") != F.col("__first.pos"))
+            )
+        )
+        .select("__id", "pos")
+    )
+    w = Window.partitionBy("__id").orderBy("pos")
+    islands = dup.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy("__id", "__grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (n - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_ngrams"),
+        )
+        .select(
+            F.col("__id").alias(id_col), "span_start", "span_end", "n_ngrams"
+        )
+    )

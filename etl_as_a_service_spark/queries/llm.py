@@ -1937,3 +1937,56 @@ def q148_semantic_dedup(spark, sf_dir):
         )
         .orderBy("component")
     )
+
+
+# --------------------------------------------------------------------------
+# q149 — corpus self-substring duplication spans (suffix-array-dedup shape)
+# --------------------------------------------------------------------------
+@query(
+    "q149_self_substring_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+3], ' ') AS g
+      FROM toks, UNNEST(range(1, len(ws) - 4 + 2)) t(i)
+      WHERE len(ws) >= 4
+    ),
+    stats AS (
+      SELECT g, count(*) AS c, min(ROW(doc_id, pos)) AS f
+      FROM grams GROUP BY g
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM grams JOIN stats USING (g)
+      WHERE c > 1 AND ROW(doc_id, pos) <> f
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM dup
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 3 AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_ngrams
+    FROM isl GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start
+    """,
+    tags=("dedup", "substring", "spans", "llm", "operator"),
+)
+def q149_self_substring_spans(spark, sf_dir):
+    """Exact-substring self-dedup spans (q149): every maximal token
+    span whose 4-grams already occurred earlier in the corpus — the
+    cut list of a Lee-et-al-style substring deduper, first occurrences
+    kept. Per-gram stats are one map-side-combined aggregate joined
+    back on the 8-byte hash (no per-gram windows); the oracle joins on
+    the raw gram string, so a Spark-side xxhash64 collision would show
+    up as a hash mismatch."""
+    from etl_as_a_service_spark.llm.dedup import self_substring_spans
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        self_substring_spans(docs, "text", "doc_id", n=4)
+        .orderBy("doc_id", "span_start")
+    )

@@ -896,3 +896,47 @@ def test_semantic_dedup_quality_survivor_and_determinism(spark, emb):
         withdup.repartition(11), quality_col="q", cosine_threshold=0.99
     ).collect()
     assert sorted(map(tuple, surv)) == sorted(map(tuple, again))
+
+
+def test_self_substring_spans_planted_duplicate(spark):
+    """Plant one exact 12-token run shared by two docs: the LATER doc
+    reports exactly that span (first occurrence stays clean); a
+    three-way copy still yields one span per later doc; disjoint docs
+    report nothing."""
+    from etl_as_a_service_spark.llm.dedup import self_substring_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [
+        (1, "one two three " + shared + " four five six"),
+        (2, "seven eight " + shared + " nine ten"),
+        (3, "totally different words with no overlap here at all"),
+        (4, shared),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r["doc_id"]): (r["span_start"], r["span_end"], r["n_ngrams"])
+        for r in self_substring_spans(df, "text", "doc_id", n=6).collect()
+    }
+    assert 1 not in spans  # first occurrence (min doc) keeps the text
+    assert 3 not in spans
+    # doc 2: shared starts at token 2, 12 tokens -> last 6-gram starts
+    # at 2+12-6=8, span covers 2..13
+    assert spans[2] == (2, 13, 7)
+    # doc 4: the whole doc is the shared run, tokens 0..11
+    assert spans[4] == (0, 11, 7)
+
+
+def test_self_substring_spans_repartition_invariant(spark, docs):
+    from etl_as_a_service_spark.llm.dedup import self_substring_spans
+
+    sample = docs.filter(F.col("doc_id") < 150)
+    a = sorted(map(tuple, self_substring_spans(sample, "text", "doc_id", n=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            self_substring_spans(
+                sample.repartition(13), "text", "doc_id", n=3
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
