@@ -900,3 +900,47 @@ def self_substring_spans(
             F.col("__id").alias(id_col), "span_start", "span_end", "n_ngrams"
         )
     )
+
+
+def excise_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Apply a span cut list: remove the token ranges in ``spans``
+    ((id, span_start, span_end), 0-based inclusive — the output shape
+    of ``self_substring_spans`` and ``contaminated_spans``) from each
+    document's text, keeping everything else in order. Documents with
+    no spans pass through unchanged; the rewritten column replaces
+    ``text_col`` unless ``out_col`` names a new one.
+
+    Scale shape: spans aggregate to one small array per document (a
+    doc has few spans by construction) and join on the id key; the cut
+    itself is a pure Catalyst higher-order filter — the (token, index)
+    lambda probes the per-doc span array, no explode of the corpus, no
+    shuffle beyond the one key join."""
+    out_col = out_col or text_col
+    per_doc = spans.groupBy(F.col(id_col).alias("__sid")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("__spans")
+    )
+    joined = df.join(
+        per_doc, df[id_col] == per_doc["__sid"], "left"
+    ).drop("__sid")
+    toks = tokenize(F.col(text_col))
+    spans_arr = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<s:long,e:long>>"),
+    )
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            spans_arr, lambda sp: (i >= sp.getField("s")) & (i <= sp.getField("e"))
+        ),
+    )
+    return joined.withColumn(out_col, F.concat_ws(" ", kept)).drop("__spans")

@@ -1990,3 +1990,86 @@ def q149_self_substring_spans(spark, sf_dir):
         self_substring_spans(docs, "text", "doc_id", n=4)
         .orderBy("doc_id", "span_start")
     )
+
+
+# --------------------------------------------------------------------------
+# q150 — apply the substring-dedup cut list (excise duplicated spans)
+# --------------------------------------------------------------------------
+@query(
+    "q150_excise_duplicate_spans",
+    oracle="""
+    WITH toks0 AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+3], ' ') AS g
+      FROM toks0, UNNEST(range(1, len(ws) - 4 + 2)) t(i)
+      WHERE len(ws) >= 4
+    ),
+    stats AS (
+      SELECT g, count(*) AS c, min(ROW(doc_id, pos)) AS f
+      FROM grams GROUP BY g
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM grams JOIN stats USING (g)
+      WHERE c > 1 AND ROW(doc_id, pos) <> f
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM dup
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e
+      FROM isl GROUP BY doc_id, grp
+    ),
+    toks AS (
+      SELECT doc_id, i - 1 AS pos, ws[i] AS w
+      FROM toks0, UNNEST(range(1, len(ws) + 1)) t(i)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.w
+      FROM toks t
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = t.doc_id
+                          AND t.pos BETWEEN s.s AND s.e)
+    )
+    SELECT t.doc_id,
+           CAST(any_value(len(t.ws)) AS BIGINT)          AS n_before,
+           CAST(count(k.pos) AS BIGINT)                  AS n_after,
+           md5(coalesce(string_agg(k.w, ' ' ORDER BY k.pos), ''))
+             AS clean_md5
+    FROM toks0 t LEFT JOIN kept k USING (doc_id)
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    tags=("dedup", "substring", "cleaning", "llm", "operator"),
+)
+def q150_excise_duplicate_spans(spark, sf_dir):
+    """End-to-end substring dedup (q150): compute the q149 cut list,
+    excise those spans from every document, and report before/after
+    token counts plus an md5 of the cleaned text (oracle-compared, so
+    the REWRITE itself is hash-checked, not just the counts). The cut
+    is a Catalyst (token, index) higher-order filter probing the
+    per-doc span array — no corpus explode."""
+    from etl_as_a_service_spark.llm.dedup import (
+        excise_spans,
+        self_substring_spans,
+    )
+    from etl_as_a_service_spark.functions.text import tokenize
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    spans = self_substring_spans(docs, "text", "doc_id", n=4)
+    cleaned = excise_spans(
+        docs, spans, "text", "doc_id", out_col="clean"
+    )
+    return (
+        cleaned.select(
+            "doc_id",
+            F.size(tokenize(F.col("text"))).cast("long").alias("n_before"),
+            F.size(tokenize(F.col("clean"))).cast("long").alias("n_after"),
+            F.md5(F.col("clean")).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -940,3 +940,46 @@ def test_self_substring_spans_repartition_invariant(spark, docs):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_excise_spans_exact_rewrite(spark):
+    """Cutting [2..4] and [7..8] from a 10-token doc keeps exactly the
+    complement in order; docs without spans pass through unchanged."""
+    from etl_as_a_service_spark.llm.dedup import excise_spans
+
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 4), (1, 7, 8)],
+        "doc_id long, span_start long, span_end long",
+    )
+    out = {
+        r["doc_id"]: r["clean"]
+        for r in excise_spans(docs, spans, "text", "doc_id", "clean").collect()
+    }
+    assert out[1] == "t0 t1 t5 t6 t9"
+    assert out[2] == "a b c"
+
+
+def test_substring_dedup_composition_removes_all_duplication(spark):
+    """After excising the self-substring spans, re-running the span
+    finder at the same n on the CLEANED corpus finds (almost) nothing:
+    the excision genuinely removes the duplication it found. (New
+    n-grams can appear at cut seams where the text left of a cut now
+    touches the text right of it — allow only a tiny residue.)"""
+    from etl_as_a_service_spark.llm.dedup import (
+        excise_spans,
+        self_substring_spans,
+    )
+
+    docs = load_tables(spark, SF_SMOKE, ("documents",))["documents"]
+    spans = self_substring_spans(docs, "text", "doc_id", n=4)
+    n_spans = spans.count()
+    assert n_spans > 0
+    cleaned = excise_spans(docs, spans, "text", "doc_id").select(
+        "doc_id", "text"
+    )
+    residue = self_substring_spans(cleaned, "text", "doc_id", n=4).count()
+    assert residue <= max(3, n_spans // 10), (n_spans, residue)
