@@ -155,3 +155,57 @@ def test_q61_runs_real_formats(spark):
     assert 0.1 < rows["image"]["avg_level"] < 0.5
     # audio spread (RMS of text-derived samples) must be nonzero
     assert rows["audio"]["avg_spread"] > 0.01
+
+
+def test_resize_pgm_block_mean_content(spark):
+    """8x8 gradient -> 4x4 via exact block mean: every output pixel is
+    the mean of its 2x2 source block (content-asserted, not just
+    shape); the resized bytes re-decode as a valid PGM."""
+    import numpy as np
+
+    from etl_as_a_service_spark.llm.multimodal import (
+        _pnm_to_array,
+        encode_pgm_bytes,
+        resize_images,
+    )
+
+    src = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3)
+    df = spark.createDataFrame(
+        [(1, "image/x-portable-graymap", bytearray(encode_pgm_bytes(src))),
+         (2, "audio/wav", bytearray(b"RIFF----"))],
+        "blob_id long, mime string, content binary",
+    )
+    out = {r["blob_id"]: r["content"] for r in resize_images(df, 4, 4).collect()}
+    assert out[2] is None  # non-image passes through as NULL
+    img, maxval = _pnm_to_array(bytes(out[1]))
+    assert img.shape == (4, 4, 1) and maxval == 255
+    expect = np.rint(
+        src.astype(float).reshape(4, 2, 4, 2).mean(axis=(1, 3))
+    )
+    assert (img[:, :, 0] == expect).all()
+
+
+def test_resize_ppm_nearest_neighbor(spark):
+    """Non-divisible target -> nearest-neighbor; PPM (P6) keeps its 3
+    channels and magic."""
+    import numpy as np
+
+    from etl_as_a_service_spark.llm.multimodal import (
+        _array_to_pnm,
+        _pnm_to_array,
+        resize_images,
+    )
+
+    src = np.stack(
+        [np.full((6, 6), v, dtype=np.uint8) for v in (10, 100, 200)], axis=2
+    )
+    payload = _array_to_pnm(src)
+    assert payload[:2] == b"P6"
+    df = spark.createDataFrame(
+        [(7, "image/x-portable-pixmap", bytearray(payload))],
+        "blob_id long, mime string, content binary",
+    )
+    out = resize_images(df, 4, 4).first()["content"]
+    img, _ = _pnm_to_array(bytes(out))
+    assert img.shape == (4, 4, 3)
+    assert (img[0, 0] == [10, 100, 200]).all()
