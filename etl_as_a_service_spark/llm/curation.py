@@ -440,8 +440,14 @@ def temperature_mix(
     u = (
         F.conv(_hash_hex8(F.col(id_col), salt), 16, 10).cast("bigint") + 0.5
     ) / F.lit(float(16**8))
+    # null-safe join: NULL is a legitimate domain (groupBy counted it),
+    # and a plain equi-join would silently drop every null-domain row
+    rates = rates.withColumnRenamed(domain_col, "__dom")
     return (
-        df.join(F.broadcast(rates), domain_col)
+        df.join(
+            F.broadcast(rates),
+            df[domain_col].eqNullSafe(F.col("__dom")),
+        )
         .filter(u < F.col("rate"))
-        .drop("rate")
+        .drop("rate", "__dom")
     )

@@ -913,8 +913,11 @@ def excise_spans(
     ((id, span_start, span_end), 0-based inclusive — the output shape
     of ``self_substring_spans`` and ``contaminated_spans``) from each
     document's text, keeping everything else in order. Documents with
-    no spans pass through unchanged; the rewritten column replaces
-    ``text_col`` unless ``out_col`` names a new one.
+    no spans pass through BYTE-IDENTICAL; cut documents are rebuilt by
+    joining the surviving tokens with single spaces (token-level
+    excision cannot preserve the original whitespace around a cut).
+    The rewritten column replaces ``text_col`` unless ``out_col``
+    names a new one.
 
     Scale shape: spans aggregate to one small array per document (a
     doc has few spans by construction) and join on the id key; the cut
@@ -933,14 +936,17 @@ def excise_spans(
         per_doc, df[id_col] == per_doc["__sid"], "left"
     ).drop("__sid")
     toks = tokenize(F.col(text_col))
-    spans_arr = F.coalesce(
-        F.col("__spans"),
-        F.array().cast("array<struct<s:long,e:long>>"),
-    )
     kept = F.filter(
         toks,
         lambda t, i: ~F.exists(
-            spans_arr, lambda sp: (i >= sp.getField("s")) & (i <= sp.getField("e"))
+            F.col("__spans"),
+            lambda sp: (i >= sp.getField("s")) & (i <= sp.getField("e")),
         ),
     )
-    return joined.withColumn(out_col, F.concat_ws(" ", kept)).drop("__spans")
+    # documents with no spans keep their ORIGINAL text byte-for-byte
+    # (the rewrite whitespace-normalizes — token-level excision can
+    # only rejoin with single spaces — so it must not touch clean docs)
+    rewritten = F.when(
+        F.col("__spans").isNull(), F.col(text_col)
+    ).otherwise(F.concat_ws(" ", kept))
+    return joined.withColumn(out_col, rewritten).drop("__spans")

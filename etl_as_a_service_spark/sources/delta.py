@@ -176,7 +176,7 @@ def _replay(table: str, version: int | None = None) -> _Snapshot:
         tail = [v for v in tail if v <= version]
         if start_after == -1 and not tail:
             raise ValueError(f"version {version} predates the table history")
-        if start_after == -1 and tail and tail[0] != 0 and min(tail) != 0:
+        if start_after == -1 and tail and tail[0] != 0:
             # JSON commits below the checkpoint were cleaned away
             raise ValueError(
                 f"cannot time-travel to version {version}: commits below "
@@ -403,9 +403,20 @@ def delta_write(
         else:
             prev = _replay(table)
             if _schema_shape(prev.schema_json) != _schema_shape(schema_string):
+                _discard_staged(table, adds)
                 raise ValueError(
                     "schema mismatch vs table metaData (no evolution "
                     "support in this writer)"
+                )
+            if prev.partition_columns != partition_by:
+                # we staged under a layout decided BEFORE a racing
+                # writer created the table with a different one — the
+                # staged files are unusable, clean up and surface it
+                _discard_staged(table, adds)
+                raise ValueError(
+                    f"lost table-creation race: staged layout "
+                    f"{partition_by} != committed layout "
+                    f"{prev.partition_columns}"
                 )
             if mode == "overwrite":
                 ts = int(time.time() * 1000)
@@ -543,6 +554,20 @@ def delta_clean_log(table: str) -> dict:
         if v <= ckpt_v:
             try:
                 os.remove(_version_file(table, v))
+                removed += 1
+            except OSError:
+                pass
+    # superseded checkpoints and crashed tmp files go with them (the
+    # real implementation expires old checkpoints alongside commits)
+    for name in os.listdir(_log_path(table)):
+        is_old_ckpt = (
+            name.endswith(".checkpoint.parquet")
+            and name[:20].isdigit()
+            and int(name[:20]) < ckpt_v
+        )
+        if is_old_ckpt or ".tmp-" in name:
+            try:
+                os.remove(os.path.join(_log_path(table), name))
                 removed += 1
             except OSError:
                 pass
@@ -700,11 +725,19 @@ def delta_stream_sink(
     spark = stream_df.sparkSession
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if (_versions(table) or _last_checkpoint_version(table) is not None) \
-                and _txn_versions(table).get(app_id, -1) >= batch_id:
+        exists = (
+            _versions(table) or _last_checkpoint_version(table) is not None
+        )
+        if exists and _txn_versions(table).get(app_id, -1) >= batch_id:
             return  # replayed batch — its txn is already in the log
         os.makedirs(_log_path(table), exist_ok=True)
-        adds = _stage_files(batch_df, table, [], data_change=True)
+        # honor an existing table's partition layout (committing flat
+        # files with empty partitionValues into a partitioned table
+        # would silently hide the rows from every pruned read)
+        partition_cols = _replay(table).partition_columns if exists else []
+        adds = _stage_files(
+            batch_df, table, partition_cols, data_change=True
+        )
         schema_string = batch_df.schema.json()
 
         def build(next_v: int):
@@ -720,7 +753,15 @@ def delta_stream_sink(
                 if _schema_shape(prev.schema_json) != _schema_shape(
                     schema_string
                 ):
+                    _discard_staged(table, adds)
                     raise ValueError("schema mismatch vs table metaData")
+                if prev.partition_columns != partition_cols:
+                    _discard_staged(table, adds)
+                    raise ValueError(
+                        f"lost table-creation race: staged layout "
+                        f"{partition_cols} != committed layout "
+                        f"{prev.partition_columns}"
+                    )
                 # the race window: another writer may have committed
                 # this very batch's txn while we staged — re-check
                 if prev.txns.get(app_id, -1) >= batch_id:

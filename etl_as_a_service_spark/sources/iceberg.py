@@ -100,20 +100,13 @@ def _versions(table: str) -> list[int]:
 
 
 def _current_version(table: str) -> int:
-    """version-hint.text when fresh, else the max vN present (the hint
-    is written AFTER the metadata file, so it can lag by one)."""
+    """The max vN present. version-hint.text is written AFTER the
+    metadata file and can lag a concurrent commit, so the listing — not
+    the hint — is authoritative (the hint exists for interop with
+    readers that expect it)."""
     versions = _versions(table)
     if not versions:
         raise ValueError(f"not an Iceberg table (no metadata): {table}")
-    hint = os.path.join(_meta_dir(table), "version-hint.text")
-    if os.path.isfile(hint):
-        try:
-            with open(hint) as fh:
-                v = int(fh.read().strip())
-            if v in versions:
-                return max(v, versions[-1])
-        except ValueError:
-            pass
     return versions[-1]
 
 
@@ -253,13 +246,19 @@ def _partition_values_of(rel_path: str, types: dict[str, str]) -> dict:
 
 def _stage_data_files(
     df: DataFrame, table: str, partition_cols: list[str],
-    col_types: dict[str, str],
+    col_types: dict[str, str], data_base: str | None = None,
 ) -> list[dict]:
-    """Write df into data/ (Hive layout when partitioned) and return
-    data_file records (row counts from the parquet footers — metadata
-    only, no data read)."""
+    """Write df into the table's data location (Hive layout when
+    partitioned) and return data_file records (row counts from the
+    parquet footers — metadata only, no data read). ``data_base``
+    overrides the default ``<table>/data`` — converted tables keep
+    appending NEXT TO their original files (write.data.path) so every
+    data path shares one basePath; external bases store absolute
+    file_paths, the internal default stores ``data/...`` relative."""
     import pyarrow.parquet as pq
 
+    internal = data_base is None
+    base = os.path.join(table, "data") if internal else data_base
     staging = os.path.join(table, f".stage-{uuid.uuid4().hex}")
     w = df.write.mode("overwrite")
     if partition_cols:
@@ -272,18 +271,20 @@ def _stage_data_files(
                 continue
             rel_dir = os.path.relpath(root, staging)
             rel_dir = "" if rel_dir == "." else rel_dir
-            final_rel = os.path.join(
-                "data", rel_dir, f"{uuid.uuid4().hex}.parquet"
-            ) if rel_dir else os.path.join(
-                "data", f"{uuid.uuid4().hex}.parquet"
+            final_abs = os.path.join(
+                base, rel_dir, f"{uuid.uuid4().hex}.parquet"
             )
-            final_abs = os.path.join(table, final_rel)
             os.makedirs(os.path.dirname(final_abs), exist_ok=True)
             os.rename(os.path.join(root, name), final_abs)
+            stored = (
+                os.path.relpath(final_abs, table).replace(os.sep, "/")
+                if internal
+                else os.path.abspath(final_abs)
+            )
             out.append(
                 {
                     "content": 0,
-                    "file_path": final_rel.replace(os.sep, "/"),
+                    "file_path": stored,
                     "file_format": "PARQUET",
                     "partition": {
                         c: _partition_values_of(
@@ -395,10 +396,14 @@ def iceberg_read(
             files.append(dfile["file_path"])
     if not files:
         return spark.createDataFrame([], schema)
-    # converted tables keep their data in place outside table/data —
-    # the standard write.data.path property records where
-    base = md.get("properties", {}).get("write.data.path", _data_dir(table))
-    reader = spark.read.schema(schema).option("basePath", base)
+    reader = spark.read.schema(schema)
+    if spec_fields:
+        # converted tables keep their data in place outside table/data
+        # — the standard write.data.path property records where
+        base = md.get("properties", {}).get(
+            "write.data.path", _data_dir(table)
+        )
+        reader = reader.option("basePath", base)
     return reader.parquet(*[os.path.join(table, f) for f in sorted(files)])
 
 
@@ -468,15 +473,39 @@ def iceberg_write(
         versions = _versions(table)
         head = versions[-1] if versions else 0
         prev_md = _load_metadata(table, head) if versions else None
+        if prev_md is not None:
+            # re-validate against the CURRENT head: a racing writer may
+            # have created/changed the table after the pre-loop checks
+            # ran (or they never ran, if the table did not exist then)
+            prev_schema = prev_md["schemas"][prev_md["current-schema-id"]]
+            prev_spec = prev_md["partition-specs"][prev_md["default-spec-id"]]
+            prev_cols = [f["name"] for f in prev_spec["fields"]]
+            if (
+                _schema_shape(prev_schema) != _schema_shape(schema)
+                or prev_cols != partition_by
+            ):
+                if data_files is not None:
+                    for d in data_files:
+                        try:
+                            os.remove(os.path.join(table, d["file_path"]))
+                        except OSError:
+                            pass
+                raise ValueError(
+                    "lost table-creation race: schema or partition spec "
+                    "differs from the committed table metadata"
+                )
         md_for_manifest = prev_md or {
             "schemas": [schema],
             "current-schema-id": 0,
             "partition-specs": [spec],
             "default-spec-id": 0,
         }
+        data_base = (prev_md or {}).get("properties", {}).get(
+            "write.data.path"
+        )
         if data_files is None:
             data_files = _stage_data_files(
-                df, table, partition_by, col_types
+                df, table, partition_by, col_types, data_base=data_base
             )
         snap_id = random.getrandbits(62)
         seq = (prev_md.get("last-sequence-number", 0) + 1) if prev_md else 1
@@ -529,6 +558,8 @@ def iceberg_write(
             "current-snapshot-id": snap_id,
             "snapshots": ((prev_md or {}).get("snapshots", []) + [snapshot]),
         }
+        if prev_md and prev_md.get("properties"):
+            new_md["properties"] = prev_md["properties"]
         next_v = head + 1
         try:
             fd = os.open(
@@ -536,7 +567,15 @@ def iceberg_write(
                 os.O_CREAT | os.O_EXCL | os.O_WRONLY,
             )
         except FileExistsError:
-            continue  # lost the race — rebuild against the new head
+            # lost the race — drop this iteration's orphaned manifest
+            # and list files, then rebuild against the new head (the
+            # staged DATA files are reused; only metadata is redone)
+            for n in (new_manifest["manifest_path"], f"metadata/{list_name}"):
+                try:
+                    os.remove(os.path.join(table, n))
+                except OSError:
+                    pass
+            continue
         with os.fdopen(fd, "w") as fh:
             json.dump(new_md, fh)
         hint_tmp = os.path.join(

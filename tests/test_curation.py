@@ -343,3 +343,17 @@ def test_dsir_and_temperature_mix_pipeline_steps(spark, docs):
     )
     n = mix.count()
     assert 50 <= n <= 160  # expected 100 +- hash-sampling noise
+
+
+def test_temperature_mix_keeps_null_domain_rows(spark):
+    """Review regression: NULL is a real domain — rows must sample at
+    the null-domain rate, not vanish through the equi-join."""
+    from etl_as_a_service_spark.llm.curation import temperature_mix
+
+    rows = [(i, "a") for i in range(100)] + [(200 + i, None) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, "source", "doc_id", alpha=0.5, budget=100)
+    got = out.collect()
+    null_kept = sum(1 for r in got if r["source"] is None)
+    # equal counts -> equal rates (~0.5 each); null rows must be present
+    assert 25 <= null_kept <= 75

@@ -983,3 +983,20 @@ def test_substring_dedup_composition_removes_all_duplication(spark):
     )
     residue = self_substring_spans(cleaned, "text", "doc_id", n=4).count()
     assert residue <= max(3, n_spans // 10), (n_spans, residue)
+
+
+def test_excise_spans_preserves_clean_docs_byte_identical(spark):
+    """Review regression: documents with no spans must come back
+    byte-identical — including newlines, tabs and space runs."""
+    from etl_as_a_service_spark.llm.dedup import excise_spans
+
+    weird = "line1\nline2\tend  double  spaces"
+    docs = spark.createDataFrame(
+        [(1, weird), (2, "a b c d e")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [(2, 1, 2)], "doc_id long, span_start long, span_end long"
+    )
+    out = {r["doc_id"]: r["text"] for r in excise_spans(docs, spans).collect()}
+    assert out[1] == weird
+    assert out[2] == "a d e"

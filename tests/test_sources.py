@@ -1179,3 +1179,95 @@ def test_convert_to_iceberg_in_place(spark, tmp_path):
     for p, t in mtimes.items():
         assert os.path.getmtime(p) == t
     assert iceberg_history(spark, table).count() == 1
+
+
+def test_delta_stream_sink_into_partitioned_table(spark, tmp_path):
+    """Review regression: the streaming sink must honor an existing
+    table's partition layout — flat files with empty partitionValues
+    would silently vanish from every pruned read."""
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.sources.delta import (
+        _replay,
+        delta_read,
+        delta_stream_sink,
+        delta_write,
+    )
+
+    table = str(tmp_path / "pstable")
+    delta_write(
+        spark.range(10).select(
+            "id", (F.col("id") % 2).cast("string").alias("par")
+        ),
+        table, partition_by=["par"],
+    )
+    src = str(tmp_path / "psrc")
+    spark.range(10, 30).selectExpr(
+        "id", "cast(id % 2 as string) AS par"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("id long, par string").parquet(src)
+    delta_stream_sink(stream, table, str(tmp_path / "psck"), app_id="s1")
+    assert delta_read(spark, table).count() == 30
+    # pruned reads see the streamed rows too
+    pruned = delta_read(spark, table, partition_filters={"par": "1"})
+    assert pruned.count() == 15
+    snap = _replay(table)
+    assert all(
+        a["partitionValues"].get("par") in {"0", "1"}
+        for a in snap.live.values()
+    )
+
+
+def test_delta_clean_log_sweeps_old_checkpoints(spark, tmp_path):
+    import os
+
+    from etl_as_a_service_spark.sources.delta import (
+        delta_checkpoint,
+        delta_clean_log,
+        delta_read,
+        delta_write,
+    )
+
+    table = str(tmp_path / "cksweep")
+    for i in range(3):
+        delta_write(spark.range(i, i + 1).selectExpr("id"), table)
+    delta_checkpoint(table)
+    for i in range(3, 5):
+        delta_write(spark.range(i, i + 1).selectExpr("id"), table)
+    delta_checkpoint(table)
+    delta_clean_log(table)
+    names = os.listdir(os.path.join(table, "_delta_log"))
+    ckpts = [n for n in names if n.endswith(".checkpoint.parquet")]
+    assert len(ckpts) == 1  # only the latest survives
+    assert not any(".tmp-" in n for n in names)
+    assert delta_read(spark, table).count() == 5
+
+
+def test_iceberg_append_to_converted_table(spark, tmp_path):
+    """Review regression: the first append to a converted table used to
+    drop write.data.path and mix absolute/external with relative paths,
+    breaking every subsequent read."""
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.sources.iceberg import (
+        iceberg_convert,
+        iceberg_read,
+        iceberg_write,
+    )
+
+    d = str(tmp_path / "cplain")
+    spark.range(30).select(
+        "id", (F.col("id") % 3).alias("g")
+    ).write.partitionBy("g").parquet(d)
+    table = str(tmp_path / "ctable2")
+    iceberg_convert(spark, d, table)
+    iceberg_write(
+        spark.range(30, 60).select(
+            "id", (F.col("id") % 3).cast("int").alias("g")
+        ),
+        table,
+    )
+    full = iceberg_read(spark, table)
+    assert full.count() == 60
+    pruned = iceberg_read(spark, table, partition_filters={"g": 2})
+    assert pruned.count() == 20
