@@ -449,3 +449,86 @@ def bigram_lm_scores(
         )
         .select(F.col("__id").alias(id_col), "n_bigrams", "score")
     )
+
+
+def _rank_bounded(df: DataFrame, score_col: str, id_col: str) -> DataFrame:
+    """Attach 1-based dense ranks (score DESC, id ASC) to an ALREADY
+    top-k'd frame (<= a few hundred rows by construction). Implemented
+    as one sort_array over a collected struct array instead of a global
+    window — the input is bounded, and this keeps the plan free of the
+    global-window shape the plan doctor rejects for unbounded inputs."""
+    pair = F.struct(
+        (-F.col(score_col)).alias("ns"), F.col(id_col).alias("i")
+    )
+    arr = df.agg(F.sort_array(F.collect_list(pair)).alias("__a"))
+    return arr.select(
+        F.posexplode("__a").alias("__p", "__e")
+    ).select(
+        F.col("__e.i").alias(id_col),
+        (-F.col("__e.ns")).alias(score_col),
+        (F.col("__p") + 1).cast("long").alias("rank"),
+    )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    terms: list[str],
+    probe_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    leg_k: int = 50,
+    k: int = 20,
+    k_rrf: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (the public RRF
+    formula, Cormack et al.): fuse a LEXICAL leg (BM25 over the query
+    ``terms``) with a SEMANTIC leg (exact cosine against the
+    ``probe_id`` embedding) as score = Σ 1/(k_rrf + rank), ranks taken
+    per leg over its top ``leg_k``. Documents appearing in only one
+    leg contribute that single term — the standard union semantics.
+
+    Scale shape: each leg is an existing bounded operator (postings-
+    filtered BM25; broadcast-probe cosine with WindowGroupLimit); the
+    fusion itself touches only 2*leg_k rows. Returns
+    (id, rrf_score, lex_rank, sem_rank) top-k, deterministically
+    ordered."""
+    from etl_as_a_service_spark.llm.similarity import brute_force_topk
+
+    lex = _rank_bounded(
+        bm25_search(docs, text_col, id_col, terms, k=leg_k),
+        "score",
+        id_col,
+    ).select(F.col(id_col).alias("__lid"), F.col("rank").alias("lex_rank"))
+    sem = (
+        brute_force_topk(
+            corpus=embeddings,
+            queries=embeddings.filter(F.col(vec_id_col) == probe_id),
+            id_col=vec_id_col,
+            vec_col=vec_col,
+            k=leg_k,
+        )
+        .select(
+            F.col("neighbor_id").alias("__sid"),
+            F.col("rn").cast("long").alias("sem_rank"),
+        )
+    )
+    fused = lex.join(
+        sem, F.col("__lid") == F.col("__sid"), "full_outer"
+    ).select(
+        F.coalesce(F.col("__lid"), F.col("__sid")).alias(id_col),
+        "lex_rank",
+        "sem_rank",
+        F.round(
+            F.coalesce(1.0 / (F.lit(k_rrf) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(
+                1.0 / (F.lit(k_rrf) + F.col("sem_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col(id_col)
+    ).limit(k)

@@ -2073,3 +2073,85 @@ def q150_excise_duplicate_spans(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q151 — hybrid retrieval: BM25 + embedding cosine, reciprocal-rank fusion
+# --------------------------------------------------------------------------
+@query(
+    "q151_hybrid_search_rrf",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, t.term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents) AS t(doc_id, term)
+      GROUP BY doc_id, t.term
+    ),
+    doclen AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    corpus AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM doclen),
+    hits AS (SELECT * FROM tf WHERE term IN ('vector', 'broadcast', 'shuffle')),
+    dfreq AS (SELECT term, count(*) AS dfq FROM hits GROUP BY term),
+    scored AS (
+      SELECT hits.doc_id,
+             ln(1 + (nd - dfq + 0.5) / (dfq + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+      FROM hits JOIN dfreq USING (term) JOIN doclen USING (doc_id)
+      CROSS JOIN corpus
+    ),
+    bm AS (
+      SELECT doc_id, round(sum(s), 6) AS score FROM scored GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 50
+    ),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+      FROM bm
+    ),
+    cos AS (
+      SELECT c.vec_id,
+             round(list_cosine_similarity(
+                 list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform((SELECT embedding FROM embeddings
+                                 WHERE vec_id = 0),
+                                x -> CAST(x AS DOUBLE))), 6) AS cosine
+      FROM embeddings c WHERE c.vec_id <> 0
+    ),
+    sem AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY cosine DESC, vec_id) AS sem_rank
+      FROM cos ORDER BY cosine DESC, vec_id LIMIT 50
+    )
+    SELECT coalesce(l.doc_id, s.vec_id) AS doc_id,
+           CAST(l.lex_rank AS BIGINT) AS lex_rank,
+           CAST(s.sem_rank AS BIGINT) AS sem_rank,
+           round(coalesce(1.0 / (60 + l.lex_rank), 0)
+                 + coalesce(1.0 / (60 + s.sem_rank), 0), 6) AS rrf_score
+    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.vec_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("search", "hybrid", "rrf", "llm", "operator"),
+)
+def q151_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval (q151): BM25 over {vector, broadcast, shuffle}
+    fused with exact cosine against the vec_id=0 embedding by
+    reciprocal-rank fusion (k=60). doc_id and vec_id share the id
+    space in the fixtures, standing in for a corpus with both a text
+    and an embedding column. Each leg is a bounded top-50; the fusion
+    touches 100 rows."""
+    from etl_as_a_service_spark.llm.corpus import hybrid_search
+
+    docs, embs = _t(spark, sf_dir, "documents", "embeddings")
+    return (
+        hybrid_search(
+            docs,
+            embs,
+            terms=["vector", "broadcast", "shuffle"],
+            probe_id=0,
+            leg_k=50,
+            k=20,
+        )
+        .select("doc_id", "lex_rank", "sem_rank", "rrf_score")
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+    )

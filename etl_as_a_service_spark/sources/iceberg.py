@@ -732,3 +732,133 @@ def iceberg_convert(spark: SparkSession, path: str, table: str) -> int:
     ) as fh:
         fh.write("1")
     return snap_id
+
+
+def _reachable(table: str, snapshots: list[dict]) -> tuple[set, set, set]:
+    """(data_file_paths, manifest_paths, manifest_list_paths) reachable
+    from the given snapshots — all table-relative/raw as stored."""
+    data: set = set()
+    manifests: set = set()
+    lists: set = set()
+    for s in snapshots:
+        lists.add(s["manifest-list"])
+        for mf in _read_manifest_list(table, s):
+            manifests.add(mf["manifest_path"])
+            for entry in _read_manifest(table, mf["manifest_path"]):
+                if entry["status"] != 2:
+                    data.add(entry["data_file"]["file_path"])
+    return data, manifests, lists
+
+
+def iceberg_expire_snapshots(
+    spark: SparkSession, table: str, keep_last: int = 1
+) -> dict:
+    """expire_snapshots maintenance: drop all but the most recent
+    ``keep_last`` snapshots (the current one always survives) in a new
+    metadata version, then delete every manifest list, manifest, and
+    DATA file reachable ONLY from the expired snapshots — the
+    storage-reclaim contract of the real procedure. Time travel to an
+    expired snapshot id afterwards raises 'snapshot not found'.
+    Returns {expired, kept, data_files_deleted}."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    md = _load_metadata(table)
+    snaps = sorted(md.get("snapshots", []), key=lambda s: s["sequence-number"])
+    if len(snaps) <= keep_last:
+        return {"expired": 0, "kept": len(snaps), "data_files_deleted": 0}
+    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+    cur = md.get("current-snapshot-id")
+    if cur is not None and cur not in {s["snapshot-id"] for s in kept}:
+        raise ValueError("keep_last would expire the current snapshot")
+
+    keep_data, keep_manifests, keep_lists = _reachable(table, kept)
+    drop_data, drop_manifests, drop_lists = _reachable(table, expired)
+
+    new_md = dict(md)
+    new_md.pop("__version", None)
+    new_md["snapshots"] = kept
+    new_md["last-updated-ms"] = int(time.time() * 1000)
+    head = _current_version(table)
+    while True:
+        next_v = head + 1
+        try:
+            fd = os.open(
+                _metadata_file(table, next_v),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            break
+        except FileExistsError:
+            head += 1
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_md, fh)
+    with open(
+        os.path.join(_meta_dir(table), "version-hint.text"), "w"
+    ) as fh:
+        fh.write(str(next_v))
+
+    deleted = 0
+    for rel in sorted(drop_data - keep_data):
+        try:
+            os.remove(os.path.join(table, rel))
+            deleted += 1
+        except OSError:
+            pass
+    for rel in sorted((drop_manifests - keep_manifests) | (drop_lists - keep_lists)):
+        try:
+            os.remove(os.path.join(table, rel))
+        except OSError:
+            pass
+    return {
+        "expired": len(expired),
+        "kept": len(kept),
+        "data_files_deleted": deleted,
+    }
+
+
+def iceberg_remove_orphans(
+    spark: SparkSession, table: str, retention_hours: float = 168.0,
+    dry_run: bool = False,
+) -> dict:
+    """remove_orphan_files maintenance: delete parquet files under the
+    table's OWN data/ directory that no retained snapshot references
+    and that are older than the retention window (crashed writers'
+    staged output). Files outside the table directory (converted
+    tables' external data) are never touched. Returns
+    {candidates, deleted}."""
+    md = _load_metadata(table)
+    referenced, _m, _l = _reachable(table, md.get("snapshots", []))
+    referenced_abs = {
+        os.path.abspath(os.path.join(table, f)) for f in referenced
+    }
+    cutoff = time.time() - retention_hours * 3600.0
+    candidates: list[str] = []
+    droot = _data_dir(table)
+    for root, dirs, names in os.walk(table):
+        for d in list(dirs):
+            if d.startswith(".stage-"):
+                p = os.path.join(root, d)
+                if os.path.getmtime(p) < cutoff:
+                    candidates.append(p)
+                dirs.remove(d)
+    if os.path.isdir(droot):
+        for root, _dirs, names in os.walk(droot):
+            for name in names:
+                p = os.path.abspath(os.path.join(root, name))
+                if (
+                    name.endswith(".parquet")
+                    and p not in referenced_abs
+                    and os.path.getmtime(p) < cutoff
+                ):
+                    candidates.append(p)
+    deleted = 0
+    if not dry_run:
+        for p in candidates:
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                try:
+                    os.remove(p)
+                except OSError:
+                    continue
+            deleted += 1
+    return {"candidates": len(candidates), "deleted": deleted}

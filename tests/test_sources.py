@@ -1271,3 +1271,45 @@ def test_iceberg_append_to_converted_table(spark, tmp_path):
     assert full.count() == 60
     pruned = iceberg_read(spark, table, partition_filters={"g": 2})
     assert pruned.count() == 20
+
+
+def test_iceberg_expire_snapshots_and_orphans(spark, tmp_path):
+    """expire_snapshots keeps the current snapshot readable, deletes
+    files reachable ONLY from expired snapshots, and makes time travel
+    to them raise; remove_orphans sweeps stale staged files."""
+    import os
+    import time as _time
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.sources.iceberg import (
+        iceberg_expire_snapshots,
+        iceberg_read,
+        iceberg_remove_orphans,
+        iceberg_write,
+    )
+
+    table = str(tmp_path / "etable")
+    s1 = iceberg_write(spark.range(10).select("id"), table)
+    s2 = iceberg_write(
+        spark.range(100, 105).select("id"), table, mode="overwrite"
+    )
+    # s1's files are reachable only from s1
+    res = iceberg_expire_snapshots(spark, table, keep_last=1)
+    assert res["expired"] == 1 and res["data_files_deleted"] > 0
+    assert iceberg_read(spark, table).count() == 5
+    with _pytest.raises(ValueError, match="not found"):
+        iceberg_read(spark, table, snapshot_id=s1)
+    assert iceberg_read(spark, table, snapshot_id=s2).count() == 5
+
+    # orphans: a crashed writer's staged file under data/
+    orphan = os.path.join(table, "data", "zz-orphan.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+    old = _time.time() - 10_000
+    os.utime(orphan, (old, old))
+    stats = iceberg_remove_orphans(spark, table, retention_hours=1.0)
+    assert stats["deleted"] >= 1
+    assert not os.path.exists(orphan)
+    assert iceberg_read(spark, table).count() == 5
