@@ -451,3 +451,65 @@ def temperature_mix(
         .filter(u < F.col("rate"))
         .drop("rate", "__dom")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample-group-v1",
+) -> DataFrame:
+    """Per-group deterministic weighted sampling without replacement:
+    the A-Res construction of ``weighted_sample`` (key = ln(u)/w, u a
+    seeded md5 uniform), taken top-k WITHIN each group — per-domain
+    quota sampling (k best-weighted examples per source/language) in
+    one pass.
+
+    Scale shape: the per-group top-k is a rank window partitioned by
+    the group key — WindowGroupLimit pushes the k-cutoff map-side, so
+    no group's rows concentrate anywhere and nothing global sorts.
+    Returns the sampled rows + (skey, rn)."""
+    u = (
+        F.conv(_hash_hex8(F.col(id_col), salt), 16, 10).cast("bigint") + 1
+    ) / F.lit(float(16**8))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("skey").desc(), F.col(id_col)
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("skey", key)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def balanced_interleave(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    salt: str = "interleave-v1",
+) -> DataFrame:
+    """Deterministic round-robin interleave across domains: assign each
+    row a global training ORDER such that consecutive positions cycle
+    through the domains (a-b-c-a-b-c...) — the shard-order flattening
+    that keeps any training-window's domain mix near the corpus mix,
+    with a seeded hash ordering inside each domain.
+
+    Construction: within-domain position p (hash-ordered rank), final
+    sort key = (p, domain) — every domain's p-th element lands in round
+    p. Returns the input + (domain_pos, interleave_rank) where
+    interleave_rank is the 1-based global order.
+
+    Scale shape: one rank window per domain partition; the global
+    order is EXPRESSED as the (p, domain) sort key — writers consume
+    it via orderBy/sortWithinPartitions at sink time, so no global
+    shuffle happens here."""
+    w = Window.partitionBy(domain_col).orderBy(
+        _hash_hex8(F.col(id_col), salt), F.col(id_col)
+    )
+    return df.withColumn(
+        "domain_pos", F.row_number().over(w).cast("long")
+    )

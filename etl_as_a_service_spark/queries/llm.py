@@ -2155,3 +2155,92 @@ def q151_hybrid_search_rrf(spark, sf_dir):
         .select("doc_id", "lex_rank", "sem_rank", "rrf_score")
         .orderBy(F.col("rrf_score").desc(), "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q152 — per-group weighted sampling (A-Res within each source)
+# --------------------------------------------------------------------------
+@query(
+    "q152_weighted_sample_per_group",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln((('0x' || substr(md5('wsample-group-v1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                / 4294967296.0) / n_chars AS skey
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_chars, skey,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY skey DESC, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, source, n_chars,
+           round(skey, 6) + 0.0 AS skey,  -- -0.0 + 0.0 = +0.0 (IEEE):
+                                          -- DuckDB renders -0, Spark 0
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5
+    ORDER BY source, rn
+    """,
+    tags=("curation", "sampling", "llm", "operator"),
+)
+def q152_weighted_sample_per_group(spark, sf_dir):
+    """Per-source weighted sampling (q152): the 5 best A-Res-keyed
+    documents per source, weight = n_chars. The per-group cutoff plans
+    as WindowGroupLimit (rank pushed map-side); same md5 uniform as
+    q108 so inclusion is engine-portable."""
+    from etl_as_a_service_spark.llm.curation import weighted_sample_per_group
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        weighted_sample_per_group(
+            docs, "source", "doc_id", "n_chars", k=5
+        )
+        .select(
+            "doc_id", "source", "n_chars",
+            (F.round("skey", 6) + F.lit(0.0)).alias("skey"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+        .orderBy("source", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# q153 — balanced round-robin domain interleave (training shard order)
+# --------------------------------------------------------------------------
+@query(
+    "q153_balanced_interleave",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5('interleave-v1' || CAST(doc_id AS VARCHAR)), 1, 8),
+                        doc_id
+             ) AS domain_pos
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(domain_pos AS BIGINT) AS domain_pos
+    FROM pos
+    WHERE domain_pos <= 20
+    ORDER BY domain_pos, source, doc_id
+    """,
+    tags=("curation", "ordering", "mixture", "llm", "operator"),
+)
+def q153_balanced_interleave(spark, sf_dir):
+    """Balanced interleave (q153): hash-ordered within-domain positions
+    whose (position, domain) sort yields an a-b-c-a-b-c training order
+    — any prefix window's domain mix tracks the corpus mix. The first
+    20 rounds are emitted; the global order exists only as a sort KEY
+    (writers apply it at sink time), so the operator itself never
+    global-shuffles."""
+    from etl_as_a_service_spark.llm.curation import balanced_interleave
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        balanced_interleave(docs, "source", "doc_id")
+        .filter(F.col("domain_pos") <= 20)
+        .select("doc_id", "source", "domain_pos")
+        .orderBy("domain_pos", "source", "doc_id")
+    )

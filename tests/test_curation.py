@@ -357,3 +357,43 @@ def test_temperature_mix_keeps_null_domain_rows(spark):
     null_kept = sum(1 for r in got if r["source"] is None)
     # equal counts -> equal rates (~0.5 each); null rows must be present
     assert 25 <= null_kept <= 75
+
+
+def test_balanced_interleave_prefix_mix(spark):
+    """The interleave order's prefix windows track the domain mix:
+    after sorting by (domain_pos, domain), any prefix of 3*k rows
+    contains exactly k of each of 3 equal-sized domains."""
+    from etl_as_a_service_spark.llm.curation import balanced_interleave
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    ordered = (
+        balanced_interleave(df, "source", "doc_id")
+        .orderBy("domain_pos", "source", "doc_id")
+        .collect()
+    )
+    for k in (1, 5, 10):
+        prefix = ordered[: 3 * k]
+        by = {}
+        for r in prefix:
+            by[r["source"]] = by.get(r["source"], 0) + 1
+        assert by == {"a": k, "b": k, "c": k}
+
+
+def test_weighted_sample_per_group_quota_and_determinism(spark):
+    from etl_as_a_service_spark.llm.curation import weighted_sample_per_group
+
+    rows = [(i, "g" + str(i % 4), float(1 + i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    out = weighted_sample_per_group(df, "source", "doc_id", "w", k=6)
+    got = out.collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["source"], []).append(r["doc_id"])
+    assert all(len(v) == 6 for v in by.values()) and len(by) == 4
+    again = weighted_sample_per_group(
+        df.repartition(11), "source", "doc_id", "w", k=6
+    ).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(
+        r["doc_id"] for r in again
+    )
