@@ -97,6 +97,9 @@ _ALLOWED_OPS = {
     "dsir_select",
     "temperature_mix",
     "semantic_dedup",
+    "substring_dedup",
+    "weighted_sample_per_group",
+    "balanced_interleave",
 }
 
 
@@ -457,6 +460,48 @@ def _apply_step(
             vec_col=_req(step, "vec_col"),
             quality_col=step.get("quality_col"),
             cosine_threshold=float(step.get("threshold", 0.95)),
+        )
+    if op == "substring_dedup":
+        # {"op":"substring_dedup","text_col":"text","id_col":"doc_id",
+        #  "n":10} — excise every duplicated n-gram run (first
+        # occurrence kept) in one step
+        from etl_as_a_service_spark.llm.dedup import (
+            excise_spans,
+            self_substring_spans,
+        )
+
+        text_col = _req(step, "text_col")
+        id_col = _req(step, "id_col")
+        spans = self_substring_spans(
+            df, text_col, id_col, n=int(step.get("n", 10))
+        )
+        return excise_spans(df, spans, text_col, id_col)
+    if op == "weighted_sample_per_group":
+        # {"op":"weighted_sample_per_group","group_col":"source",
+        #  "id_col":"doc_id","weight_col":"w","k":5}
+        from etl_as_a_service_spark.llm.curation import (
+            weighted_sample_per_group,
+        )
+
+        return weighted_sample_per_group(
+            df,
+            group_col=_req(step, "group_col"),
+            id_col=_req(step, "id_col"),
+            weight_col=_req(step, "weight_col"),
+            k=int(_req(step, "k")),
+            salt=step.get("salt", "wsample-group-v1"),
+        )
+    if op == "balanced_interleave":
+        # {"op":"balanced_interleave","domain_col":"source",
+        #  "id_col":"doc_id"} — adds domain_pos; sort by
+        # (domain_pos, domain) at the sink for the round-robin order
+        from etl_as_a_service_spark.llm.curation import balanced_interleave
+
+        return balanced_interleave(
+            df,
+            domain_col=_req(step, "domain_col"),
+            id_col=_req(step, "id_col"),
+            salt=step.get("salt", "interleave-v1"),
         )
     if op == "interpolate":
         # {"op":"interpolate","ts_col":"ts","keys":["k"],

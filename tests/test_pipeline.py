@@ -801,3 +801,22 @@ def test_iceberg_source_and_sink_through_runner(spark, tmp_path):
                    "aggs": {"n": "count(*)"}}],
     }
     assert compile_pipeline(spark, spec2).first()["n"] == 3
+
+
+def test_substring_dedup_pipeline_step(spark, tmp_path):
+    from tests.conftest import SF_SMOKE
+
+    spec = {
+        "name": "substr_dedup",
+        "source": {
+            "format": "parquet",
+            "path": f"{SF_SMOKE}/documents.parquet",
+        },
+        "steps": [
+            {"op": "substring_dedup", "text_col": "text",
+             "id_col": "doc_id", "n": 4}
+        ],
+    }
+    out = compile_pipeline(spark, spec)
+    assert out.count() == 500  # every doc survives, duplication excised
+    assert "text" in out.columns

@@ -249,3 +249,24 @@ def test_q131_survivor_selection_plans_window_group_limit(spark):
     per partition feeding an unpruned filter."""
     plan = plan_of(QUERIES["q131_near_dedup_keep_best"].fn(spark, SF_T2))
     assert "WindowGroupLimit" in plan
+
+
+def test_new_curation_ops_plan_shapes(spark):
+    """Plan guarantees for the continuation operators: q152's per-group
+    cutoff plans as WindowGroupLimit; q141's correlated-min rewrite
+    does too; q151 and q146 carry no global (empty-frame) Window at
+    all — their bounded rankings go through sort_array instead."""
+    from etl_as_a_service_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    def plan(name):
+        return (
+            QUERIES[name].fn(spark, SF_SMOKE)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+
+    assert "WindowGroupLimit" in plan("q152_weighted_sample_per_group")
+    assert "WindowGroupLimit" in plan("q141_min_cost_supplier")
+    for name in ("q151_hybrid_search_rrf", "q146_dsir_selection"):
+        p = plan(name)
+        assert "Window [" not in p or "windowspecdefinition()" not in p.lower()
