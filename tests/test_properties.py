@@ -259,3 +259,77 @@ def test_avro_codec_roundtrip_property(rows, codec):
         assert i == i2 and s == s2 and b == b2 and by == by2
         assert list(arr) == list(arr2)
         assert f == f2 or (f is None and f2 is None)
+
+
+TEXT_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),  # id (may repeat -> dedup'd)
+        st.lists(
+            st.sampled_from("aa bb cc dd ee ff".split()),
+            min_size=0, max_size=12,
+        ),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(rows=TEXT_ROWS)
+@CFG
+def test_substring_excision_conservation(spark, rows):
+    """For ANY corpus: excising the self-substring spans removes
+    exactly the duplicate-covered token positions — token conservation:
+    n_after = n_before - covered — and never touches a doc with no
+    spans."""
+    from etl_as_a_service_spark.llm.dedup import (
+        excise_spans,
+        self_substring_spans,
+    )
+    from etl_as_a_service_spark.functions.text import tokenize
+
+    uniq = {}
+    for i, toks in rows:
+        uniq.setdefault(i, " ".join(toks))
+    data = [(i, t) for i, t in uniq.items()]
+    df = (
+        spark.createDataFrame(data, "doc_id long, text string")
+        if data
+        else spark.createDataFrame([], "doc_id long, text string")
+    )
+    n = 2
+    spans = self_substring_spans(df, "text", "doc_id", n=n)
+    covered = {
+        r["doc_id"]: r["cov"]
+        for r in spans.groupBy("doc_id")
+        .agg(F.sum(F.col("span_end") - F.col("span_start") + 1).alias("cov"))
+        .collect()
+    }
+    out = excise_spans(df, spans, "text", "doc_id", "clean").select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).alias("nb"),
+        F.size(tokenize(F.col("clean"))).alias("na"),
+    )
+    for r in out.collect():
+        assert r["na"] == r["nb"] - covered.get(r["doc_id"], 0)
+
+
+@given(rows=TEXT_ROWS, budget=st.integers(min_value=1, max_value=30))
+@CFG
+def test_temperature_mix_is_deterministic_subset(spark, rows, budget):
+    """For ANY corpus and budget: the mix is a subset of the input,
+    keyed deterministically — running twice yields identical rows."""
+    from etl_as_a_service_spark.llm.curation import temperature_mix
+
+    uniq = {}
+    for i, toks in rows:
+        uniq.setdefault(i, toks[0] if toks else None)
+    data = [(i, d) for i, d in uniq.items()]
+    df = (
+        spark.createDataFrame(data, "doc_id long, source string")
+        if data
+        else spark.createDataFrame([], "doc_id long, source string")
+    )
+    a = {r["doc_id"] for r in temperature_mix(df, "source", "doc_id", budget=budget).collect()}
+    b = {r["doc_id"] for r in temperature_mix(df, "source", "doc_id", budget=budget).collect()}
+    assert a == b
+    assert a <= {i for i, _ in data}
