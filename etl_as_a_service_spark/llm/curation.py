@@ -500,8 +500,8 @@ def balanced_interleave(
 
     Construction: within-domain position p (hash-ordered rank), final
     sort key = (p, domain) — every domain's p-th element lands in round
-    p. Returns the input + (domain_pos, interleave_rank) where
-    interleave_rank is the 1-based global order.
+    p. Returns the input + ``domain_pos``; consumers realize the
+    global order by sorting on (domain_pos, domain) at sink time.
 
     Scale shape: one rank window per domain partition; the global
     order is EXPRESSED as the (p, domain) sort key — writers consume

@@ -728,13 +728,14 @@ def delta_stream_sink(
         exists = (
             _versions(table) or _last_checkpoint_version(table) is not None
         )
-        if exists and _txn_versions(table).get(app_id, -1) >= batch_id:
+        snap = _replay(table) if exists else None
+        if snap is not None and snap.txns.get(app_id, -1) >= batch_id:
             return  # replayed batch — its txn is already in the log
         os.makedirs(_log_path(table), exist_ok=True)
         # honor an existing table's partition layout (committing flat
         # files with empty partitionValues into a partitioned table
         # would silently hide the rows from every pruned read)
-        partition_cols = _replay(table).partition_columns if exists else []
+        partition_cols = snap.partition_columns if snap is not None else []
         adds = _stage_files(
             batch_df, table, partition_cols, data_change=True
         )

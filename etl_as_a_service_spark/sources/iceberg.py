@@ -468,6 +468,7 @@ def iceberg_write(
         ],
     }
     data_files = None  # staged lazily inside the retry loop's first pass
+    staged_base = None
 
     while True:
         versions = _versions(table)
@@ -503,10 +504,21 @@ def iceberg_write(
         data_base = (prev_md or {}).get("properties", {}).get(
             "write.data.path"
         )
+        if data_files is not None and staged_base != data_base:
+            # lost the creation race to a table whose data lives
+            # elsewhere (e.g. a convert) — the staged paths would mix
+            # bases and break basePath reads; restage under the new one
+            for d in data_files:
+                try:
+                    os.remove(os.path.join(table, d["file_path"]))
+                except OSError:
+                    pass
+            data_files = None
         if data_files is None:
             data_files = _stage_data_files(
                 df, table, partition_by, col_types, data_base=data_base
             )
+            staged_base = data_base
         snap_id = random.getrandbits(62)
         seq = (prev_md.get("last-sequence-number", 0) + 1) if prev_md else 1
         entries = [
@@ -762,24 +774,33 @@ def iceberg_expire_snapshots(
     Returns {expired, kept, data_files_deleted}."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    md = _load_metadata(table)
-    snaps = sorted(md.get("snapshots", []), key=lambda s: s["sequence-number"])
-    if len(snaps) <= keep_last:
-        return {"expired": 0, "kept": len(snaps), "data_files_deleted": 0}
-    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
-    cur = md.get("current-snapshot-id")
-    if cur is not None and cur not in {s["snapshot-id"] for s in kept}:
-        raise ValueError("keep_last would expire the current snapshot")
-
-    keep_data, keep_manifests, keep_lists = _reachable(table, kept)
-    drop_data, drop_manifests, drop_lists = _reachable(table, expired)
-
-    new_md = dict(md)
-    new_md.pop("__version", None)
-    new_md["snapshots"] = kept
-    new_md["last-updated-ms"] = int(time.time() * 1000)
-    head = _current_version(table)
+    table_abs = os.path.abspath(table)
     while True:
+        # recompute against the CURRENT head on every attempt — a
+        # concurrent writer's snapshot must survive the expiry (losing
+        # the O_EXCL race and blindly bumping the version would erase
+        # that writer's commit from the snapshot list)
+        md = _load_metadata(table)
+        head = md["__version"]
+        snaps = sorted(
+            md.get("snapshots", []), key=lambda s: s["sequence-number"]
+        )
+        if len(snaps) <= keep_last:
+            return {
+                "expired": 0, "kept": len(snaps), "data_files_deleted": 0,
+            }
+        kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+        cur = md.get("current-snapshot-id")
+        if cur is not None and cur not in {s["snapshot-id"] for s in kept}:
+            raise ValueError("keep_last would expire the current snapshot")
+
+        keep_data, keep_manifests, keep_lists = _reachable(table, kept)
+        drop_data, drop_manifests, drop_lists = _reachable(table, expired)
+
+        new_md = dict(md)
+        new_md.pop("__version", None)
+        new_md["snapshots"] = kept
+        new_md["last-updated-ms"] = int(time.time() * 1000)
         next_v = head + 1
         try:
             fd = os.open(
@@ -788,7 +809,7 @@ def iceberg_expire_snapshots(
             )
             break
         except FileExistsError:
-            head += 1
+            continue
     with os.fdopen(fd, "w") as fh:
         json.dump(new_md, fh)
     with open(
@@ -798,8 +819,11 @@ def iceberg_expire_snapshots(
 
     deleted = 0
     for rel in sorted(drop_data - keep_data):
+        p = os.path.abspath(os.path.join(table, rel))
+        if not p.startswith(table_abs + os.sep):
+            continue  # converted tables' external files are never ours
         try:
-            os.remove(os.path.join(table, rel))
+            os.remove(p)
             deleted += 1
         except OSError:
             pass

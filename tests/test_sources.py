@@ -1313,3 +1313,36 @@ def test_iceberg_expire_snapshots_and_orphans(spark, tmp_path):
     assert stats["deleted"] >= 1
     assert not os.path.exists(orphan)
     assert iceberg_read(spark, table).count() == 5
+
+
+def test_iceberg_expire_never_touches_external_converted_files(spark, tmp_path):
+    """Review regression: expiring the conversion snapshot must NOT
+    delete the user's original in-place files outside the table dir."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.sources.iceberg import (
+        iceberg_convert,
+        iceberg_expire_snapshots,
+        iceberg_read,
+        iceberg_write,
+    )
+
+    d = str(tmp_path / "xplain")
+    spark.range(20).select("id").write.parquet(d)
+    orig = [
+        os.path.join(r, n)
+        for r, _d, ns in os.walk(d)
+        for n in ns
+        if n.endswith(".parquet")
+    ]
+    table = str(tmp_path / "xtable")
+    iceberg_convert(spark, d, table)
+    iceberg_write(
+        spark.range(100, 105).select("id"), table, mode="overwrite"
+    )
+    iceberg_expire_snapshots(spark, table, keep_last=1)
+    for p in orig:
+        assert os.path.exists(p)  # external originals untouched
+    assert iceberg_read(spark, table).count() == 5
