@@ -117,3 +117,65 @@ def connected_components(
             break
         prev_sum = new_sum
     return labels.select("node", F.col("label").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the edge list (public Brin/Page
+    formulation): rank = (1-d)/n + d * (Σ_in rank/outdeg + dangling/n),
+    dangling mass redistributed uniformly. Node set = edge endpoints;
+    ranks sum to 1 at every iteration (tested invariant).
+
+    Scale shape (same discipline as ``connected_components``): each
+    iteration is one key-partitioned join edges⋈ranks (co-shuffled on
+    the src key) + one map-side-combined sum by dst; out-degrees are
+    computed once; the dangling mass is a ONE-ROW aggregate cross-joined
+    back (broadcast), never a driver loop over nodes; lineage truncates
+    per iteration via localCheckpoint so plan depth stays constant."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).filter(F.col(src).isNotNull() & F.col(dst).isNotNull()).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        dangling = (
+            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang"))
+        )
+        contribs = (
+            e.join(outdeg, "src")
+            .join(ranks, F.col("src") == F.col("node"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("outd")).alias("__in"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.col("__dang") / n
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

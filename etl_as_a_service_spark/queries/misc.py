@@ -1621,3 +1621,132 @@ def q133_current_value_view(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q154 — market-basket co-occurrence (frequent part pairs per order)
+# --------------------------------------------------------------------------
+@query(
+    "q154_market_basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS support
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 25
+    """,
+    tags=("basket", "co-occurrence", "join", "operator"),
+)
+def q154_market_basket_pairs(spark, sf_dir):
+    """Market-basket analysis (q154): the 25 most frequent part pairs
+    co-occurring in an order. The classic A-priori first step: distinct
+    (order, part) items self-join CO-PARTITIONED on the order key (one
+    shuffle each side, never a cross join — baskets are bounded, so
+    pairs-per-order is quadratic only in basket size), pair supports
+    map-side combine, top-k plans as TakeOrderedAndProject."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# q155 — PageRank over the part co-purchase graph (3 fixed iterations)
+# --------------------------------------------------------------------------
+@query(
+    "q155_copurchase_pagerank",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    p AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    e AS (SELECT pa AS src, pb AS dst FROM p
+          UNION ALL SELECT pb, pa FROM p),
+    deg AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+    s1 AS (SELECT e.dst AS node, sum(r0.rank / deg.outd) AS m
+           FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+           GROUP BY e.dst),
+    r1 AS (SELECT nd.node, 0.15 / nn.n + 0.85 * coalesce(s1.m, 0) AS rank
+           FROM nodes nd CROSS JOIN nn LEFT JOIN s1 ON nd.node = s1.node),
+    s2 AS (SELECT e.dst AS node, sum(r1.rank / deg.outd) AS m
+           FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+           GROUP BY e.dst),
+    r2 AS (SELECT nd.node, 0.15 / nn.n + 0.85 * coalesce(s2.m, 0) AS rank
+           FROM nodes nd CROSS JOIN nn LEFT JOIN s2 ON nd.node = s2.node),
+    s3 AS (SELECT e.dst AS node, sum(r2.rank / deg.outd) AS m
+           FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+           GROUP BY e.dst),
+    r3 AS (SELECT nd.node, 0.15 / nn.n + 0.85 * coalesce(s3.m, 0) AS rank
+           FROM nodes nd CROSS JOIN nn LEFT JOIN s3 ON nd.node = s3.node)
+    SELECT node, round(rank, 6) AS rank
+    FROM r3
+    ORDER BY round(rank, 6) DESC, node
+    LIMIT 20
+    """,
+    tags=("graph", "pagerank", "iterative", "operator"),
+)
+def q155_copurchase_pagerank(spark, sf_dir):
+    """PageRank (q155) over the symmetric part co-purchase graph
+    (pairs with support >= 2), 3 fixed iterations, damping 0.85 — the
+    engine's second iterative-graph operator after connected
+    components. The symmetric edge set has no dangling nodes, so the
+    operator's dangling-mass term is exactly zero and the oracle's
+    unrolled algebra matches term for term. Ranks are ordered on the
+    ROUNDED value (+ node tie-break): sums of double contributions are
+    accumulation-order-dependent at ~1e-16, far below the 1e-6 grain."""
+    from etl_as_a_service_spark.operators.graph import pagerank
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    edges = pairs.select(
+        F.col("pa").alias("a"), F.col("pb").alias("b")
+    ).unionByName(
+        pairs.select(F.col("pb").alias("a"), F.col("pa").alias("b"))
+    )
+    return (
+        pagerank(edges, "a", "b", damping=0.85, iterations=3)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )

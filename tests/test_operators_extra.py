@@ -631,3 +631,42 @@ def test_filter_funnel_empty_input_reports_zeros(spark):
     df = spark.createDataFrame([], "n_chars long")
     out = filter_funnel(df, [("nonempty", F.col("n_chars") > 0)]).collect()
     assert all(r["survivors"] == 0 for r in out)
+
+
+def test_pagerank_known_graph_and_invariants(spark):
+    """Analytic check on a 3-node chain a->b->c (c dangling): ranks
+    sum to 1 every iteration, and one iteration from uniform matches
+    the hand-computed values including the dangling redistribution."""
+    from etl_as_a_service_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "a string, b string"
+    )
+    r1 = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=1, damping=0.85).collect()
+    }
+    # uniform start 1/3; dangling c holds 1/3 ->each node gets d*(1/9)
+    base = 0.15 / 3 + 0.85 * (1 / 9)
+    assert abs(r1["a"] - base) < 1e-12
+    assert abs(r1["b"] - (base + 0.85 / 3)) < 1e-12
+    assert abs(r1["c"] - (base + 0.85 / 3)) < 1e-12
+    assert abs(sum(r1.values()) - 1.0) < 1e-9
+    r5 = pagerank(edges, iterations=5)
+    total = r5.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_pagerank_symmetric_star_ranks_center_highest(spark):
+    from etl_as_a_service_spark.operators.graph import pagerank
+
+    spokes = [("hub", f"s{i}") for i in range(6)]
+    edges = spark.createDataFrame(
+        spokes + [(b, a) for a, b in spokes], "a string, b string"
+    )
+    ranks = {
+        r["node"]: r["rank"] for r in pagerank(edges, iterations=8).collect()
+    }
+    assert ranks["hub"] == max(ranks.values())
+    spoke_vals = [v for k, v in ranks.items() if k != "hub"]
+    assert max(spoke_vals) - min(spoke_vals) < 1e-9  # symmetry
