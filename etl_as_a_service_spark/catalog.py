@@ -97,6 +97,40 @@ def register_views(
         df.createOrReplaceTempView(name)
 
 
+def register_lake_table(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    fmt: str = "parquet",
+    **options,
+) -> None:
+    """Register ONE lake table as a temp view for ``spark.sql``,
+    format-aware: ``parquet`` reads the path directly, ``delta`` /
+    ``iceberg`` go through this repo's jar-free connectors (pass
+    ``version=`` / ``snapshot_id=`` for time travel), ``avro`` through
+    the pure-Python OCF reader — so SQL users address every supported
+    table format by name."""
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+    elif fmt == "delta":
+        from etl_as_a_service_spark.sources.delta import delta_read
+
+        df = delta_read(spark, path, version=options.get("version"))
+    elif fmt == "iceberg":
+        from etl_as_a_service_spark.sources.iceberg import iceberg_read
+
+        df = iceberg_read(
+            spark, path, snapshot_id=options.get("snapshot_id")
+        )
+    elif fmt == "avro":
+        from etl_as_a_service_spark.sources.avro import read_avro
+
+        df = read_avro(spark, path)
+    else:
+        raise ValueError(f"unsupported lake table format: {fmt!r}")
+    df.createOrReplaceTempView(name)
+
+
 def list_tables(spark: SparkSession) -> list[str]:
     """Catalog listing — analog of the reference's bucket listing
     (``minio_client.py:50-62``), but typed: names come from the Spark

@@ -100,6 +100,7 @@ _ALLOWED_OPS = {
     "substring_dedup",
     "weighted_sample_per_group",
     "balanced_interleave",
+    "pagerank",
 }
 
 
@@ -502,6 +503,18 @@ def _apply_step(
             domain_col=_req(step, "domain_col"),
             id_col=_req(step, "id_col"),
             salt=step.get("salt", "interleave-v1"),
+        )
+    if op == "pagerank":
+        # {"op":"pagerank","src":"a","dst":"b","iterations":5,
+        #  "damping":0.85} — ranks over an edge-list frame
+        from etl_as_a_service_spark.operators.graph import pagerank
+
+        return pagerank(
+            df,
+            src=_req(step, "src"),
+            dst=_req(step, "dst"),
+            damping=float(step.get("damping", 0.85)),
+            iterations=int(step.get("iterations", 5)),
         )
     if op == "interpolate":
         # {"op":"interpolate","ts_col":"ts","keys":["k"],

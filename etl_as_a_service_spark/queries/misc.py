@@ -1750,3 +1750,83 @@ def q155_copurchase_pagerank(spark, sf_dir):
         .orderBy(F.col("rank").desc(), "node")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q156 — seasonal-baseline forecast (per-type weekday profile)
+# --------------------------------------------------------------------------
+@query(
+    "q156_seasonal_baseline_forecast",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER) AS dow,  -- DuckDB 0=Sun, Spark 1=Sun
+             round(sum(value), 2) AS total
+      FROM events GROUP BY 1, 2, 3
+    ),
+    profile AS (
+      SELECT event_type, dow,
+             round(avg(total), 6) AS expected,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY event_type, dow
+    ),
+    latest AS (
+      SELECT event_type, d, dow, total FROM daily
+      QUALIFY row_number() OVER (PARTITION BY event_type
+                                 ORDER BY d DESC) = 1
+    )
+    SELECT p.event_type, p.dow, p.expected, p.n_days,
+           CASE WHEN l.dow = p.dow
+                THEN round(l.total - p.expected, 6) END AS latest_residual
+    FROM profile p
+    LEFT JOIN latest l ON l.event_type = p.event_type
+    ORDER BY p.event_type, p.dow
+    """,
+    tags=("timeseries", "forecast", "seasonal", "operator"),
+)
+def q156_seasonal_baseline_forecast(spark, sf_dir):
+    """Seasonal-naive forecasting baseline (q156): per (event_type,
+    weekday) expected daily totals — the profile a monitoring system
+    forecasts tomorrow from — plus each type's LATEST day scored
+    against its weekday expectation (residual). Two key-partitioned
+    aggregates and one per-type top-1 (WindowGroupLimit); nothing
+    global."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            F.dayofweek(F.to_date("ts")).alias("dow"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    profile = daily.groupBy("event_type", "dow").agg(
+        F.round(F.avg("total"), 6).alias("expected"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("d").desc())
+    latest = (
+        daily.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("event_type").alias("le"),
+            F.col("dow").alias("ldow"),
+            F.col("total").alias("ltotal"),
+        )
+    )
+    return (
+        profile.join(latest, profile.event_type == F.col("le"), "left")
+        .select(
+            "event_type",
+            "dow",
+            "expected",
+            "n_days",
+            F.when(
+                F.col("ldow") == F.col("dow"),
+                F.round(F.col("ltotal") - F.col("expected"), 6),
+            ).alias("latest_residual"),
+        )
+        .orderBy("event_type", "dow")
+    )

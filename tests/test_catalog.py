@@ -43,3 +43,31 @@ def test_register_views_and_listing(spark):
     names = list_tables(spark)
     assert "region" in names and "nation" in names
     assert spark.sql("SELECT count(*) AS n FROM region").first()["n"] == 5
+
+
+def test_register_lake_table_formats(spark, tmp_path):
+    """SQL users can address delta/iceberg/avro tables by name through
+    one registration call."""
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.catalog import register_lake_table
+    from etl_as_a_service_spark.sources.avro import write_avro
+    from etl_as_a_service_spark.sources.delta import delta_write
+    from etl_as_a_service_spark.sources.iceberg import iceberg_write
+
+    df = spark.range(30).select("id", (F.col("id") % 3).alias("g"))
+    dt = str(tmp_path / "dt")
+    it = str(tmp_path / "it")
+    av = str(tmp_path / "av")
+    delta_write(df, dt)
+    iceberg_write(df, it)
+    write_avro(df, av)
+    register_lake_table(spark, "t_delta", dt, fmt="delta")
+    register_lake_table(spark, "t_iceberg", it, fmt="iceberg")
+    register_lake_table(spark, "t_avro", av, fmt="avro")
+    for t in ("t_delta", "t_iceberg", "t_avro"):
+        assert spark.sql(f"SELECT count(*) AS n FROM {t}").first()["n"] == 30
+    got = spark.sql(
+        "SELECT sum(d.id) AS s FROM t_delta d JOIN t_iceberg i ON d.id = i.id"
+    ).first()["s"]
+    assert got == sum(range(30))
