@@ -412,6 +412,8 @@ def iceberg_write(
     table: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    _summary_extra: dict | None = None,
+    _skip_if=None,
 ) -> int:
     """Commit ``df``; returns the new snapshot id.
 
@@ -495,6 +497,16 @@ def iceberg_write(
                     "lost table-creation race: schema or partition spec "
                     "differs from the committed table metadata"
                 )
+        if _skip_if is not None and prev_md is not None and _skip_if(prev_md):
+            # the commit this write represents already landed (e.g. a
+            # replayed streaming batch raced us) — drop staged files
+            if data_files is not None:
+                for d in data_files:
+                    try:
+                        os.remove(os.path.join(table, d["file_path"]))
+                    except OSError:
+                        pass
+            return prev_md.get("current-snapshot-id", -1)
         md_for_manifest = prev_md or {
             "schemas": [schema],
             "current-schema-id": 0,
@@ -548,7 +560,7 @@ def iceberg_write(
             "sequence-number": seq,
             "timestamp-ms": int(time.time() * 1000),
             "manifest-list": f"metadata/{list_name}",
-            "summary": {"operation": mode},
+            "summary": {"operation": mode, **(_summary_extra or {})},
             "schema-id": 0,
         }
         new_md = {
@@ -886,3 +898,78 @@ def iceberg_remove_orphans(
                     continue
             deleted += 1
     return {"candidates": len(candidates), "deleted": deleted}
+
+
+def _stream_watermark(table: str, app_id: str) -> int:
+    """Highest committed streaming batch id for ``app_id`` across the
+    retained snapshots — carried in snapshot SUMMARY properties (the
+    spec's home for per-commit engine metadata; expire_snapshots of old
+    snapshots also expires their watermarks, so retention must cover
+    the stream's replay window, same as the real integration)."""
+    md = _load_metadata(table)
+    best = -1
+    for s in md.get("snapshots", []):
+        summ = s.get("summary", {})
+        if summ.get("streaming-app-id") == app_id:
+            try:
+                best = max(best, int(summ.get("streaming-batch-id", -1)))
+            except (TypeError, ValueError):
+                pass
+    return best
+
+
+def iceberg_stream_sink(
+    stream_df: DataFrame,
+    table: str,
+    checkpoint: str,
+    app_id: str,
+    timeout_sec: int = 120,
+):
+    """EXACTLY-ONCE streaming appends into an Iceberg table (trigger
+    availableNow): each micro-batch commits one snapshot whose summary
+    carries {streaming-app-id, streaming-batch-id}; a replayed batch
+    (foreachBatch is at-least-once after a crash between commit and
+    checkpoint) is skipped when a retained snapshot already carries its
+    id — the same idempotence shape as the Delta sink's txn actions,
+    expressed in the Iceberg spec's vocabulary. Returns the final
+    snapshot DataFrame."""
+    spark = stream_df.sparkSession
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if _versions(table) and _stream_watermark(table, app_id) >= batch_id:
+            return  # replayed batch
+        iceberg_write(
+            batch_df,
+            table,
+            mode="append",
+            _summary_extra={
+                "streaming-app-id": app_id,
+                "streaming-batch-id": str(batch_id),
+            },
+            _skip_if=lambda md: _md_stream_watermark(md, app_id) >= batch_id,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"iceberg stream sink did not finish in {timeout_sec}s"
+        )
+    return iceberg_read(spark, table)
+
+
+def _md_stream_watermark(md: dict, app_id: str) -> int:
+    best = -1
+    for s in md.get("snapshots", []):
+        summ = s.get("summary", {})
+        if summ.get("streaming-app-id") == app_id:
+            try:
+                best = max(best, int(summ.get("streaming-batch-id", -1)))
+            except (TypeError, ValueError):
+                pass
+    return best

@@ -1346,3 +1346,29 @@ def test_iceberg_expire_never_touches_external_converted_files(spark, tmp_path):
     for p in orig:
         assert os.path.exists(p)  # external originals untouched
     assert iceberg_read(spark, table).count() == 5
+
+
+def test_iceberg_stream_sink_exactly_once(spark, tmp_path):
+    """Streaming appends commit one snapshot per batch with the batch
+    watermark in the snapshot summary; re-running the same availableNow
+    stream with a FRESH checkpoint (forcing a replay of batch 0) must
+    not duplicate rows."""
+    from etl_as_a_service_spark.sources.iceberg import (
+        _stream_watermark,
+        iceberg_history,
+        iceberg_stream_sink,
+    )
+
+    table = str(tmp_path / "istream")
+    src = str(tmp_path / "isrc")
+    spark.range(20).selectExpr("id", "id * 3 AS v").write.parquet(src)
+    stream = spark.readStream.schema("id long, v long").parquet(src)
+    out = iceberg_stream_sink(stream, table, str(tmp_path / "ick1"), app_id="ia")
+    assert out.count() == 20
+    assert _stream_watermark(table, "ia") == 0
+    stream2 = spark.readStream.schema("id long, v long").parquet(src)
+    out2 = iceberg_stream_sink(
+        stream2, table, str(tmp_path / "ick2"), app_id="ia"
+    )
+    assert out2.count() == 20  # replayed batch deduped
+    assert iceberg_history(spark, table).count() == 1
