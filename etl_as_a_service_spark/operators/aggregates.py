@@ -155,3 +155,90 @@ def finalize_state(
         elif fn == "approx_distinct":
             cols.append(F.hll_sketch_estimate(f"{name}__hll").alias(name))
     return state.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters — mergeable Misra-Gries summaries (Agarwal et al.,
+# "Mergeable Summaries", public paper). Kept as a sibling of the spec
+# algebra above because its state is per-(group, item), not one column.
+# ---------------------------------------------------------------------------
+
+
+def _mg_truncate(counts: DataFrame, keys: list[str], m: int) -> DataFrame:
+    """Misra-Gries compression of exact per-(group, item) counts: keep
+    each group's top-m items with the (m+1)-th count subtracted — the
+    merge-safe truncation whose cumulative underestimate is bounded by
+    N/(m+1). Per-group cutoffs plan as WindowGroupLimit; the threshold
+    row joins back per group (tiny)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__cnt").desc(), F.col("__item")
+    )
+    ranked = counts.withColumn("__rn", F.row_number().over(w))
+    thresh = (
+        ranked.filter(F.col("__rn") == m + 1)
+        .select(*keys, F.col("__cnt").alias("__thresh"))
+    )
+    return (
+        ranked.filter(F.col("__rn") <= m)
+        .join(thresh, keys, "left")
+        .select(
+            *keys,
+            "__item",
+            (F.col("__cnt") - F.coalesce(F.col("__thresh"), F.lit(0)))
+            .alias("__cnt"),
+        )
+        .filter(F.col("__cnt") > 0)
+    )
+
+
+def heavy_hitters_state(
+    df: DataFrame, keys: list[str], item_col: str, m: int
+) -> DataFrame:
+    """Per-group heavy-hitter summary: at most ``m`` (item, count)
+    rows per group, with the Misra-Gries guarantee that any item whose
+    true frequency exceeds N_group/(m+1) is present and every reported
+    count underestimates the truth by at most N_group/(m+1). One exact
+    per-(group, item) aggregate (map-side combined) + the top-m
+    truncation — the state is O(groups * m) no matter how large the
+    input."""
+    counts = df.groupBy(
+        *keys, F.col(item_col).alias("__item")
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
+    return _mg_truncate(counts, keys, m)
+
+
+def merge_heavy_hitters(
+    a: DataFrame, b: DataFrame, keys: list[str], m: int
+) -> DataFrame:
+    """Fold two summaries: per-item count sums, then one more
+    truncation — the mergeable-summaries result keeps the cumulative
+    error bound additive in the truncations, so folding daily batches
+    preserves the N/(m+1) guarantee over the whole stream."""
+    summed = (
+        a.unionByName(b)
+        .groupBy(*keys, "__item")
+        .agg(F.sum("__cnt").alias("__cnt"))
+    )
+    return _mg_truncate(summed, keys, m)
+
+
+def finalize_heavy_hitters(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Render (keys..., item, est_count, rank) rows, rank 1 = heaviest
+    (deterministic item tie-break). Pure per-group window over <= m
+    rows per group."""
+    from pyspark.sql import Window
+
+    return state.select(
+        *keys,
+        F.col("__item").alias("item"),
+        F.col("__cnt").alias("est_count"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(*keys).orderBy(
+                F.col("est_count").desc(), F.col("item")
+            )
+        ).cast("long"),
+    )

@@ -1830,3 +1830,129 @@ def q156_seasonal_baseline_forecast(spark, sf_dir):
         )
         .orderBy("event_type", "dow")
     )
+
+
+# --------------------------------------------------------------------------
+# q157 — mergeable heavy hitters: guarantee-expressed oracle check
+# --------------------------------------------------------------------------
+@query(
+    "q157_heavy_hitters_fold",
+    oracle="""
+    WITH corpus AS (
+      SELECT event_id, event_type, user_id FROM events
+      UNION ALL
+      SELECT event_id, event_type, 9999 AS user_id FROM events
+    ),
+    exact AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+      FROM corpus GROUP BY event_type, user_id
+    ),
+    tot AS (SELECT event_type, sum(c) AS n FROM exact GROUP BY event_type),
+    top1 AS (
+      SELECT event_type, user_id AS top_item, c AS top_count
+      FROM exact QUALIFY row_number() OVER (PARTITION BY event_type
+                                            ORDER BY c DESC, user_id) = 1
+    )
+    SELECT t.event_type,
+           top1.top_item, top1.top_count,
+           TRUE AS top1_reported,
+           TRUE AS bounds_hold,
+           CAST(t.n AS BIGINT) AS n_events
+    FROM tot t JOIN top1 USING (event_type)
+    ORDER BY t.event_type
+    """,
+    tags=("sketch", "heavy-hitters", "mergeable", "operator"),
+)
+def q157_heavy_hitters_fold(spark, sf_dir):
+    """Mergeable heavy hitters (q157), guarantee-expressed like q104:
+    the events table is split into 3 disjoint batches, each summarized
+    independently (Misra-Gries, m=8 per event_type) and FOLDED; the
+    output row per type carries the exact top-1 item/count (anchors
+    the oracle can recompute) plus booleans asserting the MG
+    guarantees on the folded summary — the true top-1 item is
+    reported, and every estimate underestimates its exact count by at
+    most N/(m+1) per truncation (3 truncations here). A violated
+    guarantee flips a boolean and fails the hash match."""
+    from etl_as_a_service_spark.operators.aggregates import (
+        finalize_heavy_hitters,
+        heavy_hitters_state,
+        merge_heavy_hitters,
+    )
+
+    (raw,) = _t(spark, sf_dir, "events")
+    # near-uniform user frequencies carry no true heavy hitter, so one
+    # is PLANTED (mirrored in the oracle): every event duplicated under
+    # user 9999 -> 50% frequency, far above the N/(m+1) threshold
+    ev = raw.select("event_id", "event_type", "user_id").unionByName(
+        raw.select(
+            "event_id", "event_type", F.lit(9999).cast("long").alias("user_id")
+        )
+    )
+    m = 8
+    parts = [ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)]
+    state = heavy_hitters_state(parts[0], ["event_type"], "user_id", m)
+    for p in parts[1:]:
+        state = merge_heavy_hitters(
+            state, heavy_hitters_state(p, ["event_type"], "user_id", m),
+            ["event_type"], m,
+        )
+    hh = finalize_heavy_hitters(state, ["event_type"])
+
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = exact.groupBy("event_type").agg(F.sum("c").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("c").desc(), F.col("user_id")
+    )
+    top1 = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("top_item"),
+            F.col("c").alias("top_count"),
+        )
+    )
+    # guarantee checks computed ENGINE-side; the oracle expects TRUE
+    err_budget = 3  # truncations in this fold
+    checks = (
+        hh.join(exact,
+                (hh.event_type == exact.event_type)
+                & (hh.item == exact.user_id))
+        .drop(exact.event_type)
+        .join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.col("est_count") <= F.col("c")
+            ).alias("no_overestimate"),
+            F.min(
+                (F.col("c") - F.col("est_count"))
+                <= err_budget * (F.col("n") / (m + 1))
+            ).alias("within_bound"),
+        )
+    )
+    reported = hh.select("event_type", F.col("item").alias("top_item"))
+    return (
+        tot.join(top1, "event_type")
+        .join(checks, "event_type")
+        .join(
+            reported,
+            ["event_type", "top_item"],
+            "left_semi",
+        )
+        .select(
+            "event_type",
+            "top_item",
+            "top_count",
+            F.lit(True).alias("top1_reported"),
+            (F.col("no_overestimate") & F.col("within_bound")).alias(
+                "bounds_hold"
+            ),
+            F.col("n").cast("long").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

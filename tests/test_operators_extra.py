@@ -670,3 +670,55 @@ def test_pagerank_symmetric_star_ranks_center_highest(spark):
     assert ranks["hub"] == max(ranks.values())
     spoke_vals = [v for k, v in ranks.items() if k != "hub"]
     assert max(spoke_vals) - min(spoke_vals) < 1e-9  # symmetry
+
+
+def test_heavy_hitters_guarantees_and_merge(spark):
+    """MG guarantees on a skewed synthetic stream: every item with
+    frequency > N/(m+1) is reported, no estimate exceeds its exact
+    count, underestimates stay within the truncation budget, and a
+    fold of two halves satisfies the same guarantees as one pass."""
+    from etl_as_a_service_spark.operators.aggregates import (
+        finalize_heavy_hitters,
+        heavy_hitters_state,
+        merge_heavy_hitters,
+    )
+
+    # zipf-ish: item i appears 200//(i+1) times
+    rows = [
+        (j, "g", f"item{i}")
+        for i in range(40)
+        for j in range(200 // (i + 1))
+    ]
+    df = spark.createDataFrame(
+        [(n, g, it) for n, (j, g, it) in enumerate(rows)],
+        "rid long, grp string, item string",
+    )
+    n_total = df.count()
+    m = 6
+    exact = {
+        r["item"]: r["c"]
+        for r in df.groupBy("item").agg(F.count("*").alias("c")).collect()
+    }
+
+    def check(hh_rows, budget):
+        est = {r["item"]: r["est_count"] for r in hh_rows}
+        thresh = n_total / (m + 1)
+        for item, c in exact.items():
+            if c > budget * thresh:
+                assert item in est, (item, c)
+        for item, e in est.items():
+            assert e <= exact[item]
+            assert exact[item] - e <= budget * thresh
+
+    one_pass = finalize_heavy_hitters(
+        heavy_hitters_state(df, ["grp"], "item", m), ["grp"]
+    ).collect()
+    check(one_pass, budget=1)
+
+    a = heavy_hitters_state(df.filter(F.col("rid") % 2 == 0), ["grp"], "item", m)
+    b = heavy_hitters_state(df.filter(F.col("rid") % 2 == 1), ["grp"], "item", m)
+    folded = finalize_heavy_hitters(
+        merge_heavy_hitters(a, b, ["grp"], m), ["grp"]
+    ).collect()
+    check(folded, budget=3)  # two batch truncations + one merge
+    assert len(folded) <= m
