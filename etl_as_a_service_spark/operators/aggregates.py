@@ -34,7 +34,7 @@ State schema per spec {name: (fn, col)} (latest/earliest take
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _FNS = (
@@ -241,4 +241,108 @@ def finalize_heavy_hitters(state: DataFrame, keys: list[str]) -> DataFrame:
                 F.col("est_count").desc(), F.col("item")
             )
         ).cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable frequency estimates (Cormode & Muthukrishnan,
+# "An Improved Data Stream Summary: The Count-Min Sketch and its
+# Applications", public paper). Complements Misra-Gries: MG answers
+# "which items are heavy", CMS answers "how often did THIS item occur"
+# for any item, with a one-sided error (never underestimates, over by at
+# most ~e/width * N with high probability). The sketch is stored SPARSE
+# — one (group, row, col, count) DataFrame row per non-empty cell, at
+# most depth * width rows per group regardless of input size — so the
+# state shuffles 16 bytes per cell, merges by a plain grouped sum, and
+# the whole algebra stays inside Catalyst (xxhash64 is a JVM codegen
+# expression; no Python in the path).
+# ---------------------------------------------------------------------------
+
+
+def _cms_cells(item: Column, depth: int, width: int) -> Column:
+    """Array of ``depth`` (row, col) structs for one item: row i uses
+    xxhash64 seeded by i (the seed rides as an extra hashed column —
+    pyspark's xxhash64 has a fixed seed, so per-row independence comes
+    from hashing the pair). pmod keeps cols in [0, width)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(F.xxhash64(item, F.lit(i)), F.lit(width))
+                .cast("int")
+                .alias("col"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def countmin_state(
+    df: DataFrame,
+    keys: list[str],
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Build a per-group count-min sketch over ``item_col``. Two-level
+    aggregate: exact per-(group, item) counts first (map-side combined,
+    so each distinct item is hashed ONCE however often it repeats),
+    then each item's count is added into its ``depth`` cells. Output
+    schema: keys..., __row, __col, __cnt — at most depth*width rows
+    per group."""
+    counts = df.groupBy(*keys, F.col(item_col).alias("__item")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        counts.select(
+            *keys,
+            F.col("__c"),
+            F.explode(_cms_cells(F.col("__item"), depth, width)).alias("__cell"),
+        )
+        .groupBy(*keys, F.col("__cell.row").alias("__row"),
+                 F.col("__cell.col").alias("__col"))
+        .agg(F.sum("__c").alias("__cnt"))
+    )
+
+
+def merge_countmin(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold two sketches: cell-wise sum. CMS is linear, so
+    sketch(A) + sketch(B) == sketch(A ++ B) EXACTLY — unlike
+    Misra-Gries there is no extra truncation error from folding."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys, "__row", "__col")
+        .agg(F.sum("__cnt").alias("__cnt"))
+    )
+
+
+def countmin_estimate(
+    state: DataFrame,
+    items: DataFrame,
+    keys: list[str],
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-frequency estimates for ``items`` (one row per (group,
+    item) to probe): min over the item's ``depth`` cells. An absent
+    cell means a true zero for that row and the min saturates at 0 via
+    the left-join coalesce. Returns keys..., item_col, est_count.
+    The probe explodes each item into ``depth`` lookups and joins the
+    sketch on (keys, row, col) — broadcastable whenever the sketch's
+    <= depth*width rows per group are dimension-sized."""
+    probes = items.select(
+        *keys,
+        F.col(item_col),
+        F.explode(_cms_cells(F.col(item_col), depth, width)).alias("__cell"),
+    ).select(
+        *keys,
+        item_col,
+        F.col("__cell.row").alias("__row"),
+        F.col("__cell.col").alias("__col"),
+    )
+    return (
+        probes.join(state, [*keys, "__row", "__col"], "left")
+        .groupBy(*keys, item_col)
+        .agg(F.min(F.coalesce(F.col("__cnt"), F.lit(0))).alias("est_count"))
     )

@@ -1,0 +1,499 @@
+"""Corpus-quality heuristics, graph analytics, and sketch queries
+(round-4 continuation batch): Gopher-style per-document quality flags,
+degree-oriented triangle counting, rolling z-score anomaly detection,
+hard-negative mining for contrastive training, and the count-min sketch
+fold. Every query is DuckDB-oracle-checked; the CMS query expresses its
+probabilistic guarantees as engine-computed booleans the oracle expects
+to be TRUE (same contract as q104/q157)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.catalog import load_tables
+from etl_as_a_service_spark.queries import query
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+# --------------------------------------------------------------------------
+# q158 — Gopher-style per-document quality flags (pure Catalyst, 0 shuffles)
+# --------------------------------------------------------------------------
+@query(
+    "q158_gopher_quality_flags",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    words AS (
+      SELECT doc_id, toks[i] AS w
+      FROM toks, UNNEST(range(1, len(toks) + 1)) AS t(i)
+    ),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+    stats AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT)   AS n_words,
+             CAST(count(*) AS BIGINT) AS n_distinct_words,
+             round(sum(len(w) * c) * 1.0 / sum(c), 6) AS mean_word_len,
+             round(max(c) * 1.0 / sum(c), 6)          AS top_word_frac
+      FROM wc GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id,
+             CAST(len(toks) - 1 AS BIGINT) AS n_bigrams,
+             CAST(len(list_distinct(list_transform(
+                 range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i + 1]))) AS BIGINT) AS n_dist_bg
+      FROM toks WHERE len(toks) >= 2
+    )
+    SELECT s.doc_id, n_words, n_distinct_words, mean_word_len, top_word_frac,
+           round(1.0 - n_dist_bg * 1.0 / n_bigrams, 6) AS dup_bigram_frac,
+           (top_word_frac <= 0.2
+            AND round(1.0 - n_dist_bg * 1.0 / n_bigrams, 6) <= 0.5
+            AND n_words >= 10
+            AND mean_word_len BETWEEN 2.0 AND 12.0) AS quality_pass
+    FROM stats s JOIN bg USING (doc_id)
+    ORDER BY s.doc_id
+    """,
+    tags=("quality", "text", "llm", "operator"),
+)
+def q158_gopher_quality_flags(spark, sf_dir):
+    """Gopher-rule quality heuristics (Rae et al., public paper) per
+    document: word counts, mean word length, most-frequent-word
+    fraction, duplicate-bigram fraction, and a pass/fail flag over
+    published-style thresholds. SCALE DESIGN: everything is per-row
+    array math inside whole-stage codegen — the top-word fraction is a
+    max-run scan over the per-doc SORTED token array (one
+    ``aggregate`` higher-order fn), NOT an explode + groupBy, so the
+    query runs with ZERO shuffles before the final order. At 100 TB
+    this is a map-only pass over the corpus."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks).cast("long")
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    # longest run of equal adjacent tokens in the sorted array == the
+    # count of the most frequent word; carried as (prev, run, best)
+    top_cnt = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(" ").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    out = (
+        docs.filter(F.size(F.split(F.col("text"), " ")) >= 2)
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_words"),
+            F.round(total_len / n_words, 6).alias("mean_word_len"),
+            F.round(top_cnt / n_words, 6).alias("top_word_frac"),
+            F.round(
+                1.0
+                - F.size(F.array_distinct(bigrams)) / (n_words - 1),
+                6,
+            ).alias("dup_bigram_frac"),
+        )
+    )
+    return out.withColumn(
+        "quality_pass",
+        (F.col("top_word_frac") <= 0.2)
+        & (F.col("dup_bigram_frac") <= 0.5)
+        & (F.col("n_words") >= 10)
+        & F.col("mean_word_len").between(2.0, 12.0),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q159 — triangle count + global clustering on the co-purchase graph
+# --------------------------------------------------------------------------
+@query(
+    "q159_copurchase_triangles",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    tri AS (
+      SELECT count(*) AS t FROM und e1
+      JOIN und e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
+      JOIN und e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+    ),
+    sym AS (SELECT pa AS u FROM und UNION ALL SELECT pb FROM und),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u)
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+           CAST((SELECT t FROM tri) AS BIGINT)        AS n_triangles,
+           round(3.0 * (SELECT t FROM tri)
+                 / (SELECT sum(d * (d - 1) / 2.0) FROM deg), 6)
+             AS global_clustering
+    """,
+    tags=("graph", "triangles", "operator"),
+)
+def q159_copurchase_triangles(spark, sf_dir):
+    """Triangle count + global clustering coefficient over the part
+    co-purchase graph (support >= 2, the q155 edge set). SCALE DESIGN:
+    the engine uses DEGREE ORIENTATION (orient every undirected edge
+    from its lower-(degree, id) endpoint to the higher one) so each
+    node's out-degree is bounded by O(sqrt(|E|)) on any graph — the
+    wedge join that explodes on high-degree hubs under naive id
+    orientation stays balanced. The oracle counts the same triangles
+    with the simple id orientation; both orientations enumerate each
+    triangle exactly once, so the counts agree while the engine runs
+    the skew-proof plan."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("pa", "pb")
+    )
+    sym = und.select(F.col("pa").alias("u"), F.col("pb").alias("v")).union(
+        und.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # orient each edge toward the higher (degree, id); both endpoints'
+    # order keys ride along so the wedge join can compare dst < dst
+    e = (
+        und.join(deg.select(F.col("u").alias("pa"), F.col("d").alias("da")), "pa")
+        .join(deg.select(F.col("u").alias("pb"), F.col("d").alias("db")), "pb")
+        .select(
+            F.when(
+                F.struct(F.col("da"), F.col("pa"))
+                < F.struct(F.col("db"), F.col("pb")),
+                F.col("pa"),
+            )
+            .otherwise(F.col("pb"))
+            .alias("src"),
+            F.when(
+                F.struct(F.col("da"), F.col("pa"))
+                < F.struct(F.col("db"), F.col("pb")),
+                F.struct(F.col("db").alias("d"), F.col("pb").alias("id")),
+            )
+            .otherwise(F.struct(F.col("da").alias("d"), F.col("pa").alias("id")))
+            .alias("dst_ord"),
+        )
+        .select("src", F.col("dst_ord.id").alias("dst"), "dst_ord")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst_ord") < F.col("e2.dst_ord")),
+        )
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2.0).alias("w")
+    )
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wedges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").cast("long").alias("n_triangles"),
+            F.round(3.0 * F.col("t") / F.col("w"), 6).alias(
+                "global_clustering"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q160 — rolling z-score anomaly detection over the event stream
+# --------------------------------------------------------------------------
+@query(
+    "q160_rolling_zscore_anomalies",
+    oracle="""
+    WITH scored AS (
+      SELECT event_type, value,
+             avg(value)         OVER w AS mu,
+             stddev_samp(value) OVER w AS sd,
+             count(*)           OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT event_type, abs(value - mu) / sd AS az
+      FROM scored WHERE n >= 20 AND sd > 0
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                AS n_scored,
+           CAST(count(*) FILTER (WHERE az > 2.5) AS BIGINT) AS n_anomalies,
+           round(max(az), 4)                       AS max_abs_z
+    FROM z GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("timeseries", "anomaly", "window", "operator"),
+)
+def q160_rolling_zscore_anomalies(spark, sf_dir):
+    """Rolling z-score anomaly detection: each event is scored against
+    the mean/std of its type's previous 50 events (warmup 20), and
+    |z| > 2.5 flags an anomaly. The trailing frame EXCLUDES the current
+    row, so an outlier cannot mask itself. One shuffle (the per-type
+    window partition); per-type output aggregates ride the same
+    partitioning — at scale this keys by (series, device, metric) and
+    stays one exchange."""
+    (ev,) = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-50, -1)
+    )
+    scored = ev.select(
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    z = scored.filter((F.col("n") >= 20) & (F.col("sd") > 0)).select(
+        "event_type",
+        (F.abs(F.col("value") - F.col("mu")) / F.col("sd")).alias("az"),
+    )
+    return (
+        z.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.count_if(F.col("az") > 2.5).alias("n_anomalies"),
+            F.round(F.max("az"), 4).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q161 — hard-negative mining for contrastive training
+# --------------------------------------------------------------------------
+@query(
+    "q161_hard_negative_mining",
+    oracle="""
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cosine
+    FROM (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             round(list_cosine_similarity(
+                 list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 6)
+               AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(
+                   list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 6)
+                 DESC, c.vec_id) AS rn
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 8 AND q.label <> c.label
+    )
+    WHERE rn = 1
+    ORDER BY query_id
+    """,
+    tags=("similarity", "contrastive", "llm", "operator"),
+)
+def q161_hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining: for each anchor embedding, the single
+    most-similar vector with a DIFFERENT label — the pair a contrastive
+    trainer most needs. Anchors broadcast against the streamed corpus
+    (same shape as q45's brute-force top-k); the per-anchor argmax
+    plans as WindowGroupLimit, so the exchange carries O(anchors) rows,
+    never the corpus. At scale the exact pass runs per ANN candidate
+    bucket (q54/q139) instead of the full corpus; semantics unchanged."""
+    from etl_as_a_service_spark.functions.vectors import cosine_similarity
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    pairs = emb.join(
+        F.broadcast(q), F.col("query_label") != F.col("label")
+    ).select(
+        "query_id",
+        "query_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.round(cosine_similarity(F.col("q_emb"), F.col("embedding")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("query_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q162 — count-min sketch fold: guarantee-expressed oracle check
+# --------------------------------------------------------------------------
+@query(
+    "q162_countmin_fold",
+    oracle="""
+    WITH corpus AS (
+      SELECT event_id, event_type, user_id FROM events
+      UNION ALL
+      SELECT event_id, event_type, 9999 AS user_id FROM events
+    ),
+    exact AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+      FROM corpus GROUP BY event_type, user_id
+    ),
+    tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+            FROM exact GROUP BY event_type)
+    SELECT t.event_type,
+           e.c  AS planted_exact,
+           t.n  AS n_events,
+           TRUE AS no_underestimate,
+           TRUE AS within_bound,
+           TRUE AS absent_within_bound
+    FROM tot t JOIN exact e
+      ON t.event_type = e.event_type AND e.user_id = 9999
+    ORDER BY t.event_type
+    """,
+    tags=("sketch", "countmin", "mergeable", "operator"),
+)
+def q162_countmin_fold(spark, sf_dir):
+    """Count-min sketch (q162), guarantee-expressed like q157: events
+    (plus a planted 50%-frequency user 9999) split into 3 disjoint
+    batches, each sketched independently (depth=4, width=512 per
+    event_type) and FOLDED — CMS is linear, so the fold is exact
+    cell-wise addition. Engine-computed booleans assert, over EVERY
+    present (type, user) and 5 absent probe ids: estimates never
+    underestimate, overshoot stays under 8N/width, and absent items
+    estimate under the same bound. Any violation flips a boolean and
+    fails the hash. The sketch state is <= depth*width rows per group
+    regardless of input size — the O(1)-memory frequency oracle a
+    100 TB stream needs."""
+    from etl_as_a_service_spark.operators.aggregates import (
+        countmin_estimate,
+        countmin_state,
+        merge_countmin,
+    )
+
+    depth, width = 4, 512
+    (raw,) = _t(spark, sf_dir, "events")
+    ev = raw.select("event_id", "event_type", "user_id").unionByName(
+        raw.select(
+            "event_id", "event_type", F.lit(9999).cast("long").alias("user_id")
+        )
+    )
+    parts = [ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)]
+    state = countmin_state(parts[0], ["event_type"], "user_id", depth, width)
+    for p in parts[1:]:
+        state = merge_countmin(
+            state,
+            countmin_state(p, ["event_type"], "user_id", depth, width),
+            ["event_type"],
+        )
+
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = exact.groupBy("event_type").agg(F.sum("c").alias("n"))
+    bound = tot.select(
+        "event_type", (8.0 * F.col("n") / width).alias("bnd"), "n"
+    )
+
+    present = countmin_estimate(
+        state, exact.select("event_type", "user_id"),
+        ["event_type"], "user_id", depth, width,
+    )
+    present_checks = (
+        present.join(exact, ["event_type", "user_id"])
+        .join(F.broadcast(bound), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(F.col("est_count") >= F.col("c")).alias("no_underestimate"),
+            F.min(
+                (F.col("est_count") - F.col("c")) <= F.col("bnd")
+            ).alias("within_bound"),
+        )
+    )
+    absent_ids = exact.select("event_type").distinct().crossJoin(
+        F.broadcast(
+            spark.range(5).select(
+                (F.col("id") + 10_000_000).alias("user_id")
+            )
+        )
+    )
+    absent = countmin_estimate(
+        state, absent_ids, ["event_type"], "user_id", depth, width
+    )
+    absent_checks = (
+        absent.join(F.broadcast(bound), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(F.col("est_count") <= F.col("bnd")).alias(
+                "absent_within_bound"
+            )
+        )
+    )
+    planted = exact.filter(F.col("user_id") == 9999).select(
+        "event_type", F.col("c").alias("planted_exact")
+    )
+    return (
+        planted.join(tot, "event_type")
+        .join(present_checks, "event_type")
+        .join(absent_checks, "event_type")
+        .select(
+            "event_type",
+            "planted_exact",
+            F.col("n").cast("long").alias("n_events"),
+            "no_underestimate",
+            "within_bound",
+            "absent_within_bound",
+        )
+        .orderBy("event_type")
+    )

@@ -722,3 +722,72 @@ def test_heavy_hitters_guarantees_and_merge(spark):
     ).collect()
     check(folded, budget=3)  # two batch truncations + one merge
     assert len(folded) <= m
+
+
+def test_countmin_guarantees_linearity_and_absent_items(spark):
+    """CMS invariants on a skewed stream: estimates NEVER underestimate
+    (one-sided error), a two-half fold equals the one-pass sketch
+    CELL-FOR-CELL (linearity — the property that makes the fold exact,
+    unlike Misra-Gries' lossy truncation), a wide sketch with few
+    distinct items is collision-free (est == exact), and absent probes
+    stay under the collision bound."""
+    from etl_as_a_service_spark.operators.aggregates import (
+        countmin_estimate,
+        countmin_state,
+        merge_countmin,
+    )
+
+    rows = [
+        (j, "g", f"item{i}")
+        for i in range(40)
+        for j in range(200 // (i + 1))
+    ]
+    df = spark.createDataFrame(
+        [(n, g, it) for n, (j, g, it) in enumerate(rows)],
+        "rid long, grp string, item string",
+    )
+    depth, width = 4, 256
+    exact = {
+        r["item"]: r["c"]
+        for r in df.groupBy("item").agg(F.count("*").alias("c")).collect()
+    }
+    n_total = df.count()
+
+    one_pass = countmin_state(df, ["grp"], "item", depth, width)
+    probes = df.select("grp", "item").distinct()
+    est = {
+        r["item"]: r["est_count"]
+        for r in countmin_estimate(
+            one_pass, probes, ["grp"], "item", depth, width
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for item, c in exact.items():
+        assert est[item] >= c, (item, est[item], c)
+        assert est[item] - c <= 8.0 * n_total / width
+
+    # linearity: fold of two halves == one pass, cell for cell
+    a = countmin_state(df.filter(F.col("rid") % 2 == 0), ["grp"], "item", depth, width)
+    b = countmin_state(df.filter(F.col("rid") % 2 == 1), ["grp"], "item", depth, width)
+    folded = merge_countmin(a, b, ["grp"])
+    cells = lambda s: sorted(
+        (r["__row"], r["__col"], r["__cnt"]) for r in s.collect()
+    )
+    assert cells(folded) == cells(one_pass)
+
+    # a wide sketch over few distinct items is exact for this seed
+    wide = countmin_state(df, ["grp"], "item", 4, 65536)
+    est_wide = {
+        r["item"]: r["est_count"]
+        for r in countmin_estimate(
+            wide, probes, ["grp"], "item", 4, 65536
+        ).collect()
+    }
+    assert est_wide == exact
+
+    # absent items: bounded overestimate, floor at 0
+    ghost = spark.createDataFrame(
+        [("g", f"ghost{i}") for i in range(10)], "grp string, item string"
+    )
+    for r in countmin_estimate(one_pass, ghost, ["grp"], "item", depth, width).collect():
+        assert 0 <= r["est_count"] <= 8.0 * n_total / width
