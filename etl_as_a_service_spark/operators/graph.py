@@ -66,22 +66,30 @@ def connected_components(
     sym = base.union(base.select(F.col("d").alias("s"), F.col("s").alias("d")))
 
     endpoint_nodes = sym.select(F.col("s").alias("node")).distinct()
+    # Only endpoint labels can ever change (labels flow along edges; a
+    # node with no edge keeps its own id forever), so the ITERATED
+    # frame is endpoints-only and supplied extra vertices join the
+    # output once as singletons at the end. At curation scale this is
+    # the difference between shuffling |V| rows per round and shuffling
+    # only the pair-touched minority — the corpus majority (unique
+    # docs) never rides the loop. A supplied vertex set that OMITS an
+    # edge endpoint would previously have dropped every edge through it
+    # (the label join finds no row) and silently split the component —
+    # path a-b-c with b missing came back as {a},{c}; endpoints-only
+    # iteration makes that impossible by construction.
     if nodes is None:
-        nodes = endpoint_nodes
+        singletons = None
     else:
-        # a supplied vertex set that OMITS an edge endpoint would drop
-        # every edge through that endpoint (the label join finds no row
-        # for it) and silently split the component — path a-b-c with b
-        # missing came back as {a},{c}. Union the endpoints in so the
-        # caller's frame can only ADD singletons, never lose edges.
-        nodes = (
-            nodes.select(F.col("node")).union(endpoint_nodes).distinct()
+        singletons = (
+            nodes.select(F.col("node"))
+            .distinct()
+            .join(endpoint_nodes, "node", "left_anti")
         )
     # seed = round 1 for FREE: initial labels are the node ids, so the
     # first propagation "min over neighbors' labels" is just min over
     # neighbor IDS — one aggregate over (self ∪ edge) pairs, no join
     seeded = (
-        nodes.select(F.col("node"), F.col("node").alias("label"))
+        endpoint_nodes.select(F.col("node"), F.col("node").alias("label"))
         .union(sym.select(F.col("d").alias("node"), F.col("s").alias("label")))
         .groupBy("node")
         .agg(F.min("label").alias("label"))
@@ -116,7 +124,12 @@ def connected_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    return labels.select("node", F.col("label").alias("component"))
+    out = labels.select("node", F.col("label").alias("component"))
+    if singletons is not None:
+        out = out.union(
+            singletons.select("node", F.col("node").alias("component"))
+        )
+    return out
 
 
 def pagerank(

@@ -79,10 +79,10 @@ from etl_as_a_service_spark.queries import quality  # noqa: E402,F401
 # - backfill to 50 with r3-green queries (re-confirmation is free).
 # The manifest CONTENT is unchanged — only dict iteration order moves.
 #
-# ROUND-5 NOTE: q123-q150 were added AFTER this rotation was frozen
+# ROUND-5 NOTE: q123-q162 were added AFTER this rotation was frozen
 # (driver position is what counts, and moving them mid-round would
 # displace the recording above). Next round's front-50 should lead
-# with q123-q150 (25 oracle + q130/q139/q148 rows-only) so the green
+# with q123-q162 (37 oracle + q130/q139/q148 rows-only) so the green
 # union keeps covering the whole manifest.
 _ROTATE_FRONT = [
     # r3-red, fixed this round — must re-record
