@@ -497,3 +497,224 @@ def q162_countmin_fold(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q163 — PSI distribution-drift detection between event-stream halves
+# --------------------------------------------------------------------------
+@query(
+    "q163_psi_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT event_type,
+             CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS half,
+             least(greatest(CAST(floor(value / 20.0) AS INTEGER), 0), 9)
+               AS bucket
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, bucket,
+             count(*) FILTER (WHERE half = 'a') AS ca,
+             count(*) FILTER (WHERE half = 'b') AS cb
+      FROM binned GROUP BY event_type, bucket
+    ),
+    tot AS (
+      SELECT event_type, sum(ca) AS na, sum(cb) AS nb
+      FROM cells GROUP BY event_type
+    ),
+    terms AS (
+      SELECT c.event_type, t.na, t.nb,
+             ((c.ca + 1.0) / (t.na + 10.0) - (c.cb + 1.0) / (t.nb + 10.0))
+             * ln(((c.ca + 1.0) / (t.na + 10.0))
+                  / ((c.cb + 1.0) / (t.nb + 10.0))) AS term
+      FROM cells c JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b,
+           round(sum(term), 6)     AS psi,
+           round(sum(term), 6) > 0.1 AS drifted
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("drift", "quality", "monitoring", "operator"),
+)
+def q163_psi_drift(spark, sf_dir):
+    """Population Stability Index between two halves of the event
+    stream (the data-drift monitor every production pipeline runs
+    before retraining): values land in 10 fixed-width bins, per-bin
+    probabilities are Laplace-smoothed (+1 / +10) so empty bins never
+    produce ln(0), and PSI = sum((p_a - p_b) * ln(p_a / p_b)) with the
+    conventional 0.1 alert threshold. Deterministic fixed bins (not
+    sample quantiles) keep the oracle portable. ONE shuffle — the
+    (type, bucket) cells aggregate map-side; totals and terms ride the
+    same keys."""
+    (ev,) = _t(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("half"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 20.0).cast("int"), F.lit(0)),
+            F.lit(9),
+        ).alias("bucket"),
+    )
+    cells = binned.groupBy("event_type", "bucket").agg(
+        F.count_if(F.col("half") == "a").alias("ca"),
+        F.count_if(F.col("half") == "b").alias("cb"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    pa = (F.col("ca") + 1.0) / (F.col("na") + 10.0)
+    pb = (F.col("cb") + 1.0) / (F.col("nb") + 10.0)
+    terms = cells.join(tot, "event_type").select(
+        "event_type", "na", "nb", ((pa - pb) * F.log(pa / pb)).alias("term")
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+            F.round(F.sum("term"), 6).alias("psi"),
+            (F.round(F.sum("term"), 6) > 0.1).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q164 — Welch's t-test: A/B comparison per event type
+# --------------------------------------------------------------------------
+@query(
+    "q164_ab_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             avg(value)      FILTER (WHERE user_id % 2 = 0) AS m1,
+             var_samp(value) FILTER (WHERE user_id % 2 = 0) AS v1,
+             count(*)        FILTER (WHERE user_id % 2 = 0) AS n1,
+             avg(value)      FILTER (WHERE user_id % 2 = 1) AS m2,
+             var_samp(value) FILTER (WHERE user_id % 2 = 1) AS v2,
+             count(*)        FILTER (WHERE user_id % 2 = 1) AS n2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_treat,
+           CAST(n2 AS BIGINT) AS n_ctrl,
+           round(m1 - m2, 6) AS mean_diff,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+           round(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1)
+                    + pow(v2 / n2, 2) / (n2 - 1)), 2) AS df,
+           abs(round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4)) > 1.96
+             AS significant
+    FROM g ORDER BY event_type
+    """,
+    tags=("stats", "ab-test", "operator"),
+)
+def q164_ab_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test per event type, treatment =
+    even user ids vs control = odd (the experimentation-platform
+    primitive): t statistic, Welch-Satterthwaite degrees of freedom,
+    and the |t| > 1.96 significance flag. ONE conditional aggregate
+    pass — six FILTERed aggregates in a single map-side-combined
+    groupBy, no self-join of the two arms."""
+    (ev,) = _t(spark, sf_dir, "events")
+    treat = F.col("user_id") % 2 == 0
+    ctrl = F.col("user_id") % 2 == 1
+    g = ev.groupBy("event_type").agg(
+        F.avg(F.when(treat, F.col("value"))).alias("m1"),
+        F.var_samp(F.when(treat, F.col("value"))).alias("v1"),
+        F.count(F.when(treat, F.lit(1))).alias("n1"),
+        F.avg(F.when(ctrl, F.col("value"))).alias("m2"),
+        F.var_samp(F.when(ctrl, F.col("value"))).alias("v2"),
+        F.count(F.when(ctrl, F.lit(1))).alias("n2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(se2)
+    df = F.pow(se2, 2) / (
+        F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+    )
+    return g.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("n2").cast("long").alias("n_ctrl"),
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(df, 2).alias("df"),
+        (F.abs(F.round(t, 4)) > 1.96).alias("significant"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q165 — per-source KL divergence from the corpus word distribution
+# --------------------------------------------------------------------------
+@query(
+    "q165_domain_divergence",
+    oracle="""
+    WITH words AS (
+      SELECT source, toks[i] AS w
+      FROM (SELECT source, string_split(text, ' ') AS toks FROM documents),
+           UNNEST(range(1, len(toks) + 1)) AS t(i)
+    ),
+    sw AS (SELECT source, w, count(*) AS c FROM words GROUP BY source, w),
+    stot AS (SELECT source, sum(c) AS n FROM sw GROUP BY source),
+    cw AS (SELECT w, sum(c) AS cc FROM sw GROUP BY w),
+    vocab AS (SELECT count(*) AS v, sum(cc) AS nc FROM cw),
+    terms AS (
+      SELECT sw.source,
+             ((sw.c + 1.0) / (stot.n + vocab.v))
+             * ln(((sw.c + 1.0) / (stot.n + vocab.v))
+                  / ((cw.cc + 1.0) / (vocab.nc + vocab.v))) AS term
+      FROM sw
+      JOIN stot USING (source)
+      JOIN cw USING (w)
+      CROSS JOIN vocab
+    )
+    SELECT t.source,
+           CAST(stot.n AS BIGINT) AS n_tokens,
+           round(sum(t.term), 6)  AS kl_from_corpus
+    FROM terms t JOIN stot USING (source)
+    GROUP BY t.source, stot.n
+    ORDER BY t.source
+    """,
+    tags=("divergence", "curation", "llm", "operator"),
+)
+def q165_domain_divergence(spark, sf_dir):
+    """KL divergence of each source's word distribution from the whole
+    corpus — the domain-mixing diagnostic (which sources are
+    stylistically far from the blend they feed). Laplace-smoothed
+    (+1 over the shared vocabulary) so source-absent words never
+    divide by zero; only words the SOURCE uses contribute terms (the
+    q_w > 0 support of KL). Scale shape: one explode into
+    (source, word) counts (map-side combined), the corpus distribution
+    derived FROM those same per-source counts (no second corpus scan),
+    word-keyed shuffle join, scalars broadcast."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    sw = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    stot = sw.groupBy("source").agg(F.sum("c").alias("n"))
+    cw = sw.groupBy("w").agg(F.sum("c").alias("cc"))
+    vocab = cw.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("cc").alias("nc")
+    )
+    p = (F.col("c") + 1.0) / (F.col("n") + F.col("v"))
+    q = (F.col("cc") + 1.0) / (F.col("nc") + F.col("v"))
+    terms = (
+        sw.join(cw, "w")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(vocab))
+        .select("source", "n", (p * F.log(p / q)).alias("term"))
+    )
+    return (
+        terms.groupBy("source", "n")
+        .agg(F.round(F.sum("term"), 6).alias("kl_from_corpus"))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_tokens"),
+            "kl_from_corpus",
+        )
+        .orderBy("source")
+    )
