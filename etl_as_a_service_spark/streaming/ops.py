@@ -378,12 +378,103 @@ def streaming_aggregate_maintenance(
     compact_files) renames it back at the top of every fold, so no
     prior aggregate history is ever lost to that window.
     """
-    import os
-
     from etl_as_a_service_spark.operators.aggregates import (
         aggregate_state,
         merge_states,
     )
+
+    return _maintain_folded_state(
+        stream_df,
+        state_path,
+        checkpoint,
+        partial_fn=lambda batch: aggregate_state(batch, keys, specs),
+        merge_fn=lambda prev, part: merge_states(prev, part, keys, specs),
+        timeout_sec=timeout_sec,
+    )
+
+
+def streaming_heavy_hitters(
+    stream_df: DataFrame,
+    state_path: str,
+    keys: list[str],
+    item_col: str,
+    m: int,
+    checkpoint: str,
+    timeout_sec: int = 120,
+):
+    """Streaming top-m heavy hitters: each micro-batch is summarized
+    with Misra-Gries (operators.aggregates.heavy_hitters_state) and
+    folded into the persisted summary — the "trending items" view a
+    stream needs with O(groups * m) state regardless of volume. Every
+    batch fold adds one truncation, so after B batches the cumulative
+    underestimate is bounded by B * N/(m+1) — size ``m`` for the
+    retention horizon, not just the heaviness threshold. Same
+    crash-hardening as streaming_aggregate_maintenance (write-then-swap,
+    (batch_id, fingerprint) replay idempotence, rename-crash heal)."""
+    from etl_as_a_service_spark.operators.aggregates import (
+        heavy_hitters_state,
+        merge_heavy_hitters,
+    )
+
+    return _maintain_folded_state(
+        stream_df,
+        state_path,
+        checkpoint,
+        partial_fn=lambda batch: heavy_hitters_state(batch, keys, item_col, m),
+        merge_fn=lambda prev, part: merge_heavy_hitters(prev, part, keys, m),
+        timeout_sec=timeout_sec,
+    )
+
+
+def streaming_countmin(
+    stream_df: DataFrame,
+    state_path: str,
+    keys: list[str],
+    item_col: str,
+    checkpoint: str,
+    depth: int = 4,
+    width: int = 512,
+    timeout_sec: int = 120,
+):
+    """Streaming count-min sketch: each micro-batch is sketched
+    (operators.aggregates.countmin_state) and folded cell-wise into the
+    persisted sketch. CMS is LINEAR, so unlike the Misra-Gries fold the
+    streaming state equals the one-shot batch sketch EXACTLY, cell for
+    cell, whatever the batch boundaries (tested). Same crash-hardening
+    as streaming_aggregate_maintenance."""
+    from etl_as_a_service_spark.operators.aggregates import (
+        countmin_state,
+        merge_countmin,
+    )
+
+    return _maintain_folded_state(
+        stream_df,
+        state_path,
+        checkpoint,
+        partial_fn=lambda batch: countmin_state(
+            batch, keys, item_col, depth, width
+        ),
+        merge_fn=lambda prev, part: merge_countmin(prev, part, keys),
+        timeout_sec=timeout_sec,
+    )
+
+
+def _maintain_folded_state(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    partial_fn,
+    merge_fn,
+    timeout_sec: int,
+):
+    """Shared fold machinery for every mergeable-state streaming face:
+    ``partial_fn(batch_df)`` collapses a micro-batch to its partial
+    state, ``merge_fn(prev, part)`` folds it into the persisted table.
+    Carries the at-least-once hardening documented on
+    streaming_aggregate_maintenance: (batch_id, content-fingerprint)
+    replay log inside the same directory swap, write-then-swap rewrite,
+    and the rename-crash heal."""
+    import os
 
     spark = stream_df.sparkSession
     #: replays only ever re-deliver recent batches; cap the log so a
@@ -422,16 +513,14 @@ def streaming_aggregate_maintenance(
         # collapse the batch FIRST (one row per touched group); the
         # checkpoint pins it so the fingerprint action and the state
         # merge below share one computation
-        part = aggregate_state(batch_df, keys, specs).localCheckpoint(
-            eager=True
-        )
+        part = partial_fn(batch_df).localCheckpoint(eager=True)
         log = _read_log()
         fp = _fingerprint(part)
         if log.get(batch_id) == fp:
             return  # replayed batch — already merged into the state
         if os.path.exists(state_path):
             prev = spark.read.parquet(state_path)
-            part = merge_states(prev, part, keys, specs)
+            part = merge_fn(prev, part)
         # write-then-swap: the state table must never be half-written,
         # and overwrite-in-place would read and clobber the same files
         tmp = state_path.rstrip("/") + f".__b{batch_id}__"

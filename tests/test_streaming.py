@@ -480,3 +480,95 @@ def test_streaming_aggregate_maintenance_heals_rename_crash(spark, tmp_path):
     assert got == {"a": 3, "b": 2}
     assert not os.path.exists(state_path + ".__old__")
     shutil.rmtree(state_path, ignore_errors=True)
+
+
+def test_streaming_countmin_equals_batch_sketch_exactly(spark, tmp_path):
+    """CMS linearity through the streaming fold: whatever the
+    micro-batch boundaries, the folded sketch equals the one-shot
+    batch sketch CELL FOR CELL — the property that makes the streaming
+    face lossless (unlike the Misra-Gries fold, which pays a
+    truncation per batch)."""
+    from etl_as_a_service_spark.operators.aggregates import countmin_state
+    from etl_as_a_service_spark.streaming.ops import streaming_countmin
+
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"].select(
+        "event_type", "user_id"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(6).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    state = streaming_countmin(
+        stream,
+        str(tmp_path / "state"),
+        ["event_type"],
+        "user_id",
+        checkpoint=str(tmp_path / "ckpt"),
+        depth=4,
+        width=128,
+    )
+    batch = countmin_state(
+        spark.read.parquet(src), ["event_type"], "user_id", 4, 128
+    )
+    cells = lambda s: sorted(
+        (r["event_type"], r["__row"], r["__col"], r["__cnt"])
+        for r in s.collect()
+    )
+    assert cells(state) == cells(batch)
+
+
+def test_streaming_heavy_hitters_fold_guarantees(spark, tmp_path):
+    """MG guarantees survive the streaming fold: with a planted heavy
+    user (50% of every event type), the folded summary reports it at
+    rank 1 per type, never overestimates any count, and underestimates
+    by at most B * N/(m+1) where B = number of folded micro-batches."""
+    from etl_as_a_service_spark.operators.aggregates import (
+        finalize_heavy_hitters,
+    )
+    from etl_as_a_service_spark.streaming.ops import streaming_heavy_hitters
+
+    raw = load_tables(spark, SF_SMOKE, ("events",))["events"].select(
+        "event_type", "user_id"
+    )
+    ev = raw.unionByName(
+        raw.select("event_type", F.lit(9999).cast("long").alias("user_id"))
+    )
+    src = str(tmp_path / "src")
+    n_batches = 3
+    ev.repartition(n_batches).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    m = 8
+    state = streaming_heavy_hitters(
+        stream,
+        str(tmp_path / "state"),
+        ["event_type"],
+        "user_id",
+        m,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    hh = finalize_heavy_hitters(state, ["event_type"]).collect()
+    exact = {
+        (r["event_type"], r["user_id"]): r["c"]
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    totals = {}
+    for (et, _), c in exact.items():
+        totals[et] = totals.get(et, 0) + c
+    top1 = {r["event_type"]: r["item"] for r in hh if r["rank"] == 1}
+    for et in totals:
+        assert top1[et] == 9999, (et, top1)
+    for r in hh:
+        key = (r["event_type"], r["item"])
+        assert r["est_count"] <= exact[key]
+        assert exact[key] - r["est_count"] <= n_batches * (
+            totals[r["event_type"]] / (m + 1)
+        )
