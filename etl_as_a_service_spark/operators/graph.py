@@ -199,3 +199,68 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Unweighted single/multi-source shortest-path hop counts (BFS)
+    over an undirected edge list: returns ``(node, hops)`` for every
+    node within ``max_hops`` of any source node (``sources`` has one
+    column named ``node``). Unreached nodes are absent.
+
+    Same loop discipline as connected_components: each round is ONE
+    key-partitioned join + a union-min aggregate (dist'(v) =
+    min(dist(v), min over neighbors dist(u)+1)), lineage truncated per
+    round with localCheckpoint, convergence detected by a fingerprint
+    Observation riding the checkpoint action (adding a node or
+    shortening a path changes the sum; distances only ever decrease).
+    Rounds stop at the true eccentricity, never past ``max_hops`` —
+    the bound both caps cost on huge graphs and defines the query
+    semantics ("within k hops"), matching a depth-bounded recursive
+    CTE oracle exactly.
+    """
+
+    def _fingerprint():
+        return F.sum(
+            F.xxhash64("node", "hops").cast("decimal(38,0)")
+        ).alias("s")
+
+    base = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    sym = base.union(base.select(F.col("d").alias("s"), F.col("s").alias("d")))
+
+    obs0 = Observation()
+    labels = (
+        sources.select(F.col("node"), F.lit(0).cast("int").alias("hops"))
+        .distinct()
+        .observe(obs0, _fingerprint())
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = obs0.get["s"]
+    for _ in range(max_hops):
+        neighbor = sym.join(labels, sym.s == labels.node).select(
+            F.col("d").alias("node"), (F.col("hops") + 1).alias("hops")
+        )
+        obs = Observation()
+        new_labels = (
+            labels.select("node", "hops")
+            .union(neighbor)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .observe(obs, _fingerprint())
+            .localCheckpoint(eager=True)
+        )
+        new_sum = obs.get["s"]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select("node", "hops")

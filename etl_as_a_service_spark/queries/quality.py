@@ -718,3 +718,67 @@ def q165_domain_divergence(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q166 — BFS hop distances from the hub part over the co-purchase graph
+# --------------------------------------------------------------------------
+@query(
+    "q166_copurchase_bfs_hops",
+    oracle="""
+    WITH RECURSIVE items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    p AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    e AS (SELECT pa AS es, pb AS ed FROM p UNION ALL SELECT pb, pa FROM p),
+    seed AS (SELECT min(pa) AS s FROM p),
+    walk(node, hop) AS (
+      SELECT s, 0 FROM seed
+      UNION
+      SELECT e.ed, walk.hop + 1
+      FROM walk JOIN e ON e.es = walk.node WHERE walk.hop < 6
+    )
+    SELECT node, CAST(min(hop) AS INTEGER) AS hops
+    FROM walk GROUP BY node
+    ORDER BY hops, node
+    """,
+    tags=("graph", "bfs", "iterative", "operator"),
+)
+def q166_copurchase_bfs_hops(spark, sf_dir):
+    """BFS hop distances (q166): every part within 6 hops of the
+    minimum-id part on the support>=2 co-purchase graph — the
+    engine's third bounded-iteration graph operator
+    (operators/graph.bfs_distances: per round ONE key-partitioned
+    join + union-min aggregate, lineage truncated, fingerprint
+    Observation stops at the true eccentricity). The oracle re-derives
+    the same hop counts with a depth-bounded recursive CTE, so the
+    iterative loop is hash-checked end-to-end like q107's components
+    and q117's hierarchy walk."""
+    from etl_as_a_service_spark.operators.graph import bfs_distances
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("pa", "pb")
+    )
+    seed = und.agg(F.min("pa").alias("node"))
+    return (
+        bfs_distances(und, seed, src="pa", dst="pb", max_hops=6)
+        .orderBy("hops", "node")
+    )

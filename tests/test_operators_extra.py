@@ -791,3 +791,34 @@ def test_countmin_guarantees_linearity_and_absent_items(spark):
     )
     for r in countmin_estimate(one_pass, ghost, ["grp"], "item", depth, width).collect():
         assert 0 <= r["est_count"] <= 8.0 * n_total / width
+
+
+def test_bfs_distances_known_graph(spark):
+    """BFS hop counts on a hand-built graph: path 1-2-3-4 plus an
+    isolated edge 10-11. Single-source from 1: exact hops, unreached
+    nodes absent. Multi-source {1, 10}: min over sources. max_hops
+    truncates the frontier, matching depth-bounded CTE semantics."""
+    from etl_as_a_service_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a long, b long"
+    )
+    one = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_distances(edges, one, max_hops=10).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    multi = spark.createDataFrame([(1,), (10,)], "node long")
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_distances(edges, multi, max_hops=10).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 10: 0, 11: 1}
+
+    capped = {
+        r["node"]: r["hops"]
+        for r in bfs_distances(edges, one, max_hops=2).collect()
+    }
+    assert capped == {1: 0, 2: 1, 3: 2}
