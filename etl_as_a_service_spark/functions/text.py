@@ -125,3 +125,67 @@ def pii_counts(text: Column) -> Column:
             for name, pat in PII_PATTERNS.items()
         ]
     )
+
+
+def gopher_metrics(text: Column) -> Column:
+    """Gopher-rule quality heuristics (Rae et al., public paper) as ONE
+    struct column — shared by the q158 query and the pipeline
+    ``gopher_quality`` step. Fields: n_words, n_distinct_words,
+    mean_word_len, top_word_frac, dup_bigram_frac, quality_pass.
+    All per-row array math inside whole-stage codegen (the top-word
+    fraction is a max-run scan over the SORTED token array, not an
+    explode + groupBy) — a zero-shuffle map pass at any corpus size.
+    Rows with fewer than 2 words yield NULL fractions and fail the
+    pass flag."""
+    toks = F.split(text, " ")
+    n_words = F.size(toks).cast("long")
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    top_cnt = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(" ").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    ok = F.size(toks) >= 2
+    mean_word_len = F.when(ok, F.round(total_len / n_words, 6))
+    top_word_frac = F.when(ok, F.round(top_cnt / n_words, 6))
+    dup_bigram_frac = F.when(
+        ok,
+        F.round(1.0 - F.size(F.array_distinct(bigrams)) / (n_words - 1), 6),
+    )
+    return F.struct(
+        n_words.alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_words"),
+        mean_word_len.alias("mean_word_len"),
+        top_word_frac.alias("top_word_frac"),
+        dup_bigram_frac.alias("dup_bigram_frac"),
+        (
+            ok
+            & (top_word_frac <= 0.2)
+            & (dup_bigram_frac <= 0.5)
+            & (n_words >= 10)
+            & mean_word_len.between(2.0, 12.0)
+        ).alias("quality_pass"),
+    )

@@ -101,6 +101,9 @@ _ALLOWED_OPS = {
     "weighted_sample_per_group",
     "balanced_interleave",
     "pagerank",
+    "bfs",
+    "heavy_hitters",
+    "gopher_quality",
 }
 
 
@@ -564,6 +567,53 @@ def _apply_step(
             dst=_req(step, "dst"),
             max_iter=int(step.get("max_iter", 20)),
         )
+    if op == "bfs":
+        # {"op":"bfs","src":"a","dst":"b","source_ids":[1,2],
+        #  "max_hops":6} — hop distances from the listed source nodes
+        from etl_as_a_service_spark.operators.graph import bfs_distances
+
+        ids = _req(step, "source_ids")
+        if not isinstance(ids, list) or not ids:
+            raise PipelineError("bfs requires a non-empty source_ids list")
+        sources = df.sparkSession.createDataFrame(
+            [(i,) for i in ids], ["node"]
+        )
+        return bfs_distances(
+            df,
+            sources,
+            src=_req(step, "src"),
+            dst=_req(step, "dst"),
+            max_hops=int(step.get("max_hops", 10)),
+        )
+    if op == "heavy_hitters":
+        # {"op":"heavy_hitters","keys":["k"],"item_col":"x","m":8} —
+        # per-group top-m frequent items (Misra-Gries summary,
+        # finalized to (keys..., item, est_count, rank))
+        from etl_as_a_service_spark.operators.aggregates import (
+            finalize_heavy_hitters,
+            heavy_hitters_state,
+        )
+
+        keys = _req(step, "keys")
+        return finalize_heavy_hitters(
+            heavy_hitters_state(
+                df, keys, _req(step, "item_col"), int(step.get("m", 16))
+            ),
+            keys,
+        )
+    if op == "gopher_quality":
+        # {"op":"gopher_quality","text_col":"text","filter":true} —
+        # append the Gopher quality metrics; filter=true keeps only
+        # passing rows (the curation gate shape)
+        from etl_as_a_service_spark.functions.text import gopher_metrics
+
+        out = df.withColumn(
+            "__gq", gopher_metrics(F.col(_req(step, "text_col")))
+        )
+        out = out.select("*", "__gq.*").drop("__gq")
+        if step.get("filter", False):
+            out = out.filter(F.col("quality_pass"))
+        return out
     if op == "quantize_embeddings":
         # {"op":"quantize_embeddings","vec_col":"embedding",
         #  "out_col":"q"} — int8 codes + scale struct (4x storage cut)

@@ -71,62 +71,15 @@ def q158_gopher_quality_flags(spark, sf_dir):
     ``aggregate`` higher-order fn), NOT an explode + groupBy, so the
     query runs with ZERO shuffles before the final order. At 100 TB
     this is a map-only pass over the corpus."""
+    from etl_as_a_service_spark.functions.text import gopher_metrics
+
     (docs,) = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_words = F.size(toks).cast("long")
-    total_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
-    )
-    # longest run of equal adjacent tokens in the sorted array == the
-    # count of the most frequent word; carried as (prev, run, best)
-    top_cnt = F.aggregate(
-        F.array_sort(toks),
-        F.struct(
-            F.lit(" ").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("best"),
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1)
-            .otherwise(F.lit(1).cast("long"))
-            .alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1)
-                .otherwise(F.lit(1).cast("long")),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-        ),
-    )
-    out = (
+    return (
         docs.filter(F.size(F.split(F.col("text"), " ")) >= 2)
-        .select(
-            "doc_id",
-            n_words.alias("n_words"),
-            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_words"),
-            F.round(total_len / n_words, 6).alias("mean_word_len"),
-            F.round(top_cnt / n_words, 6).alias("top_word_frac"),
-            F.round(
-                1.0
-                - F.size(F.array_distinct(bigrams)) / (n_words - 1),
-                6,
-            ).alias("dup_bigram_frac"),
-        )
+        .select("doc_id", gopher_metrics(F.col("text")).alias("m"))
+        .select("doc_id", "m.*")
+        .orderBy("doc_id")
     )
-    return out.withColumn(
-        "quality_pass",
-        (F.col("top_word_frac") <= 0.2)
-        & (F.col("dup_bigram_frac") <= 0.5)
-        & (F.col("n_words") >= 10)
-        & F.col("mean_word_len").between(2.0, 12.0),
-    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------

@@ -820,3 +820,54 @@ def test_substring_dedup_pipeline_step(spark, tmp_path):
     out = compile_pipeline(spark, spec)
     assert out.count() == 500  # every doc survives, duplication excised
     assert "text" in out.columns
+
+
+def test_sketch_graph_quality_steps(spark):
+    """The continuation operators compose through the spec language:
+    heavy_hitters, gopher_quality (with the filter gate), and bfs."""
+    hh_spec = {
+        "name": "hh_step",
+        "source": {"format": "parquet", "path": f"{SF_SMOKE}/events.parquet"},
+        "steps": [
+            {"op": "heavy_hitters", "keys": ["event_type"],
+             "item_col": "user_id", "m": 5},
+        ],
+    }
+    hh = compile_pipeline(spark, hh_spec)
+    assert set(hh.columns) == {"event_type", "item", "est_count", "rank"}
+    per_type = hh.groupBy("event_type").count().collect()
+    assert all(r["count"] <= 5 for r in per_type)
+
+    gq_spec = {
+        "name": "gq_step",
+        "source": {"format": "parquet",
+                   "path": f"{SF_SMOKE}/documents.parquet"},
+        "steps": [
+            {"op": "gopher_quality", "text_col": "text", "filter": True},
+        ],
+    }
+    gq = compile_pipeline(spark, gq_spec)
+    assert "quality_pass" in gq.columns and "doc_id" in gq.columns
+    assert gq.filter("NOT quality_pass").count() == 0
+
+    bfs_spec = {
+        "name": "bfs_step",
+        "source": {"format": "parquet",
+                   "path": f"{SF_SMOKE}/lineitem.parquet"},
+        "steps": [
+            {"op": "sql", "query": """
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM (SELECT DISTINCT l_orderkey, l_partkey FROM __self__) a
+                JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM __self__) b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2"""},
+            {"op": "bfs", "src": "pa", "dst": "pb",
+             "source_ids": [1], "max_hops": 3},
+        ],
+    }
+    bfs = compile_pipeline(spark, bfs_spec)
+    assert set(bfs.columns) == {"node", "hops"}
+    rows = {r["node"]: r["hops"] for r in bfs.collect()}
+    # the seed is labeled 0 when present in the graph; all hops <= cap
+    assert all(0 <= h <= 3 for h in rows.values())
