@@ -483,3 +483,69 @@ def sessionize(
         F.col("session_seq").cast("string"),
     )
     return out.withColumn("session_id", label)
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """One-pass column profile: (col_name, n_nulls, n_distinct,
+    min_val, max_val) per column — the inspect-after-ingest utility the
+    reference's upload flow implies (any-format ingest, then look at
+    what arrived; routes.py:66-135 stores files it never validates).
+
+    All statistics for every column ride ONE aggregate job; the per-
+    column rows come from a stack() reshape of that single row, so the
+    input is scanned exactly once. min/max are rendered to strings with
+    type-stable formats (doubles %.2f, timestamps second precision) so
+    the profile is schema-independent and engine-portable.
+
+    ``approx_distinct=True`` swaps exact count_distinct for HLL
+    approx_count_distinct — at 100 TB the exact form costs an Expand
+    (one input duplicate per profiled column) while the approx form is
+    a plain single-pass aggregate; exact is the default because the
+    differential oracle needs exact values."""
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        FloatType,
+        TimestampType,
+    )
+
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, (DoubleType, FloatType)):
+            def render(x):
+                return F.format_string("%.2f", x)
+        elif isinstance(dt, TimestampType):
+            def render(x):
+                return F.date_format(x, "yyyy-MM-dd HH:mm:ss")
+        elif isinstance(dt, DateType):
+            def render(x):
+                return F.date_format(x, "yyyy-MM-dd")
+        else:
+            def render(x):
+                return x.cast("string")
+        distinct = (
+            F.approx_count_distinct(F.col(c))
+            if approx_distinct
+            else F.count_distinct(F.col(c))
+        )
+        aggs += [
+            F.count_if(F.col(c).isNull()).alias(f"__{c}__nulls"),
+            distinct.alias(f"__{c}__distinct"),
+            render(F.min(c)).alias(f"__{c}__min"),
+            render(F.max(c)).alias(f"__{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `__{c}__nulls`, `__{c}__distinct`, `__{c}__min`, `__{c}__max`"
+        for c in cols
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {stack_args})"
+        " as (col_name, n_nulls, n_distinct, min_val, max_val)"
+    )

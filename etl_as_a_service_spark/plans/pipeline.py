@@ -104,6 +104,7 @@ _ALLOWED_OPS = {
     "bfs",
     "heavy_hitters",
     "gopher_quality",
+    "profile",
 }
 
 
@@ -600,6 +601,16 @@ def _apply_step(
                 df, keys, _req(step, "item_col"), int(step.get("m", 16))
             ),
             keys,
+        )
+    if op == "profile":
+        # {"op":"profile","columns":["a","b"],"approx":false} — one-pass
+        # per-column statistics (inspect-after-ingest)
+        from etl_as_a_service_spark.operators.relational import profile_table
+
+        return profile_table(
+            df,
+            columns=step.get("columns"),
+            approx_distinct=bool(step.get("approx", False)),
         )
     if op == "gopher_quality":
         # {"op":"gopher_quality","text_col":"text","filter":true} —

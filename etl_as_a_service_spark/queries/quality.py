@@ -735,3 +735,70 @@ def q166_copurchase_bfs_hops(spark, sf_dir):
         bfs_distances(und, seed, src="pa", dst="pb", max_hops=6)
         .orderBy("hops", "node")
     )
+
+
+# --------------------------------------------------------------------------
+# q167 — one-pass table profile (inspect-after-ingest utility)
+# --------------------------------------------------------------------------
+@query(
+    "q167_table_profile",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'o_custkey' AS col_name,
+             CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+               AS n_nulls,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+             CAST(min(o_custkey) AS VARCHAR) AS min_val,
+             CAST(max(o_custkey) AS VARCHAR) AS max_val
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate',
+             CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT),
+             CAST(count(DISTINCT o_orderdate) AS BIGINT),
+             strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+             strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderkey',
+             CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT),
+             CAST(count(DISTINCT o_orderkey) AS BIGINT),
+             CAST(min(o_orderkey) AS VARCHAR),
+             CAST(max(o_orderkey) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority',
+             CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+             min(o_orderpriority),
+             max(o_orderpriority)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus',
+             CAST(count(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT),
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+             min(o_orderstatus),
+             max(o_orderstatus)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice',
+             CAST(count(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT),
+             CAST(count(DISTINCT o_totalprice) AS BIGINT),
+             printf('%.2f', min(o_totalprice)),
+             printf('%.2f', max(o_totalprice))
+      FROM orders
+    )
+    ORDER BY col_name
+    """,
+    tags=("profile", "quality", "operator"),
+)
+def q167_table_profile(spark, sf_dir):
+    """Column profile of the orders table (q167): nulls, exact distinct
+    count, rendered min/max per column — the inspect-after-ingest
+    utility. ONE aggregate job computes every column's statistics (the
+    per-column rows are a stack() reshape of that single row); the
+    oracle recomputes each column with a separate scan, so the fused
+    pass is value-checked column by column."""
+    from etl_as_a_service_spark.operators.relational import profile_table
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    return profile_table(orders).orderBy("col_name")

@@ -822,3 +822,32 @@ def test_bfs_distances_known_graph(spark):
         for r in bfs_distances(edges, one, max_hops=2).collect()
     }
     assert capped == {1: 0, 2: 1, 3: 2}
+
+
+def test_profile_table_nulls_types_and_approx(spark):
+    """profile_table on a frame with NULLs and mixed types: null counts
+    per column, exact distincts, type-stable min/max rendering; the
+    approx_distinct path lands within HLL tolerance on the same pass."""
+    from etl_as_a_service_spark.operators.relational import profile_table
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "x"), (2, None, "y"), (3, 7.25, None), (4, 7.25, "y")],
+        "k long, v double, s string",
+    )
+    prof = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert prof["k"]["n_nulls"] == 0 and prof["k"]["n_distinct"] == 4
+    assert prof["k"]["min_val"] == "1" and prof["k"]["max_val"] == "4"
+    assert prof["v"]["n_nulls"] == 1 and prof["v"]["n_distinct"] == 2
+    assert prof["v"]["min_val"] == "2.50" and prof["v"]["max_val"] == "7.25"
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["n_distinct"] == 2
+    assert prof["s"]["min_val"] == "x" and prof["s"]["max_val"] == "y"
+
+    approx = {
+        r["col_name"]: r["n_distinct"]
+        for r in profile_table(df, approx_distinct=True).collect()
+    }
+    for c in ("k", "v", "s"):
+        assert abs(approx[c] - prof[c]["n_distinct"]) <= 1
+
+    sub = profile_table(df, columns=["k"]).collect()
+    assert [r["col_name"] for r in sub] == ["k"]
