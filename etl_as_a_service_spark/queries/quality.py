@@ -802,3 +802,244 @@ def q167_table_profile(spark, sf_dir):
 
     (orders,) = _t(spark, sf_dir, "orders")
     return profile_table(orders).orderBy("col_name")
+
+
+# --------------------------------------------------------------------------
+# q168 — mutual nearest neighbors (reciprocal best match)
+# --------------------------------------------------------------------------
+@query(
+    "q168_mutual_nearest_neighbors",
+    oracle="""
+    WITH cos AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+             round(list_cosine_similarity(
+                 list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6)
+               AS cosine
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < 60 AND b.vec_id < 60 AND a.vec_id <> b.vec_id
+    ),
+    best AS (
+      SELECT ida, idb, cosine,
+             row_number() OVER (PARTITION BY ida
+                                ORDER BY cosine DESC, idb) AS rn
+      FROM cos
+    )
+    SELECT x.ida AS id_a, x.idb AS id_b, x.cosine
+    FROM best x JOIN best y
+      ON x.idb = y.ida AND y.idb = x.ida
+     AND x.rn = 1 AND y.rn = 1 AND x.ida < x.idb
+    ORDER BY id_a
+    """,
+    tags=("similarity", "alignment", "llm", "operator"),
+)
+def q168_mutual_nearest_neighbors(spark, sf_dir):
+    """Mutual nearest neighbors (q168): pairs where each vector is the
+    other's top-1 cosine neighbor — the reciprocal-best-match criterion
+    entity alignment and bitext mining use (high precision: one-sided
+    nearest neighbors are often hubs; mutual ones rarely are). Engine:
+    ONE top-1-per-vector pass (broadcast candidate block, per-vector
+    argmax via WindowGroupLimit), then the reciprocal pairs come from a
+    SELF-join of that top-1 table on (a->b, b->a) — never a second
+    cosine pass. Scoped to a 60-vector block so the oracle's quadratic
+    re-derivation stays cheap; at scale the same two steps run per
+    ANN bucket (q54/q139) instead of a global block."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    from etl_as_a_service_spark.functions.vectors import cosine_similarity
+
+    block = emb.filter(F.col("vec_id") < 60).select(
+        "vec_id", "embedding"
+    )
+    a = block.select(
+        F.col("vec_id").alias("ida"), F.col("embedding").alias("ea")
+    )
+    b = block.select(
+        F.col("vec_id").alias("idb"), F.col("embedding").alias("eb")
+    )
+    cos = (
+        a.join(F.broadcast(b), F.col("ida") != F.col("idb"))
+        .select(
+            "ida",
+            "idb",
+            F.round(
+                cosine_similarity(F.col("ea"), F.col("eb")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("ida").orderBy(
+        F.col("cosine").desc(), F.col("idb")
+    )
+    best = (
+        cos.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("ida", "idb", "cosine")
+    )
+    x, y = best.alias("x"), best.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.idb") == F.col("y.ida"))
+            & (F.col("y.idb") == F.col("x.ida"))
+            & (F.col("x.ida") < F.col("x.idb")),
+        )
+        .select(
+            F.col("x.ida").alias("id_a"),
+            F.col("x.idb").alias("id_b"),
+            F.col("x.cosine").alias("cosine"),
+        )
+        .orderBy("id_a")
+    )
+
+
+# --------------------------------------------------------------------------
+# q169 — n-gram novelty score per document
+# --------------------------------------------------------------------------
+@query(
+    "q169_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, w1 || ' ' || w2 || ' ' || w3 AS g
+      FROM (
+        SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+             UNNEST(range(1, len(toks) - 1)) AS t(i)
+      )
+    ),
+    df_ AS (SELECT g, count(*) AS df FROM sh GROUP BY g)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (WHERE df_.df = 1) AS BIGINT)
+             AS n_unique_grams,
+           round(count(*) FILTER (WHERE df_.df = 1) * 1.0 / count(*), 6)
+             AS novelty
+    FROM sh JOIN df_ USING (g)
+    GROUP BY sh.doc_id
+    ORDER BY sh.doc_id
+    """,
+    tags=("novelty", "curation", "llm", "operator"),
+)
+def q169_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty (q169): the fraction of a doc's
+    distinct 3-grams that appear in NO other document — the
+    informativeness signal boilerplate/template detection inverts (low
+    novelty = the doc is assembled from corpus-common phrasing).
+    Scale shape: the same hashed-shingle machinery as the dedup family
+    — one distinct (doc, gram) pass, gram document frequencies
+    map-side combine, one gram-keyed join back; gram strings never
+    shuffle twice. Mirrors q46's shingle derivation so the oracle is
+    the exact same UNNEST."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(toks, i),
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("df") == 1).alias("n_unique_grams"),
+            F.round(
+                F.count_if(F.col("df") == 1) / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q170 — referential-integrity validation suite
+# --------------------------------------------------------------------------
+@query(
+    "q170_integrity_checks",
+    oracle="""
+    SELECT 'duplicate_order_pk' AS check_name,
+           CAST(count(*) AS BIGINT) AS violations
+    FROM (SELECT o_orderkey FROM orders
+          GROUP BY o_orderkey HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'lineitem_orphan_order',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE NOT EXISTS
+      (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    UNION ALL
+    SELECT 'negative_price',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE l_extendedprice < 0
+    UNION ALL
+    SELECT 'order_orphan_customer',
+           CAST(count(*) AS BIGINT)
+    FROM orders WHERE NOT EXISTS
+      (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    ORDER BY check_name
+    """,
+    tags=("integrity", "quality", "operator"),
+)
+def q170_integrity_checks(spark, sf_dir):
+    """Referential-integrity validation suite (q170): duplicate
+    primary keys, orphaned foreign keys (lineitem->orders,
+    orders->customer), and a domain constraint — the post-ingest
+    validation the reference's upload flow never performs. Orphan
+    checks are LEFT ANTI joins (the FK side streams, the PK side's
+    16-byte keys shuffle); the duplicate-PK check is a count>1
+    aggregate, never a self-join. Each check collapses to one counted
+    row, so the report is four tiny unioned scalars."""
+    (orders, lineitem, customer) = _t(
+        spark, sf_dir, "orders", "lineitem", "customer"
+    )
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("duplicate_order_pk").alias("check_name"), "violations")
+    )
+    li_orphan = (
+        lineitem.join(
+            orders.select("o_orderkey"),
+            lineitem.l_orderkey == orders.o_orderkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(
+            F.lit("lineitem_orphan_order").alias("check_name"), "violations"
+        )
+    )
+    neg_price = (
+        lineitem.filter(F.col("l_extendedprice") < 0)
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("negative_price").alias("check_name"), "violations")
+    )
+    ord_orphan = (
+        orders.join(
+            customer.select("c_custkey"),
+            orders.o_custkey == customer.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(
+            F.lit("order_orphan_customer").alias("check_name"), "violations"
+        )
+    )
+    return (
+        dup_pk.unionByName(li_orphan)
+        .unionByName(neg_price)
+        .unionByName(ord_orphan)
+        .orderBy("check_name")
+    )
