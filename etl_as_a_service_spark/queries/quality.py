@@ -1043,3 +1043,121 @@ def q170_integrity_checks(spark, sf_dir):
         .unionByName(ord_orphan)
         .orderBy("check_name")
     )
+
+
+# --------------------------------------------------------------------------
+# q171 — top session paths (ordered event-type sequences)
+# --------------------------------------------------------------------------
+@query(
+    "q171_top_session_paths",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    labeled AS (
+      SELECT user_id, event_id, ts, event_type,
+             sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_seq
+      FROM s
+    ),
+    paths AS (
+      SELECT user_id, session_seq,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM labeled GROUP BY user_id, session_seq
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 15
+    """,
+    tags=("sessionize", "paths", "funnel", "operator"),
+)
+def q171_top_session_paths(spark, sf_dir):
+    """Top session paths (q171): the 15 most common ordered
+    event-type sequences within a session (1-hour inactivity gap) —
+    the product-analytics "what do users actually do" view. Engine:
+    the shared sessionize operator labels rows (one keyed sort), each
+    session's path is a DETERMINISTIC ordered reduction
+    (sort_array over (ts, event_id, type) structs, then a transform +
+    array_join — no nondeterministic collect_list order), and the
+    top-k plans as TakeOrderedAndProject. Paths are bounded by session
+    length, so no unbounded per-group state."""
+    from etl_as_a_service_spark.operators.relational import sessionize
+
+    (events,) = _t(spark, sf_dir, "events")
+    labeled = sessionize(events, "ts", ["user_id"], gap="interval 1 hour")
+    paths = (
+        labeled.groupBy("user_id", "session_seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
+# q172 — leave-one-out target encoding
+# --------------------------------------------------------------------------
+@query(
+    "q172_target_encoding_loo",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, sum(value) AS s, count(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id,
+           e.event_type,
+           round((g.s - e.value) / (g.n - 1), 6) AS te_loo
+    FROM events e JOIN g USING (event_type)
+    WHERE g.n > 1 AND e.event_id < 500
+    ORDER BY e.event_id
+    """,
+    tags=("feature", "encoding", "ml-prep", "operator"),
+)
+def q172_target_encoding_loo(spark, sf_dir):
+    """Leave-one-out target encoding (q172): each row's category is
+    encoded as the mean target of ALL OTHER rows in the category —
+    (sum - own) / (n - 1) — the leakage-safe categorical encoder.
+    Engine: one map-side-combined per-category aggregate (5 rows)
+    BROADCAST back onto the fact stream; no window over the full
+    table, no self-join. Output bounded to event_id < 500 to keep the
+    oracle sweep small; the encoding itself is computed for every
+    row."""
+    (ev,) = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.sum("value").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        ev.join(F.broadcast(g), "event_type")
+        .filter((F.col("n") > 1) & (F.col("event_id") < 500))
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                (F.col("s") - F.col("value")) / (F.col("n") - 1), 6
+            ).alias("te_loo"),
+        )
+        .orderBy("event_id")
+    )
