@@ -73,6 +73,16 @@ HEADLINE_SEMANTIC = [
     "q148_semantic_dedup",
 ]
 
+#: second-continuation additions: quality/graph/sketch operators —
+#: one representative per family (zero-shuffle quality flags, the
+#: degree-oriented triangle join, the shingle-df novelty join).
+#: SEPARATE subtotal; earlier subtotals stay comparable.
+HEADLINE_QUALITY = [
+    "q158_gopher_quality_flags",
+    "q159_copurchase_triangles",
+    "q169_ngram_novelty",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -121,7 +131,8 @@ def main() -> None:
     # session sees, and min-of-N is the standard way to report it.
     RUNS = 3
     timings: dict[str, float] = {}
-    for name in HEADLINE + HEADLINE_CURATION + HEADLINE_ADVANCED + HEADLINE_SEMANTIC:
+    for name in (HEADLINE + HEADLINE_CURATION + HEADLINE_ADVANCED
+                 + HEADLINE_SEMANTIC + HEADLINE_QUALITY):
         if name not in QUERIES:
             continue
         best, n = float("inf"), 0
@@ -142,6 +153,9 @@ def main() -> None:
     semantic = round(
         sum(timings[n] for n in HEADLINE_SEMANTIC if n in timings), 3
     )
+    quality = round(
+        sum(timings[n] for n in HEADLINE_QUALITY if n in timings), 3
+    )
     print(
         json.dumps(
             {
@@ -155,7 +169,10 @@ def main() -> None:
                 "subtotal_curation": curation,
                 "subtotal_advanced": advanced,
                 "subtotal_semantic": semantic,
-                "total_all": round(core + curation + advanced + semantic, 3),
+                "subtotal_quality": quality,
+                "total_all": round(
+                    core + curation + advanced + semantic + quality, 3
+                ),
                 "runs_per_query": RUNS,
                 "aggregation": "min",
                 "queries": timings,

@@ -1161,3 +1161,151 @@ def q172_target_encoding_loo(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q173 — RFM customer segmentation (broadcast quantile thresholds)
+# --------------------------------------------------------------------------
+@query(
+    "q173_rfm_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(epoch(max(o_orderdate)) AS BIGINT) AS r_epoch,
+             CAST(count(*) AS BIGINT)                AS f_cnt,
+             round(sum(o_totalprice), 4)             AS m_val
+      FROM orders GROUP BY o_custkey
+    ),
+    th AS (
+      SELECT quantile_cont(r_epoch, 0.2) AS r20, quantile_cont(r_epoch, 0.4) AS r40,
+             quantile_cont(r_epoch, 0.6) AS r60, quantile_cont(r_epoch, 0.8) AS r80,
+             quantile_cont(f_cnt, 0.2)  AS f20, quantile_cont(f_cnt, 0.4)  AS f40,
+             quantile_cont(f_cnt, 0.6)  AS f60, quantile_cont(f_cnt, 0.8)  AS f80,
+             quantile_cont(m_val, 0.2)  AS m20, quantile_cont(m_val, 0.4)  AS m40,
+             quantile_cont(m_val, 0.6)  AS m60, quantile_cont(m_val, 0.8)  AS m80
+      FROM cust
+    )
+    SELECT o_custkey,
+           CAST(1 + CAST(r_epoch > r20 AS INTEGER) + CAST(r_epoch > r40 AS INTEGER)
+                  + CAST(r_epoch > r60 AS INTEGER) + CAST(r_epoch > r80 AS INTEGER)
+                AS INTEGER) AS r_score,
+           CAST(1 + CAST(f_cnt > f20 AS INTEGER) + CAST(f_cnt > f40 AS INTEGER)
+                  + CAST(f_cnt > f60 AS INTEGER) + CAST(f_cnt > f80 AS INTEGER)
+                AS INTEGER) AS f_score,
+           CAST(1 + CAST(m_val > m20 AS INTEGER) + CAST(m_val > m40 AS INTEGER)
+                  + CAST(m_val > m60 AS INTEGER) + CAST(m_val > m80 AS INTEGER)
+                AS INTEGER) AS m_score
+    FROM cust CROSS JOIN th
+    ORDER BY o_custkey
+    """,
+    tags=("rfm", "segmentation", "analytics", "operator"),
+)
+def q173_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (q173): recency (last order epoch),
+    frequency (order count), monetary (total spend) quintile scores
+    1-5 per customer. SCALE DESIGN: quintiles come from ONE exact
+    percentile aggregate (a single threshold row BROADCAST back onto
+    the customer aggregates) — never ntile over a global window, which
+    would single-partition the table. Monetary sums are rounded to 4
+    on BOTH engines before thresholding so bucket edges are
+    deterministic cross-engine."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.unix_timestamp(F.max("o_orderdate")).alias("r_epoch"),
+        F.count(F.lit(1)).alias("f_cnt"),
+        F.round(F.sum("o_totalprice"), 4).alias("m_val"),
+    )
+    th = cust.agg(
+        *[
+            F.percentile(c, F.lit(q)).alias(f"{c[0]}{int(q * 100)}")
+            for c in ("r_epoch", "f_cnt", "m_val")
+            for q in (0.2, 0.4, 0.6, 0.8)
+        ]
+    )
+
+    def score(c, p):
+        return (
+            F.lit(1)
+            + (F.col(c) > F.col(f"{p}20")).cast("int")
+            + (F.col(c) > F.col(f"{p}40")).cast("int")
+            + (F.col(c) > F.col(f"{p}60")).cast("int")
+            + (F.col(c) > F.col(f"{p}80")).cast("int")
+        ).cast("int")
+
+    return (
+        cust.crossJoin(F.broadcast(th))
+        .select(
+            "o_custkey",
+            score("r_epoch", "r").alias("r_score"),
+            score("f_cnt", "f").alias("f_score"),
+            score("m_val", "m").alias("m_score"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q174 — Pareto / ABC analysis of customer revenue (bounded cumsum)
+# --------------------------------------------------------------------------
+@query(
+    "q174_pareto_analysis",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT sum(revenue) AS t FROM rev),
+    top AS (
+      SELECT o_custkey, revenue
+      FROM rev ORDER BY revenue DESC, o_custkey LIMIT 100
+    ),
+    c AS (
+      SELECT o_custkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+      FROM top
+    )
+    SELECT o_custkey, revenue,
+           round(cum / tot.t, 6) AS cum_share,
+           CASE WHEN round(cum / tot.t, 6) <= 0.5 THEN 'A'
+                WHEN round(cum / tot.t, 6) <= 0.8 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c CROSS JOIN tot
+    ORDER BY revenue DESC, o_custkey
+    """,
+    tags=("pareto", "analytics", "operator"),
+)
+def q174_pareto_analysis(spark, sf_dir):
+    """Pareto/ABC analysis (q174): the top-100 customers by revenue
+    with their cumulative revenue share and A/B/C class (<=50%,
+    <=80%, rest). SCALE NOTE: per-customer revenue map-side combines
+    and the top-100 plans as TakeOrderedAndProject, so the ONLY
+    unpartitioned window in this query runs over the ALREADY-bounded
+    100-row frame (the q93 pattern — bounded input makes the global
+    window a constant-cost driver-side-sized step, not a scale
+    hazard); the corpus-wide total is a one-row broadcast."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    tot = rev.agg(F.sum("revenue").alias("t"))
+    top = rev.orderBy(F.col("revenue").desc(), "o_custkey").limit(100)
+    w = (
+        Window.orderBy(F.col("revenue").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    share = F.round(F.sum("revenue").over(w) / F.col("t"), 6)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            "revenue",
+            share.alias("cum_share"),
+            F.when(share <= 0.5, "A")
+            .when(share <= 0.8, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .orderBy(F.col("revenue").desc(), "o_custkey")
+    )

@@ -148,12 +148,19 @@ def test_manifest_plans_lint_clean(spark):
       (a statistics utility, not a data-path operator; the sample-first
       alternative is documented in the query);
     - q93: the global window ranks rows that are ALREADY top-k'd
-      (bounded input — llm/corpus.py caps before the window)."""
+      (bounded input — llm/corpus.py caps before the window);
+    - q174: the Pareto cumsum window runs over the ALREADY-limited
+      top-100 frame (TakeOrderedAndProject bounds it first — the q93
+      pattern, documented in-query)."""
     from etl_as_a_service_spark.plans.doctor import lint_plan
     from etl_as_a_service_spark.queries import QUERIES
     from tests.conftest import SF_SMOKE
 
-    allow = {"q122_equidepth_histogram", "q93_top_bigrams"}
+    allow = {
+        "q122_equidepth_histogram",
+        "q93_top_bigrams",
+        "q174_pareto_analysis",
+    }
     bad = {}
     for name, qd in QUERIES.items():
         crit = [
