@@ -1372,3 +1372,75 @@ def test_iceberg_stream_sink_exactly_once(spark, tmp_path):
     )
     assert out2.count() == 20  # replayed batch deduped
     assert iceberg_history(spark, table).count() == 1
+
+
+def test_delta_changes_reads_only_changed_files(spark, tmp_path):
+    """delta_changes: row-level change feed between versions derived
+    from the immutable-file delta alone. A MERGE's feed reports exactly
+    its update+insert; the equivalent full-snapshot diff agrees; an
+    OPTIMIZE (dataChange:false rewrite) yields an EMPTY feed; a
+    version range spanning merge+append reports the union."""
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.operators.relational import snapshot_diff
+    from etl_as_a_service_spark.sources.delta import (
+        delta_changes,
+        delta_merge,
+        delta_optimize,
+        delta_read,
+        delta_write,
+    )
+
+    table = str(tmp_path / "dcdf")
+    delta_write(
+        spark.range(10).select("id", (F.col("id") * 10).alias("v")), table
+    )
+    v0 = 0
+    v1 = delta_merge(
+        spark,
+        table,
+        spark.createDataFrame([(3, -1), (42, 420)], "id long, v long"),
+        ["id"],
+    )
+    feed = {
+        r["id"]: r["change_type"]
+        for r in delta_changes(spark, table, v0, v1, ["id"]).collect()
+    }
+    assert feed == {3: "update", 42: "insert"}
+    # full-snapshot diff agrees with the changed-files-only feed
+    full = {
+        r["id"]: r["change_type"]
+        for r in snapshot_diff(
+            delta_read(spark, table, version=v0),
+            delta_read(spark, table, version=v1),
+            ["id"],
+        ).collect()
+    }
+    assert full == feed
+
+    # fragment with appends so OPTIMIZE has work to do
+    for i in range(3):
+        delta_write(
+            spark.createDataFrame([(200 + i, 0)], "id long, v long"),
+            table,
+            mode="append",
+        )
+    v_pre = v1 + 3
+    res = delta_optimize(spark, table, target_file_bytes=1 << 30)
+    v2 = res["version"]
+    assert res["files_after"] < res["files_before"]
+    # dataChange:false rewrite => EMPTY feed across the optimize
+    assert delta_changes(spark, table, v_pre, v2, ["id"]).count() == 0
+
+    delta_write(
+        spark.createDataFrame([(99, 990)], "id long, v long"),
+        table,
+        mode="append",
+    )
+    v3 = v2 + 1
+    span = {
+        r["id"]: r["change_type"]
+        for r in delta_changes(spark, table, v0, v3, ["id"]).collect()
+    }
+    assert span == {3: "update", 42: "insert", 99: "insert",
+                    200: "insert", 201: "insert", 202: "insert"}
