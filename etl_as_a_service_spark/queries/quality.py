@@ -925,29 +925,18 @@ def q169_ngram_novelty(spark, sf_dir):
     informativeness signal boilerplate/template detection inverts (low
     novelty = the doc is assembled from corpus-common phrasing).
     Scale shape: the same hashed-shingle machinery as the dedup family
-    — one distinct (doc, gram) pass, gram document frequencies
-    map-side combine, one gram-keyed join back; gram strings never
-    shuffle twice. Mirrors q46's shingle derivation so the oracle is
-    the exact same UNNEST."""
+    (llm/dedup.hashed_shingle_sets) — one distinct (doc, gram-hash)
+    pass, gram document frequencies map-side combine, one join back on
+    the 8-byte hash; gram STRINGS never shuffle at all (the q46
+    discipline — shuffle keys are 64-bit hashes, collision odds ~V^2 /
+    2^65, the same acceptance every hashed-shingle oracle match in
+    this repo rests on). Oracle = the exact q46 UNNEST."""
+    from etl_as_a_service_spark.llm.dedup import hashed_shingle_sets
+
     (docs,) = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    grams = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(toks, i),
-                        F.element_at(toks, i + 1),
-                        F.element_at(toks, i + 2),
-                    ),
-                )
-            ).alias("g"),
-        )
-        .distinct()
-    )
+    grams = hashed_shingle_sets(
+        docs, "text", "doc_id", 3, drop_short=True
+    ).select(F.col("__id").alias("doc_id"), F.col("sh").alias("g"))
     dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     return (
         grams.join(dfreq, "g")

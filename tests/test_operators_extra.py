@@ -851,3 +851,30 @@ def test_profile_table_nulls_types_and_approx(spark):
 
     sub = profile_table(df, columns=["k"]).collect()
     assert [r["col_name"] for r in sub] == ["k"]
+
+
+def test_bfs_reach_equals_connected_component(spark):
+    """Cross-operator consistency: the node set BFS reaches from a seed
+    (unbounded hops) must equal the seed's connected component — two
+    independently-implemented iterative loops agreeing on reachability
+    over a random-ish sparse graph."""
+    from etl_as_a_service_spark.operators.graph import (
+        bfs_distances,
+        connected_components,
+    )
+
+    # deterministic sparse graph: i -> (i*7+3) % 60 for i in 0..59
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 60) for i in range(60)], "a long, b long"
+    ).filter("a <> b")
+    seed = spark.createDataFrame([(0,)], "node long")
+    reached = {
+        r["node"] for r in bfs_distances(edges, seed, max_hops=100).collect()
+    }
+    comp = connected_components(edges)
+    seed_label = comp.filter("node = 0").collect()[0]["component"]
+    same_comp = {
+        r["node"]
+        for r in comp.filter(F.col("component") == seed_label).collect()
+    }
+    assert reached == same_comp
