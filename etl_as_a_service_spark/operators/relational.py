@@ -549,3 +549,45 @@ def profile_table(
         f"stack({len(cols)}, {stack_args})"
         " as (col_name, n_nulls, n_distinct, min_val, max_val)"
     )
+
+
+def reconcile_tables(
+    a: DataFrame,
+    b: DataFrame,
+    bucket_col: str = "bucket",
+    canon_col: str = "canon",
+) -> DataFrame:
+    """Bucket-level reconciliation of two tables (the migration /
+    replication audit): per bucket, row counts and an ORDER-INDEPENDENT
+    content checksum (sum of each row's md5-prefix parsed as a 64-bit
+    int) from each side, full-outer joined with match booleans. A
+    mismatched bucket pinpoints where to re-copy or row-level-diff —
+    at 100 TB you reconcile by exchanging B buckets of (count, sum)
+    pairs, never rows.
+
+    Callers provide ``canon_col`` (a deterministic, engine-portable
+    string rendering of the row) and ``bucket_col``; both sides
+    aggregate map-side to one row per bucket before the join. The
+    md5-prefix sum is cross-engine reproducible (DuckDB:
+    sum(('0x' || substr(md5(canon),1,8))::BIGINT))."""
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(F.col(bucket_col).alias("bucket")).agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum(
+                F.conv(F.substring(F.md5(F.col(canon_col)), 1, 8), 16, 10)
+                .cast("long")
+            ).alias(f"sum_{tag}"),
+        )
+    sa, sb = side(a, "a"), side(b, "b")
+    return (
+        sa.join(sb, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            F.coalesce("sum_a", F.lit(0)).alias("sum_a"),
+            F.coalesce("sum_b", F.lit(0)).alias("sum_b"),
+        )
+        .withColumn("rows_match", F.col("n_a") == F.col("n_b"))
+        .withColumn("content_match", F.col("sum_a") == F.col("sum_b"))
+    )

@@ -1298,3 +1298,79 @@ def q174_pareto_analysis(spark, sf_dir):
         )
         .orderBy(F.col("revenue").desc(), "o_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q175 — bucket-level table reconciliation (migration audit)
+# --------------------------------------------------------------------------
+@query(
+    "q175_table_reconciliation",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey % 8 AS bucket,
+             CAST(o_orderkey AS VARCHAR) || '|'
+               || printf('%.2f', o_totalprice) AS canon
+      FROM orders
+    ),
+    b AS (
+      SELECT o_orderkey % 8 AS bucket,
+             CAST(o_orderkey AS VARCHAR) || '|'
+               || printf('%.2f',
+                         CASE WHEN o_orderkey % 499 = 0
+                              THEN o_totalprice + 1 ELSE o_totalprice END)
+               AS canon
+      FROM orders WHERE o_orderkey % 997 <> 0
+    ),
+    sa AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_a,
+                  CAST(sum(('0x' || substr(md5(canon), 1, 8))::BIGINT)
+                       AS BIGINT) AS sum_a
+           FROM a GROUP BY bucket),
+    sb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_b,
+                  CAST(sum(('0x' || substr(md5(canon), 1, 8))::BIGINT)
+                       AS BIGINT) AS sum_b
+           FROM b GROUP BY bucket)
+    SELECT CAST(COALESCE(sa.bucket, sb.bucket) AS BIGINT) AS bucket,
+           COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+           COALESCE(sum_a, 0) AS sum_a, COALESCE(sum_b, 0) AS sum_b,
+           COALESCE(n_a, 0) = COALESCE(n_b, 0)     AS rows_match,
+           COALESCE(sum_a, 0) = COALESCE(sum_b, 0) AS content_match
+    FROM sa FULL OUTER JOIN sb ON sa.bucket = sb.bucket
+    ORDER BY bucket
+    """,
+    tags=("reconciliation", "audit", "operator"),
+)
+def q175_table_reconciliation(spark, sf_dir):
+    """Bucket-level reconciliation (q175): orders vs a deterministically
+    corrupted copy (every 997th key dropped, every 499th price bumped)
+    — counts and order-independent md5-prefix checksums per
+    o_orderkey%8 bucket, with match booleans flagging exactly the
+    buckets holding a corruption. At 100 TB the audit exchanges B
+    (count, checksum) pairs, never rows; both sides aggregate
+    map-side. The oracle recomputes the identical md5 arithmetic."""
+    from etl_as_a_service_spark.operators.relational import reconcile_tables
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    canon_a = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.format_string("%.2f", F.col("o_totalprice")),
+    )
+    a = orders.select(
+        (F.col("o_orderkey") % 8).alias("bucket"), canon_a.alias("canon")
+    )
+    corrupted_price = F.when(
+        F.col("o_orderkey") % 499 == 0, F.col("o_totalprice") + 1
+    ).otherwise(F.col("o_totalprice"))
+    b = orders.filter(F.col("o_orderkey") % 997 != 0).select(
+        (F.col("o_orderkey") % 8).alias("bucket"),
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.format_string("%.2f", corrupted_price),
+        ).alias("canon"),
+    )
+    return (
+        reconcile_tables(a, b)
+        .withColumn("bucket", F.col("bucket").cast("long"))
+        .orderBy("bucket")
+    )
