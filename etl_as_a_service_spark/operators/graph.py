@@ -264,3 +264,30 @@ def bfs_distances(
             break
         prev_sum = new_sum
     return labels.select("node", "hops")
+
+
+def copurchase_edges(
+    lineitem: DataFrame, min_support: int = 2
+) -> DataFrame:
+    """The shared co-purchase edge set q154/q155/q159/q166 build on:
+    undirected (pa < pb) part pairs appearing together in at least
+    ``min_support`` orders. Distinct (order, part) items self-join
+    CO-PARTITIONED on the order key (one shuffle per side, never a
+    cross join — pairs are quadratic only in basket size), supports
+    map-side combine."""
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+        .select("pa", "pb")
+    )

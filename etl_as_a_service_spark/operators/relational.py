@@ -518,8 +518,11 @@ def profile_table(
     for c in cols:
         dt = df.schema[c].dataType
         if isinstance(dt, (DoubleType, FloatType)):
+            # decimal cast, NOT format_string('%.2f'): Java's formatter
+            # rounds half-up on the double's decimal repr while DuckDB
+            # printf is half-even; DECIMAL(18,2) agrees cross-engine
             def render(x):
-                return F.format_string("%.2f", x)
+                return x.cast("decimal(18,2)").cast("string")
         elif isinstance(dt, TimestampType):
             def render(x):
                 return F.date_format(x, "yyyy-MM-dd HH:mm:ss")

@@ -1721,24 +1721,13 @@ def q155_copurchase_pagerank(spark, sf_dir):
     unrolled algebra matches term for term. Ranks are ordered on the
     ROUNDED value (+ node tie-break): sums of double contributions are
     accumulation-order-dependent at ~1e-16, far below the 1e-6 grain."""
-    from etl_as_a_service_spark.operators.graph import pagerank
+    from etl_as_a_service_spark.operators.graph import (
+        copurchase_edges,
+        pagerank,
+    )
 
     (li,) = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-    )
+    pairs = copurchase_edges(li, min_support=2)
     edges = pairs.select(
         F.col("pa").alias("a"), F.col("pb").alias("b")
     ).unionByName(

@@ -105,9 +105,10 @@ def q158_gopher_quality_flags(spark, sf_dir):
     SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
            CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
            CAST((SELECT t FROM tri) AS BIGINT)        AS n_triangles,
-           round(3.0 * (SELECT t FROM tri)
-                 / (SELECT sum(d * (d - 1) / 2.0) FROM deg), 6)
-             AS global_clustering
+           CASE WHEN (SELECT sum(d * (d - 1) / 2.0) FROM deg) > 0
+                THEN round(3.0 * (SELECT t FROM tri)
+                           / (SELECT sum(d * (d - 1) / 2.0) FROM deg), 6)
+                ELSE NULL END AS global_clustering
     """,
     tags=("graph", "triangles", "operator"),
 )
@@ -122,22 +123,10 @@ def q159_copurchase_triangles(spark, sf_dir):
     with the simple id orientation; both orientations enumerate each
     triangle exactly once, so the counts agree while the engine runs
     the skew-proof plan."""
+    from etl_as_a_service_spark.operators.graph import copurchase_edges
+
     (li,) = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("pa", "pb")
-    )
+    und = copurchase_edges(li, min_support=2)
     sym = und.select(F.col("pa").alias("u"), F.col("pb").alias("v")).union(
         und.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
@@ -192,9 +181,11 @@ def q159_copurchase_triangles(spark, sf_dir):
             "n_nodes",
             "n_edges",
             F.col("t").cast("long").alias("n_triangles"),
-            F.round(3.0 * F.col("t") / F.col("w"), 6).alias(
-                "global_clustering"
-            ),
+            # an all-degree-1 graph has zero wedges; ANSI division
+            # would raise where the oracle's CASE yields NULL
+            F.when(
+                F.col("w") > 0, F.round(3.0 * F.col("t") / F.col("w"), 6)
+            ).alias("global_clustering"),
         )
     )
 
@@ -560,7 +551,9 @@ def q163_psi_drift(spark, sf_dir):
                     + pow(v2 / n2, 2) / (n2 - 1)), 2) AS df,
            abs(round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4)) > 1.96
              AS significant
-    FROM g ORDER BY event_type
+    FROM g
+    WHERE n1 > 1 AND n2 > 1 AND v1 / n1 + v2 / n2 > 0
+    ORDER BY event_type
     """,
     tags=("stats", "ab-test", "operator"),
 )
@@ -581,6 +574,13 @@ def q164_ab_welch_ttest(spark, sf_dir):
         F.avg(F.when(ctrl, F.col("value"))).alias("m2"),
         F.var_samp(F.when(ctrl, F.col("value"))).alias("v2"),
         F.count(F.when(ctrl, F.lit(1))).alias("n2"),
+    ).filter(
+        # a degenerate arm (constant values or n<=1) has no finite t;
+        # ANSI mode would raise DIVIDE_BY_ZERO instead of matching the
+        # oracle, so both engines drop those groups explicitly
+        (F.col("n1") > 1)
+        & (F.col("n2") > 1)
+        & (F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2") > 0)
     )
     se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
     t = (F.col("m1") - F.col("m2")) / F.sqrt(se2)
@@ -712,24 +712,13 @@ def q166_copurchase_bfs_hops(spark, sf_dir):
     the same hop counts with a depth-bounded recursive CTE, so the
     iterative loop is hash-checked end-to-end like q107's components
     and q117's hierarchy walk."""
-    from etl_as_a_service_spark.operators.graph import bfs_distances
+    from etl_as_a_service_spark.operators.graph import (
+        bfs_distances,
+        copurchase_edges,
+    )
 
     (li,) = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("pa", "pb")
-    )
+    und = copurchase_edges(li, min_support=2)
     seed = und.agg(F.min("pa").alias("node"))
     return (
         bfs_distances(und, seed, src="pa", dst="pb", max_hops=6)
@@ -783,8 +772,8 @@ def q166_copurchase_bfs_hops(spark, sf_dir):
       SELECT 'o_totalprice',
              CAST(count(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT),
              CAST(count(DISTINCT o_totalprice) AS BIGINT),
-             printf('%.2f', min(o_totalprice)),
-             printf('%.2f', max(o_totalprice))
+             CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+             CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
       FROM orders
     )
     ORDER BY col_name
@@ -1309,16 +1298,17 @@ def q174_pareto_analysis(spark, sf_dir):
     WITH a AS (
       SELECT o_orderkey % 8 AS bucket,
              CAST(o_orderkey AS VARCHAR) || '|'
-               || printf('%.2f', o_totalprice) AS canon
+               || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+               AS canon
       FROM orders
     ),
     b AS (
       SELECT o_orderkey % 8 AS bucket,
              CAST(o_orderkey AS VARCHAR) || '|'
-               || printf('%.2f',
-                         CASE WHEN o_orderkey % 499 = 0
-                              THEN o_totalprice + 1 ELSE o_totalprice END)
-               AS canon
+               || CAST(CAST(CASE WHEN o_orderkey % 499 = 0
+                                 THEN o_totalprice + 1
+                                 ELSE o_totalprice END
+                            AS DECIMAL(18,2)) AS VARCHAR) AS canon
       FROM orders WHERE o_orderkey % 997 <> 0
     ),
     sa AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_a,
@@ -1350,10 +1340,13 @@ def q175_table_reconciliation(spark, sf_dir):
     from etl_as_a_service_spark.operators.relational import reconcile_tables
 
     (orders,) = _t(spark, sf_dir, "orders")
+    # decimal cast, NOT format_string('%.2f'): Java's formatter rounds
+    # half-up on the double's decimal repr while DuckDB printf is
+    # half-even — the DECIMAL(18,2) cast agrees on both engines
     canon_a = F.concat_ws(
         "|",
         F.col("o_orderkey").cast("string"),
-        F.format_string("%.2f", F.col("o_totalprice")),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
     )
     a = orders.select(
         (F.col("o_orderkey") % 8).alias("bucket"), canon_a.alias("canon")
@@ -1366,7 +1359,7 @@ def q175_table_reconciliation(spark, sf_dir):
         F.concat_ws(
             "|",
             F.col("o_orderkey").cast("string"),
-            F.format_string("%.2f", corrupted_price),
+            corrupted_price.cast("decimal(18,2)").cast("string"),
         ).alias("canon"),
     )
     return (

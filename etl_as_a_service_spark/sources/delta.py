@@ -365,6 +365,13 @@ def delta_changes(
     """
     from etl_as_a_service_spark.operators.relational import snapshot_diff
 
+    if from_version > to_version:
+        # a swapped range would silently INVERT the feed (inserts
+        # labeled deletes) — refuse instead
+        raise ValueError(
+            f"delta_changes: from_version {from_version} > to_version "
+            f"{to_version}"
+        )
     s0 = _replay(table, from_version)
     s1 = _replay(table, to_version)
     if json.dumps(_schema_shape(s0.schema_json)) != json.dumps(
