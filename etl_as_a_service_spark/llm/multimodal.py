@@ -257,15 +257,19 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def _pnm_to_array(payload: bytes) -> tuple["np.ndarray", int]:
-    """Raw netpbm (P5/P6) parse -> (uint height x width x channels
-    array, maxval). Shared by feature decode and resize."""
+def _pnm_frame_at(
+    payload: bytes, start: int
+) -> tuple["np.ndarray", int, int]:
+    """Parse ONE netpbm (P5/P6) frame starting at byte ``start`` ->
+    (uint height x width x channels array, maxval, end offset). The
+    end offset is where the NEXT frame of a concatenated stream
+    begins — the positional form frame extraction needs."""
     if payload is None:
         raise NotImplementedError("real decoder required for NULL-content rows")
-    magic = payload[:2]
+    magic = payload[start:start + 2]
     if magic not in (b"P5", b"P6"):
         raise ValueError(f"not a binary PGM/PPM payload: {magic!r}")
-    pos, tokens = 2, []
+    pos, tokens = start + 2, []
     while len(tokens) < 3:
         if pos >= len(payload):
             raise ValueError("truncated netpbm header")
@@ -284,10 +288,17 @@ def _pnm_to_array(payload: bytes) -> tuple["np.ndarray", int]:
     pos += 1
     channels = 1 if magic == b"P5" else 3
     dtype = np.uint8 if maxval < 256 else ">u2"
-    px = np.frombuffer(
-        payload, dtype=dtype, count=width * height * channels, offset=pos
-    )
-    return px.reshape(height, width, channels), maxval
+    count = width * height * channels
+    px = np.frombuffer(payload, dtype=dtype, count=count, offset=pos)
+    end = pos + count * px.dtype.itemsize
+    return px.reshape(height, width, channels), maxval, end
+
+
+def _pnm_to_array(payload: bytes) -> tuple["np.ndarray", int]:
+    """Raw netpbm (P5/P6) parse -> (uint height x width x channels
+    array, maxval). Shared by feature decode and resize."""
+    img, maxval, _ = _pnm_frame_at(payload, 0)
+    return img, maxval
 
 
 def _array_to_pnm(img: "np.ndarray", maxval: int = 255) -> bytes:
@@ -355,3 +366,73 @@ def resize_images(
             )
 
     return df.mapInPandas(resize, out_schema)
+
+
+#: mime for the concatenated-netpbm frame container: each frame is a
+#: complete binary PPM/PGM, back to back — a REAL byte-level-parsed
+#: stand-in for an MP4 (an ffmpeg demux would plug into the same seam)
+PNM_STREAM_MIMES = ("video/x-netpbm-stream",)
+
+
+def encode_pnm_stream(frames: list["np.ndarray"], maxval: int = 255) -> bytes:
+    """Encode a frame list as the concatenated-netpbm video container."""
+    return b"".join(_array_to_pnm(f, maxval) for f in frames)
+
+
+def extract_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL frame extraction for video blobs: byte-level parse of the
+    concatenated-netpbm container inside the Arrow mapInPandas seam,
+    emitting every ``every_n``-th frame with its index, dimensions,
+    re-encoded bytes, and a content feature (mean luma) asserted in
+    tests. Unknown video mimes raise (stub boundary — a real demuxer
+    plugs in here); non-video rows are filtered engine-side BEFORE the
+    Python stage so the UDF only ever sees video bytes. Complements
+    ``sample_frames`` (which plans timestamp sampling from metadata
+    without touching bytes)."""
+    out_schema = StructType(
+        [
+            StructField("blob_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("frame", BinaryType()),
+            StructField("mean_luma", FloatType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["mime"] not in PNM_STREAM_MIMES:
+                    raise NotImplementedError(
+                        f"no demuxer for video mime {r['mime']!r}"
+                    )
+                payload, pos, idx = r["content"], 0, 0
+                while pos < len(payload):
+                    img, maxval, pos = _pnm_frame_at(payload, pos)
+                    if idx % every_n == 0:
+                        rows.append(
+                            (
+                                r["blob_id"],
+                                idx,
+                                img.shape[1],
+                                img.shape[0],
+                                _array_to_pnm(img, maxval),
+                                float(img.astype(np.float64).mean()),
+                            )
+                        )
+                    idx += 1
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "blob_id", "frame_idx", "width", "height",
+                    "frame", "mean_luma",
+                ],
+            )
+
+    return (
+        df.filter(F.col("modality") == "video")
+        .select("blob_id", "mime", "content")
+        .mapInPandas(gen, out_schema)
+    )

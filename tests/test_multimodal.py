@@ -209,3 +209,40 @@ def test_resize_ppm_nearest_neighbor(spark):
     img, _ = _pnm_to_array(bytes(out))
     assert img.shape == (4, 4, 3)
     assert (img[0, 0] == [10, 100, 200]).all()
+
+
+def test_extract_frames_parses_real_container(spark):
+    """Byte-level frame extraction from the concatenated-netpbm video
+    container: deterministic gradient frames round-trip through encode
+    -> extract with exact indices, dims, mean luma, and re-decodable
+    per-frame bytes; every_n sampling keeps exactly frames 0, n, 2n."""
+    import numpy as np
+
+    from etl_as_a_service_spark.llm.multimodal import (
+        BLOB_SCHEMA,
+        _pnm_to_array,
+        encode_pnm_stream,
+        extract_frames,
+    )
+
+    frames = [
+        np.full((4, 6, 3), i * 20, dtype=np.uint8) for i in range(10)
+    ]
+    stream = encode_pnm_stream(frames)
+    blobs = spark.createDataFrame(
+        [
+            (1, "video", "video/x-netpbm-stream", bytearray(stream),
+             6, 4, 10_000),
+            (2, "image", "image/x-portable-pixmap", bytearray(b"P6"),
+             1, 1, None),
+        ],
+        BLOB_SCHEMA,
+    )
+    out = extract_frames(blobs, every_n=3).collect()
+    assert [r["frame_idx"] for r in out] == [0, 3, 6, 9]
+    for r in out:
+        assert (r["width"], r["height"]) == (6, 4)
+        assert abs(r["mean_luma"] - r["frame_idx"] * 20) < 1e-6
+        img, _ = _pnm_to_array(bytes(r["frame"]))
+        assert img.shape == (4, 6, 3)
+        assert int(img[0, 0, 0]) == r["frame_idx"] * 20
