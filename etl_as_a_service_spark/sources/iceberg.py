@@ -394,8 +394,24 @@ def iceberg_read(
             ):
                 continue
             files.append(dfile["file_path"])
+    return _read_iceberg_files(spark, table, md, schema, files)
+
+
+def _read_iceberg_files(
+    spark: SparkSession,
+    table: str,
+    md: dict,
+    schema: "T.StructType",
+    files: list[str],
+) -> DataFrame:
+    """Scan an explicit live-file subset with basePath partition
+    reconstruction; empty list => empty frame with the schema."""
     if not files:
         return spark.createDataFrame([], schema)
+    spec_fields = {
+        f["name"]
+        for f in md["partition-specs"][md["default-spec-id"]]["fields"]
+    }
     reader = spark.read.schema(schema)
     if spec_fields:
         # converted tables keep their data in place outside table/data
@@ -405,6 +421,52 @@ def iceberg_read(
         )
         reader = reader.option("basePath", base)
     return reader.parquet(*[os.path.join(table, f) for f in sorted(files)])
+
+
+def _live_file_set(table: str, snap: dict) -> set:
+    """Relative paths of a snapshot's live data files (manifest walk)."""
+    files = set()
+    for mf in _read_manifest_list(table, snap):
+        for entry in _read_manifest(table, mf["manifest_path"]):
+            if entry["status"] != 2:
+                files.add(entry["data_file"]["file_path"])
+    return files
+
+
+def iceberg_changes(
+    spark: SparkSession,
+    table: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Row-level change feed between two snapshots without stored CDC
+    metadata — the Iceberg twin of sources.delta.delta_changes: data
+    files are immutable, so only files that entered or left the live
+    set can contribute; the diff scans exactly those files. Compaction
+    rewrites (byte-identical rows in new files) cancel to an empty
+    feed. Correct under copy-on-write key discipline (each key's live
+    rows move together); returns snapshot_diff's
+    (keys..., change_type) shape. Snapshot order is validated via the
+    snapshots' commit timestamps — a swapped range would silently
+    invert inserts and deletes."""
+    from etl_as_a_service_spark.operators.relational import snapshot_diff
+
+    md = _load_metadata(table)
+    s0 = _snapshot_by_id(md, from_snapshot_id)
+    s1 = _snapshot_by_id(md, to_snapshot_id)
+    if s0["timestamp-ms"] > s1["timestamp-ms"]:
+        raise ValueError(
+            f"iceberg_changes: snapshot {from_snapshot_id} is newer than "
+            f"{to_snapshot_id} — a swapped range would invert the feed"
+        )
+    schema = _spark_schema(md["schemas"][md["current-schema-id"]])
+    f0, f1 = _live_file_set(table, s0), _live_file_set(table, s1)
+    return snapshot_diff(
+        _read_iceberg_files(spark, table, md, schema, sorted(f0 - f1)),
+        _read_iceberg_files(spark, table, md, schema, sorted(f1 - f0)),
+        key_cols,
+    )
 
 
 def iceberg_write(

@@ -1444,3 +1444,45 @@ def test_delta_changes_reads_only_changed_files(spark, tmp_path):
     }
     assert span == {3: "update", 42: "insert", 99: "insert",
                     200: "insert", 201: "insert", 202: "insert"}
+
+
+def test_iceberg_changes_between_snapshots(spark, tmp_path):
+    """iceberg_changes: the Iceberg twin of the Delta change feed —
+    derived from the immutable-file delta between two snapshots. An
+    overwrite that rewrites one key and adds another reports exactly
+    {update, insert}; the full-snapshot diff agrees; a swapped
+    snapshot range raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.operators.relational import snapshot_diff
+    from etl_as_a_service_spark.sources.iceberg import (
+        iceberg_changes,
+        iceberg_read,
+        iceberg_write,
+    )
+
+    table = str(tmp_path / "icdf")
+    base = spark.range(8).select("id", (F.col("id") * 10).alias("v"))
+    s0 = iceberg_write(base, table)
+    changed = base.withColumn(
+        "v", F.when(F.col("id") == 3, -1).otherwise(F.col("v"))
+    ).unionByName(spark.createDataFrame([(42, 420)], "id long, v long"))
+    s1 = iceberg_write(changed, table, mode="overwrite")
+
+    feed = {
+        r["id"]: r["change_type"]
+        for r in iceberg_changes(spark, table, s0, s1, ["id"]).collect()
+    }
+    assert feed == {3: "update", 42: "insert"}
+    full = {
+        r["id"]: r["change_type"]
+        for r in snapshot_diff(
+            iceberg_read(spark, table, snapshot_id=s0),
+            iceberg_read(spark, table, snapshot_id=s1),
+            ["id"],
+        ).collect()
+    }
+    assert full == feed
+    with _pytest.raises(ValueError, match="swapped"):
+        iceberg_changes(spark, table, s1, s0, ["id"])
