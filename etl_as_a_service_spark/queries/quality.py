@@ -1,10 +1,14 @@
-"""Corpus-quality heuristics, graph analytics, and sketch queries
-(round-4 continuation batch): Gopher-style per-document quality flags,
-degree-oriented triangle counting, rolling z-score anomaly detection,
-hard-negative mining for contrastive training, and the count-min sketch
-fold. Every query is DuckDB-oracle-checked; the CMS query expresses its
-probabilistic guarantees as engine-computed booleans the oracle expects
-to be TRUE (same contract as q104/q157)."""
+"""Corpus-quality, graph-analytics, monitoring, and audit queries
+(round-4 second-continuation batch, q158-q175): Gopher quality flags,
+degree-oriented triangle counting, rolling z-score anomalies,
+hard-negative mining, the count-min sketch fold, PSI drift, Welch
+t-tests, domain KL divergence, BFS hop distances, table profiling,
+mutual nearest neighbors, n-gram novelty, integrity checks, session
+paths, LOO target encoding, RFM segmentation, Pareto analysis, and
+bucket-level reconciliation. Every query is DuckDB-oracle-checked;
+sketch queries express their probabilistic guarantees as
+engine-computed booleans the oracle expects TRUE (the q104/q157
+contract)."""
 
 from __future__ import annotations
 

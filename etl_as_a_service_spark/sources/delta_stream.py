@@ -1,0 +1,156 @@
+"""Delta tables as a STREAMING SOURCE (Spark 4 `pyspark.sql.datasource`
+full stream-reader protocol): `readStream.format("delta_stream")` tails
+the transaction log exactly the way the real delta connector does —
+offsets are log versions, each micro-batch is the set of data files
+ADDED in the version range, and file reads run on EXECUTORS (one input
+partition per file via pyarrow), so the source scales with the cluster
+instead of funneling rows through the driver.
+
+Semantics (matching the public delta streaming-source contract):
+
+- the initial batch loads the current snapshot (versions 0..latest);
+- subsequent batches emit only files added by NEW versions —
+  incremental tailing, O(new data) per batch;
+- `add` actions with ``dataChange: false`` (OPTIMIZE rewrites) are
+  SKIPPED — compaction must not re-emit rows;
+- a `remove` with ``dataChange: true`` inside the tailed range
+  (overwrite / MERGE) raises: a streaming read of a non-append table
+  needs an explicit reprocessing decision, silent re-reads would
+  double-count (the real connector's ignoreChanges/ignoreDeletes
+  escape hatches are deliberately NOT defaulted);
+- partitioned tables work: Hive-layout partition values come from the
+  log's ``add.partitionValues`` and are attached per input partition,
+  schema-cast, so rows are complete even though the parquet files
+  don't store partition columns;
+- checkpoint recovery replays a version range identically (the log is
+  immutable), which is exactly the replay-determinism Structured
+  Streaming requires of a source.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql import types as T
+
+from etl_as_a_service_spark.sources.delta import (
+    _replay,
+    _version_file,
+    _versions,
+)
+
+
+class DeltaStreamDataSource(DataSource):
+    """Streaming source ``delta_stream`` with option ``path``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_stream"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("delta_stream requires .option('path', table)")
+        snap = _replay(path)
+        return T.StructType.fromJson(json.loads(snap.schema_json))
+
+    def streamReader(self, schema) -> "DeltaStreamReader":
+        return DeltaStreamReader(self.options, schema)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, partition_values: dict):
+        self.path = path
+        self.partition_values = partition_values
+
+
+class DeltaStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema):
+        self.table = options["path"]
+        self.schema = schema
+        snap = _replay(self.table)
+        self.partition_columns = list(snap.partition_columns)
+
+    # -- offsets are log versions ------------------------------------
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        vs = _versions(self.table)
+        return {"version": vs[-1] if vs else -1}
+
+    def commit(self, end) -> None:
+        pass  # the log is durable; nothing to acknowledge
+
+    # -- planning: one input partition per newly-added data file ------
+    def partitions(self, start, end):
+        lo, hi = start["version"], end["version"]
+        parts: list[_FilePartition] = []
+        for v in _versions(self.table):
+            if not (lo < v <= hi):
+                continue
+            with open(_version_file(self.table, v)) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "add" in action:
+                        add = action["add"]
+                        if add.get("dataChange") is False:
+                            continue  # OPTIMIZE rewrite — already emitted
+                        parts.append(
+                            _FilePartition(
+                                os.path.join(self.table, add["path"]),
+                                add.get("partitionValues") or {},
+                            )
+                        )
+                    elif "remove" in action:
+                        if action["remove"].get("dataChange", True):
+                            raise ValueError(
+                                "delta_stream: version "
+                                f"{v} removes data (overwrite/merge) — "
+                                "a streaming tail of a non-append table "
+                                "requires an explicit restart decision"
+                            )
+        return parts
+
+    # -- executor-side read of one file -------------------------------
+    def read(self, partition: "_FilePartition"):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        cols = {name: tbl.column(name).to_pylist() for name in tbl.column_names}
+        n = tbl.num_rows
+        fields = list(self.schema.fields)
+        out_cols = []
+        for f in fields:
+            if f.name in cols:
+                out_cols.append(cols[f.name])
+            else:
+                # partition column: constant per file, cast from the
+                # log's string partitionValues via the schema type
+                raw = partition.partition_values.get(f.name)
+                out_cols.append([_cast_pv(raw, f.dataType)] * n)
+        return iter(list(zip(*out_cols)) if n else [])
+
+
+def _cast_pv(raw, dtype):
+    if raw is None:
+        return None
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType)):
+        return int(raw)
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return float(raw)
+    if isinstance(dtype, T.BooleanType):
+        return raw == "true"
+    return raw
+
+
+def register_delta_stream(spark) -> None:
+    spark.dataSource.register(DeltaStreamDataSource)

@@ -1486,3 +1486,108 @@ def test_iceberg_changes_between_snapshots(spark, tmp_path):
     assert full == feed
     with _pytest.raises(ValueError, match="swapped"):
         iceberg_changes(spark, table, s1, s0, ["id"])
+
+
+def test_delta_stream_source_tails_log_incrementally(spark, tmp_path):
+    """delta_stream streaming source: initial batch = current snapshot,
+    later runs on the SAME checkpoint emit only newly appended
+    versions, OPTIMIZE rewrites are not re-emitted, an overwrite in
+    the tailed range raises, and partitioned tables reconstruct
+    partition columns from the log's partitionValues."""
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.sources.delta import (
+        delta_optimize,
+        delta_write,
+    )
+    from etl_as_a_service_spark.sources.delta_stream import (
+        register_delta_stream,
+    )
+
+    register_delta_stream(spark)
+    table = str(tmp_path / "dstream")
+    delta_write(
+        spark.range(5).select("id", (F.col("id") * 10).alias("v")), table
+    )
+    delta_write(
+        spark.createDataFrame([(100, 1000)], "id long, v long"),
+        table,
+        mode="append",
+    )
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_batch():
+        q = (
+            spark.readStream.format("delta_stream").option("path", table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run_batch()
+    got = {r["id"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 3: 30, 4: 40, 100: 1000}
+
+    # fragment + optimize (dataChange:false) + one real append
+    delta_write(
+        spark.createDataFrame([(101, 1010)], "id long, v long"),
+        table,
+        mode="append",
+    )
+    delta_optimize(spark, table, target_file_bytes=1 << 30)
+    run_batch()
+    rows = spark.read.parquet(out).collect()
+    ids = sorted(r["id"] for r in rows)
+    # only the appended row arrived — nothing re-emitted by OPTIMIZE
+    assert ids == [0, 1, 2, 3, 4, 100, 101]
+
+    # a partitioned table round-trips its partition column
+    ptable = str(tmp_path / "dstream_part")
+    delta_write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, grp string, v long"
+        ),
+        ptable,
+        partition_by=["grp"],
+    )
+    pdf = (
+        spark.readStream.format("delta_stream").option("path", ptable)
+        .load()
+        .writeStream.format("memory")
+        .queryName("dstream_part_q")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert pdf.awaitTermination(120)
+    prows = {
+        r["id"]: (r["grp"], r["v"])
+        for r in spark.table("dstream_part_q").collect()
+    }
+    assert prows == {1: ("a", 10), 2: ("b", 20)}
+
+    # an overwrite in the tailed range fails the stream
+    delta_write(
+        spark.createDataFrame([(7, 70)], "id long, v long"),
+        table,
+        mode="overwrite",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="removes data|StreamingQueryException"):
+        q = (
+            spark.readStream.format("delta_stream").option("path", table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
