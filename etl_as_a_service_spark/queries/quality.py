@@ -1371,3 +1371,64 @@ def q175_table_reconciliation(spark, sf_dir):
         .withColumn("bucket", F.col("bucket").cast("long"))
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# q176 — peak concurrency per event type (interval sweep)
+# --------------------------------------------------------------------------
+@query(
+    "q176_peak_concurrency",
+    oracle="""
+    WITH deltas AS (
+      SELECT event_type, ts AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 5 MINUTE, -1 FROM events
+    ),
+    running AS (
+      SELECT event_type,
+             sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS live
+      FROM deltas
+    )
+    SELECT event_type,
+           CAST(max(live) AS BIGINT) AS peak_concurrency,
+           CAST(count(*) / 2 AS BIGINT) AS n_intervals
+    FROM running GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("intervals", "concurrency", "analytics", "operator"),
+)
+def q176_peak_concurrency(spark, sf_dir):
+    """Peak concurrency (q176): treating each event as a 5-minute
+    interval, the maximum number of simultaneously-open intervals per
+    event type — the classic sweep-line: +1 at start, -1 at end, a
+    KEYED running sum (one exchange on event_type, never a global
+    window), max per key. Equal-timestamp ties order ends before
+    starts (ORDER BY t, d with d = -1 < +1), the convention that
+    counts back-to-back intervals as non-overlapping; the max is
+    invariant to order among identical (t, d) rows, so the window is
+    deterministic cross-engine."""
+    (ev,) = _t(spark, sf_dir, "events")
+    deltas = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        ev.select(
+            "event_type",
+            (F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        deltas.withColumn("live", F.sum("d").over(w))
+        .groupBy("event_type")
+        .agg(
+            F.max("live").cast("long").alias("peak_concurrency"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+        )
+        .orderBy("event_type")
+    )

@@ -675,6 +675,27 @@ def iceberg_write(
         return snap_id
 
 
+def iceberg_merge(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """MERGE INTO the Iceberg table (WHEN MATCHED UPDATE SET * / WHEN
+    NOT MATCHED INSERT *) — the twin of sources.delta.delta_merge: the
+    current snapshot joins the updates through
+    operators.relational.merge_upsert (one key join, broadcast when
+    updates are small) and the result commits as one copy-on-write
+    OVERWRITE snapshot; the pre-merge snapshot stays time-travelable
+    and the partition spec carries forward. Returns the committed
+    snapshot id."""
+    from etl_as_a_service_spark.operators.relational import merge_upsert
+
+    current = iceberg_read(spark, table)
+    merged = merge_upsert(current, updates, key_cols)
+    return iceberg_write(merged, table, mode="overwrite")
+
+
 def iceberg_history(spark: SparkSession, table: str) -> DataFrame:
     """(snapshot_id, sequence_number, timestamp_ms, operation,
     is_current) per snapshot."""

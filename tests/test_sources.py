@@ -1591,3 +1591,41 @@ def test_delta_stream_source_tails_log_incrementally(spark, tmp_path):
         q.awaitTermination(120)
         if q.exception() is not None:
             raise q.exception()
+
+
+def test_iceberg_merge_copy_on_write(spark, tmp_path):
+    """iceberg_merge: matched keys update, unmatched insert, the
+    pre-merge snapshot stays time-travelable, and iceberg_changes
+    across the merge reports exactly the touched keys."""
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.sources.iceberg import (
+        iceberg_changes,
+        iceberg_merge,
+        iceberg_read,
+        iceberg_write,
+    )
+
+    table = str(tmp_path / "imerge")
+    s0 = iceberg_write(
+        spark.range(10).select("id", (F.col("id") * 10).alias("v")), table
+    )
+    s1 = iceberg_merge(
+        spark,
+        table,
+        spark.createDataFrame([(3, -1), (42, 420)], "id long, v long"),
+        ["id"],
+    )
+    snap = {r["id"]: r["v"] for r in iceberg_read(spark, table).collect()}
+    assert snap[3] == -1 and snap[42] == 420 and snap[7] == 70
+    assert len(snap) == 11
+    old = {
+        r["id"]: r["v"]
+        for r in iceberg_read(spark, table, snapshot_id=s0).collect()
+    }
+    assert old[3] == 30 and 42 not in old
+    feed = {
+        r["id"]: r["change_type"]
+        for r in iceberg_changes(spark, table, s0, s1, ["id"]).collect()
+    }
+    assert feed == {3: "update", 42: "insert"}
