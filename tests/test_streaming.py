@@ -572,3 +572,47 @@ def test_streaming_heavy_hitters_fold_guarantees(spark, tmp_path):
         assert exact[key] - r["est_count"] <= n_batches * (
             totals[r["event_type"]] / (m + 1)
         )
+
+
+def test_delta_stream_feeds_sketch_fold(spark, tmp_path):
+    """Composition: the delta_stream SOURCE tails a Delta table into
+    the streaming count-min fold SINK — appends fold incrementally and
+    the final sketch equals the one-shot batch sketch of the whole
+    table (CMS linearity end-to-end across both streaming faces)."""
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.operators.aggregates import countmin_state
+    from etl_as_a_service_spark.sources.delta import delta_read, delta_write
+    from etl_as_a_service_spark.sources.delta_stream import (
+        register_delta_stream,
+    )
+    from etl_as_a_service_spark.streaming.ops import streaming_countmin
+
+    register_delta_stream(spark)
+    table = str(tmp_path / "dtab")
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"].select(
+        "event_type", "user_id"
+    )
+    delta_write(ev.limit(400), table)
+    delta_write(ev.subtract(ev.limit(400)), table, mode="append")
+
+    stream = (
+        spark.readStream.format("delta_stream").option("path", table).load()
+    )
+    state = streaming_countmin(
+        stream,
+        str(tmp_path / "state"),
+        ["event_type"],
+        "user_id",
+        checkpoint=str(tmp_path / "ckpt"),
+        depth=4,
+        width=128,
+    )
+    batch = countmin_state(
+        delta_read(spark, table), ["event_type"], "user_id", 4, 128
+    )
+    cells = lambda s: sorted(
+        (r["event_type"], r["__row"], r["__col"], r["__cnt"])
+        for r in s.collect()
+    )
+    assert cells(state) == cells(batch)
