@@ -1432,3 +1432,144 @@ def q176_peak_concurrency(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q177 — floor-clamped running balance (reflection identity, pure windows)
+# --------------------------------------------------------------------------
+@query(
+    "q177_clamped_balance_floor",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'purchase' THEN value
+                  ELSE -value END AS delta
+      FROM events WHERE user_id < 30
+    ),
+    r AS (
+      SELECT user_id, event_id, ts,
+             sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS run
+      FROM d
+    ),
+    s AS (
+      SELECT user_id, event_id, run,
+             min(run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS run_min
+      FROM r
+    )
+    SELECT user_id, event_id,
+           round(run - least(0, run_min), 6) AS balance
+    FROM s ORDER BY user_id, event_id
+    """,
+    tags=("recurrence", "window", "timeseries", "operator"),
+)
+def q177_clamped_balance_floor(spark, sf_dir):
+    """Floor-clamped running balance (q177): b_i = max(0, b_{i-1} +
+    delta_i) — the inventory/credit recurrence that LOOKS like it
+    needs a stateful per-row scan, solved in PURE windows via the
+    reflection identity b_i = S_i - min(0, min_{j<=i} S_j) (S = plain
+    running sum). Two frames over ONE keyed sort, zero Python, fully
+    parallel across users — the identity is what keeps this operator
+    whole-stage-codegen at 100 TB where a naive stateful scan would
+    serialize per key through Python (the two-sided clamp, which has
+    no such identity, is q178's applyInPandas face)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    d = ev.filter(F.col("user_id") < 30).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(-F.col("value"))
+        .alias("delta"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum("delta").over(w)
+    s = d.select(
+        "user_id", "event_id", "ts", run.alias("run")
+    ).withColumn("run_min", F.min("run").over(w))
+    return s.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.col("run") - F.least(F.lit(0.0), F.col("run_min")), 6
+        ).alias("balance"),
+    ).orderBy("user_id", "event_id")
+
+
+# --------------------------------------------------------------------------
+# q178 — two-sided clamped balance (Arrow stateful scan, CTE oracle)
+# --------------------------------------------------------------------------
+@query(
+    "q178_clamped_balance_capped",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type = 'purchase' THEN value
+                  ELSE -value END AS delta,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id < 30
+    ),
+    walk(user_id, event_id, rn, bal) AS (
+      SELECT user_id, event_id, rn,
+             least(100.0, greatest(0.0, delta))
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.user_id, d.event_id, d.rn,
+             least(100.0, greatest(0.0, walk.bal + d.delta))
+      FROM walk JOIN d
+        ON d.user_id = walk.user_id AND d.rn = walk.rn + 1
+    )
+    SELECT user_id, event_id, round(bal, 6) AS balance
+    FROM walk ORDER BY user_id, event_id
+    """,
+    tags=("recurrence", "stateful", "applyinpandas", "operator"),
+)
+def q178_clamped_balance_capped(spark, sf_dir):
+    """TWO-SIDED clamped balance (q178): b_i = clamp(b_{i-1} + delta_i,
+    0, 100). Unlike the floor-only recurrence (q177), the two-sided
+    clamp has NO window-expressible closed form — this is the genuine
+    per-key sequential scan, run as an Arrow-batched applyInPandas
+    over user groups: parallel ACROSS keys, a tight numpy-backed loop
+    WITHIN a key (state is one float). One shuffle on user_id; the
+    oracle re-derives every balance with a depth-bounded recursive
+    CTE, making this one of the few applyInPandas operators that is
+    hash-checked, not rows-only."""
+    import pandas as pd
+
+    (ev,) = _t(spark, sf_dir, "events")
+    d = ev.filter(F.col("user_id") < 30).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(-F.col("value"))
+        .alias("delta"),
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal, out = 0.0, []
+        for delta in pdf["delta"]:
+            bal = min(100.0, max(0.0, bal + delta))
+            out.append(round(bal, 6))
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "balance": out,
+            }
+        )
+
+    return (
+        d.groupBy("user_id")
+        .applyInPandas(scan, "user_id long, event_id long, balance double")
+        .orderBy("user_id", "event_id")
+    )
