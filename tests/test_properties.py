@@ -333,3 +333,107 @@ def test_temperature_mix_is_deterministic_subset(spark, rows, budget):
     b = {r["doc_id"] for r in temperature_mix(df, "source", "doc_id", budget=budget).collect()}
     assert a == b
     assert a <= {i for i, _ in data}
+
+
+DELTAS = st.lists(
+    st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(deltas=DELTAS)
+@CFG
+def test_reflection_identity_equals_direct_recurrence(spark, deltas):
+    """The q177 closed form — b = S - min(0, running-min S) — equals
+    the direct b_i = max(0, b_{i-1} + d_i) recurrence for arbitrary
+    delta sequences (float32 inputs keep arithmetic exactly
+    representable enough for a 1e-9 comparison)."""
+    from pyspark.sql import Window
+
+    rows = [(0, i, float(d)) for i, d in enumerate(deltas)]
+    df = spark.createDataFrame(rows, "k int, i int, d double")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum("d").over(w)
+    got = [
+        r["b"]
+        for r in df.select(
+            "i",
+            (run - F.least(F.lit(0.0), F.min(run).over(w))).alias("b"),
+        )
+        .orderBy("i")
+        .collect()
+    ]
+    bal, want = 0.0, []
+    for d in deltas:
+        bal = max(0.0, bal + float(d))
+        want.append(bal)
+    assert all(abs(g - w_) < 1e-9 for g, w_ in zip(got, want))
+
+
+RECON_ROWS = st.lists(
+    st.tuples(st.integers(0, 200), st.integers(0, 10_000)),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=RECON_ROWS, mutate=st.integers(0, 59))
+@CFG
+def test_reconciliation_flags_exactly_the_mutated_bucket(spark, rows, mutate):
+    """reconcile_tables: identical tables match on every bucket; after
+    mutating exactly one row's value, exactly that row's bucket flips
+    content_match (row counts still equal)."""
+    from etl_as_a_service_spark.operators.relational import reconcile_tables
+
+    def frame(data):
+        return spark.createDataFrame(
+            [(k % 4, f"{k}|{v}") for k, v in data], "bucket int, canon string"
+        )
+
+    a = frame(rows)
+    same = reconcile_tables(a, frame(rows)).collect()
+    assert all(r["rows_match"] and r["content_match"] for r in same)
+
+    idx = mutate % len(rows)
+    k, v = rows[idx]
+    mutated = list(rows)
+    mutated[idx] = (k, v + 1)
+    diff = reconcile_tables(a, frame(mutated)).collect()
+    bad = [r for r in diff if not r["content_match"]]
+    assert [r["bucket"] for r in bad] == [k % 4]
+    assert all(r["rows_match"] for r in diff)
+
+
+CMS_ITEMS = st.lists(st.integers(0, 30), min_size=1, max_size=80)
+
+
+@given(items=CMS_ITEMS)
+@CFG
+def test_countmin_one_sided_on_arbitrary_streams(spark, items):
+    """CMS never underestimates, for arbitrary integer streams."""
+    from collections import Counter
+
+    from etl_as_a_service_spark.operators.aggregates import (
+        countmin_estimate,
+        countmin_state,
+    )
+
+    df = spark.createDataFrame(
+        [("g", int(x)) for x in items], "grp string, item long"
+    )
+    state = countmin_state(df, ["grp"], "item", 3, 64)
+    est = {
+        r["item"]: r["est_count"]
+        for r in countmin_estimate(
+            state, df.select("grp", "item").distinct(), ["grp"], "item", 3, 64
+        ).collect()
+    }
+    exact = Counter(items)
+    for item, c in exact.items():
+        assert est[item] >= c
