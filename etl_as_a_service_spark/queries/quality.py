@@ -1573,3 +1573,163 @@ def q178_clamped_balance_capped(spark, sf_dir):
         .applyInPandas(scan, "user_id long, event_id long, balance double")
         .orderBy("user_id", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q179 — decile lift chart (model-evaluation family)
+# --------------------------------------------------------------------------
+@query(
+    "q179_decile_lift",
+    oracle="""
+    WITH scored AS (
+      SELECT value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events
+    ),
+    th AS (
+      SELECT quantile_cont(score, 0.1) AS t1, quantile_cont(score, 0.2) AS t2,
+             quantile_cont(score, 0.3) AS t3, quantile_cont(score, 0.4) AS t4,
+             quantile_cont(score, 0.5) AS t5, quantile_cont(score, 0.6) AS t6,
+             quantile_cont(score, 0.7) AS t7, quantile_cont(score, 0.8) AS t8,
+             quantile_cont(score, 0.9) AS t9
+      FROM scored
+    ),
+    bucketed AS (
+      SELECT label,
+             CAST(CAST(score > t1 AS INTEGER) + CAST(score > t2 AS INTEGER)
+                + CAST(score > t3 AS INTEGER) + CAST(score > t4 AS INTEGER)
+                + CAST(score > t5 AS INTEGER) + CAST(score > t6 AS INTEGER)
+                + CAST(score > t7 AS INTEGER) + CAST(score > t8 AS INTEGER)
+                + CAST(score > t9 AS INTEGER) AS INTEGER) AS decile
+      FROM scored CROSS JOIN th
+    ),
+    base AS (SELECT avg(label * 1.0) AS rate FROM scored)
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           round(avg(label * 1.0) / base.rate, 6) AS lift
+    FROM bucketed CROSS JOIN base
+    GROUP BY decile, base.rate ORDER BY decile
+    """,
+    tags=("model-eval", "lift", "analytics", "operator"),
+)
+def q179_decile_lift(spark, sf_dir):
+    """Decile lift chart (q179): treating value as a model score and
+    purchase as the positive label, the positive-rate lift of each
+    score decile over the base rate — the model-evaluation table every
+    targeting pipeline reports. Decile edges come from ONE exact
+    percentile aggregate BROADCAST onto the stream (the q173
+    discipline — never ntile over a global window); the base rate is a
+    one-row broadcast."""
+    (ev,) = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    th = scored.agg(
+        *[
+            F.percentile("score", F.lit(q / 10.0)).alias(f"t{q}")
+            for q in range(1, 10)
+        ]
+    )
+    decile = sum(
+        (F.col("score") > F.col(f"t{q}")).cast("int") for q in range(1, 10)
+    ).cast("int")
+    base = scored.agg(F.avg(F.col("label") * 1.0).alias("rate"))
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .select("label", decile.alias("decile"))
+        .crossJoin(F.broadcast(base))
+        .groupBy("decile", "rate")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").cast("long").alias("n_pos"),
+            F.round(F.avg(F.col("label") * 1.0) / F.first("rate"), 6).alias(
+                "lift"
+            ),
+        )
+        .select("decile", "n", "n_pos", "lift")
+        .orderBy("decile")
+    )
+
+
+# --------------------------------------------------------------------------
+# q180 — classifier metrics across a threshold sweep
+# --------------------------------------------------------------------------
+@query(
+    "q180_classifier_threshold_sweep",
+    oracle="""
+    WITH scored AS (
+      SELECT value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events
+    ),
+    th AS (SELECT unnest([50.0, 100.0, 150.0]) AS thresh),
+    m AS (
+      SELECT thresh,
+             CAST(count(*) FILTER (WHERE score >= thresh AND label = 1)
+                  AS BIGINT) AS tp,
+             CAST(count(*) FILTER (WHERE score >= thresh AND label = 0)
+                  AS BIGINT) AS fp,
+             CAST(count(*) FILTER (WHERE score < thresh AND label = 1)
+                  AS BIGINT) AS fn
+      FROM scored CROSS JOIN th GROUP BY thresh
+    )
+    SELECT thresh, tp, fp, fn,
+           round(tp * 1.0 / nullif(tp + fp, 0), 6) AS precision,
+           round(tp * 1.0 / nullif(tp + fn, 0), 6) AS recall,
+           round(2.0 * tp / nullif(2 * tp + fp + fn, 0), 6) AS f1
+    FROM m ORDER BY thresh
+    """,
+    tags=("model-eval", "metrics", "analytics", "operator"),
+)
+def q180_classifier_threshold_sweep(spark, sf_dir):
+    """Precision / recall / F1 across a threshold sweep (q180): one
+    confusion-matrix row per candidate threshold, computed by
+    BROADCASTING the tiny threshold list onto the scored stream and
+    conditional-counting in a single grouped pass — the sweep costs
+    one scan regardless of how many thresholds are evaluated (the
+    standard trick for tuning cutoffs at corpus scale). nullif guards
+    keep empty cells NULL on both engines instead of dividing by
+    zero."""
+    (ev,) = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    th = spark.createDataFrame(
+        [(50.0,), (100.0,), (150.0,)], "thresh double"
+    )
+    m = (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy("thresh")
+        .agg(
+            F.count_if(
+                (F.col("score") >= F.col("thresh")) & (F.col("label") == 1)
+            ).alias("tp"),
+            F.count_if(
+                (F.col("score") >= F.col("thresh")) & (F.col("label") == 0)
+            ).alias("fp"),
+            F.count_if(
+                (F.col("score") < F.col("thresh")) & (F.col("label") == 1)
+            ).alias("fn"),
+        )
+    )
+    return m.select(
+        "thresh",
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)), 6
+        ).alias("precision"),
+        F.round(
+            F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 6
+        ).alias("recall"),
+        F.round(
+            2.0
+            * F.col("tp")
+            / F.nullif(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0)),
+            6,
+        ).alias("f1"),
+    ).orderBy("thresh")
