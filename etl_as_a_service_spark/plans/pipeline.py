@@ -105,6 +105,7 @@ _ALLOWED_OPS = {
     "heavy_hitters",
     "gopher_quality",
     "profile",
+    "reconcile",
 }
 
 
@@ -601,6 +602,21 @@ def _apply_step(
                 df, keys, _req(step, "item_col"), int(step.get("m", 16))
             ),
             keys,
+        )
+    if op == "reconcile":
+        # {"op":"reconcile","right":{...subplan...},"bucket_col":"b",
+        #  "canon_col":"canon"} — bucket-level count+checksum audit of
+        # the compiled upstream vs another pipeline subplan
+        from etl_as_a_service_spark.operators.relational import (
+            reconcile_tables,
+        )
+
+        right = compile_pipeline(spark, _req(step, "right"), _as_subplan=True)
+        return reconcile_tables(
+            df,
+            right,
+            bucket_col=step.get("bucket_col", "bucket"),
+            canon_col=step.get("canon_col", "canon"),
         )
     if op == "profile":
         # {"op":"profile","columns":["a","b"],"approx":false} — one-pass

@@ -871,3 +871,39 @@ def test_sketch_graph_quality_steps(spark):
     rows = {r["node"]: r["hops"] for r in bfs.collect()}
     # the seed is labeled 0 when present in the graph; all hops <= cap
     assert all(0 <= h <= 3 for h in rows.values())
+
+
+def test_reconcile_step_between_two_subplans(spark):
+    """The reconcile op audits the compiled upstream against another
+    pipeline subplan: identical pipelines match every bucket; a
+    filtered right side flips rows_match in the affected buckets."""
+    base_steps = [
+        {"op": "with_column", "name": "canon",
+         "expr": "concat(cast(o_orderkey as string), '|', o_orderstatus)"},
+        {"op": "with_column", "name": "bucket",
+         "expr": "cast(o_orderkey % 4 as int)"},
+    ]
+    right = {
+        "name": "recon_right",
+        "source": {"format": "parquet", "path": f"{SF_SMOKE}/orders.parquet"},
+        "steps": list(base_steps),
+    }
+    spec = {
+        "name": "recon_step",
+        "source": {"format": "parquet", "path": f"{SF_SMOKE}/orders.parquet"},
+        "steps": base_steps + [{"op": "reconcile", "right": right}],
+    }
+    out = compile_pipeline(spark, spec).collect()
+    assert out and all(r["rows_match"] and r["content_match"] for r in out)
+
+    right_filtered = dict(right)
+    right_filtered["steps"] = [
+        {"op": "filter", "predicate": "o_orderkey % 997 <> 0"}
+    ] + list(base_steps)
+    spec2 = {
+        "name": "recon_step2",
+        "source": {"format": "parquet", "path": f"{SF_SMOKE}/orders.parquet"},
+        "steps": base_steps + [{"op": "reconcile", "right": right_filtered}],
+    }
+    out2 = compile_pipeline(spark, spec2).collect()
+    assert any(not r["rows_match"] for r in out2)
