@@ -1733,3 +1733,54 @@ def q180_classifier_threshold_sweep(spark, sf_dir):
             6,
         ).alias("f1"),
     ).orderBy("thresh")
+
+
+# --------------------------------------------------------------------------
+# q181 — user feature snapshot (feature-store assembly in one pass)
+# --------------------------------------------------------------------------
+@query(
+    "q181_user_feature_snapshot",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)                           AS n_events,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                AS BIGINT)                                    AS n_purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'error')
+                AS BIGINT)                                    AS n_error,
+           round(sum(value) FILTER (WHERE event_type = 'purchase'), 4)
+                                                              AS purchase_total,
+           round(avg(value), 6)                               AS value_mean,
+           CAST(floor(epoch(max(ts))) AS BIGINT)              AS last_seen_epoch,
+           CAST(date_diff('day', min(ts), max(ts)) AS BIGINT) AS active_days_span
+    FROM events
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("feature-store", "ml-prep", "operator"),
+)
+def q181_user_feature_snapshot(spark, sf_dir):
+    """User feature snapshot (q181): the feature-store assembly — per
+    user, event counts (total and by type), purchase spend, mean
+    value, last-seen epoch, and activity span, ALL in ONE
+    map-side-combined aggregate pass (conditional aggregates instead
+    of per-feature scans or joins). At 100 TB this is the canonical
+    'one wide pass, N features' pattern; adding a feature adds a
+    column, never a scan."""
+    (ev,) = _t(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(is_p).alias("n_purchase"),
+            F.count_if(F.col("event_type") == "error").alias("n_error"),
+            F.round(F.sum(F.when(is_p, F.col("value"))), 4).alias(
+                "purchase_total"
+            ),
+            F.round(F.avg("value"), 6).alias("value_mean"),
+            F.unix_timestamp(F.max("ts")).alias("last_seen_epoch"),
+            F.datediff(F.max("ts"), F.min("ts"))
+            .cast("long")
+            .alias("active_days_span"),
+        )
+        .orderBy("user_id")
+    )
