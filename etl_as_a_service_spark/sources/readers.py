@@ -11,6 +11,7 @@ paths + Hadoop S3A configs; tests use local paths.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
@@ -236,3 +237,54 @@ def compact_files(
         "bytes": total,
         "leaves": len(leaves),
     }
+
+
+def read_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "csv",
+    schema: str | None = None,
+    **options,
+):
+    """Ingest with a QUARANTINE lane: malformed rows divert to a
+    second frame instead of silently nulling out (PERMISSIVE's default)
+    or killing the job (FAILFAST) — the production pattern for the
+    reference's accept-any-file upload (app/templates/upload.html:7),
+    where user files routinely carry a few broken lines.
+
+    Returns ``(clean_df, quarantine_df)``: clean rows without the
+    corrupt-record column, and quarantined rows as (raw_record) with
+    the original malformed text for triage/replay. Requires an
+    explicit ``schema`` (inference would re-shape around the bad rows
+    — exactly the silent drift this guards against). One source scan
+    feeds both frames; Spark caches the corrupt column only while the
+    plans materialize.
+
+    Scale note: quarantine is a FILTER, not a second parse — both
+    lanes share the scan, and the quarantine lane is typically tiny,
+    so at 100 TB this costs one pass plus a near-empty write.
+    """
+    if schema is None:
+        raise ValueError("read_with_quarantine requires an explicit schema")
+    if fmt not in ("csv", "json"):
+        raise ValueError(f"quarantine ingest supports csv/json, got {fmt!r}")
+    corrupt = "__corrupt_record"
+    reader = (
+        spark.read.format(fmt)
+        .schema(f"{schema}, {corrupt} STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    # Spark disallows plans whose only referenced column from a raw
+    # CSV/JSON scan is the internal corrupt-record column
+    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the
+    # documented workaround is caching the parsed frame, which also
+    # makes the two lanes share one parse instead of re-reading
+    raw = reader.load(path).cache()
+    clean = raw.filter(F.col(corrupt).isNull()).drop(corrupt)
+    quarantine = raw.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw_record")
+    )
+    return clean, quarantine

@@ -1629,3 +1629,34 @@ def test_iceberg_merge_copy_on_write(spark, tmp_path):
         for r in iceberg_changes(spark, table, s0, s1, ["id"]).collect()
     }
     assert feed == {3: "update", 42: "insert"}
+
+
+def test_read_with_quarantine_diverts_malformed_rows(spark, tmp_path):
+    """Quarantine ingest: clean CSV rows parse fully typed, malformed
+    lines (wrong arity / bad types) divert to the quarantine lane with
+    their ORIGINAL text; JSON face quarantines broken objects; schema
+    is mandatory."""
+    import pytest as _pytest
+
+    from etl_as_a_service_spark.sources.readers import read_with_quarantine
+
+    p = tmp_path / "in.csv"
+    p.write_text("1,alpha,10.5\n2,beta,XXX\nnot,a,valid,row,at all\n3,gamma,7.25\n")
+    clean, quar = read_with_quarantine(
+        spark, str(p), "csv", schema="id INT, name STRING, v DOUBLE"
+    )
+    got = {r["id"]: (r["name"], r["v"]) for r in clean.collect()}
+    assert got == {1: ("alpha", 10.5), 3: ("gamma", 7.25)}
+    bad = sorted(r["raw_record"] for r in quar.collect())
+    assert bad == ["2,beta,XXX", "not,a,valid,row,at all"]
+
+    j = tmp_path / "in.json"
+    j.write_text('{"id": 1, "name": "a"}\n{"id": broken\n{"id": 2, "name": "b"}\n')
+    jc, jq = read_with_quarantine(
+        spark, str(j), "json", schema="id INT, name STRING"
+    )
+    assert {r["id"] for r in jc.collect()} == {1, 2}
+    assert jq.count() == 1 and "broken" in jq.collect()[0]["raw_record"]
+
+    with _pytest.raises(ValueError, match="schema"):
+        read_with_quarantine(spark, str(p), "csv")
