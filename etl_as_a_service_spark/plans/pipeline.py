@@ -166,6 +166,31 @@ def _compile_source(spark: SparkSession, source: dict[str, Any]) -> DataFrame:
         return iceberg_read(
             spark, path, snapshot_id=source.get("snapshot_id")
         )
+    if source.get("quarantine_path"):
+        # bad-records lane: malformed rows divert to quarantine_path as
+        # text while the CLEAN lane feeds the pipeline (the ingest
+        # hardening the reference's accept-any-file upload lacks). The
+        # quarantine write happens when the pipeline runs its source —
+        # both lanes share one cached parse (sources/readers.py).
+        from etl_as_a_service_spark.sources.readers import (
+            read_with_quarantine,
+        )
+
+        if fmt not in ("csv", "json"):
+            raise PipelineError(
+                "quarantine_path requires a csv/json source"
+            )
+        if "schema" not in source:
+            raise PipelineError("quarantine_path requires 'schema'")
+        clean, quarantine = read_with_quarantine(
+            spark,
+            path,
+            fmt,
+            schema=source["schema"],
+            **source.get("options", {}),
+        )
+        quarantine.write.mode("overwrite").text(source["quarantine_path"])
+        return clean
     reader = spark.read.format(fmt)
     if "schema" in source:
         reader = reader.schema(source["schema"])

@@ -907,3 +907,26 @@ def test_reconcile_step_between_two_subplans(spark):
     }
     out2 = compile_pipeline(spark, spec2).collect()
     assert any(not r["rows_match"] for r in out2)
+
+
+def test_quarantine_source_in_pipeline_spec(spark, tmp_path):
+    """A csv source with quarantine_path feeds the pipeline only clean
+    typed rows and writes the malformed originals to the quarantine
+    directory as text."""
+    p = tmp_path / "in.csv"
+    p.write_text("1,alpha,10.5\n2,beta,XXX\n3,gamma,7.25\n")
+    qdir = str(tmp_path / "quarantine")
+    spec = {
+        "name": "quarantine_src",
+        "source": {
+            "format": "csv",
+            "path": str(p),
+            "schema": "id INT, name STRING, v DOUBLE",
+            "quarantine_path": qdir,
+        },
+        "steps": [{"op": "order_by", "columns": ["id"]}],
+    }
+    out = compile_pipeline(spark, spec).collect()
+    assert [r["id"] for r in out] == [1, 3]
+    bad = [r["value"] for r in spark.read.text(qdir).collect()]
+    assert bad == ["2,beta,XXX"]
