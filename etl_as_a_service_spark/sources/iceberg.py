@@ -423,14 +423,20 @@ def _read_iceberg_files(
     return reader.parquet(*[os.path.join(table, f) for f in sorted(files)])
 
 
-def _live_file_set(table: str, snap: dict) -> set:
-    """Relative paths of a snapshot's live data files (manifest walk)."""
-    files = set()
+def _live_entries(table: str, snap: dict) -> list[dict]:
+    """A snapshot's live manifest entries (manifest walk) — full
+    records, so callers get partition tuples as well as paths."""
+    out = []
     for mf in _read_manifest_list(table, snap):
         for entry in _read_manifest(table, mf["manifest_path"]):
             if entry["status"] != 2:
-                files.add(entry["data_file"]["file_path"])
-    return files
+                out.append(entry)
+    return out
+
+
+def _live_file_set(table: str, snap: dict) -> set:
+    """Relative paths of a snapshot's live data files."""
+    return {e["data_file"]["file_path"] for e in _live_entries(table, snap)}
 
 
 def iceberg_changes(

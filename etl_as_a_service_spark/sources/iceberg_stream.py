@@ -1,0 +1,150 @@
+"""Iceberg tables as a STREAMING SOURCE — the twin of
+sources/delta_stream.py on the Iceberg metadata chain: offsets are
+positions in the table's snapshot log, each micro-batch is the set of
+data files a new snapshot ADDED (live-set difference against the
+previous snapshot — files are immutable, so the diff IS the append),
+and file reads run on executors (one input partition per file,
+pyarrow). Partition values attach from the manifests' identity-
+partition tuples, schema-cast per file.
+
+Semantics:
+
+- initial batch = the current snapshot (everything live);
+- subsequent batches emit only files new snapshots added;
+- a snapshot that DROPS live files inside the tailed range (overwrite
+  / merge) raises — tailing a non-append table needs an explicit
+  restart decision, silent re-reads would double-count;
+- the snapshot log is immutable and ordered, so checkpoint recovery
+  replays any offset range identically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql import types as T
+
+from etl_as_a_service_spark.sources.iceberg import (
+    _live_entries,
+    _load_metadata,
+    _spark_schema,
+)
+
+
+class IcebergStreamDataSource(DataSource):
+    """Streaming source ``iceberg_stream`` with option ``path``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_stream"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("iceberg_stream requires .option('path', table)")
+        md = _load_metadata(path)
+        return _spark_schema(md["schemas"][md["current-schema-id"]])
+
+    def streamReader(self, schema) -> "IcebergStreamReader":
+        return IcebergStreamReader(self.options, schema)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, partition_values: dict):
+        self.path = path
+        self.partition_values = partition_values
+
+
+class IcebergStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema):
+        self.table = options["path"]
+        self.schema = schema
+
+    def _snapshots(self) -> list[dict]:
+        md = _load_metadata(self.table)
+        return sorted(
+            md.get("snapshots", []), key=lambda s: s["timestamp-ms"]
+        )
+
+    # -- offsets are positions in the ordered snapshot log ------------
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        return {"pos": len(self._snapshots())}
+
+    def commit(self, end) -> None:
+        pass
+
+    def partitions(self, start, end):
+        snaps = self._snapshots()
+        lo, hi = start["pos"], end["pos"]
+        parts: list[_FilePartition] = []
+        prev_live: dict = {}
+        if lo > 0:
+            prev_live = {
+                e["data_file"]["file_path"]: e
+                for e in _live_entries(self.table, snaps[lo - 1])
+            }
+        for i in range(lo, min(hi, len(snaps))):
+            live = {
+                e["data_file"]["file_path"]: e
+                for e in _live_entries(self.table, snaps[i])
+            }
+            dropped = set(prev_live) - set(live)
+            if dropped:
+                raise ValueError(
+                    "iceberg_stream: snapshot "
+                    f"{snaps[i]['snapshot-id']} removes live data files "
+                    "(overwrite/merge) — a streaming tail of a non-append "
+                    "table requires an explicit restart decision"
+                )
+            for path, entry in live.items():
+                if path not in prev_live:
+                    parts.append(
+                        _FilePartition(
+                            os.path.join(self.table, path),
+                            dict(entry["data_file"].get("partition") or {}),
+                        )
+                    )
+            prev_live = live
+        return parts
+
+    def read(self, partition: "_FilePartition"):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        cols = {n: tbl.column(n).to_pylist() for n in tbl.column_names}
+        n = tbl.num_rows
+        out_cols = []
+        for f in self.schema.fields:
+            if f.name in cols:
+                out_cols.append(cols[f.name])
+            else:
+                out_cols.append(
+                    [_cast_pv(partition.partition_values.get(f.name), f.dataType)]
+                    * n
+                )
+        return iter(list(zip(*out_cols)) if n else [])
+
+
+def _cast_pv(raw, dtype):
+    if raw is None:
+        return None
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType)):
+        return int(raw)
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return float(raw)
+    if isinstance(dtype, T.BooleanType):
+        return raw in (True, "true")
+    return raw
+
+
+def register_iceberg_stream(spark) -> None:
+    spark.dataSource.register(IcebergStreamDataSource)

@@ -1660,3 +1660,81 @@ def test_read_with_quarantine_diverts_malformed_rows(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="schema"):
         read_with_quarantine(spark, str(p), "csv")
+
+
+def test_iceberg_stream_source_tails_snapshots(spark, tmp_path):
+    """iceberg_stream: initial batch = snapshot, same-checkpoint rerun
+    emits only newly appended snapshots, partition columns reconstruct
+    from the manifests, and an overwrite in the range fails the
+    stream."""
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.sources.iceberg import iceberg_write
+    from etl_as_a_service_spark.sources.iceberg_stream import (
+        register_iceberg_stream,
+    )
+
+    register_iceberg_stream(spark)
+    table = str(tmp_path / "istream")
+    iceberg_write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, grp string, v long"
+        ),
+        table,
+        partition_by=["grp"],
+    )
+    iceberg_write(
+        spark.createDataFrame([(3, "a", 30)], "id long, grp string, v long"),
+        table,
+        mode="append",
+    )
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_batch():
+        q = (
+            spark.readStream.format("iceberg_stream").option("path", table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run_batch()
+    got = {
+        r["id"]: (r["grp"], r["v"]) for r in spark.read.parquet(out).collect()
+    }
+    assert got == {1: ("a", 10), 2: ("b", 20), 3: ("a", 30)}
+
+    iceberg_write(
+        spark.createDataFrame([(4, "c", 40)], "id long, grp string, v long"),
+        table,
+        mode="append",
+    )
+    run_batch()
+    ids = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2, 3, 4]
+
+    iceberg_write(
+        spark.createDataFrame([(9, "z", 90)], "id long, grp string, v long"),
+        table,
+        mode="overwrite",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="removes live data|Streaming"):
+        q = (
+            spark.readStream.format("iceberg_stream").option("path", table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
