@@ -1,0 +1,165 @@
+"""Bloom-filter-pruned semi join.
+
+The missing middle between Spark's two semi-join strategies: when the
+dim side is small you broadcast it; when both sides are huge you pay a
+full shuffle of the fact table. A Bloom filter of the dim keys is
+orders of magnitude smaller than the keys themselves (~10 bits/key at
+1% FP), so at 100 TB the right plan is often: build the filter over
+the dim keys (one partial-aggregated pass), push it into the FACT SCAN
+as a predicate, and only shuffle the surviving ~match-rate fraction
+into the exact join. Spark's own Catalyst does this internally
+(`InjectRuntimeFilter` / `BloomFilterAggregate`), but only for plans
+it recognizes and the aggregate is not exposed to SQL/Python
+(`bloom_filter_agg` is unresolved in Spark 4.1's registry) — this
+operator makes the strategy available explicitly, with the same
+exactness guarantee: the Bloom probe only PRUNES; an exact join
+afterwards removes false positives, so results are identical to the
+plain semi join.
+
+Reference parity: the reference service (`app/routes.py`) exposes only
+ingest/query plumbing; join strategy is engine-side. This operator is
+part of the §2.B "beyond the reference" scale surface.
+
+Design notes (100 TB):
+- The bitset is built with `xxhash64` + `bit_or` partial aggregation —
+  map-side combine reduces each partition to at most `num_bits/64`
+  rows before the (tiny) shuffle, so the build cost is one scan of the
+  dim keys regardless of row count.
+- The finished bitset is BOUNDED DRIVER METADATA (`num_bits/8` bytes,
+  capped at 2 MiB by default), the same contract as the Lloyd centroid
+  collect in `llm/similarity.py` — it does not grow with data, only
+  with the configured filter size.
+- The probe is a pure Catalyst predicate (array literal + bit math)
+  that runs inside whole-stage codegen at the scan, BEFORE any
+  shuffle; filter pushdown keeps column pruning intact.
+- False positives only cost work, never correctness: `bloom_semi_join`
+  re-verifies with a real semi join over the pruned fact side.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Bitset words are collected to the driver; cap the filter at 2 MiB
+# (16 Mi bits) so a misconfigured build cannot balloon driver memory.
+MAX_BITS = 1 << 24
+
+
+def optimal_num_bits(expected_items: int, fpp: float = 0.03) -> int:
+    """Textbook sizing m = -n*ln(p)/ln(2)^2, rounded up to a multiple
+    of 64 and clamped to [64, MAX_BITS]."""
+    if expected_items <= 0:
+        return 64
+    m = int(math.ceil(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
+    return max(64, min(m, MAX_BITS))
+
+
+def optimal_num_hashes(num_bits: int, expected_items: int) -> int:
+    """k = (m/n) ln 2, clamped to [1, 8]."""
+    if expected_items <= 0:
+        return 1
+    k = int(round(num_bits / expected_items * math.log(2)))
+    return max(1, min(k, 8))
+
+
+def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    # xxhash64(key, i) gives num_hashes independent-enough hash
+    # functions; pmod keeps positions non-negative.
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int,
+    num_hashes: int,
+) -> list[int]:
+    """One distributed pass over ``df[key_col]`` -> dense bitset as a
+    Python list of ``num_bits/64`` int64 words (bounded driver
+    metadata; NULL keys are skipped, matching join semantics)."""
+    if num_bits % 64 != 0 or not 64 <= num_bits <= MAX_BITS:
+        raise ValueError(
+            f"num_bits must be a multiple of 64 in [64, {MAX_BITS}]"
+        )
+    key = F.col(key_col)
+    pos = df.filter(key.isNotNull()).select(
+        F.explode(F.array(*_positions(key, num_bits, num_hashes))).alias("p")
+    )
+    words = (
+        pos.select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+    )
+    arr = [0] * (num_bits // 64)
+    for row in words.collect():  # bounded: <= num_bits/64 rows
+        arr[row["w"]] = row["bits"]
+    return arr
+
+
+def bloom_might_contain(
+    key: Column, bitset: list[int], num_hashes: int
+) -> Column:
+    """Pure-Catalyst membership predicate against a built bitset.
+    False positives possible, false negatives impossible (for keys the
+    filter was built over)."""
+    num_bits = len(bitset) * 64
+    lit = F.lit(bitset)
+    one = F.lit(1).cast("long")
+    checks = []
+    for p in _positions(key, num_bits, num_hashes):
+        word = F.element_at(lit, (p / 64).cast("int") + 1)
+        # F.shiftleft's Python signature wants an int shift; the SQL
+        # function accepts a column — call it through the registry.
+        bit = F.call_function(
+            "shiftleft", one, F.pmod(p, F.lit(64)).cast("int")
+        )
+        checks.append(word.bitwiseAND(bit) != F.lit(0))
+    return key.isNotNull() & reduce(lambda a, b: a & b, checks)
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    expected_items: int,
+    fpp: float = 0.03,
+) -> DataFrame:
+    """EXACT left-semi join fact⋉dim, planned as Bloom-prune + verify:
+
+    1. build a Bloom bitset over ``dim[dim_key]`` (one pass, partial
+       aggregation, bounded driver collect);
+    2. filter ``fact`` with the pure-Catalyst probe predicate — at the
+       scan, before any shuffle;
+    3. exact ``left_semi`` join of the survivors against dim, which
+       removes Bloom false positives.
+
+    The output is row-identical to ``fact.join(dim, on, "left_semi")``;
+    only the amount of data reaching the join's shuffle changes (from
+    |fact| to ~|matches|·(1+fpp))."""
+    num_bits = optimal_num_bits(expected_items, fpp)
+    num_hashes = optimal_num_hashes(num_bits, expected_items)
+    bits = bloom_build(dim, dim_key, num_bits, num_hashes)
+    pruned = fact.filter(
+        bloom_might_contain(F.col(fact_key), bits, num_hashes)
+    )
+    # left_semi is already duplicate-insensitive on the build side —
+    # no distinct (that would add a shuffle the join doesn't need).
+    return pruned.join(
+        dim.select(F.col(dim_key).alias(fact_key)),
+        on=fact_key,
+        how="left_semi",
+    )

@@ -1,0 +1,330 @@
+"""Scale-technique queries (round-4 third-continuation batch, q182+):
+Bloom-pruned semi join, CUPED variance-reduced experiment readout,
+content-defined-chunking dedup, and BPE corpus encoding. Oracle rules
+follow the manifest header (BIGINT casts, round()ed floats, identical
+aliases); the BPE query uses the q104/q157 contract — engine-computed
+invariant booleans the oracle expects TRUE."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.catalog import load_tables
+from etl_as_a_service_spark.queries import query
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+# --------------------------------------------------------------------------
+# q182 — Bloom-pruned semi join (exact result, pruned shuffle)
+# --------------------------------------------------------------------------
+@query(
+    "q182_bloom_semi_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer
+      WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 4500
+    )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("join", "bloom", "operator", "scale"),
+)
+def q182_bloom_semi_join(spark, sf_dir):
+    """Order-priority revenue for rich AUTOMOBILE customers, planned as
+    operators.bloom.bloom_semi_join: a Bloom bitset over the dim keys
+    (one partial-aggregated pass, bounded driver metadata) prunes the
+    orders SCAN with a pure-Catalyst predicate BEFORE the exact
+    left-semi verify. Output is row-identical to the plain semi join —
+    the oracle IS the plain semi join; only the data volume reaching
+    the join's shuffle differs. SCALE DESIGN: this is the strategy for
+    fact⋉dim when dim is too big to broadcast — Catalyst's own
+    InjectRuntimeFilter applies it internally but exposes no API; at
+    100 TB the probe drops the shuffled fact bytes from |fact| to
+    ~|matches|·(1+fpp)."""
+    from etl_as_a_service_spark.operators.bloom import bloom_semi_join
+
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    dim = customer.filter(
+        (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") > 4500)
+    ).select("c_custkey")
+    # expected-items estimate: one count over the (already filtered)
+    # dim keys — the same statistic Catalyst's runtime-filter rule
+    # reads from table stats; bounded scalar to the driver.
+    matched = bloom_semi_join(
+        orders, dim, "o_custkey", "c_custkey", expected_items=dim.count()
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q183 — CUPED variance-reduced experiment readout
+# --------------------------------------------------------------------------
+_CUPED_SPLIT = "2024-01-16 00:00:00"
+
+
+@query(
+    "q183_cuped_readout",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             coalesce(sum(CASE WHEN ts <  TIMESTAMP '{_CUPED_SPLIT}'
+                               THEN value END), 0.0) AS pre,
+             coalesce(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                               THEN value END), 0.0) AS post,
+             CASE WHEN substring(md5('cuped-v1' || CAST(user_id AS VARCHAR)),
+                                 1, 8) < '80000000'
+                  THEN 'treat' ELSE 'control' END AS arm
+      FROM events GROUP BY user_id
+    ),
+    theta AS (
+      SELECT covar_pop(post, pre) / nullif(var_pop(pre), 0) AS th,
+             avg(pre) AS mu_pre
+      FROM per_user
+    ),
+    adj AS (
+      SELECT arm, post, post - th * (pre - mu_pre) AS post_adj
+      FROM per_user, theta
+    )
+    SELECT arm,
+           CAST(count(*) AS BIGINT)       AS n_users,
+           round(avg(post), 4)            AS mean_post,
+           round(avg(post_adj), 4)        AS mean_post_adj,
+           round(1.0 - var_pop(post_adj) / var_pop(post), 4)
+                                          AS var_reduction
+    FROM adj GROUP BY arm ORDER BY arm
+    """,
+    tags=("experiment", "cuped", "stats", "operator"),
+)
+def q183_cuped_readout(spark, sf_dir):
+    """CUPED (Deng et al. 2013, public paper) A/B readout over the
+    events stream: per-user pre-period activity is the covariate,
+    theta = cov(post, pre)/var(pre) is fitted on the POOLED population
+    (one global aggregate -> single broadcast row, the standard
+    practice that keeps the estimator unbiased across arms), and the
+    adjusted metric post - theta*(pre - mean(pre)) is reported per
+    deterministically-hashed arm alongside the achieved variance
+    reduction. SCALE DESIGN: two hash aggregates (user grain, then arm
+    grain) plus a 1-row broadcast — no window, no second scan of the
+    raw events."""
+    (events,) = _t(spark, sf_dir, "events")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    per_user = events.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < split, F.col("value"))), F.lit(0.0)
+        ).alias("pre"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= split, F.col("value"))), F.lit(0.0)
+        ).alias("post"),
+    )
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("cuped-v1"), F.col("user_id").cast("string"))),
+            1,
+            8,
+        )
+        < "80000000",
+        "treat",
+    ).otherwise("control")
+    theta = per_user.agg(
+        (F.covar_pop("post", "pre") / F.nullif(F.var_pop("pre"), F.lit(0.0)))
+        .alias("th"),
+        F.avg("pre").alias("mu_pre"),
+    )
+    adj = per_user.join(F.broadcast(theta)).select(
+        arm.alias("arm"),
+        F.col("post"),
+        (F.col("post") - F.col("th") * (F.col("pre") - F.col("mu_pre")))
+        .alias("post_adj"),
+    )
+    return (
+        adj.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.avg("post"), 4).alias("mean_post"),
+            F.round(F.avg("post_adj"), 4).alias("mean_post_adj"),
+            F.round(
+                F.lit(1.0) - F.var_pop("post_adj") / F.var_pop("post"), 4
+            ).alias("var_reduction"),
+        )
+        .orderBy("arm")
+    )
+
+
+# --------------------------------------------------------------------------
+# q184 — content-defined-chunking dedup report
+# --------------------------------------------------------------------------
+@query(
+    "q184_cdc_chunk_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, source, 'edited near duplicate copy ' || text
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    b AS (
+      SELECT doc_id, source, text,
+             list_sort(list_distinct(list_append(
+               list_filter(range(8, len(text) + 1),
+                 i -> substring(md5(substring(text, i - 7, 8)), 1, 1) = '0'),
+               len(text)))) AS bounds
+      FROM corpus WHERE len(text) >= 8
+    ),
+    pos AS (
+      SELECT doc_id, source, text, UNNEST(bounds) AS e FROM b
+    ),
+    ch AS (
+      -- bounds are distinct and ascending, so ordering by e recovers
+      -- the boundary sequence without UNNEST ordinality
+      SELECT source,
+             substring(text,
+               coalesce(lag(e) OVER w, 0) + 1,
+               e - coalesce(lag(e) OVER w, 0)) AS chunk
+      FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY e)
+    ),
+    per AS (
+      SELECT source, md5(chunk) AS h,
+             count(*) AS cnt, min(len(chunk)) AS clen
+      FROM ch GROUP BY source, h
+    )
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT)        AS n_chunks,
+           CAST(count(*) AS BIGINT)        AS n_unique_chunks,
+           CAST(sum(cnt * clen) AS BIGINT) AS chunk_bytes,
+           CAST(sum(clen) AS BIGINT)       AS unique_bytes,
+           round(1.0 - sum(clen) * 1.0 / sum(cnt * clen), 6) AS dedup_ratio
+    FROM per GROUP BY source ORDER BY source
+    """,
+    tags=("dedup", "cdc", "chunking", "llm", "operator"),
+)
+def q184_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined chunking (the rsync/LBFS/storage-dedup family,
+    public algorithms) as a Catalyst expression pipeline: a chunk
+    boundary falls AFTER position i when the 8-gram ending at i hashes
+    into a 1/16 band (md5 first hex char '0', portable across engines)
+    or at a hard 64-byte stride cap; chunks are then exact-dedup'd
+    per source. Because boundaries depend only on LOCAL content, an
+    edited near-copy (planted here: 25 docs re-ingested with a
+    prefix edit, the classic CDC stress) re-aligns to the SAME chunks
+    a few bytes past the edit — fixed-size chunking would shift every
+    boundary and share nothing (the realignment property is asserted
+    in test_advanced_queries). SCALE DESIGN: boundary detection is
+    per-row array math in whole-stage codegen (no explode until chunks
+    exist, no Python); the dedup is one hash aggregate on 16-byte
+    chunk hashes. Per-position hashing costs O(n·gram) per doc — the
+    knob is the gram size / band width."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", "text")
+    planted = base.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "source",
+        F.concat(F.lit("edited near duplicate copy "), F.col("text"))
+        .alias("text"),
+    )
+    from etl_as_a_service_spark.functions.text import cdc_chunks
+
+    corpus = base.unionByName(planted).filter(F.length("text") >= 8)
+    per = (
+        corpus.select(
+            "source", F.explode(cdc_chunks(F.col("text"))).alias("chunk")
+        )
+        .groupBy("source", F.md5("chunk").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.length("chunk")).alias("clen"),
+        )
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_chunks"),
+            F.count(F.lit(1)).cast("long").alias("n_unique_chunks"),
+            F.sum(F.col("cnt") * F.col("clen")).cast("long")
+            .alias("chunk_bytes"),
+            F.sum("clen").cast("long").alias("unique_bytes"),
+            F.round(
+                F.lit(1.0)
+                - F.sum("clen") / F.sum(F.col("cnt") * F.col("clen")),
+                6,
+            ).alias("dedup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q185 — BPE corpus encoding (invariant-boolean oracle, q104 contract)
+# --------------------------------------------------------------------------
+@query(
+    "q185_bpe_encode",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                w -> len(w) > 0)) AS BIGINT) AS n_words,
+           TRUE AS roundtrip_ok,
+           TRUE AS tokens_bounded
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("bpe", "tokenizer", "llm", "operator"),
+)
+def q185_bpe_encode(spark, sf_dir):
+    """Encode the corpus with merges LEARNED FROM IT (llm.bpe): the
+    merge table is induced on the same documents (20 rules — a
+    tokenizer spec, driver-bounded), then bpe_encode re-tokenizes via
+    the distinct-word vocabulary join. The oracle uses the q104/q157
+    invariant contract: token counts depend on the learned merges (no
+    portable SQL twin), so the engine emits CHECKED BOOLEANS —
+    roundtrip_ok (concatenated tokens minus the end-of-word markers
+    reproduce the document's characters exactly) and tokens_bounded
+    (word-count <= token-count <= character-count) — which the oracle
+    expects TRUE for every document, plus the word count it CAN
+    recompute. SCALE DESIGN: the merge loop and the encode kernel are
+    vocabulary-sized; the corpus is scanned once for counts and once
+    for the encode join."""
+    from etl_as_a_service_spark.llm.bpe import EOW, bpe_encode, learn_bpe_merges
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in learn_bpe_merges(docs, "text", num_merges=20).collect()
+    ]
+    enc = bpe_encode(docs, "text", "doc_id", merges)
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: F.length(w) > 0
+    )
+    joined = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.concat_ws("", words).alias("__chars"),
+    ).join(enc, "doc_id")
+    return joined.select(
+        "doc_id",
+        "n_words",
+        (
+            F.replace(
+                F.concat_ws("", F.col("tokens")), F.lit(EOW), F.lit("")
+            )
+            == F.col("__chars")
+        ).alias("roundtrip_ok"),
+        (
+            # each word of length L yields between 1 and L tokens (the
+            # final char is fused with the EOW marker), so totals obey
+            # n_words <= n_tokens <= n_chars-without-whitespace
+            (F.size("tokens") >= F.col("n_words"))
+            & (F.size("tokens") <= F.length("__chars"))
+        ).alias("tokens_bounded"),
+    ).orderBy("doc_id")

@@ -1,0 +1,90 @@
+"""Property tests for the q182+ batch: CDC chunk realignment and
+coverage, CUPED variance reduction on correlated synthetic data.
+(Oracle parity for the same queries runs in test_oracle_parity.py.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.functions.text import cdc_chunks
+
+
+def _words(seed: int, n: int) -> str:
+    import hashlib
+
+    out = []
+    for i in range(n):
+        h = hashlib.md5(f"{seed}-{i}".encode()).hexdigest()
+        out.append(h[: 4 + int(h[0], 16) % 5])
+    return " ".join(out)
+
+
+def test_cdc_chunks_cover_text_exactly(spark):
+    df = spark.createDataFrame(
+        [(i, _words(i, 60)) for i in range(20)] + [(99, "tiny")],
+        "id long, text string",
+    )
+    bad = df.select(
+        "text", F.concat_ws("", cdc_chunks(F.col("text"))).alias("re")
+    ).filter(F.col("re") != F.col("text"))
+    assert bad.count() == 0
+
+
+def test_cdc_chunks_realign_after_prefix_edit(spark):
+    """The CDC property: a prefix edit disturbs only the chunks whose
+    hash window overlaps it — the tail of an edited copy re-aligns to
+    the original's chunk set. Fixed-size chunking would share ~0."""
+    texts = [(i, _words(i, 120)) for i in range(10)]
+    edited = [(i + 1000, "EDITED PREFIX " + t) for i, t in texts]
+    df = spark.createDataFrame(texts + edited, "id long, text string")
+    chunks = df.select(
+        "id", F.explode(cdc_chunks(F.col("text"))).alias("chunk")
+    )
+    orig = chunks.filter("id < 1000").select(
+        F.col("id").alias("oid"), "chunk"
+    )
+    copy = chunks.filter("id >= 1000").select(
+        (F.col("id") - 1000).alias("oid"), "chunk"
+    )
+    shared = orig.join(copy, ["oid", "chunk"], "left_semi").count()
+    total = orig.count()
+    assert shared / total > 0.5, f"only {shared}/{total} chunks re-aligned"
+
+
+def test_cdc_chunk_sizes_bounded_by_stride(spark):
+    df = spark.createDataFrame(
+        [(i, _words(i, 200)) for i in range(5)], "id long, text string"
+    )
+    too_long = (
+        df.select(F.explode(cdc_chunks(F.col("text"), stride=64)).alias("c"))
+        .filter(F.length("c") > 64 + 63)  # stride cap + worst-case offset
+        .count()
+    )
+    assert too_long == 0
+
+
+def test_cuped_reduces_variance_on_correlated_metric(spark):
+    """When post = pre + noise, the CUPED adjustment must strip most of
+    the between-user variance (the whole point of the estimator)."""
+    import math
+
+    rows = []
+    for u in range(400):
+        pre = 100.0 + (u % 37) * 3.0
+        noise = math.sin(u * 12.9898) * 4.0
+        rows.append((u, pre, pre + noise))
+    df = spark.createDataFrame(rows, "user_id long, pre double, post double")
+    theta = df.agg(
+        (F.covar_pop("post", "pre") / F.var_pop("pre")).alias("th"),
+        F.avg("pre").alias("mu"),
+    )
+    adj = df.join(F.broadcast(theta)).select(
+        "post",
+        (F.col("post") - F.col("th") * (F.col("pre") - F.col("mu"))).alias(
+            "post_adj"
+        ),
+    )
+    res = adj.agg(
+        (F.lit(1.0) - F.var_pop("post_adj") / F.var_pop("post")).alias("vr")
+    ).first()
+    assert res["vr"] > 0.9

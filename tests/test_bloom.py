@@ -1,0 +1,93 @@
+"""Bloom-pruned semi join: exactness, false-positive bound, sizing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.operators.bloom import (
+    MAX_BITS,
+    bloom_build,
+    bloom_might_contain,
+    bloom_semi_join,
+    optimal_num_bits,
+    optimal_num_hashes,
+)
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every built key must probe positive — the property the exact
+    verify step relies on (a false negative would LOSE rows)."""
+    dim = spark.range(2000).select(F.col("id").alias("k"))
+    bits = bloom_build(dim, "k", num_bits=1 << 14, num_hashes=4)
+    hits = dim.filter(bloom_might_contain(F.col("k"), bits, 4)).count()
+    assert hits == 2000
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    """Non-member probes pass at roughly the configured fpp; allow 3x
+    slack for hash variance at this sample size."""
+    n, fpp = 2000, 0.03
+    m = optimal_num_bits(n, fpp)
+    k = optimal_num_hashes(m, n)
+    dim = spark.range(n).select(F.col("id").alias("k"))
+    bits = bloom_build(dim, "k", m, k)
+    non_members = spark.range(n, n + 10000).select(F.col("id").alias("k"))
+    fp = non_members.filter(bloom_might_contain(F.col("k"), bits, k)).count()
+    assert fp / 10000 < 3 * fpp
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    """The operator's contract: row-identical to the plain left-semi
+    join, duplicates on both sides included."""
+    fact = spark.range(5000).select(
+        (F.col("id") % 700).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(200).select((F.col("id") % 100).alias("k"))  # dups
+    plain = fact.join(dim.select("k"), "k", "left_semi")
+    bloomed = bloom_semi_join(fact, dim, "k", "k", expected_items=100)
+    assert bloomed.exceptAll(plain).count() == 0
+    assert plain.exceptAll(bloomed).count() == 0
+
+
+def test_bloom_semi_join_null_keys_dropped(spark):
+    """NULL fact keys never match (join semantics) and NULL dim keys
+    never poison the filter."""
+    fact = spark.createDataFrame(
+        [(None, 1), (5, 2), (999, 3)], "k long, v long"
+    )
+    dim = spark.createDataFrame([(None,), (5,)], "k long")
+    out = bloom_semi_join(fact, dim, "k", "k", expected_items=2)
+    assert [r["v"] for r in out.collect()] == [2]
+
+
+def test_bloom_probe_prunes_before_join(spark):
+    """The probe is a plain Filter over the fact side: the pruned
+    count must sit between the true match count and the fact total."""
+    fact = spark.range(10000).select((F.col("id") % 1000).alias("k"))
+    dim = spark.range(50).select(F.col("id").alias("k"))
+    m = optimal_num_bits(50, 0.01)
+    k = optimal_num_hashes(m, 50)
+    bits = bloom_build(dim, "k", m, k)
+    pruned = fact.filter(bloom_might_contain(F.col("k"), bits, k)).count()
+    true_matches = fact.join(dim, "k", "left_semi").count()
+    assert true_matches <= pruned < 10000
+    # with fpp=1% the pruned side should be close to the true matches
+    assert pruned <= true_matches + 0.05 * 10000
+
+
+def test_bloom_sizing_formulas():
+    m = optimal_num_bits(1000, 0.01)
+    assert m % 64 == 0 and 9000 <= m <= 10100  # ~9.59 bits/key
+    assert 6 <= optimal_num_hashes(m, 1000) <= 8
+    assert optimal_num_bits(10**12, 0.01) == MAX_BITS  # clamped
+    assert optimal_num_bits(0) == 64
+    assert optimal_num_hashes(64, 0) == 1
+
+
+def test_bloom_build_rejects_bad_num_bits(spark):
+    dim = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        bloom_build(dim, "k", num_bits=100, num_hashes=2)  # not /64
+    with pytest.raises(ValueError):
+        bloom_build(dim, "k", num_bits=MAX_BITS * 2, num_hashes=2)
