@@ -59,6 +59,8 @@ class PipelineError(ValueError):
 
 _ALLOWED_OPS = {
     "filter",
+    "semi_join_bloom",
+    "cdc_chunk",
     "unpivot",
     "weighted_sample",
     "interpolate",
@@ -248,6 +250,40 @@ def _apply_step(
         on = step.get("on")
         cond = F.expr(step["condition"]) if "condition" in step else on
         return df.join(right, cond, step.get("how", "inner"))
+    if op == "semi_join_bloom":
+        # {"op":"semi_join_bloom","right":<spec>,"left_key":"o_custkey",
+        #  "right_key":"c_custkey","fpp":0.03,"expected_items":null} —
+        # exact left-semi join planned as Bloom-prune + verify (the
+        # fact⋉dim strategy when dim is too big to broadcast); result
+        # identical to {"op":"join","how":"left_semi"}
+        from etl_as_a_service_spark.operators.bloom import bloom_semi_join
+
+        right = compile_pipeline(spark, _req(step, "right"), _as_subplan=True)
+        expected = step.get("expected_items")
+        return bloom_semi_join(
+            df,
+            right,
+            _req(step, "left_key"),
+            _req(step, "right_key"),
+            expected_items=(
+                int(expected) if expected is not None else right.count()
+            ),
+            fpp=float(step.get("fpp", 0.03)),
+        )
+    if op == "cdc_chunk":
+        # {"op":"cdc_chunk","text_col":"text","id_col":"doc_id",
+        #  "gram":8} — content-defined chunking; emits one row per
+        # chunk as (id_col, chunk_pos, chunk)
+        from etl_as_a_service_spark.functions.text import cdc_chunks
+
+        text_col = _req(step, "text_col")
+        id_col = _req(step, "id_col")
+        return df.select(
+            F.col(id_col),
+            F.posexplode(
+                cdc_chunks(F.col(text_col), gram=int(step.get("gram", 8)))
+            ).alias("chunk_pos", "chunk"),
+        )
     if op == "group_by":
         aggs = [F.expr(e).alias(name) for name, e in _req(step, "aggs").items()]
         return df.groupBy(*step.get("keys", [])).agg(*aggs)

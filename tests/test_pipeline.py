@@ -930,3 +930,92 @@ def test_quarantine_source_in_pipeline_spec(spark, tmp_path):
     assert [r["id"] for r in out] == [1, 3]
     bad = [r["value"] for r in spark.read.text(qdir).collect()]
     assert bad == ["2,beta,XXX"]
+
+
+def test_bloom_semi_join_and_cdc_chunk_steps(spark):
+    """Round-4 third-continuation ops: semi_join_bloom must equal the
+    plain left_semi join op; cdc_chunk rows must reassemble the text."""
+    orders_src = {
+        "format": "parquet",
+        "path": f"{SF_SMOKE}/orders.parquet",
+    }
+    dim = {
+        "source": {
+            "format": "parquet",
+            "path": f"{SF_SMOKE}/customer.parquet",
+        },
+        "steps": [
+            {"op": "filter", "predicate": "c_acctbal > 3000"},
+            {"op": "select", "columns": ["c_custkey"]},
+        ],
+    }
+    bloom_spec = {
+        "name": "bloom_semi",
+        "source": orders_src,
+        "steps": [
+            {
+                "op": "semi_join_bloom",
+                "right": dim,
+                "left_key": "o_custkey",
+                "right_key": "c_custkey",
+            }
+        ],
+    }
+    plain_spec = {
+        "name": "plain_semi",
+        "source": orders_src,
+        "steps": [
+            {
+                "op": "join",
+                "right": {
+                    "source": dim["source"],
+                    "steps": dim["steps"]
+                    + [{"op": "rename", "mapping": {"c_custkey": "o_custkey"}}],
+                },
+                "on": ["o_custkey"],
+                "how": "left_semi",
+            }
+        ],
+    }
+    bloomed = compile_pipeline(spark, bloom_spec)
+    plain = compile_pipeline(spark, plain_spec)
+    assert bloomed.exceptAll(plain).count() == 0
+    assert plain.exceptAll(bloomed).count() == 0
+
+    chunk_spec = {
+        "name": "cdc",
+        "source": {
+            "format": "parquet",
+            "path": f"{SF_SMOKE}/documents.parquet",
+        },
+        "steps": [
+            {"op": "limit", "n": 20},
+            {"op": "cdc_chunk", "text_col": "text", "id_col": "doc_id"},
+        ],
+    }
+    chunks = compile_pipeline(spark, chunk_spec)
+    assert set(chunks.columns) == {"doc_id", "chunk_pos", "chunk"}
+    n_docs = chunks.select("doc_id").distinct().count()
+    assert n_docs == 20
+    # chunks reassemble each document exactly (coverage invariant)
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_pos", "chunk"))
+                    ),
+                    lambda s: s.getField("chunk"),
+                ),
+            ).alias("re")
+        )
+        .join(docs, "doc_id")
+    )
+    assert rebuilt.filter(F.col("re") != F.col("text")).count() == 0
