@@ -76,15 +76,19 @@ def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
     ]
 
 
-def bloom_build(
+def bloom_state(
     df: DataFrame,
     key_col: str,
     num_bits: int,
     num_hashes: int,
-) -> list[int]:
-    """One distributed pass over ``df[key_col]`` -> dense bitset as a
-    Python list of ``num_bits/64`` int64 words (bounded driver
-    metadata; NULL keys are skipped, matching join semantics)."""
+) -> DataFrame:
+    """Sparse bitset over ``df[key_col]`` as a DataFrame ``(w int,
+    bits long)`` — set words only, at most ``num_bits/64`` rows. This
+    is the MERGEABLE-STATE form (same algebra as the CMS/Misra-Gries
+    states in operators.aggregates): bit-or of two states equals the
+    state of the union of their inputs exactly, so it folds across
+    micro-batches, partitions, and days without drift. NULL keys are
+    skipped, matching join semantics."""
     if num_bits % 64 != 0 or not 64 <= num_bits <= MAX_BITS:
         raise ValueError(
             f"num_bits must be a multiple of 64 in [64, {MAX_BITS}]"
@@ -93,7 +97,7 @@ def bloom_build(
     pos = df.filter(key.isNotNull()).select(
         F.explode(F.array(*_positions(key, num_bits, num_hashes))).alias("p")
     )
-    words = (
+    return (
         pos.select(
             (F.col("p") / 64).cast("int").alias("w"),
             F.expr(
@@ -103,10 +107,40 @@ def bloom_build(
         .groupBy("w")
         .agg(F.expr("bit_or(b)").alias("bits"))
     )
+
+
+def merge_bloom_states(prev: DataFrame, part: DataFrame) -> DataFrame:
+    """Fold two sparse bitsets: union + per-word bit_or. Linear, like
+    the CMS fold — the merged state equals the one-shot state of the
+    concatenated inputs cell for cell."""
+    return (
+        prev.unionByName(part)
+        .groupBy("w")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+
+
+def bitset_from_state(state_rows, num_bits: int) -> list[int]:
+    """Materialize collected sparse-state rows into the dense word
+    list ``bloom_might_contain`` probes (bounded driver metadata)."""
     arr = [0] * (num_bits // 64)
-    for row in words.collect():  # bounded: <= num_bits/64 rows
+    for row in state_rows:
         arr[row["w"]] = row["bits"]
     return arr
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int,
+    num_hashes: int,
+) -> list[int]:
+    """One distributed pass over ``df[key_col]`` -> dense bitset as a
+    Python list of ``num_bits/64`` int64 words (bounded driver
+    metadata; NULL keys are skipped, matching join semantics)."""
+    state = bloom_state(df, key_col, num_bits, num_hashes)
+    # bounded: <= num_bits/64 rows reach the driver
+    return bitset_from_state(state.collect(), num_bits)
 
 
 def bloom_might_contain(

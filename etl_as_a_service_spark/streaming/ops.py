@@ -554,3 +554,138 @@ def _maintain_folded_state(
             f"aggregate maintenance did not finish in {timeout_sec}s"
         )
     return spark.read.parquet(state_path)
+
+
+def streaming_bloom_dedup(
+    stream_df: DataFrame,
+    key_col: str,
+    state_path: str,
+    out_path: str,
+    checkpoint: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: a persisted Bloom bitset
+    instead of the exact key registry.
+
+    The exact incremental registries (llm.dedup.incremental_*) and
+    dropDuplicates' state store both grow O(distinct keys) — at 100 TB
+    of events that is the pipeline's largest table. This face keeps
+    ``num_bits/8`` bytes TOTAL (configured, not data-dependent) and
+    trades exactness one-sidedly: a duplicate key is NEVER re-emitted
+    (Bloom filters have no false negatives), while a genuinely-new key
+    is dropped with probability ~fpp (false positive). That is the
+    right trade for corpus ingest dedup, where a duplicate costs
+    training quality but a dropped singleton costs one document.
+
+    Mechanics per micro-batch (trigger availableNow, foreachBatch):
+    - in-batch exact dedup (dropDuplicates on the key);
+    - probe the PERSISTED bitset (collected once per batch — bounded
+      driver metadata, operators.bloom contract) and keep misses;
+    - write survivors to ``out_path/batch=<id>`` with overwrite —
+      the deterministic per-batch directory makes the at-least-once
+      replay idempotent on the OUTPUT side (a replayed batch
+      overwrites its own directory, never appends twice);
+    - fold the batch's sparse bitset state into ``state_path`` with
+      the same (batch_id, fingerprint) replay log, write-then-swap,
+      and rename-crash heal as _maintain_folded_state.
+
+    Returns the deduplicated output as a DataFrame over ``out_path``.
+    """
+    import os
+    import shutil
+
+    from etl_as_a_service_spark.operators.bloom import (
+        bitset_from_state,
+        bloom_might_contain,
+        bloom_state,
+        merge_bloom_states,
+    )
+
+    spark = stream_df.sparkSession
+    _LOG_CAP = 10_000
+
+    def _recover() -> None:
+        old = state_path.rstrip("/") + ".__old__"
+        if not os.path.exists(state_path) and os.path.exists(old):
+            os.rename(old, state_path)
+
+    def _read_log() -> dict[int, str]:
+        try:
+            out: dict[int, str] = {}
+            with open(os.path.join(state_path, "_folded_log")) as f:
+                for line in f.read().splitlines():
+                    if line:
+                        bid, fp = line.split(",", 1)
+                        out[int(bid)] = fp
+            return out
+        except (OSError, ValueError):
+            return {}
+
+    def _fingerprint(part: DataFrame) -> str:
+        row = part.select(
+            F.sum(
+                F.xxhash64(F.to_json(F.struct(*part.columns)))
+                .cast("decimal(38,0)")
+            ).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return f"{row['h']}:{row['n']}"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        _recover()
+        batch = batch_df.dropDuplicates([key_col]).localCheckpoint(
+            eager=True
+        )
+        part = bloom_state(batch, key_col, num_bits, num_hashes)
+        part = part.localCheckpoint(eager=True)
+        log = _read_log()
+        fp = _fingerprint(part)
+        if log.get(batch_id) == fp:
+            return  # replayed batch — output dir and state already hold it
+        if os.path.exists(state_path):
+            state_rows = spark.read.parquet(state_path).collect()
+            bits = bitset_from_state(state_rows, num_bits)
+            survivors = batch.filter(
+                ~bloom_might_contain(F.col(key_col), bits, num_hashes)
+            )
+            merged = merge_bloom_states(
+                spark.read.parquet(state_path), part
+            )
+        else:
+            survivors = batch
+            merged = part
+        # deterministic per-batch output directory: a replay after a
+        # crash between this write and the state swap overwrites the
+        # same files instead of appending duplicates
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={batch_id}")
+        )
+        tmp = state_path.rstrip("/") + f".__b{batch_id}__"
+        merged.write.mode("overwrite").parquet(tmp)
+        log[batch_id] = fp
+        with open(os.path.join(tmp, "_folded_log"), "w") as f:
+            f.write(
+                "\n".join(
+                    f"{bid},{h}"
+                    for bid, h in sorted(log.items())[-_LOG_CAP:]
+                )
+            )
+        old = state_path.rstrip("/") + ".__old__"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(state_path):
+            os.rename(state_path, old)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"bloom dedup did not finish in {timeout_sec}s")
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_path)
