@@ -346,3 +346,113 @@ def countmin_estimate(
         .groupBy(*keys, item_col)
         .agg(F.min(F.coalesce(F.col("__cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable quantile sketch (DDSketch-style log buckets)
+# --------------------------------------------------------------------------
+def _qs_gamma(eps: float) -> float:
+    if not 0 < eps < 0.5:
+        raise ValueError("eps must be in (0, 0.5)")
+    return (1 + eps) / (1 - eps)
+
+
+_QS_ZERO_BUCKET = -(1 << 30)  # dedicated bucket for exact zeros
+
+
+def quantile_sketch_state(
+    df: DataFrame, keys: list[str], value_col: str, eps: float = 0.01
+) -> DataFrame:
+    """Per-group quantile sketch with a RELATIVE-error guarantee
+    (DDSketch, Masson et al. 2019 — public paper): non-negative values
+    land in log-scaled buckets b = ceil(log_gamma(v)), gamma =
+    (1+eps)/(1-eps), so every value in a bucket is within eps of the
+    bucket's midpoint estimate. State is (keys..., __bucket, __cnt) —
+    O(log(max/min)/eps) rows per group regardless of data volume, and
+    the fold is LINEAR (cell-wise sum) like the count-min sketch:
+    sketch(A) + sketch(B) == sketch(A ++ B) exactly, whatever the
+    batch/partition boundaries. Negative values raise (sign-mirrored
+    buckets are a straightforward extension nothing here needs).
+
+    This completes the mergeable-state family (sum/avg/var/HLL, CMS,
+    Misra-Gries, Bloom): percentile dashboards over event streams
+    maintained incrementally instead of re-scanning history per
+    refresh."""
+    import math
+
+    gamma = _qs_gamma(eps)
+    v = F.col(value_col).cast("double")
+    bucket = (
+        F.when(v > 0, F.ceil(F.log(v) / F.lit(math.log(gamma))).cast("int"))
+        .when(v == 0, F.lit(_QS_ZERO_BUCKET))
+        .otherwise(
+            F.raise_error(
+                F.lit("quantile_sketch_state requires non-negative values")
+            ).cast("int")
+        )
+    )
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*keys, bucket.alias("__bucket"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+
+
+def merge_quantile_sketches(
+    a: DataFrame, b: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Fold two sketches: bucket-wise sum (linear, zero fold error)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys, "__bucket")
+        .agg(F.sum("__cnt").alias("__cnt"))
+    )
+
+
+def quantile_from_sketch(
+    state: DataFrame, keys: list[str], qs: list[float], eps: float = 0.01
+) -> DataFrame:
+    """Estimate quantiles from a sketch: per (group, q) the value
+    whose bucket covers the ceil(q*n)-th order statistic, rendered as
+    the bucket midpoint 2*gamma^b/(gamma+1) — within eps relative
+    error of that order statistic by construction. One key-partitioned
+    window over the (bounded) bucket rows, then a tiny cross join with
+    the q list. Returns (keys..., q, est)."""
+    import math
+
+    from pyspark.sql import Window
+
+    gamma = _qs_gamma(eps)
+    spark = state.sparkSession
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = state.select(
+        *keys,
+        "__bucket",
+        F.sum("__cnt").over(w).alias("__cum"),
+        F.sum("__cnt").over(
+            Window.partitionBy(*keys).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    est = F.when(
+        F.col("__bucket") == _QS_ZERO_BUCKET, F.lit(0.0)
+    ).otherwise(
+        F.lit(2.0)
+        * F.pow(F.lit(gamma), F.col("__bucket"))
+        / F.lit(gamma + 1.0)
+    )
+    return (
+        cum.join(F.broadcast(qdf))
+        .filter(
+            F.col("__cum")
+            >= F.greatest(F.ceil(F.col("q") * F.col("__n")), F.lit(1))
+        )
+        .groupBy(*keys, "q")
+        .agg(F.min_by(est, F.col("__bucket")).alias("est"))
+    )

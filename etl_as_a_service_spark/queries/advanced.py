@@ -328,3 +328,124 @@ def q185_bpe_encode(spark, sf_dir):
             & (F.size("tokens") <= F.length("__chars"))
         ).alias("tokens_bounded"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q186 — join-key skew diagnosis (the report behind operators/skew.py)
+# --------------------------------------------------------------------------
+@query(
+    "q186_skew_diagnosis",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id FROM events
+      UNION ALL
+      SELECT user_id FROM events WHERE user_id % 50 = 7
+      UNION ALL
+      SELECT user_id FROM events WHERE user_id % 50 = 7
+    ),
+    per_key AS (
+      SELECT user_id, count(*) AS n FROM ev GROUP BY user_id
+    ),
+    tot AS (
+      SELECT sum(n) AS total, avg(n) AS mean_n FROM per_key
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT)                 AS n_rows,
+           round(n * 1.0 / total, 6)         AS share,
+           round(n / mean_n, 4)              AS skew_ratio,
+           CAST(ceil(n / mean_n) AS BIGINT)  AS suggested_salt
+    FROM per_key, tot
+    ORDER BY n_rows DESC, user_id LIMIT 10
+    """,
+    tags=("skew", "diagnosis", "operator", "scale"),
+)
+def q186_skew_diagnosis(spark, sf_dir):
+    """Join-key skew report: per-key row counts, share of total, ratio
+    to the mean key, and the salt factor operators.skew.salted_join
+    would need to level that key — the DIAGNOSIS step before salting
+    (skew planted deterministically: three users re-ingested at 3x,
+    the fixture's uniform users would make the report vacuous).
+    SCALE DESIGN: one hash aggregate at key grain, a 1-row broadcast
+    of the totals, and TakeOrderedAndProject for the top keys — the
+    full key histogram never leaves the executors, exactly how you
+    profile a 100 TB join input before choosing a strategy."""
+    (events,) = _t(spark, sf_dir, "events")
+    ev = events.select("user_id")
+    heavy = ev.filter(F.col("user_id") % 50 == 7)
+    planted = ev.unionByName(heavy).unionByName(heavy)
+    per_key = planted.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = per_key.agg(
+        F.sum("n").alias("total"), F.avg("n").alias("mean_n")
+    )
+    return (
+        per_key.join(F.broadcast(tot))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_rows"),
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(F.col("n") / F.col("mean_n"), 4).alias("skew_ratio"),
+            F.ceil(F.col("n") / F.col("mean_n")).cast("long")
+            .alias("suggested_salt"),
+        )
+        .orderBy(F.col("n_rows").desc(), "user_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q187 — mergeable quantile sketch (invariant-boolean oracle)
+# --------------------------------------------------------------------------
+@query(
+    "q187_quantile_sketch",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("sketch", "quantile", "stats", "operator"),
+)
+def q187_quantile_sketch(spark, sf_dir):
+    """Per-event-type p50/p95/p99 from the mergeable DDSketch state
+    (operators.aggregates.quantile_sketch_state, eps=0.01). Sketch
+    estimates have no portable SQL twin, so the q104/q157 invariant
+    contract applies: the engine compares its own sketch estimates
+    against its own EXACT percentiles and emits the within-bound
+    booleans the oracle expects TRUE (2*eps tolerance: eps from the
+    sketch guarantee, plus slack for percentile interpolation between
+    adjacent order statistics). SCALE DESIGN: the sketch state is
+    O(log(max/min)/eps) rows per group however large the input, folds
+    linearly across batches (streaming face: streaming_quantile_
+    sketch), and the estimate pass is one key-partitioned window over
+    those bounded rows."""
+    from etl_as_a_service_spark.operators.aggregates import (
+        quantile_from_sketch,
+        quantile_sketch_state,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    eps = 0.01
+    state = quantile_sketch_state(events, ["event_type"], "value", eps)
+    est = quantile_from_sketch(
+        state, ["event_type"], [0.5, 0.95, 0.99], eps
+    ).groupBy("event_type").pivot("q", ["0.5", "0.95", "0.99"]).agg(
+        F.first("est")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("percentile(value, 0.5)").alias("e50"),
+        F.expr("percentile(value, 0.95)").alias("e95"),
+        F.expr("percentile(value, 0.99)").alias("e99"),
+    )
+    tol = 2 * eps
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "n",
+            (F.abs(F.col("`0.5`") / F.col("e50") - 1) <= tol).alias("p50_ok"),
+            (F.abs(F.col("`0.95`") / F.col("e95") - 1) <= tol).alias("p95_ok"),
+            (F.abs(F.col("`0.99`") / F.col("e99") - 1) <= tol).alias("p99_ok"),
+        )
+        .orderBy("event_type")
+    )

@@ -689,3 +689,38 @@ def streaming_bloom_dedup(
         q.stop()
         raise TimeoutError(f"bloom dedup did not finish in {timeout_sec}s")
     return spark.read.option("recursiveFileLookup", "true").parquet(out_path)
+
+
+def streaming_quantile_sketch(
+    stream_df: DataFrame,
+    state_path: str,
+    keys: list[str],
+    value_col: str,
+    checkpoint: str,
+    eps: float = 0.01,
+    timeout_sec: int = 120,
+):
+    """Streaming percentile maintenance: each micro-batch is collapsed
+    to its DDSketch bucket counts and folded bucket-wise into the
+    persisted sketch. The fold is linear (like CMS), so the streaming
+    state equals the one-shot batch sketch EXACTLY whatever the batch
+    boundaries (tested), and quantile_from_sketch over the state gives
+    eps-relative-error percentiles at any point without rescanning
+    history. Same crash-hardening as streaming_aggregate_maintenance."""
+    from etl_as_a_service_spark.operators.aggregates import (
+        merge_quantile_sketches,
+        quantile_sketch_state,
+    )
+
+    return _maintain_folded_state(
+        stream_df,
+        state_path,
+        checkpoint,
+        partial_fn=lambda batch: quantile_sketch_state(
+            batch, keys, value_col, eps
+        ),
+        merge_fn=lambda prev, part: merge_quantile_sketches(
+            prev, part, keys
+        ),
+        timeout_sec=timeout_sec,
+    )

@@ -878,3 +878,117 @@ def test_bfs_reach_equals_connected_component(spark):
         for r in comp.filter(F.col("component") == seed_label).collect()
     }
     assert reached == same_comp
+
+
+def test_quantile_sketch_relative_error_and_linearity(spark):
+    """DDSketch guarantees: every estimate within eps relative error of
+    the exact order statistic, and the fold is linear — merging the
+    sketches of two halves equals the one-shot sketch bucket for
+    bucket."""
+    from etl_as_a_service_spark.operators.aggregates import (
+        merge_quantile_sketches,
+        quantile_from_sketch,
+        quantile_sketch_state,
+    )
+
+    # heavy-tailed deterministic values over two groups
+    df = spark.range(4000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.pow(F.lit(1.01), F.pmod(F.xxhash64("id"), F.lit(1000)))
+         * F.lit(0.5)).alias("v"),
+    )
+    eps = 0.01
+    qs = [0.1, 0.5, 0.9, 0.99]
+    state = quantile_sketch_state(df, ["g"], "v", eps)
+    est = {
+        (r["g"], r["q"]): r["est"]
+        for r in quantile_from_sketch(state, ["g"], qs, eps).collect()
+    }
+    import math
+
+    rows = df.collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append(r["v"])
+    for g, vals in by_g.items():
+        vals.sort()
+        for q in qs:
+            # the sketch targets the ceil(q*n)-th order statistic
+            exact = vals[max(0, math.ceil(q * len(vals)) - 1)]
+            got = est[(g, q)]
+            assert abs(got / exact - 1) <= eps + 1e-9, (g, q, got, exact)
+
+    half_a = df.filter("id % 3 != 0")
+    half_b = df.filter("id % 3 = 0")
+    folded = merge_quantile_sketches(
+        quantile_sketch_state(half_a, ["g"], "v", eps),
+        quantile_sketch_state(half_b, ["g"], "v", eps),
+        ["g"],
+    )
+    cells = lambda s: sorted(
+        (r["g"], r["__bucket"], r["__cnt"]) for r in s.collect()
+    )
+    assert cells(folded) == cells(state)
+
+
+def test_quantile_sketch_zero_and_negative_handling(spark):
+    from etl_as_a_service_spark.operators.aggregates import (
+        quantile_from_sketch,
+        quantile_sketch_state,
+    )
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    zeros = spark.createDataFrame(
+        [("a", 0.0)] * 5 + [("a", 10.0)] * 5, "g string, v double"
+    )
+    state = quantile_sketch_state(zeros, ["g"], "v", 0.01)
+    est = {
+        r["q"]: r["est"]
+        for r in quantile_from_sketch(state, ["g"], [0.1, 0.9], 0.01).collect()
+    }
+    assert est[0.1] == 0.0
+    assert abs(est[0.9] / 10.0 - 1) <= 0.01
+    neg = spark.createDataFrame([("a", -1.0)], "g string, v double")
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        quantile_sketch_state(neg, ["g"], "v", 0.01).collect()
+
+
+def test_streaming_quantile_sketch_equals_batch(spark, tmp_path):
+    """Linearity through the streaming fold: folded state == one-shot
+    batch sketch cell for cell, like the CMS face."""
+    from etl_as_a_service_spark.operators.aggregates import (
+        quantile_sketch_state,
+    )
+    from etl_as_a_service_spark.streaming.ops import (
+        streaming_quantile_sketch,
+    )
+    from etl_as_a_service_spark.catalog import load_tables
+    from tests.conftest import SF_SMOKE
+
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"].select(
+        "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = streaming_quantile_sketch(
+        stream,
+        str(tmp_path / "state"),
+        ["event_type"],
+        "value",
+        checkpoint=str(tmp_path / "ckpt"),
+        eps=0.02,
+    )
+    batch = quantile_sketch_state(
+        spark.read.parquet(src), ["event_type"], "value", 0.02
+    )
+    cells = lambda s: sorted(
+        (r["event_type"], r["__bucket"], r["__cnt"]) for r in s.collect()
+    )
+    assert cells(state) == cells(batch)
