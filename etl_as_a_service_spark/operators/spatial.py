@@ -1,0 +1,86 @@
+"""Grid-bucketed spatial radius join.
+
+The 2D member of the banded-join family (queries/misc.py q103 is the
+1D version): find all point pairs within radius r WITHOUT the O(n²)
+cross join. Points are bucketed into square grid cells of side r; a
+point's neighbors within r can only live in its own cell or the eight
+adjacent ones, so the candidate set is an EQUI-join on cell id (3×3
+explode on one side), then the exact distance predicate filters
+candidates. At 100 TB this is the standard spatial-join plan: the
+shuffle key is the cell id, candidate volume is bounded by local
+density (cell side = r keeps the 3×3 neighborhood minimal), and no
+plan node is ever a cartesian/BNL join — lint_plan-clean by
+construction.
+
+Coordinates are INTEGERS (caller scales, e.g. meters or
+micro-degrees) and the predicate dx²+dy² <= r² is integer arithmetic —
+exact and engine-portable, no floating-point boundary flicker between
+Spark and an oracle engine. A haversine refine over the (tiny)
+candidate output is the caller's composition when true geodesics
+matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def radius_join(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: int,
+) -> DataFrame:
+    """All ordered pairs (a, b), a != b, with dist(a, b) <= radius.
+
+    Returns ``(id_a, id_b, dist2)`` where dist2 is the exact squared
+    integer distance. Each unordered pair appears in both directions —
+    the natural shape for per-point neighbor aggregation. One
+    cell-keyed shuffle; the left side explodes to its 3×3 cell
+    neighborhood, the right side stays at one row per point, so a
+    candidate pair is produced exactly once (in the right point's own
+    cell)."""
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+    pts = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    cx = F.floor(F.col("__x") / radius)
+    cy = F.floor(F.col("__y") / radius)
+    right = pts.select(
+        F.col("__id").alias("id_b"),
+        F.col("__x").alias("xb"),
+        F.col("__y").alias("yb"),
+        F.concat_ws(",", cx, cy).alias("__cell"),
+    )
+    off = F.sequence(F.lit(-1), F.lit(1))
+    left = pts.select(
+        F.col("__id").alias("id_a"),
+        F.col("__x").alias("xa"),
+        F.col("__y").alias("ya"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    off,
+                    lambda dx: F.transform(
+                        off, lambda dy: F.concat_ws(",", cx + dx, cy + dy)
+                    ),
+                )
+            )
+        ).alias("__cell"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        left.join(right, "__cell")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (d2 <= F.lit(int(radius) * int(radius)))
+        )
+        .select("id_a", "id_b", d2.alias("dist2"))
+    )

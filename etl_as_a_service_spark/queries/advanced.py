@@ -449,3 +449,256 @@ def q187_quantile_sketch(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q188 — grid-bucketed spatial radius join (2D banded join)
+# --------------------------------------------------------------------------
+@query(
+    "q188_spatial_neighbors",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             ('0x' || substr(md5('geo-x-v1' || CAST(c_custkey AS VARCHAR)),
+                             1, 8))::BIGINT % 1000000 AS x,
+             ('0x' || substr(md5('geo-y-v1' || CAST(c_custkey AS VARCHAR)),
+                             1, 8))::BIGINT % 1000000 AS y
+      FROM customer
+    ),
+    pairs AS (
+      SELECT a.c_custkey AS id_a,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM pts a JOIN pts b
+        ON a.c_custkey <> b.c_custkey
+       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+           <= 20000 * 20000
+    )
+    SELECT id_a AS c_custkey,
+           CAST(count(*) AS BIGINT) AS n_neighbors,
+           CAST(min(d2) AS BIGINT)  AS nearest_d2
+    FROM pairs GROUP BY id_a
+    ORDER BY n_neighbors DESC, c_custkey LIMIT 20
+    """,
+    tags=("spatial", "join", "operator", "scale"),
+)
+def q188_spatial_neighbors(spark, sf_dir):
+    """Spatial neighbor counts via operators.spatial.radius_join:
+    customers placed on a deterministic md5-derived integer grid
+    (the fixture has no geo columns; both engines synthesize identical
+    coordinates), then all pairs within r=20000 units found by the
+    grid-cell equi-join — the 2D member of the banded-join family.
+    The oracle is the O(n²) self-join with the SAME integer predicate;
+    the engine's plan is a cell-keyed hash join (3×3 neighborhood
+    explode on one side), never a cartesian product — integer
+    dx²+dy² <= r² keeps the boundary exact across engines. SCALE
+    DESIGN: shuffle key = cell id, candidates bounded by local
+    density; at 100 TB this is the standard distributed spatial-join
+    plan (grid partition + neighbor-cell join + exact refine)."""
+    from etl_as_a_service_spark.operators.spatial import radius_join
+
+    (customer,) = _t(spark, sf_dir, "customer")
+
+    def coord(salt):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(salt), F.col("c_custkey").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long") % 1000000
+
+    pts = customer.select(
+        "c_custkey",
+        coord("geo-x-v1").alias("x"),
+        coord("geo-y-v1").alias("y"),
+    )
+    pairs = radius_join(pts, "c_custkey", "x", "y", radius=20000)
+    return (
+        pairs.groupBy(F.col("id_a").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+            F.min("dist2").cast("long").alias("nearest_d2"),
+        )
+        .orderBy(F.col("n_neighbors").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q189 — CUSUM change-point detection (reflection identity, pure windows)
+# --------------------------------------------------------------------------
+@query(
+    "q189_cusum_changepoints",
+    oracle="""
+    WITH ref AS (
+      SELECT avg(value) AS mu, stddev_pop(value) AS sigma
+      FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+    ),
+    series AS (
+      SELECT user_id, ts, event_id, sigma,
+             sum(value - mu - 0.5 * sigma) OVER w AS rs
+      FROM events, ref
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    cusum AS (
+      SELECT user_id, ts,
+             rs - least(min(rs) OVER w2, 0) AS s,
+             4 * sigma AS h
+      FROM series
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id,
+           CAST(count(*) FILTER (s > h) AS BIGINT) AS n_alarms,
+           min(ts) FILTER (s > h)                  AS first_alarm_ts,
+           round(max(s), 4)                        AS max_cusum
+    FROM cusum GROUP BY user_id
+    HAVING count(*) FILTER (s > h) > 0
+    ORDER BY user_id
+    """,
+    tags=("changepoint", "cusum", "timeseries", "operator"),
+)
+def q189_cusum_changepoints(spark, sf_dir):
+    """Per-user CUSUM upward change-point detection (Page 1954, public
+    method): S_i = max(0, S_{i-1} + x_i - mu0 - k) with reference mean
+    mu0 and allowance k = sigma/2 from the pre-period, alarm at
+    h = 4*sigma. The sequential-looking recurrence is computed WITHOUT
+    Python or iteration via the reflection identity the clamped-balance
+    operator (q177) established: S = RS - min(0, running_min(RS)) over
+    key-partitioned windows. SCALE DESIGN: one 1-row broadcast
+    (reference stats), two stacked windows per user partition, one
+    final hash aggregate — no global window, no state store."""
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    ref = events.filter(
+        F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ).agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    series = (
+        events.join(F.broadcast(ref))
+        .withColumn(
+            "rs",
+            F.sum(
+                F.col("value") - F.col("mu") - 0.5 * F.col("sigma")
+            ).over(w),
+        )
+        .withColumn("rs_min", F.min("rs").over(w))
+        .select(
+            "user_id",
+            "ts",
+            (F.col("rs") - F.least(F.col("rs_min"), F.lit(0.0))).alias("s"),
+            (4 * F.col("sigma")).alias("h"),
+        )
+    )
+    alarm = F.col("s") > F.col("h")
+    return (
+        series.groupBy("user_id")
+        .agg(
+            F.count(F.when(alarm, 1)).cast("long").alias("n_alarms"),
+            F.min(F.when(alarm, F.col("ts"))).alias("first_alarm_ts"),
+            F.round(F.max("s"), 4).alias("max_cusum"),
+        )
+        .filter(F.col("n_alarms") > 0)
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q190 — multi-touch attribution (last-touch + linear credit)
+# --------------------------------------------------------------------------
+@query(
+    "q190_touch_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS cid, user_id, ts AS cts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    tou AS (
+      SELECT event_id AS tid, user_id, ts AS tts, event_type AS ttype
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+      SELECT cid, ttype, tts, tid,
+             count(*) OVER (PARTITION BY cid) AS n_touches,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY tts DESC, tid DESC) AS rn
+      FROM conv JOIN tou USING (user_id)
+      WHERE tts <= cts AND tts >= cts - INTERVAL 3 DAY
+    )
+    SELECT ttype AS touch_type,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS last_touch_conversions,
+           round(sum(1.0 / n_touches), 4) AS linear_credit,
+           CAST(count(*) AS BIGINT)       AS n_touchpoints
+    FROM j GROUP BY ttype ORDER BY ttype
+    """,
+    tags=("attribution", "marketing", "funnel", "operator"),
+)
+def q190_touch_attribution(spark, sf_dir):
+    """Marketing attribution over the event stream: purchases credit
+    their click/view touchpoints within a 3-day lookback, under both
+    last-touch (the backward as-of convention — deterministic
+    (ts, event_id) tie-break) and linear (1/n per touch) models.
+    SCALE DESIGN: user-keyed equi-join (the range predicate filters
+    AFTER the hash join — never a nested loop), conversion-keyed
+    windows over the (bounded per user) joined rows, one final
+    aggregate at touch-type grain."""
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    conv = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("cid"),
+        "user_id",
+        F.col("ts").alias("cts"),
+    )
+    tou = events.filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("ttype"),
+    )
+    j = (
+        conv.join(tou, "user_id")
+        .filter(
+            (F.col("tts") <= F.col("cts"))
+            & (F.col("tts") >= F.col("cts") - F.expr("INTERVAL 3 DAY"))
+        )
+        .withColumn(
+            "n_touches", F.count(F.lit(1)).over(Window.partitionBy("cid"))
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cid").orderBy(
+                    F.col("tts").desc(), F.col("tid").desc()
+                )
+            ),
+        )
+    )
+    return (
+        j.groupBy(F.col("ttype").alias("touch_type"))
+        .agg(
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("last_touch_conversions"),
+            F.round(F.sum(F.lit(1.0) / F.col("n_touches")), 4)
+            .alias("linear_credit"),
+            F.count(F.lit(1)).cast("long").alias("n_touchpoints"),
+        )
+        .orderBy("touch_type")
+    )

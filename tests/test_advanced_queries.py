@@ -88,3 +88,76 @@ def test_cuped_reduces_variance_on_correlated_metric(spark):
         (F.lit(1.0) - F.var_pop("post_adj") / F.var_pop("post")).alias("vr")
     ).first()
     assert res["vr"] > 0.9
+
+
+def test_radius_join_equals_brute_force_and_no_cartesian(spark):
+    """Grid candidates + exact predicate must reproduce the O(n²)
+    result exactly, including cross-cell pairs; the plan must stay a
+    hash join on the cell key (no cartesian / broadcast NL join)."""
+    from etl_as_a_service_spark.operators.spatial import radius_join
+
+    pts = spark.range(300).select(
+        F.col("id"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10000))).alias("x"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(10000))).alias("y"),
+    )
+    r = 900
+    got = radius_join(pts, "id", "x", "y", r)
+    a = pts.select(
+        F.col("id").alias("id_a"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = pts.select(
+        F.col("id").alias("id_b"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    d2 = (F.col("xa") - F.col("xb")) ** 2 + (F.col("ya") - F.col("yb")) ** 2
+    brute = (
+        a.crossJoin(b)
+        .filter((F.col("id_a") != F.col("id_b")) & (d2 <= r * r))
+        .select("id_a", "id_b", d2.cast("long").alias("dist2"))
+    )
+    assert got.count() == brute.count() > 0
+    assert got.exceptAll(brute).count() == 0
+    assert brute.exceptAll(got).count() == 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_radius_join_rejects_bad_radius(spark):
+    import pytest
+
+    from etl_as_a_service_spark.operators.spatial import radius_join
+
+    pts = spark.range(3).select("id", F.lit(0).alias("x"), F.lit(0).alias("y"))
+    with pytest.raises(ValueError):
+        radius_join(pts, "id", "x", "y", 0)
+
+
+def test_cusum_detects_planted_level_shift(spark):
+    """CUSUM via the reflection identity: a series that runs at the
+    reference mean then shifts up by 3 sigma must alarm after the
+    shift and never before it."""
+    from pyspark.sql import Window
+
+    mu, sigma, k, h = 10.0, 1.0, 0.5, 4.0
+    vals = [10.0 + ((i % 3) - 1) * sigma for i in range(40)]  # mean 10
+    vals += [13.0 + ((i % 3) - 1) * sigma for i in range(20)]  # shift +3s
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, v double"
+    )
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = (
+        df.withColumn("rs", F.sum(F.col("v") - mu - k).over(w))
+        .withColumn("rs_min", F.min("rs").over(w))
+        .select(
+            "i",
+            (F.col("rs") - F.least(F.col("rs_min"), F.lit(0.0))).alias("s"),
+        )
+    )
+    alarms = [r["i"] for r in s.filter(F.col("s") > h).collect()]
+    assert alarms and min(alarms) >= 40
+    assert any(i < 45 for i in alarms)  # fires promptly after the shift
