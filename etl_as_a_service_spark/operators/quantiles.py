@@ -1,0 +1,190 @@
+"""Exact order statistics at scale: iterative range narrowing.
+
+A global sort of 100 TB to read one median is the canonical scale
+anti-pattern. The classic fix (distributed selection, Blum et al.
+lineage / BigTable-era folklore): histogram the values into B buckets
+per group, locate the bucket containing the target rank from the
+(tiny, driver-side) bucket counts, and recurse into that bucket —
+each pass is ONE map-side-combined aggregate over the data, and the
+candidate range shrinks by ~B per pass, so a handful of passes
+reduces the remaining candidates below any threshold; the exact
+answer then comes from one bounded per-group top-k over the
+survivors. Driver state is O(groups * B) counts per pass — bounded
+metadata, like the Lloyd centroids and BPE argmax.
+
+Complements the DDSketch state (operators.aggregates): the sketch is
+one pass + mergeable but eps-approximate; this is multi-pass but
+EXACT — the right tool when the number matters (SLA cutoffs, billing
+thresholds).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_order_statistics(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    q: float,
+    num_buckets: int = 1024,
+    collect_threshold: int = 10_000,
+    max_passes: int = 8,
+) -> DataFrame:
+    """Per-group exact q-th order statistic (the ceil(q*n)-th smallest
+    value, the quantile_from_sketch / DuckDB quantile_disc-style
+    convention). Returns ``(keys..., n, value)``.
+
+    Each pass scans only rows still inside each group's candidate
+    range (groups that already converged are skipped entirely via the
+    range predicate), so pass cost DECREASES monotonically. Groups
+    whose candidate count is <= ``collect_threshold`` resolve exactly
+    through a per-group window rank over the (small) survivor set —
+    still distributed, never a driver collect of data rows.
+    """
+    if not 0 < q <= 1:
+        raise ValueError("q must be in (0, 1]")
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        *keys, v.alias("__v")
+    )
+
+    # pass 0: per-group n, min, max -> target rank and initial range
+    stats = {
+        tuple(r[k] for k in keys): {
+            "n": r["n"],
+            "rank": max(1, math.ceil(q * r["n"])),
+            "lo": r["lo"],       # inclusive
+            "hi": r["hi"],       # inclusive
+            "below": 0,          # rows strictly below lo
+            "left": r["n"],      # rows inside [lo, hi]
+        }
+        for r in base.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__v").alias("lo"),
+            F.max("__v").alias("hi"),
+        )
+        .collect()  # bounded: one row per group
+    }
+
+    def _range_pred(live):
+        # rows relevant to any still-open group: (keys in group) & v in range
+        conds = []
+        for g, st in live.items():
+            kc = [F.col(k) == F.lit(val) for k, val in zip(keys, g)]
+            c = kc[0]
+            for extra in kc[1:]:
+                c = c & extra
+            conds.append(c & (F.col("__v") >= st["lo"]) & (F.col("__v") <= st["hi"]))
+        pred = conds[0]
+        for extra in conds[1:]:
+            pred = pred | extra
+        return pred
+
+    for _ in range(max_passes):
+        live = {
+            g: st
+            for g, st in stats.items()
+            if st["left"] > collect_threshold and st["hi"] > st["lo"]
+        }
+        if not live:
+            break
+        # one aggregate pass: bucket counts for live groups only
+        # bucket i covers [lo + i*w, lo + (i+1)*w); hi lands in the top bucket
+        lo_map = F.create_map(
+            *[
+                c
+                for g, st in live.items()
+                for c in (
+                    F.lit("|".join(str(x) for x in g)),
+                    F.lit(st["lo"]),
+                )
+            ]
+        )
+        hi_map = F.create_map(
+            *[
+                c
+                for g, st in live.items()
+                for c in (
+                    F.lit("|".join(str(x) for x in g)),
+                    F.lit(st["hi"]),
+                )
+            ]
+        )
+        gkey = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+        lo_c, hi_c = lo_map[gkey], hi_map[gkey]
+        width = (hi_c - lo_c) / num_buckets
+        bucket = F.least(
+            F.floor((F.col("__v") - lo_c) / width).cast("int"),
+            F.lit(num_buckets - 1),
+        )
+        counts = (
+            base.filter(_range_pred(live))
+            .groupBy(*keys, bucket.alias("__b"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect()  # bounded: <= |live groups| * num_buckets rows
+        )
+        per_group: dict[tuple, dict[int, int]] = {}
+        for r in counts:
+            per_group.setdefault(tuple(r[k] for k in keys), {})[r["__b"]] = r[
+                "__c"
+            ]
+        for g, st in live.items():
+            hist = per_group.get(g, {})
+            need = st["rank"] - st["below"]
+            cum = 0
+            w = (st["hi"] - st["lo"]) / num_buckets
+            for b in range(num_buckets):
+                c = hist.get(b, 0)
+                if cum + c >= need:
+                    new_lo = st["lo"] + b * w
+                    new_hi = (
+                        st["hi"] if b == num_buckets - 1 else st["lo"] + (b + 1) * w
+                    )
+                    st["below"] += cum
+                    st["left"] = c
+                    # keep lo exact for the bottom bucket (floats)
+                    st["lo"], st["hi"] = max(st["lo"], new_lo), min(
+                        st["hi"], new_hi
+                    )
+                    break
+                cum += c
+
+    # final exact resolve: rank within each group's survivor range
+    spark = df.sparkSession
+    bounds = spark.createDataFrame(
+        [
+            tuple(g) + (st["lo"], st["hi"], st["rank"] - st["below"], st["n"])
+            for g, st in stats.items()
+        ],
+        ", ".join(
+            [f"{k} {t}" for k, t in zip(keys, _key_types(df, keys))]
+            + ["__lo double", "__hi double", "__need long", "n long"]
+        ),
+    )
+    from pyspark.sql import Window
+
+    survivors = base.join(F.broadcast(bounds), keys).filter(
+        (F.col("__v") >= F.col("__lo")) & (F.col("__v") <= F.col("__hi"))
+    )
+    ranked = survivors.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy(*keys).orderBy("__v")
+        ),
+    )
+    return ranked.filter(F.col("__rn") == F.col("__need")).select(
+        *keys, "n", F.col("__v").alias("value")
+    )
+
+
+def _key_types(df: DataFrame, keys: list[str]) -> list[str]:
+    m = dict(df.dtypes)
+    return [m[k] for k in keys]

@@ -702,3 +702,52 @@ def q190_touch_attribution(spark, sf_dir):
         )
         .orderBy("touch_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q191 — exact order statistic without a global sort
+# --------------------------------------------------------------------------
+@query(
+    "q191_exact_percentile_narrowing",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value)
+               AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, value
+    FROM ranked
+    WHERE rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+    ORDER BY event_type
+    """,
+    tags=("quantile", "exact", "stats", "operator", "scale"),
+)
+def q191_exact_percentile_narrowing(spark, sf_dir):
+    """EXACT per-type p90 via operators.quantiles.exact_order_
+    statistics — distributed selection by iterative range narrowing,
+    never a global sort: each pass is one map-side-combined histogram
+    aggregate, the driver sees only O(groups x buckets) counts, the
+    candidate range shrinks ~num_buckets-fold per pass, and the final
+    rank resolves over the (thresholded) survivor set. The oracle IS
+    the sort-based definition (row_number over the full partition) —
+    same ceil(q*n) order-statistic convention, and the returned value
+    is a verbatim data value, so no float rounding is needed. The
+    approximate one-pass counterpart is q187's DDSketch; this is the
+    tool when the number must be exact. collect_threshold=50 forces
+    multiple narrowing passes even at sf0.01 so the driver gate
+    exercises the actual loop."""
+    from etl_as_a_service_spark.operators.quantiles import (
+        exact_order_statistics,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    return exact_order_statistics(
+        events,
+        ["event_type"],
+        "value",
+        q=0.9,
+        num_buckets=128,
+        collect_threshold=50,
+    ).orderBy("event_type")

@@ -161,3 +161,55 @@ def test_cusum_detects_planted_level_shift(spark):
     alarms = [r["i"] for r in s.filter(F.col("s") > h).collect()]
     assert alarms and min(alarms) >= 40
     assert any(i < 45 for i in alarms)  # fires promptly after the shift
+
+
+def test_exact_order_statistics_matches_sorted_truth(spark):
+    """Iterative range narrowing must return the EXACT ceil(q*n)-th
+    smallest per group — including with duplicate values — while never
+    collecting data rows (only histogram counts)."""
+    import math
+
+    from etl_as_a_service_spark.operators.quantiles import (
+        exact_order_statistics,
+    )
+
+    df = spark.range(20000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.pmod(F.xxhash64("id"), F.lit(100000)) / 7.0).alias("v"),
+    )
+    for q in (0.5, 0.9, 0.01):
+        got = {
+            r["g"]: (r["n"], r["value"])
+            for r in exact_order_statistics(
+                df, ["g"], "v", q, num_buckets=64, collect_threshold=100
+            ).collect()
+        }
+        rows = df.collect()
+        by_g = {}
+        for r in rows:
+            by_g.setdefault(r["g"], []).append(r["v"])
+        for g, vals in by_g.items():
+            vals.sort()
+            expect = vals[max(1, math.ceil(q * len(vals))) - 1]
+            n, val = got[g]
+            assert n == len(vals)
+            assert val == expect, (g, q, val, expect)
+
+
+def test_exact_order_statistics_with_heavy_ties(spark):
+    from etl_as_a_service_spark.operators.quantiles import (
+        exact_order_statistics,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0)] * 400 + [("a", 2.0)] * 300 + [("a", 3.0)] * 300,
+        "g string, v double",
+    )
+    out = exact_order_statistics(
+        df, ["g"], "v", 0.5, num_buckets=8, collect_threshold=10
+    ).collect()
+    assert out[0]["value"] == 2.0  # rank 500 of 1000
+    out = exact_order_statistics(
+        df, ["g"], "v", 0.95, num_buckets=8, collect_threshold=10
+    ).collect()
+    assert out[0]["value"] == 3.0
