@@ -751,3 +751,128 @@ def q191_exact_percentile_narrowing(spark, sf_dir):
         num_buckets=128,
         collect_threshold=50,
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q192 — phrase search over a positional inverted index
+# --------------------------------------------------------------------------
+_PHRASE = "edited near duplicate"
+
+
+@query(
+    "q192_phrase_search",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, source, 'edited near duplicate copy ' || text
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         w -> len(w) > 0) AS t
+      FROM corpus
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(range(1, len(t) - 1),
+             i -> t[i] = 'edited' AND t[i+1] = 'near'
+                  AND t[i+2] = 'duplicate')) AS BIGINT) AS n_hits
+    FROM toks
+    WHERE len(list_filter(range(1, len(t) - 1),
+            i -> t[i] = 'edited' AND t[i+1] = 'near'
+                 AND t[i+2] = 'duplicate')) > 0
+    ORDER BY doc_id
+    """,
+    tags=("search", "phrase", "index", "operator"),
+)
+def q192_phrase_search(spark, sf_dir):
+    """Exact phrase search ("edited near duplicate") via a POSITIONAL inverted
+    index, the IR-complete counterpart of q110's BM25 bag-of-words
+    ranking: tokens posexplode to (term, doc, pos) postings, the
+    phrase's terms select their posting lists, and consecutive-
+    position equi-joins (doc, pos+i) verify adjacency — the classic
+    phrase-query plan. The corpus re-plants q184's edited copies so
+    the phrase actually occurs. SCALE DESIGN: postings for the phrase
+    terms are FILTERED at the scan (term pushdown) before any join —
+    cost scales with the phrase terms' document frequency, not corpus
+    size, exactly how a search engine evaluates phrases; the naive
+    alternative (contains() over every document) rescans the corpus
+    per query. The oracle is that naive scan."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("edited near duplicate copy "), F.col("text"))
+        .alias("text"),
+    )
+    corpus = base.unionByName(planted)
+    terms = _PHRASE.split(" ")
+    postings = corpus.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("pos", "term"),
+    ).filter(F.col("term").isin(terms))  # term pushdown: tiny postings
+    first = postings.filter(F.col("term") == terms[0]).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    matched = first
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = postings.filter(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("p0")
+        )
+        matched = matched.join(nxt, ["doc_id", "p0"], "left_semi")
+    return (
+        matched.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q193 — k-anonymity audit (quasi-identifier group sizes)
+# --------------------------------------------------------------------------
+@query(
+    "q193_k_anonymity_audit",
+    oracle="""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+             count(*) AS grp
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(grp < 5 AS BOOLEAN)        AS violates_k5,
+           CAST(count(*) AS BIGINT)        AS n_groups,
+           CAST(sum(grp) AS BIGINT)        AS n_rows,
+           CAST(min(grp) AS BIGINT)        AS min_group
+    FROM qi GROUP BY 1 ORDER BY 1
+    """,
+    tags=("privacy", "governance", "audit", "operator"),
+)
+def q193_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit (Sweeney 2002, public concept) over a
+    quasi-identifier tuple (nation, segment, banded balance): how many
+    equivalence classes fall below k=5, i.e. rows re-identifiable by
+    the QI combination — the release-gate check before publishing a
+    dataset. SCALE DESIGN: one hash aggregate at QI grain (map-side
+    combined) + one tiny rollup; banding is part of the audit contract
+    (raw acctbal would make every row its own class)."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    qi = customer.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("acctbal_band"),
+    ).agg(F.count(F.lit(1)).alias("grp"))
+    return (
+        qi.groupBy((F.col("grp") < 5).alias("violates_k5"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("grp").cast("long").alias("n_rows"),
+            F.min("grp").cast("long").alias("min_group"),
+        )
+        .orderBy("violates_k5")
+    )
