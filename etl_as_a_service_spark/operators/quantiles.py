@@ -103,7 +103,7 @@ def exact_order_statistics(
                 c
                 for g, st in live.items()
                 for c in (
-                    F.lit("|".join(str(x) for x in g)),
+                    F.lit("\x1f".join(str(x) for x in g)),
                     F.lit(st["lo"]),
                 )
             ]
@@ -113,12 +113,12 @@ def exact_order_statistics(
                 c
                 for g, st in live.items()
                 for c in (
-                    F.lit("|".join(str(x) for x in g)),
+                    F.lit("\x1f".join(str(x) for x in g)),
                     F.lit(st["hi"]),
                 )
             ]
         )
-        gkey = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+        gkey = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
         lo_c, hi_c = lo_map[gkey], hi_map[gkey]
         width = (hi_c - lo_c) / num_buckets
         bucket = F.least(
