@@ -1,0 +1,95 @@
+"""Distributed PCA over embedding columns.
+
+The dimensionality-reduction stage of an embedding pipeline (dedup /
+ANN / clustering all get cheaper in a projected space). The classic
+distributed fit: the covariance of d-dim vectors needs only the
+per-partition sums (count, sum(x), X^T X) — each partition collapses
+to d*(d+1) numbers in ONE Arrow-batched pass, the driver adds the
+partials (bounded: num_partitions rows of d² doubles, like the Lloyd
+centroid collect) and runs the d×d eigendecomposition locally. No
+iteration, no shuffle of data rows, numerically standard (eigh on the
+symmetric covariance).
+
+Projection is a pure Arrow kernel (batch matmul) — same seam as the
+vector kernels in functions/vectors.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pca_fit(df: DataFrame, vec_col: str, k: int):
+    """Fit PCA on ``df[vec_col]`` (array<float/double>, fixed dim d).
+
+    Returns ``(mean, components, explained_ratio)`` as numpy arrays:
+    mean (d,), components (k, d) row-orthonormal eigenvectors sorted by
+    descending eigenvalue, explained_ratio (k,) fractions of total
+    variance. Driver memory is O(partitions * d²) partial rows then
+    O(d²) — model-sized, not data-sized."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def _partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [x.shape[0]],
+                    "s": [x.sum(axis=0).tolist()],
+                    "xtx": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    parts = (
+        df.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(
+            _partials, "n long, s array<double>, xtx array<double>"
+        )
+        .collect()  # bounded: one row per non-empty input partition
+    )
+    if not parts:
+        raise ValueError("no vectors to fit")
+    n = sum(p["n"] for p in parts)
+    d = len(parts[0]["s"])
+    if k > d:
+        raise ValueError(f"k={k} exceeds vector dim {d}")
+    s = np.zeros(d)
+    xtx = np.zeros((d, d))
+    for p in parts:
+        s += np.asarray(p["s"])
+        xtx += np.asarray(p["xtx"]).reshape(d, d)
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    components = evecs[:, order].T  # (k, d)
+    total = float(evals.sum())
+    explained = evals[order] / total if total > 0 else np.zeros(k)
+    return mean, components, explained
+
+
+def pca_project(
+    df: DataFrame, vec_col: str, mean: np.ndarray, components: np.ndarray,
+    out_col: str = "projected",
+) -> DataFrame:
+    """Project vectors onto fitted components: (x - mean) @ C^T as an
+    Arrow-batched kernel; adds ``out_col`` array<double> of dim k. The
+    model (k*d doubles) ships to executors in the UDF closure — small,
+    like the IVF centroids."""
+    mu = np.asarray(mean, dtype=np.float64)
+    comp = np.asarray(components, dtype=np.float64)
+
+    @F.pandas_udf("array<double>")
+    def _proj(vs: pd.Series) -> pd.Series:
+        x = np.stack(vs.to_numpy()).astype(np.float64)
+        out = (x - mu) @ comp.T
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col, _proj(F.col(vec_col)))

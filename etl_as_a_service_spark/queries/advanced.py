@@ -876,3 +876,111 @@ def q193_k_anonymity_audit(spark, sf_dir):
         )
         .orderBy("violates_k5")
     )
+
+
+# --------------------------------------------------------------------------
+# q194 — distributed PCA (invariant-boolean oracle)
+# --------------------------------------------------------------------------
+@query(
+    "q194_pca_projection",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           TRUE AS components_orthonormal,
+           TRUE AS explained_monotone,
+           TRUE AS reconstruction_improves,
+           TRUE AS projection_variance_matches
+    FROM embeddings
+    """,
+    tags=("pca", "embedding", "ml", "operator"),
+)
+def q194_pca_projection(spark, sf_dir):
+    """Distributed PCA (llm.pca): covariance from per-partition
+    (count, sum, X^T X) partials in ONE Arrow pass — the driver adds
+    model-sized partials and eigendecomposes d x d locally; projection
+    is a batch-matmul kernel. Eigenvectors have no portable SQL twin
+    (sign/rotation freedom), so the q104 invariant contract applies —
+    the engine verifies its own fit and emits CHECKED BOOLEANS:
+    components are orthonormal, explained-variance ratios are
+    monotone non-increasing in (0, 1], reconstruction error shrinks
+    as k grows 4 -> 8, and the projected data's total variance equals
+    the claimed explained share of total input variance (within 1e-6
+    relative). SCALE DESIGN: data rows are never shuffled or
+    collected; driver state is O(partitions * d^2) then O(d^2)."""
+    import numpy as np
+
+    from etl_as_a_service_spark.llm.pca import pca_fit, pca_project
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    mean, c8, ratio8 = pca_fit(emb, "embedding", 8)
+    _, c4, _ = pca_fit(emb, "embedding", 4)
+
+    ortho = bool(
+        np.abs(c8 @ c8.T - np.eye(8)).max() < 1e-8
+    )
+    monotone = bool(
+        np.all(np.diff(ratio8) <= 1e-12)
+        and ratio8[0] <= 1.0 + 1e-12
+        and ratio8[-1] > 0
+    )
+
+    proj8 = pca_project(emb, "embedding", mean, c8, "p8")
+    # distributed verification aggregates (one pass over projections):
+    # total input variance and projected variance per construction
+    stats = (
+        pca_project(proj8, "embedding", mean, c4, "p4")
+        .select(
+            F.aggregate(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: (x.cast("double")) * x.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("sq_full"),
+            F.aggregate(
+                F.col("embedding"), F.lit(0.0), lambda a, x: a + x.cast("double")
+            ).alias("sum_full"),
+            F.aggregate(
+                F.transform(F.col("p8"), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("sq_p8"),
+            F.aggregate(
+                F.transform(F.col("p4"), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("sq_p4"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("sq_full").alias("ssq"),
+            F.sum("sum_full").alias("sm"),
+            F.sum("sq_p8").alias("ssq8"),
+            F.sum("sq_p4").alias("ssq4"),
+        )
+        .collect()[0]
+    )
+    n = stats["n"]
+    # total centered variance = E[||x||^2] - ||mean||^2
+    total_var = stats["ssq"] / n - float(np.dot(mean, mean))
+    var8 = stats["ssq8"] / n  # projections are centered by construction
+    var4 = stats["ssq4"] / n
+    # reconstruction error for orthonormal projection = total - kept
+    recon_improves = bool((total_var - var8) <= (total_var - var4) + 1e-9)
+    proj_matches = bool(
+        abs(var8 / (total_var * float(ratio8.sum())) - 1.0) < 1e-6
+    )
+
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                ortho,
+                monotone,
+                recon_improves,
+                proj_matches,
+            )
+        ],
+        "n long, components_orthonormal boolean, explained_monotone boolean,"
+        " reconstruction_improves boolean, projection_variance_matches boolean",
+    )

@@ -213,3 +213,59 @@ def test_exact_order_statistics_with_heavy_ties(spark):
         df, ["g"], "v", 0.95, num_buckets=8, collect_threshold=10
     ).collect()
     assert out[0]["value"] == 3.0
+
+
+def test_pca_fit_project_against_numpy(spark):
+    """Distributed partials must reproduce the single-machine PCA:
+    same covariance eigenvalues, orthonormal components, projections
+    equal to numpy's within float tolerance, partition-invariant."""
+    import numpy as np
+
+    from etl_as_a_service_spark.llm.pca import pca_fit, pca_project
+
+    rng_rows = []
+    for i in range(300):
+        base = np.array(
+            [np.sin(i * 0.1), np.cos(i * 0.07), np.sin(i * 0.03)]
+        )
+        v = np.concatenate([base * (j + 1) for j in range(4)]) + i * 0.001
+        rng_rows.append((i, v.tolist()))
+    df = spark.createDataFrame(rng_rows, "id long, v array<double>")
+
+    mean, comps, ratio = pca_fit(df, "v", 3)
+    x = np.array([r[1] for r in rng_rows])
+    mu = x.mean(axis=0)
+    cov = (x - mu).T @ (x - mu) / len(x)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    assert np.allclose(mean, mu, atol=1e-9)
+    got_evals = ratio * evals.sum()
+    assert np.allclose(got_evals, evals[:3], rtol=1e-6, atol=1e-9)
+    assert np.abs(comps @ comps.T - np.eye(3)).max() < 1e-8
+
+    proj = {
+        r["id"]: np.array(r["p"])
+        for r in pca_project(df, "v", mean, comps, "p").select("id", "p").collect()
+    }
+    expect = (x - mu) @ comps.T
+    for i in range(300):
+        assert np.allclose(proj[i], expect[i], atol=1e-9)
+
+    # partition invariance of the fit
+    mean2, comps2, ratio2 = pca_fit(df.repartition(7), "v", 3)
+    assert np.allclose(mean, mean2, atol=1e-9)
+    assert np.allclose(ratio, ratio2, atol=1e-9)
+    # eigenvectors may flip sign; compare up to sign
+    for a, b in zip(comps, comps2):
+        assert np.allclose(a, b, atol=1e-6) or np.allclose(a, -b, atol=1e-6)
+
+
+def test_pca_fit_rejects_bad_k(spark):
+    import pytest
+
+    from etl_as_a_service_spark.llm.pca import pca_fit
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "id long, v array<double>")
+    with pytest.raises(ValueError):
+        pca_fit(df, "v", 0)
+    with pytest.raises(ValueError):
+        pca_fit(df, "v", 3)
