@@ -61,6 +61,7 @@ _ALLOWED_OPS = {
     "filter",
     "semi_join_bloom",
     "cdc_chunk",
+    "expect",
     "unpivot",
     "weighted_sample",
     "interpolate",
@@ -723,6 +724,36 @@ def _apply_step(
             gap=step.get("gap", "interval 30 minutes"),
             tie_cols=step.get("tie_cols"),
         )
+    if op == "expect":
+        # {"op":"expect","name":"gate","checks":{"nonempty":"count(*) > 0",
+        #  "keys_filled":"count_if(k IS NULL) = 0"}} — the write-audit-
+        # publish gate: every check is a BOOLEAN aggregate expression
+        # evaluated over the frame at this point in the plan; any FALSE
+        # (or NULL) check raises PipelineError, so a downstream sink
+        # never publishes data that failed its contract. Costs ONE
+        # extra aggregate job per gate (the audit is the point — the
+        # alternative is auditing after publish). Batch only: a
+        # streaming frame cannot be audited-then-published this way —
+        # use observe + a foreachBatch gate instead.
+        if df.isStreaming:
+            raise PipelineError(
+                "expect step requires a batch frame; use observe for streams"
+            )
+        checks = _req(step, "checks")
+        row = df.agg(
+            *[
+                F.expr(e).cast("boolean").alias(name)
+                for name, e in checks.items()
+            ]
+        ).collect()[0]
+        failed = [name for name in checks if not row[name]]
+        if failed:
+            gate = step.get("name", "expect")
+            raise PipelineError(
+                f"expectation gate {gate!r} failed: "
+                + ", ".join(f"{n} [{checks[n]}]" for n in failed)
+            )
+        return df
     if op == "observe":
         # {"op":"observe","name":"m","metrics":{"n":"count(*)",
         #  "bad":"sum(case when x<0 then 1 else 0 end)"}} — named metrics

@@ -1019,3 +1019,60 @@ def test_bloom_semi_join_and_cdc_chunk_steps(spark):
         .join(docs, "doc_id")
     )
     assert rebuilt.filter(F.col("re") != F.col("text")).count() == 0
+
+
+def test_expect_gate_blocks_bad_data_before_sink(spark, tmp_path):
+    """Write-audit-publish: a failing expectation raises BEFORE the
+    sink writes anything; a passing gate is a pass-through."""
+    import os
+
+    src = {"format": "parquet", "path": f"{SF_SMOKE}/orders.parquet"}
+    out = str(tmp_path / "out")
+    good = {
+        "name": "gated",
+        "source": src,
+        "steps": [
+            {
+                "op": "expect",
+                "name": "contract",
+                "checks": {
+                    "nonempty": "count(*) > 0",
+                    "keys_filled": "count_if(o_orderkey IS NULL) = 0",
+                },
+            }
+        ],
+    }
+    df = compile_pipeline(spark, good)
+    assert df.count() > 0
+
+    bad = {
+        "name": "gated_bad",
+        "source": src,
+        "steps": [
+            {"op": "filter", "predicate": "o_totalprice < 0"},
+            {
+                "op": "expect",
+                "name": "contract",
+                "checks": {"nonempty": "count(*) > 0"},
+            },
+        ],
+    }
+    with pytest.raises(PipelineError, match="contract.*nonempty"):
+        compile_pipeline(spark, bad)
+    assert not os.path.exists(out)
+
+
+def test_expect_gate_rejects_streams(spark, tmp_path):
+    stream_spec = {
+        "name": "s",
+        "source": {
+            "format": "rate",
+            "options": {"rowsPerSecond": "1"},
+            "streaming": True,
+        },
+        "steps": [
+            {"op": "expect", "checks": {"n": "count(*) > 0"}},
+        ],
+    }
+    with pytest.raises(PipelineError, match="batch frame"):
+        compile_pipeline(spark, stream_spec)
