@@ -1057,6 +1057,16 @@ class PipelineRunner:
                         mode=sink.get("mode", "append"),
                         partition_by=sink.get("partition_by"),
                     )
+                elif sink.get("staged"):
+                    # write-audit-publish sink: write to a staging dir,
+                    # audit the PERSISTED files (catches write-side
+                    # corruption an in-plan `expect` step cannot see),
+                    # then one atomic rename publishes. A crash before
+                    # the rename leaves only the staging dir (re-run
+                    # overwrites it); a crash between the two renames
+                    # of an overwrite-publish heals like compact_files
+                    # (.__old__ restored on the next run).
+                    self._staged_publish(df, sink)
                 else:
                     writer = df.write.format(
                         sink.get("format", "parquet")
@@ -1090,6 +1100,55 @@ class PipelineRunner:
             if run.status not in ("running",):
                 run.finished_at = run.finished_at or time.time()
                 self._persist(run)
+
+    def _staged_publish(self, df: DataFrame, sink: dict[str, Any]) -> None:
+        """WAP sink body: stage -> audit persisted rows -> atomic swap.
+
+        ``sink["audit"]`` maps check names to boolean aggregate SQL
+        evaluated over the STAGED parquet read back from disk, so the
+        audit sees exactly what a consumer would. Failure removes the
+        staging dir and raises — the published path is never touched."""
+        import os
+        import shutil
+
+        path = sink["path"].rstrip("/")
+        staging = path + ".__staging__"
+        old = path + ".__old__"
+        # heal a crash between the publish renames (old moved out, new
+        # never moved in)
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
+        writer = df.write.format(sink.get("format", "parquet")).mode(
+            "overwrite"
+        )
+        if sink.get("partition_by"):
+            writer = writer.partitionBy(*sink["partition_by"])
+        for k, v in sink.get("options", {}).items():
+            writer = writer.option(k, str(v))
+        writer.save(staging)
+        checks = sink.get("audit", {})
+        if checks:
+            staged = self.spark.read.format(
+                sink.get("format", "parquet")
+            ).load(staging)
+            row = staged.agg(
+                *[
+                    F.expr(e).cast("boolean").alias(name)
+                    for name, e in checks.items()
+                ]
+            ).collect()[0]
+            failed = [name for name in checks if not row[name]]
+            if failed:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise PipelineError(
+                    "staged-publish audit failed: "
+                    + ", ".join(f"{n} [{checks[n]}]" for n in failed)
+                )
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
 
     def _execute_streaming(
         self, run: PipelineRun, df: DataFrame, sink: dict[str, Any]

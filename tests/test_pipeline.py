@@ -1076,3 +1076,57 @@ def test_expect_gate_rejects_streams(spark, tmp_path):
     }
     with pytest.raises(PipelineError, match="batch frame"):
         compile_pipeline(spark, stream_spec)
+
+
+def test_staged_publish_audits_persisted_output(spark, tmp_path):
+    """WAP sink: passing audit publishes atomically; failing audit
+    removes the staging dir and never touches the published path."""
+    import os
+
+    out = str(tmp_path / "wap_out")
+    runner = PipelineRunner(spark)
+    ok_spec = lineitem_spec(
+        sink={
+            "format": "parquet",
+            "path": out,
+            "staged": True,
+            "audit": {
+                "nonempty": "count(*) > 0",
+                "flags": "count_if(l_returnflag IS NULL) = 0",
+            },
+        }
+    )
+    run = runner.run(ok_spec)
+    assert run.status == "success"
+    assert spark.read.parquet(out).count() == 3
+    assert not os.path.exists(out + ".__staging__")
+
+    # second publish over the same path with a failing audit: the
+    # previously published data must survive untouched
+    bad_spec = lineitem_spec(
+        name="wap_bad",
+        sink={
+            "format": "parquet",
+            "path": out,
+            "staged": True,
+            "audit": {"impossible": "count(*) > 1000000"},
+        },
+    )
+    run2 = runner.run(bad_spec)
+    assert run2.status == "failed"
+    assert "impossible" in run2.error
+    assert spark.read.parquet(out).count() == 3  # old publish intact
+    assert not os.path.exists(out + ".__staging__")
+
+
+def test_staged_publish_heals_rename_crash(spark, tmp_path):
+    import os
+
+    out = str(tmp_path / "wap_out")
+    runner = PipelineRunner(spark)
+    spec = lineitem_spec(sink={"format": "parquet", "path": out, "staged": True})
+    assert runner.run(spec).status == "success"
+    os.rename(out, out + ".__old__")  # crash window between renames
+    assert runner.run(spec).status == "success"
+    assert spark.read.parquet(out).count() == 3
+    assert not os.path.exists(out + ".__old__")
