@@ -532,3 +532,90 @@ def hybrid_search(
     return fused.orderBy(
         F.col("rrf_score").desc(), F.col(id_col)
     ).limit(k)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 3,
+    k: int = 25,
+) -> DataFrame:
+    """Corpus-wide collocation extraction by pointwise mutual
+    information: for each adjacent word pair, PMI = ln(p(w1,w2) /
+    (p(w1)·p(w2))) with p estimated from corpus counts (Church &
+    Hanks). Pairs that co-occur far more often than their unigram
+    frequencies predict are multi-word expressions — the classic
+    signal for tokenizer vocab seeding and stop-phrase mining
+    (reference scope: arbitrary corpus statistics over uploaded data,
+    app/routes.py:66-135). Returns (ngram, occurrences, pmi, rank)
+    for the top ``k`` pairs with count >= ``min_count``.
+
+    Scale shape: bigrams are derived per row with slice/zip (no
+    window, no per-doc shuffle); unigram and bigram counts are two
+    map-side-combined aggregations over the same tokenize scan
+    (ReuseExchange); corpus totals are 1-row aggregates broadcast into
+    the scoring join; the final top-k is TakeOrderedAndProject over
+    already-aggregated pairs. PMI is ordered on its ROUNDED value
+    (ties broken by ngram) so the k-boundary never depends on
+    cross-engine ln() ulp differences.
+    """
+    toks = tokenize(F.col(text_col))
+    L = F.size(toks) - 1
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.arrays_zip(F.slice(toks, 1, L), F.slice(toks, 2, L)),
+    ).otherwise(F.array())
+    base = ensure_parallelism(df)
+    big = base.select(F.explode(pairs).alias("p")).select(
+        F.col("p.0").alias("w1"), F.col("p.1").alias("w2")
+    )
+    uni = base.select(F.explode(toks).alias("w"))
+    bigram_counts = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    unigram_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    totals = big.agg(F.count(F.lit(1)).alias("__nb")).crossJoin(
+        uni.agg(F.count(F.lit(1)).alias("__nu"))
+    )
+    scored = (
+        bigram_counts.filter(F.col("cb") >= min_count)
+        .join(
+            unigram_counts.select(
+                F.col("w").alias("w1"), F.col("cu").alias("cu1")
+            ),
+            "w1",
+        )
+        .join(
+            unigram_counts.select(
+                F.col("w").alias("w2"), F.col("cu").alias("cu2")
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("ngram"),
+            F.col("cb").alias("occurrences"),
+            # ratio computed in double: nu^2 overflows BIGINT on large
+            # corpora (nu >= ~3e9 tokens), and DuckDB would silently
+            # upcast to HUGEINT where Spark wraps — double on both
+            # sides keeps the engines identical and scale-safe
+            F.round(
+                F.log(
+                    (
+                        F.col("cb").cast("double")
+                        * F.col("__nu")
+                        * F.col("__nu")
+                    )
+                    / (
+                        F.col("__nb").cast("double")
+                        * F.col("cu1")
+                        * F.col("cu2")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    topk = scored.orderBy(F.col("pmi").desc(), F.col("ngram")).limit(k)
+    w = Window.orderBy(F.col("pmi").desc(), F.col("ngram"))
+    return topk.withColumn("rank", F.row_number().over(w))

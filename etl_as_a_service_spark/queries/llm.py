@@ -2244,3 +2244,53 @@ def q153_balanced_interleave(spark, sf_dir):
         .select("doc_id", "source", "domain_pos")
         .orderBy("domain_pos", "source", "doc_id")
     )
+
+
+@query(
+    "q195_pmi_collocations",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    u AS (SELECT unnest(t) AS w FROM toks),
+    uni AS (SELECT w, count(*) AS cu FROM u GROUP BY w),
+    nu AS (SELECT count(*) AS total_u FROM u),
+    big AS (
+      SELECT t[i.i] AS w1, t[i.i + 1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS i(i)
+      WHERE len(t) >= 2
+    ),
+    bc AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+    nb AS (SELECT count(*) AS total_b FROM big),
+    scored AS (
+      SELECT bc.w1 || ' ' || bc.w2 AS ngram,
+             CAST(bc.cb AS BIGINT)  AS occurrences,
+             round(ln((CAST(bc.cb AS DOUBLE) * total_u * total_u)
+                      / (CAST(total_b AS DOUBLE) * u1.cu * u2.cu)),
+                   6) AS pmi
+      FROM bc
+      JOIN uni u1 ON u1.w = bc.w1
+      JOIN uni u2 ON u2.w = bc.w2
+      CROSS JOIN nu CROSS JOIN nb
+      WHERE bc.cb >= 3
+    ),
+    topk AS (
+      SELECT ngram, occurrences, pmi
+      FROM scored ORDER BY pmi DESC, ngram LIMIT 25
+    )
+    SELECT ngram, occurrences, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, ngram)
+                AS INTEGER) AS rank
+    FROM topk ORDER BY rank
+    """,
+    tags=("collocations", "pmi", "vocabulary", "corpus", "llm", "operator"),
+)
+def q195_pmi_collocations(spark, sf_dir):
+    """Top-25 collocations by pointwise mutual information
+    (llm.corpus.pmi_collocations) — pairs co-occurring far above their
+    unigram-frequency prediction, the classic multi-word-expression
+    signal for tokenizer vocab seeding. Two map-side-combined counts
+    over one tokenize scan, 1-row totals broadcast, ordering on the
+    ROUNDED pmi so the k-boundary is ln()-ulp-proof across engines."""
+    from etl_as_a_service_spark.llm.corpus import pmi_collocations
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "text", min_count=3, k=25).orderBy("rank")

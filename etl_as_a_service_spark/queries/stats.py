@@ -765,3 +765,276 @@ def q138_regression_aggregates(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# q196 — Benford first-digit audit (fraud/quality screening)
+# --------------------------------------------------------------------------
+@query(
+    "q196_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                  1, 1) AS BIGINT) AS digit
+      FROM orders
+    ),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c)
+    SELECT digit,
+           CAST(n AS BIGINT)                          AS n,
+           round(n / tot, 6)                          AS obs_share,
+           round(log10(1 + 1.0 / digit), 6)           AS benford_share,
+           round(pow(n - tot * log10(1 + 1.0 / digit), 2)
+                 / (tot * log10(1 + 1.0 / digit)), 4) AS chi2_term
+    FROM c, t ORDER BY digit
+    """,
+    tags=("quality", "audit", "statistics", "operator"),
+)
+def q196_benford_audit(spark, sf_dir):
+    """First-significant-digit distribution of order totals vs
+    Benford's law, with per-digit chi-square contributions — the
+    standard screening audit for fabricated or truncated numeric
+    columns in an ingest pipeline. One map-side-combined 9-group
+    aggregate plus a broadcast 1-row total; the digit is extracted
+    with floor->string (NOT a bigint round-cast, which DuckDB rounds
+    and Spark truncates). Chi-square terms are data-scaled (they grow
+    with N), so the per-digit share columns carry the
+    distribution-shape signal while chi2 carries the evidence
+    strength."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("long")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("double").alias("__tot"))
+    benford = F.log10(1 + 1.0 / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n"),
+            F.round(F.col("n") / F.col("__tot"), 6).alias("obs_share"),
+            F.round(benford, 6).alias("benford_share"),
+            F.round(
+                F.pow(F.col("n") - F.col("__tot") * benford, 2)
+                / (F.col("__tot") * benford),
+                4,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+# --------------------------------------------------------------------------
+# q197 — Kaplan-Meier survival over user lifetimes (right-censored)
+# --------------------------------------------------------------------------
+@query(
+    "q197_km_survival",
+    oracle="""
+    WITH wend AS (SELECT max(ts) AS w FROM events),
+    life AS (
+      SELECT user_id,
+             date_diff('day', min(ts), max(ts)) AS dur,
+             CASE WHEN max(ts) < (SELECT w - INTERVAL 12 HOUR FROM wend)
+                  THEN 1 ELSE 0 END AS churned
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT count(*) AS n FROM life),
+    agg AS (
+      SELECT dur, sum(churned) AS d, count(*) AS c
+      FROM life GROUP BY dur
+    ),
+    km AS (
+      SELECT dur, d,
+             n - coalesce(sum(c) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS at_risk
+      FROM agg, tot
+    ),
+    f AS (
+      SELECT dur, d, at_risk,
+             CAST(at_risk - d AS DOUBLE) / at_risk AS factor
+      FROM km
+    )
+    SELECT dur AS day,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(d AS BIGINT)       AS churns,
+           round(CASE WHEN min(factor) OVER (ORDER BY dur) = 0 THEN 0.0
+                 ELSE exp(sum(CASE WHEN factor > 0 THEN ln(factor)
+                               ELSE 0 END) OVER (ORDER BY dur))
+                 END, 6)           AS survival
+    FROM f ORDER BY day
+    """,
+    tags=("survival", "statistics", "retention", "operator"),
+)
+def q197_km_survival(spark, sf_dir):
+    """Kaplan-Meier survival curve over per-user lifetimes with right
+    censoring: a user whose last event falls within 12 hours of the
+    observation end is CENSORED (still alive — the cadence-scaled
+    variant of the classic last-seen churn proxy), otherwise their
+    lifetime ends in a churn event — the estimator q116's cohort
+    retention cannot express, because naive retention treats censored
+    users as churned and biases the curve down. S(t) = prod over event
+    days <= t of (1 - d/n_at_risk), computed as exp(sum(ln)) with an
+    explicit zero-factor guard on BOTH engines (Spark ln(0) is NULL,
+    DuckDB's is -inf — the guard keeps them identical).
+
+    Scale shape: lifetimes are one per-user aggregate (co-partitioned
+    shuffle); the curve itself lives on the aggregated per-DAY domain
+    — the global cumulative windows run over at most
+    date_range-many rows (30 here, bounded by the observation window),
+    the same documented exception as q122's histogram."""
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    wend = events.agg(F.max("ts").alias("__w"))
+    life = (
+        events.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(wend))
+        .select(
+            F.datediff("last_ts", "first_ts").alias("dur"),
+            (
+                F.col("last_ts") < F.col("__w") - F.expr("INTERVAL 12 HOURS")
+            ).cast("long").alias("churned"),
+        )
+    )
+    tot = life.agg(F.count(F.lit(1)).alias("__n"))
+    agg = life.groupBy("dur").agg(
+        F.sum("churned").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    w_prev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("dur")
+    km = (
+        agg.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "at_risk",
+            F.col("__n") - F.coalesce(F.sum("c").over(w_prev), F.lit(0)),
+        )
+        .withColumn(
+            "factor",
+            (F.col("at_risk") - F.col("d")).cast("double")
+            / F.col("at_risk"),
+        )
+    )
+    return km.select(
+        F.col("dur").alias("day"),
+        F.col("at_risk").cast("long").alias("at_risk"),
+        F.col("d").cast("long").alias("churns"),
+        F.round(
+            F.when(F.min("factor").over(w_cum) == 0, F.lit(0.0)).otherwise(
+                F.exp(
+                    F.sum(
+                        F.when(
+                            F.col("factor") > 0, F.log("factor")
+                        ).otherwise(F.lit(0.0))
+                    ).over(w_cum)
+                )
+            ),
+            6,
+        ).alias("survival"),
+    ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# q198 — autocorrelation function of daily revenue (lags 1-7)
+# --------------------------------------------------------------------------
+@query(
+    "q198_daily_revenue_acf",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+      FROM orders GROUP BY day
+    ),
+    lags AS (SELECT unnest(range(1, 8)) AS lag)
+    SELECT lag,
+           CAST(count(*) AS BIGINT)     AS n_pairs,
+           round(corr(a.rev, b.rev), 6) AS acf
+    FROM lags, daily a
+    JOIN daily b ON b.day = a.day - CAST(lag AS INTEGER)
+    GROUP BY lag ORDER BY lag
+    """,
+    tags=("timeseries", "statistics", "operator"),
+)
+def q198_daily_revenue_acf(spark, sf_dir):
+    """Autocorrelation of the daily-revenue series at lags 1-7 — the
+    seasonality screen run before committing to a forecast model like
+    q156's weekly baseline (a lag-7 spike says weekly seasonality
+    exists; a flat ACF says don't bother). Computed as corr(x_t,
+    x_{t-lag}) over the AGGREGATED per-day series: the raw fact table
+    collapses via one map-side-combined aggregate first, then a
+    broadcast 7-row lag spine replicates the tiny series — the
+    self-join on (day - lag) is broadcast-hash, no window over the
+    full fact data, no shuffle proportional to input size."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    lags = spark.range(1, 8).select(F.col("id").cast("long").alias("lag"))
+    a = daily.select(F.col("day").alias("a_day"), F.col("rev").alias("a_rev"))
+    b = daily.select(F.col("day").alias("b_day"), F.col("rev").alias("b_rev"))
+    return (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("b_day")
+            == F.date_sub(F.col("a_day"), F.col("lag").cast("int")),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("a_rev", "b_rev"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# --------------------------------------------------------------------------
+# q199 — per-group Shannon entropy / Gini impurity of a label mix
+# --------------------------------------------------------------------------
+@query(
+    "q199_source_lang_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, count(*) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    t AS (SELECT source, CAST(sum(n) AS DOUBLE) AS tot FROM c GROUP BY source)
+    SELECT c.source,
+           CAST(count(*) AS BIGINT)                       AS n_langs,
+           CAST(sum(n) AS BIGINT)                         AS n_docs,
+           round(-sum((n / tot) * ln(n / tot)), 6)        AS entropy,
+           round(1 - sum(pow(n / tot, 2)), 6)             AS gini
+    FROM c JOIN t ON c.source = t.source
+    GROUP BY c.source, t.tot ORDER BY c.source
+    """,
+    tags=("statistics", "diversity", "curation", "operator"),
+)
+def q199_source_lang_entropy(spark, sf_dir):
+    """Language-mix diversity per corpus source: Shannon entropy and
+    Gini impurity of each source's language distribution — the
+    diversity dial a data-mixing pipeline reads before reweighting
+    (q147's temperature mix raises low-entropy sources' exponents;
+    this is the measurement side). Two stacked aggregates over the
+    same grouping key: counts per (source, lang), then entropy per
+    source — both shuffles are on the source key, map-side combined,
+    and the second input is already |sources|x|langs| tiny."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").cast("double").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (
+        c.join(t, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.sum("n").cast("long").alias("n_docs"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.round(1 - F.sum(F.pow(p, 2)), 6).alias("gini"),
+        )
+        .orderBy("source")
+    )

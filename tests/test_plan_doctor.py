@@ -151,7 +151,12 @@ def test_manifest_plans_lint_clean(spark):
       (bounded input — llm/corpus.py caps before the window);
     - q174: the Pareto cumsum window runs over the ALREADY-limited
       top-100 frame (TakeOrderedAndProject bounds it first — the q93
-      pattern, documented in-query)."""
+      pattern, documented in-query);
+    - q195: rank window over the already-top-k'd 25 collocations (the
+      q93 pattern, documented in-query);
+    - q197: the Kaplan-Meier cumulative windows run over the
+      AGGREGATED per-day curve (at most observation-window-many rows,
+      documented in-query — the q122 statistics-utility exception)."""
     from etl_as_a_service_spark.plans.doctor import lint_plan
     from etl_as_a_service_spark.queries import QUERIES
     from tests.conftest import SF_SMOKE
@@ -160,6 +165,8 @@ def test_manifest_plans_lint_clean(spark):
         "q122_equidepth_histogram",
         "q93_top_bigrams",
         "q174_pareto_analysis",
+        "q195_pmi_collocations",
+        "q197_km_survival",
     }
     bad = {}
     for name, qd in QUERIES.items():
