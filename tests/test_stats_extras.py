@@ -1,0 +1,89 @@
+"""Property tests for the q195-q199 statistics batch: PMI ranking on
+planted collocations, Kaplan-Meier curve shape, entropy/Gini bounds.
+(Oracle parity for the same queries runs in test_oracle_parity.py.)"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.llm.corpus import pmi_collocations
+from tests.conftest import SF_SMOKE
+
+
+def test_pmi_ranks_planted_collocation_first(spark):
+    """A pair that ALWAYS co-occurs and never appears apart maximizes
+    PMI; a frequent pair of independently-frequent words scores near
+    zero. 40 docs of common filler plus 5 docs each containing the
+    exclusive pair 'zx qv'."""
+    filler = "the cat sat on the mat with the dog"
+    rows = [(i, filler) for i in range(40)]
+    rows += [(100 + i, f"zx qv {filler}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(docs, "text", min_count=3, k=10).collect()
+    assert out[0]["ngram"] == "zx qv"
+    assert out[0]["rank"] == 1
+    # exclusive pair: pmi = ln(N_u^2 * c / (N_b * c * c)) with c=5
+    by_name = {r["ngram"]: r for r in out}
+    assert by_name["zx qv"]["pmi"] > by_name["the cat"]["pmi"] + 1.0
+
+
+def test_pmi_respects_min_count(spark):
+    docs = spark.createDataFrame(
+        [(0, "aa bb"), (1, "aa bb"), (2, "cc dd")],
+        "doc_id long, text string",
+    )
+    out = pmi_collocations(docs, "text", min_count=2, k=10).collect()
+    names = {r["ngram"] for r in out}
+    assert "aa bb" in names and "cc dd" not in names
+
+
+def test_km_survival_is_nonincreasing_and_bounded(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+
+    rows = (
+        QUERIES["q197_km_survival"].fn(spark, SF_SMOKE).orderBy("day").collect()
+    )
+    assert rows, "empty survival curve"
+    prev = 1.0
+    for r in rows:
+        assert 0.0 <= r["survival"] <= 1.0
+        assert r["survival"] <= prev + 1e-9
+        assert r["at_risk"] >= r["churns"] >= 0
+        prev = r["survival"]
+    # at-risk counts shrink as the curve advances
+    risks = [r["at_risk"] for r in rows]
+    assert risks == sorted(risks, reverse=True)
+
+
+def test_entropy_and_gini_bounds(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+
+    rows = QUERIES["q199_source_lang_entropy"].fn(spark, SF_SMOKE).collect()
+    assert rows, "no sources"
+    for r in rows:
+        assert 0.0 <= r["gini"] < 1.0
+        assert -1e-9 <= r["entropy"] <= math.log(r["n_langs"]) + 1e-9
+
+
+def test_entropy_zero_for_pure_group(spark):
+    docs = spark.createDataFrame(
+        [(0, "s0", "en"), (1, "s0", "en"), (2, "s1", "en"), (3, "s1", "fr")],
+        "doc_id long, source string, lang string",
+    )
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").cast("double").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    out = {
+        r["source"]: r
+        for r in c.join(t, "source")
+        .groupBy("source")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.round(1 - F.sum(F.pow(p, 2)), 6).alias("gini"),
+        )
+        .collect()
+    }
+    assert out["s0"]["entropy"] == 0.0 and out["s0"]["gini"] == 0.0
+    assert abs(out["s1"]["entropy"] - math.log(2)) < 1e-6
