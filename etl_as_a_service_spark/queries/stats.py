@@ -1038,3 +1038,176 @@ def q199_source_lang_entropy(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q200 — chi-square test of independence + Cramér's V
+# --------------------------------------------------------------------------
+@query(
+    "q200_chisq_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS p, o_orderstatus AS s, count(*) AS n
+      FROM orders GROUP BY p, s
+    ),
+    rm AS (SELECT p, CAST(sum(n) AS DOUBLE) AS rn FROM cells GROUP BY p),
+    cm AS (SELECT s, CAST(sum(n) AS DOUBLE) AS cn FROM cells GROUP BY s),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot,
+                 count(DISTINCT p) AS nr, count(DISTINCT s) AS nc
+          FROM cells),
+    x AS (
+      SELECT sum(pow(n - rn * cn / tot, 2) / (rn * cn / tot)) AS chi2,
+             max(nr) AS nr, max(nc) AS nc, max(tot) AS tot
+      FROM cells JOIN rm USING (p) JOIN cm USING (s) CROSS JOIN t
+    )
+    SELECT CAST(nr AS BIGINT)                       AS n_rows,
+           CAST(nc AS BIGINT)                       AS n_cols,
+           CAST((nr - 1) * (nc - 1) AS BIGINT)      AS dof,
+           round(chi2, 4)                           AS chi2,
+           round(sqrt(chi2 / (tot * least(nr - 1, nc - 1))), 6)
+                                                    AS cramers_v
+    FROM x
+    """,
+    tags=("statistics", "independence", "audit", "operator"),
+)
+def q200_chisq_independence(spark, sf_dir):
+    """Pearson chi-square test of independence between order priority
+    and order status, with Cramér's V as the sample-size-free effect
+    size — the categorical-association audit (does a pipeline's label
+    depend on its source?) complementing q196's distribution-shape
+    audit. One contingency aggregate, two margin re-aggregates joined
+    back on their keys (broadcast — margins are category-cardinality
+    tiny), one 1-row reduce. No windows, no data-sized shuffle beyond
+    the first groupBy."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("p"),
+        F.col("o_orderstatus").alias("s"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rm = cells.groupBy("p").agg(F.sum("n").cast("double").alias("rn"))
+    cm = cells.groupBy("s").agg(F.sum("n").cast("double").alias("cn"))
+    t = cells.agg(
+        F.sum("n").cast("double").alias("tot"),
+        F.count_distinct("p").alias("nr"),
+        F.count_distinct("s").alias("nc"),
+    )
+    e = F.col("rn") * F.col("cn") / F.col("tot")
+    x = (
+        cells.join(F.broadcast(rm), "p")
+        .join(F.broadcast(cm), "s")
+        .crossJoin(F.broadcast(t))
+        .agg(
+            F.sum(F.pow(F.col("n") - e, 2) / e).alias("chi2"),
+            F.max("nr").alias("nr"),
+            F.max("nc").alias("nc"),
+            F.max("tot").alias("tot"),
+        )
+    )
+    return x.select(
+        F.col("nr").cast("long").alias("n_rows"),
+        F.col("nc").cast("long").alias("n_cols"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.round("chi2", 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("tot") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q201 — Mann-Whitney U test (rank-sum over a bounded value domain)
+# --------------------------------------------------------------------------
+@query(
+    "q201_mann_whitney_u",
+    oracle="""
+    WITH v AS (
+      SELECT l_quantity AS q,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS cr,
+             sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS cn
+      FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY q
+    ),
+    r AS (
+      SELECT q, cr, cn, cr + cn AS ct,
+             coalesce(sum(cr + cn) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (cr + cn + 1) / 2.0 AS midrank
+      FROM v
+    ),
+    s AS (
+      SELECT CAST(sum(cr) AS DOUBLE)     AS nr,
+             CAST(sum(cn) AS DOUBLE)     AS nn,
+             sum(cr * midrank)           AS rank_sum_r,
+             sum(pow(ct, 3) - ct)        AS ties
+      FROM r
+    )
+    SELECT CAST(nr AS BIGINT) AS n_r,
+           CAST(nn AS BIGINT) AS n_n,
+           round(rank_sum_r - nr * (nr + 1) / 2.0, 1) AS u_stat,
+           round((rank_sum_r - nr * (nr + 1) / 2.0 - nr * nn / 2.0)
+                 / sqrt(nr * nn / 12.0
+                        * ((nr + nn + 1)
+                           - ties / ((nr + nn) * (nr + nn - 1)))),
+                 6) AS z
+    FROM s
+    """,
+    tags=("statistics", "hypothesis-test", "operator"),
+)
+def q201_mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing l_quantity between
+    returned and non-returned lines — the nonparametric complement to
+    q164's Welch t-test for metrics where normality fails. Midranks
+    with tie correction are computed over the AGGREGATED per-value
+    domain (l_quantity has a bounded discrete domain — 50 values —
+    so the cumulative window runs over 50 rows, the q122/q197
+    statistics-utility exception; the raw fact table only ever passes
+    through one conditional-count aggregate). U, rank sums, and the
+    tie term all derive from exact integer counts, so both engines
+    agree to the rounding digit."""
+    from pyspark.sql import Window
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    v = (
+        li.filter(F.col("l_returnflag").isin("R", "N"))
+        .groupBy(F.col("l_quantity").alias("q"))
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("cr"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "N", 1).otherwise(0)
+            ).alias("cn"),
+        )
+    )
+    w_prev = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    r = v.withColumn("ct", F.col("cr") + F.col("cn")).withColumn(
+        "midrank",
+        F.coalesce(F.sum("ct").over(w_prev), F.lit(0))
+        + (F.col("ct") + 1) / 2.0,
+    )
+    s = r.agg(
+        F.sum("cr").cast("double").alias("nr"),
+        F.sum("cn").cast("double").alias("nn"),
+        F.sum(F.col("cr") * F.col("midrank")).alias("rank_sum_r"),
+        F.sum(F.pow("ct", 3) - F.col("ct")).alias("ties"),
+    )
+    u = F.col("rank_sum_r") - F.col("nr") * (F.col("nr") + 1) / 2.0
+    n = F.col("nr") + F.col("nn")
+    return s.select(
+        F.col("nr").cast("long").alias("n_r"),
+        F.col("nn").cast("long").alias("n_n"),
+        F.round(u, 1).alias("u_stat"),
+        F.round(
+            (u - F.col("nr") * F.col("nn") / 2.0)
+            / F.sqrt(
+                F.col("nr")
+                * F.col("nn")
+                / 12.0
+                * ((n + 1) - F.col("ties") / (n * (n - 1)))
+            ),
+            6,
+        ).alias("z"),
+    )

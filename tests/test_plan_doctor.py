@@ -156,7 +156,10 @@ def test_manifest_plans_lint_clean(spark):
       q93 pattern, documented in-query);
     - q197: the Kaplan-Meier cumulative windows run over the
       AGGREGATED per-day curve (at most observation-window-many rows,
-      documented in-query — the q122 statistics-utility exception)."""
+      documented in-query — the q122 statistics-utility exception);
+    - q201: the Mann-Whitney midrank window runs over the AGGREGATED
+      bounded value domain (50 distinct l_quantity values, documented
+      in-query)."""
     from etl_as_a_service_spark.plans.doctor import lint_plan
     from etl_as_a_service_spark.queries import QUERIES
     from tests.conftest import SF_SMOKE
@@ -167,6 +170,7 @@ def test_manifest_plans_lint_clean(spark):
         "q174_pareto_analysis",
         "q195_pmi_collocations",
         "q197_km_survival",
+        "q201_mann_whitney_u",
     }
     bad = {}
     for name, qd in QUERIES.items():

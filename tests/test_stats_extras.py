@@ -87,3 +87,20 @@ def test_entropy_zero_for_pure_group(spark):
     }
     assert out["s0"]["entropy"] == 0.0 and out["s0"]["gini"] == 0.0
     assert abs(out["s1"]["entropy"] - math.log(2)) < 1e-6
+
+
+def test_chisq_bounds_and_dof(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+
+    r = QUERIES["q200_chisq_independence"].fn(spark, SF_SMOKE).collect()[0]
+    assert r["chi2"] >= 0.0
+    assert 0.0 <= r["cramers_v"] <= 1.0
+    assert r["dof"] == (r["n_rows"] - 1) * (r["n_cols"] - 1)
+
+
+def test_mann_whitney_u_bounds(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+
+    r = QUERIES["q201_mann_whitney_u"].fn(spark, SF_SMOKE).collect()[0]
+    # U is bounded by the number of cross-group pairs
+    assert 0.0 <= r["u_stat"] <= r["n_r"] * r["n_n"]
