@@ -1784,3 +1784,100 @@ def q181_user_feature_snapshot(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q202 — IR ranking metrics (P@k / MRR / nDCG@k) per query group
+# --------------------------------------------------------------------------
+@query(
+    "q202_ranking_metrics",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang,
+             CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM documents
+    ),
+    per AS (
+      SELECT lang,
+             sum(rel) AS n_rel,
+             sum(CASE WHEN rnk <= 10 THEN rel ELSE 0 END) AS rel_at_10,
+             min(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+             sum(CASE WHEN rnk <= 10 AND rel = 1
+                      THEN 1.0 / log2(rnk + 1) ELSE 0 END) AS dcg
+      FROM ranked GROUP BY lang
+    ),
+    ideal AS (
+      SELECT per.lang,
+             sum(1.0 / log2(i.i + 1)) AS idcg
+      FROM per, UNNEST(range(1, 11)) AS i(i)
+      WHERE i.i <= per.n_rel
+      GROUP BY per.lang
+    )
+    SELECT per.lang,
+           CAST(n_rel AS BIGINT)                  AS n_rel,
+           round(rel_at_10 / 10.0, 6)             AS p_at_10,
+           round(1.0 / first_rel, 6)              AS mrr,
+           round(dcg / idcg, 6)                   AS ndcg_at_10
+    FROM per JOIN ideal ON per.lang = ideal.lang
+    ORDER BY per.lang
+    """,
+    tags=("evaluation", "ranking", "retrieval", "llm", "operator"),
+)
+def q202_ranking_metrics(spark, sf_dir):
+    """Ranking-quality evaluation table — precision@10, MRR, and
+    nDCG@10 per query group — the retrieval-eval readout run over any
+    (group, ranking, relevance) triple; here the deterministic fixture
+    ranks each language's documents by length with src0 membership as
+    the relevance label (the eval harness shape for q110's BM25 and
+    q151's RRF legs, whose rankings aren't SQL-twinnable themselves).
+    Completes the model-evaluation family (q179 decile lift, q180
+    threshold sweep) with the ranked-retrieval metrics.
+
+    Scale shape: rankings come from PER-GROUP windows (keyed by the
+    query group — never global); the metric reduce is one aggregate on
+    the same key; the ideal-DCG spine is a 10-row broadcast. At fleet
+    scale this runs one shuffle on the query-group key, data-parallel
+    across queries."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "lang",
+        F.when(F.col("source") == "src0", 1).otherwise(0).alias("rel"),
+        F.row_number().over(w).alias("rnk"),
+    )
+    per = ranked.groupBy("lang").agg(
+        F.sum("rel").alias("n_rel"),
+        F.sum(
+            F.when(F.col("rnk") <= 10, F.col("rel")).otherwise(0)
+        ).alias("rel_at_10"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+        F.sum(
+            F.when(
+                (F.col("rnk") <= 10) & (F.col("rel") == 1),
+                1.0 / F.log2(F.col("rnk") + 1),
+            ).otherwise(0.0)
+        ).alias("dcg"),
+    )
+    spine = spark.range(1, 11).select(F.col("id").alias("i"))
+    ideal = (
+        per.join(F.broadcast(spine), F.col("i") <= F.col("n_rel"))
+        .groupBy("lang")
+        .agg(F.sum(1.0 / F.log2(F.col("i") + 1)).alias("idcg"))
+    )
+    return (
+        per.join(ideal, "lang")
+        .select(
+            "lang",
+            F.col("n_rel").cast("long").alias("n_rel"),
+            F.round(F.col("rel_at_10") / 10.0, 6).alias("p_at_10"),
+            F.round(1.0 / F.col("first_rel"), 6).alias("mrr"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
+        )
+        .orderBy("lang")
+    )
