@@ -1,0 +1,101 @@
+"""Join-cardinality pre-flight estimation.
+
+Before committing a 100 TB fact table to a join, the question that
+decides the physical strategy (broadcast vs shuffle vs salt vs
+pre-aggregate) is: how many rows come OUT? |A ⋈ B| on key k is exactly
+Σ_k cntA(k)·cntB(k) — computable from two key-grain aggregates whose
+cost is a tiny fraction of the join itself (counts shuffle, never
+payload columns). The same pass yields the max per-key contribution
+(the skew headline `operators.skew.salted_join` and AQE react to) and
+the matched-key count (the Bloom/semi-join selectivity signal for
+`operators.bloom.bloom_semi_join`).
+
+This is the measurement face of the planning trio:
+- q186 skew diagnosis -> how lopsided is ONE side;
+- bloom_semi_join     -> prune before the shuffle;
+- join_cardinality    -> how big is the OUTPUT, and which key owns it.
+
+Reference scope: arbitrary user transformations over uploaded data
+(app/routes.py:66-135), restated as a first-class planning operator.
+
+Scale shape: two map-side-combined aggregates on the join key, one
+inner join of the key-grain count tables (cardinality = distinct keys,
+orders of magnitude below row counts), one 1-row reduce. ``sample``
+estimates from a deterministic hash-sample of each side instead — for
+when even the key-grain aggregate is too expensive — scaling each
+side's counts by 1/rate (product scales by 1/rate², the standard
+uniform-key-sample estimator; hot keys survive any rate because
+sampling is per ROW, not per key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def join_cardinality_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    sample_rate: float | None = None,
+) -> DataFrame:
+    """1-row DataFrame: (n_left, n_right, n_matched_keys, est_rows,
+    max_key_rows, hot_key) for the inner equi-join on the given keys.
+
+    With ``sample_rate`` in (0, 1), both sides are first hash-sampled
+    deterministically (md5 of the key + row-identity is NOT available,
+    so sampling keys would bias hot keys in or out wholesale; instead
+    a per-row deterministic threshold on a monotonic surrogate is
+    avoided too — we use Spark's Bernoulli `sample` with a fixed
+    seed, documented as approximate) and the product sum is scaled by
+    1/rate². Exact mode (default) is precise integer arithmetic.
+    """
+    if sample_rate is not None:
+        if not (0.0 < sample_rate < 1.0):
+            raise ValueError(f"sample_rate must be in (0,1): {sample_rate}")
+        left = left.sample(fraction=sample_rate, seed=42)
+        right = right.sample(fraction=sample_rate, seed=43)
+
+        def _scaled(c, rate):
+            return F.round(c * F.lit(1.0 / rate), 0).cast("long")
+
+        pair_rate = sample_rate * sample_rate
+    else:
+        # exact mode stays in pure integer arithmetic — doubles lose
+        # precision past 2^53, which a 100 TB m:n estimate can exceed
+        def _scaled(c, rate):
+            return c.cast("long")
+
+        pair_rate = 1.0
+
+    lc = left.groupBy(F.col(left_key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__cl")
+    )
+    rc = right.groupBy(F.col(right_key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__cr")
+    )
+    lt = left.agg(F.count(F.lit(1)).alias("__nl"))
+    rt = right.agg(F.count(F.lit(1)).alias("__nr"))
+    prod = lc.join(rc, "__k").select(
+        "__k", (F.col("__cl") * F.col("__cr")).alias("__p")
+    )
+    return (
+        prod.agg(
+            F.count(F.lit(1)).alias("n_matched_keys"),
+            _scaled(F.sum("__p"), pair_rate).alias("est_rows"),
+            _scaled(F.max("__p"), pair_rate).alias("max_key_rows"),
+            F.max_by("__k", F.struct("__p", "__k")).alias("hot_key"),
+        )
+        .crossJoin(F.broadcast(lt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            _scaled(F.col("__nl"), sample_rate or 1.0).alias("n_left"),
+            _scaled(F.col("__nr"), sample_rate or 1.0).alias("n_right"),
+            "n_matched_keys",
+            "est_rows",
+            "max_key_rows",
+            "hot_key",
+        )
+    )

@@ -984,3 +984,41 @@ def q194_pca_projection(spark, sf_dir):
         "n long, components_orthonormal boolean, explained_monotone boolean,"
         " reconstruction_improves boolean, projection_variance_matches boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# q203 — join-cardinality pre-flight estimate (planning utility)
+# --------------------------------------------------------------------------
+@query(
+    "q203_join_cardinality",
+    oracle="""
+    WITH lc AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY k),
+    prod AS (SELECT k, c * c AS p FROM lc),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem)
+    SELECT (SELECT n FROM t)                 AS n_left,
+           (SELECT n FROM t)                 AS n_right,
+           CAST(count(*) AS BIGINT)          AS n_matched_keys,
+           CAST(sum(p) AS BIGINT)            AS est_rows,
+           CAST(max(p) AS BIGINT)            AS max_key_rows,
+           (SELECT k FROM prod ORDER BY p DESC, k DESC LIMIT 1) AS hot_key
+    FROM prod
+    """,
+    tags=("planning", "cardinality", "join", "scale", "operator"),
+)
+def q203_join_cardinality(spark, sf_dir):
+    """Pre-flight output-size estimate for the m:n lineitem self-join
+    on l_partkey (operators.cardinality.join_cardinality_estimate) —
+    the number that decides the physical strategy BEFORE the join
+    runs: est_rows >> inputs says pre-aggregate or rethink,
+    max_key_rows says salt (q186's diagnosis), n_matched_keys says
+    whether a Bloom prune (q182) pays. Exact mode: Σ_k cl(k)·cr(k)
+    from two key-grain count aggregates and a count-table join —
+    integer-exact, costs a fraction of the join it predicts, shuffles
+    counts, never payload. hot_key is deterministic (max product, max
+    key tiebreak) on both engines."""
+    from etl_as_a_service_spark.operators.cardinality import (
+        join_cardinality_estimate,
+    )
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return join_cardinality_estimate(li, li, "l_partkey", "l_partkey")

@@ -104,3 +104,46 @@ def test_mann_whitney_u_bounds(spark):
     r = QUERIES["q201_mann_whitney_u"].fn(spark, SF_SMOKE).collect()[0]
     # U is bounded by the number of cross-group pairs
     assert 0.0 <= r["u_stat"] <= r["n_r"] * r["n_n"]
+
+
+def test_join_cardinality_exact_matches_real_join(spark):
+    from etl_as_a_service_spark.operators.cardinality import (
+        join_cardinality_estimate,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x")] * 3 + [(2, "y")] * 2 + [(3, "z")],
+        "k long, v string",
+    )
+    b = spark.createDataFrame(
+        [(1, "p")] * 2 + [(2, "q")] * 5 + [(9, "r")],
+        "k long, w string",
+    )
+    est = join_cardinality_estimate(a, b, "k", "k").collect()[0]
+    real = a.join(b, "k").count()
+    assert est["est_rows"] == real == 3 * 2 + 2 * 5
+    assert est["n_matched_keys"] == 2
+    assert est["max_key_rows"] == 10 and est["hot_key"] == 2
+    assert est["n_left"] == 6 and est["n_right"] == 8
+
+
+def test_join_cardinality_sample_mode_in_range(spark):
+    from etl_as_a_service_spark.operators.cardinality import (
+        join_cardinality_estimate,
+    )
+    import pytest as _pytest
+
+    from etl_as_a_service_spark.catalog import load_tables
+
+    li = load_tables(spark, SF_SMOKE, ["lineitem"])["lineitem"]
+    exact = join_cardinality_estimate(
+        li, li, "l_partkey", "l_partkey"
+    ).collect()[0]
+    est = join_cardinality_estimate(
+        li, li, "l_partkey", "l_partkey", sample_rate=0.5
+    ).collect()[0]
+    # the 1/rate^2-scaled estimate lands within 3x of truth at this SF
+    assert exact["est_rows"] / 3 <= est["est_rows"] <= exact["est_rows"] * 3
+    with _pytest.raises(ValueError):
+        join_cardinality_estimate(li, li, "l_partkey", "l_partkey",
+                                  sample_rate=1.5)
