@@ -552,9 +552,9 @@ def pmi_collocations(
 
     Scale shape: bigrams are derived per row with slice/zip (no
     window, no per-doc shuffle); unigram and bigram counts are two
-    map-side-combined aggregations over the same tokenize scan
-    (ReuseExchange); corpus totals are 1-row aggregates broadcast into
-    the scoring join; the final top-k is TakeOrderedAndProject over
+    map-side-combined aggregations; corpus totals fold the already-
+    aggregated count tables into 1-row frames broadcast into the
+    scoring join (the raw token stream is never re-scanned); the final top-k is TakeOrderedAndProject over
     already-aggregated pairs. PMI is ordered on its ROUNDED value
     (ties broken by ngram) so the k-boundary never depends on
     cross-engine ln() ulp differences.
@@ -574,8 +574,13 @@ def pmi_collocations(
         F.count(F.lit(1)).alias("cb")
     )
     unigram_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
-    totals = big.agg(F.count(F.lit(1)).alias("__nb")).crossJoin(
-        uni.agg(F.count(F.lit(1)).alias("__nu"))
+    # corpus totals fold the TINY count tables (nb == Σcb, nu == Σcu),
+    # not the raw exploded scans — re-aggregating big/uni directly
+    # would tokenize the corpus twice more (1-row global aggregates
+    # share no exchange with the groupBy counts, so ReuseExchange
+    # cannot dedupe them)
+    totals = bigram_counts.agg(F.sum("cb").alias("__nb")).crossJoin(
+        unigram_counts.agg(F.sum("cu").alias("__nu"))
     )
     scored = (
         bigram_counts.filter(F.col("cb") >= min_count)

@@ -8,7 +8,7 @@ cost is a tiny fraction of the join itself (counts shuffle, never
 payload columns). The same pass yields the max per-key contribution
 (the skew headline `operators.skew.salted_join` and AQE react to) and
 the matched-key count (the Bloom/semi-join selectivity signal for
-`operators.bloom.bloom_semi_join`).
+`operators.bloom.bloom_semi_join` — exact mode only, see below).
 
 This is the measurement face of the planning trio:
 - q186 skew diagnosis -> how lopsided is ONE side;
@@ -21,10 +21,10 @@ Reference scope: arbitrary user transformations over uploaded data
 Scale shape: two map-side-combined aggregates on the join key, one
 inner join of the key-grain count tables (cardinality = distinct keys,
 orders of magnitude below row counts), one 1-row reduce. ``sample``
-estimates from a deterministic hash-sample of each side instead — for
-when even the key-grain aggregate is too expensive — scaling each
-side's counts by 1/rate (product scales by 1/rate², the standard
-uniform-key-sample estimator; hot keys survive any rate because
+estimates from a Bernoulli row-sample of each side instead — for when
+even the key-grain aggregate is too expensive — scaling each side's
+counts by 1/rate (the product sum by 1/rate², the standard
+uniform-row-sample estimator; hot keys survive any rate because
 sampling is per ROW, not per key).
 """
 
@@ -44,13 +44,22 @@ def join_cardinality_estimate(
     """1-row DataFrame: (n_left, n_right, n_matched_keys, est_rows,
     max_key_rows, hot_key) for the inner equi-join on the given keys.
 
-    With ``sample_rate`` in (0, 1), both sides are first hash-sampled
-    deterministically (md5 of the key + row-identity is NOT available,
-    so sampling keys would bias hot keys in or out wholesale; instead
-    a per-row deterministic threshold on a monotonic surrogate is
-    avoided too — we use Spark's Bernoulli `sample` with a fixed
-    seed, documented as approximate) and the product sum is scaled by
-    1/rate². Exact mode (default) is precise integer arithmetic.
+    Exact mode (default) computes the per-key products in
+    decimal(38,0) — a long Σ_k cl·cr wraps past 2^63, which two
+    multi-billion-row hot keys can reach — and reports them as BIGINT
+    (values beyond BIGINT surface as NULL rather than a wrapped
+    negative). A disjoint key space reports est_rows/max_key_rows = 0
+    with hot_key NULL — the 'this join produces nothing, prune it'
+    outcome the pre-flight exists to catch.
+
+    With ``sample_rate`` in (0, 1), both sides are Bernoulli-sampled
+    (fixed seeds, so the estimate is reproducible) and the product sum
+    is scaled by 1/rate². In sample mode ``n_matched_keys`` and
+    ``hot_key`` are reported from the SAMPLE with no correction — a
+    key's survival probability depends on its count (a 1:1 key pair
+    survives with rate², a hot key almost surely), so no uniform
+    scale-up is honest; treat sampled n_matched_keys as a lower bound
+    and hot_key as reliable only when the key is genuinely hot.
     """
     if sample_rate is not None:
         if not (0.0 < sample_rate < 1.0):
@@ -63,8 +72,8 @@ def join_cardinality_estimate(
 
         pair_rate = sample_rate * sample_rate
     else:
-        # exact mode stays in pure integer arithmetic — doubles lose
-        # precision past 2^53, which a 100 TB m:n estimate can exceed
+        # exact mode: decimal(38,0) keeps Σ_k cl·cr exact far past the
+        # 2^63 long wrap AND the 2^53 double precision cliff
         def _scaled(c, rate):
             return c.cast("long")
 
@@ -79,13 +88,23 @@ def join_cardinality_estimate(
     lt = left.agg(F.count(F.lit(1)).alias("__nl"))
     rt = right.agg(F.count(F.lit(1)).alias("__nr"))
     prod = lc.join(rc, "__k").select(
-        "__k", (F.col("__cl") * F.col("__cr")).alias("__p")
+        "__k",
+        (
+            F.col("__cl").cast("decimal(19,0)")
+            * F.col("__cr").cast("decimal(19,0)")
+        ).alias("__p"),
     )
     return (
         prod.agg(
             F.count(F.lit(1)).alias("n_matched_keys"),
-            _scaled(F.sum("__p"), pair_rate).alias("est_rows"),
-            _scaled(F.max("__p"), pair_rate).alias("max_key_rows"),
+            _scaled(
+                F.coalesce(F.sum("__p"), F.lit(0).cast("decimal(38,0)")),
+                pair_rate,
+            ).alias("est_rows"),
+            _scaled(
+                F.coalesce(F.max("__p"), F.lit(0).cast("decimal(38,0)")),
+                pair_rate,
+            ).alias("max_key_rows"),
             F.max_by("__k", F.struct("__p", "__k")).alias("hot_key"),
         )
         .crossJoin(F.broadcast(lt))

@@ -1818,9 +1818,9 @@ def q181_user_feature_snapshot(spark, sf_dir):
     SELECT per.lang,
            CAST(n_rel AS BIGINT)                  AS n_rel,
            round(rel_at_10 / 10.0, 6)             AS p_at_10,
-           round(1.0 / first_rel, 6)              AS mrr,
-           round(dcg / idcg, 6)                   AS ndcg_at_10
-    FROM per JOIN ideal ON per.lang = ideal.lang
+           round(coalesce(1.0 / first_rel, 0.0), 6) AS mrr,
+           round(coalesce(dcg / idcg, 0.0), 6)    AS ndcg_at_10
+    FROM per LEFT JOIN ideal ON per.lang = ideal.lang
     ORDER BY per.lang
     """,
     tags=("evaluation", "ranking", "retrieval", "llm", "operator"),
@@ -1870,14 +1870,21 @@ def q202_ranking_metrics(spark, sf_dir):
         .groupBy("lang")
         .agg(F.sum(1.0 / F.log2(F.col("i") + 1)).alias("idcg"))
     )
+    # LEFT join + coalesce: a group with ZERO relevant documents must
+    # surface as p@10=0 / mrr=0 / ndcg=0, not silently vanish — an
+    # eval table that drops its worst groups overstates system quality
     return (
-        per.join(ideal, "lang")
+        per.join(ideal, "lang", "left")
         .select(
             "lang",
             F.col("n_rel").cast("long").alias("n_rel"),
             F.round(F.col("rel_at_10") / 10.0, 6).alias("p_at_10"),
-            F.round(1.0 / F.col("first_rel"), 6).alias("mrr"),
-            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
+            F.round(
+                F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0)), 6
+            ).alias("ndcg_at_10"),
         )
         .orderBy("lang")
     )

@@ -889,10 +889,14 @@ def q197_km_survival(spark, sf_dir):
     from pyspark.sql import Window
 
     (events,) = _t(spark, sf_dir, "events")
-    wend = events.agg(F.max("ts").alias("__w"))
+    per_user = events.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    # observation end == global max(ts) == max over users of last_ts:
+    # fold the tiny per-user frame instead of re-scanning the fact
+    wend = per_user.agg(F.max("last_ts").alias("__w"))
     life = (
-        events.groupBy("user_id")
-        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        per_user
         .crossJoin(F.broadcast(wend))
         .select(
             F.datediff("last_ts", "first_ts").alias("dur"),

@@ -147,3 +147,39 @@ def test_join_cardinality_sample_mode_in_range(spark):
     with _pytest.raises(ValueError):
         join_cardinality_estimate(li, li, "l_partkey", "l_partkey",
                                   sample_rate=1.5)
+
+
+def test_join_cardinality_disjoint_keys_reports_zero(spark):
+    from etl_as_a_service_spark.operators.cardinality import (
+        join_cardinality_estimate,
+    )
+
+    a = spark.createDataFrame([(1, "x"), (1, "y")], "k long, v string")
+    b = spark.createDataFrame([(9, "p")], "k long, w string")
+    est = join_cardinality_estimate(a, b, "k", "k").collect()[0]
+    # 'this join produces nothing' must read as 0, not NULL
+    assert est["n_matched_keys"] == 0
+    assert est["est_rows"] == 0 and est["max_key_rows"] == 0
+    assert est["hot_key"] is None
+
+
+def test_ranking_metrics_keeps_zero_relevant_groups(spark, tmp_path):
+    from etl_as_a_service_spark.queries import QUERIES
+
+    # lang 'qq' has NO src0 (relevant) docs — it must still appear
+    # with zeroed metrics instead of vanishing from the eval table
+    rows = [(i, f"t{i}", "aa", "src0", 100 + i) for i in range(5)]
+    rows += [(10 + i, f"u{i}", "qq", "src1", 200 + i) for i in range(5)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["lang"]: r
+        for r in QUERIES["q202_ranking_metrics"].fn(spark, str(tmp_path)).collect()
+    }
+    assert "qq" in out
+    assert out["qq"]["n_rel"] == 0
+    assert out["qq"]["p_at_10"] == 0.0
+    assert out["qq"]["mrr"] == 0.0
+    assert out["qq"]["ndcg_at_10"] == 0.0
+    assert out["aa"]["p_at_10"] == 0.5  # 5 relevant in top 10
