@@ -1888,3 +1888,85 @@ def q202_ranking_metrics(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q204 — calibration bins + expected calibration error
+# --------------------------------------------------------------------------
+@query(
+    "q204_calibration_bins",
+    oracle="""
+    WITH m AS (SELECT CAST(max(value) AS DOUBLE) AS mx FROM events),
+    scored AS (
+      SELECT value / mx AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events, m
+    ),
+    b AS (
+      SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+             count(*) AS n,
+             avg(score) AS conf,
+             avg(CAST(label AS DOUBLE)) AS acc
+      FROM scored GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+                 sum(n * abs(acc - conf)) AS w_gap
+          FROM b)
+    SELECT bin,
+           CAST(n AS BIGINT)              AS n,
+           round(conf, 6)                 AS mean_score,
+           round(acc, 6)                  AS observed_rate,
+           round(abs(acc - conf), 6)      AS gap,
+           round(w_gap / total, 6)        AS ece
+    FROM b, t ORDER BY bin
+    """,
+    tags=("evaluation", "calibration", "statistics", "operator"),
+)
+def q204_calibration_bins(spark, sf_dir):
+    """Reliability table + expected calibration error for a scored
+    binary outcome — per decile-of-score bin: mean predicted score vs
+    observed positive rate, with ECE = Σ n_b/N·|acc_b − conf_b| — the
+    calibration readout that completes the model-evaluation family
+    (q179 lift, q180 threshold sweep, q202 ranking metrics). The
+    deterministic fixture scores each event by its max-normalized
+    value and labels purchases as positives.
+
+    Scale shape: the score normalizer is a 1-row broadcast; binning is
+    one map-side-combined 10-group aggregate; ECE folds the 10-row bin
+    table against a broadcast 1-row total. No windows, nothing
+    data-sized past the first aggregate."""
+    (events,) = _t(spark, sf_dir, "events")
+    mx = events.agg(F.max("value").cast("double").alias("__mx"))
+    scored = events.crossJoin(F.broadcast(mx)).select(
+        (F.col("value") / F.col("__mx")).alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "label"
+        ),
+    )
+    b = scored.groupBy(
+        F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9)).alias(
+            "bin"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("score").alias("conf"),
+        F.avg(F.col("label").cast("double")).alias("acc"),
+    )
+    t = b.agg(
+        F.sum("n").cast("double").alias("__total"),
+        F.sum(F.col("n") * F.abs(F.col("acc") - F.col("conf"))).alias(
+            "__w_gap"
+        ),
+    )
+    return (
+        b.crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            F.round("conf", 6).alias("mean_score"),
+            F.round("acc", 6).alias("observed_rate"),
+            F.round(F.abs(F.col("acc") - F.col("conf")), 6).alias("gap"),
+            F.round(F.col("__w_gap") / F.col("__total"), 6).alias("ece"),
+        )
+        .orderBy("bin")
+    )
