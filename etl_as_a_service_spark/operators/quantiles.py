@@ -12,6 +12,25 @@ answer then comes from one bounded per-group top-k over the
 survivors. Driver state is O(groups * B) counts per pass — bounded
 metadata, like the Lloyd centroids and BPE argmax.
 
+Two design points make the EXACT contract hold under floats and odd
+group keys:
+
+- The next pass's candidate range is the chosen bucket's ACTUAL
+  per-bucket min/max (aggregated in the same pass), never the
+  driver-recomputed ``lo + b*width`` boundary. Bucket assignment
+  ``floor((v - lo)/width)`` is monotone in v, so buckets partition
+  the value domain into contiguous non-overlapping ranges and
+  ``[min_b, max_b]`` selects EXACTLY the counted bucket — a
+  recomputed float boundary can disagree with the counting
+  expression by an ulp at bucket edges and silently shift the rank
+  accounting by one.
+- Per-pass group bounds travel as a TYPED broadcast frame joined
+  with null-safe equality — never as a string-rendered map key
+  (Python ``str()`` and Spark's cast-to-string disagree on booleans,
+  large doubles, and sub-second timestamps, and concat_ws drops
+  NULLs), so NULL and boolean group keys narrow correctly instead of
+  silently falling through to the full-sort fallback.
+
 Complements the DDSketch state (operators.aggregates): the sketch is
 one pass + mergeable but eps-approximate; this is multi-pass but
 EXACT — the right tool when the number matters (SLA cutoffs, billing
@@ -40,28 +59,29 @@ def exact_order_statistics(
     convention). Returns ``(keys..., n, value)``.
 
     Each pass scans only rows still inside each group's candidate
-    range (groups that already converged are skipped entirely via the
-    range predicate), so pass cost DECREASES monotonically. Groups
-    whose candidate count is <= ``collect_threshold`` resolve exactly
-    through a per-group window rank over the (small) survivor set —
-    still distributed, never a driver collect of data rows.
+    range (groups that already converged are skipped entirely), so
+    pass cost DECREASES monotonically. Groups whose candidate count is
+    <= ``collect_threshold`` resolve exactly through a per-group
+    window rank over the (small) survivor set — still distributed,
+    never a driver collect of data rows; groups whose range collapses
+    to a single value resolve driver-side with no window at all.
     """
     if not 0 < q <= 1:
         raise ValueError("q must be in (0, 1]")
     if not keys:
         raise ValueError("keys must be non-empty")
+    spark = df.sparkSession
+    key_types = _key_types(df, keys)
     v = F.col(value_col).cast("double")
-    base = df.filter(v.isNotNull()).select(
-        *keys, v.alias("__v")
-    )
+    base = df.filter(v.isNotNull()).select(*keys, v.alias("__v"))
 
     # pass 0: per-group n, min, max -> target rank and initial range
     stats = {
         tuple(r[k] for k in keys): {
             "n": r["n"],
             "rank": max(1, math.ceil(q * r["n"])),
-            "lo": r["lo"],       # inclusive
-            "hi": r["hi"],       # inclusive
+            "lo": r["lo"],       # inclusive, an ACTUAL data value
+            "hi": r["hi"],       # inclusive, an ACTUAL data value
             "below": 0,          # rows strictly below lo
             "left": r["n"],      # rows inside [lo, hi]
         }
@@ -74,19 +94,19 @@ def exact_order_statistics(
         .collect()  # bounded: one row per group
     }
 
-    def _range_pred(live):
-        # rows relevant to any still-open group: (keys in group) & v in range
-        conds = []
-        for g, st in live.items():
-            kc = [F.col(k) == F.lit(val) for k, val in zip(keys, g)]
-            c = kc[0]
-            for extra in kc[1:]:
-                c = c & extra
-            conds.append(c & (F.col("__v") >= st["lo"]) & (F.col("__v") <= st["hi"]))
-        pred = conds[0]
-        for extra in conds[1:]:
-            pred = pred | extra
-        return pred
+    def _bounds_frame(rows, extra_schema):
+        # typed per-group frame; key columns renamed so the null-safe
+        # join condition can reference both sides unambiguously
+        schema = ", ".join(
+            [f"__bk{i} {t}" for i, t in enumerate(key_types)] + extra_schema
+        )
+        return spark.createDataFrame(rows, schema)
+
+    def _key_cond(bdf):
+        cond = base[keys[0]].eqNullSafe(bdf["__bk0"])
+        for i, k in enumerate(keys[1:], start=1):
+            cond = cond & base[k].eqNullSafe(bdf[f"__bk{i}"])
+        return cond
 
     for _ in range(max_passes):
         live = {
@@ -96,93 +116,102 @@ def exact_order_statistics(
         }
         if not live:
             break
-        # one aggregate pass: bucket counts for live groups only
-        # bucket i covers [lo + i*w, lo + (i+1)*w); hi lands in the top bucket
-        lo_map = F.create_map(
-            *[
-                c
-                for g, st in live.items()
-                for c in (
-                    F.lit("\x1f".join(str(x) for x in g)),
-                    F.lit(st["lo"]),
-                )
-            ]
+        bdf = _bounds_frame(
+            [tuple(g) + (st["lo"], st["hi"]) for g, st in live.items()],
+            ["__plo double", "__phi double"],
         )
-        hi_map = F.create_map(
-            *[
-                c
-                for g, st in live.items()
-                for c in (
-                    F.lit("\x1f".join(str(x) for x in g)),
-                    F.lit(st["hi"]),
-                )
-            ]
-        )
-        gkey = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
-        lo_c, hi_c = lo_map[gkey], hi_map[gkey]
-        width = (hi_c - lo_c) / num_buckets
+        width = (F.col("__phi") - F.col("__plo")) / num_buckets
         bucket = F.least(
-            F.floor((F.col("__v") - lo_c) / width).cast("int"),
+            F.floor((F.col("__v") - F.col("__plo")) / width).cast("int"),
             F.lit(num_buckets - 1),
         )
+        # one aggregate pass over live groups' candidate ranges; the
+        # per-bucket min/max become the next range (see module doc)
         counts = (
-            base.filter(_range_pred(live))
-            .groupBy(*keys, bucket.alias("__b"))
-            .agg(F.count(F.lit(1)).alias("__c"))
+            base.join(F.broadcast(bdf), _key_cond(bdf), "inner")
+            .filter(
+                (F.col("__v") >= F.col("__plo"))
+                & (F.col("__v") <= F.col("__phi"))
+            )
+            .groupBy(*[base[k] for k in keys], bucket.alias("__b"))
+            .agg(
+                F.count(F.lit(1)).alias("__c"),
+                F.min("__v").alias("__mn"),
+                F.max("__v").alias("__mx"),
+            )
             .collect()  # bounded: <= |live groups| * num_buckets rows
         )
-        per_group: dict[tuple, dict[int, int]] = {}
+        per_group: dict[tuple, dict[int, tuple]] = {}
         for r in counts:
-            per_group.setdefault(tuple(r[k] for k in keys), {})[r["__b"]] = r[
-                "__c"
-            ]
+            per_group.setdefault(tuple(r[k] for k in keys), {})[r["__b"]] = (
+                r["__c"],
+                r["__mn"],
+                r["__mx"],
+            )
         for g, st in live.items():
             hist = per_group.get(g, {})
             need = st["rank"] - st["below"]
             cum = 0
-            w = (st["hi"] - st["lo"]) / num_buckets
             for b in range(num_buckets):
-                c = hist.get(b, 0)
+                c, mn, mx = hist.get(b, (0, None, None))
                 if cum + c >= need:
-                    new_lo = st["lo"] + b * w
-                    new_hi = (
-                        st["hi"] if b == num_buckets - 1 else st["lo"] + (b + 1) * w
-                    )
                     st["below"] += cum
                     st["left"] = c
-                    # keep lo exact for the bottom bucket (floats)
-                    st["lo"], st["hi"] = max(st["lo"], new_lo), min(
-                        st["hi"], new_hi
-                    )
+                    st["lo"], st["hi"] = mn, mx
                     break
                 cum += c
 
-    # final exact resolve: rank within each group's survivor range
-    spark = df.sparkSession
-    bounds = spark.createDataFrame(
-        [
-            tuple(g) + (st["lo"], st["hi"], st["rank"] - st["below"], st["n"])
-            for g, st in stats.items()
-        ],
-        ", ".join(
-            [f"{k} {t}" for k, t in zip(keys, _key_types(df, keys))]
-            + ["__lo double", "__hi double", "__need long", "n long"]
-        ),
+    # split resolve: collapsed ranges answer directly (every survivor
+    # equals lo — no window over a possibly huge tie set); open ranges
+    # rank within the bounded survivor set
+    trivial_rows = [
+        tuple(g) + (st["n"], st["lo"])
+        for g, st in stats.items()
+        if st["lo"] == st["hi"]
+    ]
+    open_stats = {
+        g: st for g, st in stats.items() if st["lo"] != st["hi"]
+    }
+    out_schema = ", ".join(
+        [f"{k} {t}" for k, t in zip(keys, key_types)]
+        + ["n long", "value double"]
     )
-    from pyspark.sql import Window
+    parts = []
+    if trivial_rows:
+        parts.append(spark.createDataFrame(trivial_rows, out_schema))
+    if open_stats:
+        from pyspark.sql import Window
 
-    survivors = base.join(F.broadcast(bounds), keys).filter(
-        (F.col("__v") >= F.col("__lo")) & (F.col("__v") <= F.col("__hi"))
-    )
-    ranked = survivors.withColumn(
-        "__rn",
-        F.row_number().over(
-            Window.partitionBy(*keys).orderBy("__v")
-        ),
-    )
-    return ranked.filter(F.col("__rn") == F.col("__need")).select(
-        *keys, "n", F.col("__v").alias("value")
-    )
+        bdf = _bounds_frame(
+            [
+                tuple(g)
+                + (st["lo"], st["hi"], st["rank"] - st["below"], st["n"])
+                for g, st in open_stats.items()
+            ],
+            ["__lo double", "__hi double", "__need long", "__n long"],
+        )
+        survivors = base.join(F.broadcast(bdf), _key_cond(bdf)).filter(
+            (F.col("__v") >= F.col("__lo")) & (F.col("__v") <= F.col("__hi"))
+        )
+        ranked = survivors.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(*[base[k] for k in keys]).orderBy("__v")
+            ),
+        )
+        parts.append(
+            ranked.filter(F.col("__rn") == F.col("__need")).select(
+                *[base[k] for k in keys],
+                F.col("__n").alias("n"),
+                F.col("__v").alias("value"),
+            )
+        )
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _key_types(df: DataFrame, keys: list[str]) -> list[str]:

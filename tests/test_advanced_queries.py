@@ -269,3 +269,52 @@ def test_pca_fit_rejects_bad_k(spark):
         pca_fit(df, "v", 0)
     with pytest.raises(ValueError):
         pca_fit(df, "v", 3)
+
+
+def test_exact_order_statistics_null_and_bool_group_keys(spark):
+    """NULL and boolean group keys must narrow and resolve exactly —
+    NULLs previously fell out of the null-unsafe joins, and booleans
+    render differently in Python ('True') vs Spark ('true'), which the
+    old string-keyed bounds map silently mismatched."""
+    from etl_as_a_service_spark.operators.quantiles import (
+        exact_order_statistics,
+    )
+
+    rows = [("a", float(i)) for i in range(1, 102)]
+    rows += [(None, float(10 * i)) for i in range(1, 52)]
+    df = spark.createDataFrame(rows, "grp string, val double")
+    out = {
+        r["grp"]: r
+        for r in exact_order_statistics(
+            df, ["grp"], "val", 0.5, num_buckets=8, collect_threshold=5
+        ).collect()
+    }
+    assert out["a"]["value"] == 51.0 and out["a"]["n"] == 101
+    assert out[None]["value"] == 260.0 and out[None]["n"] == 51
+
+    brows = [(True, float(i)) for i in range(1, 102)]
+    brows += [(False, float(i)) for i in range(1, 52)]
+    bdf = spark.createDataFrame(brows, "flag boolean, val double")
+    bout = {
+        r["flag"]: r
+        for r in exact_order_statistics(
+            bdf, ["flag"], "val", 0.5, num_buckets=8, collect_threshold=5
+        ).collect()
+    }
+    assert bout[True]["value"] == 51.0
+    assert bout[False]["value"] == 26.0
+
+
+def test_exact_order_statistics_collapsed_range_no_window(spark):
+    """A group whose candidate range collapses to one repeated value
+    resolves driver-side (value == the repeated constant)."""
+    from etl_as_a_service_spark.operators.quantiles import (
+        exact_order_statistics,
+    )
+
+    rows = [("k", 7.5)] * 500 + [("k", 1.0)] * 10 + [("k", 99.0)] * 10
+    df = spark.createDataFrame(rows, "grp string, val double")
+    out = exact_order_statistics(
+        df, ["grp"], "val", 0.5, num_buckets=4, collect_threshold=20
+    ).collect()
+    assert len(out) == 1 and out[0]["value"] == 7.5 and out[0]["n"] == 520
