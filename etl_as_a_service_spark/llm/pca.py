@@ -88,8 +88,16 @@ def pca_project(
 
     @F.pandas_udf("array<double>")
     def _proj(vs: pd.Series) -> pd.Series:
-        x = np.stack(vs.to_numpy()).astype(np.float64)
+        # null-propagate like pca_fit filters: np.stack on a batch
+        # containing None would crash the executor, and fit-succeeds /
+        # project-throws on the same table is the worst failure shape
+        mask = vs.notna()
+        if not mask.any():
+            return pd.Series([None] * len(vs))
+        x = np.stack(vs[mask].to_numpy()).astype(np.float64)
         out = (x - mu) @ comp.T
-        return pd.Series(list(out))
+        res = pd.Series([None] * len(vs), dtype=object)
+        res[np.flatnonzero(mask.to_numpy())] = list(out)
+        return res
 
     return df.withColumn(out_col, _proj(F.col(vec_col)))

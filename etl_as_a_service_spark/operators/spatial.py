@@ -49,8 +49,14 @@ def radius_join(
         F.col(x_col).cast("long").alias("__x"),
         F.col(y_col).cast("long").alias("__y"),
     ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
-    cx = F.floor(F.col("__x") / radius)
-    cy = F.floor(F.col("__y") / radius)
+    # exact integer floor-division for cell ids: floor(x / r) via
+    # double division can misbucket coordinates near 2^53 (the float
+    # mantissa limit), silently dropping true neighbor pairs whose
+    # 3x3 neighborhood no longer covers them. pmod is non-negative, so
+    # (x - pmod(x, r)) is exactly divisible and `div` (integer
+    # division) is exact for the full long range.
+    cx = F.expr(f"(__x - pmod(__x, {radius})) div {radius}")
+    cy = F.expr(f"(__y - pmod(__y, {radius})) div {radius}")
     right = pts.select(
         F.col("__id").alias("id_b"),
         F.col("__x").alias("xb"),

@@ -230,6 +230,7 @@ def _apply_step(
     df: DataFrame,
     step: dict[str, Any],
     observations: list | None = None,
+    gates: list | None = None,
 ) -> DataFrame:
     op = step.get("op")
     if op not in _ALLOWED_OPS:
@@ -740,19 +741,15 @@ def _apply_step(
                 "expect step requires a batch frame; use observe for streams"
             )
         checks = _req(step, "checks")
-        row = df.agg(
-            *[
-                F.expr(e).cast("boolean").alias(name)
-                for name, e in checks.items()
-            ]
-        ).collect()[0]
-        failed = [name for name in checks if not row[name]]
-        if failed:
-            gate = step.get("name", "expect")
-            raise PipelineError(
-                f"expectation gate {gate!r} failed: "
-                + ", ".join(f"{n} [{checks[n]}]" for n in failed)
-            )
+        if gates is not None:
+            # DEFER: compile stays lazy — the runner evaluates every
+            # gate AFTER plan_lint has inspected the full plan and
+            # BEFORE the sink runs (an eager collect here would execute
+            # the upstream plan at compile time, including exactly the
+            # plans strict lint exists to block)
+            gates.append((step.get("name", "expect"), checks, df))
+            return df
+        _eval_expect_gate(step.get("name", "expect"), checks, df)
         return df
     if op == "observe":
         # {"op":"observe","name":"m","metrics":{"n":"count(*)",
@@ -774,11 +771,32 @@ def _apply_step(
     raise AssertionError(op)
 
 
+def _eval_expect_gate(
+    gate: str, checks: dict[str, str], df: DataFrame
+) -> None:
+    """Evaluate one expectation gate (one aggregate job); any FALSE
+    or NULL check raises. Called by the runner after lint for deferred
+    gates, and inline for subplan compiles (which have no runner)."""
+    row = df.agg(
+        *[
+            F.expr(e).cast("boolean").alias(name)
+            for name, e in checks.items()
+        ]
+    ).collect()[0]
+    failed = [name for name in checks if not row[name]]
+    if failed:
+        raise PipelineError(
+            f"expectation gate {gate!r} failed: "
+            + ", ".join(f"{n} [{checks[n]}]" for n in failed)
+        )
+
+
 def compile_pipeline(
     spark: SparkSession,
     spec: dict[str, Any],
     _as_subplan: bool = False,
     observations: list | None = None,
+    gates: list | None = None,
 ) -> DataFrame:
     """Compile a spec to a (lazy) DataFrame — IR chain: spec dict ->
     Catalyst unresolved plan -> optimized plan -> physical plan, all
@@ -792,7 +810,7 @@ def compile_pipeline(
         raise PipelineError("pipeline spec missing 'source'")
     df = _compile_source(spark, spec["source"])
     for step in spec.get("steps", []):
-        df = _apply_step(spark, df, step, observations)
+        df = _apply_step(spark, df, step, observations, gates)
     return df
 
 
@@ -977,7 +995,10 @@ class PipelineRunner:
         run.status = "running"
         try:
             observations: list = []
-            df = compile_pipeline(self.spark, spec, observations=observations)
+            gates: list = []
+            df = compile_pipeline(
+                self.spark, spec, observations=observations, gates=gates
+            )
             lint_mode = spec.get("plan_lint")  # None | "warn" | "strict"
             if lint_mode and not df.isStreaming:
                 from etl_as_a_service_spark.plans.doctor import (
@@ -1002,6 +1023,10 @@ class PipelineRunner:
                             f.code for f in findings if f.severity == CRITICAL
                         )
                     )
+            # expectation gates run AFTER lint (a strict lint must see
+            # the plan before any job executes) and BEFORE the sink
+            for gate_name, checks, gate_df in gates:
+                _eval_expect_gate(gate_name, checks, gate_df)
             sink = spec.get("sink")
             if df.isStreaming:
                 self._execute_streaming(run, df, sink or {})
@@ -1020,6 +1045,18 @@ class PipelineRunner:
                     df = zorder_sort(
                         df, zc1, zc2,
                         partitions=sink.get("zorder_partitions"),
+                    )
+                if sink.get("staged") and sink.get("format") in (
+                    "avro", "delta", "iceberg",
+                ):
+                    # these formats route to their own writers below and
+                    # would silently skip both the staging swap AND the
+                    # user's audit checks — refuse instead of ignoring
+                    raise PipelineError(
+                        f"staged sink is not supported for format "
+                        f"{sink['format']!r}; delta/iceberg commits are "
+                        "already atomic — use an `expect` step for the "
+                        "audit, or a parquet/csv/json staged sink"
                     )
                 if sink.get("format") == "avro":
                     # pure-Python OCF sink (no spark-avro jar in env)
@@ -1105,12 +1142,26 @@ class PipelineRunner:
         """WAP sink body: stage -> audit persisted rows -> atomic swap.
 
         ``sink["audit"]`` maps check names to boolean aggregate SQL
-        evaluated over the STAGED parquet read back from disk, so the
-        audit sees exactly what a consumer would. Failure removes the
-        staging dir and raises — the published path is never touched."""
+        evaluated over the STAGED files read back from disk (with the
+        sink's own options, so the audit sees exactly what a consumer
+        would). Failure removes the staging dir and raises — the
+        published path is never touched.
+
+        The swap is a full replacement by construction, so only
+        ``mode: overwrite`` (the default here) is accepted — silently
+        honoring ``append`` would delete all previously published data
+        and report success. Delta/iceberg sinks never reach this body
+        (their writers commit atomically already, routed above)."""
         import os
         import shutil
 
+        mode = sink.get("mode", "overwrite")
+        if mode != "overwrite":
+            raise PipelineError(
+                "staged sink publishes by atomic full replacement; "
+                f"mode {mode!r} is not expressible — use mode: overwrite "
+                "(or a delta/iceberg sink for transactional appends)"
+            )
         path = sink["path"].rstrip("/")
         staging = path + ".__staging__"
         old = path + ".__old__"
@@ -1118,32 +1169,43 @@ class PipelineRunner:
         # never moved in)
         if not os.path.exists(path) and os.path.exists(old):
             os.rename(old, path)
-        writer = df.write.format(sink.get("format", "parquet")).mode(
-            "overwrite"
-        )
-        if sink.get("partition_by"):
-            writer = writer.partitionBy(*sink["partition_by"])
-        for k, v in sink.get("options", {}).items():
-            writer = writer.option(k, str(v))
-        writer.save(staging)
-        checks = sink.get("audit", {})
-        if checks:
-            staged = self.spark.read.format(
-                sink.get("format", "parquet")
-            ).load(staging)
-            row = staged.agg(
-                *[
-                    F.expr(e).cast("boolean").alias(name)
-                    for name, e in checks.items()
-                ]
-            ).collect()[0]
-            failed = [name for name in checks if not row[name]]
-            if failed:
-                shutil.rmtree(staging, ignore_errors=True)
-                raise PipelineError(
-                    "staged-publish audit failed: "
-                    + ", ".join(f"{n} [{checks[n]}]" for n in failed)
+        try:
+            writer = df.write.format(sink.get("format", "parquet")).mode(
+                "overwrite"
+            )
+            if sink.get("partition_by"):
+                writer = writer.partitionBy(*sink["partition_by"])
+            for k, v in sink.get("options", {}).items():
+                writer = writer.option(k, str(v))
+            writer.save(staging)
+            checks = sink.get("audit", {})
+            if checks:
+                reader = self.spark.read.format(
+                    sink.get("format", "parquet")
                 )
+                # the audit must read the staging dir exactly the way a
+                # consumer would — including reader-relevant options
+                # (csv header/delimiter, json multiline, ...)
+                for k, v in sink.get("options", {}).items():
+                    reader = reader.option(k, str(v))
+                staged = reader.load(staging)
+                row = staged.agg(
+                    *[
+                        F.expr(e).cast("boolean").alias(name)
+                        for name, e in checks.items()
+                    ]
+                ).collect()[0]
+                failed = [name for name in checks if not row[name]]
+                if failed:
+                    raise PipelineError(
+                        "staged-publish audit failed: "
+                        + ", ".join(f"{n} [{checks[n]}]" for n in failed)
+                    )
+        except BaseException:
+            # any failure on the stage/audit path (not just failed
+            # checks) must not leak the staging dir
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(path):
             os.rename(path, old)

@@ -912,7 +912,10 @@ def q194_pca_projection(spark, sf_dir):
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     mean, c8, ratio8 = pca_fit(emb, "embedding", 8)
-    _, c4, _ = pca_fit(emb, "embedding", 4)
+    # c4 IS the first 4 rows of c8 (same eigendecomposition) — a
+    # second distributed fit would duplicate the Arrow pass and could
+    # even flip eigenvector signs via a different summation order
+    c4 = c8[:4]
 
     ortho = bool(
         np.abs(c8 @ c8.T - np.eye(8)).max() < 1e-8

@@ -318,3 +318,43 @@ def test_exact_order_statistics_collapsed_range_no_window(spark):
         df, ["grp"], "val", 0.5, num_buckets=4, collect_threshold=20
     ).collect()
     assert len(out) == 1 and out[0]["value"] == 7.5 and out[0]["n"] == 520
+
+
+def test_pca_project_null_propagates(spark):
+    """A NULL vector row must project to NULL, not crash the executor
+    batch (pca_fit filters NULLs, so fit-succeeds/project-throws on
+    the same table was possible)."""
+    import numpy as np
+
+    from etl_as_a_service_spark.llm.pca import pca_fit, pca_project
+
+    rows = [(i, [float(i), float(i % 3), 1.0]) for i in range(50)]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    mean, comp, _ = pca_fit(df, "v", 2)
+    out = {r["id"]: r["projected"] for r in pca_project(
+        df, "v", mean, comp).collect()}
+    assert out[99] is None
+    assert out[0] is not None and len(out[0]) == 2
+    # non-null rows match the dense projection
+    x = np.array([r[1] for r in rows[:50]])
+    expected = (x - mean) @ np.asarray(comp).T
+    got = np.array([out[i] for i in range(50)])
+    assert np.abs(got - expected).max() < 1e-9
+
+
+def test_radius_join_exact_cells_at_float_mantissa_limit(spark):
+    """Coordinates near 2^53 bucket exactly: the pair (2^53, 2^53+2)
+    with radius 5 must be found (double-division floor could misbucket
+    either endpoint and lose the pair silently)."""
+    from etl_as_a_service_spark.operators.spatial import radius_join
+
+    big = 1 << 53
+    rows = [(1, big, 0), (2, big + 2, 0), (3, big + 100, 0)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in radius_join(df, "id", "x", "y", 5).collect()
+    }
+    assert (1, 2) in pairs and (2, 1) in pairs
+    assert not any(3 in p for p in pairs)

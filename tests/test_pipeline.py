@@ -1022,12 +1022,19 @@ def test_bloom_semi_join_and_cdc_chunk_steps(spark):
 
 
 def test_expect_gate_blocks_bad_data_before_sink(spark, tmp_path):
-    """Write-audit-publish: a failing expectation raises BEFORE the
-    sink writes anything; a passing gate is a pass-through."""
+    """Write-audit-publish: a failing expectation fails the run BEFORE
+    the sink writes anything (the specs carry a real sink — the
+    non-existence assertion is what proves the ordering); a passing
+    gate is a pass-through. Direct compile_pipeline (no runner) keeps
+    the eager-evaluation fallback."""
     import os
 
+    from etl_as_a_service_spark.plans.pipeline import PipelineRunner
+
     src = {"format": "parquet", "path": f"{SF_SMOKE}/orders.parquet"}
-    out = str(tmp_path / "out")
+    out_good = str(tmp_path / "out_good")
+    out_bad = str(tmp_path / "out_bad")
+    runner = PipelineRunner(spark)
     good = {
         "name": "gated",
         "source": src,
@@ -1041,9 +1048,12 @@ def test_expect_gate_blocks_bad_data_before_sink(spark, tmp_path):
                 },
             }
         ],
+        "sink": {"format": "parquet", "path": out_good,
+                 "mode": "overwrite"},
     }
-    df = compile_pipeline(spark, good)
-    assert df.count() > 0
+    run = runner.run(good, user="alice")
+    assert run.status == "success", run.error
+    assert os.path.exists(out_good)
 
     bad = {
         "name": "gated_bad",
@@ -1056,10 +1066,43 @@ def test_expect_gate_blocks_bad_data_before_sink(spark, tmp_path):
                 "checks": {"nonempty": "count(*) > 0"},
             },
         ],
+        "sink": {"format": "parquet", "path": out_bad,
+                 "mode": "overwrite"},
     }
+    run2 = runner.run(bad, user="alice")
+    assert run2.status == "failed"
+    assert "contract" in run2.error and "nonempty" in run2.error
+    assert not os.path.exists(out_bad)
+
+    # no-runner compile keeps the eager fallback semantics
     with pytest.raises(PipelineError, match="contract.*nonempty"):
-        compile_pipeline(spark, bad)
-    assert not os.path.exists(out)
+        compile_pipeline(spark, {k: v for k, v in bad.items()
+                                 if k != "sink"})
+
+
+def test_expect_gate_defers_until_after_strict_lint(spark):
+    """The gate must not execute the upstream plan at compile time:
+    with plan_lint strict AND a failing gate downstream of a critical
+    plan, the run fails on the LINT (which inspects the lazy plan),
+    never on the gate (which would have executed the bad plan)."""
+    from etl_as_a_service_spark.plans.pipeline import PipelineRunner
+
+    spec = {
+        "name": "lint_before_gate",
+        "plan_lint": "strict",
+        "source": {"format": "parquet",
+                   "path": f"{SF_SMOKE}/documents.parquet"},
+        "steps": [
+            {"op": "window", "partition_by": [], "order_by": ["doc_id"],
+             "columns": {"rn": "row_number()"}},
+            {"op": "expect", "name": "never_runs",
+             "checks": {"impossible": "count(*) < 0"}},
+        ],
+    }
+    run = PipelineRunner(spark).run(spec, user="alice")
+    assert run.status == "failed"
+    assert "plan_lint" in (run.error or "")
+    assert "never_runs" not in (run.error or "")
 
 
 def test_expect_gate_rejects_streams(spark, tmp_path):
@@ -1130,3 +1173,74 @@ def test_staged_publish_heals_rename_crash(spark, tmp_path):
     assert runner.run(spec).status == "success"
     assert spark.read.parquet(out).count() == 3
     assert not os.path.exists(out + ".__old__")
+
+
+def test_staged_sink_rejects_append_and_lake_formats(spark, tmp_path):
+    """staged publishes by atomic full replacement: mode append must
+    refuse loudly (silently honoring it would delete all previously
+    published data), and delta/iceberg sinks (whose writers commit
+    atomically on their own path) must refuse rather than silently
+    skip both the swap and the user's audit."""
+    from etl_as_a_service_spark.plans.pipeline import PipelineRunner
+
+    runner = PipelineRunner(spark)
+    base = {
+        "name": "staged_bad",
+        "source": {"format": "parquet",
+                   "path": f"{SF_SMOKE}/orders.parquet"},
+        "steps": [{"op": "limit", "n": 5}],
+    }
+    out = str(tmp_path / "t")
+    run = runner.run(
+        base | {"sink": {"format": "parquet", "path": out,
+                         "mode": "append", "staged": True}},
+        user="alice",
+    )
+    assert run.status == "failed" and "atomic full replacement" in run.error
+    run2 = runner.run(
+        base | {"sink": {"format": "delta", "path": out, "staged": True,
+                         "audit": {"n": "count(*) > 0"}}},
+        user="alice",
+    )
+    assert run2.status == "failed" and "not supported" in run2.error
+
+
+def test_staged_sink_audit_reads_back_with_sink_options(spark, tmp_path):
+    """A csv staged sink with header=true must audit the read-back with
+    the same options — otherwise columns come back as _c0/_c1 and the
+    audit expression explodes; and an audit-path failure must not leak
+    the staging dir."""
+    import os
+
+    from etl_as_a_service_spark.plans.pipeline import PipelineRunner
+
+    out = str(tmp_path / "csvout")
+    runner = PipelineRunner(spark)
+    spec = {
+        "name": "staged_csv",
+        "source": {"format": "parquet",
+                   "path": f"{SF_SMOKE}/orders.parquet"},
+        "steps": [{"op": "select",
+                   "columns": ["o_orderkey", "o_totalprice"]}],
+        "sink": {
+            "format": "csv",
+            "path": out,
+            "options": {"header": "true"},
+            "staged": True,
+            "audit": {"keys": "count_if(o_orderkey IS NULL) = 0"},
+        },
+    }
+    run = runner.run(spec, user="alice")
+    assert run.status == "success", run.error
+    assert os.path.exists(out)
+    assert not os.path.exists(out + ".__staging__")
+
+    # broken audit expression: run fails AND staging is cleaned up
+    bad = dict(spec) | {
+        "name": "staged_csv_bad",
+        "sink": dict(spec["sink"])
+        | {"audit": {"boom": "count_if(no_such_col IS NULL) = 0"}},
+    }
+    run2 = runner.run(bad, user="alice")
+    assert run2.status == "failed"
+    assert not os.path.exists(out + ".__staging__")
