@@ -80,12 +80,12 @@ from etl_as_a_service_spark.queries import advanced  # noqa: E402,F401
 # - backfill to 50 with r3-green queries (re-confirmation is free).
 # The manifest CONTENT is unchanged — only dict iteration order moves.
 #
-# ROUND-5 NOTE: q123-q204 were added AFTER this rotation was frozen
+# ROUND-5 NOTE: q123-q205 were added AFTER this rotation was frozen
 # (driver position is what counts, and moving them mid-round would
-# displace the recording above). That range holds 79 oracle queries —
-# 29 more than the window: next round's front-50 should take q123-
+# displace the recording above). That range holds 80 oracle queries —
+# 30 more than the window: next round's front-50 should take q123-
 # q175's oracle entries (exactly 50) and round 6 leads with the
-# spillover (q176-q204's 29 oracle entries) plus the three rows-only
+# spillover (q176-q205's 30 oracle entries) plus the three rows-only
 # entries (q130/q139/q148, pytest-gated), so the green union keeps
 # covering the whole manifest.
 _ROTATE_FRONT = [

@@ -1215,3 +1215,82 @@ def q201_mann_whitney_u(spark, sf_dir):
             6,
         ).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# q205 — winsorized robust statistics per group
+# --------------------------------------------------------------------------
+@query(
+    "q205_winsorized_stats",
+    oracle="""
+    WITH p AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.1) AS p10,
+             quantile_cont(l_extendedprice, 0.9) AS p90
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT)                    AS n,
+           round(avg(l_extendedprice), 2)              AS raw_mean,
+           round(avg(least(greatest(l_extendedprice, p.p10), p.p90)), 2)
+                                                       AS winsorized_mean,
+           CAST(sum(CASE WHEN l_extendedprice < p.p10
+                          OR l_extendedprice > p.p90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+           round(p.p10, 2)                             AS p10,
+           round(p.p90, 2)                             AS p90
+    FROM lineitem l JOIN p USING (l_returnflag)
+    GROUP BY l.l_returnflag, p.p10, p.p90
+    ORDER BY l.l_returnflag
+    """,
+    tags=("statistics", "robust", "outliers", "operator"),
+)
+def q205_winsorized_stats(spark, sf_dir):
+    """Winsorized mean per group — clamp values outside [p10, p90] to
+    the bounds, then average — the robust central-tendency readout
+    that survives the heavy-tailed value distributions real pipelines
+    meet (complement of q97's percentile TRIM, which drops the tails
+    instead of clamping them; winsorizing keeps n constant, the
+    difference that matters when the statistic feeds a per-group
+    weighting). Exact interpolated percentiles (F.percentile ==
+    quantile_cont, the q18 convention).
+
+    Scale shape: percentiles are one per-group aggregate; the bounds
+    broadcast back into a second same-key aggregate pass. Two scans,
+    zero windows — at 100 TB swap stage one for the DDSketch (q187)
+    or exact-narrowing (q191) percentiles without touching stage
+    two."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.1)).alias("p10"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p10")), F.col("p90")
+    )
+    return (
+        li.join(F.broadcast(p), "l_returnflag")
+        .groupBy("l_returnflag", "p10", "p90")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_extendedprice"), 2).alias("raw_mean"),
+            F.round(F.avg(clamped), 2).alias("winsorized_mean"),
+            F.sum(
+                F.when(
+                    (F.col("l_extendedprice") < F.col("p10"))
+                    | (F.col("l_extendedprice") > F.col("p90")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_clamped"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            "raw_mean",
+            "winsorized_mean",
+            "n_clamped",
+            F.round("p10", 2).alias("p10"),
+            F.round("p90", 2).alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )
