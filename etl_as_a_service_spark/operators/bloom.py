@@ -184,11 +184,30 @@ def bloom_semi_join(
     The output is row-identical to ``fact.join(dim, on, "left_semi")``;
     only the amount of data reaching the join's shuffle changes (from
     |fact| to ~|matches|·(1+fpp))."""
+    # xxhash64 is TYPE-sensitive: int 5 and bigint 5 hash to different
+    # bit positions, so a build/probe type mismatch yields false
+    # negatives the exact verify can never recover (silently dropped
+    # matches). Unify integral widths to long; anything else must
+    # already agree.
+    ftype = dict(fact.dtypes)[fact_key]
+    dtype = dict(dim.dtypes)[dim_key]
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    if ftype in integral and dtype in integral:
+        fact_probe_key = F.col(fact_key).cast("long")
+        dim = dim.withColumn(dim_key, F.col(dim_key).cast("long"))
+    elif ftype == dtype:
+        fact_probe_key = F.col(fact_key)
+    else:
+        raise ValueError(
+            f"bloom_semi_join key types differ ({fact_key}: {ftype} vs "
+            f"{dim_key}: {dtype}) — xxhash64 probes would false-negative; "
+            "cast one side explicitly"
+        )
     num_bits = optimal_num_bits(expected_items, fpp)
     num_hashes = optimal_num_hashes(num_bits, expected_items)
     bits = bloom_build(dim, dim_key, num_bits, num_hashes)
     pruned = fact.filter(
-        bloom_might_contain(F.col(fact_key), bits, num_hashes)
+        bloom_might_contain(fact_probe_key, bits, num_hashes)
     )
     # left_semi is already duplicate-insensitive on the build side —
     # no distinct (that would add a shuffle the join doesn't need).

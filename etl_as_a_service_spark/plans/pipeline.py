@@ -122,7 +122,11 @@ def extract_pipeline_name(spec: dict[str, Any]) -> str:
     return name
 
 
-def _compile_source(spark: SparkSession, source: dict[str, Any]) -> DataFrame:
+def _compile_source(
+    spark: SparkSession,
+    source: dict[str, Any],
+    gates: list | None = None,
+) -> DataFrame:
     if "table" in source:
         return spark.table(source["table"])
     fmt = source.get("format", "parquet")
@@ -192,7 +196,17 @@ def _compile_source(spark: SparkSession, source: dict[str, Any]) -> DataFrame:
             schema=source["schema"],
             **source.get("options", {}),
         )
-        quarantine.write.mode("overwrite").text(source["quarantine_path"])
+        qpath = source["quarantine_path"]
+        if gates is not None:
+            # DEFER the quarantine write to run time (post-lint,
+            # pre-sink) — an eager write here would scan the full
+            # source and overwrite the quarantine dir at COMPILE time,
+            # including for pipelines compiled only for validation
+            gates.append(
+                lambda: quarantine.write.mode("overwrite").text(qpath)
+            )
+        else:
+            quarantine.write.mode("overwrite").text(qpath)
         return clean
     reader = spark.read.format(fmt)
     if "schema" in source:
@@ -747,7 +761,10 @@ def _apply_step(
             # BEFORE the sink runs (an eager collect here would execute
             # the upstream plan at compile time, including exactly the
             # plans strict lint exists to block)
-            gates.append((step.get("name", "expect"), checks, df))
+            gate_name, gate_df = step.get("name", "expect"), df
+            gates.append(
+                lambda: _eval_expect_gate(gate_name, checks, gate_df)
+            )
             return df
         _eval_expect_gate(step.get("name", "expect"), checks, df)
         return df
@@ -808,7 +825,7 @@ def compile_pipeline(
         extract_pipeline_name(spec)
     if "source" not in spec:
         raise PipelineError("pipeline spec missing 'source'")
-    df = _compile_source(spark, spec["source"])
+    df = _compile_source(spark, spec["source"], gates)
     for step in spec.get("steps", []):
         df = _apply_step(spark, df, step, observations, gates)
     return df
@@ -1023,10 +1040,11 @@ class PipelineRunner:
                             f.code for f in findings if f.severity == CRITICAL
                         )
                     )
-            # expectation gates run AFTER lint (a strict lint must see
-            # the plan before any job executes) and BEFORE the sink
-            for gate_name, checks, gate_df in gates:
-                _eval_expect_gate(gate_name, checks, gate_df)
+            # deferred pre-sink actions (expectation gates, quarantine
+            # writes) run AFTER lint (a strict lint must see the plan
+            # before any job executes) and BEFORE the sink
+            for action in gates:
+                action()
             sink = spec.get("sink")
             if df.isStreaming:
                 self._execute_streaming(run, df, sink or {})

@@ -43,6 +43,7 @@ from etl_as_a_service_spark.sources.delta import (
     _replay,
     _version_file,
     _versions,
+    _last_checkpoint_version,
 )
 
 
@@ -74,8 +75,6 @@ class DeltaStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema):
         self.table = options["path"]
         self.schema = schema
-        snap = _replay(self.table)
-        self.partition_columns = list(snap.partition_columns)
 
     # -- offsets are log versions ------------------------------------
     def initialOffset(self) -> dict:
@@ -83,6 +82,17 @@ class DeltaStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         vs = _versions(self.table)
+        if not vs and _last_checkpoint_version(self.table) is not None:
+            # all JSON commits were compacted away (delta_clean_log):
+            # the table HAS data but none of it is reachable through
+            # version offsets — an empty stream here would silently
+            # lose the whole snapshot
+            raise ValueError(
+                "delta_stream: the JSON log was fully compacted into a "
+                "checkpoint (delta_clean_log) — no version offsets "
+                "remain; batch-load the snapshot with delta_read and "
+                "restart the stream from future commits"
+            )
         return {"version": vs[-1] if vs else -1}
 
     def commit(self, end) -> None:
@@ -91,8 +101,25 @@ class DeltaStreamReader(DataSourceStreamReader):
     # -- planning: one input partition per newly-added data file ------
     def partitions(self, start, end):
         lo, hi = start["version"], end["version"]
+        vs = _versions(self.table)
+        # LOUD guard: delta_clean_log deletes JSON commits at or below
+        # a checkpoint. Every version this batch needs must still be
+        # in the JSON log — a fresh stream (lo == -1) over a cleaned
+        # log would otherwise replay only the surviving tail and
+        # silently lose every pre-checkpoint row (latestOffset catches
+        # the all-JSON-removed case). Batch-load the snapshot
+        # (delta_read) and stream from the current version instead.
+        have = set(vs)
+        missing = [v for v in range(lo + 1, hi + 1) if v not in have]
+        if missing:
+            raise ValueError(
+                f"delta_stream: versions {missing} are no longer in the "
+                "JSON log (delta_clean_log ran) — the stream cannot "
+                "reconstruct them; batch-load the current snapshot with "
+                "delta_read and restart the stream from the live version"
+            )
         parts: list[_FilePartition] = []
-        for v in _versions(self.table):
+        for v in vs:
             if not (lo < v <= hi):
                 continue
             with open(_version_file(self.table, v)) as fh:
@@ -148,7 +175,9 @@ def _cast_pv(raw, dtype):
     if isinstance(dtype, (T.DoubleType, T.FloatType)):
         return float(raw)
     if isinstance(dtype, T.BooleanType):
-        return raw == "true"
+        # partitionValues are logged as strings, but accept a raw bool
+        # defensively (the iceberg reader's copy always has)
+        return raw is True or raw == "true"
     return raw
 
 

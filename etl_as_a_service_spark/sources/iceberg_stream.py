@@ -72,12 +72,21 @@ class IcebergStreamReader(DataSourceStreamReader):
             md.get("snapshots", []), key=lambda s: s["timestamp-ms"]
         )
 
-    # -- offsets are positions in the ordered snapshot log ------------
+    # -- offsets: position in the ordered snapshot log, PLUS the
+    # snapshot id at that position. The id pins the offset to a
+    # concrete snapshot: iceberg_expire_snapshots rewrites the list,
+    # and a bare positional offset would silently re-map onto a
+    # DIFFERENT snapshot after expiry, skipping every append in
+    # between. Id mismatch -> loud error, never silent data loss.
     def initialOffset(self) -> dict:
-        return {"pos": 0}
+        return {"pos": 0, "snapshot_id": None}
 
     def latestOffset(self) -> dict:
-        return {"pos": len(self._snapshots())}
+        snaps = self._snapshots()
+        return {
+            "pos": len(snaps),
+            "snapshot_id": snaps[-1]["snapshot-id"] if snaps else None,
+        }
 
     def commit(self, end) -> None:
         pass
@@ -85,6 +94,19 @@ class IcebergStreamReader(DataSourceStreamReader):
     def partitions(self, start, end):
         snaps = self._snapshots()
         lo, hi = start["pos"], end["pos"]
+        start_id = start.get("snapshot_id")
+        if lo > 0:
+            if lo > len(snaps) or (
+                start_id is not None
+                and snaps[lo - 1]["snapshot-id"] != start_id
+            ):
+                raise ValueError(
+                    "iceberg_stream: the snapshot log was rewritten "
+                    "(expire_snapshots) under a live checkpoint — offset "
+                    f"position {lo} no longer denotes snapshot "
+                    f"{start_id}; restart the stream with a fresh "
+                    "checkpoint after an initial batch load"
+                )
         parts: list[_FilePartition] = []
         prev_live: dict = {}
         if lo > 0:

@@ -263,6 +263,11 @@ def read_with_quarantine(
     Scale note: quarantine is a FILTER, not a second parse — both
     lanes share the scan, and the quarantine lane is typically tiny,
     so at 100 TB this costs one pass plus a near-empty write.
+
+    NOTE: both lanes share one cached parse; the cache stays pinned
+    for the application's lifetime unless the caller unpersists — for
+    long-lived services, call ``clean.unpersist()`` once both lanes
+    have been materialized.
     """
     if schema is None:
         raise ValueError("read_with_quarantine requires an explicit schema")

@@ -633,12 +633,26 @@ def streaming_bloom_dedup(
         ).collect()[0]
         return f"{row['h']}:{row['n']}"
 
+    # hashing key: NULL-safe sentinel rendering. xxhash64(NULL) is NULL,
+    # so a raw NULL key would never enter the bitset and the probe's
+    # isNotNull() guard would pass it through EVERY batch — a NULL-key
+    # row per micro-batch forever. The string cast + sentinel keeps the
+    # bitset total over the key domain. (State format note: bitsets
+    # built by earlier versions hashed the raw key type and are not
+    # compatible — rebuild state when upgrading.)
+    _hk = "__bloom_key"
+    _hkexpr = F.coalesce(
+        F.col(key_col).cast("string"), F.lit("\x00__null__")
+    )
+
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         _recover()
-        batch = batch_df.dropDuplicates([key_col]).localCheckpoint(
-            eager=True
+        batch = (
+            batch_df.dropDuplicates([key_col])
+            .withColumn(_hk, _hkexpr)
+            .localCheckpoint(eager=True)
         )
-        part = bloom_state(batch, key_col, num_bits, num_hashes)
+        part = bloom_state(batch, _hk, num_bits, num_hashes)
         part = part.localCheckpoint(eager=True)
         log = _read_log()
         fp = _fingerprint(part)
@@ -648,7 +662,7 @@ def streaming_bloom_dedup(
             state_rows = spark.read.parquet(state_path).collect()
             bits = bitset_from_state(state_rows, num_bits)
             survivors = batch.filter(
-                ~bloom_might_contain(F.col(key_col), bits, num_hashes)
+                ~bloom_might_contain(F.col(_hk), bits, num_hashes)
             )
             merged = merge_bloom_states(
                 spark.read.parquet(state_path), part
@@ -656,6 +670,7 @@ def streaming_bloom_dedup(
         else:
             survivors = batch
             merged = part
+        survivors = survivors.drop(_hk)
         # deterministic per-batch output directory: a replay after a
         # crash between this write and the state swap overwrites the
         # same files instead of appending duplicates

@@ -203,3 +203,64 @@ def test_streaming_bloom_dedup_heals_rename_crash(spark, tmp_path):
     out = run()
     # had the heal failed, 20..39 would be re-emitted as "new"
     assert sorted(r["k"] for r in out.collect()) == list(range(60))
+
+
+def test_bloom_semi_join_mixed_integral_widths(spark):
+    """int fact key vs bigint dim key must match exactly like the plain
+    semi join — xxhash64 is type-sensitive, so unmatched widths would
+    false-negative and silently drop matches."""
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.operators.bloom import bloom_semi_join
+
+    fact = spark.range(100).select(F.col("id").cast("int").alias("k"))
+    dim = spark.range(0, 100, 7).select(F.col("id").alias("k"))  # bigint
+    got = sorted(
+        r["k"] for r in bloom_semi_join(fact, dim, "k", "k",
+                                        expected_items=15).collect()
+    )
+    want = sorted(
+        r["k"] for r in fact.join(dim, "k", "left_semi").collect()
+    )
+    assert got == want and len(got) == 15
+
+    import pytest as _pytest
+    sdim = spark.createDataFrame([("5",)], "k string")
+    with _pytest.raises(ValueError, match="key types differ"):
+        bloom_semi_join(fact, sdim, "k", "k", expected_items=1)
+
+
+def test_streaming_bloom_dedup_null_keys_cross_batch(spark, tmp_path):
+    """A NULL key must dedup across micro-batches like any other key —
+    xxhash64(NULL) is NULL, so the raw-key bitset never held it and one
+    NULL row leaked per batch."""
+    import os
+
+    from etl_as_a_service_spark.streaming.ops import streaming_bloom_dedup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "k string, v long"
+    for i, rows in enumerate(
+        [[(None, 1), ("a", 1)], [(None, 2), ("a", 2)], [(None, 3), ("b", 3)]]
+    ):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    out = streaming_bloom_dedup(
+        stream,
+        "k",
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        num_bits=1 << 12,
+        num_hashes=3,
+    )
+    keys = [r["k"] for r in out.collect()]
+    assert keys.count(None) == 1, f"NULL leaked: {keys}"
+    assert keys.count("a") == 1 and keys.count("b") == 1

@@ -1244,3 +1244,39 @@ def test_staged_sink_audit_reads_back_with_sink_options(spark, tmp_path):
     run2 = runner.run(bad, user="alice")
     assert run2.status == "failed"
     assert not os.path.exists(out + ".__staging__")
+
+
+def test_quarantine_write_is_deferred_to_run_time(spark, tmp_path):
+    """Compiling a quarantine-source pipeline must not scan the source
+    or write the quarantine dir — the write runs with the pipeline
+    (post-lint, pre-sink)."""
+    import os
+
+    from etl_as_a_service_spark.plans.pipeline import PipelineRunner
+
+    src = str(tmp_path / "in.csv")
+    with open(src, "w") as f:
+        f.write("a,b\n1,x\nnot_an_int,y\n2,z\n")
+    qdir = str(tmp_path / "quarantine")
+    out = str(tmp_path / "out")
+    spec = {
+        "name": "quarantined",
+        "source": {
+            "format": "csv",
+            "path": src,
+            "schema": "a INT, b STRING",
+            "options": {"header": "true", "mode": "PERMISSIVE"},
+            "quarantine_path": qdir,
+        },
+        "steps": [{"op": "filter", "predicate": "a IS NOT NULL"}],
+        "sink": {"format": "parquet", "path": out, "mode": "overwrite"},
+    }
+    gates: list = []
+    compile_pipeline(spark, spec, gates=gates)
+    assert not os.path.exists(qdir), "quarantine written at compile time"
+    assert len(gates) == 1
+
+    run = PipelineRunner(spark).run(spec, user="alice")
+    assert run.status == "success", run.error
+    assert os.path.exists(qdir)
+    assert spark.read.parquet(out).count() == 2

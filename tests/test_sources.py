@@ -1738,3 +1738,64 @@ def test_iceberg_stream_source_tails_snapshots(spark, tmp_path):
         q.awaitTermination(120)
         if q.exception() is not None:
             raise q.exception()
+
+
+def test_delta_stream_refuses_cleaned_log(spark, tmp_path):
+    """A fresh stream over a log whose early JSON commits were removed
+    by delta_clean_log must raise loudly — replaying only the
+    surviving tail would silently lose every pre-checkpoint row."""
+    import pytest as _pytest
+
+    from etl_as_a_service_spark.sources.delta import (
+        delta_checkpoint,
+        delta_clean_log,
+        delta_write,
+    )
+    from etl_as_a_service_spark.sources.delta_stream import (
+        register_delta_stream,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(3):
+        delta_write(
+            spark.range(i * 10, i * 10 + 10).selectExpr("id AS k"), t
+        )
+    delta_checkpoint(t)
+    delta_clean_log(t)
+    register_delta_stream(spark)
+    stream = spark.readStream.format("delta_stream").option("path", t).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cleaned_log_tail")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    with _pytest.raises(Exception, match="delta_clean_log|no longer in"):
+        q.awaitTermination(60)
+        raise AssertionError("stream should have failed")
+
+
+def test_iceberg_stream_refuses_rewritten_snapshot_log(spark, tmp_path):
+    """An offset recorded before expire_snapshots must not silently
+    re-map onto a different snapshot: the id-pinned offset raises."""
+    import pytest as _pytest
+
+    from etl_as_a_service_spark.sources.iceberg import iceberg_write
+    from etl_as_a_service_spark.sources.iceberg_stream import (
+        IcebergStreamReader,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(3):
+        iceberg_write(
+            spark.range(i * 10, i * 10 + 10).selectExpr("id AS k"), t
+        )
+    r = IcebergStreamReader({"path": t}, spark.range(1).schema)
+    snaps = r._snapshots()
+    # a checkpointed offset whose id no longer matches position 1
+    stale = {"pos": 1, "snapshot_id": snaps[1]["snapshot-id"]}
+    with _pytest.raises(ValueError, match="rewritten"):
+        r.partitions(stale, r.latestOffset())
