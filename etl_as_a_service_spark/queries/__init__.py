@@ -61,66 +61,61 @@ from etl_as_a_service_spark.queries import llm  # noqa: E402,F401
 from etl_as_a_service_spark.queries import quality  # noqa: E402,F401
 from etl_as_a_service_spark.queries import advanced  # noqa: E402,F401
 
-# Driver-gate rotation (round 4): the external driver records
-# CORRECTNESS rows for the FIRST 50 manifest entries only (verified
-# positionally in rounds 1-3). Goal this round: after r4, EVERY query
-# in the manifest has a driver row in r1 ∪ r2 ∪ r3 ∪ r4. Front-50
-# composition:
-# - q91/q118/q119 — red in CORRECTNESS_r03 (oracle-harness bugs:
-#   DuckDB HUGEINT->float rendering, unhashable array column), fixed
-#   this round; re-slotted so the fix lands as a green driver row;
-# - the 11 oracle queries with no driver row in any round (q41, q58,
-#   q62-q66, q71-q74 — judge-verified MATCH in r2/r3 but never
-#   driver-recorded);
-# - the 7 rows-only queries with no driver row (q47-q49, q54, q55,
-#   q61, q98 — their driver check is row-count-only, strictly weaker
-#   than their pytest recall/content assertions, but it closes the
-#   "every manifest entry has driver evidence" bar now that no oracle
-#   query is displaced by them);
-# - backfill to 50 with r3-green queries (re-confirmation is free).
+# Driver-gate rotation (round 5): the external driver records
+# CORRECTNESS rows for the FIRST 50 manifest entries only. After r4
+# the driver-green union covers every query EXCEPT the 80 oracle
+# queries added after the round-4 rotation freeze (q123-q205 minus the
+# three rows-only entries q130/q139/q148). This round's front-50 is
+# exactly the first 50 of those by query number (q123-q175's oracle
+# entries) — zero slots on already-checked or rows-only queries.
 # The manifest CONTENT is unchanged — only dict iteration order moves.
 #
-# ROUND-5 NOTE: q123-q205 were added AFTER this rotation was frozen
-# (driver position is what counts, and moving them mid-round would
-# displace the recording above). That range holds 80 oracle queries —
-# 30 more than the window: next round's front-50 should take q123-
-# q175's oracle entries (exactly 50) and round 6 leads with the
-# spillover (q176-q205's 30 oracle entries) plus the three rows-only
-# entries (q130/q139/q148, pytest-gated), so the green union keeps
-# covering the whole manifest.
+# ROUND-6 NOTE: the 30 spillover oracle queries that do NOT fit this
+# window — rotate these to the front next round (plus any new oracle
+# queries added in round 5, which land after them by import order):
+#   q176_peak_concurrency, q177_clamped_balance_floor,
+#   q178_clamped_balance_capped, q179_decile_lift,
+#   q180_classifier_threshold_sweep, q181_user_feature_snapshot,
+#   q182_bloom_semi_join, q183_cuped_readout, q184_cdc_chunk_dedup,
+#   q185_bpe_encode, q186_skew_diagnosis, q187_quantile_sketch,
+#   q188_spatial_neighbors, q189_cusum_changepoints,
+#   q190_touch_attribution, q191_exact_percentile_narrowing,
+#   q192_phrase_search, q193_k_anonymity_audit, q194_pca_projection,
+#   q195_pmi_collocations, q196_benford_audit, q197_km_survival,
+#   q198_daily_revenue_acf, q199_source_lang_entropy,
+#   q200_chisq_independence, q201_mann_whitney_u,
+#   q202_ranking_metrics, q203_join_cardinality,
+#   q204_calibration_bins, q205_winsorized_stats
+# Keep the rows-only queries (q47-q49/q54/q55/q61/q98/q130/q139/q148)
+# OUT of every future front-50: their driver check is `no_oracle`
+# (row-count only) and each already has its driver row from r4; the
+# real gates are their pytest recall/content tests.
 _ROTATE_FRONT = [
-    # r3-red, fixed this round — must re-record
-    "q91_filter_funnel", "q118_misc_aggregates",
-    "q119_embedding_quantization",
-    # oracle queries never driver-recorded (judge-verified MATCH)
-    "q41_exact_dedup_survivors", "q58_text_cleaning",
-    "q62_shipping_priority", "q63_local_supplier_volume",
-    "q64_nation_volume_pairs", "q65_returned_item_customers",
-    "q66_or_of_ands_predicates", "q71_nth_value_listagg",
-    "q72_bit_operations", "q73_binning_histogram",
-    "q74_date_part_week_trunc",
-    # rows-only queries never driver-recorded (judge-verified clean)
-    "q47_minhash_near_dup_groups", "q48_simhash_fingerprints",
-    "q49_lsh_ann_join", "q54_ivf_ann_topk",
-    "q55_embedding_near_dups", "q61_multimodal_decode",
-    "q98_incremental_near_dups",
-    # backfill: r3-green re-confirmations (operator-heavy first — the
-    # round-4 perf work touches q46's machinery and q107 composes it)
-    "q46_ngram_jaccard_pairs", "q107_near_dup_components",
-    "q110_bm25_search", "q40_exact_dedup_groups",
-    "q42_text_stats_by_lang", "q43_doc_fingerprints",
-    "q44_lang_id_agreement", "q45_cosine_topk",
-    "q59_curation_pipeline", "q76_deterministic_split",
-    "q77_data_quality_report", "q78_sequence_packing",
-    "q79_class_rebalance", "q80_variant_json",
-    "q84_sequence_packing_split", "q85_decontamination",
-    "q86_label_centroids", "q87_try_arithmetic",
-    "q100_scd2_intervals", "q104_sketch_rollup",
-    "q105_merge_upsert", "q106_snapshot_diff",
-    "q111_zorder_cells", "q114_incremental_aggregates",
-    "q115_sessionize_events", "q117_recursive_hierarchy",
-    "q121_point_in_time_lookup", "q122_equidepth_histogram",
-    "q94_contaminated_spans",
+    "q123_market_share", "q124_product_profit",
+    "q125_order_count_distribution", "q126_top_supplier",
+    "q127_small_quantity_revenue", "q128_large_volume_customers",
+    "q129_idle_rich_customers", "q131_near_dedup_keep_best",
+    "q132_leakage_safe_split", "q133_current_value_view",
+    "q134_order_priority_check", "q135_forecast_revenue_change",
+    "q136_promo_revenue_share", "q137_supplier_part_counts",
+    "q138_regression_aggregates", "q140_budgeted_assembly",
+    "q141_min_cost_supplier", "q142_important_part_values",
+    "q143_late_lines_by_class", "q144_dominant_share_suppliers",
+    "q145_waiting_order_suppliers", "q146_dsir_selection",
+    "q147_temperature_mix", "q149_self_substring_spans",
+    "q150_excise_duplicate_spans", "q151_hybrid_search_rrf",
+    "q152_weighted_sample_per_group", "q153_balanced_interleave",
+    "q154_market_basket_pairs", "q155_copurchase_pagerank",
+    "q156_seasonal_baseline_forecast", "q157_heavy_hitters_fold",
+    "q158_gopher_quality_flags", "q159_copurchase_triangles",
+    "q160_rolling_zscore_anomalies", "q161_hard_negative_mining",
+    "q162_countmin_fold", "q163_psi_drift",
+    "q164_ab_welch_ttest", "q165_domain_divergence",
+    "q166_copurchase_bfs_hops", "q167_table_profile",
+    "q168_mutual_nearest_neighbors", "q169_ngram_novelty",
+    "q170_integrity_checks", "q171_top_session_paths",
+    "q172_target_encoding_loo", "q173_rfm_segments",
+    "q174_pareto_analysis", "q175_table_reconciliation",
 ]
 
 

@@ -69,33 +69,45 @@ def test_int32_vs_int64_is_not_a_split():
 
 def test_front_50_rotation_invariants():
     """The external driver records CORRECTNESS rows for the FIRST 50
-    manifest entries only. Round-4 contract: the window must contain
-    every query with no driver row in r1-r3 (18 never-recorded) plus
-    the three r3-red re-slots — so after r4 the green union covers the
-    whole manifest."""
+    manifest entries only. Round-agnostic contract (round-5 rewrite —
+    the round-4 version hard-coded a q>=123 exemption and would have
+    silently passed on a stale front-50):
+
+    - never-green = oracle queries with no GREEN driver row in the
+      union of every on-disk ``CORRECTNESS_r*.json`` (a red or errored
+      row does not count as seen-green);
+    - the front-50 must contain min(50, len(never-green)) never-green
+      queries, filled in ascending query-number order so the backlog
+      drains deterministically;
+    - the front-50 must contain ZERO rows-only queries — the driver
+      can only mark them ``no_oracle``, wasting the slot (all ten got
+      their one driver row in r4).
+    """
+    import glob
     import json
-    import os
 
     from etl_as_a_service_spark.queries import QUERIES
 
     front = list(QUERIES)[:50]
-    must_have = {
-        "q91_filter_funnel", "q118_misc_aggregates",
-        "q119_embedding_quantization",
-    }
-    seen: set[str] = set()
-    for r in (1, 2, 3):
-        path = f"/root/repo/CORRECTNESS_r0{r}.json"
-        if os.path.exists(path):
-            with open(path) as f:
-                seen |= set(json.load(f))
-    # every pre-round-4 query the driver has never seen must be in front
-    legacy = {n for n in QUERIES if not _is_round4_addition(n)}
-    never = (legacy - seen) | must_have
-    missing = sorted(never - set(front))
-    assert not missing, f"never-recorded queries outside front-50: {missing}"
+    green: set[str] = set()
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if row.get("hash_match") is True:
+                    green.add(name)
+    oracle_queries = {n for n, q in QUERIES.items() if q.oracle is not None}
+    rows_only = set(QUERIES) - oracle_queries
 
+    in_window = sorted(rows_only & set(front))
+    assert not in_window, f"rows-only queries waste driver slots: {in_window}"
 
-def _is_round4_addition(name: str) -> bool:
-    num = int(name.split("_", 1)[0][1:])
-    return num >= 123
+    def qnum(name: str) -> int:
+        return int(name.split("_", 1)[0][1:])
+
+    never_green = sorted(oracle_queries - green, key=qnum)
+    expected = set(never_green[:50])
+    missing = sorted(expected - set(front), key=qnum)
+    assert not missing, (
+        f"{len(missing)} never-driver-green oracle queries belong in the "
+        f"front-50 but are not there: {missing}"
+    )
