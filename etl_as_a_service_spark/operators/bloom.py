@@ -39,24 +39,43 @@ Design notes (100 TB):
 from __future__ import annotations
 
 import math
+import warnings
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Bitset words are collected to the driver; cap the filter at 2 MiB
-# (16 Mi bits) so a misconfigured build cannot balloon driver memory.
+# Bitset words are materialized whole (driver collect in bloom_build,
+# one broadcast row in bloom_semi_join); cap the filter at 2 MiB
+# (16 Mi bits) so a misconfigured build cannot balloon driver or
+# broadcast memory. Above ~2.3M expected items at fpp=0.03 the clamp
+# binds and the EFFECTIVE false-positive rate exceeds the requested
+# one — see effective_fpp; bloom_semi_join warns when the gap is
+# material (correctness is unaffected; only pruning degrades).
 MAX_BITS = 1 << 24
 
 
 def optimal_num_bits(expected_items: int, fpp: float = 0.03) -> int:
     """Textbook sizing m = -n*ln(p)/ln(2)^2, rounded up to a multiple
-    of 64 and clamped to [64, MAX_BITS]."""
+    of 64 and clamped to [64, MAX_BITS] (callers compare
+    ``effective_fpp`` against the request to detect a binding clamp)."""
     if expected_items <= 0:
         return 64
     m = int(math.ceil(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
     m = ((m + 63) // 64) * 64
     return max(64, min(m, MAX_BITS))
+
+
+def effective_fpp(
+    num_bits: int, num_hashes: int, expected_items: int
+) -> float:
+    """Expected false-positive rate (1 - e^{-kn/m})^k for the ACTUAL
+    (possibly clamped) filter geometry at ``expected_items`` keys."""
+    if expected_items <= 0:
+        return 0.0
+    return (
+        1.0 - math.exp(-num_hashes * expected_items / num_bits)
+    ) ** num_hashes
 
 
 def optimal_num_hashes(num_bits: int, expected_items: int) -> int:
@@ -143,18 +162,17 @@ def bloom_build(
     return bitset_from_state(state.collect(), num_bits)
 
 
-def bloom_might_contain(
-    key: Column, bitset: list[int], num_hashes: int
+def bloom_probe_words(
+    key: Column, words: Column, num_bits: int, num_hashes: int
 ) -> Column:
-    """Pure-Catalyst membership predicate against a built bitset.
+    """Pure-Catalyst membership predicate against a bitset held in an
+    ``array<bigint>`` column (a literal OR a broadcast-joined column).
     False positives possible, false negatives impossible (for keys the
     filter was built over)."""
-    num_bits = len(bitset) * 64
-    lit = F.lit(bitset)
     one = F.lit(1).cast("long")
     checks = []
     for p in _positions(key, num_bits, num_hashes):
-        word = F.element_at(lit, (p / 64).cast("int") + 1)
+        word = F.element_at(words, (p / 64).cast("int") + 1)
         # F.shiftleft's Python signature wants an int shift; the SQL
         # function accepts a column — call it through the registry.
         bit = F.call_function(
@@ -164,26 +182,50 @@ def bloom_might_contain(
     return key.isNotNull() & reduce(lambda a, b: a & b, checks)
 
 
+def bloom_might_contain(
+    key: Column, bitset: list[int], num_hashes: int
+) -> Column:
+    """``bloom_probe_words`` against a driver-built bitset list."""
+    return bloom_probe_words(key, F.lit(bitset), len(bitset) * 64, num_hashes)
+
+
 def bloom_semi_join(
     fact: DataFrame,
     dim: DataFrame,
     fact_key: str,
     dim_key: str,
-    expected_items: int,
+    expected_items: int | None = None,
     fpp: float = 0.03,
 ) -> DataFrame:
     """EXACT left-semi join fact⋉dim, planned as Bloom-prune + verify:
 
     1. build a Bloom bitset over ``dim[dim_key]`` (one pass, partial
-       aggregation, bounded driver collect);
-    2. filter ``fact`` with the pure-Catalyst probe predicate — at the
-       scan, before any shuffle;
+       aggregation) and assemble it into ONE ``array<bigint>`` row
+       INSIDE the plan — no driver collect, no job at construction
+       time: the whole operator is a single lazy DataFrame, so
+       pipeline compiles stay side-effect-free and plan lint runs
+       before any work does;
+    2. broadcast that one row to ``fact`` (constant-key broadcast hash
+       join) and filter with the pure-Catalyst probe predicate —
+       before any shuffle of the fact side;
     3. exact ``left_semi`` join of the survivors against dim, which
        removes Bloom false positives.
 
     The output is row-identical to ``fact.join(dim, on, "left_semi")``;
     only the amount of data reaching the join's shuffle changes (from
-    |fact| to ~|matches|·(1+fpp))."""
+    |fact| to ~|matches|·(1+fpp)).
+
+    Sizing: ``expected_items=None`` skips the count job entirely and
+    uses the maximum filter (MAX_BITS = 2 MiB broadcast, 5 hashes) —
+    the lazy default for pipeline compiles. With ``expected_items``
+    given, the filter is sized for ``fpp`` but CAPPED at MAX_BITS;
+    above ~2.3M items at fpp=0.03 the cap binds, the effective
+    false-positive rate exceeds the request (pruning effectiveness
+    degrades, results stay exact), and a RuntimeWarning reports the
+    implied rate. The bitset-assembly aggregate funnels ≤ num_bits/64
+    pre-combined words through one task — bounded metadata, the
+    intended shape (plan lint flags it as the generic
+    single_partition_exchange WARNING; it is never critical)."""
     # xxhash64 is TYPE-sensitive: int 5 and bigint 5 hash to different
     # bit positions, so a build/probe type mismatch yields false
     # negatives the exact verify can never recover (silently dropped
@@ -203,11 +245,53 @@ def bloom_semi_join(
             f"{dim_key}: {dtype}) — xxhash64 probes would false-negative; "
             "cast one side explicitly"
         )
-    num_bits = optimal_num_bits(expected_items, fpp)
-    num_hashes = optimal_num_hashes(num_bits, expected_items)
-    bits = bloom_build(dim, dim_key, num_bits, num_hashes)
-    pruned = fact.filter(
-        bloom_might_contain(fact_probe_key, bits, num_hashes)
+    if expected_items is None:
+        num_bits, num_hashes = MAX_BITS, 5
+    else:
+        num_bits = optimal_num_bits(expected_items, fpp)
+        num_hashes = optimal_num_hashes(num_bits, expected_items)
+        eff = effective_fpp(num_bits, num_hashes, expected_items)
+        if eff > 2 * fpp:
+            warnings.warn(
+                f"bloom_semi_join: requested fpp={fpp:g} but the "
+                f"{MAX_BITS}-bit cap implies effective fpp~{eff:.3f} "
+                f"for {expected_items} expected items; results stay "
+                "exact (verify join) but pruning effectiveness "
+                "degrades",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    n_words = num_bits // 64
+    # Assemble the dense word array in-plan: sparse (w, bits) state ->
+    # one map row -> one array<bigint> row. The global agg sees at most
+    # n_words pre-combined rows (bloom_state bit_ors map-side first).
+    dense = (
+        bloom_state(dim, dim_key, num_bits, num_hashes)
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("w"), F.collect_list("bits")
+            ).alias("__bloom_m")
+        )
+        .select(
+            F.expr(
+                f"transform(sequence(0, {n_words - 1}), "
+                "i -> coalesce(element_at(__bloom_m, i), "
+                "CAST(0 AS BIGINT)))"
+            ).alias("__bloom_words")
+        )
+    )
+    pruned = (
+        fact.withColumn("__bloom_j", F.lit(1))
+        .join(
+            F.broadcast(dense.withColumn("__bloom_j", F.lit(1))),
+            "__bloom_j",
+        )
+        .filter(
+            bloom_probe_words(
+                fact_probe_key, F.col("__bloom_words"), num_bits, num_hashes
+            )
+        )
+        .drop("__bloom_j", "__bloom_words")
     )
     # left_semi is already duplicate-insensitive on the build side —
     # no distinct (that would add a shuffle the join doesn't need).

@@ -271,7 +271,12 @@ def _apply_step(
         #  "right_key":"c_custkey","fpp":0.03,"expected_items":null} —
         # exact left-semi join planned as Bloom-prune + verify (the
         # fact⋉dim strategy when dim is too big to broadcast); result
-        # identical to {"op":"join","how":"left_semi"}
+        # identical to {"op":"join","how":"left_semi"}. Fully lazy:
+        # the operator assembles the bitset inside the plan, and a null
+        # expected_items sizes the filter at its cap instead of running
+        # a count() here — compile stays side-effect-free, so strict
+        # plan lint always runs before any job (same deferred contract
+        # as expect/quarantine gates).
         from etl_as_a_service_spark.operators.bloom import bloom_semi_join
 
         right = compile_pipeline(spark, _req(step, "right"), _as_subplan=True)
@@ -281,9 +286,7 @@ def _apply_step(
             right,
             _req(step, "left_key"),
             _req(step, "right_key"),
-            expected_items=(
-                int(expected) if expected is not None else right.count()
-            ),
+            expected_items=int(expected) if expected is not None else None,
             fpp=float(step.get("fpp", 0.03)),
         )
     if op == "cdc_chunk":

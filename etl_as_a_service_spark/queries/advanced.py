@@ -215,9 +215,10 @@ def q184_cdc_chunk_dedup(spark, sf_dir):
     """Content-defined chunking (the rsync/LBFS/storage-dedup family,
     public algorithms) as a Catalyst expression pipeline: a chunk
     boundary falls AFTER position i when the 8-gram ending at i hashes
-    into a 1/16 band (md5 first hex char '0', portable across engines)
-    or at a hard 64-byte stride cap; chunks are then exact-dedup'd
-    per source. Because boundaries depend only on LOCAL content, an
+    into a 1/16 band (md5 first hex char '0', portable across engines);
+    no stride cap here — both engine and oracle run pure content-
+    defined boundaries (cdc_chunks supports a ``stride`` cap, untested
+    by this query); chunks are then exact-dedup'd per source. Because boundaries depend only on LOCAL content, an
     edited near-copy (planted here: 25 docs re-ingested with a
     prefix edit, the classic CDC stress) re-aligns to the SAME chunks
     a few bytes past the edit — fixed-size chunking would shift every

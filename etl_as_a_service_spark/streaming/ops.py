@@ -485,6 +485,14 @@ def _maintain_folded_state(
         old = state_path.rstrip("/") + ".__old__"
         if not os.path.exists(state_path) and os.path.exists(old):
             os.rename(old, state_path)
+        # stale tmp dirs from a crash between write and swap would
+        # otherwise leak forever (their batch id may never replay);
+        # every fold rewrites its tmp from scratch, so removal is safe
+        import glob
+        import shutil
+
+        for stale in glob.glob(state_path.rstrip("/") + ".__b*__"):
+            shutil.rmtree(stale, ignore_errors=True)
 
     def _read_log() -> dict[int, str]:
         try:
@@ -575,9 +583,16 @@ def streaming_bloom_dedup(
     ``num_bits/8`` bytes TOTAL (configured, not data-dependent) and
     trades exactness one-sidedly: a duplicate key is NEVER re-emitted
     (Bloom filters have no false negatives), while a genuinely-new key
-    is dropped with probability ~fpp (false positive). That is the
-    right trade for corpus ingest dedup, where a duplicate costs
-    training quality but a dropped singleton costs one document.
+    is dropped with probability equal to the bitset's CURRENT
+    false-positive rate. That rate is NOT constant over the stream's
+    lifetime — it grows with the fill fraction (~(fill)^k) and tends
+    to 1 as distinct keys approach ``num_bits`` capacity, so each fold
+    records the fill and implied rate in the state's ``_saturation``
+    file and emits a RuntimeWarning past 50% full (size ``num_bits``
+    for the stream's total distinct-key horizon, ~10 bits per key for
+    ~1% at capacity). Within capacity this is the right trade for
+    corpus ingest dedup, where a duplicate costs training quality but
+    a dropped singleton costs one document.
 
     Mechanics per micro-batch (trigger availableNow, foreachBatch):
     - in-batch exact dedup (dropDuplicates on the key);
@@ -593,8 +608,10 @@ def streaming_bloom_dedup(
 
     Returns the deduplicated output as a DataFrame over ``out_path``.
     """
+    import glob
     import os
     import shutil
+    import warnings
 
     from etl_as_a_service_spark.operators.bloom import (
         bitset_from_state,
@@ -610,6 +627,13 @@ def streaming_bloom_dedup(
         old = state_path.rstrip("/") + ".__old__"
         if not os.path.exists(state_path) and os.path.exists(old):
             os.rename(old, state_path)
+        # a crash between writing a tmp state dir and the swap leaves
+        # '.__b<id>__' on disk; unless that exact batch id replays it
+        # would never be cleaned — every fold rewrites its tmp dir
+        # from scratch (mode overwrite), so removing stale ones here
+        # is always safe
+        for stale in glob.glob(state_path.rstrip("/") + ".__b*__"):
+            shutil.rmtree(stale, ignore_errors=True)
 
     def _read_log() -> dict[int, str]:
         try:
@@ -687,6 +711,37 @@ def streaming_bloom_dedup(
                     for bid, h in sorted(log.items())[-_LOG_CAP:]
                 )
             )
+        # saturation monitor: the bitset is FIXED-size, so as distinct
+        # keys approach num_bits the false-positive rate climbs toward
+        # 1 and the stream silently drops nearly all genuinely-new
+        # keys. Track the fill fraction each batch (one tiny aggregate
+        # over <= num_bits/64 state rows), persist it with the state,
+        # and warn loudly past half-full.
+        set_bits = (
+            spark.read.parquet(tmp)
+            .agg(
+                F.coalesce(
+                    F.sum(F.expr("bit_count(bits)")), F.lit(0)
+                ).alias("s")
+            )
+            .collect()[0]["s"]
+        )
+        fill = set_bits / num_bits
+        implied_fpp = fill**num_hashes
+        with open(os.path.join(tmp, "_saturation"), "w") as f:
+            f.write(
+                f"set_bits={set_bits}\nnum_bits={num_bits}\n"
+                f"fill={fill:.6f}\nimplied_fpp={implied_fpp:.6g}\n"
+            )
+        if fill > 0.5:
+            warnings.warn(
+                f"streaming_bloom_dedup: bitset {fill:.0%} full "
+                f"(implied false-positive rate ~{implied_fpp:.3f}) — "
+                "new keys are being dropped at this rate; rebuild with "
+                "a larger num_bits or reset the state",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         old = state_path.rstrip("/") + ".__old__"
         shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(state_path):
@@ -703,6 +758,10 @@ def streaming_bloom_dedup(
     if not q.awaitTermination(timeout_sec):
         q.stop()
         raise TimeoutError(f"bloom dedup did not finish in {timeout_sec}s")
+    if not os.path.exists(out_path):
+        # zero batches processed (empty source): out_path was never
+        # created — return an empty frame instead of a read error
+        return spark.createDataFrame([], stream_df.schema)
     return spark.read.option("recursiveFileLookup", "true").parquet(out_path)
 
 

@@ -264,3 +264,139 @@ def test_streaming_bloom_dedup_null_keys_cross_batch(spark, tmp_path):
     keys = [r["k"] for r in out.collect()]
     assert keys.count(None) == 1, f"NULL leaked: {keys}"
     assert keys.count("a") == 1 and keys.count("b") == 1
+
+
+def test_bloom_semi_join_construction_is_lazy(spark):
+    """Constructing the operator must run ZERO Spark jobs: the bitset
+    is assembled inside the plan (one-row broadcast), so a pipeline
+    compile stays side-effect-free and strict plan lint can veto the
+    plan before any work runs (the deferred-gates contract)."""
+    sc = spark.sparkContext
+    fact = spark.range(2000).select(
+        (F.col("id") % 300).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(80).select(F.col("id").alias("k"))
+    sc.setJobGroup("bloom_lazy_probe", "compile must not run jobs")
+    try:
+        # expected_items=None also skips the sizing count()
+        joined = bloom_semi_join(fact, dim, "k", "k")
+        jobs = sc.statusTracker().getJobIdsForGroup("bloom_lazy_probe")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(jobs) == [], "bloom_semi_join construction ran Spark jobs"
+    # ... and the lazy plan still computes the exact semi join
+    plain = fact.join(dim.select("k"), "k", "left_semi")
+    assert joined.exceptAll(plain).count() == 0
+    assert plain.exceptAll(joined).count() == 0
+
+
+def test_bloom_clamp_warns_when_fpp_not_honorable(spark):
+    """Above ~2.3M expected items the MAX_BITS cap binds and the
+    requested fpp silently degraded; the operator must now SAY so."""
+    import warnings as _w
+
+    from etl_as_a_service_spark.operators.bloom import effective_fpp
+
+    fact = spark.range(10).select(F.col("id").alias("k"))
+    dim = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.warns(RuntimeWarning, match="effective fpp"):
+        bloom_semi_join(
+            fact, dim, "k", "k", expected_items=50_000_000, fpp=0.001
+        )
+    # a fit-able request stays silent
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        bloom_semi_join(fact, dim, "k", "k", expected_items=1000, fpp=0.01)
+    # the formula itself: clamp at 50M keys implies near-certain FPs
+    assert effective_fpp(MAX_BITS, 1, 50_000_000) > 0.9
+    assert effective_fpp(optimal_num_bits(1000, 0.01), 7, 1000) < 0.02
+
+
+def test_streaming_bloom_dedup_records_saturation(spark, tmp_path):
+    """A deliberately undersized bitset must surface its fill level:
+    the _saturation metadata file lands in the state dir and a
+    RuntimeWarning fires past 50% full — silent near-total drop of
+    new keys was the failure mode."""
+    import os
+    import warnings as _w
+
+    from etl_as_a_service_spark.streaming.ops import streaming_bloom_dedup
+
+    src = str(tmp_path / "src")
+    _write_batches(spark, src, [range(0, 200)])
+    stream = spark.readStream.schema("k long, payload string").parquet(src)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        streaming_bloom_dedup(
+            stream,
+            "k",
+            str(tmp_path / "state"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            num_bits=256,
+            num_hashes=2,
+        )
+    sat_path = os.path.join(str(tmp_path / "state"), "_saturation")
+    assert os.path.exists(sat_path)
+    sat = dict(
+        line.split("=", 1)
+        for line in open(sat_path).read().splitlines()
+        if line
+    )
+    assert float(sat["fill"]) > 0.5
+    assert 0.0 < float(sat["implied_fpp"]) <= 1.0
+    assert int(sat["num_bits"]) == 256
+    assert any(
+        "full" in str(w.message) for w in caught
+    ), "no saturation warning raised"
+
+
+def test_streaming_bloom_dedup_cleans_stale_tmp_dirs(spark, tmp_path):
+    """A crash between tmp-state write and the swap leaves
+    '.__b<id>__' on disk; the next run must sweep it (the leaked dirs
+    accumulated forever unless that exact batch id replayed)."""
+    import os
+
+    from etl_as_a_service_spark.streaming.ops import streaming_bloom_dedup
+
+    state = str(tmp_path / "state")
+    stale = state + ".__b999__"
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk.parquet"), "w") as f:
+        f.write("leftover")
+    src = str(tmp_path / "src")
+    _write_batches(spark, src, [range(0, 10)])
+    stream = spark.readStream.schema("k long, payload string").parquet(src)
+    out = streaming_bloom_dedup(
+        stream,
+        "k",
+        state,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        num_bits=1 << 12,
+    )
+    assert sorted(r["k"] for r in out.collect()) == list(range(10))
+    assert not os.path.exists(stale), "stale tmp state dir not swept"
+
+
+def test_streaming_bloom_dedup_empty_source_returns_empty(spark, tmp_path):
+    """Zero processed batches: out_path is never created — the
+    operator must return an empty frame with the stream's schema, not
+    raise from reading a missing path."""
+    import os
+
+    from etl_as_a_service_spark.streaming.ops import streaming_bloom_dedup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stream = spark.readStream.schema("k long, payload string").parquet(src)
+    out = streaming_bloom_dedup(
+        stream,
+        "k",
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        num_bits=1 << 12,
+    )
+    assert out.columns == ["k", "payload"]
+    assert out.count() == 0

@@ -1280,3 +1280,56 @@ def test_quarantine_write_is_deferred_to_run_time(spark, tmp_path):
     assert run.status == "success", run.error
     assert os.path.exists(qdir)
     assert spark.read.parquet(out).count() == 2
+
+
+def test_semi_join_bloom_compiles_without_running_jobs(spark):
+    """compile_pipeline of a semi_join_bloom step must be
+    side-effect-free — the old step ran right.count() plus the bloom
+    build collect at COMPILE time, before plan_lint could veto the
+    plan (the deferred-gates contract violation)."""
+    sc = spark.sparkContext
+    # explicit schemas: parquet schema INFERENCE runs a (footer-only)
+    # job for any source — that is not the regression under test, which
+    # is the bloom build's count()+collect() over the actual data
+    orders_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in spark.read.parquet(f"{SF_SMOKE}/orders.parquet").schema
+    )
+    customer_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in spark.read.parquet(f"{SF_SMOKE}/customer.parquet").schema
+    )
+    spec = {
+        "name": "bloom_lazy_compile",
+        "source": {
+            "format": "parquet",
+            "path": f"{SF_SMOKE}/orders.parquet",
+            "schema": orders_ddl,
+        },
+        "steps": [
+            {
+                "op": "semi_join_bloom",
+                "right": {
+                    "source": {
+                        "format": "parquet",
+                        "path": f"{SF_SMOKE}/customer.parquet",
+                        "schema": customer_ddl,
+                    },
+                    "steps": [
+                        {"op": "filter", "predicate": "c_acctbal > 3000"},
+                        {"op": "select", "columns": ["c_custkey"]},
+                    ],
+                },
+                "left_key": "o_custkey",
+                "right_key": "c_custkey",
+            }
+        ],
+    }
+    sc.setJobGroup("bloom_compile_probe", "compile must not run jobs")
+    try:
+        df = compile_pipeline(spark, spec)
+        jobs = sc.statusTracker().getJobIdsForGroup("bloom_compile_probe")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(jobs) == [], "semi_join_bloom compile ran Spark jobs"
+    assert df.count() > 0  # the deferred plan still executes
