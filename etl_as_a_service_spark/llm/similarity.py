@@ -289,8 +289,16 @@ def embedding_near_duplicates(
     recall is the only approximation. The projection matmul runs in the
     Arrow-batched SRP kernel (deterministic seeded planes — no fitted
     model); candidate generation and verification are Catalyst: one
-    shuffle on (table, bucket) + one distinct. Returns
-    (id_a, id_b, cosine) with id_a < id_b.
+    ID-ONLY shuffle on (table, bucket), one distinct over candidate id
+    pairs, then two hash joins that bring the vectors back for the
+    exact verify. Returns (id_a, id_b, cosine) with id_a < id_b.
+
+    SCALE NOTE (why ids-only): carrying the unit vector through the
+    bucket self-join would ship d doubles x num_tables on BOTH sides
+    of the (t, bk) shuffle — at 1024-dim embeddings that dominates
+    shuffle bytes by orders of magnitude over the (id, t, bk) triple.
+    Instead each vector crosses the wire once per verify side, keyed
+    by id, and only for pairs that survived candidate dedup.
 
     ``max_bucket_size`` caps degenerate hot buckets (k docs -> k^2
     pairs): oversized buckets are dropped, costing recall only for
@@ -302,24 +310,30 @@ def embedding_near_duplicates(
             lambda acc, v: acc + v * v,
         )
     )
-    unit = df.select(
-        F.col(id_col).alias("__id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("__unit"),
-    ).filter(norm > 0)
-    # Materialize (id, unit, table, bucket) once: the rows feed three
-    # consumers (bucket-size agg + both self-join sides) and recomputing
-    # the projection per consumer would triple the dominant cost.
+    # Materialize (id, unit) once: it feeds three consumers (the SRP
+    # projection + both exact-verify joins) and recomputing the
+    # normalization per consumer would triple that cost.
     # localCheckpoint also truncates the lineage, as in the
     # connected-components loop (dedup.py).
+    unit = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / norm
+            ).alias("__unit"),
+        )
+        .filter(norm > 0)
+        .localCheckpoint(eager=False)
+    )
     srp = srp_buckets_kernel(num_tables, bits_per_table)
     buckets = (
-        unit.select("__id", "__unit", srp(F.col("__unit")).alias("__bks"))
-        .select("__id", "__unit", F.posexplode("__bks").alias("t", "bk"))
+        unit.select("__id", srp(F.col("__unit")).alias("__bks"))
+        .select("__id", F.posexplode("__bks").alias("t", "bk"))
         .localCheckpoint(eager=False)
     )
     if max_bucket_size is not None:
         # hot-bucket cap as agg + broadcast anti-join: a window over
-        # (t, bk) would shuffle the full vector rows; the aggregate
+        # (t, bk) would shuffle the full bucket rows; the aggregate
         # shuffles only (t, bk) pairs map-side-combined, and the
         # oversized-bucket list is tiny -> broadcast.
         big = (
@@ -331,12 +345,9 @@ def embedding_near_duplicates(
         buckets = buckets.join(F.broadcast(big), ["t", "bk"], "left_anti")
     a = buckets.alias("a")
     b = buckets.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.__unit"), F.col("b.__unit"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return (
+    # distinct BEFORE the verify: a pair colliding in several tables
+    # would otherwise be exact-verified num_tables times
+    pairs = (
         a.join(
             b,
             (F.col("a.t") == F.col("b.t"))
@@ -346,10 +357,29 @@ def embedding_near_duplicates(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.round(dot, 6).alias("cosine"),
         )
-        .filter(F.col("cosine") >= cosine_threshold)
         .distinct()
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__ua"), F.col("__ub"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.join(
+            unit.select(
+                F.col("__id").alias("id_a"), F.col("__unit").alias("__ua")
+            ),
+            "id_a",
+        )
+        .join(
+            unit.select(
+                F.col("__id").alias("id_b"), F.col("__unit").alias("__ub")
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", F.round(dot, 6).alias("cosine"))
+        .filter(F.col("cosine") >= cosine_threshold)
     )
 
 
