@@ -83,6 +83,86 @@ HEADLINE_QUALITY = [
     "q169_ngram_novelty",
 ]
 
+#: round-5 additions: the pure-Python lakehouse read paths
+#: (~2,900 LoC of Delta/Iceberg/Avro connectors) previously had zero
+#: BENCH presence — a regression in log/manifest replay or pruned-scan
+#: assembly was invisible. Setup (writing sf lineitem as a partitioned
+#: Delta + Iceberg table, plus an Avro copy) is UNTIMED; the timed
+#: entries are a partition-pruned snapshot read and a two-version
+#: change-feed scan per table format, and the full Avro decode scan.
+HEADLINE_LAKEHOUSE = [
+    "lake_delta_pruned_read",
+    "lake_delta_change_feed",
+    "lake_iceberg_pruned_read",
+    "lake_iceberg_change_feed",
+    "lake_avro_scan",
+]
+
+
+def _setup_lakehouse(spark, sf_dir):
+    """Write the lakehouse fixtures once (untimed) and return
+    ``(dict name -> zero-arg DataFrame factory, cleanup_dir)``."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.sources.avro import read_avro, write_avro
+    from etl_as_a_service_spark.sources.delta import (
+        delta_changes,
+        delta_read,
+        delta_write,
+    )
+    from etl_as_a_service_spark.sources.iceberg import (
+        iceberg_changes,
+        iceberg_read,
+        iceberg_write,
+    )
+
+    root = tempfile.mkdtemp(prefix="spark_lakehouse_bench_")
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    # the Iceberg spec mapping has date but not timestamp_ntz (the
+    # driver testdata encodes l_shipdate as NTZ) — a date column is
+    # the natural type here anyway
+    li = li.withColumn("l_shipdate", F.col("l_shipdate").cast("date"))
+    dtab = os.path.join(root, "delta_lineitem")
+    itab = os.path.join(root, "iceberg_lineitem")
+    apath = os.path.join(root, "avro_lineitem")
+    dv0 = delta_write(li, dtab, mode="overwrite",
+                      partition_by=["l_returnflag"])
+    iv0 = iceberg_write(li, itab, mode="overwrite",
+                        partition_by=["l_returnflag"])
+    upd = li.filter(F.col("l_orderkey") % 997 == 0)
+    dv1 = delta_write(upd, dtab, mode="append")
+    iv1 = iceberg_write(upd, itab, mode="append")
+    # Avro: the pure-Python codec is the scan under test; keep the
+    # fixture at a bounded row count (decode throughput, not volume)
+    write_avro(
+        li.select(
+            "l_orderkey", "l_linenumber", "l_suppkey",
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+            "l_returnflag",
+        ).limit(50_000).repartition(8),
+        apath,
+    )
+    keys = ["l_orderkey", "l_linenumber"]
+    return {
+        "lake_delta_pruned_read": lambda: delta_read(
+            spark, dtab, partition_filters={"l_returnflag": "R"}
+        ),
+        "lake_delta_change_feed": lambda: delta_changes(
+            spark, dtab, dv0, dv1, keys
+        ),
+        "lake_iceberg_pruned_read": lambda: iceberg_read(
+            spark, itab, partition_filters={"l_returnflag": "R"}
+        ),
+        "lake_iceberg_change_feed": lambda: iceberg_changes(
+            spark, itab, iv0, iv1, keys
+        ),
+        "lake_avro_scan": lambda: read_avro(spark, apath),
+    }, root
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -143,6 +223,23 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # lakehouse entries: fixtures written untimed, reads timed min-of-N
+    lake_factories, lake_root = _setup_lakehouse(spark, sf_dir)
+    try:
+        for name in HEADLINE_LAKEHOUSE:
+            best, n = float("inf"), 0
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                n = lake_factories[name]().count()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+            print(f"# {name}: {timings[name]:.3f}s ({n} rows)",
+                  file=sys.stderr)
+    finally:
+        import shutil
+
+        shutil.rmtree(lake_root, ignore_errors=True)
+
     core = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     curation = round(
         sum(timings[n] for n in HEADLINE_CURATION if n in timings), 3
@@ -155,6 +252,9 @@ def main() -> None:
     )
     quality = round(
         sum(timings[n] for n in HEADLINE_QUALITY if n in timings), 3
+    )
+    lakehouse = round(
+        sum(timings[n] for n in HEADLINE_LAKEHOUSE if n in timings), 3
     )
     print(
         json.dumps(
@@ -170,8 +270,11 @@ def main() -> None:
                 "subtotal_advanced": advanced,
                 "subtotal_semantic": semantic,
                 "subtotal_quality": quality,
+                "subtotal_lakehouse": lakehouse,
                 "total_all": round(
-                    core + curation + advanced + semantic + quality, 3
+                    core + curation + advanced + semantic + quality
+                    + lakehouse,
+                    3,
                 ),
                 "runs_per_query": RUNS,
                 "aggregation": "min",

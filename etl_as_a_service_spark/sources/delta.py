@@ -332,11 +332,19 @@ def _read_file_list(
 ) -> DataFrame:
     """Scan an explicit live-file subset with the snapshot's schema;
     partition columns reconstruct via basePath discovery. Empty list =>
-    empty frame with the right columns."""
+    empty frame with the right columns.
+
+    The final select restores the LOG's column order: Spark's file
+    source appends reconstructed partition columns after the data
+    columns, so a partitioned scan would otherwise disagree with the
+    metaData schema (and with the empty-list frame — delta_changes
+    over a pure append on a partitioned table hit exactly that
+    mismatch)."""
     if not files:
         return spark.createDataFrame([], schema)
     reader = spark.read.schema(schema).option("basePath", table)
-    return reader.parquet(*[os.path.join(table, f) for f in files])
+    scan = reader.parquet(*[os.path.join(table, f) for f in files])
+    return scan.select(*[f.name for f in schema.fields])
 
 
 def delta_changes(

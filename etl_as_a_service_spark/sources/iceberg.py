@@ -405,7 +405,13 @@ def _read_iceberg_files(
     files: list[str],
 ) -> DataFrame:
     """Scan an explicit live-file subset with basePath partition
-    reconstruction; empty list => empty frame with the schema."""
+    reconstruction; empty list => empty frame with the schema.
+
+    The final select restores the METADATA's column order: Spark's
+    file source appends reconstructed partition columns after the data
+    columns, so a partitioned scan would otherwise disagree with the
+    table schema (and with the empty-list frame — iceberg_changes over
+    a pure append on a partitioned table hit exactly that mismatch)."""
     if not files:
         return spark.createDataFrame([], schema)
     spec_fields = {
@@ -420,7 +426,8 @@ def _read_iceberg_files(
             "write.data.path", _data_dir(table)
         )
         reader = reader.option("basePath", base)
-    return reader.parquet(*[os.path.join(table, f) for f in sorted(files)])
+    scan = reader.parquet(*[os.path.join(table, f) for f in sorted(files)])
+    return scan.select(*[f.name for f in schema.fields])
 
 
 def _live_entries(table: str, snap: dict) -> list[dict]:

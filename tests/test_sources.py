@@ -1799,3 +1799,61 @@ def test_iceberg_stream_refuses_rewritten_snapshot_log(spark, tmp_path):
     stale = {"pos": 1, "snapshot_id": snaps[1]["snapshot-id"]}
     with _pytest.raises(ValueError, match="rewritten"):
         r.partitions(stale, r.latestOffset())
+
+
+def test_delta_partitioned_scan_keeps_log_column_order(spark, tmp_path):
+    """Spark's file source appends reconstructed partition columns
+    after the data columns; the connector must restore the log's
+    order — the mismatch broke delta_changes over a pure append on a
+    partitioned table (empty removed-side frame used log order, the
+    added-side scan did not)."""
+    from etl_as_a_service_spark.sources.delta import (
+        delta_changes,
+        delta_read,
+        delta_write,
+    )
+
+    tab = str(tmp_path / "dt")
+    ddl = "k long, v string, part string"
+    v0 = delta_write(
+        spark.createDataFrame([(1, "a", "P1"), (2, "b", "P2")], ddl),
+        tab,
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    assert delta_read(spark, tab).columns == ["k", "v", "part"]
+    v1 = delta_write(
+        spark.createDataFrame([(3, "c", "P1")], ddl), tab, mode="append"
+    )
+    feed = delta_changes(spark, tab, v0, v1, ["k"])
+    assert {(r["k"], r["change_type"]) for r in feed.collect()} == {
+        (3, "insert")
+    }
+
+
+def test_iceberg_partitioned_scan_keeps_metadata_column_order(
+    spark, tmp_path
+):
+    """Iceberg twin of the partition-column reorder regression."""
+    from etl_as_a_service_spark.sources.iceberg import (
+        iceberg_changes,
+        iceberg_read,
+        iceberg_write,
+    )
+
+    tab = str(tmp_path / "it")
+    ddl = "k long, v string, part string"
+    s0 = iceberg_write(
+        spark.createDataFrame([(1, "a", "P1"), (2, "b", "P2")], ddl),
+        tab,
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    assert iceberg_read(spark, tab).columns == ["k", "v", "part"]
+    s1 = iceberg_write(
+        spark.createDataFrame([(3, "c", "P1")], ddl), tab, mode="append"
+    )
+    feed = iceberg_changes(spark, tab, s0, s1, ["k"])
+    assert {(r["k"], r["change_type"]) for r in feed.collect()} == {
+        (3, "insert")
+    }
