@@ -89,6 +89,8 @@ _ALLOWED_OPS = {
     "pivot",
     "asof_join",
     "exact_dedup",
+    "decontaminate",
+    "pack",
     "split",
     "rebalance",
     "observe",
@@ -390,6 +392,40 @@ def _apply_step(
             id_col=_req(step, "id_col"),
             normalize=step.get("normalize", True),
         )
+    if op == "decontaminate":
+        # {"op":"decontaminate","test":<spec>,"text_col":"text",
+        #  "id_col":"doc_id","n":3,"threshold":0.1} — drop docs whose
+        # n-gram containment against the TEST corpus reaches the
+        # threshold (llm/dedup.contamination_check: test shingles
+        # broadcast, train streams through one join — no train x train)
+        from etl_as_a_service_spark.llm.dedup import contamination_check
+
+        id_col = _req(step, "id_col")
+        test = compile_pipeline(spark, _req(step, "test"), _as_subplan=True)
+        contaminated = contamination_check(
+            df,
+            test,
+            text_col=_req(step, "text_col"),
+            id_col=id_col,
+            n=int(step.get("n", 3)),
+            threshold=float(step.get("threshold", 0.1)),
+        ).select(id_col)
+        return df.join(contaminated, id_col, "left_anti")
+    if op == "pack":
+        # {"op":"pack","id_col":"doc_id","token_col":"nt",
+        #  "token_budget":2048,"n_shards":16} — contiguous sequence
+        # packing (llm/curation.pack_sequences); adds shard/bin/
+        # tokens_before, one per-shard window shuffle
+        from etl_as_a_service_spark.llm.curation import pack_sequences
+
+        return pack_sequences(
+            df,
+            id_col=_req(step, "id_col"),
+            token_col=_req(step, "token_col"),
+            token_budget=int(_req(step, "token_budget")),
+            n_shards=int(step.get("n_shards", 16)),
+            salt=step.get("salt", "pack-v1"),
+        )
     if op == "split":
         # {"op":"split","id_col":"doc_id",
         #  "weights":{"train":0.9,"val":0.05,"test":0.05},
@@ -508,18 +544,24 @@ def _apply_step(
     if op == "dsir_select":
         # {"op":"dsir_select","text_col":"text","id_col":"doc_id",
         #  "target_filter":"lang = 'en'","k":100} — DSIR importance
-        # resampling toward the target-filter distribution
+        # resampling toward the target-filter distribution. The step
+        # SELECTS documents: it returns the full input rows of the k
+        # drawn docs (joined with the n_tokens/log_weight/gumbel_key
+        # selection metadata), so downstream steps keep the corpus
+        # columns — the operator alone returns only the metadata.
         from etl_as_a_service_spark.llm.curation import dsir_select
 
-        return dsir_select(
+        id_col = _req(step, "id_col")
+        sel = dsir_select(
             df,
             text_col=_req(step, "text_col"),
-            id_col=_req(step, "id_col"),
+            id_col=id_col,
             is_target=F.expr(_req(step, "target_filter")),
             n_buckets=int(step.get("n_buckets", 1024)),
             k=int(_req(step, "k")),
             salt=step.get("salt", "dsir-v1"),
         )
+        return df.join(sel, id_col, "inner")
     if op == "temperature_mix":
         # {"op":"temperature_mix","domain_col":"source",
         #  "id_col":"doc_id","alpha":0.5,"budget":1000} — p_d ∝ n_d^α

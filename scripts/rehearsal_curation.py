@@ -1,0 +1,230 @@
+#!/usr/bin/env python
+"""End-to-end rehearsal of the flagship curation pipeline at the
+README's 10x-sf0.1 stress scale, driven through PipelineRunner with the
+strict plan-doctor gate ON and a staged write-audit-publish sink.
+
+Chain (every stage a declarative pipeline op):
+    exact_dedup -> decontaminate -> dsir_select -> temperature_mix
+    -> tokenize (with_column) -> pack -> staged WAP parquet sink
+
+What this measures (and why per-stage): each stage is timed as the
+delta between cumulative prefix executions of the SAME spec, so a
+stage's number includes exactly the work it adds on top of the already-
+planned upstream (what a 100 TB operator would see when appending the
+stage). "shuffles" counts Exchange nodes added to the physical plan by
+the stage. The end-to-end run then goes through PipelineRunner
+(strict lint, deferred gates, staged publish) and the output row count
+is reconciled against the standalone operator composition.
+
+Corpus: 10 copies of sf0.1 documents (50k docs). Copies 0-2 share the
+exact text (exact-dedup fodder, ~33% removal); copies 3-9 are prefix-
+edited uniques. Eval set for decontamination: every 50th base doc —
+its text survives in the train copies, so decontamination must drop
+those whole families.
+
+Usage: python scripts/rehearsal_curation.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_as_a_service_spark.plans.pipeline import (  # noqa: E402
+    PipelineRunner,
+    compile_pipeline,
+)
+from etl_as_a_service_spark.session import build_session  # noqa: E402
+
+
+def n_exchanges(df) -> int:
+    """Distinct shuffle exchanges in the formatted plan (the tree form
+    prints each physical node once; ReusedExchange nodes are reuse, not
+    extra shuffles)."""
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return len(
+        [
+            ln
+            for ln in buf.getvalue().splitlines()
+            if re.match(r"^\(\d+\) Exchange\b", ln.strip())
+        ]
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = build_session(app_name="curation-rehearsal",
+                          driver_memory="16g")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="curation_rehearsal_")
+    corpus_path = os.path.join(root, "corpus_10x")
+    out_path = os.path.join(root, "curated")
+
+    # ---- build the 10x corpus (untimed setup) ----
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    copies = []
+    for i in range(10):
+        c = base.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * 1_000_000)
+        )
+        if i >= 3:  # prefix-edited uniques; 0-2 are exact triplicates
+            c = c.withColumn(
+                "text", F.concat(F.lit(f"copy {i} variant "), F.col("text"))
+            )
+        copies.append(c)
+    corpus = copies[0]
+    for c in copies[1:]:
+        corpus = corpus.unionByName(c)
+    corpus.repartition(32).write.mode("overwrite").parquet(corpus_path)
+    n_input = spark.read.parquet(corpus_path).count()
+
+    eval_spec = {
+        "source": {
+            "format": "parquet",
+            "path": os.path.join(sf_dir, "documents.parquet"),
+        },
+        "steps": [{"op": "filter", "predicate": "doc_id % 50 = 0"}],
+    }
+    steps = [
+        ("exact_dedup", {
+            "op": "exact_dedup", "text_col": "text", "id_col": "doc_id",
+        }),
+        ("decontaminate", {
+            "op": "decontaminate", "test": eval_spec,
+            "text_col": "text", "id_col": "doc_id",
+            "n": 3, "threshold": 0.5,
+        }),
+        ("dsir_select", {
+            "op": "dsir_select", "text_col": "text", "id_col": "doc_id",
+            "target_filter": "lang = 'en'", "k": 20000,
+        }),
+        ("temperature_mix", {
+            "op": "temperature_mix", "domain_col": "source",
+            "id_col": "doc_id", "alpha": 0.5, "budget": 15000,
+        }),
+        ("tokenize", {
+            "op": "with_column", "name": "nt",
+            "expr": "size(split(text, '\\\\s+'))",
+        }),
+        ("pack", {
+            "op": "pack", "id_col": "doc_id", "token_col": "nt",
+            "token_budget": 2048, "n_shards": 32,
+        }),
+    ]
+
+    # ---- per-stage deltas over cumulative prefixes ----
+    print("| stage | rows out | wall (delta) | shuffles (delta) |")
+    print("|---|---|---|---|")
+    prev_t, prev_x = 0.0, 0
+    src = {"source": {"format": "parquet", "path": corpus_path}}
+    # warm the corpus scan so stage 1 doesn't pay file listing
+    spark.read.parquet(corpus_path).count()
+    for k in range(1, len(steps) + 1):
+        spec = {"name": f"prefix_{k}", **src,
+                "steps": [s for _, s in steps[:k]]}
+        df = compile_pipeline(spark, spec)
+        wall, n = float("inf"), 0
+        for _ in range(3):  # min-of-3: host variance >> stage deltas
+            t0 = time.perf_counter()
+            n = df.count()
+            wall = min(wall, time.perf_counter() - t0)
+        x = n_exchanges(df)
+        print(
+            f"| {steps[k - 1][0]} | {n} | {max(wall - prev_t, 0.0):.2f}s "
+            f"| +{max(x - prev_x, 0)} |"
+        )
+        prev_t, prev_x = wall, x
+
+    # ---- end-to-end through the runner: strict lint + WAP sink ----
+    full = {
+        "name": "curation_flagship",
+        "plan_lint": "strict",
+        **src,
+        "steps": [s for _, s in steps],
+        "sink": {
+            "format": "parquet",
+            "path": out_path,
+            "mode": "overwrite",
+            "staged": True,
+            "audit": {
+                "nonempty": "count(*) > 0",
+                "ids_filled": "count_if(doc_id IS NULL) = 0",
+                "bins_nonneg": "min(bin) >= 0",
+                "budget_respected": "max(tokens_before) >= 0",
+            },
+        },
+    }
+    t0 = time.perf_counter()
+    run = PipelineRunner(spark).run(full, user="rehearsal")
+    e2e = time.perf_counter() - t0
+    assert run.status == "success", run.error
+    findings = (run.metrics or {}).get("plan_findings", [])
+    assert not any(
+        f["severity"] == "critical" for f in findings
+    ), findings
+    published = spark.read.parquet(out_path)
+    n_out = published.count()
+
+    # ---- reconcile vs standalone operator composition ----
+    from etl_as_a_service_spark.llm.curation import (
+        dsir_select,
+        pack_sequences,
+        temperature_mix,
+    )
+    from etl_as_a_service_spark.llm.dedup import (
+        contamination_check,
+        exact_dedup,
+    )
+
+    docs = spark.read.parquet(corpus_path)
+    evald = base.filter("doc_id % 50 = 0")
+    s1 = exact_dedup(docs, text_col="text", id_col="doc_id")
+    bad = contamination_check(
+        s1, evald, "text", "doc_id", n=3, threshold=0.5
+    ).select("doc_id")
+    s2 = s1.join(bad, "doc_id", "left_anti")
+    s3 = s2.join(
+        dsir_select(
+            s2, text_col="text", id_col="doc_id",
+            is_target=F.expr("lang = 'en'"), k=20000,
+        ),
+        "doc_id",
+        "inner",
+    )
+    s4 = temperature_mix(
+        s3, domain_col="source", id_col="doc_id", alpha=0.5, budget=15000
+    )
+    s5 = pack_sequences(
+        s4.withColumn("nt", F.expr("size(split(text, '\\\\s+'))")),
+        id_col="doc_id", token_col="nt", token_budget=2048, n_shards=32,
+    )
+    n_standalone = s5.count()
+    print(f"\ninput rows: {n_input}")
+    print(f"end-to-end (runner, strict lint, WAP publish): {e2e:.2f}s")
+    print(f"published rows: {n_out}; standalone composition: "
+          f"{n_standalone}; reconciled: {n_out == n_standalone}")
+    print(f"plan findings (non-critical): "
+          f"{[f['code'] for f in findings]}")
+    n_seqs = published.select("shard", "bin").distinct().count()
+    print(f"packed sequences: {n_seqs}")
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

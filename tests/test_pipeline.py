@@ -1333,3 +1333,68 @@ def test_semi_join_bloom_compiles_without_running_jobs(spark):
         sc.setLocalProperty("spark.jobGroup.id", None)
     assert list(jobs) == [], "semi_join_bloom compile ran Spark jobs"
     assert df.count() > 0  # the deferred plan still executes
+
+
+def test_decontaminate_and_pack_steps_match_operators(spark):
+    """The round-5 flagship-chain ops: decontaminate must equal the
+    anti-join against contamination_check, pack must equal
+    pack_sequences — the pipeline spec is just spelling for the
+    operators."""
+    from etl_as_a_service_spark.llm.curation import pack_sequences
+    from etl_as_a_service_spark.llm.dedup import contamination_check
+
+    docs_src = {
+        "format": "parquet",
+        "path": f"{SF_SMOKE}/documents.parquet",
+    }
+    test_spec = {
+        "source": docs_src,
+        "steps": [{"op": "filter", "predicate": "doc_id % 7 = 0"}],
+    }
+    spec = {
+        "name": "decon_pack",
+        "source": docs_src,
+        "steps": [
+            {
+                "op": "decontaminate",
+                "test": test_spec,
+                "text_col": "text",
+                "id_col": "doc_id",
+                "n": 3,
+                "threshold": 0.5,
+            },
+            {
+                "op": "with_column",
+                "name": "nt",
+                "expr": "size(split(text, '\\\\s+'))",
+            },
+            {
+                "op": "pack",
+                "id_col": "doc_id",
+                "token_col": "nt",
+                "token_budget": 256,
+                "n_shards": 4,
+            },
+        ],
+    }
+    from pyspark.sql import functions as F
+
+    got = compile_pipeline(spark, spec)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    test_df = docs.filter("doc_id % 7 = 0")
+    bad = contamination_check(
+        docs, test_df, "text", "doc_id", n=3, threshold=0.5
+    ).select("doc_id")
+    want = pack_sequences(
+        docs.join(bad, "doc_id", "left_anti").withColumn(
+            "nt", F.expr("size(split(text, '\\\\s+'))")
+        ),
+        id_col="doc_id",
+        token_col="nt",
+        token_budget=256,
+        n_shards=4,
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # the test docs themselves are 100%-contained -> dropped
+    assert got.count() < docs.count()
