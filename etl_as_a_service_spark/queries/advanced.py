@@ -7,6 +7,8 @@ invariant booleans the oracle expects TRUE."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from etl_as_a_service_spark.catalog import load_tables
@@ -1026,3 +1028,259 @@ def q203_join_cardinality(spark, sf_dir):
 
     (li,) = _t(spark, sf_dir, "lineitem")
     return join_cardinality_estimate(li, li, "l_partkey", "l_partkey")
+
+
+# --------------------------------------------------------------------------
+# q207 — salted skew join, result-identical to the plain join
+# --------------------------------------------------------------------------
+@query(
+    "q207_salted_skew_join",
+    oracle="""
+    SELECT s.s_nationkey,
+           CAST(count(*) AS BIGINT)                                  AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)     AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey ORDER BY s.s_nationkey
+    """,
+    tags=("join", "skew", "salting", "operator", "scale"),
+)
+def q207_salted_skew_join(spark, sf_dir):
+    """Per-nation revenue through operators.skew.salted_join: every
+    fact row gets a random salt in [0,16), the supplier side is
+    replicated once per salt value, and the join key becomes
+    (l_suppkey, salt) — each hot supplier's rows spread over 16
+    reducers instead of one. The oracle IS the plain equi-join: the
+    salt is internal and the result row-identical, which is the whole
+    contract (q186 diagnoses WHEN to salt; this runs the mitigation).
+
+    SCALE DESIGN: explicit salting is the deterministic fallback for
+    the 1%-of-keys-own-50%-of-rows fact⋈dim shape when AQE's runtime
+    skew split can't help (e.g. the skew is in a partial-agg input,
+    or the straggler is a single key inside one AQE partition).
+    Replication multiplies only the DIM side's shuffle volume by the
+    bucket count — at 100 TB that's the cheap side by orders of
+    magnitude."""
+    from etl_as_a_service_spark.operators.skew import salted_join
+
+    li, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    dim = supplier.select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, dim, "l_suppkey", salt_buckets=16)
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q208 — SPRT sequential A/B monitor (Wald boundaries)
+# --------------------------------------------------------------------------
+_SPRT_P0, _SPRT_P1 = 0.20, 0.30
+_SPRT_BOUND = 2.9444389791664403  # ln(19): alpha = beta = 0.05
+# Pre-computed step literals embedded verbatim in BOTH engines: the
+# cumulative sums then perform identical double additions in identical
+# order, so the boundary comparison can never flip on a libm ulp.
+_SPRT_UP = math.log(_SPRT_P1 / _SPRT_P0)
+_SPRT_DN = math.log((1 - _SPRT_P1) / (1 - _SPRT_P0))
+
+
+@query(
+    "q208_sprt_monitor",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS arm,
+             ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN {_SPRT_UP!r}
+                  ELSE {_SPRT_DN!r} END AS llr_step
+      FROM events
+    ),
+    cum AS (
+      SELECT arm,
+             row_number() OVER w AS n,
+             sum(llr_step)  OVER w AS llr
+      FROM scored
+      WINDOW w AS (PARTITION BY arm ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT arm,
+           CAST(count(*) AS BIGINT)            AS n_events,
+           round(max_by(llr, n), 6)            AS final_llr,
+           CAST(coalesce(min(CASE WHEN abs(llr) >= {_SPRT_BOUND}
+                                  THEN n END), -1) AS BIGINT) AS first_cross_n,
+           CASE WHEN min(CASE WHEN abs(llr) >= {_SPRT_BOUND}
+                              THEN n END) IS NULL THEN 'continue'
+                ELSE min_by(CASE WHEN llr > 0 THEN 'accept_h1'
+                                 ELSE 'accept_h0' END,
+                            coalesce(CASE WHEN abs(llr) >= {_SPRT_BOUND}
+                                          THEN n END, 2147483647)) END
+                                               AS decision
+    FROM cum GROUP BY arm ORDER BY arm
+    """,
+    tags=("experiment", "sequential", "sprt", "window", "stats"),
+)
+def q208_sprt_monitor(spark, sf_dir):
+    """Wald SPRT over each experiment arm's event stream: per event,
+    add ln(p1/p0) on success ('purchase') else ln((1-p1)/(1-p0));
+    stop the first time |LLR| crosses ln((1-beta)/alpha). Reports,
+    per arm, the sample size at first crossing and the decision — the
+    always-valid alternative to the fixed-horizon t-test (q164) and
+    CUPED readout (q183): a monitor can stop the experiment early
+    without alpha inflation.
+
+    SCALE DESIGN: one cumulative window per arm — the partition key
+    is the ARM (a handful of partitions, each a sequential scan),
+    which is exactly how a sequential monitor must be computed; the
+    final per-arm reduction is a bounded aggregate. For millions of
+    simultaneous experiments the arm key fans out and partitions stay
+    parallel."""
+    (events,) = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    step_up, step_dn = _SPRT_UP, _SPRT_DN
+    scored = events.select(
+        F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd").alias("arm"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit(step_up))
+        .otherwise(F.lit(step_dn))
+        .alias("llr_step"),
+    )
+    w = (
+        Window.partitionBy("arm")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = scored.select(
+        "arm",
+        F.row_number().over(w).alias("n"),
+        F.sum("llr_step").over(w).alias("llr"),
+    )
+    crossed = F.when(F.abs(F.col("llr")) >= _SPRT_BOUND, F.col("n"))
+    agg = cum.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.max_by("llr", "n"), 6).alias("final_llr"),
+        F.coalesce(F.min(crossed), F.lit(-1)).cast("long").alias("first_cross_n"),
+        F.min_by(
+            F.when(F.col("llr") > 0, "accept_h1").otherwise("accept_h0"),
+            F.coalesce(crossed, F.lit(2147483647)),
+        ).alias("__first_dir"),
+        F.min(crossed).alias("__cross"),
+    )
+    return agg.select(
+        "arm",
+        "n_events",
+        "final_llr",
+        "first_cross_n",
+        F.when(F.col("__cross").isNull(), "continue")
+        .otherwise(F.col("__first_dir"))
+        .alias("decision"),
+    ).orderBy("arm")
+
+
+# --------------------------------------------------------------------------
+# q211 — information-gain feature ranking
+# --------------------------------------------------------------------------
+@query(
+    "q211_info_gain_ranking",
+    oracle="""
+    WITH feats AS (
+      SELECT o_orderstatus AS label, f.feature, f.value
+      FROM orders,
+           LATERAL (VALUES
+             ('priority', o_orderpriority),
+             ('price_band', CAST(CAST(floor(o_totalprice / 50000) AS BIGINT)
+                                 AS VARCHAR)),
+             ('month', CAST(CAST(month(o_orderdate) AS BIGINT) AS VARCHAR))
+           ) AS f(feature, value)
+    ),
+    cells AS (
+      SELECT feature, value, label, count(*) AS c
+      FROM feats GROUP BY feature, value, label
+    ),
+    vtot AS (
+      SELECT feature, value, sum(c) AS vc FROM cells GROUP BY feature, value
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM orders),
+    cond AS (
+      SELECT c.feature,
+             sum((c.c / (SELECT n FROM n)) * ln(v.vc / c.c)) AS h_cond
+      FROM cells c JOIN vtot v USING (feature, value)
+      GROUP BY c.feature
+    ),
+    lab AS (
+      SELECT sum((lc / (SELECT n FROM n)) * ln((SELECT n FROM n) / lc)) AS h
+      FROM (SELECT CAST(count(*) AS DOUBLE) AS lc FROM orders
+            GROUP BY o_orderstatus)
+    )
+    SELECT feature,
+           round((SELECT h FROM lab), 6)                    AS h_label,
+           round((SELECT h FROM lab) - h_cond, 6)           AS info_gain
+    FROM cond ORDER BY feature
+    """,
+    tags=("stats", "entropy", "feature-ranking", "ml"),
+)
+def q211_info_gain_ranking(spark, sf_dir):
+    """Information gain of three candidate features (order priority,
+    50k price band, order month) w.r.t. the order-status label:
+    IG(f) = H(label) - H(label|f), computed from one (feature, value,
+    label) contingency aggregate — the feature-selection counterpart
+    of q199's entropy and q200's chi-square.
+
+    SCALE DESIGN: the unpivot (one stack(), zero shuffle) triples the
+    rows map-side; everything after is partial-aggregated counts at
+    contingency-cell grain — cardinality = features x values x
+    labels, tiny regardless of table size. H(label) is a 1-row
+    broadcast scalar; no window, no collect."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    feats = orders.select(
+        F.col("o_orderstatus").alias("label"),
+        F.expr(
+            "stack(3,"
+            " 'priority', o_orderpriority,"
+            " 'price_band', CAST(CAST(floor(o_totalprice / 50000) AS BIGINT)"
+            "                    AS STRING),"
+            " 'month', CAST(CAST(month(o_orderdate) AS BIGINT) AS STRING)"
+            ") AS (feature, value)"
+        ),
+    )
+    cells = feats.groupBy("feature", "value", "label").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    vtot = cells.groupBy("feature", "value").agg(F.sum("c").alias("vc"))
+    n_total = orders.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    h_label = (
+        orders.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("double").alias("lc"))
+        .crossJoin(F.broadcast(n_total))
+        .agg(
+            F.sum((F.col("lc") / F.col("n")) * F.log(F.col("n") / F.col("lc")))
+            .alias("h")
+        )
+    )
+    cond = (
+        cells.join(vtot, ["feature", "value"])
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("feature")
+        .agg(
+            F.sum(
+                (F.col("c") / F.col("n")) * F.log(F.col("vc") / F.col("c"))
+            ).alias("h_cond")
+        )
+    )
+    return (
+        cond.crossJoin(F.broadcast(h_label))
+        .select(
+            "feature",
+            F.round(F.col("h"), 6).alias("h_label"),
+            F.round(F.col("h") - F.col("h_cond"), 6).alias("info_gain"),
+        )
+        .orderBy("feature")
+    )

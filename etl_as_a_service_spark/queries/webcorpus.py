@@ -1,0 +1,324 @@
+"""Web-corpus curation queries (round-5 batch, q206+): corpus-level
+boilerplate-segment excision (the C4 "repeated line" rule re-expressed
+over segment fingerprints), domain-relative quality thresholds, and
+URL/domain extraction with a blocklist gate — the three standard
+passes a web-crawl curation pipeline runs before any model-specific
+filtering.
+
+The documents fixture is space-separated word soup with no newlines,
+so "lines" are deterministic 8-word segments (the segmentation is part
+of the declared contract and identical in both engines); boilerplate
+and URLs are PLANTED deterministically per row so every check is
+non-vacuous, following the q58 pattern.
+
+Oracle rules follow the manifest header: BIGINT casts on counts,
+round()ed doubles, identical aliases, total ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.catalog import load_tables
+from etl_as_a_service_spark.queries import query
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+# Planted boilerplate: every doc gets the same global header, and every
+# SOURCE gets a source-specific footer — so the corpus-frequency pass
+# must find both a corpus-wide segment and per-source segments, and the
+# excision must strip them while leaving the unique payload intact.
+_HEADER = "terms of service apply all rights reserved worldwide"
+_SEG_WORDS = 8
+_MIN_DOCS = 3  # segment is boilerplate if it appears in >= 3 distinct docs
+
+
+def _planted_text_sql() -> str:
+    return (
+        f"'{_HEADER} ' || text || ' copyright footer text provided by "
+        "source ' || source"
+    )
+
+
+# --------------------------------------------------------------------------
+# q206 — corpus boilerplate-segment excision (C4 repeated-line rule)
+# --------------------------------------------------------------------------
+@query(
+    "q206_boilerplate_excision",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, source, {_planted_text_sql()} AS text
+      FROM documents
+    ),
+    segged AS (
+      SELECT doc_id, source,
+             list_transform(
+               range(CAST(ceil(len(string_split(text, ' ')) / {_SEG_WORDS}.0)
+                          AS BIGINT)),
+               i -> array_to_string(
+                      string_split(text, ' ')[i*{_SEG_WORDS}+1 : i*{_SEG_WORDS}+{_SEG_WORDS}],
+                      ' ')) AS segs
+      FROM planted
+    ),
+    exploded AS (
+      SELECT doc_id, source,
+             unnest(segs) AS seg,
+             unnest(range(len(segs))) AS idx
+      FROM segged
+    ),
+    boiler AS (
+      SELECT seg FROM exploded
+      GROUP BY seg HAVING count(DISTINCT doc_id) >= {_MIN_DOCS}
+    ),
+    kept AS (
+      SELECT e.* FROM exploded e ANTI JOIN boiler b ON e.seg = b.seg
+    ),
+    rewritten AS (
+      SELECT doc_id,
+             count(*) AS n_kept,
+             md5(string_agg(seg, ' ' ORDER BY idx)) AS clean_md5
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (
+      SELECT doc_id, count(*) AS n_segs FROM exploded GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_segs AS BIGINT)                       AS n_segs,
+           CAST(t.n_segs - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(r.clean_md5, '')                      AS clean_md5
+    FROM totals t LEFT JOIN rewritten r ON t.doc_id = r.doc_id
+    WHERE t.doc_id < 100
+    ORDER BY t.doc_id
+    """,
+    tags=("dedup", "boilerplate", "curation", "llm", "text"),
+)
+def q206_boilerplate_excision(spark, sf_dir):
+    """C4-style repeated-line removal over segment fingerprints: split
+    every doc into deterministic 8-word segments, count DISTINCT docs
+    per exact segment text corpus-wide, drop every segment seen in >=3
+    docs, and reassemble the doc in segment order (md5 pins the exact
+    rewritten text cross-engine). Planted header/footer segments make
+    the rule non-vacuous: the global header appears in all docs, the
+    footers in all docs of one source.
+
+    SCALE DESIGN: segmentation is a zero-shuffle Catalyst transform
+    (split + slice over sequence — no explode until after the map
+    side); the frequency pass is one partial-aggregated shuffle on the
+    segment hash; the excision anti-join shuffles (segment, doc) pairs
+    once. No driver-side state: the boilerplate set stays distributed
+    (at 100 TB it can exceed broadcast size — Catalyst may still pick
+    broadcast when its estimate is small). Counting DISTINCT docs, not
+    occurrences, keeps a doc that repeats its own refrain from
+    self-triggering the corpus rule (that in-doc case is q89/q150's
+    job).
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit(_HEADER + " "),
+            F.col("text"),
+            F.lit(" copyright footer text provided by source "),
+            F.col("source"),
+        ).alias("text"),
+    )
+    words = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(words) / F.lit(float(_SEG_WORDS))).cast("int")
+    segged = planted.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), n_seg - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(words, i * _SEG_WORDS + 1, _SEG_WORDS), " "
+            ),
+        ).alias("segs"),
+    )
+    exploded = segged.select(
+        "doc_id", F.posexplode("segs").alias("idx", "seg")
+    )
+    boiler = (
+        exploded.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _MIN_DOCS)
+        .select("seg")
+    )
+    kept = exploded.join(boiler, "seg", "left_anti")
+    rewritten = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    totals = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    return (
+        totals.join(rewritten, "doc_id", "left")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.col("n_segs").cast("long").alias("n_segs"),
+            (F.col("n_segs") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_md5"), F.lit("")).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q209 — domain-relative quality threshold (keep top 30% per source)
+# --------------------------------------------------------------------------
+@query(
+    "q209_domain_quantile_filter",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+      FROM documents
+    ),
+    thresholds AS (
+      SELECT source, CAST(quantile_cont(score, 0.7) AS DOUBLE) AS thr
+      FROM scored GROUP BY source
+    )
+    SELECT s.source,
+           CAST(count(*) AS BIGINT)      AS n_kept,
+           CAST(sum(s.doc_id) AS BIGINT) AS id_sum,
+           round(any_value(t.thr), 6)    AS threshold
+    FROM scored s JOIN thresholds t ON s.source = t.source
+    WHERE s.score >= t.thr
+    GROUP BY s.source ORDER BY s.source
+    """,
+    tags=("curation", "quality", "percentile", "llm"),
+)
+def q209_domain_quantile_filter(spark, sf_dir):
+    """Domain-relative quality gate — keep each SOURCE's top 30% of
+    docs by score (word count here; any scalar score plugs in). A
+    fixed global cutoff over-prunes clean domains and under-prunes
+    noisy ones; the per-domain quantile is the standard web-curation
+    fix. q97 is the GLOBAL percentile band; this is the grouped
+    variant with a per-group threshold join-back.
+
+    SCALE DESIGN: thresholds are one exact-percentile aggregate per
+    source — a few-row frame joined back (Catalyst broadcasts it; at
+    millions of domains it degrades gracefully to a hash join on the
+    source key, never a window over the corpus — percent_rank per
+    source would sort every partition globally per key)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("score"),
+    )
+    thresholds = scored.groupBy("source").agg(
+        F.percentile("score", F.lit(0.7)).alias("thr")
+    )
+    return (
+        scored.join(thresholds, "source")
+        .filter(F.col("score") >= F.col("thr"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.round(F.any_value("thr"), 6).alias("threshold"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q210 — URL/domain extraction + registrable-domain blocklist
+# --------------------------------------------------------------------------
+_URL_SQL = (
+    "' see https://m' || CAST(doc_id % 11 AS VARCHAR)"
+    " || '.cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example'"
+    " || CAST(doc_id % 5 AS VARCHAR) || '.com/p/' || CAST(doc_id AS VARCHAR)"
+)
+_BLOCKED = ("example1.com", "example4.com")
+
+
+@query(
+    "q210_domain_blocklist_stats",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT doc_id, n_chars, text || {_URL_SQL} AS text
+      FROM documents
+    ),
+    hosts AS (
+      SELECT doc_id, n_chars,
+             regexp_extract(text, 'https?://([^/ ]+)', 1) AS host
+      FROM dirty
+    ),
+    reg AS (
+      SELECT doc_id, n_chars, host,
+             regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+      FROM hosts
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(sum(n_chars) AS BIGINT)  AS chars_total
+    FROM reg
+    WHERE domain NOT IN ('{_BLOCKED[0]}', '{_BLOCKED[1]}')
+    GROUP BY domain ORDER BY domain
+    """,
+    tags=("text", "url", "blocklist", "curation", "llm"),
+)
+def q210_domain_blocklist_stats(spark, sf_dir):
+    """URL host extraction -> registrable-domain rollup -> blocklist
+    gate — the provenance pass of a crawl pipeline (URLs planted per
+    row, q58-style, so extraction is non-vacuous). The registrable
+    domain is the last two host labels (regex on both engines — Spark
+    parse_url/DuckDB differ on edge cases, the declared regex subset
+    does not).
+
+    SCALE DESIGN: extraction is zero-shuffle Catalyst regex; the
+    blocklist is a literal IN filter here (a real blocklist table
+    becomes a broadcast anti-join — same plan shape as q182's dim
+    side); one partial-aggregated shuffle on the domain key, whose
+    cardinality (registrable domains) is millions, not billions —
+    safely shufflable."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://m"),
+            (F.col("doc_id") % 11).cast("string"),
+            F.lit(".cdn"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    hosts = dirty.select(
+        "doc_id",
+        "n_chars",
+        F.regexp_extract("text", r"https?://([^/ ]+)", 1).alias("host"),
+    )
+    reg = hosts.withColumn(
+        "domain", F.regexp_extract("host", r"([^.]+\.[^.]+)$", 1)
+    )
+    return (
+        reg.filter(~F.col("domain").isin(*_BLOCKED))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+        )
+        .orderBy("domain")
+    )

@@ -1,0 +1,144 @@
+"""Content-level invariants for the round-5 web-corpus batch (q206,
+q209, q210) and the SPRT monitor (q208) — the oracle-parity sweep in
+test_oracle_parity.py covers cross-engine value equality; these pin the
+SEMANTICS (planted boilerplate actually excised, per-source thresholds
+actually distribution-relative, blocklist actually enforced, SPRT
+decision consistent with the crossing sign).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE, SF_T2
+
+
+def test_boilerplate_header_always_excised(spark):
+    """The planted 8-word header is its own aligned segment in every
+    doc, so the corpus rule (>=3 distinct docs) must strip it from
+    every doc: n_removed >= 1 everywhere, and the rewritten md5 never
+    equals the md5 of the planted text."""
+    from etl_as_a_service_spark.queries.webcorpus import (
+        _HEADER,
+        q206_boilerplate_excision,
+    )
+    from etl_as_a_service_spark.catalog import load_tables
+
+    out = q206_boilerplate_excision(spark, SF_SMOKE).collect()
+    assert len(out) > 0
+    assert all(r.n_removed >= 1 for r in out)
+    assert all(0 < r.n_segs for r in out)
+    assert all(r.n_removed <= r.n_segs for r in out)
+
+    docs = load_tables(spark, SF_SMOKE, ("documents",))["documents"]
+    planted = {
+        r.doc_id: f"{_HEADER} {r.text} copyright footer text provided by source {r.source}"
+        for r in docs.filter(F.col("doc_id") < 100).collect()
+    }
+    for r in out:
+        full_md5 = hashlib.md5(planted[r.doc_id].encode()).hexdigest()
+        assert r.clean_md5 != full_md5, "rewrite left the doc untouched"
+
+
+def test_boilerplate_rewrite_preserves_unique_payload(spark):
+    """A doc with corpus-unique text keeps every non-boilerplate
+    segment: n_segs - n_removed equals the number of its segments that
+    are NOT shared with >=3 docs (spot-check: removal never exceeds
+    half the doc for unique-text docs at the smoke SF)."""
+    from etl_as_a_service_spark.queries.webcorpus import (
+        q206_boilerplate_excision,
+    )
+
+    out = q206_boilerplate_excision(spark, SF_SMOKE).collect()
+    kept_frac = [1 - r.n_removed / r.n_segs for r in out]
+    # every doc keeps something (the word-soup payload is unique per
+    # base doc) and at least half the docs keep >50% of segments
+    assert all(f > 0 for f in kept_frac)
+    assert sum(1 for f in kept_frac if f > 0.5) >= len(kept_frac) // 2
+
+
+def test_domain_quantile_filter_is_relative(spark):
+    """Per-source 0.7-quantile gate: each source keeps roughly the top
+    30% (binomially fuzzy at 125 docs/source), and every source's
+    threshold lies within that source's own score range — i.e. the
+    cut is distribution-relative, not global."""
+    from etl_as_a_service_spark.queries.webcorpus import (
+        q209_domain_quantile_filter,
+    )
+    from etl_as_a_service_spark.catalog import load_tables
+
+    docs = load_tables(spark, SF_T2, ("documents",))["documents"]
+    sizes = {
+        r.source: (r.n, r.lo, r.hi)
+        for r in docs.select(
+            "source", F.size(F.split("text", " ")).cast("double").alias("s")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("s").alias("lo"),
+            F.max("s").alias("hi"),
+        )
+        .collect()
+    }
+    out = q209_domain_quantile_filter(spark, SF_T2).collect()
+    assert set(r.source for r in out) == set(sizes)
+    for r in out:
+        n, lo, hi = sizes[r.source]
+        assert lo <= r.threshold <= hi
+        frac = r.n_kept / n
+        assert 0.1 <= frac <= 0.55, (r.source, frac)
+
+
+def test_domain_blocklist_enforced(spark):
+    from etl_as_a_service_spark.queries.webcorpus import (
+        _BLOCKED,
+        q210_domain_blocklist_stats,
+    )
+
+    out = q210_domain_blocklist_stats(spark, SF_T2).collect()
+    domains = {r.domain for r in out}
+    assert domains == {"example0.com", "example2.com", "example3.com"}
+    assert not (domains & set(_BLOCKED))
+    # hosts fan out under each registrable domain (subdomain rollup
+    # actually grouped multiple hosts)
+    assert all(r.n_hosts > 1 for r in out)
+
+
+def test_sprt_decision_matches_crossing_sign(spark):
+    """When the monitor reports a crossing, the decision must be the
+    SIGN of the LLR at the first crossing row — recompute the
+    cumulative walk independently and check, plus first_cross_n is
+    minimal."""
+    from etl_as_a_service_spark.queries.advanced import (
+        _SPRT_BOUND,
+        _SPRT_DN,
+        _SPRT_UP,
+        q208_sprt_monitor,
+    )
+    from etl_as_a_service_spark.catalog import load_tables
+
+    out = {r.arm: r for r in q208_sprt_monitor(spark, SF_T2).collect()}
+    events = (
+        load_tables(spark, SF_T2, ("events",))["events"]
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_arm: dict[str, list] = {"even": [], "odd": []}
+    for r in events:
+        by_arm["even" if r.user_id % 2 == 0 else "odd"].append(r)
+    for arm, rows in by_arm.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        llr, first_cross, decision = 0.0, -1, "continue"
+        for i, r in enumerate(rows, start=1):
+            llr += _SPRT_UP if r.event_type == "purchase" else _SPRT_DN
+            if first_cross == -1 and abs(llr) >= _SPRT_BOUND:
+                first_cross = i
+                decision = "accept_h1" if llr > 0 else "accept_h0"
+        got = out[arm]
+        assert got.n_events == len(rows)
+        assert got.first_cross_n == first_cross
+        assert got.decision == decision
+        assert abs(got.final_llr - llr) < 1e-5
