@@ -1945,3 +1945,104 @@ def q157_heavy_hitters_fold(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q213 — semi-structured schema-drift profile (JSON key census)
+# --------------------------------------------------------------------------
+@query(
+    "q213_schema_drift_profile",
+    oracle="""
+    WITH dirty AS (
+      SELECT event_id,
+             substring(props, 1, len(props) - 1) ||
+             CASE WHEN event_id % 2 = 0 AND event_id % 3 = 0
+                    THEN ', "v": 1, "w": "s"}'
+                  WHEN event_id % 2 = 0 THEN ', "v": 1}'
+                  WHEN event_id % 3 = 0 THEN ', "w": "s"}'
+                  ELSE '}' END AS doc
+      FROM events
+    ),
+    keyed AS (SELECT event_id, json_keys(doc) AS ks FROM dirty),
+    total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM keyed),
+    per_key AS (
+      SELECT 'key' AS kind, u.k AS name,
+             CAST(count(*) AS BIGINT) AS n,
+             round(count(*) / (SELECT n FROM total), 6) AS rate
+      FROM keyed, unnest(ks) AS u(k) GROUP BY u.k
+    ),
+    sigs AS (
+      SELECT 'signature' AS kind,
+             array_to_string(list_sort(ks), ' ') AS name,
+             CAST(count(*) AS BIGINT) AS n,
+             round(count(*) / (SELECT n FROM total), 6) AS rate
+      FROM keyed GROUP BY array_to_string(list_sort(ks), ' ')
+    )
+    SELECT * FROM per_key
+    UNION ALL
+    SELECT * FROM sigs
+    ORDER BY kind, name
+    """,
+    tags=("json", "schema", "profiling", "drift", "semi-structured"),
+)
+def q213_schema_drift_profile(spark, sf_dir):
+    """Schema census over a semi-structured JSON column: per-key
+    presence counts/fill rates plus a histogram of sorted key-set
+    SIGNATURES — the drift detector for evolving event payloads (a
+    new producer version shows up as a new signature long before a
+    pipeline crashes on a missing field). Keys "v"/"w" are planted on
+    deterministic row subsets, q58-style, so the census observes four
+    distinct signatures, not one.
+
+    SCALE DESIGN: key extraction (json_object_keys) is a zero-shuffle
+    Catalyst pass; both aggregates are key-grain / signature-grain
+    (cardinality = schema vocabulary, not data volume) with map-side
+    combine. This is the VARIANT-column profiling pass run before
+    choosing which JSON paths to promote to typed columns."""
+    (events,) = _t(spark, sf_dir, "events")
+    suffix = (
+        F.when(
+            (F.col("event_id") % 2 == 0) & (F.col("event_id") % 3 == 0),
+            ', "v": 1, "w": "s"}',
+        )
+        .when(F.col("event_id") % 2 == 0, ', "v": 1}')
+        .when(F.col("event_id") % 3 == 0, ', "w": "s"}')
+        .otherwise("}")
+    )
+    dirty = events.select(
+        "event_id",
+        F.concat(
+            F.expr("substring(props, 1, length(props) - 1)"), suffix
+        ).alias("doc"),
+    )
+    keyed = dirty.select(
+        "event_id", F.json_object_keys("doc").alias("ks")
+    )
+    total = keyed.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    per_key = (
+        keyed.select(F.explode("ks").alias("name"))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.lit("key").alias("kind"),
+            "name",
+            F.col("c").cast("long").alias("n"),
+            F.round(F.col("c") / F.col("n"), 6).alias("rate"),
+        )
+    )
+    sigs = (
+        keyed.select(
+            F.array_join(F.array_sort("ks"), " ").alias("name")
+        )
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.lit("signature").alias("kind"),
+            "name",
+            F.col("c").cast("long").alias("n"),
+            F.round(F.col("c") / F.col("n"), 6).alias("rate"),
+        )
+    )
+    return per_key.unionByName(sigs).orderBy("kind", "name")

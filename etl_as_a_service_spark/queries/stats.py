@@ -1294,3 +1294,208 @@ def q205_winsorized_stats(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# q212 — rolling 7-day active users from mergeable per-day HLL sketches
+# --------------------------------------------------------------------------
+@query(
+    "q212_rolling_active_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    win AS (
+      SELECT d.day,
+             count(DISTINCT u.user_id) AS exact_7d,
+             count(DISTINCT CASE WHEN u.day = d.day
+                                 THEN u.user_id END) AS exact_1d
+      FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day
+    )
+    SELECT day,
+           CAST(exact_1d AS BIGINT) AS exact_1d,
+           CAST(exact_7d AS BIGINT) AS exact_7d,
+           TRUE AS est_ok
+    FROM win ORDER BY day
+    """,
+    tags=("sketch", "hll", "rolling", "distinct", "window", "scale"),
+)
+def q212_rolling_active_users(spark, sf_dir):
+    """Rolling 7-day active users (WAU) where the rolling DISTINCT is
+    answered by hll_union_agg over per-day Datasketches HLL sketches —
+    the mergeable-sketch pattern for rolling-window distinct counts:
+    a windowed count(DISTINCT) over the raw stream re-shuffles the
+    fact rows once per window position, while per-day sketches are
+    one aggregate over the data and every window is then a union of
+    <=7 sketch rows (a few KB each). Follows q104's oracle contract:
+    sketch internals are engine-specific, so the oracle pins the
+    EXACT counts and expects the engine-computed tolerance boolean
+    (standard HLL error at lgK=12 is ~1.6%; gate at max(2, 5%)) to be
+    TRUE.
+
+    SCALE DESIGN: the sketch frame is ONE row per day regardless of
+    fact volume; the 7-day spine join explodes day x 7 offsets over
+    that tiny frame only. The exact_7d column here exists for the
+    oracle check — a production rollup would keep only the sketch
+    path (that is the point), and any window length (MAU, quarter)
+    reuses the SAME per-day sketches without touching raw data."""
+    (events,) = _t(spark, sf_dir, "events")
+    du = (
+        events.select(
+            F.to_date("ts").alias("day"), "user_id"
+        ).distinct()
+    )
+    daily = du.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).cast("long").alias("exact_1d"),
+    )
+    # 7-day spine over the per-day frame: (day, src_day) for the <=7
+    # source days feeding each output day
+    spine = daily.select(
+        "day", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+    ).select("day", F.date_sub("day", F.col("off")).alias("src_day"))
+    unioned = (
+        spine.join(
+            daily.select(
+                F.col("day").alias("src_day"),
+                "sk",
+            ),
+            "src_day",
+        )
+        .groupBy("day")
+        .agg(F.hll_union_agg("sk").alias("usk"))
+        .select("day", F.hll_sketch_estimate("usk").alias("est_7d"))
+    )
+    exact7 = (
+        spine.join(
+            du.select(F.col("day").alias("src_day"), "user_id"), "src_day"
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_7d"))
+    )
+    return (
+        daily.select("day", "exact_1d")
+        .join(exact7, "day")
+        .join(unioned, "day")
+        .select(
+            "day",
+            "exact_1d",
+            "exact_7d",
+            (
+                F.abs(F.col("est_7d") - F.col("exact_7d"))
+                <= F.greatest(F.lit(2.0), F.col("exact_7d") * 0.05)
+            ).alias("est_ok"),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# q214 — binned two-sample Kolmogorov-Smirnov test
+# --------------------------------------------------------------------------
+_KS_BIN = 1000.0  # fixed bin width over o_totalprice
+_KS_CRIT = 1.3581015157406195  # c(alpha=0.05) = sqrt(-ln(alpha/2)/2)
+
+
+@query(
+    "q214_ks_two_sample",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'hot' ELSE 'cold' END AS grp,
+             CAST(floor(o_totalprice / {_KS_BIN}) AS BIGINT) AS bin
+      FROM orders
+    ),
+    cells AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN grp = 'hot'  THEN 1 ELSE 0 END) AS DOUBLE) AS ca,
+             CAST(sum(CASE WHEN grp = 'cold' THEN 1 ELSE 0 END) AS DOUBLE) AS cb
+      FROM tagged GROUP BY bin
+    ),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cells),
+    cdf AS (
+      SELECT sum(ca) OVER w / (SELECT na FROM tot) AS fa,
+             sum(cb) OVER w / (SELECT nb FROM tot) AS fb
+      FROM cells
+      WINDOW w AS (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST((SELECT na FROM tot) AS BIGINT) AS n_hot,
+           CAST((SELECT nb FROM tot) AS BIGINT) AS n_cold,
+           round(max(abs(fa - fb)), 6)          AS ks_stat,
+           max(abs(fa - fb)) > {_KS_CRIT}
+             * sqrt(((SELECT na FROM tot) + (SELECT nb FROM tot))
+                    / ((SELECT na FROM tot) * (SELECT nb FROM tot)))
+                                                AS reject_h0
+    FROM cdf
+    """,
+    tags=("stats", "ks", "distribution", "hypothesis-test"),
+)
+def q214_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov distance between urgent-priority
+    and other orders' price distributions, computed on a FIXED 1000-
+    unit binning: KS = max over bin edges of |ECDF_a - ECDF_b|, with
+    Smirnov's asymptotic alpha=0.05 rejection bound. Completes the
+    distribution-comparison family: PSI (q163) needs chosen baseline
+    buckets, MWU (q201) ranks, KS measures the max CDF gap.
+
+    SCALE DESIGN: the exact KS needs a GLOBAL sort of both samples —
+    the binned statistic replaces it with one bin-grain aggregate
+    (map-side combined, cardinality = value_range / width, data-size
+    independent) and a cumulative window over those few hundred bin
+    rows. Bin assignment is floor(x / width) — the same IEEE double
+    ops in both engines, so bins can never disagree; every later
+    number is integer-derived and bit-identical."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    tagged = orders.select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hot"
+        )
+        .otherwise("cold")
+        .alias("grp"),
+        F.floor(F.col("o_totalprice") / _KS_BIN).cast("long").alias("bin"),
+    )
+    cells = tagged.groupBy("bin").agg(
+        F.sum(F.when(F.col("grp") == "hot", 1).otherwise(0))
+        .cast("double")
+        .alias("ca"),
+        F.sum(F.when(F.col("grp") == "cold", 1).otherwise(0))
+        .cast("double")
+        .alias("cb"),
+    )
+    tot = cells.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = (
+        cells.select(
+            "bin",
+            F.sum("ca").over(w).alias("cuma"),
+            F.sum("cb").over(w).alias("cumb"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("cuma") / F.col("na")).alias("fa"),
+            (F.col("cumb") / F.col("nb")).alias("fb"),
+            "na",
+            "nb",
+        )
+    )
+    return cdf.groupBy("na", "nb").agg(
+        F.max(F.abs(F.col("fa") - F.col("fb"))).alias("__ks")
+    ).select(
+        F.col("na").cast("long").alias("n_hot"),
+        F.col("nb").cast("long").alias("n_cold"),
+        F.round("__ks", 6).alias("ks_stat"),
+        (
+            F.col("__ks")
+            > _KS_CRIT
+            * F.sqrt((F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb")))
+        ).alias("reject_h0"),
+    )

@@ -322,3 +322,85 @@ def q210_domain_blocklist_stats(spark, sf_dir):
         )
         .orderBy("domain")
     )
+
+
+# --------------------------------------------------------------------------
+# q215 — training-budget repetition audit (effective epochs per domain)
+# --------------------------------------------------------------------------
+_EPOCHS_TEMP = 0.5  # temperature for the mixing weights (q147's knob)
+_EPOCHS_BUDGET_X = 3.0  # token budget as a multiple of the corpus size
+_EPOCHS_MAX = 4.0  # repetition ceiling before a domain is flagged
+
+
+@query(
+    "q215_effective_epochs",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS t FROM per),
+    wts AS (
+      SELECT source, tokens,
+             pow(tokens / (SELECT t FROM tot), {_EPOCHS_TEMP}) AS rw
+      FROM per
+    ),
+    norm AS (SELECT sum(rw) AS z FROM wts)
+    SELECT source,
+           tokens,
+           round(rw / (SELECT z FROM norm), 6) AS mix_weight,
+           round({_EPOCHS_BUDGET_X} * (SELECT t FROM tot)
+                 * (rw / (SELECT z FROM norm)) / tokens, 6) AS eff_epochs,
+           {_EPOCHS_BUDGET_X} * (SELECT t FROM tot)
+                 * (rw / (SELECT z FROM norm)) / tokens
+             > {_EPOCHS_MAX} AS over_repeated
+    FROM wts ORDER BY source
+    """,
+    tags=("curation", "mixing", "budget", "planning", "llm"),
+)
+def q215_effective_epochs(spark, sf_dir):
+    """Repetition audit for a temperature-mixed training run: given
+    q147's mixing weights (share^0.5, renormalized) and a token
+    budget of 3x the corpus, compute each domain's EFFECTIVE EPOCHS
+    (budget x weight / domain tokens) and flag domains that would be
+    repeated past 4 epochs — the point where repeated data stops
+    helping (the data-constrained scaling observation). q147 draws
+    the sample; this is the pre-flight readout that says whether the
+    requested mix is even achievable without over-repeating small
+    domains.
+
+    SCALE DESIGN: everything happens at domain grain after one
+    map-side-combined token-count aggregate; the temperature/
+    normalization scalars are 1-row broadcasts. No data movement
+    beyond the per-domain counts — the audit costs the same at 100 TB
+    as at 100 MB once the counts exist."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens")
+    )
+    tot = per.agg(F.sum("tokens").cast("double").alias("t"))
+    wts = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        "t",
+        F.pow(F.col("tokens") / F.col("t"), F.lit(_EPOCHS_TEMP)).alias("rw"),
+    )
+    norm = wts.agg(F.sum("rw").alias("z"))
+    epochs = (
+        F.lit(_EPOCHS_BUDGET_X)
+        * F.col("t")
+        * (F.col("rw") / F.col("z"))
+        / F.col("tokens")
+    )
+    return (
+        wts.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "tokens",
+            F.round(F.col("rw") / F.col("z"), 6).alias("mix_weight"),
+            F.round(epochs, 6).alias("eff_epochs"),
+            (epochs > _EPOCHS_MAX).alias("over_repeated"),
+        )
+        .orderBy("source")
+    )

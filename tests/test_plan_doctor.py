@@ -159,7 +159,10 @@ def test_manifest_plans_lint_clean(spark):
       documented in-query — the q122 statistics-utility exception);
     - q201: the Mann-Whitney midrank window runs over the AGGREGATED
       bounded value domain (50 distinct l_quantity values, documented
-      in-query)."""
+      in-query);
+    - q214: the KS cumulative window runs over the AGGREGATED bin
+      grain (value_range / bin_width rows — a few hundred — not the
+      fact table; the q201 pattern, documented in-query)."""
     from etl_as_a_service_spark.plans.doctor import lint_plan
     from etl_as_a_service_spark.queries import QUERIES
     from tests.conftest import SF_SMOKE
@@ -171,6 +174,7 @@ def test_manifest_plans_lint_clean(spark):
         "q195_pmi_collocations",
         "q197_km_survival",
         "q201_mann_whitney_u",
+        "q214_ks_two_sample",
     }
     bad = {}
     for name, qd in QUERIES.items():

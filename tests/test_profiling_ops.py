@@ -1,0 +1,101 @@
+"""Invariants for the round-5 profiling/monitoring batch: rolling-HLL
+active users (q212), JSON schema-drift census (q213), binned KS test
+(q214), and the effective-epochs budget audit (q215). Cross-engine
+value parity is covered by the oracle sweep; these pin semantics.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_T2
+
+
+def test_rolling_hll_within_tolerance_and_monotone(spark):
+    """Every day's union-sketch estimate is inside the declared bound
+    (est_ok TRUE for all rows — the oracle expects exactly this), the
+    7-day count never falls below the 1-day count, and the spine
+    covers every event day."""
+    from etl_as_a_service_spark.queries.stats import q212_rolling_active_users
+    from etl_as_a_service_spark.catalog import load_tables
+
+    out = q212_rolling_active_users(spark, SF_T2).collect()
+    days = (
+        load_tables(spark, SF_T2, ("events",))["events"]
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert len(out) == days
+    assert all(r.est_ok for r in out)
+    assert all(r.exact_7d >= r.exact_1d for r in out)
+    # after a warm-up week the rolling count must exceed any single day
+    tail = [r for r in sorted(out, key=lambda r: r.day)[6:]]
+    assert all(r.exact_7d > r.exact_1d for r in tail)
+
+
+def test_schema_census_sees_planted_signatures(spark):
+    """The planted keys produce exactly four key-set signatures with
+    the arithmetic row shares of the %2 / %3 planting, and fill rates
+    sum correctly: k everywhere, v on evens, w on multiples of 3."""
+    from etl_as_a_service_spark.queries.misc import q213_schema_drift_profile
+
+    rows = q213_schema_drift_profile(spark, SF_T2).collect()
+    keys = {r.name: r for r in rows if r.kind == "key"}
+    sigs = {r.name: r for r in rows if r.kind == "signature"}
+    assert set(sigs) == {"k", "k v", "k w", "k v w"}
+    total = sum(r.n for r in sigs.values())
+    assert keys["k"].n == total
+    assert abs(keys["v"].rate - 0.5) < 0.02
+    assert abs(keys["w"].rate - 1 / 3) < 0.02
+    # signature histogram partitions the rows
+    assert abs(sum(r.rate for r in sigs.values()) - 1.0) < 1e-6
+
+
+def test_ks_statistic_matches_numpy_recompute(spark):
+    """Recompute the binned KS statistic independently from the raw
+    prices and check the engine's value and decision."""
+    from etl_as_a_service_spark.queries.stats import (
+        _KS_BIN,
+        _KS_CRIT,
+        q214_ks_two_sample,
+    )
+    from etl_as_a_service_spark.catalog import load_tables
+
+    row = q214_ks_two_sample(spark, SF_T2).collect()[0]
+    orders = (
+        load_tables(spark, SF_T2, ("orders",))["orders"]
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    hot, cold = {}, {}
+    for r in orders:
+        b = math.floor(r.o_totalprice / _KS_BIN)
+        d = hot if r.o_orderpriority in ("1-URGENT", "2-HIGH") else cold
+        d[b] = d.get(b, 0) + 1
+    na, nb = sum(hot.values()), sum(cold.values())
+    ks, ca, cb = 0.0, 0, 0
+    for b in sorted(set(hot) | set(cold)):
+        ca += hot.get(b, 0)
+        cb += cold.get(b, 0)
+        ks = max(ks, abs(ca / na - cb / nb))
+    assert row.n_hot == na and row.n_cold == nb
+    assert abs(row.ks_stat - ks) < 1e-6
+    assert row.reject_h0 == (ks > _KS_CRIT * math.sqrt((na + nb) / (na * nb)))
+
+
+def test_effective_epochs_identities(spark):
+    """Mix weights renormalize to 1; epochs identity holds (weight *
+    budget / tokens); a uniform corpus at temperature 0.5 with budget
+    3x and ~40 equal sources implies ~3 epochs each, no flags."""
+    from etl_as_a_service_spark.queries.webcorpus import q215_effective_epochs
+
+    out = q215_effective_epochs(spark, SF_T2).collect()
+    assert abs(sum(r.mix_weight for r in out) - 1.0) < 1e-4
+    total = sum(r.tokens for r in out)
+    for r in out:
+        expect = 3.0 * total * r.mix_weight / r.tokens
+        assert abs(r.eff_epochs - expect) < 1e-3
+        assert r.over_repeated == (expect > 4.0)
