@@ -90,6 +90,17 @@ HEADLINE_QUALITY = [
 #: Delta + Iceberg table, plus an Avro copy) is UNTIMED; the timed
 #: entries are a partition-pruned snapshot read and a two-version
 #: change-feed scan per table format, and the full Avro decode scan.
+#: round-5 second-batch additions: one representative per new family —
+#: the corpus boilerplate excision (segment explode + anti-join + md5
+#: reassembly, the heaviest of the batch), the rolling-HLL active-user
+#: spine, and the per-arm SPRT cumulative walk. SEPARATE subtotal;
+#: earlier subtotals stay comparable.
+HEADLINE_WEBCORPUS = [
+    "q206_boilerplate_excision",
+    "q212_rolling_active_users",
+    "q208_sprt_monitor",
+]
+
 HEADLINE_LAKEHOUSE = [
     "lake_delta_pruned_read",
     "lake_delta_change_feed",
@@ -212,7 +223,8 @@ def main() -> None:
     RUNS = 3
     timings: dict[str, float] = {}
     for name in (HEADLINE + HEADLINE_CURATION + HEADLINE_ADVANCED
-                 + HEADLINE_SEMANTIC + HEADLINE_QUALITY):
+                 + HEADLINE_SEMANTIC + HEADLINE_QUALITY
+                 + HEADLINE_WEBCORPUS):
         if name not in QUERIES:
             continue
         best, n = float("inf"), 0
@@ -256,6 +268,9 @@ def main() -> None:
     lakehouse = round(
         sum(timings[n] for n in HEADLINE_LAKEHOUSE if n in timings), 3
     )
+    webcorpus = round(
+        sum(timings[n] for n in HEADLINE_WEBCORPUS if n in timings), 3
+    )
     print(
         json.dumps(
             {
@@ -271,9 +286,10 @@ def main() -> None:
                 "subtotal_semantic": semantic,
                 "subtotal_quality": quality,
                 "subtotal_lakehouse": lakehouse,
+                "subtotal_webcorpus": webcorpus,
                 "total_all": round(
                     core + curation + advanced + semantic + quality
-                    + lakehouse,
+                    + lakehouse + webcorpus,
                     3,
                 ),
                 "runs_per_query": RUNS,
