@@ -1284,3 +1284,81 @@ def q211_info_gain_ranking(spark, sf_dir):
         )
         .orderBy("feature")
     )
+
+
+# --------------------------------------------------------------------------
+# q216 — differentially-private histogram release (seeded Laplace)
+# --------------------------------------------------------------------------
+_DP_EPS = 0.5
+_DP_SEED = "dp-v1"
+
+
+@query(
+    "q216_dp_histogram",
+    oracle=f"""
+    WITH per AS (
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_true
+      FROM orders GROUP BY o_orderpriority
+    ),
+    seeded AS (
+      SELECT o_orderpriority, n_true,
+             CAST(('0x' || substr(md5('{_DP_SEED}' || o_orderpriority), 1, 13))
+                  AS BIGINT) / 4503599627370496.0 AS u
+      FROM per
+    )
+    SELECT o_orderpriority,
+           n_true,
+           round(n_true
+                 - (1.0 / {_DP_EPS})
+                   * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+                   * ln(1 - 2 * abs(u - 0.5)), 6) AS n_noised,
+           {_DP_EPS} AS epsilon
+    FROM seeded ORDER BY o_orderpriority
+    """,
+    tags=("privacy", "dp", "histogram", "laplace"),
+)
+def q216_dp_histogram(spark, sf_dir):
+    """Laplace-mechanism histogram release: per-priority order counts
+    plus Laplace(sensitivity/epsilon) noise drawn by inverse CDF from
+    a uniform derived from md5(seed || key) — 13 hex digits / 2^52,
+    the same integer parse in both engines, so the 'draw' is
+    bit-reproducible cross-engine (a REAL release would use a CSPRNG;
+    the seeded-hash draw is what makes the mechanism testable, and is
+    the standard trick for reproducible DP pipelines). Completes the
+    privacy family: q193 audits k-anonymity of a quasi-identifier
+    release; this releases the aggregate itself with an epsilon
+    budget. n_true appears ONLY for the oracle check — the release
+    artifact is (key, n_noised, epsilon).
+
+    SCALE DESIGN: noise is a zero-shuffle scalar expression over the
+    already-aggregated group frame — the DP layer adds nothing to the
+    plan beyond the group-by it protects. Per-key seeding keeps draws
+    independent across cells; composition across releases is the
+    caller's epsilon bookkeeping."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_DP_SEED), F.col("o_orderpriority"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4503599627370496.0)  # 2^52
+    )
+    lap = (
+        -(1.0 / _DP_EPS)
+        * F.when(u >= 0.5, 1.0).otherwise(-1.0)
+        * F.log(1 - 2 * F.abs(u - 0.5))
+    )
+    return per.select(
+        "o_orderpriority",
+        "n_true",
+        F.round(F.col("n_true") + lap, 6).alias("n_noised"),
+        F.lit(_DP_EPS).alias("epsilon"),
+    ).orderBy("o_orderpriority")

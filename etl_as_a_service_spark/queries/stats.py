@@ -1499,3 +1499,82 @@ def q214_ks_two_sample(spark, sf_dir):
             * F.sqrt((F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb")))
         ).alias("reject_h0"),
     )
+
+
+# --------------------------------------------------------------------------
+# q217 — weight-of-evidence / information-value feature binning
+# --------------------------------------------------------------------------
+_WOE_BAND = 100000.0  # price-band width
+_WOE_SMOOTH = 0.5  # additive smoothing against empty cells
+
+
+@query(
+    "q217_woe_iv_binning",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(floor(o_totalprice / {_WOE_BAND}) AS BIGINT) AS band,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bad,
+             CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_good
+      FROM orders GROUP BY band
+    ),
+    tot AS (
+      SELECT sum(n_bad) + {_WOE_SMOOTH} * count(*)  AS tb,
+             sum(n_good) + {_WOE_SMOOTH} * count(*) AS tg
+      FROM cells
+    ),
+    woe AS (
+      SELECT band, n_good, n_bad,
+             ((n_good + {_WOE_SMOOTH}) / (SELECT tg FROM tot)) AS pg,
+             ((n_bad + {_WOE_SMOOTH}) / (SELECT tb FROM tot))  AS pb
+      FROM cells
+    )
+    SELECT band, n_good, n_bad,
+           round(ln(pg / pb), 6)             AS woe,
+           round((pg - pb) * ln(pg / pb), 6) AS iv_contrib
+    FROM woe ORDER BY band
+    """,
+    tags=("stats", "woe", "binning", "feature-engineering", "ml"),
+)
+def q217_woe_iv_binning(spark, sf_dir):
+    """Weight-of-evidence table for the price-band feature against
+    the F-status label: WOE = ln(P(band|good)/P(band|bad)) with
+    additive 0.5 smoothing, plus each band's information-value
+    contribution (IV = sum of contributions; <0.02 = useless feature,
+    >0.5 = suspicious). The credit-scoring-standard companion to
+    q211's information gain: IG ranks features, WOE/IV gives the
+    per-bin monotone encoding actually fed to a scorecard model.
+
+    SCALE DESIGN: one map-side-combined aggregate at (band) grain
+    with conditional counts; totals are a 1-row broadcast. All
+    post-aggregate math is on integer-derived doubles — identical
+    cross-engine."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.floor(F.col("o_totalprice") / _WOE_BAND).cast("long").alias("band")
+    ).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad"),
+        F.sum(F.when(F.col("o_orderstatus") != "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_good"),
+    )
+    tot = cells.agg(
+        (F.sum("n_bad") + _WOE_SMOOTH * F.count(F.lit(1))).alias("tb"),
+        (F.sum("n_good") + _WOE_SMOOTH * F.count(F.lit(1))).alias("tg"),
+    )
+    pg = (F.col("n_good") + _WOE_SMOOTH) / F.col("tg")
+    pb = (F.col("n_bad") + _WOE_SMOOTH) / F.col("tb")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_good",
+            "n_bad",
+            F.round(F.log(pg / pb), 6).alias("woe"),
+            F.round((pg - pb) * F.log(pg / pb), 6).alias("iv_contrib"),
+        )
+        .orderBy("band")
+    )

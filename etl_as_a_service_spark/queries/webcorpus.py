@@ -404,3 +404,75 @@ def q215_effective_epochs(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q218 — Zipf rank-frequency fit over the term distribution
+# --------------------------------------------------------------------------
+_ZIPF_TOP = 1000
+
+
+@query(
+    "q218_zipf_slope",
+    oracle=f"""
+    WITH terms AS (
+      SELECT u.w AS term, count(*) AS c
+      FROM documents, unnest(string_split(text, ' ')) AS u(w)
+      GROUP BY u.w
+    ),
+    topk AS (
+      SELECT term, c FROM terms
+      ORDER BY c DESC, term LIMIT {_ZIPF_TOP}
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r
+      FROM topk
+    )
+    SELECT CAST(count(*) AS BIGINT)                        AS n_terms,
+           round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+                                                           AS zipf_slope,
+           round(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+                                                           AS zipf_intercept,
+           round(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+                                                           AS r2
+    FROM ranked
+    """,
+    tags=("corpus", "zipf", "statistics", "text", "llm"),
+)
+def q218_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit of the corpus term distribution: OLS slope /
+    intercept / R² of ln(frequency) against ln(rank) over the top-1000
+    terms — the distribution-health screen for a text corpus (natural
+    language sits near slope -1; word-soup or boilerplate-heavy
+    corpora deviate; a tokenizer-vocab decision reads this before
+    q130's BPE induction).
+
+    SCALE DESIGN: term counts are one map-side-combined aggregate;
+    TakeOrderedAndProject bounds the frame to 1000 rows BEFORE the
+    ranking window (the q93 pattern — the global window runs over the
+    already-top-k'd frame, documented allowlist), and the regression
+    is a 1-row reduce of Spark's built-in regr_* aggregates over
+    those 1000 rows."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    terms = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    topk = terms.orderBy(F.col("c").desc(), "term").limit(_ZIPF_TOP)
+    ranked = topk.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "term"))
+        .alias("r"),
+    )
+    ln_c = F.log(F.col("c").cast("double"))
+    ln_r = F.log(F.col("r").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(F.regr_slope(ln_c, ln_r), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(ln_c, ln_r), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(ln_c, ln_r), 6).alias("r2"),
+    )

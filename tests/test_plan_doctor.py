@@ -162,7 +162,10 @@ def test_manifest_plans_lint_clean(spark):
       in-query);
     - q214: the KS cumulative window runs over the AGGREGATED bin
       grain (value_range / bin_width rows — a few hundred — not the
-      fact table; the q201 pattern, documented in-query)."""
+      fact table; the q201 pattern, documented in-query);
+    - q218: the Zipf ranking window runs over the already-top-1000'd
+      term frame (TakeOrderedAndProject bounds it first — the q93
+      pattern, documented in-query)."""
     from etl_as_a_service_spark.plans.doctor import lint_plan
     from etl_as_a_service_spark.queries import QUERIES
     from tests.conftest import SF_SMOKE
@@ -175,6 +178,7 @@ def test_manifest_plans_lint_clean(spark):
         "q197_km_survival",
         "q201_mann_whitney_u",
         "q214_ks_two_sample",
+        "q218_zipf_slope",
     }
     bad = {}
     for name, qd in QUERIES.items():

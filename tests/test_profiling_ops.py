@@ -99,3 +99,66 @@ def test_effective_epochs_identities(spark):
         expect = 3.0 * total * r.mix_weight / r.tokens
         assert abs(r.eff_epochs - expect) < 1e-3
         assert r.over_repeated == (expect > 4.0)
+
+
+def test_dp_histogram_noise_recompute(spark):
+    """The seeded Laplace draw is bit-reproducible: recompute the
+    md5-derived uniform and inverse-CDF noise in Python and match the
+    engine's released values; every cell must actually be perturbed."""
+    import hashlib as _hl
+
+    from etl_as_a_service_spark.queries.advanced import (
+        _DP_EPS,
+        _DP_SEED,
+        q216_dp_histogram,
+    )
+
+    out = q216_dp_histogram(spark, SF_T2).collect()
+    assert len(out) == 5
+    for r in out:
+        u = (
+            int(_hl.md5((_DP_SEED + r.o_orderpriority).encode()).hexdigest()[:13], 16)
+            / 4503599627370496.0
+        )
+        noise = -(1.0 / _DP_EPS) * (1.0 if u >= 0.5 else -1.0) * math.log(
+            1 - 2 * abs(u - 0.5)
+        )
+        assert abs(r.n_noised - round(r.n_true + noise, 6)) < 1e-6
+        assert r.n_noised != r.n_true
+        assert r.epsilon == _DP_EPS
+
+
+def test_woe_iv_identities(spark):
+    """WOE table identities: smoothed shares normalize to 1 per class,
+    iv_contrib is nonnegative wherever woe and (pg-pb) share sign
+    (always, by construction), and a band with a higher good share
+    than bad share has positive WOE."""
+    from etl_as_a_service_spark.queries.stats import q217_woe_iv_binning
+
+    out = q217_woe_iv_binning(spark, SF_T2).collect()
+    assert len(out) >= 3
+    for r in out:
+        assert r.iv_contrib >= 0
+    tg = sum(r.n_good for r in out) + 0.5 * len(out)
+    tb = sum(r.n_bad for r in out) + 0.5 * len(out)
+    for r in out:
+        pg, pb = (r.n_good + 0.5) / tg, (r.n_bad + 0.5) / tb
+        assert (r.woe > 0) == (pg > pb)
+        assert abs(r.woe - round(math.log(pg / pb), 6)) < 1e-6
+
+
+def test_zipf_fit_shape(spark):
+    """The word-soup corpus still produces a decreasing rank-frequency
+    curve: slope negative, R² meaningful, exactly the top-1000 terms
+    fitted."""
+    from etl_as_a_service_spark.queries.webcorpus import q218_zipf_slope
+
+    row = q218_zipf_slope(spark, SF_T2).collect()[0]
+    # the fixture's word-soup vocabulary is small — the fit covers
+    # min(1000, |vocab|) terms
+    assert 10 <= row.n_terms <= 1000
+    assert row.zipf_slope < 0
+    assert 0.0 <= row.r2 <= 1.0
+    # intercept = predicted ln(freq) at rank 1 — must be at least the
+    # slope-implied ln of the top frequency's order of magnitude
+    assert row.zipf_intercept > 0
