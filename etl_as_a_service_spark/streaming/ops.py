@@ -798,3 +798,51 @@ def streaming_quantile_sketch(
         ),
         timeout_sec=timeout_sec,
     )
+
+
+def streaming_distinct_sketch(
+    stream_df: DataFrame,
+    state_path: str,
+    keys: list[str],
+    item_col: str,
+    checkpoint: str,
+    timeout_sec: int = 120,
+):
+    """Streaming distinct-count maintenance: each micro-batch is
+    collapsed to per-key Datasketches HLL sketches (hll_sketch_agg)
+    and folded into the persisted sketch table with hll_union_agg.
+    HLL union takes the register-wise max, so the fold is idempotent
+    AND order-insensitive — the folded estimate equals the one-shot
+    batch estimate whatever the batch boundaries (tested on the
+    estimates; serialized bytes may differ by sketch mode). This is
+    the streaming face of q212's rolling-distinct pattern: keep one
+    sketch row per (key, day) and any window length is answered later
+    by unioning a handful of rows, never rescanning history. Same
+    crash-hardening as streaming_aggregate_maintenance
+    (write-then-swap, (batch_id, fingerprint) replay idempotence,
+    rename-crash heal, stale-tmp sweep).
+
+    Returns the state frame: ``keys + [hll (binary)]``; read the
+    estimate with ``distinct_sketch_estimates``."""
+    return _maintain_folded_state(
+        stream_df,
+        state_path,
+        checkpoint,
+        partial_fn=lambda batch: batch.groupBy(*keys).agg(
+            F.hll_sketch_agg(item_col).alias("hll")
+        ),
+        merge_fn=lambda prev, part: prev.unionByName(part)
+        .groupBy(*keys)
+        .agg(F.hll_union_agg("hll").alias("hll")),
+        timeout_sec=timeout_sec,
+    )
+
+
+def distinct_sketch_estimates(state_df: DataFrame) -> DataFrame:
+    """Readout for streaming_distinct_sketch state: per-key distinct
+    estimates (plus any cross-key rollup the caller wants by unioning
+    sketch rows first — the sketches stay mergeable in the state)."""
+    keys = [c for c in state_df.columns if c != "hll"]
+    return state_df.select(
+        *keys, F.hll_sketch_estimate("hll").alias("distinct_est")
+    )

@@ -616,3 +616,105 @@ def test_delta_stream_feeds_sketch_fold(spark, tmp_path):
         for r in s.collect()
     )
     assert cells(state) == cells(batch)
+
+
+def test_streaming_distinct_sketch_matches_batch_and_exact(spark, tmp_path):
+    """The HLL fold is register-wise max, so whatever the micro-batch
+    boundaries the folded per-key estimate equals the one-shot batch
+    sketch's estimate, and both sit within the documented tolerance of
+    the exact distinct count. Cross-key rollup stays mergeable: the
+    union of state rows estimates the global distinct."""
+    from etl_as_a_service_spark.streaming.ops import (
+        distinct_sketch_estimates,
+        streaming_distinct_sketch,
+    )
+
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"].select(
+        "event_type", "user_id"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(6).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    state = streaming_distinct_sketch(
+        stream,
+        str(tmp_path / "state"),
+        ["event_type"],
+        "user_id",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    folded = {
+        r.event_type: r.distinct_est
+        for r in distinct_sketch_estimates(state).collect()
+    }
+    whole = spark.read.parquet(src)
+    oneshot = {
+        r.event_type: r.est
+        for r in whole.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in whole.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(folded) == set(exact)
+    for k, n in exact.items():
+        assert abs(folded[k] - oneshot[k]) < 1e-9  # fold == one-shot
+        assert abs(folded[k] - n) <= max(2.0, 0.05 * n)
+    # mergeable rollup: union the state sketches -> global estimate
+    glob = (
+        state.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("est")
+        ).collect()[0].est
+    )
+    n_glob = whole.select("user_id").distinct().count()
+    assert abs(glob - n_glob) <= max(2.0, 0.05 * n_glob)
+
+
+def test_streaming_distinct_sketch_replay_idempotent(spark, tmp_path):
+    """Replaying the SAME stream over the same state (simulated
+    re-delivery: second run with a fresh checkpoint, identical
+    batches) does not inflate the estimates — the (batch_id,
+    fingerprint) replay log skips already-folded batches; and even a
+    genuinely re-folded HLL union would be idempotent by max-register
+    semantics."""
+    from etl_as_a_service_spark.streaming.ops import (
+        distinct_sketch_estimates,
+        streaming_distinct_sketch,
+    )
+
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"].select(
+        "event_type", "user_id"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        return streaming_distinct_sketch(
+            stream,
+            str(tmp_path / "state"),
+            ["event_type"],
+            "user_id",
+            checkpoint=str(tmp_path / ckpt),
+        )
+
+    first = {
+        r.event_type: r.distinct_est
+        for r in distinct_sketch_estimates(run("ckpt1")).collect()
+    }
+    second = {
+        r.event_type: r.distinct_est
+        for r in distinct_sketch_estimates(run("ckpt2")).collect()
+    }
+    assert first == second
