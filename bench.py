@@ -132,6 +132,32 @@ def _setup_lakehouse(spark, sf_dir):
     )
 
     root = tempfile.mkdtemp(prefix="spark_lakehouse_bench_")
+    try:
+        return _build_lakehouse_fixtures(spark, sf_dir, root), root
+    except BaseException:
+        # a partial fixture (disk full, schema error after the delta
+        # copy landed) would otherwise leak the multi-MB tempdir on
+        # every failed run — main()'s try/finally only covers success
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+def _build_lakehouse_fixtures(spark, sf_dir, root):
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.sources.avro import read_avro, write_avro
+    from etl_as_a_service_spark.sources.delta import (
+        delta_changes,
+        delta_read,
+        delta_write,
+    )
+    from etl_as_a_service_spark.sources.iceberg import (
+        iceberg_changes,
+        iceberg_read,
+        iceberg_write,
+    )
+
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     # the Iceberg spec mapping has date but not timestamp_ntz (the
     # driver testdata encodes l_shipdate as NTZ) — a date column is
@@ -172,7 +198,7 @@ def _setup_lakehouse(spark, sf_dir):
             spark, itab, iv0, iv1, keys
         ),
         "lake_avro_scan": lambda: read_avro(spark, apath),
-    }, root
+    }
 
 
 def main() -> None:

@@ -315,6 +315,10 @@ def embedding_near_duplicates(
     # normalization per consumer would triple that cost.
     # localCheckpoint also truncates the lineage, as in the
     # connected-components loop (dedup.py).
+    # dropDuplicates on the id: a duplicate-id input row (re-ingested
+    # vector) would otherwise survive into BOTH exact-verify joins and
+    # re-expand each deduped candidate pair into dup_a x dup_b output
+    # rows — one vector per id is the operator's contract.
     unit = (
         df.select(
             F.col(id_col).alias("__id"),
@@ -323,6 +327,7 @@ def embedding_near_duplicates(
             ).alias("__unit"),
         )
         .filter(norm > 0)
+        .dropDuplicates(["__id"])
         .localCheckpoint(eager=False)
     )
     srp = srp_buckets_kernel(num_tables, bits_per_table)

@@ -247,6 +247,16 @@ def bloom_semi_join(
         )
     if expected_items is None:
         num_bits, num_hashes = MAX_BITS, 5
+        if fpp != 0.03:  # the declared default
+            warnings.warn(
+                f"bloom_semi_join: fpp={fpp:g} was requested but "
+                "expected_items is None — the filter cannot be sized "
+                "without an item estimate, so the maximum geometry "
+                f"({MAX_BITS} bits, 5 hashes) is used and the request "
+                "is not honored; pass expected_items to size for fpp",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     else:
         num_bits = optimal_num_bits(expected_items, fpp)
         num_hashes = optimal_num_hashes(num_bits, expected_items)

@@ -561,6 +561,12 @@ def _apply_step(
             k=int(_req(step, "k")),
             salt=step.get("salt", "dsir-v1"),
         )
+        # the selection metadata (n_tokens/log_weight/gumbel_key) may
+        # clash with natural corpus columns — prefix clashes so the
+        # join never emits ambiguous duplicate names downstream
+        for c in sel.columns:
+            if c != id_col and c in df.columns:
+                sel = sel.withColumnRenamed(c, f"dsir_{c}")
         return df.join(sel, id_col, "inner")
     if op == "temperature_mix":
         # {"op":"temperature_mix","domain_col":"source",

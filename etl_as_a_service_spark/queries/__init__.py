@@ -73,11 +73,12 @@ from etl_as_a_service_spark.queries import webcorpus  # noqa: E402,F401
 #
 # ROUND-6 NOTE: the spillover oracle queries that do NOT fit this
 # window — rotate these to the front next round, PLUS the round-5
-# additions q206-q215 (boilerplate excision, salted join, SPRT,
+# additions q206-q218 (boilerplate excision, salted join, SPRT,
 # domain quantile gate, URL blocklist, info gain, rolling-HLL WAU,
-# schema census, KS test, effective epochs; none driver-checked yet —
-# the generic rotation-invariant test computes the exact required set
-# from the CORRECTNESS_r*.json union, trust it):
+# schema census, KS test, effective epochs, DP histogram, WOE/IV,
+# Zipf fit; none driver-checked yet — the generic rotation-invariant
+# test computes the exact required set from the CORRECTNESS_r*.json
+# union, trust it over this enumeration):
 #   q176_peak_concurrency, q177_clamped_balance_floor,
 #   q178_clamped_balance_capped, q179_decile_lift,
 #   q180_classifier_threshold_sweep, q181_user_feature_snapshot,

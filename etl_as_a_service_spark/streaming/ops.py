@@ -459,6 +459,92 @@ def streaming_countmin(
     )
 
 
+#: replays only ever re-deliver recent batches; cap the replay log so a
+#: long-lived maintenance job can't grow it unboundedly
+_FOLD_LOG_CAP = 10_000
+
+
+def _fold_state_recover(state_path: str) -> None:
+    """Heal a crash around the state swap (shared by every folded
+    face): restore ``.__old__`` if the swap lost the live dir, and
+    sweep stale ``.__b<id>__`` tmp dirs — a crash between write and
+    swap leaves them, and their batch id may never replay; every fold
+    rewrites its tmp from scratch, so removal is always safe."""
+    import glob
+    import os
+    import shutil
+
+    old = state_path.rstrip("/") + ".__old__"
+    if not os.path.exists(state_path) and os.path.exists(old):
+        os.rename(old, state_path)
+    for stale in glob.glob(state_path.rstrip("/") + ".__b*__"):
+        shutil.rmtree(stale, ignore_errors=True)
+
+
+def _fold_state_log(state_path: str) -> dict[int, str]:
+    """Read the (batch_id, content-fingerprint) replay log stored
+    inside the state dir (rides the same atomic swap as the state)."""
+    import os
+
+    try:
+        out: dict[int, str] = {}
+        with open(os.path.join(state_path, "_folded_log")) as f:
+            for line in f.read().splitlines():
+                if line:
+                    bid, fp = line.split(",", 1)
+                    out[int(bid)] = fp
+        return out
+    except (OSError, ValueError):
+        return {}
+
+
+def _fold_fingerprint(part: DataFrame) -> str:
+    """Order-insensitive content fingerprint of a partial-state frame:
+    sum of per-row xxhash64 over the JSON rendering, plus the count."""
+    row = part.select(
+        F.sum(
+            F.xxhash64(F.to_json(F.struct(*part.columns)))
+            .cast("decimal(38,0)")
+        ).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return f"{row['h']}:{row['n']}"
+
+
+def _fold_state_swap(
+    merged: DataFrame,
+    state_path: str,
+    batch_id: int,
+    log: dict[int, str],
+    before_swap=None,
+) -> None:
+    """Write-then-swap publish of the merged state: the state table
+    must never be half-written, and overwrite-in-place would read and
+    clobber the same files. ``before_swap(tmp)`` lets a face attach
+    extra artifacts (e.g. the bloom saturation file) inside the tmp
+    dir so they ride the same atomic rename."""
+    import os
+    import shutil
+
+    tmp = state_path.rstrip("/") + f".__b{batch_id}__"
+    merged.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_folded_log"), "w") as f:
+        f.write(
+            "\n".join(
+                f"{bid},{h}"
+                for bid, h in sorted(log.items())[-_FOLD_LOG_CAP:]
+            )
+        )
+    if before_swap is not None:
+        before_swap(tmp)
+    old = state_path.rstrip("/") + ".__old__"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(state_path):
+        os.rename(state_path, old)
+    os.rename(tmp, state_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def _maintain_folded_state(
     stream_df: DataFrame,
     state_path: str,
@@ -470,85 +556,29 @@ def _maintain_folded_state(
     """Shared fold machinery for every mergeable-state streaming face:
     ``partial_fn(batch_df)`` collapses a micro-batch to its partial
     state, ``merge_fn(prev, part)`` folds it into the persisted table.
-    Carries the at-least-once hardening documented on
-    streaming_aggregate_maintenance: (batch_id, content-fingerprint)
-    replay log inside the same directory swap, write-then-swap rewrite,
-    and the rename-crash heal."""
+    Carries the at-least-once hardening of the shared fold helpers:
+    (batch_id, content-fingerprint) replay log inside the same
+    directory swap, write-then-swap rewrite, rename-crash heal, and
+    the stale-tmp sweep."""
     import os
 
     spark = stream_df.sparkSession
-    #: replays only ever re-deliver recent batches; cap the log so a
-    #: long-lived maintenance job can't grow it unboundedly
-    _LOG_CAP = 10_000
-
-    def _recover() -> None:
-        old = state_path.rstrip("/") + ".__old__"
-        if not os.path.exists(state_path) and os.path.exists(old):
-            os.rename(old, state_path)
-        # stale tmp dirs from a crash between write and swap would
-        # otherwise leak forever (their batch id may never replay);
-        # every fold rewrites its tmp from scratch, so removal is safe
-        import glob
-        import shutil
-
-        for stale in glob.glob(state_path.rstrip("/") + ".__b*__"):
-            shutil.rmtree(stale, ignore_errors=True)
-
-    def _read_log() -> dict[int, str]:
-        try:
-            out: dict[int, str] = {}
-            with open(os.path.join(state_path, "_folded_log")) as f:
-                for line in f.read().splitlines():
-                    if line:
-                        bid, fp = line.split(",", 1)
-                        out[int(bid)] = fp
-            return out
-        except (OSError, ValueError):
-            return {}
-
-    def _fingerprint(part: DataFrame) -> str:
-        row = part.select(
-            F.sum(
-                F.xxhash64(F.to_json(F.struct(*part.columns)))
-                .cast("decimal(38,0)")
-            ).alias("h"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
-        return f"{row['h']}:{row['n']}"
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        _recover()
+        _fold_state_recover(state_path)
         # collapse the batch FIRST (one row per touched group); the
         # checkpoint pins it so the fingerprint action and the state
         # merge below share one computation
         part = partial_fn(batch_df).localCheckpoint(eager=True)
-        log = _read_log()
-        fp = _fingerprint(part)
+        log = _fold_state_log(state_path)
+        fp = _fold_fingerprint(part)
         if log.get(batch_id) == fp:
             return  # replayed batch — already merged into the state
         if os.path.exists(state_path):
             prev = spark.read.parquet(state_path)
             part = merge_fn(prev, part)
-        # write-then-swap: the state table must never be half-written,
-        # and overwrite-in-place would read and clobber the same files
-        tmp = state_path.rstrip("/") + f".__b{batch_id}__"
-        part.write.mode("overwrite").parquet(tmp)
         log[batch_id] = fp
-        with open(os.path.join(tmp, "_folded_log"), "w") as f:
-            f.write(
-                "\n".join(
-                    f"{bid},{h}"
-                    for bid, h in sorted(log.items())[-_LOG_CAP:]
-                )
-            )
-        old = state_path.rstrip("/") + ".__old__"
-        import shutil
-
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(state_path):
-            os.rename(state_path, old)
-        os.rename(tmp, state_path)
-        shutil.rmtree(old, ignore_errors=True)
+        _fold_state_swap(part, state_path, batch_id, log)
 
     q = (
         stream_df.writeStream.foreachBatch(fold)
@@ -561,6 +591,11 @@ def _maintain_folded_state(
         raise TimeoutError(
             f"aggregate maintenance did not finish in {timeout_sec}s"
         )
+    if not os.path.exists(state_path):
+        # zero batches processed (empty source): no state was ever
+        # written — return an empty frame WITH the state schema
+        # (partial_fn over an empty batch) instead of a read error
+        return partial_fn(spark.createDataFrame([], stream_df.schema))
     return spark.read.parquet(state_path)
 
 
@@ -608,9 +643,7 @@ def streaming_bloom_dedup(
 
     Returns the deduplicated output as a DataFrame over ``out_path``.
     """
-    import glob
     import os
-    import shutil
     import warnings
 
     from etl_as_a_service_spark.operators.bloom import (
@@ -621,41 +654,6 @@ def streaming_bloom_dedup(
     )
 
     spark = stream_df.sparkSession
-    _LOG_CAP = 10_000
-
-    def _recover() -> None:
-        old = state_path.rstrip("/") + ".__old__"
-        if not os.path.exists(state_path) and os.path.exists(old):
-            os.rename(old, state_path)
-        # a crash between writing a tmp state dir and the swap leaves
-        # '.__b<id>__' on disk; unless that exact batch id replays it
-        # would never be cleaned — every fold rewrites its tmp dir
-        # from scratch (mode overwrite), so removing stale ones here
-        # is always safe
-        for stale in glob.glob(state_path.rstrip("/") + ".__b*__"):
-            shutil.rmtree(stale, ignore_errors=True)
-
-    def _read_log() -> dict[int, str]:
-        try:
-            out: dict[int, str] = {}
-            with open(os.path.join(state_path, "_folded_log")) as f:
-                for line in f.read().splitlines():
-                    if line:
-                        bid, fp = line.split(",", 1)
-                        out[int(bid)] = fp
-            return out
-        except (OSError, ValueError):
-            return {}
-
-    def _fingerprint(part: DataFrame) -> str:
-        row = part.select(
-            F.sum(
-                F.xxhash64(F.to_json(F.struct(*part.columns)))
-                .cast("decimal(38,0)")
-            ).alias("h"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
-        return f"{row['h']}:{row['n']}"
 
     # hashing key: NULL-safe sentinel rendering. xxhash64(NULL) is NULL,
     # so a raw NULL key would never enter the bitset and the probe's
@@ -670,7 +668,7 @@ def streaming_bloom_dedup(
     )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        _recover()
+        _fold_state_recover(state_path)
         batch = (
             batch_df.dropDuplicates([key_col])
             .withColumn(_hk, _hkexpr)
@@ -678,8 +676,8 @@ def streaming_bloom_dedup(
         )
         part = bloom_state(batch, _hk, num_bits, num_hashes)
         part = part.localCheckpoint(eager=True)
-        log = _read_log()
-        fp = _fingerprint(part)
+        log = _fold_state_log(state_path)
+        fp = _fold_fingerprint(part)
         if log.get(batch_id) == fp:
             return  # replayed batch — output dir and state already hold it
         if os.path.exists(state_path):
@@ -701,53 +699,46 @@ def streaming_bloom_dedup(
         survivors.write.mode("overwrite").parquet(
             os.path.join(out_path, f"batch={batch_id}")
         )
-        tmp = state_path.rstrip("/") + f".__b{batch_id}__"
-        merged.write.mode("overwrite").parquet(tmp)
-        log[batch_id] = fp
-        with open(os.path.join(tmp, "_folded_log"), "w") as f:
-            f.write(
-                "\n".join(
-                    f"{bid},{h}"
-                    for bid, h in sorted(log.items())[-_LOG_CAP:]
+
+        def _saturation_monitor(tmp: str) -> None:
+            # saturation monitor: the bitset is FIXED-size, so as
+            # distinct keys approach num_bits the false-positive rate
+            # climbs toward 1 and the stream silently drops nearly all
+            # genuinely-new keys. Track the fill fraction each batch
+            # (one tiny aggregate over <= num_bits/64 state rows),
+            # persist it with the state (rides the atomic swap), and
+            # warn loudly past half-full.
+            set_bits = (
+                spark.read.parquet(tmp)
+                .agg(
+                    F.coalesce(
+                        F.sum(F.expr("bit_count(bits)")), F.lit(0)
+                    ).alias("s")
                 )
+                .collect()[0]["s"]
             )
-        # saturation monitor: the bitset is FIXED-size, so as distinct
-        # keys approach num_bits the false-positive rate climbs toward
-        # 1 and the stream silently drops nearly all genuinely-new
-        # keys. Track the fill fraction each batch (one tiny aggregate
-        # over <= num_bits/64 state rows), persist it with the state,
-        # and warn loudly past half-full.
-        set_bits = (
-            spark.read.parquet(tmp)
-            .agg(
-                F.coalesce(
-                    F.sum(F.expr("bit_count(bits)")), F.lit(0)
-                ).alias("s")
-            )
-            .collect()[0]["s"]
+            fill = set_bits / num_bits
+            implied_fpp = fill**num_hashes
+            with open(os.path.join(tmp, "_saturation"), "w") as f:
+                f.write(
+                    f"set_bits={set_bits}\nnum_bits={num_bits}\n"
+                    f"fill={fill:.6f}\nimplied_fpp={implied_fpp:.6g}\n"
+                )
+            if fill > 0.5:
+                warnings.warn(
+                    f"streaming_bloom_dedup: bitset {fill:.0%} full "
+                    f"(implied false-positive rate ~{implied_fpp:.3f}) "
+                    "— new keys are being dropped at this rate; "
+                    "rebuild with a larger num_bits or reset the state",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+
+        log[batch_id] = fp
+        _fold_state_swap(
+            merged, state_path, batch_id, log,
+            before_swap=_saturation_monitor,
         )
-        fill = set_bits / num_bits
-        implied_fpp = fill**num_hashes
-        with open(os.path.join(tmp, "_saturation"), "w") as f:
-            f.write(
-                f"set_bits={set_bits}\nnum_bits={num_bits}\n"
-                f"fill={fill:.6f}\nimplied_fpp={implied_fpp:.6g}\n"
-            )
-        if fill > 0.5:
-            warnings.warn(
-                f"streaming_bloom_dedup: bitset {fill:.0%} full "
-                f"(implied false-positive rate ~{implied_fpp:.3f}) — "
-                "new keys are being dropped at this rate; rebuild with "
-                "a larger num_bits or reset the state",
-                RuntimeWarning,
-                stacklevel=2,
-            )
-        old = state_path.rstrip("/") + ".__old__"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(state_path):
-            os.rename(state_path, old)
-        os.rename(tmp, state_path)
-        shutil.rmtree(old, ignore_errors=True)
 
     q = (
         stream_df.writeStream.foreachBatch(fold)

@@ -400,3 +400,22 @@ def test_streaming_bloom_dedup_empty_source_returns_empty(spark, tmp_path):
     )
     assert out.columns == ["k", "payload"]
     assert out.count() == 0
+
+
+def test_unsized_fpp_request_warns(spark):
+    """expected_items=None cannot honor an explicit fpp — the call
+    must say so instead of silently using the max geometry."""
+    import warnings
+
+    from etl_as_a_service_spark.operators.bloom import bloom_semi_join
+
+    fact = spark.range(10).withColumnRenamed("id", "k")
+    dim = spark.range(5).withColumnRenamed("id", "d")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bloom_semi_join(fact, dim, "k", "d", fpp=0.001)
+        assert any("not honored" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bloom_semi_join(fact, dim, "k", "d")  # default fpp: no warning
+        assert not any("not honored" in str(x.message) for x in w)

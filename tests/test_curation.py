@@ -397,3 +397,38 @@ def test_weighted_sample_per_group_quota_and_determinism(spark):
     assert sorted(r["doc_id"] for r in got) == sorted(
         r["doc_id"] for r in again
     )
+
+
+def test_dsir_step_tolerates_clashing_corpus_columns(spark, tmp_path):
+    """A corpus that already carries an n_tokens column must not
+    produce ambiguous duplicate names after the dsir_select join-back
+    (clashing metadata columns are prefixed dsir_)."""
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.plans.pipeline import compile_pipeline
+    from pyspark.sql import functions as F
+
+    docs = load_tables(spark, SF_SMOKE, ("documents",))["documents"]
+    src = str(tmp_path / "docs_with_ntokens.parquet")
+    docs.withColumn("n_tokens", F.lit(7)).write.parquet(src)
+    sel = compile_pipeline(
+        spark,
+        {
+            "name": "dsir_clash",
+            "source": {"format": "parquet", "path": src},
+            "steps": [
+                {
+                    "op": "dsir_select",
+                    "text_col": "text",
+                    "id_col": "doc_id",
+                    "target_filter": "lang = 'en'",
+                    "k": 10,
+                },
+                # downstream reference to the corpus column must stay
+                # unambiguous
+                {"op": "filter", "predicate": "n_tokens = 7"},
+            ],
+        },
+    )
+    assert len(sel.columns) == len(set(sel.columns))
+    assert "dsir_n_tokens" in sel.columns
+    assert sel.count() == 10

@@ -1000,3 +1000,26 @@ def test_excise_spans_preserves_clean_docs_byte_identical(spark):
     out = {r["doc_id"]: r["text"] for r in excise_spans(docs, spans).collect()}
     assert out[1] == weird
     assert out[2] == "a d e"
+
+
+def test_embedding_near_dups_duplicate_id_input(spark):
+    """A duplicate-id input row (re-ingested vector) must not re-expand
+    candidate pairs into duplicate output rows: one vector per id is
+    the operator contract (regression for the ids-only bucket join)."""
+    from etl_as_a_service_spark.llm.similarity import (
+        embedding_near_duplicates,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),  # exact duplicate ingest of id 1
+        (2, [0.999, 0.04, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_near_duplicates(
+        df, id_col="vec_id", vec_col="embedding", cosine_threshold=0.9
+    ).collect()
+    pairs = [(r.id_a, r.id_b) for r in out]
+    assert pairs.count((1, 2)) == 1, pairs
+    assert len(pairs) == len(set(pairs))

@@ -718,3 +718,37 @@ def test_streaming_distinct_sketch_replay_idempotent(spark, tmp_path):
         for r in distinct_sketch_estimates(run("ckpt2")).collect()
     }
     assert first == second
+
+
+def test_folded_state_empty_source_returns_empty_frame(spark, tmp_path):
+    """A source directory with zero batches must yield an EMPTY state
+    frame with the right schema, not a PATH_NOT_FOUND read error
+    (regression: only streaming_bloom_dedup had the guard)."""
+    from etl_as_a_service_spark.streaming.ops import (
+        streaming_distinct_sketch,
+    )
+
+    src = str(tmp_path / "src")
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"].select(
+        "event_type", "user_id"
+    )
+    # a directory with ZERO files: availableNow terminates without a
+    # single batch, so no state is ever written — the guard must hand
+    # back an empty frame with the state schema
+    import os as _os
+
+    _os.makedirs(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    state = streaming_distinct_sketch(
+        stream,
+        str(tmp_path / "state"),
+        ["event_type"],
+        "user_id",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert state.count() == 0
+    assert set(state.columns) == {"event_type", "hll"}
