@@ -513,3 +513,31 @@ def balanced_interleave(
     return df.withColumn(
         "domain_pos", F.row_number().over(w).cast("long")
     )
+
+
+def quantile_gate(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    quantile: float = 0.7,
+    keep_threshold: bool = False,
+) -> DataFrame:
+    """Group-relative quality gate: keep rows whose ``score_col`` is at
+    or above their GROUP's exact ``quantile`` — the domain-relative
+    filter a web-corpus pipeline runs instead of a global cutoff (a
+    fixed threshold over-prunes clean domains and under-prunes noisy
+    ones). ``keep_threshold=True`` retains the per-group cut as
+    ``gate_threshold`` for reporting.
+
+    SCALE DESIGN: thresholds are one exact-percentile aggregate per
+    group — a group-grain frame joined back (broadcast when small,
+    plain hash join at millions of groups); never a window over the
+    data (percent_rank per group would sort every partition per key).
+    """
+    thr = df.groupBy(group_col).agg(
+        F.percentile(score_col, F.lit(quantile)).alias("gate_threshold")
+    )
+    out = df.join(thr, group_col).filter(
+        F.col(score_col) >= F.col("gate_threshold")
+    )
+    return out if keep_threshold else out.drop("gate_threshold")

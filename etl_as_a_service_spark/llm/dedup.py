@@ -950,3 +950,77 @@ def excise_spans(
         F.col("__spans").isNull(), F.col(text_col)
     ).otherwise(F.concat_ws(" ", kept))
     return joined.withColumn(out_col, rewritten).drop("__spans")
+
+
+def boilerplate_excise(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 8,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the C4 "repeated line" rule
+    over deterministic ``seg_words``-word segments): any segment whose
+    exact text appears in >= ``min_docs`` DISTINCT documents is
+    removed from every document, and each document is reassembled in
+    segment order. Returns the input frame with ``text_col`` rewritten
+    (empty string when every segment was boilerplate) plus
+    ``n_segments`` / ``n_boiler_removed`` counters.
+
+    Counting DISTINCT docs, not occurrences, keeps a document that
+    repeats its own refrain from self-triggering the corpus rule
+    (in-document repetition is repetition_scores'/self_substring_spans'
+    job).
+
+    SCALE DESIGN: segmentation is a zero-shuffle Catalyst transform
+    (split + slice over sequence); the frequency pass is one
+    partial-aggregated shuffle at segment grain; the excision
+    anti-join shuffles (segment, doc) pairs once; the boilerplate set
+    stays distributed (can exceed broadcast size at corpus scale).
+    """
+    words = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size(words) / F.lit(float(seg_words))).cast("int")
+    segged = df.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), n_seg - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(words, i * seg_words + 1, seg_words), " "
+            ),
+        ).alias("__segs"),
+    )
+    exploded = segged.select(
+        id_col, F.posexplode("__segs").alias("__idx", "__seg")
+    )
+    boiler = (
+        exploded.groupBy("__seg")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__seg")
+    )
+    kept = exploded.join(boiler, "__seg", "left_anti")
+    rewritten = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__seg"))),
+                lambda s: s["__seg"],
+            ),
+            " ",
+        ).alias("__clean"),
+    )
+    totals = exploded.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_segs")
+    )
+    return (
+        df.join(totals, id_col)
+        .join(rewritten, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col("__clean"), F.lit("")))
+        .withColumn("n_segments", F.col("__n_segs").cast("long"))
+        .withColumn(
+            "n_boiler_removed",
+            (F.col("__n_segs") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("long"),
+        )
+        .drop("__segs", "__n_segs", "__n_kept", "__clean")
+    )

@@ -108,6 +108,9 @@ _ALLOWED_OPS = {
     "pagerank",
     "bfs",
     "heavy_hitters",
+    "boilerplate_excise",
+    "quantile_gate",
+    "materialize",
     "gopher_quality",
     "profile",
     "reconcile",
@@ -778,6 +781,42 @@ def _apply_step(
             step.get("out_col", "q"),
             quantize_int8(F.col(_req(step, "vec_col"))),
         )
+    if op == "materialize":
+        # {"op":"materialize"} — cut the lineage here (lazy
+        # localCheckpoint: no job at compile time; the plan prefix
+        # computes ONCE at the first action instead of once per
+        # downstream branch). Place between an expensive curation
+        # phase and branching consumers (dsir join-back, sampling).
+        # At multi-job scale the durable analog is a parquet staging
+        # write; within one app localCheckpoint is the standard tool.
+        return df.localCheckpoint(eager=False)
+    if op == "boilerplate_excise":
+        # {"op":"boilerplate_excise","text_col":"text","id_col":"doc_id",
+        #  "seg_words":8,"min_docs":3} — corpus-level C4 repeated-line
+        # removal; rewrites text_col, adds n_segments/n_boiler_removed
+        from etl_as_a_service_spark.llm.dedup import boilerplate_excise
+
+        return boilerplate_excise(
+            df,
+            text_col=_req(step, "text_col"),
+            id_col=_req(step, "id_col"),
+            seg_words=int(step.get("seg_words", 8)),
+            min_docs=int(step.get("min_docs", 3)),
+        )
+    if op == "quantile_gate":
+        # {"op":"quantile_gate","score":"<sql expr>","group_col":"source",
+        #  "quantile":0.7} — keep rows at/above their GROUP's exact
+        # quantile of the score expression (domain-relative filter)
+        from etl_as_a_service_spark.llm.curation import quantile_gate
+
+        scored = df.withColumn("__gate_score", F.expr(_req(step, "score")))
+        return quantile_gate(
+            scored,
+            "__gate_score",
+            _req(step, "group_col"),
+            quantile=float(step.get("quantile", 0.7)),
+            keep_threshold=bool(step.get("keep_threshold", False)),
+        ).drop("__gate_score")
     if op == "sessionize":
         # {"op":"sessionize","ts_col":"ts","keys":["user_id"],
         #  "gap":"interval 30 minutes","tie_cols":["event_id"]}

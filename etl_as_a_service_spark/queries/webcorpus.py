@@ -116,6 +116,8 @@ def q206_boilerplate_excision(spark, sf_dir):
     self-triggering the corpus rule (that in-doc case is q89/q150's
     job).
     """
+    from etl_as_a_service_spark.llm.dedup import boilerplate_excise
+
     (docs,) = _t(spark, sf_dir, "documents")
     planted = docs.select(
         "doc_id",
@@ -127,50 +129,22 @@ def q206_boilerplate_excision(spark, sf_dir):
             F.col("source"),
         ).alias("text"),
     )
-    words = F.split(F.col("text"), " ")
-    n_seg = F.ceil(F.size(words) / F.lit(float(_SEG_WORDS))).cast("int")
-    segged = planted.select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(0), n_seg - F.lit(1)),
-            lambda i: F.array_join(
-                F.slice(words, i * _SEG_WORDS + 1, _SEG_WORDS), " "
-            ),
-        ).alias("segs"),
+    out = boilerplate_excise(
+        planted,
+        text_col="text",
+        id_col="doc_id",
+        seg_words=_SEG_WORDS,
+        min_docs=_MIN_DOCS,
     )
-    exploded = segged.select(
-        "doc_id", F.posexplode("segs").alias("idx", "seg")
-    )
-    boiler = (
-        exploded.groupBy("seg")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= _MIN_DOCS)
-        .select("seg")
-    )
-    kept = exploded.join(boiler, "seg", "left_anti")
-    rewritten = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("idx", "seg"))),
-                    lambda s: s["seg"],
-                ),
-                " ",
-            )
-        ).alias("clean_md5"),
-    )
-    totals = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
     return (
-        totals.join(rewritten, "doc_id", "left")
-        .filter(F.col("doc_id") < 100)
+        out.filter(F.col("doc_id") < 100)
         .select(
             "doc_id",
-            F.col("n_segs").cast("long").alias("n_segs"),
-            (F.col("n_segs") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce(F.col("clean_md5"), F.lit("")).alias("clean_md5"),
+            F.col("n_segments").alias("n_segs"),
+            F.col("n_boiler_removed").alias("n_removed"),
+            F.when(F.col("text") == "", "")
+            .otherwise(F.md5("text"))
+            .alias("clean_md5"),
         )
         .orderBy("doc_id")
     )
@@ -214,23 +188,23 @@ def q209_domain_quantile_filter(spark, sf_dir):
     millions of domains it degrades gracefully to a hash join on the
     source key, never a window over the corpus — percent_rank per
     source would sort every partition globally per key)."""
+    from etl_as_a_service_spark.llm.curation import quantile_gate
+
     (docs,) = _t(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
         "source",
         F.size(F.split(F.col("text"), " ")).cast("double").alias("score"),
     )
-    thresholds = scored.groupBy("source").agg(
-        F.percentile("score", F.lit(0.7)).alias("thr")
+    gated = quantile_gate(
+        scored, "score", "source", quantile=0.7, keep_threshold=True
     )
     return (
-        scored.join(thresholds, "source")
-        .filter(F.col("score") >= F.col("thr"))
-        .groupBy("source")
+        gated.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_kept"),
             F.sum("doc_id").cast("long").alias("id_sum"),
-            F.round(F.any_value("thr"), 6).alias("threshold"),
+            F.round(F.any_value("gate_threshold"), 6).alias("threshold"),
         )
         .orderBy("source")
     )

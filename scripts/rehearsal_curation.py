@@ -4,7 +4,8 @@ README's 10x-sf0.1 stress scale, driven through PipelineRunner with the
 strict plan-doctor gate ON and a staged write-audit-publish sink.
 
 Chain (every stage a declarative pipeline op):
-    exact_dedup -> decontaminate -> dsir_select -> temperature_mix
+    exact_dedup -> quantile_gate -> boilerplate_excise -> decontaminate
+    -> materialize -> dsir_select -> temperature_mix
     -> tokenize (with_column) -> pack -> staged WAP parquet sink
 
 What this measures (and why per-stage): each stage is timed as the
@@ -104,11 +105,21 @@ def main() -> None:
         ("exact_dedup", {
             "op": "exact_dedup", "text_col": "text", "id_col": "doc_id",
         }),
+        ("quantile_gate", {
+            "op": "quantile_gate",
+            "score": "size(split(text, ' '))",
+            "group_col": "source", "quantile": 0.2,
+        }),
+        ("boilerplate_excise", {
+            "op": "boilerplate_excise", "text_col": "text",
+            "id_col": "doc_id", "seg_words": 8, "min_docs": 5,
+        }),
         ("decontaminate", {
             "op": "decontaminate", "test": eval_spec,
             "text_col": "text", "id_col": "doc_id",
             "n": 3, "threshold": 0.5,
         }),
+        ("materialize", {"op": "materialize"}),
         ("dsir_select", {
             "op": "dsir_select", "text_col": "text", "id_col": "doc_id",
             "target_filter": "lang = 'en'", "k": 20000,
@@ -191,13 +202,24 @@ def main() -> None:
         exact_dedup,
     )
 
+    from etl_as_a_service_spark.llm.curation import quantile_gate
+    from etl_as_a_service_spark.llm.dedup import boilerplate_excise
+
     docs = spark.read.parquet(corpus_path)
     evald = base.filter("doc_id % 50 = 0")
     s1 = exact_dedup(docs, text_col="text", id_col="doc_id")
+    s1 = quantile_gate(
+        s1.withColumn("__gs", F.expr("size(split(text, ' '))")),
+        "__gs", "source", quantile=0.2,
+    ).drop("__gs")
+    s1 = boilerplate_excise(
+        s1, text_col="text", id_col="doc_id", seg_words=8, min_docs=5
+    )
     bad = contamination_check(
         s1, evald, "text", "doc_id", n=3, threshold=0.5
     ).select("doc_id")
     s2 = s1.join(bad, "doc_id", "left_anti")
+    s2 = s2.localCheckpoint(eager=False)
     s3 = s2.join(
         dsir_select(
             s2, text_col="text", id_col="doc_id",

@@ -142,3 +142,53 @@ def test_sprt_decision_matches_crossing_sign(spark):
         assert got.first_cross_n == first_cross
         assert got.decision == decision
         assert abs(got.final_llr - llr) < 1e-5
+
+
+def test_boilerplate_excise_operator_contract(spark):
+    """Direct operator semantics on a crafted corpus: a segment shared
+    by >= min_docs docs disappears from all of them, unique segments
+    survive verbatim, a doc that is ALL boilerplate rewrites to the
+    empty string, and in-doc repetition alone does not trigger the
+    corpus rule (distinct-doc counting)."""
+    from etl_as_a_service_spark.llm.dedup import boilerplate_excise
+
+    h = "a b c d"  # the shared 4-word header segment
+    rows = [
+        (1, f"{h} u1 u2 u3 u4"),
+        (2, f"{h} v1 v2 v3 v4"),
+        (3, f"{h} w1 w2 w3 w4"),
+        (4, h),  # all boilerplate
+        (5, "r1 r2 r3 r4 r1 r2 r3 r4"),  # self-repetition only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in boilerplate_excise(
+            df, "text", "doc_id", seg_words=4, min_docs=3
+        ).collect()
+    }
+    assert out[1].text == "u1 u2 u3 u4"
+    assert out[2].text == "v1 v2 v3 v4"
+    assert out[3].text == "w1 w2 w3 w4"
+    assert out[4].text == "" and out[4].n_boiler_removed == 1
+    # doc 5 repeats its own segment twice but is the only doc with it
+    assert out[5].text == "r1 r2 r3 r4 r1 r2 r3 r4"
+    assert all(out[i].n_segments == 2 for i in (1, 2, 3, 5))
+
+
+def test_quantile_gate_operator_contract(spark):
+    """Direct gate semantics: per-group exact quantile, >= keeps the
+    boundary row, groups are independent."""
+    from etl_as_a_service_spark.llm.curation import quantile_gate
+
+    rows = [("a", float(v)) for v in range(1, 11)] + [
+        ("b", 100.0),
+        ("b", 200.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, s double")
+    kept = quantile_gate(df, "s", "g", quantile=0.5, keep_threshold=True)
+    got = sorted((r.g, r.s) for r in kept.collect())
+    # group a: median of 1..10 = 5.5 -> keeps 6..10; group b: 150 -> 200
+    assert got == [("a", float(v)) for v in range(6, 11)] + [("b", 200.0)]
+    thr = {r.g: r.gate_threshold for r in kept.collect()}
+    assert thr == {"a": 5.5, "b": 150.0}
