@@ -1,9 +1,10 @@
 """Web-corpus curation queries (round-5 batch, q206+): corpus-level
 boilerplate-segment excision (the C4 "repeated line" rule re-expressed
 over segment fingerprints), domain-relative quality thresholds, and
-URL/domain extraction with a blocklist gate — the three standard
-passes a web-crawl curation pipeline runs before any model-specific
-filtering.
+URL/domain extraction with a blocklist gate — the standard passes a
+web-crawl curation pipeline runs before any model-specific filtering —
+plus the corpus planning readouts (effective-epochs budget audit,
+Zipf rank-frequency fit).
 
 The documents fixture is space-separated word soup with no newlines,
 so "lines" are deterministic 8-word segments (the segmentation is part
