@@ -1024,3 +1024,102 @@ def boilerplate_excise(
         )
         .drop("__segs", "__n_segs", "__n_kept", "__clean")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    prefix_filter: bool = True,
+) -> DataFrame:
+    """EXACT n-gram max-containment pairs: C(A,B) =
+    |A∩B| / min(|A|,|B|) >= ``threshold``. The asymmetric complement
+    of ngram_jaccard_pairs — a 40-gram quote embedded in a 400-gram
+    page has Jaccard ~0.1 (invisible to the symmetric measure) but
+    containment 1.0; this is the detector for doc-inside-doc
+    duplication (syndicated snippets, quoted posts, chapter reissues).
+
+    Exact prefix filter, containment form: order shingles ascending by
+    hash; a pair with C >= t must share at least one of the SMALLER
+    side's first floor((1-t)*|A|) + 1 shingles (if none of those is
+    shared, fewer than t*|A| of A's shingles can be, since the
+    remaining suffix has only ceil(t*|A|) - 1 elements). Candidates
+    therefore come from a small-side-prefix x full-index join;
+    verification computes the exact intersection on the full hashed
+    sets. Both sides of the candidate join carry ids + 64-bit hashes
+    only.
+
+    SCALE DESIGN: same shape as the PPJoin path — one shingle scan
+    (ReuseExchange-shared), candidates bounded by prefix postings
+    frequency, verify joins keyed by id. The min() in the denominator
+    makes C symmetric in (A,B) while still catching subset docs; pairs
+    emit once with id_a < id_b."""
+    sh = hashed_shingle_sets(df, text_col, id_col, n)
+    sets_ = sh.groupBy("__id").agg(
+        F.array_sort(F.collect_list("sh")).alias("__set"),
+        F.count(F.lit(1)).alias("__sz"),
+    )
+    if prefix_filter:
+        pref_len = (
+            F.floor((1.0 - threshold) * F.col("__sz")).cast("int") + 1
+        )
+        postings = sets_.select(
+            "__id",
+            "__sz",
+            F.explode(F.slice("__set", 1, pref_len)).alias("sh"),
+        )
+    else:
+        postings = sets_.select(
+            "__id", "__sz", F.explode("__set").alias("sh")
+        )
+    full_index = sets_.select(
+        F.col("__id").alias("__id_b"),
+        F.col("__sz").alias("__sz_b"),
+        F.explode("__set").alias("sh"),
+    )
+    # the prefix bound holds w.r.t. the SMALLER side: probe with the
+    # prefix postings, index the full postings, and keep orientations
+    # where the probe side is the smaller (ties by id keep exactly one
+    # orientation of equal-size pairs)
+    cands = (
+        postings.join(full_index, "sh")
+        .filter(
+            (F.col("__id") != F.col("__id_b"))
+            & (
+                (F.col("__sz") < F.col("__sz_b"))
+                | (
+                    (F.col("__sz") == F.col("__sz_b"))
+                    & (F.col("__id") < F.col("__id_b"))
+                )
+            )
+        )
+        .select(
+            F.least("__id", "__id_b").alias("id_a"),
+            F.greatest("__id", "__id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = sets_.select(
+        F.col("__id").alias("id_a"),
+        F.col("__set").alias("__set_a"),
+        F.col("__sz").alias("__sz_a"),
+    )
+    sb = sets_.select(
+        F.col("__id").alias("id_b"),
+        F.col("__set").alias("__set_b"),
+        F.col("__sz").alias("__sz_b2"),
+    )
+    inter = F.size(F.array_intersect("__set_a", "__set_b"))
+    containment = inter / F.least("__sz_a", "__sz_b2")
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(containment, 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -2294,3 +2294,71 @@ def q195_pmi_collocations(spark, sf_dir):
 
     (docs,) = _t(spark, sf_dir, "documents")
     return pmi_collocations(docs, "text", min_count=3, k=25).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# q219 — n-gram containment pairs (doc-inside-doc near-dup)
+# --------------------------------------------------------------------------
+@query(
+    "q219_containment_pairs",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      -- planted snippets: the first 15 words of every 37th doc as a
+      -- new "document" — subset docs the symmetric Jaccard measure
+      -- cannot see (J ~ 0.2) but containment flags at 1.0
+      SELECT doc_id + 100000,
+             array_to_string(string_split(text, ' ')[1:15], ' ')
+      FROM documents WHERE doc_id % 37 = 0
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w1 || ' ' || w2 || ' ' || w3 AS sh
+      FROM (
+        SELECT doc_id,
+               toks[i]     AS w1,
+               toks[i + 1] AS w2,
+               toks[i + 2] AS w3
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+             UNNEST(range(1, len(toks) - 1)) AS t(i)
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(n_common / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 6)
+                                                         AS containment
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "containment", "llm", "operator"),
+)
+def q219_containment_pairs(spark, sf_dir):
+    """EXACT n-gram max-containment pairs >= 0.6 via
+    llm.dedup.ngram_containment_pairs — the asymmetric complement of
+    q46's Jaccard: planted 15-word snippet docs (a prefix of every
+    37th doc) score containment 1.0 while their Jaccard vs the source
+    doc is ~0.2, so the snippet pairs appear HERE and not in q46.
+    Prefix-filtered candidates (smaller side's first
+    floor((1-t)|A|)+1 hash-ordered shingles), exact intersect verify;
+    ids + 64-bit hashes on the wire, never text."""
+    from etl_as_a_service_spark.llm.dedup import ngram_containment_pairs
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    snippets = docs.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 15), " "
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(snippets)
+    return ngram_containment_pairs(
+        corpus, "text", "doc_id", n=3, threshold=0.6
+    ).orderBy("id_a", "id_b")

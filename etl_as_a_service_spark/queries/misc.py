@@ -2046,3 +2046,93 @@ def q213_schema_drift_profile(spark, sf_dir):
         )
     )
     return per_key.unionByName(sigs).orderBy("kind", "name")
+
+
+# --------------------------------------------------------------------------
+# q220 — item-item collaborative-filtering neighbors (co-occurrence cosine)
+# --------------------------------------------------------------------------
+@query(
+    "q220_item_item_neighbors",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem
+    ),
+    freq AS (
+      SELECT i, count(*) AS n FROM baskets GROUP BY i HAVING count(*) >= 4
+    ),
+    co AS (
+      SELECT a.i AS i, b.i AS j, count(*) AS c
+      FROM baskets a JOIN baskets b ON a.o = b.o AND a.i <> b.i
+      GROUP BY a.i, b.i
+    ),
+    scored AS (
+      SELECT co.i, co.j,
+             round(co.c / sqrt(fi.n * fj.n), 6) AS cosine
+      FROM co
+      JOIN freq fi ON fi.i = co.i
+      JOIN freq fj ON fj.i = co.j
+    ),
+    ranked AS (
+      SELECT i, j, cosine,
+             row_number() OVER (PARTITION BY i
+                                ORDER BY cosine DESC, j) AS rn
+      FROM scored
+    )
+    SELECT i, j, cosine, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3 AND i < 200
+    ORDER BY i, rn
+    """,
+    tags=("recsys", "cf", "similarity", "topk"),
+)
+def q220_item_item_neighbors(spark, sf_dir):
+    """Item-based collaborative filtering: top-3 neighbors per part by
+    co-occurrence cosine c_ij / sqrt(n_i * n_j) over order baskets
+    (the classic Amazon item-item recommender shape). Items below 4
+    baskets are pruned BEFORE pair generation — the support floor that
+    bounds both noise and the self-join's output.
+
+    SCALE DESIGN: the pair generation is a self-join CO-PARTITIONED on
+    the order key (baskets shuffle once; pairs form within each
+    order's partition), so cost is sum of squared basket sizes — at
+    100 TB you additionally cap basket size (the q154 market-basket
+    guard); per-item frequencies broadcast; top-k per item is a
+    WindowGroupLimit ranked on the ITEM key, never a global sort."""
+    from pyspark.sql import Window
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
+    ).distinct()
+    freq = (
+        baskets.groupBy("i")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 4)
+    )
+    b2 = baskets.select(F.col("o"), F.col("i").alias("j"))
+    co = (
+        baskets.join(b2, "o")
+        .filter(F.col("i") != F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = (
+        co.join(F.broadcast(freq), "i")
+        .join(
+            F.broadcast(freq.select(F.col("i").alias("j"),
+                                    F.col("n").alias("nj"))),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            F.round(F.col("c") / F.sqrt(F.col("n") * F.col("nj")), 6)
+            .alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.col("cosine").desc(), "j")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter((F.col("rn") <= 3) & (F.col("i") < 200))
+        .select("i", "j", "cosine", "rn")
+        .orderBy("i", "rn")
+    )

@@ -1023,3 +1023,51 @@ def test_embedding_near_dups_duplicate_id_input(spark):
     pairs = [(r.id_a, r.id_b) for r in out]
     assert pairs.count((1, 2)) == 1, pairs
     assert len(pairs) == len(set(pairs))
+
+
+def test_containment_catches_subset_docs_jaccard_misses(spark):
+    """The asymmetry claim, proven on a crafted corpus: a 15-word
+    snippet of a 60-word doc has containment 1.0 (flagged) but
+    Jaccard ~0.22 (below any sane threshold) — and containment of
+    unrelated docs stays 0."""
+    from etl_as_a_service_spark.llm.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long_doc = " ".join(f"w{i}" for i in range(60))
+    snippet = " ".join(f"w{i}" for i in range(15))
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, snippet), (3, other)],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment_pairs(
+            df, "text", "doc_id", n=3, threshold=0.6
+        ).collect()
+    }
+    assert cont == {(1, 2): 1.0}
+    jac = ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.5
+    ).collect()
+    assert jac == []  # the snippet pair is invisible to Jaccard@0.5
+
+
+def test_containment_prefix_filter_is_pure_optimization(spark):
+    """prefix_filter=True must return EXACTLY the no-filter result on
+    the fixture corpus (the filter is a candidate pruning, never a
+    semantics change)."""
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.llm.dedup import ngram_containment_pairs
+
+    docs = load_tables(spark, SF_SMOKE, ("documents",))["documents"]
+    rows = lambda pf: sorted(
+        (r.id_a, r.id_b, r.containment)
+        for r in ngram_containment_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.6, prefix_filter=pf
+        ).collect()
+    )
+    a, b = rows(True), rows(False)
+    assert a == b and len(a) > 0
