@@ -451,3 +451,123 @@ def q218_zipf_slope(spark, sf_dir):
         F.round(F.regr_intercept(ln_c, ln_r), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(ln_c, ln_r), 6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# q221 — HTML-to-text extraction (tag strip + entity unescape)
+# --------------------------------------------------------------------------
+@query(
+    "q221_html_extraction",
+    oracle="""
+    WITH pages AS (
+      SELECT doc_id,
+             '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+             || '</title><script>var x = 1 &amp;&amp; 2;</script></head>'
+             || '<body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+             || '</h1><p>' || text
+             || '</p><div class="footer">&copy; example &amp; co'
+             || '&nbsp;2024</div></body></html>' AS html
+      FROM documents WHERE doc_id < 100
+    ),
+    stripped AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(html,
+                           '<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
+                           ' ', 'gs'),
+                         '<[^>]+>', ' ', 'g'),
+                       '&nbsp;', ' ', 'g'),
+                     '&amp;', '&', 'g'),
+                   '&copy;', '(c)', 'g'),
+                 '&[a-z]+;', '', 'g'),
+               '\\s+', ' ', 'g')) AS clean
+      FROM pages
+    )
+    SELECT doc_id,
+           md5(clean)                                   AS clean_md5,
+           CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_words,
+           clean LIKE '%(c) example & co 2024%'          AS footer_kept,
+           NOT clean LIKE '%var x%'                      AS script_dropped
+    FROM stripped ORDER BY doc_id
+    """,
+    tags=("text", "html", "extraction", "curation", "llm"),
+)
+def q221_html_extraction(spark, sf_dir):
+    """HTML-to-text extraction, the first pass of any web-crawl
+    pipeline: drop script/style blocks WITH their content, strip the
+    remaining tags, unescape the common entities, and collapse
+    whitespace — on planted full-page HTML wrappers (q58 pattern) so
+    every rule is exercised: the boolean columns pin that visible
+    footer text survives while script bodies vanish, and the md5 pins
+    the exact extracted text cross-engine. The declared regex subset
+    behaves identically in Spark (Java regex) and DuckDB (RE2) —
+    including the dotall script/style block rule, written WITHOUT
+    backreferences (RE2 has none) as explicit alternation — (?s)
+    prefix on the Java side, the 's' flag in DuckDB.
+
+    SCALE DESIGN: pure zero-shuffle Catalyst regexp chain — extraction
+    cost is one codegen'd pass per row; no UDF, no Python."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    pages = docs.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title><script>var x = 1 &amp;&amp; 2;</script></head>"),
+            F.lit("<body><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit('</p><div class="footer">&copy; example &amp; co'),
+            F.lit("&nbsp;2024</div></body></html>"),
+        ).alias("html"),
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.regexp_replace(
+                                F.regexp_replace(
+                                    F.col("html"),
+                                    r"(?s)<script[^>]*>.*?</script>"
+                                    r"|(?s)<style[^>]*>.*?</style>",
+                                    " ",
+                                ),
+                                r"<[^>]+>",
+                                " ",
+                            ),
+                            "&nbsp;",
+                            " ",
+                        ),
+                        "&amp;",
+                        "&",
+                    ),
+                    "&copy;",
+                    "(c)",
+                ),
+                r"&[a-z]+;",
+                "",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        pages.select("doc_id", clean.alias("clean"))
+        .select(
+            "doc_id",
+            F.md5("clean").alias("clean_md5"),
+            F.size(F.split("clean", " ")).cast("long").alias("n_words"),
+            F.col("clean").contains("(c) example & co 2024")
+            .alias("footer_kept"),
+            (~F.col("clean").contains("var x")).alias("script_dropped"),
+        )
+        .orderBy("doc_id")
+    )
