@@ -116,21 +116,6 @@ def _setup_lakehouse(spark, sf_dir):
     import shutil
     import tempfile
 
-    from pyspark.sql import functions as F
-
-    from etl_as_a_service_spark.catalog import load_tables
-    from etl_as_a_service_spark.sources.avro import read_avro, write_avro
-    from etl_as_a_service_spark.sources.delta import (
-        delta_changes,
-        delta_read,
-        delta_write,
-    )
-    from etl_as_a_service_spark.sources.iceberg import (
-        iceberg_changes,
-        iceberg_read,
-        iceberg_write,
-    )
-
     root = tempfile.mkdtemp(prefix="spark_lakehouse_bench_")
     try:
         return _build_lakehouse_fixtures(spark, sf_dir, root), root

@@ -534,10 +534,24 @@ def quantile_gate(
     plain hash join at millions of groups); never a window over the
     data (percent_rank per group would sort every partition per key).
     """
+    if keep_threshold and "gate_threshold" in df.columns:
+        raise ValueError(
+            "quantile_gate(keep_threshold=True): input already has a "
+            "gate_threshold column — rename it before re-gating"
+        )
+    # null-safe threshold join: groupBy treats NULL as its own group,
+    # and a plain equi-join would silently drop every NULL-group row
+    # (missing source/domain is normal in crawl data)
     thr = df.groupBy(group_col).agg(
-        F.percentile(score_col, F.lit(quantile)).alias("gate_threshold")
+        F.percentile(score_col, F.lit(quantile)).alias("__gate_thr")
+    ).withColumnRenamed(group_col, "__gate_grp")
+    out = (
+        df.join(
+            thr, F.col(group_col).eqNullSafe(F.col("__gate_grp"))
+        )
+        .filter(F.col(score_col) >= F.col("__gate_thr"))
+        .drop("__gate_grp")
     )
-    out = df.join(thr, group_col).filter(
-        F.col(score_col) >= F.col("gate_threshold")
-    )
-    return out if keep_threshold else out.drop("gate_threshold")
+    if keep_threshold:
+        return out.withColumnRenamed("__gate_thr", "gate_threshold")
+    return out.drop("__gate_thr")

@@ -1012,15 +1012,29 @@ def boilerplate_excise(
     totals = exploded.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n_segs")
     )
+    # LEFT joins + null guards: a NULL text produces no segments, so
+    # the doc has no totals row — it must pass through untouched (NULL
+    # text preserved, zero counters), not silently vanish from the
+    # corpus (extraction failures are normal in crawl data).
     return (
-        df.join(totals, id_col)
+        df.join(totals, id_col, "left")
         .join(rewritten, id_col, "left")
-        .withColumn(text_col, F.coalesce(F.col("__clean"), F.lit("")))
-        .withColumn("n_segments", F.col("__n_segs").cast("long"))
+        .withColumn(
+            text_col,
+            F.when(F.col("__n_segs").isNull(), F.col(text_col)).otherwise(
+                F.coalesce(F.col("__clean"), F.lit(""))
+            ),
+        )
+        .withColumn(
+            "n_segments",
+            F.coalesce(F.col("__n_segs"), F.lit(0)).cast("long"),
+        )
         .withColumn(
             "n_boiler_removed",
-            (F.col("__n_segs") - F.coalesce(F.col("__n_kept"), F.lit(0)))
-            .cast("long"),
+            (
+                F.coalesce(F.col("__n_segs"), F.lit(0))
+                - F.coalesce(F.col("__n_kept"), F.lit(0))
+            ).cast("long"),
         )
         .drop("__segs", "__n_segs", "__n_kept", "__clean")
     )

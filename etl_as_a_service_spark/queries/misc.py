@@ -2108,9 +2108,13 @@ def q220_item_item_neighbors(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 4)
     )
-    b2 = baskets.select(F.col("o"), F.col("i").alias("j"))
+    # prune BEFORE pair generation: pairs between frequent items are
+    # unaffected by dropping infrequent ones, and the self-join's
+    # output shrinks from all-items to frequent-items baskets
+    bf = baskets.join(F.broadcast(freq.select("i")), "i", "left_semi")
+    b2 = bf.select(F.col("o"), F.col("i").alias("j"))
     co = (
-        baskets.join(b2, "o")
+        bf.join(b2, "o")
         .filter(F.col("i") != F.col("j"))
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("c"))

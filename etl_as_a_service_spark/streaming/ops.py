@@ -591,6 +591,11 @@ def _maintain_folded_state(
         raise TimeoutError(
             f"aggregate maintenance did not finish in {timeout_sec}s"
         )
+    # a crash mid-swap in a PRIOR run can leave the state stranded at
+    # .__old__; fold() recovers it, but a zero-batch source never runs
+    # fold — recover here too, or the guard below would hand back an
+    # empty frame while real state sits on disk
+    _fold_state_recover(state_path)
     if not os.path.exists(state_path):
         # zero batches processed (empty source): no state was ever
         # written — return an empty frame WITH the state schema

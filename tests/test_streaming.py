@@ -752,3 +752,53 @@ def test_folded_state_empty_source_returns_empty_frame(spark, tmp_path):
     )
     assert state.count() == 0
     assert set(state.columns) == {"event_type", "hll"}
+
+
+def test_folded_state_empty_source_recovers_stranded_old(spark, tmp_path):
+    """A crash between the two swap renames leaves the state at
+    .__old__; a later zero-batch run must recover it, not hand back
+    an empty frame while real state sits on disk."""
+    import os
+
+    from etl_as_a_service_spark.streaming.ops import (
+        distinct_sketch_estimates,
+        streaming_distinct_sketch,
+    )
+
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"].select(
+        "event_type", "user_id"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(2).write.parquet(src)
+    state_path = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    state = streaming_distinct_sketch(
+        stream, state_path, ["event_type"], "user_id",
+        checkpoint=str(tmp_path / "ckpt1"),
+    )
+    before = {
+        r.event_type: r.distinct_est
+        for r in distinct_sketch_estimates(state).collect()
+    }
+    # simulate the crash window: state renamed to .__old__, swap lost
+    os.rename(state_path, state_path + ".__old__")
+    empty_src = str(tmp_path / "empty_src")
+    os.makedirs(empty_src)
+    stream2 = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(empty_src)
+    )
+    recovered = streaming_distinct_sketch(
+        stream2, state_path, ["event_type"], "user_id",
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    after = {
+        r.event_type: r.distinct_est
+        for r in distinct_sketch_estimates(recovered).collect()
+    }
+    assert after == before

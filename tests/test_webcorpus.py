@@ -192,3 +192,47 @@ def test_quantile_gate_operator_contract(spark):
     assert got == [("a", float(v)) for v in range(6, 11)] + [("b", 200.0)]
     thr = {r.g: r.gate_threshold for r in kept.collect()}
     assert thr == {"a": 5.5, "b": 150.0}
+
+
+def test_boilerplate_excise_preserves_null_text_rows(spark):
+    """Extraction-failure rows (NULL text) must pass through untouched
+    — NULL text preserved, zero counters — never silently vanish from
+    the corpus (regression: the totals join was null-rejecting)."""
+    from etl_as_a_service_spark.llm.dedup import boilerplate_excise
+
+    rows = [(1, "a b c d e f"), (2, None), (3, "a b c x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in boilerplate_excise(
+            df, "text", "doc_id", seg_words=3, min_docs=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[2].text is None
+    assert out[2].n_segments == 0 and out[2].n_boiler_removed == 0
+    # the shared "a b c" segment still excised from the live docs
+    assert out[1].n_boiler_removed == 1 and out[3].n_boiler_removed == 1
+
+
+def test_quantile_gate_null_group_and_clash_guard(spark):
+    """NULL group keys form their own group (null-safe threshold
+    join), and re-gating a frame that already carries gate_threshold
+    fails loudly instead of AMBIGUOUS_REFERENCE."""
+    import pytest
+
+    from etl_as_a_service_spark.llm.curation import quantile_gate
+
+    rows = [("a", 1.0), ("a", 10.0), (None, 5.0), (None, 9.0)]
+    df = spark.createDataFrame(rows, "g string, s double")
+    kept = {
+        (r.g, r.s)
+        for r in quantile_gate(df, "s", "g", quantile=0.5).collect()
+    }
+    # group a median 5.5 -> keeps 10; NULL group median 7 -> keeps 9
+    assert kept == {(None, 9.0), ("a", 10.0)}
+
+    with_thr = quantile_gate(df, "s", "g", quantile=0.5,
+                             keep_threshold=True)
+    with pytest.raises(ValueError, match="gate_threshold"):
+        quantile_gate(with_thr, "s", "g", keep_threshold=True)
