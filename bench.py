@@ -93,12 +93,15 @@ HEADLINE_QUALITY = [
 #: round-5 second-batch additions: one representative per new family —
 #: the corpus boilerplate excision (segment explode + anti-join + md5
 #: reassembly, the heaviest of the batch), the rolling-HLL active-user
-#: spine, and the per-arm SPRT cumulative walk. SEPARATE subtotal;
+#: spine, and the per-arm SPRT cumulative walk. round-5 third batch:
+#: the unigram-LM quality score (corpus-wide explode + vocab join —
+#: the heaviest of the q222-q226 family). SEPARATE subtotal;
 #: earlier subtotals stay comparable.
 HEADLINE_WEBCORPUS = [
     "q206_boilerplate_excision",
     "q212_rolling_active_users",
     "q208_sprt_monitor",
+    "q224_unigram_lm_score",
 ]
 
 HEADLINE_LAKEHOUSE = [

@@ -2140,3 +2140,235 @@ def q220_item_item_neighbors(spark, sf_dir):
         .select("i", "j", "cosine", "rn")
         .orderBy("i", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# q222 — cohort retention matrix (signup-cohort x days-since triangle)
+# --------------------------------------------------------------------------
+@query(
+    "q222_cohort_retention",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    cohort AS (
+      SELECT user_id, min(day) AS cohort_day FROM du GROUP BY user_id
+    ),
+    ret AS (
+      SELECT c.cohort_day,
+             date_diff('day', c.cohort_day, d.day) AS day_offset,
+             count(DISTINCT d.user_id) AS retained
+      FROM du d JOIN cohort c USING (user_id)
+      GROUP BY 1, 2
+    ),
+    size_ AS (
+      SELECT cohort_day, count(*) AS cohort_users
+      FROM cohort GROUP BY cohort_day
+    )
+    SELECT r.cohort_day,
+           CAST(r.day_offset AS BIGINT)   AS day_offset,
+           CAST(r.retained AS BIGINT)     AS retained,
+           CAST(s.cohort_users AS BIGINT) AS cohort_users,
+           round(r.retained / s.cohort_users, 6) AS retention
+    FROM ret r JOIN size_ s USING (cohort_day)
+    ORDER BY cohort_day, day_offset
+    """,
+    tags=("cohort", "retention", "analytics", "events"),
+)
+def q222_cohort_retention(spark, sf_dir):
+    """Classic cohort-retention triangle: each user joins the cohort of
+    their first active day; for every (cohort_day, days-since-cohort)
+    cell, the share of the cohort active that day. day-0 retention is
+    1.0 by construction — a built-in sanity row the oracle pins.
+
+    SCALE DESIGN: the raw stream collapses to DISTINCT (day, user)
+    first (one map-side-combined aggregate), so every later step runs
+    on at most users x active-days rows. The cohort frame is one row
+    per user; the retention aggregate shuffles on (cohort_day, offset)
+    with partial aggregation. No windows, no driver state — the
+    triangle's grain is days², independent of fact volume."""
+    (events,) = _t(spark, sf_dir, "events")
+    du = events.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    cohort = du.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    ret = (
+        du.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("retained"))
+    )
+    size = cohort.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    return (
+        ret.join(size, "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "retained",
+            "cohort_users",
+            F.round(F.col("retained") / F.col("cohort_users"), 6)
+            .alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+# --------------------------------------------------------------------------
+# q223 — first-order Markov transition matrix over event sequences
+# --------------------------------------------------------------------------
+@query(
+    "q223_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, sum(n) AS n_from FROM trans GROUP BY 1)
+    SELECT t.from_type, t.to_type,
+           CAST(t.n AS BIGINT) AS n_trans,
+           round(t.n / tot.n_from, 6) AS prob
+    FROM trans t JOIN tot USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+    tags=("markov", "sequence", "sessionization", "events", "analytics"),
+)
+def q223_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of per-user event
+    sequences: P(next_type | type) with counts, the standard behavioral
+    model behind next-action prediction and anomalous-flow detection.
+    Sequence order is event_id (the declared ingest sequence) — NOT ts,
+    whose ns-vs-µs precision differs across engines and would make
+    same-microsecond orderings engine-dependent.
+
+    SCALE DESIGN: the only window partitions by user_id (bounded
+    per-user state, no global sort); transition counts partial-
+    aggregate map-side down to |types|² rows, and the per-from totals
+    join runs on that tiny frame. Matrix size is independent of fact
+    volume."""
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = (
+        events.select("user_id", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        trans.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n_trans"),
+            F.round(F.col("n") / F.col("n_from"), 6).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q226 — signup -> first-purchase conversion lag distribution
+# --------------------------------------------------------------------------
+@query(
+    "q226_conversion_lag",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             min(date_trunc('second', ts)) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id,
+             min(date_trunc('second', e.ts)) AS purchase_ts
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND date_trunc('second', e.ts) > s.signup_ts
+      GROUP BY e.user_id
+    ),
+    lagged AS (
+      SELECT s.user_id,
+             CASE
+               WHEN p.purchase_ts IS NULL THEN 'z_no_purchase'
+               WHEN epoch(p.purchase_ts) - epoch(s.signup_ts) < 3600
+                 THEN 'a_lt_1h'
+               WHEN epoch(p.purchase_ts) - epoch(s.signup_ts) < 86400
+                 THEN 'b_lt_1d'
+               ELSE 'c_ge_1d'
+             END AS lag_bucket
+      FROM s LEFT JOIN p USING (user_id)
+    ),
+    tot AS (SELECT count(*) AS n_signups FROM s)
+    SELECT lag_bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(count(*) / tot.n_signups, 6) AS share
+    FROM lagged, tot
+    GROUP BY lag_bucket, tot.n_signups
+    ORDER BY lag_bucket
+    """,
+    tags=("funnel", "conversion", "events", "analytics"),
+)
+def q226_conversion_lag(spark, sf_dir):
+    """Signup-to-first-purchase conversion lag distribution: per
+    signed-up user, the first purchase STRICTLY AFTER their first
+    signup, bucketed by elapsed time (<1 h, <1 d, >=1 d, never), with
+    each bucket's share of the signup population. Complements q91
+    (stage filter funnel) and q190 (credit attribution) with the
+    latency axis. Timestamps are truncated to whole seconds BEFORE any
+    comparison — events.ts is ns in the files and µs in Spark, so
+    sub-second precision is engine-dependent and must not decide a
+    strict inequality.
+
+    SCALE DESIGN: two filtered aggregates on user_id (partial
+    map-side), one equi-join on user_id, then a bucket aggregate over
+    one-row-per-user; the signup-count denominator is a 1-row
+    broadcast. Nothing scales with raw event volume except the first
+    pass."""
+    (events,) = _t(spark, sf_dir, "events")
+    ev = events.withColumn("sts", F.date_trunc("second", F.col("ts")))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("sts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("sts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("sts").alias("purchase_ts"))
+    )
+    lag_sec = F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
+    lagged = s.join(p, "user_id", "left").select(
+        F.when(F.col("purchase_ts").isNull(), F.lit("z_no_purchase"))
+        .when(lag_sec < 3600, F.lit("a_lt_1h"))
+        .when(lag_sec < 86400, F.lit("b_lt_1d"))
+        .otherwise(F.lit("c_ge_1d"))
+        .alias("lag_bucket")
+    )
+    tot = s.agg(F.count(F.lit(1)).cast("double").alias("n_signups"))
+    return (
+        lagged.groupBy("lag_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lag_bucket",
+            "n_users",
+            F.round(F.col("n_users") / F.col("n_signups"), 6).alias("share"),
+        )
+        .orderBy("lag_bucket")
+    )

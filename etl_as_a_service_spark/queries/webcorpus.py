@@ -571,3 +571,142 @@ def q221_html_extraction(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q224 — unigram-LM quality score (CCNet-style perplexity-proxy filter)
+# --------------------------------------------------------------------------
+@query(
+    "q224_unigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, u.w AS w
+      FROM documents, unnest(string_split(text, ' ')) AS u(w)
+    ),
+    cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt),
+    probs AS (SELECT w, ln(c / t) AS logp FROM cnt, tot)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(logp), 6)      AS avg_logp
+    FROM toks JOIN probs USING (w)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("quality", "lm", "curation", "llm", "text", "scale"),
+)
+def q224_unigram_lm_score(spark, sf_dir):
+    """Unigram language-model quality score — the CCNet / CC-Net-style
+    perplexity-proxy filter (Wenzek 2020 uses a KenLM 5-gram; the
+    unigram variant is the standard cheap first pass): fit p(w) =
+    count(w)/total over the corpus itself, score each doc by its mean
+    token log-probability. Low (very negative) scores mark docs full
+    of rare garbage tokens; implausibly high scores mark degenerate
+    repetition of common words — both tails get cut in a real
+    pipeline, and the score is the cut key.
+
+    SCALE DESIGN: token counts are one map-side-combined aggregate
+    over the exploded corpus; the scoring pass joins tokens to the
+    vocab-sized prob table on the token key (hash join — vocab can
+    exceed broadcast size at web scale, Catalyst broadcasts when its
+    estimate allows) and partial-aggregates per doc. Two shuffles
+    total, both on high-cardinality keys with combiners; no driver
+    state, no UDFs — ln() and avg() stay in codegen."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    cnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").cast("double").alias("t"))
+    probs = cnt.crossJoin(F.broadcast(tot)).select(
+        "w", F.log(F.col("c") / F.col("t")).alias("logp")
+    )
+    return (
+        toks.join(probs, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q225 — hyperlink extraction + host in-link profile (crawl frontier)
+# --------------------------------------------------------------------------
+@query(
+    "q225_link_hosts",
+    oracle="""
+    WITH pages AS (
+      SELECT doc_id,
+             '<p><a href="https://cdn' || (doc_id % 5)
+               || '.assets.example/img">x</a> '
+               || '<a href="http://' || source
+               || '.example.org/page' || (doc_id % 7)
+               || '">y</a> '
+               || '<a href="mailto:team@example.org">z</a></p>' AS html
+      FROM documents
+    ),
+    urls AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(html, '(https?://[^"]+)', 1)) AS url
+      FROM pages
+    )
+    SELECT regexp_extract(url, '^https?://([^/"]+)', 1) AS host,
+           CAST(count(*) AS BIGINT)              AS n_links,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM urls
+    GROUP BY host
+    ORDER BY host
+    """,
+    tags=("web", "links", "extraction", "curation", "crawl"),
+)
+def q225_link_hosts(spark, sf_dir):
+    """Hyperlink extraction and per-host in-link profile — the step
+    that feeds a crawl frontier and host-level block/allow decisions:
+    pull every http(s) href out of the page (mailto/javascript schemes
+    fall out of the scheme match for free), reduce to host, count
+    links and distinct linking docs per host. Anchors are PLANTED
+    deterministically (q58/q221 pattern) so both the extraction regex
+    and the host parse are exercised on known values: cdn0-4 asset
+    hosts from doc_id, one page host per source, and a mailto that
+    must NOT appear. The regexes are capture-group-only (no
+    backreferences) so Java regex and RE2 agree.
+
+    SCALE DESIGN: extraction is a zero-shuffle codegen'd
+    regexp_extract_all + explode; the only shuffle is the final
+    partial-aggregated groupBy host. Host cardinality (millions) is
+    the output grain, never the corpus grain."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<p><a href="https://cdn'),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit('.assets.example/img">x</a> '),
+            F.lit('<a href="http://'),
+            F.col("source"),
+            F.lit(".example.org/page"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('">y</a> '),
+            F.lit('<a href="mailto:team@example.org">z</a></p>'),
+        ).alias("html"),
+    )
+    urls = pages.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("html"), F.lit(r'(https?://[^"]+)'), 1
+            )
+        ).alias("url"),
+    )
+    return (
+        urls.groupBy(
+            F.regexp_extract(F.col("url"), r'^https?://([^/"]+)', 1)
+            .alias("host")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_links"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy("host")
+    )
