@@ -291,3 +291,128 @@ def copurchase_edges(
         .filter(F.col("support") >= min_support)
         .select("pa", "pb")
     )
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    weight: str = "w",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Bounded-round Bellman-Ford over an undirected weighted edge
+    list: returns ``(node, cost)`` — the minimum path cost from any
+    source node (``sources`` has one column ``node``) over paths of at
+    most ``max_rounds`` edges. Integer weights keep the label domain
+    exact (no float-accumulation divergence between engines).
+    Unreached nodes are absent.
+
+    Same loop discipline as bfs_distances: each round is ONE
+    key-partitioned join + a union-min aggregate (cost'(v) =
+    min(cost(v), min over neighbors cost(u)+w(u,v))), lineage
+    truncated per round with localCheckpoint, convergence detected by
+    a fingerprint Observation (labels only ever decrease, so an
+    unchanged sum means a fixed point and k-bounded == unbounded).
+    After k rounds the labels are EXACTLY "min cost over paths with
+    <= k edges" — the semantics a depth-bounded recursive-CTE oracle
+    reproduces row-for-row.
+    """
+
+    def _fingerprint():
+        return F.sum(
+            F.xxhash64("node", "cost").cast("decimal(38,0)")
+        ).alias("s")
+
+    base = (
+        edges.select(
+            F.col(src).alias("s"),
+            F.col(dst).alias("d"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    sym = base.union(
+        base.select(
+            F.col("d").alias("s"), F.col("s").alias("d"), F.col("w")
+        )
+    )
+
+    obs0 = Observation()
+    labels = (
+        sources.select(F.col("node"), F.lit(0).cast("long").alias("cost"))
+        .distinct()
+        .observe(obs0, _fingerprint())
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = obs0.get["s"]
+    for _ in range(max_rounds):
+        neighbor = sym.join(labels, sym.s == labels.node).select(
+            F.col("d").alias("node"),
+            (F.col("cost") + F.col("w")).alias("cost"),
+        )
+        obs = Observation()
+        new_labels = (
+            labels.select("node", "cost")
+            .union(neighbor)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .observe(obs, _fingerprint())
+            .localCheckpoint(eager=True)
+        )
+        new_sum = obs.get["s"]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select("node", "cost")
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Bounded-round k-core peel over an undirected edge list: each
+    round computes node degrees on the surviving subgraph, drops every
+    node with degree < ``k``, and restricts the edges to survivors.
+    Returns ``(node, degree)`` — degrees measured on the subgraph
+    after ``rounds`` peels. With enough rounds this converges to the
+    true k-core; the ROUND COUNT IS PART OF THE DECLARED SEMANTICS
+    (exactly what a chained-CTE oracle reproduces), because full
+    convergence detection is the same fingerprint loop as the other
+    graph ops and real deployments cap rounds anyway (each round is
+    one aggregate + two semi-joins).
+
+    SCALE DESIGN: per round one partial-aggregated degree count plus
+    two hash semi-joins on the endpoint keys; lineage truncated per
+    round. No driver state — the survivor set stays distributed.
+    """
+    cur = (
+        edges.select(F.col(src).alias("es"), F.col(dst).alias("ed"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    )
+    cur = cur.union(
+        cur.select(F.col("ed").alias("es"), F.col("es").alias("ed"))
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        keep = (
+            cur.groupBy("es")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("es")
+        )
+        cur = (
+            cur.join(keep, "es", "left_semi")
+            .join(
+                keep.withColumnRenamed("es", "ed"), "ed", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cur.groupBy(F.col("es").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )

@@ -73,12 +73,13 @@ from etl_as_a_service_spark.queries import webcorpus  # noqa: E402,F401
 #
 # ROUND-6 NOTE: the spillover oracle queries that do NOT fit this
 # window — rotate these to the front next round, PLUS the round-5
-# additions q206-q226 (boilerplate excision, salted join, SPRT,
+# additions q206-q229 (boilerplate excision, salted join, SPRT,
 # domain quantile gate, URL blocklist, info gain, rolling-HLL WAU,
 # schema census, KS test, effective epochs, DP histogram, WOE/IV,
 # Zipf fit, containment near-dup, item-item CF, HTML extraction,
 # cohort retention, Markov transitions, unigram-LM score, link
-# hosts, conversion lag;
+# hosts, conversion lag, weighted shortest paths, k-core peel,
+# quantile normalization;
 # none driver-checked yet — the generic rotation-invariant
 # test computes the exact required set from the CORRECTNESS_r*.json
 # union, trust it over this enumeration):

@@ -1970,3 +1970,127 @@ def q204_calibration_bins(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# q227 — weighted shortest paths (bounded Bellman-Ford vs recursive CTE)
+# --------------------------------------------------------------------------
+@query(
+    "q227_weighted_shortest_paths",
+    oracle="""
+    WITH RECURSIVE items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    p AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING count(*) >= 3
+    ),
+    wp AS (
+      SELECT pa, pb, CAST((pa + pb) % 5 + 1 AS BIGINT) AS w FROM p
+    ),
+    e AS (
+      SELECT pa AS es, pb AS ed, w FROM wp
+      UNION ALL SELECT pb, pa, w FROM wp
+    ),
+    seed AS (SELECT min(pa) AS s FROM p),
+    walk(node, cost, hop) AS (
+      SELECT s, CAST(0 AS BIGINT), 0 FROM seed
+      UNION
+      SELECT e.ed, walk.cost + e.w, walk.hop + 1
+      FROM walk JOIN e ON e.es = walk.node WHERE walk.hop < 4
+    )
+    SELECT node, CAST(min(cost) AS BIGINT) AS cost
+    FROM walk GROUP BY node
+    ORDER BY cost, node
+    """,
+    tags=("graph", "shortest-path", "iterative", "operator"),
+)
+def q227_weighted_shortest_paths(spark, sf_dir):
+    """Weighted single-source shortest paths: minimum path cost from
+    the minimum-id part over paths of at most 4 edges on the
+    support>=3 co-purchase graph, with deterministic integer edge
+    weights ((pa+pb) % 5 + 1) — the weighted sibling of q166's BFS
+    hops (operators/graph.weighted_shortest_paths: bounded-round
+    Bellman-Ford, per round ONE key-partitioned join + union-min
+    aggregate, lineage truncated, fingerprint early stop). Integer
+    weights keep the label domain exact so the depth-bounded
+    recursive-CTE oracle reproduces every cost bit-for-bit; after k
+    rounds the labels are exactly "min cost over <=k-edge paths",
+    which is the CTE's hop bound."""
+    from etl_as_a_service_spark.operators.graph import (
+        copurchase_edges,
+        weighted_shortest_paths,
+    )
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    und = copurchase_edges(li, min_support=3).select(
+        "pa", "pb", ((F.col("pa") + F.col("pb")) % 5 + 1).alias("w")
+    )
+    seed = und.agg(F.min("pa").alias("node"))
+    return (
+        weighted_shortest_paths(
+            und, seed, src="pa", dst="pb", weight="w", max_rounds=4
+        )
+        .select("node", "cost")
+        .orderBy("cost", "node")
+    )
+
+
+# --------------------------------------------------------------------------
+# q228 — k-core peel (bounded-round degeneracy filter)
+# --------------------------------------------------------------------------
+@query(
+    "q228_kcore_peel",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    p AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    e0 AS (SELECT pa AS es, pb AS ed FROM p UNION ALL SELECT pb, pa FROM p),
+    k1 AS (SELECT es AS n FROM e0 GROUP BY es HAVING count(*) >= 3),
+    e1 AS (SELECT e0.es, e0.ed FROM e0
+           JOIN k1 a ON e0.es = a.n JOIN k1 b ON e0.ed = b.n),
+    k2 AS (SELECT es AS n FROM e1 GROUP BY es HAVING count(*) >= 3),
+    e2 AS (SELECT e1.es, e1.ed FROM e1
+           JOIN k2 a ON e1.es = a.n JOIN k2 b ON e1.ed = b.n),
+    k3 AS (SELECT es AS n FROM e2 GROUP BY es HAVING count(*) >= 3),
+    e3 AS (SELECT e2.es, e2.ed FROM e2
+           JOIN k3 a ON e2.es = a.n JOIN k3 b ON e2.ed = b.n)
+    SELECT es AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM e3 GROUP BY es
+    ORDER BY node
+    """,
+    tags=("graph", "kcore", "iterative", "operator"),
+)
+def q228_kcore_peel(spark, sf_dir):
+    """3-core extraction by three peel rounds on the support>=2
+    co-purchase graph: each round drops every part with fewer than 3
+    surviving neighbors and restricts the edges to survivors; output
+    is each survivor's degree in the peeled subgraph — the standard
+    dense-subgraph / spam-cluster filter (a near-dup cluster whose
+    members ALL tie to >=k others is structure, not noise). The round
+    count is part of the declared semantics (see
+    operators/graph.kcore_peel), which is exactly what the
+    chained-CTE oracle reproduces.
+
+    SCALE DESIGN: per round one partial-aggregated degree count and
+    two hash semi-joins on endpoint keys, lineage truncated per
+    round; nothing reaches the driver."""
+    from etl_as_a_service_spark.operators.graph import (
+        copurchase_edges,
+        kcore_peel,
+    )
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    und = copurchase_edges(li, min_support=2)
+    return (
+        kcore_peel(und, k=3, rounds=3, src="pa", dst="pb")
+        .orderBy("node")
+    )

@@ -1578,3 +1578,85 @@ def q217_woe_iv_binning(spark, sf_dir):
         )
         .orderBy("band")
     )
+
+
+# --------------------------------------------------------------------------
+# q229 — cross-domain quantile normalization (score calibration)
+# --------------------------------------------------------------------------
+@query(
+    "q229_quantile_normalize",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             percent_rank() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id) AS r
+      FROM documents
+    ),
+    grid AS (
+      SELECT quantile_cont(n_chars,
+               [0.0, 0.1, 0.2, 0.3, 0.4, 0.5,
+                0.6, 0.7, 0.8, 0.9, 1.0]) AS q
+      FROM documents
+    ),
+    mapped AS (
+      SELECT doc_id, source, n_chars, r,
+             CAST(least(floor(r * 10), 9) AS INTEGER) AS b
+      FROM ranked
+    )
+    SELECT m.doc_id, m.source, m.n_chars,
+           round(m.r, 6) AS src_rank,
+           round(g.q[m.b + 1]
+                 + (m.r * 10 - m.b) * (g.q[m.b + 2] - g.q[m.b + 1]),
+                 6) AS norm_score
+    FROM mapped m, grid g
+    ORDER BY m.doc_id
+    """,
+    tags=("calibration", "quantile", "normalization", "curation", "llm"),
+)
+def q229_quantile_normalize(spark, sf_dir):
+    """Cross-domain quantile normalization — the score-calibration
+    step before pooling per-domain quality scores into one global
+    gate (a length score that means "long for src3" must not outrank
+    "long globally" just because src3 skews short): each doc's
+    within-source percent_rank (deterministic total order on
+    (n_chars, doc_id)) is mapped onto the GLOBAL score distribution
+    by linear interpolation over its 11-point exact decile grid.
+    After normalization every source's scores share the global scale,
+    so one threshold treats all sources fairly — the grouped
+    complement of q209's per-domain threshold.
+
+    SCALE DESIGN: the only window partitions by source (bounded
+    per-domain sort, no global window); the global decile grid is ONE
+    exact-percentile aggregate broadcast as 11 doubles, and the
+    interpolation is pure codegen arithmetic. At real scale the exact
+    grid becomes approx_percentile with documented error — the shape
+    (grid broadcast + zero-shuffle map) is unchanged. percent_rank
+    and the interpolated value are computed by the same IEEE ops in
+    both engines; round(6) absorbs ulp drift."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id", "source", "n_chars",
+        F.percent_rank().over(w).alias("r"),
+    )
+    grid = docs.agg(
+        F.percentile(
+            "n_chars",
+            F.array([F.lit(i / 10.0) for i in range(11)]),
+        ).alias("q")
+    )
+    b = F.least(F.floor(F.col("r") * 10), F.lit(9)).cast("int")
+    lo = F.element_at("q", b + 1)
+    hi = F.element_at("q", b + 2)
+    return (
+        ranked.crossJoin(F.broadcast(grid))
+        .select(
+            "doc_id", "source", "n_chars",
+            F.round("r", 6).alias("src_rank"),
+            F.round(lo + (F.col("r") * 10 - b) * (hi - lo), 6)
+            .alias("norm_score"),
+        )
+        .orderBy("doc_id")
+    )
