@@ -992,3 +992,90 @@ def test_streaming_quantile_sketch_equals_batch(spark, tmp_path):
         (r["event_type"], r["__bucket"], r["__cnt"]) for r in s.collect()
     )
     assert cells(state) == cells(batch)
+
+
+def test_weighted_shortest_paths_planted_graph(spark):
+    """Bellman-Ford must prefer a longer-but-cheaper path: 1->2->3
+    direct costs 10, the detour 1->4->5->3 costs 3. Also checks the
+    hop bound: with max_rounds=1 only direct neighbors are labeled."""
+    from etl_as_a_service_spark.operators.graph import (
+        weighted_shortest_paths,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5), (1, 4, 1), (4, 5, 1), (5, 3, 1),
+         (90, 91, 7)],
+        "a long, b long, w long",
+    )
+    seed = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["cost"]
+        for r in weighted_shortest_paths(edges, seed).collect()
+    }
+    # detour wins for 3 (cost 3, not 10); disconnected 90/91 absent
+    assert got == {1: 0, 2: 5, 3: 3, 4: 1, 5: 2}
+
+    one_round = {
+        r["node"]: r["cost"]
+        for r in weighted_shortest_paths(
+            edges, seed, max_rounds=1
+        ).collect()
+    }
+    assert one_round == {1: 0, 2: 5, 4: 1}
+
+
+def test_weighted_shortest_paths_undirected_and_ties(spark):
+    """Edges relax in BOTH directions, and equal-cost paths agree on
+    the (unique) min cost."""
+    from etl_as_a_service_spark.operators.graph import (
+        weighted_shortest_paths,
+    )
+
+    # seed 3 reaches 1 only via reversed edges; 4 has two cost-4 paths
+    edges = spark.createDataFrame(
+        [(1, 2, 2), (2, 3, 2), (3, 4, 4), (2, 4, 2)],
+        "a long, b long, w long",
+    )
+    seed = spark.createDataFrame([(3,)], "node long")
+    got = {
+        r["node"]: r["cost"]
+        for r in weighted_shortest_paths(edges, seed).collect()
+    }
+    assert got == {3: 0, 2: 2, 1: 4, 4: 4}
+
+
+def test_kcore_peel_cascading_rounds(spark):
+    """A triangle with a pendant chain: round 1 drops the chain tail,
+    round 2 the now-degree-1 chain head — the cascade that makes
+    single-pass degree filtering wrong. The triangle survives as the
+    2-core with all degrees 2."""
+    from etl_as_a_service_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)],
+        "a long, b long",
+    )
+    got = {
+        r["node"]: r["degree"]
+        for r in kcore_peel(edges, k=2, rounds=3).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+
+    # with rounds=1 the cascade hasn't finished: 4 is gone (degree 2
+    # only while 5 existed -> after one peel 5 dropped, 4 still in)
+    one = {
+        r["node"]: r["degree"]
+        for r in kcore_peel(edges, k=2, rounds=1).collect()
+    }
+    assert set(one) == {1, 2, 3, 4}
+
+
+def test_kcore_peel_everything_dropped(spark):
+    """A bare path has no 2-core: the result must be empty, not an
+    error, and keep the (node, degree) schema."""
+    from etl_as_a_service_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    out = kcore_peel(edges, k=2, rounds=3)
+    assert out.count() == 0
+    assert set(out.columns) == {"node", "degree"}
