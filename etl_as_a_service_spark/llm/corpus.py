@@ -624,3 +624,145 @@ def pmi_collocations(
     topk = scored.orderBy(F.col("pmi").desc(), F.col("ngram")).limit(k)
     w = Window.orderBy(F.col("pmi").desc(), F.col("ngram"))
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """EXACT cross-group shingle-overlap matrix: for every unordered
+    pair of groups (sources, crawls, snapshots) report the count of
+    shared distinct word n-gram shingles, Jaccard similarity, and
+    max-containment — the corpus-level overlap audit run before mixing
+    two crawls (is snapshot B mostly a re-crawl of A?) or before
+    trusting a "new" source as novel data. Reference scope: arbitrary
+    user transformations over uploaded corpora (app/routes.py:66-135),
+    restated as a first-class corpus diagnostic.
+
+    Returns (src_a, src_b, common, n_a, n_b, jaccard, containment)
+    with src_a < src_b, one row per group pair that shares at least
+    one shingle.
+
+    SCALE DESIGN: the wire unit is the DISTINCT (group, xxhash64)
+    pair — text never shuffles, and per-group duplicate shingles are
+    collapsed map-side by the distinct's partial aggregate. The
+    pair-count self-join keys on the 64-bit shingle hash; each hash
+    matches at most |groups| rows per side, so the join output is
+    bounded by distinct_shingles x |groups|^2 — linear in corpus size
+    for the handful-of-sources case this audits (NOT a doc-pair join;
+    there is no |docs|^2 term anywhere). Group sizes broadcast to the
+    ratio projection. At 100 TB: one tokenize scan, one distinct
+    shuffle on (group, hash), one hash-keyed join — all partial-agg
+    friendly, no skew beyond a shingle shared by every group (bounded
+    fan-out |groups|)."""
+    from etl_as_a_service_spark.llm.dedup import shingles_from_tokens
+
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(group_col).alias("__g"),
+            tokenize(F.col(text_col)).alias("__t"),
+        )
+        .select(
+            "__g",
+            F.explode(
+                F.transform(
+                    shingles_from_tokens(F.col("__t"), n),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("__h"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("__g").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.__h") == F.col("b.__h"))
+            & (F.col("a.__g") < F.col("b.__g")),
+        )
+        .groupBy(F.col("a.__g").alias("src_a"), F.col("b.__g").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("__g").alias("src_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("__g").alias("src_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("common").cast("long").alias("common"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("common")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("common")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
+def vocab_oov_rates(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    vocab_size: int = 500,
+) -> DataFrame:
+    """Tokenizer-planning readout: fix the vocabulary to the global
+    top-``vocab_size`` words by corpus frequency (ties broken by word,
+    so the vocab is deterministic cross-engine), then report per group
+    (source/domain/lang) how much of its traffic falls OUT of that
+    vocabulary: token-level OOV share (weighted by occurrences) and
+    type-level OOV share (distinct words). High oov_token_share for a
+    source means a shared tokenizer trained on the global mix will
+    fragment that source's text.
+
+    Returns (group, n_tokens, n_types, oov_token_share,
+    oov_type_share) — one row per group.
+
+    SCALE DESIGN: one tokenize/explode scan feeds a (group, word)
+    count (map-side combined); the global word table aggregates FROM
+    that result (ReuseExchange), and only its top-``vocab_size`` rows
+    exist after the TakeOrderedAndProject, so the vocab join is a
+    broadcast hash join against a fixed-size build side. No driver
+    vocabulary, no second scan of the corpus."""
+    gw = (
+        ensure_parallelism(df)
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokenize(F.col(text_col))).alias("word"),
+        )
+        .groupBy("grp", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = (
+        gw.groupBy("word")
+        .agg(F.sum("c").alias("gc"))
+        .orderBy(F.col("gc").desc(), F.col("word"))
+        .limit(vocab_size)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    joined = gw.join(F.broadcast(vocab), "word", "left")
+    oov = F.when(F.col("in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+    return joined.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(F.sum(F.col("c") * oov) / F.sum("c").cast("double"), 6).alias(
+            "oov_token_share"
+        ),
+        F.round(F.sum(oov) / F.count(F.lit(1)).cast("double"), 6).alias(
+            "oov_type_share"
+        ),
+    )

@@ -594,3 +594,56 @@ def reconcile_tables(
         .withColumn("rows_match", F.col("n_a") == F.col("n_b"))
         .withColumn("content_match", F.col("sum_a") == F.col("sum_b"))
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per key over an ordered
+    series — the standard metrics-monitoring smoother (pandas
+    ``ewm(alpha, adjust=True)`` convention):
+
+        ewma_t = sum_{i<=t} (1-a)^(t-i) * x_i / sum_{i<=t} (1-a)^(t-i)
+
+    computed in CLOSED FORM with two codegen'd expressions over ONE
+    cumulative window sum, not a per-row recursive loop:
+
+        num_t = (1-a)^t * cumsum(x_i * (1-a)^(-i))
+        den_t = (1 - (1-a)^t) / a          (geometric series)
+
+    ``order_col`` must be unique per key (e.g. a day column after a
+    daily rollup) so the row_number — and therefore the float
+    accumulation order — is deterministic.
+
+    NUMERICS: (1-a)^(-i) grows with series length; callers smoothing
+    more than ~1/alpha * 300 points per key should chunk the series or
+    raise alpha (doubles overflow past (1-a)^(-i) ~ 1e300). For the
+    metrics-monitoring case (days/weeks per key) the factor stays tiny
+    — 30 daily points at alpha=0.2 is 0.8^-30 ~ 8e2.
+
+    SCALE DESIGN: one shuffle on the key (the window partition); the
+    cumulative sum is a single sequential pass within each partition —
+    no self-join, no O(n^2) weight matrix. Each key's series must fit
+    a partition, which holds for per-entity time series (the global
+    single-key case is the caller's explicit choice, as with any
+    window spec)."""
+    beta = 1.0 - alpha
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    cum = Window.partitionBy(*key_cols).orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # rn must be a materialized column before the cumulative sum uses
+    # it — a window function cannot nest inside another window
+    # aggregate's argument (both windows share a partitioning, so
+    # Catalyst still plans ONE Window node / one shuffle).
+    staged = df.withColumn("__rn", F.row_number().over(w))
+    num = F.pow(F.lit(beta), F.col("__rn")) * F.sum(
+        F.col(value_col) * F.pow(F.lit(beta), -F.col("__rn"))
+    ).over(cum)
+    den = (1.0 - F.pow(F.lit(beta), F.col("__rn"))) / alpha
+    return staged.withColumn(out_col, num / den).drop("__rn")

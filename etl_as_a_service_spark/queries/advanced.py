@@ -1362,3 +1362,57 @@ def q216_dp_histogram(spark, sf_dir):
         F.round(F.col("n_true") + lap, 6).alias("n_noised"),
         F.lit(_DP_EPS).alias("epsilon"),
     ).orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# q231 — EWMA revenue trend per event type (metrics-monitoring smoother)
+# --------------------------------------------------------------------------
+@query(
+    "q231_ewma_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             round(sum(value), 2) AS revenue
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, day, revenue,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS rn
+      FROM daily
+    )
+    SELECT event_type, day, revenue,
+           round(power(0.8, rn)
+                 * sum(revenue * power(0.8, -rn)) OVER (
+                     PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / ((1 - power(0.8, rn)) / 0.2), 4) AS ewma
+    FROM seq
+    ORDER BY event_type, day
+    """,
+    tags=("timeseries", "monitoring", "window", "operator"),
+)
+def q231_ewma_trend(spark, sf_dir):
+    """Exponentially-weighted daily-revenue trend per event type
+    (alpha=0.2, pandas adjust=True convention) via
+    operators.relational.ewma_smooth — the standard dashboard smoother
+    completing the monitoring family (rolling z-score q160, CUSUM
+    q189, seasonal baseline q156, ACF q198). Closed-form: one window
+    shuffle, one sequential cumulative sum per key — no recursion, no
+    self-join. Daily revenue is rounded to cents BEFORE smoothing so
+    both engines feed the EWMA identical inputs (sums of 2-decimal
+    values sit on the cent grid, never at a round() midpoint)."""
+    from etl_as_a_service_spark.operators.relational import ewma_smooth
+
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    out = ewma_smooth(
+        daily, ["event_type"], "day", "revenue", alpha=0.2
+    )
+    return out.select(
+        "event_type", "day", "revenue", F.round("ewma", 4).alias("ewma")
+    ).orderBy("event_type", "day")

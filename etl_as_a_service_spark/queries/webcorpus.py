@@ -710,3 +710,104 @@ def q225_link_hosts(spark, sf_dir):
         )
         .orderBy("host")
     )
+
+
+# --------------------------------------------------------------------------
+# q230 — cross-source shingle-overlap matrix (corpus overlap audit)
+# --------------------------------------------------------------------------
+@query(
+    "q230_source_overlap",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT source, w1 || ' ' || w2 || ' ' || w3 AS sh
+      FROM (
+        SELECT source,
+               toks[i]     AS w1,
+               toks[i + 1] AS w2,
+               toks[i + 2] AS w3
+        FROM (SELECT source, string_split(text, ' ') AS toks
+              FROM documents),
+             UNNEST(range(1, len(toks) - 1)) AS t(i)
+      )
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+    common AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           CAST(common AS BIGINT)                               AS common,
+           CAST(sa.n AS BIGINT)                                 AS n_a,
+           CAST(sb.n AS BIGINT)                                 AS n_b,
+           round(common / CAST(sa.n + sb.n - common AS DOUBLE), 6)
+                                                                AS jaccard,
+           round(common / CAST(least(sa.n, sb.n) AS DOUBLE), 6)
+                                                                AS containment
+    FROM common
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    ORDER BY src_a, src_b
+    """,
+    tags=("dedup", "corpus", "overlap", "llm", "operator"),
+)
+def q230_source_overlap(spark, sf_dir):
+    """EXACT cross-source shingle-overlap matrix via
+    llm.corpus.source_overlap_matrix: distinct 3-gram shingles per
+    source, shared-shingle counts per source pair, Jaccard +
+    max-containment — the is-this-crawl-actually-new audit run before
+    mixing corpora. Wire unit is (source, xxhash64) — the oracle uses
+    the shingle STRINGS, so a hash collision would show up as a
+    count mismatch (none at this scale; the operator docstring covers
+    the 100 TB story)."""
+    from etl_as_a_service_spark.llm.corpus import source_overlap_matrix
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return source_overlap_matrix(docs, "text", "source", n=3).orderBy(
+        "src_a", "src_b"
+    )
+
+
+# --------------------------------------------------------------------------
+# q232 — OOV rates per source against the global top-V vocabulary
+# --------------------------------------------------------------------------
+@query(
+    "q232_oov_rates",
+    oracle="""
+    WITH gw AS (
+      SELECT source AS grp, w AS word, count(*) AS c
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    vocab AS (
+      SELECT word
+      FROM (SELECT word, sum(c) AS gc FROM gw GROUP BY word)
+      ORDER BY gc DESC, word
+      LIMIT 500
+    )
+    SELECT grp,
+           CAST(sum(c) AS BIGINT)    AS n_tokens,
+           CAST(count(*) AS BIGINT)  AS n_types,
+           round(sum(CASE WHEN v.word IS NULL THEN c ELSE 0 END)
+                 / CAST(sum(c) AS DOUBLE), 6)      AS oov_token_share,
+           round(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6)    AS oov_type_share
+    FROM gw LEFT JOIN vocab v USING (word)
+    GROUP BY grp
+    ORDER BY grp
+    """,
+    tags=("corpus", "vocab", "tokenizer", "llm", "operator"),
+)
+def q232_oov_rates(spark, sf_dir):
+    """Tokenizer-planning OOV readout via llm.corpus.vocab_oov_rates:
+    vocabulary = global top-500 words (count desc, word asc — the
+    deterministic cross-engine tiebreak), then per-source token- and
+    type-level out-of-vocabulary shares. One explode scan, vocab kept
+    distributed until the top-500 TakeOrdered, broadcast vocab join."""
+    from etl_as_a_service_spark.llm.corpus import vocab_oov_rates
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return vocab_oov_rates(docs, "text", "source", vocab_size=500).orderBy(
+        "grp"
+    )

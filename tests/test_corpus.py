@@ -197,3 +197,46 @@ def test_filter_funnel_matches_sequential_filters(spark, docs):
         filter_funnel(docs, [])
     with pytest.raises(ValueError, match="A-Za-z0-9_"):
         filter_funnel(docs, [("bad name", F.lit(True))])
+
+
+def test_source_overlap_matrix_planted_counts(spark):
+    from etl_as_a_service_spark.llm.corpus import source_overlap_matrix
+
+    # src A: shingles over "a b c d" -> {a b c, b c d}
+    # src B: "b c d e" -> {b c d, c d e}; shares exactly {b c d} with A
+    # src C: "x y z"   -> {x y z}; shares nothing
+    df = spark.createDataFrame(
+        [("A", "a b c d"), ("B", "b c d e"), ("C", "x y z"),
+         # duplicate shingles within a source must collapse (distinct)
+         ("B", "b c d e")],
+        ["src", "text"],
+    )
+    rows = {
+        (r["src_a"], r["src_b"]): r
+        for r in source_overlap_matrix(df, "text", "src", n=3).collect()
+    }
+    assert set(rows) == {("A", "B")}
+    r = rows[("A", "B")]
+    assert (r["common"], r["n_a"], r["n_b"]) == (1, 2, 2)
+    assert r["jaccard"] == round(1 / 3, 6)
+    assert r["containment"] == 0.5
+
+
+def test_vocab_oov_rates_cutoff_and_tiebreak(spark):
+    from etl_as_a_service_spark.llm.corpus import vocab_oov_rates
+
+    # global counts: "w1" x3, "w2" x2, tie at 1 between "aa" and "zz" —
+    # vocab_size=3 must keep {w1, w2, aa} (count desc, word asc).
+    df = spark.createDataFrame(
+        [("g1", "w1 w1 w2 aa"), ("g2", "w1 w2 zz")],
+        ["grp", "text"],
+    )
+    out = {r["grp"]: r for r in vocab_oov_rates(df, "text", "grp", 3).collect()}
+    g1, g2 = out["g1"], out["g2"]
+    # g1: all 4 tokens in vocab
+    assert (g1["n_tokens"], g1["n_types"]) == (4, 3)
+    assert g1["oov_token_share"] == 0.0 and g1["oov_type_share"] == 0.0
+    # g2: "zz" lost the tie -> 1 of 3 tokens, 1 of 3 types OOV
+    assert (g2["n_tokens"], g2["n_types"]) == (3, 3)
+    assert g2["oov_token_share"] == round(1 / 3, 6)
+    assert g2["oov_type_share"] == round(1 / 3, 6)

@@ -1079,3 +1079,30 @@ def test_kcore_peel_everything_dropped(spark):
     out = kcore_peel(edges, k=2, rounds=3)
     assert out.count() == 0
     assert set(out.columns) == {"node", "degree"}
+
+
+def test_ewma_smooth_matches_recursive_reference(spark):
+    from etl_as_a_service_spark.operators.relational import ewma_smooth
+
+    xs = [10.0, 20.0, 5.0, 40.0, 40.0]
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)]
+        + [("other", 0, 100.0)],  # second key must smooth independently
+        ["key", "t", "x"],
+    )
+    out = ewma_smooth(df, ["key"], "t", "x", alpha=0.3)
+    got = {
+        (r["key"], r["t"]): r["ewma"] for r in out.collect()
+    }
+    # pandas ewm(alpha, adjust=True) reference, computed directly
+    alpha, beta = 0.3, 0.7
+    num = den = 0.0
+    for i, x in enumerate(xs):
+        num = beta * num + x
+        den = beta * den + 1.0
+        assert abs(got[("k", i)] - num / den) < 1e-9, i
+    # first point is the value itself (up to the beta*beta^-1 round-trip)
+    assert abs(got[("other", 0)] - 100.0) < 1e-9
+    # single Window node: rn + cumsum share one partitioning/sort
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Window") <= 2
