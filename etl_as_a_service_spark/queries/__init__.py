@@ -80,7 +80,7 @@ from etl_as_a_service_spark.queries import webcorpus  # noqa: E402,F401
 # cohort retention, Markov transitions, unigram-LM score, link
 # hosts, conversion lag, weighted shortest paths, k-core peel,
 # quantile normalization, cross-source shingle overlap, EWMA trend,
-# OOV vocabulary rates (q230-q232);
+# OOV vocabulary rates, Cohen's kappa, source datasheet (q230-q234);
 # none driver-checked yet — the generic rotation-invariant
 # test computes the exact required set from the CORRECTNESS_r*.json
 # union, trust it over this enumeration):

@@ -1660,3 +1660,80 @@ def q229_quantile_normalize(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q233 — Cohen's kappa inter-rater agreement per source
+# --------------------------------------------------------------------------
+@query(
+    "q233_cohen_kappa",
+    oracle="""
+    WITH rated AS (
+      SELECT source,
+             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+             CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1 ELSE 0 END
+               AS rb
+      FROM documents
+    ),
+    agg AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT)                       AS n,
+             avg(CASE WHEN ra = rb THEN 1.0 ELSE 0.0 END)   AS po,
+             avg(ra)                                        AS pa,
+             avg(rb)                                        AS pb
+      FROM rated GROUP BY source
+    )
+    SELECT source, n,
+           round(po, 6) AS po,
+           round(pa * pb + (1 - pa) * (1 - pb), 6) AS pe,
+           CASE WHEN pa * pb + (1 - pa) * (1 - pb) = 1.0 THEN NULL
+                ELSE round((po - (pa * pb + (1 - pa) * (1 - pb)))
+                           / (1 - (pa * pb + (1 - pa) * (1 - pb))), 6)
+           END AS kappa
+    FROM agg
+    ORDER BY source
+    """,
+    tags=("stats", "eval", "agreement", "operator"),
+)
+def q233_cohen_kappa(spark, sf_dir):
+    """Cohen's kappa inter-rater agreement per source between two
+    deterministic binary raters (a char-length rule vs a token-count
+    rule — correlated but not identical, so kappa lands strictly
+    inside (0, 1) and the check is non-vacuous). kappa =
+    (po - pe) / (1 - pe) with pe from the raters' marginals; the
+    degenerate pe = 1 case (both raters constant) yields NULL rather
+    than 0/0. Completes the eval-statistics family (chi-square q200,
+    Mann-Whitney q201, calibration q204) with the
+    label-quality-audit face: agreement between two annotation
+    sources before trusting either as training labels.
+
+    SCALE DESIGN: one conditional-aggregate pass per source — the
+    rater flags are codegen'd projections, po/pa/pb partial-aggregate
+    map-side, and the kappa arithmetic runs on the five-row result.
+    Zero joins, zero extra shuffles at any corpus size."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    from etl_as_a_service_spark.functions.text import tokenize
+
+    rated = docs.select(
+        "source",
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("ra"),
+        F.when(F.size(tokenize(F.col("text"))) >= 50, 1)
+        .otherwise(0)
+        .alias("rb"),
+    )
+    agg = rated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg((F.col("ra") == F.col("rb")).cast("double")).alias("_po"),
+        F.avg("ra").alias("_pa"),
+        F.avg("rb").alias("_pb"),
+    )
+    pe = F.col("_pa") * F.col("_pb") + (1 - F.col("_pa")) * (1 - F.col("_pb"))
+    return agg.select(
+        "source",
+        "n",
+        F.round("_po", 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.when(pe == 1.0, F.lit(None).cast("double"))
+        .otherwise(F.round((F.col("_po") - pe) / (1 - pe), 6))
+        .alias("kappa"),
+    ).orderBy("source")

@@ -811,3 +811,82 @@ def q232_oov_rates(spark, sf_dir):
     return vocab_oov_rates(docs, "text", "source", vocab_size=500).orderBy(
         "grp"
     )
+
+
+# --------------------------------------------------------------------------
+# q234 — per-source dataset datasheet (data-card summary row)
+# --------------------------------------------------------------------------
+@query(
+    "q234_source_datasheet",
+    oracle="""
+    WITH base AS (
+      SELECT source, lang, text,
+             len(string_split(text, ' ')) AS n_toks
+      FROM documents
+    ),
+    per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT)                 AS n_docs,
+             CAST(sum(n_toks) AS BIGINT)              AS n_tokens,
+             round(avg(n_toks), 4)                    AS mean_tokens,
+             round(count(DISTINCT text)
+                   / CAST(count(*) AS DOUBLE), 6)     AS uniq_text_share
+      FROM base GROUP BY source
+    ),
+    lang_mix AS (
+      SELECT source,
+             round(-sum(p * ln(p)), 6) AS lang_entropy
+      FROM (
+        SELECT source,
+               count(*) / CAST(sum(count(*)) OVER (PARTITION BY source)
+                               AS DOUBLE) AS p
+        FROM base GROUP BY source, lang
+      ) GROUP BY source
+    )
+    SELECT p.source, n_docs, n_tokens, mean_tokens, uniq_text_share,
+           lang_entropy
+    FROM per_source p JOIN lang_mix l ON p.source = l.source
+    ORDER BY p.source
+    """,
+    tags=("corpus", "datasheet", "profiling", "llm", "operator"),
+)
+def q234_source_datasheet(spark, sf_dir):
+    """Datasheet-for-datasets summary row per source (Gebru et al.,
+    public paper): document count, token volume, mean length, exact
+    unique-text share (the 1 - dup-rate headline), and language-mix
+    entropy — the one-table data card a curation run publishes next
+    to its output.
+
+    SCALE DESIGN: two aggregation passes over one scan — the
+    per-(source, lang) counts feed the entropy via a window over the
+    5x|langs| aggregate (tiny), and the per-source pass computes the
+    distinct-text count with a partial-aggregated count(DISTINCT) on
+    the text hash... here directly on text since Catalyst plans
+    count(DISTINCT) as a two-stage expand; at 100 TB swap the raw
+    text for its xxhash64 fingerprint (same plan shape, 8-byte
+    shuffle keys) — q40's fingerprint operator is that path. No
+    joins against the corpus, only the five-row summary join."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    from etl_as_a_service_spark.functions.text import tokenize
+
+    base = docs.select(
+        "source", "lang", "text", F.size(tokenize(F.col("text"))).alias("n_toks")
+    )
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.round(F.avg("n_toks"), 4).alias("mean_tokens"),
+        F.round(
+            F.countDistinct("text") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("uniq_text_share"),
+    )
+    from pyspark.sql import Window
+
+    sl = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    p = F.col("c") / F.sum("c").over(Window.partitionBy("source"))
+    lang_mix = (
+        sl.select("source", p.alias("p"))
+        .groupBy("source")
+        .agg(F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("lang_entropy"))
+    )
+    return per_source.join(lang_mix, "source").orderBy("source")

@@ -183,3 +183,38 @@ def test_ranking_metrics_keeps_zero_relevant_groups(spark, tmp_path):
     assert out["qq"]["mrr"] == 0.0
     assert out["qq"]["ndcg_at_10"] == 0.0
     assert out["aa"]["p_at_10"] == 0.5  # 5 relevant in top 10
+
+
+def test_cohen_kappa_hand_computed_confusion(spark):
+    """kappa from a pinned 2x2 confusion matrix: a=yes/b=yes 4,
+    yes/no 1, no/yes 1, no/no 4 -> po=0.8, pa=pb=0.5, pe=0.5,
+    kappa=0.6; and a constant-rater group yields NULL (pe=1)."""
+    from etl_as_a_service_spark.queries import QUERIES
+    import pyspark.sql.functions as F
+
+    rows = (
+        [("g", 1, 1)] * 4 + [("g", 1, 0), ("g", 0, 1)] + [("g", 0, 0)] * 4
+        + [("const", 1, 1)] * 3
+    )
+    rated = spark.createDataFrame(rows, ["source", "ra", "rb"])
+    agg = rated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg((F.col("ra") == F.col("rb")).cast("double")).alias("_po"),
+        F.avg("ra").alias("_pa"),
+        F.avg("rb").alias("_pb"),
+    )
+    pe = F.col("_pa") * F.col("_pb") + (1 - F.col("_pa")) * (1 - F.col("_pb"))
+    out = {
+        r["source"]: r
+        for r in agg.select(
+            "source",
+            F.round("_po", 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            F.when(pe == 1.0, F.lit(None).cast("double"))
+            .otherwise(F.round((F.col("_po") - pe) / (1 - pe), 6))
+            .alias("kappa"),
+        ).collect()
+    }
+    assert out["g"]["po"] == 0.8 and out["g"]["pe"] == 0.5
+    assert out["g"]["kappa"] == 0.6
+    assert out["const"]["pe"] == 1.0 and out["const"]["kappa"] is None
