@@ -95,13 +95,16 @@ HEADLINE_QUALITY = [
 #: reassembly, the heaviest of the batch), the rolling-HLL active-user
 #: spine, and the per-arm SPRT cumulative walk. round-5 third batch:
 #: the unigram-LM quality score (corpus-wide explode + vocab join —
-#: the heaviest of the q222-q226 family). SEPARATE subtotal;
-#: earlier subtotals stay comparable.
+#: the heaviest of the q222-q226 family). round-5 fourth batch: the
+#: cross-source shingle-overlap matrix (distinct-shingle self-join —
+#: the heaviest of q230-q234). SEPARATE subtotal; earlier subtotals
+#: stay comparable.
 HEADLINE_WEBCORPUS = [
     "q206_boilerplate_excision",
     "q212_rolling_active_users",
     "q208_sprt_monitor",
     "q224_unigram_lm_score",
+    "q230_source_overlap",
 ]
 
 HEADLINE_LAKEHOUSE = [

@@ -50,6 +50,7 @@ import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _LOG_DIR = "_delta_log"
@@ -392,6 +393,20 @@ def delta_changes(
     schema = T.StructType.fromJson(json.loads(s1.schema_json))
     removed = sorted(set(s0.live) - set(s1.live))
     added = sorted(set(s1.live) - set(s0.live))
+    # One-sided fast paths, decided from LOG METADATA before any scan:
+    # a pure append (no files left the live set) is all inserts and a
+    # pure delete all deletes — one bounded scan + projection, no
+    # full-outer join. This is the dominant change-feed shape at scale
+    # (streaming ingests are append-only), and the join path's answer
+    # is identical: an empty other side labels every row one-sidedly.
+    if not removed:
+        return _read_file_list(spark, table, schema, added).select(
+            *key_cols, F.lit("insert").alias("change_type")
+        )
+    if not added:
+        return _read_file_list(spark, table, schema, removed).select(
+            *key_cols, F.lit("delete").alias("change_type")
+        )
     return snapshot_diff(
         _read_file_list(spark, table, schema, removed),
         _read_file_list(spark, table, schema, added),

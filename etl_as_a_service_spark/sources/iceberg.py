@@ -46,6 +46,7 @@ import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_as_a_service_spark.sources.avro import (
@@ -475,9 +476,22 @@ def iceberg_changes(
         )
     schema = _spark_schema(md["schemas"][md["current-schema-id"]])
     f0, f1 = _live_file_set(table, s0), _live_file_set(table, s1)
+    removed, added = sorted(f0 - f1), sorted(f1 - f0)
+    # One-sided fast paths from manifest metadata (same contract as
+    # sources.delta.delta_changes): a pure append is all inserts, a
+    # pure delete all deletes — one bounded scan + projection instead
+    # of a full-outer join against a provably-empty side.
+    if not removed:
+        return _read_iceberg_files(spark, table, md, schema, added).select(
+            *key_cols, F.lit("insert").alias("change_type")
+        )
+    if not added:
+        return _read_iceberg_files(spark, table, md, schema, removed).select(
+            *key_cols, F.lit("delete").alias("change_type")
+        )
     return snapshot_diff(
-        _read_iceberg_files(spark, table, md, schema, sorted(f0 - f1)),
-        _read_iceberg_files(spark, table, md, schema, sorted(f1 - f0)),
+        _read_iceberg_files(spark, table, md, schema, removed),
+        _read_iceberg_files(spark, table, md, schema, added),
         key_cols,
     )
 

@@ -1857,3 +1857,54 @@ def test_iceberg_partitioned_scan_keeps_metadata_column_order(
     assert {(r["k"], r["change_type"]) for r in feed.collect()} == {
         (3, "insert")
     }
+
+
+def test_change_feed_append_only_fast_path_no_join(spark, tmp_path):
+    """A pure append (no files leave the live set) must take the
+    metadata-decided fast path: all-insert feed, NO join anywhere in
+    the plan, and the same answer as the full-snapshot diff. This is
+    the dominant change-feed shape at scale — streaming ingests are
+    append-only, and paying a full-outer join against a provably
+    empty side was pure overhead (measured 1.8s of the 2.4s
+    change-feed bench entry)."""
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.operators.relational import snapshot_diff
+    from etl_as_a_service_spark.sources.delta import (
+        delta_changes,
+        delta_read,
+        delta_write,
+    )
+    from etl_as_a_service_spark.sources.iceberg import (
+        iceberg_changes,
+        iceberg_read,
+        iceberg_write,
+    )
+
+    base = spark.range(20).select("id", (F.col("id") * 2).alias("v"))
+    extra = spark.createDataFrame([(100, 0), (101, 2)], "id long, v long")
+
+    dtab = str(tmp_path / "dfast")
+    v0 = delta_write(base, dtab)
+    v1 = delta_write(extra, dtab, mode="append")
+    dfeed = delta_changes(spark, dtab, v0, v1, ["id"])
+    assert "Join" not in dfeed._jdf.queryExecution().optimizedPlan().toString()
+    got = {(r["id"], r["change_type"]) for r in dfeed.collect()}
+    assert got == {(100, "insert"), (101, "insert")}
+    full = snapshot_diff(
+        delta_read(spark, dtab, version=v0),
+        delta_read(spark, dtab, version=v1),
+        ["id"],
+    )
+    assert {(r["id"], r["change_type"]) for r in full.collect()} == got
+
+    itab = str(tmp_path / "ifast")
+    s0 = iceberg_write(base, itab)
+    s1 = iceberg_write(extra, itab, mode="append")
+    ifeed = iceberg_changes(spark, itab, s0, s1, ["id"])
+    assert "Join" not in ifeed._jdf.queryExecution().optimizedPlan().toString()
+    assert {(r["id"], r["change_type"]) for r in ifeed.collect()} == got
+    # same-version range: both file deltas empty -> empty feed with the
+    # contract columns, still join-free
+    same = delta_changes(spark, dtab, v1, v1, ["id"])
+    assert same.columns == ["id", "change_type"] and same.count() == 0
