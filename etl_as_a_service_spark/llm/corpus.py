@@ -659,12 +659,17 @@ def source_overlap_matrix(
     fan-out |groups|)."""
     from etl_as_a_service_spark.llm.dedup import shingles_from_tokens
 
+    # docs with fewer than n tokens contribute NO shingles (never the
+    # whole-text fallback of shingles_from_tokens) — positional n-gram
+    # SQL twins (q230) emit zero shingles for short docs, and a
+    # fallback shingle here would count as phantom cross-source overlap
     sh = (
         ensure_parallelism(df)
         .select(
             F.col(group_col).alias("__g"),
             tokenize(F.col(text_col)).alias("__t"),
         )
+        .filter(F.size(F.col("__t")) >= n)
         .select(
             "__g",
             F.explode(

@@ -1069,8 +1069,13 @@ def ngram_containment_pairs(
     (ReuseExchange-shared), candidates bounded by prefix postings
     frequency, verify joins keyed by id. The min() in the denominator
     makes C symmetric in (A,B) while still catching subset docs; pairs
-    emit once with id_a < id_b."""
-    sh = hashed_shingle_sets(df, text_col, id_col, n)
+    emit once with id_a < id_b.
+
+    ``drop_short=True``: a doc with fewer than ``n`` tokens
+    contributes NO shingles (never the whole-text fallback) — the
+    positional-n-gram SQL oracle (q219) emits zero shingles for such
+    docs, so the fallback would be a latent engine/oracle divergence."""
+    sh = hashed_shingle_sets(df, text_col, id_col, n, drop_short=True)
     sets_ = sh.groupBy("__id").agg(
         F.array_sort(F.collect_list("sh")).alias("__set"),
         F.count(F.lit(1)).alias("__sz"),
@@ -1127,13 +1132,16 @@ def ngram_containment_pairs(
     )
     inter = F.size(F.array_intersect("__set_a", "__set_b"))
     containment = inter / F.least("__sz_a", "__sz_b2")
+    # filter on the UNROUNDED ratio (matching the oracle's WHERE
+    # clause); round only for display — rounding first would keep a
+    # pair whose true containment sits within 5e-7 below threshold
     return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
+        .filter(containment >= threshold)
         .select(
             "id_a",
             "id_b",
             F.round(containment, 6).alias("containment"),
         )
-        .filter(F.col("containment") >= threshold)
     )

@@ -195,7 +195,7 @@ def bloom_semi_join(
     fact_key: str,
     dim_key: str,
     expected_items: int | None = None,
-    fpp: float = 0.03,
+    fpp: float | None = None,
 ) -> DataFrame:
     """EXACT left-semi join fact⋉dim, planned as Bloom-prune + verify:
 
@@ -247,7 +247,10 @@ def bloom_semi_join(
         )
     if expected_items is None:
         num_bits, num_hashes = MAX_BITS, 5
-        if fpp != 0.03:  # the declared default
+        # None-default sentinel: ANY explicit fpp (including 0.03)
+        # is unhonorable without an item estimate and must warn —
+        # a literal-default check would silently ignore fpp=0.03
+        if fpp is not None:
             warnings.warn(
                 f"bloom_semi_join: fpp={fpp:g} was requested but "
                 "expected_items is None — the filter cannot be sized "
@@ -258,6 +261,8 @@ def bloom_semi_join(
                 stacklevel=2,
             )
     else:
+        if fpp is None:
+            fpp = 0.03
         num_bits = optimal_num_bits(expected_items, fpp)
         num_hashes = optimal_num_hashes(num_bits, expected_items)
         eff = effective_fpp(num_bits, num_hashes, expected_items)

@@ -286,13 +286,17 @@ def _apply_step(
 
         right = compile_pipeline(spark, _req(step, "right"), _as_subplan=True)
         expected = step.get("expected_items")
+        fpp = step.get("fpp")
         return bloom_semi_join(
             df,
             right,
             _req(step, "left_key"),
             _req(step, "right_key"),
             expected_items=int(expected) if expected is not None else None,
-            fpp=float(step.get("fpp", 0.03)),
+            # unset stays None (operator resolves to 0.03 when sized):
+            # an explicit spec fpp with no expected_items should warn,
+            # an omitted one should not
+            fpp=float(fpp) if fpp is not None else None,
         )
     if op == "cdc_chunk":
         # {"op":"cdc_chunk","text_col":"text","id_col":"doc_id",

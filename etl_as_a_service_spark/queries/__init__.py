@@ -62,71 +62,77 @@ from etl_as_a_service_spark.queries import quality  # noqa: E402,F401
 from etl_as_a_service_spark.queries import advanced  # noqa: E402,F401
 from etl_as_a_service_spark.queries import webcorpus  # noqa: E402,F401
 
-# Driver-gate rotation (round 5): the external driver records
-# CORRECTNESS rows for the FIRST 50 manifest entries only. After r4
-# the driver-green union covers every query EXCEPT the 80 oracle
-# queries added after the round-4 rotation freeze (q123-q205 minus the
-# three rows-only entries q130/q139/q148). This round's front-50 is
-# exactly the first 50 of those by query number (q123-q175's oracle
-# entries) — zero slots on already-checked or rows-only queries.
+# Driver-gate rotation (round 6): the external driver records
+# CORRECTNESS rows for the FIRST 50 manifest entries only. After r5
+# the driver-green union covers every oracle query through q175; the
+# 59 never-driver-green oracle queries are q176-q234. This round's
+# front-50 is exactly the first 50 of those by query number
+# (q176-q225) — zero slots on already-checked or rows-only queries.
 # The manifest CONTENT is unchanged — only dict iteration order moves.
 #
-# ROUND-6 NOTE: the spillover oracle queries that do NOT fit this
-# window — rotate these to the front next round, PLUS the round-5
-# additions q206-q229 (boilerplate excision, salted join, SPRT,
-# domain quantile gate, URL blocklist, info gain, rolling-HLL WAU,
-# schema census, KS test, effective epochs, DP histogram, WOE/IV,
-# Zipf fit, containment near-dup, item-item CF, HTML extraction,
-# cohort retention, Markov transitions, unigram-LM score, link
-# hosts, conversion lag, weighted shortest paths, k-core peel,
-# quantile normalization, cross-source shingle overlap, EWMA trend,
-# OOV vocabulary rates, Cohen's kappa, source datasheet (q230-q234);
-# none driver-checked yet — the generic rotation-invariant
-# test computes the exact required set from the CORRECTNESS_r*.json
-# union, trust it over this enumeration):
-#   q176_peak_concurrency, q177_clamped_balance_floor,
-#   q178_clamped_balance_capped, q179_decile_lift,
-#   q180_classifier_threshold_sweep, q181_user_feature_snapshot,
-#   q182_bloom_semi_join, q183_cuped_readout, q184_cdc_chunk_dedup,
-#   q185_bpe_encode, q186_skew_diagnosis, q187_quantile_sketch,
-#   q188_spatial_neighbors, q189_cusum_changepoints,
-#   q190_touch_attribution, q191_exact_percentile_narrowing,
-#   q192_phrase_search, q193_k_anonymity_audit, q194_pca_projection,
-#   q195_pmi_collocations, q196_benford_audit, q197_km_survival,
-#   q198_daily_revenue_acf, q199_source_lang_entropy,
-#   q200_chisq_independence, q201_mann_whitney_u,
-#   q202_ranking_metrics, q203_join_cardinality,
-#   q204_calibration_bins, q205_winsorized_stats
+# ROUND-7 NOTE: the tail that does NOT fit this window — rotate these
+# nine to the front next round (the generic rotation-invariant test in
+# tests/test_driver_canonicalizer.py computes the exact required set
+# from the CORRECTNESS_r*.json union; trust it over this enumeration):
+#   q226_conversion_lag, q227_weighted_shortest_paths,
+#   q228_kcore_peel, q229_quantile_normalize, q230_source_overlap,
+#   q231_ewma_trend, q232_oov_rates, q233_cohen_kappa,
+#   q234_source_datasheet
 # Keep the rows-only queries (q47-q49/q54/q55/q61/q98/q130/q139/q148)
 # OUT of every future front-50: their driver check is `no_oracle`
 # (row-count only) and each already has its driver row from r4; the
 # real gates are their pytest recall/content tests.
 _ROTATE_FRONT = [
-    "q123_market_share", "q124_product_profit",
-    "q125_order_count_distribution", "q126_top_supplier",
-    "q127_small_quantity_revenue", "q128_large_volume_customers",
-    "q129_idle_rich_customers", "q131_near_dedup_keep_best",
-    "q132_leakage_safe_split", "q133_current_value_view",
-    "q134_order_priority_check", "q135_forecast_revenue_change",
-    "q136_promo_revenue_share", "q137_supplier_part_counts",
-    "q138_regression_aggregates", "q140_budgeted_assembly",
-    "q141_min_cost_supplier", "q142_important_part_values",
-    "q143_late_lines_by_class", "q144_dominant_share_suppliers",
-    "q145_waiting_order_suppliers", "q146_dsir_selection",
-    "q147_temperature_mix", "q149_self_substring_spans",
-    "q150_excise_duplicate_spans", "q151_hybrid_search_rrf",
-    "q152_weighted_sample_per_group", "q153_balanced_interleave",
-    "q154_market_basket_pairs", "q155_copurchase_pagerank",
-    "q156_seasonal_baseline_forecast", "q157_heavy_hitters_fold",
-    "q158_gopher_quality_flags", "q159_copurchase_triangles",
-    "q160_rolling_zscore_anomalies", "q161_hard_negative_mining",
-    "q162_countmin_fold", "q163_psi_drift",
-    "q164_ab_welch_ttest", "q165_domain_divergence",
-    "q166_copurchase_bfs_hops", "q167_table_profile",
-    "q168_mutual_nearest_neighbors", "q169_ngram_novelty",
-    "q170_integrity_checks", "q171_top_session_paths",
-    "q172_target_encoding_loo", "q173_rfm_segments",
-    "q174_pareto_analysis", "q175_table_reconciliation",
+    "q176_peak_concurrency",
+    "q177_clamped_balance_floor",
+    "q178_clamped_balance_capped",
+    "q179_decile_lift",
+    "q180_classifier_threshold_sweep",
+    "q181_user_feature_snapshot",
+    "q182_bloom_semi_join",
+    "q183_cuped_readout",
+    "q184_cdc_chunk_dedup",
+    "q185_bpe_encode",
+    "q186_skew_diagnosis",
+    "q187_quantile_sketch",
+    "q188_spatial_neighbors",
+    "q189_cusum_changepoints",
+    "q190_touch_attribution",
+    "q191_exact_percentile_narrowing",
+    "q192_phrase_search",
+    "q193_k_anonymity_audit",
+    "q194_pca_projection",
+    "q195_pmi_collocations",
+    "q196_benford_audit",
+    "q197_km_survival",
+    "q198_daily_revenue_acf",
+    "q199_source_lang_entropy",
+    "q200_chisq_independence",
+    "q201_mann_whitney_u",
+    "q202_ranking_metrics",
+    "q203_join_cardinality",
+    "q204_calibration_bins",
+    "q205_winsorized_stats",
+    "q206_boilerplate_excision",
+    "q207_salted_skew_join",
+    "q208_sprt_monitor",
+    "q209_domain_quantile_filter",
+    "q210_domain_blocklist_stats",
+    "q211_info_gain_ranking",
+    "q212_rolling_active_users",
+    "q213_schema_drift_profile",
+    "q214_ks_two_sample",
+    "q215_effective_epochs",
+    "q216_dp_histogram",
+    "q217_woe_iv_binning",
+    "q218_zipf_slope",
+    "q219_containment_pairs",
+    "q220_item_item_neighbors",
+    "q221_html_extraction",
+    "q222_cohort_retention",
+    "q223_markov_transitions",
+    "q224_unigram_lm_score",
+    "q225_link_hosts",
 ]
 
 

@@ -1712,12 +1712,14 @@ def q233_cohen_kappa(spark, sf_dir):
     map-side, and the kappa arithmetic runs on the five-row result.
     Zero joins, zero extra shuffles at any corpus size."""
     (docs,) = _t(spark, sf_dir, "documents")
-    from etl_as_a_service_spark.functions.text import tokenize
 
+    # single-space split (not tokenize's \s+/drop-empties) to mirror
+    # the oracle's string_split(text, ' ') exactly on any text shape —
+    # same convention as the q215/q218/q224 siblings
     rated = docs.select(
         "source",
         F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("ra"),
-        F.when(F.size(tokenize(F.col("text"))) >= 50, 1)
+        F.when(F.size(F.split(F.col("text"), " ")) >= 50, 1)
         .otherwise(0)
         .alias("rb"),
     )

@@ -867,10 +867,15 @@ def q234_source_datasheet(spark, sf_dir):
     shuffle keys) — q40's fingerprint operator is that path. No
     joins against the corpus, only the five-row summary join."""
     (docs,) = _t(spark, sf_dir, "documents")
-    from etl_as_a_service_spark.functions.text import tokenize
 
+    # single-space split mirrors the oracle's string_split(text, ' ')
+    # exactly (tokenize() splits on \s+ and drops empties — agrees only
+    # on strictly single-space-joined text); q215/q218/q224 convention
     base = docs.select(
-        "source", "lang", "text", F.size(tokenize(F.col("text"))).alias("n_toks")
+        "source",
+        "lang",
+        "text",
+        F.size(F.split(F.col("text"), " ")).alias("n_toks"),
     )
     per_source = base.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

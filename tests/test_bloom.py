@@ -419,3 +419,10 @@ def test_unsized_fpp_request_warns(spark):
         warnings.simplefilter("always")
         bloom_semi_join(fact, dim, "k", "d")  # default fpp: no warning
         assert not any("not honored" in str(x.message) for x in w)
+    # ADVICE r5: an EXPLICIT fpp equal to the resolved default (0.03)
+    # must still warn — the None-sentinel distinguishes "caller said
+    # nothing" from "caller asked for 0.03 and won't get it sized"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bloom_semi_join(fact, dim, "k", "d", fpp=0.03)
+        assert any("not honored" in str(x.message) for x in w)

@@ -222,6 +222,27 @@ def test_source_overlap_matrix_planted_counts(spark):
     assert r["containment"] == 0.5
 
 
+def test_source_overlap_short_docs_emit_no_shingles(spark):
+    """Oracle-parity convention (ADVICE r5): a doc shorter than n
+    tokens contributes NO shingles — the whole-text fallback would
+    count two identical 2-token docs in different sources as phantom
+    cross-source overlap that the positional q230 oracle never sees."""
+    from etl_as_a_service_spark.llm.corpus import source_overlap_matrix
+
+    df = spark.createDataFrame(
+        [("A", "a b"), ("B", "a b"), ("A", "p q r s"), ("B", "p q r s")],
+        ["src", "text"],
+    )
+    rows = {
+        (r["src_a"], r["src_b"]): r
+        for r in source_overlap_matrix(df, "text", "src", n=3).collect()
+    }
+    # only the 4-token doc's shingles {p q r, q r s} count on each side
+    assert set(rows) == {("A", "B")}
+    r = rows[("A", "B")]
+    assert (r["common"], r["n_a"], r["n_b"]) == (2, 2, 2)
+
+
 def test_vocab_oov_rates_cutoff_and_tiebreak(spark):
     from etl_as_a_service_spark.llm.corpus import vocab_oov_rates
 

@@ -1055,6 +1055,24 @@ def test_containment_catches_subset_docs_jaccard_misses(spark):
     assert jac == []  # the snippet pair is invisible to Jaccard@0.5
 
 
+def test_containment_short_docs_emit_no_shingles(spark):
+    """Oracle-parity convention (ADVICE r5): docs with fewer than n
+    tokens contribute ZERO shingles — the whole-text fallback would
+    pair two identical 2-token docs at containment 1.0 while the
+    positional SQL oracle (q219) sees no shingles for either."""
+    from etl_as_a_service_spark.llm.dedup import ngram_containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, " ".join(f"w{i}" for i in range(10)))],
+        "doc_id long, text string",
+    )
+    assert (
+        ngram_containment_pairs(df, "text", "doc_id", n=3, threshold=0.1)
+        .collect()
+        == []
+    )
+
+
 def test_containment_prefix_filter_is_pure_optimization(spark):
     """prefix_filter=True must return EXACTLY the no-filter result on
     the fixture corpus (the filter is a candidate pruning, never a
