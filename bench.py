@@ -238,6 +238,34 @@ def main() -> None:
     # excluded. That is the steady-state number a long-lived cluster
     # session sees, and min-of-N is the standard way to report it.
     RUNS = 3
+
+    # Fixed-work calibration: a constant synthetic aggregate (64M-row
+    # range -> xxhash64 -> 9973-key map-combined groupBy) that touches
+    # no input tables and no engine code under development. Its
+    # round-over-round ratio measures AMBIENT HOST LOAD only, so a
+    # uniform inflation (r5 measured +24% across untouched queries) is
+    # separable from a real regression in one glance: divide every
+    # query ratio by the calibration ratio before judging it.
+    def _calibration():
+        return (
+            spark.range(0, 64_000_000, 1, 32)
+            .select(
+                (_F.col("id") % 9973).alias("k"),
+                _F.xxhash64("id").alias("h"),
+            )
+            .groupBy("k")
+            .agg(_F.sum("h").alias("s"))
+        )
+
+    _calibration().count()  # warm
+    cal_best = float("inf")
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        _calibration().count()
+        cal_best = min(cal_best, time.perf_counter() - t0)
+    calibration = round(cal_best, 3)
+    print(f"# calibration: {calibration:.3f}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in (HEADLINE + HEADLINE_CURATION + HEADLINE_ADVANCED
                  + HEADLINE_SEMANTIC + HEADLINE_QUALITY
@@ -311,6 +339,10 @@ def main() -> None:
                 ),
                 "runs_per_query": RUNS,
                 "aggregation": "min",
+                # constant-work host-load probe (see _calibration):
+                # compare across BENCH_r*.json to normalize ambient
+                # inflation out of per-query ratios
+                "calibration_sec": calibration,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

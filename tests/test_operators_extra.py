@@ -301,6 +301,31 @@ def test_connected_components_known_graph(spark):
                    20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_batched_rounds_equivalent(spark):
+    """rounds_per_action is a pure scheduling knob: any k must give
+    the exact labeling of k=1 — including on a long path, where a
+    batch boundary can land mid-propagation."""
+    from etl_as_a_service_spark.operators.graph import connected_components
+
+    path = [(i, i + 1) for i in range(12)] + [(30, 31), (32, 31)]
+    edges = spark.createDataFrame(path, "a long, b long")
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edges, "a", "b", rounds_per_action=1
+        ).collect()
+    }
+    assert all(want[i] == 0 for i in range(13)) and want[32] == 30
+    for k in (2, 3):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                edges, "a", "b", rounds_per_action=k
+            ).collect()
+        }
+        assert got == want, f"rounds_per_action={k} diverged"
+
+
 def test_connected_components_singletons_and_diameter(spark):
     from etl_as_a_service_spark.operators.graph import connected_components
 
