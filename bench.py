@@ -107,6 +107,15 @@ HEADLINE_WEBCORPUS = [
     "q230_source_overlap",
 ]
 
+#: round-6 additions: the distributed-ML family — the unrolled-oracle
+#: k-means (two corpus passes + one bounded-metadata update) and the
+#: zero-shuffle embedding hygiene audit. SEPARATE subtotal; earlier
+#: subtotals stay comparable.
+HEADLINE_ML = [
+    "q235_kmeans_clusters",
+    "q237_embedding_hygiene",
+]
+
 HEADLINE_LAKEHOUSE = [
     "lake_delta_pruned_read",
     "lake_delta_change_feed",
@@ -269,7 +278,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in (HEADLINE + HEADLINE_CURATION + HEADLINE_ADVANCED
                  + HEADLINE_SEMANTIC + HEADLINE_QUALITY
-                 + HEADLINE_WEBCORPUS):
+                 + HEADLINE_WEBCORPUS + HEADLINE_ML):
         if name not in QUERIES:
             continue
         best, n = float("inf"), 0
@@ -316,6 +325,7 @@ def main() -> None:
     webcorpus = round(
         sum(timings[n] for n in HEADLINE_WEBCORPUS if n in timings), 3
     )
+    ml = round(sum(timings[n] for n in HEADLINE_ML if n in timings), 3)
     print(
         json.dumps(
             {
@@ -332,9 +342,10 @@ def main() -> None:
                 "subtotal_quality": quality,
                 "subtotal_lakehouse": lakehouse,
                 "subtotal_webcorpus": webcorpus,
+                "subtotal_ml": ml,
                 "total_all": round(
                     core + curation + advanced + semantic + quality
-                    + lakehouse + webcorpus,
+                    + lakehouse + webcorpus + ml,
                     3,
                 ),
                 "runs_per_query": RUNS,

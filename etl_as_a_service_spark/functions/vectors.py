@@ -115,6 +115,36 @@ def nearest_cell_kernel(centroids: list[list[float]]):
     return _nearest
 
 
+def nearest_centroid_rounded_kernel(centroids: list[list[float]]):
+    """Pandas-UDF factory: ``struct<cluster int, dist double>`` — the
+    nearest centroid by squared L2 with the distance ROUNDED to 6
+    decimals BEFORE the argmin, ties to the lowest cluster index.
+
+    The rounding-first convention is the oracle contract for the
+    k-means queries: a SQL twin computes round(sum((v-c)^2), 6) and
+    ranks by (d, cluster), so the engine must tie-break on the same
+    grain (the raw float64 argmin could pick the other side of a
+    sub-1e-6 gap). Distances use the DIRECT (v-c)^2 sum — the
+    |v|^2-2vc+|c|^2 expansion of nearest_cell_kernel has different
+    rounding and can land on the other side of the 6-decimal boundary."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("cluster int, dist double")
+    def _nearest(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"cluster": pd.Series([], dtype="int32"),
+                                 "dist": pd.Series([], dtype="float64")})
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = np.round(((V[:, None, :] - C[None, :, :]) ** 2).sum(-1), 6)
+        idx = np.argmin(d2, axis=1)  # first minimum: lowest cluster wins ties
+        return pd.DataFrame(
+            {"cluster": idx.astype("int32"),
+             "dist": d2[np.arange(len(idx)), idx]}
+        )
+
+    return _nearest
+
+
 def quantize_int8(vec: Column) -> Column:
     """Symmetric int8 quantization of a float vector column: codes =
     clamp(round(x * 127 / amax), -127, 127) with the per-vector scale

@@ -1,0 +1,199 @@
+"""Deterministic distributed k-means over embedding columns.
+
+The corpus-organization primitive a training-data pipeline runs after
+dedup: cluster the embedding space to audit topic balance, pick
+per-cluster sampling rates (cluster-balanced data mixing), or seed
+semantic-dedup partitions. The IVF index (llm/similarity.ivf_build)
+already runs a Lloyd loop for ANN cells; this module exposes k-means
+as a first-class ORACLE-CHECKED operator with an engine-portable
+deterministic contract:
+
+- init: the vectors of the ``k`` smallest ids (no RNG — reproducible
+  on any engine, any partitioning);
+- assignment: squared-L2 distance ROUNDED to 6 decimals before the
+  argmin, ties to the lowest cluster index (the 6-decimal grain is
+  where cross-engine IEEE sum-order drift is absorbed — same
+  convention as q45/q86);
+- update: per-(cluster, dim) mean ROUNDED to 6 decimals; empty
+  clusters keep their previous centroid.
+
+Under that contract every iteration is bit-reproducible against an
+unrolled SQL twin (each round's centroids are exact 6-decimal values
+on both engines), so the whole iterative loop is hash-checked — the
+strongest correctness gate an iterative ML op can get.
+
+SCALE DESIGN (100 TB): per iteration ONE corpus scan — the
+Arrow-batched kernel assigns clusters (one numpy matmul-shaped pass
+per batch; k x dim centroids ship in the closure), and the update
+shuffles only map-side-combined per-(cluster, dim) partial sums
+(k*dim rows reach the driver, never vectors). Identical shape to
+ivf_build's loop, which this generalizes with the oracle-parity
+rounding contract. Reference scope: the service runs arbitrary
+user-uploaded transformations (app/routes.py:66-135); clustering is
+restated here as a native operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.functions.vectors import (
+    nearest_centroid_rounded_kernel,
+)
+
+
+def _init_centroids(
+    df: DataFrame, id_col: str, vec_col: str, k: int
+) -> list[list[float]]:
+    """Vectors of the k smallest ids, as exact float64 (float32
+    parquet values widen exactly — no rounding at init, and the SQL
+    twin starts from the same bits via CAST(x AS DOUBLE))."""
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def kmeans_assignments(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """(id, cluster, dist): the assignment after ``iterations``
+    assignment passes with ``iterations - 1`` centroid updates between
+    them (iterations=1 is pure nearest-seed assignment). ``dist`` is
+    the 6-decimal-rounded squared L2 to the owning centroid.
+
+    Each update collects only the k x dim rounded means (bounded
+    driver metadata, the ivf_build convention) and feeds them back as
+    closure literals — the corpus itself never leaves the executors.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    centroids = _init_centroids(df, id_col, vec_col, k)
+    base = df.select(F.col(id_col), F.col(vec_col))
+    for _ in range(iterations - 1):
+        kern = nearest_centroid_rounded_kernel(centroids)
+        stats = (
+            base.select(
+                kern(F.col(vec_col)).getField("cluster").alias("cl"),
+                F.posexplode(vec_col).alias("dim", "val"),
+            )
+            .groupBy("cl", "dim")
+            .agg(
+                F.round(F.avg(F.col("val").cast("double")), 6).alias("mu")
+            )
+            .collect()  # bounded: k x dim rows of 8-byte means
+        )
+        new_centroids = [list(c) for c in centroids]  # empty cells keep old
+        for row in stats:
+            new_centroids[row["cl"]][row["dim"]] = row["mu"]
+        centroids = new_centroids
+    kern = nearest_centroid_rounded_kernel(centroids)
+    assigned = base.select(
+        F.col(id_col),
+        kern(F.col(vec_col)).alias("__a"),
+    )
+    return assigned.select(
+        id_col,
+        F.col("__a").getField("cluster").alias("cluster"),
+        F.col("__a").getField("dist").alias("dist"),
+    )
+
+
+def embedding_hygiene(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Per-group embedding hygiene audit: dimension census (a ragged
+    dim means a broken producer), zero-vector and NaN counts (both
+    poison cosine/L2 math silently), and norm range (un-normalized
+    mixtures break dot-product ANN). Run before building any index.
+
+    SCALE DESIGN: zero-shuffle per-row expressions (HOF reductions are
+    bounded by dim — interpreted, but audit-volume cheap and fully
+    engine-portable for the SQL twin) + one map-side-combined
+    aggregate at group grain."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform(vec, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    n_zero = F.aggregate(
+        F.transform(
+            vec, lambda x: F.when(x == 0, F.lit(1)).otherwise(F.lit(0))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    has_nan = F.aggregate(
+        F.transform(
+            vec, lambda x: F.when(F.isnan(x), F.lit(1)).otherwise(F.lit(0))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    per = df.select(
+        F.col(group_col),
+        F.size(vec_col).alias("dim"),
+        # NaN vectors are COUNTED (n_nan_vectors) but excluded from
+        # the norm stats — a single NaN would otherwise turn max/avg
+        # into NaN (Spark sorts NaN greatest) and mask the real range
+        F.when(has_nan > 0, F.lit(None).cast("double"))
+        .otherwise(nrm)
+        .alias("nrm"),
+        F.when(n_zero == F.size(vec_col), 1).otherwise(0).alias("is_zero"),
+        F.when(has_nan > 0, 1).otherwise(0).alias("has_nan"),
+    )
+    return (
+        per.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.countDistinct("dim").cast("long").alias("n_dims_seen"),
+            F.sum("is_zero").cast("long").alias("n_zero_vectors"),
+            F.sum("has_nan").cast("long").alias("n_nan_vectors"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.avg("nrm"), 6).alias("mean_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def kmeans_cluster_profile(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Per-cluster data-mixing readout over the final assignment:
+    (cluster, n_vectors, wcss, mean_dist, max_dist) — size tells the
+    sampling-rate story, wcss/radius tell the cohesion story (a huge
+    loose cluster is a 'misc' bucket, not a topic). One aggregate over
+    the assignment frame; sums are over 6-decimal dists, re-rounded at
+    the aggregate grain."""
+    a = kmeans_assignments(df, id_col, vec_col, k, iterations)
+    return (
+        a.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(F.sum("dist"), 4).alias("wcss"),
+            F.round(F.avg("dist"), 6).alias("mean_dist"),
+            F.round(F.max("dist"), 6).alias("max_dist"),
+        )
+        .orderBy("cluster")
+    )

@@ -61,6 +61,7 @@ from etl_as_a_service_spark.queries import llm  # noqa: E402,F401
 from etl_as_a_service_spark.queries import quality  # noqa: E402,F401
 from etl_as_a_service_spark.queries import advanced  # noqa: E402,F401
 from etl_as_a_service_spark.queries import webcorpus  # noqa: E402,F401
+from etl_as_a_service_spark.queries import ml  # noqa: E402,F401
 
 # Driver-gate rotation (round 6): the external driver records
 # CORRECTNESS rows for the FIRST 50 manifest entries only. After r5

@@ -1,0 +1,205 @@
+"""Distributed-ML queries (round-6 batch, q235+): deterministic
+k-means over the embeddings table, its per-cluster data-mixing
+profile, and the embedding hygiene audit a pipeline runs before any
+vector op.
+
+The k-means contract (init = k smallest ids, 6-decimal rounding on
+both the distances-before-argmin and the recomputed means, empty
+clusters keep their centroid — see llm/clustering.py) exists so the
+ITERATIVE loop is exactly expressible as an unrolled SQL twin: each
+round's centroids are identical 6-decimal values on both engines, so
+DuckDB hash-checks assignment, update, and re-assignment end-to-end —
+the q107/q166 bounded-iteration gate applied to Lloyd's algorithm.
+
+Oracle rules follow the manifest header: BIGINT casts on counts,
+round()ed doubles, identical aliases, total ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.catalog import load_tables
+from etl_as_a_service_spark.queries import query
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+# Shared unrolled Lloyd prefix (k = 8, 2 assignment passes, 1 update):
+# v = exact-double vectors, init = the 8 smallest ids' vectors,
+# a1 = nearest-init assignment on the 6-decimal grain, m1/c1 = rounded
+# per-dim means (empty clusters keep init), d2 = distances to the
+# updated centroids. Both q235 and q236 select from the same prefix.
+_KMEANS_CTE = """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    init AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
+             vec AS cv
+      FROM v ORDER BY vec_id LIMIT 8
+    ),
+    d1 AS (
+      SELECT v.vec_id, init.c,
+             round(list_sum(list_transform(range(1, len(v.vec) + 1),
+                 i -> (v.vec[i] - init.cv[i]) * (v.vec[i] - init.cv[i]))),
+                 6) AS d
+      FROM v CROSS JOIN init
+    ),
+    a1 AS (
+      SELECT vec_id, c AS cl FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT a1.cl, t.i, round(avg(v.vec[t.i]), 6) AS mu
+      FROM a1 JOIN v USING (vec_id),
+           UNNEST(range(1, len(v.vec) + 1)) AS t(i)
+      GROUP BY a1.cl, t.i
+    ),
+    c1 AS (
+      SELECT init.c, COALESCE(u.cv2, init.cv) AS cv
+      FROM init LEFT JOIN (
+        SELECT cl AS c, list(mu ORDER BY i) AS cv2 FROM m1 GROUP BY cl
+      ) u USING (c)
+    ),
+    d2 AS (
+      SELECT v.vec_id, c1.c,
+             round(list_sum(list_transform(range(1, len(v.vec) + 1),
+                 i -> (v.vec[i] - c1.cv[i]) * (v.vec[i] - c1.cv[i]))),
+                 6) AS d
+      FROM v CROSS JOIN c1
+    ),
+    a2 AS (
+      SELECT vec_id, c AS cluster, d AS dist FROM (
+        SELECT vec_id, c, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM d2) WHERE rn = 1
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+# q235 — deterministic k-means assignments (k=8, 2 passes)
+# --------------------------------------------------------------------------
+@query(
+    "q235_kmeans_clusters",
+    oracle=_KMEANS_CTE
+    + """
+    SELECT vec_id, cluster, dist FROM a2 ORDER BY vec_id
+    """,
+    tags=("ml", "clustering", "embedding", "llm", "operator"),
+)
+def q235_kmeans_clusters(spark, sf_dir):
+    """Per-vector k-means assignment (llm/clustering.py): k=8 seeds
+    from the smallest vec_ids, one rounded-mean update, final
+    assignment with 6-decimal squared-L2 distances. The oracle unrolls
+    both Lloyd passes in SQL, so the distributed iterative loop —
+    Arrow-batched assignment kernel + map-side-combined per-(cluster,
+    dim) mean shuffle — is value-hash-checked end to end.
+
+    SCALE DESIGN: per pass one corpus scan; only k x dim rounded
+    means ever reach the driver; no vector self-join anywhere (the
+    oracle's CROSS JOIN is the SQL spelling, not the engine plan)."""
+    from etl_as_a_service_spark.llm.clustering import kmeans_assignments
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return kmeans_assignments(
+        emb, "vec_id", "embedding", k=8, iterations=2
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# q236 — k-means cluster profile (data-mixing readout)
+# --------------------------------------------------------------------------
+@query(
+    "q236_kmeans_profile",
+    oracle=_KMEANS_CTE
+    + """
+    SELECT cluster,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(sum(dist), 4)      AS wcss,
+           round(avg(dist), 6)      AS mean_dist,
+           round(max(dist), 6)      AS max_dist
+    FROM a2 GROUP BY cluster ORDER BY cluster
+    """,
+    tags=("ml", "clustering", "profiling", "llm", "operator"),
+)
+def q236_kmeans_profile(spark, sf_dir):
+    """Per-cluster size/cohesion readout over the q235 assignment —
+    the table a cluster-balanced sampling pass reads to set per-topic
+    rates (big + loose = 'misc' bucket, small + tight = topic).
+    One aggregate over the assignment frame; wcss re-rounds at the
+    aggregate grain (sums of 6-decimal dists, order-insensitive at
+    1e-4)."""
+    from etl_as_a_service_spark.llm.clustering import kmeans_cluster_profile
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return kmeans_cluster_profile(
+        emb, "vec_id", "embedding", k=8, iterations=2
+    )
+
+
+# --------------------------------------------------------------------------
+# q237 — embedding hygiene audit (pre-vector-op gate)
+# --------------------------------------------------------------------------
+@query(
+    "q237_embedding_hygiene",
+    oracle="""
+    WITH v AS (
+      SELECT label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    raw AS (
+      SELECT label,
+             len(vec) AS dim,
+             round(sqrt(list_sum(list_transform(vec, x -> x * x))), 6)
+               AS nrm0,
+             CASE WHEN list_sum(list_transform(vec,
+                 x -> CASE WHEN x = 0 THEN 1 ELSE 0 END)) = len(vec)
+               THEN 1 ELSE 0 END AS is_zero,
+             CASE WHEN list_sum(list_transform(vec,
+                 x -> CASE WHEN isnan(x) THEN 1 ELSE 0 END)) > 0
+               THEN 1 ELSE 0 END AS has_nan
+      FROM v
+    ),
+    per AS (
+      -- NaN vectors are counted but excluded from norm stats (same
+      -- convention as the engine: one NaN must not mask the range)
+      SELECT label, dim, is_zero, has_nan,
+             CASE WHEN has_nan = 1 THEN NULL ELSE nrm0 END AS nrm
+      FROM raw
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT)        AS n_vectors,
+           CAST(count(DISTINCT dim) AS BIGINT) AS n_dims_seen,
+           CAST(sum(is_zero) AS BIGINT)    AS n_zero_vectors,
+           CAST(sum(has_nan) AS BIGINT)    AS n_nan_vectors,
+           round(min(nrm), 6)              AS min_norm,
+           round(avg(nrm), 6)              AS mean_norm,
+           round(max(nrm), 6)              AS max_norm
+    FROM per GROUP BY label ORDER BY label
+    """,
+    tags=("ml", "embedding", "quality", "audit", "operator"),
+)
+def q237_embedding_hygiene(spark, sf_dir):
+    """Embedding hygiene per label: dimension census (a ragged dim is
+    a broken producer), zero-vector and NaN counts (both poison
+    cosine/L2 math silently), and norm range (un-normalized mixtures
+    break dot-product ANN). The gate every vector pipeline runs
+    before building an index.
+
+    SCALE DESIGN: see llm/clustering.embedding_hygiene — zero-shuffle
+    per-row expressions + one map-side-combined aggregate at label
+    grain."""
+    from etl_as_a_service_spark.llm.clustering import embedding_hygiene
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return embedding_hygiene(emb, "embedding", "label")

@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Scale rehearsal for the iterative-graph operator family
+(q107 CC, q155 PageRank, q166 BFS, q227 weighted SSSP, q228 k-core)
+at the README's stress scale: 10x lineitem (10 DISJOINT key-shifted
+graph copies — 10x nodes and 10x edges, so per-round join volume
+scales with the graph, not with support inflation) and 4x documents
+(doc_id-shifted exact copies, the worst-case near-dup density used by
+the q46/q107 rows).
+
+Each entry is timed min-of-3 in ONE process at base scale and at
+stress scale, so the ratio is ambient-load-free (the same-process A/B
+rule from README "bench"). Per-entry notes say what the scaling means
+for the 1000-executor case.
+
+Usage: python scripts/rehearsal_graph.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_as_a_service_spark.catalog import load_tables  # noqa: E402
+from etl_as_a_service_spark.session import build_session  # noqa: E402
+
+
+def scaled_lineitem(li, copies: int):
+    """``copies`` disjoint graph copies: order AND part keys shifted
+    per copy, so the co-purchase graph is ``copies`` disconnected
+    isomorphic components — node/edge counts scale linearly."""
+    shift_o = 10_000_000
+    shift_p = 10_000_000
+    parts = [
+        li.select(
+            (F.col("l_orderkey") + F.lit(i * shift_o)).alias("l_orderkey"),
+            (F.col("l_partkey") + F.lit(i * shift_p)).alias("l_partkey"),
+        )
+        for i in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def scaled_docs(docs, copies: int):
+    shift = 10_000_000
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * shift)).alias("doc_id"), "text"
+        )
+        for i in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def t3(fn) -> float:
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = build_session(app_name="graph-rehearsal", driver_memory="16g")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from etl_as_a_service_spark.llm.dedup import ngram_jaccard_pairs
+    from etl_as_a_service_spark.operators.graph import (
+        bfs_distances,
+        connected_components,
+        copurchase_edges,
+        kcore_peel,
+        pagerank,
+        weighted_shortest_paths,
+    )
+
+    tabs = load_tables(spark, sf_dir, ("lineitem", "documents"))
+    li = tabs["lineitem"].select("l_orderkey", "l_partkey")
+    docs = tabs["documents"].select("doc_id", "text")
+    li10 = scaled_lineitem(tabs["lineitem"], 10).localCheckpoint(eager=True)
+    docs4 = scaled_docs(docs, 4).localCheckpoint(eager=True)
+    print(
+        f"# base lineitem {li.count()} rows -> 10x {li10.count()}; "
+        f"base docs {docs.count()} -> 4x {docs4.count()}",
+        file=sys.stderr,
+    )
+
+    def q107(d):
+        edges = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.4)
+        return lambda: connected_components(edges, "id_a", "id_b").count()
+
+    def q155(l):
+        pairs = copurchase_edges(l, min_support=2)
+        edges = pairs.select(
+            F.col("pa").alias("a"), F.col("pb").alias("b")
+        ).unionByName(
+            pairs.select(F.col("pb").alias("a"), F.col("pa").alias("b"))
+        )
+        return lambda: pagerank(edges, "a", "b", iterations=3).count()
+
+    def q166(l):
+        und = copurchase_edges(l, min_support=2)
+        seed = und.agg(F.min("pa").alias("node"))
+        return lambda: bfs_distances(
+            und, seed, src="pa", dst="pb", max_hops=6
+        ).count()
+
+    def q227(l):
+        und = copurchase_edges(l, min_support=3).select(
+            "pa", "pb", ((F.col("pa") + F.col("pb")) % 5 + 1).alias("w")
+        )
+        seed = und.agg(F.min("pa").alias("node"))
+        return lambda: weighted_shortest_paths(
+            und, seed, src="pa", dst="pb", weight="w", max_rounds=4
+        ).count()
+
+    def q228(l):
+        und = copurchase_edges(l, min_support=2)
+        return lambda: kcore_peel(und, k=3, rounds=3, src="pa", dst="pb").count()
+
+    entries = [
+        ("q107 near-dup CC (4x docs)", q107(docs), q107(docs4)),
+        ("q155 PageRank 3 iters (10x lineitem)", q155(li), q155(li10)),
+        ("q166 BFS <=6 hops (10x lineitem)", q166(li), q166(li10)),
+        ("q227 weighted SSSP <=4 (10x lineitem)", q227(li), q227(li10)),
+        ("q228 3-core peel (10x lineitem)", q228(li), q228(li10)),
+    ]
+    # warm the whole family once so JIT/codegen lands outside timing
+    for _, base, _s in entries:
+        base()
+    print("| query | base | stress | ratio |")
+    print("|---|---|---|---|")
+    for name, base, stress in entries:
+        tb, ts = t3(base), t3(stress)
+        print(
+            f"| {name} | {tb:.2f}s | {ts:.2f}s | {ts / tb:.2f}x |"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

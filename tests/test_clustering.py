@@ -1,0 +1,142 @@
+"""llm/clustering.py — deterministic k-means contract tests.
+
+The oracle gate (q235/q236) hash-checks the full Lloyd unroll against
+DuckDB; these tests pin the semantic claims the oracle can't express:
+planted-structure recovery, the empty-cluster rule, iteration
+monotonicity, and partitioning-independence."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_as_a_service_spark.llm.clustering import (
+    kmeans_assignments,
+    kmeans_cluster_profile,
+)
+
+
+def _blob_df(spark, parts=1):
+    # two tight, well-separated 4-d blobs; ids interleaved so the
+    # k=2 init (two smallest ids: 0 -> blob A, 1 -> blob B) seeds one
+    # centroid in each blob
+    a = [[10.0 + 0.01 * i, 10.0, 0.0, 0.0] for i in range(10)]
+    b = [[-10.0, -10.0 - 0.01 * i, 0.0, 0.0] for i in range(10)]
+    rows = []
+    for i in range(10):
+        rows.append((2 * i, a[i]))
+        rows.append((2 * i + 1, b[i]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df.repartition(parts) if parts > 1 else df
+
+
+def test_kmeans_recovers_planted_blobs(spark):
+    out = kmeans_assignments(
+        _blob_df(spark), "vec_id", "embedding", k=2, iterations=2
+    ).collect()
+    by_cluster: dict[int, set[int]] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"])
+    assert set(by_cluster) == {0, 1}
+    assert by_cluster[0] == {2 * i for i in range(10)}  # blob A = even ids
+    assert by_cluster[1] == {2 * i + 1 for i in range(10)}
+    # after the mean update every member sits near its blob centroid
+    assert all(r["dist"] < 1.0 for r in out)
+
+
+def test_kmeans_update_tightens_distances(spark):
+    """iterations=2 (one mean update) must not increase total WCSS
+    over iterations=1 (assignment to raw seeds) — Lloyd monotonicity
+    on the 6-decimal grain."""
+    df = _blob_df(spark)
+    w1 = sum(
+        r["dist"]
+        for r in kmeans_assignments(df, "vec_id", "embedding", 2, 1).collect()
+    )
+    w2 = sum(
+        r["dist"]
+        for r in kmeans_assignments(df, "vec_id", "embedding", 2, 2).collect()
+    )
+    assert w2 <= w1 + 1e-9
+    assert w2 < w1  # seeds are off-center, so the update strictly helps
+
+
+def test_kmeans_empty_cluster_keeps_seed(spark):
+    # three seeds, but vec 2's vector duplicates vec 0's: cluster 2
+    # captures nothing in round 1 (exact ties go to the LOWEST
+    # cluster), so the update must keep its SEED centroid [0,0] — and
+    # since cluster 0's updated mean drifts to [0.0333,0], the kept
+    # seed then RECAPTURES the exact [0,0] points in the final pass
+    # (the documented keep-the-seed contract, visible end to end)
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [100.0, 100.0]),
+        (2, [0.0, 0.0]),
+        (3, [0.1, 0.0]),
+        (4, [100.0, 99.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assignments(
+            df, "vec_id", "embedding", k=3, iterations=2
+        ).collect()
+    }
+    assert out == {0: 2, 1: 1, 2: 2, 3: 0, 4: 1}
+    prof = {
+        r["cluster"]: r["n_vectors"]
+        for r in kmeans_cluster_profile(
+            df, "vec_id", "embedding", k=3, iterations=2
+        ).collect()
+    }
+    assert prof == {0: 1, 1: 2, 2: 2}
+
+
+def test_kmeans_partitioning_independent(spark):
+    """Same assignment regardless of input partitioning — the
+    determinism claim a distributed k-means must hold (init is
+    id-ordered, means are partial-agg order-insensitive at the
+    6-decimal grain on this fixture)."""
+    base = {
+        (r["vec_id"], r["cluster"], r["dist"])
+        for r in kmeans_assignments(
+            _blob_df(spark, parts=1), "vec_id", "embedding", 2, 2
+        ).collect()
+    }
+    repart = {
+        (r["vec_id"], r["cluster"], r["dist"])
+        for r in kmeans_assignments(
+            _blob_df(spark, parts=7), "vec_id", "embedding", 2, 2
+        ).collect()
+    }
+    assert base == repart
+
+
+def test_kmeans_rejects_zero_iterations(spark):
+    with pytest.raises(ValueError, match="iterations"):
+        kmeans_assignments(
+            _blob_df(spark), "vec_id", "embedding", 2, 0
+        )
+
+
+def test_embedding_hygiene_flags_planted_defects(spark):
+    from etl_as_a_service_spark.llm.clustering import embedding_hygiene
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.0, 0.0], 0),             # zero vector
+        (2, [float("nan"), 1.0], 1),    # NaN component
+        (3, [3.0, 4.0], 1),
+        (4, [3.0, 4.0, 5.0], 1),        # ragged dimension
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["label"]: r for r in embedding_hygiene(df, "embedding", "label").collect()}
+    assert out[0]["n_vectors"] == 2
+    assert out[0]["n_zero_vectors"] == 1 and out[0]["n_nan_vectors"] == 0
+    assert out[0]["n_dims_seen"] == 1
+    assert out[0]["min_norm"] == 0.0 and out[0]["max_norm"] == 1.0
+    assert out[1]["n_vectors"] == 3
+    assert out[1]["n_nan_vectors"] == 1 and out[1]["n_zero_vectors"] == 0
+    assert out[1]["n_dims_seen"] == 2  # the ragged producer shows up
+    assert out[1]["max_norm"] == pytest.approx(7.071068)
