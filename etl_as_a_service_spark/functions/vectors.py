@@ -145,6 +145,42 @@ def nearest_centroid_rounded_kernel(centroids: list[list[float]]):
     return _nearest
 
 
+def centroid_distances_kernel(centroids: list[list[float]]):
+    """Pandas-UDF factory: ``array<double>`` of 6-decimal-rounded
+    squared-L2 distances to EVERY centroid, in centroid order — for
+    audits that need the whole distance row (own-label vs best-label),
+    not just the argmin. Same direct-difference/rounding contract as
+    nearest_centroid_rounded_kernel."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("array<double>")
+    def _dists(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = np.round(((V[:, None, :] - C[None, :, :]) ** 2).sum(-1), 6)
+        return pd.Series(list(d2))
+
+    return _dists
+
+
+def random_projection_kernel(matrix: list[list[float]]):
+    """Pandas-UDF factory: project ``array<float>`` vectors through a
+    fixed (in_dim x out_dim) matrix — ``array<double>`` of 6-decimal
+    projected coordinates. One matmul per Arrow batch; the matrix
+    ships in the closure (out_dim x in_dim doubles — bounded)."""
+    R = np.asarray(matrix, dtype=np.float64)  # in_dim x out_dim
+
+    @F.pandas_udf("array<double>")
+    def _proj(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        return pd.Series(list(np.round(V @ R, 6)))
+
+    return _proj
+
+
 def quantize_int8(vec: Column) -> Column:
     """Symmetric int8 quantization of a float vector column: codes =
     clamp(round(x * 127 / amax), -127, 127) with the per-vector scale

@@ -107,6 +107,143 @@ def kmeans_assignments(
     )
 
 
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+    cap_per_cluster: int = 40,
+    salt: str = "cbal-v1",
+) -> DataFrame:
+    """Cluster-balanced downsampling: k-means the embedding space,
+    then cap every cluster at ``cap_per_cluster`` rows by the
+    deterministic md5-hash order (llm.curation.rebalance_classes
+    convention — partition-invariant, incremental-friendly). The
+    topic-balance knob a curation pipeline applies AFTER dedup: big
+    'misc' clusters stop dominating the mix without touching small
+    coherent topics.
+
+    SCALE DESIGN: the k-means passes (see kmeans_assignments) plus
+    one WindowGroupLimit-planned cap — each map task keeps <= cap
+    rows per cluster before the shuffle."""
+    from etl_as_a_service_spark.llm.curation import rebalance_classes
+
+    assigned = kmeans_assignments(df, id_col, vec_col, k, iterations)
+    return rebalance_classes(
+        assigned, "cluster", id_col, cap_per_cluster, salt=salt
+    )
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    salt: str = "rp-v1",
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style random projection to ``out_dim``
+    dims with an md5-DERIVED matrix: r[i][j] = uniform(-1, 1) seeded
+    by md5(salt-i-j) — no RNG state, so any engine (and the SQL twin)
+    re-derives the identical matrix from the same string hashes. The
+    cheap dimensionality cut before brute-force or IVF indexing when
+    the raw dim is large.
+
+    Returns (id, proj array<double> of 6-decimal coordinates).
+
+    SCALE DESIGN: the matrix is in_dim x out_dim doubles in the
+    kernel closure (never a join); one Arrow matmul per batch;
+    zero shuffles."""
+    import hashlib
+
+    from etl_as_a_service_spark.functions.vectors import (
+        random_projection_kernel,
+    )
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("random_projection: empty input frame")
+    in_dim = first["d"]
+
+    def _u(i: int, j: int) -> float:
+        # ('0x' || substr(md5(...), 1, 8))::BIGINT / 2^32 * 2 - 1,
+        # spelled identically in the SQL twin
+        h = hashlib.md5(f"{salt}-{i}-{j}".encode()).hexdigest()[:8]
+        return int(h, 16) / 4294967296.0 * 2.0 - 1.0
+
+    matrix = [
+        [_u(i, j) for j in range(out_dim)] for i in range(in_dim)
+    ]
+    kern = random_projection_kernel(matrix)
+    return df.select(F.col(id_col), kern(F.col(vec_col)).alias("proj"))
+
+
+def label_noise_audit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise screen (confident-learning-lite): flag vectors
+    whose nearest label CENTROID is not their own label — the cheap
+    first pass before paying for per-example influence methods.
+    Returns only the suspects: (id, label, nearest_label, d_own,
+    d_best), nearest by 6-decimal-rounded squared L2 with ties to the
+    LOWEST label in sort order (an exact 6-decimal tie against a
+    lower label flags; against a higher label it does not — the same
+    deterministic rule the SQL twin ranks by).
+
+    SCALE DESIGN: centroids come from one map-side-combined
+    per-(label, dim) mean aggregate (labels x dim rounded doubles to
+    the driver — bounded by the label vocabulary); the audit pass is
+    one Arrow-batched distance row per vector, zero joins."""
+    from etl_as_a_service_spark.functions.vectors import (
+        centroid_distances_kernel,
+    )
+
+    stats = (
+        df.select(F.col(label_col).alias("l"), F.posexplode(vec_col).alias("dim", "val"))
+        .groupBy("l", "dim")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("mu"))
+        .collect()
+    )
+    by_label: dict = {}
+    for row in stats:
+        by_label.setdefault(row["l"], {})[row["dim"]] = row["mu"]
+    labels = sorted(by_label)
+    centroids = [
+        [by_label[l][d] for d in sorted(by_label[l])] for l in labels
+    ]
+    kern = centroid_distances_kernel(centroids)
+    label_arr = F.array(*[F.lit(l) for l in labels])
+    with_d = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        kern(F.col(vec_col)).alias("__d"),
+    )
+    # own-label index in the sorted label list; argmin with
+    # lowest-label ties via array_min over (dist, idx) structs
+    own_idx = F.array_position(label_arr, F.col(label_col)).cast("int")
+    pairs = F.transform(
+        F.col("__d"),
+        lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+    )
+    best = F.array_min(pairs)
+    return (
+        with_d.select(
+            id_col,
+            label_col,
+            F.element_at(label_arr, best.getField("i") + 1).alias(
+                "nearest_label"
+            ),
+            F.element_at(F.col("__d"), own_idx).alias("d_own"),
+            best.getField("d").alias("d_best"),
+        )
+        .filter(F.col("nearest_label") != F.col(label_col))
+        .orderBy(id_col)
+    )
+
+
 def embedding_hygiene(
     df: DataFrame,
     vec_col: str = "embedding",

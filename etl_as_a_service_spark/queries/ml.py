@@ -203,3 +203,238 @@ def q237_embedding_hygiene(spark, sf_dir):
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     return embedding_hygiene(emb, "embedding", "label")
+
+
+# --------------------------------------------------------------------------
+# q238 — cluster-balanced sampling (topic-balance knob)
+# --------------------------------------------------------------------------
+@query(
+    "q238_cluster_balanced_sample",
+    oracle=_KMEANS_CTE
+    + """
+    , ranked AS (
+      SELECT cluster, vec_id,
+             row_number() OVER (
+               PARTITION BY cluster
+               ORDER BY substring(md5('cbal-v1' || CAST(vec_id AS VARCHAR)), 1, 8),
+                        vec_id) AS rn
+      FROM a2
+    )
+    SELECT cluster,
+           CAST(count(*) AS BIGINT)     AS n_kept,
+           CAST(sum(vec_id) AS BIGINT)  AS id_sum
+    FROM ranked WHERE rn <= 40 GROUP BY cluster ORDER BY cluster
+    """,
+    tags=("ml", "clustering", "sampling", "curation", "llm", "operator"),
+)
+def q238_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced downsampling: the q235 k-means clusters capped
+    at 40 vectors each by deterministic md5-hash order (the q79
+    rebalance convention — partition-invariant, incremental-friendly,
+    plans as WindowGroupLimit). id_sum proves both engines kept
+    IDENTICAL rows, not just identical counts."""
+    from etl_as_a_service_spark.llm.clustering import (
+        cluster_balanced_sample,
+    )
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return (
+        cluster_balanced_sample(
+            emb, "vec_id", "embedding", k=8, iterations=2,
+            cap_per_cluster=40,
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("vec_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("cluster")
+    )
+
+
+# --------------------------------------------------------------------------
+# q239 — md5-seeded random projection (JL dimensionality cut)
+# --------------------------------------------------------------------------
+@query(
+    "q239_random_projection",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT vec_id, u.j,
+             round(sum(vec[t.i] * (
+               (('0x' || substr(md5('rp-v1-'
+                     || CAST(t.i - 1 AS VARCHAR) || '-'
+                     || CAST(u.j AS VARCHAR)), 1, 8))::BIGINT
+                 / 4294967296.0) * 2.0 - 1.0)), 6) AS p
+      FROM v,
+           UNNEST(range(1, len(vec) + 1)) AS t(i),
+           UNNEST(range(0, 8)) AS u(j)
+      GROUP BY vec_id, u.j
+    )
+    SELECT vec_id,
+           string_agg(CAST(CAST(p AS DECIMAL(12, 6)) AS VARCHAR),
+                      ',' ORDER BY j) AS proj
+    FROM proj GROUP BY vec_id ORDER BY vec_id
+    """,
+    tags=("ml", "embedding", "projection", "llm", "operator"),
+)
+def q239_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 -> 8 dims with an
+    md5-DERIVED matrix (r[i][j] = uniform(-1,1) from
+    md5('rp-v1-i-j') — the q108 hash-to-uniform convention), so the
+    SQL twin re-derives the identical matrix and hash-checks every
+    projected coordinate. Engine path: one Arrow matmul per batch,
+    matrix in the kernel closure, zero shuffles; coordinates render
+    as DECIMAL(12,6) CSV (the q86 array-render convention)."""
+    from etl_as_a_service_spark.llm.clustering import random_projection
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return (
+        random_projection(emb, "vec_id", "embedding", out_dim=8)
+        .select(
+            "vec_id",
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "proj",
+                    lambda x: x.cast("decimal(12,6)").cast("string"),
+                ),
+            ).alias("proj"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q240 — distinct-n lexical diversity per source
+# --------------------------------------------------------------------------
+@query(
+    "q240_lexical_diversity",
+    oracle="""
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS t FROM documents
+    ),
+    uni AS (
+      SELECT source, t[i] AS w
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+    ),
+    bi AS (
+      SELECT source, t[i] || ' ' || t[i + 1] AS b
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    us AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT)          AS n_tokens,
+             round(count(DISTINCT w)
+                   / CAST(count(*) AS DOUBLE), 6) AS distinct1
+      FROM uni GROUP BY source
+    ),
+    bs AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT)          AS n_bigrams,
+             round(count(DISTINCT b)
+                   / CAST(count(*) AS DOUBLE), 6) AS distinct2
+      FROM bi GROUP BY source
+    )
+    SELECT us.source, n_tokens, distinct1, n_bigrams, distinct2
+    FROM us JOIN bs USING (source) ORDER BY source
+    """,
+    tags=("corpus", "diversity", "quality", "llm", "operator"),
+)
+def q240_lexical_diversity(spark, sf_dir):
+    """Distinct-1 / distinct-2 lexical diversity per source — the
+    repetitiveness screen for generated-or-templated corpora (low
+    distinct-2 at normal distinct-1 = stitched boilerplate; both low
+    = mode collapse). Single-space split mirrors the oracle exactly;
+    bigrams are positional (docs under 2 tokens contribute none —
+    the q219 drop-short convention).
+
+    SCALE DESIGN: two explode scans feeding map-side-combined
+    distinct aggregates at source grain (Catalyst plans
+    count(DISTINCT) as the two-stage expand); no joins against the
+    corpus — only the per-source summary join."""
+    from etl_as_a_service_spark.llm.dedup import shingles_from_tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    uni = docs.select("source", F.explode(t).alias("w"))
+    bi = docs.filter(F.size(t) >= 2).select(
+        "source",
+        F.explode(shingles_from_tokens(t, 2)).alias("b"),
+    )
+    us = uni.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(
+            F.countDistinct("w") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("distinct1"),
+    )
+    bs = bi.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.countDistinct("b") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("distinct2"),
+    )
+    return (
+        us.join(bs, "source")
+        .select("source", "n_tokens", "distinct1", "n_bigrams", "distinct2")
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q241 — label-noise audit (confident-learning-lite)
+# --------------------------------------------------------------------------
+@query(
+    "q241_label_noise_audit",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    m AS (
+      SELECT label AS l, t.i, round(avg(vec[t.i]), 6) AS mu
+      FROM v, UNNEST(range(1, len(vec) + 1)) AS t(i)
+      GROUP BY label, t.i
+    ),
+    c AS (SELECT l, list(mu ORDER BY i) AS cv FROM m GROUP BY l),
+    d AS (
+      SELECT v.vec_id, v.label, c.l,
+             round(list_sum(list_transform(range(1, len(v.vec) + 1),
+                 i -> (v.vec[i] - c.cv[i]) * (v.vec[i] - c.cv[i]))),
+                 6) AS d
+      FROM v CROSS JOIN c
+    ),
+    own AS (SELECT vec_id, d AS d_own FROM d WHERE l = label),
+    best AS (
+      SELECT vec_id, label, l AS nearest_label, d AS d_best FROM (
+        SELECT vec_id, label, l, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, l) AS rn
+        FROM d) WHERE rn = 1
+    )
+    SELECT b.vec_id, b.label, b.nearest_label, o.d_own, b.d_best
+    FROM best b JOIN own o USING (vec_id)
+    WHERE b.nearest_label <> b.label
+    ORDER BY b.vec_id
+    """,
+    tags=("ml", "embedding", "labels", "audit", "llm", "operator"),
+)
+def q241_label_noise_audit(spark, sf_dir):
+    """Label-noise suspects: vectors whose nearest LABEL CENTROID
+    (6-decimal rounded means, q86 grain) is not their own label —
+    the cheap screen before per-example influence methods. The SQL
+    twin re-derives centroids, the full distance matrix, and the
+    (d, label)-ranked argmin, so the whole audit is hash-checked.
+
+    SCALE DESIGN: one map-side-combined per-(label, dim) mean
+    aggregate (labels x dim rounded doubles to the driver — bounded
+    by label vocabulary), then one Arrow-batched distance row per
+    vector; no joins (the oracle CROSS JOIN is SQL spelling only)."""
+    from etl_as_a_service_spark.llm.clustering import label_noise_audit
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return label_noise_audit(emb, "vec_id", "embedding", "label")

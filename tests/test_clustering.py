@@ -118,6 +118,87 @@ def test_kmeans_rejects_zero_iterations(spark):
         )
 
 
+def test_cluster_balanced_sample_caps_and_is_deterministic(spark):
+    from etl_as_a_service_spark.llm.clustering import (
+        cluster_balanced_sample,
+    )
+
+    df = _blob_df(spark)
+    out = cluster_balanced_sample(
+        df, "vec_id", "embedding", k=2, iterations=2, cap_per_cluster=4
+    ).collect()
+    by_cluster: dict[int, list[int]] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r["vec_id"])
+    assert set(by_cluster) == {0, 1}
+    assert all(len(ids) == 4 for ids in by_cluster.values())
+    # blob membership survives the cap
+    assert all(i % 2 == 0 for i in by_cluster[0])
+    assert all(i % 2 == 1 for i in by_cluster[1])
+    again = cluster_balanced_sample(
+        df.repartition(5), "vec_id", "embedding", k=2, iterations=2,
+        cap_per_cluster=4,
+    ).collect()
+    assert {(r["vec_id"], r["cluster"]) for r in again} == {
+        (r["vec_id"], r["cluster"]) for r in out
+    }
+
+
+def test_random_projection_is_linear_and_deterministic(spark):
+    """The projection is a fixed linear map: proj(a+b) = proj(a) +
+    proj(b) on the 6-decimal grain, and the matrix re-derives
+    identically across calls (no RNG state)."""
+    from etl_as_a_service_spark.llm.clustering import random_projection
+
+    rows = [
+        (0, [1.0, 0.0, 2.0, 0.0]),
+        (1, [0.0, 3.0, 0.0, 1.0]),
+        (2, [1.0, 3.0, 2.0, 1.0]),  # row0 + row1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["proj"]
+        for r in random_projection(df, "vec_id", "embedding", 3).collect()
+    }
+    assert len(out[0]) == 3
+    for j in range(3):
+        assert out[2][j] == pytest.approx(out[0][j] + out[1][j], abs=2e-6)
+    out2 = {
+        r["vec_id"]: r["proj"]
+        for r in random_projection(df, "vec_id", "embedding", 3).collect()
+    }
+    assert out == out2
+    # different salt -> different matrix
+    alt = {
+        r["vec_id"]: r["proj"]
+        for r in random_projection(
+            df, "vec_id", "embedding", 3, salt="rp-v2"
+        ).collect()
+    }
+    assert alt[0] != out[0]
+
+
+def test_label_noise_audit_flags_planted_swap(spark):
+    """Two tight blobs, one vector labeled with the OTHER blob's
+    label: only that vector is flagged, with its own-centroid
+    distance far above its best."""
+    from etl_as_a_service_spark.llm.clustering import label_noise_audit
+
+    rows = (
+        [(i, [10.0 + 0.01 * i, 10.0], 0) for i in range(8)]
+        + [(10 + i, [-10.0, -10.0 - 0.01 * i], 1) for i in range(8)]
+        + [(99, [10.0, 10.04], 1)]  # sits in blob 0, labeled 1
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = label_noise_audit(df, "vec_id", "embedding", "label").collect()
+    assert [r["vec_id"] for r in out] == [99]
+    r = out[0]
+    assert r["label"] == 1 and r["nearest_label"] == 0
+    assert r["d_best"] < 1.0 < r["d_own"]
+
+
 def test_embedding_hygiene_flags_planted_defects(spark):
     from etl_as_a_service_spark.llm.clustering import embedding_hygiene
 
