@@ -116,11 +116,16 @@ HEADLINE_ML = [
     "q237_embedding_hygiene",
 ]
 
+#: round-6 addition to the lakehouse subtotal: the stats-based file
+#: skip read (zone-map pruning on l_orderkey range) — subtotal grows
+#: by one entry vs r5; per-entry timings stay comparable.
 HEADLINE_LAKEHOUSE = [
     "lake_delta_pruned_read",
     "lake_delta_change_feed",
+    "lake_delta_stats_skip",
     "lake_iceberg_pruned_read",
     "lake_iceberg_change_feed",
+    "lake_iceberg_stats_skip",
     "lake_avro_scan",
 ]
 
@@ -191,12 +196,20 @@ def _build_lakehouse_fixtures(spark, sf_dir, root):
         "lake_delta_change_feed": lambda: delta_changes(
             spark, dtab, dv0, dv1, keys
         ),
+        # zone-map skip: a selective orderkey range should touch a
+        # strict subset of files (within-partition stats pruning)
+        "lake_delta_stats_skip": lambda: delta_read(
+            spark, dtab, predicates=[("l_orderkey", "<=", 5000)]
+        ).filter(F.col("l_orderkey") <= 5000),
         "lake_iceberg_pruned_read": lambda: iceberg_read(
             spark, itab, partition_filters={"l_returnflag": "R"}
         ),
         "lake_iceberg_change_feed": lambda: iceberg_changes(
             spark, itab, iv0, iv1, keys
         ),
+        "lake_iceberg_stats_skip": lambda: iceberg_read(
+            spark, itab, predicates=[("l_orderkey", "<=", 5000)]
+        ).filter(F.col("l_orderkey") <= 5000),
         "lake_avro_scan": lambda: read_avro(spark, apath),
     }
 

@@ -53,6 +53,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl_as_a_service_spark.sources.file_stats import (
+    file_might_match,
+    parquet_column_stats,
+    validate_predicates,
+)
+
 _LOG_DIR = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
 _UNSUPPORTED_READER_FEATURES = {
@@ -247,6 +253,10 @@ def _stage_files(
             final_abs = os.path.join(table, final_rel)
             os.makedirs(os.path.dirname(final_abs), exist_ok=True)
             os.rename(os.path.join(root, name), final_abs)
+            # per-file column stats from the parquet FOOTER (metadata
+            # only) in the protocol's `stats` JSON field — the
+            # data-skipping input delta_read(predicates=...) prunes on
+            stats = parquet_column_stats(final_abs)
             adds.append(
                 {
                     "path": final_rel.replace(os.sep, "/"),
@@ -254,6 +264,7 @@ def _stage_files(
                     "size": os.path.getsize(final_abs),
                     "modificationTime": int(time.time() * 1000),
                     "dataChange": data_change,
+                    "stats": json.dumps(stats),
                 }
             )
     shutil.rmtree(staging, ignore_errors=True)
@@ -297,6 +308,7 @@ def delta_read(
     table: str,
     version: int | None = None,
     partition_filters: dict[str, str] | None = None,
+    predicates: list[tuple] | None = None,
 ) -> DataFrame:
     """Snapshot (or time-travel) read: replay the log, then scan the
     live parquet files with an EXPLICIT file list — the scan stays
@@ -304,7 +316,15 @@ def delta_read(
     empty snapshot still has the right columns). Partition columns are
     reconstructed via basePath discovery; ``partition_filters``
     ({col: value}) prunes at the LOG level, before Spark lists a single
-    skipped file — the metadata-only pruning a 100 TB table needs."""
+    skipped file — the metadata-only pruning a 100 TB table needs.
+
+    ``predicates`` ([(col, op, value)] with op in ==/</<=/>/>=, ANDed)
+    adds STATS-BASED file skipping over the add actions' per-file
+    min/max/null-count ``stats`` (the zone-map layer: within-partition
+    files whose range provably excludes the predicate never reach
+    Spark). Skipping is conservative — files without usable stats are
+    kept — and is pure pruning: the caller still applies the predicate
+    as a row filter; results are identical with or without stats."""
     snap = _replay(table, version)
     schema = T.StructType.fromJson(json.loads(snap.schema_json))
     files = sorted(snap.live)
@@ -322,6 +342,15 @@ def delta_read(
                 for k, v in partition_filters.items()
             )
         ]
+    if predicates:
+        validate_predicates(predicates)
+        kept = []
+        for p in files:
+            raw = snap.live[p].get("stats")
+            stats = json.loads(raw) if raw else None
+            if file_might_match(stats, predicates):
+                kept.append(p)
+        files = kept
     return _read_file_list(spark, table, schema, files)
 
 
@@ -581,6 +610,10 @@ def delta_checkpoint(table: str) -> dict:
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        # spec checkpoint field: per-file stats JSON --
+                        # dropping it here would silently disable
+                        # data skipping after every checkpoint
+                        ("stats", pa.string()),
                     ]
                 ),
             ),
@@ -611,6 +644,7 @@ def delta_checkpoint(table: str) -> dict:
                 "size": a.get("size"),
                 "modificationTime": a.get("modificationTime"),
                 "dataChange": False,
+                "stats": a.get("stats"),
             }
         }
         for _p, a in sorted(snap.live.items())

@@ -1,0 +1,137 @@
+"""Per-file column statistics from parquet FOOTERS (metadata-only,
+no data read) and the min/max predicate-skipping decision shared by
+the Delta and Iceberg readers.
+
+This is the zone-map layer of a 100 TB lakehouse scan: the log or
+manifest carries each file's per-column [min, max] + null counts, so
+a selective predicate prunes files at METADATA level — Spark never
+lists, opens, or schedules the skipped files. Partition pruning cuts
+whole directories; stats skipping cuts within-partition files (the
+dominant win for range predicates on clustered/sorted columns, e.g.
+time-ordered appends queried by recent window).
+
+Semantics are conservative by construction: a file is skipped only
+when its stats PROVE no row can match (min/max bounds, or all-null
+columns under null-rejecting predicates); files with missing or
+unusable stats are always kept, so results are identical with stats
+on or off — the same contract as Delta's stats-based skipping and
+Iceberg's manifest bound filtering (public protocol behavior restated
+over the pure-Python connectors).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any
+
+#: predicate operators supported by file skipping
+_OPS = ("==", "<", "<=", ">", ">=")
+
+
+def parquet_column_stats(path: str) -> dict[str, Any]:
+    """{"numRecords": n, "minValues": {...}, "maxValues": {...},
+    "nullCount": {...}} from the parquet footer. Columns whose
+    physical stats are absent or whose logical type we don't fold
+    (nested, binary) are simply omitted — readers treat missing as
+    unknowable and keep the file. Dates/timestamps serialize to ISO
+    strings (ordered the same lexicographically as chronologically,
+    so the comparison logic needs no type registry)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaf — not a top-level column
+                continue
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if not st.has_min_max:
+                continue
+            lo, hi = _norm(st.min), _norm(st.max)
+            if lo is None or hi is None:
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {
+        "numRecords": md.num_rows,
+        "minValues": mins,
+        "maxValues": maxs,
+        "nullCount": nulls,
+    }
+
+
+def _norm(v: Any) -> Any:
+    """JSON-serializable, order-preserving normal form."""
+    if isinstance(v, bool) or v is None:
+        return None  # bool min/max adds nothing; don't fold
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def _comparable(a: Any, b: Any) -> bool:
+    num = (int, float)
+    if isinstance(a, num) and isinstance(b, num):
+        return not (isinstance(a, bool) or isinstance(b, bool))
+    return isinstance(a, str) and isinstance(b, str)
+
+
+def validate_predicates(predicates: list[tuple]) -> None:
+    for p in predicates:
+        if len(p) != 3 or p[1] not in _OPS:
+            raise ValueError(
+                f"predicate must be (column, op, value) with op in "
+                f"{_OPS}, got {p!r}"
+            )
+
+
+def file_might_match(
+    stats: dict[str, Any] | None, predicates: list[tuple]
+) -> bool:
+    """Conservative skip decision: False ONLY when the stats prove
+    that no row in the file satisfies ALL predicates (predicates are
+    ANDed, each null-rejecting — SQL comparison semantics)."""
+    if not predicates:
+        return True
+    if not stats:
+        return True  # no stats recorded — must read the file
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    nulls = stats.get("nullCount") or {}
+    n = stats.get("numRecords")
+    for col, op, val in predicates:
+        # an all-null column can satisfy no null-rejecting predicate
+        if n is not None and nulls.get(col) == n and n > 0:
+            return False
+        lo, hi = mins.get(col), maxs.get(col)
+        if lo is None or hi is None:
+            continue  # unknowable for this column — can't disprove
+        if not (_comparable(lo, val) and _comparable(hi, val)):
+            continue
+        if op == "==" and (val < lo or val > hi):
+            return False
+        if op == "<" and lo >= val:
+            return False
+        if op == "<=" and lo > val:
+            return False
+        if op == ">" and hi <= val:
+            return False
+        if op == ">=" and hi < val:
+            return False
+    return True

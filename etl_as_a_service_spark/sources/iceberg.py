@@ -53,6 +53,11 @@ from etl_as_a_service_spark.sources.avro import (
     decode_avro_file,
     encode_avro_file,
 )
+from etl_as_a_service_spark.sources.file_stats import (
+    file_might_match,
+    parquet_column_stats,
+    validate_predicates,
+)
 
 _SPARK_TO_ICEBERG = {
     T.BooleanType(): "boolean",
@@ -201,6 +206,14 @@ def _manifest_entry_schema(md: dict) -> dict:
                         {"name": "partition", "type": _partition_avro_schema(md)},
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
+                        # column min/max/null-count stats as one JSON
+                        # blob keyed by COLUMN NAME — the declared
+                        # simplification of the spec's field-id-keyed
+                        # binary lower_bounds/upper_bounds maps; old
+                        # manifests (written before this field) decode
+                        # via their embedded writer schema and read as
+                        # stats-absent (kept by the conservative skip)
+                        {"name": "column_stats", "type": ["null", "string"]},
                     ],
                 },
             },
@@ -282,6 +295,9 @@ def _stage_data_files(
                 if internal
                 else os.path.abspath(final_abs)
             )
+            # one footer read serves both the record count and the
+            # data-skipping stats (metadata only, no data scan)
+            stats = parquet_column_stats(final_abs)
             out.append(
                 {
                     "content": 0,
@@ -293,8 +309,9 @@ def _stage_data_files(
                         ).get(c)
                         for c in partition_cols
                     },
-                    "record_count": pq.read_metadata(final_abs).num_rows,
+                    "record_count": stats["numRecords"],
                     "file_size_in_bytes": os.path.getsize(final_abs),
+                    "column_stats": json.dumps(stats),
                 }
             )
     shutil.rmtree(staging, ignore_errors=True)
@@ -364,12 +381,20 @@ def iceberg_read(
     table: str,
     snapshot_id: int | None = None,
     partition_filters: dict | None = None,
+    predicates: list[tuple] | None = None,
 ) -> DataFrame:
     """Snapshot (or time-travel) read: metadata json -> manifest list
     -> manifests -> live data files, handed to Spark as an explicit
     list with basePath partition reconstruction. ``partition_filters``
     ({col: value}) prunes on the manifests' identity-partition values —
-    pure metadata, no filesystem listing."""
+    pure metadata, no filesystem listing.
+
+    ``predicates`` ([(col, op, value)], op in ==/</<=/>/>=, ANDed)
+    adds STATS-BASED file skipping on the manifest entries'
+    ``column_stats`` bounds (the spec's lower_bounds/upper_bounds
+    filtering, name-keyed JSON in this implementation). Conservative:
+    entries without usable stats are kept; the caller still applies
+    the predicate as a row filter — results identical either way."""
     md = _load_metadata(table)
     snap = _snapshot_by_id(md, snapshot_id)
     schema = _spark_schema(md["schemas"][md["current-schema-id"]])
@@ -383,6 +408,8 @@ def iceberg_read(
             raise ValueError(
                 f"partition_filters on non-partition columns: {unknown}"
             )
+    if predicates:
+        validate_predicates(predicates)
     files: list[str] = []
     for mf in _read_manifest_list(table, snap):
         for entry in _read_manifest(table, mf["manifest_path"]):
@@ -394,6 +421,11 @@ def iceberg_read(
                 for k, v in partition_filters.items()
             ):
                 continue
+            if predicates:
+                raw = dfile.get("column_stats")
+                stats = json.loads(raw) if raw else None
+                if not file_might_match(stats, predicates):
+                    continue
             files.append(dfile["file_path"])
     return _read_iceberg_files(spark, table, md, schema, files)
 
@@ -754,8 +786,6 @@ def iceberg_convert(spark: SparkSession, path: str, table: str) -> int:
     into ``path``. Partition columns come from Spark's discovery; row
     counts from the parquet footers (metadata-only). Returns the
     snapshot id."""
-    import pyarrow.parquet as pq
-
     if _versions(table):
         raise ValueError(f"already an Iceberg table: {table}")
     rel_files: list[str] = []
@@ -805,10 +835,12 @@ def iceberg_convert(spark: SparkSession, path: str, table: str) -> int:
                 c: _partition_values_of(f, col_types).get(c)
                 for c in partition_by
             },
-            "record_count": pq.read_metadata(
-                os.path.join(path, f)
-            ).num_rows,
+            # footer-only stats: converts get data skipping for free
+            "record_count": (
+                stats := parquet_column_stats(os.path.join(path, f))
+            )["numRecords"],
             "file_size_in_bytes": os.path.getsize(os.path.join(path, f)),
+            "column_stats": json.dumps(stats),
         }
         for f in sorted(rel_files)
     ]

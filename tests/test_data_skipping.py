@@ -1,0 +1,192 @@
+"""Stats-based file skipping (zone maps) for the Delta and Iceberg
+readers: per-file min/max/null-count stats recorded from parquet
+FOOTERS at write time, predicate pruning at METADATA level at read
+time. The contract under test:
+
+- pruning is real: a selective range predicate reads strictly fewer
+  files than the full scan (inputFiles-level assertion);
+- pruning is pure: predicate results are row-identical to the full
+  scan + row filter (skipping never changes results);
+- pruning is conservative: files without usable stats are kept.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.sources.delta import (
+    delta_checkpoint,
+    delta_read,
+    delta_write,
+)
+from etl_as_a_service_spark.sources.file_stats import (
+    file_might_match,
+    parquet_column_stats,
+)
+from etl_as_a_service_spark.sources.iceberg import (
+    iceberg_read,
+    iceberg_write,
+)
+
+
+def _range_df(spark):
+    # 4 range-partitioned files with disjoint k ranges; s mirrors k so
+    # a string predicate can be tested against the same layout
+    return (
+        spark.range(0, 4000)
+        .select(
+            F.col("id").alias("k"),
+            F.format_string("s%04d", F.col("id")).alias("s"),
+        )
+        .repartitionByRange(4, "k")
+    )
+
+
+def _delta_table(spark, tmp_path, name="t"):
+    path = os.path.join(str(tmp_path), name)
+    delta_write(_range_df(spark), path, mode="overwrite")
+    return path
+
+
+def test_delta_stats_skip_prunes_files_and_preserves_rows(spark, tmp_path):
+    path = _delta_table(spark, tmp_path)
+    full = delta_read(spark, path)
+    assert len(full.inputFiles()) == 4
+    pruned = delta_read(spark, path, predicates=[("k", "<", 500)])
+    assert len(pruned.inputFiles()) < 4
+    got = sorted(
+        r["k"] for r in pruned.filter(F.col("k") < 500).collect()
+    )
+    want = sorted(r["k"] for r in full.filter(F.col("k") < 500).collect())
+    assert got == want and len(got) == 500
+
+
+def test_delta_stats_skip_string_and_equality(spark, tmp_path):
+    path = _delta_table(spark, tmp_path)
+    eq = delta_read(spark, path, predicates=[("k", "==", 3999)])
+    assert len(eq.inputFiles()) == 1
+    assert eq.filter(F.col("k") == 3999).count() == 1
+    s = delta_read(spark, path, predicates=[("s", ">=", "s3999")])
+    assert len(s.inputFiles()) == 1
+    # a predicate excluded by every file's range -> zero files, empty
+    # frame with the right schema
+    none = delta_read(spark, path, predicates=[("k", ">", 10_000)])
+    assert none.inputFiles() == [] and none.count() == 0
+    assert none.columns == ["k", "s"]
+
+
+def test_delta_stats_survive_checkpoint(spark, tmp_path):
+    path = _delta_table(spark, tmp_path)
+    delta_checkpoint(path)
+    pruned = delta_read(spark, path, predicates=[("k", "<", 500)])
+    assert len(pruned.inputFiles()) < 4
+
+
+def test_delta_missing_stats_files_are_kept(spark, tmp_path):
+    # strip the stats from the log: every file must be KEPT (the
+    # conservative contract) even under a provably-excluding predicate
+    path = _delta_table(spark, tmp_path)
+    log = os.path.join(path, "_delta_log")
+    for n in sorted(os.listdir(log)):
+        if not n.endswith(".json"):
+            continue
+        fp = os.path.join(log, n)
+        lines = []
+        with open(fp) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                a.get("add", {}).pop("stats", None)
+                lines.append(json.dumps(a))
+        with open(fp, "w") as fh:
+            fh.write("\n".join(lines))
+    kept = delta_read(spark, path, predicates=[("k", ">", 10_000)])
+    assert len(kept.inputFiles()) == 4
+
+
+def test_delta_rejects_malformed_predicates(spark, tmp_path):
+    path = _delta_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="predicate"):
+        delta_read(spark, path, predicates=[("k", "!=", 1)])
+
+
+def test_iceberg_stats_skip_prunes_and_preserves(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "ice")
+    iceberg_write(_range_df(spark), path, mode="overwrite")
+    full = iceberg_read(spark, path)
+    assert len(full.inputFiles()) == 4
+    pruned = iceberg_read(spark, path, predicates=[("k", ">=", 3500)])
+    assert len(pruned.inputFiles()) < 4
+    got = sorted(
+        r["k"] for r in pruned.filter(F.col("k") >= 3500).collect()
+    )
+    assert got == list(range(3500, 4000))
+    none = iceberg_read(spark, path, predicates=[("k", "<", -1)])
+    assert none.inputFiles() == [] and none.count() == 0
+
+
+def test_iceberg_skip_composes_with_partition_pruning(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "icep")
+    df = (
+        spark.range(0, 2000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("p"),
+        )
+        .repartitionByRange(4, "k")
+    )
+    iceberg_write(df, path, mode="overwrite", partition_by=["p"])
+    both = iceberg_read(
+        spark, path,
+        partition_filters={"p": "1"},
+        predicates=[("k", "<", 100)],
+    )
+    files = both.inputFiles()
+    assert 0 < len(files) < len(iceberg_read(spark, path).inputFiles())
+    got = sorted(r["k"] for r in both.filter(F.col("k") < 100).collect())
+    assert got == [k for k in range(100) if k % 2 == 1]
+
+
+def test_file_might_match_unit_rules():
+    stats = {
+        "numRecords": 10,
+        "minValues": {"a": 5, "s": "m"},
+        "maxValues": {"a": 9, "s": "p"},
+        "nullCount": {"a": 0, "b": 10},
+    }
+    assert file_might_match(stats, [("a", ">=", 9)])
+    assert not file_might_match(stats, [("a", ">", 9)])
+    assert not file_might_match(stats, [("a", "<", 5)])
+    assert file_might_match(stats, [("a", "==", 7)])
+    assert not file_might_match(stats, [("a", "==", 4)])
+    assert file_might_match(stats, [("s", "<=", "m")])
+    assert not file_might_match(stats, [("s", ">", "p")])
+    # all-null column fails any null-rejecting predicate
+    assert not file_might_match(stats, [("b", "==", 1)])
+    # unknown column / missing stats -> keep
+    assert file_might_match(stats, [("zzz", "==", 1)])
+    assert file_might_match(None, [("a", "==", 1)])
+    # type-incompatible comparison -> keep (never guess)
+    assert file_might_match(stats, [("a", "==", "5")])
+
+
+def test_parquet_column_stats_shape(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "one")
+    spark.range(5).select(
+        F.col("id").alias("k"),
+        F.lit(None).cast("string").alias("n"),
+    ).coalesce(1).write.parquet(p)
+    f = [
+        os.path.join(p, n)
+        for n in os.listdir(p)
+        if n.endswith(".parquet")
+    ][0]
+    st = parquet_column_stats(f)
+    assert st["numRecords"] == 5
+    assert st["minValues"]["k"] == 0 and st["maxValues"]["k"] == 4
+    assert st["nullCount"]["n"] == 5
