@@ -127,6 +127,28 @@ def extract_pipeline_name(spec: dict[str, Any]) -> str:
     return name
 
 
+def _spec_predicates(source: dict[str, Any]) -> list[tuple] | None:
+    """JSON spec predicates ([[col, op, value], ...]) -> validated
+    tuple list for the lakehouse readers' stats-based file skipping."""
+    raw = source.get("predicates")
+    if raw is None:
+        return None
+    if not isinstance(raw, list):
+        raise PipelineError(
+            "source 'predicates' must be a list of [column, op, value]"
+        )
+    preds = [tuple(p) for p in raw]
+    from etl_as_a_service_spark.sources.file_stats import (
+        validate_predicates,
+    )
+
+    try:
+        validate_predicates(preds)
+    except ValueError as e:
+        raise PipelineError(str(e)) from e
+    return preds
+
+
 def _compile_source(
     spark: SparkSession,
     source: dict[str, Any],
@@ -166,17 +188,32 @@ def _compile_source(
         return read_avro(spark, path)
     if fmt == "delta":
         # pure-Python Delta log replay (sources/delta.py); "version"
-        # time-travels the snapshot
+        # time-travels the snapshot; "partition_filters" ({col: value})
+        # and "predicates" ([[col, op, value], ...]) prune files at
+        # METADATA level (partition values + per-file stats) before
+        # Spark lists them — note predicates are pruning only, the
+        # spec still needs its filter step for row-level semantics
         from etl_as_a_service_spark.sources.delta import delta_read
 
-        return delta_read(spark, path, version=source.get("version"))
+        return delta_read(
+            spark,
+            path,
+            version=source.get("version"),
+            partition_filters=source.get("partition_filters"),
+            predicates=_spec_predicates(source),
+        )
     if fmt == "iceberg":
         # pure-Python Iceberg metadata replay (sources/iceberg.py);
-        # "snapshot_id" time-travels the snapshot
+        # "snapshot_id" time-travels; same metadata pruning options
+        # as the delta source
         from etl_as_a_service_spark.sources.iceberg import iceberg_read
 
         return iceberg_read(
-            spark, path, snapshot_id=source.get("snapshot_id")
+            spark,
+            path,
+            snapshot_id=source.get("snapshot_id"),
+            partition_filters=source.get("partition_filters"),
+            predicates=_spec_predicates(source),
         )
     if source.get("quarantine_path"):
         # bad-records lane: malformed rows divert to quarantine_path as

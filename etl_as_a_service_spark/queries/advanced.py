@@ -1416,3 +1416,101 @@ def q231_ewma_trend(spark, sf_dir):
     return out.select(
         "event_type", "day", "revenue", F.round("ewma", 4).alias("ewma")
     ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------------
+# q242 — entity resolution (blocking + levenshtein + CC + golden record)
+# --------------------------------------------------------------------------
+@query(
+    "q242_entity_resolution",
+    oracle="""
+    WITH RECURSIVE recs AS (
+      SELECT p_partkey AS id, p_name AS name FROM part
+      UNION ALL
+      SELECT p_partkey + 1000000,
+             substr(p_name, 1, len(p_name) - 1)
+      FROM part WHERE p_partkey % 7 = 0
+    ),
+    normed AS (
+      SELECT id, name, lower(trim(name)) AS nm,
+             substr(lower(trim(name)), 1, 4) AS blk
+      FROM recs
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM normed a JOIN normed b
+        ON a.blk = b.blk AND a.id < b.id
+      WHERE levenshtein(a.nm, b.nm) <= 2
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+    ),
+    comp AS (SELECT node, min(r) AS entity_id FROM reach GROUP BY node)
+    SELECT c.entity_id,
+           CAST(count(*) AS BIGINT)                       AS n_records,
+           string_agg(CAST(n.id AS VARCHAR), ',' ORDER BY n.id)
+                                                          AS member_ids,
+           min(g.name)                                    AS golden_name
+    FROM comp c
+    JOIN normed n ON n.id = c.node
+    JOIN normed g ON g.id = c.entity_id
+    GROUP BY c.entity_id
+    HAVING count(*) >= 2
+    ORDER BY c.entity_id
+    """,
+    tags=("er", "dedup", "etl", "fuzzy", "operator"),
+)
+def q242_entity_resolution(spark, sf_dir):
+    """Entity resolution end-to-end (operators/er.resolve_entities):
+    prefix-4 blocking -> levenshtein<=2 verify -> connected components
+    -> min-id golden record, over part names plus DETERMINISTIC
+    planted variants (every 7th part re-appears under id+1e6 with its
+    last character dropped — distance 1, same block — the q58/q206
+    planted-fixture pattern, so the resolver provably merges
+    typo-grade duplicates and the check is non-vacuous). Identical
+    part names also merge (distance 0) — correct ER behavior, and the
+    oracle's recursive CTE re-derives the same transitive closure.
+    Output: multi-record entities only (entity, size, sorted member
+    CSV, golden name)."""
+    from etl_as_a_service_spark.operators.er import resolve_entities
+
+    (part,) = _t(spark, sf_dir, "part")
+    base = part.select(F.col("p_partkey").alias("id"),
+                       F.col("p_name").alias("name"))
+    planted = (
+        part.filter(F.col("p_partkey") % 7 == 0)
+        .select(
+            (F.col("p_partkey") + 1000000).alias("id"),
+            F.expr(
+                "substring(p_name, 1, length(p_name) - 1)"
+            ).alias("name"),
+        )
+    )
+    recs = base.unionByName(planted)
+    resolved = resolve_entities(
+        recs, "id", "name", block_len=4, max_distance=2
+    )
+    return (
+        resolved.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            # sort NUMERICALLY before rendering ("1000007" <
+            # "7" lexicographically — the oracle orders by the id)
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("member_ids"),
+            F.min("golden_name").alias("golden_name"),
+        )
+        .filter(F.col("n_records") >= 2)
+        .orderBy("entity_id")
+    )

@@ -175,6 +175,33 @@ def test_file_might_match_unit_rules():
     assert file_might_match(stats, [("a", "==", "5")])
 
 
+def test_pipeline_source_predicates_prune_and_validate(spark, tmp_path):
+    """The declarative face: a delta/iceberg pipeline source with
+    "predicates" prunes files at compile time; malformed specs fail
+    as PipelineError before any job."""
+    from etl_as_a_service_spark.plans.pipeline import (
+        PipelineError,
+        compile_pipeline,
+    )
+
+    path = _delta_table(spark, tmp_path, "pipe")
+    spec = {
+        "name": "skip",
+        "source": {
+            "format": "delta",
+            "path": path,
+            "predicates": [["k", "<", 500]],
+        },
+        "steps": [{"op": "filter", "predicate": "k < 500"}],
+    }
+    df = compile_pipeline(spark, spec)
+    assert len(df.inputFiles()) < 4
+    assert df.count() == 500
+    bad = dict(spec, source=dict(spec["source"], predicates=[["k", "!="]]))
+    with pytest.raises(PipelineError, match="predicate"):
+        compile_pipeline(spark, bad)
+
+
 def test_parquet_column_stats_shape(spark, tmp_path):
     p = os.path.join(str(tmp_path), "one")
     spark.range(5).select(

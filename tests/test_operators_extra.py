@@ -1131,3 +1131,36 @@ def test_ewma_smooth_matches_recursive_reference(spark):
     # single Window node: rn + cumsum share one partitioning/sort
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Window") <= 2
+
+
+def test_resolve_entities_transitive_and_blocking_contract(spark):
+    """ER semantics the oracle can't isolate: (a) transitive closure
+    merges a~b~c into ONE entity even when lev(a, c) > threshold;
+    (b) the declared blocking trade — a match whose first block_len
+    chars differ is out of scope; (c) golden record = min-id name."""
+    from etl_as_a_service_spark.operators.er import resolve_entities
+
+    rows = [
+        (1, "acme corp"),
+        (2, "acme corpx"),    # lev 1 to #1
+        (3, "acme corpxy"),   # lev 1 to #2, lev 2 to #1
+        (4, "acme corpxyzq"), # lev 2 to #3, lev 4 to #1 -> transitive
+        (5, "bcme corp"),     # lev 1 to #1 but DIFFERENT block prefix
+        (6, "zeta inc"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = resolve_entities(df, "id", "name", block_len=4, max_distance=2)
+    got = {r["id"]: (r["entity_id"], r["golden_name"]) for r in out.collect()}
+    assert got[1] == (1, "acme corp")
+    assert got[2] == (1, "acme corp")
+    assert got[3] == (1, "acme corp")
+    assert got[4] == (1, "acme corp")  # via the chain, not direct
+    assert got[5] == (5, "bcme corp")  # blocked out by prefix
+    assert got[6] == (6, "zeta inc")
+    # normalization: case/whitespace differences don't split entities
+    df2 = spark.createDataFrame(
+        [(1, "Acme Corp"), (2, "  acme corp ")], "id long, name string"
+    )
+    out2 = {r["id"]: r["entity_id"]
+            for r in resolve_entities(df2, "id", "name").collect()}
+    assert out2 == {1: 1, 2: 1}
