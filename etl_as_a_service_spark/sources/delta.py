@@ -744,6 +744,108 @@ def delta_merge(
     return delta_write(merged, table, mode="overwrite")
 
 
+def delta_delete(
+    spark: SparkSession,
+    table: str,
+    condition: str,
+    predicates: list[tuple] | None = None,
+) -> dict:
+    """DELETE FROM <table> WHERE <condition> as a copy-on-write log
+    commit (the GDPR-erasure / retention primitive): candidate files
+    are scanned once, their surviving rows rewrite into new files, and
+    one commit publishes removes + adds with ``dataChange: true`` —
+    prior snapshots stay time-travelable until ``delta_vacuum``.
+
+    ``predicates`` is the caller's FILE-LEVEL relaxation of
+    ``condition`` ([(col, op, value)], see delta_read): with it, the
+    stats layer bounds the rewrite set to files that might contain
+    matches — on a 100 TB table a keyed delete rewrites a handful of
+    files instead of the whole table. It must be IMPLIED by
+    ``condition`` (rows matching condition must satisfy predicates);
+    files it prunes are treated as match-free and left untouched.
+
+    SQL DELETE semantics: rows where ``condition`` is NULL are KEPT
+    (only condition = TRUE deletes). Row accounting comes from the
+    log's per-file stats (metadata only — no extra Spark actions);
+    a delete that matches nothing writes NO commit. Returns
+    {version, files_rewritten, rows_deleted} (version -1 = no-op)."""
+    snap = _replay(table)
+    schema = T.StructType.fromJson(json.loads(snap.schema_json))
+    files = sorted(snap.live)
+    if predicates:
+        validate_predicates(predicates)
+        kept_files = []
+        for p in files:
+            raw = snap.live[p].get("stats")
+            stats = json.loads(raw) if raw else None
+            if file_might_match(stats, predicates):
+                kept_files.append(p)
+        files = kept_files
+    if not files:
+        return {"version": -1, "files_rewritten": 0, "rows_deleted": 0}
+
+    def _rows_of(adds: list[dict]) -> int | None:
+        total = 0
+        for a in adds:
+            raw = a.get("stats")
+            if not raw:
+                return None
+            n = json.loads(raw).get("numRecords")
+            if n is None:
+                return None
+            total += n
+        return total
+
+    scan = _read_file_list(spark, table, schema, files)
+    survivors = scan.filter(
+        ~F.expr(condition).eqNullSafe(F.lit(True))
+    )
+    adds = _stage_files(
+        survivors, table, snap.partition_columns, data_change=True
+    )
+    before = _rows_of([snap.live[p] for p in files])
+    after = _rows_of(adds)
+    if before is None or after is None:
+        # stats-less legacy files: pay one count action for the delta
+        before = scan.count()
+        after = before - scan.filter(
+            F.expr(condition).eqNullSafe(F.lit(True))
+        ).count()
+    deleted = before - after
+    if deleted == 0:
+        _discard_staged(table, adds)
+        return {"version": -1, "files_rewritten": 0, "rows_deleted": 0}
+    ts = int(time.time() * 1000)
+
+    def build(_next_v: int):
+        actions: list[dict] = [
+            {
+                "remove": {
+                    "path": f, "deletionTimestamp": ts, "dataChange": True,
+                }
+            }
+            for f in files
+        ]
+        actions.extend({"add": a} for a in adds)
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": ts,
+                    "operation": "DELETE",
+                    "operationParameters": {"predicate": condition},
+                }
+            }
+        )
+        return actions
+
+    v = _commit(table, build)
+    return {
+        "version": v,
+        "files_rewritten": len(files),
+        "rows_deleted": deleted,
+    }
+
+
 def delta_optimize(
     spark: SparkSession,
     table: str,

@@ -217,3 +217,47 @@ def test_parquet_column_stats_shape(spark, tmp_path):
     assert st["numRecords"] == 5
     assert st["minValues"]["k"] == 0 and st["maxValues"]["k"] == 4
     assert st["nullCount"]["n"] == 5
+
+
+def test_delta_delete_rewrites_only_candidate_files(spark, tmp_path):
+    from etl_as_a_service_spark.sources.delta import (
+        delta_delete,
+        delta_history,
+    )
+
+    path = _delta_table(spark, tmp_path, "del")
+    res = delta_delete(
+        spark, path, "k < 100", predicates=[("k", "<", 100)]
+    )
+    assert res["rows_deleted"] == 100
+    assert res["files_rewritten"] == 1  # stats bound the rewrite set
+    after = delta_read(spark, path)
+    assert after.count() == 3900
+    assert after.filter(F.col("k") < 100).count() == 0
+    # pre-image still time-travelable
+    assert delta_read(spark, path, version=0).count() == 4000
+    ops = [r["operation"] for r in delta_history(spark, path).collect()]
+    assert "DELETE" in ops
+
+
+def test_delta_delete_null_condition_keeps_rows_and_noop_skips_commit(
+    spark, tmp_path
+):
+    from etl_as_a_service_spark.sources.delta import delta_delete
+
+    path = os.path.join(str(tmp_path), "nulls")
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 50.0)], "k long, v double"
+    )
+    delta_write(df, path, mode="overwrite")
+    res = delta_delete(spark, path, "v > 10")
+    assert res["rows_deleted"] == 1
+    kept = sorted(r["k"] for r in delta_read(spark, path).collect())
+    assert kept == [1, 2]  # NULL condition row KEPT (SQL DELETE rule)
+    # matching nothing: no commit written
+    v_before = delta_read(spark, path).count()
+    res2 = delta_delete(spark, path, "v > 1000")
+    assert res2 == {
+        "version": -1, "files_rewritten": 0, "rows_deleted": 0,
+    }
+    assert delta_read(spark, path).count() == v_before
