@@ -755,6 +755,167 @@ def iceberg_merge(
     return iceberg_write(merged, table, mode="overwrite")
 
 
+def iceberg_delete(
+    spark: SparkSession,
+    table: str,
+    condition: str,
+    predicates: list[tuple] | None = None,
+) -> dict:
+    """DELETE FROM <table> WHERE <condition> as one copy-on-write
+    snapshot — the Iceberg twin of sources.delta.delta_delete:
+    candidate files (stats-bounded when ``predicates``, the caller's
+    file-level relaxation of ``condition``, is given) are scanned
+    once; surviving rows rewrite into new data files; the new
+    snapshot's single manifest lists the rewrites as ADDED entries
+    and every untouched live file as EXISTING entries with their
+    original snapshot/sequence numbers — prior snapshots stay
+    time-travelable until expire_snapshots. NULL-condition rows are
+    KEPT (SQL DELETE); a delete matching nothing writes NO snapshot.
+    Returns {snapshot_id, files_rewritten, rows_deleted}
+    (snapshot_id -1 = no-op)."""
+    md = _load_metadata(table)
+    if md.get("current-snapshot-id") in (None, -1):
+        return {"snapshot_id": -1, "files_rewritten": 0, "rows_deleted": 0}
+    snap = _snapshot_by_id(md, None)
+    schema = _spark_schema(md["schemas"][md["current-schema-id"]])
+    spec = md["partition-specs"][md["default-spec-id"]]
+    partition_by = [f["name"] for f in spec["fields"]]
+    col_types = {
+        f["name"]: f["type"]
+        for f in md["schemas"][md["current-schema-id"]]["fields"]
+    }
+    if predicates:
+        validate_predicates(predicates)
+    live = _live_entries(table, snap)
+    candidates, untouched = [], []
+    for e in live:
+        raw = e["data_file"].get("column_stats")
+        stats = json.loads(raw) if raw else None
+        if predicates and not file_might_match(stats, predicates):
+            untouched.append(e)
+        else:
+            candidates.append(e)
+    if not candidates:
+        return {"snapshot_id": -1, "files_rewritten": 0, "rows_deleted": 0}
+    scan = _read_iceberg_files(
+        spark, table, md, schema,
+        [e["data_file"]["file_path"] for e in candidates],
+    )
+    survivors = scan.filter(~F.expr(condition).eqNullSafe(F.lit(True)))
+    data_base = md.get("properties", {}).get("write.data.path")
+    new_files = _stage_data_files(
+        survivors, table, partition_by, col_types, data_base=data_base
+    )
+    before = sum(e["data_file"]["record_count"] for e in candidates)
+    after = sum(d["record_count"] for d in new_files)
+    deleted = before - after
+    if deleted == 0:
+        for d in new_files:
+            try:
+                os.remove(os.path.join(table, d["file_path"]))
+            except OSError:
+                pass
+        return {"snapshot_id": -1, "files_rewritten": 0, "rows_deleted": 0}
+
+    planned_snapshot = snap["snapshot-id"]
+    while True:
+        versions = _versions(table)
+        head = versions[-1]
+        prev_md = _load_metadata(table, head)
+        if prev_md.get("current-snapshot-id") != planned_snapshot:
+            # the new snapshot's manifest is the FULL live entry list
+            # computed against the pre-scan snapshot — committing it
+            # over a racing writer's snapshot would silently drop that
+            # writer's files. Fail loudly instead (standard Iceberg
+            # validation-conflict behavior); the caller retries.
+            for d in new_files:
+                try:
+                    os.remove(os.path.join(table, d["file_path"]))
+                except OSError:
+                    pass
+            raise ValueError(
+                "iceberg_delete: table changed during the delete "
+                "(concurrent commit) — re-run the delete"
+            )
+        snap_id = random.getrandbits(62)
+        seq = prev_md.get("last-sequence-number", 0) + 1
+        # ADDED entries for the rewrites + EXISTING entries carrying
+        # their ORIGINAL snapshot/sequence numbers. Old manifests may
+        # predate the column_stats field — re-encoding their entries
+        # under the current schema needs the explicit null default.
+        entries = [(1, snap_id, seq, seq, d) for d in new_files]
+        for e in untouched:
+            df_dict = dict(e["data_file"])
+            df_dict.setdefault("column_stats", None)
+            entries.append(
+                (0, e["snapshot_id"], e["sequence_number"],
+                 e["file_sequence_number"], df_dict)
+            )
+        md_for_manifest = {
+            "schemas": prev_md["schemas"],
+            "current-schema-id": prev_md["current-schema-id"],
+            "partition-specs": prev_md["partition-specs"],
+            "default-spec-id": prev_md["default-spec-id"],
+        }
+        new_manifest = _write_manifest(
+            table, md_for_manifest, entries, seq, snap_id
+        )
+        list_name = f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
+        with open(os.path.join(_meta_dir(table), list_name), "wb") as fh:
+            fh.write(
+                encode_avro_file(
+                    _MANIFEST_LIST_SCHEMA,
+                    [
+                        tuple(
+                            new_manifest[f["name"]]
+                            for f in _MANIFEST_LIST_SCHEMA["fields"]
+                        )
+                    ],
+                    codec="deflate",
+                )
+            )
+        snapshot = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": int(time.time() * 1000),
+            "manifest-list": f"metadata/{list_name}",
+            "summary": {"operation": "delete", "predicate": condition},
+            "schema-id": prev_md["current-schema-id"],
+        }
+        new_md = dict(prev_md)
+        new_md.pop("__version", None)
+        new_md["last-sequence-number"] = seq
+        new_md["last-updated-ms"] = snapshot["timestamp-ms"]
+        new_md["current-snapshot-id"] = snap_id
+        new_md["snapshots"] = prev_md.get("snapshots", []) + [snapshot]
+        next_v = head + 1
+        try:
+            fd = os.open(
+                _metadata_file(table, next_v),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            for n in (new_manifest["manifest_path"], f"metadata/{list_name}"):
+                try:
+                    os.remove(os.path.join(table, n))
+                except OSError:
+                    pass
+            continue
+        with os.fdopen(fd, "w") as fh:
+            json.dump(new_md, fh)
+        hint_tmp = os.path.join(_meta_dir(table), f".hint-{uuid.uuid4().hex}")
+        with open(hint_tmp, "w") as fh:
+            fh.write(str(next_v))
+        os.rename(
+            hint_tmp, os.path.join(_meta_dir(table), "version-hint.text")
+        )
+        return {
+            "snapshot_id": snap_id,
+            "files_rewritten": len(candidates),
+            "rows_deleted": deleted,
+        }
+
+
 def iceberg_history(spark: SparkSession, table: str) -> DataFrame:
     """(snapshot_id, sequence_number, timestamp_ms, operation,
     is_current) per snapshot."""

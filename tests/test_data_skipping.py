@@ -261,3 +261,61 @@ def test_delta_delete_null_condition_keeps_rows_and_noop_skips_commit(
         "version": -1, "files_rewritten": 0, "rows_deleted": 0,
     }
     assert delta_read(spark, path).count() == v_before
+
+
+def test_iceberg_delete_rewrites_only_candidates(spark, tmp_path):
+    from etl_as_a_service_spark.sources.iceberg import (
+        iceberg_changes,
+        iceberg_delete,
+        iceberg_history,
+    )
+
+    path = os.path.join(str(tmp_path), "idel")
+    v0 = iceberg_write(_range_df(spark), path, mode="overwrite")
+    res = iceberg_delete(
+        spark, path, "k < 100", predicates=[("k", "<", 100)]
+    )
+    assert res["rows_deleted"] == 100
+    assert res["files_rewritten"] == 1  # stats bound the rewrite set
+    after = iceberg_read(spark, path)
+    assert after.count() == 3900
+    assert after.filter(F.col("k") < 100).count() == 0
+    # untouched files are still referenced (3 originals + 1 rewrite)
+    assert len(after.inputFiles()) == 4
+    # pre-image time-travelable; history records the delete
+    assert iceberg_read(spark, path, snapshot_id=v0).count() == 4000
+    ops = [r["operation"] for r in iceberg_history(spark, path).collect()]
+    assert "delete" in ops
+    # change feed across the delete = exactly the deleted keys
+    ch = iceberg_changes(spark, path, v0, res["snapshot_id"], ["k"])
+    rows = ch.collect()
+    assert all(r["change_type"] == "delete" for r in rows)
+    assert sorted(r["k"] for r in rows) == list(range(100))
+    # appends after a delete still work (manifest chain stays valid)
+    iceberg_write(
+        spark.range(5000, 5010).select(
+            F.col("id").alias("k"),
+            F.format_string("s%04d", F.col("id")).alias("s"),
+        ),
+        path,
+        mode="append",
+    )
+    assert iceberg_read(spark, path).count() == 3910
+
+
+def test_iceberg_delete_null_and_noop(spark, tmp_path):
+    from etl_as_a_service_spark.sources.iceberg import iceberg_delete
+
+    path = os.path.join(str(tmp_path), "idel2")
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 50.0)], "k long, v double"
+    )
+    iceberg_write(df, path, mode="overwrite")
+    res = iceberg_delete(spark, path, "v > 10")
+    assert res["rows_deleted"] == 1
+    kept = sorted(r["k"] for r in iceberg_read(spark, path).collect())
+    assert kept == [1, 2]  # NULL condition row kept
+    res2 = iceberg_delete(spark, path, "v > 1000")
+    assert res2 == {
+        "snapshot_id": -1, "files_rewritten": 0, "rows_deleted": 0,
+    }
