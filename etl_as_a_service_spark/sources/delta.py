@@ -1132,6 +1132,11 @@ def delta_convert(spark: SparkSession, path: str) -> int:
                 "size": os.path.getsize(os.path.join(path, f)),
                 "modificationTime": ts,
                 "dataChange": True,
+                # footer-only stats: converted tables get data
+                # skipping (and stats-based delete bounding) for free
+                "stats": json.dumps(
+                    parquet_column_stats(os.path.join(path, f))
+                ),
             }
         }
         for f in sorted(rel_files)

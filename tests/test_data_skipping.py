@@ -319,3 +319,15 @@ def test_iceberg_delete_null_and_noop(spark, tmp_path):
     assert res2 == {
         "snapshot_id": -1, "files_rewritten": 0, "rows_deleted": 0,
     }
+
+
+def test_delta_convert_records_stats_for_skipping(spark, tmp_path):
+    from etl_as_a_service_spark.sources.delta import delta_convert
+
+    path = os.path.join(str(tmp_path), "conv")
+    _range_df(spark).write.parquet(path)
+    delta_convert(spark, path)
+    pruned = delta_read(spark, path, predicates=[("k", "<", 500)])
+    assert 0 < len(pruned.inputFiles()) < len(
+        delta_read(spark, path).inputFiles()
+    )
