@@ -73,10 +73,17 @@ def kmeans_assignments(
     Each update collects only the k x dim rounded means (bounded
     driver metadata, the ivf_build convention) and feeds them back as
     closure literals — the corpus itself never leaves the executors.
+
+    Caller contract: vectors are finite and equal-length (a NaN
+    component would poison its distance row and pick cluster 0 by
+    numpy argmin order) — run embedding_hygiene first; raises on an
+    empty frame.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     centroids = _init_centroids(df, id_col, vec_col, k)
+    if not centroids:
+        raise ValueError("kmeans_assignments: empty input frame")
     base = df.select(F.col(id_col), F.col(vec_col))
     for _ in range(iterations - 1):
         kern = nearest_centroid_rounded_kernel(centroids)

@@ -221,3 +221,9 @@ def test_embedding_hygiene_flags_planted_defects(spark):
     assert out[1]["n_nan_vectors"] == 1 and out[1]["n_zero_vectors"] == 0
     assert out[1]["n_dims_seen"] == 2  # the ragged producer shows up
     assert out[1]["max_norm"] == pytest.approx(7.071068)
+
+
+def test_kmeans_empty_input_raises(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_assignments(df, "vec_id", "embedding", 2, 2)
