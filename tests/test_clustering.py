@@ -227,3 +227,51 @@ def test_kmeans_empty_input_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         kmeans_assignments(df, "vec_id", "embedding", 2, 2)
+
+
+def test_kmeans_streaming_score_matches_batch(spark, tmp_path):
+    """Batch-fit / stream-score: centroids fitted on a batch frame
+    score a STREAM with the same Arrow kernel (stateless projection —
+    no state store), and the streamed assignments are row-identical
+    to the batch assignment. The serve-path face of the ML family."""
+    from etl_as_a_service_spark.functions.vectors import (
+        nearest_centroid_rounded_kernel,
+    )
+    from etl_as_a_service_spark.llm.clustering import (
+        _init_centroids,
+        kmeans_assignments,
+    )
+    from etl_as_a_service_spark.streaming.ops import file_stream
+    from pyspark.sql import functions as F
+
+    df = _blob_df(spark)
+    batch = {
+        (r["vec_id"], r["cluster"])
+        for r in kmeans_assignments(
+            df, "vec_id", "embedding", 2, 1
+        ).collect()
+    }
+    centroids = _init_centroids(df, "vec_id", "embedding", 2)
+    src = str(tmp_path / "vecs")
+    df.repartition(2).write.parquet(src)
+    kern = nearest_centroid_rounded_kernel(centroids)
+    q = (
+        file_stream(
+            spark, src, "vec_id long, embedding array<float>",
+            max_files_per_trigger=1,
+        )
+        .select(
+            "vec_id", kern(F.col("embedding")).getField("cluster").alias("cluster")
+        )
+        .writeStream.format("memory")
+        .queryName("km_scores")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["vec_id"], r["cluster"])
+        for r in spark.sql("select * from km_scores").collect()
+    }
+    assert streamed == batch
