@@ -1739,3 +1739,87 @@ def q233_cohen_kappa(spark, sf_dir):
         .otherwise(F.round((F.col("_po") - pe) / (1 - pe), 6))
         .alias("kappa"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# q243 — rolling-origin forecast backtest (MAE / MAPE / sMAPE)
+# --------------------------------------------------------------------------
+@query(
+    "q243_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             round(sum(value), 2) AS revenue
+      FROM events GROUP BY 1, 2
+    ),
+    fc AS (
+      SELECT event_type, day, revenue,
+             lag(revenue, 7) OVER (PARTITION BY event_type ORDER BY day)
+               AS fcst
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           round(avg(abs(revenue - fcst)), 4) AS mae,
+           round(avg(CASE WHEN revenue <> 0
+                          THEN abs(revenue - fcst) / abs(revenue) END),
+                 6) AS mape,
+           round(avg(CASE WHEN abs(revenue) + abs(fcst) = 0 THEN 0.0
+                          ELSE 2 * abs(revenue - fcst)
+                               / (abs(revenue) + abs(fcst)) END),
+                 6) AS smape
+    FROM fc WHERE fcst IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("stats", "forecast", "eval", "timeseries", "operator"),
+)
+def q243_forecast_backtest(spark, sf_dir):
+    """Rolling-origin backtest of the seasonal-naive forecaster
+    (predict each day with the value 7 OBSERVATIONS back per type —
+    the baseline any forecast must beat) over cent-rounded daily
+    revenue: per-type MAE, MAPE (zero-actual days excluded via the
+    conditional-avg NULL convention), and sMAPE (0 when both sides
+    are 0). The eval face of the forecasting family (q156 forecast,
+    q198 ACF, q231 EWMA): q156 ships a forecast, this measures one.
+
+    SCALE DESIGN: the corpus-size shuffle is the daily aggregate
+    (map-side combined); the lag window and metric aggregates run on
+    the tiny type x day spine. Identical lag(7 ROWS) semantics in
+    both engines regardless of calendar gaps."""
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("revenue"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    fc = daily.withColumn("fcst", F.lag("revenue", 7).over(w)).filter(
+        F.col("fcst").isNotNull()
+    )
+    err = F.abs(F.col("revenue") - F.col("fcst"))
+    denom = F.abs(F.col("revenue")) + F.abs(F.col("fcst"))
+    return (
+        fc.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.round(F.avg(err), 4).alias("mae"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("revenue") != 0,
+                        err / F.abs(F.col("revenue")),
+                    )
+                ),
+                6,
+            ).alias("mape"),
+            F.round(
+                F.avg(
+                    F.when(denom == 0, F.lit(0.0)).otherwise(
+                        2 * err / denom
+                    )
+                ),
+                6,
+            ).alias("smape"),
+        )
+        .orderBy("event_type")
+    )
