@@ -72,13 +72,18 @@ from etl_as_a_service_spark.queries import ml  # noqa: E402,F401
 # The manifest CONTENT is unchanged — only dict iteration order moves.
 #
 # ROUND-7 NOTE: the tail that does NOT fit this window — rotate these
-# nine to the front next round (the generic rotation-invariant test in
+# to the front next round (the generic rotation-invariant test in
 # tests/test_driver_canonicalizer.py computes the exact required set
 # from the CORRECTNESS_r*.json union; trust it over this enumeration):
 #   q226_conversion_lag, q227_weighted_shortest_paths,
 #   q228_kcore_peel, q229_quantile_normalize, q230_source_overlap,
 #   q231_ewma_trend, q232_oov_rates, q233_cohen_kappa,
-#   q234_source_datasheet
+#   q234_source_datasheet, plus the round-6 additions
+#   q235_kmeans_clusters, q236_kmeans_profile, q237_embedding_hygiene,
+#   q238_cluster_balanced_sample, q239_random_projection,
+#   q240_lexical_diversity, q241_label_noise_audit,
+#   q242_entity_resolution, q243_forecast_backtest
+#   (18 total — all fit in one final 50-slot window)
 # Keep the rows-only queries (q47-q49/q54/q55/q61/q98/q130/q139/q148)
 # OUT of every future front-50: their driver check is `no_oracle`
 # (row-count only) and each already has its driver row from r4; the
