@@ -744,6 +744,117 @@ def delta_merge(
     return delta_write(merged, table, mode="overwrite")
 
 
+def delta_update(
+    spark: SparkSession,
+    table: str,
+    condition: str,
+    assignments: dict[str, str],
+    predicates: list[tuple] | None = None,
+) -> dict:
+    """UPDATE <table> SET col = expr, ... WHERE <condition> as a
+    copy-on-write log commit — the row-level correction primitive
+    between DELETE (drop rows) and MERGE (upsert a frame). Candidate
+    files are scanned once; every row rewrites with the assignments
+    applied ONLY where ``condition`` is TRUE (SQL UPDATE: NULL/false
+    condition rows pass through byte-identical); one commit publishes
+    removes + adds with ``dataChange: true``.
+
+    ``assignments`` maps column name -> SQL expression (may reference
+    any column's PRE-update value, as SQL requires — all assignments
+    read the old row). Values are cast to the column's existing type,
+    so the schema never drifts. Partition-column assignments are
+    allowed: rewritten rows land in their new ``col=value`` directory
+    because the staging writer derives layout from the data.
+
+    ``predicates`` ([(col, op, value)], see delta_read) is the caller's
+    file-level relaxation of ``condition``: stats-pruned files are
+    treated as match-free and left untouched, so a keyed update on a
+    100 TB table rewrites a handful of files. The matched-row count
+    rides a Spark ``Observation`` on the staging write — zero extra
+    actions over the data. An update matching nothing writes NO commit.
+    Returns {version, files_rewritten, rows_updated} (version -1 =
+    no-op)."""
+    from pyspark.sql import Observation
+
+    snap = _replay(table)
+    schema = T.StructType.fromJson(json.loads(snap.schema_json))
+    col_types = {f.name: f.dataType for f in schema.fields}
+    for c in assignments:
+        if c not in col_types:
+            raise ValueError(f"UPDATE of unknown column: {c}")
+    files = sorted(snap.live)
+    if predicates:
+        validate_predicates(predicates)
+        files = [
+            p
+            for p in files
+            if file_might_match(
+                json.loads(snap.live[p]["stats"])
+                if snap.live[p].get("stats")
+                else None,
+                predicates,
+            )
+        ]
+    if not files:
+        return {"version": -1, "files_rewritten": 0, "rows_updated": 0}
+
+    scan = _read_file_list(spark, table, schema, files)
+    matched = F.expr(condition).eqNullSafe(F.lit(True))
+    rewritten = scan.select(
+        *[
+            F.when(
+                matched, F.expr(assignments[c]).cast(col_types[c])
+            )
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in schema.fieldNames()
+        ],
+        matched.alias("__upd"),
+    )
+    obs = Observation("delta_update")
+    rewritten = rewritten.observe(
+        obs, F.sum(F.col("__upd").cast("long")).alias("n")
+    ).drop("__upd")
+    adds = _stage_files(
+        rewritten, table, snap.partition_columns, data_change=True
+    )
+    updated = int(obs.get["n"] or 0)
+    if updated == 0:
+        _discard_staged(table, adds)
+        return {"version": -1, "files_rewritten": 0, "rows_updated": 0}
+    ts = int(time.time() * 1000)
+
+    def build(_next_v: int):
+        actions: list[dict] = [
+            {
+                "remove": {
+                    "path": f, "deletionTimestamp": ts, "dataChange": True,
+                }
+            }
+            for f in files
+        ]
+        actions.extend({"add": a} for a in adds)
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": ts,
+                    "operation": "UPDATE",
+                    "operationParameters": {"predicate": condition},
+                }
+            }
+        )
+        return actions
+
+    v = _commit(table, build)
+    return {
+        "version": v,
+        "files_rewritten": len(files),
+        "rows_updated": updated,
+    }
+
+
 def delta_delete(
     spark: SparkSession,
     table: str,

@@ -817,25 +817,48 @@ def iceberg_delete(
                 pass
         return {"snapshot_id": -1, "files_rewritten": 0, "rows_deleted": 0}
 
-    planned_snapshot = snap["snapshot-id"]
+    snap_id = _commit_cow_snapshot(
+        table, snap["snapshot-id"], untouched, new_files,
+        operation="delete", predicate=condition,
+    )
+    return {
+        "snapshot_id": snap_id,
+        "files_rewritten": len(candidates),
+        "rows_deleted": deleted,
+    }
+
+
+def _commit_cow_snapshot(
+    table: str,
+    planned_snapshot: int,
+    untouched: list[dict],
+    new_files: list[dict],
+    operation: str,
+    predicate: str,
+) -> int:
+    """Shared copy-on-write commit for row-level DELETE/UPDATE: one
+    new snapshot whose single manifest lists ``new_files`` as ADDED
+    entries and every ``untouched`` live entry as EXISTING with its
+    original snapshot/sequence numbers. Conflict-detecting: if the
+    current snapshot moved past ``planned_snapshot`` (the snapshot the
+    rewrite was planned against), the staged files are removed and the
+    commit fails loudly — committing a full live-entry manifest over a
+    racing writer's snapshot would silently drop that writer's files
+    (standard Iceberg validation-conflict behavior; caller re-runs).
+    Returns the committed snapshot id."""
     while True:
         versions = _versions(table)
         head = versions[-1]
         prev_md = _load_metadata(table, head)
         if prev_md.get("current-snapshot-id") != planned_snapshot:
-            # the new snapshot's manifest is the FULL live entry list
-            # computed against the pre-scan snapshot — committing it
-            # over a racing writer's snapshot would silently drop that
-            # writer's files. Fail loudly instead (standard Iceberg
-            # validation-conflict behavior); the caller retries.
             for d in new_files:
                 try:
                     os.remove(os.path.join(table, d["file_path"]))
                 except OSError:
                     pass
             raise ValueError(
-                "iceberg_delete: table changed during the delete "
-                "(concurrent commit) — re-run the delete"
+                f"iceberg_{operation}: table changed during the "
+                f"{operation} (concurrent commit) — re-run it"
             )
         snap_id = random.getrandbits(62)
         seq = prev_md.get("last-sequence-number", 0) + 1
@@ -879,7 +902,7 @@ def iceberg_delete(
             "sequence-number": seq,
             "timestamp-ms": int(time.time() * 1000),
             "manifest-list": f"metadata/{list_name}",
-            "summary": {"operation": "delete", "predicate": condition},
+            "summary": {"operation": operation, "predicate": predicate},
             "schema-id": prev_md["current-schema-id"],
         }
         new_md = dict(prev_md)
@@ -909,11 +932,102 @@ def iceberg_delete(
         os.rename(
             hint_tmp, os.path.join(_meta_dir(table), "version-hint.text")
         )
-        return {
-            "snapshot_id": snap_id,
-            "files_rewritten": len(candidates),
-            "rows_deleted": deleted,
-        }
+        return snap_id
+
+
+def iceberg_update(
+    spark: SparkSession,
+    table: str,
+    condition: str,
+    assignments: dict[str, str],
+    predicates: list[tuple] | None = None,
+) -> dict:
+    """UPDATE <table> SET col = expr, ... WHERE <condition> as one
+    copy-on-write snapshot — the Iceberg twin of
+    sources.delta.delta_update. Candidate files (stats-bounded when
+    ``predicates``, the caller's file-level relaxation of
+    ``condition``, is given) are scanned once; every row rewrites with
+    the assignments applied ONLY where ``condition`` is TRUE (SQL
+    UPDATE: NULL/false rows pass through unchanged, values cast to the
+    column's declared type so the schema never drifts; assignments
+    read the PRE-update row). The new snapshot lists the rewrites as
+    ADDED entries and untouched files as EXISTING; the commit is
+    conflict-detecting (see _commit_cow_snapshot). The matched-row
+    count rides a Spark ``Observation`` on the staging write — zero
+    extra actions. An update matching nothing writes NO snapshot.
+    Returns {snapshot_id, files_rewritten, rows_updated}
+    (snapshot_id -1 = no-op)."""
+    from pyspark.sql import Observation
+
+    md = _load_metadata(table)
+    if md.get("current-snapshot-id") in (None, -1):
+        return {"snapshot_id": -1, "files_rewritten": 0, "rows_updated": 0}
+    snap = _snapshot_by_id(md, None)
+    ice_schema = md["schemas"][md["current-schema-id"]]
+    schema = _spark_schema(ice_schema)
+    col_types = {f.name: f.dataType for f in schema.fields}
+    for c in assignments:
+        if c not in col_types:
+            raise ValueError(f"UPDATE of unknown column: {c}")
+    spec = md["partition-specs"][md["default-spec-id"]]
+    partition_by = [f["name"] for f in spec["fields"]]
+    ice_types = {f["name"]: f["type"] for f in ice_schema["fields"]}
+    if predicates:
+        validate_predicates(predicates)
+    live = _live_entries(table, snap)
+    candidates, untouched = [], []
+    for e in live:
+        raw = e["data_file"].get("column_stats")
+        stats = json.loads(raw) if raw else None
+        if predicates and not file_might_match(stats, predicates):
+            untouched.append(e)
+        else:
+            candidates.append(e)
+    if not candidates:
+        return {"snapshot_id": -1, "files_rewritten": 0, "rows_updated": 0}
+    scan = _read_iceberg_files(
+        spark, table, md, schema,
+        [e["data_file"]["file_path"] for e in candidates],
+    )
+    matched = F.expr(condition).eqNullSafe(F.lit(True))
+    rewritten = scan.select(
+        *[
+            F.when(
+                matched, F.expr(assignments[c]).cast(col_types[c])
+            )
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in schema.fieldNames()
+        ],
+        matched.alias("__upd"),
+    )
+    obs = Observation("iceberg_update")
+    rewritten = rewritten.observe(
+        obs, F.sum(F.col("__upd").cast("long")).alias("n")
+    ).drop("__upd")
+    data_base = md.get("properties", {}).get("write.data.path")
+    new_files = _stage_data_files(
+        rewritten, table, partition_by, ice_types, data_base=data_base
+    )
+    updated = int(obs.get["n"] or 0)
+    if updated == 0:
+        for d in new_files:
+            try:
+                os.remove(os.path.join(table, d["file_path"]))
+            except OSError:
+                pass
+        return {"snapshot_id": -1, "files_rewritten": 0, "rows_updated": 0}
+    snap_id = _commit_cow_snapshot(
+        table, snap["snapshot-id"], untouched, new_files,
+        operation="overwrite", predicate=condition,
+    )
+    return {
+        "snapshot_id": snap_id,
+        "files_rewritten": len(candidates),
+        "rows_updated": updated,
+    }
 
 
 def iceberg_history(spark: SparkSession, table: str) -> DataFrame:

@@ -331,3 +331,142 @@ def test_delta_convert_records_stats_for_skipping(spark, tmp_path):
     assert 0 < len(pruned.inputFiles()) < len(
         delta_read(spark, path).inputFiles()
     )
+
+
+def test_delta_update_rewrites_only_candidates(spark, tmp_path):
+    from etl_as_a_service_spark.sources.delta import (
+        delta_history,
+        delta_update,
+    )
+
+    path = _delta_table(spark, tmp_path, "upd")
+    res = delta_update(
+        spark,
+        path,
+        "k < 100",
+        {"s": "concat('u', s)"},
+        predicates=[("k", "<", 100)],
+    )
+    assert res["rows_updated"] == 100
+    assert res["files_rewritten"] == 1  # stats bound the rewrite set
+    after = delta_read(spark, path)
+    assert after.count() == 4000  # UPDATE never changes cardinality
+    assert after.filter(F.col("s").startswith("u")).count() == 100
+    # unmatched rows in the rewritten file pass through unchanged
+    assert (
+        after.filter((F.col("k") >= 100) & (F.col("k") < 1000))
+        .filter(~F.col("s").rlike("^s"))
+        .count()
+        == 0
+    )
+    # pre-image still time-travelable; history records the UPDATE
+    assert (
+        delta_read(spark, path, version=0)
+        .filter(F.col("s").startswith("u"))
+        .count()
+        == 0
+    )
+    ops = [r["operation"] for r in delta_history(spark, path).collect()]
+    assert "UPDATE" in ops
+
+
+def test_delta_update_null_condition_noop_and_cast(spark, tmp_path):
+    from etl_as_a_service_spark.sources.delta import delta_update
+
+    path = os.path.join(str(tmp_path), "updnull")
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 50.0)], "k long, v double"
+    )
+    delta_write(df, path, mode="overwrite")
+    # NULL-condition rows pass through (SQL UPDATE applies only where
+    # TRUE); assigned value is CAST to the column's declared type
+    res = delta_update(spark, path, "v > 10", {"v": "'7'"})
+    assert res["rows_updated"] == 1
+    rows = {r["k"]: r["v"] for r in delta_read(spark, path).collect()}
+    assert rows == {1: 5.0, 2: None, 3: 7.0}
+    # matching nothing: no commit written
+    res2 = delta_update(spark, path, "v > 1000", {"v": "0.0"})
+    assert res2 == {
+        "version": -1, "files_rewritten": 0, "rows_updated": 0,
+    }
+    with pytest.raises(ValueError, match="unknown column"):
+        delta_update(spark, path, "true", {"nope": "1"})
+
+
+def test_delta_update_partition_column_moves_rows(spark, tmp_path):
+    from etl_as_a_service_spark.sources.delta import delta_update
+
+    path = os.path.join(str(tmp_path), "updpart")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "k long, p string"
+    )
+    delta_write(df, path, mode="overwrite", partition_by=["p"])
+    res = delta_update(spark, path, "k = 2", {"p": "'b'"})
+    assert res["rows_updated"] == 1
+    after = delta_read(spark, path)
+    got = sorted((r["k"], r["p"]) for r in after.collect())
+    assert got == [(1, "a"), (2, "b"), (3, "b")]
+    # the moved row physically lives under its NEW col=value directory
+    b_files = [f for f in after.inputFiles() if "p=b" in f]
+    assert spark.read.parquet(
+        *[f.replace("file:", "") for f in b_files]
+    ).count() == 2
+
+
+def test_iceberg_update_rewrites_only_candidates(spark, tmp_path):
+    from etl_as_a_service_spark.sources.iceberg import (
+        iceberg_changes,
+        iceberg_history,
+        iceberg_update,
+    )
+
+    path = os.path.join(str(tmp_path), "iupd")
+    v0 = iceberg_write(_range_df(spark), path, mode="overwrite")
+    res = iceberg_update(
+        spark,
+        path,
+        "k < 100",
+        {"s": "concat('u', s)"},
+        predicates=[("k", "<", 100)],
+    )
+    assert res["rows_updated"] == 100
+    assert res["files_rewritten"] == 1
+    after = iceberg_read(spark, path)
+    assert after.count() == 4000
+    assert after.filter(F.col("s").startswith("u")).count() == 100
+    # untouched files still referenced as EXISTING (3 originals + 1
+    # rewrite)
+    assert len(after.inputFiles()) == 4
+    # pre-image time-travelable
+    assert (
+        iceberg_read(spark, path, snapshot_id=v0)
+        .filter(F.col("s").startswith("u"))
+        .count()
+        == 0
+    )
+    ops = [r["operation"] for r in iceberg_history(spark, path).collect()]
+    assert "overwrite" in ops  # Iceberg's operation name for UPDATE
+    # change feed across the update: exactly the updated keys, labeled
+    # update (byte-identical rewritten rows cancel out of the diff)
+    ch = iceberg_changes(spark, path, v0, res["snapshot_id"], ["k"])
+    rows = ch.collect()
+    assert all(r["change_type"] == "update" for r in rows)
+    assert sorted(r["k"] for r in rows) == list(range(100))
+
+
+def test_iceberg_update_null_noop(spark, tmp_path):
+    from etl_as_a_service_spark.sources.iceberg import iceberg_update
+
+    path = os.path.join(str(tmp_path), "iupd2")
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 50.0)], "k long, v double"
+    )
+    iceberg_write(df, path, mode="overwrite")
+    res = iceberg_update(spark, path, "v > 10", {"v": "v / 2"})
+    assert res["rows_updated"] == 1
+    rows = {r["k"]: r["v"] for r in iceberg_read(spark, path).collect()}
+    assert rows == {1: 5.0, 2: None, 3: 25.0}
+    res2 = iceberg_update(spark, path, "v > 1000", {"v": "0"})
+    assert res2 == {
+        "snapshot_id": -1, "files_rewritten": 0, "rows_updated": 0,
+    }
