@@ -451,6 +451,85 @@ def _schema_shape(schema_json: str) -> list[tuple[str, str]]:
     return [(f.name, f.dataType.simpleString()) for f in st.fields]
 
 
+def _merged_schema_string(prev_json: str, df_json: str) -> str | None:
+    """Name-based additive schema merge (the Delta ``mergeSchema``
+    contract this writer supports): every frame column already in the
+    table must keep its exact type; frame-only columns APPEND as
+    nullable fields. Returns the evolved schemaString, or None when a
+    shared column's type differs (widening/renames need column
+    mapping, which this writer rejects loudly)."""
+    prev_st = T.StructType.fromJson(json.loads(prev_json))
+    df_st = T.StructType.fromJson(json.loads(df_json))
+    prev_types = {f.name: f.dataType for f in prev_st.fields}
+    for f in df_st.fields:
+        if f.name in prev_types and f.dataType != prev_types[f.name]:
+            return None
+    new_fields = list(prev_st.fields) + [
+        T.StructField(f.name, f.dataType, nullable=True)
+        for f in df_st.fields
+        if f.name not in prev_types
+    ]
+    return T.StructType(new_fields).json()
+
+
+def delta_alter_add_columns(table: str, columns: dict[str, str]) -> int:
+    """ALTER TABLE ... ADD COLUMNS as a metadata-only commit: the new
+    nullable columns append to the schemaString; no data moves, and
+    every pre-existing file reads back with NULLs in the new columns
+    (the explicit-schema parquet scan fills absent columns). Column
+    types are Spark DDL strings (``"long"``, ``"string"``, ...).
+    Name collisions and partition-column names are rejected. Returns
+    the committed version."""
+    def build(_next_v: int):
+        # re-replay per retry so a racing metaData commit is merged
+        # against, never clobbered
+        snap = _replay(table)
+        prev_st = T.StructType.fromJson(json.loads(snap.schema_json))
+        existing = {f.name for f in prev_st.fields}
+        atomic = {
+            "boolean": T.BooleanType(),
+            "int": T.IntegerType(),
+            "integer": T.IntegerType(),
+            "long": T.LongType(),
+            "bigint": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "string": T.StringType(),
+            "binary": T.BinaryType(),
+            "date": T.DateType(),
+            "timestamp": T.TimestampType(),
+        }
+        new_fields = []
+        for name, ddl in columns.items():
+            if name in existing:
+                raise ValueError(f"column already exists: {name}")
+            if ddl.strip().lower() not in atomic:
+                raise ValueError(
+                    f"unsupported added-column type: {ddl!r} "
+                    f"(atomic types only: {sorted(atomic)})"
+                )
+            new_fields.append(
+                T.StructField(
+                    name, atomic[ddl.strip().lower()], nullable=True
+                )
+            )
+        evolved = T.StructType(list(prev_st.fields) + new_fields).json()
+        return [
+            _metadata_action(evolved, snap.partition_columns),
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "ADD COLUMNS",
+                    "operationParameters": {
+                        "columns": json.dumps(sorted(columns))
+                    },
+                }
+            },
+        ]
+
+    return _commit(table, build)
+
+
 def _metadata_action(schema_string: str, partition_cols: list[str]) -> dict:
     return {
         "metaData": {
@@ -470,6 +549,7 @@ def delta_write(
     mode: str = "append",
     partition_by: list[str] | None = None,
     checkpoint_interval: int | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` to the table; returns the committed version.
 
@@ -519,10 +599,24 @@ def delta_write(
         else:
             prev = _replay(table)
             if _schema_shape(prev.schema_json) != _schema_shape(schema_string):
-                _discard_staged(table, adds)
-                raise ValueError(
-                    "schema mismatch vs table metaData (no evolution "
-                    "support in this writer)"
+                if not merge_schema:
+                    _discard_staged(table, adds)
+                    raise ValueError(
+                        "schema mismatch vs table metaData (pass "
+                        "merge_schema=True to evolve by adding columns)"
+                    )
+                evolved = _merged_schema_string(
+                    prev.schema_json, schema_string
+                )
+                if evolved is None:
+                    _discard_staged(table, adds)
+                    raise ValueError(
+                        "merge_schema supports ADDING nullable columns "
+                        "only — an existing column's type differs from "
+                        "the table metaData"
+                    )
+                actions.append(
+                    _metadata_action(evolved, prev.partition_columns)
                 )
             if prev.partition_columns != partition_by:
                 # we staged under a layout decided BEFORE a racing

@@ -24,9 +24,12 @@ so the whole metadata chain is protocol-shaped, not pickled state.
 
 Supported: append, overwrite, snapshot reads, time travel by
 ``snapshot_id``, history, identity-transform partitioning with
-metadata-level partition pruning. Unsupported (raises, never
-misreads): non-identity transforms, format-version >2 features,
-delete files / row-level deletes, schema evolution.
+metadata-level partition pruning, row-level DELETE/UPDATE
+(copy-on-write), and SCHEMA EVOLUTION (iceberg_alter: add / rename /
+drop / widen, resolved on read by field id per writer epoch).
+Unsupported (raises, never misreads): non-identity transforms,
+format-version >2 features, delete files (merge-on-read), evolution
+touching partition source columns.
 
 Scale shape: metadata is driver-side (KBs per commit; manifests carry
 per-file stats so planning never lists the filesystem); the DATA path
@@ -151,6 +154,15 @@ def _schema_shape(schema: dict) -> list[tuple[str, str]]:
     return [(f["name"], f["type"]) for f in schema["fields"]]
 
 
+def _schema_by_id(md: dict, sid: int) -> dict:
+    """Look a schema up by its ``schema-id`` VALUE — after evolution
+    the ``schemas`` list index and the id need not coincide."""
+    for s in md["schemas"]:
+        if s.get("schema-id", 0) == sid:
+            return s
+    raise ValueError(f"schema-id {sid} not present in table metadata")
+
+
 def _spark_schema(schema: dict) -> T.StructType:
     inv = {v: k for k, v in _SPARK_TO_ICEBERG.items()}
     return T.StructType(
@@ -167,7 +179,7 @@ def _partition_avro_schema(md: dict) -> dict:
     """Avro record type for the identity-partition tuple of the default
     spec (each value nullable, typed from the source column)."""
     spec = md["partition-specs"][md["default-spec-id"]]
-    schema = md["schemas"][md["current-schema-id"]]
+    schema = _schema_by_id(md, md["current-schema-id"])
     by_id = {f["id"]: f for f in schema["fields"]}
     fields = []
     for pf in spec["fields"]:
@@ -397,7 +409,6 @@ def iceberg_read(
     the predicate as a row filter — results identical either way."""
     md = _load_metadata(table)
     snap = _snapshot_by_id(md, snapshot_id)
-    schema = _spark_schema(md["schemas"][md["current-schema-id"]])
     spec_fields = {
         f["name"]
         for f in md["partition-specs"][md["default-spec-id"]]["fields"]
@@ -410,7 +421,7 @@ def iceberg_read(
             )
     if predicates:
         validate_predicates(predicates)
-    files: list[str] = []
+    entries: list[dict] = []
     for mf in _read_manifest_list(table, snap):
         for entry in _read_manifest(table, mf["manifest_path"]):
             if entry["status"] == 2:  # deleted
@@ -426,8 +437,13 @@ def iceberg_read(
                 stats = json.loads(raw) if raw else None
                 if not file_might_match(stats, predicates):
                     continue
-            files.append(dfile["file_path"])
-    return _read_iceberg_files(spark, table, md, schema, files)
+            entries.append(entry)
+    # time travel presents the schema AS OF that snapshot (its
+    # recorded schema-id), like the Delta reader's log replay does
+    target = snap.get("schema-id") if snapshot_id is not None else None
+    return _read_entries_resolved(
+        spark, table, md, entries, target_schema_id=target
+    )
 
 
 def _read_iceberg_files(
@@ -463,6 +479,75 @@ def _read_iceberg_files(
     return scan.select(*[f.name for f in schema.fields])
 
 
+def _read_entries_resolved(
+    spark: SparkSession,
+    table: str,
+    md: dict,
+    entries: list[dict],
+    target_schema_id: int | None = None,
+) -> DataFrame:
+    """Scan manifest entries with SCHEMA-EVOLUTION resolution, the
+    spec's field-id matching realized per WRITER EPOCH: every entry
+    was added by some snapshot, every snapshot records the schema-id
+    current at its commit, so grouping entries by that schema-id
+    yields one homogeneous parquet scan per epoch (epochs are few —
+    one per ALTER, never per file). Files from an old epoch read with
+    their own physical schema, then project to the CURRENT schema by
+    field id: renamed columns resolve through the id (never the
+    name), dropped columns are simply not selected, added columns
+    null-fill, widened columns (int->long, float->double) upcast.
+    Tables that never evolved take the single-scan fast path
+    unchanged."""
+    cur_sid = (
+        md["current-schema-id"]
+        if target_schema_id is None
+        else target_schema_id
+    )
+    cur_schema = _schema_by_id(md, cur_sid)
+    if len(md["schemas"]) == 1:
+        return _read_iceberg_files(
+            spark, table, md, _spark_schema(cur_schema),
+            [e["data_file"]["file_path"] for e in entries],
+        )
+    snap_sid = {
+        s["snapshot-id"]: s.get("schema-id", 0)
+        for s in md.get("snapshots", [])
+    }
+    groups: dict[int, list[str]] = {}
+    for e in entries:
+        sid = snap_sid.get(e["snapshot_id"], 0)
+        groups.setdefault(sid, []).append(e["data_file"]["file_path"])
+    inv = {v: k for k, v in _SPARK_TO_ICEBERG.items()}
+    parts = []
+    for sid in sorted(groups):
+        ws = _schema_by_id(md, sid)
+        raw = _read_iceberg_files(
+            spark, table, md, _spark_schema(ws), groups[sid]
+        )
+        if sid == cur_sid:
+            parts.append(raw)
+            continue
+        ws_name_by_id = {f["id"]: f["name"] for f in ws["fields"]}
+        cols = []
+        for cf in cur_schema["fields"]:
+            ctype = inv[cf["type"]]
+            if cf["id"] in ws_name_by_id:
+                cols.append(
+                    F.col(ws_name_by_id[cf["id"]])
+                    .cast(ctype)
+                    .alias(cf["name"])
+                )
+            else:
+                cols.append(F.lit(None).cast(ctype).alias(cf["name"]))
+        parts.append(raw.select(*cols))
+    if not parts:
+        return spark.createDataFrame([], _spark_schema(cur_schema))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _live_entries(table: str, snap: dict) -> list[dict]:
     """A snapshot's live manifest entries (manifest walk) — full
     records, so callers get partition tuples as well as paths."""
@@ -472,11 +557,6 @@ def _live_entries(table: str, snap: dict) -> list[dict]:
             if entry["status"] != 2:
                 out.append(entry)
     return out
-
-
-def _live_file_set(table: str, snap: dict) -> set:
-    """Relative paths of a snapshot's live data files."""
-    return {e["data_file"]["file_path"] for e in _live_entries(table, snap)}
 
 
 def iceberg_changes(
@@ -506,24 +586,31 @@ def iceberg_changes(
             f"iceberg_changes: snapshot {from_snapshot_id} is newer than "
             f"{to_snapshot_id} — a swapped range would invert the feed"
         )
-    schema = _spark_schema(md["schemas"][md["current-schema-id"]])
-    f0, f1 = _live_file_set(table, s0), _live_file_set(table, s1)
-    removed, added = sorted(f0 - f1), sorted(f1 - f0)
+    e0 = {
+        e["data_file"]["file_path"]: e for e in _live_entries(table, s0)
+    }
+    e1 = {
+        e["data_file"]["file_path"]: e for e in _live_entries(table, s1)
+    }
+    removed = [e0[p] for p in sorted(set(e0) - set(e1))]
+    added = [e1[p] for p in sorted(set(e1) - set(e0))]
     # One-sided fast paths from manifest metadata (same contract as
     # sources.delta.delta_changes): a pure append is all inserts, a
     # pure delete all deletes — one bounded scan + projection instead
-    # of a full-outer join against a provably-empty side.
+    # of a full-outer join against a provably-empty side. Both sides
+    # read schema-RESOLVED to the current schema, so a feed across an
+    # ALTER still compares like columns.
     if not removed:
-        return _read_iceberg_files(spark, table, md, schema, added).select(
+        return _read_entries_resolved(spark, table, md, added).select(
             *key_cols, F.lit("insert").alias("change_type")
         )
     if not added:
-        return _read_iceberg_files(spark, table, md, schema, removed).select(
+        return _read_entries_resolved(spark, table, md, removed).select(
             *key_cols, F.lit("delete").alias("change_type")
         )
     return snapshot_diff(
-        _read_iceberg_files(spark, table, md, schema, removed),
-        _read_iceberg_files(spark, table, md, schema, added),
+        _read_entries_resolved(spark, table, md, removed),
+        _read_entries_resolved(spark, table, md, added),
         key_cols,
     )
 
@@ -565,31 +652,40 @@ def iceberg_write(
                 f"partition_by {list(partition_by)} != table spec {spec_cols}"
             )
         if _schema_shape(
-            prev_md["schemas"][prev_md["current-schema-id"]]
+            _schema_by_id(prev_md, prev_md["current-schema-id"])
         ) != _schema_shape(_iceberg_schema(df.schema)):
             raise ValueError(
-                "schema mismatch vs table metadata (no evolution support)"
+                "schema mismatch vs table metadata (evolve the table "
+                "with iceberg_alter first; writes must supply the full "
+                "current schema)"
             )
     partition_by = list(partition_by or [])
     missing = [c for c in partition_by if c not in df.columns]
     if missing:
         raise ValueError(f"partition columns absent from frame: {missing}")
 
-    schema = _iceberg_schema(df.schema)
+    if prev_md is not None:
+        # carry the COMMITTED schema forward — after iceberg_alter its
+        # field ids are not the fresh 1..n a regenerated schema gets,
+        # and id continuity is what lets old files resolve on read
+        schema = _schema_by_id(prev_md, prev_md["current-schema-id"])
+        spec = prev_md["partition-specs"][prev_md["default-spec-id"]]
+    else:
+        schema = _iceberg_schema(df.schema)
+        by_name = {f["name"]: f["id"] for f in schema["fields"]}
+        spec = {
+            "spec-id": 0,
+            "fields": [
+                {
+                    "source-id": by_name[c],
+                    "field-id": 1000 + i,
+                    "name": c,
+                    "transform": "identity",
+                }
+                for i, c in enumerate(partition_by)
+            ],
+        }
     col_types = {f["name"]: f["type"] for f in schema["fields"]}
-    by_name = {f["name"]: f["id"] for f in schema["fields"]}
-    spec = {
-        "spec-id": 0,
-        "fields": [
-            {
-                "source-id": by_name[c],
-                "field-id": 1000 + i,
-                "name": c,
-                "transform": "identity",
-            }
-            for i, c in enumerate(partition_by)
-        ],
-    }
     data_files = None  # staged lazily inside the retry loop's first pass
     staged_base = None
 
@@ -601,7 +697,7 @@ def iceberg_write(
             # re-validate against the CURRENT head: a racing writer may
             # have created/changed the table after the pre-loop checks
             # ran (or they never ran, if the table did not exist then)
-            prev_schema = prev_md["schemas"][prev_md["current-schema-id"]]
+            prev_schema = _schema_by_id(prev_md, prev_md["current-schema-id"])
             prev_spec = prev_md["partition-specs"][prev_md["default-spec-id"]]
             prev_cols = [f["name"] for f in prev_spec["fields"]]
             if (
@@ -676,13 +772,18 @@ def iceberg_write(
                     codec="deflate",
                 )
             )
+        cur_sid = (
+            prev_md["current-schema-id"] if prev_md else schema.get(
+                "schema-id", 0
+            )
+        )
         snapshot = {
             "snapshot-id": snap_id,
             "sequence-number": seq,
             "timestamp-ms": int(time.time() * 1000),
             "manifest-list": f"metadata/{list_name}",
             "summary": {"operation": mode, **(_summary_extra or {})},
-            "schema-id": 0,
+            "schema-id": cur_sid,
         }
         new_md = {
             "format-version": 2,
@@ -690,14 +791,21 @@ def iceberg_write(
             "location": table,
             "last-sequence-number": seq,
             "last-updated-ms": snapshot["timestamp-ms"],
-            "last-column-id": max(f["id"] for f in schema["fields"]),
-            "schemas": [schema],
-            "current-schema-id": 0,
-            "partition-specs": [spec],
-            "default-spec-id": 0,
-            "last-partition-id": 1000 + max(0, len(partition_by)) - 1
-            if partition_by
-            else 999,
+            "last-column-id": (prev_md or {}).get(
+                "last-column-id", max(f["id"] for f in schema["fields"])
+            ),
+            "schemas": (prev_md or {}).get("schemas", [schema]),
+            "current-schema-id": cur_sid,
+            "partition-specs": (prev_md or {}).get(
+                "partition-specs", [spec]
+            ),
+            "default-spec-id": (prev_md or {}).get("default-spec-id", 0),
+            "last-partition-id": (prev_md or {}).get(
+                "last-partition-id",
+                1000 + max(0, len(partition_by)) - 1
+                if partition_by
+                else 999,
+            ),
             "sort-orders": [{"order-id": 0, "fields": []}],
             "default-sort-order-id": 0,
             "current-snapshot-id": snap_id,
@@ -777,12 +885,12 @@ def iceberg_delete(
     if md.get("current-snapshot-id") in (None, -1):
         return {"snapshot_id": -1, "files_rewritten": 0, "rows_deleted": 0}
     snap = _snapshot_by_id(md, None)
-    schema = _spark_schema(md["schemas"][md["current-schema-id"]])
+    schema = _spark_schema(_schema_by_id(md, md["current-schema-id"]))
     spec = md["partition-specs"][md["default-spec-id"]]
     partition_by = [f["name"] for f in spec["fields"]]
     col_types = {
         f["name"]: f["type"]
-        for f in md["schemas"][md["current-schema-id"]]["fields"]
+        for f in _schema_by_id(md, md["current-schema-id"])["fields"]
     }
     if predicates:
         validate_predicates(predicates)
@@ -797,10 +905,7 @@ def iceberg_delete(
             candidates.append(e)
     if not candidates:
         return {"snapshot_id": -1, "files_rewritten": 0, "rows_deleted": 0}
-    scan = _read_iceberg_files(
-        spark, table, md, schema,
-        [e["data_file"]["file_path"] for e in candidates],
-    )
+    scan = _read_entries_resolved(spark, table, md, candidates)
     survivors = scan.filter(~F.expr(condition).eqNullSafe(F.lit(True)))
     data_base = md.get("properties", {}).get("write.data.path")
     new_files = _stage_data_files(
@@ -935,6 +1040,123 @@ def _commit_cow_snapshot(
         return snap_id
 
 
+def iceberg_alter(
+    table: str,
+    add_columns: dict[str, str] | None = None,
+    rename_columns: dict[str, str] | None = None,
+    drop_columns: list[str] | None = None,
+    widen_columns: dict[str, str] | None = None,
+) -> int:
+    """ALTER TABLE schema evolution as a METADATA-ONLY commit (the
+    spec's correctness rules, iceberg.apache.org/spec #schema-evolution):
+    a new schema (new ``schema-id``, appended to ``schemas``) becomes
+    current; no data file moves or rewrites, ever. Changes compose in
+    one commit:
+
+    - ``add_columns``: name -> iceberg type; appended as optional
+      fields with FRESH ids from ``last-column-id`` (an id is never
+      reused, so a re-added name never resurrects dropped data);
+    - ``rename_columns``: old -> new; the field KEEPS its id, which is
+      how old files keep resolving (reads match by id, never name);
+    - ``drop_columns``: removed from the current schema; old files
+      still carry the bytes (time travel sees them) but current reads
+      never select them;
+    - ``widen_columns``: name -> wider type; int->long and
+      float->double only (the spec's safe promotions — old files
+      upcast losslessly on read).
+
+    Evolution touching a PARTITION SOURCE column is rejected: the
+    hive-layout directory names and manifest partition tuples key on
+    it, so a rename/drop/widen there would strand the physical layout.
+    Concurrent safety: the commit retries against the current head on
+    an O_EXCL loss, so a racing append is never clobbered. Returns the
+    new schema id."""
+    _WIDEN_OK = {("int", "long"), ("float", "double")}
+    valid_types = set(_SPARK_TO_ICEBERG.values())
+    if not any([add_columns, rename_columns, drop_columns, widen_columns]):
+        raise ValueError("iceberg_alter: no changes requested")
+
+    while True:
+        md = _load_metadata(table)
+        head = md["__version"]
+        cur = _schema_by_id(md, md["current-schema-id"])
+        spec = md["partition-specs"][md["default-spec-id"]]
+        part_src_ids = {f["source-id"] for f in spec["fields"]}
+        fields = [dict(f) for f in cur["fields"]]
+
+        def _field(name: str, op: str) -> dict:
+            for f in fields:
+                if f["name"] == name:
+                    if f["id"] in part_src_ids:
+                        raise ValueError(
+                            f"cannot {op} partition source column: {name}"
+                        )
+                    return f
+            raise ValueError(f"cannot {op} unknown column: {name}")
+
+        for name in drop_columns or []:
+            fields.remove(_field(name, "drop"))
+        for name, new_t in (widen_columns or {}).items():
+            f = _field(name, "widen")
+            if (f["type"], new_t) not in _WIDEN_OK:
+                raise ValueError(
+                    f"unsafe type change {f['type']} -> {new_t} for "
+                    f"{name} (allowed: int->long, float->double)"
+                )
+            f["type"] = new_t
+        for old, new in (rename_columns or {}).items():
+            _field(old, "rename")["name"] = new
+        last_col = md.get(
+            "last-column-id", max(f["id"] for f in cur["fields"])
+        )
+        for name, t in (add_columns or {}).items():
+            if t not in valid_types:
+                raise ValueError(
+                    f"unsupported iceberg type for added column "
+                    f"{name}: {t!r} (one of {sorted(valid_types)})"
+                )
+            last_col += 1
+            fields.append(
+                {"id": last_col, "name": name, "required": False, "type": t}
+            )
+        names = [f["name"] for f in fields]
+        if len(set(names)) != len(names):
+            raise ValueError(
+                f"schema evolution produces duplicate column names: "
+                f"{sorted(n for n in names if names.count(n) > 1)}"
+            )
+
+        new_sid = max(s.get("schema-id", 0) for s in md["schemas"]) + 1
+        new_schema = {
+            "schema-id": new_sid, "type": "struct", "fields": fields,
+        }
+        new_md = dict(md)
+        new_md.pop("__version", None)
+        new_md["schemas"] = md["schemas"] + [new_schema]
+        new_md["current-schema-id"] = new_sid
+        new_md["last-column-id"] = max(
+            last_col, md.get("last-column-id", 0)
+        )
+        new_md["last-updated-ms"] = int(time.time() * 1000)
+        next_v = head + 1
+        try:
+            fd = os.open(
+                _metadata_file(table, next_v),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            continue  # lost the race — recompute against the new head
+        with os.fdopen(fd, "w") as fh:
+            json.dump(new_md, fh)
+        hint_tmp = os.path.join(_meta_dir(table), f".hint-{uuid.uuid4().hex}")
+        with open(hint_tmp, "w") as fh:
+            fh.write(str(next_v))
+        os.rename(
+            hint_tmp, os.path.join(_meta_dir(table), "version-hint.text")
+        )
+        return new_sid
+
+
 def iceberg_update(
     spark: SparkSession,
     table: str,
@@ -963,7 +1185,7 @@ def iceberg_update(
     if md.get("current-snapshot-id") in (None, -1):
         return {"snapshot_id": -1, "files_rewritten": 0, "rows_updated": 0}
     snap = _snapshot_by_id(md, None)
-    ice_schema = md["schemas"][md["current-schema-id"]]
+    ice_schema = _schema_by_id(md, md["current-schema-id"])
     schema = _spark_schema(ice_schema)
     col_types = {f.name: f.dataType for f in schema.fields}
     for c in assignments:
@@ -985,10 +1207,7 @@ def iceberg_update(
             candidates.append(e)
     if not candidates:
         return {"snapshot_id": -1, "files_rewritten": 0, "rows_updated": 0}
-    scan = _read_iceberg_files(
-        spark, table, md, schema,
-        [e["data_file"]["file_path"] for e in candidates],
-    )
+    scan = _read_entries_resolved(spark, table, md, candidates)
     matched = F.expr(condition).eqNullSafe(F.lit(True))
     rewritten = scan.select(
         *[

@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 from etl_as_a_service_spark.sources.iceberg import (
     _live_entries,
     _load_metadata,
+    _schema_by_id,
     _spark_schema,
 )
 
@@ -49,7 +50,7 @@ class IcebergStreamDataSource(DataSource):
         if not path:
             raise ValueError("iceberg_stream requires .option('path', table)")
         md = _load_metadata(path)
-        return _spark_schema(md["schemas"][md["current-schema-id"]])
+        return _spark_schema(_schema_by_id(md, md["current-schema-id"]))
 
     def streamReader(self, schema) -> "IcebergStreamReader":
         return IcebergStreamReader(self.options, schema)

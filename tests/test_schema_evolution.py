@@ -1,0 +1,208 @@
+"""Schema evolution for the two lakehouse formats.
+
+Delta (name-resolved, delta.io protocol): additive only — new nullable
+columns via an explicit ALTER (delta_alter_add_columns) or implicitly
+on append (merge_schema=True); renames/widening need column mapping,
+which this writer rejects loudly.
+
+Iceberg (id-resolved, iceberg.apache.org/spec #schema-evolution): add /
+rename / drop / widen through iceberg_alter; reads resolve every data
+file through its writer epoch's schema BY FIELD ID, so renamed columns
+keep their data, dropped ids never resurrect, and old files upcast
+through safe promotions. The contract under test:
+
+- evolution commits are metadata-only (zero data files move);
+- old files read back correctly under the new schema (null-fill for
+  adds, id-match for renames, upcast for widens);
+- time travel still presents the OLD schema at old snapshots;
+- row-level ops (UPDATE) and the change feed work across an ALTER;
+- anything unsafe (partition sources, narrowing, dup names) raises.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.sources.delta import (
+    delta_alter_add_columns,
+    delta_read,
+    delta_write,
+)
+from etl_as_a_service_spark.sources.iceberg import (
+    iceberg_alter,
+    iceberg_changes,
+    iceberg_read,
+    iceberg_update,
+    iceberg_write,
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, s string"
+    )
+
+
+# ---------------------------------------------------------------- Delta
+
+
+def test_delta_alter_add_columns_null_fills_old_files(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "d1")
+    delta_write(_df(spark), path, mode="overwrite")
+    n_files_before = len(delta_read(spark, path).inputFiles())
+    delta_alter_add_columns(path, {"score": "double"})
+    after = delta_read(spark, path)
+    assert after.columns == ["k", "s", "score"]
+    assert after.filter(F.col("score").isNull()).count() == 3
+    # metadata-only: no data file was rewritten
+    assert len(after.inputFiles()) == n_files_before
+    # appends in the evolved schema land and read together with the old
+    delta_write(
+        spark.createDataFrame([(4, "d", 0.5)], "k long, s string, score double"),
+        path,
+        mode="append",
+    )
+    rows = {r["k"]: r["score"] for r in delta_read(spark, path).collect()}
+    assert rows == {1: None, 2: None, 3: None, 4: 0.5}
+    with pytest.raises(ValueError, match="already exists"):
+        delta_alter_add_columns(path, {"s": "string"})
+    with pytest.raises(ValueError, match="unsupported added-column type"):
+        delta_alter_add_columns(path, {"v": "array<int>"})
+
+
+def test_delta_merge_schema_append_evolves_and_accepts_subset(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "d2")
+    delta_write(_df(spark), path, mode="overwrite")
+    # extra column: rejected strict, evolves with merge_schema=True
+    extra = spark.createDataFrame(
+        [(4, "d", 7)], "k long, s string, n long"
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        delta_write(extra, path, mode="append")
+    delta_write(extra, path, mode="append", merge_schema=True)
+    after = delta_read(spark, path)
+    assert after.columns == ["k", "s", "n"]
+    assert {r["k"]: r["n"] for r in after.collect()} == {
+        1: None, 2: None, 3: None, 4: 7,
+    }
+    # subset frame: missing columns null-fill instead of raising
+    delta_write(
+        spark.createDataFrame([(5,)], "k long"),
+        path,
+        mode="append",
+        merge_schema=True,
+    )
+    row5 = delta_read(spark, path).filter(F.col("k") == 5).first()
+    assert row5["s"] is None and row5["n"] is None
+    # type conflict: never silently coerced
+    clash = spark.createDataFrame([(6, 1, 1)], "k long, s long, n long")
+    with pytest.raises(ValueError, match="ADDING nullable columns only"):
+        delta_write(clash, path, mode="append", merge_schema=True)
+
+
+# -------------------------------------------------------------- Iceberg
+
+
+def test_iceberg_alter_add_rename_widen_drop_roundtrip(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "i1")
+    v0 = iceberg_write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, s string, n int"
+        ),
+        path,
+        mode="overwrite",
+    )
+    files_before = sorted(iceberg_read(spark, path).inputFiles())
+    iceberg_alter(
+        path,
+        add_columns={"score": "double"},
+        rename_columns={"s": "label"},
+        widen_columns={"n": "long"},
+    )
+    after = iceberg_read(spark, path)
+    assert after.columns == ["k", "label", "n", "score"]
+    assert dict(after.dtypes)["n"] == "bigint"
+    # old files resolve BY ID: renamed column keeps its data, widened
+    # column upcasts, added column null-fills — and nothing rewrote
+    got = {
+        r["k"]: (r["label"], r["n"], r["score"]) for r in after.collect()
+    }
+    assert got == {1: ("a", 10, None), 2: ("b", 20, None)}
+    assert sorted(after.inputFiles()) == files_before
+    # an append in the NEW schema reads together with the old epoch
+    iceberg_write(
+        spark.createDataFrame(
+            [(3, "c", 30, 0.9)],
+            "k long, label string, n long, score double",
+        ),
+        path,
+        mode="append",
+    )
+    both = iceberg_read(spark, path)
+    assert both.count() == 3
+    assert both.filter(F.col("score").isNotNull()).count() == 1
+    # time travel presents the schema AS OF the old snapshot
+    old = iceberg_read(spark, path, snapshot_id=v0)
+    assert old.columns == ["k", "s", "n"]
+    assert dict(old.dtypes)["n"] == "int"
+    # drop: current reads never see the column again; re-adding the
+    # NAME gets a fresh id, never the dropped data
+    iceberg_alter(path, drop_columns=["score"])
+    iceberg_alter(path, add_columns={"score": "double"})
+    assert iceberg_read(spark, path).filter(
+        F.col("score").isNotNull()
+    ).count() == 0
+
+
+def test_iceberg_alter_guards(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "i2")
+    iceberg_write(
+        spark.createDataFrame([(1, "a", 5)], "k long, p string, n int"),
+        path,
+        mode="overwrite",
+        partition_by=["p"],
+    )
+    with pytest.raises(ValueError, match="partition source"):
+        iceberg_alter(path, rename_columns={"p": "q"})
+    with pytest.raises(ValueError, match="partition source"):
+        iceberg_alter(path, drop_columns=["p"])
+    with pytest.raises(ValueError, match="unsafe type change"):
+        iceberg_alter(path, widen_columns={"k": "int"})
+    with pytest.raises(ValueError, match="duplicate column names"):
+        iceberg_alter(path, rename_columns={"n": "k"})
+    with pytest.raises(ValueError, match="unknown column"):
+        iceberg_alter(path, drop_columns=["ghost"])
+    with pytest.raises(ValueError, match="no changes"):
+        iceberg_alter(path)
+    # stale-schema writes are rejected with the evolve-first hint
+    iceberg_alter(path, add_columns={"extra": "long"})
+    with pytest.raises(ValueError, match="iceberg_alter first"):
+        iceberg_write(
+            spark.createDataFrame(
+                [(2, "b", 6)], "k long, p string, n int"
+            ),
+            path,
+            mode="append",
+        )
+
+
+def test_iceberg_update_and_changes_across_alter(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "i3")
+    v0 = iceberg_write(_df(spark), path, mode="overwrite")
+    iceberg_alter(path, rename_columns={"s": "label"})
+    # row-level UPDATE against the renamed column over old-epoch files
+    res = iceberg_update(
+        spark, path, "k = 2", {"label": "upper(label)"}
+    )
+    assert res["rows_updated"] == 1
+    got = {r["k"]: r["label"] for r in iceberg_read(spark, path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    # change feed across the alter+update resolves both sides to the
+    # current schema
+    ch = iceberg_changes(spark, path, v0, res["snapshot_id"], ["k"])
+    rows = ch.collect()
+    assert sorted(r["k"] for r in rows) == [2]
+    assert rows[0]["change_type"] == "update"
