@@ -2372,3 +2372,235 @@ def q226_conversion_lag(spark, sf_dir):
         )
         .orderBy("lag_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# q244 — Gini concentration of customer revenue per nation
+# --------------------------------------------------------------------------
+@query(
+    "q244_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey, c.c_custkey,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, c.c_custkey
+    ),
+    ranked AS (
+      SELECT c_nationkey, revenue,
+             row_number() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY revenue, c_custkey
+             ) AS i
+      FROM rev
+    ),
+    g AS (
+      SELECT c_nationkey,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             round(
+               2.0 * sum(i * revenue) / (count(*) * sum(revenue))
+               - (count(*) + 1.0) / count(*), 6
+             ) AS gini
+      FROM ranked GROUP BY c_nationkey HAVING count(*) >= 2
+    )
+    SELECT n.n_name, g.n_customers, g.gini
+    FROM g JOIN nation n ON g.c_nationkey = n.n_nationkey
+    ORDER BY n.n_name
+    """,
+    tags=("analytics", "inequality", "window", "operator"),
+)
+def q244_gini_concentration(spark, sf_dir):
+    """Gini coefficient of customer revenue within each nation — the
+    inequality lens on revenue concentration (q174's Pareto table
+    says WHO holds the mass; Gini is the single comparable number per
+    group). Exact rank formula over ascending revenue:
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n. Revenue rounds to cents
+    BEFORE ranking (the repo's price-sum convention) so both engines
+    rank identical values; ties break on c_custkey, and equal values
+    make the rank-weighted sum order-invariant anyway.
+
+    SCALE DESIGN: one shuffle to customer grain (partial map-side
+    sum), one window shuffle to nation grain (the rank), one
+    aggregate — no self-joins, no global sort; the nation dimension
+    joins broadcast."""
+    from pyspark.sql import Window
+
+    orders, customer, nation = _t(
+        spark, sf_dir, "orders", "customer", "nation"
+    )
+    rev = (
+        orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        )
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("revenue", "c_custkey")
+    ranked = rev.select(
+        "c_nationkey", "revenue", F.row_number().over(w).alias("i")
+    )
+    n_ = F.count(F.lit(1))
+    g = (
+        ranked.groupBy("c_nationkey")
+        .agg(
+            n_.cast("long").alias("n_customers"),
+            F.round(
+                F.lit(2.0)
+                * F.sum(F.col("i") * F.col("revenue"))
+                / (n_ * F.sum("revenue"))
+                - (n_ + F.lit(1.0)) / n_,
+                6,
+            ).alias("gini"),
+        )
+        .filter(F.col("n_customers") >= 2)
+    )
+    return (
+        g.join(
+            F.broadcast(nation),
+            g.c_nationkey == nation.n_nationkey,
+        )
+        .select("n_name", "n_customers", "gini")
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q245 — dwell-time percentiles per event-type transition
+# --------------------------------------------------------------------------
+@query(
+    "q245_transition_dwell",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, event_type,
+             date_trunc('second', ts) AS sts
+      FROM events
+    ),
+    t AS (
+      SELECT lag(event_type) OVER w AS prev_type,
+             event_type AS next_type,
+             epoch(sts) - epoch(lag(sts) OVER w) AS dwell_s
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY sts, event_id)
+    )
+    SELECT prev_type, next_type,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           round(quantile_cont(dwell_s, 0.5), 4) AS p50_dwell_s,
+           round(quantile_cont(dwell_s, 0.9), 4) AS p90_dwell_s
+    FROM t WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+    tags=("events", "sequence", "percentile", "analytics"),
+)
+def q245_transition_dwell(spark, sf_dir):
+    """Dwell-time distribution per event-type transition: for each
+    consecutive pair in a user's stream, how long the user sat in the
+    previous state (median + p90 seconds). The latency companion to
+    q223's Markov transition PROBABILITIES — same lag() scan, but
+    aggregating the time axis. Timestamps truncate to seconds before
+    differencing (the q226 ns/µs rule); same-second pairs order by
+    event_id so both engines difference the same neighbors.
+
+    SCALE DESIGN: one window shuffle on user_id (bounded per-user
+    state), then an aggregate on the (prev, next) grain — at most
+    |event_types|^2 groups, so the exact percentile's sort-based
+    aggregation buffers stay tiny no matter the event volume."""
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("sts", "event_id")
+    s = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_trunc("second", F.col("ts")).alias("sts"),
+    )
+    t = s.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+        (
+            F.unix_timestamp("sts")
+            - F.unix_timestamp(F.lag("sts").over(w))
+        ).cast("double").alias("dwell_s"),
+    ).filter(F.col("prev_type").isNotNull())
+    return (
+        t.groupBy("prev_type", "next_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.round(
+                F.percentile("dwell_s", F.lit(0.5)), 4
+            ).alias("p50_dwell_s"),
+            F.round(
+                F.percentile("dwell_s", F.lit(0.9)), 4
+            ).alias("p90_dwell_s"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q246 — windowed event dedup (idempotency audit)
+# --------------------------------------------------------------------------
+@query(
+    "q246_windowed_event_dedup",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, user_id,
+             CAST(floor(
+               epoch(date_trunc('second', ts)) / 600
+             ) AS BIGINT) AS bucket
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, user_id, bucket, count(*) AS n
+      FROM b GROUP BY event_type, user_id, bucket
+    )
+    SELECT event_type,
+           CAST(sum(n) AS BIGINT)            AS n_events,
+           CAST(count(*) AS BIGINT)          AS n_kept,
+           CAST(sum(n) - count(*) AS BIGINT) AS n_dropped,
+           round((sum(n) - count(*)) / CAST(sum(n) AS DOUBLE), 6)
+             AS dup_rate
+    FROM g GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "dedup", "idempotency", "operator"),
+)
+def q246_windowed_event_dedup(spark, sf_dir):
+    """Tumbling-window idempotency dedup audit: collapse repeats of
+    (user, event type) inside each 10-minute bucket to one kept event
+    and report kept/dropped counts and the duplicate rate per type —
+    the at-least-once-delivery screen every event pipeline runs
+    before aggregation (q184 dedups CDC payload CHUNKS by content
+    hash; this dedups logical events by key+time).
+
+    SCALE DESIGN: a two-level aggregate — the inner (type, user,
+    bucket) count is map-side combinable and carries NO payload, the
+    outer collapses to |event_types| rows. No window function, no
+    join: the whole audit is one shuffle on the dedup key."""
+    (events,) = _t(spark, sf_dir, "events")
+    b = events.select(
+        "event_type",
+        "user_id",
+        F.floor(
+            F.unix_timestamp(F.date_trunc("second", F.col("ts"))) / 600
+        ).cast("long").alias("bucket"),
+    )
+    g = b.groupBy("event_type", "user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            (F.sum("n") - F.count(F.lit(1)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.round(
+                (F.sum("n") - F.count(F.lit(1)))
+                / F.sum("n").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("event_type")
+    )
