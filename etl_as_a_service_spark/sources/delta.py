@@ -1055,6 +1055,7 @@ def delta_optimize(
     spark: SparkSession,
     table: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_by: tuple[str, str] | None = None,
 ) -> dict:
     """OPTIMIZE (small-file compaction) as a log commit: rewrite the
     live files at ~``target_file_bytes`` per file and commit the swap
@@ -1062,12 +1063,29 @@ def delta_optimize(
     version see identical rows before and after; streams replaying the
     log know no data changed. Partitioned tables compact WITHIN the
     layout (one distributed write repartitioned on the partition
-    columns — never a per-partition driver loop). Returns
+    columns — never a per-partition driver loop).
+
+    ``zorder_by=(col1, col2)`` is OPTIMIZE ZORDER BY: the rewrite
+    range-partitions + sorts on the Morton index of the two columns
+    (operators.partitioning.zorder_sort), so each output file covers a
+    tight rectangle in (col1, col2) space and the log's per-file stats
+    prune for predicates on EITHER column — the clustering that makes
+    zone-map skipping bite on the second dimension at 100 TB.
+    Unpartitioned tables only (a hive layout already fixes the
+    coarse clustering; mixing both would fragment the directories);
+    a z-ordered rewrite always commits, even when the file count is
+    already compact — re-clustering is the point. Returns
     {files_before, files_after, version} (version = -1 when already
     compact: no commit written)."""
     import math
 
     snap = _replay(table)
+    if zorder_by is not None and snap.partition_columns:
+        raise ValueError(
+            "zorder_by on a partitioned table — z-order the columns "
+            "inside one partition layout is not supported; drop the "
+            "partitioning or z-order at write time"
+        )
     files = sorted(snap.live)
     if not files:
         return {"files_before": 0, "files_after": 0, "version": -1}
@@ -1082,20 +1100,32 @@ def delta_optimize(
             }
         ),
     )
-    if len(files) <= max(n_out, n_parts if snap.partition_columns else 1):
+    if zorder_by is None and len(files) <= max(
+        n_out, n_parts if snap.partition_columns else 1
+    ):
         return {
             "files_before": len(files),
             "files_after": len(files),
             "version": -1,
         }
     df = delta_read(spark, table)
-    adds = _stage_files(
-        df,
-        table,
-        snap.partition_columns,
-        data_change=False,
-        n_files=n_out,
-    )
+    if zorder_by is not None:
+        from etl_as_a_service_spark.operators.partitioning import (
+            zorder_sort,
+        )
+
+        df = zorder_sort(df, zorder_by[0], zorder_by[1], partitions=n_out)
+        # the z-range partitioning IS the file layout — staging must
+        # not re-shuffle it
+        adds = _stage_files(df, table, [], data_change=False)
+    else:
+        adds = _stage_files(
+            df,
+            table,
+            snap.partition_columns,
+            data_change=False,
+            n_files=n_out,
+        )
     ts = int(time.time() * 1000)
 
     def build(_next_v: int):
@@ -1113,7 +1143,11 @@ def delta_optimize(
                 "commitInfo": {
                     "timestamp": ts,
                     "operation": "OPTIMIZE",
-                    "operationParameters": {},
+                    "operationParameters": (
+                        {"zOrderBy": json.dumps(list(zorder_by))}
+                        if zorder_by is not None
+                        else {}
+                    ),
                 }
             }
         )

@@ -1410,6 +1410,92 @@ def _reachable(table: str, snapshots: list[dict]) -> tuple[set, set, set]:
     return data, manifests, lists
 
 
+def iceberg_rewrite_data_files(
+    spark: SparkSession,
+    table: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_by: tuple[str, str] | None = None,
+) -> dict:
+    """rewrite_data_files (small-file compaction) as one copy-on-write
+    snapshot — the Iceberg twin of sources.delta.delta_optimize: the
+    live rows rewrite into ~``target_file_bytes`` files and commit as
+    a ``replace`` snapshot; readers of any snapshot see identical rows
+    before and after, and prior snapshots stay time-travelable until
+    expire_snapshots. Partitioned tables compact WITHIN the layout
+    (one distributed write repartitioned on the partition columns).
+
+    ``zorder_by=(col1, col2)`` additionally Z-ORDERS the rewrite
+    (operators.partitioning.zorder_sort): each output file covers a
+    tight rectangle in (col1, col2) space, so the manifests'
+    column_stats bounds prune for predicates on EITHER column.
+    Unpartitioned tables only; a z-ordered rewrite always commits.
+    The commit is conflict-detecting (_commit_cow_snapshot — the
+    rewrite was planned against one snapshot and refuses to clobber a
+    racing writer). Returns {files_before, files_after, snapshot_id}
+    (snapshot_id -1 = already compact, no commit)."""
+    import math
+
+    md = _load_metadata(table)
+    if md.get("current-snapshot-id") in (None, -1):
+        return {"files_before": 0, "files_after": 0, "snapshot_id": -1}
+    snap = _snapshot_by_id(md, None)
+    spec = md["partition-specs"][md["default-spec-id"]]
+    partition_by = [f["name"] for f in spec["fields"]]
+    if zorder_by is not None and partition_by:
+        raise ValueError(
+            "zorder_by on a partitioned table is not supported — drop "
+            "the partitioning or z-order at write time"
+        )
+    live = _live_entries(table, snap)
+    if not live:
+        return {"files_before": 0, "files_after": 0, "snapshot_id": -1}
+    total = sum(e["data_file"]["file_size_in_bytes"] for e in live)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    n_parts = max(
+        1,
+        len(
+            {
+                tuple(sorted((e["data_file"]["partition"] or {}).items()))
+                for e in live
+            }
+        ),
+    )
+    if zorder_by is None and len(live) <= max(
+        n_out, n_parts if partition_by else 1
+    ):
+        return {
+            "files_before": len(live),
+            "files_after": len(live),
+            "snapshot_id": -1,
+        }
+    ice_schema = _schema_by_id(md, md["current-schema-id"])
+    col_types = {f["name"]: f["type"] for f in ice_schema["fields"]}
+    df = _read_entries_resolved(spark, table, md, live)
+    if zorder_by is not None:
+        from etl_as_a_service_spark.operators.partitioning import (
+            zorder_sort,
+        )
+
+        df = zorder_sort(df, zorder_by[0], zorder_by[1], partitions=n_out)
+    elif partition_by:
+        df = df.repartition(n_out, *partition_by)
+    else:
+        df = df.coalesce(n_out)
+    data_base = md.get("properties", {}).get("write.data.path")
+    new_files = _stage_data_files(
+        df, table, partition_by, col_types, data_base=data_base
+    )
+    snap_id = _commit_cow_snapshot(
+        table, snap["snapshot-id"], [], new_files,
+        operation="replace", predicate="",
+    )
+    return {
+        "files_before": len(live),
+        "files_after": len(new_files),
+        "snapshot_id": snap_id,
+    }
+
+
 def iceberg_expire_snapshots(
     spark: SparkSession, table: str, keep_last: int = 1
 ) -> dict:

@@ -470,3 +470,110 @@ def test_iceberg_update_null_noop(spark, tmp_path):
     assert res2 == {
         "snapshot_id": -1, "files_rewritten": 0, "rows_updated": 0,
     }
+
+
+def _two_dim_df(spark):
+    # b is decorrelated from a (multiplicative hash mod N) so a layout
+    # clustered on one dimension alone cannot prune the other
+    return spark.range(0, 4000).select(
+        F.col("id").alias("a"),
+        ((F.col("id") * 2654435761) % 4000).alias("b"),
+    )
+
+
+def test_delta_optimize_zorder_enables_second_dim_pruning(spark, tmp_path):
+    from etl_as_a_service_spark.sources.delta import (
+        delta_changes,
+        delta_optimize,
+    )
+
+    path = os.path.join(str(tmp_path), "zord")
+    delta_write(
+        _two_dim_df(spark).repartitionByRange(8, "a"), path,
+        mode="overwrite",
+    )
+    # clustered on a only: b predicates cannot prune
+    n_all = len(delta_read(spark, path).inputFiles())
+    assert n_all == 8
+    assert len(
+        delta_read(spark, path, predicates=[("b", "<", 200)]).inputFiles()
+    ) == n_all
+    res = delta_optimize(
+        spark, path, target_file_bytes=8 * 1024, zorder_by=("a", "b")
+    )
+    assert res["version"] > 0 and res["files_after"] > 1
+    # z-order clusters BOTH dimensions: each prunes now, rows identical
+    za = delta_read(spark, path, predicates=[("a", "<", 200)])
+    zb = delta_read(spark, path, predicates=[("b", "<", 200)])
+    n_after = len(delta_read(spark, path).inputFiles())
+    assert len(za.inputFiles()) < n_after
+    assert len(zb.inputFiles()) < n_after
+    got = sorted(
+        r["a"] for r in zb.filter(F.col("b") < 200).collect()
+    )
+    want = sorted(
+        r["a"]
+        for r in _two_dim_df(spark).filter(F.col("b") < 200).collect()
+    )
+    assert got == want
+    # dataChange:false — the change feed across the rewrite is empty
+    assert (
+        delta_changes(
+            spark, path, 0, res["version"], ["a"]
+        ).count() == 0
+    )
+    # z-order on a partitioned table is rejected loudly
+    p2 = os.path.join(str(tmp_path), "zordpart")
+    delta_write(
+        spark.createDataFrame([(1, 2, "x")], "a long, b long, p string"),
+        p2, mode="overwrite", partition_by=["p"],
+    )
+    with pytest.raises(ValueError, match="partitioned"):
+        delta_optimize(spark, p2, zorder_by=("a", "b"))
+
+
+def test_iceberg_rewrite_data_files_compacts_and_zorders(spark, tmp_path):
+    from etl_as_a_service_spark.sources.iceberg import (
+        iceberg_history,
+        iceberg_rewrite_data_files,
+    )
+
+    path = os.path.join(str(tmp_path), "irw")
+    df = _two_dim_df(spark)
+    v0 = iceberg_write(df.repartitionByRange(8, "a"), path, mode="overwrite")
+    for lo in (4000, 4100):  # two tiny appends -> 10 live files
+        iceberg_write(
+            spark.range(lo, lo + 100)
+            .select(
+                F.col("id").alias("a"), (F.col("id") % 4000).alias("b")
+            )
+            .coalesce(1),
+            path,
+            mode="append",
+        )
+    n_before = len(iceberg_read(spark, path).inputFiles())
+    assert n_before == 10
+    res = iceberg_rewrite_data_files(
+        spark, path, target_file_bytes=8 * 1024, zorder_by=("a", "b")
+    )
+    assert res["snapshot_id"] != -1 and res["files_before"] == 10
+    after = iceberg_read(spark, path)
+    assert after.count() == 4200
+    assert len(after.inputFiles()) == res["files_after"]
+    # both dimensions prune post-zorder
+    n_after = res["files_after"]
+    assert n_after > 1
+    assert len(
+        iceberg_read(spark, path, predicates=[("b", "<", 200)]).inputFiles()
+    ) < n_after
+    # prior snapshot still time-travelable; operation recorded
+    assert iceberg_read(spark, path, snapshot_id=v0).count() == 4000
+    ops = [r["operation"] for r in iceberg_history(spark, path).collect()]
+    assert "replace" in ops
+    # a default-target rewrite compacts the small z-files down...
+    res2 = iceberg_rewrite_data_files(spark, path)
+    assert res2["snapshot_id"] != -1 and res2["files_after"] == 1
+    assert iceberg_read(spark, path).count() == 4200
+    # ...and only then is a further rewrite a no-op (idempotence)
+    res3 = iceberg_rewrite_data_files(spark, path)
+    assert res3["snapshot_id"] == -1
