@@ -226,6 +226,13 @@ def _manifest_entry_schema(md: dict) -> dict:
                         # via their embedded writer schema and read as
                         # stats-absent (kept by the conservative skip)
                         {"name": "column_stats", "type": ["null", "string"]},
+                        # the WRITER EPOCH's schema-id, materialized in
+                        # the entry so id-based schema resolution
+                        # survives expire_snapshots removing the writer
+                        # snapshot from the metadata; old manifests
+                        # decode without it and fall back to the
+                        # snapshot-map lookup (then schema 0)
+                        {"name": "schema_id", "type": ["null", "long"]},
                     ],
                 },
             },
@@ -324,6 +331,7 @@ def _stage_data_files(
                     "record_count": stats["numRecords"],
                     "file_size_in_bytes": os.path.getsize(final_abs),
                     "column_stats": json.dumps(stats),
+                    "schema_id": None,  # writers stamp their epoch
                 }
             )
     shutil.rmtree(staging, ignore_errors=True)
@@ -515,7 +523,9 @@ def _read_entries_resolved(
     }
     groups: dict[int, list[str]] = {}
     for e in entries:
-        sid = snap_sid.get(e["snapshot_id"], 0)
+        sid = e["data_file"].get("schema_id")
+        if sid is None:
+            sid = snap_sid.get(e["snapshot_id"], 0)
         groups.setdefault(sid, []).append(e["data_file"]["file_path"])
     inv = {v: k for k, v in _SPARK_TO_ICEBERG.items()}
     parts = []
@@ -750,6 +760,13 @@ def iceberg_write(
             staged_base = data_base
         snap_id = random.getrandbits(62)
         seq = (prev_md.get("last-sequence-number", 0) + 1) if prev_md else 1
+        cur_sid = (
+            prev_md["current-schema-id"] if prev_md else schema.get(
+                "schema-id", 0
+            )
+        )
+        for d in data_files:
+            d["schema_id"] = cur_sid
         entries = [
             (1, snap_id, seq, seq, d) for d in data_files
         ]
@@ -772,11 +789,6 @@ def iceberg_write(
                     codec="deflate",
                 )
             )
-        cur_sid = (
-            prev_md["current-schema-id"] if prev_md else schema.get(
-                "schema-id", 0
-            )
-        )
         snapshot = {
             "snapshot-id": snap_id,
             "sequence-number": seq,
@@ -925,6 +937,7 @@ def iceberg_delete(
     snap_id = _commit_cow_snapshot(
         table, snap["snapshot-id"], untouched, new_files,
         operation="delete", predicate=condition,
+        written_schema_id=md["current-schema-id"],
     )
     return {
         "snapshot_id": snap_id,
@@ -940,6 +953,7 @@ def _commit_cow_snapshot(
     new_files: list[dict],
     operation: str,
     predicate: str,
+    written_schema_id: int = 0,
 ) -> int:
     """Shared copy-on-write commit for row-level DELETE/UPDATE: one
     new snapshot whose single manifest lists ``new_files`` as ADDED
@@ -969,12 +983,23 @@ def _commit_cow_snapshot(
         seq = prev_md.get("last-sequence-number", 0) + 1
         # ADDED entries for the rewrites + EXISTING entries carrying
         # their ORIGINAL snapshot/sequence numbers. Old manifests may
-        # predate the column_stats field — re-encoding their entries
-        # under the current schema needs the explicit null default.
+        # predate the column_stats/schema_id fields — re-encoding their
+        # entries under the current schema needs explicit defaults, and
+        # an EXISTING entry's epoch is materialized HERE (snapshot-map
+        # lookup while the writer snapshot is still in the metadata) so
+        # resolution survives a later expire_snapshots.
+        for d in new_files:
+            d["schema_id"] = written_schema_id
         entries = [(1, snap_id, seq, seq, d) for d in new_files]
+        snap_sid = {
+            s["snapshot-id"]: s.get("schema-id", 0)
+            for s in prev_md.get("snapshots", [])
+        }
         for e in untouched:
             df_dict = dict(e["data_file"])
             df_dict.setdefault("column_stats", None)
+            if df_dict.get("schema_id") is None:
+                df_dict["schema_id"] = snap_sid.get(e["snapshot_id"], 0)
             entries.append(
                 (0, e["snapshot_id"], e["sequence_number"],
                  e["file_sequence_number"], df_dict)
@@ -1241,6 +1266,7 @@ def iceberg_update(
     snap_id = _commit_cow_snapshot(
         table, snap["snapshot-id"], untouched, new_files,
         operation="overwrite", predicate=condition,
+        written_schema_id=md["current-schema-id"],
     )
     return {
         "snapshot_id": snap_id,
@@ -1335,6 +1361,7 @@ def iceberg_convert(spark: SparkSession, path: str, table: str) -> int:
             )["numRecords"],
             "file_size_in_bytes": os.path.getsize(os.path.join(path, f)),
             "column_stats": json.dumps(stats),
+            "schema_id": 0,
         }
         for f in sorted(rel_files)
     ]
@@ -1488,6 +1515,7 @@ def iceberg_rewrite_data_files(
     snap_id = _commit_cow_snapshot(
         table, snap["snapshot-id"], [], new_files,
         operation="replace", predicate="",
+        written_schema_id=md["current-schema-id"],
     )
     return {
         "files_before": len(live),

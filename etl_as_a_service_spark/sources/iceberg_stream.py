@@ -57,15 +57,23 @@ class IcebergStreamDataSource(DataSource):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, partition_values: dict):
+    def __init__(self, path: str, partition_values: dict, colmap: dict):
         self.path = path
         self.partition_values = partition_values
+        # stream-schema field name -> PHYSICAL column name in this
+        # file (identity within the stream's epoch; id-resolved for
+        # files written under another schema epoch)
+        self.colmap = colmap
 
 
 class IcebergStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema):
         self.table = options["path"]
         self.schema = schema
+        # pin the schema EPOCH the stream was planned against — every
+        # batch projects files onto this schema via field-id mapping,
+        # so renames before or during the stream never null-fill
+        self.schema_id = _load_metadata(self.table)["current-schema-id"]
 
     def _snapshots(self) -> list[dict]:
         md = _load_metadata(self.table)
@@ -92,7 +100,25 @@ class IcebergStreamReader(DataSourceStreamReader):
     def commit(self, end) -> None:
         pass
 
+    def _colmap_for(self, md: dict, sid: int) -> dict:
+        """stream-field name -> physical name in a sid-epoch file,
+        resolved BY FIELD ID (the batch reader's rule); fields the
+        epoch lacks are absent from the map and null-fill on read."""
+        cur = _schema_by_id(md, self.schema_id)
+        if sid == self.schema_id:
+            return {f["name"]: f["name"] for f in cur["fields"]}
+        ws_by_id = {
+            f["id"]: f["name"]
+            for f in _schema_by_id(md, sid)["fields"]
+        }
+        return {
+            f["name"]: ws_by_id[f["id"]]
+            for f in cur["fields"]
+            if f["id"] in ws_by_id
+        }
+
     def partitions(self, start, end):
+        md = _load_metadata(self.table)
         snaps = self._snapshots()
         lo, hi = start["pos"], end["pos"]
         start_id = start.get("snapshot_id")
@@ -128,12 +154,17 @@ class IcebergStreamReader(DataSourceStreamReader):
                     "(overwrite/merge) — a streaming tail of a non-append "
                     "table requires an explicit restart decision"
                 )
+            snap_sid = snaps[i].get("schema-id", 0)
             for path, entry in live.items():
                 if path not in prev_live:
+                    sid = entry["data_file"].get("schema_id")
+                    if sid is None:
+                        sid = snap_sid
                     parts.append(
                         _FilePartition(
                             os.path.join(self.table, path),
                             dict(entry["data_file"].get("partition") or {}),
+                            self._colmap_for(md, sid),
                         )
                     )
             prev_live = live
@@ -147,8 +178,9 @@ class IcebergStreamReader(DataSourceStreamReader):
         n = tbl.num_rows
         out_cols = []
         for f in self.schema.fields:
-            if f.name in cols:
-                out_cols.append(cols[f.name])
+            phys = partition.colmap.get(f.name, f.name)
+            if phys in cols:
+                out_cols.append(cols[phys])
             else:
                 out_cols.append(
                     [_cast_pv(partition.partition_values.get(f.name), f.dataType)]

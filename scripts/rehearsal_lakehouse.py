@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""Scale rehearsal for the lakehouse MAINTENANCE surface: Z-order
+OPTIMIZE, stats-skip pruning, row-level UPDATE/DELETE, and schema
+evolution, on a lineitem-sized Delta table (sf0.1 = ~600k rows) and
+its Iceberg twin.
+
+What it measures (and why it generalizes to 100 TB):
+
+1. Z-ORDER payoff — files read for a 2-dimensional predicate
+   (l_orderkey range AND l_partkey range) before vs after
+   delta_optimize(zorder_by=...) / iceberg_rewrite_data_files. The
+   pre-layout is range-partitioned on l_orderkey only, so the second
+   dimension cannot prune at all; post-zorder both dimensions skip.
+   The RATIO (files read / files total) is scale-free: the same
+   Morton geometry holds at any table size because pruning operates
+   on per-file min/max rectangles, not row counts.
+2. Stats-bounded UPDATE/DELETE — files rewritten for a keyed
+   predicate with the predicates= hint vs the table's file count.
+   At 100 TB the candidate set is what you pay for; the fraction is
+   the scale story.
+3. Schema evolution cost — wall time of iceberg_alter (metadata-only
+   commit) and of the first resolved read after it. The alter must be
+   O(metadata); the read pays one extra epoch group, not a rewrite.
+
+Usage: python scripts/rehearsal_lakehouse.py [sf_dir]
+Prints a markdown table for README.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_as_a_service_spark.catalog import load_tables  # noqa: E402
+from etl_as_a_service_spark.session import build_session  # noqa: E402
+from etl_as_a_service_spark.sources.delta import (  # noqa: E402
+    delta_optimize,
+    delta_read,
+    delta_update,
+    delta_write,
+)
+from etl_as_a_service_spark.sources.iceberg import (  # noqa: E402
+    iceberg_alter,
+    iceberg_delete,
+    iceberg_read,
+    iceberg_rewrite_data_files,
+    iceberg_write,
+)
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return out, time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = build_session("rehearsal-lakehouse")
+    tables = load_tables(spark, sf_dir, ["lineitem"])
+    li = tables["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_shipdate",
+    )
+    n_rows = li.count()
+    base = tempfile.mkdtemp(prefix="rehearsal-lake-")
+    rows = []
+    try:
+        # ---- Delta: orderkey-clustered layout, 16 files ----------------
+        dpath = os.path.join(base, "delta")
+        _, t_w = timed(
+            lambda: delta_write(
+                li.repartitionByRange(16, "l_orderkey"), dpath,
+                mode="overwrite",
+            )
+        )
+        n_files = len(delta_read(spark, dpath).inputFiles())
+        ok_hi = li.agg(F.max("l_orderkey")).first()[0]
+        pk_hi = li.agg(F.max("l_partkey")).first()[0]
+        two_dim = [
+            ("l_orderkey", "<", int(ok_hi * 0.1)),
+            ("l_partkey", "<", int(pk_hi * 0.1)),
+        ]
+        pre = len(delta_read(spark, dpath, predicates=two_dim).inputFiles())
+        res, t_z = timed(
+            lambda: delta_optimize(
+                spark, dpath,
+                target_file_bytes=max(
+                    1, sum(
+                        os.path.getsize(f.replace("file:", ""))
+                        for f in delta_read(spark, dpath).inputFiles()
+                    ) // 16,
+                ),
+                zorder_by=("l_orderkey", "l_partkey"),
+            )
+        )
+        post_total = len(delta_read(spark, dpath).inputFiles())
+        post = len(
+            delta_read(spark, dpath, predicates=two_dim).inputFiles()
+        )
+        rows.append(
+            ("delta zorder 2-dim prune",
+             f"{pre}/{n_files} files pre -> {post}/{post_total} post",
+             f"optimize {t_z:.2f}s on {n_rows} rows")
+        )
+        # keyed UPDATE with stats hint: candidate fraction
+        upd, t_u = timed(
+            lambda: delta_update(
+                spark, dpath, f"l_orderkey < {int(ok_hi * 0.01)}",
+                {"l_quantity": "l_quantity + 1"},
+                predicates=[("l_orderkey", "<", int(ok_hi * 0.01))],
+            )
+        )
+        rows.append(
+            ("delta keyed UPDATE (1% keys)",
+             f"{upd['files_rewritten']}/{post_total} files rewritten, "
+             f"{upd['rows_updated']} rows",
+             f"{t_u:.2f}s")
+        )
+
+        # ---- Iceberg twin ---------------------------------------------
+        ipath = os.path.join(base, "iceberg")
+        _, t_iw = timed(
+            lambda: iceberg_write(
+                li.repartitionByRange(16, "l_orderkey"), ipath,
+                mode="overwrite",
+            )
+        )
+        i_files = len(iceberg_read(spark, ipath).inputFiles())
+        ipre = len(
+            iceberg_read(spark, ipath, predicates=two_dim).inputFiles()
+        )
+        _, t_iz = timed(
+            lambda: iceberg_rewrite_data_files(
+                spark, ipath,
+                target_file_bytes=max(1, (n_rows * 60) // 16),
+                zorder_by=("l_orderkey", "l_partkey"),
+            )
+        )
+        ipost_total = len(iceberg_read(spark, ipath).inputFiles())
+        ipost = len(
+            iceberg_read(spark, ipath, predicates=two_dim).inputFiles()
+        )
+        rows.append(
+            ("iceberg zorder 2-dim prune",
+             f"{ipre}/{i_files} files pre -> {ipost}/{ipost_total} post",
+             f"rewrite {t_iz:.2f}s")
+        )
+        # keyed DELETE with stats hint
+        dl, t_d = timed(
+            lambda: iceberg_delete(
+                spark, ipath, f"l_orderkey < {int(ok_hi * 0.01)}",
+                predicates=[("l_orderkey", "<", int(ok_hi * 0.01))],
+            )
+        )
+        rows.append(
+            ("iceberg keyed DELETE (1% keys)",
+             f"{dl['files_rewritten']}/{ipost_total} files rewritten, "
+             f"{dl['rows_deleted']} rows",
+             f"{t_d:.2f}s")
+        )
+        # schema evolution: metadata-only alter + first resolved read
+        _, t_a = timed(
+            lambda: iceberg_alter(
+                ipath,
+                add_columns={"audit_flag": "long"},
+                rename_columns={"l_quantity": "qty"},
+            )
+        )
+        _, t_r = timed(lambda: iceberg_read(spark, ipath).count())
+        rows.append(
+            ("iceberg alter (add+rename) + resolved read",
+             f"alter {t_a * 1000:.0f}ms (metadata-only)",
+             f"first epoch-resolved read {t_r:.2f}s")
+        )
+        print("| op | effect | cost |")
+        print("|---|---|---|")
+        for r in rows:
+            print(f"| {r[0]} | {r[1]} | {r[2]} |")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -206,3 +206,50 @@ def test_iceberg_update_and_changes_across_alter(spark, tmp_path):
     rows = ch.collect()
     assert sorted(r["k"] for r in rows) == [2]
     assert rows[0]["change_type"] == "update"
+
+
+def test_iceberg_stream_resolves_epochs_after_alter(spark, tmp_path):
+    """A stream started on an EVOLVED table must project old-epoch
+    files by field id (renamed columns keep their data), and an
+    append in the new epoch streams alongside them."""
+    from etl_as_a_service_spark.sources.iceberg_stream import (
+        register_iceberg_stream,
+    )
+
+    register_iceberg_stream(spark)
+    table = str(tmp_path / "evs")
+    iceberg_write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, name string"
+        ),
+        table,
+    )
+    iceberg_alter(
+        table,
+        rename_columns={"name": "label"},
+        add_columns={"score": "double"},
+    )
+    iceberg_write(
+        spark.createDataFrame(
+            [(3, "c", 0.5)], "id long, label string, score double"
+        ),
+        table,
+        mode="append",
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("iceberg_stream").option("path", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["id"]: (r["label"], r["score"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # old-epoch rows carry their renamed column's DATA, not nulls
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 0.5)}
