@@ -34,6 +34,15 @@ Spec shape::
      "sink": {"format": "parquet", "path": ..., "mode": "overwrite",
               "partition_by": ["dt"]}}
 
+Maintenance spec shape (lakehouse table management through the same
+submit/poll/registry surface)::
+
+    {"name": "nightly-compact",
+     "maintenance": {"format": "delta" | "iceberg", "path": ...,
+                     "op": "optimize" | "vacuum" | "delete" | "update" |
+                           "alter" | "expire_snapshots" | "remove_orphans",
+                     ...op parameters (see PipelineRunner._run_maintenance)}}
+
 Expressions are SQL strings (compiled by Catalyst via ``F.expr``), so
 the whole spec stays serializable — pipelines are storable rows, exactly
 like the reference's ``File`` records, but typed and validated.
@@ -1142,6 +1151,9 @@ class PipelineRunner:
     def _execute(self, run: PipelineRun, spec: dict[str, Any]) -> None:
         run.status = "running"
         try:
+            if "maintenance" in spec:
+                self._run_maintenance(run, spec)
+                return
             observations: list = []
             gates: list = []
             df = compile_pipeline(
@@ -1286,6 +1298,110 @@ class PipelineRunner:
             if run.status not in ("running",):
                 run.finished_at = run.finished_at or time.time()
                 self._persist(run)
+
+    def _run_maintenance(self, run: PipelineRun, spec: dict[str, Any]) -> None:
+        """Declarative lakehouse maintenance — the spec face of the
+        table-management surface, so operational jobs (compaction,
+        Z-order, retention deletes, GDPR updates, schema changes,
+        snapshot expiry) are submitted/polled/audited through the SAME
+        run registry as transformations:
+
+            {"name": "nightly-compact", "maintenance": {
+                "format": "delta" | "iceberg", "path": "...",
+                "op": "optimize" | "vacuum" | "delete" | "update" |
+                      "alter" | "expire_snapshots" | "remove_orphans",
+                ...op parameters...}}
+
+        Op parameters mirror the sources API: delete/update take
+        "condition" (+"assignments" for update) and optional
+        "predicates" [[col, op, value], ...] for the stats-bounded
+        rewrite set; optimize takes "target_file_bytes" and "zorder"
+        [c1, c2]; alter takes add/rename/drop/widen _columns (Delta:
+        add_columns only); expire_snapshots takes "keep_last".
+        The op's result dict lands in run.metrics["maintenance"]."""
+        m = spec["maintenance"]
+        fmt = m.get("format")
+        path = m.get("path")
+        op = m.get("op")
+        if fmt not in ("delta", "iceberg") or not path or not op:
+            raise PipelineError(
+                "maintenance spec needs format (delta|iceberg), path, op"
+            )
+        preds = _spec_predicates(m)
+        zorder = tuple(m["zorder"]) if m.get("zorder") else None
+        if fmt == "delta":
+            from etl_as_a_service_spark.sources import delta as D
+
+            ops = {
+                "optimize": lambda: D.delta_optimize(
+                    self.spark, path,
+                    target_file_bytes=m.get(
+                        "target_file_bytes", 128 * 1024 * 1024
+                    ),
+                    zorder_by=zorder,
+                ),
+                "vacuum": lambda: D.delta_vacuum(
+                    self.spark, path,
+                    retention_hours=m.get("retention_hours", 168.0),
+                ),
+                "delete": lambda: D.delta_delete(
+                    self.spark, path, m["condition"], predicates=preds
+                ),
+                "update": lambda: D.delta_update(
+                    self.spark, path, m["condition"], m["assignments"],
+                    predicates=preds,
+                ),
+                "alter": lambda: {
+                    "version": D.delta_alter_add_columns(
+                        path, m["add_columns"]
+                    )
+                },
+            }
+        else:
+            from etl_as_a_service_spark.sources import iceberg as I
+
+            ops = {
+                "optimize": lambda: I.iceberg_rewrite_data_files(
+                    self.spark, path,
+                    target_file_bytes=m.get(
+                        "target_file_bytes", 128 * 1024 * 1024
+                    ),
+                    zorder_by=zorder,
+                ),
+                "delete": lambda: I.iceberg_delete(
+                    self.spark, path, m["condition"], predicates=preds
+                ),
+                "update": lambda: I.iceberg_update(
+                    self.spark, path, m["condition"], m["assignments"],
+                    predicates=preds,
+                ),
+                "alter": lambda: {
+                    "schema_id": I.iceberg_alter(
+                        path,
+                        add_columns=m.get("add_columns"),
+                        rename_columns=m.get("rename_columns"),
+                        drop_columns=m.get("drop_columns"),
+                        widen_columns=m.get("widen_columns"),
+                    )
+                },
+                "expire_snapshots": lambda: I.iceberg_expire_snapshots(
+                    self.spark, path, keep_last=m.get("keep_last", 1)
+                ),
+                "remove_orphans": lambda: I.iceberg_remove_orphans(
+                    self.spark, path,
+                    retention_hours=m.get("retention_hours", 168.0),
+                ),
+            }
+        if op not in ops:
+            raise PipelineError(
+                f"unknown {fmt} maintenance op {op!r} "
+                f"(one of {sorted(ops)})"
+            )
+        result = ops[op]()
+        run.metrics = dict(run.metrics or {})
+        run.metrics["maintenance"] = result
+        run.output_path = path
+        run.status = "success"
 
     def _staged_publish(self, df: DataFrame, sink: dict[str, Any]) -> None:
         """WAP sink body: stage -> audit persisted rows -> atomic swap.

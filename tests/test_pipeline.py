@@ -1398,3 +1398,81 @@ def test_decontaminate_and_pack_steps_match_operators(spark):
     assert want.exceptAll(got).count() == 0
     # the test docs themselves are 100%-contained -> dropped
     assert got.count() < docs.count()
+
+
+def test_maintenance_specs_run_through_registry(spark, tmp_path):
+    """Declarative lakehouse maintenance: optimize/delete/update/alter
+    submit through the SAME runner + registry as transformations, with
+    the op's result dict in run.metrics."""
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.sources.delta import delta_read, delta_write
+    from etl_as_a_service_spark.sources.iceberg import (
+        iceberg_read,
+        iceberg_write,
+    )
+
+    dpath = str(tmp_path / "mnt_delta")
+    delta_write(
+        spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ).repartition(6),
+        dpath,
+        mode="overwrite",
+    )
+    runner = PipelineRunner(spark)
+    run = runner.run({
+        "name": "retention-delete",
+        "maintenance": {
+            "format": "delta", "path": dpath, "op": "delete",
+            "condition": "k < 100",
+            "predicates": [["k", "<", 100]],
+        },
+    })
+    assert run.status == "success", run.error
+    assert run.metrics["maintenance"]["rows_deleted"] == 100
+    assert delta_read(spark, dpath).count() == 900
+
+    run2 = runner.run({
+        "name": "gdpr-update",
+        "maintenance": {
+            "format": "delta", "path": dpath, "op": "update",
+            "condition": "k = 500", "assignments": {"v": "-1"},
+        },
+    })
+    assert run2.status == "success", run2.error
+    assert run2.metrics["maintenance"]["rows_updated"] == 1
+
+    run3 = runner.run({
+        "name": "nightly-compact",
+        "maintenance": {
+            "format": "delta", "path": dpath, "op": "optimize",
+        },
+    })
+    assert run3.status == "success", run3.error
+    assert run3.metrics["maintenance"]["files_after"] <= run3.metrics[
+        "maintenance"
+    ]["files_before"]
+
+    ipath = str(tmp_path / "mnt_ice")
+    iceberg_write(
+        spark.createDataFrame([(1, "a")], "k long, s string"), ipath
+    )
+    run4 = runner.run({
+        "name": "schema-change",
+        "maintenance": {
+            "format": "iceberg", "path": ipath, "op": "alter",
+            "rename_columns": {"s": "label"},
+            "add_columns": {"score": "double"},
+        },
+    })
+    assert run4.status == "success", run4.error
+    assert run4.metrics["maintenance"]["schema_id"] == 1
+    assert iceberg_read(spark, ipath).columns == ["k", "label", "score"]
+
+    # bad specs fail the run, not the process
+    bad = runner.run({
+        "name": "bad-op",
+        "maintenance": {"format": "delta", "path": dpath, "op": "zap"},
+    })
+    assert bad.status == "failed" and "unknown delta maintenance" in bad.error
