@@ -72,6 +72,9 @@ _SPARK_TO_ICEBERG = {
     T.BinaryType(): "binary",
     T.DateType(): "date",
     T.TimestampType(): "timestamptz",
+    # the spec's zone-less "timestamp" — Spark's TIMESTAMP_NTZ (what
+    # parquet isAdjustedToUTC=false columns load as in Spark 4)
+    T.TimestampNTZType(): "timestamp",
 }
 _ICEBERG_TO_AVRO = {
     "boolean": "boolean",
