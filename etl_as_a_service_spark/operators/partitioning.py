@@ -81,27 +81,62 @@ def morton_index(c1, c2):
     return F.shiftleft(_spread_bits_16(c1), 1).bitwiseOR(_spread_bits_16(c2))
 
 
+def morton_index_n(cols: list) -> "F.Column":
+    """N-dimensional Morton index (2-4 columns): bit i of column j
+    lands at position ``i*k + j``, so the interleave cycles through
+    every dimension each bit level. 16 bits per dimension — up to 4
+    dimensions fit a 64-bit long. Plain shift/mask Column expressions
+    (whole-stage codegen); the 2-column case should use the
+    magic-mask ``morton_index`` fast path instead."""
+    k = len(cols)
+    if not 2 <= k <= 4:
+        raise ValueError(f"morton_index_n takes 2-4 columns, got {k}")
+    out = F.lit(0).cast("long")
+    for i in range(16):
+        for j, c in enumerate(cols):
+            bit = (
+                F.shiftright(c.cast("long"), i)
+                .bitwiseAND(F.lit(1))
+                .cast("long")
+            )
+            out = out.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return out
+
+
 def zorder_sort(
-    df: DataFrame, col1: str, col2: str, partitions: int | None = None
+    df: DataFrame, *cols: str, partitions: int | None = None
 ) -> DataFrame:
-    """Range-partition + sort the frame by the Morton index of
-    (col1, col2) — the write-side layout operator: each output file then
-    covers a compact z-range, i.e. a tight rectangle in (col1, col2)
-    space, so a reader's min/max pruning skips files for predicates on
-    EITHER column. repartitionByRange samples the z distribution (one
-    extra lightweight job) so output files are even-sized under skew.
+    """Range-partition + sort the frame by the Morton index of 2-4
+    columns — the write-side layout operator: each output file then
+    covers a compact z-range, i.e. a tight hyper-rectangle in the
+    column space, so a reader's min/max pruning skips files for
+    predicates on ANY of the columns. repartitionByRange samples the z
+    distribution (one extra lightweight job) so output files are
+    even-sized under skew.
 
     Each dimension is min/max-normalized to the full 16-bit width
     before interleaving (a 1-row aggregate broadcast, no extra
     shuffle): a narrow or offset value range would otherwise leave its
     high bits constant and the interleave would degenerate into a
     single-column sort — the same reason production z-order
-    implementations rank/normalize before building the curve."""
+    implementations rank/normalize before building the curve. More
+    dimensions spread the same 16-bit budget thinner, so per-column
+    pruning selectivity degrades gracefully with k (the standard
+    Z-order trade-off; 2-3 columns is the sweet spot)."""
+    if len(cols) == 1 and isinstance(cols[0], (list, tuple)):
+        cols = tuple(cols[0])
+    if not 2 <= len(cols) <= 4:
+        raise ValueError(
+            f"zorder_sort takes 2-4 columns, got {len(cols)}"
+        )
     bounds = df.agg(
-        F.min(col1).alias("__lo1"),
-        F.max(col1).alias("__hi1"),
-        F.min(col2).alias("__lo2"),
-        F.max(col2).alias("__hi2"),
+        *[
+            a
+            for i, c in enumerate(cols)
+            for a in (
+                F.min(c).alias(f"__lo{i}"), F.max(c).alias(f"__hi{i}"),
+            )
+        ]
     )
 
     def norm(c, lo, hi):
@@ -116,15 +151,24 @@ def zorder_sort(
             .cast("long")
         )
 
+    normed = [
+        norm(c, f"__lo{i}", f"__hi{i}") for i, c in enumerate(cols)
+    ]
+    z = (
+        morton_index(*normed)
+        if len(cols) == 2
+        else morton_index_n(normed)
+    )
     out = (
         df.crossJoin(F.broadcast(bounds))
-        .withColumn(
-            "__z",
-            morton_index(
-                norm(col1, "__lo1", "__hi1"), norm(col2, "__lo2", "__hi2")
-            ),
+        .withColumn("__z", z)
+        .drop(
+            *[
+                n
+                for i in range(len(cols))
+                for n in (f"__lo{i}", f"__hi{i}")
+            ]
         )
-        .drop("__lo1", "__hi1", "__lo2", "__hi2")
     )
     if partitions:
         out = out.repartitionByRange(partitions, "__z")

@@ -717,13 +717,13 @@ def _apply_step(
             out_col=step.get("out_col"),
         )
     if op == "zorder":
-        # {"op":"zorder","cols":["a","b"],"partitions":16} — write-side
-        # Morton layout so downstream files prune on both columns
+        # {"op":"zorder","cols":["a","b",...],"partitions":16} —
+        # write-side Morton layout (2-4 columns) so downstream files
+        # prune on every listed column
         from etl_as_a_service_spark.operators.partitioning import zorder_sort
 
-        c1, c2 = _req(step, "cols")
         return zorder_sort(
-            df, c1, c2, partitions=step.get("partitions")
+            df, *_req(step, "cols"), partitions=step.get("partitions")
         )
     if op == "bm25":
         # {"op":"bm25","text_col":"text","id_col":"doc_id",
@@ -1202,9 +1202,8 @@ class PipelineRunner:
                         zorder_sort,
                     )
 
-                    zc1, zc2 = sink["zorder"]
                     df = zorder_sort(
-                        df, zc1, zc2,
+                        df, *sink["zorder"],
                         partitions=sink.get("zorder_partitions"),
                     )
                 if sink.get("staged") and sink.get("format") in (

@@ -1055,7 +1055,7 @@ def delta_optimize(
     spark: SparkSession,
     table: str,
     target_file_bytes: int = 128 * 1024 * 1024,
-    zorder_by: tuple[str, str] | None = None,
+    zorder_by: tuple[str, ...] | None = None,
 ) -> dict:
     """OPTIMIZE (small-file compaction) as a log commit: rewrite the
     live files at ~``target_file_bytes`` per file and commit the swap
@@ -1114,7 +1114,7 @@ def delta_optimize(
             zorder_sort,
         )
 
-        df = zorder_sort(df, zorder_by[0], zorder_by[1], partitions=n_out)
+        df = zorder_sort(df, *zorder_by, partitions=n_out)
         # the z-range partitioning IS the file layout — staging must
         # not re-shuffle it
         adds = _stage_files(df, table, [], data_change=False)

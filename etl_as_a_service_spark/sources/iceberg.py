@@ -1444,7 +1444,7 @@ def iceberg_rewrite_data_files(
     spark: SparkSession,
     table: str,
     target_file_bytes: int = 128 * 1024 * 1024,
-    zorder_by: tuple[str, str] | None = None,
+    zorder_by: tuple[str, ...] | None = None,
 ) -> dict:
     """rewrite_data_files (small-file compaction) as one copy-on-write
     snapshot — the Iceberg twin of sources.delta.delta_optimize: the
@@ -1506,7 +1506,7 @@ def iceberg_rewrite_data_files(
             zorder_sort,
         )
 
-        df = zorder_sort(df, zorder_by[0], zorder_by[1], partitions=n_out)
+        df = zorder_sort(df, *zorder_by, partitions=n_out)
     elif partition_by:
         df = df.repartition(n_out, *partition_by)
     else:

@@ -577,3 +577,76 @@ def test_iceberg_rewrite_data_files_compacts_and_zorders(spark, tmp_path):
     # ...and only then is a further rewrite a no-op (idempotence)
     res3 = iceberg_rewrite_data_files(spark, path)
     assert res3["snapshot_id"] == -1
+
+
+def test_delta_optimize_zorder_three_columns(spark, tmp_path):
+    from etl_as_a_service_spark.sources.delta import delta_optimize
+
+    path = os.path.join(str(tmp_path), "zord3")
+    # three mutually-decorrelated dimensions
+    df = spark.range(0, 8000).select(
+        F.col("id").alias("a"),
+        ((F.col("id") * 2654435761) % 8000).alias("b"),
+        ((F.col("id") * 40503) % 8000).alias("c"),
+    )
+    delta_write(df.repartitionByRange(8, "a"), path, mode="overwrite")
+    delta_optimize(
+        spark, path, target_file_bytes=12 * 1024,
+        zorder_by=("a", "b", "c"),
+    )
+    n_total = len(delta_read(spark, path).inputFiles())
+    assert n_total > 2
+    # every dimension prunes, and results stay row-identical
+    for col in ("a", "b", "c"):
+        pruned = delta_read(
+            spark, path, predicates=[(col, "<", 500)]
+        )
+        assert len(pruned.inputFiles()) < n_total, col
+        assert (
+            pruned.filter(F.col(col) < 500).count()
+            == df.filter(F.col(col) < 500).count()
+        )
+
+
+def test_iceberg_cow_conflict_detection(spark, tmp_path):
+    """A row-level op planned against one snapshot must refuse to
+    commit over a racing writer's snapshot (the full-manifest rewrite
+    would silently drop the racer's files otherwise)."""
+    import threading
+
+    import etl_as_a_service_spark.sources.iceberg as I
+
+    path = os.path.join(str(tmp_path), "race")
+    iceberg_write(
+        spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+        ).coalesce(1),
+        path,
+        mode="overwrite",
+    )
+    orig = I._stage_data_files
+    raced = {"done": False}
+
+    def slow_stage(*a, **kw):
+        out = orig(*a, **kw)
+        if not raced["done"]:
+            raced["done"] = True
+            # a writer lands BETWEEN the rewrite scan and the commit
+            iceberg_write(
+                spark.createDataFrame([(999, 0)], "k long, v long"),
+                path,
+                mode="append",
+            )
+        return out
+
+    I._stage_data_files = slow_stage
+    try:
+        with pytest.raises(ValueError, match="concurrent commit"):
+            I.iceberg_update(spark, path, "k < 10", {"v": "-1"})
+    finally:
+        I._stage_data_files = orig
+    # the racer's row survived; the update can be re-run cleanly
+    assert iceberg_read(spark, path).count() == 101
+    res = I.iceberg_update(spark, path, "k < 10", {"v": "-1"})
+    assert res["rows_updated"] == 10
+    assert iceberg_read(spark, path).count() == 101
