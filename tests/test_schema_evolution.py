@@ -253,3 +253,110 @@ def test_iceberg_stream_resolves_epochs_after_alter(spark, tmp_path):
     }
     # old-epoch rows carry their renamed column's DATA, not nulls
     assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 0.5)}
+
+
+def test_iceberg_randomized_op_sequences_match_model(spark, tmp_path):
+    """Model-based check over the FULL Iceberg op surface: a seeded
+    random sequence of append / overwrite / merge / delete / update /
+    rewrite / alter(rename|add|widen-safe) commits must always read
+    back exactly what a driver-side dict model predicts — at HEAD
+    after every op, and by time travel at every snapshot (with the
+    column NAME the table had when that snapshot committed)."""
+    import random
+
+    from etl_as_a_service_spark.sources.iceberg import (
+        iceberg_delete,
+        iceberg_merge,
+        iceberg_rewrite_data_files,
+    )
+
+    for seed in (11, 42):
+        rng = random.Random(seed)
+        table = str(tmp_path / f"imodel{seed}")
+        model: dict[int, int] = {}
+        vcol = "v"
+        # (snapshot_id, expected rows, value-column name at commit)
+        snapshots: list[tuple[int, dict[int, int], str]] = []
+
+        def mkdf(rows, col=None):
+            return spark.createDataFrame(
+                [(k, x) for k, x in rows.items()],
+                f"id long, {col or vcol} long",
+            )
+
+        first = {rng.randrange(100): rng.randrange(1000) for _ in range(6)}
+        model.update(first)
+        sid = iceberg_write(mkdf(first), table)
+        snapshots.append((sid, dict(model), vcol))
+        for step in range(10):
+            op = rng.choice(
+                ["append", "overwrite", "merge", "delete", "update",
+                 "rewrite", "alter"]
+            )
+            rows = {
+                rng.randrange(100): rng.randrange(1000)
+                for _ in range(rng.randrange(1, 5))
+            }
+            if op == "append":
+                rows = {k + 1000 + step * 100: x for k, x in rows.items()}
+                model.update(rows)
+                sid = iceberg_write(mkdf(rows), table, mode="append")
+            elif op == "overwrite":
+                model = dict(rows)
+                sid = iceberg_write(mkdf(rows), table, mode="overwrite")
+            elif op == "merge":
+                model.update(rows)
+                sid = iceberg_merge(spark, table, mkdf(rows), ["id"])
+            elif op == "delete":
+                m = rng.choice([3, 5, 7])
+                res = iceberg_delete(spark, table, f"id % {m} = 0")
+                model = {k: x for k, x in model.items() if k % m != 0}
+                sid = res["snapshot_id"] if res["snapshot_id"] != -1 else sid
+                if res["snapshot_id"] == -1:
+                    continue  # no commit -> no new snapshot to record
+            elif op == "update":
+                m = rng.choice([2, 3])
+                from etl_as_a_service_spark.sources.iceberg import (
+                    iceberg_update,
+                )
+
+                res = iceberg_update(
+                    spark, table, f"id % {m} = 1",
+                    {vcol: f"{vcol} + 10000"},
+                )
+                model = {
+                    k: (x + 10000 if k % m == 1 else x)
+                    for k, x in model.items()
+                }
+                sid = res["snapshot_id"] if res["snapshot_id"] != -1 else sid
+                if res["snapshot_id"] == -1:
+                    continue
+            elif op == "rewrite":
+                res = iceberg_rewrite_data_files(
+                    spark, table, target_file_bytes=1 << 30
+                )
+                if res["snapshot_id"] == -1:
+                    continue
+                sid = res["snapshot_id"]
+            else:  # alter: rename toggles v<->w; sometimes add a column
+                if rng.random() < 0.5:
+                    new = "w" if vcol == "v" else "v"
+                    iceberg_alter(table, rename_columns={vcol: new})
+                    vcol = new
+                else:
+                    iceberg_alter(
+                        table, add_columns={f"extra{step}": "long"}
+                    )
+                continue  # metadata-only: no snapshot, model unchanged
+            snapshots.append((sid, dict(model), vcol))
+
+            got = {
+                r["id"]: r[vcol]
+                for r in iceberg_read(spark, table).collect()
+            }
+            assert got == model, (seed, step, op)
+
+        for snap_id, expect, col_then in snapshots:
+            tt = iceberg_read(spark, table, snapshot_id=snap_id)
+            got = {r["id"]: r[col_then] for r in tt.collect()}
+            assert got == expect, (seed, snap_id)
