@@ -341,3 +341,77 @@ def kmeans_cluster_profile(
         )
         .orderBy("cluster")
     )
+
+
+def cluster_ctfidf_keywords(
+    emb: DataFrame,
+    docs: DataFrame,
+    top_n: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Class-based TF-IDF topic keywords per k-means cluster (the
+    BERTopic labeling step): treat each cluster's concatenated text as
+    one class document and score each term by
+
+        score(c, t) = tf_c(t) * ln(1 + A / f_t)
+
+    with tf_c(t) = term share within cluster c, f_t = the term's total
+    count across ALL clusters, A = average terms per cluster. Top-n
+    terms per cluster by (6-decimal-rounded score desc, term asc) —
+    rounding BEFORE the rank keeps the ordering engine-portable (ln
+    may differ in the last ulp across math libraries).
+
+    SCALE DESIGN: assignment join is id-to-id (broadcastable small
+    side is the k-means assignment, k x n ids only); one explode scan
+    of the clustered text; (cluster, term) / cluster / term aggregates
+    are all map-side combinable; A is a 1-row broadcast. Nothing pairs
+    documents; the widest shuffle key is (cluster, term)."""
+    a = kmeans_assignments(emb, id_col, vec_col, k, iterations)
+    joined = a.join(
+        docs.select(
+            F.col(doc_id_col).alias("__did"), F.col(text_col)
+        ),
+        a[id_col] == F.col("__did"),
+    )
+    terms = joined.select(
+        "cluster", F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    per = terms.groupBy("cluster", "term").agg(
+        F.count(F.lit(1)).alias("n_ct")
+    )
+    ctot = per.groupBy("cluster").agg(F.sum("n_ct").alias("n_c"))
+    ttot = per.groupBy("term").agg(F.sum("n_ct").alias("f_t"))
+    avg_sz = ctot.agg(F.avg(F.col("n_c").cast("double")).alias("__a"))
+    scored = (
+        per.join(F.broadcast(ctot), "cluster")
+        .join(ttot, "term")
+        .crossJoin(F.broadcast(avg_sz))
+        .select(
+            "cluster",
+            "term",
+            F.round(
+                (F.col("n_ct") / F.col("n_c"))
+                * F.log(F.lit(1.0) + F.col("__a") / F.col("f_t")),
+                6,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.select(
+            "cluster", "term", "score",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= top_n)
+        .select("cluster", "rank", "term", "score")
+        .orderBy("cluster", "rank")
+    )

@@ -438,3 +438,72 @@ def q241_label_noise_audit(spark, sf_dir):
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     return label_noise_audit(emb, "vec_id", "embedding", "label")
+
+
+# --------------------------------------------------------------------------
+# q247 — c-TF-IDF topic keywords per k-means cluster
+# --------------------------------------------------------------------------
+@query(
+    "q247_cluster_keywords",
+    oracle=_KMEANS_CTE
+    + """
+    , terms AS (
+      SELECT a2.cluster, t.term
+      FROM a2
+      JOIN documents d ON a2.vec_id = d.doc_id,
+      UNNEST(string_split(d.text, ' ')) AS t(term)
+    ),
+    per AS (
+      SELECT cluster, term, count(*) AS n_ct
+      FROM terms GROUP BY cluster, term
+    ),
+    ctot AS (SELECT cluster, sum(n_ct) AS n_c FROM per GROUP BY cluster),
+    ttot AS (SELECT term, sum(n_ct) AS f_t FROM per GROUP BY term),
+    avg_sz AS (SELECT avg(CAST(n_c AS DOUBLE)) AS a FROM ctot),
+    scored AS (
+      SELECT per.cluster, per.term,
+             round(
+               (per.n_ct / CAST(ctot.n_c AS DOUBLE))
+               * ln(1 + avg_sz.a / ttot.f_t), 6
+             ) AS score
+      FROM per
+      JOIN ctot ON per.cluster = ctot.cluster
+      JOIN ttot ON per.term = ttot.term
+      CROSS JOIN avg_sz
+    ),
+    ranked AS (
+      SELECT cluster, term, score,
+             row_number() OVER (
+               PARTITION BY cluster ORDER BY score DESC, term ASC
+             ) AS rank
+      FROM scored
+    )
+    SELECT cluster, CAST(rank AS BIGINT) AS rank, term, score
+    FROM ranked WHERE rank <= 5 ORDER BY cluster, rank
+    """,
+    tags=("ml", "clustering", "topics", "llm", "operator"),
+)
+def q247_cluster_keywords(spark, sf_dir):
+    """c-TF-IDF topic keywords per k-means cluster — the BERTopic
+    labeling step that turns an unsupervised embedding clustering into
+    a human-readable topic table (score = in-cluster term share x
+    ln(1 + avg_cluster_terms / corpus_term_count)). Composes the q235
+    deterministic k-means (whose full Lloyd loop the oracle unrolls)
+    with the documents table through the shared id space; scores round
+    to 6 decimals BEFORE the rank so the ordering is engine-portable.
+
+    SCALE DESIGN: the assignment join ships ids only; one explode scan
+    of clustered text; (cluster, term)/cluster/term aggregates are
+    map-side combinable; the average-size denominator is a 1-row
+    broadcast. Nothing is quadratic in documents or terms."""
+    from etl_as_a_service_spark.llm.clustering import (
+        cluster_ctfidf_keywords,
+    )
+
+    emb, docs = _t(spark, sf_dir, "embeddings", "documents")
+    return cluster_ctfidf_keywords(
+        emb, docs, top_n=5, k=8, iterations=2
+    ).select(
+        "cluster", F.col("rank").cast("long").alias("rank"),
+        "term", "score",
+    )
