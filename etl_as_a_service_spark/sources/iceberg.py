@@ -23,13 +23,15 @@ nested records and maps were added to its raw codec for exactly this),
 so the whole metadata chain is protocol-shaped, not pickled state.
 
 Supported: append, overwrite, snapshot reads, time travel by
-``snapshot_id``, history, identity-transform partitioning with
-metadata-level partition pruning, row-level DELETE/UPDATE
-(copy-on-write), and SCHEMA EVOLUTION (iceberg_alter: add / rename /
-drop / widen, resolved on read by field id per writer epoch).
-Unsupported (raises, never misreads): non-identity transforms,
-format-version >2 features, delete files (merge-on-read), evolution
-touching partition source columns.
+``snapshot_id``, history, HIDDEN-PARTITION transforms (identity,
+year/month/day/hour, bucket[N], truncate[W] — "day(ts)" strings in
+``partition_by``; source columns stay in the data files and every
+rewrite path re-derives the layout) with metadata-level partition
+pruning, row-level DELETE/UPDATE (copy-on-write), and SCHEMA
+EVOLUTION (iceberg_alter: add / rename / drop / widen, resolved on
+read by field id per writer epoch). Unsupported (raises, never
+misreads): format-version >2 features, delete files (merge-on-read),
+evolution touching partition source columns.
 
 Scale shape: metadata is driver-side (KBs per commit; manifests carry
 per-file stats so planning never lists the filesystem); the DATA path
@@ -43,6 +45,7 @@ from __future__ import annotations
 import json
 import os
 import random
+import re
 import shutil
 import time
 import urllib.parse
@@ -178,25 +181,136 @@ def _spark_schema(schema: dict) -> T.StructType:
     )
 
 
-def _partition_avro_schema(md: dict) -> dict:
-    """Avro record type for the identity-partition tuple of the default
-    spec (each value nullable, typed from the source column)."""
+#: transforms this writer supports (iceberg.apache.org/spec
+#: #partition-transforms): identity, the date/time family, bucket[N],
+#: truncate[W]. bucket uses Spark's murmur3 (F.hash, seed 42) rather
+#: than the spec's seed-0 byte-layout murmur3 — a declared deviation
+#: of the same class as the name-keyed column_stats: self-consistent
+#: within this engine (writer and reader share the function), loud for
+#: external readers.
+_TRANSFORM_RE = re.compile(
+    r"^(year|month|day|hour)\s*\(\s*(\w+)\s*\)$"
+    r"|^(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)$"
+)
+
+_DATE_TRANSFORM_SOURCES = {"date", "timestamp", "timestamptz"}
+
+
+def _parse_partition_entry(entry: str) -> tuple[str, str]:
+    """'day(ts)' -> ('day', 'ts'); 'bucket(16, id)' ->
+    ('bucket[16]', 'id'); a bare column name -> ('identity', name)."""
+    entry = entry.strip()
+    m = _TRANSFORM_RE.match(entry)
+    if not m:
+        if re.match(r"^\w+$", entry):
+            return "identity", entry
+        raise ValueError(f"unsupported partition transform: {entry!r}")
+    if m.group(1):
+        return m.group(1), m.group(2)
+    return f"{m.group(3)}[{m.group(4)}]", m.group(5)
+
+
+def _partition_field_name(transform: str, source: str) -> str:
+    if transform == "identity":
+        return source
+    base = transform.split("[", 1)[0]
+    if base == "truncate":
+        base = "trunc"  # the reference implementation's default name
+    return f"{source}_{base}"
+
+
+def _transform_result_type(transform: str, src_type: str) -> str:
+    if transform == "identity" or transform.startswith("truncate"):
+        return src_type
+    return "int"
+
+
+def _validate_transform_source(transform: str, src_type: str) -> None:
+    if transform in ("year", "month", "day"):
+        if src_type not in _DATE_TRANSFORM_SOURCES:
+            raise ValueError(
+                f"{transform}() needs a date/timestamp source, "
+                f"got {src_type}"
+            )
+    elif transform == "hour":
+        if src_type != "timestamptz":
+            raise ValueError(f"hour() needs a timestamptz source, got {src_type}")
+    elif transform.startswith("bucket"):
+        if src_type not in ("int", "long", "string"):
+            raise ValueError(
+                f"bucket() supports int/long/string sources, got {src_type}"
+            )
+    elif transform.startswith("truncate"):
+        if src_type not in ("int", "long", "string"):
+            raise ValueError(
+                f"truncate() supports int/long/string sources, "
+                f"got {src_type}"
+            )
+
+
+def _transform_expr(transform: str, source: str, src_type: str):
+    """The partition-value derivation as a JVM Column expression (per
+    the spec's transform semantics; epochs anchored at 1970)."""
+    c = F.col(source)
+    if transform == "identity":
+        return c
+    if transform == "year":
+        return (F.year(c) - F.lit(1970)).cast("int")
+    if transform == "month":
+        return (
+            (F.year(c) - F.lit(1970)) * 12 + F.month(c) - F.lit(1)
+        ).cast("int")
+    if transform == "day":
+        return F.datediff(F.to_date(c), F.lit("1970-01-01")).cast("int")
+    if transform == "hour":
+        return F.floor(c.cast("double") / 3600).cast("int")
+    if transform.startswith("bucket["):
+        n = int(transform[len("bucket["):-1])
+        return F.pmod(F.hash(c), F.lit(n)).cast("int")
+    if transform.startswith("truncate["):
+        w = int(transform[len("truncate["):-1])
+        if src_type == "string":
+            return F.substring(c, 1, w)
+        out = c - F.pmod(c, F.lit(w))
+        return out.cast("int" if src_type == "int" else "long")
+    raise ValueError(f"unsupported partition transform: {transform}")
+
+
+def _resolved_spec_fields(md: dict) -> list[dict]:
+    """The default spec joined to its source columns: one dict per
+    partition field with name/transform/source/src_type/result_type —
+    the shape the staging writer and value parsers consume."""
     spec = md["partition-specs"][md["default-spec-id"]]
     schema = _schema_by_id(md, md["current-schema-id"])
     by_id = {f["id"]: f for f in schema["fields"]}
-    fields = []
+    out = []
     for pf in spec["fields"]:
-        if pf["transform"] != "identity":
-            raise ValueError(
-                f"unsupported partition transform: {pf['transform']}"
-            )
         src = by_id[pf["source-id"]]
-        avro_t = _ICEBERG_TO_AVRO.get(src["type"])
+        out.append(
+            {
+                "name": pf["name"],
+                "transform": pf["transform"],
+                "source": src["name"],
+                "src_type": src["type"],
+                "result_type": _transform_result_type(
+                    pf["transform"], src["type"]
+                ),
+            }
+        )
+    return out
+
+
+def _partition_avro_schema(md: dict) -> dict:
+    """Avro record type for the partition tuple of the default spec
+    (each value nullable, typed from the TRANSFORM RESULT)."""
+    fields = []
+    for rf in _resolved_spec_fields(md):
+        avro_t = _ICEBERG_TO_AVRO.get(rf["result_type"])
         if avro_t is None:
             raise ValueError(
-                f"unsupported partition column type: {src['type']}"
+                f"unsupported partition value type: {rf['result_type']}"
             )
-        fields.append({"name": pf["name"], "type": ["null", avro_t]})
+        fields.append({"name": rf["name"], "type": ["null", avro_t]})
     return {"type": "record", "name": "r102", "fields": fields}
 
 
@@ -281,24 +395,48 @@ def _partition_values_of(rel_path: str, types: dict[str, str]) -> dict:
 
 
 def _stage_data_files(
-    df: DataFrame, table: str, partition_cols: list[str],
+    df: DataFrame, table: str, spec_fields: list,
     col_types: dict[str, str], data_base: str | None = None,
 ) -> list[dict]:
     """Write df into the table's data location (Hive layout when
     partitioned) and return data_file records (row counts from the
-    parquet footers — metadata only, no data read). ``data_base``
-    overrides the default ``<table>/data`` — converted tables keep
-    appending NEXT TO their original files (write.data.path) so every
-    data path shares one basePath; external bases store absolute
-    file_paths, the internal default stores ``data/...`` relative."""
+    parquet footers — metadata only, no data read). ``spec_fields``
+    is either a plain list of identity column names or the resolved
+    spec-field dicts from _resolved_spec_fields — non-identity fields
+    (day/bucket/truncate/...) are DERIVED here as hidden columns, so
+    every caller that rewrites rows (write/delete/update/compaction)
+    re-partitions them identically. ``data_base`` overrides the
+    default ``<table>/data`` — converted tables keep appending NEXT
+    TO their original files (write.data.path) so every data path
+    shares one basePath; external bases store absolute file_paths,
+    the internal default stores ``data/...`` relative."""
     import pyarrow.parquet as pq
 
+    if spec_fields and isinstance(spec_fields[0], str):
+        spec_fields = [
+            {
+                "name": c, "transform": "identity", "source": c,
+                "src_type": col_types.get(c, "string"),
+                "result_type": col_types.get(c, "string"),
+            }
+            for c in spec_fields
+        ]
+    part_names = [rf["name"] for rf in spec_fields]
+    value_types = {rf["name"]: rf["result_type"] for rf in spec_fields}
+    for rf in spec_fields:
+        if rf["transform"] != "identity":
+            df = df.withColumn(
+                rf["name"],
+                _transform_expr(
+                    rf["transform"], rf["source"], rf["src_type"]
+                ),
+            )
     internal = data_base is None
     base = os.path.join(table, "data") if internal else data_base
     staging = os.path.join(table, f".stage-{uuid.uuid4().hex}")
     w = df.write.mode("overwrite")
-    if partition_cols:
-        w = w.partitionBy(*partition_cols)
+    if part_names:
+        w = w.partitionBy(*part_names)
     w.parquet(staging)
     out: list[dict] = []
     for root, _dirs, names in os.walk(staging):
@@ -327,9 +465,9 @@ def _stage_data_files(
                     "file_format": "PARQUET",
                     "partition": {
                         c: _partition_values_of(
-                            os.path.join(rel_dir, name), col_types
+                            os.path.join(rel_dir, name), value_types
                         ).get(c)
-                        for c in partition_cols
+                        for c in part_names
                     },
                     "record_count": stats["numRecords"],
                     "file_size_in_bytes": os.path.getsize(final_abs),
@@ -651,18 +789,23 @@ def iceberg_write(
 
     exists = bool(_versions(table))
     prev_md = _load_metadata(table) if exists else None
+    # partition_by entries are either column names (identity) or
+    # transform calls: "day(ts)", "bucket(16, id)", "truncate(4, s)"
+    parsed = (
+        [_parse_partition_entry(e) for e in partition_by]
+        if partition_by is not None
+        else None
+    )
     if prev_md is not None:
-        spec_cols = [
-            f["name"]
-            for f in prev_md["partition-specs"][prev_md["default-spec-id"]][
-                "fields"
-            ]
+        prev_pairs = [
+            (rf["transform"], rf["source"])
+            for rf in _resolved_spec_fields(prev_md)
         ]
-        if partition_by is None:
-            partition_by = spec_cols
-        elif list(partition_by) != spec_cols:
+        if parsed is None:
+            parsed = prev_pairs
+        elif parsed != prev_pairs:
             raise ValueError(
-                f"partition_by {list(partition_by)} != table spec {spec_cols}"
+                f"partition_by {parsed} != table spec {prev_pairs}"
             )
         if _schema_shape(
             _schema_by_id(prev_md, prev_md["current-schema-id"])
@@ -672,8 +815,8 @@ def iceberg_write(
                 "with iceberg_alter first; writes must supply the full "
                 "current schema)"
             )
-    partition_by = list(partition_by or [])
-    missing = [c for c in partition_by if c not in df.columns]
+    parsed = list(parsed or [])
+    missing = [s for _t_, s in parsed if s not in df.columns]
     if missing:
         raise ValueError(f"partition columns absent from frame: {missing}")
 
@@ -685,20 +828,23 @@ def iceberg_write(
         spec = prev_md["partition-specs"][prev_md["default-spec-id"]]
     else:
         schema = _iceberg_schema(df.schema)
-        by_name = {f["name"]: f["id"] for f in schema["fields"]}
+        by_name = {f["name"]: f for f in schema["fields"]}
+        for tr, s in parsed:
+            _validate_transform_source(tr, by_name[s]["type"])
         spec = {
             "spec-id": 0,
             "fields": [
                 {
-                    "source-id": by_name[c],
+                    "source-id": by_name[s]["id"],
                     "field-id": 1000 + i,
-                    "name": c,
-                    "transform": "identity",
+                    "name": _partition_field_name(tr, s),
+                    "transform": tr,
                 }
-                for i, c in enumerate(partition_by)
+                for i, (tr, s) in enumerate(parsed)
             ],
         }
     col_types = {f["name"]: f["type"] for f in schema["fields"]}
+    partition_by = [s for _t_, s in parsed]
     data_files = None  # staged lazily inside the retry loop's first pass
     staged_base = None
 
@@ -711,11 +857,13 @@ def iceberg_write(
             # have created/changed the table after the pre-loop checks
             # ran (or they never ran, if the table did not exist then)
             prev_schema = _schema_by_id(prev_md, prev_md["current-schema-id"])
-            prev_spec = prev_md["partition-specs"][prev_md["default-spec-id"]]
-            prev_cols = [f["name"] for f in prev_spec["fields"]]
+            prev_pairs = [
+                (rf["transform"], rf["source"])
+                for rf in _resolved_spec_fields(prev_md)
+            ]
             if (
                 _schema_shape(prev_schema) != _schema_shape(schema)
-                or prev_cols != partition_by
+                or prev_pairs != parsed
             ):
                 if data_files is not None:
                     for d in data_files:
@@ -758,7 +906,8 @@ def iceberg_write(
             data_files = None
         if data_files is None:
             data_files = _stage_data_files(
-                df, table, partition_by, col_types, data_base=data_base
+                df, table, _resolved_spec_fields(md_for_manifest),
+                col_types, data_base=data_base,
             )
             staged_base = data_base
         snap_id = random.getrandbits(62)
@@ -924,7 +1073,8 @@ def iceberg_delete(
     survivors = scan.filter(~F.expr(condition).eqNullSafe(F.lit(True)))
     data_base = md.get("properties", {}).get("write.data.path")
     new_files = _stage_data_files(
-        survivors, table, partition_by, col_types, data_base=data_base
+        survivors, table, _resolved_spec_fields(md), col_types,
+        data_base=data_base,
     )
     before = sum(e["data_file"]["record_count"] for e in candidates)
     after = sum(d["record_count"] for d in new_files)
@@ -1256,7 +1406,8 @@ def iceberg_update(
     ).drop("__upd")
     data_base = md.get("properties", {}).get("write.data.path")
     new_files = _stage_data_files(
-        rewritten, table, partition_by, ice_types, data_base=data_base
+        rewritten, table, _resolved_spec_fields(md), ice_types,
+        data_base=data_base,
     )
     updated = int(obs.get["n"] or 0)
     if updated == 0:
@@ -1508,12 +1659,16 @@ def iceberg_rewrite_data_files(
 
         df = zorder_sort(df, *zorder_by, partitions=n_out)
     elif partition_by:
-        df = df.repartition(n_out, *partition_by)
+        df = df.repartition(
+            n_out,
+            *[rf["source"] for rf in _resolved_spec_fields(md)],
+        )
     else:
         df = df.coalesce(n_out)
     data_base = md.get("properties", {}).get("write.data.path")
     new_files = _stage_data_files(
-        df, table, partition_by, col_types, data_base=data_base
+        df, table, _resolved_spec_fields(md), col_types,
+        data_base=data_base,
     )
     snap_id = _commit_cow_snapshot(
         table, snap["snapshot-id"], [], new_files,

@@ -360,3 +360,116 @@ def test_iceberg_randomized_op_sequences_match_model(spark, tmp_path):
             tt = iceberg_read(spark, table, snapshot_id=snap_id)
             got = {r["id"]: r[col_then] for r in tt.collect()}
             assert got == expect, (seed, snap_id)
+
+
+def test_iceberg_partition_transforms_day_and_bucket(spark, tmp_path):
+    """Hidden-partition transforms: day(ts) and bucket(N, k) derive
+    the partition tuple at write time (source columns STAY in the data
+    files), manifests prune on the transformed values, and every
+    rewrite path (append/delete/update) re-derives the layout."""
+    import datetime
+
+    from etl_as_a_service_spark.sources.iceberg import (
+        iceberg_delete,
+        iceberg_update,
+    )
+
+    path = str(tmp_path / "tday")
+    df = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1, 5), 10.0),
+            (2, datetime.datetime(2024, 1, 1, 9), 20.0),
+            (3, datetime.datetime(2024, 1, 2, 7), 30.0),
+            (4, datetime.datetime(2024, 1, 3, 7), 40.0),
+        ],
+        "k long, ts timestamp, v double",
+    )
+    iceberg_write(df, path, partition_by=["day(ts)"])
+    full = iceberg_read(spark, path)
+    assert sorted(full.columns) == ["k", "ts", "v"]  # transform is hidden
+    assert full.count() == 4
+    # metadata-level pruning on the derived day ordinal
+    d0 = (datetime.date(2024, 1, 1) - datetime.date(1970, 1, 1)).days
+    one_day = iceberg_read(spark, path, partition_filters={"ts_day": d0})
+    assert sorted(r["k"] for r in one_day.collect()) == [1, 2]
+    assert len(one_day.inputFiles()) < len(full.inputFiles())
+    # appends land in their day directory
+    iceberg_write(
+        spark.createDataFrame(
+            [(5, datetime.datetime(2024, 1, 1, 23), 50.0)],
+            "k long, ts timestamp, v double",
+        ),
+        path,
+        mode="append",
+    )
+    assert sorted(
+        r["k"]
+        for r in iceberg_read(
+            spark, path, partition_filters={"ts_day": d0}
+        ).collect()
+    ) == [1, 2, 5]
+    # a row-level UPDATE that MOVES a row across days relocates it
+    res = iceberg_update(
+        spark, path, "k = 3", {"ts": "ts + INTERVAL 10 DAYS"}
+    )
+    assert res["rows_updated"] == 1
+    moved = iceberg_read(
+        spark, path, partition_filters={"ts_day": d0 + 11}
+    )
+    assert [r["k"] for r in moved.collect()] == [3]
+    # delete within one day leaves other partitions untouched
+    resd = iceberg_delete(spark, path, "k = 2")
+    assert resd["rows_deleted"] == 1
+    assert iceberg_read(spark, path).count() == 4
+
+    # bucket(4, k): spec-shaped layout with Spark murmur3 (declared)
+    bpath = str(tmp_path / "tbucket")
+    bdf = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    iceberg_write(bdf, bpath, partition_by=["bucket(4, k)"])
+    bfull = iceberg_read(spark, bpath)
+    assert bfull.count() == 400 and sorted(bfull.columns) == ["k", "v"]
+    pruned = iceberg_read(spark, bpath, partition_filters={"k_bucket": 0})
+    assert 0 < pruned.count() < 400
+    assert len(pruned.inputFiles()) < len(bfull.inputFiles())
+    # the four buckets partition the rows exactly
+    total = sum(
+        iceberg_read(
+            spark, bpath, partition_filters={"k_bucket": b}
+        ).count()
+        for b in range(4)
+    )
+    assert total == 400
+
+
+def test_iceberg_partition_transform_guards(spark, tmp_path):
+    import datetime
+
+    path = str(tmp_path / "tg")
+    df = spark.createDataFrame(
+        [(1, "abc", datetime.datetime(2024, 1, 1))],
+        "k long, s string, ts timestamp",
+    )
+    with pytest.raises(ValueError, match="date/timestamp source"):
+        iceberg_write(df, path, partition_by=["day(s)"])
+    with pytest.raises(ValueError, match="unsupported partition transform"):
+        iceberg_write(df, path, partition_by=["zap(k)"])
+    # truncate(2, s): strings truncate to their prefix
+    iceberg_write(df, path, partition_by=["truncate(2, s)"])
+    pr = iceberg_read(spark, path, partition_filters={"s_trunc": "ab"})
+    assert pr.count() == 1
+    # the transform SOURCE column is protected from evolution
+    with pytest.raises(ValueError, match="partition source"):
+        iceberg_alter(path, rename_columns={"s": "t"})
+    # a mismatched spec on an existing table is rejected
+    with pytest.raises(ValueError, match="partition_by"):
+        iceberg_write(
+            spark.createDataFrame(
+                [(2, "xy", datetime.datetime(2024, 1, 2))],
+                "k long, s string, ts timestamp",
+            ),
+            path,
+            mode="append",
+            partition_by=["truncate(3, s)"],
+        )
