@@ -93,9 +93,20 @@ def _versions(table: str) -> list[int]:
 class _Snapshot:
     schema_json: str | None = None
     partition_columns: list[str] = field(default_factory=list)
+    configuration: dict = field(default_factory=dict)
     live: dict[str, dict] = field(default_factory=dict)  # path -> add
     txns: dict[str, int] = field(default_factory=dict)   # appId -> version
     version: int = -1
+
+    def constraints(self) -> dict[str, str]:
+        """CHECK constraints from the protocol's table configuration
+        (``delta.constraints.<name>`` keys) — writers MUST enforce."""
+        pre = "delta.constraints."
+        return {
+            k[len(pre):]: v
+            for k, v in self.configuration.items()
+            if k.startswith(pre)
+        }
 
 
 def _check_protocol(protocol: dict) -> None:
@@ -110,6 +121,7 @@ def _apply_action(snap: _Snapshot, action: dict) -> None:
         md = action["metaData"]
         snap.schema_json = md["schemaString"]
         snap.partition_columns = list(md.get("partitionColumns") or [])
+        snap.configuration = dict(md.get("configuration") or {})
     elif "protocol" in action:
         _check_protocol(action["protocol"])
     elif "add" in action:
@@ -148,6 +160,10 @@ def _load_checkpoint(table: str, v: int) -> _Snapshot:
             md = row["metaData"]
             snap.schema_json = md["schemaString"]
             snap.partition_columns = list(md.get("partitionColumns") or [])
+            cfg = md.get("configuration")
+            if isinstance(cfg, list):  # pyarrow map -> list of tuples
+                cfg = dict(cfg)
+            snap.configuration = dict(cfg or {})
         elif row.get("txn") is not None:
             t = row["txn"]
             snap.txns[t["appId"]] = int(t["version"])
@@ -515,7 +531,9 @@ def delta_alter_add_columns(table: str, columns: dict[str, str]) -> int:
             )
         evolved = T.StructType(list(prev_st.fields) + new_fields).json()
         return [
-            _metadata_action(evolved, snap.partition_columns),
+            _metadata_action(
+                evolved, snap.partition_columns, snap.configuration
+            ),
             {
                 "commitInfo": {
                     "timestamp": int(time.time() * 1000),
@@ -530,14 +548,86 @@ def delta_alter_add_columns(table: str, columns: dict[str, str]) -> int:
     return _commit(table, build)
 
 
-def _metadata_action(schema_string: str, partition_cols: list[str]) -> dict:
+def delta_add_constraint(
+    spark: SparkSession, table: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT as a metadata-only commit: records
+    ``delta.constraints.<name> = <expr>`` in the table configuration
+    (the protocol's CHECK-constraint contract), after verifying that
+    EVERY existing row satisfies the expression — the same full-table
+    validation scan the reference implementation performs, bounded to
+    the live file list. Writers then enforce it on every append/merge/
+    update (violations abort before the commit publishes). Returns the
+    committed version."""
+    import re as _re
+
+    if not _re.match(r"^\w+$", name):
+        raise ValueError(f"constraint name must be \\w+: {name!r}")
+    snap = _replay(table)
+    if name in snap.constraints():
+        raise ValueError(f"constraint already exists: {name}")
+    schema = T.StructType.fromJson(json.loads(snap.schema_json))
+    scan = _read_file_list(spark, table, schema, sorted(snap.live))
+    bad = scan.filter(F.expr(expr).eqNullSafe(F.lit(False))).count()
+    if bad:
+        raise ValueError(
+            f"cannot add constraint {name}: {bad} existing rows "
+            f"violate {expr!r}"
+        )
+
+    def build(_next_v: int):
+        cur = _replay(table)
+        cfg = dict(cur.configuration)
+        cfg[f"delta.constraints.{name}"] = expr
+        return [
+            _metadata_action(cur.schema_json, cur.partition_columns, cfg),
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "ADD CONSTRAINT",
+                    "operationParameters": {"name": name, "expr": expr},
+                }
+            },
+        ]
+
+    return _commit(table, build)
+
+
+def delta_drop_constraint(table: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT (metadata-only). Returns the
+    committed version; raises if the constraint does not exist."""
+    def build(_next_v: int):
+        cur = _replay(table)
+        key = f"delta.constraints.{name}"
+        if key not in cur.configuration:
+            raise ValueError(f"no such constraint: {name}")
+        cfg = {k: v for k, v in cur.configuration.items() if k != key}
+        return [
+            _metadata_action(cur.schema_json, cur.partition_columns, cfg),
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "DROP CONSTRAINT",
+                    "operationParameters": {"name": name},
+                }
+            },
+        ]
+
+    return _commit(table, build)
+
+
+def _metadata_action(
+    schema_string: str,
+    partition_cols: list[str],
+    configuration: dict | None = None,
+) -> dict:
     return {
         "metaData": {
             "id": uuid.uuid4().hex,
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_string,
             "partitionColumns": list(partition_cols),
-            "configuration": {},
+            "configuration": dict(configuration or {}),
             "createdTime": int(time.time() * 1000),
         }
     }
@@ -586,7 +676,38 @@ def delta_write(
     if missing:
         raise ValueError(f"partition columns absent from frame: {missing}")
 
+    # CHECK-constraint enforcement (the protocol's writer obligation
+    # for delta.constraints.* configuration): violation counts ride an
+    # Observation on the staging write — zero extra actions. SQL CHECK
+    # semantics: only rows where the expression is exactly FALSE
+    # violate (NULL passes).
+    cons = prev.constraints() if exists else {}
+    cons_obs = None
+    if cons:
+        from pyspark.sql import Observation
+
+        cons_obs = Observation("delta_constraints")
+        df = df.observe(
+            cons_obs,
+            *[
+                F.sum(
+                    F.expr(e).eqNullSafe(F.lit(False)).cast("long")
+                ).alias(n)
+                for n, e in sorted(cons.items())
+            ],
+        )
     adds = _stage_files(df, table, partition_by, data_change=True)
+    if cons_obs is not None:
+        got = cons_obs.get
+        bad = {n: int(got[n] or 0) for n in cons if got.get(n)}
+        if bad:
+            _discard_staged(table, adds)
+            raise ValueError(
+                "CHECK constraint violation — rows failing "
+                + ", ".join(
+                    f"{n} ({cons[n]!r}): {c}" for n, c in sorted(bad.items())
+                )
+            )
     schema_string = df.schema.json()
 
     def build(next_v: int):
@@ -616,7 +737,10 @@ def delta_write(
                         "the table metaData"
                     )
                 actions.append(
-                    _metadata_action(evolved, prev.partition_columns)
+                    _metadata_action(
+                        evolved, prev.partition_columns,
+                        prev.configuration,
+                    )
                 )
             if prev.partition_columns != partition_by:
                 # we staged under a layout decided BEFORE a racing
@@ -687,6 +811,7 @@ def delta_checkpoint(table: str) -> dict:
                         ("id", pa.string()),
                         ("schemaString", pa.string()),
                         ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", pa.map_(pa.string(), pa.string())),
                         ("createdTime", pa.int64()),
                     ]
                 ),
@@ -720,6 +845,7 @@ def delta_checkpoint(table: str) -> dict:
                 "id": uuid.uuid4().hex,
                 "schemaString": snap.schema_json,
                 "partitionColumns": snap.partition_columns,
+                "configuration": sorted(snap.configuration.items()),
                 "createdTime": int(time.time() * 1000),
             }
         },
@@ -907,14 +1033,38 @@ def delta_update(
         ],
         matched.alias("__upd"),
     )
+    cons = snap.constraints()
     obs = Observation("delta_update")
     rewritten = rewritten.observe(
-        obs, F.sum(F.col("__upd").cast("long")).alias("n")
+        obs,
+        F.sum(F.col("__upd").cast("long")).alias("n"),
+        # CHECK constraints apply to the post-update rows too — the
+        # violation counts ride the same staging-write observation
+        *[
+            F.sum(
+                F.expr(e).eqNullSafe(F.lit(False)).cast("long")
+            ).alias(f"__c_{cn}")
+            for cn, e in sorted(cons.items())
+        ],
     ).drop("__upd")
     adds = _stage_files(
         rewritten, table, snap.partition_columns, data_change=True
     )
-    updated = int(obs.get["n"] or 0)
+    got_obs = obs.get
+    bad = {
+        cn: int(got_obs[f"__c_{cn}"] or 0)
+        for cn in cons
+        if got_obs.get(f"__c_{cn}")
+    }
+    if bad:
+        _discard_staged(table, adds)
+        raise ValueError(
+            "UPDATE violates CHECK constraint — rows failing "
+            + ", ".join(
+                f"{cn} ({cons[cn]!r}): {c}" for cn, c in sorted(bad.items())
+            )
+        )
+    updated = int(got_obs["n"] or 0)
     if updated == 0:
         _discard_staged(table, adds)
         return {"version": -1, "files_rewritten": 0, "rows_updated": 0}

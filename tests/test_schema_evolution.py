@@ -473,3 +473,70 @@ def test_iceberg_partition_transform_guards(spark, tmp_path):
             mode="append",
             partition_by=["truncate(3, s)"],
         )
+
+
+def test_delta_check_constraints_enforced(spark, tmp_path):
+    """The protocol's delta.constraints.* writer obligation: ADD
+    CONSTRAINT validates existing rows, every subsequent append/update
+    enforces it (violations abort with nothing published, NULL rows
+    pass per SQL CHECK), DROP lifts it, and the configuration survives
+    a checkpoint."""
+    from etl_as_a_service_spark.sources.delta import (
+        delta_add_constraint,
+        delta_checkpoint,
+        delta_drop_constraint,
+        delta_update,
+    )
+
+    path = os.path.join(str(tmp_path), "cons")
+    delta_write(
+        spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, 50.0)], "k long, v double"
+        ),
+        path,
+        mode="overwrite",
+    )
+    # existing data violates -> refused, nothing committed
+    with pytest.raises(ValueError, match="existing rows violate"):
+        delta_add_constraint(spark, path, "v_big", "v > 10")
+    v = delta_add_constraint(spark, path, "v_pos", "v > 0")
+    assert v > 0
+    # violating append aborts; the table is unchanged
+    with pytest.raises(ValueError, match="v_pos"):
+        delta_write(
+            spark.createDataFrame([(4, -1.0)], "k long, v double"),
+            path,
+            mode="append",
+        )
+    assert delta_read(spark, path).count() == 3
+    # NULL passes (SQL CHECK), valid rows pass
+    delta_write(
+        spark.createDataFrame([(5, None), (6, 9.0)], "k long, v double"),
+        path,
+        mode="append",
+    )
+    assert delta_read(spark, path).count() == 5
+    # UPDATE producing a violation aborts with nothing published
+    with pytest.raises(ValueError, match="UPDATE violates"):
+        delta_update(spark, path, "k = 6", {"v": "-5.0"})
+    assert (
+        delta_read(spark, path).filter(F.col("v") < 0).count() == 0
+    )
+    # constraints survive a checkpoint (configuration round-trips)
+    delta_checkpoint(path)
+    with pytest.raises(ValueError, match="v_pos"):
+        delta_write(
+            spark.createDataFrame([(7, -2.0)], "k long, v double"),
+            path,
+            mode="append",
+        )
+    # DROP lifts enforcement
+    delta_drop_constraint(path, "v_pos")
+    delta_write(
+        spark.createDataFrame([(8, -3.0)], "k long, v double"),
+        path,
+        mode="append",
+    )
+    assert delta_read(spark, path).count() == 6
+    with pytest.raises(ValueError, match="no such constraint"):
+        delta_drop_constraint(path, "ghost")
