@@ -114,6 +114,8 @@ HEADLINE_WEBCORPUS = [
 HEADLINE_ML = [
     "q235_kmeans_clusters",
     "q237_embedding_hygiene",
+    "q248_naive_bayes_confusion",
+    "q252_logistic_hash_clf",
 ]
 
 #: round-6 addition to the lakehouse subtotal: the stats-based file

@@ -1,0 +1,286 @@
+"""Distributed supervised classifiers over the document corpus.
+
+Two training loops a curation pipeline actually runs — both with
+engine-portable deterministic contracts so the WHOLE training
+computation is expressible as an (unrolled) SQL twin and value-hash
+checked against DuckDB, the k-means gate (llm/clustering.py) applied
+to supervised learning:
+
+- **Multinomial Naive Bayes** (the classic cheap language-ID /
+  source-attribution model): add-one-smoothed token likelihoods and
+  class priors, per-doc log-score, argmax prediction. Every
+  ingredient is a counting aggregate, so the twin is plain SQL.
+- **Hashed-feature logistic regression** (the fastText-style quality
+  classifier shape — e.g. CCNet's "looks like Wikipedia" filter):
+  bag-of-words hashed into a small bucket space (md5-derived, the
+  q239 convention, so both engines derive identical features),
+  full-batch gradient descent with the per-step rounding contract
+  (z, p=sigmoid, gradient, and weights each rounded to 6 decimals),
+  which makes every iteration's weights exact 6-decimal values on
+  both engines — the twin unrolls the iterations.
+
+Determinism notes shared by both:
+- log-likelihoods are round(ln(x), 6) so a 1-ulp libm difference
+  between engines can never propagate (the q208 ulp rule);
+- scores/argmax happen on 6-decimal-rounded values with explicit
+  lexicographic tie-breaks (the q235 rounded-argmin convention);
+- sums of identical rounded terms differ across engines only by
+  IEEE re-association noise (~1e-13 at these magnitudes), absorbed
+  by the final round(..., 6).
+
+SCALE DESIGN (100 TB): everything is counting aggregates plus joins
+on the token / bucket key. Naive Bayes never joins the corpus to
+itself: the likelihood table is vocab x classes (bounded by vocab)
+and the scoring join is token-keyed. The logistic trainer runs ONE
+corpus-scan aggregate per iteration; only the (buckets+1)-float
+gradient reaches the driver, which feeds the updated weights back as
+closure literals (the kmeans_assignments pattern). No Python UDFs
+anywhere — the entire path is Catalyst built-ins.
+
+Reference scope: the reference service executes arbitrary uploaded
+transformations (app/routes.py:66-135); classifier training is
+restated here as a first-class native operator.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def token_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per token occurrence, single-space split (the oracle's
+    ``string_split(text, ' ')`` exactly — the q215/q240 convention)."""
+    return docs.withColumn("w", F.explode(F.split(F.col(text_col), " ")))
+
+
+def naive_bayes_confusion(
+    docs: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train multinomial NB on the corpus itself (label = ``label_col``),
+    re-score every document, and return the confusion matrix
+    ``(actual, predicted, n_docs)`` — the standard train-set readout
+    for a corpus-attribution model (can the token distribution alone
+    recover the language/source tag?).
+
+    Contract (mirrored verbatim by the SQL twin):
+    - likelihood logp(w|c) = round(ln((count(w,c)+1) / (tokens_c+V)), 6)
+      with V = global distinct-token count (add-one smoothing);
+    - prior logp(c) = round(ln(docs_c / docs_total), 6);
+    - score(d,c) = round(prior_c + sum_w count(d,w)*logp(w|c), 6);
+    - prediction = max score, ties to the lexicographically smallest
+      class ON THE ROUNDED GRAIN.
+
+    SCALE DESIGN: token counts are map-side-combined aggregates; the
+    dense class x vocab likelihood table (zero counts materialized via
+    a classes-cross-vocab scaffold — classes are few, vocab-bounded)
+    joins doc term counts on the TOKEN key, so the corpus never joins
+    itself and nothing is ever classes x corpus. Priors are a
+    broadcast-sized frame.
+    """
+    toks = token_frame(docs, text_col).select(
+        F.col(id_col).alias("doc_id"), F.col(label_col).alias("cls"), "w"
+    )
+    cnt = toks.groupBy("cls", "w").agg(F.count(F.lit(1)).alias("c"))
+    n_c = toks.groupBy("cls").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    vocab = toks.select("w").distinct()
+    v_sz = vocab.count()  # bounded: one scalar (vocab cardinality)
+    total_docs = docs.count()  # bounded: one scalar
+    lik = (
+        n_c.crossJoin(vocab)
+        .join(cnt, ["cls", "w"], "left")
+        .select(
+            "cls",
+            "w",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1))
+                    / (F.col("n") + F.lit(float(v_sz)))
+                ),
+                6,
+            ).alias("logp"),
+        )
+    )
+    pri = (
+        docs.groupBy(F.col(label_col).alias("cls"))
+        .agg(
+            F.round(
+                F.log(F.count(F.lit(1)) / F.lit(float(total_docs))), 6
+            ).alias("lp")
+        )
+    )
+    dterm = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    score = (
+        dterm.join(lik, "w")
+        .join(F.broadcast(pri), "cls")
+        .groupBy("doc_id", "cls")
+        .agg(
+            F.round(
+                F.any_value("lp") + F.sum(F.col("c") * F.col("logp")), 6
+            ).alias("s")
+        )
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("cls"))
+    )
+    pred = (
+        score.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cls").alias("pred"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(label_col))
+        .join(pred, "doc_id")
+        .groupBy(F.col(label_col).alias("actual"), F.col("pred"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("actual", "pred")
+    )
+
+
+def hashed_features(
+    docs: DataFrame,
+    n_buckets: int,
+    salt: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, j, x): bag-of-words hashed into ``n_buckets`` via the
+    md5-hex convention (bucket = ('0x'||substr(md5(salt||w),1,8)) %
+    n_buckets — q239's engine-portable hash-to-number), with
+    x = bucket_count / doc_token_count — length-normalized so features
+    are in (0, 1] regardless of document size. x is deliberately NOT
+    rounded: the exact IEEE quotient of two small integers is
+    bit-identical on both engines, while round(x, 6) would put every
+    gradient term on a 5e-7 lattice whose sums land EXACTLY on
+    round-half boundaries, where sum-order noise flips the 6th digit
+    between engines (observed on q252's first gradient)."""
+    toks = token_frame(docs, text_col).select(
+        F.col(id_col).alias("doc_id"), "w"
+    )
+    j = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("w"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    ).alias("j")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_toks")
+    )
+    return (
+        toks.select("doc_id", j)
+        .groupBy("doc_id", "j")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "j",
+            (F.col("c") / F.col("n_toks")).alias("x"),
+        )
+    )
+
+
+def logistic_hash_train(
+    docs: DataFrame,
+    label: F.Column | None = None,
+    n_buckets: int = 16,
+    iterations: int = 2,
+    lr: float = 2.0,
+    salt: str = "lg-v1-",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full-batch gradient-descent logistic regression on hashed
+    bag-of-words features; returns the weight trajectory — one row per
+    bucket (bias as j = -1) with a ``w_i`` column per iteration — so
+    the oracle hash-checks the ENTIRE training computation, not just a
+    final readout.
+
+    Per-step rounding contract (mirrored by the unrolled SQL twin):
+    z = round(b + sum_j w_j x_j, 6); p = round(sigmoid(z), 6);
+    grad_j = round(sum_d (p_d - y_d) x_dj / N, 6) (N = corpus size, so
+    absent features contribute 0 to the sum but stay in the mean);
+    w_j <- round(w_j - lr * grad_j, 6). Weights start at zero, making
+    iteration 1's predictions exactly 0.5 — the twin exploits this.
+
+    SCALE DESIGN: one corpus-scan aggregate per iteration; the model
+    (n_buckets+1 floats) is the ONLY thing collected, and it re-enters
+    the next iteration's plan as literals (kmeans_assignments'
+    bounded-metadata loop). The z computation is a map-side
+    sum(w_literal[j] * x) per doc — a token-keyed aggregate, no join
+    against a weights table, no UDF."""
+    if label is None:
+        label = F.col("lang") == "en"
+    feats = hashed_features(docs, n_buckets, salt, id_col, text_col)
+    labels = docs.select(
+        F.col(id_col).alias("doc_id"), label.cast("int").alias("y")
+    )
+    fx = feats.join(labels, "doc_id")
+    n_docs = float(docs.count())  # bounded: one scalar
+    w = [0.0] * n_buckets
+    b = 0.0
+    trajectory: list[list[float]] = []
+    for _ in range(iterations):
+        # z per doc: sum over present buckets of w[j]*x (w as a literal
+        # array indexed by j), then p = sigmoid. Rounding per contract.
+        w_arr = F.array(*[F.lit(v) for v in w])
+        z = F.round(
+            F.lit(b)
+            + F.sum(
+                F.element_at(w_arr, (F.col("j") + 1).cast("int"))
+                * F.col("x")
+            ),
+            6,
+        )
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6)
+        resid = (
+            fx.groupBy("doc_id")
+            .agg(z.alias("z"), F.any_value("y").alias("y"))
+            .select("doc_id", (p - F.col("y")).alias("r"))
+        )
+        grad_rows = (
+            fx.join(resid, "doc_id")
+            .groupBy("j")
+            .agg(
+                F.round(
+                    F.sum(F.col("r") * F.col("x")) / F.lit(n_docs), 6
+                ).alias("g")
+            )
+            .collect()  # bounded: n_buckets rows
+        )
+        gb_row = resid.agg(
+            F.round(F.sum("r") / F.lit(n_docs), 6).alias("g")
+        ).collect()  # bounded: 1 row
+        grads = {int(r["j"]): float(r["g"]) for r in grad_rows}
+        # + 0.0 normalizes IEEE -0.0 (a round() of a tiny negative) to
+        # +0.0 so the driver's repr-hash can't split on the sign of zero
+        w = [
+            round(w[j] - lr * grads.get(j, 0.0), 6) + 0.0
+            for j in range(n_buckets)
+        ]
+        b = round(b - lr * float(gb_row[0]["g"]), 6) + 0.0
+        trajectory.append([b] + list(w))
+    spark = docs.sparkSession
+    rows = [
+        tuple([j] + [traj[j + 1] for traj in trajectory])
+        for j in range(-1, n_buckets)
+    ]
+    cols = ["j"] + [f"w{i + 1}" for i in range(iterations)]
+    schema = "j int, " + ", ".join(f"w{i + 1} double" for i in range(iterations))
+    return spark.createDataFrame(rows, schema).orderBy("j")
+
+
+def sigmoid6(z: float) -> float:
+    """round(sigmoid(round(z, 6)), 6) — the scalar twin of the
+    training loop's p, for tests."""
+    return round(1.0 / (1.0 + math.exp(-round(z, 6))), 6)

@@ -58,6 +58,109 @@ def _init_centroids(
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
+def fit_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iterations: int,
+) -> list[list[float]]:
+    """The Lloyd loop's centroid state after ``iterations - 1``
+    updates under the module's deterministic contract (rounded
+    distances before argmin, rounded means, empty clusters keep their
+    centroid). Factored out of kmeans_assignments so readouts that
+    need the model itself (silhouette, cluster profiles) share the
+    exact same trained state the assignments came from.
+
+    SCALE DESIGN: per update ONE corpus scan; only the k x dim rounded
+    means reach the driver."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    centroids = _init_centroids(df, id_col, vec_col, k)
+    if not centroids:
+        raise ValueError("fit_centroids: empty input frame")
+    base = df.select(F.col(id_col), F.col(vec_col))
+    for _ in range(iterations - 1):
+        kern = nearest_centroid_rounded_kernel(centroids)
+        stats = (
+            base.select(
+                kern(F.col(vec_col)).getField("cluster").alias("cl"),
+                F.posexplode(vec_col).alias("dim", "val"),
+            )
+            .groupBy("cl", "dim")
+            .agg(
+                F.round(F.avg(F.col("val").cast("double")), 6).alias("mu")
+            )
+            .collect()  # bounded: k x dim rows of 8-byte means
+        )
+        new_centroids = [list(c) for c in centroids]  # empty cells keep old
+        for row in stats:
+            new_centroids[row["cl"]][row["dim"]] = row["mu"]
+        centroids = new_centroids
+    return centroids
+
+
+def kmeans_silhouette(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Per-cluster SIMPLIFIED silhouette over the same trained k-means
+    state as kmeans_assignments: for each vector, a = Euclidean
+    distance to its own centroid, b = distance to the nearest OTHER
+    centroid, s = round((b - a) / greatest(a, b), 6) (0 when both are
+    0). Returns (cluster, n_vectors, avg_silhouette) — the clustering
+    validation readout that tells a pipeline whether k was sane before
+    it commits to cluster-balanced sampling rates.
+
+    The simplified (centroid-based) silhouette IS the scale story: the
+    classical definition needs all-pairs distances within and across
+    clusters (quadratic — impossible at corpus scale); against
+    centroids it is one kernel pass. Distances reuse the 6-decimal
+    rounded squared-L2 contract (then sqrt, which IEEE rounds exactly,
+    so both engines see identical doubles), making the whole readout
+    hash-checkable against the unrolled SQL twin.
+
+    SCALE DESIGN: one corpus scan through centroid_distances_kernel
+    (k x dim centroids in the closure), one map-side-combined
+    aggregate at cluster grain. No joins, no vector shuffle."""
+    from etl_as_a_service_spark.functions.vectors import (
+        centroid_distances_kernel,
+    )
+
+    centroids = fit_centroids(df, id_col, vec_col, k, iterations)
+    kern = centroid_distances_kernel(centroids)
+    d = df.select(F.col(id_col), kern(F.col(vec_col)).alias("d2"))
+    # own cluster = first position of the minimum (ties to the lowest
+    # index — the nearest_centroid_rounded_kernel convention)
+    own = (F.array_position("d2", F.array_min("d2")) - 1).cast("int")
+    d = d.select(id_col, "d2", own.alias("cluster"))
+    d = d.select(
+        id_col,
+        "cluster",
+        F.sqrt(
+            F.element_at("d2", (F.col("cluster") + 1).cast("int"))
+        ).alias("a"),
+        F.sqrt(
+            F.array_min(F.filter("d2", lambda _x, i: i != F.col("cluster")))
+        ).alias("b"),
+    )
+    s = F.when(F.greatest("a", "b") == 0.0, F.lit(0.0)).otherwise(
+        F.round((F.col("b") - F.col("a")) / F.greatest("a", "b"), 6)
+    )
+    return (
+        d.select("cluster", s.alias("s"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(F.avg("s"), 6).alias("avg_silhouette"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def kmeans_assignments(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -79,29 +182,8 @@ def kmeans_assignments(
     numpy argmin order) — run embedding_hygiene first; raises on an
     empty frame.
     """
-    if iterations < 1:
-        raise ValueError(f"iterations must be >= 1, got {iterations}")
-    centroids = _init_centroids(df, id_col, vec_col, k)
-    if not centroids:
-        raise ValueError("kmeans_assignments: empty input frame")
+    centroids = fit_centroids(df, id_col, vec_col, k, iterations)
     base = df.select(F.col(id_col), F.col(vec_col))
-    for _ in range(iterations - 1):
-        kern = nearest_centroid_rounded_kernel(centroids)
-        stats = (
-            base.select(
-                kern(F.col(vec_col)).getField("cluster").alias("cl"),
-                F.posexplode(vec_col).alias("dim", "val"),
-            )
-            .groupBy("cl", "dim")
-            .agg(
-                F.round(F.avg(F.col("val").cast("double")), 6).alias("mu")
-            )
-            .collect()  # bounded: k x dim rows of 8-byte means
-        )
-        new_centroids = [list(c) for c in centroids]  # empty cells keep old
-        for row in stats:
-            new_centroids[row["cl"]][row["dim"]] = row["mu"]
-        centroids = new_centroids
     kern = nearest_centroid_rounded_kernel(centroids)
     assigned = base.select(
         F.col(id_col),

@@ -507,3 +507,236 @@ def q247_cluster_keywords(spark, sf_dir):
         "cluster", F.col("rank").cast("long").alias("rank"),
         "term", "score",
     )
+
+
+# --------------------------------------------------------------------------
+# q248 — multinomial Naive Bayes language attribution (confusion matrix)
+# --------------------------------------------------------------------------
+@query(
+    "q248_naive_bayes_confusion",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, u.w
+      FROM documents, unnest(string_split(text, ' ')) AS u(w)
+    ),
+    cnt AS (SELECT lang, w, count(*) AS c FROM toks GROUP BY lang, w),
+    nl AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM toks GROUP BY lang
+    ),
+    vocab AS (SELECT DISTINCT w FROM toks),
+    vsz AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+    lik AS (
+      SELECT nl.lang, vocab.w,
+             round(ln((COALESCE(cnt.c, 0) + 1) / (nl.n + vsz.v)), 6)
+               AS logp
+      FROM nl CROSS JOIN vocab CROSS JOIN vsz
+      LEFT JOIN cnt ON cnt.lang = nl.lang AND cnt.w = vocab.w
+    ),
+    pri AS (
+      SELECT lang,
+             round(ln(count(*)
+               / CAST((SELECT count(*) FROM documents) AS DOUBLE)), 6)
+               AS lp
+      FROM documents GROUP BY lang
+    ),
+    dterm AS (
+      SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w
+    ),
+    score AS (
+      SELECT d.doc_id, l.lang,
+             round(any_value(p.lp) + sum(d.c * l.logp), 6) AS s
+      FROM dterm d JOIN lik l USING (w) JOIN pri p ON p.lang = l.lang
+      GROUP BY d.doc_id, l.lang
+    ),
+    pred AS (
+      SELECT doc_id, lang AS pred FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY s DESC, lang) AS rn
+        FROM score) WHERE rn = 1
+    )
+    SELECT t.lang AS actual, p.pred,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents t JOIN pred p USING (doc_id)
+    GROUP BY t.lang, p.pred
+    ORDER BY actual, pred
+    """,
+    tags=("ml", "classification", "langid", "llm", "operator"),
+)
+def q248_naive_bayes_confusion(spark, sf_dir):
+    """Multinomial Naive Bayes trained on the corpus's own lang tags
+    (add-one smoothing), re-scored over the training set, reported as
+    a confusion matrix — the cheap language-ID / source-attribution
+    model every curation stack runs (llm/classify.py). The contract
+    (round(ln, 6) likelihoods and priors, 6-decimal scores, argmax
+    ties to the smallest class) makes training AND inference exactly
+    reproducible in the SQL twin — a supervised model hash-checked
+    end to end.
+
+    SCALE DESIGN: counting aggregates all the way down; the
+    class x vocab likelihood table is vocab-bounded and joins doc
+    term counts on the TOKEN key (never classes x corpus); priors
+    broadcast. No UDFs."""
+    from etl_as_a_service_spark.llm.classify import naive_bayes_confusion
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return naive_bayes_confusion(docs, label_col="lang")
+
+
+# --------------------------------------------------------------------------
+# q249 — k-means simplified silhouette (clustering validation)
+# --------------------------------------------------------------------------
+@query(
+    "q249_kmeans_silhouette",
+    oracle=_KMEANS_CTE
+    + """
+    , bmin AS (
+      SELECT d2.vec_id, min(d2.d) AS b2
+      FROM d2 JOIN a2 USING (vec_id)
+      WHERE d2.c <> a2.cluster
+      GROUP BY d2.vec_id
+    ),
+    sil AS (
+      SELECT a2.cluster,
+             sqrt(a2.dist)  AS a,
+             sqrt(bmin.b2)  AS b
+      FROM a2 JOIN bmin USING (vec_id)
+    )
+    SELECT cluster,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(CASE WHEN greatest(a, b) = 0 THEN 0.0
+                          ELSE round((b - a) / greatest(a, b), 6) END), 6)
+             AS avg_silhouette
+    FROM sil GROUP BY cluster ORDER BY cluster
+    """,
+    tags=("ml", "clustering", "validation", "llm", "operator"),
+)
+def q249_kmeans_silhouette(spark, sf_dir):
+    """Per-cluster SIMPLIFIED silhouette of the q235 k-means state
+    (llm/clustering.kmeans_silhouette): a = distance to own centroid,
+    b = distance to the nearest other centroid, s = (b-a)/max(a,b) —
+    the k-sanity readout a pipeline checks before committing to
+    cluster-balanced sampling rates. Centroid-based silhouette is the
+    scale-honest variant (the classical definition is all-pairs =
+    quadratic); distances reuse the rounded-squared-L2 contract then
+    sqrt (IEEE-exact), so the SQL twin reproduces every value.
+
+    SCALE DESIGN: one corpus scan through the k-distance kernel, one
+    map-side-combined cluster-grain aggregate; no joins, no vector
+    shuffle (the oracle's join is the SQL spelling, not the plan)."""
+    from etl_as_a_service_spark.llm.clustering import kmeans_silhouette
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return kmeans_silhouette(emb, "vec_id", "embedding", k=8, iterations=2)
+
+
+# --------------------------------------------------------------------------
+# q252 — hashed-feature logistic regression (fastText-style quality clf)
+# --------------------------------------------------------------------------
+@query(
+    "q252_logistic_hash_clf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, u.w
+      FROM documents, unnest(string_split(text, ' ')) AS u(w)
+    ),
+    ntok AS (
+      SELECT doc_id, CAST(count(*) AS DOUBLE) AS n
+      FROM toks GROUP BY doc_id
+    ),
+    feat AS (
+      -- x is NOT rounded: the exact IEEE quotient is bit-identical on
+      -- both engines, and rounding would lattice the gradient terms
+      -- onto exact round-half boundaries (see llm/classify.py)
+      SELECT t.doc_id, t.j, count(*) / any_value(ntok.n) AS x
+      FROM (SELECT doc_id,
+                   CAST(('0x' || substr(md5('lg-v1-' || w), 1, 8))::BIGINT
+                        % 16 AS INTEGER) AS j
+            FROM toks) t
+      JOIN ntok USING (doc_id)
+      GROUP BY t.doc_id, t.j
+    ),
+    lab AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+    buckets AS (SELECT CAST(u.j AS INTEGER) AS j
+                FROM unnest(range(0, 16)) AS u(j)),
+    -- iteration 1: w = 0, b = 0 -> every p is exactly 0.5
+    g1 AS (
+      SELECT f.j,
+             round(sum((0.5 - lab.y) * f.x) / any_value(n.nd), 6) AS g
+      FROM feat f JOIN lab USING (doc_id) CROSS JOIN n
+      GROUP BY f.j
+    ),
+    gb1 AS (
+      SELECT round(sum(0.5 - y) / any_value(n.nd), 6) AS g
+      FROM lab CROSS JOIN n
+    ),
+    wa AS (
+      SELECT b.j, round(-2.0 * COALESCE(g1.g, 0.0), 6) AS w
+      FROM buckets b LEFT JOIN g1 USING (j)
+    ),
+    ba AS (SELECT round(-2.0 * g, 6) AS b FROM gb1),
+    -- iteration 2
+    z2 AS (
+      SELECT f.doc_id,
+             round(any_value(ba.b) + sum(wa.w * f.x), 6) AS z
+      FROM feat f JOIN wa USING (j) CROSS JOIN ba
+      GROUP BY f.doc_id
+    ),
+    r2 AS (
+      SELECT z2.doc_id,
+             round(1.0 / (1.0 + exp(-z2.z)), 6) - lab.y AS r
+      FROM z2 JOIN lab USING (doc_id)
+    ),
+    g2 AS (
+      SELECT f.j, round(sum(r2.r * f.x) / any_value(n.nd), 6) AS g
+      FROM feat f JOIN r2 USING (doc_id) CROSS JOIN n
+      GROUP BY f.j
+    ),
+    gb2 AS (SELECT round(sum(r) / any_value(n.nd), 6) AS g
+            FROM r2 CROSS JOIN n),
+    wb AS (
+      SELECT wa.j, round(wa.w - 2.0 * COALESCE(g2.g, 0.0), 6) AS w
+      FROM wa LEFT JOIN g2 USING (j)
+    ),
+    bb AS (SELECT round(ba.b - 2.0 * gb2.g, 6) AS b
+           FROM ba CROSS JOIN gb2)
+    -- + 0.0 normalizes IEEE -0.0 (round() of a tiny negative) so
+    -- both engines render the sign of zero identically
+    SELECT CAST(-1 AS INTEGER) AS j, ba.b + 0.0 AS w1, bb.b + 0.0 AS w2
+    FROM ba CROSS JOIN bb
+    UNION ALL
+    SELECT wa.j, wa.w + 0.0 AS w1, wb.w + 0.0 AS w2
+    FROM wa JOIN wb USING (j)
+    ORDER BY j
+    """,
+    tags=("ml", "classification", "training", "llm", "operator", "scale"),
+)
+def q252_logistic_hash_clf(spark, sf_dir):
+    """Hashed-bag-of-words logistic regression (the fastText/CCNet
+    quality-classifier shape) trained with 2 full-batch GD steps on
+    label = (lang = 'en'); output is the WEIGHT TRAJECTORY (bias as
+    j = -1, one column per iteration), so the oracle hash-checks the
+    entire training computation — gradients, updates, sigmoid — not a
+    summary (llm/classify.logistic_hash_train). Features hash tokens
+    into 16 buckets via the q239 md5 convention and length-normalize,
+    so both engines derive identical inputs; z/p/gradient/weights each
+    round to 6 decimals per step (the q235 iterative contract).
+
+    SCALE DESIGN: one corpus-scan aggregate per iteration; the model
+    (17 floats) is all that reaches the driver and re-enters the next
+    plan as literals; z is a map-side bucket-keyed sum per doc — no
+    weights-table join, no UDF anywhere."""
+    from etl_as_a_service_spark.llm.classify import logistic_hash_train
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return logistic_hash_train(
+        docs,
+        label=F.col("lang") == "en",
+        n_buckets=16,
+        iterations=2,
+        lr=2.0,
+    )

@@ -1823,3 +1823,84 @@ def q243_forecast_backtest(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q251 — MAD robust outlier screen per event type
+# --------------------------------------------------------------------------
+@query(
+    "q251_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, CAST(quantile_cont(value, 0.5) AS DOUBLE) AS m
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.event_id, e.value, m.m,
+             abs(e.value - m.m) AS ad
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, CAST(quantile_cont(ad, 0.5) AS DOUBLE) AS md
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT)    AS n_events,
+           round(any_value(d.m), 6)    AS med,
+           round(any_value(mad.md), 6) AS mad,
+           CAST(count_if(abs(0.6745 * (d.value - d.m) / mad.md) > 3.5)
+                AS BIGINT)             AS n_outliers,
+           CAST(COALESCE(sum(CASE WHEN abs(0.6745 * (d.value - d.m)
+                                           / mad.md) > 3.5
+                                  THEN d.event_id END), 0) AS BIGINT)
+                                       AS outlier_id_sum
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+    tags=("statistics", "robust", "anomaly", "operator"),
+)
+def q251_mad_outliers(spark, sf_dir):
+    """Median-absolute-deviation outlier screen per event type: robust
+    z = 0.6745 * (x - median) / MAD, flag |z| > 3.5 (the Iglewicz-
+    Hoaglin modified z-score rule). Unlike mean/stddev screens the
+    cut survives the very outliers it hunts — the metric-anomaly
+    triage a pipeline runs on ingest telemetry. Outliers are
+    identified by id_sum (the q209 receipt convention); threshold
+    compares the UNROUNDED z on both engines (exact medians make the
+    inputs identical; the ADVICE q219 rounding rule).
+
+    SCALE DESIGN: two exact-percentile aggregates at type grain (the
+    q209 quantile_gate shape — a few-row frame joined back, broadcast
+    by AQE), one flagging aggregate; never a window over the events,
+    never a sort."""
+    (ev,) = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("m")
+    )
+    dev = ev.join(med, "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        "m",
+        F.abs(F.col("value") - F.col("m")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("md")
+    )
+    z = F.abs(0.6745 * (F.col("value") - F.col("m")) / F.col("md"))
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.any_value("m"), 6).alias("med"),
+            F.round(F.any_value("md"), 6).alias("mad"),
+            F.count_if(z > 3.5).cast("long").alias("n_outliers"),
+            F.coalesce(
+                F.sum(F.when(z > 3.5, F.col("event_id"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("outlier_id_sum"),
+        )
+        .orderBy("event_type")
+    )

@@ -895,3 +895,100 @@ def q234_source_datasheet(spark, sf_dir):
         .agg(F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("lang_entropy"))
     )
     return per_source.join(lang_mix, "source").orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# q250 — Heaps'-law vocabulary growth per source
+# --------------------------------------------------------------------------
+@query(
+    "q250_heaps_law",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id, u.w
+      FROM documents, unnest(string_split(text, ' ')) AS u(w)
+    ),
+    dt AS (
+      SELECT source, doc_id, count(*) AS nt
+      FROM toks GROUP BY source, doc_id
+    ),
+    firsts AS (
+      SELECT source, w, min(doc_id) AS fd FROM toks GROUP BY source, w
+    ),
+    newv AS (
+      SELECT source, fd AS doc_id, count(*) AS nv
+      FROM firsts GROUP BY source, fd
+    ),
+    pts AS (
+      SELECT dt.source,
+             sum(dt.nt) OVER (PARTITION BY dt.source
+                              ORDER BY dt.doc_id) AS n_cum,
+             sum(COALESCE(newv.nv, 0)) OVER (PARTITION BY dt.source
+                                             ORDER BY dt.doc_id) AS v_cum
+      FROM dt LEFT JOIN newv USING (source, doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)   AS n_points,
+           CAST(max(n_cum) AS BIGINT) AS n_tokens,
+           CAST(max(v_cum) AS BIGINT) AS vocab,
+           round(regr_slope(ln(CAST(v_cum AS DOUBLE)),
+                            ln(CAST(n_cum AS DOUBLE))), 6) AS heaps_beta,
+           round(regr_intercept(ln(CAST(v_cum AS DOUBLE)),
+                                ln(CAST(n_cum AS DOUBLE))), 6) AS heaps_lnk,
+           round(regr_r2(ln(CAST(v_cum AS DOUBLE)),
+                         ln(CAST(n_cum AS DOUBLE))), 6) AS r2
+    FROM pts GROUP BY source ORDER BY source
+    """,
+    tags=("corpus", "heaps", "statistics", "text", "llm"),
+)
+def q250_heaps_law(spark, sf_dir):
+    """Heaps'-law fit of per-source vocabulary growth: V(n) ~ K n^beta
+    estimated by OLS of ln(cumulative vocab) on ln(cumulative tokens)
+    in doc_id order — q218's Zipf screen aimed at the other axis.
+    Natural text grows vocabulary sublinearly (beta ~ 0.4-0.6);
+    template-stamped or generated corpora flatten early (low beta,
+    high R2 break), duplicated crawls bend the curve down — the
+    corpus-diversity audit a mixing decision reads per source.
+
+    SCALE DESIGN: one explode scan feeds BOTH the per-doc token counts
+    and the per-(source, token) first-occurrence aggregate (map-side
+    combined; tokens travel once). The cumulative sums are windows
+    PARTITIONED BY source (never a global window), and the regression
+    is Spark's built-in regr_* reduce at source grain."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    dt = toks.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    newv = (
+        toks.groupBy("source", "w")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("source", "doc_id")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pts = (
+        dt.join(newv, ["source", "doc_id"], "left")
+        .select(
+            "source",
+            F.sum("nt").over(w).alias("n_cum"),
+            F.sum(F.coalesce(F.col("nv"), F.lit(0))).over(w).alias("v_cum"),
+        )
+    )
+    ln_v = F.log(F.col("v_cum").cast("double"))
+    ln_n = F.log(F.col("n_cum").cast("double"))
+    return (
+        pts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.max("n_cum").cast("long").alias("n_tokens"),
+            F.max("v_cum").cast("long").alias("vocab"),
+            F.round(F.regr_slope(ln_v, ln_n), 6).alias("heaps_beta"),
+            F.round(F.regr_intercept(ln_v, ln_n), 6).alias("heaps_lnk"),
+            F.round(F.regr_r2(ln_v, ln_n), 6).alias("r2"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,152 @@
+"""llm/classify.py + kmeans_silhouette — supervised-classifier and
+clustering-validation contract tests.
+
+The oracle gate (q248/q249/q252) hash-checks training end-to-end
+against DuckDB; these tests pin the semantic claims the oracle can't
+express: planted-structure recovery (a separable corpus must classify
+perfectly / silhouette near 1), the direction of the gradient step,
+feature normalization, and partitioning-independence.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.llm.classify import (
+    hashed_features,
+    logistic_hash_train,
+    naive_bayes_confusion,
+    sigmoid6,
+)
+from etl_as_a_service_spark.llm.clustering import kmeans_silhouette
+
+
+def _separable_docs(spark, parts=1):
+    # two languages with DISJOINT vocabularies -> NB must recover the
+    # tags perfectly and logistic must separate
+    rows = []
+    for i in range(20):
+        rows.append((2 * i, "alpha beta gamma alpha delta", "en"))
+        rows.append((2 * i + 1, "uno dos tres cuatro uno", "es"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    return df.repartition(parts) if parts > 1 else df
+
+
+def test_naive_bayes_separable_is_diagonal(spark):
+    out = naive_bayes_confusion(_separable_docs(spark)).collect()
+    got = {(r["actual"], r["pred"]): r["n_docs"] for r in out}
+    assert got == {("en", "en"): 20, ("es", "es"): 20}
+
+
+def test_naive_bayes_partitioning_independent(spark):
+    a = naive_bayes_confusion(_separable_docs(spark)).collect()
+    b = naive_bayes_confusion(_separable_docs(spark, parts=7)).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_hashed_features_normalized(spark):
+    feats = hashed_features(_separable_docs(spark), 16, "lg-v1-")
+    sums = (
+        feats.groupBy("doc_id")
+        .agg(F.round(F.sum("x"), 9).alias("s"))
+        .collect()
+    )
+    assert all(abs(r["s"] - 1.0) < 1e-9 for r in sums)
+    js = [r["j"] for r in feats.select("j").distinct().collect()]
+    assert all(0 <= j < 16 for j in js)
+
+
+def test_logistic_moves_toward_separation(spark):
+    docs = _separable_docs(spark)
+    traj = logistic_hash_train(
+        docs, label=F.col("lang") == "en", n_buckets=16, iterations=2
+    ).collect()
+    w = {r["j"]: (r["w1"], r["w2"]) for r in traj}
+    assert set(w) == set(range(-1, 16))
+    # buckets hit only by 'en' tokens must get POSITIVE weight (their
+    # residual is p - 1 < 0), 'es'-only buckets negative; and iteration
+    # 2 must push further in the same direction on a separable corpus
+    feats = hashed_features(docs, 16, "lg-v1-")
+    lab = docs.select("doc_id", (F.col("lang") == "en").alias("y"))
+    sides = (
+        feats.join(lab, "doc_id")
+        .groupBy("j")
+        .agg(F.count_distinct("y").alias("n_sides"),
+             F.any_value("y").alias("side"))
+        .collect()
+    )
+    for r in sides:
+        if r["n_sides"] == 1:
+            w1, w2 = w[r["j"]]
+            if r["side"]:
+                assert w1 > 0 and w2 > w1
+            else:
+                assert w1 < 0 and w2 < w1
+
+
+def test_logistic_matches_scalar_replica(spark):
+    """Drive the same contract with plain Python over the collected
+    feature rows — the training loop must reproduce it exactly."""
+    docs = _separable_docs(spark)
+    feats = {
+        (r["doc_id"], r["j"]): r["x"]
+        for r in hashed_features(docs, 16, "lg-v1-").collect()
+    }
+    ys = {r["doc_id"]: int(r["lang"] == "en") for r in docs.collect()}
+    n = len(ys)
+    w, b = [0.0] * 16, 0.0
+    for _ in range(2):
+        resid = {}
+        for d in ys:
+            z = round(b + sum(w[j] * x for (dd, j), x in feats.items()
+                              if dd == d), 6)
+            resid[d] = sigmoid6(z) - ys[d]
+        grads = [0.0] * 16
+        for (d, j), x in feats.items():
+            grads[j] += resid[d] * x
+        w = [round(w[j] - 2.0 * round(grads[j] / n, 6), 6) + 0.0
+             for j in range(16)]
+        b = round(b - 2.0 * round(sum(resid.values()) / n, 6), 6) + 0.0
+    got = {
+        r["j"]: (r["w1"], r["w2"])
+        for r in logistic_hash_train(
+            docs, label=F.col("lang") == "en", n_buckets=16, iterations=2
+        ).collect()
+    }
+    assert got[-1][1] == b
+    for j in range(16):
+        assert got[j][1] == w[j], (j, got[j][1], w[j])
+
+
+def test_sigmoid6_contract():
+    assert sigmoid6(0.0) == 0.5
+    assert sigmoid6(100.0) == 1.0
+    assert abs(sigmoid6(1.0) - round(1 / (1 + math.exp(-1.0)), 6)) == 0
+
+
+def test_silhouette_separable_blobs_near_one(spark):
+    # two tight far-apart blobs, k=2: a ~ 0.01-ish, b ~ 28 -> s ~ 1
+    rows = []
+    for i in range(10):
+        rows.append((2 * i, [10.0 + 0.01 * i, 10.0, 0.0, 0.0]))
+        rows.append((2 * i + 1, [-10.0, -10.0 - 0.01 * i, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_silhouette(df, "vec_id", "embedding", k=2, iterations=2)
+    got = {r["cluster"]: r for r in out.collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["n_vectors"] == 10 and got[1]["n_vectors"] == 10
+    assert got[0]["avg_silhouette"] > 0.99
+    assert got[1]["avg_silhouette"] > 0.99
+
+
+def test_silhouette_single_cluster_overlap_low(spark):
+    # one blob split across k=2: the nearest other centroid is inside
+    # the same cloud, so silhouette must be far from 1
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 0.0, 0.0])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_silhouette(df, "vec_id", "embedding", k=2, iterations=2)
+    vals = [r["avg_silhouette"] for r in out.collect()]
+    assert vals and all(v < 0.8 for v in vals)
