@@ -555,3 +555,40 @@ def quantile_gate(
     if keep_threshold:
         return out.withColumnRenamed("__gate_thr", "gate_threshold")
     return out.drop("__gate_thr")
+
+
+def stratified_kfold(
+    df: DataFrame,
+    strata_col: str,
+    k: int = 5,
+    id_col: str = "doc_id",
+    salt: str = "cv-v1-",
+) -> DataFrame:
+    """Deterministic stratified k-fold assignment: within each stratum,
+    rows are ordered by their md5 hash (the q79 hash-order convention —
+    pseudo-random but engine-portable and reproducible across runs,
+    partitionings, and engines) and dealt round-robin into ``k`` folds,
+    so every stratum's folds are balanced to within one row — the
+    cross-validation splitter that a naive ``hash % k`` cannot give you
+    (hash-mod folds drift binomially). q132 is the GROUP-leakage-safe
+    split; this is the class-balance-exact one.
+
+    Returns the input plus a ``fold`` column (0..k-1).
+
+    SCALE DESIGN: one window PARTITIONED BY stratum (never global),
+    ordered by the 8-hex md5 prefix + id tiebreak; the deal is a
+    modulo on the per-stratum row number. At millions of strata the
+    window keys spread; for a single giant stratum the hash-order sort
+    is the honest cost of exact balance (use hash % k when binomial
+    drift is acceptable)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    )
+    return df.withColumn("fold", ((rn - 1) % k).cast("int"))

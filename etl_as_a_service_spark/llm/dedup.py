@@ -1145,3 +1145,136 @@ def ngram_containment_pairs(
             F.round(containment, 6).alias("containment"),
         )
     )
+
+
+def md5_hash64(col, salt: str):
+    """Engine-portable 32-bit hash as BIGINT: the first 8 md5 hex
+    digits of ``salt || col`` (DuckDB twin:
+    ``('0x' || substr(md5(salt || x), 1, 8))::BIGINT`` — the q239
+    hash-to-number convention). Slower than xxhash64 but derivable in
+    ANY engine, which is what makes a full LSH pipeline oracle-able."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perms: int = 8,
+    band_rows: int = 2,
+    shingle_n: int = 3,
+    salt: str = "mh",
+) -> DataFrame:
+    """MinHash + banded-LSH candidate pairs with EXACT Jaccard verify,
+    built entirely from the md5 hash family so the whole pipeline —
+    signatures, banding, candidate join, verification — has a DuckDB
+    twin (q253). The production near-dup path (minhash_near_duplicates,
+    q47) keeps the faster xxhash64 kernels and its recall gate; this
+    operator is its oracle-checkable shape: same banding math, portable
+    hashes, and it RETURNS the candidates (with per-pair shared-band
+    count and exact Jaccard) rather than collapsing to clusters, so
+    false positives stay visible (a band collision with tiny true
+    Jaccard is part of the declared semantics, not a bug).
+
+    Shingles are positional word ``shingle_n``-grams over a
+    single-space split; docs with fewer than ``shingle_n`` tokens emit
+    none (the q219 drop-short convention). minhash_p(doc) =
+    min over shingles of md5_hash64('<salt><p>-', shingle).
+
+    SCALE DESIGN: the signature is ONE map-side-combined aggregate
+    (n_perms conditional mins over the exploded distinct shingles);
+    the band join ships (id, band, key) ONLY — never text (the q148
+    ids-only rule); candidates are grouped before verification so each
+    pair verifies once; exact verify joins shingles through the
+    bounded candidate set (semi-join pushdown), never all-pairs.
+    """
+    if n_perms % band_rows != 0:
+        raise ValueError(
+            f"n_perms ({n_perms}) must be divisible by band_rows "
+            f"({band_rows})"
+        )
+    toks = F.split(F.col(text_col), " ")
+    sh = (
+        df.filter(F.size(toks) >= shingle_n)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(shingles_from_tokens(toks, shingle_n)).alias("s"),
+        )
+        .distinct()
+    )
+    mh = sh.groupBy("__id").agg(
+        *[
+            F.min(md5_hash64(F.col("s"), f"{salt}{p}-")).alias(f"h{p}")
+            for p in range(n_perms)
+        ]
+    )
+    n_bands = n_perms // band_rows
+    bands = mh.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"h{b * band_rows + r}").cast(
+                                    "string"
+                                )
+                                for r in range(band_rows)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "bk.band", "bk.key")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.__id").alias("doc_a"),
+            F.col("b.__id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
+    )
+    cnt = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(sh.alias("sa"), F.col("doc_a") == F.col("sa.__id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.__id"))
+            & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = cnt.select(F.col("__id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("__id").alias("doc_b"), F.col("n").alias("nb"))
+    i0 = F.coalesce(F.col("i"), F.lit(0))
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_bands",
+            F.round(
+                i0 / (F.col("na") + F.col("nb") - i0).cast("double"), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -2362,3 +2362,91 @@ def q219_containment_pairs(spark, sf_dir):
     return ngram_containment_pairs(
         corpus, "text", "doc_id", n=3, threshold=0.6
     ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# q253 — portable MinHash LSH: the fully oracle-checked near-dup pipeline
+# --------------------------------------------------------------------------
+@query(
+    "q253_minhash_lsh_portable",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, w1 || ' ' || w2 || ' ' || w3 AS s
+      FROM (
+        SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+             UNNEST(range(1, len(toks) - 1)) AS t(i)
+      )
+    ),
+    mh AS (
+      SELECT doc_id,
+             min(('0x' || substr(md5('mh0-' || s), 1, 8))::BIGINT) AS h0,
+             min(('0x' || substr(md5('mh1-' || s), 1, 8))::BIGINT) AS h1,
+             min(('0x' || substr(md5('mh2-' || s), 1, 8))::BIGINT) AS h2,
+             min(('0x' || substr(md5('mh3-' || s), 1, 8))::BIGINT) AS h3,
+             min(('0x' || substr(md5('mh4-' || s), 1, 8))::BIGINT) AS h4,
+             min(('0x' || substr(md5('mh5-' || s), 1, 8))::BIGINT) AS h5,
+             min(('0x' || substr(md5('mh6-' || s), 1, 8))::BIGINT) AS h6,
+             min(('0x' || substr(md5('mh7-' || s), 1, 8))::BIGINT) AS h7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band,
+             CAST(h0 AS VARCHAR) || '_' || CAST(h1 AS VARCHAR) AS key
+      FROM mh
+      UNION ALL SELECT doc_id, 1,
+             CAST(h2 AS VARCHAR) || '_' || CAST(h3 AS VARCHAR) FROM mh
+      UNION ALL SELECT doc_id, 2,
+             CAST(h4 AS VARCHAR) || '_' || CAST(h5 AS VARCHAR) FROM mh
+      UNION ALL SELECT doc_id, 3,
+             CAST(h6 AS VARCHAR) || '_' || CAST(h7 AS VARCHAR) FROM mh
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_bands
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                                AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b, c.n_bands,
+           round(COALESCE(i.i, 0)
+                 / CAST(ca.n + cb.n - COALESCE(i.i, 0) AS DOUBLE), 6)
+             AS jaccard
+    FROM cand c
+    LEFT JOIN inter i USING (doc_a, doc_b)
+    JOIN cnt ca ON ca.doc_id = c.doc_a
+    JOIN cnt cb ON cb.doc_id = c.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "minhash", "lsh", "llm", "operator", "scale"),
+)
+def q253_minhash_lsh_portable(spark, sf_dir):
+    """MinHash + banded LSH with exact-Jaccard verification, built on
+    the md5 hash family so the ENTIRE near-dup pipeline — signatures,
+    banding, candidate join, verify — is value-hash-checked against
+    DuckDB (llm/dedup.minhash_lsh_pairs_portable). q47's production
+    path keeps the faster xxhash64 kernels with a recall-gated pytest;
+    this is the same banding math under the strongest gate available.
+    8 permutations, 4 bands x 2 rows; output keeps every band
+    candidate with its shared-band count and true Jaccard, so LSH
+    false positives (a band collision at J ~ 0.008 exists in the
+    fixture) are part of the checked semantics.
+
+    SCALE DESIGN: signature = ONE map-side-combined aggregate (8
+    conditional mins over distinct shingles); the band self-join ships
+    (id, band, key) only; verification joins shingles through the
+    bounded candidate set, never all-pairs."""
+    from etl_as_a_service_spark.llm.dedup import minhash_lsh_pairs_portable
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_portable(
+        docs, "text", "doc_id", n_perms=8, band_rows=2, shingle_n=3
+    )

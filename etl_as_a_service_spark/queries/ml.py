@@ -740,3 +740,55 @@ def q252_logistic_hash_clf(spark, sf_dir):
         iterations=2,
         lr=2.0,
     )
+
+
+# --------------------------------------------------------------------------
+# q254 — stratified k-fold assignment (cross-validation splitter)
+# --------------------------------------------------------------------------
+@query(
+    "q254_stratified_kfold",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5('cv-v1-' || CAST(doc_id AS VARCHAR)),
+                               1, 8),
+                        doc_id) AS rn
+      FROM documents
+    ),
+    folds AS (
+      SELECT doc_id, lang, CAST((rn - 1) % 5 AS INTEGER) AS fold
+      FROM ranked
+    )
+    SELECT lang, fold,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM folds GROUP BY lang, fold ORDER BY lang, fold
+    """,
+    tags=("ml", "cv", "sampling", "llm", "operator"),
+)
+def q254_stratified_kfold(spark, sf_dir):
+    """Stratified 5-fold cross-validation assignment
+    (llm/curation.stratified_kfold): within each lang stratum, docs
+    are ordered by md5 hash (engine-portable pseudo-randomness, the
+    q79 convention) and dealt round-robin, so folds are balanced to
+    within one row per stratum — what a naive hash % k cannot
+    guarantee. The id_sum receipt proves both engines put the SAME
+    documents in the same folds, not just the same counts. q132 is
+    the group-leakage-safe split; this is the class-balance-exact one.
+
+    SCALE DESIGN: one window PARTITIONED BY stratum (never global)
+    plus a modulo; the readout aggregate is stratum x fold grain."""
+    from etl_as_a_service_spark.llm.curation import stratified_kfold
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        stratified_kfold(docs, "lang", k=5, id_col="doc_id")
+        .groupBy("lang", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("lang", "fold")
+    )

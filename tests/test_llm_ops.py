@@ -1089,3 +1089,103 @@ def test_containment_prefix_filter_is_pure_optimization(spark):
     )
     a, b = rows(True), rows(False)
     assert a == b and len(a) > 0
+
+
+# --------------------------------------------------------------------------
+# minhash_lsh_pairs_portable (q253) — oracle gate plus semantic pins
+# --------------------------------------------------------------------------
+def test_portable_lsh_identical_docs_share_all_bands(spark):
+    from etl_as_a_service_spark.llm.dedup import minhash_lsh_pairs_portable
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i j"),          # identical to 1
+        (3, "z y x w v u t s r q"),          # unrelated
+        (4, "a b"),                           # below shingle_n: no shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_lsh_pairs_portable(df).collect()
+    got = {(r["doc_a"], r["doc_b"]): r for r in out}
+    assert (1, 2) in got
+    assert got[(1, 2)]["n_bands"] == 4
+    assert got[(1, 2)]["jaccard"] == 1.0
+    # the short doc and the unrelated doc never pair up
+    ids = {i for p in got for i in p}
+    assert 4 not in ids and (1, 3) not in got and (2, 3) not in got
+
+
+def test_portable_lsh_partitioning_independent(spark, docs):
+    from etl_as_a_service_spark.llm.dedup import minhash_lsh_pairs_portable
+
+    a = minhash_lsh_pairs_portable(docs).collect()
+    b = minhash_lsh_pairs_portable(docs.repartition(13)).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) > 0  # fixture plants near-dups
+
+
+def test_portable_lsh_validates_band_geometry(spark, docs):
+    from etl_as_a_service_spark.llm.dedup import minhash_lsh_pairs_portable
+
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs_portable(docs, n_perms=8, band_rows=3)
+
+
+def test_portable_lsh_agrees_with_exact_jaccard(spark, docs):
+    """Every candidate's reported jaccard must equal the exact
+    string-shingle Jaccard computed independently."""
+    from etl_as_a_service_spark.llm.dedup import (
+        minhash_lsh_pairs_portable,
+        shingles_from_tokens,
+    )
+
+    out = minhash_lsh_pairs_portable(docs).collect()
+    toks = F.split(F.col("text"), " ")
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.filter(F.size(toks) >= 3)
+        .select("doc_id", shingles_from_tokens(toks, 3).alias("sh"))
+        .collect()
+    }
+    for r in out:
+        a, b = sh[r["doc_a"]], sh[r["doc_b"]]
+        expect = round(len(a & b) / len(a | b), 6)
+        assert r["jaccard"] == expect, (r, expect)
+
+
+# --------------------------------------------------------------------------
+# stratified_kfold (q254)
+# --------------------------------------------------------------------------
+def test_stratified_kfold_balanced_within_one(spark, docs):
+    from etl_as_a_service_spark.llm.curation import stratified_kfold
+
+    out = (
+        stratified_kfold(docs, "lang", k=5)
+        .groupBy("lang", "fold")
+        .count()
+        .collect()
+    )
+    by_lang: dict[str, list[int]] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["count"])
+    for lang, counts in by_lang.items():
+        assert len(counts) == 5, (lang, counts)
+        assert max(counts) - min(counts) <= 1, (lang, counts)
+
+
+def test_stratified_kfold_deterministic_and_disjoint(spark, docs):
+    from etl_as_a_service_spark.llm.curation import stratified_kfold
+
+    a = {r["doc_id"]: r["fold"]
+         for r in stratified_kfold(docs, "lang", k=5).collect()}
+    b = {r["doc_id"]: r["fold"]
+         for r in stratified_kfold(docs.repartition(9), "lang", k=5)
+         .collect()}
+    assert a == b
+    assert len(a) == docs.count()  # every row assigned exactly once
+
+
+def test_stratified_kfold_validates_k(spark, docs):
+    from etl_as_a_service_spark.llm.curation import stratified_kfold
+
+    with pytest.raises(ValueError, match="k must be"):
+        stratified_kfold(docs, "lang", k=1)
