@@ -190,7 +190,7 @@ def hashed_features(
     )
 
 
-def logistic_hash_train(
+def logistic_hash_fit(
     docs: DataFrame,
     label: F.Column | None = None,
     n_buckets: int = 16,
@@ -199,26 +199,12 @@ def logistic_hash_train(
     salt: str = "lg-v1-",
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> DataFrame:
-    """Full-batch gradient-descent logistic regression on hashed
-    bag-of-words features; returns the weight trajectory — one row per
-    bucket (bias as j = -1) with a ``w_i`` column per iteration — so
-    the oracle hash-checks the ENTIRE training computation, not just a
-    final readout.
-
-    Per-step rounding contract (mirrored by the unrolled SQL twin):
-    z = round(b + sum_j w_j x_j, 6); p = round(sigmoid(z), 6);
-    grad_j = round(sum_d (p_d - y_d) x_dj / N, 6) (N = corpus size, so
-    absent features contribute 0 to the sum but stay in the mean);
-    w_j <- round(w_j - lr * grad_j, 6). Weights start at zero, making
-    iteration 1's predictions exactly 0.5 — the twin exploits this.
-
-    SCALE DESIGN: one corpus-scan aggregate per iteration; the model
-    (n_buckets+1 floats) is the ONLY thing collected, and it re-enters
-    the next iteration's plan as literals (kmeans_assignments'
-    bounded-metadata loop). The z computation is a map-side
-    sum(w_literal[j] * x) per doc — a token-keyed aggregate, no join
-    against a weights table, no UDF."""
+) -> tuple[list[float], float, list[list[float]], DataFrame]:
+    """Run the GD loop (contract documented on logistic_hash_train) and
+    return ``(weights, bias, trajectory, fx)`` — the fitted model, the
+    per-iteration [bias, w0..] snapshots, and the checkpointed feature
+    frame (with the y label column) so an eval pass can score without
+    re-featurizing."""
     if label is None:
         label = F.col("lang") == "en"
     feats = hashed_features(docs, n_buckets, salt, id_col, text_col)
@@ -277,14 +263,156 @@ def logistic_hash_train(
         ]
         b = round(b - lr * float(gb_row[0]["g"]), 6) + 0.0
         trajectory.append([b] + list(w))
+    return w, b, trajectory, fx
+
+
+def logistic_hash_train(
+    docs: DataFrame,
+    label: F.Column | None = None,
+    n_buckets: int = 16,
+    iterations: int = 2,
+    lr: float = 2.0,
+    salt: str = "lg-v1-",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full-batch gradient-descent logistic regression on hashed
+    bag-of-words features; returns the weight trajectory — one row per
+    bucket (bias as j = -1) with a ``w_i`` column per iteration — so
+    the oracle hash-checks the ENTIRE training computation, not just a
+    final readout.
+
+    Per-step rounding contract (mirrored by the unrolled SQL twin):
+    z = round(b + sum_j w_j x_j, 6); p = round(sigmoid(z), 6);
+    grad_j = round(sum_d (p_d - y_d) x_dj / N, 6) (N = corpus size, so
+    absent features contribute 0 to the sum but stay in the mean);
+    w_j <- round(w_j - lr * grad_j, 6). Weights start at zero, making
+    iteration 1's predictions exactly 0.5 — the twin exploits this.
+
+    SCALE DESIGN: one corpus-scan aggregate per iteration; the model
+    (n_buckets+1 floats) is the ONLY thing collected, and it re-enters
+    the next iteration's plan as literals (kmeans_assignments'
+    bounded-metadata loop). The z computation is a map-side
+    sum(w_literal[j] * x) per doc — a token-keyed aggregate, no join
+    against a weights table, no UDF."""
+    _w, _b, trajectory, _fx = logistic_hash_fit(
+        docs, label, n_buckets, iterations, lr, salt, id_col, text_col
+    )
     spark = docs.sparkSession
     rows = [
         tuple([j] + [traj[j + 1] for traj in trajectory])
         for j in range(-1, n_buckets)
     ]
-    cols = ["j"] + [f"w{i + 1}" for i in range(iterations)]
-    schema = "j int, " + ", ".join(f"w{i + 1} double" for i in range(iterations))
+    schema = "j int, " + ", ".join(
+        f"w{i + 1} double" for i in range(iterations)
+    )
     return spark.createDataFrame(rows, schema).orderBy("j")
+
+
+def logistic_hash_eval(
+    docs: DataFrame,
+    label: F.Column | None = None,
+    n_buckets: int = 16,
+    iterations: int = 2,
+    lr: float = 2.0,
+    salt: str = "lg-v1-",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    auc_bins: int = 1000,
+) -> DataFrame:
+    """Train (logistic_hash_fit) then evaluate on the training set:
+    one row of (n_docs, n_pos, accuracy, log_loss, auc) — the
+    quality-classifier acceptance readout a curation pipeline gates on
+    before trusting the filter.
+
+    Contract (mirrored by the SQL twin):
+    - score p = round(sigmoid(round(b + sum w_j x_j, 6)), 6) — the
+      training-loop scoring expression with the FINAL weights;
+    - accuracy: predict positive at p >= 0.5;
+    - log-loss on p clamped to [1e-6, 1 - 1e-6] (a rounded p can be
+      exactly 0 or 1);
+    - AUC from ``auc_bins`` equal-width score bins via the tie-aware
+      midrank formula (binned scores ARE ties, so this is the exact
+      Mann-Whitney AUC of the binned scores — the scalable form: the
+      rank pass runs over the BOUNDED bin domain, never the corpus).
+
+    SCALE DESIGN: one scoring aggregate over the checkpointed feature
+    frame, one bin aggregate, and a window over <= auc_bins + 1 rows
+    (aggregate-grain, the q214 pattern); three scalars join at the
+    end. Nothing corpus-sized is sorted or collected."""
+    from pyspark.sql import Window
+
+    w, b, _traj, fx = logistic_hash_fit(
+        docs, label, n_buckets, iterations, lr, salt, id_col, text_col
+    )
+    w_arr = F.array(*[F.lit(v) for v in w])
+    z = F.round(
+        F.lit(b)
+        + F.sum(
+            F.element_at(w_arr, (F.col("j") + 1).cast("int")) * F.col("x")
+        ),
+        6,
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6)
+    scored = (
+        fx.groupBy("doc_id")
+        .agg(z.alias("z"), F.any_value("y").alias("y"))
+        .select("doc_id", "y", p.alias("p"))
+    )
+    # both clamp bounds as PARSED decimal literals (0.999999, not the
+    # computed 1 - 1e-6, which can differ by an ulp from the SQL parse)
+    pc = F.least(F.greatest(F.col("p"), F.lit(0.000001)), F.lit(0.999999))
+    acc = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.round(
+            F.avg(
+                ((F.col("p") >= 0.5).cast("int") == F.col("y")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("accuracy"),
+        F.round(
+            -F.avg(
+                F.col("y") * F.log(pc)
+                + (1 - F.col("y")) * F.log(1 - pc)
+            ),
+            6,
+        ).alias("log_loss"),
+    )
+    bins = (
+        scored.groupBy(
+            F.floor(F.col("p") * auc_bins).cast("int").alias("bin")
+        )
+        .agg(
+            F.sum("y").cast("long").alias("pos"),
+            (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+        )
+    )
+    # midrank over the bounded bin domain (<= auc_bins + 1 rows — the
+    # q214 aggregate-grain window, never the corpus)
+    before = F.coalesce(
+        F.sum(F.col("pos") + F.col("neg")).over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ),
+        F.lit(0),
+    )
+    mid = before + (F.col("pos") + F.col("neg") + 1) / 2.0
+    ranked = bins.select("pos", "neg", mid.alias("midrank"))
+    auc = ranked.agg(
+        F.round(
+            (
+                F.sum(F.col("pos") * F.col("midrank"))
+                - F.sum("pos") * (F.sum("pos") + 1) / 2.0
+            )
+            / (F.sum("pos") * F.sum("neg")).cast("double"),
+            6,
+        ).alias("auc")
+    )
+    return acc.crossJoin(auc)
 
 
 def sigmoid6(z: float) -> float:

@@ -630,12 +630,13 @@ def q249_kmeans_silhouette(spark, sf_dir):
     return kmeans_silhouette(emb, "vec_id", "embedding", k=8, iterations=2)
 
 
-# --------------------------------------------------------------------------
-# q252 — hashed-feature logistic regression (fastText-style quality clf)
-# --------------------------------------------------------------------------
-@query(
-    "q252_logistic_hash_clf",
-    oracle="""
+
+
+# Shared unrolled logistic-GD prefix (16 md5 buckets, 2 full-batch
+# steps): feat = length-normalized hashed features (UNROUNDED x — see
+# llm/classify.py), wa/ba = weights and bias after step 1, wb/bb after
+# step 2. q252 reads the trajectory; q255 scores the final model.
+_LOGISTIC_CTE = """
     WITH toks AS (
       SELECT doc_id, u.w
       FROM documents, unnest(string_split(text, ' ')) AS u(w)
@@ -704,7 +705,15 @@ def q249_kmeans_silhouette(spark, sf_dir):
     ),
     bb AS (SELECT round(ba.b - 2.0 * gb2.g, 6) AS b
            FROM ba CROSS JOIN gb2)
-    -- + 0.0 normalizes IEEE -0.0 (round() of a tiny negative) so
+"""
+
+# --------------------------------------------------------------------------
+# q252 — hashed-feature logistic regression (fastText-style quality clf)
+# --------------------------------------------------------------------------
+@query(
+    "q252_logistic_hash_clf",
+    oracle=_LOGISTIC_CTE
+    + """    -- + 0.0 normalizes IEEE -0.0 (round() of a tiny negative) so
     -- both engines render the sign of zero identically
     SELECT CAST(-1 AS INTEGER) AS j, ba.b + 0.0 AS w1, bb.b + 0.0 AS w2
     FROM ba CROSS JOIN bb
@@ -791,4 +800,75 @@ def q254_stratified_kfold(spark, sf_dir):
             F.sum("doc_id").cast("long").alias("id_sum"),
         )
         .orderBy("lang", "fold")
+    )
+
+
+# --------------------------------------------------------------------------
+# q255 — classifier evaluation: accuracy / log-loss / binned AUC
+# --------------------------------------------------------------------------
+@query(
+    "q255_classifier_eval",
+    oracle=_LOGISTIC_CTE
+    + """
+    , score AS (
+      SELECT f.doc_id,
+             round(1.0 / (1.0 + exp(-(round(any_value(bb.b)
+                   + sum(wb.w * f.x), 6)))), 6) AS p
+      FROM feat f JOIN wb USING (j) CROSS JOIN bb
+      GROUP BY f.doc_id
+    ),
+    sy AS (SELECT s.p, lab.y FROM score s JOIN lab USING (doc_id)),
+    acc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(y) AS BIGINT)   AS n_pos,
+             round(avg(CASE WHEN (p >= 0.5) = (y = 1)
+                            THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+             round(-avg(y * ln(least(greatest(p, 0.000001), 0.999999))
+                        + (1 - y)
+                          * ln(1 - least(greatest(p, 0.000001),
+                                         0.999999))), 6) AS log_loss
+      FROM sy
+    ),
+    bins AS (
+      SELECT CAST(floor(p * 1000) AS INTEGER) AS bin,
+             CAST(sum(y) AS BIGINT)            AS pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS neg
+      FROM sy GROUP BY bin
+    ),
+    ranked AS (
+      SELECT pos, neg,
+             COALESCE(sum(pos + neg) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (pos + neg + 1) / 2.0 AS midrank
+      FROM bins
+    ),
+    auc AS (
+      SELECT round((sum(pos * midrank)
+                    - sum(pos) * (sum(pos) + 1) / 2.0)
+                   / CAST(sum(pos) * sum(neg) AS DOUBLE), 6) AS auc
+      FROM ranked
+    )
+    SELECT acc.n_docs, acc.n_pos, acc.accuracy, acc.log_loss, auc.auc
+    FROM acc CROSS JOIN auc
+    """,
+    tags=("ml", "classification", "evaluation", "llm", "operator"),
+)
+def q255_classifier_eval(spark, sf_dir):
+    """Acceptance readout for the q252 quality classifier
+    (llm/classify.logistic_hash_eval): train the same 2-step model,
+    then accuracy at p>=0.5, clamped log-loss, and AUC — computed
+    tie-aware over 1000 equal-width score bins, which makes the rank
+    pass run on a BOUNDED domain (the q214 aggregate-grain window)
+    instead of sorting the corpus: the scalable AUC every eval
+    harness actually ships. The oracle re-derives training AND all
+    three metrics, so the full train->eval loop is hash-checked.
+
+    SCALE DESIGN: one scoring aggregate over the checkpointed feature
+    frame, one bin aggregate, a <=1001-row midrank window, three
+    scalars joined at the end."""
+    from etl_as_a_service_spark.llm.classify import logistic_hash_eval
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return logistic_hash_eval(
+        docs, label=F.col("lang") == "en", n_buckets=16, iterations=2
     )

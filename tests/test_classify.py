@@ -25,11 +25,15 @@ from etl_as_a_service_spark.llm.clustering import kmeans_silhouette
 
 def _separable_docs(spark, parts=1):
     # two languages with DISJOINT vocabularies -> NB must recover the
-    # tags perfectly and logistic must separate
+    # tags perfectly and logistic must separate. The per-doc unique
+    # token keeps the docs NON-degenerate: identical docs make every
+    # gradient sum a multiple of one term, which lands exactly on
+    # round-half lattice points where engines' sum orders legitimately
+    # disagree at the 6th decimal (the q252 lattice lesson).
     rows = []
     for i in range(20):
-        rows.append((2 * i, "alpha beta gamma alpha delta", "en"))
-        rows.append((2 * i + 1, "uno dos tres cuatro uno", "es"))
+        rows.append((2 * i, f"alpha beta gamma alpha delta en{i}", "en"))
+        rows.append((2 * i + 1, f"uno dos tres cuatro uno es{i}", "es"))
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     return df.repartition(parts) if parts > 1 else df
 
@@ -150,3 +154,32 @@ def test_silhouette_single_cluster_overlap_low(spark):
     out = kmeans_silhouette(df, "vec_id", "embedding", k=2, iterations=2)
     vals = [r["avg_silhouette"] for r in out.collect()]
     assert vals and all(v < 0.8 for v in vals)
+
+
+def test_logistic_eval_metrics_contract(spark):
+    """On the separable corpus the 2-step model must already rank
+    perfectly (AUC 1.0 on binned scores), classify everything right,
+    and log-loss must beat the all-0.5 baseline ln(2)."""
+    from etl_as_a_service_spark.llm.classify import logistic_hash_eval
+
+    docs = _separable_docs(spark)
+    row = logistic_hash_eval(
+        docs, label=F.col("lang") == "en", n_buckets=16, iterations=2
+    ).collect()[0]
+    assert row["n_docs"] == 40 and row["n_pos"] == 20
+    assert row["accuracy"] == 1.0
+    assert row["auc"] == 1.0
+    assert 0 < row["log_loss"] < math.log(2)
+
+
+def test_logistic_eval_auc_degenerate_binning(spark):
+    """With ONE bin every score ties: midrank AUC must be exactly 0.5
+    (the tie-aware formula's degenerate case), not NaN or 1."""
+    from etl_as_a_service_spark.llm.classify import logistic_hash_eval
+
+    docs = _separable_docs(spark)
+    row = logistic_hash_eval(
+        docs, label=F.col("lang") == "en", n_buckets=16, iterations=2,
+        auc_bins=1,
+    ).collect()[0]
+    assert row["auc"] == 0.5
