@@ -842,3 +842,67 @@ def distinct_sketch_estimates(state_df: DataFrame) -> DataFrame:
     return state_df.select(
         *keys, F.hll_sketch_estimate("hll").alias("distinct_est")
     )
+
+
+def robust_stats(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Batch-fit per-key robust location/scale: exact median and MAD
+    (median absolute deviation) — the model for the streaming robust-z
+    screen below and the batch q251 readout. Two exact-percentile
+    aggregates at key grain (the q209 quantile shape); output is a
+    key-grain frame, bounded by the key cardinality."""
+    med = df.groupBy(*keys).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("med")
+    )
+    return (
+        df.join(med, keys)
+        .select(
+            *keys,
+            "med",
+            F.abs(F.col(value_col) - F.col("med")).alias("__ad"),
+        )
+        .groupBy(*keys)
+        .agg(
+            F.any_value("med").alias("med"),
+            F.percentile("__ad", F.lit(0.5)).alias("mad"),
+        )
+    )
+
+
+def streaming_robust_zscore(
+    stream_df: DataFrame,
+    stats_df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Stateless streaming anomaly screen: Iglewicz-Hoaglin modified
+    z = 0.6745 * (x - median) / MAD against BATCH-FITTED per-key
+    robust stats (robust_stats / q251's rule), flagged at
+    ``threshold``. The fit/serve split is the production shape: stats
+    re-fit on a batch cadence, the stream scores with a stream-static
+    BROADCAST join + codegen expression — no state store, no
+    watermark, every micro-batch row-identical to the batch screen
+    over the same rows (tested).
+
+    A key with MAD = 0 (constant history) yields NULL robust_z and
+    is_outlier=false rather than infinity — a degenerate model must
+    not page anyone; keys absent from the stats frame pass through
+    with NULL z (left join) for the same reason."""
+    z = F.when(
+        F.col("mad") > 0,
+        F.round(
+            F.lit(0.6745)
+            * (F.col(value_col) - F.col("med"))
+            / F.col("mad"),
+            6,
+        ),
+    )
+    return (
+        stream_df.join(F.broadcast(stats_df), keys, "left")
+        .withColumn("robust_z", z)
+        .withColumn(
+            "is_outlier",
+            F.coalesce(F.abs(F.col("robust_z")) > threshold, F.lit(False)),
+        )
+        .drop("med", "mad")
+    )

