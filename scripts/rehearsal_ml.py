@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Scale rehearsal for the distributed-ML / classifier family
+(q235 k-means, q248 Naive Bayes, q252 logistic trainer, q253 portable
+MinHash LSH, q255 classifier eval) at the README's stress scale:
+4x documents and 4x embeddings (id-shifted copies — worst-case
+near-dup density for the LSH row, plain volume for the rest).
+
+Each entry is timed min-of-3 in ONE process at base and stress scale
+(the same-process A/B rule from README "bench"), so ratios are
+ambient-load-free. Linear-ish ratios at 4x volume back the 100-TB
+claims: every operator here is one-or-two corpus-scan aggregates plus
+bounded-metadata driver loops.
+
+Usage: python scripts/rehearsal_ml.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_as_a_service_spark.catalog import load_tables  # noqa: E402
+from etl_as_a_service_spark.session import build_session  # noqa: E402
+
+
+def scaled(df, id_col: str, copies: int, *keep):
+    shift = 10_000_000
+    parts = [
+        df.select(
+            (F.col(id_col) + F.lit(i * shift)).alias(id_col), *keep
+        )
+        for i in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def t3(fn) -> float:
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = build_session(app_name="ml-rehearsal", driver_memory="16g")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from etl_as_a_service_spark.llm.classify import (
+        logistic_hash_eval,
+        logistic_hash_train,
+        naive_bayes_confusion,
+    )
+    from etl_as_a_service_spark.llm.clustering import kmeans_assignments
+    from etl_as_a_service_spark.llm.dedup import minhash_lsh_pairs_portable
+
+    tabs = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    docs = tabs["documents"].select("doc_id", "text", "lang")
+    emb = tabs["embeddings"].select("vec_id", "embedding")
+    docs4 = scaled(tabs["documents"], "doc_id", 4, "text", "lang")
+    docs4 = docs4.localCheckpoint(eager=True)
+    emb4 = scaled(tabs["embeddings"], "vec_id", 4, "embedding")
+    emb4 = emb4.localCheckpoint(eager=True)
+    print(
+        f"# base docs {docs.count()} -> 4x {docs4.count()}; "
+        f"base emb {emb.count()} -> 4x {emb4.count()}",
+        file=sys.stderr,
+    )
+
+    lbl = F.col("lang") == "en"
+    entries = [
+        (
+            "q235 k-means k=8 2 passes (4x emb)",
+            lambda d=emb: kmeans_assignments(d, "vec_id", "embedding", 8, 2).count(),
+            lambda d=emb4: kmeans_assignments(d, "vec_id", "embedding", 8, 2).count(),
+        ),
+        (
+            "q248 Naive Bayes train+infer (4x docs)",
+            lambda d=docs: naive_bayes_confusion(d).count(),
+            lambda d=docs4: naive_bayes_confusion(d).count(),
+        ),
+        (
+            "q252 logistic 2 GD steps (4x docs)",
+            lambda d=docs: logistic_hash_train(d, lbl).count(),
+            lambda d=docs4: logistic_hash_train(d, lbl).count(),
+        ),
+        (
+            "q253 portable MinHash LSH (4x docs)",
+            lambda d=docs: minhash_lsh_pairs_portable(d).count(),
+            lambda d=docs4: minhash_lsh_pairs_portable(d).count(),
+        ),
+        (
+            "q255 classifier eval (4x docs)",
+            lambda d=docs: logistic_hash_eval(d, lbl).count(),
+            lambda d=docs4: logistic_hash_eval(d, lbl).count(),
+        ),
+    ]
+    for _, base, _s in entries:  # warm codegen/JIT outside timings
+        base()
+    print("| query | base | 4x | ratio |")
+    print("|---|---|---|---|")
+    for name, base, stress in entries:
+        tb, ts = t3(base), t3(stress)
+        print(f"| {name} | {tb:.2f}s | {ts:.2f}s | {ts / tb:.2f}x |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
