@@ -872,3 +872,181 @@ def q255_classifier_eval(spark, sf_dir):
     return logistic_hash_eval(
         docs, label=F.col("lang") == "en", n_buckets=16, iterations=2
     )
+
+
+# --------------------------------------------------------------------------
+# q256 — leave-one-out smoothed target encoding
+# --------------------------------------------------------------------------
+@query(
+    "q256_target_encoding",
+    oracle="""
+    WITH lab AS (
+      SELECT doc_id, source,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s
+      FROM lab GROUP BY source
+    ),
+    prior AS (
+      SELECT sum(y) / CAST(count(*) AS DOUBLE) AS p FROM lab
+    )
+    SELECT l.doc_id, l.source, l.y,
+           round((g.s - l.y + 10.0 * prior.p)
+                 / (g.n - 1 + 10.0), 6) AS enc
+    FROM lab l JOIN g USING (source) CROSS JOIN prior
+    ORDER BY l.doc_id
+    """,
+    tags=("ml", "feature-engineering", "encoding", "operator"),
+)
+def q256_target_encoding(spark, sf_dir):
+    """Leave-one-out target encoding of `source` against the binary
+    lang='en' label with Micci-Barreca smoothing (m=10 toward the
+    global prior) — the categorical-feature transform every tabular
+    pipeline ships, in its leakage-safe form: each row's own label is
+    subtracted from its group sum, so the encoding never memorizes
+    the row it describes (q132 is row-level leakage safety across
+    SPLITS; this is within-FEATURE). WOE/IV (q217) ranks the feature;
+    this materializes it.
+
+    SCALE DESIGN: one group-grain aggregate broadcast back (AQE
+    broadcasts the few-row group frame), a 1-row prior; the encode
+    itself is a codegen expression per row — no window, no
+    per-category scan."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    lab = docs.select(
+        "doc_id", "source", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    g = lab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    prior = lab.agg(
+        (F.sum("y") / F.count(F.lit(1)).cast("double")).alias("p")
+    )
+    return (
+        lab.join(g, "source")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            "source",
+            "y",
+            F.round(
+                (F.col("s") - F.col("y") + 10.0 * F.col("p"))
+                / (F.col("n") - 1 + 10.0),
+                6,
+            ).alias("enc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q257 — int8 scalar quantization (SQ8) of the embedding corpus
+# --------------------------------------------------------------------------
+@query(
+    "q257_scalar_quantization",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT t.i AS dim, min(vec[t.i]) AS lo, max(vec[t.i]) AS hi
+      FROM v, UNNEST(range(1, len(vec) + 1)) AS t(i)
+      GROUP BY t.i
+    ),
+    coded AS (
+      SELECT v.vec_id, v.label, d.dim, v.vec[d.dim] AS x, d.lo,
+             CASE WHEN d.hi > d.lo
+                  THEN least(greatest(round((v.vec[d.dim] - d.lo)
+                         / ((d.hi - d.lo) / 255.0)), 0), 255)
+                  ELSE 0 END AS code,
+             CASE WHEN d.hi > d.lo THEN (d.hi - d.lo) / 255.0
+                  ELSE 0.0 END AS s
+      FROM v, UNNEST(range(1, len(vec) + 1)) AS t(i)
+      JOIN dims d ON d.dim = t.i
+    ),
+    err AS (
+      SELECT vec_id, label,
+             sqrt(sum((x - (lo + code * s)) * (x - (lo + code * s))))
+               AS l2,
+             max(abs(x - (lo + code * s))) AS linf
+      FROM coded GROUP BY vec_id, label
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(l2), 6)  AS mean_l2_err,
+           round(max(linf), 6) AS max_abs_err
+    FROM err GROUP BY label ORDER BY label
+    """,
+    tags=("ml", "embedding", "quantization", "operator", "scale"),
+)
+def q257_scalar_quantization(spark, sf_dir):
+    """Int8 scalar quantization (FAISS SQ8) of the embedding corpus:
+    per-dimension [min, max] range mapped to 0..255 codes (4x smaller
+    than float32, 8x than float64), with the reconstruction-error
+    readout per label that decides whether SQ8 is safe or the ANN
+    index needs PQ (q139's codebook path, rows-only) — this is the
+    quantization row WITH a full DuckDB twin. Constant dimensions
+    encode to 0 and reconstruct exactly.
+
+    SCALE DESIGN: dim stats are one posexplode aggregate at dim grain
+    (<= dims rows, collected as bounded model metadata); the encode/
+    reconstruct/error pass is a single zip_with codegen expression
+    with the ranges as literal arrays — zero joins, zero shuffles
+    beyond the label-grain readout."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    stats = (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("lo"),
+            F.max(F.col("x").cast("double")).alias("hi"),
+        )
+        .collect()  # bounded: one row per embedding dimension
+    )
+    lo = [0.0] * len(stats)
+    sc = [0.0] * len(stats)
+    for r in stats:
+        lo[r["dim"]] = float(r["lo"])
+        hi = float(r["hi"])
+        sc[r["dim"]] = (hi - lo[r["dim"]]) / 255.0 if hi > lo[r["dim"]] else 0.0
+    lo_arr = F.array(*[F.lit(v) for v in lo])
+    sc_arr = F.array(*[F.lit(v) for v in sc])
+
+    def recon_err(x, i):
+        # i is 0-based from zip_with over the positions array
+        l = F.element_at(lo_arr, i + 1)
+        s = F.element_at(sc_arr, i + 1)
+        code = F.when(
+            s > 0.0,
+            F.least(
+                F.greatest(F.round((x.cast("double") - l) / s, 0), F.lit(0.0)),
+                F.lit(255.0),
+            ),
+        ).otherwise(F.lit(0.0))
+        return x.cast("double") - (l + code * s)
+    idx = F.transform(F.col("embedding"), lambda _x, i: i)
+    diffs = F.zip_with(F.col("embedding"), idx, recon_err)
+    per_vec = emb.select(
+        "label",
+        F.sqrt(
+            F.aggregate(
+                diffs, F.lit(0.0), lambda acc, d: acc + d * d
+            )
+        ).alias("l2"),
+        F.array_max(F.transform(diffs, F.abs)).alias("linf"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(F.avg("l2"), 6).alias("mean_l2_err"),
+            F.round(F.max("linf"), 6).alias("max_abs_err"),
+        )
+        .orderBy("label")
+    )
