@@ -208,8 +208,14 @@ def logistic_hash_fit(
     if label is None:
         label = F.col("lang") == "en"
     feats = hashed_features(docs, n_buckets, salt, id_col, text_col)
+    # NULL labels are negatives, not dropped rows: the SQL twin's
+    # CASE ... ELSE 0 treats them as 0, while an uncoalesced NULL here
+    # would null the residual and silently drop the doc from every
+    # gradient sum (n_docs still counts it) — a latent engine/oracle
+    # divergence on any corpus with missing labels
     labels = docs.select(
-        F.col(id_col).alias("doc_id"), label.cast("int").alias("y")
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(label, F.lit(False)).cast("int").alias("y"),
     )
     # Featurize ONCE, iterate on the featurized frame: every GD step
     # reads fx twice (z pass + gradient join), so without truncation

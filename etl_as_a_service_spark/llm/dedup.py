@@ -1196,6 +1196,13 @@ def minhash_lsh_pairs_portable(
             f"({band_rows})"
         )
     toks = F.split(F.col(text_col), " ")
+    # Materialize the distinct (id, shingle) frame ONCE: it feeds the
+    # signature aggregate, the per-doc counts, and BOTH sides of the
+    # verify join — without truncation the tokenize/shingle/distinct
+    # lineage re-executes 4x (measured 2.6x end-to-end at sf0.1; the
+    # same featurize-once rule as logistic_hash_fit). At 100 TB this
+    # is the standard dedup job shape: the shingle table is the
+    # working set, built once and reused.
     sh = (
         df.filter(F.size(toks) >= shingle_n)
         .select(
@@ -1203,6 +1210,7 @@ def minhash_lsh_pairs_portable(
             F.explode(shingles_from_tokens(toks, shingle_n)).alias("s"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     mh = sh.groupBy("__id").agg(
         *[

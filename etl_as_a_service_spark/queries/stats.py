@@ -1848,9 +1848,14 @@ def q243_forecast_backtest(spark, sf_dir):
            CAST(count(*) AS BIGINT)    AS n_events,
            round(any_value(d.m), 6)    AS med,
            round(any_value(mad.md), 6) AS mad,
-           CAST(count_if(abs(0.6745 * (d.value - d.m) / mad.md) > 3.5)
+           -- MAD = 0 (a degenerate, majority-constant group) flags
+           -- nothing: Spark NULL-division vs DuckDB IEEE inf would
+           -- otherwise diverge, and a degenerate model must not page
+           CAST(count_if(mad.md > 0 AND
+                         abs(0.6745 * (d.value - d.m) / mad.md) > 3.5)
                 AS BIGINT)             AS n_outliers,
-           CAST(COALESCE(sum(CASE WHEN abs(0.6745 * (d.value - d.m)
+           CAST(COALESCE(sum(CASE WHEN mad.md > 0 AND
+                                       abs(0.6745 * (d.value - d.m)
                                            / mad.md) > 3.5
                                   THEN d.event_id END), 0) AS BIGINT)
                                        AS outlier_id_sum
@@ -1869,35 +1874,41 @@ def q251_mad_outliers(spark, sf_dir):
     compares the UNROUNDED z on both engines (exact medians make the
     inputs identical; the ADVICE q219 rounding rule).
 
+    A MAD of 0 (majority-constant group) flags nothing on BOTH
+    engines (Spark's NULL division and DuckDB's IEEE inf would
+    otherwise silently diverge) — the same degenerate-model rule as
+    the streaming face.
+
     SCALE DESIGN: two exact-percentile aggregates at type grain (the
     q209 quantile_gate shape — a few-row frame joined back, broadcast
-    by AQE), one flagging aggregate; never a window over the events,
-    never a sort."""
+    by AQE; the fit is streaming/ops.robust_stats, shared with the
+    streaming screen so batch and stream can never diverge), one
+    flagging aggregate; never a window over the events, never a
+    sort."""
+    from etl_as_a_service_spark.streaming.ops import robust_stats
+
     (ev,) = _t(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("m")
-    )
-    dev = ev.join(med, "event_type").select(
-        "event_type",
-        "event_id",
-        "value",
-        "m",
-        F.abs(F.col("value") - F.col("m")).alias("ad"),
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.percentile("ad", F.lit(0.5)).alias("md")
-    )
+    stats = robust_stats(ev, ["event_type"], "value")
+    flagged = F.col("md") > 0
     z = F.abs(0.6745 * (F.col("value") - F.col("m")) / F.col("md"))
+    hit = flagged & (z > 3.5)
     return (
-        dev.join(mad, "event_type")
+        ev.join(
+            stats.select(
+                "event_type",
+                F.col("med").alias("m"),
+                F.col("mad").alias("md"),
+            ),
+            "event_type",
+        )
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.round(F.any_value("m"), 6).alias("med"),
             F.round(F.any_value("md"), 6).alias("mad"),
-            F.count_if(z > 3.5).cast("long").alias("n_outliers"),
+            F.count_if(hit).cast("long").alias("n_outliers"),
             F.coalesce(
-                F.sum(F.when(z > 3.5, F.col("event_id"))), F.lit(0)
+                F.sum(F.when(hit, F.col("event_id"))), F.lit(0)
             )
             .cast("long")
             .alias("outlier_id_sum"),

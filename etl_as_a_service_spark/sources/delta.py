@@ -393,6 +393,36 @@ def _read_file_list(
     return scan.select(*[f.name for f in schema.fields])
 
 
+def _constraint_violations_in_files(
+    spark: SparkSession,
+    table: str,
+    schema: "T.StructType",
+    files: list[str],
+    cons: dict[str, str],
+) -> dict[str, int]:
+    """Per-constraint count of rows failing a CHECK expression in an
+    explicit file list (FALSE only — NULL passes, SQL CHECK). The
+    primary enforcement path is the zero-extra-action Observation on
+    the staging write; this scan exists for the RARE retry where a
+    constraint (or the files) landed concurrently, so correctness
+    never depends on winning the commit race."""
+    if not cons or not files:
+        return {}
+    row = (
+        _read_file_list(spark, table, schema, files)
+        .agg(
+            *[
+                F.sum(
+                    F.expr(e).eqNullSafe(F.lit(False)).cast("long")
+                ).alias(n)
+                for n, e in sorted(cons.items())
+            ]
+        )
+        .collect()[0]  # bounded: one row of per-constraint counts
+    )
+    return {n: int(row[n] or 0) for n in cons if row[n]}
+
+
 def delta_changes(
     spark: SparkSession,
     table: str,
@@ -577,6 +607,23 @@ def delta_add_constraint(
 
     def build(_next_v: int):
         cur = _replay(table)
+        if name in cur.constraints():
+            raise ValueError(f"constraint already exists: {name}")
+        # files committed by racing writers AFTER the validation scan
+        # were never checked (those writers' snapshots predate this
+        # constraint) — validate exactly the delta before publishing,
+        # so the constraint can never go live over violating rows
+        new_files = sorted(set(cur.live) - set(snap.live))
+        if new_files:
+            cur_schema = T.StructType.fromJson(json.loads(cur.schema_json))
+            bad_new = _constraint_violations_in_files(
+                spark, table, cur_schema, new_files, {name: expr}
+            )
+            if bad_new:
+                raise ValueError(
+                    f"cannot add constraint {name}: {bad_new[name]} "
+                    f"concurrently committed rows violate {expr!r}"
+                )
         cfg = dict(cur.configuration)
         cfg[f"delta.constraints.{name}"] = expr
         return [
@@ -752,6 +799,30 @@ def delta_write(
                     f"{partition_by} != committed layout "
                     f"{prev.partition_columns}"
                 )
+            # constraints added AFTER our snapshot was taken (the
+            # Observation enforced only `cons`): re-validate the
+            # staged files so enforcement is serializable — the same
+            # retry-time re-check the schema/layout races get
+            late_cons = {
+                n: e
+                for n, e in prev.constraints().items()
+                if n not in cons
+            }
+            if late_cons:
+                bad_late = _constraint_violations_in_files(
+                    df.sparkSession, table, df.schema,
+                    [a["path"] for a in adds], late_cons,
+                )
+                if bad_late:
+                    _discard_staged(table, adds)
+                    raise ValueError(
+                        "CHECK constraint violation (constraint added "
+                        "concurrently) — rows failing "
+                        + ", ".join(
+                            f"{n} ({late_cons[n]!r}): {c}"
+                            for n, c in sorted(bad_late.items())
+                        )
+                    )
             if mode == "overwrite":
                 ts = int(time.time() * 1000)
                 actions.extend(
@@ -1071,6 +1142,27 @@ def delta_update(
     ts = int(time.time() * 1000)
 
     def build(_next_v: int):
+        cur = _replay(table)
+        late_cons = {
+            n: e for n, e in cur.constraints().items() if n not in cons
+        }
+        if late_cons:
+            # a constraint landed after our snapshot: the Observation
+            # enforced only `cons` — re-validate the rewrite set
+            bad_late = _constraint_violations_in_files(
+                spark, table, schema, [a["path"] for a in adds],
+                late_cons,
+            )
+            if bad_late:
+                _discard_staged(table, adds)
+                raise ValueError(
+                    "UPDATE violates CHECK constraint (added "
+                    "concurrently) — rows failing "
+                    + ", ".join(
+                        f"{n} ({late_cons[n]!r}): {c}"
+                        for n, c in sorted(bad_late.items())
+                    )
+                )
         actions: list[dict] = [
             {
                 "remove": {
@@ -1348,9 +1440,42 @@ def delta_stream_sink(
         # files with empty partitionValues into a partitioned table
         # would silently hide the rows from every pruned read)
         partition_cols = snap.partition_columns if snap is not None else []
+        # streaming writers carry the same CHECK-constraint obligation
+        # as delta_write: violation counts ride an Observation on the
+        # staging write, and a violating batch aborts the QUERY before
+        # anything publishes (exactly-once means never publishing bad
+        # rows and retrying the batch after the table is fixed)
+        cons = snap.constraints() if snap is not None else {}
+        cons_obs = None
+        if cons:
+            from pyspark.sql import Observation
+
+            cons_obs = Observation(f"delta_sink_constraints_{batch_id}")
+            batch_df = batch_df.observe(
+                cons_obs,
+                *[
+                    F.sum(
+                        F.expr(e).eqNullSafe(F.lit(False)).cast("long")
+                    ).alias(n)
+                    for n, e in sorted(cons.items())
+                ],
+            )
         adds = _stage_files(
             batch_df, table, partition_cols, data_change=True
         )
+        if cons_obs is not None:
+            got = cons_obs.get
+            bad = {n: int(got[n] or 0) for n in cons if got.get(n)}
+            if bad:
+                _discard_staged(table, adds)
+                raise ValueError(
+                    "streaming CHECK constraint violation — rows "
+                    "failing "
+                    + ", ".join(
+                        f"{n} ({cons[n]!r}): {c}"
+                        for n, c in sorted(bad.items())
+                    )
+                )
         schema_string = batch_df.schema.json()
 
         def build(next_v: int):
@@ -1380,6 +1505,27 @@ def delta_stream_sink(
                 if prev.txns.get(app_id, -1) >= batch_id:
                     _discard_staged(table, adds)
                     return None
+                late_cons = {
+                    n: e
+                    for n, e in prev.constraints().items()
+                    if n not in cons
+                }
+                if late_cons:
+                    bad_late = _constraint_violations_in_files(
+                        spark, table, batch_df.schema,
+                        [a["path"] for a in adds], late_cons,
+                    )
+                    if bad_late:
+                        _discard_staged(table, adds)
+                        raise ValueError(
+                            "streaming CHECK constraint violation "
+                            "(constraint added concurrently) — rows "
+                            "failing "
+                            + ", ".join(
+                                f"{n} ({late_cons[n]!r}): {c}"
+                                for n, c in sorted(bad_late.items())
+                            )
+                        )
             actions.append(
                 {"txn": {"appId": app_id, "version": batch_id,
                          "lastUpdated": int(time.time() * 1000)}}

@@ -888,21 +888,21 @@ def streaming_robust_zscore(
     is_outlier=false rather than infinity — a degenerate model must
     not page anyone; keys absent from the stats frame pass through
     with NULL z (left join) for the same reason."""
-    z = F.when(
+    z_raw = F.when(
         F.col("mad") > 0,
-        F.round(
-            F.lit(0.6745)
-            * (F.col(value_col) - F.col("med"))
-            / F.col("mad"),
-            6,
-        ),
+        F.lit(0.6745)
+        * (F.col(value_col) - F.col("med"))
+        / F.col("mad"),
     )
+    # flag on the UNROUNDED z (the q251 threshold rule — rounding
+    # first would unflag a true 3.5000004); robust_z is rounded for
+    # display only
     return (
         stream_df.join(F.broadcast(stats_df), keys, "left")
-        .withColumn("robust_z", z)
         .withColumn(
             "is_outlier",
-            F.coalesce(F.abs(F.col("robust_z")) > threshold, F.lit(False)),
+            F.coalesce(F.abs(z_raw) > threshold, F.lit(False)),
         )
+        .withColumn("robust_z", F.round(z_raw, 6))
         .drop("med", "mad")
     )

@@ -540,3 +540,114 @@ def test_delta_check_constraints_enforced(spark, tmp_path):
     assert delta_read(spark, path).count() == 6
     with pytest.raises(ValueError, match="no such constraint"):
         delta_drop_constraint(path, "ghost")
+
+
+def test_delta_stream_sink_enforces_constraints(spark, tmp_path):
+    """Streaming writers carry the same delta.constraints.* obligation
+    as delta_write: a violating micro-batch aborts before anything
+    publishes, and a clean stream commits normally."""
+    from etl_as_a_service_spark.sources.delta import (
+        delta_add_constraint,
+        delta_stream_sink,
+    )
+
+    path = os.path.join(str(tmp_path), "scons")
+    delta_write(
+        spark.createDataFrame([(1, 5.0)], "k long, v double"),
+        path,
+        mode="overwrite",
+    )
+    delta_add_constraint(spark, path, "v_pos", "v > 0")
+
+    def stream_of(rows, subdir):
+        src = os.path.join(str(tmp_path), subdir)
+        spark.createDataFrame(rows, "k long, v double").write.parquet(src)
+        return spark.readStream.schema("k long, v double").parquet(src)
+
+    with pytest.raises(Exception, match="streaming CHECK constraint"):
+        delta_stream_sink(
+            stream_of([(2, -1.0)], "bad"),
+            path,
+            os.path.join(str(tmp_path), "ck1"),
+            app_id="appA",
+        )
+    assert delta_read(spark, path).count() == 1  # nothing published
+    delta_stream_sink(
+        stream_of([(3, 7.0)], "good"),
+        path,
+        os.path.join(str(tmp_path), "ck2"),
+        app_id="appB",
+    )
+    assert delta_read(spark, path).count() == 2
+
+
+def test_delta_add_constraint_revalidates_racing_append(spark, tmp_path):
+    """A constraint must never go live over rows a racing writer
+    committed between the validation scan and the metadata commit:
+    build() re-validates exactly the delta of live files."""
+    import etl_as_a_service_spark.sources.delta as D
+
+    path = os.path.join(str(tmp_path), "race1")
+    delta_write(
+        spark.createDataFrame([(1, 5.0)], "k long, v double"),
+        path,
+        mode="overwrite",
+    )
+    orig = D._commit
+    fired = {"done": False}
+
+    def racing(table, build):
+        if not fired["done"]:
+            fired["done"] = True
+            D._commit = orig  # the nested append commits normally
+            delta_write(
+                spark.createDataFrame([(2, -9.0)], "k long, v double"),
+                path,
+                mode="append",
+            )
+            D._commit = racing
+        return orig(table, build)
+
+    D._commit = racing
+    try:
+        with pytest.raises(ValueError, match="concurrently committed"):
+            D.delta_add_constraint(spark, path, "v_pos", "v > 0")
+    finally:
+        D._commit = orig
+    # constraint never published: the violating table accepts appends
+    assert "v_pos" not in D._replay(path).constraints()
+
+
+def test_delta_write_enforces_concurrently_added_constraint(spark, tmp_path):
+    """A write whose snapshot predates a constraint must re-validate
+    its staged files at commit time — enforcement is serializable."""
+    import etl_as_a_service_spark.sources.delta as D
+
+    path = os.path.join(str(tmp_path), "race2")
+    delta_write(
+        spark.createDataFrame([(1, 5.0)], "k long, v double"),
+        path,
+        mode="overwrite",
+    )
+    orig = D._commit
+    fired = {"done": False}
+
+    def racing(table, build):
+        if not fired["done"]:
+            fired["done"] = True
+            D._commit = orig
+            D.delta_add_constraint(spark, path, "v_pos", "v > 0")
+            D._commit = racing
+        return orig(table, build)
+
+    D._commit = racing
+    try:
+        with pytest.raises(ValueError, match="added\\s+concurrently"):
+            delta_write(
+                spark.createDataFrame([(2, -1.0)], "k long, v double"),
+                path,
+                mode="append",
+            )
+    finally:
+        D._commit = orig
+    assert delta_read(spark, path).count() == 1  # violating rows never landed

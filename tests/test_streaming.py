@@ -830,7 +830,6 @@ def test_streaming_robust_zscore_matches_batch(spark, events_stream_dir, batch_e
     assert len(got) == len(expect) > 0
     for r in got:
         assert (r["robust_z"], r["is_outlier"]) == expect[r["event_id"]]
-    assert any(v[1] for v in expect.values()) or True  # flags may be rare
 
 
 def test_streaming_robust_zscore_degenerate_mad(spark, tmp_path):
@@ -842,12 +841,15 @@ def test_streaming_robust_zscore_degenerate_mad(spark, tmp_path):
     )
 
     hist = spark.createDataFrame(
-        [("a", 5.0)] * 6, "k string, value double"
+        [("a", 5.0)] * 6
+        + [("b", float(v)) for v in (1, 2, 3, 4, 5, 6)],
+        "k string, value double",
     )
     stats = robust_stats(hist, ["k"], "value")
     src = str(tmp_path / "src")
     spark.createDataFrame(
-        [("a", 999.0), ("new", 1.0)], "k string, value double"
+        [("a", 999.0), ("new", 1.0), ("b", 100.0), ("b", 3.6)],
+        "k string, value double",
     ).write.parquet(src)
     out = run_available_now(
         streaming_robust_zscore(
@@ -856,6 +858,12 @@ def test_streaming_robust_zscore_degenerate_mad(spark, tmp_path):
         ),
         "robust_z_degenerate",
     ).collect()
-    by_k = {r["k"]: r for r in out}
-    assert by_k["a"]["robust_z"] is None and not by_k["a"]["is_outlier"]
-    assert by_k["new"]["robust_z"] is None and not by_k["new"]["is_outlier"]
+    by_k = {(r["k"], r["value"]): r for r in out}
+    assert by_k[("a", 999.0)]["robust_z"] is None
+    assert not by_k[("a", 999.0)]["is_outlier"]
+    assert by_k[("new", 1.0)]["robust_z"] is None
+    assert not by_k[("new", 1.0)]["is_outlier"]
+    # healthy key: med=3.5, MAD=1.5 -> z(100) ~ 43.4 flags, z(3.6) ~ 0.04 passes
+    assert by_k[("b", 100.0)]["is_outlier"]
+    assert not by_k[("b", 3.6)]["is_outlier"]
+    assert abs(by_k[("b", 3.6)]["robust_z"]) < 1
