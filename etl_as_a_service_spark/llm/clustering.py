@@ -280,7 +280,8 @@ def label_noise_audit(
     d_best), nearest by 6-decimal-rounded squared L2 with ties to the
     LOWEST label in sort order (an exact 6-decimal tie against a
     lower label flags; against a higher label it does not — the same
-    deterministic rule the SQL twin ranks by).
+    deterministic rule the SQL twin ranks by). NULL-label rows are
+    excluded — there is no class to audit them against.
 
     SCALE DESIGN: centroids come from one map-side-combined
     per-(label, dim) mean aggregate (labels x dim rounded doubles to
@@ -290,6 +291,10 @@ def label_noise_audit(
         centroid_distances_kernel,
     )
 
+    # NULL labels carry nothing to audit (no class centroid to be
+    # near or far from) and would crash the label sort — exclude them
+    # from BOTH the centroid fit and the audited rows
+    df = df.filter(F.col(label_col).isNotNull())
     stats = (
         df.select(F.col(label_col).alias("l"), F.posexplode(vec_col).alias("dim", "val"))
         .groupBy("l", "dim")

@@ -54,7 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_as_a_service_spark.sources.file_stats import (
-    file_might_match,
+    split_by_stats,
     parquet_column_stats,
     validate_predicates,
 )
@@ -360,13 +360,9 @@ def delta_read(
         ]
     if predicates:
         validate_predicates(predicates)
-        kept = []
-        for p in files:
-            raw = snap.live[p].get("stats")
-            stats = json.loads(raw) if raw else None
-            if file_might_match(stats, predicates):
-                kept.append(p)
-        files = kept
+        files, _ = split_by_stats(
+            files, lambda p: snap.live[p].get("stats"), predicates
+        )
     return _read_file_list(spark, table, schema, files)
 
 
@@ -391,6 +387,29 @@ def _read_file_list(
     reader = spark.read.schema(schema).option("basePath", table)
     scan = reader.parquet(*[os.path.join(table, f) for f in files])
     return scan.select(*[f.name for f in schema.fields])
+
+
+def _check_cow_conflict(
+    table: str, planned_removes: list[str], adds: list[dict], op: str
+) -> "_Snapshot":
+    """Copy-on-write conflict gate, run inside the commit retry loop:
+    every file this UPDATE/DELETE planned to rewrite must STILL be
+    live, or a racing commit (another row-level op, or OPTIMIZE)
+    already rewrote it — committing the stale remove/add set would
+    duplicate the untouched rows and resurrect the racer's deletions.
+    Raises (after discarding staged files) instead of silently losing
+    the race — the Delta twin of iceberg's _commit_cow_snapshot
+    validation. Returns the replayed snapshot for further checks."""
+    cur = _replay(table)
+    gone = [f for f in planned_removes if f not in cur.live]
+    if gone:
+        _discard_staged(table, adds)
+        raise ValueError(
+            f"concurrent modification: {op} planned against a stale "
+            f"snapshot — {len(gone)} file(s) were rewritten or removed "
+            f"by another commit (e.g. {gone[0]}); re-run the operation"
+        )
+    return cur
 
 
 def _constraint_violations_in_files(
@@ -1076,16 +1095,9 @@ def delta_update(
     files = sorted(snap.live)
     if predicates:
         validate_predicates(predicates)
-        files = [
-            p
-            for p in files
-            if file_might_match(
-                json.loads(snap.live[p]["stats"])
-                if snap.live[p].get("stats")
-                else None,
-                predicates,
-            )
-        ]
+        files, _ = split_by_stats(
+            files, lambda p: snap.live[p].get("stats"), predicates
+        )
     if not files:
         return {"version": -1, "files_rewritten": 0, "rows_updated": 0}
 
@@ -1142,7 +1154,7 @@ def delta_update(
     ts = int(time.time() * 1000)
 
     def build(_next_v: int):
-        cur = _replay(table)
+        cur = _check_cow_conflict(table, files, adds, "UPDATE")
         late_cons = {
             n: e for n, e in cur.constraints().items() if n not in cons
         }
@@ -1221,13 +1233,9 @@ def delta_delete(
     files = sorted(snap.live)
     if predicates:
         validate_predicates(predicates)
-        kept_files = []
-        for p in files:
-            raw = snap.live[p].get("stats")
-            stats = json.loads(raw) if raw else None
-            if file_might_match(stats, predicates):
-                kept_files.append(p)
-        files = kept_files
+        files, _ = split_by_stats(
+            files, lambda p: snap.live[p].get("stats"), predicates
+        )
     if not files:
         return {"version": -1, "files_rewritten": 0, "rows_deleted": 0}
 
@@ -1265,6 +1273,7 @@ def delta_delete(
     ts = int(time.time() * 1000)
 
     def build(_next_v: int):
+        _check_cow_conflict(table, files, adds, "DELETE")
         actions: list[dict] = [
             {
                 "remove": {

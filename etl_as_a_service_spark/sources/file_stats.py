@@ -130,8 +130,44 @@ def file_might_match(
             return False
         if op == "<=" and lo > val:
             return False
+        # floating columns: parquet footers EXCLUDE NaN from min/max,
+        # and Spark orders NaN above every number, so a NaN row
+        # satisfies > / >= even when hi <= val — the upper bound can
+        # never disprove those ops for floats (a pruned NaN row broke
+        # the results-identical contract). < / <= stay safe: NaN never
+        # satisfies them.
+        if isinstance(hi, float) and op in (">", ">="):
+            continue
         if op == ">" and hi <= val:
             return False
         if op == ">=" and hi < val:
             return False
     return True
+
+
+def stats_match(raw_stats, predicates: list[tuple]) -> bool:
+    """file_might_match over a RAW (JSON string or None) stats blob —
+    the exact parse-then-decide step every pruning site repeats."""
+    import json
+
+    return file_might_match(
+        json.loads(raw_stats) if raw_stats else None, predicates
+    )
+
+
+def split_by_stats(items, raw_stats_of, predicates: list[tuple]):
+    """(candidates, pruned): partition ``items`` by whether their
+    stats blob (via ``raw_stats_of(item)``) could match the ANDed
+    predicates. One shared decision point for the Delta/Iceberg
+    readers and the stats-bounded UPDATE/DELETE rewrite sets — a fix
+    to the skip rule lands everywhere at once. No predicates =>
+    everything is a candidate."""
+    if not predicates:
+        return list(items), []
+    candidates, pruned = [], []
+    for it in items:
+        if stats_match(raw_stats_of(it), predicates):
+            candidates.append(it)
+        else:
+            pruned.append(it)
+    return candidates, pruned

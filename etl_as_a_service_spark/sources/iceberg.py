@@ -60,7 +60,8 @@ from etl_as_a_service_spark.sources.avro import (
     encode_avro_file,
 )
 from etl_as_a_service_spark.sources.file_stats import (
-    file_might_match,
+    split_by_stats,
+    stats_match,
     parquet_column_stats,
     validate_predicates,
 )
@@ -254,6 +255,24 @@ def _transform_expr(transform: str, source: str, src_type: str):
     c = F.col(source)
     if transform == "identity":
         return c
+    # timestamptz sources decompose in UTC per the spec: F.year/
+    # F.to_date on an instant use the SESSION timezone, which would
+    # scatter the same instant into different day partitions across
+    # sessions and break hour-inside-day nesting (hour was already
+    # UTC). The UTC calendar date derives tz-free from epoch days.
+    # date / timestamp(-ntz) sources are calendar values — their
+    # field extraction has no timezone to get wrong.
+    if src_type == "timestamptz" and transform in ("year", "month", "day"):
+        epoch_days = F.floor(c.cast("double") / 86400).cast("int")
+        utc_date = F.date_add(F.lit("1970-01-01").cast("date"), epoch_days)
+        if transform == "day":
+            return epoch_days
+        if transform == "year":
+            return (F.year(utc_date) - F.lit(1970)).cast("int")
+        return (
+            (F.year(utc_date) - F.lit(1970)) * 12
+            + F.month(utc_date) - F.lit(1)
+        ).cast("int")
     if transform == "year":
         return (F.year(c) - F.lit(1970)).cast("int")
     if transform == "month":
@@ -274,6 +293,31 @@ def _transform_expr(transform: str, source: str, src_type: str):
         out = c - F.pmod(c, F.lit(w))
         return out.cast("int" if src_type == "int" else "long")
     raise ValueError(f"unsupported partition transform: {transform}")
+
+
+def _publish_metadata(table: str, next_v: int, new_md: dict) -> bool:
+    """The atomic commit tail shared by every metadata writer: create
+    ``vN.metadata.json`` with O_EXCL (False = lost the race — caller
+    cleans up its orphans and retries against the new head), then
+    atomically repoint ``version-hint.text`` via tmp+rename. One
+    implementation so a publish-protocol fix (fsync, hint format)
+    lands everywhere at once."""
+    try:
+        fd = os.open(
+            _metadata_file(table, next_v),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_md, fh)
+    hint_tmp = os.path.join(_meta_dir(table), f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(next_v))
+    os.rename(
+        hint_tmp, os.path.join(_meta_dir(table), "version-hint.text")
+    )
+    return True
 
 
 def _resolved_spec_fields(md: dict) -> list[dict]:
@@ -581,11 +625,10 @@ def iceberg_read(
                 for k, v in partition_filters.items()
             ):
                 continue
-            if predicates:
-                raw = dfile.get("column_stats")
-                stats = json.loads(raw) if raw else None
-                if not file_might_match(stats, predicates):
-                    continue
+            if predicates and not stats_match(
+                dfile.get("column_stats"), predicates
+            ):
+                continue
             entries.append(entry)
     # time travel presents the schema AS OF that snapshot (its
     # recorded schema-id), like the Delta reader's log replay does
@@ -831,6 +874,17 @@ def iceberg_write(
         by_name = {f["name"]: f for f in schema["fields"]}
         for tr, s in parsed:
             _validate_transform_source(tr, by_name[s]["type"])
+            pf = _partition_field_name(tr, s)
+            # a derived spec-field name colliding with a REAL data
+            # column would silently overwrite that column's values
+            # with the transform and drop them from the data files —
+            # the module contract is raise, never misread
+            if tr != "identity" and pf in by_name:
+                raise ValueError(
+                    f"hidden-partition field name {pf!r} (from "
+                    f"{tr}({s})) collides with a data column — rename "
+                    f"the column or use an identity partition"
+                )
         spec = {
             "spec-id": 0,
             "fields": [
@@ -977,13 +1031,7 @@ def iceberg_write(
         }
         if prev_md and prev_md.get("properties"):
             new_md["properties"] = prev_md["properties"]
-        next_v = head + 1
-        try:
-            fd = os.open(
-                _metadata_file(table, next_v),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError:
+        if not _publish_metadata(table, head + 1, new_md):
             # lost the race — drop this iteration's orphaned manifest
             # and list files, then rebuild against the new head (the
             # staged DATA files are reused; only metadata is redone)
@@ -993,16 +1041,6 @@ def iceberg_write(
                 except OSError:
                     pass
             continue
-        with os.fdopen(fd, "w") as fh:
-            json.dump(new_md, fh)
-        hint_tmp = os.path.join(
-            _meta_dir(table), f".hint-{uuid.uuid4().hex}"
-        )
-        with open(hint_tmp, "w") as fh:
-            fh.write(str(next_v))
-        os.rename(
-            hint_tmp, os.path.join(_meta_dir(table), "version-hint.text")
-        )
         return snap_id
 
 
@@ -1059,14 +1097,9 @@ def iceberg_delete(
     if predicates:
         validate_predicates(predicates)
     live = _live_entries(table, snap)
-    candidates, untouched = [], []
-    for e in live:
-        raw = e["data_file"].get("column_stats")
-        stats = json.loads(raw) if raw else None
-        if predicates and not file_might_match(stats, predicates):
-            untouched.append(e)
-        else:
-            candidates.append(e)
+    candidates, untouched = split_by_stats(
+        live, lambda e: e["data_file"].get("column_stats"), predicates
+    )
     if not candidates:
         return {"snapshot_id": -1, "files_rewritten": 0, "rows_deleted": 0}
     scan = _read_entries_resolved(spark, table, md, candidates)
@@ -1194,27 +1227,13 @@ def _commit_cow_snapshot(
         new_md["last-updated-ms"] = snapshot["timestamp-ms"]
         new_md["current-snapshot-id"] = snap_id
         new_md["snapshots"] = prev_md.get("snapshots", []) + [snapshot]
-        next_v = head + 1
-        try:
-            fd = os.open(
-                _metadata_file(table, next_v),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError:
+        if not _publish_metadata(table, head + 1, new_md):
             for n in (new_manifest["manifest_path"], f"metadata/{list_name}"):
                 try:
                     os.remove(os.path.join(table, n))
                 except OSError:
                     pass
             continue
-        with os.fdopen(fd, "w") as fh:
-            json.dump(new_md, fh)
-        hint_tmp = os.path.join(_meta_dir(table), f".hint-{uuid.uuid4().hex}")
-        with open(hint_tmp, "w") as fh:
-            fh.write(str(next_v))
-        os.rename(
-            hint_tmp, os.path.join(_meta_dir(table), "version-hint.text")
-        )
         return snap_id
 
 
@@ -1303,6 +1322,20 @@ def iceberg_alter(
                 f"schema evolution produces duplicate column names: "
                 f"{sorted(n for n in names if names.count(n) > 1)}"
             )
+        # a column name colliding with a DERIVED (non-identity) spec
+        # field would be silently overwritten by the transform on the
+        # next write — reject here like iceberg_write does at create
+        spec = md["partition-specs"][md["default-spec-id"]]
+        derived = {
+            pf["name"] for pf in spec["fields"]
+            if pf["transform"] != "identity"
+        }
+        clash = derived & set(names)
+        if clash:
+            raise ValueError(
+                f"column name(s) {sorted(clash)} collide with hidden "
+                f"partition field(s) of the table's spec"
+            )
 
         new_sid = max(s.get("schema-id", 0) for s in md["schemas"]) + 1
         new_schema = {
@@ -1316,22 +1349,8 @@ def iceberg_alter(
             last_col, md.get("last-column-id", 0)
         )
         new_md["last-updated-ms"] = int(time.time() * 1000)
-        next_v = head + 1
-        try:
-            fd = os.open(
-                _metadata_file(table, next_v),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError:
+        if not _publish_metadata(table, head + 1, new_md):
             continue  # lost the race — recompute against the new head
-        with os.fdopen(fd, "w") as fh:
-            json.dump(new_md, fh)
-        hint_tmp = os.path.join(_meta_dir(table), f".hint-{uuid.uuid4().hex}")
-        with open(hint_tmp, "w") as fh:
-            fh.write(str(next_v))
-        os.rename(
-            hint_tmp, os.path.join(_meta_dir(table), "version-hint.text")
-        )
         return new_sid
 
 
@@ -1375,14 +1394,9 @@ def iceberg_update(
     if predicates:
         validate_predicates(predicates)
     live = _live_entries(table, snap)
-    candidates, untouched = [], []
-    for e in live:
-        raw = e["data_file"].get("column_stats")
-        stats = json.loads(raw) if raw else None
-        if predicates and not file_might_match(stats, predicates):
-            untouched.append(e)
-        else:
-            candidates.append(e)
+    candidates, untouched = split_by_stats(
+        live, lambda e: e["data_file"].get("column_stats"), predicates
+    )
     if not candidates:
         return {"snapshot_id": -1, "files_rewritten": 0, "rows_updated": 0}
     scan = _read_entries_resolved(spark, table, md, candidates)
@@ -1721,21 +1735,8 @@ def iceberg_expire_snapshots(
         new_md.pop("__version", None)
         new_md["snapshots"] = kept
         new_md["last-updated-ms"] = int(time.time() * 1000)
-        next_v = head + 1
-        try:
-            fd = os.open(
-                _metadata_file(table, next_v),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
+        if _publish_metadata(table, head + 1, new_md):
             break
-        except FileExistsError:
-            continue
-    with os.fdopen(fd, "w") as fh:
-        json.dump(new_md, fh)
-    with open(
-        os.path.join(_meta_dir(table), "version-hint.text"), "w"
-    ) as fh:
-        fh.write(str(next_v))
 
     deleted = 0
     for rel in sorted(drop_data - keep_data):

@@ -178,8 +178,14 @@ class IcebergStreamReader(DataSourceStreamReader):
         n = tbl.num_rows
         out_cols = []
         for f in self.schema.fields:
-            phys = partition.colmap.get(f.name, f.name)
-            if phys in cols:
+            # fields absent from the file's epoch MUST null-fill, not
+            # fall back to a same-named physical column: after a
+            # rename x->y plus a re-added x, the old file's physical
+            # 'x' bytes belong to field y, and reading them as the new
+            # x would resurrect dropped data (the batch reader's
+            # by-id rule)
+            phys = partition.colmap.get(f.name)
+            if phys is not None and phys in cols:
                 out_cols.append(cols[phys])
             else:
                 out_cols.append(

@@ -275,3 +275,24 @@ def test_kmeans_streaming_score_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from km_scores").collect()
     }
     assert streamed == batch
+
+
+def test_label_noise_audit_excludes_null_labels(spark):
+    """NULL-label rows have no class to audit against: they are
+    excluded from both the centroid fit and the audited rows (a None
+    key used to crash the label sort)."""
+    from etl_as_a_service_spark.llm.clustering import label_noise_audit
+
+    rows = [
+        (0, [10.0, 10.0], "a"),
+        (1, [10.1, 10.0], "a"),
+        (2, [-10.0, -10.0], "b"),
+        (3, [-10.1, -10.0], "b"),
+        (4, [-10.0, -10.2], "a"),   # planted noise: a-label in blob b
+        (5, [0.0, 0.0], None),      # no label -> excluded, not a crash
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = label_noise_audit(df, "vec_id", "embedding", "label").collect()
+    assert [r["vec_id"] for r in out] == [4]

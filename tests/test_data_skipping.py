@@ -173,6 +173,20 @@ def test_file_might_match_unit_rules():
     assert file_might_match(None, [("a", "==", 1)])
     # type-incompatible comparison -> keep (never guess)
     assert file_might_match(stats, [("a", "==", "5")])
+    # floating upper bound cannot disprove > / >= : parquet footers
+    # exclude NaN from min/max and Spark orders NaN above everything,
+    # so a NaN row could still satisfy the predicate
+    fstats = {
+        "numRecords": 3,
+        "minValues": {"v": 1.0},
+        "maxValues": {"v": 5.0},
+        "nullCount": {"v": 0},
+    }
+    assert file_might_match(fstats, [("v", ">", 10.0)])
+    assert file_might_match(fstats, [("v", ">=", 10.0)])
+    # < / <= and == stay prunable for floats (NaN never satisfies them)
+    assert not file_might_match(fstats, [("v", "<", 1.0)])
+    assert not file_might_match(fstats, [("v", "==", 10.0)])
 
 
 def test_pipeline_source_predicates_prune_and_validate(spark, tmp_path):

@@ -651,3 +651,142 @@ def test_delta_write_enforces_concurrently_added_constraint(spark, tmp_path):
     finally:
         D._commit = orig
     assert delta_read(spark, path).count() == 1  # violating rows never landed
+
+
+def test_iceberg_stream_never_resurrects_dropped_data(spark, tmp_path):
+    """After rename x->y plus a re-added x, an OLD epoch's physical
+    'x' bytes belong to field y: the stream must null-fill the NEW x
+    for old files instead of resurrecting the renamed column's data
+    (the batch reader's by-id rule)."""
+    from etl_as_a_service_spark.sources.iceberg_stream import (
+        register_iceberg_stream,
+    )
+
+    register_iceberg_stream(spark)
+    table = str(tmp_path / "resur")
+    iceberg_write(
+        spark.createDataFrame([(1, "old")], "id long, x string"), table
+    )
+    iceberg_alter(table, rename_columns={"x": "y"})
+    iceberg_alter(table, add_columns={"x": "string"})
+    iceberg_write(
+        spark.createDataFrame(
+            [(2, "kept", "new")], "id long, y string, x string"
+        ),
+        table,
+        mode="append",
+    )
+    out, ckpt = str(tmp_path / "rout"), str(tmp_path / "rckpt")
+    q = (
+        spark.readStream.format("iceberg_stream").option("path", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["id"]: (r["y"], r["x"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # row 1: y carries the renamed data, the NEW x is NULL (not "old")
+    assert got == {1: ("old", None), 2: ("kept", "new")}
+
+
+def test_iceberg_partition_name_collision_rejected(spark, tmp_path):
+    """A derived spec-field name (ts_day from day(ts)) colliding with
+    a real data column would silently overwrite and drop that
+    column's data — both the create path and iceberg_alter reject."""
+    import datetime
+
+    table = str(tmp_path / "clash")
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 7)],
+        "id long, ts timestamp, ts_day int",
+    )
+    with pytest.raises(ValueError, match="collides with a data column"):
+        iceberg_write(df, table, partition_by=["day(ts)"])
+    # alter path: table partitioned by day(ts), then add a ts_day col
+    table2 = str(tmp_path / "clash2")
+    iceberg_write(
+        df.select("id", "ts"), table2, partition_by=["day(ts)"]
+    )
+    with pytest.raises(ValueError, match="collide with hidden"):
+        iceberg_alter(table2, add_columns={"ts_day": "int"})
+
+
+def test_iceberg_timestamptz_transforms_are_utc(spark, tmp_path):
+    """day/year/month on a timestamptz source must decompose the
+    INSTANT in UTC whatever the session timezone (the spec's rule):
+    hour partitions stay nested inside day partitions, and partition
+    values are session-independent."""
+    import datetime
+
+    from etl_as_a_service_spark.sources.iceberg import _transform_expr
+
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set(
+            "spark.sql.session.timeZone", "America/Los_Angeles"
+        )
+        # 2024-01-01T02:00:00Z = 2023-12-31 18:00 in LA
+        df = spark.createDataFrame(
+            [(datetime.datetime(2024, 1, 1, 2, 0, 0,
+                                tzinfo=datetime.timezone.utc),)],
+            "ts timestamp",
+        )
+        row = df.select(
+            _transform_expr("day", "ts", "timestamptz").alias("d"),
+            _transform_expr("hour", "ts", "timestamptz").alias("h"),
+            _transform_expr("year", "ts", "timestamptz").alias("y"),
+            _transform_expr("month", "ts", "timestamptz").alias("m"),
+        ).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert row["d"] == 19723          # days since epoch of 2024-01-01 UTC
+    assert row["h"] == 19723 * 24 + 2  # nested inside the UTC day
+    assert row["y"] == 54             # 2024 - 1970
+    assert row["m"] == 54 * 12        # January 2024
+
+
+def test_delta_cow_conflict_detected(spark, tmp_path):
+    """Two row-level ops planned against the same snapshot must not
+    both commit: the loser's remove/add set is stale (it would
+    duplicate untouched rows and resurrect the winner's deletions) —
+    the second op raises instead."""
+    import etl_as_a_service_spark.sources.delta as D
+    from etl_as_a_service_spark.sources.delta import delta_delete
+
+    path = os.path.join(str(tmp_path), "cow")
+    delta_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k long, v double"
+        ),
+        path,
+        mode="overwrite",
+    )
+    orig = D._commit
+    fired = {"done": False}
+
+    def racing(table, build):
+        if not fired["done"]:
+            fired["done"] = True
+            D._commit = orig
+            # the racer rewrites the same files first
+            delta_delete(spark, path, "k = 1")
+            D._commit = racing
+        return orig(table, build)
+
+    D._commit = racing
+    try:
+        with pytest.raises(ValueError, match="concurrent modification"):
+            delta_delete(spark, path, "k = 2")
+    finally:
+        D._commit = orig
+    # the winner's delete held; k=2 rows are intact exactly once
+    vals = sorted(
+        r["k"] for r in delta_read(spark, path).select("k").collect()
+    )
+    assert vals == [0, 2, 3, 4, 5, 6, 7, 8, 9]
