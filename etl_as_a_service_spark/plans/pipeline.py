@@ -123,6 +123,9 @@ _ALLOWED_OPS = {
     "gopher_quality",
     "profile",
     "reconcile",
+    "kfold",
+    "robust_outlier_gate",
+    "target_encode",
 }
 
 
@@ -852,6 +855,77 @@ def _apply_step(
             id_col=_req(step, "id_col"),
             seg_words=int(step.get("seg_words", 8)),
             min_docs=int(step.get("min_docs", 3)),
+        )
+    if op == "kfold":
+        # {"op":"kfold","strata_col":"lang","k":5,"id_col":"doc_id"} —
+        # adds a deterministic `fold` column (per-stratum md5-order
+        # round-robin, fold balance exact to one row; the q254 op)
+        from etl_as_a_service_spark.llm.curation import stratified_kfold
+
+        return stratified_kfold(
+            df,
+            _req(step, "strata_col"),
+            k=int(step.get("k", 5)),
+            id_col=step.get("id_col", "doc_id"),
+        )
+    if op == "robust_outlier_gate":
+        # {"op":"robust_outlier_gate","value_col":"value",
+        #  "keys":["event_type"],"threshold":3.5,"keep":"inliers"} —
+        # drop (or keep only) rows whose Iglewicz-Hoaglin modified z
+        # against the per-key median/MAD exceeds the threshold (the
+        # q251 screen as a declarative filter; MAD=0 keys flag nothing)
+        from etl_as_a_service_spark.streaming.ops import (
+            robust_stats,
+            streaming_robust_zscore,
+        )
+
+        keys = _req(step, "keys")
+        stats = robust_stats(df, keys, _req(step, "value_col"))
+        flagged = streaming_robust_zscore(
+            df, stats, keys, _req(step, "value_col"),
+            threshold=float(step.get("threshold", 3.5)),
+        )
+        keep = step.get("keep", "inliers")
+        if keep not in ("inliers", "outliers"):
+            raise PipelineError(
+                f"robust_outlier_gate keep must be inliers|outliers, "
+                f"got {keep!r}"
+            )
+        want = keep == "outliers"
+        return flagged.filter(
+            F.col("is_outlier") == F.lit(want)
+        ).drop("robust_z", "is_outlier")
+    if op == "target_encode":
+        # {"op":"target_encode","cat_col":"source","label":"<sql expr>",
+        #  "m":10,"out_col":"enc"} — leave-one-out smoothed target
+        # encoding (the q256 transform): each row's own label is
+        # excluded from its group sum, so the feature never memorizes
+        # the row it describes
+        cat = _req(step, "cat_col")
+        out_col = step.get("out_col", "enc")
+        m = float(step.get("m", 10.0))
+        y = F.coalesce(
+            F.expr(_req(step, "label")).cast("int"), F.lit(0)
+        )
+        lab = df.withColumn("__te_y", y)
+        g = lab.groupBy(cat).agg(
+            F.count(F.lit(1)).alias("__te_n"),
+            F.sum("__te_y").alias("__te_s"),
+        )
+        prior = lab.agg(
+            (F.sum("__te_y") / F.count(F.lit(1)).cast("double")).alias(
+                "__te_p"
+            )
+        )
+        return (
+            lab.join(g, cat)
+            .crossJoin(F.broadcast(prior))
+            .withColumn(
+                out_col,
+                (F.col("__te_s") - F.col("__te_y") + m * F.col("__te_p"))
+                / (F.col("__te_n") - 1 + m),
+            )
+            .drop("__te_y", "__te_n", "__te_s", "__te_p")
         )
     if op == "quantile_gate":
         # {"op":"quantile_gate","score":"<sql expr>","group_col":"source",

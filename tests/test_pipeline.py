@@ -1476,3 +1476,63 @@ def test_maintenance_specs_run_through_registry(spark, tmp_path):
         "maintenance": {"format": "delta", "path": dpath, "op": "zap"},
     })
     assert bad.status == "failed" and "unknown delta maintenance" in bad.error
+
+
+def test_pipeline_ml_prep_ops(spark):
+    """Declarative faces of the round-6 ML-prep batch: kfold (q254),
+    target_encode (q256), and robust_outlier_gate (q251) compose in
+    one spec and match their operator-level semantics."""
+    from etl_as_a_service_spark.plans.pipeline import (
+        PipelineError,
+        compile_pipeline,
+    )
+
+    spec = {
+        "name": "ml-prep",
+        "source": {
+            "format": "parquet",
+            "path": f"{SF_SMOKE}/documents.parquet",
+        },
+        "steps": [
+            {"op": "kfold", "strata_col": "lang", "k": 5,
+             "id_col": "doc_id"},
+            {"op": "target_encode", "cat_col": "source",
+             "label": "lang = 'en'", "m": 10, "out_col": "enc"},
+        ],
+    }
+    df = compile_pipeline(spark, spec)
+    assert {"fold", "enc"} <= set(df.columns)
+    rows = df.collect()
+    assert len(rows) == 500
+    assert {r["fold"] for r in rows} == set(range(5))
+    # LOO invariant: two same-source docs with DIFFERENT labels get
+    # different encodings (own label excluded from the group sum)
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], {}).setdefault(
+            r["lang"] == "en", set()
+        ).add(round(r["enc"], 9))
+    for src, sides in by_src.items():
+        if len(sides) == 2:
+            assert sides[True].isdisjoint(sides[False]), src
+
+    gate = {
+        "name": "gate",
+        "source": {
+            "format": "parquet",
+            "path": f"{SF_SMOKE}/events.parquet",
+        },
+        "steps": [
+            {"op": "robust_outlier_gate", "value_col": "value",
+             "keys": ["event_type"], "threshold": 3.5,
+             "keep": "outliers"},
+        ],
+    }
+    outliers = compile_pipeline(spark, gate)
+    n_out = outliers.count()
+    total = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert 0 < n_out < total
+    assert "is_outlier" not in outliers.columns
+    bad = dict(gate, steps=[dict(gate["steps"][0], keep="nope")])
+    with pytest.raises(PipelineError, match="inliers|outliers"):
+        compile_pipeline(spark, bad)
