@@ -1050,3 +1050,120 @@ def q257_scalar_quantization(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# q258 — embedding domain-drift matrix (source/label centroid distances)
+# --------------------------------------------------------------------------
+@query(
+    "q258_embedding_drift_matrix",
+    oracle="""
+    WITH v AS (
+      SELECT label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    mu AS (
+      SELECT label, t.i AS dim, round(avg(vec[t.i]), 6) AS m
+      FROM v, UNNEST(range(1, len(vec) + 1)) AS t(i)
+      GROUP BY label, t.i
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(sqrt(sum((a.m - b.m) * (a.m - b.m))), 6) AS dist
+    FROM mu a JOIN mu b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+    ORDER BY label_a, label_b
+    """,
+    tags=("ml", "embedding", "drift", "audit", "llm", "operator"),
+)
+def q258_embedding_drift_matrix(spark, sf_dir):
+    """Pairwise Euclidean distance between per-label embedding
+    CENTROIDS — the domain-shift audit a mixing decision reads: two
+    sources whose centroids sit on top of each other are near-
+    duplicate domains (merge their quotas); a source drifting away
+    from the rest marks a distribution shift worth a quality pass.
+    Means round to 6 decimals (the k-means update convention) so both
+    engines compute identical centroids; sqrt of identical doubles is
+    IEEE-exact.
+
+    SCALE DESIGN: one posexplode aggregate at (label, dim) grain —
+    map-side combined, labels x dims rows total — then a dim-keyed
+    self-join of that BOUNDED frame (never the vectors) and a
+    pair-grain aggregate. The corpus is scanned once; nothing
+    vector-sized shuffles."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    mu = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+    )
+    a, b = mu.alias("a"), mu.alias("b")
+    d = F.col("a.m") - F.col("b.m")
+    return (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(F.round(F.sqrt(F.sum(d * d)), 6).alias("dist"))
+        .orderBy("label_a", "label_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# q259 — time-decayed engagement score per user
+# --------------------------------------------------------------------------
+@query(
+    "q259_decayed_engagement",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, value,
+             epoch(date_trunc('second', ts)) AS es
+      FROM events
+    ),
+    ref AS (SELECT max(es) AS r FROM e)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value * exp(-((ref.r - es) / 86400.0) / 7.0)), 6)
+             AS decayed_score
+    FROM e CROSS JOIN ref
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("feature-store", "ml-prep", "decay", "operator"),
+)
+def q259_decayed_engagement(spark, sf_dir):
+    """Exponentially time-decayed engagement score per user with a
+    7-day half-life-ish constant: sum(value * exp(-age_days / 7)) at
+    the corpus's latest event time — the recency-weighted feature a
+    ranking/churn model consumes instead of raw counts (q181's
+    snapshot is the un-decayed sibling). Timestamps truncate to whole
+    seconds BEFORE epoch math on both engines (the q226 ns-vs-us
+    rule), so exp sees identical arguments up to libm's last ulp —
+    absorbed by the final round.
+
+    SCALE DESIGN: the reference time is a 1-row broadcast; the score
+    is one map-side-combined aggregate at user grain — no window, no
+    sort, adding a decay constant adds a column, never a scan."""
+    (ev,) = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "value",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("es"),
+    )
+    ref = e.agg(F.max("es").alias("r"))
+    age_days = (F.col("r") - F.col("es")) / 86400.0
+    return (
+        e.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col("value") * F.exp(-age_days / 7.0)), 6
+            ).alias("decayed_score"),
+        )
+        .orderBy("user_id")
+    )
