@@ -241,10 +241,17 @@ def logistic_hash_fit(
             ),
             6,
         )
-        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6)
+        # every labeled doc contributes a residual — docs with NO
+        # feature rows (NULL/empty text never explodes) score at the
+        # bias alone, exactly like the SQL twin's gb1 over ALL docs;
+        # computing resid from fx only would silently drop them from
+        # the bias gradient while n_docs still counts them
+        zc = F.coalesce(F.col("z"), F.lit(round(b, 6)))
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zc)), 6)
         resid = (
-            fx.groupBy("doc_id")
-            .agg(z.alias("z"), F.any_value("y").alias("y"))
+            labels.join(
+                fx.groupBy("doc_id").agg(z.alias("z")), "doc_id", "left"
+            )
             .select("doc_id", (p - F.col("y")).alias("r"))
         )
         grad_rows = (
@@ -359,10 +366,21 @@ def logistic_hash_eval(
         ),
         6,
     )
-    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6)
+    # zero-feature docs score at the bias alone (the training loop's
+    # rule) — the eval covers EVERY labeled doc, not just featurizable
+    # ones
+    zc = F.coalesce(F.col("z"), F.lit(round(b, 6)))
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zc)), 6)
+    if label is None:
+        label = F.col("lang") == "en"
+    labels = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(label, F.lit(False)).cast("int").alias("y"),
+    )
     scored = (
-        fx.groupBy("doc_id")
-        .agg(z.alias("z"), F.any_value("y").alias("y"))
+        labels.join(
+            fx.groupBy("doc_id").agg(z.alias("z")), "doc_id", "left"
+        )
         .select("doc_id", "y", p.alias("p"))
     )
     # both clamp bounds as PARSED decimal literals (0.999999, not the

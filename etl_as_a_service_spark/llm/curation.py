@@ -588,7 +588,57 @@ def stratified_kfold(
     h = F.substring(
         F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
     )
+    # NULLS LAST pins the cross-engine order: a NULL id hashes to NULL
+    # on both engines, but Spark windows default NULLS FIRST while
+    # DuckDB ORDER BY defaults NULLS LAST — an unpinned NULL would
+    # shift every row_number in its stratum by one
     rn = F.row_number().over(
-        Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+        Window.partitionBy(strata_col).orderBy(
+            h.asc_nulls_last(), F.col(id_col).asc_nulls_last()
+        )
     )
     return df.withColumn("fold", ((rn - 1) % k).cast("int"))
+
+
+def loo_target_encode(
+    df: DataFrame,
+    cat_col: str,
+    label,
+    m: float = 10.0,
+    out_col: str = "enc",
+) -> DataFrame:
+    """Leave-one-out target encoding with Micci-Barreca smoothing
+    toward the global prior: enc = (group_sum - own_y + m*prior) /
+    (group_n - 1 + m). Each row's own label is excluded from its
+    group sum, so the feature never memorizes the row it describes.
+    ``label`` is a boolean Column; NULL labels count as negative
+    (matching a SQL CASE ... ELSE 0) and NULL categories form their
+    OWN group via a null-safe join — the transform is row-preserving
+    by contract (an inner equi-join would silently drop NULL-category
+    rows). Single-row groups fall back to the smoothed prior
+    (denominator = m).
+
+    SCALE DESIGN: one group-grain aggregate joined back (broadcast by
+    AQE when small), a 1-row prior; the encode is a codegen row
+    expression — no window, no per-category scan."""
+    y = F.coalesce(label, F.lit(False)).cast("int")
+    lab = df.withColumn("__te_y", y)
+    g = lab.groupBy(F.col(cat_col).alias("__te_cat")).agg(
+        F.count(F.lit(1)).alias("__te_n"),
+        F.sum("__te_y").alias("__te_s"),
+    )
+    prior = lab.agg(
+        (F.sum("__te_y") / F.count(F.lit(1)).cast("double")).alias(
+            "__te_p"
+        )
+    )
+    return (
+        lab.join(g, F.col(cat_col).eqNullSafe(F.col("__te_cat")))
+        .crossJoin(F.broadcast(prior))
+        .withColumn(
+            out_col,
+            (F.col("__te_s") - F.col("__te_y") + m * F.col("__te_p"))
+            / (F.col("__te_n") - 1 + m),
+        )
+        .drop("__te_y", "__te_n", "__te_s", "__te_p", "__te_cat")
+    )

@@ -898,34 +898,17 @@ def _apply_step(
     if op == "target_encode":
         # {"op":"target_encode","cat_col":"source","label":"<sql expr>",
         #  "m":10,"out_col":"enc"} — leave-one-out smoothed target
-        # encoding (the q256 transform): each row's own label is
-        # excluded from its group sum, so the feature never memorizes
-        # the row it describes
-        cat = _req(step, "cat_col")
-        out_col = step.get("out_col", "enc")
-        m = float(step.get("m", 10.0))
-        y = F.coalesce(
-            F.expr(_req(step, "label")).cast("int"), F.lit(0)
-        )
-        lab = df.withColumn("__te_y", y)
-        g = lab.groupBy(cat).agg(
-            F.count(F.lit(1)).alias("__te_n"),
-            F.sum("__te_y").alias("__te_s"),
-        )
-        prior = lab.agg(
-            (F.sum("__te_y") / F.count(F.lit(1)).cast("double")).alias(
-                "__te_p"
-            )
-        )
-        return (
-            lab.join(g, cat)
-            .crossJoin(F.broadcast(prior))
-            .withColumn(
-                out_col,
-                (F.col("__te_s") - F.col("__te_y") + m * F.col("__te_p"))
-                / (F.col("__te_n") - 1 + m),
-            )
-            .drop("__te_y", "__te_n", "__te_s", "__te_p")
+        # encoding (the q256 transform; llm/curation.loo_target_encode:
+        # row-preserving — NULL categories form their own group, NULL
+        # labels count as negative)
+        from etl_as_a_service_spark.llm.curation import loo_target_encode
+
+        return loo_target_encode(
+            df,
+            _req(step, "cat_col"),
+            F.expr(_req(step, "label")).cast("boolean"),
+            m=float(step.get("m", 10.0)),
+            out_col=step.get("out_col", "enc"),
         )
     if op == "quantile_gate":
         # {"op":"quantile_gate","score":"<sql expr>","group_col":"source",

@@ -688,9 +688,12 @@ _LOGISTIC_CTE = """
       GROUP BY f.doc_id
     ),
     r2 AS (
-      SELECT z2.doc_id,
-             round(1.0 / (1.0 + exp(-z2.z)), 6) - lab.y AS r
-      FROM z2 JOIN lab USING (doc_id)
+      -- every doc contributes a residual: zero-feature docs (no
+      -- tokens) score at the bias alone, matching gb1's all-docs sum
+      SELECT lab.doc_id,
+             round(1.0 / (1.0 + exp(-(COALESCE(z2.z, ba.b)))), 6)
+               - lab.y AS r
+      FROM lab LEFT JOIN z2 USING (doc_id) CROSS JOIN ba
     ),
     g2 AS (
       SELECT f.j, round(sum(r2.r * f.x) / any_value(n.nd), 6) AS g
@@ -812,12 +815,17 @@ def q254_stratified_kfold(spark, sf_dir):
     + """
     , score AS (
       SELECT f.doc_id,
-             round(1.0 / (1.0 + exp(-(round(any_value(bb.b)
-                   + sum(wb.w * f.x), 6)))), 6) AS p
+             round(any_value(bb.b) + sum(wb.w * f.x), 6) AS z
       FROM feat f JOIN wb USING (j) CROSS JOIN bb
       GROUP BY f.doc_id
     ),
-    sy AS (SELECT s.p, lab.y FROM score s JOIN lab USING (doc_id)),
+    -- zero-feature docs score at the bias alone (the training rule):
+    -- the eval covers every labeled doc
+    sy AS (
+      SELECT round(1.0 / (1.0 + exp(-(COALESCE(s.z, bb.b)))), 6) AS p,
+             lab.y
+      FROM lab LEFT JOIN score s USING (doc_id) CROSS JOIN bb
+    ),
     acc AS (
       SELECT CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(y) AS BIGINT)   AS n_pos,
@@ -915,29 +923,19 @@ def q256_target_encoding(spark, sf_dir):
     broadcasts the few-row group frame), a 1-row prior; the encode
     itself is a codegen expression per row — no window, no
     per-category scan."""
+    from etl_as_a_service_spark.llm.curation import loo_target_encode
+
     (docs,) = _t(spark, sf_dir, "documents")
-    lab = docs.select(
-        "doc_id", "source", (F.col("lang") == "en").cast("int").alias("y")
-    )
-    g = lab.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("y").cast("long").alias("s"),
-    )
-    prior = lab.agg(
-        (F.sum("y") / F.count(F.lit(1)).cast("double")).alias("p")
-    )
+    lab = docs.select("doc_id", "source", "lang")
     return (
-        lab.join(g, "source")
-        .crossJoin(F.broadcast(prior))
+        loo_target_encode(lab, "source", F.col("lang") == "en", m=10.0)
         .select(
             "doc_id",
             "source",
-            "y",
-            F.round(
-                (F.col("s") - F.col("y") + 10.0 * F.col("p"))
-                / (F.col("n") - 1 + 10.0),
-                6,
-            ).alias("enc"),
+            F.coalesce(F.col("lang") == "en", F.lit(False))
+            .cast("int")
+            .alias("y"),
+            F.round("enc", 6).alias("enc"),
         )
         .orderBy("doc_id")
     )

@@ -706,6 +706,7 @@ def delta_write(
     partition_by: list[str] | None = None,
     checkpoint_interval: int | None = None,
     merge_schema: bool = False,
+    expected_version: int | None = None,
 ) -> int:
     """Commit ``df`` to the table; returns the committed version.
 
@@ -785,6 +786,20 @@ def delta_write(
             actions.append(_metadata_action(schema_string, partition_by))
         else:
             prev = _replay(table)
+            if (
+                expected_version is not None
+                and prev.version != expected_version
+            ):
+                # read-modify-write callers (MERGE) pass the version
+                # their snapshot came from: a commit that landed since
+                # would be silently erased by this overwrite — raise
+                # instead (the lost-update anomaly)
+                _discard_staged(table, adds)
+                raise ValueError(
+                    f"concurrent modification: table advanced from "
+                    f"version {expected_version} to {prev.version} "
+                    f"since the snapshot was read; re-run the merge"
+                )
             if _schema_shape(prev.schema_json) != _schema_shape(schema_string):
                 if not merge_schema:
                     _discard_staged(table, adds)
@@ -1049,9 +1064,16 @@ def delta_merge(
     partition layout is preserved. Returns the committed version."""
     from etl_as_a_service_spark.operators.relational import merge_upsert
 
-    current = delta_read(spark, table)
+    snap = _replay(table)
+    schema = T.StructType.fromJson(json.loads(snap.schema_json))
+    current = _read_file_list(spark, table, schema, sorted(snap.live))
     merged = merge_upsert(current, updates, key_cols)
-    return delta_write(merged, table, mode="overwrite")
+    # expected_version makes the read-modify-write serializable: a
+    # row-level commit landing between this read and the overwrite
+    # raises instead of being silently erased (lost update)
+    return delta_write(
+        merged, table, mode="overwrite", expected_version=snap.version
+    )
 
 
 def delta_update(
@@ -1380,6 +1402,12 @@ def delta_optimize(
     ts = int(time.time() * 1000)
 
     def build(_next_v: int):
+        # a racing DELETE/UPDATE/OPTIMIZE that rewrote any planned
+        # file makes this remove/add set stale: committing it would
+        # resurrect deleted rows inside the compacted file and
+        # duplicate the racer's rewrites (racing APPENDs are fine —
+        # their files are not in the remove set and stay live)
+        _check_cow_conflict(table, files, adds, "OPTIMIZE")
         actions: list[dict] = [
             {
                 "remove": {

@@ -1325,7 +1325,6 @@ def iceberg_alter(
         # a column name colliding with a DERIVED (non-identity) spec
         # field would be silently overwritten by the transform on the
         # next write — reject here like iceberg_write does at create
-        spec = md["partition-specs"][md["default-spec-id"]]
         derived = {
             pf["name"] for pf in spec["fields"]
             if pf["transform"] != "identity"

@@ -183,3 +183,36 @@ def test_logistic_eval_auc_degenerate_binning(spark):
         auc_bins=1,
     ).collect()[0]
     assert row["auc"] == 0.5
+
+
+def test_logistic_counts_zero_feature_docs_in_bias(spark):
+    """A NULL-text doc never explodes into features, but it MUST
+    still contribute its bias-only residual to the gradient (the SQL
+    twin's gb1 sums over ALL docs) — dropping it silently diverged
+    engine and oracle."""
+    rows = [(0, "alpha beta", "en"), (1, "uno dos", "es"), (2, None, "es")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    traj = logistic_hash_train(
+        docs, label=F.col("lang") == "en", n_buckets=4, iterations=1
+    ).collect()
+    b1 = [r["w1"] for r in traj if r["j"] == -1][0]
+    # gb1 = avg over ALL THREE docs of (0.5 - y) = ((-0.5) + 0.5 + 0.5)/3
+    expect = round(-2.0 * round((0.5 - 1 + 0.5 - 0 + 0.5 - 0) / 3.0, 6), 6)
+    assert b1 == expect, (b1, expect)
+
+
+def test_loo_target_encode_preserves_null_categories(spark):
+    """NULL categories form their own group (null-safe join): the
+    transform is row-preserving, never a silent row drop."""
+    from etl_as_a_service_spark.llm.curation import loo_target_encode
+
+    rows = [(0, "a", True), (1, "a", False), (2, None, True),
+            (3, None, True), (4, "b", False)]
+    df = spark.createDataFrame(rows, "id long, cat string, y boolean")
+    out = loo_target_encode(df, "cat", F.col("y"), m=2.0).collect()
+    assert len(out) == 5  # row-preserving
+    by_id = {r["id"]: r["enc"] for r in out}
+    # NULL group (n=2, s=2, prior=0.6): enc(2) = (2-1+2*0.6)/(2-1+2)
+    assert abs(by_id[2] - (2 - 1 + 2 * 0.6) / 3.0) < 1e-12
+    # singleton group b falls back to the smoothed prior
+    assert abs(by_id[4] - (0 - 0 + 2 * 0.6) / 2.0) < 1e-12

@@ -790,3 +790,89 @@ def test_delta_cow_conflict_detected(spark, tmp_path):
         r["k"] for r in delta_read(spark, path).select("k").collect()
     )
     assert vals == [0, 2, 3, 4, 5, 6, 7, 8, 9]
+
+
+def test_delta_optimize_conflict_detected(spark, tmp_path):
+    """OPTIMIZE racing a DELETE must not resurrect the deleted rows
+    inside the compacted file — the stale remove/add set raises."""
+    import etl_as_a_service_spark.sources.delta as D
+    from etl_as_a_service_spark.sources.delta import (
+        delta_delete,
+        delta_optimize,
+    )
+
+    path = os.path.join(str(tmp_path), "optrace")
+    for i in range(4):  # several small files so OPTIMIZE has work
+        delta_write(
+            spark.createDataFrame(
+                [(i * 10 + j, float(j)) for j in range(5)],
+                "k long, v double",
+            ),
+            path,
+            mode="append" if i else "overwrite",
+        )
+    orig = D._commit
+    fired = {"done": False}
+
+    def racing(table, build):
+        if not fired["done"]:
+            fired["done"] = True
+            D._commit = orig
+            delta_delete(spark, path, "k = 1")
+            D._commit = racing
+        return orig(table, build)
+
+    D._commit = racing
+    try:
+        with pytest.raises(ValueError, match="concurrent modification"):
+            delta_optimize(spark, path, target_file_bytes=1 << 30)
+    finally:
+        D._commit = orig
+    assert delta_read(spark, path).filter(F.col("k") == 1).count() == 0
+
+
+def test_delta_merge_lost_update_detected(spark, tmp_path):
+    """MERGE is read-modify-write-as-overwrite: a row-level commit
+    landing between its read and its commit would be silently erased
+    — expected_version makes it raise instead."""
+    import etl_as_a_service_spark.sources.delta as D
+    from etl_as_a_service_spark.sources.delta import (
+        delta_delete,
+        delta_merge,
+    )
+
+    path = os.path.join(str(tmp_path), "mrgrace")
+    delta_write(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (3, 3.0)], "k long, v double"
+        ),
+        path,
+        mode="overwrite",
+    )
+    orig = D._commit
+    fired = {"done": False}
+
+    def racing(table, build):
+        if not fired["done"]:
+            fired["done"] = True
+            D._commit = orig
+            delta_delete(spark, path, "k = 3")
+            D._commit = racing
+        return orig(table, build)
+
+    D._commit = racing
+    try:
+        with pytest.raises(ValueError, match="advanced from version"):
+            delta_merge(
+                spark,
+                path,
+                spark.createDataFrame([(2, 20.0)], "k long, v double"),
+                ["k"],
+            )
+    finally:
+        D._commit = orig
+    # the racer's delete held; the merge never published stale rows
+    assert delta_read(spark, path).filter(F.col("k") == 3).count() == 0
+    assert delta_read(spark, path).filter(
+        (F.col("k") == 2) & (F.col("v") == 20.0)
+    ).count() == 0
