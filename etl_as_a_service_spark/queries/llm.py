@@ -2450,3 +2450,42 @@ def q253_minhash_lsh_portable(spark, sf_dir):
     return minhash_lsh_pairs_portable(
         docs, "text", "doc_id", n_perms=8, band_rows=2, shingle_n=3
     )
+
+
+# --------------------------------------------------------------------------
+# q261 — exact-duplicate cluster-size histogram (dedup planning readout)
+# --------------------------------------------------------------------------
+@query(
+    "q261_dup_cluster_histogram",
+    oracle="""
+    WITH c AS (
+      SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1
+    )
+    SELECT CAST(n AS BIGINT)        AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n) AS BIGINT)   AS n_docs
+    FROM c GROUP BY n ORDER BY cluster_size
+    """,
+    tags=("dedup", "audit", "llm", "operator"),
+)
+def q261_dup_cluster_histogram(spark, sf_dir):
+    """Exact-duplicate multiplicity histogram: how many md5(text)
+    clusters exist at each size, and how much document mass they
+    carry — the readout that sizes a dedup run BEFORE it executes
+    (mass at size >= 2 = rows q40 will drop; a fat tail means
+    crawl-loop duplication, near-uniform 1s means dedup is cheap).
+    q40/q41 perform the dedup; this audits its structure.
+
+    SCALE DESIGN: two map-side-combined aggregates (hash grain, then
+    size grain); text never shuffles — only 128-bit hashes."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(F.col("n").cast("long").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("n").cast("long").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -992,3 +992,127 @@ def q250_heaps_law(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q260 — lexical drift matrix (Jensen-Shannon divergence between sources)
+# --------------------------------------------------------------------------
+@query(
+    "q260_lexical_drift_matrix",
+    oracle="""
+    WITH gw AS (
+      SELECT source, w AS word, count(*) AS c
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    vocab AS (
+      SELECT word
+      FROM (SELECT word, sum(c) AS gc FROM gw GROUP BY word)
+      ORDER BY gc DESC, word
+      LIMIT 500
+    ),
+    buckets AS (
+      SELECT word AS b FROM vocab UNION ALL SELECT '<oov>'
+    ),
+    bc AS (
+      SELECT gw.source,
+             CASE WHEN v.word IS NULL THEN '<oov>' ELSE gw.word END AS b,
+             sum(gw.c) AS c
+      FROM gw LEFT JOIN vocab v USING (word)
+      GROUP BY 1, 2
+    ),
+    ns AS (SELECT source, CAST(sum(c) AS DOUBLE) AS n FROM bc GROUP BY source),
+    p AS (
+      SELECT ns.source, buckets.b,
+             (COALESCE(bc.c, 0) + 1) / (ns.n + 501.0) AS p
+      FROM ns CROSS JOIN buckets
+      LEFT JOIN bc ON bc.source = ns.source AND bc.b = buckets.b
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           round(sum(0.5 * a.p * ln(a.p / ((a.p + b.p) / 2))
+                     + 0.5 * b.p * ln(b.p / ((a.p + b.p) / 2))), 6)
+             AS js_divergence
+    FROM p a JOIN p b ON a.b = b.b AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+    """,
+    tags=("corpus", "drift", "divergence", "llm", "operator"),
+)
+def q260_lexical_drift_matrix(spark, sf_dir):
+    """Jensen-Shannon divergence between every source pair's smoothed
+    unigram distribution over the global top-500 vocabulary (+ one
+    OOV bucket, add-one smoothing) — the LEXICAL drift audit beside
+    q258's embedding drift: two sources with near-zero JS are the
+    same crawl wearing two labels (merge their mixing quotas); a
+    high-JS outlier is a register/domain shift worth a quality pass.
+    The q232 vocab convention (count desc, word asc, top-500) pins
+    the bucket set identically on both engines.
+
+    SCALE DESIGN: one explode scan into (source, word) counts
+    (map-side combined); the vocab is a 500-row TakeOrdered broadcast;
+    distributions live at source x 501 grain and the pair join runs
+    over THAT bounded frame — never tokens, never documents. At
+    thousands of sources the pair count is the quadratic term, not
+    the corpus."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    gw = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("word")
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = (
+        gw.groupBy("word")
+        .agg(F.sum("c").alias("gc"))
+        .orderBy(F.col("gc").desc(), "word")
+        .limit(500)
+        .select("word")
+    )
+    bc = (
+        gw.join(F.broadcast(vocab.withColumn("__v", F.lit(1))), "word", "left")
+        .select(
+            "source",
+            F.when(F.col("__v").isNull(), F.lit("<oov>"))
+            .otherwise(F.col("word"))
+            .alias("b"),
+            "c",
+        )
+        .groupBy("source", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    ns = bc.groupBy("source").agg(F.sum("c").cast("double").alias("n"))
+    buckets = vocab.select(F.col("word").alias("b")).unionAll(
+        vocab.sparkSession.createDataFrame([("<oov>",)], "b string")
+    )
+    p = (
+        ns.crossJoin(F.broadcast(buckets))
+        .join(bc, ["source", "b"], "left")
+        .select(
+            "source",
+            "b",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                / (F.col("n") + F.lit(501.0))
+            ).alias("p"),
+        )
+    )
+    a, b = p.alias("a"), p.alias("b")
+    m = (F.col("a.p") + F.col("b.p")) / 2
+    term = 0.5 * F.col("a.p") * F.log(F.col("a.p") / m) + 0.5 * F.col(
+        "b.p"
+    ) * F.log(F.col("b.p") / m)
+    return (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.round(F.sum(term), 6).alias("js_divergence"))
+        .orderBy("source_a", "source_b")
+    )
