@@ -353,11 +353,39 @@ def logistic_hash_eval(
     frame, one bin aggregate, and a window over <= auc_bins + 1 rows
     (aggregate-grain, the q214 pattern); three scalars join at the
     end. Nothing corpus-sized is sorted or collected."""
-    from pyspark.sql import Window
-
     w, b, _traj, fx = logistic_hash_fit(
         docs, label, n_buckets, iterations, lr, salt, id_col, text_col
     )
+    return logistic_hash_score_metrics(
+        docs, w, b, label, n_buckets, salt, id_col, text_col,
+        auc_bins=auc_bins, feats=fx,
+    )
+
+
+def logistic_hash_score_metrics(
+    eval_docs: DataFrame,
+    w: list[float],
+    b: float,
+    label: F.Column | None = None,
+    n_buckets: int = 16,
+    salt: str = "lg-v1-",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    auc_bins: int = 1000,
+    feats: DataFrame | None = None,
+) -> DataFrame:
+    """Score ``eval_docs`` with a FITTED model and return the q255
+    metrics row — factored out of logistic_hash_eval so a holdout
+    evaluation can train on one split and score another. ``feats``
+    reuses an already-materialized feature frame (the trainer's
+    checkpoint) when the eval set IS the training set."""
+    from pyspark.sql import Window
+
+    if feats is None:
+        feats = hashed_features(
+            eval_docs, n_buckets, salt, id_col, text_col
+        )
+    fx = feats
     w_arr = F.array(*[F.lit(v) for v in w])
     z = F.round(
         F.lit(b)
@@ -373,7 +401,7 @@ def logistic_hash_eval(
     p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zc)), 6)
     if label is None:
         label = F.col("lang") == "en"
-    labels = docs.select(
+    labels = eval_docs.select(
         F.col(id_col).alias("doc_id"),
         F.coalesce(label, F.lit(False)).cast("int").alias("y"),
     )
@@ -437,6 +465,48 @@ def logistic_hash_eval(
         ).alias("auc")
     )
     return acc.crossJoin(auc)
+
+
+def logistic_hash_holdout_eval(
+    docs: DataFrame,
+    label: F.Column | None = None,
+    strata_col: str = "lang",
+    k: int = 5,
+    test_fold: int | None = None,
+    n_buckets: int = 16,
+    iterations: int = 2,
+    lr: float = 2.0,
+    salt: str = "lg-v1-",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    auc_bins: int = 1000,
+) -> DataFrame:
+    """Honest generalization readout: stratified k-fold split
+    (stratified_kfold — engine-portable md5 deal), TRAIN on every
+    fold but ``test_fold`` (default: the last), EVALUATE on the held
+    -out fold — q255 measures memorization capacity, this measures
+    what the filter will do on data it never saw, which is the number
+    a curation pipeline should actually gate on. Fully deterministic,
+    so the ENTIRE split -> train -> holdout-score computation has a
+    SQL twin (q262).
+
+    SCALE DESIGN: the split adds one stratum-partitioned window over
+    the corpus; training/eval inherit their components' shapes (one
+    scan-aggregate per GD step; bounded AUC window)."""
+    from etl_as_a_service_spark.llm.curation import stratified_kfold
+
+    if test_fold is None:
+        test_fold = k - 1
+    folds = stratified_kfold(docs, strata_col, k=k, id_col=id_col)
+    train = folds.filter(F.col("fold") != test_fold).drop("fold")
+    test = folds.filter(F.col("fold") == test_fold).drop("fold")
+    w, b, _traj, _fx = logistic_hash_fit(
+        train, label, n_buckets, iterations, lr, salt, id_col, text_col
+    )
+    return logistic_hash_score_metrics(
+        test, w, b, label, n_buckets, salt, id_col, text_col,
+        auc_bins=auc_bins,
+    )
 
 
 def sigmoid6(z: float) -> float:

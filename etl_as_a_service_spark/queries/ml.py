@@ -1165,3 +1165,189 @@ def q259_decayed_engagement(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q262 — holdout evaluation: train on folds 0-3, score fold 4
+# --------------------------------------------------------------------------
+@query(
+    "q262_holdout_eval",
+    oracle="""
+    WITH rk AS (
+      SELECT doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5('cv-v1-' || CAST(doc_id AS VARCHAR)),
+                               1, 8),
+                        doc_id) AS rn
+      FROM documents
+    ),
+    folds AS (
+      SELECT doc_id, CAST((rn - 1) % 5 AS INTEGER) AS fold FROM rk
+    ),
+    tr AS (
+      SELECT d.* FROM documents d JOIN folds USING (doc_id)
+      WHERE fold <> 4
+    ),
+    te AS (
+      SELECT d.* FROM documents d JOIN folds USING (doc_id)
+      WHERE fold = 4
+    ),
+    toks AS (
+      SELECT doc_id, u.w FROM tr, unnest(string_split(text, ' ')) AS u(w)
+    ),
+    ntok AS (
+      SELECT doc_id, CAST(count(*) AS DOUBLE) AS n
+      FROM toks GROUP BY doc_id
+    ),
+    feat AS (
+      SELECT t.doc_id, t.j, count(*) / any_value(ntok.n) AS x
+      FROM (SELECT doc_id,
+                   CAST(('0x' || substr(md5('lg-v1-' || w), 1, 8))::BIGINT
+                        % 16 AS INTEGER) AS j
+            FROM toks) t
+      JOIN ntok USING (doc_id)
+      GROUP BY t.doc_id, t.j
+    ),
+    lab AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM tr
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM tr),
+    buckets AS (SELECT CAST(u.j AS INTEGER) AS j
+                FROM unnest(range(0, 16)) AS u(j)),
+    g1 AS (
+      SELECT f.j,
+             round(sum((0.5 - lab.y) * f.x) / any_value(n.nd), 6) AS g
+      FROM feat f JOIN lab USING (doc_id) CROSS JOIN n
+      GROUP BY f.j
+    ),
+    gb1 AS (
+      SELECT round(sum(0.5 - y) / any_value(n.nd), 6) AS g
+      FROM lab CROSS JOIN n
+    ),
+    wa AS (
+      SELECT b.j, round(-2.0 * COALESCE(g1.g, 0.0), 6) AS w
+      FROM buckets b LEFT JOIN g1 USING (j)
+    ),
+    ba AS (SELECT round(-2.0 * g, 6) AS b FROM gb1),
+    z2 AS (
+      SELECT f.doc_id,
+             round(any_value(ba.b) + sum(wa.w * f.x), 6) AS z
+      FROM feat f JOIN wa USING (j) CROSS JOIN ba
+      GROUP BY f.doc_id
+    ),
+    r2 AS (
+      SELECT lab.doc_id,
+             round(1.0 / (1.0 + exp(-(COALESCE(z2.z, ba.b)))), 6)
+               - lab.y AS r
+      FROM lab LEFT JOIN z2 USING (doc_id) CROSS JOIN ba
+    ),
+    g2 AS (
+      SELECT f.j, round(sum(r2.r * f.x) / any_value(n.nd), 6) AS g
+      FROM feat f JOIN r2 USING (doc_id) CROSS JOIN n
+      GROUP BY f.j
+    ),
+    gb2 AS (SELECT round(sum(r) / any_value(n.nd), 6) AS g
+            FROM r2 CROSS JOIN n),
+    wb AS (
+      SELECT wa.j, round(wa.w - 2.0 * COALESCE(g2.g, 0.0), 6) AS w
+      FROM wa LEFT JOIN g2 USING (j)
+    ),
+    bb AS (SELECT round(ba.b - 2.0 * gb2.g, 6) AS b
+           FROM ba CROSS JOIN gb2),
+    -- holdout scoring: the test fold's own features, the trained model
+    toks_te AS (
+      SELECT doc_id, u.w FROM te, unnest(string_split(text, ' ')) AS u(w)
+    ),
+    ntok_te AS (
+      SELECT doc_id, CAST(count(*) AS DOUBLE) AS n
+      FROM toks_te GROUP BY doc_id
+    ),
+    feat_te AS (
+      SELECT t.doc_id, t.j, count(*) / any_value(ntok_te.n) AS x
+      FROM (SELECT doc_id,
+                   CAST(('0x' || substr(md5('lg-v1-' || w), 1, 8))::BIGINT
+                        % 16 AS INTEGER) AS j
+            FROM toks_te) t
+      JOIN ntok_te USING (doc_id)
+      GROUP BY t.doc_id, t.j
+    ),
+    lab_te AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM te
+    ),
+    score AS (
+      SELECT f.doc_id,
+             round(any_value(bb.b) + sum(wb.w * f.x), 6) AS z
+      FROM feat_te f JOIN wb USING (j) CROSS JOIN bb
+      GROUP BY f.doc_id
+    ),
+    sy AS (
+      SELECT round(1.0 / (1.0 + exp(-(COALESCE(s.z, bb.b)))), 6) AS p,
+             lab_te.y
+      FROM lab_te LEFT JOIN score s USING (doc_id) CROSS JOIN bb
+    ),
+    acc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(y) AS BIGINT)   AS n_pos,
+             round(avg(CASE WHEN (p >= 0.5) = (y = 1)
+                            THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+             round(-avg(y * ln(least(greatest(p, 0.000001), 0.999999))
+                        + (1 - y)
+                          * ln(1 - least(greatest(p, 0.000001),
+                                         0.999999))), 6) AS log_loss
+      FROM sy
+    ),
+    bins AS (
+      SELECT CAST(floor(p * 1000) AS INTEGER) AS bin,
+             CAST(sum(y) AS BIGINT)            AS pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS neg
+      FROM sy GROUP BY bin
+    ),
+    rkb AS (
+      SELECT pos, neg,
+             COALESCE(sum(pos + neg) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (pos + neg + 1) / 2.0 AS midrank
+      FROM bins
+    ),
+    auc AS (
+      SELECT round((sum(pos * midrank)
+                    - sum(pos) * (sum(pos) + 1) / 2.0)
+                   / CAST(sum(pos) * sum(neg) AS DOUBLE), 6) AS auc
+      FROM rkb
+    )
+    SELECT acc.n_docs, acc.n_pos, acc.accuracy, acc.log_loss, auc.auc
+    FROM acc CROSS JOIN auc
+    """,
+    tags=("ml", "classification", "evaluation", "cv", "llm", "operator"),
+)
+def q262_holdout_eval(spark, sf_dir):
+    """HONEST generalization readout for the quality classifier
+    (llm/classify.logistic_hash_holdout_eval): stratified 5-fold split
+    (the q254 md5 deal), train the 2-step logistic model on folds 0-3,
+    evaluate accuracy / log-loss / binned AUC on the NEVER-SEEN fold
+    4. q255 measures memorization capacity; this measures what the
+    filter does on new data — the number a curation pipeline should
+    actually gate on. The oracle re-derives split, training, AND
+    holdout scoring end to end, the deepest composed computation under
+    the hash gate.
+
+    SCALE DESIGN: the split is one stratum-partitioned window; each
+    GD step is one scan-aggregate over the train features; holdout
+    scoring is one aggregate over the test features; the AUC window
+    stays on the bounded bin domain."""
+    from etl_as_a_service_spark.llm.classify import (
+        logistic_hash_holdout_eval,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return logistic_hash_holdout_eval(
+        docs,
+        label=F.col("lang") == "en",
+        strata_col="lang",
+        k=5,
+        n_buckets=16,
+        iterations=2,
+    )

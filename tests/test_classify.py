@@ -216,3 +216,25 @@ def test_loo_target_encode_preserves_null_categories(spark):
     assert abs(by_id[2] - (2 - 1 + 2 * 0.6) / 3.0) < 1e-12
     # singleton group b falls back to the smoothed prior
     assert abs(by_id[4] - (0 - 0 + 2 * 0.6) / 2.0) < 1e-12
+
+
+def test_holdout_eval_generalizes_on_separable_corpus(spark):
+    """Disjoint vocabularies generalize perfectly: the never-seen
+    fold still scores accuracy 1.0 / AUC 1.0, and the holdout row
+    covers EXACTLY the held-out fold's docs."""
+    from etl_as_a_service_spark.llm.classify import (
+        logistic_hash_holdout_eval,
+    )
+    from etl_as_a_service_spark.llm.curation import stratified_kfold
+
+    docs = _separable_docs(spark)
+    row = logistic_hash_holdout_eval(
+        docs, label=F.col("lang") == "en", strata_col="lang", k=5
+    ).collect()[0]
+    expect_n = (
+        stratified_kfold(docs, "lang", k=5)
+        .filter(F.col("fold") == 4)
+        .count()
+    )
+    assert row["n_docs"] == expect_n
+    assert row["accuracy"] == 1.0 and row["auc"] == 1.0

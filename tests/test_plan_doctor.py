@@ -166,9 +166,9 @@ def test_manifest_plans_lint_clean(spark):
     - q218: the Zipf ranking window runs over the already-top-1000'd
       term frame (TakeOrderedAndProject bounds it first — the q93
       pattern, documented in-query);
-    - q255: the AUC midrank window runs over the AGGREGATED score-bin
-      domain (<= 1001 rows by construction — the q214 pattern,
-      documented in-query)."""
+    - q255/q262: the AUC midrank window runs over the AGGREGATED
+      score-bin domain (<= 1001 rows by construction — the q214
+      pattern, documented in-query)."""
     from etl_as_a_service_spark.plans.doctor import lint_plan
     from etl_as_a_service_spark.queries import QUERIES
     from tests.conftest import SF_SMOKE
@@ -183,6 +183,7 @@ def test_manifest_plans_lint_clean(spark):
         "q214_ks_two_sample",
         "q218_zipf_slope",
         "q255_classifier_eval",
+        "q262_holdout_eval",
     }
     bad = {}
     for name, qd in QUERIES.items():
