@@ -382,9 +382,13 @@ def logistic_hash_score_metrics(
     from pyspark.sql import Window
 
     if feats is None:
+        # the scored subtree feeds BOTH the metrics aggregate and the
+        # AUC bin aggregate — checkpoint so the eval featurization
+        # (split window + explode + two aggregates) runs once, the
+        # same featurize-once rule as the trainer
         feats = hashed_features(
             eval_docs, n_buckets, salt, id_col, text_col
-        )
+        ).localCheckpoint(eager=True)
     fx = feats
     w_arr = F.array(*[F.lit(v) for v in w])
     z = F.round(
@@ -497,6 +501,15 @@ def logistic_hash_holdout_eval(
 
     if test_fold is None:
         test_fold = k - 1
+    if not 0 <= test_fold < k:
+        raise ValueError(
+            f"test_fold must be in [0, {k}), got {test_fold} — an "
+            f"out-of-range fold would silently evaluate on an empty "
+            f"holdout"
+        )
+    # NULL-id docs cannot be tracked through a split (and the SQL twin
+    # joins folds on the id) — exclude them from the experiment
+    docs = docs.filter(F.col(id_col).isNotNull())
     folds = stratified_kfold(docs, strata_col, k=k, id_col=id_col)
     train = folds.filter(F.col("fold") != test_fold).drop("fold")
     test = folds.filter(F.col("fold") == test_fold).drop("fold")

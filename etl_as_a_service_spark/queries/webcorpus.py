@@ -1012,26 +1012,34 @@ def q250_heaps_law(spark, sf_dir):
       ORDER BY gc DESC, word
       LIMIT 500
     ),
+    -- vocab buckets carry a 'w:' prefix so a literal '<oov>' TOKEN
+    -- can never alias or duplicate the out-of-vocab bucket
     buckets AS (
-      SELECT word AS b FROM vocab UNION ALL SELECT '<oov>'
+      SELECT 'w:' || word AS b FROM vocab UNION ALL SELECT '<oov>'
     ),
+    vsz AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
     bc AS (
       SELECT gw.source,
-             CASE WHEN v.word IS NULL THEN '<oov>' ELSE gw.word END AS b,
+             CASE WHEN v.word IS NULL THEN '<oov>'
+                  ELSE 'w:' || gw.word END AS b,
              sum(gw.c) AS c
       FROM gw LEFT JOIN vocab v USING (word)
       GROUP BY 1, 2
     ),
     ns AS (SELECT source, CAST(sum(c) AS DOUBLE) AS n FROM bc GROUP BY source),
     p AS (
+      -- denominator uses the TRUE bucket count (vocab may be < 500 on
+      -- a small corpus) so each smoothed distribution sums to 1
       SELECT ns.source, buckets.b,
-             (COALESCE(bc.c, 0) + 1) / (ns.n + 501.0) AS p
-      FROM ns CROSS JOIN buckets
+             (COALESCE(bc.c, 0) + 1) / (ns.n + vsz.v + 1.0) AS p
+      FROM ns CROSS JOIN buckets CROSS JOIN vsz
       LEFT JOIN bc ON bc.source = ns.source AND bc.b = buckets.b
     )
     SELECT a.source AS source_a, b.source AS source_b,
+           -- + 0.0 normalizes a -0.0 (near-identical sources can sum
+           -- to -1e-17 on one engine and +1e-17 on the other)
            round(sum(0.5 * a.p * ln(a.p / ((a.p + b.p) / 2))
-                     + 0.5 * b.p * ln(b.p / ((a.p + b.p) / 2))), 6)
+                     + 0.5 * b.p * ln(b.p / ((a.p + b.p) / 2))), 6) + 0.0
              AS js_divergence
     FROM p a JOIN p b ON a.b = b.b AND a.source < b.source
     GROUP BY a.source, b.source
@@ -1074,8 +1082,10 @@ def q260_lexical_drift_matrix(spark, sf_dir):
         gw.join(F.broadcast(vocab.withColumn("__v", F.lit(1))), "word", "left")
         .select(
             "source",
+            # 'w:' prefix: a literal '<oov>' token can never alias or
+            # duplicate the out-of-vocab bucket
             F.when(F.col("__v").isNull(), F.lit("<oov>"))
-            .otherwise(F.col("word"))
+            .otherwise(F.concat(F.lit("w:"), F.col("word")))
             .alias("b"),
             "c",
         )
@@ -1083,7 +1093,10 @@ def q260_lexical_drift_matrix(spark, sf_dir):
         .agg(F.sum("c").alias("c"))
     )
     ns = bc.groupBy("source").agg(F.sum("c").cast("double").alias("n"))
-    buckets = vocab.select(F.col("word").alias("b")).unionAll(
+    v_sz = vocab.count()  # bounded: one scalar (<= 500)
+    buckets = vocab.select(
+        F.concat(F.lit("w:"), F.col("word")).alias("b")
+    ).unionAll(
         vocab.sparkSession.createDataFrame([("<oov>",)], "b string")
     )
     p = (
@@ -1092,9 +1105,11 @@ def q260_lexical_drift_matrix(spark, sf_dir):
         .select(
             "source",
             "b",
+            # true bucket count in the denominator (vocab may be < 500
+            # on a small corpus): each distribution sums to exactly 1
             (
                 (F.coalesce(F.col("c"), F.lit(0)) + 1)
-                / (F.col("n") + F.lit(501.0))
+                / (F.col("n") + F.lit(float(v_sz + 1)))
             ).alias("p"),
         )
     )
@@ -1113,6 +1128,6 @@ def q260_lexical_drift_matrix(spark, sf_dir):
             F.col("a.source").alias("source_a"),
             F.col("b.source").alias("source_b"),
         )
-        .agg(F.round(F.sum(term), 6).alias("js_divergence"))
+        .agg((F.round(F.sum(term), 6) + 0.0).alias("js_divergence"))
         .orderBy("source_a", "source_b")
     )

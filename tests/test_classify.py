@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_as_a_service_spark.llm.classify import (
@@ -238,3 +240,12 @@ def test_holdout_eval_generalizes_on_separable_corpus(spark):
     )
     assert row["n_docs"] == expect_n
     assert row["accuracy"] == 1.0 and row["auc"] == 1.0
+
+
+def test_holdout_eval_validates_test_fold(spark):
+    from etl_as_a_service_spark.llm.classify import (
+        logistic_hash_holdout_eval,
+    )
+
+    with pytest.raises(ValueError, match="test_fold must be"):
+        logistic_hash_holdout_eval(_separable_docs(spark), k=5, test_fold=7)
