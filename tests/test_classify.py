@@ -249,3 +249,33 @@ def test_holdout_eval_validates_test_fold(spark):
 
     with pytest.raises(ValueError, match="test_fold must be"):
         logistic_hash_holdout_eval(_separable_docs(spark), k=5, test_fold=7)
+
+
+def test_loo_target_encode_invariants(spark):
+    """m -> huge collapses every encoding to the global prior; any m
+    keeps encodings inside [0, 1] for a boolean label."""
+    from etl_as_a_service_spark.llm.curation import loo_target_encode
+
+    rows = [(i, f"c{i % 3}", i % 2 == 0) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, cat string, y boolean")
+    prior = 15 / 30.0
+    big = loo_target_encode(df, "cat", F.col("y"), m=1e9).collect()
+    assert all(abs(r["enc"] - prior) < 1e-6 for r in big)
+    any_m = loo_target_encode(df, "cat", F.col("y"), m=3.0).collect()
+    assert all(0.0 <= r["enc"] <= 1.0 for r in any_m)
+
+
+def test_stratified_kfold_salt_changes_deal_keeps_balance(spark):
+    from etl_as_a_service_spark.llm.curation import stratified_kfold
+
+    docs = _separable_docs(spark)
+    a = {r["doc_id"]: r["fold"]
+         for r in stratified_kfold(docs, "lang", k=4).collect()}
+    b = {r["doc_id"]: r["fold"]
+         for r in stratified_kfold(docs, "lang", k=4,
+                                   salt="cv-v2-").collect()}
+    assert a != b  # a different salt deals a different hand...
+    from collections import Counter
+    for deal in (a, b):  # ...but balance holds for both
+        sizes = Counter(deal.values())
+        assert max(sizes.values()) - min(sizes.values()) <= 2
