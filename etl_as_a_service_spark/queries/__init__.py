@@ -91,8 +91,9 @@ from etl_as_a_service_spark.queries import ml  # noqa: E402,F401
 #   q255_classifier_eval, q256_target_encoding,
 #   q257_scalar_quantization, q258_embedding_drift_matrix,
 #   q259_decayed_engagement, q260_lexical_drift_matrix,
-#   q261_dup_cluster_histogram, q262_holdout_eval
-#   (37 total — all fit in one final 50-slot window)
+#   q261_dup_cluster_histogram, q262_holdout_eval,
+#   q263_rollup_revenue
+#   (38 total — all fit in one final 50-slot window)
 # Keep the rows-only queries (q47-q49/q54/q55/q61/q98/q130/q139/q148)
 # OUT of every future front-50: their driver check is `no_oracle`
 # (row-count only) and each already has its driver row from r4; the

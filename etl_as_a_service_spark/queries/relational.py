@@ -509,3 +509,76 @@ def q16_grouping_sets(spark, sf_dir):
     (li,) = _t(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem")
     return spark.sql(_Q16_SQL.format(table="lineitem"))
+
+
+# --------------------------------------------------------------------------
+# q263 — dimensional ROLLUP report (nation x order-year revenue)
+# --------------------------------------------------------------------------
+@query(
+    "q263_rollup_revenue",
+    oracle="""
+    WITH base AS (
+      SELECT n.n_name,
+             CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             l.l_extendedprice * (1 - l.l_discount) AS rev
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT COALESCE(n_name, 'ALL')               AS nation,
+           COALESCE(CAST(yr AS VARCHAR), 'ALL')  AS yr,
+           CAST(GROUPING(n_name, yr) AS INTEGER) AS gid,
+           round(sum(rev), 2)                    AS revenue,
+           CAST(count(*) AS BIGINT)              AS n_items
+    FROM base GROUP BY ROLLUP (n_name, yr)
+    ORDER BY gid, nation, yr
+    """,
+    tags=("aggregation", "rollup", "sql", "operator"),
+)
+def q263_rollup_revenue(spark, sf_dir):
+    """Dimensional ROLLUP report — revenue by (nation, order year)
+    with per-nation subtotals and the grand total in ONE aggregation
+    (the warehouse drill-down shape; q16 is the GROUPING SETS face
+    over a single table, this is the DataFrame `rollup` face over a
+    4-table dimensional join, with `grouping_id` disambiguating the
+    aggregation levels). Super-aggregate rows render their grouped-out
+    keys as 'ALL' identically on both engines.
+
+    SCALE DESIGN: dims broadcast into the fact scan; Catalyst plans
+    rollup as ONE Expand + hash aggregate (each input row expands to
+    its 3 grouping levels, all map-side combinable) — no per-level
+    re-scan, no union of aggregates."""
+    li, o, c, n = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("long").alias("yr"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rev"),
+        )
+    )
+    return (
+        base.rollup("n_name", "yr")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias(
+                "yr"
+            ),
+            "gid",
+            "revenue",
+            "n_items",
+        )
+        .orderBy("gid", "nation", "yr")
+    )
