@@ -116,6 +116,7 @@ HEADLINE_ML = [
     "q237_embedding_hygiene",
     "q248_naive_bayes_confusion",
     "q252_logistic_hash_clf",
+    "q262_holdout_eval",
 ]
 
 #: round-6 addition to the lakehouse subtotal: the stats-based file
