@@ -63,92 +63,74 @@ from etl_as_a_service_spark.queries import advanced  # noqa: E402,F401
 from etl_as_a_service_spark.queries import webcorpus  # noqa: E402,F401
 from etl_as_a_service_spark.queries import ml  # noqa: E402,F401
 
-# Driver-gate rotation (round 6): the external driver records
-# CORRECTNESS rows for the FIRST 50 manifest entries only. After r5
-# the driver-green union covers every oracle query through q175; the
-# 59 never-driver-green oracle queries are q176-q234. This round's
-# front-50 is exactly the first 50 of those by query number
-# (q176-q225) — zero slots on already-checked or rows-only queries.
+# Driver-gate rotation (round 7 — FINAL backlog window): the external
+# driver records CORRECTNESS rows for the FIRST 50 manifest entries
+# only. After r6 the driver-green union covers every oracle query
+# through q225; the 38 never-driver-green oracle queries are
+# q226-q263 (the round-6 additions plus the q226-q234 tail that did
+# not fit r6's window). This round's front-50 is all 38 of those in
+# ascending query-number order, then 12 cheap already-green queries
+# (q01-q12) as harmless re-confirmation filler — zero slots on
+# rows-only queries. After this window lands, EVERY oracle query in
+# the manifest has a driver-green row and the rotation backlog is
+# empty; future rounds keep re-confirming from the front.
 # The manifest CONTENT is unchanged — only dict iteration order moves.
 #
-# ROUND-7 NOTE: the tail that does NOT fit this window — rotate these
-# to the front next round (the generic rotation-invariant test in
-# tests/test_driver_canonicalizer.py computes the exact required set
-# from the CORRECTNESS_r*.json union; trust it over this enumeration):
-#   q226_conversion_lag, q227_weighted_shortest_paths,
-#   q228_kcore_peel, q229_quantile_normalize, q230_source_overlap,
-#   q231_ewma_trend, q232_oov_rates, q233_cohen_kappa,
-#   q234_source_datasheet, plus the round-6 additions
-#   q235_kmeans_clusters, q236_kmeans_profile, q237_embedding_hygiene,
-#   q238_cluster_balanced_sample, q239_random_projection,
-#   q240_lexical_diversity, q241_label_noise_audit,
-#   q242_entity_resolution, q243_forecast_backtest,
-#   q244_gini_concentration, q245_transition_dwell,
-#   q246_windowed_event_dedup, q247_cluster_keywords,
-#   q248_naive_bayes_confusion, q249_kmeans_silhouette,
-#   q250_heaps_law, q251_mad_outliers, q252_logistic_hash_clf,
-#   q253_minhash_lsh_portable, q254_stratified_kfold,
-#   q255_classifier_eval, q256_target_encoding,
-#   q257_scalar_quantization, q258_embedding_drift_matrix,
-#   q259_decayed_engagement, q260_lexical_drift_matrix,
-#   q261_dup_cluster_histogram, q262_holdout_eval,
-#   q263_rollup_revenue
-#   (38 total — all fit in one final 50-slot window)
 # Keep the rows-only queries (q47-q49/q54/q55/q61/q98/q130/q139/q148)
 # OUT of every future front-50: their driver check is `no_oracle`
 # (row-count only) and each already has its driver row from r4; the
 # real gates are their pytest recall/content tests.
 _ROTATE_FRONT = [
-    "q176_peak_concurrency",
-    "q177_clamped_balance_floor",
-    "q178_clamped_balance_capped",
-    "q179_decile_lift",
-    "q180_classifier_threshold_sweep",
-    "q181_user_feature_snapshot",
-    "q182_bloom_semi_join",
-    "q183_cuped_readout",
-    "q184_cdc_chunk_dedup",
-    "q185_bpe_encode",
-    "q186_skew_diagnosis",
-    "q187_quantile_sketch",
-    "q188_spatial_neighbors",
-    "q189_cusum_changepoints",
-    "q190_touch_attribution",
-    "q191_exact_percentile_narrowing",
-    "q192_phrase_search",
-    "q193_k_anonymity_audit",
-    "q194_pca_projection",
-    "q195_pmi_collocations",
-    "q196_benford_audit",
-    "q197_km_survival",
-    "q198_daily_revenue_acf",
-    "q199_source_lang_entropy",
-    "q200_chisq_independence",
-    "q201_mann_whitney_u",
-    "q202_ranking_metrics",
-    "q203_join_cardinality",
-    "q204_calibration_bins",
-    "q205_winsorized_stats",
-    "q206_boilerplate_excision",
-    "q207_salted_skew_join",
-    "q208_sprt_monitor",
-    "q209_domain_quantile_filter",
-    "q210_domain_blocklist_stats",
-    "q211_info_gain_ranking",
-    "q212_rolling_active_users",
-    "q213_schema_drift_profile",
-    "q214_ks_two_sample",
-    "q215_effective_epochs",
-    "q216_dp_histogram",
-    "q217_woe_iv_binning",
-    "q218_zipf_slope",
-    "q219_containment_pairs",
-    "q220_item_item_neighbors",
-    "q221_html_extraction",
-    "q222_cohort_retention",
-    "q223_markov_transitions",
-    "q224_unigram_lm_score",
-    "q225_link_hosts",
+    "q226_conversion_lag",
+    "q227_weighted_shortest_paths",
+    "q228_kcore_peel",
+    "q229_quantile_normalize",
+    "q230_source_overlap",
+    "q231_ewma_trend",
+    "q232_oov_rates",
+    "q233_cohen_kappa",
+    "q234_source_datasheet",
+    "q235_kmeans_clusters",
+    "q236_kmeans_profile",
+    "q237_embedding_hygiene",
+    "q238_cluster_balanced_sample",
+    "q239_random_projection",
+    "q240_lexical_diversity",
+    "q241_label_noise_audit",
+    "q242_entity_resolution",
+    "q243_forecast_backtest",
+    "q244_gini_concentration",
+    "q245_transition_dwell",
+    "q246_windowed_event_dedup",
+    "q247_cluster_keywords",
+    "q248_naive_bayes_confusion",
+    "q249_kmeans_silhouette",
+    "q250_heaps_law",
+    "q251_mad_outliers",
+    "q252_logistic_hash_clf",
+    "q253_minhash_lsh_portable",
+    "q254_stratified_kfold",
+    "q255_classifier_eval",
+    "q256_target_encoding",
+    "q257_scalar_quantization",
+    "q258_embedding_drift_matrix",
+    "q259_decayed_engagement",
+    "q260_lexical_drift_matrix",
+    "q261_dup_cluster_histogram",
+    "q262_holdout_eval",
+    "q263_rollup_revenue",
+    "q01_pricing_summary",
+    "q02_top_parts_by_revenue",
+    "q03_revenue_by_region_nation",
+    "q04_customers_with_fulfilled_orders",
+    "q05_customers_without_big_orders",
+    "q06_nation_set_ops",
+    "q07_rollup_returns",
+    "q08_cube_order_status",
+    "q09_order_price_buckets",
+    "q10_quantity_band_join",
+    "q11_distinct_flag_status",
+    "q12_null_order_pagination",
 ]
 
 
