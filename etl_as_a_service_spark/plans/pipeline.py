@@ -1401,15 +1401,16 @@ class PipelineRunner:
                     retention_hours=m.get("retention_hours", 168.0),
                 ),
                 "delete": lambda: D.delta_delete(
-                    self.spark, path, m["condition"], predicates=preds
+                    self.spark, path, _req(m, "condition"),
+                    predicates=preds,
                 ),
                 "update": lambda: D.delta_update(
-                    self.spark, path, m["condition"], m["assignments"],
-                    predicates=preds,
+                    self.spark, path, _req(m, "condition"),
+                    _req(m, "assignments"), predicates=preds,
                 ),
                 "alter": lambda: {
                     "version": D.delta_alter_add_columns(
-                        path, m["add_columns"]
+                        path, _req(m, "add_columns")
                     )
                 },
             }
@@ -1425,11 +1426,12 @@ class PipelineRunner:
                     zorder_by=zorder,
                 ),
                 "delete": lambda: I.iceberg_delete(
-                    self.spark, path, m["condition"], predicates=preds
+                    self.spark, path, _req(m, "condition"),
+                    predicates=preds,
                 ),
                 "update": lambda: I.iceberg_update(
-                    self.spark, path, m["condition"], m["assignments"],
-                    predicates=preds,
+                    self.spark, path, _req(m, "condition"),
+                    _req(m, "assignments"), predicates=preds,
                 ),
                 "alter": lambda: {
                     "schema_id": I.iceberg_alter(

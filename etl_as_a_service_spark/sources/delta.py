@@ -800,6 +800,7 @@ def delta_write(
                     f"version {expected_version} to {prev.version} "
                     f"since the snapshot was read; re-run the merge"
                 )
+            check_schema = df.schema
             if _schema_shape(prev.schema_json) != _schema_shape(schema_string):
                 if not merge_schema:
                     _discard_staged(table, adds)
@@ -817,6 +818,13 @@ def delta_write(
                         "only — an existing column's type differs from "
                         "the table metaData"
                     )
+                # the late-constraint re-check below must see the full
+                # EVOLVED schema: a concurrently-added constraint may
+                # reference a table column absent from the frame
+                # (legal under merge_schema); the explicit-schema scan
+                # null-fills it, which SQL CHECK passes — with
+                # df.schema the expression would not even resolve
+                check_schema = T.StructType.fromJson(json.loads(evolved))
                 actions.append(
                     _metadata_action(
                         evolved, prev.partition_columns,
@@ -843,10 +851,17 @@ def delta_write(
                 if n not in cons
             }
             if late_cons:
-                bad_late = _constraint_violations_in_files(
-                    df.sparkSession, table, df.schema,
-                    [a["path"] for a in adds], late_cons,
-                )
+                try:
+                    bad_late = _constraint_violations_in_files(
+                        df.sparkSession, table, check_schema,
+                        [a["path"] for a in adds], late_cons,
+                    )
+                except Exception:
+                    # an unresolvable/broken concurrent constraint must
+                    # not orphan the staged files — discard, then
+                    # surface the analysis error
+                    _discard_staged(table, adds)
+                    raise
                 if bad_late:
                     _discard_staged(table, adds)
                     raise ValueError(
@@ -1381,7 +1396,18 @@ def delta_optimize(
             "files_after": len(files),
             "version": -1,
         }
-    df = delta_read(spark, table)
+    # Scan the PLANNED snapshot's files explicitly — delta_read would
+    # re-replay the log, and an APPEND landing between the plan replay
+    # and that second replay would get its rows baked into the
+    # compacted add files while its own file stays live (not in the
+    # remove set), duplicating the rows after this commit. Same
+    # explicit-file-list discipline as delta_update/delta_delete.
+    df = _read_file_list(
+        spark,
+        table,
+        T.StructType.fromJson(json.loads(snap.schema_json)),
+        files,
+    )
     if zorder_by is not None:
         from etl_as_a_service_spark.operators.partitioning import (
             zorder_sort,
@@ -1405,8 +1431,10 @@ def delta_optimize(
         # a racing DELETE/UPDATE/OPTIMIZE that rewrote any planned
         # file makes this remove/add set stale: committing it would
         # resurrect deleted rows inside the compacted file and
-        # duplicate the racer's rewrites (racing APPENDs are fine —
-        # their files are not in the remove set and stay live)
+        # duplicate the racer's rewrites (racing APPENDs are fine
+        # ONLY because the rewrite above scanned the planned file
+        # list explicitly — their files are not in the remove set,
+        # stay live, and their rows never entered the compacted adds)
         _check_cow_conflict(table, files, adds, "OPTIMIZE")
         actions: list[dict] = [
             {

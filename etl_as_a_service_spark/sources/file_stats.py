@@ -22,6 +22,7 @@ over the pure-Python connectors).
 from __future__ import annotations
 
 import datetime as _dt
+import re as _re
 from typing import Any
 
 #: predicate operators supported by file skipping
@@ -92,7 +93,67 @@ def _comparable(a: Any, b: Any) -> bool:
     return isinstance(a, str) and isinstance(b, str)
 
 
+#: sentinel — predicate value cannot be compared against stats safely;
+#: the file is KEPT (pure-pruning contract: never a wrong answer)
+_INCOMPARABLE = object()
+
+_TS_LIKE_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}")
+_TZ_SUFFIX_RE = _re.compile(r"(Z|[+-]\d{2}:\d{2})$")
+
+
+def _render_compatible(bound: Any, val: Any) -> bool:
+    """True when lexicographic string comparison of a stats bound vs a
+    predicate value is ORDER-FAITHFUL. Timestamp-like strings compare
+    chronologically only against timestamp-like strings with the SAME
+    tz suffix: naive vs offset-suffixed (or bare-date vs datetime, or
+    two different offsets) diverge lexicographically from time order
+    and could prune a live file. Non-timestamp strings are honest
+    string data — always comparable."""
+    if not (isinstance(bound, str) and isinstance(val, str)):
+        return True  # numeric path is type-gated by _comparable
+    b_ts = _TS_LIKE_RE.match(bound)
+    v_ts = _TS_LIKE_RE.match(val)
+    if not b_ts and not v_ts:
+        return True
+    if bool(b_ts) != bool(v_ts):
+        return False
+    b_tz = _TZ_SUFFIX_RE.search(bound)
+    v_tz = _TZ_SUFFIX_RE.search(val)
+    return (b_tz.group(1) if b_tz else "") == (v_tz.group(1) if v_tz else "")
+
+
+def _norm_pred_value(val: Any) -> Any:
+    """Predicate-value normal form matching ``_norm``'s rendering of
+    the STATS side. date/datetime objects -> isoformat (now prunable).
+
+    A timestamp-LOOKING string whose rendering differs from the
+    canonical isoformat — space separator, or an explicit ``.000000``
+    where isoformat omits zero microseconds — is AMBIGUOUS with no
+    type registry: on a timestamp column it compares lexicographically
+    wrong against the isoformat'd stats (space < 'T' wrongly prunes
+    live files under ==/range), while on a string column it is honest
+    data. Returns ``_INCOMPARABLE`` for those: the caller keeps the
+    file, trading pruning for the results-identical guarantee. Plain
+    ``YYYY-MM-DD`` strings are already the canonical date rendering
+    and pass through."""
+    if isinstance(val, (_dt.datetime, _dt.date)):
+        return _norm(val)
+    if isinstance(val, str) and _TS_LIKE_RE.match(val):
+        try:
+            canonical = _dt.datetime.fromisoformat(val).isoformat()
+        except ValueError:
+            return val  # not actually a timestamp — honest string
+        if canonical != val:
+            return _INCOMPARABLE
+    return val
+
+
 def validate_predicates(predicates: list[tuple]) -> None:
+    """Shape-check (column, op, value) triples. Value RENDERING is
+    normalized at comparison time by ``_norm_pred_value`` — pass
+    date/datetime objects (preferred) or canonical isoformat strings;
+    ambiguous renderings disable pruning for that predicate instead of
+    mis-pruning."""
     for p in predicates:
         if len(p) != 3 or p[1] not in _OPS:
             raise ValueError(
@@ -119,11 +180,16 @@ def file_might_match(
         # an all-null column can satisfy no null-rejecting predicate
         if n is not None and nulls.get(col) == n and n > 0:
             return False
+        val = _norm_pred_value(val)
+        if val is _INCOMPARABLE:
+            continue  # ambiguous rendering — keep the file
         lo, hi = mins.get(col), maxs.get(col)
         if lo is None or hi is None:
             continue  # unknowable for this column — can't disprove
         if not (_comparable(lo, val) and _comparable(hi, val)):
             continue
+        if not (_render_compatible(lo, val) and _render_compatible(hi, val)):
+            continue  # rendering mismatch — keep the file
         if op == "==" and (val < lo or val > hi):
             return False
         if op == "<" and lo >= val:

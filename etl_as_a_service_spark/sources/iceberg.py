@@ -816,6 +816,7 @@ def iceberg_write(
     partition_by: list[str] | None = None,
     _summary_extra: dict | None = None,
     _skip_if=None,
+    expected_snapshot: int | None = None,
 ) -> int:
     """Commit ``df``; returns the new snapshot id.
 
@@ -825,7 +826,14 @@ def iceberg_write(
     carries the previous snapshot's manifests forward (their stats come
     from the previous list — no re-read); an overwrite's references
     only the new manifest. ``partition_by`` (identity transforms) is
-    fixed at table creation; later writes must match or omit it."""
+    fixed at table creation; later writes must match or omit it.
+
+    ``expected_snapshot`` makes a read-modify-write caller (MERGE)
+    serializable — the Iceberg twin of delta_write's
+    ``expected_version``: if the current snapshot id moved past the
+    snapshot the caller planned against, a commit landed in between
+    and this overwrite would silently erase it (lost update); staged
+    files are discarded and the write raises instead."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode!r}")
     os.makedirs(_meta_dir(table), exist_ok=True)
@@ -928,6 +936,21 @@ def iceberg_write(
                 raise ValueError(
                     "lost table-creation race: schema or partition spec "
                     "differs from the committed table metadata"
+                )
+        if expected_snapshot is not None:
+            cur = prev_md.get("current-snapshot-id") if prev_md else None
+            cur = -1 if cur is None else cur
+            if cur != expected_snapshot:
+                if data_files is not None:
+                    for d in data_files:
+                        try:
+                            os.remove(os.path.join(table, d["file_path"]))
+                        except OSError:
+                            pass
+                raise ValueError(
+                    f"concurrent modification: table advanced from "
+                    f"snapshot {expected_snapshot} to {cur} since the "
+                    f"snapshot was read; re-run the merge"
                 )
         if _skip_if is not None and prev_md is not None and _skip_if(prev_md):
             # the commit this write represents already landed (e.g. a
@@ -1057,12 +1080,22 @@ def iceberg_merge(
     updates are small) and the result commits as one copy-on-write
     OVERWRITE snapshot; the pre-merge snapshot stays time-travelable
     and the partition spec carries forward. Returns the committed
-    snapshot id."""
+    snapshot id.
+
+    Serializable read-modify-write: the snapshot id is pinned BEFORE
+    the read and passed as ``expected_snapshot`` to the overwrite —
+    a commit landing anywhere between the read and the commit point
+    fails the write loudly instead of being silently erased (the
+    lost-update anomaly delta_merge's expected_version closes)."""
     from etl_as_a_service_spark.operators.relational import merge_upsert
 
+    planned = _load_metadata(table).get("current-snapshot-id")
+    planned = -1 if planned is None else planned
     current = iceberg_read(spark, table)
     merged = merge_upsert(current, updates, key_cols)
-    return iceberg_write(merged, table, mode="overwrite")
+    return iceberg_write(
+        merged, table, mode="overwrite", expected_snapshot=planned
+    )
 
 
 def iceberg_delete(

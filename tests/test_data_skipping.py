@@ -189,6 +189,95 @@ def test_file_might_match_unit_rules():
     assert not file_might_match(fstats, [("v", "==", 10.0)])
 
 
+def test_timestamp_predicate_rendering_never_misprunes(spark, tmp_path):
+    """Date/timestamp predicate-value RENDERING hardening: stats
+    serialize via isoformat, so a differently-rendered value (space
+    separator, explicit .000000, tz-suffix mismatch) must never be
+    compared lexicographically — it either normalizes (date/datetime
+    objects) or disables pruning for that predicate. A mis-rendered
+    value can cost pruning, never rows."""
+    import datetime as dt
+
+    tstats = {
+        "numRecords": 2,
+        "minValues": {"ts": "2024-01-02T03:04:05"},
+        "maxValues": {"ts": "2024-01-02T10:00:00"},
+        "nullCount": {"ts": 0},
+    }
+    # datetime OBJECTS normalize to the stats' rendering: prunable
+    assert file_might_match(tstats, [("ts", "==", dt.datetime(2024, 1, 2, 5))])
+    assert not file_might_match(tstats, [("ts", "==", dt.datetime(2025, 1, 1))])
+    # canonical T-rendered strings compare fine
+    assert file_might_match(tstats, [("ts", "==", "2024-01-02T05:00:00")])
+    assert not file_might_match(tstats, [("ts", "==", "2025-01-01T00:00:00")])
+    # AMBIGUOUS renderings keep the file (old code pruned the first
+    # two because ' ' < 'T' lexicographically — a silent wrong answer)
+    assert file_might_match(tstats, [("ts", "==", "2024-01-02 05:00:00")])
+    assert file_might_match(tstats, [("ts", ">=", "2024-01-02 05:00:00")])
+    assert file_might_match(
+        tstats, [("ts", "==", "2024-01-02T05:00:00.000000")]
+    )
+    # bare-date string against datetime stats: rendering mismatch, keep
+    assert file_might_match(tstats, [("ts", "==", "2024-01-02")])
+    # naive rendering vs tz-suffixed stats (pyarrow tz-aware columns):
+    # mismatch, keep — and a tz-suffix-matched value still prunes
+    zstats = {
+        "numRecords": 1,
+        "minValues": {"ts": "2024-01-02T03:04:05+00:00"},
+        "maxValues": {"ts": "2024-01-02T10:00:00+00:00"},
+        "nullCount": {"ts": 0},
+    }
+    assert file_might_match(zstats, [("ts", "==", "2024-01-02T05:00:00")])
+    assert not file_might_match(
+        zstats, [("ts", "==", "2025-01-01T00:00:00+00:00")]
+    )
+    import datetime as _dt2
+
+    utc = _dt2.timezone.utc
+    assert not file_might_match(
+        zstats, [("ts", "==", dt.datetime(2025, 1, 1, tzinfo=utc))]
+    )
+    # date stats (canonical YYYY-MM-DD) stay fully prunable with both
+    # date objects and canonical strings
+    dstats = {
+        "numRecords": 2,
+        "minValues": {"d": "2024-01-02"},
+        "maxValues": {"d": "2024-01-05"},
+        "nullCount": {"d": 0},
+    }
+    assert file_might_match(dstats, [("d", "==", dt.date(2024, 1, 3))])
+    assert not file_might_match(dstats, [("d", "==", dt.date(2024, 2, 1))])
+    assert not file_might_match(dstats, [("d", "==", "2024-02-01")])
+    # plain string columns are untouched by the timestamp rules
+    sstats = {
+        "numRecords": 2,
+        "minValues": {"s": "m"},
+        "maxValues": {"s": "p"},
+        "nullCount": {"s": 0},
+    }
+    assert not file_might_match(sstats, [("s", ">", "p")])
+
+    # end-to-end: a date-partitioned-by-range delta table — the
+    # space-rendered and object-valued predicates both return every
+    # matching row of the unpredicated read (rendering can cost
+    # pruning, never rows)
+    path = os.path.join(str(tmp_path), "dts")
+    df = spark.createDataFrame(
+        [(i, __import__("datetime").date(2024, 1, 1 + i)) for i in range(8)],
+        "k long, d date",
+    ).repartitionByRange(4, "d")
+    delta_write(df, path, mode="overwrite")
+    target = __import__("datetime").date(2024, 1, 3)
+    full = delta_read(spark, path).filter(F.col("d") == F.lit(target))
+    expect = sorted(r["k"] for r in full.collect())
+    for v in (target, "2024-01-03"):
+        got = delta_read(spark, path, predicates=[("d", "==", v)]).filter(
+            F.col("d") == F.lit(target)
+        )
+        assert sorted(r["k"] for r in got.collect()) == expect, v
+        assert len(got.inputFiles()) < 4  # pruning is real for both
+
+
 def test_pipeline_source_predicates_prune_and_validate(spark, tmp_path):
     """The declarative face: a delta/iceberg pipeline source with
     "predicates" prunes files at compile time; malformed specs fail

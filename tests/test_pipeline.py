@@ -1477,6 +1477,27 @@ def test_maintenance_specs_run_through_registry(spark, tmp_path):
     })
     assert bad.status == "failed" and "unknown delta maintenance" in bad.error
 
+    # a missing required op parameter is a SPEC error (PipelineError
+    # naming the field), never a raw KeyError traceback
+    for fmt, path, op, present in [
+        ("delta", dpath, "delete", {}),
+        ("delta", dpath, "update", {"condition": "k = 1"}),
+        ("delta", dpath, "alter", {}),
+        ("iceberg", ipath, "delete", {}),
+        ("iceberg", ipath, "update", {"condition": "k = 1"}),
+    ]:
+        r = runner.run({
+            "name": f"missing-param-{fmt}-{op}",
+            "maintenance": {
+                "format": fmt, "path": path, "op": op, **present
+            },
+        })
+        assert r.status == "failed"
+        assert "PipelineError" in r.error and "requires field" in r.error, (
+            fmt, op, r.error,
+        )
+        assert "KeyError" not in r.error, (fmt, op, r.error)
+
 
 def test_pipeline_ml_prep_ops(spark):
     """Declarative faces of the round-6 ML-prep batch: kfold (q254),

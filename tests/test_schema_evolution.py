@@ -653,6 +653,61 @@ def test_delta_write_enforces_concurrently_added_constraint(spark, tmp_path):
     assert delta_read(spark, path).count() == 1  # violating rows never landed
 
 
+def test_delta_late_constraint_on_column_absent_from_frame(spark, tmp_path):
+    """A constraint added concurrently that references a TABLE column
+    absent from the staged frame (legal under merge_schema) must be
+    re-checked against the EVOLVED schema: the explicit-schema scan
+    null-fills the missing column and NULL passes SQL CHECK — the
+    write commits. The old code evaluated it over df.schema, raising
+    AnalysisException out of build and orphaning the staged files."""
+    import etl_as_a_service_spark.sources.delta as D
+
+    path = os.path.join(str(tmp_path), "race3")
+    delta_write(
+        spark.createDataFrame(
+            [(1, 5.0, 2.0)], "k long, v double, w double"
+        ),
+        path,
+    )
+    orig = D._commit
+    fired = {"done": False}
+
+    def racing(table, build):
+        if not fired["done"]:
+            fired["done"] = True
+            D._commit = orig
+            D.delta_add_constraint(spark, path, "w_pos", "w > 0")
+            D._commit = racing
+        return orig(table, build)
+
+    D._commit = racing
+    try:
+        delta_write(
+            spark.createDataFrame([(2, -1.0)], "k long, v double"),
+            path,
+            mode="append",
+            merge_schema=True,
+        )
+    finally:
+        D._commit = orig
+    assert fired["done"]
+    rows = {
+        r["k"]: (r["v"], r["w"])
+        for r in delta_read(spark, path).collect()
+    }
+    assert rows == {1: (5.0, 2.0), 2: (-1.0, None)}
+    assert "w_pos" in D._replay(path).constraints()
+    # nothing orphaned: every parquet under the table root is live
+    live = set(D._replay(path).live)
+    on_disk = {
+        os.path.relpath(os.path.join(root, f), path)
+        for root, _dirs, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in root
+    }
+    assert on_disk == live
+
+
 def test_iceberg_stream_never_resurrects_dropped_data(spark, tmp_path):
     """After rename x->y plus a re-added x, an OLD epoch's physical
     'x' bytes belong to field y: the stream must null-fill the NEW x

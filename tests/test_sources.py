@@ -504,6 +504,40 @@ def test_delta_append_overwrite_time_travel(spark, tmp_path):
     assert hist[2]["n_removes"] >= 1 and hist[0]["n_adds"] >= 1
 
 
+def test_delta_optimize_append_race_no_duplicates(spark, tmp_path, monkeypatch):
+    """An APPEND landing between delta_optimize's plan replay and its
+    rewrite scan must NOT be duplicated: the rewrite reads the PLANNED
+    file list explicitly, so the racer's rows live only in its own
+    (still-live) file. The old code re-replayed the log via delta_read,
+    baking the racer's rows into the compacted adds as well — this
+    test injects the append right after the plan replay (the exact
+    window) and asserts every row appears exactly once."""
+    from etl_as_a_service_spark.sources import delta as d
+
+    table = str(tmp_path / "dopt_race")
+    d.delta_write(spark.range(0, 50).select("id"), table)
+    d.delta_write(spark.range(50, 100).select("id"), table)
+
+    state = {"fired": False}
+    orig_replay = d._replay
+
+    def racy_replay(table_, *a, **k):
+        snap = orig_replay(table_, *a, **k)
+        if not state["fired"]:
+            # first replay after patching == delta_optimize's plan
+            # replay; the append lands in the old code's bug window
+            state["fired"] = True
+            d.delta_write(spark.range(100, 110).select("id"), table_)
+        return snap
+
+    monkeypatch.setattr(d, "_replay", racy_replay)
+    res = d.delta_optimize(spark, table, target_file_bytes=1 << 30)
+    monkeypatch.undo()
+    assert state["fired"] and res["version"] >= 0
+    got = sorted(r["id"] for r in d.delta_read(spark, table).collect())
+    assert got == list(range(110))
+
+
 def test_delta_concurrent_appends_all_commit(spark, tmp_path):
     """Optimistic concurrency: racing appends must serialize via the
     O_EXCL commit — every append lands, no rows lost or doubled."""
@@ -1629,6 +1663,45 @@ def test_iceberg_merge_copy_on_write(spark, tmp_path):
         for r in iceberg_changes(spark, table, s0, s1, ["id"]).collect()
     }
     assert feed == {3: "update", 42: "insert"}
+
+
+def test_iceberg_merge_concurrent_commit_raises(spark, tmp_path, monkeypatch):
+    """Lost-update guard: a commit landing between iceberg_merge's
+    snapshot read and its overwrite commit must fail the merge loudly
+    (expected_snapshot conflict) instead of silently erasing the
+    racer's rows — the Iceberg twin of delta_merge's
+    expected_version. The race is injected by appending inside the
+    merge's own upsert step."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.operators import relational as rel
+    from etl_as_a_service_spark.sources import iceberg as ib
+
+    table = str(tmp_path / "imrace")
+    ib.iceberg_write(
+        spark.range(10).select("id", (F.col("id") * 10).alias("v")), table
+    )
+    orig = rel.merge_upsert
+
+    def racy_upsert(current, updates, keys):
+        ib.iceberg_write(
+            spark.createDataFrame([(99, 990)], "id long, v long"), table
+        )
+        return orig(current, updates, keys)
+
+    monkeypatch.setattr(rel, "merge_upsert", racy_upsert)
+    with _pytest.raises(ValueError, match="concurrent modification"):
+        ib.iceberg_merge(
+            spark,
+            table,
+            spark.createDataFrame([(3, -1)], "id long, v long"),
+            ["id"],
+        )
+    monkeypatch.undo()
+    # the racer's append survived and the stale merge never landed
+    snap = {r["id"]: r["v"] for r in ib.iceberg_read(spark, table).collect()}
+    assert snap[99] == 990 and snap[3] == 30 and len(snap) == 11
 
 
 def test_read_with_quarantine_diverts_malformed_rows(spark, tmp_path):
