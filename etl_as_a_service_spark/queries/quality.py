@@ -130,7 +130,15 @@ def q159_copurchase_triangles(spark, sf_dir):
     from etl_as_a_service_spark.operators.graph import copurchase_edges
 
     (li,) = _t(spark, sf_dir, "lineitem")
-    und = copurchase_edges(li, min_support=2)
+    # materialize the edge set ONCE: four consumers (degrees, the
+    # oriented edge build, the triangle join's n_edges leg, and the
+    # wedge denominator) would otherwise each recompute the lineitem
+    # self-join + support filter. Same derive-once discipline as the
+    # ML trainers' featurize-once checkpoint; round-7 interleaved
+    # same-process A/B (min-of-3, sf0.1): 2.28-2.44s checkpointed vs
+    # 2.76-3.42s recomputed (~20% faster). |E| is the materialized
+    # footprint — the same bound every consumer shuffles anyway.
+    und = copurchase_edges(li, min_support=2).localCheckpoint()
     sym = und.select(F.col("pa").alias("u"), F.col("pb").alias("v")).union(
         und.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
