@@ -584,6 +584,72 @@ def hamming_distance(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003, the MOSS algorithm — public paper): hash every token
+    k-gram, then SELECT the minimum hash of each sliding window of
+    ``window`` consecutive k-gram positions; the distinct selected
+    hashes are the document's fingerprint set. The guarantee that makes
+    this the local-fingerprinting standard: any shared run of at least
+    k + window - 1 tokens between two documents yields at least one
+    SHARED fingerprint, while only ~2/(window+1) of all k-gram hashes
+    are stored. Join the returned (id, fp) pairs on fp for plagiarism /
+    near-dup candidates.
+
+    Engine-portable by construction: the k-gram hash is
+    substr(md5(kgram), 1, 16) (the q79/q254 md5 convention) and the
+    tokenization is the oracle's exact single-space split, so the
+    WHOLE selection pipeline — hashing, sliding min, selection rule —
+    has a DuckDB twin (q264). Documents with fewer than ``window``
+    k-grams contribute the min over all their k-grams (exactly one
+    fingerprint), so every document with >= k tokens is represented.
+
+    SCALE DESIGN: the k-gram expansion is a map-only pass (one
+    posexplode, no shuffle); the sliding min is a window PARTITIONED
+    BY document — never global — and the final distinct is a
+    map-side-combinable (id, fp) aggregate. At 100 TB every stage is
+    per-document local except that one key-grain shuffle; fingerprint
+    storage is ~2/(window+1) of the k-gram stream by the winnowing
+    density bound."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    kgrams = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    base = (
+        # the n >= k guard must precede the sequence(): Spark's
+        # sequence(1, m) with m < 1 DESCENDS instead of being empty
+        _ensure_parallelism(df.filter(n >= k))
+        .select(
+            F.col(id_col),
+            (n - k + 1).alias("__m"),
+            F.posexplode(kgrams).alias("__pos0", "__kgram"),
+        )
+        .select(
+            id_col,
+            "__m",
+            (F.col("__pos0") + 1).alias("__pos"),
+            F.substring(F.md5("__kgram"), 1, 16).alias("__h"),
+        )
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    selected = base.select(
+        id_col, "__pos", "__m", F.min("__h").over(w).alias("fp")
+    ).filter(F.col("__pos") >= F.least(F.lit(window), F.col("__m")))
+    return selected.select(id_col, "fp").distinct()
+
+
 #: one-slot registry of the live persisted intermediate (see
 #: ngram_jaccard_pairs materialize): bounds cache growth to a single
 #: relation per process no matter how many times the operator runs

@@ -62,17 +62,18 @@ from etl_as_a_service_spark.queries import quality  # noqa: E402,F401
 from etl_as_a_service_spark.queries import advanced  # noqa: E402,F401
 from etl_as_a_service_spark.queries import webcorpus  # noqa: E402,F401
 from etl_as_a_service_spark.queries import ml  # noqa: E402,F401
+from etl_as_a_service_spark.queries import traindata  # noqa: E402,F401
 
 # Driver-gate rotation (round 7 — FINAL backlog window): the external
 # driver records CORRECTNESS rows for the FIRST 50 manifest entries
 # only. After r6 the driver-green union covers every oracle query
-# through q225; the 38 never-driver-green oracle queries are
-# q226-q263 (the round-6 additions plus the q226-q234 tail that did
-# not fit r6's window). This round's front-50 is all 38 of those in
-# ascending query-number order, then 12 cheap already-green queries
-# (q01-q12) as harmless re-confirmation filler — zero slots on
-# rows-only queries. After this window lands, EVERY oracle query in
-# the manifest has a driver-green row and the rotation backlog is
+# through q225; the never-driver-green oracle queries are q226-q263
+# (the round-6 additions plus the q226-q234 tail that did not fit
+# r6's window) plus the round-7 additions q264-q269 — 44 total, all
+# in ascending query-number order here, then 6 cheap already-green
+# queries (q01-q06) as harmless re-confirmation filler — zero slots
+# on rows-only queries. After this window lands, EVERY oracle query
+# in the manifest has a driver-green row and the rotation backlog is
 # empty; future rounds keep re-confirming from the front.
 # The manifest CONTENT is unchanged — only dict iteration order moves.
 #
@@ -119,18 +120,18 @@ _ROTATE_FRONT = [
     "q261_dup_cluster_histogram",
     "q262_holdout_eval",
     "q263_rollup_revenue",
+    "q264_winnowing_fingerprints",
+    "q265_nucleus_vocab",
+    "q266_diff_in_diff",
+    "q267_context_budget_report",
+    "q268_vocab_coverage_curve",
+    "q269_rag_chunk_plan",
     "q01_pricing_summary",
     "q02_top_parts_by_revenue",
     "q03_revenue_by_region_nation",
     "q04_customers_with_fulfilled_orders",
     "q05_customers_without_big_orders",
     "q06_nation_set_ops",
-    "q07_rollup_returns",
-    "q08_cube_order_status",
-    "q09_order_price_buckets",
-    "q10_quantity_band_join",
-    "q11_distinct_flag_status",
-    "q12_null_order_pagination",
 ]
 
 

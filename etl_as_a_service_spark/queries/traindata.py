@@ -1,0 +1,415 @@
+"""Training-data preparation queries (round-7 batch, q264-q269):
+winnowing fingerprints, nucleus (top-p) vocabulary truncation,
+difference-in-differences readout, context-window budget report,
+vocabulary coverage curve, and RAG chunk planning. Every query is
+DuckDB-oracle-checked end to end (the t2 gate); tokenization is the
+oracle's exact single-space split (the q233/q234 convention).
+
+These fill real gaps in the LLM-pipeline surface: local document
+fingerprinting for plagiarism/near-dup candidates (the MOSS
+algorithm), tokenizer-vocabulary sizing (nucleus mass + coverage
+curve), context-window planning (truncation loss), retrieval chunking
+(fixed-size overlapping chunks), and the classic quasi-experimental
+causal readout (DiD) next to q183's CUPED.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.catalog import load_tables
+from etl_as_a_service_spark.queries import query
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+# --------------------------------------------------------------------------
+# q264 — winnowing document fingerprints (MOSS), per-doc receipt
+# --------------------------------------------------------------------------
+@query(
+    "q264_winnowing_fingerprints",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    kg AS (
+      SELECT doc_id, len(t) - 3 AS m, i AS pos,
+             substr(md5(array_to_string(t[i:i+3], ' ')), 1, 16) AS h
+      FROM toks, UNNEST(range(1, len(t) - 2)) AS u(i)
+      WHERE len(t) >= 4
+    ),
+    sel AS (
+      SELECT doc_id, pos, m,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS fp
+      FROM kg
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM sel WHERE pos >= least(5, m)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_fps,
+           min(fp) AS min_fp,
+           max(fp) AS max_fp
+    FROM fps GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("dedup", "fingerprint", "winnowing", "llm", "operator"),
+)
+def q264_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (llm/dedup.winnowing_fingerprints — the
+    MOSS local fingerprinting algorithm, Schleimer et al. SIGMOD 2003):
+    token-4-gram md5 hashes, sliding-window-of-5 minimum selection,
+    distinct selected hashes per document. Any shared 8-token run
+    between two docs is guaranteed a shared fingerprint at ~1/3 the
+    k-gram storage. The per-doc receipt (count + lexicographic min/max
+    fingerprint) hash-checks the ENTIRE selection pipeline against the
+    oracle, not just cardinalities.
+
+    SCALE DESIGN: map-only k-gram expansion, doc-partitioned sliding
+    min (never a global window), one map-side-combinable distinct."""
+    from etl_as_a_service_spark.llm.dedup import winnowing_fingerprints
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(docs, "text", "doc_id", k=4, window=5)
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fps"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q265 — nucleus (top-p) vocabulary truncation per source
+# --------------------------------------------------------------------------
+@query(
+    "q265_nucleus_vocab",
+    oracle="""
+    WITH w AS (
+      SELECT source, u.w AS w
+      FROM documents, unnest(string_split(text, ' ')) AS u(w)
+    ),
+    c AS (SELECT source, w, count(*) AS c FROM w GROUP BY source, w),
+    t AS (
+      SELECT source, sum(c) AS tot, count(*) AS vocab
+      FROM c GROUP BY source
+    ),
+    r AS (
+      SELECT c.source, c.c, t.tot, t.vocab,
+             sum(c.c) OVER (PARTITION BY c.source
+                            ORDER BY c.c DESC, c.w) AS cum
+      FROM c JOIN t USING (source)
+    )
+    SELECT source,
+           CAST(any_value(vocab) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN cum - c < 0.9 * tot THEN 1 ELSE 0 END)
+                AS BIGINT) AS nucleus_size,
+           round(sum(CASE WHEN cum - c < 0.9 * tot THEN c ELSE 0 END)
+                 * 1.0 / any_value(tot), 6) AS coverage
+    FROM r GROUP BY source ORDER BY source
+    """,
+    tags=("corpus", "vocab", "text", "llm", "operator"),
+)
+def q265_nucleus_vocab(spark, sf_dir):
+    """Top-p (nucleus) vocabulary truncation per source: order each
+    source's unigram types by count (desc, word-asc tiebreak pinned on
+    both engines) and keep the smallest prefix whose cumulative mass
+    reaches p=0.9 — the standard inclusion rule (a type enters while
+    the mass BEFORE it is still < p, so the crossing type is kept).
+    Tokenizer-vocab sizing per corpus slice: how many types cover 90%
+    of the tokens, and the exact mass they cover.
+
+    SCALE DESIGN: one explode scan -> map-side-combined (source, word)
+    counts; the cumulative sum is a window PARTITIONED BY source over
+    VOCAB-grain rows (never the corpus); totals ride a source-grain
+    join. The p*total comparison is done on exact integer masses
+    against one shared double product — no division inside the
+    predicate, so both engines decide ties identically."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    c = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    t = c.groupBy("source").agg(
+        F.sum("c").alias("tot"), F.count(F.lit(1)).alias("vocab")
+    )
+    win = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("w"))
+    r = c.join(t, "source").select(
+        "source", "c", "tot", "vocab", F.sum("c").over(win).alias("cum")
+    )
+    kept = (F.col("cum") - F.col("c")) < 0.9 * F.col("tot")
+    return (
+        r.groupBy("source")
+        .agg(
+            F.first("vocab").cast("long").alias("vocab"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias(
+                "nucleus_size"
+            ),
+            F.round(
+                F.sum(F.when(kept, F.col("c")).otherwise(0))
+                * 1.0
+                / F.first("tot"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q266 — difference-in-differences readout over the event stream
+# --------------------------------------------------------------------------
+@query(
+    "q266_diff_in_diff",
+    oracle="""
+    WITH e AS (
+      SELECT CASE WHEN substr(md5('did-v1-' || CAST(user_id AS VARCHAR)),
+                         1, 1) IN ('0','1','2','3','4','5','6','7')
+                  THEN 1 ELSE 0 END AS treat,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END AS post,
+             value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(CASE WHEN treat = 1 AND post = 0 THEN value END), 6)
+             AS treat_pre,
+           round(avg(CASE WHEN treat = 1 AND post = 1 THEN value END), 6)
+             AS treat_post,
+           round(avg(CASE WHEN treat = 0 AND post = 0 THEN value END), 6)
+             AS ctrl_pre,
+           round(avg(CASE WHEN treat = 0 AND post = 1 THEN value END), 6)
+             AS ctrl_post,
+           round((avg(CASE WHEN treat = 1 AND post = 1 THEN value END)
+                  - avg(CASE WHEN treat = 1 AND post = 0 THEN value END))
+                 - (avg(CASE WHEN treat = 0 AND post = 1 THEN value END)
+                    - avg(CASE WHEN treat = 0 AND post = 0 THEN value END)),
+                 6) AS did
+    FROM e
+    """,
+    tags=("analytics", "causal", "events", "operator"),
+)
+def q266_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences estimate of purchase value: treatment
+    assignment is the engine-portable md5 coin (the q79/q254 hash
+    convention — first hex digit 0-7), the pre/post boundary is the
+    q183 CUPED split, and the DiD estimate is the classic
+    (treat_post - treat_pre) - (ctrl_post - ctrl_pre) of the four cell
+    means — the quasi-experimental companion to q183's variance-
+    reduction readout.
+
+    SCALE DESIGN: one filtered scan, one 4-cell conditional aggregate
+    (map-side combined); nothing leaves the executors but four sums
+    and counts."""
+    (ev,) = _t(spark, sf_dir, "events")
+    coin = F.substring(
+        F.md5(F.concat(F.lit("did-v1-"), F.col("user_id").cast("string"))),
+        1,
+        1,
+    )
+    e = ev.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            coin.isin("0", "1", "2", "3", "4", "5", "6", "7"), 1
+        )
+        .otherwise(0)
+        .alias("treat"),
+        F.when(
+            F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("post"),
+        "value",
+    )
+
+    def cell(t, p):
+        return F.avg(
+            F.when((F.col("treat") == t) & (F.col("post") == p), F.col("value"))
+        )
+
+    return e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(cell(1, 0), 6).alias("treat_pre"),
+        F.round(cell(1, 1), 6).alias("treat_post"),
+        F.round(cell(0, 0), 6).alias("ctrl_pre"),
+        F.round(cell(0, 1), 6).alias("ctrl_post"),
+        F.round(
+            (cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0)), 6
+        ).alias("did"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q267 — context-window budget report (truncation loss per source)
+# --------------------------------------------------------------------------
+@query(
+    "q267_context_budget_report",
+    oracle="""
+    WITH d AS (
+      SELECT source, len(string_split(text, ' ')) AS n FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated,
+           CAST(sum(least(n, 64)) AS BIGINT) AS tokens_kept,
+           round(sum(n - least(n, 64)) * 1.0 / sum(n), 6)
+             AS token_loss_frac
+    FROM d GROUP BY source ORDER BY source
+    """,
+    tags=("curation", "tokens", "llm", "operator"),
+)
+def q267_context_budget_report(spark, sf_dir):
+    """Context-window budget planning: for a 64-token budget, how many
+    documents per source get truncated and what fraction of the token
+    mass is lost — the sizing readout a packing/truncation decision
+    (q78/q215) reads before choosing sequence length.
+
+    SCALE DESIGN: per-row token count + least() inside codegen, one
+    source-grain aggregate; a map-only pass at any corpus size."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    d = docs.select("source", n.alias("n"))
+    kept = F.least(F.col("n"), F.lit(64))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n") > 64, 1).otherwise(0))
+            .cast("long")
+            .alias("n_truncated"),
+            F.sum(kept).cast("long").alias("tokens_kept"),
+            F.round(
+                F.sum(F.col("n") - kept) * 1.0 / F.sum("n"), 6
+            ).alias("token_loss_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q268 — vocabulary coverage curve (top-k type mass)
+# --------------------------------------------------------------------------
+@query(
+    "q268_vocab_coverage_curve",
+    oracle="""
+    WITH w AS (
+      SELECT u.w AS w
+      FROM documents, unnest(string_split(text, ' ')) AS u(w)
+    ),
+    c AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+    tot AS (SELECT sum(c) AS t FROM c),
+    r AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk,
+             sum(c) OVER (ORDER BY c DESC, w) AS cum
+      FROM c
+    ),
+    ks AS (SELECT unnest([5, 10, 20, 40]) AS k)
+    SELECT ks.k,
+           CAST(count(*) AS BIGINT) AS types_used,
+           round(max(cum) * 1.0 / any_value(t), 6) AS coverage
+    FROM ks JOIN r ON r.rk <= ks.k CROSS JOIN tot
+    GROUP BY ks.k ORDER BY ks.k
+    """,
+    tags=("corpus", "vocab", "text", "llm", "operator"),
+)
+def q268_vocab_coverage_curve(spark, sf_dir):
+    """Corpus-wide vocabulary coverage curve: the fraction of the
+    token mass covered by the top-k types (count-desc, word-asc
+    tiebreak) at k in {5, 10, 20, 40} — the companion readout to
+    q218's Zipf slope and q250's Heaps growth that directly answers
+    "how big must the vocab be".
+
+    SCALE DESIGN: the only window runs over a TakeOrdered-BOUNDED
+    top-40 frame (orderBy+limit before the window — max(ks) rows, not
+    the vocab, and never the corpus); totals come from a separate
+    vocab-grain aggregate; the k expansion joins a 4-row broadcast
+    literal frame."""
+    spark_ks = spark.createDataFrame([(5,), (10,), (20,), (40,)], "k int")
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    c = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = c.agg(F.sum("c").alias("t"))
+    top = c.orderBy(F.desc("c"), F.asc("w")).limit(40)
+    win = Window.orderBy(F.desc("c"), F.asc("w"))
+    r = top.select(
+        "c",
+        F.row_number().over(win).alias("rk"),
+        F.sum("c").over(win).alias("cum"),
+    )
+    return (
+        r.join(F.broadcast(spark_ks), F.col("rk") <= F.col("k"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("types_used"),
+            F.round(F.max("cum") * 1.0 / F.first("t"), 6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# q269 — RAG chunk plan (fixed-size overlapping chunking)
+# --------------------------------------------------------------------------
+@query(
+    "q269_rag_chunk_plan",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    plan AS (
+      SELECT doc_id, n,
+             CASE WHEN n <= 32 THEN 1
+                  ELSE CAST(floor((n - 9) * 1.0 / 24) AS BIGINT) + 1
+             END AS n_chunks
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(n + 8 * (n_chunks - 1) AS BIGINT) AS chunk_tokens,
+           round((n + 8 * (n_chunks - 1)) * 1.0 / n, 6) AS expansion
+    FROM plan ORDER BY doc_id
+    """,
+    tags=("curation", "chunking", "rag", "llm", "operator"),
+)
+def q269_rag_chunk_plan(spark, sf_dir):
+    """Retrieval chunking plan: fixed 32-token chunks with 8-token
+    overlap (stride 24). Chunk count is the closed form
+    1 + ceil((n - 32)/24) for n > 32 (else 1), total chunk tokens is
+    n + 8*(chunks - 1) — the last chunk is short, interior overlaps
+    duplicate exactly ``overlap`` tokens each. The per-doc expansion
+    factor is the storage/compute multiplier a RAG index build pays
+    for the chosen overlap — the sizing readout before embedding the
+    corpus.
+
+    SCALE DESIGN: pure per-row closed-form arithmetic in codegen —
+    zero shuffles before the final order; the chunk plan never
+    materializes the chunks to be counted."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    d = docs.select("doc_id", n.alias("n"))
+    n_chunks = (
+        F.when(F.col("n") <= 32, F.lit(1).cast("long"))
+        .otherwise(
+            F.floor((F.col("n") - 9) * 1.0 / 24).cast("long") + 1
+        )
+    )
+    plan = d.select("doc_id", "n", n_chunks.alias("n_chunks"))
+    chunk_tokens = F.col("n") + 8 * (F.col("n_chunks") - 1)
+    return plan.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        chunk_tokens.cast("long").alias("chunk_tokens"),
+        F.round(chunk_tokens * 1.0 / F.col("n"), 6).alias("expansion"),
+    ).orderBy("doc_id")

@@ -1189,3 +1189,77 @@ def test_stratified_kfold_validates_k(spark, docs):
 
     with pytest.raises(ValueError, match="k must be"):
         stratified_kfold(docs, "lang", k=1)
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """The SIGMOD-2003 winnowing guarantee: two documents sharing a
+    run of >= k + window - 1 tokens share at least one fingerprint;
+    selection is deterministic under repartition; density stays near
+    the 2/(window+1) bound on random-ish text."""
+    from etl_as_a_service_spark.llm.dedup import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 toks
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three " + shared + " four five six"),
+            (2, "seven eight " + shared + " nine ten"),
+            (3, "completely different words with no overlap at all kept"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs, "text", "doc_id", k=4, window=5)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # k + window - 1 = 8 shared tokens => >= 1 shared fingerprint
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+    # deterministic under physical layout
+    again = {
+        (r["doc_id"], r["fp"])
+        for r in winnowing_fingerprints(
+            docs.repartition(7), "text", "doc_id", k=4, window=5
+        ).collect()
+    }
+    assert again == {(d, f) for d, s in by_doc.items() for f in s}
+
+
+def test_winnowing_short_and_tiny_docs(spark):
+    """Docs with n < k vanish (no k-gram exists); docs with k <= n but
+    fewer than `window` k-grams contribute EXACTLY one fingerprint
+    (the min over all their k-grams) — every representable doc is
+    represented."""
+    from etl_as_a_service_spark.llm.dedup import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),            # 3 tokens < k=4 -> excluded
+            (2, "a b c d"),          # 1 k-gram -> 1 fp
+            (3, "a b c d e f"),      # 3 k-grams < window=5 -> 1 fp
+        ],
+        "doc_id long, text string",
+    )
+    out = winnowing_fingerprints(docs, "text", "doc_id", k=4, window=5)
+    counts = {r["doc_id"]: r["n"] for r in
+              out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {2: 1, 3: 1}
+
+
+def test_winnowing_density_bound(spark):
+    """On shuffled distinct-ish text the selected-fingerprint count
+    stays well under the k-gram count (~2/(window+1) expected) —
+    winnowing must COMPRESS, not mirror, the k-gram stream."""
+    import random
+
+    from etl_as_a_service_spark.llm.dedup import winnowing_fingerprints
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(400)]
+    rng.shuffle(words)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    n_fps = winnowing_fingerprints(docs, "text", "doc_id").count()
+    n_kgrams = 400 - 4 + 1
+    assert n_fps <= n_kgrams * 0.5  # far below the stream size
+    assert n_fps >= n_kgrams / 5.5  # but still a real covering set

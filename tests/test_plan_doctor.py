@@ -168,6 +168,9 @@ def test_manifest_plans_lint_clean(spark):
       pattern, documented in-query);
     - q255/q262: the AUC midrank window runs over the AGGREGATED
       score-bin domain (<= 1001 rows by construction — the q214
+      pattern, documented in-query);
+    - q268: the coverage cumsum window runs over the ALREADY-limited
+      top-40 type frame (orderBy+limit bounds it first — the q93
       pattern, documented in-query)."""
     from etl_as_a_service_spark.plans.doctor import lint_plan
     from etl_as_a_service_spark.queries import QUERIES
@@ -184,6 +187,7 @@ def test_manifest_plans_lint_clean(spark):
         "q218_zipf_slope",
         "q255_classifier_eval",
         "q262_holdout_eval",
+        "q268_vocab_coverage_curve",
     }
     bad = {}
     for name, qd in QUERIES.items():
