@@ -119,6 +119,15 @@ HEADLINE_ML = [
     "q262_holdout_eval",
 ]
 
+#: round-7 additions: the training-data prep family — winnowing
+#: fingerprint selection (the heaviest: k-gram explode + doc windows)
+#: and the nucleus vocab truncation. SEPARATE subtotal; earlier
+#: subtotals stay comparable.
+HEADLINE_TRAINDATA = [
+    "q264_winnowing_fingerprints",
+    "q265_nucleus_vocab",
+]
+
 #: round-6 addition to the lakehouse subtotal: the stats-based file
 #: skip read (zone-map pruning on l_orderkey range) — subtotal grows
 #: by one entry vs r5; per-entry timings stay comparable.
@@ -294,7 +303,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in (HEADLINE + HEADLINE_CURATION + HEADLINE_ADVANCED
                  + HEADLINE_SEMANTIC + HEADLINE_QUALITY
-                 + HEADLINE_WEBCORPUS + HEADLINE_ML):
+                 + HEADLINE_WEBCORPUS + HEADLINE_ML
+                 + HEADLINE_TRAINDATA):
         if name not in QUERIES:
             continue
         best, n = float("inf"), 0
@@ -342,6 +352,9 @@ def main() -> None:
         sum(timings[n] for n in HEADLINE_WEBCORPUS if n in timings), 3
     )
     ml = round(sum(timings[n] for n in HEADLINE_ML if n in timings), 3)
+    traindata = round(
+        sum(timings[n] for n in HEADLINE_TRAINDATA if n in timings), 3
+    )
     print(
         json.dumps(
             {
@@ -359,9 +372,10 @@ def main() -> None:
                 "subtotal_lakehouse": lakehouse,
                 "subtotal_webcorpus": webcorpus,
                 "subtotal_ml": ml,
+                "subtotal_traindata": traindata,
                 "total_all": round(
                     core + curation + advanced + semantic + quality
-                    + lakehouse + webcorpus + ml,
+                    + lakehouse + webcorpus + ml + traindata,
                     3,
                 ),
                 "runs_per_query": RUNS,

@@ -69,12 +69,12 @@ from etl_as_a_service_spark.queries import traindata  # noqa: E402,F401
 # only. After r6 the driver-green union covers every oracle query
 # through q225; the never-driver-green oracle queries are q226-q263
 # (the round-6 additions plus the q226-q234 tail that did not fit
-# r6's window) plus the round-7 additions q264-q269 — 44 total, all
-# in ascending query-number order here, then 6 cheap already-green
-# queries (q01-q06) as harmless re-confirmation filler — zero slots
-# on rows-only queries. After this window lands, EVERY oracle query
-# in the manifest has a driver-green row and the rotation backlog is
-# empty; future rounds keep re-confirming from the front.
+# r6's window) plus the round-7 additions q264-q275 — exactly 50,
+# all in ascending query-number order here: every slot of this
+# window is a never-green oracle query, zero filler, zero rows-only
+# queries. After this window lands, EVERY oracle query in the
+# manifest has a driver-green row and the rotation backlog is empty;
+# future rounds keep re-confirming from the front.
 # The manifest CONTENT is unchanged — only dict iteration order moves.
 #
 # Keep the rows-only queries (q47-q49/q54/q55/q61/q98/q130/q139/q148)
@@ -126,12 +126,12 @@ _ROTATE_FRONT = [
     "q267_context_budget_report",
     "q268_vocab_coverage_curve",
     "q269_rag_chunk_plan",
-    "q01_pricing_summary",
-    "q02_top_parts_by_revenue",
-    "q03_revenue_by_region_nation",
-    "q04_customers_with_fulfilled_orders",
-    "q05_customers_without_big_orders",
-    "q06_nation_set_ops",
+    "q270_local_clustering_topk",
+    "q271_length_bucket_padding",
+    "q272_association_rules",
+    "q273_token_entropy",
+    "q274_stopword_quality",
+    "q275_fold_contamination",
 ]
 
 

@@ -413,3 +413,540 @@ def q269_rag_chunk_plan(spark, sf_dir):
         chunk_tokens.cast("long").alias("chunk_tokens"),
         F.round(chunk_tokens * 1.0 / F.col("n"), 6).alias("expansion"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q270 — per-node local clustering coefficient, top-20
+# --------------------------------------------------------------------------
+@query(
+    "q270_local_clustering_topk",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    tri AS (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM und e1
+      JOIN und e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
+      JOIN und e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+    ),
+    tc AS (
+      SELECT v, count(*) AS t FROM (
+        SELECT a AS v FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY v
+    ),
+    sym AS (SELECT pa AS u FROM und UNION ALL SELECT pb FROM und),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u)
+    SELECT deg.u AS node,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(tc.t, 0) AS BIGINT) AS triangles,
+           round(2.0 * COALESCE(tc.t, 0) / (deg.d * (deg.d - 1)), 6)
+             AS lcc
+    FROM deg LEFT JOIN tc ON tc.v = deg.u
+    WHERE deg.d >= 2
+    ORDER BY lcc DESC, node LIMIT 20
+    """,
+    tags=("graph", "triangles", "operator"),
+)
+def q270_local_clustering_topk(spark, sf_dir):
+    """Per-node local clustering coefficient on the part co-purchase
+    graph: LCC(v) = 2*T(v) / (d(v)(d(v)-1)), top-20 by (rounded LCC
+    desc, node asc) — q159's global coefficient resolved to node
+    grain, the community-density screen per entity. Per-node triangle
+    counts are orientation-INDEPENDENT (each triangle increments its 3
+    nodes whatever orientation enumerated it), so the engine keeps the
+    skew-proof degree-oriented wedge join while the oracle enumerates
+    with simple id orientation — identical node sets.
+
+    SCALE DESIGN: the edge set materializes ONCE (localCheckpoint, the
+    q159 discipline — five consumers); the wedge join is degree-
+    oriented (out-degree O(sqrt E) on any graph); the top-20 is a
+    TakeOrderedAndProject, never a global sort."""
+    from etl_as_a_service_spark.operators.graph import copurchase_edges
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    und = copurchase_edges(li, min_support=2).localCheckpoint()
+    sym = und.select(F.col("pa").alias("u")).union(
+        und.select(F.col("pb").alias("u"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e = (
+        und.join(
+            deg.select(F.col("u").alias("pa"), F.col("d").alias("da")), "pa"
+        )
+        .join(
+            deg.select(F.col("u").alias("pb"), F.col("d").alias("db")), "pb"
+        )
+        .select(
+            F.when(
+                F.struct(F.col("da"), F.col("pa"))
+                < F.struct(F.col("db"), F.col("pb")),
+                F.col("pa"),
+            )
+            .otherwise(F.col("pb"))
+            .alias("src"),
+            F.when(
+                F.struct(F.col("da"), F.col("pa"))
+                < F.struct(F.col("db"), F.col("pb")),
+                F.struct(F.col("db").alias("d"), F.col("pb").alias("id")),
+            )
+            .otherwise(
+                F.struct(F.col("da").alias("d"), F.col("pa").alias("id"))
+            )
+            .alias("dst_ord"),
+        )
+        .select("src", F.col("dst_ord.id").alias("dst"), "dst_ord")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst_ord") < F.col("e2.dst_ord")),
+        )
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    tc = (
+        tri.select(F.col("a").alias("v"))
+        .union(tri.select(F.col("b").alias("v")))
+        .union(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.join(tc, deg["u"] == tc["v"], "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("u").alias("node"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias(
+                "triangles"
+            ),
+            F.round(
+                2.0
+                * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("lcc"),
+        )
+        .orderBy(F.desc("lcc"), F.asc("node"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q271 — length-bucket padding-waste report (dynamic batching)
+# --------------------------------------------------------------------------
+@query(
+    "q271_length_bucket_padding",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    b AS (SELECT n, CAST(floor(n * 1.0 / 16) AS BIGINT) AS bucket FROM d),
+    g AS (
+      SELECT bucket, count(*) AS n_docs, max(n) AS bmax, sum(n) AS toks
+      FROM b GROUP BY bucket
+    )
+    SELECT bucket,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(bmax AS BIGINT) AS pad_to,
+           CAST(n_docs * bmax - toks AS BIGINT) AS pad_waste,
+           round((n_docs * bmax - toks) * 1.0 / (n_docs * bmax), 6)
+             AS waste_frac
+    FROM g ORDER BY bucket
+    """,
+    tags=("curation", "batching", "tokens", "llm", "operator"),
+)
+def q271_length_bucket_padding(spark, sf_dir):
+    """Dynamic-batching readout: bucket documents by token length
+    (width-16 buckets), pad each bucket to its observed max, and
+    report the padding waste per bucket — the number a batch-shape
+    decision (bucketed batching vs q78 packing) reads first. Global
+    padding waste is the degenerate one-bucket case; the per-bucket
+    fractions show what bucketing recovers.
+
+    SCALE DESIGN: per-row arithmetic + one bucket-grain aggregate
+    (map-side combined) — no windows, no joins; a map-only pass at
+    any corpus size."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    b = docs.select(
+        n.alias("n"), F.floor(n * 1.0 / 16).cast("long").alias("bucket")
+    )
+    g = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n").alias("bmax"),
+        F.sum("n").alias("toks"),
+    )
+    waste = F.col("n_docs") * F.col("bmax") - F.col("toks")
+    return g.select(
+        "bucket",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("bmax").cast("long").alias("pad_to"),
+        waste.cast("long").alias("pad_waste"),
+        F.round(
+            waste * 1.0 / (F.col("n_docs") * F.col("bmax")), 6
+        ).alias("waste_frac"),
+    ).orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
+# q272 — market-basket association rules (support / confidence / lift)
+# --------------------------------------------------------------------------
+@query(
+    "q272_association_rules",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS nb FROM items),
+    ic AS (SELECT l_partkey, count(*) AS c FROM items GROUP BY l_partkey),
+    pc AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS cab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING count(*) >= 3
+    )
+    SELECT pa, pb,
+           CAST(cab AS BIGINT) AS pair_orders,
+           round(cab * 1.0 / nb, 6) AS support,
+           round(cab * 1.0 / ia.c, 6) AS conf_a_to_b,
+           round(cab * 1.0 / ib.c, 6) AS conf_b_to_a,
+           round(cab * 1.0 * nb / (ia.c * ib.c), 6) AS lift
+    FROM pc
+    JOIN ic ia ON ia.l_partkey = pa
+    JOIN ic ib ON ib.l_partkey = pb
+    CROSS JOIN n
+    ORDER BY lift DESC, pa, pb LIMIT 20
+    """,
+    tags=("analytics", "association", "join", "operator"),
+)
+def q272_association_rules(spark, sf_dir):
+    """Market-basket association rules over order baskets: pair
+    support, both directed confidences, and lift for co-purchased part
+    pairs (pair count >= 3), top-20 by (rounded lift desc, pair asc) —
+    the classic Apriori-style 2-itemset readout next to q195's
+    token-PMI and q220's item-item cosine.
+
+    SCALE DESIGN: one distinct-items projection feeds the basket
+    self-join (keyed on the order, never cartesian) and the item-count
+    aggregate; the support threshold bounds the pair frame before the
+    two item-count joins; basket count rides a broadcast 1-row cross
+    join; top-20 is a TakeOrderedAndProject."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    nb = items.agg(
+        F.countDistinct("l_orderkey").alias("nb")
+    )
+    ic = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pc = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= 3)
+    )
+    out = (
+        pc.join(ic.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca")), "pa")
+        .join(ic.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb")), "pb")
+        .crossJoin(F.broadcast(nb))
+    )
+    return out.select(
+        "pa",
+        "pb",
+        F.col("cab").cast("long").alias("pair_orders"),
+        F.round(F.col("cab") * 1.0 / F.col("nb"), 6).alias("support"),
+        F.round(F.col("cab") * 1.0 / F.col("ca"), 6).alias("conf_a_to_b"),
+        F.round(F.col("cab") * 1.0 / F.col("cb"), 6).alias("conf_b_to_a"),
+        F.round(
+            F.col("cab") * 1.0 * F.col("nb") / (F.col("ca") * F.col("cb")),
+            6,
+        ).alias("lift"),
+    ).orderBy(F.desc("lift"), F.asc("pa"), F.asc("pb")).limit(20)
+
+
+# --------------------------------------------------------------------------
+# q273 — per-document token entropy (diversity quality screen)
+# --------------------------------------------------------------------------
+@query(
+    "q273_token_entropy",
+    oracle="""
+    WITH words AS (
+      SELECT source, doc_id, u.w AS w
+      FROM documents, unnest(string_split(text, ' ')) AS u(w)
+    ),
+    wc AS (
+      SELECT source, doc_id, w, count(*) AS c
+      FROM words GROUP BY source, doc_id, w
+    ),
+    dn AS (
+      SELECT source, doc_id, sum(c) AS n FROM wc GROUP BY source, doc_id
+    ),
+    ent AS (
+      SELECT wc.source, wc.doc_id,
+             -sum((c * 1.0 / n) * ln(c * 1.0 / n)) AS h
+      FROM wc JOIN dn USING (source, doc_id)
+      GROUP BY wc.source, wc.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(h), 6) AS avg_entropy,
+           round(min(h), 6) AS min_entropy,
+           round(max(h), 6) AS max_entropy
+    FROM ent GROUP BY source ORDER BY source
+    """,
+    tags=("quality", "text", "entropy", "llm", "operator"),
+)
+def q273_token_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the token distribution,
+    aggregated to source grain (avg/min/max) — the diversity screen
+    that catches template-stamped or single-phrase-looping documents
+    q158's duplicate-bigram fraction can miss (low entropy = mass
+    concentrated on few types, whatever their adjacency).
+
+    SCALE DESIGN: one explode scan -> map-side-combined
+    (source, doc, word) counts -> doc-grain totals joined back at the
+    SAME key grain -> source-grain readout. No windows; every shuffle
+    is on the aggregate key."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    wc = words.groupBy("source", "doc_id", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dn = wc.groupBy("source", "doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") * 1.0 / F.col("n")
+    ent = (
+        wc.join(dn, ["source", "doc_id"])
+        .groupBy("source", "doc_id")
+        .agg((-F.sum(p * F.log(p))).alias("h"))
+    )
+    return (
+        ent.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("h"), 6).alias("avg_entropy"),
+            F.round(F.min("h"), 6).alias("min_entropy"),
+            F.round(F.max("h"), 6).alias("max_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q274 — stopword-ratio quality scoring per source
+# --------------------------------------------------------------------------
+@query(
+    "q274_stopword_quality",
+    oracle="""
+    WITH w AS (
+      SELECT source, doc_id, u.w AS w
+      FROM documents, unnest(string_split(text, ' ')) AS u(w)
+    ),
+    per AS (
+      SELECT source, doc_id, count(*) AS n,
+             sum(CASE WHEN w IN ('a', 'the') THEN 1 ELSE 0 END) AS ns,
+             sum(CASE WHEN len(w) <= 2 THEN 1 ELSE 0 END) AS nshort,
+             sum(len(w)) AS chars
+      FROM w GROUP BY source, doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(ns * 1.0 / n), 6) AS avg_stop_ratio,
+           round(avg(nshort * 1.0 / n), 6) AS avg_short_frac,
+           round(avg(chars * 1.0 / n), 6) AS avg_word_len,
+           CAST(sum(CASE WHEN ns * 1.0 / n <= 0.2
+                          AND chars * 1.0 / n BETWEEN 2 AND 12
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM per GROUP BY source ORDER BY source
+    """,
+    tags=("quality", "text", "stopwords", "llm", "operator"),
+)
+def q274_stopword_quality(spark, sf_dir):
+    """Stopword-ratio quality scoring (the C4/Gopher stoplist axis
+    q158 does not cover): per-document stopword ratio against an
+    explicit broadcast stoplist, short-word fraction, mean word
+    length, and a per-source pass count under published-style
+    thresholds. A stopword ratio far from the language's natural band
+    flags keyword-stuffed or boilerplate text that per-type
+    frequency screens miss.
+
+    SCALE DESIGN: the stoplist is a literal IN expression inside
+    codegen (a real stoplist broadcasts the same way); one explode
+    scan -> doc-grain conditional aggregate -> source-grain readout;
+    zero joins, zero windows."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "source", "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    per = w.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("w").isin("a", "the"), 1).otherwise(0)).alias(
+            "ns"
+        ),
+        F.sum(
+            F.when(F.length("w") <= 2, 1).otherwise(0)
+        ).alias("nshort"),
+        F.sum(F.length("w")).alias("chars"),
+    )
+    stop_ratio = F.col("ns") * 1.0 / F.col("n")
+    word_len = F.col("chars") * 1.0 / F.col("n")
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg(stop_ratio), 6).alias("avg_stop_ratio"),
+            F.round(
+                F.avg(F.col("nshort") * 1.0 / F.col("n")), 6
+            ).alias("avg_short_frac"),
+            F.round(F.avg(word_len), 6).alias("avg_word_len"),
+            F.sum(
+                F.when(
+                    (stop_ratio <= 0.2)
+                    & word_len.between(2, 12),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q275 — CV-fold n-gram contamination audit
+# --------------------------------------------------------------------------
+@query(
+    "q275_fold_contamination",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, text,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5('cv-v1-' || CAST(doc_id AS VARCHAR)),
+                               1, 8),
+                        doc_id) AS rn
+      FROM documents
+    ),
+    folds AS (
+      SELECT doc_id, source, text,
+             CAST((rn - 1) % 5 AS INTEGER) AS fold
+      FROM ranked
+    ),
+    toks AS (
+      SELECT doc_id, source, fold, string_split(text, ' ') AS t
+      FROM folds
+    ),
+    kg AS (
+      SELECT DISTINCT doc_id, source, fold,
+             array_to_string(t[i:i+7], ' ') AS g
+      FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    train_g AS (SELECT DISTINCT g FROM kg WHERE fold < 4),
+    hits AS (
+      SELECT doc_id,
+             max(CASE WHEN g IN (SELECT g FROM train_g)
+                      THEN 1 ELSE 0 END) AS hit
+      FROM kg WHERE fold = 4 GROUP BY doc_id
+    ),
+    holdout AS (
+      SELECT f.doc_id, f.source, COALESCE(h.hit, 0) AS hit
+      FROM folds f LEFT JOIN hits h USING (doc_id)
+      WHERE f.fold = 4
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_holdout_docs,
+           CAST(sum(hit) AS BIGINT) AS n_contaminated,
+           round(sum(hit) * 1.0 / count(*), 6) AS contaminated_frac
+    FROM holdout GROUP BY source ORDER BY source
+    """,
+    tags=("curation", "decontamination", "cv", "llm", "operator"),
+)
+def q275_fold_contamination(spark, sf_dir):
+    """Cross-validation contamination audit: after the q254 stratified
+    5-fold split, how many HOLDOUT (fold-4) documents share an 8-token
+    run with any TRAINING (folds 0-3) document, per source — the
+    within-split version of the q85/q94 train-vs-eval decontamination.
+    A contaminated holdout inflates every q262-style generalization
+    readout; this is the audit that says whether fold-level dedup
+    (q264's winnowing or q253's LSH) must run BEFORE the split.
+
+    Only holdout docs with >= 8 tokens can carry a hit; shorter docs
+    count as clean (no 8-gram exists) and still appear in the
+    denominator via the fold assignment — both engines drop them from
+    kg identically.
+
+    SCALE DESIGN: the fold deal is the q254 stratum-partitioned
+    window; 8-grams explode map-only; the contamination test is ONE
+    shingle-keyed left-semi-style aggregate (engine: semi join on the
+    shingle hash, ids only) — never doc x doc."""
+    from etl_as_a_service_spark.llm.curation import stratified_kfold
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    folds = stratified_kfold(docs, "lang", k=5, id_col="doc_id")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    kg = (
+        folds.filter(n >= 8)
+        .select(
+            "doc_id",
+            "source",
+            "fold",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 7),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    train_g = kg.filter(F.col("fold") < 4).select("g").distinct()
+    hold_kg = kg.filter(F.col("fold") == 4)
+    hits = (
+        hold_kg.join(train_g.withColumn("__hit", F.lit(1)), "g", "left")
+        .groupBy("doc_id", "source")
+        .agg(F.max(F.coalesce(F.col("__hit"), F.lit(0))).alias("hit"))
+    )
+    # holdout docs with < 8 tokens have no kg rows: count them clean
+    short_hold = (
+        folds.filter((F.col("fold") == 4) & (n < 8))
+        .select("doc_id", "source")
+        .withColumn("hit", F.lit(0))
+    )
+    holdout = hits.select("doc_id", "source", "hit").union(short_hold)
+    return (
+        holdout.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_holdout_docs"),
+            F.sum("hit").cast("long").alias("n_contaminated"),
+            F.round(
+                F.sum("hit") * 1.0 / F.count(F.lit(1)), 6
+            ).alias("contaminated_frac"),
+        )
+        .orderBy("source")
+    )

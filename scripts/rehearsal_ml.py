@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Scale rehearsal for the distributed-ML / classifier family
 (q235 k-means, q248 Naive Bayes, q252 logistic trainer, q253 portable
-MinHash LSH, q255 classifier eval) at the README's stress scale:
+MinHash LSH, q255 classifier eval, q264 winnowing) at the README's
+stress scale:
 4x documents and 4x embeddings (id-shifted copies — worst-case
 near-dup density for the LSH row, plain volume for the rest).
 
@@ -64,7 +65,10 @@ def main() -> None:
         naive_bayes_confusion,
     )
     from etl_as_a_service_spark.llm.clustering import kmeans_assignments
-    from etl_as_a_service_spark.llm.dedup import minhash_lsh_pairs_portable
+    from etl_as_a_service_spark.llm.dedup import (
+        minhash_lsh_pairs_portable,
+        winnowing_fingerprints,
+    )
 
     tabs = load_tables(spark, sf_dir, ("documents", "embeddings"))
     docs = tabs["documents"].select("doc_id", "text", "lang")
@@ -105,6 +109,15 @@ def main() -> None:
             "q255 classifier eval (4x docs)",
             lambda d=docs: logistic_hash_eval(d, lbl).count(),
             lambda d=docs4: logistic_hash_eval(d, lbl).count(),
+        ),
+        (
+            "q264 winnowing fingerprints (4x docs)",
+            lambda d=docs: winnowing_fingerprints(
+                d, "text", "doc_id"
+            ).count(),
+            lambda d=docs4: winnowing_fingerprints(
+                d, "text", "doc_id"
+            ).count(),
         ),
     ]
     for _, base, _s in entries:  # warm codegen/JIT outside timings
