@@ -646,7 +646,11 @@ def q272_association_rules(spark, sf_dir):
     self-join (keyed on the order, never cartesian) and the item-count
     aggregate; the support threshold bounds the pair frame before the
     two item-count joins; basket count rides a broadcast 1-row cross
-    join; top-20 is a TakeOrderedAndProject."""
+    join; top-20 is a TakeOrderedAndProject. A q159-style
+    localCheckpoint of the shared items frame was A/B'd same-process
+    at sf0.1 (min-of-3, interleaved) and is a WASH (1.79-2.03s base
+    vs 1.69-2.17s checkpointed) — exchange reuse already dedupes the
+    distinct — so the plan stays checkpoint-free."""
     (li,) = _t(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     nb = items.agg(
@@ -903,7 +907,12 @@ def q275_fold_contamination(spark, sf_dir):
     SCALE DESIGN: the fold deal is the q254 stratum-partitioned
     window; 8-grams explode map-only; the contamination test is ONE
     shingle-keyed left-semi-style aggregate (engine: semi join on the
-    shingle hash, ids only) — never doc x doc."""
+    shingle hash, ids only) — never doc x doc. localCheckpointing the
+    twice-consumed kg frame was A/B'd same-process at sf0.1 and is
+    3-4x SLOWER (0.61-0.77s recomputed vs 2.44s checkpointed):
+    materializing the full shingle explode costs far more than
+    recomputing it with filters pushed to each consumer — the q107
+    recompute-beats-materialize case, the opposite of q159."""
     from etl_as_a_service_spark.llm.curation import stratified_kfold
 
     (docs,) = _t(spark, sf_dir, "documents")

@@ -22,6 +22,7 @@ over the pure-Python connectors).
 from __future__ import annotations
 
 import datetime as _dt
+import functools as _functools
 import re as _re
 from typing import Any
 
@@ -111,15 +112,21 @@ def _render_compatible(bound: Any, val: Any) -> bool:
     string data — always comparable."""
     if not (isinstance(bound, str) and isinstance(val, str)):
         return True  # numeric path is type-gated by _comparable
-    b_ts = _TS_LIKE_RE.match(bound)
-    v_ts = _TS_LIKE_RE.match(val)
+    b_ts, b_tz = _ts_class(bound)
+    v_ts, v_tz = _ts_class(val)
     if not b_ts and not v_ts:
         return True
-    if bool(b_ts) != bool(v_ts):
-        return False
-    b_tz = _TZ_SUFFIX_RE.search(bound)
-    v_tz = _TZ_SUFFIX_RE.search(val)
-    return (b_tz.group(1) if b_tz else "") == (v_tz.group(1) if v_tz else "")
+    return b_ts == v_ts and b_tz == v_tz
+
+
+@_functools.lru_cache(maxsize=4096)
+def _ts_class(s: str) -> tuple[bool, str]:
+    """(timestamp-like?, tz-suffix) — memoized; called once per file
+    bound per predicate on the pruning path."""
+    if not _TS_LIKE_RE.match(s):
+        return (False, "")
+    tz = _TZ_SUFFIX_RE.search(s)
+    return (True, tz.group(1) if tz else "")
 
 
 def _norm_pred_value(val: Any) -> Any:
@@ -135,10 +142,19 @@ def _norm_pred_value(val: Any) -> Any:
     data. Returns ``_INCOMPARABLE`` for those: the caller keeps the
     file, trading pruning for the results-identical guarantee. Plain
     ``YYYY-MM-DD`` strings are already the canonical date rendering
-    and pass through."""
+    and pass through. Idempotent, and string parsing is memoized —
+    file_might_match runs once per FILE, so a 10k-file scan would
+    otherwise re-parse the same predicate value 10k times."""
     if isinstance(val, (_dt.datetime, _dt.date)):
         return _norm(val)
-    if isinstance(val, str) and _TS_LIKE_RE.match(val):
+    if isinstance(val, str):
+        return _norm_pred_str(val)
+    return val
+
+
+@_functools.lru_cache(maxsize=1024)
+def _norm_pred_str(val: str) -> Any:
+    if _TS_LIKE_RE.match(val):
         try:
             canonical = _dt.datetime.fromisoformat(val).isoformat()
         except ValueError:

@@ -809,6 +809,18 @@ def iceberg_changes(
     )
 
 
+def _discard_staged_data(table: str, data_files) -> None:
+    """Best-effort removal of staged (not-yet-committed) data files —
+    the shared cleanup every lost-race / conflict / skip path runs
+    before raising or returning. ``None`` (nothing staged yet) is a
+    no-op."""
+    for d in data_files or ():
+        try:
+            os.remove(os.path.join(table, d["file_path"]))
+        except OSError:
+            pass
+
+
 def iceberg_write(
     df: DataFrame,
     table: str,
@@ -927,12 +939,7 @@ def iceberg_write(
                 _schema_shape(prev_schema) != _schema_shape(schema)
                 or prev_pairs != parsed
             ):
-                if data_files is not None:
-                    for d in data_files:
-                        try:
-                            os.remove(os.path.join(table, d["file_path"]))
-                        except OSError:
-                            pass
+                _discard_staged_data(table, data_files)
                 raise ValueError(
                     "lost table-creation race: schema or partition spec "
                     "differs from the committed table metadata"
@@ -941,12 +948,7 @@ def iceberg_write(
             cur = prev_md.get("current-snapshot-id") if prev_md else None
             cur = -1 if cur is None else cur
             if cur != expected_snapshot:
-                if data_files is not None:
-                    for d in data_files:
-                        try:
-                            os.remove(os.path.join(table, d["file_path"]))
-                        except OSError:
-                            pass
+                _discard_staged_data(table, data_files)
                 raise ValueError(
                     f"concurrent modification: table advanced from "
                     f"snapshot {expected_snapshot} to {cur} since the "
@@ -955,12 +957,7 @@ def iceberg_write(
         if _skip_if is not None and prev_md is not None and _skip_if(prev_md):
             # the commit this write represents already landed (e.g. a
             # replayed streaming batch raced us) — drop staged files
-            if data_files is not None:
-                for d in data_files:
-                    try:
-                        os.remove(os.path.join(table, d["file_path"]))
-                    except OSError:
-                        pass
+            _discard_staged_data(table, data_files)
             return prev_md.get("current-snapshot-id", -1)
         md_for_manifest = prev_md or {
             "schemas": [schema],
@@ -975,11 +972,7 @@ def iceberg_write(
             # lost the creation race to a table whose data lives
             # elsewhere (e.g. a convert) — the staged paths would mix
             # bases and break basePath reads; restage under the new one
-            for d in data_files:
-                try:
-                    os.remove(os.path.join(table, d["file_path"]))
-                except OSError:
-                    pass
+            _discard_staged_data(table, data_files)
             data_files = None
         if data_files is None:
             data_files = _stage_data_files(
@@ -1082,16 +1075,32 @@ def iceberg_merge(
     and the partition spec carries forward. Returns the committed
     snapshot id.
 
-    Serializable read-modify-write: the snapshot id is pinned BEFORE
-    the read and passed as ``expected_snapshot`` to the overwrite —
-    a commit landing anywhere between the read and the commit point
-    fails the write loudly instead of being silently erased (the
-    lost-update anomaly delta_merge's expected_version closes)."""
+    Serializable read-modify-write: the snapshot id is pinned FIRST,
+    the read runs AS OF that pinned snapshot (so plan and pin can
+    never disagree — a commit racing the pin cannot cause a spurious
+    conflict against data the merge never saw), and the overwrite
+    carries ``expected_snapshot`` — a commit landing anywhere between
+    the pin and the commit point fails the write loudly instead of
+    being silently erased (the lost-update anomaly delta_merge's
+    expected_version closes)."""
     from etl_as_a_service_spark.operators.relational import merge_upsert
 
-    planned = _load_metadata(table).get("current-snapshot-id")
-    planned = -1 if planned is None else planned
-    current = iceberg_read(spark, table)
+    md = _load_metadata(table)
+    planned = md.get("current-snapshot-id")
+    if planned in (None, -1):
+        # preserve the empty-table error shape of the unpinned read
+        current = iceberg_read(spark, table)
+        planned = -1
+    else:
+        # plan from the SAME metadata the pin came from (never a
+        # second load that could see a racing commit), but present
+        # the CURRENT schema — pinning via iceberg_read(snapshot_id=)
+        # would time-travel the schema and break a sequential
+        # alter-then-merge
+        snap = _snapshot_by_id(md, planned)
+        current = _read_entries_resolved(
+            spark, table, md, _live_entries(table, snap)
+        )
     merged = merge_upsert(current, updates, key_cols)
     return iceberg_write(
         merged, table, mode="overwrite", expected_snapshot=planned
@@ -1146,11 +1155,7 @@ def iceberg_delete(
     after = sum(d["record_count"] for d in new_files)
     deleted = before - after
     if deleted == 0:
-        for d in new_files:
-            try:
-                os.remove(os.path.join(table, d["file_path"]))
-            except OSError:
-                pass
+        _discard_staged_data(table, new_files)
         return {"snapshot_id": -1, "files_rewritten": 0, "rows_deleted": 0}
 
     snap_id = _commit_cow_snapshot(
@@ -1189,11 +1194,7 @@ def _commit_cow_snapshot(
         head = versions[-1]
         prev_md = _load_metadata(table, head)
         if prev_md.get("current-snapshot-id") != planned_snapshot:
-            for d in new_files:
-                try:
-                    os.remove(os.path.join(table, d["file_path"]))
-                except OSError:
-                    pass
+            _discard_staged_data(table, new_files)
             raise ValueError(
                 f"iceberg_{operation}: table changed during the "
                 f"{operation} (concurrent commit) — re-run it"
@@ -1457,11 +1458,7 @@ def iceberg_update(
     )
     updated = int(obs.get["n"] or 0)
     if updated == 0:
-        for d in new_files:
-            try:
-                os.remove(os.path.join(table, d["file_path"]))
-            except OSError:
-                pass
+        _discard_staged_data(table, new_files)
         return {"snapshot_id": -1, "files_rewritten": 0, "rows_updated": 0}
     snap_id = _commit_cow_snapshot(
         table, snap["snapshot-id"], untouched, new_files,
