@@ -56,17 +56,43 @@ def token_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("w", F.explode(F.split(F.col(text_col), " ")))
 
 
+def char_ngram_frame(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """One row per character n-gram occurrence (positions 1..len-n+1,
+    spaces included — the Cavnar-Trenkle profile features). Matches
+    DuckDB's ``substr(text, i, n)`` over ``range(1, len(text)-n+2)``
+    exactly, so a char-n-gram model gets a SQL twin."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(text_col) - (n - 1)),
+        lambda i: F.col(text_col).substr(i, F.lit(n)),
+    )
+    return docs.filter(F.length(text_col) >= n).withColumn(
+        "w", F.explode(grams)
+    )
+
+
 def naive_bayes_confusion(
     docs: DataFrame,
     label_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+    char_n: int | None = None,
 ) -> DataFrame:
     """Train multinomial NB on the corpus itself (label = ``label_col``),
     re-score every document, and return the confusion matrix
     ``(actual, predicted, n_docs)`` — the standard train-set readout
     for a corpus-attribution model (can the token distribution alone
     recover the language/source tag?).
+
+    ``char_n=N`` swaps the features from whitespace tokens to
+    CHARACTER N-grams (spaces included) — the classic
+    n-gram-heuristic language identifier (Cavnar-Trenkle profiles,
+    public method): char n-grams work across whitespace conventions
+    and partial-word evidence where token vocabularies don't overlap.
+    Documents shorter than N characters carry no features and are
+    absent from the confusion matrix (no prediction is honest for
+    them). Same contract, same SQL twin shape (q276).
 
     Contract (mirrored verbatim by the SQL twin):
     - likelihood logp(w|c) = round(ln((count(w,c)+1) / (tokens_c+V)), 6)
@@ -83,7 +109,12 @@ def naive_bayes_confusion(
     itself and nothing is ever classes x corpus. Priors are a
     broadcast-sized frame.
     """
-    toks = token_frame(docs, text_col).select(
+    feats = (
+        char_ngram_frame(docs, text_col, char_n)
+        if char_n is not None
+        else token_frame(docs, text_col)
+    )
+    toks = feats.select(
         F.col(id_col).alias("doc_id"), F.col(label_col).alias("cls"), "w"
     )
     cnt = toks.groupBy("cls", "w").agg(F.count(F.lit(1)).alias("c"))

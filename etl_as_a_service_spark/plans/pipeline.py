@@ -126,6 +126,8 @@ _ALLOWED_OPS = {
     "kfold",
     "robust_outlier_gate",
     "target_encode",
+    "winnow_fingerprints",
+    "rag_chunk",
 }
 
 
@@ -867,6 +869,50 @@ def _apply_step(
             _req(step, "strata_col"),
             k=int(step.get("k", 5)),
             id_col=step.get("id_col", "doc_id"),
+        )
+    if op == "winnow_fingerprints":
+        # {"op":"winnow_fingerprints","text_col":"text",
+        #  "id_col":"doc_id","k":4,"window":5} — winnowing fingerprint
+        # (id, fp) pairs (the q264 operator / MOSS algorithm); join on
+        # fp downstream for near-dup/plagiarism candidates
+        from etl_as_a_service_spark.llm.dedup import (
+            winnowing_fingerprints,
+        )
+
+        return winnowing_fingerprints(
+            df,
+            _req(step, "text_col"),
+            _req(step, "id_col"),
+            k=int(step.get("k", 4)),
+            window=int(step.get("window", 5)),
+        )
+    if op == "rag_chunk":
+        # {"op":"rag_chunk","text_col":"text","chunk_tokens":32,
+        #  "overlap":8,"prefix":"chunk"} — append the q269 chunking
+        # plan columns (<prefix>_n_tokens, <prefix>_count,
+        # <prefix>_total_tokens) via the closed form: chunks never
+        # materialize to be counted
+        size = int(step.get("chunk_tokens", 32))
+        ov = int(step.get("overlap", 8))
+        if not 0 <= ov < size:
+            raise PipelineError(
+                f"rag_chunk needs 0 <= overlap < chunk_tokens, got "
+                f"overlap={ov} chunk_tokens={size}"
+            )
+        pre = step.get("prefix", "chunk")
+        stride = size - ov
+        n = F.size(F.split(F.col(_req(step, "text_col")), " "))
+        n_chunks = F.when(n <= size, F.lit(1).cast("long")).otherwise(
+            F.ceil((n - size) * 1.0 / stride).cast("long") + 1
+        )
+        return (
+            df.withColumn(f"{pre}_n_tokens", n.cast("long"))
+            .withColumn(f"{pre}_count", n_chunks)
+            .withColumn(
+                f"{pre}_total_tokens",
+                (F.col(f"{pre}_n_tokens")
+                 + ov * (F.col(f"{pre}_count") - 1)).cast("long"),
+            )
         )
     if op == "robust_outlier_gate":
         # {"op":"robust_outlier_gate","value_col":"value",

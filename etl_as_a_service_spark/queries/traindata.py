@@ -1,16 +1,21 @@
-"""Training-data preparation queries (round-7 batch, q264-q269):
+"""Training-data preparation queries (round-7 batch, q264-q276):
 winnowing fingerprints, nucleus (top-p) vocabulary truncation,
 difference-in-differences readout, context-window budget report,
-vocabulary coverage curve, and RAG chunk planning. Every query is
-DuckDB-oracle-checked end to end (the t2 gate); tokenization is the
-oracle's exact single-space split (the q233/q234 convention).
+vocabulary coverage curve, RAG chunk planning, per-node local
+clustering, length-bucket padding, association rules, token entropy,
+stopword-ratio quality, CV-fold contamination, and char-n-gram
+language-ID. Every query is DuckDB-oracle-checked end to end (the t2
+gate); tokenization is the oracle's exact single-space split (the
+q233/q234 convention).
 
 These fill real gaps in the LLM-pipeline surface: local document
 fingerprinting for plagiarism/near-dup candidates (the MOSS
 algorithm), tokenizer-vocabulary sizing (nucleus mass + coverage
 curve), context-window planning (truncation loss), retrieval chunking
-(fixed-size overlapping chunks), and the classic quasi-experimental
-causal readout (DiD) next to q183's CUPED.
+(fixed-size overlapping chunks), quality screens (entropy, stoplist
+ratios), split hygiene (fold contamination), the n-gram language-ID
+heuristic, and the classic quasi-experimental causal readout (DiD)
+next to q183's CUPED.
 """
 
 from __future__ import annotations
@@ -959,3 +964,80 @@ def q275_fold_contamination(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q276 — character-n-gram language identification (confusion matrix)
+# --------------------------------------------------------------------------
+@query(
+    "q276_char_ngram_langid",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, substr(text, i, 3) AS w
+      FROM documents, UNNEST(range(1, len(text) - 1)) AS u(i)
+      WHERE len(text) >= 3
+    ),
+    cnt AS (SELECT lang, w, count(*) AS c FROM toks GROUP BY lang, w),
+    nl AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM toks GROUP BY lang
+    ),
+    vocab AS (SELECT DISTINCT w FROM toks),
+    vsz AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+    lik AS (
+      SELECT nl.lang, vocab.w,
+             round(ln((COALESCE(cnt.c, 0) + 1) / (nl.n + vsz.v)), 6)
+               AS logp
+      FROM nl CROSS JOIN vocab CROSS JOIN vsz
+      LEFT JOIN cnt ON cnt.lang = nl.lang AND cnt.w = vocab.w
+    ),
+    pri AS (
+      SELECT lang,
+             round(ln(count(*)
+               / CAST((SELECT count(*) FROM documents) AS DOUBLE)), 6)
+               AS lp
+      FROM documents GROUP BY lang
+    ),
+    dterm AS (
+      SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w
+    ),
+    score AS (
+      SELECT d.doc_id, l.lang,
+             round(any_value(p.lp) + sum(d.c * l.logp), 6) AS s
+      FROM dterm d JOIN lik l USING (w) JOIN pri p ON p.lang = l.lang
+      GROUP BY d.doc_id, l.lang
+    ),
+    pred AS (
+      SELECT doc_id, lang AS pred FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY s DESC, lang) AS rn
+        FROM score) WHERE rn = 1
+    )
+    SELECT t.lang AS actual, p.pred,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents t JOIN pred p USING (doc_id)
+    GROUP BY t.lang, p.pred
+    ORDER BY actual, pred
+    """,
+    tags=("ml", "classification", "langid", "text", "llm", "operator"),
+)
+def q276_char_ngram_langid(spark, sf_dir):
+    """Character-trigram language identification (the classic n-gram
+    heuristic — Cavnar-Trenkle profile features under the q248
+    multinomial-NB contract, llm/classify.naive_bayes_confusion with
+    char_n=3): char n-grams carry partial-word and cross-whitespace
+    evidence that token models miss, which is why every production
+    langid stack (CLD, langid.py, fastText) is char-n-gram based.
+    Confusion matrix against the corpus's own lang tags; the whole
+    model — likelihoods, priors, scores, argmax — is hash-checked by
+    the SQL twin.
+
+    SCALE DESIGN: identical to q248 — counting aggregates end to end,
+    the class x char-vocab likelihood table is vocab-bounded (char
+    trigram vocab is tiny and saturates fast) and joins doc gram
+    counts on the GRAM key (never classes x corpus); priors
+    broadcast. The n-gram explode is map-only."""
+    from etl_as_a_service_spark.llm.classify import naive_bayes_confusion
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return naive_bayes_confusion(docs, label_col="lang", char_n=3)

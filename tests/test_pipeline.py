@@ -1557,3 +1557,75 @@ def test_pipeline_ml_prep_ops(spark):
     bad = dict(gate, steps=[dict(gate["steps"][0], keep="nope")])
     with pytest.raises(PipelineError, match="inliers|outliers"):
         compile_pipeline(spark, bad)
+
+
+def test_pipeline_traindata_ops(spark):
+    """Declarative faces of the round-7 traindata batch: the winnowing
+    fingerprint step matches the operator exactly, and rag_chunk's
+    closed-form plan columns agree with actually materializing the
+    chunks."""
+    import math
+
+    from etl_as_a_service_spark.llm.dedup import winnowing_fingerprints
+    from etl_as_a_service_spark.plans.pipeline import (
+        PipelineError,
+        compile_pipeline,
+    )
+
+    spec = {
+        "name": "winnow",
+        "source": {
+            "format": "parquet",
+            "path": f"{SF_SMOKE}/documents.parquet",
+        },
+        "steps": [
+            {"op": "winnow_fingerprints", "text_col": "text",
+             "id_col": "doc_id", "k": 4, "window": 5},
+        ],
+    }
+    got = {
+        (r["doc_id"], r["fp"])
+        for r in compile_pipeline(spark, spec).collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    want = {
+        (r["doc_id"], r["fp"])
+        for r in winnowing_fingerprints(
+            docs, "text", "doc_id", k=4, window=5
+        ).collect()
+    }
+    assert got == want and got
+
+    chunk_spec = {
+        "name": "chunks",
+        "source": {
+            "format": "parquet",
+            "path": f"{SF_SMOKE}/documents.parquet",
+        },
+        "steps": [
+            {"op": "rag_chunk", "text_col": "text",
+             "chunk_tokens": 32, "overlap": 8},
+        ],
+    }
+    rows = compile_pipeline(spark, chunk_spec).select(
+        "doc_id", "chunk_n_tokens", "chunk_count", "chunk_total_tokens"
+    ).collect()
+    assert rows
+    for r in rows:
+        n, size, stride, ov = r["chunk_n_tokens"], 32, 24, 8
+        # materialize the chunk starts the closed form claims
+        starts = [0] if n <= size else [
+            i * stride
+            for i in range(math.ceil((n - size) / stride) + 1)
+        ]
+        lens = [min(s + size, n) - s for s in starts]
+        assert r["chunk_count"] == len(starts), r
+        assert r["chunk_total_tokens"] == sum(lens), r
+        # every token covered, last chunk reaches the end
+        assert starts[-1] + lens[-1] == n, r
+
+    with pytest.raises(PipelineError, match="overlap"):
+        compile_pipeline(spark, dict(chunk_spec, steps=[
+            {"op": "rag_chunk", "text_col": "text",
+             "chunk_tokens": 8, "overlap": 8},
+        ]))
