@@ -8,7 +8,10 @@ instead of funneling rows through the driver.
 
 Semantics (matching the public delta streaming-source contract):
 
-- the initial batch loads the current snapshot (versions 0..latest);
+- the initial batch loads the current snapshot's RECONCILED live set
+  (one log replay pinned at the end version — never the raw
+  historical add actions, so compacted-away/vacuumed files are not
+  planned and a history containing overwrites still initial-loads);
 - subsequent batches emit only files added by NEW versions —
   incremental tailing, O(new data) per batch;
 - `add` actions with ``dataChange: false`` (OPTIMIZE rewrites) are
@@ -101,6 +104,30 @@ class DeltaStreamReader(DataSourceStreamReader):
     # -- planning: one input partition per newly-added data file ------
     def partitions(self, start, end):
         lo, hi = start["version"], end["version"]
+        if hi < 0:
+            return []
+        if lo < 0:
+            # INITIAL batch: the RECONCILED snapshot at `hi`, never the
+            # raw historical add actions. Replaying raw adds would
+            # (a) plan original files a later OPTIMIZE removed — once
+            # delta_vacuum reclaims them the fresh stream dies with
+            # FileNotFoundError and the table becomes unstreamable
+            # from scratch; (b) skip the dataChange:false compacted
+            # files that now CARRY those rows; and (c) refuse any
+            # table whose history contains an overwrite, though the
+            # contract is "initial batch loads the current snapshot".
+            # Replay at a pinned version is deterministic (the log is
+            # immutable), and checkpoint-compacted logs
+            # (delta_clean_log) reconstruct fine through the parquet
+            # checkpoint — only INCREMENTAL ranges need the JSON tail.
+            snap = _replay(self.table, hi)
+            return [
+                _FilePartition(
+                    os.path.join(self.table, p),
+                    a.get("partitionValues") or {},
+                )
+                for p, a in sorted(snap.live.items())
+            ]
         vs = _versions(self.table)
         # LOUD guard: delta_clean_log deletes JSON commits at or below
         # a checkpoint. Every version this batch needs must still be
@@ -168,7 +195,12 @@ class DeltaStreamReader(DataSourceStreamReader):
 
 
 def _cast_pv(raw, dtype):
-    if raw is None:
+    """Cast one log/path-rendered partition value to its schema type —
+    the stream-side mirror of delta_read's basePath reconstruction.
+    Handles the Hive NULL sentinel and date/timestamp/decimal columns
+    (the log stores every partitionValue as a STRING); unknown types
+    pass through as strings, matching the batch reader."""
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
         return None
     if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType)):
         return int(raw)
@@ -178,6 +210,20 @@ def _cast_pv(raw, dtype):
         # partitionValues are logged as strings, but accept a raw bool
         # defensively (the iceberg reader's copy always has)
         return raw is True or raw == "true"
+    if isinstance(dtype, T.DateType):
+        import datetime as _dt
+
+        return _dt.date.fromisoformat(raw)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        import datetime as _dt
+
+        # Spark renders timestamp partition directories with a space
+        # separator; fromisoformat accepts both ' ' and 'T'
+        return _dt.datetime.fromisoformat(raw)
+    if isinstance(dtype, T.DecimalType):
+        import decimal as _decimal
+
+        return _decimal.Decimal(raw)
     return raw
 
 

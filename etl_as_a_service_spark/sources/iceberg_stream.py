@@ -9,11 +9,17 @@ partition tuples, schema-cast per file.
 
 Semantics:
 
-- initial batch = the current snapshot (everything live);
+- initial batch = the current snapshot's reconciled LIVE SET (never a
+  walk of historical diffs — compacted-away files are not planned and
+  a history containing overwrites still initial-loads fine);
 - subsequent batches emit only files new snapshots added;
-- a snapshot that DROPS live files inside the tailed range (overwrite
-  / merge) raises — tailing a non-append table needs an explicit
-  restart decision, silent re-reads would double-count;
+- ``operation: replace`` snapshots (iceberg_rewrite_data_files
+  compaction — rows identical before/after) are SKIPPED, the Delta
+  twin's ``dataChange: false`` rule;
+- any other snapshot that DROPS live files inside the tailed range
+  (overwrite / merge / delete) raises — tailing a non-append table
+  needs an explicit restart decision, silent re-reads would
+  double-count;
 - the snapshot log is immutable and ordered, so checkpoint recovery
   replays any offset range identically.
 """
@@ -135,17 +141,56 @@ class IcebergStreamReader(DataSourceStreamReader):
                     "checkpoint after an initial batch load"
                 )
         parts: list[_FilePartition] = []
-        prev_live: dict = {}
-        if lo > 0:
-            prev_live = {
-                e["data_file"]["file_path"]: e
-                for e in _live_entries(self.table, snaps[lo - 1])
-            }
+
+        def emit(entry, snap_sid):
+            sid = entry["data_file"].get("schema_id")
+            if sid is None:
+                sid = snap_sid
+            parts.append(
+                _FilePartition(
+                    os.path.join(self.table, entry["data_file"]["file_path"]),
+                    dict(entry["data_file"].get("partition") or {}),
+                    self._colmap_for(md, sid),
+                )
+            )
+
+        if lo == 0:
+            # INITIAL batch: the reconciled live set of the END
+            # snapshot — never a walk of historical per-snapshot
+            # diffs, which would re-emit compaction rewrites and
+            # refuse any table whose history contains an overwrite;
+            # the contract is "initial batch = the current snapshot".
+            if hi == 0 or not snaps:
+                return []
+            target = snaps[min(hi, len(snaps)) - 1]
+            sid0 = target.get("schema-id", 0)
+            for e in sorted(
+                _live_entries(self.table, target),
+                key=lambda e: e["data_file"]["file_path"],
+            ):
+                emit(e, sid0)
+            return parts
+
+        prev_live = {
+            e["data_file"]["file_path"]: e
+            for e in _live_entries(self.table, snaps[lo - 1])
+        }
         for i in range(lo, min(hi, len(snaps))):
             live = {
                 e["data_file"]["file_path"]: e
                 for e in _live_entries(self.table, snaps[i])
             }
+            op = (snaps[i].get("summary") or {}).get("operation")
+            if op == "replace":
+                # compaction (iceberg_rewrite_data_files): rows are
+                # IDENTICAL before and after — the Delta twin's
+                # dataChange:false rule. Emit nothing, don't raise on
+                # the dropped originals, and diff the NEXT snapshot
+                # against the post-compaction live set; a raise here
+                # wedged every stream (and every fresh stream) of a
+                # table that had ever been compacted.
+                prev_live = live
+                continue
             dropped = set(prev_live) - set(live)
             if dropped:
                 raise ValueError(
@@ -157,16 +202,7 @@ class IcebergStreamReader(DataSourceStreamReader):
             snap_sid = snaps[i].get("schema-id", 0)
             for path, entry in live.items():
                 if path not in prev_live:
-                    sid = entry["data_file"].get("schema_id")
-                    if sid is None:
-                        sid = snap_sid
-                    parts.append(
-                        _FilePartition(
-                            os.path.join(self.table, path),
-                            dict(entry["data_file"].get("partition") or {}),
-                            self._colmap_for(md, sid),
-                        )
-                    )
+                    emit(entry, snap_sid)
             prev_live = live
         return parts
 
@@ -196,7 +232,12 @@ class IcebergStreamReader(DataSourceStreamReader):
 
 
 def _cast_pv(raw, dtype):
-    if raw is None:
+    """Cast one manifest-rendered partition value to its schema type.
+    The manifests store ints typed and the rest as strings (NULL
+    sentinel already resolved to None by _partition_values_of);
+    date/timestamp/decimal columns parse from their path rendering —
+    the same contract as delta_stream's twin."""
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
         return None
     if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType)):
         return int(raw)
@@ -204,6 +245,18 @@ def _cast_pv(raw, dtype):
         return float(raw)
     if isinstance(dtype, T.BooleanType):
         return raw in (True, "true")
+    if isinstance(dtype, T.DateType):
+        import datetime as _dt
+
+        return _dt.date.fromisoformat(raw)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        import datetime as _dt
+
+        return _dt.datetime.fromisoformat(raw)
+    if isinstance(dtype, T.DecimalType):
+        import decimal as _decimal
+
+        return _decimal.Decimal(raw)
     return raw
 
 

@@ -241,7 +241,15 @@ def streaming_dedup(
 ) -> DataFrame:
     """Streaming dedup; with a watermark the state store evicts old keys
     (dropDuplicatesWithinWatermark), without one state grows unbounded —
-    only allowed in tests."""
+    only allowed in tests. Passing exactly ONE of ts_col/watermark is a
+    caller mistake (they asked for bounded state and would silently get
+    the unbounded fallback) — raise instead."""
+    if bool(watermark) != bool(ts_col):
+        raise ValueError(
+            "streaming_dedup: ts_col and watermark must be given "
+            "together — one without the other would silently fall back "
+            "to UNBOUNDED dropDuplicates state"
+        )
     if watermark and ts_col:
         return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
@@ -262,15 +270,16 @@ def stream_stream_interval_join(
     """Stream-stream join bounded by an event-time interval:
     right_ts in [left_ts - lower, left_ts + upper]. Both sides carry
     watermarks so the join state is evictable — unbounded stream-stream
-    joins are disallowed by construction at scale."""
-    from pyspark.sql import functions as F
-
+    joins are disallowed by construction at scale. The interval bounds
+    reference the LEFT side explicitly (lw[left_ts]) — a bare
+    F.expr(left_ts) would be AMBIGUOUS whenever both streams carry the
+    same timestamp column name, the common same-schema shape."""
     lw = left.withWatermark(left_ts, left_watermark)
     rw = right.withWatermark(right_ts, right_watermark)
     cond = (
         (lw[on] == rw[on])
-        & (rw[right_ts] >= F.expr(f"{left_ts} - interval {lower}"))
-        & (rw[right_ts] <= F.expr(f"{left_ts} + interval {upper}"))
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"interval {lower}"))
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"interval {upper}"))
     )
     # keep a single unambiguous join-key column (the left one)
     return lw.join(rw, cond, how).drop(rw[on])
@@ -282,9 +291,16 @@ def stateful_running_totals(
     """Custom stateful per-group operator via applyInPandasWithState:
     maintains a running (count, total) per key across micro-batches and
     emits the updated totals each batch. The state is two floats per key
-    — the 100 TB-safe shape for arbitrary user aggregation logic."""
+    — the 100 TB-safe shape for arbitrary user aggregation logic.
+
+    The output key column keeps ``key_col``'s NAME and TYPE (derived
+    from the input schema) — a hardcoded ``key long`` output type
+    crashed at Arrow serialization for any non-integer key and renamed
+    the column besides."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = df.schema[key_col].dataType.simpleString()
 
     def update(key, pdfs, state: GroupState):
         n, total = state.get if state.exists else (0, 0.0)
@@ -292,14 +308,14 @@ def stateful_running_totals(
             n += len(pdf)
             total += float(pdf[value_col].sum())
         state.update((n, total))
-        yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [total]})
 
     return (
         df.withWatermark(ts_col, watermark)
         .groupBy(F.col(key_col))
         .applyInPandasWithState(
             update,
-            outputStructType="key long, n long, total double",
+            outputStructType=f"`{key_col}` {key_type}, n long, total double",
             stateStructType="n long, total double",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
@@ -500,10 +516,29 @@ def _fold_state_log(state_path: str) -> dict[int, str]:
 
 def _fold_fingerprint(part: DataFrame) -> str:
     """Order-insensitive content fingerprint of a partial-state frame:
-    sum of per-row xxhash64 over the JSON rendering, plus the count."""
+    sum of per-row xxhash64 over the JSON rendering, plus the count.
+
+    float/double columns are rendered at 9 significant digits before
+    hashing: a partial aggregate containing a double SUM is only
+    reproducible up to task-merge order (last-bit jitter), and a
+    replayed batch whose recomputed fingerprint differed by one ulp
+    would miss the replay-skip and be folded a SECOND time — silent
+    double-counting. 9-digit rendering absorbs ulp jitter while still
+    distinguishing genuinely different data (the checkpoint-reset case
+    that MUST fold); the residual flip risk is a value landing within
+    one ulp of a 9-digit rounding boundary, ~1e-7 per value instead of
+    ~1 per re-ordered sum."""
+    from pyspark.sql import types as T
+
+    cols = [
+        F.format_string("%.9e", F.col(f.name)).alias(f.name)
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+        else F.col(f.name)
+        for f in part.schema.fields
+    ]
     row = part.select(
         F.sum(
-            F.xxhash64(F.to_json(F.struct(*part.columns)))
+            F.xxhash64(F.to_json(F.struct(*cols)))
             .cast("decimal(38,0)")
         ).alias("h"),
         F.count(F.lit(1)).alias("n"),
@@ -638,10 +673,13 @@ def streaming_bloom_dedup(
     - in-batch exact dedup (dropDuplicates on the key);
     - probe the PERSISTED bitset (collected once per batch — bounded
       driver metadata, operators.bloom contract) and keep misses;
-    - write survivors to ``out_path/batch=<id>`` with overwrite —
-      the deterministic per-batch directory makes the at-least-once
-      replay idempotent on the OUTPUT side (a replayed batch
-      overwrites its own directory, never appends twice);
+    - write survivors to ``out_path/batch=<id>/fp=<hash>`` with
+      overwrite — the (batch, content) directory makes the
+      at-least-once replay idempotent on the OUTPUT side (a replayed
+      batch rewrites its own directory, never appends twice) WITHOUT
+      letting a checkpoint reset that reuses batch id 0 erase the
+      previous run's batch-0 output (different content -> sibling
+      directory; the recursive output read unions them);
     - fold the batch's sparse bitset state into ``state_path`` with
       the same (batch_id, fingerprint) replay log, write-then-swap,
       and rename-crash heal as _maintain_folded_state.
@@ -686,23 +724,30 @@ def streaming_bloom_dedup(
         if log.get(batch_id) == fp:
             return  # replayed batch — output dir and state already hold it
         if os.path.exists(state_path):
-            state_rows = spark.read.parquet(state_path).collect()
+            state_df = spark.read.parquet(state_path)
+            # one read serves both the probe collect and the merge
+            state_rows = state_df.collect()
             bits = bitset_from_state(state_rows, num_bits)
             survivors = batch.filter(
                 ~bloom_might_contain(F.col(_hk), bits, num_hashes)
             )
-            merged = merge_bloom_states(
-                spark.read.parquet(state_path), part
-            )
+            merged = merge_bloom_states(state_df, part)
         else:
             survivors = batch
             merged = part
         survivors = survivors.drop(_hk)
-        # deterministic per-batch output directory: a replay after a
-        # crash between this write and the state swap overwrites the
-        # same files instead of appending duplicates
+        # deterministic per-(batch, CONTENT) output directory: a replay
+        # after a crash between this write and the state swap rewrites
+        # the SAME directory (same fingerprint — idempotent), while a
+        # checkpoint reset whose new source data reuses batch id 0
+        # lands in a SIBLING fp= directory instead of overwriting —
+        # and erasing — the previous run's batch-0 output. The
+        # recursive read below unions all of them.
+        import hashlib
+
+        fp_dir = hashlib.md5(fp.encode()).hexdigest()[:8]
         survivors.write.mode("overwrite").parquet(
-            os.path.join(out_path, f"batch={batch_id}")
+            os.path.join(out_path, f"batch={batch_id}", f"fp={fp_dir}")
         )
 
         def _saturation_monitor(tmp: str) -> None:

@@ -426,3 +426,37 @@ def test_unsized_fpp_request_warns(spark):
         warnings.simplefilter("always")
         bloom_semi_join(fact, dim, "k", "d", fpp=0.03)
         assert any("not honored" in str(x.message) for x in w)
+
+
+def test_streaming_bloom_dedup_checkpoint_reset_keeps_prior_output(
+    spark, tmp_path
+):
+    """A checkpoint reset whose NEW source data reuses batch id 0 must
+    not overwrite — and erase — the previous run's batch-0 output: the
+    old per-batch overwrite directory lost run 1's entire deduped
+    output while the bloom state correctly remembered its keys (the
+    rows became unrecoverable). The (batch, content) directory keeps
+    both runs' survivors."""
+    from etl_as_a_service_spark.streaming.ops import streaming_bloom_dedup
+
+    src1, src2 = str(tmp_path / "srcA"), str(tmp_path / "srcB")
+    _write_batches(spark, src1, [range(0, 50)])
+    _write_batches(spark, src2, [range(40, 80)])
+    state, out = str(tmp_path / "state"), str(tmp_path / "out")
+
+    def run(src, ck):
+        stream = (
+            spark.readStream.schema("k long, payload string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return streaming_bloom_dedup(
+            stream, "k", state, out, str(tmp_path / ck), num_bits=1 << 16
+        )
+
+    first = sorted(r["k"] for r in run(src1, "ck1").collect())
+    assert first == list(range(50))
+    # FRESH checkpoint, new source: its first batch id is also 0
+    second = sorted(r["k"] for r in run(src2, "ck2").collect())
+    # run 1's output survives; run 2 contributes only the new keys
+    assert second == list(range(80))

@@ -867,3 +867,184 @@ def test_streaming_robust_zscore_degenerate_mad(spark, tmp_path):
     assert by_k[("b", 100.0)]["is_outlier"]
     assert not by_k[("b", 3.6)]["is_outlier"]
     assert abs(by_k[("b", 3.6)]["robust_z"]) < 1
+
+
+def test_delta_stream_initial_load_survives_optimize_vacuum(spark, tmp_path):
+    """A FRESH stream's initial batch must plan the reconciled
+    snapshot, not raw historical adds: after OPTIMIZE removes the
+    original files and VACUUM reclaims them from disk, the old code
+    planned the vacuumed paths and died with FileNotFoundError —
+    the table became permanently unstreamable from scratch."""
+    from etl_as_a_service_spark.sources.delta import (
+        delta_optimize,
+        delta_read,
+        delta_vacuum,
+        delta_write,
+    )
+    from etl_as_a_service_spark.sources.delta_stream import (
+        register_delta_stream,
+    )
+    from etl_as_a_service_spark.streaming.ops import run_available_now
+
+    register_delta_stream(spark)
+    table = str(tmp_path / "dvactab")
+    delta_write(spark.range(0, 50).select("id"), table)
+    delta_write(spark.range(50, 100).select("id"), table, mode="append")
+    res = delta_optimize(spark, table, target_file_bytes=1 << 30)
+    assert res["version"] >= 0
+    delta_vacuum(spark, table, retention_hours=0.0)
+
+    stream = (
+        spark.readStream.format("delta_stream").option("path", table).load()
+    )
+    got = run_available_now(stream, "dvac_stream").select("id").collect()
+    assert sorted(r["id"] for r in got) == list(range(100))
+    assert delta_read(spark, table).count() == 100
+
+
+def test_delta_stream_initial_load_tolerates_historical_overwrite(
+    spark, tmp_path
+):
+    """A fresh stream of a table whose HISTORY contains an overwrite
+    initial-loads the current snapshot (the public connector
+    contract) instead of refusing — only overwrites inside the TAILED
+    incremental range still raise."""
+    from etl_as_a_service_spark.sources.delta import delta_write
+    from etl_as_a_service_spark.sources.delta_stream import (
+        register_delta_stream,
+    )
+    from etl_as_a_service_spark.streaming.ops import run_available_now
+
+    register_delta_stream(spark)
+    table = str(tmp_path / "dowtab")
+    delta_write(spark.range(0, 30).select("id"), table)
+    delta_write(
+        spark.range(100, 120).select("id"), table, mode="overwrite"
+    )
+    delta_write(spark.range(120, 130).select("id"), table, mode="append")
+    stream = (
+        spark.readStream.format("delta_stream").option("path", table).load()
+    )
+    got = run_available_now(stream, "dow_stream").select("id").collect()
+    assert sorted(r["id"] for r in got) == list(range(100, 130))
+
+
+def test_delta_stream_date_and_null_partition_values(spark, tmp_path):
+    """Partition values cast through the schema for DATE columns and
+    the Hive NULL sentinel — the old _cast_pv emitted raw strings for
+    dates (row-conversion crash) and the literal sentinel string for
+    NULLs."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.sources.delta import delta_read, delta_write
+    from etl_as_a_service_spark.sources.delta_stream import (
+        register_delta_stream,
+    )
+    from etl_as_a_service_spark.streaming.ops import run_available_now
+
+    register_delta_stream(spark)
+    table = str(tmp_path / "dparttab")
+    df = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1)), (2, dt.date(2024, 1, 2)), (3, None)],
+        "k long, d date",
+    )
+    delta_write(df, table, partition_by=["d"])
+    stream = (
+        spark.readStream.format("delta_stream").option("path", table).load()
+    )
+    got = {
+        r["k"]: r["d"]
+        for r in run_available_now(stream, "dpart_stream").collect()
+    }
+    want = {
+        r["k"]: r["d"] for r in delta_read(spark, table).collect()
+    }
+    assert got == want
+    assert got[3] is None and got[1] == dt.date(2024, 1, 1)
+
+
+def test_iceberg_stream_survives_compaction(spark, tmp_path):
+    """iceberg_rewrite_data_files commits an operation='replace'
+    snapshot; the stream must SKIP it (rows identical before/after —
+    the Delta dataChange:false rule) instead of raising and
+    permanently wedging both the live checkpoint and every fresh
+    stream of the table."""
+    import os
+
+    from etl_as_a_service_spark.sources.iceberg import (
+        iceberg_rewrite_data_files,
+        iceberg_write,
+    )
+    from etl_as_a_service_spark.sources.iceberg_stream import (
+        register_iceberg_stream,
+    )
+
+    register_iceberg_stream(spark)
+    table = str(tmp_path / "icomptab")
+    iceberg_write(spark.range(0, 40).select("id"), table)
+    iceberg_write(spark.range(40, 80).select("id"), table, mode="append")
+
+    out, ck = str(tmp_path / "iout"), str(tmp_path / "ick")
+
+    def run_once(name):
+        q = (
+            spark.readStream.format("iceberg_stream")
+            .option("path", table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), name
+
+    run_once("first")
+    res = iceberg_rewrite_data_files(spark, table, target_file_bytes=1 << 30)
+    assert res["snapshot_id"] != -1
+    iceberg_write(spark.range(80, 90).select("id"), table, mode="append")
+    run_once("after-compaction")  # old code raised here and wedged
+    got = sorted(
+        r["id"] for r in spark.read.parquet(out).collect()
+    )
+    assert got == list(range(90))  # compaction re-emitted nothing
+
+    # a FRESH stream (new checkpoint) also initial-loads fine
+    out2, ck2 = str(tmp_path / "iout2"), str(tmp_path / "ick2")
+    q = (
+        spark.readStream.format("iceberg_stream")
+        .option("path", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert sorted(
+        r["id"] for r in spark.read.parquet(out2).collect()
+    ) == list(range(90))
+    assert os.path.exists(out2)
+
+
+def test_streaming_dedup_half_bounded_args_raise(spark, tmp_path):
+    """Passing exactly one of ts_col/watermark silently fell back to
+    UNBOUNDED dropDuplicates state — now a loud ValueError."""
+    import pytest as _pytest
+
+    from etl_as_a_service_spark.streaming.ops import streaming_dedup
+
+    df = spark.range(5).selectExpr(
+        "id", "timestamp'2024-01-01 00:00:00' as ts"
+    )
+    with _pytest.raises(ValueError, match="together"):
+        streaming_dedup(df, ["id"], watermark="10 minutes")
+    with _pytest.raises(ValueError, match="together"):
+        streaming_dedup(df, ["id"], ts_col="ts")
+    assert streaming_dedup(df, ["id"]).count() == 5
+    # the both-args bounded path is covered on a real stream by
+    # test_streaming_dedup_within_watermark (withinWatermark is
+    # streaming-only and cannot run on this batch frame)

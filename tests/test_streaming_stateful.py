@@ -77,12 +77,38 @@ def test_stateful_running_totals(spark, tmp_path):
         spark, d + "/f=*", "k long, v double, ts timestamp", max_files_per_trigger=1
     )
     totals = stateful_running_totals(stream, "k", "v", "ts", "1 hour")
+    # the output keeps the INPUT key column's name and type
+    assert totals.columns[0] == "k"
     got = run_available_now(totals, "stateful_test", output_mode="update").toPandas()
     # state accumulates across micro-batches: the last emit per key has
     # the full running total
-    last = got.groupby("key").last()
+    last = got.groupby("k").last()
     assert last.loc[1, "total"] == 17.0 and last.loc[1, "n"] == 2
     assert last.loc[2, "total"] == 5.0 and last.loc[2, "n"] == 1
+
+
+def test_stateful_running_totals_string_key(spark, tmp_path):
+    """Non-integer group keys must work: the old hardcoded 'key long'
+    output type crashed Arrow serialization for string keys."""
+    d = str(tmp_path / "svals")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [("a", 2.0, "2024-01-01 10:00:00"), ("b", 3.0, "2024-01-01 10:01:00"),
+         ("a", 4.0, "2024-01-01 10:02:00")],
+        "k string, v double, ts_s string",
+    ).select("k", "v", F.to_timestamp("ts_s").alias("ts")).write.parquet(
+        d + "/f=1"
+    )
+    stream = file_stream(
+        spark, d + "/f=*", "k string, v double, ts timestamp"
+    )
+    totals = stateful_running_totals(stream, "k", "v", "ts", "1 hour")
+    got = run_available_now(
+        totals, "stateful_str_test", output_mode="update"
+    ).toPandas()
+    last = got.groupby("k").last()
+    assert last.loc["a", "total"] == 6.0 and last.loc["a", "n"] == 2
+    assert last.loc["b", "total"] == 3.0 and last.loc["b", "n"] == 1
 
 def test_stream_stream_interval_join_left_outer(spark, tmp_path):
     """LEFT OUTER stream-stream join: an unmatched left row is emitted
