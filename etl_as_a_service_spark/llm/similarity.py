@@ -5,9 +5,9 @@ Two tiers:
   (small by construction); the corpus streams through map tasks and each
   task keeps only k candidates per query before the shuffle
   (WindowGroupLimit), so the exchange is O(queries * k).
-- ``lsh_similarity_join`` / ``lsh_topk``: the scale path — bucketed
-  random projection LSH from pyspark.ml; candidates come from bucket
-  joins, not the cross product.
+- ``lsh_similarity_join``: the scale path — bucketed random
+  projection LSH; candidates come from bucket joins, not the cross
+  product (``ivf_build``/``ivf_query`` are the index-backed tier).
 """
 
 from __future__ import annotations
@@ -125,6 +125,13 @@ def ivf_build(
         .collect()
     )
     centroids = [[float(x) for x in r["__cvec"]] for r in init_rows]
+    if not centroids:
+        # an empty corpus would crash much later inside the numpy
+        # nearest-cell kernel with a cryptic AxisError — raise here
+        raise ValueError("ivf_build: corpus is empty — nothing to index")
+    # a corpus smaller than n_cells builds fewer centroids; report the
+    # ACTUAL cell count so 'n_probe == n_cells is exact' stays true
+    n_cells = len(centroids)
 
     for _ in range(max_iter):
         stats = (
@@ -207,11 +214,18 @@ def ivf_query(
     vec_col: str = "embedding",
     k: int = 10,
     n_probe: int = 4,
+    include_self: bool = False,
 ) -> DataFrame:
     """ANN top-k against a built index: rank cells by query->centroid
     distance (broadcast — centroids are n_cells rows), probe the nearest
     ``n_probe`` cells, exact-cosine rank the candidates. Returns
     (query_id, neighbor_id, cosine, rn). No KMeans fit happens here.
+
+    ``include_self=True`` keeps candidates whose neighbor_id equals the
+    query_id — REQUIRED when queries and corpus come from different id
+    namespaces (the default exclusion would silently drop a legitimate
+    nearest neighbor that merely shares the id), matching
+    brute_force_topk's flag.
 
     Recall degrades only at cell borders — raise n_probe to trade speed
     for recall; n_probe == n_cells is exact."""
@@ -234,9 +248,10 @@ def ivf_query(
         .filter(F.col("__pr") <= n_probe)
         .select("query_id", "__qvec", F.col("cell").alias("__cell"))
     )
-    scored = probed.join(index.assigned, "__cell").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    ).select(
+    scored = probed.join(index.assigned, "__cell")
+    if not include_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select(
         "query_id",
         "neighbor_id",
         F.round(cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
@@ -257,13 +272,17 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     index: IvfIndex | None = None,
+    include_self: bool = False,
 ) -> DataFrame:
     """One-shot convenience: ``ivf_build`` + ``ivf_query``. Pass a
     prebuilt ``index`` to skip the fit (or call build/query directly —
     the reusable-index API is the real shape at scale)."""
     if index is None:
         index = ivf_build(corpus, id_col, vec_col, n_cells=n_cells, seed=seed)
-    return ivf_query(index, queries, id_col, vec_col, k=k, n_probe=n_probe)
+    return ivf_query(
+        index, queries, id_col, vec_col, k=k, n_probe=n_probe,
+        include_self=include_self,
+    )
 
 
 
@@ -315,10 +334,14 @@ def embedding_near_duplicates(
     # normalization per consumer would triple that cost.
     # localCheckpoint also truncates the lineage, as in the
     # connected-components loop (dedup.py).
-    # dropDuplicates on the id: a duplicate-id input row (re-ingested
-    # vector) would otherwise survive into BOTH exact-verify joins and
-    # re-expand each deduped candidate pair into dup_a x dup_b output
-    # rows — one vector per id is the operator's contract.
+    # one vector per id is the operator's contract: a duplicate-id
+    # input row (re-ingested vector) would otherwise survive into BOTH
+    # exact-verify joins and re-expand each deduped candidate pair
+    # into dup_a x dup_b output rows. The keeper is chosen
+    # DETERMINISTICALLY (min vector hash per id) — dropDuplicates
+    # keeps a partition-order-dependent arbitrary row, making the
+    # emitted pairs differ run to run when duplicate ids carry
+    # different vectors.
     unit = (
         df.select(
             F.col(id_col).alias("__id"),
@@ -327,7 +350,16 @@ def embedding_near_duplicates(
             ).alias("__unit"),
         )
         .filter(norm > 0)
-        .dropDuplicates(["__id"])
+        .withColumn(
+            "__vrank",
+            F.row_number().over(
+                Window.partitionBy("__id").orderBy(
+                    F.xxhash64(F.to_json(F.col("__unit")))
+                )
+            ),
+        )
+        .filter(F.col("__vrank") == 1)
+        .drop("__vrank")
         .localCheckpoint(eager=False)
     )
     srp = srp_buckets_kernel(num_tables, bits_per_table)
@@ -477,13 +509,18 @@ def semantic_dedup(
         if quality_col is not None
         else F.lit(0.0)
     )
+    # ids-only through the component window: joining the FULL input
+    # would drag the embedding vectors (KBs per row at real dims)
+    # through the component-key exchange just to pick a survivor —
+    # the same ids-only discipline as the candidate join above
+    slim = df.select(F.col(id_col), quality.alias("__q"))
     ranked = (
-        df.join(comp, df[id_col] == comp["node"])
+        slim.join(comp, slim[id_col] == comp["node"])
         .withColumn(
             "__rank",
             F.row_number().over(
                 Window.partitionBy("component").orderBy(
-                    quality.desc(), F.col(id_col).asc()
+                    F.col("__q").desc(), F.col(id_col).asc()
                 )
             ),
         )

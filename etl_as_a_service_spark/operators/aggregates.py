@@ -148,7 +148,18 @@ def finalize_state(
         elif fn in ("var", "std"):
             n = F.col(f"{name}__cnt")
             s, s2 = F.col(f"{name}__sum"), F.col(f"{name}__sum2")
-            var = F.when(n > 1, (s2 - s * s / n) / (n - 1))
+            # the (sum, sum2) formula cancels catastrophically when
+            # |mean| >> std (relative error ~ eps_machine * mean^2 /
+            # var) and can go slightly NEGATIVE there — the clamp
+            # keeps sqrt() from emitting NaN into a materialized
+            # view. For large-offset data pre-center the column; the
+            # representation is the cross-engine contract (q133's
+            # oracle uses the same clamped formula), so a Chan
+            # (mean, M2) state is deliberately not used here.
+            var = F.when(
+                n > 1,
+                F.greatest(F.lit(0.0), s2 - s * s / n) / (n - 1),
+            )
             cols.append((var if fn == "var" else F.sqrt(var)).alias(name))
         elif fn in ("latest", "earliest"):
             cols.append(F.col(f"{name}__arg").getField("v").alias(name))
@@ -263,12 +274,22 @@ def _cms_cells(item: Column, depth: int, width: int) -> Column:
     """Array of ``depth`` (row, col) structs for one item: row i uses
     xxhash64 seeded by i (the seed rides as an extra hashed column —
     pyspark's xxhash64 has a fixed seed, so per-row independence comes
-    from hashing the pair). pmod keeps cols in [0, width)."""
+    from hashing the pair). pmod keeps cols in [0, width).
+
+    The item hashes through its STRING rendering: xxhash64 is
+    type-sensitive, so a sketch built over an int column probed with
+    the same values typed bigint would miss every cell and saturate
+    the min at 0 — a silent violation of the never-underestimates
+    guarantee. String rendering makes build and probe agree across
+    integral widths. (Geometry note: depth/width are NOT recorded in
+    the state — the caller must use identical values across
+    build/merge/probe, like eps for the quantile sketch.)"""
+    rendered = item.cast("string")
     return F.array(
         *[
             F.struct(
                 F.lit(i).alias("row"),
-                F.pmod(F.xxhash64(item, F.lit(i)), F.lit(width))
+                F.pmod(F.xxhash64(rendered, F.lit(i)), F.lit(width))
                 .cast("int")
                 .alias("col"),
             )
@@ -382,8 +403,18 @@ def quantile_sketch_state(
 
     gamma = _qs_gamma(eps)
     v = F.col(value_col).cast("double")
+    # NaN must raise like negatives: Spark orders NaN ABOVE every
+    # number, so it would take the v > 0 branch and ceil(log(NaN))
+    # lands in bucket 0 — every NaN silently counted as the value 1.0,
+    # shifting all quantiles
     bucket = (
-        F.when(v > 0, F.ceil(F.log(v) / F.lit(math.log(gamma))).cast("int"))
+        F.when(
+            F.isnan(v),
+            F.raise_error(
+                F.lit("quantile_sketch_state requires non-NaN values")
+            ).cast("int"),
+        )
+        .when(v > 0, F.ceil(F.log(v) / F.lit(math.log(gamma))).cast("int"))
         .when(v == 0, F.lit(_QS_ZERO_BUCKET))
         .otherwise(
             F.raise_error(

@@ -1558,7 +1558,7 @@ def q121_point_in_time_lookup(spark, sf_dir):
              CAST(count(*) AS BIGINT) AS n_events,
              round(sum(value), 6)     AS total_value,
              round(CASE WHEN count(*) > 1
-                        THEN (sum(value * value)
+                        THEN greatest(0, sum(value * value)
                               - sum(value) * sum(value) / count(*))
                              / (count(*) - 1) END, 6) AS value_var
       FROM events GROUP BY user_id

@@ -1263,3 +1263,80 @@ def test_winnowing_density_bound(spark):
     n_kgrams = 400 - 4 + 1
     assert n_fps <= n_kgrams * 0.5  # far below the stream size
     assert n_fps >= n_kgrams / 5.5  # but still a real covering set
+
+
+def test_ivf_query_include_self_and_empty_build(spark):
+    """Disjoint id namespaces: include_self=True keeps the corpus
+    vector that merely shares the query's id (the default exclusion
+    silently dropped a legitimate rank-1 neighbor). Empty corpus
+    raises a clear error; a small corpus reports its ACTUAL cell
+    count."""
+    import pytest as _pytest
+
+    from etl_as_a_service_spark.llm.similarity import (
+        ivf_build,
+        ivf_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(1, 9)],
+        "vec_id long, embedding array<float>",
+    )
+    # query id 3 is a DIFFERENT vector that happens to share an id
+    queries = spark.createDataFrame(
+        [(3, [8.0, 1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    index = ivf_build(corpus, "vec_id", "embedding", n_cells=4)
+    assert index.n_cells == 4
+    excl = ivf_topk(
+        corpus, queries, k=8, n_probe=4, index=index
+    )
+    incl = ivf_topk(
+        corpus, queries, k=8, n_probe=4, index=index, include_self=True
+    )
+    excl_ids = {r["neighbor_id"] for r in excl.collect()}
+    incl_ids = {r["neighbor_id"] for r in incl.collect()}
+    assert 3 not in excl_ids and 3 in incl_ids
+    assert incl_ids - excl_ids == {3}
+
+    small = ivf_build(corpus.limit(2), "vec_id", "embedding", n_cells=16)
+    assert small.n_cells == 2  # honest actual cell count
+
+    empty = corpus.filter("vec_id < 0")
+    with _pytest.raises(ValueError, match="empty"):
+        ivf_build(empty, "vec_id", "embedding", n_cells=4)
+
+
+def test_embedding_near_duplicates_deterministic_on_dup_ids(spark):
+    """Duplicate ids carrying DIFFERENT vectors: the kept vector (and
+    therefore the emitted pairs) must be identical run to run and
+    layout to layout — dropDuplicates kept an arbitrary
+    partition-order-dependent row."""
+    from etl_as_a_service_spark.llm.similarity import (
+        embedding_near_duplicates,
+    )
+
+    base = [
+        (1, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),   # same id, conflicting vector
+        (2, [1.0, 0.001, 0.0]),
+        (3, [0.0, 0.999, 0.05]),
+    ]
+    df = spark.createDataFrame(
+        base, "vec_id long, embedding array<float>"
+    )
+    runs = []
+    for n_parts in (1, 7):
+        pairs = embedding_near_duplicates(
+            df.repartition(n_parts),
+            cosine_threshold=0.9,
+            num_tables=8,
+            bits_per_table=4,
+        )
+        runs.append(
+            sorted(
+                (r["id_a"], r["id_b"], r["cosine"])
+                for r in pairs.collect()
+            )
+        )
+    assert runs[0] == runs[1] and runs[0]

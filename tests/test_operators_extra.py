@@ -1164,3 +1164,68 @@ def test_resolve_entities_transitive_and_blocking_contract(spark):
     out2 = {r["id"]: r["entity_id"]
             for r in resolve_entities(df2, "id", "name").collect()}
     assert out2 == {1: 1, 2: 1}
+
+
+def test_finalize_state_large_offset_variance_never_negative(spark):
+    """(sum, sum2) variance cancels catastrophically when |mean| >>
+    std; the clamp must keep var >= 0 and std from going NaN — a
+    constant column at metric-offset magnitude is the worst case."""
+    import math
+
+    from etl_as_a_service_spark.operators.aggregates import (
+        aggregate_state,
+        finalize_state,
+    )
+
+    df = spark.range(1000).selectExpr(
+        "1 as g", "cast(1234567.89 as double) as v"
+    )
+    specs = {"vr": ("var", "v"), "sd": ("std", "v")}
+    out = finalize_state(
+        aggregate_state(df, ["g"], specs), ["g"], specs
+    ).collect()[0]
+    assert out["vr"] >= 0.0
+    assert not math.isnan(out["sd"]) and out["sd"] >= 0.0
+    # cancellation bound at this magnitude: tiny, never material
+    assert out["sd"] < 1.0
+
+
+def test_countmin_probe_type_insensitive(spark):
+    """A sketch built over an int item column probed with the same
+    values typed bigint must return the true counts — the raw
+    type-sensitive xxhash64 missed every cell and returned 0, silently
+    violating the never-underestimates guarantee."""
+    from etl_as_a_service_spark.operators.aggregates import (
+        countmin_estimate,
+        countmin_state,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5)] * 100 + [(1, 7)] * 3, "g long, item int"
+    )
+    state = countmin_state(df, ["g"], "item", depth=4, width=512)
+    probes = spark.createDataFrame([(1, 5), (1, 7)], "g long, item bigint")
+    got = {
+        r["item"]: r["est_count"]
+        for r in countmin_estimate(
+            state, probes, ["g"], "item", depth=4, width=512
+        ).collect()
+    }
+    assert got[5] >= 100 and got[7] >= 3  # never underestimates
+
+
+def test_quantile_sketch_rejects_nan(spark):
+    """NaN orders above every number in Spark, so it took the v > 0
+    branch and landed in bucket 0 (counted as the value ~1.0) —
+    silently shifting every quantile. It must raise like negatives."""
+    import pytest as _pytest
+
+    from etl_as_a_service_spark.operators.aggregates import (
+        quantile_sketch_state,
+    )
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (1, 2.0)], "g long, v double"
+    )
+    with _pytest.raises(Exception, match="non-NaN"):
+        quantile_sketch_state(df, ["g"], "v").collect()
