@@ -176,6 +176,14 @@ def minhash_band_kernel(
     shingling + signatures + banding into one kernel means one Python
     stage and one codegen'd projection for the whole front half of the
     LSH pipeline."""
+    if bands <= 0 or num_hashes % bands != 0:
+        # without this the numpy reshape inside the executor fails with
+        # a cryptic PythonException at action time, far from the bad
+        # argument (minhash_lsh_pairs_portable's validation rule)
+        raise ValueError(
+            f"bands must divide num_hashes: num_hashes={num_hashes}, "
+            f"bands={bands}"
+        )
     rows_per_band = num_hashes // bands
     rs = np.random.RandomState(seed)
     a = (rs.randint(1, 2**62, size=num_hashes, dtype=np.int64).astype(np.uint64) * 2 + 1)
@@ -343,6 +351,14 @@ def contamination_check(
             F.count(F.lit(1)).alias("n_shingles"),
             F.count("__hit").alias("n_overlap"),
         )
+        .filter(
+            # filter on the UNROUNDED ratio (the oracle's WHERE does) —
+            # rounding first would flag a doc whose true containment
+            # sits within 5e-7 below threshold (the
+            # ngram_containment_pairs rule)
+            (F.col("n_overlap") / F.col("n_shingles").cast("double"))
+            >= threshold
+        )
         .select(
             F.col("__id").alias(id_col),
             "n_shingles",
@@ -351,7 +367,6 @@ def contamination_check(
                 F.col("n_overlap") / F.col("n_shingles").cast("double"), 6
             ).alias("containment"),
         )
-        .filter(F.col("containment") >= threshold)
     )
 
 
@@ -746,8 +761,14 @@ def ngram_jaccard_pairs(
             .groupBy("__id")
             .agg(F.array_sort(F.collect_list(F.struct("dfq", "sh"))).alias("rk"))
         )
+        # -1e-9: IEEE can render an exactly-integer t*sz one ulp HIGH,
+        # pushing ceil up and cutting the prefix one SHORT — a silently
+        # dropped qualifying pair. The nudge only ever lengthens the
+        # prefix (pure over-generation; the exact verify filters it).
         prefix_len = (
-            F.size("rk") - F.ceil(F.lit(threshold) * F.size("rk")) + 1
+            F.size("rk")
+            - F.ceil(F.lit(threshold) * F.size("rk") - F.lit(1e-9))
+            + 1
         ).cast("int")
         full = ranked.select(
             "__id",
@@ -775,8 +796,11 @@ def ngram_jaccard_pairs(
         )
         if materialize:
             full = _swap_materialized(full)
+        # same -1e-9 ceil nudge as the df-order branch above
         prefix_len = (
-            F.size("shs") - F.ceil(F.lit(threshold) * F.size("shs")) + 1
+            F.size("shs")
+            - F.ceil(F.lit(threshold) * F.size("shs") - F.lit(1e-9))
+            + 1
         ).cast("int")
         index = full.select(
             "__id",
@@ -829,12 +853,15 @@ def ngram_jaccard_pairs(
     return (
         candidates.join(fa, "id_a")
         .join(fb, "id_b")
+        # filter on the UNROUNDED ratio (the q46 oracle's WHERE does) —
+        # rounding first admits pairs whose true jaccard sits within
+        # 5e-7 below threshold and breaks non-6dp thresholds
+        .filter((inter / union_sz.cast("double")) >= threshold)
         .select(
             "id_a",
             "id_b",
             F.round(inter / union_sz.cast("double"), 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -1148,7 +1175,12 @@ def ngram_containment_pairs(
     )
     if prefix_filter:
         pref_len = (
-            F.floor((1.0 - threshold) * F.col("__sz")).cast("int") + 1
+            # +1e-9: IEEE can render an exactly-integer (1-t)*sz one
+            # ulp LOW, pushing floor down and cutting the prefix one
+            # SHORT (a dropped qualifying pair); the nudge only ever
+            # lengthens the prefix — pure over-generation
+            F.floor((1.0 - threshold) * F.col("__sz") + 1e-9).cast("int")
+            + 1
         )
         postings = sets_.select(
             "__id",

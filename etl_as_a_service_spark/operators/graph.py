@@ -348,6 +348,21 @@ def weighted_shortest_paths(
             F.xxhash64("node", "cost").cast("decimal(38,0)")
         ).alias("s")
 
+    from pyspark.sql import types as T
+
+    wtype = edges.schema[weight].dataType
+    if not isinstance(
+        wtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        # the long cast would TRUNCATE fractional weights toward zero
+        # and can change the argmin path, not just its cost — reject
+        # instead of silently corrupting (the docstring's integer-
+        # weights contract, now enforced)
+        raise ValueError(
+            f"weighted_shortest_paths requires an integral weight "
+            f"column; {weight!r} is {wtype.simpleString()} — scale and "
+            f"round fractional weights explicitly first"
+        )
     base = (
         edges.select(
             F.col(src).alias("s"),
@@ -415,13 +430,31 @@ def kcore_peel(
     two hash semi-joins on the endpoint keys; lineage truncated per
     round. No driver state — the survivor set stays distributed.
     """
-    cur = (
+    base = (
         edges.select(F.col(src).alias("es"), F.col(dst).alias("ed"))
-        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .where(
+            F.col(src).isNotNull()
+            & F.col(dst).isNotNull()
+            # a self-loop contributes degree 2 to its own node and
+            # would let an isolated node survive a k=2 peel
+            & (F.col(src) != F.col(dst))
+        )
+        # checkpoint BEFORE the symmetric-closure union: unioning two
+        # projections of the raw caller plan evaluates it twice (the
+        # connected_components rule)
+        .localCheckpoint(eager=True)
     )
-    cur = cur.union(
-        cur.select(F.col("ed").alias("es"), F.col("es").alias("ed"))
-    ).localCheckpoint(eager=True)
+    # distinct AFTER the closure: duplicate rows or both-orientation
+    # listings (a symmetric pair table) would otherwise double every
+    # degree and let under-degree nodes survive the peel — kcore is
+    # the one operator here where edge multiplicity changes the answer
+    cur = (
+        base.union(
+            base.select(F.col("ed").alias("es"), F.col("es").alias("ed"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     for _ in range(rounds):
         keep = (
             cur.groupBy("es")

@@ -1340,3 +1340,41 @@ def test_embedding_near_duplicates_deterministic_on_dup_ids(spark):
             )
         )
     assert runs[0] == runs[1] and runs[0]
+
+
+def test_round_then_filter_boundaries_match_unrounded_rule(spark):
+    """contamination_check and ngram_jaccard_pairs must filter on the
+    UNROUNDED ratio (their oracles' WHERE clauses do): a true ratio
+    within 5e-7 below threshold must be excluded even though it rounds
+    to the threshold. minhash_band_kernel validates divisibility."""
+    import pytest as _pytest
+
+    from etl_as_a_service_spark.llm.dedup import (
+        contamination_check,
+        minhash_band_kernel,
+    )
+
+    # 2 of 3 shingle-generating windows overlap is easy; build the
+    # boundary arithmetically instead: 199999/200000-scale frames are
+    # impractical here, so assert the FILTER EXPRESSION shape instead —
+    # the rounded column must not feed the filter. Plan-level check:
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    test = spark.createDataFrame(
+        [(9, "a b c d e f",)], "doc_id long, text string"
+    )
+    out = contamination_check(train, test, "text", "doc_id", threshold=0.2)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the threshold comparison must appear against the raw division,
+    # not against round(...)
+    assert "round" in plan.lower()
+    import re
+
+    filt = [l for l in plan.splitlines() if "Filter" in l]
+    assert filt and all("round" not in l.lower() for l in filt), filt
+
+    with _pytest.raises(ValueError, match="divide"):
+        minhash_band_kernel(num_hashes=32, bands=7)
+    with _pytest.raises(ValueError, match="divide"):
+        minhash_band_kernel(num_hashes=32, bands=0)

@@ -1229,3 +1229,41 @@ def test_quantile_sketch_rejects_nan(spark):
     )
     with _pytest.raises(Exception, match="non-NaN"):
         quantile_sketch_state(df, ["g"], "v").collect()
+
+
+def test_kcore_ignores_multiplicity_and_self_loops(spark):
+    """kcore_peel: both-orientation listings, duplicate rows and
+    self-loops must not inflate degrees — a triangle plus a dangling
+    node survives a 2-core exactly as the clean edge list says."""
+    from etl_as_a_service_spark.operators.graph import kcore_peel
+
+    clean = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    messy = (
+        clean
+        + [(b, a) for a, b in clean]   # both orientations
+        + clean                        # duplicates
+        + [(4, 4), (7, 7)]             # self-loops
+    )
+    df = spark.createDataFrame(messy, "a long, b long")
+    got = {
+        r["node"]: r["degree"]
+        for r in kcore_peel(df, k=2, rounds=4, src="a", dst="b").collect()
+    }
+    # node 4 (degree 1) peels; the triangle survives with degree 2;
+    # the isolated self-loop node 7 must NOT survive
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_weighted_shortest_paths_rejects_fractional_weights(spark):
+    import pytest as _pytest
+
+    from etl_as_a_service_spark.operators.graph import (
+        weighted_shortest_paths,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2, 0.9)], "s long, d long, w double"
+    )
+    srcs = spark.createDataFrame([(1,)], "node long")
+    with _pytest.raises(ValueError, match="integral"):
+        weighted_shortest_paths(df, srcs, src="s", dst="d", weight="w")
