@@ -295,6 +295,7 @@ def embedding_near_duplicates(
     num_tables: int = 8,
     bits_per_table: int = 10,
     max_bucket_size: int | None = 10_000,
+    _keeper: str = "agg",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via signed-random-projection
     (hyperplane) LSH on L2-normalized vectors.
@@ -338,35 +339,65 @@ def embedding_near_duplicates(
     # input row (re-ingested vector) would otherwise survive into BOTH
     # exact-verify joins and re-expand each deduped candidate pair
     # into dup_a x dup_b output rows. The keeper is chosen
-    # DETERMINISTICALLY (min vector hash per id) — dropDuplicates
-    # keeps a partition-order-dependent arbitrary row, making the
-    # emitted pairs differ run to run when duplicate ids carry
-    # different vectors.
-    unit = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.transform(
-                F.col(vec_col), lambda x: x.cast("double") / norm
-            ).alias("__unit"),
+    # DETERMINISTICALLY (min (vector-hash, vector) per id) —
+    # dropDuplicates keeps a partition-order-dependent arbitrary row,
+    # making the emitted pairs differ run to run when duplicate ids
+    # carry different vectors. min over a struct is combiner-backed
+    # (map-side partial aggregation, no sort): a row_number window
+    # here would sort-exchange the FULL unit vectors, a measured 4x
+    # cold / 1.3x warm pessimization at sf0.1 that grows with corpus
+    # size. The struct's hash leads the comparison; the unit array
+    # tie-breaks the (astronomically unlikely) hash collision, so the
+    # pick never depends on physical row order.
+    # ``_keeper`` is an INTERNAL benchmarking knob (same-process perf
+    # A/B of keeper strategies): "agg" (default, combiner-backed
+    # deterministic), "window" (the round-7 sort-window form, kept for
+    # A/B receipts), "first" (dropDuplicates — NON-deterministic on
+    # conflicting duplicate-id vectors, never the default).
+    normed = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / norm
+        ).alias("__unit"),
+    ).filter(norm > 0)
+    if _keeper == "agg":
+        unit = (
+            normed.groupBy("__id")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.xxhash64(F.to_json(F.col("__unit"))).alias(
+                            "__h"
+                        ),
+                        F.col("__unit").alias("__unit"),
+                    )
+                ).alias("__pick")
+            )
+            .select("__id", F.col("__pick.__unit").alias("__unit"))
         )
-        .filter(norm > 0)
-        .withColumn(
-            "__vrank",
-            F.row_number().over(
-                Window.partitionBy("__id").orderBy(
-                    F.xxhash64(F.to_json(F.col("__unit")))
-                )
-            ),
+    elif _keeper == "window":
+        unit = (
+            normed.withColumn(
+                "__vrank",
+                F.row_number().over(
+                    Window.partitionBy("__id").orderBy(
+                        F.xxhash64(F.to_json(F.col("__unit")))
+                    )
+                ),
+            )
+            .filter(F.col("__vrank") == 1)
+            .drop("__vrank")
         )
-        .filter(F.col("__vrank") == 1)
-        .drop("__vrank")
-        .localCheckpoint(eager=False)
-    )
+    elif _keeper == "first":
+        unit = normed.dropDuplicates(["__id"])
+    else:  # pragma: no cover - internal knob
+        raise ValueError(f"unknown _keeper {_keeper!r}")
+    unit = unit.localCheckpoint()
     srp = srp_buckets_kernel(num_tables, bits_per_table)
     buckets = (
         unit.select("__id", srp(F.col("__unit")).alias("__bks"))
         .select("__id", F.posexplode("__bks").alias("t", "bk"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     if max_bucket_size is not None:
         # hot-bucket cap as agg + broadcast anti-join: a window over
@@ -468,6 +499,7 @@ def semantic_dedup(
     num_tables: int = 8,
     bits_per_table: int = 10,
     max_bucket_size: int | None = 10_000,
+    _keeper: str = "agg",
 ) -> DataFrame:
     """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
     public paper): group documents whose EMBEDDINGS are near-identical
@@ -499,6 +531,7 @@ def semantic_dedup(
         num_tables=num_tables,
         bits_per_table=bits_per_table,
         max_bucket_size=max_bucket_size,
+        _keeper=_keeper,
     )
     comp = connected_components(
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")),

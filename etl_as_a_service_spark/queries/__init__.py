@@ -64,24 +64,21 @@ from etl_as_a_service_spark.queries import webcorpus  # noqa: E402,F401
 from etl_as_a_service_spark.queries import ml  # noqa: E402,F401
 from etl_as_a_service_spark.queries import traindata  # noqa: E402,F401
 
-# Driver-gate rotation (round 7 — FINAL backlog window): the external
-# driver records CORRECTNESS rows for the FIRST 50 manifest entries
-# only. After r6 the driver-green union covers every oracle query
-# through q225; the never-driver-green oracle queries are q226-q263
-# (the round-6 additions plus the q226-q234 tail that did not fit
-# r6's window) plus the round-7 additions q264-q275 — exactly 50,
-# all in ascending query-number order here: every slot of this
-# window is a never-green oracle query, zero filler, zero rows-only
-# queries. After this window lands, EVERY oracle query in the
-# manifest has a driver-green row and the rotation backlog is empty;
-# future rounds keep re-confirming from the front.
-# The manifest CONTENT is unchanged — only dict iteration order moves.
+# Driver-gate rotation (round 8): the external driver records
+# CORRECTNESS rows for the FIRST 50 manifest entries only. After r7
+# the backlog is down to exactly ONE never-driver-green oracle query:
+# q276 (added after the final r7 rotation). It leads this window; any
+# oracle query ADDED this round goes directly after it (never-green by
+# definition), and the remaining slots re-confirm the newest
+# already-green rows (q226+ ascending). The manifest CONTENT is
+# unchanged — only dict iteration order moves.
 #
 # Keep the rows-only queries (q47-q49/q54/q55/q61/q98/q130/q139/q148)
 # OUT of every future front-50: their driver check is `no_oracle`
 # (row-count only) and each already has its driver row from r4; the
 # real gates are their pytest recall/content tests.
 _ROTATE_FRONT = [
+    "q276_char_ngram_langid",
     "q226_conversion_lag",
     "q227_weighted_shortest_paths",
     "q228_kcore_peel",
