@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Scale rehearsal for the training-data family's round-7 additions
+(q264 winnowing fingerprints, q272 association rules, q275 CV-fold
+contamination) at the README's stress scale: 4x documents (id-shifted
+copies) and 4x lineitem (order-shifted basket copies).
+
+q272 is the one quadratic-RISK shape in the batch — the basket
+self-join is keyed on the order id, so work grows with baskets times
+(basket size)^2, never baskets^2; replicating baskets 4x must scale
+~linearly. q275's contamination semi-join is shingle-keyed; the 4x
+copies share texts, so every holdout shingle hits (worst-case join
+selectivity) while distinct-shingle cardinality stays flat. q264 is a
+doc-partitioned sliding-window min — embarrassingly parallel.
+
+Each entry is timed min-of-3 in ONE process at base and stress scale
+(the same-process A/B rule from README "bench"), so ratios are
+ambient-load-free. Linear-ish ratios at 4x volume back the 100-TB
+claims.
+
+Usage: python scripts/rehearsal_traindata.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_as_a_service_spark.catalog import load_tables  # noqa: E402
+from etl_as_a_service_spark.session import build_session  # noqa: E402
+
+
+def scaled(df, id_col: str, copies: int, *keep):
+    shift = 10_000_000
+    parts = [
+        df.select(
+            (F.col(id_col) + F.lit(i * shift)).alias(id_col), *keep
+        )
+        for i in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def t3(fn) -> float:
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def association_rules(li):
+    """The q272 pipeline body over an injected lineitem frame
+    (queries/traindata.py q272_association_rules — same plan)."""
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    nb = items.agg(F.countDistinct("l_orderkey").alias("nb"))
+    ic = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pc = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= 3)
+    )
+    return (
+        pc.join(
+            ic.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca")),
+            "pa",
+        )
+        .join(
+            ic.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb")),
+            "pb",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "pa",
+            "pb",
+            F.round(F.col("cab") * 1.0 * F.col("nb") / (F.col("ca") * F.col("cb")), 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("pa"), F.asc("pb"))
+        .limit(20)
+    )
+
+
+def fold_contamination(docs):
+    """The q275 pipeline body over an injected documents frame
+    (queries/traindata.py q275_fold_contamination — same plan)."""
+    from etl_as_a_service_spark.llm.curation import stratified_kfold
+
+    folds = stratified_kfold(docs, "lang", k=5, id_col="doc_id")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    kg = (
+        folds.filter(n >= 8)
+        .select(
+            "doc_id",
+            "source",
+            "fold",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 7),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    train_g = kg.filter(F.col("fold") < 4).select("g").distinct()
+    hold_kg = kg.filter(F.col("fold") == 4)
+    hits = (
+        hold_kg.join(train_g.withColumn("__hit", F.lit(1)), "g", "left")
+        .groupBy("doc_id", "source")
+        .agg(F.max(F.coalesce(F.col("__hit"), F.lit(0))).alias("hit"))
+    )
+    short_hold = (
+        folds.filter((F.col("fold") == 4) & (n < 8))
+        .select("doc_id", "source")
+        .withColumn("hit", F.lit(0))
+    )
+    holdout = hits.select("doc_id", "source", "hit").union(short_hold)
+    return (
+        holdout.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_holdout_docs"),
+            F.sum("hit").cast("long").alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = build_session(
+        app_name="traindata-rehearsal", driver_memory="16g"
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from etl_as_a_service_spark.llm.dedup import winnowing_fingerprints
+
+    tabs = load_tables(spark, sf_dir, ("documents", "lineitem"))
+    docs = tabs["documents"].select("doc_id", "text", "lang", "source")
+    li = tabs["lineitem"].select("l_orderkey", "l_partkey")
+    docs4 = scaled(
+        tabs["documents"], "doc_id", 4, "text", "lang", "source"
+    ).localCheckpoint(eager=True)
+    li4 = scaled(
+        tabs["lineitem"], "l_orderkey", 4, "l_partkey"
+    ).localCheckpoint(eager=True)
+    print(
+        f"# base docs {docs.count()} -> 4x {docs4.count()}; "
+        f"base lineitem {li.count()} -> 4x {li4.count()}",
+        file=sys.stderr,
+    )
+
+    entries = [
+        (
+            "q264 winnowing fingerprints (4x docs)",
+            lambda d=docs: winnowing_fingerprints(d, "text", "doc_id").count(),
+            lambda d=docs4: winnowing_fingerprints(d, "text", "doc_id").count(),
+        ),
+        (
+            "q272 association rules (4x baskets)",
+            lambda d=li: association_rules(d).count(),
+            lambda d=li4: association_rules(d).count(),
+        ),
+        (
+            "q275 fold contamination (4x docs)",
+            lambda d=docs: fold_contamination(d).count(),
+            lambda d=docs4: fold_contamination(d).count(),
+        ),
+    ]
+    for _, base, _s in entries:  # warm codegen/JIT outside timings
+        base()
+    print("| query | base | 4x | ratio |")
+    print("|---|---|---|---|")
+    for name, base, stress in entries:
+        tb, ts = t3(base), t3(stress)
+        print(f"| {name} | {tb:.2f}s | {ts:.2f}s | {ts / tb:.2f}x |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
