@@ -63,6 +63,7 @@ from etl_as_a_service_spark.queries import advanced  # noqa: E402,F401
 from etl_as_a_service_spark.queries import webcorpus  # noqa: E402,F401
 from etl_as_a_service_spark.queries import ml  # noqa: E402,F401
 from etl_as_a_service_spark.queries import traindata  # noqa: E402,F401
+from etl_as_a_service_spark.queries import traindata2  # noqa: E402,F401
 
 # Driver-gate rotation (round 8): the external driver records
 # CORRECTNESS rows for the FIRST 50 manifest entries only. After r7
@@ -79,6 +80,13 @@ from etl_as_a_service_spark.queries import traindata  # noqa: E402,F401
 # real gates are their pytest recall/content tests.
 _ROTATE_FRONT = [
     "q276_char_ngram_langid",
+    "q277_shard_balance_plan",
+    "q278_span_corruption_plan",
+    "q279_tokenizer_fertility",
+    "q280_matryoshka_energy",
+    "q281_loo_source_influence",
+    "q282_curriculum_buckets",
+    "q283_simhash_pairs_portable",
     "q226_conversion_lag",
     "q227_weighted_shortest_paths",
     "q228_kcore_peel",

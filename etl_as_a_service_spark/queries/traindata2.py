@@ -1,0 +1,717 @@
+"""Training-data preparation queries (round-8 batch, q277-q283):
+training-shard balance planning, T5-style span-corruption masking
+plans, tokenizer fertility reporting, matryoshka (prefix-dim) embedding
+energy curves, leave-one-source-out influence screening, stratified
+curriculum bucketing, and an oracle-portable SimHash near-duplicate
+pipeline (the q253 portable-LSH treatment applied to q48's SimHash).
+
+Every query is DuckDB-oracle-checked end to end (the t2 gate);
+tokenization is the oracle's exact single-space split (the q233/q234
+convention) and all engine-portable hashing uses the md5-derived
+32-bit family (llm/dedup.py md5_hash64 — the q239/q253 convention).
+
+These fill remaining gaps in the LLM-pipeline surface: shard-layout
+planning (the step before writing 100 TB of training shards),
+span-corruption preprocessing (T5/UL2 denoising objectives), tokenizer
+fertility (cost-per-language readout), matryoshka-representation
+truncation quality (MRL, Kusupati et al. 2022), per-source influence
+screens, difficulty curricula, and a driver-checkable SimHash
+candidate pipeline (Manku et al. WWW'07 banding)."""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.catalog import load_tables
+from etl_as_a_service_spark.llm.dedup import md5_hash64
+from etl_as_a_service_spark.queries import query
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+# --------------------------------------------------------------------------
+# q277 — training-shard balance planner
+# --------------------------------------------------------------------------
+@query(
+    "q277_shard_balance_plan",
+    oracle="""
+    WITH per AS (
+      SELECT CAST(('0x' || substr(md5('shard-' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 16 AS shard,
+             len(string_split(text, ' ')) AS nt
+      FROM documents
+    ),
+    agg AS (
+      SELECT shard, count(*) AS n_docs, sum(nt) AS tokens
+      FROM per GROUP BY shard
+    ),
+    tot AS (SELECT sum(tokens) * 1.0 AS t FROM agg)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(tokens AS BIGINT) AS tokens,
+           round(tokens / t, 6) AS token_frac,
+           round(tokens * 16.0 / t, 6) AS balance_ratio
+    FROM agg CROSS JOIN tot
+    ORDER BY shard
+    """,
+    tags=("curation", "sharding", "planning", "llm", "operator"),
+)
+def q277_shard_balance_plan(spark, sf_dir):
+    """Training-shard layout planner: hash documents onto 16 shards
+    (engine-portable md5 hash of the doc id — reshuffle-stable across
+    reruns and engines) and report per-shard doc counts, token sums,
+    token fraction, and the balance ratio (per-shard tokens over the
+    perfect 1/16 share). This is the audit a 100-TB tokenize-and-shard
+    job runs BEFORE writing: a balance_ratio far from 1.0 means
+    stragglers in every training epoch. Hash sharding bounds skew by
+    doc granularity — the heavy tail this report surfaces is exactly
+    what a length-aware packer (q78) would then fix.
+
+    SCALE DESIGN: one map-side projection (hash + token count) and one
+    16-group aggregate; the grand total rides a broadcast 1-row cross
+    join. No wide shuffle at any corpus size."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        (md5_hash64(F.col("doc_id").cast("string"), "shard-") % 16).alias(
+            "shard"
+        ),
+        F.size(F.split("text", " ")).alias("nt"),
+    )
+    agg = per.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("tokens"),
+    )
+    tot = agg.agg((F.sum("tokens") * 1.0).alias("t"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("tokens").cast("long").alias("tokens"),
+            F.round(F.col("tokens") / F.col("t"), 6).alias("token_frac"),
+            F.round(F.col("tokens") * 16.0 / F.col("t"), 6).alias(
+                "balance_ratio"
+            ),
+        )
+        .orderBy("shard")
+    )
+
+
+# --------------------------------------------------------------------------
+# q278 — span-corruption masking plan (T5/UL2 denoising preprocessor)
+# --------------------------------------------------------------------------
+@query(
+    "q278_span_corruption_plan",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    m AS (
+      SELECT doc_id, n, CAST(floor(0.15 * n) AS BIGINT) AS n_mask
+      FROM d WHERE floor(0.15 * n) >= 1
+    ),
+    sp AS (
+      SELECT doc_id, n, n_mask,
+             CAST(floor((n_mask + 2) / 3) AS BIGINT) AS n_spans
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_id, s AS span_idx,
+             CASE WHEN s < n_spans - 1 THEN 3
+                  ELSE n_mask - 3 * (n_spans - 1) END AS span_len,
+             CAST(floor(n / n_spans) AS BIGINT) AS seg_len
+      FROM sp, UNNEST(range(0, n_spans)) AS u(s)
+    )
+    SELECT doc_id,
+           CAST(span_idx AS BIGINT) AS span_idx,
+           CAST(span_idx * seg_len
+                + (CAST(('0x' || substr(md5('sc-' || CAST(doc_id AS VARCHAR)
+                                        || '-' || CAST(span_idx AS VARCHAR)),
+                                        1, 8)) AS BIGINT)
+                   % (seg_len - span_len + 1))
+                + 1 AS BIGINT) AS start_tok,
+           CAST(span_len AS BIGINT) AS span_len
+    FROM spans ORDER BY doc_id, span_idx
+    """,
+    tags=("curation", "masking", "denoising", "llm", "operator"),
+)
+def q278_span_corruption_plan(spark, sf_dir):
+    """T5-style span-corruption masking plan: for each document, mask
+    floor(15%) of tokens in spans of length 3 (last span carries the
+    remainder), one span per equal token segment, with the in-segment
+    offset drawn from an engine-portable hash of (doc_id, span_idx) —
+    so the plan is deterministic across reruns, engines, and physical
+    layout, and spans NEVER overlap or cross documents by
+    construction. Emits the (doc_id, span_idx, start_tok, span_len)
+    table a denoising tokenizer consumes; docs under 7 tokens have no
+    maskable budget and emit nothing.
+
+    SCALE DESIGN: pure per-row arithmetic plus a bounded explode
+    (~n/20 spans per doc) — embarrassingly parallel, no shuffle at all
+    until a downstream consumer groups it."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    m = docs.select(
+        "doc_id",
+        n.alias("n"),
+        F.floor(0.15 * n).cast("long").alias("n_mask"),
+    ).filter(F.col("n_mask") >= 1)
+    sp = m.withColumn(
+        "n_spans", F.floor((F.col("n_mask") + 2) / 3).cast("long")
+    )
+    spans = sp.select(
+        "doc_id",
+        "n_mask",
+        "n_spans",
+        F.floor(F.col("n") / F.col("n_spans")).cast("long").alias("seg_len"),
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_spans") - 1)).alias(
+            "span_idx"
+        ),
+    ).withColumn(
+        "span_len",
+        F.when(F.col("span_idx") < F.col("n_spans") - 1, F.lit(3).cast("long"))
+        .otherwise(F.col("n_mask") - 3 * (F.col("n_spans") - 1)),
+    )
+    h = md5_hash64(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("-"),
+            F.col("span_idx").cast("string"),
+        ),
+        "sc-",
+    )
+    return spans.select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        (
+            F.col("span_idx") * F.col("seg_len")
+            + h % (F.col("seg_len") - F.col("span_len") + 1)
+            + 1
+        )
+        .cast("long")
+        .alias("start_tok"),
+        F.col("span_len").cast("long").alias("span_len"),
+    ).orderBy("doc_id", "span_idx")
+
+
+# --------------------------------------------------------------------------
+# q279 — tokenizer fertility report (BPE-ish piece counting per language)
+# --------------------------------------------------------------------------
+@query(
+    "q279_tokenizer_fertility",
+    oracle="""
+    WITH per AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS words,
+             len(regexp_extract_all(text,
+                 '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')) AS pieces,
+             length(replace(text, ' ', '')) AS chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(words) AS BIGINT) AS total_words,
+           CAST(sum(pieces) AS BIGINT) AS total_pieces,
+           round(sum(pieces) * 1.0 / sum(words), 6) AS fertility,
+           round(sum(chars) * 1.0 / sum(pieces), 6) AS chars_per_piece
+    FROM per GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "tokenizer", "quality", "llm", "operator"),
+)
+def q279_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility by language: subword pieces per word and
+    characters per piece, where "pieces" come from the BPE-ish greedy
+    regex ([a-z]{1,4} runs, single digits, single non-alphanumerics —
+    a deterministic stand-in for a trained BPE merge table, RE2-safe
+    with no backreferences per the q221 convention). Fertility is THE
+    cost metric a multilingual budget planner reads: a language at
+    fertility 2x consumes twice the context window and compute per
+    word, which re-weights q147-style mixture temperatures.
+
+    SCALE DESIGN: one map-side projection (two regex/split scans of
+    each text, JVM regexp — no Python), one per-language aggregate;
+    language cardinality is tiny so the shuffle is metadata-sized."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).alias("words"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[a-z]{1,4}|[0-9]|[^a-z0-9 ]"), F.lit(0)
+            )
+        ).alias("pieces"),
+        F.length(F.regexp_replace("text", " ", "")).alias("chars"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("words").cast("long").alias("total_words"),
+            F.sum("pieces").cast("long").alias("total_pieces"),
+            F.round(F.sum("pieces") * 1.0 / F.sum("words"), 6).alias(
+                "fertility"
+            ),
+            F.round(F.sum("chars") * 1.0 / F.sum("pieces"), 6).alias(
+                "chars_per_piece"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q280 — matryoshka (prefix-dimension) embedding energy curve
+# --------------------------------------------------------------------------
+def _sumsq(arr):
+    """Sequential fold of squared elements — same left-to-right order
+    as DuckDB's list_sum over list_transform, so the doubles agree to
+    the last ulp before rounding."""
+    return F.aggregate(
+        F.transform(arr, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@query(
+    "q280_matryoshka_energy",
+    oracle="""
+    WITH tot AS (
+      SELECT vec_id, embedding,
+             list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS t
+      FROM embeddings
+    ),
+    en AS (
+      SELECT k,
+             list_sum(list_transform(embedding[1:k],
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) / t AS r
+      FROM tot, UNNEST([4, 8, 16, 32, 64]) AS u(k)
+      WHERE t > 0
+    )
+    SELECT CAST(k AS BIGINT) AS prefix_dim,
+           round(avg(r), 6) + 0.0 AS mean_energy,
+           round(min(r), 6) + 0.0 AS min_energy,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM en GROUP BY k ORDER BY prefix_dim
+    """,
+    tags=("embeddings", "similarity", "quantization", "llm", "operator"),
+)
+def q280_matryoshka_energy(spark, sf_dir):
+    """Matryoshka-representation truncation audit (MRL, Kusupati et
+    al. 2022, public paper): for each prefix dimension k in
+    {4,8,16,32,64}, the mean and worst-case fraction of a vector's
+    squared L2 norm captured by its first k dimensions. For
+    MRL-trained embeddings the curve saturates early and truncating to
+    k cuts ANN index cost ~d/k; for these isotropic synthetic vectors
+    it reads ~k/d — exactly the diagnostic that says "do NOT truncate,
+    these aren't matryoshka embeddings."
+
+    SCALE DESIGN: per-row array arithmetic (JVM higher-order
+    functions, sequential fold matching the oracle's list_sum order)
+    plus a 5-group aggregate — no shuffle wider than 5 keys, no
+    vector leaves its row."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    tot = emb.select(
+        "vec_id", "embedding", _sumsq(F.col("embedding")).alias("t")
+    ).filter(F.col("t") > 0)
+    ks = [4, 8, 16, 32, 64]
+    en = tot.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("k"),
+                        (
+                            _sumsq(F.slice(F.col("embedding"), 1, k))
+                            / F.col("t")
+                        ).alias("r"),
+                    )
+                    for k in ks
+                ]
+            )
+        ).alias("e")
+    ).select(F.col("e.k").alias("k"), F.col("e.r").alias("r"))
+    return (
+        en.groupBy("k")
+        .agg(
+            (F.round(F.avg("r"), 6) + 0.0).alias("mean_energy"),
+            (F.round(F.min("r"), 6) + 0.0).alias("min_energy"),
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        )
+        .select(
+            F.col("k").alias("prefix_dim"),
+            "mean_energy",
+            "min_energy",
+            "n_vectors",
+        )
+        .orderBy("prefix_dim")
+    )
+
+
+# --------------------------------------------------------------------------
+# q281 — leave-one-source-out influence screen
+# --------------------------------------------------------------------------
+@query(
+    "q281_loo_source_influence",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             count(*) AS n_docs,
+             sum(len(string_split(text, ' '))) * 1.0 AS toks,
+             sum(n_chars) * 1.0 AS chars
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(n_docs) * 1.0 AS nd, sum(toks) AS tt, sum(chars) AS tc
+      FROM per
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           round((tt - toks) / nullif(nd - n_docs, 0) - tt / nd, 6) + 0.0
+             AS loo_token_delta,
+           round((tc - chars) / nullif(nd - n_docs, 0) - tc / nd, 6) + 0.0
+             AS loo_chars_delta
+    FROM per CROSS JOIN tot
+    ORDER BY source
+    """,
+    tags=("curation", "influence", "stats", "llm", "operator"),
+)
+def q281_loo_source_influence(spark, sf_dir):
+    """Leave-one-source-out influence screen: for every source, how
+    the corpus mean token count and mean n_chars would move if that
+    source were dropped — the cheapest member of the
+    datamodels/influence-function family, and the first-pass answer to
+    "which source is dragging the length distribution." A source whose
+    removal moves a corpus mean materially is the one to re-weight
+    (q147) or re-filter (q158) first.
+
+    SCALE DESIGN: one per-source aggregate plus a broadcast 1-row
+    grand total; the leave-one-out mean is closed-form from the two
+    ((T - T_s) / (N - N_s)) — NO per-source rescan, which is what
+    makes this linear instead of sources-times-corpus."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.size(F.split("text", " "))) * 1.0).alias("toks"),
+        (F.sum("n_chars") * 1.0).alias("chars"),
+    )
+    tot = per.agg(
+        (F.sum("n_docs") * 1.0).alias("nd"),
+        F.sum("toks").alias("tt"),
+        F.sum("chars").alias("tc"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    return j.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (
+            F.round(
+                (F.col("tt") - F.col("toks"))
+                / F.nullif(F.col("nd") - F.col("n_docs"), F.lit(0.0))
+                - F.col("tt") / F.col("nd"),
+                6,
+            )
+            + 0.0
+        ).alias("loo_token_delta"),
+        (
+            F.round(
+                (F.col("tc") - F.col("chars"))
+                / F.nullif(F.col("nd") - F.col("n_docs"), F.lit(0.0))
+                - F.col("tc") / F.col("nd"),
+                6,
+            )
+            + 0.0
+        ).alias("loo_chars_delta"),
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# q282 — stratified curriculum difficulty buckets
+# --------------------------------------------------------------------------
+@query(
+    "q282_curriculum_buckets",
+    oracle="""
+    WITH inst AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    cnt AS (SELECT w, count(*) * 1.0 AS c FROM inst GROUP BY w),
+    tot AS (SELECT count(*) * 1.0 AS t FROM inst),
+    feat AS (
+      SELECT doc_id, lang, count(*) * 1.0 AS n,
+             sum(ln(t / c)) / count(*) AS mean_rarity
+      FROM inst JOIN cnt USING (w) CROSS JOIN tot
+      GROUP BY doc_id, lang, t
+    ),
+    stats AS (
+      SELECT lang, avg(n) AS an, stddev_pop(n) AS sn,
+             avg(mean_rarity) AS ar, stddev_pop(mean_rarity) AS sr
+      FROM feat GROUP BY lang
+    ),
+    diff AS (
+      SELECT f.doc_id, f.lang, f.n,
+             round(0.5 * (f.n - s.an) / nullif(s.sn, 0)
+                   + 0.5 * (f.mean_rarity - s.ar) / nullif(s.sr, 0),
+                   6) + 0.0 AS d
+      FROM feat f JOIN stats s ON f.lang = s.lang
+    ),
+    bucketed AS (
+      SELECT lang, d, n,
+             ntile(4) OVER (PARTITION BY lang
+                            ORDER BY d ASC NULLS LAST, doc_id) AS bucket
+      FROM diff
+    )
+    SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(d), 6) + 0.0 AS min_difficulty,
+           round(max(d), 6) + 0.0 AS max_difficulty,
+           round(avg(n), 6) AS mean_tokens
+    FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
+    tags=("curation", "curriculum", "window", "llm", "operator"),
+)
+def q282_curriculum_buckets(spark, sf_dir):
+    """Stratified curriculum plan: per-language difficulty z-score
+    (half length, half mean token rarity — rarity is ln(corpus
+    instances / token count), the self-information of each token) and
+    an ntile(4) deal into easy-to-hard buckets WITHIN each language,
+    with the per-bucket size, difficulty range, and mean length a
+    curriculum sampler consumes. Stratifying by language keeps the
+    window partitioned (no global sort) and the difficulty scale
+    comparable — cross-language length distributions differ enough
+    that a global ntile would just sort by language.
+
+    Ordering is on the ROUNDED difficulty with a doc_id tie-break, so
+    bucket assignment never hinges on sub-1e-6 float noise (the q254
+    pinned-ordering convention).
+
+    SCALE DESIGN: rarity is a token-keyed broadcast-sized join
+    (vocabulary grain); the ntile window is partitioned by language —
+    at 100 TB you'd swap it for approx-percentile boundaries per
+    language (one aggregate) plus a map-side bucket lookup, same
+    contract."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    inst = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    cnt = inst.groupBy("w").agg((F.count(F.lit(1)) * 1.0).alias("c"))
+    tot = inst.agg((F.count(F.lit(1)) * 1.0).alias("t"))
+    feat = (
+        inst.join(F.broadcast(cnt), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang", "t")
+        .agg(
+            (F.count(F.lit(1)) * 1.0).alias("n"),
+            (F.sum(F.log(F.col("t") / F.col("c"))) / F.count(F.lit(1))).alias(
+                "mean_rarity"
+            ),
+        )
+    )
+    stats = feat.groupBy("lang").agg(
+        F.avg("n").alias("an"),
+        F.stddev_pop("n").alias("sn"),
+        F.avg("mean_rarity").alias("ar"),
+        F.stddev_pop("mean_rarity").alias("sr"),
+    )
+    diff = feat.join(F.broadcast(stats), "lang").select(
+        "doc_id",
+        "lang",
+        "n",
+        (
+            F.round(
+                0.5
+                * (F.col("n") - F.col("an"))
+                / F.nullif(F.col("sn"), F.lit(0.0))
+                + 0.5
+                * (F.col("mean_rarity") - F.col("ar"))
+                / F.nullif(F.col("sr"), F.lit(0.0)),
+                6,
+            )
+            + 0.0
+        ).alias("d"),
+    )
+    bucketed = diff.withColumn(
+        "bucket",
+        F.ntile(4).over(
+            Window.partitionBy("lang").orderBy(
+                F.col("d").asc_nulls_last(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (F.round(F.min("d"), 6) + 0.0).alias("min_difficulty"),
+            (F.round(F.max("d"), 6) + 0.0).alias("max_difficulty"),
+            F.round(F.avg("n"), 6).alias("mean_tokens"),
+        )
+        .select(
+            "lang",
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_docs",
+            "min_difficulty",
+            "max_difficulty",
+            "mean_tokens",
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# q283 — portable SimHash near-duplicate pairs (banded candidates)
+# --------------------------------------------------------------------------
+def _simhash_oracle() -> str:
+    bit_sums = ",\n             ".join(
+        f"CASE WHEN sum(tf * (((h >> {j}) & 1) * 2 - 1)) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END AS b{j}"
+        for j in range(32)
+    )
+    simexpr = " + ".join(f"b{j}" for j in range(32))
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text || ' nearcopy x9'
+      FROM documents WHERE doc_id < 20
+    ),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM base)
+      GROUP BY doc_id, w
+    ),
+    hw AS (
+      SELECT doc_id, tf,
+             CAST(('0x' || substr(md5('sh-' || w), 1, 8)) AS BIGINT) AS h
+      FROM tf
+    ),
+    bits AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM hw GROUP BY doc_id
+    ),
+    sh AS (SELECT doc_id, {simexpr} AS sim FROM bits),
+    bands AS (
+      SELECT doc_id, sim, b, (sim >> (8 * b)) & 255 AS key
+      FROM sh, UNNEST(range(0, 4)) AS u(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sim AS sa, b.sim AS sb
+      FROM bands a
+      JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(CAST(xor(sa, sb) AS BIGINT)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(CAST(xor(sa, sb) AS BIGINT)) <= 3
+    ORDER BY id_a, id_b
+    """
+
+
+@query(
+    "q283_simhash_pairs_portable",
+    oracle=_simhash_oracle(),
+    tags=("dedup", "simhash", "lsh", "llm", "operator"),
+)
+def q283_simhash_pairs_portable(spark, sf_dir):
+    """Oracle-portable SimHash near-duplicate pipeline (the q253
+    portable-LSH treatment applied to q48's SimHash): 32-bit
+    tf-weighted SimHash from the md5 hash family, Manku-style banded
+    candidate generation (4 bands of 8 bits — by pigeonhole, any pair
+    at Hamming distance <= 3 agrees exactly on at least one band), and
+    exact Hamming verification on the candidates. 25 deterministic
+    near-copies are planted under doc_id+10000 (two appended tokens
+    barely move the tf-weighted bit majorities, the q148 planting
+    recipe); all of them land within the Hamming <= 3 contract, along
+    with the word-soup corpus's organically close fingerprint pairs —
+    band collisions at larger distance are filtered by the exact
+    verify, so false positives are impossible.
+
+    SCALE DESIGN: the fingerprint is ONE map-side-combined aggregate
+    (32 conditional sums over the per-doc term frequencies); the band
+    join ships (id, band, 8-bit key, 8-byte fingerprint) ONLY — never
+    text; candidates dedup BEFORE the verify so each pair is checked
+    once; exact verify is one bit_count(xor) per candidate, no second
+    pass over the corpus. At 100 TB the hot-band cap from
+    embedding_near_duplicates applies unchanged."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" nearcopy x9")).alias("text"),
+        )
+    )
+    tf = (
+        base.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    h = md5_hash64(F.col("w"), "sh-")
+    signed = tf.select("doc_id", "tf", h.alias("h"))
+    bit_cols = [
+        F.when(
+            F.sum(
+                F.col("tf")
+                * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            )
+            > 0,
+            F.lit(1 << j).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias(f"b{j}")
+        for j in range(32)
+    ]
+    bits = signed.groupBy("doc_id").agg(*bit_cols)
+    sim = bits.select(
+        "doc_id",
+        reduce(lambda a, b: a + b, [F.col(f"b{j}") for j in range(32)]).alias(
+            "sim"
+        ),
+    )
+    bands = sim.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("sim"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sim", F.col("bk.b").alias("b"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sim").alias("sa"),
+            F.col("b.sim").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.filter(ham <= 3)
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )

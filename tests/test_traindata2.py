@@ -1,0 +1,154 @@
+"""Content/invariant tests for the round-8 training-data queries
+(q277-q283) beyond the DuckDB hash gate: structural guarantees the
+oracle comparison cannot see (span non-overlap, planted-pair recall,
+balance-ratio algebra, energy-curve monotonicity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _run(spark, name, sf=SF01):
+    return QUERIES[name].fn(spark, sf)
+
+
+def test_shard_balance_covers_corpus(spark):
+    """Every doc lands in exactly one of 16 shards; token fractions
+    sum to 1 and balance ratios average 1 (the plan's algebra)."""
+    out = _run(spark, "q277_shard_balance_plan").collect()
+    assert {r["shard"] for r in out} <= set(range(16))
+    n_docs = sum(r["n_docs"] for r in out)
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    assert n_docs == docs.count()
+    assert abs(sum(r["token_frac"] for r in out) - 1.0) < 1e-4
+    assert abs(sum(r["balance_ratio"] for r in out) / len(out) - 1.0) < 1e-4
+
+
+def test_span_plan_nonoverlapping_and_in_range(spark):
+    """The masking plan's structural contract: spans sorted by
+    span_idx never overlap, stay inside the document, and mask exactly
+    floor(0.15 * n) tokens per planned doc."""
+    spans = _run(spark, "q278_span_corruption_plan").collect()
+    docs = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(f"{SF01}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc, "no spans planned"
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["span_idx"])
+        n = docs[doc_id]
+        masked = 0
+        prev_end = 0
+        for r in rows:
+            assert r["span_len"] >= 1
+            assert r["start_tok"] >= 1
+            assert r["start_tok"] + r["span_len"] - 1 <= n
+            assert r["start_tok"] > prev_end, f"overlap in doc {doc_id}"
+            prev_end = r["start_tok"] + r["span_len"] - 1
+            masked += r["span_len"]
+        # both engines compute floor(0.15 * n) in IEEE doubles, as here
+        assert masked == int(0.15 * n)
+    # docs under 7 tokens emit nothing
+    for doc_id, n in docs.items():
+        if int(0.15 * n) < 1:
+            assert doc_id not in by_doc
+
+
+def test_fertility_bounds(spark):
+    """Every word yields at least one piece (fertility >= 1) and a
+    piece is at least one char (chars_per_piece >= 1)."""
+    out = _run(spark, "q279_tokenizer_fertility").collect()
+    assert out
+    for r in out:
+        assert r["fertility"] >= 1.0
+        assert r["chars_per_piece"] >= 1.0
+        assert r["total_pieces"] >= r["total_words"]
+
+
+def test_matryoshka_energy_monotone_and_saturates(spark):
+    """Prefix energy is nondecreasing in k and exactly 1 at full
+    dimension; all vectors participate at every k."""
+    out = {r["prefix_dim"]: r for r in _run(spark, "q280_matryoshka_energy").collect()}
+    ks = sorted(out)
+    assert ks == [4, 8, 16, 32, 64]
+    n = out[4]["n_vectors"]
+    prev = 0.0
+    for k in ks:
+        assert out[k]["n_vectors"] == n
+        assert out[k]["mean_energy"] >= prev - 1e-9
+        assert out[k]["min_energy"] <= out[k]["mean_energy"] + 1e-9
+        prev = out[k]["mean_energy"]
+    assert out[64]["mean_energy"] == pytest.approx(1.0)
+    assert out[64]["min_energy"] == pytest.approx(1.0)
+
+
+def test_loo_influence_signs_balance(spark):
+    """Dropping a longer-than-average source must LOWER the corpus
+    mean (negative delta) and vice versa; deltas can't all share a
+    sign unless all sources are identical."""
+    out = _run(spark, "q281_loo_source_influence").collect()
+    assert len(out) >= 2
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    per = {
+        r["source"]: r["m"]
+        for r in docs.groupBy("source")
+        .agg(F.avg(F.size(F.split("text", " "))).alias("m"))
+        .collect()
+    }
+    overall = docs.select(
+        F.avg(F.size(F.split("text", " "))).alias("m")
+    ).collect()[0]["m"]
+    for r in out:
+        if per[r["source"]] > overall + 1e-9:
+            assert r["loo_token_delta"] <= 0.0
+        elif per[r["source"]] < overall - 1e-9:
+            assert r["loo_token_delta"] >= 0.0
+
+
+def test_curriculum_buckets_partition_each_lang(spark):
+    """Within each language the four buckets partition the docs,
+    bucket difficulty ranges are ordered, and sizes differ by <= 1
+    (the ntile contract)."""
+    out = _run(spark, "q282_curriculum_buckets").collect()
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    lang_n = {
+        r["lang"]: r["c"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("c")).collect()
+    }
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r["bucket"])
+        assert [r["bucket"] for r in rows] == [1, 2, 3, 4]
+        assert sum(r["n_docs"] for r in rows) == lang_n[lang]
+        sizes = [r["n_docs"] for r in rows]
+        assert max(sizes) - min(sizes) <= 1
+        for lo, hi in zip(rows, rows[1:]):
+            assert lo["max_difficulty"] <= hi["min_difficulty"] + 1e-9
+            assert lo["min_difficulty"] <= lo["max_difficulty"] + 1e-9
+
+
+def test_simhash_planted_recall_and_contract(spark):
+    """All 20 planted near-copies (doc_id, doc_id+10000) are
+    recovered within Hamming <= 3; no output pair exceeds the
+    contract; pairs are canonical (id_a < id_b) and unique."""
+    out = _run(spark, "q283_simhash_pairs_portable").collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert len(pairs) == len(out)
+    planted = {(i, i + 10000) for i in range(20)}
+    assert planted <= pairs, sorted(planted - pairs)
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert 0 <= r["hamming"] <= 3
