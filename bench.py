@@ -126,6 +126,12 @@ HEADLINE_ML = [
 HEADLINE_TRAINDATA = [
     "q264_winnowing_fingerprints",
     "q265_nucleus_vocab",
+    # round-8 additions: the portable SimHash pipeline (the heaviest
+    # of q277-q283) and the curriculum buckets (token-keyed rarity
+    # join + stratified window). Subtotal grows by two entries vs r7;
+    # per-entry timings stay comparable.
+    "q282_curriculum_buckets",
+    "q283_simhash_pairs_portable",
 ]
 
 #: round-6 addition to the lakehouse subtotal: the stats-based file

@@ -83,9 +83,18 @@ def q277_shard_balance_plan(spark, sf_dir):
         ),
         F.size(F.split("text", " ")).alias("nt"),
     )
-    agg = per.groupBy("shard").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("nt").alias("tokens"),
+    # 16-row aggregate checkpointed: deriving the grand total from the
+    # same frame otherwise re-plans the corpus scan (measured plan:
+    # two Scan parquet nodes) — rescanning 100 TB for a 1-row total
+    # is the wrong shape; the checkpoint pins the metadata-sized
+    # per-shard frame once.
+    agg = (
+        per.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("tokens"),
+        )
+        .localCheckpoint()
     )
     tot = agg.agg((F.sum("tokens") * 1.0).alias("t"))
     return (
@@ -397,11 +406,13 @@ def q281_loo_source_influence(spark, sf_dir):
     ((T - T_s) / (N - N_s)) — NO per-source rescan, which is what
     makes this linear instead of sources-times-corpus."""
     (docs,) = _t(spark, sf_dir, "documents")
+    # source-grain aggregate checkpointed (the q277 rationale): the
+    # grand-total branch would otherwise re-scan the corpus.
     per = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum(F.size(F.split("text", " "))) * 1.0).alias("toks"),
         (F.sum("n_chars") * 1.0).alias("chars"),
-    )
+    ).localCheckpoint()
     tot = per.agg(
         (F.sum("n_docs") * 1.0).alias("nd"),
         F.sum("toks").alias("tt"),
@@ -501,8 +512,14 @@ def q282_curriculum_buckets(spark, sf_dir):
     inst = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
     )
-    cnt = inst.groupBy("w").agg((F.count(F.lit(1)) * 1.0).alias("c"))
-    tot = inst.agg((F.count(F.lit(1)) * 1.0).alias("t"))
+    # vocab-grain counts checkpointed; the instance total is their sum
+    # (identical by definition), saving a third corpus scan+explode.
+    cnt = (
+        inst.groupBy("w")
+        .agg((F.count(F.lit(1)) * 1.0).alias("c"))
+        .localCheckpoint()
+    )
+    tot = cnt.agg(F.sum("c").alias("t"))
     feat = (
         inst.join(F.broadcast(cnt), "w")
         .crossJoin(F.broadcast(tot))
@@ -514,24 +531,29 @@ def q282_curriculum_buckets(spark, sf_dir):
             ),
         )
     )
-    stats = feat.groupBy("lang").agg(
-        F.avg("n").alias("an"),
-        F.stddev_pop("n").alias("sn"),
-        F.avg("mean_rarity").alias("ar"),
-        F.stddev_pop("mean_rarity").alias("sr"),
-    )
-    diff = feat.join(F.broadcast(stats), "lang").select(
+    # per-language stats as WINDOW aggregates over the same lang
+    # partition the ntile below needs: a groupBy-stats + rejoin form
+    # re-plans the whole rarity subtree on both sides (measured plan:
+    # two full scan+explode+join pyramids); the window form keeps ONE
+    # subtree and the ntile's sort reuses the lang exchange.
+    wlang = Window.partitionBy("lang")
+    diff = feat.select(
         "doc_id",
         "lang",
         "n",
         (
             F.round(
                 0.5
-                * (F.col("n") - F.col("an"))
-                / F.nullif(F.col("sn"), F.lit(0.0))
+                * (F.col("n") - F.avg("n").over(wlang))
+                / F.nullif(F.stddev_pop("n").over(wlang), F.lit(0.0))
                 + 0.5
-                * (F.col("mean_rarity") - F.col("ar"))
-                / F.nullif(F.col("sr"), F.lit(0.0)),
+                * (
+                    F.col("mean_rarity")
+                    - F.avg("mean_rarity").over(wlang)
+                )
+                / F.nullif(
+                    F.stddev_pop("mean_rarity").over(wlang), F.lit(0.0)
+                ),
                 6,
             )
             + 0.0
@@ -670,12 +692,18 @@ def q283_simhash_pairs_portable(spark, sf_dir):
         for j in range(32)
     ]
     bits = signed.groupBy("doc_id").agg(*bit_cols)
+    # fingerprint frame checkpointed: it feeds BOTH sides of the band
+    # self-join AND the verify columns — without truncation the whole
+    # tokenize/hash/32-sum pyramid re-plans per side (measured: two
+    # full scan subtrees). (id, sim) is 16 bytes/doc — bounded by doc
+    # count at any corpus size, the same discipline as the SRP bucket
+    # checkpoint in embedding_near_duplicates.
     sim = bits.select(
         "doc_id",
         reduce(lambda a, b: a + b, [F.col(f"b{j}") for j in range(32)]).alias(
             "sim"
         ),
-    )
+    ).localCheckpoint()
     bands = sim.select(
         "doc_id",
         "sim",
