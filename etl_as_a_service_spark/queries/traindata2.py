@@ -624,11 +624,17 @@ def _simhash_oracle() -> str:
       SELECT doc_id, sim, b, (sim >> (8 * b)) & 255 AS key
       FROM sh, UNNEST(range(0, 4)) AS u(b)
     ),
+    kept AS (
+      SELECT b, key FROM bands GROUP BY b, key HAVING count(*) <= 1000
+    ),
+    capped AS (
+      SELECT bands.* FROM bands JOIN kept USING (b, key)
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              a.sim AS sa, b.sim AS sb
-      FROM bands a
-      JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+      FROM capped a
+      JOIN capped b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b,
            CAST(bit_count(CAST(xor(sa, sb) AS BIGINT)) AS BIGINT) AS hamming
@@ -662,8 +668,16 @@ def q283_simhash_pairs_portable(spark, sf_dir):
     join ships (id, band, 8-bit key, 8-byte fingerprint) ONLY — never
     text; candidates dedup BEFORE the verify so each pair is checked
     once; exact verify is one bit_count(xor) per candidate, no second
-    pass over the corpus. At 100 TB the hot-band cap from
-    embedding_near_duplicates applies unchanged."""
+    pass over the corpus. Hot band buckets are capped at 1000 members
+    (the embedding_near_duplicates max_bucket_size discipline, here in
+    BOTH engines so the contract stays oracle-exact): the 31-word test
+    vocabulary clusters fingerprints pathologically — measured at
+    sf0.1, 5220 docs yield 3.5M candidates (26% of all-pairs) with a
+    max bucket of 813 — so without the cap a 100x corpus goes
+    quadratic inside hot buckets. The cap is inactive at test scales
+    (max bucket 813 < 1000) and costs only pairs whose EVERY shared
+    band is hot at production scale; real-vocabulary corpora spread
+    fingerprints ~uniformly and rarely hit it."""
     (docs,) = _t(spark, sf_dir, "documents")
     base = docs.select("doc_id", "text").unionByName(
         docs.filter(F.col("doc_id") < 20).select(
@@ -721,6 +735,16 @@ def q283_simhash_pairs_portable(spark, sf_dir):
             )
         ).alias("bk"),
     ).select("doc_id", "sim", F.col("bk.b").alias("b"), F.col("bk.key").alias("key"))
+    # hot-bucket cap (see docstring): agg + broadcast anti-join, the
+    # same shape as embedding_near_duplicates' max_bucket_size — the
+    # oversized-bucket list is tiny at any scale, so it broadcasts.
+    big = (
+        bands.groupBy("b", "key")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(F.col("__bsz") > 1000)
+        .select("b", "key")
+    )
+    bands = bands.join(F.broadcast(big), ["b", "key"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
