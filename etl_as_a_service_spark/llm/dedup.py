@@ -1384,3 +1384,121 @@ def minhash_lsh_pairs_portable(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def simhash_pairs_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+    salt: str = "sh-",
+) -> DataFrame:
+    """Oracle-portable SimHash near-duplicate pairs (the q253
+    portable-LSH treatment applied to ``simhash``/q48): a tf-weighted
+    32-bit SimHash built from the md5 hash family, Manku-style banded
+    candidate generation (4 bands of 8 bits — by pigeonhole, any pair
+    at Hamming distance <= 3 agrees exactly on at least one band), and
+    exact bit_count(xor) verification. Every stage has a DuckDB twin
+    (q283), unlike the xxhash64-based ``simhash`` fast path. Returns
+    (id_a, id_b, hamming) with id_a < id_b.
+
+    ``max_hamming`` above 3 weakens the pigeonhole guarantee of the
+    4x8 banding (candidates at larger distance may not share a band)
+    and is rejected.
+
+    SCALE DESIGN: the fingerprint is ONE map-side-combined aggregate
+    (32 conditional sums over per-doc term frequencies); the band join
+    ships (id, band, 8-bit key, 8-byte fingerprint) ONLY — never text;
+    hot band buckets above ``max_bucket_size`` are dropped (agg +
+    broadcast anti-join, the embedding_near_duplicates discipline);
+    candidates dedup BEFORE the verify so each pair is checked once."""
+    from functools import reduce
+
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("max_hamming must be in [0, 3] for 4x8 banding")
+    tf = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .groupBy("__id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    signed = tf.select(
+        "__id", "tf", md5_hash64(F.col("w"), salt).alias("h")
+    )
+    bit_cols = [
+        F.when(
+            F.sum(
+                F.col("tf")
+                * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            )
+            > 0,
+            F.lit(1 << j).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias(f"b{j}")
+        for j in range(32)
+    ]
+    bits = signed.groupBy("__id").agg(*bit_cols)
+    # fingerprint frame checkpointed: it feeds BOTH sides of the band
+    # self-join AND the verify columns — without truncation the whole
+    # tokenize/hash/32-sum pyramid re-plans per side (measured: two
+    # full scan subtrees). (id, sim) is 16 bytes/doc — bounded by doc
+    # count at any corpus size, the same discipline as the SRP bucket
+    # checkpoint in embedding_near_duplicates.
+    sim = bits.select(
+        "__id",
+        reduce(
+            lambda a, b: a + b, [F.col(f"b{j}") for j in range(32)]
+        ).alias("sim"),
+    ).localCheckpoint()
+    bands = sim.select(
+        "__id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("sim"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "__id", "sim", F.col("bk.b").alias("b"), F.col("bk.key").alias("key")
+    )
+    big = (
+        bands.groupBy("b", "key")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(F.col("__bsz") > max_bucket_size)
+        .select("b", "key")
+    )
+    bands = bands.join(F.broadcast(big), ["b", "key"], "left_anti")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.sim").alias("sa"),
+            F.col("b.sim").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.filter(ham <= max_hamming)
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )

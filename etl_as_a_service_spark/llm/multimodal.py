@@ -436,3 +436,369 @@ def extract_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
         .select("blob_id", "mime", "content")
         .mapInPandas(gen, out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio spectral feature extraction (REAL FFT path — numpy only)
+# ---------------------------------------------------------------------------
+
+AUDIO_SPECTRAL_SCHEMA = StructType(
+    [
+        StructField("blob_id", LongType()),
+        StructField("duration_s", FloatType()),
+        StructField("centroid_hz", FloatType()),
+        StructField("bandwidth_hz", FloatType()),
+        StructField("rolloff_hz", FloatType()),
+        StructField("flatness", FloatType()),
+        StructField("dominant_hz", FloatType()),
+    ]
+)
+
+
+def _wav_samples(payload: bytes) -> tuple["np.ndarray", int]:
+    """RIFF/WAVE -> (mono float64 samples in [-1, 1], sample rate).
+    Multi-channel clips are downmixed by channel mean — the standard
+    feature-extraction front end."""
+    if payload is None:
+        raise NotImplementedError(
+            "real decoder required for NULL-content rows"
+        )
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch, sampwidth, rate, n_frames = (
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getframerate(),
+            w.getnframes(),
+        )
+        raw = w.readframes(n_frames)
+    if sampwidth == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        x /= 128.0
+    elif sampwidth == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sampwidth == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width: {sampwidth}")
+    if n_ch > 1:
+        x = x[: (x.size // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
+def _spectral_features(x: "np.ndarray", rate: int) -> list[float]:
+    """Power-spectrum summary of one clip: spectral centroid/bandwidth
+    /rolloff(0.85)/flatness and the dominant frequency — the classic
+    audio-quality/content screen (silence, hum, tone, noise all
+    separate cleanly on these axes). One rfft over the clip; DC is
+    excluded so a constant offset is not 'content'."""
+    n = x.size
+    if n == 0:
+        return [0.0] * 5
+    p = np.abs(np.fft.rfft(x)) ** 2
+    f = np.fft.rfftfreq(n, d=1.0 / rate)
+    p, f = p[1:], f[1:]  # drop DC
+    tot = float(p.sum())
+    if tot <= 0.0 or p.size == 0:
+        return [0.0] * 5
+    centroid = float((f * p).sum() / tot)
+    bandwidth = float(np.sqrt((((f - centroid) ** 2) * p).sum() / tot))
+    roll_idx = int(np.searchsorted(np.cumsum(p), 0.85 * tot))
+    rolloff = float(f[min(roll_idx, p.size - 1)])
+    eps = 1e-12
+    flatness = float(
+        np.exp(np.mean(np.log(p + eps))) / (np.mean(p) + eps)
+    )
+    dominant = float(f[int(np.argmax(p))])
+    return [centroid, bandwidth, rolloff, flatness, dominant]
+
+
+def audio_spectral_features(df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over binary WAV columns: one
+    Arrow-batched mapInPandas pass computing the power-spectrum
+    summary per clip (see _spectral_features). This is the
+    before-training audio screen — silence/hum/tone/clipping detection
+    and the feature input to audio-level dedup — running the same
+    seam a torchaudio/librosa extractor would occupy in production.
+
+    SCALE DESIGN: per-row FFT in the Arrow worker (no shuffle at
+    all); cost is O(clip length log clip length) per row and the
+    output is 6 floats/clip regardless of clip size, so the frame
+    SHRINKS through this operator — the right direction for a
+    feature-extraction stage."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.mime not in WAV_MIMES:
+                    raise NotImplementedError(
+                        f"no spectral decoder for mime {r.mime!r}"
+                    )
+                x, rate = _wav_samples(r.content)
+                dur = x.size / rate if rate else 0.0
+                rows.append((r.blob_id, dur, *_spectral_features(x, rate)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "blob_id", "duration_s", "centroid_hz",
+                    "bandwidth_hz", "rolloff_hz", "flatness",
+                    "dominant_hz",
+                ],
+            )
+
+    return (
+        df.filter(F.col("modality") == "audio")
+        .select("blob_id", "mime", "content")
+        .mapInPandas(gen, AUDIO_SPECTRAL_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual hashing (pHash: resize -> 2D DCT -> median threshold)
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("blob_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def _dct_matrix(n: int) -> "np.ndarray":
+    """Orthonormal DCT-II matrix (the JPEG/pHash transform), pure
+    numpy: D[k, i] = s_k * cos(pi * (2i + 1) * k / (2n))."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    d = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    d[0, :] *= 1.0 / np.sqrt(2.0)
+    return d
+
+
+_DCT32 = None
+
+
+def _phash_value(img: "np.ndarray", hash_size: int = 8) -> int:
+    """64-bit pHash of one (h, w, c) uint image: downmix to luma,
+    block-mean resize to 32x32, 2D DCT-II, keep the low-frequency
+    hash_size x hash_size block, threshold each coefficient against
+    the block MEDIAN (a balanced 64-bit code, invariant to global
+    brightness/contrast changes because those move only the DC term
+    and a uniform scale). Returned as a SIGNED 64-bit int for Spark's
+    LongType."""
+    global _DCT32
+    if _DCT32 is None:
+        _DCT32 = _dct_matrix(32)
+    gray = img.astype(np.float64).mean(axis=2, keepdims=True)
+    small = _resize_array(gray, 32, 32)[:, :, 0].astype(np.float64)
+    coef = _DCT32 @ small @ _DCT32.T
+    block = coef[:hash_size, :hash_size].flatten()
+    med = float(np.median(block))
+    bits = block > med
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
+def image_phash(df: DataFrame, hash_size: int = 8) -> DataFrame:
+    """REAL perceptual image hashing over binary PGM/PPM columns
+    (Arrow-batched mapInPandas; a JPEG/PNG build would swap only the
+    byte parse). pHash survives re-encoding, resizing, and brightness
+    shifts that break byte-level dedup — the standard image near-dup
+    fingerprint for multimodal training corpora. Pair with
+    ``phash_pairs`` for the banded candidate join."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.mime not in PNM_MIMES:
+                    raise NotImplementedError(
+                        f"no image decoder for mime {r.mime!r}"
+                    )
+                img, _ = _pnm_to_array(r.content)
+                rows.append((r.blob_id, _phash_value(img, hash_size)))
+            yield pd.DataFrame(rows, columns=["blob_id", "phash"])
+
+    return (
+        df.filter(F.col("modality") == "image")
+        .select("blob_id", "mime", "content")
+        .mapInPandas(gen, PHASH_SCHEMA)
+    )
+
+
+def phash_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Image near-duplicate pairs from 64-bit pHashes: 8 bands of 8
+    bits generate candidates (pigeonhole: any pair at Hamming <= 7
+    shares at least one exact band — a superset of the <= max_hamming
+    contract), then one bit_count(xor) verifies each candidate
+    exactly. False positives impossible; hot band buckets above
+    ``max_bucket_size`` are dropped (the q283/embedding-LSH cap).
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+
+    SCALE DESIGN: the band join ships (id, band, key, 8-byte hash)
+    only; candidates dedup before the verify; the verify never
+    re-reads image bytes."""
+    if not 0 <= max_hamming <= 7:
+        raise ValueError("max_hamming must be in [0, 7] for 8x8 banding")
+    bands = hashes.select(
+        F.col("blob_id"),
+        F.col("phash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("phash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "blob_id", "phash", F.col("bk.b").alias("b"), F.col("bk.key").alias("key")
+    )
+    big = (
+        bands.groupBy("b", "key")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(F.col("__bsz") > max_bucket_size)
+        .select("b", "key")
+    )
+    bands = bands.join(F.broadcast(big), ["b", "key"], "left_anti")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.blob_id") < F.col("b.blob_id")),
+        )
+        .select(
+            F.col("a.blob_id").alias("id_a"),
+            F.col("b.blob_id").alias("id_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.filter(ham <= max_hamming)
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video near-duplicate detection via per-frame perceptual hashes
+# ---------------------------------------------------------------------------
+
+VIDEO_SIG_SCHEMA = StructType(
+    [
+        StructField("blob_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def video_phash_signatures(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """Per-frame perceptual-hash signature of video rows: demux frames
+    with ``extract_frames`` (real netpbm stream parsing), then pHash
+    each sampled frame in the same Arrow worker. The signature — a set
+    of 8-byte frame hashes — is what video-level dedup joins on; the
+    video bytes never leave this stage."""
+    frames = extract_frames(df, every_n=every_n)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img, _ = _pnm_to_array(r.frame)
+                rows.append((r.blob_id, r.frame_idx, _phash_value(img)))
+            yield pd.DataFrame(
+                rows, columns=["blob_id", "frame_idx", "phash"]
+            )
+
+    return frames.select("blob_id", "frame_idx", "frame").mapInPandas(
+        gen, VIDEO_SIG_SCHEMA
+    )
+
+
+def video_near_duplicates(
+    sigs: DataFrame,
+    min_containment: float = 0.8,
+    max_hash_videos: int = 1000,
+) -> DataFrame:
+    """Video near-duplicate pairs from frame-hash signatures: two
+    videos match when the smaller one's DISTINCT frame hashes are
+    mostly contained in the other's (containment, not Jaccard — a
+    clip cut from a longer video should still flag). pHash equality
+    per frame absorbs re-encode/brightness edits; temporal edits cost
+    only the edited frames.
+
+    SCALE DESIGN: ONE hash-keyed equi-join over (video, hash) pairs —
+    never video x video; frame hashes shared by more than
+    ``max_hash_videos`` videos (test patterns, black frames — the
+    stop-frame analogue of a stopword) are dropped from pairing
+    before the join, the q283 hot-bucket discipline. Returns
+    (id_a, id_b, matched_frames, containment)."""
+    d = sigs.select("blob_id", "phash").distinct()
+    counts = d.groupBy("blob_id").agg(
+        F.count(F.lit(1)).alias("n_hashes")
+    )
+    hot = (
+        d.groupBy("phash")
+        .agg(F.count(F.lit(1)).alias("__nv"))
+        .filter(F.col("__nv") > max_hash_videos)
+        .select("phash")
+    )
+    pruned = d.join(F.broadcast(hot), ["phash"], "left_anti")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    matches = (
+        a.join(
+            b,
+            (F.col("a.phash") == F.col("b.phash"))
+            & (F.col("a.blob_id") < F.col("b.blob_id")),
+        )
+        .groupBy(
+            F.col("a.blob_id").alias("id_a"),
+            F.col("b.blob_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("matched_frames"))
+    )
+    ca = counts.select(
+        F.col("blob_id").alias("id_a"), F.col("n_hashes").alias("na")
+    )
+    cb = counts.select(
+        F.col("blob_id").alias("id_b"), F.col("n_hashes").alias("nb")
+    )
+    out = (
+        matches.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("matched_frames")
+                / F.least(F.col("na"), F.col("nb")),
+                6,
+            ),
+        )
+    )
+    return (
+        out.filter(
+            F.col("matched_frames") / F.least(F.col("na"), F.col("nb"))
+            >= min_containment
+        )
+        .select("id_a", "id_b", "matched_frames", "containment")
+        .orderBy("id_a", "id_b")
+    )

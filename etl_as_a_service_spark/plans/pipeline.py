@@ -128,6 +128,8 @@ _ALLOWED_OPS = {
     "target_encode",
     "winnow_fingerprints",
     "rag_chunk",
+    "simhash_pairs",
+    "shard_assign",
 }
 
 
@@ -913,6 +915,51 @@ def _apply_step(
                 (F.col(f"{pre}_n_tokens")
                  + ov * (F.col(f"{pre}_count") - 1)).cast("long"),
             )
+        )
+    if op == "simhash_pairs":
+        # {"op":"simhash_pairs","text_col":"text","id_col":"doc_id",
+        #  "max_hamming":3,"max_bucket_size":1000} — oracle-portable
+        # SimHash near-dup pairs (the q283 operator): banded
+        # candidates + exact Hamming verify; downstream steps join the
+        # (id_a, id_b, hamming) frame back or feed it to a CC step
+        from etl_as_a_service_spark.llm.dedup import (
+            simhash_pairs_portable,
+        )
+
+        mh = int(step.get("max_hamming", 3))
+        if not 0 <= mh <= 3:
+            raise PipelineError(
+                f"simhash_pairs needs 0 <= max_hamming <= 3 (the 4x8 "
+                f"banding guarantee), got {mh}"
+            )
+        return simhash_pairs_portable(
+            df,
+            _req(step, "text_col"),
+            _req(step, "id_col"),
+            max_hamming=mh,
+            max_bucket_size=int(step.get("max_bucket_size", 1000)),
+        )
+    if op == "shard_assign":
+        # {"op":"shard_assign","id_col":"doc_id","n_shards":16,
+        #  "out_col":"shard"} — append the engine-portable md5 shard
+        # (the q277 deal itself, not just its audit): reshuffle-stable
+        # across engines and reruns, so a re-run lands every row in
+        # the same training shard
+        from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+        n_shards = int(step.get("n_shards", 16))
+        if n_shards < 1:
+            raise PipelineError(
+                f"shard_assign needs n_shards >= 1, got {n_shards}"
+            )
+        return df.withColumn(
+            step.get("out_col", "shard"),
+            (
+                md5_hash64(
+                    F.col(_req(step, "id_col")).cast("string"), "shard-"
+                )
+                % n_shards
+            ).cast("long"),
         )
     if op == "robust_outlier_gate":
         # {"op":"robust_outlier_gate","value_col":"value",

@@ -1,9 +1,11 @@
-"""Training-data preparation queries (round-8 batch, q277-q283):
+"""Training-data preparation queries (round-8 batch, q277-q285):
 training-shard balance planning, T5-style span-corruption masking
 plans, tokenizer fertility reporting, matryoshka (prefix-dim) embedding
 energy curves, leave-one-source-out influence screening, stratified
-curriculum bucketing, and an oracle-portable SimHash near-duplicate
-pipeline (the q253 portable-LSH treatment applied to q48's SimHash).
+curriculum bucketing, an oracle-portable SimHash near-duplicate
+pipeline (the q253 portable-LSH treatment applied to q48's SimHash),
+and two REAL multimodal feature paths (numpy-FFT audio spectral
+screen, DCT pHash image near-dup — rows-only, content-asserted).
 
 Every query is DuckDB-oracle-checked end to end (the t2 gate);
 tokenization is the oracle's exact single-space split (the q233/q234
@@ -19,8 +21,6 @@ screens, difficulty curricula, and a driver-checkable SimHash
 candidate pipeline (Manku et al. WWW'07 banding)."""
 
 from __future__ import annotations
-
-from functools import reduce
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -678,6 +678,8 @@ def q283_simhash_pairs_portable(spark, sf_dir):
     (max bucket 813 < 1000) and costs only pairs whose EVERY shared
     band is hot at production scale; real-vocabulary corpora spread
     fingerprints ~uniformly and rarely hit it."""
+    from etl_as_a_service_spark.llm.dedup import simhash_pairs_portable
+
     (docs,) = _t(spark, sf_dir, "documents")
     base = docs.select("doc_id", "text").unionByName(
         docs.filter(F.col("doc_id") < 20).select(
@@ -685,85 +687,261 @@ def q283_simhash_pairs_portable(spark, sf_dir):
             F.concat(F.col("text"), F.lit(" nearcopy x9")).alias("text"),
         )
     )
-    tf = (
-        base.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    return simhash_pairs_portable(
+        base, "text", "doc_id", max_hamming=3, max_bucket_size=1000
     )
-    h = md5_hash64(F.col("w"), "sh-")
-    signed = tf.select("doc_id", "tf", h.alias("h"))
-    bit_cols = [
-        F.when(
-            F.sum(
-                F.col("tf")
-                * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
-            )
-            > 0,
-            F.lit(1 << j).cast("long"),
-        )
-        .otherwise(F.lit(0).cast("long"))
-        .alias(f"b{j}")
-        for j in range(32)
-    ]
-    bits = signed.groupBy("doc_id").agg(*bit_cols)
-    # fingerprint frame checkpointed: it feeds BOTH sides of the band
-    # self-join AND the verify columns — without truncation the whole
-    # tokenize/hash/32-sum pyramid re-plans per side (measured: two
-    # full scan subtrees). (id, sim) is 16 bytes/doc — bounded by doc
-    # count at any corpus size, the same discipline as the SRP bucket
-    # checkpoint in embedding_near_duplicates.
-    sim = bits.select(
-        "doc_id",
-        reduce(lambda a, b: a + b, [F.col(f"b{j}") for j in range(32)]).alias(
-            "sim"
-        ),
-    ).localCheckpoint()
-    bands = sim.select(
-        "doc_id",
-        "sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("b"),
-                        F.shiftright(F.col("sim"), 8 * b)
-                        .bitwiseAND(F.lit(255))
-                        .alias("key"),
+
+
+# --------------------------------------------------------------------------
+# q284 — audio spectral screen (REAL FFT features over synthesized WAVs)
+# --------------------------------------------------------------------------
+@query(
+    "q284_audio_spectral_report",
+    oracle=None,  # rows-only: numpy rfft has no SQL twin; content is
+    # asserted in tests/test_traindata2.py (planted pure tones must
+    # report their own frequency as dominant/centroid)
+    tags=("multimodal", "audio", "quality", "llm", "operator"),
+)
+def q284_audio_spectral_report(spark, sf_dir):
+    """Audio spectral screen (q284): synthesize a REAL 16-bit PCM WAV
+    per document executor-side — a pure sine at 200 + (doc_id % 20) *
+    150 Hz, 0.5 s at 8 kHz — then run the numpy-FFT spectral extractor
+    (centroid / bandwidth / rolloff / flatness / dominant) through the
+    Arrow mapInPandas seam and aggregate per planted frequency. A pure
+    tone must report itself: dominant == centroid == the planted
+    frequency, flatness ~ 0 — the audio-quality screen (silence / hum
+    / tone / noise) a multimodal corpus runs before training. Encode
+    and decode are both distributed; nothing touches the driver."""
+    from etl_as_a_service_spark.llm.multimodal import (
+        BLOB_SCHEMA,
+        audio_spectral_features,
+        encode_wav_bytes,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        rate, n = 8000, 4000
+        t = np.arange(n) / rate
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                freq = 200 + (int(doc_id) % 20) * 150
+                x = 0.6 * np.sin(2 * np.pi * freq * t)
+                rows.append(
+                    (
+                        int(doc_id), "audio", "audio/wav",
+                        encode_wav_bytes(x, rate=rate), None, None, 500,
                     )
-                    for b in range(4)
-                ]
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "blob_id", "modality", "mime", "content",
+                    "meta_width", "meta_height", "meta_duration_ms",
+                ],
             )
-        ).alias("bk"),
-    ).select("doc_id", "sim", F.col("bk.b").alias("b"), F.col("bk.key").alias("key"))
-    # hot-bucket cap (see docstring): agg + broadcast anti-join, the
-    # same shape as embedding_near_duplicates' max_bucket_size — the
-    # oversized-bucket list is tiny at any scale, so it broadcasts.
-    big = (
-        bands.groupBy("b", "key")
-        .agg(F.count(F.lit(1)).alias("__bsz"))
-        .filter(F.col("__bsz") > 1000)
-        .select("b", "key")
+
+    blobs = (
+        docs.filter(F.col("doc_id") < 60)
+        .select("doc_id")
+        .mapInPandas(encode, BLOB_SCHEMA)
     )
-    bands = bands.join(F.broadcast(big), ["b", "key"], "left_anti")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.sim").alias("sa"),
-            F.col("b.sim").alias("sb"),
-        )
-        .distinct()
-    )
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    feats = audio_spectral_features(blobs)
     return (
-        cand.filter(ham <= 3)
-        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
-        .orderBy("id_a", "id_b")
+        feats.withColumn(
+            "freq_hz", (200 + (F.col("blob_id") % 20) * 150).cast("long")
+        )
+        .groupBy("freq_hz")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.round(F.avg("dominant_hz"), 2).alias("mean_dominant_hz"),
+            F.round(F.avg("centroid_hz"), 2).alias("mean_centroid_hz"),
+            F.round(F.avg("flatness"), 6).alias("mean_flatness"),
+        )
+        .orderBy("freq_hz")
     )
+
+
+# --------------------------------------------------------------------------
+# q285 — image perceptual-hash near-dup pairs (REAL DCT pHash)
+# --------------------------------------------------------------------------
+@query(
+    "q285_image_phash_pairs",
+    oracle=None,  # rows-only: the DCT hash has no SQL twin; planted
+    # near-copy recovery and the no-false-positive contract are
+    # asserted in tests/test_traindata2.py
+    tags=("multimodal", "image", "dedup", "llm", "operator"),
+)
+def q285_image_phash_pairs(spark, sf_dir):
+    """Image near-dup pairs (q285): render each document as a REAL
+    32x32 binary PGM executor-side with a NATURAL-image spectrum
+    (text bytes integrated twice — cumsum over both axes — giving the
+    ~1/f^2 energy profile pHash is designed for; raw byte-noise grids
+    have near-zero low-frequency DCT coefficients, which makes the
+    median threshold fragile and was measured flipping 8-22 bits on a
+    small edit). For doc_id < 15 plant a perturbed near-copy under
+    blob_id+10000 (global brightness +10 plus a +30 bump on a 3x3
+    corner patch — the re-encode/levels edit byte-level dedup cannot
+    see; measured Hamming <= 4), pHash everything (resize -> 2D
+    DCT-II -> median threshold), and emit Hamming <= 6 pairs through
+    the 8x8-banded candidate join. Brightness alone moves ONLY the DC
+    coefficient, so that half of the edit is Hamming 0 by
+    construction; unrelated documents' hashes sit far outside the
+    contract (zero organic pairs measured even at Hamming <= 12)."""
+    from etl_as_a_service_spark.llm.multimodal import (
+        BLOB_SCHEMA,
+        image_phash,
+        phash_pairs,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        from etl_as_a_service_spark.llm.multimodal import encode_pgm_bytes
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = np.frombuffer(
+                    text.encode("utf-8"), dtype=np.uint8
+                ).astype(np.float64)
+                tiled = np.resize(data, 1024).reshape(32, 32) - data.mean()
+                f = np.cumsum(np.cumsum(tiled, axis=0), axis=1)
+                f = f - f.min()
+                img = (f / max(f.max(), 1e-9) * 255.0).astype(np.uint8)
+                rows.append(
+                    (
+                        int(doc_id), "image", "image/x-portable-graymap",
+                        encode_pgm_bytes(img), 32, 32, None,
+                    )
+                )
+                if doc_id < 15:
+                    v = np.clip(
+                        img.astype(np.int64) + 10, 0, 255
+                    ).astype(np.uint8)
+                    patch = v[:3, :3].astype(np.int64) + 30
+                    v[:3, :3] = np.clip(patch, 0, 255).astype(np.uint8)
+                    rows.append(
+                        (
+                            int(doc_id) + 10000, "image",
+                            "image/x-portable-graymap",
+                            encode_pgm_bytes(v), 32, 32, None,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "blob_id", "modality", "mime", "content",
+                    "meta_width", "meta_height", "meta_duration_ms",
+                ],
+            )
+
+    blobs = (
+        docs.filter(F.col("doc_id") < 120)
+        .select("doc_id", "text")
+        .mapInPandas(encode, BLOB_SCHEMA)
+    )
+    return phash_pairs(image_phash(blobs), max_hamming=6)
+
+
+# --------------------------------------------------------------------------
+# q286 — video near-dup via per-frame perceptual hashes
+# --------------------------------------------------------------------------
+@query(
+    "q286_video_phash_dedup",
+    oracle=None,  # rows-only: frame demux + DCT hash have no SQL
+    # twin; planted re-encode/trim recovery and the zero-organic
+    # contract are asserted in tests/test_traindata2.py
+    tags=("multimodal", "video", "dedup", "llm", "operator"),
+)
+def q286_video_phash_dedup(spark, sf_dir):
+    """Video near-dup pairs (q286): build a REAL 4-frame
+    concatenated-netpbm video per document executor-side (each frame a
+    1/f^2 rendering of a rotated byte window, so frames differ within
+    a video); for doc_id < 12 plant a near-copy under blob_id+10000
+    that is brightness-shifted (+12, pHash-equal frames) AND trimmed
+    to 3 frames (a temporal cut). Frame signatures come from
+    ``video_phash_signatures`` (real demux + DCT pHash); pairing is
+    ``video_near_duplicates``' containment join — the trim costs
+    nothing because containment divides by the SMALLER signature. The
+    full re-encode + cut therefore lands at containment 1.0 while
+    unrelated videos share no frame hash at all."""
+    from etl_as_a_service_spark.llm.multimodal import (
+        BLOB_SCHEMA,
+        video_near_duplicates,
+        video_phash_signatures,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        from etl_as_a_service_spark.llm.multimodal import (
+            encode_pnm_stream,
+        )
+
+        def frame(data, k):
+            tiled = (
+                np.resize(np.roll(data, 11 * k), 1024).reshape(32, 32)
+                - data.mean()
+            )
+            f = np.cumsum(np.cumsum(tiled, axis=0), axis=1)
+            f = f - f.min()
+            # render into [0, 240] so the +12 brightness edit below
+            # NEVER clips: clipping would break the constant-shift
+            # property that makes the edited frame pHash-equal
+            return (f / max(f.max(), 1e-9) * 240.0).astype(np.uint8)[
+                :, :, None
+            ]
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = np.frombuffer(
+                    text.encode("utf-8"), dtype=np.uint8
+                ).astype(np.float64)
+                frames = [frame(data, k) for k in range(4)]
+                rows.append(
+                    (
+                        int(doc_id), "video", "video/x-netpbm-stream",
+                        encode_pnm_stream(frames), 32, 32, 4000,
+                    )
+                )
+                if doc_id < 12:
+                    # pure constant shift (no clipping by the [0, 240]
+                    # render) -> identical pHash per frame
+                    edited = [
+                        (fr.astype(np.int64) + 12).astype(np.uint8)
+                        for fr in frames[:3]  # re-encode + trim
+                    ]
+                    rows.append(
+                        (
+                            int(doc_id) + 10000, "video",
+                            "video/x-netpbm-stream",
+                            encode_pnm_stream(edited), 32, 32, 3000,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "blob_id", "modality", "mime", "content",
+                    "meta_width", "meta_height", "meta_duration_ms",
+                ],
+            )
+
+    blobs = (
+        docs.filter(F.col("doc_id") < 80)
+        .select("doc_id", "text")
+        .mapInPandas(encode, BLOB_SCHEMA)
+    )
+    sigs = video_phash_signatures(blobs, every_n=1)
+    return video_near_duplicates(sigs, min_containment=0.8)

@@ -152,7 +152,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from etl_as_a_service_spark.llm.dedup import winnowing_fingerprints
+    from etl_as_a_service_spark.llm.dedup import (
+        simhash_pairs_portable,
+        winnowing_fingerprints,
+    )
 
     tabs = load_tables(spark, sf_dir, ("documents", "lineitem"))
     docs = tabs["documents"].select("doc_id", "text", "lang", "source")
@@ -184,6 +187,11 @@ def main() -> None:
             "q275 fold contamination (4x docs)",
             lambda d=docs: fold_contamination(d).count(),
             lambda d=docs4: fold_contamination(d).count(),
+        ),
+        (
+            "q283 portable SimHash pairs (4x docs)",
+            lambda d=docs: simhash_pairs_portable(d, "text", "doc_id").count(),
+            lambda d=docs4: simhash_pairs_portable(d, "text", "doc_id").count(),
         ),
     ]
     for _, base, _s in entries:  # warm codegen/JIT outside timings

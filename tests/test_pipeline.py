@@ -1629,3 +1629,75 @@ def test_pipeline_traindata_ops(spark):
             {"op": "rag_chunk", "text_col": "text",
              "chunk_tokens": 8, "overlap": 8},
         ]))
+
+
+def test_pipeline_round8_traindata_ops(spark):
+    """Declarative faces of the round-8 batch: simhash_pairs matches
+    the operator exactly (and rejects a banding-breaking max_hamming);
+    shard_assign appends the q277 deal and is reshuffle-stable."""
+    from etl_as_a_service_spark.llm.dedup import (
+        md5_hash64,
+        simhash_pairs_portable,
+    )
+    from etl_as_a_service_spark.plans.pipeline import (
+        PipelineError,
+        compile_pipeline,
+    )
+
+    spec = {
+        "name": "simhash",
+        "source": {
+            "format": "parquet",
+            "path": f"{SF_SMOKE}/documents.parquet",
+        },
+        "steps": [
+            {"op": "simhash_pairs", "text_col": "text",
+             "id_col": "doc_id", "max_hamming": 3},
+        ],
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in compile_pipeline(spark, spec).collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    want = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs_portable(docs, "text", "doc_id").collect()
+    }
+    assert got == want
+    with pytest.raises(PipelineError, match="max_hamming"):
+        compile_pipeline(spark, dict(spec, steps=[
+            {"op": "simhash_pairs", "text_col": "text",
+             "id_col": "doc_id", "max_hamming": 9},
+        ]))
+
+    shard_spec = {
+        "name": "shards",
+        "source": {
+            "format": "parquet",
+            "path": f"{SF_SMOKE}/documents.parquet",
+        },
+        "steps": [
+            {"op": "shard_assign", "id_col": "doc_id", "n_shards": 8},
+        ],
+    }
+    out = compile_pipeline(spark, shard_spec)
+    assert "shard" in out.columns
+    rows = out.select("doc_id", "shard").collect()
+    assert {r["shard"] for r in rows} <= set(range(8))
+    # reshuffle-stable: the shard is a pure function of the id
+    from pyspark.sql import functions as SF
+
+    want_shard = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id",
+            (md5_hash64(SF.col("doc_id").cast("string"), "shard-") % 8)
+            .cast("long").alias("s"),
+        ).collect()
+    }
+    assert all(want_shard[r["doc_id"]] == r["shard"] for r in rows)
+    with pytest.raises(PipelineError, match="n_shards"):
+        compile_pipeline(spark, dict(shard_spec, steps=[
+            {"op": "shard_assign", "id_col": "doc_id", "n_shards": 0},
+        ]))

@@ -1,7 +1,8 @@
 """Content/invariant tests for the round-8 training-data queries
-(q277-q283) beyond the DuckDB hash gate: structural guarantees the
+(q277-q285) beyond the DuckDB hash gate: structural guarantees the
 oracle comparison cannot see (span non-overlap, planted-pair recall,
-balance-ratio algebra, energy-curve monotonicity)."""
+balance-ratio algebra, energy-curve monotonicity, spectral and
+perceptual-hash content contracts)."""
 
 from __future__ import annotations
 
@@ -152,3 +153,105 @@ def test_simhash_planted_recall_and_contract(spark):
     for r in out:
         assert r["id_a"] < r["id_b"]
         assert 0 <= r["hamming"] <= 3
+
+
+def test_audio_spectral_pure_tone_reports_itself(spark):
+    """A planted pure sine must report its own frequency as both
+    dominant and (approximately) centroid, with near-zero flatness —
+    the content assertion behind rows-only q284."""
+    out = _run(spark, "q284_audio_spectral_report").collect()
+    assert len(out) == 20
+    for r in out:
+        f = r["freq_hz"]
+        assert r["mean_dominant_hz"] == pytest.approx(f, abs=2.0)
+        assert r["mean_centroid_hz"] == pytest.approx(f, rel=0.02)
+        assert r["mean_flatness"] < 0.01
+
+
+def test_audio_spectral_separates_tone_from_noise(spark):
+    """Operator-level contract: deterministic pseudo-noise has high
+    flatness and wide bandwidth; a tone has neither. Also exercises
+    multi-channel downmix."""
+    import numpy as np
+
+    from etl_as_a_service_spark.llm.multimodal import (
+        BLOB_SCHEMA,
+        audio_spectral_features,
+        encode_wav_bytes,
+    )
+
+    rate, n = 8000, 4096
+    t = np.arange(n) / rate
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+    rng = np.random.default_rng(7)
+    noise = 0.5 * (rng.random(n) * 2 - 1)
+    rows = [
+        (1, "audio", "audio/wav", encode_wav_bytes(tone, rate=rate),
+         None, None, 512),
+        (2, "audio", "audio/wav", encode_wav_bytes(noise, rate=rate),
+         None, None, 512),
+    ]
+    df = spark.createDataFrame(rows, BLOB_SCHEMA)
+    feats = {r["blob_id"]: r for r in audio_spectral_features(df).collect()}
+    assert feats[1]["flatness"] < 0.01 < feats[2]["flatness"]
+    assert feats[1]["bandwidth_hz"] < feats[2]["bandwidth_hz"]
+    assert feats[1]["dominant_hz"] == pytest.approx(440, abs=2.0)
+
+
+def test_phash_pairs_recover_planted_images(spark):
+    """Every planted brightness/patch-perturbed near-copy is recovered
+    at Hamming <= 6; pairs are canonical and unique; unrelated images
+    never collide (pHash codes of distinct byte-grids sit near
+    Hamming ~32)."""
+    out = _run(spark, "q285_image_phash_pairs").collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert len(pairs) == len(out)
+    planted = {(i, i + 10000) for i in range(15)}
+    assert planted <= pairs, sorted(planted - pairs)
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert 0 <= r["hamming"] <= 6
+
+
+def test_phash_invariances():
+    """pHash unit contract: exact brightness shift -> Hamming 0 (only
+    the DC coefficient moves); small patch edit -> small Hamming;
+    unrelated image -> large Hamming."""
+    import numpy as np
+
+    from etl_as_a_service_spark.llm.multimodal import _phash_value
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 200, size=(32, 32, 1)).astype(np.uint8)
+    h0 = _phash_value(img)
+    bright = np.clip(img.astype(np.int64) + 30, 0, 255).astype(np.uint8)
+    h1 = _phash_value(bright)
+    patched = img.copy()
+    patched[:3, :3, 0] = 255
+    h2 = _phash_value(patched)
+    other = rng.integers(0, 200, size=(32, 32, 1)).astype(np.uint8)
+    h3 = _phash_value(other)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h0, h1) == 0
+    assert ham(h0, h2) <= 8
+    assert ham(h0, h3) >= 16
+
+
+def test_video_phash_dedup_recovers_reencoded_trims(spark):
+    """Every planted brightness-shifted + trimmed video copy is
+    recovered at containment 1.0 (pHash absorbs the re-encode, the
+    containment denominator absorbs the cut); unrelated videos share
+    no frame hash."""
+    out = _run(spark, "q286_video_phash_dedup").collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    planted = {(i, i + 10000) for i in range(12)}
+    assert planted <= set(pairs), sorted(planted - set(pairs))
+    for key in planted:
+        r = pairs[key]
+        assert r["containment"] == pytest.approx(1.0)
+        assert r["matched_frames"] == 3  # the trimmed copy's 3 frames
+    organic = set(pairs) - planted
+    assert not organic, sorted(organic)
