@@ -87,6 +87,9 @@ _ROTATE_FRONT = [
     "q281_loo_source_influence",
     "q282_curriculum_buckets",
     "q283_simhash_pairs_portable",
+    "q287_krippendorff_alpha",
+    "q288_propensity_matching",
+    "q289_negative_sampling_table",
     "q226_conversion_lag",
     "q227_weighted_shortest_paths",
     "q228_kcore_peel",

@@ -945,3 +945,329 @@ def q286_video_phash_dedup(spark, sf_dir):
     )
     sigs = video_phash_signatures(blobs, every_n=1)
     return video_near_duplicates(sigs, min_containment=0.8)
+
+
+# --------------------------------------------------------------------------
+# q287 — Krippendorff's alpha (nominal, multi-rater agreement)
+# --------------------------------------------------------------------------
+@query(
+    "q287_krippendorff_alpha",
+    oracle="""
+    WITH ratings AS (
+      SELECT doc_id,
+             CASE WHEN h % 10 < a + 1 THEN 'n' || CAST(h % 3 AS VARCHAR)
+                  ELSE lang END AS rating
+      FROM (
+        SELECT doc_id, lang, a,
+               CAST(('0x' || substr(md5('kr-' || CAST(a AS VARCHAR) || '-'
+                                    || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS h
+        FROM documents, UNNEST([0, 1, 2]) AS u(a)
+      )
+    ),
+    nuc AS (
+      SELECT doc_id, rating, count(*) AS c
+      FROM ratings GROUP BY doc_id, rating
+    ),
+    do_part AS (
+      SELECT sum(c * (3 - c)) / 2.0 AS do_num,
+             count(DISTINCT doc_id) AS n_units
+      FROM nuc
+    ),
+    nc AS (SELECT rating, sum(c) AS c FROM nuc GROUP BY rating),
+    tot AS (
+      SELECT sum(c) * 1.0 AS n, sum(c * c) * 1.0 AS sum_c2 FROM nc
+    )
+    SELECT CAST(n_units AS BIGINT) AS n_units,
+           CAST(n AS BIGINT) AS n_ratings,
+           round(do_num / n, 6) AS observed_disagreement,
+           round((n * n - sum_c2) / (n * (n - 1)), 6)
+             AS expected_disagreement,
+           round(1 - (do_num / n)
+                     / ((n * n - sum_c2) / (n * (n - 1))), 6) AS alpha
+    FROM do_part CROSS JOIN tot
+    """,
+    tags=("quality", "agreement", "stats", "llm", "operator"),
+)
+def q287_krippendorff_alpha(spark, sf_dir):
+    """Krippendorff's alpha (nominal data, 3 raters) — the
+    inter-annotator agreement coefficient that, unlike q233's Cohen
+    kappa, handles any number of raters and arbitrary category sets.
+    Raters are synthesized deterministically (the q266 md5-coin
+    recipe): rater a relabels a document with a noise category at
+    rate (a+1)/10, so the panel has known decreasing reliability and
+    alpha lands strictly between 0 and 1. alpha = 1 - Do/De over the
+    coincidence counts: Do from within-unit rating pairs, De from the
+    global category distribution — both exact integer aggregates,
+    divided once at the readout.
+
+    SCALE DESIGN: one explode scan to the (unit, rating) counts
+    (checkpointed — it feeds the Do aggregate AND the category
+    marginals, which otherwise re-plan the scan), then two
+    metadata-sized aggregates crossed into one row. Rater count is a
+    literal; units stream through a single shuffle on (unit, rating)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    r = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("a"),
+    )
+    h = md5_hash64(
+        F.concat(
+            F.col("a").cast("string"),
+            F.lit("-"),
+            F.col("doc_id").cast("string"),
+        ),
+        "kr-",
+    )
+    ratings = r.select(
+        "doc_id",
+        F.when(
+            h % 10 < F.col("a") + 1,
+            F.concat(F.lit("n"), (h % 3).cast("string")),
+        )
+        .otherwise(F.col("lang"))
+        .alias("rating"),
+    )
+    nuc = (
+        ratings.groupBy("doc_id", "rating")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    do_part = nuc.agg(
+        (F.sum(F.col("c") * (3 - F.col("c"))) / 2.0).alias("do_num"),
+        F.countDistinct("doc_id").alias("n_units"),
+    )
+    nc = nuc.groupBy("rating").agg(F.sum("c").alias("c"))
+    tot = nc.agg(
+        (F.sum("c") * 1.0).alias("n"),
+        (F.sum(F.col("c") * F.col("c")) * 1.0).alias("sum_c2"),
+    )
+    de = (F.col("n") * F.col("n") - F.col("sum_c2")) / (
+        F.col("n") * (F.col("n") - 1)
+    )
+    return do_part.crossJoin(F.broadcast(tot)).select(
+        F.col("n_units").cast("long").alias("n_units"),
+        F.col("n").cast("long").alias("n_ratings"),
+        F.round(F.col("do_num") / F.col("n"), 6).alias(
+            "observed_disagreement"
+        ),
+        F.round(de, 6).alias("expected_disagreement"),
+        F.round(1 - (F.col("do_num") / F.col("n")) / de, 6).alias("alpha"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q288 — propensity-score matching (with replacement, banded candidates)
+# --------------------------------------------------------------------------
+@query(
+    "q288_propensity_matching",
+    oracle="""
+    WITH stats AS (
+      SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM customer
+    ),
+    spend AS (
+      SELECT o_custkey AS ck, sum(o_totalprice) AS out_
+      FROM orders GROUP BY o_custkey
+    ),
+    units AS (
+      SELECT c_custkey,
+             (c_acctbal - lo) / (hi - lo) AS score,
+             CAST(('0x' || substr(md5('ps-' || CAST(c_custkey AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 2 = 0 AS treated,
+             COALESCE(out_, 0.0) AS outcome
+      FROM customer CROSS JOIN stats
+      LEFT JOIN spend ON c_custkey = ck
+    ),
+    probes AS (
+      SELECT c_custkey, score, outcome,
+             CAST(floor(score / 0.05) AS BIGINT) + d AS band
+      FROM units, UNNEST([-1, 0, 1]) AS u(d) WHERE treated
+    ),
+    ctrl AS (
+      SELECT c_custkey, score, outcome,
+             CAST(floor(score / 0.05) AS BIGINT) AS band
+      FROM units WHERE NOT treated
+    ),
+    best AS (
+      SELECT p.c_custkey AS t_key, p.outcome AS t_out,
+             min(struct_pack(
+               d := abs(p.score - c.score),
+               k := c.c_custkey,
+               o := c.outcome)) AS pick
+      FROM probes p JOIN ctrl c ON p.band = c.band
+      WHERE abs(p.score - c.score) <= 0.05
+      GROUP BY p.c_custkey, p.outcome
+    ),
+    n_treated AS (SELECT count(*) AS nt FROM units WHERE treated)
+    SELECT CAST(nt AS BIGINT) AS n_treated,
+           CAST(count(*) AS BIGINT) AS n_matched,
+           round(avg(t_out - pick.o), 2) AS att,
+           round(avg(pick.d), 6) AS mean_score_gap
+    FROM best CROSS JOIN n_treated GROUP BY nt
+    """,
+    tags=("causal", "matching", "join", "stats", "operator"),
+)
+def q288_propensity_matching(spark, sf_dir):
+    """Propensity-score matching (nearest control WITH replacement,
+    caliper 0.05) and the resulting ATT — the causal-inference
+    workhorse next to q266's DiD and q183's CUPED. Treatment is the
+    deterministic md5 coin; the score is the min-max-normalized
+    account balance (the operator is the MATCHING; any fitted
+    propensity — e.g. q252's logistic — plugs into the score column);
+    outcome is total order spend. Matching with replacement keeps the
+    argmin per treated unit independent, so the whole match is ONE
+    banded equi-join + a combiner-backed min(struct) — the greedy
+    without-replacement variant is inherently sequential and does not
+    distribute.
+
+    SCALE DESIGN: candidates come from the q103 banded-range-join
+    shape (controls keyed by floor(score/caliper), treated probes
+    explode +/-1 band), never treated x control; the per-treated
+    argmin is min over a struct (map-side partial aggregate — the
+    q148 keeper discipline); the readout is one metadata-sized
+    aggregate."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    stats = cust.agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    spend = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum("o_totalprice").alias("out_")
+    )
+    units = (
+        cust.crossJoin(F.broadcast(stats))
+        .join(spend, F.col("c_custkey") == F.col("ck"), "left")
+        .select(
+            "c_custkey",
+            ((F.col("c_acctbal") - F.col("lo")) / (F.col("hi") - F.col("lo"))).alias(
+                "score"
+            ),
+            (md5_hash64(F.col("c_custkey").cast("string"), "ps-") % 2 == 0).alias(
+                "treated"
+            ),
+            F.coalesce(F.col("out_"), F.lit(0.0)).alias("outcome"),
+        )
+    )
+    band = F.floor(F.col("score") / 0.05).cast("long")
+    probes = (
+        units.filter("treated")
+        .select(
+            "c_custkey",
+            "score",
+            "outcome",
+            F.explode(
+                F.array(band - 1, band, band + 1)
+            ).alias("band"),
+        )
+    )
+    ctrl = units.filter(~F.col("treated")).select(
+        F.col("c_custkey").alias("ck2"),
+        F.col("score").alias("cscore"),
+        F.col("outcome").alias("cout"),
+        band.alias("band"),
+    )
+    d = F.abs(F.col("score") - F.col("cscore"))
+    best = (
+        probes.join(ctrl, "band")
+        .filter(d <= 0.05)
+        .groupBy("c_custkey", "outcome")
+        .agg(
+            F.min(
+                F.struct(
+                    d.alias("d"),
+                    F.col("ck2").alias("k"),
+                    F.col("cout").alias("o"),
+                )
+            ).alias("pick")
+        )
+    )
+    n_treated = units.filter("treated").agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    return (
+        best.crossJoin(F.broadcast(n_treated))
+        .groupBy("nt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.round(F.avg(F.col("outcome") - F.col("pick.o")), 2).alias(
+                "att"
+            ),
+            F.round(F.avg("pick.d"), 6).alias("mean_score_gap"),
+        )
+        .select(
+            F.col("nt").cast("long").alias("n_treated"),
+            "n_matched",
+            "att",
+            "mean_score_gap",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q289 — negative-sampling table (word2vec unigram^0.75)
+# --------------------------------------------------------------------------
+@query(
+    "q289_negative_sampling_table",
+    oracle="""
+    WITH cnt AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w ORDER BY c DESC, w LIMIT 1000
+    ),
+    pw AS (SELECT w, c, pow(c, 0.75) AS wt FROM cnt),
+    tot AS (SELECT sum(wt) AS t FROM pw),
+    cum AS (
+      SELECT w, c, wt / t AS p,
+             sum(wt / t) OVER (ORDER BY c DESC, w
+                               ROWS UNBOUNDED PRECEDING) AS hi
+      FROM pw CROSS JOIN tot
+    )
+    SELECT w AS token, CAST(c AS BIGINT) AS count,
+           round(p, 6) AS p,
+           round(hi - p, 6) AS cum_lo,
+           round(hi, 6) AS cum_hi
+    FROM cum ORDER BY count DESC, token
+    """,
+    tags=("curation", "sampling", "vocab", "llm", "operator"),
+)
+def q289_negative_sampling_table(spark, sf_dir):
+    """word2vec negative-sampling table (Mikolov et al. 2013, public
+    paper): per-token probability proportional to count^0.75 over the
+    top-1000 vocabulary, with the cumulative [cum_lo, cum_hi) ranges
+    an inverse-CDF sampler consumes — the smoothing that keeps rare
+    tokens sampleable without letting stopwords dominate. Complements
+    q265's nucleus truncation (which SIZES a vocabulary; this WEIGHTS
+    one).
+
+    SCALE DESIGN: vocabulary counts map-side combine; the top-1000
+    cap (orderBy+limit -> TakeOrderedAndProject) bounds the frame
+    BEFORE the cumulative window, so the running sum runs over a
+    limit-bounded set (the q93/q268 pattern), never the corpus. The
+    capped frame is checkpointed: the total-weight aggregate and the
+    per-row probabilities would otherwise re-plan the corpus scan."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(1000)
+        .localCheckpoint()
+    )
+    pw = cnt.select("w", "c", F.pow(F.col("c"), 0.75).alias("wt"))
+    tot = pw.agg(F.sum("wt").alias("t"))
+    w = Window.orderBy(F.desc("c"), F.asc("w")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        pw.crossJoin(F.broadcast(tot))
+        .withColumn("p", F.col("wt") / F.col("t"))
+        .withColumn("hi", F.sum(F.col("wt") / F.col("t")).over(w))
+    )
+    return cum.select(
+        F.col("w").alias("token"),
+        F.col("c").cast("long").alias("count"),
+        F.round("p", 6).alias("p"),
+        F.round(F.col("hi") - F.col("p"), 6).alias("cum_lo"),
+        F.round("hi", 6).alias("cum_hi"),
+    ).orderBy(F.desc("count"), F.asc("token"))

@@ -171,7 +171,11 @@ def test_manifest_plans_lint_clean(spark):
       pattern, documented in-query);
     - q268: the coverage cumsum window runs over the ALREADY-limited
       top-40 type frame (orderBy+limit bounds it first — the q93
-      pattern, documented in-query)."""
+      pattern, documented in-query);
+    - q289: the negative-sampling cumsum window runs over the
+      ALREADY-limited (and checkpointed) top-1000 vocab frame
+      (orderBy+limit bounds it first — the q93 pattern, documented
+      in-query)."""
     from etl_as_a_service_spark.plans.doctor import lint_plan
     from etl_as_a_service_spark.queries import QUERIES
     from tests.conftest import SF_SMOKE
@@ -188,6 +192,7 @@ def test_manifest_plans_lint_clean(spark):
         "q255_classifier_eval",
         "q262_holdout_eval",
         "q268_vocab_coverage_curve",
+        "q289_negative_sampling_table",
     }
     bad = {}
     for name, qd in QUERIES.items():

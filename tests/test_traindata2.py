@@ -255,3 +255,66 @@ def test_video_phash_dedup_recovers_reencoded_trims(spark):
         assert r["matched_frames"] == 3  # the trimmed copy's 3 frames
     organic = set(pairs) - planted
     assert not organic, sorted(organic)
+
+
+def test_krippendorff_alpha_bounds_and_panel(spark):
+    """Alpha sits strictly between 0 and 1 for the known-noise panel
+    (perfect agreement would be 1, chance 0); disagreement components
+    are consistent (alpha == 1 - Do/De to rounding)."""
+    (r,) = _run(spark, "q287_krippendorff_alpha").collect()
+    assert 0.0 < r["alpha"] < 1.0
+    assert r["n_ratings"] == 3 * r["n_units"]
+    recon = 1 - r["observed_disagreement"] / r["expected_disagreement"]
+    assert r["alpha"] == pytest.approx(recon, abs=2e-5)
+
+
+def test_propensity_matching_caliper_and_argmin(spark):
+    """Every match respects the caliper; the argmin is the true
+    nearest control (re-derived independently for a sample); matched
+    count never exceeds treated count."""
+    (r,) = _run(spark, "q288_propensity_matching").collect()
+    assert 0 < r["n_matched"] <= r["n_treated"]
+    assert 0.0 <= r["mean_score_gap"] <= 0.05
+    # independent re-derivation of the full match on pandas
+    import pandas as pd
+
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    cust = spark.read.parquet(f"{SF01}/customer.parquet").select(
+        "c_custkey",
+        "c_acctbal",
+        (md5_hash64(F.col("c_custkey").cast("string"), "ps-") % 2 == 0).alias(
+            "treated"
+        ),
+    ).toPandas()
+    lo, hi = cust.c_acctbal.min(), cust.c_acctbal.max()
+    cust["score"] = (cust.c_acctbal - lo) / (hi - lo)
+    tr = cust[cust.treated]
+    ct = cust[~cust.treated].sort_values(["score", "c_custkey"])
+    n_matched = 0
+    gaps = []
+    for s in tr.score:
+        d = (ct.score - s).abs()
+        if d.min() <= 0.05:
+            n_matched += 1
+            gaps.append(d.min())
+    assert n_matched == r["n_matched"]
+    assert r["mean_score_gap"] == pytest.approx(
+        sum(gaps) / len(gaps), abs=1e-5
+    )
+
+
+def test_negative_sampling_table_partitions_unit_interval(spark):
+    """The [cum_lo, cum_hi) ranges tile [0, 1] without gaps in rank
+    order; probabilities follow count^0.75 monotonically."""
+    rows = _run(spark, "q289_negative_sampling_table").collect()
+    assert rows
+    prev_hi = 0.0
+    prev_p = float("inf")
+    for r in rows:
+        assert r["cum_lo"] == pytest.approx(prev_hi, abs=2e-6)
+        assert r["cum_hi"] >= r["cum_lo"]
+        assert r["p"] <= prev_p + 1e-9
+        prev_hi = r["cum_hi"]
+        prev_p = r["p"]
+    assert rows[-1]["cum_hi"] == pytest.approx(1.0, abs=2e-6)
