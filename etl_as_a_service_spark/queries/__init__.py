@@ -90,6 +90,8 @@ _ROTATE_FRONT = [
     "q287_krippendorff_alpha",
     "q288_propensity_matching",
     "q289_negative_sampling_table",
+    "q290_conformal_coverage",
+    "q291_uplift_deciles",
     "q226_conversion_lag",
     "q227_weighted_shortest_paths",
     "q228_kcore_peel",

@@ -1271,3 +1271,276 @@ def q289_negative_sampling_table(spark, sf_dir):
         F.round(F.col("hi") - F.col("p"), 6).alias("cum_lo"),
         F.round("hi", 6).alias("cum_hi"),
     ).orderBy(F.desc("count"), F.asc("token"))
+
+
+# --------------------------------------------------------------------------
+# q290 — split-conformal prediction interval + held-out coverage
+# --------------------------------------------------------------------------
+@query(
+    "q290_conformal_coverage",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey AS ck, sum(o_totalprice) AS y
+      FROM orders GROUP BY o_custkey
+    ),
+    units AS (
+      SELECT c_custkey, c_mktsegment,
+             COALESCE(y, 0.0) AS y,
+             CAST(('0x' || substr(md5('cf-' || CAST(c_custkey AS VARCHAR)),
+                                  1, 8)) AS BIGINT) AS h
+      FROM customer LEFT JOIN spend ON c_custkey = ck
+    ),
+    labeled AS (
+      SELECT *, CASE WHEN h % 4 < 2 THEN 'train'
+                     WHEN h % 4 = 2 THEN 'cal' ELSE 'test' END AS split
+      FROM units
+    ),
+    model AS (
+      SELECT c_mktsegment, avg(y) AS yhat
+      FROM labeled WHERE split = 'train' GROUP BY c_mktsegment
+    ),
+    cal AS (
+      SELECT abs(y - yhat) AS s, c_custkey
+      FROM labeled JOIN model USING (c_mktsegment)
+      WHERE split = 'cal'
+      ORDER BY h, c_custkey LIMIT 2000
+    ),
+    ranked AS (
+      SELECT s, row_number() OVER (ORDER BY s ASC NULLS LAST,
+                                   c_custkey) AS rn,
+             count(*) OVER () AS n_cal
+      FROM cal
+    ),
+    qhat AS (
+      SELECT s AS q, n_cal FROM ranked
+      WHERE rn = CAST(ceil((n_cal + 1) * 0.9) AS BIGINT)
+    ),
+    test AS (
+      SELECT abs(y - yhat) AS err
+      FROM labeled JOIN model USING (c_mktsegment)
+      WHERE split = 'test'
+    )
+    SELECT CAST(n_cal AS BIGINT) AS n_cal,
+           round(q, 2) AS q_hat,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(count(*) FILTER (err <= q) AS BIGINT) AS covered,
+           round(count(*) FILTER (err <= q) * 1.0 / count(*), 6)
+             AS coverage
+    FROM test CROSS JOIN qhat GROUP BY n_cal, q
+    """,
+    tags=("evaluation", "conformal", "stats", "ml", "operator"),
+)
+def q290_conformal_coverage(spark, sf_dir):
+    """Split-conformal prediction (Vovk et al., public method): fit a
+    naive per-segment mean-spend predictor on the TRAIN split, take
+    q_hat as the ceil((n+1)*0.9)-th smallest absolute residual on a
+    bounded CALIBRATION sample, and report the HELD-OUT coverage of
+    the +/- q_hat interval — the distribution-free ~90% guarantee
+    every model-serving gate should check. Splits ride the md5 coin
+    (train 50% / cal 25% / test 25%); the calibration sample is
+    hash-ordered LIMIT 2000, which is both the scale bound and
+    statistically honest (conformal guarantees hold for any i.i.d.
+    calibration subsample).
+
+    SCALE DESIGN: the predictor is a segment-grain broadcast; the
+    rank-k quantile window runs over the LIMIT-bounded calibration
+    frame only (the q93 pattern — TakeOrderedAndProject first), never
+    the corpus; coverage is one conditional aggregate with the 1-row
+    q_hat broadcast-crossed in."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum("o_totalprice").alias("y")
+    )
+    h = md5_hash64(F.col("c_custkey").cast("string"), "cf-")
+    labeled = (
+        cust.join(spend, F.col("c_custkey") == F.col("ck"), "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce(F.col("y"), F.lit(0.0)).alias("y"),
+            h.alias("h"),
+        )
+        .withColumn(
+            "split",
+            F.when(F.col("h") % 4 < 2, "train")
+            .when(F.col("h") % 4 == 2, "cal")
+            .otherwise("test"),
+        )
+    )
+    model = (
+        labeled.filter("split = 'train'")
+        .groupBy("c_mktsegment")
+        .agg(F.avg("y").alias("yhat"))
+    )
+    scored = labeled.join(F.broadcast(model), "c_mktsegment")
+    cal = (
+        scored.filter("split = 'cal'")
+        .select(
+            F.abs(F.col("y") - F.col("yhat")).alias("s"), "c_custkey", "h"
+        )
+        .orderBy("h", "c_custkey")
+        .limit(2000)
+        .localCheckpoint()
+    )
+    wr = Window.orderBy(F.col("s").asc_nulls_last(), F.col("c_custkey"))
+    ranked = cal.select(
+        "s",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_cal"),
+    )
+    qhat = ranked.filter(
+        F.col("rn")
+        == F.ceil((F.col("n_cal") + 1) * 0.9).cast("long")
+    ).select(F.col("s").alias("q"), "n_cal")
+    test = scored.filter("split = 'test'").select(
+        F.abs(F.col("y") - F.col("yhat")).alias("err")
+    )
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .groupBy("n_cal", "q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("err") <= F.col("q"), 1).otherwise(0)
+            ).cast("long").alias("covered"),
+            F.round(
+                F.sum(
+                    F.when(F.col("err") <= F.col("q"), 1).otherwise(0)
+                )
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coverage"),
+        )
+        .select(
+            F.col("n_cal").cast("long").alias("n_cal"),
+            F.round("q", 2).alias("q_hat"),
+            "n_test",
+            "covered",
+            "coverage",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q291 — uplift decile curve (Qini-style treated-vs-control readout)
+# --------------------------------------------------------------------------
+@query(
+    "q291_uplift_deciles",
+    oracle="""
+    WITH stats AS (
+      SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM customer
+    ),
+    conv AS (
+      SELECT o_custkey AS ck,
+             CASE WHEN count(*) >= 8 THEN 1 ELSE 0 END AS converted
+      FROM orders GROUP BY o_custkey
+    ),
+    units AS (
+      SELECT LEAST(9, CAST(floor(
+               (c_acctbal - lo) / (hi - lo) * 10) AS BIGINT)) AS decile,
+             CAST(('0x' || substr(md5('up-' || CAST(c_custkey AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 2 = 0 AS treated,
+             COALESCE(converted, 0) AS converted
+      FROM customer CROSS JOIN stats
+      LEFT JOIN conv ON c_custkey = ck
+    ),
+    per AS (
+      SELECT decile,
+             CAST(count(*) FILTER (treated) AS BIGINT) AS n_t,
+             CAST(count(*) FILTER (NOT treated) AS BIGINT) AS n_c,
+             CAST(sum(converted) FILTER (treated) AS BIGINT) AS conv_t,
+             CAST(sum(converted) FILTER (NOT treated) AS BIGINT) AS conv_c
+      FROM units GROUP BY decile
+    )
+    SELECT decile, n_t, n_c, conv_t, conv_c,
+           round(conv_t * 1.0 / nullif(n_t, 0)
+                 - conv_c * 1.0 / nullif(n_c, 0), 6) + 0.0 AS uplift,
+           round(sum(conv_t - conv_c * n_t * 1.0 / nullif(n_c, 0))
+                   OVER (ORDER BY decile DESC
+                         ROWS UNBOUNDED PRECEDING), 6) AS qini_cum
+    FROM per ORDER BY decile
+    """,
+    tags=("causal", "uplift", "evaluation", "stats", "operator"),
+)
+def q291_uplift_deciles(spark, sf_dir):
+    """Uplift decile curve (the Qini readout, Radcliffe 2007, public
+    method): bucket customers into equal-width score deciles
+    (min-max-normalized account balance standing in for an uplift
+    model's score), and per decile report treated/control conversion
+    (>= 8 orders) plus the incremental-conversions running total from
+    the best decile down — the curve that says whether targeting by
+    the score beats random treatment. Treatment is the q288 md5 coin
+    under a fresh salt, so the arms are independent of q288's.
+
+    SCALE DESIGN: closed-form equal-width deciles (no ntile, no
+    global sort — the bucket is per-row arithmetic); one decile-grain
+    conditional aggregate; the Qini cumsum window runs over the
+    10-row aggregated grain (the q214 pattern)."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    stats = cust.agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    conv = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.when(F.count(F.lit(1)) >= 8, 1).otherwise(0).alias("converted")
+    )
+    units = (
+        cust.crossJoin(F.broadcast(stats))
+        .join(conv, F.col("c_custkey") == F.col("ck"), "left")
+        .select(
+            F.least(
+                F.lit(9),
+                F.floor(
+                    (F.col("c_acctbal") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 10
+                ).cast("long"),
+            ).alias("decile"),
+            (md5_hash64(F.col("c_custkey").cast("string"), "up-") % 2 == 0).alias(
+                "treated"
+            ),
+            F.coalesce(F.col("converted"), F.lit(0)).alias("converted"),
+        )
+    )
+    per = units.groupBy("decile").agg(
+        F.sum(F.when(F.col("treated"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_t"),
+        F.sum(F.when(~F.col("treated"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_c"),
+        F.sum(F.when(F.col("treated"), F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_t"),
+        F.sum(F.when(~F.col("treated"), F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_c"),
+    )
+    wq = Window.orderBy(F.desc("decile")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        (
+            F.round(
+                F.col("conv_t") * 1.0 / F.nullif(F.col("n_t"), F.lit(0))
+                - F.col("conv_c") * 1.0 / F.nullif(F.col("n_c"), F.lit(0)),
+                6,
+            )
+            + 0.0
+        ).alias("uplift"),
+        F.round(
+            F.sum(
+                F.col("conv_t")
+                - F.col("conv_c")
+                * F.col("n_t")
+                * 1.0
+                / F.nullif(F.col("n_c"), F.lit(0))
+            ).over(wq),
+            6,
+        ).alias("qini_cum"),
+    ).orderBy("decile")

@@ -175,7 +175,12 @@ def test_manifest_plans_lint_clean(spark):
     - q289: the negative-sampling cumsum window runs over the
       ALREADY-limited (and checkpointed) top-1000 vocab frame
       (orderBy+limit bounds it first — the q93 pattern, documented
-      in-query)."""
+      in-query);
+    - q290: the conformal rank-k window runs over the LIMIT-2000
+      (and checkpointed) calibration sample (the q93 pattern,
+      documented in-query);
+    - q291: the Qini cumsum window runs over the 10-row aggregated
+      decile grain (the q214 pattern, documented in-query)."""
     from etl_as_a_service_spark.plans.doctor import lint_plan
     from etl_as_a_service_spark.queries import QUERIES
     from tests.conftest import SF_SMOKE
@@ -193,6 +198,8 @@ def test_manifest_plans_lint_clean(spark):
         "q262_holdout_eval",
         "q268_vocab_coverage_curve",
         "q289_negative_sampling_table",
+        "q290_conformal_coverage",
+        "q291_uplift_deciles",
     }
     bad = {}
     for name, qd in QUERIES.items():

@@ -318,3 +318,36 @@ def test_negative_sampling_table_partitions_unit_interval(spark):
         prev_hi = r["cum_hi"]
         prev_p = r["p"]
     assert rows[-1]["cum_hi"] == pytest.approx(1.0, abs=2e-6)
+
+
+def test_conformal_coverage_near_nominal(spark):
+    """Split-conformal contract: held-out coverage lands near the 90%
+    nominal level (i.i.d. splits; finite-sample slack bounded by the
+    usual 2/sqrt(n) band) and the calibration sample respects its
+    LIMIT bound."""
+    (r,) = _run(spark, "q290_conformal_coverage").collect()
+    assert 0 < r["n_cal"] <= 2000
+    assert r["q_hat"] > 0
+    slack = 2.0 / (min(r["n_cal"], r["n_test"]) ** 0.5)
+    assert abs(r["coverage"] - 0.9) <= slack + 0.02, r
+    assert r["covered"] <= r["n_test"]
+
+
+def test_uplift_deciles_accounting(spark):
+    """The decile table partitions all customers; the Qini running
+    total telescopes to the overall incremental conversions; null-arm
+    deciles surface as NULL uplift, never a crash."""
+    rows = _run(spark, "q291_uplift_deciles").collect()
+    cust_n = spark.read.parquet(f"{SF01}/customer.parquet").count()
+    assert sum(r["n_t"] + r["n_c"] for r in rows) == cust_n
+    assert sorted(r["decile"] for r in rows) == list(
+        range(min(r["decile"] for r in rows), max(r["decile"] for r in rows) + 1)
+    )
+    total = sum(
+        r["conv_t"] - r["conv_c"] * r["n_t"] / r["n_c"]
+        for r in rows
+        if r["n_c"]
+    )
+    last = max(rows, key=lambda r: -r["decile"])  # lowest decile row
+    bottom = min(rows, key=lambda r: r["decile"])
+    assert bottom["qini_cum"] == pytest.approx(total, abs=1e-3)
