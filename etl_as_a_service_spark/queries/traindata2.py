@@ -1,24 +1,30 @@
-"""Training-data preparation queries (round-8 batch, q277-q285):
+"""Training-data preparation queries (round-8 batch, q277-q291):
 training-shard balance planning, T5-style span-corruption masking
 plans, tokenizer fertility reporting, matryoshka (prefix-dim) embedding
 energy curves, leave-one-source-out influence screening, stratified
 curriculum bucketing, an oracle-portable SimHash near-duplicate
 pipeline (the q253 portable-LSH treatment applied to q48's SimHash),
-and two REAL multimodal feature paths (numpy-FFT audio spectral
-screen, DCT pHash image near-dup — rows-only, content-asserted).
+three REAL multimodal feature paths (numpy-FFT audio spectral screen,
+DCT pHash image near-dup, frame-hash video near-dup — rows-only,
+content-asserted), Krippendorff's alpha, propensity-score matching,
+the word2vec negative-sampling table, split-conformal prediction
+intervals, and the Qini uplift decile curve.
 
-Every query is DuckDB-oracle-checked end to end (the t2 gate);
-tokenization is the oracle's exact single-space split (the q233/q234
-convention) and all engine-portable hashing uses the md5-derived
-32-bit family (llm/dedup.py md5_hash64 — the q239/q253 convention).
+Every SQL-expressible query is DuckDB-oracle-checked end to end (the
+t2 gate); tokenization is the oracle's exact single-space split (the
+q233/q234 convention) and all engine-portable hashing uses the
+md5-derived 32-bit family (llm/dedup.py md5_hash64 — the q239/q253
+convention).
 
 These fill remaining gaps in the LLM-pipeline surface: shard-layout
 planning (the step before writing 100 TB of training shards),
 span-corruption preprocessing (T5/UL2 denoising objectives), tokenizer
 fertility (cost-per-language readout), matryoshka-representation
 truncation quality (MRL, Kusupati et al. 2022), per-source influence
-screens, difficulty curricula, and a driver-checkable SimHash
-candidate pipeline (Manku et al. WWW'07 banding)."""
+screens, difficulty curricula, driver-checkable fingerprint dedup
+(Manku et al. WWW'07 banding), multimodal near-dup (pHash), the
+agreement/causal/eval family (alpha, matching, conformal, Qini), and
+sampling-table preprocessing (Mikolov et al. 2013)."""
 
 from __future__ import annotations
 
