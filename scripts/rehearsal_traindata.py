@@ -145,6 +145,45 @@ def fold_contamination(docs):
     )
 
 
+def propensity_match(cust):
+    """The q288 matching core over an injected customer frame (same
+    banded-join + min(struct) plan; outcome omitted — the rehearsal
+    measures the MATCH, which is the scaling risk)."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    stats = cust.agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    units = cust.crossJoin(F.broadcast(stats)).select(
+        "c_custkey",
+        (
+            (F.col("c_acctbal") - F.col("lo"))
+            / (F.col("hi") - F.col("lo"))
+        ).alias("score"),
+        (
+            md5_hash64(F.col("c_custkey").cast("string"), "ps-") % 2 == 0
+        ).alias("treated"),
+    )
+    band = F.floor(F.col("score") / 0.05).cast("long")
+    probes = units.filter("treated").select(
+        "c_custkey",
+        "score",
+        F.explode(F.array(band - 1, band, band + 1)).alias("band"),
+    )
+    ctrl = units.filter(~F.col("treated")).select(
+        F.col("c_custkey").alias("ck2"),
+        F.col("score").alias("cscore"),
+        band.alias("band"),
+    )
+    d = F.abs(F.col("score") - F.col("cscore"))
+    return (
+        probes.join(ctrl, "band")
+        .filter(d <= 0.05)
+        .groupBy("c_custkey")
+        .agg(F.min(F.struct(d.alias("d"), F.col("ck2").alias("k"))).alias("p"))
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = build_session(
@@ -157,9 +196,15 @@ def main() -> None:
         winnowing_fingerprints,
     )
 
-    tabs = load_tables(spark, sf_dir, ("documents", "lineitem"))
+    tabs = load_tables(
+        spark, sf_dir, ("documents", "lineitem", "customer")
+    )
     docs = tabs["documents"].select("doc_id", "text", "lang", "source")
     li = tabs["lineitem"].select("l_orderkey", "l_partkey")
+    cust = tabs["customer"].select("c_custkey", "c_acctbal")
+    cust4 = scaled(
+        tabs["customer"], "c_custkey", 4, "c_acctbal"
+    ).localCheckpoint(eager=True)
     docs4 = scaled(
         tabs["documents"], "doc_id", 4, "text", "lang", "source"
     ).localCheckpoint(eager=True)
@@ -192,6 +237,11 @@ def main() -> None:
             "q283 portable SimHash pairs (4x docs)",
             lambda d=docs: simhash_pairs_portable(d, "text", "doc_id").count(),
             lambda d=docs4: simhash_pairs_portable(d, "text", "doc_id").count(),
+        ),
+        (
+            "q288 propensity match (4x customers)",
+            lambda d=cust: propensity_match(d).count(),
+            lambda d=cust4: propensity_match(d).count(),
         ),
     ]
     for _, base, _s in entries:  # warm codegen/JIT outside timings
