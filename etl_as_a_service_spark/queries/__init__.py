@@ -92,6 +92,9 @@ _ROTATE_FRONT = [
     "q289_negative_sampling_table",
     "q290_conformal_coverage",
     "q291_uplift_deciles",
+    "q292_benford_audit",
+    "q293_decision_stump",
+    "q294_slope_break",
     "q226_conversion_lag",
     "q227_weighted_shortest_paths",
     "q228_kcore_peel",

@@ -1550,3 +1550,247 @@ def q291_uplift_deciles(spark, sf_dir):
             6,
         ).alias("qini_cum"),
     ).orderBy("decile")
+
+
+# --------------------------------------------------------------------------
+# q292 — Benford first-digit audit (data-forensics screen)
+# --------------------------------------------------------------------------
+@query(
+    "q292_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    per AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    tot AS (SELECT sum(n) * 1.0 AS nn FROM per)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           round(n / nn, 6) AS observed,
+           round(log10(1 + 1.0 / digit), 6) AS expected,
+           round(pow(n - nn * log10(1 + 1.0 / digit), 2)
+                 / (nn * log10(1 + 1.0 / digit)), 6) AS chi2_term
+    FROM per CROSS JOIN tot ORDER BY digit
+    """,
+    tags=("quality", "forensics", "stats", "operator"),
+)
+def q292_benford_audit(spark, sf_dir):
+    """Benford's-law first-digit audit of order totals — the classic
+    data-forensics screen for fabricated or truncated numeric columns
+    (organic multiplicative data follows P(d) = log10(1 + 1/d);
+    uniform or hand-entered data does not). Emits the per-digit
+    observed/expected fractions and chi-square contributions; TPC-H
+    prices are uniform-ish, so the audit correctly reports a strong
+    violation — the test asserts chi2 is large here and ~zero on a
+    planted Benford sample. The first digit comes from the INTEGER
+    part rendered as a string (exact, no log10-of-value edge cases at
+    exact powers of ten where libm implementations may disagree).
+
+    SCALE DESIGN: one map-side projection + a 9-group aggregate; the
+    grand total rides a broadcast 1-row cross join. No wide shuffle
+    at any size."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    d = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    per = (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    tot = per.agg((F.sum("n") * 1.0).alias("nn"))
+    e = F.log10(1 + 1.0 / F.col("digit"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("nn"), 6).alias("observed"),
+            F.round(e, 6).alias("expected"),
+            F.round(
+                F.pow(F.col("n") - F.col("nn") * e, 2)
+                / (F.col("nn") * e),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+# --------------------------------------------------------------------------
+# q293 — decision stump (best Gini split over a bounded value domain)
+# --------------------------------------------------------------------------
+@query(
+    "q293_decision_stump",
+    oracle="""
+    WITH per AS (
+      SELECT l_quantity AS q, count(*) AS n,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+      FROM lineitem GROUP BY l_quantity
+    ),
+    cum AS (
+      SELECT q,
+             sum(n) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS nl,
+             sum(pos) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS pl,
+             sum(n) OVER () AS nn, sum(pos) OVER () AS pp
+      FROM per
+    ),
+    g AS (
+      SELECT q, nl, nn - nl AS nr,
+             round(
+               (nl * 1.0 / nn) * (1 - pow(pl * 1.0 / nl, 2)
+                                    - pow(1 - pl * 1.0 / nl, 2))
+               + CASE WHEN nn - nl = 0 THEN 0.0
+                 ELSE (1 - nl * 1.0 / nn)
+                      * (1 - pow((pp - pl) * 1.0 / (nn - nl), 2)
+                           - pow(1 - (pp - pl) * 1.0 / (nn - nl), 2))
+                 END, 6) + 0.0 AS wgini
+      FROM cum
+    )
+    SELECT CAST(q AS BIGINT) AS threshold,
+           CAST(nl AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right,
+           wgini,
+           (struct_pack(w := wgini, q := q)
+              = min(struct_pack(w := wgini, q := q)) OVER ()) AS best
+    FROM g ORDER BY threshold
+    """,
+    tags=("ml", "tree", "stats", "operator"),
+)
+def q293_decision_stump(spark, sf_dir):
+    """One-level decision tree (a Gini decision stump): for every
+    candidate threshold t over l_quantity (a bounded 1..50 integer
+    domain), the weighted Gini impurity of the split qty <= t
+    predicting returned lineitems — the exact computation inside
+    every tree/GBDT split finder, here as one pass. Emits the full
+    split curve plus the argmin flag (tie-break on the smaller
+    threshold, decided on ROUNDED impurity so the flag never hinges
+    on sub-1e-6 float noise).
+
+    SCALE DESIGN: one (value, label) aggregate over the fact table
+    (map-side combined, 50 output rows), then cumulative windows over
+    the AGGREGATED bounded value domain (the q201 pattern) — the
+    corpus is scanned once regardless of candidate count."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_quantity").alias("q")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "pos"
+        ),
+    )
+    wcum = Window.orderBy("q").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = per.select(
+        "q",
+        F.sum("n").over(wcum).alias("nl"),
+        F.sum("pos").over(wcum).alias("pl"),
+        F.sum("n").over(wall).alias("nn"),
+        F.sum("pos").over(wall).alias("pp"),
+    )
+    pL = F.col("pl") * 1.0 / F.col("nl")
+    nr = F.col("nn") - F.col("nl")
+    pR = (F.col("pp") - F.col("pl")) * 1.0 / nr
+    wgini = (
+        F.round(
+            (F.col("nl") * 1.0 / F.col("nn"))
+            * (1 - F.pow(pL, 2) - F.pow(1 - pL, 2))
+            + F.when(nr == 0, F.lit(0.0)).otherwise(
+                (1 - F.col("nl") * 1.0 / F.col("nn"))
+                * (1 - F.pow(pR, 2) - F.pow(1 - pR, 2))
+            ),
+            6,
+        )
+        + 0.0
+    )
+    g = cum.select(
+        "q",
+        F.col("nl").alias("nl"),
+        nr.alias("nr"),
+        wgini.alias("wgini"),
+    )
+    pick = F.struct(F.col("wgini").alias("w"), F.col("q").alias("q"))
+    return g.select(
+        F.col("q").cast("long").alias("threshold"),
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("nr").cast("long").alias("n_right"),
+        "wgini",
+        (pick == F.min(pick).over(wall)).alias("best"),
+    ).orderBy("threshold")
+
+
+# --------------------------------------------------------------------------
+# q294 — intervention slope break (segmented regression around a midpoint)
+# --------------------------------------------------------------------------
+@query(
+    "q294_slope_break",
+    oracle="""
+    WITH b AS (
+      SELECT (epoch(min(ts)) + epoch(max(ts))) / 2.0 AS mid,
+             epoch(min(ts)) * 1.0 AS t0
+      FROM events
+    ),
+    pts AS (
+      SELECT CASE WHEN epoch(ts) < mid THEN 'pre' ELSE 'post' END
+               AS segment,
+             (epoch(ts) - t0) / 86400.0 AS x,
+             value AS y
+      FROM events CROSS JOIN b WHERE value IS NOT NULL
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(y, x), 6) + 0.0 AS slope,
+           round(regr_intercept(y, x), 3) + 0.0 AS intercept
+    FROM pts GROUP BY segment ORDER BY segment
+    """,
+    tags=("causal", "timeseries", "regression", "stats", "operator"),
+)
+def q294_slope_break(spark, sf_dir):
+    """Segmented (interrupted-time-series) regression: fit value-vs-
+    time OLS separately before and after the observation window's
+    midpoint and compare slopes — the intervention-analysis readout
+    next to q266's DiD (DiD needs a control group; ITS needs only the
+    break date). Time is rescaled to days from the window start so
+    the normal-equation sums stay far from double cancellation (raw
+    epoch seconds squared would burn 15 of the 16 significant
+    digits).
+
+    SCALE DESIGN: one 1-row min/max aggregate broadcast back, then a
+    single segment-grain regr_slope/regr_intercept aggregate — two
+    corpus scans total, no window, no sort."""
+    (events,) = _t(spark, sf_dir, "events")
+    ep = F.unix_timestamp("ts") + 0.0
+    b = events.agg(
+        ((F.min(ep) + F.max(ep)) / 2.0).alias("mid"),
+        (F.min(ep) * 1.0).alias("t0"),
+    )
+    pts = (
+        events.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(b))
+        .select(
+            F.when(ep < F.col("mid"), "pre").otherwise("post").alias(
+                "segment"
+            ),
+            ((ep - F.col("t0")) / 86400.0).alias("x"),
+            F.col("value").alias("y"),
+        )
+    )
+    return (
+        pts.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.round(F.expr("regr_slope(y, x)"), 6) + 0.0).alias("slope"),
+            (F.round(F.expr("regr_intercept(y, x)"), 3) + 0.0).alias(
+                "intercept"
+            ),
+        )
+        .orderBy("segment")
+    )

@@ -180,7 +180,10 @@ def test_manifest_plans_lint_clean(spark):
       (and checkpointed) calibration sample (the q93 pattern,
       documented in-query);
     - q291: the Qini cumsum window runs over the 10-row aggregated
-      decile grain (the q214 pattern, documented in-query)."""
+      decile grain (the q214 pattern, documented in-query);
+    - q293: the split-curve cumulative windows run over the AGGREGATED
+      bounded value domain (50 distinct l_quantity values — the q201
+      pattern, documented in-query)."""
     from etl_as_a_service_spark.plans.doctor import lint_plan
     from etl_as_a_service_spark.queries import QUERIES
     from tests.conftest import SF_SMOKE
@@ -200,6 +203,7 @@ def test_manifest_plans_lint_clean(spark):
         "q289_negative_sampling_table",
         "q290_conformal_coverage",
         "q291_uplift_deciles",
+        "q293_decision_stump",
     }
     bad = {}
     for name, qd in QUERIES.items():

@@ -351,3 +351,78 @@ def test_uplift_deciles_accounting(spark):
     last = max(rows, key=lambda r: -r["decile"])  # lowest decile row
     bottom = min(rows, key=lambda r: r["decile"])
     assert bottom["qini_cum"] == pytest.approx(total, abs=1e-3)
+
+
+def test_benford_audit_detects_uniform_and_passes_benford(spark):
+    """TPC-H prices are uniform-ish -> large chi-square; a planted
+    log-uniform (Benford) sample -> tiny chi-square and observed ~
+    expected per digit. Also: digits are exactly 1..9 and fractions
+    sum to 1."""
+    rows = _run(spark, "q292_benford_audit").collect()
+    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+    assert sum(r["observed"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    chi2 = sum(r["chi2_term"] for r in rows)
+    assert chi2 > 100  # uniform prices violate Benford loudly
+    # planted Benford data through the same digit logic
+    df = spark.range(1, 20001).selectExpr(
+        "pow(10.0, (id * 1.0 / 20001) * 5) as o_totalprice"
+    )
+    d = df.selectExpr(
+        "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING),"
+        " 1, 1) AS LONG) AS digit"
+    )
+    import math
+
+    per = {r["digit"]: r["n"] for r in d.groupBy("digit").count()
+           .withColumnRenamed("count", "n").collect()}
+    n = sum(per.values())
+    chi2_planted = sum(
+        (per.get(dg, 0) - n * math.log10(1 + 1 / dg)) ** 2
+        / (n * math.log10(1 + 1 / dg))
+        for dg in range(1, 10)
+    )
+    assert chi2_planted < 20  # log-uniform follows Benford
+
+
+def test_decision_stump_argmin_and_partition(spark):
+    """Exactly the ties-respecting argmin rows carry best=true; left
+    and right counts always partition the table; the flagged split's
+    impurity is the global minimum re-derived in python."""
+    rows = _run(spark, "q293_decision_stump").collect()
+    total = spark.read.parquet(f"{SF01}/lineitem.parquet").count()
+    assert all(r["n_left"] + r["n_right"] == total for r in rows)
+    best = [r for r in rows if r["best"]]
+    assert len(best) == 1
+    assert best[0]["wgini"] == min(r["wgini"] for r in rows)
+    assert best[0]["threshold"] == min(
+        r["threshold"] for r in rows if r["wgini"] == best[0]["wgini"]
+    )
+
+
+def test_slope_break_reconstructs_segment_fits(spark):
+    """Each segment's (slope, intercept) equals an independent numpy
+    least-squares fit on the same rescaled points."""
+    import numpy as np
+
+    rows = {r["segment"]: r for r in _run(spark, "q294_slope_break").collect()}
+    assert set(rows) == {"pre", "post"}
+    from etl_as_a_service_spark.catalog import load_tables
+
+    ev = (
+        load_tables(spark, SF01, ("events",))["events"]
+        .selectExpr(
+            "CAST(unix_timestamp(ts) AS DOUBLE) AS ep",
+            "CAST(value AS DOUBLE) AS value",
+        )
+        .filter("value is not null")
+        .toPandas()
+    )
+    mid = (ev.ep.min() + ev.ep.max()) / 2.0
+    t0 = ev.ep.min()
+    for seg, mask in (("pre", ev.ep < mid), ("post", ev.ep >= mid)):
+        x = (ev.ep[mask] - t0) / 86400.0
+        y = ev.value[mask]
+        slope, intercept = np.polyfit(x, y, 1)
+        assert rows[seg]["n"] == int(mask.sum())
+        assert rows[seg]["slope"] == pytest.approx(slope, abs=1e-4)
+        assert rows[seg]["intercept"] == pytest.approx(intercept, abs=1e-2)
