@@ -789,15 +789,22 @@ def q285_image_phash_pairs(spark, sf_dir):
     ~1/f^2 energy profile pHash is designed for; raw byte-noise grids
     have near-zero low-frequency DCT coefficients, which makes the
     median threshold fragile and was measured flipping 8-22 bits on a
-    small edit). For doc_id < 15 plant a perturbed near-copy under
-    blob_id+10000 (global brightness +10 plus a +30 bump on a 3x3
-    corner patch — the re-encode/levels edit byte-level dedup cannot
-    see; measured Hamming <= 4), pHash everything (resize -> 2D
-    DCT-II -> median threshold), and emit Hamming <= 6 pairs through
-    the 8x8-banded candidate join. Brightness alone moves ONLY the DC
-    coefficient, so that half of the edit is Hamming 0 by
-    construction; unrelated documents' hashes sit far outside the
-    contract (zero organic pairs measured even at Hamming <= 12)."""
+    small edit; rendering into [0, 240] keeps the +10 brightness edit
+    clip-free, so it stays a pure constant shift). Two planted classes
+    under blob_id+10000: doc_id < 8 get a brightness-only edit —
+    Hamming 0 at ANY fixture by construction, because a constant shift
+    moves only the DC coefficient, which is always the block maximum
+    and therefore never crosses the AC-determined median — and
+    doc_id 8..14 additionally get a +30 bump on a 3x3 corner patch
+    (the re-encode/levels edit byte-level dedup cannot see; measured
+    Hamming <= 6 at sf0.01/sf0.1, though an adversarial image whose
+    low-frequency coefficients bunch near the median CAN exceed the
+    contract — one sf0.001 doc measured 16, which is the operator
+    honestly reporting a genuinely-moved fingerprint, not a bug).
+    pHash everything (resize -> 2D DCT-II -> median threshold) and
+    emit Hamming <= 6 pairs through the 8x8-banded candidate join;
+    unrelated documents' hashes sit far outside the contract (zero
+    organic pairs measured even at Hamming <= 12)."""
     from etl_as_a_service_spark.llm.multimodal import (
         BLOB_SCHEMA,
         image_phash,
@@ -821,7 +828,7 @@ def q285_image_phash_pairs(spark, sf_dir):
                 tiled = np.resize(data, 1024).reshape(32, 32) - data.mean()
                 f = np.cumsum(np.cumsum(tiled, axis=0), axis=1)
                 f = f - f.min()
-                img = (f / max(f.max(), 1e-9) * 255.0).astype(np.uint8)
+                img = (f / max(f.max(), 1e-9) * 240.0).astype(np.uint8)
                 rows.append(
                     (
                         int(doc_id), "image", "image/x-portable-graymap",
@@ -829,11 +836,14 @@ def q285_image_phash_pairs(spark, sf_dir):
                     )
                 )
                 if doc_id < 15:
-                    v = np.clip(
-                        img.astype(np.int64) + 10, 0, 255
-                    ).astype(np.uint8)
-                    patch = v[:3, :3].astype(np.int64) + 30
-                    v[:3, :3] = np.clip(patch, 0, 255).astype(np.uint8)
+                    # [0, 240] render -> +10 never clips: a pure
+                    # constant shift (Hamming 0 by construction)
+                    v = (img.astype(np.int64) + 10).astype(np.uint8)
+                    if doc_id >= 8:  # add the patch edit class
+                        patch = v[:3, :3].astype(np.int64) + 30
+                        v[:3, :3] = np.clip(patch, 0, 255).astype(
+                            np.uint8
+                        )
                     rows.append(
                         (
                             int(doc_id) + 10000, "image",

@@ -199,15 +199,20 @@ def test_audio_spectral_separates_tone_from_noise(spark):
 
 
 def test_phash_pairs_recover_planted_images(spark):
-    """Every planted brightness/patch-perturbed near-copy is recovered
-    at Hamming <= 6; pairs are canonical and unique; unrelated images
-    never collide (pHash codes of distinct byte-grids sit near
-    Hamming ~32)."""
+    """Brightness-only planted copies are recovered at Hamming 0 (the
+    constant-shift guarantee — fixture-independent); patch-edited
+    copies are recovered within the <= 6 contract on this fixture;
+    pairs are canonical and unique; unrelated images never collide
+    (pHash codes of distinct renders sit near Hamming ~32)."""
     out = _run(spark, "q285_image_phash_pairs").collect()
-    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
     assert len(pairs) == len(out)
-    planted = {(i, i + 10000) for i in range(15)}
-    assert planted <= pairs, sorted(planted - pairs)
+    bright = {(i, i + 10000) for i in range(8)}
+    patched = {(i, i + 10000) for i in range(8, 15)}
+    assert bright <= set(pairs), sorted(bright - set(pairs))
+    for key in bright:
+        assert pairs[key] == 0, (key, pairs[key])
+    assert patched <= set(pairs), sorted(patched - set(pairs))
     for r in out:
         assert r["id_a"] < r["id_b"]
         assert 0 <= r["hamming"] <= 6
