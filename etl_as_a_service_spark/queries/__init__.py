@@ -95,6 +95,8 @@ _ROTATE_FRONT = [
     "q292_benford_audit",
     "q293_decision_stump",
     "q294_slope_break",
+    "q295_poisson_bootstrap_ci",
+    "q296_aa_calibration",
     "q226_conversion_lag",
     "q227_weighted_shortest_paths",
     "q228_kcore_peel",

@@ -1804,3 +1804,233 @@ def q294_slope_break(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# q295 — Poisson-bootstrap confidence interval (the distributed bootstrap)
+# --------------------------------------------------------------------------
+#: Poisson(1) CDF thresholds as shared literals: a per-(replica, row)
+#: uniform hash draws the multiplicity, so the bootstrap is exactly
+#: reproducible in BOTH engines (the standard distributed bootstrap —
+#: multinomial resampling needs global coordination; Poisson doesn't).
+_POIS = (
+    "0.36787944117144233",  # P(X = 0)
+    "0.7357588823428847",   # P(X <= 1)
+    "0.9196986029286058",   # P(X <= 2)
+    "0.9810118431238462",   # P(X <= 3)
+    "0.9963401531726563",   # P(X <= 4)
+)
+
+
+@query(
+    "q295_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT b, event_id, value,
+             (CAST(('0x' || substr(md5('bs-' || CAST(b AS VARCHAR) || '-'
+                                   || CAST(event_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) * 1.0) / 4294967296.0 AS u
+      FROM events, UNNEST(range(0, 100)) AS t(b)
+    ),
+    weighted AS (
+      SELECT b, value,
+             CASE WHEN u < {_POIS[0]} THEN 0
+                  WHEN u < {_POIS[1]} THEN 1
+                  WHEN u < {_POIS[2]} THEN 2
+                  WHEN u < {_POIS[3]} THEN 3
+                  WHEN u < {_POIS[4]} THEN 4
+                  ELSE 5 END AS w
+      FROM reps
+    ),
+    means AS (
+      SELECT b, sum(w * value) / sum(w) AS m
+      FROM weighted GROUP BY b HAVING sum(w) > 0
+    ),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m ASC NULLS LAST, b) AS rn,
+             count(*) OVER () AS nb
+      FROM means
+    ),
+    point AS (SELECT avg(value) AS pt FROM events)
+    SELECT CAST(nb AS BIGINT) AS n_replicas,
+           round(pt, 6) AS point_mean,
+           round(max(CASE WHEN rn = 3 THEN m END), 6) AS ci_lo,
+           round(max(CASE WHEN rn = 98 THEN m END), 6) AS ci_hi
+    FROM ranked CROSS JOIN point GROUP BY nb, pt
+    """,
+    tags=("stats", "bootstrap", "evaluation", "operator"),
+)
+def q295_poisson_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for the mean event value — THE
+    distributed bootstrap (Chamandy et al., Google 2012, public):
+    each row joins each replica with multiplicity ~ Poisson(1), drawn
+    here from an md5 uniform against literal Poisson CDF thresholds,
+    so the whole resampling is deterministic and engine-portable.
+    Multinomial (classic) bootstrap needs every replica to know the
+    global row count — Poisson needs only the row itself, which is
+    why it's the only bootstrap that maps over a 100-TB table.
+
+    SCALE DESIGN: the replica explode is map-only (B = 100 is the
+    cost knob, output B x N rows feeding one map-side-combined
+    replica-grain aggregate); the CI ranks run over the 100-row
+    replica-mean frame (the q214 bounded-grain pattern); the point
+    estimate is one scan. Replica means differ by O(1/sqrt(N)), so
+    the rank order is robust to float noise at round-6."""
+    (events,) = _t(spark, sf_dir, "events")
+    u = (
+        md5_hash64(
+            F.concat(
+                F.col("b").cast("string"),
+                F.lit("-"),
+                F.col("event_id").cast("string"),
+            ),
+            "bs-",
+        )
+        * 1.0
+        / 4294967296.0
+    )
+    reps = events.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(99))).alias("b"),
+    ).select("b", "value", u.alias("u"))
+    w = (
+        F.when(F.col("u") < float(_POIS[0]), 0)
+        .when(F.col("u") < float(_POIS[1]), 1)
+        .when(F.col("u") < float(_POIS[2]), 2)
+        .when(F.col("u") < float(_POIS[3]), 3)
+        .when(F.col("u") < float(_POIS[4]), 4)
+        .otherwise(5)
+    )
+    means = (
+        reps.select("b", "value", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("m"),
+            F.sum("w").alias("tw"),
+        )
+        .filter(F.col("tw") > 0)
+    )
+    wr = Window.orderBy(F.col("m").asc_nulls_last(), F.col("b"))
+    ranked = means.select(
+        "m",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nb"),
+    )
+    point = events.agg(F.avg("value").alias("pt"))
+    return (
+        ranked.crossJoin(F.broadcast(point))
+        .groupBy("nb", "pt")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rn") == 3, F.col("m"))), 6
+            ).alias("ci_lo"),
+            F.round(
+                F.max(F.when(F.col("rn") == 98, F.col("m"))), 6
+            ).alias("ci_hi"),
+        )
+        .select(
+            F.col("nb").cast("long").alias("n_replicas"),
+            F.round("pt", 6).alias("point_mean"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q296 — A/A calibration harness (false-positive rate of the test stack)
+# --------------------------------------------------------------------------
+@query(
+    "q296_aa_calibration",
+    oracle="""
+    WITH assigned AS (
+      SELECT s, value,
+             CAST(('0x' || substr(md5('aa' || CAST(s AS VARCHAR) || '-'
+                                  || CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 = 0 AS arm_a
+      FROM events, UNNEST(range(0, 20)) AS t(s)
+    ),
+    per AS (
+      SELECT s,
+             count(*) FILTER (arm_a) AS n_a,
+             count(*) FILTER (NOT arm_a) AS n_b,
+             avg(value) FILTER (arm_a) AS m_a,
+             avg(value) FILTER (NOT arm_a) AS m_b,
+             var_pop(value) FILTER (arm_a) AS v_a,
+             var_pop(value) FILTER (NOT arm_a) AS v_b
+      FROM assigned GROUP BY s
+    )
+    SELECT CAST(s AS BIGINT) AS split_id,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) + 0.0
+             AS z,
+           abs(round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4))
+             > 1.96 AS false_positive
+    FROM per ORDER BY split_id
+    """,
+    tags=("stats", "abtest", "calibration", "operator"),
+)
+def q296_aa_calibration(spark, sf_dir):
+    """A/A calibration harness: re-randomize the SAME population into
+    two arms 20 times (independent md5 salts) and compute the Welch z
+    for each split — the standard pre-launch audit of an
+    experimentation stack (with a correct pipeline, ~5% of A/A splits
+    flag at |z| > 1.96; systematically more means the assignment or
+    the variance estimate is broken). The flag is decided on the
+    ROUNDED z so it never hinges on engine float noise at the
+    threshold. Randomization is at USER grain (the real experiment
+    unit — per-arm ROW counts are therefore imbalanced by per-user
+    activity, which is correct, not a bug); the row-level Welch z is
+    valid here because the fixture's values are row-iid — a real
+    user-randomized metric needs the user-level (clustered) variance,
+    i.e. aggregate to user means first and feed THOSE to this same
+    harness.
+
+    SCALE DESIGN: the 20 re-randomizations ride one explode (map-only
+    — the corpus is scanned once, not 20 times) into a single
+    split-grain conditional aggregate; 20 output rows at any corpus
+    size."""
+    (events,) = _t(spark, sf_dir, "events")
+    assigned = events.select(
+        "value",
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("s"),
+    ).select(
+        "s",
+        "value",
+        (
+            md5_hash64(
+                F.concat(
+                    F.col("s").cast("string"),
+                    F.lit("-"),
+                    F.col("user_id").cast("string"),
+                ),
+                "aa",
+            )
+            % 2
+            == 0
+        ).alias("arm_a"),
+    )
+    a = F.col("arm_a")
+    per = assigned.groupBy("s").agg(
+        F.sum(F.when(a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~a, 1).otherwise(0)).alias("n_b"),
+        F.avg(F.when(a, F.col("value"))).alias("m_a"),
+        F.avg(F.when(~a, F.col("value"))).alias("m_b"),
+        F.var_pop(F.when(a, F.col("value"))).alias("v_a"),
+        F.var_pop(F.when(~a, F.col("value"))).alias("v_b"),
+    )
+    z = F.round(
+        (F.col("m_a") - F.col("m_b"))
+        / F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")),
+        4,
+    )
+    return per.select(
+        F.col("s").cast("long").alias("split_id"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (z + 0.0).alias("z"),
+        (F.abs(z) > 1.96).alias("false_positive"),
+    ).orderBy("split_id")

@@ -183,7 +183,10 @@ def test_manifest_plans_lint_clean(spark):
       decile grain (the q214 pattern, documented in-query);
     - q293: the split-curve cumulative windows run over the AGGREGATED
       bounded value domain (50 distinct l_quantity values — the q201
-      pattern, documented in-query)."""
+      pattern, documented in-query);
+    - q295: the CI rank window runs over the 100-row replica-mean
+      frame (B is a literal — the q214 bounded-grain pattern,
+      documented in-query)."""
     from etl_as_a_service_spark.plans.doctor import lint_plan
     from etl_as_a_service_spark.queries import QUERIES
     from tests.conftest import SF_SMOKE
@@ -204,6 +207,7 @@ def test_manifest_plans_lint_clean(spark):
         "q290_conformal_coverage",
         "q291_uplift_deciles",
         "q293_decision_stump",
+        "q295_poisson_bootstrap_ci",
     }
     bad = {}
     for name, qd in QUERIES.items():

@@ -431,3 +431,55 @@ def test_slope_break_reconstructs_segment_fits(spark):
         assert rows[seg]["n"] == int(mask.sum())
         assert rows[seg]["slope"] == pytest.approx(slope, abs=1e-4)
         assert rows[seg]["intercept"] == pytest.approx(intercept, abs=1e-2)
+
+
+def test_poisson_bootstrap_ci_brackets_point(spark):
+    """The 95% CI must bracket the full-sample mean (the bootstrap
+    distribution is centered there), be properly ordered, and use all
+    100 replicas (Poisson(1) over 10k rows never empties one)."""
+    (r,) = _run(spark, "q295_poisson_bootstrap_ci").collect()
+    assert r["n_replicas"] == 100
+    assert r["ci_lo"] < r["point_mean"] < r["ci_hi"]
+    # interval width ~ 2 * 1.96 * sd/sqrt(n): sane, not degenerate
+    assert 0 < r["ci_hi"] - r["ci_lo"] < r["point_mean"]
+
+
+def test_aa_calibration_false_positive_rate(spark):
+    """With a correct pipeline the A/A harness flags ~5%: across 20
+    independent re-randomizations the false-positive count must be
+    small (binomial(20, .05) puts P(>4) < 0.3%), arms must be
+    near-balanced, and every split must cover the whole table."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    rows = _run(spark, "q296_aa_calibration").collect()
+    assert len(rows) == 20
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    n = ev.count()
+    # randomization is at USER grain (the experiment unit), so ROW
+    # counts are imbalanced by per-user activity; balance must hold
+    # over users, not rows
+    users = ev.select("user_id").distinct()
+    fps = 0
+    for r in rows:
+        assert r["n_a"] + r["n_b"] == n
+        fps += bool(r["false_positive"])
+        ua = users.select(
+            (
+                md5_hash64(
+                    F.concat(
+                        F.lit(str(r["split_id"])),
+                        F.lit("-"),
+                        F.col("user_id").cast("string"),
+                    ),
+                    "aa",
+                )
+                % 2
+                == 0
+            ).alias("a")
+        ).groupBy("a").count().collect()
+        counts = {row["a"]: row["count"] for row in ua}
+        nu = sum(counts.values())
+        assert abs(counts.get(True, 0) - counts.get(False, 0)) <= max(
+            6, 0.5 * nu
+        )  # binomial noise at small user cardinality
+    assert fps <= 4, fps
