@@ -750,12 +750,14 @@ def video_near_duplicates(
     never video x video; frame hashes shared by more than
     ``max_hash_videos`` videos (test patterns, black frames — the
     stop-frame analogue of a stopword) are dropped from pairing
-    before the join, the q283 hot-bucket discipline. Returns
+    before the join, the q283 hot-bucket discipline. Containment is
+    computed entirely in the PRUNED hash space — both matched_frames
+    and the n_hashes denominator ignore stop frames — so a true
+    duplicate whose shared frames are mostly stop frames is not
+    penalized when the cap is active (round-9 ADVICE fix; the pre-fix
+    denominator came from the un-pruned signature). Returns
     (id_a, id_b, matched_frames, containment)."""
     d = sigs.select("blob_id", "phash").distinct()
-    counts = d.groupBy("blob_id").agg(
-        F.count(F.lit(1)).alias("n_hashes")
-    )
     hot = (
         d.groupBy("phash")
         .agg(F.count(F.lit(1)).alias("__nv"))
@@ -763,6 +765,9 @@ def video_near_duplicates(
         .select("phash")
     )
     pruned = d.join(F.broadcast(hot), ["phash"], "left_anti")
+    counts = pruned.groupBy("blob_id").agg(
+        F.count(F.lit(1)).alias("n_hashes")
+    )
     a, b = pruned.alias("a"), pruned.alias("b")
     matches = (
         a.join(

@@ -392,6 +392,11 @@ def embedding_near_duplicates(
         unit = normed.dropDuplicates(["__id"])
     else:  # pragma: no cover - internal knob
         raise ValueError(f"unknown _keeper {_keeper!r}")
+    # EAGER checkpoint (default eager=True), deliberately: lazy
+    # checkpoints re-registered accumulator updates after job teardown
+    # and spammed ERROR logs (round-8 fix). Consequence for callers:
+    # merely CONSTRUCTING this operator's DataFrame executes the full
+    # upstream keeper job — plan-only consumers (explain/lint) pay it.
     unit = unit.localCheckpoint()
     srp = srp_buckets_kernel(num_tables, bits_per_table)
     buckets = (

@@ -41,6 +41,16 @@ def _t(spark, sf_dir, *names):
     return [tables[n] for n in names]
 
 
+# Planted-copy id offset for the dedup fixtures (q283/q285/q286): must
+# clear ANY fixture's organic id range by a wide margin — sf0.1 already
+# reaches doc_id 5219, and a collision would merge two documents' term
+# frequencies under one key CONSISTENTLY in both engines, so the oracle
+# gate could never catch it (round-9 ADVICE fix; the pre-fix literal
+# was 10_000). tests/test_advice_r09.py asserts >= 100x headroom over
+# the largest shipped fixture.
+PLANTED_ID_OFFSET = 10_000_000
+
+
 # --------------------------------------------------------------------------
 # q277 — training-shard balance planner
 # --------------------------------------------------------------------------
@@ -509,11 +519,15 @@ def q282_curriculum_buckets(spark, sf_dir):
     bucket assignment never hinges on sub-1e-6 float noise (the q254
     pinned-ordering convention).
 
-    SCALE DESIGN: rarity is a token-keyed broadcast-sized join
-    (vocabulary grain); the ntile window is partitioned by language —
-    at 100 TB you'd swap it for approx-percentile boundaries per
-    language (one aggregate) plus a map-side bucket lookup, same
-    contract."""
+    SCALE DESIGN: rarity is a token-keyed vocabulary-grain join with
+    NO forced broadcast hint — real-corpus vocabularies are unbounded
+    (round-9 ADVICE fix: the pre-fix F.broadcast(cnt) was a
+    driver/executor OOM risk at 100 TB), so AQE decides broadcast vs
+    shuffle from the checkpointed frame's actual size; only the 1-row
+    corpus total keeps its hint. The ntile window is partitioned by
+    language — at 100 TB you'd swap it for approx-percentile
+    boundaries per language (one aggregate) plus a map-side bucket
+    lookup, same contract."""
     (docs,) = _t(spark, sf_dir, "documents")
     inst = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
@@ -527,7 +541,7 @@ def q282_curriculum_buckets(spark, sf_dir):
     )
     tot = cnt.agg(F.sum("c").alias("t"))
     feat = (
-        inst.join(F.broadcast(cnt), "w")
+        inst.join(cnt, "w")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id", "lang", "t")
         .agg(
@@ -607,7 +621,7 @@ def _simhash_oracle() -> str:
     WITH base AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 10000, text || ' nearcopy x9'
+      SELECT doc_id + {PLANTED_ID_OFFSET}, text || ' nearcopy x9'
       FROM documents WHERE doc_id < 20
     ),
     tf AS (
@@ -662,7 +676,7 @@ def q283_simhash_pairs_portable(spark, sf_dir):
     candidate generation (4 bands of 8 bits — by pigeonhole, any pair
     at Hamming distance <= 3 agrees exactly on at least one band), and
     exact Hamming verification on the candidates. 25 deterministic
-    near-copies are planted under doc_id+10000 (two appended tokens
+    near-copies are planted under doc_id+PLANTED_ID_OFFSET (two appended tokens
     barely move the tf-weighted bit majorities, the q148 planting
     recipe); all of them land within the Hamming <= 3 contract, along
     with the word-soup corpus's organically close fingerprint pairs —
@@ -689,7 +703,7 @@ def q283_simhash_pairs_portable(spark, sf_dir):
     (docs,) = _t(spark, sf_dir, "documents")
     base = docs.select("doc_id", "text").unionByName(
         docs.filter(F.col("doc_id") < 20).select(
-            (F.col("doc_id") + 10000).alias("doc_id"),
+            (F.col("doc_id") + PLANTED_ID_OFFSET).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" nearcopy x9")).alias("text"),
         )
     )
@@ -791,7 +805,7 @@ def q285_image_phash_pairs(spark, sf_dir):
     median threshold fragile and was measured flipping 8-22 bits on a
     small edit; rendering into [0, 240] keeps the +10 brightness edit
     clip-free, so it stays a pure constant shift). Two planted classes
-    under blob_id+10000: doc_id < 8 get a brightness-only edit —
+    under blob_id+PLANTED_ID_OFFSET: doc_id < 8 get a brightness-only edit —
     Hamming 0 at ANY fixture by construction, because a constant shift
     moves only the DC coefficient, which is always the block maximum
     and therefore never crosses the AC-determined median — and
@@ -846,7 +860,7 @@ def q285_image_phash_pairs(spark, sf_dir):
                         )
                     rows.append(
                         (
-                            int(doc_id) + 10000, "image",
+                            int(doc_id) + PLANTED_ID_OFFSET, "image",
                             "image/x-portable-graymap",
                             encode_pgm_bytes(v), 32, 32, None,
                         )
@@ -881,7 +895,7 @@ def q286_video_phash_dedup(spark, sf_dir):
     """Video near-dup pairs (q286): build a REAL 4-frame
     concatenated-netpbm video per document executor-side (each frame a
     1/f^2 rendering of a rotated byte window, so frames differ within
-    a video); for doc_id < 12 plant a near-copy under blob_id+10000
+    a video); for doc_id < 12 plant a near-copy under blob_id+PLANTED_ID_OFFSET
     that is brightness-shifted (+12, pHash-equal frames) AND trimmed
     to 3 frames (a temporal cut). Frame signatures come from
     ``video_phash_signatures`` (real demux + DCT pHash); pairing is
@@ -941,7 +955,7 @@ def q286_video_phash_dedup(spark, sf_dir):
                     ]
                     rows.append(
                         (
-                            int(doc_id) + 10000, "video",
+                            int(doc_id) + PLANTED_ID_OFFSET, "video",
                             "video/x-netpbm-stream",
                             encode_pnm_stream(edited), 32, 32, 3000,
                         )

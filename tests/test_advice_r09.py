@@ -1,0 +1,125 @@
+"""Round-9 ADVICE regression tests — each was RED on the pre-fix tree
+(receipts in README round-9 section).
+
+1. video_near_duplicates: containment denominator must come from the
+   SAME hot-hash-pruned frame as matched_frames, or a true duplicate
+   whose shared frames are mostly stop frames is silently penalized.
+2. q282: no forced broadcast hint on the unbounded vocabulary-grain
+   counts frame (real-corpus vocabularies are not broadcast-sized;
+   AQE decides at runtime). The 1-row total keeps its hint.
+3. q283/q285/q286: the planted-copy id offset must clear any
+   fixture's organic id range (sf0.1 already reaches doc_id 5219;
+   10_000 would collide on a bigger fixture — consistently in BOTH
+   engines, so the oracle gate could never catch it).
+4. embedding_near_duplicates: the eager localCheckpoint must carry a
+   call-site comment — constructing the frame executes Spark jobs,
+   and plan-only consumers need to know that is deliberate.
+5. COVERAGE.md's q285 row must claim the bounds the tests actually
+   assert (<= 6 pipeline contract, <= 8 unit invariance), not <= 4.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+
+REPO = pathlib.Path("/root/repo")
+SF01 = "/root/testdata/sf0.01"
+SF01_BIG = "/root/testdata/sf0.1"
+
+
+def test_video_containment_denominator_uses_pruned_frames(spark):
+    """A true duplicate whose shared frames are mostly stop frames
+    must still pair: with max_hash_videos=2 the stop hash (held by 4
+    videos) is pruned, and BOTH matched_frames and n_hashes must then
+    ignore it. The pre-fix code counted n_hashes from the un-pruned
+    signature, giving containment 2/3 < 0.8 and dropping the pair."""
+    from etl_as_a_service_spark.llm.multimodal import (
+        video_near_duplicates,
+    )
+
+    stop = 0xDEADBEEF  # shared by videos 1-4 -> hot under the cap
+    rows = [
+        # video 1 and 2: the duplicate pair — stop frame + two real
+        (1, 0, stop), (1, 1, 101), (1, 2, 102),
+        (2, 0, stop), (2, 1, 101), (2, 2, 102),
+        # videos 3 and 4 hold the stop hash too (make it hot) plus
+        # unrelated frames
+        (3, 0, stop), (3, 1, 301),
+        (4, 0, stop), (4, 1, 401),
+    ]
+    sigs = spark.createDataFrame(
+        rows, "blob_id long, frame_idx int, phash long"
+    )
+    out = video_near_duplicates(
+        sigs, min_containment=0.8, max_hash_videos=2
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    assert (1, 2) in pairs, out
+    r = pairs[(1, 2)]
+    assert r["matched_frames"] == 2
+    assert r["containment"] == pytest.approx(1.0)
+
+
+def test_q282_has_no_vocab_grain_broadcast_hint(spark):
+    """The vocabulary-grain counts join must not carry a forced
+    broadcast hint (vocabularies are unbounded at the 100-TB design
+    point); only the 1-row corpus total may be hinted. The analyzed
+    plan of the pre-fix code showed two ResolvedHints."""
+    from etl_as_a_service_spark.queries import QUERIES
+
+    df = QUERIES["q282_curriculum_buckets"].fn(spark, SF01)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    n_hints = analyzed.count("ResolvedHint")
+    assert n_hints <= 1, (
+        f"{n_hints} broadcast hints in q282's analyzed plan — the "
+        "vocab-grain counts frame must not be force-broadcast"
+    )
+
+
+def test_planted_id_offset_clears_fixture_ids(spark):
+    """The planted-copy offset is a shared module constant well above
+    any fixture's organic id range (the pre-fix literal 10000 was
+    within 2x of sf0.1's max doc_id)."""
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata2 import (
+        PLANTED_ID_OFFSET,
+    )
+
+    assert PLANTED_ID_OFFSET >= 10_000_000
+    # the oracle must plant at the same offset (both engines)
+    oracle = QUERIES["q283_simhash_pairs_portable"].oracle
+    assert f"doc_id + {PLANTED_ID_OFFSET}" in oracle
+    # headroom vs the largest shipped fixture
+    max_id = (
+        spark.read.parquet(f"{SF01_BIG}/documents.parquet")
+        .agg({"doc_id": "max"})
+        .collect()[0][0]
+    )
+    assert PLANTED_ID_OFFSET > 100 * max_id
+
+
+def test_eager_checkpoint_documented_at_call_site():
+    """similarity.py's keeper localCheckpoint is eager (deliberate —
+    silences accumulator-update ERROR spam); the call site must say
+    so because construction now executes Spark jobs."""
+    src = (REPO / "etl_as_a_service_spark/llm/similarity.py").read_text()
+    at = src.index("unit = unit.localCheckpoint()")
+    window = src[max(0, at - 600) : at]
+    assert "eager" in window.lower(), (
+        "no call-site comment explaining the eager localCheckpoint "
+        "(construction executes jobs; plan-only consumers pay it)"
+    )
+
+
+def test_coverage_claims_match_asserted_phash_bounds():
+    """COVERAGE.md's q285 row must state the asserted bounds: <= 6 in
+    the pipeline contract, <= 8 in the unit invariance test — not the
+    unasserted <= 4 the pre-fix row claimed."""
+    cov = (REPO / "COVERAGE.md").read_text()
+    assert "patch edits <= 4" not in cov
+    (q285_row,) = [
+        ln for ln in cov.splitlines() if ln.startswith("| Image pHash")
+    ]
+    assert "<= 6" in q285_row, q285_row

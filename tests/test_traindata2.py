@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_as_a_service_spark.queries import QUERIES
+from etl_as_a_service_spark.queries.traindata2 import PLANTED_ID_OFFSET
 
 SF = "/root/testdata/sf0.001"
 SF01 = "/root/testdata/sf0.01"
@@ -142,13 +143,13 @@ def test_curriculum_buckets_partition_each_lang(spark):
 
 
 def test_simhash_planted_recall_and_contract(spark):
-    """All 20 planted near-copies (doc_id, doc_id+10000) are
+    """All 20 planted near-copies (doc_id, doc_id+PLANTED_ID_OFFSET) are
     recovered within Hamming <= 3; no output pair exceeds the
     contract; pairs are canonical (id_a < id_b) and unique."""
     out = _run(spark, "q283_simhash_pairs_portable").collect()
     pairs = {(r["id_a"], r["id_b"]) for r in out}
     assert len(pairs) == len(out)
-    planted = {(i, i + 10000) for i in range(20)}
+    planted = {(i, i + PLANTED_ID_OFFSET) for i in range(20)}
     assert planted <= pairs, sorted(planted - pairs)
     for r in out:
         assert r["id_a"] < r["id_b"]
@@ -207,8 +208,8 @@ def test_phash_pairs_recover_planted_images(spark):
     out = _run(spark, "q285_image_phash_pairs").collect()
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
     assert len(pairs) == len(out)
-    bright = {(i, i + 10000) for i in range(8)}
-    patched = {(i, i + 10000) for i in range(8, 15)}
+    bright = {(i, i + PLANTED_ID_OFFSET) for i in range(8)}
+    patched = {(i, i + PLANTED_ID_OFFSET) for i in range(8, 15)}
     assert bright <= set(pairs), sorted(bright - set(pairs))
     for key in bright:
         assert pairs[key] == 0, (key, pairs[key])
@@ -252,7 +253,7 @@ def test_video_phash_dedup_recovers_reencoded_trims(spark):
     no frame hash."""
     out = _run(spark, "q286_video_phash_dedup").collect()
     pairs = {(r["id_a"], r["id_b"]): r for r in out}
-    planted = {(i, i + 10000) for i in range(12)}
+    planted = {(i, i + PLANTED_ID_OFFSET) for i in range(12)}
     assert planted <= set(pairs), sorted(planted - set(pairs))
     for key in planted:
         r = pairs[key]
