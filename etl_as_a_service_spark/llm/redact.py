@@ -1,0 +1,89 @@
+"""PII / secret redaction — the scrubbing pass a production
+training-data pipeline runs before packing (emails, phone numbers,
+SSN / credit-card shapes, IPv4 addresses, high-entropy key strings).
+
+The reference delegates all transformation to user DAGs (it ships no
+redaction of its own — `app/routes.py:66-135` only moves artifacts);
+this implements the scrub natively as a ZERO-SHUFFLE Catalyst
+``regexp_replace`` chain (the q221 HTML-extraction discipline): one
+codegen'd pass per row, no UDF, no Python on the hot path. Hit counts
+ride the caller's action via ``pyspark.sql.Observation`` — zero extra
+jobs.
+
+Every pattern is deliberately written in the Java-regex ∩ RE2 subset
+(no backreferences, no lookaround) so the SAME pattern strings drive
+the Spark operator and the DuckDB oracle (q297) — the cross-engine
+contract is on the literal pattern text, not a translation.
+
+SCALE DESIGN: redaction is embarrassingly parallel (map-only — the
+plan is a single Project over the scan, filters still push down past
+it); the census aggregates shuffle only (source, type) pairs after a
+map-side partial. At 100 TB the whole scrub is one pass over the
+text column with no state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+# Ordered: counting is per-pattern on the ORIGINAL text (independent,
+# order-free); the replace chain applies in this order. Patterns are
+# RE2-safe AND Java-safe — shared verbatim with the q297 oracle SQL.
+PII_PATTERNS: dict[str, str] = {
+    "credit_card": r"\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    # high-entropy key shapes: AWS-style access-key ids plus bare
+    # 32-hex tokens (md5-shaped leaked secrets)
+    "secret_key": r"\bAKIA[0-9A-Z]{16}\b|\b[0-9a-f]{32}\b",
+}
+
+
+def redaction_token(pii_type: str) -> str:
+    """The replacement marker — uppercase in brackets, shaped so it
+    can never re-match any pattern in the chain."""
+    return f"[{pii_type.upper()}]"
+
+
+def redact_column(col: Column, types: list[str] | None = None) -> Column:
+    """The redaction chain as a pure Column expression: nested
+    ``regexp_replace`` calls that whole-stage-codegen into one pass."""
+    out = col
+    for name in types or list(PII_PATTERNS):
+        out = F.regexp_replace(
+            out, PII_PATTERNS[name], redaction_token(name)
+        )
+    return out
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "text_redacted",
+    types: list[str] | None = None,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = ``text_col`` with every PII match replaced
+    by its ``[TYPE]`` marker. When ``observation`` is given, per-type
+    hit counts (``hits_<type>`` = total matches in the ORIGINAL text)
+    ride the caller's next action on the returned frame — the audit a
+    scrub pass must emit, at zero extra jobs."""
+    unknown = sorted(set(types or ()) - set(PII_PATTERNS))
+    if unknown:
+        raise ValueError(f"unknown PII types: {unknown}")
+    names = types or list(PII_PATTERNS)
+    out = df.withColumn(out_col, redact_column(F.col(text_col), names))
+    if observation is not None:
+        out = out.observe(
+            observation,
+            *[
+                F.sum(
+                    F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[n]))
+                ).alias(f"hits_{n}")
+                for n in names
+            ],
+        )
+    return out

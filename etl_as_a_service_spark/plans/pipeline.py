@@ -130,6 +130,7 @@ _ALLOWED_OPS = {
     "rag_chunk",
     "simhash_pairs",
     "shard_assign",
+    "redact_pii",
 }
 
 
@@ -1058,6 +1059,40 @@ def _apply_step(
             return df
         _eval_expect_gate(step.get("name", "expect"), checks, df)
         return df
+    if op == "redact_pii":
+        # {"op":"redact_pii","text_col":"text","out_col":"text_clean",
+        #  "types":["email","phone"]} — zero-shuffle codegen
+        # regexp_replace scrub (the q297 operator); per-pattern hit
+        # counts ride the run's action as an Observation named
+        # "<out_col>_pii_hits" and land in run.metrics — the audit
+        # trail a scrub pass must leave, at zero extra jobs.
+        from etl_as_a_service_spark.llm.redact import (
+            PII_PATTERNS,
+            redact_pii,
+        )
+
+        types = step.get("types")
+        if types is not None:
+            unknown = sorted(set(types) - set(PII_PATTERNS))
+            if unknown:
+                raise PipelineError(
+                    f"redact_pii: unknown PII types {unknown}; "
+                    f"supported: {sorted(PII_PATTERNS)}"
+                )
+        out_col = step.get("out_col", "text_redacted")
+        obs = None
+        if observations is not None:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            observations.append((f"{out_col}_pii_hits", obs))
+        return redact_pii(
+            df,
+            _req(step, "text_col"),
+            out_col=out_col,
+            types=types,
+            observation=obs,
+        )
     if op == "observe":
         # {"op":"observe","name":"m","metrics":{"n":"count(*)",
         #  "bad":"sum(case when x<0 then 1 else 0 end)"}} — named metrics

@@ -64,6 +64,7 @@ from etl_as_a_service_spark.queries import webcorpus  # noqa: E402,F401
 from etl_as_a_service_spark.queries import ml  # noqa: E402,F401
 from etl_as_a_service_spark.queries import traindata  # noqa: E402,F401
 from etl_as_a_service_spark.queries import traindata2  # noqa: E402,F401
+from etl_as_a_service_spark.queries import traindata3  # noqa: E402,F401
 
 # Driver-gate rotation (round 8): the external driver records
 # CORRECTNESS rows for the FIRST 50 manifest entries only. After r7
