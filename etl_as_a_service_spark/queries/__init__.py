@@ -66,88 +66,74 @@ from etl_as_a_service_spark.queries import traindata  # noqa: E402,F401
 from etl_as_a_service_spark.queries import traindata2  # noqa: E402,F401
 from etl_as_a_service_spark.queries import traindata3  # noqa: E402,F401
 
-# Driver-gate rotation (round 8): the external driver records
-# CORRECTNESS rows for the FIRST 50 manifest entries only. After r7
-# the backlog is down to exactly ONE never-driver-green oracle query:
-# q276 (added after the final r7 rotation). It leads this window; any
-# oracle query ADDED this round goes directly after it (never-green by
-# definition), and the remaining slots re-confirm the newest
-# already-green rows (q226+ ascending). The manifest CONTENT is
-# unchanged — only dict iteration order moves.
+# Driver-gate rotation (round 9): the external driver records
+# CORRECTNESS rows for the FIRST 50 manifest entries only. The
+# never-driver-green backlog emptied in round 8, so the policy is now
+# FRESHNESS (the round-8 verdict's item 1): lead with any never-green
+# oracle queries (new this round: q297/q298), then re-confirm the
+# LEAST-RECENTLY-confirmed rows — q60/q67/q69/q70 (last green r1) and
+# q01-q39/q50-q56 (last green r2), whose receipts predate the heavy
+# keeper/checkpoint/ANSI refactors. The manifest CONTENT is unchanged
+# — only dict iteration order moves. The tripwire
+# (tests/test_driver_canonicalizer.py::test_front_50_rotation_invariants)
+# computes this exact window from the CORRECTNESS_r*.json union.
 #
-# Keep the rows-only queries (q47-q49/q54/q55/q61/q98/q130/q139/q148)
-# OUT of every future front-50: their driver check is `no_oracle`
-# (row-count only) and each already has its driver row from r4; the
-# real gates are their pytest recall/content tests.
+# Keep the rows-only queries (q47-q49/q54/q55/q61/q98/q130/q139/q148
+# and the q284-q286 multimodal family) OUT of every front-50: their
+# driver check is `no_oracle` (row-count only) and each already has
+# its driver row; the real gates are their pytest recall/content
+# tests.
 _ROTATE_FRONT = [
-    "q276_char_ngram_langid",
-    "q277_shard_balance_plan",
-    "q278_span_corruption_plan",
-    "q279_tokenizer_fertility",
-    "q280_matryoshka_energy",
-    "q281_loo_source_influence",
-    "q282_curriculum_buckets",
-    "q283_simhash_pairs_portable",
-    "q287_krippendorff_alpha",
-    "q288_propensity_matching",
-    "q289_negative_sampling_table",
-    "q290_conformal_coverage",
-    "q291_uplift_deciles",
-    "q292_benford_audit",
-    "q293_decision_stump",
-    "q294_slope_break",
-    "q295_poisson_bootstrap_ci",
-    "q296_aa_calibration",
-    "q226_conversion_lag",
-    "q227_weighted_shortest_paths",
-    "q228_kcore_peel",
-    "q229_quantile_normalize",
-    "q230_source_overlap",
-    "q231_ewma_trend",
-    "q232_oov_rates",
-    "q233_cohen_kappa",
-    "q234_source_datasheet",
-    "q235_kmeans_clusters",
-    "q236_kmeans_profile",
-    "q237_embedding_hygiene",
-    "q238_cluster_balanced_sample",
-    "q239_random_projection",
-    "q240_lexical_diversity",
-    "q241_label_noise_audit",
-    "q242_entity_resolution",
-    "q243_forecast_backtest",
-    "q244_gini_concentration",
-    "q245_transition_dwell",
-    "q246_windowed_event_dedup",
-    "q247_cluster_keywords",
-    "q248_naive_bayes_confusion",
-    "q249_kmeans_silhouette",
-    "q250_heaps_law",
-    "q251_mad_outliers",
-    "q252_logistic_hash_clf",
-    "q253_minhash_lsh_portable",
-    "q254_stratified_kfold",
-    "q255_classifier_eval",
-    "q256_target_encoding",
-    "q257_scalar_quantization",
-    "q258_embedding_drift_matrix",
-    "q259_decayed_engagement",
-    "q260_lexical_drift_matrix",
-    "q261_dup_cluster_histogram",
-    "q262_holdout_eval",
-    "q263_rollup_revenue",
-    "q264_winnowing_fingerprints",
-    "q265_nucleus_vocab",
-    "q266_diff_in_diff",
-    "q267_context_budget_report",
-    "q268_vocab_coverage_curve",
-    "q269_rag_chunk_plan",
-    "q270_local_clustering_topk",
-    "q271_length_bucket_padding",
-    "q272_association_rules",
-    "q273_token_entropy",
-    "q274_stopword_quality",
-    "q275_fold_contamination",
+    "q297_pii_census",
+    "q298_packing_efficiency_audit",
+    "q60_string_extras",
+    "q67_time_parts",
+    "q69_lateral_topk",
+    "q70_group_by_all",
+    "q01_pricing_summary",
+    "q02_top_parts_by_revenue",
+    "q03_revenue_by_region_nation",
+    "q04_customers_with_fulfilled_orders",
+    "q05_customers_without_big_orders",
+    "q06_nation_set_ops",
+    "q07_rollup_returns",
+    "q08_cube_order_status",
+    "q09_order_price_buckets",
+    "q10_quantity_band_join",
+    "q11_distinct_flag_status",
+    "q12_null_order_pagination",
+    "q13_big_customers_having",
+    "q14_event_type_pivot",
+    "q15_distinct_users_per_type",
+    "q16_grouping_sets",
+    "q17_stat_aggregates",
+    "q18_percentiles",
+    "q19_collect_and_argminmax",
+    "q20_string_functions",
+    "q21_date_functions",
+    "q22_math_functions",
+    "q23_conditional_nulls",
+    "q24_hash_functions",
+    "q25_json_extraction",
+    "q26_array_functions",
+    "q27_explode_word_count",
+    "q28_struct_map_roundtrip",
+    "q29_session_windows_batch",
+    "q30_order_ranks",
+    "q31_event_lag_lead",
+    "q32_frame_aggregates",
+    "q33_first_last_window",
+    "q34_top3_orders_per_customer",
+    "q35_asof_last_purchase",
+    "q36_multiset_ops",
+    "q37_union_by_name",
+    "q38_approx_count_distinct",
+    "q39_correlated_subqueries",
+    "q50_posexplode_tokens",
+    "q51_interval_arithmetic",
+    "q52_try_cast",
+    "q53_ilike_rlike",
+    "q56_array_ops",
 ]
 
 

@@ -204,3 +204,120 @@ def q297_pii_census(spark, sf_dir):
         )
         .orderBy("source", "pii_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q298 — packing-efficiency audit (FFD-proxy shelf vs split packer)
+# --------------------------------------------------------------------------
+@query(
+    "q298_packing_efficiency_audit",
+    oracle="""
+    WITH d AS (
+      SELECT len(string_split(text, ' ')) AS nt,
+             substring(md5('pack-v1' || CAST(doc_id AS VARCHAR)), 1, 1)
+               AS shard
+      FROM documents
+    ),
+    b AS (
+      SELECT shard, CAST(nt // 16 AS BIGINT) AS bucket,
+             count(*) AS n_docs, max(nt) AS pad_to, sum(nt) AS toks
+      FROM d GROUP BY shard, bucket
+    ),
+    s AS (
+      SELECT shard,
+             CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS total_tokens,
+             CAST(sum(
+               (n_docs + greatest(1, 2048 // pad_to) - 1)
+               // greatest(1, 2048 // pad_to)
+             ) AS BIGINT) AS shelf_bins
+      FROM b GROUP BY shard
+    )
+    SELECT shard, n_docs, total_tokens,
+           CAST((total_tokens + 2047) // 2048 AS BIGINT) AS split_bins,
+           CAST((total_tokens + 2047) // 2048 * 2048 - total_tokens
+                AS BIGINT) AS split_waste_tokens,
+           shelf_bins,
+           CAST(shelf_bins * 2048 - total_tokens AS BIGINT)
+             AS shelf_waste_tokens,
+           round((shelf_bins * 2048 - total_tokens) * 1.0
+                 / (shelf_bins * 2048), 6) AS shelf_waste_frac,
+           round((shelf_bins - (total_tokens + 2047) // 2048) * 1.0
+                 / ((total_tokens + 2047) // 2048), 6)
+             AS extra_compute_frac
+    FROM s ORDER BY shard
+    """,
+    tags=("curation", "packing", "batching", "tokens", "llm", "operator"),
+)
+def q298_packing_efficiency_audit(spark, sf_dir):
+    """Packing-efficiency audit (q298): per training shard (q84's
+    md5 deal), how much compute each packing strategy leaves on the
+    table at a 2048-token context budget. Two closed-form bounds from
+    the q271 width-16 length buckets — NO packing simulation, NO
+    window, NO per-doc state:
+
+    - split packer (q84's pack_sequences_split): every non-final bin
+      is exactly full, so bins = ceil(total/2048) and waste is only
+      the final bin's tail — the compute floor, paid for by documents
+      straddling bin boundaries (cross-doc attention contamination);
+    - bucketed-shelf packing, the whole-doc FFD proxy: within each
+      length bucket pad docs to the bucket max and shelve
+      floor(2048/pad_to) per bin (FFD places similar sizes together,
+      so the bucket-grain shelf count tracks its bin count to within
+      one bin per bucket). Whole docs only — no split — at the cost
+      of shelf_waste_frac padding; extra_compute_frac is the
+      FFD-vs-split premium the batch-shape decision weighs. Docs
+      longer than the budget shelve one per bin (greatest(1, ...));
+      an upstream q78/q269 chunk pass owns those.
+
+    SCALE DESIGN: two map-side-combined aggregates — (shard, bucket)
+    grain then a 16-row shard rollup; no join, no window, no
+    simulation. The identical integer arithmetic (// floor division)
+    runs in both engines, so the audit is oracle-exact."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " ")).cast("long")
+    shard = F.substring(
+        F.md5(F.concat(F.lit("pack-v1"), F.col("doc_id").cast("string"))),
+        1,
+        1,
+    )
+    d = docs.select(n.alias("nt"), shard.alias("shard"))
+    b = d.groupBy("shard", F.expr("nt div 16").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("nt").alias("pad_to"),
+        F.sum("nt").alias("toks"),
+    )
+    per_bin = F.greatest(F.lit(1).cast("long"), F.expr("2048 div pad_to"))
+    bucket_bins = F.floor(
+        (F.col("n_docs") + per_bin - 1) / per_bin
+    ).cast("long")
+    s = b.groupBy("shard").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.sum(bucket_bins).cast("long").alias("shelf_bins"),
+    )
+    split_bins = F.floor((F.col("total_tokens") + 2047) / 2048).cast(
+        "long"
+    )
+    return s.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        split_bins.alias("split_bins"),
+        (split_bins * 2048 - F.col("total_tokens"))
+        .cast("long")
+        .alias("split_waste_tokens"),
+        "shelf_bins",
+        (F.col("shelf_bins") * 2048 - F.col("total_tokens"))
+        .cast("long")
+        .alias("shelf_waste_tokens"),
+        F.round(
+            (F.col("shelf_bins") * 2048 - F.col("total_tokens"))
+            * 1.0
+            / (F.col("shelf_bins") * 2048),
+            6,
+        ).alias("shelf_waste_frac"),
+        F.round(
+            (F.col("shelf_bins") - split_bins) * 1.0 / split_bins, 6
+        ).alias("extra_compute_frac"),
+    ).orderBy("shard")

@@ -69,32 +69,40 @@ def test_int32_vs_int64_is_not_a_split():
 
 def test_front_50_rotation_invariants():
     """The external driver records CORRECTNESS rows for the FIRST 50
-    manifest entries only. Round-agnostic contract (round-5 rewrite —
-    the round-4 version hard-coded a q>=123 exemption and would have
-    silently passed on a stale front-50):
+    manifest entries only. Round-9 policy rewrite (the backlog-empty
+    era — every oracle query has at least one green driver row, so
+    the window's job is FRESHNESS, per the round-8 verdict item 1):
 
     - never-green = oracle queries with no GREEN driver row in the
       union of every on-disk ``CORRECTNESS_r*.json`` (a red or errored
-      row does not count as seen-green);
-    - the front-50 must contain min(50, len(never-green)) never-green
-      queries, filled in ascending query-number order so the backlog
-      drains deterministically;
+      row does not count as seen-green). They lead the window in
+      ascending query-number order — new queries jump the queue;
+    - the remaining slots hold the LEAST-RECENTLY-confirmed oracle
+      queries: sort by (newest green round, query number) ascending
+      and fill to 50, so third-party receipts cycle oldest-first;
     - the front-50 must contain ZERO rows-only queries — the driver
-      can only mark them ``no_oracle``, wasting the slot (all ten got
-      their one driver row in r4).
+      can only mark them ``no_oracle``, wasting the slot.
+
+    The assertion is SET EQUALITY against that computed window, so a
+    stale _ROTATE_FRONT fails the moment a new CORRECTNESS file (or a
+    new oracle query) changes what the freshest window should be.
     """
     import glob
     import json
+    import re
 
     from etl_as_a_service_spark.queries import QUERIES
 
     front = list(QUERIES)[:50]
-    green: set[str] = set()
+    newest_green: dict[str, int] = {}
     for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", path).group(1))
         with open(path) as f:
             for name, row in json.load(f).items():
                 if row.get("hash_match") is True:
-                    green.add(name)
+                    newest_green[name] = max(
+                        newest_green.get(name, 0), rnd
+                    )
     oracle_queries = {n for n, q in QUERIES.items() if q.oracle is not None}
     rows_only = set(QUERIES) - oracle_queries
 
@@ -104,10 +112,14 @@ def test_front_50_rotation_invariants():
     def qnum(name: str) -> int:
         return int(name.split("_", 1)[0][1:])
 
-    never_green = sorted(oracle_queries - green, key=qnum)
-    expected = set(never_green[:50])
-    missing = sorted(expected - set(front), key=qnum)
-    assert not missing, (
-        f"{len(missing)} never-driver-green oracle queries belong in the "
-        f"front-50 but are not there: {missing}"
+    never_green = sorted(oracle_queries - set(newest_green), key=qnum)
+    stalest = sorted(
+        (n for n in oracle_queries if n in newest_green),
+        key=lambda n: (newest_green[n], qnum(n)),
+    )
+    expected = (never_green + stalest)[:50]
+    assert set(front) == set(expected), (
+        f"front-50 is not the freshness window: "
+        f"unexpected={sorted(set(front) - set(expected), key=qnum)} "
+        f"missing={sorted(set(expected) - set(front), key=qnum)}"
     )

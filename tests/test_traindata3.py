@@ -170,3 +170,22 @@ def test_redaction_plan_is_map_only(spark):
     )
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q298_packing_audit_invariants(spark):
+    """Bound checks behind the q298 oracle row: the split packer is
+    the compute floor (shelf_bins >= split_bins, always), split waste
+    is only the final bin's tail (< 2048 per shard), the shelf waste
+    identity holds exactly, and the 16 md5 shards partition the
+    corpus."""
+    rows = _run(spark, "q298_packing_efficiency_audit").collect()
+    assert len(rows) == 16
+    assert sum(r["n_docs"] for r in rows) == 500
+    for r in rows:
+        assert r["shelf_bins"] >= r["split_bins"] >= 1
+        assert 0 <= r["split_waste_tokens"] < 2048
+        assert (
+            r["shelf_waste_tokens"]
+            == r["shelf_bins"] * 2048 - r["total_tokens"]
+        )
+        assert r["extra_compute_frac"] >= 0.0
