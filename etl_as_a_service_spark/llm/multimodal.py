@@ -37,6 +37,15 @@ from pyspark.sql.types import (
     StructType,
 )
 
+#: Arrow-seam memory guard (round-9): blob generators FLUSH their
+#: output every this-many rows instead of materializing one pandas
+#: frame per input batch — a row-amplifying seam (1 video -> many
+#: frames, 1 doc -> several blobs) holds at most one chunk of decoded
+#: output at a time. The INPUT side is capped by
+#: spark.sql.execution.arrow.maxRecordsPerBatch (512 in ENGINE_CONF;
+#: a vanilla session's 10k default still gets bounded output here).
+BLOB_BATCH_MAX_ROWS = 256
+
 #: Canonical multimodal row schema: opaque payload + typed metadata.
 BLOB_SCHEMA = StructType(
     [
@@ -379,7 +388,11 @@ def encode_pnm_stream(frames: list["np.ndarray"], maxval: int = 255) -> bytes:
     return b"".join(_array_to_pnm(f, maxval) for f in frames)
 
 
-def extract_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
+def extract_frames(
+    df: DataFrame,
+    every_n: int = 1,
+    max_rows_per_batch: int = BLOB_BATCH_MAX_ROWS,
+) -> DataFrame:
     """REAL frame extraction for video blobs: byte-level parse of the
     concatenated-netpbm container inside the Arrow mapInPandas seam,
     emitting every ``every_n``-th frame with its index, dimensions,
@@ -388,7 +401,13 @@ def extract_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
     plugs in here); non-video rows are filtered engine-side BEFORE the
     Python stage so the UDF only ever sees video bytes. Complements
     ``sample_frames`` (which plans timestamp sampling from metadata
-    without touching bytes)."""
+    without touching bytes).
+
+    MEMORY GUARD (round-9): decoded frames are FLUSHED every
+    ``max_rows_per_batch`` rows instead of accumulating the whole
+    input batch's frame set — one dense batch of long videos can no
+    longer pin every decoded frame at once (the input side is capped
+    by the session's arrow maxRecordsPerBatch, 512 in ENGINE_CONF)."""
     out_schema = StructType(
         [
             StructField("blob_id", LongType()),
@@ -400,9 +419,12 @@ def extract_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
         ]
     )
 
+    cols = ["blob_id", "frame_idx", "width", "height", "frame",
+            "mean_luma"]
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: list[tuple] = []
         for pdf in batches:
-            rows = []
             for _, r in pdf.iterrows():
                 if r["mime"] not in PNM_STREAM_MIMES:
                     raise NotImplementedError(
@@ -422,14 +444,12 @@ def extract_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
                                 float(img.astype(np.float64).mean()),
                             )
                         )
+                        if len(rows) >= max_rows_per_batch:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
                     idx += 1
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "blob_id", "frame_idx", "width", "height",
-                    "frame", "mean_luma",
-                ],
-            )
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
 
     return (
         df.filter(F.col("modality") == "video")

@@ -733,6 +733,7 @@ def q284_audio_spectral_report(spark, sf_dir):
     / tone / noise) a multimodal corpus runs before training. Encode
     and decode are both distributed; nothing touches the driver."""
     from etl_as_a_service_spark.llm.multimodal import (
+        BLOB_BATCH_MAX_ROWS,
         BLOB_SCHEMA,
         audio_spectral_features,
         encode_wav_bytes,
@@ -746,8 +747,12 @@ def q284_audio_spectral_report(spark, sf_dir):
 
         rate, n = 8000, 4000
         t = np.arange(n) / rate
+        cols = [
+            "blob_id", "modality", "mime", "content",
+            "meta_width", "meta_height", "meta_duration_ms",
+        ]
+        rows = []
         for pdf in batches:
-            rows = []
             for doc_id in pdf["doc_id"]:
                 freq = 200 + (int(doc_id) % 20) * 150
                 x = 0.6 * np.sin(2 * np.pi * freq * t)
@@ -757,13 +762,12 @@ def q284_audio_spectral_report(spark, sf_dir):
                         encode_wav_bytes(x, rate=rate), None, None, 500,
                     )
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "blob_id", "modality", "mime", "content",
-                    "meta_width", "meta_height", "meta_duration_ms",
-                ],
-            )
+                # blob-seam memory guard: flush in bounded chunks
+                if len(rows) >= BLOB_BATCH_MAX_ROWS:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
 
     blobs = (
         docs.filter(F.col("doc_id") < 60)
@@ -820,6 +824,7 @@ def q285_image_phash_pairs(spark, sf_dir):
     unrelated documents' hashes sit far outside the contract (zero
     organic pairs measured even at Hamming <= 12)."""
     from etl_as_a_service_spark.llm.multimodal import (
+        BLOB_BATCH_MAX_ROWS,
         BLOB_SCHEMA,
         image_phash,
         phash_pairs,
@@ -833,8 +838,12 @@ def q285_image_phash_pairs(spark, sf_dir):
 
         from etl_as_a_service_spark.llm.multimodal import encode_pgm_bytes
 
+        cols = [
+            "blob_id", "modality", "mime", "content",
+            "meta_width", "meta_height", "meta_duration_ms",
+        ]
+        rows = []
         for pdf in batches:
-            rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 data = np.frombuffer(
                     text.encode("utf-8"), dtype=np.uint8
@@ -865,13 +874,12 @@ def q285_image_phash_pairs(spark, sf_dir):
                             encode_pgm_bytes(v), 32, 32, None,
                         )
                     )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "blob_id", "modality", "mime", "content",
-                    "meta_width", "meta_height", "meta_duration_ms",
-                ],
-            )
+                # blob-seam memory guard: flush in bounded chunks
+                if len(rows) >= BLOB_BATCH_MAX_ROWS:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
 
     blobs = (
         docs.filter(F.col("doc_id") < 120)
@@ -904,6 +912,7 @@ def q286_video_phash_dedup(spark, sf_dir):
     full re-encode + cut therefore lands at containment 1.0 while
     unrelated videos share no frame hash at all."""
     from etl_as_a_service_spark.llm.multimodal import (
+        BLOB_BATCH_MAX_ROWS,
         BLOB_SCHEMA,
         video_near_duplicates,
         video_phash_signatures,
@@ -933,8 +942,12 @@ def q286_video_phash_dedup(spark, sf_dir):
                 :, :, None
             ]
 
+        cols = [
+            "blob_id", "modality", "mime", "content",
+            "meta_width", "meta_height", "meta_duration_ms",
+        ]
+        rows = []
         for pdf in batches:
-            rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 data = np.frombuffer(
                     text.encode("utf-8"), dtype=np.uint8
@@ -960,13 +973,12 @@ def q286_video_phash_dedup(spark, sf_dir):
                             encode_pnm_stream(edited), 32, 32, 3000,
                         )
                     )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "blob_id", "modality", "mime", "content",
-                    "meta_width", "meta_height", "meta_duration_ms",
-                ],
-            )
+                # blob-seam memory guard: flush in bounded chunks
+                if len(rows) >= BLOB_BATCH_MAX_ROWS:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
 
     blobs = (
         docs.filter(F.col("doc_id") < 80)

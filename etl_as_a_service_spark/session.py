@@ -31,6 +31,16 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Arrow-seam memory guard (round-9): a mapInPandas batch holds
+    # maxRecordsPerBatch WHOLE rows — for blob tables (multimodal
+    # binary columns, ~MBs/row) the 10 000-row default lets ONE dense
+    # batch pin gigabytes on an executor. 512 caps the input batch at
+    # ~0.5 GB even for 1 MB blobs while keeping text/scalar seams
+    # fully vectorized; blob operators additionally flush their
+    # OUTPUT in bounded chunks (llm/multimodal.py
+    # BLOB_BATCH_MAX_ROWS), so the guard holds under vanilla driver
+    # sessions too.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.files.maxPartitionBytes": "128m",

@@ -246,3 +246,67 @@ def test_extract_frames_parses_real_container(spark):
         img, _ = _pnm_to_array(bytes(r["frame"]))
         assert img.shape == (4, 6, 3)
         assert int(img[0, 0, 0]) == r["frame_idx"] * 20
+
+
+def test_extract_frames_chunked_flush_is_lossless(spark):
+    """The round-9 Arrow-seam memory guard: extract_frames flushes
+    decoded frames every max_rows_per_batch rows (instead of one
+    pandas frame per input batch). A prime-sized cap that forces
+    flush boundaries INSIDE and ACROSS videos must return exactly the
+    same frame set as an uncapped run."""
+    import numpy as np
+
+    from etl_as_a_service_spark.llm.multimodal import (
+        BLOB_SCHEMA,
+        encode_pnm_stream,
+        extract_frames,
+    )
+
+    def video(seed, n_frames):
+        return encode_pnm_stream(
+            [
+                np.full((3, 3), (seed * 31 + i) % 251, dtype=np.uint8)[
+                    :, :, None
+                ]
+                for i in range(n_frames)
+            ]
+        )
+
+    rows = [
+        (v, "video", "video/x-netpbm-stream", bytearray(video(v, 20)),
+         3, 3, 1000)
+        for v in range(5)
+    ]
+    blobs = spark.createDataFrame(rows, BLOB_SCHEMA).coalesce(1)
+
+    def key(r):
+        return (r["blob_id"], r["frame_idx"])
+
+    capped = sorted(
+        extract_frames(blobs, max_rows_per_batch=7).collect(), key=key
+    )
+    uncapped = sorted(
+        extract_frames(blobs, max_rows_per_batch=10**9).collect(),
+        key=key,
+    )
+    assert len(capped) == 100
+    assert [key(r) for r in capped] == [key(r) for r in uncapped]
+    for a, b in zip(capped, uncapped):
+        assert bytes(a["frame"]) == bytes(b["frame"])
+        assert a["mean_luma"] == b["mean_luma"]
+
+
+def test_engine_session_caps_arrow_batch_rows():
+    """ENGINE_CONF bounds the INPUT side of every blob seam: a
+    mapInPandas batch materializes maxRecordsPerBatch whole rows, so
+    binary tables need a cap far below the 10k default."""
+    from etl_as_a_service_spark.llm.multimodal import (
+        BLOB_BATCH_MAX_ROWS,
+    )
+    from etl_as_a_service_spark.session import ENGINE_CONF
+
+    cap = int(ENGINE_CONF["spark.sql.execution.arrow.maxRecordsPerBatch"])
+    assert cap <= 1024
+    # output flush cap stays at or below the input cap: a seam can
+    # only shrink resident memory relative to its input batch
+    assert BLOB_BATCH_MAX_ROWS <= cap
