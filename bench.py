@@ -132,6 +132,11 @@ HEADLINE_TRAINDATA = [
     # per-entry timings stay comparable.
     "q282_curriculum_buckets",
     "q283_simhash_pairs_portable",
+    # round-9 addition: the PII scrub census (the heavier of
+    # q297/q298 — 12 regexp_count passes + the 6-deep replace chain
+    # over planted text). Subtotal grows by one entry vs r8;
+    # per-entry timings stay comparable.
+    "q297_pii_census",
 ]
 
 #: round-6 addition to the lakehouse subtotal: the stats-based file

@@ -1,0 +1,392 @@
+#!/usr/bin/env python
+"""Scale rehearsal for the multimodal family (q284 audio spectral,
+q285 image pHash + pairs, q286 video signatures + containment dedup)
+at the round-8 verdict's prescribed stress: 4x blob count at 2x
+resolution.
+
+These are the suite's only per-row-Python-heavy kernels (numpy
+FFT/DCT inside the Arrow seam), so the questions are:
+
+1. do the wall-clock ratios stay near the 4x-work / 2x-resolution
+   prediction (map-only kernels should scale with total decoded
+   bytes: 4x clips x 2x samples = ~8x audio work; 4x images x 4x
+   pixels = ~16x DCT work at 64x64 — NOT with pair count)?
+2. do the pair joins stay candidate-bounded? We report the
+   candidates -> pairs funnel for both the image band-join and the
+   video frame-hash join; a healthy funnel has candidates within a
+   small multiple of true pairs, nowhere near n^2/2.
+3. is peak decoded memory bounded? extract_frames and the encode
+   generators flush every BLOB_BATCH_MAX_ROWS rows (round-9 Arrow
+   memory guard) and ENGINE_CONF caps arrow input batches at 512
+   rows; the receipt prints the implied peak chunk bytes vs the
+   unbounded alternative, plus an empirical capped-vs-uncapped
+   equality check.
+
+Timing: min-of-3 in ONE process, base interleaved with stress (the
+same-process A/B rule from README "bench") — never run concurrently
+with pytest or the bench.
+
+Usage: python scripts/rehearsal_multimodal.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_as_a_service_spark.catalog import load_tables  # noqa: E402
+from etl_as_a_service_spark.session import build_session  # noqa: E402
+
+
+def t3(fn) -> float:
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def make_audio_blobs(docs, n_docs: int, n_samples: int):
+    """q284's synthesis at a chosen clip count / sample resolution."""
+    from etl_as_a_service_spark.llm.multimodal import (
+        BLOB_BATCH_MAX_ROWS,
+        BLOB_SCHEMA,
+        encode_wav_bytes,
+    )
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        rate = 8000
+        t = np.arange(n_samples) / rate
+        cols = [
+            "blob_id", "modality", "mime", "content",
+            "meta_width", "meta_height", "meta_duration_ms",
+        ]
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                freq = 200 + (int(doc_id) % 20) * 150
+                x = 0.6 * np.sin(2 * np.pi * freq * t)
+                rows.append(
+                    (int(doc_id), "audio", "audio/wav",
+                     encode_wav_bytes(x, rate=rate), None, None, 500)
+                )
+                if len(rows) >= BLOB_BATCH_MAX_ROWS:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        docs.filter(F.col("doc_id") < n_docs)
+        .select("doc_id")
+        .mapInPandas(encode, BLOB_SCHEMA)
+    )
+
+
+def make_image_blobs(docs, n_docs: int, side: int):
+    """q285's natural-spectrum render at a chosen count/resolution,
+    including the planted brightness/patch copies."""
+    from etl_as_a_service_spark.llm.multimodal import (
+        BLOB_BATCH_MAX_ROWS,
+        BLOB_SCHEMA,
+    )
+    from etl_as_a_service_spark.queries.traindata2 import (
+        PLANTED_ID_OFFSET,
+    )
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        from etl_as_a_service_spark.llm.multimodal import (
+            encode_pgm_bytes,
+        )
+
+        cols = [
+            "blob_id", "modality", "mime", "content",
+            "meta_width", "meta_height", "meta_duration_ms",
+        ]
+        rows = []
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = np.frombuffer(
+                    text.encode("utf-8"), dtype=np.uint8
+                ).astype(np.float64)
+                tiled = (
+                    np.resize(data, side * side).reshape(side, side)
+                    - data.mean()
+                )
+                f = np.cumsum(np.cumsum(tiled, axis=0), axis=1)
+                f = f - f.min()
+                img = (f / max(f.max(), 1e-9) * 240.0).astype(np.uint8)
+                rows.append(
+                    (int(doc_id), "image", "image/x-portable-graymap",
+                     encode_pgm_bytes(img), side, side, None)
+                )
+                if doc_id < 15:
+                    v = (img.astype(np.int64) + 10).astype(np.uint8)
+                    if doc_id >= 8:
+                        patch = v[:3, :3].astype(np.int64) + 30
+                        v[:3, :3] = np.clip(patch, 0, 255).astype(
+                            np.uint8
+                        )
+                    rows.append(
+                        (int(doc_id) + PLANTED_ID_OFFSET, "image",
+                         "image/x-portable-graymap",
+                         encode_pgm_bytes(v), side, side, None)
+                    )
+                if len(rows) >= BLOB_BATCH_MAX_ROWS:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        docs.filter(F.col("doc_id") < n_docs)
+        .select("doc_id", "text")
+        .mapInPandas(encode, BLOB_SCHEMA)
+    )
+
+
+def make_video_blobs(docs, n_docs: int, side: int):
+    """q286's 4-frame synthesis at a chosen count/resolution with the
+    planted trimmed+brightness copies."""
+    from etl_as_a_service_spark.llm.multimodal import (
+        BLOB_BATCH_MAX_ROWS,
+        BLOB_SCHEMA,
+    )
+    from etl_as_a_service_spark.queries.traindata2 import (
+        PLANTED_ID_OFFSET,
+    )
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        from etl_as_a_service_spark.llm.multimodal import (
+            encode_pnm_stream,
+        )
+
+        def frame(data, k):
+            tiled = (
+                np.resize(np.roll(data, 11 * k), side * side).reshape(
+                    side, side
+                )
+                - data.mean()
+            )
+            f = np.cumsum(np.cumsum(tiled, axis=0), axis=1)
+            f = f - f.min()
+            return (f / max(f.max(), 1e-9) * 240.0).astype(np.uint8)[
+                :, :, None
+            ]
+
+        cols = [
+            "blob_id", "modality", "mime", "content",
+            "meta_width", "meta_height", "meta_duration_ms",
+        ]
+        rows = []
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = np.frombuffer(
+                    text.encode("utf-8"), dtype=np.uint8
+                ).astype(np.float64)
+                frames = [frame(data, k) for k in range(4)]
+                rows.append(
+                    (int(doc_id), "video", "video/x-netpbm-stream",
+                     encode_pnm_stream(frames), side, side, 4000)
+                )
+                if doc_id < 12:
+                    edited = [
+                        (fr.astype(np.int64) + 12).astype(np.uint8)
+                        for fr in frames[:3]
+                    ]
+                    rows.append(
+                        (int(doc_id) + PLANTED_ID_OFFSET, "video",
+                         "video/x-netpbm-stream",
+                         encode_pnm_stream(edited), side, side, 3000)
+                    )
+                if len(rows) >= BLOB_BATCH_MAX_ROWS:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        docs.filter(F.col("doc_id") < n_docs)
+        .select("doc_id", "text")
+        .mapInPandas(encode, BLOB_SCHEMA)
+    )
+
+
+def phash_candidates(hashes) -> int:
+    """The q285 band-join candidate count BEFORE the Hamming verify
+    (same 8x8 banding as phash_pairs) — the funnel numerator."""
+    bands = hashes.select(
+        "blob_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("phash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("bk"),
+    ).select("blob_id", "bk.b", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.blob_id") < F.col("b.blob_id")),
+        )
+        .select("a.blob_id", "b.blob_id")
+        .distinct()
+        .count()
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = build_session(
+        app_name="multimodal-rehearsal", driver_memory="16g"
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from etl_as_a_service_spark.llm.multimodal import (
+        BLOB_BATCH_MAX_ROWS,
+        audio_spectral_features,
+        extract_frames,
+        image_phash,
+        phash_pairs,
+        video_near_duplicates,
+        video_phash_signatures,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+
+    # --- fixtures: base = q284-q286 scale; stress = 4x count, 2x side
+    audio_b = make_audio_blobs(docs, 60, 4000).localCheckpoint()
+    audio_s = make_audio_blobs(docs, 240, 8000).localCheckpoint()
+    img_b = make_image_blobs(docs, 120, 32).localCheckpoint()
+    img_s = make_image_blobs(docs, 480, 64).localCheckpoint()
+    vid_b = make_video_blobs(docs, 80, 32).localCheckpoint()
+    vid_s = make_video_blobs(docs, 320, 64).localCheckpoint()
+    print(
+        f"# audio {audio_b.count()} -> {audio_s.count()} clips; "
+        f"image {img_b.count()} -> {img_s.count()} blobs; "
+        f"video {vid_b.count()} -> {vid_s.count()} blobs",
+        file=sys.stderr,
+    )
+
+    entries = [
+        (
+            "q284 audio spectral (4x clips, 2x samples)",
+            lambda d=audio_b: audio_spectral_features(d).count(),
+            lambda d=audio_s: audio_spectral_features(d).count(),
+        ),
+        (
+            "q285 image pHash (4x blobs, 2x side)",
+            lambda d=img_b: image_phash(d).count(),
+            lambda d=img_s: image_phash(d).count(),
+        ),
+        (
+            "q285 pHash pairs end-to-end",
+            lambda d=img_b: phash_pairs(image_phash(d), 6).count(),
+            lambda d=img_s: phash_pairs(image_phash(d), 6).count(),
+        ),
+        (
+            "q286 video signatures (4x blobs, 2x side)",
+            lambda d=vid_b: video_phash_signatures(d).count(),
+            lambda d=vid_s: video_phash_signatures(d).count(),
+        ),
+        (
+            "q286 video containment dedup end-to-end",
+            lambda d=vid_b: video_near_duplicates(
+                video_phash_signatures(d), 0.8
+            ).count(),
+            lambda d=vid_s: video_near_duplicates(
+                video_phash_signatures(d), 0.8
+            ).count(),
+        ),
+    ]
+    for _, base, _s in entries:  # warm codegen/JIT outside timings
+        base()
+    print("| operator | base | 4x/2x | ratio |")
+    print("|---|---|---|---|")
+    for name, base, stress in entries:
+        tb, ts = t3(base), t3(stress)
+        print(f"| {name} | {tb:.2f}s | {ts:.2f}s | {ts / tb:.2f}x |")
+
+    # --- candidate-boundedness funnel (stress fixtures) -------------
+    h_s = image_phash(img_s).localCheckpoint()
+    n_img = h_s.count()
+    img_cand = phash_candidates(h_s)
+    img_pairs = phash_pairs(h_s, 6).count()
+    allp = n_img * (n_img - 1) // 2
+    print(
+        f"image funnel: n={n_img}, candidates={img_cand} "
+        f"({img_cand / max(allp, 1):.4%} of all-pairs), "
+        f"pairs={img_pairs}, cand/pair="
+        f"{img_cand / max(img_pairs, 1):.1f}x"
+    )
+    sig_s = video_phash_signatures(vid_s).localCheckpoint()
+    n_vid = sig_s.select("blob_id").distinct().count()
+    vid_cand = video_near_duplicates(sig_s, 0.0).count()
+    vid_pairs = video_near_duplicates(sig_s, 0.8).count()
+    allv = n_vid * (n_vid - 1) // 2
+    print(
+        f"video funnel: n={n_vid}, frame-hash candidates={vid_cand} "
+        f"({vid_cand / max(allv, 1):.4%} of all-pairs), "
+        f"pairs={vid_pairs}, cand/pair="
+        f"{vid_cand / max(vid_pairs, 1):.1f}x"
+    )
+
+    # --- Arrow batch-memory receipt ----------------------------------
+    frames_s = extract_frames(vid_s)
+    n_frames, frame_bytes = frames_s.agg(
+        F.count(F.lit(1)), F.max(F.length("frame"))
+    ).first()
+    arrow_cap = int(
+        spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    )
+    peak_chunk = BLOB_BATCH_MAX_ROWS * frame_bytes
+    unbounded = n_frames * frame_bytes
+    print(
+        f"memory receipt: {n_frames} decoded frames x {frame_bytes} B; "
+        f"flush cap {BLOB_BATCH_MAX_ROWS} rows -> peak output chunk "
+        f"{peak_chunk / 1e6:.1f} MB vs {unbounded / 1e6:.1f} MB if one "
+        f"task's frame set were materialized unflushed; arrow input "
+        f"batch cap {arrow_cap} rows (ENGINE_CONF)"
+    )
+    capped = sorted(
+        (r["blob_id"], r["frame_idx"])
+        for r in extract_frames(vid_b).collect()
+    )
+    uncapped = sorted(
+        (r["blob_id"], r["frame_idx"])
+        for r in extract_frames(vid_b, max_rows_per_batch=10**9).collect()
+    )
+    assert capped == uncapped, "flush cap changed extract_frames output"
+    print("capped-vs-uncapped extract_frames equality: OK")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
