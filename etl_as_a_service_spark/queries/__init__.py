@@ -86,6 +86,10 @@ from etl_as_a_service_spark.queries import traindata3  # noqa: E402,F401
 _ROTATE_FRONT = [
     "q297_pii_census",
     "q298_packing_efficiency_audit",
+    "q299_bradley_terry",
+    "q300_epoch_budget_plan",
+    "q301_chat_structure_audit",
+    "q302_ngram_novelty",
     "q60_string_extras",
     "q67_time_parts",
     "q69_lateral_topk",
@@ -130,10 +134,6 @@ _ROTATE_FRONT = [
     "q38_approx_count_distinct",
     "q39_correlated_subqueries",
     "q50_posexplode_tokens",
-    "q51_interval_arithmetic",
-    "q52_try_cast",
-    "q53_ilike_rlike",
-    "q56_array_ops",
 ]
 
 

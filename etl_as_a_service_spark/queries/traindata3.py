@@ -321,3 +321,608 @@ def q298_packing_efficiency_audit(spark, sf_dir):
             (F.col("shelf_bins") - split_bins) * 1.0 / split_bins, 6
         ).alias("extra_compute_frac"),
     ).orderBy("shard")
+
+
+# --------------------------------------------------------------------------
+# q299 — Bradley-Terry preference aggregation (RLHF reward-data prep)
+# --------------------------------------------------------------------------
+def _bt_oracle() -> str:
+    h = (
+        "CAST(('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8)) AS BIGINT)"
+    )
+    iter_pair = """
+    d{t} AS (
+      SELECT d.i, sum(d.n / (sa.s + sb.s)) AS den
+      FROM directed d
+      JOIN s{p} sa ON sa.i = d.i
+      JOIN s{p} sb ON sb.i = d.j
+      GROUP BY d.i
+    ),
+    s{t} AS (
+      SELECT w.i, coalesce(w.wins / nullif(d{t}.den, 0), 0) AS s
+      FROM wtab w LEFT JOIN d{t} ON d{t}.i = w.i
+    )"""
+    iters = ",".join(iter_pair.format(t=t, p=t - 1) for t in (1, 2, 3))
+    return f"""
+    WITH raw AS (
+      SELECT {h.format(salt='bta-')} % 10 AS a,
+             {h.format(salt='btb-')} % 9 AS braw,
+             ({h.format(salt='btw-')} % 1000000) / 1000000.0 AS u
+      FROM documents
+    ),
+    cmp AS (
+      SELECT a,
+             CASE WHEN braw >= a THEN braw + 1 ELSE braw END AS b, u
+      FROM raw
+    ),
+    outcomes AS (
+      SELECT least(a, b) AS lo, greatest(a, b) AS hi,
+             CASE WHEN (u * ((a + 1.0) + (b + 1.0)) < a + 1.0) = (a < b)
+                  THEN 1 ELSE 0 END AS win_lo
+      FROM cmp
+    ),
+    pairs AS (
+      SELECT lo, hi, count(*) AS n, sum(win_lo) AS w_lo
+      FROM outcomes GROUP BY lo, hi
+    ),
+    directed AS (
+      SELECT lo AS i, hi AS j, n * 1.0 AS n, w_lo * 1.0 AS w FROM pairs
+      UNION ALL
+      SELECT hi AS i, lo AS j, n * 1.0 AS n, (n - w_lo) * 1.0 AS w
+      FROM pairs
+    ),
+    wtab AS (
+      SELECT i, sum(n) AS n_matches, sum(w) AS wins
+      FROM directed GROUP BY i
+    ),
+    s0 AS (SELECT i, 1.0 AS s FROM wtab),
+    {iters},
+    norm AS (SELECT avg(s) AS mu FROM s3)
+    SELECT CAST(w.i AS BIGINT) AS model,
+           CAST(w.n_matches AS BIGINT) AS n_matches,
+           CAST(w.wins AS BIGINT) AS n_wins,
+           round(s3.s / norm.mu, 6) AS strength,
+           CAST(row_number() OVER (
+             ORDER BY round(s3.s / norm.mu, 6) DESC, w.i ASC
+           ) AS BIGINT) AS rank
+    FROM wtab w JOIN s3 ON s3.i = w.i CROSS JOIN norm
+    ORDER BY rank
+    """
+
+
+@query(
+    "q299_bradley_terry",
+    oracle=_bt_oracle(),
+    tags=("rlhf", "preference", "ranking", "llm", "operator"),
+)
+def q299_bradley_terry(spark, sf_dir):
+    """Bradley-Terry preference aggregation (q299) — the reward-model
+    data-prep step of an RLHF pipeline: collapse pairwise preference
+    labels into per-model strength scores via three unrolled
+    minorization-maximization updates (Hunter 2004: s_i <- W_i /
+    sum_j n_ij / (s_i + s_j)), normalized to mean 1, with a pinned
+    (rounded strength desc, model asc) rank. Preferences are
+    synthesized deterministically from documents with the md5-uniform
+    convention: each doc emits one comparison between two of 10
+    models whose TRUE strength is model+1, and the winner is drawn
+    from the exact BT probability — so the recovered ranking must
+    correlate with the planted one (asserted in pytest), while the
+    oracle pins every intermediate exactly.
+
+    SCALE DESIGN: comparisons are a map-only derivation; ONE
+    (lo, hi)-grain aggregate collapses any number of comparisons to
+    at most models^2/2 rows (the localCheckpoint bound); the MM
+    iterations run on that model-grain frame — 3 fixed iterations of
+    45-row joins regardless of corpus size. The final rank window is
+    global but runs over the <= 10-row model-grain strength frame
+    (bounded by construction — the q214 aggregated-grain pattern,
+    allowlisted in test_plan_doctor). At 100 TB of preference logs
+    the only full-data pass is the first aggregate."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    did = F.col("doc_id").cast("string")
+    a = md5_hash64(did, "bta-") % 10
+    braw = md5_hash64(did, "btb-") % 9
+    b = F.when(braw >= a, braw + 1).otherwise(braw)
+    u = (md5_hash64(did, "btw-") % 1000000) / 1000000.0
+    a_wins = u * ((a + 1.0) + (b + 1.0)) < a + 1.0
+    outcomes = docs.select(
+        F.least(a, b).alias("lo"),
+        F.greatest(a, b).alias("hi"),
+        F.when(a_wins == (a < b), 1).otherwise(0).alias("win_lo"),
+    )
+    # bounded: <= 45 rows at the 10-model grain — checkpoint so the 3
+    # MM iterations below don't re-plan the corpus aggregate per side
+    pairs = (
+        outcomes.groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("win_lo").alias("w_lo"))
+        .localCheckpoint()
+    )
+    directed = pairs.select(
+        F.col("lo").alias("i"),
+        F.col("hi").alias("j"),
+        (F.col("n") * 1.0).alias("n"),
+        (F.col("w_lo") * 1.0).alias("w"),
+    ).unionAll(
+        pairs.select(
+            F.col("hi").alias("i"),
+            F.col("lo").alias("j"),
+            (F.col("n") * 1.0).alias("n"),
+            ((F.col("n") - F.col("w_lo")) * 1.0).alias("w"),
+        )
+    )
+    wtab = directed.groupBy("i").agg(
+        F.sum("n").alias("n_matches"), F.sum("w").alias("wins")
+    )
+    s = wtab.select("i", F.lit(1.0).alias("s"))
+    for _ in range(3):
+        sa = s.select(F.col("i"), F.col("s").alias("si"))
+        sb = s.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+        den = (
+            directed.join(sa, "i")
+            .join(sb, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("n") / (F.col("si") + F.col("sj"))).alias("den"))
+        )
+        s = wtab.join(den, "i", "left").select(
+            "i",
+            F.coalesce(
+                F.col("wins") / F.nullif(F.col("den"), F.lit(0.0)),
+                F.lit(0.0),
+            ).alias("s"),
+        )
+    mu = s.agg(F.avg("s").alias("mu"))
+    ranked = (
+        wtab.join(s, "i")
+        .crossJoin(F.broadcast(mu))
+        .select(
+            F.col("i").cast("long").alias("model"),
+            F.col("n_matches").cast("long").alias("n_matches"),
+            F.col("wins").cast("long").alias("n_wins"),
+            F.round(F.col("s") / F.col("mu"), 6).alias("strength"),
+        )
+    )
+    from pyspark.sql import Window
+
+    return ranked.select(
+        "model",
+        "n_matches",
+        "n_wins",
+        "strength",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.col("strength").desc_nulls_last(), F.col("model").asc()
+            )
+        )
+        .cast("long")
+        .alias("rank"),
+    ).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# q300 — data-constrained epoch planner (repeat budget waterfall)
+# --------------------------------------------------------------------------
+@query(
+    "q300_epoch_budget_plan",
+    oracle="""
+    WITH per AS (
+      SELECT source, sum(len(string_split(text, ' '))) * 1.0 AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(tokens) * 3.0 AS budget, count(*) * 1.0 AS ns
+      FROM per
+    ),
+    r0 AS (
+      SELECT source, tokens, budget,
+             least(4.0 * tokens, budget / ns) AS alloc0,
+             4.0 * tokens - least(4.0 * tokens, budget / ns) AS cap0
+      FROM per CROSS JOIN tot
+    ),
+    lo AS (
+      SELECT sum(r0.budget / (SELECT ns FROM tot) - alloc0) AS leftover,
+             sum(cap0) AS capacity
+      FROM r0
+    ),
+    r1 AS (
+      SELECT source, tokens,
+             least(
+               4.0 * tokens,
+               alloc0 + coalesce(
+                 leftover * cap0 / nullif(capacity, 0), 0)
+             ) AS alloc
+      FROM r0 CROSS JOIN lo
+    ),
+    f AS (
+      SELECT source, tokens, alloc, alloc / tokens AS e FROM r1
+    )
+    SELECT source,
+           CAST(tokens AS BIGINT) AS tokens,
+           round(alloc, 2) AS allocated_tokens,
+           round(e, 6) AS epochs,
+           e >= 4.0 - 1e-9 AS at_cap,
+           round(
+             tokens * (
+               1.0   * least(1.0, greatest(0.0, e - 0))
+             + 0.5   * least(1.0, greatest(0.0, e - 1))
+             + 0.25  * least(1.0, greatest(0.0, e - 2))
+             + 0.125 * least(1.0, greatest(0.0, e - 3))
+             ), 2) AS effective_tokens
+    FROM f ORDER BY source
+    """,
+    tags=("curation", "planning", "budget", "llm", "operator"),
+)
+def q300_epoch_budget_plan(spark, sf_dir):
+    """Data-constrained epoch planner (q300): given a token budget of
+    3x the unique corpus (the data-constrained regime of Muennighoff
+    et al. 2023), allocate training epochs per source with a 4-epoch
+    repeat ceiling via a TWO-ROUND waterfall — equal shares first,
+    then the leftover from capped sources redistributed proportional
+    to remaining capacity — and report the effective-token value of
+    each allocation under a piecewise per-epoch halving (epoch k is
+    worth 1/2^k of fresh data; a pow-free closed form both engines
+    compute identically, avoiding cross-engine libm). This is the
+    planning step before q277's shard deal: HOW MANY times each
+    source is worth repeating under a compute budget.
+
+    SCALE DESIGN: one corpus aggregate to source grain; the waterfall
+    is closed-form arithmetic over the bounded source frame (two
+    1-row aggregates ride broadcast cross joins) — no iteration over
+    data, no window over rows."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        (F.sum(F.size(F.split("text", " "))) * 1.0).alias("tokens")
+    )
+    tot = per.agg(
+        (F.sum("tokens") * 3.0).alias("budget"),
+        (F.count(F.lit(1)) * 1.0).alias("ns"),
+    )
+    r0 = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        "budget",
+        "ns",
+        F.least(4.0 * F.col("tokens"), F.col("budget") / F.col("ns")).alias(
+            "alloc0"
+        ),
+    ).withColumn("cap0", 4.0 * F.col("tokens") - F.col("alloc0"))
+    lo = r0.agg(
+        F.sum(F.col("budget") / F.col("ns") - F.col("alloc0")).alias(
+            "leftover"
+        ),
+        F.sum("cap0").alias("capacity"),
+    )
+    e = F.col("alloc") / F.col("tokens")
+
+    def ramp(k):
+        return F.least(F.lit(1.0), F.greatest(F.lit(0.0), e - k))
+
+    return (
+        r0.crossJoin(F.broadcast(lo))
+        .select(
+            "source",
+            "tokens",
+            F.least(
+                4.0 * F.col("tokens"),
+                F.col("alloc0")
+                + F.coalesce(
+                    F.col("leftover")
+                    * F.col("cap0")
+                    / F.nullif(F.col("capacity"), F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+            ).alias("alloc"),
+        )
+        .select(
+            "source",
+            F.col("tokens").cast("long").alias("tokens"),
+            F.round(F.col("alloc"), 2).alias("allocated_tokens"),
+            F.round(e, 6).alias("epochs"),
+            (e >= 4.0 - 1e-9).alias("at_cap"),
+            F.round(
+                F.col("tokens")
+                * (
+                    1.0 * ramp(0)
+                    + 0.5 * ramp(1)
+                    + 0.25 * ramp(2)
+                    + 0.125 * ramp(3)
+                ),
+                2,
+            ).alias("effective_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q301 — chat-turn structure audit (instruction-data quality screen)
+# --------------------------------------------------------------------------
+@query(
+    "q301_chat_structure_audit",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t
+      FROM documents
+    ),
+    rendered AS (
+      SELECT doc_id, source,
+             array_to_string(
+               list_transform(
+                 range(0, CAST(ceil(len(t) / 7.0) AS BIGINT)),
+                 k -> (
+                   CASE WHEN (
+                     CAST(('0x' || substr(md5('cv-'
+                       || CAST(doc_id AS VARCHAR) || '-'
+                       || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 7 = 0
+                     AND k > 0)
+                   THEN CASE WHEN (k - 1
+                     + CAST(('0x' || substr(md5('cs-'
+                         || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 5 % 2) % 2 = 0
+                     THEN 'user' ELSE 'assistant' END
+                   ELSE CASE WHEN (k
+                     + CAST(('0x' || substr(md5('cs-'
+                         || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 5 % 2) % 2 = 0
+                     THEN 'user' ELSE 'assistant' END
+                   END
+                 ) || ': '
+                   || array_to_string(list_slice(t, k * 7 + 1, k * 7 + 7),
+                                      ' ')
+               ),
+               chr(10)
+             ) AS transcript
+      FROM toks WHERE len(t) >= 1
+    ),
+    split_lines AS (
+      SELECT doc_id, source,
+             string_split(transcript, chr(10)) AS lines
+      FROM rendered
+    ),
+    turns AS (
+      SELECT doc_id, source, t.k + 1 AS turn_idx,
+             split_part(lines[t.k + 1], ': ', 1) AS role,
+             len(string_split(split_part(lines[t.k + 1], ': ', 2), ' '))
+               AS n_words
+      FROM split_lines, UNNEST(range(0, len(lines))) AS t(k)
+    ),
+    flagged AS (
+      SELECT doc_id, source, turn_idx, role, n_words,
+             CASE WHEN lag(role) OVER (
+               PARTITION BY doc_id ORDER BY turn_idx) = role
+             THEN 1 ELSE 0 END AS violation,
+             CASE WHEN turn_idx = 1 AND role = 'user'
+             THEN 1 ELSE 0 END AS starts_user,
+             CASE WHEN turn_idx = max(turn_idx) OVER (
+               PARTITION BY doc_id) AND role = 'assistant'
+             THEN 1 ELSE 0 END AS ends_assistant
+      FROM turns
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(violation) AS BIGINT) AS alternation_violations,
+           round(sum(starts_user) * 1.0 / count(DISTINCT doc_id), 6)
+             AS frac_starts_user,
+           round(sum(ends_assistant) * 1.0 / count(DISTINCT doc_id), 6)
+             AS frac_ends_assistant,
+           round(avg(n_words * 1.0), 6) AS mean_words_per_turn
+    FROM flagged
+    GROUP BY source ORDER BY source
+    """,
+    tags=("quality", "chat", "sft", "text", "llm", "operator"),
+)
+def q301_chat_structure_audit(spark, sf_dir):
+    """Chat-turn structure audit (q301) — the SFT-data screen an
+    instruction-tuning pipeline runs before templating: RENDER each
+    document as a multi-turn 'role: words' transcript (7-word turns,
+    hash-seeded start role, and hash-planted alternation violations —
+    a repeated role on ~1/7 of turns), then PARSE the transcript back
+    from the raw string (newline split -> role prefix -> word count)
+    and report per source: turn counts, alternation violations,
+    user-starts / assistant-ends fractions, and mean turn length. The
+    audit consumes ONLY the rendered string — the parse path is the
+    operator; the synthesis just gives it deterministic ground truth
+    in both engines.
+
+    SCALE DESIGN: render and parse are one map-only expression chain
+    (transform + slice + concat_ws, then split + explode); the
+    violation/boundary flags ride a doc-partitioned window over turn
+    rows (bounded per doc); one (source)-grain aggregate ends the
+    plan. No joins, no corpus-grain window."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    did = F.col("doc_id").cast("string")
+    toks = F.split("text", " ")
+    n_turns = F.ceil(F.size(toks) / 7.0).cast("long")
+    start = md5_hash64(did, "cs-") % 5 % 2
+
+    def base_role(k):
+        return F.when((k + start) % 2 == 0, F.lit("user")).otherwise(
+            F.lit("assistant")
+        )
+
+    def role(k):
+        flip = (
+            md5_hash64(
+                F.concat(did, F.lit("-"), k.cast("string")), "cv-"
+            )
+            % 7
+            == 0
+        ) & (k > 0)
+        return F.when(flip, base_role(k - 1)).otherwise(base_role(k))
+
+    rendered = docs.filter(F.size(toks) >= 1).select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(0), n_turns - 1),
+                lambda k: F.concat(
+                    role(k),
+                    F.lit(": "),
+                    F.concat_ws(" ", F.slice(toks, k * 7 + 1, 7)),
+                ),
+            ),
+        ).alias("transcript"),
+    )
+    lines = rendered.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("transcript", "\n")).alias("i0", "line"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("i0") + 1).alias("turn_idx"),
+        F.split_part(F.col("line"), F.lit(": "), F.lit(1)).alias("role"),
+        F.size(
+            F.split(F.split_part(F.col("line"), F.lit(": "), F.lit(2)), " ")
+        ).alias("n_words"),
+    )
+    from pyspark.sql import Window
+
+    wdoc = Window.partitionBy("doc_id").orderBy("turn_idx")
+    wall = Window.partitionBy("doc_id")
+    flagged = lines.select(
+        "doc_id",
+        "source",
+        "n_words",
+        F.when(F.lag("role").over(wdoc) == F.col("role"), 1)
+        .otherwise(0)
+        .alias("violation"),
+        F.when(
+            (F.col("turn_idx") == 1) & (F.col("role") == "user"), 1
+        )
+        .otherwise(0)
+        .alias("starts_user"),
+        F.when(
+            (F.col("turn_idx") == F.max("turn_idx").over(wall))
+            & (F.col("role") == "assistant"),
+            1,
+        )
+        .otherwise(0)
+        .alias("ends_assistant"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum("violation").cast("long").alias(
+                "alternation_violations"
+            ),
+            F.round(
+                F.sum("starts_user") * 1.0 / F.countDistinct("doc_id"), 6
+            ).alias("frac_starts_user"),
+            F.round(
+                F.sum("ends_assistant") * 1.0
+                / F.countDistinct("doc_id"),
+                6,
+            ).alias("frac_ends_assistant"),
+            F.round(F.avg(F.col("n_words") * 1.0), 6).alias(
+                "mean_words_per_turn"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q302 — n-gram novelty attribution (marginal-content curation metric)
+# --------------------------------------------------------------------------
+@query(
+    "q302_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, source,
+             w1 || ' ' || w2 || ' ' || w3 AS g
+      FROM (
+        SELECT doc_id, source, toks[i] AS w1, toks[i + 1] AS w2,
+               toks[i + 2] AS w3
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+              FROM documents),
+             UNNEST(range(1, len(toks) - 1)) AS t(i)
+      )
+    ),
+    own AS (SELECT g, min(doc_id) AS owner FROM sh GROUP BY g),
+    per AS (
+      SELECT sh.doc_id, sh.source,
+             count(*) AS n_g,
+             sum(CASE WHEN own.owner = sh.doc_id THEN 1 ELSE 0 END)
+               AS n_first
+      FROM sh JOIN own ON own.g = sh.g
+      GROUP BY sh.doc_id, sh.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_g) AS BIGINT) AS n_shingles,
+           CAST(sum(n_first) AS BIGINT) AS n_first_owned,
+           round(sum(n_first) * 1.0 / sum(n_g), 6) AS novelty,
+           round(avg(n_first * 1.0 / n_g), 6) AS mean_doc_novelty
+    FROM per GROUP BY source ORDER BY source
+    """,
+    tags=("curation", "dedup", "novelty", "text", "llm", "operator"),
+)
+def q302_ngram_novelty(spark, sf_dir):
+    """N-gram novelty attribution (q302): how much genuinely NEW
+    content each source contributes. Every distinct 3-gram is owned
+    by its first document (min doc_id — ingestion order); a doc's
+    novelty is the fraction of its distinct 3-grams it first-owns,
+    and the per-source rollup is the marginal-utility readout a
+    curation pass reads before q300's repeat budgeting: a source
+    whose shingles are mostly owned ELSEWHERE adds repeats, not
+    coverage (the greedy submodular-coverage view of dedup).
+
+    SCALE DESIGN: one explode to the distinct (doc, 3-gram) grain,
+    ONE shingle-keyed aggregate for ownership (map-side combined),
+    one join back on the shingle key, then doc- and source-grain
+    aggregates. The q85 decontamination shape — no corpus window,
+    no self-join; ownership state is shingle-vocabulary-grain."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    sh = (
+        docs.filter(n >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 2),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    own = sh.groupBy("g").agg(F.min("doc_id").alias("owner"))
+    per = (
+        sh.join(own, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum(
+                F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_first"),
+        )
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_g").cast("long").alias("n_shingles"),
+            F.sum("n_first").cast("long").alias("n_first_owned"),
+            F.round(F.sum("n_first") * 1.0 / F.sum("n_g"), 6).alias(
+                "novelty"
+            ),
+            F.round(
+                F.avg(F.col("n_first") * 1.0 / F.col("n_g")), 6
+            ).alias("mean_doc_novelty"),
+        )
+        .orderBy("source")
+    )

@@ -186,7 +186,11 @@ def test_manifest_plans_lint_clean(spark):
       pattern, documented in-query);
     - q295: the CI rank window runs over the 100-row replica-mean
       frame (B is a literal — the q214 bounded-grain pattern,
-      documented in-query)."""
+      documented in-query);
+    - q299: the Bradley-Terry rank window runs over the MODEL-grain
+      strength frame (<= 10 rows by construction — comparisons
+      collapse to the checkpointed models^2/2 pair aggregate first;
+      the q214 bounded-grain pattern, documented in-query)."""
     from etl_as_a_service_spark.plans.doctor import lint_plan
     from etl_as_a_service_spark.queries import QUERIES
     from tests.conftest import SF_SMOKE
@@ -208,6 +212,7 @@ def test_manifest_plans_lint_clean(spark):
         "q291_uplift_deciles",
         "q293_decision_stump",
         "q295_poisson_bootstrap_ci",
+        "q299_bradley_terry",
     }
     bad = {}
     for name, qd in QUERIES.items():

@@ -189,3 +189,128 @@ def test_q298_packing_audit_invariants(spark):
             == r["shelf_bins"] * 2048 - r["total_tokens"]
         )
         assert r["extra_compute_frac"] >= 0.0
+
+
+def test_q299_bradley_terry_recovers_planted_ranking(spark):
+    """MM aggregation must recover (approximately) the planted
+    strength order: strengths are monotone-correlated with the true
+    model index (Spearman > 0.8), the normalization means 1, wins
+    never exceed matches, and rank is a permutation."""
+    rows = _run(spark, "q299_bradley_terry").collect()
+    assert len(rows) == 10
+    assert sorted(r["rank"] for r in rows) == list(range(1, 11))
+    mean_s = sum(r["strength"] for r in rows) / len(rows)
+    assert abs(mean_s - 1.0) < 1e-4
+    for r in rows:
+        assert 0 <= r["n_wins"] <= r["n_matches"]
+    # Spearman between true strength (model index) and recovered rank
+    by_model = sorted(rows, key=lambda r: r["model"])
+    true_rank = {r["model"]: 10 - r["model"] for r in by_model}
+    d2 = sum((true_rank[r["model"]] - r["rank"]) ** 2 for r in rows)
+    rho = 1 - 6 * d2 / (10 * 99)
+    assert rho > 0.8, (rho, [(r["model"], r["rank"]) for r in rows])
+
+
+def test_q300_budget_identity_and_bounds(spark):
+    """The waterfall exhausts exactly the 3x budget (no source needs
+    the 4-epoch cap on this near-uniform fixture), epochs stay within
+    [0, 4], and effective tokens are positive and below allocation
+    (diminishing returns)."""
+    rows = _run(spark, "q300_epoch_budget_plan").collect()
+    total = sum(r["tokens"] for r in rows)
+    alloc = sum(r["allocated_tokens"] for r in rows)
+    assert abs(alloc - 3.0 * total) < 1.0
+    for r in rows:
+        assert 0.0 <= r["epochs"] <= 4.0 + 1e-9
+        assert 0.0 < r["effective_tokens"] <= r["allocated_tokens"] + 1e-6
+
+
+def test_q300_cap_binds_and_redistributes(spark, tmp_path):
+    """On a skewed corpus the 4-epoch cap must bind for the tiny
+    source and its unusable share must flow to the big ones — checked
+    end-to-end against the DuckDB oracle on the same skewed fixture
+    (the full driver-gate differential, not just invariants)."""
+    import pandas as pd
+
+    from etl_as_a_service_spark.oracle.compare import (
+        compare_frames,
+        duckdb_connection,
+        run_oracle,
+    )
+    from etl_as_a_service_spark.queries import QUERIES
+
+    sf = str(tmp_path)
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": ["w" + " w" * (4 if i < 4 else 99) for i in range(40)],
+            "lang": ["en"] * 40,
+            "source": ["tiny" if i < 4 else f"big{i % 2}" for i in range(40)],
+            "n_chars": [100] * 40,
+        }
+    )
+    docs.to_parquet(f"{sf}/documents.parquet")
+    q = QUERIES["q300_epoch_budget_plan"]
+    pdf = q.fn(spark, sf).toPandas()
+    ok, diff = compare_frames(
+        pdf, run_oracle(duckdb_connection(sf), q.oracle)
+    )
+    assert ok, diff
+    by = {r["source"]: r for _, r in pdf.iterrows()}
+    assert by["tiny"]["at_cap"] and by["tiny"]["epochs"] == 4.0
+    # the tiny source's unusable equal-share flowed to the big ones:
+    # equal shares alone give the bigs total/1800 ~ 2.01 epochs; the
+    # capacity-proportional round-2 lifts them to ~2.99
+    assert by["big0"]["epochs"] > 2.5
+    total = pdf["tokens"].sum()
+    assert abs(pdf["allocated_tokens"].sum() - 3.0 * total) < 1.0
+
+
+def test_q301_chat_audit_content(spark):
+    """The parse path must see what the renderer planted: roughly 1/7
+    of non-first turns violate alternation, start/end fractions are
+    proper fractions, and turn lengths sit in (0, 7]."""
+    rows = _run(spark, "q301_chat_structure_audit").collect()
+    n_turns = sum(r["n_turns"] for r in rows)
+    n_docs = sum(r["n_docs"] for r in rows)
+    viol = sum(r["alternation_violations"] for r in rows)
+    assert n_docs == 500
+    # each isolated flip at turn k duplicates role(k-1), creating a
+    # violation at k AND at k+1 (base roles alternate, so base(k+1)
+    # == role(k)); planted rate 1/7 => expected violation rate ~2/7
+    # minus flip-adjacency and last-turn truncation overlaps
+    frac = viol / (n_turns - n_docs)  # violations possible on k>0 only
+    assert 0.15 < frac < 0.30, frac
+    for r in rows:
+        assert 0.0 <= r["frac_starts_user"] <= 1.0
+        assert 0.0 <= r["frac_ends_assistant"] <= 1.0
+        assert 0.0 < r["mean_words_per_turn"] <= 7.0
+
+
+def test_q302_novelty_bounds_and_conservation(spark):
+    """Every distinct 3-gram has exactly one owner, so first-owned
+    counts across sources sum to the corpus's distinct-3-gram count;
+    novelty fractions live in (0, 1]."""
+    from pyspark.sql import functions as F
+
+    rows = _run(spark, "q302_ngram_novelty").collect()
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    distinct_g = (
+        docs.filter(n >= 3)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 2),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+                )
+            ).alias("g")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_first_owned"] for r in rows) == distinct_g
+    for r in rows:
+        assert 0.0 < r["novelty"] <= 1.0
+        assert r["n_first_owned"] <= r["n_shingles"]
