@@ -473,3 +473,82 @@ def kcore_peel(
         cur.groupBy(F.col("es").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+) -> DataFrame:
+    """Semi-supervised label propagation with CLAMPED seeds (the
+    weak-supervision labeling pass of a training-data pipeline:
+    spread a small hand-labeled seed set over a similarity/co-
+    occurrence graph). Synchronous updates, ``rounds`` fixed
+    iterations: a non-seed node takes the plurality label of its
+    labeled neighbors from the PREVIOUS round (ties broken count
+    desc, label asc — deterministic and oracle-portable); seeds never
+    change; nodes with no labeled neighbor stay unlabeled (NULL).
+
+    ``edges``: undirected (src, dst) pairs (src < dst convention is
+    fine — both directions are derived here). ``seeds``: (node,
+    label) with one row per seed. Returns (node, label) for EVERY
+    node in the edge set, label NULL where propagation never reached.
+
+    SCALE DESIGN: per round, ONE (node, label)-grain aggregate over
+    the labeled neighborhood join (map-side combined) and a
+    per-node window over at most |labels| rows; the label frame is
+    node-grain and localCheckpointed each round so the plan never
+    re-derives prior rounds (the k_core lineage discipline). Bounded
+    rounds — the standard large-graph compromise (exact convergence
+    is data-dependent; 3 rounds covers radius-3 spread).
+    """
+    from pyspark.sql import Window
+
+    nbrs = (
+        edges.select(
+            F.col("pa").alias("src"), F.col("pb").alias("dst")
+        )
+        .unionAll(
+            edges.select(
+                F.col("pb").alias("src"), F.col("pa").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = nbrs.select(F.col("src").alias("node")).distinct()
+    seeds = seeds.select("node", F.col("label").alias("label"))
+    lab = (
+        nodes.join(seeds, "node", "left")
+        .select("node", "label")
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("v").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        votes = (
+            nbrs.join(
+                lab.filter(F.col("label").isNotNull()).select(
+                    F.col("node").alias("src"),
+                    F.col("label"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("v"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pick = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("node"), F.col("label").alias("plab"))
+        )
+        lab = (
+            nodes.join(seeds, "node", "left")
+            .join(pick, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("label"), F.col("plab")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return lab

@@ -90,6 +90,7 @@ _ROTATE_FRONT = [
     "q300_epoch_budget_plan",
     "q301_chat_structure_audit",
     "q302_ngram_novelty",
+    "q303_label_propagation",
     "q60_string_extras",
     "q67_time_parts",
     "q69_lateral_topk",
@@ -133,7 +134,6 @@ _ROTATE_FRONT = [
     "q37_union_by_name",
     "q38_approx_count_distinct",
     "q39_correlated_subqueries",
-    "q50_posexplode_tokens",
 ]
 
 

@@ -926,3 +926,131 @@ def q302_ngram_novelty(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q303 — label propagation (weak-supervision label spread, 3 rounds)
+# --------------------------------------------------------------------------
+def _lp_oracle() -> str:
+    rnd = """
+    votes{t} AS (
+      SELECT n.dst AS v, l.label, count(*) AS c
+      FROM nbrs n JOIN lab{p} l ON l.node = n.src
+      WHERE l.label IS NOT NULL
+      GROUP BY n.dst, l.label
+    ),
+    pick{t} AS (
+      SELECT v, label FROM (
+        SELECT v, label, row_number() OVER (
+          PARTITION BY v ORDER BY c DESC, label ASC) AS rn
+        FROM votes{t})
+      WHERE rn = 1
+    ),
+    lab{t} AS (
+      SELECT nodes.node,
+             coalesce(seeds.label, pick{t}.label) AS label
+      FROM nodes
+      LEFT JOIN seeds ON seeds.node = nodes.node
+      LEFT JOIN pick{t} ON pick{t}.v = nodes.node
+    )"""
+    rounds = ",".join(rnd.format(t=t, p=t - 1) for t in (1, 2, 3))
+    return f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    nbrs AS (
+      SELECT pa AS src, pb AS dst FROM edges
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM edges
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM nbrs),
+    seeds AS (
+      SELECT node,
+             'L' || CAST(
+               CAST(('0x' || substr(md5('lpl-' || CAST(node AS VARCHAR)),
+                                    1, 8)) AS BIGINT) % 4 AS VARCHAR)
+               AS label
+      FROM nodes
+      WHERE CAST(('0x' || substr(md5('lp-' || CAST(node AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 5 = 0
+    ),
+    lab0 AS (
+      SELECT nodes.node, seeds.label
+      FROM nodes LEFT JOIN seeds ON seeds.node = nodes.node
+    ),
+    {rounds}
+    SELECT coalesce(l.label, 'unlabeled') AS label,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(count(s.node) AS BIGINT) AS n_seeds,
+           CAST(sum(l.node) AS BIGINT) AS node_checksum
+    FROM lab3 l LEFT JOIN seeds s ON s.node = l.node
+    GROUP BY coalesce(l.label, 'unlabeled')
+    ORDER BY label
+    """
+
+
+@query(
+    "q303_label_propagation",
+    oracle=_lp_oracle(),
+    tags=("graph", "labeling", "semi-supervised", "llm", "operator"),
+)
+def q303_label_propagation(spark, sf_dir):
+    """Label propagation (q303) — the weak-supervision labeling pass
+    of a training-data pipeline: spread a ~20% hash-seeded label set
+    (4 classes) over the part co-purchase graph with CLAMPED seeds
+    and 3 synchronous rounds; a non-seed takes the plurality label of
+    its labeled neighbors (count desc, label asc — deterministic),
+    unreached nodes stay unlabeled. The output is the per-label node
+    count, seed count, and a node-id CHECKSUM proving both engines
+    assigned the same label to the same nodes (the q79 discipline),
+    not just equal counts.
+
+    SCALE DESIGN: per round ONE (node, label)-grain aggregate over
+    the labeled-neighborhood join and a per-node window over at most
+    4 label rows; the label frame is node-grain and checkpointed per
+    round (operators/graph.py label_propagation — the k-core lineage
+    discipline). Bounded rounds, endpoints-only state: the CC/BFS
+    scale story applied to labeling."""
+    from etl_as_a_service_spark.operators.graph import (
+        copurchase_edges,
+        label_propagation,
+    )
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li, min_support=2).localCheckpoint()
+    nodes = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .distinct()
+    )
+    nid = F.col("node").cast("string")
+    seeds = nodes.filter(md5_hash64(nid, "lp-") % 5 == 0).select(
+        "node",
+        F.concat(
+            F.lit("L"), (md5_hash64(nid, "lpl-") % 4).cast("string")
+        ).alias("label"),
+    )
+    lab = label_propagation(edges, seeds, rounds=3)
+    return (
+        lab.join(
+            seeds.select(F.col("node"), F.lit(1).alias("__seed")),
+            "node",
+            "left",
+        )
+        .groupBy(
+            F.coalesce(F.col("label"), F.lit("unlabeled")).alias("label")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.coalesce(F.col("__seed"), F.lit(0)))
+            .cast("long")
+            .alias("n_seeds"),
+            F.sum("node").cast("long").alias("node_checksum"),
+        )
+        .orderBy("label")
+    )

@@ -314,3 +314,46 @@ def test_q302_novelty_bounds_and_conservation(spark):
     for r in rows:
         assert 0.0 < r["novelty"] <= 1.0
         assert r["n_first_owned"] <= r["n_shingles"]
+
+
+def test_label_propagation_handcrafted_path(spark):
+    """Deterministic spread on a 5-node path with seeds at the ends.
+    Synchronous rounds recompute every non-seed from scratch:
+    r1 labels the seeds' neighbors (2<-L0, 4<-L1); r2 gives the
+    middle node a L0/L1 tie, broken (count desc, label asc) to L0;
+    r3 then ties node 4 between 3:L0 and 5:L1 and the same
+    deterministic tie-break flips it to L0 — the standard LPA
+    boundary oscillation, pinned here so a semantics change trips."""
+    from etl_as_a_service_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "pa long, pb long"
+    )
+    seeds = spark.createDataFrame(
+        [(1, "L0"), (5, "L1")], "node long, label string"
+    )
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, seeds, rounds=3).collect()
+    }
+    assert out == {1: "L0", 2: "L0", 3: "L0", 4: "L0", 5: "L1"}
+
+
+def test_q303_seeds_clamped_and_coverage(spark):
+    """Per-label seed counts survive (clamping), the labels partition
+    the node set, and propagation labels the vast majority of the
+    co-purchase graph in 3 rounds."""
+    rows = _run(spark, "q303_label_propagation").collect()
+    labels = [r["label"] for r in rows]
+    assert labels == sorted(labels)
+    total = sum(r["n_nodes"] for r in rows)
+    seeds = sum(r["n_seeds"] for r in rows)
+    unl = {r["label"]: r for r in rows}.get("unlabeled")
+    assert seeds > 0.15 * total
+    assert unl is None or unl["n_nodes"] < 0.1 * total
+    for r in rows:
+        assert r["n_seeds"] <= r["n_nodes"]
+        if r["label"] == "unlabeled":
+            assert r["n_seeds"] == 0
