@@ -184,6 +184,106 @@ def propensity_match(cust):
     )
 
 
+
+def pii_census(docs):
+    """The q297 pipeline body over an injected documents frame
+    (queries/traindata3.py q297_pii_census — same plan: plant, scrub,
+    count, source x type aggregate)."""
+    from etl_as_a_service_spark.llm.redact import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    did = F.col("doc_id")
+    sid = did.cast("string")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" contact user"), sid,
+                         F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0, F.lit(" ssn 123-45-6789 filed")
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    red = redact_pii(planted, "t", out_col="r")
+    return (
+        red.select(
+            "source",
+            *[
+                F.regexp_count(F.col("t"), F.lit(p)).alias(f"c_{n}")
+                for n, p in PII_PATTERNS.items()
+            ],
+        )
+        .groupBy("source")
+        .agg(*[F.sum(f"c_{n}").alias(n) for n in PII_PATTERNS])
+    )
+
+
+def ngram_novelty(docs):
+    """The q302 pipeline body over an injected documents frame
+    (queries/traindata3.py q302_ngram_novelty — same plan)."""
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    sh = (
+        docs.filter(n >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 2),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    own = sh.groupBy("g").agg(F.min("doc_id").alias("owner"))
+    return (
+        sh.join(own, "g")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum(
+                F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_first"),
+        )
+    )
+
+
+def label_prop(li):
+    """The q303 pipeline body over an injected lineitem frame
+    (queries/traindata3.py q303_label_propagation — same plan)."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+    from etl_as_a_service_spark.operators.graph import (
+        copurchase_edges,
+        label_propagation,
+    )
+
+    edges = copurchase_edges(li, min_support=2).localCheckpoint()
+    nodes = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .distinct()
+    )
+    nid = F.col("node").cast("string")
+    seeds = nodes.filter(md5_hash64(nid, "lp-") % 5 == 0).select(
+        "node",
+        F.concat(
+            F.lit("L"), (md5_hash64(nid, "lpl-") % 4).cast("string")
+        ).alias("label"),
+    )
+    return label_propagation(edges, seeds, rounds=3).groupBy(
+        "label"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = build_session(
@@ -242,6 +342,22 @@ def main() -> None:
             "q288 propensity match (4x customers)",
             lambda d=cust: propensity_match(d).count(),
             lambda d=cust4: propensity_match(d).count(),
+        ),
+        # round-9 additions
+        (
+            "q297 PII redaction census (4x docs)",
+            lambda d=docs: pii_census(d).count(),
+            lambda d=docs4: pii_census(d).count(),
+        ),
+        (
+            "q302 n-gram novelty (4x docs)",
+            lambda d=docs: ngram_novelty(d).count(),
+            lambda d=docs4: ngram_novelty(d).count(),
+        ),
+        (
+            "q303 label propagation (4x baskets)",
+            lambda d=li: label_prop(d).count(),
+            lambda d=li4: label_prop(d).count(),
         ),
     ]
     for _, base, _s in entries:  # warm codegen/JIT outside timings
