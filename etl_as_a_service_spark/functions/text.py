@@ -239,3 +239,28 @@ def cdc_chunks(
     )
     starts = F.concat(F.array(F.lit(0)), F.slice(bounds, 1, F.size(bounds) - 1))
     return F.zip_with(starts, bounds, lambda s, e: F.substring(text, s + 1, e - s))
+
+
+#: URL host extraction, shared verbatim with the q304 DuckDB oracle
+#: (Java∩RE2 subset — capture group 1 is the host). Scheme-anchored so
+#: word-soup text can never produce a false host.
+URL_HOST_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_hosts(text: Column) -> Column:
+    """All URL hosts in a text column as an array<string> — one
+    codegen'd regexp_extract_all projection (the domain-filtering
+    front end of a web-curation pipeline; see queries q304)."""
+    return F.regexp_extract_all(text, F.lit(URL_HOST_PATTERN), 1)
+
+
+def registrable_domain(host: Column) -> Column:
+    """Last two dot-labels of a host ('sub.a.example.com' ->
+    'example.com') — the blocklist lookup key. A public-suffix-list
+    lookup would plug in here; two labels is the deterministic
+    cross-engine proxy both the operator and the oracle compute."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.when(n >= 2, F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )).otherwise(host)

@@ -91,6 +91,8 @@ _ROTATE_FRONT = [
     "q301_chat_structure_audit",
     "q302_ngram_novelty",
     "q303_label_propagation",
+    "q304_url_domain_census",
+    "q305_position_bias_audit",
     "q60_string_extras",
     "q67_time_parts",
     "q69_lateral_topk",
@@ -132,8 +134,6 @@ _ROTATE_FRONT = [
     "q35_asof_last_purchase",
     "q36_multiset_ops",
     "q37_union_by_name",
-    "q38_approx_count_distinct",
-    "q39_correlated_subqueries",
 ]
 
 

@@ -1054,3 +1054,272 @@ def q303_label_propagation(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# q304 — URL/domain census with blocklist (web-curation domain filter)
+# --------------------------------------------------------------------------
+@query(
+    "q304_url_domain_census",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 5 = 0 THEN ' see https://sub'
+                  || CAST(doc_id % 3 AS VARCHAR) || '.example'
+                  || CAST(doc_id % 7 AS VARCHAR) || '.com/page/'
+                  || CAST(doc_id AS VARCHAR) ELSE '' END
+             || CASE WHEN doc_id % 9 = 0 THEN ' ref http://spam'
+                  || CAST(doc_id % 2 AS VARCHAR)
+                  || '.badsite.net/x' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                THEN ' via https://cdn.example0.com/asset' ELSE '' END
+             AS t
+      FROM documents
+    ),
+    hosts AS (
+      SELECT doc_id, source, u.host AS host
+      FROM planted,
+           UNNEST(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1))
+             AS u(host)
+    ),
+    parsed AS (
+      SELECT doc_id, source, host,
+             CASE WHEN len(string_split(host, '.')) >= 2
+                  THEN string_split(host, '.')[-2] || '.'
+                       || string_split(host, '.')[-1]
+                  ELSE host END AS domain,
+             string_split(host, '.')[-1] AS tld
+      FROM hosts
+    )
+    SELECT source, tld,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count_if(domain IN ('badsite.net')) AS BIGINT)
+             AS blocklist_hits
+    FROM parsed
+    GROUP BY source, tld
+    ORDER BY source, tld
+    """,
+    tags=("curation", "web", "url", "quality", "llm", "operator"),
+)
+def q304_url_domain_census(spark, sf_dir):
+    """URL/domain census with blocklist screening (q304) — the domain
+    filter at the front of every web-crawl curation pipeline (CC
+    pipelines drop blocklisted registrable domains before any text
+    processing): plant deterministic URLs (a rotating .com family, a
+    blocklisted .net spam domain, a shared CDN host), extract every
+    host with the SHARED scheme-anchored pattern
+    (functions/text.py URL_HOST_PATTERN, Java∩RE2), derive the
+    registrable domain (last two labels — the public-suffix proxy)
+    and TLD, and report per (source, tld): URL/host/doc counts and
+    blocklist hits. The blocklist membership is an IN over the
+    registrable domain — at production scale a broadcast join against
+    the blocklist table, same plan shape.
+
+    SCALE DESIGN: extraction is one codegen'd regexp_extract_all
+    projection + explode (zero Python, zero shuffle); the only
+    shuffle is the (source, tld)-grain aggregate with map-side
+    partials. The count(DISTINCT host) rides Spark's expand-based
+    distinct aggregate at the same bounded grain."""
+    from etl_as_a_service_spark.functions.text import (
+        URL_HOST_PATTERN,
+        extract_hosts,
+        registrable_domain,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" see https://sub"),
+                    (did % 3).cast("string"),
+                    F.lit(".example"),
+                    (did % 7).cast("string"),
+                    F.lit(".com/page/"),
+                    did.cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 9 == 0,
+                F.concat(
+                    F.lit(" ref http://spam"),
+                    (did % 2).cast("string"),
+                    F.lit(".badsite.net/x"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0, F.lit(" via https://cdn.example0.com/asset")
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    hosts = planted.select(
+        "doc_id",
+        "source",
+        F.explode(extract_hosts(F.col("t"))).alias("host"),
+    )
+    parsed = hosts.select(
+        "doc_id",
+        "source",
+        "host",
+        registrable_domain(F.col("host")).alias("domain"),
+        F.element_at(F.split("host", r"\."), -1).alias("tld"),
+    )
+    return (
+        parsed.groupBy("source", "tld")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count_if(F.col("domain").isin("badsite.net"))
+            .cast("long")
+            .alias("blocklist_hits"),
+        )
+        .orderBy("source", "tld")
+    )
+
+
+# --------------------------------------------------------------------------
+# q305 — preference position-bias audit (order-swap debiasing)
+# --------------------------------------------------------------------------
+def _posbias_oracle() -> str:
+    h = (
+        "CAST(('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8)) AS BIGINT)"
+    )
+    return f"""
+    WITH raw AS (
+      SELECT {h.format(salt='bta-')} % 10 AS a,
+             {h.format(salt='btb-')} % 9 AS braw,
+             ({h.format(salt='btw-')} % 1000000) / 1000000.0 AS u,
+             {h.format(salt='pp-')} % 2 AS a_first
+      FROM documents
+    ),
+    cmp AS (
+      SELECT a,
+             CASE WHEN braw >= a THEN braw + 1 ELSE braw END AS b,
+             u, a_first
+      FROM raw
+    ),
+    shown AS (
+      SELECT CASE WHEN a_first = 0 THEN a ELSE b END AS first,
+             CASE WHEN a_first = 0 THEN b ELSE a END AS second, u
+      FROM cmp
+    ),
+    judged AS (
+      SELECT least(first, second) AS lo, greatest(first, second) AS hi,
+             CASE WHEN first < second THEN 1 ELSE 0 END AS lo_first,
+             CASE WHEN u < (first + 1.0)
+                        / ((first + 1.0) + (second + 1.0)) + 0.08
+                  THEN 1 ELSE 0 END AS first_wins
+      FROM shown
+    ),
+    per_order AS (
+      SELECT lo, hi, lo_first,
+             count(*) AS n, avg(first_wins * 1.0) AS fw
+      FROM judged GROUP BY lo, hi, lo_first
+    ),
+    both_orders AS (
+      SELECT a.lo, a.hi, (a.fw + b.fw) / 2.0 AS sym_fw,
+             a.n + b.n AS n
+      FROM per_order a JOIN per_order b
+        ON a.lo = b.lo AND a.hi = b.hi
+       AND a.lo_first = 1 AND b.lo_first = 0
+    )
+    SELECT CAST((SELECT count(*) FROM judged) AS BIGINT)
+             AS n_comparisons,
+           CAST((SELECT count(*) FROM both_orders) AS BIGINT)
+             AS n_pairs_bidirectional,
+           round((SELECT avg(first_wins * 1.0) FROM judged) - 0.5, 6)
+             AS naive_position_effect,
+           round((SELECT avg(sym_fw) FROM both_orders) - 0.5, 6)
+             AS debiased_position_effect
+    """
+
+
+@query(
+    "q305_position_bias_audit",
+    oracle=_posbias_oracle(),
+    tags=("rlhf", "preference", "bias", "quality", "llm", "operator"),
+)
+def q305_position_bias_audit(spark, sf_dir):
+    """Preference position-bias audit (q305) — the data-quality check
+    run on human preference logs before reward-model training (raters
+    systematically favor the FIRST-listed response; training on the
+    raw logs bakes that bias into the reward). Synthesis reuses the
+    q299 comparisons but presents each pair in a hash-chosen order
+    and plants a +0.08 first-position boost on the true BT win
+    probability. The audit then estimates the bias two ways:
+
+    - naive: overall first-position win rate - 0.5 (confounded by
+      strength differences and order assignment);
+    - debiased: for every unordered pair judged in BOTH orders,
+      average the two per-order first-win rates — strength cancels
+      exactly (P(first wins | i first) + P(first wins | j first)
+      averages to 0.5 + bias under BT), so the symmetrized mean - 0.5
+      isolates the planted effect (recovery asserted in pytest).
+
+    SCALE DESIGN: one map-only derivation, ONE (pair, order)-grain
+    aggregate (bounded by models^2), a pair-keyed self-join on that
+    bounded frame, and scalar summary aggregates. Same one-full-pass
+    shape as q299."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    did = F.col("doc_id").cast("string")
+    a = md5_hash64(did, "bta-") % 10
+    braw = md5_hash64(did, "btb-") % 9
+    b = F.when(braw >= a, braw + 1).otherwise(braw)
+    u = (md5_hash64(did, "btw-") % 1000000) / 1000000.0
+    a_first = md5_hash64(did, "pp-") % 2
+    first = F.when(a_first == 0, a).otherwise(b)
+    second = F.when(a_first == 0, b).otherwise(a)
+    judged = docs.select(
+        F.least(first, second).alias("lo"),
+        F.greatest(first, second).alias("hi"),
+        F.when(first < second, 1).otherwise(0).alias("lo_first"),
+        F.when(
+            u < (first + 1.0) / ((first + 1.0) + (second + 1.0)) + 0.08,
+            1,
+        )
+        .otherwise(0)
+        .alias("first_wins"),
+    )
+    per_order = judged.groupBy("lo", "hi", "lo_first").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("first_wins") * 1.0).alias("fw"),
+    )
+    po_a = per_order.filter(F.col("lo_first") == 1).select(
+        "lo", "hi", F.col("fw").alias("fw_a"), F.col("n").alias("n_a")
+    )
+    po_b = per_order.filter(F.col("lo_first") == 0).select(
+        "lo", "hi", F.col("fw").alias("fw_b"), F.col("n").alias("n_b")
+    )
+    both = po_a.join(po_b, ["lo", "hi"]).select(
+        ((F.col("fw_a") + F.col("fw_b")) / 2.0).alias("sym_fw")
+    )
+    totals = judged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_comparisons"),
+        F.round(F.avg(F.col("first_wins") * 1.0) - 0.5, 6).alias(
+            "naive_position_effect"
+        ),
+    )
+    sym = both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs_bidirectional"),
+        F.round(F.avg("sym_fw") - 0.5, 6).alias(
+            "debiased_position_effect"
+        ),
+    )
+    return totals.crossJoin(F.broadcast(sym)).select(
+        "n_comparisons",
+        "n_pairs_bidirectional",
+        "naive_position_effect",
+        "debiased_position_effect",
+    )

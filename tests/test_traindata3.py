@@ -357,3 +357,62 @@ def test_q303_seeds_clamped_and_coverage(spark):
         assert r["n_seeds"] <= r["n_nodes"]
         if r["label"] == "unlabeled":
             assert r["n_seeds"] == 0
+
+
+def test_extract_hosts_and_registrable_domain(spark):
+    """Host extraction is scheme-anchored (bare words never match)
+    and the registrable-domain proxy keeps the last two labels."""
+    from etl_as_a_service_spark.functions.text import (
+        extract_hosts,
+        registrable_domain,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "x https://a.b.example.com/p http://c.io/q plain.words"),
+            (2, "no urls here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", extract_hosts(F.col("text")).alias("hosts")
+        ).collect()
+    }
+    assert rows[1]["hosts"] == ["a.b.example.com", "c.io"]
+    assert rows[2]["hosts"] == []
+    (d,) = (
+        spark.createDataFrame([("a.b.example.com",)], "h string")
+        .select(registrable_domain(F.col("h")).alias("d"))
+        .collect()
+    )
+    assert d["d"] == "example.com"
+
+
+def test_q304_blocklist_hits_only_on_bad_domain(spark):
+    """Every blocklist hit sits in the .net TLD rows (the planted
+    spam domain), every source planted at least one .com URL, and
+    host counts never exceed URL counts."""
+    rows = _run(spark, "q304_url_domain_census").collect()
+    for r in rows:
+        assert r["n_hosts"] <= r["n_urls"]
+        assert r["n_docs"] <= r["n_urls"]
+        if r["blocklist_hits"] > 0:
+            assert r["tld"] == "net"
+            assert r["blocklist_hits"] == r["n_urls"]
+    tlds_by_source: dict[str, set] = {}
+    for r in rows:
+        tlds_by_source.setdefault(r["source"], set()).add(r["tld"])
+    assert all("com" in t for t in tlds_by_source.values())
+
+
+def test_q305_recovers_planted_position_bias(spark):
+    """The order-swap symmetrization isolates the planted +0.08
+    first-position boost (strength cancels pairwise); wide tolerance
+    because each of the ~45 bidirectional pairs averages only ~5
+    judgments per order at sf0.01."""
+    (r,) = _run(spark, "q305_position_bias_audit").collect()
+    assert r["n_comparisons"] == 500
+    assert r["n_pairs_bidirectional"] >= 30
+    assert 0.02 < r["debiased_position_effect"] < 0.15
