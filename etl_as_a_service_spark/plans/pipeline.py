@@ -1081,7 +1081,10 @@ def _apply_step(
                 )
         out_col = step.get("out_col", "text_redacted")
         obs = None
-        if observations is not None:
+        # Observation is batch-only (round-9 fix): a streaming scrub
+        # still redacts, but hit counts ride the microbatch progress
+        # (add an observe step with a name) rather than run.metrics.
+        if observations is not None and not df.isStreaming:
             from pyspark.sql import Observation
 
             obs = Observation()
@@ -1103,7 +1106,11 @@ def _apply_step(
             F.expr(e).alias(name) for name, e in _req(step, "metrics").items()
         ]
         mname = step.get("name", "pipeline_metrics")
-        if observations is not None:
+        # Observation objects are BATCH-only (Spark raises on
+        # streaming Datasets — round-9 fix); streams use the
+        # named-observe form, whose metrics ride each microbatch's
+        # QueryProgressEvent instead of run.metrics.
+        if observations is not None and not df.isStreaming:
             from pyspark.sql import Observation
 
             obs = Observation()

@@ -416,3 +416,74 @@ def test_q305_recovers_planted_position_bias(spark):
     assert r["n_comparisons"] == 500
     assert r["n_pairs_bidirectional"] >= 30
     assert 0.02 < r["debiased_position_effect"] < 0.15
+
+
+def test_redact_pii_works_in_streaming_pipeline(spark, tmp_path):
+    """redact_pii is a pure projection, so the same declarative step
+    must run unchanged in a STREAMING pipeline (available_now
+    trigger) — the scrub a live ingestion path applies before
+    landing text."""
+    from etl_as_a_service_spark.plans.pipeline import PipelineRunner
+
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(
+        [
+            (1, "write to ops@example.net today"),
+            (2, "all clean"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "stream_out")
+    spec = {
+        "name": "stream_scrub",
+        "source": {
+            "streaming": True,
+            "format": "parquet",
+            "path": src,
+            "schema": "doc_id long, text string",
+        },
+        "steps": [
+            {"op": "redact_pii", "text_col": "text", "out_col": "clean"}
+        ],
+        "sink": {"format": "parquet", "path": out,
+                 "trigger": "available_now"},
+    }
+    run = PipelineRunner(spark).run(spec)
+    assert run.status == "success", run.error
+    got = {r["doc_id"]: r["clean"] for r in spark.read.parquet(out).collect()}
+    assert got[1] == "write to [EMAIL] today"
+    assert got[2] == "all clean"
+
+
+def test_observe_op_works_in_streaming_pipeline(spark, tmp_path):
+    """The observe step must not break a streaming pipeline:
+    Observation objects are batch-only in Spark, so the streaming
+    path uses the named-observe form (metrics ride
+    QueryProgressEvent instead of run.metrics). This was RED before
+    the round-9 fix (IllegalArgumentException: Observation does not
+    support streaming Datasets)."""
+    from etl_as_a_service_spark.plans.pipeline import PipelineRunner
+
+    src = str(tmp_path / "obs_src")
+    spark.createDataFrame(
+        [(1, "aa"), (2, "bb")], "doc_id long, text string"
+    ).write.parquet(src)
+    out = str(tmp_path / "obs_out")
+    spec = {
+        "name": "stream_observe",
+        "source": {
+            "streaming": True,
+            "format": "parquet",
+            "path": src,
+            "schema": "doc_id long, text string",
+        },
+        "steps": [
+            {"op": "observe", "name": "m",
+             "metrics": {"n": "count(*)"}}
+        ],
+        "sink": {"format": "parquet", "path": out,
+                 "trigger": "available_now"},
+    }
+    run = PipelineRunner(spark).run(spec)
+    assert run.status == "success", run.error
+    assert spark.read.parquet(out).count() == 2
