@@ -137,6 +137,10 @@ HEADLINE_TRAINDATA = [
     # over planted text). Subtotal grows by one entry vs r8;
     # per-entry timings stay comparable.
     "q297_pii_census",
+    # round-9 second batch: the paragraph-dedup census (the heaviest
+    # of q306-q311 — corpus paragraph explode + hash-grain dup join).
+    # Subtotal grows by one entry vs earlier r9 runs.
+    "q307_paragraph_dedup_census",
 ]
 
 #: round-6 addition to the lakehouse subtotal: the stats-based file

@@ -65,6 +65,7 @@ from etl_as_a_service_spark.queries import ml  # noqa: E402,F401
 from etl_as_a_service_spark.queries import traindata  # noqa: E402,F401
 from etl_as_a_service_spark.queries import traindata2  # noqa: E402,F401
 from etl_as_a_service_spark.queries import traindata3  # noqa: E402,F401
+from etl_as_a_service_spark.queries import traindata4  # noqa: E402,F401
 
 # Driver-gate rotation (round 9): the external driver records
 # CORRECTNESS rows for the FIRST 50 manifest entries only. The
@@ -93,6 +94,12 @@ _ROTATE_FRONT = [
     "q303_label_propagation",
     "q304_url_domain_census",
     "q305_position_bias_audit",
+    "q306_canonical_url_dedup",
+    "q307_paragraph_dedup_census",
+    "q308_doremi_mixture",
+    "q309_reader_shard_mix",
+    "q310_grpo_group_advantage",
+    "q311_encoding_anomaly_census",
     "q60_string_extras",
     "q67_time_parts",
     "q69_lateral_topk",
@@ -128,12 +135,6 @@ _ROTATE_FRONT = [
     "q29_session_windows_batch",
     "q30_order_ranks",
     "q31_event_lag_lead",
-    "q32_frame_aggregates",
-    "q33_first_last_window",
-    "q34_top3_orders_per_customer",
-    "q35_asof_last_purchase",
-    "q36_multiset_ops",
-    "q37_union_by_name",
 ]
 
 

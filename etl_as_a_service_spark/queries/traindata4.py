@@ -1,0 +1,980 @@
+"""Training-data preparation queries, round-9 second batch (q306+):
+the web-curation and RLHF-rollout audits a production pipeline runs
+between crawl and packing — canonical-URL dedup, paragraph-level
+boilerplate dedup (the RefinedWeb stage), DoReMi-style mixture-weight
+solving, reader-shard shuffle-quality audit, GRPO group-advantage
+normalization, and an encoding-anomaly (mojibake) census.
+
+Conventions as in traindata2/traindata3: every query is
+DuckDB-oracle-checked; shared regex patterns live in the Java ∩ RE2
+subset so BOTH engines run the literal same pattern strings; planted
+synthesis uses the md5-uniform convention (``llm.dedup.md5_hash64``);
+integer aggregates cast to BIGINT on both sides; floats rounded only
+at the final grain.
+
+Reference parity note: the reference control plane has no curation
+operators at all (it moves artifacts and delegates transforms to
+user-uploaded DAGs, `app/routes.py:66-135`); this family is the
+training-data surface a 100-TB deployment of the same service would
+need first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.catalog import load_tables
+from etl_as_a_service_spark.queries import query
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+# --------------------------------------------------------------------------
+# q306 — canonical-URL dedup (scheme/host/port/query normalization)
+# --------------------------------------------------------------------------
+#: URL-part extraction patterns, shared verbatim with the oracle
+#: (Java ∩ RE2: no backreferences, no lookaround).
+URL_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+URL_HOSTPORT_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+URL_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+URL_QUERY_RE = r"\?([^#]*)"
+#: tracking parameters stripped during canonicalization
+TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "ref=")
+
+
+def canonical_url(url):
+    """Canonical form of a raw URL as a pure codegen expression:
+    lowercase scheme and host, strip a leading ``www.``, strip the
+    scheme's default port (:80 http / :443 https), strip the
+    fragment, strip trailing path slashes (empty path -> '/'), drop
+    tracking query parameters (utm_*, fbclid, gclid, ref) and sort
+    the survivors. No UDF, no shuffle — safe in any hot path."""
+    scheme = F.lower(F.regexp_extract(url, URL_SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(url, URL_HOSTPORT_RE, 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_replace(F.regexp_extract(url, URL_PATH_RE, 1), "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    rawq = F.regexp_extract(url, URL_QUERY_RE, 1)
+    params = F.filter(
+        F.split(rawq, "&"),
+        lambda x: (x != "")
+        & ~x.startswith("utm_")
+        & ~x.startswith("fbclid=")
+        & ~x.startswith("gclid=")
+        & ~x.startswith("ref="),
+    )
+    qcanon = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def _canon_url_oracle() -> str:
+    not_tracking = " AND ".join(
+        f"NOT starts_with(x, '{p}')" for p in TRACKING_PREFIXES
+    )
+    return f"""
+    WITH planted AS (
+      SELECT doc_id, source,
+        (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+        || '://'
+        || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+        || (CASE WHEN doc_id % 5 = 0 THEN 'Example' ELSE 'example' END)
+        || CAST((doc_id % 40) % 4 AS VARCHAR) || '.com'
+        || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+        || '/page/' || CAST(doc_id % 40 AS VARCHAR)
+        || (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN doc_id % 2 = 0
+             THEN '?id=' || CAST(doc_id % 40 AS VARCHAR)
+                  || '&utm_source=feed'
+             ELSE '?utm_medium=x&id=' || CAST(doc_id % 40 AS VARCHAR)
+             END)
+        || (CASE WHEN doc_id % 13 = 0 THEN '#sec2' ELSE '' END) AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, source, url,
+        lower(regexp_extract(url, '{URL_SCHEME_RE}', 1)) AS scheme,
+        lower(regexp_extract(url, '{URL_HOSTPORT_RE}', 1)) AS hostport,
+        regexp_extract(url, '{URL_PATH_RE}', 1) AS rawpath,
+        regexp_extract(url, '{URL_QUERY_RE}', 1) AS rawq
+      FROM planted
+    ),
+    canon AS (
+      SELECT doc_id, source, url,
+        scheme || '://'
+        || regexp_replace(
+             CASE WHEN scheme = 'http'
+                    THEN regexp_replace(hostport, ':80$', '')
+                  WHEN scheme = 'https'
+                    THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END,
+             '^www\\.', '')
+        || (CASE WHEN regexp_replace(rawpath, '/+$', '') = ''
+              THEN '/' ELSE regexp_replace(rawpath, '/+$', '') END)
+        || (CASE WHEN qcanon <> '' THEN '?' || qcanon ELSE '' END)
+          AS curl
+      FROM (
+        SELECT *,
+          array_to_string(
+            list_sort(list_filter(string_split(rawq, '&'),
+              x -> x <> '' AND {not_tracking})),
+            '&') AS qcanon
+        FROM parts
+      )
+    ),
+    groups AS (
+      SELECT curl, min(doc_id) AS keep_id FROM canon GROUP BY curl
+    ),
+    joined AS (
+      SELECT c.source, c.doc_id, c.url, c.curl, g.keep_id
+      FROM canon c JOIN groups g ON c.curl = g.curl
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_urls,
+           CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical_urls,
+           CAST(count_if(doc_id <> keep_id) AS BIGINT) AS n_removed
+    FROM joined
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query(
+    "q306_canonical_url_dedup",
+    oracle=_canon_url_oracle(),
+    tags=("curation", "web", "url", "dedup", "llm", "operator"),
+)
+def q306_canonical_url_dedup(spark, sf_dir):
+    """Canonical-URL deduplication census (q306) — the URL-level
+    dedup stage web-crawl pipelines run BEFORE fetching/processing
+    text (RefinedWeb and CC curation both dedup on normalized URLs
+    first; it is the cheapest dedup there is). Every doc gets a
+    planted raw URL whose scheme case, ``www.`` prefix, host case,
+    default port, trailing slash, tracking parameters (utm_*,
+    fbclid, gclid, ref), parameter order, and fragment all vary on
+    independent doc_id moduli while the CANONICAL form collapses to
+    one of 40 URLs. ``canonical_url`` normalizes each part
+    (lowercase scheme+host, strip www./default port/fragment/
+    trailing slash, filter+sort query params); survivors keep the
+    min doc_id per canonical group. Reported per source: docs, raw
+    vs canonical distinct URLs, and docs a URL-dedup pass would
+    remove.
+
+    SCALE DESIGN: canonicalization is one codegen'd
+    regexp_extract/replace + higher-order-filter projection (zero
+    Python, zero shuffle). The survivor pick is a canonical-URL-grain
+    aggregate with map-side partials (min is a combiner), and the
+    join back is a hash equi-join on the canonical key — the same
+    linear shape as exact dedup (q40). No window, no all-pairs."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m = did % 40
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("Example")).otherwise(F.lit("example")),
+        (m % 4).cast("string"),
+        F.lit(".com"),
+        F.when(did % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"),
+        m.cast("string"),
+        F.when(did % 11 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit("?id="), m.cast("string"), F.lit("&utm_source=feed")),
+        ).otherwise(
+            F.concat(F.lit("?utm_medium=x&id="), m.cast("string"))
+        ),
+        F.when(did % 13 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    canon = docs.select(
+        "doc_id",
+        "source",
+        url.alias("url"),
+    ).withColumn("curl", canonical_url(F.col("url")))
+    groups = canon.groupBy("curl").agg(F.min("doc_id").alias("keep_id"))
+    joined = canon.join(groups, "curl")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("url").cast("long").alias("n_raw_urls"),
+            F.countDistinct("curl").cast("long").alias("n_canonical_urls"),
+            F.count_if(F.col("doc_id") != F.col("keep_id"))
+            .cast("long")
+            .alias("n_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q307 — paragraph-level exact dedup census (the RefinedWeb stage)
+# --------------------------------------------------------------------------
+#: boilerplate paragraphs planted on independent doc_id moduli
+_BOILERPLATE = (
+    (3, "Subscribe to our newsletter for daily updates"),
+    (4, "All rights reserved by the publisher"),
+    (5, "Share this article with your friends"),
+    (6, "Comments are closed for this post"),
+)
+#: a paragraph is "duplicated" when it appears in at least this many docs
+PARA_DUP_MIN_DOCS = 5
+
+
+def _para_dedup_oracle() -> str:
+    plant = "".join(
+        f"\n        || CASE WHEN doc_id % {mod} = 0"
+        f" THEN chr(10) || '{p}' ELSE '' END"
+        for mod, p in _BOILERPLATE
+    )
+    return f"""
+    WITH planted AS (
+      SELECT doc_id, source, text{plant} AS t
+      FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, source, md5(p.para) AS ph
+      FROM planted, unnest(string_split(t, chr(10))) AS p(para)
+    ),
+    dups AS (
+      SELECT ph FROM paras
+      GROUP BY ph
+      HAVING count(DISTINCT doc_id) >= {PARA_DUP_MIN_DOCS}
+    ),
+    marked AS (
+      SELECT p.doc_id, p.source,
+             CASE WHEN d.ph IS NULL THEN 0 ELSE 1 END AS is_dup
+      FROM paras p LEFT JOIN dups d ON p.ph = d.ph
+    ),
+    per_doc AS (
+      SELECT doc_id, source, count(*) AS np, sum(is_dup) AS nd,
+             sum(is_dup) * 1.0 / count(*) AS frac
+      FROM marked GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(np) AS BIGINT) AS n_paragraphs,
+           CAST(sum(nd) AS BIGINT) AS n_dup_paragraphs,
+           CAST(count_if(frac >= 0.5) AS BIGINT) AS n_docs_flagged,
+           round(avg(frac), 6) AS dup_frac_mean
+    FROM per_doc GROUP BY source ORDER BY source
+    """
+
+
+@query(
+    "q307_paragraph_dedup_census",
+    oracle=_para_dedup_oracle(),
+    tags=("curation", "dedup", "boilerplate", "quality", "llm", "operator"),
+)
+def q307_paragraph_dedup_census(spark, sf_dir):
+    """Paragraph-level exact-dedup census (q307) — the RefinedWeb
+    deduplication stage that the doc-level exact dedup (q40/q41) and
+    the segment-frequency boilerplate excision (q206) bracket:
+    paragraphs (newline-separated) are hashed, a paragraph appearing
+    in >= PARA_DUP_MIN_DOCS distinct docs is boilerplate, and a doc
+    whose duplicated-paragraph fraction reaches 0.5 would be excised.
+    Four boilerplate paragraphs are planted on independent moduli
+    (3/4/5/6) so per-source counts differ; every original text is its
+    own unique paragraph. Reported per source: docs, paragraph
+    instances, duplicated instances, docs flagged for excision, and
+    the mean duplicated fraction.
+
+    SCALE DESIGN: the dup-paragraph set is aggregated at paragraph-
+    hash grain BEFORE the join back (HAVING on the count-distinct),
+    so the explode side joins against a frame bounded by the number
+    of genuinely repeated paragraphs — at web scale that table is
+    small enough to broadcast, and the join here compiles to a hash
+    equi-join on the 128-bit hash either way. Hashing (md5) keeps
+    shuffle rows at 32 bytes + ids, never the paragraph text.
+    Per-doc and per-source aggregates both take map-side partials."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            *[
+                F.when(did % mod == 0, F.lit("\n" + p)).otherwise(F.lit(""))
+                for mod, p in _BOILERPLATE
+            ],
+        ).alias("t"),
+    )
+    paras = planted.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.col("t"), "\n")).alias("para"),
+    ).select("doc_id", "source", F.md5(F.col("para")).alias("ph"))
+    dups = (
+        paras.groupBy("ph")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= PARA_DUP_MIN_DOCS)
+        .select("ph", F.lit(1).alias("is_dup"))
+    )
+    marked = paras.join(dups, "ph", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup"),
+    )
+    per_doc = marked.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("is_dup").alias("nd"),
+        (F.sum("is_dup") * 1.0 / F.count(F.lit(1))).alias("frac"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("np").cast("long").alias("n_paragraphs"),
+            F.sum("nd").cast("long").alias("n_dup_paragraphs"),
+            F.count_if(F.col("frac") >= 0.5)
+            .cast("long")
+            .alias("n_docs_flagged"),
+            F.round(F.avg("frac"), 6).alias("dup_frac_mean"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q308 — DoReMi-lite mixture-weight solver (multiplicative weights)
+# --------------------------------------------------------------------------
+DOREMI_ETA = 0.5
+DOREMI_SMOOTH = 0.1
+DOREMI_ROUNDS = 3
+
+
+def _doremi_oracle() -> str:
+    h = (
+        "CAST(('0x' || substr(md5('xl-' || source), 1, 8)) AS BIGINT)"
+    )
+    round_cte = """
+    r{t} AS (
+      SELECT source, tokens, excess, k,
+             w * (1 + {eta} * excess * (1 - w)) AS raw
+      FROM s{p}
+    ),
+    n{t} AS (SELECT sum(raw) AS z FROM r{t}),
+    s{t} AS (
+      SELECT source, tokens, excess, k,
+             {keep} * (raw / n{t}.z) + {sm} / k AS w
+      FROM r{t} CROSS JOIN n{t}
+    )"""
+    iters = ",".join(
+        round_cte.format(
+            t=t,
+            p=t - 1,
+            eta=DOREMI_ETA,
+            keep=1.0 - DOREMI_SMOOTH,
+            sm=DOREMI_SMOOTH,
+        )
+        for t in range(1, DOREMI_ROUNDS + 1)
+    )
+    return f"""
+    WITH base AS (
+      SELECT source,
+             sum(len(string_split(text, ' '))) * 1.0 AS tokens,
+             0.5 + ({h} % 1000) / 1000.0 AS excess
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT count(*) * 1.0 AS k, sum(tokens) AS total FROM base
+    ),
+    s0 AS (
+      SELECT source, tokens, excess, tot.k, 1.0 / tot.k AS w
+      FROM base CROSS JOIN tot
+    ),
+    {iters}
+    SELECT b.source,
+           CAST(b.tokens AS BIGINT) AS tokens,
+           round(b.excess, 6) AS excess_loss,
+           round(s1.w, 6) AS w1,
+           round(s2.w, 6) AS w2,
+           round(s3.w, 6) AS w3,
+           round(s3.w * tot.total, 2) AS alloc_tokens
+    FROM base b
+    JOIN s1 ON s1.source = b.source
+    JOIN s2 ON s2.source = b.source
+    JOIN s3 ON s3.source = b.source
+    CROSS JOIN tot
+    ORDER BY b.source
+    """
+
+
+@query(
+    "q308_doremi_mixture",
+    oracle=_doremi_oracle(),
+    tags=("curation", "mixing", "planning", "llm", "operator"),
+)
+def q308_doremi_mixture(spark, sf_dir):
+    """DoReMi-lite mixture-weight solver (q308) — the domain-
+    reweighting step of pretraining data prep (Xie et al. 2023:
+    upweight domains with high EXCESS loss, iterate as the reweighted
+    proxy model improves). Each source's excess-loss proxy is planted
+    md5-uniform in [0.5, 1.5); three multiplicative-weights rounds
+    run w <- normalize(w * (1 + eta * excess * (1 - w))) — the
+    (1 - w) factor models diminishing excess as a domain gets more
+    weight, so the iteration genuinely moves each round — followed by
+    uniform smoothing (0.9 w + 0.1/k). Output per source: real token
+    counts, the excess proxy, all three weight iterates, and the
+    token allocation w3 * total. The multiplicative form (1 + eta*x)
+    replaces exp(eta*x) deliberately: +,*,/ are correctly-rounded
+    IEEE in both engines, libm exp is not (the q300 pow-free
+    discipline).
+
+    SCALE DESIGN: ONE corpus pass (the per-source token aggregate,
+    map-side partials), localCheckpointed so the 3 MW rounds replan a
+    source-grain frame (#sources rows), not the corpus. Each round is
+    a scalar aggregate + broadcast cross join on that bounded frame —
+    the q299 unrolled-iteration shape. At 100 TB the only full-data
+    pass is the first aggregate."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    base = (
+        docs.groupBy("source")
+        .agg(
+            (F.sum(F.size(F.split(F.col("text"), " "))) * 1.0).alias(
+                "tokens"
+            )
+        )
+        .withColumn(
+            "excess",
+            0.5 + (md5_hash64(F.col("source"), "xl-") % 1000) / 1000.0,
+        )
+        .localCheckpoint()  # bounded: #sources rows; 3 MW rounds below
+    )
+    tot = base.agg(
+        (F.count(F.lit(1)) * 1.0).alias("k"),
+        F.sum("tokens").alias("total"),
+    )
+    s = base.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        "excess",
+        "k",
+        "total",
+        (F.lit(1.0) / F.col("k")).alias("w"),
+    )
+    iterates = []
+    for t in range(1, DOREMI_ROUNDS + 1):
+        r = s.withColumn(
+            "raw",
+            F.col("w")
+            * (1 + DOREMI_ETA * F.col("excess") * (1 - F.col("w"))),
+        )
+        z = r.agg(F.sum("raw").alias("z"))
+        s = r.crossJoin(F.broadcast(z)).select(
+            "source",
+            "tokens",
+            "excess",
+            "k",
+            "total",
+            (
+                (1.0 - DOREMI_SMOOTH) * (F.col("raw") / F.col("z"))
+                + DOREMI_SMOOTH / F.col("k")
+            ).alias("w"),
+        )
+        iterates.append(s.select("source", F.col("w").alias(f"w{t}")))
+    out = s.select("source", "tokens", "excess", "total")
+    for it in iterates:
+        out = out.join(it, "source")
+    return out.select(
+        "source",
+        F.col("tokens").cast("long").alias("tokens"),
+        F.round("excess", 6).alias("excess_loss"),
+        F.round("w1", 6).alias("w1"),
+        F.round("w2", 6).alias("w2"),
+        F.round("w3", 6).alias("w3"),
+        F.round(F.col("w3") * F.col("total"), 2).alias("alloc_tokens"),
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# q309 — reader-shard shuffle-quality audit (hashed vs contiguous)
+# --------------------------------------------------------------------------
+READER_SHARDS = 16
+
+
+def _shard_mix_oracle() -> str:
+    h = (
+        "CAST(('0x' || substr(md5('shard-' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8)) AS BIGINT)"
+    )
+    return f"""
+    WITH assigned AS (
+      SELECT 'hashed' AS assignment,
+             {h} % {READER_SHARDS} AS shard, source
+      FROM documents
+      UNION ALL
+      SELECT 'contiguous' AS assignment,
+             CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)
+               % {READER_SHARDS} AS shard,
+             source
+      FROM documents
+    ),
+    cnt AS (
+      SELECT assignment, shard, source, count(*) * 1.0 AS n
+      FROM assigned GROUP BY assignment, shard, source
+    ),
+    shard_tot AS (
+      SELECT assignment, shard, sum(n) AS tot
+      FROM cnt GROUP BY assignment, shard
+    ),
+    gshare AS (
+      SELECT source,
+             count(*) * 1.0
+               / (SELECT count(*) FROM documents) AS g
+      FROM documents GROUP BY source
+    ),
+    joined AS (
+      SELECT c.assignment, c.shard, t.tot,
+             abs(c.n / t.tot - g.g) AS dev, g.g
+      FROM cnt c
+      JOIN shard_tot t
+        ON t.assignment = c.assignment AND t.shard = c.shard
+      JOIN gshare g ON g.source = c.source
+    )
+    SELECT assignment, CAST(shard AS BIGINT) AS shard,
+           CAST(max(tot) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           round(0.5 * (sum(dev - g) + 1.0), 6) AS tv_distance,
+           round(max(dev), 6) AS max_abs_dev
+    FROM joined
+    GROUP BY assignment, shard
+    ORDER BY assignment, shard
+    """
+
+
+@query(
+    "q309_reader_shard_mix",
+    oracle=_shard_mix_oracle(),
+    tags=("curation", "shuffle", "planning", "llm", "operator"),
+)
+def q309_reader_shard_mix(spark, sf_dir):
+    """Reader-shard shuffle-quality audit (q309) — training-data
+    ORDER matters: if reader shards are carved from source-contiguous
+    files, each data-parallel rank sees a non-stationary source mix
+    (loss spikes, curriculum artifacts). Compare two shard
+    assignments of the same corpus: 'hashed' (md5(doc_id) % 16 — a
+    global shuffle) and 'contiguous' (whole sources land on the shard
+    of their file, modeled as source-number % 16). Per (assignment,
+    shard): docs, distinct sources seen, the total-variation distance
+    between the shard's source mix and the GLOBAL mix, and the max
+    per-source share deviation. The TV identity
+    0.5*(sum_present(|p-g| - g) + 1) accounts for sources ABSENT from
+    a shard without generating their rows (sum of all g is 1), so the
+    contiguous assignment's near-1 TV is computed exactly. Pytest
+    pins hashed TV well under contiguous TV.
+
+    SCALE DESIGN: both assignments are map-only key derivations; the
+    audit aggregates at (assignment, shard, source) grain — bounded
+    by 2 * shards * sources — with map-side partials, then joins only
+    bounded aggregate frames (shard totals broadcast-sized, the
+    global mix broadcast-sized). One corpus pass per assignment leg
+    of the union, no window, no row-level join."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    hashed = docs.select(
+        F.lit("hashed").alias("assignment"),
+        (md5_hash64(did, "shard-") % READER_SHARDS).alias("shard"),
+        "source",
+    )
+    contiguous = docs.select(
+        F.lit("contiguous").alias("assignment"),
+        (
+            F.regexp_extract(F.col("source"), "([0-9]+)$", 1).cast("long")
+            % READER_SHARDS
+        ).alias("shard"),
+        "source",
+    )
+    assigned = hashed.unionAll(contiguous)
+    cnt = assigned.groupBy("assignment", "shard", "source").agg(
+        (F.count(F.lit(1)) * 1.0).alias("n")
+    )
+    shard_tot = cnt.groupBy("assignment", "shard").agg(
+        F.sum("n").alias("tot")
+    )
+    n_total = docs.agg((F.count(F.lit(1)) * 1.0).alias("big_n"))
+    gshare = (
+        docs.groupBy("source")
+        .agg((F.count(F.lit(1)) * 1.0).alias("ns"))
+        .crossJoin(F.broadcast(n_total))
+        .select("source", (F.col("ns") / F.col("big_n")).alias("g"))
+    )
+    joined = (
+        cnt.join(shard_tot, ["assignment", "shard"])
+        .join(F.broadcast(gshare), "source")
+        .select(
+            "assignment",
+            "shard",
+            "tot",
+            "g",
+            F.abs(F.col("n") / F.col("tot") - F.col("g")).alias("dev"),
+        )
+    )
+    return (
+        joined.groupBy("assignment", "shard")
+        .agg(
+            F.max("tot").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.round(
+                0.5 * (F.sum(F.col("dev") - F.col("g")) + 1.0), 6
+            ).alias("tv_distance"),
+            F.round(F.max("dev"), 6).alias("max_abs_dev"),
+        )
+        .select(
+            "assignment",
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs",
+            "n_sources",
+            "tv_distance",
+            "max_abs_dev",
+        )
+        .orderBy("assignment", "shard")
+    )
+
+
+# --------------------------------------------------------------------------
+# q310 — GRPO group-advantage normalization audit
+# --------------------------------------------------------------------------
+GRPO_PROMPTS = 60
+GRPO_DEGENERATE_MOD = 10
+
+
+def _grpo_oracle() -> str:
+    hp = (
+        "CAST(('0x' || substr(md5('pd-' ||"
+        f" CAST(doc_id % {GRPO_PROMPTS} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    )
+    hr = (
+        "CAST(('0x' || substr(md5('rr-' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8)) AS BIGINT)"
+    )
+    return f"""
+    WITH rollouts AS (
+      SELECT doc_id % {GRPO_PROMPTS} AS prompt,
+             {hp} % 1000
+             + CASE WHEN (doc_id % {GRPO_PROMPTS})
+                      % {GRPO_DEGENERATE_MOD} = 0
+                 THEN 0 ELSE {hr} % 401 - 200 END AS r
+      FROM documents
+    ),
+    grp AS (
+      SELECT prompt, count(*) AS n, sum(r) AS s1, sum(r * r) AS s2
+      FROM rollouts GROUP BY prompt
+    ),
+    tot AS (
+      SELECT sum(n) AS big_n, sum(s1) AS big_s1 FROM grp
+    ),
+    grp_stats AS (
+      SELECT g.prompt, g.n, g.s1, g.s2,
+             g.n * g.s2 = g.s1 * g.s1 AS degenerate,
+             g.s1 * 1.0 / g.n AS mean,
+             g.s2 * 1.0 / g.n
+               - (g.s1 * 1.0 / g.n) * (g.s1 * 1.0 / g.n) AS var
+      FROM grp g
+    ),
+    grp_sum AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(count_if(g.degenerate) AS BIGINT)
+               AS n_degenerate_groups,
+             sum(g.n * (g.mean - t.big_s1 * 1.0 / t.big_n)
+                     * (g.mean - t.big_s1 * 1.0 / t.big_n))
+               / max(t.big_n) AS between_var,
+             sum(g.var * g.n) / max(t.big_n) AS within_var
+      FROM grp_stats g CROSS JOIN tot t
+    ),
+    adv AS (
+      SELECT CASE WHEN g.degenerate THEN 0.0
+                  ELSE (r.r - g.mean) / sqrt(g.var) END AS a
+      FROM rollouts r JOIN grp_stats g ON g.prompt = r.prompt
+    ),
+    adv_sum AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rollouts,
+             round(avg(abs(a)), 6) AS mean_abs_adv,
+             round(max(abs(a)), 6) AS max_abs_adv
+      FROM adv
+    )
+    SELECT a.n_rollouts, g.n_groups, g.n_degenerate_groups,
+           round(g.between_var, 6) AS between_var,
+           round(g.within_var, 6) AS within_var,
+           round(g.between_var / (g.between_var + g.within_var), 6)
+             AS var_reduction,
+           a.mean_abs_adv, a.max_abs_adv
+    FROM grp_sum g CROSS JOIN adv_sum a
+    """
+
+
+@query(
+    "q310_grpo_group_advantage",
+    oracle=_grpo_oracle(),
+    tags=("rlhf", "rollouts", "normalization", "llm", "operator"),
+)
+def q310_grpo_group_advantage(spark, sf_dir):
+    """GRPO group-advantage normalization audit (q310) — the rollout
+    data-prep step of group-relative policy optimization (Shao et al.
+    2024): rewards are normalized WITHIN each prompt's sample group
+    (advantage = (r - group mean) / group std), and a group with zero
+    reward variance is DEGENERATE (contributes no gradient — the
+    audit every RLHF pipeline runs to catch saturated prompts).
+    Rollouts are synthesized md5-uniform: each doc is one sample of
+    prompt doc_id % 60, reward = prompt difficulty (milli-grid) plus
+    per-sample noise — except every 10th prompt, which is planted
+    DEGENERATE (constant reward). Reports group counts, the
+    between/within variance decomposition (how much reward variance
+    group-centering removes), and the advantage magnitude profile.
+
+    Determinism: per-group stats come from INTEGER power sums
+    (n, sum r, sum r^2 — all BIGINT-exact), so mean/var are single
+    correctly-rounded expressions, and the degenerate test
+    n*s2 == s1*s1 is exact integer arithmetic in both engines —
+    no stddev_pop builtin whose merge order could differ.
+
+    SCALE DESIGN: ONE full pass (the prompt-grain power-sum
+    aggregate, map-side combined); advantages join rollouts against
+    the bounded prompt-grain frame (broadcast); summaries are scalar
+    aggregates. No window, no per-row Python."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    prompt = did % GRPO_PROMPTS
+    difficulty = md5_hash64(prompt.cast("string"), "pd-") % 1000
+    noise = md5_hash64(did.cast("string"), "rr-") % 401 - 200
+    r = difficulty + F.when(
+        prompt % GRPO_DEGENERATE_MOD == 0, F.lit(0)
+    ).otherwise(noise)
+    rollouts = docs.select(prompt.alias("prompt"), r.alias("r"))
+    grp = rollouts.groupBy("prompt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("s1"),
+        F.sum(F.col("r") * F.col("r")).alias("s2"),
+    )
+    mean = F.col("s1") * 1.0 / F.col("n")
+    grp_stats = grp.select(
+        "prompt",
+        "n",
+        (F.col("n") * F.col("s2") == F.col("s1") * F.col("s1")).alias(
+            "degenerate"
+        ),
+        mean.alias("mean"),
+        (F.col("s2") * 1.0 / F.col("n") - mean * mean).alias("var"),
+    )
+    tot = grp.agg(
+        F.sum("n").alias("big_n"), F.sum("s1").alias("big_s1")
+    )
+    gmean = F.col("big_s1") * 1.0 / F.col("big_n")
+    grp_sum = (
+        grp_stats.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.count_if(F.col("degenerate"))
+            .cast("long")
+            .alias("n_degenerate_groups"),
+            (
+                F.sum(
+                    F.col("n")
+                    * (F.col("mean") - gmean)
+                    * (F.col("mean") - gmean)
+                )
+                / F.max("big_n")
+            ).alias("between_var"),
+            (F.sum(F.col("var") * F.col("n")) / F.max("big_n")).alias(
+                "within_var"
+            ),
+        )
+    )
+    a = F.when(F.col("degenerate"), F.lit(0.0)).otherwise(
+        (F.col("r") - F.col("mean")) / F.sqrt(F.col("var"))
+    )
+    adv_sum = (
+        rollouts.join(F.broadcast(grp_stats), "prompt")
+        .select(a.alias("a"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rollouts"),
+            F.round(F.avg(F.abs(F.col("a"))), 6).alias("mean_abs_adv"),
+            F.round(F.max(F.abs(F.col("a"))), 6).alias("max_abs_adv"),
+        )
+    )
+    return grp_sum.crossJoin(F.broadcast(adv_sum)).select(
+        "n_rollouts",
+        "n_groups",
+        "n_degenerate_groups",
+        F.round("between_var", 6).alias("between_var"),
+        F.round("within_var", 6).alias("within_var"),
+        F.round(
+            F.col("between_var")
+            / (F.col("between_var") + F.col("within_var")),
+            6,
+        ).alias("var_reduction"),
+        "mean_abs_adv",
+        "max_abs_adv",
+    )
+
+
+# --------------------------------------------------------------------------
+# q311 — encoding-anomaly (mojibake) census
+# --------------------------------------------------------------------------
+#: anomaly patterns, shared verbatim with the oracle (Java ∩ RE2 —
+#: \x{hhhh} hex escapes are valid in BOTH Java regex and RE2; no
+#: backreferences, no lookaround). Ordered dict: output rows stack in
+#: this order per source.
+ENCODING_ANOMALY_PATTERNS = {
+    # U+0007 etc: C0 control chars that survive no sane decode
+    # (tab/newline/CR excluded)
+    "control_char": (
+        r"[\x{0001}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]"
+    ),
+    # UTF-8 2-byte sequence read as Latin-1: 'Ã' + a char in the
+    # continuation-byte range (e.g. 'Ã©' for 'é')
+    "latin1_utf8": r"Ã[\x{0080}-\x{00BF}]",
+    # U+FFFD: a decoder already replaced an invalid byte
+    "replacement_char": r"\x{FFFD}",
+    # UTF-8 3-byte punctuation read as cp1252: 'â€' + ™/œ/¦
+    # ('â€™' for ', 'â€œ' for ", 'â€¦' for …)
+    "win1252_utf8": "â€[™œ¦]",
+}
+
+
+def _mojibake_oracle() -> str:
+    c_cols = ",\n             ".join(
+        f"len(regexp_extract_all(t, '{p}')) AS c_{n}"
+        for n, p in ENCODING_ANOMALY_PATTERNS.items()
+    )
+    any_expr = " + ".join(f"c_{n}" for n in ENCODING_ANOMALY_PATTERNS)
+    stacked = "\n      UNION ALL\n      ".join(
+        f"SELECT source, '{n}' AS anomaly_type, c_{n} AS c FROM counted"
+        for n in ENCODING_ANOMALY_PATTERNS
+    )
+    return f"""
+    WITH planted AS (
+      SELECT doc_id, source, text
+        || CASE WHEN doc_id % 6 = 0 THEN ' menu cafÃ© today'
+             ELSE '' END
+        || CASE WHEN doc_id % 8 = 0
+             THEN ' donâ€™t miss â€œquotes' ELSE '' END
+        || CASE WHEN doc_id % 9 = 0 THEN ' data ' || chr(65533)
+             || chr(65533) || ' lost' ELSE '' END
+        || CASE WHEN doc_id % 10 = 0 THEN ' beep' || chr(7) || 'stop'
+             ELSE '' END
+        AS t
+      FROM documents
+    ),
+    counted AS (
+      SELECT source,
+             {c_cols}
+      FROM planted
+    ),
+    stacked AS (
+      {stacked}
+      UNION ALL
+      SELECT source, 'any' AS anomaly_type, {any_expr} AS c
+      FROM counted
+    )
+    SELECT source, anomaly_type,
+           CAST(count_if(c > 0) AS BIGINT) AS n_docs,
+           CAST(sum(c) AS BIGINT) AS n_hits
+    FROM stacked
+    GROUP BY source, anomaly_type
+    ORDER BY source, anomaly_type
+    """
+
+
+@query(
+    "q311_encoding_anomaly_census",
+    oracle=_mojibake_oracle(),
+    tags=("curation", "encoding", "quality", "llm", "operator"),
+)
+def q311_encoding_anomaly_census(spark, sf_dir):
+    """Encoding-anomaly (mojibake) census (q311) — the decode-quality
+    screen a crawl-curation pipeline runs before any text operator:
+    double-decoded UTF-8 (Latin-1 'Ã©' and cp1252 'â€™' shapes),
+    U+FFFD replacement chars (a decoder already lost bytes), and C0
+    control characters all mark documents whose upstream decode was
+    wrong — dropping them beats training on them. Each anomaly class
+    is planted on its own doc_id modulus (6/8/9/10, with the win1252
+    line carrying TWO hits per planted doc); the organic corpus text
+    is clean ASCII, so the census also proves zero false positives
+    on clean text. Reported per (source, anomaly_type + 'any'): docs
+    hit and total matches. Pattern strings are shared VERBATIM with
+    the oracle — \\x{{hhhh}} hex escapes parse identically in Java
+    regex and RE2 (the q221/q297 shared-pattern discipline).
+
+    SCALE DESIGN: counting is map-side regexp_count over a codegen'd
+    projection (zero Python, zero shuffle); the stack explode is
+    #patterns+1 rows per doc; the only shuffle is the final
+    (source, anomaly_type) aggregate with map-side partials — the
+    q297 census shape."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(did % 6 == 0, F.lit(" menu cafÃ© today")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                did % 8 == 0, F.lit(" donâ€™t miss â€œquotes")
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 9 == 0, F.lit(" data �� lost")
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 10 == 0, F.lit(" beep\x07stop")
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    counted = planted.select(
+        "source",
+        *[
+            F.regexp_count(F.col("t"), F.lit(p)).alias(f"c_{n}")
+            for n, p in ENCODING_ANOMALY_PATTERNS.items()
+        ],
+    )
+    entries = [
+        F.struct(
+            F.lit(n).alias("anomaly_type"),
+            F.col(f"c_{n}").cast("long").alias("c"),
+        )
+        for n in ENCODING_ANOMALY_PATTERNS
+    ]
+    any_c = None
+    for n in ENCODING_ANOMALY_PATTERNS:
+        col = F.col(f"c_{n}").cast("long")
+        any_c = col if any_c is None else any_c + col
+    entries.append(
+        F.struct(F.lit("any").alias("anomaly_type"), any_c.alias("c"))
+    )
+    stacked = counted.select(
+        "source", F.explode(F.array(*entries)).alias("s")
+    ).select("source", "s.anomaly_type", "s.c")
+    return (
+        stacked.groupBy("source", "anomaly_type")
+        .agg(
+            F.count_if(F.col("c") > 0).cast("long").alias("n_docs"),
+            F.sum("c").cast("long").alias("n_hits"),
+        )
+        .orderBy("source", "anomaly_type")
+    )

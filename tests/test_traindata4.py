@@ -1,0 +1,202 @@
+"""Round-9 second-batch training-data operators (q306-q311):
+canonical-URL dedup, paragraph dedup, DoReMi mixture, reader-shard
+mix, GRPO advantages, encoding-anomaly census.
+
+Expectations are derived from the fixture's actual doc_id set (never
+hardcoded row counts) — the q285 fixture-independence discipline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.queries import QUERIES
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def _run(spark, name, sf=SF01):
+    return QUERIES[name].fn(spark, sf)
+
+
+def _doc_ids(spark, sf=SF01):
+    from etl_as_a_service_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf, ["documents"])["documents"]
+    return [r[0] for r in docs.select("doc_id").collect()]
+
+
+# ---------------------------------------------------------------- q306
+def test_canonical_url_unit_variants(spark):
+    """The canonicalizer collapses scheme case, www., default ports,
+    trailing slashes, tracking params, param order, and fragments —
+    and PRESERVES non-default ports and non-tracking params (sorted)."""
+    from etl_as_a_service_spark.queries.traindata4 import canonical_url
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&z=1&a=2#f"),
+        (2, "https://example.com/a/b?a=2&z=1&fbclid=zzz"),
+        (3, "http://example.com:80"),
+        (4, "http://example.com/"),
+        (5, "https://example.com:8443/a"),  # non-default port kept
+    ]
+    df = spark.createDataFrame(rows, "i long, url string")
+    out = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    assert out[1] == "https://example.com/a/b?a=2&z=1"
+    assert out[2] == out[1]
+    assert out[3] == "http://example.com/"
+    assert out[4] == out[3]
+    assert out[5] == "https://example.com:8443/a"
+
+
+def test_q306_collapses_planted_variants(spark):
+    """Every raw-URL variant collapses to one of the len({doc_id%40})
+    canonical URLs; exactly one survivor per canonical group."""
+    ids = _doc_ids(spark)
+    n_canon_expected = len({i % 40 for i in ids})
+    pdf = _run(spark, "q306_canonical_url_dedup").toPandas()
+    assert int(pdf.n_docs.sum()) == len(ids)
+    assert (pdf.n_canonical_urls <= pdf.n_raw_urls).all()
+    assert (pdf.n_raw_urls <= pdf.n_docs).all()
+    # survivors: one per canonical group, so removals = N - #groups
+    assert int(pdf.n_removed.sum()) == len(ids) - n_canon_expected
+
+
+# ---------------------------------------------------------------- q307
+def test_q307_paragraph_census_exact(spark):
+    """Paragraph totals and dup instances follow exactly from the
+    planted moduli: every boilerplate paragraph is duplicated (its
+    doc frequency far exceeds the threshold), originals never are."""
+    from etl_as_a_service_spark.queries.traindata4 import _BOILERPLATE
+
+    ids = _doc_ids(spark)
+    planted = sum(
+        1 for i in ids for mod, _ in _BOILERPLATE if i % mod == 0
+    )
+    pdf = _run(spark, "q307_paragraph_dedup_census").toPandas()
+    assert int(pdf.n_docs.sum()) == len(ids)
+    assert int(pdf.n_paragraphs.sum()) == len(ids) + planted
+    # every planted boilerplate instance is duplicated, no original is
+    assert int(pdf.n_dup_paragraphs.sum()) == planted
+    # a doc hit by at least 3 of the 4 moduli (e.g. lcm(3,4,5)=60 grid)
+    # has dup_frac >= 3/4 >= 0.5 -> flagged
+    flag_expected = sum(
+        1
+        for i in ids
+        if sum(1 for mod, _ in _BOILERPLATE if i % mod == 0)
+        >= sum(1 for mod, _ in _BOILERPLATE if i % mod != 0) + 1
+    )
+    assert int(pdf.n_docs_flagged.sum()) >= max(1, flag_expected)
+
+
+# ---------------------------------------------------------------- q308
+def test_q308_weights_normalized_and_monotone(spark):
+    """Each MW iterate is a probability vector; the planted excess-loss
+    ordering is preserved by every iterate (the update factor is
+    strictly increasing in excess from a uniform start)."""
+    pdf = _run(spark, "q308_doremi_mixture").toPandas()
+    for c in ("w1", "w2", "w3"):
+        assert abs(pdf[c].sum() - 1.0) < 1e-4
+        ranked = pdf.sort_values("excess_loss")[c].tolist()
+        assert ranked == sorted(ranked), f"{c} not monotone in excess"
+    # smoothing floor: no weight below 0.1/k
+    k = len(pdf)
+    assert (pdf.w3 >= 0.1 / k - 1e-9).all()
+    assert (pdf.alloc_tokens >= 0).all()
+
+
+# ---------------------------------------------------------------- q309
+def test_q309_hashed_mixes_contiguous_does_not(spark):
+    """The hashed assignment's shard source-mix stays close to the
+    global mix; the source-contiguous assignment is near-degenerate
+    (each shard sees only the sources congruent to it mod 16)."""
+    pdf = _run(spark, "q309_reader_shard_mix").toPandas()
+    hashed = pdf[pdf.assignment == "hashed"]
+    contig = pdf[pdf.assignment == "contiguous"]
+    assert len(hashed) == 16
+    assert not contig.empty
+    # contiguous: a shard holds 1-2 whole sources out of ~20
+    assert contig.tv_distance.min() > 0.8
+    assert contig.n_sources.max() <= 2
+    # hashed: every shard sees most sources, mix near global
+    assert hashed.tv_distance.max() < contig.tv_distance.min()
+    assert hashed.n_sources.min() >= 10
+    # doc conservation per assignment
+    assert int(hashed.n_docs.sum()) == int(contig.n_docs.sum())
+
+
+# ---------------------------------------------------------------- q310
+def test_q310_degenerate_groups_and_decomposition(spark):
+    """Every 10th prompt is planted constant-reward: the degenerate
+    count equals the number of those prompts present in the fixture;
+    the variance decomposition is a valid split."""
+    ids = _doc_ids(spark)
+    prompts = {i % 60 for i in ids}
+    degenerate_expected = sum(1 for p in prompts if p % 10 == 0)
+    row = _run(spark, "q310_grpo_group_advantage").collect()[0]
+    assert row["n_rollouts"] == len(ids)
+    assert row["n_groups"] == len(prompts)
+    assert row["n_degenerate_groups"] == degenerate_expected
+    assert row["between_var"] > 0
+    assert row["within_var"] > 0
+    assert 0 < row["var_reduction"] < 1
+    assert abs(
+        row["var_reduction"]
+        - row["between_var"] / (row["between_var"] + row["within_var"])
+    ) < 1e-5
+    assert 0 < row["mean_abs_adv"] <= row["max_abs_adv"]
+
+
+# ---------------------------------------------------------------- q311
+def test_q311_exact_planted_counts(spark):
+    """Per-type totals follow exactly from the planting moduli
+    (latin1 x1 on %6, win1252 x2 on %8, replacement x2 on %9,
+    control x1 on %10); the organic corpus contributes ZERO hits."""
+    ids = _doc_ids(spark)
+    expected = {
+        "latin1_utf8": (sum(1 for i in ids if i % 6 == 0), 1),
+        "win1252_utf8": (sum(1 for i in ids if i % 8 == 0), 2),
+        "replacement_char": (sum(1 for i in ids if i % 9 == 0), 2),
+        "control_char": (sum(1 for i in ids if i % 10 == 0), 1),
+    }
+    pdf = _run(spark, "q311_encoding_anomaly_census").toPandas()
+    by_type = pdf.groupby("anomaly_type")[["n_docs", "n_hits"]].sum()
+    total_hits = 0
+    for t, (docs_exp, hits_per) in expected.items():
+        assert int(by_type.loc[t, "n_docs"]) == docs_exp, t
+        assert int(by_type.loc[t, "n_hits"]) == docs_exp * hits_per, t
+        total_hits += docs_exp * hits_per
+    assert int(by_type.loc["any", "n_hits"]) == total_hits
+
+
+def test_q311_patterns_clean_text_zero_hits(spark):
+    """Properly-encoded text — including real accented chars and real
+    smart quotes — produces zero anomaly hits; each planted mojibake
+    shape produces exactly its own type."""
+    from etl_as_a_service_spark.queries.traindata4 import (
+        ENCODING_ANOMALY_PATTERNS,
+    )
+
+    rows = [
+        (1, "a café with naïve décor — “smart quotes” and … fine"),
+        (2, "broken cafÃ© here"),
+        (3, "donâ€™t and â€œthis"),
+        (4, "lost � byte"),
+        (5, "bell \x07 char"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    counts = df.select(
+        "i",
+        *[
+            F.regexp_count(F.col("t"), F.lit(p)).alias(n)
+            for n, p in ENCODING_ANOMALY_PATTERNS.items()
+        ],
+    )
+    got = {r["i"]: r.asDict() for r in counts.collect()}
+    assert all(got[1][n] == 0 for n in ENCODING_ANOMALY_PATTERNS)
+    assert got[2]["latin1_utf8"] == 1
+    assert got[3]["win1252_utf8"] == 2
+    assert got[4]["replacement_char"] == 1
+    assert got[5]["control_char"] == 1
