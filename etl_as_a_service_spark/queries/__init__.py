@@ -100,6 +100,10 @@ _ROTATE_FRONT = [
     "q309_reader_shard_mix",
     "q310_grpo_group_advantage",
     "q311_encoding_anomaly_census",
+    "q312_fim_plan",
+    "q313_best_of_n_yield",
+    "q314_pass_at_k",
+    "q315_theil_sen_trend",
     "q60_string_extras",
     "q67_time_parts",
     "q69_lateral_topk",
@@ -131,10 +135,6 @@ _ROTATE_FRONT = [
     "q25_json_extraction",
     "q26_array_functions",
     "q27_explode_word_count",
-    "q28_struct_map_roundtrip",
-    "q29_session_windows_batch",
-    "q30_order_ranks",
-    "q31_event_lag_lead",
 ]
 
 

@@ -978,3 +978,512 @@ def q311_encoding_anomaly_census(spark, sf_dir):
         )
         .orderBy("source", "anomaly_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q312 — fill-in-middle (FIM) transformation plan
+# --------------------------------------------------------------------------
+FIM_APPLY_PCT = 9  # apply FIM to 9/10 docs (h % 10 < 9)
+
+
+def _fim_oracle() -> str:
+    h = (
+        "CAST(('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8)) AS BIGINT)"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n,
+             {h.format(salt='fc1-')} AS h1,
+             {h.format(salt='fc2-')} AS h2,
+             {h.format(salt='fm-')} AS h3,
+             {h.format(salt='fs-')} AS h4
+      FROM documents
+    ),
+    cuts AS (
+      SELECT doc_id, source, n,
+             CASE WHEN n >= 3 THEN 1 + h1 % (n - 1) ELSE 1 END AS lo_r,
+             CASE WHEN n >= 3 THEN 1 + h2 % (n - 1) ELSE 1 END AS hi_r,
+             (n >= 3 AND h3 % 10 < {FIM_APPLY_PCT}) AS apply,
+             h4 % 2 = 0 AS spm
+      FROM base
+    ),
+    parts AS (
+      SELECT source,
+             CASE WHEN NOT apply THEN 'none'
+                  WHEN spm THEN 'spm' ELSE 'psm' END AS mode,
+             n,
+             CASE WHEN apply THEN least(lo_r, hi_r) ELSE n END AS np,
+             CASE WHEN apply
+               THEN greatest(lo_r, hi_r) - least(lo_r, hi_r)
+               ELSE 0 END AS nm,
+             CASE WHEN apply THEN n - greatest(lo_r, hi_r)
+                  ELSE 0 END AS ns
+      FROM cuts
+    )
+    SELECT source, mode,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(np * 1.0 / n), 6) AS prefix_frac,
+           round(avg(nm * 1.0 / n), 6) AS middle_frac,
+           round(avg(ns * 1.0 / n), 6) AS suffix_frac,
+           CAST(count_if(nm = 0 AND mode <> 'none') AS BIGINT)
+             AS n_empty_middle,
+           CAST(count_if(np + nm + ns <> n) AS BIGINT)
+             AS n_length_mismatch
+    FROM parts
+    GROUP BY source, mode
+    ORDER BY source, mode
+    """
+
+
+@query(
+    "q312_fim_plan",
+    oracle=_fim_oracle(),
+    tags=("curation", "transform", "planning", "llm", "operator"),
+)
+def q312_fim_plan(spark, sf_dir):
+    """Fill-in-middle transformation plan (q312) — the FIM data
+    transform of code/infilling pretraining (Bavarian et al. 2022):
+    each doc is cut at two hash-chosen token positions into
+    prefix/middle/suffix and reordered PSM or SPM; ~10% of docs (and
+    everything under 3 tokens) pass through untouched so the model
+    retains plain left-to-right data. The Spark side builds the REAL
+    token slices (F.slice) and measures their sizes; the ORACLE
+    computes the part lengths in closed form from the cut arithmetic
+    — so the hash-match proves the slice implementation agrees with
+    the specification exactly (n_length_mismatch is pinned 0 by both
+    engines). Reported per (source, mode): docs, mean
+    prefix/middle/suffix token fractions, empty-middle count (wasted
+    FIM samples), and the conservation violation count.
+
+    SCALE DESIGN: map-only derivation (split + two slices, all
+    codegen) followed by ONE (source, mode)-grain aggregate with
+    map-side partials. No shuffle beyond the 3-mode-per-source
+    aggregate, no Python, no window."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    h1 = md5_hash64(did, "fc1-")
+    h2 = md5_hash64(did, "fc2-")
+    h3 = md5_hash64(did, "fm-")
+    h4 = md5_hash64(did, "fs-")
+    lo_r = F.when(n >= 3, 1 + h1 % (n - 1)).otherwise(F.lit(1))
+    hi_r = F.when(n >= 3, 1 + h2 % (n - 1)).otherwise(F.lit(1))
+    apply_fim = (n >= 3) & (h3 % 10 < FIM_APPLY_PCT)
+    cut_lo = F.least(lo_r, hi_r)
+    cut_hi = F.greatest(lo_r, hi_r)
+    # the REAL slices — sizes measured from them, not from arithmetic
+    prefix = F.when(apply_fim, F.slice(toks, 1, cut_lo)).otherwise(toks)
+    middle = F.when(
+        apply_fim, F.slice(toks, cut_lo + 1, cut_hi - cut_lo)
+    ).otherwise(F.slice(toks, 1, 0))
+    suffix = F.when(
+        apply_fim, F.slice(toks, cut_hi + 1, n - cut_hi)
+    ).otherwise(F.slice(toks, 1, 0))
+    parts = docs.select(
+        "source",
+        F.when(~apply_fim, F.lit("none"))
+        .when(h4 % 2 == 0, F.lit("spm"))
+        .otherwise(F.lit("psm"))
+        .alias("mode"),
+        n.alias("n"),
+        F.size(prefix).alias("np"),
+        F.size(middle).alias("nm"),
+        F.size(suffix).alias("ns"),
+    )
+    return (
+        parts.groupBy("source", "mode")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg(F.col("np") * 1.0 / F.col("n")), 6).alias(
+                "prefix_frac"
+            ),
+            F.round(F.avg(F.col("nm") * 1.0 / F.col("n")), 6).alias(
+                "middle_frac"
+            ),
+            F.round(F.avg(F.col("ns") * 1.0 / F.col("n")), 6).alias(
+                "suffix_frac"
+            ),
+            F.count_if((F.col("nm") == 0) & (F.col("mode") != "none"))
+            .cast("long")
+            .alias("n_empty_middle"),
+            F.count_if(
+                F.col("np") + F.col("nm") + F.col("ns") != F.col("n")
+            )
+            .cast("long")
+            .alias("n_length_mismatch"),
+        )
+        .orderBy("source", "mode")
+    )
+
+
+# --------------------------------------------------------------------------
+# q313 — best-of-n rejection-sampling yield audit
+# --------------------------------------------------------------------------
+def _bon_oracle() -> str:
+    hp = (
+        "CAST(('0x' || substr(md5('pd-' ||"
+        f" CAST(doc_id % {GRPO_PROMPTS} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    )
+    hr = (
+        "CAST(('0x' || substr(md5('rr-' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8)) AS BIGINT)"
+    )
+    return f"""
+    WITH rollouts AS (
+      SELECT doc_id, doc_id % {GRPO_PROMPTS} AS prompt,
+             {hp} % 1000
+             + CASE WHEN (doc_id % {GRPO_PROMPTS})
+                      % {GRPO_DEGENERATE_MOD} = 0
+                 THEN 0 ELSE {hr} % 401 - 200 END AS r
+      FROM documents
+    ),
+    grp AS (
+      SELECT prompt, count(*) AS n, max(r) AS rmax, sum(r) AS sr
+      FROM rollouts GROUP BY prompt
+    ),
+    detail AS (
+      SELECT g.prompt, g.n, g.rmax,
+             count_if(r.r = g.rmax) AS ties,
+             max(CASE WHEN r.r < g.rmax THEN r.r END) AS second,
+             min(CASE WHEN r.r = g.rmax THEN r.doc_id END) AS keep_id
+      FROM rollouts r JOIN grp g ON g.prompt = r.prompt
+      GROUP BY g.prompt, g.n, g.rmax
+    )
+    SELECT CAST((SELECT count(*) FROM rollouts) AS BIGINT)
+             AS n_rollouts,
+           CAST(count(*) AS BIGINT) AS n_prompts,
+           round((SELECT sum(sr) * 1.0 / sum(n) FROM grp), 6)
+             AS mean_reward,
+           round(avg(rmax * 1.0), 6) AS mean_best_reward,
+           round(avg(rmax * 1.0)
+                 - (SELECT sum(sr) * 1.0 / sum(n) FROM grp), 6)
+             AS uplift,
+           round(avg((rmax - coalesce(second, rmax)) * 1.0), 6)
+             AS mean_margin,
+           CAST(count_if(ties > 1) AS BIGINT) AS n_tie_prompts,
+           CAST(count_if(ties = n) AS BIGINT) AS n_saturated_prompts,
+           CAST(sum(keep_id) AS BIGINT) AS survivor_id_checksum
+    FROM detail
+    """
+
+
+@query(
+    "q313_best_of_n_yield",
+    oracle=_bon_oracle(),
+    tags=("rlhf", "rollouts", "sampling", "llm", "operator"),
+)
+def q313_best_of_n_yield(spark, sf_dir):
+    """Best-of-n rejection-sampling yield audit (q313) — the
+    selection step after q310's rollouts: keep the argmax-reward
+    sample per prompt (ties broken by min doc_id — the survivor
+    checksum pins the exact pick cross-engine) and report what
+    rejection sampling buys: mean best reward vs mean reward
+    (uplift), the margin over the runner-up, tie prevalence, and
+    SATURATED prompts (all samples equal — every q310 degenerate
+    prompt plus any organically tied group) where best-of-n selects
+    nothing. Same integer milli-grid reward synthesis as q310, so the
+    two audits describe one rollout table.
+
+    SCALE DESIGN: ONE full pass (prompt-grain max/sum aggregate,
+    map-side combined), then the detail pass joins rollouts against
+    the bounded prompt-grain frame (broadcast) and re-aggregates at
+    prompt grain; summaries are scalar. The argmax is max + count_if
+    + conditional min — combiner-friendly aggregates only, no
+    window."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    prompt = did % GRPO_PROMPTS
+    difficulty = md5_hash64(prompt.cast("string"), "pd-") % 1000
+    noise = md5_hash64(did.cast("string"), "rr-") % 401 - 200
+    r = difficulty + F.when(
+        prompt % GRPO_DEGENERATE_MOD == 0, F.lit(0)
+    ).otherwise(noise)
+    rollouts = docs.select(
+        "doc_id", prompt.alias("prompt"), r.alias("r")
+    )
+    grp = rollouts.groupBy("prompt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("r").alias("rmax"),
+        F.sum("r").alias("sr"),
+    )
+    detail = (
+        rollouts.join(F.broadcast(grp), "prompt")
+        .groupBy("prompt", "n", "rmax")
+        .agg(
+            F.count_if(F.col("r") == F.col("rmax")).alias("ties"),
+            F.max(
+                F.when(F.col("r") < F.col("rmax"), F.col("r"))
+            ).alias("second"),
+            F.min(
+                F.when(F.col("r") == F.col("rmax"), F.col("doc_id"))
+            ).alias("keep_id"),
+        )
+    )
+    totals = grp.agg(
+        F.sum("n").cast("long").alias("n_rollouts"),
+        (F.sum("sr") * 1.0 / F.sum("n")).alias("mean_r"),
+    )
+    return (
+        detail.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n_rollouts").alias("n_rollouts"),
+            F.count(F.lit(1)).cast("long").alias("n_prompts"),
+            F.round(F.max("mean_r"), 6).alias("mean_reward"),
+            F.round(F.avg(F.col("rmax") * 1.0), 6).alias(
+                "mean_best_reward"
+            ),
+            F.round(
+                F.avg(F.col("rmax") * 1.0) - F.max("mean_r"), 6
+            ).alias("uplift"),
+            F.round(
+                F.avg(
+                    (
+                        F.col("rmax")
+                        - F.coalesce(F.col("second"), F.col("rmax"))
+                    )
+                    * 1.0
+                ),
+                6,
+            ).alias("mean_margin"),
+            F.count_if(F.col("ties") > 1)
+            .cast("long")
+            .alias("n_tie_prompts"),
+            F.count_if(F.col("ties") == F.col("n"))
+            .cast("long")
+            .alias("n_saturated_prompts"),
+            F.sum("keep_id").cast("long").alias("survivor_id_checksum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q314 — pass@k estimation (unbiased estimator, unrolled products)
+# --------------------------------------------------------------------------
+PASS_AT_KS = (1, 5)
+PASS_TASKS = 80
+
+
+def _pass_product_sql(k: int) -> str:
+    """1 - C(n-c,k)/C(n,k) as an unrolled exact product — no
+    factorial/lgamma (libm-free, the q300 discipline)."""
+    prod = " * ".join(
+        f"((n - c - {i}) * 1.0 / (n - {i}))" for i in range(k)
+    )
+    return f"CASE WHEN n - c < {k} THEN 1.0 ELSE 1.0 - {prod} END"
+
+
+def _pass_at_k_oracle() -> str:
+    ht = (
+        "CAST(('0x' || substr(md5('tp-' ||"
+        f" CAST(doc_id % {PASS_TASKS} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    )
+    hs = (
+        "CAST(('0x' || substr(md5('ts-' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8)) AS BIGINT)"
+    )
+    legs = "\n      UNION ALL\n      ".join(
+        f"""SELECT {k} AS k,
+             CAST(count(*) AS BIGINT) AS n_tasks,
+             round(avg({_pass_product_sql(k)}), 6) AS mean_pass_at_k,
+             CAST(count_if(n - c < {k}) AS BIGINT) AS n_solved,
+             CAST(count_if(c = 0) AS BIGINT) AS n_unsolved
+      FROM per_task WHERE n >= {k}"""
+        for k in PASS_AT_KS
+    )
+    return f"""
+    WITH samples AS (
+      SELECT doc_id % {PASS_TASKS} AS task,
+             CASE WHEN {hs} % 1000 < {ht} % 800 + 100
+               THEN 1 ELSE 0 END AS pass
+      FROM documents
+    ),
+    per_task AS (
+      SELECT task, count(*) AS n, sum(pass) AS c
+      FROM samples GROUP BY task
+    )
+    SELECT * FROM (
+      {legs}
+    ) ORDER BY k
+    """
+
+
+@query(
+    "q314_pass_at_k",
+    oracle=_pass_at_k_oracle(),
+    tags=("eval", "rollouts", "estimation", "llm", "operator"),
+)
+def q314_pass_at_k(spark, sf_dir):
+    """pass@k estimation (q314) — the unbiased estimator of code-eval
+    pipelines (Chen et al. 2021, HumanEval): given n samples per task
+    with c passing, pass@k = 1 - C(n-c,k)/C(n,k), computed as the
+    UNROLLED exact product prod_{{i<k}} (n-c-i)/(n-i) — integer
+    numerators/denominators, no factorial, no lgamma (libm results
+    differ across engines; +,*,/ do not — the q300/q308 discipline).
+    Samples are synthesized md5-uniform: each doc is one attempt at
+    task doc_id % 80 with a per-task planted pass rate in [0.1, 0.9).
+    Reported per k in (1, 5): tasks with n >= k, mean pass@k, tasks
+    solved at k (n - c < k guarantees a pass in every k-subset), and
+    never-solved tasks.
+
+    SCALE DESIGN: ONE full pass (task-grain count/sum aggregate,
+    map-side combined); the estimator evaluates per task on the
+    bounded task-grain frame; one scalar aggregate per k (unioned).
+    No window, no join against row grain."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    task = did % PASS_TASKS
+    p_task = md5_hash64(task.cast("string"), "tp-") % 800 + 100
+    passed = F.when(
+        md5_hash64(did.cast("string"), "ts-") % 1000 < p_task, 1
+    ).otherwise(0)
+    per_task = (
+        docs.select(task.alias("task"), passed.alias("pass"))
+        .groupBy("task")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pass").alias("c"))
+        .localCheckpoint()  # bounded: task grain; reused per k below
+    )
+    legs = []
+    for k in PASS_AT_KS:
+        prod = None
+        for i in range(k):
+            f = (F.col("n") - F.col("c") - i) * 1.0 / (F.col("n") - i)
+            prod = f if prod is None else prod * f
+        pass_k = F.when(
+            F.col("n") - F.col("c") < k, F.lit(1.0)
+        ).otherwise(1.0 - prod)
+        legs.append(
+            per_task.filter(F.col("n") >= k).agg(
+                F.lit(k).cast("long").alias("k"),
+                F.count(F.lit(1)).cast("long").alias("n_tasks"),
+                F.round(F.avg(pass_k), 6).alias("mean_pass_at_k"),
+                F.count_if(F.col("n") - F.col("c") < k)
+                .cast("long")
+                .alias("n_solved"),
+                F.count_if(F.col("c") == 0)
+                .cast("long")
+                .alias("n_unsolved"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out.orderBy("k")
+
+
+# --------------------------------------------------------------------------
+# q315 — banded Theil-Sen robust trend (vs OLS)
+# --------------------------------------------------------------------------
+THEIL_SEN_MAX_LAG_DAYS = 90
+
+
+def _theil_sen_oracle() -> str:
+    return f"""
+    WITH days AS (
+      SELECT o_orderdate AS d,
+             date_diff('day', DATE '1992-01-01', o_orderdate) AS dn,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_orderdate
+    ),
+    banded AS (
+      SELECT dn, rev, dn // {THEIL_SEN_MAX_LAG_DAYS} AS band FROM days
+    ),
+    probes AS (
+      SELECT dn, rev, band FROM banded
+      UNION ALL
+      SELECT dn, rev, band + 1 FROM banded
+    ),
+    pairs AS (
+      SELECT (b.rev - a.rev) / (b.dn - a.dn) AS slope
+      FROM probes a JOIN banded b ON a.band = b.band
+      WHERE b.dn > a.dn AND b.dn - a.dn <= {THEIL_SEN_MAX_LAG_DAYS}
+    )
+    SELECT CAST((SELECT count(*) FROM days) AS BIGINT) AS n_days,
+           CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_pairs,
+           round((SELECT quantile_cont(slope, 0.5) FROM pairs), 2)
+             AS theil_sen_slope,
+           round((SELECT regr_slope(rev, dn * 1.0) FROM days), 2)
+             AS ols_slope
+    """
+
+
+@query(
+    "q315_theil_sen_trend",
+    oracle=_theil_sen_oracle(),
+    tags=("stats", "robust", "timeseries", "operator"),
+)
+def q315_theil_sen_trend(spark, sf_dir):
+    """Banded Theil-Sen robust trend (q315) — the outlier-resistant
+    slope estimator (median of pairwise slopes) every monitoring
+    pipeline wants next to OLS, which a single spike day can drag
+    arbitrarily. Full Theil-Sen is all-pairs; the standard windowed
+    variant restricts to pairs at most 90 days apart, which this
+    implements with the q103/q288 BANDED equi-join (explode each day
+    into its band and the next, join on band, filter the true lag) —
+    never a non-equi nested loop. The median rides the exact
+    interpolating percentile (Spark `percentile` == DuckDB
+    `quantile_cont`); OLS is regr_slope on the day grain.
+
+    SCALE DESIGN: ONE full pass (the day-grain revenue aggregate,
+    map-side combined, calendar-bounded cardinality) which is
+    localCheckpointed so the self-join replans a bounded frame; the
+    banded join emits at most 90 slopes per day — linear in days,
+    never days^2. The percentile aggregate runs on that bounded
+    slope set."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    days = (
+        orders.groupBy("o_orderdate")
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .select(
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias(
+                "dn"
+            ),
+            "rev",
+        )
+        .localCheckpoint()  # bounded: day grain (calendar-capped)
+    )
+    band = (F.col("dn") / THEIL_SEN_MAX_LAG_DAYS).cast("long")
+    banded = days.select("dn", "rev", band.alias("band"))
+    probes = banded.unionAll(
+        banded.select("dn", "rev", (F.col("band") + 1).alias("band"))
+    ).select(
+        F.col("dn").alias("a_dn"),
+        F.col("rev").alias("a_rev"),
+        "band",
+    )
+    pairs = (
+        probes.join(banded, "band")
+        .filter(
+            (F.col("dn") > F.col("a_dn"))
+            & (F.col("dn") - F.col("a_dn") <= THEIL_SEN_MAX_LAG_DAYS)
+        )
+        .select(
+            (
+                (F.col("rev") - F.col("a_rev"))
+                / (F.col("dn") - F.col("a_dn"))
+            ).alias("slope")
+        )
+    )
+    stats = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 2).alias(
+            "theil_sen_slope"
+        ),
+    )
+    dstats = days.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.regr_slope(F.col("rev"), F.col("dn") * 1.0), 2).alias(
+            "ols_slope"
+        ),
+    )
+    return dstats.crossJoin(F.broadcast(stats)).select(
+        "n_days", "n_pairs", "theil_sen_slope", "ols_slope"
+    )

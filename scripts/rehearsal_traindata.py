@@ -257,6 +257,96 @@ def ngram_novelty(docs):
     )
 
 
+def canonical_url_dedup(docs):
+    """The q306 pipeline body over an injected documents frame
+    (queries/traindata4.py q306_canonical_url_dedup — same plan:
+    plant raw variants, canonicalize, survivor join-back). The scale
+    risk is the canonical-URL-grain aggregate + join back, whose
+    cardinality grows with the corpus."""
+    from etl_as_a_service_spark.queries.traindata4 import canonical_url
+
+    did = F.col("doc_id")
+    m = did % 40
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("example"),
+        (m % 4).cast("string"),
+        F.lit(".com/page/"),
+        # 4x corpus -> 4x distinct canonical URLs (id-shifted copies
+        # must not collapse together): key on doc_id // 13 so the
+        # canonical grain scales with the corpus
+        (did / 13).cast("long").cast("string"),
+        F.when(did % 2 == 0, F.lit("?id=1&utm_source=feed")).otherwise(
+            F.lit("?utm_medium=x&id=1")
+        ),
+    )
+    canon = docs.select("doc_id", "source", url.alias("url")).withColumn(
+        "curl", canonical_url(F.col("url"))
+    )
+    groups = canon.groupBy("curl").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        canon.join(groups, "curl")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("curl").alias("n_canonical_urls"),
+            F.count_if(F.col("doc_id") != F.col("keep_id")).alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
+def paragraph_dedup(docs):
+    """The q307 pipeline body over an injected documents frame
+    (queries/traindata4.py q307_paragraph_dedup_census — same plan:
+    explode paragraphs, hash-grain dup aggregate, HAVING-bounded
+    join-back, per-doc and per-source rollups)."""
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.lit("\nSubscribe to our newsletter for daily updates"),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 0,
+                F.lit("\nAll rights reserved by the publisher"),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    paras = planted.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.col("t"), "\n")).alias("para"),
+    ).select("doc_id", "source", F.md5(F.col("para")).alias("ph"))
+    dups = (
+        paras.groupBy("ph")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 5)
+        .select("ph", F.lit(1).alias("is_dup"))
+    )
+    marked = paras.join(dups, "ph", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup"),
+    )
+    return (
+        marked.groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum("is_dup").alias("nd"),
+        )
+        .groupBy("source")
+        .agg(F.sum("np").alias("n_paragraphs"), F.sum("nd").alias("n_dup"))
+    )
+
+
 def label_prop(li):
     """The q303 pipeline body over an injected lineitem frame
     (queries/traindata3.py q303_label_propagation — same plan)."""
@@ -358,6 +448,17 @@ def main() -> None:
             "q303 label propagation (4x baskets)",
             lambda d=li: label_prop(d).count(),
             lambda d=li4: label_prop(d).count(),
+        ),
+        # round-9 second batch
+        (
+            "q306 canonical-URL dedup (4x docs, 4x URL grain)",
+            lambda d=docs: canonical_url_dedup(d).count(),
+            lambda d=docs4: canonical_url_dedup(d).count(),
+        ),
+        (
+            "q307 paragraph dedup census (4x docs)",
+            lambda d=docs: paragraph_dedup(d).count(),
+            lambda d=docs4: paragraph_dedup(d).count(),
         ),
     ]
     for _, base, _s in entries:  # warm codegen/JIT outside timings

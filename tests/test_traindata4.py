@@ -200,3 +200,159 @@ def test_q311_patterns_clean_text_zero_hits(spark):
     assert got[3]["win1252_utf8"] == 2
     assert got[4]["replacement_char"] == 1
     assert got[5]["control_char"] == 1
+
+
+# ---------------------------------------------------------------- q312
+def test_q312_fim_conservation_and_mix(spark):
+    """Token conservation is pinned at zero violations; the mode mix
+    follows the hash split (~90% transformed, spm/psm ~ 50/50 of
+    those); fractions are proper."""
+    pdf = _run(spark, "q312_fim_plan").toPandas()
+    assert int(pdf.n_length_mismatch.sum()) == 0
+    assert set(pdf["mode"]) <= {"none", "psm", "spm"}
+    tot = pdf.groupby("mode").n_docs.sum()
+    n_all = int(pdf.n_docs.sum())
+    assert tot.get("none", 0) < 0.25 * n_all
+    assert tot.get("psm", 0) > 0 and tot.get("spm", 0) > 0
+    transformed = pdf[pdf["mode"] != "none"]
+    fr = (
+        transformed.prefix_frac
+        + transformed.middle_frac
+        + transformed.suffix_frac
+    )
+    assert ((fr - 1.0).abs() < 1e-4).all()
+    none_rows = pdf[pdf["mode"] == "none"]
+    assert (none_rows.prefix_frac == 1.0).all()
+    assert (none_rows.middle_frac == 0.0).all()
+
+
+# ---------------------------------------------------------------- q313
+def test_q313_best_of_n_dominates_mean(spark):
+    """Selecting the max can only help: mean best >= mean reward with
+    strictly positive uplift here (non-degenerate prompts have noise);
+    saturated prompts include every planted degenerate prompt."""
+    ids = _doc_ids(spark)
+    prompts = {i % 60 for i in ids}
+    degenerate = sum(1 for p in prompts if p % 10 == 0)
+    row = _run(spark, "q313_best_of_n_yield").collect()[0]
+    assert row["n_prompts"] == len(prompts)
+    assert row["n_rollouts"] == len(ids)
+    assert row["mean_best_reward"] >= row["mean_reward"]
+    assert row["uplift"] > 0
+    assert abs(
+        row["uplift"]
+        - (row["mean_best_reward"] - row["mean_reward"])
+    ) < 2e-6
+    assert row["mean_margin"] >= 0
+    assert row["n_saturated_prompts"] >= degenerate
+    assert row["n_tie_prompts"] >= row["n_saturated_prompts"]
+    # the survivor checksum only sums one doc_id per prompt
+    assert row["survivor_id_checksum"] <= sum(sorted(ids)[-len(prompts):])
+
+
+# ---------------------------------------------------------------- q314
+def test_q314_pass_at_k_bounds_and_monotonicity(spark):
+    """pass@k is a probability, non-decreasing in k on the common
+    task set, and the estimator's closed form is honored on a
+    hand-checked frame."""
+    pdf = _run(spark, "q314_pass_at_k").toPandas().set_index("k")
+    for k in (1, 5):
+        if int(pdf.loc[k, "n_tasks"]) > 0:
+            assert 0.0 <= pdf.loc[k, "mean_pass_at_k"] <= 1.0
+    if int(pdf.loc[5, "n_tasks"]) == int(pdf.loc[1, "n_tasks"]):
+        # same task set -> monotone in k
+        assert pdf.loc[5, "mean_pass_at_k"] >= pdf.loc[1, "mean_pass_at_k"]
+    assert int(pdf.loc[1, "n_solved"]) <= int(pdf.loc[5, "n_solved"]) + (
+        int(pdf.loc[1, "n_tasks"]) - int(pdf.loc[5, "n_tasks"])
+    )
+
+
+def test_q314_estimator_closed_form():
+    """The unrolled product equals the combinatorial definition."""
+    from math import comb
+
+    for n, c, k in [(6, 2, 5), (10, 3, 5), (5, 0, 1), (8, 8, 5), (7, 3, 1)]:
+        if n - c < k:
+            expected = 1.0
+        else:
+            expected = 1.0 - comb(n - c, k) / comb(n, k)
+        prod = 1.0
+        if n - c >= k:
+            for i in range(k):
+                prod *= (n - c - i) / (n - i)
+            got = 1.0 - prod
+        else:
+            got = 1.0
+        assert abs(got - expected) < 1e-12, (n, c, k)
+
+
+# ---------------------------------------------------------------- q315
+def test_q315_theil_sen_robust_to_planted_spike(spark):
+    """On a synthetic series with a known slope and one massive spike
+    day, Theil-Sen recovers the true slope while OLS is dragged; the
+    banded pair count matches the closed form."""
+    import pandas as pd
+
+    from etl_as_a_service_spark.queries.traindata4 import (
+        THEIL_SEN_MAX_LAG_DAYS,
+    )
+
+    n_days = 200
+    # spike OFF-CENTER (x - mean(x) = +80.5) so OLS leverage is large;
+    # a centered spike would have ~zero pull on the OLS slope
+    rows = [
+        (i, 1000.0 + 7.0 * i + (250000.0 if i == 180 else 0.0))
+        for i in range(n_days)
+    ]
+    days = spark.createDataFrame(rows, "dn long, rev double")
+    from pyspark.sql import functions as F2
+
+    band = (F2.col("dn") / THEIL_SEN_MAX_LAG_DAYS).cast("long")
+    banded = days.select("dn", "rev", band.alias("band"))
+    probes = banded.unionAll(
+        banded.select("dn", "rev", (F2.col("band") + 1).alias("band"))
+    ).select(
+        F2.col("dn").alias("a_dn"), F2.col("rev").alias("a_rev"), "band"
+    )
+    pairs = (
+        probes.join(banded, "band")
+        .filter(
+            (F2.col("dn") > F2.col("a_dn"))
+            & (F2.col("dn") - F2.col("a_dn") <= THEIL_SEN_MAX_LAG_DAYS)
+        )
+        .select(
+            (
+                (F2.col("rev") - F2.col("a_rev"))
+                / (F2.col("dn") - F2.col("a_dn"))
+            ).alias("slope")
+        )
+    )
+    ts = pairs.agg(F2.expr("percentile(slope, 0.5)").alias("m")).collect()[
+        0
+    ]["m"]
+    ols = days.agg(
+        F2.regr_slope(F2.col("rev"), F2.col("dn") * 1.0).alias("b")
+    ).collect()[0]["b"]
+    assert abs(ts - 7.0) < 0.5          # robust: spike barely moves it
+    assert ols > 20.0                   # OLS dragged far off 7
+    # pair count: every ordered pair within the lag window, exactly once
+    expected_pairs = sum(
+        min(THEIL_SEN_MAX_LAG_DAYS, n_days - 1 - i) for i in range(n_days)
+    )
+    assert pairs.count() == expected_pairs
+
+
+def test_q315_fixture_run_sane(spark):
+    """On the real orders table the banded pair count is bounded by
+    days * lag and both slope estimates are finite."""
+    import math
+
+    from etl_as_a_service_spark.queries.traindata4 import (
+        THEIL_SEN_MAX_LAG_DAYS,
+    )
+
+    row = _run(spark, "q315_theil_sen_trend").collect()[0]
+    assert row["n_days"] > 0
+    assert row["n_pairs"] <= row["n_days"] * THEIL_SEN_MAX_LAG_DAYS
+    assert math.isfinite(row["theil_sen_slope"])
+    assert math.isfinite(row["ols_slope"])
