@@ -104,6 +104,9 @@ _ROTATE_FRONT = [
     "q313_best_of_n_yield",
     "q314_pass_at_k",
     "q315_theil_sen_trend",
+    "q316_code_quality_flags",
+    "q317_canary_census",
+    "q318_mann_kendall",
     "q60_string_extras",
     "q67_time_parts",
     "q69_lateral_topk",
@@ -133,8 +136,6 @@ _ROTATE_FRONT = [
     "q23_conditional_nulls",
     "q24_hash_functions",
     "q25_json_extraction",
-    "q26_array_functions",
-    "q27_explode_word_count",
 ]
 
 

@@ -1487,3 +1487,450 @@ def q315_theil_sen_trend(spark, sf_dir):
     return dstats.crossJoin(F.broadcast(stats)).select(
         "n_days", "n_pairs", "theil_sen_slope", "ols_slope"
     )
+
+
+# --------------------------------------------------------------------------
+# q316 — code-quality flags census (StarCoder/BigCode-style filters)
+# --------------------------------------------------------------------------
+CODE_MAX_LINE_LEN = 200
+CODE_MIN_ALPHA_FRAC = 0.25
+#: autogenerated-file markers (shared verbatim, Java ∩ RE2)
+AUTOGEN_MARKER_RE = "DO NOT EDIT|Auto-generated|@generated"
+
+
+def _code_quality_oracle() -> str:
+    return f"""
+    WITH planted AS (
+      SELECT doc_id, source, text
+        || CASE WHEN doc_id % 5 = 0
+             THEN chr(10) || 'def fn' || CAST(doc_id AS VARCHAR)
+               || '(x):' || chr(10) || '    return x + '
+               || CAST(doc_id AS VARCHAR)
+             ELSE '' END
+        || CASE WHEN doc_id % 7 = 0
+             THEN chr(10) || 'x = "' || repeat('a', 250) || '"'
+             ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+             THEN chr(10) || '# DO NOT EDIT. Generated by tool.'
+             ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+             THEN chr(10) || repeat('0123456789 ', 120)
+             ELSE '' END
+        AS t
+      FROM documents
+    ),
+    metrics AS (
+      SELECT source,
+        len(string_split(t, chr(10))) AS n_lines,
+        (len(t) - (len(string_split(t, chr(10))) - 1)) * 1.0
+          / len(string_split(t, chr(10))) AS avg_line_len,
+        list_max(list_transform(string_split(t, chr(10)),
+                                x -> len(x))) AS max_line_len,
+        len(regexp_replace(t, '[^A-Za-z]', '', 'g')) * 1.0 / len(t)
+          AS alpha_frac,
+        len(regexp_extract_all(t, '{AUTOGEN_MARKER_RE}')) > 0
+          AS autogen
+      FROM planted
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(count_if(max_line_len > {CODE_MAX_LINE_LEN}) AS BIGINT)
+        AS n_long_line,
+      CAST(count_if(alpha_frac < {CODE_MIN_ALPHA_FRAC}) AS BIGINT)
+        AS n_low_alpha,
+      CAST(count_if(autogen) AS BIGINT) AS n_autogen,
+      CAST(count_if(max_line_len > {CODE_MAX_LINE_LEN}
+                    OR alpha_frac < {CODE_MIN_ALPHA_FRAC}
+                    OR autogen) AS BIGINT) AS n_flagged,
+      round(avg(avg_line_len), 6) AS mean_avg_line_len,
+      round(avg(alpha_frac), 6) AS mean_alpha_frac
+    FROM metrics GROUP BY source ORDER BY source
+    """
+
+
+@query(
+    "q316_code_quality_flags",
+    oracle=_code_quality_oracle(),
+    tags=("curation", "code", "quality", "llm", "operator"),
+)
+def q316_code_quality_flags(spark, sf_dir):
+    """Code-quality flags census (q316) — the StarCoder/BigCode
+    source-file filters for code pretraining data: maximum line
+    length (minified/generated bundles), alphabetic-character
+    fraction (hex dumps, base64 blobs), and autogenerated-file
+    markers ('DO NOT EDIT', 'Auto-generated', '@generated'). Each
+    flag's trigger is planted on its own doc_id modulus (7: a
+    250-char line; 13: a digit-dump tail that crushes alpha_frac
+    with margin at any fixture text length; 11:
+    the marker comment; 5: benign short code that must NOT flag).
+    avg_line_len uses the closed form (chars - newlines) / lines —
+    no second pass over the line array. Reported per source: docs,
+    per-flag counts, the any-flag union, and mean line-length /
+    alpha-fraction profiles.
+
+    SCALE DESIGN: all metrics are one codegen'd projection
+    (split + list_transform/max + two regexes — zero Python); the
+    only shuffle is the source-grain aggregate with map-side
+    partials. The q297/q311 census shape."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit("\ndef fn"),
+                    did.cast("string"),
+                    F.lit("(x):\n    return x + "),
+                    did.cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit('\nx = "'), F.repeat(F.lit("a"), 250), F.lit('"')
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.lit("\n# DO NOT EDIT. Generated by tool."),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit("\n"), F.repeat(F.lit("0123456789 "), 120)
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    lines = F.split(F.col("t"), "\n")
+    n_lines = F.size(lines)
+    metrics = planted.select(
+        "source",
+        (
+            (F.length("t") - (n_lines - 1)) * 1.0 / n_lines
+        ).alias("avg_line_len"),
+        F.array_max(F.transform(lines, lambda x: F.length(x))).alias(
+            "max_line_len"
+        ),
+        (
+            F.length(F.regexp_replace(F.col("t"), "[^A-Za-z]", ""))
+            * 1.0
+            / F.length("t")
+        ).alias("alpha_frac"),
+        (
+            F.regexp_count(F.col("t"), F.lit(AUTOGEN_MARKER_RE)) > 0
+        ).alias("autogen"),
+    )
+    flagged = (
+        (F.col("max_line_len") > CODE_MAX_LINE_LEN)
+        | (F.col("alpha_frac") < CODE_MIN_ALPHA_FRAC)
+        | F.col("autogen")
+    )
+    return (
+        metrics.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_if(F.col("max_line_len") > CODE_MAX_LINE_LEN)
+            .cast("long")
+            .alias("n_long_line"),
+            F.count_if(F.col("alpha_frac") < CODE_MIN_ALPHA_FRAC)
+            .cast("long")
+            .alias("n_low_alpha"),
+            F.count_if(F.col("autogen")).cast("long").alias("n_autogen"),
+            F.count_if(flagged).cast("long").alias("n_flagged"),
+            F.round(F.avg("avg_line_len"), 6).alias("mean_avg_line_len"),
+            F.round(F.avg("alpha_frac"), 6).alias("mean_alpha_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q317 — memorization-canary census (expected-vs-found bookkeeping)
+# --------------------------------------------------------------------------
+CANARY_MOD = 21
+CANARY_DUP_MOD = 42
+CANARY_RE = "CANARY-[0-9a-f]{32}"
+
+
+def _canary_oracle() -> str:
+    return f"""
+    WITH planted AS (
+      SELECT doc_id, source, text
+        || CASE WHEN doc_id % {CANARY_MOD} = 0
+             THEN ' secret CANARY-' || md5('cn-' || CAST(doc_id AS VARCHAR))
+               || ' end' ELSE '' END
+        || CASE WHEN doc_id % {CANARY_DUP_MOD} = 0
+             THEN ' again CANARY-' || md5('cn-' || CAST(doc_id AS VARCHAR))
+               || ' twice' ELSE '' END
+        AS t
+      FROM documents
+    ),
+    found AS (
+      SELECT doc_id, source,
+             unnest(regexp_extract_all(t, '{CANARY_RE}')) AS canary
+      FROM planted
+    ),
+    per_doc AS (
+      SELECT f.doc_id, f.source,
+             count(*) AS n_instances,
+             count(DISTINCT f.canary) AS n_distinct
+      FROM found f GROUP BY f.doc_id, f.source
+    ),
+    expected AS (
+      SELECT doc_id, source FROM documents
+      WHERE doc_id % {CANARY_MOD} = 0
+    )
+    SELECT e.source,
+      CAST(count(*) AS BIGINT) AS n_expected_docs,
+      CAST(count_if(p.doc_id IS NOT NULL) AS BIGINT) AS n_found_docs,
+      CAST(count_if(p.doc_id IS NULL) AS BIGINT) AS n_missing_docs,
+      CAST(coalesce(sum(p.n_instances), 0) AS BIGINT) AS n_instances,
+      CAST(coalesce(sum(p.n_distinct), 0) AS BIGINT) AS n_distinct,
+      CAST(coalesce(sum(p.n_instances - p.n_distinct), 0) AS BIGINT)
+        AS n_dup_instances
+    FROM expected e LEFT JOIN per_doc p ON p.doc_id = e.doc_id
+    GROUP BY e.source ORDER BY e.source
+    """
+
+
+@query(
+    "q317_canary_census",
+    oracle=_canary_oracle(),
+    tags=("curation", "memorization", "audit", "llm", "operator"),
+)
+def q317_canary_census(spark, sf_dir):
+    """Memorization-canary census (q317) — the bookkeeping side of a
+    Carlini-style canary study: unique out-of-distribution markers
+    are PLANTED into the corpus at a controlled rate (here: one
+    'CANARY-<md5>' per doc_id % 21, duplicated in-doc on % 42 — the
+    duplication arm measures how repetition drives memorization), and
+    after every curation/packing stage the pipeline must re-find
+    EXACTLY the planted registry — a missing canary means a stage
+    dropped or mangled text, an excess one means contamination. The
+    census LEFT-joins the expected registry against the found set per
+    doc and reports expected/found/missing docs, instance and
+    distinct counts, and in-doc duplicate instances (the oracle pins
+    missing at 0 on the untouched corpus).
+
+    SCALE DESIGN: extraction is one codegen'd regexp_extract_all +
+    explode; the found side aggregates at doc grain BEFORE the join
+    against the expected registry (equi-join on doc_id, both sides
+    already doc-grain), then one source-grain aggregate. No window,
+    no Python."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    sid = did.cast("string")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % CANARY_MOD == 0,
+                F.concat(
+                    F.lit(" secret CANARY-"),
+                    F.md5(F.concat(F.lit("cn-"), sid)),
+                    F.lit(" end"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % CANARY_DUP_MOD == 0,
+                F.concat(
+                    F.lit(" again CANARY-"),
+                    F.md5(F.concat(F.lit("cn-"), sid)),
+                    F.lit(" twice"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    found = planted.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(f"regexp_extract_all(t, '{CANARY_RE}', 0)")
+        ).alias("canary"),
+    )
+    per_doc = found.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_instances"),
+        F.countDistinct("canary").alias("n_distinct"),
+    )
+    expected = docs.filter(did % CANARY_MOD == 0).select(
+        "doc_id", "source"
+    )
+    joined = expected.join(
+        per_doc.select(
+            F.col("doc_id").alias("f_doc_id"),
+            "n_instances",
+            "n_distinct",
+        ),
+        expected.doc_id == F.col("f_doc_id"),
+        "left",
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_expected_docs"),
+            F.count_if(F.col("f_doc_id").isNotNull())
+            .cast("long")
+            .alias("n_found_docs"),
+            F.count_if(F.col("f_doc_id").isNull())
+            .cast("long")
+            .alias("n_missing_docs"),
+            F.coalesce(F.sum("n_instances"), F.lit(0))
+            .cast("long")
+            .alias("n_instances"),
+            F.coalesce(F.sum("n_distinct"), F.lit(0))
+            .cast("long")
+            .alias("n_distinct"),
+            F.coalesce(
+                F.sum(F.col("n_instances") - F.col("n_distinct")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_dup_instances"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q318 — Mann-Kendall trend test (integer series — fully deterministic)
+# --------------------------------------------------------------------------
+def _mann_kendall_oracle() -> str:
+    return """
+    WITH days AS (
+      SELECT date_diff('day', DATE '1992-01-01', o_orderdate) AS dn,
+             count(*) AS cnt
+      FROM orders GROUP BY o_orderdate
+    ),
+    s AS (
+      SELECT CAST(sum(sign(b.cnt - a.cnt)) AS BIGINT) AS s_stat,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM days a JOIN days b ON b.dn > a.dn
+    ),
+    n AS (SELECT count(*) AS nd FROM days),
+    ties AS (
+      SELECT coalesce(
+               sum(tk * (tk - 1) * (2 * tk + 5)), 0) AS tie_term
+      FROM (SELECT count(*) AS tk FROM days GROUP BY cnt)
+      WHERE tk > 1
+    )
+    SELECT CAST(n.nd AS BIGINT) AS n_days,
+           s.n_pairs,
+           s.s_stat,
+           round((n.nd * (n.nd - 1) * (2 * n.nd + 5) - ties.tie_term)
+                 / 18.0, 4) AS var_s,
+           round(
+             CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                  WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                  ELSE 0 END
+             / sqrt((n.nd * (n.nd - 1) * (2 * n.nd + 5)
+                     - ties.tie_term) / 18.0), 6) AS z_stat,
+           CASE WHEN abs(
+             CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                  WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                  ELSE 0 END
+             / sqrt((n.nd * (n.nd - 1) * (2 * n.nd + 5)
+                     - ties.tie_term) / 18.0)) > 1.96
+             THEN CASE WHEN s.s_stat > 0 THEN 'increasing'
+                       ELSE 'decreasing' END
+             ELSE 'none' END AS trend
+    FROM s CROSS JOIN n CROSS JOIN ties
+    """
+
+
+@query(
+    "q318_mann_kendall",
+    oracle=_mann_kendall_oracle(),
+    tags=("stats", "trend", "timeseries", "operator"),
+)
+def q318_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test (q318) — the standard nonparametric
+    monotone-trend test for monitoring series, on daily ORDER COUNTS
+    (an integer series, so every sign(), the S statistic, and the
+    tie-corrected variance are EXACT integer arithmetic in both
+    engines — no float-sum sign flips; z is one sqrt of an exact
+    rational, continuity-corrected, and the verdict thresholds
+    |z| > 1.96). Complements q315: Theil-Sen estimates the slope,
+    Mann-Kendall tests its existence.
+
+    SCALE DESIGN: the series is the day-grain aggregate (map-side
+    combined, calendar-BOUNDED cardinality — a few thousand rows at
+    any corpus size), localCheckpointed; the all-pairs sign sum runs
+    on that bounded frame (the q214 bounded-grain pattern — the
+    nested-loop join touches days^2 of a calendar-capped frame, never
+    the fact table). Tie counts are a value-grain aggregate of the
+    same frame."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    days = (
+        orders.groupBy("o_orderdate")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias(
+                "dn"
+            ),
+            "cnt",
+        )
+        .localCheckpoint()  # bounded: day grain (calendar-capped)
+    )
+    a = days.select(
+        F.col("dn").alias("a_dn"), F.col("cnt").alias("a_cnt")
+    )
+    s = (
+        a.join(days, F.col("dn") > F.col("a_dn"))
+        .agg(
+            F.sum(F.signum(F.col("cnt") - F.col("a_cnt")))
+            .cast("long")
+            .alias("s_stat"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    n = days.agg(F.count(F.lit(1)).alias("nd"))
+    ties = (
+        days.groupBy("cnt")
+        .agg(F.count(F.lit(1)).alias("tk"))
+        .filter(F.col("tk") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tk")
+                    * (F.col("tk") - 1)
+                    * (2 * F.col("tk") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    var_expr = (
+        F.col("nd") * (F.col("nd") - 1) * (2 * F.col("nd") + 5)
+        - F.col("tie_term")
+    ) / 18.0
+    s_corr = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(F.lit(0))
+    )
+    z = s_corr / F.sqrt(var_expr)
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("nd").cast("long").alias("n_days"),
+            "n_pairs",
+            "s_stat",
+            F.round(var_expr, 4).alias("var_s"),
+            F.round(z, 6).alias("z_stat"),
+            F.when(
+                F.abs(z) > 1.96,
+                F.when(
+                    F.col("s_stat") > 0, F.lit("increasing")
+                ).otherwise(F.lit("decreasing")),
+            )
+            .otherwise(F.lit("none"))
+            .alias("trend"),
+        )
+    )

@@ -356,3 +356,146 @@ def test_q315_fixture_run_sane(spark):
     assert row["n_pairs"] <= row["n_days"] * THEIL_SEN_MAX_LAG_DAYS
     assert math.isfinite(row["theil_sen_slope"])
     assert math.isfinite(row["ols_slope"])
+
+
+# ---------------------------------------------------------------- q316
+def test_q316_flags_match_python_reference(spark):
+    """Third-engine differential: replant the q316 composition in pure
+    Python over the REAL fixture texts and recompute every flag —
+    organic fixture lines already exceed the 200-char bound, so
+    expectations must come from the texts, not the moduli alone."""
+    import re as _re
+
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.queries.traindata4 import (
+        CODE_MAX_LINE_LEN,
+        CODE_MIN_ALPHA_FRAC,
+    )
+
+    docs = load_tables(spark, SF01, ["documents"])["documents"]
+    rows = docs.select("doc_id", "text").collect()
+    exp_long = exp_alpha = exp_auto = exp_any = 0
+    for r in rows:
+        i, t = r["doc_id"], r["text"]
+        if i % 5 == 0:
+            t += f"\ndef fn{i}(x):\n    return x + {i}"
+        if i % 7 == 0:
+            t += '\nx = "' + "a" * 250 + '"'
+        if i % 11 == 0:
+            t += "\n# DO NOT EDIT. Generated by tool."
+        if i % 13 == 0:
+            t += "\n" + "0123456789 " * 120
+        lines = t.split("\n")
+        long_line = max(len(x) for x in lines) > CODE_MAX_LINE_LEN
+        alpha = len(_re.sub("[^A-Za-z]", "", t)) / len(t)
+        low_alpha = alpha < CODE_MIN_ALPHA_FRAC
+        autogen = bool(
+            _re.search("DO NOT EDIT|Auto-generated|@generated", t)
+        )
+        exp_long += long_line
+        exp_alpha += low_alpha
+        exp_auto += autogen
+        exp_any += long_line or low_alpha or autogen
+    pdf = _run(spark, "q316_code_quality_flags").toPandas()
+    assert int(pdf.n_docs.sum()) == len(rows)
+    assert int(pdf.n_long_line.sum()) == exp_long
+    assert int(pdf.n_low_alpha.sum()) == exp_alpha
+    assert int(pdf.n_autogen.sum()) == exp_auto
+    assert int(pdf.n_flagged.sum()) == exp_any
+    # the planted moduli are lower bounds (every %7 line is long,
+    # every %13 dump is low-alpha unless co-planted alpha offsets it)
+    ids = [r["doc_id"] for r in rows]
+    assert exp_long >= sum(1 for i in ids if i % 7 == 0)
+    assert exp_auto == sum(1 for i in ids if i % 11 == 0)
+
+
+# ---------------------------------------------------------------- q317
+def test_q317_registry_reconciles(spark):
+    """The census re-finds EXACTLY the planted registry: zero missing
+    docs, one distinct canary per expected doc, and in-doc duplicate
+    instances exactly on the %42 arm."""
+    ids = _doc_ids(spark)
+    expected_docs = sum(1 for i in ids if i % 21 == 0)
+    dup_docs = sum(1 for i in ids if i % 42 == 0)
+    pdf = _run(spark, "q317_canary_census").toPandas()
+    assert int(pdf.n_expected_docs.sum()) == expected_docs
+    assert int(pdf.n_found_docs.sum()) == expected_docs
+    assert int(pdf.n_missing_docs.sum()) == 0
+    assert int(pdf.n_distinct.sum()) == expected_docs
+    assert int(pdf.n_instances.sum()) == expected_docs + dup_docs
+    assert int(pdf.n_dup_instances.sum()) == dup_docs
+
+
+# ---------------------------------------------------------------- q318
+def test_q318_monotone_series_exact():
+    """On a strictly increasing tie-free series the closed forms are
+    exact: S = n(n-1)/2, var = n(n-1)(2n+5)/18, trend 'increasing'."""
+    n = 50
+    s_expected = n * (n - 1) // 2
+    var_expected = n * (n - 1) * (2 * n + 5) / 18.0
+    z_expected = (s_expected - 1) / var_expected**0.5
+    assert z_expected > 1.96
+
+
+def test_q318_fixture_run_consistent(spark):
+    """On the real orders series: pair count is exactly C(n_days, 2),
+    |S| <= pairs, variance matches the tie-corrected closed form
+    bound, and the trend verdict is consistent with z."""
+    row = _run(spark, "q318_mann_kendall").collect()[0]
+    n = row["n_days"]
+    assert row["n_pairs"] == n * (n - 1) // 2
+    assert abs(row["s_stat"]) <= row["n_pairs"]
+    # tie-corrected variance never exceeds the tie-free bound
+    assert row["var_s"] <= n * (n - 1) * (2 * n + 5) / 18.0 + 1e-6
+    if abs(row["z_stat"]) > 1.96:
+        assert row["trend"] == (
+            "increasing" if row["s_stat"] > 0 else "decreasing"
+        )
+    else:
+        assert row["trend"] == "none"
+
+
+def test_q318_spark_expressions_match_python(spark):
+    """The Spark MK pipeline on a handcrafted integer series equals a
+    pure-python reference computation (sign sum + tie-corrected var)."""
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9]
+    s_ref = sum(
+        (0 if b == a else (1 if b > a else -1))
+        for i, a in enumerate(vals)
+        for b in vals[i + 1:]
+    )
+    from collections import Counter
+
+    n = len(vals)
+    tie_term = sum(
+        t * (t - 1) * (2 * t + 5)
+        for t in Counter(vals).values()
+        if t > 1
+    )
+    var_ref = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "dn long, cnt long"
+    )
+    a = df.select(F.col("dn").alias("a_dn"), F.col("cnt").alias("a_cnt"))
+    got_s = (
+        a.join(df, F.col("dn") > F.col("a_dn"))
+        .agg(F.sum(F.signum(F.col("cnt") - F.col("a_cnt"))).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert int(got_s) == s_ref
+    got_tie = (
+        df.groupBy("cnt")
+        .agg(F.count(F.lit(1)).alias("tk"))
+        .filter(F.col("tk") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tk") * (F.col("tk") - 1) * (2 * F.col("tk") + 5)
+                ),
+                F.lit(0),
+            ).alias("t")
+        )
+        .collect()[0]["t"]
+    )
+    assert (n * (n - 1) * (2 * n + 5) - got_tie) / 18.0 == var_ref
