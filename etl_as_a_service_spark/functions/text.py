@@ -264,3 +264,73 @@ def registrable_domain(host: Column) -> Column:
     return F.when(n >= 2, F.concat_ws(
         ".", F.element_at(parts, -2), F.element_at(parts, -1)
     )).otherwise(host)
+
+
+#: URL-part extraction patterns, shared verbatim with the q306 DuckDB
+#: oracle (Java ∩ RE2: no backreferences, no lookaround).
+URL_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+URL_HOSTPORT_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+URL_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+URL_QUERY_RE = r"\?([^#]*)"
+#: tracking parameters stripped during URL canonicalization
+TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "ref=")
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a raw URL as a pure codegen expression:
+    lowercase scheme and host, strip a leading ``www.``, strip the
+    scheme's default port (:80 http / :443 https), strip the
+    fragment, strip trailing path slashes (empty path -> '/'), drop
+    tracking query parameters (utm_*, fbclid, gclid, ref) and sort
+    the survivors. No UDF, no shuffle — safe in any hot path (the
+    q306 operator; also the `canonical_url` pipeline op)."""
+    scheme = F.lower(F.regexp_extract(url, URL_SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(url, URL_HOSTPORT_RE, 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_replace(F.regexp_extract(url, URL_PATH_RE, 1), "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    rawq = F.regexp_extract(url, URL_QUERY_RE, 1)
+    params = F.filter(
+        F.split(rawq, "&"),
+        lambda x: (x != "")
+        & ~x.startswith("utm_")
+        & ~x.startswith("fbclid=")
+        & ~x.startswith("gclid=")
+        & ~x.startswith("ref="),
+    )
+    qcanon = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+#: encoding-anomaly patterns, shared verbatim with the q311 DuckDB
+#: oracle (Java ∩ RE2 — \x{hhhh} hex escapes parse identically in
+#: both; no backreferences, no lookaround). Ordered: census rows
+#: stack in this order per source.
+ENCODING_ANOMALY_PATTERNS = {
+    # U+0007 etc: C0 control chars that survive no sane decode
+    # (tab/newline/CR excluded)
+    "control_char": (
+        r"[\x{0001}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]"
+    ),
+    # UTF-8 2-byte sequence read as Latin-1: 'Ã' + a char in the
+    # continuation-byte range (e.g. 'Ã©' for 'é')
+    "latin1_utf8": r"Ã[\x{0080}-\x{00BF}]",
+    # U+FFFD: a decoder already replaced an invalid byte
+    "replacement_char": r"\x{FFFD}",
+    # UTF-8 3-byte punctuation read as cp1252: 'â€' + ™/œ/¦
+    # ('â€™' for ', 'â€œ' for ", 'â€¦' for …)
+    "win1252_utf8": "â€[™œ¦]",
+}

@@ -131,6 +131,9 @@ _ALLOWED_OPS = {
     "simhash_pairs",
     "shard_assign",
     "redact_pii",
+    "canonical_url",
+    "paragraph_dedup",
+    "encoding_gate",
 }
 
 
@@ -962,6 +965,101 @@ def _apply_step(
                 % n_shards
             ).cast("long"),
         )
+    if op == "canonical_url":
+        # {"op":"canonical_url","url_col":"url","out_col":"curl",
+        #  "dedup":true,"id_col":"doc_id"} — append the canonical URL
+        # (codegen, zero shuffle — the q306 normalizer); dedup=true
+        # additionally keeps ONE row per canonical URL (min id_col
+        # survivor: a URL-grain aggregate + equi-join, the exact-dedup
+        # shape). Stream-safe without dedup; dedup needs a batch frame.
+        from etl_as_a_service_spark.functions.text import canonical_url
+
+        out_col = step.get("out_col", "canonical_url")
+        out = df.withColumn(
+            out_col, canonical_url(F.col(_req(step, "url_col")))
+        )
+        if step.get("dedup", False):
+            if df.isStreaming:
+                raise PipelineError(
+                    "canonical_url dedup requires a batch frame "
+                    "(URL-grain aggregate); use incremental dedup "
+                    "for streams"
+                )
+            id_col = _req(step, "id_col")
+            groups = out.groupBy(out_col).agg(
+                F.min(id_col).alias("__keep_id")
+            )
+            out = (
+                out.join(groups, out_col)
+                .filter(F.col(id_col) == F.col("__keep_id"))
+                .drop("__keep_id")
+            )
+        return out
+    if op == "paragraph_dedup":
+        # {"op":"paragraph_dedup","text_col":"text","id_col":"doc_id",
+        #  "min_docs":5,"max_dup_frac":0.5} — drop docs whose
+        # duplicated-paragraph fraction reaches max_dup_frac (the q307
+        # RefinedWeb excision as a declarative gate). The dup set is
+        # aggregated at paragraph-hash grain and HAVING-bounded BEFORE
+        # the join back, so the join side holds only genuinely
+        # repeated paragraphs.
+        if df.isStreaming:
+            raise PipelineError(
+                "paragraph_dedup requires a batch frame (corpus-wide "
+                "paragraph frequencies)"
+            )
+        text_col = _req(step, "text_col")
+        id_col = _req(step, "id_col")
+        min_docs = int(step.get("min_docs", 5))
+        max_frac = float(step.get("max_dup_frac", 0.5))
+        paras = df.select(
+            F.col(id_col).alias("__pid"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("__para"),
+        ).select("__pid", F.md5(F.col("__para")).alias("__ph"))
+        dups = (
+            paras.groupBy("__ph")
+            .agg(F.countDistinct("__pid").alias("__df"))
+            .filter(F.col("__df") >= min_docs)
+            .select("__ph", F.lit(1).alias("__dup"))
+        )
+        frac = (
+            paras.join(dups, "__ph", "left")
+            .groupBy("__pid")
+            .agg(
+                (
+                    F.sum(F.coalesce(F.col("__dup"), F.lit(0)))
+                    * 1.0
+                    / F.count(F.lit(1))
+                ).alias("__frac")
+            )
+        )
+        return (
+            df.join(frac, df[id_col] == frac["__pid"], "left")
+            .filter(
+                F.coalesce(F.col("__frac"), F.lit(0.0)) < max_frac
+            )
+            .drop("__pid", "__frac")
+        )
+    if op == "encoding_gate":
+        # {"op":"encoding_gate","text_col":"text","max_hits":0,
+        #  "count_col":null} — drop rows whose encoding-anomaly hit
+        # count (mojibake shapes, U+FFFD, C0 controls — the q311
+        # census patterns) exceeds max_hits; count_col instead
+        # APPENDS the count without filtering. Map-only regexp_count
+        # chain: zero shuffle, stream-safe.
+        from etl_as_a_service_spark.functions.text import (
+            ENCODING_ANOMALY_PATTERNS,
+        )
+
+        text_col = _req(step, "text_col")
+        total = None
+        for pat in ENCODING_ANOMALY_PATTERNS.values():
+            c = F.regexp_count(F.col(text_col), F.lit(pat))
+            total = c if total is None else total + c
+        count_col = step.get("count_col")
+        if count_col:
+            return df.withColumn(count_col, total.cast("long"))
+        return df.filter(total <= int(step.get("max_hits", 0)))
     if op == "robust_outlier_gate":
         # {"op":"robust_outlier_gate","value_col":"value",
         #  "keys":["event_type"],"threshold":3.5,"keep":"inliers"} —

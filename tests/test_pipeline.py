@@ -1701,3 +1701,86 @@ def test_pipeline_round8_traindata_ops(spark):
         compile_pipeline(spark, dict(shard_spec, steps=[
             {"op": "shard_assign", "id_col": "doc_id", "n_shards": 0},
         ]))
+
+
+def test_round9_curation_gate_steps(spark):
+    """The round-9 second-batch curation ops compose through the spec
+    language: canonical_url (append + dedup survivor), paragraph_dedup
+    (RefinedWeb excision gate), encoding_gate (filter and count_col
+    forms)."""
+    # canonical_url: append + dedup — two raw variants of one URL
+    cu_spec = {
+        "name": "cu_step",
+        "source": {"format": "parquet",
+                   "path": f"{SF_SMOKE}/documents.parquet"},
+        "steps": [
+            {"op": "sql", "query": """
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0
+                         THEN 'https://www.example.com/a/?utm_source=x'
+                         ELSE 'HTTPS://EXAMPLE.com:443/a' END AS url
+                FROM __self__"""},
+            {"op": "canonical_url", "url_col": "url",
+             "out_col": "curl", "dedup": True, "id_col": "doc_id"},
+        ],
+    }
+    cu = compile_pipeline(spark, cu_spec)
+    rows = cu.collect()
+    assert len(rows) == 1  # both variants collapse; one survivor
+    assert rows[0]["curl"] == "https://example.com/a"
+    assert rows[0]["doc_id"] == min(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    )
+
+    # paragraph_dedup: docs sharing a boilerplate paragraph beyond
+    # max_dup_frac are excised, clean docs survive
+    pd_spec = {
+        "name": "pd_step",
+        "source": {"format": "parquet",
+                   "path": f"{SF_SMOKE}/documents.parquet"},
+        "steps": [
+            {"op": "sql", "query": """
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0
+                         THEN 'SHARED FOOTER PARAGRAPH'
+                         ELSE text END AS text
+                FROM __self__"""},
+            {"op": "paragraph_dedup", "text_col": "text",
+             "id_col": "doc_id", "min_docs": 5, "max_dup_frac": 0.5},
+        ],
+    }
+    pd_out = compile_pipeline(spark, pd_spec)
+    ids = [r["doc_id"] for r in pd_out.collect()]
+    assert ids and all(i % 2 == 1 for i in ids)  # footer docs excised
+
+    # encoding_gate: filter form drops the mojibake doc, count_col
+    # form appends without filtering
+    eg_spec = {
+        "name": "eg_step",
+        "source": {"format": "parquet",
+                   "path": f"{SF_SMOKE}/documents.parquet"},
+        "steps": [
+            {"op": "sql", "query": """
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                         THEN text || ' broken cafÃ© here'
+                         ELSE text END AS text
+                FROM __self__"""},
+            {"op": "encoding_gate", "text_col": "text", "max_hits": 0},
+        ],
+    }
+    eg = compile_pipeline(spark, eg_spec)
+    assert all(r["doc_id"] % 3 != 0 for r in eg.collect())
+
+    eg_spec["steps"][1] = {
+        "op": "encoding_gate", "text_col": "text",
+        "count_col": "anomalies",
+    }
+    eg2 = compile_pipeline(spark, eg_spec)
+    got = {r["doc_id"]: r["anomalies"] for r in eg2.collect()}
+    assert all(
+        (c > 0) == (i % 3 == 0) for i, c in got.items()
+    )
