@@ -1,9 +1,14 @@
-"""Training-data preparation queries, round-9 second batch (q306+):
-the web-curation and RLHF-rollout audits a production pipeline runs
-between crawl and packing — canonical-URL dedup, paragraph-level
-boilerplate dedup (the RefinedWeb stage), DoReMi-style mixture-weight
-solving, reader-shard shuffle-quality audit, GRPO group-advantage
-normalization, and an encoding-anomaly (mojibake) census.
+"""Training-data preparation queries, round-9 second wave (q306-q318):
+the web-curation, RLHF-rollout, and robust-monitoring audits a
+production pipeline runs between crawl and packing — canonical-URL
+dedup (q306), paragraph-level boilerplate dedup / the RefinedWeb
+stage (q307), DoReMi-style mixture-weight solving (q308),
+reader-shard shuffle-quality audit (q309), GRPO group-advantage
+normalization (q310), encoding-anomaly census (q311), FIM
+transformation plan (q312), best-of-n rejection-sampling yield
+(q313), pass@k estimation (q314), banded Theil-Sen trend (q315),
+StarCoder-style code-quality flags (q316), memorization-canary
+census (q317), and the Mann-Kendall trend test (q318).
 
 Conventions as in traindata2/traindata3: every query is
 DuckDB-oracle-checked; shared regex patterns live in the Java ∩ RE2

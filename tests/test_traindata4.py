@@ -1,6 +1,8 @@
-"""Round-9 second-batch training-data operators (q306-q311):
+"""Round-9 second-wave training-data operators (q306-q318):
 canonical-URL dedup, paragraph dedup, DoReMi mixture, reader-shard
-mix, GRPO advantages, encoding-anomaly census.
+mix, GRPO advantages, encoding-anomaly census, FIM plan, best-of-n
+yield, pass@k, Theil-Sen trend, code-quality flags, canary census,
+Mann-Kendall trend.
 
 Expectations are derived from the fixture's actual doc_id set (never
 hardcoded row counts) — the q285 fixture-independence discipline."""
@@ -499,3 +501,23 @@ def test_q318_spark_expressions_match_python(spark):
         .collect()[0]["t"]
     )
     assert (n * (n - 1) * (2 * n + 5) - got_tie) / 18.0 == var_ref
+
+
+def test_canonical_url_idempotent(spark):
+    """Canonicalization is a fixed point: canonicalizing an already
+    canonical URL returns it unchanged (the property that lets the
+    pipeline op run at any stage without re-normalization drift)."""
+    from etl_as_a_service_spark.functions.text import canonical_url
+
+    raws = [
+        "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&z=1&a=2#f",
+        "http://example.com:80",
+        "https://sub.example.com:8443/x/?id=3&ref=track",
+        "http://a.b.c.example.org/deep/path?b=2&a=1&gclid=q",
+    ]
+    df = spark.createDataFrame([(u,) for u in raws], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("url"))
+    twice = once.select(canonical_url(F.col("url")).alias("url"))
+    assert [r["url"] for r in once.collect()] == [
+        r["url"] for r in twice.collect()
+    ]
