@@ -107,6 +107,8 @@ _ROTATE_FRONT = [
     "q316_code_quality_flags",
     "q317_canary_census",
     "q318_mann_kendall",
+    "q319_entropy_patch_plan",
+    "q320_fragment_stitching",
     "q60_string_extras",
     "q67_time_parts",
     "q69_lateral_topk",
@@ -135,7 +137,6 @@ _ROTATE_FRONT = [
     "q22_math_functions",
     "q23_conditional_nulls",
     "q24_hash_functions",
-    "q25_json_extraction",
 ]
 
 

@@ -1890,3 +1890,283 @@ def q318_mann_kendall(spark, sf_dir):
             .alias("trend"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q319 — entropy-patching plan (BLT-style dynamic segmentation)
+# --------------------------------------------------------------------------
+PATCH_BUDGET_NATS = 20.0
+
+
+def _entropy_patch_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, t.k AS pos,
+             string_split(text, ' ')[t.k + 1] AS tok
+      FROM documents,
+           unnest(range(0, len(string_split(text, ' ')))) AS t(k)
+    ),
+    vocab AS (
+      SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ),
+    n AS (SELECT count(*) * 1.0 AS total FROM toks),
+    scored AS (
+      SELECT t.doc_id, t.source, t.pos,
+             round(ln(n.total) - ln(v.cnt * 1.0), 6) AS s
+      FROM toks t JOIN vocab v ON v.tok = t.tok CROSS JOIN n
+    ),
+    cum AS (
+      SELECT doc_id, source,
+             sum(s) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS c
+      FROM scored
+    ),
+    patched AS (
+      SELECT doc_id, source,
+             CAST(floor(c / {PATCH_BUDGET_NATS}) AS BIGINT) AS patch
+      FROM cum
+    ),
+    per_doc AS (
+      SELECT doc_id, source, count(*) AS n_toks,
+             count(DISTINCT patch) AS n_patches
+      FROM patched GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(sum(n_patches) AS BIGINT) AS n_patches,
+           round(avg(n_toks * 1.0 / n_patches), 6) AS mean_patch_len
+    FROM per_doc GROUP BY source ORDER BY source
+    """
+
+
+@query(
+    "q319_entropy_patch_plan",
+    oracle=_entropy_patch_oracle(),
+    tags=("curation", "tokenization", "planning", "llm", "operator"),
+)
+def q319_entropy_patch_plan(spark, sf_dir):
+    """Entropy-patching plan (q319) — the dynamic segmentation of
+    byte-latent / patch-based models (BLT: spend one latent step per
+    fixed budget of information, so high-entropy spans get short
+    patches and boilerplate gets long ones). Per-token surprisal is
+    the corpus unigram -ln p; a greedy segmenter opens a new patch
+    every PATCH_BUDGET_NATS of cumulative surprisal. Reported per
+    source: docs, tokens, patches, mean patch length (the
+    compute-allocation profile).
+
+    Determinism: surprisal is ROUNDED to the 1e-6 grid BEFORE the
+    cumulative sum, so both engines sum IDENTICAL doubles in the
+    IDENTICAL per-doc position order — the running totals are
+    bit-equal and the floor() discretization cannot straddle a
+    boundary differently (the q252 lattice discipline applied to a
+    window).
+
+    SCALE DESIGN: one posexplode pass; the vocab join is
+    token-hash-grain (aggregated before the join — the q224 unigram
+    shape); the cumulative window partitions by doc_id (parallel
+    across docs, never global); per-doc and per-source aggregates
+    take map-side partials."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    n = toks.agg((F.count(F.lit(1)) * 1.0).alias("total"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "source",
+            "pos",
+            F.round(
+                F.log(F.col("total")) - F.log(F.col("cnt") * 1.0), 6
+            ).alias("s"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    patched = scored.select(
+        "doc_id",
+        "source",
+        F.floor(F.sum("s").over(w) / PATCH_BUDGET_NATS)
+        .cast("long")
+        .alias("patch"),
+    )
+    per_doc = patched.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.countDistinct("patch").alias("n_patches"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("n_patches").cast("long").alias("n_patches"),
+            F.round(
+                F.avg(F.col("n_toks") * 1.0 / F.col("n_patches")), 6
+            ).alias("mean_patch_len"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q320 — fragment stitching (pagination-split reassembly)
+# --------------------------------------------------------------------------
+STITCH_OVERLAP = 8
+FRAGMENT_ID_OFFSET = 10_000_000
+
+
+def _stitch_oracle() -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, string_split(text, ' ') AS l,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    fragments AS (
+      SELECT doc_id AS fid, source,
+             list_slice(l, 1, n // 2 + 4) AS f
+      FROM base WHERE doc_id % 10 = 0 AND n >= 24
+      UNION ALL
+      SELECT doc_id + {FRAGMENT_ID_OFFSET} AS fid, source,
+             list_slice(l, n // 2 - 3, n) AS f
+      FROM base WHERE doc_id % 10 = 0 AND n >= 24
+      UNION ALL
+      SELECT doc_id AS fid, source, l AS f
+      FROM base WHERE NOT (doc_id % 10 = 0 AND n >= 24)
+    ),
+    keyed AS (
+      SELECT fid, source, len(f) AS m,
+             md5(array_to_string(list_slice(f, 1, {STITCH_OVERLAP}),
+                 ' ')) AS head_h,
+             md5(array_to_string(
+                 list_slice(f, len(f) - {STITCH_OVERLAP} + 1, len(f)),
+                 ' ')) AS tail_h
+      FROM fragments
+      WHERE len(f) >= 2 * {STITCH_OVERLAP}
+    ),
+    stitches AS (
+      SELECT a.source, a.fid AS id_a, b.fid AS id_b
+      FROM keyed a JOIN keyed b
+        ON a.tail_h = b.head_h AND a.fid <> b.fid
+    )
+    SELECT k.source,
+           CAST(count(DISTINCT k.fid) AS BIGINT) AS n_fragments,
+           CAST(count(s.id_a) AS BIGINT) AS n_stitch_pairs,
+           CAST(count_if(s.id_b = s.id_a + {FRAGMENT_ID_OFFSET})
+                AS BIGINT) AS n_recovered,
+           CAST(count_if(s.id_a IS NOT NULL
+                AND s.id_b <> s.id_a + {FRAGMENT_ID_OFFSET})
+                AS BIGINT) AS n_organic
+    FROM keyed k LEFT JOIN stitches s
+      ON s.id_a = k.fid AND s.source = k.source
+    GROUP BY k.source ORDER BY k.source
+    """
+
+
+@query(
+    "q320_fragment_stitching",
+    oracle=_stitch_oracle(),
+    tags=("curation", "dedup", "web", "llm", "operator"),
+)
+def q320_fragment_stitching(spark, sf_dir):
+    """Fragment stitching (q320) — the crawl artifact the doc-level
+    dedups cannot see: paginated pages split ONE original document
+    into fragments whose boundaries overlap (page 1's tail repeats as
+    page 2's head). The detector keys every fragment by the md5 of
+    its first and last STITCH_OVERLAP tokens and equi-joins tail→head
+    — a stitch pair means the two fragments are contiguous halves to
+    reassemble (or dedup). The fixture synthesizes the artifact:
+    every 10th doc (>= 24 tokens) is split into two overlapping
+    fragments (the second at doc_id + 10,000,000 — the q283 planted-
+    offset discipline); recovery is census-pinned (n_recovered) and
+    organic false stitches are counted separately (pytest pins 0 on
+    the word-soup corpus).
+
+    SCALE DESIGN: fragment keying is one codegen slice+md5
+    projection; stitching is a hash equi-join on the 128-bit boundary
+    key (never text, never all-pairs); the census joins the keyed
+    frame against the stitch pairs at id grain and aggregates per
+    source with map-side partials."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.split(F.col("text"), " ").alias("l"),
+    ).withColumn("n", F.size("l"))
+    split_pred = (did % 10 == 0) & (F.col("n") >= 24)
+    h = (F.col("n") / 2).cast("long")
+    frag_a = base.filter(split_pred).select(
+        did.alias("fid"),
+        "source",
+        F.slice("l", 1, h + 4).alias("f"),
+    )
+    frag_b = base.filter(split_pred).select(
+        (did + FRAGMENT_ID_OFFSET).alias("fid"),
+        "source",
+        F.slice("l", h - 3, F.col("n") - h + 4).alias("f"),
+    )
+    whole = base.filter(~split_pred).select(
+        did.alias("fid"), "source", F.col("l").alias("f")
+    )
+    fragments = frag_a.unionAll(frag_b).unionAll(whole)
+    m = F.size("f")
+    keyed = fragments.filter(m >= 2 * STITCH_OVERLAP).select(
+        "fid",
+        "source",
+        F.md5(
+            F.concat_ws(" ", F.slice("f", 1, STITCH_OVERLAP))
+        ).alias("head_h"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice("f", m - STITCH_OVERLAP + 1, STITCH_OVERLAP)
+            )
+        ).alias("tail_h"),
+    )
+    a = keyed.select(
+        F.col("fid").alias("id_a"),
+        F.col("source").alias("s_a"),
+        "tail_h",
+    )
+    b = keyed.select(F.col("fid").alias("id_b"), "head_h")
+    stitches = a.join(
+        b,
+        (F.col("tail_h") == F.col("head_h"))
+        & (F.col("id_a") != F.col("id_b")),
+    ).select("id_a", F.col("s_a").alias("s_src"), "id_b")
+    joined = keyed.join(
+        stitches,
+        (stitches.id_a == keyed.fid) & (stitches.s_src == keyed.source),
+        "left",
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.countDistinct("fid").cast("long").alias("n_fragments"),
+            F.count("id_a").cast("long").alias("n_stitch_pairs"),
+            F.count_if(
+                F.col("id_b") == F.col("id_a") + FRAGMENT_ID_OFFSET
+            )
+            .cast("long")
+            .alias("n_recovered"),
+            F.count_if(
+                F.col("id_a").isNotNull()
+                & (F.col("id_b") != F.col("id_a") + FRAGMENT_ID_OFFSET)
+            )
+            .cast("long")
+            .alias("n_organic"),
+        )
+        .orderBy("source")
+    )

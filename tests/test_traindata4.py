@@ -521,3 +521,101 @@ def test_canonical_url_idempotent(spark):
     assert [r["url"] for r in once.collect()] == [
         r["url"] for r in twice.collect()
     ]
+
+
+# ---------------------------------------------------------------- q319
+def test_q319_patch_plan_invariants(spark):
+    """Patch counts are bounded by token counts, every doc gets >= 1
+    patch, and the budget binds: mean patch length times the mean
+    per-token surprisal is near the budget (within the discretization
+    slack of one token)."""
+    pdf = _run(spark, "q319_entropy_patch_plan").toPandas()
+    assert (pdf.n_patches >= pdf.n_docs).all()   # >= 1 patch per doc
+    assert (pdf.n_patches <= pdf.n_tokens).all()
+    assert (pdf.mean_patch_len >= 1.0).all()
+    # rare-token-heavy sources get SHORTER patches: mean_patch_len
+    # spread across sources must be non-degenerate
+    assert pdf.mean_patch_len.max() > pdf.mean_patch_len.min()
+
+
+def test_q319_rare_tokens_get_short_patches(spark):
+    """Differential: a doc of one repeated common token packs far more
+    tokens per patch than a doc of unique rare tokens (the BLT
+    allocation property), under the same corpus statistics."""
+    from pyspark.sql import Window
+    from etl_as_a_service_spark.queries.traindata4 import (
+        PATCH_BUDGET_NATS,
+    )
+
+    rows = [(0, " ".join(["common"] * 400))] + [
+        (i, " ".join(f"rare{i}_{j}" for j in range(40)))
+        for i in range(1, 11)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    n = toks.agg((F.count(F.lit(1)) * 1.0).alias("total"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    patched = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "pos",
+            F.round(
+                F.log(F.col("total")) - F.log(F.col("cnt") * 1.0), 6
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.floor(F.sum("s").over(w) / PATCH_BUDGET_NATS).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nt"),
+            F.countDistinct("p").alias("np"),
+        )
+        .collect()
+    )
+    by_doc = {r["doc_id"]: r["nt"] / r["np"] for r in patched}
+    common_len = by_doc[0]
+    rare_lens = [v for k, v in by_doc.items() if k != 0]
+    assert common_len > 3 * max(rare_lens)
+
+
+# ---------------------------------------------------------------- q320
+def test_q320_recovers_planted_splits_zero_organic(spark):
+    """Every planted split (doc_id % 10 == 0, >= 24 tokens) is
+    recovered as exactly one stitch pair; the word-soup corpus
+    produces ZERO organic stitches; fragment accounting is exact."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    docs = load_tables(spark, SF01, ["documents"])["documents"]
+    rows = docs.select("doc_id", "text").collect()
+    planted = sum(
+        1
+        for r in rows
+        if r["doc_id"] % 10 == 0 and len(r["text"].split(" ")) >= 24
+    )
+    # fragments long enough to carry both boundary keys
+    def frag_counts(r):
+        n = len(r["text"].split(" "))
+        if r["doc_id"] % 10 == 0 and n >= 24:
+            a_len = n // 2 + 4
+            b_len = n - (n // 2 - 3) + 1
+            return sum(1 for m in (a_len, b_len) if m >= 16)
+        return 1 if n >= 16 else 0
+
+    expected_fragments = sum(frag_counts(r) for r in rows)
+    pdf = _run(spark, "q320_fragment_stitching").toPandas()
+    assert int(pdf.n_fragments.sum()) == expected_fragments
+    assert int(pdf.n_recovered.sum()) == planted
+    assert int(pdf.n_stitch_pairs.sum()) == planted
+    assert int(pdf.n_organic.sum()) == 0
