@@ -347,6 +347,51 @@ def paragraph_dedup(docs):
     )
 
 
+def entropy_patch(docs):
+    """The q319 pipeline body over an injected documents frame
+    (queries/traindata4.py q319_entropy_patch_plan — same plan:
+    posexplode, token-grain vocab join, doc-partitioned cumulative
+    window, per-doc/per-source rollups)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    n = toks.agg((F.count(F.lit(1)) * 1.0).alias("total"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "source",
+            "pos",
+            F.round(
+                F.log(F.col("total")) - F.log(F.col("cnt") * 1.0), 6
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.floor(F.sum("s").over(w) / 20.0).alias("patch"),
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("nt"),
+            F.countDistinct("patch").alias("np"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_tokens"), F.sum("np").alias("n_patches"))
+    )
+
+
 def label_prop(li):
     """The q303 pipeline body over an injected lineitem frame
     (queries/traindata3.py q303_label_propagation — same plan)."""
@@ -459,6 +504,11 @@ def main() -> None:
             "q307 paragraph dedup census (4x docs)",
             lambda d=docs: paragraph_dedup(d).count(),
             lambda d=docs4: paragraph_dedup(d).count(),
+        ),
+        (
+            "q319 entropy patch plan (4x docs)",
+            lambda d=docs: entropy_patch(d).count(),
+            lambda d=docs4: entropy_patch(d).count(),
         ),
     ]
     for _, base, _s in entries:  # warm codegen/JIT outside timings

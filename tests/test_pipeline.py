@@ -1784,3 +1784,75 @@ def test_round9_curation_gate_steps(spark):
     assert all(
         (c > 0) == (i % 3 == 0) for i, c in got.items()
     )
+
+
+def test_streaming_encoding_gate(spark, tmp_path):
+    """encoding_gate (map-only) runs unchanged on a STREAM through the
+    spec language and matches the identical batch gate; canonical_url
+    (append form, no dedup) composes in the same streaming spec."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    src = str(tmp_path / "enc_src")
+    docs.selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 3 = 0 THEN text || ' broken cafÃ© here' "
+        "ELSE text END AS text",
+    ).write.parquet(src)
+    out = str(tmp_path / "enc_out")
+    spec = {
+        "name": "stream_encoding_gate",
+        "source": {
+            "streaming": True,
+            "format": "parquet",
+            "path": src,
+            "schema": "doc_id long, text string",
+        },
+        "steps": [
+            {"op": "encoding_gate", "text_col": "text", "max_hits": 0},
+            {"op": "with_column", "name": "url",
+             "expr": "concat('HTTPS://WWW.example.com:443/d/', "
+                     "cast(doc_id as string))"},
+            {"op": "canonical_url", "url_col": "url",
+             "out_col": "curl"},
+        ],
+        "sink": {"format": "parquet", "path": out,
+                 "trigger": "available_now"},
+    }
+    run = PipelineRunner(spark).run(spec)
+    assert run.status == "success", run.error
+    got = spark.read.parquet(out)
+    ids = [r["doc_id"] for r in got.collect()]
+    assert ids and all(i % 3 != 0 for i in ids)
+    sample = got.orderBy("doc_id").limit(1).collect()[0]
+    assert sample["curl"] == (
+        f"https://example.com/d/{sample['doc_id']}"
+    )
+
+
+def test_streaming_canonical_url_dedup_rejected(spark, tmp_path):
+    """canonical_url with dedup=true refuses streaming frames with a
+    clear error (URL-grain aggregate needs a batch)."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    src = str(tmp_path / "cu_src")
+    docs.select("doc_id").write.parquet(src)
+    spec = {
+        "name": "stream_cu_dedup",
+        "source": {
+            "streaming": True,
+            "format": "parquet",
+            "path": src,
+            "schema": "doc_id long",
+        },
+        "steps": [
+            {"op": "with_column", "name": "url",
+             "expr": "'https://example.com/x'"},
+            {"op": "canonical_url", "url_col": "url", "dedup": True,
+             "id_col": "doc_id"},
+        ],
+        "sink": {"format": "parquet",
+                 "path": str(tmp_path / "cu_out"),
+                 "trigger": "available_now"},
+    }
+    # the runner surfaces the op's PipelineError as a failed run
+    run = PipelineRunner(spark).run(spec)
+    assert run.status == "failed"
+    assert "batch frame" in (run.error or "")
