@@ -109,6 +109,8 @@ _ROTATE_FRONT = [
     "q318_mann_kendall",
     "q319_entropy_patch_plan",
     "q320_fragment_stitching",
+    "q321_randomized_response",
+    "q322_importance_ess",
     "q60_string_extras",
     "q67_time_parts",
     "q69_lateral_topk",
@@ -136,7 +138,6 @@ _ROTATE_FRONT = [
     "q21_date_functions",
     "q22_math_functions",
     "q23_conditional_nulls",
-    "q24_hash_functions",
 ]
 
 

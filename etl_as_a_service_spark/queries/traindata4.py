@@ -2170,3 +2170,194 @@ def q320_fragment_stitching(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q321 — randomized-response privacy census (local-DP telemetry)
+# --------------------------------------------------------------------------
+RR_TRUTH_PROB = 0.7  # report the true bit with prob q, else a fair coin
+
+
+def _randomized_response_oracle() -> str:
+    h = (
+        "CAST(('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8)) AS BIGINT)"
+    )
+    return f"""
+    WITH bits AS (
+      SELECT source,
+             CASE WHEN {h.format(salt='rrb-')} % 1000
+                  < 300 + 10 * (CAST(regexp_extract(source,
+                      '([0-9]+)$', 1) AS BIGINT) % 10)
+               THEN 1 ELSE 0 END AS b,
+             {h.format(salt='rrk-')} % 10 AS keep,
+             {h.format(salt='rrc-')} % 2 AS coin
+      FROM documents
+    ),
+    reported AS (
+      SELECT source, b,
+             CASE WHEN keep < {int(RR_TRUTH_PROB * 10)} THEN b
+                  ELSE coin END AS r
+      FROM bits
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(b) * 1.0 / count(*), 6) AS true_rate,
+           round(sum(r) * 1.0 / count(*), 6) AS observed_rate,
+           round((sum(r) * 1.0 / count(*)
+                  - (1 - {RR_TRUTH_PROB}) * 0.5) / {RR_TRUTH_PROB}, 6)
+             AS estimated_rate,
+           round(abs((sum(r) * 1.0 / count(*)
+                  - (1 - {RR_TRUTH_PROB}) * 0.5) / {RR_TRUTH_PROB}
+                  - sum(b) * 1.0 / count(*)), 6) AS abs_error
+    FROM reported GROUP BY source ORDER BY source
+    """
+
+
+@query(
+    "q321_randomized_response",
+    oracle=_randomized_response_oracle(),
+    tags=("privacy", "dp", "census", "operator"),
+)
+def q321_randomized_response(spark, sf_dir):
+    """Randomized-response privacy census (q321) — the local-DP
+    telemetry mechanism (Warner 1965; the RAPPOR core): each record
+    reports its sensitive bit truthfully with probability q = 0.7 and
+    a fair coin otherwise, giving plausible deniability per record
+    (epsilon = ln(q/(1-q)*2+1)-ish) while the AGGREGATE inverts
+    exactly: true_rate ~ (observed - (1-q)/2) / q. The fixture plants
+    a per-source true rate (30%..39% by source number) and the census
+    reports true vs observed vs estimated rate plus the estimator's
+    absolute error — pytest pins the inversion within sampling noise
+    while DuckDB pins every value exactly. All quantities derive from
+    integer counts (no float sums), so both engines agree bit-for-bit
+    before the final round.
+
+    SCALE DESIGN: one map-only derivation + ONE source-grain
+    aggregate with map-side partials. The true bit exists here only
+    because the fixture plants it; a production deployment aggregates
+    reported bits alone."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    srcnum = F.regexp_extract(F.col("source"), "([0-9]+)$", 1).cast(
+        "long"
+    )
+    b = F.when(
+        md5_hash64(did, "rrb-") % 1000 < 300 + 10 * (srcnum % 10), 1
+    ).otherwise(0)
+    keep = md5_hash64(did, "rrk-") % 10
+    coin = md5_hash64(did, "rrc-") % 2
+    r = F.when(keep < int(RR_TRUTH_PROB * 10), b).otherwise(coin)
+    reported = docs.select("source", b.alias("b"), r.alias("r"))
+    q = RR_TRUTH_PROB
+    obs = F.sum("r") * 1.0 / F.count(F.lit(1))
+    true_rate = F.sum("b") * 1.0 / F.count(F.lit(1))
+    est = (obs - (1 - q) * 0.5) / q
+    return (
+        reported.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(true_rate, 6).alias("true_rate"),
+            F.round(obs, 6).alias("observed_rate"),
+            F.round(est, 6).alias("estimated_rate"),
+            F.round(F.abs(est - true_rate), 6).alias("abs_error"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q322 — importance-sampling ESS audit (weight-tail diagnostics)
+# --------------------------------------------------------------------------
+ESS_WEIGHT_CAP = 100.0
+ESS_CLIP = 10.0
+
+
+def _ess_oracle() -> str:
+    h = (
+        "CAST(('0x' || substr(md5('esw-' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8)) AS BIGINT)"
+    )
+    return f"""
+    WITH weighted AS (
+      SELECT source,
+             least(1000.0 / (1 + {h} % 1000), {ESS_WEIGHT_CAP}) AS w
+      FROM documents
+    ),
+    clipped AS (
+      SELECT source, w, least(w, {ESS_CLIP}) AS wc FROM weighted
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(w) * sum(w) / sum(w * w) / count(*), 6)
+             AS ess_frac,
+           round(sum(wc) * sum(wc) / sum(wc * wc) / count(*), 6)
+             AS ess_frac_clipped,
+           round(max(w) / sum(w), 6) AS max_weight_share,
+           CAST(count_if(w >= {ESS_CLIP}) AS BIGINT) AS n_clipped
+    FROM clipped GROUP BY source ORDER BY source
+    """
+
+
+@query(
+    "q322_importance_ess",
+    oracle=_ess_oracle(),
+    tags=("curation", "sampling", "diagnostics", "llm", "operator"),
+)
+def q322_importance_ess(spark, sf_dir):
+    """Importance-sampling ESS audit (q322) — the diagnostic every
+    weighted-selection pipeline (DSIR q146, temperature mixing q147)
+    must report before trusting its weights: effective sample size
+    ESS = (sum w)^2 / sum w^2 as a fraction of n, the max-weight
+    share (one doc dominating the estimate), and what clipping the
+    weights at 10 buys back (ESS_clipped vs ESS — the standard
+    bias-variance trade receipt). Weights are a planted heavy-tailed
+    inverse-uniform (1000/(1+u), capped at 100) so the tail is real:
+    a few docs carry ~100x weight and clipping visibly lifts ESS
+    (pinned in pytest).
+
+    SCALE DESIGN: map-only weight derivation + ONE source-grain
+    aggregate with map-side partials (sum, sum-of-squares, max are
+    all combiners). No join, no window."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    w = F.least(
+        1000.0 / (1 + md5_hash64(did, "esw-") % 1000),
+        F.lit(ESS_WEIGHT_CAP),
+    )
+    weighted = docs.select(
+        "source",
+        w.alias("w"),
+        F.least(w, F.lit(ESS_CLIP)).alias("wc"),
+    )
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum("w")
+                * F.sum("w")
+                / F.sum(F.col("w") * F.col("w"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("ess_frac"),
+            F.round(
+                F.sum("wc")
+                * F.sum("wc")
+                / F.sum(F.col("wc") * F.col("wc"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("ess_frac_clipped"),
+            F.round(F.max("w") / F.sum("w"), 6).alias(
+                "max_weight_share"
+            ),
+            F.count_if(F.col("w") >= ESS_CLIP)
+            .cast("long")
+            .alias("n_clipped"),
+        )
+        .orderBy("source")
+    )

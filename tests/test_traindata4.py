@@ -619,3 +619,39 @@ def test_q320_recovers_planted_splits_zero_organic(spark):
     assert int(pdf.n_recovered.sum()) == planted
     assert int(pdf.n_stitch_pairs.sum()) == planted
     assert int(pdf.n_organic.sum()) == 0
+
+
+# ---------------------------------------------------------------- q321
+def test_q321_inversion_unbiased(spark):
+    """The randomized-response estimator recovers each source's true
+    rate within binomial sampling noise; the observed rate is pulled
+    toward 0.5 (the coin), so estimation is genuinely needed."""
+    pdf = _run(spark, "q321_randomized_response").toPandas()
+    # estimator error within ~3 sigma of RR noise at n=25/source
+    import math
+
+    for r in pdf.itertuples():
+        sigma = math.sqrt(0.25 / r.n) / 0.7
+        assert r.abs_error <= 4 * sigma + 1e-9, r
+    # observed is squeezed toward 0.5 relative to truth
+    pulled = (
+        (pdf.observed_rate - 0.5).abs() <= (pdf.true_rate - 0.5).abs() + 0.15
+    )
+    assert pulled.all()
+    assert abs(
+        pdf.estimated_rate.mean() - pdf.true_rate.mean()
+    ) < 0.06
+
+
+# ---------------------------------------------------------------- q322
+def test_q322_clipping_lifts_ess(spark):
+    """The planted heavy tail makes raw ESS small; clipping at 10
+    strictly lifts it; max-weight share and clipped counts are
+    consistent."""
+    pdf = _run(spark, "q322_importance_ess").toPandas()
+    assert (pdf.ess_frac <= pdf.ess_frac_clipped + 1e-9).all()
+    assert (pdf.ess_frac_clipped <= 1.0 + 1e-9).all()
+    assert pdf.ess_frac.mean() < 0.8          # tail genuinely hurts
+    assert pdf.ess_frac_clipped.mean() > pdf.ess_frac.mean()
+    assert (pdf.max_weight_share <= 1.0).all()
+    assert int(pdf.n_clipped.sum()) > 0
