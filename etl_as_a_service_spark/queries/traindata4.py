@@ -558,8 +558,9 @@ def q309_reader_shard_mix(spark, sf_dir):
     SCALE DESIGN: both assignments are map-only key derivations; the
     audit aggregates at (assignment, shard, source) grain — bounded
     by 2 * shards * sources — with map-side partials, then joins only
-    bounded aggregate frames (shard totals broadcast-sized, the
-    global mix broadcast-sized). One corpus pass per assignment leg
+    bounded aggregate frames (shard totals tiny; the global source
+    mix joins WITHOUT a forced broadcast hint — source cardinality is
+    unbounded in production, AQE decides from runtime size). One corpus pass per assignment leg
     of the union, no window, no row-level join."""
     from etl_as_a_service_spark.llm.dedup import md5_hash64
 
@@ -594,7 +595,7 @@ def q309_reader_shard_mix(spark, sf_dir):
     )
     joined = (
         cnt.join(shard_tot, ["assignment", "shard"])
-        .join(F.broadcast(gshare), "source")
+        .join(gshare, "source")
         .select(
             "assignment",
             "shard",
@@ -723,8 +724,9 @@ def q310_grpo_group_advantage(spark, sf_dir):
 
     SCALE DESIGN: ONE full pass (the prompt-grain power-sum
     aggregate, map-side combined); advantages join rollouts against
-    the bounded prompt-grain frame (broadcast); summaries are scalar
-    aggregates. No window, no per-row Python."""
+    the prompt-grain frame (AQE broadcasts it when small — no forced
+    hint, since production prompt cardinality is unbounded; the q282
+    ADVICE discipline); summaries are scalar aggregates. No window, no per-row Python."""
     from etl_as_a_service_spark.llm.dedup import md5_hash64
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -779,7 +781,7 @@ def q310_grpo_group_advantage(spark, sf_dir):
         (F.col("r") - F.col("mean")) / F.sqrt(F.col("var"))
     )
     adv_sum = (
-        rollouts.join(F.broadcast(grp_stats), "prompt")
+        rollouts.join(grp_stats, "prompt")
         .select(a.alias("a"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rollouts"),
@@ -1147,8 +1149,9 @@ def q313_best_of_n_yield(spark, sf_dir):
 
     SCALE DESIGN: ONE full pass (prompt-grain max/sum aggregate,
     map-side combined), then the detail pass joins rollouts against
-    the bounded prompt-grain frame (broadcast) and re-aggregates at
-    prompt grain; summaries are scalar. The argmax is max + count_if
+    the prompt-grain frame (AQE broadcasts when small — no forced
+    hint, the q282 ADVICE discipline) and re-aggregates at prompt
+    grain; summaries are scalar. The argmax is max + count_if
     + conditional min — combiner-friendly aggregates only, no
     window."""
     from etl_as_a_service_spark.llm.dedup import md5_hash64
@@ -1170,7 +1173,7 @@ def q313_best_of_n_yield(spark, sf_dir):
         F.sum("r").alias("sr"),
     )
     detail = (
-        rollouts.join(F.broadcast(grp), "prompt")
+        rollouts.join(grp, "prompt")
         .groupBy("prompt", "n", "rmax")
         .agg(
             F.count_if(F.col("r") == F.col("rmax")).alias("ties"),
