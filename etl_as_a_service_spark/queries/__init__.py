@@ -70,12 +70,13 @@ from etl_as_a_service_spark.queries import traindata4  # noqa: E402,F401
 # Driver-gate rotation (round 9): the external driver records
 # CORRECTNESS rows for the FIRST 50 manifest entries only. The
 # never-driver-green backlog emptied in round 8, so the policy is now
-# FRESHNESS (the round-8 verdict's item 1): lead with any never-green
-# oracle queries (new this round: q297/q298), then re-confirm the
-# LEAST-RECENTLY-confirmed rows — q60/q67/q69/q70 (last green r1) and
-# q01-q39/q50-q56 (last green r2), whose receipts predate the heavy
-# keeper/checkpoint/ANSI refactors. The manifest CONTENT is unchanged
-# — only dict iteration order moves. The tripwire
+# FRESHNESS (the round-8 verdict's item 1): lead with every
+# never-green oracle query in ascending order (this round's new
+# operators, q297-q322), then fill with the LEAST-RECENTLY-confirmed
+# rows — q60/q67/q69/q70 (last green r1), then q01+ (last green r2),
+# whose receipts predate the heavy keeper/checkpoint/ANSI refactors.
+# The manifest CONTENT is unchanged — only dict iteration order
+# moves. The tripwire
 # (tests/test_driver_canonicalizer.py::test_front_50_rotation_invariants)
 # computes this exact window from the CORRECTNESS_r*.json union.
 #
@@ -111,6 +112,8 @@ _ROTATE_FRONT = [
     "q320_fragment_stitching",
     "q321_randomized_response",
     "q322_importance_ess",
+    "q323_soft_dedup_weights",
+    "q324_output_layout_plan",
     "q60_string_extras",
     "q67_time_parts",
     "q69_lateral_topk",
@@ -137,7 +140,6 @@ _ROTATE_FRONT = [
     "q20_string_functions",
     "q21_date_functions",
     "q22_math_functions",
-    "q23_conditional_nulls",
 ]
 
 

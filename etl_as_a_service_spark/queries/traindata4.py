@@ -2364,3 +2364,182 @@ def q322_importance_ess(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q323 — soft-dedup loss weighting (1/cluster-size, vs hard dedup)
+# --------------------------------------------------------------------------
+def _soft_dedup_oracle() -> str:
+    return """
+    WITH planted AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 5 = 0
+               THEN 'dup cluster body ' || CAST(doc_id // 10 AS VARCHAR)
+               ELSE text END AS t
+      FROM documents
+    ),
+    docs2 AS (
+      SELECT doc_id, source, md5(t) AS fp,
+             len(string_split(t, ' ')) AS n_toks
+      FROM planted
+    ),
+    clusters AS (
+      SELECT fp, count(*) AS c, min(doc_id) AS keep_id
+      FROM docs2 GROUP BY fp
+    ),
+    weighted AS (
+      SELECT d.source, d.n_toks, cl.c,
+             d.n_toks * 1.0 / cl.c AS soft_toks,
+             CASE WHEN d.doc_id = cl.keep_id THEN d.n_toks
+                  ELSE 0 END AS hard_toks
+      FROM docs2 d JOIN clusters cl ON cl.fp = d.fp
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count_if(c > 1) AS BIGINT) AS n_in_dup_clusters,
+           CAST(sum(n_toks) AS BIGINT) AS raw_tokens,
+           round(sum(soft_toks), 2) AS soft_tokens,
+           CAST(sum(hard_toks) AS BIGINT) AS hard_tokens
+    FROM weighted GROUP BY source ORDER BY source
+    """
+
+
+@query(
+    "q323_soft_dedup_weights",
+    oracle=_soft_dedup_oracle(),
+    tags=("curation", "dedup", "weighting", "llm", "operator"),
+)
+def q323_soft_dedup_weights(spark, sf_dir):
+    """Soft-dedup loss weighting (q323) — instead of DROPPING
+    duplicates, weight each copy by 1/cluster-size so a cluster
+    contributes exactly one document's worth of loss (SoftDeDup-style
+    reweighting keeps lexical diversity the hard drop loses). Planted
+    clusters: every 5th doc's text collapses to its 10-block's shared
+    body, so each block carries a 2-doc cluster. Reported per source:
+    docs, docs inside dup clusters, raw token mass, SOFT effective
+    tokens (sum n/c), and HARD effective tokens (survivor-only) — the
+    soft >= hard >= raw/c_max ordering is the pytest invariant, and
+    soft == hard == raw wherever nothing is duplicated.
+
+    SCALE DESIGN: fingerprint-grain aggregate (map-side combined) +
+    one equi-join back on the 128-bit fingerprint (the q40 exact-dedup
+    shape, weights instead of drops); one source-grain rollup. No
+    window, no forced broadcast (cluster grain is corpus-sized)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit("dup cluster body "),
+                (did / 10).cast("long").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    docs2 = planted.select(
+        "doc_id",
+        "source",
+        F.md5("t").alias("fp"),
+        F.size(F.split(F.col("t"), " ")).alias("n_toks"),
+    )
+    clusters = docs2.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("c"), F.min("doc_id").alias("keep_id")
+    )
+    weighted = docs2.join(clusters, "fp").select(
+        "source",
+        "n_toks",
+        "c",
+        (F.col("n_toks") * 1.0 / F.col("c")).alias("soft_toks"),
+        F.when(
+            F.col("doc_id") == F.col("keep_id"), F.col("n_toks")
+        )
+        .otherwise(F.lit(0))
+        .alias("hard_toks"),
+    )
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_if(F.col("c") > 1)
+            .cast("long")
+            .alias("n_in_dup_clusters"),
+            F.sum("n_toks").cast("long").alias("raw_tokens"),
+            F.round(F.sum("soft_toks"), 2).alias("soft_tokens"),
+            F.sum("hard_toks").cast("long").alias("hard_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q324 — output file-layout planner (small-files avoidance)
+# --------------------------------------------------------------------------
+TARGET_FILE_BYTES = 100_000  # fixture-scaled stand-in for ~512 MB
+
+
+def _layout_plan_oracle() -> str:
+    return f"""
+    WITH per AS (
+      SELECT source,
+             count(*) AS n_rows,
+             sum(len(text)) AS est_bytes
+      FROM documents GROUP BY source
+    )
+    SELECT source,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(est_bytes AS BIGINT) AS est_bytes,
+           CAST(greatest(1, ceil(est_bytes * 1.0
+                / {TARGET_FILE_BYTES})) AS BIGINT) AS n_files,
+           CAST(ceil(n_rows * 1.0 / greatest(1, ceil(est_bytes * 1.0
+                / {TARGET_FILE_BYTES}))) AS BIGINT)
+             AS rows_per_file,
+           est_bytes < {TARGET_FILE_BYTES} AS small_file_source
+    FROM per ORDER BY source
+    """
+
+
+@query(
+    "q324_output_layout_plan",
+    oracle=_layout_plan_oracle(),
+    tags=("lakehouse", "layout", "planning", "operator"),
+)
+def q324_output_layout_plan(spark, sf_dir):
+    """Output file-layout planner (q324) — the repartition plan a
+    100-TB writer computes BEFORE the sink: per output partition
+    (source), estimate bytes, derive the file count at the target
+    file size (ceil, min 1), rows per file, and flag sources that
+    cannot fill one file (the small-files problem: a partitionBy sink
+    over many tiny sources writes thousands of KB files unless they
+    are coalesced — this plan is the `repartition(n_files)` input).
+    Byte estimates use text length as the proxy the writer would get
+    from sampled row sizes.
+
+    SCALE DESIGN: one source-grain aggregate with map-side partials;
+    everything else is per-group arithmetic. The plan itself is what
+    PREVENTS the pathological write: files sized to the target
+    regardless of partition skew."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("text")).alias("est_bytes"),
+    )
+    n_files = F.greatest(
+        F.lit(1),
+        F.ceil(F.col("est_bytes") * 1.0 / TARGET_FILE_BYTES),
+    )
+    return per.select(
+        "source",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("est_bytes").cast("long").alias("est_bytes"),
+        n_files.cast("long").alias("n_files"),
+        F.ceil(F.col("n_rows") * 1.0 / n_files)
+        .cast("long")
+        .alias("rows_per_file"),
+        (F.col("est_bytes") < TARGET_FILE_BYTES).alias(
+            "small_file_source"
+        ),
+    ).orderBy("source")

@@ -655,3 +655,59 @@ def test_q322_clipping_lifts_ess(spark):
     assert pdf.ess_frac_clipped.mean() > pdf.ess_frac.mean()
     assert (pdf.max_weight_share <= 1.0).all()
     assert int(pdf.n_clipped.sum()) > 0
+
+
+# ---------------------------------------------------------------- q323
+def test_q323_soft_between_hard_and_raw(spark):
+    """Per source: hard <= soft <= raw token mass, equality exactly
+    where nothing is duplicated; dup-cluster membership matches the
+    planting (every %5 doc shares its 10-block body)."""
+    ids = _doc_ids(spark)
+    in_cluster = sum(
+        1
+        for i in ids
+        if i % 5 == 0
+        and sum(1 for j in ids if j % 5 == 0 and j // 10 == i // 10) > 1
+    )
+    pdf = _run(spark, "q323_soft_dedup_weights").toPandas()
+    assert int(pdf.n_docs.sum()) == len(ids)
+    assert int(pdf.n_in_dup_clusters.sum()) == in_cluster
+    # per source only soft <= raw holds: clusters SPAN sources, and
+    # hard dedup credits the whole cluster to the SURVIVOR's source
+    # while soft spreads 1/c to each member's source
+    assert (pdf.soft_tokens <= pdf.raw_tokens + 1e-6).all()
+    # global invariants: hard <= soft <= raw, and with identical
+    # cluster members soft mass equals hard mass exactly
+    assert float(pdf.hard_tokens.sum()) <= float(pdf.soft_tokens.sum()) + 1e-6
+    assert float(pdf.soft_tokens.sum()) <= float(pdf.raw_tokens.sum()) + 1e-6
+    assert abs(float(pdf.soft_tokens.sum()) - float(pdf.hard_tokens.sum())) < 1e-6
+    # the soft/hard SOURCE attribution genuinely differs (the reason
+    # soft-dedup preserves per-source mix where hard dedup skews it)
+    assert (pdf.soft_tokens - pdf.hard_tokens).abs().max() > 1
+
+
+# ---------------------------------------------------------------- q324
+def test_q324_layout_plan_arithmetic(spark):
+    """File counts and rows-per-file follow the ceil arithmetic from
+    the real per-source byte mass; small-file flags are consistent."""
+    import math
+
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.queries.traindata4 import (
+        TARGET_FILE_BYTES,
+    )
+
+    docs = load_tables(spark, SF01, ["documents"])["documents"]
+    ref = {}
+    for r in docs.select("source", "text").collect():
+        n, b = ref.get(r["source"], (0, 0))
+        ref[r["source"]] = (n + 1, b + len(r["text"]))
+    pdf = _run(spark, "q324_output_layout_plan").toPandas()
+    for r in pdf.itertuples():
+        n, b = ref[r.source]
+        files = max(1, math.ceil(b / TARGET_FILE_BYTES))
+        assert r.n_rows == n
+        assert r.est_bytes == b
+        assert r.n_files == files
+        assert r.rows_per_file == math.ceil(n / files)
+        assert bool(r.small_file_source) == (b < TARGET_FILE_BYTES)
