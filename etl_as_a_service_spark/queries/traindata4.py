@@ -430,7 +430,10 @@ def q308_doremi_mixture(spark, sf_dir):
             "excess",
             0.5 + (md5_hash64(F.col("source"), "xl-") % 1000) / 1000.0,
         )
-        .localCheckpoint()  # bounded: #sources rows; 3 MW rounds below
+        # EAGER checkpoint (default): constructing this query runs the
+        # corpus aggregate immediately — deliberate, so the 3 MW
+        # rounds below replan a #sources-row frame, not the corpus
+        .localCheckpoint()
     )
     tot = base.agg(
         (F.count(F.lit(1)) * 1.0).alias("k"),
@@ -1308,7 +1311,10 @@ def q314_pass_at_k(spark, sf_dir):
         docs.select(task.alias("task"), passed.alias("pass"))
         .groupBy("task")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("pass").alias("c"))
-        .localCheckpoint()  # bounded: task grain; reused per k below
+        # EAGER checkpoint (default): construction executes the
+        # task-grain aggregate — deliberate; both per-k legs below
+        # reuse the materialized bounded frame
+        .localCheckpoint()
     )
     legs = []
     for k in PASS_AT_KS:
@@ -1407,7 +1413,10 @@ def q315_theil_sen_trend(spark, sf_dir):
             ),
             "rev",
         )
-        .localCheckpoint()  # bounded: day grain (calendar-capped)
+        # EAGER checkpoint (default): construction executes the
+        # day-grain aggregate — deliberate; the banded self-join
+        # below replans a calendar-capped frame, not orders
+        .localCheckpoint()
     )
     band = (F.col("dn") / THEIL_SEN_MAX_LAG_DAYS).cast("long")
     banded = days.select("dn", "rev", band.alias("band"))
@@ -1834,7 +1843,10 @@ def q318_mann_kendall(spark, sf_dir):
             ),
             "cnt",
         )
-        .localCheckpoint()  # bounded: day grain (calendar-capped)
+        # EAGER checkpoint (default): construction executes the
+        # day-grain aggregate — deliberate; the all-pairs sign join
+        # below replans a calendar-capped frame, not orders
+        .localCheckpoint()
     )
     a = days.select(
         F.col("dn").alias("a_dn"), F.col("cnt").alias("a_cnt")
