@@ -114,6 +114,7 @@ _ROTATE_FRONT = [
     "q322_importance_ess",
     "q323_soft_dedup_weights",
     "q324_output_layout_plan",
+    "q325_log_parse",
     "q60_string_extras",
     "q67_time_parts",
     "q69_lateral_topk",
@@ -139,7 +140,6 @@ _ROTATE_FRONT = [
     "q19_collect_and_argminmax",
     "q20_string_functions",
     "q21_date_functions",
-    "q22_math_functions",
 ]
 
 

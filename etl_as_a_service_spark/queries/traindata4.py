@@ -2555,3 +2555,147 @@ def q324_output_layout_plan(spark, sf_dir):
             "small_file_source"
         ),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# q325 — grok-style access-log parse (render + parse back)
+# --------------------------------------------------------------------------
+#: Apache combined-log grok pattern, shared verbatim (Java ∩ RE2) —
+#: group 1 ip, 2 user, 3 timestamp, 4 method, 5 path, 6 status, 7 bytes
+ACCESS_LOG_RE = (
+    r'^([0-9.]+) - ([a-z0-9]+) \[([^\]]+)\] '
+    r'"([A-Z]+) ([^ ]+) HTTP/1\.[01]" ([0-9]{3}) ([0-9]+)$'
+)
+
+
+def _log_parse_oracle() -> str:
+    h = (
+        "CAST(('0x' || substr(md5('{salt}' || CAST(event_id AS"
+        " VARCHAR)), 1, 8)) AS BIGINT)"
+    )
+    hb, hm = h.format(salt="lb-"), h.format(salt="lm-")
+    return f"""
+    WITH rendered AS (
+      SELECT event_id,
+        '10.' || CAST(user_id % 256 AS VARCHAR) || '.'
+        || CAST({hm} % 256 AS VARCHAR) || '.1 - u'
+        || CAST(user_id AS VARCHAR)
+        || ' [01/Jan/2026:12:' || lpad(CAST({hm} % 60 AS VARCHAR),
+                                       2, '0')
+        || ':00 +0000] "'
+        || CASE WHEN event_type = 'click' THEN 'POST'
+                ELSE 'GET' END
+        || ' /app/' || event_type || '/'
+        || CAST(event_id AS VARCHAR) || ' HTTP/1.1" '
+        || CASE WHEN event_type = 'error' THEN '500' ELSE '200' END
+        || ' ' || CAST(100 + {hb} % 9900 AS VARCHAR) AS line
+      FROM events
+    ),
+    parsed AS (
+      SELECT line,
+        regexp_extract(line, '{ACCESS_LOG_RE}', 1) AS ip,
+        regexp_extract(line, '{ACCESS_LOG_RE}', 4) AS method,
+        regexp_extract(line, '{ACCESS_LOG_RE}', 5) AS path,
+        regexp_extract(line, '{ACCESS_LOG_RE}', 6) AS status,
+        regexp_extract(line, '{ACCESS_LOG_RE}', 7) AS bytes
+      FROM rendered
+    )
+    SELECT method,
+           CAST(status AS BIGINT) AS status,
+           CAST(count(*) AS BIGINT) AS n_requests,
+           CAST(sum(CAST(bytes AS BIGINT)) AS BIGINT) AS total_bytes,
+           CAST(count(DISTINCT ip) AS BIGINT) AS n_ips,
+           CAST(count_if(ip = '' OR method = '' OR path = '')
+                AS BIGINT) AS n_parse_failures
+    FROM parsed
+    GROUP BY method, status
+    ORDER BY method, status
+    """
+
+
+@query(
+    "q325_log_parse",
+    oracle=_log_parse_oracle(),
+    tags=("etl", "parsing", "logs", "operator"),
+)
+def q325_log_parse(spark, sf_dir):
+    """Grok-style access-log parsing (q325) — the classic ETL front
+    door: raw Apache combined-log lines parsed into typed columns by
+    ONE anchored regex with capture groups. The q301 render+parse
+    discipline: lines are RENDERED from the events table (ip/user/
+    method/path/status/bytes all deterministic), then the parser
+    reads the raw strings back — the census aggregates only parsed
+    fields, and n_parse_failures (any empty mandatory group) is
+    pinned 0 by both engines, proving the grok pattern covers its own
+    render. Timestamps are rendered as literal strings (never through
+    engine date formatting — the events.ts encoding trap).
+
+    SCALE DESIGN: render and parse are one codegen projection each
+    (anchored regex, zero Python); the only shuffle is the
+    (method, status)-grain aggregate with map-side partials; the
+    distinct-ip count rides Spark's expand-based distinct at the same
+    bounded grain."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (events,) = _t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    hb = md5_hash64(eid, "lb-")
+    hm = md5_hash64(eid, "lm-")
+    line = F.concat(
+        F.lit("10."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit("."),
+        (hm % 256).cast("string"),
+        F.lit(".1 - u"),
+        F.col("user_id").cast("string"),
+        F.lit(" [01/Jan/2026:12:"),
+        F.lpad((hm % 60).cast("string"), 2, "0"),
+        F.lit(':00 +0000] "'),
+        F.when(F.col("event_type") == "click", F.lit("POST")).otherwise(
+            F.lit("GET")
+        ),
+        F.lit(" /app/"),
+        F.col("event_type"),
+        F.lit("/"),
+        eid,
+        F.lit(' HTTP/1.1" '),
+        F.when(F.col("event_type") == "error", F.lit("500")).otherwise(
+            F.lit("200")
+        ),
+        F.lit(" "),
+        (100 + hb % 9900).cast("string"),
+    )
+    rendered = events.select(line.alias("line"))
+    parsed = rendered.select(
+        F.regexp_extract(F.col("line"), ACCESS_LOG_RE, 1).alias("ip"),
+        F.regexp_extract(F.col("line"), ACCESS_LOG_RE, 4).alias(
+            "method"
+        ),
+        F.regexp_extract(F.col("line"), ACCESS_LOG_RE, 5).alias("path"),
+        F.regexp_extract(F.col("line"), ACCESS_LOG_RE, 6).alias(
+            "status"
+        ),
+        F.regexp_extract(F.col("line"), ACCESS_LOG_RE, 7).alias(
+            "bytes"
+        ),
+    )
+    return (
+        parsed.groupBy(
+            "method", F.col("status").cast("long").alias("status")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_requests"),
+            F.sum(F.col("bytes").cast("long"))
+            .cast("long")
+            .alias("total_bytes"),
+            F.countDistinct("ip").cast("long").alias("n_ips"),
+            F.count_if(
+                (F.col("ip") == "")
+                | (F.col("method") == "")
+                | (F.col("path") == "")
+            )
+            .cast("long")
+            .alias("n_parse_failures"),
+        )
+        .orderBy("method", "status")
+    )

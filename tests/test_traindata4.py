@@ -711,3 +711,31 @@ def test_q324_layout_plan_arithmetic(spark):
         assert r.n_files == files
         assert r.rows_per_file == math.ceil(n / files)
         assert bool(r.small_file_source) == (b < TARGET_FILE_BYTES)
+
+
+# ---------------------------------------------------------------- q325
+def test_q325_parse_covers_render_and_catches_corruption(spark):
+    """Zero parse failures on rendered lines; event-type math pins the
+    (method, status) cells; a corrupted line DOES fail the pattern
+    (the failure counter is not vacuous)."""
+    import re as _re
+
+    from etl_as_a_service_spark.queries.traindata4 import ACCESS_LOG_RE
+
+    pdf = _run(spark, "q325_log_parse").toPandas()
+    assert int(pdf.n_parse_failures.sum()) == 0
+    cells = {(r.method, r.status) for r in pdf.itertuples()}
+    assert ("POST", 200) in cells        # clicks
+    assert ("GET", 500) in cells         # errors
+    assert all(s in (200, 500) for _, s in cells)
+    # the pattern genuinely rejects malformed lines
+    good = '10.1.2.1 - u7 [01/Jan/2026:12:05:00 +0000] "GET /app/view/9 HTTP/1.1" 200 512'
+    assert _re.match(ACCESS_LOG_RE, good)
+    for bad in (
+        good.replace(' 512', ' 512 extra'),
+        good.replace('GET', 'get'),
+        good.replace('" 200', '" 20x'),
+    ):
+        assert not _re.match(ACCESS_LOG_RE + "$", bad) or not _re.fullmatch(
+            ACCESS_LOG_RE, bad
+        )
