@@ -2699,3 +2699,126 @@ def q325_log_parse(spark, sf_dir):
         )
         .orderBy("method", "status")
     )
+
+
+# --------------------------------------------------------------------------
+# q326 — verbosity-bias audit (reward vs length, integer-exact)
+# --------------------------------------------------------------------------
+def _verbosity_oracle() -> str:
+    h = (
+        "CAST(('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8)) AS BIGINT)"
+    )
+    hq, hn = h.format(salt="vq-"), h.format(salt="vn-")
+    return f"""
+    WITH rollouts AS (
+      SELECT len(string_split(text, ' ')) AS l,
+             {hq} % 1000 + 30 * len(string_split(text, ' '))
+             + ({hn} % 201 - 100) AS r
+      FROM documents
+    ),
+    sums AS (
+      SELECT count(*) AS n,
+             sum(l) AS sx, sum(r) AS sy,
+             sum(l * l) AS sxx, sum(r * r) AS syy,
+             sum(l * r) AS sxy
+      FROM rollouts
+    ),
+    med AS (
+      SELECT quantile_cont(l, 0.5) AS m FROM rollouts
+    ),
+    halves AS (
+      SELECT avg(CASE WHEN ro.l < med.m THEN ro.r END) AS short_r,
+             avg(CASE WHEN ro.l >= med.m THEN ro.r END) AS long_r
+      FROM rollouts ro CROSS JOIN med
+    )
+    SELECT CAST(s.n AS BIGINT) AS n_rollouts,
+           round((s.n * s.sxy - s.sx * s.sy)
+                 / sqrt((s.n * s.sxx - s.sx * s.sx) * 1.0
+                        * (s.n * s.syy - s.sy * s.sy)), 6)
+             AS length_reward_corr,
+           round((s.n * s.sxy - s.sx * s.sy) * 1.0
+                 / (s.n * s.sxx - s.sx * s.sx), 6)
+             AS reward_per_token,
+           round(h.short_r, 6) AS mean_reward_short,
+           round(h.long_r, 6) AS mean_reward_long,
+           round(h.long_r - h.short_r, 6) AS verbosity_gap
+    FROM sums s CROSS JOIN halves h
+    """
+
+
+@query(
+    "q326_verbosity_bias",
+    oracle=_verbosity_oracle(),
+    tags=("rlhf", "reward", "bias", "llm", "operator"),
+)
+def q326_verbosity_bias(spark, sf_dir):
+    """Verbosity-bias audit (q326) — the best-documented reward-model
+    failure: raters (and reward models trained on them) systematically
+    prefer LONGER responses, so unaudited RLHF maximizes length, not
+    quality. The audit reads response length (real token counts) vs
+    reward (planted: quality + 30 milli-units per token + noise) and
+    reports the Pearson correlation and reward-per-token slope — both
+    computed from INTEGER power sums (n, Sx, Sy, Sxx, Syy, Sxy are
+    BIGINT-exact, one sqrt at the end — the q310 discipline, no
+    corr() builtin whose merge order could differ) — plus the
+    short-vs-long half means around the interpolated median length.
+    Pytest pins recovery of the planted 30/1000-per-token slope
+    (sized so the independent quality term's variance cannot drown
+    the signal at fixture length spread).
+
+    SCALE DESIGN: ONE full pass for the power sums (map-side
+    combined), one exact-percentile aggregate for the median, and one
+    conditional-mean pass — three scalar aggregates, no join at row
+    grain, no window."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    length = F.size(F.split(F.col("text"), " "))
+    r = (
+        md5_hash64(did, "vq-") % 1000
+        + 30 * length
+        + (md5_hash64(did, "vn-") % 201 - 100)
+    )
+    rollouts = docs.select(length.alias("l"), r.alias("r"))
+    sums = rollouts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l").alias("sx"),
+        F.sum("r").alias("sy"),
+        F.sum(F.col("l") * F.col("l")).alias("sxx"),
+        F.sum(F.col("r") * F.col("r")).alias("syy"),
+        F.sum(F.col("l") * F.col("r")).alias("sxy"),
+    )
+    med = rollouts.agg(F.expr("percentile(l, 0.5)").alias("m"))
+    halves = rollouts.crossJoin(F.broadcast(med)).agg(
+        F.avg(F.when(F.col("l") < F.col("m"), F.col("r"))).alias(
+            "short_r"
+        ),
+        F.avg(F.when(F.col("l") >= F.col("m"), F.col("r"))).alias(
+            "long_r"
+        ),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return (
+        sums.crossJoin(F.broadcast(halves))
+        .select(
+            n.cast("long").alias("n_rollouts"),
+            F.round(
+                (n * sxy - sx * sy)
+                / F.sqrt(
+                    (n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)
+                ),
+                6,
+            ).alias("length_reward_corr"),
+            F.round(
+                (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6
+            ).alias("reward_per_token"),
+            F.round(F.col("short_r"), 6).alias("mean_reward_short"),
+            F.round(F.col("long_r"), 6).alias("mean_reward_long"),
+            F.round(F.col("long_r") - F.col("short_r"), 6).alias(
+                "verbosity_gap"
+            ),
+        )
+    )

@@ -739,3 +739,16 @@ def test_q325_parse_covers_render_and_catches_corruption(spark):
         assert not _re.match(ACCESS_LOG_RE + "$", bad) or not _re.fullmatch(
             ACCESS_LOG_RE, bad
         )
+
+
+# ---------------------------------------------------------------- q326
+def test_q326_recovers_planted_slope(spark):
+    """The planted 2-milli-per-token slope is recovered (noise is
+    zero-mean and independent of length), the correlation is strongly
+    positive, and the long half out-earns the short half."""
+    row = _run(spark, "q326_verbosity_bias").collect()[0]
+    assert abs(row["reward_per_token"] - 30.0) < 5.0
+    assert row["length_reward_corr"] > 0.3
+    assert row["verbosity_gap"] > 0
+    assert row["mean_reward_long"] > row["mean_reward_short"]
+    assert row["n_rollouts"] == len(_doc_ids(spark))
