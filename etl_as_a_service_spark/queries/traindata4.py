@@ -2822,3 +2822,199 @@ def q326_verbosity_bias(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q327 — off-policy evaluation (replay / IPS / SNIPS)
+# --------------------------------------------------------------------------
+OPE_CONTEXTS = 30
+OPE_ARMS = 5
+#: known logging propensities: arm 0 heavily favored
+OPE_P_LOG = (0.6, 0.1, 0.1, 0.1, 0.1)
+
+
+def _ope_oracle() -> str:
+    h = (
+        "CAST(('0x' || substr(md5('{salt}' || CAST({x} AS VARCHAR)),"
+        " 1, 8)) AS BIGINT)"
+    )
+    ha = h.format(salt="ba-", x="doc_id")
+    hn = h.format(salt="bn-", x="doc_id")
+    hb = h.format(salt="br-", x="c.ctx * {arms} + a.arm")
+    hb_row = h.format(
+        salt="br-", x=f"(doc_id % {OPE_CONTEXTS}) * {OPE_ARMS} + arm"
+    )
+    w_case = " ".join(
+        f"WHEN arm = {a} THEN 1.0 / {p}"
+        for a, p in enumerate(OPE_P_LOG)
+    )
+    return f"""
+    WITH logged AS (
+      SELECT doc_id, doc_id % {OPE_CONTEXTS} AS ctx,
+             CASE WHEN {ha} % 10 < 6 THEN 0
+                  ELSE 1 + {ha} % {OPE_ARMS - 1} END AS arm
+      FROM documents
+    ),
+    rewards AS (
+      SELECT doc_id, ctx, arm,
+             {hb_row} % 1000 + ({hn} % 101 - 50) AS r
+      FROM logged
+    ),
+    grid AS (
+      SELECT c.ctx, a.arm, {hb.format(arms=OPE_ARMS)} % 1000 AS base
+      FROM (SELECT DISTINCT ctx FROM logged) c,
+           unnest(range(0, {OPE_ARMS})) AS a(arm)
+    ),
+    target AS (
+      SELECT g.ctx,
+             min(CASE WHEN g.base = m.mx THEN g.arm END) AS pi_arm
+      FROM grid g
+      JOIN (SELECT ctx, max(base) AS mx FROM grid GROUP BY ctx) m
+        ON m.ctx = g.ctx
+      GROUP BY g.ctx
+    ),
+    truth AS (
+      SELECT avg(g.base * 1.0) AS true_value
+      FROM grid g JOIN target t
+        ON t.ctx = g.ctx AND t.pi_arm = g.arm
+    ),
+    scored AS (
+      SELECT r.r, r.arm,
+             CASE WHEN r.arm = t.pi_arm THEN 1 ELSE 0 END AS m,
+             CASE {w_case} END AS inv_p
+      FROM rewards r JOIN target t ON t.ctx = r.ctx
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_logged,
+           round(avg(r * 1.0), 6) AS naive_logged_mean,
+           round(avg(CASE WHEN m = 1 THEN r * 1.0 END), 6)
+             AS replay_estimate,
+           round(avg(r * m * inv_p), 6) AS ips_estimate,
+           round(sum(r * m * inv_p) / sum(m * inv_p), 6)
+             AS snips_estimate,
+           round((SELECT true_value FROM truth), 6) AS true_value
+    FROM scored
+    """
+
+
+@query(
+    "q327_offpolicy_eval",
+    oracle=_ope_oracle(),
+    tags=("eval", "bandit", "offpolicy", "operator"),
+)
+def q327_offpolicy_eval(spark, sf_dir):
+    """Off-policy evaluation (q327) — the replay / IPS / SNIPS
+    estimators every recsys/ads log pipeline runs before deploying a
+    new policy (Li et al. 2011; Swaminathan & Joachims 2015): logged
+    bandit feedback (context, arm, reward) under a KNOWN skewed
+    logging policy (arm 0 at 0.6, others 0.1) is used to estimate the
+    TARGET policy's value (argmax of the planted per-(context, arm)
+    base reward). Replay keeps matching rows; IPS reweights by the
+    inverse logging propensity (unbiased, high variance); SNIPS
+    self-normalizes (biased, low variance). The census also reports
+    the naive logged mean (biased toward the logging policy) and the
+    closed-form true value — pytest pins IPS/SNIPS near truth while
+    the naive mean is visibly off. Argmax per context uses the
+    deterministic (max base, then min arm) tie-break in both engines.
+
+    SCALE DESIGN: ONE full pass over the log joined against the
+    context-grain target frame (AQE broadcasts it when small — no
+    forced hint, context cardinality is unbounded in production); the
+    target policy derives from a contexts x arms grid aggregate.
+    Scalar summary aggregates only; no window."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ctx = did % OPE_CONTEXTS
+    ha = md5_hash64(did.cast("string"), "ba-")
+    arm = F.when(ha % 10 < 6, F.lit(0)).otherwise(
+        1 + ha % (OPE_ARMS - 1)
+    )
+    base_row = (
+        md5_hash64(
+            (ctx * OPE_ARMS + arm).cast("string"), "br-"
+        )
+        % 1000
+    )
+    noise = md5_hash64(did.cast("string"), "bn-") % 101 - 50
+    rewards = docs.select(
+        ctx.alias("ctx"),
+        arm.alias("arm"),
+        (base_row + noise).alias("r"),
+    )
+    grid = (
+        rewards.select("ctx")
+        .distinct()
+        .select(
+            "ctx", F.explode(F.sequence(F.lit(0), F.lit(OPE_ARMS - 1))).alias("arm")
+        )
+        .select(
+            "ctx",
+            "arm",
+            (
+                md5_hash64(
+                    (F.col("ctx") * OPE_ARMS + F.col("arm")).cast(
+                        "string"
+                    ),
+                    "br-",
+                )
+                % 1000
+            ).alias("base"),
+        )
+    )
+    mx = grid.groupBy("ctx").agg(F.max("base").alias("mx"))
+    target = (
+        grid.join(mx, "ctx")
+        .groupBy("ctx")
+        .agg(
+            F.min(
+                F.when(F.col("base") == F.col("mx"), F.col("arm"))
+            ).alias("pi_arm")
+        )
+    )
+    truth = (
+        grid.join(
+            target,
+            (grid.ctx == target.ctx) & (grid.arm == target.pi_arm),
+        )
+        .agg(F.avg(F.col("base") * 1.0).alias("true_value"))
+    )
+    inv_p = F.element_at(
+        F.array(*[F.lit(1.0 / p) for p in OPE_P_LOG]),
+        (F.col("arm") + 1).cast("int"),
+    )
+    scored = rewards.join(target, "ctx").select(
+        "r",
+        F.when(F.col("arm") == F.col("pi_arm"), 1)
+        .otherwise(0)
+        .alias("m"),
+        inv_p.alias("inv_p"),
+    )
+    return (
+        scored.agg(
+            F.count(F.lit(1)).cast("long").alias("n_logged"),
+            F.round(F.avg(F.col("r") * 1.0), 6).alias(
+                "naive_logged_mean"
+            ),
+            F.round(
+                F.avg(F.when(F.col("m") == 1, F.col("r") * 1.0)), 6
+            ).alias("replay_estimate"),
+            F.round(
+                F.avg(F.col("r") * F.col("m") * F.col("inv_p")), 6
+            ).alias("ips_estimate"),
+            F.round(
+                F.sum(F.col("r") * F.col("m") * F.col("inv_p"))
+                / F.sum(F.col("m") * F.col("inv_p")),
+                6,
+            ).alias("snips_estimate"),
+        )
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "n_logged",
+            "naive_logged_mean",
+            "replay_estimate",
+            "ips_estimate",
+            "snips_estimate",
+            F.round(F.col("true_value"), 6).alias("true_value"),
+        )
+    )

@@ -752,3 +752,20 @@ def test_q326_recovers_planted_slope(spark):
     assert row["verbosity_gap"] > 0
     assert row["mean_reward_long"] > row["mean_reward_short"]
     assert row["n_rollouts"] == len(_doc_ids(spark))
+
+
+# ---------------------------------------------------------------- q327
+def test_q327_estimators_beat_naive(spark):
+    """IPS and SNIPS land near the closed-form true value while the
+    naive logged mean is visibly biased toward the (skewed) logging
+    policy; replay agrees with SNIPS' direction."""
+    row = _run(spark, "q327_offpolicy_eval").collect()[0]
+    truth = row["true_value"]
+    naive_err = abs(row["naive_logged_mean"] - truth)
+    ips_err = abs(row["ips_estimate"] - truth)
+    snips_err = abs(row["snips_estimate"] - truth)
+    assert naive_err > 50       # target argmax >> average logged arm
+    assert snips_err < naive_err
+    assert ips_err < naive_err
+    assert snips_err < 80       # matched-subset noise at fixture n
+    assert row["n_logged"] == len(_doc_ids(spark))
