@@ -117,6 +117,7 @@ _ROTATE_FRONT = [
     "q325_log_parse",
     "q326_verbosity_bias",
     "q327_offpolicy_eval",
+    "q328_power_plan",
     "q60_string_extras",
     "q67_time_parts",
     "q69_lateral_topk",
@@ -139,7 +140,6 @@ _ROTATE_FRONT = [
     "q16_grouping_sets",
     "q17_stat_aggregates",
     "q18_percentiles",
-    "q19_collect_and_argminmax",
 ]
 
 

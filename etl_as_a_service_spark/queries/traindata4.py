@@ -3018,3 +3018,104 @@ def q327_offpolicy_eval(spark, sf_dir):
             F.round(F.col("true_value"), 6).alias("true_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q328 — experiment power planner (MDE / required n per stratum)
+# --------------------------------------------------------------------------
+Z_ALPHA_2 = 1.959964  # two-sided 5%
+Z_POWER = 0.841621    # 80% power
+MDE_TARGET = 0.05
+
+
+def _power_plan_oracle() -> str:
+    h = (
+        "CAST(('0x' || substr(md5('cv-' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8)) AS BIGINT)"
+    )
+    zsum = Z_ALPHA_2 + Z_POWER
+    return f"""
+    WITH conv AS (
+      SELECT source,
+             CASE WHEN {h} % 1000
+                  < 100 + 15 * (CAST(regexp_extract(source,
+                      '([0-9]+)$', 1) AS BIGINT) % 10)
+               THEN 1 ELSE 0 END AS c
+      FROM documents
+    ),
+    per AS (
+      SELECT source, count(*) AS n, sum(c) AS k FROM conv
+      GROUP BY source
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n,
+           round(k * 1.0 / n, 6) AS base_rate,
+           round({zsum} * sqrt(2.0 * (k * 1.0 / n)
+                 * (1 - k * 1.0 / n) / (n / 2.0)), 6)
+             AS mde_at_current_n,
+           CAST(ceil(2.0 * (k * 1.0 / n) * (1 - k * 1.0 / n)
+                * ({zsum} / {MDE_TARGET}) * ({zsum} / {MDE_TARGET}))
+                AS BIGINT) AS n_per_arm_for_mde5,
+           n / 2.0 >= 2.0 * (k * 1.0 / n) * (1 - k * 1.0 / n)
+             * ({zsum} / {MDE_TARGET}) * ({zsum} / {MDE_TARGET})
+             AS powered_at_mde5
+    FROM per ORDER BY source
+    """
+
+
+@query(
+    "q328_power_plan",
+    oracle=_power_plan_oracle(),
+    tags=("stats", "experiment", "planning", "operator"),
+)
+def q328_power_plan(spark, sf_dir):
+    """Experiment power planner (q328) — the question every A/B test
+    must answer BEFORE launch (the planning complement to the q164
+    Welch readout and the q208 SPRT monitor): at the stratum's base
+    conversion rate, what's the minimum detectable effect with the
+    current n split into two arms (MDE = (z_a/2 + z_beta) *
+    sqrt(2 p (1-p) / (n/2))), and how many per-arm samples would a
+    5-point MDE need? z quantiles are LITERAL constants (1.959964 /
+    0.841621 — no inverse-CDF libm call), so everything downstream
+    of the integer counts is plain +,*,/,sqrt — deterministic in
+    both engines. Conversion bits are planted per source (10%..23.5%
+    by source number) so the plan varies by stratum. A DEGENERATE
+    stratum (observed p exactly 0 or 1) reports zero variance, zero
+    required n, and a vacuous powered flag — the planner surfaces it
+    rather than dividing around it (pytest pins the case).
+
+    SCALE DESIGN: one map-only derivation + ONE source-grain
+    aggregate with map-side partials; per-group closed-form
+    arithmetic after that. No join, no window."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    srcnum = F.regexp_extract(F.col("source"), "([0-9]+)$", 1).cast(
+        "long"
+    )
+    c = F.when(
+        md5_hash64(did, "cv-") % 1000 < 100 + 15 * (srcnum % 10), 1
+    ).otherwise(0)
+    per = docs.select("source", c.alias("c")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("k")
+    )
+    zsum = Z_ALPHA_2 + Z_POWER
+    p = F.col("k") * 1.0 / F.col("n")
+    var2 = 2.0 * p * (1 - p)
+    n_req = F.ceil(
+        var2 * (zsum / MDE_TARGET) * (zsum / MDE_TARGET)
+    )
+    return per.select(
+        "source",
+        F.col("n").cast("long").alias("n"),
+        F.round(p, 6).alias("base_rate"),
+        F.round(
+            zsum * F.sqrt(var2 / (F.col("n") / 2.0)), 6
+        ).alias("mde_at_current_n"),
+        n_req.cast("long").alias("n_per_arm_for_mde5"),
+        (
+            F.col("n") / 2.0
+            >= var2 * (zsum / MDE_TARGET) * (zsum / MDE_TARGET)
+        ).alias("powered_at_mde5"),
+    ).orderBy("source")

@@ -769,3 +769,35 @@ def test_q327_estimators_beat_naive(spark):
     assert ips_err < naive_err
     assert snips_err < 80       # matched-subset noise at fixture n
     assert row["n_logged"] == len(_doc_ids(spark))
+
+
+# ---------------------------------------------------------------- q328
+def test_q328_power_arithmetic_reference(spark):
+    """The MDE and required-n columns equal a pure-python reference at
+    each stratum's actual counts; required n shrinks as p leaves 0.5
+    and the powered flag is consistent with the comparison."""
+    import math
+
+    from etl_as_a_service_spark.queries.traindata4 import (
+        MDE_TARGET,
+        Z_ALPHA_2,
+        Z_POWER,
+    )
+
+    pdf = _run(spark, "q328_power_plan").toPandas()
+    zsum = Z_ALPHA_2 + Z_POWER
+    for r in pdf.itertuples():
+        p = r.base_rate
+        mde = zsum * math.sqrt(2 * p * (1 - p) / (r.n / 2.0))
+        assert abs(r.mde_at_current_n - round(mde, 6)) < 2e-6
+        n_req = math.ceil(2 * p * (1 - p) * (zsum / MDE_TARGET) ** 2)
+        assert abs(r.n_per_arm_for_mde5 - n_req) <= 1
+        assert bool(r.powered_at_mde5) == (r.n / 2.0 >= n_req - 1)
+    # fixture strata are far too small for a 5-point MDE — except
+    # DEGENERATE strata (p in {0,1}: zero variance -> required n 0,
+    # vacuously powered), which the planner must surface, not hide
+    nondeg = pdf[(pdf.base_rate > 0) & (pdf.base_rate < 1)]
+    assert not nondeg.powered_at_mde5.any()
+    assert (nondeg.mde_at_current_n > MDE_TARGET).all()
+    deg = pdf[(pdf.base_rate == 0) | (pdf.base_rate == 1)]
+    assert (deg.n_per_arm_for_mde5 == 0).all()
