@@ -118,6 +118,7 @@ _ROTATE_FRONT = [
     "q326_verbosity_bias",
     "q327_offpolicy_eval",
     "q328_power_plan",
+    "q329_srm_audit",
     "q60_string_extras",
     "q67_time_parts",
     "q69_lateral_topk",
@@ -139,7 +140,6 @@ _ROTATE_FRONT = [
     "q15_distinct_users_per_type",
     "q16_grouping_sets",
     "q17_stat_aggregates",
-    "q18_percentiles",
 ]
 
 

@@ -3119,3 +3119,102 @@ def q328_power_plan(spark, sf_dir):
             >= var2 * (zsum / MDE_TARGET) * (zsum / MDE_TARGET)
         ).alias("powered_at_mde5"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# q329 — sample-ratio-mismatch (SRM) audit
+# --------------------------------------------------------------------------
+SRM_EXPERIMENTS = 8
+SRM_BROKEN_EXP = 3
+SRM_CHI2_CRIT = 3.841459  # chi-square df=1, alpha 5% (literal)
+
+
+def _srm_oracle() -> str:
+    h = (
+        "CAST(('0x' || substr(md5('srm-' || CAST(doc_id % "
+        f"{SRM_EXPERIMENTS} AS VARCHAR) || '-' || "
+        "CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    )
+    return f"""
+    WITH assigned AS (
+      SELECT doc_id % {SRM_EXPERIMENTS} AS experiment,
+             CASE WHEN doc_id % {SRM_EXPERIMENTS} = {SRM_BROKEN_EXP}
+               THEN CASE WHEN {h} % 10 < 3 THEN 0 ELSE 1 END
+               ELSE {h} % 2 END AS arm
+      FROM documents
+    ),
+    per AS (
+      SELECT experiment, count(*) AS n,
+             count_if(arm = 0) AS n_a, count_if(arm = 1) AS n_b
+      FROM assigned GROUP BY experiment
+    )
+    SELECT CAST(experiment AS BIGINT) AS experiment,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round((n_a - n_b) * (n_a - n_b) * 1.0 / n, 6) AS chi2,
+           (n_a - n_b) * (n_a - n_b) * 1.0 / n > {SRM_CHI2_CRIT}
+             AS srm_flag
+    FROM per ORDER BY experiment
+    """
+
+
+@query(
+    "q329_srm_audit",
+    oracle=_srm_oracle(),
+    tags=("stats", "experiment", "quality", "operator"),
+)
+def q329_srm_audit(spark, sf_dir):
+    """Sample-ratio-mismatch audit (q329) — the most common silent
+    A/B-test failure in practice (Fabijan et al. 2019: ~6% of
+    experiments ship with broken assignment): under an intended 50/50
+    split, the 1-df chi-square goodness-of-fit statistic reduces to
+    (n_a - n_b)^2 / n — integer counts, one division, deterministic
+    in both engines — and any experiment exceeding the literal 3.841
+    critical value is flagged before its readout can be trusted. One
+    experiment is planted BROKEN (30/70 assignment); pytest pins that
+    it is flagged with the maximum statistic while the corpus-level
+    false-flag set is exactly reproduced. Completes the experiment
+    family: q328 plans power, q329 gates validity, q164/q183 read
+    out, q208 monitors sequentially.
+
+    SCALE DESIGN: map-only assignment + ONE experiment-grain
+    aggregate with map-side partials; closed-form arithmetic after.
+    No join, no window."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    exp = did % SRM_EXPERIMENTS
+    h = md5_hash64(
+        F.concat(
+            F.lit("srm-"),
+            exp.cast("string"),
+            F.lit("-"),
+            did.cast("string"),
+        ),
+        "",
+    )
+    arm = F.when(
+        exp == SRM_BROKEN_EXP,
+        F.when(h % 10 < 3, 0).otherwise(1),
+    ).otherwise(h % 2)
+    per = (
+        docs.select(exp.alias("experiment"), arm.alias("arm"))
+        .groupBy("experiment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("arm") == 0).alias("n_a"),
+            F.count_if(F.col("arm") == 1).alias("n_b"),
+        )
+    )
+    d = F.col("n_a") - F.col("n_b")
+    chi2 = d * d * 1.0 / F.col("n")
+    return per.select(
+        F.col("experiment").cast("long").alias("experiment"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > SRM_CHI2_CRIT).alias("srm_flag"),
+    ).orderBy("experiment")

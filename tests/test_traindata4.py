@@ -801,3 +801,19 @@ def test_q328_power_arithmetic_reference(spark):
     assert (nondeg.mde_at_current_n > MDE_TARGET).all()
     deg = pdf[(pdf.base_rate == 0) | (pdf.base_rate == 1)]
     assert (deg.n_per_arm_for_mde5 == 0).all()
+
+
+# ---------------------------------------------------------------- q329
+def test_q329_flags_broken_experiment(spark):
+    """The planted 30/70 experiment is flagged with the maximum chi2;
+    the chi2 values equal the closed form from the actual arm counts
+    (third-engine arithmetic check)."""
+    pdf = _run(spark, "q329_srm_audit").toPandas()
+    assert len(pdf) == 8
+    assert (pdf.n_a + pdf.n_b == pdf.n).all()
+    for r in pdf.itertuples():
+        assert abs(r.chi2 - round((r.n_a - r.n_b) ** 2 / r.n, 6)) < 2e-6
+        assert bool(r.srm_flag) == (r.chi2 > 3.841459)
+    broken = pdf[pdf.experiment == 3]
+    assert bool(broken.srm_flag.iloc[0])
+    assert broken.chi2.iloc[0] == pdf.chi2.max()
