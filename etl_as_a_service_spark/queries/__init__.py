@@ -67,16 +67,17 @@ from etl_as_a_service_spark.queries import traindata2  # noqa: E402,F401
 from etl_as_a_service_spark.queries import traindata3  # noqa: E402,F401
 from etl_as_a_service_spark.queries import traindata4  # noqa: E402,F401
 
-# Driver-gate rotation (round 9): the external driver records
+# Driver-gate rotation (round 10): the external driver records
 # CORRECTNESS rows for the FIRST 50 manifest entries only. The
-# never-driver-green backlog emptied in round 8, so the policy is now
+# never-driver-green backlog emptied in round 8, so the policy is
 # FRESHNESS (the round-8 verdict's item 1): lead with every
-# never-green oracle query in ascending order (this round's new
-# operators, q297-q322), then fill with the LEAST-RECENTLY-confirmed
-# rows — q60/q67/q69/q70 (last green r1), then q01+ (last green r2),
-# whose receipts predate the heavy keeper/checkpoint/ANSI refactors.
-# The manifest CONTENT is unchanged — only dict iteration order
-# moves. The tripwire
+# never-green oracle query in ascending order (none this round — all
+# 316 oracle queries have a green driver row), then fill with the
+# LEAST-RECENTLY-confirmed rows. After CORRECTNESS_r09 re-confirmed
+# q297-q329 + q60/q67/q69/q70 + q01-q13, the stalest receipts are the
+# r2-era block q14-q39/q50-q57/q68/q75 and the r3-era block
+# q81-q108 — this window refreshes them oldest-first. The manifest
+# CONTENT is unchanged — only dict iteration order moves. The tripwire
 # (tests/test_driver_canonicalizer.py::test_front_50_rotation_invariants)
 # computes this exact window from the CORRECTNESS_r*.json union.
 #
@@ -86,60 +87,56 @@ from etl_as_a_service_spark.queries import traindata4  # noqa: E402,F401
 # its driver row; the real gates are their pytest recall/content
 # tests.
 _ROTATE_FRONT = [
-    "q297_pii_census",
-    "q298_packing_efficiency_audit",
-    "q299_bradley_terry",
-    "q300_epoch_budget_plan",
-    "q301_chat_structure_audit",
-    "q302_ngram_novelty",
-    "q303_label_propagation",
-    "q304_url_domain_census",
-    "q305_position_bias_audit",
-    "q306_canonical_url_dedup",
-    "q307_paragraph_dedup_census",
-    "q308_doremi_mixture",
-    "q309_reader_shard_mix",
-    "q310_grpo_group_advantage",
-    "q311_encoding_anomaly_census",
-    "q312_fim_plan",
-    "q313_best_of_n_yield",
-    "q314_pass_at_k",
-    "q315_theil_sen_trend",
-    "q316_code_quality_flags",
-    "q317_canary_census",
-    "q318_mann_kendall",
-    "q319_entropy_patch_plan",
-    "q320_fragment_stitching",
-    "q321_randomized_response",
-    "q322_importance_ess",
-    "q323_soft_dedup_weights",
-    "q324_output_layout_plan",
-    "q325_log_parse",
-    "q326_verbosity_bias",
-    "q327_offpolicy_eval",
-    "q328_power_plan",
-    "q329_srm_audit",
-    "q60_string_extras",
-    "q67_time_parts",
-    "q69_lateral_topk",
-    "q70_group_by_all",
-    "q01_pricing_summary",
-    "q02_top_parts_by_revenue",
-    "q03_revenue_by_region_nation",
-    "q04_customers_with_fulfilled_orders",
-    "q05_customers_without_big_orders",
-    "q06_nation_set_ops",
-    "q07_rollup_returns",
-    "q08_cube_order_status",
-    "q09_order_price_buckets",
-    "q10_quantity_band_join",
-    "q11_distinct_flag_status",
-    "q12_null_order_pagination",
-    "q13_big_customers_having",
     "q14_event_type_pivot",
     "q15_distinct_users_per_type",
     "q16_grouping_sets",
     "q17_stat_aggregates",
+    "q18_percentiles",
+    "q19_collect_and_argminmax",
+    "q20_string_functions",
+    "q21_date_functions",
+    "q22_math_functions",
+    "q23_conditional_nulls",
+    "q24_hash_functions",
+    "q25_json_extraction",
+    "q26_array_functions",
+    "q27_explode_word_count",
+    "q28_struct_map_roundtrip",
+    "q29_session_windows_batch",
+    "q30_order_ranks",
+    "q31_event_lag_lead",
+    "q32_frame_aggregates",
+    "q33_first_last_window",
+    "q34_top3_orders_per_customer",
+    "q35_asof_last_purchase",
+    "q36_multiset_ops",
+    "q37_union_by_name",
+    "q38_approx_count_distinct",
+    "q39_correlated_subqueries",
+    "q50_posexplode_tokens",
+    "q51_interval_arithmetic",
+    "q52_try_cast",
+    "q53_ilike_rlike",
+    "q56_array_ops",
+    "q57_csv_scan_parity",
+    "q68_interval_range_frames",
+    "q75_skew_kurtosis",
+    "q81_tumbling_windows_batch",
+    "q82_asof_forward_next_purchase",
+    "q83_resample_gap_fill",
+    "q88_tfidf_top_terms",
+    "q89_repetition_scores",
+    "q90_stratified_sample",
+    "q92_document_chunking",
+    "q93_top_bigrams",
+    "q95_incremental_dedup",
+    "q96_event_conversion_funnel",
+    "q97_percentile_trim",
+    "q99_ewma_per_user",
+    "q101_fuzzy_nation_match",
+    "q102_pii_scan_report",
+    "q103_banded_range_join",
+    "q108_weighted_sample",
 ]
 
 
