@@ -271,7 +271,11 @@ def registrable_domain(host: Column) -> Column:
 URL_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 URL_HOSTPORT_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 URL_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
-URL_QUERY_RE = r"\?([^#]*)"
+#: scheme-anchored and restricted to the PRE-fragment section: only a
+#: '?' appearing before any '#' starts the query, so fragment text
+#: (https://x.com/p#a?b=1) can never leak into the canonical query
+#: string (round-10 ADVICE).
+URL_QUERY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\?([^#]*)"
 #: tracking parameters stripped during URL canonicalization
 TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "ref=")
 

@@ -972,11 +972,24 @@ def _apply_step(
         # additionally keeps ONE row per canonical URL (min id_col
         # survivor: a URL-grain aggregate + equi-join, the exact-dedup
         # shape). Stream-safe without dedup; dedup needs a batch frame.
-        from etl_as_a_service_spark.functions.text import canonical_url
+        # Unparseable input is PASSED THROUGH, never collapsed: a URL
+        # with no scheme (relative / protocol-relative) or a NULL URL
+        # gets a NULL canonical form and is excluded from the dedup
+        # grain — otherwise every such row would canonicalize to the
+        # same degenerate ':///' string and mass-collapse to one
+        # min-id survivor (round-10 ADVICE).
+        from etl_as_a_service_spark.functions.text import (
+            URL_SCHEME_RE,
+            canonical_url,
+        )
 
         out_col = step.get("out_col", "canonical_url")
+        url = F.col(_req(step, "url_col"))
+        parseable = url.isNotNull() & (
+            F.regexp_extract(url, URL_SCHEME_RE, 1) != ""
+        )
         out = df.withColumn(
-            out_col, canonical_url(F.col(_req(step, "url_col")))
+            out_col, F.when(parseable, canonical_url(url))
         )
         if step.get("dedup", False):
             if df.isStreaming:
@@ -986,12 +999,19 @@ def _apply_step(
                     "for streams"
                 )
             id_col = _req(step, "id_col")
-            groups = out.groupBy(out_col).agg(
-                F.min(id_col).alias("__keep_id")
+            groups = (
+                out.filter(F.col(out_col).isNotNull())
+                .groupBy(out_col)
+                .agg(F.min(id_col).alias("__keep_id"))
             )
+            # left join: NULL-canonical rows match no group and keep
+            # a NULL __keep_id -> kept by the is-null branch below
             out = (
-                out.join(groups, out_col)
-                .filter(F.col(id_col) == F.col("__keep_id"))
+                out.join(groups, out_col, "left")
+                .filter(
+                    F.col("__keep_id").isNull()
+                    | (F.col(id_col) == F.col("__keep_id"))
+                )
                 .drop("__keep_id")
             )
         return out
@@ -1046,7 +1066,11 @@ def _apply_step(
         # count (mojibake shapes, U+FFFD, C0 controls — the q311
         # census patterns) exceeds max_hits; count_col instead
         # APPENDS the count without filtering. Map-only regexp_count
-        # chain: zero shuffle, stream-safe.
+        # chain: zero shuffle, stream-safe. A NULL text has zero
+        # anomalies — regexp_count(NULL) is NULL, which would
+        # silently drop the row from the filter form and yield a
+        # NULL count from the count_col form (round-10 ADVICE), so
+        # the total is coalesced to 0.
         from etl_as_a_service_spark.functions.text import (
             ENCODING_ANOMALY_PATTERNS,
         )
@@ -1056,6 +1080,7 @@ def _apply_step(
         for pat in ENCODING_ANOMALY_PATTERNS.values():
             c = F.regexp_count(F.col(text_col), F.lit(pat))
             total = c if total is None else total + c
+        total = F.coalesce(total, F.lit(0))
         count_col = step.get("count_col")
         if count_col:
             return df.withColumn(count_col, total.cast("long"))

@@ -1978,6 +1978,20 @@ def q319_entropy_patch_plan(spark, sf_dir):
     boundary differently (the q252 lattice discipline applied to a
     window).
 
+    ACCEPTED RESIDUAL RISK (round-10 ADVICE): unlike the repo's
+    pow/exp-free queries (q308/q314), surprisal here IS a libm ln on
+    both engines (java.lang.Math.log vs C libm log). The 1e-6
+    pre-rounding absorbs ordinary cross-engine noise, but a 1-ulp ln
+    divergence landing EXACTLY on a .5e-6 rounding boundary would
+    round to different grid points and could shift a floor() patch
+    boundary on some future fixture. Accepted because (a) no
+    boundary-straddling value exists in any current fixture (the
+    oracle sweep is green at sf0.001/0.01/0.1), and (b) every
+    rational proxy considered either reintroduces the same libm
+    dependence (log1p/exp) or abandons the -ln p semantics the
+    operator is documenting. If q319 ever mismatches on a fresh
+    fixture, suspect this first: diff the per-token `s` grids.
+
     SCALE DESIGN: one posexplode pass; the vocab join is
     token-hash-grain (aggregated before the join — the q224 unigram
     shape); the cumulative window partitions by doc_id (parallel

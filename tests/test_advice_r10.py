@@ -1,0 +1,145 @@
+"""Round-10 ADVICE regression tests — each was RED on the pre-fix tree
+(receipts in README round-10 section).
+
+1. canonical_url pipeline op with dedup=true must NOT mass-delete
+   unparseable input: scheme-less URLs (relative / protocol-relative)
+   all canonicalized to the degenerate ':///' and collapsed to one
+   min-id survivor, and NULL urls were dropped outright by the
+   null-unsafe inner join back.
+2. encoding_gate must treat NULL-text rows as zero-hit:
+   regexp_count(NULL) is NULL, so the filter form silently dropped
+   them and the count_col form returned NULL instead of 0.
+3. URL_QUERY_RE must be anchored to the pre-fragment section: a '?'
+   inside the fragment (https://x.com/p#a?b=1) leaked fragment text
+   into the canonical query string even though the fragment is
+   supposed to be stripped.
+4. q319's libm-ln dependence is accepted-and-documented (the advice's
+   explicit fallback): the docstring must name the residual 1-ulp /
+   rounding-boundary risk so a future fixture failure is diagnosable.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.plans.pipeline import _apply_step
+
+REPO = pathlib.Path("/root/repo")
+
+
+def test_canonical_url_dedup_passes_through_unparseable_urls(spark):
+    """Rows whose URL has no scheme (relative or protocol-relative)
+    or is NULL get a NULL canonical form and are EXCLUDED from dedup
+    (passed through), instead of collapsing to one ':///' survivor /
+    vanishing through the join."""
+    df = spark.createDataFrame(
+        [
+            (1, "https://example.com/a"),
+            (2, "https://www.example.com/a/"),  # true dup of 1
+            (3, "/relative/path"),
+            (4, "//proto-relative.example.com/x"),
+            (5, None),
+        ],
+        "doc_id long, url string",
+    )
+    out = _apply_step(
+        spark,
+        df,
+        {
+            "op": "canonical_url",
+            "url_col": "url",
+            "out_col": "curl",
+            "dedup": True,
+            "id_col": "doc_id",
+        },
+    )
+    rows = {r["doc_id"]: r["curl"] for r in out.collect()}
+    # dup pair collapsed to the min-id survivor…
+    assert 1 in rows and 2 not in rows, rows
+    assert rows[1] == "https://example.com/a"
+    # …and every unparseable row passes through with a NULL canonical
+    assert set(rows) == {1, 3, 4, 5}, rows
+    assert rows[3] is None and rows[4] is None and rows[5] is None
+
+
+def test_canonical_url_append_nulls_unparseable(spark):
+    """The append (dedup=false) form also yields NULL — not a
+    degenerate ':///…' string — for scheme-less or NULL URLs."""
+    df = spark.createDataFrame(
+        [(1, "ftp://host/f"), (2, "no scheme here"), (3, None)],
+        "doc_id long, url string",
+    )
+    out = _apply_step(
+        spark,
+        df,
+        {"op": "canonical_url", "url_col": "url", "out_col": "curl"},
+    )
+    rows = {r["doc_id"]: r["curl"] for r in out.collect()}
+    assert rows[1] == "ftp://host/f"
+    assert rows[2] is None and rows[3] is None
+    assert set(rows) == {1, 2, 3}
+
+
+def test_encoding_gate_null_text_is_zero_hit(spark):
+    """A NULL-text row has zero encoding anomalies: the filter form
+    keeps it and the count_col form reports 0 (not NULL)."""
+    df = spark.createDataFrame(
+        [(1, "clean text"), (2, None), (3, "mojibake \x07 here")],
+        "doc_id long, text string",
+    )
+    kept = _apply_step(
+        spark,
+        df,
+        {"op": "encoding_gate", "text_col": "text", "max_hits": 0},
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2}
+
+    counted = _apply_step(
+        spark,
+        df,
+        {"op": "encoding_gate", "text_col": "text",
+         "count_col": "anomalies"},
+    )
+    counts = {r["doc_id"]: r["anomalies"] for r in counted.collect()}
+    assert counts == {1: 0, 2: 0, 3: 1}, counts
+
+
+def test_canonical_url_fragment_question_mark_not_a_query(spark):
+    """A '?' that first appears inside the fragment must not smuggle
+    fragment text into the canonical query string; a real query
+    before the fragment still survives."""
+    from etl_as_a_service_spark.functions.text import canonical_url
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://x.com/p#a?b=1"),
+            (2, "https://x.com/p?a=1#frag?b=2"),
+            (3, "https://x.com/p?a=1&utm_source=s"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {
+        r["doc_id"]: r["curl"]
+        for r in df.select(
+            "doc_id", canonical_url(F.col("url")).alias("curl")
+        ).collect()
+    }
+    assert rows[1] == "https://x.com/p", rows
+    assert rows[2] == "https://x.com/p?a=1", rows
+    assert rows[3] == "https://x.com/p?a=1", rows
+
+
+def test_q319_documents_libm_residual_risk():
+    """The advice's accept-and-document fallback: the q319 docstring
+    must name the cross-engine libm-ln risk and the rounding-boundary
+    caveat explicitly, so a future oracle mismatch points here."""
+    from etl_as_a_service_spark.queries.traindata4 import (
+        q319_entropy_patch_plan,
+    )
+
+    doc = q319_entropy_patch_plan.__doc__
+    assert "libm" in doc and "ulp" in doc, (
+        "q319 docstring must document the residual libm/ulp risk"
+    )
