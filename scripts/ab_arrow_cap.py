@@ -1,0 +1,83 @@
+"""Same-process A/B: Arrow maxRecordsPerBatch 512 (round-9 engine cap)
+vs 10000 (Spark default) on the kernel-heavy Pandas-UDF queries the
+round-9 verdict flagged as most-inflated (What's wrong #3).
+
+Protocol (the only valid one on this host — single-shot timings vary
+~3x with load): ONE process, warm-up pass, then per query 3
+INTERLEAVED (A, B) pairs; report min-of-3 per arm. The conf is a
+runtime SQL conf, so toggling it between actions needs no new session.
+
+Usage: python scripts/ab_arrow_cap.py [sf_dir] [queries...]
+Prints one JSON line: {query: {"cap512": s, "cap10000": s, "ratio": r}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CAP_A = "512"
+CAP_B = "10000"
+DEFAULT_QUERIES = [
+    "q45_cosine_topk",
+    "q146_dsir_selection",
+    "q235_kmeans_clusters",
+    "q237_embedding_hygiene",
+    "q252_logistic_hash_clf",
+    "q262_holdout_eval",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    names = sys.argv[2:] or DEFAULT_QUERIES
+
+    from etl_as_a_service_spark.session import build_session
+    from etl_as_a_service_spark.queries import QUERIES
+
+    spark = build_session(app_name="ab-arrow-cap")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+    def run(name: str, cap: str) -> float:
+        spark.conf.set(key, cap)
+        t0 = time.monotonic()
+        QUERIES[name].fn(spark, sf_dir).collect()
+        return time.monotonic() - t0
+
+    # calibration probe: same shape bench.py uses, for cross-run
+    # comparability of host conditions
+    t0 = time.monotonic()
+    spark.range(0, 200_000_000, 1, 32).selectExpr(
+        "sum(id * 2) as s"
+    ).collect()
+    calibration = time.monotonic() - t0
+
+    results: dict[str, dict[str, float]] = {}
+    for name in names:
+        run(name, CAP_A)  # warm-up (plans compile, caches fill)
+        a_times, b_times = [], []
+        for _ in range(3):
+            a_times.append(run(name, CAP_A))
+            b_times.append(run(name, CAP_B))
+        a, b = min(a_times), min(b_times)
+        results[name] = {
+            "cap512": round(a, 3),
+            "cap10000": round(b, 3),
+            "ratio_512_over_10000": round(a / b, 3),
+        }
+        print(f"# {name}: 512={a:.3f}s 10000={b:.3f}s "
+              f"ratio={a / b:.2f}", file=sys.stderr)
+
+    print(json.dumps({
+        "calibration_sec": round(calibration, 3),
+        "sf_dir": sf_dir,
+        "results": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
