@@ -141,6 +141,11 @@ HEADLINE_TRAINDATA = [
     # of q306-q311 — corpus paragraph explode + hash-grain dup join).
     # Subtotal grows by one entry vs earlier r9 runs.
     "q307_paragraph_dedup_census",
+    # round-10 addition: the composed 9-stage curation pipeline (the
+    # only multi-stage entry — regressions in cross-stage planning are
+    # invisible to per-operator timings). Subtotal grows by one entry
+    # vs r9; per-entry timings stay comparable.
+    "q330_curation_pipeline_e2e",
 ]
 
 #: round-6 addition to the lakehouse subtotal: the stats-based file

@@ -479,9 +479,25 @@ def _apply_step(
         # {"op":"pack","id_col":"doc_id","token_col":"nt",
         #  "token_budget":2048,"n_shards":16} — contiguous sequence
         # packing (llm/curation.pack_sequences); adds shard/bin/
-        # tokens_before, one per-shard window shuffle
+        # tokens_before, one per-shard window shuffle. shard_hex=true
+        # swaps the default xxhash64 shard id for the first md5 hex
+        # digit of (salt || id) — 16 shards, reproducible in ANY
+        # engine with md5 (the q78 portability recipe); use it when a
+        # run must be re-derivable outside Spark.
         from etl_as_a_service_spark.llm.curation import pack_sequences
 
+        shard_col = None
+        if step.get("shard_hex", False):
+            shard_col = F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(step.get("salt", "pack-v1")),
+                        F.col(_req(step, "id_col")).cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
         return pack_sequences(
             df,
             id_col=_req(step, "id_col"),
@@ -489,6 +505,7 @@ def _apply_step(
             token_budget=int(_req(step, "token_budget")),
             n_shards=int(step.get("n_shards", 16)),
             salt=step.get("salt", "pack-v1"),
+            shard_col=shard_col,
         )
     if op == "split":
         # {"op":"split","id_col":"doc_id",
@@ -559,17 +576,24 @@ def _apply_step(
     if op == "near_dedup_keep_best":
         # {"op":"near_dedup_keep_best","text_col":"text","id_col":
         #  "doc_id","quality_col":"n_chars","threshold":0.5} —
-        # per-cluster best-quality survivor table
+        # per-cluster best-quality survivor table. keep_rows=true
+        # instead semi-joins the survivor ids back onto the input
+        # frame (ALL columns preserved), so the op composes
+        # mid-chain — the round-10 e2e curation rehearsal shape.
         from etl_as_a_service_spark.llm.dedup import near_dedup_keep_best
 
-        return near_dedup_keep_best(
+        id_col = _req(step, "id_col")
+        surv = near_dedup_keep_best(
             df,
             text_col=_req(step, "text_col"),
-            id_col=_req(step, "id_col"),
+            id_col=id_col,
             quality_col=_req(step, "quality_col"),
             n=int(step.get("n", 3)),
             threshold=float(step.get("threshold", 0.5)),
         )
+        if step.get("keep_rows", False):
+            return df.join(surv.select(id_col), id_col, "semi")
+        return surv
     if op == "leakage_safe_split":
         # {"op":"leakage_safe_split","text_col":"text","id_col":
         #  "doc_id","weights":{"train":0.9,...}} — cluster-keyed split

@@ -66,6 +66,7 @@ from etl_as_a_service_spark.queries import traindata  # noqa: E402,F401
 from etl_as_a_service_spark.queries import traindata2  # noqa: E402,F401
 from etl_as_a_service_spark.queries import traindata3  # noqa: E402,F401
 from etl_as_a_service_spark.queries import traindata4  # noqa: E402,F401
+from etl_as_a_service_spark.queries import traindata5  # noqa: E402,F401
 
 # Driver-gate rotation (round 10): the external driver records
 # CORRECTNESS rows for the FIRST 50 manifest entries only. The
@@ -87,6 +88,8 @@ from etl_as_a_service_spark.queries import traindata4  # noqa: E402,F401
 # its driver row; the real gates are their pytest recall/content
 # tests.
 _ROTATE_FRONT = [
+    # never-green leads (round-10 new operator)
+    "q330_curation_pipeline_e2e",
     "q14_event_type_pivot",
     "q15_distinct_users_per_type",
     "q16_grouping_sets",
@@ -136,7 +139,6 @@ _ROTATE_FRONT = [
     "q101_fuzzy_nation_match",
     "q102_pii_scan_report",
     "q103_banded_range_join",
-    "q108_weighted_sample",
 ]
 
 

@@ -1,0 +1,401 @@
+"""Round-10 composition proof (q330): ONE declarative pipeline spec
+chaining the curation stages end-to-end — canonical-URL dedup →
+paragraph (boilerplate) dedup → encoding gate → Gopher quality gate →
+benchmark decontamination → PII redaction → temperature mixture
+sampling → sequence packing — compiled by ``plans.pipeline`` into a
+single Catalyst plan and oracle-checked against a DuckDB CTE chain
+that re-derives every stage.
+
+This is the reference's actual contract ("run a whole user pipeline",
+`app/routes.py:96-135` trigger + poll), exercised as ONE plan rather
+than as isolated per-operator queries: cross-stage plan pathologies
+(filter pushdown through appended columns, AQE over a 9-stage DAG,
+join placement between gates) only show up here.
+
+Every stage's semantics are the SAME engine functions the per-operator
+queries test (q306/q307/q311/q158/q85/q297/q147/q78), with the same
+cross-engine discipline: shared-verbatim regex patterns (Java ∩ RE2),
+md5-uniform sampling, integer aggregates cast to BIGINT, no
+engine-internal tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401 (spec language only)
+
+from etl_as_a_service_spark.functions.text import (
+    ENCODING_ANOMALY_PATTERNS,
+    TRACKING_PREFIXES,
+    URL_HOSTPORT_RE,
+    URL_PATH_RE,
+    URL_QUERY_RE,
+    URL_SCHEME_RE,
+)
+from etl_as_a_service_spark.llm.redact import PII_PATTERNS, redaction_token
+from etl_as_a_service_spark.queries import query
+
+# Planted fixtures (shared verbatim between the Spark spec SQL and the
+# DuckDB oracle — the cross-engine contract is on the literal strings):
+#: boilerplate paragraph appended to every doc_id % 5 == 0 doc — its
+#: own text stays a unique paragraph, so dup_frac = 1/2 >= 0.5 excises
+BOILER = "ALL RIGHTS RESERVED SUBSCRIBE TO OUR NEWSLETTER"
+#: latin1-mojibake tail for doc_id % 9 == 0 (the q311 plant)
+MOJIBAKE = " menu cafÃ© today"
+#: PII tail for doc_id % 11 == 0 (email + SSN-shaped, the q297 shapes)
+PII_PLANT = " contact alice@example.com or 555-12-3456 now"
+#: decontamination: eval holdout = raw docs with doc_id % 10 == 7.
+#: The fixture corpus draws from a FIXED vocabulary, so the holdout's
+#: 3-gram set saturates the space as SF grows (at sf0.1 containment
+#: >= 0.2 would flag 2499/2500 train docs — pure vocabulary overlap,
+#: not leakage); 0.8 targets near-verbatim leakage (the planted exact
+#: duplicates) and stays selective at every SF.
+DECON_THRESHOLD = 0.8
+TMIX_BUDGET = 150
+PACK_BUDGET = 512
+
+
+def _plant_sql() -> str:
+    """Stage 1 (Spark SQL dialect): synthesize a raw-crawl frame —
+    near-duplicate URL variants that collapse pairwise under
+    canonicalization (scheme case / www / :443 / tracking params /
+    fragment vary; even-odd pairs share the canonical form), plus
+    text plants for the paragraph/encoding/PII stages."""
+    return f"""
+    SELECT doc_id, source,
+      concat(text,
+        CASE WHEN doc_id % 5 = 0 THEN concat(chr(10), '{BOILER}')
+             ELSE '' END,
+        CASE WHEN doc_id % 9 = 0 THEN '{MOJIBAKE}' ELSE '' END,
+        CASE WHEN doc_id % 11 = 0 THEN '{PII_PLANT}' ELSE '' END
+      ) AS t,
+      concat(
+        CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END, '://',
+        CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+        'example', CAST((doc_id - doc_id % 2) % 4 AS STRING), '.com',
+        CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END,
+        '/page/', CAST(doc_id - doc_id % 2 AS STRING),
+        CASE WHEN doc_id % 2 = 0
+          THEN concat('?id=', CAST(doc_id - doc_id % 2 AS STRING),
+                      '&utm_source=feed')
+          ELSE concat('?utm_medium=x&id=',
+                      CAST(doc_id - doc_id % 2 AS STRING)) END,
+        CASE WHEN doc_id % 13 = 0 THEN '#sec2' ELSE '' END
+      ) AS url
+    FROM __self__
+    """
+
+
+def curation_e2e_spec(
+    sf_dir: str, observe: bool = False, near_dup: bool = False
+) -> dict:
+    """The composed pipeline spec. ``observe=True`` inserts an
+    ``observe`` step after every row-dropping stage so the filter
+    funnel rides the run's single action as Observations (zero extra
+    jobs) — the rehearsal/runner form; the manifest query uses the
+    plain form (the driver only collects the frame). ``near_dup=True``
+    adds the MinHash/Jaccard near-dup stage (keep_rows form) after
+    paragraph dedup — rehearsal-only, because LSH candidate generation
+    has no SQL twin (the q47 rows-only rationale), so the
+    oracle-checked q330 chain runs without it."""
+    src = {"format": "parquet", "path": f"{sf_dir}/documents.parquet"}
+
+    def obs(stage: str) -> list[dict]:
+        if not observe:
+            return []
+        return [{"op": "observe", "name": f"funnel_{stage}",
+                 "metrics": {"rows": "count(*)"}}]
+
+    steps = [
+        {"op": "sql", "query": _plant_sql()},
+        *obs("0_raw"),
+        {"op": "canonical_url", "url_col": "url", "out_col": "curl",
+         "dedup": True, "id_col": "doc_id"},
+        *obs("1_url_dedup"),
+        {"op": "paragraph_dedup", "text_col": "t", "id_col": "doc_id",
+         "min_docs": 5, "max_dup_frac": 0.5},
+        *obs("2_paragraph_dedup"),
+        *(
+            [
+                {"op": "with_column", "name": "qual",
+                 "expr": "length(t)"},
+                {"op": "near_dedup_keep_best", "text_col": "t",
+                 "id_col": "doc_id", "quality_col": "qual",
+                 "n": 3, "threshold": 0.5, "keep_rows": True},
+                *obs("2b_near_dup"),
+            ]
+            if near_dup
+            else []
+        ),
+        {"op": "encoding_gate", "text_col": "t", "max_hits": 0},
+        *obs("3_encoding_gate"),
+        {"op": "gopher_quality", "text_col": "t", "filter": True},
+        *obs("4_gopher"),
+        {"op": "decontaminate",
+         "test": {"source": src,
+                  "steps": [{"op": "sql",
+                             "query": "SELECT doc_id, text AS t "
+                                      "FROM __self__ "
+                                      "WHERE doc_id % 10 = 7"}]},
+         "text_col": "t", "id_col": "doc_id", "n": 3,
+         "threshold": DECON_THRESHOLD},
+        *obs("5_decontaminated"),
+        {"op": "redact_pii", "text_col": "t", "out_col": "tc"},
+        {"op": "with_column", "name": "nt",
+         "expr": "size(split(tc, ' '))"},
+        {"op": "temperature_mix", "domain_col": "source",
+         "id_col": "doc_id", "alpha": 0.5, "budget": TMIX_BUDGET,
+         "salt": "tmix-e2e"},
+        *obs("6_temperature_mix"),
+        {"op": "pack", "id_col": "doc_id", "token_col": "nt",
+         "token_budget": PACK_BUDGET, "shard_hex": True,
+         "salt": "pack-v1"},
+        {"op": "group_by", "keys": ["source"], "aggs": {
+            "n_docs": "cast(count(*) as bigint)",
+            "total_tokens": "cast(sum(nt) as bigint)",
+            "n_redacted": "cast(count_if(tc != t) as bigint)",
+            "n_bins_touched":
+                "cast(count(distinct concat(shard, ':', "
+                "cast(bin as string))) as bigint)",
+        }},
+        {"op": "order_by", "columns": ["source"]},
+    ]
+    return {"name": "curation_e2e", "source": src, "steps": steps}
+
+
+def _e2e_oracle() -> str:
+    """DuckDB re-derivation of the full chain, stage by stage, from
+    the same shared pattern constants."""
+    not_tracking = " AND ".join(
+        f"NOT starts_with(x, '{p}')" for p in TRACKING_PREFIXES
+    )
+    enc_zero = " + ".join(
+        f"len(regexp_extract_all(t, '{p}'))"
+        for p in ENCODING_ANOMALY_PATTERNS.values()
+    )
+    redact_expr = "t"
+    for name, pat in PII_PATTERNS.items():
+        redact_expr = (
+            f"regexp_replace({redact_expr}, '{pat}', "
+            f"'{redaction_token(name)}', 'g')"
+        )
+    return f"""
+    WITH planted AS (
+      SELECT doc_id, source,
+        text
+        || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '{BOILER}'
+             ELSE '' END
+        || CASE WHEN doc_id % 9 = 0 THEN '{MOJIBAKE}' ELSE '' END
+        || CASE WHEN doc_id % 11 = 0 THEN '{PII_PLANT}' ELSE '' END
+          AS t,
+        (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+        || '://'
+        || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+        || 'example' || CAST((doc_id - doc_id % 2) % 4 AS VARCHAR)
+        || '.com'
+        || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+        || '/page/' || CAST(doc_id - doc_id % 2 AS VARCHAR)
+        || (CASE WHEN doc_id % 2 = 0
+             THEN '?id=' || CAST(doc_id - doc_id % 2 AS VARCHAR)
+                  || '&utm_source=feed'
+             ELSE '?utm_medium=x&id='
+                  || CAST(doc_id - doc_id % 2 AS VARCHAR) END)
+        || (CASE WHEN doc_id % 13 = 0 THEN '#sec2' ELSE '' END) AS url
+      FROM documents
+    ),
+    -- stage 2: canonical-URL dedup (q306 fragments)
+    parts AS (
+      SELECT doc_id, source, t,
+        lower(regexp_extract(url, '{URL_SCHEME_RE}', 1)) AS scheme,
+        lower(regexp_extract(url, '{URL_HOSTPORT_RE}', 1)) AS hostport,
+        regexp_extract(url, '{URL_PATH_RE}', 1) AS rawpath,
+        regexp_extract(url, '{URL_QUERY_RE}', 1) AS rawq
+      FROM planted
+    ),
+    canon AS (
+      SELECT doc_id, source, t,
+        scheme || '://'
+        || regexp_replace(
+             CASE WHEN scheme = 'http'
+                    THEN regexp_replace(hostport, ':80$', '')
+                  WHEN scheme = 'https'
+                    THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END,
+             '^www\\.', '')
+        || (CASE WHEN regexp_replace(rawpath, '/+$', '') = ''
+              THEN '/' ELSE regexp_replace(rawpath, '/+$', '') END)
+        || (CASE WHEN qcanon <> '' THEN '?' || qcanon ELSE '' END)
+          AS curl
+      FROM (
+        SELECT *,
+          array_to_string(
+            list_sort(list_filter(string_split(rawq, '&'),
+              x -> x <> '' AND {not_tracking})),
+            '&') AS qcanon
+        FROM parts
+      )
+    ),
+    s2 AS (
+      SELECT c.doc_id, c.source, c.t
+      FROM canon c
+      JOIN (SELECT curl, min(doc_id) AS keep_id
+            FROM canon GROUP BY curl) g
+        ON c.curl = g.curl
+      WHERE c.doc_id = g.keep_id
+    ),
+    -- stage 3: paragraph dedup (q307 fragments; min_docs=5,
+    -- max_dup_frac=0.5, keep frac < 0.5)
+    paras AS (
+      SELECT doc_id, p.para
+      FROM s2, UNNEST(string_split(t, chr(10))) AS p(para)
+    ),
+    pdups AS (
+      SELECT para FROM paras
+      GROUP BY para HAVING count(DISTINCT doc_id) >= 5
+    ),
+    pfrac AS (
+      SELECT pa.doc_id,
+             count_if(d.para IS NOT NULL) * 1.0 / count(*) AS frac
+      FROM paras pa LEFT JOIN pdups d ON pa.para = d.para
+      GROUP BY pa.doc_id
+    ),
+    s3 AS (
+      SELECT s2.* FROM s2 JOIN pfrac USING (doc_id)
+      WHERE pfrac.frac < 0.5
+    ),
+    -- stage 4: encoding gate (q311 patterns, max_hits = 0)
+    s4 AS (SELECT * FROM s3 WHERE {enc_zero} = 0),
+    -- stage 5: Gopher quality gate (q158 fragments)
+    toks AS (SELECT doc_id, string_split(t, ' ') AS toks FROM s4),
+    words AS (
+      SELECT doc_id, toks[i] AS w
+      FROM toks, UNNEST(range(1, len(toks) + 1)) AS ti(i)
+    ),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+    gstats AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             round(sum(len(w) * c) * 1.0 / sum(c), 6) AS mean_word_len,
+             round(max(c) * 1.0 / sum(c), 6)          AS top_word_frac
+      FROM wc GROUP BY doc_id
+    ),
+    gbg AS (
+      SELECT doc_id,
+             CAST(len(toks) - 1 AS BIGINT) AS n_bigrams,
+             CAST(len(list_distinct(list_transform(
+                 range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i + 1]))) AS BIGINT)
+               AS n_dist_bg
+      FROM toks WHERE len(toks) >= 2
+    ),
+    s5 AS (
+      SELECT s4.* FROM s4
+      JOIN gstats USING (doc_id) JOIN gbg USING (doc_id)
+      WHERE top_word_frac <= 0.2
+        AND round(1.0 - n_dist_bg * 1.0 / n_bigrams, 6) <= 0.5
+        AND n_words >= 10
+        AND mean_word_len BETWEEN 2.0 AND 12.0
+    ),
+    -- stage 6: decontamination vs the doc_id % 10 = 7 holdout
+    -- (q85 fragments; n=3, containment >= {DECON_THRESHOLD} drops)
+    tr_sh AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+      FROM (SELECT doc_id, string_split(t, ' ') AS toks FROM s5),
+           UNNEST(range(1, len(toks) - 1)) AS ti(i)
+    ),
+    te_sh AS (
+      SELECT DISTINCT
+             toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+      FROM (SELECT string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id % 10 = 7),
+           UNNEST(range(1, len(toks) - 1)) AS ti(i)
+    ),
+    contaminated AS (
+      SELECT z.doc_id FROM (
+        SELECT tr.doc_id, count(*) AS n_sh,
+               count_if(te.sh IS NOT NULL) AS n_ov
+        FROM tr_sh tr LEFT JOIN te_sh te ON tr.sh = te.sh
+        GROUP BY tr.doc_id
+      ) z WHERE z.n_ov * 1.0 / z.n_sh >= {DECON_THRESHOLD}
+    ),
+    s6 AS (
+      SELECT * FROM s5
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    -- stage 7: PII redaction (q297 patterns, 'g' = replace-all)
+    s7 AS (SELECT doc_id, source, t, {redact_expr} AS tc FROM s6),
+    -- stage 8: temperature mix (q147 fragments; alpha=0.5,
+    -- budget={TMIX_BUDGET}, salt tmix-e2e)
+    mcounts AS (SELECT source, count(*) AS n_d FROM s7 GROUP BY source),
+    mrates AS (
+      SELECT source,
+             least(1.0, {TMIX_BUDGET} * pow(n_d, 0.5)
+                  / (SELECT sum(pow(n_d, 0.5)) FROM mcounts)
+                  / n_d) AS rate
+      FROM mcounts
+    ),
+    s8 AS (
+      SELECT s7.* FROM s7 JOIN mrates USING (source)
+      WHERE (('0x' || substr(md5('tmix-e2e'
+               || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+            / 4294967296.0 < rate
+    ),
+    -- stage 9: sequence packing (q78 fragments; budget={PACK_BUDGET},
+    -- md5 hex-digit shard, salt pack-v1)
+    packed AS (
+      SELECT doc_id, source, t, tc, nt,
+             shard,
+             CAST(floor((sum(nt) OVER (PARTITION BY shard
+                    ORDER BY ord, doc_id ROWS UNBOUNDED PRECEDING)
+                    - nt) / {PACK_BUDGET}.0) AS BIGINT) AS bin
+      FROM (
+        SELECT *,
+               len(string_split(tc, ' ')) AS nt,
+               substring(md5('pack-v1' || CAST(doc_id AS VARCHAR)),
+                         1, 1) AS shard,
+               substring(md5('pack-v1' || CAST(doc_id AS VARCHAR)),
+                         1, 8) AS ord
+        FROM s8
+      )
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           CAST(sum(nt) AS BIGINT)   AS total_tokens,
+           CAST(count_if(tc <> t) AS BIGINT) AS n_redacted,
+           CAST(count(DISTINCT shard || ':' || CAST(bin AS VARCHAR))
+                AS BIGINT) AS n_bins_touched
+    FROM packed
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query(
+    "q330_curation_pipeline_e2e",
+    oracle=_e2e_oracle(),
+    tags=("curation", "pipeline", "composition", "llm", "operator"),
+)
+def q330_curation_pipeline_e2e(spark, sf_dir):
+    """End-to-end composed curation pipeline (q330): the 9-stage
+    declarative spec — plant → canonical-URL dedup → paragraph dedup
+    → encoding gate → Gopher gate → decontamination → PII redaction →
+    temperature mix → pack — compiled by ``compile_pipeline`` into
+    ONE Catalyst plan, reported per source (docs, tokens, redacted
+    docs, bins touched). Every stage reuses the exact engine function
+    its per-operator query tests; the oracle re-derives the chain as
+    one DuckDB CTE pipeline from the same shared constants.
+
+    SCALE DESIGN (the composition inherits each stage's shape): URL
+    dedup is a codegen projection + URL-grain aggregate; paragraph
+    dedup joins against a HAVING-bounded dup set; encoding/Gopher
+    gates and redaction are map-only codegen (filters push down past
+    the appended columns); decontamination broadcasts the bounded
+    eval-shingle set and streams the corpus through one join;
+    temperature-mix rates broadcast (|sources| rows); packing is one
+    per-shard window — shards scale with the cluster. No stage holds
+    corpus-sized state on the driver; the whole chain is 4 shuffles
+    + 2 broadcast joins at any corpus size (verified by rehearsal at
+    sf0.1 and 4x, scripts/rehearsal_curation.py)."""
+    from etl_as_a_service_spark.plans.pipeline import compile_pipeline
+
+    return compile_pipeline(spark, curation_e2e_spec(sf_dir))

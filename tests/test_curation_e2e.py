@@ -1,0 +1,148 @@
+"""Round-10 composition proof (the round-9 verdict's item 4): the
+9-stage declarative curation pipeline runs as ONE compiled plan, its
+filter funnel rides Observations, and the composed survivor set is
+exactly what sequential application of the stage operators produces.
+
+Expectations are FIXTURE-INDEPENDENT: survivors are re-derived from
+the collected frames, never hardcoded (the round-9 test discipline).
+The oracle-side check (full DuckDB re-derivation of the chain) is
+q330's manifest oracle — exercised by test_oracle_parity and the
+driver gate; these tests cover what the oracle can't: the runner
+path (Observations, strict lint), the near-dup stage (no SQL twin),
+and stage-composition equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.plans.pipeline import (
+    PipelineRunner,
+    compile_pipeline,
+)
+from etl_as_a_service_spark.queries.traindata5 import curation_e2e_spec
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_e2e_funnel_monotone_and_metrics(spark):
+    """Through PipelineRunner with plan_lint=strict: the run succeeds,
+    every observed stage count is <= its predecessor (gates only drop
+    rows), and the redaction audit Observation is present."""
+    spec = curation_e2e_spec(SF, observe=True, near_dup=True)
+    spec["plan_lint"] = "strict"
+    run = PipelineRunner(spark).run(spec)
+    assert run.status == "success", run.error
+    funnel = [
+        v["rows"]
+        for k, v in sorted(run.metrics.items())
+        if k.startswith("funnel_")
+    ]
+    assert len(funnel) == 8
+    assert funnel[0] > 0
+    assert all(a >= b for a, b in zip(funnel, funnel[1:])), funnel
+    # redact_pii's hit-count Observation rides the same action
+    assert "tc_pii_hits" in run.metrics
+    assert run.metrics["tc_pii_hits"]["hits_email"] > 0
+
+
+def test_e2e_composition_equals_sequential_stages(spark):
+    """The composed chain's survivor ids equal sequential application
+    of the engine operators the stages delegate to — cut at the
+    pre-aggregation point (drop the final group_by/order_by steps and
+    compare the packed frame's id set + a value hash)."""
+    spec = curation_e2e_spec(SF, near_dup=True)
+    # cut the final reporting aggregate: keep everything up to "pack"
+    ops = [s["op"] for s in spec["steps"]]
+    cut = ops.index("pack") + 1
+    spec["steps"] = spec["steps"][:cut]
+    composed = compile_pipeline(spark, spec)
+    rows = {
+        r["doc_id"]: (r["shard"], r["bin"], r["nt"])
+        for r in composed.select("doc_id", "shard", "bin", "nt").collect()
+    }
+    assert rows, "composed chain produced no survivors"
+
+    # independent re-derivation: apply each stage operator directly
+    from etl_as_a_service_spark.functions.text import (
+        ENCODING_ANOMALY_PATTERNS,
+        gopher_metrics,
+    )
+    from etl_as_a_service_spark.llm.curation import (
+        pack_sequences,
+        temperature_mix,
+    )
+    from etl_as_a_service_spark.llm.dedup import (
+        contamination_check,
+        near_dedup_keep_best,
+    )
+    from etl_as_a_service_spark.llm.redact import redact_pii
+    from etl_as_a_service_spark.plans.pipeline import _apply_step
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    df = _apply_step(spark, df, spec["steps"][0])  # the plant sql step
+    df = _apply_step(
+        spark, df,
+        {"op": "canonical_url", "url_col": "url", "out_col": "curl",
+         "dedup": True, "id_col": "doc_id"},
+    )
+    df = _apply_step(
+        spark, df,
+        {"op": "paragraph_dedup", "text_col": "t", "id_col": "doc_id",
+         "min_docs": 5, "max_dup_frac": 0.5},
+    )
+    df = df.withColumn("qual", F.length("t"))
+    surv = near_dedup_keep_best(
+        df, text_col="t", id_col="doc_id", quality_col="qual",
+        n=3, threshold=0.5,
+    )
+    df = df.join(surv.select("doc_id"), "doc_id", "semi")
+    total = None
+    for pat in ENCODING_ANOMALY_PATTERNS.values():
+        c = F.regexp_count(F.col("t"), F.lit(pat))
+        total = c if total is None else total + c
+    df = df.filter(F.coalesce(total, F.lit(0)) <= 0)
+    df = (
+        df.withColumn("__gq", gopher_metrics(F.col("t")))
+        .filter(F.col("__gq.quality_pass"))
+        .drop("__gq")
+    )
+    test_side = spark.sql(
+        f"SELECT doc_id, text AS t FROM parquet.`{SF}/documents.parquet` "
+        "WHERE doc_id % 10 = 7"
+    )
+    contaminated = contamination_check(
+        df, test_side, text_col="t", id_col="doc_id", n=3,
+        threshold=0.8,
+    ).select("doc_id")
+    df = df.join(contaminated, "doc_id", "left_anti")
+    df = redact_pii(df, "t", out_col="tc")
+    df = df.withColumn("nt", F.expr("size(split(tc, ' '))"))
+    df = temperature_mix(
+        df, domain_col="source", id_col="doc_id", alpha=0.5,
+        budget=150, salt="tmix-e2e",
+    )
+    df = pack_sequences(
+        df, id_col="doc_id", token_col="nt", token_budget=512,
+        shard_col=F.substring(
+            F.md5(F.concat(F.lit("pack-v1"),
+                           F.col("doc_id").cast("string"))), 1, 1,
+        ),
+    )
+    expected = {
+        r["doc_id"]: (r["shard"], r["bin"], r["nt"])
+        for r in df.select("doc_id", "shard", "bin", "nt").collect()
+    }
+    assert rows == expected
+
+
+def test_e2e_rerun_is_deterministic(spark):
+    """Two compilations of the same spec collect to the identical
+    per-source report (the survivor-hash determinism gate: every stage
+    is seeded/salted, so a re-run lands every doc in the same shard
+    and bin)."""
+    spec = curation_e2e_spec(SF, near_dup=True)
+    a = compile_pipeline(spark, spec).collect()
+    b = compile_pipeline(spark, curation_e2e_spec(SF, near_dup=True)).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert len(a) > 0
