@@ -146,6 +146,10 @@ HEADLINE_TRAINDATA = [
     # invisible to per-operator timings). Subtotal grows by one entry
     # vs r9; per-entry timings stay comparable.
     "q330_curation_pipeline_e2e",
+    # round-10 second batch: the annotator-agreement panel (the
+    # heaviest of q331-q338 — 31 aggregate expressions over the
+    # 5-rater wide frame). Subtotal grows by one entry.
+    "q331_annotator_agreement",
 ]
 
 #: round-6 addition to the lakehouse subtotal: the stats-based file

@@ -88,8 +88,16 @@ from etl_as_a_service_spark.queries import traindata5  # noqa: E402,F401
 # its driver row; the real gates are their pytest recall/content
 # tests.
 _ROTATE_FRONT = [
-    # never-green leads (round-10 new operator)
+    # never-green leads (round-10 new operators)
     "q330_curation_pipeline_e2e",
+    "q331_annotator_agreement",
+    "q332_majority_label_noise",
+    "q333_pairwise_winrates",
+    "q334_truncation_waste",
+    "q335_lsh_parameter_plan",
+    "q336_url_decontamination",
+    "q337_k_anonymity",
+    "q338_tokenizer_fertility",
     "q14_event_type_pivot",
     "q15_distinct_users_per_type",
     "q16_grouping_sets",
@@ -131,14 +139,6 @@ _ROTATE_FRONT = [
     "q89_repetition_scores",
     "q90_stratified_sample",
     "q92_document_chunking",
-    "q93_top_bigrams",
-    "q95_incremental_dedup",
-    "q96_event_conversion_funnel",
-    "q97_percentile_trim",
-    "q99_ewma_per_user",
-    "q101_fuzzy_nation_match",
-    "q102_pii_scan_report",
-    "q103_banded_range_join",
 ]
 
 

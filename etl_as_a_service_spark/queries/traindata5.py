@@ -32,7 +32,13 @@ from etl_as_a_service_spark.functions.text import (
     URL_SCHEME_RE,
 )
 from etl_as_a_service_spark.llm.redact import PII_PATTERNS, redaction_token
+from etl_as_a_service_spark.catalog import load_tables
 from etl_as_a_service_spark.queries import query
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
 
 # Planted fixtures (shared verbatim between the Spark spec SQL and the
 # DuckDB oracle — the cross-engine contract is on the literal strings):
@@ -399,3 +405,862 @@ def q330_curation_pipeline_e2e(spark, sf_dir):
     from etl_as_a_service_spark.plans.pipeline import compile_pipeline
 
     return compile_pipeline(spark, curation_e2e_spec(sf_dir))
+
+
+# --------------------------------------------------------------------------
+# shared synthetic annotator panel (q331/q332): 5 annotators with
+# increasing noise over a 4-class gold label, all md5-uniform derived
+# --------------------------------------------------------------------------
+N_ANNOTATORS = 5
+N_CLASSES = 4
+#: annotator j mislabels with probability 0.05 + 0.10*j — a0 is the
+#: careful senior rater, a4 the sloppy one
+ANN_NOISE = [0.05 + 0.10 * j for j in range(N_ANNOTATORS)]
+
+
+def _ann_labels_spark(docs):
+    """(doc_id, l0..l4) wide frame — map-only codegen synthesis."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    did = F.col("doc_id").cast("string")
+    gold = md5_hash64(did, "gold-") % N_CLASSES
+    cols = [F.col("doc_id")]
+    for j in range(N_ANNOTATORS):
+        u = (md5_hash64(did, f"annu{j}-") + F.lit(0.5)) / F.lit(
+            4294967296.0
+        )
+        wrong = (
+            gold + 1 + md5_hash64(did, f"annc{j}-") % (N_CLASSES - 1)
+        ) % N_CLASSES
+        cols.append(
+            F.when(u < F.lit(ANN_NOISE[j]), wrong)
+            .otherwise(gold)
+            .cast("long")
+            .alias(f"l{j}")
+        )
+    return docs.select(*cols)
+
+
+def _ann_labels_sql() -> str:
+    """The DuckDB twin of _ann_labels_spark (same md5 uniforms)."""
+    h = (
+        "(('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        "::BIGINT)"
+    )
+    cols = []
+    for j in range(N_ANNOTATORS):
+        u = f"({h.format(salt=f'annu{j}-')} + 0.5) / 4294967296.0"
+        gold = f"{h.format(salt='gold-')} % {N_CLASSES}"
+        wrong = (
+            f"({gold} + 1 + {h.format(salt=f'annc{j}-')} % "
+            f"{N_CLASSES - 1}) % {N_CLASSES}"
+        )
+        cols.append(
+            f"CAST(CASE WHEN {u} < {ANN_NOISE[j]!r} THEN {wrong} "
+            f"ELSE {gold} END AS BIGINT) AS l{j}"
+        )
+    return (
+        "SELECT doc_id, " + ", ".join(cols) + " FROM documents"
+    )
+
+
+def _kappa_oracle() -> str:
+    agrees = ", ".join(
+        f"CAST(count_if(l{a} = l{b}) AS BIGINT) AS ag_{a}_{b}"
+        for a in range(N_ANNOTATORS)
+        for b in range(a + 1, N_ANNOTATORS)
+    )
+    margs = ", ".join(
+        f"CAST(count_if(l{j} = {c}) AS BIGINT) AS m_{j}_{c}"
+        for j in range(N_ANNOTATORS)
+        for c in range(N_CLASSES)
+    )
+    pair_rows = []
+    for a in range(N_ANNOTATORS):
+        for b in range(a + 1, N_ANNOTATORS):
+            pe = " + ".join(
+                f"(m_{a}_{c} * 1.0 / n) * (m_{b}_{c} * 1.0 / n)"
+                for c in range(N_CLASSES)
+            )
+            pair_rows.append(
+                f"SELECT 'a{a}' AS ann_a, 'a{b}' AS ann_b, "
+                f"CAST(n AS BIGINT) AS n_items, "
+                f"round(ag_{a}_{b} * 1.0 / n, 6) AS po, "
+                f"round({pe}, 6) AS pe, "
+                f"round((ag_{a}_{b} * 1.0 / n - ({pe})) "
+                f"/ (1.0 - ({pe})), 6) AS kappa "
+                f"FROM agg"
+            )
+    stacked = "\n      UNION ALL\n      ".join(pair_rows)
+    return f"""
+    WITH labels AS ({_ann_labels_sql()}),
+    agg AS (
+      SELECT count(*) AS n, {agrees}, {margs} FROM labels
+    )
+    SELECT * FROM (
+      {stacked}
+    ) ORDER BY ann_a, ann_b
+    """
+
+
+@query(
+    "q331_annotator_agreement",
+    oracle=_kappa_oracle(),
+    tags=("rlhf", "labeling", "quality", "llm", "operator"),
+)
+def q331_annotator_agreement(spark, sf_dir):
+    """Inter-annotator agreement (q331) — Cohen's kappa for every
+    annotator pair over a 5-rater, 4-class labeling panel (the QA
+    gate human-labeled RLHF/classification data ships through before
+    training: raw agreement po, chance agreement pe from the raters'
+    marginal distributions, kappa = (po-pe)/(1-pe)). The synthetic
+    panel plants increasing noise per annotator (5%..45%), so kappa
+    must fall monotonically as sloppier raters enter the pair.
+
+    Determinism: agreement and marginal counts are exact integers
+    from ONE aggregate; po/pe/kappa are ratios of those integers
+    through identical double arithmetic (explicit class-order sums)
+    on both engines, rounded only at the output grain.
+
+    SCALE DESIGN: the panel is a WIDE frame (one row per item, one
+    column per rater) — pairwise agreement is count_if(li = lj)
+    inside a single map-side-combined aggregate, NEVER a rater×rater
+    self-join of a long frame; 10 pairs + 20 marginals ride one
+    codegen pass. The 1-row aggregate explodes into the 10-row pair
+    report driver-free. At 100 TB of labeled items this is one scan."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    labels = _ann_labels_spark(docs)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for a in range(N_ANNOTATORS):
+        for b in range(a + 1, N_ANNOTATORS):
+            aggs.append(
+                F.count_if(F.col(f"l{a}") == F.col(f"l{b}")).alias(
+                    f"ag_{a}_{b}"
+                )
+            )
+    for j in range(N_ANNOTATORS):
+        for c in range(N_CLASSES):
+            aggs.append(
+                F.count_if(F.col(f"l{j}") == c).alias(f"m_{j}_{c}")
+            )
+    agg = labels.agg(*aggs)
+    n = F.col("n")
+    entries = []
+    for a in range(N_ANNOTATORS):
+        for b in range(a + 1, N_ANNOTATORS):
+            po = F.col(f"ag_{a}_{b}") * 1.0 / n
+            pe = None
+            for c in range(N_CLASSES):
+                term = (F.col(f"m_{a}_{c}") * 1.0 / n) * (
+                    F.col(f"m_{b}_{c}") * 1.0 / n
+                )
+                pe = term if pe is None else pe + term
+            entries.append(
+                F.struct(
+                    F.lit(f"a{a}").alias("ann_a"),
+                    F.lit(f"a{b}").alias("ann_b"),
+                    n.cast("long").alias("n_items"),
+                    F.round(po, 6).alias("po"),
+                    F.round(pe, 6).alias("pe"),
+                    F.round((po - pe) / (F.lit(1.0) - pe), 6).alias(
+                        "kappa"
+                    ),
+                )
+            )
+    return (
+        agg.select(F.explode(F.array(*entries)).alias("s"))
+        .select("s.*")
+        .orderBy("ann_a", "ann_b")
+    )
+
+
+def _majority_oracle() -> str:
+    cnts = ", ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN l{j} = {c} THEN 1 ELSE 0 END"
+            for j in range(N_ANNOTATORS)
+        )
+        + f") AS c{c}"
+        for c in range(N_CLASSES)
+    )
+    mx = "greatest(" + ", ".join(
+        f"c{c}" for c in range(N_CLASSES)
+    ) + ")"
+    maj = (
+        "CASE "
+        + " ".join(
+            f"WHEN c{c} = {mx} THEN {c}"
+            for c in range(N_CLASSES - 1)
+        )
+        + f" ELSE {N_CLASSES - 1} END"
+    )
+    ann_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT 'a{j}' AS annotator, count(*) AS n_items, "
+        f"count_if(l{j} <> maj) AS n_minority FROM voted"
+        for j in range(N_ANNOTATORS)
+    )
+    return f"""
+    WITH labels AS ({_ann_labels_sql()}),
+    counted AS (SELECT *, {cnts} FROM labels),
+    voted AS (SELECT *, {maj} AS maj FROM counted)
+    SELECT annotator, CAST(n_items AS BIGINT) AS n_items,
+           CAST(n_minority AS BIGINT) AS n_minority,
+           round(n_minority * 1.0 / n_items, 6) AS minority_rate
+    FROM ({ann_rows})
+    GROUP BY annotator, n_items, n_minority
+    ORDER BY annotator
+    """
+
+
+@query(
+    "q332_majority_label_noise",
+    oracle=_majority_oracle(),
+    tags=("rlhf", "labeling", "quality", "llm", "operator"),
+)
+def q332_majority_label_noise(spark, sf_dir):
+    """Majority-vote label-noise screen (q332) — per item, the
+    majority label across the 5-rater panel (ties break to the
+    SMALLEST class id — explicit, engine-independent); per rater, how
+    often they sit in the minority (the standard proxy for annotator
+    error rate when no gold labels exist). The planted noise ramp
+    (5%..45%) must reproduce as a monotone minority-rate ramp.
+
+    SCALE DESIGN: per-item class counts and the argmax are pure
+    row-local codegen over the wide panel (no explode, no window);
+    the per-rater report is ONE map-side-combined aggregate. One scan
+    at any corpus size."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    labels = _ann_labels_spark(docs)
+    cnt_cols = []
+    for c in range(N_CLASSES):
+        e = None
+        for j in range(N_ANNOTATORS):
+            t = F.when(F.col(f"l{j}") == c, 1).otherwise(0)
+            e = t if e is None else e + t
+        cnt_cols.append(e.alias(f"c{c}"))
+    counted = labels.select("*", *cnt_cols)
+    mx = F.greatest(*[F.col(f"c{c}") for c in range(N_CLASSES)])
+    maj = F.lit(N_CLASSES - 1)
+    for c in range(N_CLASSES - 2, -1, -1):
+        maj = F.when(F.col(f"c{c}") == mx, c).otherwise(maj)
+    voted = counted.withColumn("maj", maj)
+    aggs = [F.count(F.lit(1)).alias("n_items")]
+    for j in range(N_ANNOTATORS):
+        aggs.append(
+            F.count_if(F.col(f"l{j}") != F.col("maj")).alias(
+                f"mn_{j}"
+            )
+        )
+    agg = voted.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(f"a{j}").alias("annotator"),
+            F.col("n_items").cast("long").alias("n_items"),
+            F.col(f"mn_{j}").cast("long").alias("n_minority"),
+            F.round(
+                F.col(f"mn_{j}") * 1.0 / F.col("n_items"), 6
+            ).alias("minority_rate"),
+        )
+        for j in range(N_ANNOTATORS)
+    ]
+    return (
+        agg.select(F.explode(F.array(*entries)).alias("s"))
+        .select("s.*")
+        .orderBy("annotator")
+    )
+
+
+# --------------------------------------------------------------------------
+# q333 — pairwise model win-rate matrix from preference battles
+# --------------------------------------------------------------------------
+N_MODELS = 6
+
+
+def _winrate_oracle() -> str:
+    h = (
+        "(('0x' || substr(md5('{salt}' || CAST(event_id AS VARCHAR)),"
+        " 1, 8))::BIGINT)"
+    )
+    ha = h.format(salt="ma-")
+    hb = h.format(salt="mb-")
+    hu = h.format(salt="mw-")
+    return f"""
+    WITH battles AS (
+      SELECT event_id,
+             {ha} % {N_MODELS} AS a,
+             ({ha} % {N_MODELS} + 1 + {hb} % {N_MODELS - 1})
+               % {N_MODELS} AS b,
+             ({hu} + 0.5) / 4294967296.0 AS u
+      FROM events
+    ),
+    judged AS (
+      SELECT least(a, b) AS m_lo, greatest(a, b) AS m_hi,
+             CASE WHEN u < (1.0 + (a - b) / 10.0) / 2.0
+                  THEN a ELSE b END AS winner
+      FROM battles
+    )
+    SELECT 'm' || CAST(m_lo AS VARCHAR) AS model_a,
+           'm' || CAST(m_hi AS VARCHAR) AS model_b,
+           CAST(count(*) AS BIGINT) AS n_games,
+           CAST(count_if(winner = m_lo) AS BIGINT) AS wins_a,
+           round(count_if(winner = m_lo) * 1.0 / count(*), 6)
+             AS winrate_a,
+           count_if(winner = m_lo) * 2 > count(*) AS a_beats_b
+    FROM judged
+    GROUP BY m_lo, m_hi
+    ORDER BY model_a, model_b
+    """
+
+
+@query(
+    "q333_pairwise_winrates",
+    oracle=_winrate_oracle(),
+    tags=("rlhf", "evaluation", "preference", "llm", "operator"),
+)
+def q333_pairwise_winrates(spark, sf_dir):
+    """Pairwise win-rate matrix (q333) — the chatbot-arena-style
+    readout over model-vs-model preference battles: per unordered
+    model pair, games played, wins for the lower-id model, win rate,
+    and the majority-beats flag (the ingredient of a Condorcet
+    check; the Bradley-Terry strengths over the same shape are q299).
+    Battles are synthesized from events with planted strengths
+    (p(a beats b) = (1 + (s_a - s_b)/10)/2), so stronger models must
+    show majority wins over weaker ones.
+
+    SCALE DESIGN: battle synthesis is map-only codegen; the matrix is
+    ONE (m_lo, m_hi)-grain aggregate with map-side partials — at most
+    models^2/2 groups regardless of log size. No self-joins: each
+    battle row already carries both arms (the q299/q305 discipline)."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (ev,) = _t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    a = md5_hash64(eid, "ma-") % N_MODELS
+    b = (a + 1 + md5_hash64(eid, "mb-") % (N_MODELS - 1)) % N_MODELS
+    u = (md5_hash64(eid, "mw-") + F.lit(0.5)) / F.lit(4294967296.0)
+    battles = ev.select(
+        a.alias("a"), b.alias("b"), u.alias("u")
+    )
+    judged = battles.select(
+        F.least("a", "b").alias("m_lo"),
+        F.greatest("a", "b").alias("m_hi"),
+        F.when(
+            F.col("u")
+            < (F.lit(1.0) + (F.col("a") - F.col("b")) / F.lit(10.0))
+            / F.lit(2.0),
+            F.col("a"),
+        )
+        .otherwise(F.col("b"))
+        .alias("winner"),
+    )
+    return (
+        judged.groupBy("m_lo", "m_hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_games"),
+            F.count_if(F.col("winner") == F.col("m_lo"))
+            .cast("long")
+            .alias("wins_a"),
+        )
+        .select(
+            F.concat(F.lit("m"), F.col("m_lo").cast("string")).alias(
+                "model_a"
+            ),
+            F.concat(F.lit("m"), F.col("m_hi").cast("string")).alias(
+                "model_b"
+            ),
+            "n_games",
+            "wins_a",
+            F.round(F.col("wins_a") * 1.0 / F.col("n_games"), 6).alias(
+                "winrate_a"
+            ),
+            (F.col("wins_a") * 2 > F.col("n_games")).alias("a_beats_b"),
+        )
+        .orderBy("model_a", "model_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# q334 — context-budget truncation-waste audit
+# --------------------------------------------------------------------------
+CONTEXT_BUDGETS = (128, 512, 2048)
+
+
+def _truncation_oracle() -> str:
+    rows = "\n      UNION ALL\n      ".join(
+        f"""SELECT source, {L} AS context_budget,
+             count(*) AS n_docs,
+             count_if(nt > {L}) AS n_truncated,
+             sum(nt) AS tokens_total,
+             sum(greatest(0, nt - {L})) AS tokens_lost
+      FROM toks GROUP BY source"""
+        for L in CONTEXT_BUDGETS
+    )
+    return f"""
+    WITH toks AS (
+      SELECT source, len(string_split(text, ' ')) AS nt
+      FROM documents
+    )
+    SELECT source, CAST(context_budget AS BIGINT) AS context_budget,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_truncated AS BIGINT) AS n_truncated,
+           CAST(tokens_total AS BIGINT) AS tokens_total,
+           CAST(tokens_lost AS BIGINT) AS tokens_lost,
+           round(tokens_lost * 1.0 / tokens_total, 6) AS waste_frac
+    FROM ({rows})
+    ORDER BY source, context_budget
+    """
+
+
+@query(
+    "q334_truncation_waste",
+    oracle=_truncation_oracle(),
+    tags=("curation", "packing", "capacity", "llm", "operator"),
+)
+def q334_truncation_waste(spark, sf_dir):
+    """Context-budget truncation-waste audit (q334) — for each
+    candidate training context length, how many documents exceed it
+    and what fraction of corpus tokens a hard truncation would throw
+    away, per source (the capacity-planning complement of the packing
+    operators: packing q78/q84 decides layout, this decides the
+    budget). Reported per (source, budget): docs, truncated docs,
+    total and lost tokens, waste fraction.
+
+    SCALE DESIGN: token counts are row-local codegen (size(split));
+    all three budgets ride ONE (source)-grain aggregate pass stacked
+    row-wise — never one scan per budget. Map-side partials make this
+    one corpus scan at any size."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.size(F.split(F.col("text"), " ")).alias("nt")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for L in CONTEXT_BUDGETS:
+        aggs += [
+            F.count_if(F.col("nt") > L).alias(f"tr_{L}"),
+            F.sum(F.greatest(F.lit(0), F.col("nt") - L)).alias(
+                f"lost_{L}"
+            ),
+        ]
+    aggs.append(F.sum("nt").alias("tokens_total"))
+    agg = toks.groupBy("source").agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(L).cast("long").alias("context_budget"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col(f"tr_{L}").cast("long").alias("n_truncated"),
+            F.col("tokens_total").cast("long").alias("tokens_total"),
+            F.col(f"lost_{L}").cast("long").alias("tokens_lost"),
+            F.round(
+                F.col(f"lost_{L}") * 1.0 / F.col("tokens_total"), 6
+            ).alias("waste_frac"),
+        )
+        for L in CONTEXT_BUDGETS
+    ]
+    return (
+        agg.select("source", F.explode(F.array(*entries)).alias("s"))
+        .select("source", "s.*")
+        .orderBy("source", "context_budget")
+    )
+
+
+# --------------------------------------------------------------------------
+# q335 — MinHash-LSH (b, r) parameter planner (S-curve design tool)
+# --------------------------------------------------------------------------
+#: candidate configurations: bands x rows per band; signature size
+#: b*r stays in the 16-128 range practitioners actually run
+LSH_CONFIGS = ((4, 4), (8, 4), (16, 4), (4, 8), (8, 8), (16, 8))
+#: Jaccard similarities to evaluate the collision S-curve at
+LSH_SIMS = (0.3, 0.5, 0.7, 0.8, 0.9)
+
+
+def _pow_chain_sql(base: str, exp: int) -> str:
+    """x^exp (exp a power of two) as an explicit squaring chain —
+    repeated IEEE multiplication is bit-identical across engines,
+    libm pow() is not (the q308/q314 discipline)."""
+    assert exp & (exp - 1) == 0 and exp > 0
+    out = base
+    while exp > 1:
+        out = f"({out} * {out})"
+        exp //= 2
+    return out
+
+
+def _lsh_plan_oracle() -> str:
+    rows = []
+    for b, r in LSH_CONFIGS:
+        for s in LSH_SIMS:
+            sr = _pow_chain_sql(f"CAST({s!r} AS DOUBLE)", r)
+            p = f"(1.0 - {_pow_chain_sql(f'(1.0 - {sr})', b)})"
+            rows.append(
+                f"SELECT {b} AS bands, {r} AS rows_per_band, "
+                f"CAST({s!r} AS DOUBLE) AS sim, {p} AS p_raw"
+            )
+    stacked = "\n      UNION ALL\n      ".join(rows)
+    return f"""
+    WITH grid AS (
+      {stacked}
+    ),
+    corpus AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT CAST(bands AS BIGINT) AS bands,
+           CAST(rows_per_band AS BIGINT) AS rows_per_band,
+           CAST(bands * rows_per_band AS BIGINT) AS signature_size,
+           sim,
+           round(p_raw, 6) AS p_collide,
+           p_raw >= 0.9 AS catches,
+           CAST(n_docs AS BIGINT) AS corpus_docs
+    FROM grid, corpus
+    ORDER BY bands, rows_per_band, sim
+    """
+
+
+@query(
+    "q335_lsh_parameter_plan",
+    oracle=_lsh_plan_oracle(),
+    tags=("dedup", "lsh", "planning", "llm", "operator"),
+)
+def q335_lsh_parameter_plan(spark, sf_dir):
+    """MinHash-LSH parameter planner (q335) — the S-curve design tool
+    run before any near-dup job: for each (bands, rows-per-band)
+    configuration, the probability 1-(1-s^r)^b that a pair of given
+    Jaccard similarity s collides in at least one band, plus whether
+    the config catches s with >= 0.9 recall. This is how the engine's
+    own LSH defaults (q47/q253) are justified; exposing it as a query
+    lets an operator size signatures against THEIR corpus before
+    paying for one.
+
+    Determinism: s^r and (1-s^r)^b are explicit squaring chains
+    (integer power-of-two exponents) — repeated IEEE multiplication
+    is bit-identical across engines, libm pow() is not (the q308
+    discipline).
+
+    SCALE DESIGN: the grid is |configs| x |sims| literal rows crossed
+    with ONE corpus count — constant work regardless of corpus size;
+    the count is parquet-footer metadata (no column scan)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+
+    def powc(col, exp):
+        out = col
+        while exp > 1:
+            out = out * out
+            exp //= 2
+        return out
+
+    entries = []
+    for b, r in LSH_CONFIGS:
+        for s in LSH_SIMS:
+            p = F.lit(1.0) - powc(F.lit(1.0) - powc(F.lit(s), r), b)
+            entries.append(
+                F.struct(
+                    F.lit(b).cast("long").alias("bands"),
+                    F.lit(r).cast("long").alias("rows_per_band"),
+                    F.lit(b * r).cast("long").alias("signature_size"),
+                    F.lit(s).alias("sim"),
+                    F.round(p, 6).alias("p_collide"),
+                    (p >= 0.9).alias("catches"),
+                )
+            )
+    corpus = docs.agg(F.count(F.lit(1)).cast("long").alias("corpus_docs"))
+    return (
+        corpus.select(
+            F.explode(F.array(*entries)).alias("s"), "corpus_docs"
+        )
+        .select("s.*", "corpus_docs")
+        .orderBy("bands", "rows_per_band", "sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# q336 — URL-grain decontamination (drop train docs sharing an eval URL)
+# --------------------------------------------------------------------------
+def _url_decon_oracle() -> str:
+    not_tracking = " AND ".join(
+        f"NOT starts_with(x, '{p}')" for p in TRACKING_PREFIXES
+    )
+    return f"""
+    WITH planted AS (
+      SELECT doc_id, source,
+        (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+        || '://'
+        || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+        || 'example' || CAST((doc_id % 40) % 4 AS VARCHAR) || '.com'
+        || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+        || '/page/' || CAST(doc_id % 40 AS VARCHAR)
+        || (CASE WHEN doc_id % 13 = 0 THEN '#sec2' ELSE '' END) AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, source,
+        lower(regexp_extract(url, '{URL_SCHEME_RE}', 1)) || '://'
+        || regexp_replace(
+             CASE WHEN lower(regexp_extract(url, '{URL_SCHEME_RE}', 1))
+                    = 'https'
+                  THEN regexp_replace(
+                    lower(regexp_extract(url, '{URL_HOSTPORT_RE}', 1)),
+                    ':443$', '')
+                  ELSE lower(regexp_extract(url, '{URL_HOSTPORT_RE}', 1))
+                  END,
+             '^www\\.', '')
+        || (CASE WHEN regexp_replace(
+                 regexp_extract(url, '{URL_PATH_RE}', 1), '/+$', '') = ''
+              THEN '/'
+              ELSE regexp_replace(
+                 regexp_extract(url, '{URL_PATH_RE}', 1), '/+$', '') END)
+        || (CASE WHEN qcanon <> '' THEN '?' || qcanon ELSE '' END)
+          AS curl
+      FROM (
+        SELECT *,
+          array_to_string(
+            list_sort(list_filter(string_split(
+              regexp_extract(url, '{URL_QUERY_RE}', 1), '&'),
+              x -> x <> '' AND {not_tracking})),
+            '&') AS qcanon
+        FROM planted
+      )
+    ),
+    eval_urls AS (
+      SELECT DISTINCT curl FROM canon WHERE doc_id % 10 = 7
+    ),
+    train AS (SELECT * FROM canon WHERE doc_id % 10 <> 7)
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_train,
+           CAST(count_if(e.curl IS NOT NULL) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN e.curl IS NULL THEN t.doc_id
+                         ELSE 0 END) AS BIGINT) AS survivor_id_sum
+    FROM train t LEFT JOIN eval_urls e ON t.curl = e.curl
+    GROUP BY t.source
+    ORDER BY t.source
+    """
+
+
+@query(
+    "q336_url_decontamination",
+    oracle=_url_decon_oracle(),
+    tags=("decontamination", "url", "dedup", "llm", "operator"),
+)
+def q336_url_decontamination(spark, sf_dir):
+    """URL-grain decontamination (q336) — drop every train document
+    whose CANONICAL URL also appears in the eval holdout (the cheap
+    first line of eval-leakage defense: C4/Pile-style pipelines purge
+    by URL before any n-gram pass, because a recrawl of the same page
+    is leakage even when the text drifted past shingle thresholds).
+    Complements q85 (n-gram containment) and q306 (URL dedup inside
+    the train set). Planted URLs collide on doc_id % 40, so eval
+    pages are guaranteed recrawled in train under tracking-param and
+    scheme-case variants the canonicalizer must see through.
+
+    SCALE DESIGN: canonicalization is zero-shuffle codegen (q306);
+    the eval URL set is bounded by the eval corpus (broadcast
+    hash-join side); the census is one left join + (source)-grain
+    aggregate — the survivor id-sum checksum proves row identity,
+    not just counts, without shipping survivor rows."""
+    from etl_as_a_service_spark.functions.text import canonical_url
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("example"),
+        ((did % 40) % 4).cast("string"),
+        F.lit(".com"),
+        F.when(did % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"),
+        (did % 40).cast("string"),
+        F.when(did % 13 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    canon = docs.select(
+        "doc_id", "source", canonical_url(url).alias("curl")
+    )
+    eval_urls = (
+        canon.filter(did % 10 == 7).select("curl").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train = canon.filter(did % 10 != 7)
+    return (
+        train.join(F.broadcast(eval_urls), "curl", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+            F.count_if(F.col("__hit").isNotNull())
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(
+                F.when(F.col("__hit").isNull(), F.col("doc_id"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("survivor_id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q337 — k-anonymity census over quasi-identifier combinations
+# --------------------------------------------------------------------------
+K_ANON_LEVELS = (2, 5, 10)
+
+
+def _k_anon_oracle() -> str:
+    rows = "\n      UNION ALL\n      ".join(
+        f"""SELECT {k} AS k,
+             count_if(grp_n < {k}) AS n_unsafe_groups,
+             sum(CASE WHEN grp_n < {k} THEN grp_n ELSE 0 END)
+               AS n_unsafe_rows,
+             sum(CASE WHEN grp_n < {k} THEN grp_ids ELSE 0 END)
+               AS unsafe_id_sum
+      FROM groups"""
+        for k in K_ANON_LEVELS
+    )
+    return f"""
+    WITH qi AS (
+      SELECT doc_id, lang, source,
+             CAST(floor(n_chars / 100.0) AS BIGINT) AS len_band
+      FROM documents
+    ),
+    groups AS (
+      SELECT lang, source, len_band,
+             count(*) AS grp_n, sum(doc_id) AS grp_ids
+      FROM qi GROUP BY lang, source, len_band
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(n_unsafe_groups AS BIGINT) AS n_unsafe_groups,
+           CAST(n_unsafe_rows AS BIGINT) AS n_unsafe_rows,
+           CAST(unsafe_id_sum AS BIGINT) AS unsafe_id_sum,
+           CAST((SELECT count(*) FROM groups) AS BIGINT) AS n_groups,
+           CAST((SELECT count(*) FROM qi) AS BIGINT) AS n_rows
+    FROM ({rows})
+    ORDER BY k
+    """
+
+
+@query(
+    "q337_k_anonymity",
+    oracle=_k_anon_oracle(),
+    tags=("privacy", "census", "llm", "operator"),
+)
+def q337_k_anonymity(spark, sf_dir):
+    """k-anonymity census (q337) — over the quasi-identifier tuple
+    (lang, source, length band): for each candidate k, how many
+    QI-groups and rows fall below k (rows a privacy release would
+    have to suppress or generalize; the randomized-response release
+    over the same corpus is q321). The unsafe-row id-sum checksum
+    pins WHICH rows are unsafe, not just how many.
+
+    SCALE DESIGN: one (QI)-grain aggregate with map-side partials,
+    then all k-levels evaluated in ONE pass over the group-size frame
+    (|groups| rows, bounded by the QI cardinality product — never a
+    per-k rescan of the corpus)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    qi = docs.select(
+        "doc_id", "lang", "source",
+        F.floor(F.col("n_chars") / 100.0).cast("long").alias(
+            "len_band"
+        ),
+    )
+    groups = qi.groupBy("lang", "source", "len_band").agg(
+        F.count(F.lit(1)).alias("grp_n"),
+        F.sum("doc_id").alias("grp_ids"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("grp_n").cast("long").alias("n_rows"),
+    ]
+    for k in K_ANON_LEVELS:
+        aggs += [
+            F.count_if(F.col("grp_n") < k).alias(f"ug_{k}"),
+            F.sum(
+                F.when(F.col("grp_n") < k, F.col("grp_n")).otherwise(0)
+            ).alias(f"ur_{k}"),
+            F.sum(
+                F.when(F.col("grp_n") < k, F.col("grp_ids")).otherwise(0)
+            ).alias(f"us_{k}"),
+        ]
+    agg = groups.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(k).cast("long").alias("k"),
+            F.col(f"ug_{k}").cast("long").alias("n_unsafe_groups"),
+            F.col(f"ur_{k}").cast("long").alias("n_unsafe_rows"),
+            F.col(f"us_{k}").cast("long").alias("unsafe_id_sum"),
+        )
+        for k in K_ANON_LEVELS
+    ]
+    return (
+        agg.select(
+            F.explode(F.array(*entries)).alias("s"),
+            "n_groups",
+            "n_rows",
+        )
+        .select("s.*", "n_groups", "n_rows")
+        .orderBy("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# q338 — tokenizer fertility / byte-economy audit per language
+# --------------------------------------------------------------------------
+@query(
+    "q338_tokenizer_fertility",
+    oracle="""
+    WITH m AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS nt,
+             strlen(text) AS nb,
+             len(text) AS nc
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           CAST(sum(nb) AS BIGINT) AS total_bytes,
+           CAST(sum(nc) AS BIGINT) AS total_chars,
+           round(sum(nb) * 1.0 / sum(nt), 6) AS bytes_per_token,
+           round(sum(nc) * 1.0 / sum(nt), 6) AS chars_per_token,
+           round((sum(nb) - sum(nc)) * 1.0 / sum(nb), 6)
+             AS multibyte_frac
+    FROM m GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "tokenizer", "multilingual", "llm", "operator"),
+)
+def q338_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility / byte-economy audit (q338) — per
+    language: bytes and characters consumed per whitespace token (the
+    fertility metric multilingual-tokenizer papers report: a language
+    whose bytes-per-token runs high gets fewer effective context
+    tokens and more compute per character), plus the multibyte
+    fraction ((bytes-chars)/bytes — how much of the corpus is
+    non-ASCII, the first-order predictor of BPE fertility). Pairs
+    with q232 (OOV) and q185 (BPE) for tokenizer-budget decisions.
+
+    SCALE DESIGN: token/byte/char counts are row-local codegen
+    (size/octet_length/length — no explode); ONE (lang)-grain
+    aggregate with map-side partials. One corpus scan at any size."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    m = docs.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("nt"),
+        F.octet_length(F.col("text")).alias("nb"),
+        F.length(F.col("text")).alias("nc"),
+    )
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+            F.sum("nb").cast("long").alias("total_bytes"),
+            F.sum("nc").cast("long").alias("total_chars"),
+            F.round(F.sum("nb") * 1.0 / F.sum("nt"), 6).alias(
+                "bytes_per_token"
+            ),
+            F.round(F.sum("nc") * 1.0 / F.sum("nt"), 6).alias(
+                "chars_per_token"
+            ),
+            F.round(
+                (F.sum("nb") - F.sum("nc")) * 1.0 / F.sum("nb"), 6
+            ).alias("multibyte_frac"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,311 @@
+"""Round-10 operators (q331-q338): annotator agreement, majority-vote
+label noise, pairwise win rates, truncation waste, LSH parameter
+planning, URL-grain decontamination, k-anonymity, tokenizer fertility.
+
+Every expectation is FIXTURE-INDEPENDENT: a pure-Python third engine
+re-derives the answer from the collected fixture rows (the md5-uniform
+synthesis is hashlib-replicable), or the assertion is a planted-design
+invariant (noise ramps, monotone S-curves) that holds at every SF.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from etl_as_a_service_spark.queries import QUERIES
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def _run(spark, name, sf=SF01):
+    return QUERIES[name].fn(spark, sf)
+
+
+def _h32(salt: str, value) -> int:
+    """Python replica of llm.dedup.md5_hash64: first 8 md5 hex digits
+    of salt || str(value) as an int."""
+    return int(
+        hashlib.md5(f"{salt}{value}".encode()).hexdigest()[:8], 16
+    )
+
+
+def _u(salt: str, value) -> float:
+    return (_h32(salt, value) + 0.5) / 4294967296.0
+
+
+def _docs(spark, sf=SF01, cols=("doc_id",)):
+    from etl_as_a_service_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf, ["documents"])["documents"]
+    return docs.select(*cols).collect()
+
+
+def _panel_labels(doc_ids):
+    """Python replica of the q331/q332 annotator-panel synthesis."""
+    from etl_as_a_service_spark.queries.traindata5 import (
+        ANN_NOISE,
+        N_ANNOTATORS,
+        N_CLASSES,
+    )
+
+    out = {}
+    for i in doc_ids:
+        gold = _h32("gold-", i) % N_CLASSES
+        row = []
+        for j in range(N_ANNOTATORS):
+            if _u(f"annu{j}-", i) < ANN_NOISE[j]:
+                row.append(
+                    (gold + 1 + _h32(f"annc{j}-", i) % (N_CLASSES - 1))
+                    % N_CLASSES
+                )
+            else:
+                row.append(gold)
+        out[i] = row
+    return out
+
+
+# ---------------------------------------------------------------- q331
+def test_q331_kappa_matches_python_replica(spark):
+    ids = [r[0] for r in _docs(spark)]
+    labels = _panel_labels(ids)
+    rows = {
+        (r["ann_a"], r["ann_b"]): r
+        for r in _run(spark, "q331_annotator_agreement").collect()
+    }
+    n = len(ids)
+    from etl_as_a_service_spark.queries.traindata5 import (
+        N_ANNOTATORS,
+        N_CLASSES,
+    )
+
+    for a in range(N_ANNOTATORS):
+        for b in range(a + 1, N_ANNOTATORS):
+            agree = sum(
+                1 for i in ids if labels[i][a] == labels[i][b]
+            )
+            po = agree / n
+            pe = sum(
+                (
+                    sum(1 for i in ids if labels[i][a] == c) / n
+                )
+                * (
+                    sum(1 for i in ids if labels[i][b] == c) / n
+                )
+                for c in range(N_CLASSES)
+            )
+            r = rows[(f"a{a}", f"a{b}")]
+            assert r["n_items"] == n
+            assert abs(r["po"] - round(po, 6)) < 1e-9
+            assert abs(r["kappa"] - round((po - pe) / (1 - pe), 6)) < 1e-6
+
+
+def test_q331_kappa_falls_with_noisier_partner(spark):
+    """The planted noise ramp: for the careful rater a0, agreement
+    with a1 must exceed agreement with the sloppy a4."""
+    rows = {
+        (r["ann_a"], r["ann_b"]): r["kappa"]
+        for r in _run(spark, "q331_annotator_agreement").collect()
+    }
+    assert rows[("a0", "a1")] > rows[("a0", "a2")] > rows[("a0", "a4")]
+
+
+# ---------------------------------------------------------------- q332
+def test_q332_minority_rates_match_python_replica(spark):
+    ids = [r[0] for r in _docs(spark)]
+    labels = _panel_labels(ids)
+    from etl_as_a_service_spark.queries.traindata5 import (
+        N_ANNOTATORS,
+        N_CLASSES,
+    )
+
+    minority = [0] * N_ANNOTATORS
+    for i in ids:
+        row = labels[i]
+        counts = [row.count(c) for c in range(N_CLASSES)]
+        maj = counts.index(max(counts))  # smallest class on ties
+        for j in range(N_ANNOTATORS):
+            if row[j] != maj:
+                minority[j] += 1
+    got = {
+        r["annotator"]: r
+        for r in _run(spark, "q332_majority_label_noise").collect()
+    }
+    for j in range(N_ANNOTATORS):
+        assert got[f"a{j}"]["n_minority"] == minority[j]
+        assert got[f"a{j}"]["n_items"] == len(ids)
+    # the planted ramp shows as monotone minority rates
+    rates = [got[f"a{j}"]["minority_rate"] for j in range(N_ANNOTATORS)]
+    assert rates == sorted(rates)
+
+
+# ---------------------------------------------------------------- q333
+def test_q333_winrates_match_python_replica(spark):
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.queries.traindata5 import N_MODELS
+
+    ev = load_tables(spark, SF01, ["events"])["events"]
+    eids = [r[0] for r in ev.select("event_id").collect()]
+    games: dict[tuple[int, int], list[int]] = {}
+    for e in eids:
+        a = _h32("ma-", e) % N_MODELS
+        b = (a + 1 + _h32("mb-", e) % (N_MODELS - 1)) % N_MODELS
+        u = _u("mw-", e)
+        winner = a if u < (1.0 + (a - b) / 10.0) / 2.0 else b
+        lo, hi = min(a, b), max(a, b)
+        games.setdefault((lo, hi), []).append(winner)
+    got = {
+        (r["model_a"], r["model_b"]): r
+        for r in _run(spark, "q333_pairwise_winrates").collect()
+    }
+    for (lo, hi), winners in games.items():
+        r = got[(f"m{lo}", f"m{hi}")]
+        assert r["n_games"] == len(winners)
+        assert r["wins_a"] == sum(1 for w in winners if w == lo)
+        assert r["a_beats_b"] == (r["wins_a"] * 2 > r["n_games"])
+    assert len(got) == len(games)
+
+
+# ---------------------------------------------------------------- q334
+def test_q334_truncation_waste_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata5 import (
+        CONTEXT_BUDGETS,
+    )
+
+    rows = _docs(spark, cols=("source", "text"))
+    per_source: dict[str, list[int]] = {}
+    for r in rows:
+        per_source.setdefault(r["source"], []).append(
+            len(r["text"].split(" "))
+        )
+    got = {
+        (r["source"], r["context_budget"]): r
+        for r in _run(spark, "q334_truncation_waste").collect()
+    }
+    for src, nts in per_source.items():
+        for L in CONTEXT_BUDGETS:
+            r = got[(src, L)]
+            assert r["n_docs"] == len(nts)
+            assert r["n_truncated"] == sum(1 for t in nts if t > L)
+            assert r["tokens_lost"] == sum(max(0, t - L) for t in nts)
+    # waste shrinks as the budget grows
+    for src in per_source:
+        w = [got[(src, L)]["waste_frac"] for L in CONTEXT_BUDGETS]
+        assert w == sorted(w, reverse=True)
+
+
+# ---------------------------------------------------------------- q335
+def test_q335_s_curve_matches_python_and_is_monotone(spark):
+    from etl_as_a_service_spark.queries.traindata5 import (
+        LSH_CONFIGS,
+        LSH_SIMS,
+    )
+
+    got = {
+        (r["bands"], r["rows_per_band"], r["sim"]): r
+        for r in _run(spark, "q335_lsh_parameter_plan").collect()
+    }
+
+    def powc(x, e):
+        while e > 1:
+            x = x * x
+            e //= 2
+        return x
+
+    for b, r_ in LSH_CONFIGS:
+        for s in LSH_SIMS:
+            p = 1.0 - powc(1.0 - powc(s, r_), b)
+            row = got[(b, r_, s)]
+            assert row["p_collide"] == round(p, 6)
+            assert row["catches"] == (p >= 0.9)
+            assert row["signature_size"] == b * r_
+        # monotone in s for a fixed config
+        ps = [got[(b, r_, s)]["p_collide"] for s in LSH_SIMS]
+        assert ps == sorted(ps)
+    # more bands at fixed r catch more
+    assert (
+        got[(16, 4, 0.5)]["p_collide"] > got[(4, 4, 0.5)]["p_collide"]
+    )
+
+
+# ---------------------------------------------------------------- q336
+def test_q336_url_decontamination_matches_python_replica(spark):
+    rows = _docs(spark, cols=("doc_id", "source"))
+    # the canonical form of the planted URL reduces to the key
+    # (host-id, page-id) = ((doc_id%40)%4, doc_id%40): scheme case,
+    # www, :443, and the fragment all canonicalize away
+    eval_keys = {
+        ((r["doc_id"] % 40) % 4, r["doc_id"] % 40)
+        for r in rows
+        if r["doc_id"] % 10 == 7
+    }
+    per_source: dict[str, dict[str, int]] = {}
+    for r in rows:
+        if r["doc_id"] % 10 == 7:
+            continue
+        key = ((r["doc_id"] % 40) % 4, r["doc_id"] % 40)
+        st = per_source.setdefault(
+            r["source"], {"n": 0, "drop": 0, "ids": 0}
+        )
+        st["n"] += 1
+        if key in eval_keys:
+            st["drop"] += 1
+        else:
+            st["ids"] += r["doc_id"]
+    got = {
+        r["source"]: r
+        for r in _run(spark, "q336_url_decontamination").collect()
+    }
+    assert set(got) == set(per_source)
+    for src, st in per_source.items():
+        assert got[src]["n_train"] == st["n"]
+        assert got[src]["n_dropped"] == st["drop"]
+        assert got[src]["survivor_id_sum"] == st["ids"]
+
+
+# ---------------------------------------------------------------- q337
+def test_q337_k_anonymity_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata5 import K_ANON_LEVELS
+
+    rows = _docs(spark, cols=("doc_id", "lang", "source", "n_chars"))
+    groups: dict[tuple, list[int]] = {}
+    for r in rows:
+        key = (r["lang"], r["source"], r["n_chars"] // 100)
+        groups.setdefault(key, []).append(r["doc_id"])
+    got = {r["k"]: r for r in _run(spark, "q337_k_anonymity").collect()}
+    for k in K_ANON_LEVELS:
+        unsafe = [g for g in groups.values() if len(g) < k]
+        assert got[k]["n_unsafe_groups"] == len(unsafe)
+        assert got[k]["n_unsafe_rows"] == sum(len(g) for g in unsafe)
+        assert got[k]["unsafe_id_sum"] == sum(sum(g) for g in unsafe)
+        assert got[k]["n_groups"] == len(groups)
+        assert got[k]["n_rows"] == len(rows)
+    # unsafe mass grows with k
+    ur = [got[k]["n_unsafe_rows"] for k in K_ANON_LEVELS]
+    assert ur == sorted(ur)
+
+
+# ---------------------------------------------------------------- q338
+def test_q338_fertility_matches_python_replica(spark):
+    rows = _docs(spark, cols=("lang", "text"))
+    agg: dict[str, list[int]] = {}
+    for r in rows:
+        t = r["text"]
+        st = agg.setdefault(r["lang"], [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += len(t.split(" "))
+        st[2] += len(t.encode("utf-8"))
+        st[3] += len(t)
+    got = {
+        r["lang"]: r
+        for r in _run(spark, "q338_tokenizer_fertility").collect()
+    }
+    assert set(got) == set(agg)
+    for lang, (n, nt, nb, nc) in agg.items():
+        r = got[lang]
+        assert r["n_docs"] == n
+        assert r["total_tokens"] == nt
+        assert r["total_bytes"] == nb
+        assert r["total_chars"] == nc
+        assert r["bytes_per_token"] == round(nb / nt, 6)
+        assert 0.0 <= r["multibyte_frac"] < 1.0
+        assert r["bytes_per_token"] >= r["chars_per_token"]
