@@ -119,6 +119,14 @@ def curation_e2e_spec(
         *obs("1_url_dedup"),
         {"op": "paragraph_dedup", "text_col": "t", "id_col": "doc_id",
          "min_docs": 5, "max_dup_frac": 0.5},
+        # lineage cut: the two dedup stages above each JOIN the frame
+        # against aggregates of itself, so every downstream branch
+        # would otherwise recompute the plant + URL-dedup + paragraph
+        # explode prefix (measured 2.2x end-to-end: 15.5s -> 7.0s at
+        # sf0.1, same-process min-of-3). At multi-job scale this is
+        # the staging-write point; within one app localCheckpoint is
+        # the standard tool (the materialize op's documented role).
+        {"op": "materialize"},
         *obs("2_paragraph_dedup"),
         *(
             [
