@@ -146,3 +146,61 @@ def test_e2e_rerun_is_deterministic(spark):
     b = compile_pipeline(spark, curation_e2e_spec(SF, near_dup=True)).collect()
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
     assert len(a) > 0
+
+
+def test_e2e_maponly_stages_stream_equals_batch(spark, tmp_path):
+    """The map-only subset of the q330 chain — encoding gate, Gopher
+    gate, PII redaction, canonical-URL append — runs UNCHANGED on a
+    stream through the same spec steps and produces exactly the batch
+    twin's rows (the composition story extends to Structured
+    Streaming: these stages are stateless projections/filters, so the
+    spec compiles to a valid streaming plan with no watermark)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "src")
+    docs.selectExpr(
+        "doc_id",
+        "source",
+        "CASE WHEN doc_id % 9 = 0 THEN text || ' broken cafÃ© tail' "
+        " WHEN doc_id % 11 = 0 THEN text || ' mail bob@example.com' "
+        " ELSE text END AS t",
+        "concat('HTTPS://WWW.example.com:443/p/', "
+        "cast(doc_id as string), '?utm_source=x&id=', "
+        "cast(doc_id as string)) AS url",
+    ).write.parquet(src)
+    steps = [
+        {"op": "encoding_gate", "text_col": "t", "max_hits": 0},
+        {"op": "gopher_quality", "text_col": "t", "filter": True},
+        {"op": "redact_pii", "text_col": "t", "out_col": "tc"},
+        {"op": "canonical_url", "url_col": "url", "out_col": "curl"},
+    ]
+    out = str(tmp_path / "out")
+    run = PipelineRunner(spark).run({
+        "name": "stream_gates",
+        "source": {"streaming": True, "format": "parquet",
+                   "path": src,
+                   "schema": "doc_id long, source string, "
+                             "t string, url string"},
+        "steps": steps,
+        "sink": {"format": "parquet", "path": out,
+                 "trigger": "available_now"},
+    })
+    assert run.status == "success", run.error
+    streamed = {
+        r["doc_id"]: (r["tc"], r["curl"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = compile_pipeline(spark, {
+        "name": "batch_gates",
+        "source": {"format": "parquet", "path": src},
+        "steps": steps,
+    })
+    expected = {
+        r["doc_id"]: (r["tc"], r["curl"]) for r in batch.collect()
+    }
+    assert streamed == expected
+    assert expected, "gate chain dropped everything"
+    # the gates actually gated: planted mojibake docs are gone,
+    # planted PII docs survive redacted
+    assert all(i % 9 != 0 for i in expected)
+    redacted = [v for v in expected.values() if "[EMAIL]" in v[0]]
+    assert redacted
