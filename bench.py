@@ -150,6 +150,9 @@ HEADLINE_TRAINDATA = [
     # heaviest of q331-q338 — 31 aggregate expressions over the
     # 5-rater wide frame). Subtotal grows by one entry.
     "q331_annotator_agreement",
+    # round-10 third batch: the cross-source dup matrix (the only
+    # self-join of the q339-q344 family). Subtotal grows by one.
+    "q341_cross_source_dup_matrix",
 ]
 
 #: round-6 addition to the lakehouse subtotal: the stats-based file

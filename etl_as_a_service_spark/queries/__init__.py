@@ -98,6 +98,12 @@ _ROTATE_FRONT = [
     "q336_url_decontamination",
     "q337_k_anonymity",
     "q338_tokenizer_fertility",
+    "q339_dup_cluster_census",
+    "q340_debias_weights",
+    "q341_cross_source_dup_matrix",
+    "q342_chat_template_render",
+    "q343_mixture_drift",
+    "q344_special_token_hygiene",
     "q14_event_type_pivot",
     "q15_distinct_users_per_type",
     "q16_grouping_sets",
@@ -133,12 +139,6 @@ _ROTATE_FRONT = [
     "q68_interval_range_frames",
     "q75_skew_kurtosis",
     "q81_tumbling_windows_batch",
-    "q82_asof_forward_next_purchase",
-    "q83_resample_gap_fill",
-    "q88_tfidf_top_terms",
-    "q89_repetition_scores",
-    "q90_stratified_sample",
-    "q92_document_chunking",
 ]
 
 

@@ -1272,3 +1272,564 @@ def q338_tokenizer_fertility(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q339 — exact-dup cluster-size census
+# --------------------------------------------------------------------------
+@query(
+    "q339_dup_cluster_census",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 3
+                  THEN 'PLANTED DUP CLASS ' || CAST(doc_id % 6 AS VARCHAR)
+                  ELSE text END AS t
+      FROM documents
+    ),
+    clusters AS (
+      SELECT md5(t) AS h, count(*) AS sz,
+             count(DISTINCT source) AS n_sources
+      FROM planted GROUP BY md5(t)
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs,
+           CAST((sz - 1) * count(*) AS BIGINT) AS removable_docs,
+           CAST(count_if(n_sources > 1) AS BIGINT)
+             AS n_cross_source_clusters
+    FROM clusters
+    GROUP BY sz
+    ORDER BY cluster_size
+    """,
+    tags=("dedup", "census", "llm", "operator"),
+)
+def q339_dup_cluster_census(spark, sf_dir):
+    """Exact-duplicate cluster-size census (q339) — the distribution
+    report a dedup pass publishes before anyone deletes anything: how
+    many clusters exist at each size, the removable-doc mass
+    ((size-1) per cluster), and how many clusters span sources (the
+    cross-crawl contamination signal that motivates q341's pair
+    matrix). Web-dedup papers report exactly this histogram (cluster
+    sizes are heavy-tailed; the top sizes dominate removable mass).
+    Six duplicate classes are planted on doc_id % 7 == 3 (class =
+    doc_id % 6) so the multi-size branches are non-vacuous at every
+    SF — the raw fixture has zero exact dups below sf0.1.
+
+    SCALE DESIGN: text never shuffles — the cluster grain is
+    md5(text) (map-side hashed, 32 bytes); the size histogram is a
+    second tiny aggregate over the cluster frame. Two shuffles total,
+    both on hash/size keys with map-side partials."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(
+                F.lit("PLANTED DUP CLASS "),
+                (F.col("doc_id") % 6).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    clusters = planted.groupBy(F.md5(F.col("t")).alias("h")).agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return (
+        clusters.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.count_if(F.col("n_sources") > 1)
+            .cast("long")
+            .alias("n_cross_source_clusters"),
+        )
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("sz") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("sz") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("removable_docs"),
+            "n_cross_source_clusters",
+        )
+        .orderBy("cluster_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# q341 — cross-source duplicate attribution matrix
+# --------------------------------------------------------------------------
+@query(
+    "q341_cross_source_dup_matrix",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 3
+                  THEN 'PLANTED DUP CLASS ' || CAST(doc_id % 6 AS VARCHAR)
+                  ELSE text END AS t
+      FROM documents
+    ),
+    hs AS (
+      SELECT DISTINCT md5(t) AS h, source FROM planted
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS shared_texts
+      FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source
+    ),
+    per_source AS (
+      SELECT source, count(*) AS n_texts FROM hs GROUP BY source
+    )
+    SELECT p.source_a, p.source_b,
+           CAST(p.shared_texts AS BIGINT) AS shared_texts,
+           CAST(sa.n_texts AS BIGINT) AS texts_a,
+           CAST(sb.n_texts AS BIGINT) AS texts_b,
+           round(p.shared_texts * 1.0
+                 / least(sa.n_texts, sb.n_texts), 6) AS containment
+    FROM pairs p
+    JOIN per_source sa ON sa.source = p.source_a
+    JOIN per_source sb ON sb.source = p.source_b
+    ORDER BY source_a, source_b
+    """,
+    tags=("dedup", "census", "provenance", "llm", "operator"),
+)
+def q341_cross_source_dup_matrix(spark, sf_dir):
+    """Cross-source duplicate attribution matrix (q341) — for every
+    source pair, how many distinct texts they share and the
+    containment of the smaller side (the decide-which-crawl-to-drop
+    table: when snapshot B is 90% contained in snapshot A, you drop B
+    wholesale instead of paying per-doc dedup). Complements q339
+    (sizes) and q230 (shingle-level overlap) at the exact-text grain.
+    The q339 planted classes span sources, so the pair matrix is
+    non-vacuous at every SF.
+
+    SCALE DESIGN: the join operand is the DISTINCT (md5, source)
+    frame — bounded by docs, 32-byte keys, aggregated BEFORE the
+    self-join; the hash equi-join explodes only where a text truly
+    spans sources (dup mass), never all-pairs. Per-source totals are
+    a tiny broadcast side."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(
+                F.lit("PLANTED DUP CLASS "),
+                (F.col("doc_id") % 6).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    hs = planted.select(
+        F.md5(F.col("t")).alias("h"), "source"
+    ).distinct()
+    a = hs.alias("a")
+    b = hs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_texts"))
+    )
+    per_source = hs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_texts")
+    )
+    sa = per_source.select(
+        F.col("source").alias("source_a"), F.col("n_texts").alias("texts_a")
+    )
+    sb = per_source.select(
+        F.col("source").alias("source_b"), F.col("n_texts").alias("texts_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared_texts").cast("long").alias("shared_texts"),
+            F.col("texts_a").cast("long").alias("texts_a"),
+            F.col("texts_b").cast("long").alias("texts_b"),
+            F.round(
+                F.col("shared_texts")
+                * 1.0
+                / F.least(F.col("texts_a"), F.col("texts_b")),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# q340 — loss-reweighting toward a uniform source mix
+# --------------------------------------------------------------------------
+WEIGHT_CAP = 5.0
+
+
+@query(
+    "q340_debias_weights",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n_d FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(n_d) AS n, count(*) AS k FROM counts
+    )
+    SELECT source,
+           CAST(n_d AS BIGINT) AS n_docs,
+           round(n_d * 1.0 / n, 6) AS actual_share,
+           round(1.0 / k, 6) AS target_share,
+           round(least(n * 1.0 / (k * n_d), {WEIGHT_CAP}), 6)
+             AS loss_weight,
+           n * 1.0 / (k * n_d) > {WEIGHT_CAP} AS capped
+    FROM counts, tot
+    ORDER BY source
+    """,
+    tags=("curation", "mixture", "reweighting", "llm", "operator"),
+)
+def q340_debias_weights(spark, sf_dir):
+    """Loss-reweighting toward a uniform source mix (q340) — the
+    REWEIGHT alternative to resampling: per source, the multiplier
+    w_d = target_share/actual_share that makes the expected loss
+    contribution uniform without dropping a single row (q147/q323
+    resample or soft-weight at the doc grain; this is the domain
+    grain), capped at {WEIGHT_CAP}x so a tiny domain cannot dominate
+    gradient noise — the capped flag tells the operator which domains
+    need more data rather than more weight.
+
+    SCALE DESIGN: one (source)-grain count + a 1-row total
+    cross-joined back (broadcast); weights are pure arithmetic from
+    exact integer counts — identical doubles on both engines."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_d")
+    )
+    tot = counts.agg(
+        F.sum("n_d").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    raw = F.col("n") * 1.0 / (F.col("k") * F.col("n_d"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_d").cast("long").alias("n_docs"),
+            F.round(F.col("n_d") * 1.0 / F.col("n"), 6).alias(
+                "actual_share"
+            ),
+            F.round(F.lit(1.0) / F.col("k"), 6).alias("target_share"),
+            F.round(F.least(raw, F.lit(WEIGHT_CAP)), 6).alias(
+                "loss_weight"
+            ),
+            (raw > WEIGHT_CAP).alias("capped"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q342 — chat-template rendering audit (ChatML-style SFT prep)
+# --------------------------------------------------------------------------
+CHAT_SYSTEM = "You are a helpful assistant."
+CHAT_TURN_TOKENS = 12
+
+
+@query(
+    "q342_chat_template_render",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS tk
+      FROM documents
+    ),
+    turns AS (
+      SELECT doc_id, source,
+        coalesce(array_to_string(tk[1:{CHAT_TURN_TOKENS}], ' '), '')
+          AS user_msg,
+        coalesce(array_to_string(
+          tk[{CHAT_TURN_TOKENS + 1}:{2 * CHAT_TURN_TOKENS}], ' '), '')
+          AS asst_msg
+      FROM toks
+    ),
+    rendered AS (
+      SELECT doc_id, source, user_msg, asst_msg,
+        '<|im_start|>system' || chr(10) || '{CHAT_SYSTEM}'
+        || '<|im_end|>' || chr(10)
+        || '<|im_start|>user' || chr(10) || user_msg
+        || '<|im_end|>' || chr(10)
+        || '<|im_start|>assistant' || chr(10) || asst_msg
+        || '<|im_end|>' AS chat
+      FROM turns
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chats,
+           CAST(sum(len(chat)) AS BIGINT) AS rendered_chars,
+           CAST(sum(len(string_split(chat, ' '))) AS BIGINT)
+             AS rendered_tokens,
+           CAST(sum(len(string_split(user_msg, ' '))
+                    + len(string_split(asst_msg, ' '))) AS BIGINT)
+             AS content_tokens,
+           round(1.0 - sum(len(string_split(user_msg, ' '))
+                           + len(string_split(asst_msg, ' '))) * 1.0
+                     / sum(len(string_split(chat, ' '))), 6)
+             AS overhead_frac
+    FROM rendered
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("rlhf", "sft", "formatting", "llm", "operator"),
+)
+def q342_chat_template_render(spark, sf_dir):
+    """Chat-template rendering audit (q342) — the SFT data-prep step
+    that turns (system, user, assistant) turns into one training
+    string under a ChatML-style template, with the overhead census a
+    capacity planner needs (what fraction of the rendered token
+    budget is template scaffolding rather than content). Turns are
+    carved deterministically from the document text (first/second
+    {CHAT_TURN_TOKENS}-token windows).
+
+    SCALE DESIGN: slicing, rendering, and token counts are all
+    row-local codegen (split/slice/concat — no explode); ONE
+    (source)-grain aggregate with map-side partials. One corpus scan."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    user_msg = F.array_join(F.slice(tk, 1, CHAT_TURN_TOKENS), " ")
+    asst_msg = F.array_join(
+        F.slice(tk, CHAT_TURN_TOKENS + 1, CHAT_TURN_TOKENS), " "
+    )
+    turns = docs.select(
+        "source",
+        user_msg.alias("user_msg"),
+        asst_msg.alias("asst_msg"),
+    )
+    chat = F.concat(
+        F.lit("<|im_start|>system\n" + CHAT_SYSTEM + "<|im_end|>\n"),
+        F.lit("<|im_start|>user\n"),
+        F.col("user_msg"),
+        F.lit("<|im_end|>\n<|im_start|>assistant\n"),
+        F.col("asst_msg"),
+        F.lit("<|im_end|>"),
+    )
+    rendered = turns.select(
+        "source",
+        "user_msg",
+        "asst_msg",
+        chat.alias("chat"),
+    )
+    ct = F.size(F.split(F.col("user_msg"), " ")) + F.size(
+        F.split(F.col("asst_msg"), " ")
+    )
+    rt = F.size(F.split(F.col("chat"), " "))
+    return (
+        rendered.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chats"),
+            F.sum(F.length("chat")).cast("long").alias("rendered_chars"),
+            F.sum(rt).cast("long").alias("rendered_tokens"),
+            F.sum(ct).cast("long").alias("content_tokens"),
+            F.round(
+                F.lit(1.0) - F.sum(ct) * 1.0 / F.sum(rt), 6
+            ).alias("overhead_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q343 — source-mixture drift audit (chi-square between snapshots)
+# --------------------------------------------------------------------------
+@query(
+    "q343_mixture_drift",
+    oracle="""
+    WITH halves AS (
+      SELECT source,
+             count_if(('0x' || substr(md5('snap-'
+               || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0)
+               AS n_a,
+             count_if(('0x' || substr(md5('snap-'
+               || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 1)
+               AS n_b
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM halves)
+    SELECT source,
+           CAST(n_a AS BIGINT) AS n_prev,
+           CAST(n_b AS BIGINT) AS n_curr,
+           round(n_a * 1.0 * tb / ta, 6) AS expected_curr,
+           round((n_b - n_a * 1.0 * tb / ta)
+                 * (n_b - n_a * 1.0 * tb / ta)
+                 / (n_a * 1.0 * tb / ta), 6) AS chi2_contrib,
+           (n_b - n_a * 1.0 * tb / ta)
+             * (n_b - n_a * 1.0 * tb / ta)
+             / (n_a * 1.0 * tb / ta) > 3.841 AS drifted
+    FROM halves, tot
+    ORDER BY source
+    """,
+    tags=("monitoring", "mixture", "drift", "llm", "operator"),
+)
+def q343_mixture_drift(spark, sf_dir):
+    """Source-mixture drift audit (q343) — the snapshot-over-snapshot
+    distribution check an ingestion pipeline runs before retraining:
+    with the previous snapshot's source mix as the expectation,
+    each source's chi-square contribution ((obs-exp)^2/exp) against
+    the current snapshot flags sources whose share moved (q329 is the
+    2-arm experiment form; this is the k-category ops-monitoring
+    form, pointwise-flagged at the 1-df 3.841 value). Snapshots are
+    md5-uniform halves (salt 'snap-') — the fixture assigns sources
+    by doc_id modulus, so a parity split would be degenerate
+    (one snapshot empty per source); the hash split is deterministic
+    AND independent of the source assignment at every SF.
+
+    SCALE DESIGN: both snapshot counts ride ONE (source)-grain
+    conditional aggregate; totals are a 1-row broadcast; the
+    chi-square arithmetic is exact-integer-ratio double math,
+    identical on both engines."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    snap = md5_hash64(F.col("doc_id").cast("string"), "snap-") % 2
+    halves = docs.groupBy("source").agg(
+        F.count_if(snap == 0).alias("n_a"),
+        F.count_if(snap == 1).alias("n_b"),
+    )
+    tot = halves.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    exp = F.col("n_a") * 1.0 * F.col("tb") / F.col("ta")
+    chi2 = (F.col("n_b") - exp) * (F.col("n_b") - exp) / exp
+    return (
+        halves.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_a").cast("long").alias("n_prev"),
+            F.col("n_b").cast("long").alias("n_curr"),
+            F.round(exp, 6).alias("expected_curr"),
+            F.round(chi2, 6).alias("chi2_contrib"),
+            (chi2 > 3.841).alias("drifted"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q344 — special-token hygiene census (template-injection screen)
+# --------------------------------------------------------------------------
+#: reserved-token shapes that must NEVER appear in raw training text
+#: (a document containing them would inject turn boundaries or stop
+#: conditions into the trained model). Java ∩ RE2, shared verbatim.
+SPECIAL_TOKEN_PATTERNS = {
+    "chatml": r"<\|im_start\|>|<\|im_end\|>",
+    "eot": r"<\|endoftext\|>",
+    "bos_eos": r"<s>|</s>",
+    "inst": r"\[INST\]|\[/INST\]",
+}
+
+
+def _special_token_oracle() -> str:
+    c_cols = ",\n             ".join(
+        f"len(regexp_extract_all(t, '{p}')) AS c_{n}"
+        for n, p in SPECIAL_TOKEN_PATTERNS.items()
+    )
+    stacked = "\n      UNION ALL\n      ".join(
+        f"SELECT source, '{n}' AS token_type, c_{n} AS c FROM counted"
+        for n in SPECIAL_TOKEN_PATTERNS
+    )
+    return f"""
+    WITH planted AS (
+      SELECT doc_id, source, text
+        || CASE WHEN doc_id % 17 = 0
+             THEN ' see <|endoftext|> marker' ELSE '' END
+        || CASE WHEN doc_id % 19 = 0
+             THEN ' quote [INST] prompt [/INST] end' ELSE '' END
+        || CASE WHEN doc_id % 23 = 0
+             THEN ' raw <s>tag</s> pair' ELSE '' END
+        AS t
+      FROM documents
+    ),
+    counted AS (
+      SELECT source,
+             {c_cols}
+      FROM planted
+    )
+    SELECT source, token_type,
+           CAST(count_if(c > 0) AS BIGINT) AS n_docs,
+           CAST(sum(c) AS BIGINT) AS n_hits
+    FROM ({stacked})
+    GROUP BY source, token_type
+    ORDER BY source, token_type
+    """
+
+
+@query(
+    "q344_special_token_hygiene",
+    oracle=_special_token_oracle(),
+    tags=("curation", "safety", "formatting", "llm", "operator"),
+)
+def q344_special_token_hygiene(spark, sf_dir):
+    """Special-token hygiene census (q344) — scan raw text for
+    reserved template tokens (ChatML markers, endoftext, BOS/EOS,
+    instruction brackets): a crawl document containing them would
+    inject turn boundaries or stop conditions straight into the
+    trained model, so SFT pipelines strip or reject them before
+    rendering (q342 renders; this guards the renderer's input).
+    Plants on doc_id % 17/19/23 make every pattern family
+    non-vacuous; the organic corpus must count zero (false-positive
+    proof). Pattern strings are shared verbatim with the oracle
+    (Java ∩ RE2 — escaped pipes and brackets only).
+
+    SCALE DESIGN: the q311 census shape — map-side regexp_count over
+    a codegen projection, a #patterns-row stack per doc, ONE
+    (source, type) aggregate with map-side partials."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 17 == 0, F.lit(" see <|endoftext|> marker")
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 19 == 0,
+                F.lit(" quote [INST] prompt [/INST] end"),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 23 == 0, F.lit(" raw <s>tag</s> pair")
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    counted = planted.select(
+        "source",
+        *[
+            F.regexp_count(F.col("t"), F.lit(p)).alias(f"c_{n}")
+            for n, p in SPECIAL_TOKEN_PATTERNS.items()
+        ],
+    )
+    entries = [
+        F.struct(
+            F.lit(n).alias("token_type"),
+            F.col(f"c_{n}").cast("long").alias("c"),
+        )
+        for n in SPECIAL_TOKEN_PATTERNS
+    ]
+    stacked = counted.select(
+        "source", F.explode(F.array(*entries)).alias("s")
+    ).select("source", "s.token_type", "s.c")
+    return (
+        stacked.groupBy("source", "token_type")
+        .agg(
+            F.count_if(F.col("c") > 0).cast("long").alias("n_docs"),
+            F.sum("c").cast("long").alias("n_hits"),
+        )
+        .orderBy("source", "token_type")
+    )

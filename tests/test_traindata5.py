@@ -309,3 +309,182 @@ def test_q338_fertility_matches_python_replica(spark):
         assert r["bytes_per_token"] == round(nb / nt, 6)
         assert 0.0 <= r["multibyte_frac"] < 1.0
         assert r["bytes_per_token"] >= r["chars_per_token"]
+
+
+# ---------------------------------------------------------------- q339
+def test_q339_cluster_census_matches_python_replica(spark):
+    rows = _docs(spark, cols=("doc_id", "text", "source"))
+    clusters: dict[str, list] = {}
+    for r in rows:
+        t = (
+            f"PLANTED DUP CLASS {r['doc_id'] % 6}"
+            if r["doc_id"] % 7 == 3
+            else r["text"]
+        )
+        clusters.setdefault(t, []).append(r["source"])
+    by_size: dict[int, list] = {}
+    for srcs in clusters.values():
+        by_size.setdefault(len(srcs), []).append(srcs)
+    got = {
+        r["cluster_size"]: r
+        for r in _run(spark, "q339_dup_cluster_census").collect()
+    }
+    assert set(got) == set(by_size)
+    for sz, members in by_size.items():
+        r = got[sz]
+        assert r["n_clusters"] == len(members)
+        assert r["n_docs"] == sz * len(members)
+        assert r["removable_docs"] == (sz - 1) * len(members)
+        assert r["n_cross_source_clusters"] == sum(
+            1 for m in members if len(set(m)) > 1
+        )
+
+
+# ---------------------------------------------------------------- q341
+def test_q341_pair_matrix_matches_python_replica(spark):
+    rows = _docs(spark, cols=("doc_id", "text", "source"))
+    hs = {
+        (
+            f"PLANTED DUP CLASS {r['doc_id'] % 6}"
+            if r["doc_id"] % 7 == 3
+            else r["text"],
+            r["source"],
+        )
+        for r in rows
+    }
+    per_source: dict[str, int] = {}
+    by_text: dict[str, set] = {}
+    for t, src in hs:
+        per_source[src] = per_source.get(src, 0) + 1
+        by_text.setdefault(t, set()).add(src)
+    pairs: dict[tuple, int] = {}
+    for srcs in by_text.values():
+        ss = sorted(srcs)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                pairs[(ss[i], ss[j])] = pairs.get((ss[i], ss[j]), 0) + 1
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in _run(spark, "q341_cross_source_dup_matrix").collect()
+    }
+    assert set(got) == set(pairs)
+    for (a, b), n in pairs.items():
+        r = got[(a, b)]
+        assert r["shared_texts"] == n
+        assert r["texts_a"] == per_source[a]
+        assert r["texts_b"] == per_source[b]
+        assert r["containment"] == round(
+            n / min(per_source[a], per_source[b]), 6
+        )
+
+
+# ---------------------------------------------------------------- q340
+def test_q340_debias_weights_match_python_replica(spark):
+    rows = _docs(spark, cols=("source",))
+    counts: dict[str, int] = {}
+    for r in rows:
+        counts[r["source"]] = counts.get(r["source"], 0) + 1
+    n, k = len(rows), len(counts)
+    got = {
+        r["source"]: r
+        for r in _run(spark, "q340_debias_weights").collect()
+    }
+    for src, nd in counts.items():
+        r = got[src]
+        raw = n / (k * nd)
+        assert r["n_docs"] == nd
+        assert r["loss_weight"] == round(min(raw, 5.0), 6)
+        assert r["capped"] == (raw > 5.0)
+    # weights times actual shares sum to ~1 when nothing is capped
+    if not any(r["capped"] for r in got.values()):
+        s = sum(
+            got[src]["loss_weight"] * counts[src] / n for src in counts
+        )
+        assert abs(s - 1.0) < 1e-4
+
+
+# ---------------------------------------------------------------- q342
+def test_q342_chat_render_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata5 import (
+        CHAT_SYSTEM,
+        CHAT_TURN_TOKENS,
+    )
+
+    rows = _docs(spark, cols=("source", "text"))
+    agg: dict[str, list[int]] = {}
+    for r in rows:
+        tk = r["text"].split(" ")
+        u = " ".join(tk[:CHAT_TURN_TOKENS])
+        a = " ".join(tk[CHAT_TURN_TOKENS:2 * CHAT_TURN_TOKENS])
+        chat = (
+            f"<|im_start|>system\n{CHAT_SYSTEM}<|im_end|>\n"
+            f"<|im_start|>user\n{u}<|im_end|>\n"
+            f"<|im_start|>assistant\n{a}<|im_end|>"
+        )
+        st = agg.setdefault(r["source"], [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += len(chat)
+        st[2] += len(chat.split(" "))
+        st[3] += len(u.split(" ")) + len(a.split(" "))
+    got = {
+        r["source"]: r
+        for r in _run(spark, "q342_chat_template_render").collect()
+    }
+    for src, (n, rc, rt, ct) in agg.items():
+        r = got[src]
+        assert r["n_chats"] == n
+        assert r["rendered_chars"] == rc
+        assert r["rendered_tokens"] == rt
+        assert r["content_tokens"] == ct
+        assert r["overhead_frac"] == round(1.0 - ct / rt, 6)
+
+
+# ---------------------------------------------------------------- q343
+def test_q343_mixture_drift_matches_python_replica(spark):
+    rows = _docs(spark, cols=("doc_id", "source"))
+    halves: dict[str, list[int]] = {}
+    for r in rows:
+        st = halves.setdefault(r["source"], [0, 0])
+        st[_h32("snap-", r["doc_id"]) % 2] += 1
+    ta = sum(v[0] for v in halves.values())
+    tb = sum(v[1] for v in halves.values())
+    got = {
+        r["source"]: r for r in _run(spark, "q343_mixture_drift").collect()
+    }
+    for src, (na, nb) in halves.items():
+        r = got[src]
+        exp = na * tb / ta
+        chi2 = (nb - exp) ** 2 / exp
+        assert r["n_prev"] == na and r["n_curr"] == nb
+        assert abs(r["chi2_contrib"] - round(chi2, 6)) < 1e-6
+        assert r["drifted"] == (chi2 > 3.841)
+
+
+# ---------------------------------------------------------------- q344
+def test_q344_special_tokens_planted_and_clean(spark):
+    rows = _docs(spark, cols=("doc_id", "source"))
+    got = {
+        (r["source"], r["token_type"]): r
+        for r in _run(spark, "q344_special_token_hygiene").collect()
+    }
+    per_src: dict[str, dict[str, int]] = {}
+    for r in rows:
+        st = per_src.setdefault(
+            r["source"], {"eot": 0, "inst": 0, "bos_eos": 0}
+        )
+        if r["doc_id"] % 17 == 0:
+            st["eot"] += 1
+        if r["doc_id"] % 19 == 0:
+            st["inst"] += 1
+        if r["doc_id"] % 23 == 0:
+            st["bos_eos"] += 1
+    for src, st in per_src.items():
+        assert got[(src, "eot")]["n_docs"] == st["eot"]
+        assert got[(src, "eot")]["n_hits"] == st["eot"]
+        # [INST] and [/INST] both match: 2 hits per planted doc
+        assert got[(src, "inst")]["n_docs"] == st["inst"]
+        assert got[(src, "inst")]["n_hits"] == 2 * st["inst"]
+        assert got[(src, "bos_eos")]["n_hits"] == 2 * st["bos_eos"]
+        # the organic corpus is clean: chatml never planted -> zero
+        assert got[(src, "chatml")]["n_docs"] == 0
+        assert got[(src, "chatml")]["n_hits"] == 0
