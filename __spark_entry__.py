@@ -19,8 +19,15 @@ from etl_as_a_service_spark.queries import QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
+    """Flagship on /root/testdata/sf0.001; driver checks rows>0.
+
+    Round 10: the flagship is the COMPOSED curation pipeline (q330)
+    — a 9-stage declarative spec compiled to one Catalyst plan — the
+    closest analog of the reference's run-a-whole-user-pipeline
+    contract, and oracle-checked end-to-end at every fixture."""
+    return QUERIES["q330_curation_pipeline_e2e"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
