@@ -72,12 +72,11 @@ from etl_as_a_service_spark.queries import traindata5  # noqa: E402,F401
 # CORRECTNESS rows for the FIRST 50 manifest entries only. The
 # never-driver-green backlog emptied in round 8, so the policy is
 # FRESHNESS (the round-8 verdict's item 1): lead with every
-# never-green oracle query in ascending order (none this round — all
-# 316 oracle queries have a green driver row), then fill with the
-# LEAST-RECENTLY-confirmed rows. After CORRECTNESS_r09 re-confirmed
-# q297-q329 + q60/q67/q69/q70 + q01-q13, the stalest receipts are the
-# r2-era block q14-q39/q50-q57/q68/q75 and the r3-era block
-# q81-q108 — this window refreshes them oldest-first. The manifest
+# never-green oracle query in ascending order (this round's new
+# operators q330-q348), then fill with the LEAST-RECENTLY-confirmed
+# rows. After CORRECTNESS_r09 re-confirmed q297-q329 +
+# q60/q67/q69/q70 + q01-q13, the stalest receipts are the r2-era
+# block q14+ — this window refreshes them oldest-first. The manifest
 # CONTENT is unchanged — only dict iteration order moves. The tripwire
 # (tests/test_driver_canonicalizer.py::test_front_50_rotation_invariants)
 # computes this exact window from the CORRECTNESS_r*.json union.
@@ -104,6 +103,10 @@ _ROTATE_FRONT = [
     "q342_chat_template_render",
     "q343_mixture_drift",
     "q344_special_token_hygiene",
+    "q345_format_census",
+    "q346_optout_scan",
+    "q347_pack_mixing_audit",
+    "q348_data_card",
     "q14_event_type_pivot",
     "q15_distinct_users_per_type",
     "q16_grouping_sets",
@@ -135,10 +138,6 @@ _ROTATE_FRONT = [
     "q52_try_cast",
     "q53_ilike_rlike",
     "q56_array_ops",
-    "q57_csv_scan_parity",
-    "q68_interval_range_frames",
-    "q75_skew_kurtosis",
-    "q81_tumbling_windows_batch",
 ]
 
 

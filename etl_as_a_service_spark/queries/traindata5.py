@@ -1833,3 +1833,474 @@ def q344_special_token_hygiene(spark, sf_dir):
         )
         .orderBy("source", "token_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q345 — content-format census (code / markup / prose heuristic)
+# --------------------------------------------------------------------------
+#: format-detection patterns (Java ∩ RE2, shared verbatim): a doc is
+#: classified by FIRST match in this order — code beats markup beats
+#: prose (explicit precedence, no engine tie-break)
+FORMAT_PATTERNS = {
+    "code": r"[{};]|\bdef\b|\bvoid\b|\breturn\b|==",
+    "markup": r"</?[A-Za-z][A-Za-z0-9]*>|&[a-z]+;",
+}
+
+
+def _format_census_oracle() -> str:
+    code_p = FORMAT_PATTERNS["code"]
+    markup_p = FORMAT_PATTERNS["markup"]
+    return f"""
+    WITH planted AS (
+      SELECT doc_id, source, text
+        || CASE WHEN doc_id % 12 = 0
+             THEN ' def main() {{ return 0; }}' ELSE '' END
+        || CASE WHEN doc_id % 14 = 0
+             THEN ' see <div>block</div> &amp; more' ELSE '' END
+        AS t
+      FROM documents
+    ),
+    classified AS (
+      SELECT source,
+        CASE WHEN len(regexp_extract_all(t, '{code_p}')) > 0
+               THEN 'code'
+             WHEN len(regexp_extract_all(t, '{markup_p}')) > 0
+               THEN 'markup'
+             ELSE 'prose' END AS fmt
+      FROM planted
+    )
+    SELECT source, fmt,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM classified
+    GROUP BY source, fmt
+    ORDER BY source, fmt
+    """
+
+
+@query(
+    "q345_format_census",
+    oracle=_format_census_oracle(),
+    tags=("curation", "classification", "census", "llm", "operator"),
+)
+def q345_format_census(spark, sf_dir):
+    """Content-format census (q345) — the code/markup/prose split a
+    mixed crawl reports before routing documents to format-specific
+    pipelines (code gets q316's quality flags, markup gets q221-style
+    extraction, prose gets the Gopher gates). Classification is
+    first-match precedence over shared regex heuristics (code beats
+    markup beats prose — explicit, engine-independent). Plants on
+    doc_id % 12 (code shapes) and % 14 (markup shapes) make every
+    class non-vacuous; organic word-soup is all prose (zero
+    false-positive proof rides the same census).
+
+    SCALE DESIGN: classification is map-only regexp_count codegen;
+    ONE (source, fmt) aggregate with map-side partials. One scan."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 12 == 0, F.lit(" def main() { return 0; }")
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 14 == 0,
+                F.lit(" see <div>block</div> &amp; more"),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    fmt = (
+        F.when(
+            F.regexp_count(
+                F.col("t"), F.lit(FORMAT_PATTERNS["code"])
+            )
+            > 0,
+            F.lit("code"),
+        )
+        .when(
+            F.regexp_count(
+                F.col("t"), F.lit(FORMAT_PATTERNS["markup"])
+            )
+            > 0,
+            F.lit("markup"),
+        )
+        .otherwise(F.lit("prose"))
+    )
+    return (
+        planted.select("source", fmt.alias("fmt"))
+        .groupBy("source", "fmt")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("source", "fmt")
+    )
+
+
+# --------------------------------------------------------------------------
+# q346 — opt-out / license-marker compliance scan
+# --------------------------------------------------------------------------
+#: opt-out and license markers a compliant crawl pipeline must honor
+#: (Java ∩ RE2, shared verbatim; case handled by lowercasing first)
+OPTOUT_PATTERNS = {
+    "noai": r"noai|noimageai",
+    "no_train": r"do not train|not for training",
+    "license_cc": r"creative commons|cc by(-[a-z]{2})*",
+    "copyright": r"all rights reserved",
+}
+
+
+def _optout_oracle() -> str:
+    c_cols = ",\n             ".join(
+        f"len(regexp_extract_all(lower(t), '{p}')) AS c_{n}"
+        for n, p in OPTOUT_PATTERNS.items()
+    )
+    any_hit = " + ".join(f"c_{n}" for n in OPTOUT_PATTERNS)
+    stacked = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, source, '{n}' AS marker, c_{n} AS c "
+        f"FROM counted"
+        for n in OPTOUT_PATTERNS
+    )
+    return f"""
+    WITH planted AS (
+      SELECT doc_id, source, text
+        || CASE WHEN doc_id % 21 = 0
+             THEN ' meta NoAI tag present' ELSE '' END
+        || CASE WHEN doc_id % 22 = 0
+             THEN ' PLEASE DO NOT TRAIN on this page' ELSE '' END
+        || CASE WHEN doc_id % 26 = 0
+             THEN ' licensed Creative Commons CC BY-SA' ELSE '' END
+        AS t
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id, source,
+             {c_cols}
+      FROM planted
+    ),
+    marker_rows AS (
+      SELECT source, marker,
+             CAST(count_if(c > 0) AS BIGINT) AS n_docs,
+             CAST(sum(c) AS BIGINT) AS n_hits
+      FROM ({stacked})
+      GROUP BY source, marker
+    ),
+    survivors AS (
+      SELECT source,
+             CAST(count_if({any_hit} = 0) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN {any_hit} = 0 THEN doc_id
+                           ELSE 0 END) AS BIGINT) AS n_hits
+      FROM counted GROUP BY source
+    )
+    SELECT source, marker, n_docs, n_hits FROM marker_rows
+    UNION ALL
+    SELECT source, 'clean_id_sum' AS marker, n_docs, n_hits
+    FROM survivors
+    ORDER BY source, marker
+    """
+
+
+@query(
+    "q346_optout_scan",
+    oracle=_optout_oracle(),
+    tags=("compliance", "curation", "census", "llm", "operator"),
+)
+def q346_optout_scan(spark, sf_dir):
+    """Opt-out / license-marker compliance scan (q346) — the screen a
+    responsible training pipeline runs before ingestion: noai-style
+    meta markers, explicit do-not-train requests, and license strings
+    (Creative Commons, all-rights-reserved) each counted per source,
+    plus the clean-survivor census with an id-sum checksum (WHICH
+    rows survive, not just how many — the row a compliance audit
+    asks for). Matching is case-insensitive via lower() on both
+    engines; patterns shared verbatim.
+
+    SCALE DESIGN: the q311/q344 census shape — map-only regexp_count,
+    a #patterns stack, ONE (source, marker) aggregate; the survivor
+    census rides the SAME counted projection (no second scan)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 21 == 0, F.lit(" meta NoAI tag present")
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 22 == 0,
+                F.lit(" PLEASE DO NOT TRAIN on this page"),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 26 == 0,
+                F.lit(" licensed Creative Commons CC BY-SA"),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    counted = planted.select(
+        "doc_id",
+        "source",
+        *[
+            F.regexp_count(F.lower(F.col("t")), F.lit(p)).alias(
+                f"c_{n}"
+            )
+            for n, p in OPTOUT_PATTERNS.items()
+        ],
+    )
+    entries = [
+        F.struct(
+            F.lit(n).alias("marker"),
+            F.col(f"c_{n}").cast("long").alias("c"),
+        )
+        for n in OPTOUT_PATTERNS
+    ]
+    stacked = counted.select(
+        "source", F.explode(F.array(*entries)).alias("s")
+    ).select("source", "s.marker", "s.c")
+    marker_rows = stacked.groupBy("source", "marker").agg(
+        F.count_if(F.col("c") > 0).cast("long").alias("n_docs"),
+        F.sum("c").cast("long").alias("n_hits"),
+    )
+    any_hit = None
+    for n in OPTOUT_PATTERNS:
+        c = F.col(f"c_{n}")
+        any_hit = c if any_hit is None else any_hit + c
+    survivors = counted.groupBy("source").agg(
+        F.count_if(any_hit == 0).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(any_hit == 0, F.col("doc_id")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_hits"),
+    ).select(
+        "source", F.lit("clean_id_sum").alias("marker"),
+        "n_docs", "n_hits",
+    )
+    return marker_rows.unionByName(survivors).orderBy(
+        "source", "marker"
+    )
+
+
+# --------------------------------------------------------------------------
+# q347 — packed-bin source-mixing audit (cross-doc attention proxy)
+# --------------------------------------------------------------------------
+@query(
+    "q347_pack_mixing_audit",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS nt,
+             substring(md5('pack-v1' || CAST(doc_id AS VARCHAR)), 1, 1)
+               AS shard,
+             substring(md5('pack-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS ord
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, source,
+             CAST(floor((sum(nt) OVER (PARTITION BY shard
+                    ORDER BY ord, doc_id ROWS UNBOUNDED PRECEDING)
+                    - nt) / 512.0) AS BIGINT) AS bin
+      FROM d
+    ),
+    bins AS (
+      SELECT shard, bin,
+             count(*) AS n_docs,
+             count(DISTINCT source) AS n_sources
+      FROM packed GROUP BY shard, bin
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(count_if(n_sources > 1) AS BIGINT) AS n_mixed_bins,
+           round(count_if(n_sources > 1) * 1.0 / count(*), 6)
+             AS mixed_frac,
+           CAST(max(n_docs) AS BIGINT) AS max_docs_per_bin,
+           CAST(max(n_sources) AS BIGINT) AS max_sources_per_bin
+    FROM bins
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    tags=("curation", "packing", "audit", "llm", "operator"),
+)
+def q347_pack_mixing_audit(spark, sf_dir):
+    """Packed-bin source-mixing audit (q347) — after sequence packing
+    (the q78 layout), how many training bins mix documents from
+    different sources: packed sequences share attention context, so a
+    bin mixing sources leaks one domain's text into another's loss
+    unless the trainer masks cross-doc attention — this census is the
+    evidence for whether that masking matters on a given corpus.
+    Reported per shard: bins, mixed bins, mixing fraction, worst-case
+    docs and sources per bin.
+
+    SCALE DESIGN: reuses the exact q78 packing arithmetic (md5 shard
+    + per-shard cumsum window); the audit is a (shard, bin) aggregate
+    then a (shard) rollup — both map-side-combined, no join."""
+    from etl_as_a_service_spark.llm.curation import pack_sequences
+    from etl_as_a_service_spark.functions.text import token_count
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).cast("long").alias("nt"),
+    )
+    packed = pack_sequences(
+        with_tokens,
+        id_col="doc_id",
+        token_col="nt",
+        token_budget=512,
+        shard_col=F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("pack-v1"), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            1,
+        ),
+    )
+    bins = packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return (
+        bins.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.count_if(F.col("n_sources") > 1)
+            .cast("long")
+            .alias("n_mixed_bins"),
+            F.round(
+                F.count_if(F.col("n_sources") > 1)
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mixed_frac"),
+            F.max("n_docs").cast("long").alias("max_docs_per_bin"),
+            F.max("n_sources").cast("long").alias("max_sources_per_bin"),
+        )
+        .orderBy("shard")
+    )
+
+
+# --------------------------------------------------------------------------
+# q348 — per-source data card (one-pass profile with Gini diversity)
+# --------------------------------------------------------------------------
+@query(
+    "q348_data_card",
+    oracle="""
+    WITH m AS (
+      SELECT source, lang,
+             len(string_split(text, ' ')) AS nt,
+             md5(text) AS h
+      FROM documents
+    ),
+    lang_counts AS (
+      SELECT source, lang, count(*) AS n_l
+      FROM m GROUP BY source, lang
+    ),
+    gini AS (
+      SELECT source,
+             1.0 - sum((n_l * 1.0 / tot) * (n_l * 1.0 / tot)) AS g
+      FROM (
+        SELECT source, n_l, sum(n_l) OVER (PARTITION BY source) AS tot
+        FROM lang_counts
+      )
+      GROUP BY source
+    ),
+    base AS (
+      SELECT source,
+             count(*) AS n_docs,
+             count(DISTINCT lang) AS n_langs,
+             count(DISTINCT h) AS n_distinct_texts,
+             sum(nt) AS total_tokens,
+             min(nt) AS min_tokens,
+             max(nt) AS max_tokens
+      FROM m GROUP BY source
+    )
+    SELECT b.source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           CAST(n_distinct_texts AS BIGINT) AS n_distinct_texts,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(min_tokens AS BIGINT) AS min_tokens,
+           CAST(max_tokens AS BIGINT) AS max_tokens,
+           round(total_tokens * 1.0 / n_docs, 6) AS mean_tokens,
+           round(1.0 - n_distinct_texts * 1.0 / n_docs, 6)
+             AS dup_frac,
+           round(g.g, 6) AS lang_gini
+    FROM base b JOIN gini g ON b.source = g.source
+    ORDER BY b.source
+    """,
+    tags=("profiling", "census", "governance", "llm", "operator"),
+)
+def q348_data_card(spark, sf_dir):
+    """Per-source data card (q348) — the one-row-per-source profile a
+    dataset release publishes (Datasheets-for-Datasets style): doc
+    and token counts, length extremes, exact-dup fraction (via
+    md5-distinct), language count, and language-diversity Gini
+    impurity 1-Σshare² (the RATIONAL diversity index — entropy would
+    drag libm ln into the oracle contract, Gini is exact integer
+    arithmetic; the q308 pow/exp-free discipline).
+
+    SCALE DESIGN: one scan computes every per-doc metric row-locally;
+    the card is a (source)-grain aggregate plus a (source, lang)
+    aggregate for Gini — both map-side-combined; text never shuffles
+    (dup counting travels as md5)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    m = docs.select(
+        "source",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("nt"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    lang_counts = m.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    from pyspark.sql import Window
+
+    tot = F.sum("n_l").over(Window.partitionBy("source"))
+    gini = (
+        lang_counts.withColumn("tot", tot)
+        .groupBy("source")
+        .agg(
+            (
+                F.lit(1.0)
+                - F.sum(
+                    (F.col("n_l") * 1.0 / F.col("tot"))
+                    * (F.col("n_l") * 1.0 / F.col("tot"))
+                )
+            ).alias("g")
+        )
+    )
+    base = m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("h").alias("n_distinct_texts"),
+        F.sum("nt").alias("total_tokens"),
+        F.min("nt").alias("min_tokens"),
+        F.max("nt").alias("max_tokens"),
+    )
+    return (
+        base.join(gini, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_langs").cast("long").alias("n_langs"),
+            F.col("n_distinct_texts")
+            .cast("long")
+            .alias("n_distinct_texts"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.col("min_tokens").cast("long").alias("min_tokens"),
+            F.col("max_tokens").cast("long").alias("max_tokens"),
+            F.round(
+                F.col("total_tokens") * 1.0 / F.col("n_docs"), 6
+            ).alias("mean_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct_texts") * 1.0 / F.col("n_docs"),
+                6,
+            ).alias("dup_frac"),
+            F.round(F.col("g"), 6).alias("lang_gini"),
+        )
+        .orderBy("source")
+    )

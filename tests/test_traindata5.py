@@ -488,3 +488,153 @@ def test_q344_special_tokens_planted_and_clean(spark):
         # the organic corpus is clean: chatml never planted -> zero
         assert got[(src, "chatml")]["n_docs"] == 0
         assert got[(src, "chatml")]["n_hits"] == 0
+
+
+# ---------------------------------------------------------------- q345
+def test_q345_format_census_matches_python_replica(spark):
+    import re
+
+    from etl_as_a_service_spark.queries.traindata5 import (
+        FORMAT_PATTERNS,
+    )
+
+    code_re = re.compile(FORMAT_PATTERNS["code"])
+    markup_re = re.compile(FORMAT_PATTERNS["markup"])
+    rows = _docs(spark, cols=("doc_id", "source", "text"))
+    agg: dict[tuple, int] = {}
+    for r in rows:
+        t = r["text"]
+        if r["doc_id"] % 12 == 0:
+            t += " def main() { return 0; }"
+        if r["doc_id"] % 14 == 0:
+            t += " see <div>block</div> &amp; more"
+        fmt = (
+            "code"
+            if code_re.search(t)
+            else "markup"
+            if markup_re.search(t)
+            else "prose"
+        )
+        agg[(r["source"], fmt)] = agg.get((r["source"], fmt), 0) + 1
+    got = {
+        (r["source"], r["fmt"]): r["n_docs"]
+        for r in _run(spark, "q345_format_census").collect()
+    }
+    assert got == agg
+    # organic corpus is prose: every planted class exists AND
+    # unplanted docs never classify as code/markup
+    assert any(f == "code" for _, f in got)
+    assert any(f == "prose" for _, f in got)
+
+
+# ---------------------------------------------------------------- q346
+def test_q346_optout_scan_matches_python_replica(spark):
+    import re
+
+    from etl_as_a_service_spark.queries.traindata5 import (
+        OPTOUT_PATTERNS,
+    )
+
+    res = {n: re.compile(p) for n, p in OPTOUT_PATTERNS.items()}
+    rows = _docs(spark, cols=("doc_id", "source", "text"))
+    marker: dict[tuple, list[int]] = {}
+    clean: dict[str, list[int]] = {}
+    for r in rows:
+        t = r["text"]
+        if r["doc_id"] % 21 == 0:
+            t += " meta NoAI tag present"
+        if r["doc_id"] % 22 == 0:
+            t += " PLEASE DO NOT TRAIN on this page"
+        if r["doc_id"] % 26 == 0:
+            t += " licensed Creative Commons CC BY-SA"
+        lt = t.lower()
+        total = 0
+        for n, rx in res.items():
+            c = len(rx.findall(lt))
+            total += c
+            st = marker.setdefault((r["source"], n), [0, 0])
+            st[0] += 1 if c > 0 else 0
+            st[1] += c
+        cst = clean.setdefault(r["source"], [0, 0])
+        if total == 0:
+            cst[0] += 1
+            cst[1] += r["doc_id"]
+    got = {
+        (r["source"], r["marker"]): (r["n_docs"], r["n_hits"])
+        for r in _run(spark, "q346_optout_scan").collect()
+    }
+    for (src, n), (nd, nh) in marker.items():
+        assert got[(src, n)] == (nd, nh)
+    for src, (nd, idsum) in clean.items():
+        assert got[(src, "clean_id_sum")] == (nd, idsum)
+
+
+# ---------------------------------------------------------------- q347
+def test_q347_pack_mixing_matches_python_replica(spark):
+    rows = _docs(spark, cols=("doc_id", "source", "text"))
+    per_shard: dict[str, list] = {}
+    for r in rows:
+        h = hashlib.md5(f"pack-v1{r['doc_id']}".encode()).hexdigest()
+        per_shard.setdefault(h[:1], []).append(
+            (h[:8], r["doc_id"], len(r["text"].split(" ")), r["source"])
+        )
+    expected = {}
+    for shard, docs_ in per_shard.items():
+        docs_.sort()
+        bins: dict[int, list] = {}
+        before = 0
+        for _, _, nt, src in docs_:
+            bins.setdefault(before // 512, []).append(src)
+            before += nt
+        n_bins = len(bins)
+        mixed = sum(1 for srcs in bins.values() if len(set(srcs)) > 1)
+        expected[shard] = (
+            n_bins,
+            mixed,
+            round(mixed / n_bins, 6),
+            max(len(s) for s in bins.values()),
+            max(len(set(s)) for s in bins.values()),
+        )
+    got = {
+        r["shard"]: (
+            r["n_bins"],
+            r["n_mixed_bins"],
+            r["mixed_frac"],
+            r["max_docs_per_bin"],
+            r["max_sources_per_bin"],
+        )
+        for r in _run(spark, "q347_pack_mixing_audit").collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------- q348
+def test_q348_data_card_matches_python_replica(spark):
+    rows = _docs(spark, cols=("source", "lang", "text"))
+    per: dict[str, dict] = {}
+    for r in rows:
+        st = per.setdefault(
+            r["source"],
+            {"n": 0, "langs": {}, "texts": set(), "nts": []},
+        )
+        st["n"] += 1
+        st["langs"][r["lang"]] = st["langs"].get(r["lang"], 0) + 1
+        st["texts"].add(r["text"])
+        st["nts"].append(len(r["text"].split(" ")))
+    got = {
+        r["source"]: r for r in _run(spark, "q348_data_card").collect()
+    }
+    for src, st in per.items():
+        r = got[src]
+        n = st["n"]
+        assert r["n_docs"] == n
+        assert r["n_langs"] == len(st["langs"])
+        assert r["n_distinct_texts"] == len(st["texts"])
+        assert r["total_tokens"] == sum(st["nts"])
+        assert r["min_tokens"] == min(st["nts"])
+        assert r["max_tokens"] == max(st["nts"])
+        gini = 1.0 - sum(
+            (c / n) ** 2 for c in st["langs"].values()
+        )
+        assert abs(r["lang_gini"] - round(gini, 6)) < 1e-6
+        assert r["dup_frac"] == round(1.0 - len(st["texts"]) / n, 6)
