@@ -107,6 +107,9 @@ _ROTATE_FRONT = [
     "q346_optout_scan",
     "q347_pack_mixing_audit",
     "q348_data_card",
+    "q349_eval_integrity",
+    "q350_dedup_survivor_bias",
+    "q351_dedup_policy_sweep",
     "q14_event_type_pivot",
     "q15_distinct_users_per_type",
     "q16_grouping_sets",
@@ -135,9 +138,6 @@ _ROTATE_FRONT = [
     "q39_correlated_subqueries",
     "q50_posexplode_tokens",
     "q51_interval_arithmetic",
-    "q52_try_cast",
-    "q53_ilike_rlike",
-    "q56_array_ops",
 ]
 
 

@@ -2304,3 +2304,298 @@ def q348_data_card(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q349 — eval-integrity report (per-eval-doc leakage attribution)
+# --------------------------------------------------------------------------
+@query(
+    "q349_eval_integrity",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents),
+           UNNEST(range(1, len(toks) - 1)) AS t(i)
+    ),
+    test_sh AS (SELECT * FROM sh WHERE doc_id % 10 = 7),
+    train_sh AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id % 10 <> 7
+    ),
+    sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM test_sh GROUP BY doc_id
+    ),
+    ov AS (
+      SELECT t.doc_id, count(*) AS n_ov
+      FROM test_sh t JOIN train_sh x ON t.s = x.s
+      GROUP BY t.doc_id
+    )
+    SELECT s.doc_id AS eval_doc_id,
+           CAST(s.n_sh AS BIGINT) AS n_shingles,
+           CAST(coalesce(ov.n_ov, 0) AS BIGINT) AS n_in_train,
+           round(coalesce(ov.n_ov, 0) * 1.0 / s.n_sh, 6)
+             AS leaked_frac,
+           coalesce(ov.n_ov, 0) * 1.0 / s.n_sh >= 0.8 AS compromised
+    FROM sizes s LEFT JOIN ov ON ov.doc_id = s.doc_id
+    ORDER BY eval_doc_id
+    """,
+    tags=("decontamination", "evaluation", "llm", "operator"),
+)
+def q349_eval_integrity(spark, sf_dir):
+    """Eval-integrity report (q349) — the REVERSE of decontamination
+    (q85 asks which TRAIN docs to drop; this asks which EVAL items
+    are already compromised): per held-out document, the fraction of
+    its 3-gram shingles that appear anywhere in the train split, with
+    the >= 0.8 near-verbatim flag. An eval item most of whose content
+    the model has seen measures memorization, not capability — this
+    is the table an eval-suite owner publishes with scores.
+
+    SCALE DESIGN: the EVAL side keeps per-doc grain (bounded — it is
+    an eval suite); the train side collapses to DISTINCT shingles
+    before the join (the dominant reduction: corpus-size to
+    vocab-size); the join ships 3-gram strings only for eval
+    shingles. One train scan at any corpus size."""
+    from etl_as_a_service_spark.llm.dedup import hashed_shingle_sets
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    test_sh = hashed_shingle_sets(
+        docs.filter(did % 10 == 7), "text", "doc_id", 3,
+        drop_short=True,
+    )
+    train_sh = (
+        hashed_shingle_sets(
+            docs.filter(did % 10 != 7), "text", "doc_id", 3,
+            drop_short=True,
+        )
+        .select("sh")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per_doc = (
+        test_sh.join(train_sh, "sh", "left")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_in_train"),
+        )
+    )
+    frac = F.col("n_in_train") * 1.0 / F.col("n_shingles")
+    return per_doc.select(
+        F.col("__id").alias("eval_doc_id"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_in_train").cast("long").alias("n_in_train"),
+        F.round(frac, 6).alias("leaked_frac"),
+        (frac >= 0.8).alias("compromised"),
+    ).orderBy("eval_doc_id")
+
+
+# --------------------------------------------------------------------------
+# q350 — dedup survivorship-bias audit (pre/post source shares)
+# --------------------------------------------------------------------------
+@query(
+    "q350_dedup_survivor_bias",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 3
+                  THEN 'PLANTED DUP CLASS ' || CAST(doc_id % 6 AS VARCHAR)
+                  ELSE text END AS t
+      FROM documents
+    ),
+    keep AS (
+      SELECT md5(t) AS h, min(doc_id) AS keep_id
+      FROM planted GROUP BY md5(t)
+    ),
+    marked AS (
+      SELECT p.source, p.doc_id,
+             CASE WHEN p.doc_id = k.keep_id THEN 1 ELSE 0 END AS kept
+      FROM planted p JOIN keep k ON md5(p.t) = k.h
+    ),
+    per_source AS (
+      SELECT source, count(*) AS n_before,
+             sum(kept) AS n_after
+      FROM marked GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(n_before) AS tb, sum(n_after) AS ta FROM per_source
+    )
+    SELECT source,
+           CAST(n_before AS BIGINT) AS n_before,
+           CAST(n_after AS BIGINT) AS n_after,
+           round(n_before * 1.0 / tb, 6) AS share_before,
+           round(n_after * 1.0 / ta, 6) AS share_after,
+           round(n_after * 1.0 / ta - n_before * 1.0 / tb, 6)
+             AS share_delta,
+           abs(n_after * 1.0 / ta - n_before * 1.0 / tb) > 0.005
+             AS skewed
+    FROM per_source, tot
+    ORDER BY source
+    """,
+    tags=("dedup", "audit", "mixture", "llm", "operator"),
+)
+def q350_dedup_survivor_bias(spark, sf_dir):
+    """Dedup survivorship-bias audit (q350) — exact dedup keeps one
+    survivor per duplicate family (min id), and because duplicate
+    mass is NOT uniform across sources, dedup silently shifts the
+    source mixture; this audit reports each source's corpus share
+    before and after, the delta, and a >0.5pp skew flag — the number
+    a curation review asks for before accepting a dedup pass (the
+    q339 planted dup classes guarantee non-zero deltas at every SF).
+
+    SCALE DESIGN: survivor choice is the q40 exact-dedup shape
+    (md5-grain min-id aggregate + hash equi-join back); shares are a
+    (source)-grain conditional aggregate over the marked frame with a
+    1-row broadcast total. Text never shuffles."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(
+                F.lit("PLANTED DUP CLASS "),
+                (F.col("doc_id") % 6).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    ).withColumn("h", F.md5(F.col("t")))
+    keep = planted.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    marked = planted.join(keep, "h").select(
+        "source",
+        F.when(F.col("doc_id") == F.col("keep_id"), 1)
+        .otherwise(0)
+        .alias("kept"),
+    )
+    per_source = marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum("kept").alias("n_after"),
+    )
+    tot = per_source.agg(
+        F.sum("n_before").alias("tb"), F.sum("n_after").alias("ta")
+    )
+    sb = F.col("n_before") * 1.0 / F.col("tb")
+    sa = F.col("n_after") * 1.0 / F.col("ta")
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_before").cast("long").alias("n_before"),
+            F.col("n_after").cast("long").alias("n_after"),
+            F.round(sb, 6).alias("share_before"),
+            F.round(sa, 6).alias("share_after"),
+            F.round(sa - sb, 6).alias("share_delta"),
+            (F.abs(sa - sb) > 0.005).alias("skewed"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q351 — dedup policy sweep (delete mass per cluster-size threshold)
+# --------------------------------------------------------------------------
+DEDUP_POLICY_THRESHOLDS = (1, 2, 4, 8)
+
+
+def _policy_sweep_oracle() -> str:
+    rows = "\n      UNION ALL\n      ".join(
+        f"""SELECT {t} AS keep_up_to,
+             count_if(sz > {t}) AS n_clusters_hit,
+             sum(CASE WHEN sz > {t} THEN sz - {t} ELSE 0 END)
+               AS docs_deleted,
+             sum(CASE WHEN sz > {t} THEN least(sz, {t})
+                      ELSE sz END) AS docs_kept
+      FROM clusters"""
+        for t in DEDUP_POLICY_THRESHOLDS
+    )
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3
+                  THEN 'PLANTED DUP CLASS ' || CAST(doc_id % 6 AS VARCHAR)
+                  ELSE text END AS t
+      FROM documents
+    ),
+    clusters AS (
+      SELECT md5(t) AS h, count(*) AS sz
+      FROM planted GROUP BY md5(t)
+    )
+    SELECT CAST(keep_up_to AS BIGINT) AS keep_up_to,
+           CAST(n_clusters_hit AS BIGINT) AS n_clusters_hit,
+           CAST(docs_deleted AS BIGINT) AS docs_deleted,
+           CAST(docs_kept AS BIGINT) AS docs_kept,
+           round(docs_deleted * 1.0 / (docs_deleted + docs_kept), 6)
+             AS delete_frac
+    FROM ({rows})
+    ORDER BY keep_up_to
+    """
+
+
+@query(
+    "q351_dedup_policy_sweep",
+    oracle=_policy_sweep_oracle(),
+    tags=("dedup", "planning", "llm", "operator"),
+)
+def q351_dedup_policy_sweep(spark, sf_dir):
+    """Dedup policy sweep (q351) — data-constrained training keeps
+    SOME duplicates on purpose (up-weighting good documents beats
+    deleting them when tokens are scarce): for each keep-up-to-t
+    policy, how many clusters are touched and how many documents a
+    cap at t copies would delete vs keep. The q339 census describes
+    the distribution; this prices the policy menu on it (q300/q323
+    then consume the chosen multiplicity).
+
+    SCALE DESIGN: one md5-grain cluster aggregate; ALL thresholds
+    evaluated in one pass over the cluster-size frame (bounded by
+    distinct texts), stacked row-wise — never a per-policy rescan."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(
+                F.lit("PLANTED DUP CLASS "),
+                (F.col("doc_id") % 6).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    clusters = planted.groupBy(F.md5(F.col("t")).alias("h")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    aggs = []
+    for t in DEDUP_POLICY_THRESHOLDS:
+        aggs += [
+            F.count_if(F.col("sz") > t).alias(f"hit_{t}"),
+            F.sum(
+                F.when(F.col("sz") > t, F.col("sz") - t).otherwise(0)
+            ).alias(f"del_{t}"),
+            F.sum(
+                F.when(
+                    F.col("sz") > t, F.least(F.col("sz"), F.lit(t))
+                ).otherwise(F.col("sz"))
+            ).alias(f"keep_{t}"),
+        ]
+    agg = clusters.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(t).cast("long").alias("keep_up_to"),
+            F.col(f"hit_{t}").cast("long").alias("n_clusters_hit"),
+            F.col(f"del_{t}").cast("long").alias("docs_deleted"),
+            F.col(f"keep_{t}").cast("long").alias("docs_kept"),
+            F.round(
+                F.col(f"del_{t}")
+                * 1.0
+                / (F.col(f"del_{t}") + F.col(f"keep_{t}")),
+                6,
+            ).alias("delete_frac"),
+        )
+        for t in DEDUP_POLICY_THRESHOLDS
+    ]
+    return (
+        agg.select(F.explode(F.array(*entries)).alias("s"))
+        .select("s.*")
+        .orderBy("keep_up_to")
+    )

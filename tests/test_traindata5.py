@@ -638,3 +638,101 @@ def test_q348_data_card_matches_python_replica(spark):
         )
         assert abs(r["lang_gini"] - round(gini, 6)) < 1e-6
         assert r["dup_frac"] == round(1.0 - len(st["texts"]) / n, 6)
+
+
+# ---------------------------------------------------------------- q349
+def test_q349_eval_integrity_matches_python_replica(spark):
+    rows = _docs(spark, cols=("doc_id", "text"))
+    def shingles(t):
+        tk = t.split(" ")
+        return {
+            " ".join(tk[i:i + 3]) for i in range(len(tk) - 2)
+        } if len(tk) >= 3 else set()
+    train_sh = set()
+    evals = {}
+    for r in rows:
+        sh = shingles(r["text"])
+        if r["doc_id"] % 10 == 7:
+            if sh:
+                evals[r["doc_id"]] = sh
+        else:
+            train_sh |= sh
+    got = {
+        r["eval_doc_id"]: r
+        for r in _run(spark, "q349_eval_integrity").collect()
+    }
+    assert set(got) == set(evals)
+    for i, sh in evals.items():
+        r = got[i]
+        ov = len(sh & train_sh)
+        assert r["n_shingles"] == len(sh)
+        assert r["n_in_train"] == ov
+        assert r["leaked_frac"] == round(ov / len(sh), 6)
+        assert r["compromised"] == (ov / len(sh) >= 0.8)
+
+
+# ---------------------------------------------------------------- q350
+def test_q350_survivor_bias_matches_python_replica(spark):
+    rows = _docs(spark, cols=("doc_id", "source", "text"))
+    first_by_text: dict[str, int] = {}
+    texts = {}
+    for r in rows:
+        t = (
+            f"PLANTED DUP CLASS {r['doc_id'] % 6}"
+            if r["doc_id"] % 7 == 3
+            else r["text"]
+        )
+        texts[r["doc_id"]] = t
+        if t not in first_by_text or r["doc_id"] < first_by_text[t]:
+            first_by_text[t] = r["doc_id"]
+    per = {}
+    for r in rows:
+        st = per.setdefault(r["source"], [0, 0])
+        st[0] += 1
+        if first_by_text[texts[r["doc_id"]]] == r["doc_id"]:
+            st[1] += 1
+    tb = sum(v[0] for v in per.values())
+    ta = sum(v[1] for v in per.values())
+    got = {
+        r["source"]: r
+        for r in _run(spark, "q350_dedup_survivor_bias").collect()
+    }
+    for src, (nb, na) in per.items():
+        r = got[src]
+        assert r["n_before"] == nb and r["n_after"] == na
+        assert r["share_delta"] == round(na / ta - nb / tb, 6)
+        assert r["skewed"] == (abs(na / ta - nb / tb) > 0.005)
+    # dedup moved SOME share (planted dup classes are never uniform)
+    assert any(r["share_delta"] != 0 for r in got.values())
+
+
+# ---------------------------------------------------------------- q351
+def test_q351_policy_sweep_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata5 import (
+        DEDUP_POLICY_THRESHOLDS,
+    )
+
+    rows = _docs(spark, cols=("doc_id", "text"))
+    sizes: dict[str, int] = {}
+    for r in rows:
+        t = (
+            f"PLANTED DUP CLASS {r['doc_id'] % 6}"
+            if r["doc_id"] % 7 == 3
+            else r["text"]
+        )
+        sizes[t] = sizes.get(t, 0) + 1
+    got = {
+        r["keep_up_to"]: r
+        for r in _run(spark, "q351_dedup_policy_sweep").collect()
+    }
+    for t in DEDUP_POLICY_THRESHOLDS:
+        hit = sum(1 for s in sizes.values() if s > t)
+        deleted = sum(s - t for s in sizes.values() if s > t)
+        kept = sum(min(s, t) for s in sizes.values())
+        r = got[t]
+        assert r["n_clusters_hit"] == hit
+        assert r["docs_deleted"] == deleted
+        assert r["docs_kept"] == kept
+    # stricter caps delete monotonically more
+    dels = [got[t]["docs_deleted"] for t in DEDUP_POLICY_THRESHOLDS]
+    assert dels == sorted(dels, reverse=True)
