@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Scale rehearsal for the round-10 join-shaped operators at 4x
+document volume (id-shifted copies, the PLANTED_ID_OFFSET recipe):
+
+- q341 cross-source dup matrix: the only self-join of the batch —
+  the DISTINCT (md5, source) frame joins itself on the hash key, so
+  work grows with dup mass, not docs^2. The 4x copies share texts
+  across copies (worst-case join selectivity: every text lands in 4+
+  source rows).
+- q349 eval integrity: eval-shingle x distinct-train-shingle join —
+  train side collapses to the vocabulary before the join, so 4x docs
+  must NOT mean 4x join input (fixed vocab => flat distinct side).
+- q350 survivor bias: md5-grain min-id aggregate + hash join back —
+  the q40 exact-dedup shape at 4x dup mass.
+
+Timings are min-of-3 per scale in ONE process (the bench-noise
+rule); linear-or-better ratios at 4x volume back the 100-TB claims.
+
+Usage: python scripts/rehearsal_traindata_r10.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_as_a_service_spark.queries import QUERIES  # noqa: E402
+from etl_as_a_service_spark.session import build_session  # noqa: E402
+
+SHIFT = 10_000_000
+NAMES = [
+    "q341_cross_source_dup_matrix",
+    "q349_eval_integrity",
+    "q350_dedup_survivor_bias",
+]
+
+
+def t3(fn) -> float:
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = build_session(app_name="traindata-rehearsal-r10")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="td_r10_")
+    try:
+        big_dir = os.path.join(root, "4x")
+        base = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+        parts = [
+            base.select(
+                (F.col("doc_id") + F.lit(i * SHIFT)).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            )
+            for i in range(4)
+        ]
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big.write.mode("overwrite").parquet(
+            os.path.join(big_dir, "documents.parquet")
+        )
+
+        out = {}
+        for name in NAMES:
+            fn = QUERIES[name].fn
+            fn(spark, sf_dir).count()  # warm-up
+            b = t3(lambda: fn(spark, sf_dir).count())
+            x = t3(lambda: fn(spark, big_dir).count())
+            out[name] = {
+                "base_sec": round(b, 3),
+                "x4_sec": round(x, 3),
+                "ratio": round(x / b, 2),
+            }
+            print(f"# {name}: base {b:.2f}s 4x {x:.2f}s "
+                  f"ratio {x / b:.2f}", file=sys.stderr)
+        print(json.dumps({"sf_dir": sf_dir, "results": out}))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
