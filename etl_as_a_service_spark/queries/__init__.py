@@ -110,6 +110,8 @@ _ROTATE_FRONT = [
     "q349_eval_integrity",
     "q350_dedup_survivor_bias",
     "q351_dedup_policy_sweep",
+    "q352_token_waterfill",
+    "q353_annotator_gold_calibration",
     "q14_event_type_pivot",
     "q15_distinct_users_per_type",
     "q16_grouping_sets",
@@ -136,8 +138,6 @@ _ROTATE_FRONT = [
     "q37_union_by_name",
     "q38_approx_count_distinct",
     "q39_correlated_subqueries",
-    "q50_posexplode_tokens",
-    "q51_interval_arithmetic",
 ]
 
 

@@ -2599,3 +2599,237 @@ def q351_dedup_policy_sweep(spark, sf_dir):
         .select("s.*")
         .orderBy("keep_up_to")
     )
+
+
+# --------------------------------------------------------------------------
+# q352 — weighted token-budget water-filling allocator across sources
+# --------------------------------------------------------------------------
+WATERFILL_BUDGET = 250_000
+
+
+@query(
+    "q352_token_waterfill",
+    oracle=f"""
+    WITH avail AS (
+      SELECT source,
+             1 + (CAST(substring(source, 4) AS INTEGER) % 4) AS w,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS a
+      FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT source, w, a,
+             a * 1.0 / w AS r,
+             row_number() OVER (ORDER BY a * 1.0 / w, source) AS rn,
+             sum(a) OVER (ORDER BY a * 1.0 / w, source
+                          ROWS UNBOUNDED PRECEDING) - a AS prefix_a,
+             sum(w) OVER () - (sum(w) OVER (ORDER BY a * 1.0 / w,
+                 source ROWS UNBOUNDED PRECEDING) - w) AS suffix_w
+      FROM avail
+    ),
+    levels AS (
+      SELECT *,
+             ({WATERFILL_BUDGET} - prefix_a) * 1.0 / suffix_w AS level
+      FROM ranked
+    ),
+    cut AS (
+      SELECT min(rn) AS first_rn FROM levels WHERE r >= level
+    ),
+    final_level AS (
+      SELECT coalesce(
+               (SELECT l.level FROM levels l, cut c
+                WHERE l.rn = c.first_rn),
+               {WATERFILL_BUDGET} * 1.0) AS lv
+    )
+    SELECT l.source,
+           CAST(l.w AS BIGINT) AS weight,
+           CAST(l.a AS BIGINT) AS available_tokens,
+           round(least(l.a * 1.0, l.w * f.lv), 6) AS allocation,
+           l.a * 1.0 <= l.w * f.lv AS saturated,
+           round(f.lv, 6) AS water_level
+    FROM levels l, final_level f
+    ORDER BY l.source
+    """,
+    tags=("curation", "mixture", "planning", "llm", "operator"),
+)
+def q352_token_waterfill(spark, sf_dir):
+    """Weighted token-budget water-filling allocator (q352) — split a
+    global training-token budget across sources in proportion to
+    PRIORITY WEIGHTS, as far as the data allows: a source whose
+    available tokens fall below its weighted share contributes
+    everything it has (saturated), and its deficit redistributes to
+    the rest. The water level solves in CLOSED FORM with one window
+    pass: sort sources by availability-per-weight, compute each
+    rank's tentative level (budget - smaller-sources' token mass) /
+    (remaining weight), and the binding level is the tentative level
+    at the FIRST rank that can absorb it — the while-loop
+    every allocator script writes, as a cumsum + argmin. When the
+    budget exceeds the whole corpus the level coalesces to the budget
+    itself, which allocates a_d to every source (all saturated).
+
+    Determinism: availability is exact integer token sums; weights
+    are parsed from the source id; levels are ratios evaluated in
+    identical order; the sort key (a/w, source) is a shared double
+    quotient with a string tie-break.
+
+    SCALE DESIGN: per-source availability is one corpus aggregate;
+    everything after runs on the |sources|-row frame (the single-
+    partition window is over a bounded frame — explicitly NOT a
+    corpus-grain window). One scan at any size."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    avail = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("a")
+    ).select(
+        "source",
+        (
+            1
+            + (
+                F.substring(F.col("source"), 4, 10).cast("int") % 4
+            )
+        ).alias("w"),
+        "a",
+    )
+    r = F.col("a") * 1.0 / F.col("w")
+    w_ord = Window.orderBy(r, "source")
+    cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = avail.select(
+        "source",
+        "w",
+        "a",
+        r.alias("r"),
+        F.row_number().over(w_ord).alias("rn"),
+        (F.sum("a").over(cum) - F.col("a")).alias("prefix_a"),
+        (
+            F.sum("w").over(Window.partitionBy())
+            - (F.sum("w").over(cum) - F.col("w"))
+        ).alias("suffix_w"),
+    )
+    levels = ranked.withColumn(
+        "level",
+        (F.lit(WATERFILL_BUDGET) - F.col("prefix_a"))
+        * 1.0
+        / F.col("suffix_w"),
+    )
+    cut = levels.filter(F.col("r") >= F.col("level")).agg(
+        F.min("rn").alias("first_rn")
+    )
+    lv_real = levels.join(
+        F.broadcast(cut), levels["rn"] == cut["first_rn"]
+    ).select(F.col("level").alias("lv"))
+    # budget exceeds the corpus: no rank qualifies -> level = budget,
+    # which allocates a_d everywhere (all saturated)
+    lv = lv_real.unionByName(
+        cut.filter(F.col("first_rn").isNull()).select(
+            F.lit(float(WATERFILL_BUDGET)).alias("lv")
+        )
+    )
+    return (
+        levels.crossJoin(F.broadcast(lv))
+        .select(
+            "source",
+            F.col("w").cast("long").alias("weight"),
+            F.col("a").cast("long").alias("available_tokens"),
+            F.round(
+                F.least(F.col("a") * 1.0, F.col("w") * F.col("lv")),
+                6,
+            ).alias("allocation"),
+            (F.col("a") * 1.0 <= F.col("w") * F.col("lv")).alias(
+                "saturated"
+            ),
+            F.round(F.col("lv"), 6).alias("water_level"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q353 — annotator calibration vs gold (accuracy + confusion mass)
+# --------------------------------------------------------------------------
+def _gold_calibration_oracle() -> str:
+    h = (
+        "(('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        "::BIGINT)"
+    )
+    gold = f"{h.format(salt='gold-')} % {N_CLASSES}"
+    rows = []
+    for j in range(N_ANNOTATORS):
+        rows.append(
+            f"""SELECT 'a{j}' AS annotator, count(*) AS n_items,
+             count_if(l{j} = gold) AS n_correct,
+             count_if(l{j} <> gold) AS n_wrong
+      FROM labeled GROUP BY annotator"""
+        )
+    stacked = "\n      UNION ALL\n      ".join(rows)
+    return f"""
+    WITH labels AS ({{labels}}),
+    labeled AS (
+      SELECT labels.*, {gold} AS gold FROM labels
+    )
+    SELECT annotator,
+           CAST(n_items AS BIGINT) AS n_items,
+           CAST(n_correct AS BIGINT) AS n_correct,
+           round(n_correct * 1.0 / n_items, 6) AS accuracy,
+           round(1.0 - n_correct * 1.0 / n_items, 6) AS error_rate
+    FROM ({stacked})
+    ORDER BY annotator
+    """.replace("{labels}", _ann_labels_sql())
+
+
+@query(
+    "q353_annotator_gold_calibration",
+    oracle=_gold_calibration_oracle(),
+    tags=("rlhf", "labeling", "quality", "llm", "operator"),
+)
+def q353_annotator_gold_calibration(spark, sf_dir):
+    """Annotator calibration against gold (q353) — when a gold subset
+    exists, per-rater accuracy replaces the majority-vote proxy
+    (q332): each rater's labels scored against the gold class, with
+    error rate per rater. The planted noise ramp must reproduce as
+    error rates near 5%/15%/25%/35%/45% minus the 1-in-3 chance a
+    noisy draw re-hits gold... (exactly: noise * 1.0, since the wrong
+    label is drawn from the OTHER 3 classes — never gold).
+
+    SCALE DESIGN: gold and all rater labels are row-local codegen
+    over the wide panel; the scorecard is ONE map-side-combined
+    aggregate + a 5-row stack. One scan."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    labels = _ann_labels_spark(docs)
+    gold = (
+        md5_hash64(F.col("doc_id").cast("string"), "gold-")
+        % N_CLASSES
+    )
+    labeled = labels.withColumn("gold", gold)
+    aggs = [F.count(F.lit(1)).alias("n_items")]
+    for j in range(N_ANNOTATORS):
+        aggs.append(
+            F.count_if(F.col(f"l{j}") == F.col("gold")).alias(
+                f"ok_{j}"
+            )
+        )
+    agg = labeled.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(f"a{j}").alias("annotator"),
+            F.col("n_items").cast("long").alias("n_items"),
+            F.col(f"ok_{j}").cast("long").alias("n_correct"),
+            F.round(
+                F.col(f"ok_{j}") * 1.0 / F.col("n_items"), 6
+            ).alias("accuracy"),
+            F.round(
+                F.lit(1.0)
+                - F.col(f"ok_{j}") * 1.0 / F.col("n_items"),
+                6,
+            ).alias("error_rate"),
+        )
+        for j in range(N_ANNOTATORS)
+    ]
+    return (
+        agg.select(F.explode(F.array(*entries)).alias("s"))
+        .select("s.*")
+        .orderBy("annotator")
+    )

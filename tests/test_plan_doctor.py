@@ -190,7 +190,11 @@ def test_manifest_plans_lint_clean(spark):
     - q299: the Bradley-Terry rank window runs over the MODEL-grain
       strength frame (<= 10 rows by construction — comparisons
       collapse to the checkpointed models^2/2 pair aggregate first;
-      the q214 bounded-grain pattern, documented in-query)."""
+      the q214 bounded-grain pattern, documented in-query);
+    - q352: the water-filling rank/cumsum windows run over the
+      SOURCE-grain availability frame (|sources| rows — the corpus
+      collapses to one aggregate first; the q214 bounded-grain
+      pattern, documented in-query)."""
     from etl_as_a_service_spark.plans.doctor import lint_plan
     from etl_as_a_service_spark.queries import QUERIES
     from tests.conftest import SF_SMOKE
@@ -213,6 +217,7 @@ def test_manifest_plans_lint_clean(spark):
         "q293_decision_stump",
         "q295_poisson_bootstrap_ci",
         "q299_bradley_terry",
+        "q352_token_waterfill",
     }
     bad = {}
     for name, qd in QUERIES.items():

@@ -736,3 +736,84 @@ def test_q351_policy_sweep_matches_python_replica(spark):
     # stricter caps delete monotonically more
     dels = [got[t]["docs_deleted"] for t in DEDUP_POLICY_THRESHOLDS]
     assert dels == sorted(dels, reverse=True)
+
+
+# ---------------------------------------------------------------- q352
+def test_q352_waterfill_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata5 import (
+        WATERFILL_BUDGET,
+    )
+
+    rows = _docs(spark, cols=("source", "text"))
+    avail: dict[str, int] = {}
+    for r in rows:
+        avail[r["source"]] = avail.get(r["source"], 0) + len(
+            r["text"].split(" ")
+        )
+    w = {s: 1 + (int(s[3:]) % 4) for s in avail}
+    ranked = sorted(avail, key=lambda s: (avail[s] / w[s], s))
+    prefix_a, lv = 0, float(WATERFILL_BUDGET)
+    suffix_w = sum(w.values())
+    found = False
+    for s in ranked:
+        level = (WATERFILL_BUDGET - prefix_a) / suffix_w
+        if avail[s] / w[s] >= level:
+            lv, found = level, True
+            break
+        prefix_a += avail[s]
+        suffix_w -= w[s]
+    got = {
+        r["source"]: r
+        for r in _run(spark, "q352_token_waterfill").collect()
+    }
+    total_alloc = 0.0
+    for s in avail:
+        r = got[s]
+        alloc = min(float(avail[s]), w[s] * lv)
+        assert r["weight"] == w[s]
+        assert r["available_tokens"] == avail[s]
+        assert abs(r["allocation"] - round(alloc, 6)) < 1e-6
+        assert r["saturated"] == (avail[s] <= w[s] * lv)
+        total_alloc += alloc
+    # the allocator spends exactly min(budget, corpus)
+    expect_spend = (
+        min(WATERFILL_BUDGET, sum(avail.values()))
+        if found or WATERFILL_BUDGET >= sum(avail.values())
+        else None
+    )
+    if expect_spend is not None:
+        assert abs(total_alloc - expect_spend) < 1e-3
+
+
+# ---------------------------------------------------------------- q353
+def test_q353_gold_calibration_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata5 import (
+        ANN_NOISE,
+        N_ANNOTATORS,
+        N_CLASSES,
+    )
+
+    ids = [r[0] for r in _docs(spark)]
+    labels = _panel_labels(ids)
+    correct = [0] * N_ANNOTATORS
+    for i in ids:
+        gold = _h32("gold-", i) % N_CLASSES
+        for j in range(N_ANNOTATORS):
+            if labels[i][j] == gold:
+                correct[j] += 1
+    got = {
+        r["annotator"]: r
+        for r in _run(spark, "q353_annotator_gold_calibration").collect()
+    }
+    n = len(ids)
+    for j in range(N_ANNOTATORS):
+        r = got[f"a{j}"]
+        assert r["n_items"] == n
+        assert r["n_correct"] == correct[j]
+        assert r["accuracy"] == round(correct[j] / n, 6)
+        # planted noise never re-hits gold, so the error rate sits
+        # near the planted rate (binomial noise band)
+        planted = ANN_NOISE[j]
+        assert abs(r["error_rate"] - planted) < 0.1
+    accs = [got[f"a{j}"]["accuracy"] for j in range(N_ANNOTATORS)]
+    assert accs == sorted(accs, reverse=True)
