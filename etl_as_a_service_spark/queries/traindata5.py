@@ -2794,10 +2794,9 @@ def q353_annotator_gold_calibration(spark, sf_dir):
     """Annotator calibration against gold (q353) — when a gold subset
     exists, per-rater accuracy replaces the majority-vote proxy
     (q332): each rater's labels scored against the gold class, with
-    error rate per rater. The planted noise ramp must reproduce as
-    error rates near 5%/15%/25%/35%/45% minus the 1-in-3 chance a
-    noisy draw re-hits gold... (exactly: noise * 1.0, since the wrong
-    label is drawn from the OTHER 3 classes — never gold).
+    error rate per rater. The planted noise ramp reproduces as error
+    rates near 5%/15%/25%/35%/45% exactly, because a noisy draw picks
+    from the OTHER three classes and can never re-hit gold.
 
     SCALE DESIGN: gold and all rater labels are row-local codegen
     over the wide panel; the scorecard is ONE map-side-combined
