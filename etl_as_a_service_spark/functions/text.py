@@ -338,3 +338,15 @@ ENCODING_ANOMALY_PATTERNS = {
     # ('â€™' for ', 'â€œ' for ", 'â€¦' for …)
     "win1252_utf8": "â€[™œ¦]",
 }
+
+
+#: reserved-token shapes that must NEVER appear in raw training text —
+#: a document containing them would inject turn boundaries or stop
+#: conditions into the trained model (Java ∩ RE2, shared verbatim with
+#: the q344 oracle and the `special_token_gate` pipeline op).
+SPECIAL_TOKEN_PATTERNS = {
+    "chatml": r"<\|im_start\|>|<\|im_end\|>",
+    "eot": r"<\|endoftext\|>",
+    "bos_eos": r"<s>|</s>",
+    "inst": r"\[INST\]|\[/INST\]",
+}

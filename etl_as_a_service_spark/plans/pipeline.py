@@ -134,6 +134,8 @@ _ALLOWED_OPS = {
     "canonical_url",
     "paragraph_dedup",
     "encoding_gate",
+    "special_token_gate",
+    "debias_weights",
 }
 
 
@@ -1109,6 +1111,64 @@ def _apply_step(
         if count_col:
             return df.withColumn(count_col, total.cast("long"))
         return df.filter(total <= int(step.get("max_hits", 0)))
+    if op == "special_token_gate":
+        # {"op":"special_token_gate","text_col":"text","max_hits":0,
+        #  "count_col":null} — drop rows whose text contains reserved
+        # template tokens (ChatML markers, endoftext, BOS/EOS,
+        # instruction brackets — the q344 injection screen) beyond
+        # max_hits; count_col APPENDS the count instead. Same
+        # map-only, stream-safe, NULL-is-zero-hit contract as
+        # encoding_gate.
+        from etl_as_a_service_spark.functions.text import (
+            SPECIAL_TOKEN_PATTERNS,
+        )
+
+        text_col = _req(step, "text_col")
+        total = None
+        for pat in SPECIAL_TOKEN_PATTERNS.values():
+            c = F.regexp_count(F.col(text_col), F.lit(pat))
+            total = c if total is None else total + c
+        total = F.coalesce(total, F.lit(0))
+        count_col = step.get("count_col")
+        if count_col:
+            return df.withColumn(count_col, total.cast("long"))
+        return df.filter(total <= int(step.get("max_hits", 0)))
+    if op == "debias_weights":
+        # {"op":"debias_weights","domain_col":"source","cap":5.0,
+        #  "out_col":"loss_weight"} — append the uniform-mix loss
+        # reweighting multiplier w_d = target/actual share, capped
+        # (the q340 operator as a row-preserving transform: reweight
+        # instead of resample). Batch-only (domain counts need the
+        # whole frame); counts broadcast back onto a pure per-row
+        # expression — no shuffle of the data itself.
+        if df.isStreaming:
+            raise PipelineError(
+                "debias_weights requires a batch frame (corpus-wide "
+                "domain counts); use temperature_mix-style static "
+                "rates for streams"
+            )
+        domain_col = _req(step, "domain_col")
+        cap = float(step.get("cap", 5.0))
+        out_col = step.get("out_col", "loss_weight")
+        counts = df.groupBy(F.col(domain_col)).agg(
+            F.count(F.lit(1)).alias("__n_d")
+        )
+        tot = counts.agg(
+            F.sum("__n_d").alias("__n"),
+            F.count(F.lit(1)).alias("__k"),
+        )
+        rates = counts.crossJoin(F.broadcast(tot)).select(
+            F.col(domain_col).alias("__dom"),
+            F.least(
+                F.col("__n") * 1.0 / (F.col("__k") * F.col("__n_d")),
+                F.lit(cap),
+            ).alias(out_col),
+        )
+        # null-safe join: NULL is a legitimate domain value
+        return df.join(
+            F.broadcast(rates),
+            df[domain_col].eqNullSafe(F.col("__dom")),
+        ).drop("__dom")
     if op == "robust_outlier_gate":
         # {"op":"robust_outlier_gate","value_col":"value",
         #  "keys":["event_type"],"threshold":3.5,"keep":"inliers"} —

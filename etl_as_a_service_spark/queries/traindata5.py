@@ -25,6 +25,7 @@ from pyspark.sql import functions as F  # noqa: F401 (spec language only)
 
 from etl_as_a_service_spark.functions.text import (
     ENCODING_ANOMALY_PATTERNS,
+    SPECIAL_TOKEN_PATTERNS,
     TRACKING_PREFIXES,
     URL_HOSTPORT_RE,
     URL_PATH_RE,
@@ -1731,15 +1732,9 @@ def q343_mixture_drift(spark, sf_dir):
 # --------------------------------------------------------------------------
 # q344 — special-token hygiene census (template-injection screen)
 # --------------------------------------------------------------------------
-#: reserved-token shapes that must NEVER appear in raw training text
-#: (a document containing them would inject turn boundaries or stop
-#: conditions into the trained model). Java ∩ RE2, shared verbatim.
-SPECIAL_TOKEN_PATTERNS = {
-    "chatml": r"<\|im_start\|>|<\|im_end\|>",
-    "eot": r"<\|endoftext\|>",
-    "bos_eos": r"<s>|</s>",
-    "inst": r"\[INST\]|\[/INST\]",
-}
+# SPECIAL_TOKEN_PATTERNS lives in functions/text.py (shared with the
+# `special_token_gate` pipeline op — the canonical_url precedent: the
+# pipeline never imports query modules); imported above.
 
 
 def _special_token_oracle() -> str:

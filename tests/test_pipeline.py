@@ -10,6 +10,7 @@ import pytest
 from etl_as_a_service_spark.plans.pipeline import (
     PipelineError,
     PipelineRunner,
+    _apply_step,
     compile_pipeline,
     extract_pipeline_name,
 )
@@ -1856,3 +1857,84 @@ def test_streaming_canonical_url_dedup_rejected(spark, tmp_path):
     run = PipelineRunner(spark).run(spec)
     assert run.status == "failed"
     assert "batch frame" in (run.error or "")
+
+
+def test_round10_gate_steps(spark):
+    """Round-10 spec ops: special_token_gate (filter + count_col,
+    NULL text is zero-hit) and debias_weights (capped uniform-mix
+    reweighting, null-safe domain join)."""
+    df = spark.createDataFrame(
+        [
+            (1, "plain text", "big"),
+            (2, "quote [INST] hi [/INST]", "big"),
+            (3, None, "small"),
+            (4, "ends with <|endoftext|>", None),
+        ],
+        "doc_id long, text string, source string",
+    )
+    kept = _apply_step(
+        spark, df,
+        {"op": "special_token_gate", "text_col": "text",
+         "max_hits": 0},
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3}
+    counted = _apply_step(
+        spark, df,
+        {"op": "special_token_gate", "text_col": "text",
+         "count_col": "hits"},
+    )
+    hits = {r["doc_id"]: r["hits"] for r in counted.collect()}
+    assert hits == {1: 0, 2: 2, 3: 0, 4: 1}
+
+    # debias: big=2 rows, small=1, NULL=1 -> k=3, n=4
+    weighted = _apply_step(
+        spark, df,
+        {"op": "debias_weights", "domain_col": "source",
+         "cap": 5.0, "out_col": "w"},
+    )
+    w = {r["doc_id"]: r["w"] for r in weighted.collect()}
+    assert len(w) == 4  # NULL domain preserved
+    assert abs(w[1] - 4 / (3 * 2)) < 1e-9
+    assert abs(w[3] - 4 / (3 * 1)) < 1e-9
+    assert abs(w[4] - 4 / (3 * 1)) < 1e-9
+
+    # cap engages for tiny domains
+    capped = _apply_step(
+        spark, df,
+        {"op": "debias_weights", "domain_col": "source",
+         "cap": 1.1, "out_col": "w"},
+    )
+    assert all(r["w"] <= 1.1 for r in capped.collect())
+
+
+def test_streaming_special_token_gate(spark, tmp_path):
+    """special_token_gate composes on a STREAM (map-only) and
+    debias_weights refuses streams with a clear error."""
+    df = spark.createDataFrame(
+        [(1, "ok"), (2, "bad <s>tag</s>")], "doc_id long, text string"
+    )
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    out = str(tmp_path / "out")
+    run = PipelineRunner(spark).run({
+        "name": "stream_tok_gate",
+        "source": {"streaming": True, "format": "parquet",
+                   "path": src, "schema": "doc_id long, text string"},
+        "steps": [{"op": "special_token_gate", "text_col": "text",
+                   "max_hits": 0}],
+        "sink": {"format": "parquet", "path": out,
+                 "trigger": "available_now"},
+    })
+    assert run.status == "success", run.error
+    assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [1]
+
+    bad = PipelineRunner(spark).run({
+        "name": "stream_debias",
+        "source": {"streaming": True, "format": "parquet",
+                   "path": src, "schema": "doc_id long, text string"},
+        "steps": [{"op": "debias_weights", "domain_col": "text"}],
+        "sink": {"format": "parquet", "path": str(tmp_path / "o2"),
+                 "trigger": "available_now"},
+    })
+    assert bad.status == "failed"
+    assert "batch frame" in bad.error
