@@ -112,6 +112,8 @@ _ROTATE_FRONT = [
     "q351_dedup_policy_sweep",
     "q352_token_waterfill",
     "q353_annotator_gold_calibration",
+    "q354_padding_ladder",
+    "q355_eval_set_builder",
     "q14_event_type_pivot",
     "q15_distinct_users_per_type",
     "q16_grouping_sets",
@@ -136,8 +138,6 @@ _ROTATE_FRONT = [
     "q35_asof_last_purchase",
     "q36_multiset_ops",
     "q37_union_by_name",
-    "q38_approx_count_distinct",
-    "q39_correlated_subqueries",
 ]
 
 

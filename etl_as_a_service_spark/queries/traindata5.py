@@ -2834,3 +2834,221 @@ def q353_annotator_gold_calibration(spark, sf_dir):
         .select("s.*")
         .orderBy("annotator")
     )
+
+
+# --------------------------------------------------------------------------
+# q354 — static length-bucket padding-ladder audit
+# --------------------------------------------------------------------------
+PADDING_LADDER = (32, 64, 128, 256, 512)
+
+
+def _padding_oracle() -> str:
+    caps = ", ".join(str(c) for c in PADDING_LADDER)
+    top = PADDING_LADDER[-1]
+    return f"""
+    WITH toks AS (
+      SELECT source, len(string_split(text, ' ')) AS nt
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT source, nt,
+             coalesce((SELECT min(c) FROM UNNEST([{caps}]) AS t(c)
+                       WHERE c >= nt), {top}) AS cap,
+             nt > {top} AS truncated
+      FROM toks
+    )
+    SELECT source, CAST(cap AS BIGINT) AS bucket_cap,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN truncated THEN 0
+                         ELSE cap - nt END) AS BIGINT) AS padding_tokens,
+           CAST(sum(CASE WHEN truncated THEN nt - {top}
+                         ELSE 0 END) AS BIGINT) AS truncated_tokens,
+           round(sum(CASE WHEN truncated THEN 0
+                          ELSE cap - nt END) * 1.0
+                 / sum(CASE WHEN truncated THEN {top}
+                            ELSE cap END), 6) AS padding_frac
+    FROM bucketed
+    GROUP BY source, cap
+    ORDER BY source, bucket_cap
+    """
+
+
+@query(
+    "q354_padding_ladder",
+    oracle=_padding_oracle(),
+    tags=("curation", "packing", "capacity", "llm", "operator"),
+)
+def q354_padding_ladder(spark, sf_dir):
+    """Static length-bucket padding audit (q354) — batching with a
+    fixed bucket ladder (every doc pads up to the smallest cap that
+    fits; docs over the top cap truncate): per (source, bucket), the
+    docs landing there, the padding tokens the ladder wastes, the
+    truncated overflow mass, and the padding fraction of the padded
+    batch volume. The static-ladder counterpart of contiguous packing
+    (q78: zero padding, cross-doc attention; ladders: padding but
+    clean per-doc sequences — this audit prices that trade).
+
+    SCALE DESIGN: bucket assignment is a row-local CASE over literal
+    caps (no quantiles, no global window — the production form of
+    length bucketing); ONE (source, cap) aggregate. One scan."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    top = PADDING_LADDER[-1]
+    nt = F.size(F.split(F.col("text"), " "))
+    cap = F.lit(top)
+    for c in reversed(PADDING_LADDER):
+        cap = F.when(nt <= c, c).otherwise(cap)
+    bucketed = docs.select(
+        "source",
+        nt.alias("nt"),
+        cap.alias("cap"),
+        (nt > top).alias("truncated"),
+    )
+    pad = F.when(F.col("truncated"), 0).otherwise(
+        F.col("cap") - F.col("nt")
+    )
+    trunc = F.when(
+        F.col("truncated"), F.col("nt") - top
+    ).otherwise(0)
+    vol = F.when(F.col("truncated"), top).otherwise(F.col("cap"))
+    return (
+        bucketed.groupBy("source", "cap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(pad).cast("long").alias("padding_tokens"),
+            F.sum(trunc).cast("long").alias("truncated_tokens"),
+            F.round(F.sum(pad) * 1.0 / F.sum(vol), 6).alias(
+                "padding_frac"
+            ),
+        )
+        .select(
+            "source",
+            F.col("cap").cast("long").alias("bucket_cap"),
+            "n_docs",
+            "padding_tokens",
+            "truncated_tokens",
+            "padding_frac",
+        )
+        .orderBy("source", "bucket_cap")
+    )
+
+
+# --------------------------------------------------------------------------
+# q355 — deterministic stratified eval-set builder
+# --------------------------------------------------------------------------
+EVAL_SET_SIZE = 100
+
+
+def _eval_builder_oracle() -> str:
+    return f"""
+    WITH strata AS (
+      SELECT doc_id, source,
+             CASE WHEN len(string_split(text, ' ')) < 24
+                  THEN 'short' ELSE 'long' END AS band
+      FROM documents
+    ),
+    quotas AS (
+      SELECT source, band, count(*) AS n_s,
+             CAST(ceil({EVAL_SET_SIZE}
+               * count(*) * 1.0
+               / (SELECT count(*) FROM strata)) AS BIGINT) AS quota
+      FROM strata GROUP BY source, band
+    ),
+    ranked AS (
+      SELECT s.doc_id, s.source, s.band, q.quota,
+             row_number() OVER (
+               PARTITION BY s.source, s.band
+               ORDER BY substr(md5('eval-v1'
+                 || CAST(s.doc_id AS VARCHAR)), 1, 8), s.doc_id)
+               AS rn
+      FROM strata s JOIN quotas q
+        ON s.source = q.source AND s.band = q.band
+    )
+    SELECT source, band,
+           CAST(max(quota) AS BIGINT) AS quota,
+           CAST(count_if(rn <= quota) AS BIGINT) AS taken,
+           CAST(sum(CASE WHEN rn <= quota THEN doc_id ELSE 0 END)
+                AS BIGINT) AS taken_id_sum
+    FROM ranked
+    GROUP BY source, band
+    ORDER BY source, band
+    """
+
+
+@query(
+    "q355_eval_set_builder",
+    oracle=_eval_builder_oracle(),
+    tags=("evaluation", "sampling", "llm", "operator"),
+)
+def q355_eval_set_builder(spark, sf_dir):
+    """Deterministic stratified eval-set builder (q355) — carve a
+    ~{EVAL_SET_SIZE}-item eval set proportionally across
+    (source, length-band) strata: each stratum gets
+    ceil(N * share) slots filled by its hash-order-first documents
+    (seeded md5 — the same set on every run, engine, and
+    partitioning; re-running with a grown corpus only moves items
+    whose stratum changed). Reports per stratum: quota, taken, and
+    the taken-id checksum (WHICH items, not just how many).
+
+    SCALE DESIGN: quotas are a (stratum)-grain aggregate broadcast
+    back; selection is a per-stratum rank window — WindowGroupLimit
+    pushes the rn <= quota filter map-side, so no stratum's full
+    membership ever sorts globally. One scan + one bounded join."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    strata = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.size(F.split(F.col("text"), " ")) < 24, F.lit("short")
+        )
+        .otherwise(F.lit("long"))
+        .alias("band"),
+    )
+    total = strata.agg(F.count(F.lit(1)).alias("n"))
+    quotas = (
+        strata.groupBy("source", "band")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "band",
+            F.ceil(
+                F.lit(EVAL_SET_SIZE) * F.col("n_s") * 1.0 / F.col("n")
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    order = F.substring(
+        F.md5(F.concat(F.lit("eval-v1"), F.col("doc_id").cast("string"))),
+        1,
+        8,
+    )
+    w = Window.partitionBy("source", "band").orderBy(
+        order, F.col("doc_id")
+    )
+    ranked = strata.join(F.broadcast(quotas), ["source", "band"]).select(
+        "source",
+        "band",
+        "doc_id",
+        "quota",
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        ranked.groupBy("source", "band")
+        .agg(
+            F.max("quota").cast("long").alias("quota"),
+            F.count_if(F.col("rn") <= F.col("quota"))
+            .cast("long")
+            .alias("taken"),
+            F.sum(
+                F.when(
+                    F.col("rn") <= F.col("quota"), F.col("doc_id")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("taken_id_sum"),
+        )
+        .orderBy("source", "band")
+    )

@@ -817,3 +817,86 @@ def test_q353_gold_calibration_matches_python_replica(spark):
         assert abs(r["error_rate"] - planted) < 0.1
     accs = [got[f"a{j}"]["accuracy"] for j in range(N_ANNOTATORS)]
     assert accs == sorted(accs, reverse=True)
+
+
+# ---------------------------------------------------------------- q354
+def test_q354_padding_ladder_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata5 import (
+        PADDING_LADDER,
+    )
+
+    top = PADDING_LADDER[-1]
+    rows = _docs(spark, cols=("source", "text"))
+    agg: dict[tuple, list[int]] = {}
+    for r in rows:
+        nt = len(r["text"].split(" "))
+        cap = next((c for c in PADDING_LADDER if c >= nt), top)
+        st = agg.setdefault((r["source"], cap), [0, 0, 0, 0])
+        st[0] += 1
+        if nt > top:
+            st[2] += nt - top
+            st[3] += top
+        else:
+            st[1] += cap - nt
+            st[3] += cap
+    got = {
+        (r["source"], r["bucket_cap"]): r
+        for r in _run(spark, "q354_padding_ladder").collect()
+    }
+    assert set(got) == set(agg)
+    for key, (n, pad, trunc, vol) in agg.items():
+        r = got[key]
+        assert r["n_docs"] == n
+        assert r["padding_tokens"] == pad
+        assert r["truncated_tokens"] == trunc
+        # HALF_UP like both engines: cap-multiple volumes make exact
+        # x.5e-6 lattice points reachable (187/640 = .2921875), where
+        # python's banker's round() diverges — replicate HALF_UP with
+        # Decimal
+        from decimal import ROUND_HALF_UP, Decimal
+
+        expect = float(
+            (Decimal(pad) / Decimal(vol)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert r["padding_frac"] == expect
+
+
+# ---------------------------------------------------------------- q355
+def test_q355_eval_builder_matches_python_replica(spark):
+    import math
+
+    from etl_as_a_service_spark.queries.traindata5 import (
+        EVAL_SET_SIZE,
+    )
+
+    rows = _docs(spark, cols=("doc_id", "source", "text"))
+    strata: dict[tuple, list[int]] = {}
+    for r in rows:
+        band = "short" if len(r["text"].split(" ")) < 24 else "long"
+        strata.setdefault((r["source"], band), []).append(r["doc_id"])
+    n = len(rows)
+    got = {
+        (r["source"], r["band"]): r
+        for r in _run(spark, "q355_eval_set_builder").collect()
+    }
+    assert set(got) == set(strata)
+    total_taken = 0
+    for key, ids in strata.items():
+        quota = math.ceil(EVAL_SET_SIZE * len(ids) / n)
+        order = sorted(
+            ids,
+            key=lambda i: (
+                hashlib.md5(f"eval-v1{i}".encode()).hexdigest()[:8],
+                i,
+            ),
+        )
+        taken = order[:quota]
+        r = got[key]
+        assert r["quota"] == quota
+        assert r["taken"] == len(taken)
+        assert r["taken_id_sum"] == sum(taken)
+        total_taken += len(taken)
+    # ceil rounding overshoots by at most one item per stratum
+    assert EVAL_SET_SIZE <= total_taken <= EVAL_SET_SIZE + len(strata)
