@@ -114,6 +114,8 @@ _ROTATE_FRONT = [
     "q353_annotator_gold_calibration",
     "q354_padding_ladder",
     "q355_eval_set_builder",
+    "q356_rm_disagreement",
+    "q357_early_stopping",
     "q14_event_type_pivot",
     "q15_distinct_users_per_type",
     "q16_grouping_sets",
@@ -136,8 +138,6 @@ _ROTATE_FRONT = [
     "q33_first_last_window",
     "q34_top3_orders_per_customer",
     "q35_asof_last_purchase",
-    "q36_multiset_ops",
-    "q37_union_by_name",
 ]
 
 

@@ -3052,3 +3052,318 @@ def q355_eval_set_builder(spark, sf_dir):
         )
         .orderBy("source", "band")
     )
+
+
+# --------------------------------------------------------------------------
+# q356 — reward-model disagreement audit (pairwise Kendall tau-a)
+# --------------------------------------------------------------------------
+RM_GROUP = 8  # responses per prompt
+
+
+def _rm_disagreement_oracle() -> str:
+    h = (
+        "(('0x' || substr(md5('{salt}' || CAST(event_id AS VARCHAR)),"
+        " 1, 8))::BIGINT)"
+    )
+    base = h.format(salt="rmb-")
+    n1 = h.format(salt="rm1-")
+    n2 = h.format(salt="rm2-")
+    return f"""
+    WITH rollouts AS (
+      SELECT event_id % {RM_GROUP} AS slot,
+             CAST(floor(event_id / {RM_GROUP}) AS BIGINT) AS prompt_id,
+             {base} % 1000 AS q,
+             ({base} % 1000) * 10 + {n1} % 300 AS r1,
+             ({base} % 1000) * 10 + {n2} % 300 AS r2
+      FROM events
+    ),
+    pairs AS (
+      SELECT a.prompt_id,
+             count(*) AS n_pairs,
+             count_if((a.r1 - b.r1) * (a.r2 - b.r2) > 0) AS concordant,
+             count_if((a.r1 - b.r1) * (a.r2 - b.r2) < 0) AS discordant
+      FROM rollouts a JOIN rollouts b
+        ON a.prompt_id = b.prompt_id AND a.slot < b.slot
+      GROUP BY a.prompt_id
+    )
+    SELECT prompt_id,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(concordant AS BIGINT) AS concordant,
+           CAST(discordant AS BIGINT) AS discordant,
+           round((concordant - discordant) * 1.0 / n_pairs, 6)
+             AS kendall_tau,
+           (concordant - discordant) * 2 < n_pairs AS needs_human
+    FROM pairs
+    ORDER BY prompt_id
+    """
+
+
+@query(
+    "q356_rm_disagreement",
+    oracle=_rm_disagreement_oracle(),
+    tags=("rlhf", "reward-model", "evaluation", "llm", "operator"),
+)
+def q356_rm_disagreement(spark, sf_dir):
+    """Reward-model disagreement audit (q356) — two reward models
+    score the same {RM_GROUP}-response rollout groups; per prompt,
+    the Kendall tau-a rank agreement between the two reward orderings
+    ((concordant - discordant) / pairs) and a needs_human flag when
+    agreement drops below 0.5 — the routing signal RLHF labeling
+    queues use (agree: auto-accept; disagree: send to a person).
+    Synthetic scores share a true-quality base with independent
+    per-model noise, so tau is high but not perfect.
+
+    SCALE DESIGN: the pair join is WITHIN a rollout group (slot <
+    slot self-join keyed on prompt_id) — at most group^2/2 = 28 pairs
+    per prompt regardless of corpus size, the q159/q299 bounded-pair
+    discipline; one (prompt)-grain aggregate after.
+
+    Determinism: scores are integer md5 derivations; concordance is
+    integer sign arithmetic; tau is an exact integer ratio."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (ev,) = _t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    base = md5_hash64(eid, "rmb-") % 1000
+    rollouts = ev.select(
+        (F.col("event_id") % RM_GROUP).alias("slot"),
+        F.floor(F.col("event_id") / RM_GROUP)
+        .cast("long")
+        .alias("prompt_id"),
+        (base * 10 + md5_hash64(eid, "rm1-") % 300).alias("r1"),
+        (base * 10 + md5_hash64(eid, "rm2-") % 300).alias("r2"),
+    )
+    a = rollouts.alias("a")
+    b = rollouts.alias("b")
+    prod = (F.col("a.r1") - F.col("b.r1")) * (
+        F.col("a.r2") - F.col("b.r2")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.prompt_id") == F.col("b.prompt_id"))
+            & (F.col("a.slot") < F.col("b.slot")),
+        )
+        .groupBy(F.col("a.prompt_id").alias("prompt_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count_if(prod > 0).cast("long").alias("concordant"),
+            F.count_if(prod < 0).cast("long").alias("discordant"),
+        )
+    )
+    return pairs.select(
+        "prompt_id",
+        "n_pairs",
+        "concordant",
+        "discordant",
+        F.round(
+            (F.col("concordant") - F.col("discordant"))
+            * 1.0
+            / F.col("n_pairs"),
+            6,
+        ).alias("kendall_tau"),
+        (
+            (F.col("concordant") - F.col("discordant")) * 2
+            < F.col("n_pairs")
+        ).alias("needs_human"),
+    ).orderBy("prompt_id")
+
+
+# --------------------------------------------------------------------------
+# q357 — early-stopping checkpoint selection (patience rule as a query)
+# --------------------------------------------------------------------------
+N_CHECKPOINTS = 25
+ES_PATIENCE = 3
+
+
+def _early_stop_oracle() -> str:
+    h = (
+        "(('0x' || substr(md5('ckpt-' || run || '-' "
+        "|| CAST(step AS VARCHAR)), 1, 8))::BIGINT)"
+    )
+    return f"""
+    WITH runs AS (
+      SELECT 'run' || CAST(r AS VARCHAR) AS run, step
+      FROM UNNEST(range(0, 4)) AS rr(r),
+           UNNEST(range(1, {N_CHECKPOINTS + 1})) AS ss(step)
+    ),
+    scored AS (
+      SELECT run, step,
+             step * 40 - step * step + CAST({h} % 60 AS BIGINT)
+               AS eval_score
+      FROM runs
+    ),
+    running AS (
+      SELECT run, step, eval_score,
+             max(eval_score) OVER (PARTITION BY run ORDER BY step
+               ROWS UNBOUNDED PRECEDING) AS best_so_far
+      FROM scored
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN eval_score < best_so_far THEN 1 ELSE 0 END
+               AS no_improve
+      FROM running
+    ),
+    streaks AS (
+      SELECT run, step, eval_score, best_so_far,
+             sum(CASE WHEN no_improve = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY run ORDER BY step
+                     ROWS UNBOUNDED PRECEDING) AS improve_blocks
+      FROM flagged
+    ),
+    with_streak AS (
+      SELECT run, step, eval_score, best_so_far,
+             step - max(CASE WHEN eval_score = best_so_far
+                             THEN step END)
+               OVER (PARTITION BY run ORDER BY step
+                     ROWS UNBOUNDED PRECEDING) AS since_best
+      FROM streaks
+    ),
+    stops AS (
+      SELECT run, min(step) AS stop_step
+      FROM with_streak WHERE since_best >= {ES_PATIENCE}
+      GROUP BY run
+    )
+    SELECT w.run,
+           CAST(coalesce(s.stop_step, {N_CHECKPOINTS}) AS BIGINT)
+             AS stop_step,
+           CAST(max(CASE WHEN w.step <= coalesce(s.stop_step,
+                  {N_CHECKPOINTS}) THEN w.eval_score END) AS BIGINT)
+             AS best_score,
+           CAST(min(CASE WHEN w.eval_score = best_stop.b
+                  AND w.step <= coalesce(s.stop_step, {N_CHECKPOINTS})
+                  THEN w.step END) AS BIGINT) AS best_step,
+           s.stop_step IS NOT NULL AS stopped_early
+    FROM with_streak w
+    LEFT JOIN stops s ON w.run = s.run
+    JOIN (
+      SELECT w2.run, max(w2.eval_score) AS b
+      FROM with_streak w2 LEFT JOIN stops s2 ON w2.run = s2.run
+      WHERE w2.step <= coalesce(s2.stop_step, {N_CHECKPOINTS})
+      GROUP BY w2.run
+    ) best_stop ON w.run = best_stop.run
+    GROUP BY w.run, s.stop_step, best_stop.b
+    ORDER BY w.run
+    """
+
+
+@query(
+    "q357_early_stopping",
+    oracle=_early_stop_oracle(),
+    tags=("training", "evaluation", "monitoring", "llm", "operator"),
+)
+def q357_early_stopping(spark, sf_dir):
+    """Early-stopping checkpoint selection (q357) — the
+    patience-{ES_PATIENCE} rule a training controller applies to an
+    eval-score series, as ONE declarative query over all runs at
+    once: per run, the first checkpoint {ES_PATIENCE} steps past the
+    running best (the stop point), the best score and earliest best
+    step up to that stop, and whether the run stopped early at all.
+    Scores are a synthetic rise-then-fall curve (step*40 - step^2)
+    plus seeded noise, so early stopping genuinely triggers on some
+    runs and not others.
+
+    SCALE DESIGN: the series windows partition BY RUN (parallel
+    across runs, {N_CHECKPOINTS} rows each — never a global series);
+    the stop point is a per-run aggregate, not a driver loop. This is
+    the iterative controller turned into a plan: one pass, no
+    collect, any number of concurrent runs.
+
+    Determinism: integer scores, integer windows, min/max
+    tie-breaks explicit (earliest best step)."""
+    from pyspark.sql import Window
+
+    runs = (
+        spark.range(4)
+        .select(
+            F.concat(F.lit("run"), F.col("id").cast("string")).alias(
+                "run"
+            )
+        )
+        .crossJoin(
+            spark.range(1, N_CHECKPOINTS + 1).select(
+                F.col("id").alias("step")
+            )
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("ckpt-"),
+                    F.col("run"),
+                    F.lit("-"),
+                    F.col("step").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    scored = runs.select(
+        "run",
+        "step",
+        (
+            F.col("step") * 40
+            - F.col("step") * F.col("step")
+            + (h % 60)
+        ).alias("eval_score"),
+    )
+    w = (
+        Window.partitionBy("run")
+        .orderBy("step")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = scored.withColumn(
+        "best_so_far", F.max("eval_score").over(w)
+    )
+    with_streak = running.withColumn(
+        "since_best",
+        F.col("step")
+        - F.max(
+            F.when(
+                F.col("eval_score") == F.col("best_so_far"),
+                F.col("step"),
+            )
+        ).over(w),
+    )
+    stops = (
+        with_streak.filter(F.col("since_best") >= ES_PATIENCE)
+        .groupBy("run")
+        .agg(F.min("step").alias("stop_step"))
+    )
+    joined = with_streak.join(F.broadcast(stops), "run", "left").withColumn(
+        "eff_stop", F.coalesce(F.col("stop_step"), F.lit(N_CHECKPOINTS))
+    )
+    in_window = F.col("step") <= F.col("eff_stop")
+    per_run = joined.groupBy("run", "eff_stop", "stop_step").agg(
+        F.max(F.when(in_window, F.col("eval_score"))).alias("b")
+    )
+    return (
+        joined.join(
+            F.broadcast(per_run.select("run", "b")), "run"
+        )
+        .groupBy("run", "eff_stop", "stop_step", "b")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("eval_score") == F.col("b"))
+                    & in_window,
+                    F.col("step"),
+                )
+            )
+            .cast("long")
+            .alias("best_step"),
+        )
+        .select(
+            "run",
+            F.col("eff_stop").cast("long").alias("stop_step"),
+            F.col("b").cast("long").alias("best_score"),
+            "best_step",
+            F.col("stop_step").isNotNull().alias("stopped_early"),
+        )
+        .orderBy("run")
+    )

@@ -900,3 +900,89 @@ def test_q355_eval_builder_matches_python_replica(spark):
         total_taken += len(taken)
     # ceil rounding overshoots by at most one item per stratum
     assert EVAL_SET_SIZE <= total_taken <= EVAL_SET_SIZE + len(strata)
+
+
+# ---------------------------------------------------------------- q356
+def test_q356_rm_disagreement_matches_python_replica(spark):
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.queries.traindata5 import RM_GROUP
+
+    ev = load_tables(spark, SF01, ["events"])["events"]
+    eids = [r[0] for r in ev.select("event_id").collect()]
+    groups: dict[int, list] = {}
+    for e in eids:
+        base = _h32("rmb-", e) % 1000
+        groups.setdefault(e // RM_GROUP, []).append(
+            (e % RM_GROUP,
+             base * 10 + _h32("rm1-", e) % 300,
+             base * 10 + _h32("rm2-", e) % 300)
+        )
+    got = {
+        r["prompt_id"]: r
+        for r in _run(spark, "q356_rm_disagreement").collect()
+    }
+    assert set(got) == set(groups)
+    taus = []
+    for pid, rolls in groups.items():
+        c = d = n = 0
+        for i in range(len(rolls)):
+            for j in range(i + 1, len(rolls)):
+                a, b = rolls[i], rolls[j]
+                if a[0] == b[0]:
+                    continue
+                lo, hi = (a, b) if a[0] < b[0] else (b, a)
+                prod = (lo[1] - hi[1]) * (lo[2] - hi[2])
+                n += 1
+                c += prod > 0
+                d += prod < 0
+        r = got[pid]
+        assert r["n_pairs"] == n
+        assert r["concordant"] == c
+        assert r["discordant"] == d
+        assert r["needs_human"] == ((c - d) * 2 < n)
+        taus.append(r["kendall_tau"])
+    # shared quality base with modest noise: mostly agreeing
+    assert sum(taus) / len(taus) > 0.5
+
+
+# ---------------------------------------------------------------- q357
+def test_q357_early_stopping_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata5 import (
+        ES_PATIENCE,
+        N_CHECKPOINTS,
+    )
+
+    got = {
+        r["run"]: r for r in _run(spark, "q357_early_stopping").collect()
+    }
+    assert set(got) == {f"run{i}" for i in range(4)}
+    for i in range(4):
+        run = f"run{i}"
+        scores = {
+            step: step * 40 - step * step
+            + _h32("ckpt-", f"{run}-{step}") % 60
+            for step in range(1, N_CHECKPOINTS + 1)
+        }
+        best, best_step_at, stop = None, {}, None
+        since = 0
+        for step in range(1, N_CHECKPOINTS + 1):
+            sc = scores[step]
+            if best is None or sc > best:
+                best = sc
+            if sc == best:
+                last_best_step = step
+            if step - last_best_step >= ES_PATIENCE and stop is None:
+                stop = step
+                break
+        eff = stop if stop is not None else N_CHECKPOINTS
+        window = {s: scores[s] for s in range(1, eff + 1)}
+        bscore = max(window.values())
+        bstep = min(s for s, v in window.items() if v == bscore)
+        r = got[run]
+        assert r["stop_step"] == eff
+        assert r["best_score"] == bscore
+        assert r["best_step"] == bstep
+        assert r["stopped_early"] == (stop is not None)
+    # the noise makes SOME runs stop early and the parabola peak
+    # sits mid-series, so best_step < stop_step where stopped
+    assert any(r["stopped_early"] for r in got.values())
