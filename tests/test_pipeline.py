@@ -1938,3 +1938,57 @@ def test_streaming_special_token_gate(spark, tmp_path):
     })
     assert bad.status == "failed"
     assert "batch frame" in bad.error
+
+
+def test_canonical_url_dedup_all_unparseable_is_identity(spark):
+    """Degenerate corpus: when EVERY url is scheme-less or NULL, the
+    dedup form is a row-preserving identity (nothing collapses,
+    nothing drops) — the round-10 advice fix under its worst case."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(
+            ["/a", "/b", "//x.com/c", None, "plain words"]
+        )],
+        "doc_id long, url string",
+    )
+    out = _apply_step(
+        spark, df,
+        {"op": "canonical_url", "url_col": "url", "out_col": "curl",
+         "dedup": True, "id_col": "doc_id"},
+    )
+    rows = out.collect()
+    assert {r["doc_id"] for r in rows} == set(range(5))
+    assert all(r["curl"] is None for r in rows)
+
+
+def test_paragraph_dedup_unique_corpus_is_identity(spark):
+    """No paragraph reaches min_docs => nothing is excised."""
+    df = spark.createDataFrame(
+        [(i, f"totally unique paragraph number {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    out = _apply_step(
+        spark, df,
+        {"op": "paragraph_dedup", "text_col": "text",
+         "id_col": "doc_id", "min_docs": 2, "max_dup_frac": 0.5},
+    )
+    assert {r["doc_id"] for r in out.collect()} == set(range(8))
+
+
+def test_near_dedup_keep_rows_no_duplicates_is_identity(spark):
+    """keep_rows with zero near-dups: every row is its own singleton
+    cluster and survives the semi-join."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", 10),
+         (2, "epsilon zeta eta theta", 20),
+         (3, "iota kappa lambda mu", 30)],
+        "doc_id long, text string, q long",
+    )
+    out = _apply_step(
+        spark, df,
+        {"op": "near_dedup_keep_best", "text_col": "text",
+         "id_col": "doc_id", "quality_col": "q",
+         "n": 3, "threshold": 0.5, "keep_rows": True},
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [1, 2, 3]
+    assert set(out.columns) == {"doc_id", "text", "q"}
