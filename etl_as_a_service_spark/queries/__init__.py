@@ -87,57 +87,59 @@ from etl_as_a_service_spark.queries import traindata5  # noqa: E402,F401
 # its driver row; the real gates are their pytest recall/content
 # tests.
 _ROTATE_FRONT = [
-    # never-green leads (round-10 new operators)
-    "q330_curation_pipeline_e2e",
-    "q331_annotator_agreement",
-    "q332_majority_label_noise",
-    "q333_pairwise_winrates",
-    "q334_truncation_waste",
-    "q335_lsh_parameter_plan",
-    "q336_url_decontamination",
-    "q337_k_anonymity",
-    "q338_tokenizer_fertility",
-    "q339_dup_cluster_census",
-    "q340_debias_weights",
-    "q341_cross_source_dup_matrix",
-    "q342_chat_template_render",
-    "q343_mixture_drift",
-    "q344_special_token_hygiene",
-    "q345_format_census",
-    "q346_optout_scan",
-    "q347_pack_mixing_audit",
-    "q348_data_card",
-    "q349_eval_integrity",
-    "q350_dedup_survivor_bias",
-    "q351_dedup_policy_sweep",
-    "q352_token_waterfill",
-    "q353_annotator_gold_calibration",
-    "q354_padding_ladder",
-    "q355_eval_set_builder",
-    "q356_rm_disagreement",
-    "q357_early_stopping",
-    "q14_event_type_pivot",
-    "q15_distinct_users_per_type",
-    "q16_grouping_sets",
-    "q17_stat_aggregates",
-    "q18_percentiles",
-    "q19_collect_and_argminmax",
-    "q20_string_functions",
-    "q21_date_functions",
-    "q22_math_functions",
-    "q23_conditional_nulls",
-    "q24_hash_functions",
-    "q25_json_extraction",
-    "q26_array_functions",
-    "q27_explode_word_count",
-    "q28_struct_map_roundtrip",
-    "q29_session_windows_batch",
-    "q30_order_ranks",
-    "q31_event_lag_lead",
-    "q32_frame_aggregates",
-    "q33_first_last_window",
-    "q34_top3_orders_per_customer",
-    "q35_asof_last_purchase",
+    # round-11 window: no never-green leads (every oracle query has a
+    # green driver row after r10), so all 50 slots go to the stalest
+    # receipts — the r2-era q36..q120 block, then the r3-era rows.
+    "q36_multiset_ops",
+    "q37_union_by_name",
+    "q38_approx_count_distinct",
+    "q39_correlated_subqueries",
+    "q50_posexplode_tokens",
+    "q51_interval_arithmetic",
+    "q52_try_cast",
+    "q53_ilike_rlike",
+    "q56_array_ops",
+    "q57_csv_scan_parity",
+    "q68_interval_range_frames",
+    "q75_skew_kurtosis",
+    "q81_tumbling_windows_batch",
+    "q82_asof_forward_next_purchase",
+    "q83_resample_gap_fill",
+    "q88_tfidf_top_terms",
+    "q89_repetition_scores",
+    "q90_stratified_sample",
+    "q92_document_chunking",
+    "q93_top_bigrams",
+    "q95_incremental_dedup",
+    "q96_event_conversion_funnel",
+    "q97_percentile_trim",
+    "q99_ewma_per_user",
+    "q101_fuzzy_nation_match",
+    "q102_pii_scan_report",
+    "q103_banded_range_join",
+    "q108_weighted_sample",
+    "q109_linear_interpolation",
+    "q112_mad_outliers",
+    "q113_unpivot_metrics",
+    "q116_cohort_retention",
+    "q120_bigram_lm_scores",
+    "q40_exact_dedup_groups",
+    "q41_exact_dedup_survivors",
+    "q42_text_stats_by_lang",
+    "q43_doc_fingerprints",
+    "q44_lang_id_agreement",
+    "q45_cosine_topk",
+    "q46_ngram_jaccard_pairs",
+    "q58_text_cleaning",
+    "q59_curation_pipeline",
+    "q62_shipping_priority",
+    "q63_local_supplier_volume",
+    "q64_nation_volume_pairs",
+    "q65_returned_item_customers",
+    "q66_or_of_ands_predicates",
+    "q71_nth_value_listagg",
+    "q72_bit_operations",
+    "q73_binning_histogram",
 ]
 
 
