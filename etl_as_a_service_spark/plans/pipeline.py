@@ -490,6 +490,14 @@ def _apply_step(
 
         shard_col = None
         if step.get("shard_hex", False):
+            # the md5 hex-digit shard ALWAYS yields 16 shards — an
+            # explicit conflicting n_shards would be silently ignored
+            if "n_shards" in step and int(step["n_shards"]) != 16:
+                raise PipelineError(
+                    "pack: shard_hex=true always produces 16 shards "
+                    f"(first md5 hex digit); n_shards={step['n_shards']} "
+                    "conflicts — drop n_shards or set it to 16"
+                )
             shard_col = F.substring(
                 F.md5(
                     F.concat(
@@ -1150,6 +1158,12 @@ def _apply_step(
         domain_col = _req(step, "domain_col")
         cap = float(step.get("cap", 5.0))
         out_col = step.get("out_col", "loss_weight")
+        if out_col in df.columns:
+            raise PipelineError(
+                f"debias_weights: out_col {out_col!r} already exists "
+                "on the input frame — the join-back would produce a "
+                "duplicate-name column; pick a fresh name"
+            )
         counts = df.groupBy(F.col(domain_col)).agg(
             F.count(F.lit(1)).alias("__n_d")
         )

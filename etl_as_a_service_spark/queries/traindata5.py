@@ -2614,7 +2614,8 @@ WATERFILL_BUDGET = 250_000
     oracle=f"""
     WITH avail AS (
       SELECT source,
-             1 + (CAST(substring(source, 4) AS INTEGER) % 4) AS w,
+             1 + ((('0x' || substr(md5('wf-' || source), 1, 8))::BIGINT)
+                  % 4) AS w,
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS a
       FROM documents GROUP BY source
     ),
@@ -2669,15 +2670,20 @@ def q352_token_waterfill(spark, sf_dir):
     itself, which allocates a_d to every source (all saturated).
 
     Determinism: availability is exact integer token sums; weights
-    are parsed from the source id; levels are ratios evaluated in
-    identical order; the sort key (a/w, source) is a shared double
-    quotient with a string tie-break.
+    derive from the md5_hash64 of the FULL source id (the q239
+    portable-hash convention — positional substring parsing diverged
+    silently on any fixture whose source ids aren't 'srcN', the
+    round-10 ADVICE item); levels are ratios evaluated in identical
+    order; the sort key (a/w, source) is a shared double quotient
+    with a string tie-break.
 
     SCALE DESIGN: per-source availability is one corpus aggregate;
     everything after runs on the |sources|-row frame (the single-
     partition window is over a bounded frame — explicitly NOT a
     corpus-grain window). One scan at any size."""
     from pyspark.sql import Window
+
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
 
     (docs,) = _t(spark, sf_dir, "documents")
     avail = docs.groupBy("source").agg(
@@ -2686,12 +2692,7 @@ def q352_token_waterfill(spark, sf_dir):
         .alias("a")
     ).select(
         "source",
-        (
-            1
-            + (
-                F.substring(F.col("source"), 4, 10).cast("int") % 4
-            )
-        ).alias("w"),
+        (1 + md5_hash64(F.col("source"), "wf-") % 4).alias("w"),
         "a",
     )
     r = F.col("a") * 1.0 / F.col("w")

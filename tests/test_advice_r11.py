@@ -1,0 +1,93 @@
+"""Round-11 ADVICE regression tests — each was RED on the pre-fix tree
+(verified by running them against HEAD~ before the fixes landed;
+receipts in README round-11 section).
+
+1. pack with shard_hex=true silently ignored an explicit conflicting
+   n_shards (the md5 hex-digit shard is always 16) — now a
+   PipelineError.
+2. debias_weights with out_col colliding with an existing input
+   column produced a duplicate-name frame that broke downstream
+   column resolution — now a PipelineError.
+3. q352 parsed its priority weight positionally
+   (substring(source, 4)) on the Spark side vs strict CAST on the
+   oracle side — any fixture whose source ids aren't 'srcN' diverged
+   silently (NULL weight) vs erroring. Both sides now hash the FULL
+   source id with the md5_hash64 convention.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.plans.pipeline import (
+    PipelineError,
+    _apply_step,
+)
+
+
+def test_pack_shard_hex_rejects_conflicting_n_shards(spark):
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(8)], "doc_id int, nt int"
+    )
+    step = {
+        "op": "pack",
+        "id_col": "doc_id",
+        "token_col": "nt",
+        "token_budget": 256,
+        "shard_hex": True,
+        "n_shards": 8,
+    }
+    with pytest.raises(PipelineError, match="shard_hex"):
+        _apply_step(spark, df, step)
+    # explicit n_shards=16 agrees with the hex shard: allowed
+    ok = _apply_step(spark, df, {**step, "n_shards": 16})
+    assert ok.count() == 8
+
+
+def test_debias_weights_rejects_colliding_out_col(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 0.5), (2, "b", 0.7)],
+        "doc_id int, source string, loss_weight double",
+    )
+    with pytest.raises(PipelineError, match="out_col"):
+        _apply_step(
+            spark,
+            df,
+            {"op": "debias_weights", "domain_col": "source"},
+        )
+    out = _apply_step(
+        spark,
+        df,
+        {
+            "op": "debias_weights",
+            "domain_col": "source",
+            "out_col": "w2",
+        },
+    )
+    assert out.columns.count("w2") == 1 and "w2" in out.columns
+
+
+def test_q352_weight_is_hash_of_full_source_id(spark):
+    """The weight must be a function of the WHOLE source string via
+    the portable md5 convention, not a positional digit parse (which
+    returned NULL for any non-'srcN' source id). Checked against the
+    running query at sf0.001 — red pre-fix because the positional
+    weights (1 + N % 4) differ from the hash weights on these ids."""
+    from etl_as_a_service_spark.queries import QUERIES
+
+    rows = QUERIES["q352_token_waterfill"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        expect = 1 + (
+            int(
+                hashlib.md5(f"wf-{r['source']}".encode()).hexdigest()[:8],
+                16,
+            )
+            % 4
+        )
+        assert r["weight"] == expect, r["source"]

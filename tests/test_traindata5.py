@@ -750,7 +750,16 @@ def test_q352_waterfill_matches_python_replica(spark):
         avail[r["source"]] = avail.get(r["source"], 0) + len(
             r["text"].split(" ")
         )
-    w = {s: 1 + (int(s[3:]) % 4) for s in avail}
+    import hashlib
+
+    w = {
+        s: 1
+        + (
+            int(hashlib.md5(f"wf-{s}".encode()).hexdigest()[:8], 16)
+            % 4
+        )
+        for s in avail
+    }
     ranked = sorted(avail, key=lambda s: (avail[s] / w[s], s))
     prefix_a, lv = 0, float(WATERFILL_BUDGET)
     suffix_w = sum(w.values())
