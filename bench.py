@@ -153,6 +153,10 @@ HEADLINE_TRAINDATA = [
     # round-10 third batch: the cross-source dup matrix (the only
     # self-join of the q339-q344 family). Subtotal grows by one.
     "q341_cross_source_dup_matrix",
+    # round-11 addition: the composed chain WITH the portable MinHash
+    # near-dup stage inside it (q330 + LSH banding/verify/loser drop
+    # in one plan). Subtotal grows by one entry.
+    "q358_curation_neardup_e2e",
 ]
 
 #: round-6 addition to the lakehouse subtotal: the stats-based file

@@ -107,6 +107,7 @@ _ALLOWED_OPS = {
     "chunk",
     "repetition_score",
     "near_dedup_keep_best",
+    "near_dedup_portable",
     "leakage_safe_split",
     "dsir_select",
     "temperature_mix",
@@ -604,6 +605,64 @@ def _apply_step(
         if step.get("keep_rows", False):
             return df.join(surv.select(id_col), id_col, "semi")
         return surv
+    if op == "near_dedup_portable":
+        # {"op":"near_dedup_portable","text_col":"t","id_col":
+        #  "doc_id","quality_col":"qual","threshold":0.5} — near-dup
+        # removal with a FULL SQL twin: the q253 portable MinHash
+        # banding (md5 hash family, exact-Jaccard verify) generates
+        # verified pairs, and every pair's LOSER — the side beaten on
+        # (quality DESC, id ASC) — is anti-joined out. Unlike
+        # near_dedup_keep_best (PPJoin + iterative connected
+        # components), every step here is one declarative pass, so
+        # the composed chain containing it is oracle-checkable
+        # end-to-end (q358). Semantics: drop every doc that has a
+        # strictly-better verified near-duplicate; in a clique the
+        # single best survives (same as keep_best), in a chain only
+        # pairwise losers drop (no transitive closure).
+        from etl_as_a_service_spark.llm.dedup import (
+            minhash_lsh_pairs_portable,
+        )
+
+        id_col = _req(step, "id_col")
+        quality_col = _req(step, "quality_col")
+        pairs = minhash_lsh_pairs_portable(
+            df,
+            text_col=_req(step, "text_col"),
+            id_col=id_col,
+            n_perms=int(step.get("n_perms", 8)),
+            band_rows=int(step.get("band_rows", 2)),
+            shingle_n=int(step.get("shingle_n", 3)),
+            salt=step.get("salt", "mh"),
+        ).filter(F.col("jaccard") >= float(step.get("threshold", 0.5)))
+        qual = df.select(
+            F.col(id_col).alias("__qid"),
+            F.col(quality_col).alias("__q"),
+        )
+        qa = qual.select(
+            F.col("__qid").alias("doc_a"), F.col("__q").alias("__qa")
+        )
+        qb = qual.select(
+            F.col("__qid").alias("doc_b"), F.col("__q").alias("__qb")
+        )
+        losers = (
+            pairs.join(qa, "doc_a")
+            .join(qb, "doc_b")
+            .select(
+                F.when(
+                    (F.col("__qa") > F.col("__qb"))
+                    | (
+                        (F.col("__qa") == F.col("__qb"))
+                        & (F.col("doc_a") < F.col("doc_b"))
+                    ),
+                    F.col("doc_b"),
+                )
+                .otherwise(F.col("doc_a"))
+                .alias("__loser")
+            )
+        )
+        return df.join(
+            losers, df[id_col] == losers["__loser"], "left_anti"
+        )
     if op == "leakage_safe_split":
         # {"op":"leakage_safe_split","text_col":"text","id_col":
         #  "doc_id","weights":{"train":0.9,...}} — cluster-keyed split

@@ -67,6 +67,7 @@ from etl_as_a_service_spark.queries import traindata2  # noqa: E402,F401
 from etl_as_a_service_spark.queries import traindata3  # noqa: E402,F401
 from etl_as_a_service_spark.queries import traindata4  # noqa: E402,F401
 from etl_as_a_service_spark.queries import traindata5  # noqa: E402,F401
+from etl_as_a_service_spark.queries import traindata6  # noqa: E402,F401
 
 # Driver-gate rotation (round 10): the external driver records
 # CORRECTNESS rows for the FIRST 50 manifest entries only. The
@@ -87,9 +88,10 @@ from etl_as_a_service_spark.queries import traindata5  # noqa: E402,F401
 # its driver row; the real gates are their pytest recall/content
 # tests.
 _ROTATE_FRONT = [
-    # round-11 window: no never-green leads (every oracle query has a
-    # green driver row after r10), so all 50 slots go to the stalest
-    # receipts — the r2-era q36..q120 block, then the r3-era rows.
+    # round-11 window: never-green leads first (the round-11 new
+    # operators), then the stalest receipts — the r2-era q36..q120
+    # block, then the r3-era rows.
+    "q358_curation_neardup_e2e",
     "q36_multiset_ops",
     "q37_union_by_name",
     "q38_approx_count_distinct",
@@ -139,7 +141,6 @@ _ROTATE_FRONT = [
     "q66_or_of_ands_predicates",
     "q71_nth_value_listagg",
     "q72_bit_operations",
-    "q73_binning_histogram",
 ]
 
 

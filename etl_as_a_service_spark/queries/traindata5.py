@@ -59,6 +59,12 @@ PII_PLANT = " contact alice@example.com or 555-12-3456 now"
 DECON_THRESHOLD = 0.8
 TMIX_BUDGET = 150
 PACK_BUDGET = 512
+#: near-dup chain (q358): verified-Jaccard gate for the portable
+#: MinHash stage, and the single marker token appended to each planted
+#: near-copy (pair Jaccard = |S|/(|S|+1) — above 0.5 for any partner
+#: with >= 3 tokens)
+NEARDUP_THRESHOLD = 0.5
+NEARCOPY_TOKEN = "zqx7nearcopy"
 
 
 def _plant_sql() -> str:
@@ -92,19 +98,38 @@ def _plant_sql() -> str:
     """
 
 
+def _plant_near_sql() -> str:
+    """Stage-1 variant for the near-dup chain (q358): on top of the
+    q330 plants, every doc_id % 6 == 2 row REPLACES its text with its
+    partner's (doc_id - 2) fully-planted text plus one marker token —
+    a planted near-duplicate pair (both even, so both survive URL
+    dedup and reach the near-dup stage)."""
+    return f"""
+    WITH planted0 AS ({_plant_sql()})
+    SELECT p.doc_id, p.source,
+      CASE WHEN p.doc_id % 6 = 2 AND b.t IS NOT NULL
+           THEN concat(b.t, ' {NEARCOPY_TOKEN}') ELSE p.t END AS t,
+      p.url
+    FROM planted0 p LEFT JOIN planted0 b ON b.doc_id = p.doc_id - 2
+    """
+
+
 def curation_e2e_spec(
-    sf_dir: str, observe: bool = False, near_dup: bool = False
+    sf_dir: str, observe: bool = False, near_dup: bool | str = False
 ) -> dict:
     """The composed pipeline spec. ``observe=True`` inserts an
     ``observe`` step after every row-dropping stage so the filter
     funnel rides the run's single action as Observations (zero extra
     jobs) — the rehearsal/runner form; the manifest query uses the
     plain form (the driver only collects the frame). ``near_dup=True``
-    adds the MinHash/Jaccard near-dup stage (keep_rows form) after
-    paragraph dedup — rehearsal-only, because LSH candidate generation
-    has no SQL twin (the q47 rows-only rationale), so the
-    oracle-checked q330 chain runs without it."""
+    adds the xxhash64 MinHash/Jaccard near-dup stage (keep_rows form)
+    after paragraph dedup — rehearsal-only (no SQL twin for that hash
+    family). ``near_dup="portable"`` instead inserts the q253-style
+    md5 portable-banding stage (near_dedup_portable op) AND swaps the
+    plant for the near-copy variant, making the FULL chain including
+    near-dup oracle-checkable — the q358 form."""
     src = {"format": "parquet", "path": f"{sf_dir}/documents.parquet"}
+    portable = near_dup == "portable"
 
     def obs(stage: str) -> list[dict]:
         if not observe:
@@ -113,7 +138,8 @@ def curation_e2e_spec(
                  "metrics": {"rows": "count(*)"}}]
 
     steps = [
-        {"op": "sql", "query": _plant_sql()},
+        {"op": "sql",
+         "query": _plant_near_sql() if portable else _plant_sql()},
         *obs("0_raw"),
         {"op": "canonical_url", "url_col": "url", "out_col": "curl",
          "dedup": True, "id_col": "doc_id"},
@@ -131,6 +157,16 @@ def curation_e2e_spec(
         *obs("2_paragraph_dedup"),
         *(
             [
+                {"op": "with_column", "name": "qual",
+                 "expr": "length(t)"},
+                {"op": "near_dedup_portable", "text_col": "t",
+                 "id_col": "doc_id", "quality_col": "qual",
+                 "n_perms": 8, "band_rows": 2, "shingle_n": 3,
+                 "threshold": NEARDUP_THRESHOLD},
+                *obs("2b_near_dup"),
+            ]
+            if portable
+            else [
                 {"op": "with_column", "name": "qual",
                  "expr": "length(t)"},
                 {"op": "near_dedup_keep_best", "text_col": "t",
@@ -177,9 +213,12 @@ def curation_e2e_spec(
     return {"name": "curation_e2e", "source": src, "steps": steps}
 
 
-def _e2e_oracle() -> str:
+def _e2e_oracle(near_dup: bool = False) -> str:
     """DuckDB re-derivation of the full chain, stage by stage, from
-    the same shared pattern constants."""
+    the same shared pattern constants. ``near_dup=True`` produces the
+    q358 variant: the plant gains the near-copy self-join and a full
+    portable-MinHash near-dup block (q253 math) runs between the
+    paragraph dedup and the encoding gate."""
     not_tracking = " AND ".join(
         f"NOT starts_with(x, '{p}')" for p in TRACKING_PREFIXES
     )
@@ -193,8 +232,89 @@ def _e2e_oracle() -> str:
             f"regexp_replace({redact_expr}, '{pat}', "
             f"'{redaction_token(name)}', 'g')"
         )
+    plant_cte, near_plant, near_block, s3_out = "planted", "", "", "s3"
+    # DuckDB 1.0 inlines every CTE per reference; the near-dup block
+    # references s3 three times (and nsh four), so without explicit
+    # materialization the upstream chain re-executes exponentially
+    # (measured: each frontier ~doubles, s3n alone 6s at sf0.001).
+    mat = "MATERIALIZED " if near_dup else ""
+    if near_dup:
+        plant_cte = "planted0"
+        near_plant = f""",
+    planted AS (
+      SELECT p.doc_id, p.source,
+        CASE WHEN p.doc_id % 6 = 2 AND b.t IS NOT NULL
+             THEN b.t || ' {NEARCOPY_TOKEN}' ELSE p.t END AS t,
+        p.url
+      FROM planted0 p LEFT JOIN planted0 b ON b.doc_id = p.doc_id - 2
+    )"""
+        mins = ",\n             ".join(
+            f"min(('0x' || substr(md5('mh{p}-' || s), 1, 8))::BIGINT)"
+            f" AS h{p}"
+            for p in range(8)
+        )
+        band_rows = "\n      UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, CAST(h{2 * b} AS VARCHAR)"
+            f" || '_' || CAST(h{2 * b + 1} AS VARCHAR) AS key FROM nmh"
+            for b in range(4)
+        )
+        near_block = f""",
+    -- stage 3b: portable MinHash near-dup (q253 math over s3;
+    -- 8 perms, 4 bands x 2 rows, exact-Jaccard verify >= threshold;
+    -- each verified pair drops its (quality DESC, id ASC) loser)
+    nsh AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS s
+      FROM (SELECT doc_id, string_split(t, ' ') AS toks FROM s3),
+           UNNEST(range(1, len(toks) - 1)) AS ti(i)
+    ),
+    nmh AS (
+      SELECT doc_id,
+             {mins}
+      FROM nsh GROUP BY doc_id
+    ),
+    nbands AS (
+      {band_rows}
+    ),
+    ncand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM nbands a JOIN nbands b ON a.band = b.band AND a.key = b.key
+                                  AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    ncnt AS (SELECT doc_id, count(*) AS n FROM nsh GROUP BY doc_id),
+    ninter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM ncand c JOIN nsh sa ON sa.doc_id = c.doc_a
+                   JOIN nsh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    npair AS (
+      SELECT c.doc_a, c.doc_b,
+             round(COALESCE(i.i, 0)
+                   / CAST(ca.n + cb.n - COALESCE(i.i, 0) AS DOUBLE), 6)
+               AS j
+      FROM ncand c
+      LEFT JOIN ninter i USING (doc_a, doc_b)
+      JOIN ncnt ca ON ca.doc_id = c.doc_a
+      JOIN ncnt cb ON cb.doc_id = c.doc_b
+    ),
+    nq AS (SELECT doc_id, length(t) AS q FROM s3),
+    nlose AS (
+      SELECT CASE WHEN qa.q > qb.q
+                    OR (qa.q = qb.q AND p.doc_a < p.doc_b)
+                  THEN p.doc_b ELSE p.doc_a END AS loser
+      FROM npair p JOIN nq qa ON qa.doc_id = p.doc_a
+                   JOIN nq qb ON qb.doc_id = p.doc_b
+      WHERE p.j >= {NEARDUP_THRESHOLD}
+    ),
+    s3n AS MATERIALIZED (
+      SELECT * FROM s3
+      WHERE doc_id NOT IN (SELECT loser FROM nlose)
+    )"""
+        s3_out = "s3n"
     return f"""
-    WITH planted AS (
+    WITH {plant_cte} AS (
       SELECT doc_id, source,
         text
         || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '{BOILER}'
@@ -216,7 +336,7 @@ def _e2e_oracle() -> str:
                   || CAST(doc_id - doc_id % 2 AS VARCHAR) END)
         || (CASE WHEN doc_id % 13 = 0 THEN '#sec2' ELSE '' END) AS url
       FROM documents
-    ),
+    ){near_plant},
     -- stage 2: canonical-URL dedup (q306 fragments)
     parts AS (
       SELECT doc_id, source, t,
@@ -249,7 +369,7 @@ def _e2e_oracle() -> str:
         FROM parts
       )
     ),
-    s2 AS (
+    s2 AS {mat}(
       SELECT c.doc_id, c.source, c.t
       FROM canon c
       JOIN (SELECT curl, min(doc_id) AS keep_id
@@ -273,12 +393,12 @@ def _e2e_oracle() -> str:
       FROM paras pa LEFT JOIN pdups d ON pa.para = d.para
       GROUP BY pa.doc_id
     ),
-    s3 AS (
+    s3 AS {mat}(
       SELECT s2.* FROM s2 JOIN pfrac USING (doc_id)
       WHERE pfrac.frac < 0.5
-    ),
+    ){near_block},
     -- stage 4: encoding gate (q311 patterns, max_hits = 0)
-    s4 AS (SELECT * FROM s3 WHERE {enc_zero} = 0),
+    s4 AS {mat}(SELECT * FROM {s3_out} WHERE {enc_zero} = 0),
     -- stage 5: Gopher quality gate (q158 fragments)
     toks AS (SELECT doc_id, string_split(t, ' ') AS toks FROM s4),
     words AS (
@@ -302,7 +422,7 @@ def _e2e_oracle() -> str:
                AS n_dist_bg
       FROM toks WHERE len(toks) >= 2
     ),
-    s5 AS (
+    s5 AS {mat}(
       SELECT s4.* FROM s4
       JOIN gstats USING (doc_id) JOIN gbg USING (doc_id)
       WHERE top_word_frac <= 0.2

@@ -1,0 +1,66 @@
+"""Round-11 operators: composition deepening.
+
+q358 closes the one upgrade the round-10 verdict named for the q330
+composition proof: the near-dup stage was rehearsal-only because the
+xxhash64 LSH candidate generation has no SQL twin — but the q253
+portable banding (md5 hash family) does, so the FULL curation chain
+INCLUDING near-dup is now hash-checked end-to-end against a DuckDB
+CTE pipeline.
+
+Reference contract: this is still the "run a whole user pipeline"
+behavior (`app/routes.py:96-135` deploy + trigger + poll), exercised
+as ONE compiled plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from etl_as_a_service_spark.catalog import load_tables
+from etl_as_a_service_spark.queries import query
+from etl_as_a_service_spark.queries.traindata5 import (
+    _e2e_oracle,
+    curation_e2e_spec,
+)
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+# --------------------------------------------------------------------------
+# q358 — the composed curation chain WITH the near-dup stage in the oracle
+# --------------------------------------------------------------------------
+@query(
+    "q358_curation_neardup_e2e",
+    oracle=_e2e_oracle(near_dup=True),
+    tags=("curation", "pipeline", "composition", "dedup", "llm",
+          "operator"),
+)
+def q358_curation_neardup_e2e(spark, sf_dir):
+    """The q330 composed curation pipeline with the near-duplicate
+    stage INSIDE the oracle-checked chain (q358): plant (with planted
+    near-copy pairs) → canonical-URL dedup → paragraph dedup →
+    portable MinHash near-dup → encoding gate → Gopher gate →
+    decontamination → PII redaction → temperature mix → pack, ONE
+    declarative spec through ``compile_pipeline``. The near-dup stage
+    is the ``near_dedup_portable`` op: q253's md5 banding (8 perms,
+    4 bands x 2 rows) with exact-Jaccard verification, then each
+    verified pair (J >= 0.5) drops its (quality DESC, id ASC) loser —
+    every step declarative, so the DuckDB oracle re-derives the whole
+    ten-stage chain including the LSH candidate generation.
+
+    SCALE DESIGN: inherits q330's stage shapes; the added stage is
+    the q253 shape — ONE map-side-combined signature aggregate over
+    distinct shingles, a band self-join shipping (id, band, key)
+    only, exact verify through the bounded candidate set (never
+    all-pairs), and a loser anti-join on the id grain. The md5 hash
+    family costs ~2x xxhash64 per call but keeps the stage
+    hash-checkable; the production chain can swap the salt family
+    without touching the plan shape."""
+    from etl_as_a_service_spark.plans.pipeline import compile_pipeline
+
+    return compile_pipeline(
+        spark, curation_e2e_spec(sf_dir, near_dup="portable")
+    )

@@ -1,0 +1,134 @@
+"""Round-11 composition tests: q358 (near-dup inside the
+oracle-checked curation chain) and the near_dedup_portable op.
+
+All expectations are fixture-independent: the op tests build their
+own frames; the chain tests derive expectations from collected
+inputs or compare two engine paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.plans.pipeline import _apply_step
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "doc_id int, t string")
+
+
+BASE = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+
+
+def test_near_dedup_portable_drops_pairwise_losers(spark):
+    """A verified near-dup pair drops its (quality DESC, id ASC)
+    loser; unrelated docs and sub-threshold pairs survive."""
+    rows = [
+        (0, BASE),                      # near-dup of 2, shorter -> dropped
+        (2, BASE + " zz"),              # longer -> survives
+        (4, "one two three four five six seven eight nine ten"),
+        (6, "uno dos tres cuatro cinco seis siete ocho nueve diez"),
+        (8, "uno dos tres cuatro cinco seis siete ocho nueve diez"),
+        # 6 and 8 identical (J=1): tie on quality -> smaller id wins
+    ]
+    df = _frame(spark, rows).withColumn("qual", F.length("t"))
+    out = _apply_step(
+        spark,
+        df,
+        {
+            "op": "near_dedup_portable",
+            "text_col": "t",
+            "id_col": "doc_id",
+            "quality_col": "qual",
+            "threshold": 0.5,
+        },
+    )
+    survivors = {r["doc_id"] for r in out.collect()}
+    assert survivors == {2, 4, 6}
+    # all input columns preserved
+    assert set(out.columns) == {"doc_id", "t", "qual"}
+
+
+def test_near_dedup_portable_short_docs_never_pair(spark):
+    """Docs with fewer than shingle_n tokens emit no shingles and can
+    never be candidates — identical 2-token docs both survive."""
+    df = _frame(spark, [(1, "hi there"), (2, "hi there"), (3, BASE)])
+    df = df.withColumn("qual", F.length("t"))
+    out = _apply_step(
+        spark,
+        df,
+        {
+            "op": "near_dedup_portable",
+            "text_col": "t",
+            "id_col": "doc_id",
+            "quality_col": "qual",
+        },
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 3}
+
+
+def test_q330_oracle_unchanged_by_near_dup_parameter():
+    """The near_dup=False oracle (q330's) must stay byte-free of the
+    near-dup injection points — the q330 receipts remain valid."""
+    from etl_as_a_service_spark.queries import QUERIES
+
+    o330 = QUERIES["q330_curation_pipeline_e2e"].oracle
+    assert "MATERIALIZED" not in o330
+    assert "nlose" not in o330 and "planted0" not in o330
+    o358 = QUERIES["q358_curation_neardup_e2e"].oracle
+    assert "nlose" in o358 and "planted0" in o358
+
+
+def test_q358_neardup_stage_removes_planted_copies(spark):
+    """Truncate the q358 spec right after the near-dup stage and
+    compare against the same truncation WITHOUT the stage (same
+    plant): survivors must be a strict subset, and the planted pairs
+    that reached the stage intact (both members present pre-stage)
+    must overwhelmingly resolve by dropping the SHORTER member — the
+    partner, since the copy carries one extra marker token. The
+    tolerance (>= 80% resolved) absorbs deterministic banding misses
+    on very short docs without hardcoding fixture counts."""
+    from etl_as_a_service_spark.plans.pipeline import compile_pipeline
+    from etl_as_a_service_spark.queries.traindata5 import (
+        curation_e2e_spec,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    spec = curation_e2e_spec(sf, near_dup="portable")
+    cut = (
+        next(
+            i
+            for i, s in enumerate(spec["steps"])
+            if s.get("op") == "near_dedup_portable"
+        )
+        + 1
+    )
+    spec_with = {**spec, "steps": spec["steps"][:cut]}
+    spec_without = {
+        **spec,
+        "steps": [
+            s
+            for s in spec["steps"][:cut]
+            if s.get("op") != "near_dedup_portable"
+        ],
+    }
+    ids_with = {
+        r["doc_id"]
+        for r in compile_pipeline(spark, spec_with).collect()
+    }
+    ids_without = {
+        r["doc_id"]
+        for r in compile_pipeline(spark, spec_without).collect()
+    }
+    assert ids_with < ids_without
+    # intact planted pairs: partner (6k) and copy (6k+2) both present
+    # pre-stage; the copy is longer, so the partner must drop
+    intact = [
+        d
+        for d in ids_without
+        if d % 6 == 0 and (d + 2) in ids_without
+    ]
+    assert intact, "no planted pair reached the near-dup stage"
+    resolved = sum(1 for d in intact if d not in ids_with)
+    assert resolved >= 0.8 * len(intact), (resolved, len(intact))
