@@ -157,6 +157,10 @@ HEADLINE_TRAINDATA = [
     # near-dup stage inside it (q330 + LSH banding/verify/loser drop
     # in one plan). Subtotal grows by one entry.
     "q358_curation_neardup_e2e",
+    # round-11 second flagship: the SFT-prep chain (gate -> URL +
+    # n-gram decon -> chat render -> eval carve -> pack -> mixing
+    # audit). Subtotal grows by one entry.
+    "q359_sft_prep_e2e",
 ]
 
 #: round-6 addition to the lakehouse subtotal: the stats-based file

@@ -137,6 +137,8 @@ _ALLOWED_OPS = {
     "encoding_gate",
     "special_token_gate",
     "debias_weights",
+    "url_decontaminate",
+    "stratified_carve",
 }
 
 
@@ -459,6 +461,91 @@ def _apply_step(
             id_col=_req(step, "id_col"),
             normalize=step.get("normalize", True),
         )
+    if op == "url_decontaminate":
+        # {"op":"url_decontaminate","url_col":"url","test":<spec>,
+        #  "test_url_col":"url"} — drop every row whose CANONICAL URL
+        # (functions/text.canonical_url: scheme-case, www, default
+        # port, tracking params, trailing slash, fragment) appears in
+        # the TEST corpus's canonical URL set: the C4/Pile-style
+        # URL-grain first line of eval-leakage defense (q336), before
+        # any n-gram pass. NULL/unparseable URLs pass through on the
+        # train side (the canonical_url ADVICE contract) and are
+        # excluded from the eval set. Scale: the eval URL set is
+        # bounded by the test corpus (broadcast anti-join side);
+        # canonicalization is zero-shuffle codegen.
+        from etl_as_a_service_spark.functions.text import canonical_url
+
+        test = compile_pipeline(
+            spark, _req(step, "test"), _as_subplan=True
+        )
+        url_col = _req(step, "url_col")
+        test_url_col = step.get("test_url_col", url_col)
+        eval_urls = (
+            test.select(
+                canonical_url(F.col(test_url_col)).alias("__curl")
+            )
+            .filter(F.col("__curl").isNotNull())
+            .distinct()
+        )
+        return df.join(
+            F.broadcast(eval_urls),
+            canonical_url(F.col(url_col)) == F.col("__curl"),
+            "left_anti",
+        )
+    if op == "stratified_carve":
+        # {"op":"stratified_carve","strata":["source","band"],
+        #  "id_col":"doc_id","size":100,"salt":"carve-v1",
+        #  "keep":"train"} — carve a ~size-item eval set
+        # proportionally across the strata (quota = ceil(size *
+        # stratum_share), filled by seeded-md5-order-first rows — the
+        # q355 builder as a row-filtering transform) and keep either
+        # the carved "eval" side or the "train" remainder. Scale:
+        # quotas are a stratum-grain aggregate broadcast back;
+        # selection is a per-stratum rank window (WindowGroupLimit
+        # pushes the quota filter map-side for keep="eval").
+        from pyspark.sql import Window
+
+        strata = _req(step, "strata")
+        id_col = _req(step, "id_col")
+        size = int(_req(step, "size"))
+        salt = step.get("salt", "carve-v1")
+        keep = step.get("keep", "train")
+        if keep not in ("train", "eval"):
+            raise PipelineError(
+                f"stratified_carve keep must be train|eval, got {keep!r}"
+            )
+        total = df.agg(F.count(F.lit(1)).alias("__n"))
+        quotas = (
+            df.groupBy(*strata)
+            .agg(F.count(F.lit(1)).alias("__n_s"))
+            .crossJoin(F.broadcast(total))
+            .select(
+                *strata,
+                F.ceil(
+                    F.lit(size) * F.col("__n_s") * 1.0 / F.col("__n")
+                )
+                .cast("long")
+                .alias("__quota"),
+            )
+        )
+        # null-safe stratum join: a NULL stratum value is a group too
+        bq = F.broadcast(quotas)
+        joined = df.join(
+            bq, [df[c].eqNullSafe(bq[c]) for c in strata]
+        ).select(df["*"], bq["__quota"])
+        order = F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+            1,
+            8,
+        )
+        w = Window.partitionBy(*[df[c] for c in strata]).orderBy(
+            order, F.col(id_col)
+        )
+        ranked = joined.withColumn("__rn", F.row_number().over(w))
+        cond = F.col("__rn") <= F.col("__quota")
+        return ranked.filter(
+            cond if keep == "eval" else ~cond
+        ).drop("__rn", "__quota")
     if op == "decontaminate":
         # {"op":"decontaminate","test":<spec>,"text_col":"text",
         #  "id_col":"doc_id","n":3,"threshold":0.1} — drop docs whose

@@ -92,6 +92,7 @@ _ROTATE_FRONT = [
     # operators), then the stalest receipts — the r2-era q36..q120
     # block, then the r3-era rows.
     "q358_curation_neardup_e2e",
+    "q359_sft_prep_e2e",
     "q36_multiset_ops",
     "q37_union_by_name",
     "q38_approx_count_distinct",
@@ -140,7 +141,6 @@ _ROTATE_FRONT = [
     "q65_returned_item_customers",
     "q66_or_of_ands_predicates",
     "q71_nth_value_listagg",
-    "q72_bit_operations",
 ]
 
 

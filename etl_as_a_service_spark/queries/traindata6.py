@@ -17,8 +17,18 @@ from __future__ import annotations
 from pyspark.sql import functions as F  # noqa: F401
 
 from etl_as_a_service_spark.catalog import load_tables
+from etl_as_a_service_spark.functions.text import (
+    SPECIAL_TOKEN_PATTERNS,
+    TRACKING_PREFIXES,
+    URL_HOSTPORT_RE,
+    URL_PATH_RE,
+    URL_QUERY_RE,
+    URL_SCHEME_RE,
+)
 from etl_as_a_service_spark.queries import query
 from etl_as_a_service_spark.queries.traindata5 import (
+    CHAT_SYSTEM,
+    CHAT_TURN_TOKENS,
     _e2e_oracle,
     curation_e2e_spec,
 )
@@ -64,3 +74,365 @@ def q358_curation_neardup_e2e(spark, sf_dir):
     return compile_pipeline(
         spark, curation_e2e_spec(sf_dir, near_dup="portable")
     )
+
+
+# --------------------------------------------------------------------------
+# q359 — the SFT/RLHF-prep chain as ONE spec (second flagship composition)
+# --------------------------------------------------------------------------
+#: special-token plants (q344 verbatim) — gated OUT by stage 3
+SFT_TOKEN_PLANTS = (
+    (17, " see <|endoftext|> marker"),
+    (19, " quote [INST] prompt [/INST] end"),
+    (23, " raw <s>tag</s> pair"),
+)
+SFT_DECON_THRESHOLD = 0.8
+SFT_EVAL_SIZE = 100
+SFT_PACK_BUDGET = 512
+SFT_BAND_TOKENS = 24
+
+
+def _sft_plant_sql() -> str:
+    """Stage 1 (Spark SQL dialect): synthesize the raw SFT intake —
+    special-token injection plants on doc_id % 17/19/23 (q344's
+    strings) and recrawl-colliding URLs on the half-id page grid
+    (see _sft_url_sql_spark: eval pages are guaranteed re-crawled in
+    train under scheme-case / www / :443 / fragment variants)."""
+    plants = "".join(
+        f"""
+        CASE WHEN doc_id % {m} = 0 THEN '{s}' ELSE '' END,"""
+        for m, s in SFT_TOKEN_PLANTS
+    )
+    return f"""
+    SELECT doc_id, source,
+      concat(text,{plants[:-1]}
+      ) AS t,
+      {_sft_url_sql_spark()} AS url
+    FROM __self__
+    """
+
+
+def _sft_url_sql_spark() -> str:
+    """Page grid = floor(doc_id / 2) % 40 — NOT doc_id % 40: a page
+    modulus that is a multiple of 10 would put eval docs (% 10 == 7)
+    on pages no train doc can share (d ≡ 7 mod 40 ⇒ d ≡ 7 mod 10),
+    silently making the URL-decon stage vacuous (caught by the
+    round-11 rehearsal funnel). With the half-id grid every eval doc
+    10j+7 shares page (5j+3) % 40 with its train neighbor 10j+6, so
+    eval pages land on exactly 8 of the 40 pages (~20% of train)."""
+    return """concat(
+        CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END, '://',
+        CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+        'example',
+        CAST(CAST(floor(doc_id / 2) AS BIGINT) % 40 % 4 AS STRING),
+        '.com',
+        CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END,
+        '/page/', CAST(CAST(floor(doc_id / 2) AS BIGINT) % 40 AS STRING),
+        CASE WHEN doc_id % 13 = 0 THEN '#sec2' ELSE '' END
+      )"""
+
+
+def sft_prep_spec(sf_dir: str, observe: bool = False) -> dict:
+    """The SFT-prep pipeline as ONE declarative spec: plant →
+    train/eval split → special-token gate (q344) → URL-grain
+    decontamination (q336) → n-gram decontamination (q85) →
+    chat-template render (q342) → stratified eval carve (q355,
+    keep=train) → sequence packing (q78) → per-source readout with
+    the pack source-mixing audit (q347). Exercises the spec ops the
+    q330 curation chain doesn't touch (special_token_gate,
+    url_decontaminate, stratified_carve)."""
+    src = {"format": "parquet", "path": f"{sf_dir}/documents.parquet"}
+
+    def obs(stage: str) -> list[dict]:
+        if not observe:
+            return []
+        return [{"op": "observe", "name": f"funnel_{stage}",
+                 "metrics": {"rows": "count(*)"}}]
+
+    ct = CHAT_TURN_TOKENS
+    chat_expr = (
+        "concat('<|im_start|>system', chr(10), '" + CHAT_SYSTEM + "', "
+        "'<|im_end|>', chr(10), '<|im_start|>user', chr(10), user_msg, "
+        "'<|im_end|>', chr(10), '<|im_start|>assistant', chr(10), "
+        "asst_msg, '<|im_end|>')"
+    )
+    steps = [
+        {"op": "sql", "query": _sft_plant_sql()},
+        *obs("0_raw"),
+        {"op": "filter", "predicate": "doc_id % 10 != 7"},
+        *obs("1_train_split"),
+        {"op": "special_token_gate", "text_col": "t", "max_hits": 0},
+        *obs("2_token_gate"),
+        {"op": "url_decontaminate", "url_col": "url",
+         "test": {"source": src,
+                  "steps": [{"op": "sql",
+                             "query": "SELECT doc_id, "
+                                      + _sft_url_sql_spark()
+                                      + " AS url FROM __self__ "
+                                      "WHERE doc_id % 10 = 7"}]}},
+        *obs("3_url_decon"),
+        {"op": "decontaminate",
+         "test": {"source": src,
+                  "steps": [{"op": "sql",
+                             "query": "SELECT doc_id, text AS t "
+                                      "FROM __self__ "
+                                      "WHERE doc_id % 10 = 7"}]},
+         "text_col": "t", "id_col": "doc_id", "n": 3,
+         "threshold": SFT_DECON_THRESHOLD},
+        *obs("4_ngram_decon"),
+        {"op": "with_column", "name": "user_msg",
+         "expr": f"array_join(slice(split(t, ' '), 1, {ct}), ' ')"},
+        {"op": "with_column", "name": "asst_msg",
+         "expr": f"array_join(slice(split(t, ' '), {ct + 1}, {ct}),"
+                 " ' ')"},
+        {"op": "with_column", "name": "chat", "expr": chat_expr},
+        {"op": "with_column", "name": "ct",
+         "expr": "size(split(user_msg, ' ')) "
+                 "+ size(split(asst_msg, ' '))"},
+        {"op": "with_column", "name": "nt",
+         "expr": "size(split(chat, ' '))"},
+        {"op": "with_column", "name": "band",
+         "expr": f"CASE WHEN size(split(t, ' ')) < {SFT_BAND_TOKENS} "
+                 "THEN 'short' ELSE 'long' END"},
+        {"op": "stratified_carve", "strata": ["source", "band"],
+         "id_col": "doc_id", "size": SFT_EVAL_SIZE, "salt": "eval-v1",
+         "keep": "train"},
+        *obs("5_eval_carve"),
+        {"op": "pack", "id_col": "doc_id", "token_col": "nt",
+         "token_budget": SFT_PACK_BUDGET, "shard_hex": True,
+         "salt": "pack-v1"},
+        {"op": "sql", "query": f"""
+            WITH bins AS (
+              SELECT shard, bin, count(DISTINCT source) AS n_sources
+              FROM __self__ GROUP BY shard, bin
+            )
+            SELECT s.source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(s.nt) AS BIGINT) AS rendered_tokens,
+              CAST(sum(s.ct) AS BIGINT) AS content_tokens,
+              -- 1.0 in Spark SQL parses as DECIMAL; keep the ratio
+              -- in doubles so the rounded value renders like DuckDB's
+              round(1.0 - CAST(sum(s.ct) AS DOUBLE) / sum(s.nt), 6)
+                AS overhead_frac,
+              CAST(count(DISTINCT concat(s.shard, ':',
+                   CAST(s.bin AS STRING))) AS BIGINT) AS n_bins_touched,
+              CAST(count(DISTINCT CASE WHEN b.n_sources > 1
+                   THEN concat(s.shard, ':', CAST(s.bin AS STRING))
+                   END) AS BIGINT) AS n_mixed_bins
+            FROM __self__ s
+            JOIN bins b ON s.shard = b.shard AND s.bin = b.bin
+            GROUP BY s.source
+            ORDER BY s.source
+         """},
+    ]
+    return {"name": "sft_prep_e2e", "source": src, "steps": steps}
+
+
+def _sft_oracle() -> str:
+    """DuckDB re-derivation of the SFT-prep chain, stage by stage;
+    multiply-referenced CTEs are MATERIALIZED (DuckDB 1.0 re-inlines
+    per reference — the q358 lesson)."""
+    not_tracking = " AND ".join(
+        f"NOT starts_with(x, '{p}')" for p in TRACKING_PREFIXES
+    )
+    tok_zero = " + ".join(
+        f"len(regexp_extract_all(t, '{p}'))"
+        for p in SPECIAL_TOKEN_PATTERNS.values()
+    )
+    plants = "".join(
+        f"""
+        || CASE WHEN doc_id % {m} = 0 THEN '{s}' ELSE '' END"""
+        for m, s in SFT_TOKEN_PLANTS
+    )
+    ct = CHAT_TURN_TOKENS
+    return f"""
+    WITH planted AS MATERIALIZED (
+      SELECT doc_id, source,
+        text{plants} AS t,
+        (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+        || '://'
+        || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+        || 'example'
+        || CAST(CAST(floor(doc_id / 2) AS BIGINT) % 40 % 4 AS VARCHAR)
+        || '.com'
+        || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+        || '/page/'
+        || CAST(CAST(floor(doc_id / 2) AS BIGINT) % 40 AS VARCHAR)
+        || (CASE WHEN doc_id % 13 = 0 THEN '#sec2' ELSE '' END) AS url
+      FROM documents
+    ),
+    canon AS MATERIALIZED (
+      SELECT doc_id, source, t,
+        lower(regexp_extract(url, '{URL_SCHEME_RE}', 1)) || '://'
+        || regexp_replace(
+             CASE WHEN lower(regexp_extract(url, '{URL_SCHEME_RE}', 1))
+                    = 'https'
+                  THEN regexp_replace(
+                    lower(regexp_extract(url, '{URL_HOSTPORT_RE}', 1)),
+                    ':443$', '')
+                  ELSE lower(regexp_extract(url, '{URL_HOSTPORT_RE}', 1))
+                  END,
+             '^www\\.', '')
+        || (CASE WHEN regexp_replace(
+                 regexp_extract(url, '{URL_PATH_RE}', 1), '/+$', '') = ''
+              THEN '/'
+              ELSE regexp_replace(
+                 regexp_extract(url, '{URL_PATH_RE}', 1), '/+$', '') END)
+        || (CASE WHEN qcanon <> '' THEN '?' || qcanon ELSE '' END)
+          AS curl
+      FROM (
+        SELECT *,
+          array_to_string(
+            list_sort(list_filter(string_split(
+              regexp_extract(url, '{URL_QUERY_RE}', 1), '&'),
+              x -> x <> '' AND {not_tracking})),
+            '&') AS qcanon
+        FROM planted
+      )
+    ),
+    evalu AS (
+      SELECT DISTINCT curl FROM canon
+      WHERE doc_id % 10 = 7 AND curl IS NOT NULL
+    ),
+    -- stages 2+3: train split + special-token gate (q344 patterns)
+    g1 AS (
+      SELECT * FROM canon
+      WHERE doc_id % 10 <> 7 AND {tok_zero} = 0
+    ),
+    -- stage 4: URL-grain decontamination (q336)
+    g2 AS MATERIALIZED (
+      SELECT * FROM g1
+      WHERE curl IS NULL OR curl NOT IN (SELECT curl FROM evalu)
+    ),
+    -- stage 5: n-gram decontamination vs the raw eval docs (q85)
+    tr_sh AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+      FROM (SELECT doc_id, string_split(t, ' ') AS toks FROM g2),
+           UNNEST(range(1, len(toks) - 1)) AS ti(i)
+    ),
+    te_sh AS (
+      SELECT DISTINCT
+             toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+      FROM (SELECT string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id % 10 = 7),
+           UNNEST(range(1, len(toks) - 1)) AS ti(i)
+    ),
+    contaminated AS (
+      SELECT z.doc_id FROM (
+        SELECT tr.doc_id, count(*) AS n_sh,
+               count_if(te.sh IS NOT NULL) AS n_ov
+        FROM tr_sh tr LEFT JOIN te_sh te ON tr.sh = te.sh
+        GROUP BY tr.doc_id
+      ) z WHERE z.n_ov * 1.0 / z.n_sh >= {SFT_DECON_THRESHOLD}
+    ),
+    g3 AS (
+      SELECT * FROM g2
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    -- stage 6: chat-template render (q342)
+    rend AS (
+      SELECT doc_id, source, t,
+        coalesce(array_to_string(tk[1:{ct}], ' '), '') AS user_msg,
+        coalesce(array_to_string(tk[{ct + 1}:{2 * ct}], ' '), '')
+          AS asst_msg
+      FROM (SELECT *, string_split(t, ' ') AS tk FROM g3)
+    ),
+    rfull AS MATERIALIZED (
+      SELECT doc_id, source,
+        len(string_split(user_msg, ' '))
+          + len(string_split(asst_msg, ' ')) AS ct,
+        len(string_split(
+          '<|im_start|>system' || chr(10) || '{CHAT_SYSTEM}'
+          || '<|im_end|>' || chr(10)
+          || '<|im_start|>user' || chr(10) || user_msg
+          || '<|im_end|>' || chr(10)
+          || '<|im_start|>assistant' || chr(10) || asst_msg
+          || '<|im_end|>', ' ')) AS nt,
+        CASE WHEN len(string_split(t, ' ')) < {SFT_BAND_TOKENS}
+             THEN 'short' ELSE 'long' END AS band
+      FROM rend
+    ),
+    -- stage 7: stratified eval carve (q355, keep the train side)
+    quotas AS (
+      SELECT source, band,
+             CAST(ceil({SFT_EVAL_SIZE} * count(*) * 1.0
+               / (SELECT count(*) FROM rfull)) AS BIGINT) AS quota
+      FROM rfull GROUP BY source, band
+    ),
+    ranked AS (
+      SELECT f.*, q.quota,
+             row_number() OVER (
+               PARTITION BY f.source, f.band
+               ORDER BY substr(md5('eval-v1'
+                 || CAST(f.doc_id AS VARCHAR)), 1, 8), f.doc_id) AS rn
+      FROM rfull f JOIN quotas q
+        ON f.source = q.source AND f.band = q.band
+    ),
+    train AS (SELECT * FROM ranked WHERE rn > quota),
+    -- stage 8: sequence packing (q78 fragments)
+    packed AS MATERIALIZED (
+      SELECT doc_id, source, ct, nt, shard,
+             CAST(floor((sum(nt) OVER (PARTITION BY shard
+                    ORDER BY ord, doc_id ROWS UNBOUNDED PRECEDING)
+                    - nt) / {SFT_PACK_BUDGET}.0) AS BIGINT) AS bin
+      FROM (
+        SELECT *,
+               substring(md5('pack-v1' || CAST(doc_id AS VARCHAR)),
+                         1, 1) AS shard,
+               substring(md5('pack-v1' || CAST(doc_id AS VARCHAR)),
+                         1, 8) AS ord
+        FROM train
+      )
+    ),
+    -- stage 9: readout + pack source-mixing audit (q347)
+    bins AS (
+      SELECT shard, bin, count(DISTINCT source) AS n_sources
+      FROM packed GROUP BY shard, bin
+    )
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(s.nt) AS BIGINT) AS rendered_tokens,
+           CAST(sum(s.ct) AS BIGINT) AS content_tokens,
+           round(1.0 - sum(s.ct) * 1.0 / sum(s.nt), 6)
+             AS overhead_frac,
+           CAST(count(DISTINCT s.shard || ':' || CAST(s.bin AS VARCHAR))
+                AS BIGINT) AS n_bins_touched,
+           CAST(count(DISTINCT CASE WHEN b.n_sources > 1
+                THEN s.shard || ':' || CAST(s.bin AS VARCHAR) END)
+                AS BIGINT) AS n_mixed_bins
+    FROM packed s
+    JOIN bins b ON s.shard = b.shard AND s.bin = b.bin
+    GROUP BY s.source
+    ORDER BY s.source
+    """
+
+
+@query(
+    "q359_sft_prep_e2e",
+    oracle=_sft_oracle(),
+    tags=("sft", "rlhf", "pipeline", "composition", "llm", "operator"),
+)
+def q359_sft_prep_e2e(spark, sf_dir):
+    """End-to-end composed SFT-prep pipeline (q359) — the second
+    flagship composition, exercising the spec ops the q330 curation
+    chain doesn't touch: plant → train/eval split → special-token
+    gate (q344) → URL-grain decontamination (q336, new
+    ``url_decontaminate`` op) → n-gram decontamination (q85) →
+    chat-template render (q342 semantics, pure with_column codegen)
+    → stratified eval carve (q355, new ``stratified_carve`` op,
+    keep=train) → sequence packing (q78) → per-source readout with
+    the q347 source-mixing audit. ONE spec through
+    ``compile_pipeline``; the oracle re-derives all nine stages as a
+    DuckDB CTE chain from the same shared constants.
+
+    SCALE DESIGN: the gates and the render are map-only codegen; the
+    eval URL set and eval shingle set are bounded by the eval corpus
+    (broadcast anti/semi-join sides); carve quotas are a
+    stratum-grain aggregate broadcast back with a per-stratum rank
+    window; packing is one per-shard window; the mixing audit is a
+    (shard, bin) aggregate joined back at bin grain — bins are
+    bounded by corpus_tokens / budget. No corpus-sized driver state
+    anywhere; every join's small side is bounded."""
+    from etl_as_a_service_spark.plans.pipeline import compile_pipeline
+
+    return compile_pipeline(spark, sft_prep_spec(sf_dir))

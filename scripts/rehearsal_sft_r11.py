@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Round-11 SFT-prep composition rehearsal (the round-10 verdict's
+item 3): the q359 chain — plant → train/eval split →
+special_token_gate → url_decontaminate → decontaminate →
+chat-template render → stratified_carve → pack → mixing-audit
+readout — executed through PipelineRunner with plan_lint=strict, at
+sf0.1 and at a 4× id-shifted corpus.
+
+The 4× corpus id-shifts copies by 10M (multiple of 40 and 10, so the
+URL-page grid and the eval-holdout fraction are preserved — the
+corpus grows 4× onto the SAME 40 canonical pages, the worst case for
+the URL-decon join's hot keys). Wall-clock is min-of-3 in one
+process, so the 4×/base ratio is ambient-load-free.
+
+Usage: python scripts/rehearsal_sft_r11.py [sf_dir]
+Prints a funnel + timing table and one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_as_a_service_spark.plans.pipeline import PipelineRunner  # noqa: E402
+from etl_as_a_service_spark.queries.traindata6 import (  # noqa: E402
+    sft_prep_spec,
+)
+from etl_as_a_service_spark.session import build_session  # noqa: E402
+
+SHIFT = 10_000_000
+
+
+def run_once(runner, spec):
+    t0 = time.perf_counter()
+    run = runner.run(spec)
+    wall = time.perf_counter() - t0
+    if run.status != "success":
+        raise SystemExit(f"pipeline failed:\n{run.error}")
+    return wall, run
+
+
+def rehearse(runner, sf_dir: str, label: str):
+    spec = sft_prep_spec(sf_dir, observe=True)
+    spec["plan_lint"] = "strict"
+    walls = []
+    run = None
+    for _ in range(3):
+        wall, run = run_once(runner, spec)
+        walls.append(wall)
+    funnel = {
+        k: v["rows"]
+        for k, v in sorted(run.metrics.items())
+        if k.startswith("funnel_")
+    }
+    print(f"# {label}: wall min-of-3 {min(walls):.2f}s "
+          f"(all: {[round(w, 2) for w in walls]})")
+    for k, v in funnel.items():
+        print(f"#   {k}: {v}")
+    print(f"#   output rows (per-source aggregate): {run.n_output_rows}")
+    return {"wall_sec": round(min(walls), 3), "funnel": funnel,
+            "output_rows": run.n_output_rows}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = build_session(app_name="sft-rehearsal-r11",
+                          driver_memory="16g")
+    spark.sparkContext.setLogLevel("ERROR")
+    runner = PipelineRunner(spark)
+
+    root = tempfile.mkdtemp(prefix="sft_r11_")
+    try:
+        big_dir = os.path.join(root, "4x")
+        base = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+        parts = [
+            base.select(
+                (F.col("doc_id") + F.lit(i * SHIFT)).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            )
+            for i in range(4)
+        ]
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big.write.mode("overwrite").parquet(
+            os.path.join(big_dir, "documents.parquet")
+        )
+
+        base_res = rehearse(runner, sf_dir, f"base ({sf_dir})")
+        big_res = rehearse(runner, big_dir, "4x corpus")
+        ratio = round(big_res["wall_sec"] / base_res["wall_sec"], 2)
+        print(f"# 4x/base wall ratio: {ratio}")
+        print(json.dumps({
+            "sf_dir": sf_dir,
+            "base": base_res,
+            "x4": big_res,
+            "wall_ratio_4x": ratio,
+        }))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
