@@ -87,6 +87,7 @@ _ALLOWED_OPS = {
     "group_by",
     "order_by",
     "dedup",
+    "stream_dedup",
     "distinct",
     "limit",
     "offset",
@@ -381,6 +382,34 @@ def _apply_step(
         return df.orderBy(*_order_cols(_req(step, "columns")))
     if op == "dedup":
         return df.dropDuplicates(_req(step, "keys"))
+    if op == "stream_dedup":
+        # {"op":"stream_dedup","keys":["curl"],"ts_col":"ts",
+        #  "watermark":"10 minutes"} — keep one row per key. On a
+        # stream this is dropDuplicatesWithinWatermark (BOUNDED state:
+        # the store evicts keys older than the watermark — the q95
+        # incremental-dedup contract as a spec stage); ts_col +
+        # watermark are REQUIRED there so a spec cannot silently ask
+        # for unbounded dropDuplicates state. On a batch frame the
+        # same step is plain dropDuplicates(keys), so one spec serves
+        # both faces (stream==batch on the kept KEY SET; the kept
+        # representative row per key is engine-internal in both).
+        keys = _req(step, "keys")
+        if df.isStreaming:
+            from etl_as_a_service_spark.streaming.ops import (
+                streaming_dedup,
+            )
+
+            ts_col = step.get("ts_col")
+            watermark = step.get("watermark")
+            if not (ts_col and watermark):
+                raise PipelineError(
+                    "stream_dedup on a stream requires ts_col AND "
+                    "watermark — without them state grows unbounded"
+                )
+            return streaming_dedup(
+                df, keys, ts_col=ts_col, watermark=watermark
+            )
+        return df.dropDuplicates(keys)
     if op == "distinct":
         return df.distinct()
     if op == "limit":

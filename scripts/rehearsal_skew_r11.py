@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Round-11 scale+skew rehearsal (the round-10 verdict's item 4): the
+q330 curation chain at 16× corpus volume, uniform vs one hot domain
+(~80% of docs forced into src0), through PipelineRunner with
+plan_lint=strict. The per-operator benches can't see cross-stage
+skew; this measures it on the composed plan and records whether
+AQE's skew-join split fires anywhere in the executed plan.
+
+Why source skew: every source-grain structure in the chain
+(temperature-mix rates, the final readout aggregate) collapses 80%
+of the corpus onto one key. The chain's JOINS key on doc_id /
+canonical URL / paragraph hash / shingle — those grains stay uniform
+under a hot domain, so the expected finding is that map-side partial
+aggregation absorbs the skew and AQE's skew split never needs to
+fire; the rehearsal proves (rather than assumes) that.
+
+Skew evidence: after the runner pass, the chain is compiled again
+outside the runner and counted, then the ADAPTIVE executed plan is
+scanned for Spark's skew markers ("skew=true" on sort-merge joins,
+"REBALANCE"/"AQEShuffleRead coalesced/skewed" nodes).
+
+Usage: python scripts/rehearsal_skew_r11.py [sf_dir] [copies]
+Prints a funnel + timing table and one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_as_a_service_spark.plans.pipeline import (  # noqa: E402
+    PipelineRunner,
+    compile_pipeline,
+)
+from etl_as_a_service_spark.queries.traindata5 import (  # noqa: E402
+    curation_e2e_spec,
+)
+from etl_as_a_service_spark.session import build_session  # noqa: E402
+
+SHIFT = 10_000_000
+HOT_FRAC = 0.8
+
+
+def run_once(runner, spec):
+    t0 = time.perf_counter()
+    run = runner.run(spec)
+    wall = time.perf_counter() - t0
+    if run.status != "success":
+        raise SystemExit(f"pipeline failed:\n{run.error}")
+    return wall, run
+
+
+def rehearse(runner, sf_dir: str, label: str, repeats: int = 3):
+    spec = curation_e2e_spec(sf_dir, observe=True, near_dup=True)
+    spec["plan_lint"] = "strict"
+    walls = []
+    run = None
+    for _ in range(repeats):
+        wall, run = run_once(runner, spec)
+        walls.append(wall)
+    funnel = {
+        k: v["rows"]
+        for k, v in sorted(run.metrics.items())
+        if k.startswith("funnel_")
+    }
+    print(f"# {label}: wall min-of-{repeats} {min(walls):.2f}s "
+          f"(all: {[round(w, 2) for w in walls]})")
+    for k, v in funnel.items():
+        print(f"#   {k}: {v}")
+    return {"wall_sec": round(min(walls), 3), "funnel": funnel,
+            "output_rows": run.n_output_rows}
+
+
+def skew_markers(spark, sf_dir: str) -> dict:
+    """Run the chain once outside the runner and scan the ADAPTIVE
+    executed plan for AQE skew/coalesce evidence."""
+    df = compile_pipeline(spark, curation_e2e_spec(sf_dir))
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "adaptive_plan": "AdaptiveSparkPlan" in plan,
+        "skew_join_split": "skew=true" in plan,
+        "aqe_shuffle_read": "AQEShuffleRead" in plan,
+        "coalesced_partitions": "coalesced" in plan,
+    }
+
+
+def build_corpus(spark, sf_dir, out_dir, copies, hot):
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    parts = [
+        base.select(
+            (F.col("doc_id") + F.lit(i * SHIFT)).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+        for i in range(copies)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    if hot:
+        # md5-uniform 80% of docs forced into the hot domain
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("hot-"),
+                                   F.col("doc_id").cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            / F.lit(4294967296.0)
+        )
+        big = big.withColumn(
+            "source",
+            F.when(u < F.lit(HOT_FRAC), F.lit("src0"))
+            .otherwise(F.col("source")),
+        )
+    big.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    spark = build_session(app_name="skew-rehearsal-r11",
+                          driver_memory="24g")
+    spark.sparkContext.setLogLevel("ERROR")
+    runner = PipelineRunner(spark)
+
+    root = tempfile.mkdtemp(prefix="skew_r11_")
+    try:
+        uni_dir = os.path.join(root, "uniform")
+        hot_dir = os.path.join(root, "hot")
+        build_corpus(spark, sf_dir, uni_dir, copies, hot=False)
+        build_corpus(spark, sf_dir, hot_dir, copies, hot=True)
+
+        base_res = rehearse(runner, sf_dir, f"base ({sf_dir})")
+        uni_res = rehearse(runner, uni_dir, f"{copies}x uniform")
+        hot_res = rehearse(
+            runner, hot_dir, f"{copies}x hot-domain (80% src0)"
+        )
+        markers = skew_markers(spark, hot_dir)
+        ratio_uni = round(uni_res["wall_sec"] / base_res["wall_sec"], 2)
+        ratio_hot = round(hot_res["wall_sec"] / uni_res["wall_sec"], 2)
+        print(f"# {copies}x/base wall ratio (uniform): {ratio_uni}")
+        print(f"# hot/uniform wall ratio at {copies}x: {ratio_hot}")
+        print(f"# AQE markers on the hot corpus: {markers}")
+        print(json.dumps({
+            "sf_dir": sf_dir,
+            "copies": copies,
+            "base": base_res,
+            "uniform": uni_res,
+            "hot": hot_res,
+            "ratio_uniform_vs_base": ratio_uni,
+            "ratio_hot_vs_uniform": ratio_hot,
+            "aqe_markers_hot": markers,
+        }))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -14,9 +14,11 @@ and stage-composition equality.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_as_a_service_spark.plans.pipeline import (
+    PipelineError,
     PipelineRunner,
     compile_pipeline,
 )
@@ -204,3 +206,86 @@ def test_e2e_maponly_stages_stream_equals_batch(spark, tmp_path):
     assert all(i % 9 != 0 for i in expected)
     redacted = [v for v in expected.values() if "[EMAIL]" in v[0]]
     assert redacted
+
+
+def test_e2e_stream_with_stateful_dedup_equals_batch(spark, tmp_path):
+    """The streaming face of the chain extended past map-only gates
+    with a STATEFUL stage: canonical-URL append then stream_dedup
+    (dropDuplicatesWithinWatermark on curl — bounded state). The
+    planted URLs collide pairwise (even/odd share a canonical form),
+    so the dedup stage is non-vacuous. stream==batch is asserted on
+    the kept KEY SET (exactly one row per canonical URL, same set of
+    URLs both faces — the representative row per key is
+    engine-internal in both engines, and that is the documented
+    contract of the op)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "src")
+    docs.selectExpr(
+        "doc_id",
+        "source",
+        "text AS t",
+        "concat('HTTPS://WWW.example.com:443/p/', "
+        "cast(doc_id - doc_id % 2 as string), '?utm_source=x&id=', "
+        "cast(doc_id - doc_id % 2 as string)) AS url",
+        "timestamp_seconds(1700000000 + doc_id) AS ts",
+    ).write.parquet(src)
+    steps = [
+        {"op": "encoding_gate", "text_col": "t", "max_hits": 0},
+        {"op": "canonical_url", "url_col": "url", "out_col": "curl"},
+        {"op": "stream_dedup", "keys": ["curl"], "ts_col": "ts",
+         "watermark": "10 minutes"},
+    ]
+    out = str(tmp_path / "out")
+    run = PipelineRunner(spark).run({
+        "name": "stream_dedup_gates",
+        "source": {"streaming": True, "format": "parquet",
+                   "path": src,
+                   "schema": "doc_id long, source string, t string, "
+                             "url string, ts timestamp"},
+        "steps": steps,
+        "sink": {"format": "parquet", "path": out,
+                 "trigger": "available_now"},
+    })
+    assert run.status == "success", run.error
+    streamed = spark.read.parquet(out).collect()
+    batch = compile_pipeline(spark, {
+        "name": "batch_dedup_gates",
+        "source": {"format": "parquet", "path": src},
+        "steps": steps,
+    }).collect()
+    s_curls = sorted(r["curl"] for r in streamed)
+    b_curls = sorted(r["curl"] for r in batch)
+    assert s_curls == b_curls
+    # exactly one row per canonical URL on both faces
+    assert len(set(s_curls)) == len(s_curls)
+    assert len(set(b_curls)) == len(b_curls)
+    # the dedup actually collapsed the planted even/odd pairs: fewer
+    # rows than gate survivors
+    gate_only = compile_pipeline(spark, {
+        "name": "gate_only",
+        "source": {"format": "parquet", "path": src},
+        "steps": steps[:2],
+    }).count()
+    assert len(b_curls) < gate_only
+
+
+def test_stream_dedup_requires_watermark_on_streams(spark, tmp_path):
+    """A streaming spec with stream_dedup but no watermark/ts is
+    rejected (unbounded state refusal), and the same step without
+    ts/watermark works on a batch frame as plain dropDuplicates."""
+    from etl_as_a_service_spark.plans.pipeline import _apply_step
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id int, k string"
+    )
+    out = _apply_step(
+        spark, df, {"op": "stream_dedup", "keys": ["k"]}
+    )
+    assert out.count() == 2
+    src = str(tmp_path / "s")
+    df.write.parquet(src)
+    stream = spark.readStream.schema("doc_id int, k string").parquet(src)
+    with pytest.raises(PipelineError, match="watermark"):
+        _apply_step(
+            spark, stream, {"op": "stream_dedup", "keys": ["k"]}
+        )
