@@ -93,6 +93,9 @@ _ROTATE_FRONT = [
     # block, then the r3-era rows.
     "q358_curation_neardup_e2e",
     "q359_sft_prep_e2e",
+    "q360_quality_threshold_sweep",
+    "q361_kl_budget_audit",
+    "q362_snapshot_diff",
     "q36_multiset_ops",
     "q37_union_by_name",
     "q38_approx_count_distinct",
@@ -139,8 +142,6 @@ _ROTATE_FRONT = [
     "q63_local_supplier_volume",
     "q64_nation_volume_pairs",
     "q65_returned_item_customers",
-    "q66_or_of_ands_predicates",
-    "q71_nth_value_listagg",
 ]
 
 

@@ -436,3 +436,307 @@ def q359_sft_prep_e2e(spark, sf_dir):
     from etl_as_a_service_spark.plans.pipeline import compile_pipeline
 
     return compile_pipeline(spark, sft_prep_spec(sf_dir))
+
+
+# --------------------------------------------------------------------------
+# q360 — quality-gate threshold sweep (pruning policy menu)
+# --------------------------------------------------------------------------
+QUALITY_SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _quality_sweep_oracle() -> str:
+    entries = "\n      UNION ALL\n      ".join(
+        f"""SELECT source, {t} AS threshold,
+             CAST(count_if(uw >= {t}) AS BIGINT) AS kept_docs,
+             CAST(sum(CASE WHEN uw >= {t} THEN nt ELSE 0 END)
+                  AS BIGINT) AS kept_tokens,
+             round(count_if(uw >= {t}) * 1.0 / count(*), 6)
+               AS kept_frac
+      FROM scored GROUP BY source"""
+        for t in QUALITY_SWEEP_THRESHOLDS
+    )
+    return f"""
+    WITH scored AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS nt,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS uw
+      FROM documents
+    ),
+    swept AS (
+      {entries}
+    )
+    SELECT * FROM swept ORDER BY source, threshold
+    """
+
+
+@query(
+    "q360_quality_threshold_sweep",
+    oracle=_quality_sweep_oracle(),
+    tags=("curation", "quality", "planning", "llm", "operator"),
+)
+def q360_quality_threshold_sweep(spark, sf_dir):
+    """Quality-gate threshold sweep (q360) — price the pruning policy
+    menu BEFORE committing to a gate: for each candidate threshold on
+    a deterministic quality score (unique-word ratio — the exact
+    rational distinct/total quotient, identical on every engine),
+    what fraction of each source's documents and tokens survives.
+    The quality analog of the dedup policy sweep (q351): a data
+    curator reads this table to pick the threshold that buys the
+    quality lift without starving a source.
+
+    SCALE DESIGN: one corpus scan computes the per-doc score
+    (map-only codegen: split/distinct/size); ONE (source)-grain
+    aggregate evaluates every threshold as conditional counters
+    (map-side partials), then a literal-array explode emits the
+    (source, threshold) grid — no per-threshold rescan, no join."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "source",
+        F.size(toks).alias("nt"),
+        (
+            F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)
+        ).alias("uw"),
+    )
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        *[
+            F.count_if(F.col("uw") >= F.lit(t)).alias(f"kd_{i}")
+            for i, t in enumerate(QUALITY_SWEEP_THRESHOLDS)
+        ],
+        *[
+            F.sum(
+                F.when(F.col("uw") >= F.lit(t), F.col("nt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"kt_{i}")
+            for i, t in enumerate(QUALITY_SWEEP_THRESHOLDS)
+        ],
+    )
+    entries = [
+        F.struct(
+            F.lit(t).alias("threshold"),
+            F.col(f"kd_{i}").cast("long").alias("kept_docs"),
+            F.col(f"kt_{i}").cast("long").alias("kept_tokens"),
+            F.round(F.col(f"kd_{i}") * 1.0 / F.col("n_all"), 6).alias(
+                "kept_frac"
+            ),
+        )
+        for i, t in enumerate(QUALITY_SWEEP_THRESHOLDS)
+    ]
+    return (
+        agg.select("source", F.explode(F.array(*entries)).alias("s"))
+        .select("source", "s.*")
+        .orderBy("source", "threshold")
+    )
+
+
+# --------------------------------------------------------------------------
+# q361 — RLHF policy-drift / KL-budget audit
+# --------------------------------------------------------------------------
+KL_RUNS = 4
+KL_STEPS = 40
+KL_GROUP = 8
+#: per-step KL budget (second-order units, see q361 docstring)
+KL_BUDGET = 0.004
+
+
+def _kl_audit_oracle() -> str:
+    h = (
+        "(('0x' || substr(md5('klr-' || CAST(run AS VARCHAR) || '-' "
+        "|| CAST(step AS VARCHAR) || '-' || CAST(s AS VARCHAR)), 1, 8))"
+        "::BIGINT)"
+    )
+    return f"""
+    WITH grid AS (
+      SELECT r AS run, step, s
+      FROM UNNEST(range(0, {KL_RUNS})) AS rr(r),
+           UNNEST(range(1, {KL_STEPS + 1})) AS ss(step),
+           UNNEST(range(0, {KL_GROUP})) AS gg(s)
+    ),
+    deltas AS (
+      -- per-sample logprob delta numerator k in [-1000, 1000];
+      -- delta = k * step / (1000 * {KL_STEPS}); the KL estimate is
+      -- accumulated as the EXACT INTEGER sum of k^2 so engine
+      -- summation order cannot move the rounded output
+      SELECT run, step, ({h} % 2001 - 1000) AS k
+      FROM grid
+    ),
+    per_step AS (
+      SELECT run, step,
+             CAST(sum(k * k) AS BIGINT) * step * step AS kl_num
+      FROM deltas GROUP BY run, step
+    ),
+    scored AS (
+      SELECT run, step,
+             kl_num / (2.0 * {KL_GROUP} * 1000 * 1000
+                       * {KL_STEPS} * {KL_STEPS}) AS kl_est
+      FROM per_step
+    )
+    SELECT 'run' || CAST(run AS VARCHAR) AS run,
+           CAST(count(*) AS BIGINT) AS n_steps,
+           CAST(count_if(kl_est > {KL_BUDGET}) AS BIGINT) AS n_breaches,
+           CAST(coalesce(min(CASE WHEN kl_est > {KL_BUDGET}
+                THEN step END), 0) AS BIGINT) AS first_breach_step,
+           round(max(kl_est), 6) AS max_kl
+    FROM scored
+    GROUP BY run
+    ORDER BY run
+    """
+
+
+@query(
+    "q361_kl_budget_audit",
+    oracle=_kl_audit_oracle(),
+    tags=("rlhf", "training", "audit", "llm", "operator"),
+)
+def q361_kl_budget_audit(spark, sf_dir):
+    """RLHF policy-drift / KL-budget audit (q361) — per training run,
+    track the per-step KL divergence between policy and reference
+    under the SECOND-ORDER estimator KL ≈ ½·E[δ²] (δ = per-sample
+    logprob delta; the quadratic term of the k2/k3 estimators —
+    chosen because it is pure rational arithmetic, no libm log/exp
+    whose last-ulp can differ across engines, the q319 lesson), and
+    report each run's breach census against the step budget: breach
+    count, first breach step (0 = never), max KL. The controller
+    every PPO/GRPO loop runs, as one declarative query.
+
+    Determinism: δ² is accumulated as an EXACT INTEGER power sum
+    (k², k = md5-derived int in [-1000, 1000]) scaled by one constant
+    division after the aggregate — engine summation order cannot
+    move the result (the q310/q326 integer-power-sum discipline).
+
+    SCALE DESIGN: the grid is synthesized map-only; ONE (run, step)
+    aggregate with map-side integer partials, then a (run)-grain
+    rollup. At real scale δ arrives as a column of the rollout table
+    and the same two aggregates apply unchanged."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    runs = spark.range(KL_RUNS).select(F.col("id").alias("run"))
+    steps = spark.range(1, KL_STEPS + 1).select(F.col("id").alias("step"))
+    samples = spark.range(KL_GROUP).select(F.col("id").alias("s"))
+    grid = runs.crossJoin(steps).crossJoin(samples)
+    key = F.concat(
+        F.col("run").cast("string"),
+        F.lit("-"),
+        F.col("step").cast("string"),
+        F.lit("-"),
+        F.col("s").cast("string"),
+    )
+    k = md5_hash64(key, "klr-") % 2001 - 1000
+    per_step = grid.select("run", "step", k.alias("k")).groupBy(
+        "run", "step"
+    ).agg(
+        (F.sum(F.col("k") * F.col("k")).cast("long")
+         * F.col("step") * F.col("step")).alias("kl_num")
+    )
+    kl = F.col("kl_num") / F.lit(
+        2.0 * KL_GROUP * 1000 * 1000 * KL_STEPS * KL_STEPS
+    )
+    scored = per_step.select("run", "step", kl.alias("kl_est"))
+    return (
+        scored.groupBy("run")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_steps"),
+            F.count_if(F.col("kl_est") > KL_BUDGET)
+            .cast("long")
+            .alias("n_breaches"),
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("kl_est") > KL_BUDGET, F.col("step")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("first_breach_step"),
+            F.round(F.max("kl_est"), 6).alias("max_kl"),
+        )
+        .select(
+            F.concat(F.lit("run"), F.col("run").cast("string")).alias(
+                "run"
+            ),
+            "n_steps",
+            "n_breaches",
+            "first_breach_step",
+            "max_kl",
+        )
+        .orderBy("run")
+    )
+
+
+# --------------------------------------------------------------------------
+# q362 — corpus snapshot diff audit (id-level adds/removes per source)
+# --------------------------------------------------------------------------
+@query(
+    "q362_snapshot_diff",
+    oracle="""
+    WITH tagged AS (
+      SELECT source,
+             (('0x' || substr(md5('snapdiff-'
+               || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 3) <> 0
+               AS in_a,
+             (('0x' || substr(md5('snapdiff-'
+               || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5) <> 0
+               AS in_b
+      FROM documents
+    )
+    SELECT source,
+           CAST(count_if(in_b AND NOT in_a) AS BIGINT) AS n_added,
+           CAST(count_if(in_a AND NOT in_b) AS BIGINT) AS n_removed,
+           CAST(count_if(in_a AND in_b) AS BIGINT) AS n_common,
+           round(count_if(in_a AND in_b) * 1.0
+                 / count_if(in_a OR in_b), 6) AS jaccard
+    FROM tagged
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("curation", "audit", "versioning", "llm", "operator"),
+)
+def q362_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff audit (q362) — the id-level churn report
+    between two dataset snapshots (recrawl versions, deck revisions):
+    per source, how many documents were ADDED, REMOVED, and kept in
+    COMMON, plus the id-set Jaccard. Complements the mixture-drift
+    audit (q343, which sees only share shifts): two snapshots can
+    hold shares constant while silently replacing half the corpus —
+    this query is how you catch that. Membership here is md5-derived
+    (snapshot A = hash % 3 != 0, B = hash % 5 != 0 — overlapping by
+    construction); in production the two sides are two manifest
+    scans union-tagged the same way.
+
+    SCALE DESIGN: membership is a map-only projection; ONE
+    (source)-grain aggregate with four conditional counters — no
+    join (the union-tag trick turns a set-diff into an aggregate)."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    h = md5_hash64(F.col("doc_id").cast("string"), "snapdiff-")
+    tagged = docs.select(
+        "source",
+        (h % 3 != 0).alias("in_a"),
+        (h % 5 != 0).alias("in_b"),
+    )
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count_if(F.col("in_b") & ~F.col("in_a"))
+            .cast("long")
+            .alias("n_added"),
+            F.count_if(F.col("in_a") & ~F.col("in_b"))
+            .cast("long")
+            .alias("n_removed"),
+            F.count_if(F.col("in_a") & F.col("in_b"))
+            .cast("long")
+            .alias("n_common"),
+            F.round(
+                F.count_if(F.col("in_a") & F.col("in_b"))
+                * 1.0
+                / F.count_if(F.col("in_a") | F.col("in_b")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source")
+    )

@@ -271,3 +271,134 @@ def test_q359_stage_semantics_on_fixture(spark):
     assert train_ids | eval_ids == pre_ids
     assert not (train_ids & eval_ids)
     assert eval_ids and train_ids
+
+
+# ------------------------------------------------------- q360-q362
+import hashlib
+
+from etl_as_a_service_spark.queries import QUERIES
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def _h32(salt: str, value) -> int:
+    return int(
+        hashlib.md5(f"{salt}{value}".encode()).hexdigest()[:8], 16
+    )
+
+
+def _docs(spark, cols, sf=SF01):
+    from etl_as_a_service_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf, ["documents"])["documents"]
+    return docs.select(*cols).collect()
+
+
+def test_q360_quality_sweep_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata6 import (
+        QUALITY_SWEEP_THRESHOLDS,
+    )
+
+    rows = _docs(spark, ("source", "text"))
+    per = {}
+    for r in rows:
+        toks = r["text"].split(" ")
+        uw = len(set(toks)) / len(toks)
+        d = per.setdefault(
+            r["source"],
+            {t: [0, 0] for t in QUALITY_SWEEP_THRESHOLDS} | {"n": 0},
+        )
+        d["n"] += 1
+        for t in QUALITY_SWEEP_THRESHOLDS:
+            if uw >= t:
+                d[t][0] += 1
+                d[t][1] += len(toks)
+    got = QUERIES["q360_quality_threshold_sweep"].fn(spark, SF01).collect()
+    assert len(got) == len(per) * len(QUALITY_SWEEP_THRESHOLDS)
+    for r in got:
+        kd, kt = per[r["source"]][r["threshold"]]
+        assert r["kept_docs"] == kd
+        assert r["kept_tokens"] == kt
+        assert abs(
+            r["kept_frac"] - round(kd / per[r["source"]]["n"], 6)
+        ) < 1e-9
+    # monotone: higher threshold never keeps more
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(
+            (r["threshold"], r["kept_docs"])
+        )
+    for pairs in by_src.values():
+        pairs.sort()
+        assert all(
+            a[1] >= b[1] for a, b in zip(pairs, pairs[1:])
+        )
+
+
+def test_q361_kl_audit_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata6 import (
+        KL_BUDGET,
+        KL_GROUP,
+        KL_RUNS,
+        KL_STEPS,
+    )
+
+    got = {
+        r["run"]: r
+        for r in QUERIES["q361_kl_budget_audit"].fn(spark, SF01).collect()
+    }
+    assert len(got) == KL_RUNS
+    for run in range(KL_RUNS):
+        breaches, first, max_kl = 0, 0, 0.0
+        for step in range(1, KL_STEPS + 1):
+            s2 = sum(
+                (_h32("klr-", f"{run}-{step}-{s}") % 2001 - 1000) ** 2
+                for s in range(KL_GROUP)
+            )
+            kl = (
+                s2 * step * step
+                / (2.0 * KL_GROUP * 1000 * 1000 * KL_STEPS * KL_STEPS)
+            )
+            max_kl = max(max_kl, kl)
+            if kl > KL_BUDGET:
+                breaches += 1
+                if first == 0:
+                    first = step
+        r = got[f"run{run}"]
+        assert r["n_steps"] == KL_STEPS
+        assert r["n_breaches"] == breaches
+        assert r["first_breach_step"] == first
+        assert abs(r["max_kl"] - round(max_kl, 6)) < 1e-9
+    # the budget must be non-vacuous both ways on this grid: some
+    # run breaches, and no run breaches at step 1 (drift grows)
+    assert any(r["n_breaches"] > 0 for r in got.values())
+    assert all(r["first_breach_step"] != 1 for r in got.values())
+
+
+def test_q362_snapshot_diff_matches_python_replica(spark):
+    rows = _docs(spark, ("doc_id", "source"))
+    per = {}
+    for r in rows:
+        h = _h32("snapdiff-", r["doc_id"])
+        a, b = h % 3 != 0, h % 5 != 0
+        d = per.setdefault(r["source"], [0, 0, 0, 0])
+        if b and not a:
+            d[0] += 1
+        if a and not b:
+            d[1] += 1
+        if a and b:
+            d[2] += 1
+        if a or b:
+            d[3] += 1
+    got = QUERIES["q362_snapshot_diff"].fn(spark, SF01).collect()
+    assert len(got) == len(per)
+    for r in got:
+        add, rem, com, uni = per[r["source"]]
+        assert (r["n_added"], r["n_removed"], r["n_common"]) == (
+            add, rem, com,
+        )
+        assert abs(r["jaccard"] - round(com / uni, 6)) < 1e-9
+    # the diff is non-degenerate: adds, removes and commons all occur
+    assert any(v[0] > 0 for v in per.values())
+    assert any(v[1] > 0 for v in per.values())
+    assert all(v[2] > 0 for v in per.values())
