@@ -96,6 +96,10 @@ _ROTATE_FRONT = [
     "q360_quality_threshold_sweep",
     "q361_kl_budget_audit",
     "q362_snapshot_diff",
+    "q363_neardup_threshold_sweep",
+    "q364_retrieval_metrics",
+    "q365_instruction_diversity",
+    "q366_length_rebalance",
     "q36_multiset_ops",
     "q37_union_by_name",
     "q38_approx_count_distinct",
@@ -139,9 +143,6 @@ _ROTATE_FRONT = [
     "q58_text_cleaning",
     "q59_curation_pipeline",
     "q62_shipping_priority",
-    "q63_local_supplier_volume",
-    "q64_nation_volume_pairs",
-    "q65_returned_item_customers",
 ]
 
 

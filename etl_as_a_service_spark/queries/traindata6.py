@@ -740,3 +740,443 @@ def q362_snapshot_diff(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q363 — near-dup Jaccard threshold sweep (the q351 policy menu for LSH)
+# --------------------------------------------------------------------------
+NEARDUP_SWEEP_THRESHOLDS = (0.3, 0.5, 0.7, 0.9)
+
+
+def _neardup_sweep_oracle() -> str:
+    mins = ",\n             ".join(
+        f"min(('0x' || substr(md5('mh{p}-' || s), 1, 8))::BIGINT)"
+        f" AS h{p}"
+        for p in range(8)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(h{2 * b} AS VARCHAR)"
+        f" || '_' || CAST(h{2 * b + 1} AS VARCHAR) AS key FROM mh"
+        for b in range(4)
+    )
+    sweep = "\n      UNION ALL\n      ".join(
+        f"""SELECT {t} AS threshold,
+             CAST(count_if(j >= {t}) AS BIGINT) AS n_pairs,
+             CAST(count(DISTINCT CASE WHEN j >= {t}
+                  THEN doc_b END) AS BIGINT) AS n_dropped
+      FROM pairs"""
+        for t in NEARDUP_SWEEP_THRESHOLDS
+    )
+    return f"""
+    WITH sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents),
+           UNNEST(range(1, len(toks) - 1)) AS ti(i)
+    ),
+    mh AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                                AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS MATERIALIZED (
+      SELECT c.doc_a, c.doc_b,
+             round(COALESCE(i.i, 0)
+                   / CAST(ca.n + cb.n - COALESCE(i.i, 0) AS DOUBLE), 6)
+               AS j
+      FROM cand c
+      LEFT JOIN inter i USING (doc_a, doc_b)
+      JOIN cnt ca ON ca.doc_id = c.doc_a
+      JOIN cnt cb ON cb.doc_id = c.doc_b
+    ),
+    swept AS (
+      {sweep}
+    )
+    SELECT s.threshold, s.n_pairs, s.n_dropped,
+           round(s.n_dropped * 1.0
+                 / (SELECT count(*) FROM documents), 6) AS drop_frac
+    FROM swept s
+    ORDER BY s.threshold
+    """
+
+
+@query(
+    "q363_neardup_threshold_sweep",
+    oracle=_neardup_sweep_oracle(),
+    tags=("dedup", "minhash", "planning", "llm", "operator"),
+)
+def q363_neardup_threshold_sweep(spark, sf_dir):
+    """Near-dup Jaccard threshold sweep (q363) — price the near-dedup
+    policy menu the way q351 prices the exact-dup one: over the q253
+    portable-LSH verified candidate pairs, for each candidate Jaccard
+    threshold report surviving pair count, documents dropped under
+    the keep-first rule (the larger id of each qualifying pair
+    drops), and the corpus drop fraction. One LSH pass serves every
+    threshold — the sweep is conditional counters over the bounded
+    pair set, not a re-run per threshold.
+
+    SCALE DESIGN: inherits q253's shape (map-side signature
+    aggregate, band join on (id, band, key), verify through the
+    bounded candidate set); the sweep itself is ONE aggregate over
+    the pair frame plus a broadcast 1-row corpus count."""
+    from etl_as_a_service_spark.llm.dedup import (
+        minhash_lsh_pairs_portable,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_portable(
+        docs, "text", "doc_id", n_perms=8, band_rows=2, shingle_n=3
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_all"))
+    agg = pairs.agg(
+        *[
+            F.count_if(F.col("jaccard") >= F.lit(t)).alias(f"p_{i}")
+            for i, t in enumerate(NEARDUP_SWEEP_THRESHOLDS)
+        ],
+        *[
+            F.count_distinct(
+                F.when(F.col("jaccard") >= F.lit(t), F.col("doc_b"))
+            ).alias(f"d_{i}")
+            for i, t in enumerate(NEARDUP_SWEEP_THRESHOLDS)
+        ],
+    )
+    entries = [
+        F.struct(
+            F.lit(t).alias("threshold"),
+            F.col(f"p_{i}").cast("long").alias("n_pairs"),
+            F.col(f"d_{i}").cast("long").alias("n_dropped"),
+            F.round(F.col(f"d_{i}") * 1.0 / F.col("n_all"), 6).alias(
+                "drop_frac"
+            ),
+        )
+        for i, t in enumerate(NEARDUP_SWEEP_THRESHOLDS)
+    ]
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(F.explode(F.array(*entries)).alias("s"))
+        .select("s.*")
+        .orderBy("threshold")
+    )
+
+
+# --------------------------------------------------------------------------
+# q364 — retrieval ranking-metrics audit (MRR / NDCG / recall@k)
+# --------------------------------------------------------------------------
+RETRIEVAL_K = 10
+#: exact-integer metric kernels (summation-order-proof): 2520 =
+#: lcm(1..10), so 2520/rank is an exact integer; the NDCG discount
+#: 1/log2(rank+1) is pre-scaled to round(1e6/log2(r+1)) LITERALS so
+#: neither engine evaluates log2 at query time (the q319 libm lesson)
+MRR_LCM = 2520
+NDCG_DISCOUNTS = (
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+)
+
+
+def _retrieval_oracle() -> str:
+    h = (
+        "(('0x' || substr(md5('rrank-' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8))::BIGINT)"
+    )
+    disc = " ".join(
+        f"WHEN {r} THEN {d}"
+        for r, d in enumerate(NDCG_DISCOUNTS, start=1)
+    )
+    return f"""
+    WITH ranked AS (
+      SELECT source,
+             CAST({h} % {RETRIEVAL_K} + 1 AS BIGINT) AS rel_rank
+      FROM documents
+    ),
+    scored AS (
+      SELECT source, rel_rank,
+             {MRR_LCM} / rel_rank AS rr_scaled,
+             CASE rel_rank {disc} END AS disc_scaled
+      FROM ranked
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           round(sum(rr_scaled) * 1.0
+                 / ({MRR_LCM} * count(*)), 6) AS mrr,
+           round(sum(disc_scaled) * 1.0
+                 / (1000000 * count(*)), 6) AS ndcg,
+           round(count_if(rel_rank <= 5) * 1.0 / count(*), 6)
+             AS recall_at_5
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query(
+    "q364_retrieval_metrics",
+    oracle=_retrieval_oracle(),
+    tags=("retrieval", "evaluation", "llm", "operator"),
+)
+def q364_retrieval_metrics(spark, sf_dir):
+    """Retrieval ranking-metrics audit (q364) — MRR, NDCG@{RETRIEVAL_K}
+    and recall@5 per source over a synthetic qrel set (each document
+    is a query whose single relevant hit lands at an md5-derived rank
+    in 1..{RETRIEVAL_K}): the eval harness every RAG/data-mining
+    retriever change is judged by, as one aggregate.
+
+    Determinism: reciprocal ranks are accumulated as EXACT INTEGERS
+    ({MRR_LCM}/rank — {MRR_LCM} = lcm(1..10)); NDCG discounts are
+    pre-scaled integer LITERALS of round(1e6/log2(r+1)), so no engine
+    evaluates log2 at query time and summation order cannot move the
+    rounded metric (the q319/q361 discipline).
+
+    SCALE DESIGN: rank synthesis is map-only; ONE (source)-grain
+    aggregate with integer map-side partials. With a real qrel table
+    the same aggregate runs on (query, rank-of-first-relevant) rows
+    produced by a bounded per-query window."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    rel_rank = (
+        md5_hash64(F.col("doc_id").cast("string"), "rrank-")
+        % RETRIEVAL_K
+        + 1
+    ).cast("long")
+    disc = F.lit(None)
+    expr = None
+    for r, d in enumerate(NDCG_DISCOUNTS, start=1):
+        cond = F.when(F.col("rel_rank") == r, F.lit(d))
+        expr = cond if expr is None else expr.when(
+            F.col("rel_rank") == r, F.lit(d)
+        )
+    scored = docs.select("source", rel_rank.alias("rel_rank")).select(
+        "source",
+        "rel_rank",
+        (F.lit(MRR_LCM) / F.col("rel_rank"))
+        .cast("long")
+        .alias("rr_scaled"),
+        expr.alias("disc_scaled"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.round(
+                F.sum("rr_scaled")
+                * 1.0
+                / (F.lit(MRR_LCM) * F.count(F.lit(1))),
+                6,
+            ).alias("mrr"),
+            F.round(
+                F.sum("disc_scaled")
+                * 1.0
+                / (F.lit(1000000) * F.count(F.lit(1))),
+                6,
+            ).alias("ndcg"),
+            F.round(
+                F.count_if(F.col("rel_rank") <= 5)
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall_at_5"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q365 — instruction-diversity audit (task-verb census per source)
+# --------------------------------------------------------------------------
+@query(
+    "q365_instruction_diversity",
+    oracle="""
+    WITH verbs AS (
+      SELECT source, string_split(text, ' ')[1] AS verb
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, verb, count(*) AS c
+      FROM verbs GROUP BY source, verb
+    ),
+    tops AS (
+      -- DuckDB 1.0 max_by can't order by a struct: use a padded
+      -- (count, verb) string key, same total order on both engines
+      SELECT source,
+             max_by(verb, lpad(CAST(c AS VARCHAR), 12, '0')
+                          || '|' || verb) AS top_verb,
+             max(c) AS mc
+      FROM counts GROUP BY source
+    ),
+    stats AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_prompts,
+             CAST(count(*) AS BIGINT) AS n_verbs,
+             CAST(sum(c * c) AS BIGINT) AS c2
+      FROM counts GROUP BY source
+    )
+    SELECT s.source, s.n_prompts, s.n_verbs,
+           t.top_verb,
+           CAST(t.mc AS BIGINT) AS top_count,
+           round(1.0 - s.c2 * 1.0 / (s.n_prompts * s.n_prompts), 6)
+             AS gini_diversity
+    FROM stats s JOIN tops t ON s.source = t.source
+    ORDER BY s.source
+    """,
+    tags=("sft", "diversity", "audit", "llm", "operator"),
+)
+def q365_instruction_diversity(spark, sf_dir):
+    """Instruction-diversity audit (q365) — the task-verb census an
+    SFT deck review starts with: per source, how many distinct
+    leading tokens ("verbs") the prompts use, the dominant verb and
+    its count, and the Gini diversity 1 - Σp² (rational — the q348
+    no-libm entropy substitute; computed from the exact integer Σc²
+    so summation order cannot move it). A deck whose top verb
+    dominates is a template farm, not an instruction distribution.
+
+    Tie-break: the dominant verb is max_by over (count, verb) — an
+    explicit total order, never an engine-internal mode() pick.
+
+    SCALE DESIGN: verb extraction is map-only; ONE (source, verb)
+    aggregate then a (source)-grain rollup, both map-side-combined;
+    no join back to the corpus."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    verbs = docs.select(
+        "source",
+        F.split(F.col("text"), " ").getItem(0).alias("verb"),
+    )
+    counts = verbs.groupBy("source", "verb").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    key = F.concat(
+        F.lpad(F.col("c").cast("string"), 12, "0"),
+        F.lit("|"),
+        F.col("verb"),
+    )
+    tops = counts.groupBy("source").agg(
+        F.max_by(F.col("verb"), key).alias("top_verb"),
+        F.max("c").cast("long").alias("top_count"),
+    )
+    stats = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_prompts"),
+        F.count(F.lit(1)).cast("long").alias("n_verbs"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("c2"),
+    )
+    return (
+        stats.join(tops, "source")
+        .select(
+            "source",
+            "n_prompts",
+            "n_verbs",
+            "top_verb",
+            "top_count",
+            F.round(
+                F.lit(1.0)
+                - F.col("c2")
+                * 1.0
+                / (F.col("n_prompts") * F.col("n_prompts")),
+                6,
+            ).alias("gini_diversity"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q366 — length-mix rebalancer (per-band upsampling toward uniform)
+# --------------------------------------------------------------------------
+LENGTH_BAND_TOKENS = 16
+LENGTH_REBALANCE_CAP = 5.0
+
+
+@query(
+    "q366_length_rebalance",
+    oracle=f"""
+    WITH banded AS (
+      SELECT CAST(floor(len(string_split(text, ' '))
+               / {LENGTH_BAND_TOKENS}.0) AS BIGINT) AS band,
+             len(string_split(text, ' ')) AS nt
+      FROM documents
+    ),
+    per_band AS (
+      SELECT band,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS tokens
+      FROM banded GROUP BY band
+    ),
+    tot AS (
+      SELECT sum(tokens) AS all_tokens, count(*) AS k FROM per_band
+    )
+    SELECT band, n_docs, tokens,
+           round(tokens * 1.0 / all_tokens, 6) AS actual_share,
+           round(1.0 / k, 6) AS target_share,
+           round(least(all_tokens * 1.0 / (k * tokens),
+                       {LENGTH_REBALANCE_CAP}), 6) AS upsample_factor,
+           all_tokens * 1.0 / (k * tokens) > {LENGTH_REBALANCE_CAP}
+             AS capped
+    FROM per_band, tot
+    ORDER BY band
+    """,
+    tags=("curation", "mixture", "long-context", "llm", "operator"),
+)
+def q366_length_rebalance(spark, sf_dir):
+    """Length-mix rebalancer (q366) — long-context training needs a
+    length distribution the crawl doesn't have: per
+    {LENGTH_BAND_TOKENS}-token length band, report the band's token
+    share and the upsampling factor that moves the TOKEN mass toward
+    uniform-across-bands (capped at {LENGTH_REBALANCE_CAP}x — a
+    starved band needs more data, not more weight; the capped flag
+    says which). q340's debias at the length-band grain over token
+    mass instead of doc counts — the knob long-context curricula
+    actually turn.
+
+    SCALE DESIGN: banding is map-only; one (band)-grain aggregate
+    plus a broadcast 1-row total; factors are pure arithmetic on
+    exact integer token sums."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    nt = F.size(F.split(F.col("text"), " "))
+    banded = docs.select(
+        F.floor(nt / F.lit(float(LENGTH_BAND_TOKENS)))
+        .cast("long")
+        .alias("band"),
+        nt.alias("nt"),
+    )
+    per_band = banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("tokens"),
+    )
+    tot = per_band.agg(
+        F.sum("tokens").alias("all_tokens"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    raw = F.col("all_tokens") * 1.0 / (F.col("k") * F.col("tokens"))
+    return (
+        per_band.crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_docs",
+            "tokens",
+            F.round(
+                F.col("tokens") * 1.0 / F.col("all_tokens"), 6
+            ).alias("actual_share"),
+            F.round(F.lit(1.0) / F.col("k"), 6).alias("target_share"),
+            F.round(
+                F.least(raw, F.lit(LENGTH_REBALANCE_CAP)), 6
+            ).alias("upsample_factor"),
+            (raw > LENGTH_REBALANCE_CAP).alias("capped"),
+        )
+        .orderBy("band")
+    )

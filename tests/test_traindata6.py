@@ -402,3 +402,119 @@ def test_q362_snapshot_diff_matches_python_replica(spark):
     assert any(v[0] > 0 for v in per.values())
     assert any(v[1] > 0 for v in per.values())
     assert all(v[2] > 0 for v in per.values())
+
+
+def test_q363_neardup_sweep_is_monotone_and_pairs_match_q253(spark):
+    """Fixture-independent invariants: thresholds sweep monotonically
+    (higher threshold -> fewer pairs, fewer drops), the 0.3 row's
+    pair count is upper-bounded by the q253 pair count (same LSH
+    pass), and n_dropped <= n_pairs per row (each pair drops at most
+    one NEW doc)."""
+    got = {
+        r["threshold"]: r
+        for r in QUERIES["q363_neardup_threshold_sweep"]
+        .fn(spark, SF01)
+        .collect()
+    }
+    from etl_as_a_service_spark.queries.traindata6 import (
+        NEARDUP_SWEEP_THRESHOLDS,
+    )
+
+    assert set(got) == set(NEARDUP_SWEEP_THRESHOLDS)
+    ts = sorted(got)
+    for a, b in zip(ts, ts[1:]):
+        assert got[a]["n_pairs"] >= got[b]["n_pairs"]
+        assert got[a]["n_dropped"] >= got[b]["n_dropped"]
+    for r in got.values():
+        assert r["n_dropped"] <= r["n_pairs"]
+    q253 = QUERIES["q253_minhash_lsh_portable"].fn(spark, SF01)
+    all_pairs = q253.count()
+    ge03 = q253.filter(F.col("jaccard") >= 0.3).count()
+    assert got[0.3]["n_pairs"] == ge03
+    assert got[0.3]["n_pairs"] <= all_pairs
+
+
+def test_q364_retrieval_metrics_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata6 import (
+        MRR_LCM,
+        NDCG_DISCOUNTS,
+        RETRIEVAL_K,
+    )
+
+    rows = _docs(spark, ("doc_id", "source"))
+    per = {}
+    for r in rows:
+        rank = _h32("rrank-", r["doc_id"]) % RETRIEVAL_K + 1
+        d = per.setdefault(r["source"], [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += MRR_LCM // rank
+        d[2] += NDCG_DISCOUNTS[rank - 1]
+        d[3] += 1 if rank <= 5 else 0
+    got = QUERIES["q364_retrieval_metrics"].fn(spark, SF01).collect()
+    assert len(got) == len(per)
+    for r in got:
+        n, rrs, ds, r5 = per[r["source"]]
+        assert r["n_queries"] == n
+        assert abs(r["mrr"] - round(rrs / (MRR_LCM * n), 6)) < 1e-9
+        assert abs(r["ndcg"] - round(ds / (1000000 * n), 6)) < 1e-9
+        assert abs(r["recall_at_5"] - round(r5 / n, 6)) < 1e-9
+
+
+def test_q365_instruction_diversity_matches_python_replica(spark):
+    rows = _docs(spark, ("source", "text"))
+    per = {}
+    for r in rows:
+        verb = r["text"].split(" ")[0]
+        per.setdefault(r["source"], {}).setdefault(verb, 0)
+        per[r["source"]][verb] += 1
+    got = QUERIES["q365_instruction_diversity"].fn(spark, SF01).collect()
+    assert len(got) == len(per)
+    for r in got:
+        counts = per[r["source"]]
+        n = sum(counts.values())
+        c2 = sum(c * c for c in counts.values())
+        top = max(counts, key=lambda v: (counts[v], v))
+        assert r["n_prompts"] == n
+        assert r["n_verbs"] == len(counts)
+        assert r["top_verb"] == top
+        assert r["top_count"] == counts[top]
+        assert abs(
+            r["gini_diversity"] - round(1 - c2 / (n * n), 6)
+        ) < 1e-9
+
+
+def test_q366_length_rebalance_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata6 import (
+        LENGTH_BAND_TOKENS,
+        LENGTH_REBALANCE_CAP,
+    )
+
+    rows = _docs(spark, ("text",))
+    per = {}
+    for r in rows:
+        nt = len(r["text"].split(" "))
+        band = int(nt // LENGTH_BAND_TOKENS)
+        d = per.setdefault(band, [0, 0])
+        d[0] += 1
+        d[1] += nt
+    all_tokens = sum(v[1] for v in per.values())
+    k = len(per)
+    got = QUERIES["q366_length_rebalance"].fn(spark, SF01).collect()
+    assert len(got) == k
+    for r in got:
+        nd, tok = per[r["band"]]
+        assert (r["n_docs"], r["tokens"]) == (nd, tok)
+        raw = all_tokens / (k * tok)
+        assert abs(
+            r["upsample_factor"]
+            - round(min(raw, LENGTH_REBALANCE_CAP), 6)
+        ) < 1e-9
+        assert r["capped"] == (raw > LENGTH_REBALANCE_CAP)
+    # upsampled token mass matches target within cap effects: the
+    # uncapped bands land exactly on all_tokens / k
+    uncapped = [r for r in got if not r["capped"]]
+    for r in uncapped:
+        assert abs(
+            r["tokens"] * (all_tokens / (k * r["tokens"]))
+            - all_tokens / k
+        ) < 1e-6
