@@ -100,6 +100,12 @@ _ROTATE_FRONT = [
     "q364_retrieval_metrics",
     "q365_instruction_diversity",
     "q366_length_rebalance",
+    "q367_dpo_pair_audit",
+    "q368_teacher_student_kappa",
+    "q369_prefix_dup_census",
+    "q370_mixture_alpha_sweep",
+    "q371_pack_budget_sweep",
+    "q372_vocab_growth",
     "q36_multiset_ops",
     "q37_union_by_name",
     "q38_approx_count_distinct",
@@ -135,14 +141,6 @@ _ROTATE_FRONT = [
     "q120_bigram_lm_scores",
     "q40_exact_dedup_groups",
     "q41_exact_dedup_survivors",
-    "q42_text_stats_by_lang",
-    "q43_doc_fingerprints",
-    "q44_lang_id_agreement",
-    "q45_cosine_topk",
-    "q46_ngram_jaccard_pairs",
-    "q58_text_cleaning",
-    "q59_curation_pipeline",
-    "q62_shipping_priority",
 ]
 
 

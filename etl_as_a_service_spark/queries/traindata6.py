@@ -1180,3 +1180,635 @@ def q366_length_rebalance(spark, sf_dir):
         )
         .orderBy("band")
     )
+
+
+# --------------------------------------------------------------------------
+# q367 — DPO pair-construction audit (margin threshold sweep)
+# --------------------------------------------------------------------------
+DPO_GROUP = 8
+DPO_MARGINS = (400, 800, 1600, 3200)
+
+
+def _dpo_oracle() -> str:
+    h = (
+        "(('0x' || substr(md5('dpo-' || CAST(event_id AS VARCHAR)),"
+        " 1, 8))::BIGINT)"
+    )
+    sweep = "\n      UNION ALL\n      ".join(
+        f"""SELECT {m} AS min_margin,
+             CAST(count_if(margin >= {m}) AS BIGINT) AS n_pairs,
+             round(count_if(margin >= {m}) * 1.0 / count(*), 6)
+               AS yield_frac,
+             round(coalesce(sum(CASE WHEN margin >= {m}
+                     THEN margin END), 0) * 1.0
+                   / nullif(count_if(margin >= {m}), 0) + 0.0, 6)
+               AS mean_margin
+      FROM margins"""
+        for m in DPO_MARGINS
+    )
+    return f"""
+    WITH rollouts AS (
+      SELECT CAST(floor(event_id / {DPO_GROUP}) AS BIGINT) AS prompt_id,
+             ({h} % 1000) * {DPO_GROUP}
+               + event_id % {DPO_GROUP} AS score
+      FROM events
+    ),
+    margins AS (
+      SELECT prompt_id, max(score) - min(score) AS margin
+      FROM rollouts GROUP BY prompt_id
+    ),
+    swept AS (
+      {sweep}
+    )
+    SELECT * FROM swept ORDER BY min_margin
+    """
+
+
+@query(
+    "q367_dpo_pair_audit",
+    oracle=_dpo_oracle(),
+    tags=("rlhf", "dpo", "planning", "llm", "operator"),
+)
+def q367_dpo_pair_audit(spark, sf_dir):
+    """DPO pair-construction audit (q367) — per prompt, the standard
+    builder takes (chosen, rejected) = (best, worst) scored rollout
+    and keeps the pair only when the score margin clears a floor
+    (low-margin pairs are label noise for DPO). This query prices the
+    margin-floor menu in one pass: per candidate floor, how many
+    pairs survive, the yield fraction, and the kept pairs' mean
+    margin. Scores are md5-derived integers made distinct within each
+    {DPO_GROUP}-rollout group (score = 8*base + slot), so max/min
+    need no tie-break.
+
+    NULL discipline: a floor nobody clears reports mean_margin 0
+    (coalesce before the divide, + 0.0 to normalize -0.0).
+
+    SCALE DESIGN: one (prompt)-grain aggregate (map-side max/min),
+    then ONE corpus aggregate evaluating every floor as conditional
+    counters; margins are exact integers so the means are
+    summation-order-proof."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    from etl_as_a_service_spark.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    eid = F.col("event_id")
+    score = (
+        md5_hash64(eid.cast("string"), "dpo-") % 1000
+    ) * DPO_GROUP + eid % DPO_GROUP
+    margins = (
+        ev.select(
+            F.floor(eid / DPO_GROUP).cast("long").alias("prompt_id"),
+            score.alias("score"),
+        )
+        .groupBy("prompt_id")
+        .agg((F.max("score") - F.min("score")).alias("margin"))
+    )
+    agg = margins.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        *[
+            F.count_if(F.col("margin") >= F.lit(m)).alias(f"p_{i}")
+            for i, m in enumerate(DPO_MARGINS)
+        ],
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("margin") >= F.lit(m), F.col("margin")
+                    )
+                ),
+                F.lit(0),
+            ).alias(f"s_{i}")
+            for i, m in enumerate(DPO_MARGINS)
+        ],
+    )
+    entries = [
+        F.struct(
+            F.lit(m).cast("long").alias("min_margin"),
+            F.col(f"p_{i}").cast("long").alias("n_pairs"),
+            F.round(F.col(f"p_{i}") * 1.0 / F.col("n_all"), 6).alias(
+                "yield_frac"
+            ),
+            F.round(
+                F.col(f"s_{i}")
+                * 1.0
+                / F.nullif(F.col(f"p_{i}"), F.lit(0))
+                + 0.0,
+                6,
+            ).alias("mean_margin"),
+        )
+        for i, m in enumerate(DPO_MARGINS)
+    ]
+    return (
+        agg.select(F.explode(F.array(*entries)).alias("s"))
+        .select("s.*")
+        .fillna({"mean_margin": 0.0})
+        .orderBy("min_margin")
+    )
+
+
+# --------------------------------------------------------------------------
+# q368 — teacher-student agreement audit (Cohen's kappa, integer-exact)
+# --------------------------------------------------------------------------
+TS_CLASSES = 4
+TS_AGREE_P = 0.7
+
+
+@query(
+    "q368_teacher_student_kappa",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT source,
+             (('0x' || substr(md5('tcls-' || CAST(doc_id AS VARCHAR)),
+               1, 8))::BIGINT % {TS_CLASSES}) AS t,
+             CASE WHEN ((('0x' || substr(md5('sagree-'
+                    || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                    / 4294967296.0) < {TS_AGREE_P}
+                  THEN (('0x' || substr(md5('tcls-'
+                    || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % {TS_CLASSES})
+                  ELSE ((('0x' || substr(md5('tcls-'
+                    || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % {TS_CLASSES}) + 1
+                    + (('0x' || substr(md5('scls-'
+                    || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % {TS_CLASSES - 1})) % {TS_CLASSES}
+             END AS s
+      FROM documents
+    ),
+    counts AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count_if(t = s) AS BIGINT) AS agree,
+             {", ".join(
+               f"CAST(count_if(t = {c}) AS BIGINT) AS t{c}, "
+               f"CAST(count_if(s = {c}) AS BIGINT) AS s{c}"
+               for c in range(TS_CLASSES))}
+      FROM labeled GROUP BY source
+    )
+    SELECT source, n,
+           round(agree * 1.0 / n, 6) AS agree_rate,
+           round((agree * n - ({" + ".join(
+             f"t{c} * s{c}" for c in range(TS_CLASSES))})) * 1.0
+             / (n * n - ({" + ".join(
+             f"t{c} * s{c}" for c in range(TS_CLASSES))})), 6)
+             AS kappa
+    FROM counts
+    ORDER BY source
+    """,
+    tags=("distillation", "evaluation", "llm", "operator"),
+)
+def q368_teacher_student_kappa(spark, sf_dir):
+    """Teacher-student agreement audit (q368) — when a small student
+    classifier relabels the corpus a teacher labeled (quality gates,
+    topic routers), raw agreement flatters imbalanced labels;
+    chance-corrected Cohen's kappa is the number distillation
+    sign-off needs. Labels are md5-synthesized (teacher uniform over
+    {TS_CLASSES} classes; student agrees w.p. {TS_AGREE_P}, else
+    uniform over the others).
+
+    Determinism: kappa = (po - pe) / (1 - pe) evaluated as ONE
+    division of integer products — (agree·n - Σ t_c·s_c) /
+    (n² - Σ t_c·s_c) — so no intermediate double ever sums across
+    rows (the q361/q364 integer-kernel discipline).
+
+    SCALE DESIGN: label synthesis is map-only; ONE (source)-grain
+    aggregate carrying 2·{TS_CLASSES}+2 integer counters; kappa is
+    row-local arithmetic on the aggregate."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    t = md5_hash64(did, "tcls-") % TS_CLASSES
+    u = (md5_hash64(did, "sagree-") + F.lit(0.5)) / F.lit(4294967296.0)
+    wrong = (t + 1 + md5_hash64(did, "scls-") % (TS_CLASSES - 1)) % (
+        TS_CLASSES
+    )
+    labeled = docs.select(
+        "source",
+        t.alias("t"),
+        F.when(u < F.lit(TS_AGREE_P), t).otherwise(wrong).alias("s"),
+    )
+    counters = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if(F.col("t") == F.col("s")).cast("long").alias("agree"),
+    ]
+    for c in range(TS_CLASSES):
+        counters.append(
+            F.count_if(F.col("t") == c).cast("long").alias(f"t{c}")
+        )
+        counters.append(
+            F.count_if(F.col("s") == c).cast("long").alias(f"s{c}")
+        )
+    counts = labeled.groupBy("source").agg(*counters)
+    S = None
+    for c in range(TS_CLASSES):
+        term = F.col(f"t{c}") * F.col(f"s{c}")
+        S = term if S is None else S + term
+    n = F.col("n")
+    return counts.select(
+        "source",
+        "n",
+        F.round(F.col("agree") * 1.0 / n, 6).alias("agree_rate"),
+        F.round(
+            (F.col("agree") * n - S) * 1.0 / (n * n - S), 6
+        ).alias("kappa"),
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# q369 — template-prefix dup census (shared intros per source)
+# --------------------------------------------------------------------------
+PREFIX_TOKENS = 2
+
+
+@query(
+    "q369_prefix_dup_census",
+    oracle=f"""
+    WITH prefixed AS (
+      SELECT source,
+             coalesce(array_to_string(
+               string_split(text, ' ')[1:{PREFIX_TOKENS}], ' '), '')
+               AS pfx
+      FROM documents
+    ),
+    groups AS (
+      SELECT source, pfx, count(*) AS c
+      FROM prefixed GROUP BY source, pfx
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_prefixes,
+           CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS docs_in_shared,
+           CAST(max(c) AS BIGINT) AS max_group,
+           round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0
+                 / sum(c), 6) AS shared_frac
+    FROM groups
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("dedup", "templates", "audit", "llm", "operator"),
+)
+def q369_prefix_dup_census(spark, sf_dir):
+    """Template-prefix dup census (q369) — documents that open with
+    the same {PREFIX_TOKENS}-token prefix are template spam
+    candidates (boilerplate intros, scraped form letters): per
+    source, the distinct-prefix count, the mass of docs sharing a
+    prefix with at least one sibling, the largest prefix family, and
+    the shared fraction. The prefix-grain complement of the
+    paragraph-dedup census (q307) — catches templates whose BODIES
+    differ.
+
+    SCALE DESIGN: prefix extraction is map-only; ONE (source, prefix)
+    aggregate then a (source) rollup, both map-side-combined; no
+    join back to the corpus."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    pfx = F.array_join(
+        F.slice(F.split(F.col("text"), " "), 1, PREFIX_TOKENS), " "
+    )
+    groups = (
+        docs.select("source", pfx.alias("pfx"))
+        .groupBy("source", "pfx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    shared = F.sum(
+        F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))
+    )
+    return (
+        groups.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_prefixes"),
+            shared.cast("long").alias("docs_in_shared"),
+            F.max("c").cast("long").alias("max_group"),
+            F.round(shared * 1.0 / F.sum("c"), 6).alias("shared_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q370 — temperature-mix alpha sweep (libm-safe exponent grid)
+# --------------------------------------------------------------------------
+MIX_SWEEP_BUDGET = 150
+#: alpha grid restricted to {{0, 0.5, 1}}: n^0 = 1, n^0.5 = sqrt
+#: (IEEE-correctly-rounded, the proven q147 parity), n^1 = n — no
+#: general libm pow whose last ulp can differ across engines
+MIX_SWEEP_ALPHAS = (0.0, 0.5, 1.0)
+
+
+def _mix_sweep_oracle() -> str:
+    def w(alpha: float) -> str:
+        if alpha == 0.0:
+            return "1.0"
+        if alpha == 1.0:
+            return "n_d * 1.0"
+        return "sqrt(n_d)"
+
+    sweep = "\n      UNION ALL\n      ".join(
+        f"""SELECT source, {a} AS alpha,
+             least(1.0, {MIX_SWEEP_BUDGET} * {w(a)}
+                   / (SELECT sum({w(a)}) FROM counts) / n_d) AS rate,
+             n_d
+      FROM counts"""
+        for a in MIX_SWEEP_ALPHAS
+    )
+    return f"""
+    WITH counts AS MATERIALIZED (
+      SELECT source, count(*) AS n_d FROM documents GROUP BY source
+    ),
+    swept AS (
+      {sweep}
+    )
+    SELECT source, alpha,
+           round(rate, 6) AS rate,
+           round(rate * n_d, 6) AS expected_docs
+    FROM swept
+    ORDER BY source, alpha
+    """
+
+
+@query(
+    "q370_mixture_alpha_sweep",
+    oracle=_mix_sweep_oracle(),
+    tags=("curation", "mixture", "planning", "llm", "operator"),
+)
+def q370_mixture_alpha_sweep(spark, sf_dir):
+    """Temperature-mix alpha sweep (q370) — before sampling a mixture
+    (q147/the q330 stage), price the temperature menu: per (source,
+    alpha), the acceptance rate and expected document yield under
+    rate = min(1, B·n^alpha / Σn^alpha / n). Alphas are the
+    libm-safe grid {0, ½, 1} (uniform / sqrt-temper / proportional):
+    n^½ is sqrt — IEEE-correctly-rounded and engine-identical (the
+    proven q147 parity) — while a general pow would reintroduce
+    last-ulp drift (the q319 lesson).
+
+    SCALE DESIGN: ONE (source)-grain count; the sweep is arithmetic
+    on the |sources|-row frame with three broadcast scalar
+    denominators — no corpus re-scan per alpha."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_d")
+    )
+
+    def w(alpha):
+        if alpha == 0.0:
+            return F.lit(1.0)
+        if alpha == 1.0:
+            return F.col("n_d") * 1.0
+        return F.sqrt(F.col("n_d"))
+
+    tot = counts.agg(
+        *[F.sum(w(a)).alias(f"den_{i}")
+          for i, a in enumerate(MIX_SWEEP_ALPHAS)]
+    )
+    joined = counts.crossJoin(F.broadcast(tot))
+    entries = [
+        F.struct(
+            F.lit(a).alias("alpha"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(MIX_SWEEP_BUDGET)
+                    * w(a)
+                    / F.col(f"den_{i}")
+                    / F.col("n_d"),
+                ),
+                6,
+            ).alias("rate"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(MIX_SWEEP_BUDGET)
+                    * w(a)
+                    / F.col(f"den_{i}")
+                    / F.col("n_d"),
+                )
+                * F.col("n_d"),
+                6,
+            ).alias("expected_docs"),
+        )
+        for i, a in enumerate(MIX_SWEEP_ALPHAS)
+    ]
+    return (
+        joined.select("source", F.explode(F.array(*entries)).alias("s"))
+        .select("source", "s.*")
+        .orderBy("source", "alpha")
+    )
+
+
+# --------------------------------------------------------------------------
+# q371 — pack-budget sweep (bins and fill per candidate budget)
+# --------------------------------------------------------------------------
+PACK_SWEEP_BUDGETS = (256, 512, 1024)
+
+
+def _pack_sweep_oracle() -> str:
+    bins_cols = ",\n             ".join(
+        f"CAST(floor(cum_before / {b}.0) AS BIGINT) AS bin_{b}"
+        for b in PACK_SWEEP_BUDGETS
+    )
+    sweep = "\n      UNION ALL\n      ".join(
+        f"""SELECT {b} AS token_budget,
+             CAST(count(DISTINCT shard || ':'
+                  || CAST(bin_{b} AS VARCHAR)) AS BIGINT) AS n_bins,
+             CAST(sum(nt) AS BIGINT) AS tokens,
+             round(sum(nt) * 1.0 / (count(DISTINCT shard || ':'
+                  || CAST(bin_{b} AS VARCHAR)) * {b}), 6) AS fill_frac
+      FROM binned"""
+        for b in PACK_SWEEP_BUDGETS
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS nt,
+             substring(md5('pack-v1' || CAST(doc_id AS VARCHAR)), 1, 1)
+               AS shard,
+             substring(md5('pack-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS ord
+      FROM documents
+    ),
+    binned AS MATERIALIZED (
+      SELECT shard, nt,
+             {bins_cols}
+      FROM (
+        SELECT shard, nt,
+               sum(nt) OVER (PARTITION BY shard
+                 ORDER BY ord, doc_id ROWS UNBOUNDED PRECEDING) - nt
+                 AS cum_before
+        FROM d
+      ) z
+    ),
+    swept AS (
+      {sweep}
+    )
+    SELECT * FROM swept ORDER BY token_budget
+    """
+
+
+@query(
+    "q371_pack_budget_sweep",
+    oracle=_pack_sweep_oracle(),
+    tags=("curation", "packing", "planning", "llm", "operator"),
+)
+def q371_pack_budget_sweep(spark, sf_dir):
+    """Pack-budget sweep (q371) — price the sequence-length menu:
+    for each candidate token budget, how many packed bins the corpus
+    needs (q78's greedy contiguous layout, md5 hex-digit shards) and
+    the mean bin fill. The bin assignment for EVERY budget derives
+    from the SAME per-shard running-token cumsum — one window pass
+    serves the whole sweep, because bin_B = floor(cum_before / B).
+
+    SCALE DESIGN: one per-shard window (shards scale with the
+    cluster), then ONE aggregate with per-budget distinct-bin
+    counters; no per-budget re-sort."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("nt"),
+        F.substring(
+            F.md5(F.concat(F.lit("pack-v1"), did)), 1, 1
+        ).alias("shard"),
+        F.substring(
+            F.md5(F.concat(F.lit("pack-v1"), did)), 1, 8
+        ).alias("ord"),
+    )
+    w = Window.partitionBy("shard").orderBy("ord", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    binned = d.select(
+        "shard",
+        "nt",
+        *[
+            F.floor((F.sum("nt").over(w) - F.col("nt")) / F.lit(float(b)))
+            .cast("long")
+            .alias(f"bin_{b}")
+            for b in PACK_SWEEP_BUDGETS
+        ],
+    )
+    agg = binned.agg(
+        F.sum("nt").cast("long").alias("tokens"),
+        *[
+            F.count_distinct(
+                F.concat(
+                    F.col("shard"),
+                    F.lit(":"),
+                    F.col(f"bin_{b}").cast("string"),
+                )
+            ).alias(f"nb_{b}")
+            for b in PACK_SWEEP_BUDGETS
+        ],
+    )
+    entries = [
+        F.struct(
+            F.lit(b).cast("long").alias("token_budget"),
+            F.col(f"nb_{b}").cast("long").alias("n_bins"),
+            F.col("tokens").alias("tokens"),
+            F.round(
+                F.col("tokens") * 1.0 / (F.col(f"nb_{b}") * F.lit(b)), 6
+            ).alias("fill_frac"),
+        )
+        for b in PACK_SWEEP_BUDGETS
+    ]
+    return (
+        agg.select(F.explode(F.array(*entries)).alias("s"))
+        .select("s.*")
+        .orderBy("token_budget")
+    )
+
+
+# --------------------------------------------------------------------------
+# q372 — Heaps-law vocabulary growth audit (tokenizer sizing)
+# --------------------------------------------------------------------------
+VOCAB_GROWTH_FRACS = (25, 50, 75, 100)
+
+
+def _vocab_growth_oracle() -> str:
+    h = (
+        "(('0x' || substr(md5('vg-' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8))::BIGINT % 100)"
+    )
+    sweep = "\n      UNION ALL\n      ".join(
+        f"""SELECT {p} AS pct,
+             CAST(count(DISTINCT CASE WHEN bucket < {p}
+                  THEN w END) AS BIGINT) AS vocab,
+             CAST(sum(CASE WHEN bucket < {p} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tokens
+      FROM words"""
+        for p in VOCAB_GROWTH_FRACS
+    )
+    return f"""
+    WITH words AS MATERIALIZED (
+      SELECT {h} AS bucket, w.w AS w
+      FROM documents, UNNEST(string_split(text, ' ')) AS w(w)
+    ),
+    swept AS (
+      {sweep}
+    )
+    SELECT pct, tokens, vocab,
+           round(vocab * 1.0 / tokens, 6) AS type_token_ratio
+    FROM swept
+    ORDER BY pct
+    """
+
+
+@query(
+    "q372_vocab_growth",
+    oracle=_vocab_growth_oracle(),
+    tags=("tokenizer", "planning", "audit", "llm", "operator"),
+)
+def q372_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth audit (q372) — tokenizer sizing
+    needs the vocabulary-vs-corpus curve: over nested md5-derived
+    corpus subsets (25/50/75/100% of documents), the running token
+    count, distinct-word vocabulary, and type-token ratio. Nested by
+    construction (bucket < p), so the curve is monotone and one scan
+    serves every point — the Heaps exponent falls out of any two
+    rows.
+
+    SCALE DESIGN: one corpus explode; ONE aggregate with per-point
+    conditional distinct counters (Spark plans stacked
+    count(DISTINCT CASE...) via expand — 4 aggregation lanes over
+    one shuffle, no re-scan per point)."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    bucket = md5_hash64(F.col("doc_id").cast("string"), "vg-") % 100
+    words = docs.select(
+        bucket.alias("bucket"),
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+    )
+    agg = words.agg(
+        *[
+            F.count_distinct(
+                F.when(F.col("bucket") < p, F.col("w"))
+            ).alias(f"v_{p}")
+            for p in VOCAB_GROWTH_FRACS
+        ],
+        *[
+            F.sum(
+                F.when(F.col("bucket") < p, 1).otherwise(0)
+            ).alias(f"t_{p}")
+            for p in VOCAB_GROWTH_FRACS
+        ],
+    )
+    entries = [
+        F.struct(
+            F.lit(p).cast("long").alias("pct"),
+            F.col(f"t_{p}").cast("long").alias("tokens"),
+            F.col(f"v_{p}").cast("long").alias("vocab"),
+            F.round(
+                F.col(f"v_{p}") * 1.0 / F.col(f"t_{p}"), 6
+            ).alias("type_token_ratio"),
+        )
+        for p in VOCAB_GROWTH_FRACS
+    ]
+    return (
+        agg.select(F.explode(F.array(*entries)).alias("s"))
+        .select("s.*")
+        .orderBy("pct")
+    )

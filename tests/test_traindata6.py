@@ -518,3 +518,222 @@ def test_q366_length_rebalance_matches_python_replica(spark):
             r["tokens"] * (all_tokens / (k * r["tokens"]))
             - all_tokens / k
         ) < 1e-6
+
+
+def test_q367_dpo_pairs_match_python_replica(spark):
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.queries.traindata6 import (
+        DPO_GROUP,
+        DPO_MARGINS,
+    )
+
+    ev = load_tables(spark, SF01, ["events"])["events"]
+    rows = ev.select("event_id").collect()
+    groups = {}
+    for r in rows:
+        eid = r["event_id"]
+        score = (_h32("dpo-", eid) % 1000) * DPO_GROUP + eid % DPO_GROUP
+        groups.setdefault(eid // DPO_GROUP, []).append(score)
+    margins = [max(v) - min(v) for v in groups.values()]
+    got = {
+        r["min_margin"]: r
+        for r in QUERIES["q367_dpo_pair_audit"].fn(spark, SF01).collect()
+    }
+    assert set(got) == set(DPO_MARGINS)
+    for m in DPO_MARGINS:
+        kept = [x for x in margins if x >= m]
+        r = got[m]
+        assert r["n_pairs"] == len(kept)
+        assert abs(
+            r["yield_frac"] - round(len(kept) / len(margins), 6)
+        ) < 1e-9
+        exp_mean = round(sum(kept) / len(kept), 6) if kept else 0.0
+        assert abs(r["mean_margin"] - exp_mean) < 1e-9
+    # sweep is monotone and non-degenerate both ways on this fixture
+    ms = sorted(got)
+    assert all(
+        got[a]["n_pairs"] >= got[b]["n_pairs"]
+        for a, b in zip(ms, ms[1:])
+    )
+    assert got[ms[0]]["n_pairs"] > 0
+
+
+def test_q368_kappa_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata6 import (
+        TS_AGREE_P,
+        TS_CLASSES,
+    )
+
+    rows = _docs(spark, ("doc_id", "source"))
+    per = {}
+    for r in rows:
+        did = r["doc_id"]
+        t = _h32("tcls-", did) % TS_CLASSES
+        u = (_h32("sagree-", did) + 0.5) / 4294967296.0
+        s = (
+            t
+            if u < TS_AGREE_P
+            else (t + 1 + _h32("scls-", did) % (TS_CLASSES - 1))
+            % TS_CLASSES
+        )
+        d = per.setdefault(
+            r["source"],
+            {"n": 0, "agree": 0,
+             "t": [0] * TS_CLASSES, "s": [0] * TS_CLASSES},
+        )
+        d["n"] += 1
+        d["agree"] += 1 if t == s else 0
+        d["t"][t] += 1
+        d["s"][s] += 1
+    got = QUERIES["q368_teacher_student_kappa"].fn(spark, SF01).collect()
+    assert len(got) == len(per)
+    for r in got:
+        d = per[r["source"]]
+        S = sum(a * b for a, b in zip(d["t"], d["s"]))
+        n = d["n"]
+        assert r["n"] == n
+        assert abs(r["agree_rate"] - round(d["agree"] / n, 6)) < 1e-9
+        assert abs(
+            r["kappa"]
+            - round((d["agree"] * n - S) / (n * n - S), 6)
+        ) < 1e-9
+        # agreement prob 0.7 over 4 classes: kappa materially positive
+        assert r["kappa"] > 0.3
+
+
+def test_q369_prefix_census_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata6 import PREFIX_TOKENS
+
+    rows = _docs(spark, ("source", "text"))
+    per = {}
+    for r in rows:
+        pfx = " ".join(r["text"].split(" ")[:PREFIX_TOKENS])
+        per.setdefault(r["source"], {}).setdefault(pfx, 0)
+        per[r["source"]][pfx] += 1
+    got = QUERIES["q369_prefix_dup_census"].fn(spark, SF01).collect()
+    assert len(got) == len(per)
+    saw_shared = False
+    for r in got:
+        counts = per[r["source"]]
+        n = sum(counts.values())
+        shared = sum(c for c in counts.values() if c >= 2)
+        assert r["n_docs"] == n
+        assert r["n_prefixes"] == len(counts)
+        assert r["docs_in_shared"] == shared
+        assert r["max_group"] == max(counts.values())
+        assert abs(r["shared_frac"] - round(shared / n, 6)) < 1e-9
+        saw_shared = saw_shared or shared > 0
+    assert saw_shared, "fixture vocabulary should collide on prefixes"
+
+
+def test_q370_alpha_sweep_matches_python_replica(spark):
+    import math
+
+    from etl_as_a_service_spark.queries.traindata6 import (
+        MIX_SWEEP_ALPHAS,
+        MIX_SWEEP_BUDGET,
+    )
+
+    rows = _docs(spark, ("source",))
+    counts = {}
+    for r in rows:
+        counts[r["source"]] = counts.get(r["source"], 0) + 1
+    got = QUERIES["q370_mixture_alpha_sweep"].fn(spark, SF01).collect()
+    assert len(got) == len(counts) * len(MIX_SWEEP_ALPHAS)
+    for r in got:
+        n = counts[r["source"]]
+        a = r["alpha"]
+        wfun = (
+            (lambda x: 1.0)
+            if a == 0.0
+            else (lambda x: float(x))
+            if a == 1.0
+            else (lambda x: math.sqrt(x))
+        )
+        den = sum(wfun(c) for c in counts.values())
+        rate = min(1.0, MIX_SWEEP_BUDGET * wfun(n) / den / n)
+        assert abs(r["rate"] - round(rate, 6)) < 1e-6
+        assert abs(r["expected_docs"] - round(rate * n, 6)) < 1e-5
+    # alpha=1 is share-proportional: expected docs equal across no —
+    # rates differ; instead check budget conservation per alpha
+    for a in MIX_SWEEP_ALPHAS:
+        tot = sum(r["expected_docs"] for r in got if r["alpha"] == a)
+        assert tot <= MIX_SWEEP_BUDGET + 1e-3 or any(
+            r["rate"] == 1.0 for r in got if r["alpha"] == a
+        )
+
+
+def test_q371_pack_sweep_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata6 import (
+        PACK_SWEEP_BUDGETS,
+    )
+
+    rows = _docs(spark, ("doc_id", "text"))
+    shards = {}
+    for r in rows:
+        did = r["doc_id"]
+        md5hex = hashlib.md5(f"pack-v1{did}".encode()).hexdigest()
+        shards.setdefault(md5hex[0], []).append(
+            (md5hex[:8], did, len(r["text"].split(" ")))
+        )
+    exp = {b: [0, 0] for b in PACK_SWEEP_BUDGETS}
+    total = 0
+    for members in shards.values():
+        members.sort()
+        cum = 0
+        seen = {b: set() for b in PACK_SWEEP_BUDGETS}
+        for _, _, nt in members:
+            for b in PACK_SWEEP_BUDGETS:
+                seen[b].add(cum // b)
+            cum += nt
+        total += cum
+        for b in PACK_SWEEP_BUDGETS:
+            exp[b][0] += len(seen[b])
+    got = {
+        r["token_budget"]: r
+        for r in QUERIES["q371_pack_budget_sweep"].fn(spark, SF01).collect()
+    }
+    for b in PACK_SWEEP_BUDGETS:
+        assert got[b]["n_bins"] == exp[b][0]
+        assert got[b]["tokens"] == total
+        assert abs(
+            got[b]["fill_frac"] - round(total / (exp[b][0] * b), 6)
+        ) < 1e-9
+    # bigger budgets need fewer bins
+    bs = sorted(got)
+    assert all(
+        got[a]["n_bins"] >= got[b]["n_bins"] for a, b in zip(bs, bs[1:])
+    )
+
+
+def test_q372_vocab_growth_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata6 import (
+        VOCAB_GROWTH_FRACS,
+    )
+
+    rows = _docs(spark, ("doc_id", "text"))
+    per = {p: [set(), 0] for p in VOCAB_GROWTH_FRACS}
+    for r in rows:
+        bucket = _h32("vg-", r["doc_id"]) % 100
+        toks = r["text"].split(" ")
+        for p in VOCAB_GROWTH_FRACS:
+            if bucket < p:
+                per[p][0].update(toks)
+                per[p][1] += len(toks)
+    got = {
+        r["pct"]: r
+        for r in QUERIES["q372_vocab_growth"].fn(spark, SF01).collect()
+    }
+    for p in VOCAB_GROWTH_FRACS:
+        vocab, toks = len(per[p][0]), per[p][1]
+        assert got[p]["vocab"] == vocab
+        assert got[p]["tokens"] == toks
+        assert abs(
+            got[p]["type_token_ratio"] - round(vocab / toks, 6)
+        ) < 1e-9
+    # nested subsets: vocab and tokens monotone, TTR non-increasing
+    ps = sorted(got)
+    for a, b in zip(ps, ps[1:]):
+        assert got[a]["vocab"] <= got[b]["vocab"]
+        assert got[a]["tokens"] <= got[b]["tokens"]
+        assert got[a]["type_token_ratio"] >= got[b]["type_token_ratio"]
