@@ -106,6 +106,9 @@ _ROTATE_FRONT = [
     "q370_mixture_alpha_sweep",
     "q371_pack_budget_sweep",
     "q372_vocab_growth",
+    "q373_snapshot_delta_dedup",
+    "q374_worst_group_audit",
+    "q375_utf8_cost_audit",
     "q36_multiset_ops",
     "q37_union_by_name",
     "q38_approx_count_distinct",
@@ -138,9 +141,6 @@ _ROTATE_FRONT = [
     "q112_mad_outliers",
     "q113_unpivot_metrics",
     "q116_cohort_retention",
-    "q120_bigram_lm_scores",
-    "q40_exact_dedup_groups",
-    "q41_exact_dedup_survivors",
 ]
 
 

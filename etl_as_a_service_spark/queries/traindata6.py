@@ -1812,3 +1812,262 @@ def q372_vocab_growth(spark, sf_dir):
         .select("s.*")
         .orderBy("pct")
     )
+
+
+# --------------------------------------------------------------------------
+# q373 — cross-snapshot delta dedup (novelty of the new snapshot)
+# --------------------------------------------------------------------------
+@query(
+    "q373_snapshot_delta_dedup",
+    oracle="""
+    WITH tagged AS (
+      SELECT source, md5(text) AS h,
+             (('0x' || substr(md5('snapdiff-'
+               || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 3) <> 0
+               AS in_a,
+             (('0x' || substr(md5('snapdiff-'
+               || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5) <> 0
+               AS in_b
+      FROM documents
+    ),
+    old_hashes AS (
+      SELECT DISTINCT h FROM tagged WHERE in_a
+    ),
+    fresh AS (
+      SELECT t.source, t.h, o.h IS NOT NULL AS dup_of_old
+      FROM tagged t LEFT JOIN old_hashes o ON t.h = o.h
+      WHERE t.in_b AND NOT t.in_a
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_new,
+           CAST(count_if(dup_of_old) AS BIGINT) AS n_dup_of_old,
+           CAST(count_if(NOT dup_of_old) AS BIGINT) AS n_novel,
+           round(count_if(NOT dup_of_old) * 1.0 / count(*), 6)
+             AS novelty_rate
+    FROM fresh
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("dedup", "versioning", "audit", "llm", "operator"),
+)
+def q373_snapshot_delta_dedup(spark, sf_dir):
+    """Cross-snapshot delta dedup (q373) — when a new crawl snapshot
+    lands, the question is not just how many documents are NEW (the
+    q362 id-level diff) but how many of the new ids carry TEXT the
+    old snapshot already had: a recrawl under a new id is zero new
+    training signal. Per source: new-doc count, new docs whose exact
+    text fingerprint already exists in the old snapshot, and the
+    novelty rate — the number an ingest gate reads before paying for
+    downstream processing. Snapshot membership reuses q362's
+    union-tag derivation (A = hash % 3 != 0, B = hash % 5 != 0).
+
+    SCALE DESIGN: one scan tags membership and fingerprints
+    (map-only md5); the old-snapshot fingerprint set is DISTINCT-
+    reduced before the join, and the join ships (hash) keys only —
+    at production scale this is a fingerprint-table semi-join, never
+    text x text."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    h = md5_hash64(F.col("doc_id").cast("string"), "snapdiff-")
+    tagged = docs.select(
+        "source",
+        F.md5(F.col("text")).alias("h"),
+        (h % 3 != 0).alias("in_a"),
+        (h % 5 != 0).alias("in_b"),
+    )
+    old = (
+        tagged.filter(F.col("in_a"))
+        .select("h")
+        .distinct()
+        .withColumn("__old", F.lit(1))
+    )
+    fresh = (
+        tagged.filter(F.col("in_b") & ~F.col("in_a"))
+        .join(old, "h", "left")
+        .select(
+            "source", F.col("__old").isNotNull().alias("dup_of_old")
+        )
+    )
+    return (
+        fresh.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_new"),
+            F.count_if(F.col("dup_of_old")).cast("long").alias(
+                "n_dup_of_old"
+            ),
+            F.count_if(~F.col("dup_of_old")).cast("long").alias(
+                "n_novel"
+            ),
+            F.round(
+                F.count_if(~F.col("dup_of_old"))
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q374 — worst-group robustness audit (DRO readout)
+# --------------------------------------------------------------------------
+WG_ACC_BASE = 0.9
+WG_ACC_SLOPE = 0.15
+
+
+@query(
+    "q374_worst_group_audit",
+    oracle=f"""
+    WITH graded AS (
+      SELECT source,
+             CASE WHEN len(string_split(text, ' ')) < 24
+                  THEN 'short' ELSE 'long' END AS band,
+             CASE WHEN ((('0x' || substr(md5('wg-'
+                    || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                    / 4294967296.0)
+                  < {WG_ACC_BASE} - {WG_ACC_SLOPE}
+                    * (CASE WHEN len(string_split(text, ' ')) < 24
+                       THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS correct
+      FROM documents
+    ),
+    per_group AS (
+      SELECT source, band,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(correct) AS BIGINT) AS ok
+      FROM graded GROUP BY source, band
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           round(sum(ok) * 1.0 / sum(n), 6) AS overall_acc,
+           round(min(ok * 1.0 / n), 6) AS worst_group_acc,
+           round(max(ok * 1.0 / n) - min(ok * 1.0 / n), 6)
+             AS group_gap
+    FROM per_group
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("evaluation", "robustness", "llm", "operator"),
+)
+def q374_worst_group_audit(spark, sf_dir):
+    """Worst-group robustness audit (q374) — the DRO readout: a
+    classifier's OVERALL accuracy hides the subgroup it fails on;
+    per source, report overall accuracy, the WORST (length-band)
+    group accuracy, and the best-worst gap. Correctness is
+    md5-synthesized with a planted band effect (short docs are
+    {WG_ACC_SLOPE} less accurate), so the gap is non-vacuous and the
+    worst group is identifiable.
+
+    Determinism: group accuracies are single divisions of integer
+    counts; min/max over the two band values per source compare
+    identical doubles on both engines.
+
+    SCALE DESIGN: grading is map-only; ONE (source, band) aggregate
+    then a (source) rollup — no join, no window."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    band = F.when(
+        F.size(F.split(F.col("text"), " ")) < 24, F.lit("short")
+    ).otherwise(F.lit("long"))
+    u = (
+        md5_hash64(F.col("doc_id").cast("string"), "wg-") + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    thresh = F.lit(WG_ACC_BASE) - F.lit(WG_ACC_SLOPE) * F.when(
+        F.size(F.split(F.col("text"), " ")) < 24, F.lit(1)
+    ).otherwise(F.lit(0))
+    graded = docs.select(
+        "source",
+        band.alias("band"),
+        F.when(u < thresh, F.lit(1)).otherwise(F.lit(0)).alias(
+            "correct"
+        ),
+    )
+    per_group = graded.groupBy("source", "band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("correct").alias("ok"),
+    )
+    acc = F.col("ok") * 1.0 / F.col("n")
+    return (
+        per_group.select("source", "n", "ok", acc.alias("acc"))
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.round(F.sum("ok") * 1.0 / F.sum("n"), 6).alias(
+                "overall_acc"
+            ),
+            F.round(F.min("acc"), 6).alias("worst_group_acc"),
+            F.round(F.max("acc") - F.min("acc"), 6).alias("group_gap"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q375 — UTF-8 cost audit (bytes per token per language)
+# --------------------------------------------------------------------------
+@query(
+    "q375_utf8_cost_audit",
+    oracle="""
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+             AS total_tokens,
+           round(sum(strlen(text)) * 1.0
+                 / sum(len(string_split(text, ' '))), 6)
+             AS bytes_per_token,
+           round(sum(strlen(text)) * 1.0 / sum(length(text)), 6)
+             AS bytes_per_char
+    FROM documents
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+    tags=("tokenizer", "encoding", "audit", "llm", "operator"),
+)
+def q375_utf8_cost_audit(spark, sf_dir):
+    """UTF-8 cost audit (q375) — byte-level tokenizers and storage
+    planners both need the bytes-per-token and bytes-per-char cost of
+    each (source, language) slice: multi-byte scripts can cost 3x the
+    bytes per token of ASCII English, which moves shard sizing,
+    network transfer, and BPE byte-fallback rates. One aggregate over
+    exact integer byte (octet_length / strlen), char, and
+    whitespace-token counts.
+
+    Cross-engine note: DuckDB's octet_length is BLOB-only — VARCHAR
+    byte length is strlen there, octet_length on the Spark side.
+
+    SCALE DESIGN: all counters are map-only codegen; ONE
+    (source, lang) aggregate with map-side partials."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.octet_length(F.col("text")))
+            .cast("long")
+            .alias("total_bytes"),
+            F.sum(F.length(F.col("text")))
+            .cast("long")
+            .alias("total_chars"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("long")
+            .alias("total_tokens"),
+            F.round(
+                F.sum(F.octet_length(F.col("text")))
+                * 1.0
+                / F.sum(F.size(F.split(F.col("text"), " "))),
+                6,
+            ).alias("bytes_per_token"),
+            F.round(
+                F.sum(F.octet_length(F.col("text")))
+                * 1.0
+                / F.sum(F.length(F.col("text"))),
+                6,
+            ).alias("bytes_per_char"),
+        )
+        .orderBy("source", "lang")
+    )

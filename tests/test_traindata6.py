@@ -737,3 +737,86 @@ def test_q372_vocab_growth_matches_python_replica(spark):
         assert got[a]["vocab"] <= got[b]["vocab"]
         assert got[a]["tokens"] <= got[b]["tokens"]
         assert got[a]["type_token_ratio"] >= got[b]["type_token_ratio"]
+
+
+def test_q373_delta_dedup_matches_python_replica(spark):
+    rows = _docs(spark, ("doc_id", "source", "text"))
+    old_hashes = set()
+    fresh = []
+    for r in rows:
+        h = _h32("snapdiff-", r["doc_id"])
+        in_a, in_b = h % 3 != 0, h % 5 != 0
+        th = hashlib.md5(r["text"].encode()).hexdigest()
+        if in_a:
+            old_hashes.add(th)
+        if in_b and not in_a:
+            fresh.append((r["source"], th))
+    per = {}
+    for src, th in fresh:
+        d = per.setdefault(src, [0, 0])
+        d[0] += 1
+        d[1] += 1 if th in old_hashes else 0
+    got = QUERIES["q373_snapshot_delta_dedup"].fn(spark, SF01).collect()
+    assert len(got) == len(per)
+    for r in got:
+        n, dup = per[r["source"]]
+        assert r["n_new"] == n
+        assert r["n_dup_of_old"] == dup
+        assert r["n_novel"] == n - dup
+        assert abs(r["novelty_rate"] - round((n - dup) / n, 6)) < 1e-9
+    # memory: fixture has no exact text dups below sf0.1 -> at sf0.01
+    # all new docs are novel; the replica derives it either way
+    assert all(r["n_novel"] > 0 for r in got)
+
+
+def test_q374_worst_group_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata6 import (
+        WG_ACC_BASE,
+        WG_ACC_SLOPE,
+    )
+
+    rows = _docs(spark, ("doc_id", "source", "text"))
+    per = {}
+    for r in rows:
+        short = len(r["text"].split(" ")) < 24
+        u = (_h32("wg-", r["doc_id"]) + 0.5) / 4294967296.0
+        ok = 1 if u < WG_ACC_BASE - WG_ACC_SLOPE * short else 0
+        d = per.setdefault(r["source"], {})
+        g = d.setdefault("short" if short else "long", [0, 0])
+        g[0] += 1
+        g[1] += ok
+    got = QUERIES["q374_worst_group_audit"].fn(spark, SF01).collect()
+    assert len(got) == len(per)
+    planted_gap = 0
+    for r in got:
+        groups = per[r["source"]]
+        n = sum(g[0] for g in groups.values())
+        ok = sum(g[1] for g in groups.values())
+        accs = [g[1] / g[0] for g in groups.values()]
+        assert r["n_docs"] == n
+        assert abs(r["overall_acc"] - round(ok / n, 6)) < 1e-9
+        assert abs(r["worst_group_acc"] - round(min(accs), 6)) < 1e-9
+        assert abs(
+            r["group_gap"] - round(max(accs) - min(accs), 6)
+        ) < 1e-9
+        planted_gap += r["group_gap"]
+    assert planted_gap > 0, "the planted band effect must show a gap"
+
+
+def test_q375_utf8_cost_matches_python_replica(spark):
+    rows = _docs(spark, ("source", "lang", "text"))
+    per = {}
+    for r in rows:
+        d = per.setdefault((r["source"], r["lang"]), [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += len(r["text"].encode("utf-8"))
+        d[2] += len(r["text"])
+        d[3] += len(r["text"].split(" "))
+    got = QUERIES["q375_utf8_cost_audit"].fn(spark, SF01).collect()
+    assert len(got) == len(per)
+    for r in got:
+        n, b, c, t = per[(r["source"], r["lang"])]
+        assert (r["n_docs"], r["total_bytes"], r["total_chars"],
+                r["total_tokens"]) == (n, b, c, t)
+        assert abs(r["bytes_per_token"] - round(b / t, 6)) < 1e-9
+        assert abs(r["bytes_per_char"] - round(b / c, 6)) < 1e-9
