@@ -109,6 +109,9 @@ _ROTATE_FRONT = [
     "q373_snapshot_delta_dedup",
     "q374_worst_group_audit",
     "q375_utf8_cost_audit",
+    "q376_wilson_gate_ranking",
+    "q377_embedding_spread",
+    "q378_span_corruption_plan",
     "q36_multiset_ops",
     "q37_union_by_name",
     "q38_approx_count_distinct",
@@ -138,9 +141,6 @@ _ROTATE_FRONT = [
     "q103_banded_range_join",
     "q108_weighted_sample",
     "q109_linear_interpolation",
-    "q112_mad_outliers",
-    "q113_unpivot_metrics",
-    "q116_cohort_retention",
 ]
 
 

@@ -2071,3 +2071,286 @@ def q375_utf8_cost_audit(spark, sf_dir):
         )
         .orderBy("source", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q376 — Wilson lower-bound gate ranking (small-sample-safe pass rates)
+# --------------------------------------------------------------------------
+WILSON_Z = 1.96
+WILSON_PASS_UW = 0.7
+
+
+@query(
+    "q376_wilson_gate_ranking",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source,
+             CASE WHEN len(list_distinct(string_split(text, ' ')))
+                    * 1.0 / len(string_split(text, ' '))
+                    >= {WILSON_PASS_UW}
+                  THEN 1 ELSE 0 END AS pass
+      FROM documents
+    ),
+    rates AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pass) AS BIGINT) AS k,
+             sum(pass) * 1.0 / count(*) AS p
+      FROM scored GROUP BY source
+    )
+    SELECT source, n, k,
+           round(p, 6) AS pass_rate,
+           round((p + {WILSON_Z} * {WILSON_Z} / (2 * n)
+                  - {WILSON_Z} * sqrt(p * (1 - p) / n
+                    + {WILSON_Z} * {WILSON_Z} / (4.0 * n * n)))
+                 / (1 + {WILSON_Z} * {WILSON_Z} / n), 6)
+             AS wilson_lb
+    FROM rates
+    ORDER BY source
+    """,
+    tags=("quality", "statistics", "audit", "llm", "operator"),
+)
+def q376_wilson_gate_ranking(spark, sf_dir):
+    """Wilson lower-bound gate ranking (q376) — comparing sources by
+    raw quality-gate pass rate flatters small samples (3/3 beats
+    900/1000); the Wilson score interval's lower bound is the
+    small-sample-safe ranking key every gate dashboard should sort
+    by. Pass = unique-word ratio >= {WILSON_PASS_UW} (the q360
+    score); z = {WILSON_Z} literal.
+
+    Determinism: p is a single division of integer counts; the only
+    non-rational step is ONE sqrt — IEEE-correctly-rounded, so both
+    engines produce the identical double (the q370 rationale); no
+    general libm call.
+
+    SCALE DESIGN: scoring is map-only; ONE (source)-grain aggregate;
+    the bound is row-local arithmetic — no window, no join (the
+    ranking itself is the consumer's ORDER BY)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    passed = F.when(
+        F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)
+        >= WILSON_PASS_UW,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    rates = (
+        docs.select("source", passed.alias("pass"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pass").cast("long").alias("k"),
+        )
+    )
+    n = F.col("n")
+    p = F.col("k") * 1.0 / n
+    z2 = WILSON_Z * WILSON_Z
+    lb = (
+        p
+        + F.lit(z2) / (2 * n)
+        - F.lit(WILSON_Z)
+        * F.sqrt(p * (1 - p) / n + F.lit(z2) / (4.0 * n * n))
+    ) / (1 + F.lit(z2) / n)
+    return rates.select(
+        "source",
+        "n",
+        "k",
+        F.round(p, 6).alias("pass_rate"),
+        F.round(lb, 6).alias("wilson_lb"),
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# q377 — embedding centroid-spread diversity (quantized, oracle-checked)
+# --------------------------------------------------------------------------
+EMB_QUANT = 1000
+
+
+@query(
+    "q377_embedding_spread",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {EMB_QUANT})
+                    AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    self_dots AS (
+      SELECT label,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(list_aggregate(list_transform(qv, x -> x * x),
+                  'sum')) AS BIGINT) AS t
+      FROM q GROUP BY label
+    ),
+    dims AS (
+      SELECT label, i.i AS dim, CAST(sum(qv[i.i + 1]) AS BIGINT) AS s
+      FROM q, UNNEST(range(0, len(qv))) AS i(i)
+      GROUP BY label, i.i
+    ),
+    cent AS (
+      SELECT label, CAST(sum(s * s) AS BIGINT) AS s2
+      FROM dims GROUP BY label
+    )
+    SELECT d.label,
+           d.n,
+           round(d.t * 1.0 / (d.n * {EMB_QUANT * EMB_QUANT}.0), 6)
+             AS mean_self_dot,
+           round((c.s2 - d.t) * 1.0
+                 / (d.n * (d.n - 1) * {EMB_QUANT * EMB_QUANT}.0), 6)
+             AS mean_pair_dot
+    FROM self_dots d JOIN cent c ON d.label = c.label
+    ORDER BY d.label
+    """,
+    tags=("embeddings", "diversity", "audit", "llm", "operator"),
+)
+def q377_embedding_spread(spark, sf_dir):
+    """Embedding centroid-spread diversity audit (q377) — per label
+    cluster, the mean pairwise dot product of its embeddings via the
+    centroid identity Σ_pairs u·v = (‖Σv‖² - Σ‖v‖²) / 2 — NO pair
+    join, two aggregates regardless of cluster size. High
+    mean-pair-dot = a tight (redundant) cluster; against
+    mean-self-dot it is the within-cluster cosine concentration the
+    SemDeDup threshold should be tuned to.
+
+    This is the first ORACLE-CHECKED embedding-column operator (the
+    ANN/SemDeDup family is rows-only): embeddings are QUANTIZED to
+    round(x·{EMB_QUANT}) BIGINTs first, so every sum is exact
+    integer arithmetic and engine summation order cannot move the
+    result — float dot products would differ in the last ulp across
+    engines.
+
+    SCALE DESIGN: quantization is map-only; ‖Σv‖² needs a per-(label,
+    dim) sum — a posexplode to 64·n rows with map-side partial sums
+    (dims are bounded); Σ‖v‖² is row-local then one aggregate. No
+    vector ever pairs with another."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * EMB_QUANT).cast("long"),
+    )
+    q = emb.select("vec_id", "label", qv.alias("qv"))
+    self_dots = q.select(
+        "label",
+        F.aggregate(
+            F.transform(F.col("qv"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sd"),
+    ).groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("sd").cast("long").alias("t"),
+    )
+    dims = (
+        q.select("label", F.posexplode(F.col("qv")).alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.sum("x").cast("long").alias("s"))
+    )
+    cent = dims.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("s2")
+    )
+    qq = float(EMB_QUANT * EMB_QUANT)
+    return (
+        self_dots.join(cent, "label")
+        .select(
+            "label",
+            "n",
+            F.round(F.col("t") * 1.0 / (F.col("n") * qq), 6).alias(
+                "mean_self_dot"
+            ),
+            F.round(
+                (F.col("s2") - F.col("t"))
+                * 1.0
+                / (F.col("n") * (F.col("n") - 1) * qq),
+                6,
+            ).alias("mean_pair_dot"),
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# q378 — span-corruption (T5) masking plan
+# --------------------------------------------------------------------------
+SPAN_CORRUPT_RATE_PCT = 15
+SPAN_MEAN_LEN = 3
+
+
+@query(
+    "q378_span_corruption_plan",
+    oracle=f"""
+    WITH planned AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS nt,
+             CAST(floor(len(string_split(text, ' '))
+               * {SPAN_CORRUPT_RATE_PCT} / 100.0) AS BIGINT)
+               AS n_corrupt,
+             CAST(ceil(floor(len(string_split(text, ' '))
+               * {SPAN_CORRUPT_RATE_PCT} / 100.0)
+               / {SPAN_MEAN_LEN}.0) AS BIGINT) AS n_spans
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS input_tokens,
+           CAST(sum(n_corrupt) AS BIGINT) AS corrupted_tokens,
+           CAST(sum(n_spans) AS BIGINT) AS n_spans,
+           CAST(sum(nt - n_corrupt + n_spans) AS BIGINT)
+             AS encoder_tokens,
+           CAST(sum(n_corrupt + 2 * n_spans) AS BIGINT)
+             AS decoder_tokens,
+           round(sum(n_corrupt) * 1.0 / sum(nt), 6) AS corrupt_frac
+    FROM planned
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("pretraining", "planning", "llm", "operator"),
+)
+def q378_span_corruption_plan(spark, sf_dir):
+    """Span-corruption (T5) masking plan (q378) — before building a
+    denoising dataset, budget it: with corruption rate
+    {SPAN_CORRUPT_RATE_PCT}% and mean span length {SPAN_MEAN_LEN},
+    each doc contributes floor(nt·r) corrupted tokens in
+    ceil(corrupt/{SPAN_MEAN_LEN}) spans; encoder input shrinks to
+    nt - corrupt + spans (one sentinel per span), decoder target is
+    corrupt + 2·spans (sentinel + EOS per span). Per-source totals
+    tell the capacity planner the real encoder/decoder token bill —
+    which differs from raw token mass by the sentinel overhead.
+
+    Determinism: all quantities are floor/ceil of exact integer
+    arithmetic; sums are integer sums.
+
+    SCALE DESIGN: the plan is a map-only projection; ONE
+    (source)-grain integer aggregate."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    nt = F.size(F.split(F.col("text"), " "))
+    n_corrupt = F.floor(nt * SPAN_CORRUPT_RATE_PCT / 100.0).cast("long")
+    n_spans = F.ceil(n_corrupt / float(SPAN_MEAN_LEN)).cast("long")
+    planned = docs.select(
+        "source",
+        nt.alias("nt"),
+        n_corrupt.alias("n_corrupt"),
+        n_spans.alias("n_spans"),
+    )
+    return (
+        planned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("input_tokens"),
+            F.sum("n_corrupt").cast("long").alias("corrupted_tokens"),
+            F.sum("n_spans").cast("long").alias("n_spans"),
+            F.sum(
+                F.col("nt") - F.col("n_corrupt") + F.col("n_spans")
+            )
+            .cast("long")
+            .alias("encoder_tokens"),
+            F.sum(F.col("n_corrupt") + 2 * F.col("n_spans"))
+            .cast("long")
+            .alias("decoder_tokens"),
+            F.round(
+                F.sum("n_corrupt") * 1.0 / F.sum("nt"), 6
+            ).alias("corrupt_frac"),
+        )
+        .orderBy("source")
+    )

@@ -820,3 +820,107 @@ def test_q375_utf8_cost_matches_python_replica(spark):
                 r["total_tokens"]) == (n, b, c, t)
         assert abs(r["bytes_per_token"] - round(b / t, 6)) < 1e-9
         assert abs(r["bytes_per_char"] - round(b / c, 6)) < 1e-9
+
+
+def test_q376_wilson_matches_python_replica(spark):
+    import math
+
+    from etl_as_a_service_spark.queries.traindata6 import (
+        WILSON_PASS_UW,
+        WILSON_Z,
+    )
+
+    rows = _docs(spark, ("source", "text"))
+    per = {}
+    for r in rows:
+        toks = r["text"].split(" ")
+        ok = 1 if len(set(toks)) / len(toks) >= WILSON_PASS_UW else 0
+        d = per.setdefault(r["source"], [0, 0])
+        d[0] += 1
+        d[1] += ok
+    got = QUERIES["q376_wilson_gate_ranking"].fn(spark, SF01).collect()
+    assert len(got) == len(per)
+    z = WILSON_Z
+    for r in got:
+        n, k = per[r["source"]]
+        p = k / n
+        lb = (
+            p + z * z / (2 * n)
+            - z * math.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+        ) / (1 + z * z / n)
+        assert (r["n"], r["k"]) == (n, k)
+        assert abs(r["pass_rate"] - round(p, 6)) < 1e-9
+        assert abs(r["wilson_lb"] - round(lb, 6)) < 1e-9
+        # the bound is a strict lower bound for 0 < p < 1 samples
+        if 0 < p < 1:
+            assert r["wilson_lb"] < r["pass_rate"]
+
+
+def test_q377_embedding_spread_matches_python_replica(spark):
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.queries.traindata6 import EMB_QUANT
+
+    emb = load_tables(spark, SF01, ["embeddings"])["embeddings"]
+    rows = emb.select("label", "embedding").collect()
+    per = {}
+    for r in rows:
+        qv = [
+            int(round(float(x) * EMB_QUANT)) for x in r["embedding"]
+        ]
+        d = per.setdefault(r["label"], {"n": 0, "t": 0, "s": None})
+        d["n"] += 1
+        d["t"] += sum(x * x for x in qv)
+        d["s"] = (
+            qv
+            if d["s"] is None
+            else [a + b for a, b in zip(d["s"], qv)]
+        )
+    got = QUERIES["q377_embedding_spread"].fn(spark, SF01).collect()
+    assert len(got) == len(per)
+    qq = EMB_QUANT * EMB_QUANT
+    for r in got:
+        d = per[r["label"]]
+        s2 = sum(x * x for x in d["s"])
+        assert r["n"] == d["n"]
+        assert abs(
+            r["mean_self_dot"] - round(d["t"] / (d["n"] * qq), 6)
+        ) < 1e-9
+        assert abs(
+            r["mean_pair_dot"]
+            - round((s2 - d["t"]) / (d["n"] * (d["n"] - 1) * qq), 6)
+        ) < 1e-9
+        # labels are real clusters: pairs inside a label correlate
+        # positively and self-dot dominates pair-dot
+        assert r["mean_self_dot"] > r["mean_pair_dot"]
+
+
+def test_q378_span_plan_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata6 import (
+        SPAN_CORRUPT_RATE_PCT,
+        SPAN_MEAN_LEN,
+    )
+
+    import math
+
+    rows = _docs(spark, ("source", "text"))
+    per = {}
+    for r in rows:
+        nt = len(r["text"].split(" "))
+        nc = math.floor(nt * SPAN_CORRUPT_RATE_PCT / 100.0)
+        ns = math.ceil(nc / SPAN_MEAN_LEN)
+        d = per.setdefault(r["source"], [0, 0, 0, 0, 0, 0])
+        d[0] += 1
+        d[1] += nt
+        d[2] += nc
+        d[3] += ns
+        d[4] += nt - nc + ns
+        d[5] += nc + 2 * ns
+    got = QUERIES["q378_span_corruption_plan"].fn(spark, SF01).collect()
+    assert len(got) == len(per)
+    for r in got:
+        d = per[r["source"]]
+        assert (
+            r["n_docs"], r["input_tokens"], r["corrupted_tokens"],
+            r["n_spans"], r["encoder_tokens"], r["decoder_tokens"],
+        ) == tuple(d)
+        assert abs(r["corrupt_frac"] - round(d[2] / d[1], 6)) < 1e-9
