@@ -112,6 +112,9 @@ _ROTATE_FRONT = [
     "q376_wilson_gate_ranking",
     "q377_embedding_spread",
     "q378_span_corruption_plan",
+    "q379_key_skew_profile",
+    "q380_bloom_sizing_plan",
+    "q381_chunk_overlap_plan",
     "q36_multiset_ops",
     "q37_union_by_name",
     "q38_approx_count_distinct",
@@ -138,9 +141,6 @@ _ROTATE_FRONT = [
     "q99_ewma_per_user",
     "q101_fuzzy_nation_match",
     "q102_pii_scan_report",
-    "q103_banded_range_join",
-    "q108_weighted_sample",
-    "q109_linear_interpolation",
 ]
 
 

@@ -2354,3 +2354,263 @@ def q378_span_corruption_plan(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q379 — join-key skew profiler (pre-shuffle planning census)
+# --------------------------------------------------------------------------
+SKEW_KEY_CANDIDATES = ("source", "lang", "len_band")
+
+
+@query(
+    "q379_key_skew_profile",
+    oracle="""
+    WITH keyed AS (
+      SELECT 'source' AS key_col, source AS k FROM documents
+      UNION ALL
+      SELECT 'lang', lang FROM documents
+      UNION ALL
+      SELECT 'len_band',
+             CAST(CAST(floor(n_chars / 100.0) AS BIGINT) AS VARCHAR)
+      FROM documents
+    ),
+    counts AS (
+      SELECT key_col, k, count(*) AS c
+      FROM keyed GROUP BY key_col, k
+    )
+    SELECT key_col,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS top_key_rows,
+           round(max(c) * 1.0 / sum(c), 6) AS top_share,
+           round(sum(c * c) * 1.0 / (sum(c) * sum(c)), 6) AS hhi,
+           round(max(c) * count(*) * 1.0 / sum(c), 6)
+             AS skew_factor
+    FROM counts
+    GROUP BY key_col
+    ORDER BY key_col
+    """,
+    tags=("scale", "skew", "planning", "operator"),
+)
+def q379_key_skew_profile(spark, sf_dir):
+    """Join-key skew profiler (q379) — before keying a shuffle on a
+    column, profile it: per candidate key, the key count, the hottest
+    key's row share, the Herfindahl concentration Σp² (computed from
+    the exact integer Σc², the q365 discipline), and the skew factor
+    max/mean — the number that says whether AQE skew-split, salting,
+    or a different key is needed (skew_factor ~ 1 is uniform; ≥ 5
+    means the hottest partition dominates the stage). The profiling
+    pass a 100 TB join should ALWAYS run first, as one query.
+
+    SCALE DESIGN: the candidate stack is a union of map-only
+    projections; ONE (key_col, key) aggregate then a (key_col)
+    rollup — the profile never ships rows, only counts."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    keyed = (
+        docs.select(F.lit("source").alias("key_col"),
+                    F.col("source").alias("k"))
+        .unionByName(
+            docs.select(F.lit("lang").alias("key_col"),
+                        F.col("lang").alias("k"))
+        )
+        .unionByName(
+            docs.select(
+                F.lit("len_band").alias("key_col"),
+                F.floor(F.col("n_chars") / 100.0)
+                .cast("long")
+                .cast("string")
+                .alias("k"),
+            )
+        )
+    )
+    counts = keyed.groupBy("key_col", "k").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        counts.groupBy("key_col")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.max("c").cast("long").alias("top_key_rows"),
+            F.round(F.max("c") * 1.0 / F.sum("c"), 6).alias(
+                "top_share"
+            ),
+            F.round(
+                F.sum(F.col("c") * F.col("c"))
+                * 1.0
+                / (F.sum("c") * F.sum("c")),
+                6,
+            ).alias("hhi"),
+            F.round(
+                F.max("c") * F.count(F.lit(1)) * 1.0 / F.sum("c"), 6
+            ).alias("skew_factor"),
+        )
+        .orderBy("key_col")
+    )
+
+
+# --------------------------------------------------------------------------
+# q380 — Bloom-filter sizing planner (for the streaming dedup face)
+# --------------------------------------------------------------------------
+#: ln(2)^2 and -ln(p)/ln(2)^2 pre-evaluated in PYTHON to literal
+#: doubles — neither engine calls libm log at query time
+BLOOM_FPR_GRID = (0.01, 0.001, 0.0001)
+_BITS_PER_KEY = {
+    0.01: 9.585058377367439,
+    0.001: 14.37758756605116,
+    0.0001: 19.170116754734877,
+}
+_HASHES = {0.01: 7, 0.001: 10, 0.0001: 13}
+
+
+def _bloom_plan_oracle() -> str:
+    sweep = "\n      UNION ALL\n      ".join(
+        f"""SELECT source, n_keys, {p} AS target_fpr,
+             CAST(ceil(n_keys * {_BITS_PER_KEY[p]}) AS BIGINT)
+               AS bits,
+             round(ceil(n_keys * {_BITS_PER_KEY[p]})
+                   / 8388608.0, 6) AS mib,
+             CAST({_HASHES[p]} AS BIGINT) AS n_hashes
+      FROM per_source"""
+        for p in BLOOM_FPR_GRID
+    )
+    return f"""
+    WITH per_source AS MATERIALIZED (
+      SELECT source,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_keys
+      FROM documents GROUP BY source
+    ),
+    swept AS (
+      {sweep}
+    )
+    SELECT * FROM swept ORDER BY source, target_fpr
+    """
+
+
+@query(
+    "q380_bloom_sizing_plan",
+    oracle=_bloom_plan_oracle(),
+    tags=("dedup", "streaming", "planning", "scale", "operator"),
+)
+def q380_bloom_sizing_plan(spark, sf_dir):
+    """Bloom-filter sizing planner (q380) — the streaming Bloom dedup
+    face (streaming/ops.streaming_bloom_dedup) keeps BOUNDED state,
+    but only if sized to the stream's distinct-key horizon: per
+    source, the exact distinct-fingerprint count and, for each target
+    false-positive rate, the optimal bitset size m = ceil(n·
+    (-ln p / ln²2)) and hash count k. The -ln p / ln²2 factors are
+    PRE-EVALUATED python literals (9.585…, 14.377…, 19.170… bits per
+    key), so neither engine calls libm at query time (the q364
+    discipline).
+
+    SCALE DESIGN: one exact distinct-count aggregate per source
+    (hash-grain, map-side partial); the sweep is literal arithmetic
+    on the |sources|-row frame."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count_distinct(F.md5(F.col("text")))
+        .cast("long")
+        .alias("n_keys")
+    )
+    entries = [
+        F.struct(
+            F.lit(p).alias("target_fpr"),
+            F.ceil(F.col("n_keys") * F.lit(_BITS_PER_KEY[p]))
+            .cast("long")
+            .alias("bits"),
+            F.round(
+                F.ceil(F.col("n_keys") * F.lit(_BITS_PER_KEY[p]))
+                / F.lit(8388608.0),
+                6,
+            ).alias("mib"),
+            F.lit(_HASHES[p]).cast("long").alias("n_hashes"),
+        )
+        for p in BLOOM_FPR_GRID
+    ]
+    return (
+        per_source.select(
+            "source", "n_keys", F.explode(F.array(*entries)).alias("s")
+        )
+        .select("source", "n_keys", "s.*")
+        .orderBy("source", "target_fpr")
+    )
+
+
+# --------------------------------------------------------------------------
+# q381 — RAG chunk-overlap coverage plan
+# --------------------------------------------------------------------------
+RAG_CHUNK_TOKENS = 16
+RAG_CHUNK_STRIDE = 12
+
+
+@query(
+    "q381_chunk_overlap_plan",
+    oracle=f"""
+    WITH planned AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS nt,
+             CASE WHEN len(string_split(text, ' '))
+                    <= {RAG_CHUNK_TOKENS} THEN 1
+                  ELSE CAST(ceil((len(string_split(text, ' '))
+                    - {RAG_CHUNK_TOKENS})
+                    / {RAG_CHUNK_STRIDE}.0) AS BIGINT) + 1
+             END AS n_chunks
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS input_tokens,
+           CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(sum(least(nt, n_chunks * {RAG_CHUNK_TOKENS}))
+                AS BIGINT) AS chunk_token_capacity,
+           round(sum(least(nt, n_chunks * {RAG_CHUNK_TOKENS})) * 1.0
+                 / sum(nt), 6) AS duplication_factor
+    FROM planned
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("rag", "chunking", "planning", "llm", "operator"),
+)
+def q381_chunk_overlap_plan(spark, sf_dir):
+    """RAG chunk-overlap coverage plan (q381) — sliding-window
+    chunking ({RAG_CHUNK_TOKENS}-token windows, stride
+    {RAG_CHUNK_STRIDE}) re-indexes overlap tokens in multiple
+    chunks: before building the index, budget it. Per source: chunk
+    count (ceil((nt - K)/S) + 1, one chunk for short docs), the
+    chunk token capacity (capped at n_chunks·K but never below the
+    doc for the short case — least(nt, ...)), and the duplication
+    factor the vector store will pay versus raw token mass.
+
+    Determinism: ceil of exact integer-over-literal quotients;
+    integer sums.
+
+    SCALE DESIGN: map-only projection + ONE (source)-grain integer
+    aggregate — the plan costs one scan; the chunking itself (the
+    rag_chunk op) is what it prices."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    nt = F.size(F.split(F.col("text"), " "))
+    n_chunks = F.when(nt <= RAG_CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.ceil(
+            (nt - RAG_CHUNK_TOKENS) / float(RAG_CHUNK_STRIDE)
+        ).cast("long")
+        + 1
+    )
+    planned = docs.select(
+        "source", nt.alias("nt"), n_chunks.alias("n_chunks")
+    )
+    cap = F.least(
+        F.col("nt"), F.col("n_chunks") * RAG_CHUNK_TOKENS
+    )
+    return (
+        planned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("input_tokens"),
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.sum(cap).cast("long").alias("chunk_token_capacity"),
+            F.round(F.sum(cap) * 1.0 / F.sum("nt"), 6).alias(
+                "duplication_factor"
+            ),
+        )
+        .orderBy("source")
+    )

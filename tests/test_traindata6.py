@@ -924,3 +924,108 @@ def test_q378_span_plan_matches_python_replica(spark):
             r["n_spans"], r["encoder_tokens"], r["decoder_tokens"],
         ) == tuple(d)
         assert abs(r["corrupt_frac"] - round(d[2] / d[1], 6)) < 1e-9
+
+
+def test_q379_skew_profile_matches_python_replica(spark):
+    rows = _docs(spark, ("source", "lang", "n_chars"))
+    keyed = {"source": {}, "lang": {}, "len_band": {}}
+    for r in rows:
+        keyed["source"][r["source"]] = (
+            keyed["source"].get(r["source"], 0) + 1
+        )
+        keyed["lang"][r["lang"]] = keyed["lang"].get(r["lang"], 0) + 1
+        band = str(int(r["n_chars"] // 100))
+        keyed["len_band"][band] = keyed["len_band"].get(band, 0) + 1
+    got = {
+        r["key_col"]: r
+        for r in QUERIES["q379_key_skew_profile"].fn(spark, SF01).collect()
+    }
+    assert set(got) == set(keyed)
+    for kc, counts in keyed.items():
+        n = sum(counts.values())
+        mx = max(counts.values())
+        c2 = sum(c * c for c in counts.values())
+        r = got[kc]
+        assert r["n_keys"] == len(counts)
+        assert r["n_rows"] == n and r["top_key_rows"] == mx
+        assert abs(r["top_share"] - round(mx / n, 6)) < 1e-9
+        assert abs(r["hhi"] - round(c2 / (n * n), 6)) < 1e-9
+        assert abs(
+            r["skew_factor"] - round(mx * len(counts) / n, 6)
+        ) < 1e-9
+    # uniform-by-construction fixture keys profile near 1; a key with
+    # few values (lang) concentrates -> hhi reflects it
+    assert got["source"]["skew_factor"] < 2.0
+
+
+def test_q380_bloom_plan_matches_python_replica(spark):
+    import math
+
+    from etl_as_a_service_spark.queries.traindata6 import (
+        BLOOM_FPR_GRID,
+        _BITS_PER_KEY,
+        _HASHES,
+    )
+
+    # the literals are the real Bloom optimum, frozen
+    for p in BLOOM_FPR_GRID:
+        assert abs(
+            _BITS_PER_KEY[p] - (-math.log(p) / math.log(2) ** 2)
+        ) < 1e-12
+        assert _HASHES[p] == round(
+            _BITS_PER_KEY[p] * math.log(2)
+        )
+    rows = _docs(spark, ("source", "text"))
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], set()).add(
+            hashlib.md5(r["text"].encode()).hexdigest()
+        )
+    got = QUERIES["q380_bloom_sizing_plan"].fn(spark, SF01).collect()
+    assert len(got) == len(per) * len(BLOOM_FPR_GRID)
+    for r in got:
+        n = len(per[r["source"]])
+        assert r["n_keys"] == n
+        bits = math.ceil(n * _BITS_PER_KEY[r["target_fpr"]])
+        assert r["bits"] == bits
+        assert abs(r["mib"] - round(bits / 8388608.0, 6)) < 1e-9
+        assert r["n_hashes"] == _HASHES[r["target_fpr"]]
+
+
+def test_q381_chunk_plan_matches_python_replica(spark):
+    import math
+
+    from etl_as_a_service_spark.queries.traindata6 import (
+        RAG_CHUNK_STRIDE,
+        RAG_CHUNK_TOKENS,
+    )
+
+    rows = _docs(spark, ("source", "text"))
+    per = {}
+    for r in rows:
+        nt = len(r["text"].split(" "))
+        nc = (
+            1
+            if nt <= RAG_CHUNK_TOKENS
+            else math.ceil((nt - RAG_CHUNK_TOKENS) / RAG_CHUNK_STRIDE)
+            + 1
+        )
+        d = per.setdefault(r["source"], [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += nt
+        d[2] += nc
+        d[3] += min(nt, nc * RAG_CHUNK_TOKENS)
+    got = QUERIES["q381_chunk_overlap_plan"].fn(spark, SF01).collect()
+    assert len(got) == len(per)
+    for r in got:
+        d = per[r["source"]]
+        assert (
+            r["n_docs"], r["input_tokens"], r["n_chunks"],
+            r["chunk_token_capacity"],
+        ) == tuple(d)
+        assert abs(
+            r["duplication_factor"] - round(d[3] / d[1], 6)
+        ) < 1e-9
+        # overlap always costs: capacity >= input for overlapping
+        # windows on long docs
+        assert r["duplication_factor"] >= 0.999999 or d[1] <= d[0] * RAG_CHUNK_TOKENS
