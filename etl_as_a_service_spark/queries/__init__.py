@@ -115,6 +115,9 @@ _ROTATE_FRONT = [
     "q379_key_skew_profile",
     "q380_bloom_sizing_plan",
     "q381_chunk_overlap_plan",
+    "q382_conversation_balance",
+    "q383_event_cadence",
+    "q384_neardup_transitivity",
     "q36_multiset_ops",
     "q37_union_by_name",
     "q38_approx_count_distinct",
@@ -138,9 +141,6 @@ _ROTATE_FRONT = [
     "q95_incremental_dedup",
     "q96_event_conversion_funnel",
     "q97_percentile_trim",
-    "q99_ewma_per_user",
-    "q101_fuzzy_nation_match",
-    "q102_pii_scan_report",
 ]
 
 

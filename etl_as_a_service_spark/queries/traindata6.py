@@ -2614,3 +2614,350 @@ def q381_chunk_overlap_plan(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q382 — multi-turn conversation balance audit (SFT deck shape)
+# --------------------------------------------------------------------------
+CONV_MAX_TURNS = 6
+
+
+@query(
+    "q382_conversation_balance",
+    oracle=f"""
+    WITH convs AS (
+      SELECT source,
+             1 + (('0x' || substr(md5('turns-'
+               || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {CONV_MAX_TURNS}) AS turns
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_convs,
+           CAST(sum(turns) AS BIGINT) AS total_turns,
+           round(sum(turns) * 1.0 / count(*), 6) AS mean_turns,
+           CAST(max(turns) AS BIGINT) AS max_turns,
+           round(count_if(turns > 1) * 1.0 / count(*), 6)
+             AS multi_turn_frac,
+           round(count_if(turns >= {CONV_MAX_TURNS - 1}) * 1.0
+                 / count(*), 6) AS deep_frac
+    FROM convs
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("sft", "audit", "llm", "operator"),
+)
+def q382_conversation_balance(spark, sf_dir):
+    """Multi-turn conversation balance audit (q382) — a chat SFT deck
+    dominated by single-turn exchanges teaches no dialogue state; per
+    source: conversation count, total/mean/max turns, the multi-turn
+    fraction and the deep-dialogue (>= {CONV_MAX_TURNS - 1} turns)
+    fraction. Turn counts are md5-synthesized (1..{CONV_MAX_TURNS}
+    uniform); in production the same aggregate reads a real
+    turns-per-conversation column.
+
+    Determinism: integer turn counts, integer sums, single-division
+    means.
+
+    SCALE DESIGN: map-only synthesis; ONE (source)-grain integer
+    aggregate."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    turns = 1 + md5_hash64(
+        F.col("doc_id").cast("string"), "turns-"
+    ) % CONV_MAX_TURNS
+    convs = docs.select("source", turns.alias("turns"))
+    return (
+        convs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+            F.sum("turns").cast("long").alias("total_turns"),
+            F.round(
+                F.sum("turns") * 1.0 / F.count(F.lit(1)), 6
+            ).alias("mean_turns"),
+            F.max("turns").cast("long").alias("max_turns"),
+            F.round(
+                F.count_if(F.col("turns") > 1)
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("multi_turn_frac"),
+            F.round(
+                F.count_if(F.col("turns") >= CONV_MAX_TURNS - 1)
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("deep_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q383 — event cadence audit (per-type activity shape, no windows)
+# --------------------------------------------------------------------------
+@query(
+    "q383_event_cadence",
+    oracle="""
+    WITH per_user AS (
+      -- exact integer microseconds: CAST(epoch DOUBLE AS BIGINT)
+      -- ROUNDS in DuckDB while Spark's unix_timestamp FLOORS — use
+      -- epoch_us / unix_micros on both sides instead (integer-exact)
+      SELECT event_type, user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+      FROM events
+      GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           round(sum(n) * 1.0 / count(*), 6) AS events_per_user,
+           CAST(max(n) AS BIGINT) AS max_events_one_user,
+           round(sum(span_us) / 1000000.0 / count(*), 6)
+             AS mean_span_s,
+           round(coalesce(sum(CASE WHEN n > 1
+                   THEN span_us END) / 1000000.0
+                 / nullif(sum(CASE WHEN n > 1 THEN n - 1 END), 0)
+                 + 0.0, 0.0), 6) AS mean_interarrival_s
+    FROM per_user
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("events", "audit", "operator"),
+)
+def q383_event_cadence(spark, sf_dir):
+    """Event cadence audit (q383) — per event type, the activity
+    shape a rate-limit / anomaly reviewer reads: active users, events
+    per user, the hottest single user, the mean per-user activity
+    span, and the mean inter-arrival time — computed WITHOUT a lag
+    window: for evenly-summarized cadence, Σ(span)/Σ(n-1) over
+    multi-event users equals the mean of per-user mean gaps weighted
+    by event count, which is one aggregate instead of a corpus-wide
+    ordered window (the at-scale shape: two grouped integer
+    aggregates, no sort).
+
+    Determinism: epoch seconds are exact integers (the fixture's ns
+    timestamps truncate identically to whole seconds on both
+    engines); one NULL-guarded division for the empty multi-event
+    case.
+
+    SCALE DESIGN: (type, user) aggregate with map-side partials,
+    then a (type) rollup; no window, no join."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.unix_micros(F.max("ts"))
+            - F.unix_micros(F.min("ts"))
+        )
+        .cast("long")
+        .alias("span_us"),
+    )
+    multi_span = F.sum(
+        F.when(F.col("n") > 1, F.col("span_us"))
+    )
+    multi_gaps = F.sum(F.when(F.col("n") > 1, F.col("n") - 1))
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.round(
+                F.sum("n") * 1.0 / F.count(F.lit(1)), 6
+            ).alias("events_per_user"),
+            F.max("n").cast("long").alias("max_events_one_user"),
+            F.round(
+                F.sum("span_us") / 1000000.0 / F.count(F.lit(1)), 6
+            ).alias("mean_span_s"),
+            F.round(
+                F.coalesce(
+                    multi_span
+                    / 1000000.0
+                    / F.nullif(multi_gaps, F.lit(0))
+                    + 0.0,
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("mean_interarrival_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q384 — near-dup transitivity census (validates the pairwise-loser rule)
+# --------------------------------------------------------------------------
+@query(
+    "q384_neardup_transitivity",
+    oracle=f"""
+    WITH sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents),
+           UNNEST(range(1, len(toks) - 1)) AS ti(i)
+    ),
+    mh AS (
+      SELECT doc_id,
+             {", ".join(
+               "min(('0x' || substr(md5('mh%d-' || s), 1, 8))::BIGINT)"
+               " AS h%d" % (p, p) for p in range(8))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        "SELECT doc_id, %d AS band, CAST(h%d AS VARCHAR) || '_' ||"
+        " CAST(h%d AS VARCHAR) AS key FROM mh"
+        % (b, 2 * b, 2 * b + 1) for b in range(4))}
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                                AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS MATERIALIZED (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      LEFT JOIN inter i USING (doc_a, doc_b)
+      JOIN cnt ca ON ca.doc_id = c.doc_a
+      JOIN cnt cb ON cb.doc_id = c.doc_b
+      WHERE COALESCE(i.i, 0)
+            / CAST(ca.n + cb.n - COALESCE(i.i, 0) AS DOUBLE) >= 0.5
+    ),
+    wedges AS (
+      -- every wedge o1 - mid - o2 (two edges sharing an endpoint),
+      -- carrying its OUTER nodes; closure = the (o1, o2) edge.
+      -- Shared-middle: (a,b)+(b,c); shared-left: (x,b1)+(x,b2),
+      -- b1 > b2; shared-right: (a1,b)+(a2,b), a1 < a2 — each wedge
+      -- enumerated exactly once
+      SELECT p1.doc_a AS o1, p1.doc_b AS mid, p2.doc_b AS o2
+      FROM pairs p1 JOIN pairs p2
+        ON p1.doc_b = p2.doc_a
+      UNION ALL
+      SELECT p2.doc_b, p1.doc_a, p1.doc_b
+      FROM pairs p1 JOIN pairs p2
+        ON p1.doc_a = p2.doc_a AND p1.doc_b > p2.doc_b
+      UNION ALL
+      SELECT p1.doc_a, p1.doc_b, p2.doc_a
+      FROM pairs p1 JOIN pairs p2
+        ON p1.doc_b = p2.doc_b AND p1.doc_a < p2.doc_a
+    ),
+    closed AS (
+      SELECT w.o1, w.mid, w.o2,
+             e.doc_a IS NOT NULL AS is_closed
+      FROM wedges w LEFT JOIN pairs e
+        ON e.doc_a = least(w.o1, w.o2)
+       AND e.doc_b = greatest(w.o1, w.o2)
+    )
+    SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_wedges,
+           CAST(count_if(is_closed) AS BIGINT) AS n_closed,
+           round(coalesce(count_if(is_closed) * 1.0
+                 / nullif(count(*), 0) + 0.0, 0.0), 6)
+             AS transitivity
+    FROM closed
+    """,
+    tags=("dedup", "graph", "audit", "llm", "operator"),
+)
+def q384_neardup_transitivity(spark, sf_dir):
+    """Near-dup transitivity census (q384) — the pairwise-loser rule
+    (q358's near_dedup_portable) and the connected-components rule
+    (near_dedup_keep_best) only agree when near-dup edges are
+    TRANSITIVE: this query measures that, over the q253 verified
+    edge set (J >= 0.5), as the wedge-closure rate — wedges (paths
+    a-b-c) vs closed triangles. Transitivity ~ 1 says the cheap
+    pairwise rule loses nothing; low transitivity says clusters are
+    chains and CC semantics differ materially.
+
+    SCALE DESIGN: the edge set is the bounded LSH-verified pair
+    frame; wedges enumerate through shared endpoints (three oriented
+    join shapes — never doc x doc on the corpus), and closure is one
+    more edge join. At 100 TB this is the standard triangle-count
+    shape on a deduplicated edge list.
+
+    Each wedge is enumerated exactly once (shared-middle /
+    shared-left / shared-right with strict inner orderings), so
+    3 x closure-count = triangle count x 3 holds exactly."""
+    from etl_as_a_service_spark.llm.dedup import (
+        minhash_lsh_pairs_portable,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = (
+        minhash_lsh_pairs_portable(
+            docs, "text", "doc_id", n_perms=8, band_rows=2, shingle_n=3
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    p1, p2 = pairs.alias("p1"), pairs.alias("p2")
+    # each wedge carries its OUTER nodes (o1, o2) around the shared
+    # endpoint; closure is the (o1, o2) edge
+    w1 = p1.join(
+        p2, F.col("p1.doc_b") == F.col("p2.doc_a")
+    ).select(
+        F.col("p1.doc_a").alias("o1"),
+        F.col("p1.doc_b").alias("mid"),
+        F.col("p2.doc_b").alias("o2"),
+    )
+    w2 = p1.join(
+        p2,
+        (F.col("p1.doc_a") == F.col("p2.doc_a"))
+        & (F.col("p1.doc_b") > F.col("p2.doc_b")),
+    ).select(
+        F.col("p2.doc_b").alias("o1"),
+        F.col("p1.doc_a").alias("mid"),
+        F.col("p1.doc_b").alias("o2"),
+    )
+    w3 = p1.join(
+        p2,
+        (F.col("p1.doc_b") == F.col("p2.doc_b"))
+        & (F.col("p1.doc_a") < F.col("p2.doc_a")),
+    ).select(
+        F.col("p1.doc_a").alias("o1"),
+        F.col("p1.doc_b").alias("mid"),
+        F.col("p2.doc_a").alias("o2"),
+    )
+    wedges = w1.unionByName(w2).unionByName(w3)
+    edges = pairs.select(
+        F.col("doc_a").alias("ea"), F.col("doc_b").alias("eb")
+    )
+    closed = wedges.join(
+        edges,
+        (F.least(F.col("o1"), F.col("o2")) == F.col("ea"))
+        & (F.greatest(F.col("o1"), F.col("o2")) == F.col("eb")),
+        "left",
+    ).select(F.col("ea").isNotNull().alias("is_closed"))
+    n_edges = pairs.count()
+    return (
+        closed.agg(
+            F.lit(n_edges).cast("long").alias("n_edges"),
+            F.count(F.lit(1)).cast("long").alias("n_wedges"),
+            F.count_if(F.col("is_closed")).cast("long").alias(
+                "n_closed"
+            ),
+            F.round(
+                F.coalesce(
+                    F.count_if(F.col("is_closed"))
+                    * 1.0
+                    / F.nullif(F.count(F.lit(1)), F.lit(0))
+                    + 0.0,
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("transitivity"),
+        )
+    )

@@ -1029,3 +1029,98 @@ def test_q381_chunk_plan_matches_python_replica(spark):
         # overlap always costs: capacity >= input for overlapping
         # windows on long docs
         assert r["duplication_factor"] >= 0.999999 or d[1] <= d[0] * RAG_CHUNK_TOKENS
+
+
+def test_q382_conversation_balance_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata6 import CONV_MAX_TURNS
+
+    rows = _docs(spark, ("doc_id", "source"))
+    per = {}
+    for r in rows:
+        t = 1 + _h32("turns-", r["doc_id"]) % CONV_MAX_TURNS
+        d = per.setdefault(r["source"], [])
+        d.append(t)
+    got = QUERIES["q382_conversation_balance"].fn(spark, SF01).collect()
+    assert len(got) == len(per)
+    for r in got:
+        ts = per[r["source"]]
+        assert r["n_convs"] == len(ts)
+        assert r["total_turns"] == sum(ts)
+        assert abs(r["mean_turns"] - round(sum(ts) / len(ts), 6)) < 1e-9
+        assert r["max_turns"] == max(ts)
+        assert abs(
+            r["multi_turn_frac"]
+            - round(sum(1 for t in ts if t > 1) / len(ts), 6)
+        ) < 1e-9
+
+
+def test_q383_event_cadence_matches_python_replica(spark):
+    from etl_as_a_service_spark.catalog import load_tables
+
+    ev = load_tables(spark, SF01, ["events"])["events"]
+    rows = ev.selectExpr(
+        "event_type", "user_id", "unix_micros(ts) AS us"
+    ).collect()
+    per = {}
+    for r in rows:
+        per.setdefault((r["event_type"], r["user_id"]), []).append(
+            r["us"]
+        )
+    by_type = {}
+    for (et, _), us in per.items():
+        d = by_type.setdefault(et, [0, 0, 0, 0, 0, 0])
+        n = len(us)
+        span = max(us) - min(us)
+        d[0] += 1
+        d[1] += n
+        d[2] = max(d[2], n)
+        d[3] += span
+        if n > 1:
+            d[4] += span
+            d[5] += n - 1
+    got = QUERIES["q383_event_cadence"].fn(spark, SF01).collect()
+    assert len(got) == len(by_type)
+    for r in got:
+        d = by_type[r["event_type"]]
+        assert r["n_users"] == d[0]
+        assert r["n_events"] == d[1]
+        assert r["max_events_one_user"] == d[2]
+        assert abs(
+            r["mean_span_s"] - round(d[3] / 1e6 / d[0], 6)
+        ) < 1e-6
+        exp_gap = round(d[4] / 1e6 / d[5], 6) if d[5] else 0.0
+        assert abs(r["mean_interarrival_s"] - exp_gap) < 1e-6
+
+
+def test_q384_transitivity_matches_python_replica(spark):
+    """Pure-python triangle count over the SAME verified edge set
+    (recomputed via the q253 query), asserting the wedge/closure
+    census and that the planted exact-dup families (if any) close."""
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["q253_minhash_lsh_portable"]
+        .fn(spark, SF01)
+        .collect()
+        if r["jaccard"] >= 0.5
+    ]
+    edges = set(pairs)
+    wedges = []  # (outer1, mid, outer2)
+    for (a1, b1) in pairs:
+        for (a2, b2) in pairs:
+            if b1 == a2:
+                wedges.append((a1, b1, b2))
+            if a1 == a2 and b1 > b2:
+                wedges.append((b2, a1, b1))
+            if b1 == b2 and a1 < a2:
+                wedges.append((a1, b1, a2))
+    closed = sum(
+        1
+        for (o1, _, o2) in wedges
+        if (min(o1, o2), max(o1, o2)) in edges
+    )
+    r = QUERIES["q384_neardup_transitivity"].fn(spark, SF01).collect()[0]
+    assert r["n_edges"] == len(pairs)
+    assert r["n_wedges"] == len(wedges)
+    assert r["n_closed"] == closed
+    exp = round(closed / len(wedges), 6) if wedges else 0.0
+    assert abs(r["transitivity"] - exp) < 1e-9
