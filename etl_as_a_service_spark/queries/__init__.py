@@ -118,6 +118,8 @@ _ROTATE_FRONT = [
     "q382_conversation_balance",
     "q383_event_cadence",
     "q384_neardup_transitivity",
+    "q385_exact_topk_neighbors",
+    "q386_topk_label_recall",
     "q36_multiset_ops",
     "q37_union_by_name",
     "q38_approx_count_distinct",
@@ -139,8 +141,6 @@ _ROTATE_FRONT = [
     "q92_document_chunking",
     "q93_top_bigrams",
     "q95_incremental_dedup",
-    "q96_event_conversion_funnel",
-    "q97_percentile_trim",
 ]
 
 

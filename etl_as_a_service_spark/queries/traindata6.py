@@ -2961,3 +2961,176 @@ def q384_neardup_transitivity(spark, sf_dir):
             ).alias("transitivity"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q385/q386 — ORACLE-CHECKED exact top-k similarity (quantized dots)
+# --------------------------------------------------------------------------
+TOPK_NEIGHBORS = 3
+
+
+def _qdot_pairs_sql() -> str:
+    """Shared DuckDB fragment: all-pairs integer dot products over
+    round(x*1000) quantized vectors, ranked per query vector."""
+    return f"""
+    q AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {1000})
+                    AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    pairs AS MATERIALIZED (
+      -- qdot computed ONCE here: referencing the lambda inside the
+      -- window ORDER BY re-evaluated the 64-term product per
+      -- comparison (measured 135s -> ~10s at sf0.1)
+      SELECT a.vec_id AS vec_id,
+             a.label AS label,
+             b.vec_id AS neighbor,
+             b.label AS n_label,
+             list_aggregate(
+               list_transform(range(1, len(a.qv) + 1),
+                 i -> a.qv[i] * b.qv[i]), 'sum') AS qdot
+      FROM q a JOIN q b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY qdot DESC, neighbor) AS rnk
+      FROM pairs
+    )"""
+
+
+@query(
+    "q385_exact_topk_neighbors",
+    oracle=f"""
+    WITH {_qdot_pairs_sql()}
+    SELECT vec_id,
+           CAST(rnk AS BIGINT) AS rank,
+           neighbor,
+           CAST(qdot AS BIGINT) AS qdot,
+           label = n_label AS same_label
+    FROM ranked
+    WHERE rnk <= {TOPK_NEIGHBORS}
+    ORDER BY vec_id, rank
+    """,
+    tags=("similarity", "ann", "embeddings", "llm", "operator"),
+)
+def q385_exact_topk_neighbors(spark, sf_dir):
+    """Exact top-{TOPK_NEIGHBORS} neighbor search, ORACLE-CHECKED
+    (q385) — the brute-force similarity baseline (q45/q54's ground
+    truth) finally under the hash gate: dot products are computed
+    over round(x·1000)-quantized BIGINT vectors, so every score is an
+    exact integer and the (score DESC, neighbor ASC) ranking is
+    engine-identical — float dots would tie-break on last-ulp noise.
+    Returns (query, rank, neighbor, score, same-label flag).
+
+    SCALE DESIGN: this is the documented SMALL-SET-ONLY exact
+    baseline (all-pairs; 2000 vectors = 4M scored pairs at sf0.1) —
+    the scale path is the IVF/LSH family (q54/q139) whose recall is
+    measured against THIS ground truth; per-query ranking is a
+    WindowGroupLimit (rank filter pushes map-side)."""
+    from pyspark.sql import Window
+
+    from etl_as_a_service_spark.catalog import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    q = emb.select("vec_id", "label", qv.alias("qv"))
+    a = q.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("label").alias("label"),
+        F.col("qv").alias("qa"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("neighbor"),
+        F.col("label").alias("n_label"),
+        F.col("qv").alias("qb"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") != F.col("neighbor"))
+        .select(
+            "vec_id",
+            "label",
+            "neighbor",
+            "n_label",
+            qdot.alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK_NEIGHBORS)
+        .select(
+            "vec_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor",
+            F.col("qdot").cast("long").alias("qdot"),
+            (F.col("label") == F.col("n_label")).alias("same_label"),
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
+@query(
+    "q386_topk_label_recall",
+    oracle=f"""
+    WITH {_qdot_pairs_sql()}
+    SELECT label,
+           CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+           CAST(count_if(label = n_label) AS BIGINT) AS n_same,
+           round(count_if(label = n_label) * 1.0 / count(*), 6)
+             AS label_recall_at_{TOPK_NEIGHBORS}
+    FROM ranked
+    WHERE rnk <= {TOPK_NEIGHBORS}
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("similarity", "evaluation", "embeddings", "llm", "operator"),
+)
+def q386_topk_label_recall(spark, sf_dir):
+    """Top-k label recall (q386) — the standard embedding-quality
+    readout over q385's exact (quantized) neighbor lists: per label
+    cluster, the fraction of top-{TOPK_NEIGHBORS} neighbors that
+    share the query's label. High recall = the embedding separates
+    the clusters; THIS exact number is also the denominator against
+    which the ANN family's (q54/q139) recall gates are defined — now
+    hash-checked end-to-end instead of pytest-only.
+
+    SCALE DESIGN: inherits q385's small-set-only all-pairs note; the
+    rollup is one (label)-grain aggregate over the top-k frame."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    labels = emb.select("vec_id", "label")
+    topk = q385_exact_topk_neighbors(spark, sf_dir).join(
+        F.broadcast(labels), "vec_id"
+    )
+    return (
+        topk.groupBy("label")
+        .agg(
+            F.count_distinct("vec_id").cast("long").alias("n_queries"),
+            F.count_if(F.col("same_label")).cast("long").alias(
+                "n_same"
+            ),
+            F.round(
+                F.count_if(F.col("same_label"))
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias(f"label_recall_at_{TOPK_NEIGHBORS}"),
+        )
+        .orderBy("label")
+    )
