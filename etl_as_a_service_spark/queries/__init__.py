@@ -120,6 +120,7 @@ _ROTATE_FRONT = [
     "q384_neardup_transitivity",
     "q385_exact_topk_neighbors",
     "q386_topk_label_recall",
+    "q387_srp_ann_recall",
     "q36_multiset_ops",
     "q37_union_by_name",
     "q38_approx_count_distinct",
@@ -140,7 +141,6 @@ _ROTATE_FRONT = [
     "q90_stratified_sample",
     "q92_document_chunking",
     "q93_top_bigrams",
-    "q95_incremental_dedup",
 ]
 
 

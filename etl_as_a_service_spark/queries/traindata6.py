@@ -3134,3 +3134,228 @@ def q386_topk_label_recall(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# q387 — portable SRP-ANN with ORACLE-CHECKED recall vs exact top-k
+# --------------------------------------------------------------------------
+SRP_PLANES = 4
+SRP_TABLES = 4
+
+
+@query(
+    "q387_srp_ann_recall",
+    oracle=f"""
+    WITH {_qdot_pairs_sql()},
+    planes AS MATERIALIZED (
+      SELECT t.t AS t, p.p AS p, i.i AS i,
+             (('0x' || substr(md5('srp-' || CAST(t.t AS VARCHAR)
+               || '-' || CAST(p.p AS VARCHAR)
+               || '-' || CAST(i.i AS VARCHAR)), 1, 8))::BIGINT
+               % 2001 - 1000) AS h
+      FROM UNNEST(range(0, {SRP_TABLES})) AS t(t),
+           UNNEST(range(0, {SRP_PLANES})) AS p(p),
+           UNNEST(range(0, 64)) AS i(i)
+    ),
+    sigs AS (
+      SELECT e.vec_id, pl.t, pl.p,
+             CASE WHEN sum(e.x * pl.h) >= 0 THEN '1' ELSE '0' END
+               AS bit
+      FROM (
+        SELECT vec_id, i.i AS i, qv[i.i + 1] AS x
+        FROM q, UNNEST(range(0, len(qv))) AS i(i)
+      ) e JOIN planes pl ON e.i = pl.i
+      GROUP BY e.vec_id, pl.t, pl.p
+    ),
+    buckets AS MATERIALIZED (
+      SELECT vec_id, t,
+             {" || ".join(
+               f"max(CASE WHEN p = {p} THEN bit END)"
+               for p in range(SRP_PLANES))} AS bucket
+      FROM sigs GROUP BY vec_id, t
+    ),
+    bsizes AS (
+      SELECT t, bucket, count(*) AS bsz
+      FROM buckets GROUP BY t, bucket
+    ),
+    cands AS (
+      SELECT DISTINCT ba.vec_id, bb.vec_id AS neighbor
+      FROM buckets ba JOIN buckets bb
+        ON ba.t = bb.t AND ba.bucket = bb.bucket
+       AND ba.vec_id <> bb.vec_id
+    ),
+    ann AS (
+      SELECT r.vec_id, r.neighbor,
+             row_number() OVER (
+               PARTITION BY r.vec_id
+               ORDER BY r.qdot DESC, r.neighbor) AS arnk
+      FROM pairs r
+      JOIN cands c ON c.vec_id = r.vec_id
+                  AND c.neighbor = r.neighbor
+    ),
+    hits AS (
+      SELECT a.vec_id, count(*) AS m
+      FROM ann a JOIN ranked x
+        ON x.vec_id = a.vec_id AND x.neighbor = a.neighbor
+         AND x.rnk <= {TOPK_NEIGHBORS}
+      WHERE a.arnk <= {TOPK_NEIGHBORS}
+      GROUP BY a.vec_id
+    )
+    SELECT CAST((SELECT count(*) FROM q) AS BIGINT) AS n_queries,
+           CAST((SELECT count(*) FROM bsizes) AS BIGINT) AS n_buckets,
+           CAST(coalesce(sum(m), 0) AS BIGINT) AS total_matches,
+           round(coalesce(sum(m), 0) * 1.0
+                 / ({TOPK_NEIGHBORS} * (SELECT count(*) FROM q)), 6)
+             AS recall_at_{TOPK_NEIGHBORS},
+           round((SELECT count(*) FROM cands) * 1.0
+                 / (SELECT count(*) FROM q), 6)
+             AS mean_candidates
+    FROM hits
+    """,
+    tags=("similarity", "ann", "lsh", "embeddings", "llm", "operator"),
+)
+def q387_srp_ann_recall(spark, sf_dir):
+    """Portable SRP-ANN with ORACLE-CHECKED recall (q387) — the ANN
+    measurement pipeline end-to-end under the hash gate, the q253
+    treatment applied to similarity search: {SRP_PLANES} md5-derived
+    integer hyperplanes sign-hash each quantized vector into a
+    bucket; candidates are same-bucket pairs; ANN top-{TOPK_NEIGHBORS}
+    is ranked by the exact integer dot inside the bucket; recall is
+    measured against the q385 exact ground truth — every stage
+    (planes, signatures, buckets, candidate ranking, recall) integer-
+    deterministic and re-derived by the DuckDB twin. The production
+    ANN (q54 IVF / q139 PQ) keeps float kernels + pytest recall
+    gates; THIS is the same bucketing math under the strongest gate.
+
+    SCALE DESIGN: signatures are one explode + broadcast plane join +
+    (vec, plane) aggregate — never vector x vector; candidates ship
+    through bucket equality (the LSH shape). The RECALL measurement
+    reuses the all-pairs exact frame (small-set-only by design, the
+    q385 note); the ANN path itself never scores outside buckets."""
+    from pyspark.sql import Window
+
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    q = emb.select("vec_id", qv.alias("qv"))
+    planes = (
+        spark.range(SRP_TABLES)
+        .select(F.col("id").alias("t"))
+        .crossJoin(
+            spark.range(SRP_PLANES).select(F.col("id").alias("p"))
+        )
+        .crossJoin(spark.range(64).select(F.col("id").alias("i")))
+        .select(
+            "t",
+            "p",
+            "i",
+            (
+                md5_hash64(
+                    F.concat(
+                        F.lit("srp-"),
+                        F.col("t").cast("string"),
+                        F.lit("-"),
+                        F.col("p").cast("string"),
+                        F.lit("-"),
+                        F.col("i").cast("string"),
+                    ),
+                    "",
+                )
+                % 2001
+                - 1000
+            ).alias("h"),
+        )
+    )
+    elems = q.select(
+        "vec_id", F.posexplode(F.col("qv")).alias("i", "x")
+    )
+    sigs = (
+        elems.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "t", "p")
+        .agg(
+            F.when(F.sum(F.col("x") * F.col("h")) >= 0, F.lit("1"))
+            .otherwise(F.lit("0"))
+            .alias("bit")
+        )
+    )
+    buckets = sigs.groupBy("vec_id", "t").agg(
+        F.concat(
+            *[
+                F.max(F.when(F.col("p") == p, F.col("bit")))
+                for p in range(SRP_PLANES)
+            ]
+        ).alias("bucket")
+    )
+    # all-pairs exact dots (the q385 measurement frame)
+    a = q.select(F.col("vec_id"), F.col("qv").alias("qa"))
+    b = q.select(
+        F.col("vec_id").alias("neighbor"), F.col("qv").alias("qb")
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") != F.col("neighbor"))
+        .select("vec_id", "neighbor", qdot.alias("qdot"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor")
+    )
+    exact = pairs.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOPK_NEIGHBORS
+    )
+    ba = buckets.select(
+        F.col("vec_id"), F.col("t").alias("ta"),
+        F.col("bucket").alias("bka"),
+    )
+    bb = buckets.select(
+        F.col("vec_id").alias("neighbor"),
+        F.col("t").alias("tb"),
+        F.col("bucket").alias("bkb"),
+    )
+    cands = (
+        ba.join(
+            bb,
+            (F.col("ta") == F.col("tb"))
+            & (F.col("bka") == F.col("bkb"))
+            & (F.col("vec_id") != F.col("neighbor")),
+        )
+        .select("vec_id", "neighbor")
+        .distinct()
+    )
+    ann = (
+        pairs.join(cands, ["vec_id", "neighbor"])
+        .withColumn("arnk", F.row_number().over(w))
+        .filter(F.col("arnk") <= TOPK_NEIGHBORS)
+    )
+    hits = ann.join(
+        exact.select("vec_id", "neighbor"), ["vec_id", "neighbor"]
+    ).groupBy("vec_id").agg(F.count(F.lit(1)).alias("m"))
+    n_queries = q.count()
+    n_buckets = buckets.select("t", "bucket").distinct().count()
+    cand_sum = cands.count()
+    return hits.agg(
+        F.lit(n_queries).cast("long").alias("n_queries"),
+        F.lit(n_buckets).cast("long").alias("n_buckets"),
+        F.coalesce(F.sum("m"), F.lit(0))
+        .cast("long")
+        .alias("total_matches"),
+        F.round(
+            F.coalesce(F.sum("m"), F.lit(0))
+            * 1.0
+            / (TOPK_NEIGHBORS * n_queries),
+            6,
+        ).alias(f"recall_at_{TOPK_NEIGHBORS}"),
+        F.round(F.lit(cand_sum) * 1.0 / n_queries, 6).alias(
+            "mean_candidates"
+        ),
+    )

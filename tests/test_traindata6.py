@@ -1201,3 +1201,84 @@ def test_q385_q386_exact_topk_matches_python_replica(spark):
     # row-for-row above
     chance = 1.0 / len(per)
     assert abs(overall_same / overall_n - chance) < 0.05
+
+
+def test_q387_srp_ann_matches_python_replica(spark):
+    """Full pure-python replica of the multi-table SRP pipeline:
+    planes, signatures, bucket candidates, in-bucket ranking, recall
+    vs the exact top-k — every number reproduced exactly."""
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.queries.traindata6 import (
+        SRP_PLANES,
+        SRP_TABLES,
+        TOPK_NEIGHBORS,
+    )
+
+    emb = load_tables(spark, SF01, ["embeddings"])["embeddings"]
+    rows = emb.select("vec_id", "embedding").collect()
+    qvs = {
+        r["vec_id"]: [
+            int(round(float(x) * 1000)) for x in r["embedding"]
+        ]
+        for r in rows
+    }
+    planes = {
+        (t, p): [
+            _h32("", f"srp-{t}-{p}-{i}") % 2001 - 1000
+            for i in range(64)
+        ]
+        for t in range(SRP_TABLES)
+        for p in range(SRP_PLANES)
+    }
+    buckets = {}
+    for vid, qv in qvs.items():
+        for t in range(SRP_TABLES):
+            sig = "".join(
+                "1"
+                if sum(x * h for x, h in zip(qv, planes[(t, p)])) >= 0
+                else "0"
+                for p in range(SRP_PLANES)
+            )
+            buckets.setdefault((t, sig), []).append(vid)
+    cands = {}
+    for members in buckets.values():
+        for a in members:
+            for b in members:
+                if a != b:
+                    cands.setdefault(a, set()).add(b)
+    def dot(a, b):
+        return sum(x * y for x, y in zip(qvs[a], qvs[b]))
+
+    exact = {
+        vid: {
+            nid
+            for _, nid in sorted(
+                (-dot(vid, n), n) for n in qvs if n != vid
+            )[:TOPK_NEIGHBORS]
+        }
+        for vid in qvs
+    }
+    matches = 0
+    for vid in qvs:
+        cs = cands.get(vid, set())
+        ann = {
+            nid
+            for _, nid in sorted((-dot(vid, n), n) for n in cs)[
+                :TOPK_NEIGHBORS
+            ]
+        }
+        matches += len(ann & exact[vid])
+    r = QUERIES["q387_srp_ann_recall"].fn(spark, SF01).collect()[0]
+    assert r["n_queries"] == len(qvs)
+    assert r["n_buckets"] == len(buckets)
+    assert r["total_matches"] == matches
+    assert abs(
+        r[f"recall_at_{TOPK_NEIGHBORS}"]
+        - round(matches / (TOPK_NEIGHBORS * len(qvs)), 6)
+    ) < 1e-9
+    total_cands = sum(len(v) for v in cands.values())
+    assert abs(
+        r["mean_candidates"] - round(total_cands / len(qvs), 6)
+    ) < 1e-9
+    # multi-table LSH beats chance materially on this fixture
+    assert r[f"recall_at_{TOPK_NEIGHBORS}"] > 0.3
