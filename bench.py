@@ -161,6 +161,11 @@ HEADLINE_TRAINDATA = [
     # n-gram decon -> chat render -> eval carve -> pack -> mixing
     # audit). Subtotal grows by one entry.
     "q359_sft_prep_e2e",
+    # round-11 similarity batch: the multi-table SRP-ANN recall
+    # harness (heaviest of q385-q387 — all-pairs quantized ground
+    # truth + bucketed candidates in one plan). Subtotal grows by
+    # one entry.
+    "q387_srp_ann_recall",
 ]
 
 #: round-6 addition to the lakehouse subtotal: the stats-based file
