@@ -3060,7 +3060,7 @@ def q385_exact_topk_neighbors(spark, sf_dir):
         lambda acc, x: acc + x,
     )
     pairs = (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("vec_id") != F.col("neighbor"))
         .select(
             "vec_id",
@@ -3308,7 +3308,7 @@ def q387_srp_ann_recall(spark, sf_dir):
         lambda acc, x: acc + x,
     )
     pairs = (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("vec_id") != F.col("neighbor"))
         .select("vec_id", "neighbor", qdot.alias("qdot"))
         .localCheckpoint(eager=True)
