@@ -121,6 +121,8 @@ _ROTATE_FRONT = [
     "q385_exact_topk_neighbors",
     "q386_topk_label_recall",
     "q387_srp_ann_recall",
+    "q388_bpe_first_merge",
+    "q389_distinctive_terms",
     "q36_multiset_ops",
     "q37_union_by_name",
     "q38_approx_count_distinct",
@@ -139,8 +141,6 @@ _ROTATE_FRONT = [
     "q88_tfidf_top_terms",
     "q89_repetition_scores",
     "q90_stratified_sample",
-    "q92_document_chunking",
-    "q93_top_bigrams",
 ]
 
 

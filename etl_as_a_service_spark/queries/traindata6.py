@@ -3365,3 +3365,208 @@ def q387_srp_ann_recall(spark, sf_dir):
             "mean_candidates"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q388 — BPE first-merge census (top adjacent char pairs, oracle-checked)
+# --------------------------------------------------------------------------
+BPE_TOP_PAIRS = 20
+
+
+@query(
+    "q388_bpe_first_merge",
+    oracle=f"""
+    WITH words AS (
+      SELECT w.w AS w, count(*) AS wc
+      FROM documents, UNNEST(string_split(text, ' ')) AS w(w)
+      WHERE w.w <> ''
+      GROUP BY w.w
+    ),
+    cpairs AS (
+      SELECT substring(w, i.i, 2) AS pair, wc
+      FROM words, UNNEST(range(1, length(w))) AS i(i)
+    ),
+    counts AS (
+      SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+      FROM cpairs GROUP BY pair
+    ),
+    ranked AS (
+      SELECT pair, n,
+             row_number() OVER (ORDER BY n DESC, pair) AS rnk
+      FROM counts
+    )
+    SELECT CAST(rnk AS BIGINT) AS rank, pair, n
+    FROM ranked WHERE rnk <= {BPE_TOP_PAIRS}
+    ORDER BY rank
+    """,
+    tags=("tokenizer", "bpe", "llm", "operator"),
+)
+def q388_bpe_first_merge(spark, sf_dir):
+    """BPE first-merge census (q388) — the first step of every BPE
+    training run, oracle-checked: aggregate the corpus to a word
+    frequency table (the standard BPE preprocessing — pair counts
+    weight by word frequency, not per occurrence re-scan), explode
+    each distinct word's adjacent character pairs, and rank the
+    top-{BPE_TOP_PAIRS} merge candidates by weighted count with an
+    explicit (count DESC, pair ASC) tie-break. The full iterative
+    trainer (llm/bpe.py, q185) is rows-only because merges cascade;
+    its FIRST and most load-bearing decision is now hash-checked.
+
+    SCALE DESIGN: word-grain aggregation FIRST collapses the corpus
+    to its vocabulary before any character explode (the BPE corpus
+    trick — pair work scales with |vocab|·word_len, not corpus
+    tokens); the top-k is a single global window over the bounded
+    pair alphabet (documented bounded-grain global window).
+
+    Note: the global rank window runs over the character-pair
+    alphabet (bounded by charset², thousands of rows) — allowlisted
+    bounded-grain global window, same class as q122."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    # single-char words emit NO pair: Spark's sequence(1, 0) counts
+    # DOWN ([1, 0]) instead of returning empty like DuckDB's
+    # range(1, 1) — filter them out before the transform
+    cpairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    counts = cpairs.groupBy("pair").agg(
+        F.sum("wc").cast("long").alias("n")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BPE_TOP_PAIRS)
+        .select(F.col("rank").cast("long"), "pair", "n")
+        .orderBy("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# q389 — distinctive-terms audit (odds ratio, logarithm-free)
+# --------------------------------------------------------------------------
+ODDS_MIN_COUNT = 20
+ODDS_TOP_TERMS = 5
+
+
+def _odds_oracle() -> str:
+    return f"""
+    WITH words AS MATERIALIZED (
+      SELECT source, w.w AS w
+      FROM documents, UNNEST(string_split(text, ' ')) AS w(w)
+      WHERE w.w <> ''
+    ),
+    sw AS (
+      SELECT source, w, count(*) AS a FROM words GROUP BY source, w
+    ),
+    wtot AS (SELECT w, sum(a) AS wn FROM sw GROUP BY w),
+    stot AS (SELECT source, sum(a) AS sn FROM sw GROUP BY source),
+    tot AS (SELECT sum(a) AS n FROM sw),
+    scored AS (
+      SELECT sw.source, sw.w, sw.a,
+             (wtot.wn - sw.a) AS b,
+             (stot.sn - sw.a) AS c,
+             (tot.n - wtot.wn - stot.sn + sw.a) AS d
+      FROM sw JOIN wtot USING (w)
+              JOIN stot USING (source)
+              CROSS JOIN tot
+      WHERE sw.a >= {ODDS_MIN_COUNT}
+    ),
+    ranked AS (
+      SELECT source, w, a,
+             round(a * 1.0 * d / (nullif(b, 0) * nullif(c, 0)), 6)
+               AS odds_ratio,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY a * 1.0 * d / (nullif(b, 0) * nullif(c, 0))
+                 DESC, w) AS rnk
+      FROM scored
+      WHERE b > 0 AND c > 0
+    )
+    SELECT source, CAST(rnk AS BIGINT) AS rank, w AS term,
+           CAST(a AS BIGINT) AS n_in_source, odds_ratio
+    FROM ranked WHERE rnk <= {ODDS_TOP_TERMS}
+    ORDER BY source, rank
+    """
+
+
+@query(
+    "q389_distinctive_terms",
+    oracle=_odds_oracle(),
+    tags=("corpus", "audit", "data-card", "llm", "operator"),
+)
+def q389_distinctive_terms(spark, sf_dir):
+    """Distinctive-terms audit (q389) — the data-card feature that
+    says WHAT a source is about: per source, the top
+    {ODDS_TOP_TERMS} terms by contingency odds ratio a·d / (b·c)
+    (term-in-source vs term-elsewhere), floored at
+    {ODDS_MIN_COUNT} in-source occurrences. The odds ratio is the
+    logarithm-free form of log-odds keyness (Monroe et al.'s
+    fightin'-words statistic without the libm call — rank order is
+    identical since log is monotone), so the whole ranking is exact
+    integer products with one final rounded division.
+
+    SCALE DESIGN: one (source, word) aggregate + two marginal
+    rollups joined back (word marginal is the only large join side,
+    and it is aggregate-grain); top-k per source is a
+    WindowGroupLimit. The MIN-COUNT floor prunes the scored frame
+    BEFORE the window."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    sw = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("a")
+    )
+    wtot = sw.groupBy("w").agg(F.sum("a").alias("wn"))
+    stot = sw.groupBy("source").agg(F.sum("a").alias("sn"))
+    tot = sw.agg(F.sum("a").alias("n"))
+    scored = (
+        sw.join(wtot, "w")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("a") >= ODDS_MIN_COUNT)
+        .select(
+            "source",
+            "w",
+            "a",
+            (F.col("wn") - F.col("a")).alias("b"),
+            (F.col("sn") - F.col("a")).alias("c"),
+            (
+                F.col("n") - F.col("wn") - F.col("sn") + F.col("a")
+            ).alias("d"),
+        )
+        .filter((F.col("b") > 0) & (F.col("c") > 0))
+    )
+    orx = F.col("a") * 1.0 * F.col("d") / (F.col("b") * F.col("c"))
+    w = Window.partitionBy("source").orderBy(
+        orx.desc(), F.col("w")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ODDS_TOP_TERMS)
+        .select(
+            "source",
+            F.col("rnk").cast("long").alias("rank"),
+            F.col("w").alias("term"),
+            F.col("a").cast("long").alias("n_in_source"),
+            F.round(orx, 6).alias("odds_ratio"),
+        )
+        .orderBy("source", "rank")
+    )

@@ -1282,3 +1282,70 @@ def test_q387_srp_ann_matches_python_replica(spark):
     ) < 1e-9
     # multi-table LSH beats chance materially on this fixture
     assert r[f"recall_at_{TOPK_NEIGHBORS}"] > 0.3
+
+
+def test_q388_bpe_first_merge_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata6 import BPE_TOP_PAIRS
+
+    rows = _docs(spark, ("text",))
+    wc = {}
+    for r in rows:
+        for w in r["text"].split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    pc = {}
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            pc[w[i:i + 2]] = pc.get(w[i:i + 2], 0) + c
+    expected = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :BPE_TOP_PAIRS
+    ]
+    got = QUERIES["q388_bpe_first_merge"].fn(spark, SF01).collect()
+    assert [(r["pair"], r["n"]) for r in got] == expected
+    assert [r["rank"] for r in got] == list(
+        range(1, BPE_TOP_PAIRS + 1)
+    )
+
+
+def test_q389_distinctive_terms_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata6 import (
+        ODDS_MIN_COUNT,
+        ODDS_TOP_TERMS,
+    )
+
+    rows = _docs(spark, ("source", "text"))
+    sw = {}
+    for r in rows:
+        for w in r["text"].split(" "):
+            if w:
+                sw[(r["source"], w)] = sw.get((r["source"], w), 0) + 1
+    wtot = {}
+    stot = {}
+    n = 0
+    for (s, w), a in sw.items():
+        wtot[w] = wtot.get(w, 0) + a
+        stot[s] = stot.get(s, 0) + a
+        n += a
+    per = {}
+    for (s, w), a in sw.items():
+        if a < ODDS_MIN_COUNT:
+            continue
+        b = wtot[w] - a
+        c = stot[s] - a
+        d = n - wtot[w] - stot[s] + a
+        if b <= 0 or c <= 0:
+            continue
+        per.setdefault(s, []).append((-(a * d / (b * c)), w, a))
+    got = {}
+    for r in QUERIES["q389_distinctive_terms"].fn(spark, SF01).collect():
+        got.setdefault(r["source"], []).append(r)
+    assert set(got) == set(per)
+    for s, scored in per.items():
+        scored.sort()
+        for i, r in enumerate(sorted(got[s], key=lambda x: x["rank"])):
+            negor, w, a = scored[i]
+            assert r["rank"] == i + 1
+            assert r["term"] == w
+            assert r["n_in_source"] == a
+            assert abs(r["odds_ratio"] - round(-negor, 6)) < 1e-9
+        assert len(got[s]) == min(ODDS_TOP_TERMS, len(scored))
