@@ -3570,3 +3570,112 @@ def q389_distinctive_terms(spark, sf_dir):
         )
         .orderBy("source", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# q390 — out-of-order lateness audit (watermark sizing input)
+# --------------------------------------------------------------------------
+@query(
+    "q390_lateness_audit",
+    oracle="""
+    WITH arrivals AS (
+      -- arrival proxy: the fixture's event ids are time-ordered
+      -- (zero lateness under id order), so the replay arrives
+      -- through a deterministic md5 shuffle; in production this
+      -- ORDER BY is the ingest offset
+      SELECT event_type,
+             epoch_us(ts) AS us,
+             max(epoch_us(ts)) OVER (
+               PARTITION BY event_type
+               ORDER BY ('0x' || substr(md5('arr-'
+                 || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT,
+                 event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS hwm
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count_if(us < hwm) AS BIGINT) AS n_late,
+           round(count_if(us < hwm) * 1.0 / count(*), 6) AS late_frac,
+           CAST(coalesce(max(CASE WHEN us < hwm
+                THEN hwm - us END), 0) AS BIGINT) AS max_lateness_us,
+           round(coalesce(sum(CASE WHEN us < hwm
+                   THEN hwm - us END) / 1000000.0
+                 / nullif(count_if(us < hwm), 0) + 0.0, 0.0), 6)
+             AS mean_lateness_s
+    FROM arrivals
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "watermark", "audit", "operator"),
+)
+def q390_lateness_audit(spark, sf_dir):
+    """Out-of-order lateness audit (q390) — the number every
+    watermark is sized from: replaying the stream in arrival order
+    (event_id as the arrival proxy), how many events arrive with an
+    event-time BEHIND the high-water mark, and how far behind
+    (max / mean lateness). A watermark shorter than the observed max
+    lateness silently drops those events from windowed aggregates;
+    this query is the evidence for the `withWatermark` duration the
+    streaming face (q29/q81, stream_dedup) should use, per event
+    type.
+
+    Determinism: exact integer epoch microseconds (the q383 lesson);
+    the high-water mark is a running max over an explicit total
+    order. The FIXTURE's event ids are time-ordered (id-order replay
+    shows zero lateness), so the replay arrives through a
+    deterministic md5 shuffle of the ids — in production the order
+    key is the ingest offset and the shuffle disappears.
+
+    SCALE DESIGN: one per-type ordered window (the same partitioning
+    the stream itself uses) + one aggregate; at 100 TB the window
+    partitions by (type, shard) exactly as the ingest does."""
+    from pyspark.sql import Window
+
+    from etl_as_a_service_spark.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    arr = md5_hash64(F.col("event_id").cast("string"), "arr-")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(arr, F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arrivals = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+    ).withColumn(
+        "hwm", F.max("us").over(w)
+    )
+    late = F.col("us") < F.col("hwm")
+    return (
+        arrivals.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_if(late).cast("long").alias("n_late"),
+            F.round(
+                F.count_if(late) * 1.0 / F.count(F.lit(1)), 6
+            ).alias("late_frac"),
+            F.coalesce(
+                F.max(F.when(late, F.col("hwm") - F.col("us"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("max_lateness_us"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(late, F.col("hwm") - F.col("us")))
+                    / 1000000.0
+                    / F.nullif(F.count_if(late), F.lit(0))
+                    + 0.0,
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("mean_lateness_s"),
+        )
+        .orderBy("event_type")
+    )
