@@ -124,6 +124,7 @@ _ROTATE_FRONT = [
     "q388_bpe_first_merge",
     "q389_distinctive_terms",
     "q390_lateness_audit",
+    "q391_eval_suite_overlap",
     "q36_multiset_ops",
     "q37_union_by_name",
     "q38_approx_count_distinct",
@@ -140,7 +141,6 @@ _ROTATE_FRONT = [
     "q82_asof_forward_next_purchase",
     "q83_resample_gap_fill",
     "q88_tfidf_top_terms",
-    "q89_repetition_scores",
 ]
 
 

@@ -3679,3 +3679,123 @@ def q390_lateness_audit(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q391 — eval-suite overlap matrix (cross-benchmark contamination)
+# --------------------------------------------------------------------------
+EVAL_SUITES = 3
+
+
+@query(
+    "q391_eval_suite_overlap",
+    oracle=f"""
+    WITH suites AS (
+      SELECT (('0x' || substr(md5('suite-'
+               || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {EVAL_SUITES}) AS suite,
+             doc_id, text
+      FROM documents WHERE doc_id % 10 = 7
+    ),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT suite,
+             toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS s
+      FROM (SELECT suite, string_split(text, ' ') AS toks
+            FROM suites),
+           UNNEST(range(1, len(toks) - 1)) AS ti(i)
+    ),
+    sizes AS (
+      SELECT suite, count(*) AS n FROM sh GROUP BY suite
+    ),
+    inter AS (
+      SELECT a.suite AS suite_a, b.suite AS suite_b,
+             count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.suite < b.suite
+      GROUP BY a.suite, b.suite
+    )
+    SELECT i.suite_a, i.suite_b,
+           CAST(sa.n AS BIGINT) AS shingles_a,
+           CAST(sb.n AS BIGINT) AS shingles_b,
+           CAST(i.i AS BIGINT) AS shared,
+           round(i.i * 1.0 / least(sa.n, sb.n), 6) AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.suite = i.suite_a
+    JOIN sizes sb ON sb.suite = i.suite_b
+    ORDER BY i.suite_a, i.suite_b
+    """,
+    tags=("evaluation", "decontamination", "audit", "llm", "operator"),
+)
+def q391_eval_suite_overlap(spark, sf_dir):
+    """Eval-suite overlap matrix (q391) — benchmark suites share
+    items (the same question shows up in two leaderboards), which
+    double-counts wins and breaks train-decon budgets that treat
+    suites independently: per suite pair, the distinct-shingle
+    containment (shared / smaller side). Suites are md5-thirds of
+    the q330/q359 eval holdout (doc_id % 10 == 7); in production
+    each side is a real benchmark manifest. The suite-grain
+    complement of q349 (eval-vs-train) and q341 (source-vs-source).
+
+    SCALE DESIGN: shingle sets are DISTINCT-reduced per suite before
+    the only join, which is shingle-keyed between bounded eval
+    corpora — never doc x doc; the matrix is |suites|² rows.
+
+    NULL/emptiness: suite pairs with zero shared shingles are absent
+    from the matrix (inner join on the shared set) — at
+    {EVAL_SUITES} suites over a fixed-vocabulary fixture every pair
+    shares mass, and the pytest replica derives presence rather than
+    assuming it."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    from etl_as_a_service_spark.llm.dedup import shingles_from_tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    suites = docs.filter(F.col("doc_id") % 10 == 7).select(
+        (
+            md5_hash64(F.col("doc_id").cast("string"), "suite-")
+            % EVAL_SUITES
+        ).alias("suite"),
+        "text",
+    )
+    toks = F.split(F.col("text"), " ")
+    sh = (
+        suites.filter(F.size(toks) >= 3)
+        .select(
+            "suite",
+            F.explode(shingles_from_tokens(toks, 3)).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("suite").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("suite").alias("suite_a"), "s")
+    b = sh.select(F.col("suite").alias("suite_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("suite_a") < F.col("suite_b"))
+        .groupBy("suite_a", "suite_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(
+        F.col("suite").alias("suite_a"), F.col("n").alias("shingles_a")
+    )
+    sb = sizes.select(
+        F.col("suite").alias("suite_b"), F.col("n").alias("shingles_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "suite_a")
+        .join(F.broadcast(sb), "suite_b")
+        .select(
+            "suite_a",
+            "suite_b",
+            F.col("shingles_a").cast("long"),
+            F.col("shingles_b").cast("long"),
+            F.col("i").cast("long").alias("shared"),
+            F.round(
+                F.col("i")
+                * 1.0
+                / F.least(F.col("shingles_a"), F.col("shingles_b")),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("suite_a", "suite_b")
+    )

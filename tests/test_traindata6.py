@@ -1394,3 +1394,39 @@ def test_q390_lateness_matches_python_replica(spark):
     # replay of this fixture shows zero lateness — documented in the
     # query)
     assert any_late
+
+
+def test_q391_suite_overlap_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata6 import EVAL_SUITES
+
+    rows = _docs(spark, ("doc_id", "text"))
+    suites = {}
+    for r in rows:
+        if r["doc_id"] % 10 != 7:
+            continue
+        sid = _h32("suite-", r["doc_id"]) % EVAL_SUITES
+        toks = r["text"].split(" ")
+        for i in range(len(toks) - 2):
+            suites.setdefault(sid, set()).add(
+                " ".join(toks[i:i + 3])
+            )
+    got = {
+        (r["suite_a"], r["suite_b"]): r
+        for r in QUERIES["q391_eval_suite_overlap"].fn(spark, SF01).collect()
+    }
+    expected_pairs = {
+        (a, b)
+        for a in suites
+        for b in suites
+        if a < b and suites[a] & suites[b]
+    }
+    assert set(got) == expected_pairs
+    for (a, b), r in got.items():
+        inter = len(suites[a] & suites[b])
+        assert r["shingles_a"] == len(suites[a])
+        assert r["shingles_b"] == len(suites[b])
+        assert r["shared"] == inter
+        assert abs(
+            r["containment"]
+            - round(inter / min(len(suites[a]), len(suites[b])), 6)
+        ) < 1e-9
