@@ -218,6 +218,11 @@ def test_manifest_plans_lint_clean(spark):
         "q295_poisson_bootstrap_ci",
         "q299_bradley_terry",
         "q352_token_waterfill",
+        # q388: the global top-k rank window runs over the adjacent
+        # char-pair alphabet (bounded by charset^2, thousands of
+        # rows) — documented bounded-grain global window in the
+        # query docstring, same class as q122
+        "q388_bpe_first_merge",
     }
     bad = {}
     for name, qd in QUERIES.items():
