@@ -131,6 +131,12 @@ def test_front_50_rotation_invariants():
         (n for n in oracle_queries if n in newest_green),
         key=lambda n: (newest_green[n], qnum(n)),
     )
+    from etl_as_a_service_spark.queries import _ROTATE_FRONT
+
+    assert len(_ROTATE_FRONT) == 50, (
+        f"_ROTATE_FRONT must hold exactly the 50 driver slots, "
+        f"got {len(_ROTATE_FRONT)} (manual trims drifted)"
+    )
     expected = (never_green + stalest)[:50]
     assert set(front) == set(expected), (
         f"front-50 is not the freshness window: "
