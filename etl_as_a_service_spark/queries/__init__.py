@@ -125,6 +125,9 @@ _ROTATE_FRONT = [
     "q389_distinctive_terms",
     "q390_lateness_audit",
     "q391_eval_suite_overlap",
+    "q392_char_class_census",
+    "q393_length_gini",
+    "q394_hapax_audit",
     "q36_multiset_ops",
     "q37_union_by_name",
     "q38_approx_count_distinct",
@@ -138,9 +141,6 @@ _ROTATE_FRONT = [
     "q68_interval_range_frames",
     "q75_skew_kurtosis",
     "q81_tumbling_windows_batch",
-    "q82_asof_forward_next_purchase",
-    "q83_resample_gap_fill",
-    "q88_tfidf_top_terms",
 ]
 
 

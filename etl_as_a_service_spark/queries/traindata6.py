@@ -3799,3 +3799,206 @@ def q391_eval_suite_overlap(spark, sf_dir):
         )
         .orderBy("suite_a", "suite_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q392 — character-class census (digit/upper/punct mass per source)
+# --------------------------------------------------------------------------
+@query(
+    "q392_char_class_census",
+    oracle="""
+    WITH scored AS (
+      SELECT source,
+             length(text) AS nc,
+             len(regexp_extract_all(text, '[0-9]')) AS digits,
+             len(regexp_extract_all(text, '[A-Z]')) AS uppers,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS puncts
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nc) AS BIGINT) AS n_chars,
+           round(sum(digits) * 1.0 / sum(nc), 6) AS digit_frac,
+           round(sum(uppers) * 1.0 / sum(nc), 6) AS upper_frac,
+           round(sum(puncts) * 1.0 / sum(nc), 6) AS punct_frac,
+           CAST(count_if(digits * 10 > nc * 3) AS BIGINT)
+             AS n_digit_heavy
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("quality", "audit", "llm", "operator"),
+)
+def q392_char_class_census(spark, sf_dir):
+    """Character-class census (q392) — the cheap quality fingerprint
+    a corpus triage starts with: per source, the digit / uppercase /
+    punctuation character mass and the count of digit-heavy docs
+    (digit ratio > 0.3 — log dumps, CSV fragments, tables posing as
+    prose). The digit-heavy gate compares INTEGERS (digits·10 >
+    chars·3) so the 0.3 threshold never touches float division.
+
+    SCALE DESIGN: map-side regexp counts over a codegen projection;
+    ONE (source)-grain integer aggregate."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        F.length("text").alias("nc"),
+        F.regexp_count(F.col("text"), F.lit(r"[0-9]")).alias("digits"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Z]")).alias("uppers"),
+        F.regexp_count(F.col("text"), F.lit(r"[.,;:!?]")).alias(
+            "puncts"
+        ),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nc").cast("long").alias("n_chars"),
+            F.round(F.sum("digits") * 1.0 / F.sum("nc"), 6).alias(
+                "digit_frac"
+            ),
+            F.round(F.sum("uppers") * 1.0 / F.sum("nc"), 6).alias(
+                "upper_frac"
+            ),
+            F.round(F.sum("puncts") * 1.0 / F.sum("nc"), 6).alias(
+                "punct_frac"
+            ),
+            F.count_if(
+                F.col("digits") * 10 > F.col("nc") * 3
+            )
+            .cast("long")
+            .alias("n_digit_heavy"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q393 — token-mass inequality audit (Gini over doc lengths)
+# --------------------------------------------------------------------------
+@query(
+    "q393_length_gini",
+    oracle="""
+    WITH lens AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY len(string_split(text, ' ')), doc_id) AS rnk
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS tokens,
+           round((2.0 * sum(rnk * nt)) * 1.0
+                 / (count(*) * sum(nt))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM lens
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("curation", "statistics", "audit", "llm", "operator"),
+)
+def q393_length_gini(spark, sf_dir):
+    """Token-mass inequality audit (q393) — does a source's token
+    mass concentrate in a few giant documents (Gini → 1) or spread
+    evenly (→ 0)? High concentration changes packing, sampling, and
+    per-doc cap decisions. Gini is computed by the rank identity
+    G = 2·Σ(i·x_(i)) / (n·Σx) − (n+1)/n with ascending sorted
+    lengths — rank·length products are EXACT INTEGERS summed before
+    two final divisions (the q361 discipline); the rank window
+    tie-breaks on doc_id.
+
+    SCALE DESIGN: one per-source rank window (the partitioning the
+    corpus already has) + one integer aggregate — no pair joins, no
+    quantile sketches."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    nt = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = Window.partitionBy("source").orderBy(nt, F.col("doc_id"))
+    lens = docs.select(
+        "source",
+        nt.alias("nt"),
+        F.row_number().over(w).alias("rnk"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        lens.groupBy("source")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("tokens"),
+            F.round(
+                (2.0 * F.sum(F.col("rnk") * F.col("nt")))
+                * 1.0
+                / (n * F.sum("nt"))
+                - (n + 1.0) / n,
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q394 — hapax legomena audit (lexical richness per source)
+# --------------------------------------------------------------------------
+@query(
+    "q394_hapax_audit",
+    oracle="""
+    WITH wc AS (
+      SELECT source, w.w AS w, count(*) AS c
+      FROM documents, UNNEST(string_split(text, ' ')) AS w(w)
+      WHERE w.w <> ''
+      GROUP BY source, w.w
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(count_if(c = 1) AS BIGINT) AS hapax,
+           round(count_if(c = 1) * 1.0 / count(*), 6) AS hapax_frac,
+           round(count(*) * 1.0 / sum(c), 6) AS type_token_ratio
+    FROM wc
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("corpus", "lexical", "audit", "llm", "operator"),
+)
+def q394_hapax_audit(spark, sf_dir):
+    """Hapax legomena audit (q394) — the fraction of a source's
+    vocabulary that occurs exactly once: high hapax mass means long
+    lexical tails (names, typos, serials) that blow up tokenizer
+    vocab budgets and embed poorly; near-zero hapax means template
+    spam. Per source: tokens, vocabulary, hapax count/fraction, and
+    the type-token ratio (the per-source face of q372's growth
+    curve).
+
+    SCALE DESIGN: one (source, word) aggregate (map-side combine
+    over the exploded tokens) then a (source) rollup — the standard
+    two-level vocabulary shape; no join."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.col("text"), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.count_if(F.col("c") == 1).cast("long").alias("hapax"),
+            F.round(
+                F.count_if(F.col("c") == 1) * 1.0 / F.count(F.lit(1)),
+                6,
+            ).alias("hapax_frac"),
+            F.round(
+                F.count(F.lit(1)) * 1.0 / F.sum("c"), 6
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -1430,3 +1430,73 @@ def test_q391_suite_overlap_matches_python_replica(spark):
             r["containment"]
             - round(inter / min(len(suites[a]), len(suites[b])), 6)
         ) < 1e-9
+
+
+def test_q392_char_class_matches_python_replica(spark):
+    import re
+
+    rows = _docs(spark, ("source", "text"))
+    per = {}
+    for r in rows:
+        t = r["text"]
+        d = per.setdefault(r["source"], [0, 0, 0, 0, 0, 0])
+        digits = len(re.findall(r"[0-9]", t))
+        d[0] += 1
+        d[1] += len(t)
+        d[2] += digits
+        d[3] += len(re.findall(r"[A-Z]", t))
+        d[4] += len(re.findall(r"[.,;:!?]", t))
+        d[5] += 1 if digits * 10 > len(t) * 3 else 0
+    got = QUERIES["q392_char_class_census"].fn(spark, SF01).collect()
+    assert len(got) == len(per)
+    for r in got:
+        d = per[r["source"]]
+        assert (r["n_docs"], r["n_chars"], r["n_digit_heavy"]) == (
+            d[0], d[1], d[5],
+        )
+        assert abs(r["digit_frac"] - round(d[2] / d[1], 6)) < 1e-9
+        assert abs(r["upper_frac"] - round(d[3] / d[1], 6)) < 1e-9
+        assert abs(r["punct_frac"] - round(d[4] / d[1], 6)) < 1e-9
+
+
+def test_q393_length_gini_matches_python_replica(spark):
+    rows = _docs(spark, ("doc_id", "source", "text"))
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append(
+            (len(r["text"].split(" ")), r["doc_id"])
+        )
+    got = QUERIES["q393_length_gini"].fn(spark, SF01).collect()
+    assert len(got) == len(per)
+    for r in got:
+        xs = sorted(per[r["source"]])
+        n = len(xs)
+        tot = sum(x for x, _ in xs)
+        weighted = sum((i + 1) * x for i, (x, _) in enumerate(xs))
+        gini = 2.0 * weighted / (n * tot) - (n + 1.0) / n
+        assert r["n_docs"] == n and r["tokens"] == tot
+        assert abs(r["gini"] - round(gini, 6)) < 1e-9
+        assert 0.0 <= r["gini"] < 1.0
+
+
+def test_q394_hapax_matches_python_replica(spark):
+    rows = _docs(spark, ("source", "text"))
+    per = {}
+    for r in rows:
+        d = per.setdefault(r["source"], {})
+        for w in r["text"].split(" "):
+            if w:
+                d[w] = d.get(w, 0) + 1
+    got = QUERIES["q394_hapax_audit"].fn(spark, SF01).collect()
+    assert len(got) == len(per)
+    for r in got:
+        d = per[r["source"]]
+        tokens = sum(d.values())
+        hapax = sum(1 for c in d.values() if c == 1)
+        assert (r["tokens"], r["vocab"], r["hapax"]) == (
+            tokens, len(d), hapax,
+        )
+        assert abs(r["hapax_frac"] - round(hapax / len(d), 6)) < 1e-9
+        assert abs(
+            r["type_token_ratio"] - round(len(d) / tokens, 6)
+        ) < 1e-9
