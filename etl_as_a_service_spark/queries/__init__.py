@@ -128,6 +128,9 @@ _ROTATE_FRONT = [
     "q392_char_class_census",
     "q393_length_gini",
     "q394_hapax_audit",
+    "q395_stutter_census",
+    "q396_props_payload_census",
+    "q397_source_coverage_curve",
     "q36_multiset_ops",
     "q37_union_by_name",
     "q38_approx_count_distinct",
@@ -138,9 +141,6 @@ _ROTATE_FRONT = [
     "q53_ilike_rlike",
     "q56_array_ops",
     "q57_csv_scan_parity",
-    "q68_interval_range_frames",
-    "q75_skew_kurtosis",
-    "q81_tumbling_windows_batch",
 ]
 
 

@@ -4002,3 +4002,233 @@ def q394_hapax_audit(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q395 — stutter census (immediate token repeats, RE2-safe)
+# --------------------------------------------------------------------------
+@query(
+    "q395_stutter_census",
+    oracle="""
+    WITH scored AS (
+      SELECT source,
+             len(string_split(text, ' ')) - 1 AS n_adj,
+             len(list_filter(range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i]
+                    = string_split(text, ' ')[i + 1])) AS n_rep
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count_if(n_rep > 0) AS BIGINT) AS n_stutter_docs,
+           CAST(sum(n_rep) AS BIGINT) AS n_repeats,
+           round(sum(n_rep) * 1.0 / sum(n_adj), 6) AS repeat_frac
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("quality", "repetition", "audit", "llm", "operator"),
+)
+def q395_stutter_census(spark, sf_dir):
+    """Stutter census (q395) — immediate token repeats ("the the")
+    are the cheapest generation-degeneracy and OCR-noise signal, and
+    the one regex can't portably catch (backreferences are silent
+    no-matches in RE2 — the q221 lesson), so the repeat test is a
+    positional list comparison instead: count adjacent equal token
+    pairs per doc, report per source the stutter-doc count, total
+    repeats, and repeat mass over adjacent slots. Complements q89
+    (n-gram repetition mass) at the exact-adjacency grain.
+
+    SCALE DESIGN: the repeat count is a row-local array fold
+    (zip_with over the token list and its shift — codegen, no
+    explode); ONE (source)-grain integer aggregate."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    reps = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda x, y: x == y,
+            ),
+            lambda b: b,
+        )
+    )
+    scored = docs.select(
+        "source",
+        (F.size(toks) - 1).alias("n_adj"),
+        reps.alias("n_rep"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_if(F.col("n_rep") > 0)
+            .cast("long")
+            .alias("n_stutter_docs"),
+            F.sum("n_rep").cast("long").alias("n_repeats"),
+            F.round(F.sum("n_rep") * 1.0 / F.sum("n_adj"), 6).alias(
+                "repeat_frac"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q396 — event-props payload census (the JSON column, regexp-portable)
+# --------------------------------------------------------------------------
+@query(
+    "q396_props_payload_census",
+    oracle="""
+    WITH parsed AS (
+      SELECT event_type,
+             TRY_CAST(regexp_extract(props, '"k":\\s*(-?[0-9]+)', 1)
+                      AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count_if(k IS NOT NULL) AS BIGINT) AS n_parsed,
+           CAST(min(k) AS BIGINT) AS k_min,
+           CAST(max(k) AS BIGINT) AS k_max,
+           CAST(sum(k) AS BIGINT) AS k_sum,
+           CAST(count(DISTINCT k) AS BIGINT) AS k_distinct
+    FROM parsed
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("events", "json", "audit", "operator"),
+)
+def q396_props_payload_census(spark, sf_dir):
+    """Event-props payload census (q396) — the semi-structured
+    column's health check: per event type, how many `props` payloads
+    parse, and the parsed field's min/max/sum/distinct profile. The
+    extraction is a shared regexp (`"k": <int>`) rather than a JSON
+    function, because the ORACLE's JSON support is an extension that
+    may be absent while regexp_extract is core on both engines —
+    q25 covers the Spark-side get_json_object/from_json surface; this
+    query covers the payload-profile semantics portably.
+
+    NULL discipline: unparseable payloads count in n_events, stay
+    NULL through min/max/sum (both engines skip NULLs in
+    aggregates), and are excluded from n_parsed.
+
+    SCALE DESIGN: map-side regexp + TRY_CAST; ONE (type)-grain
+    integer aggregate."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    k = F.regexp_extract(
+        F.col("props"), r'"k":\s*(-?[0-9]+)', 1
+    ).try_cast("long")
+    parsed = ev.select("event_type", k.alias("k"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_if(F.col("k").isNotNull())
+            .cast("long")
+            .alias("n_parsed"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.count_distinct(F.col("k")).cast("long").alias(
+                "k_distinct"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q397 — source-coverage concentration curve (sources per token share)
+# --------------------------------------------------------------------------
+COVERAGE_TARGETS_PCT = (50, 90)
+
+
+def _coverage_oracle() -> str:
+    sweep = "\n      UNION ALL\n      ".join(
+        f"""SELECT {p} AS target_pct,
+             CAST(min(rnk) AS BIGINT) AS n_sources_needed,
+             CAST(min(cum) AS BIGINT) AS covered_tokens
+      FROM ranked
+      WHERE cum * 100 >= total * {p}
+        AND rnk = (SELECT min(rnk) FROM ranked
+                   WHERE cum * 100 >= total * {p})"""
+        for p in COVERAGE_TARGETS_PCT
+    )
+    return f"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS nt
+      FROM documents GROUP BY source
+    ),
+    ranked AS MATERIALIZED (
+      SELECT source, nt,
+             row_number() OVER (ORDER BY nt DESC, source) AS rnk,
+             sum(nt) OVER (ORDER BY nt DESC, source
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(nt) OVER () AS total
+      FROM per_source
+    ),
+    swept AS (
+      {sweep}
+    )
+    SELECT * FROM swept ORDER BY target_pct
+    """
+
+
+@query(
+    "q397_source_coverage_curve",
+    oracle=_coverage_oracle(),
+    tags=("curation", "mixture", "audit", "llm", "operator"),
+)
+def q397_source_coverage_curve(spark, sf_dir):
+    """Source-coverage concentration curve (q397) — how many sources
+    it takes to cover {COVERAGE_TARGETS_PCT}% of the token mass: the
+    head-heaviness number a mixture/licensing review reads first (if
+    2 of 20 sources carry 90%, the deck's diversity story is those
+    two sources). Sources ranked by token mass descending (source-id
+    tie-break), cumulative integer sums, and for each target the
+    FIRST rank whose cumulative share clears it — compared as
+    cum·100 >= total·pct in pure integers.
+
+    SCALE DESIGN: one (source)-grain aggregate, then windows over
+    the bounded |sources|-row frame (documented bounded-grain global
+    window — the q352 class)."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("nt")
+    )
+    w = Window.orderBy(F.col("nt").desc(), F.col("source"))
+    cumw = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_source.select(
+        "source",
+        "nt",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("nt").over(cumw).alias("cum"),
+        F.sum("nt").over(Window.partitionBy()).alias("total"),
+    )
+    entries = []
+    for p in COVERAGE_TARGETS_PCT:
+        qualifying = ranked.filter(
+            F.col("cum") * 100 >= F.col("total") * p
+        )
+        first = qualifying.agg(
+            F.min("rnk").alias("n_sources_needed"),
+            F.min("cum").alias("covered_tokens"),
+        ).select(
+            F.lit(p).cast("long").alias("target_pct"),
+            F.col("n_sources_needed").cast("long"),
+            F.col("covered_tokens").cast("long"),
+        )
+        entries.append(first)
+    out = entries[0]
+    for e in entries[1:]:
+        out = out.unionByName(e)
+    return out.orderBy("target_pct")

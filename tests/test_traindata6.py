@@ -1500,3 +1500,86 @@ def test_q394_hapax_matches_python_replica(spark):
         assert abs(
             r["type_token_ratio"] - round(len(d) / tokens, 6)
         ) < 1e-9
+
+
+def test_q395_stutter_matches_python_replica(spark):
+    rows = _docs(spark, ("source", "text"))
+    per = {}
+    for r in rows:
+        toks = r["text"].split(" ")
+        reps = sum(
+            1 for a, b in zip(toks, toks[1:]) if a == b
+        )
+        d = per.setdefault(r["source"], [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += 1 if reps > 0 else 0
+        d[2] += reps
+        d[3] += len(toks) - 1
+    got = QUERIES["q395_stutter_census"].fn(spark, SF01).collect()
+    assert len(got) == len(per)
+    for r in got:
+        d = per[r["source"]]
+        assert (r["n_docs"], r["n_stutter_docs"], r["n_repeats"]) == (
+            d[0], d[1], d[2],
+        )
+        assert abs(r["repeat_frac"] - round(d[2] / d[3], 6)) < 1e-9
+
+
+def test_q396_props_census_matches_python_replica(spark):
+    import re
+
+    from etl_as_a_service_spark.catalog import load_tables
+
+    ev = load_tables(spark, SF01, ["events"])["events"]
+    rows = ev.select("event_type", "props").collect()
+    per = {}
+    for r in rows:
+        m = re.search(r'"k":\s*(-?[0-9]+)', r["props"] or "")
+        k = int(m.group(1)) if m else None
+        per.setdefault(r["event_type"], []).append(k)
+    got = QUERIES["q396_props_payload_census"].fn(spark, SF01).collect()
+    assert len(got) == len(per)
+    for r in got:
+        ks = per[r["event_type"]]
+        parsed = [k for k in ks if k is not None]
+        assert r["n_events"] == len(ks)
+        assert r["n_parsed"] == len(parsed)
+        assert r["k_min"] == min(parsed)
+        assert r["k_max"] == max(parsed)
+        assert r["k_sum"] == sum(parsed)
+        assert r["k_distinct"] == len(set(parsed))
+
+
+def test_q397_coverage_curve_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata6 import (
+        COVERAGE_TARGETS_PCT,
+    )
+
+    rows = _docs(spark, ("source", "text"))
+    per = {}
+    for r in rows:
+        per[r["source"]] = per.get(r["source"], 0) + len(
+            r["text"].split(" ")
+        )
+    ranked = sorted(per.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(per.values())
+    got = {
+        r["target_pct"]: r
+        for r in QUERIES["q397_source_coverage_curve"].fn(spark, SF01).collect()
+    }
+    assert set(got) == set(COVERAGE_TARGETS_PCT)
+    for p in COVERAGE_TARGETS_PCT:
+        cum = 0
+        for i, (_, nt) in enumerate(ranked, start=1):
+            cum += nt
+            if cum * 100 >= total * p:
+                break
+        r = got[p]
+        assert r["n_sources_needed"] == i
+        assert r["covered_tokens"] == cum
+    # curve is monotone in the target
+    ps = sorted(got)
+    assert all(
+        got[a]["n_sources_needed"] <= got[b]["n_sources_needed"]
+        for a, b in zip(ps, ps[1:])
+    )
