@@ -223,6 +223,10 @@ def test_manifest_plans_lint_clean(spark):
         # rows) — documented bounded-grain global window in the
         # query docstring, same class as q122
         "q388_bpe_first_merge",
+        # q397: global rank/cumsum windows over the |sources|-row
+        # aggregate — documented bounded-grain global window, same
+        # class as q352
+        "q397_source_coverage_curve",
     }
     bad = {}
     for name, qd in QUERIES.items():
