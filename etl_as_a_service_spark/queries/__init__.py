@@ -131,6 +131,8 @@ _ROTATE_FRONT = [
     "q395_stutter_census",
     "q396_props_payload_census",
     "q397_source_coverage_curve",
+    "q398_digit_run_census",
+    "q399_word_length_histogram",
     "q36_multiset_ops",
     "q37_union_by_name",
     "q38_approx_count_distinct",
@@ -139,8 +141,6 @@ _ROTATE_FRONT = [
     "q51_interval_arithmetic",
     "q52_try_cast",
     "q53_ilike_rlike",
-    "q56_array_ops",
-    "q57_csv_scan_parity",
 ]
 
 

@@ -4232,3 +4232,125 @@ def q397_source_coverage_curve(spark, sf_dir):
     for e in entries[1:]:
         out = out.unionByName(e)
     return out.orderBy("target_pct")
+
+
+# --------------------------------------------------------------------------
+# q398 — long-digit-run census (catch-all numeric-PII screen)
+# --------------------------------------------------------------------------
+DIGIT_RUN_LEN = 8
+
+
+@query(
+    "q398_digit_run_census",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source,
+             len(regexp_extract_all(text, '[0-9]{{{DIGIT_RUN_LEN},}}'))
+               AS runs
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count_if(runs > 0) AS BIGINT) AS n_flagged_docs,
+           CAST(sum(runs) AS BIGINT) AS n_runs,
+           round(count_if(runs > 0) * 1.0 / count(*), 6)
+             AS flagged_frac
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("pii", "safety", "audit", "llm", "operator"),
+)
+def q398_digit_run_census(spark, sf_dir):
+    """Long-digit-run census (q398) — the catch-all numeric-PII
+    screen: any run of {DIGIT_RUN_LEN}+ consecutive digits
+    (phone/card/account-shaped) flags a document for the targeted
+    redaction pass (q297's typed patterns catch known shapes; this
+    catches the rest). Per source: flagged docs, total runs, flagged
+    fraction. The pattern is quantifier-only (Java ∩ RE2 — no
+    backreferences, the q221 discipline).
+
+    SCALE DESIGN: one map-side regexp count; ONE (source)-grain
+    integer aggregate."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    runs = F.regexp_count(
+        F.col("text"), F.lit(rf"[0-9]{{{DIGIT_RUN_LEN},}}")
+    )
+    scored = docs.select("source", runs.alias("runs"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_if(F.col("runs") > 0)
+            .cast("long")
+            .alias("n_flagged_docs"),
+            F.sum("runs").cast("long").alias("n_runs"),
+            F.round(
+                F.count_if(F.col("runs") > 0)
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("flagged_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q399 — word-length histogram (tokenizer shape input)
+# --------------------------------------------------------------------------
+WORDLEN_CAP = 15
+
+
+@query(
+    "q399_word_length_histogram",
+    oracle=f"""
+    WITH words AS (
+      SELECT least(length(w.w), {WORDLEN_CAP}) AS wl
+      FROM documents, UNNEST(string_split(text, ' ')) AS w(w)
+      WHERE w.w <> ''
+    )
+    SELECT CAST(wl AS BIGINT) AS word_len,
+           CAST(count(*) AS BIGINT) AS n_words,
+           round(count(*) * 1.0 / (SELECT count(*) FROM words), 6)
+             AS frac
+    FROM words
+    GROUP BY wl
+    ORDER BY word_len
+    """,
+    tags=("tokenizer", "audit", "llm", "operator"),
+)
+def q399_word_length_histogram(spark, sf_dir):
+    """Word-length histogram (q399) — the corpus shape a tokenizer's
+    merge budget and a fixed-width kernel (the q253 shingle width,
+    the q385 quantization scale) are tuned against: exact counts per
+    word length, capped at {WORDLEN_CAP}+ (the tail bucket). Bounded
+    output (≤ {WORDLEN_CAP} rows), exact integer counts, one
+    division per row for the fraction.
+
+    SCALE DESIGN: explode + ONE bounded-grain aggregate with
+    map-side partials; the total is a broadcast scalar."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .select(
+            F.least(F.length("w"), F.lit(WORDLEN_CAP)).alias("wl")
+        )
+    )
+    total = words.agg(F.count(F.lit(1)).alias("n_all"))
+    return (
+        words.groupBy("wl")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_words"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("wl").cast("long").alias("word_len"),
+            "n_words",
+            F.round(F.col("n_words") * 1.0 / F.col("n_all"), 6).alias(
+                "frac"
+            ),
+        )
+        .orderBy("word_len")
+    )

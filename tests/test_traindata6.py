@@ -1583,3 +1583,47 @@ def test_q397_coverage_curve_matches_python_replica(spark):
         got[a]["n_sources_needed"] <= got[b]["n_sources_needed"]
         for a, b in zip(ps, ps[1:])
     )
+
+
+def test_q398_digit_runs_matches_python_replica(spark):
+    import re
+
+    from etl_as_a_service_spark.queries.traindata6 import DIGIT_RUN_LEN
+
+    rows = _docs(spark, ("source", "text"))
+    per = {}
+    pat = re.compile(r"[0-9]{%d,}" % DIGIT_RUN_LEN)
+    for r in rows:
+        runs = len(pat.findall(r["text"]))
+        d = per.setdefault(r["source"], [0, 0, 0])
+        d[0] += 1
+        d[1] += 1 if runs > 0 else 0
+        d[2] += runs
+    got = QUERIES["q398_digit_run_census"].fn(spark, SF01).collect()
+    assert len(got) == len(per)
+    for r in got:
+        d = per[r["source"]]
+        assert (r["n_docs"], r["n_flagged_docs"], r["n_runs"]) == tuple(d)
+        assert abs(r["flagged_frac"] - round(d[1] / d[0], 6)) < 1e-9
+
+
+def test_q399_wordlen_hist_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries.traindata6 import WORDLEN_CAP
+
+    rows = _docs(spark, ("text",))
+    hist = {}
+    total = 0
+    for r in rows:
+        for w in r["text"].split(" "):
+            if w:
+                wl = min(len(w), WORDLEN_CAP)
+                hist[wl] = hist.get(wl, 0) + 1
+                total += 1
+    got = QUERIES["q399_word_length_histogram"].fn(spark, SF01).collect()
+    assert len(got) == len(hist)
+    for r in got:
+        assert r["n_words"] == hist[r["word_len"]]
+        assert abs(
+            r["frac"] - round(hist[r["word_len"]] / total, 6)
+        ) < 1e-9
+    assert sum(r["n_words"] for r in got) == total
