@@ -88,59 +88,60 @@ from etl_as_a_service_spark.queries import traindata6  # noqa: E402,F401
 # its driver row; the real gates are their pytest recall/content
 # tests.
 _ROTATE_FRONT = [
-    # round-11 window: never-green leads first (the round-11 new
-    # operators), then the stalest receipts — the r2-era q36..q120
-    # block, then the r3-era rows.
-    "q358_curation_neardup_e2e",
-    "q359_sft_prep_e2e",
-    "q360_quality_threshold_sweep",
-    "q361_kl_budget_audit",
-    "q362_snapshot_diff",
-    "q363_neardup_threshold_sweep",
-    "q364_retrieval_metrics",
-    "q365_instruction_diversity",
-    "q366_length_rebalance",
-    "q367_dpo_pair_audit",
-    "q368_teacher_student_kappa",
-    "q369_prefix_dup_census",
-    "q370_mixture_alpha_sweep",
-    "q371_pack_budget_sweep",
-    "q372_vocab_growth",
-    "q373_snapshot_delta_dedup",
-    "q374_worst_group_audit",
-    "q375_utf8_cost_audit",
-    "q376_wilson_gate_ranking",
-    "q377_embedding_spread",
-    "q378_span_corruption_plan",
-    "q379_key_skew_profile",
-    "q380_bloom_sizing_plan",
-    "q381_chunk_overlap_plan",
-    "q382_conversation_balance",
-    "q383_event_cadence",
-    "q384_neardup_transitivity",
-    "q385_exact_topk_neighbors",
-    "q386_topk_label_recall",
-    "q387_srp_ann_recall",
-    "q388_bpe_first_merge",
-    "q389_distinctive_terms",
-    "q390_lateness_audit",
-    "q391_eval_suite_overlap",
-    "q392_char_class_census",
-    "q393_length_gini",
-    "q394_hapax_audit",
-    "q395_stutter_census",
-    "q396_props_payload_census",
-    "q397_source_coverage_curve",
-    "q398_digit_run_census",
-    "q399_word_length_histogram",
-    "q36_multiset_ops",
-    "q37_union_by_name",
-    "q38_approx_count_distinct",
-    "q39_correlated_subqueries",
-    "q50_posexplode_tokens",
-    "q51_interval_arithmetic",
-    "q52_try_cast",
-    "q53_ilike_rlike",
+    # round-12 window: the never-green backlog is EMPTY (CORRECTNESS_r11
+    # closed the last 42), so all 50 slots refresh the stalest receipts
+    # — the r2-era q56..q120 block, then the r3-era q40..q85 rows —
+    # sorted by (newest green round, query number) ascending.
+    "q56_array_ops",
+    "q57_csv_scan_parity",
+    "q68_interval_range_frames",
+    "q75_skew_kurtosis",
+    "q81_tumbling_windows_batch",
+    "q82_asof_forward_next_purchase",
+    "q83_resample_gap_fill",
+    "q88_tfidf_top_terms",
+    "q89_repetition_scores",
+    "q90_stratified_sample",
+    "q92_document_chunking",
+    "q93_top_bigrams",
+    "q95_incremental_dedup",
+    "q96_event_conversion_funnel",
+    "q97_percentile_trim",
+    "q99_ewma_per_user",
+    "q101_fuzzy_nation_match",
+    "q102_pii_scan_report",
+    "q103_banded_range_join",
+    "q108_weighted_sample",
+    "q109_linear_interpolation",
+    "q112_mad_outliers",
+    "q113_unpivot_metrics",
+    "q116_cohort_retention",
+    "q120_bigram_lm_scores",
+    "q40_exact_dedup_groups",
+    "q41_exact_dedup_survivors",
+    "q42_text_stats_by_lang",
+    "q43_doc_fingerprints",
+    "q44_lang_id_agreement",
+    "q45_cosine_topk",
+    "q46_ngram_jaccard_pairs",
+    "q58_text_cleaning",
+    "q59_curation_pipeline",
+    "q62_shipping_priority",
+    "q63_local_supplier_volume",
+    "q64_nation_volume_pairs",
+    "q65_returned_item_customers",
+    "q66_or_of_ands_predicates",
+    "q71_nth_value_listagg",
+    "q72_bit_operations",
+    "q73_binning_histogram",
+    "q74_date_part_week_trunc",
+    "q76_deterministic_split",
+    "q77_data_quality_report",
+    "q78_sequence_packing",
+    "q79_class_rebalance",
+    "q80_variant_json",
+    "q84_sequence_packing_split",
+    "q85_decontamination",
 ]
 
 
