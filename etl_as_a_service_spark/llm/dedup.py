@@ -1308,7 +1308,14 @@ def minhash_lsh_pairs_portable(
             F.explode(shingles_from_tokens(toks, shingle_n)).alias("s"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # persist, not localCheckpoint: materializes at the FIRST
+        # action, is shared by all four consumers through one
+        # InMemoryRelation, keeps lineage recomputable after executor
+        # loss, and — unlike even a LAZY localCheckpoint, whose
+        # AdaptiveSparkPlanExec.execute() materializes every shuffle
+        # stage — runs ZERO jobs at construction (ADVICE r12, tested
+        # by tests/test_advice_r12.py).
+        .persist()
     )
     mh = sh.groupBy("__id").agg(
         *[

@@ -528,7 +528,15 @@ def _apply_step(
         # proportionally across the strata (quota = ceil(size *
         # stratum_share), filled by seeded-md5-order-first rows — the
         # q355 builder as a row-filtering transform) and keep either
-        # the carved "eval" side or the "train" remainder. Scale:
+        # the carved "eval" side or the "train" remainder.
+        # CONTRACT: id_col values must be UNIQUE (the pack/near_dedup
+        # convention) — duplicate ids share the same md5 rank key, so
+        # which duplicate the row_number carves would be engine- and
+        # run-nondeterministic, silently breaking oracle parity. New
+        # call sites must assert fixture uniqueness in their tests
+        # (tests/test_advice_r12.py does for q359). Quotas are
+        # ceil-per-stratum, so the eval side may exceed `size` by up
+        # to |strata| rows ("~size" is the documented contract). Scale:
         # quotas are a stratum-grain aggregate broadcast back;
         # selection is a per-stratum rank window (WindowGroupLimit
         # pushes the quota filter map-side for keep="eval").

@@ -1200,8 +1200,8 @@ def _dpo_oracle() -> str:
              round(count_if(margin >= {m}) * 1.0 / count(*), 6)
                AS yield_frac,
              round(coalesce(sum(CASE WHEN margin >= {m}
-                     THEN margin END), 0) * 1.0
-                   / nullif(count_if(margin >= {m}), 0) + 0.0, 6)
+                     THEN margin END) * 1.0
+                   / nullif(count_if(margin >= {m}), 0) + 0.0, 0.0), 6)
                AS mean_margin
       FROM margins"""
         for m in DPO_MARGINS
@@ -1240,8 +1240,11 @@ def q367_dpo_pair_audit(spark, sf_dir):
     {DPO_GROUP}-rollout group (score = 8*base + slot), so max/min
     need no tie-break.
 
-    NULL discipline: a floor nobody clears reports mean_margin 0
-    (coalesce before the divide, + 0.0 to normalize -0.0).
+    NULL discipline: a floor nobody clears reports mean_margin 0 on
+    BOTH engines — the oracle coalesces the WHOLE division (0/NULL is
+    NULL in DuckDB; coalescing only the sum left the quotient NULL,
+    the round-12 ADVICE fix), the Spark side fillna's the quotient;
+    + 0.0 normalizes -0.0.
 
     SCALE DESIGN: one (prompt)-grain aggregate (map-side max/min),
     then ONE corpus aggregate evaluating every floor as conditional
@@ -2901,7 +2904,10 @@ def q384_neardup_transitivity(spark, sf_dir):
         )
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        # persist: the edge set computes once at first action and the
+        # three wedge self-joins share the InMemoryRelation;
+        # construction runs zero jobs (ADVICE r12)
+        .persist()
     )
     p1, p2 = pairs.alias("p1"), pairs.alias("p2")
     # each wedge carries its OUTER nodes (o1, o2) around the shared
@@ -2941,10 +2947,9 @@ def q384_neardup_transitivity(spark, sf_dir):
         & (F.greatest(F.col("o1"), F.col("o2")) == F.col("eb")),
         "left",
     ).select(F.col("ea").isNotNull().alias("is_closed"))
-    n_edges = pairs.count()
+    ne = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return (
         closed.agg(
-            F.lit(n_edges).cast("long").alias("n_edges"),
             F.count(F.lit(1)).cast("long").alias("n_wedges"),
             F.count_if(F.col("is_closed")).cast("long").alias(
                 "n_closed"
@@ -2960,6 +2965,8 @@ def q384_neardup_transitivity(spark, sf_dir):
                 6,
             ).alias("transitivity"),
         )
+        .crossJoin(F.broadcast(ne))
+        .select("n_edges", "n_wedges", "n_closed", "transitivity")
     )
 
 
@@ -3307,11 +3314,16 @@ def q387_srp_ann_recall(spark, sf_dir):
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # persist: the exact all-pairs frame computes ONCE (at the first
+    # action) and both the exact and ANN branches read the same
+    # InMemoryRelation; construction stays pure plan-building (zero
+    # jobs — tested; a localCheckpoint, even lazy, executes its
+    # upstream shuffle stages at construction under AQE)
     pairs = (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("vec_id") != F.col("neighbor"))
         .select("vec_id", "neighbor", qdot.alias("qdot"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("qdot").desc(), F.col("neighbor")
@@ -3346,24 +3358,39 @@ def q387_srp_ann_recall(spark, sf_dir):
     hits = ann.join(
         exact.select("vec_id", "neighbor"), ["vec_id", "neighbor"]
     ).groupBy("vec_id").agg(F.count(F.lit(1)).alias("m"))
-    n_queries = q.count()
-    n_buckets = buckets.select("t", "bucket").distinct().count()
-    cand_sum = cands.count()
-    return hits.agg(
-        F.lit(n_queries).cast("long").alias("n_queries"),
-        F.lit(n_buckets).cast("long").alias("n_buckets"),
-        F.coalesce(F.sum("m"), F.lit(0))
-        .cast("long")
-        .alias("total_matches"),
-        F.round(
+    # scalar denominators as joined 1-row aggregates (the q363/q399
+    # pattern), NOT driver-side counts — construction must not run
+    # jobs, and a re-collection recomputes declaratively
+    nq = q.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    nb = (
+        buckets.select("t", "bucket")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+    )
+    nc = cands.agg(F.count(F.lit(1)).cast("long").alias("n_cands"))
+    return (
+        hits.agg(
             F.coalesce(F.sum("m"), F.lit(0))
-            * 1.0
-            / (TOPK_NEIGHBORS * n_queries),
-            6,
-        ).alias(f"recall_at_{TOPK_NEIGHBORS}"),
-        F.round(F.lit(cand_sum) * 1.0 / n_queries, 6).alias(
-            "mean_candidates"
-        ),
+            .cast("long")
+            .alias("total_matches")
+        )
+        .crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_queries",
+            "n_buckets",
+            "total_matches",
+            F.round(
+                F.col("total_matches")
+                * 1.0
+                / (TOPK_NEIGHBORS * F.col("n_queries")),
+                6,
+            ).alias(f"recall_at_{TOPK_NEIGHBORS}"),
+            F.round(
+                F.col("n_cands") * 1.0 / F.col("n_queries"), 6
+            ).alias("mean_candidates"),
+        )
     )
 
 
