@@ -82,16 +82,20 @@ from etl_as_a_service_spark.queries import traindata6  # noqa: E402,F401
 # (tests/test_driver_canonicalizer.py::test_front_50_rotation_invariants)
 # computes this exact window from the CORRECTNESS_r*.json union.
 #
-# Keep the rows-only queries (q47-q49/q54/q55/q61/q98/q130/q139/q148
-# and the q284-q286 multimodal family) OUT of every front-50: their
-# driver check is `no_oracle` (row-count only) and each already has
-# its driver row; the real gates are their pytest recall/content
-# tests.
+# Keep the rows-only queries (q47/q48/q54/q61/q98/q130/q139 and the
+# q284-q286 multimodal family — q49/q55/q148 graduated to
+# oracle-checked in round 12) OUT of every front-50: their driver
+# check is `no_oracle` (row-count only) and each already has its
+# driver row; the real gates are their pytest recall/content tests.
 _ROTATE_FRONT = [
-    # round-12 window: the never-green backlog is EMPTY (CORRECTNESS_r11
-    # closed the last 42), so all 50 slots refresh the stalest receipts
-    # — the r2-era q56..q120 block, then the r3-era q40..q85 rows —
-    # sorted by (newest green round, query number) ascending.
+    # round-12 window: q49/q55/q148 moved from rows-only to
+    # oracle-checked this round (the q385 quantization recipe), so
+    # they are the only never-green entries and lead; the remaining
+    # 47 slots refresh the stalest receipts (r2-era q56..q120, then
+    # r3-era q40..q84), sorted by (newest green round, number).
+    "q49_lsh_ann_join",
+    "q55_embedding_near_dups",
+    "q148_semantic_dedup",
     "q56_array_ops",
     "q57_csv_scan_parity",
     "q68_interval_range_frames",
@@ -139,9 +143,6 @@ _ROTATE_FRONT = [
     "q77_data_quality_report",
     "q78_sequence_packing",
     "q79_class_rebalance",
-    "q80_variant_json",
-    "q84_sequence_packing_split",
-    "q85_decontamination",
 ]
 
 

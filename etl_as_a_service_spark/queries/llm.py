@@ -300,17 +300,96 @@ def q48_simhash_fingerprints(spark, sf_dir):
     return simhash(docs, "text", "doc_id").orderBy("doc_id")
 
 
-@query("q49_lsh_ann_join", oracle=None, tags=("similarity", "lsh", "llm"))
+RPJ_THRESHOLD = 1.3
+RPJ_WIDTH = 2_000_000
+RPJ_TABLES = 6
+
+
+def _q49_oracle() -> str:
+    from etl_as_a_service_spark.llm.similarity_portable import (
+        Q_SCALE,
+        sql_planes,
+        sql_quantized,
+    )
+
+    thr_q2 = int(round(RPJ_THRESHOLD * Q_SCALE)) ** 2
+    return f"""
+    WITH qc AS MATERIALIZED ({sql_quantized()}),
+    planes AS MATERIALIZED ({sql_planes(RPJ_TABLES, 1, 64, "rpj")}),
+    projs AS MATERIALIZED (
+      SELECT e.vec_id, pl.t, sum(e.x * pl.h) AS proj
+      FROM (
+        SELECT vec_id, i.i AS i, qv[i.i + 1] AS x
+        FROM qc, UNNEST(range(0, len(qv))) AS i(i)
+      ) e JOIN planes pl ON e.i = pl.i
+      GROUP BY e.vec_id, pl.t
+    ),
+    bkts AS MATERIALIZED (
+      SELECT vec_id, t,
+             CAST((proj - ((proj % {RPJ_WIDTH} + {RPJ_WIDTH})
+               % {RPJ_WIDTH})) / {RPJ_WIDTH} AS BIGINT) AS bucket
+      FROM projs
+    ),
+    cands AS (
+      SELECT DISTINCT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
+      FROM bkts bq JOIN bkts bc
+        ON bq.t = bc.t AND bq.bucket = bc.bucket
+       AND bq.vec_id <> bc.vec_id
+      WHERE bq.vec_id < 5
+    ),
+    verified AS (
+      SELECT query_id, neighbor_id,
+             CAST(list_aggregate(
+               list_transform(range(1, len(a.qv) + 1),
+                 i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])),
+               'sum') AS BIGINT) AS qdist2
+      FROM cands c
+      JOIN qc a ON a.vec_id = c.query_id
+      JOIN qc b ON b.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, qdist2,
+           round(sqrt(CAST(qdist2 AS DOUBLE)) / {Q_SCALE}, 6) AS dist6
+    FROM verified
+    WHERE qdist2 <= {thr_q2}
+    ORDER BY query_id, neighbor_id
+    """
+
+
+@query(
+    "q49_lsh_ann_join",
+    oracle=_q49_oracle(),
+    tags=("similarity", "lsh", "llm", "operator"),
+)
 def q49_lsh_ann_join(spark, sf_dir):
-    """Approximate similarity join (BucketedRandomProjectionLSH) — the
-    100 TB ANN path; recall vs q45's exact top-k is asserted in tests."""
+    """Approximate Euclidean similarity join, ORACLE-CHECKED end to end
+    (round-12: moved off rows-only with the q385 quantization recipe):
+    md5-derived integer projections bucket round(x*1000) BIGINT
+    vectors per table; same-bucket corpus x query candidates verify
+    the EXACT integer squared distance against (1.3*1000)^2 — every
+    stage (projection, floored bucketing, candidate join, verify) is
+    integer-deterministic and re-derived by the DuckDB twin. The MLlib
+    face (lsh_similarity_join / BucketedRandomProjectionLSH) remains
+    the fitted-model production alternative, recall-tested in
+    test_llm_ops; recall of THIS path vs exact brute force is asserted
+    in test_similarity_portable.
+
+    SCALE DESIGN: one posexplode + broadcast-planes join + (vec, t)
+    aggregate per side; candidates ship ids only through the
+    (t, bucket) join; verification touches only candidate pairs —
+    never corpus x corpus. bucket_width is the candidate-volume knob
+    (MLlib's bucketLength)."""
+    from etl_as_a_service_spark.llm.similarity_portable import (
+        rp_similarity_join_portable,
+    )
+
     (emb,) = _t(spark, sf_dir, "embeddings")
-    return lsh_similarity_join(
+    return rp_similarity_join_portable(
         corpus=emb,
         queries=emb.filter(F.col("vec_id") < 5),
-        distance_threshold=12.0,
-        bucket_length=4.0,
-        num_hash_tables=4,
+        distance_threshold=RPJ_THRESHOLD,
+        bucket_width=RPJ_WIDTH,
+        n_tables=RPJ_TABLES,
+        salt="rpj",
     ).orderBy("query_id", "neighbor_id")
 
 
@@ -329,32 +408,135 @@ def q54_ivf_ann_topk(spark, sf_dir):
     ).orderBy("query_id", "rn")
 
 
-@query("q55_embedding_near_dups", oracle=None, tags=("dedup", "embedding", "llm"))
-def q55_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-dup detection in its real regime: 25
-    deterministic near-copies (±0.3% per-dim perturbation, cosine
-    ~0.99999) are planted under vec_id+10000; the SRP-LSH operator must
-    recover exactly those 25 pairs at threshold 0.95 (the corpus's max
-    organic pairwise cosine is ~0.55, so output = the planted pairs —
-    deterministic and non-vacuous)."""
-    (emb,) = _t(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", "embedding")
-    planted = base.filter(F.col("vec_id") < 25).select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
-        F.transform(
-            F.col("embedding"),
-            lambda x, i: x
-            * (
-                F.lit(1.0)
-                + (F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(7)) - 3).cast(
-                    "double"
-                )
-                * 0.001
-            ),
-        ).alias("embedding"),
+END_TABLES = 8
+END_PLANES = 12
+
+
+def _planted_union_sql() -> str:
+    """Shared oracle fragment (q55/q148): quantized embeddings plus 25
+    planted near-copies under vec_id+10000, perturbed IN INTEGER SPACE
+    (each dim +/- up to 3 milli-units via md5) so both engines build
+    bit-identical vectors."""
+    from etl_as_a_service_spark.llm.similarity_portable import (
+        sql_quantized,
     )
-    return embedding_near_duplicates(
-        base.unionByName(planted), cosine_threshold=0.95
+
+    return f"""
+    qb AS MATERIALIZED ({sql_quantized()}),
+    pl AS (
+      SELECT vec_id + 10000 AS vec_id,
+             list_transform(range(0, len(qv)), i -> qv[i + 1]
+               + (('0x' || substr(md5('pl-'
+                    || CAST(vec_id + 10000 AS VARCHAR) || '-'
+                    || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 7 - 3))
+               AS qv
+      FROM qb WHERE vec_id < 25
+    ),
+    allv AS MATERIALIZED (
+      SELECT * FROM qb UNION ALL SELECT * FROM pl
+    )"""
+
+
+def _planted_union_quantized(emb):
+    """Spark twin of _planted_union_sql: (vec_id, qv, nrm2)."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+    from etl_as_a_service_spark.llm.similarity_portable import (
+        quantize_vectors,
+    )
+
+    qb = quantize_vectors(emb)
+    # RESOLUTION TRAP (round-12 lesson): a lambda that references
+    # F.col("vec_id") inside a select that ALIASES an expression to
+    # "vec_id" resolves against the projection's OWN alias, not the
+    # input (measured: new_id inside the lambda became orig+20000).
+    # Stage the new id under a non-colliding name first.
+    planted = (
+        qb.filter(F.col("vec_id") < 25)
+        .withColumn("__nid", F.col("vec_id") + 10000)
+        .select(
+            F.col("__nid").alias("vec_id"),
+            F.transform(
+                F.col("qv"),
+                lambda x, i: x
+                + (
+                    md5_hash64(
+                        F.concat(
+                            F.col("__nid").cast("string"),
+                            F.lit("-"),
+                            i.cast("string"),
+                        ),
+                        "pl-",
+                    )
+                    % 7
+                    - 3
+                ),
+            ).alias("qv"),
+        )
+        .withColumn(
+            "nrm2",
+            F.aggregate(
+                F.col("qv"),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v * v,
+            ),
+        )
+    )
+    return qb.unionByName(planted)
+
+
+def _q55_oracle() -> str:
+    from etl_as_a_service_spark.llm.similarity_portable import (
+        sql_planes,
+        sql_srp_buckets,
+        sql_verified_pairs,
+    )
+
+    return f"""
+    WITH {_planted_union_sql()},
+    planes AS MATERIALIZED (
+      {sql_planes(END_TABLES, END_PLANES, 64, "end")}),
+    buckets AS MATERIALIZED ({sql_srp_buckets("allv", END_PLANES)}),
+    pairs AS ({sql_verified_pairs("allv", 19, 20)})
+    SELECT id_a, id_b, CAST(qdot AS BIGINT) AS qdot, cos6
+    FROM pairs ORDER BY id_a, id_b
+    """
+
+
+@query(
+    "q55_embedding_near_dups",
+    oracle=_q55_oracle(),
+    tags=("dedup", "embedding", "llm", "operator"),
+)
+def q55_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup detection in its real regime, now
+    ORACLE-CHECKED end to end (round-12: the q385 quantization recipe
+    applied to the SRP near-dup path): 25 deterministic near-copies
+    (per-dim +/-3 milli-unit integer perturbation, cosine ~0.99998)
+    are planted under vec_id+10000; SRP-LSH over md5-derived integer
+    hyperplanes + EXACT integer-cosine verify (400*qdot^2 >=
+    361*|a|^2*|b|^2) must recover exactly those 25 pairs at threshold
+    19/20 (max organic pairwise cosine is ~0.55, so output = the
+    planted pairs — deterministic, non-vacuous, and every stage
+    re-derived by the DuckDB twin). The float SRP production face
+    (embedding_near_duplicates) keeps its Arrow kernel and planted
+    recall tests in test_llm_ops.
+
+    SCALE DESIGN: identical shuffle structure to the float path —
+    ids-only (t, bucket) candidate join, exact verify only on
+    candidates, hot-bucket cap available."""
+    from etl_as_a_service_spark.llm.similarity_portable import (
+        embedding_near_duplicates_portable,
+    )
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates_portable(
+        _planted_union_quantized(emb.select("vec_id", "embedding")),
+        threshold_num=19,
+        threshold_den=20,
+        n_tables=END_TABLES,
+        n_planes=END_PLANES,
+        salt="end",
+        _quantized=True,
     ).orderBy("id_a", "id_b")
 
 
@@ -1893,50 +2075,78 @@ def q147_temperature_mix(spark, sf_dir):
 # --------------------------------------------------------------------------
 # q148 — semantic (embedding-level) deduplication, SemDeDup-shaped
 # --------------------------------------------------------------------------
+def _q148_oracle() -> str:
+    from etl_as_a_service_spark.llm.similarity_portable import (
+        sql_planes,
+        sql_srp_buckets,
+        sql_verified_pairs,
+    )
+
+    return f"""
+    WITH RECURSIVE {_planted_union_sql()},
+    planes AS MATERIALIZED (
+      {sql_planes(END_TABLES, END_PLANES, 64, "end")}),
+    buckets AS MATERIALIZED ({sql_srp_buckets("allv", END_PLANES)}),
+    pairs AS MATERIALIZED ({sql_verified_pairs("allv", 19, 20)}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT vec_id, vec_id FROM allv
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node, min(lbl) AS component FROM reach GROUP BY node
+    )
+    SELECT component,
+           CAST(min(node) AS BIGINT) AS vec_id,
+           CAST(count(*) AS BIGINT) AS group_size
+    FROM comp GROUP BY component ORDER BY component
+    """
+
+
 @query(
     "q148_semantic_dedup",
-    # rows-only: candidate generation runs the seeded SRP projection
-    # kernel (Arrow numpy), which has no SQL twin; exactness of the
-    # survivor rule and family collapse are pytest-asserted with
-    # planted duplicates (test_llm_ops.py::test_semantic_dedup_*)
+    oracle=_q148_oracle(),
     tags=("dedup", "embeddings", "semantic", "llm", "operator"),
 )
 def q148_semantic_dedup(spark, sf_dir):
     """Semantic dedup (q148): one survivor per embedding-cosine
     near-duplicate family, singletons included — the SemDeDup curation
-    step. The raw table's max organic pairwise cosine is ~0.55, so 25
-    deterministic near-copies are planted under vec_id+10000 (the q55
-    recipe); the expected output is exactly 500 survivors, each planted
-    family collapsed to its min-id original with group_size 2. SRP-LSH
-    candidates + exact-cosine verify + bounded-iteration connected
-    components + per-family top-1 (WindowGroupLimit)."""
-    from etl_as_a_service_spark.llm.similarity import semantic_dedup
+    step, ORACLE-CHECKED end to end (round-12: the last of the three
+    rows-only similarity upgrades). 25 deterministic near-copies are
+    planted under vec_id+10000 in INTEGER space (the q55 recipe); the
+    expected output is every planted family collapsed to its min-id
+    original with group_size 2, all other vectors surviving as
+    singletons. Every leg has a DuckDB twin: SRP candidates over
+    md5-derived integer hyperplanes, exact integer-cosine verify, and
+    connected components — Spark's bounded min-label propagation
+    computes the SAME fixpoint the oracle's ANSI recursive CTE does,
+    so the clustering itself is hash-checked, not just row-counted.
+    The float SemDeDup face (llm/similarity.semantic_dedup) keeps its
+    Arrow SRP kernel, quality-survivor option, and planted tests.
+
+    SCALE DESIGN: unchanged from the float path — bucketed candidates
+    (never all-pairs), ids-only joins, CC iterates on edge endpoints
+    with bounded rounds; the recursive-CTE oracle is the small-scale
+    referee, not the production algorithm."""
+    from etl_as_a_service_spark.llm.similarity_portable import (
+        semantic_dedup_portable,
+    )
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", "embedding")
-    planted = base.filter(F.col("vec_id") < 25).select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
-        F.transform(
-            F.col("embedding"),
-            lambda x, i: x
-            * (
-                F.lit(1.0)
-                + (F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(7)) - 3).cast(
-                    "double"
-                )
-                * 0.001
-            ),
-        ).alias("embedding"),
-    )
-    return (
-        semantic_dedup(
-            base.unionByName(planted),
-            id_col="vec_id",
-            vec_col="embedding",
-            cosine_threshold=0.95,
-        )
-        .orderBy("component")
-    )
+    return semantic_dedup_portable(
+        _planted_union_quantized(emb.select("vec_id", "embedding")),
+        threshold_num=19,
+        threshold_den=20,
+        n_tables=END_TABLES,
+        n_planes=END_PLANES,
+        salt="end",
+        _quantized=True,
+    ).orderBy("component")
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,161 @@
+"""Quality gates for the round-12 portable (oracle-checkable)
+similarity kernels — the q49/q55/q148 rows-only upgrades. The DuckDB
+hash gate proves engine parity; these tests prove the SEMANTICS:
+recall against exact brute force, planted-family recovery, verify
+exactness, and the hot-bucket cap.
+
+Expectations are fixture-independent (derived from the data, never
+hardcoded counts) per the repo test convention.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.catalog import load_tables
+from etl_as_a_service_spark.llm.similarity_portable import (
+    Q_SCALE,
+    embedding_near_duplicates_portable,
+    quantize_vectors,
+    rp_similarity_join_portable,
+    semantic_dedup_portable,
+)
+from tests.conftest import SF_T2
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_tables(spark, SF_T2, ("embeddings",))["embeddings"].select(
+        "vec_id", "embedding"
+    )
+
+
+def _exact_within(spark, emb, thr_q2, query_max):
+    """Brute-force (query, neighbor, qdist2) pairs within threshold —
+    the referee for the bucketed path (small-set-only, test harness)."""
+    q = quantize_vectors(emb)
+    a = q.filter(F.col("vec_id") < query_max).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
+    )
+    b = q.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d2.alias("qdist2"))
+        .filter(F.col("qdist2") <= thr_q2)
+    )
+
+
+def test_rp_join_no_false_positives_and_recall(spark, emb):
+    """Every returned pair must truly be within the threshold (the
+    verify stage makes false positives impossible), and the bucketed
+    candidates must recover most of the exact within-threshold set."""
+    thr = 1.3
+    thr_q2 = int(round(thr * Q_SCALE)) ** 2
+    approx = rp_similarity_join_portable(
+        emb, emb.filter(F.col("vec_id") < 5), distance_threshold=thr
+    )
+    rows = approx.collect()
+    assert rows, "vacuous: no pairs within 1.3 — wrong fixture?"
+    assert all(r["qdist2"] <= thr_q2 for r in rows)
+    exact = _exact_within(spark, emb, thr_q2, query_max=5)
+    total = exact.count()
+    hit = exact.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).count()
+    assert total > 0
+    assert hit / total >= 0.8, f"portable RP-LSH recall {hit}/{total}"
+
+
+def test_near_dup_portable_recovers_exactly_planted_pairs(spark, emb):
+    """The q55 contract: with 25 integer-space near-copies planted
+    under vec_id+10000 and max organic cosine ~0.55, the output is
+    EXACTLY the 25 planted pairs at threshold 19/20."""
+    from etl_as_a_service_spark.queries.llm import (
+        _planted_union_quantized,
+    )
+
+    planted_ids = [
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") < 25).select("vec_id").collect()
+    ]
+    pairs = embedding_near_duplicates_portable(
+        _planted_union_quantized(emb), _quantized=True
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(i, i + 10000) for i in planted_ids}
+    assert all(r["cos6"] > 0.999 for r in pairs)
+
+
+def test_semantic_dedup_portable_families_and_singletons(spark, emb):
+    """q148 contract: every planted family collapses to its min-id
+    original (group_size 2); every other vector survives as a
+    singleton; survivors partition the input."""
+    from etl_as_a_service_spark.queries.llm import (
+        _planted_union_quantized,
+    )
+
+    n_base = emb.count()
+    surv = semantic_dedup_portable(
+        _planted_union_quantized(emb), _quantized=True
+    ).collect()
+    assert len(surv) == n_base  # 25 families collapsed, rest singleton
+    fams = [r for r in surv if r["group_size"] == 2]
+    assert len(fams) == 25
+    assert all(r["vec_id"] == r["component"] for r in surv)
+    assert sum(r["group_size"] for r in surv) == n_base + 25
+
+
+def test_near_dup_portable_hot_bucket_cap_drops_only_recall(spark, emb):
+    """A tiny max_bucket_size must never create pairs that the uncapped
+    run lacks (capping can only LOSE candidates), and capping at the
+    corpus size changes nothing."""
+    from etl_as_a_service_spark.queries.llm import (
+        _planted_union_quantized,
+    )
+
+    allv = _planted_union_quantized(emb)
+    free = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates_portable(
+            allv, _quantized=True
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates_portable(
+            allv, _quantized=True, max_bucket_size=2
+        ).collect()
+    }
+    same = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates_portable(
+            allv, _quantized=True, max_bucket_size=10_000_000
+        ).collect()
+    }
+    assert capped <= free
+    assert same == free
+
+
+def test_quantize_vectors_norm_is_exact_integer(spark, emb):
+    q = quantize_vectors(emb)
+    row = q.select(
+        "nrm2",
+        F.aggregate(
+            F.col("qv"), F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        ).alias("check"),
+    ).first()
+    assert row["nrm2"] == row["check"]
+    # unit-norm fixture: quantized norm2 ~ (1000)^2
+    assert abs(row["nrm2"] - Q_SCALE * Q_SCALE) < 0.1 * Q_SCALE * Q_SCALE
