@@ -68,6 +68,8 @@ class PipelineError(ValueError):
 
 _ALLOWED_OPS = {
     "filter",
+    "dedup_against",
+    "fingerprint",
     "semi_join_bloom",
     "cdc_chunk",
     "expect",
@@ -227,6 +229,26 @@ def _compile_source(
             version=source.get("version"),
             partition_filters=source.get("partition_filters"),
             predicates=_spec_predicates(source),
+        )
+    if fmt == "delta_changes":
+        # incremental-consumer source (round 12): the row-level change
+        # feed between two Delta versions. {"format":"delta_changes",
+        # "path":..., "from_version": N|null, "to_version": M,
+        # "key_cols":[...], "include_values": true} — include_values
+        # ships the FULL added rows (append-only ranges only, enforced
+        # in sources/delta.delta_changes); from_version null
+        # bootstraps from the whole to_version snapshot. At 100 TB the
+        # feed scans ONLY the files that entered the live set — the
+        # step cost is delta-sized, never corpus-sized.
+        from etl_as_a_service_spark.sources.delta import delta_changes
+
+        return delta_changes(
+            spark,
+            path,
+            from_version=source.get("from_version"),
+            to_version=_req(source, "to_version"),
+            key_cols=_req(source, "key_cols"),
+            include_values=bool(source.get("include_values", False)),
         )
     if fmt == "iceberg":
         # pure-Python Iceberg metadata replay (sources/iceberg.py);
@@ -490,6 +512,79 @@ def _apply_step(
             id_col=_req(step, "id_col"),
             normalize=step.get("normalize", True),
         )
+    if op == "fingerprint":
+        # {"op":"fingerprint","text_col":"text","out_col":"fp",
+        #  "normalize":true} — append the 128-bit document fingerprint
+        # (functions/text.fingerprint128: two independently seeded
+        # xxhash64s as a struct). Map-only codegen, stream-safe. A
+        # curated table that stores its fingerprints lets every later
+        # dedup_against anti-join scan 16 bytes/row instead of text.
+        from etl_as_a_service_spark.functions.text import fingerprint128
+
+        return df.withColumn(
+            step.get("out_col", "fp"),
+            fingerprint128(
+                F.col(_req(step, "text_col")),
+                step.get("normalize", True),
+            ),
+        )
+    if op == "dedup_against":
+        # {"op":"dedup_against","against":<spec>,"text_col":"text",
+        #  "normalize":true} or {..., "key_cols":["curl"]} — drop every
+        # row whose dedup key already exists in a REFERENCE corpus:
+        # the incremental face of exact_dedup / canonical_url-dedup
+        # (round-12 change-feed composition). A batch re-run dedups the
+        # whole corpus; the incremental run dedups the delta WITHIN
+        # itself (exact_dedup / canonical_url steps) and AGAINST the
+        # curated-so-far table through this step — with monotone ids
+        # across snapshots the two survivor sets are provably equal
+        # (tests/test_incremental_curation.py). The q373 snapshot-delta
+        # gate as a transform: a recrawl under a new id is zero new
+        # training signal.
+        # Scale: text grain anti-joins a 16-byte fingerprint128 (never
+        # text); key grain anti-joins the named columns; either way
+        # the reference side is a distinct-key set (broadcastable when
+        # small, shuffled hash anti-join otherwise — Catalyst's call).
+        from etl_as_a_service_spark.functions.text import fingerprint128
+
+        against = compile_pipeline(
+            spark, _req(step, "against"), _as_subplan=True
+        )
+        if "text_col" in step:
+            tcol = step["text_col"]
+            norm = step.get("normalize", True)
+            if "against_fp_col" in step:
+                # the reference table stores its fingerprints (the
+                # "fingerprint" op at its sink): the anti-join then
+                # scans 16 bytes/row of the accumulated corpus, never
+                # its text — the column-pruning that keeps the
+                # incremental step delta-ish-sized as the state grows
+                ref = against.select(
+                    F.col(step["against_fp_col"]).alias("__fp")
+                ).distinct()
+            else:
+                ref = against.select(
+                    fingerprint128(
+                        F.col(step.get("against_text_col", tcol)), norm
+                    ).alias("__fp")
+                ).distinct()
+            return df.join(
+                ref,
+                fingerprint128(F.col(tcol), norm) == F.col("__fp"),
+                "left_anti",
+            )
+        keys = _req(step, "key_cols")
+        # NULL keys PASS THROUGH on both sides (plain equality, null
+        # reference keys dropped) — the same convention as the
+        # within-batch faces this op mirrors: canonical_url dedup
+        # excludes unparseable (NULL) urls from its grain, so the
+        # against-history face must too or incremental != batch
+        ref = against.select(*keys).na.drop(subset=keys).distinct()
+        cond = None
+        for k in keys:
+            c = df[k] == ref[k]
+            cond = c if cond is None else (cond & c)
+        return df.join(ref, cond, "left_anti")
     if op == "url_decontaminate":
         # {"op":"url_decontaminate","url_col":"url","test":<spec>,
         #  "test_url_col":"url"} — drop every row whose CANONICAL URL

@@ -445,9 +445,10 @@ def _constraint_violations_in_files(
 def delta_changes(
     spark: SparkSession,
     table: str,
-    from_version: int,
+    from_version: int | None,
     to_version: int,
     key_cols: list[str],
+    include_values: bool = False,
 ) -> DataFrame:
     """Row-level change feed between two snapshots WITHOUT stored CDC
     metadata: because Delta data files are immutable, only files that
@@ -465,18 +466,37 @@ def delta_changes(
     writer that appends a second live row for an existing key into a
     NEW file while the old row's file survives would need the
     full-snapshot diff instead (snapshot_diff over two delta_reads).
+
+    ``from_version=None`` means "from before the table existed": the
+    whole ``to_version`` snapshot is the insert feed — the bootstrap
+    step of an incremental consumer.
+
+    ``include_values=True`` returns the FULL changed rows (all
+    columns + change_type), not just keys — the shape an incremental
+    pipeline consumes. Values are only well-defined for ranges where
+    no file left the live set (append-only, the dominant ingest
+    shape); a range with removed files raises instead of guessing
+    which version's values to ship.
     """
     from etl_as_a_service_spark.operators.relational import snapshot_diff
 
-    if from_version > to_version:
+    if from_version is not None and from_version > to_version:
         # a swapped range would silently INVERT the feed (inserts
         # labeled deletes) — refuse instead
         raise ValueError(
             f"delta_changes: from_version {from_version} > to_version "
             f"{to_version}"
         )
-    s0 = _replay(table, from_version)
     s1 = _replay(table, to_version)
+    if from_version is None:
+        schema = T.StructType.fromJson(json.loads(s1.schema_json))
+        feed = _read_file_list(
+            spark, table, schema, sorted(s1.live)
+        ).withColumn("change_type", F.lit("insert"))
+        return feed if include_values else feed.select(
+            *key_cols, "change_type"
+        )
+    s0 = _replay(table, from_version)
     if json.dumps(_schema_shape(s0.schema_json)) != json.dumps(
         _schema_shape(s1.schema_json)
     ):
@@ -494,8 +514,20 @@ def delta_changes(
     # (streaming ingests are append-only), and the join path's answer
     # is identical: an empty other side labels every row one-sidedly.
     if not removed:
-        return _read_file_list(spark, table, schema, added).select(
-            *key_cols, F.lit("insert").alias("change_type")
+        feed = _read_file_list(spark, table, schema, added).withColumn(
+            "change_type", F.lit("insert")
+        )
+        return feed if include_values else feed.select(
+            *key_cols, "change_type"
+        )
+    if include_values:
+        # which version's values would a delete/update row carry? the
+        # append-only contract is the well-defined one — refuse
+        raise ValueError(
+            "delta_changes include_values=True requires an append-only "
+            f"range, but {len(removed)} file(s) left the live set "
+            f"between v{from_version} and v{to_version}; diff the full "
+            "snapshots explicitly instead"
         )
     if not added:
         return _read_file_list(spark, table, schema, removed).select(
@@ -1033,6 +1065,17 @@ def delta_clean_log(table: str) -> dict:
             except OSError:
                 pass
     return {"checkpoint_version": ckpt_v, "removed": removed}
+
+
+def delta_latest_version(table: str) -> int | None:
+    """Newest committed version, or None for a table with no commits —
+    the cursor an incremental consumer records after each step (driver
+    -side log metadata, no data scan)."""
+    vs = _versions(table)
+    if not vs:
+        cp = _last_checkpoint_version(table)
+        return cp
+    return max(vs)
 
 
 def delta_history(spark: SparkSession, table: str) -> DataFrame:

@@ -1,0 +1,205 @@
+"""Round-12 rehearsal: incremental medallion curation vs batch re-run.
+
+Claim under test (the round-11 verdict item 3 'done' bar): once the
+corpus is large and a new snapshot is small, the incremental step's
+wall cost tracks the DELTA, not the corpus — because delta_changes
+hands the spec only the files that entered the live set.
+
+Setup: bronze accumulates a big base (sf0.1 documents replicated
+REP times under fresh monotone ids) and then a SMALL snapshot (one
+replica). Measured (same-process, min-of-3, the bench discipline):
+
+  A. incremental step for the small snapshot (silver+gold+stats)
+  B. batch twin over the FULL corpus
+  C. the funnel: inserts seen by the incremental spec
+
+Run: python scripts/rehearsal_incremental_r12.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.plans.pipeline import (
+    PipelineRunner,
+    compile_pipeline,
+)
+from etl_as_a_service_spark.queries.traindata7 import (
+    CORE_COLS,
+    batch_curation_spec,
+    gold_increment_spec,
+    silver_increment_spec,
+    stats_increment_spec,
+)
+from etl_as_a_service_spark.sources.delta import (
+    delta_latest_version,
+    delta_read,
+    delta_write,
+)
+
+SF_DIR = "/root/testdata/sf0.1"
+EVAL_PARQUET = f"{SF_DIR}/documents.parquet"
+#: base-corpus sizes to sweep: the DECISIVE evidence is the growth
+#: law — the batch re-run wall grows ~linearly with the corpus while
+#: the incremental step (same one-replica delta every time) stays
+#: ~flat, because delta_changes scans only the files that entered the
+#: live set and the against-side anti-joins scan pruned key columns.
+REPS = (4, 9, 19)
+
+
+def snapshot(spark, rep: int):
+    """One replica of the fixture under fresh monotone ids (the
+    append-only ingest contract) with synthesized urls."""
+    d = spark.read.parquet(EVAL_PARQUET)
+    base = F.col("doc_id") + rep * 1_000_000
+    return d.select(
+        base.alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        F.concat(
+            F.lit("https://ex.com/p/"),
+            (base % 999983).cast("string"),
+        ).alias("url"),
+    )
+
+
+def run(spark, spec):
+    r = PipelineRunner(spark).run(spec)
+    assert r.status == "success", r.error
+    return r
+
+
+def run_for_rep(spark, rep_base: int) -> dict:
+    root = tempfile.mkdtemp(prefix="rehearsal-incr-")
+    bronze, silver, gold, stats = (
+        f"{root}/bronze",
+        f"{root}/silver",
+        f"{root}/gold",
+        f"{root}/stats",
+    )
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "url string"
+    )
+    delta_write(spark.createDataFrame([], schema + ", curl string"),
+                silver, mode="append")
+    delta_write(
+        spark.createDataFrame(
+            [],
+            schema + ", curl string, fp struct<h0:bigint,h1:bigint>",
+        ),
+        gold, mode="append")
+    delta_write(
+        spark.createDataFrame(
+            [], "source string, n_docs long, n_tokens long"
+        ),
+        stats, mode="append",
+    )
+    # base corpus: rep_base replicas, already curated through the
+    # incremental path (the steady state an increment arrives in)
+    base_v = None
+    for rep in range(rep_base):
+        base_v = delta_write(snapshot(spark, rep), bronze, mode="append")
+    sv = delta_latest_version(silver)
+    run(spark, silver_increment_spec(
+        bronze, silver, None, base_v, EVAL_PARQUET))
+    gv = delta_latest_version(gold)
+    run(spark, gold_increment_spec(
+        silver, gold, sv, delta_latest_version(silver)))
+    run(spark, stats_increment_spec(
+        gold, stats, gv, delta_latest_version(gold)))
+    n_base = delta_read(spark, bronze).count()
+    n_gold = delta_read(spark, gold).count()
+
+    # the measured increment: ONE new replica (same size at every rep)
+    new_v = delta_write(snapshot(spark, rep_base), bronze, mode="append")
+
+    def incremental_once(silver_t, gold_t, stats_t):
+        sv0 = delta_latest_version(silver_t)
+        gv0 = delta_latest_version(gold_t)
+        r = run(spark, silver_increment_spec(
+            bronze, silver_t, base_v, new_v, EVAL_PARQUET,
+            observe=True))
+        run(spark, gold_increment_spec(
+            silver_t, gold_t, sv0, delta_latest_version(silver_t)))
+        run(spark, stats_increment_spec(
+            gold_t, stats_t, gv0, delta_latest_version(gold_t)))
+        return r
+
+    inc_walls, funnel = [], None
+    for trial in range(3):
+        s2, g2, t2 = (f"{root}/s{trial}", f"{root}/g{trial}",
+                      f"{root}/t{trial}")
+        shutil.copytree(silver, s2)
+        shutil.copytree(gold, g2)
+        shutil.copytree(stats, t2)
+        t0 = time.time()
+        r = incremental_once(s2, g2, t2)
+        inc_walls.append(time.time() - t0)
+        funnel = {k: v for k, v in sorted(r.metrics.items())
+                  if k.startswith("funnel_")}
+    batch_walls = []
+    for _ in range(3):
+        t0 = time.time()
+        compile_pipeline(
+            spark, batch_curation_spec(bronze, new_v, EVAL_PARQUET)
+        ).select(*CORE_COLS).write.mode("overwrite").parquet(
+            f"{root}/batch_out"
+        )
+        batch_walls.append(time.time() - t0)
+    inc, bat = min(inc_walls), min(batch_walls)
+    shutil.rmtree(root)
+    return {
+        "rep_base": rep_base,
+        "base_rows": n_base,
+        "gold_rows": n_gold,
+        "funnel": funnel,
+        "incremental_wall_sec": round(inc, 2),
+        "batch_wall_sec": round(bat, 2),
+        "ratio": round(inc / bat, 3),
+    }
+
+
+def main():
+    import json
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    results = [run_for_rep(spark, r) for r in REPS]
+    for r in results:
+        print(f"# base {r['base_rows']} rows: incremental "
+              f"{r['incremental_wall_sec']}s vs batch "
+              f"{r['batch_wall_sec']}s (ratio {r['ratio']}) "
+              f"funnel={r['funnel']}")
+    lo, hi = results[0], results[-1]
+    growth_inc = round(
+        hi["incremental_wall_sec"] / lo["incremental_wall_sec"], 2)
+    growth_bat = round(hi["batch_wall_sec"] / lo["batch_wall_sec"], 2)
+    print(f"# corpus grew {round(hi['base_rows']/lo['base_rows'],1)}x:"
+          f" batch wall grew {growth_bat}x,"
+          f" incremental wall grew {growth_inc}x")
+    print(json.dumps({"results": results,
+                      "growth_incremental": growth_inc,
+                      "growth_batch": growth_bat}))
+
+
+if __name__ == "__main__":
+    main()

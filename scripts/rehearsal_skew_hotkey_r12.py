@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Round-12 hot-JOIN-key skew rehearsal (round-11 verdict item 4).
+
+The round-11 rehearsal proved a hot DOMAIN costs nothing because the
+chain's join grains (URL / hash / shingle) stay uniform. This one
+plants a hot JOIN KEY: one viral canonical URL carrying ~40% of all
+rows, so the URL-grain dedup join (canonical_url dedup=true:
+url-survivor aggregate joined back on curl) genuinely skews.
+
+The 100 TB shape is forced at fixture scale:
+- autoBroadcastJoinThreshold = -1 — at real scale the URL-survivor
+  side (one row per distinct curl) cannot broadcast, so the join is
+  sort-merge and a hot key concentrates one shuffle partition;
+- AQE skew thresholds scaled down (skewedPartitionThresholdInBytes /
+  advisoryPartitionSizeInBytes) so "hot partition" means at THIS
+  corpus what 256 MB means at a real one.
+
+Recorded: wall uniform vs hot (min-of-3, one process), the funnel
+(the hot run ALSO collapses 40% of rows into one survivor — visible
+shrink, so wall alone would under-report the skew), and the executed
+plan's AQE markers (skew=true on the SMJ = OptimizeSkewedJoin fired).
+If the hot/uniform ratio exceeded ~1.5x despite AQE, the in-spec
+fallback is operators/skew.salted_join on the curl grain — record
+which tool the measurement says is needed.
+
+Usage: python scripts/rehearsal_skew_hotkey_r12.py [sf_dir] [copies]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_as_a_service_spark.plans.pipeline import (  # noqa: E402
+    PipelineRunner,
+    compile_pipeline,
+)
+from etl_as_a_service_spark.queries.traindata5 import (  # noqa: E402
+    curation_e2e_spec,
+)
+
+SHIFT = 10_000_000
+HOT_FRAC = 0.4
+VIRAL = "https://viral.example.com/page/hot"
+
+
+def hot_spec(sf_dir: str, observe: bool) -> dict:
+    """The q330 chain with its stage-1 plant wrapped so an md5-uniform
+    ~HOT_FRAC of rows point at ONE viral URL (tracking-param variants
+    so canonicalization still has work to do)."""
+    spec = curation_e2e_spec(sf_dir, observe=observe, near_dup=True)
+    plant = spec["steps"][0]["query"]
+    u = (
+        "conv(substring(md5(concat('viral-', cast(doc_id as string))),"
+        " 1, 8), 16, 10) / 4294967296.0"
+    )
+    spec["steps"][0] = {
+        "op": "sql",
+        "query": f"""
+        WITH p AS ({plant})
+        SELECT doc_id, source, t,
+          CASE WHEN {u} < {HOT_FRAC}
+               THEN concat('{VIRAL}', '?utm_source=s',
+                           cast(doc_id % 3 as string))
+               ELSE url END AS url
+        FROM p
+        """,
+    }
+    return spec
+
+
+def rehearse(runner, spec, label, repeats=3):
+    walls, run = [], None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run = runner.run(spec)
+        walls.append(time.perf_counter() - t0)
+        if run.status != "success":
+            raise SystemExit(f"{label} failed:\n{run.error}")
+    funnel = {
+        k: v["rows"]
+        for k, v in sorted((run.metrics or {}).items())
+        if k.startswith("funnel_")
+    }
+    print(f"# {label}: wall min-of-{repeats} {min(walls):.2f}s "
+          f"(all: {[round(w, 2) for w in walls]})")
+    for k, v in funnel.items():
+        print(f"#   {k}: {v}")
+    return {"wall_sec": round(min(walls), 3), "funnel": funnel}
+
+
+def skew_markers(spark, spec) -> dict:
+    df = compile_pipeline(
+        spark, {k: v for k, v in spec.items() if k != "sink"}
+    )
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "adaptive_plan": "AdaptiveSparkPlan" in plan,
+        "skew_join_split": "skew=true" in plan,
+        "aqe_shuffle_read": "AQEShuffleRead" in plan,
+        "coalesced_partitions": "coalesced" in plan,
+    }
+
+
+def build_corpus(spark, sf_dir, out_dir, copies):
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    big = base
+    for i in range(1, copies):
+        big = big.unionByName(
+            base.select(
+                (F.col("doc_id") + F.lit(i * SHIFT)).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            )
+        )
+    big.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        # the 100 TB join shape at fixture scale (see module docstring)
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "1m",
+        )
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+        .config(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0"
+        )
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    runner = PipelineRunner(spark)
+    root = tempfile.mkdtemp(prefix="skew_hotkey_r12_")
+    try:
+        big_dir = os.path.join(root, "big")
+        build_corpus(spark, sf_dir, big_dir, copies)
+        uni_spec = curation_e2e_spec(big_dir, observe=True,
+                                     near_dup=True)
+        uni_spec["plan_lint"] = "strict"
+        hspec = hot_spec(big_dir, observe=True)
+        hspec["plan_lint"] = "strict"
+        uni = rehearse(runner, uni_spec, f"{copies}x uniform urls")
+        hot = rehearse(
+            runner, hspec,
+            f"{copies}x viral url ({HOT_FRAC:.0%} of rows, one curl)",
+        )
+        markers_hot = skew_markers(spark, hot_spec(big_dir, False))
+        markers_uni = skew_markers(
+            spark, curation_e2e_spec(big_dir, near_dup=True)
+        )
+        ratio = round(hot["wall_sec"] / uni["wall_sec"], 2)
+        print(f"# hot/uniform wall ratio: {ratio}")
+        print(f"# AQE markers uniform: {markers_uni}")
+        print(f"# AQE markers hot:     {markers_hot}")
+        print(json.dumps({
+            "sf_dir": sf_dir, "copies": copies,
+            "hot_frac": HOT_FRAC,
+            "uniform": uni, "hot": hot,
+            "ratio_hot_vs_uniform": ratio,
+            "aqe_markers_uniform": markers_uni,
+            "aqe_markers_hot": markers_hot,
+        }))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -289,3 +289,66 @@ def test_stream_dedup_requires_watermark_on_streams(spark, tmp_path):
         _apply_step(
             spark, stream, {"op": "stream_dedup", "keys": ["k"]}
         )
+
+
+def test_sft_stream_subset_equals_batch(spark, tmp_path):
+    """Round-12 (the round-11 verdict's item 5): the MAXIMAL
+    stream-compatible subset of the q359 SFT-prep chain — plant sql
+    (stateless projection), train/eval split filter, special-token
+    gate (map-only regexp chain), URL-grain decontamination (a
+    stream-STATIC left-anti join against the fixed eval-URL frame),
+    and the chat-template render — runs UNCHANGED through the same
+    spec steps on an availableNow stream and produces exactly the
+    batch twin's rows. Excluded stages and why: n-gram decontaminate
+    (per-doc shingle aggregation — a streaming agg needing a
+    watermark/outputMode the append sink can't take), stratified
+    carve and pack (corpus-level windows — batch planning ops by
+    contract)."""
+    from etl_as_a_service_spark.queries.traindata6 import sft_prep_spec
+
+    full = sft_prep_spec(SF)
+    ops = [s["op"] for s in full["steps"]]
+    # plant sql, split filter, token gate, url_decontaminate, then the
+    # render with_columns (stop before the n-gram decontaminate and
+    # keep the chat render block that follows it)
+    head = full["steps"][: ops.index("decontaminate")]
+    render = [
+        s for s in full["steps"] if s["op"] == "with_column"
+    ]
+    steps = head + render
+    src = str(tmp_path / "src")
+    spark.read.parquet(f"{SF}/documents.parquet").write.parquet(src)
+    out = str(tmp_path / "out")
+    run = PipelineRunner(spark).run({
+        "name": "sft_stream_subset",
+        "source": {"streaming": True, "format": "parquet",
+                   "path": src,
+                   "schema": "doc_id long, text string, lang string, "
+                             "source string, n_chars long"},
+        "steps": steps,
+        "sink": {"format": "parquet", "path": out,
+                 "trigger": "available_now"},
+    })
+    assert run.status == "success", run.error
+    streamed = {
+        r["doc_id"]: (r["chat"], r["nt"], r["band"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_df = compile_pipeline(spark, {
+        "name": "sft_batch_subset",
+        "source": {"format": "parquet", "path": src},
+        "steps": steps,
+    })
+    expected = {
+        r["doc_id"]: (r["chat"], r["nt"], r["band"])
+        for r in batch_df.collect()
+    }
+    assert streamed == expected
+    assert expected, "streaming subset dropped everything"
+    # each excluded/included stage is non-vacuous on this fixture:
+    # the split dropped the eval residue, the token gate dropped the
+    # planted injections, the URL decon dropped recrawled eval pages
+    raw = spark.read.parquet(src).count()
+    assert len(expected) < raw
+    assert all(i % 10 != 7 for i in expected)
+    assert all("<|im_start|>" in v[0] for v in expected.values())
