@@ -68,6 +68,7 @@ from etl_as_a_service_spark.queries import traindata3  # noqa: E402,F401
 from etl_as_a_service_spark.queries import traindata4  # noqa: E402,F401
 from etl_as_a_service_spark.queries import traindata5  # noqa: E402,F401
 from etl_as_a_service_spark.queries import traindata6  # noqa: E402,F401
+from etl_as_a_service_spark.queries import traindata7  # noqa: E402,F401
 
 # Driver-gate rotation (round 10): the external driver records
 # CORRECTNESS rows for the FIRST 50 manifest entries only. The
@@ -88,14 +89,15 @@ from etl_as_a_service_spark.queries import traindata6  # noqa: E402,F401
 # check is `no_oracle` (row-count only) and each already has its
 # driver row; the real gates are their pytest recall/content tests.
 _ROTATE_FRONT = [
-    # round-12 window: q49/q55/q148 moved from rows-only to
-    # oracle-checked this round (the q385 quantization recipe), so
-    # they are the only never-green entries and lead; the remaining
-    # 47 slots refresh the stalest receipts (r2-era q56..q120, then
-    # r3-era q40..q84), sorted by (newest green round, number).
+    # round-12 window: never-green leads — q49/q55/q148 (graduated
+    # from rows-only via the q385 quantization recipe) and the new
+    # q400/q401 — then the stalest receipts (r2-era q56..q120, then
+    # r3-era q40..q78), sorted by (newest green round, number).
     "q49_lsh_ann_join",
     "q55_embedding_near_dups",
     "q148_semantic_dedup",
+    "q400_ingest_ledger",
+    "q401_rp_width_sweep",
     "q56_array_ops",
     "q57_csv_scan_parity",
     "q68_interval_range_frames",
@@ -141,8 +143,6 @@ _ROTATE_FRONT = [
     "q74_date_part_week_trunc",
     "q76_deterministic_split",
     "q77_data_quality_report",
-    "q78_sequence_packing",
-    "q79_class_rebalance",
 ]
 
 

@@ -272,3 +272,370 @@ def merged_stats(spark, stats: str):
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q400 — ingest ledger: k-snapshot novelty/dup census with cumulative fold
+# --------------------------------------------------------------------------
+INGEST_BATCHES = 3
+
+
+@query(
+    "q400_ingest_ledger",
+    oracle=f"""
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    cutc AS (
+      SELECT m, CAST(floor((m + 1) / {INGEST_BATCHES}.0) AS BIGINT)
+               AS cut
+      FROM mx
+    ),
+    assigned AS MATERIALIZED (
+      SELECT d.doc_id,
+             least(CAST(floor(d.doc_id * {INGEST_BATCHES}.0
+                    / (c.m + 1)) AS BIGINT),
+                   {INGEST_BATCHES - 1}) AS batch,
+             md5(CASE WHEN d.doc_id % 10 = 6 AND p1.text IS NOT NULL
+                      THEN p1.text
+                      WHEN d.doc_id % 10 = 9 AND pc.text IS NOT NULL
+                      THEN pc.text
+                      ELSE d.text END) AS fp
+      FROM documents d
+      CROSS JOIN cutc c
+      LEFT JOIN documents p1 ON p1.doc_id = d.doc_id - 1
+      LEFT JOIN documents pc ON pc.doc_id = d.doc_id - c.cut
+    ),
+    firstb AS MATERIALIZED (
+      SELECT fp, min(batch) AS fb FROM assigned GROUP BY fp
+    ),
+    ledger AS (
+      SELECT a.batch,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT a.fp) AS BIGINT) AS n_keys,
+             CAST(count(DISTINCT CASE WHEN f.fb = a.batch
+                  THEN a.fp END) AS BIGINT) AS n_new_keys,
+             CAST(count(*) - count(DISTINCT a.fp) AS BIGINT)
+               AS n_dup_within,
+             CAST(count_if(f.fb < a.batch) AS BIGINT)
+               AS n_recrawl_rows,
+             round(count(DISTINCT CASE WHEN f.fb = a.batch
+                   THEN a.fp END) * 1.0 / count(*), 6) AS novelty_rate
+      FROM assigned a JOIN firstb f ON f.fp = a.fp
+      GROUP BY a.batch
+    )
+    SELECT l.batch, l.n_rows, l.n_keys, l.n_new_keys, l.n_dup_within,
+           l.n_recrawl_rows,
+           CAST(sum(l2.n_new_keys) AS BIGINT) AS cum_gold,
+           l.novelty_rate
+    FROM ledger l JOIN ledger l2 ON l2.batch <= l.batch
+    GROUP BY l.batch, l.n_rows, l.n_keys, l.n_new_keys,
+             l.n_dup_within, l.n_recrawl_rows, l.novelty_rate
+    ORDER BY l.batch
+    """,
+    tags=("dedup", "versioning", "incremental", "llm", "operator"),
+)
+def q400_ingest_ledger(spark, sf_dir):
+    """Ingest ledger (q400) — the k-snapshot generalization of q373:
+    the corpus arrives as {INGEST_BATCHES} append-only snapshots
+    (monotone doc_id thirds) with planted recrawls (same-batch dups on
+    doc_id%10=6 copying doc_id-1; CROSS-batch recrawls on doc_id%10=9
+    copying exactly one batch-width back), and the ledger prices each
+    batch the way the incremental gold table (traindata7 medallion)
+    experiences it: rows, distinct keys, NEW keys, within-batch dup
+    rows, recrawls-of-prior rows, the CUMULATIVE gold size after the
+    batch (the incremental fold — sum of new-key counts, which the
+    batch-equality theorem says equals the full-corpus distinct-key
+    count at that version), and the novelty rate an ingest gate reads.
+
+    SCALE DESIGN: one fingerprint-grain aggregate for first-seen
+    batch (map-side combinable min), one batch-grain rollup, and a
+    {INGEST_BATCHES}x{INGEST_BATCHES} triangular self-join for the
+    cumulative fold (bounded frame — never a window over rows).
+    Recrawl plants join on shifted ids (equi-joins), never text."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    k = INGEST_BATCHES
+    mx = docs.agg(F.max("doc_id").alias("m")).select(
+        "m",
+        F.floor((F.col("m") + 1) / float(k)).cast("long").alias("cut"),
+    )
+    d = docs.select("doc_id", "text").crossJoin(F.broadcast(mx))
+    p1 = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.col("text").alias("__t1"),
+    )
+    pc = docs.select("doc_id", F.col("text").alias("__tc"))
+    assigned = (
+        d.join(p1, "doc_id", "left")
+        .join(
+            pc.select(
+                F.col("doc_id").alias("__src_id"), "__tc"
+            ),
+            F.col("__src_id") == F.col("doc_id") - F.col("cut"),
+            "left",
+        )
+        .select(
+            F.least(
+                F.floor(F.col("doc_id") * float(k) / (F.col("m") + 1))
+                .cast("long"),
+                F.lit(k - 1),
+            ).alias("batch"),
+            F.md5(
+                F.when(
+                    (F.col("doc_id") % 10 == 6)
+                    & F.col("__t1").isNotNull(),
+                    F.col("__t1"),
+                )
+                .when(
+                    (F.col("doc_id") % 10 == 9)
+                    & F.col("__tc").isNotNull(),
+                    F.col("__tc"),
+                )
+                .otherwise(F.col("text"))
+            ).alias("fp"),
+        )
+    )
+    firstb = assigned.groupBy("fp").agg(F.min("batch").alias("fb"))
+    ledger = (
+        assigned.join(firstb, "fp")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("fp").cast("long").alias("n_keys"),
+            F.countDistinct(
+                F.when(F.col("fb") == F.col("batch"), F.col("fp"))
+            )
+            .cast("long")
+            .alias("n_new_keys"),
+            (F.count(F.lit(1)) - F.countDistinct("fp"))
+            .cast("long")
+            .alias("n_dup_within"),
+            F.count_if(F.col("fb") < F.col("batch"))
+            .cast("long")
+            .alias("n_recrawl_rows"),
+            F.round(
+                F.countDistinct(
+                    F.when(F.col("fb") == F.col("batch"), F.col("fp"))
+                )
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty_rate"),
+        )
+    )
+    l2 = ledger.select(
+        F.col("batch").alias("__b2"),
+        F.col("n_new_keys").alias("__nk2"),
+    )
+    return (
+        # bounded 3x3 triangular fold — broadcast the 3-row side so
+        # the non-equi join plans as BNLJ, never CartesianProduct
+        ledger.join(F.broadcast(l2), F.col("__b2") <= F.col("batch"))
+        .groupBy(
+            "batch", "n_rows", "n_keys", "n_new_keys", "n_dup_within",
+            "n_recrawl_rows", "novelty_rate",
+        )
+        .agg(F.sum("__nk2").cast("long").alias("cum_gold"))
+        .select(
+            "batch", "n_rows", "n_keys", "n_new_keys", "n_dup_within",
+            "n_recrawl_rows", "cum_gold", "novelty_rate",
+        )
+        .orderBy("batch")
+    )
+
+
+# --------------------------------------------------------------------------
+# q401 — RP-join bucket-width sweep (the ANN similarity-join tuner)
+# --------------------------------------------------------------------------
+RPW_WIDTHS = (500_000, 1_000_000, 2_000_000, 4_000_000)
+RPW_TABLES = 4
+RPW_THRESHOLD_Q2 = 1_300 * 1_300  # distance 1.3 quantized
+
+
+def _q401_oracle() -> str:
+    from etl_as_a_service_spark.llm.similarity_portable import (
+        sql_planes,
+        sql_quantized,
+    )
+
+    width_rows = ", ".join(f"({w})" for w in RPW_WIDTHS)
+    return f"""
+    WITH qc AS MATERIALIZED ({sql_quantized()}),
+    planes AS MATERIALIZED ({sql_planes(RPW_TABLES, 1, 64, "rpj")}),
+    projs AS MATERIALIZED (
+      SELECT e.vec_id, pl.t, sum(e.x * pl.h) AS proj
+      FROM (
+        SELECT vec_id, i.i AS i, qv[i.i + 1] AS x
+        FROM qc, UNNEST(range(0, len(qv))) AS i(i)
+      ) e JOIN planes pl ON e.i = pl.i
+      GROUP BY e.vec_id, pl.t
+    ),
+    widths(w) AS (VALUES {width_rows}),
+    bkts AS MATERIALIZED (
+      SELECT p.vec_id, p.t, w.w,
+             CAST((p.proj - ((p.proj % w.w + w.w) % w.w)) / w.w
+               AS BIGINT) AS bucket
+      FROM projs p CROSS JOIN widths w
+    ),
+    cands AS MATERIALIZED (
+      SELECT DISTINCT a.w, a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bkts a JOIN bkts b
+        ON a.w = b.w AND a.t = b.t AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    ),
+    verified AS (
+      SELECT c.w, c.id_a, c.id_b,
+             CAST(list_aggregate(
+               list_transform(range(1, len(a.qv) + 1),
+                 i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])),
+               'sum') AS BIGINT) AS qdist2
+      FROM cands c
+      JOIN qc a ON a.vec_id = c.id_a
+      JOIN qc b ON b.vec_id = c.id_b
+    ),
+    truth AS (
+      SELECT count(*) AS n_true FROM (
+        SELECT a.vec_id
+        FROM qc a JOIN qc b ON a.vec_id < b.vec_id
+        WHERE (
+          SELECT sum(x) FROM UNNEST(list_transform(
+            range(1, len(a.qv) + 1),
+            i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) AS s(x)
+        ) <= {RPW_THRESHOLD_Q2}
+      )
+    )
+    SELECT v.w AS bucket_width,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(count_if(v.qdist2 <= {RPW_THRESHOLD_Q2}) AS BIGINT)
+             AS n_within,
+           round(count_if(v.qdist2 <= {RPW_THRESHOLD_Q2}) * 1.0
+                 / count(*), 6) AS precision,
+           round(count_if(v.qdist2 <= {RPW_THRESHOLD_Q2}) * 1.0
+                 / (SELECT greatest(n_true, 1) FROM truth), 6)
+             AS recall
+    FROM verified v
+    GROUP BY v.w
+    ORDER BY bucket_width
+    """
+
+
+@query(
+    "q401_rp_width_sweep",
+    oracle=_q401_oracle(),
+    tags=("similarity", "lsh", "planning", "llm", "operator"),
+)
+def q401_rp_width_sweep(spark, sf_dir):
+    """RP-similarity-join tuner (q401) — prices the q49 operator's
+    bucket_width menu in ONE projection pass: per candidate width,
+    the candidate-pair volume (the shuffle/verify cost you pay), the
+    pairs genuinely within the distance threshold, precision, and
+    recall vs the exact within-threshold census — the pre-flight a
+    100 TB similarity join runs before committing to a width (the
+    q379/q380 planning-trio pattern applied to ANN).
+
+    SCALE DESIGN: projections computed ONCE (vector x table grain);
+    widths multiply only the integer floor-div bucketing, not the
+    projection matmul; candidates ship ids through (w, t, bucket)
+    equality; the exact census is the documented small-set-only
+    referee (the q385 note). Bounded output: |widths| rows."""
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.llm.similarity_portable import (
+        md5_planes,
+        quantize_vectors,
+    )
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qc = quantize_vectors(emb)
+    planes = md5_planes(spark, RPW_TABLES, 1, 64, "rpj")
+    projs = (
+        qc.select("vec_id", F.posexplode("qv").alias("i", "x"))
+        .join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "t")
+        .agg(F.sum(F.col("x") * F.col("h")).alias("proj"))
+    )
+    widths = spark.createDataFrame(
+        [(w,) for w in RPW_WIDTHS], "w long"
+    )
+    wcol = F.col("w")
+    bkts = projs.crossJoin(F.broadcast(widths)).select(
+        "vec_id",
+        "t",
+        "w",
+        ((F.col("proj") - F.pmod(F.col("proj"), wcol)) / wcol)
+        .cast("long")
+        .alias("bucket"),
+    )
+    ba = bkts.select(
+        F.col("vec_id").alias("id_a"), "t", "w", "bucket"
+    )
+    bb = bkts.select(
+        F.col("vec_id").alias("id_b"), "t", "w", "bucket"
+    )
+    cands = (
+        ba.join(bb, ["w", "t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("w", "id_a", "id_b")
+        .distinct()
+    )
+    va = qc.select(F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"))
+    vb = qc.select(F.col("vec_id").alias("id_b"), F.col("qv").alias("qb"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    verified = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("w", d2.alias("qdist2"))
+    )
+    # exact within-threshold census (small-set-only referee, q385 note)
+    truth = (
+        va.crossJoin(vb.withColumnRenamed("qb", "qb2"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.aggregate(
+                F.zip_with(
+                    F.col("qa"),
+                    F.col("qb2"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qd")
+        )
+        .agg(
+            F.greatest(
+                F.count_if(F.col("qd") <= RPW_THRESHOLD_Q2), F.lit(1)
+            ).alias("n_true")
+        )
+    )
+    return (
+        verified.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.count_if(F.col("qdist2") <= RPW_THRESHOLD_Q2)
+            .cast("long")
+            .alias("n_within"),
+            F.round(
+                F.count_if(F.col("qdist2") <= RPW_THRESHOLD_Q2)
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("precision"),
+            F.count_if(F.col("qdist2") <= RPW_THRESHOLD_Q2)
+            .cast("long")
+            .alias("__nw"),
+        )
+        .crossJoin(F.broadcast(truth))
+        .select(
+            F.col("w").alias("bucket_width"),
+            "n_candidates",
+            "n_within",
+            "precision",
+            F.round(F.col("__nw") * 1.0 / F.col("n_true"), 6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("bucket_width")
+    )

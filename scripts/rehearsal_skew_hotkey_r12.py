@@ -11,9 +11,15 @@ The 100 TB shape is forced at fixture scale:
 - autoBroadcastJoinThreshold = -1 — at real scale the URL-survivor
   side (one row per distinct curl) cannot broadcast, so the join is
   sort-merge and a hot key concentrates one shuffle partition;
-- AQE skew thresholds scaled down (skewedPartitionThresholdInBytes /
-  advisoryPartitionSizeInBytes) so "hot partition" means at THIS
-  corpus what 256 MB means at a real one.
+- AQE skew thresholds scaled down (skewedPartitionThresholdInBytes
+  256k / advisoryPartitionSizeInBytes 64k) so "hot partition" means
+  at THIS corpus what 256 MB means at a real one. Calibration note:
+  at 1m the hot partition (32k fixture docs, lz4-compressed shuffle
+  bytes) stayed UNDER threshold and the split never fired — verified
+  with an incompressible-payload synthetic that the rule does fire
+  the moment the partition is genuinely over (SortMergeJoin(skew=
+  true) + AQEShuffleRead skewed). Threshold sizing is part of the
+  rehearsal's finding, not a nuisance parameter.
 
 Recorded: wall uniform vs hot (min-of-3, one process), the funnel
 (the hot run ALSO collapses 40% of rows into one survivor — visible
@@ -104,11 +110,17 @@ def skew_markers(spark, spec) -> dict:
     df = compile_pipeline(
         spark, {k: v for k, v in spec.items() if k != "sink"}
     )
-    df.count()
+    # collect(), NOT count(): count() wraps the frame in a NEW
+    # QueryExecution, leaving THIS dataset's adaptive plan unexecuted
+    # (isFinalPlan=false, zero AQE runtime artifacts) — the probe
+    # would read markers off a plan that never ran. The chain ends in
+    # a small readout, so collect is bounded.
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     return {
+        "final_plan": "isFinalPlan=true" in plan,
         "adaptive_plan": "AdaptiveSparkPlan" in plan,
-        "skew_join_split": "skew=true" in plan,
+        "skew_join_split": "skew=true" in plan or "skewed" in plan,
         "aqe_shuffle_read": "AQEShuffleRead" in plan,
         "coalesced_partitions": "coalesced" in plan,
     }
@@ -144,9 +156,9 @@ def main() -> None:
         .config("spark.sql.autoBroadcastJoinThreshold", "-1")
         .config(
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-            "1m",
+            "256k",
         )
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
         .config(
             "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0"
         )

@@ -1,0 +1,189 @@
+"""Round-12 query tests: q400 (ingest ledger) and q401 (RP-width
+sweep) — pure-Python third-engine replicas computed straight from the
+parquet fixture (the traindata6 discipline: derive every expectation
+from the data, never hardcode counts), plus ledger invariants.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+
+from etl_as_a_service_spark.queries.traindata7 import (
+    INGEST_BATCHES,
+    RPW_TABLES,
+    RPW_THRESHOLD_Q2,
+    RPW_WIDTHS,
+)
+from tests.conftest import SF_T2
+
+DOCS = f"{SF_T2}/documents.parquet"
+EMB = f"{SF_T2}/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def q400_rows(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+
+    return [
+        r.asDict()
+        for r in QUERIES["q400_ingest_ledger"].fn(spark, SF_T2).collect()
+    ]
+
+
+def _py_ledger():
+    con = duckdb.connect()
+    docs = dict(
+        con.execute(f"SELECT doc_id, text FROM '{DOCS}'").fetchall()
+    )
+    con.close()
+    k = INGEST_BATCHES
+    mx = max(docs)
+    cut = (mx + 1) // k
+    rows = []
+    for i, text in docs.items():
+        batch = min(int(i * k / (mx + 1)), k - 1)
+        if i % 10 == 6 and (i - 1) in docs:
+            text = docs[i - 1]
+        elif i % 10 == 9 and (i - cut) in docs:
+            text = docs[i - cut]
+        rows.append((batch, hashlib.md5(text.encode()).hexdigest()))
+    first = {}
+    for b, fp in sorted(rows):
+        first.setdefault(fp, b)
+    ledger = {}
+    for b in range(k):
+        brows = [fp for bb, fp in rows if bb == b]
+        keys = set(brows)
+        new = {fp for fp in keys if first[fp] == b}
+        ledger[b] = {
+            "n_rows": len(brows),
+            "n_keys": len(keys),
+            "n_new_keys": len(new),
+            "n_dup_within": len(brows) - len(keys),
+            "n_recrawl_rows": sum(
+                1 for fp in brows if first[fp] < b
+            ),
+        }
+    cum = 0
+    for b in range(k):
+        cum += ledger[b]["n_new_keys"]
+        ledger[b]["cum_gold"] = cum
+    return ledger
+
+
+def test_q400_matches_python_replica(q400_rows):
+    ledger = _py_ledger()
+    assert len(q400_rows) == INGEST_BATCHES
+    for r in q400_rows:
+        want = ledger[r["batch"]]
+        for col, v in want.items():
+            assert r[col] == v, (r["batch"], col, r[col], v)
+        assert r["novelty_rate"] == round(
+            want["n_new_keys"] / want["n_rows"], 6
+        ) or abs(
+            r["novelty_rate"] - want["n_new_keys"] / want["n_rows"]
+        ) < 1e-6
+
+
+def test_q400_ledger_invariants(q400_rows):
+    """Structural truths of any ingest ledger: batch 0 has no
+    recrawls; cum_gold is the running sum of new keys and ends at the
+    corpus distinct-key count; the plants made dup rows non-vacuous."""
+    by_batch = {r["batch"]: r for r in q400_rows}
+    assert by_batch[0]["n_recrawl_rows"] == 0
+    assert by_batch[0]["n_new_keys"] == by_batch[0]["n_keys"]
+    running = 0
+    for b in range(INGEST_BATCHES):
+        running += by_batch[b]["n_new_keys"]
+        assert by_batch[b]["cum_gold"] == running
+        assert by_batch[b]["n_keys"] <= by_batch[b]["n_rows"]
+    # plants fired: at least one later batch saw recrawls-of-prior
+    assert any(
+        by_batch[b]["n_recrawl_rows"] > 0
+        for b in range(1, INGEST_BATCHES)
+    )
+    assert any(
+        by_batch[b]["n_dup_within"] > 0 for b in range(INGEST_BATCHES)
+    )
+
+
+def _py_rp_sweep():
+    con = duckdb.connect()
+    vecs = {
+        vid: [round(float(x) * 1000) for x in emb]
+        for vid, emb in con.execute(
+            f"SELECT vec_id, embedding FROM '{EMB}'"
+        ).fetchall()
+    }
+    con.close()
+
+    def h(t, i):
+        s = f"rpj-{t}-0-{i}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    planes = {
+        t: [h(t, i) for i in range(64)] for t in range(RPW_TABLES)
+    }
+    projs = {
+        (vid, t): sum(q * planes[t][i] for i, q in enumerate(qv))
+        for vid, qv in vecs.items()
+        for t in range(RPW_TABLES)
+    }
+    ids = sorted(vecs)
+    exact_true = 0
+    d2 = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            dd = sum(
+                (x - y) * (x - y) for x, y in zip(vecs[a], vecs[b])
+            )
+            d2[(a, b)] = dd
+            if dd <= RPW_THRESHOLD_Q2:
+                exact_true += 1
+    out = {}
+    for w in RPW_WIDTHS:
+        cands = set()
+        for t in range(RPW_TABLES):
+            buckets = {}
+            for vid in ids:
+                p = projs[(vid, t)]
+                buckets.setdefault((p - (p % w)) // w, []).append(vid)
+            for members in buckets.values():
+                for i, a in enumerate(members):
+                    for b in members[i + 1:]:
+                        cands.add((min(a, b), max(a, b)))
+        within = sum(
+            1 for pair in cands if d2[pair] <= RPW_THRESHOLD_Q2
+        )
+        out[w] = {
+            "n_candidates": len(cands),
+            "n_within": within,
+            "recall_den": max(exact_true, 1),
+        }
+    return out
+
+
+def test_q401_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+
+    rows = {
+        r["bucket_width"]: r.asDict()
+        for r in QUERIES["q401_rp_width_sweep"].fn(spark, SF_T2).collect()
+    }
+    want = _py_rp_sweep()
+    assert set(rows) == set(RPW_WIDTHS)
+    for w in RPW_WIDTHS:
+        assert rows[w]["n_candidates"] == want[w]["n_candidates"], w
+        assert rows[w]["n_within"] == want[w]["n_within"], w
+        assert rows[w]["recall"] == round(
+            want[w]["n_within"] / want[w]["recall_den"], 6
+        )
+    # the sweep is a real menu: candidate volume grows with width
+    vols = [rows[w]["n_candidates"] for w in sorted(RPW_WIDTHS)]
+    assert vols == sorted(vols)
+    assert vols[0] < vols[-1]
+    # and the widest width should catch most true pairs
+    assert rows[max(RPW_WIDTHS)]["recall"] >= 0.8
