@@ -250,6 +250,22 @@ def _compile_source(
             key_cols=_req(source, "key_cols"),
             include_values=bool(source.get("include_values", False)),
         )
+    if fmt == "iceberg_changes":
+        # the Iceberg face of the incremental-consumer source — same
+        # contract as delta_changes (append-only values feed,
+        # from_snapshot_id null bootstrap, delta-sized scans)
+        from etl_as_a_service_spark.sources.iceberg import (
+            iceberg_changes,
+        )
+
+        return iceberg_changes(
+            spark,
+            path,
+            from_snapshot_id=source.get("from_snapshot_id"),
+            to_snapshot_id=_req(source, "to_snapshot_id"),
+            key_cols=_req(source, "key_cols"),
+            include_values=bool(source.get("include_values", False)),
+        )
     if fmt == "iceberg":
         # pure-Python Iceberg metadata replay (sources/iceberg.py);
         # "snapshot_id" time-travels; same metadata pruning options
@@ -1316,15 +1332,28 @@ def _apply_step(
                 .groupBy(out_col)
                 .agg(F.min(id_col).alias("__keep_id"))
             )
-            # left join: NULL-canonical rows match no group and keep
-            # a NULL __keep_id -> kept by the is-null branch below
+            # SKEW-IMMUNE join-back (round 12): join on the ID, never
+            # the URL. The survivor AGGREGATE absorbs a viral URL via
+            # map-side partial min, but a join back keyed on curl
+            # would route every hot-key row through ONE reducer — and
+            # the round-12 rehearsal proved AQE's OptimizeSkewedJoin
+            # CANNOT split this shape (the agg side is
+            # Sort(HashAggregate(ShuffleRead)), outside the rule's
+            # Sort(ShuffleQueryStage) pattern; with reused exchanges
+            # it doesn't match either — verified at a 1k threshold).
+            # Keyed on id_col the exchange is uniform by construction
+            # (ids are unique), the exact_dedup discipline. NULL-
+            # canonical rows match no keep-id and are kept by the
+            # is-null branch.
+            flags = groups.select(
+                F.col("__keep_id").alias(id_col)
+            ).withColumn("__keep", F.lit(True))
             out = (
-                out.join(groups, out_col, "left")
+                out.join(flags, id_col, "left")
                 .filter(
-                    F.col("__keep_id").isNull()
-                    | (F.col(id_col) == F.col("__keep_id"))
+                    F.col(out_col).isNull() | F.col("__keep").isNotNull()
                 )
-                .drop("__keep_id")
+                .drop("__keep")
             )
         return out
     if op == "paragraph_dedup":

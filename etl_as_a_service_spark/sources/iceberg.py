@@ -756,9 +756,10 @@ def _live_entries(table: str, snap: dict) -> list[dict]:
 def iceberg_changes(
     spark: SparkSession,
     table: str,
-    from_snapshot_id: int,
+    from_snapshot_id: int | None,
     to_snapshot_id: int,
     key_cols: list[str],
+    include_values: bool = False,
 ) -> DataFrame:
     """Row-level change feed between two snapshots without stored CDC
     metadata — the Iceberg twin of sources.delta.delta_changes: data
@@ -769,12 +770,25 @@ def iceberg_changes(
     rows move together); returns snapshot_diff's
     (keys..., change_type) shape. Snapshot order is validated via the
     snapshots' commit timestamps — a swapped range would silently
-    invert inserts and deletes."""
+    invert inserts and deletes.
+
+    ``from_snapshot_id=None`` bootstraps: the whole ``to`` snapshot is
+    the insert feed. ``include_values=True`` ships the FULL changed
+    rows (all columns + change_type) for append-only ranges and
+    REFUSES when files left the live set — the same incremental-
+    consumer contract as sources.delta.delta_changes."""
     from etl_as_a_service_spark.operators.relational import snapshot_diff
 
     md = _load_metadata(table)
-    s0 = _snapshot_by_id(md, from_snapshot_id)
     s1 = _snapshot_by_id(md, to_snapshot_id)
+    if from_snapshot_id is None:
+        feed = _read_entries_resolved(
+            spark, table, md, list(_live_entries(table, s1))
+        ).withColumn("change_type", F.lit("insert"))
+        return feed if include_values else feed.select(
+            *key_cols, "change_type"
+        )
+    s0 = _snapshot_by_id(md, from_snapshot_id)
     if s0["timestamp-ms"] > s1["timestamp-ms"]:
         raise ValueError(
             f"iceberg_changes: snapshot {from_snapshot_id} is newer than "
@@ -795,8 +809,19 @@ def iceberg_changes(
     # read schema-RESOLVED to the current schema, so a feed across an
     # ALTER still compares like columns.
     if not removed:
-        return _read_entries_resolved(spark, table, md, added).select(
-            *key_cols, F.lit("insert").alias("change_type")
+        feed = _read_entries_resolved(
+            spark, table, md, added
+        ).withColumn("change_type", F.lit("insert"))
+        return feed if include_values else feed.select(
+            *key_cols, "change_type"
+        )
+    if include_values:
+        raise ValueError(
+            "iceberg_changes include_values=True requires an "
+            f"append-only range, but {len(removed)} file(s) left the "
+            f"live set between snapshots {from_snapshot_id} and "
+            f"{to_snapshot_id}; diff the full snapshots explicitly "
+            "instead"
         )
     if not added:
         return _read_entries_resolved(spark, table, md, removed).select(

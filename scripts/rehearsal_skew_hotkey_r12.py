@@ -25,9 +25,28 @@ Recorded: wall uniform vs hot (min-of-3, one process), the funnel
 (the hot run ALSO collapses 40% of rows into one survivor — visible
 shrink, so wall alone would under-report the skew), and the executed
 plan's AQE markers (skew=true on the SMJ = OptimizeSkewedJoin fired).
-If the hot/uniform ratio exceeded ~1.5x despite AQE, the in-spec
-fallback is operators/skew.salted_join on the curl grain — record
-which tool the measurement says is needed.
+
+FINDINGS (round 12, in run order):
+1. The dedup join-back shape (frame joined against an aggregate of
+   itself) is OUTSIDE OptimizeSkewedJoin's pattern: the agg side is
+   Sort(HashAggregate(ShuffleRead)), not the Sort(ShuffleQueryStage)
+   the rule matches — verified by lowering the skew threshold to 1k
+   and factor to 1.1 on the composed chain (no split), while a plain
+   two-table SMJ with an incompressible hot partition splits the
+   moment it crosses the threshold (SortMergeJoin(skew=true) +
+   AQEShuffleRead skewed). Exchange-reused self-joins don't match
+   either. AQE cannot save this shape; the operator must.
+2. Wall stayed flat anyway at this scale (hot/uniform 0.86-0.98):
+   merging the hot partition against ONE aggregate row is linear —
+   the exposure is single-reducer parallelism loss at real scale,
+   not work amplification.
+3. Fix shipped: canonical_url dedup=true now joins back on the ID
+   (unique, uniform) instead of the URL — the exact_dedup
+   discipline. The only curl-keyed exchange left is the survivor
+   AGGREGATE, whose map-side partial min collapses a viral key to
+   <= one row per input partition. The hot-key full-row exchange is
+   gone BY CONSTRUCTION (executed plan: join-back hashpartitioning
+   on doc_id).
 
 Usage: python scripts/rehearsal_skew_hotkey_r12.py [sf_dir] [copies]
 """
