@@ -166,6 +166,12 @@ HEADLINE_TRAINDATA = [
     # truth + bucketed candidates in one plan). Subtotal grows by
     # one entry.
     "q387_srp_ann_recall",
+    # round-12 addition: the heaviest of the new batch — the RP-width
+    # tuner (per-width candidate joins + the exact all-pairs referee
+    # in one plan). q148 (already benched above) swapped its kernel
+    # to the oracle-checked portable SemDeDup this round. Subtotal
+    # grows by one entry.
+    "q401_rp_width_sweep",
 ]
 
 #: round-6 addition to the lakehouse subtotal: the stats-based file

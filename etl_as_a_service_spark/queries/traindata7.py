@@ -494,15 +494,16 @@ def _q401_oracle() -> str:
       JOIN qc b ON b.vec_id = c.id_b
     ),
     truth AS (
+      -- d2 computed ONCE per pair in the inner select (the q385
+      -- lambda-reuse lesson; a WHERE-side scalar subquery re-ran the
+      -- 64-term fold per reference)
       SELECT count(*) AS n_true FROM (
-        SELECT a.vec_id
+        SELECT list_aggregate(
+                 list_transform(range(1, len(a.qv) + 1),
+                   i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])),
+                 'sum') AS d2
         FROM qc a JOIN qc b ON a.vec_id < b.vec_id
-        WHERE (
-          SELECT sum(x) FROM UNNEST(list_transform(
-            range(1, len(a.qv) + 1),
-            i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) AS s(x)
-        ) <= {RPW_THRESHOLD_Q2}
-      )
+      ) WHERE d2 <= {RPW_THRESHOLD_Q2}
     )
     SELECT v.w AS bucket_width,
            CAST(count(*) AS BIGINT) AS n_candidates,
@@ -638,4 +639,208 @@ def q401_rp_width_sweep(spark, sf_dir):
             ),
         )
         .orderBy("bucket_width")
+    )
+
+
+# --------------------------------------------------------------------------
+# q402 — SRP table-count sweep (the cosine-ANN recall/cost tuner)
+# --------------------------------------------------------------------------
+SRS_PLANES = 4
+SRS_MAX_TABLES = 8
+SRS_SWEEP = (1, 2, 4, 8)
+#: cosine threshold 3/10 as a rational: 100*qdot^2 >= 9*na*nb
+#: (qdot > 0) — chosen so the fixture has a real true-pair set (992
+#: organic pairs at sf0.01; at 1/2 only ~1 pair exists and the sweep
+#: is vacuous, the round-11 "labels are not geometric" lesson)
+SRS_NUM2, SRS_DEN2 = 9, 100
+
+
+def _q402_oracle() -> str:
+    from etl_as_a_service_spark.llm.similarity_portable import (
+        sql_planes,
+        sql_quantized,
+        sql_srp_buckets,
+    )
+
+    sweep_rows = ", ".join(f"({t})" for t in SRS_SWEEP)
+    return f"""
+    WITH qc AS MATERIALIZED ({sql_quantized()}),
+    planes AS MATERIALIZED (
+      {sql_planes(SRS_MAX_TABLES, SRS_PLANES, 64, "srs")}),
+    buckets AS MATERIALIZED ({sql_srp_buckets("qc", SRS_PLANES)}),
+    first_hit AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             min(a.t) AS first_t
+      FROM buckets a JOIN buckets b
+        ON a.t = b.t AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    judged AS MATERIALIZED (
+      SELECT f.id_a, f.id_b, f.first_t,
+             (qdot > 0 AND {SRS_DEN2} * qdot * qdot
+                >= {SRS_NUM2} * na * nb) AS hit
+      FROM (
+        SELECT f.id_a, f.id_b, f.first_t,
+               list_aggregate(list_transform(range(1, len(a.qv) + 1),
+                 i -> a.qv[i] * b.qv[i]), 'sum') AS qdot,
+               list_aggregate(list_transform(a.qv, x -> x * x),
+                 'sum') AS na,
+               list_aggregate(list_transform(b.qv, x -> x * x),
+                 'sum') AS nb
+        FROM first_hit f
+        JOIN qc a ON a.vec_id = f.id_a
+        JOIN qc b ON b.vec_id = f.id_b
+      ) f
+    ),
+    truth AS (
+      -- qdot/na/nb computed ONCE per pair (the q385 lambda-reuse
+      -- lesson)
+      SELECT count(*) AS n_true FROM (
+        SELECT list_aggregate(
+                 list_transform(range(1, len(a.qv) + 1),
+                   i -> a.qv[i] * b.qv[i]), 'sum') AS qdot,
+               list_aggregate(
+                 list_transform(a.qv, x -> x * x), 'sum') AS na,
+               list_aggregate(
+                 list_transform(b.qv, x -> x * x), 'sum') AS nb
+        FROM qc a JOIN qc b ON a.vec_id < b.vec_id
+      ) WHERE qdot > 0
+          AND {SRS_DEN2} * qdot * qdot >= {SRS_NUM2} * na * nb
+    ),
+    sweep(n_tables) AS (VALUES {sweep_rows})
+    SELECT s.n_tables,
+           CAST(count_if(j.first_t < s.n_tables) AS BIGINT)
+             AS n_candidates,
+           CAST(count_if(j.first_t < s.n_tables AND j.hit) AS BIGINT)
+             AS n_verified,
+           round(count_if(j.first_t < s.n_tables AND j.hit) * 1.0
+                 / greatest(count_if(j.first_t < s.n_tables), 1), 6)
+             AS precision,
+           round(count_if(j.first_t < s.n_tables AND j.hit) * 1.0
+                 / (SELECT greatest(n_true, 1) FROM truth), 6)
+             AS recall
+    FROM sweep s CROSS JOIN judged j
+    GROUP BY s.n_tables
+    ORDER BY s.n_tables
+    """
+
+
+@query(
+    "q402_srp_table_sweep",
+    oracle=_q402_oracle(),
+    tags=("similarity", "lsh", "planning", "llm", "operator"),
+)
+def q402_srp_table_sweep(spark, sf_dir):
+    """SRP table-count tuner (q402) — the cosine sibling of q401:
+    prices the SRP-LSH num_tables menu (the q55/q148 kernel's recall
+    knob) in ONE bucketing pass. Every candidate pair records its
+    FIRST colliding table, so each sweep value t reads "pairs whose
+    first collision is in a table < t" — cumulative candidates,
+    verified pairs at cosine >= 3/10 (integer cross-product test),
+    precision, and recall vs the exact census, without re-running
+    the join per t.
+
+    SCALE DESIGN: signatures once (vec x table x plane aggregate);
+    ONE bucket self-join at the full table count with a min-table
+    fold; the sweep is a bounded {len(SRS_SWEEP)}-value broadcast
+    cross; the exact census is the documented small-set-only referee
+    (q385 note). Bounded output: |sweep| rows."""
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.llm.similarity_portable import (
+        md5_planes,
+        quantize_vectors,
+        srp_buckets,
+    )
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qc = quantize_vectors(emb)
+    planes = md5_planes(spark, SRS_MAX_TABLES, SRS_PLANES, 64, "srs")
+    buckets = srp_buckets(qc, planes, SRS_PLANES)
+    ba = buckets.select(F.col("vec_id").alias("id_a"), "t", "bucket")
+    bb = buckets.select(F.col("vec_id").alias("id_b"), "t", "bucket")
+    first_hit = (
+        ba.join(bb, ["t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.min("t").alias("first_t"))
+    )
+    va = qc.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("qv").alias("qa"),
+        F.col("nrm2").alias("na"),
+    )
+    vb = qc.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("qv").alias("qb"),
+        F.col("nrm2").alias("nb"),
+    )
+    qd = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    judged = (
+        first_hit.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "first_t",
+            (
+                (qd > 0)
+                & (
+                    F.lit(SRS_DEN2) * qd * qd
+                    >= F.lit(SRS_NUM2) * F.col("na") * F.col("nb")
+                )
+            ).alias("hit"),
+        )
+    )
+    truth = (
+        va.crossJoin(vb)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            (
+                (qd > 0)
+                & (
+                    F.lit(SRS_DEN2) * qd * qd
+                    >= F.lit(SRS_NUM2) * F.col("na") * F.col("nb")
+                )
+            ).alias("t_hit")
+        )
+        .agg(
+            F.greatest(F.count_if(F.col("t_hit")), F.lit(1)).alias(
+                "n_true"
+            )
+        )
+    )
+    sweep = spark.createDataFrame(
+        [(t,) for t in SRS_SWEEP], "n_tables long"
+    )
+    lt = F.col("first_t") < F.col("n_tables")
+    return (
+        judged.crossJoin(F.broadcast(sweep))
+        .groupBy("n_tables")
+        .agg(
+            F.count_if(lt).cast("long").alias("n_candidates"),
+            F.count_if(lt & F.col("hit")).cast("long").alias(
+                "n_verified"
+            ),
+            F.round(
+                F.count_if(lt & F.col("hit"))
+                * 1.0
+                / F.greatest(F.count_if(lt), F.lit(1)),
+                6,
+            ).alias("precision"),
+            F.count_if(lt & F.col("hit")).cast("long").alias("__nv"),
+        )
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "n_tables",
+            "n_candidates",
+            "n_verified",
+            "precision",
+            F.round(F.col("__nv") * 1.0 / F.col("n_true"), 6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("n_tables")
     )

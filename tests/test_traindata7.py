@@ -187,3 +187,76 @@ def test_q401_matches_python_replica(spark):
     assert vols[0] < vols[-1]
     # and the widest width should catch most true pairs
     assert rows[max(RPW_WIDTHS)]["recall"] >= 0.8
+
+
+def test_q402_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import (
+        SRS_DEN2,
+        SRS_MAX_TABLES,
+        SRS_NUM2,
+        SRS_PLANES,
+        SRS_SWEEP,
+    )
+
+    rows = {
+        r["n_tables"]: r.asDict()
+        for r in QUERIES["q402_srp_table_sweep"].fn(spark, SF_T2).collect()
+    }
+    con = duckdb.connect()
+    vecs = {
+        vid: [round(float(x) * 1000) for x in emb]
+        for vid, emb in con.execute(
+            f"SELECT vec_id, embedding FROM '{EMB}'"
+        ).fetchall()
+    }
+    con.close()
+
+    def h(t, p, i):
+        s = f"srs-{t}-{p}-{i}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    buckets = {}
+    for t in range(SRS_MAX_TABLES):
+        planes = [[h(t, p, i) for i in range(64)]
+                  for p in range(SRS_PLANES)]
+        for vid, qv in vecs.items():
+            sig = "".join(
+                "1" if sum(q * pl[i] for i, q in enumerate(qv)) >= 0
+                else "0"
+                for pl in planes
+            )
+            buckets.setdefault((t, sig), []).append(vid)
+    first = {}
+    for (t, _), members in sorted(buckets.items()):
+        for i, a in enumerate(sorted(members)):
+            for b in sorted(members)[i + 1:]:
+                k = (min(a, b), max(a, b))
+                if k not in first or t < first[k]:
+                    first[k] = min(first.get(k, t), t)
+    ids = sorted(vecs)
+    nrm = {v: sum(q * q for q in vecs[v]) for v in ids}
+
+    def hit(a, b):
+        qd = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        return qd > 0 and SRS_DEN2 * qd * qd >= SRS_NUM2 * nrm[a] * nrm[b]
+
+    n_true = max(
+        sum(
+            1
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if hit(a, b)
+        ),
+        1,
+    )
+    for t in SRS_SWEEP:
+        cands = [k for k, ft in first.items() if ft < t]
+        nv = sum(1 for a, b in cands if hit(a, b))
+        assert rows[t]["n_candidates"] == len(cands), t
+        assert rows[t]["n_verified"] == nv, t
+        assert rows[t]["recall"] == round(nv / n_true, 6), t
+    # the sweep is a real curve on this fixture (q402's reason to be)
+    recalls = [rows[t]["recall"] for t in sorted(SRS_SWEEP)]
+    assert recalls == sorted(recalls) and recalls[0] < recalls[-1]
+    assert 0.05 < recalls[0] < 0.5 < recalls[-1]
