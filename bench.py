@@ -355,6 +355,11 @@ def main() -> None:
             continue
         best, n = float("inf"), 0
         for _ in range(RUNS):
+            # drop InMemoryRelations between iterations: queries that
+            # persist() shared frames (the round-12 lazy-construction
+            # fix) would otherwise hand iterations 2..N a warm cache
+            # and min-of-N would time a cached run, not the query
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             n = QUERIES[name].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
