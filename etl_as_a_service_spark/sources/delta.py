@@ -473,10 +473,18 @@ def delta_changes(
 
     ``include_values=True`` returns the FULL changed rows (all
     columns + change_type), not just keys — the shape an incremental
-    pipeline consumes. Values are only well-defined for ranges where
-    no file left the live set (append-only, the dominant ingest
-    shape); a range with removed files raises instead of guessing
-    which version's values to ship.
+    pipeline consumes. The values feed is ACTION-SCAN based (the CDF
+    discipline): per commit in the range, adds with ``dataChange:
+    true`` are the feed; ``dataChange: false`` adds/removes (OPTIMIZE
+    compaction, zorder rewrites) are TRANSPARENT — a maintenance
+    commit between two ingests no longer breaks the consumer; a
+    ``dataChange: true`` remove (delete/overwrite/merge) raises
+    instead of guessing which version's values to ship. Requires the
+    range's JSON commits to still exist (raises if delta_clean_log
+    folded them into a checkpoint — diff full snapshots then), and
+    the range's original data files to still exist (VACUUM retention
+    bounds how far back a values feed can reach — the standard CDF
+    tradeoff).
     """
     from etl_as_a_service_spark.operators.relational import snapshot_diff
 
@@ -513,21 +521,42 @@ def delta_changes(
     # full-outer join. This is the dominant change-feed shape at scale
     # (streaming ingests are append-only), and the join path's answer
     # is identical: an empty other side labels every row one-sidedly.
-    if not removed:
-        feed = _read_file_list(spark, table, schema, added).withColumn(
-            "change_type", F.lit("insert")
-        )
-        return feed if include_values else feed.select(
-            *key_cols, "change_type"
-        )
     if include_values:
-        # which version's values would a delete/update row carry? the
-        # append-only contract is the well-defined one — refuse
-        raise ValueError(
-            "delta_changes include_values=True requires an append-only "
-            f"range, but {len(removed)} file(s) left the live set "
-            f"between v{from_version} and v{to_version}; diff the full "
-            "snapshots explicitly instead"
+        # ACTION-SCAN values feed: read each commit's actions so
+        # maintenance commits (dataChange:false) pass through
+        # transparently and real deletes fail fast
+        data_adds: list[str] = []
+        for v in range(from_version + 1, to_version + 1):
+            vf = _version_file(table, v)
+            if not os.path.exists(vf):
+                raise ValueError(
+                    f"delta_changes include_values=True needs commit "
+                    f"{v}.json, which a checkpoint has folded away — "
+                    "diff the full snapshots explicitly instead"
+                )
+            with open(vf) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "add" in action:
+                        if action["add"].get("dataChange", True):
+                            data_adds.append(action["add"]["path"])
+                    elif "remove" in action:
+                        if action["remove"].get("dataChange", True):
+                            raise ValueError(
+                                "delta_changes include_values=True "
+                                "requires an append-only range, but "
+                                f"commit v{v} removed data (dataChange"
+                                "=true); diff the full snapshots "
+                                "explicitly instead"
+                            )
+        return _read_file_list(
+            spark, table, schema, sorted(set(data_adds))
+        ).withColumn("change_type", F.lit("insert"))
+    if not removed:
+        return _read_file_list(spark, table, schema, added).select(
+            *key_cols, F.lit("insert").alias("change_type")
         )
     if not added:
         return _read_file_list(spark, table, schema, removed).select(

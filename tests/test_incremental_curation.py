@@ -358,3 +358,45 @@ def test_iceberg_changes_incremental_contract(spark, tmp_path):
     }
     assert got == {(1, "delete"), (2, "delete"), (3, "delete"),
                    (9, "insert")}
+
+
+def test_values_feed_is_compaction_transparent(spark, tmp_path):
+    """OPTIMIZE between two ingests must be invisible to the values
+    feed (dataChange:false actions skipped), while a real delete in
+    the range still refuses — the CDF discipline."""
+    from etl_as_a_service_spark.sources.delta import (
+        delta_changes,
+        delta_optimize,
+    )
+
+    table = str(tmp_path / "compacted")
+    v0 = delta_write(
+        spark.createDataFrame(
+            [(i, f"row {i}") for i in range(8)], "id long, v string"
+        ).repartition(4),
+        table,
+        mode="append",
+    )
+    delta_write(
+        spark.createDataFrame([(100, "new a")], "id long, v string"),
+        table,
+        mode="append",
+    )
+    delta_optimize(spark, table)
+    v3 = delta_write(
+        spark.createDataFrame([(101, "new b")], "id long, v string"),
+        table,
+        mode="append",
+    )
+    feed = delta_changes(
+        spark, table, v0, v3, ["id"], include_values=True
+    )
+    got = {(r["id"], r["v"], r["change_type"]) for r in feed.collect()}
+    assert got == {(100, "new a", "insert"), (101, "new b", "insert")}
+    # keys-only live-diff over the same range agrees (compaction
+    # rewrites cancel out of the full-outer diff)
+    keys = {
+        (r["id"], r["change_type"])
+        for r in delta_changes(spark, table, v0, v3, ["id"]).collect()
+    }
+    assert keys == {(100, "insert"), (101, "insert")}
