@@ -188,15 +188,37 @@ def _compile_source(
     if source.get("streaming"):
         # continuous ingest: the streaming face of the reference's
         # upload loop (SURVEY §3 EP1). Schema is mandatory — streaming
-        # file sources cannot infer.
-        if "schema" not in source and fmt not in ("rate", "kafka"):
+        # file sources cannot infer. The lakehouse tail sources
+        # (delta_stream / iceberg_stream) self-describe their schema
+        # from the table log and auto-register on first use — the
+        # streaming face of the round-12 incremental medallion.
+        if fmt == "delta_stream":
+            from etl_as_a_service_spark.sources.delta_stream import (
+                register_delta_stream,
+            )
+
+            register_delta_stream(spark)
+        elif fmt == "iceberg_stream":
+            from etl_as_a_service_spark.sources.iceberg_stream import (
+                register_iceberg_stream,
+            )
+
+            register_iceberg_stream(spark)
+        elif "schema" not in source and fmt not in ("rate", "kafka"):
             raise PipelineError("streaming source requires 'schema'")
         sreader = spark.readStream.format(fmt)
         if "schema" in source:
             sreader = sreader.schema(source["schema"])
-        for k, v in source.get("options", {}).items():
+        opts = dict(source.get("options", {}))
+        if fmt in ("delta_stream", "iceberg_stream") and source.get(
+            "path"
+        ):
+            opts.setdefault("path", source["path"])
+        for k, v in opts.items():
             sreader = sreader.option(k, str(v))
         if fmt == "rate":
+            return sreader.load()
+        if fmt in ("delta_stream", "iceberg_stream"):
             return sreader.load()
         return sreader.load(source.get("path"))
     path = source.get("path")

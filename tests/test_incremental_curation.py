@@ -400,3 +400,101 @@ def test_values_feed_is_compaction_transparent(spark, tmp_path):
         for r in delta_changes(spark, table, v0, v3, ["id"]).collect()
     }
     assert keys == {(100, "insert"), (101, "insert")}
+
+
+def test_streaming_silver_increment_equals_batch_on_curl_set(
+    spark, tmp_path
+):
+    """The STREAMING face of the medallion silver hop: tail bronze
+    with the delta_stream source through the stream-compatible subset
+    of the silver stages — gates, static decon, canonical_url append,
+    stream_dedup on curl (bounded state), dedup_against the
+    silver-so-far static frame — one availableNow pass, compared to
+    the batch twin on the kept CURL SET (the stream_dedup contract:
+    same key set, representative row engine-internal)."""
+    bronze = str(tmp_path / "bronze")
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "url string"
+    )
+    for k in range(2):
+        delta_write(
+            spark.createDataFrame(
+                _snapshot_rows(k * STEP, (k + 1) * STEP), schema
+            ).withColumn(
+                "ts",
+                F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+            ),
+            bronze,
+            mode="append",
+        )
+    # pre-existing silver state: curls of the first 40 pages
+    silver = str(tmp_path / "silver")
+    delta_write(
+        spark.createDataFrame(
+            [(f"https://ex.com/p/{i}",) for i in range(0, 40, 7)],
+            "curl string",
+        ),
+        silver,
+        mode="append",
+    )
+    steps = [
+        {"op": "encoding_gate", "text_col": "text", "max_hits": 0},
+        {"op": "gopher_quality", "text_col": "text", "filter": True},
+        {
+            "op": "url_decontaminate",
+            "url_col": "url",
+            "test": {
+                "source": {"format": "parquet", "path": EVAL_PARQUET},
+                "steps": [
+                    {
+                        "op": "sql",
+                        "query": "SELECT doc_id, concat("
+                        "'https://ex.com/p/', CAST(doc_id % 40 AS "
+                        "STRING)) AS url FROM __self__ "
+                        "WHERE doc_id % 10 = 7",
+                    }
+                ],
+            },
+        },
+        {"op": "canonical_url", "url_col": "url", "out_col": "curl"},
+        {
+            "op": "stream_dedup",
+            "keys": ["curl"],
+            "ts_col": "ts",
+            "watermark": "10 minutes",
+        },
+        {
+            "op": "dedup_against",
+            "against": {"source": {"format": "delta", "path": silver}},
+            "key_cols": ["curl"],
+        },
+    ]
+    out = str(tmp_path / "out")
+    run = PipelineRunner(spark).run({
+        "name": "silver-stream",
+        "source": {"streaming": True, "format": "delta_stream",
+                   "path": bronze},
+        "steps": steps,
+        "sink": {"format": "parquet", "path": out,
+                 "trigger": "available_now"},
+    })
+    assert run.status == "success", run.error
+    streamed = sorted(
+        r["curl"] for r in spark.read.parquet(out).collect()
+    )
+    batch = compile_pipeline(spark, {
+        "name": "silver-batch",
+        "source": {"format": "delta", "path": bronze},
+        "steps": steps,
+    })
+    expected = sorted(r["curl"] for r in batch.collect())
+    assert streamed == expected
+    assert len(set(streamed)) == len(streamed)
+    assert streamed, "stream face dropped everything"
+    # each stage non-vacuous: decon dropped eval pages, the dedup
+    # collapsed page dups, the against-set pages are absent
+    assert all("/p/7" != c.rsplit("p/", 1)[1] for c in streamed)
+    assert all(
+        int(c.rsplit("/", 1)[1]) % 7 != 0 for c in streamed
+    )
