@@ -844,3 +844,205 @@ def q402_srp_table_sweep(spark, sf_dir):
         )
         .orderBy("n_tables")
     )
+
+
+# --------------------------------------------------------------------------
+# q403 — k-anonymity / l-diversity census (training-data governance)
+# --------------------------------------------------------------------------
+KANON_KS = (2, 5, 10, 25)
+
+
+@query(
+    "q403_k_anonymity_census",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+      SELECT lang, source,
+             CAST(least(floor(n_chars / 200), 4) AS BIGINT) AS band,
+             CAST(count(*) AS BIGINT) AS cell_n,
+             CAST(count(DISTINCT doc_id % 16) AS BIGINT) AS l_div
+      FROM documents
+      GROUP BY lang, source, least(floor(n_chars / 200), 4)
+    ),
+    ks(k) AS (VALUES {", ".join(f"({k})" for k in KANON_KS)})
+    SELECT k.k,
+           CAST(count_if(c.cell_n < k.k) AS BIGINT) AS n_small_cells,
+           CAST(coalesce(sum(CASE WHEN c.cell_n < k.k
+                THEN c.cell_n END), 0) AS BIGINT) AS rows_at_risk,
+           round(coalesce(sum(CASE WHEN c.cell_n < k.k
+                 THEN c.cell_n END), 0) * 1.0
+                 / sum(c.cell_n), 6) AS risk_frac,
+           CAST(count_if(c.cell_n >= k.k AND c.l_div < 2) AS BIGINT)
+             AS n_homogeneous_cells
+    FROM ks k CROSS JOIN cells c
+    GROUP BY k.k
+    ORDER BY k.k
+    """,
+    tags=("governance", "privacy", "planning", "llm", "operator"),
+)
+def q403_k_anonymity_census(spark, sf_dir):
+    """k-anonymity / l-diversity census (q403) — the privacy-side
+    pre-flight a training-data release runs: treat (lang, source,
+    length band) as the quasi-identifier, count equivalence-class
+    sizes, and price the k menu — cells below k, rows at risk (the
+    suppression cost of enforcing k), risk fraction, and (for cells
+    that DO meet k) the l-diversity failure count — classes where the
+    sensitive attribute (a bounded md5-free proxy: doc_id % 16) takes
+    fewer than 2 distinct values, so k-anonymity alone still leaks.
+
+    SCALE DESIGN: ONE quasi-identifier-grain aggregate (map-side
+    combinable count + distinct over a 16-value domain), then a
+    bounded |ks| x |cells| broadcast cross — never row x k. The same
+    census at PII grain composes with redact_pii (q297)."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    cells = (
+        docs.groupBy(
+            "lang",
+            "source",
+            F.least(F.floor(F.col("n_chars") / 200), F.lit(4))
+            .cast("long")
+            .alias("band"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cell_n"),
+            F.countDistinct(F.col("doc_id") % 16)
+            .cast("long")
+            .alias("l_div"),
+        )
+    )
+    ks = spark.createDataFrame([(k,) for k in KANON_KS], "k long")
+    small = F.col("cell_n") < F.col("k")
+    return (
+        F.broadcast(ks)
+        .crossJoin(cells)
+        .groupBy("k")
+        .agg(
+            F.count_if(small).cast("long").alias("n_small_cells"),
+            F.coalesce(
+                F.sum(F.when(small, F.col("cell_n"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(small, F.col("cell_n"))), F.lit(0)
+                )
+                * 1.0
+                / F.sum("cell_n"),
+                6,
+            ).alias("risk_frac"),
+            F.count_if(~small & (F.col("l_div") < 2))
+            .cast("long")
+            .alias("n_homogeneous_cells"),
+        )
+        .orderBy("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# q404 — right-to-be-forgotten purge audit (deletion compliance)
+# --------------------------------------------------------------------------
+PURGE_FRAC_MOD = 20  # ~5% of users request deletion
+# grace-period cutoff: 2024-01-20T00:00:00Z — inside every fixture's
+# ts range (2024-01-01..2024-01-31), so both compliant (before) and
+# violating (after) rows exist and the audit is non-vacuous
+PURGE_CUTOFF_US = 1_705_708_800_000_000
+
+
+@query(
+    "q404_purge_compliance_audit",
+    oracle=f"""
+    WITH requests AS MATERIALIZED (
+      SELECT DISTINCT user_id
+      FROM events
+      WHERE (('0x' || substr(md5('purge-'
+              || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+             % {PURGE_FRAC_MOD}) = 0
+    ),
+    flagged AS (
+      SELECT e.event_type,
+             r.user_id IS NOT NULL AS requested,
+             epoch_us(e.ts) >= {PURGE_CUTOFF_US} AS after_cutoff
+      FROM events e LEFT JOIN requests r ON e.user_id = r.user_id
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count_if(requested) AS BIGINT) AS n_purge_due,
+           CAST(count_if(requested AND after_cutoff) AS BIGINT)
+             AS n_violations,
+           round(count_if(requested AND after_cutoff) * 1.0
+                 / count(*), 6) AS violation_frac,
+           CAST((SELECT count(*) FROM requests) AS BIGINT)
+             AS n_requesting_users
+    FROM flagged
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("governance", "privacy", "audit", "llm", "operator"),
+)
+def q404_purge_compliance_audit(spark, sf_dir):
+    """Right-to-be-forgotten purge audit (q404) — given a deletion-
+    request ledger (md5-derived ~5% of users, the synthetic stand-in
+    for the real tombstone table), count per event type the rows a
+    purge job still owes: rows of requesting users, and VIOLATIONS —
+    rows of requesting users that remain after the grace-period
+    cutoff (a compliant pipeline must have purged them by then). The
+    audit a lakehouse delete job (delta_delete / iceberg_delete) runs
+    before and after to prove the purge landed.
+
+    SCALE DESIGN: the request ledger is a distinct-user frame joined
+    once (broadcast when small, shuffled hash otherwise); timestamps
+    compare as integer epoch-us (unix_micros — the FIXTURES rule 4
+    truncation both engines share); one event-type-grain rollup."""
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    requests = (
+        ev.select("user_id")
+        .filter(
+            md5_hash64(F.col("user_id").cast("string"), "purge-")
+            % PURGE_FRAC_MOD
+            == 0
+        )
+        .distinct()
+    )
+    nreq = requests.agg(
+        F.count(F.lit(1)).cast("long").alias("n_requesting_users")
+    )
+    flagged = ev.alias("e").join(
+        requests.withColumnRenamed("user_id", "__ru").alias("r"),
+        F.col("e.user_id") == F.col("__ru"),
+        "left",
+    ).select(
+        "event_type",
+        F.col("__ru").isNotNull().alias("requested"),
+        (F.unix_micros(F.col("ts")) >= PURGE_CUTOFF_US).alias(
+            "after_cutoff"
+        ),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_if(F.col("requested")).cast("long").alias(
+                "n_purge_due"
+            ),
+            F.count_if(F.col("requested") & F.col("after_cutoff"))
+            .cast("long")
+            .alias("n_violations"),
+            F.round(
+                F.count_if(F.col("requested") & F.col("after_cutoff"))
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("violation_frac"),
+        )
+        .crossJoin(F.broadcast(nreq))
+        .select(
+            "event_type", "n_rows", "n_purge_due", "n_violations",
+            "violation_frac", "n_requesting_users",
+        )
+        .orderBy("event_type")
+    )

@@ -260,3 +260,84 @@ def test_q402_matches_python_replica(spark):
     recalls = [rows[t]["recall"] for t in sorted(SRS_SWEEP)]
     assert recalls == sorted(recalls) and recalls[0] < recalls[-1]
     assert 0.05 < recalls[0] < 0.5 < recalls[-1]
+
+
+def test_q403_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import KANON_KS
+
+    rows = {
+        r["k"]: r.asDict()
+        for r in QUERIES["q403_k_anonymity_census"].fn(
+            spark, SF_T2
+        ).collect()
+    }
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT lang, source, least(n_chars // 200, 4), doc_id % 16 "
+        f"FROM '{DOCS}'"
+    ).fetchall()
+    con.close()
+    cells = {}
+    for lang, src, band, sens in data:
+        c = cells.setdefault((lang, src, band), [0, set()])
+        c[0] += 1
+        c[1].add(sens)
+    total = sum(c[0] for c in cells.values())
+    for k in KANON_KS:
+        small = [c for c in cells.values() if c[0] < k]
+        assert rows[k]["n_small_cells"] == len(small)
+        assert rows[k]["rows_at_risk"] == sum(c[0] for c in small)
+        assert rows[k]["risk_frac"] == round(
+            sum(c[0] for c in small) / total, 6
+        )
+        assert rows[k]["n_homogeneous_cells"] == sum(
+            1 for c in cells.values() if c[0] >= k and len(c[1]) < 2
+        )
+    # the menu is a real curve: risk grows with k
+    risks = [rows[k]["rows_at_risk"] for k in sorted(KANON_KS)]
+    assert risks == sorted(risks) and risks[0] < risks[-1]
+
+
+def test_q404_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import (
+        PURGE_CUTOFF_US,
+        PURGE_FRAC_MOD,
+    )
+
+    rows = {
+        r["event_type"]: r.asDict()
+        for r in QUERIES["q404_purge_compliance_audit"].fn(
+            spark, SF_T2
+        ).collect()
+    }
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT event_type, user_id, epoch_us(ts) "
+        f"FROM '{SF_T2}/events.parquet'"
+    ).fetchall()
+    con.close()
+
+    def requested(uid):
+        h = int(
+            hashlib.md5(f"purge-{uid}".encode()).hexdigest()[:8], 16
+        )
+        return h % PURGE_FRAC_MOD == 0
+
+    req_users = {u for _, u, _ in data if requested(u)}
+    by_type = {}
+    for et, uid, us in data:
+        b = by_type.setdefault(et, [0, 0, 0])
+        b[0] += 1
+        if uid in req_users:
+            b[1] += 1
+            if us >= PURGE_CUTOFF_US:
+                b[2] += 1
+    for et, (n, due, vio) in by_type.items():
+        assert rows[et]["n_rows"] == n
+        assert rows[et]["n_purge_due"] == due
+        assert rows[et]["n_violations"] == vio
+        assert rows[et]["n_requesting_users"] == len(req_users)
+        # the cutoff is non-vacuous: some due rows are compliant
+        assert vio < due
