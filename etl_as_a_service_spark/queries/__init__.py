@@ -91,8 +91,8 @@ from etl_as_a_service_spark.queries import traindata7  # noqa: E402,F401
 _ROTATE_FRONT = [
     # round-12 window: never-green leads — q49/q55/q148 (graduated
     # from rows-only via the q385 quantization recipe) and the new
-    # q400-q404 — then the stalest receipts (r2-era q56..q120, then
-    # r3-era q40..q76), sorted by (newest green round, number).
+    # q400-q406 — then the stalest receipts (r2-era q56..q116, then
+    # r3-era q40..q74), sorted by (newest green round, number).
     "q49_lsh_ann_join",
     "q55_embedding_near_dups",
     "q148_semantic_dedup",
@@ -101,6 +101,8 @@ _ROTATE_FRONT = [
     "q402_srp_table_sweep",
     "q403_k_anonymity_census",
     "q404_purge_compliance_audit",
+    "q405_calibration_audit",
+    "q406_attention_cost_audit",
     "q56_array_ops",
     "q57_csv_scan_parity",
     "q68_interval_range_frames",
@@ -141,8 +143,6 @@ _ROTATE_FRONT = [
     "q65_returned_item_customers",
     "q66_or_of_ands_predicates",
     "q71_nth_value_listagg",
-    "q72_bit_operations",
-    "q73_binning_histogram",
 ]
 
 

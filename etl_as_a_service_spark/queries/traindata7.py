@@ -1046,3 +1046,245 @@ def q404_purge_compliance_audit(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q405 — calibration / reliability audit (integer-exact ECE)
+# --------------------------------------------------------------------------
+CAL_BINS = 10
+
+
+@query(
+    "q405_calibration_audit",
+    oracle=f"""
+    WITH scored AS MATERIALIZED (
+      SELECT (('0x' || substr(md5('conf-'
+               || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 1001)
+               AS conf_milli,
+             (('0x' || substr(md5('out-'
+               || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 1000)
+               AS draw
+      FROM events
+    ),
+    labeled AS MATERIALIZED (
+      -- planted miscalibration: true P(y=1) = 0.8*conf + 0.1, built
+      -- with exact integer arithmetic (floor-div via mod subtraction)
+      SELECT least(conf_milli // 100, {CAL_BINS - 1}) AS bin,
+             conf_milli,
+             CASE WHEN draw < ((4 * conf_milli
+                    - ((4 * conf_milli % 5 + 5) % 5)) / 5 + 100)
+                  THEN 1 ELSE 0 END AS y
+      FROM scored
+    ),
+    per_bin AS (
+      SELECT bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conf_milli) AS BIGINT) AS conf_sum,
+             CAST(sum(y) AS BIGINT) AS n_pos
+      FROM labeled GROUP BY bin
+    ),
+    ece AS (
+      SELECT CAST(sum(abs(1000 * n_pos - conf_sum)) AS BIGINT)
+               AS ece_num,
+             CAST(sum(n) AS BIGINT) AS n_all
+      FROM per_bin
+    )
+    SELECT b.bin,
+           b.n,
+           round(b.conf_sum * 1.0 / (1000 * b.n), 6) AS mean_conf,
+           round(b.n_pos * 1.0 / b.n, 6) AS accuracy,
+           round((1000 * b.n_pos - b.conf_sum) * 1.0 / (1000 * b.n), 6)
+             AS gap,
+           round(e.ece_num * 1.0 / (1000 * e.n_all), 6) AS ece
+    FROM per_bin b CROSS JOIN ece e
+    ORDER BY b.bin
+    """,
+    tags=("eval", "calibration", "quality", "llm", "operator"),
+)
+def q405_calibration_audit(spark, sf_dir):
+    """Model-calibration audit (q405) — the reliability diagram + ECE
+    for a scored eval set, integer-exact end to end: confidences are
+    md5-derived milli-units, outcomes are drawn against a PLANTED
+    miscalibrated truth (P(y=1) = 0.8*conf + 0.1, computed with exact
+    integer floor arithmetic so both engines draw identical labels),
+    and every reported number is ONE division of integer sums —
+    per-bin mean confidence, accuracy, signed gap, and the expected
+    calibration error as sum|1000*pos_b - conf_sum_b| / (1000*N)
+    (integer numerator, so no float-summation-order hazard across
+    bins). The planted truth makes the expected reading visible:
+    low-confidence bins under-confident (gap > 0), high bins
+    over-confident (gap < 0), crossing near conf = 0.5.
+
+    SCALE DESIGN: one map-only scoring projection, one bin-grain
+    aggregate ({CAL_BINS} cells, map-side combinable), the ECE a
+    second fold over the bounded bin frame joined back broadcast."""
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    eid = F.col("event_id").cast("string")
+    conf = (md5_hash64(eid, "conf-") % 1001).alias("conf_milli")
+    draw = md5_hash64(eid, "out-") % 1000
+    scored = ev.select(conf, draw.alias("draw"))
+    four = F.col("conf_milli") * 4
+    thresh = (four - F.pmod(four, F.lit(5))) / 5 + 100
+    labeled = scored.select(
+        F.least(
+            F.floor(F.col("conf_milli") / 100), F.lit(CAL_BINS - 1)
+        )
+        .cast("long")
+        .alias("bin"),
+        "conf_milli",
+        F.when(F.col("draw") < thresh, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    per_bin = labeled.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conf_milli").cast("long").alias("conf_sum"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    ece = per_bin.agg(
+        F.sum(F.abs(F.lit(1000) * F.col("n_pos") - F.col("conf_sum")))
+        .cast("long")
+        .alias("ece_num"),
+        F.sum("n").cast("long").alias("n_all"),
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(ece))
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("conf_sum") * 1.0 / (1000 * F.col("n")), 6)
+            .alias("mean_conf"),
+            F.round(F.col("n_pos") * 1.0 / F.col("n"), 6).alias(
+                "accuracy"
+            ),
+            F.round(
+                (F.lit(1000) * F.col("n_pos") - F.col("conf_sum"))
+                * 1.0
+                / (1000 * F.col("n")),
+                6,
+            ).alias("gap"),
+            F.round(
+                F.col("ece_num") * 1.0 / (1000 * F.col("n_all")), 6
+            ).alias("ece"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# q406 — attention quadratic-cost audit (packing FLOPs planner)
+# --------------------------------------------------------------------------
+ATT_BUDGET = 2048
+
+
+@query(
+    "q406_attention_cost_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS nt,
+             substring(md5('pack-v1' || CAST(doc_id AS VARCHAR)),
+                       1, 1) AS shard,
+             substring(md5('pack-v1' || CAST(doc_id AS VARCHAR)),
+                       1, 8) AS ord
+      FROM documents
+    ),
+    c AS (
+      SELECT shard, doc_id, nt,
+             sum(nt) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                           ROWS UNBOUNDED PRECEDING) - nt
+               AS tokens_before
+      FROM d
+    ),
+    bins AS (
+      SELECT shard,
+             CAST(floor(tokens_before / {ATT_BUDGET}.0) AS BIGINT)
+               AS bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS bin_len,
+             CAST(sum(nt * nt) AS BIGINT) AS doc_sq
+      FROM c GROUP BY shard, bin
+    )
+    SELECT shard,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(doc_sq) AS BIGINT) AS blockdiag_cost,
+           CAST(sum(bin_len * bin_len) AS BIGINT) AS dense_cost,
+           CAST(count(*) * {ATT_BUDGET} * {ATT_BUDGET} AS BIGINT)
+             AS padded_cost,
+           round(sum(doc_sq) * 1.0
+                 / (count(*) * {ATT_BUDGET} * {ATT_BUDGET}), 6)
+             AS blockdiag_vs_padded,
+           round(sum(bin_len * bin_len) * 1.0
+                 / (count(*) * {ATT_BUDGET} * {ATT_BUDGET}), 6)
+             AS dense_vs_padded
+    FROM bins GROUP BY shard ORDER BY shard
+    """,
+    tags=("packing", "planning", "llm", "operator"),
+)
+def q406_attention_cost_audit(spark, sf_dir):
+    """Attention quadratic-cost audit (q406) — what a packing policy
+    actually buys in attention FLOPs (the O(len^2) term a 100 TB
+    pre-training plan budgets first). Per shard of the q78 packing:
+    the block-diagonal cost (sum of per-doc len^2 — packing with
+    document masking), the dense cost (sum of per-bin len^2 — packing
+    WITHOUT masking, paying cross-document attention), and the padded
+    baseline (bins x budget^2 — one doc per fixed context), with both
+    savings ratios. All costs are exact integer sums; the ratios are
+    single divisions.
+
+    SCALE DESIGN: reuses the q78 portable packing (md5 shard + one
+    per-shard cumsum window), then a (shard, bin)-grain aggregate and
+    a shard-grain rollup — the window is the pack op's documented
+    shuffle, everything after is map-side combinable."""
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.functions.text import token_count
+    from etl_as_a_service_spark.llm.curation import pack_sequences
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    with_tokens = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("nt")
+    )
+    packed = pack_sequences(
+        with_tokens,
+        id_col="doc_id",
+        token_col="nt",
+        token_budget=ATT_BUDGET,
+        shard_col=F.substring(
+            F.md5(
+                F.concat(F.lit("pack-v1"), F.col("doc_id").cast("string"))
+            ),
+            1,
+            1,
+        ),
+    )
+    bins = packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("bin_len"),
+        F.sum(F.col("nt") * F.col("nt")).cast("long").alias("doc_sq"),
+    )
+    b2 = ATT_BUDGET * ATT_BUDGET
+    return (
+        bins.groupBy("shard")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.sum("doc_sq").cast("long").alias("blockdiag_cost"),
+            F.sum(F.col("bin_len") * F.col("bin_len"))
+            .cast("long")
+            .alias("dense_cost"),
+            (F.count(F.lit(1)) * b2).cast("long").alias("padded_cost"),
+            F.round(
+                F.sum("doc_sq") * 1.0 / (F.count(F.lit(1)) * b2), 6
+            ).alias("blockdiag_vs_padded"),
+            F.round(
+                F.sum(F.col("bin_len") * F.col("bin_len"))
+                * 1.0
+                / (F.count(F.lit(1)) * b2),
+                6,
+            ).alias("dense_vs_padded"),
+        )
+        .orderBy("shard")
+    )

@@ -341,3 +341,72 @@ def test_q404_matches_python_replica(spark):
         assert rows[et]["n_requesting_users"] == len(req_users)
         # the cutoff is non-vacuous: some due rows are compliant
         assert vio < due
+
+
+def test_q405_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import CAL_BINS
+
+    rows = {
+        r["bin"]: r.asDict()
+        for r in QUERIES["q405_calibration_audit"].fn(
+            spark, SF_T2
+        ).collect()
+    }
+    con = duckdb.connect()
+    ids = [
+        r[0]
+        for r in con.execute(
+            f"SELECT event_id FROM '{SF_T2}/events.parquet'"
+        ).fetchall()
+    ]
+    con.close()
+
+    def h(salt, eid):
+        return int(
+            hashlib.md5(f"{salt}{eid}".encode()).hexdigest()[:8], 16
+        )
+
+    bins = {}
+    for eid in ids:
+        conf = h("conf-", eid) % 1001
+        draw = h("out-", eid) % 1000
+        y = 1 if draw < (4 * conf) // 5 + 100 else 0
+        b = min(conf // 100, CAL_BINS - 1)
+        cell = bins.setdefault(b, [0, 0, 0])
+        cell[0] += 1
+        cell[1] += conf
+        cell[2] += y
+    ece_num = sum(
+        abs(1000 * p - cs) for _, cs, p in bins.values()
+    )
+    n_all = sum(n for n, _, _ in bins.values())
+    for b, (n, cs, p) in bins.items():
+        assert rows[b]["n"] == n
+        assert rows[b]["mean_conf"] == round(cs / (1000 * n), 6)
+        assert rows[b]["accuracy"] == round(p / n, 6)
+        assert rows[b]["ece"] == round(ece_num / (1000 * n_all), 6)
+    # the planted miscalibration reads as designed: under-confident
+    # at the bottom, over-confident at the top
+    assert rows[0]["gap"] > 0.03
+    assert rows[CAL_BINS - 1]["gap"] < -0.03
+    assert rows[0]["ece"] > 0.02
+
+
+def test_q406_cost_identities(spark):
+    """Structural truths: block-diagonal <= dense <= padded per
+    shard (masking can only remove attention mass; padding to the
+    budget can only add it), and bins are genuinely multi-doc."""
+    from etl_as_a_service_spark.queries import QUERIES
+
+    rows = [
+        r.asDict()
+        for r in QUERIES["q406_attention_cost_audit"].fn(
+            spark, SF_T2
+        ).collect()
+    ]
+    assert rows
+    for r in rows:
+        assert r["blockdiag_cost"] <= r["dense_cost"] <= r["padded_cost"]
+        assert r["n_docs"] > r["n_bins"]  # packing packed something
+        assert 0 < r["blockdiag_vs_padded"] < r["dense_vs_padded"] <= 1
