@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Round-12 scale rehearsal for the PORTABLE similarity kernels
+(llm/similarity_portable.py — the q55/q148 oracle-checked path).
+
+Question: does the md5-plane SRP + integer-verify path keep its
+bucketed (linear-ish) shape when the corpus grows 16x (2 000 ->
+32 000 vectors, planted near-dup families riding along), or does the
+verify stage drift toward all-pairs?
+
+Recorded per scale: wall (min-of-3, one process, cache cleared),
+candidate-pair count vs the all-pairs count (the funnel — candidates
+should grow ~linearly while all-pairs grows quadratically), planted
+recall (must stay 1.0), and the semantic-dedup survivor census.
+
+Usage: python scripts/rehearsal_similarity_r12.py [copies]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_as_a_service_spark.llm.similarity_portable import (  # noqa: E402
+    embedding_near_duplicates_portable,
+    quantize_vectors,
+    semantic_dedup_portable,
+    srp_buckets,
+    md5_planes,
+)
+
+SF_DIR = "/root/testdata/sf0.1"
+N_PLANT = 25
+
+
+def corpus(spark, copies: int):
+    """copies replicas of the sf0.1 embeddings under fresh ids, with
+    the q55 planted integer-space near-copies in EVERY replica (so
+    planted-pair count scales with the corpus)."""
+    from etl_as_a_service_spark.llm.dedup import md5_hash64
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    qb = quantize_vectors(emb)
+    parts = []
+    for i in range(copies):
+        base = qb.select(
+            (F.col("vec_id") + i * 1_000_000).alias("vec_id"), "qv",
+            "nrm2",
+        )
+        nid = F.col("vec_id") + 10_000_000_000
+        planted = (
+            base.filter(F.col("vec_id") % 1_000_000 < N_PLANT)
+            .withColumn("__nid", nid)
+            .select(
+                F.col("__nid").alias("vec_id"),
+                F.transform(
+                    F.col("qv"),
+                    lambda x, j: x
+                    + (
+                        md5_hash64(
+                            F.concat(
+                                F.col("__nid").cast("string"),
+                                F.lit("-"),
+                                j.cast("string"),
+                            ),
+                            "pl-",
+                        )
+                        % 7
+                        - 3
+                    ),
+                ).alias("qv"),
+            )
+            .withColumn(
+                "nrm2",
+                F.aggregate(
+                    F.col("qv"),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v * v,
+                ),
+            )
+        )
+        parts.append(base.unionByName(planted))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    copies_hi = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    results = []
+    for copies in (1, 4, copies_hi):
+        allv = corpus(spark, copies).persist()
+        n = allv.count()
+        planes = md5_planes(spark, 8, 12, 64, "end")
+        buckets = srp_buckets(allv, planes, 12)
+        ba = buckets.select(F.col("vec_id").alias("id_a"), "t", "bucket")
+        bb = buckets.select(F.col("vec_id").alias("id_b"), "t", "bucket")
+        n_cands = (
+            ba.join(bb, ["t", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .count()
+        )
+        walls = []
+        pairs_n = recall = surv = None
+        for _ in range(3):
+            spark.catalog.clearCache()
+            allv2 = corpus(spark, copies)
+            t0 = time.time()
+            pairs = embedding_near_duplicates_portable(
+                allv2, _quantized=True
+            )
+            rows = pairs.collect()
+            walls.append(time.time() - t0)
+            pairs_n = len(rows)
+            planted_found = sum(
+                1 for r in rows if r["id_b"] >= 10_000_000_000
+            )
+            recall = planted_found / (N_PLANT * copies)
+        t0 = time.time()
+        surv = semantic_dedup_portable(
+            corpus(spark, copies), _quantized=True
+        ).count()
+        dedup_wall = time.time() - t0
+        allv.unpersist()
+        r = {
+            "copies": copies,
+            "n_vectors": n,
+            "all_pairs": n * (n - 1) // 2,
+            "candidate_pairs": n_cands,
+            "cand_frac_of_allpairs": round(
+                n_cands / (n * (n - 1) / 2), 6
+            ),
+            "verified_pairs": pairs_n,
+            "planted_recall": recall,
+            "neardup_wall_min3": round(min(walls), 2),
+            "semantic_dedup_wall": round(dedup_wall, 2),
+            "survivors": surv,
+        }
+        results.append(r)
+        print(f"# {r}")
+    lo, hi = results[0], results[-1]
+    print(
+        f"# {hi['copies']}x vectors: candidates grew "
+        f"{round(hi['candidate_pairs'] / lo['candidate_pairs'], 1)}x "
+        f"(all-pairs grew "
+        f"{round(hi['all_pairs'] / lo['all_pairs'], 1)}x); wall grew "
+        f"{round(hi['neardup_wall_min3'] / lo['neardup_wall_min3'], 1)}x"
+    )
+    print(json.dumps({"results": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -437,3 +437,61 @@ def test_countmin_one_sided_on_arbitrary_streams(spark, items):
     exact = Counter(items)
     for item, c in exact.items():
         assert est[item] >= c
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1.0,
+                max_value=1.0,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+@CFG
+def test_near_dup_portable_exactness_property(spark, vecs):
+    """Round-12 portable SRP kernel property: for ARBITRARY vectors,
+    every returned pair truly satisfies the integer-cosine threshold
+    (no false positives — buckets only gate candidates), and every
+    pair it returns appears in the brute-force within-threshold set
+    computed in plain Python on the same quantized integers."""
+    import math
+
+    from etl_as_a_service_spark.llm.similarity_portable import (
+        embedding_near_duplicates_portable,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates_portable(
+            df, threshold_num=19, threshold_den=20
+        ).collect()
+    }
+    q = [
+        [int(math.floor(x * 1000 + 0.5)) if x >= 0
+         else -int(math.floor(-x * 1000 + 0.5)) for x in v]
+        for v in vecs
+    ]
+    nrm = [sum(e * e for e in v) for v in q]
+    truth = set()
+    for a in range(len(q)):
+        for b in range(a + 1, len(q)):
+            qd = sum(x * y for x, y in zip(q[a], q[b]))
+            if qd > 0 and 400 * qd * qd >= 361 * nrm[a] * nrm[b]:
+                truth.add((a, b))
+    assert got <= truth  # verify stage: false positives impossible
+    # identical vectors MUST be found (same buckets in every table)
+    for a, b in truth:
+        if q[a] == q[b] and any(q[a]):
+            assert (a, b) in got
