@@ -1288,3 +1288,128 @@ def q406_attention_cost_audit(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# q407 — dataset card (per-source + global release summary, one scan)
+# --------------------------------------------------------------------------
+CARD_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+CARD_SHORT_TOKENS = 20
+
+
+@query(
+    "q407_dataset_card",
+    oracle=f"""
+    WITH planted AS (
+      -- plants so every card column is EXERCISED at every fixture
+      -- (the raw fixture has no exact dups below sf0.1 and no PII):
+      -- doc_id % 13 = 1 rows collapse to one sentinel body (dup_frac),
+      -- doc_id % 11 = 0 rows carry a planted e-mail (pii_email_frac)
+      SELECT source, lang, n_chars,
+             CASE WHEN doc_id % 13 = 1 THEN 'duplicate sentinel body'
+                  WHEN doc_id % 11 = 0
+                  THEN text || ' contact user'
+                       || CAST(doc_id AS VARCHAR) || '@example.com'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT coalesce(source, '__all__') AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+             AS total_tokens,
+           round(sum(len(string_split(text, ' '))) * 1.0 / count(*), 6)
+             AS mean_tokens,
+           round(count_if(len(string_split(text, ' '))
+                 < {CARD_SHORT_TOKENS}) * 1.0 / count(*), 6)
+             AS short_frac,
+           round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 6)
+             AS dup_frac,
+           round(count_if(regexp_matches(text, '{CARD_EMAIL_RE}'))
+                 * 1.0 / count(*), 6) AS pii_email_frac,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM planted
+    GROUP BY ROLLUP(source)
+    ORDER BY source
+    """,
+    tags=("governance", "report", "quality", "llm", "operator"),
+)
+def q407_dataset_card(spark, sf_dir):
+    """Dataset card (q407) — the one-scan release summary a data card
+    publishes per source plus the global '__all__' rollup row: doc
+    and language counts, token mass and mean, short-doc fraction,
+    exact-duplicate fraction (md5-grain), PII e-mail hit rate (the
+    q58 portable pattern), and max document size. The capstone of the
+    governance family: q403 (anonymity) and q404 (purge) gate the
+    release, this is the card that ships with it.
+
+    SCALE DESIGN: ONE scan + ROLLUP(source) — Spark plans rollup as a
+    single expand+hash-aggregate (map-side combinable); every metric
+    is an integer count or a single division; the dup fraction uses
+    the md5 fingerprint (16 bytes shuffled, never text)."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    planted = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.when(
+            F.col("doc_id") % 13 == 1,
+            F.lit("duplicate sentinel body"),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    nt = F.size(F.split(F.col("text"), " "))
+    return (
+        planted.rollup("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum(nt).cast("long").alias("total_tokens"),
+            F.round(F.sum(nt) * 1.0 / F.count(F.lit(1)), 6).alias(
+                "mean_tokens"
+            ),
+            F.round(
+                F.count_if(nt < CARD_SHORT_TOKENS)
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("short_frac"),
+            F.round(
+                F.lit(1.0)
+                - F.countDistinct(F.md5("text"))
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+            F.round(
+                F.count_if(
+                    F.regexp_count(F.col("text"), F.lit(CARD_EMAIL_RE))
+                    > 0
+                )
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pii_email_frac"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("__all__")).alias(
+                "source"
+            ),
+            "n_docs", "n_langs", "total_tokens", "mean_tokens",
+            "short_frac", "dup_frac", "pii_email_frac", "max_chars",
+        )
+        .orderBy("source")
+    )

@@ -42,9 +42,14 @@ N_PLANT = 25
 
 
 def corpus(spark, copies: int):
-    """copies replicas of the sf0.1 embeddings under fresh ids, with
-    the q55 planted integer-space near-copies in EVERY replica (so
-    planted-pair count scales with the corpus)."""
+    """copies replicas of the sf0.1 embeddings under fresh ids, each
+    replica's vectors CIRCULARLY DIM-ROTATED by its index (norms
+    unchanged, directions decorrelated — a plain replica would make
+    every cross-replica twin an exact duplicate and the dup mass
+    QUADRATIC in copies, which is a valid dedup scenario but not the
+    sparse regime this rehearsal grades), with the q55 planted
+    integer-space near-copies in EVERY replica (planted-pair count
+    scales linearly with the corpus)."""
     from etl_as_a_service_spark.llm.dedup import md5_hash64
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
@@ -53,8 +58,18 @@ def corpus(spark, copies: int):
     qb = quantize_vectors(emb)
     parts = []
     for i in range(copies):
+        shift = i % 64
+        rot = (
+            F.concat(
+                F.slice(F.col("qv"), shift + 1, 64 - shift),
+                F.slice(F.col("qv"), 1, shift),
+            )
+            if shift
+            else F.col("qv")
+        )
         base = qb.select(
-            (F.col("vec_id") + i * 1_000_000).alias("vec_id"), "qv",
+            (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+            rot.alias("qv"),
             "nrm2",
         )
         nid = F.col("vec_id") + 10_000_000_000
@@ -134,7 +149,9 @@ def main() -> None:
             walls.append(time.time() - t0)
             pairs_n = len(rows)
             planted_found = sum(
-                1 for r in rows if r["id_b"] >= 10_000_000_000
+                1
+                for r in rows
+                if r["id_b"] == r["id_a"] + 10_000_000_000
             )
             recall = planted_found / (N_PLANT * copies)
         t0 = time.time()

@@ -410,3 +410,54 @@ def test_q406_cost_identities(spark):
         assert r["blockdiag_cost"] <= r["dense_cost"] <= r["padded_cost"]
         assert r["n_docs"] > r["n_bins"]  # packing packed something
         assert 0 < r["blockdiag_vs_padded"] < r["dense_vs_padded"] <= 1
+
+
+def test_q407_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import (
+        CARD_SHORT_TOKENS,
+    )
+    import re
+
+    rows = {
+        r["source"]: r.asDict()
+        for r in QUERIES["q407_dataset_card"].fn(spark, SF_T2).collect()
+    }
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT doc_id, source, lang, n_chars, text FROM '{DOCS}'"
+    ).fetchall()
+    con.close()
+    email = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    agg = {}
+    for did, src, lang, nch, text in data:
+        if did % 13 == 1:
+            text = "duplicate sentinel body"
+        elif did % 11 == 0:
+            text = f"{text} contact user{did}@example.com"
+        for key in (src, "__all__"):
+            a = agg.setdefault(
+                key, {"n": 0, "langs": set(), "tok": 0, "short": 0,
+                      "fps": set(), "pii": 0, "mx": 0}
+            )
+            ntok = len(text.split(" "))
+            a["n"] += 1
+            a["langs"].add(lang)
+            a["tok"] += ntok
+            a["short"] += ntok < CARD_SHORT_TOKENS
+            a["fps"].add(hashlib.md5(text.encode()).hexdigest())
+            a["pii"] += bool(email.search(text))
+            a["mx"] = max(a["mx"], nch)
+    assert set(rows) == set(agg)
+    for key, a in agg.items():
+        r = rows[key]
+        assert r["n_docs"] == a["n"]
+        assert r["n_langs"] == len(a["langs"])
+        assert r["total_tokens"] == a["tok"]
+        assert r["short_frac"] == round(a["short"] / a["n"], 6)
+        assert r["dup_frac"] == round(1.0 - len(a["fps"]) / a["n"], 6)
+        assert r["pii_email_frac"] == round(a["pii"] / a["n"], 6)
+        assert r["max_chars"] == a["mx"]
+    # plants exercised every column
+    g = rows["__all__"]
+    assert g["dup_frac"] > 0 and g["pii_email_frac"] > 0
