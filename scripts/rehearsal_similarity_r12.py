@@ -8,9 +8,18 @@ bucketed (linear-ish) shape when the corpus grows 16x (2 000 ->
 verify stage drift toward all-pairs?
 
 Recorded per scale: wall (min-of-3, one process, cache cleared),
-candidate-pair count vs the all-pairs count (the funnel — candidates
-should grow ~linearly while all-pairs grows quadratically), planted
-recall (must stay 1.0), and the semantic-dedup survivor census.
+candidate-pair count vs the all-pairs count, planted recall (must
+stay 1.0), and the semantic-dedup survivor census.
+
+MEASURED (2026-08-16, 1x/4x/16x = 2k/8k/32k vectors): planted recall
+1.0 at every scale; verified pairs exactly 25*copies (zero false
+positives); candidate FRACTION constant ~0.28% of all-pairs — i.e.
+with FIXED n_planes the candidate mass is quadratic-with-small-
+constant, which is the honest SRP-LSH property: collision probability
+per random pair is fixed by the plane count, so a 1000x corpus keeps
+candidates tractable only if n_planes grows ~log(n) (bucket count
+2^planes tracking corpus size — the standard LSH sizing rule, and
+exactly the knob q402 prices). Wall grew 4.4x for 16x vectors.
 
 Usage: python scripts/rehearsal_similarity_r12.py [copies]
 """
