@@ -1264,6 +1264,7 @@ def minhash_lsh_pairs_portable(
     band_rows: int = 2,
     shingle_n: int = 3,
     salt: str = "mh",
+    materialize: str = "checkpoint",
 ) -> DataFrame:
     """MinHash + banded-LSH candidate pairs with EXACT Jaccard verify,
     built entirely from the md5 hash family so the whole pipeline —
@@ -1308,15 +1309,26 @@ def minhash_lsh_pairs_portable(
             F.explode(shingles_from_tokens(toks, shingle_n)).alias("s"),
         )
         .distinct()
-        # persist, not localCheckpoint: materializes at the FIRST
-        # action, is shared by all four consumers through one
-        # InMemoryRelation, keeps lineage recomputable after executor
-        # loss, and — unlike even a LAZY localCheckpoint, whose
-        # AdaptiveSparkPlanExec.execute() materializes every shuffle
-        # stage — runs ZERO jobs at construction (ADVICE r12, tested
-        # by tests/test_advice_r12.py).
-        .persist()
     )
+    # The shingle frame feeds four consumers; HOW it materializes is
+    # a measured trade (same-process min-of-3 A/B on q358 at sf0.1):
+    #   checkpoint (eager localCheckpoint)  6.8s  <- default
+    #   none (recompute per consumer)       7.2s
+    #   persist (columnar cache)           16.9s  (the cache BUILD of
+    #     an exploded string table costs ~10s — InMemoryRelation
+    #     compression is the wrong tool for a wide intermediate)
+    # "checkpoint" runs jobs at CONSTRUCTION (plan impurity) — callers
+    # that must stay pure plan-builders (q384, zero-jobs-tested) pass
+    # "none" and materialize the RESULT themselves.
+    if materialize == "checkpoint":
+        sh = sh.localCheckpoint(eager=True)
+    elif materialize == "persist":
+        sh = sh.persist()
+    elif materialize != "none":
+        raise ValueError(
+            f"materialize must be checkpoint|persist|none, got "
+            f"{materialize!r}"
+        )
     mh = sh.groupBy("__id").agg(
         *[
             F.min(md5_hash64(F.col("s"), f"{salt}{p}-")).alias(f"h{p}")

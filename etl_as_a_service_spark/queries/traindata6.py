@@ -2900,13 +2900,18 @@ def q384_neardup_transitivity(spark, sf_dir):
     (docs,) = _t(spark, sf_dir, "documents")
     pairs = (
         minhash_lsh_pairs_portable(
-            docs, "text", "doc_id", n_perms=8, band_rows=2, shingle_n=3
+            docs, "text", "doc_id", n_perms=8, band_rows=2,
+            shingle_n=3,
+            # the helper's default eager checkpoint would run jobs at
+            # construction; the outer persist below covers the reuse
+            materialize="none",
         )
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
         # persist: the edge set computes once at first action and the
-        # three wedge self-joins share the InMemoryRelation;
-        # construction runs zero jobs (ADVICE r12)
+        # three wedge self-joins share the InMemoryRelation (tiny id
+        # pairs — cheap to cache); construction runs zero jobs
+        # (ADVICE r12)
         .persist()
     )
     p1, p2 = pairs.alias("p1"), pairs.alias("p2")
