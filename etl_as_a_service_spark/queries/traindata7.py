@@ -1413,3 +1413,145 @@ def q407_dataset_card(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q408 — LSH banding planner (the (rows, bands) S-curve menu, priced)
+# --------------------------------------------------------------------------
+LSH_MENU = ((2, 4), (2, 8), (4, 4), (4, 8), (8, 2), (8, 4))
+LSH_S_NUMS = (3, 5, 8)  # candidate probabilities evaluated at s=0.3/0.5/0.8
+
+
+def _pow_chain_sql(x: str, e: int) -> str:
+    """x^e as an explicit multiplication tree (e in {2,4,8}) — the
+    same op sequence both engines evaluate, so the double result is
+    bit-identical (general pow() is NOT correctly rounded; repeated
+    multiplication is deterministic)."""
+    assert e in (2, 4, 8)
+    if e == 2:
+        return f"(({x}) * ({x}))"
+    if e == 4:
+        return f"({_pow_chain_sql(x, 2)} * {_pow_chain_sql(x, 2)})"
+    return f"({_pow_chain_sql(x, 4)} * {_pow_chain_sql(x, 4)})"
+
+
+def _q408_oracle() -> str:
+    menu_rows = ", ".join(f"({r}, {b})" for r, b in LSH_MENU)
+    s_rows = ", ".join(f"({n})" for n in LSH_S_NUMS)
+    sr = " ".join(
+        f"WHEN {r} THEN {_pow_chain_sql('s', r)}" for r in (2, 4, 8)
+    )
+    pb = " ".join(
+        f"WHEN {b} THEN {_pow_chain_sql('y', b)}" for b in (2, 4, 8)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(greatest(len(string_split(text, ' ')) - 2, 0))
+               AS BIGINT) AS total_shingles
+      FROM documents
+    ),
+    menu(r, b) AS (VALUES {menu_rows}),
+    svals(s_num) AS (VALUES {s_rows}),
+    curve AS (
+      SELECT m.r, m.b, v.s_num,
+             1 - (CASE m.b {pb} END) AS p
+      FROM menu m CROSS JOIN (
+        SELECT s_num, CAST(s_num AS DOUBLE) / 10 AS s FROM svals
+      ) v CROSS JOIN LATERAL (
+        SELECT 1 - (CASE m.r {sr} END) AS y
+      ) t
+    )
+    SELECT m.r, m.b,
+           CAST(m.r * m.b AS BIGINT) AS n_perms,
+           CAST(m.r * m.b * c.total_shingles AS BIGINT) AS hash_evals,
+           CAST(m.b * c.n_docs AS BIGINT) AS bucket_entries,
+           round(max(CASE WHEN cu.s_num = 3 THEN cu.p END), 6)
+             AS p_at_03,
+           round(max(CASE WHEN cu.s_num = 5 THEN cu.p END), 6)
+             AS p_at_05,
+           round(max(CASE WHEN cu.s_num = 8 THEN cu.p END), 6)
+             AS p_at_08
+    FROM menu m
+    CROSS JOIN corpus c
+    JOIN curve cu ON cu.r = m.r AND cu.b = m.b
+    GROUP BY m.r, m.b, c.total_shingles, c.n_docs
+    ORDER BY m.r, m.b
+    """
+
+
+@query(
+    "q408_lsh_banding_planner",
+    oracle=_q408_oracle(),
+    tags=("dedup", "lsh", "planning", "llm", "operator"),
+)
+def q408_lsh_banding_planner(spark, sf_dir):
+    """LSH banding planner (q408) — the last knob of the tuning suite
+    (q379 skew, q380 Bloom, q390 watermark, q401 width, q402 tables):
+    price the MinHash (rows-per-band, bands) menu before a 100 TB
+    near-dup run commits. Per (r, b): the permutation count, the
+    corpus-derived hash-eval budget (n_perms x total shingles — the
+    signature stage's work), the bucket-entry volume (b x docs — the
+    band-join shuffle's left side), and the S-curve candidate
+    probability 1 - (1 - s^r)^b at similarity 0.3 / 0.5 / 0.8 — the
+    quantitative form of "r sharpens the knee, b lifts recall".
+    Exponentials are explicit multiplication trees (identical op
+    sequence in both engines; general pow() is not correctly
+    rounded — the q380 discipline).
+
+    SCALE DESIGN: ONE corpus aggregate (count + shingle-mass sum,
+    map-side combinable) broadcast-crossed with a literal menu —
+    the planner costs one scan regardless of corpus size."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    corpus = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.greatest(
+                F.size(F.split(F.col("text"), " ")) - 2, F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("total_shingles"),
+    )
+    menu = spark.createDataFrame(list(LSH_MENU), "r long, b long")
+
+    def chain(col, e):
+        if e == 2:
+            return col * col
+        if e == 4:
+            return chain(col, 2) * chain(col, 2)
+        return chain(col, 4) * chain(col, 4)
+
+    rows = []
+    for n in LSH_S_NUMS:
+        s = F.lit(n).cast("double") / 10
+        sr = (
+            F.when(F.col("r") == 2, chain(s, 2))
+            .when(F.col("r") == 4, chain(s, 4))
+            .when(F.col("r") == 8, chain(s, 8))
+        )
+        y = F.lit(1) - sr
+        p = F.lit(1) - (
+            F.when(F.col("b") == 2, chain(y, 2))
+            .when(F.col("b") == 4, chain(y, 4))
+            .when(F.col("b") == 8, chain(y, 8))
+        )
+        rows.append(F.round(p, 6).alias(f"p_at_0{n}"))
+    return (
+        menu.crossJoin(F.broadcast(corpus))
+        .select(
+            "r",
+            "b",
+            (F.col("r") * F.col("b")).cast("long").alias("n_perms"),
+            (F.col("r") * F.col("b") * F.col("total_shingles"))
+            .cast("long")
+            .alias("hash_evals"),
+            (F.col("b") * F.col("n_docs"))
+            .cast("long")
+            .alias("bucket_entries"),
+            *rows,
+        )
+        .orderBy("r", "b")
+    )

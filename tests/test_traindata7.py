@@ -461,3 +461,49 @@ def test_q407_matches_python_replica(spark):
     # plants exercised every column
     g = rows["__all__"]
     assert g["dup_frac"] > 0 and g["pii_email_frac"] > 0
+
+
+def test_q408_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import (
+        LSH_MENU,
+        LSH_S_NUMS,
+    )
+
+    rows = {
+        (r["r"], r["b"]): r.asDict()
+        for r in QUERIES["q408_lsh_banding_planner"].fn(
+            spark, SF_T2
+        ).collect()
+    }
+    con = duckdb.connect()
+    n_docs, total_sh = con.execute(
+        f"SELECT count(*), sum(greatest(len(string_split(text, ' '))"
+        f" - 2, 0)) FROM '{DOCS}'"
+    ).fetchone()
+    con.close()
+
+    def chain(x, e):
+        if e == 2:
+            return x * x
+        if e == 4:
+            return chain(x, 2) * chain(x, 2)
+        return chain(x, 4) * chain(x, 4)
+
+    assert set(rows) == set(LSH_MENU)
+    for (r, b), row in rows.items():
+        assert row["n_perms"] == r * b
+        assert row["hash_evals"] == r * b * total_sh
+        assert row["bucket_entries"] == b * n_docs
+        for n in LSH_S_NUMS:
+            s = n / 10
+            p = 1 - chain(1 - chain(s, r), b)
+            assert row[f"p_at_0{n}"] == round(p, 6), (r, b, n)
+    # the S-curve reads as theory says: more bands lift recall at
+    # fixed r; more rows sharpen (lower p at low s, for same perms)
+    assert rows[(2, 8)]["p_at_03"] > rows[(2, 4)]["p_at_03"]
+    assert rows[(8, 2)]["p_at_03"] < rows[(4, 4)]["p_at_03"]
+    assert all(
+        row["p_at_03"] < row["p_at_05"] < row["p_at_08"]
+        for row in rows.values()
+    )
