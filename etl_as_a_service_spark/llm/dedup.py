@@ -1521,3 +1521,180 @@ def simhash_pairs_portable(
         .select("id_a", "id_b", ham.cast("long").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
+
+
+def incremental_minhash_pairs_portable(
+    seen: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perms: int = 8,
+    band_rows: int = 2,
+    shingle_n: int = 3,
+    salt: str = "imh",
+    materialize: str = "checkpoint",
+) -> DataFrame:
+    """Oracle-portable INCREMENTAL near-dup probe — the q253 portable
+    treatment applied to the ``minhash_band_registry`` /
+    ``incremental_near_duplicates`` shape (q98): an incoming batch
+    probes the banded MinHash index of an already-ingested corpus,
+    candidates come from the (band, key) equi-join — O(batch x
+    collisions), never batch x corpus — and every candidate ships with
+    BOTH the signature-overlap estimate (matching permutations / n_perms,
+    the number the registry can answer WITHOUT re-reading seen text)
+    and the exact shingle Jaccard (the verify the estimate approximates).
+    All hashes are md5-derived (``md5_hash64``), so signatures, banding,
+    the candidate join, the estimate, and the verify each have a DuckDB
+    twin (q409). The production path (q98) keeps the faster
+    xxhash64/siphash kernels and its recall-gated pytest; this is the
+    same probe math under the strongest gate available.
+
+    Returns (batch_id, seen_id, n_bands, sig_matches, est_jaccard,
+    jaccard) ordered by (batch_id, seen_id).
+
+    SCALE DESIGN: per side, the signature is ONE map-side-combined
+    aggregate over the distinct (id, shingle) frame; the registry join
+    ships (id, band, key) only — never text; candidates dedup to pair
+    grain before verification so each pair is estimated and verified
+    once; the exact verify joins shingles through the bounded candidate
+    set (semi-join pushdown). Per-batch cost is independent of corpus
+    size except through band-collision rates — the q98 contract.
+    """
+    if n_perms % band_rows != 0:
+        raise ValueError(
+            f"n_perms ({n_perms}) must be divisible by band_rows "
+            f"({band_rows})"
+        )
+    n_bands = n_perms // band_rows
+
+    def shingle_frame(df: DataFrame) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+        sh = (
+            df.filter(F.size(toks) >= shingle_n)
+            .select(
+                F.col(id_col).alias("__id"),
+                F.explode(shingles_from_tokens(toks, shingle_n)).alias(
+                    "s"
+                ),
+            )
+            .distinct()
+        )
+        # Each side's shingle frame feeds three consumers (signature,
+        # count, verify) — the minhash_lsh_pairs_portable featurize-
+        # once rule; persist is the measured-wrong tool for exploded
+        # string tables (see that kernel's A/B table).
+        if materialize == "checkpoint":
+            sh = sh.localCheckpoint(eager=True)
+        elif materialize != "none":
+            raise ValueError(
+                f"materialize must be checkpoint|none, got "
+                f"{materialize!r}"
+            )
+        return sh
+
+    def sig_and_bands(sh: DataFrame):
+        mh = sh.groupBy("__id").agg(
+            *[
+                F.min(md5_hash64(F.col("s"), f"{salt}{p}-")).alias(
+                    f"h{p}"
+                )
+                for p in range(n_perms)
+            ]
+        )
+        bands = mh.select(
+            "__id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.col(
+                                        f"h{b * band_rows + r}"
+                                    ).cast("string")
+                                    for r in range(band_rows)
+                                ],
+                            ).alias("key"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("__id", "bk.band", "bk.key")
+        return mh, bands
+
+    sh_seen, sh_batch = shingle_frame(seen), shingle_frame(batch)
+    mh_seen, bands_seen = sig_and_bands(sh_seen)
+    mh_batch, bands_batch = sig_and_bands(sh_batch)
+
+    cand = (
+        bands_batch.alias("b")
+        .join(
+            bands_seen.alias("s"),
+            on=[
+                F.col("b.band") == F.col("s.band"),
+                F.col("b.key") == F.col("s.key"),
+            ],
+        )
+        .groupBy(
+            F.col("b.__id").alias("batch_id"),
+            F.col("s.__id").alias("seen_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
+    )
+    matches = sum(
+        F.when(
+            F.col(f"mb.h{p}") == F.col(f"ms.h{p}"), F.lit(1)
+        ).otherwise(F.lit(0))
+        for p in range(n_perms)
+    )
+    est = cand.join(
+        mh_batch.alias("mb"), F.col("batch_id") == F.col("mb.__id")
+    ).join(
+        mh_seen.alias("ms"), F.col("seen_id") == F.col("ms.__id")
+    ).select(
+        "batch_id",
+        "seen_id",
+        "n_bands",
+        matches.cast("long").alias("sig_matches"),
+    )
+    inter = (
+        cand.select("batch_id", "seen_id")
+        .join(
+            sh_batch.alias("sa"), F.col("batch_id") == F.col("sa.__id")
+        )
+        .join(
+            sh_seen.alias("sb"),
+            (F.col("seen_id") == F.col("sb.__id"))
+            & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("batch_id", "seen_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    cnt_b = sh_batch.groupBy("__id").agg(F.count(F.lit(1)).alias("nb"))
+    cnt_s = sh_seen.groupBy("__id").agg(F.count(F.lit(1)).alias("ns"))
+    i0 = F.coalesce(F.col("i"), F.lit(0))
+    return (
+        est.join(inter, ["batch_id", "seen_id"], "left")
+        .join(cnt_b, F.col("batch_id") == cnt_b["__id"])
+        .drop(cnt_b["__id"])
+        .join(cnt_s, F.col("seen_id") == cnt_s["__id"])
+        .drop(cnt_s["__id"])
+        .select(
+            "batch_id",
+            "seen_id",
+            "n_bands",
+            "sig_matches",
+            F.round(
+                F.col("sig_matches")
+                / F.lit(float(n_perms)),
+                6,
+            ).alias("est_jaccard"),
+            F.round(
+                i0 / (F.col("nb") + F.col("ns") - i0).cast("double"), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("batch_id", "seen_id")
+    )

@@ -1555,3 +1555,163 @@ def q408_lsh_banding_planner(spark, sf_dir):
         )
         .orderBy("r", "b")
     )
+
+
+# --------------------------------------------------------------------------
+# q409 — incremental near-dup probe, oracle-portable (q98's strongest gate)
+# --------------------------------------------------------------------------
+INC_NEARDUP_RECRAWL_MOD = 41  # doc_id % 41 == 0 -> a recrawl twin probes
+INC_NEARDUP_FRESH_RES = 5  # doc_id % 41 == 5 -> an all-new doc probes
+
+
+def _q409_oracle() -> str:
+    n_perms, band_rows = 8, 2
+
+    def sh_cte(src: str) -> str:
+        return f"""(
+      SELECT DISTINCT doc_id, w1 || ' ' || w2 || ' ' || w3 AS s
+      FROM (
+        SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM {src}),
+             UNNEST(range(1, len(toks) - 1)) AS t(i)
+      )
+    )"""
+
+    def mh_cte(sh: str) -> str:
+        mins = ",\n             ".join(
+            f"min(('0x' || substr(md5('imh{p}-' || s), 1, 8))::BIGINT)"
+            f" AS h{p}"
+            for p in range(n_perms)
+        )
+        return f"(SELECT doc_id,\n             {mins}\n      FROM {sh} GROUP BY doc_id)"
+
+    def bands_cte(mh: str) -> str:
+        parts = []
+        for b in range(n_perms // band_rows):
+            key = " || '_' || ".join(
+                f"CAST(h{b * band_rows + r} AS VARCHAR)"
+                for r in range(band_rows)
+            )
+            parts.append(
+                f"SELECT doc_id, {b} AS band, {key} AS key FROM {mh}"
+            )
+        return "(" + " UNION ALL ".join(parts) + ")"
+
+    junk = " || ' ' || ".join(
+        f"md5(CAST(doc_id AS VARCHAR) || '-w{j}')" for j in range(5)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN mb.h{p} = ms.h{p} THEN 1 ELSE 0 END)"
+        for p in range(n_perms)
+    )
+    return f"""
+    WITH batch AS MATERIALIZED (
+      SELECT doc_id + 10000000 AS doc_id, 'RECRAWL ' || text AS text
+      FROM documents WHERE doc_id % {INC_NEARDUP_RECRAWL_MOD} = 0
+      UNION ALL
+      SELECT doc_id + 20000000, {junk}
+      FROM documents
+      WHERE doc_id % {INC_NEARDUP_RECRAWL_MOD} = {INC_NEARDUP_FRESH_RES}
+    ),
+    shs AS MATERIALIZED {sh_cte('documents')},
+    shb AS MATERIALIZED {sh_cte('batch')},
+    mhs AS MATERIALIZED {mh_cte('shs')},
+    mhb AS MATERIALIZED {mh_cte('shb')},
+    bs AS {bands_cte('mhs')},
+    bb AS {bands_cte('mhb')},
+    cand AS MATERIALIZED (
+      SELECT b.doc_id AS batch_id, s.doc_id AS seen_id,
+             CAST(count(*) AS BIGINT) AS n_bands
+      FROM bb b JOIN bs s ON b.band = s.band AND b.key = s.key
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT c.batch_id, c.seen_id, c.n_bands,
+             CAST({matches} AS BIGINT) AS sig_matches
+      FROM cand c JOIN mhb mb ON mb.doc_id = c.batch_id
+                  JOIN mhs ms ON ms.doc_id = c.seen_id
+    ),
+    inter AS (
+      SELECT c.batch_id, c.seen_id, count(*) AS i
+      FROM cand c JOIN shb sa ON sa.doc_id = c.batch_id
+                  JOIN shs sb ON sb.doc_id = c.seen_id
+                              AND sb.s = sa.s
+      GROUP BY 1, 2
+    ),
+    cntb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY 1),
+    cnts AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY 1)
+    SELECT e.batch_id, e.seen_id, e.n_bands, e.sig_matches,
+           round(CAST(e.sig_matches AS DOUBLE) / {n_perms}, 6)
+             AS est_jaccard,
+           round(COALESCE(i.i, 0)
+                 / CAST(cb.n + cs.n - COALESCE(i.i, 0) AS DOUBLE), 6)
+             AS jaccard
+    FROM est e
+    LEFT JOIN inter i USING (batch_id, seen_id)
+    JOIN cntb cb ON cb.doc_id = e.batch_id
+    JOIN cnts cs ON cs.doc_id = e.seen_id
+    ORDER BY batch_id, seen_id
+    """
+
+
+@query(
+    "q409_incremental_neardup_portable",
+    oracle=_q409_oracle(),
+    tags=("dedup", "minhash", "incremental", "llm", "operator"),
+)
+def q409_incremental_neardup_portable(spark, sf_dir):
+    """Incremental near-dup probe under the hash gate (q409) — the
+    q253/q283 portable-twin treatment applied to the LAST rows-only
+    dedup shape, q98's registry probe: an incoming batch (planted
+    recrawl twins of every doc_id % 41 == 0 doc, plus all-new
+    md5-token docs at residue 5 that must match NOTHING) probes the
+    banded MinHash index of the full corpus. Every candidate carries
+    the signature-overlap estimate (what the registry answers without
+    re-reading seen text) AND the exact shingle Jaccard (what the
+    estimate approximates) — so the estimate's fidelity is itself
+    hash-checked, per pair, against DuckDB
+    (llm/dedup.incremental_minhash_pairs_portable; production path
+    q98 keeps the xxhash64 kernels + recall-gated pytest).
+
+    SCALE DESIGN: candidates from the (band, key) equi-join —
+    O(batch x collisions), never batch x corpus; signatures are one
+    map-side-combined aggregate per side; text never ships past the
+    shingle frames. Per-batch cost independent of corpus size except
+    through collision rates — the q98 incremental contract."""
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.llm.dedup import (
+        incremental_minhash_pairs_portable,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    mod = INC_NEARDUP_RECRAWL_MOD
+    recrawl = docs.filter(F.col("doc_id") % mod == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("RECRAWL "), F.col("text")).alias("text"),
+    )
+    junk = F.concat_ws(
+        " ",
+        *[
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(f"-w{j}")
+                )
+            )
+            for j in range(5)
+        ],
+    )
+    fresh = docs.filter(
+        F.col("doc_id") % mod == INC_NEARDUP_FRESH_RES
+    ).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        junk.alias("text"),
+    )
+    return incremental_minhash_pairs_portable(
+        seen=docs,
+        batch=recrawl.unionByName(fresh),
+        n_perms=8,
+        band_rows=2,
+        shingle_n=3,
+        salt="imh",
+    )

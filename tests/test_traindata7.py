@@ -507,3 +507,111 @@ def test_q408_matches_python_replica(spark):
         row["p_at_03"] < row["p_at_05"] < row["p_at_08"]
         for row in rows.values()
     )
+
+
+def test_q409_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import (
+        INC_NEARDUP_FRESH_RES,
+        INC_NEARDUP_RECRAWL_MOD,
+    )
+
+    rows = [
+        r.asDict()
+        for r in QUERIES["q409_incremental_neardup_portable"]
+        .fn(spark, SF_T2)
+        .collect()
+    ]
+
+    con = duckdb.connect()
+    docs = dict(
+        con.execute(f"SELECT doc_id, text FROM '{DOCS}'").fetchall()
+    )
+    con.close()
+    mod = INC_NEARDUP_RECRAWL_MOD
+
+    def md5hex(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    batch = {
+        i + 10_000_000: "RECRAWL " + t
+        for i, t in docs.items()
+        if i % mod == 0
+    }
+    batch.update(
+        {
+            i + 20_000_000: " ".join(
+                md5hex(f"{i}-w{j}") for j in range(5)
+            )
+            for i in docs
+            if i % mod == INC_NEARDUP_FRESH_RES
+        }
+    )
+
+    def shingles(t: str) -> set:
+        w = t.split(" ")
+        return {
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        } if len(w) >= 3 else set()
+
+    def sig(sh: set) -> list:
+        return [
+            min(int(md5hex(f"imh{p}-{s}")[:8], 16) for s in sh)
+            for p in range(8)
+        ]
+
+    sh_s = {i: shingles(t) for i, t in docs.items()}
+    sh_s = {i: s for i, s in sh_s.items() if s}
+    sh_b = {i: shingles(t) for i, t in batch.items()}
+    sh_b = {i: s for i, s in sh_b.items() if s}
+    mh_s = {i: sig(s) for i, s in sh_s.items()}
+    mh_b = {i: sig(s) for i, s in sh_b.items()}
+
+    def bands(sg: list):
+        return {
+            (b, f"{sg[2 * b]}_{sg[2 * b + 1]}") for b in range(4)
+        }
+
+    expected = {}
+    buckets: dict = {}
+    for i, sg in mh_s.items():
+        for bk in bands(sg):
+            buckets.setdefault(bk, []).append(i)
+    for bi, sg in mh_b.items():
+        hits: dict = {}
+        for bk in bands(sg):
+            for si in buckets.get(bk, []):
+                hits[si] = hits.get(si, 0) + 1
+        for si, nb in hits.items():
+            inter = len(sh_b[bi] & sh_s[si])
+            uni = len(sh_b[bi]) + len(sh_s[si]) - inter
+            matches = sum(
+                1 for p in range(8) if mh_b[bi][p] == mh_s[si][p]
+            )
+            expected[(bi, si)] = (
+                nb,
+                matches,
+                round(matches / 8, 6),
+                round(inter / uni, 6),
+            )
+
+    got = {
+        (r["batch_id"], r["seen_id"]): (
+            r["n_bands"],
+            r["sig_matches"],
+            r["est_jaccard"],
+            r["jaccard"],
+        )
+        for r in rows
+    }
+    assert got == expected
+    # semantic shape: every recrawl twin that emits shingles finds its
+    # source doc; the all-new md5-token docs match nothing
+    recrawl_sources = {
+        i for i in docs if i % mod == 0 and i + 10_000_000 in sh_b
+    }
+    assert recrawl_sources, "fixture produced no recrawl plants"
+    for i in recrawl_sources:
+        assert (i + 10_000_000, i) in got
+        assert got[(i + 10_000_000, i)][3] > 0.5  # exact jaccard high
+    assert not any(bi >= 20_000_000 for bi, _ in got)
