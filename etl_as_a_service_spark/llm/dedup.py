@@ -1698,3 +1698,103 @@ def incremental_minhash_pairs_portable(
         )
         .orderBy("batch_id", "seen_id")
     )
+
+
+def duplicated_span_census(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document duplicated-SPAN statistics — the sizing pass an
+    exact-substring dedup run (the Lee et al. "Deduplicating Training
+    Data" family) executes before committing: for every document, how
+    many token positions sit inside an n-gram that also occurs in at
+    least one OTHER document, merged into maximal overlapping spans.
+    Whole-doc dedup (q40) misses partially-duplicated documents; this
+    census prices them. Returns one row per doc with >= 1 n-gram:
+    (id, n_tokens, n_starts, n_shared_starts, n_spans,
+    covered_tokens, max_span) — zeros when the doc shares nothing.
+
+    Span construction: shared n-gram START positions merge by interval
+    overlap (a start at pos covers [pos, pos+n-1]; a new span begins
+    only when pos exceeds the running max end — the running-max
+    gaps-and-islands form, which unlike the adjacent-run form does not
+    double-count tokens where two runs overlap by < n).
+
+    SCALE DESIGN: positional n-grams ship as (id, pos, md5) — never
+    text; sharedness is one shingle-grain aggregate (HAVING >= 2
+    distinct docs); the span windows partition BY DOCUMENT (bounded
+    rows per partition = tokens per doc, never corpus-grain); output
+    is one row per doc. All hashes md5 — every stage has a DuckDB
+    twin (q410)."""
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        .cast("long")
+        .alias("n_starts"),
+    ).filter(F.col("n_starts") >= 1)
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.transform(
+                shingles_from_tokens(toks, n), lambda s: F.md5(s)
+            )
+        ).alias("pos", "s"),
+    )
+    shared = (
+        sh.groupBy("s")
+        .agg(F.count_distinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("s")
+    )
+    hits = sh.join(shared, "s", "left_semi")
+    w_prev = (
+        Window.partitionBy("__id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("__id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = (
+        hits.withColumn(
+            "__flag",
+            F.when(
+                F.col("pos")
+                > F.coalesce(
+                    F.max(F.col("pos") + (n - 1)).over(w_prev),
+                    F.lit(-1),
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__isle", F.sum("__flag").over(w_run))
+    )
+    spans = isl.groupBy("__id", "__isle").agg(
+        (F.max("pos") - F.min("pos") + n).cast("long").alias("span_toks"),
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+    )
+    per_doc = spans.groupBy("__id").agg(
+        F.sum("n_hits").cast("long").alias("n_shared_starts"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("span_toks").cast("long").alias("covered_tokens"),
+        F.max("span_toks").cast("long").alias("max_span"),
+    )
+    z = F.lit(0).cast("long")
+    return (
+        base.join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            "n_starts",
+            F.coalesce("n_shared_starts", z).alias("n_shared_starts"),
+            F.coalesce("n_spans", z).alias("n_spans"),
+            F.coalesce("covered_tokens", z).alias("covered_tokens"),
+            F.coalesce("max_span", z).alias("max_span"),
+        )
+    )

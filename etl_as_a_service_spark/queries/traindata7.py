@@ -1715,3 +1715,139 @@ def q409_incremental_neardup_portable(spark, sf_dir):
         shingle_n=3,
         salt="imh",
     )
+
+
+# --------------------------------------------------------------------------
+# q410 — duplicated-span census (exact-substring dedup sizing pass)
+# --------------------------------------------------------------------------
+SPAN_N = 5  # n-gram width for span detection
+SPAN_LONG = 20  # "long duplicated span" cut, in tokens
+
+
+def _q410_oracle() -> str:
+    n = SPAN_N
+    gram = " || ' ' || ".join(f"w{j + 1}" for j in range(n))
+    cols = ", ".join(
+        f"toks[i+{j}] AS w{j + 1}" for j in range(n)
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             CAST(greatest(len(string_split(text, ' ')) - {n - 1}, 0)
+               AS BIGINT) AS n_starts
+      FROM documents
+    ),
+    sh AS MATERIALIZED (
+      SELECT doc_id, i AS pos, md5({gram}) AS s
+      FROM (
+        SELECT doc_id, i, {cols}
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+             UNNEST(range(1, len(toks) - {n - 2})) AS t(i)
+      )
+    ),
+    shared AS (
+      SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM shared)
+    ),
+    isl0 AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(
+               max(pos + {n - 1}) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -1) THEN 1 ELSE 0 END AS flag
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(flag) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS isle
+      FROM isl0
+    ),
+    spans AS (
+      SELECT doc_id, isle,
+             max(pos) - min(pos) + {n} AS span_toks,
+             count(*) AS n_hits
+      FROM isl GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id, sum(n_hits) AS n_sh, count(*) AS n_spans,
+             sum(span_toks) AS covered, max(span_toks) AS mx
+      FROM spans GROUP BY 1
+    )
+    SELECT b.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (p.covered > 0) AS BIGINT)
+             AS docs_with_dup,
+           CAST(count(*) FILTER (p.mx >= {SPAN_LONG}) AS BIGINT)
+             AS docs_long_span,
+           CAST(coalesce(sum(p.n_spans), 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(sum(p.covered), 0) AS BIGINT) AS dup_tokens,
+           CAST(sum(b.n_toks) AS BIGINT) AS total_tokens,
+           round(CAST(coalesce(sum(p.covered), 0) AS DOUBLE)
+                 / sum(b.n_toks), 6) AS dup_frac,
+           CAST(coalesce(max(p.mx), 0) AS BIGINT) AS max_span
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    WHERE b.n_starts >= 1
+    GROUP BY b.source
+    ORDER BY b.source
+    """
+
+
+@query(
+    "q410_duplicated_span_census",
+    oracle=_q410_oracle(),
+    tags=("dedup", "spans", "audit", "llm", "operator"),
+)
+def q410_duplicated_span_census(spark, sf_dir):
+    """Duplicated-span census (q410) — the sizing pass an
+    exact-substring dedup run (Lee et al.'s span-level dedup, the one
+    whole-doc dedup q40 can't see) executes before committing: per
+    source, how much token mass sits inside {SPAN_N}-grams shared
+    with at least one OTHER document, merged into maximal overlapping
+    spans (running-max interval merge, so overlapping runs never
+    double-count), plus the long-span (>= 20 tokens) doc count that
+    decides whether span-excision is worth a rewrite pass.
+
+    SCALE DESIGN: positional n-grams ship as (id, pos, md5) — text
+    never shuffles; sharedness is one shingle-grain HAVING aggregate;
+    span windows partition per document (bounded by doc length);
+    the rollup is source-grain (llm/dedup.duplicated_span_census)."""
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.llm.dedup import duplicated_span_census
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    per_doc = duplicated_span_census(docs, "text", "doc_id", n=SPAN_N)
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("covered_tokens") > 0, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("docs_with_dup"),
+            F.sum(
+                F.when(F.col("max_span") >= SPAN_LONG, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("docs_long_span"),
+            F.sum("n_spans").cast("long").alias("n_spans"),
+            F.sum("covered_tokens").cast("long").alias("dup_tokens"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("covered_tokens")
+                / F.sum("n_tokens").cast("double"),
+                6,
+            ).alias("dup_frac"),
+            F.max("max_span").cast("long").alias("max_span"),
+        )
+        .orderBy("source")
+    )

@@ -615,3 +615,83 @@ def test_q409_matches_python_replica(spark):
         assert (i + 10_000_000, i) in got
         assert got[(i + 10_000_000, i)][3] > 0.5  # exact jaccard high
     assert not any(bi >= 20_000_000 for bi, _ in got)
+
+
+def test_q410_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import (
+        SPAN_LONG,
+        SPAN_N,
+    )
+
+    rows = {
+        r["source"]: r.asDict()
+        for r in QUERIES["q410_duplicated_span_census"]
+        .fn(spark, SF_T2)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, source, text FROM '{DOCS}'"
+    ).fetchall()
+    con.close()
+
+    n = SPAN_N
+    grams: dict = {}
+    doc_starts = {}
+    for i, _src, t in docs:
+        w = t.split(" ")
+        starts = [
+            " ".join(w[j : j + n]) for j in range(len(w) - n + 1)
+        ]
+        doc_starts[i] = starts
+        for g in set(starts):
+            grams.setdefault(g, set()).add(i)
+    shared = {g for g, ds in grams.items() if len(ds) >= 2}
+
+    agg: dict = {}
+    for i, src, t in docs:
+        w = t.split(" ")
+        starts = doc_starts[i]
+        if not starts:
+            continue
+        pos = [j for j, g in enumerate(starts) if g in shared]
+        spans = []
+        for p in pos:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + n - 1)
+            else:
+                spans.append([p, p + n - 1])
+        covered = sum(e - s + 1 for s, e in spans)
+        mx = max((e - s + 1 for s, e in spans), default=0)
+        a = agg.setdefault(
+            src,
+            {
+                "n_docs": 0,
+                "docs_with_dup": 0,
+                "docs_long_span": 0,
+                "n_spans": 0,
+                "dup_tokens": 0,
+                "total_tokens": 0,
+                "max_span": 0,
+            },
+        )
+        a["n_docs"] += 1
+        a["docs_with_dup"] += 1 if covered else 0
+        a["docs_long_span"] += 1 if mx >= SPAN_LONG else 0
+        a["n_spans"] += len(spans)
+        a["dup_tokens"] += covered
+        a["total_tokens"] += len(w)
+        a["max_span"] = max(a["max_span"], mx)
+
+    assert set(rows) == set(agg)
+    for src, a in agg.items():
+        g = rows[src]
+        for k in a:
+            assert g[k] == a[k], (src, k, g[k], a[k])
+        assert g["dup_frac"] == round(
+            a["dup_tokens"] / a["total_tokens"], 6
+        )
+    # the census is non-vacuous on this fixture
+    assert sum(a["docs_with_dup"] for a in agg.values()) > 0
