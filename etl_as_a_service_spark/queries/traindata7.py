@@ -1851,3 +1851,151 @@ def q410_duplicated_span_census(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q411 — epoch/repeat planner (data-constrained scaling, priced per source)
+# --------------------------------------------------------------------------
+EPOCH_CAP = 8  # max epochs the planner will price
+EPOCH_BUDGET_X = 2  # total budget = 2x the unique corpus token mass
+# value of epoch e is 0.5^(e-1): every power and partial geometric sum
+# is an EXACT binary fraction, so both engines land on identical
+# doubles with no pow() in sight (the q380/q408 discipline)
+_EPOCH_GEO = [0.0]
+_EPOCH_POW = []
+for _j in range(EPOCH_CAP):
+    _EPOCH_POW.append(0.5**_j)
+    _EPOCH_GEO.append(_EPOCH_GEO[-1] + 0.5**_j)
+
+
+def _q411_oracle() -> str:
+    geo_case = " ".join(
+        f"WHEN {k} THEN CAST({_EPOCH_GEO[k - 1]!r} AS DOUBLE)"
+        for k in range(1, EPOCH_CAP + 1)
+    )
+    pow_case = " ".join(
+        f"WHEN {k} THEN CAST({_EPOCH_POW[k - 1]!r} AS DOUBLE)"
+        for k in range(1, EPOCH_CAP + 1)
+    )
+    return f"""
+    WITH u AS MATERIALIZED (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS utoks,
+             ('0x' || substr(md5(source), 1, 2))::BIGINT % 8 + 1 AS w
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(utoks) AS BIGINT) AS t,
+             CAST(sum(w) AS BIGINT) AS sw
+      FROM u
+    ),
+    alloc AS (
+      SELECT u.source, u.utoks, u.w,
+             ({EPOCH_BUDGET_X} * tot.t * u.w) // tot.sw AS b
+      FROM u CROSS JOIN tot
+    ),
+    k AS (
+      SELECT source, utoks, w, b,
+             least((b + utoks - 1) // utoks, {EPOCH_CAP}) AS kk,
+             least(b - (least((b + utoks - 1) // utoks, {EPOCH_CAP})
+                        - 1) * utoks, utoks) AS part
+      FROM alloc
+    )
+    SELECT source,
+           CAST(w AS BIGINT) AS weight,
+           utoks AS unique_tokens,
+           CAST(b AS BIGINT) AS alloc_tokens,
+           CAST(kk AS BIGINT) AS epochs,
+           CAST(part AS BIGINT) AS partial_tokens,
+           round(CAST(utoks AS DOUBLE) * (CASE kk {geo_case} END)
+                 + CAST(part AS DOUBLE) * (CASE kk {pow_case} END),
+                 6) AS effective_tokens,
+           round((CAST(utoks AS DOUBLE) * (CASE kk {geo_case} END)
+                  + CAST(part AS DOUBLE) * (CASE kk {pow_case} END))
+                 / CAST(b AS DOUBLE), 6) AS utilization,
+           round(CASE kk {pow_case} END, 6) AS marginal_value
+    FROM k
+    ORDER BY source
+    """
+
+
+@query(
+    "q411_epoch_repeat_planner",
+    oracle=_q411_oracle(),
+    tags=("mixing", "planning", "llm", "operator"),
+)
+def q411_epoch_repeat_planner(spark, sf_dir):
+    """Epoch/repeat planner (q411) — the data-constrained-scaling
+    ledger (the Muennighoff-style question: when the token budget
+    exceeds unique data, what is each source worth when REPEATED?):
+    per source, an md5-derived budget allocation, the epoch count it
+    implies (capped at {EPOCH_CAP}), and the effective token mass
+    under a per-epoch value decay of 0.5^(e-1) — every power and
+    partial geometric sum an EXACT binary fraction shipped as a
+    literal CASE, so both engines land on identical doubles with no
+    pow(). `utilization` (effective/allocated) is the number a
+    mixture designer reads: it collapses exactly where repeats stop
+    paying, and `marginal_value` prices the NEXT token of budget.
+
+    SCALE DESIGN: ONE source-grain aggregate (token mass is
+    map-side combinable) cross-joined with a 1-row total — the
+    planner costs one corpus scan; everything after is 20-row math."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    u = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("utoks"),
+    ).withColumn(
+        "w",
+        F.conv(F.substring(F.md5("source"), 1, 2), 16, 10).cast("long")
+        % 8
+        + 1,
+    )
+    tot = u.agg(
+        F.sum("utoks").cast("long").alias("t"),
+        F.sum("w").cast("long").alias("sw"),
+    )
+    alloc = u.crossJoin(F.broadcast(tot)).withColumn(
+        "b",
+        F.expr(f"({EPOCH_BUDGET_X} * t * w) DIV sw"),
+    )
+    kk = F.least(
+        F.expr("(b + utoks - 1) DIV utoks"), F.lit(EPOCH_CAP)
+    )
+    k = alloc.withColumn("kk", kk).withColumn(
+        "part",
+        F.least(
+            F.col("b") - (F.col("kk") - 1) * F.col("utoks"),
+            F.col("utoks"),
+        ),
+    )
+
+    def case_on_k(vals):
+        e = F.when(F.col("kk") == 1, F.lit(float(vals[0])))
+        for j in range(2, EPOCH_CAP + 1):
+            e = e.when(F.col("kk") == j, F.lit(float(vals[j - 1])))
+        return e
+
+    # _EPOCH_GEO[kk-1] = value of the kk-1 FULL epochs under decay
+    geo = case_on_k([_EPOCH_GEO[j] for j in range(EPOCH_CAP)])
+    pw = case_on_k(_EPOCH_POW)
+    eff = (
+        F.col("utoks").cast("double") * geo
+        + F.col("part").cast("double") * pw
+    )
+    return k.select(
+        "source",
+        F.col("w").cast("long").alias("weight"),
+        F.col("utoks").alias("unique_tokens"),
+        F.col("b").cast("long").alias("alloc_tokens"),
+        F.col("kk").cast("long").alias("epochs"),
+        F.col("part").cast("long").alias("partial_tokens"),
+        F.round(eff, 6).alias("effective_tokens"),
+        F.round(eff / F.col("b").cast("double"), 6).alias(
+            "utilization"
+        ),
+        F.round(pw, 6).alias("marginal_value"),
+    ).orderBy("source")

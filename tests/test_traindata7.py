@@ -695,3 +695,55 @@ def test_q410_matches_python_replica(spark):
         )
     # the census is non-vacuous on this fixture
     assert sum(a["docs_with_dup"] for a in agg.values()) > 0
+
+
+def test_q411_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import (
+        _EPOCH_GEO,
+        _EPOCH_POW,
+        EPOCH_BUDGET_X,
+        EPOCH_CAP,
+    )
+
+    rows = {
+        r["source"]: r.asDict()
+        for r in QUERIES["q411_epoch_repeat_planner"]
+        .fn(spark, SF_T2)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    masses = dict(
+        con.execute(
+            f"SELECT source, sum(len(string_split(text, ' ')))"
+            f" FROM '{DOCS}' GROUP BY source"
+        ).fetchall()
+    )
+    con.close()
+
+    w = {
+        s: int(hashlib.md5(s.encode()).hexdigest()[:2], 16) % 8 + 1
+        for s in masses
+    }
+    t, sw = sum(masses.values()), sum(w.values())
+    for s, utoks in masses.items():
+        b = (EPOCH_BUDGET_X * t * w[s]) // sw
+        kk = min((b + utoks - 1) // utoks, EPOCH_CAP)
+        part = min(b - (kk - 1) * utoks, utoks)
+        eff = utoks * _EPOCH_GEO[kk - 1] + part * _EPOCH_POW[kk - 1]
+        g = rows[s]
+        assert g["weight"] == w[s]
+        assert g["unique_tokens"] == utoks
+        assert g["alloc_tokens"] == b
+        assert g["epochs"] == kk
+        assert g["partial_tokens"] == part
+        assert g["effective_tokens"] == round(eff, 6)
+        assert g["utilization"] == round(eff / b, 6)
+        assert g["marginal_value"] == round(_EPOCH_POW[kk - 1], 6)
+    # planner is non-degenerate: the md5 weights spread the epochs
+    eps = {r["epochs"] for r in rows.values()}
+    assert len(eps) > 1, "all sources got the same epoch count"
+    # utilization falls as epochs rise (repeats pay less)
+    by_k = sorted(rows.values(), key=lambda r: r["epochs"])
+    assert by_k[0]["utilization"] >= by_k[-1]["utilization"]
