@@ -1999,3 +1999,159 @@ def q411_epoch_repeat_planner(spark, sf_dir):
         ),
         F.round(pw, 6).alias("marginal_value"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# q412 — shingle-width tuner (the w knob of the dedup/decon suite)
+# --------------------------------------------------------------------------
+SHINGLE_WIDTHS = (2, 3, 5)
+
+
+def _q412_oracle() -> str:
+    parts = []
+    for w in SHINGLE_WIDTHS:
+        gram = " || ' ' || ".join(f"w{j + 1}" for j in range(w))
+        cols = ", ".join(f"toks[i+{j}] AS w{j + 1}" for j in range(w))
+        parts.append(f"""
+    SELECT {w} AS width, *
+    FROM (
+      WITH sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, md5({gram}) AS s
+        FROM (
+          SELECT doc_id, {cols}
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents),
+               UNNEST(range(1, len(toks) - {w - 2})) AS t(i)
+        )
+      ),
+      per_sh AS (
+        SELECT s, count(*) AS nd FROM sh GROUP BY s
+      ),
+      starts AS (
+        SELECT CAST(sum(greatest(len(string_split(text, ' '))
+                                 - {w - 1}, 0)) AS BIGINT) AS n
+        FROM documents
+      ),
+      shape AS (
+        SELECT CAST(count(*) AS BIGINT) AS distinct_shingles,
+               CAST(count(*) FILTER (nd >= 2) AS BIGINT)
+                 AS shared_shingles,
+               CAST(coalesce(sum(nd * (nd - 1) // 2)
+                             FILTER (nd >= 2), 0) AS BIGINT)
+                 AS pair_mass
+        FROM per_sh
+      ),
+      sharing AS (
+        SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+                 AS docs_sharing
+        FROM sh WHERE s IN (SELECT s FROM per_sh WHERE nd >= 2)
+      )
+      SELECT CAST({w} AS BIGINT) AS w_key, starts.n AS total_starts,
+             shape.distinct_shingles, shape.shared_shingles,
+             sharing.docs_sharing, shape.pair_mass,
+             round(1 - CAST(shape.distinct_shingles AS DOUBLE)
+                   / starts.n, 6) AS dup_start_frac
+      FROM starts CROSS JOIN shape CROSS JOIN sharing
+    )""")
+    sel = " UNION ALL ".join(
+        f"SELECT w_key AS width, total_starts, distinct_shingles, "
+        f"shared_shingles, docs_sharing, pair_mass, dup_start_frac "
+        f"FROM ({p})" for p in parts
+    )
+    return f"SELECT * FROM ({sel}) ORDER BY width"
+
+
+@query(
+    "q412_shingle_width_tuner",
+    oracle=_q412_oracle(),
+    tags=("dedup", "planning", "llm", "operator"),
+)
+def q412_shingle_width_tuner(spark, sf_dir):
+    """Shingle-width tuner (q412) — the w knob the banding planner
+    (q408) takes as given: per candidate width (2/3/5 words), the
+    shingle-space shape that decides dedup/decon selectivity —
+    distinct-shingle count vs raw start mass (dup_start_frac: how
+    repetitive the corpus looks at this grain), cross-doc shared
+    shingle count and the docs they touch (decon reach), and
+    pair_mass = sum nd*(nd-1)/2 over shared shingles — the exact
+    candidate-pair pressure a shingle-keyed join (decon semi-join,
+    LSH verify) would face at each width. Wider shingles collapse
+    pair mass at the cost of edit-sensitivity; this prices that
+    trade from data, not folklore.
+
+    SCALE DESIGN: one corpus scan per width (|widths| = 3, literal);
+    each width is two shingle-grain aggregates plus a semi-join doc
+    count — md5 keys only, text never shuffles; output is 3 rows."""
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.llm.dedup import shingles_from_tokens
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = None
+    for w in SHINGLE_WIDTHS:
+        toks = F.split(F.col("text"), " ")
+        sh = (
+            docs.filter(F.size(toks) >= w)
+            .select(
+                F.col("doc_id"),
+                F.explode(shingles_from_tokens(toks, w)).alias("g"),
+            )
+            .select("doc_id", F.md5("g").alias("s"))
+            .distinct()
+        )
+        per_sh = sh.groupBy("s").agg(F.count(F.lit(1)).alias("nd"))
+        starts = docs.agg(
+            F.sum(F.greatest(F.size(toks) - (w - 1), F.lit(0)))
+            .cast("long")
+            .alias("total_starts")
+        )
+        shape = per_sh.agg(
+            F.count(F.lit(1)).cast("long").alias("distinct_shingles"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("shared_shingles"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("nd") >= 2,
+                        (F.col("nd") * (F.col("nd") - 1) / 2).cast(
+                            "long"
+                        ),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("pair_mass"),
+        )
+        sharing = (
+            sh.join(
+                per_sh.filter(F.col("nd") >= 2).select("s"),
+                "s",
+                "left_semi",
+            )
+            .agg(
+                F.count_distinct("doc_id")
+                .cast("long")
+                .alias("docs_sharing")
+            )
+        )
+        row = (
+            starts.crossJoin(shape)
+            .crossJoin(sharing)
+            .select(
+                F.lit(w).cast("long").alias("width"),
+                "total_starts",
+                "distinct_shingles",
+                "shared_shingles",
+                "docs_sharing",
+                "pair_mass",
+                F.round(
+                    F.lit(1)
+                    - F.col("distinct_shingles")
+                    / F.col("total_starts").cast("double"),
+                    6,
+                ).alias("dup_start_frac"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("width")

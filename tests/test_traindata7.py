@@ -747,3 +747,49 @@ def test_q411_matches_python_replica(spark):
     # utilization falls as epochs rise (repeats pay less)
     by_k = sorted(rows.values(), key=lambda r: r["epochs"])
     assert by_k[0]["utilization"] >= by_k[-1]["utilization"]
+
+
+def test_q412_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import SHINGLE_WIDTHS
+
+    rows = {
+        r["width"]: r.asDict()
+        for r in QUERIES["q412_shingle_width_tuner"]
+        .fn(spark, SF_T2)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    docs = con.execute(f"SELECT doc_id, text FROM '{DOCS}'").fetchall()
+    con.close()
+
+    assert set(rows) == set(SHINGLE_WIDTHS)
+    for w in SHINGLE_WIDTHS:
+        starts = 0
+        grams: dict = {}
+        for i, t in docs:
+            toks = t.split(" ")
+            starts += max(len(toks) - w + 1, 0)
+            for j in range(len(toks) - w + 1):
+                grams.setdefault(
+                    " ".join(toks[j : j + w]), set()
+                ).add(i)
+        shared_docs = set()
+        shared = pair_mass = 0
+        for g, ds in grams.items():
+            if len(ds) >= 2:
+                shared += 1
+                pair_mass += len(ds) * (len(ds) - 1) // 2
+                shared_docs |= ds
+        g = rows[w]
+        assert g["total_starts"] == starts
+        assert g["distinct_shingles"] == len(grams)
+        assert g["shared_shingles"] == shared
+        assert g["docs_sharing"] == len(shared_docs)
+        assert g["pair_mass"] == pair_mass
+        assert g["dup_start_frac"] == round(1 - len(grams) / starts, 6)
+    # the trade the tuner exists to show: wider shingles collapse
+    # candidate-pair pressure monotonically
+    pm = [rows[w]["pair_mass"] for w in sorted(rows)]
+    assert pm == sorted(pm, reverse=True)
