@@ -2155,3 +2155,151 @@ def q412_shingle_width_tuner(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("width")
+
+
+# --------------------------------------------------------------------------
+# q413 — broadcast-threshold planner (the physical join-strategy pre-flight)
+# --------------------------------------------------------------------------
+# Declared byte-cost model (NOT engine internals — a portable estimate
+# both engines compute identically): int32=4, int64=8, double=8,
+# timestamp=8 bytes; strings cost their character length (the fixture
+# is ASCII). Fixed-width totals per table + the string columns summed.
+TABLE_COST_MODEL = {
+    "region": (4, ["r_name"]),
+    "nation": (8, ["n_name"]),
+    "customer": (20, ["c_name", "c_mktsegment"]),
+    "supplier": (20, ["s_name"]),
+    "part": (20, ["p_name", "p_brand", "p_type"]),
+    "orders": (32, ["o_orderstatus"]),
+    "lineitem": (68, ["l_returnflag", "l_linestatus"]),
+}
+JOIN_MENU = (
+    ("lineitem", "part"),
+    ("lineitem", "supplier"),
+    ("lineitem", "orders"),
+    ("orders", "customer"),
+    ("customer", "nation"),
+    ("nation", "region"),
+)
+BCAST_THRESHOLDS = (10_000, 100_000, 10_000_000)
+
+
+def _q413_oracle() -> str:
+    stats = " UNION ALL ".join(
+        f"SELECT '{t}' AS t, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(count(*) * {fixed} + "
+        + (
+            "sum(" + " + ".join(f"len({c})" for c in scols) + ")"
+            if scols
+            else "0"
+        )
+        + f" AS BIGINT) AS est_bytes FROM {t}"
+        for t, (fixed, scols) in TABLE_COST_MODEL.items()
+    )
+    menu = " UNION ALL ".join(
+        f"SELECT '{f} x {d}' AS join_name, '{f}' AS f, '{d}' AS d"
+        for f, d in JOIN_MENU
+    )
+    thr = ", ".join(
+        f"CAST(CASE WHEN ds.est_bytes <= {v} THEN 1 ELSE 0 END"
+        f" AS BIGINT) AS bcast_{v // 1000}k"
+        for v in BCAST_THRESHOLDS
+    )
+    return f"""
+    WITH stats AS MATERIALIZED ({stats}),
+    menu AS ({menu})
+    SELECT m.join_name,
+           fs.n_rows AS fact_rows, fs.est_bytes AS fact_bytes,
+           ds.n_rows AS dim_rows, ds.est_bytes AS dim_bytes,
+           {thr},
+           CAST(fs.est_bytes + ds.est_bytes AS BIGINT)
+             AS smj_shuffle_bytes
+    FROM menu m
+    JOIN stats fs ON fs.t = m.f
+    JOIN stats ds ON ds.t = m.d
+    ORDER BY m.join_name
+    """
+
+
+@query(
+    "q413_broadcast_planner",
+    oracle=_q413_oracle(),
+    tags=("planning", "joins", "relational", "operator"),
+)
+def q413_broadcast_planner(spark, sf_dir):
+    """Broadcast-threshold planner (q413) — the physical join-strategy
+    pre-flight a 100 TB job runs before setting
+    spark.sql.autoBroadcastJoinThreshold: per (fact, dim) pair in the
+    schema's join menu, the dim side's estimated bytes under a
+    DECLARED portable cost model (fixed widths + string char mass —
+    an estimate both engines compute identically, not engine
+    internals), broadcastability at a 10 KB / 100 KB / 10 MB
+    threshold menu, and the byte mass a sort-merge join would shuffle
+    instead (both sides). The planner's point at scale: a dim that
+    fits under the threshold converts an all-to-all shuffle of the
+    fact side into a map-side hash join — this prices exactly that
+    decision from table stats.
+
+    SCALE DESIGN: one map-side-combinable aggregate per table (7
+    scans of the dimension/fact set); the menu join is literal-row
+    sized. At a real deployment the same stats come from
+    sources/file_stats.py parquet footers without scanning."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    tables = load_tables(spark, sf_dir, list(TABLE_COST_MODEL))
+    stats = None
+    for t, (fixed, scols) in TABLE_COST_MODEL.items():
+        sbytes = (
+            sum((F.length(c) for c in scols[1:]), F.length(scols[0]))
+            if scols
+            else F.lit(0)
+        )
+        st = tables[t].agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (
+                F.count(F.lit(1)) * fixed
+                + F.coalesce(F.sum(sbytes), F.lit(0))
+            )
+            .cast("long")
+            .alias("est_bytes"),
+        ).select(F.lit(t).alias("t"), "n_rows", "est_bytes")
+        stats = st if stats is None else stats.unionByName(st)
+    menu = spark.createDataFrame(
+        [(f"{f} x {d}", f, d) for f, d in JOIN_MENU],
+        "join_name string, f string, d string",
+    )
+    fs = stats.select(
+        F.col("t").alias("f"),
+        F.col("n_rows").alias("fact_rows"),
+        F.col("est_bytes").alias("fact_bytes"),
+    )
+    ds = stats.select(
+        F.col("t").alias("d"),
+        F.col("n_rows").alias("dim_rows"),
+        F.col("est_bytes").alias("dim_bytes"),
+    )
+    out = menu.join(F.broadcast(fs), "f").join(F.broadcast(ds), "d")
+    cols = [
+        "join_name",
+        "fact_rows",
+        "fact_bytes",
+        "dim_rows",
+        "dim_bytes",
+    ]
+    for v in BCAST_THRESHOLDS:
+        out = out.withColumn(
+            f"bcast_{v // 1000}k",
+            F.when(F.col("dim_bytes") <= v, 1)
+            .otherwise(0)
+            .cast("long"),
+        )
+        cols.append(f"bcast_{v // 1000}k")
+    cols.append("smj_shuffle_bytes")
+    return (
+        out.withColumn(
+            "smj_shuffle_bytes",
+            (F.col("fact_bytes") + F.col("dim_bytes")).cast("long"),
+        )
+        .select(*cols)
+        .orderBy("join_name")
+    )

@@ -793,3 +793,48 @@ def test_q412_matches_python_replica(spark):
     # candidate-pair pressure monotonically
     pm = [rows[w]["pair_mass"] for w in sorted(rows)]
     assert pm == sorted(pm, reverse=True)
+
+
+def test_q413_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import (
+        BCAST_THRESHOLDS,
+        JOIN_MENU,
+        TABLE_COST_MODEL,
+    )
+
+    rows = {
+        r["join_name"]: r.asDict()
+        for r in QUERIES["q413_broadcast_planner"]
+        .fn(spark, SF_T2)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    stats = {}
+    for t, (fixed, scols) in TABLE_COST_MODEL.items():
+        expr = (
+            "sum(" + " + ".join(f"len({c})" for c in scols) + ")"
+            if scols
+            else "0"
+        )
+        n, sb = con.execute(
+            f"SELECT count(*), {expr} FROM '{SF_T2}/{t}.parquet'"
+        ).fetchone()
+        stats[t] = (n, n * fixed + (sb or 0))
+    con.close()
+
+    assert set(rows) == {f"{f} x {d}" for f, d in JOIN_MENU}
+    for f, d in JOIN_MENU:
+        g = rows[f"{f} x {d}"]
+        fn, fb = stats[f]
+        dn, db = stats[d]
+        assert (g["fact_rows"], g["fact_bytes"]) == (fn, fb)
+        assert (g["dim_rows"], g["dim_bytes"]) == (dn, db)
+        assert g["smj_shuffle_bytes"] == fb + db
+        for v in BCAST_THRESHOLDS:
+            assert g[f"bcast_{v // 1000}k"] == (1 if db <= v else 0)
+    # the threshold menu is non-vacuous: some joins broadcast at the
+    # smallest threshold, some don't even at the middle one
+    assert any(r["bcast_10k"] == 1 for r in rows.values())
+    assert any(r["bcast_100k"] == 0 for r in rows.values())
