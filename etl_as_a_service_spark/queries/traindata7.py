@@ -2303,3 +2303,142 @@ def q413_broadcast_planner(spark, sf_dir):
         .select(*cols)
         .orderBy("join_name")
     )
+
+
+# --------------------------------------------------------------------------
+# q414 — pipeline-order audit: gate-then-dedup vs dedup-then-gate
+# --------------------------------------------------------------------------
+ORDER_GATE_MIN_TOKENS = 56  # the fixture median — both branches populated
+
+
+def _q414_oracle() -> str:
+    L = ORDER_GATE_MIN_TOKENS
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS ntok,
+             'p' || CAST(doc_id // 2 AS VARCHAR) AS curl
+      FROM documents
+    ),
+    a AS MATERIALIZED (
+      SELECT min(doc_id) AS doc_id
+      FROM d WHERE ntok >= {L} GROUP BY curl
+    ),
+    b0 AS (SELECT curl, min(doc_id) AS doc_id FROM d GROUP BY curl),
+    b AS MATERIALIZED (
+      SELECT b0.doc_id FROM b0
+      JOIN d ON d.doc_id = b0.doc_id
+      WHERE d.ntok >= {L}
+    ),
+    u AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             (a.doc_id IS NOT NULL) AS in_a,
+             (b.doc_id IS NOT NULL) AS in_b
+      FROM a FULL JOIN b ON a.doc_id = b.doc_id
+    )
+    SELECT d.source,
+           CAST(count(*) FILTER (u.in_a) AS BIGINT)
+             AS survivors_gate_first,
+           CAST(count(*) FILTER (u.in_b) AS BIGINT)
+             AS survivors_dedup_first,
+           CAST(count(*) FILTER (u.in_a AND u.in_b) AS BIGINT)
+             AS common,
+           CAST(count(*) FILTER (u.in_a AND NOT u.in_b) AS BIGINT)
+             AS only_gate_first,
+           CAST(count(*) FILTER (u.in_b AND NOT u.in_a) AS BIGINT)
+             AS only_dedup_first,
+           CAST(coalesce(sum(d.ntok) FILTER (u.in_a), 0)
+                - coalesce(sum(d.ntok) FILTER (u.in_b), 0)
+             AS BIGINT) AS token_mass_delta
+    FROM u JOIN d ON d.doc_id = u.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+
+
+@query(
+    "q414_pipeline_order_audit",
+    oracle=_q414_oracle(),
+    tags=("dedup", "audit", "semantics", "llm", "operator"),
+)
+def q414_pipeline_order_audit(spark, sf_dir):
+    """Pipeline-order audit (q414): quantify the survivor drift
+    between gate-then-dedup and dedup-then-gate BEFORE a pipeline
+    reorder ships — the two orders are NOT equivalent whenever the
+    dedup grain's min-id winner can fail the gate while a groupmate
+    passes (gate-first keeps the groupmate; dedup-first loses the
+    whole group). Per source: survivor counts under both orders, the
+    set overlap, and the token-mass delta. The containment invariant
+    (dedup-first survivors are a SUBSET of gate-first survivors when
+    both grains keep min-id) is part of the checked semantics —
+    only_dedup_first must be 0.
+
+    Grain: adjacent-id page pairs (curl = doc_id//2 — the q359 page
+    grid convention); gate = token count >= the fixture median, so
+    both divergence branches are populated at every fixture.
+
+    SCALE DESIGN: two min-id aggregates at curl grain (map-side
+    combinable), survivor join-backs on the UNIQUE doc id (the
+    skew-immune-by-construction dedup discipline from the round-12
+    hot-key rehearsal), one full-outer diff at survivor grain."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    L = ORDER_GATE_MIN_TOKENS
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("ntok"),
+        F.concat(
+            F.lit("p"), (F.col("doc_id") / 2).cast("long").cast("string")
+        ).alias("curl"),
+    )
+    a = (
+        d.filter(F.col("ntok") >= L)
+        .groupBy("curl")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    b0 = d.groupBy("curl").agg(F.min("doc_id").alias("doc_id"))
+    b = (
+        b0.select("doc_id")
+        .join(d.select("doc_id", "ntok"), "doc_id")
+        .filter(F.col("ntok") >= L)
+        .select("doc_id")
+    )
+    u = (
+        a.withColumn("in_a", F.lit(True))
+        .join(
+            b.withColumn("in_b", F.lit(True)),
+            "doc_id",
+            "full_outer",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("in_a", F.lit(False)).alias("in_a"),
+            F.coalesce("in_b", F.lit(False)).alias("in_b"),
+        )
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    msum = lambda c: F.coalesce(
+        F.sum(F.when(c, F.col("ntok"))), F.lit(0)
+    ).cast("long")
+    return (
+        u.join(d.select("doc_id", "source", "ntok"), "doc_id")
+        .groupBy("source")
+        .agg(
+            cnt(F.col("in_a")).alias("survivors_gate_first"),
+            cnt(F.col("in_b")).alias("survivors_dedup_first"),
+            cnt(F.col("in_a") & F.col("in_b")).alias("common"),
+            cnt(F.col("in_a") & ~F.col("in_b")).alias(
+                "only_gate_first"
+            ),
+            cnt(F.col("in_b") & ~F.col("in_a")).alias(
+                "only_dedup_first"
+            ),
+            (msum(F.col("in_a")) - msum(F.col("in_b")))
+            .cast("long")
+            .alias("token_mass_delta"),
+        )
+        .orderBy("source")
+    )

@@ -838,3 +838,67 @@ def test_q413_matches_python_replica(spark):
     # smallest threshold, some don't even at the middle one
     assert any(r["bcast_10k"] == 1 for r in rows.values())
     assert any(r["bcast_100k"] == 0 for r in rows.values())
+
+
+def test_q414_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import (
+        ORDER_GATE_MIN_TOKENS as L,
+    )
+
+    rows = {
+        r["source"]: r.asDict()
+        for r in QUERIES["q414_pipeline_order_audit"]
+        .fn(spark, SF_T2)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, source, text FROM '{DOCS}'"
+    ).fetchall()
+    con.close()
+
+    meta = {
+        i: (src, len(t.split(" ")), i // 2) for i, src, t in docs
+    }
+    groups: dict = {}
+    for i, (_s, _n, curl) in meta.items():
+        groups.setdefault(curl, []).append(i)
+    a, b = set(), set()
+    for curl, ids in groups.items():
+        gated = [i for i in sorted(ids) if meta[i][1] >= L]
+        if gated:
+            a.add(gated[0])
+        m = min(ids)
+        if meta[m][1] >= L:
+            b.add(m)
+
+    agg: dict = {}
+    for i in a | b:
+        src, n, _ = meta[i]
+        g = agg.setdefault(src, [0] * 6)
+        g[0] += i in a
+        g[1] += i in b
+        g[2] += i in a and i in b
+        g[3] += i in a and i not in b
+        g[4] += i in b and i not in a
+        g[5] += (n if i in a else 0) - (n if i in b else 0)
+    keys = (
+        "survivors_gate_first",
+        "survivors_dedup_first",
+        "common",
+        "only_gate_first",
+        "only_dedup_first",
+        "token_mass_delta",
+    )
+    assert set(rows) == set(agg)
+    for src, vals in agg.items():
+        for k, v in zip(keys, vals):
+            assert rows[src][k] == v, (src, k)
+    # the audit's two core facts: the orders genuinely diverge on
+    # this fixture, and min-id dedup-first survivors are a SUBSET of
+    # gate-first survivors (only_dedup_first == 0 everywhere)
+    assert sum(r["only_gate_first"] for r in rows.values()) > 0
+    assert all(r["only_dedup_first"] == 0 for r in rows.values())
+    assert b <= a
