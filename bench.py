@@ -172,6 +172,11 @@ HEADLINE_TRAINDATA = [
     # to the oracle-checked portable SemDeDup this round. Subtotal
     # grows by one entry.
     "q401_rp_width_sweep",
+    # round-12 session-2 addition: the heaviest of q408-q414 — the
+    # portable incremental near-dup probe (two full md5-MinHash
+    # pipelines + band join + signature estimate + exact verify in
+    # one plan). Subtotal grows by one entry.
+    "q409_incremental_neardup_portable",
 ]
 
 #: round-6 addition to the lakehouse subtotal: the stats-based file
