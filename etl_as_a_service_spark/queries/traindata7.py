@@ -2442,3 +2442,102 @@ def q414_pipeline_order_audit(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q415 — context-window truncation ledger (the naive-path price sheet)
+# --------------------------------------------------------------------------
+CONTEXT_MENU = (16, 32, 64, 128)
+
+
+def _q415_oracle() -> str:
+    menu = ", ".join(f"({c})" for c in CONTEXT_MENU)
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT len(string_split(text, ' ')) AS ntok FROM documents
+    ),
+    menu(c) AS (VALUES {menu})
+    SELECT CAST(c AS BIGINT) AS context_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (ntok > c) AS BIGINT)
+             AS docs_truncated,
+           CAST(sum(ntok) AS BIGINT) AS token_mass,
+           CAST(sum(least(ntok, c)) AS BIGINT) AS tokens_kept,
+           CAST(sum(greatest(ntok - c, 0)) AS BIGINT) AS tokens_lost,
+           CAST(sum(greatest(ntok - c, 0)) * 1000000
+                // sum(ntok) AS BIGINT) AS trunc_ppm,
+           CAST(count(*) * c - sum(least(ntok, c)) AS BIGINT)
+             AS pad_tokens,
+           CAST((count(*) * c - sum(least(ntok, c))) * 1000000
+                // (count(*) * c) AS BIGINT) AS pad_ppm
+    FROM d CROSS JOIN menu
+    GROUP BY c ORDER BY context_len
+    """
+
+
+@query(
+    "q415_context_window_ledger",
+    oracle=_q415_oracle(),
+    tags=("packing", "planning", "llm", "operator"),
+)
+def q415_context_window_ledger(spark, sf_dir):
+    """Context-window truncation ledger (q415): per candidate context
+    length, what the NAIVE one-doc-per-sequence path costs — docs and
+    token mass lost to truncation (the loss packing can't recover)
+    vs padding waste (the loss packing q78 exists to remove). Small
+    windows truncate, large windows pad; the menu prices the knee and
+    quantifies exactly how much a packing stage is worth at each
+    length — the justification ledger for the q78/q406 pipeline.
+    Fractions ship as integer parts-per-million (x*1e6 integer
+    division) — round(x, 6) would land EXACTLY on the half lattice
+    here (pad mass over n*c denominators, e.g. 8078/32000 =
+    0.2524375) where engine rounding legitimately splits.
+
+    SCALE DESIGN: one corpus scan to a 1-int-per-doc frame, cross
+    joined with the literal 4-row menu, then a menu-grain aggregate —
+    map-side combinable, output |menu| rows."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = docs.select(
+        F.size(F.split(F.col("text"), " ")).alias("ntok")
+    )
+    menu = spark.createDataFrame(
+        [(c,) for c in CONTEXT_MENU], "c long"
+    )
+    kept = F.least(F.col("ntok"), F.col("c"))
+    lost = F.greatest(F.col("ntok") - F.col("c"), F.lit(0))
+    return (
+        d.crossJoin(F.broadcast(menu))
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("ntok") > F.col("c"), 1).otherwise(0))
+            .cast("long")
+            .alias("docs_truncated"),
+            F.sum("ntok").cast("long").alias("token_mass"),
+            F.sum(kept).cast("long").alias("tokens_kept"),
+            F.sum(lost).cast("long").alias("tokens_lost"),
+            (F.sum(lost).cast("long") * 1_000_000)
+            .cast("long")
+            .alias("__lost_n"),
+            (F.count(F.lit(1)) * F.first("c") - F.sum(kept))
+            .cast("long")
+            .alias("pad_tokens"),
+            (F.count(F.lit(1)) * F.first("c")).cast("long").alias(
+                "__cap"
+            ),
+        )
+        .select(
+            F.col("c").cast("long").alias("context_len"),
+            "n_docs",
+            "docs_truncated",
+            "token_mass",
+            "tokens_kept",
+            "tokens_lost",
+            F.expr("__lost_n DIV token_mass").alias("trunc_ppm"),
+            "pad_tokens",
+            F.expr("pad_tokens * 1000000 DIV __cap").alias("pad_ppm"),
+        )
+        .orderBy("context_len")
+    )

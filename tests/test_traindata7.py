@@ -902,3 +902,47 @@ def test_q414_matches_python_replica(spark):
     assert sum(r["only_gate_first"] for r in rows.values()) > 0
     assert all(r["only_dedup_first"] == 0 for r in rows.values())
     assert b <= a
+
+
+def test_q415_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import CONTEXT_MENU
+
+    rows = {
+        r["context_len"]: r.asDict()
+        for r in QUERIES["q415_context_window_ledger"]
+        .fn(spark, SF_T2)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    ntoks = [
+        n
+        for (n,) in con.execute(
+            f"SELECT len(string_split(text, ' ')) FROM '{DOCS}'"
+        ).fetchall()
+    ]
+    con.close()
+
+    assert set(rows) == set(CONTEXT_MENU)
+    mass = sum(ntoks)
+    for c in CONTEXT_MENU:
+        kept = sum(min(n, c) for n in ntoks)
+        lost = sum(max(n - c, 0) for n in ntoks)
+        pad = len(ntoks) * c - kept
+        g = rows[c]
+        assert g["n_docs"] == len(ntoks)
+        assert g["docs_truncated"] == sum(1 for n in ntoks if n > c)
+        assert g["token_mass"] == mass
+        assert g["tokens_kept"] == kept
+        assert g["tokens_lost"] == lost
+        assert g["trunc_ppm"] == lost * 1_000_000 // mass
+        assert g["pad_tokens"] == pad
+        assert g["pad_ppm"] == pad * 1_000_000 // (len(ntoks) * c)
+    # the knee the menu exists to show: truncation falls and padding
+    # rises monotonically with context length
+    cs = sorted(rows)
+    tr = [rows[c]["trunc_ppm"] for c in cs]
+    pd_ = [rows[c]["pad_ppm"] for c in cs]
+    assert tr == sorted(tr, reverse=True)
+    assert pd_ == sorted(pd_)
