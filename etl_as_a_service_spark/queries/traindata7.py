@@ -2541,3 +2541,130 @@ def q415_context_window_ledger(spark, sf_dir):
         )
         .orderBy("context_len")
     )
+
+
+# --------------------------------------------------------------------------
+# q416 — curriculum mixing-schedule audit (uniform -> target ramp, priced)
+# --------------------------------------------------------------------------
+CURRICULUM_STEPS = 5  # literal training-phase grid 0..4
+
+
+def _q416_oracle() -> str:
+    S = CURRICULUM_STEPS
+    steps = ", ".join(f"({t})" for t in range(S))
+    return f"""
+    WITH u AS MATERIALIZED (
+      SELECT source,
+             ('0x' || substr(md5(source), 1, 2))::BIGINT % 8 + 1 AS w1
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS w0sum,
+             CAST(sum(w1) AS BIGINT) AS w1sum
+      FROM u
+    ),
+    corpus AS (
+      SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+      FROM documents
+    ),
+    steps(t) AS (VALUES {steps}),
+    f AS (
+      SELECT u.source, s.t,
+             (tot.w1sum * ({S - 1} - s.t)
+              + u.w1 * tot.w0sum * s.t) AS num,
+             (tot.w0sum * tot.w1sum * {S - 1}) AS den,
+             corpus.toks // {S} AS b
+      FROM u CROSS JOIN steps s CROSS JOIN tot CROSS JOIN corpus
+    )
+    SELECT CAST(t AS BIGINT) AS step, source,
+           CAST(num * 1000000 // den AS BIGINT) AS weight_ppm,
+           CAST(b * num // den AS BIGINT) AS tokens_drawn,
+           CAST(sum(b * num // den) OVER (
+             PARTITION BY source ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_tokens
+    FROM f ORDER BY step, source
+    """
+
+
+@query(
+    "q416_curriculum_schedule_audit",
+    oracle=_q416_oracle(),
+    tags=("mixing", "curriculum", "planning", "llm", "operator"),
+)
+def q416_curriculum_schedule_audit(spark, sf_dir):
+    """Curriculum mixing-schedule audit (q416): the training-phase
+    companion to the static mixers (q146 DSIR / temperature mix /
+    DoReMi) — a linear ramp from the uniform mix to the md5-derived
+    target mix (the q411 weights) over {CURRICULUM_STEPS} literal
+    phases, priced per (step, source): the blended weight, tokens
+    drawn from a per-step budget, and the cumulative draw. Everything
+    is one exact rational — f(s,t) = (W1*(S-1-t) + w1(s)*W0*t) /
+    (W0*W1*(S-1)) — evaluated with INTEGER numerators and floor
+    division on both engines; weight_ppm is the 1e6-scaled integer.
+    Step 0 reproduces the uniform mix and step S-1 the target mix by
+    construction (asserted in pytest), so a schedule bug shows up as
+    an endpoint mismatch.
+
+    SCALE DESIGN: one corpus-token aggregate + one source-grain
+    aggregate; the schedule itself is |sources| x |steps| literal
+    math; the cumulative window partitions per source (bounded |steps|
+    rows)."""
+    from etl_as_a_service_spark.catalog import load_tables
+    from pyspark.sql import Window
+
+    S = CURRICULUM_STEPS
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    u = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "w1",
+            F.conv(F.substring(F.md5("source"), 1, 2), 16, 10).cast(
+                "long"
+            )
+            % 8
+            + 1,
+        )
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).cast("long").alias("w0sum"),
+        F.sum("w1").cast("long").alias("w1sum"),
+    )
+    corpus = docs.agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("toks")
+    )
+    steps = spark.createDataFrame([(t,) for t in range(S)], "t long")
+    f = (
+        u.crossJoin(F.broadcast(steps))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "source",
+            "t",
+            (
+                F.col("w1sum") * (F.lit(S - 1) - F.col("t"))
+                + F.col("w1") * F.col("w0sum") * F.col("t")
+            ).alias("num"),
+            (F.col("w0sum") * F.col("w1sum") * (S - 1)).alias("den"),
+            F.expr(f"toks DIV {S}").alias("b"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    drawn = F.expr("(b * num) DIV den")
+    return (
+        f.select(
+            F.col("t").cast("long").alias("step"),
+            "source",
+            F.expr("(num * 1000000) DIV den").alias("weight_ppm"),
+            drawn.alias("tokens_drawn"),
+            F.sum(drawn).over(w).cast("long").alias("cum_tokens"),
+        )
+        .orderBy("step", "source")
+    )

@@ -946,3 +946,61 @@ def test_q415_matches_python_replica(spark):
     pd_ = [rows[c]["pad_ppm"] for c in cs]
     assert tr == sorted(tr, reverse=True)
     assert pd_ == sorted(pd_)
+
+
+def test_q416_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import (
+        CURRICULUM_STEPS as S,
+    )
+
+    rows = {
+        (r["step"], r["source"]): r.asDict()
+        for r in QUERIES["q416_curriculum_schedule_audit"]
+        .fn(spark, SF_T2)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    srcs = [
+        s
+        for (s,) in con.execute(
+            f"SELECT DISTINCT source FROM '{DOCS}'"
+        ).fetchall()
+    ]
+    toks = con.execute(
+        f"SELECT sum(len(string_split(text, ' '))) FROM '{DOCS}'"
+    ).fetchone()[0]
+    con.close()
+
+    w1 = {
+        s: int(hashlib.md5(s.encode()).hexdigest()[:2], 16) % 8 + 1
+        for s in srcs
+    }
+    w0sum, w1sum = len(srcs), sum(w1.values())
+    den = w0sum * w1sum * (S - 1)
+    b = toks // S
+    cum: dict = {}
+    for t in range(S):
+        for s in srcs:
+            num = w1sum * (S - 1 - t) + w1[s] * w0sum * t
+            drawn = b * num // den
+            cum[s] = cum.get(s, 0) + drawn
+            g = rows[(t, s)]
+            assert g["weight_ppm"] == num * 1_000_000 // den
+            assert g["tokens_drawn"] == drawn
+            assert g["cum_tokens"] == cum[s]
+    # endpoint identities: step 0 is the uniform mix, step S-1 the
+    # md5 target mix
+    uni = {rows[(0, s)]["weight_ppm"] for s in srcs}
+    assert len(uni) == 1
+    tgt = {
+        s: rows[(S - 1, s)]["weight_ppm"] for s in srcs
+    }
+    assert tgt == {
+        s: w1[s] * w0sum * (S - 1) * 1_000_000 // den for s in srcs
+    }
+    # conservation: each step draws within one floor-loss of budget
+    for t in range(S):
+        drawn = sum(rows[(t, s)]["tokens_drawn"] for s in srcs)
+        assert b - len(srcs) < drawn <= b
