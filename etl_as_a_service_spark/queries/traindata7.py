@@ -2668,3 +2668,116 @@ def q416_curriculum_schedule_audit(spark, sf_dir):
         )
         .orderBy("step", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# q417 — entity staleness audit (the index-freshness pre-flight)
+# --------------------------------------------------------------------------
+US_HOUR = 3_600_000_000
+US_DAY = 24 * US_HOUR
+US_WEEK = 7 * US_DAY
+
+
+def _q417_oracle() -> str:
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT user_id, event_type, epoch_us(ts) AS t
+      FROM events
+    ),
+    now_ AS (SELECT max(t) AS now_us FROM e),
+    last_ AS (
+      SELECT user_id, event_type, max(t) AS last_us
+      FROM e GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT l.event_type, n.now_us - l.last_us AS stale
+      FROM last_ l CROSS JOIN now_ n
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_entities,
+           CAST(count(*) FILTER (stale < {US_HOUR}) AS BIGINT)
+             AS b_1h,
+           CAST(count(*) FILTER (stale >= {US_HOUR}
+                                 AND stale < {US_DAY}) AS BIGINT)
+             AS b_1d,
+           CAST(count(*) FILTER (stale >= {US_DAY}
+                                 AND stale < {US_WEEK}) AS BIGINT)
+             AS b_7d,
+           CAST(count(*) FILTER (stale >= {US_WEEK}) AS BIGINT)
+             AS b_older,
+           CAST(max(stale) AS BIGINT) AS max_stale_us,
+           CAST(sum(stale) // count(*) AS BIGINT) AS mean_stale_us
+    FROM st
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+@query(
+    "q417_entity_staleness_audit",
+    oracle=_q417_oracle(),
+    tags=("streaming", "planning", "audit", "operator"),
+)
+def q417_entity_staleness_audit(spark, sf_dir):
+    """Entity-staleness audit (q417) — the index-freshness
+    pre-flight an incremental/serving deployment runs before
+    committing to a refresh cadence (the freshness face of the
+    streaming tuning suite: q390 sizes the watermark from event
+    lateness, this sizes the refresh interval from entity
+    staleness): per event_type, the last-event age of every
+    (user, type) entity against the corpus frontier, bucketed at
+    1 h / 1 d / 7 d, plus the max and the integer mean. A fat
+    b_older bucket means a full-refresh (or TTL eviction) policy;
+    mass in b_1h means the change feed alone keeps the index warm.
+
+    All timestamps are integer epoch microseconds (unix_micros /
+    epoch_us — CAST(epoch double) ROUNDS in DuckDB where Spark
+    floors; integers sidestep it), and the mean is an integer floor
+    division on both engines.
+
+    SCALE DESIGN: one (user, type)-grain max aggregate (map-side
+    combinable) + a 1-row frontier broadcast; output is |types|
+    rows."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    e = ev.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    now = e.agg(F.max("t").alias("now_us"))
+    last = e.groupBy("user_id", "event_type").agg(
+        F.max("t").alias("last_us")
+    )
+    st = last.crossJoin(F.broadcast(now)).select(
+        "event_type", (F.col("now_us") - F.col("last_us")).alias("stale")
+    )
+    b = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    return (
+        st.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_entities"),
+            b(F.col("stale") < US_HOUR).alias("b_1h"),
+            b(
+                (F.col("stale") >= US_HOUR)
+                & (F.col("stale") < US_DAY)
+            ).alias("b_1d"),
+            b(
+                (F.col("stale") >= US_DAY)
+                & (F.col("stale") < US_WEEK)
+            ).alias("b_7d"),
+            b(F.col("stale") >= US_WEEK).alias("b_older"),
+            F.max("stale").cast("long").alias("max_stale_us"),
+            F.sum("stale").cast("long").alias("__sum"),
+        )
+        .select(
+            "event_type",
+            "n_entities",
+            "b_1h",
+            "b_1d",
+            "b_7d",
+            "b_older",
+            "max_stale_us",
+            F.expr("__sum DIV n_entities").alias("mean_stale_us"),
+        )
+        .orderBy("event_type")
+    )

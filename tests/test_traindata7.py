@@ -1004,3 +1004,60 @@ def test_q416_matches_python_replica(spark):
     for t in range(S):
         drawn = sum(rows[(t, s)]["tokens_drawn"] for s in srcs)
         assert b - len(srcs) < drawn <= b
+
+
+def test_q417_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import (
+        US_DAY,
+        US_HOUR,
+        US_WEEK,
+    )
+
+    rows = {
+        r["event_type"]: r.asDict()
+        for r in QUERIES["q417_entity_staleness_audit"]
+        .fn(spark, SF_T2)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, event_type, epoch_us(ts)"
+        f" FROM '{SF_T2}/events.parquet'"
+    ).fetchall()
+    con.close()
+
+    last: dict = {}
+    for u, et, t in ev:
+        k = (u, et)
+        last[k] = max(last.get(k, 0), t)
+    now = max(last.values())
+    agg: dict = {}
+    for (u, et), t in last.items():
+        s = now - t
+        a = agg.setdefault(et, [])
+        a.append(s)
+    assert set(rows) == set(agg)
+    for et, stales in agg.items():
+        g = rows[et]
+        assert g["n_entities"] == len(stales)
+        assert g["b_1h"] == sum(1 for s in stales if s < US_HOUR)
+        assert g["b_1d"] == sum(
+            1 for s in stales if US_HOUR <= s < US_DAY
+        )
+        assert g["b_7d"] == sum(
+            1 for s in stales if US_DAY <= s < US_WEEK
+        )
+        assert g["b_older"] == sum(1 for s in stales if s >= US_WEEK)
+        assert g["max_stale_us"] == max(stales)
+        assert g["mean_stale_us"] == sum(stales) // len(stales)
+    # buckets partition the entities, and the fixture populates more
+    # than one bucket (non-vacuous cadence signal)
+    for g in rows.values():
+        assert (
+            g["b_1h"] + g["b_1d"] + g["b_7d"] + g["b_older"]
+            == g["n_entities"]
+        )
+    assert sum(g["b_older"] for g in rows.values()) > 0
+    assert sum(g["b_1h"] for g in rows.values()) > 0
