@@ -2781,3 +2781,186 @@ def q417_entity_staleness_audit(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q418 — shard-stability audit (hash vs range sharding under growth)
+# --------------------------------------------------------------------------
+SHARD_N = 32
+
+
+def _q418_oracle() -> str:
+    n = SHARD_N
+    return f"""
+    WITH d AS MATERIALIZED (SELECT doc_id FROM documents),
+    mmb AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM d),
+    cut AS (SELECT (mx * 4) // 5 AS c FROM mmb),
+    a AS MATERIALIZED (
+      SELECT doc_id FROM d CROSS JOIN cut WHERE doc_id <= c
+    ),
+    mma AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM a),
+    hb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT % {n} AS shard
+      FROM d
+    ),
+    rb AS (
+      SELECT doc_id,
+             least((doc_id - mmb.mn) * {n} // (mmb.mx - mmb.mn + 1),
+                   {n - 1}) AS shard
+      FROM d CROSS JOIN mmb
+    ),
+    ha AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT % {n} AS shard
+      FROM a
+    ),
+    ra AS (
+      SELECT doc_id,
+             least((doc_id - mma.mn) * {n} // (mma.mx - mma.mn + 1),
+                   {n - 1}) AS shard
+      FROM a CROSS JOIN mma
+    ),
+    moved AS (
+      SELECT 'hash' AS policy,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(count(*) FILTER (ha.shard != hb.shard) AS BIGINT)
+               AS moved
+      FROM ha JOIN hb USING (doc_id)
+      UNION ALL
+      SELECT 'range',
+             CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER (ra.shard != rb.shard) AS BIGINT)
+      FROM ra JOIN rb USING (doc_id)
+    ),
+    balance AS (
+      SELECT 'hash' AS policy,
+             CAST(max(k) AS BIGINT) AS b_max_shard,
+             CAST(min(k) AS BIGINT) AS b_min_shard
+      FROM (SELECT count(*) AS k FROM hb GROUP BY shard)
+      UNION ALL
+      SELECT 'range', CAST(max(k) AS BIGINT), CAST(min(k) AS BIGINT)
+      FROM (SELECT count(*) AS k FROM rb GROUP BY shard)
+    )
+    SELECT m.policy, m.n_common, m.moved,
+           CAST(m.moved * 1000000 // m.n_common AS BIGINT)
+             AS moved_ppm,
+           b.b_max_shard, b.b_min_shard
+    FROM moved m JOIN balance b USING (policy)
+    ORDER BY policy
+    """
+
+
+@query(
+    "q418_shard_stability_audit",
+    oracle=_q418_oracle(),
+    tags=("packing", "audit", "planning", "llm", "operator"),
+)
+def q418_shard_stability_audit(spark, sf_dir):
+    """Shard-stability audit (q418) — the reproducibility property a
+    100 TB training run depends on: when the corpus GROWS (snapshot A
+    = the first ~80% of the id range, snapshot B = all of it), which
+    sharding policy keeps every already-ingested doc in the same
+    shard? Hash sharding (md5(id) % {SHARD_N}) is stable BY
+    CONSTRUCTION — moved must be 0, and that invariant is part of the
+    checked output. Range sharding (equal-width id bins from min/max)
+    re-bins on every growth step — the audit counts exactly how many
+    docs move (and shows the balance both policies achieve). This is
+    the measured form of "never shard a training corpus by position".
+
+    SCALE DESIGN: two policy assignments per snapshot = map-only
+    expressions over (id) plus 1-row min/max broadcasts; the
+    move-census joins on the unique id (uniform); balance is one
+    shard-grain aggregate per policy."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    n = SHARD_N
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = docs.select("doc_id")
+    mmb = d.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    a = d.crossJoin(F.broadcast(mmb.select(F.expr("(mx * 4) DIV 5").alias("c")))).filter(
+        F.col("doc_id") <= F.col("c")
+    ).select("doc_id")
+    mma = a.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+
+    def hash_shard(df):
+        return df.select(
+            "doc_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("doc_id").cast("string")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % n
+            ).alias("shard"),
+        )
+
+    def range_shard(df, mm):
+        return df.crossJoin(F.broadcast(mm)).select(
+            "doc_id",
+            F.least(
+                F.expr(
+                    f"(doc_id - mn) * {n} DIV (mx - mn + 1)"
+                ),
+                F.lit(n - 1).cast("long"),
+            ).alias("shard"),
+        )
+
+    hb, rb = hash_shard(d), range_shard(d, mmb)
+    ha, ra = hash_shard(a), range_shard(a, mma)
+
+    def moved(sa, sb, name):
+        return (
+            sa.alias("a")
+            .join(sb.alias("b"), "doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_common"),
+                F.sum(
+                    F.when(
+                        F.col("a.shard") != F.col("b.shard"), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("moved"),
+            )
+            .select(F.lit(name).alias("policy"), "n_common", "moved")
+        )
+
+    def balance(sb, name):
+        return (
+            sb.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .agg(
+                F.max("k").cast("long").alias("b_max_shard"),
+                F.min("k").cast("long").alias("b_min_shard"),
+            )
+            .select(
+                F.lit(name).alias("policy"),
+                "b_max_shard",
+                "b_min_shard",
+            )
+        )
+
+    m = moved(ha, hb, "hash").unionByName(moved(ra, rb, "range"))
+    b = balance(hb, "hash").unionByName(balance(rb, "range"))
+    return (
+        m.join(b, "policy")
+        .select(
+            "policy",
+            "n_common",
+            "moved",
+            F.expr("moved * 1000000 DIV n_common").alias("moved_ppm"),
+            "b_max_shard",
+            "b_min_shard",
+        )
+        .orderBy("policy")
+    )

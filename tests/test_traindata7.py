@@ -1061,3 +1061,61 @@ def test_q417_matches_python_replica(spark):
         )
     assert sum(g["b_older"] for g in rows.values()) > 0
     assert sum(g["b_1h"] for g in rows.values()) > 0
+
+
+def test_q418_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import SHARD_N
+
+    rows = {
+        r["policy"]: r.asDict()
+        for r in QUERIES["q418_shard_stability_audit"]
+        .fn(spark, SF_T2)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    ids = [
+        i
+        for (i,) in con.execute(
+            f"SELECT doc_id FROM '{DOCS}'"
+        ).fetchall()
+    ]
+    con.close()
+
+    n = SHARD_N
+    mn, mx = min(ids), max(ids)
+    cut = mx * 4 // 5
+    a = [i for i in ids if i <= cut]
+    mna, mxa = min(a), max(a)
+
+    def hsh(i):
+        return (
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % n
+        )
+
+    def rng(i, lo, hi):
+        return min((i - lo) * n // (hi - lo + 1), n - 1)
+
+    for policy, sa, sb in (
+        ("hash", {i: hsh(i) for i in a}, {i: hsh(i) for i in ids}),
+        (
+            "range",
+            {i: rng(i, mna, mxa) for i in a},
+            {i: rng(i, mn, mx) for i in ids},
+        ),
+    ):
+        moved = sum(1 for i in a if sa[i] != sb[i])
+        sizes: dict = {}
+        for i in ids:
+            sizes[sb[i]] = sizes.get(sb[i], 0) + 1
+        g = rows[policy]
+        assert g["n_common"] == len(a)
+        assert g["moved"] == moved
+        assert g["moved_ppm"] == moved * 1_000_000 // len(a)
+        assert g["b_max_shard"] == max(sizes.values())
+        assert g["b_min_shard"] == min(sizes.values())
+    # the audit's headline facts: hash sharding never moves a doc
+    # under growth; range sharding moves a large fraction
+    assert rows["hash"]["moved"] == 0
+    assert rows["range"]["moved_ppm"] > 100_000
