@@ -1798,3 +1798,101 @@ def duplicated_span_census(
             F.coalesce("max_span", z).alias("max_span"),
         )
     )
+
+
+def excise_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_span_tokens: int = 10,
+) -> DataFrame:
+    """Exact-substring span EXCISION — the rewrite pass the
+    duplicated-span census (``duplicated_span_census``/q410) sizes:
+    remove from every document the maximal merged spans of cross-doc-
+    shared n-grams that reach ``min_span_tokens``, keeping the rest of
+    the text intact (the Lee et al. span-level dedup itself, where
+    whole-doc dedup would either keep the duplication or drop the
+    whole document). Returns one row per REWRITTEN doc:
+    (id, old_tokens, n_spans, tokens_removed, new_text).
+
+    The merged spans are disjoint by construction (running-max
+    interval merge), so tokens_removed == sum of span lengths exactly,
+    and the rewrite is a pure positional token filter — deterministic
+    and engine-portable (q419 hash-checks md5(new_text) against
+    DuckDB's independent rebuild).
+
+    SCALE DESIGN: shared-shingle detection and span merge as in the
+    census (md5 keys, per-doc windows); the span list joins back to
+    the doc on the UNIQUE id (collect_list is bounded by spans per
+    doc <= tokens/n); the rewrite is a map-side array filter — text
+    shuffles ONCE, to the rewriting join."""
+    toks = F.split(F.col(text_col), " ")
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.transform(
+                shingles_from_tokens(toks, n), lambda s: F.md5(s)
+            )
+        ).alias("pos", "s"),
+    )
+    shared = (
+        sh.groupBy("s")
+        .agg(F.count_distinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("s")
+    )
+    hits = sh.join(shared, "s", "left_semi")
+    w_prev = (
+        Window.partitionBy("__id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("__id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = hits.withColumn(
+        "__flag",
+        F.when(
+            F.col("pos")
+            > F.coalesce(
+                F.max(F.col("pos") + (n - 1)).over(w_prev), F.lit(-1)
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("__isle", F.sum("__flag").over(w_run))
+    spans = (
+        isl.groupBy("__id", "__isle")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + (n - 1)).alias("e"),
+        )
+        .withColumn("__len", F.col("e") - F.col("s") + 1)
+        .filter(F.col("__len") >= min_span_tokens)
+    )
+    sl = spans.groupBy("__id").agg(
+        F.collect_list(
+            F.struct(F.col("s").alias("s"), F.col("e").alias("e"))
+        ).alias("__spans"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("__len").cast("long").alias("tokens_removed"),
+    )
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (sp["s"] <= i) & (i <= sp["e"]),
+        ),
+    )
+    return (
+        df.join(sl, df[id_col] == sl["__id"])
+        .select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("old_tokens"),
+            "n_spans",
+            "tokens_removed",
+            F.array_join(kept, " ").alias("new_text"),
+        )
+    )

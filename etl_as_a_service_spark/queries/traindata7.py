@@ -2964,3 +2964,124 @@ def q418_shard_stability_audit(spark, sf_dir):
         )
         .orderBy("policy")
     )
+
+
+# --------------------------------------------------------------------------
+# q419 — duplicated-span excision (the rewrite q410 sizes, hash-checked)
+# --------------------------------------------------------------------------
+EXCISE_MIN_SPAN = 10
+
+
+def _q419_oracle() -> str:
+    n, L = SPAN_N, EXCISE_MIN_SPAN
+    gram = " || ' ' || ".join(f"w{j + 1}" for j in range(n))
+    cols = ", ".join(f"toks[i+{j}] AS w{j + 1}" for j in range(n))
+    return f"""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id, i AS pos, md5({gram}) AS s
+      FROM (
+        SELECT doc_id, i, {cols}
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+             UNNEST(range(1, len(toks) - {n - 2})) AS t(i)
+      )
+    ),
+    shared AS (
+      SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM shared)
+    ),
+    isl0 AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(
+               max(pos + {n - 1}) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -1) THEN 1 ELSE 0 END AS flag
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(flag) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS isle
+      FROM isl0
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + {n - 1} AS e
+      FROM isl GROUP BY doc_id, isle
+      HAVING max(pos) + {n - 1} - min(pos) + 1 >= {L}
+    ),
+    sl AS MATERIALIZED (
+      SELECT doc_id,
+             list(struct_pack(s := s, e := e)) AS spans,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(e - s + 1) AS BIGINT) AS tokens_removed
+      FROM spans GROUP BY doc_id
+    ),
+    tok AS (
+      SELECT d.doc_id, t.i, d.toks[t.i] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents) d
+      JOIN sl USING (doc_id),
+      UNNEST(range(1, len(d.toks) + 1)) AS t(i)
+      WHERE len(list_filter(sl.spans,
+                            sp -> sp.s <= t.i AND t.i <= sp.e)) = 0
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(w, ' ' ORDER BY i) AS new_text
+      FROM tok GROUP BY doc_id
+    )
+    SELECT sl.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT)
+             AS old_tokens,
+           sl.n_spans, sl.tokens_removed,
+           md5(coalesce(r.new_text, '')) AS new_md5
+    FROM sl
+    JOIN documents d USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY sl.doc_id
+    """
+
+
+@query(
+    "q419_span_excision",
+    oracle=_q419_oracle(),
+    tags=("dedup", "spans", "rewrite", "llm", "operator"),
+)
+def q419_span_excision(spark, sf_dir):
+    """Duplicated-span excision (q419) — the REWRITE the census
+    (q410) sizes: remove every merged cross-doc-shared span that
+    reaches {EXCISE_MIN_SPAN} tokens, keep the rest of the document
+    (span-level dedup — where whole-doc dedup must either keep the
+    duplication or drop the document). The rewritten text itself is
+    hash-checked: both engines independently rebuild each excised
+    document and the md5 of the result must agree, so positional
+    filtering, interval merging, and token rejoin are all under the
+    oracle gate (llm/dedup.excise_duplicated_spans).
+
+    NOTE: positions are 0-based on the Spark side and 1-based in the
+    DuckDB rebuild — interval membership and the kept-token sequence
+    are identical either way.
+
+    SCALE DESIGN: census shapes for detection (md5 shingle keys,
+    per-doc windows); the span list is collect_list bounded by
+    tokens/n per doc and joins back on the UNIQUE id; the rewrite is
+    a map-side array filter-with-index — text shuffles once."""
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.llm.dedup import excise_duplicated_spans
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = excise_duplicated_spans(
+        docs, "text", "doc_id", n=SPAN_N, min_span_tokens=EXCISE_MIN_SPAN
+    )
+    return out.select(
+        "doc_id",
+        "old_tokens",
+        "n_spans",
+        "tokens_removed",
+        F.md5("new_text").alias("new_md5"),
+    ).orderBy("doc_id")

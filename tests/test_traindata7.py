@@ -1119,3 +1119,73 @@ def test_q418_matches_python_replica(spark):
     # under growth; range sharding moves a large fraction
     assert rows["hash"]["moved"] == 0
     assert rows["range"]["moved_ppm"] > 100_000
+
+
+def test_q419_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import (
+        EXCISE_MIN_SPAN,
+        SPAN_N,
+    )
+
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["q419_span_excision"].fn(spark, SF_T2).collect()
+    }
+
+    con = duckdb.connect()
+    docs = dict(
+        con.execute(f"SELECT doc_id, text FROM '{DOCS}'").fetchall()
+    )
+    con.close()
+
+    n, L = SPAN_N, EXCISE_MIN_SPAN
+    grams: dict = {}
+    starts = {}
+    for i, t in docs.items():
+        w = t.split(" ")
+        starts[i] = [
+            " ".join(w[j : j + n]) for j in range(len(w) - n + 1)
+        ]
+        for g in set(starts[i]):
+            grams.setdefault(g, set()).add(i)
+    shared = {g for g, ds in grams.items() if len(ds) >= 2}
+
+    expected = {}
+    for i, t in docs.items():
+        w = t.split(" ")
+        pos = [j for j, g in enumerate(starts[i]) if g in shared]
+        spans = []
+        for p in pos:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + n - 1)
+            else:
+                spans.append([p, p + n - 1])
+        long_spans = [sp for sp in spans if sp[1] - sp[0] + 1 >= L]
+        if not long_spans:
+            continue
+        covered = {
+            j for s, e in long_spans for j in range(s, e + 1)
+        }
+        new = " ".join(
+            tok for j, tok in enumerate(w) if j not in covered
+        )
+        expected[i] = (
+            len(w),
+            len(long_spans),
+            sum(e - s + 1 for s, e in long_spans),
+            hashlib.md5(new.encode()).hexdigest(),
+        )
+
+    assert set(rows) == set(expected)
+    for i, (old, ns, rem, h) in expected.items():
+        g = rows[i]
+        assert g["old_tokens"] == old
+        assert g["n_spans"] == ns
+        assert g["tokens_removed"] == rem
+        assert g["new_md5"] == h
+    # semantic: removal accounting is exact (disjoint merged spans)
+    assert expected, "no excisable spans in the fixture"
+    assert all(
+        r["tokens_removed"] <= r["old_tokens"] for r in rows.values()
+    )
