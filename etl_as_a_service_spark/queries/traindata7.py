@@ -3061,7 +3061,12 @@ def q419_span_excision(spark, sf_dir):
     hash-checked: both engines independently rebuild each excised
     document and the md5 of the result must agree, so positional
     filtering, interval merging, and token rejoin are all under the
-    oracle gate (llm/dedup.excise_duplicated_spans).
+    oracle gate (llm/dedup.excise_duplicated_spans). Sibling of the
+    pipeline op `substring_dedup` (self_substring_spans +
+    excise_spans), which keeps the FIRST occurrence and excises later
+    ones; this variant removes the shared span from EVERY copy — the
+    policy for boilerplate-like cross-doc mass with no canonical
+    owner — and is the one under the portable hash gate.
 
     NOTE: positions are 0-based on the Spark side and 1-based in the
     DuckDB rebuild — interval membership and the kept-token sequence
