@@ -1,0 +1,106 @@
+"""Round-12 session-2 rehearsal: the duplicated-span family (q410
+census + q419 excision) under 4x corpus volume with worst-case
+duplication density.
+
+Claim under test: the span pipeline is shingle-grain + per-doc-window
+shaped — cost scales with corpus token mass (linear-ish), not with
+pair mass, even when replication makes every interior span shared by
+4+ documents (the recrawl-heavy worst case for a span detector).
+
+Setup: base = sf0.1 documents (5,000 docs). 4x = four id-shifted
+replicas, each replica's text prefixed with a UNIQUE tag token so
+replicas are not exact dups (no degenerate whole-doc md5 collapse)
+but share every interior 5-gram — maximal shared-span density.
+
+Measured (same-process, min-of-3 per config, the bench discipline):
+census wall, excision wall, and the funnels (docs touched, spans,
+tokens removed) at both volumes.
+
+Run: python scripts/rehearsal_span_r12.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F
+
+from etl_as_a_service_spark.llm.dedup import (
+    duplicated_span_census,
+    excise_duplicated_spans,
+)
+from etl_as_a_service_spark.session import build_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    spark = build_session(app_name="rehearsal-span-r12")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    n_base = docs.count()
+    reps = [
+        docs.select(
+            (F.col("doc_id") + 1_000_000 * r).alias("doc_id"),
+            F.concat(F.lit(f"rep{r} "), F.col("text")).alias("text"),
+            "source",
+        )
+        for r in range(4)
+    ]
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+    big = big.localCheckpoint(eager=True)  # freeze: time the ops, not the union
+    print(f"base docs: {n_base}   4x docs: {big.count()}")
+
+    def run(tag, df):
+        for name, fn in (
+            (
+                "census",
+                lambda d: duplicated_span_census(d, "text", "doc_id", n=5)
+                .groupBy()
+                .agg(
+                    F.sum("covered_tokens").alias("dup_tokens"),
+                    F.sum(
+                        F.when(F.col("covered_tokens") > 0, 1).otherwise(0)
+                    ).alias("docs_with_dup"),
+                ),
+            ),
+            (
+                "excise",
+                lambda d: excise_duplicated_spans(
+                    d, "text", "doc_id", n=5, min_span_tokens=10
+                )
+                .groupBy()
+                .agg(
+                    F.count(F.lit(1)).alias("docs_rewritten"),
+                    F.sum("tokens_removed").alias("tokens_removed"),
+                ),
+            ),
+        ):
+            best, row = None, None
+            for _ in range(3):
+                t0 = time.time()
+                row = fn(df).collect()[0]
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()
+            print(
+                f"{tag:5s} {name:7s} min-of-3 {best:6.2f}s   "
+                f"funnel {row.asDict()}"
+            )
+
+    run("base", docs)
+    run("4x", big)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
