@@ -2972,12 +2972,15 @@ def q418_shard_stability_audit(spark, sf_dir):
 EXCISE_MIN_SPAN = 10
 
 
-def _q419_oracle() -> str:
+def _span_sl_ctes() -> str:
+    """The shared DuckDB CTE chain q419/q420 build on: positional
+    md5 shingles -> cross-doc sharedness -> running-max interval
+    merge -> per-doc list of merged spans >= EXCISE_MIN_SPAN tokens
+    (`sl`: doc_id, spans, n_spans, tokens_removed)."""
     n, L = SPAN_N, EXCISE_MIN_SPAN
     gram = " || ' ' || ".join(f"w{j + 1}" for j in range(n))
     cols = ", ".join(f"toks[i+{j}] AS w{j + 1}" for j in range(n))
-    return f"""
-    WITH sh AS MATERIALIZED (
+    return f"""sh AS MATERIALIZED (
       SELECT doc_id, i AS pos, md5({gram}) AS s
       FROM (
         SELECT doc_id, i, {cols}
@@ -3020,7 +3023,12 @@ def _q419_oracle() -> str:
              CAST(count(*) AS BIGINT) AS n_spans,
              CAST(sum(e - s + 1) AS BIGINT) AS tokens_removed
       FROM spans GROUP BY doc_id
-    ),
+    )"""
+
+
+def _q419_oracle() -> str:
+    return f"""
+    WITH {_span_sl_ctes()},
     tok AS (
       SELECT d.doc_id, t.i, d.toks[t.i] AS w
       FROM (SELECT doc_id, string_split(text, ' ') AS toks
@@ -3090,3 +3098,104 @@ def q419_span_excision(spark, sf_dir):
         "tokens_removed",
         F.md5("new_text").alias("new_md5"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q420 — excision side-effect audit (gate flips caused by the rewrite)
+# --------------------------------------------------------------------------
+EXCISE_GATE_MIN = 40  # the length gate re-checked after excision
+
+
+def _q420_oracle() -> str:
+    L = EXCISE_GATE_MIN
+    return f"""
+    WITH {_span_sl_ctes()},
+    d AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS ntok
+      FROM documents
+    ),
+    j AS (
+      SELECT d.source, d.ntok,
+             coalesce(sl.tokens_removed, 0) AS removed
+      FROM d LEFT JOIN sl USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (removed > 0) AS BIGINT)
+             AS n_rewritten,
+           CAST(count(*) FILTER (ntok >= {L}) AS BIGINT)
+             AS gate_pass_before,
+           CAST(count(*) FILTER (ntok - removed >= {L}) AS BIGINT)
+             AS gate_pass_after,
+           CAST(count(*) FILTER (ntok >= {L}
+                                 AND ntok - removed < {L}) AS BIGINT)
+             AS flipped_to_fail,
+           CAST(sum(ntok) AS BIGINT) AS tokens_before,
+           CAST(sum(ntok - removed) AS BIGINT) AS tokens_after
+    FROM j
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query(
+    "q420_excision_gate_flip_audit",
+    oracle=_q420_oracle(),
+    tags=("dedup", "audit", "semantics", "llm", "operator"),
+)
+def q420_excision_gate_flip_audit(spark, sf_dir):
+    """Excision side-effect audit (q420) — the composition question
+    q419 raises and q414 taught us to ask: a rewrite stage changes
+    what downstream GATES see. Per source: how many docs pass a
+    {EXCISE_GATE_MIN}-token length gate before vs after span
+    excision, and how many FLIP from pass to fail because excision
+    removed their duplicated mass (flips are one-directional —
+    excision only shrinks). A curation chain that gates before
+    excision keeps those docs; gating after drops them: this audit
+    prices that ordering decision, the span-stage instance of the
+    q414 commutativity census.
+
+    SCALE DESIGN: the q419 span-list chain (shingle-grain, per-doc
+    windows) plus one LEFT join on the unique id and a source-grain
+    aggregate — no text rebuild needed: the gate reads token COUNTS,
+    so after = before - removed exactly (disjoint merged spans)."""
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.llm.dedup import excise_duplicated_spans
+
+    L = EXCISE_GATE_MIN
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sl = excise_duplicated_spans(
+        docs, "text", "doc_id", n=SPAN_N, min_span_tokens=EXCISE_MIN_SPAN
+    ).select("doc_id", "tokens_removed")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("ntok"),
+    )
+    j = d.join(sl, "doc_id", "left").select(
+        "source",
+        "ntok",
+        F.coalesce("tokens_removed", F.lit(0)).alias("removed"),
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            cnt(F.col("removed") > 0).alias("n_rewritten"),
+            cnt(F.col("ntok") >= L).alias("gate_pass_before"),
+            cnt(F.col("ntok") - F.col("removed") >= L).alias(
+                "gate_pass_after"
+            ),
+            cnt(
+                (F.col("ntok") >= L)
+                & (F.col("ntok") - F.col("removed") < L)
+            ).alias("flipped_to_fail"),
+            F.sum("ntok").cast("long").alias("tokens_before"),
+            F.sum(F.col("ntok") - F.col("removed"))
+            .cast("long")
+            .alias("tokens_after"),
+        )
+        .orderBy("source")
+    )

@@ -1189,3 +1189,80 @@ def test_q419_matches_python_replica(spark):
     assert all(
         r["tokens_removed"] <= r["old_tokens"] for r in rows.values()
     )
+
+
+def test_q420_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import (
+        EXCISE_GATE_MIN,
+        EXCISE_MIN_SPAN,
+        SPAN_N,
+    )
+
+    rows = {
+        r["source"]: r.asDict()
+        for r in QUERIES["q420_excision_gate_flip_audit"]
+        .fn(spark, SF_T2)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, source, text FROM '{DOCS}'"
+    ).fetchall()
+    con.close()
+
+    n, Ls, Lg = SPAN_N, EXCISE_MIN_SPAN, EXCISE_GATE_MIN
+    grams: dict = {}
+    starts = {}
+    for i, _src, t in docs:
+        w = t.split(" ")
+        starts[i] = [
+            " ".join(w[j : j + n]) for j in range(len(w) - n + 1)
+        ]
+        for g in set(starts[i]):
+            grams.setdefault(g, set()).add(i)
+    shared = {g for g, ds in grams.items() if len(ds) >= 2}
+
+    agg: dict = {}
+    for i, src, t in docs:
+        w = t.split(" ")
+        pos = [j for j, g in enumerate(starts[i]) if g in shared]
+        spans = []
+        for p in pos:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + n - 1)
+            else:
+                spans.append([p, p + n - 1])
+        removed = sum(
+            e - s + 1 for s, e in spans if e - s + 1 >= Ls
+        )
+        a = agg.setdefault(src, [0] * 7)
+        a[0] += 1
+        a[1] += removed > 0
+        a[2] += len(w) >= Lg
+        a[3] += len(w) - removed >= Lg
+        a[4] += len(w) >= Lg and len(w) - removed < Lg
+        a[5] += len(w)
+        a[6] += len(w) - removed
+    keys = (
+        "n_docs",
+        "n_rewritten",
+        "gate_pass_before",
+        "gate_pass_after",
+        "flipped_to_fail",
+        "tokens_before",
+        "tokens_after",
+    )
+    assert set(rows) == set(agg)
+    for src, vals in agg.items():
+        for k, v in zip(keys, vals):
+            assert rows[src][k] == v, (src, k)
+    # the ordering decision is non-vacuous, and flips are exactly the
+    # pass-before minus pass-after gap (one-directional rewrite)
+    assert sum(r["flipped_to_fail"] for r in rows.values()) > 0
+    for r in rows.values():
+        assert (
+            r["gate_pass_before"] - r["gate_pass_after"]
+            == r["flipped_to_fail"]
+        )
