@@ -3199,3 +3199,143 @@ def q420_excision_gate_flip_audit(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q421 — carve representativeness audit (train/eval unigram drift)
+# --------------------------------------------------------------------------
+CARVE_MOD = 5  # md5-derived 20% eval carve (id-parity splits are
+CARVE_RES = 0  # DEGENERATE per source on this fixture — md5 required)
+
+
+def _q421_oracle() -> str:
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+               ::BIGINT % {CARVE_MOD} = {CARVE_RES} AS is_eval,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    c AS MATERIALIZED (
+      SELECT source, w,
+             CAST(count(*) FILTER (NOT is_eval) AS BIGINT) AS ct,
+             CAST(count(*) FILTER (is_eval) AS BIGINT) AS ce
+      FROM d GROUP BY source, w
+    ),
+    tot AS (
+      SELECT source,
+             CAST(sum(ct) AS BIGINT) AS nt,
+             CAST(sum(ce) AS BIGINT) AS ne,
+             CAST(count(*) FILTER (ct > 0) AS BIGINT) AS vt,
+             CAST(count(*) FILTER (ce > 0) AS BIGINT) AS ve,
+             CAST(sum(ce) FILTER (ct = 0) AS BIGINT) AS oov,
+             CAST(sum(ct) AS BIGINT) * CAST(sum(ce) AS BIGINT)
+               AS den
+      FROM c GROUP BY source
+    ),
+    l1 AS (
+      SELECT c.source,
+             sum(abs(c.ct * t.ne - c.ce * t.nt)) AS raw
+      FROM c JOIN tot t USING (source)
+      GROUP BY c.source
+    )
+    SELECT t.source,
+           t.nt AS train_tokens, t.ne AS eval_tokens,
+           t.vt AS train_vocab, t.ve AS eval_vocab,
+           CAST(l1.raw * 1000000 // t.den AS BIGINT) AS l1_ppm,
+           CAST(coalesce(t.oov, 0) * 1000000 // t.ne AS BIGINT)
+             AS oov_ppm
+    FROM tot t JOIN l1 USING (source)
+    WHERE t.nt > 0 AND t.ne > 0
+    ORDER BY t.source
+    """
+
+
+@query(
+    "q421_carve_representativeness",
+    oracle=_q421_oracle(),
+    tags=("splits", "audit", "llm", "operator"),
+)
+def q421_carve_representativeness(spark, sf_dir):
+    """Carve-representativeness audit (q421): is the held-out carve
+    distributionally exchangeable with what it evaluates? Per source,
+    the md5-derived 20% eval carve vs the train remainder: unigram L1
+    distance as an exact integer (sum |ct*Ne - ce*Nt|, scaled to ppm
+    of Nt*Ne — no floats anywhere), vocab sizes, and the eval OOV
+    mass (eval tokens absent from the train carve — the number that
+    says an eval metric will be judging unseen vocabulary). A fat
+    l1_ppm on one source means its carve is NOT a fair sample —
+    re-stratify before trusting per-source eval deltas.
+
+    SCALE DESIGN: one (source, token)-grain count aggregate (map-side
+    combinable; both carve counts as conditional sums in ONE pass —
+    no self-join of the corpus), one source-grain rollup; integer
+    throughout."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = docs.select(
+        "source",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+                16,
+                10,
+            ).cast("long")
+            % CARVE_MOD
+            == CARVE_RES
+        ).alias("is_eval"),
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+    )
+    c = d.groupBy("source", "w").agg(
+        F.sum(F.when(~F.col("is_eval"), 1).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+        F.sum(F.when(F.col("is_eval"), 1).otherwise(0))
+        .cast("long")
+        .alias("ce"),
+    )
+    tot = c.groupBy("source").agg(
+        F.sum("ct").cast("long").alias("nt"),
+        F.sum("ce").cast("long").alias("ne"),
+        F.sum(F.when(F.col("ct") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("vt"),
+        F.sum(F.when(F.col("ce") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ve"),
+        F.coalesce(
+            F.sum(F.when(F.col("ct") == 0, F.col("ce"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("oov"),
+    )
+    l1 = (
+        c.join(tot.select("source", "nt", "ne"), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("ct") * F.col("ne")
+                    - F.col("ce") * F.col("nt")
+                )
+            )
+            .cast("long")
+            .alias("raw")
+        )
+    )
+    return (
+        tot.join(l1, "source")
+        .filter((F.col("nt") > 0) & (F.col("ne") > 0))
+        .select(
+            "source",
+            F.col("nt").alias("train_tokens"),
+            F.col("ne").alias("eval_tokens"),
+            F.col("vt").alias("train_vocab"),
+            F.col("ve").alias("eval_vocab"),
+            F.expr("raw * 1000000 DIV (nt * ne)").alias("l1_ppm"),
+            F.expr("oov * 1000000 DIV ne").alias("oov_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -1266,3 +1266,62 @@ def test_q420_matches_python_replica(spark):
             r["gate_pass_before"] - r["gate_pass_after"]
             == r["flipped_to_fail"]
         )
+
+
+def test_q421_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import (
+        CARVE_MOD,
+        CARVE_RES,
+    )
+
+    rows = {
+        r["source"]: r.asDict()
+        for r in QUERIES["q421_carve_representativeness"]
+        .fn(spark, SF_T2)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, source, text FROM '{DOCS}'"
+    ).fetchall()
+    con.close()
+
+    counts: dict = {}
+    for i, src, t in docs:
+        is_eval = (
+            int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
+            % CARVE_MOD
+            == CARVE_RES
+        )
+        for w in t.split(" "):
+            k = counts.setdefault(src, {}).setdefault(w, [0, 0])
+            k[1 if is_eval else 0] += 1
+
+    for src, voc in counts.items():
+        nt = sum(v[0] for v in voc.values())
+        ne = sum(v[1] for v in voc.values())
+        if not (nt and ne):
+            assert src not in rows
+            continue
+        raw = sum(
+            abs(v[0] * ne - v[1] * nt) for v in voc.values()
+        )
+        oov = sum(v[1] for v in voc.values() if v[0] == 0)
+        g = rows[src]
+        assert g["train_tokens"] == nt
+        assert g["eval_tokens"] == ne
+        assert g["train_vocab"] == sum(
+            1 for v in voc.values() if v[0] > 0
+        )
+        assert g["eval_vocab"] == sum(
+            1 for v in voc.values() if v[1] > 0
+        )
+        assert g["l1_ppm"] == raw * 1_000_000 // (nt * ne)
+        assert g["oov_ppm"] == oov * 1_000_000 // ne
+    # every source produced both carves on this fixture, and the
+    # audit registers genuine (nonzero) drift and OOV mass
+    assert set(rows) == set(counts)
+    assert all(r["l1_ppm"] > 0 for r in rows.values())
+    assert any(r["oov_ppm"] > 0 for r in rows.values())
