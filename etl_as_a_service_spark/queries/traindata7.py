@@ -3339,3 +3339,102 @@ def q421_carve_representativeness(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q422 — recency-weighted corpus value (freshness-decayed token mass)
+# --------------------------------------------------------------------------
+# value of a batch at age a (newest = 0) is 0.5^a; scaled by
+# 2^(INGEST_BATCHES-1) everything is an exact integer on both engines
+RECENCY_SCALE = 1 << (INGEST_BATCHES - 1)
+
+
+def _q422_oracle() -> str:
+    k = INGEST_BATCHES
+    w = " ".join(
+        f"WHEN {b} THEN {1 << b}" for b in range(k)
+    )  # batch b has age k-1-b -> weight 2^b (scaled by 2^(k-1))
+    return f"""
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    d AS MATERIALIZED (
+      SELECT source,
+             least(CAST(floor(doc_id * {k}.0 / (mx.m + 1)) AS BIGINT),
+                   {k - 1}) AS batch,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      FROM documents CROSS JOIN mx
+    )
+    SELECT source,
+           CAST(sum(ntok) AS BIGINT) AS raw_tokens,
+           CAST(sum(ntok) FILTER (batch = {k - 1}) AS BIGINT)
+             AS newest_tokens,
+           CAST(sum(ntok * CASE batch {w} END) AS BIGINT)
+             AS effective_x{RECENCY_SCALE},
+           CAST(sum(ntok * CASE batch {w} END) * 1000000
+                // (sum(ntok) * {RECENCY_SCALE}) AS BIGINT)
+             AS effective_ppm
+    FROM d
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query(
+    "q422_recency_weighted_value",
+    oracle=_q422_oracle(),
+    tags=("mixing", "freshness", "planning", "llm", "operator"),
+)
+def q422_recency_weighted_value(spark, sf_dir):
+    """Recency-weighted corpus value (q422): how much is each source
+    worth when freshness decays stale crawls — the freshness
+    companion to q411's repeat decay, priced on the q400 ingest grid
+    (monotone-id batch thirds): a batch at age a (newest = 0) is
+    worth 0.5^a of its token mass. Scaling by 2^(k-1) makes every
+    weight an INTEGER (batch b -> 2^b), so the whole ledger — raw
+    mass, newest-batch mass, effective mass, and the effective/raw
+    ratio in ppm — is exact integer arithmetic on both engines.
+    A source with low effective_ppm is carried by stale batches; its
+    mixing weight (q146/q352) should discount accordingly.
+
+    SCALE DESIGN: one corpus scan to (source, batch, ntok) with a
+    1-row max-id broadcast, one source-grain aggregate — map-side
+    combinable throughout."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    k = INGEST_BATCHES
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    d = docs.crossJoin(F.broadcast(mx)).select(
+        "source",
+        F.least(
+            F.floor(F.col("doc_id") * float(k) / (F.col("m") + 1))
+            .cast("long"),
+            F.lit(k - 1),
+        ).alias("batch"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ntok"),
+    )
+    wexpr = F.when(F.col("batch") == 0, F.lit(1))
+    for b in range(1, k):
+        wexpr = wexpr.when(F.col("batch") == b, F.lit(1 << b))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum("ntok").cast("long").alias("raw_tokens"),
+            F.sum(F.when(F.col("batch") == k - 1, F.col("ntok")))
+            .cast("long")
+            .alias("newest_tokens"),
+            F.sum(F.col("ntok") * wexpr)
+            .cast("long")
+            .alias(f"effective_x{RECENCY_SCALE}"),
+        )
+        .select(
+            "source",
+            "raw_tokens",
+            "newest_tokens",
+            f"effective_x{RECENCY_SCALE}",
+            F.expr(
+                f"effective_x{RECENCY_SCALE} * 1000000 DIV "
+                f"(raw_tokens * {RECENCY_SCALE})"
+            ).alias("effective_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -1325,3 +1325,51 @@ def test_q421_matches_python_replica(spark):
     assert set(rows) == set(counts)
     assert all(r["l1_ppm"] > 0 for r in rows.values())
     assert any(r["oov_ppm"] > 0 for r in rows.values())
+
+
+def test_q422_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import (
+        INGEST_BATCHES as K,
+        RECENCY_SCALE,
+    )
+
+    rows = {
+        r["source"]: r.asDict()
+        for r in QUERIES["q422_recency_weighted_value"]
+        .fn(spark, SF_T2)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, source, text FROM '{DOCS}'"
+    ).fetchall()
+    con.close()
+
+    mx = max(i for i, _s, _t in docs)
+    agg: dict = {}
+    for i, src, t in docs:
+        b = min(int(i * K / (mx + 1)), K - 1)
+        n = len(t.split(" "))
+        a = agg.setdefault(src, [0, 0, 0])
+        a[0] += n
+        a[1] += n if b == K - 1 else 0
+        a[2] += n * (1 << b)
+    assert set(rows) == set(agg)
+    for src, (raw, newest, eff) in agg.items():
+        g = rows[src]
+        assert g["raw_tokens"] == raw
+        assert g["newest_tokens"] == (newest or g["newest_tokens"])
+        if newest == 0:
+            assert g["newest_tokens"] is None or g["newest_tokens"] == 0
+        else:
+            assert g["newest_tokens"] == newest
+        assert g[f"effective_x{RECENCY_SCALE}"] == eff
+        assert g["effective_ppm"] == eff * 1_000_000 // (
+            raw * RECENCY_SCALE
+        )
+        # effective value is bounded by (newest-weight) x raw
+        assert g["effective_ppm"] <= 1_000_000
+    # grid is non-degenerate: sources span multiple effective ratios
+    assert len({r["effective_ppm"] for r in rows.values()}) > 1
