@@ -1373,3 +1373,71 @@ def test_q422_matches_python_replica(spark):
         assert g["effective_ppm"] <= 1_000_000
     # grid is non-degenerate: sources span multiple effective ratios
     assert len({r["effective_ppm"] for r in rows.values()}) > 1
+
+
+def test_q409_probe_streams_equal_batch(spark, tmp_path):
+    """The q409 probe is per-document independent — every candidate
+    pair depends only on (one batch doc, the static registry side) —
+    so the SAME kernel runs as a foreachBatch stage over a stream of
+    incoming docs against the static corpus and the union of
+    per-micro-batch pair sets equals the one-shot batch run exactly
+    (the q98 incremental contract, stream face)."""
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.llm.dedup import (
+        incremental_minhash_pairs_portable,
+    )
+
+    docs = spark.read.parquet(DOCS)
+    probe = docs.filter(F.col("doc_id") % 41 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("RECRAWL "), F.col("text")).alias("text"),
+    )
+    src = str(tmp_path / "probe_src")
+    # two chunk files -> two micro-batches under maxFilesPerTrigger=1
+    probe.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        src
+    )
+    probe.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    got: set = set()
+    n_batches = []
+
+    def probe_batch(bdf, epoch_id):
+        pairs = incremental_minhash_pairs_portable(
+            seen=docs.select("doc_id", "text"),
+            batch=bdf,
+            n_perms=8,
+            band_rows=2,
+            shingle_n=3,
+            salt="imh",
+        ).collect()
+        got.update((r["batch_id"], r["seen_id"]) for r in pairs)
+        n_batches.append(len(pairs))
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(probe_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    want = {
+        (r["batch_id"], r["seen_id"])
+        for r in incremental_minhash_pairs_portable(
+            seen=docs.select("doc_id", "text"),
+            batch=probe,
+            n_perms=8,
+            band_rows=2,
+            shingle_n=3,
+            salt="imh",
+        ).collect()
+    }
+    assert got == want
+    assert want, "probe produced no pairs on this fixture"
+    assert len(n_batches) >= 2, "stream did not split into micro-batches"
