@@ -3438,3 +3438,190 @@ def q422_recency_weighted_value(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q423 — edge triangle-support census + k-truss candidate menu
+# --------------------------------------------------------------------------
+TRUSS_MENU = (3, 4, 5)
+
+
+def _q423_oracle() -> str:
+    menu = ", ".join(f"({k})" for k in TRUSS_MENU)
+    return f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS MATERIALIZED (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    tri AS MATERIALIZED (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM und e1
+      JOIN und e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
+      JOIN und e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+    ),
+    es AS MATERIALIZED (
+      SELECT u, v, count(*) AS sup FROM (
+        SELECT a AS u, b AS v FROM tri
+        UNION ALL SELECT a, c FROM tri
+        UNION ALL SELECT b, c FROM tri
+      ) GROUP BY u, v
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS edges_total FROM und
+    ),
+    trit AS (
+      SELECT CAST(count(*) AS BIGINT) AS tri_total FROM tri
+    ),
+    mx AS (
+      SELECT CAST(coalesce(max(sup), 0) AS BIGINT) AS max_support
+      FROM es
+    ),
+    menu(k) AS (VALUES {menu}),
+    perk AS (
+      SELECT m.k,
+             CAST(count(*) FILTER (es.sup >= m.k - 2) AS BIGINT) AS c
+      FROM menu m CROSS JOIN es GROUP BY m.k
+    )
+    SELECT CAST(m.k AS BIGINT) AS k,
+           tot.edges_total, trit.tri_total,
+           CAST(coalesce(p.c, 0) AS BIGINT)
+             AS truss_candidate_edges,
+           mx.max_support
+    FROM menu m
+    CROSS JOIN tot CROSS JOIN trit CROSS JOIN mx
+    LEFT JOIN perk p ON p.k = m.k
+    ORDER BY k
+    """
+
+
+@query(
+    "q423_edge_truss_menu",
+    oracle=_q423_oracle(),
+    tags=("graph", "triangles", "planning", "operator"),
+)
+def q423_edge_truss_menu(spark, sf_dir):
+    """Edge triangle-support census + k-truss candidate menu (q423):
+    the EDGE-grain companion to q270's node-grain LCC — per edge of
+    the co-purchase graph, how many triangles run through it
+    (support), rolled to the k-truss pruning menu: edges with
+    support >= k-2 are the candidate set the k-truss peel would
+    start from at each k. One-shot (support census, not the
+    iterative peel — the honest name), which is the number that
+    decides whether a truss-based community pass is worth running.
+
+    Engine enumerates triangles with the skew-proof degree-oriented
+    wedge join (out-degree O(sqrt E) on any graph — the q270
+    discipline); the oracle enumerates with simple id orientation;
+    per-edge support is orientation-INDEPENDENT (each triangle
+    increments its 3 canonical edges either way).
+
+    SCALE DESIGN: edge set materializes once; triangle edges ship as
+    canonical (min, max) pairs; support is one edge-grain aggregate;
+    the menu is literal-row math."""
+    from etl_as_a_service_spark.operators.graph import copurchase_edges
+
+    from etl_as_a_service_spark.catalog import load_tables
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    und = copurchase_edges(li, min_support=2).localCheckpoint()
+    sym = und.select(F.col("pa").alias("u")).union(
+        und.select(F.col("pb").alias("u"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e = (
+        und.join(
+            deg.select(F.col("u").alias("pa"), F.col("d").alias("da")),
+            "pa",
+        )
+        .join(
+            deg.select(F.col("u").alias("pb"), F.col("d").alias("db")),
+            "pb",
+        )
+        .select(
+            F.when(
+                F.struct(F.col("da"), F.col("pa"))
+                < F.struct(F.col("db"), F.col("pb")),
+                F.col("pa"),
+            )
+            .otherwise(F.col("pb"))
+            .alias("src"),
+            F.when(
+                F.struct(F.col("da"), F.col("pa"))
+                < F.struct(F.col("db"), F.col("pb")),
+                F.struct(F.col("db").alias("d"), F.col("pb").alias("id")),
+            )
+            .otherwise(
+                F.struct(F.col("da").alias("d"), F.col("pa").alias("id"))
+            )
+            .alias("dst_ord"),
+        )
+        .select(
+            "src", "dst_ord", F.col("dst_ord.id").alias("dst")
+        )
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst_ord") < F.col("e2.dst_ord")),
+        )
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    edges = (
+        tri.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(tri.select("a", "c"))
+        .union(tri.select("b", "c"))
+        .select(
+            F.least("x", "y").alias("u"),
+            F.greatest("x", "y").alias("v"),
+        )
+    )
+    es = edges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("sup"))
+    tot = und.agg(F.count(F.lit(1)).cast("long").alias("edges_total"))
+    trit = tri.agg(F.count(F.lit(1)).cast("long").alias("tri_total"))
+    mx = es.agg(
+        F.coalesce(F.max("sup"), F.lit(0))
+        .cast("long")
+        .alias("max_support")
+    )
+    menu = spark.createDataFrame([(k,) for k in TRUSS_MENU], "k long")
+    perk = (
+        es.crossJoin(F.broadcast(menu))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("sup") >= F.col("k") - 2, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("c")
+        )
+    )
+    return (
+        menu.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(trit))
+        .crossJoin(F.broadcast(mx))
+        .join(perk, "k", "left")
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "edges_total",
+            "tri_total",
+            F.coalesce("c", F.lit(0))
+            .cast("long")
+            .alias("truss_candidate_edges"),
+            "max_support",
+        )
+        .orderBy("k")
+    )

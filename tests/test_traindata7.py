@@ -1441,3 +1441,58 @@ def test_q409_probe_streams_equal_batch(spark, tmp_path):
     assert got == want
     assert want, "probe produced no pairs on this fixture"
     assert len(n_batches) >= 2, "stream did not split into micro-batches"
+
+
+def test_q423_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import TRUSS_MENU
+
+    rows = {
+        r["k"]: r.asDict()
+        for r in QUERIES["q423_edge_truss_menu"].fn(spark, SF_T2).collect()
+    }
+
+    con = duckdb.connect()
+    pairs = con.execute(
+        f"SELECT DISTINCT l_orderkey, l_partkey"
+        f" FROM '{SF_T2}/lineitem.parquet'"
+    ).fetchall()
+    con.close()
+
+    orders: dict = {}
+    for o, p in pairs:
+        orders.setdefault(o, set()).add(p)
+    from itertools import combinations
+
+    ecount: dict = {}
+    for ps in orders.values():
+        for a, b in combinations(sorted(ps), 2):
+            ecount[(a, b)] = ecount.get((a, b), 0) + 1
+    und = {e for e, c in ecount.items() if c >= 2}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    sup: dict = {}
+    tri_total = 0
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            if c > b:  # count each triangle once (a < b < c)
+                if (a, b) in und and (a, c) in und and (b, c) in und:
+                    tri_total += 1
+                    for e in ((a, b), (a, c), (b, c)):
+                        sup[e] = sup.get(e, 0) + 1
+    mx = max(sup.values(), default=0)
+    assert set(rows) == set(TRUSS_MENU)
+    for k in TRUSS_MENU:
+        g = rows[k]
+        assert g["edges_total"] == len(und)
+        assert g["tri_total"] == tri_total
+        assert g["truss_candidate_edges"] == sum(
+            1 for s in sup.values() if s >= k - 2
+        )
+        assert g["max_support"] == mx
+    # support census is non-vacuous and the menu is monotone
+    assert tri_total > 0
+    cs = [rows[k]["truss_candidate_edges"] for k in sorted(rows)]
+    assert cs == sorted(cs, reverse=True)
