@@ -3625,3 +3625,95 @@ def q423_edge_truss_menu(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+# --------------------------------------------------------------------------
+# q424 — event-type transition census (the Markov readout of a stream)
+# --------------------------------------------------------------------------
+def _q424_oracle() -> str:
+    return """
+    WITH e AS MATERIALIZED (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type AS cur,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+             ) AS prev
+      FROM e
+    ),
+    tr AS MATERIALIZED (
+      SELECT prev, cur, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM tr),
+    outd AS (
+      SELECT prev, CAST(sum(n) AS BIGINT) AS n_prev
+      FROM tr GROUP BY prev
+    )
+    SELECT tr.prev, tr.cur, tr.n,
+           CAST(tr.n * 1000000 // tot.total AS BIGINT) AS share_ppm,
+           CAST(tr.n * 1000000 // o.n_prev AS BIGINT) AS p_ppm
+    FROM tr CROSS JOIN tot JOIN outd o ON o.prev = tr.prev
+    ORDER BY tr.prev, tr.cur
+    """
+
+
+@query(
+    "q424_event_transition_census",
+    oracle=_q424_oracle(),
+    tags=("windows", "sequences", "audit", "operator"),
+)
+def q424_event_transition_census(spark, sf_dir):
+    """Event-type transition census (q424) — the first-order Markov
+    readout of the event stream: per (prev, next) event-type pair,
+    the transition count within each user's time-ordered sequence,
+    its share of all transitions, and the row-normalized transition
+    probability (both as integer ppm — exact on both engines). The
+    behavioral-model counterpart of the q96 funnel: a funnel asserts
+    ONE path, the transition matrix shows every path's mass — and
+    a drifting matrix between snapshots is the canary for
+    instrumentation changes upstream of any session-based feature.
+
+    Ordering is pinned to (epoch_us, event_id) so ties are
+    deterministic cross-engine (the q254 NULL/tie discipline).
+
+    SCALE DESIGN: one per-user lag window (bounded by events per
+    user), one pair-grain aggregate — map-side combinable; output is
+    |types|^2 rows."""
+    from pyspark.sql import Window
+
+    from etl_as_a_service_spark.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    tr = seq.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = tr.agg(F.sum("n").cast("long").alias("total"))
+    outd = tr.groupBy("prev").agg(
+        F.sum("n").cast("long").alias("n_prev")
+    )
+    return (
+        tr.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(outd), "prev")
+        .select(
+            "prev",
+            "cur",
+            "n",
+            F.expr("n * 1000000 DIV total").alias("share_ppm"),
+            F.expr("n * 1000000 DIV n_prev").alias("p_ppm"),
+        )
+        .orderBy("prev", "cur")
+    )

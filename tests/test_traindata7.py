@@ -1496,3 +1496,50 @@ def test_q423_matches_python_replica(spark):
     assert tri_total > 0
     cs = [rows[k]["truss_candidate_edges"] for k in sorted(rows)]
     assert cs == sorted(cs, reverse=True)
+
+
+def test_q424_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+
+    rows = {
+        (r["prev"], r["cur"]): r.asDict()
+        for r in QUERIES["q424_event_transition_census"]
+        .fn(spark, SF_T2)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, event_id, event_type, epoch_us(ts)"
+        f" FROM '{SF_T2}/events.parquet'"
+    ).fetchall()
+    con.close()
+
+    by_user: dict = {}
+    for u, eid, et, t in ev:
+        by_user.setdefault(u, []).append((t, eid, et))
+    tr: dict = {}
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            tr[(a, b)] = tr.get((a, b), 0) + 1
+    total = sum(tr.values())
+    outd: dict = {}
+    for (a, _b), n in tr.items():
+        outd[a] = outd.get(a, 0) + n
+
+    assert set(rows) == set(tr)
+    for (a, b), n in tr.items():
+        g = rows[(a, b)]
+        assert g["n"] == n
+        assert g["share_ppm"] == n * 1_000_000 // total
+        assert g["p_ppm"] == n * 1_000_000 // outd[a]
+    # row-normalized probabilities sum to ~1 per prev (floor loss
+    # bounded by the out-fanout), and the matrix is dense enough to
+    # be a real behavioral readout
+    prevs = {a for a, _ in rows}
+    for a in prevs:
+        s = sum(g["p_ppm"] for (x, _), g in rows.items() if x == a)
+        fan = sum(1 for (x, _) in rows if x == a)
+        assert 1_000_000 - fan < s <= 1_000_000
+    assert len(rows) >= len(prevs) ** 2 - len(prevs)
