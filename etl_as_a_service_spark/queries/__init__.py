@@ -91,7 +91,7 @@ from etl_as_a_service_spark.queries import traindata7  # noqa: E402,F401
 _ROTATE_FRONT = [
     # round-12 window: never-green leads — q49/q55/q148 (graduated
     # from rows-only via the q385 quantization recipe) and the new
-    # q400-q424 — then the stalest receipts (r2-era q56..q116, then
+    # q400-q425 — then the stalest receipts (r2-era q56..q116, then
     # r3-era q40..q74), sorted by (newest green round, number).
     "q49_lsh_ann_join",
     "q55_embedding_near_dups",
@@ -121,6 +121,7 @@ _ROTATE_FRONT = [
     "q422_recency_weighted_value",
     "q423_edge_truss_menu",
     "q424_event_transition_census",
+    "q425_decon_policy_menu",
     "q56_array_ops",
     "q57_csv_scan_parity",
     "q68_interval_range_frames",
@@ -142,7 +143,6 @@ _ROTATE_FRONT = [
     "q103_banded_range_join",
     "q108_weighted_sample",
     "q109_linear_interpolation",
-    "q112_mad_outliers",
 ]
 
 

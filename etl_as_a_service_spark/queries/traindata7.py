@@ -3717,3 +3717,274 @@ def q424_event_transition_census(spark, sf_dir):
         )
         .orderBy("prev", "cur")
     )
+
+
+# --------------------------------------------------------------------------
+# q425 — decontamination policy menu (url vs n-gram vs span, priced)
+# --------------------------------------------------------------------------
+DECON_URL_PAGES = 40  # the q359 page grid (floor(id/2) % 40 — NOT a
+#                       multiple of the eval modulus, the rehearsal lesson)
+DECON_NGRAM_MIN = 8  # n-gram policy: drop train docs sharing >= 8
+DECON_SPAN_MIN = 10  # span policy: drop on a shared run >= 10 tokens
+
+
+def _q425_oracle() -> str:
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, text,
+             doc_id % {DECON_MOD} = {DECON_RESIDUE} AS is_eval,
+             (doc_id // 2) % {DECON_URL_PAGES} AS curl,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      FROM documents
+    ),
+    sh AS MATERIALIZED (
+      SELECT doc_id, i AS pos, md5(w1 || ' ' || w2 || ' ' || w3) AS s
+      FROM (
+        SELECT doc_id, i, toks[i] AS w1, toks[i+1] AS w2,
+               toks[i+2] AS w3
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+             UNNEST(range(1, len(toks) - 1)) AS t(i)
+      )
+    ),
+    ev_sh AS MATERIALIZED (
+      SELECT DISTINCT sh.s FROM sh JOIN d USING (doc_id)
+      WHERE d.is_eval
+    ),
+    tr AS MATERIALIZED (
+      SELECT doc_id, curl, ntok FROM d WHERE NOT is_eval
+    ),
+    ev_curls AS (SELECT DISTINCT curl FROM d WHERE is_eval),
+    hits AS MATERIALIZED (
+      SELECT sh.doc_id, sh.pos, sh.s
+      FROM sh
+      JOIN tr ON tr.doc_id = sh.doc_id
+      WHERE sh.s IN (SELECT s FROM ev_sh)
+    ),
+    drop_url AS (
+      SELECT doc_id FROM tr
+      WHERE curl IN (SELECT curl FROM ev_curls)
+    ),
+    drop_ngram AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, count(DISTINCT s) AS k FROM hits GROUP BY 1
+      ) WHERE k >= {DECON_NGRAM_MIN}
+    ),
+    isl0 AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(
+               max(pos + 2) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -1) THEN 1 ELSE 0 END AS flag
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(flag) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS isle
+      FROM isl0
+    ),
+    drop_span AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, isle, max(pos) - min(pos) + 3 AS sp
+        FROM isl GROUP BY 1, 2
+      ) WHERE sp >= {DECON_SPAN_MIN}
+    ),
+    pol AS (
+      SELECT 'url' AS policy, doc_id FROM drop_url
+      UNION ALL SELECT 'ngram', doc_id FROM drop_ngram
+      UNION ALL SELECT 'span', doc_id FROM drop_span
+    ),
+    menu(policy) AS (VALUES ('url'), ('ngram'), ('span')),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS train_docs,
+             CAST(sum(ntok) AS BIGINT) AS train_tokens
+      FROM tr
+    ),
+    dropped AS (
+      SELECT p.policy,
+             CAST(count(*) AS BIGINT) AS dropped_docs,
+             CAST(sum(tr.ntok) AS BIGINT) AS dropped_tokens
+      FROM pol p JOIN tr USING (doc_id)
+      GROUP BY p.policy
+    ),
+    resid AS (
+      SELECT m.policy,
+             CAST(count(DISTINCT h.s) AS BIGINT) AS residual
+      FROM menu m
+      CROSS JOIN hits h
+      WHERE h.doc_id NOT IN (
+        SELECT doc_id FROM pol WHERE pol.policy = m.policy
+      )
+      GROUP BY m.policy
+    ),
+    evn AS (SELECT CAST(count(*) AS BIGINT) AS n_ev FROM ev_sh)
+    SELECT m.policy,
+           base.train_docs, base.train_tokens,
+           CAST(coalesce(dr.dropped_docs, 0) AS BIGINT)
+             AS dropped_docs,
+           CAST(coalesce(dr.dropped_tokens, 0) AS BIGINT)
+             AS dropped_tokens,
+           CAST(coalesce(dr.dropped_tokens, 0) * 1000000
+                // base.train_tokens AS BIGINT) AS drop_ppm,
+           CAST(coalesce(r.residual, 0) AS BIGINT)
+             AS residual_shingles,
+           CAST(coalesce(r.residual, 0) * 1000000 // evn.n_ev
+             AS BIGINT) AS residual_ppm
+    FROM menu m
+    CROSS JOIN base CROSS JOIN evn
+    LEFT JOIN dropped dr ON dr.policy = m.policy
+    LEFT JOIN resid r ON r.policy = m.policy
+    ORDER BY m.policy
+    """
+
+
+@query(
+    "q425_decon_policy_menu",
+    oracle=_q425_oracle(),
+    tags=("decontamination", "planning", "llm", "operator"),
+)
+def q425_decon_policy_menu(spark, sf_dir):
+    """Decontamination policy menu (q425): the three decon grains the
+    suite implements separately (URL-grain q359, n-gram-overlap,
+    contaminated-span) priced HEAD-TO-HEAD on one eval carve — per
+    policy: train docs/tokens dropped, and the metric that actually
+    decides (residual_shingles): how many eval shingles a kept train
+    doc still shares after the policy ran — remaining leakage. The
+    menu shows the real trade: URL-grain drops the most mass and
+    still leaks (provenance is not content), n-gram-overlap is the
+    tightest seal, span-grain sits between — and a decon pipeline
+    should be chosen from this table, not from folklore.
+
+    SCALE DESIGN: ONE positional-shingle frame feeds eval-set,
+    policy detection, and residual counts (the featurize-once rule);
+    eval membership is a shingle-keyed semi-join — never doc x doc;
+    span windows partition per doc; the final menu is 3-row math."""
+    from etl_as_a_service_spark.catalog import load_tables
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = docs.select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") % DECON_MOD == DECON_RESIDUE).alias(
+            "is_eval"
+        ),
+        (
+            (F.col("doc_id") / 2).cast("long") % DECON_URL_PAGES
+        ).alias("curl"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ntok"),
+    )
+    toks = F.split(F.col("text"), " ")
+    from etl_as_a_service_spark.llm.dedup import shingles_from_tokens
+
+    sh = docs.filter(F.size(toks) >= 3).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                shingles_from_tokens(toks, 3), lambda s: F.md5(s)
+            )
+        ).alias("pos", "s"),
+    )
+    ev_ids = d.filter(F.col("is_eval")).select("doc_id")
+    ev_sh = sh.join(ev_ids, "doc_id", "left_semi").select("s").distinct()
+    tr = d.filter(~F.col("is_eval")).select("doc_id", "curl", "ntok")
+    ev_curls = (
+        d.filter(F.col("is_eval")).select("curl").distinct()
+    )
+    hits = (
+        sh.join(tr.select("doc_id"), "doc_id", "left_semi")
+        .join(ev_sh, "s", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    drop_url = tr.join(F.broadcast(ev_curls), "curl", "left_semi").select(
+        "doc_id"
+    )
+    drop_ngram = (
+        hits.groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("k"))
+        .filter(F.col("k") >= DECON_NGRAM_MIN)
+        .select("doc_id")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = hits.withColumn(
+        "flag",
+        F.when(
+            F.col("pos")
+            > F.coalesce(
+                F.max(F.col("pos") + 2).over(w_prev), F.lit(-1)
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("isle", F.sum("flag").over(w_run))
+    drop_span = (
+        isl.groupBy("doc_id", "isle")
+        .agg((F.max("pos") - F.min("pos") + 3).alias("sp"))
+        .filter(F.col("sp") >= DECON_SPAN_MIN)
+        .select("doc_id")
+        .distinct()
+    )
+    pol = (
+        drop_url.withColumn("policy", F.lit("url"))
+        .unionByName(drop_ngram.withColumn("policy", F.lit("ngram")))
+        .unionByName(drop_span.withColumn("policy", F.lit("span")))
+        .localCheckpoint(eager=True)
+    )
+    menu = spark.createDataFrame(
+        [("url",), ("ngram",), ("span",)], "policy string"
+    )
+    base = tr.agg(
+        F.count(F.lit(1)).cast("long").alias("train_docs"),
+        F.sum("ntok").cast("long").alias("train_tokens"),
+    )
+    dropped = (
+        pol.join(tr, "doc_id")
+        .groupBy("policy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dropped_docs"),
+            F.sum("ntok").cast("long").alias("dropped_tokens"),
+        )
+    )
+    resid = (
+        hits.select("doc_id", "s")
+        .crossJoin(F.broadcast(menu))
+        .join(pol, ["policy", "doc_id"], "left_anti")
+        .groupBy("policy")
+        .agg(F.count_distinct("s").cast("long").alias("residual"))
+    )
+    evn = ev_sh.agg(F.count(F.lit(1)).cast("long").alias("n_ev"))
+    z = F.lit(0).cast("long")
+    return (
+        menu.crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(evn))
+        .join(F.broadcast(dropped), "policy", "left")
+        .join(F.broadcast(resid), "policy", "left")
+        .select(
+            "policy",
+            "train_docs",
+            "train_tokens",
+            F.coalesce("dropped_docs", z).alias("dropped_docs"),
+            F.coalesce("dropped_tokens", z).alias("dropped_tokens"),
+            F.expr(
+                "coalesce(dropped_tokens, 0) * 1000000"
+                " DIV train_tokens"
+            ).alias("drop_ppm"),
+            F.coalesce("residual", z).alias("residual_shingles"),
+            F.expr("coalesce(residual, 0) * 1000000 DIV n_ev").alias(
+                "residual_ppm"
+            ),
+        )
+        .orderBy("policy")
+    )

@@ -1543,3 +1543,85 @@ def test_q424_matches_python_replica(spark):
         fan = sum(1 for (x, _) in rows if x == a)
         assert 1_000_000 - fan < s <= 1_000_000
     assert len(rows) >= len(prevs) ** 2 - len(prevs)
+
+
+def test_q425_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import (
+        DECON_MOD,
+        DECON_NGRAM_MIN,
+        DECON_RESIDUE,
+        DECON_SPAN_MIN,
+        DECON_URL_PAGES,
+    )
+
+    rows = {
+        r["policy"]: r.asDict()
+        for r in QUERIES["q425_decon_policy_menu"]
+        .fn(spark, SF_T2)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    docs = con.execute(f"SELECT doc_id, text FROM '{DOCS}'").fetchall()
+    con.close()
+
+    def shingles(t):
+        w = t.split(" ")
+        return [
+            " ".join(w[j : j + 3]) for j in range(len(w) - 2)
+        ]
+
+    ev_ids = {i for i, _ in docs if i % DECON_MOD == DECON_RESIDUE}
+    ev_sh = {
+        g for i, t in docs if i in ev_ids for g in shingles(t)
+    }
+    ev_curls = {i // 2 % DECON_URL_PAGES for i in ev_ids}
+    tr = [(i, t) for i, t in docs if i not in ev_ids]
+    train_tokens = sum(len(t.split(" ")) for _, t in tr)
+
+    drops = {"url": set(), "ngram": set(), "span": set()}
+    hits_by_doc = {}
+    for i, t in tr:
+        st = shingles(t)
+        pos = [j for j, g in enumerate(st) if g in ev_sh]
+        hs = {g for g in st if g in ev_sh}
+        if hs:
+            hits_by_doc[i] = hs
+        if i // 2 % DECON_URL_PAGES in ev_curls:
+            drops["url"].add(i)
+        if len(hs) >= DECON_NGRAM_MIN:
+            drops["ngram"].add(i)
+        spans = []
+        for p in pos:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + 2)
+            else:
+                spans.append([p, p + 2])
+        if any(e - s + 1 >= DECON_SPAN_MIN for s, e in spans):
+            drops["span"].add(i)
+
+    ntok = {i: len(t.split(" ")) for i, t in docs}
+    for policy, dropped in drops.items():
+        g = rows[policy]
+        dt = sum(ntok[i] for i in dropped)
+        resid = set()
+        for i, hs in hits_by_doc.items():
+            if i not in dropped:
+                resid |= hs
+        assert g["train_docs"] == len(tr)
+        assert g["train_tokens"] == train_tokens
+        assert g["dropped_docs"] == len(dropped)
+        assert g["dropped_tokens"] == dt
+        assert g["drop_ppm"] == dt * 1_000_000 // train_tokens
+        assert g["residual_shingles"] == len(resid)
+        assert g["residual_ppm"] == len(resid) * 1_000_000 // len(
+            ev_sh
+        )
+    # every policy fires on this fixture, and dropping more mass
+    # never leaves MORE residual (the menu's internal consistency)
+    assert all(r["dropped_docs"] > 0 for r in rows.values())
+    by_drop = sorted(rows.values(), key=lambda r: r["dropped_tokens"])
+    assert by_drop[0]["residual_shingles"] >= by_drop[-1][
+        "residual_shingles"
+    ] or by_drop[0]["dropped_docs"] == by_drop[-1]["dropped_docs"]
