@@ -3988,3 +3988,137 @@ def q425_decon_policy_menu(spark, sf_dir):
         )
         .orderBy("policy")
     )
+
+
+# --------------------------------------------------------------------------
+# q426 — vocabulary growth census (Heaps' law on the ingest grid)
+# --------------------------------------------------------------------------
+def _q426_oracle() -> str:
+    k = INGEST_BATCHES
+    return f"""
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    d AS MATERIALIZED (
+      SELECT least(CAST(floor(doc_id * {k}.0 / (mx.m + 1)) AS BIGINT),
+                   {k - 1}) AS batch,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents CROSS JOIN mx
+    ),
+    fb AS MATERIALIZED (
+      SELECT w, min(batch) AS first_b, count(*) AS occ
+      FROM d GROUP BY w
+    ),
+    per AS (
+      SELECT batch,
+             CAST(count(*) AS BIGINT) AS tokens,
+             CAST(count(DISTINCT w) AS BIGINT) AS batch_vocab
+      FROM d GROUP BY batch
+    ),
+    nv AS (
+      SELECT first_b AS batch,
+             CAST(count(*) AS BIGINT) AS new_vocab,
+             CAST(sum(occ) AS BIGINT) AS mass_of_new
+      FROM fb GROUP BY first_b
+    ),
+    j AS (
+      SELECT p.batch, p.tokens, p.batch_vocab,
+             coalesce(nv.new_vocab, 0) AS new_vocab,
+             coalesce(nv.mass_of_new, 0) AS mass_of_new
+      FROM per p LEFT JOIN nv USING (batch)
+    )
+    SELECT batch,
+           tokens,
+           CAST(sum(tokens) OVER (
+             ORDER BY batch
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_tokens,
+           batch_vocab,
+           CAST(new_vocab AS BIGINT) AS new_vocab,
+           CAST(sum(new_vocab) OVER (
+             ORDER BY batch
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_vocab,
+           CAST(new_vocab * 1000000 // tokens AS BIGINT)
+             AS novelty_ppm,
+           CAST(mass_of_new AS BIGINT) AS mass_of_new
+    FROM j
+    ORDER BY batch
+    """
+
+
+@query(
+    "q426_vocab_growth_census",
+    oracle=_q426_oracle(),
+    tags=("corpus", "planning", "llm", "operator"),
+)
+def q426_vocab_growth_census(spark, sf_dir):
+    """Vocabulary growth census (q426) — Heaps' law measured on the
+    q400 ingest grid, token grain where q400's ledger is doc grain:
+    per batch, token mass, the batch's own vocab, the NEW vocabulary
+    it contributes (first-batch attribution via a token-grain min —
+    the q400 fingerprint discipline), the cumulative curve, and
+    novelty_ppm (new types per million tokens — the number that says
+    whether a tokenizer/vocab refresh is due as the corpus grows).
+    mass_of_new prices how much token mass those new types carry.
+
+    SCALE DESIGN: one token-grain aggregate (min batch + occurrence
+    count, map-side combinable) and one batch-grain rollup; the
+    cumulative window runs over |batches| LITERAL rows (3) — a
+    documented bounded-grain global window (plan-doctor allowlisted,
+    the q397 class)."""
+    from pyspark.sql import Window
+
+    from etl_as_a_service_spark.catalog import load_tables
+
+    k = INGEST_BATCHES
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    d = docs.crossJoin(F.broadcast(mx)).select(
+        F.least(
+            F.floor(F.col("doc_id") * float(k) / (F.col("m") + 1))
+            .cast("long"),
+            F.lit(k - 1),
+        ).alias("batch"),
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+    )
+    fb = d.groupBy("w").agg(
+        F.min("batch").alias("first_b"),
+        F.count(F.lit(1)).alias("occ"),
+    )
+    per = d.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("long").alias("tokens"),
+        F.count_distinct("w").cast("long").alias("batch_vocab"),
+    )
+    nv = fb.groupBy(F.col("first_b").alias("batch")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_vocab"),
+        F.sum("occ").cast("long").alias("mass_of_new"),
+    )
+    w = Window.orderBy("batch").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    z = F.lit(0).cast("long")
+    return (
+        per.join(nv, "batch", "left")
+        .select(
+            "batch",
+            "tokens",
+            "batch_vocab",
+            F.coalesce("new_vocab", z).alias("new_vocab"),
+            F.coalesce("mass_of_new", z).alias("mass_of_new"),
+        )
+        .select(
+            "batch",
+            "tokens",
+            F.sum("tokens").over(w).cast("long").alias("cum_tokens"),
+            "batch_vocab",
+            "new_vocab",
+            F.sum("new_vocab")
+            .over(w)
+            .cast("long")
+            .alias("cum_vocab"),
+            F.expr("new_vocab * 1000000 DIV tokens").alias(
+                "novelty_ppm"
+            ),
+            "mass_of_new",
+        )
+        .orderBy("batch")
+    )

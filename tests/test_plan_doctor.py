@@ -227,6 +227,10 @@ def test_manifest_plans_lint_clean(spark):
         # aggregate — documented bounded-grain global window, same
         # class as q352
         "q397_source_coverage_curve",
+        # q426: cumulative windows over the |INGEST_BATCHES|-row
+        # (3-row literal grid) batch aggregate — documented
+        # bounded-grain global window, same class as q397
+        "q426_vocab_growth_census",
     }
     bad = {}
     for name, qd in QUERIES.items():

@@ -1625,3 +1625,54 @@ def test_q425_matches_python_replica(spark):
     assert by_drop[0]["residual_shingles"] >= by_drop[-1][
         "residual_shingles"
     ] or by_drop[0]["dropped_docs"] == by_drop[-1]["dropped_docs"]
+
+
+def test_q426_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import (
+        INGEST_BATCHES as K,
+    )
+
+    rows = {
+        r["batch"]: r.asDict()
+        for r in QUERIES["q426_vocab_growth_census"]
+        .fn(spark, SF_T2)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    docs = con.execute(f"SELECT doc_id, text FROM '{DOCS}'").fetchall()
+    con.close()
+
+    mx = max(i for i, _ in docs)
+    per: dict = {b: [0, set()] for b in range(K)}
+    first: dict = {}
+    occ: dict = {}
+    for i, t in docs:
+        b = min(int(i * K / (mx + 1)), K - 1)
+        for w in t.split(" "):
+            per[b][0] += 1
+            per[b][1].add(w)
+            occ[w] = occ.get(w, 0) + 1
+            if w not in first or b < first[w]:
+                first[w] = b
+    assert set(rows) == set(range(K))
+    cum_t = cum_v = 0
+    for b in range(K):
+        new = [w for w, fb in first.items() if fb == b]
+        cum_t += per[b][0]
+        cum_v += len(new)
+        g = rows[b]
+        assert g["tokens"] == per[b][0]
+        assert g["cum_tokens"] == cum_t
+        assert g["batch_vocab"] == len(per[b][1])
+        assert g["new_vocab"] == len(new)
+        assert g["cum_vocab"] == cum_v
+        assert g["novelty_ppm"] == len(new) * 1_000_000 // per[b][0]
+        assert g["mass_of_new"] == sum(occ[w] for w in new)
+    # identities: the curve ends at the corpus vocab, and cumulative
+    # token mass at the corpus token mass
+    assert rows[K - 1]["cum_vocab"] == len(first)
+    assert rows[K - 1]["cum_tokens"] == sum(
+        p[0] for p in per.values()
+    )
