@@ -4122,3 +4122,134 @@ def q426_vocab_growth_census(spark, sf_dir):
         )
         .orderBy("batch")
     )
+
+
+# --------------------------------------------------------------------------
+# q427 — source length-profile similarity matrix (mixing interchangeability)
+# --------------------------------------------------------------------------
+LEN_BUCKET = 10  # decade buckets over the 10..100-token fixture range
+
+
+def _q427_oracle() -> str:
+    return f"""
+    WITH h AS MATERIALIZED (
+      SELECT source,
+             len(string_split(text, ' ')) // {LEN_BUCKET} AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    n AS MATERIALIZED (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1
+    ),
+    dense AS MATERIALIZED (
+      SELECT g.source, g.b, coalesce(h.c, 0) AS c
+      FROM (SELECT s.source, bb.b
+            FROM (SELECT DISTINCT source FROM h) s
+            CROSS JOIN (SELECT DISTINCT b FROM h) bb) g
+      LEFT JOIN h ON h.source = g.source AND h.b = g.b
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             sum(abs(a.c * nb.n - b.c * na.n)) AS raw
+      FROM dense a
+      JOIN dense b ON a.b = b.b AND a.source < b.source
+      JOIN n na ON na.source = a.source
+      JOIN n nb ON nb.source = b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.src_a, p.src_b,
+           CAST(p.raw * 1000000 // (na.n * nb.n) AS BIGINT)
+             AS l1_ppm
+    FROM pairs p
+    JOIN n na ON na.source = p.src_a
+    JOIN n nb ON nb.source = p.src_b
+    ORDER BY src_a, src_b
+    """
+
+
+@query(
+    "q427_source_length_similarity",
+    oracle=_q427_oracle(),
+    tags=("mixing", "audit", "llm", "operator"),
+)
+def q427_source_length_similarity(spark, sf_dir):
+    """Source length-profile similarity matrix (q427): pairwise L1
+    distance between per-source document-length histograms (decade
+    buckets), as exact integer ppm (the q421 cross-multiplied
+    discipline). Low-L1 pairs are INTERCHANGEABLE for mixing and
+    packing purposes — they can share a curriculum band or a packing
+    shard without skewing sequence-length statistics; a high-L1
+    outlier source needs its own length-aware treatment. The
+    matrix is the clustering pre-pass for source-group mixing.
+
+    NOTE on the join shape: the histogram is DENSIFIED over the
+    full source x bucket grid before pairing — a bucket missing on
+    one side must contribute |0 - c*n| mass, and the tempting
+    pair-join-then-coalesce form silently routes unmatched rows
+    into a NULL-partner group instead (caught in development).
+
+    SCALE DESIGN: the histogram is one source-grain aggregate
+    (|sources| x |buckets| rows — tiny regardless of corpus size);
+    the pair matrix is |sources|^2/2 literal-scale math."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    h = docs.select(
+        "source",
+        F.expr(f"size(split(text, ' ')) DIV {LEN_BUCKET}").alias("b"),
+    ).groupBy("source", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = h.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    grid = (
+        h.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(h.select("b").distinct()))
+    )
+    dense = grid.join(h, ["source", "b"], "left").select(
+        "source", "b", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    a = dense.select(
+        F.col("source").alias("src_a"),
+        F.col("b"),
+        F.col("c").alias("ca"),
+    )
+    b = dense.select(
+        F.col("source").alias("src_b"),
+        F.col("b"),
+        F.col("c").alias("cb"),
+    )
+    na = n.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    nb = n.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    pairs = (
+        a.join(
+            b,
+            on=[
+                a["b"] == b["b"],
+                F.col("src_a") < F.col("src_b"),
+            ],
+        )
+        .join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("ca") * F.col("nb")
+                    - F.col("cb") * F.col("na")
+                )
+            )
+            .cast("long")
+            .alias("raw")
+        )
+    )
+    return (
+        pairs.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.expr("raw * 1000000 DIV (na * nb)").alias("l1_ppm"),
+        )
+        .orderBy("src_a", "src_b")
+    )

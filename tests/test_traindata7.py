@@ -1676,3 +1676,57 @@ def test_q426_matches_python_replica(spark):
     assert rows[K - 1]["cum_tokens"] == sum(
         p[0] for p in per.values()
     )
+
+
+def test_q427_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import LEN_BUCKET
+
+    rows = {
+        (r["src_a"], r["src_b"]): r["l1_ppm"]
+        for r in QUERIES["q427_source_length_similarity"]
+        .fn(spark, SF_T2)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    docs = con.execute(f"SELECT source, text FROM '{DOCS}'").fetchall()
+    con.close()
+
+    h: dict = {}
+    for src, t in docs:
+        b = len(t.split(" ")) // LEN_BUCKET
+        h.setdefault(src, {})[b] = h.setdefault(src, {}).get(b, 0) + 1
+    srcs = sorted(h)
+    buckets = {b for v in h.values() for b in v}
+    n = {s: sum(h[s].values()) for s in srcs}
+    expected = {}
+    for i, s1 in enumerate(srcs):
+        for s2 in srcs[i + 1 :]:
+            raw = sum(
+                abs(
+                    h[s1].get(b, 0) * n[s2] - h[s2].get(b, 0) * n[s1]
+                )
+                for b in buckets
+            )
+            expected[(s1, s2)] = raw * 1_000_000 // (n[s1] * n[s2])
+    assert rows == expected
+    # the matrix is a real menu: distances spread, and a missing
+    # bucket on one side is counted (the densify regression guard) —
+    # if any (s1, s2) differs in bucket support, its distance must
+    # include that mass
+    assert len(set(rows.values())) > 1
+    for (s1, s2), v in expected.items():
+        only = [
+            b
+            for b in buckets
+            if (b in h[s1]) != (b in h[s2])
+        ]
+        if only:
+            floor_mass = sum(
+                (h[s1].get(b, 0) * n[s2] + h[s2].get(b, 0) * n[s1])
+                for b in only
+            )
+            assert v >= floor_mass * 1_000_000 // (
+                n[s1] * n[s2]
+            ) - 1
