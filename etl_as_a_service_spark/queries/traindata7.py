@@ -4253,3 +4253,119 @@ def q427_source_length_similarity(spark, sf_dir):
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q428 — join-order cost ledger (intermediate cardinality, measured)
+# --------------------------------------------------------------------------
+def _q428_oracle() -> str:
+    return """
+    WITH lo AS (
+      SELECT CAST(count(*) AS BIGINT) AS inter_rows,
+             CAST(sum(68 + len(l.l_returnflag) + len(l.l_linestatus)
+                      + 32 + len(o.o_orderstatus)) AS BIGINT)
+               AS inter_bytes
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    oc AS (
+      SELECT CAST(count(*) AS BIGINT) AS inter_rows,
+             CAST(sum(32 + len(o.o_orderstatus)
+                      + 20 + len(c.c_name) + len(c.c_mktsegment))
+               AS BIGINT) AS inter_bytes
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    fin AS (
+      SELECT CAST(count(*) AS BIGINT) AS final_rows
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT * FROM (
+      SELECT 'lineitem_orders_first' AS join_order,
+             lo.inter_rows, lo.inter_bytes, fin.final_rows
+      FROM lo CROSS JOIN fin
+      UNION ALL
+      SELECT 'orders_customer_first',
+             oc.inter_rows, oc.inter_bytes, fin.final_rows
+      FROM oc CROSS JOIN fin
+    ) ORDER BY join_order
+    """
+
+
+@query(
+    "q428_join_order_ledger",
+    oracle=_q428_oracle(),
+    tags=("planning", "joins", "relational", "operator"),
+)
+def q428_join_order_ledger(spark, sf_dir):
+    """Join-order cost ledger (q428) — the companion to q413 (which
+    picks the physical STRATEGY, this prices the ORDER): for the
+    lineitem–orders–customer chain, the EXACT intermediate
+    cardinality and byte mass (q413's declared cost model) of each
+    left-deep order, next to the shared final cardinality. This is
+    the ground truth a cost-based optimizer estimates from stats —
+    measured, it shows orders_customer_first carries a ~4x smaller
+    row count and ~5x smaller byte mass on this schema — the
+    difference between shuffling the fact table once or twice at
+    100 TB.
+
+    SCALE DESIGN: each order is ONE equi-join aggregated to a single
+    row (count + byte sum, map-side combinable after the join); no
+    intermediate materialization — the ledger prices the joins
+    without paying for them twice."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "orders", "customer"]
+    )
+    li, o, c = t["lineitem"], t["orders"], t["customer"]
+    lo = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("inter_rows"),
+            F.sum(
+                F.lit(68)
+                + F.length("l_returnflag")
+                + F.length("l_linestatus")
+                + F.lit(32)
+                + F.length("o_orderstatus")
+            )
+            .cast("long")
+            .alias("inter_bytes"),
+        )
+        .select(
+            F.lit("lineitem_orders_first").alias("join_order"),
+            "inter_rows",
+            "inter_bytes",
+        )
+    )
+    oc = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("inter_rows"),
+            F.sum(
+                F.lit(32)
+                + F.length("o_orderstatus")
+                + F.lit(20)
+                + F.length("c_name")
+                + F.length("c_mktsegment")
+            )
+            .cast("long")
+            .alias("inter_bytes"),
+        )
+        .select(
+            F.lit("orders_customer_first").alias("join_order"),
+            "inter_rows",
+            "inter_bytes",
+        )
+    )
+    fin = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .agg(F.count(F.lit(1)).cast("long").alias("final_rows"))
+    )
+    return (
+        lo.unionByName(oc)
+        .crossJoin(F.broadcast(fin))
+        .orderBy("join_order")
+    )

@@ -1730,3 +1730,56 @@ def test_q427_matches_python_replica(spark):
             assert v >= floor_mass * 1_000_000 // (
                 n[s1] * n[s2]
             ) - 1
+
+
+def test_q428_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+
+    rows = {
+        r["join_order"]: r.asDict()
+        for r in QUERIES["q428_join_order_ledger"]
+        .fn(spark, SF_T2)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    li = con.execute(
+        f"SELECT l_orderkey, l_returnflag, l_linestatus"
+        f" FROM '{SF_T2}/lineitem.parquet'"
+    ).fetchall()
+    od = con.execute(
+        f"SELECT o_orderkey, o_custkey, o_orderstatus"
+        f" FROM '{SF_T2}/orders.parquet'"
+    ).fetchall()
+    cu = con.execute(
+        f"SELECT c_custkey, c_name, c_mktsegment"
+        f" FROM '{SF_T2}/customer.parquet'"
+    ).fetchall()
+    con.close()
+
+    o_by_key = {ok: (ck, os_) for ok, ck, os_ in od}
+    c_by_key = {ck: (nm, seg) for ck, nm, seg in cu}
+
+    lo_rows = lo_bytes = 0
+    fin = 0
+    for ok, rf, ls in li:
+        if ok in o_by_key:
+            lo_rows += 1
+            _ck, os_ = o_by_key[ok]
+            lo_bytes += 68 + len(rf) + len(ls) + 32 + len(os_)
+            if o_by_key[ok][0] in c_by_key:
+                fin += 1
+    oc_rows = oc_bytes = 0
+    for _ok, ck, os_ in od:
+        if ck in c_by_key:
+            oc_rows += 1
+            nm, seg = c_by_key[ck]
+            oc_bytes += 32 + len(os_) + 20 + len(nm) + len(seg)
+
+    g1 = rows["lineitem_orders_first"]
+    assert (g1["inter_rows"], g1["inter_bytes"]) == (lo_rows, lo_bytes)
+    g2 = rows["orders_customer_first"]
+    assert (g2["inter_rows"], g2["inter_bytes"]) == (oc_rows, oc_bytes)
+    assert g1["final_rows"] == g2["final_rows"] == fin
+    # the ledger's point: the orders differ materially
+    assert g2["inter_rows"] < g1["inter_rows"]
