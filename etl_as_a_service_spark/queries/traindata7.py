@@ -4369,3 +4369,130 @@ def q428_join_order_ledger(spark, sf_dir):
         .crossJoin(F.broadcast(fin))
         .orderBy("join_order")
     )
+
+
+# --------------------------------------------------------------------------
+# q429 — schema completeness profile (null + distinct census, all tables)
+# --------------------------------------------------------------------------
+#: table -> profiled columns (ts/embedding excluded: timestamp
+#: normalization and array equality are exercised by their own
+#: operator families; the profile sticks to scalar columns)
+PROFILE_COLS = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": [
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    ],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": [
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        "p_size",
+        "p_retailprice",
+    ],
+    "orders": [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+    ],
+    "lineitem": [
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_returnflag",
+        "l_linestatus",
+    ],
+    "events": ["event_id", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "label"],
+}
+
+
+def _q429_oracle() -> str:
+    parts = []
+    for t, cols in PROFILE_COLS.items():
+        aggs = ", ".join(
+            f"count({c}) AS nn_{i}, count(DISTINCT {c}) AS nd_{i}"
+            for i, c in enumerate(cols)
+        )
+        rows = " UNION ALL ".join(
+            f"SELECT '{t}' AS tbl, '{c}' AS col, n_rows, "
+            f"CAST(n_rows - nn_{i} AS BIGINT) AS n_nulls, "
+            f"CAST((n_rows - nn_{i}) * 1000000 // "
+            f"greatest(n_rows, 1) AS BIGINT) AS null_ppm, "
+            f"CAST(nd_{i} AS BIGINT) AS n_distinct FROM agg_{t}"
+            for i, c in enumerate(cols)
+        )
+        parts.append(
+            f"agg_{t} AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,"
+            f" {aggs} FROM {t})"
+        )
+        parts.append(f"rows_{t} AS ({rows})")
+    ctes = ",\n    ".join(parts)
+    union = " UNION ALL ".join(
+        f"SELECT * FROM rows_{t}" for t in PROFILE_COLS
+    )
+    return f"""
+    WITH {ctes}
+    SELECT * FROM ({union}) ORDER BY tbl, col
+    """
+
+
+@query(
+    "q429_completeness_profile",
+    oracle=_q429_oracle(),
+    tags=("quality", "profiling", "operator"),
+)
+def q429_completeness_profile(spark, sf_dir):
+    """Schema completeness profile (q429) — the data-profiling
+    staple run before any schema is trusted: per (table, column)
+    across all ten fixture tables, null counts (ppm) and exact
+    distinct cardinality. Distinct counts are the CBO's first-order
+    stat (join selectivity), null ppm the contract monitor (a column
+    drifting from 0 nulls is an upstream regression). ts/embedding
+    columns are excluded by design — timestamp normalization and
+    array equality are their own operator families.
+
+    SCALE DESIGN: ONE scan per table computing every column's
+    count/distinct in a single aggregate (map-side partials); the
+    unpivot to (table, column) rows is literal-width math. At 100 TB
+    the same numbers come incrementally from the mergeable-sketch
+    faces (HLL for distinct) — this is the exact-count form."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    tables = load_tables(spark, sf_dir, list(PROFILE_COLS))
+    out = None
+    for t, cols in PROFILE_COLS.items():
+        df = tables[t]
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+        for i, c in enumerate(cols):
+            aggs.append(F.count(c).cast("long").alias(f"nn_{i}"))
+            aggs.append(
+                F.count_distinct(c).cast("long").alias(f"nd_{i}")
+            )
+        a = df.agg(*aggs)
+        for i, c in enumerate(cols):
+            row = a.select(
+                F.lit(t).alias("tbl"),
+                F.lit(c).alias("col"),
+                "n_rows",
+                (F.col("n_rows") - F.col(f"nn_{i}"))
+                .cast("long")
+                .alias("n_nulls"),
+                F.expr(
+                    f"(n_rows - nn_{i}) * 1000000"
+                    f" DIV greatest(n_rows, 1)"
+                ).alias("null_ppm"),
+                F.col(f"nd_{i}").alias("n_distinct"),
+            )
+            out = row if out is None else out.unionByName(row)
+    return out.orderBy("tbl", "col")

@@ -1783,3 +1783,42 @@ def test_q428_matches_python_replica(spark):
     assert g1["final_rows"] == g2["final_rows"] == fin
     # the ledger's point: the orders differ materially
     assert g2["inter_rows"] < g1["inter_rows"]
+
+
+def test_q429_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import PROFILE_COLS
+
+    rows = {
+        (r["tbl"], r["col"]): r.asDict()
+        for r in QUERIES["q429_completeness_profile"]
+        .fn(spark, SF_T2)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    for t, cols in PROFILE_COLS.items():
+        data = con.execute(
+            f"SELECT {', '.join(cols)} FROM '{SF_T2}/{t}.parquet'"
+        ).fetchall()
+        for i, c in enumerate(cols):
+            vals = [r[i] for r in data]
+            nn = sum(1 for v in vals if v is not None)
+            nd = len({v for v in vals if v is not None})
+            g = rows[(t, c)]
+            assert g["n_rows"] == len(vals)
+            assert g["n_nulls"] == len(vals) - nn
+            assert g["null_ppm"] == (len(vals) - nn) * 1_000_000 // max(
+                len(vals), 1
+            )
+            assert g["n_distinct"] == nd, (t, c)
+    con.close()
+    assert len(rows) == sum(len(c) for c in PROFILE_COLS.values())
+    # key columns are unique (distinct == rows): the profile catches
+    # what the integrity suite (q170) asserts
+    for t, key in (
+        ("orders", "o_orderkey"),
+        ("customer", "c_custkey"),
+        ("documents", "doc_id"),
+    ):
+        assert rows[(t, key)]["n_distinct"] == rows[(t, key)]["n_rows"]
