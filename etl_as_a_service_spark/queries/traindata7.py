@@ -4496,3 +4496,87 @@ def q429_completeness_profile(spark, sf_dir):
             )
             out = row if out is None else out.unionByName(row)
     return out.orderBy("tbl", "col")
+
+
+# --------------------------------------------------------------------------
+# q430 — aggregation-grain planner (result cardinality + group skew)
+# --------------------------------------------------------------------------
+AGG_GRAIN_MENU = (
+    ("event_type",),
+    ("user_id",),
+    ("event_type", "user_id"),
+    ("event_type", "day"),
+)
+
+
+def _q430_oracle() -> str:
+    parts = []
+    for cols in AGG_GRAIN_MENU:
+        name = "+".join(cols)
+        key = ", ".join(cols)
+        parts.append(f"""
+      SELECT '{name}' AS grain,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(max(k) AS BIGINT) AS max_group,
+             CAST(min(k) AS BIGINT) AS min_group,
+             CAST(max(k) * count(*) * 1000000 // sum(k) AS BIGINT)
+               AS skew_x_ppm
+      FROM (SELECT count(*) AS k FROM e GROUP BY {key})""")
+    union = " UNION ALL ".join(parts)
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT event_type, user_id,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events
+    )
+    SELECT * FROM ({union}) ORDER BY grain
+    """
+
+
+@query(
+    "q430_agg_grain_planner",
+    oracle=_q430_oracle(),
+    tags=("planning", "aggregation", "operator"),
+)
+def q430_agg_grain_planner(spark, sf_dir):
+    """Aggregation-grain planner (q430) — the agg-side pre-flight
+    the join-side suite already has (q379 join-key skew, q429
+    per-column distincts): per candidate groupBy key set, the result
+    cardinality (shuffle output volume), the largest and smallest
+    group, and skew_x_ppm = max_group / mean_group as integer ppm —
+    the number that says whether the grain needs salting before a
+    heavy per-group computation rides on it. Day derives from
+    integer epoch-µs floor division (portable; no date rendering).
+
+    SCALE DESIGN: one grain-cardinality aggregate per menu entry
+    (map-side combinable count-per-key then a 1-row rollup); the
+    menu is literal."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    e = ev.select(
+        "event_type",
+        "user_id",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+    )
+    out = None
+    for cols in AGG_GRAIN_MENU:
+        name = "+".join(cols)
+        per = e.groupBy(*cols).agg(F.count(F.lit(1)).alias("k"))
+        row = per.agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.max("k").cast("long").alias("max_group"),
+            F.min("k").cast("long").alias("min_group"),
+            F.expr(
+                "CAST(max(k) * count(*) * 1000000"
+                " DIV sum(k) AS BIGINT)"
+            ).alias("skew_x_ppm"),
+        ).select(
+            F.lit(name).alias("grain"),
+            "n_groups",
+            "max_group",
+            "min_group",
+            "skew_x_ppm",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("grain")

@@ -1822,3 +1822,44 @@ def test_q429_matches_python_replica(spark):
         ("documents", "doc_id"),
     ):
         assert rows[(t, key)]["n_distinct"] == rows[(t, key)]["n_rows"]
+
+
+def test_q430_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import AGG_GRAIN_MENU
+
+    rows = {
+        r["grain"]: r.asDict()
+        for r in QUERIES["q430_agg_grain_planner"]
+        .fn(spark, SF_T2)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, user_id, epoch_us(ts) // 86400000000"
+        f" FROM '{SF_T2}/events.parquet'"
+    ).fetchall()
+    con.close()
+
+    fields = {"event_type": 0, "user_id": 1, "day": 2}
+    for cols in AGG_GRAIN_MENU:
+        groups: dict = {}
+        for r in ev:
+            k = tuple(r[fields[c]] for c in cols)
+            groups[k] = groups.get(k, 0) + 1
+        sizes = list(groups.values())
+        g = rows["+".join(cols)]
+        assert g["n_groups"] == len(sizes)
+        assert g["max_group"] == max(sizes)
+        assert g["min_group"] == min(sizes)
+        assert g["skew_x_ppm"] == max(sizes) * len(
+            sizes
+        ) * 1_000_000 // sum(sizes)
+    # the menu shows a real trade: finer grains raise cardinality
+    # and (on this fixture) skew relative to the mean
+    assert (
+        rows["event_type+user_id"]["n_groups"]
+        > rows["event_type"]["n_groups"]
+    )
+    assert all(r["skew_x_ppm"] >= 1_000_000 for r in rows.values())
