@@ -4580,3 +4580,96 @@ def q430_agg_grain_planner(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("grain")
+
+
+# --------------------------------------------------------------------------
+# q431 — key-overlap profile (join selectivity, measured)
+# --------------------------------------------------------------------------
+KEY_PAIRS = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("documents", "doc_id", "embeddings", "vec_id"),
+)
+
+
+def _q431_oracle() -> str:
+    parts = []
+    for ta, ca, tb, cb in KEY_PAIRS:
+        name = f"{ta}.{ca}~{tb}.{cb}"
+        parts.append(f"""
+      SELECT '{name}' AS pair,
+             (SELECT CAST(count(DISTINCT {ca}) AS BIGINT)
+              FROM {ta}) AS keys_a,
+             (SELECT CAST(count(DISTINCT {cb}) AS BIGINT)
+              FROM {tb}) AS keys_b,
+             (SELECT CAST(count(*) AS BIGINT) FROM
+               (SELECT DISTINCT {ca} AS k FROM {ta}) a
+               JOIN (SELECT DISTINCT {cb} AS k FROM {tb}) b
+               USING (k)) AS keys_both""")
+    union = " UNION ALL ".join(parts)
+    return f"""
+    SELECT pair, keys_a, keys_b, keys_both,
+           CAST(keys_both * 1000000 // keys_a AS BIGINT)
+             AS contain_a_ppm,
+           CAST(keys_both * 1000000 // keys_b AS BIGINT)
+             AS contain_b_ppm
+    FROM ({union}) ORDER BY pair
+    """
+
+
+@query(
+    "q431_key_overlap_profile",
+    oracle=_q431_oracle(),
+    tags=("planning", "joins", "quality", "operator"),
+)
+def q431_key_overlap_profile(spark, sf_dir):
+    """Key-overlap profile (q431) — measured join selectivity, the
+    pairwise companion to q429's per-column distincts: for each
+    candidate join pair, distinct keys on each side, the overlap,
+    and both containment ratios (integer ppm). Containment 1e6 on
+    the FK side is referential integrity (the q170 assertion, here
+    as a number); a LOW overlap on a planned join is the
+    wasted-shuffle detector (most of both sides ships and matches
+    nothing — pre-filter by semi-join first); an UNPLANNED high
+    overlap (events.user_id ~ customer.c_custkey) flags key reuse
+    across domains that a blind join would silently exploit.
+
+    SCALE DESIGN: per pair, two distinct-projections and one
+    key-grain join — each column pruned at the scan; no row-level
+    data ever ships."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    tables = load_tables(
+        spark, sf_dir, sorted({t for p in KEY_PAIRS for t in (p[0], p[2])})
+    )
+    out = None
+    for ta, ca, tb, cb in KEY_PAIRS:
+        name = f"{ta}.{ca}~{tb}.{cb}"
+        a = tables[ta].select(F.col(ca).alias("k")).distinct()
+        b = tables[tb].select(F.col(cb).alias("k")).distinct()
+        na = a.agg(F.count(F.lit(1)).cast("long").alias("keys_a"))
+        nb = b.agg(F.count(F.lit(1)).cast("long").alias("keys_b"))
+        both = a.join(b, "k").agg(
+            F.count(F.lit(1)).cast("long").alias("keys_both")
+        )
+        row = (
+            na.crossJoin(nb)
+            .crossJoin(both)
+            .select(
+                F.lit(name).alias("pair"),
+                "keys_a",
+                "keys_b",
+                "keys_both",
+                F.expr("keys_both * 1000000 DIV keys_a").alias(
+                    "contain_a_ppm"
+                ),
+                F.expr("keys_both * 1000000 DIV keys_b").alias(
+                    "contain_b_ppm"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("pair")

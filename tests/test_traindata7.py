@@ -1863,3 +1863,48 @@ def test_q430_matches_python_replica(spark):
         > rows["event_type"]["n_groups"]
     )
     assert all(r["skew_x_ppm"] >= 1_000_000 for r in rows.values())
+
+
+def test_q431_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import KEY_PAIRS
+
+    rows = {
+        r["pair"]: r.asDict()
+        for r in QUERIES["q431_key_overlap_profile"]
+        .fn(spark, SF_T2)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    for ta, ca, tb, cb in KEY_PAIRS:
+        a = {
+            v
+            for (v,) in con.execute(
+                f"SELECT DISTINCT {ca} FROM '{SF_T2}/{ta}.parquet'"
+            ).fetchall()
+        }
+        b = {
+            v
+            for (v,) in con.execute(
+                f"SELECT DISTINCT {cb} FROM '{SF_T2}/{tb}.parquet'"
+            ).fetchall()
+        }
+        g = rows[f"{ta}.{ca}~{tb}.{cb}"]
+        assert g["keys_a"] == len(a)
+        assert g["keys_b"] == len(b)
+        assert g["keys_both"] == len(a & b)
+        assert g["contain_a_ppm"] == len(a & b) * 1_000_000 // len(a)
+        assert g["contain_b_ppm"] == len(a & b) * 1_000_000 // len(b)
+    con.close()
+    # referential integrity reads as containment 1e6 on the FK side
+    assert (
+        rows["lineitem.l_orderkey~orders.o_orderkey"][
+            "contain_a_ppm"
+        ]
+        == 1_000_000
+    )
+    # and the profile distinguishes FK containment from accidental
+    # cross-domain key reuse
+    acc = rows["events.user_id~customer.c_custkey"]
+    assert acc["contain_b_ppm"] < 1_000_000
