@@ -1486,15 +1486,15 @@ def _q408_oracle() -> str:
     tags=("dedup", "lsh", "planning", "llm", "operator"),
 )
 def q408_lsh_banding_planner(spark, sf_dir):
-    """LSH banding planner (q408) — the last knob of the tuning suite
-    (q379 skew, q380 Bloom, q390 watermark, q401 width, q402 tables):
-    price the MinHash (rows-per-band, bands) menu before a 100 TB
-    near-dup run commits. Per (r, b): the permutation count, the
-    corpus-derived hash-eval budget (n_perms x total shingles — the
-    signature stage's work), the bucket-entry volume (b x docs — the
-    band-join shuffle's left side), and the S-curve candidate
-    probability 1 - (1 - s^r)^b at similarity 0.3 / 0.5 / 0.8 — the
-    quantitative form of "r sharpens the knee, b lifts recall".
+    """LSH banding COST planner (q408) — the corpus-priced
+    extension of the q335 S-curve design tool: q335 answers "which
+    (b, r) catches similarity s" from geometry plus a doc count;
+    this prices what each menu entry COSTS on the actual corpus —
+    the hash-eval budget (n_perms x total shingle mass, the
+    signature stage's work, which needs the shingle-mass aggregate
+    q335 deliberately avoids) and the bucket-entry volume (b x docs,
+    the band-join shuffle's left side) — next to the same S-curve
+    columns so recall and cost read off one table.
     Exponentials are explicit multiplication trees (identical op
     sequence in both engines; general pow() is not correctly
     rounded — the q380 discipline).
