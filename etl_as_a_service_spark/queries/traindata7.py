@@ -4051,8 +4051,11 @@ def _q426_oracle() -> str:
     tags=("corpus", "planning", "llm", "operator"),
 )
 def q426_vocab_growth_census(spark, sf_dir):
-    """Vocabulary growth census (q426) — Heaps' law measured on the
-    q400 ingest grid, token grain where q400's ledger is doc grain:
+    """Vocabulary growth census (q426) — the ingest-grid face of
+    vocabulary growth (q250 fits the per-source Heaps exponent over
+    doc order; this attributes NEW types to ingest batches — the
+    operational refresh signal rather than the diversity fit), token
+    grain where q400's ledger is doc grain:
     per batch, token mass, the batch's own vocab, the NEW vocabulary
     it contributes (first-batch attribution via a token-grain min —
     the q400 fingerprint discipline), the cumulative curve, and
