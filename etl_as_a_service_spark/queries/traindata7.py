@@ -4676,3 +4676,105 @@ def q431_key_overlap_profile(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("pair")
+
+
+# --------------------------------------------------------------------------
+# q432 — prefix boilerplate census (header detection at position grain)
+# --------------------------------------------------------------------------
+PREFIX_TOKENS = 3
+
+
+def _q432_oracle() -> str:
+    k = PREFIX_TOKENS
+    gram = " || ' ' || ".join(f"toks[{j + 1}]" for j in range(k))
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT source, {gram} AS prefix
+      FROM (SELECT source, string_split(text, ' ') AS toks
+            FROM documents)
+      WHERE len(toks) >= {k}
+    ),
+    c AS (
+      SELECT source, prefix, CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY source, prefix
+    ),
+    top AS (
+      SELECT source,
+             max(lpad(CAST(n AS VARCHAR), 10, '0') || '|' || prefix)
+               AS win,
+             CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS distinct_prefixes
+      FROM c GROUP BY source
+    )
+    SELECT source, n_docs, distinct_prefixes,
+           substr(win, 12) AS top_prefix,
+           CAST(CAST(substr(win, 1, 10) AS BIGINT) AS BIGINT)
+             AS top_count,
+           CAST(CAST(substr(win, 1, 10) AS BIGINT) * 1000000
+                // n_docs AS BIGINT) AS top_share_ppm
+    FROM top
+    ORDER BY source
+    """
+
+
+@query(
+    "q432_prefix_boilerplate_census",
+    oracle=_q432_oracle(),
+    tags=("quality", "boilerplate", "llm", "operator"),
+)
+def q432_prefix_boilerplate_census(spark, sf_dir):
+    """Prefix boilerplate census (q432) — header detection at
+    POSITION grain, the complement of segment-grain boilerplate
+    (q206/boilerplate_excise needs aligned variants; this reads the
+    document's opening {PREFIX_TOKENS} tokens): per source, distinct
+    opening prefixes and the share of the most common one. A
+    template-stamped source (every doc opening identically) shows a
+    top share near 1e6 — strip-the-header goes on its curation spec;
+    diverse sources sit near 1/n.
+
+    Tie discipline: the winner is a plain MAX over
+    lpad(count)||'|'||prefix strings — no engine mode()/max_by
+    tie-break dependence (the verify-skill max_by rule, taken one
+    step further: a single deterministic string max).
+
+    SCALE DESIGN: one (source, prefix)-grain count (map-side
+    combinable; only {PREFIX_TOKENS}-token prefixes ship, never
+    text), one source-grain max-string rollup."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    k = PREFIX_TOKENS
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split(F.col("text"), " ")
+    d = docs.filter(F.size(toks) >= k).select(
+        "source",
+        F.concat_ws(
+            " ", *[F.element_at(toks, j + 1) for j in range(k)]
+        ).alias("prefix"),
+    )
+    c = d.groupBy("source", "prefix").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    top = c.groupBy("source").agg(
+        F.max(
+            F.concat(
+                F.lpad(F.col("n").cast("string"), 10, "0"),
+                F.lit("|"),
+                F.col("prefix"),
+            )
+        ).alias("win"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("distinct_prefixes"),
+    )
+    return top.select(
+        "source",
+        "n_docs",
+        "distinct_prefixes",
+        F.expr("substr(win, 12)").alias("top_prefix"),
+        F.expr("CAST(substr(win, 1, 10) AS BIGINT)").alias(
+            "top_count"
+        ),
+        F.expr(
+            "CAST(substr(win, 1, 10) AS BIGINT) * 1000000"
+            " DIV n_docs"
+        ).alias("top_share_ppm"),
+    ).orderBy("source")

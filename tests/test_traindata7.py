@@ -1908,3 +1908,39 @@ def test_q431_matches_python_replica(spark):
     # cross-domain key reuse
     acc = rows["events.user_id~customer.c_custkey"]
     assert acc["contain_b_ppm"] < 1_000_000
+
+
+def test_q432_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import PREFIX_TOKENS
+
+    rows = {
+        r["source"]: r.asDict()
+        for r in QUERIES["q432_prefix_boilerplate_census"]
+        .fn(spark, SF_T2)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    docs = con.execute(f"SELECT source, text FROM '{DOCS}'").fetchall()
+    con.close()
+
+    k = PREFIX_TOKENS
+    agg: dict = {}
+    for src, t in docs:
+        w = t.split(" ")
+        if len(w) < k:
+            continue
+        agg.setdefault(src, {}).setdefault(" ".join(w[:k]), 0)
+        agg[src][" ".join(w[:k])] += 1
+    assert set(rows) == set(agg)
+    for src, pref in agg.items():
+        n = sum(pref.values())
+        win = max((f"{c:010d}|{p}" for p, c in pref.items()))
+        top_c = int(win[:10])
+        g = rows[src]
+        assert g["n_docs"] == n
+        assert g["distinct_prefixes"] == len(pref)
+        assert g["top_prefix"] == win[11:]
+        assert g["top_count"] == top_c
+        assert g["top_share_ppm"] == top_c * 1_000_000 // n
