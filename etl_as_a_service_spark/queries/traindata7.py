@@ -4778,3 +4778,118 @@ def q432_prefix_boilerplate_census(spark, sf_dir):
             " DIV n_docs"
         ).alias("top_share_ppm"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# q433 — value-drift monitor (first vs second half of the stream)
+# --------------------------------------------------------------------------
+DRIFT_BUCKET = 50.0  # value-bucket width for the drift histogram
+
+
+def _q433_oracle() -> str:
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT event_type, value, epoch_us(ts) AS t FROM events
+    ),
+    mid AS (SELECT (min(t) + max(t)) // 2 AS m FROM e),
+    b AS MATERIALIZED (
+      SELECT event_type,
+             CAST(floor(value / {DRIFT_BUCKET}) AS BIGINT) AS bkt,
+             t <= mid.m AS first_half
+      FROM e CROSS JOIN mid
+    ),
+    h AS MATERIALIZED (
+      SELECT event_type, bkt,
+             CAST(count(*) FILTER (first_half) AS BIGINT) AS ca,
+             CAST(count(*) FILTER (NOT first_half) AS BIGINT) AS cb
+      FROM b GROUP BY 1, 2
+    ),
+    n AS (
+      SELECT event_type,
+             CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb
+      FROM h GROUP BY 1
+    )
+    SELECT h.event_type,
+           n.na AS n_first, n.nb AS n_second,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(abs(h.ca * n.nb - h.cb * n.na)) * 1000000
+                // (n.na * n.nb) AS BIGINT) AS l1_ppm
+    FROM h JOIN n USING (event_type)
+    GROUP BY h.event_type, n.na, n.nb
+    ORDER BY h.event_type
+    """
+
+
+@query(
+    "q433_value_drift_monitor",
+    oracle=_q433_oracle(),
+    tags=("quality", "monitoring", "streaming", "operator"),
+)
+def q433_value_drift_monitor(spark, sf_dir):
+    """Value-drift monitor (q433) — the data-drift canary a
+    continuously-fed pipeline schedules: per event_type, the L1
+    distance (integer ppm, the q421/q427 cross-multiplied
+    discipline) between the value-bucket histograms of the stream's
+    first and second time halves. A stable instrument shows near-0;
+    a payload change or unit regression upstream shows a step. The
+    split point is the integer epoch-µs midpoint, so both engines
+    cut identically; histogram counts are computed densely per
+    (type, bucket) in ONE pass with both halves as conditional sums
+    — no self-join, and no missing-bucket understatement (a bucket
+    present in one half only still contributes |c*n| mass because
+    the other half's count is a 0 in the same row).
+
+    SCALE DESIGN: one (type, bucket)-grain aggregate (map-side
+    combinable) + a type-grain rollup; output |types| rows."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    e = ev.select(
+        "event_type", "value", F.unix_micros("ts").alias("t")
+    )
+    mid = e.agg(
+        F.expr("(min(t) + max(t)) DIV 2").alias("m")
+    )
+    b = e.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.floor(F.col("value") / DRIFT_BUCKET)
+        .cast("long")
+        .alias("bkt"),
+        (F.col("t") <= F.col("m")).alias("first_half"),
+    )
+    h = b.groupBy("event_type", "bkt").agg(
+        F.sum(F.when(F.col("first_half"), 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(~F.col("first_half"), 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    n = h.groupBy("event_type").agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    return (
+        h.join(F.broadcast(n), "event_type")
+        .groupBy("event_type", "na", "nb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum(
+                F.abs(
+                    F.col("ca") * F.col("nb")
+                    - F.col("cb") * F.col("na")
+                )
+            )
+            .cast("long")
+            .alias("raw"),
+        )
+        .select(
+            "event_type",
+            F.col("na").alias("n_first"),
+            F.col("nb").alias("n_second"),
+            "n_buckets",
+            F.expr("raw * 1000000 DIV (na * nb)").alias("l1_ppm"),
+        )
+        .orderBy("event_type")
+    )

@@ -1944,3 +1944,49 @@ def test_q432_matches_python_replica(spark):
         assert g["top_prefix"] == win[11:]
         assert g["top_count"] == top_c
         assert g["top_share_ppm"] == top_c * 1_000_000 // n
+
+
+def test_q433_matches_python_replica(spark):
+    import math
+
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import DRIFT_BUCKET
+
+    rows = {
+        r["event_type"]: r.asDict()
+        for r in QUERIES["q433_value_drift_monitor"]
+        .fn(spark, SF_T2)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, value, epoch_us(ts)"
+        f" FROM '{SF_T2}/events.parquet'"
+    ).fetchall()
+    con.close()
+
+    ts = [t for _et, _v, t in ev]
+    mid = (min(ts) + max(ts)) // 2
+    h: dict = {}
+    for et, v, t in ev:
+        k = (et, math.floor(v / DRIFT_BUCKET))
+        c = h.setdefault(k, [0, 0])
+        c[0 if t <= mid else 1] += 1
+    types = {et for et, _ in h}
+    assert set(rows) == types
+    for et in types:
+        buckets = {k: c for k, c in h.items() if k[0] == et}
+        na = sum(c[0] for c in buckets.values())
+        nb = sum(c[1] for c in buckets.values())
+        raw = sum(
+            abs(c[0] * nb - c[1] * na) for c in buckets.values()
+        )
+        g = rows[et]
+        assert g["n_first"] == na
+        assert g["n_second"] == nb
+        assert g["n_buckets"] == len(buckets)
+        assert g["l1_ppm"] == raw * 1_000_000 // (na * nb)
+    # a stationary synthetic stream should show low-but-nonzero
+    # sampling drift (the monitor's baseline reading)
+    assert all(0 < r["l1_ppm"] < 2_000_000 for r in rows.values())
