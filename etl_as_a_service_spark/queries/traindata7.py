@@ -4893,3 +4893,84 @@ def q433_value_drift_monitor(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q434 — functional-dependency census (FD discovery primitive)
+# --------------------------------------------------------------------------
+FD_CANDIDATES = (
+    ("nation", "n_nationkey", "n_name"),
+    ("documents", "source", "lang"),
+    ("documents", "lang", "source"),
+    ("events", "user_id", "event_type"),
+    ("orders", "o_custkey", "o_orderstatus"),
+)
+
+
+def _q434_oracle() -> str:
+    parts = []
+    for t, lhs, rhs in FD_CANDIDATES:
+        name = f"{t}.{lhs}->{rhs}"
+        parts.append(f"""
+      SELECT '{name}' AS fd,
+             CAST(count(*) AS BIGINT) AS lhs_values,
+             CAST(count(*) FILTER (nd > 1) AS BIGINT)
+               AS violating_lhs,
+             CAST(max(nd) AS BIGINT) AS max_rhs,
+             CAST(count(*) FILTER (nd > 1) * 1000000
+                  // count(*) AS BIGINT) AS violation_ppm
+      FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS nd
+            FROM {t} GROUP BY {lhs})""")
+    union = " UNION ALL ".join(parts)
+    return f"SELECT * FROM ({union}) ORDER BY fd"
+
+
+@query(
+    "q434_fd_census",
+    oracle=_q434_oracle(),
+    tags=("quality", "profiling", "operator"),
+)
+def q434_fd_census(spark, sf_dir):
+    """Functional-dependency census (q434) — the FD-discovery
+    primitive of schema profiling (q429 gives per-column stats, q431
+    pairwise key overlap; this asks whether one column DETERMINES
+    another): per candidate FD, how many left-hand values map to
+    more than one right-hand value, the worst fanout, and the
+    violation rate as integer ppm. A clean FD (violation 0) is a
+    normalization opportunity and a free join-pruning invariant; a
+    near-FD with a tiny violating set is usually a data bug worth a
+    quarantine lane.
+
+    SCALE DESIGN: one (lhs)-grain count-distinct aggregate per
+    candidate (map-side partials) and a 1-row rollup; only the two
+    profiled columns are scanned."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    tables = load_tables(
+        spark, sf_dir, sorted({t for t, _l, _r in FD_CANDIDATES})
+    )
+    out = None
+    for t, lhs, rhs in FD_CANDIDATES:
+        name = f"{t}.{lhs}->{rhs}"
+        per = (
+            tables[t]
+            .groupBy(lhs)
+            .agg(F.count_distinct(rhs).alias("nd"))
+        )
+        row = per.agg(
+            F.count(F.lit(1)).cast("long").alias("lhs_values"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("violating_lhs"),
+            F.max("nd").cast("long").alias("max_rhs"),
+        ).select(
+            F.lit(name).alias("fd"),
+            "lhs_values",
+            "violating_lhs",
+            "max_rhs",
+            F.expr(
+                "violating_lhs * 1000000 DIV lhs_values"
+            ).alias("violation_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fd")

@@ -1990,3 +1990,36 @@ def test_q433_matches_python_replica(spark):
     # a stationary synthetic stream should show low-but-nonzero
     # sampling drift (the monitor's baseline reading)
     assert all(0 < r["l1_ppm"] < 2_000_000 for r in rows.values())
+
+
+def test_q434_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import FD_CANDIDATES
+
+    rows = {
+        r["fd"]: r.asDict()
+        for r in QUERIES["q434_fd_census"].fn(spark, SF_T2).collect()
+    }
+
+    con = duckdb.connect()
+    for t, lhs, rhs in FD_CANDIDATES:
+        data = con.execute(
+            f"SELECT {lhs}, {rhs} FROM '{SF_T2}/{t}.parquet'"
+        ).fetchall()
+        m: dict = {}
+        for a, b in data:
+            m.setdefault(a, set()).add(b)
+        g = rows[f"{t}.{lhs}->{rhs}"]
+        assert g["lhs_values"] == len(m)
+        assert g["violating_lhs"] == sum(
+            1 for v in m.values() if len(v) > 1
+        )
+        assert g["max_rhs"] == max(len(v) for v in m.values())
+        assert g["violation_ppm"] == sum(
+            1 for v in m.values() if len(v) > 1
+        ) * 1_000_000 // len(m)
+    con.close()
+    # both outcomes demonstrated: the key-determined FD is clean and
+    # at least one candidate violates
+    assert rows["nation.n_nationkey->n_name"]["violation_ppm"] == 0
+    assert any(r["violation_ppm"] > 0 for r in rows.values())
