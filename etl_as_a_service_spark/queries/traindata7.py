@@ -4974,3 +4974,109 @@ def q434_fd_census(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("fd")
+
+
+# --------------------------------------------------------------------------
+# q435 — session-gap tuner (the sessionize threshold menu, priced)
+# --------------------------------------------------------------------------
+SESSION_GAPS_US = (300_000_000, 1_800_000_000, 7_200_000_000)
+
+
+def _q435_oracle() -> str:
+    cols = []
+    for g in SESSION_GAPS_US:
+        tag = g // 60_000_000
+        cols.append(
+            f"CAST(count(*) FILTER (prev IS NULL OR t - prev > {g})"
+            f" AS BIGINT) AS starts_{tag}m"
+        )
+    sel = ", ".join(cols)
+    outer = ", ".join(
+        f"""CAST(starts_{g // 60_000_000}m AS BIGINT)
+             AS sessions_{g // 60_000_000}m,
+           CAST(n_events * 1000000 // starts_{g // 60_000_000}m
+             AS BIGINT) AS events_per_session_{g // 60_000_000}m_x1e6"""
+        for g in SESSION_GAPS_US
+    )
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+    ),
+    seq AS (
+      SELECT user_id, t,
+             lag(t) OVER (PARTITION BY user_id
+                          ORDER BY t, event_id) AS prev
+      FROM e
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             {sel}
+      FROM seq
+    )
+    SELECT n_events, n_users, {outer} FROM agg
+    """
+
+
+@query(
+    "q435_session_gap_tuner",
+    oracle=_q435_oracle(),
+    tags=("windows", "planning", "streaming", "operator"),
+)
+def q435_session_gap_tuner(spark, sf_dir):
+    """Session-gap tuner (q435) — the threshold menu behind the
+    sessionize operator (q115 labels sessions at ONE fixed gap; this
+    prices the knob): for inactivity gaps of 5 m / 30 m / 2 h, the
+    session count the corpus would split into and the mean
+    events-per-session (x1e6 integer). All three gap policies are
+    conditional counters over ONE per-user lag pass — adding a menu
+    entry costs a column, not a scan. The curve's shape (sessions
+    collapsing toward n_users as the gap grows) is the number that
+    picks a session_window / sessionize gap before a stateful
+    streaming job commits to it.
+
+    SCALE DESIGN: one per-user lag window (bounded per user), one
+    global 1-row rollup of conditional sums; ties pinned to
+    (epoch_us, event_id)."""
+    from pyspark.sql import Window
+
+    from etl_as_a_service_spark.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    e = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seq = e.select(
+        "user_id", "t", F.lag("t").over(w).alias("prev")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    ]
+    for g in SESSION_GAPS_US:
+        tag = g // 60_000_000
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col("prev").isNull()
+                    | (F.col("t") - F.col("prev") > g),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"starts_{tag}m")
+        )
+    a = seq.agg(*aggs)
+    cols = ["n_events", "n_users"]
+    out = a
+    for g in SESSION_GAPS_US:
+        tag = g // 60_000_000
+        out = out.withColumn(
+            f"sessions_{tag}m", F.col(f"starts_{tag}m")
+        ).withColumn(
+            f"events_per_session_{tag}m_x1e6",
+            F.expr(f"n_events * 1000000 DIV starts_{tag}m"),
+        )
+        cols += [f"sessions_{tag}m", f"events_per_session_{tag}m_x1e6"]
+    return out.select(*cols)

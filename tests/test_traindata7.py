@@ -2023,3 +2023,49 @@ def test_q434_matches_python_replica(spark):
     # at least one candidate violates
     assert rows["nation.n_nationkey->n_name"]["violation_ppm"] == 0
     assert any(r["violation_ppm"] > 0 for r in rows.values())
+
+
+def test_q435_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import (
+        SESSION_GAPS_US,
+    )
+
+    (row,) = QUERIES["q435_session_gap_tuner"].fn(spark, SF_T2).collect()
+    g = row.asDict()
+
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, event_id, epoch_us(ts)"
+        f" FROM '{SF_T2}/events.parquet'"
+    ).fetchall()
+    con.close()
+
+    by_user: dict = {}
+    for u, eid, t in ev:
+        by_user.setdefault(u, []).append((t, eid))
+    assert g["n_events"] == len(ev)
+    assert g["n_users"] == len(by_user)
+    prev_sessions = None
+    for gap in SESSION_GAPS_US:
+        tag = gap // 60_000_000
+        starts = 0
+        for seq in by_user.values():
+            seq.sort()
+            prev = None
+            for t, _ in seq:
+                if prev is None or t - prev > gap:
+                    starts += 1
+                prev = t
+        assert g[f"sessions_{tag}m"] == starts
+        assert (
+            g[f"events_per_session_{tag}m_x1e6"]
+            == len(ev) * 1_000_000 // starts
+        )
+        # the menu is monotone: larger gaps merge sessions
+        if prev_sessions is not None:
+            assert starts <= prev_sessions
+        prev_sessions = starts
+    assert g[f"sessions_{SESSION_GAPS_US[-1] // 60_000_000}m"] >= len(
+        by_user
+    )
