@@ -5080,3 +5080,120 @@ def q435_session_gap_tuner(spark, sf_dir):
         )
         cols += [f"sessions_{tag}m", f"events_per_session_{tag}m_x1e6"]
     return out.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# q436 — dedup waterfall (marginal mass per grain, in ladder order)
+# --------------------------------------------------------------------------
+def _q436_oracle() -> str:
+    return f"""
+    WITH {_span_sl_ctes()},
+    d AS MATERIALIZED (
+      SELECT doc_id, source, text,
+             (doc_id // 2) % {DECON_URL_PAGES} AS curl
+      FROM documents
+    ),
+    s1 AS MATERIALIZED (
+      SELECT d.* FROM d
+      JOIN (SELECT min(doc_id) AS doc_id FROM d
+            GROUP BY md5(text)) k USING (doc_id)
+    ),
+    s2 AS MATERIALIZED (
+      SELECT s1.* FROM s1
+      JOIN (SELECT min(doc_id) AS doc_id FROM s1
+            GROUP BY curl) k USING (doc_id)
+    ),
+    s3 AS (
+      SELECT s2.* FROM s2
+      LEFT JOIN (SELECT doc_id FROM sl) sp USING (doc_id)
+      WHERE sp.doc_id IS NULL
+    ),
+    c0 AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+    c1 AS (SELECT source, count(*) AS n FROM s1 GROUP BY source),
+    c2 AS (SELECT source, count(*) AS n FROM s2 GROUP BY source),
+    c3 AS (SELECT source, count(*) AS n FROM s3 GROUP BY source)
+    SELECT c0.source,
+           CAST(c0.n AS BIGINT) AS n_docs,
+           CAST(c0.n - coalesce(c1.n, 0) AS BIGINT) AS drop_exact,
+           CAST(coalesce(c1.n, 0) - coalesce(c2.n, 0) AS BIGINT)
+             AS drop_url,
+           CAST(coalesce(c2.n, 0) - coalesce(c3.n, 0) AS BIGINT)
+             AS drop_span,
+           CAST(coalesce(c3.n, 0) AS BIGINT) AS survivors
+    FROM c0
+    LEFT JOIN c1 USING (source)
+    LEFT JOIN c2 USING (source)
+    LEFT JOIN c3 USING (source)
+    ORDER BY c0.source
+    """
+
+
+@query(
+    "q436_dedup_waterfall",
+    oracle=_q436_oracle(),
+    tags=("dedup", "audit", "llm", "operator"),
+)
+def q436_dedup_waterfall(spark, sf_dir):
+    """Dedup waterfall (q436): the marginal-attribution ledger of a
+    dedup LADDER — exact text (md5, min-id survivor) → page/URL
+    grain (min-id per curl) → span grain (drop docs holding a long
+    cross-doc-shared span) applied IN ORDER, per source: how many
+    docs each grain removes that the previous grains did not. This
+    answers "which dedup stage does the work" — if drop_span ~ 0
+    after url-grain, the expensive span pass can be skipped for that
+    source; if drop_url >> drop_exact the corpus is recrawl-heavy.
+    Marginal attribution is order-DEPENDENT by construction (the
+    q414 lesson formalized into a ladder: each stage sees only the
+    previous stage's survivors).
+
+    SCALE DESIGN: each rung is a key-grain min-id aggregate with a
+    unique-id join-back (skew-immune, the round-12 discipline); the
+    span rung reuses the q419 span-list chain; one source-grain
+    rollup at the end."""
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.llm.dedup import excise_duplicated_spans
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        ((F.col("doc_id") / 2).cast("long") % DECON_URL_PAGES).alias(
+            "curl"
+        ),
+    )
+    k1 = d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    s1 = d.join(k1.select("doc_id"), "doc_id", "left_semi")
+    k2 = s1.groupBy("curl").agg(F.min("doc_id").alias("doc_id"))
+    s2 = s1.join(k2.select("doc_id"), "doc_id", "left_semi")
+    sp = excise_duplicated_spans(
+        docs, "text", "doc_id", n=SPAN_N, min_span_tokens=EXCISE_MIN_SPAN
+    ).select("doc_id")
+    s3 = s2.join(sp, "doc_id", "left_anti")
+
+    def per_source(df, name):
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias(name)
+        )
+
+    return (
+        per_source(d, "n_docs")
+        .join(per_source(s1, "k1"), "source", "left")
+        .join(per_source(s2, "k2"), "source", "left")
+        .join(per_source(s3, "k3"), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            (F.col("n_docs") - F.coalesce("k1", F.lit(0)))
+            .cast("long")
+            .alias("drop_exact"),
+            (F.coalesce("k1", F.lit(0)) - F.coalesce("k2", F.lit(0)))
+            .cast("long")
+            .alias("drop_url"),
+            (F.coalesce("k2", F.lit(0)) - F.coalesce("k3", F.lit(0)))
+            .cast("long")
+            .alias("drop_span"),
+            F.coalesce("k3", F.lit(0)).cast("long").alias("survivors"),
+        )
+        .orderBy("source")
+    )

@@ -2069,3 +2069,91 @@ def test_q435_matches_python_replica(spark):
     assert g[f"sessions_{SESSION_GAPS_US[-1] // 60_000_000}m"] >= len(
         by_user
     )
+
+
+def test_q436_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import (
+        DECON_URL_PAGES,
+        EXCISE_MIN_SPAN,
+        SPAN_N,
+    )
+
+    rows = {
+        r["source"]: r.asDict()
+        for r in QUERIES["q436_dedup_waterfall"].fn(spark, SF_T2).collect()
+    }
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, source, text FROM '{DOCS}'"
+    ).fetchall()
+    con.close()
+
+    # rung 1: exact
+    fp: dict = {}
+    for i, _s, t in docs:
+        h = hashlib.md5(t.encode()).hexdigest()
+        fp[h] = min(fp.get(h, i), i)
+    s1 = [(i, s, t) for i, s, t in docs if fp[
+        hashlib.md5(t.encode()).hexdigest()] == i]
+    # rung 2: page/url grain over s1
+    pg: dict = {}
+    for i, _s, _t in s1:
+        c = i // 2 % DECON_URL_PAGES
+        pg[c] = min(pg.get(c, i), i)
+    s2 = [(i, s, t) for i, s, t in s1 if pg[i // 2 % DECON_URL_PAGES] == i]
+    # rung 3: drop docs holding a long cross-doc-shared span
+    n, L = SPAN_N, EXCISE_MIN_SPAN
+    grams: dict = {}
+    starts = {}
+    for i, _s, t in docs:
+        w = t.split(" ")
+        starts[i] = [" ".join(w[j : j + n]) for j in range(len(w) - n + 1)]
+        for g in set(starts[i]):
+            grams.setdefault(g, set()).add(i)
+    shared = {g for g, ds in grams.items() if len(ds) >= 2}
+    has_span = set()
+    for i, _s, t in docs:
+        pos = [j for j, g in enumerate(starts[i]) if g in shared]
+        spans = []
+        for p in pos:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + n - 1)
+            else:
+                spans.append([p, p + n - 1])
+        if any(e - s0 + 1 >= L for s0, e in spans):
+            has_span.add(i)
+    s3 = [(i, s, t) for i, s, t in s2 if i not in has_span]
+
+    def by_src(rows_):
+        out: dict = {}
+        for _i, s, _t in rows_:
+            out[s] = out.get(s, 0) + 1
+        return out
+
+    c0, c1, c2, c3 = (
+        by_src(docs),
+        by_src(s1),
+        by_src(s2),
+        by_src(s3),
+    )
+    assert set(rows) == set(c0)
+    for src in c0:
+        g = rows[src]
+        assert g["n_docs"] == c0[src]
+        assert g["drop_exact"] == c0[src] - c1.get(src, 0)
+        assert g["drop_url"] == c1.get(src, 0) - c2.get(src, 0)
+        assert g["drop_span"] == c2.get(src, 0) - c3.get(src, 0)
+        assert g["survivors"] == c3.get(src, 0)
+    # ladder identities: drops + survivors == docs, and the ladder
+    # fires on this fixture
+    for g in rows.values():
+        assert (
+            g["drop_exact"]
+            + g["drop_url"]
+            + g["drop_span"]
+            + g["survivors"]
+            == g["n_docs"]
+        )
+    assert sum(g["drop_url"] for g in rows.values()) > 0
