@@ -5197,3 +5197,90 @@ def q436_dedup_waterfall(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q437 — partitioner balance menu (hash balance vs partition count)
+# --------------------------------------------------------------------------
+PARTITION_MENU = (8, 32, 128)
+
+
+def _q437_oracle() -> str:
+    parts = []
+    for keyname, expr in (
+        ("doc_id", "CAST(doc_id AS VARCHAR)"),
+        ("page", f"CAST((doc_id // 2) % {DECON_URL_PAGES} AS VARCHAR)"),
+    ):
+        for p in PARTITION_MENU:
+            parts.append(f"""
+      SELECT '{keyname}' AS key, CAST({p} AS BIGINT) AS n_partitions,
+             CAST(count(*) AS BIGINT) AS nonempty,
+             CAST(max(k) AS BIGINT) AS max_rows,
+             CAST(min(k) AS BIGINT) AS min_rows,
+             CAST(max(k) * {p} * 1000000 // sum(k) AS BIGINT)
+               AS balance_x_ppm
+      FROM (SELECT count(*) AS k FROM (
+              SELECT ('0x' || substr(md5({expr}), 1, 8))::BIGINT
+                     % {p} AS part
+              FROM documents)
+            GROUP BY part)""")
+    union = " UNION ALL ".join(parts)
+    return f"SELECT * FROM ({union}) ORDER BY key, n_partitions"
+
+
+@query(
+    "q437_partition_balance_menu",
+    oracle=_q437_oracle(),
+    tags=("planning", "partitioning", "operator"),
+)
+def q437_partition_balance_menu(spark, sf_dir):
+    """Partitioner balance menu (q437): hash-partition balance as a
+    function of partition count, for a UNIQUE key (doc_id) vs a
+    LOW-CARDINALITY key (the 40-value page grid) — per (key, P):
+    nonempty partitions, extreme partition sizes, and balance_x_ppm
+    = max_partition / ideal as integer ppm. The menu shows the
+    hazard q418/q430 circle: hashing a unique key balances at every
+    P, while a 40-value key CANNOT fill 128 partitions (nonempty
+    caps at the key cardinality and balance degrades as P grows) —
+    the measured form of "repartition by a column with at least ~10x
+    the parallelism in distinct values".
+
+    SCALE DESIGN: one part-grain count per menu entry over a
+    map-only hash projection; output is |keys| x |menu| rows."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = None
+    for keyname, col in (
+        ("doc_id", F.col("doc_id").cast("string")),
+        (
+            "page",
+            ((F.col("doc_id") / 2).cast("long") % DECON_URL_PAGES)
+            .cast("string"),
+        ),
+    ):
+        hashed = F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast(
+            "long"
+        )
+        for p in PARTITION_MENU:
+            per = docs.select((hashed % p).alias("part")).groupBy(
+                "part"
+            ).agg(F.count(F.lit(1)).alias("k"))
+            row = per.agg(
+                F.count(F.lit(1)).cast("long").alias("nonempty"),
+                F.max("k").cast("long").alias("max_rows"),
+                F.min("k").cast("long").alias("min_rows"),
+                F.expr(
+                    f"CAST(max(k) * {p} * 1000000"
+                    " DIV sum(k) AS BIGINT)"
+                ).alias("balance_x_ppm"),
+            ).select(
+                F.lit(keyname).alias("key"),
+                F.lit(p).cast("long").alias("n_partitions"),
+                "nonempty",
+                "max_rows",
+                "min_rows",
+                "balance_x_ppm",
+            )
+            out = row if out is None else out.unionByName(row)
+    return out.orderBy("key", "n_partitions")

@@ -2157,3 +2157,58 @@ def test_q436_matches_python_replica(spark):
             == g["n_docs"]
         )
     assert sum(g["drop_url"] for g in rows.values()) > 0
+
+
+def test_q437_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import (
+        DECON_URL_PAGES,
+        PARTITION_MENU,
+    )
+
+    rows = {
+        (r["key"], r["n_partitions"]): r.asDict()
+        for r in QUERIES["q437_partition_balance_menu"]
+        .fn(spark, SF_T2)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    ids = [
+        i
+        for (i,) in con.execute(
+            f"SELECT doc_id FROM '{DOCS}'"
+        ).fetchall()
+    ]
+    con.close()
+
+    def h(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+    for keyname, keyfn in (
+        ("doc_id", lambda i: i),
+        ("page", lambda i: i // 2 % DECON_URL_PAGES),
+    ):
+        for p in PARTITION_MENU:
+            parts: dict = {}
+            for i in ids:
+                parts[h(keyfn(i)) % p] = parts.get(
+                    h(keyfn(i)) % p, 0
+                ) + 1
+            sizes = list(parts.values())
+            g = rows[(keyname, p)]
+            assert g["nonempty"] == len(sizes)
+            assert g["max_rows"] == max(sizes)
+            assert g["min_rows"] == min(sizes)
+            assert g["balance_x_ppm"] == max(sizes) * p * 1_000_000 // sum(
+                sizes
+            )
+    # the menu's lesson: the unique key fills partitions at every P;
+    # the 40-value key cannot fill 128 and its balance degrades
+    assert rows[("doc_id", 128)]["nonempty"] > rows[("page", 128)][
+        "nonempty"
+    ]
+    assert (
+        rows[("page", 128)]["balance_x_ppm"]
+        > rows[("doc_id", 128)]["balance_x_ppm"]
+    )
