@@ -91,7 +91,7 @@ from etl_as_a_service_spark.queries import traindata7  # noqa: E402,F401
 _ROTATE_FRONT = [
     # round-12 window: never-green leads — q49/q55/q148 (graduated
     # from rows-only via the q385 quantization recipe) and the new
-    # q400-q437 — then the stalest receipts (r2-era q56..q116, then
+    # q400-q438 — then the stalest receipts (r2-era q56..q116, then
     # r3-era q40..q74), sorted by (newest green round, number).
     "q49_lsh_ann_join",
     "q55_embedding_near_dups",
@@ -134,6 +134,7 @@ _ROTATE_FRONT = [
     "q435_session_gap_tuner",
     "q436_dedup_waterfall",
     "q437_partition_balance_menu",
+    "q438_gate_venn",
     "q56_array_ops",
     "q57_csv_scan_parity",
     "q68_interval_range_frames",
@@ -142,7 +143,6 @@ _ROTATE_FRONT = [
     "q82_asof_forward_next_purchase",
     "q83_resample_gap_fill",
     "q88_tfidf_top_terms",
-    "q89_repetition_scores",
 ]
 
 

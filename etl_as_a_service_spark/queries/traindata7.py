@@ -5284,3 +5284,85 @@ def q437_partition_balance_menu(spark, sf_dir):
             )
             out = row if out is None else out.unionByName(row)
     return out.orderBy("key", "n_partitions")
+
+
+# --------------------------------------------------------------------------
+# q438 — gate-interaction Venn (which quality gates are redundant)
+# --------------------------------------------------------------------------
+GATE_SHORT_TOKENS = 40
+GATE_TTR_NUM = 2  # repetition gate: distinct_tokens * 2 < total
+GATE_FILLER_X = 10  # filler gate: ('a' + 'the') mass * 10 >= total
+
+
+def _q438_oracle() -> str:
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id,
+             len(string_split(text, ' ')) < {GATE_SHORT_TOKENS}
+               AS g_short,
+             len(list_distinct(string_split(text, ' ')))
+               * {GATE_TTR_NUM}
+               < len(string_split(text, ' ')) AS g_rep,
+             (SELECT count(*) FILTER (w IN ('a', 'the'))
+                     * {GATE_FILLER_X}
+              FROM unnest(string_split(text, ' ')) AS t(w))
+               >= len(string_split(text, ' ')) AS g_fill
+      FROM documents
+    )
+    SELECT concat(CASE WHEN g_short THEN 'S' ELSE '-' END,
+                  CASE WHEN g_rep THEN 'R' ELSE '-' END,
+                  CASE WHEN g_fill THEN 'F' ELSE '-' END) AS combo,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM d
+    GROUP BY combo
+    ORDER BY combo
+    """
+
+
+@query(
+    "q438_gate_venn",
+    oracle=_q438_oracle(),
+    tags=("quality", "gates", "audit", "llm", "operator"),
+)
+def q438_gate_venn(spark, sf_dir):
+    """Gate-interaction Venn (q438): which quality gates actually add
+    coverage — per combination of three portable gates (S = short
+    doc < {GATE_SHORT_TOKENS} tokens, R = repetitive: distinct
+    tokens x {GATE_TTR_NUM} < total, F = filler-heavy: 'a'/'the'
+    mass x {GATE_FILLER_X} >= total), the document count. A gate
+    whose flagged set is (almost) contained in another gate's is
+    redundant and can be dropped from the hot path; disjoint sets
+    justify keeping both. Per-gate TOTALS cannot show containment —
+    the combo census is the pruning decision's input.
+
+    All three gates are integer cross-product compares (no division,
+    no regex) so both engines agree bit-for-bit.
+
+    SCALE DESIGN: three map-only flags in one scan (distinct-count
+    and filler-count are bounded per-doc array ops), one combo-grain
+    rollup — at most 8 output rows."""
+    from etl_as_a_service_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split(F.col("text"), " ")
+    filler_n = F.size(
+        F.filter(toks, lambda w: w.isin("a", "the"))
+    )
+    d = docs.select(
+        (F.size(toks) < GATE_SHORT_TOKENS).alias("g_short"),
+        (
+            F.size(F.array_distinct(toks)) * GATE_TTR_NUM
+            < F.size(toks)
+        ).alias("g_rep"),
+        (filler_n * GATE_FILLER_X >= F.size(toks)).alias("g_fill"),
+    )
+    combo = F.concat(
+        F.when(F.col("g_short"), F.lit("S")).otherwise(F.lit("-")),
+        F.when(F.col("g_rep"), F.lit("R")).otherwise(F.lit("-")),
+        F.when(F.col("g_fill"), F.lit("F")).otherwise(F.lit("-")),
+    )
+    return (
+        d.groupBy(combo.alias("combo"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("combo")
+    )

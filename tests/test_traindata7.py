@@ -2212,3 +2212,42 @@ def test_q437_matches_python_replica(spark):
         rows[("page", 128)]["balance_x_ppm"]
         > rows[("doc_id", 128)]["balance_x_ppm"]
     )
+
+
+def test_q438_matches_python_replica(spark):
+    from etl_as_a_service_spark.queries import QUERIES
+    from etl_as_a_service_spark.queries.traindata7 import (
+        GATE_FILLER_X,
+        GATE_SHORT_TOKENS,
+        GATE_TTR_NUM,
+    )
+
+    rows = {
+        r["combo"]: r["n_docs"]
+        for r in QUERIES["q438_gate_venn"].fn(spark, SF_T2).collect()
+    }
+
+    con = duckdb.connect()
+    texts = [
+        t for (t,) in con.execute(f"SELECT text FROM '{DOCS}'").fetchall()
+    ]
+    con.close()
+
+    expected: dict = {}
+    for t in texts:
+        w = t.split(" ")
+        s = len(w) < GATE_SHORT_TOKENS
+        r = len(set(w)) * GATE_TTR_NUM < len(w)
+        f = sum(1 for x in w if x in ("a", "the")) * GATE_FILLER_X >= len(
+            w
+        )
+        combo = ("S" if s else "-") + ("R" if r else "-") + (
+            "F" if f else "-"
+        )
+        expected[combo] = expected.get(combo, 0) + 1
+    assert rows == expected
+    # venn partition covers the corpus, and at least two distinct
+    # gates fire (the census is a real interaction readout)
+    assert sum(rows.values()) == len(texts)
+    fired = {c for combo in rows for c in combo if c != "-"}
+    assert len(fired) >= 2
