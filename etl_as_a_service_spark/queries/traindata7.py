@@ -557,42 +557,124 @@ def q401_rp_width_sweep(spark, sf_dir):
     widths = spark.createDataFrame(
         [(w,) for w in RPW_WIDTHS], "w long"
     )
-    wcol = F.col("w")
-    bkts = projs.crossJoin(F.broadcast(widths)).select(
+    # r12 optimization (guide §1.2 "the distributed algorithm" +
+    # §2.4): the old shape self-joined the (w,t,bucket) table with a
+    # SortMergeJoin, ran .distinct() over the ~13M cross-table
+    # candidate rows, and verified ~6.8M (w, pair) rows — one
+    # sort-merge shuffle pair plus a 13M-row dedup exchange plus a
+    # per-width re-verification of the same pair, together ~70% of
+    # the query wall at sf0.1. Problem knowledge the optimizer cannot
+    # see: the widths are NESTED MULTIPLES (each is 2x the previous),
+    # so floor-div buckets nest and cands(w) ⊆ cands(w') for w ≤ w' —
+    # every candidate pair anywhere in the sweep is already a pair at
+    # the COARSEST width. The sweep therefore:
+    #   1. generates each unique pair ONCE, from the coarsest-width
+    #      per-table join, deduped MAP-SIDE by keeping a pair only at
+    #      the FIRST table whose coarse buckets match (no .distinct());
+    #   2. computes the pair's MINIMAL qualifying width as a map-side
+    #      expression over the two per-table projection arrays
+    #      (membership in cands(w) ⟺ min_w ≤ w);
+    #   3. verifies the exact distance ONCE per pair;
+    #   4. recovers every per-width count as a suffix sum over the
+    #      4-row (min_w) grain.
+    # Same result set, zero shuffles of candidate-pair rows, ~2.5x
+    # fewer verify folds.
+    w_max = max(RPW_WIDTHS)
+
+    def _fdiv(col, w):
+        return ((col - F.pmod(col, F.lit(w))) / F.lit(w)).cast("long")
+
+    parr = projs.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "proj"))),
+            lambda s: s.getField("proj"),
+        ).alias("parr")
+    )
+    wide = parr.join(
+        F.broadcast(qc.withColumnRenamed("qv", "qvv")), "vec_id"
+    ).select(
         "vec_id",
-        "t",
-        "w",
-        ((F.col("proj") - F.pmod(F.col("proj"), wcol)) / wcol)
-        .cast("long")
-        .alias("bucket"),
+        "parr",
+        F.transform(F.col("parr"), lambda p: _fdiv(p, w_max)).alias(
+            "b4arr"
+        ),
+        "qvv",
     )
-    ba = bkts.select(
-        F.col("vec_id").alias("id_a"), "t", "w", "bucket"
+    bexp = wide.select(
+        "vec_id", "parr", "b4arr", "qvv",
+        F.posexplode("b4arr").alias("t", "bucket"),
     )
-    bb = bkts.select(
-        F.col("vec_id").alias("id_b"), "t", "w", "bucket"
+    ba = bexp.select(
+        F.col("vec_id").alias("id_a"), "t", "bucket",
+        F.col("parr").alias("pa"), F.col("b4arr").alias("b4a"),
+        F.col("qvv").alias("qa"),
     )
-    cands = (
-        ba.join(bb, ["w", "t", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("w", "id_a", "id_b")
-        .distinct()
+    bb = bexp.select(
+        F.col("vec_id").alias("id_b"), "t", "bucket",
+        F.col("parr").alias("pb"), F.col("b4arr").alias("b4b"),
+        F.col("qvv").alias("qb"),
     )
-    va = qc.select(F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"))
-    vb = qc.select(F.col("vec_id").alias("id_b"), F.col("qv").alias("qb"))
+    first_match = F.array_position(
+        F.zip_with(F.col("b4a"), F.col("b4b"), lambda x, y: x == y),
+        F.lit(True),
+    )
+    min_w = F.coalesce(
+        *[
+            F.when(
+                F.exists(
+                    F.zip_with(
+                        F.col("pa"),
+                        F.col("pb"),
+                        lambda x, y: _fdiv(x, w) == _fdiv(y, w),
+                    ),
+                    lambda m: m,
+                ),
+                F.lit(w).cast("long"),
+            )
+            for w in sorted(RPW_WIDTHS)
+        ]
+    )
     d2 = F.aggregate(
         F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # spread the probe side: the (vec, t) frame is tiny (AQE would
+    # coalesce it to one partition) but each probe row fans out to
+    # thousands of candidate rows — an explicit repartition keeps the
+    # map-side blowup parallel (the q385 lesson; AQE honors
+    # user-specified partition counts)
+    pair_stats = (
+        ba.repartition(64)
+        .join(F.broadcast(bb), ["t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(first_match == F.col("t") + 1)
+        .select(min_w.alias("min_w"), d2.alias("qdist2"))
+        .groupBy("min_w")
+        .agg(
+            F.count(F.lit(1)).alias("n_c"),
+            F.count_if(F.col("qdist2") <= RPW_THRESHOLD_Q2).alias("n_w"),
+        )
+    )
+    # suffix-sum the (min_w) grain back to the per-width ledger: a
+    # pair is a candidate at width w iff min_w <= w (4x4 broadcast
+    # non-equi join — bounded literal grain)
     verified = (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("w", d2.alias("qdist2"))
+        widths.join(
+            F.broadcast(pair_stats), F.col("min_w") <= F.col("w")
+        )
+        .groupBy("w")
+        .agg(
+            F.sum("n_c").alias("__nc"),
+            F.sum("n_w").alias("__nwsum"),
+        )
     )
     # exact within-threshold census (small-set-only referee, q385 note)
+    va = qc.select(F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"))
+    vb = qc.select(F.col("vec_id").alias("id_b"), F.col("qv").alias("qb2"))
     truth = (
-        va.crossJoin(vb.withColumnRenamed("qb", "qb2"))
+        va.repartition(64)
+        .crossJoin(F.broadcast(vb))
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             F.aggregate(
@@ -612,29 +694,15 @@ def q401_rp_width_sweep(spark, sf_dir):
         )
     )
     return (
-        verified.groupBy("w")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_candidates"),
-            F.count_if(F.col("qdist2") <= RPW_THRESHOLD_Q2)
-            .cast("long")
-            .alias("n_within"),
-            F.round(
-                F.count_if(F.col("qdist2") <= RPW_THRESHOLD_Q2)
-                * 1.0
-                / F.count(F.lit(1)),
-                6,
-            ).alias("precision"),
-            F.count_if(F.col("qdist2") <= RPW_THRESHOLD_Q2)
-            .cast("long")
-            .alias("__nw"),
-        )
-        .crossJoin(F.broadcast(truth))
+        verified.crossJoin(F.broadcast(truth))
         .select(
             F.col("w").alias("bucket_width"),
-            "n_candidates",
-            "n_within",
-            "precision",
-            F.round(F.col("__nw") * 1.0 / F.col("n_true"), 6).alias(
+            F.col("__nc").cast("long").alias("n_candidates"),
+            F.col("__nwsum").cast("long").alias("n_within"),
+            F.round(
+                F.col("__nwsum") * 1.0 / F.col("__nc"), 6
+            ).alias("precision"),
+            F.round(F.col("__nwsum") * 1.0 / F.col("n_true"), 6).alias(
                 "recall"
             ),
         )
