@@ -3336,24 +3336,41 @@ def q387_srp_ann_recall(spark, sf_dir):
     exact = pairs.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= TOPK_NEIGHBORS
     )
-    ba = buckets.select(
-        F.col("vec_id"), F.col("t").alias("ta"),
-        F.col("bucket").alias("bka"),
+    # r12 optimization (guide §2.4, the q401 treatment): candidate
+    # dedup decided MAP-SIDE — each vector's per-table bucket array
+    # (one tiny |vectors|-row aggregate) rides both sides of the
+    # bucket self-join and a pair is kept only at the FIRST table
+    # whose buckets match, so exactly one row per distinct
+    # (vec_id, neighbor) survives with no .distinct() exchange over
+    # candidate-pair rows. The probe side is spread explicitly (AQE
+    # coalesces the small bucket frame to one partition, serializing
+    # the pair fan-out).
+    barr = buckets.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "bucket"))),
+            lambda s: s.getField("bucket"),
+        ).alias("barr")
     )
-    bb = buckets.select(
-        F.col("vec_id").alias("neighbor"),
-        F.col("t").alias("tb"),
-        F.col("bucket").alias("bkb"),
+    bexp = barr.select(
+        "vec_id", "barr", F.posexplode("barr").alias("bt", "bkt")
+    )
+    ba = bexp.select(
+        F.col("vec_id"), "bt", "bkt", F.col("barr").alias("arr_a")
+    )
+    bb = bexp.select(
+        F.col("vec_id").alias("neighbor"), "bt", "bkt",
+        F.col("barr").alias("arr_b"),
+    )
+    first_match = F.array_position(
+        F.zip_with(F.col("arr_a"), F.col("arr_b"), lambda x, y: x == y),
+        F.lit(True),
     )
     cands = (
-        ba.join(
-            bb,
-            (F.col("ta") == F.col("tb"))
-            & (F.col("bka") == F.col("bkb"))
-            & (F.col("vec_id") != F.col("neighbor")),
-        )
+        ba.repartition(64)
+        .join(F.broadcast(bb), ["bt", "bkt"])
+        .filter(F.col("vec_id") != F.col("neighbor"))
+        .filter(first_match == F.col("bt") + 1)
         .select("vec_id", "neighbor")
-        .distinct()
     )
     ann = (
         pairs.join(cands, ["vec_id", "neighbor"])

@@ -825,13 +825,44 @@ def q402_srp_table_sweep(spark, sf_dir):
     qc = quantize_vectors(emb)
     planes = md5_planes(spark, SRS_MAX_TABLES, SRS_PLANES, 64, "srs")
     buckets = srp_buckets(qc, planes, SRS_PLANES)
-    ba = buckets.select(F.col("vec_id").alias("id_a"), "t", "bucket")
-    bb = buckets.select(F.col("vec_id").alias("id_b"), "t", "bucket")
+    # r12 optimization (guide §2.4, the q401 treatment): first_t is
+    # decided MAP-SIDE instead of groupBy(id_a, id_b).agg(min(t)) over
+    # every candidate row. Each vector's per-table bucket array (one
+    # tiny |vectors|-row aggregate) rides both sides of the bucket
+    # self-join; a pair is kept only at the FIRST table whose buckets
+    # match, and that table index IS min(t) — the candidate-pair
+    # shuffle disappears. The probe side is spread explicitly: AQE
+    # coalesces the small bucket frame to one partition, which would
+    # serialize the map-side pair fan-out.
+    barr = buckets.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "bucket"))),
+            lambda s: s.getField("bucket"),
+        ).alias("barr")
+    )
+    bexp = barr.select(
+        "vec_id", "barr", F.posexplode("barr").alias("t", "bucket")
+    )
+    ba = bexp.select(
+        F.col("vec_id").alias("id_a"), "t", "bucket",
+        F.col("barr").alias("arr_a"),
+    )
+    bb = bexp.select(
+        F.col("vec_id").alias("id_b"), "t", "bucket",
+        F.col("barr").alias("arr_b"),
+    )
+    first_match = F.array_position(
+        F.zip_with(F.col("arr_a"), F.col("arr_b"), lambda x, y: x == y),
+        F.lit(True),
+    )
     first_hit = (
-        ba.join(bb, ["t", "bucket"])
+        ba.repartition(64)
+        .join(F.broadcast(bb), ["t", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.min("t").alias("first_t"))
+        .filter(first_match == F.col("t") + 1)
+        .select(
+            "id_a", "id_b", F.col("t").cast("long").alias("first_t")
+        )
     )
     va = qc.select(
         F.col("vec_id").alias("id_a"),
@@ -862,8 +893,12 @@ def q402_srp_table_sweep(spark, sf_dir):
             ).alias("hit"),
         )
     )
+    # spread + broadcast the exact referee: the quantized frame reads
+    # as one partition, so an unspread crossJoin computes all ~2M
+    # folds on a single core (the q385 lesson)
     truth = (
-        va.crossJoin(vb)
+        va.repartition(64)
+        .crossJoin(F.broadcast(vb))
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             (
