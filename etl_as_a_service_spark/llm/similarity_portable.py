@@ -115,6 +115,74 @@ def _qdot(a_col: str, b_col: str):
     )
 
 
+#: fixture embedding dimension (FIXTURES.md contract)
+DIM = 64
+
+
+def flatten_qv(
+    df: DataFrame, prefix: str, dim: int = DIM, keep: tuple = ()
+) -> DataFrame:
+    """Explode a ``qv array<long>`` column into ``dim`` flat BIGINT
+    columns ``<prefix>0..<prefix>{dim-1}`` (plus ``vec_id`` and any
+    ``keep`` columns).
+
+    WHY (r13, guide §4.1/§1.2): Spark's higher-order functions
+    (``zip_with``, ``aggregate``) are CodegenFallback — every per-pair
+    dot/distance fold is interpreted, with a closure call and a boxed
+    array element per term. On the 4M-pair exact frames behind
+    q385/q386/q387/q401/q402 that costs ~10 us/pair; the same fold
+    written as a flat sum of 64 column products whole-stage-codegens
+    at ~3 us/pair (measured: 38.8 vs 12.7 JVM-CPU-s, same results —
+    scripts/rehearsal_hof_vs_flat_r13.py). Flattening must happen
+    BEFORE the pair join: per-pair ``qa[i]*qb[i]`` getItem chains are
+    10x WORSE than the HOF fold (390 CPU-s measured) because each
+    element access re-walks the UnsafeArrayData.
+
+    The sum order ((x0+x1)+x2)... matches the fold's left-to-right
+    accumulation exactly — pure int64 arithmetic, bit-identical."""
+    return df.select(
+        "vec_id",
+        *keep,
+        *[F.col("qv")[i].alias(f"{prefix}{i}") for i in range(dim)],
+    )
+
+
+def flat_qdot(pa: str, pb: str, dim: int = DIM):
+    """Codegen integer dot over two flattened vector column sets."""
+    out = F.col(f"{pa}0") * F.col(f"{pb}0")
+    for i in range(1, dim):
+        out = out + F.col(f"{pa}{i}") * F.col(f"{pb}{i}")
+    return out
+
+
+def spread(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Round-robin spread of a SMALL probe frame whose every row fans
+    out map-side into thousands of pair rows (the q385 lesson: the
+    embeddings scan is one partition, and AQE would coalesce any tiny
+    exchange back to one partition, serializing the fan-out).
+
+    r13 (verdict items 1-2): the width is ``defaultParallelism *
+    factor`` instead of the former hardcoded ``repartition(64)`` — a
+    constant tuned to the 32-core bench box that over-parallelized
+    every smaller runtime (64 fat fan-out partitions at 8 cores) and
+    under-parallelizes any larger cluster. At the bench config
+    (local[32], factor 2) the width is the same 64, so bench numbers
+    stay comparable."""
+    n = max(df.sparkSession.sparkContext.defaultParallelism * factor, 4)
+    return df.repartition(n)
+
+
+def flat_qdist2(pa: str, pb: str, dim: int = DIM):
+    """Codegen integer squared Euclidean distance over two flattened
+    vector column sets."""
+    d = F.col(f"{pa}0") - F.col(f"{pb}0")
+    out = d * d
+    for i in range(1, dim):
+        d = F.col(f"{pa}{i}") - F.col(f"{pb}{i}")
+        out = out + d * d
+    return out
+
+
 def srp_buckets(
     qvecs: DataFrame, planes: DataFrame, n_planes: int
 ) -> DataFrame:
@@ -364,6 +432,342 @@ def semantic_dedup_portable(
             F.count(F.lit(1)).cast("long").alias("group_size"),
         )
         .select("component", id_col, "group_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow block-Gram kernels (r13, guide §4.2/§8): the exact all-pairs
+# referee frames behind q385/q386/q387/q401/q402 are O(N^2 * dim)
+# integer folds. In-JVM that work is either an interpreted HOF fold
+# (~10 us/pair), an interpreted flat-column sum (~3 us/pair; >100
+# fields disables whole-stage codegen), or a codegen'd huge method the
+# JIT refuses to compile (~60 us/pair — all three measured,
+# scripts/rehearsal_hof_vs_flat_r13.py). A numpy block-matmul does the
+# same arithmetic at <0.01 us/pair: each task receives ONE Arrow row
+# carrying its id-block plus the full (small-set-only, documented)
+# matrix, computes the exact Gram block, and emits only the tiny
+# decision output (top-k rows / qualifying pairs / a partial count) —
+# the §8 pattern: decide with small rows, never ship the N^2 frame.
+#
+# Exactness: quantized values |q| <= 583 (module audit above), so
+# every product (<= 3.4e5), dot (<= 2.2e7) and squared distance
+# (<= 8.7e7) is an integer far below 2^53 — float64 BLAS matmul is
+# bit-exact; results cast back to int64 before any comparison that
+# could exceed 2^53 (the cosine cross-product test runs in int64).
+# ---------------------------------------------------------------------------
+
+
+def _block_rows(qc: DataFrame, n_blocks: int) -> DataFrame:
+    """One row per id-block: (part = [{vec_id, qv}...], allv = the full
+    vector set). The full set rides a 1-row broadcast crossJoin — pure
+    plan building, no driver collect."""
+    blocks = (
+        qc.select(
+            F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk"),
+            "vec_id",
+            "qv",
+        )
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "qv")).alias("part"))
+    )
+    allv = qc.agg(F.collect_list(F.struct("vec_id", "qv")).alias("allv"))
+    return blocks.crossJoin(F.broadcast(allv))
+
+
+def _unpack_vecs(cell):
+    """pa.ListScalar of struct<vec_id, qv> -> (ids int64[n], M float64[n, dim])."""
+    import numpy as np
+
+    sa = cell.values  # StructArray for this row's list
+    ids = sa.field("vec_id").to_numpy(zero_copy_only=False).astype("int64")
+    qv = sa.field("qv").flatten().to_numpy(zero_copy_only=False)
+    mat = qv.astype("float64").reshape(len(ids), -1)
+    return ids, mat
+
+
+def _default_blocks(df: DataFrame) -> int:
+    return max(df.sparkSession.sparkContext.defaultParallelism, 4)
+
+
+def exact_topk_arrow(
+    qc: DataFrame, k: int, n_blocks: int | None = None
+) -> DataFrame:
+    """Exact integer top-k neighbors per vector: (vec_id, rank,
+    neighbor, qdot), ranked by (qdot DESC, neighbor ASC), self
+    excluded — the q385 frame without the N^2-row window/exchange:
+    each block task emits only k rows per query vector."""
+    nb = n_blocks or _default_blocks(qc)
+
+    def kern(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            part_col, all_col = rb.column("part"), rb.column("allv")
+            for r in range(rb.num_rows):
+                aids, amat = _unpack_vecs(part_col[r])
+                bids, bmat = _unpack_vecs(all_col[r])
+                gram = amat @ bmat.T
+                gm = np.where(aids[:, None] == bids[None, :], -np.inf, gram)
+                n_out = min(k, len(bids) - 1) if len(bids) > 1 else 0
+                if n_out <= 0:
+                    continue
+                ov, orank, on, oq = [], [], [], []
+                for i in range(len(aids)):
+                    order = np.lexsort((bids, -gm[i]))[:n_out]
+                    ov.append(np.full(n_out, aids[i], dtype="int64"))
+                    orank.append(np.arange(1, n_out + 1, dtype="int64"))
+                    on.append(bids[order])
+                    oq.append(gram[i, order].astype("int64"))
+                yield pa.record_batch(
+                    [
+                        pa.array(np.concatenate(ov)),
+                        pa.array(np.concatenate(orank)),
+                        pa.array(np.concatenate(on)),
+                        pa.array(np.concatenate(oq)),
+                    ],
+                    names=["vec_id", "rank", "neighbor", "qdot"],
+                )
+
+    return _block_rows(qc, nb).mapInArrow(
+        kern, "vec_id long, rank long, neighbor long, qdot long"
+    )
+
+
+def pairs_topk_arrow(
+    pairs: DataFrame, qc: DataFrame, k: int, n_blocks: int | None = None
+) -> DataFrame:
+    """Rank a GIVEN candidate-pair set by exact integer dot and keep
+    the per-query top-k: (vec_id, neighbor, arnk) with arnk 1..k by
+    (qdot DESC, neighbor ASC). The pair ids block by vec_id and ride
+    one grouped row per block; vectors resolve by id against the full
+    (small-set-only) matrix inside the task — the N-candidate ranking
+    window and the per-pair vector join-backs never exist in the
+    plan."""
+    nb = n_blocks or _default_blocks(qc)
+    plist = (
+        pairs.select(
+            F.pmod(F.col("vec_id"), F.lit(nb)).alias("blk"),
+            "vec_id",
+            "neighbor",
+        )
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "neighbor")).alias("plist"))
+    )
+    allv = qc.agg(F.collect_list(F.struct("vec_id", "qv")).alias("allv"))
+    inp = plist.crossJoin(F.broadcast(allv))
+
+    def kern(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            pcol, acol = rb.column("plist"), rb.column("allv")
+            for r in range(rb.num_rows):
+                sa = pcol[r].values
+                pv = (
+                    sa.field("vec_id")
+                    .to_numpy(zero_copy_only=False)
+                    .astype("int64")
+                )
+                pn = (
+                    sa.field("neighbor")
+                    .to_numpy(zero_copy_only=False)
+                    .astype("int64")
+                )
+                if len(pv) == 0:
+                    continue
+                bids, bmat = _unpack_vecs(acol[r])
+                pos = {int(v): i for i, v in enumerate(bids)}
+                vi = np.fromiter(
+                    (pos[int(v)] for v in pv), dtype="int64", count=len(pv)
+                )
+                ni = np.fromiter(
+                    (pos[int(v)] for v in pn), dtype="int64", count=len(pn)
+                )
+                dots = np.einsum("ij,ij->i", bmat[vi], bmat[ni])
+                order = np.lexsort((pn, -dots, pv))
+                sv = pv[order]
+                starts = np.zeros(len(sv), dtype="int64")
+                new_grp = np.flatnonzero(np.diff(sv)) + 1
+                starts[new_grp] = new_grp
+                np.maximum.accumulate(starts, out=starts)
+                rnk = np.arange(len(sv), dtype="int64") - starts + 1
+                keep = rnk <= k
+                yield pa.record_batch(
+                    [
+                        pa.array(sv[keep]),
+                        pa.array(pn[order][keep]),
+                        pa.array(rnk[keep]),
+                    ],
+                    names=["vec_id", "neighbor", "arnk"],
+                )
+
+    return inp.mapInArrow(
+        kern, "vec_id long, neighbor long, arnk long"
+    )
+
+
+def pairs_cos_hits_arrow(
+    pairs: DataFrame,
+    qc: DataFrame,
+    num2: int,
+    den2: int,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Verify a GIVEN candidate-pair set against the integer cosine
+    cross-product test: returns (first_t, hit) per pair, where hit =
+    (qdot > 0 AND den2*qdot^2 >= num2*|a|^2*|b|^2) evaluated in int64
+    inside the block kernel (cross-products exceed 2^53 — float64
+    would be inexact). ``pairs`` must carry (id_a, id_b, first_t)."""
+    nb = n_blocks or _default_blocks(qc)
+    plist = (
+        pairs.select(
+            F.pmod(F.col("id_a"), F.lit(nb)).alias("blk"),
+            "id_a",
+            "id_b",
+            "first_t",
+        )
+        .groupBy("blk")
+        .agg(
+            F.collect_list(F.struct("id_a", "id_b", "first_t")).alias(
+                "plist"
+            )
+        )
+    )
+    allv = qc.agg(F.collect_list(F.struct("vec_id", "qv")).alias("allv"))
+    inp = plist.crossJoin(F.broadcast(allv))
+
+    def kern(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            pcol, acol = rb.column("plist"), rb.column("allv")
+            for r in range(rb.num_rows):
+                sa = pcol[r].values
+                pa_ = (
+                    sa.field("id_a")
+                    .to_numpy(zero_copy_only=False)
+                    .astype("int64")
+                )
+                pb_ = (
+                    sa.field("id_b")
+                    .to_numpy(zero_copy_only=False)
+                    .astype("int64")
+                )
+                ft = (
+                    sa.field("first_t")
+                    .to_numpy(zero_copy_only=False)
+                    .astype("int64")
+                )
+                if len(pa_) == 0:
+                    continue
+                bids, bmat = _unpack_vecs(acol[r])
+                pos = {int(v): i for i, v in enumerate(bids)}
+                ai = np.fromiter(
+                    (pos[int(v)] for v in pa_), dtype="int64",
+                    count=len(pa_),
+                )
+                bi = np.fromiter(
+                    (pos[int(v)] for v in pb_), dtype="int64",
+                    count=len(pb_),
+                )
+                nrm = np.rint((bmat * bmat).sum(axis=1)).astype("int64")
+                qdot = np.rint(
+                    np.einsum("ij,ij->i", bmat[ai], bmat[bi])
+                ).astype("int64")
+                hit = (qdot > 0) & (
+                    den2 * qdot * qdot >= num2 * (nrm[ai] * nrm[bi])
+                )
+                yield pa.record_batch(
+                    [pa.array(ft), pa.array(hit)],
+                    names=["first_t", "hit"],
+                )
+
+    return inp.mapInArrow(kern, "first_t long, hit boolean")
+
+
+def within_dist_pairs_arrow(
+    qc: DataFrame, thr_q2: int, n_blocks: int | None = None
+) -> DataFrame:
+    """Exact within-threshold census pairs: (id_a, id_b, qdist2) for
+    every id_a < id_b with integer squared distance <= thr_q2 — the
+    qualifying pairs are the only rows that leave the kernel."""
+    nb = n_blocks or _default_blocks(qc)
+
+    def kern(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            part_col, all_col = rb.column("part"), rb.column("allv")
+            for r in range(rb.num_rows):
+                aids, amat = _unpack_vecs(part_col[r])
+                bids, bmat = _unpack_vecs(all_col[r])
+                na = (amat * amat).sum(axis=1)
+                nb2 = (bmat * bmat).sum(axis=1)
+                d2 = na[:, None] + nb2[None, :] - 2.0 * (amat @ bmat.T)
+                ii, jj = np.nonzero(
+                    (aids[:, None] < bids[None, :]) & (d2 <= thr_q2)
+                )
+                yield pa.record_batch(
+                    [
+                        pa.array(aids[ii]),
+                        pa.array(bids[jj]),
+                        pa.array(d2[ii, jj].astype("int64")),
+                    ],
+                    names=["id_a", "id_b", "qdist2"],
+                )
+
+    return _block_rows(qc, nb).mapInArrow(
+        kern, "id_a long, id_b long, qdist2 long"
+    )
+
+
+def cos_census_count_arrow(
+    qc: DataFrame, num2: int, den2: int, n_blocks: int | None = None
+) -> DataFrame:
+    """Exact cosine-threshold census count: one row (n_true >= 1) —
+    the number of id_a < id_b pairs with qdot > 0 and den2*qdot^2 >=
+    num2*|a|^2*|b|^2, evaluated in int64 (the cross-products exceed
+    2^53, so the comparison must not run in float64)."""
+    nb = n_blocks or _default_blocks(qc)
+
+    def kern(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            part_col, all_col = rb.column("part"), rb.column("allv")
+            for r in range(rb.num_rows):
+                aids, amat = _unpack_vecs(part_col[r])
+                bids, bmat = _unpack_vecs(all_col[r])
+                qdot = np.rint(amat @ bmat.T).astype("int64")
+                na = (
+                    np.rint((amat * amat).sum(axis=1)).astype("int64")
+                )
+                nb_ = (
+                    np.rint((bmat * bmat).sum(axis=1)).astype("int64")
+                )
+                hit = (
+                    (aids[:, None] < bids[None, :])
+                    & (qdot > 0)
+                    & (
+                        den2 * qdot * qdot
+                        >= num2 * (na[:, None] * nb_[None, :])
+                    )
+                )
+                yield pa.record_batch(
+                    [pa.array([int(hit.sum())], type=pa.int64())],
+                    names=["n"],
+                )
+
+    partial = _block_rows(qc, nb).mapInArrow(kern, "n long")
+    return partial.agg(
+        F.greatest(F.coalesce(F.sum("n"), F.lit(0)), F.lit(1))
+        .cast("long")
+        .alias("n_true")
     )
 
 

@@ -3041,10 +3041,9 @@ def q385_exact_topk_neighbors(spark, sf_dir):
     SCALE DESIGN: this is the documented SMALL-SET-ONLY exact
     baseline (all-pairs; 2000 vectors = 4M scored pairs at sf0.1) —
     the scale path is the IVF/LSH family (q54/q139) whose recall is
-    measured against THIS ground truth; per-query ranking is a
-    WindowGroupLimit (rank filter pushes map-side)."""
-    from pyspark.sql import Window
-
+    measured against THIS ground truth; the per-query ranking happens
+    inside the block-Gram kernel (argsort over one block row), so
+    only k rows per query ever leave a task."""
     from etl_as_a_service_spark.catalog import load_tables
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
@@ -3053,41 +3052,34 @@ def q385_exact_topk_neighbors(spark, sf_dir):
         lambda x: F.round(x.cast("double") * 1000).cast("long"),
     )
     q = emb.select("vec_id", "label", qv.alias("qv"))
-    # the embeddings table reads as ONE partition, so the cross
-    # join's 4M scored pairs would compute on one core — spread the
-    # stream side first (measured 41s -> ~3s at sf0.1 on local[32])
-    a = q.repartition(64).select(
-        F.col("vec_id").alias("vec_id"),
-        F.col("label").alias("label"),
-        F.col("qv").alias("qa"),
+    # r13 (guide §4.2/§8): the N^2-pair crossJoin + per-pair fold +
+    # N^2-row ranking window is replaced by the Arrow block-Gram
+    # kernel — each task computes its id-block's exact integer dots
+    # as ONE float64 matmul (bit-exact at the audited magnitudes) and
+    # emits only the top-k rows per query, so no N^2 frame ever hits
+    # a shuffle or an interpreted fold. The old in-JVM shapes cost
+    # 10 us/pair (HOF fold) / 3 us/pair (interpreted flat sum; >100
+    # fields disables codegen) — measured in
+    # scripts/rehearsal_hof_vs_flat_r13.py; the matmul is <0.01.
+    from etl_as_a_service_spark.llm.similarity_portable import (
+        exact_topk_arrow,
     )
-    b = q.select(
-        F.col("vec_id").alias("neighbor"),
-        F.col("label").alias("n_label"),
-        F.col("qv").alias("qb"),
+
+    topk = exact_topk_arrow(
+        q.select("vec_id", "qv"), TOPK_NEIGHBORS
     )
-    qdot = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("vec_id") != F.col("neighbor"))
-        .select(
-            "vec_id",
-            "label",
-            "neighbor",
-            "n_label",
-            qdot.alias("qdot"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("qdot").desc(), F.col("neighbor")
-    )
+    labels = emb.select("vec_id", "label")
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK_NEIGHBORS)
+        topk.join(F.broadcast(labels), "vec_id")
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("neighbor"),
+                    F.col("label").alias("n_label"),
+                )
+            ),
+            "neighbor",
+        )
         .select(
             "vec_id",
             F.col("rank").cast("long").alias("rank"),
@@ -3247,8 +3239,6 @@ def q387_srp_ann_recall(spark, sf_dir):
     through bucket equality (the LSH shape). The RECALL measurement
     reuses the all-pairs exact frame (small-set-only by design, the
     q385 note); the ANN path itself never scores outside buckets."""
-    from pyspark.sql import Window
-
     from etl_as_a_service_spark.catalog import load_tables
     from etl_as_a_service_spark.llm.dedup import md5_hash64
 
@@ -3306,36 +3296,20 @@ def q387_srp_ann_recall(spark, sf_dir):
             ]
         ).alias("bucket")
     )
-    # all-pairs exact dots (the q385 measurement frame); spread the
-    # stream side — one input partition would serialize the 4M dots
-    a = q.repartition(64).select(
-        F.col("vec_id"), F.col("qv").alias("qa")
+    # r13 (guide §4.2/§8): the exact ground-truth top-k comes from
+    # the Arrow block-Gram kernel (one float64 matmul per id-block,
+    # bit-exact at the audited magnitudes, only k rows per query ever
+    # leave a task) — the 4M-row persisted pair frame, its two
+    # ranking windows, and the interpreted per-pair folds are gone
+    # from the plan entirely (the r12 shape cost ~110 JVM-CPU-s; see
+    # scripts/rehearsal_hof_vs_flat_r13.py for the fold menu).
+    from etl_as_a_service_spark.llm.similarity_portable import (
+        exact_topk_arrow,
+        pairs_topk_arrow,
+        spread,
     )
-    b = q.select(
-        F.col("vec_id").alias("neighbor"), F.col("qv").alias("qb")
-    )
-    qdot = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    # persist: the exact all-pairs frame computes ONCE (at the first
-    # action) and both the exact and ANN branches read the same
-    # InMemoryRelation; construction stays pure plan-building (zero
-    # jobs — tested; a localCheckpoint, even lazy, executes its
-    # upstream shuffle stages at construction under AQE)
-    pairs = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("vec_id") != F.col("neighbor"))
-        .select("vec_id", "neighbor", qdot.alias("qdot"))
-        .persist()
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("qdot").desc(), F.col("neighbor")
-    )
-    exact = pairs.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= TOPK_NEIGHBORS
-    )
+
+    exact = exact_topk_arrow(q, TOPK_NEIGHBORS)
     # r12 optimization (guide §2.4, the q401 treatment): candidate
     # dedup decided MAP-SIDE — each vector's per-table bucket array
     # (one tiny |vectors|-row aggregate) rides both sides of the
@@ -3366,17 +3340,18 @@ def q387_srp_ann_recall(spark, sf_dir):
         F.lit(True),
     )
     cands = (
-        ba.repartition(64)
+        spread(ba)
         .join(F.broadcast(bb), ["bt", "bkt"])
         .filter(F.col("vec_id") != F.col("neighbor"))
         .filter(first_match == F.col("bt") + 1)
         .select("vec_id", "neighbor")
     )
-    ann = (
-        pairs.join(cands, ["vec_id", "neighbor"])
-        .withColumn("arnk", F.row_number().over(w))
-        .filter(F.col("arnk") <= TOPK_NEIGHBORS)
-    )
+    # ANN ranking inside the bucket set: the candidate ids (from the
+    # JVM LSH machinery above — that part IS the scale operator) are
+    # blocked per query and ranked by exact dot inside the Gram
+    # kernel; at sf0.1 that is ~937k candidate pairs whose dots would
+    # otherwise cost ~10 us/pair interpreted plus a 937k-row window
+    ann = pairs_topk_arrow(cands, q, TOPK_NEIGHBORS)
     hits = ann.join(
         exact.select("vec_id", "neighbor"), ["vec_id", "neighbor"]
     ).groupBy("vec_id").agg(F.count(F.lit(1)).alias("m"))

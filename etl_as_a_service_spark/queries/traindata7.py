@@ -543,6 +543,8 @@ def q401_rp_width_sweep(spark, sf_dir):
     from etl_as_a_service_spark.llm.similarity_portable import (
         md5_planes,
         quantize_vectors,
+        spread,
+        within_dist_pairs_arrow,
     )
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
@@ -584,77 +586,138 @@ def q401_rp_width_sweep(spark, sf_dir):
     def _fdiv(col, w):
         return ((col - F.pmod(col, F.lit(w))) / F.lit(w)).cast("long")
 
-    parr = projs.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("t", "proj"))),
-            lambda s: s.getField("proj"),
-        ).alias("parr")
+    # r13 rework of the r12 shape (guide §4.1/§4.2 + verdict items
+    # 1-2). The r12 per-pair expressions were higher-order functions
+    # over arrays (zip_with/exists/aggregate) — all CodegenFallback,
+    # interpreted per element with a boxed closure call. At ~1.9M
+    # deduped pairs that interpreted work dominated the query
+    # (measured: the min-width probe chain alone is 73 JVM-CPU-s and
+    # the 64-term distance fold ~54 more —
+    # scripts/rehearsal_q401_pieces_r13.py), and its allocation rate
+    # is the prime suspect for the r12 32-core anti-scaling (10.3s
+    # @32c vs 2.9s @8c: 32 allocation-heavy interpreter threads in
+    # one JVM). Two structural fixes:
+    #   1. WIDTH ALGEBRA ON PRE-DIVIDED BUCKET IDS: each vector
+    #      carries x_t = floor(proj_t / w_min) (computed ONCE per
+    #      vector, before any join); nested widths w = w_min * 2^k
+    #      compare as arithmetic shifts (x >> k), so first-match and
+    #      min-width are flat long comparisons instead of 16
+    #      interpreted pmod/divide/cast chains per pair.
+    #   2. THE EXACT DISTANCE NEVER TOUCHES THE PAIR FAN-OUT: the
+    #      within-threshold pair set comes from the Arrow block-Gram
+    #      kernel (one bit-exact float64 matmul per id-block, §4.2;
+    #      only qualifying pairs leave the kernel), and min_w is
+    #      attached to THAT tiny set — the 1.9M-pair frame only ever
+    #      evaluates the shift-compare chain and a count.
+    T = RPW_TABLES
+    w_min = min(RPW_WIDTHS)
+    shifts = {}
+    for w in RPW_WIDTHS:
+        s = (w // w_min).bit_length() - 1
+        if w_min << s != w:
+            raise ValueError(
+                f"RPW_WIDTHS must be {w_min} * 2^k multiples; got {w}"
+            )
+        shifts[w] = s
+    k_max = shifts[w_max]
+    pvec = projs.groupBy("vec_id").agg(
+        *[
+            F.max(
+                F.when(F.col("t") == t, _fdiv(F.col("proj"), w_min))
+            ).alias(f"x{t}")
+            for t in range(T)
+        ]
     )
-    wide = parr.join(
-        F.broadcast(qc.withColumnRenamed("qv", "qvv")), "vec_id"
-    ).select(
+    # probe side: pre-divided bucket ids + the coarsest-width bucket
+    # per table (posexplode over a T-element shift-expression array)
+    bexp = pvec.select(
         "vec_id",
-        "parr",
-        F.transform(F.col("parr"), lambda p: _fdiv(p, w_max)).alias(
-            "b4arr"
-        ),
-        "qvv",
-    )
-    bexp = wide.select(
-        "vec_id", "parr", "b4arr", "qvv",
-        F.posexplode("b4arr").alias("t", "bucket"),
+        *[f"x{t}" for t in range(T)],
+        F.posexplode(
+            F.array(
+                *[F.shiftright(F.col(f"x{t}"), k_max) for t in range(T)]
+            )
+        ).alias("t", "bucket"),
     )
     ba = bexp.select(
         F.col("vec_id").alias("id_a"), "t", "bucket",
-        F.col("parr").alias("pa"), F.col("b4arr").alias("b4a"),
-        F.col("qvv").alias("qa"),
+        *[F.col(f"x{t}").alias(f"xa{t}") for t in range(T)],
     )
     bb = bexp.select(
         F.col("vec_id").alias("id_b"), "t", "bucket",
-        F.col("parr").alias("pb"), F.col("b4arr").alias("b4b"),
-        F.col("qvv").alias("qb"),
+        *[F.col(f"x{t}").alias(f"xb{t}") for t in range(T)],
     )
-    first_match = F.array_position(
-        F.zip_with(F.col("b4a"), F.col("b4b"), lambda x, y: x == y),
-        F.lit(True),
+
+    def _sr(col, k):
+        return F.shiftright(F.col(col), k) if k else F.col(col)
+
+    # first table whose coarse buckets match — keeps one row per
+    # distinct pair with no .distinct() exchange (the r12 invariant:
+    # every vector has ALL T projections, so position == t)
+    first_match = F.coalesce(
+        *[
+            F.when(_sr(f"xa{t}", k_max) == _sr(f"xb{t}", k_max), F.lit(t))
+            for t in range(T)
+        ]
     )
+
+    def _match_any(k):
+        cond = _sr("xa0", k) == _sr("xb0", k)
+        for t in range(1, T):
+            cond = cond | (_sr(f"xa{t}", k) == _sr(f"xb{t}", k))
+        return cond
+
     min_w = F.coalesce(
         *[
-            F.when(
-                F.exists(
-                    F.zip_with(
-                        F.col("pa"),
-                        F.col("pb"),
-                        lambda x, y: _fdiv(x, w) == _fdiv(y, w),
-                    ),
-                    lambda m: m,
-                ),
-                F.lit(w).cast("long"),
-            )
+            F.when(_match_any(shifts[w]), F.lit(w).cast("long"))
             for w in sorted(RPW_WIDTHS)
         ]
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
     # spread the probe side: the (vec, t) frame is tiny (AQE would
     # coalesce it to one partition) but each probe row fans out to
-    # thousands of candidate rows — an explicit repartition keeps the
+    # thousands of candidate rows — an explicit spread keeps the
     # map-side blowup parallel (the q385 lesson; AQE honors
-    # user-specified partition counts)
-    pair_stats = (
-        ba.repartition(64)
+    # user-specified partition counts). Width tracks parallelism
+    # (verdict item 2) instead of the former repartition(64).
+    nc_stats = (
+        spread(ba)
         .join(F.broadcast(bb), ["t", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(first_match == F.col("t") + 1)
-        .select(min_w.alias("min_w"), d2.alias("qdist2"))
+        .filter(first_match == F.col("t"))
+        .select(min_w.alias("min_w"))
         .groupBy("min_w")
-        .agg(
-            F.count(F.lit(1)).alias("n_c"),
-            F.count_if(F.col("qdist2") <= RPW_THRESHOLD_Q2).alias("n_w"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_c"))
+    )
+    # within-threshold pairs from the block-Gram kernel; min_w
+    # attaches to this TINY set (a pair within the distance threshold
+    # collides at w_max with overwhelming probability, and min_w is
+    # NULL — excluded — exactly when it does not collide at all:
+    # nested widths mean match-at-w implies match-at-2w)
+    xa = pvec.select(
+        F.col("vec_id").alias("id_a"),
+        *[F.col(f"x{t}").alias(f"xa{t}") for t in range(T)],
+    )
+    xb = pvec.select(
+        F.col("vec_id").alias("id_b"),
+        *[F.col(f"x{t}").alias(f"xb{t}") for t in range(T)],
+    )
+    nw_stats = (
+        within_dist_pairs_arrow(qc, RPW_THRESHOLD_Q2)
+        .join(F.broadcast(xa), "id_a")
+        .join(F.broadcast(xb), "id_b")
+        .select(min_w.alias("min_w"))
+        .groupBy("min_w")
+        .agg(F.count(F.lit(1)).alias("n_w_grp"))
+        .persist()
+    )
+    pair_stats = nc_stats.join(
+        F.broadcast(nw_stats.filter(F.col("min_w").isNotNull())),
+        "min_w",
+        "left",
+    ).select(
+        "min_w",
+        "n_c",
+        F.coalesce(F.col("n_w_grp"), F.lit(0)).alias("n_w"),
     )
     # suffix-sum the (min_w) grain back to the per-width ledger: a
     # pair is a candidate at width w iff min_w <= w (4x4 broadcast
@@ -669,29 +732,13 @@ def q401_rp_width_sweep(spark, sf_dir):
             F.sum("n_w").alias("__nwsum"),
         )
     )
-    # exact within-threshold census (small-set-only referee, q385 note)
-    va = qc.select(F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"))
-    vb = qc.select(F.col("vec_id").alias("id_b"), F.col("qv").alias("qb2"))
-    truth = (
-        va.repartition(64)
-        .crossJoin(F.broadcast(vb))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            F.aggregate(
-                F.zip_with(
-                    F.col("qa"),
-                    F.col("qb2"),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("qd")
-        )
-        .agg(
-            F.greatest(
-                F.count_if(F.col("qd") <= RPW_THRESHOLD_Q2), F.lit(1)
-            ).alias("n_true")
-        )
+    # exact within-threshold census (small-set-only referee, q385
+    # note): total count over the SAME kernel-grouped frame (the NULL
+    # min_w group keeps non-colliding within pairs in this total)
+    truth = nw_stats.agg(
+        F.greatest(
+            F.coalesce(F.sum("n_w_grp"), F.lit(0)), F.lit(1)
+        ).alias("n_true")
     )
     return (
         verified.crossJoin(F.broadcast(truth))
@@ -816,8 +863,11 @@ def q402_srp_table_sweep(spark, sf_dir):
     (q385 note). Bounded output: |sweep| rows."""
     from etl_as_a_service_spark.catalog import load_tables
     from etl_as_a_service_spark.llm.similarity_portable import (
+        cos_census_count_arrow,
         md5_planes,
+        pairs_cos_hits_arrow,
         quantize_vectors,
+        spread,
         srp_buckets,
     )
 
@@ -856,7 +906,7 @@ def q402_srp_table_sweep(spark, sf_dir):
         F.lit(True),
     )
     first_hit = (
-        ba.repartition(64)
+        spread(ba)
         .join(F.broadcast(bb), ["t", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(first_match == F.col("t") + 1)
@@ -864,57 +914,17 @@ def q402_srp_table_sweep(spark, sf_dir):
             "id_a", "id_b", F.col("t").cast("long").alias("first_t")
         )
     )
-    va = qc.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("qv").alias("qa"),
-        F.col("nrm2").alias("na"),
-    )
-    vb = qc.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("qv").alias("qb"),
-        F.col("nrm2").alias("nb"),
-    )
-    qd = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    judged = (
-        first_hit.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "first_t",
-            (
-                (qd > 0)
-                & (
-                    F.lit(SRS_DEN2) * qd * qd
-                    >= F.lit(SRS_NUM2) * F.col("na") * F.col("nb")
-                )
-            ).alias("hit"),
-        )
-    )
-    # spread + broadcast the exact referee: the quantized frame reads
-    # as one partition, so an unspread crossJoin computes all ~2M
-    # folds on a single core (the q385 lesson)
-    truth = (
-        va.repartition(64)
-        .crossJoin(F.broadcast(vb))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            (
-                (qd > 0)
-                & (
-                    F.lit(SRS_DEN2) * qd * qd
-                    >= F.lit(SRS_NUM2) * F.col("na") * F.col("nb")
-                )
-            ).alias("t_hit")
-        )
-        .agg(
-            F.greatest(F.count_if(F.col("t_hit")), F.lit(1)).alias(
-                "n_true"
-            )
-        )
-    )
+    # r13 (guide §4.2, the q401/q385/q387 rationale): both the
+    # per-candidate verify and the exact referee run inside the Arrow
+    # block-Gram kernels — the candidate ids ship to the kernel
+    # blocked per query vector, dots come from one exact float64
+    # matmul per block, and the cosine cross-product test runs in
+    # int64 (it exceeds 2^53). The r12 in-JVM shape paid ~10 us/pair
+    # for the interpreted HOF fold across ~1.5M verify pairs plus the
+    # 2M-fold referee (scripts/rehearsal_hof_vs_flat_r13.py has the
+    # per-shape menu).
+    judged = pairs_cos_hits_arrow(first_hit, qc, SRS_NUM2, SRS_DEN2)
+    truth = cos_census_count_arrow(qc, SRS_NUM2, SRS_DEN2)
     sweep = spark.createDataFrame(
         [(t,) for t in SRS_SWEEP], "n_tables long"
     )

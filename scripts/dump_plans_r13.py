@@ -1,0 +1,43 @@
+"""Dump .explain('formatted') for named queries into plans/r13/.
+
+Usage: python scripts/dump_plans_r13.py <suffix> <query> [<query>...]
+e.g.   python scripts/dump_plans_r13.py before q385_exact_topk_neighbors
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def main() -> None:
+    suffix = sys.argv[1]
+    names = sys.argv[2:]
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from etl_as_a_service_spark.session import build_session
+
+    spark = build_session(app_name="r13-plans", driver_memory="8g")
+    spark.sparkContext.setLogLevel("ERROR")
+    from etl_as_a_service_spark.queries import QUERIES
+
+    outdir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "plans", "r13")
+    os.makedirs(outdir, exist_ok=True)
+    for name in names:
+        df = QUERIES[name].fn(spark, "/root/testdata/sf0.1")
+        txt = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(outdir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(txt)
+        print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

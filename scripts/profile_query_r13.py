@@ -1,0 +1,106 @@
+"""Round-13 per-query profiler (guide §1): time a declared query in
+isolation with the noop sink at a chosen core count, and optionally dump
+its .explain("formatted").
+
+Usage:
+    python scripts/profile_query_r13.py <query> [<query> ...] \
+        [--cpus N] [--runs K] [--sf DIR] [--explain OUT.txt]
+
+Timing methodology matches bench.py (min of K, clearCache between runs)
+except the action is the noop sink, so the computation is timed without
+the count() column-pruning caveat (guide §1.4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="+")
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--explain", default=None,
+                    help="write .explain('formatted') of the FIRST query here")
+    ap.add_argument("--count", action="store_true",
+                    help="use .count() like bench.py instead of the noop sink")
+    args = ap.parse_args()
+
+    from etl_as_a_service_spark.session import build_session
+
+    import os
+    os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
+    spark = build_session(app_name="r13-profile", driver_memory="16g")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from etl_as_a_service_spark.queries import QUERIES
+
+    # same warmup as bench.py: tables + HOF machinery
+    from etl_as_a_service_spark.catalog import load_tables
+
+    for df in load_tables(
+        spark, args.sf,
+        ("region", "nation", "customer", "supplier", "part", "orders",
+         "lineitem", "events", "documents", "embeddings"),
+    ).values():
+        df.count()
+    from etl_as_a_service_spark.llm.dedup import hashed_shingle_sets
+
+    hashed_shingle_sets(
+        spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string"),
+        "text", "doc_id", 3,
+    ).count()
+    QUERIES["q01_pricing_summary"].fn(spark, args.sf).count()
+
+    # JVM CPU-time deltas from /proc — robust against the r13 host's
+    # violent wall-clock interference (hypervisor steal; calibration
+    # swings 0.46s..2.9s between bench runs)
+    import subprocess
+
+    out = subprocess.check_output(
+        ["ps", "-o", "pid=,comm=", "--ppid", str(os.getpid())], text=True
+    )
+    jpid = next(int(l.split()[0]) for l in out.splitlines() if "java" in l)
+    clk = os.sysconf("SC_CLK_TCK")
+
+    def jvm_cpu() -> float:
+        with open(f"/proc/{jpid}/stat") as f:
+            parts = f.read().rsplit(")", 1)[1].split()
+        return (int(parts[11]) + int(parts[12])) / clk  # utime+stime
+
+    for i, name in enumerate(args.queries):
+        df = QUERIES[name].fn(spark, args.sf)
+        if i == 0 and args.explain:
+            with open(args.explain, "w") as f:
+                f.write(df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"))
+        best, best_cpu = float("inf"), float("inf")
+        for _ in range(args.runs):
+            spark.catalog.clearCache()
+            spark.sparkContext.setJobDescription(f"r13-profile:{name}")
+            c0 = jvm_cpu()
+            t0 = time.perf_counter()
+            if args.count:
+                QUERIES[name].fn(spark, args.sf).count()
+            else:
+                (QUERIES[name].fn(spark, args.sf)
+                 .write.format("noop").mode("overwrite").save())
+            best = min(best, time.perf_counter() - t0)
+            best_cpu = min(best_cpu, jvm_cpu() - c0)
+            spark.sparkContext.setJobDescription(None)
+        print(f"RESULT {name} cpus={args.cpus} min_of_{args.runs}="
+              f"{best:.3f}s cpu={best_cpu:.2f}s", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,178 @@
+"""Round-13 rehearsal (guide §1 measure-first): is the interpreted
+higher-order-function fold (zip_with + aggregate, CodegenFallback) the
+dominant cost of the all-pairs integer-dot frames behind
+q385/q386/q387/q401/q402 — and does flattening the 64-dim quantized
+vector into 64 long COLUMNS (a pure whole-stage-codegen sum of
+products) beat it?
+
+Same-process interleaved min-of-N so host-load drift cancels (the r13
+host shows 6x calibration swings between runs).
+
+Usage: python scripts/rehearsal_hof_vs_flat_r13.py [--cpus N] [--runs K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import operator
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--maxfields", type=int, default=None,
+                    help="override spark.sql.codegen.maxFields")
+    args = ap.parse_args()
+
+    os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
+    from etl_as_a_service_spark.session import build_session
+
+    extra = (
+        {"spark.sql.codegen.maxFields": str(args.maxfields)}
+        if args.maxfields
+        else None
+    )
+    spark = build_session(
+        app_name="r13-hof-vs-flat", driver_memory="16g", extra_conf=extra
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.llm.similarity_portable import quantize_vectors
+
+    emb = load_tables(spark, args.sf, ["embeddings"])["embeddings"]
+    emb.count()  # warm scan
+    qc = quantize_vectors(emb)
+    DIM = 64
+
+    def hof_pairs():
+        a = qc.repartition(64).select("vec_id", F.col("qv").alias("qa"))
+        b = qc.select(F.col("vec_id").alias("neighbor"), F.col("qv").alias("qb"))
+        qdot = F.aggregate(
+            F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return (
+            a.crossJoin(F.broadcast(b))
+            .filter(F.col("vec_id") != F.col("neighbor"))
+            .select("vec_id", "neighbor", qdot.alias("qdot"))
+            .agg(F.sum("qdot"), F.count(F.lit(1)))
+        )
+
+    def flat_pairs():
+        flat = qc.select(
+            "vec_id", *[F.col("qv")[i].alias(f"x{i}") for i in range(DIM)]
+        )
+        a = flat.repartition(64).select(
+            "vec_id", *[F.col(f"x{i}").alias(f"a{i}") for i in range(DIM)]
+        )
+        b = flat.select(
+            F.col("vec_id").alias("neighbor"),
+            *[F.col(f"x{i}").alias(f"b{i}") for i in range(DIM)],
+        )
+        qdot = functools.reduce(
+            operator.add, [F.col(f"a{i}") * F.col(f"b{i}") for i in range(DIM)]
+        )
+        return (
+            a.crossJoin(F.broadcast(b))
+            .filter(F.col("vec_id") != F.col("neighbor"))
+            .select("vec_id", "neighbor", qdot.alias("qdot"))
+            .agg(F.sum("qdot"), F.count(F.lit(1)))
+        )
+
+    def floor_pairs():
+        # the crossJoin machinery alone: same fan-out, no dot
+        flat = qc.select(
+            "vec_id", *[F.col("qv")[i].alias(f"x{i}") for i in range(DIM)]
+        )
+        a = flat.repartition(64).select(
+            "vec_id", *[F.col(f"x{i}").alias(f"a{i}") for i in range(DIM)]
+        )
+        b = flat.select(
+            F.col("vec_id").alias("neighbor"),
+            *[F.col(f"x{i}").alias(f"b{i}") for i in range(DIM)],
+        )
+        return (
+            a.crossJoin(F.broadcast(b))
+            .filter(F.col("vec_id") != F.col("neighbor"))
+            .agg(F.count(F.lit(1)))
+        )
+
+    def flat_arr_pairs():
+        # arrays survive the join; only the FOLD is flattened:
+        # qa[0]*qb[0] + ... + qa[63]*qb[63] via getItem (codegen)
+        a = qc.repartition(64).select("vec_id", F.col("qv").alias("qa"))
+        b = qc.select(
+            F.col("vec_id").alias("neighbor"), F.col("qv").alias("qb")
+        )
+        qdot = functools.reduce(
+            operator.add,
+            [F.col("qa")[i] * F.col("qb")[i] for i in range(DIM)],
+        )
+        return (
+            a.crossJoin(F.broadcast(b))
+            .filter(F.col("vec_id") != F.col("neighbor"))
+            .select("vec_id", "neighbor", qdot.alias("qdot"))
+            .agg(F.sum("qdot"), F.count(F.lit(1)))
+        )
+
+    # correctness cross-check first
+    r_h = hof_pairs().collect()[0]
+    r_f = flat_pairs().collect()[0]
+    r_fa = flat_arr_pairs().collect()[0]
+    print(
+        f"CHECK hof={tuple(r_h)} flat={tuple(r_f)} flat_arr={tuple(r_fa)} "
+        f"match={tuple(r_h) == tuple(r_f) == tuple(r_fa)}"
+    )
+
+    import subprocess
+
+    me = os.getpid()
+    out = subprocess.check_output(
+        ["ps", "-o", "pid=,comm=", "--ppid", str(me)], text=True
+    )
+    jpid = next(
+        int(l.split()[0]) for l in out.splitlines() if "java" in l
+    )
+    clk = os.sysconf("SC_CLK_TCK")
+
+    def jvm_cpu() -> float:
+        with open(f"/proc/{jpid}/stat") as f:
+            parts = f.read().rsplit(")", 1)[1].split()
+        return (int(parts[11]) + int(parts[12])) / clk  # utime+stime
+
+    best = {"hof": float("inf"), "flat": float("inf"),
+            "flat_arr": float("inf"), "floor": float("inf")}
+    best_cpu = dict(best)
+    for _ in range(args.runs):
+        for name, fn in (("hof", hof_pairs), ("flat", flat_pairs),
+                         ("flat_arr", flat_arr_pairs), ("floor", floor_pairs)):
+            spark.catalog.clearCache()
+            spark.sparkContext.setJobDescription(f"r13:{name}")
+            c0 = jvm_cpu()
+            t0 = time.perf_counter()
+            fn().collect()
+            best[name] = min(best[name], time.perf_counter() - t0)
+            best_cpu[name] = min(best_cpu[name], jvm_cpu() - c0)
+    for name, sec in best.items():
+        print(
+            f"RESULT {name} cpus={args.cpus} min_of_{args.runs}="
+            f"{sec:.3f}s cpu={best_cpu[name]:.2f}s"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

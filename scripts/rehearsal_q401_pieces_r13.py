@@ -1,0 +1,207 @@
+"""Round-13: decompose q401 into its two heavy legs (pair_stats vs
+truth referee) and time each under the current code, JVM-CPU metric.
+
+Usage: python scripts/rehearsal_q401_pieces_r13.py [--cpus N] [--runs K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
+    from etl_as_a_service_spark.session import build_session
+
+    spark = build_session(app_name="r13-q401-pieces", driver_memory="16g")
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.catalog import load_tables
+    from etl_as_a_service_spark.llm.similarity_portable import (
+        flat_qdist2,
+        flatten_qv,
+        md5_planes,
+        quantize_vectors,
+        spread,
+    )
+    from etl_as_a_service_spark.queries.traindata7 import (
+        RPW_TABLES,
+        RPW_THRESHOLD_Q2,
+        RPW_WIDTHS,
+    )
+
+    emb = load_tables(spark, args.sf, ["embeddings"])["embeddings"]
+    emb.count()
+    qc = quantize_vectors(emb)
+    planes = md5_planes(spark, RPW_TABLES, 1, 64, "rpj")
+    projs = (
+        qc.select("vec_id", F.posexplode("qv").alias("i", "x"))
+        .join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "t")
+        .agg(F.sum(F.col("x") * F.col("h")).alias("proj"))
+    )
+    w_max = max(RPW_WIDTHS)
+    T = RPW_TABLES
+
+    def _fdiv(col, w):
+        return ((col - F.pmod(col, F.lit(w))) / F.lit(w)).cast("long")
+
+    pvec = projs.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("t") == t, F.col("proj"))).alias(f"p{t}")
+            for t in range(T)
+        ]
+    )
+    fa = flatten_qv(qc, "a").withColumnRenamed("vec_id", "id_a")
+    fb = flatten_qv(qc, "b").withColumnRenamed("vec_id", "id_b")
+    bexp = pvec.select(
+        "vec_id",
+        *[f"p{t}" for t in range(T)],
+        F.posexplode(
+            F.array(*[_fdiv(F.col(f"p{t}"), w_max) for t in range(T)])
+        ).alias("t", "bucket"),
+    )
+    ba = bexp.select(
+        F.col("vec_id").alias("id_a"), "t", "bucket",
+        *[F.col(f"p{t}").alias(f"pa{t}") for t in range(T)],
+    )
+    bb = bexp.select(
+        F.col("vec_id").alias("id_b"), "t", "bucket",
+        *[F.col(f"p{t}").alias(f"pb{t}") for t in range(T)],
+    )
+    first_match = F.coalesce(
+        *[
+            F.when(
+                _fdiv(F.col(f"pa{t}"), w_max)
+                == _fdiv(F.col(f"pb{t}"), w_max),
+                F.lit(t),
+            )
+            for t in range(T)
+        ]
+    )
+
+    def _match_any(w):
+        cond = _fdiv(F.col("pa0"), w) == _fdiv(F.col("pb0"), w)
+        for t in range(1, T):
+            cond = cond | (
+                _fdiv(F.col(f"pa{t}"), w) == _fdiv(F.col(f"pb{t}"), w)
+            )
+        return cond
+
+    min_w = F.coalesce(
+        *[
+            F.when(_match_any(w), F.lit(w).cast("long"))
+            for w in sorted(RPW_WIDTHS)
+        ]
+    )
+
+    def pairs_dedup_only():
+        # the bucket self-join + first-match dedup, NO min_w / NO d2
+        return (
+            spread(ba)
+            .join(F.broadcast(bb), ["t", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(first_match == F.col("t"))
+            .select("id_a", "id_b")
+            .agg(F.count(F.lit(1)))
+        )
+
+    def pairs_minw():
+        # + the min_w coalesce/when fdiv chain
+        return (
+            spread(ba)
+            .join(F.broadcast(bb), ["t", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(first_match == F.col("t"))
+            .select("id_a", "id_b", min_w.alias("min_w"))
+            .groupBy("min_w")
+            .agg(F.count(F.lit(1)))
+        )
+
+    def pairs_full():
+        # + join-back of both flat vector sides + codegen-flat d2
+        return (
+            spread(ba)
+            .join(F.broadcast(bb), ["t", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(first_match == F.col("t"))
+            .select("id_a", "id_b", min_w.alias("min_w"))
+            .join(F.broadcast(fa), "id_a")
+            .join(F.broadcast(fb), "id_b")
+            .select("min_w", flat_qdist2("a", "b").alias("qdist2"))
+            .groupBy("min_w")
+            .agg(
+                F.count(F.lit(1)).alias("n_c"),
+                F.count_if(
+                    F.col("qdist2") <= RPW_THRESHOLD_Q2
+                ).alias("n_w"),
+            )
+        )
+
+    def truth_new():
+        return (
+            spread(fa)
+            .crossJoin(F.broadcast(fb))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(flat_qdist2("a", "b").alias("qd"))
+            .agg(
+                F.greatest(
+                    F.count_if(F.col("qd") <= RPW_THRESHOLD_Q2), F.lit(1)
+                ).alias("n_true")
+            )
+        )
+
+    import subprocess
+
+    out = subprocess.check_output(
+        ["ps", "-o", "pid=,comm=", "--ppid", str(os.getpid())], text=True
+    )
+    jpid = next(int(l.split()[0]) for l in out.splitlines() if "java" in l)
+    clk = os.sysconf("SC_CLK_TCK")
+
+    def jvm_cpu() -> float:
+        with open(f"/proc/{jpid}/stat") as f:
+            parts = f.read().rsplit(")", 1)[1].split()
+        return (int(parts[11]) + int(parts[12])) / clk
+
+    variants = {
+        "pairs_dedup_only": pairs_dedup_only,
+        "pairs_minw": pairs_minw,
+        "pairs_full": pairs_full,
+        "truth_new": truth_new,
+    }
+    best = {k: float("inf") for k in variants}
+    best_cpu = dict(best)
+    for _ in range(args.runs):
+        for name, fn in variants.items():
+            spark.catalog.clearCache()
+            spark.sparkContext.setJobDescription(f"r13:{name}")
+            c0 = jvm_cpu()
+            t0 = time.perf_counter()
+            fn().collect()
+            best[name] = min(best[name], time.perf_counter() - t0)
+            best_cpu[name] = min(best_cpu[name], jvm_cpu() - c0)
+    for name in variants:
+        print(
+            f"RESULT {name} cpus={args.cpus} min_of_{args.runs}="
+            f"{best[name]:.3f}s cpu={best_cpu[name]:.2f}s"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
