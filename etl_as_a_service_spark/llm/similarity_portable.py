@@ -237,15 +237,16 @@ def embedding_near_duplicates_portable(
     ``_quantized=True`` means df already has (vec_id, qv, nrm2)
     columns (callers that plant integer-space perturbations build the
     quantized frame themselves — q55)."""
-    spark = df.sparkSession
     qvecs = (
         df
         if _quantized
         else quantize_vectors(df, id_col=id_col, vec_col=vec_col)
     )
     dim = 64  # fixture contract (FIXTURES.md); planes grid is bounded
-    planes = md5_planes(spark, n_tables, n_planes, dim, salt)
-    buckets = srp_buckets(qvecs, planes, n_planes)
+    # r13: signatures from the Arrow matmul kernel (identical values;
+    # the explode+plane-join shape cost ~4.6 JVM-CPU-s of q148's 7.1
+    # at sf0.1 — see srp_signs_arrow)
+    buckets = srp_signs_arrow(qvecs, n_tables, n_planes, salt, dim=dim)
     if max_bucket_size is not None:
         sizes = buckets.groupBy("t", "bucket").agg(
             F.count(F.lit(1)).alias("__bsz")
@@ -329,19 +330,14 @@ def rp_similarity_join_portable(
     (projection std here is ~578 * |q| ~ 5.8e5 for unit vectors, so
     the 2e6 default keeps close pairs co-bucketed with high
     probability per table)."""
-    spark = corpus.sparkSession
     qc = quantize_vectors(corpus, id_col=id_col, vec_col=vec_col)
     qq = quantize_vectors(queries, id_col=id_col, vec_col=vec_col)
-    planes = md5_planes(spark, n_tables, 1, 64, salt)
     thr_q2 = int(round(distance_threshold * Q_SCALE)) ** 2
 
     def table_buckets(qvecs: DataFrame, out_id: str) -> DataFrame:
-        elems = qvecs.select("vec_id", F.posexplode("qv").alias("i", "x"))
-        proj = (
-            elems.join(F.broadcast(planes), "i")
-            .groupBy("vec_id", "t")
-            .agg(F.sum(F.col("x") * F.col("h")).alias("proj"))
-        )
+        # r13: projections from the Arrow matmul kernel (identical
+        # values — see rp_projections_arrow)
+        proj = rp_projections_arrow(qvecs, n_tables, salt)
         w = F.lit(bucket_width).cast("long")
         return proj.select(
             F.col("vec_id").alias(out_id),
@@ -531,6 +527,140 @@ def exact_topk_arrow(
 
     return _block_rows(qc, nb).mapInArrow(
         kern, "vec_id long, rank long, neighbor long, qdot long"
+    )
+
+
+def _md5_plane_matrix(n_tables: int, n_planes: int, dim: int, salt: str):
+    """The md5-derived plane grid as a numpy ((n_tables*n_planes) x dim)
+    float64 matrix, row-major by (t, p) — the SAME values md5_planes
+    derives in-engine (h = int(md5('<salt>-t-p-i')[:8 hex], 16) % 2001
+    - 1000; the 32-bit value is non-negative, so Python % == Spark %).
+    Pure Python at plan-build time: no Spark jobs, no collect."""
+    import hashlib
+
+    import numpy as np
+
+    h = np.empty((n_tables * n_planes, dim), dtype="float64")
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for i in range(dim):
+                v = int(
+                    hashlib.md5(
+                        f"{salt}-{t}-{p}-{i}".encode()
+                    ).hexdigest()[:8],
+                    16,
+                )
+                h[t * n_planes + p, i] = v % 2001 - 1000
+    return h
+
+
+def srp_signs_arrow(
+    qc: DataFrame,
+    n_tables: int,
+    n_planes: int,
+    salt: str,
+    dim: int = DIM,
+) -> DataFrame:
+    """(vec_id, t, bucket) — identical output to
+    ``srp_buckets(qc, md5_planes(...), n_planes)`` computed as ONE
+    sign(M @ H^T) matmul per input batch (r13, guide §4.2): the
+    in-JVM shape explodes N x dim element rows, fans them x
+    (tables*planes) through the broadcast plane join and re-aggregates
+    twice — ~12M intermediate rows and ~4.6 JVM-CPU-s for q148's
+    8x12 grid at sf0.1, all replaced by a (N x dim)(dim x 96) exact
+    float64 matmul (|proj| <= 3.7e7 << 2^53)."""
+    hmat = _md5_plane_matrix(n_tables, n_planes, dim, salt)
+
+    def kern(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            ids = (
+                rb.column("vec_id")
+                .to_numpy(zero_copy_only=False)
+                .astype("int64")
+            )
+            if len(ids) == 0:
+                continue
+            qv = rb.column("qv")
+            mat = (
+                qv.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype("float64")
+                .reshape(len(ids), -1)
+            )
+            projs = mat @ hmat.T  # (n, tables*planes), exact
+            bits = (projs >= 0).reshape(len(ids), n_tables, n_planes)
+            chars = bits.astype("uint8") + ord("0")
+            out_id = np.repeat(ids, n_tables)
+            out_t = np.tile(
+                np.arange(n_tables, dtype="int64"), len(ids)
+            )
+            buckets = [
+                chars[i, t].tobytes().decode("ascii")
+                for i in range(len(ids))
+                for t in range(n_tables)
+            ]
+            yield pa.record_batch(
+                [
+                    pa.array(out_id),
+                    pa.array(out_t),
+                    pa.array(buckets, type=pa.string()),
+                ],
+                names=["vec_id", "t", "bucket"],
+            )
+
+    return qc.select("vec_id", "qv").mapInArrow(
+        kern, "vec_id long, t long, bucket string"
+    )
+
+
+def rp_projections_arrow(
+    qc: DataFrame, n_tables: int, salt: str, dim: int = DIM
+) -> DataFrame:
+    """(vec_id, t, proj) — identical output to the explode +
+    broadcast-planes join + (vec, t) sum aggregate over
+    ``md5_planes(spark, n_tables, 1, dim, salt)`` (single-plane
+    projection tables, the q49/q401 family), computed as one exact
+    float64 matmul per input batch (the srp_signs_arrow rationale)."""
+    hmat = _md5_plane_matrix(n_tables, 1, dim, salt)
+
+    def kern(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            ids = (
+                rb.column("vec_id")
+                .to_numpy(zero_copy_only=False)
+                .astype("int64")
+            )
+            if len(ids) == 0:
+                continue
+            qv = rb.column("qv")
+            mat = (
+                qv.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype("float64")
+                .reshape(len(ids), -1)
+            )
+            projs = np.rint(mat @ hmat.T).astype("int64")
+            yield pa.record_batch(
+                [
+                    pa.array(np.repeat(ids, n_tables)),
+                    pa.array(
+                        np.tile(
+                            np.arange(n_tables, dtype="int64"), len(ids)
+                        )
+                    ),
+                    pa.array(projs.reshape(-1)),
+                ],
+                names=["vec_id", "t", "proj"],
+            )
+
+    return qc.select("vec_id", "qv").mapInArrow(
+        kern, "vec_id long, t long, proj long"
     )
 
 

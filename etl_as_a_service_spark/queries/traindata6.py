@@ -3240,7 +3240,6 @@ def q387_srp_ann_recall(spark, sf_dir):
     reuses the all-pairs exact frame (small-set-only by design, the
     q385 note); the ANN path itself never scores outside buckets."""
     from etl_as_a_service_spark.catalog import load_tables
-    from etl_as_a_service_spark.llm.dedup import md5_hash64
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     qv = F.transform(
@@ -3248,54 +3247,15 @@ def q387_srp_ann_recall(spark, sf_dir):
         lambda x: F.round(x.cast("double") * 1000).cast("long"),
     )
     q = emb.select("vec_id", qv.alias("qv"))
-    planes = (
-        spark.range(SRP_TABLES)
-        .select(F.col("id").alias("t"))
-        .crossJoin(
-            spark.range(SRP_PLANES).select(F.col("id").alias("p"))
-        )
-        .crossJoin(spark.range(64).select(F.col("id").alias("i")))
-        .select(
-            "t",
-            "p",
-            "i",
-            (
-                md5_hash64(
-                    F.concat(
-                        F.lit("srp-"),
-                        F.col("t").cast("string"),
-                        F.lit("-"),
-                        F.col("p").cast("string"),
-                        F.lit("-"),
-                        F.col("i").cast("string"),
-                    ),
-                    "",
-                )
-                % 2001
-                - 1000
-            ).alias("h"),
-        )
+    # r13: signatures from the Arrow matmul kernel — identical values
+    # to the explode + md5-plane join + two aggregates this replaced
+    # (see srp_signs_arrow; salt "srp" reproduces the same
+    # md5('srp-t-p-i') grid the DuckDB twin derives)
+    from etl_as_a_service_spark.llm.similarity_portable import (
+        srp_signs_arrow,
     )
-    elems = q.select(
-        "vec_id", F.posexplode(F.col("qv")).alias("i", "x")
-    )
-    sigs = (
-        elems.join(F.broadcast(planes), "i")
-        .groupBy("vec_id", "t", "p")
-        .agg(
-            F.when(F.sum(F.col("x") * F.col("h")) >= 0, F.lit("1"))
-            .otherwise(F.lit("0"))
-            .alias("bit")
-        )
-    )
-    buckets = sigs.groupBy("vec_id", "t").agg(
-        F.concat(
-            *[
-                F.max(F.when(F.col("p") == p, F.col("bit")))
-                for p in range(SRP_PLANES)
-            ]
-        ).alias("bucket")
-    )
+
+    buckets = srp_signs_arrow(q, SRP_TABLES, SRP_PLANES, "srp")
     # r13 (guide §4.2/§8): the exact ground-truth top-k comes from
     # the Arrow block-Gram kernel (one float64 matmul per id-block,
     # bit-exact at the audited magnitudes, only k rows per query ever

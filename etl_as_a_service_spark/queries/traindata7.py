@@ -541,21 +541,19 @@ def q401_rp_width_sweep(spark, sf_dir):
     referee (the q385 note). Bounded output: |widths| rows."""
     from etl_as_a_service_spark.catalog import load_tables
     from etl_as_a_service_spark.llm.similarity_portable import (
-        md5_planes,
         quantize_vectors,
+        rp_projections_arrow,
         spread,
         within_dist_pairs_arrow,
     )
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     qc = quantize_vectors(emb)
-    planes = md5_planes(spark, RPW_TABLES, 1, 64, "rpj")
-    projs = (
-        qc.select("vec_id", F.posexplode("qv").alias("i", "x"))
-        .join(F.broadcast(planes), "i")
-        .groupBy("vec_id", "t")
-        .agg(F.sum(F.col("x") * F.col("h")).alias("proj"))
-    )
+    # r13: projections from the Arrow matmul kernel (identical values
+    # — see rp_projections_arrow); the explode+plane-join shape fed
+    # pvec, which is consumed by four plan branches, so its cost
+    # multiplied
+    projs = rp_projections_arrow(qc, RPW_TABLES, "rpj")
     widths = spark.createDataFrame(
         [(w,) for w in RPW_WIDTHS], "w long"
     )
@@ -864,17 +862,18 @@ def q402_srp_table_sweep(spark, sf_dir):
     from etl_as_a_service_spark.catalog import load_tables
     from etl_as_a_service_spark.llm.similarity_portable import (
         cos_census_count_arrow,
-        md5_planes,
         pairs_cos_hits_arrow,
         quantize_vectors,
         spread,
-        srp_buckets,
+        srp_signs_arrow,
     )
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     qc = quantize_vectors(emb)
-    planes = md5_planes(spark, SRS_MAX_TABLES, SRS_PLANES, 64, "srs")
-    buckets = srp_buckets(qc, planes, SRS_PLANES)
+    # r13: signatures from the Arrow matmul kernel (identical values;
+    # the explode+plane-join shape was the stage's dominant CPU — see
+    # srp_signs_arrow)
+    buckets = srp_signs_arrow(qc, SRS_MAX_TABLES, SRS_PLANES, "srs")
     # r12 optimization (guide §2.4, the q401 treatment): first_t is
     # decided MAP-SIDE instead of groupBy(id_a, id_b).agg(min(t)) over
     # every candidate row. Each vector's per-table bucket array (one

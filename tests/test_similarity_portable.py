@@ -159,3 +159,90 @@ def test_quantize_vectors_norm_is_exact_integer(spark, emb):
     assert row["nrm2"] == row["check"]
     # unit-norm fixture: quantized norm2 ~ (1000)^2
     assert abs(row["nrm2"] - Q_SCALE * Q_SCALE) < 0.1 * Q_SCALE * Q_SCALE
+
+
+# ---------------------------------------------------------------------------
+# r13 Arrow kernels: bit-equivalence against the in-JVM shapes they replaced
+# ---------------------------------------------------------------------------
+
+
+def test_srp_signs_arrow_matches_jvm_shape(spark, emb):
+    """srp_signs_arrow (matmul kernel) produces exactly the
+    (vec_id, t, bucket) rows of srp_buckets over md5_planes — the
+    r13 swap is a pure implementation change."""
+    from etl_as_a_service_spark.llm.similarity_portable import (
+        md5_planes,
+        srp_buckets,
+        srp_signs_arrow,
+    )
+
+    qc = quantize_vectors(emb)
+    planes = md5_planes(spark, 3, 5, 64, "ksig")
+    jvm = {tuple(r) for r in srp_buckets(qc, planes, 5).collect()}
+    arrow = {tuple(r) for r in srp_signs_arrow(qc, 3, 5, "ksig").collect()}
+    assert arrow == jvm and len(arrow) > 0
+
+
+def test_rp_projections_arrow_matches_jvm_shape(spark, emb):
+    """rp_projections_arrow reproduces the explode + broadcast-planes
+    join + (vec, t) sum aggregate exactly (integer projections)."""
+    from etl_as_a_service_spark.llm.similarity_portable import (
+        md5_planes,
+        rp_projections_arrow,
+    )
+
+    qc = quantize_vectors(emb)
+    planes = md5_planes(spark, 4, 1, 64, "kproj")
+    jvm = {
+        tuple(r)
+        for r in (
+            qc.select("vec_id", F.posexplode("qv").alias("i", "x"))
+            .join(F.broadcast(planes), "i")
+            .groupBy("vec_id", "t")
+            .agg(F.sum(F.col("x") * F.col("h")).alias("proj"))
+            .collect()
+        )
+    }
+    arrow = {
+        tuple(r)
+        for r in rp_projections_arrow(qc, 4, "kproj").collect()
+    }
+    assert arrow == jvm and len(arrow) > 0
+
+
+def test_exact_topk_arrow_matches_window_shape(spark, emb):
+    """exact_topk_arrow reproduces the crossJoin + integer-dot fold +
+    row_number window exactly, including the (qdot DESC, neighbor ASC)
+    tie-break."""
+    from pyspark.sql import Window
+
+    from etl_as_a_service_spark.llm.similarity_portable import (
+        _qdot,
+        exact_topk_arrow,
+    )
+
+    qc = quantize_vectors(emb).select("vec_id", "qv")
+    a = qc.select("vec_id", F.col("qv").alias("qa"))
+    b = qc.select(F.col("vec_id").alias("neighbor"), F.col("qv").alias("qb"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor")
+    )
+    jvm = {
+        tuple(r)
+        for r in (
+            a.crossJoin(F.broadcast(b))
+            .filter(F.col("vec_id") != F.col("neighbor"))
+            .select("vec_id", "neighbor", _qdot("qa", "qb").alias("qdot"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 7)
+            .select("vec_id", "rank", "neighbor", "qdot")
+            .collect()
+        )
+    }
+    arrow = {
+        tuple(r)
+        for r in exact_topk_arrow(qc, 7)
+        .select("vec_id", "rank", "neighbor", "qdot")
+        .collect()
+    }
+    assert arrow == jvm and len(arrow) > 0
