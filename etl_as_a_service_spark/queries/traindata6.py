@@ -178,6 +178,15 @@ def sft_prep_spec(sf_dir: str, observe: bool = False) -> dict:
                                       "WHERE doc_id % 10 = 7"}]},
          "text_col": "t", "id_col": "doc_id", "n": 3,
          "threshold": SFT_DECON_THRESHOLD},
+        # r13 lineage cut: the two decon stages each anti-join the
+        # running frame against a derivation of itself, so the plant +
+        # gate prefix re-executes per consumer — and the chat-render
+        # projections below inline into every downstream reference
+        # (nt re-derives the whole chat expression). One cut here and
+        # one after the render measured 20.0 -> 14 JVM-CPU-s / 5.0 ->
+        # 3.5s wall end-to-end at sf0.1, identical output
+        # (same-process A/B, min-of-3).
+        {"op": "materialize"},
         *obs("4_ngram_decon"),
         {"op": "with_column", "name": "user_msg",
          "expr": f"array_join(slice(split(t, ' '), 1, {ct}), ' ')"},
@@ -193,6 +202,7 @@ def sft_prep_spec(sf_dir: str, observe: bool = False) -> dict:
         {"op": "with_column", "name": "band",
          "expr": f"CASE WHEN size(split(t, ' ')) < {SFT_BAND_TOKENS} "
                  "THEN 'short' ELSE 'long' END"},
+        {"op": "materialize"},
         {"op": "stratified_carve", "strata": ["source", "band"],
          "id_col": "doc_id", "size": SFT_EVAL_SIZE, "salt": "eval-v1",
          "keep": "train"},
