@@ -285,6 +285,12 @@ def logistic_hash_fit(
             )
             .select("doc_id", (p - F.col("y")).alias("r"))
         )
+        # r13: ONE action per GD step — the bias gradient rides the
+        # same collect as the per-bucket gradients (j = -1 row) via a
+        # union of the two bounded aggregates, halving the job count
+        # of the loop (it was two actions per iteration; each action
+        # is several task waves, and the residual subplan executes
+        # under one scheduler pass instead of two)
         grad_rows = (
             fx.join(resid, "doc_id")
             .groupBy("j")
@@ -293,19 +299,22 @@ def logistic_hash_fit(
                     F.sum(F.col("r") * F.col("x")) / F.lit(n_docs), 6
                 ).alias("g")
             )
-            .collect()  # bounded: n_buckets rows
+            .unionByName(
+                resid.agg(
+                    F.round(F.sum("r") / F.lit(n_docs), 6).alias("g")
+                ).select(F.lit(-1).cast("long").alias("j"), "g")
+            )
+            .collect()  # bounded: n_buckets + 1 rows
         )
-        gb_row = resid.agg(
-            F.round(F.sum("r") / F.lit(n_docs), 6).alias("g")
-        ).collect()  # bounded: 1 row
         grads = {int(r["j"]): float(r["g"]) for r in grad_rows}
+        gb = grads.pop(-1)
         # + 0.0 normalizes IEEE -0.0 (a round() of a tiny negative) to
         # +0.0 so the driver's repr-hash can't split on the sign of zero
         w = [
             round(w[j] - lr * grads.get(j, 0.0), 6) + 0.0
             for j in range(n_buckets)
         ]
-        b = round(b - lr * float(gb_row[0]["g"]), 6) + 0.0
+        b = round(b - lr * gb, 6) + 0.0
         trajectory.append([b] + list(w))
     return w, b, trajectory, fx
 
