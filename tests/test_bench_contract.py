@@ -1,0 +1,50 @@
+"""r13 (verdict item 4): the driver parses bench.py's ONE JSON line
+from a bounded tail capture — round 11's artifact was truncated
+mid-line and the whole round-over-round comparison shipped null. Pin
+the contract: the line built exactly like bench.py's emit, with
+worst-case magnitudes, must fit comfortably inside a 4 KB tail."""
+
+from __future__ import annotations
+
+import json
+
+
+def test_bench_json_line_fits_4kb_tail():
+    import bench
+
+    names = (
+        bench.HEADLINE
+        + bench.HEADLINE_CURATION
+        + bench.HEADLINE_ADVANCED
+        + bench.HEADLINE_SEMANTIC
+        + bench.HEADLINE_QUALITY
+        + bench.HEADLINE_WEBCORPUS
+        + bench.HEADLINE_ML
+        + bench.HEADLINE_TRAINDATA
+        + bench.HEADLINE_LAKEHOUSE
+    )
+    assert len(names) == len(set(names)), "duplicate bench entries"
+    # worst-case rendering: every query at a 4-digit-second time with
+    # 3 decimals (bench rounds to 3)
+    timings = {n: 9999.999 for n in names}
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": 99999.999,
+            "unit": "sec",
+            **{f"subtotal_{k}": 99999.999 for k in (
+                "core", "curation", "advanced", "semantic", "quality",
+                "lakehouse", "webcorpus", "ml", "traindata")},
+            "total_all": 999999.999,
+            "runs_per_query": 3,
+            "aggregation": "min",
+            "calibration_sec": 99.999,
+            "queries": timings,
+            "sf": 0.1,
+        }
+    )
+    assert len(line) < 3800, (
+        f"bench JSON line is {len(line)} bytes at worst case — the "
+        "driver's tail capture truncates near 4 KB; shorten names or "
+        "drop precision before adding more entries"
+    )

@@ -242,3 +242,32 @@ def test_manifest_plans_lint_clean(spark):
         if crit and name not in allow:
             bad[name] = crit
     assert not bad, f"critical plan lints outside the allowlist: {bad}"
+
+
+def test_no_literal_repartition_widths_in_engine_code():
+    """r13 (verdict item 2): a hardcoded ``repartition(64)`` is a
+    local-mode-sized magic constant — wrong on any other core count
+    (it over-parallelized 8-core runs and would under-parallelize a
+    real cluster). Spreads must derive from the session's parallelism
+    (similarity_portable.spread) or from data-dependent expressions.
+    This is a SOURCE lint because the physical plan cannot distinguish
+    a derived RoundRobinPartitioning(64) from a hardcoded one."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / (
+        "etl_as_a_service_spark"
+    )
+    pat = re.compile(r"\.repartition\(\s*\d+\s*[),]")
+    hits = [
+        f"{p.relative_to(root)}:{i + 1}: {line.strip()}"
+        for p in sorted(root.rglob("*.py"))
+        for i, line in enumerate(
+            p.read_text(encoding="utf-8").splitlines()
+        )
+        if pat.search(line)
+    ]
+    assert not hits, (
+        "literal repartition widths in engine code (use "
+        f"similarity_portable.spread or a derived width): {hits}"
+    )
