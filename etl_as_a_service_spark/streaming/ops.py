@@ -480,6 +480,34 @@ def streaming_countmin(
 _FOLD_LOG_CAP = 10_000
 
 
+#: How a fold pins the collapsed micro-batch partial so the fingerprint
+#: action and the state merge share one computation (r13, verdict item
+#: 8 — measured with scripts/rehearsal_streaming_fold_r13.py over an
+#: 8-batch availableNow stream, same-process min-of-3, identical final
+#: state, two independent runs): "checkpoint" 4.2/5.2s, "none"
+#: 4.4/5.3s, "persist" 4.9/6.3s. The eager localCheckpoint KEEPS its
+#: job: a lazy persist (populated by the fingerprint action, reused by
+#: the merge/write, unpersisted after the swap) measured consistently
+#: SLOWER — the r12 MinHash finding again (a columnar cache is the
+#: wrong tool for small hot frames vs a checkpoint's raw block write).
+#: "none" recomputes the partial for the merge leg — near-parity at
+#: this batch size but re-reads the batch, which loses at scale.
+_FOLD_PIN_MODE = "checkpoint"
+
+
+def _pin_partial(part: DataFrame) -> DataFrame:
+    if _FOLD_PIN_MODE == "checkpoint":
+        return part.localCheckpoint(eager=True)
+    if _FOLD_PIN_MODE == "persist":
+        return part.persist()
+    return part
+
+
+def _unpin_partial(part: DataFrame) -> None:
+    if _FOLD_PIN_MODE == "persist":
+        part.unpersist()
+
+
 def _fold_state_recover(state_path: str) -> None:
     """Heal a crash around the state swap (shared by every folded
     face): restore ``.__old__`` if the swap lost the live dir, and
@@ -602,18 +630,22 @@ def _maintain_folded_state(
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         _fold_state_recover(state_path)
         # collapse the batch FIRST (one row per touched group); the
-        # checkpoint pins it so the fingerprint action and the state
-        # merge below share one computation
-        part = partial_fn(batch_df).localCheckpoint(eager=True)
-        log = _fold_state_log(state_path)
-        fp = _fold_fingerprint(part)
-        if log.get(batch_id) == fp:
-            return  # replayed batch — already merged into the state
-        if os.path.exists(state_path):
-            prev = spark.read.parquet(state_path)
-            part = merge_fn(prev, part)
-        log[batch_id] = fp
-        _fold_state_swap(part, state_path, batch_id, log)
+        # pin (persist — see _FOLD_PIN_MODE) lets the fingerprint
+        # action and the state merge below share one computation
+        pinned = _pin_partial(partial_fn(batch_df))
+        try:
+            log = _fold_state_log(state_path)
+            fp = _fold_fingerprint(pinned)
+            if log.get(batch_id) == fp:
+                return  # replayed batch — already merged into the state
+            part = pinned
+            if os.path.exists(state_path):
+                prev = spark.read.parquet(state_path)
+                part = merge_fn(prev, part)
+            log[batch_id] = fp
+            _fold_state_swap(part, state_path, batch_id, log)
+        finally:
+            _unpin_partial(pinned)
 
     q = (
         stream_df.writeStream.foreachBatch(fold)
@@ -712,16 +744,18 @@ def streaming_bloom_dedup(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         _fold_state_recover(state_path)
-        batch = (
-            batch_df.dropDuplicates([key_col])
-            .withColumn(_hk, _hkexpr)
-            .localCheckpoint(eager=True)
+        # pins (persist — see _FOLD_PIN_MODE): `batch` feeds the bloom
+        # partial, the survivor filter AND the output write; `part`
+        # feeds the fingerprint action and the state merge
+        batch = _pin_partial(
+            batch_df.dropDuplicates([key_col]).withColumn(_hk, _hkexpr)
         )
-        part = bloom_state(batch, _hk, num_bits, num_hashes)
-        part = part.localCheckpoint(eager=True)
+        part = _pin_partial(bloom_state(batch, _hk, num_bits, num_hashes))
         log = _fold_state_log(state_path)
         fp = _fold_fingerprint(part)
         if log.get(batch_id) == fp:
+            _unpin_partial(part)
+            _unpin_partial(batch)
             return  # replayed batch — output dir and state already hold it
         if os.path.exists(state_path):
             state_df = spark.read.parquet(state_path)
@@ -785,10 +819,14 @@ def streaming_bloom_dedup(
                 )
 
         log[batch_id] = fp
-        _fold_state_swap(
-            merged, state_path, batch_id, log,
-            before_swap=_saturation_monitor,
-        )
+        try:
+            _fold_state_swap(
+                merged, state_path, batch_id, log,
+                before_swap=_saturation_monitor,
+            )
+        finally:
+            _unpin_partial(part)
+            _unpin_partial(batch)
 
     q = (
         stream_df.writeStream.foreachBatch(fold)

@@ -1,0 +1,93 @@
+"""Round-13 (verdict item 8): A/B the micro-batch partial-state pin in
+the streaming fold machinery — eager localCheckpoint (r12 shape, one
+dedicated job per batch) vs lazy persist (the fingerprint action
+materializes the cache; the merge/write reuses it; unpersist after the
+swap) vs none (the partial recomputes for fingerprint AND merge).
+
+Same-process interleaved min-of-N over a multi-batch availableNow file
+stream; asserts identical final state between variants.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from etl_as_a_service_spark.session import build_session
+
+    spark = build_session(app_name="r13-stream-fold", driver_memory="8g")
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    import etl_as_a_service_spark.streaming.ops as ops
+
+    base = "/tmp/r13_stream_fold"
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/src"
+    os.makedirs(src)
+    # 8 micro-batch files (maxFilesPerTrigger=1), each 20k rows
+    for b in range(8):
+        (
+            spark.range(b * 20_000, (b + 1) * 20_000)
+            .select(
+                (F.col("id") % 97).alias("k"),
+                (F.col("id") * 13 % 1003).cast("double").alias("v"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{src}/b{b}")
+        )
+
+    schema = "k long, v double"
+
+    def run(tag: str) -> tuple[float, list]:
+        root = f"{base}/{tag}_{time.monotonic_ns()}"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b*")
+        )
+        t0 = time.perf_counter()
+        out = ops.streaming_aggregate_maintenance(
+            stream,
+            f"{root}/state",
+            keys=["k"],
+            specs={"n": ("count", "v"), "s": ("sum", "v")},
+            checkpoint=f"{root}/ckpt",
+        )
+        rows = sorted(map(tuple, out.collect()))
+        return time.perf_counter() - t0, rows
+
+    orig_pin = ops._pin_partial if hasattr(ops, "_pin_partial") else None
+    if orig_pin is None:
+        print("NOTE: ops._pin_partial not present; A/B via source edit")
+
+    results = {}
+    best = {}
+    for _ in range(3):
+        for mode in ("checkpoint", "persist", "none"):
+            if orig_pin is not None:
+                ops._FOLD_PIN_MODE = mode
+            wall, rows = run(mode)
+            results.setdefault(mode, rows)
+            assert results[mode] == rows
+            best[mode] = min(best.get(mode, float("inf")), wall)
+    first = next(iter(results.values()))
+    assert all(r == first for r in results.values()), "state mismatch!"
+    print("final states identical across modes")
+    for mode, wall in best.items():
+        print(f"RESULT {mode}: min_of_3={wall:.3f}s")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
