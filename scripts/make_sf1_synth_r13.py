@@ -1,0 +1,151 @@
+"""Round-13 (verdict item 10): synthesize an sf1-scale rehearsal tier
+(~10x sf0.1) so §2 effects (shuffle scaling, skew, parallelism) become
+visible — at sf0.1 nearly every 8c/32c ratio is ~1 because queries are
+overhead-bound.
+
+Each table is 10 replicas of sf0.1 with shifted keys; text and
+embeddings are perturbed PER REPLICA so near-duplicate/similarity
+operators don't see a degenerate 10-way-duplicated corpus (which would
+quadratically explode candidate sets and measure a pathology, not
+scale). This data has NO oracle — it exists only for timing trends.
+
+Usage: python scripts/make_sf1_synth_r13.py [--out /tmp/sf1_synth] [--copies 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+SRC = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/sf1_synth")
+    ap.add_argument("--copies", type=int, default=10)
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from etl_as_a_service_spark.session import build_session
+
+    spark = build_session(app_name="r13-sf1-synth", driver_memory="16g")
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    from etl_as_a_service_spark.catalog import load_tables
+
+    os.makedirs(args.out, exist_ok=True)
+    K = args.copies
+    tables = load_tables(
+        spark, SRC,
+        ("region", "nation", "customer", "supplier", "part", "orders",
+         "lineitem", "events", "documents", "embeddings"),
+    )
+
+    def replicate(df, shifts, perturb=None):
+        """Union K replicas; ``shifts`` maps id column -> its sf0.1
+        stride; ``perturb(df, k)`` applies replica-specific noise."""
+        reps = []
+        for k in range(K):
+            r = df
+            for col, stride in shifts.items():
+                r = r.withColumn(
+                    col, F.col(col) + F.lit(k * stride).cast("long")
+                )
+            if perturb is not None:
+                r = perturb(r, k)
+            reps.append(r)
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        return out
+
+    def stride(df, col):
+        return int(df.agg(F.max(col)).collect()[0][0]) + 1
+
+    # dimension tables stay as-is (a real sf1 keeps the same regions)
+    for name in ("region", "nation", "customer", "supplier", "part"):
+        tables[name].write.mode("overwrite").parquet(
+            f"{args.out}/{name}.parquet"
+        )
+
+    d_stride = stride(tables["documents"], "doc_id")
+    docs = replicate(
+        tables["documents"],
+        {"doc_id": d_stride},
+        # vary each replica's text tail so replicas are near but not
+        # exact neighbors; keep n_chars consistent with the new text
+        lambda df, k: df.withColumn(
+            "text",
+            F.concat(
+                F.col("text"), F.lit(f" r{k}tag"),
+                F.substring(F.col("text"), (k * 7) % 23 + 1, 11),
+            ),
+        ).withColumn("n_chars", F.length("text")),
+    )
+    docs.repartition(8).write.mode("overwrite").parquet(
+        f"{args.out}/documents.parquet"
+    )
+
+    v_stride = stride(tables["embeddings"], "vec_id")
+    emb = replicate(
+        tables["embeddings"],
+        {"vec_id": v_stride},
+        # deterministic per-replica, per-dimension jitter (~1% of the
+        # unit-vector component scale) keeps replicas off each other's
+        # exact positions without destroying cluster structure
+        lambda df, k: df.withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: (
+                    x
+                    + (
+                        F.pmod(
+                            F.col("vec_id") * 31 + i * 7 + F.lit(k * 13),
+                            F.lit(17),
+                        ).cast("float")
+                        - F.lit(8.0)
+                    )
+                    * F.lit(0.0012)
+                ).cast("float"),
+            ),
+        ),
+    )
+    emb.repartition(4).write.mode("overwrite").parquet(
+        f"{args.out}/embeddings.parquet"
+    )
+
+    o_stride = stride(tables["orders"], "o_orderkey")
+    replicate(tables["orders"], {"o_orderkey": o_stride}).repartition(
+        8
+    ).write.mode("overwrite").parquet(f"{args.out}/orders.parquet")
+    replicate(
+        tables["lineitem"], {"l_orderkey": o_stride}
+    ).repartition(16).write.mode("overwrite").parquet(
+        f"{args.out}/lineitem.parquet"
+    )
+
+    e_stride = stride(tables["events"], "event_id")
+    u_stride = stride(tables["events"], "user_id")
+    replicate(
+        tables["events"], {"event_id": e_stride, "user_id": u_stride}
+    ).repartition(8).write.mode("overwrite").parquet(
+        f"{args.out}/events.parquet"
+    )
+
+    for name in ("documents", "embeddings", "orders", "lineitem",
+                 "events"):
+        n = spark.read.parquet(f"{args.out}/{name}.parquet").count()
+        print(f"{name}: {n} rows")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
