@@ -674,15 +674,23 @@ def pairs_topk_arrow(
     (small-set-only) matrix inside the task — the N-candidate ranking
     window and the per-pair vector join-backs never exist in the
     plan."""
-    nb = n_blocks or _default_blocks(qc)
+    # TWO-LEVEL grouping (r13, found by the sf1 rehearsal tier): a
+    # single collect_list of every pair in a block built ~190 MB
+    # single arrays at 10x data and crashed the JVM (GCLocker +
+    # huge-object allocation). Level 1 groups neighbors PER QUERY
+    # VECTOR (array bounded by that vector's candidate count); level
+    # 2 blocks those rows so the full matrix rides once per block
+    # row, not once per vector. nb scales with parallelism; the
+    # per-block payload is ~|pairs|/nb longs.
+    nb = (n_blocks or _default_blocks(qc)) * 4
+    pervec = pairs.groupBy("vec_id").agg(
+        F.collect_list("neighbor").alias("narr")
+    )
     plist = (
-        pairs.select(
-            F.pmod(F.col("vec_id"), F.lit(nb)).alias("blk"),
-            "vec_id",
-            "neighbor",
+        pervec.groupBy(
+            F.pmod(F.col("vec_id"), F.lit(nb)).alias("blk")
         )
-        .groupBy("blk")
-        .agg(F.collect_list(F.struct("vec_id", "neighbor")).alias("plist"))
+        .agg(F.collect_list(F.struct("vec_id", "narr")).alias("plist"))
     )
     allv = qc.agg(F.collect_list(F.struct("vec_id", "qv")).alias("allv"))
     inp = plist.crossJoin(F.broadcast(allv))
@@ -700,35 +708,41 @@ def pairs_topk_arrow(
                     .to_numpy(zero_copy_only=False)
                     .astype("int64")
                 )
-                pn = (
-                    sa.field("neighbor")
-                    .to_numpy(zero_copy_only=False)
-                    .astype("int64")
-                )
                 if len(pv) == 0:
                     continue
+                narr_col = sa.field("narr")
                 bids, bmat = _unpack_vecs(acol[r])
                 pos = {int(v): i for i, v in enumerate(bids)}
-                vi = np.fromiter(
-                    (pos[int(v)] for v in pv), dtype="int64", count=len(pv)
-                )
-                ni = np.fromiter(
-                    (pos[int(v)] for v in pn), dtype="int64", count=len(pn)
-                )
-                dots = np.einsum("ij,ij->i", bmat[vi], bmat[ni])
-                order = np.lexsort((pn, -dots, pv))
-                sv = pv[order]
-                starts = np.zeros(len(sv), dtype="int64")
-                new_grp = np.flatnonzero(np.diff(sv)) + 1
-                starts[new_grp] = new_grp
-                np.maximum.accumulate(starts, out=starts)
-                rnk = np.arange(len(sv), dtype="int64") - starts + 1
-                keep = rnk <= k
+                out_v, out_n, out_r = [], [], []
+                for gi in range(len(pv)):
+                    pn = (
+                        narr_col[gi]
+                        .values.to_numpy(zero_copy_only=False)
+                        .astype("int64")
+                    )
+                    if len(pn) == 0:
+                        continue
+                    ni = np.fromiter(
+                        (pos[int(v)] for v in pn),
+                        dtype="int64",
+                        count=len(pn),
+                    )
+                    dots = bmat[ni] @ bmat[pos[int(pv[gi])]]
+                    order = np.lexsort((pn, -dots))[: min(k, len(pn))]
+                    out_v.append(
+                        np.full(len(order), pv[gi], dtype="int64")
+                    )
+                    out_n.append(pn[order])
+                    out_r.append(
+                        np.arange(1, len(order) + 1, dtype="int64")
+                    )
+                if not out_v:
+                    continue
                 yield pa.record_batch(
                     [
-                        pa.array(sv[keep]),
-                        pa.array(pn[order][keep]),
-                        pa.array(rnk[keep]),
+                        pa.array(np.concatenate(out_v)),
+                        pa.array(np.concatenate(out_n)),
+                        pa.array(np.concatenate(out_r)),
                     ],
                     names=["vec_id", "neighbor", "arnk"],
                 )
@@ -750,20 +764,18 @@ def pairs_cos_hits_arrow(
     (qdot > 0 AND den2*qdot^2 >= num2*|a|^2*|b|^2) evaluated in int64
     inside the block kernel (cross-products exceed 2^53 — float64
     would be inexact). ``pairs`` must carry (id_a, id_b, first_t)."""
-    nb = n_blocks or _default_blocks(qc)
+    # two-level grouping, the pairs_topk_arrow rationale: per-query
+    # neighbor/first_t arrays first (bounded rows), then parallelism-
+    # scaled blocks so the matrix rides once per block row — a single
+    # per-block collect_list of raw pairs built ~190 MB arrays at 10x
+    # data and crashed the JVM (caught by the sf1 rehearsal tier)
+    nb = (n_blocks or _default_blocks(qc)) * 4
+    pervec = pairs.groupBy("id_a").agg(
+        F.collect_list(F.struct("id_b", "first_t")).alias("parr")
+    )
     plist = (
-        pairs.select(
-            F.pmod(F.col("id_a"), F.lit(nb)).alias("blk"),
-            "id_a",
-            "id_b",
-            "first_t",
-        )
-        .groupBy("blk")
-        .agg(
-            F.collect_list(F.struct("id_a", "id_b", "first_t")).alias(
-                "plist"
-            )
-        )
+        pervec.groupBy(F.pmod(F.col("id_a"), F.lit(nb)).alias("blk"))
+        .agg(F.collect_list(F.struct("id_a", "parr")).alias("plist"))
     )
     allv = qc.agg(F.collect_list(F.struct("vec_id", "qv")).alias("allv"))
     inp = plist.crossJoin(F.broadcast(allv))
@@ -781,37 +793,47 @@ def pairs_cos_hits_arrow(
                     .to_numpy(zero_copy_only=False)
                     .astype("int64")
                 )
-                pb_ = (
-                    sa.field("id_b")
-                    .to_numpy(zero_copy_only=False)
-                    .astype("int64")
-                )
-                ft = (
-                    sa.field("first_t")
-                    .to_numpy(zero_copy_only=False)
-                    .astype("int64")
-                )
                 if len(pa_) == 0:
                     continue
+                parr_col = sa.field("parr")
                 bids, bmat = _unpack_vecs(acol[r])
                 pos = {int(v): i for i, v in enumerate(bids)}
-                ai = np.fromiter(
-                    (pos[int(v)] for v in pa_), dtype="int64",
-                    count=len(pa_),
-                )
-                bi = np.fromiter(
-                    (pos[int(v)] for v in pb_), dtype="int64",
-                    count=len(pb_),
-                )
                 nrm = np.rint((bmat * bmat).sum(axis=1)).astype("int64")
-                qdot = np.rint(
-                    np.einsum("ij,ij->i", bmat[ai], bmat[bi])
-                ).astype("int64")
-                hit = (qdot > 0) & (
-                    den2 * qdot * qdot >= num2 * (nrm[ai] * nrm[bi])
-                )
+                out_ft, out_hit = [], []
+                for gi in range(len(pa_)):
+                    grp = parr_col[gi].values
+                    pb_ = (
+                        grp.field("id_b")
+                        .to_numpy(zero_copy_only=False)
+                        .astype("int64")
+                    )
+                    if len(pb_) == 0:
+                        continue
+                    ft = (
+                        grp.field("first_t")
+                        .to_numpy(zero_copy_only=False)
+                        .astype("int64")
+                    )
+                    bi = np.fromiter(
+                        (pos[int(v)] for v in pb_),
+                        dtype="int64",
+                        count=len(pb_),
+                    )
+                    aidx = pos[int(pa_[gi])]
+                    qdot = np.rint(bmat[bi] @ bmat[aidx]).astype("int64")
+                    hit = (qdot > 0) & (
+                        den2 * qdot * qdot
+                        >= num2 * (nrm[aidx] * nrm[bi])
+                    )
+                    out_ft.append(ft)
+                    out_hit.append(hit)
+                if not out_ft:
+                    continue
                 yield pa.record_batch(
-                    [pa.array(ft), pa.array(hit)],
+                    [
+                        pa.array(np.concatenate(out_ft)),
+                        pa.array(np.concatenate(out_hit)),
+                    ],
                     names=["first_t", "hit"],
                 )
 
