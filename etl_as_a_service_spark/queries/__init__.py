@@ -89,60 +89,61 @@ from etl_as_a_service_spark.queries import traindata7  # noqa: E402,F401
 # check is `no_oracle` (row-count only) and each already has its
 # driver row; the real gates are their pytest recall/content tests.
 _ROTATE_FRONT = [
-    # round-12 window: never-green leads — q49/q55/q148 (graduated
-    # from rows-only via the q385 quantization recipe) and the new
-    # q400-q438 — then the stalest receipts (r2-era q56..q116, then
-    # r3-era q40..q74), sorted by (newest green round, number).
-    "q49_lsh_ann_join",
-    "q55_embedding_near_dups",
-    "q148_semantic_dedup",
-    "q400_ingest_ledger",
-    "q401_rp_width_sweep",
-    "q402_srp_table_sweep",
-    "q403_k_anonymity_census",
-    "q404_purge_compliance_audit",
-    "q405_calibration_audit",
-    "q406_attention_cost_audit",
-    "q407_dataset_card",
-    "q408_lsh_banding_planner",
-    "q409_incremental_neardup_portable",
-    "q410_duplicated_span_census",
-    "q411_epoch_repeat_planner",
-    "q412_shingle_width_tuner",
-    "q413_broadcast_planner",
-    "q414_pipeline_order_audit",
-    "q415_context_window_ledger",
-    "q416_curriculum_schedule_audit",
-    "q417_entity_staleness_audit",
-    "q418_shard_stability_audit",
-    "q419_span_excision",
-    "q420_excision_gate_flip_audit",
-    "q421_carve_representativeness",
-    "q422_recency_weighted_value",
-    "q423_edge_truss_menu",
-    "q424_event_transition_census",
-    "q425_decon_policy_menu",
-    "q426_vocab_growth_census",
-    "q427_source_length_similarity",
-    "q428_join_order_ledger",
-    "q429_completeness_profile",
-    "q430_agg_grain_planner",
-    "q431_key_overlap_profile",
-    "q432_prefix_boilerplate_census",
-    "q433_value_drift_monitor",
-    "q434_fd_census",
-    "q435_session_gap_tuner",
-    "q436_dedup_waterfall",
-    "q437_partition_balance_menu",
-    "q438_gate_venn",
-    "q56_array_ops",
-    "q57_csv_scan_parity",
-    "q68_interval_range_frames",
-    "q75_skew_kurtosis",
-    "q81_tumbling_windows_batch",
-    "q82_asof_forward_next_purchase",
-    "q83_resample_gap_fill",
-    "q88_tfidf_top_terms",
+    # round-13 window (re-derived after CORRECTNESS_r12.json landed —
+    # the test_front_50_rotation_invariants logic): every oracle query
+    # now holds a green receipt, so the window is pure freshness —
+    # the least-recently-confirmed rows, sorted by (newest green
+    # round, query number) ascending.
+    "q89_repetition_scores",
+    "q90_stratified_sample",
+    "q92_document_chunking",
+    "q93_top_bigrams",
+    "q95_incremental_dedup",
+    "q96_event_conversion_funnel",
+    "q97_percentile_trim",
+    "q99_ewma_per_user",
+    "q101_fuzzy_nation_match",
+    "q102_pii_scan_report",
+    "q103_banded_range_join",
+    "q108_weighted_sample",
+    "q109_linear_interpolation",
+    "q112_mad_outliers",
+    "q113_unpivot_metrics",
+    "q116_cohort_retention",
+    "q120_bigram_lm_scores",
+    "q40_exact_dedup_groups",
+    "q41_exact_dedup_survivors",
+    "q42_text_stats_by_lang",
+    "q43_doc_fingerprints",
+    "q44_lang_id_agreement",
+    "q45_cosine_topk",
+    "q46_ngram_jaccard_pairs",
+    "q58_text_cleaning",
+    "q59_curation_pipeline",
+    "q62_shipping_priority",
+    "q63_local_supplier_volume",
+    "q64_nation_volume_pairs",
+    "q65_returned_item_customers",
+    "q66_or_of_ands_predicates",
+    "q71_nth_value_listagg",
+    "q72_bit_operations",
+    "q73_binning_histogram",
+    "q74_date_part_week_trunc",
+    "q76_deterministic_split",
+    "q77_data_quality_report",
+    "q78_sequence_packing",
+    "q79_class_rebalance",
+    "q80_variant_json",
+    "q84_sequence_packing_split",
+    "q85_decontamination",
+    "q86_label_centroids",
+    "q87_try_arithmetic",
+    "q91_filter_funnel",
+    "q94_contaminated_spans",
+    "q100_scd2_intervals",
+    "q104_sketch_rollup",
+    "q105_merge_upsert",
+    "q106_snapshot_diff",
 ]
 
 
