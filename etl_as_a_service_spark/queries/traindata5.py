@@ -151,7 +151,12 @@ def curation_e2e_spec(
         # gate) measured -16% JVM CPU end-to-end at sf0.1 with
         # byte-identical output (same-process A/B, min-of-3); at
         # multi-job scale these are the natural staging-write points.
-        {"op": "materialize"},
+        # NOT in the observe form: an Observation whose node executes
+        # between two eager checkpoints (i.e. during a checkpoint
+        # materialization, not the final action) reports zero — the
+        # funnel needs every observe on the final action's path, so
+        # the runner form keeps the r12 single-cut shape.
+        *([{"op": "materialize"}] if not observe else []),
         *obs("1_url_dedup"),
         {"op": "paragraph_dedup", "text_col": "t", "id_col": "doc_id",
          "min_docs": 5, "max_dup_frac": 0.5},
@@ -172,7 +177,7 @@ def curation_e2e_spec(
                  "id_col": "doc_id", "quality_col": "qual",
                  "n_perms": 8, "band_rows": 2, "shingle_n": 3,
                  "threshold": NEARDUP_THRESHOLD},
-                {"op": "materialize"},
+                *([{"op": "materialize"}] if not observe else []),
                 *obs("2b_near_dup"),
             ]
             if portable
@@ -182,7 +187,7 @@ def curation_e2e_spec(
                 {"op": "near_dedup_keep_best", "text_col": "t",
                  "id_col": "doc_id", "quality_col": "qual",
                  "n": 3, "threshold": 0.5, "keep_rows": True},
-                {"op": "materialize"},
+                *([{"op": "materialize"}] if not observe else []),
                 *obs("2b_near_dup"),
             ]
             if near_dup
@@ -191,7 +196,7 @@ def curation_e2e_spec(
         {"op": "encoding_gate", "text_col": "t", "max_hits": 0},
         *obs("3_encoding_gate"),
         {"op": "gopher_quality", "text_col": "t", "filter": True},
-        {"op": "materialize"},
+        *([{"op": "materialize"}] if not observe else []),
         *obs("4_gopher"),
         {"op": "decontaminate",
          "test": {"source": src,

@@ -185,8 +185,11 @@ def sft_prep_spec(sf_dir: str, observe: bool = False) -> dict:
         # (nt re-derives the whole chat expression). One cut here and
         # one after the render measured 20.0 -> 14 JVM-CPU-s / 5.0 ->
         # 3.5s wall end-to-end at sf0.1, identical output
-        # (same-process A/B, min-of-3).
-        {"op": "materialize"},
+        # (same-process A/B, min-of-3). NOT in the observe form: an
+        # Observation between two eager checkpoints reports zero (the
+        # curation-spec funnel rule), so the runner form keeps its
+        # observes on the final action's path.
+        *([{"op": "materialize"}] if not observe else []),
         *obs("4_ngram_decon"),
         {"op": "with_column", "name": "user_msg",
          "expr": f"array_join(slice(split(t, ' '), 1, {ct}), ' ')"},
@@ -202,7 +205,7 @@ def sft_prep_spec(sf_dir: str, observe: bool = False) -> dict:
         {"op": "with_column", "name": "band",
          "expr": f"CASE WHEN size(split(t, ' ')) < {SFT_BAND_TOKENS} "
                  "THEN 'short' ELSE 'long' END"},
-        {"op": "materialize"},
+        *([{"op": "materialize"}] if not observe else []),
         {"op": "stratified_carve", "strata": ["source", "band"],
          "id_col": "doc_id", "size": SFT_EVAL_SIZE, "salt": "eval-v1",
          "keep": "train"},
