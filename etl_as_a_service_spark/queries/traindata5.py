@@ -143,19 +143,19 @@ def curation_e2e_spec(
         *obs("0_raw"),
         {"op": "canonical_url", "url_col": "url", "out_col": "curl",
          "dedup": True, "id_col": "doc_id"},
-        # r13 lineage cuts: every self-referential stage downstream
-        # (paragraph dedup, near-dup, decontaminate's anti-join)
-        # consumes the running frame at least twice, so each upstream
-        # regex/join prefix re-executed per consumer. Three extra cuts
-        # (after the URL dedup, the near-dup block, and the gopher
-        # gate) measured -16% JVM CPU end-to-end at sf0.1 with
-        # byte-identical output (same-process A/B, min-of-3); at
-        # multi-job scale these are the natural staging-write points.
-        # NOT in the observe form: an Observation whose node executes
-        # between two eager checkpoints (i.e. during a checkpoint
-        # materialization, not the final action) reports zero — the
-        # funnel needs every observe on the final action's path, so
-        # the runner form keeps the r12 single-cut shape.
+        # r13 lineage cut: the URL-dedup join-back re-executes the
+        # plant prefix per consumer; one cut here (plus the original
+        # paragraph-dedup cut below) measured best on a calm host —
+        # same-process bench-style A/B, min-of-3, identical output:
+        # this shape 7.32s/24.6 CPU vs the r12 single-cut 8.96s/25.5
+        # vs cuts-after-every-gate 8.48s/29.4 (each extra eager
+        # checkpoint adds a serial action, so cuts only pay where the
+        # re-executed prefix is expensive — near-dup/gopher cuts LOST
+        # and were measured out). NOT in the observe form: an
+        # Observation whose node executes between two eager
+        # checkpoints (during a checkpoint materialization, not the
+        # final action) reports zero — the funnel needs every observe
+        # on the final action's path.
         *([{"op": "materialize"}] if not observe else []),
         *obs("1_url_dedup"),
         {"op": "paragraph_dedup", "text_col": "t", "id_col": "doc_id",
@@ -177,7 +177,6 @@ def curation_e2e_spec(
                  "id_col": "doc_id", "quality_col": "qual",
                  "n_perms": 8, "band_rows": 2, "shingle_n": 3,
                  "threshold": NEARDUP_THRESHOLD},
-                *([{"op": "materialize"}] if not observe else []),
                 *obs("2b_near_dup"),
             ]
             if portable
@@ -187,7 +186,6 @@ def curation_e2e_spec(
                 {"op": "near_dedup_keep_best", "text_col": "t",
                  "id_col": "doc_id", "quality_col": "qual",
                  "n": 3, "threshold": 0.5, "keep_rows": True},
-                *([{"op": "materialize"}] if not observe else []),
                 *obs("2b_near_dup"),
             ]
             if near_dup
@@ -196,7 +194,6 @@ def curation_e2e_spec(
         {"op": "encoding_gate", "text_col": "t", "max_hits": 0},
         *obs("3_encoding_gate"),
         {"op": "gopher_quality", "text_col": "t", "filter": True},
-        *([{"op": "materialize"}] if not observe else []),
         *obs("4_gopher"),
         {"op": "decontaminate",
          "test": {"source": src,
